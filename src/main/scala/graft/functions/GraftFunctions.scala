@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function parity layer (SURVEY §2.4).
+  *
+  * Dozer's expression surface (reference: dozer-sql/expression/src/
+  * scalar/common.rs:20-32, conditional.rs:9-13, datetime.rs:13-21,
+  * geo/common.rs:11-14, json_functions.rs:13-16) mapped onto Spark:
+  * native `functions._` / Catalyst builtins wherever one exists
+  * (codegen'd), Scala UDFs only for the genuinely nonstandard ones
+  * (chrono-style TO_CHAR, geodesic DISTANCE).
+  *
+  * Everything is exposed twice: as Column functions here (DataFrame
+  * API) and as SQL names registered on the session ([[registerAll]])
+  * so `spark.sql("SELECT UCASE(name) ...")` works like dozer's dialect.
+  */
+object GraftFunctions {
+
+  // ---- Column API ------------------------------------------------------
+
+  /** UCASE — reference scalar/string.rs:25 */
+  def ucase(c: Column): Column = upper(c)
+
+  /** NVL(a, b) — reference scalar/field.rs:6 */
+  def nvl(a: Column, b: Column): Column = coalesce(a, b)
+
+  /** DECODE(expr, s1, r1, ..., default) — reference scalar/field.rs:40.
+    * Chained when/otherwise; null-safe equality like Oracle/dozer
+    * (NULL matches NULL).
+    */
+  def decodeExpr(expr: Column, pairsAndDefault: Column*): Column = {
+    require(pairsAndDefault.size >= 2, "DECODE needs at least one search/result pair")
+    val hasDefault = pairsAndDefault.size % 2 == 1
+    val pairs = (if (hasDefault) pairsAndDefault.dropRight(1) else pairsAndDefault)
+      .grouped(2).map { case Seq(s, r) => (s, r) }.toSeq
+    val default = if (hasDefault) pairsAndDefault.last else lit(null)
+    val first = when(expr <=> pairs.head._1, pairs.head._2)
+    pairs.tail.foldLeft(first) { case (acc, (s, r)) =>
+      acc.when(expr <=> s, r)
+    }.otherwise(default)
+  }
+
+  /** TO_CHAR(ts, fmt) with chrono-style %-patterns —
+    * reference scalar/string.rs:244.
+    */
+  def toChar(ts: Column, fmt: Column): Column = ToCharUdf(ts, fmt)
+
+  /** POINT(x, y) — reference geo/point.rs */
+  def point(x: Column, y: Column): Column = struct(x.as("x"), y.as("y"))
+
+  /** DISTANCE(p1, p2, algo) in meters — reference geo/distance.rs:18-31.
+    * Algorithms: GEODESIC (default), HAVERSINE, VINCENTY.
+    */
+  def distance(p1: Column, p2: Column, algo: String = "GEODESIC"): Column =
+    GeoUdfs.distance(p1, p2, algo)
+
+  private val jsonValueUdf =
+    udf((j: String, p: String) => JsonPathEval.value(j, p))
+  private val jsonQueryUdf =
+    udf((j: String, p: String) => JsonPathEval.query(j, p))
+
+  /** JSON_VALUE(json, path) — scalar result as string
+    * (reference json_functions.rs:44-77). For literal paths prefer
+    * Spark's codegen'd `get_json_object(json, "$.k")`.
+    */
+  def jsonValue(json: Column, path: Column): Column = jsonValueUdf(json, path)
+
+  /** JSON_QUERY(json, path) — json-typed result serialized back to text
+    * (reference json_functions.rs:78-118).
+    */
+  def jsonQuery(json: Column, path: Column): Column = jsonQueryUdf(json, path)
+
+  // ---- SQL registration ------------------------------------------------
+
+  /** Register the dialect's nonstandard names for SQL use. Safe to call
+    * repeatedly (createOrReplace semantics).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Upper, Coalesce}
+    val reg = spark.sessionState.functionRegistry
+
+    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    temp("ucase")(es => Upper(es.head))
+    temp("nvl2")(es => Coalesce(es)) // alias kept simple; NVL is builtin
+    ToCharUdf.register(spark)
+    GeoUdfs.register(spark)
+    spark.udf.register("json_value",
+      (j: String, p: String) => JsonPathEval.value(j, p))
+    spark.udf.register("json_query",
+      (j: String, p: String) => JsonPathEval.query(j, p))
+  }
+}
