@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+import graft.functions.GraftFunctions
+
+/** Scalar expression surface (SURVEY §2.4) + SQL constructs the
+  * reference's builder supports (CTEs, derived tables) and the batch
+  * extensions Spark gives for free (OVER windows, ROLLUP,
+  * INTERSECT/EXCEPT — dozer rejects these, SURVEY §2.3).
+  */
+object ExpressionQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // String functions — dozer-sql/expression/src/scalar/string.rs
+    QueryDef("q16_strings",
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS uname,
+        |  LENGTH(c_name) AS name_len,
+        |  SUBSTR(c_name, 1, 8) AS name_head,
+        |  REPLACE(c_name, 'Customer#', 'C') AS short_name,
+        |  CONCAT(c_mktsegment, ':', c_name) AS tagged,
+        |  TRIM(CONCAT(' ', c_mktsegment, ' ')) AS trimmed
+        |FROM customer""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.ucase(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_head"),
+        regexp_replace(col("c_name"), "Customer#", "C").as("short_name"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+        trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("trimmed"))
+    },
+
+    // EXTRACT / TO_CHAR — expression/src/datetime.rs:107-142, scalar/string.rs:244
+    QueryDef("q17_datetime",
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dy,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(EXTRACT(epoch FROM o_orderdate) AS BIGINT) AS epoch_s,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d %H:%M') AS formatted
+        |FROM orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        GraftFunctions.toChar(col("o_orderdate"), lit("%Y-%m-%d %H:%M")).as("formatted"))
+    },
+
+    // CASE / IN / LIKE / IS NULL — expression/src/{case.rs,in_list.rs,is_null.rs}
+    QueryDef("q18_case_in_like",
+      """SELECT p_partkey,
+        |  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_band,
+        |  (p_brand IN ('Brand#13','Brand#19','Brand#5')) AS fav_brand,
+        |  (p_name LIKE '%widget%') AS is_widget,
+        |  (p_type IS NULL) AS type_missing
+        |FROM part
+        |WHERE p_name LIKE 'l%' OR p_brand IN ('Brand#2')""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("l%") || col("p_brand").isin("Brand#2"))
+        .select(
+          col("p_partkey"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "mid").otherwise("big").as("size_band"),
+          col("p_brand").isin("Brand#13", "Brand#19", "Brand#5").as("fav_brand"),
+          col("p_name").like("%widget%").as("is_widget"),
+          col("p_type").isNull.as("type_missing"))
+    },
+
+    // NVL / DECODE / COALESCE / NULLIF / LEAST — scalar/field.rs, conditional.rs
+    QueryDef("q19_nullhandling",
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_masked,
+        |  LEAST(c_acctbal, 1000.0) AS capped_bal,
+        |  CASE c_nationkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'other' END AS nk_decoded,
+        |  COALESCE(NULL, NULL, c_name) AS nvl_name
+        |FROM customer""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.nvl(nullif(col("c_mktsegment"), lit("BUILDING")), lit("suppressed")).as("seg_masked"),
+        least(col("c_acctbal"), lit(1000.0)).as("capped_bal"),
+        GraftFunctions.decodeExpr(col("c_nationkey"),
+          lit(0), lit("zero"), lit(1), lit("one"), lit("other")).as("nk_decoded"),
+        coalesce(lit(null), lit(null), col("c_name")).as("nvl_name"))
+    },
+
+    // ABS / ROUND — scalar/number.rs
+    QueryDef("q20_numeric",
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_quantity - 25) AS qty_dev,
+        |  ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS price_r1,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          round(dec2(col("l_extendedprice")), 1).as("price_r1"),
+          floor(col("l_quantity")).cast("long").as("qty_floor"),
+          col("l_orderkey").cast("string").as("key_str"))
+    },
+
+    // CTE — dozer-sql/src/builder/mod.rs:146-180
+    QueryDef("q21_cte",
+      """WITH big_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey HAVING COUNT(*) > 5
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        |FROM customer JOIN big_cust ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val bigCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 5)
+      t(s, dir, "customer")
+        .join(bigCust, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("n_orders")).cast("long").as("total_orders"))
+    },
+
+    // Derived table (subquery in FROM) — builder/mod.rs:524-548
+    QueryDef("q22_derived",
+      """SELECT seg, n_cust FROM (
+        |  SELECT c_mktsegment AS seg, COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment
+        |) WHERE n_cust > 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cust"))
+        .filter(col("n_cust") > 10)
+        .select(col("seg"), col("n_cust"))
+    },
+
+    // POINT / DISTANCE — geo/{point.rs,distance.rs}. No SQL oracle: libm
+    // ulp drift between JVM and DuckDB breaks hash equality; parity is
+    // covered by GeoSpec against reference-style fixed vectors instead.
+    QueryDef.noOracle("q23_geo") { (s, dir) =>
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey"),
+        GraftFunctions.point(
+          (col("n_nationkey") * 14.0) - 175.0,
+          (col("n_nationkey") * 6.0) - 72.0).as("pt"))
+      val origin = GraftFunctions.point(lit(0.0), lit(0.0))
+      n.select(
+        col("n_nationkey"),
+        GraftFunctions.distance(col("pt"), origin, "HAVERSINE").as("hav_m"),
+        GraftFunctions.distance(col("pt"), origin, "VINCENTY").as("vin_m"))
+    },
+
+    // JSON_VALUE — json_functions.rs:44-77 (props = {"k": int})
+    QueryDef("q24_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(GraftFunctions.jsonValue(col("props"), lit("$.k")).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    },
+
+    // OVER-clause analytics (beyond reference; SURVEY §2.3 row for
+    // rank/row_number/lag — batch only)
+    QueryDef("q25_window_over",
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+        |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+    },
+
+    // ROLLUP (beyond reference — SURVEY §2.3 grouping sets row)
+    QueryDef("q26_rollup",
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // INTERSECT / EXCEPT (dozer's builder rejects — builder/mod.rs:213-227;
+    // provided here as batch extensions)
+    QueryDef("q27_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+    },
+    QueryDef("q28_except",
+      """SELECT p_brand FROM part WHERE p_size > 40
+        |EXCEPT
+        |SELECT p_brand FROM part WHERE p_size <= 10""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") > 40).select(col("p_brand"))
+        .except(p.filter(col("p_size") <= 10).select(col("p_brand")))
+    }
+  )
+}

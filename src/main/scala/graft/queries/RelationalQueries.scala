@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Core relational operator surface (SURVEY §2.3):
+  * aggregation, selection, projection, joins, set ops, HAVING,
+  * extremum aggregates, TUMBLE/HOP windows, batch ORDER BY/LIMIT.
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // Aggregation — dozer-sql/src/aggregation/processor.rs:48-586
+    QueryDef("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Selection / WHERE — dozer-sql/src/selection/processor.rs:12-106
+    QueryDef("q2_filter",
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_discount > 0.05 AND l_quantity < 25 AND l_returnflag = 'R'""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 && col("l_quantity") < 25 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    },
+
+    // Projection — dozer-sql/src/projection/processor.rs:12-101
+    QueryDef("q3_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price,
+        |  CASE WHEN l_tax > 0.05 THEN 'high' ELSE 'low' END AS tax_band
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("net_price"),
+        when(col("l_tax") > 0.05, "high").otherwise("low").as("tax_band"))
+    },
+
+    // INNER equi-join — dozer-sql/src/product/join/operator/mod.rs:16-20
+    QueryDef("q4_join_inner",
+      """SELECT c_mktsegment, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // LEFT OUTER join null-padding — join/operator/mod.rs:75-135
+    QueryDef("q5_join_left",
+      """SELECT o_orderstatus, COUNT(l_orderkey) AS n_li, COUNT(*) AS n_rows
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(col("l_orderkey")).as("n_li"), count(lit(1)).as("n_rows"))
+    },
+
+    // RIGHT OUTER join — join/operator/mod.rs:16-20
+    QueryDef("q6_join_right",
+      """SELECT o_orderpriority, COUNT(l_linenumber) AS n_li, COUNT(*) AS n_rows
+        |FROM lineitem RIGHT JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      l.join(o, o("o_orderkey") === l("l_orderkey"), "right")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(col("l_linenumber")).as("n_li"), count(lit(1)).as("n_rows"))
+    },
+
+    // UNION ALL — dozer-sql/src/product/set/operator.rs:33-80
+    QueryDef("q7_union_all",
+      """SELECT nk, src, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk, 'cust' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk, 'supp' AS src FROM supplier
+        |) GROUP BY nk, src""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"), lit("cust").as("src"))
+      val p = t(s, dir, "supplier").select(col("s_nationkey").as("nk"), lit("supp").as("src"))
+      c.union(p).groupBy(col("nk"), col("src")).agg(count(lit(1)).as("n"))
+    },
+
+    // UNION distinct via CountingRecordMap — set/record_map/mod.rs:18-100
+    QueryDef("q8_union_distinct",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val p = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.union(p).distinct()
+    },
+
+    QueryDef("q9_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    },
+
+    // HAVING — dozer-sql/src/aggregation/processor.rs:93-120
+    QueryDef("q10_having",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") > 5)
+    },
+
+    // AVG/MIN/MAX — dozer-sql/src/aggregation/{avg,min,max}.rs
+    QueryDef("q11_avg_minmax",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (sum(dec2(col("l_extendedprice"))).cast("double") /
+            count(col("l_extendedprice"))).as("avg_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+    },
+
+    // MIN_VALUE/MAX_VALUE (argmin/argmax) — aggregation/{min,max}_value.rs
+    QueryDef("q12_minby_maxby",
+      """SELECT o_orderpriority,
+        |  MAX_BY(o_totalprice, o_orderkey) AS latest_price,
+        |  MIN_BY(o_totalprice, o_orderkey) AS first_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"))
+    },
+
+    // TUMBLE — dozer-sql/src/window/operator.rs:106-130
+    QueryDef("q13_tumble",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // HOP — dozer-sql/src/window/operator.rs:59-104
+    QueryDef("q14_hop",
+      """SELECT ws AS window_start, ws + INTERVAL '10 minutes' AS window_end,
+        |  event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws, event_type FROM events
+        |) GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"), col("event_type"), col("n"))
+    },
+
+    // ORDER BY + LIMIT (batch; dozer rejects in streaming — builder/mod.rs:133-143)
+    QueryDef("q15_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }
+  )
+}

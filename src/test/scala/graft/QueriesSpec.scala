@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registry query runs on sf0.001 plus targeted invariants.
+  * Oracle-level equality is covered by Verify + the driver's DuckDB
+  * gate; these are fast structural checks.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sf0001
+
+  test("all registry queries execute") {
+    SparkEntry.registry.foreach { q =>
+      val df = q.run(spark, dir)
+      assert(df.columns.nonEmpty, q.name)
+      df.count() // forces execution
+    }
+  }
+
+  test("every oracle references only aliased output columns") {
+    // guard against the silent hash-mismatch mode: unaliased aggregates
+    SparkEntry.registry.foreach { q =>
+      q.oracle.foreach { sql =>
+        assert(!sql.toLowerCase.matches("(?s).*select[^a-z]*sum\\([^)]*\\)\\s*,.*") ||
+          sql.toLowerCase.contains(" as "), s"${q.name}: unaliased aggregate?")
+      }
+    }
+  }
+
+  test("q1_agg groups and exact sums") {
+    val rows = SparkEntry.queries("q1_agg")(spark, dir).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    assert(rows.map(_.getAs[Long]("count_order")).sum > 5000)
+  }
+
+  test("q14_hop assigns every event to exactly two windows") {
+    val total = SparkEntry.queries("q14_hop")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val events = Tables.load(spark, dir, "events").count()
+    assert(total == 2 * events)
+  }
+
+  test("q8_union_distinct is a set") {
+    val df = SparkEntry.queries("q8_union_distinct")(spark, dir)
+    assert(df.count() == df.distinct().count())
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
