@@ -21,7 +21,7 @@ import graft.queries._
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ ExpressionQueries.all
+    RelationalQueries.all ++ ExpressionQueries.all ++ CdcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

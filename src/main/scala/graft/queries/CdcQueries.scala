@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+import graft.cdc.{ChangeModel, RetractableExtremum}
+
+/** CDC semantics (SURVEY §2.3 + §6 step 6): the events table replayed as
+  * a change stream — `error` events act as deletes, everything else as
+  * upserts, `event_id` as the per-key sequence (dozer OpIdentifier).
+  * Oracles state the same semantics in plain SQL over the raw log.
+  */
+object CdcQueries {
+
+  private def changes(s: org.apache.spark.sql.SparkSession, dir: String) =
+    ChangeModel.fromLog(
+      t(s, dir, "events"),
+      seq = col("event_id"),
+      deleteWhen = col("event_type") === "error")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Materialize latest state per key (record_store.rs PK-lookup semantics)
+    QueryDef("q29_cdc_apply",
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS last_event, value AS last_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, dir) =>
+      ChangeModel.applyChanges(changes(s, dir), Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("value").as("last_value"))
+    },
+
+    // Retraction-correct SUM/COUNT (aggregation/processor.rs:48-586)
+    QueryDef("q30_cdc_agg",
+      """SELECT user_id % 10 AS cohort,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT) AS net_count,
+        |  CAST(SUM(CASE WHEN event_type = 'error'
+        |       THEN -CAST(value AS DECIMAL(18,6)) ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS net_sum
+        |FROM events GROUP BY 1
+        |HAVING SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0""".stripMargin) { (s, dir) =>
+      ChangeModel.aggregate(
+        changes(s, dir),
+        groupCols = Seq((col("user_id") % 10).as("cohort")),
+        measures = Seq("net_sum_dec" -> col("value").cast(DecimalType(18, 6))))
+        .select(col("cohort"),
+          col("_net_count").as("net_count"),
+          col("net_sum_dec").cast("double").as("net_sum"))
+    },
+
+    // Retractable MIN/MAX via multiset buffer (aggregator.rs:64-106):
+    // every event inserts its value, error events also retract it; the
+    // surviving multiset is exactly the non-error values.
+    QueryDef("q31_retract_minmax",
+      """SELECT user_id % 10 AS cohort,
+        |  MIN(value) FILTER (WHERE event_type <> 'error') AS min_val,
+        |  MAX(value) FILTER (WHERE event_type <> 'error') AS max_val
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val inserts = ev.select((col("user_id") % 10).as("cohort"),
+        col("value"), lit(1L).as("w"))
+      val deletes = ev.filter(col("event_type") === "error")
+        .select((col("user_id") % 10).as("cohort"), col("value"), lit(-1L).as("w"))
+      inserts.union(deletes)
+        .groupBy(col("cohort"))
+        .agg(
+          RetractableExtremum.retractMin(col("value"), col("w")).as("min_val"),
+          RetractableExtremum.retractMax(col("value"), col("w")).as("max_val"))
+    }
+  )
+}
