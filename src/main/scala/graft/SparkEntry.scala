@@ -21,7 +21,8 @@ import graft.queries._
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ ExpressionQueries.all ++ CdcQueries.all
+    RelationalQueries.all ++ ExpressionQueries.all ++ CdcQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

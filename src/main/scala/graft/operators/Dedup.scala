@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, all shuffle-minimal and expressed with codegen'd
+  * built-ins wherever possible:
+  *
+  *  - exact:     hash-groupBy on content digest — one shuffle.
+  *  - jaccard:   blocked pairwise n-gram/token Jaccard — the exact
+  *               verifier used on LSH candidates (and standalone with a
+  *               blocking key at small-to-mid scale).
+  *  - minhash:   shingle → k minhashes → banded LSH bucket join — the
+  *               100 TB path: candidate generation cost is
+  *               O(docs × bands), never O(docs²).
+  *  - simhash:   64-bit fingerprint + chunk-bucketed Hamming join.
+  *
+  * Scale notes: every pair generation is a self-equi-join on a bucket
+  * key (Catalyst hash join after one shuffle each side); skewed buckets
+  * are handled by AQE skew-join splitting. Nothing collects to the
+  * driver.
+  */
+object Dedup {
+
+  /** Whitespace tokens of a text column (shared with TextOps). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Exact-duplicate groups by content digest: (digest, n, min doc id).
+    * One hash shuffle; at 100 TB this is the cheapest dedup pass and
+    * runs first to shrink later stages.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** Keep one representative row per exact-duplicate group. */
+  def exactDedup(df: DataFrame, textCol: String): DataFrame =
+    df.dropDuplicates(textCol)
+
+  // ---- token-set Jaccard ----------------------------------------------
+
+  /** Jaccard similarity of two token-array columns (distinct-element). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / size(array_union(a, b))
+  }
+
+  /** Blocked pairwise Jaccard: candidate pairs share `blockCol` and pass
+    * a cheap length pre-filter (5·len(a) ≤ 6·len(b), integer-safe), then
+    * exact token-set Jaccard ≥ threshold. Quadratic only within blocks.
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      lenCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      array_distinct(tokens(col(textCol))).as("tok_a"), col(lenCol).as("len_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      array_distinct(tokens(col(textCol))).as("tok_b"), col(lenCol).as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        col("len_a") * 5 <= col("len_b") * 6 &&
+        col("len_b") * 5 <= col("len_a") * 6)
+      .withColumn("jac", jaccard(col("tok_a"), col("tok_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("jac"))
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** Word w-shingles as strings ("w1 w2 w3" ...). */
+  def shingles(text: Column, w: Int): Column = {
+    val tok = tokens(text)
+    when(size(tok) < w, array(concat_ws(" ", tok)))
+      .otherwise(transform(
+        sequence(lit(0), size(tok) - w),
+        i => concat_ws(" ", slice(tok, i + 1, lit(w)))))
+  }
+
+  /** k minhash signatures: h_i = min over shingles of xxhash64(shingle, i).
+    * Pure built-ins → whole-stage codegen; no UDF in the scan path.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
+    val sh = array_distinct(shingles(text, shingleWidth))
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: signatures split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band bucket become candidates, then
+    * exact signature agreement estimates Jaccard. Returns
+    * (id_a, id_b, est_jaccard ≥ threshold).
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+    // explode into (band_idx, band_hash, id, sig)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit simhash per doc + Hamming-bucket candidate pairs: fingerprint
+    * chunks of 16 bits are bucket keys (pigeonhole: pairs within Hamming
+    * distance ≤ 3 share at least one of 4 chunks).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      TextOps.simhash64(tokens(col(textCol))).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map { c =>
+        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup ---------------------------------------------
+
+  /** Near-duplicates by embedding cosine ≥ threshold, blocked by an LSH
+    * signbit bucket (see [[Similarity.hyperplaneBucket]]) so the join is
+    * not O(n²) at scale.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcast the query set,
+  * scan the corpus once). Scale path: random-hyperplane LSH buckets —
+  * candidate generation is a bucket equi-join, O(n·buckets) instead of
+  * O(n·q). All vector math is double-precision built-ins
+  * (`zip_with`/`aggregate`) inside whole-stage codegen; no UDFs.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); the corpus is
+    * scanned once, ranked per query with a window — one shuffle on
+    * query id. At 1000 executors this is the classic
+    * broadcast-then-rank ANN baseline.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cos"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane bucket: `planes` pseudo-random
+    * hyperplanes, one sign bit each. Hyperplane p's component d is
+    * derived from xxhash64(d, p) mapped to [-1, 1] — seedable, identical
+    * across executors, no stored model.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") *
+            ((pmod(xxhash64(d, lit(p)), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: rank candidates within each query's bucket.
+    * Recall is tunable via `planes` (fewer planes → bigger buckets).
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, planes: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cvec"),
+      hyperplaneBucket(col(corpusVec), planes).as("bucket"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      hyperplaneBucket(col(queryVec), planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators over the documents/embeddings
+  * tables: dedup (exact, Jaccard, MinHash-LSH, SimHash, embedding),
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle coverage: integer-count/ratio analytics and blocked Jaccard
+  * reproduce exactly in DuckDB; hash-fingerprint and cosine-score ops
+  * are rows-only (xxhash64/murmur3 and float libm have no cross-engine
+  * twin) and are instead covered by PipelineSpec.
+  */
+object PipelineQueries {
+
+  private val stop = Seq("the", "a")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup by digest — hash-groupBy, one shuffle
+    QueryDef("q32_dedup_exact",
+      """SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+    },
+
+    // Blocked token-set Jaccard near-dup pairs (exact verifier)
+    QueryDef("q33_jaccard_pairs",
+      """WITH toks AS (
+        |  SELECT source, doc_id, n_chars,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tok, b.tok))) AS jac
+        |FROM toks a JOIN toks b ON a.source = b.source
+        |WHERE a.doc_id < b.doc_id
+        |  AND a.n_chars * 5 <= b.n_chars * 6 AND b.n_chars * 5 <= a.n_chars * 6
+        |  AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "source", "n_chars", threshold = 0.8)
+    },
+
+    // MinHash + banded LSH candidates (the O(n·bands) scale path).
+    // xxhash64 signatures have no DuckDB twin -> rows-only.
+    QueryDef.noOracle("q34_minhash_pairs") { (s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, shingleWidth = 3, bands = 4, threshold = 0.25)
+    },
+
+    // SimHash fingerprint + Hamming-bucket pairs — rows-only.
+    QueryDef.noOracle("q35_simhash_pairs") { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    },
+
+    // Token counting + quality metrics (all integer-exact or
+    // double-of-identical-ints => oracle-checkable)
+    QueryDef("q36_text_quality",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |       + FLOOR((length(text) + 3) / 4) AS BIGINT) AS token_estimate,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+        |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.tokenEstimate(col("text")).as("token_estimate"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text"), stop).as("stop_ratio"))
+    },
+
+    // Language-ID marker scoring + argmax (tie -> largest lang code)
+    QueryDef("q37_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |        ['the','a','of','and','is','to','in'])) AS en_hits,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |        ['der','die','das','und','ist','nicht','ein'])) AS de_hits,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |        ['el','la','de','y','es','que','un'])) AS es_hits,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |        ['le','la','de','et','est','que','un'])) AS fr_hits,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |        ['的','是','了','我','不','在','有'])) AS zh_hits
+        |  FROM documents
+        |)
+        |SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+        |  CASE WHEN GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) = 0 THEN 'und'
+        |       WHEN zh_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'zh'
+        |       WHEN fr_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'fr'
+        |       WHEN es_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'es'
+        |       WHEN en_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'en'
+        |       ELSE 'de' END AS predicted
+        |FROM scored""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextOps.langHits(col("text"), "en").as("en_hits"),
+        TextOps.langHits(col("text"), "de").as("de_hits"),
+        TextOps.langHits(col("text"), "es").as("es_hits"),
+        TextOps.langHits(col("text"), "fr").as("fr_hits"),
+        TextOps.langHits(col("text"), "zh").as("zh_hits"),
+        TextOps.langId(col("text")).as("predicted"))
+    },
+
+    // 64-bit content fingerprints — rows-only (custom hash)
+    QueryDef.noOracle("q38_fingerprint") { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint64(col("text")).as("fp"),
+        TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+    },
+
+    // Brute-force cosine top-5 for 10 query vectors — rows-only
+    QueryDef.noOracle("q39_ann_bruteforce") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5)
+    },
+
+    // LSH-bucketed ANN — rows-only; recall vs brute force in PipelineSpec
+    QueryDef.noOracle("q40_ann_lsh") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5, planes = 4)
+    },
+
+    // Embedding near-dup pairs — rows-only
+    QueryDef.noOracle("q41_embedding_neardup") { (s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, planes = 4)
+    },
+
+    // Multimodal: binary payload byte length (real, oracle-checked)
+    QueryDef("q42_multimodal_bytes",
+      """SELECT doc_id AS id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.decodeDocuments(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("nBytes").as("n_bytes"))
+    },
+
+    // Multimodal: full stub-decoded features — rows-only (stub codec)
+    QueryDef.noOracle("q43_multimodal_decode") { (s, dir) =>
+      Multimodal.decodeDocuments(t(s, dir, "documents"), "doc_id", "text")
+    }
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sf0001
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
+    val nearDup = base.replace("quiet", "silent") // 1-word edit
+    val unrelated = "completely different content about spark catalyst optimizer rules and physical planning strategies"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 32, shingleWidth = 3, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming pairs find planted near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "tokX")
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("LSH ANN reaches decent recall vs brute force") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, planes = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.25, s"recall=$recall") // 2 planes ~ 1/4 of corpus scanned
+  }
+
+  test("cosine matches hand computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12)
+  }
+
+  test("langId detects real-language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat is on the mat and a dog is in the yard"),
+      ("de", "der hund ist nicht das problem und die katze ist ein freund"),
+      ("es", "el perro es un animal que vive en la casa y es fiel"),
+      ("fr", "le chien est un animal que la famille aime et est fidele"),
+      ("zh", "我 是 一个 学生 我 在 学校 学习 不 在 家 有 书"))
+      .toDF("expected", "text")
+    val out = samples.select(col("expected"), TextOps.langId(col("text")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprint64 is stable and collision-free on distinct docs") {
+    val fps = Tables.load(spark, dir, "documents")
+      .select(TextOps.fingerprint64(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps.length == fps.distinct.length)
+    // determinism across evaluations
+    val again = Tables.load(spark, dir, "documents")
+      .select(TextOps.fingerprint64(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps.toSeq == again.toSeq)
+  }
+
+  test("multimodal stub decode is deterministic and byte-exact") {
+    val d1 = Multimodal.decodeDocuments(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val rows = d1.orderBy("id").collect()
+    assert(rows.length == 500)
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("nBytes") > 0)
+    assert(r0.getAs[Int]("width") >= 64 && r0.getAs[Int]("width") < 513)
+    val d2 = Multimodal.decodeDocuments(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    assert(d2.orderBy("id").collect().toSeq == rows.toSeq)
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    assert(Dedup.exactDedup(docs, "text").count() == 2)
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n") > 1).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("keep_id") == 1L)
+  }
+}
