@@ -22,7 +22,7 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     RelationalQueries.all ++ ExpressionQueries.all ++ CdcQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ DialectQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,6 +88,7 @@ object GraftFunctions {
     temp("nvl2")(es => Coalesce(es)) // alias kept simple; NVL is builtin
     ToCharUdf.register(spark)
     GeoUdfs.register(spark)
+    HopWindows.register(spark)
     spark.udf.register("json_value",
       (j: String, p: String) => JsonPathEval.value(j, p))
     spark.udf.register("json_query",

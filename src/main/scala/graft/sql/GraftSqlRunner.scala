@@ -1,0 +1,189 @@
+package graft.sql
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dozer-dialect SQL front-end (SURVEY §3 entry point 2).
+  *
+  * Mirrors `statement_to_pipeline` (reference:
+  * dozer-sql/src/builder/mod.rs:79-361) as a thin preprocessor over
+  * Spark SQL — the dialect delta is small because Catalyst natively
+  * handles everything else (CTEs, derived tables, UNION, expressions):
+  *
+  *  - multi-statement scripts split on top-level `;`
+  *  - every top-level SELECT must name its sink table via
+  *    `INTO <name>` (builder/mod.rs:336-344); outputs are registered
+  *    as temp views so later statements can read them — the
+  *    `QueryContext.output_tables_map` chaining (builder/mod.rs:41-58)
+  *  - FROM-clause table functions rewritten to Spark equivalents:
+  *      TUMBLE(src, ts, 'interval')        → window(ts, interval)
+  *      HOP(src, ts, 'slide', 'interval')  → window(ts, interval, slide)
+  *      TTL(src, ts, 'interval')           → watermark spec on src
+  *        (state-eviction hint: a no-op on batch relations, becomes
+  *         `withWatermark` when the registered source is streaming —
+  *         reference table_operator/lifetime.rs:29-88)
+  *  - rejections matching the reference builder: ORDER BY / LIMIT /
+  *    OFFSET in streaming mode (builder/mod.rs:133-143), recursive
+  *    CTEs (:147-151), INTERSECT/EXCEPT (:213-227)
+  */
+final class GraftSqlException(msg: String) extends RuntimeException(msg)
+
+class GraftSqlRunner(spark: SparkSession, streaming: Boolean = false) {
+
+  private val outputs = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Register an input table (the `sources:` section of a dozer config). */
+  def registerSource(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Execute a script; returns sink-name → DataFrame in statement order. */
+  def run(script: String): Map[String, DataFrame] = {
+    SqlText.splitStatements(script).foreach(runStatement)
+    outputs.toMap
+  }
+
+  private def runStatement(stmt: String): Unit = {
+    validate(stmt)
+    val (sql, into) = SqlText.extractInto(stmt)
+    val rewritten = SqlText.rewriteTableFunctions(sql, streaming, spark)
+    val df = spark.sql(rewritten)
+    into match {
+      case Some(name) =>
+        df.createOrReplaceTempView(name)
+        outputs += name -> df
+      case None =>
+        throw new GraftSqlException(
+          "SELECT statements must name a sink table with INTO <name>")
+    }
+  }
+
+  private def validate(stmt: String): Unit = {
+    val bare = SqlText.stripStrings(stmt)
+    val up = bare.toUpperCase
+    if (streaming) {
+      if (up.matches("(?s).*\\bORDER\\s+BY\\b.*"))
+        throw new GraftSqlException("ORDER BY is not supported in streaming queries")
+      if (up.matches("(?s).*\\bLIMIT\\b.*") || up.matches("(?s).*\\bOFFSET\\b.*"))
+        throw new GraftSqlException("LIMIT and OFFSET are not supported in streaming queries")
+    }
+    if (up.matches("(?s).*\\bWITH\\s+RECURSIVE\\b.*"))
+      throw new GraftSqlException("recursive CTEs are not supported")
+    if (up.matches("(?s).*\\bINTERSECT\\b.*") || up.matches("(?s).*\\bEXCEPT\\b.*"))
+      throw new GraftSqlException("INTERSECT and EXCEPT are not supported in the dozer dialect")
+  }
+}
+
+/** Quote-aware text utilities for the dialect preprocessor. */
+object SqlText {
+
+  /** Split on `;` outside single/double-quoted strings; drop blanks. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    script.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Blank out string literals (keeps offsets) for keyword scanning. */
+  def stripStrings(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    var quote: Char = 0
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 else sb.setCharAt(i, ' ') }
+      else if (c == '\'' || c == '"') quote = c
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Pull `INTO <name>` out of a SELECT (dozer's sink naming). */
+  def extractInto(sql: String): (String, Option[String]) = {
+    val re = "(?i)\\bINTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*".r
+    re.findFirstMatchIn(stripStrings(sql)) match {
+      case Some(m) =>
+        val cleaned = sql.substring(0, m.start) + sql.substring(m.end)
+        (cleaned, Some(m.group(1)))
+      case None => (sql, None)
+    }
+  }
+
+  /** Rewrite TUMBLE/HOP/TTL FROM-clause table functions.
+    *
+    * `TUMBLE(src, ts, '1 hour')` becomes a derived table that appends
+    * `window_start`/`window_end` (dozer appends them to the schema and
+    * PK — window/operator.rs:36-56). HOP uses Spark's sliding window,
+    * which explodes each row into its overlapping windows exactly like
+    * the reference (operator.rs:59-104).
+    */
+  def rewriteTableFunctions(sql: String, streaming: Boolean,
+      spark: SparkSession): String = {
+    var result = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      findCall(result, Set("TUMBLE", "HOP", "TTL")) match {
+        case Some((fn, start, end, args)) =>
+          val replacement = fn match {
+            case "TUMBLE" =>
+              val Seq(src, ts, size) = args.map(_.trim)
+              s"""(SELECT __t.*, w.start AS window_start, w.end AS window_end
+                 | FROM $src AS __t
+                 | LATERAL VIEW EXPLODE(hop_windows($ts, $size, $size)) __x AS w) __tumble""".stripMargin
+            case "HOP" =>
+              val Seq(src, ts, slide, size) = args.map(_.trim)
+              s"""(SELECT __t.*, w.start AS window_start, w.end AS window_end
+                 | FROM $src AS __t
+                 | LATERAL VIEW EXPLODE(hop_windows($ts, $slide, $size)) __x AS w) __hop""".stripMargin
+            case "TTL" =>
+              val Seq(src, ts, dur) = args.map(_.trim)
+              // Batch: TTL only governs state eviction, not row
+              // visibility — pass through. Streaming: the runner applies
+              // withWatermark when wiring the source (StreamOps.ttl).
+              src
+          }
+          result = result.substring(0, start) + replacement + result.substring(end)
+          changed = true
+        case None =>
+      }
+    }
+    result
+  }
+
+  /** Find first `FN(...)` call of the given names; returns
+    * (fn, startOffset, endOffsetExclusive, topLevelArgs).
+    */
+  def findCall(sql: String, names: Set[String]): Option[(String, Int, Int, Seq[String])] = {
+    val bare = stripStrings(sql).toUpperCase
+    names.iterator.flatMap { fn =>
+      val re = ("\\b" + fn + "\\s*\\(").r
+      re.findFirstMatchIn(bare).map { m =>
+        var depth = 1
+        var i = m.end
+        val args = mutable.ArrayBuffer.empty[String]
+        var argStart = m.end
+        while (depth > 0 && i < sql.length) {
+          sql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' =>
+              depth -= 1
+              if (depth == 0) args += sql.substring(argStart, i)
+            case ',' if depth == 1 =>
+              args += sql.substring(argStart, i); argStart = i + 1
+            case _ =>
+          }
+          i += 1
+        }
+        (fn, m.start, i, args.toSeq)
+      }
+    }.toSeq.sortBy(_._2).headOption
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sql.{GraftSqlException, GraftSqlRunner, SqlText}
+
+class SqlRunnerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sf0001
+
+  private def runner(streaming: Boolean = false) = {
+    val r = new GraftSqlRunner(spark, streaming)
+    r.registerSource("events", Tables.load(spark, dir, "events"))
+    r.registerSource("orders", Tables.load(spark, dir, "orders"))
+    r
+  }
+
+  test("INTO chains statements through temp views") {
+    val out = runner().run(
+      """SELECT event_type, COUNT(*) AS n INTO by_type FROM events GROUP BY event_type;
+        |SELECT event_type, n INTO busy FROM by_type WHERE n > 100""".stripMargin)
+    assert(out.keySet == Set("by_type", "busy"))
+    assert(out("busy").count() > 0)
+    assert(out("busy").count() < out("by_type").count() ||
+      out("by_type").count() == out("busy").count())
+  }
+
+  test("SELECT without INTO is rejected (dozer builder/mod.rs:336-344)") {
+    val e = intercept[GraftSqlException](runner().run("SELECT 1 AS x FROM events"))
+    assert(e.getMessage.contains("INTO"))
+  }
+
+  test("TUMBLE rewrites to epoch-aligned windows matching window()") {
+    val out = runner().run(
+      """SELECT window_start, event_type, COUNT(*) AS n INTO w
+        |FROM TUMBLE(events, ts, '1 hour') GROUP BY window_start, event_type""".stripMargin)("w")
+    val expected = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
+  test("HOP emits one row per overlapping window") {
+    val out = runner().run(
+      """SELECT window_start, COUNT(*) AS n INTO h
+        |FROM HOP(events, ts, '5 minutes', '10 minutes') GROUP BY window_start""".stripMargin)("h")
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 2 * Tables.load(spark, dir, "events").count())
+  }
+
+  test("TTL passes through on batch relations") {
+    val out = runner().run(
+      """SELECT user_id, COUNT(*) AS n INTO t
+        |FROM TTL(events, ts, '1 hour') GROUP BY user_id""".stripMargin)("t")
+    assert(out.count() == Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count())
+  }
+
+  test("streaming mode rejects ORDER BY / LIMIT like the reference") {
+    val r = runner(streaming = true)
+    assert(intercept[GraftSqlException](
+      r.run("SELECT user_id INTO x FROM events ORDER BY user_id"))
+      .getMessage.contains("ORDER BY"))
+    assert(intercept[GraftSqlException](
+      r.run("SELECT user_id INTO x FROM events LIMIT 5"))
+      .getMessage.contains("LIMIT"))
+  }
+
+  test("recursive CTEs and INTERSECT/EXCEPT are rejected") {
+    assert(intercept[GraftSqlException](runner().run(
+      "WITH RECURSIVE r AS (SELECT 1) SELECT * INTO x FROM r"))
+      .getMessage.contains("recursive"))
+    assert(intercept[GraftSqlException](runner().run(
+      "SELECT user_id INTO x FROM events INTERSECT SELECT user_id FROM events"))
+      .getMessage.contains("INTERSECT"))
+  }
+
+  test("statement splitting respects quoted semicolons") {
+    val stmts = SqlText.splitStatements(
+      "SELECT 'a;b' AS s INTO x FROM t; SELECT 1 INTO y FROM u")
+    assert(stmts.length == 2)
+    assert(stmts.head.contains("'a;b'"))
+  }
+
+  test("ORDER BY inside a string literal is not rejected in streaming") {
+    val r = runner(streaming = true)
+    val out = r.run("SELECT 'ORDER BY' AS s, COUNT(*) AS n INTO ok FROM events GROUP BY 1")
+    assert(out("ok").count() == 1)
+  }
+}
