@@ -43,7 +43,14 @@ object ChangeModel {
     * One shuffle (window on key); at scale this is the same plan Spark
     * uses for any latest-by-key dedup, AQE-coalesced.
     */
-  def applyChanges(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def applyChanges(changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    latestImages(changes, keyCols).drop(OpCol, SeqCol)
+
+  /** Like [[applyChanges]] but keeps `_op`/`_seq` (normalized to an
+    * insert image) so the result can re-enter a later merge — the shape
+    * an upsert sink persists between microbatches.
+    */
+  def latestImages(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val opRank = when(col(OpCol) === UpdatePost, 2)
       .when(col(OpCol) === Insert, 2)
       .otherwise(1)
@@ -52,7 +59,8 @@ object ChangeModel {
     changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(OpCol).isin(Insert, UpdatePost))
-      .drop("_rn", OpCol, SeqCol)
+      .drop("_rn")
+      .withColumn(OpCol, lit(Insert))
   }
 
   /** Interpret a plain keyed table as a change stream of upserts plus

@@ -1,0 +1,70 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Sinks (SURVEY §2.2). Dozer's `Sink` trait batches rows and flushes
+  * on epoch commit with resume bookkeeping (dozer-core/src/node.rs:
+  * 111-147); Spark's exactly-once equivalent is checkpointed
+  * `writeStream` — `foreachBatch` is the upsert path (ClickHouse
+  * ReplacingMergeTree analogue), append parquet the immutable-log path.
+  */
+object Sinks {
+
+  /** Append sink: parquet files + checkpoint (exactly-once). */
+  def appendParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Keyed upsert sink: every microbatch merges the batch's changes
+    * into a keyed parquet snapshot via latest-by-key reduction — the
+    * PrimaryKeyLookupRecordWriter semantics (record_store.rs:48-87).
+    *
+    * Implementation note: without a transactional table format the
+    * merge is read-union-rewrite of the snapshot; on a real deployment
+    * swap the body for Delta `MERGE INTO` / JDBC upsert keyed on the
+    * schema PK. State per key stays bounded: one row.
+    */
+  def upsertParquet(changes: DataFrame, keyCols: Seq[String], statePath: String,
+      checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val existing = readSnapshot(spark, statePath, batch)
+        val merged = graft.cdc.ChangeModel.latestImages(
+          existing match {
+            case Some(e) => e.unionByName(batch, allowMissingColumns = true)
+            case None    => batch
+          },
+          keyCols)
+        // rewrite snapshot atomically-enough for local fs: temp + swap
+        val tmp = statePath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(statePath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+
+  private def readSnapshot(spark: SparkSession, path: String,
+      like: DataFrame): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.parquet(path)
+        // snapshot rows re-enter the merge as inserts at seq they carried
+        )
+    else None
+  }
+}

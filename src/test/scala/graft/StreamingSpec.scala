@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.cdc.ChangeModel
+
+case class Ev(ts: Timestamp, user: String, v: Double)
+case class Change(k: Long, v: Double, _op: String, _seq: Long)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window agg over a stream matches batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val data = Seq(
+      Ev(ts("2024-01-01 00:01:00"), "a", 1.0),
+      Ev(ts("2024-01-01 00:02:00"), "a", 2.0),
+      Ev(ts("2024-01-01 00:59:00"), "b", 3.0),
+      Ev(ts("2024-01-01 01:10:00"), "a", 4.0))
+    val agg = StreamOps.tumbleAgg(mem.toDF(), "ts", "1 hour",
+      Seq(col("user")), Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+      watermark = Some("10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .select("window_start", "user", "n", "s")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "a", 2L, 3.0),
+        ("2024-01-01 00:00:00.0", "b", 1L, 3.0),
+        ("2024-01-01 01:00:00.0", "a", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("TTL wrapper adds a watermark on streams and is a no-op on batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val wm = StreamOps.ttl(mem.toDF(), "ts", "5 minutes")
+    assert(wm.isStreaming)
+    assert(wm.queryExecution.analyzed.toString.toLowerCase.contains("watermark"))
+    val batch = Seq(Ev(ts("2024-01-01 00:00:00"), "a", 1.0)).toDF()
+    assert(StreamOps.ttl(batch, "ts", "5 minutes") eq batch)
+  }
+
+  test("stream-stream interval join bounds state and joins matching keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Ev]; val r = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      l.toDF().withColumnRenamed("ts", "lts").withColumnRenamed("v", "lv"),
+      "lts",
+      r.toDF().withColumnRenamed("ts", "rts").withColumnRenamed("v", "rv")
+        .withColumnRenamed("user", "ruser"),
+      "rts",
+      keys = col("user") === col("ruser"),
+      ttlDuration = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("join_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      l.addData(Ev(ts("2024-01-01 00:05:00"), "a", 1.0))
+      r.addData(
+        Ev(ts("2024-01-01 00:07:00"), "a", 2.0),   // within 10 min -> joins
+        Ev(ts("2024-01-01 00:45:00"), "a", 3.0))   // outside range -> no join
+      q.processAllAvailable()
+      val rows = spark.table("join_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Double]("rv") == 2.0)
+    } finally q.stop()
+  }
+
+  test("upsert sink merges microbatches into latest-state snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+    val mem = MemoryStream[Change]
+    // batch 1: k1=10, k2=20
+    mem.addData(
+      Change(1L, 10.0, ChangeModel.Insert, 1L),
+      Change(2L, 20.0, ChangeModel.Insert, 2L))
+    val q1 = graft.sinks.Sinks.upsertParquet(mem.toDF(), Seq("k"), state, ckpt)
+    q1.awaitTermination()
+    // batch 2: k1 updated to 11, k2 deleted, k3 inserted
+    mem.addData(
+      Change(1L, 11.0, ChangeModel.UpdatePost, 3L),
+      Change(2L, 20.0, ChangeModel.Delete, 4L),
+      Change(3L, 30.0, ChangeModel.Insert, 5L))
+    val q2 = graft.sinks.Sinks.upsertParquet(mem.toDF(), Seq("k"), state, ckpt)
+    q2.awaitTermination()
+    val finalState = spark.read.parquet(state)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(finalState == Set((1L, 11.0), (3L, 30.0)))
+  }
+
+  test("hop agg emits per overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.hopAgg(mem.toDF(), "ts", "5 minutes", "10 minutes",
+      Seq.empty, Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:03:00"), "a", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("hop_out").select("window_start")
+        .collect().map(_.getTimestamp(0).toString).toSet
+      assert(starts == Set("2023-12-31 23:55:00.0", "2024-01-01 00:00:00.0"))
+    } finally q.stop()
+  }
+}
