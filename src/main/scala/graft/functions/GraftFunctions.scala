@@ -78,13 +78,14 @@ object GraftFunctions {
     * repeatedly (createOrReplace semantics).
     */
   def registerAll(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Upper, Coalesce}
+    import org.apache.spark.sql.catalyst.expressions.{Chr, Coalesce, Expression, Upper}
     val reg = spark.sessionState.functionRegistry
 
     def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
 
     temp("ucase")(es => Upper(es.head))
+    temp("chr")(es => Chr(es.head)) // dozer CHR — scalar/string.rs:279
     temp("nvl2")(es => Coalesce(es)) // alias kept simple; NVL is builtin
     ToCharUdf.register(spark)
     GeoUdfs.register(spark)

@@ -192,6 +192,39 @@ object ExpressionQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // CHR / interval arithmetic / DOW / LIKE-escape — remaining scalar
+    // surface (scalar/string.rs:279 chr; datetime.rs INTERVAL; Dow field)
+    QueryDef("q29a_misc_scalars",
+      """SELECT n_nationkey,
+        |  CHR(65 + n_nationkey % 26) AS letter,
+        |  o_orderdate + INTERVAL '3 days' AS due_date,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  (n_name LIKE 'NATION!_1%' ESCAPE '!') AS is_teen_nation
+        |FROM nation JOIN orders ON o_custkey % 25 = n_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "orders"), col("o_custkey") % 25 === col("n_nationkey"))
+        .select(
+          col("n_nationkey"),
+          expr("chr(65 + n_nationkey % 26)").as("letter"), // graft-registered CHR
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("due_date"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          expr("n_name LIKE 'NATION!_1%' ESCAPE '!'").as("is_teen_nation"))
+    },
+
+    // COUNT(DISTINCT) (beyond reference; Catalyst expand-based distinct agg)
+    QueryDef("q29b_count_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+    },
+
     // INTERSECT / EXCEPT (dozer's builder rejects — builder/mod.rs:213-227;
     // provided here as batch extensions)
     QueryDef("q27_intersect",
