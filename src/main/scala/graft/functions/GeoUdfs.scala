@@ -90,8 +90,26 @@ object GeoUdfs {
       p1.getDouble(0), p1.getDouble(1), p2.getDouble(0), p2.getDouble(1)))
   }
 
-  def distance(p1: Column, p2: Column, algo: String): Column =
-    distUdf(p1, p2, org.apache.spark.sql.functions.lit(algo))
+  /** Codegen path: a `StaticInvoke` of [[GeoUtils]] — stays inside
+    * whole-stage codegen (the generated code calls the static forwarder
+    * directly), unlike a Scala UDF which breaks the codegen span.
+    * The algorithm is resolved at plan time from the literal name.
+    */
+  def distance(p1: Column, p2: Column, algo: String): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.DoubleType
+    val fn = algo.toUpperCase match {
+      case "HAVERSINE"             => "haversine"
+      case "VINCENTY" | "GEODESIC" => "vincenty"
+      case other =>
+        throw new IllegalArgumentException(s"unknown distance algorithm: $other")
+    }
+    val args = Seq(p1.getField("x"), p1.getField("y"),
+      p2.getField("x"), p2.getField("y")).map(GraftShims.expression)
+    GraftShims.column(StaticInvoke(
+      GeoUtils.getClass, DoubleType, fn, args))
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("st_distance",

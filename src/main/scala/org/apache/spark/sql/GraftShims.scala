@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column↔Expression converters —
+  * the supported extension-point pattern for libraries that build
+  * custom Catalyst expressions (Spark 4 made `new Column(expr)`
+  * internal; `classic.ExpressionUtils` is its replacement).
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
