@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.sql.GraftSqlRunner
+
+/** Config-driven orchestrator — dozer's `dozer run` lifecycle
+  * (SURVEY §3 entry point 1: config lists connections/sources/sql/sinks;
+  * reference dozer-cli/src/simple/orchestrator.rs:77 +
+  * dozer-types/src/models/config.rs) as a Spark job:
+  *
+  *   sources  →  temp views  →  dialect SQL (INTO outputs)  →  sinks
+  *
+  * Batch mode materializes each INTO table to its sink once; streaming
+  * mode wires `readStream` sources through the same SQL into
+  * checkpointed streaming sinks (exactly-once via checkpointLocation —
+  * the OpIdentifier resume contract).
+  */
+object GraftApp {
+
+  final case class SourceConf(
+      name: String,
+      path: String,
+      format: String = "parquet",
+      schema: Option[StructType] = None,     // required when streaming
+      watermark: Option[(String, String)] = None) // (tsCol, duration) = TTL
+
+  final case class SinkConf(
+      table: String,                          // an INTO output name
+      path: String,
+      mode: String = "append",                // "append" | "upsert" | "overwrite"
+      keys: Seq[String] = Nil,                // primary key for upsert
+      checkpoint: Option[String] = None)
+
+  final case class GraftConfig(
+      sources: Seq[SourceConf],
+      sql: String,
+      sinks: Seq[SinkConf],
+      streaming: Boolean = false)
+
+  /** Run a batch pipeline: returns the INTO outputs after sinking. */
+  def runBatch(spark: SparkSession, config: GraftConfig): Map[String, DataFrame] = {
+    require(!config.streaming, "use runStreaming for streaming configs")
+    val runner = new GraftSqlRunner(spark, streaming = false)
+    config.sources.foreach { s =>
+      val df = spark.read.format(s.format).load(s.path)
+      runner.registerSource(s.name, df)
+    }
+    val outputs = runner.run(config.sql)
+    config.sinks.foreach { sink =>
+      val df = outputs.getOrElse(sink.table,
+        throw new IllegalArgumentException(
+          s"sink references unknown output table '${sink.table}'"))
+      sink.mode match {
+        case "append"    => df.write.mode("append").parquet(sink.path)
+        case "overwrite" => df.write.mode("overwrite").parquet(sink.path)
+        case "upsert" =>
+          // batch upsert = latest image per key over existing + new
+          val merged = graft.cdc.ChangeModel.applyChanges(
+            df.withColumn(graft.cdc.ChangeModel.OpCol,
+              org.apache.spark.sql.functions.lit(graft.cdc.ChangeModel.Insert))
+              .withColumn(graft.cdc.ChangeModel.SeqCol,
+                org.apache.spark.sql.functions.monotonically_increasing_id()),
+            sink.keys)
+          merged.write.mode("overwrite").parquet(sink.path)
+        case other => throw new IllegalArgumentException(s"unknown sink mode $other")
+      }
+    }
+    outputs
+  }
+
+  /** Run a streaming pipeline: one StreamingQuery per sink. */
+  def runStreaming(spark: SparkSession, config: GraftConfig): Seq[StreamingQuery] = {
+    val runner = new GraftSqlRunner(spark, streaming = true)
+    config.sources.foreach { s =>
+      val schema = s.schema.getOrElse(
+        spark.read.format(s.format).load(s.path).schema) // infer from existing files
+      val raw = spark.readStream.format(s.format).schema(schema).load(s.path)
+      val df = s.watermark match {
+        case Some((ts, dur)) => raw.withWatermark(ts, dur)
+        case None            => raw
+      }
+      runner.registerSource(s.name, df)
+    }
+    val outputs = runner.run(config.sql)
+    config.sinks.map { sink =>
+      val df = outputs.getOrElse(sink.table,
+        throw new IllegalArgumentException(
+          s"sink references unknown output table '${sink.table}'"))
+      val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
+      sink.mode match {
+        case "append" => graft.sinks.Sinks.appendParquet(df, sink.path, ckpt)
+        case "upsert" => graft.sinks.Sinks.upsertParquet(df, sink.keys, sink.path, ckpt)
+        case other    => throw new IllegalArgumentException(s"unknown streaming sink mode $other")
+      }
+    }
+  }
+}

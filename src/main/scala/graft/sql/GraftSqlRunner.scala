@@ -127,6 +127,7 @@ object SqlText {
   def rewriteTableFunctions(sql: String, streaming: Boolean,
       spark: SparkSession): String = {
     var result = sql
+    var pendingWindow: Option[String] = None // native window() expr (streaming)
     var changed = true
     while (changed) {
       changed = false
@@ -135,14 +136,24 @@ object SqlText {
           val replacement = fn match {
             case "TUMBLE" =>
               val Seq(src, ts, size) = args.map(_.trim)
-              s"""(SELECT __t.*, w.start AS window_start, w.end AS window_end
-                 | FROM $src AS __t
-                 | LATERAL VIEW EXPLODE(hop_windows($ts, $size, $size)) __x AS w) __tumble""".stripMargin
+              if (streaming) {
+                // native window() keeps the event-time/watermark linkage
+                // Spark needs for bounded state + append output
+                pendingWindow = Some(s"window($ts, $size)")
+                src
+              } else
+                s"""(SELECT __t.*, w.start AS window_start, w.end AS window_end
+                   | FROM $src AS __t
+                   | LATERAL VIEW EXPLODE(hop_windows($ts, $size, $size)) __x AS w) __tumble""".stripMargin
             case "HOP" =>
               val Seq(src, ts, slide, size) = args.map(_.trim)
-              s"""(SELECT __t.*, w.start AS window_start, w.end AS window_end
-                 | FROM $src AS __t
-                 | LATERAL VIEW EXPLODE(hop_windows($ts, $slide, $size)) __x AS w) __hop""".stripMargin
+              if (streaming) {
+                pendingWindow = Some(s"window($ts, $size, $slide)")
+                src
+              } else
+                s"""(SELECT __t.*, w.start AS window_start, w.end AS window_end
+                   | FROM $src AS __t
+                   | LATERAL VIEW EXPLODE(hop_windows($ts, $slide, $size)) __x AS w) __hop""".stripMargin
             case "TTL" =>
               val Seq(src, ts, dur) = args.map(_.trim)
               // Batch: TTL only governs state eviction, not row
@@ -155,7 +166,39 @@ object SqlText {
         case None =>
       }
     }
-    result
+    pendingWindow.fold(result)(w => rewriteWindowRefs(result, w))
+  }
+
+  /** Streaming window rewrite: GROUP BY keeps the whole `window()`
+    * struct (watermark metadata lives on it); SELECT/HAVING references
+    * to window_start/window_end become field extractions of the same
+    * grouping expression (semantically-equal match in Catalyst).
+    */
+  def rewriteWindowRefs(sql: String, winExpr: String): String = {
+    val gbRe = "(?is)(GROUP\\s+BY\\s+)(.*?)(\\s+HAVING\\b|\\s+ORDER\\b|\\s+LIMIT\\b|$)".r
+    val grouped = gbRe.replaceAllIn(sql, m => {
+      val keys = m.group(2).split(",").map(_.trim).map {
+        case k if k.equalsIgnoreCase("window_start") ||
+          k.equalsIgnoreCase("window_end") => winExpr
+        case k => k
+      }.distinct
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + keys.mkString(", ") + m.group(3))
+    })
+    // SELECT-list references get aliased extractions; references anywhere
+    // else (HAVING, join conditions) get bare extractions (no AS allowed).
+    val selRe = "(?is)(SELECT\\s+)(.*?)(\\s+FROM\\b)".r
+    val selected = selRe.replaceAllIn(grouped, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2)
+          .replaceAll("(?i)\\bwindow_start\\b", s"$winExpr.start AS __ws_alias__")
+          .replaceAll("(?i)\\bwindow_end\\b", s"$winExpr.end AS __we_alias__") +
+          m.group(3)))
+    selected
+      .replaceAll("(?i)\\bwindow_start\\b", s"$winExpr.start")
+      .replaceAll("(?i)\\bwindow_end\\b", s"$winExpr.end")
+      .replace("__ws_alias__", "window_start")
+      .replace("__we_alias__", "window_end")
   }
 
   /** Find first `FN(...)` call of the given names; returns

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftApp._
+
+class GraftAppSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sf0001
+
+  test("batch config: sources -> dialect sql -> parquet sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_app").toString
+    val config = GraftConfig(
+      sources = Seq(SourceConf("ev", s"$dir/events.parquet")),
+      sql =
+        """SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type;
+          |SELECT event_type, n INTO hot FROM per_type WHERE n > 10""".stripMargin,
+      sinks = Seq(SinkConf("hot", s"$tmp/hot", mode = "overwrite")))
+    val outputs = runBatch(spark, config)
+    assert(outputs.keySet == Set("per_type", "hot"))
+    val written = spark.read.parquet(s"$tmp/hot")
+    assert(written.count() == outputs("hot").count())
+    assert(written.columns.toSet == Set("event_type", "n"))
+  }
+
+  test("streaming config: file stream -> windowed sql -> append sink") {
+    // events.parquet ts is nanos; stage a µs copy as the stream source
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.load(spark, dir, "events").write.parquet(s"$tmp/src")
+    val config = GraftConfig(
+      sources = Seq(SourceConf("ev", s"$tmp/src",
+        watermark = Some(("ts", "1 hour")))),
+      sql =
+        """SELECT window_start, event_type, COUNT(*) AS n INTO counts
+          |FROM TUMBLE(ev, ts, '1 hour') GROUP BY window_start, event_type""".stripMargin,
+      sinks = Seq(SinkConf("counts", s"$tmp/out")),
+      streaming = true)
+    val queries = runStreaming(spark, config)
+    try queries.foreach(_.awaitTermination())
+    finally queries.foreach(_.stop())
+    val out = spark.read.parquet(s"$tmp/out")
+    // append mode emits only watermark-closed windows; all but the last
+    // event-time hour must have been finalized
+    val expected = SparkEntry.queries("q45_sql_tumble")(spark, dir)
+    assert(out.count() > 0)
+    assert(out.join(expected,
+      Seq("window_start", "event_type", "n"), "left_anti").count() == 0)
+  }
+
+  test("unknown sink table fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      runBatch(spark, GraftConfig(
+        sources = Seq(SourceConf("ev", s"$dir/events.parquet")),
+        sql = "SELECT event_type INTO x FROM ev",
+        sinks = Seq(SinkConf("nope", "/tmp/never"))))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
