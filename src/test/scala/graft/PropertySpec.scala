@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{HopWindows, JsonPathEval, ToCharUdf}
+
+/** Property tests for the hand-written kernels (the reference covers its
+  * expression layer with per-function test files + `arbitrary` fuzz
+  * hooks — SURVEY §5.3; this is the Spark-side analogue). Uses raw
+  * ScalaCheck generators with a fixed seed (scalatestplus bridge is not
+  * on the offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val microsGen: Gen[Long] =
+    Gen.choose(0L, 4102444800000000L) // 1970..2100
+
+  test("hop_windows: every ts falls in each returned window, count = size/slide") {
+    val caseGen = for {
+      ts <- microsGen
+      slide <- Gen.choose(1L, 3600L).map(_ * 1000000L)
+      mult <- Gen.choose(1, 6)
+    } yield (ts, slide, mult)
+    samples(caseGen).foreach { case (ts, slide, mult) =>
+      val size = slide * mult
+      val ws = HopWindows.windowsFor(ts, slide, size)
+      assert(ws.length == mult, s"ts=$ts slide=$slide mult=$mult")
+      ws.foreach { case (s, e) =>
+        assert(s <= ts && ts < e && e - s == size && s % slide == 0)
+      }
+      assert(ws.map(_._1).distinct.length == ws.length)
+    }
+  }
+
+  test("to_char %-escape keeps literal text") {
+    val caseGen = for {
+      ts <- microsGen
+      text <- Gen.alphaNumStr.map(_.take(20))
+    } yield (ts, text)
+    samples(caseGen).foreach { case (ts, text) =>
+      assert(ToCharUdf.format(ts, text) == text)
+    }
+  }
+
+  test("to_char date parts agree with java.time") {
+    samples(microsGen).foreach { ts =>
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(ts, 1000000L), Math.floorMod(ts, 1000000L) * 1000L)
+      val zdt = inst.atZone(java.time.ZoneOffset.UTC)
+      assert(ToCharUdf.format(ts, "%Y") == f"${zdt.getYear}%04d")
+      assert(ToCharUdf.format(ts, "%H:%M:%S") ==
+        f"${zdt.getHour}%02d:${zdt.getMinute}%02d:${zdt.getSecond}%02d")
+      assert(ToCharUdf.format(ts, "%F") ==
+        f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d-${zdt.getDayOfMonth}%02d")
+    }
+  }
+
+  test("json_value extracts any planted scalar at a generated path") {
+    val caseGen = for {
+      k1 <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      k2 <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      v <- Gen.choose(-1000000, 1000000)
+    } yield (k1, k2, v)
+    samples(caseGen).foreach { case (k1, k2, v) =>
+      val doc = s"""{"$k1": {"$k2": $v}}"""
+      assert(JsonPathEval.value(doc, s"$$.$k1.$k2") == v.toString)
+    }
+  }
+
+  test("duration parsing is unit-consistent") {
+    samples(Gen.choose(1L, 10000L)).foreach { n =>
+      assert(HopWindows.parseDurationMicros(s"$n seconds") == n * 1000000L)
+      assert(HopWindows.parseDurationMicros(s"$n minutes") ==
+        60L * HopWindows.parseDurationMicros(s"$n seconds"))
+    }
+  }
+}
