@@ -199,14 +199,15 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8): DataFrame = {
-    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val withBucket = emb.select(col(idCol).as("id"),
+      Similarity.normalize(col(vecCol)).as("vec"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
+        Similarity.dot(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -26,6 +26,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize a float-array column to doubles. After this, cosine
+    * is a bare dot product — norms are computed once per row instead of
+    * once per candidate pair. A single-pass UDF on purpose: the builtin
+    * `transform(a, x / norm(a))` re-evaluates the norm aggregate per
+    * element (interpreted higher-order functions don't CSE).
+    */
+  private val normalizeUdf = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      var s = 0.0
+      v.foreach(x => s += x.toDouble * x.toDouble)
+      val n = math.sqrt(s)
+      if (n == 0.0) v.map(_.toDouble) else v.map(_.toDouble / n)
+    }
+  }
+
+  def normalize(a: Column): Column = normalizeUdf(a)
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast); the corpus is
@@ -37,9 +55,13 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        cosine(col(queryVec), col(corpusVec)).as("cos"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      normalize(col(corpusVec)).as("__cvec"))
+    val q = queries.select(col(queryId).as("query_id"),
+      normalize(col(queryVec)).as("__qvec"))
+    val joined = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("__qvec"), col("__cvec")).as("cos"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -70,16 +92,18 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, planes: Int = 4): DataFrame = {
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cvec"),
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      normalize(col(corpusVec)).as("cvec"),
       hyperplaneBucket(col(corpusVec), planes).as("bucket"))
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+    val q = queries.select(col(queryId).as("query_id"),
+      normalize(col(queryVec)).as("qvec"),
       hyperplaneBucket(col(queryVec), planes).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("cos"))
+        dot(col("qvec"), col("cvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
