@@ -225,6 +225,19 @@ object ExpressionQueries {
           count(lit(1)).as("n"))
     },
 
+    // Probabilistic distinct counting — the Spark analogue of dozer's
+    // opt-in probabilistic state compression (counting bloom filter for
+    // UNION distinct, record_map/bloom.rs; hashed record keys,
+    // models/flags.rs:27-52). HLL++ sketches bound state the same way.
+    // rows-only: HLL estimates are engine-specific.
+    QueryDef.noOracle("q29c_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
     // INTERSECT / EXCEPT (dozer's builder rejects — builder/mod.rs:213-227;
     // provided here as batch extensions)
     QueryDef("q27_intersect",
