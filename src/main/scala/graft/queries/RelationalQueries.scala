@@ -195,6 +195,35 @@ object RelationalQueries {
           col("window.end").as("window_end"), col("event_type"), col("n"))
     },
 
+    // Star join: facts shuffled, dimensions explicitly broadcast — the
+    // plan shape that must hold at 100 TB (SCALE.md §Joins)
+    QueryDef("q15a_star_join",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(org.apache.spark.sql.types.DecimalType(4, 2)) -
+              col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // ORDER BY + LIMIT (batch; dozer rejects in streaming — builder/mod.rs:133-143)
     QueryDef("q15_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
