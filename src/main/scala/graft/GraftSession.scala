@@ -73,9 +73,10 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     nanoTsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        // integer `div`, NOT `/`: double division loses µs precision on
+        // nano epochs (~1.7e18 > 2^53)
         df.withColumn(c,
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col(c) / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
       else df
     }
   }

@@ -224,6 +224,31 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // SESSION window (beyond reference's TUMBLE/HOP; Spark session_window
+    // == SQL gaps-and-islands with a 30-minute gap). Boundary semantics:
+    // both split strictly when gap exceeded; exact-boundary ties are
+    // measure-zero on µs data.
+    QueryDef("q15b_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+    },
+
     // ORDER BY + LIMIT (batch; dozer rejects in streaming — builder/mod.rs:133-143)
     QueryDef("q15_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
