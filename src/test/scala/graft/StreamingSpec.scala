@@ -106,6 +106,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == Set((1L, 11.0), (3L, 30.0)))
   }
 
+  test("mapGroupsWithState running counts accumulate across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = graft.streaming.StatefulOps.runningCounts(mem.toDS())
+    val q = counts.toDF().writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData("a", "a", "b")
+      q.processAllAvailable()
+      mem.addData("a", "b", "b")
+      q.processAllAvailable()
+      // update mode: last emitted row per key reflects cumulative state
+      val last = spark.table("state_out").groupBy($"key")
+        .agg(max($"n").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(last == Map("a" -> 3L, "b" -> 3L))
+    } finally q.stop()
+  }
+
+  test("csv source round-trips through the object-store connector shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.load(spark, SparkFixture.sf0001, "nation")
+      .write.option("header", "true").csv(s"$tmp/nation")
+    val back = graft.sources.Sources.snapshot(spark, s"$tmp/nation", "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(back.count() == 25)
+    assert(back.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+
   test("hop agg emits per overlapping window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
