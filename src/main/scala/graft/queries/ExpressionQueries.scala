@@ -41,6 +41,8 @@ object ExpressionQueries {
         |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
         |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dy,
         |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy,
+        |  CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS wk,
         |  CAST(EXTRACT(epoch FROM o_orderdate) AS BIGINT) AS epoch_s,
         |  STRFTIME(o_orderdate, '%Y-%m-%d %H:%M') AS formatted
         |FROM orders""".stripMargin) { (s, dir) =>
@@ -50,6 +52,8 @@ object ExpressionQueries {
         month(col("o_orderdate")).cast("long").as("mo"),
         dayofmonth(col("o_orderdate")).cast("long").as("dy"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("wk"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         GraftFunctions.toChar(col("o_orderdate"), lit("%Y-%m-%d %H:%M")).as("formatted"))
     },
