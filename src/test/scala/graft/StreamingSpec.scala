@@ -106,6 +106,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == Set((1L, 11.0), (3L, 30.0)))
   }
 
+  test("stream-stream LEFT OUTER join null-pads unmatched rows at watermark expiry") {
+    // SURVEY §7 hard part: dozer emits default-record inserts eagerly on
+    // 0-match (join/operator/mod.rs:75-135); Spark emits the null-padded
+    // row once the watermark proves no match can arrive. Same final
+    // content, different emission time — asserted here.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Ev]; val r = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      l.toDF().withColumnRenamed("ts", "lts").withColumnRenamed("v", "lv"),
+      "lts",
+      r.toDF().withColumnRenamed("ts", "rts").withColumnRenamed("v", "rv")
+        .withColumnRenamed("user", "ruser"),
+      "rts",
+      keys = col("user") === col("ruser"),
+      ttlDuration = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      l.addData(Ev(ts("2024-01-01 00:05:00"), "lonely", 1.0))
+      r.addData(Ev(ts("2024-01-01 00:06:00"), "other", 9.0))
+      q.processAllAvailable()
+      // watermark hasn't passed: unmatched row withheld
+      assert(spark.table("loj_out").filter($"user" === "lonely").isEmpty)
+      // advance both watermarks far past the join bound
+      l.addData(Ev(ts("2024-01-01 02:00:00"), "later", 2.0))
+      r.addData(Ev(ts("2024-01-01 02:00:00"), "other2", 8.0))
+      q.processAllAvailable()
+      l.addData(Ev(ts("2024-01-01 03:00:00"), "later2", 3.0))
+      r.addData(Ev(ts("2024-01-01 03:00:00"), "other3", 7.0))
+      q.processAllAvailable()
+      val lonely = spark.table("loj_out").filter($"user" === "lonely").collect()
+      assert(lonely.length == 1)
+      assert(lonely(0).isNullAt(lonely(0).fieldIndex("rv")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts accumulate across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
