@@ -69,21 +69,35 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane bucket: `planes` pseudo-random
-    * hyperplanes, one sign bit each. Hyperplane p's component d is
-    * derived from xxhash64(d, p) mapped to [-1, 1] — seedable, identical
-    * across executors, no stored model.
+    * hyperplanes, one sign bit each. Hyperplane p's component d is a
+    * hash of (d, p) mapped to [-1, 1] — seedable, identical across
+    * executors, no stored model. Single-pass UDF (the builtin
+    * formulation re-walks the vector once per plane through interpreted
+    * higher-order functions).
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") *
-            ((pmod(xxhash64(d, lit(p)), lit(2000001L)).cast("double") / 1000000.0) - 1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  private val bucketUdf = udf { (v: Seq[Float], planes: Int) =>
+    if (v == null) null.asInstanceOf[java.lang.Long]
+    else {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var d = 0
+        while (d < v.length) {
+          val h = scala.util.hashing.MurmurHash3.productHash((d, p)).toLong
+          val component = (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+          proj += v(d).toDouble * component
+          d += 1
+        }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(bucket)
     }
-    bits.reduce(_ + _)
   }
+
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    bucketUdf(vec, lit(planes))
 
   /** Approximate top-k: rank candidates within each query's bucket.
     * Recall is tunable via `planes` (fewer planes → bigger buckets).
