@@ -139,6 +139,16 @@ object PipelineQueries {
         "qid", "qvec", k = 5, planes = 4)
     },
 
+    // IVF ANN: centroid-partitioned scale path — rows-only
+    QueryDef.noOracle("q40b_ann_ivf") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Ivf.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
+    },
+
     // Embedding near-dup pairs — rows-only
     QueryDef.noOracle("q41_embedding_neardup") { (s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"),

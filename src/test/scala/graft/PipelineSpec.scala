@@ -50,6 +50,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.25, s"recall=$recall") // 2 planes ~ 1/4 of corpus scanned
   }
 
+  test("IVF ANN: full probe equals brute force; partial probe keeps recall") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullProbe = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullProbe == exact) // probing every cell == exhaustive search
+    val partial = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & partial).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("cosine matches hand computation") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
