@@ -157,9 +157,16 @@ object SqlText {
             case "TTL" =>
               val Seq(src, ts, dur) = args.map(_.trim)
               // Batch: TTL only governs state eviction, not row
-              // visibility — pass through. Streaming: the runner applies
-              // withWatermark when wiring the source (StreamOps.ttl).
-              src
+              // visibility — pass through. Streaming: substitute a
+              // watermarked view of the source (state-TTL semantics,
+              // reference table_operator/lifetime.rs:29-88).
+              if (streaming) {
+                val viewName = s"${src}__ttl"
+                val unquoted = dur.stripPrefix("'").stripSuffix("'")
+                graft.streaming.StreamOps.ttl(spark.table(src), ts, unquoted)
+                  .createOrReplaceTempView(viewName)
+                viewName
+              } else src
           }
           result = result.substring(0, start) + replacement + result.substring(end)
           changed = true

@@ -57,6 +57,19 @@ class SqlRunnerSpec extends AnyFunSuite {
       .select("user_id").distinct().count())
   }
 
+  test("streaming TTL substitutes a watermarked view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val r = new graft.sql.GraftSqlRunner(spark, streaming = true)
+    r.registerSource("sev", mem.toDF())
+    val out = r.run(
+      """SELECT user, COUNT(*) AS n INTO ttl_out
+        |FROM TTL(sev, ts, '30 minutes') GROUP BY user""".stripMargin)("ttl_out")
+    assert(out.isStreaming)
+    assert(out.queryExecution.analyzed.toString.toLowerCase.contains("watermark"))
+  }
+
   test("streaming mode rejects ORDER BY / LIMIT like the reference") {
     val r = runner(streaming = true)
     assert(intercept[GraftSqlException](
