@@ -249,6 +249,30 @@ object RelationalQueries {
           col("session_window.start").as("session_start"), col("n_events"))
     },
 
+    // AS-OF join (custom operator Spark lacks; DuckDB's native ASOF JOIN
+    // is the oracle). Right side pre-deduped per (key, ts) so tie
+    // resolution is deterministic on both engines.
+    QueryDef("q15c_asof_join",
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  od.o_orderdate AS last_order_date, od.o_orderkey AS last_order_key
+        |FROM events e
+        |ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate""".stripMargin) { (s, dir) =>
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.asofJoin(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", od, "o_custkey", "o_orderdate")
+        .filter(col("o_orderkey").isNotNull) // inner ASOF semantics
+        .select(col("event_id"), col("user_id"),
+          col("o_orderdate").as("last_order_date"),
+          col("o_orderkey").as("last_order_key"))
+    },
+
     // ORDER BY + LIMIT (batch; dozer rejects in streaming — builder/mod.rs:133-143)
     QueryDef("q15_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

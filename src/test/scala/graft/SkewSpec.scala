@@ -33,6 +33,28 @@ class SkewSpec extends AnyFunSuite {
     assert(salts >= 1) // identical rows hash identically; realistic rows spread
   }
 
+  test("asofJoin picks latest right <= left ts, nulls when none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:02:00"), 200.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:03:00"), 5L), // matches 10:00 quote
+      ("A", ts("2024-01-01 10:05:00"), 6L), // equal ts matches 10:05
+      ("B", ts("2024-01-01 10:01:00"), 7L)) // before any quote -> null
+      .toDF("tsym", "tts", "qty")
+    val out = graft.operators.AsOfJoin.asofJoin(
+      trades, "tsym", "tts", quotes, "sym", "qts")
+      .select($"qty", $"px").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toSet
+    assert(out == Set((5L, 100.0), (6L, 101.0), (7L, -1.0)))
+  }
+
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
