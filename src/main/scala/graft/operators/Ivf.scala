@@ -22,37 +22,42 @@ object Ivf {
     * reproducible across runs and partitionings).
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
-      iters: Int = 8): Array[Array[Double]] = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    // deterministic init: per-row hash picks nlist seed vectors
-    var centroids: Array[Array[Double]] = corpus
-      .select(col(vecCol))
-      .withColumn("_h", xxhash64(col(vecCol).cast("array<double>").cast("string")))
-      .orderBy(col("_h"))
-      .limit(nlist)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var it = 0
-    while (it < iters) {
-      val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-      val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v))
-      // mean per cell via one aggregation over element-wise sums
-      val assigned = corpus.select(assignUdf(col(vecCol)).as("cell"),
-        col(vecCol).cast("array<double>").as("v"))
-      val sums = assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          array((0 until dim).map(d => sum(col("v")(d))): _*).as("vsum"))
+      iters: Int = 4): Array[Array[Double]] = {
+    // one projected+cached pass feeds every Lloyd iteration (the
+    // standard k-means practice — at scale this is the training set
+    // pinned in executor memory/disk once instead of re-scanned)
+    val vecs = corpus.select(col(vecCol).as("__v")).persist()
+    try {
+      val dim = vecs.select(size(col("__v"))).first().getInt(0)
+      // deterministic init: per-row hash picks nlist seed vectors
+      var centroids: Array[Array[Double]] = vecs
+        .withColumn("_h", xxhash64(col("__v").cast("array<double>").cast("string")))
+        .orderBy(col("_h"))
+        .limit(nlist)
         .collect()
-      val next = centroids.clone()
-      sums.foreach { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var it = 0
+      while (it < iters) {
+        val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+        val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v))
+        // mean per cell via one aggregation over element-wise sums
+        val assigned = vecs.select(assignUdf(col("__v")).as("cell"),
+          col("__v").cast("array<double>").as("v"))
+        val sums = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(d => sum(col("v")(d))): _*).as("vsum"))
+          .collect()
+        val next = centroids.clone()
+        sums.foreach { r =>
+          val cell = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+        }
+        centroids = next
+        it += 1
       }
-      centroids = next
-      it += 1
-    }
-    centroids
+      centroids
+    } finally { vecs.unpersist(); () }
   }
 
   private def nearest(cents: Array[Array[Double]], v: Seq[Float]): Int = {
