@@ -77,6 +77,24 @@ object PipelineQueries {
         TextOps.stopwordRatio(col("text"), stop).as("stop_ratio"))
     },
 
+    // Full-text keyword search (dozer IndexDefinition::FullText analogue,
+    // SURVEY §1.1 — here as a scan-time predicate; at scale the same
+    // tokens column backs an inverted index / bloom filter file skip)
+    QueryDef("q36b_fulltext",
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE list_has_all(regexp_split_to_array(trim(text), '\s+'),
+        |                   ['spark', 'window', 'stream'])
+        |  AND NOT list_contains(regexp_split_to_array(trim(text), '\s+'), 'slow')""".stripMargin) { (s, dir) =>
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .filter(
+          forall(array(lit("spark"), lit("window"), lit("stream")),
+            term => array_contains(toks, term)) &&
+            !array_contains(toks, "slow"))
+        .select(col("doc_id"), col("n_chars"))
+    },
+
     // Language-ID marker scoring + argmax (tie -> largest lang code)
     QueryDef("q37_langid",
       """WITH scored AS (
