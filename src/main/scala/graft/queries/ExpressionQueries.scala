@@ -242,6 +242,38 @@ object ExpressionQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
     },
 
+    // Statistical aggregates (beyond ref): stddev assembled from exact
+    // decimal components so both engines compute identical doubles;
+    // median of integral-valued quantities interpolates identically.
+    QueryDef("q26b_stats",
+      """SELECT l_returnflag,
+        |  SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |          * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        |       / (COUNT(*) - 1)) AS std_qty,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sqrt((sum(q * q).cast("double") -
+            sum(q).cast("double") * sum(q).cast("double") / count(lit(1))) /
+            (count(lit(1)) - 1)).as("std_qty"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // CUBE (beyond ref, pairs with q26_rollup)
+    QueryDef("q26c_cube",
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // INTERSECT / EXCEPT (dozer's builder rejects — builder/mod.rs:213-227;
     // provided here as batch extensions)
     QueryDef("q27_intersect",

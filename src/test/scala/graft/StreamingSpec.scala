@@ -163,6 +163,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark emits each key once (UNION distinct analogue)") {
+    // dozer's CountingRecordMap emits Insert only on 0->1
+    // (set/operator.rs:33-80); Spark: dropDuplicatesWithinWatermark
+    // with state bounded by the event-time watermark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 00:01:00"), "a", 1.0),
+        Ev(ts("2024-01-01 00:02:00"), "a", 2.0),
+        Ev(ts("2024-01-01 00:03:00"), "b", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:04:00"), "a", 4.0))
+      q.processAllAvailable()
+      val users = spark.table("dedup_out").select("user")
+        .collect().map(_.getString(0)).toSeq
+      assert(users.sorted == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("csv source round-trips through the object-store connector shape") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     Tables.load(spark, SparkFixture.sf0001, "nation")
