@@ -273,6 +273,22 @@ object RelationalQueries {
           col("o_orderkey").as("last_order_key"))
     },
 
+    // LEFT SEMI / ANTI joins — EXISTS / NOT EXISTS without subquery
+    // expressions (which dozer's builder rejects; SURVEY §2.4)
+    QueryDef("q15d_semi_anti",
+      """SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("bucket"), col("n"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("bucket"), col("n"))
+      semi.union(anti)
+    },
+
     // ORDER BY + LIMIT (batch; dozer rejects in streaming — builder/mod.rs:133-143)
     QueryDef("q15_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
