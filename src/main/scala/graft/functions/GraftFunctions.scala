@@ -78,7 +78,7 @@ object GraftFunctions {
     * repeatedly (createOrReplace semantics).
     */
   def registerAll(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Chr, Coalesce, Expression, Upper}
+    import org.apache.spark.sql.catalyst.expressions.{Chr, Expression, If, IsNotNull, Upper}
     val reg = spark.sessionState.functionRegistry
 
     def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
@@ -86,7 +86,7 @@ object GraftFunctions {
 
     temp("ucase")(es => Upper(es.head))
     temp("chr")(es => Chr(es.head)) // dozer CHR — scalar/string.rs:279
-    temp("nvl2")(es => Coalesce(es)) // alias kept simple; NVL is builtin
+    temp("nvl2") { case Seq(a, b, c) => If(IsNotNull(a), b, c) } // NVL is builtin
     ToCharUdf.register(spark)
     GeoUdfs.register(spark)
     HopWindows.register(spark)

@@ -60,9 +60,11 @@ class FunctionsSpec extends AnyFunSuite {
     val spark = SparkFixture.spark
     val r = spark.sql(
       "SELECT UCASE('abc') u, TO_CHAR(TIMESTAMP '2024-01-02 03:04:05', '%Y/%m/%d') t, " +
-        "JSON_VALUE('{\"k\": 7}', '$.k') j").collect()(0)
+        "JSON_VALUE('{\"k\": 7}', '$.k') j, " +
+        "NVL2('x', 'notnull', 'null') n1, NVL2(NULL, 'notnull', 'null') n2").collect()(0)
     assert(r.getString(0) == "ABC")
     assert(r.getString(1) == "2024/01/02")
     assert(r.getString(2) == "7")
+    assert(r.getString(3) == "notnull" && r.getString(4) == "null")
   }
 }
