@@ -161,13 +161,16 @@ object ExpressionQueries {
         GraftFunctions.distance(col("pt"), origin, "VINCENTY").as("vin_m"))
     },
 
-    // JSON_VALUE — json_functions.rs:44-77 (props = {"k": int})
+    // JSON_VALUE / JSON_QUERY — json_functions.rs:44-118 (props = {"k": int})
     QueryDef("q24_json",
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
-        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$') AS VARCHAR) AS full_json,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
-        .select(GraftFunctions.jsonValue(col("props"), lit("$.k")).cast("long").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .select(GraftFunctions.jsonValue(col("props"), lit("$.k")).cast("long").as("k"),
+          GraftFunctions.jsonQuery(col("props"), lit("$")).as("full_json"))
+        .groupBy(col("k"), col("full_json")).agg(count(lit(1)).as("n"))
     },
 
     // OVER-clause analytics (beyond reference; SURVEY §2.3 row for
