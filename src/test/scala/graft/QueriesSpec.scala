@@ -10,6 +10,12 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = SparkFixture.sf0001
 
+  test("registry names are unique (Map would silently drop duplicates)") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.length == names.length,
+      names.diff(names.distinct).mkString(","))
+  }
+
   test("all registry queries execute") {
     SparkEntry.registry.foreach { q =>
       val df = q.run(spark, dir)
