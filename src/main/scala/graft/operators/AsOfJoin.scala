@@ -26,7 +26,15 @@ object AsOfJoin {
 
   def asofJoin(
       left: DataFrame, leftKey: String, leftTs: String,
-      right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+      right: DataFrame, rightKey: String, rightTs: String,
+      rightSuffix: String = ""): DataFrame = {
+    // Flattening both sides into one row demands unambiguous names:
+    // shared columns (typically the key/ts themselves) must either not
+    // exist or be disambiguated by suffixing the right side.
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty || rightSuffix.nonEmpty,
+      s"left and right share columns ${overlap.mkString(", ")}; " +
+        "pass rightSuffix to disambiguate the right-side output columns")
     val rightType = StructType(right.schema.fields)
     val l = left.select(
       col(leftKey).as("__k"), col(leftTs).cast("timestamp").as("__ts"),
@@ -45,6 +53,9 @@ object AsOfJoin {
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .select(col("__l.*"), col("__match.*"))
+      .select(
+        left.columns.map(c => col("__l").getField(c).as(c)) ++
+        right.columns.map(c => col("__match").getField(c)
+          .as(if (overlap(c)) c + rightSuffix else c)): _*)
   }
 }

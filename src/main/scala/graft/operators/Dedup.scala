@@ -50,20 +50,23 @@ object Dedup {
   }
 
   /** Blocked pairwise Jaccard: candidate pairs share `blockCol` and pass
-    * a cheap length pre-filter (5·len(a) ≤ 6·len(b), integer-safe), then
-    * exact token-set Jaccard ≥ threshold. Quadratic only within blocks.
+    * a threshold-derived size pre-filter, then exact token-set Jaccard
+    * ≥ threshold. The pre-filter is lossless: J(A,B) ≥ t implies
+    * |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|),
+    * so min(|A|,|B|) ≥ t·max(|A|,|B|) — any pair it drops could not
+    * have passed the Jaccard test. Quadratic only within blocks.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      lenCol: String, threshold: Double): DataFrame = {
+      threshold: Double): DataFrame = {
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      array_distinct(tokens(col(textCol))).as("tok_a"), col(lenCol).as("len_a"))
+      array_distinct(tokens(col(textCol))).as("tok_a"))
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      array_distinct(tokens(col(textCol))).as("tok_b"), col(lenCol).as("len_b"))
+      array_distinct(tokens(col(textCol))).as("tok_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b") &&
-        col("len_a") * 5 <= col("len_b") * 6 &&
-        col("len_b") * 5 <= col("len_a") * 6)
+        size(col("tok_a")).cast("double") >= lit(threshold) * size(col("tok_b")) &&
+        size(col("tok_b")).cast("double") >= lit(threshold) * size(col("tok_a")))
       .withColumn("jac", jaccard(col("tok_a"), col("tok_b")))
       .filter(col("jac") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("jac"))

@@ -19,6 +19,12 @@ object Skew {
       fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // Replicating the dim side is only sound when unmatched dim rows
+    // never surface: right/full outer would emit saltFactor null-padded
+    // duplicates for every unmatched dim key.
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(outer-preserved dim rows would be duplicated saltFactor times)")
     // deterministic per-row salt: hash of the whole fact row tuple
     val salted = fact.withColumn("_salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltFactor)))

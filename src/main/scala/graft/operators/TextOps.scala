@@ -96,11 +96,15 @@ object TextOps {
       var h = 0L
       var i = 0
       while (i < norm.length) {
-        // multiply mod 2^61-1 without overflow: split into 32-bit halves
-        val hi = h >>> 31
-        val lo = h & 0x7FFFFFFFL
-        h = (hi * 1000003L % MOD * (1L << 31) % MOD + lo * 1000003L) % MOD
-        h = (h + norm.charAt(i)) % MOD
+        // h*base mod 2^61-1 via the exact 128-bit product: with
+        // product = hi*2^64 + lo and 2^64 ≡ 8, 2^61 ≡ 1 (mod 2^61-1),
+        // the residue is hi*8 + (lo >>> 61) + (lo & MOD), folded twice.
+        val hi = Math.multiplyHigh(h, 1000003L)
+        val lo = h * 1000003L
+        var r = hi * 8 + (lo >>> 61) + (lo & MOD)
+        if (r >= MOD) r -= MOD
+        if (r >= MOD) r -= MOD
+        h = (r + norm.charAt(i)) % MOD
         i += 1
       }
       java.lang.Long.valueOf(h)

@@ -29,7 +29,7 @@ object PipelineQueries {
     // Blocked token-set Jaccard near-dup pairs (exact verifier)
     QueryDef("q33_jaccard_pairs",
       """WITH toks AS (
-        |  SELECT source, doc_id, n_chars,
+        |  SELECT source, doc_id,
         |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents
         |)
@@ -38,11 +38,12 @@ object PipelineQueries {
         |    / len(list_distinct(list_concat(a.tok, b.tok))) AS jac
         |FROM toks a JOIN toks b ON a.source = b.source
         |WHERE a.doc_id < b.doc_id
-        |  AND a.n_chars * 5 <= b.n_chars * 6 AND b.n_chars * 5 <= a.n_chars * 6
+        |  AND CAST(len(a.tok) AS DOUBLE) >= 0.8 * len(b.tok)
+        |  AND CAST(len(b.tok) AS DOUBLE) >= 0.8 * len(a.tok)
         |  AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.8""".stripMargin) { (s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", "source", "n_chars", threshold = 0.8)
+        "doc_id", "text", "source", threshold = 0.8)
     },
 
     // MinHash + banded LSH candidates (the O(n·bands) scale path).

@@ -45,14 +45,22 @@ object Sinks {
             case None    => batch
           },
           keyCols)
-        // rewrite snapshot atomically-enough for local fs: temp + swap
+        // Crash-safe snapshot swap: materialize to tmp, demote the live
+        // snapshot to a backup, promote tmp, then drop the backup. At no
+        // instant is there zero committed snapshots on disk — a crash at
+        // any point leaves either dst or dst_old readable, so a
+        // foreachBatch retry resumes from the last committed keyset
+        // instead of silently rebuilding from one microbatch.
         val tmp = statePath + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
-        fs.delete(dst, true)
+        val bak = new org.apache.hadoop.fs.Path(statePath + "_old")
+        fs.delete(bak, true) // stale backup from a prior crash
+        if (fs.exists(dst)) fs.rename(dst, bak)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        fs.delete(bak, true)
         ()
       }
       .start()
@@ -61,10 +69,12 @@ object Sinks {
       like: DataFrame): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      Some(spark.read.parquet(path)
-        // snapshot rows re-enter the merge as inserts at seq they carried
-        )
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "_old")
+    // Prefer the live snapshot; fall back to the backup left by a crash
+    // mid-swap (after dst was demoted, before tmp was promoted).
+    if (fs.exists(dst)) Some(spark.read.parquet(path))
+    else if (fs.exists(bak)) Some(spark.read.parquet(path + "_old"))
     else None
   }
 }

@@ -55,6 +55,40 @@ class SkewSpec extends AnyFunSuite {
     assert(out == Set((5L, 100.0), (6L, 101.0), (7L, -1.0)))
   }
 
+  test("saltedJoin rejects outer-preserved dim join types") {
+    import spark.implicits._
+    val f = Seq(("a", 1)).toDF("k", "v")
+    val d = Seq(("a", "x"), ("b", "y")).toDF("k", "d")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, d, "k", saltFactor = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, d, "k", saltFactor = 4, joinType = "full_outer")
+    }
+    // left join still works and preserves unmatched fact rows once
+    val lf = Seq(("a", 1), ("c", 2)).toDF("k", "v")
+    assert(Skew.saltedJoin(lf, d, "k", 4, "left").count() == 2)
+  }
+
+  test("asofJoin suffixes colliding right columns, rejects without suffix") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // both sides name their key `sym` and carry a `px` column
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 100.0)).toDF("sym", "ts", "px")
+    val trades = Seq(("A", ts("2024-01-01 10:03:00"), 5.0)).toDF("sym", "ts", "px")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asofJoin(trades, "sym", "ts", quotes, "sym", "ts")
+    }
+    val out = graft.operators.AsOfJoin.asofJoin(
+      trades, "sym", "ts", quotes, "sym", "ts", rightSuffix = "_q")
+    assert(out.columns.toSeq == Seq("sym", "ts", "px", "sym_q", "ts_q", "px_q"))
+    val r = out.select($"px", $"px_q").collect()(0)
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 100.0)
+    // the suffixed frame is selectable by name with no ambiguity
+    assert(out.select($"sym", $"px_q").count() == 1)
+  }
+
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
