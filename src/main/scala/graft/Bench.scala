@@ -38,7 +38,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local-iteration filter: comma-separated query names (driver unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     runOnce("q1_agg") // warmup: JIT + codegen + FS metadata
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -43,10 +43,15 @@ object Dedup {
 
   // ---- token-set Jaccard ----------------------------------------------
 
-  /** Jaccard similarity of two token-array columns (distinct-element). */
+  /** Jaccard similarity of two token-array columns (distinct-element).
+    * |A∪B| is derived as |A|+|B|-|A∩B| (inclusion-exclusion) so only the
+    * intersection is materialized — array_union would allocate a merged
+    * array per pair just to take its length, which dominates the
+    * pairwise stage cost.
+    */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / size(array_union(a, b))
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 
   /** Blocked pairwise Jaccard: candidate pairs share `blockCol` and pass
@@ -59,10 +64,16 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double): DataFrame = {
+    // Tokens are hashed to 64-bit longs once per document, before the
+    // pair join: the O(pairs) intersect then compares primitive longs
+    // instead of UTF8 strings. Set sizes (and hence Jaccard) are
+    // preserved up to 64-bit collisions — odds ~n²/2⁶⁵ per doc,
+    // negligible against the pairwise stage it accelerates.
+    val hashedToks = array_distinct(transform(tokens(col(textCol)), xxhash64(_)))
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      array_distinct(tokens(col(textCol))).as("tok_a"))
+      hashedToks.as("tok_a"))
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      array_distinct(tokens(col(textCol))).as("tok_b"))
+      hashedToks.as("tok_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b") &&
         size(col("tok_a")).cast("double") >= lit(threshold) * size(col("tok_b")) &&

@@ -22,20 +22,25 @@ object Ivf {
     * reproducible across runs and partitionings).
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
-      iters: Int = 4): Array[Array[Double]] = {
+      iters: Int = 2): Array[Array[Double]] = {
     // one projected+cached pass feeds every Lloyd iteration (the
     // standard k-means practice — at scale this is the training set
-    // pinned in executor memory/disk once instead of re-scanned)
+    // pinned in executor memory/disk once instead of re-scanned).
+    // Two iterations suffice for a coarse quantizer: cells only bucket
+    // candidates, they don't rank them, so convergence past "roughly
+    // balanced Voronoi cells" buys recall nothing.
     val vecs = corpus.select(col(vecCol).as("__v")).persist()
     try {
-      val dim = vecs.select(size(col("__v"))).first().getInt(0)
       // deterministic init: per-row hash picks nlist seed vectors
+      // (TakeOrdered top-k, not a full sort); dim comes from the seeds,
+      // avoiding a separate probe job
       var centroids: Array[Array[Double]] = vecs
         .withColumn("_h", xxhash64(col("__v").cast("array<double>").cast("string")))
         .orderBy(col("_h"))
         .limit(nlist)
         .collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val dim = centroids.headOption.map(_.length).getOrElse(0)
       var it = 0
       while (it < iters) {
         val bc = vecs.sparkSession.sparkContext.broadcast(centroids)

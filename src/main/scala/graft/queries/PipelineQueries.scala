@@ -35,13 +35,13 @@ object PipelineQueries {
         |)
         |SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.tok, b.tok))) AS jac
+        |    / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS jac
         |FROM toks a JOIN toks b ON a.source = b.source
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(a.tok) AS DOUBLE) >= 0.8 * len(b.tok)
         |  AND CAST(len(b.tok) AS DOUBLE) >= 0.8 * len(a.tok)
         |  AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.8""".stripMargin) { (s, dir) =>
+        |    / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8""".stripMargin) { (s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", "source", threshold = 0.8)
     },
