@@ -78,7 +78,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         size(col("tok_a")).cast("double") >= lit(threshold) * size(col("tok_b")) &&
         size(col("tok_b")).cast("double") >= lit(threshold) * size(col("tok_a")))
-      .withColumn("jac", jaccard(col("tok_a"), col("tok_b")))
+      .withColumn("jac", {
+        // |A∩B| via the zero-allocation counting kernel (the arrays are
+        // hashed-distinct longs); |A∪B| by inclusion-exclusion
+        val inter = org.apache.spark.sql.graft.VectorExpressions
+          .intersectCardinality(col("tok_a"), col("tok_b"))
+        inter.cast("double") /
+          (size(col("tok_a")) + size(col("tok_b")) - inter)
+      })
       .filter(col("jac") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("jac"))
   }

@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (exact; broadcast the query set,
   * scan the corpus once). Scale path: random-hyperplane LSH buckets —
   * candidate generation is a bucket equi-join, O(n·buckets) instead of
-  * O(n·q). All vector math is double-precision built-ins
-  * (`zip_with`/`aggregate`) inside whole-stage codegen; no UDFs.
+  * O(n·q). The per-pair vector math is a native codegen'd Catalyst
+  * expression ([[org.apache.spark.sql.graft.VectorExpressions]]).
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product — a native codegen'd Catalyst
+    * expression ([[org.apache.spark.sql.graft.VectorExpressions.DotProduct]]):
+    * a primitive fused loop inside WholeStageCodegen, where the
+    * `aggregate(zip_with(...))` builtin formulation would run one
+    * interpreted closure call per element per candidate pair.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -28,21 +31,13 @@ object Similarity {
 
   /** Unit-normalize a float-array column to doubles. After this, cosine
     * is a bare dot product — norms are computed once per row instead of
-    * once per candidate pair. A single-pass UDF on purpose: the builtin
-    * `transform(a, x / norm(a))` re-evaluates the norm aggregate per
-    * element (interpreted higher-order functions don't CSE).
+    * once per candidate pair. A single-pass static kernel wired in via
+    * `StaticInvoke` (stays in the codegen span, no UDF encoder
+    * boundary); the builtin `transform(a, x / norm(a))` would
+    * re-evaluate the norm aggregate per element.
     */
-  private val normalizeUdf = udf { (v: Seq[Float]) =>
-    if (v == null) null
-    else {
-      var s = 0.0
-      v.foreach(x => s += x.toDouble * x.toDouble)
-      val n = math.sqrt(s)
-      if (n == 0.0) v.map(_.toDouble) else v.map(_.toDouble / n)
-    }
-  }
-
-  def normalize(a: Column): Column = normalizeUdf(a)
+  def normalize(a: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.normalizeFloat(a)
 
   /** Exact top-k cosine neighbors for each query vector.
     *

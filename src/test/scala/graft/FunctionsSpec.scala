@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.functions.{GeoUtils, JsonPathEval, ToCharUdf}
 
 class FunctionsSpec extends AnyFunSuite {
@@ -66,5 +67,74 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "2024/01/02")
     assert(r.getString(2) == "7")
     assert(r.getString(3) == "notnull" && r.getString(4) == "null")
+  }
+
+  test("DotProduct expression matches interpreted formulation and stays in codegen") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val interpreted = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val out = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("native"),
+      interpreted.as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null array propagates
+    val nul = Seq((null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("a", "b")
+      .select(VectorExpressions.dot(col("a"), col("b"))).collect()(0)
+    assert(nul.isNullAt(0))
+    // the projection compiles into a WholeStageCodegen span (a file
+    // scan, not a local relation, which Catalyst folds at plan time)
+    val emb = Tables.load(spark, SparkFixture.sf0001, "embeddings")
+    val plan = emb
+      .select(VectorExpressions.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [dot_product"))
+  }
+
+  test("normalizeFloat produces unit vectors, zero vector passes through") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val df = Seq(Array(3.0f, 4.0f), Array(0.0f, 0.0f)).toDF("v")
+    val rows = df.select(VectorExpressions.normalizeFloat(col("v")).as("n"))
+      .collect().map(_.getSeq[Double](0))
+    assert(rows(0) == Seq(0.6, 0.8))
+    assert(rows(1) == Seq(0.0, 0.0))
+  }
+
+  test("intersectCardinality counts like array_intersect without materializing") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(7L), Array(8L)))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.intersectCardinality(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("intersectCardinality survives adversarial clustered keys") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    // sequential and power-of-two-stride keys stress open addressing
+    val a = (0L until 1000L).toArray
+    val b = (500L until 1500L).toArray
+    val df = Seq((a, b)).toDF("a", "b")
+    val n = df.select(VectorExpressions.intersectCardinality(col("a"), col("b")))
+      .collect()(0).getInt(0)
+    assert(n == 500)
   }
 }
