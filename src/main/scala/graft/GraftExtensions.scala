@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Upper(es.head)))
     ext.injectFunction((FunctionIdentifier("chr"), info("chr"),
       (es: Seq[Expression]) => Chr(es.head)))
+    // binned range-join rewrite (opt-in: spark.graft.rangeJoin.binWidth)
+    ext.injectOptimizerRule(graft.plans.RewriteRangeJoin(_))
   }
 }

@@ -43,6 +43,12 @@ object GraftSession {
     */
   def configure(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.registerAll(spark)
+    // same rule the extension injects, for sessions built without
+    // spark.sql.extensions (Verify/Bench/tests)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RewriteRangeJoin]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RewriteRangeJoin(spark))
     spark
   }
 }

@@ -289,6 +289,24 @@ object RelationalQueries {
       semi.union(anti)
     },
 
+    // Binned range join (no equi key: point-in-interval). OSS Spark
+    // nested-loops this shape; graft bins it — see operators.RangeJoin
+    QueryDef("q15e_range_join",
+      """SELECT s.s_suppkey, count(*) AS n_cust
+        |FROM supplier s JOIN customer c
+        |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500
+        |GROUP BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          (col("s_acctbal") + 500).as("s_hi"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.RangeJoin.pointInInterval(
+        cust, "c_acctbal", sup, "s_acctbal", "s_hi", binWidth = 500.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
     // ORDER BY + LIMIT (batch; dozer rejects in streaming — builder/mod.rs:133-143)
     QueryDef("q15_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
