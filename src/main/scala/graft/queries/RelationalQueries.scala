@@ -211,17 +211,28 @@ object RelationalQueries {
       val c = t(s, dir, "customer")
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region"))
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // Partial-aggregation pushdown through the join (OSS Catalyst
+      // doesn't do this): every lineitem row matches exactly one order
+      // (l_orderkey is orders' PK), so summing per orderkey BEFORE the
+      // join is semantics-preserving and shrinks the fact side from
+      // |lineitem| to |orders| rows — the shuffle that dominates this
+      // query at 100 TB. Decimal partials keep the final double cast
+      // bit-identical to the single-pass sum.
+      val lagg = l.groupBy(l("l_orderkey"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(org.apache.spark.sql.types.DecimalType(4, 2)) -
+              col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2))))
+            .as("rev_part"),
+          count(lit(1)).as("cnt_part"))
+      lagg.join(o, lagg("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(dec2(col("l_extendedprice")) *
-            (lit(1).cast(org.apache.spark.sql.types.DecimalType(4, 2)) -
-              col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2))))
-            .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("cnt_part")).as("n_items"))
     },
 
     // SESSION window (beyond reference's TUMBLE/HOP; Spark session_window
