@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.{SqlLogicParser, SqlLogicRunner}
+
+/** Replays the reference engine's own sqllogictest corpus
+  * (dozer-tests/src/sql_tests/full *.test files) against Spark SQL via
+  * [[SqlLogicRunner]] — the "matches the reference's results on its own
+  * test queries" gate, on the reference's actual test files rather than
+  * hand-ported copies.
+  *
+  * py_udf.test is excluded (python UDFs are a documented out-of-scope
+  * delta, SURVEY §8); records tagged `onlyif bug` are skipped exactly
+  * as the reference harness skips them.
+  *
+  * Comparison: lines are whitespace-normalized; numeric cells compare
+  * with 1e-9 relative tolerance (the expected values were produced by
+  * sqlite float arithmetic, whose summation order Spark does not
+  * replicate bit-for-bit — exact-hash parity is the DuckDB oracle
+  * gate's job, not this suite's).
+  */
+class SqlLogicSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private val corpus = new java.io.File(
+    "/root/reference/dozer-tests/src/sql_tests/full")
+
+  private val files = Seq("account", "agg", "aggr_append_only",
+    "aggregations", "complex", "example", "join", "nested", "simple",
+    "union")
+
+  private def norm(s: String): String = s.trim.replaceAll("\\s+", " ")
+
+  private def toD(s: String): Option[Double] =
+    try Some(s.toDouble) catch { case _: NumberFormatException => None }
+
+  private def linesMatch(exp: String, act: String): Boolean = {
+    if (exp == act) return true
+    val te = exp.split(" "); val ta = act.split(" ")
+    te.length == ta.length && te.zip(ta).forall { case (e, a) =>
+      e == a || ((toD(e), toD(a)) match {
+        case (Some(de), Some(da)) =>
+          math.abs(de - da) <=
+            1e-9 * math.max(1.0, math.max(math.abs(de), math.abs(da)))
+        case _ => false
+      })
+    }
+  }
+
+  files.foreach { f =>
+    test(s"reference sqllogictest corpus: $f.test") {
+      val content = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(corpus, s"$f.test").toPath))
+      val records = SqlLogicParser.parse(content)
+      val runner = new SqlLogicRunner(spark)
+      var nQueries = 0
+      records.foreach {
+        case SqlLogicParser.Statement(sql, line) =>
+          withClue(s"$f.test:$line statement:\n$sql\n") {
+            runner.statement(sql)
+          }
+        case SqlLogicParser.Query(sql, expected, rowsort, line) =>
+          withClue(s"$f.test:$line query:\n$sql\n") {
+            val actual = runner.query(sql).map(norm)
+            val exp = expected.map(norm)
+            val (e2, a2) =
+              if (rowsort) (exp.sorted, actual.sorted) else (exp, actual)
+            assert(a2.length == e2.length,
+              s"row count ${a2.length} != ${e2.length}\nexpected:\n${e2.mkString("\n")}\nactual:\n${a2.mkString("\n")}")
+            e2.zip(a2).foreach { case (e, a) =>
+              assert(linesMatch(e, a), s"expected `$e` got `$a`")
+            }
+            nQueries += 1
+          }
+      }
+      info(s"$f.test: ${records.size} records, $nQueries queries verified")
+    }
+  }
+}
