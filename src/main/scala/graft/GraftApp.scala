@@ -20,6 +20,22 @@ import graft.sql.GraftSqlRunner
   */
 object GraftApp {
 
+  /** `dozer run <config>` equivalent:
+    * `spark-submit --class graft.GraftApp <jar> <config.yaml>`.
+    * Accepts graft-native or dozer-compatible YAML
+    * ([[GraftConfigLoader]]); streaming configs block until all sink
+    * queries terminate.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: GraftApp <config.yaml>")
+    val config = GraftConfigLoader.fromYamlFile(args(0))
+    val spark = GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    if (config.streaming) runStreaming(spark, config).foreach(_.awaitTermination())
+    else runBatch(spark, config)
+    spark.stop()
+  }
+
   final case class SourceConf(
       name: String,
       path: String,

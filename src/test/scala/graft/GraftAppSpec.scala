@@ -55,4 +55,83 @@ class GraftAppSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("graft-native YAML config loads and runs end-to-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_yaml").toString
+    val yaml =
+      s"""app_name: native-demo
+         |sources:
+         |  - name: ev
+         |    path: $dir/events.parquet
+         |sql: |
+         |  SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type;
+         |sinks:
+         |  - table: per_type
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.sources.map(_.name) == Seq("ev") && !config.streaming)
+    runBatch(spark, config)
+    assert(spark.read.parquet(s"$tmp/out").count() > 0)
+  }
+
+  test("dozer-compatible YAML (tagged object-store connections) loads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dozer_yaml").toString
+    // the reference's config shape: connections with !LocalStorage tag,
+    // sources referencing connection + table_name
+    // (dozer-ingestion/benches/connectors.sample.yaml)
+    val yaml =
+      s"""app_name: dozer-compat
+         |version: 1
+         |connections:
+         |  - config: !LocalStorage
+         |      details:
+         |        path: /root/testdata
+         |      tables:
+         |        - !Table
+         |            name: events
+         |            config: !Parquet
+         |              path: sf0.001
+         |              extension: .parquet
+         |    name: store
+         |sources:
+         |  - name: ev
+         |    connection: store
+         |    table_name: events
+         |sql: |
+         |  SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type;
+         |sinks:
+         |  - table_name: per_type
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.sources.head.path == "/root/testdata/sf0.001/events.parquet")
+    runBatch(spark, config)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.columns.toSet == Set("event_type", "n") && out.count() > 0)
+  }
+
+  test("non-object-store dozer connections raise the documented mapping") {
+    val yaml =
+      """connections:
+        |  - config: !Postgres
+        |      user: u
+        |      password: p
+        |      host: h
+        |      port: 5432
+        |      database: d
+        |    name: pg
+        |sources:
+        |  - name: t
+        |    connection: pg
+        |    table_name: t
+        |sql: |
+        |  SELECT 1 INTO x FROM t;
+        |sinks: []
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfigLoader.fromYaml(yaml))
+    assert(e.getMessage.contains("SURVEY"))
+  }
 }
