@@ -34,6 +34,54 @@ class SqlLogicRunner(spark: SparkSession) {
   private case class TableState(schema: StructType, rows: Seq[Row])
   private val tables = mutable.LinkedHashMap.empty[String, TableState]
 
+  /** Per-table CDC change log mirroring the reference harness, which
+    * feeds queries from the source DB's change log through its
+    * incremental pipeline (logic_test.rs:85-95; UPDATE arrives as
+    * delete(old)+insert(new) per join/processor.rs:59-68 — here as
+    * update_postimage, same latest-image semantics). Rows carry a
+    * synthetic `__rowid` (the record-store pk_hash analogue), `_op`
+    * and `_seq`. [[cdcStates]] reconstructs every table from this log
+    * alone via `ChangeModel.applyChanges` so parity with the
+    * maintained batch state can be asserted at any point.
+    */
+  private val changeLogs =
+    mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Row]]
+  private val rowIds = mutable.LinkedHashMap.empty[String, Seq[Long]]
+  private var nextRowId = 0L
+  private var nextSeq = 0L
+
+  private def logChange(table: String, row: Row, rowId: Long, op: String): Unit = {
+    nextSeq += 1
+    changeLogs.getOrElseUpdate(table, mutable.ArrayBuffer.empty) +=
+      Row.fromSeq(row.toSeq ++ Seq(rowId, op, nextSeq))
+  }
+
+  /** Reconstruct every table from its change log alone (one
+    * `applyChanges` per table); returns table → rows without the
+    * bookkeeping columns.
+    */
+  def cdcStates(): Map[String, Seq[Row]] = {
+    import scala.jdk.CollectionConverters._
+    tables.map { case (name, st) =>
+      val logSchema = StructType(st.schema.fields ++ Seq(
+        StructField("__rowid", LongType, nullable = false),
+        StructField(graft.cdc.ChangeModel.OpCol, StringType, nullable = false),
+        StructField(graft.cdc.ChangeModel.SeqCol, LongType, nullable = false)))
+      val log = changeLogs.getOrElse(name, mutable.ArrayBuffer.empty[Row])
+      val df = spark.createDataFrame(log.asJava, logSchema)
+      val rebuilt = graft.cdc.ChangeModel.applyChanges(df, Seq("__rowid"))
+        .drop("__rowid")
+        .collect().toSeq
+      name -> rebuilt
+    }.toMap
+  }
+
+  /** Current batch-maintained rows per table (the ground truth the
+    * CDC reconstruction must match).
+    */
+  def batchStates(): Map[String, Seq[Row]] =
+    tables.map { case (name, st) => name -> st.rows }.toMap
+
   // ---- statement execution ---------------------------------------------
 
   def statement(sql: String): Unit = {
@@ -64,6 +112,8 @@ class SqlLogicRunner(spark: SparkSession) {
           sqlType(toks.lift(1).getOrElse("text")))
       }
       tables(name.toLowerCase) = TableState(StructType(fields), Nil)
+      rowIds(name.toLowerCase) = Nil
+      changeLogs(name.toLowerCase) = mutable.ArrayBuffer.empty
     case _ => sys.error(s"unparsable CREATE TABLE: $sql")
   }
 
@@ -101,7 +151,13 @@ class SqlLogicRunner(spark: SparkSession) {
         src.cast(f.dataType).as(f.name)
       }
       val newRows = incoming.select(aligned.toIndexedSeq: _*).collect().toSeq
+      val ids = newRows.map { r =>
+        nextRowId += 1
+        logChange(name.toLowerCase, r, nextRowId, graft.cdc.ChangeModel.Insert)
+        nextRowId
+      }
       tables(name.toLowerCase) = st.copy(rows = st.rows ++ newRows)
+      rowIds(name.toLowerCase) = rowIds(name.toLowerCase) ++ ids
     case _ => sys.error(s"unparsable INSERT: $sql")
   }
 
@@ -116,7 +172,7 @@ class SqlLogicRunner(spark: SparkSession) {
         val Array(c, e) = a.split("=", 2)
         c.trim.toLowerCase -> e.trim
       }.toMap
-      val view = registerView(name, st)
+      val view = registerViewWithIds(name, st)
       val projected = st.schema.fields.map { f =>
         assigns.get(f.name.toLowerCase) match {
           case Some(expr) =>
@@ -124,8 +180,18 @@ class SqlLogicRunner(spark: SparkSession) {
           case None => s"`${f.name}`"
         }
       }
-      val newRows =
-        spark.sql(s"SELECT ${projected.mkString(", ")} FROM $view").collect().toSeq
+      val collected = spark
+        .sql(s"SELECT `__rowid`, ${projected.mkString(", ")} FROM $view")
+        .collect().toSeq
+      val byId = collected.map(r =>
+        r.getLong(0) -> Row.fromSeq(r.toSeq.drop(1))).toMap
+      val oldById = rowIds(name.toLowerCase).zip(st.rows).toMap
+      val newRows = rowIds(name.toLowerCase).map { id =>
+        val nr = byId(id)
+        if (nr != oldById(id))
+          logChange(name.toLowerCase, nr, id, graft.cdc.ChangeModel.UpdatePost)
+        nr
+      }
       tables(name.toLowerCase) = st.copy(rows = newRows)
     case _ => sys.error(s"unparsable UPDATE: $sql")
   }
@@ -137,11 +203,17 @@ class SqlLogicRunner(spark: SparkSession) {
     case deleteRe(name, whereOrNull) =>
       val st = state(name)
       val cond = Option(whereOrNull).map(_.trim).filter(_.nonEmpty).getOrElse("true")
-      val view = registerView(name, st)
-      val newRows = spark
-        .sql(s"SELECT * FROM $view WHERE NOT coalesce(($cond), false)")
-        .collect().toSeq
-      tables(name.toLowerCase) = st.copy(rows = newRows)
+      val view = registerViewWithIds(name, st)
+      val keptIds = spark
+        .sql(s"SELECT `__rowid` FROM $view WHERE NOT coalesce(($cond), false)")
+        .collect().map(_.getLong(0)).toSet
+      val oldPairs = rowIds(name.toLowerCase).zip(st.rows)
+      oldPairs.filterNot(p => keptIds(p._1)).foreach { case (id, r) =>
+        logChange(name.toLowerCase, r, id, graft.cdc.ChangeModel.Delete)
+      }
+      val kept = oldPairs.filter(p => keptIds(p._1))
+      tables(name.toLowerCase) = st.copy(rows = kept.map(_._2))
+      rowIds(name.toLowerCase) = kept.map(_._1)
     case _ => sys.error(s"unparsable DELETE: $sql")
   }
 
@@ -223,6 +295,19 @@ class SqlLogicRunner(spark: SparkSession) {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(st.rows.asJava, st.schema)
       .createOrReplaceTempView(name)
+    name
+  }
+
+  /** Mutation-side view carrying the synthetic row identity, so UPDATE
+    * and DELETE diffs are exact rather than positional.
+    */
+  private def registerViewWithIds(name: String, st: TableState): String = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(
+      StructField("__rowid", LongType, nullable = false) +: st.schema.fields)
+    val rows = rowIds(name.toLowerCase).zip(st.rows)
+      .map { case (id, r) => Row.fromSeq(id +: r.toSeq) }
+    spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView(name)
     name
   }
 

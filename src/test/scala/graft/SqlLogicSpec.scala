@@ -73,7 +73,21 @@ class SqlLogicSpec extends AnyFunSuite {
             nQueries += 1
           }
       }
-      info(s"$f.test: ${records.size} records, $nQueries queries verified")
+      // The reference harness feeds queries from the change log through
+      // its incremental pipeline; assert our CDC layer reconstructs the
+      // exact table states from the same log (insert/update/delete ops
+      // with synthetic row identity) after the full mutation history.
+      val batch = runner.batchStates()
+      runner.cdcStates().foreach { case (table, rebuilt) =>
+        withClue(s"$f.test CDC replay of '$table': ") {
+          val want = batch(table).map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+          val got = rebuilt.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+          assert(got == want,
+            s"CDC-rebuilt state diverges\nwant: $want\ngot:  $got")
+        }
+      }
+      info(s"$f.test: ${records.size} records, $nQueries queries verified, " +
+        s"${batch.size} tables CDC-replay checked")
     }
   }
 }
