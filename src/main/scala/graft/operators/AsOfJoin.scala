@@ -5,18 +5,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** As-of join: for each left row, the latest right row with
-  * rightTs <= leftTs on the same key — the time-alignment operator
-  * Spark lacks natively (financial ticks, CDC snapshot alignment,
-  * feature-at-event-time joins).
+/** As-of join: for each left row, the nearest right row at-or-before
+  * (backward) or at-or-after (forward) its timestamp on the same
+  * key(s) — the time-alignment operator Spark lacks natively
+  * (financial ticks, CDC snapshot alignment, feature-at-event-time
+  * joins). Key equality follows the reference's join constraint shape
+  * (AND of column equalities, dozer-sql join/factory.rs:193-234) plus
+  * the time bound its TTL'd incremental join implies.
   *
   * Implementation is the scalable sort-based composition (preference
   * order (a) of the custom-operator guidance): tag and union both
   * sides, one hash shuffle on the key, one per-partition sort on
   * (ts, side), then a running `last(right, ignoreNulls)` window carries
-  * the newest right image onto each left row. O(n log n) per key group,
-  * no range self-join blowup; skew handling falls out of AQE on the
-  * single exchange.
+  * the nearest right image onto each left row. O(n log n) per key
+  * group, no range self-join blowup; skew handling falls out of AQE on
+  * the single exchange.
   *
   * Ties: right rows at the same (key, ts) resolve by sort order —
   * pre-deduplicate the right side (e.g. max_by) for deterministic
@@ -24,10 +27,35 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  /** Single-key backward-inclusive as-of join (the DuckDB
+    * `ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts` semantics).
+    */
   def asofJoin(
       left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
+      rightSuffix: String = ""): DataFrame =
+    asofJoinMulti(left, Seq(leftKey), leftTs, right, Seq(rightKey), rightTs,
+      rightSuffix = rightSuffix)
+
+  /** General form: compound equality keys, `direction` "backward"
+    * (latest right at-or-before left, the default) or "forward"
+    * (earliest right at-or-after left), and `allowExactMatches`
+    * (false = strictly before/after, pandas merge_asof semantics).
+    */
+  def asofJoinMulti(
+      left: DataFrame, leftKeys: Seq[String], leftTs: String,
+      right: DataFrame, rightKeys: Seq[String], rightTs: String,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
       rightSuffix: String = ""): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "leftKeys and rightKeys must be non-empty and the same length")
+    val backward = direction.toLowerCase match {
+      case "backward" => true
+      case "forward"  => false
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got '$other'")
+    }
     // Flattening both sides into one row demands unambiguous names:
     // shared columns (typically the key/ts themselves) must either not
     // exist or be disambiguated by suffixing the right side.
@@ -36,19 +64,29 @@ object AsOfJoin {
       s"left and right share columns ${overlap.mkString(", ")}; " +
         "pass rightSuffix to disambiguate the right-side output columns")
     val rightType = StructType(right.schema.fields)
+    val keyCols = leftKeys.indices.map(i => s"__k$i")
     val l = left.select(
-      col(leftKey).as("__k"), col(leftTs).cast("timestamp").as("__ts"),
-      lit(1).as("__is_left"),
-      struct(left.columns.map(col): _*).as("__l"),
-      lit(null).cast(rightType).as("__r"))
+      leftKeys.zip(keyCols).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTs).cast("timestamp").as("__ts"),
+        lit(1).as("__is_left"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rightType).as("__r")): _*)
     val r = right.select(
-      col(rightKey).as("__k"), col(rightTs).cast("timestamp").as("__ts"),
-      lit(0).as("__is_left"),
-      lit(null).cast(StructType(left.schema.fields)).as("__l"),
-      struct(right.columns.map(col): _*).as("__r"))
-    // at equal ts the right row sorts first, so rightTs == leftTs matches
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__is_left").asc)
+      rightKeys.zip(keyCols).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__is_left"),
+        lit(null).cast(StructType(left.schema.fields)).as("__l"),
+        struct(right.columns.map(col): _*).as("__r")): _*)
+    // Backward scans ascending with a trailing window; forward is the
+    // mirror image (descending scan = "next right" carried backward).
+    // Tie handling at equal ts is direction-independent: a right row is
+    // visible to an equal-ts left row iff it sorts before it, so
+    // inclusive puts rights first, strict puts lefts first.
+    val tsOrder = if (backward) col("__ts").asc else col("__ts").desc
+    val sideOrder =
+      if (allowExactMatches) col("__is_left").asc else col("__is_left").desc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(tsOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

@@ -89,6 +89,38 @@ class SkewSpec extends AnyFunSuite {
     assert(out.select($"sym", $"px_q").count() == 1)
   }
 
+  test("asofJoinMulti: compound keys, forward direction, strict matches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      ("A", "X", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", "X", ts("2024-01-01 10:05:00"), 101.0),
+      ("A", "Y", ts("2024-01-01 10:00:00"), 999.0)) // other venue: excluded
+      .toDF("sym", "venue", "qts", "px")
+    val trades = Seq(
+      ("A", "X", ts("2024-01-01 10:05:00"), 1L),
+      ("A", "X", ts("2024-01-01 10:06:00"), 2L))
+      .toDF("tsym", "tvenue", "tts", "qty")
+    def out(dir: String, exact: Boolean) =
+      graft.operators.AsOfJoin.asofJoinMulti(
+        trades, Seq("tsym", "tvenue"), "tts",
+        quotes, Seq("sym", "venue"), "qts",
+        direction = dir, allowExactMatches = exact)
+        .select($"qty", $"px").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+        .toSet
+    // backward inclusive: 10:05 trade matches the 10:05 quote
+    assert(out("backward", true) == Set((1L, 101.0), (2L, 101.0)))
+    // backward strict: 10:05 trade must reach back to 10:00
+    assert(out("backward", false) == Set((1L, 100.0), (2L, 101.0)))
+    // forward inclusive: 10:05 matches itself, 10:06 has nothing ahead
+    assert(out("forward", true) == Set((1L, 101.0), (2L, -1.0)))
+    // forward strict: 10:05 has nothing strictly ahead either
+    assert(out("forward", false) == Set((1L, -1.0), (2L, -1.0)))
+    // compound key kept venue Y's quote out of every variant
+  }
+
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
