@@ -22,20 +22,25 @@ object Ivf {
     * reproducible across runs and partitionings).
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
-      iters: Int = 2): Array[Array[Double]] = {
-    // one projected+cached pass feeds every Lloyd iteration (the
-    // standard k-means practice — at scale this is the training set
-    // pinned in executor memory/disk once instead of re-scanned).
-    // Two iterations suffice for a coarse quantizer: cells only bucket
-    // candidates, they don't rank them, so convergence past "roughly
-    // balanced Voronoi cells" buys recall nothing.
-    val vecs = corpus.select(col(vecCol).as("__v")).persist()
+      iters: Int = 2, maxTrainVectors: Int = 1 << 17): Array[Array[Double]] = {
+    // Train on a deterministic hash-ordered sample capped at
+    // maxTrainVectors (~256+ points per centroid is plenty for a coarse
+    // quantizer) — at 10⁸+ corpus vectors the full set buys nothing and
+    // multiplies every Lloyd pass. The capped sample is cached and
+    // feeds every iteration; assignment of the full corpus still
+    // happens downstream on the whole table.
+    // Two iterations suffice: cells only bucket candidates, they don't
+    // rank them, so convergence past "roughly balanced Voronoi cells"
+    // buys recall nothing.
+    val vecs = corpus.select(col(vecCol).as("__v"))
+      .withColumn("_h", xxhash64(col("__v").cast("array<double>").cast("string")))
+      .orderBy(col("_h"))
+      .limit(maxTrainVectors)
+      .persist()
     try {
-      // deterministic init: per-row hash picks nlist seed vectors
-      // (TakeOrdered top-k, not a full sort); dim comes from the seeds,
-      // avoiding a separate probe job
+      // deterministic init: the nlist smallest hashes seed the
+      // centroids; dim comes from the seeds, avoiding a separate probe
       var centroids: Array[Array[Double]] = vecs
-        .withColumn("_h", xxhash64(col("__v").cast("array<double>").cast("string")))
         .orderBy(col("_h"))
         .limit(nlist)
         .collect()

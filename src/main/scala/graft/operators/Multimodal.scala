@@ -52,6 +52,46 @@ object Multimodal {
       val len = math.max(payload.length.toLong, 1L)
       (0 until n).map(i => i * len / n)
     }
+
+    /** STUB: resize — a real implementation rescales pixels; the fake
+      * deterministically folds the payload into width*height bytes so
+      * output size is exactly what a real resize would produce.
+      */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // ??? <- real codec goes here; deterministic fake below
+      val out = new Array[Byte](w * h)
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = payload(i % payload.length)
+          i += 1
+        }
+      }
+      out
+    }
+
+    /** STUB: feature extraction — a real implementation runs a vision/
+      * audio encoder; the fake hashes payload chunks into a stable
+      * unit-normalized Float vector with the exact embedding shape, so
+      * the output composes with the ANN operators
+      * ([[graft.operators.Similarity]]) like a real encoder's would.
+      */
+    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      // ??? <- real encoder goes here; deterministic fake below
+      val v = new Array[Float](dim)
+      var h = -3750763034362895579L // FNV offset
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ payload(i)) * 1099511628211L
+        v(math.floorMod(h, dim.toLong).toInt) += 1.0f
+        i += 1
+      }
+      var s = 0.0
+      v.foreach(x => s += x.toDouble * x.toDouble)
+      val n = math.sqrt(s)
+      if (n > 0) { i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+      v
+    }
   }
 
   /** Attach a binary payload column built from a string column — the
@@ -74,6 +114,50 @@ object Multimodal {
           val (w, h, c, luma) = MediaCodecs.decodeImage(r.payload)
           DecodedRow(r.id, r.kind, r.payload.length.toLong, w, h, c, luma)
         }
+      }
+    }
+  }
+
+  case class ResizedRow(id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  case class FeatureRow(id: Long, embedding: Array[Float])
+
+  case class FrameRow(id: Long, frameIdx: Int, offset: Long)
+
+  /** Batched resize — partition-local, no shuffle; output rows carry
+    * the resized payload and its dimensions.
+    */
+  def resizeBatched(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
+    implicit val enc = Encoders.product[ResizedRow]
+    ds.mapPartitions { rows =>
+      rows.grouped(MediaCodecs.BatchSize).flatMap(_.map { r =>
+        ResizedRow(r.id, r.kind, MediaCodecs.resizeImage(r.payload, w, h), w, h)
+      })
+    }
+  }
+
+  /** Batched feature extraction → `(id, embedding)` with unit-norm
+    * Float vectors, directly consumable by the ANN operators.
+    */
+  def featureExtractBatched(ds: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
+    implicit val enc = Encoders.product[FeatureRow]
+    ds.mapPartitions { rows =>
+      rows.grouped(MediaCodecs.BatchSize).flatMap(_.map { r =>
+        FeatureRow(r.id, MediaCodecs.extractFeatures(r.payload, dim))
+      })
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame offset —
+    * the video-to-frames explosion of a multimodal pipeline.
+    */
+  def frameSample(ds: Dataset[MediaRow], framesPerDoc: Int): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.sampleFrameOffsets(r.payload, framesPerDoc)
+          .zipWithIndex.map { case (off, idx) => FrameRow(r.id, idx, off) }
       }
     }
   }

@@ -118,6 +118,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(d2.orderBy("id").collect().toSeq == rows.toSeq)
   }
 
+  test("multimodal resize / feature-extract / frame-sample plumbing") {
+    import spark.implicits._
+    val media = Multimodal.withBinaryPayload(
+      Tables.load(spark, dir, "documents").limit(50), "text", "image")
+      .select(col("doc_id").cast("long").as("id"), col("payload"), col("kind"))
+      .as[Multimodal.MediaRow]
+    // resize: exact target byte shape, deterministic
+    val resized = Multimodal.resizeBatched(media, 32, 16).collect()
+    assert(resized.length == 50)
+    assert(resized.forall(r => r.payload.length == 32 * 16 &&
+      r.width == 32 && r.height == 16))
+    // feature extraction: unit-norm vectors of the requested dim that
+    // compose with the ANN operators
+    val feats = Multimodal.featureExtractBatched(media, 16)
+    val fRows = feats.collect()
+    assert(fRows.forall(_.embedding.length == 16))
+    assert(fRows.forall { f =>
+      val n = math.sqrt(f.embedding.map(x => x.toDouble * x.toDouble).sum)
+      math.abs(n - 1.0) < 1e-3
+    })
+    val knn = Similarity.bruteForceTopK(
+      feats.toDF(), "id", "embedding",
+      feats.toDF().limit(3), "id", "embedding", k = 2)
+    assert(knn.count() == 6)
+    // frame sampling: one row per frame, monotone offsets
+    val frames = Multimodal.frameSample(media, 4).collect()
+    assert(frames.length == 200)
+    assert(frames.groupBy(_.id).values.forall { fs =>
+      val offs = fs.sortBy(_.frameIdx).map(_.offset)
+      offs.length == 4 && offs.zip(offs.tail).forall(p => p._1 <= p._2)
+    })
+  }
+
   test("exact dedup keeps one row per distinct text") {
     import spark.implicits._
     val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
