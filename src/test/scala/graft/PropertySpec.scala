@@ -79,4 +79,41 @@ class PropertySpec extends AnyFunSuite {
         60L * HopWindows.parseDurationMicros(s"$n seconds"))
     }
   }
+
+  test("intersectLongCount agrees with Set intersection on random arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val arrGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.toArray)
+    val caseGen = for { a <- arrGen; b <- arrGen } yield (a, b)
+    samples(caseGen, n = 500).foreach { case (a, b) =>
+      val got = org.apache.spark.sql.graft.VectorKernels.intersectLongCount(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val want = a.toSet.intersect(b.toSet).size
+      assert(got == want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("binned range join equals naive filtering on random points/intervals") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // one randomized dataset, several bin widths — the width must never
+    // change results, only the plan
+    val pts = samples(Gen.choose(-100.0, 100.0), n = 120).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }
+    val ivs = samples(
+      for { lo <- Gen.choose(-120.0, 110.0); len <- Gen.choose(-5.0, 30.0) }
+        yield (lo, lo + len), n = 60).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+    val pdf = pts.toDF("pid", "p")
+    val idf = ivs.toDF("iid", "lo", "hi")
+    val naive = pts.flatMap { case (pid, p) =>
+      ivs.collect { case (iid, lo, hi) if p >= lo && p < hi => (pid, iid) }
+    }.toSet
+    Seq(0.7, 5.0, 50.0).foreach { w =>
+      val got = graft.operators.RangeJoin
+        .pointInInterval(pdf, "p", idf, "lo", "hi", binWidth = w)
+        .select($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"binWidth=$w")
+    }
+  }
 }
