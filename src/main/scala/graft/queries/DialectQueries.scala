@@ -32,6 +32,31 @@ object DialectQueries {
           |FROM TUMBLE(events, ts, '1 hour') GROUP BY window_start, event_type""".stripMargin)("w")
     },
 
+    // SESSION table function (beyond ref's TUMBLE/HOP): gap-based
+    // sessionization in the dialect, same gaps-and-islands oracle as
+    // the DataFrame session query (q15b)
+    QueryDef("q46b_sql_session",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      val r = new GraftSqlRunner(s)
+      r.registerSource("events", t(s, dir, "events"))
+      r.run(
+        """SELECT user_id, window_start, COUNT(*) AS n_events INTO sess
+          |FROM SESSION(events, ts, '30 minutes') GROUP BY window_start, user_id""".stripMargin)("sess")
+        .withColumnRenamed("window_start", "session_start")
+    },
+
     QueryDef("q46_sql_hop",
       """SELECT ws AS window_start, COUNT(*) AS n FROM (
         |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws FROM events

@@ -131,9 +131,17 @@ object SqlText {
     var changed = true
     while (changed) {
       changed = false
-      findCall(result, Set("TUMBLE", "HOP", "TTL")) match {
+      findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL")) match {
         case Some((fn, start, end, args)) =>
           val replacement = fn match {
+            case "SESSION" =>
+              // gap-based session windows (beyond the reference's
+              // TUMBLE/HOP): Spark's session_window works in GROUP BY
+              // for both batch and streaming, so both modes route
+              // through the same window-ref rewrite
+              val Seq(src, ts, gap) = args.map(_.trim)
+              pendingWindow = Some(s"session_window($ts, $gap)")
+              src
             case "TUMBLE" =>
               val Seq(src, ts, size) = args.map(_.trim)
               if (streaming) {

@@ -57,6 +57,42 @@ class SqlRunnerSpec extends AnyFunSuite {
       .select("user_id").distinct().count())
   }
 
+  test("SESSION sessionizes with gap semantics matching session_window()") {
+    val out = runner().run(
+      """SELECT user_id, window_start, COUNT(*) AS n INTO s
+        |FROM SESSION(events, ts, '30 minutes') GROUP BY window_start, user_id""".stripMargin)("s")
+    val expected = Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("window_start"), col("n"))
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
+  test("streaming SESSION produces a streaming session-window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val r = new graft.sql.GraftSqlRunner(spark, streaming = true)
+    r.registerSource("sev", mem.toDF().withWatermark("ts", "1 hour"))
+    val out = r.run(
+      """SELECT user, window_start, COUNT(*) AS n INTO sess_out
+        |FROM SESSION(sev, ts, '30 minutes') GROUP BY window_start, user""".stripMargin)("sess_out")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sess_out_t")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        Ev(ts("2024-01-01 00:00:00"), "a", 1.0),
+        Ev(ts("2024-01-01 00:10:00"), "a", 1.0),  // same session (gap < 30m)
+        Ev(ts("2024-01-01 02:00:00"), "a", 1.0))  // new session
+      q.processAllAvailable()
+      val rows = spark.table("sess_out_t")
+        .select($"user", $"n").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSet == Set(("a", 2L), ("a", 1L)) || rows.sorted.toSeq == Seq(("a", 1L), ("a", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming TTL substitutes a watermarked view") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
