@@ -47,4 +47,47 @@ object Sources {
       s"CDC stream schema needs ${graft.cdc.ChangeModel.OpCol}/${graft.cdc.ChangeModel.SeqCol}")
     fileStream(spark, path, schema)
   }
+
+  /** Reader options for dozer's Kafka connector config
+    * (dozer-ingestion/kafka: broker url + topic [+ schema registry]),
+    * mapped onto Spark's kafka source. Pure config mapping — the
+    * spark-sql-kafka connector jar provides the actual source on a
+    * deployment; it is not shipped in this environment, so this stays
+    * the documented bridge (SURVEY §2.1):
+    * {{{
+    * spark.readStream.format("kafka")
+    *   .options(Sources.kafkaOptions(broker, topic)).load()
+    * }}}
+    */
+  def kafkaOptions(brokerUrl: String, topic: String,
+      startFromEarliest: Boolean = true): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokerUrl,
+      "subscribe" -> topic,
+      "startingOffsets" -> (if (startFromEarliest) "earliest" else "latest"),
+      // resume/exactly-once comes from the query's checkpointLocation,
+      // not Kafka group offsets (the OpIdentifier analogue)
+      "failOnDataLoss" -> "true")
+
+  /** Reader config for JDBC snapshot loads (dozer's Postgres/MySQL
+    * connectors' snapshot phase; their log-based CDC phase has no
+    * vanilla-Spark equivalent — the documented mapping is
+    * Debezium-to-topic into [[kafkaOptions]] or change files into
+    * [[cdcFileStream]]). `partitionColumn` bounds give Spark the
+    * parallel-scan split the reference gets from table chunking.
+    */
+  def jdbcOptions(url: String, table: String, user: String, password: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): Map[String, String] = {
+    val base = Map(
+      "url" -> url, "dbtable" -> table,
+      "user" -> user, "password" -> password)
+    partitionColumn match {
+      case Some((col, lower, upper, n)) => base ++ Map(
+        "partitionColumn" -> col,
+        "lowerBound" -> lower.toString,
+        "upperBound" -> upper.toString,
+        "numPartitions" -> n.toString)
+      case None => base
+    }
+  }
 }

@@ -106,6 +106,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == Set((1L, 11.0), (3L, 30.0)))
   }
 
+  test("kafka/jdbc option mappings carry the connector config fields") {
+    val k = graft.sources.Sources.kafkaOptions("broker:9092", "orders")
+    assert(k("kafka.bootstrap.servers") == "broker:9092")
+    assert(k("subscribe") == "orders" && k("startingOffsets") == "earliest")
+    val j = graft.sources.Sources.jdbcOptions(
+      "jdbc:postgresql://h/db", "public.orders", "u", "p",
+      partitionColumn = Some(("o_orderkey", 0L, 1000000L, 16)))
+    assert(j("dbtable") == "public.orders" && j("numPartitions") == "16")
+    assert(j("partitionColumn") == "o_orderkey")
+  }
+
   test("upsert sink recovers committed keys from backup after a mid-swap crash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
