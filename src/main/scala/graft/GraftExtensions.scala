@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Upper(es.head)))
     ext.injectFunction((FunctionIdentifier("chr"), info("chr"),
       (es: Seq[Expression]) => Chr(es.head)))
+    // codegen'd vector dot product, exposed to SQL users too
+    ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.VectorExpressions.DotProduct(es(0), es(1))))
     // binned range-join rewrite (opt-in: spark.graft.rangeJoin.binWidth)
     ext.injectOptimizerRule(graft.plans.RewriteRangeJoin(_))
   }

@@ -87,6 +87,8 @@ object GraftFunctions {
     temp("ucase")(es => Upper(es.head))
     temp("chr")(es => Chr(es.head)) // dozer CHR — scalar/string.rs:279
     temp("nvl2") { case Seq(a, b, c) => If(IsNotNull(a), b, c) } // NVL is builtin
+    temp("dot_product") { case Seq(a, b) =>
+      org.apache.spark.sql.graft.VectorExpressions.DotProduct(a, b) }
     ToCharUdf.register(spark)
     GeoUdfs.register(spark)
     HopWindows.register(spark)

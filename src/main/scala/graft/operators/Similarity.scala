@@ -23,9 +23,7 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

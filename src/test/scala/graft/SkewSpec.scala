@@ -126,9 +126,12 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("extensions-registered functions resolve in SQL") {
-    // configure() already registered ucase/chr on the shared session via
-    // the same builders the extension injects
-    val r = spark.sql("SELECT UCASE('x') u, CHR(66) c").collect()(0)
+    // configure() already registered ucase/chr/dot_product on the shared
+    // session via the same builders the extension injects
+    val r = spark.sql(
+      "SELECT UCASE('x') u, CHR(66) c, " +
+        "DOT_PRODUCT(array(1.0D, 2.0D), array(3.0D, 4.0D)) d").collect()(0)
     assert(r.getString(0) == "X" && r.getString(1) == "B")
+    assert(r.getDouble(2) == 11.0)
   }
 }
