@@ -173,8 +173,11 @@ object Dedup {
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+        // signature agreement via the primitive counting kernel — this
+        // runs once per candidate pair, where the zip_with/aggregate
+        // builtin formulation pays interpreted closures per element
+        (org.apache.spark.sql.graft.VectorExpressions
+          .positionalMatches(col("sig_a"), col("sig_b"))
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
       .distinct() // a pair may collide in several bands
       .filter(col("est_jaccard") >= threshold)

@@ -29,7 +29,9 @@ object ExpressionQueries {
         GraftFunctions.ucase(col("c_name")).as("uname"),
         length(col("c_name")).as("name_len"),
         substring(col("c_name"), 1, 8).as("name_head"),
-        regexp_replace(col("c_name"), "Customer#", "C").as("short_name"),
+        // literal (non-regex) replace — cheaper than regexp_replace and
+        // exactly the oracle's REPLACE semantics
+        replace(col("c_name"), lit("Customer#"), lit("C")).as("short_name"),
         concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
         trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("trimmed"))
     },
@@ -238,11 +240,18 @@ object ExpressionQueries {
     // models/flags.rs:27-52). HLL++ sketches bound state the same way.
     // rows-only: HLL estimates are engine-specific.
     QueryDef.noOracle("q29c_approx_distinct") { (s, dir) =>
+      // Dedupe (flag, partkey) pairs first, then compute both aggregates
+      // in ONE pass: exact distinct = count(*) over the deduped pairs,
+      // and the HLL sketch is duplicate-insensitive so its estimate is
+      // unchanged. Avoids Catalyst's expand plan (which doubles the
+      // aggregate input rows to host exact + approx side by side).
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
     },
 
     // Statistical aggregates (beyond ref): stddev assembled from exact

@@ -88,6 +88,18 @@ object VectorExpressions {
       Seq(GraftShims.expression(v)),
       inputTypes = Seq(ArrayType(FloatType))))
 
+  /** Count of positions where two array<bigint> columns agree —
+    * the minhash signature-agreement estimator, one primitive loop per
+    * candidate pair instead of interpreted zip_with/aggregate closures.
+    */
+  def positionalMatches(a: Column, b: Column): Column =
+    GraftShims.column(StaticInvoke(
+      VectorKernels.getClass,
+      IntegerType,
+      "positionalMatches",
+      Seq(GraftShims.expression(a), GraftShims.expression(b)),
+      inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))))
+
   /** Cardinality of the intersection of two array<bigint> columns
     * whose elements are distinct (e.g. hashed token sets) — counts
     * without materializing the intersection array.
@@ -124,6 +136,18 @@ object VectorKernels {
       while (i < n) { out(i) /= norm; i += 1 }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Positions where two long arrays hold equal values. */
+  def positionalMatches(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 
   /** |A ∩ B| for two long arrays with distinct elements: open-address
