@@ -156,12 +156,18 @@ object Dedup {
           slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+    // Materialize the banded signature index once: it feeds three
+    // consumers (bucket-size stats and both self-join legs), and
+    // without a checkpoint each consumer re-runs the signature UDF over
+    // the whole corpus. At scale this is "build the LSH index, then
+    // query it" — the index is k longs per doc, tiny next to the text.
+    val indexed = banded.localCheckpoint()
     // Mega-bucket cap: buckets above maxBucketSize are boilerplate-like
     // clusters whose quadratic self-join dominates cost while adding
     // mostly-noise pairs; dropping them bounds the join at
     // O(buckets * cap^2) — the standard LSH guard at corpus scale.
-    val pruned = banded.join(
-      banded.groupBy(col("band_idx"), col("band_hash"))
+    val pruned = indexed.join(
+      indexed.groupBy(col("band_idx"), col("band_hash"))
         .agg(count(lit(1)).as("_bsz"))
         .filter(col("_bsz") <= maxBucketSize)
         .drop("_bsz"),
@@ -198,6 +204,9 @@ object Dedup {
         shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+      // materialize the fingerprint index once (three consumers — same
+      // rationale as minhashPairs)
+      .localCheckpoint()
       // same mega-bucket guard as minhashPairs
     val pruned = chunked.join(
       chunked.groupBy(col("chunk_idx"), col("chunk"))
