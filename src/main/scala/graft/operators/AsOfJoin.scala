@@ -96,4 +96,80 @@ object AsOfJoin {
         right.columns.map(c => col("__match").getField(c)
           .as(if (overlap(c)) c + rightSuffix else c)): _*)
   }
+
+  /** Broadcast variant for a small right side (dimension history,
+    * quote book, config timeline): the right side is collected, sorted
+    * per key, and broadcast; each left row binary-searches the latest
+    * right row at-or-before its timestamp. The left side is NEVER
+    * shuffled or sorted — at 100 TB of fact rows against a
+    * few-million-row history this replaces the sort-based plan's
+    * exchange+sort with a map-only stage, the same trade as a
+    * broadcast hash join. Backward-inclusive semantics, identical to
+    * [[asofJoin]].
+    */
+  def asofJoinBroadcast(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      rightSuffix: String = ""): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty || rightSuffix.nonEmpty,
+      s"left and right share columns ${overlap.mkString(", ")}; " +
+        "pass rightSuffix to disambiguate the right-side output columns")
+    val spark = left.sparkSession
+
+    // µs-precision epoch for the search key (Timestamp.getTime is ms;
+    // getNanos carries the sub-ms part — floor getTime to seconds first
+    // so the ms fraction is not double-counted)
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    // driver-side sorted-timestamp index per (stringified) key
+    val index: Map[String, Array[Long]] =
+      right.select(col(rightKey).cast("string").as("__k"),
+        col(rightTs).cast("timestamp").as("__ts"))
+        .collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .groupBy(_.getString(0))
+        .map { case (k, rows) =>
+          k -> rows.map(r => micros(r.getTimestamp(1))).sorted
+        }
+    val bc = spark.sparkContext.broadcast(index)
+
+    // 1-based rank of the matched right row (aligns with row_number)
+    val lookup = udf((k: String, ts: java.sql.Timestamp) => {
+      if (k == null || ts == null) null
+      else bc.value.get(k) match {
+        case None => null
+        case Some(times) =>
+          val target = micros(ts)
+          var lo = 0; var hi = times.length - 1; var best = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= target) { best = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (best < 0) null else java.lang.Integer.valueOf(best + 1)
+      }
+    })
+
+    val idxWindow = Window.partitionBy(col(rightKey).cast("string"))
+      .orderBy(col(rightTs).cast("timestamp").asc)
+    val rightIndexed = right
+      .withColumn("__rk", col(rightKey).cast("string"))
+      .withColumn("__ridx", row_number().over(idxWindow))
+    val renamedRight = right.columns.foldLeft(rightIndexed) { (df, c) =>
+      if (overlap(c)) df.withColumnRenamed(c, c + rightSuffix) else df
+    }
+
+    // map-only on the left: index lookup, then a broadcast hash join
+    // fetches the matched right image — no exchange or sort of `left`
+    left
+      .withColumn("__lk", col(leftKey).cast("string"))
+      .withColumn("__lidx",
+        lookup(col("__lk"), col(leftTs).cast("timestamp")))
+      .join(broadcast(renamedRight),
+        col("__lk") === col("__rk") && col("__lidx") === col("__ridx"),
+        "left")
+      .drop("__lk", "__lidx", "__rk", "__ridx")
+  }
 }

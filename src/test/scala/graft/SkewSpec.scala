@@ -121,6 +121,24 @@ class SkewSpec extends AnyFunSuite {
     // compound key kept venue Y's quote out of every variant
   }
 
+  test("asofJoinBroadcast equals the sort-based asofJoin on real tables") {
+    import org.apache.spark.sql.functions.max
+    val od = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sorted = graft.operators.AsOfJoin.asofJoin(
+      ev, "user_id", "ts", od, "o_custkey", "o_orderdate")
+    val bcast = graft.operators.AsOfJoin.asofJoinBroadcast(
+      ev, "user_id", "ts", od, "o_custkey", "o_orderdate")
+    assert(bcast.count() == sorted.count())
+    assert(bcast.exceptAll(sorted).isEmpty && sorted.exceptAll(bcast).isEmpty)
+    // the broadcast plan never exchanges the left side
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
