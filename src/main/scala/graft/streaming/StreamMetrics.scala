@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming observability — the reference serves per-endpoint
+  * ingest/latency metrics from its orchestrator (dozer-cli progress +
+  * dozer-api metrics endpoints); Spark's `StreamingQueryListener` is
+  * the native analogue. One listener per session aggregates the latest
+  * progress snapshot per query name, so an operator (or test) can ask
+  * "what is this pipeline's current rows/sec and batch duration"
+  * without scraping logs.
+  */
+object StreamMetrics {
+
+  /** Latest-progress snapshot of one streaming query. */
+  final case class Snapshot(
+      name: String,
+      batchId: Long,
+      numInputRows: Long,
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      batchDurationMs: Long,
+      stateRowsTotal: Long)
+
+  final class Recorder extends StreamingQueryListener {
+    private val latest = new ConcurrentHashMap[String, Snapshot]()
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val name = Option(p.name).getOrElse(p.id.toString)
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      latest.put(name, Snapshot(
+        name = name,
+        batchId = p.batchId,
+        numInputRows = p.numInputRows,
+        inputRowsPerSecond =
+          if (p.inputRowsPerSecond.isNaN) 0.0 else p.inputRowsPerSecond,
+        processedRowsPerSecond =
+          if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
+        batchDurationMs = p.batchDuration,
+        stateRowsTotal = stateRows))
+    }
+
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    /** Latest snapshot for a query name, if any progress was seen. */
+    def snapshot(name: String): Option[Snapshot] = Option(latest.get(name))
+
+    /** All queries' latest snapshots. */
+    def all(): Map[String, Snapshot] = {
+      import scala.jdk.CollectionConverters._
+      latest.asScala.toMap
+    }
+  }
+
+  /** Attach a recorder to the session's streams; returns it for
+    * querying. Call `spark.streams.removeListener` with it when done.
+    */
+  def attach(spark: SparkSession): Recorder = {
+    val r = new Recorder
+    spark.streams.addListener(r)
+    r
+  }
+}

@@ -106,6 +106,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == Set((1L, 11.0), (3L, 30.0)))
   }
 
+  test("StreamMetrics records per-query progress snapshots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val recorder = graft.streaming.StreamMetrics.attach(spark)
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().groupBy($"user").count()
+      .writeStream.format("memory").queryName("metrics_probe")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:00:00"), "a", 1.0),
+        Ev(ts("2024-01-01 00:01:00"), "b", 2.0))
+      q.processAllAvailable()
+      // listener delivery is asynchronous; give the bus a moment
+      var snap = recorder.snapshot("metrics_probe")
+      val deadline = System.nanoTime() + 10000000000L
+      while (snap.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); snap = recorder.snapshot("metrics_probe")
+      }
+      assert(snap.nonEmpty, "no progress snapshot recorded")
+      assert(snap.get.numInputRows > 0 || snap.get.batchId >= 0)
+      assert(snap.get.stateRowsTotal >= 2) // two user groups in state
+    } finally {
+      q.stop()
+      spark.streams.removeListener(recorder)
+    }
+  }
+
   test("kafka/jdbc option mappings carry the connector config fields") {
     val k = graft.sources.Sources.kafkaOptions("broker:9092", "orders")
     assert(k("kafka.bootstrap.servers") == "broker:9092")
