@@ -174,6 +174,21 @@ object PipelineQueries {
         "vec_id", "embedding", threshold = 0.3, planes = 4)
     },
 
+    // Deterministic stratified sampling (training-data curation):
+    // exactly 30 docs per source, chosen by doc_id order — identical
+    // semantics in DuckDB's window formulation
+    QueryDef("q41b_stratified_sample",
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 30""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.stratifiedExact(
+        t(s, dir, "documents").select(
+          col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", n = 30)
+    },
+
     // Multimodal: binary payload byte length (real, oracle-checked)
     QueryDef("q42_multimodal_bytes",
       """SELECT doc_id AS id,

@@ -151,6 +151,32 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("hash sampling is partition-independent and join-stable") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val kept = Sampling.byKeyHash(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // partitioning must not change membership
+    val keptRepart = Sampling.byKeyHash(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptRepart && kept.nonEmpty && kept.size < 500)
+    // a second table sampled on the same key keeps the same ids
+    val other = docs.withColumn("extra", lit(1))
+    val keptOther = Sampling.byKeyHash(other, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptOther == kept)
+    // fraction is roughly honored (hash uniformity)
+    assert(math.abs(kept.size / 500.0 - 0.3) < 0.1)
+    // split tags partition the keyspace completely and consistently
+    val tags = docs.select(col("doc_id"),
+      Sampling.splitTag(col("doc_id"), 0.1, 0.1).as("tag"))
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.keySet == Set("train", "val", "test"))
+    assert(tags("train") > tags("val") && tags("train") > tags("test"))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     import spark.implicits._
     val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
