@@ -44,8 +44,10 @@ object GraftConfigLoader {
   def fromYaml(text: String): GraftConfig = {
     // snakeyaml's safe loader rejects unknown application tags; dozer's
     // enum tags only disambiguate connector types we re-infer from the
-    // fields themselves
-    val cleaned = text.replaceAll("!\\w+", "")
+    // fields themselves. Only strip tags in tag position (preceded by
+    // whitespace / line start) — a '!word' embedded in a quoted value
+    // (a path, a SQL string) must survive.
+    val cleaned = text.replaceAll("(?m)(^|(?<=\\s))!\\w+", "")
     val yaml = new org.yaml.snakeyaml.Yaml()
     val root = yaml.load[java.util.Map[String, Object]](cleaned)
       .asScala.toMap

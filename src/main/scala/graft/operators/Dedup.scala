@@ -43,15 +43,18 @@ object Dedup {
 
   // ---- token-set Jaccard ----------------------------------------------
 
-  /** Jaccard similarity of two token-array columns (distinct-element).
-    * |A∪B| is derived as |A|+|B|-|A∩B| (inclusion-exclusion) so only the
-    * intersection is materialized — array_union would allocate a merged
-    * array per pair just to take its length, which dominates the
-    * pairwise stage cost.
+  /** Jaccard similarity of two token-array columns. Inputs are
+    * deduplicated first — inclusion-exclusion (|A∪B| = |A|+|B|-|A∩B|)
+    * is only valid on set sizes, and this keeps the public helper
+    * correct for arrays that still carry duplicate tokens. Only the
+    * intersection is materialized; array_union would allocate a merged
+    * array per pair just to take its length.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db))
+    inter.cast("double") / (size(da) + size(db) - inter)
   }
 
   /** Blocked pairwise Jaccard: candidate pairs share `blockCol` and pass

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Binned range join — the missing-in-OSS-Spark join shape.
   *
-  * A join whose only condition is a range predicate (`l.point BETWEEN
-  * r.start AND r.end`) has no equi keys, so Catalyst plans a
+  * A join whose only condition is a range predicate
+  * (`l.point >= r.start AND l.point < r.end` — half-open, see
+  * [[pointInInterval]]) has no equi keys, so Catalyst plans a
   * nested-loop join: O(|L|·|R|) comparisons, broadcast or cartesian.
   * The reference engine's interval-bounded joins (TTL windows,
   * dozer-sql JOIN with time bounds) and common analytics shapes
@@ -25,10 +26,12 @@ import org.apache.spark.sql.functions._
   * multiplies the interval replication factor; much larger degrades
   * toward per-bin nested loops.
   *
-  * [[graft.plans.RewriteRangeJoin]] applies this same transformation
+  * [[graft.plans.RewriteRangeJoin]] applies the same binning
   * automatically (as a Catalyst optimizer rule) to qualifying
   * nested-loop range joins when `spark.graft.rangeJoin.binWidth` is
-  * set; this operator is the explicit API.
+  * set — there it preserves whatever bound strictness the original
+  * predicate used (the original condition stays as the residual),
+  * while this explicit operator is fixed to half-open `[start, end)`.
   */
 object RangeJoin {
 

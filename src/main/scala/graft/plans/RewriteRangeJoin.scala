@@ -28,14 +28,21 @@ import org.apache.spark.sql.types._
   * Opt-in via `spark.graft.rangeJoin.binWidth` (positive double, in
   * units of the point column's domain); unset disables the rule. One
   * width per session is deliberate: the right bin width depends on the
-  * interval-length distribution, which only the user knows.
+  * interval-length distribution, which only the user knows. The width
+  * applies to EVERY qualifying inner range join while set — an
+  * interval spanning n·binWidth units explodes onto n bins, so set it
+  * for the query it fits and unset it after (a width far below a
+  * join's interval lengths multiplies that join's rows by len/width).
   */
 case class RewriteRangeJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val confKey = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    spark.conf.getOption(confKey).map(_.toDouble).filter(_ > 0) match {
+    spark.conf.getOption(confKey)
+      // a malformed value must not take down every query's optimization
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .filter(_ > 0) match {
       case None => plan
       case Some(w) =>
         plan.transformUp {

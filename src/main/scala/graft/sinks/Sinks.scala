@@ -57,10 +57,27 @@ object Sinks {
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
         val bak = new org.apache.hadoop.fs.Path(statePath + "_old")
-        fs.delete(bak, true) // stale backup from a prior crash
-        if (fs.exists(dst)) fs.rename(dst, bak)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-        fs.delete(bak, true)
+        def renameOrFail(from: org.apache.hadoop.fs.Path,
+            to: org.apache.hadoop.fs.Path): Unit =
+          // Hadoop FileSystem.rename reports most failures by returning
+          // false; failing loudly makes the micro-batch retry instead of
+          // committing the checkpoint over an unapplied batch
+          require(fs.rename(from, to), s"rename $from -> $to failed")
+        if (fs.exists(dst)) {
+          // normal path: demote live snapshot, promote tmp, drop backup.
+          // The pre-demote delete only removes a backup that is now
+          // redundant (dst exists and is preferred by readSnapshot).
+          fs.delete(bak, true)
+          renameOrFail(dst, bak)
+          renameOrFail(new org.apache.hadoop.fs.Path(tmp), dst)
+          fs.delete(bak, true)
+        } else {
+          // recovery path (crash between demote and promote): bak is the
+          // ONLY committed snapshot — it must survive until dst exists
+          // again, so promote first, delete the backup after
+          renameOrFail(new org.apache.hadoop.fs.Path(tmp), dst)
+          fs.delete(bak, true)
+        }
         ()
       }
       .start()

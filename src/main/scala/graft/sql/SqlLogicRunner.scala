@@ -393,8 +393,17 @@ object SqlLogicParser {
       else if (line.startsWith("control sortmode")) {
         defaultRowsort = line.endsWith("rowsort"); i += 1
       }
-      else if (line.startsWith("onlyif") || line.startsWith("skipif")) {
-        skipNext = true; i += 1
+      else if (line.startsWith("onlyif")) {
+        // run only when the named engine matches ours (the reference
+        // harness registers as "Dozer"; its corpus uses `onlyif bug` to
+        // park broken records — never a match)
+        skipNext = !line.stripPrefix("onlyif").trim.equalsIgnoreCase("dozer")
+        i += 1
+      }
+      else if (line.startsWith("skipif")) {
+        // skip only when the named engine matches ours
+        skipNext = line.stripPrefix("skipif").trim.equalsIgnoreCase("dozer")
+        i += 1
       }
       else if (line.startsWith("statement")) {
         val (sql, j) = collectSql(i + 1, _.trim.isEmpty)

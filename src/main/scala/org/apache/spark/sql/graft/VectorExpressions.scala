@@ -28,11 +28,12 @@ import org.apache.spark.sql.types._
 object VectorExpressions {
 
   /** Double-precision dot product of two array<double> columns (float
-    * arrays are implicitly cast). Null array → null; null *elements*
-    * read as 0.0 (embeddings carry none; UnsafeArrayData zero-fills
-    * null slots). Accumulation is sequential in element order, so
-    * results are bitwise-identical to the interpreted formulation it
-    * replaces.
+    * arrays are implicitly cast). NULL semantics match the
+    * `aggregate(zip_with(...))` formulation this replaces: a null
+    * array, a null element, or a length mismatch (zip_with pads the
+    * shorter side with nulls) all yield NULL. Accumulation is
+    * sequential in element order, so non-null results are
+    * bitwise-identical to the interpreted formulation.
     */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -40,15 +41,21 @@ object VectorExpressions {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_product"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
 
@@ -58,12 +65,17 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 

@@ -99,6 +99,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [dot_product"))
   }
 
+  test("DotProduct nulls: null element or length mismatch yield NULL like zip_with") {
+    val spark = SparkFixture.spark
+    val rows = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) a, " +
+        "dot_product(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) b, " +
+        "dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) c, " +
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) d").collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getDouble(3) == 11.0)
+  }
+
   test("normalizeFloat produces unit vectors, zero vector passes through") {
     val spark = SparkFixture.spark
     import spark.implicits._

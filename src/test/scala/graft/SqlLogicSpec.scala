@@ -26,8 +26,8 @@ class SqlLogicSpec extends AnyFunSuite {
     "/root/reference/dozer-tests/src/sql_tests/full")
 
   private val files = Seq("account", "agg", "aggr_append_only",
-    "aggregations", "complex", "example", "join", "nested", "simple",
-    "union")
+    "aggregations", "complex", "example", "functions", "join", "nested",
+    "simple", "union")
 
   private def norm(s: String): String = s.trim.replaceAll("\\s+", " ")
 
