@@ -48,7 +48,13 @@ object GraftConfigLoader {
     // whitespace / line start) — a '!word' embedded in a quoted value
     // (a path, a SQL string) must survive.
     val cleaned = text.replaceAll("(?m)(^|(?<=\\s))!\\w+", "")
-    val yaml = new org.yaml.snakeyaml.Yaml()
+    // SafeConstructor rejects all application/global tags (incl. `!!`
+    // global tags the strip regex cannot reach), closing the
+    // arbitrary-object-instantiation path; the regex above remains as
+    // compatibility shimming for dozer's enum tags, not as a defense.
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.constructor.SafeConstructor(
+        new org.yaml.snakeyaml.LoaderOptions()))
     val root = yaml.load[java.util.Map[String, Object]](cleaned)
       .asScala.toMap
     if (root.contains("connections")) fromDozer(root) else fromNative(root)

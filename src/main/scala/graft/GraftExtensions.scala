@@ -27,8 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Chr(es.head)))
     // codegen'd vector dot product, exposed to SQL users too
     ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
-      (es: Seq[Expression]) =>
-        org.apache.spark.sql.graft.VectorExpressions.DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`dot_product`",
+              "expectedNum" -> "2",
+              "actualNum" -> es.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        org.apache.spark.sql.graft.VectorExpressions.DotProduct(es(0), es(1))
+      }))
     // binned range-join rewrite (opt-in: spark.graft.rangeJoin.binWidth)
     ext.injectOptimizerRule(graft.plans.RewriteRangeJoin(_))
   }

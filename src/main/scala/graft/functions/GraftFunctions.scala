@@ -87,8 +87,18 @@ object GraftFunctions {
     temp("ucase")(es => Upper(es.head))
     temp("chr")(es => Chr(es.head)) // dozer CHR — scalar/string.rs:279
     temp("nvl2") { case Seq(a, b, c) => If(IsNotNull(a), b, c) } // NVL is builtin
-    temp("dot_product") { case Seq(a, b) =>
-      org.apache.spark.sql.graft.VectorExpressions.DotProduct(a, b) }
+    temp("dot_product") {
+      case Seq(a, b) =>
+        org.apache.spark.sql.graft.VectorExpressions.DotProduct(a, b)
+      case es =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`dot_product`",
+            "expectedNum" -> "2",
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
     ToCharUdf.register(spark)
     GeoUdfs.register(spark)
     HopWindows.register(spark)

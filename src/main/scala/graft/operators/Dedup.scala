@@ -161,10 +161,13 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
     // Materialize the banded signature index once: it feeds three
     // consumers (bucket-size stats and both self-join legs), and
-    // without a checkpoint each consumer re-runs the signature UDF over
+    // without caching each consumer re-runs the signature UDF over
     // the whole corpus. At scale this is "build the LSH index, then
     // query it" — the index is k longs per doc, tiny next to the text.
-    val indexed = banded.localCheckpoint()
+    // persist (recomputable lineage) rather than localCheckpoint: a
+    // lost executor recomputes the block instead of failing the job.
+    val indexed = banded.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Mega-bucket cap: buckets above maxBucketSize are boilerplate-like
     // clusters whose quadratic self-join dominates cost while adding
     // mostly-noise pairs; dropping them bounds the join at
@@ -208,8 +211,8 @@ object Dedup {
       }: _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
       // materialize the fingerprint index once (three consumers — same
-      // rationale as minhashPairs)
-      .localCheckpoint()
+      // fault-tolerant-persist rationale as minhashPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // same mega-bucket guard as minhashPairs
     val pruned = chunked.join(
       chunked.groupBy(col("chunk_idx"), col("chunk"))

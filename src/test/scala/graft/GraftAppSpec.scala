@@ -134,4 +134,19 @@ class GraftAppSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GraftConfigLoader.fromYaml(yaml))
     assert(e.getMessage.contains("SURVEY"))
   }
+
+  test("global !! tags cannot instantiate arbitrary classes (SafeConstructor)") {
+    // CVE-2022-1471 class: a global tag naming a JVM class must be
+    // rejected by the safe loader, never constructed
+    val yaml =
+      """sources:
+        |  - name: x
+        |    path: !!javax.script.ScriptEngineManager [!!java.net.URLClassLoader []]
+        |sql: SELECT 1;
+        |sinks: []
+        |""".stripMargin
+    intercept[org.yaml.snakeyaml.error.YAMLException] {
+      GraftConfigLoader.fromYaml(yaml)
+    }
+  }
 }

@@ -139,6 +139,53 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("asofJoinBroadcast matches sort-based variant on -0.0 vs 0.0 keys") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // -0.0 and 0.0 compare equal; both variants must group them together
+    val quotes = Seq((0.0, ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("k", "qts", "px")
+    val trades = Seq((-0.0, ts("2024-01-01 10:03:00"), 5L))
+      .toDF("tk", "tts", "qty")
+    val sorted = graft.operators.AsOfJoin.asofJoin(
+      trades, "tk", "tts", quotes, "k", "qts")
+      .select($"qty", $"px").collect()
+    val bcast = graft.operators.AsOfJoin.asofJoinBroadcast(
+      trades, "tk", "tts", quotes, "k", "qts")
+      .select($"qty", $"px").collect()
+    assert(sorted.length == 1 && !sorted(0).isNullAt(1) &&
+      sorted(0).getDouble(1) == 100.0)
+    assert(bcast.length == 1 && !bcast(0).isNullAt(1) &&
+      bcast(0).getDouble(1) == 100.0)
+  }
+
+  test("asofJoinBroadcast rejects an oversized right side with a message") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val left = Seq((1, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "ts")
+    val right = spark.range(100)
+      .select(col("id").cast("int").as("rk"),
+        lit(Timestamp.valueOf("2024-01-01 09:00:00")).as("rts"))
+    spark.conf.set("spark.graft.asof.broadcastMaxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.AsOfJoin.asofJoinBroadcast(
+          left, "k", "ts", right, "rk", "rts")
+      }
+      assert(e.getMessage.contains("broadcastMaxRows"))
+      assert(e.getMessage.contains("sort-based"))
+    } finally spark.conf.unset("spark.graft.asof.broadcastMaxRows")
+  }
+
+  test("dot_product with wrong arity raises a clean analysis error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT DOT_PRODUCT(array(1.0D))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("dot_product"))
+  }
+
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
