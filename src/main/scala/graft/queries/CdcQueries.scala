@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Q._
-import graft.cdc.{ChangeModel, RetractableExtremum}
+import graft.cdc.{ChangeModel, Debezium, RetractableExtremum}
 
 /** CDC semantics (SURVEY §2.3 + §6 step 6): the events table replayed as
   * a change stream — `error` events act as deletes, everything else as
@@ -69,6 +69,49 @@ object CdcQueries {
         .agg(
           RetractableExtremum.retractMin(col("value"), col("w")).as("min_val"),
           RetractableExtremum.retractMax(col("value"), col("w")).as("max_val"))
+    },
+
+    // Debezium-envelope decode end-to-end (replicator.rs's WAL decode as
+    // a Spark source): a deterministic change feed generated from the
+    // orders table — snapshot reads (`op:r`, flat envelope), updates
+    // (`op:u`, payload-wrapped) for keys %3=0, deletes (`op:d`, wrapped)
+    // for keys %7=0 — is serialized to JSON, decoded back through
+    // Debezium.decode, and applied; the oracle states the final table.
+    QueryDef("q47_debezium_cdc",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val row = struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val updatedRow = struct(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"), col("o_totalprice"))
+      def src(lsn: org.apache.spark.sql.Column) = struct(lsn.as("lsn"))
+      // snapshot phase: flat envelopes (SnapshottingStarted..Done window)
+      val snapshot = o.select(to_json(struct(
+        row.as("after"),
+        src(col("o_orderkey")).as("source"),
+        lit("r").as("op"))).as("value"))
+      // streaming phase: payload-wrapped envelopes
+      val updates = o.filter(col("o_orderkey") % 3 === 0)
+        .select(to_json(struct(struct(
+          row.as("before"), updatedRow.as("after"),
+          src(col("o_orderkey") + 10000000L).as("source"),
+          lit("u").as("op")).as("payload"))).as("value"))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0)
+        .select(to_json(struct(struct(
+          row.as("before"),
+          src(col("o_orderkey") + 20000000L).as("source"),
+          lit("d").as("op")).as("payload"))).as("value"))
+      val feed = snapshot.unionByName(updates).unionByName(deletes)
+      val changes = Debezium.decode(feed, "value",
+        o.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+      ChangeModel.applyChanges(changes, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
     }
   )
 }

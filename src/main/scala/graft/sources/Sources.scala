@@ -48,6 +48,32 @@ object Sources {
     fileStream(spark, path, schema)
   }
 
+  /** Decode a Debezium JSON envelope column (a Kafka `value`, a change
+    * file's lines) into graft change rows — the log-based CDC decode
+    * dozer does natively against Postgres WAL / MySQL binlog
+    * (dozer-ingestion/postgres/src/replicator.rs). Delegates to
+    * [[graft.cdc.Debezium.decode]]; see there for envelope shapes and
+    * `_seq` derivation.
+    */
+  def debeziumJson(raw: DataFrame, valueCol: String, rowSchema: StructType)
+      : DataFrame =
+    graft.cdc.Debezium.decode(raw, valueCol, rowSchema)
+
+  /** Streaming Debezium decode over newline-delimited JSON change
+    * files in `path` — the file-based stand-in for a Debezium Kafka
+    * topic (same envelope, no broker). Composes [[fileStream]] (text)
+    * with the decoder; batch equivalent: `spark.read.text` +
+    * [[debeziumJson]].
+    */
+  def debeziumFileStream(spark: SparkSession, path: String,
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    graft.cdc.Debezium.decode(
+      fileStream(spark, path,
+        StructType(Seq(org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))),
+        format = "text", maxFilesPerTrigger = maxFilesPerTrigger),
+      "value", rowSchema)
+
   /** Reader options for dozer's Kafka connector config
     * (dozer-ingestion/kafka: broker url + topic [+ schema registry]),
     * mapped onto Spark's kafka source. Pure config mapping — the

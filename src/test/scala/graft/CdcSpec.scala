@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.cdc.{ChangeModel, RetractableExtremum}
+import graft.cdc.{ChangeModel, Debezium, RetractableExtremum}
+import org.apache.spark.sql.types._
 
 class CdcSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -51,5 +52,110 @@ class CdcSpec extends AnyFunSuite {
       RetractableExtremum.retractMax(col("v"), col("w")).as("mx"))
       .collect()(0)
     assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 8.0)
+  }
+
+  private val dbzRowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("Debezium decode: c/u/d/r over wrapped and flat envelopes") {
+    import spark.implicits._
+    val feed = Seq(
+      // snapshot read, flat envelope
+      """{"op":"r","after":{"id":1,"name":"one"},"source":{"lsn":10,"ts_ms":1000}}""",
+      // create, payload-wrapped
+      """{"payload":{"op":"c","after":{"id":2,"name":"two"},"source":{"lsn":20}}}""",
+      // update, wrapped — pre+post share the lsn
+      """{"payload":{"op":"u","before":{"id":1,"name":"one"},"after":{"id":1,"name":"uno"},"source":{"lsn":30}}}""",
+      // delete, flat
+      """{"op":"d","before":{"id":2,"name":"two"},"source":{"lsn":40}}""",
+      // MySQL-ish: no lsn, binlog pos carries the sequence
+      """{"op":"c","after":{"id":3,"name":"three"},"source":{"pos":50,"ts_ms":5000}}""",
+      // tombstone and unknown op are dropped
+      """{"op":"x","after":{"id":9,"name":"no"},"source":{"lsn":60}}""",
+      """not json at all"""
+    ).toDF("value")
+    val changes = Debezium.decode(feed, "value", dbzRowSchema)
+    assert(changes.columns.toSeq ==
+      Seq("id", "name", ChangeModel.OpCol, ChangeModel.SeqCol))
+    val rows = changes.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(rows == Set(
+      (1L, "one", ChangeModel.Insert, 10L),
+      (2L, "two", ChangeModel.Insert, 20L),
+      (1L, "one", ChangeModel.UpdatePre, 30L),
+      (1L, "uno", ChangeModel.UpdatePost, 30L),
+      (2L, "two", ChangeModel.Delete, 40L),
+      (3L, "three", ChangeModel.Insert, 50L)))
+    // applied state: id1 updated to "uno", id2 deleted, id3 inserted
+    val state = ChangeModel.applyChanges(changes, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state == Seq((1L, "uno"), (3L, "three")))
+  }
+
+  test("Debezium decode: null preimage (no REPLICA IDENTITY FULL) keeps postimage") {
+    import spark.implicits._
+    val feed = Seq(
+      """{"op":"c","after":{"id":1,"name":"a"},"source":{"lsn":1}}""",
+      """{"op":"u","after":{"id":1,"name":"b"},"source":{"lsn":2}}"""
+    ).toDF("value")
+    val changes = Debezium.decode(feed, "value", dbzRowSchema)
+    val state = ChangeModel.applyChanges(changes, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state == Seq((1L, "b")))
+  }
+
+  test("Debezium encode/decode round-trips a change set") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "one", ChangeModel.Insert, 1L),
+      (1L, "one", ChangeModel.UpdatePre, 2L),
+      (1L, "uno", ChangeModel.UpdatePost, 2L),
+      (2L, "two", ChangeModel.Insert, 3L),
+      (2L, "two", ChangeModel.Delete, 4L)
+    ).toDF("id", "name", ChangeModel.OpCol, ChangeModel.SeqCol)
+    val encoded = Debezium.encode(changes, Seq("id"))
+    val decoded = Debezium.decode(encoded, "value", dbzRowSchema)
+    assert(decoded.exceptAll(changes).isEmpty &&
+      changes.exceptAll(decoded).isEmpty)
+  }
+
+  test("Debezium snapshot-then-stream via file source reaches batch state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dbz").toFile
+    val feedDir = new java.io.File(dir, "feed"); feedDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+    // file 1: the snapshot phase (SnapshottingStarted..Done — all op:r)
+    java.nio.file.Files.write(
+      new java.io.File(feedDir, "00_snapshot.json").toPath,
+      Seq(
+        """{"op":"r","after":{"id":1,"name":"one"},"source":{"lsn":1,"snapshot":"true"}}""",
+        """{"op":"r","after":{"id":2,"name":"two"},"source":{"lsn":2,"snapshot":"true"}}"""
+      ).mkString("\n").getBytes)
+    // file 2: the streaming phase
+    java.nio.file.Files.write(
+      new java.io.File(feedDir, "01_changes.json").toPath,
+      Seq(
+        """{"payload":{"op":"u","before":{"id":1,"name":"one"},"after":{"id":1,"name":"uno"},"source":{"lsn":3}}}""",
+        """{"payload":{"op":"d","before":{"id":2,"name":"two"},"source":{"lsn":4}}}""",
+        """{"payload":{"op":"c","after":{"id":3,"name":"three"},"source":{"lsn":5}}}"""
+      ).mkString("\n").getBytes)
+    val stream = graft.sources.Sources.debeziumFileStream(
+      spark, feedDir.getAbsolutePath, dbzRowSchema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val accumulated = spark.read.schema(
+      StructType(dbzRowSchema.fields ++ Seq(
+        StructField(ChangeModel.OpCol, StringType),
+        StructField(ChangeModel.SeqCol, LongType)))).parquet(outDir)
+    val state = ChangeModel.applyChanges(accumulated, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state == Seq((1L, "uno"), (3L, "three")))
   }
 }
