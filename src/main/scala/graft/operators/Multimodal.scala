@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, with decode / feature-extraction /
   * frame-sampling as batched partition-local transforms.
   *
-  * The Spark-side plumbing (schema, batching, partition locality) is
-  * real; the codec calls are STUBBED with deterministic fakes because
-  * no image/audio library ships in this environment — swap
-  * [[MediaCodecs]] for a real decoder (JavaCV, TwelveMonkeys, ...) in
-  * production. Batch shape mirrors a Pandas-UDF / mapInPandas pipeline:
-  * rows are processed in fixed-size chunks so a vectorized codec can
-  * amortize per-call overhead.
+  * The IMAGE path is real: decode and re-encode run on the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF), resize is an exact bilinear
+  * raster rescale — no non-JDK dependency. Frame sampling stays a
+  * documented stub (the JDK ships no video codec) and feature
+  * extraction is a deterministic encoder stand-in (a real one is a
+  * vision model, not a codec). Batch shape mirrors a Pandas-UDF /
+  * mapInPandas pipeline: rows are processed in fixed-size chunks so a
+  * vectorized codec can amortize per-call overhead.
   */
 object Multimodal {
 
@@ -24,57 +25,132 @@ object Multimodal {
 
   case class DecodedRow(
       id: Long, kind: String, nBytes: Long,
-      width: Int, height: Int, channels: Int,
+      ok: Boolean, width: Int, height: Int, channels: Int,
       meanLuma: Double)
 
-  /** Stubbed codecs — deterministic functions of the payload bytes. */
+  /** Image codecs on `javax.imageio` + raster math; video/encoder
+    * entries are deterministic stand-ins (documented per method).
+    */
   object MediaCodecs {
     val BatchSize = 64
 
-    /** STUB: a real implementation decodes the image header; the fake
-      * derives stable dimensions from the byte content so tests and
-      * downstream plumbing behave like production.
+    /** Decode an image header+pixels: (width, height, bands, mean
+      * sample value / 255). None for undecodable bytes (not an image,
+      * truncated, unsupported format) — never throws.
       */
-    def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      // ??? <- real codec goes here; deterministic fake below
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      val width = 64 + math.floorMod(h, 449L).toInt // 64..512
-      val height = 64 + math.floorMod(h >>> 16, 449L).toInt
-      val channels = 1 + math.floorMod(h >>> 32, 3L).toInt // 1..3
-      val meanLuma = math.floorMod(h >>> 40, 256L).toDouble / 255.0
-      (width, height, channels, meanLuma)
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          val bands = raster.getNumBands
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * bands
+          Some((w, h, bands, (sum.toDouble / n.toDouble) / 255.0))
+        }
+      } catch { case _: Exception => None }
+
+    /** Encode a constant-gray PNG — the deterministic image generator
+      * for fixtures and synthetic multimodal corpora (real PNG bytes;
+      * round-trips exactly through [[decodeImage]]).
+      */
+    def encodeGrayPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    /** STUB: frame sampling — returns `n` pseudo-frame offsets. */
+    /** STUB: frame sampling — returns `n` pseudo-frame offsets (the
+      * JDK has no video codec; a real implementation indexes container
+      * keyframes).
+      */
     def sampleFrameOffsets(payload: Array[Byte], n: Int): Seq[Long] = {
       val len = math.max(payload.length.toLong, 1L)
       (0 until n).map(i => i * len / n)
     }
 
-    /** STUB: resize — a real implementation rescales pixels; the fake
-      * deterministically folds the payload into width*height bytes so
-      * output size is exactly what a real resize would produce.
+    /** Real resize: decode via `javax.imageio`, exact bilinear rescale
+      * on the raster (deterministic double math, no AWT rendering
+      * pipeline), re-encode as PNG. None if the payload doesn't decode.
       */
-    def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      // ??? <- real codec goes here; deterministic fake below
-      val out = new Array[Byte](w * h)
-      if (payload.nonEmpty) {
-        var i = 0
-        while (i < out.length) {
-          out(i) = payload(i % payload.length)
-          i += 1
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (src == null || w <= 0 || h <= 0) None
+        else {
+          val sr = src.getRaster
+          val sw = src.getWidth; val sh = src.getHeight
+          val bands = sr.getNumBands
+          val outType =
+            if (bands == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          val outBands = if (bands == 1) 1 else 3
+          val dst = new java.awt.image.BufferedImage(w, h, outType)
+          val dr = dst.getRaster
+          val xScale = sw.toDouble / w
+          val yScale = sh.toDouble / h
+          var y = 0
+          while (y < h) {
+            // sample at the scaled pixel center, clamped to the source
+            val sy = math.min(math.max((y + 0.5) * yScale - 0.5, 0.0), sh - 1.0)
+            val y0 = sy.toInt; val y1 = math.min(y0 + 1, sh - 1)
+            val fy = sy - y0
+            var x = 0
+            while (x < w) {
+              val sx = math.min(math.max((x + 0.5) * xScale - 0.5, 0.0), sw - 1.0)
+              val x0 = sx.toInt; val x1 = math.min(x0 + 1, sw - 1)
+              val fx = sx - x0
+              var b = 0
+              while (b < outBands) {
+                val sb = if (b < bands) b else bands - 1
+                val v =
+                  sr.getSample(x0, y0, sb) * (1 - fx) * (1 - fy) +
+                  sr.getSample(x1, y0, sb) * fx * (1 - fy) +
+                  sr.getSample(x0, y1, sb) * (1 - fx) * fy +
+                  sr.getSample(x1, y1, sb) * fx * fy
+                dr.setSample(x, y, b, math.min(255, math.max(0,
+                  math.rint(v).toInt)))
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          Some(out.toByteArray)
         }
-      }
-      out
-    }
+      } catch { case _: Exception => None }
 
-    /** STUB: feature extraction — a real implementation runs a vision/
-      * audio encoder; the fake hashes payload chunks into a stable
-      * unit-normalized Float vector with the exact embedding shape, so
-      * the output composes with the ANN operators
-      * ([[graft.operators.Similarity]]) like a real encoder's would.
+    /** STAND-IN: feature extraction — a real implementation runs a
+      * vision/audio encoder model (not a codec, so out of JDK reach);
+      * this deterministic byte-hash produces a stable unit-normalized
+      * Float vector with the exact embedding shape, so the output
+      * composes with the ANN operators ([[graft.operators.Similarity]])
+      * like a real encoder's would.
       */
     def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
       // ??? <- real encoder goes here; deterministic fake below
@@ -105,14 +181,22 @@ object Multimodal {
     * partition is consumed in [[MediaCodecs.BatchSize]] chunks, one
     * codec call per row but grouped so a vectorized codec can be
     * dropped in without changing the plan shape. No shuffle.
+    * Undecodable payloads keep their row (`nBytes` is always real)
+    * with `ok = false` and sentinel dimensions.
     */
   def decodeBatched(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]
     ds.mapPartitions { rows =>
       rows.grouped(MediaCodecs.BatchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h, c, luma) = MediaCodecs.decodeImage(r.payload)
-          DecodedRow(r.id, r.kind, r.payload.length.toLong, w, h, c, luma)
+          MediaCodecs.decodeImage(r.payload) match {
+            case Some((w, h, c, luma)) =>
+              DecodedRow(r.id, r.kind, r.payload.length.toLong,
+                ok = true, w, h, c, luma)
+            case None =>
+              DecodedRow(r.id, r.kind, r.payload.length.toLong,
+                ok = false, -1, -1, 0, -1.0)
+          }
         }
       }
     }
@@ -126,13 +210,16 @@ object Multimodal {
   case class FrameRow(id: Long, frameIdx: Int, offset: Long)
 
   /** Batched resize — partition-local, no shuffle; output rows carry
-    * the resized payload and its dimensions.
+    * the re-encoded PNG payload and the target dimensions. Payloads
+    * that don't decode as images are dropped (count them upstream via
+    * [[decodeBatched]]'s `ok` flag if lossiness matters).
     */
   def resizeBatched(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedRow] = {
     implicit val enc = Encoders.product[ResizedRow]
     ds.mapPartitions { rows =>
-      rows.grouped(MediaCodecs.BatchSize).flatMap(_.map { r =>
-        ResizedRow(r.id, r.kind, MediaCodecs.resizeImage(r.payload, w, h), w, h)
+      rows.grouped(MediaCodecs.BatchSize).flatMap(_.flatMap { r =>
+        MediaCodecs.resizeImage(r.payload, w, h)
+          .map(png => ResizedRow(r.id, r.kind, png, w, h))
       })
     }
   }
@@ -162,9 +249,10 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: documents text → binary payload → stub-decoded features.
-    * Returns a DataFrame with deterministic columns (n_bytes is real;
-    * width/height/channels/meanLuma come from the stub codec).
+  /** End-to-end: documents text → binary payload → decode attempt.
+    * `n_bytes` is real for every row; text bytes are not an image, so
+    * the codec columns come back `ok = false` with sentinels — the
+    * corpus-hygiene shape (count undecodable rows) of a real pipeline.
     */
   def decodeDocuments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -173,5 +261,29 @@ object Multimodal {
       .select(col(idCol).cast("long").as("id"), col("payload"), col("kind"))
       .as[MediaRow]
     decodeBatched(media).toDF()
+  }
+
+  /** Deterministic REAL-PNG corpus from a keyed table: each row gets a
+    * constant-gray PNG whose dimensions and gray level are closed-form
+    * functions of the id —
+    *
+    *   width = 16 + id % 32,  height = 16 + id % 17,  gray = id % 200
+    *
+    * so any decode/resize stage downstream is oracle-checkable in SQL
+    * (mean luma of a constant image = gray/255). The bytes are genuine
+    * `javax.imageio` PNG output, not a fake.
+    */
+  def renderPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + math.floorMod(id, 32L).toInt
+          val h = 16 + math.floorMod(id, 17L).toInt
+          val gray = math.floorMod(id, 200L).toInt
+          MediaRow(id, MediaCodecs.encodeGrayPng(w, h, gray), "image")
+        }
+      }
   }
 }

@@ -198,9 +198,44 @@ object PipelineQueries {
         .select(col("id"), col("nBytes").as("n_bytes"))
     },
 
-    // Multimodal: full stub-decoded features — rows-only (stub codec)
-    QueryDef.noOracle("q43_multimodal_decode") { (s, dir) =>
-      Multimodal.decodeDocuments(t(s, dir, "documents"), "doc_id", "text")
+    // Multimodal: REAL image decode (javax.imageio) over generated real
+    // PNGs whose dims/gray are closed-form in doc_id — fully oracled:
+    // width/height/channels from the PNG header+raster, mean_luma from
+    // the pixels (constant image => gray/255 exactly).
+    QueryDef("q43_multimodal_decode",
+      """SELECT doc_id AS id,
+        |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 17 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(doc_id % 200 AS DOUBLE) / 255.0 AS mean_luma
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderPngs(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeBatched(media)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          col("meanLuma").as("mean_luma"))
+    },
+
+    // Multimodal: REAL resize — render PNGs, bilinear-rescale every one
+    // to 24x18, decode the resized bytes back. Dims prove the rescale
+    // happened; mean_luma proves content survived (constant gray is
+    // interpolation-invariant).
+    QueryDef("q43b_multimodal_resize",
+      """SELECT doc_id AS id,
+        |  CAST(24 AS INTEGER) AS width,
+        |  CAST(18 AS INTEGER) AS height,
+        |  CAST(doc_id % 200 AS DOUBLE) / 255.0 AS mean_luma
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderPngs(t(s, dir, "documents"), "doc_id")
+      val resized = Multimodal.resizeBatched(media, 24, 18)
+        .map(r => Multimodal.MediaRow(r.id, r.payload, r.kind))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+      Multimodal.decodeBatched(resized)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"))
     }
   )
 }

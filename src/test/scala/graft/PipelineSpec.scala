@@ -105,30 +105,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps.toSeq == again.toSeq)
   }
 
-  test("multimodal stub decode is deterministic and byte-exact") {
+  test("multimodal decode: text bytes flagged undecodable, real n_bytes kept") {
     val d1 = Multimodal.decodeDocuments(
       Tables.load(spark, dir, "documents"), "doc_id", "text")
     val rows = d1.orderBy("id").collect()
     assert(rows.length == 500)
-    val r0 = rows(0)
-    assert(r0.getAs[Long]("nBytes") > 0)
-    assert(r0.getAs[Int]("width") >= 64 && r0.getAs[Int]("width") < 513)
-    val d2 = Multimodal.decodeDocuments(
-      Tables.load(spark, dir, "documents"), "doc_id", "text")
-    assert(d2.orderBy("id").collect().toSeq == rows.toSeq)
+    // text is not an image: every row survives with ok=false + sentinels
+    assert(rows.forall(r => !r.getAs[Boolean]("ok") &&
+      r.getAs[Long]("nBytes") > 0 && r.getAs[Int]("width") == -1))
+  }
+
+  test("multimodal decode: real PNGs round-trip dims, channels, luma") {
+    val docs = Tables.load(spark, dir, "documents").limit(60)
+    val media = Multimodal.renderPngs(docs, "doc_id")
+    val rows = Multimodal.decodeBatched(media).collect()
+    assert(rows.length == 60)
+    assert(rows.forall(_.ok))
+    assert(rows.forall { r =>
+      r.width == 16 + math.floorMod(r.id, 32L).toInt &&
+      r.height == 16 + math.floorMod(r.id, 17L).toInt &&
+      r.channels == 1 &&
+      r.meanLuma == math.floorMod(r.id, 200L).toInt / 255.0
+    })
+    // the payload really is a PNG (magic bytes), not a fake
+    val png = media.head().payload
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+  }
+
+  test("bilinear resize math on a non-constant image") {
+    // 2x1 gray image [0, 255] down to 1x1: centers sample at sx=0.5 →
+    // (0+255)/2 = 127.5, rint → 128 (half-even)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 255)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Some(small) =
+      Multimodal.MediaCodecs.resizeImage(baos.toByteArray, 1, 1)
+    val Some((1, 1, 1, luma)) =
+      Multimodal.MediaCodecs.decodeImage(small)
+    assert(luma == 128 / 255.0)
+    // garbage bytes refuse to resize instead of throwing
+    assert(Multimodal.MediaCodecs.resizeImage(
+      "not an image".getBytes, 4, 4).isEmpty)
   }
 
   test("multimodal resize / feature-extract / frame-sample plumbing") {
     import spark.implicits._
-    val media = Multimodal.withBinaryPayload(
-      Tables.load(spark, dir, "documents").limit(50), "text", "image")
-      .select(col("doc_id").cast("long").as("id"), col("payload"), col("kind"))
-      .as[Multimodal.MediaRow]
-    // resize: exact target byte shape, deterministic
+    val media = Multimodal.renderPngs(
+      Tables.load(spark, dir, "documents").limit(50), "doc_id")
+    // real bilinear resize: resized PNG decodes to the target dims with
+    // the gray level intact (constant image is interpolation-invariant)
     val resized = Multimodal.resizeBatched(media, 32, 16).collect()
     assert(resized.length == 50)
-    assert(resized.forall(r => r.payload.length == 32 * 16 &&
-      r.width == 32 && r.height == 16))
+    assert(resized.forall { r =>
+      val Some((w, h, c, luma)) =
+        Multimodal.MediaCodecs.decodeImage(r.payload)
+      w == 32 && h == 16 && c == 1 &&
+        luma == math.floorMod(r.id, 200L).toInt / 255.0
+    })
+    // upscale works too (bilinear clamps at the border)
+    val up = Multimodal.resizeBatched(media, 100, 80).collect()
+    assert(up.forall { r =>
+      val Some((w, h, _, _)) = Multimodal.MediaCodecs.decodeImage(r.payload)
+      w == 100 && h == 80
+    })
     // feature extraction: unit-norm vectors of the requested dim that
     // compose with the ANN operators
     val feats = Multimodal.featureExtractBatched(media, 16)
