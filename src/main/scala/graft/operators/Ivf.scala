@@ -17,57 +17,81 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Train a coarse quantizer with deterministic Lloyd iterations on
-    * distributed aggregations (k-means++-less: seeded hash init keeps it
-    * reproducible across runs and partitionings).
+  /** Train a coarse quantizer with deterministic Lloyd iterations.
+    *
+    * The training sample is gathered in ONE distributed no-shuffle job:
+    * `orderBy(hash).limit(cap)` + collect compiles to
+    * TakeOrderedAndProject — each partition keeps a cap-sized heap and
+    * the driver merges, so even a 10⁸-row corpus contributes one scan
+    * and ships back only `cap × dim` floats (~512 points per centroid,
+    * a few MB — the same order as the centroid broadcast a distributed
+    * Lloyd ships EVERY iteration). Lloyd then runs driver-local on the
+    * sample: nlist×dim is a few KB of model, and iterating in sorted
+    * hash order makes the centroids bit-deterministic regardless of
+    * cluster partitioning — which a distributed FP aggregation cannot
+    * guarantee. Assignment of the full corpus still happens
+    * distributed, downstream.
+    *
+    * Two iterations suffice: cells only bucket candidates, they don't
+    * rank them, so convergence past "roughly balanced Voronoi cells"
+    * buys recall nothing.
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
       iters: Int = 2, maxTrainVectors: Int = 1 << 17): Array[Array[Double]] = {
-    // Train on a deterministic hash-ordered sample capped at
-    // maxTrainVectors (~256+ points per centroid is plenty for a coarse
-    // quantizer) — at 10⁸+ corpus vectors the full set buys nothing and
-    // multiplies every Lloyd pass. The capped sample is cached and
-    // feeds every iteration; assignment of the full corpus still
-    // happens downstream on the whole table.
-    // Two iterations suffice: cells only bucket candidates, they don't
-    // rank them, so convergence past "roughly balanced Voronoi cells"
-    // buys recall nothing.
-    val vecs = corpus.select(col(vecCol).as("__v"))
-      .withColumn("_h", xxhash64(col("__v").cast("array<double>").cast("string")))
+    val cap = math.min(maxTrainVectors, math.max(1 << 13, nlist * 512))
+    // deterministic sample: the cap smallest vector hashes (partition-
+    // independent); the nlist smallest seed the centroids
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("__v"))
+      .withColumn("_h", xxhash64(col("__v")))
       .orderBy(col("_h"))
-      .limit(maxTrainVectors)
-      .persist()
-    try {
-      // deterministic init: the nlist smallest hashes seed the
-      // centroids; dim comes from the seeds, avoiding a separate probe
-      var centroids: Array[Array[Double]] = vecs
-        .orderBy(col("_h"))
-        .limit(nlist)
-        .collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val dim = centroids.headOption.map(_.length).getOrElse(0)
-      var it = 0
-      while (it < iters) {
-        val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
-        val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v))
-        // mean per cell via one aggregation over element-wise sums
-        val assigned = vecs.select(assignUdf(col("__v")).as("cell"),
-          col("__v").cast("array<double>").as("v"))
-        val sums = assigned.groupBy(col("cell"))
-          .agg(count(lit(1)).as("n"),
-            array((0 until dim).map(d => sum(col("v")(d))): _*).as("vsum"))
-          .collect()
-        val next = centroids.clone()
-        sums.foreach { r =>
-          val cell = r.getInt(0)
-          val n = r.getLong(1).toDouble
-          next(cell) = r.getSeq[Double](2).map(_ / n).toArray
-        }
-        centroids = next
-        it += 1
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (sample.isEmpty) return Array.empty
+    var centroids = sample.take(nlist).map(_.clone)
+    val k = centroids.length // corpus may hold fewer than nlist vectors
+    val dim = centroids.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        val c = nearestArr(centroids, v)
+        counts(c) += 1
+        val s = sums(c)
+        var d = 0
+        while (d < dim) { s(d) += v(d); d += 1 }
+        i += 1
       }
-      centroids
-    } finally { vecs.unpersist(); () }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val s = sums(c); val n = counts(c).toDouble
+          Array.tabulate(dim)(d => s(d) / n)
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestArr(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cent = cents(c)
+      val n = math.min(cent.length, v.length)
+      while (i < n) {
+        val diff = v(i) - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   private def nearest(cents: Array[Array[Double]], v: Seq[Float]): Int = {

@@ -34,12 +34,33 @@ object Multimodal {
   object MediaCodecs {
     val BatchSize = 64
 
+    // ImageIO's default stream cache is a TEMP FILE per read/write —
+    // per-row disk I/O that dominates a corpus-scale decode stage.
+    // Byte-array payloads never need it; keep everything in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Cheap magic-byte sniff for the formats the JDK can decode —
+      * lets a mixed corpus skip the full reader-lookup + decode attempt
+      * on rows that can't possibly be images (e.g. text bytes).
+      */
+    def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) || // JPEG
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        ((p(0) & 0xFF) == 0x49 && (p(1) & 0xFF) == 0x49 &&
+          (p(2) & 0xFF) == 0x2A) || // TIFF LE
+        ((p(0) & 0xFF) == 0x4D && (p(1) & 0xFF) == 0x4D &&
+          (p(3) & 0xFF) == 0x2A))   // TIFF BE
+
     /** Decode an image header+pixels: (width, height, bands, mean
       * sample value / 255). None for undecodable bytes (not an image,
       * truncated, unsupported format) — never throws.
       */
     def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] =
       try {
+        if (!looksLikeImage(payload)) return None
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         if (img == null) None
@@ -97,6 +118,7 @@ object Multimodal {
       */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       try {
+        if (!looksLikeImage(payload)) return None
         val src = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         if (src == null || w <= 0 || h <= 0) None

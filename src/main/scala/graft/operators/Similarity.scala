@@ -64,22 +64,40 @@ object Similarity {
   /** Deterministic random-hyperplane bucket: `planes` pseudo-random
     * hyperplanes, one sign bit each. Hyperplane p's component d is a
     * hash of (d, p) mapped to [-1, 1] — seedable, identical across
-    * executors, no stored model. Single-pass UDF (the builtin
-    * formulation re-walks the vector once per plane through interpreted
-    * higher-order functions).
+    * executors, no stored model.
+    *
+    * The component matrix is row-independent, so it is materialized
+    * ONCE per (planes, dim) per executor JVM and the per-row work is a
+    * pure multiply-add loop — at corpus scale the hashing would
+    * otherwise dominate the dot products it feeds (one MurmurHash +
+    * Tuple2 allocation per row×plane×dimension).
     */
+  private object PlaneCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    def component(d: Int, p: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((d, p)).toLong
+      (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    def get(planes: Int, dim: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((planes, dim), { key =>
+        Array.tabulate(key._1, key._2)((p, d) => component(d, p))
+      })
+  }
+
   private val bucketUdf = udf { (v: Seq[Float], planes: Int) =>
     if (v == null) null.asInstanceOf[java.lang.Long]
     else {
+      val vec = v.toArray
+      val m = PlaneCache.get(planes, vec.length)
       var bucket = 0L
       var p = 0
       while (p < planes) {
+        val row = m(p)
         var proj = 0.0
         var d = 0
-        while (d < v.length) {
-          val h = scala.util.hashing.MurmurHash3.productHash((d, p)).toLong
-          val component = (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
-          proj += v(d).toDouble * component
+        while (d < vec.length) {
+          proj += vec(d).toDouble * row(d)
           d += 1
         }
         if (proj >= 0) bucket |= (1L << p)

@@ -133,6 +133,28 @@ class PipelineSpec extends AnyFunSuite {
       png(3) == 'G')
   }
 
+  test("hyperplane bucket matches the per-component hash formula") {
+    import spark.implicits._
+    // pin the bucket to the original (d, p)-hash definition so the
+    // precomputed plane matrix can never drift from it
+    val v = Array(0.3f, -1.2f, 0.7f, 2.2f, -0.1f)
+    def component(d: Int, p: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((d, p)).toLong
+      (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    val planes = 6
+    var expected = 0L
+    for (p <- 0 until planes) {
+      var proj = 0.0
+      for (d <- v.indices) proj += v(d).toDouble * component(d, p)
+      if (proj >= 0) expected |= (1L << p)
+    }
+    val got = Seq(Tuple1(v)).toDF("vec")
+      .select(graft.operators.Similarity.hyperplaneBucket(col("vec"), planes))
+      .collect()(0).getLong(0)
+    assert(got == expected)
+  }
+
   test("bilinear resize math on a non-constant image") {
     // 2x1 gray image [0, 255] down to 1x1: centers sample at sx=0.5 →
     // (0+255)/2 = 127.5, rint → 128 (half-even)
