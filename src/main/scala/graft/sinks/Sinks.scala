@@ -82,6 +82,188 @@ object Sinks {
       }
       .start()
 
+  /** Scale path of [[upsertParquet]]: the snapshot is hash-bucketed by
+    * key into `numBuckets` partition directories (`_bucket=<i>/`), and
+    * each microbatch reads+rewrites ONLY the buckets its keys touch —
+    * O(batch ∕ bucket-spread × bucket size) per batch instead of
+    * O(total state). Pick `numBuckets` so one bucket (state ∕
+    * numBuckets) is a comfortable task read — e.g. 4096 buckets for a
+    * TB-scale keyset.
+    *
+    * Crash safety: per-bucket demote-promote swap (same dance as
+    * [[upsertParquet]]) against a sibling `<statePath>_bak` root; a
+    * crash mid-batch leaves every bucket readable from either live or
+    * backup, and the foreachBatch retry re-merges idempotently
+    * (latest-by-key is stable under re-application). Untouched bucket
+    * directories are never opened, let alone rewritten.
+    *
+    * Readers: `spark.read.parquet(statePath)` — the `_bucket` column
+    * materializes from partition discovery; drop it (or feed it back
+    * as a co-location hint for key-equi-joins against the snapshot).
+    */
+  def upsertParquetBucketed(changes: DataFrame, keyCols: Seq[String],
+      statePath: String, checkpoint: String, numBuckets: Int = 64): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val spark = batch.sparkSession
+        val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+          .cast("int")
+        val withB = batch.withColumn("_bucket", bucketOf)
+        val touched = withB.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).sorted // ≤ numBuckets values
+        if (touched.nonEmpty) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val bakRoot = new Path(statePath + "_bak")
+          def liveDir(b: Int) = new Path(statePath, s"_bucket=$b")
+          def bakDir(b: Int) = new Path(bakRoot, s"_bucket=$b")
+          // last committed copy per touched bucket (live wins; backup
+          // covers the demote..promote crash window)
+          val existingDirs = touched.flatMap { b =>
+            if (fs.exists(liveDir(b))) Some(liveDir(b).toString)
+            else if (fs.exists(bakDir(b))) Some(bakDir(b).toString)
+            else None
+          }
+          val existing =
+            if (existingDirs.isEmpty) None
+            // leaf-dir read skips partition discovery; _bucket is
+            // recomputed from the keys (same hash), not the dir name
+            else Some(spark.read.parquet(existingDirs.toIndexedSeq: _*)
+              .withColumn("_bucket", bucketOf))
+          val merged = graft.cdc.ChangeModel.latestImages(
+            existing match {
+              case Some(e) => e.unionByName(withB, allowMissingColumns = true)
+              case None    => withB
+            }, keyCols)
+          val tmp = statePath + "_tmp"
+          merged
+            // co-locate each bucket into one task → one file per bucket
+            .repartition(math.max(touched.length, 1), col("_bucket"))
+            .write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+          fs.mkdirs(new Path(statePath))
+          def renameOrFail(from: Path, to: Path): Unit =
+            require(fs.rename(from, to), s"rename $from -> $to failed")
+          touched.foreach { b =>
+            val src = new Path(tmp, s"_bucket=$b")
+            val dst = liveDir(b); val bak = bakDir(b)
+            fs.mkdirs(bakRoot)
+            if (fs.exists(dst)) {
+              fs.delete(bak, true)
+              renameOrFail(dst, bak)
+            }
+            // src may not exist when every key in the bucket was
+            // deleted — the bucket's new state is empty
+            if (fs.exists(src)) renameOrFail(src, dst)
+            fs.delete(bak, true)
+          }
+          fs.delete(new Path(tmp), true)
+        }
+        ()
+      }
+      .start()
+
+  /** Keyed JDBC upsert sink — the portable equivalent of the
+    * reference's ClickHouse sink (dozer-sink-clickhouse/src/sink.rs:
+    * 262-288 batches rows per epoch and flushes them keyed on the PK;
+    * ddl.rs:44 creates the target). Per microbatch:
+    *
+    *   1. reduce the batch to its latest image per key (keeping
+    *      deletes),
+    *   2. bulk-load it into `<table>_staging` through Spark's JDBC
+    *      writer (parallel, one transaction per partition),
+    *   3. one driver-side transaction merges staging into the target:
+    *      `DELETE ... WHERE EXISTS (staging match)` then
+    *      `INSERT ... SELECT surviving images` — ANSI-portable
+    *      (Postgres/MySQL/Derby; swap for MERGE on engines where it's
+    *      cheaper), exactly the delete+reinsert a ReplacingMergeTree
+    *      collapse performs.
+    *
+    * Exactly-once: the merge transaction is idempotent (re-applying
+    * the same staging content reproduces the same target rows), so a
+    * foreachBatch retry after a crash converges; the checkpoint is the
+    * resume token (OpIdentifier analogue).
+    *
+    * The target table is created on first use from the staging
+    * table's layout. Column names must be JDBC-identifier-safe.
+    */
+  def upsertJdbc(changes: DataFrame, keyCols: Seq[String], url: String,
+      table: String, checkpoint: String,
+      connectionProperties: java.util.Properties = new java.util.Properties)
+      : StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.expressions.Window
+        val Op = graft.cdc.ChangeModel.OpCol
+        val Seqc = graft.cdc.ChangeModel.SeqCol
+        val staging = table + "_staging"
+        // latest change per key, deletes preserved (unlike
+        // latestImages, which drops them — the sink must act on them)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(Seqc).desc,
+            org.apache.spark.sql.functions.when(
+              col(Op) === graft.cdc.ChangeModel.UpdatePre, 1).otherwise(2).desc)
+        val latest = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        latest.write.mode("overwrite")
+          .jdbc(url, staging, connectionProperties)
+        // Spark's JDBC writer creates columns dialect-quoted
+        // (case-preserved); the merge SQL must quote identically or
+        // case-normalizing engines (Derby, Postgres) won't resolve them
+        val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+        def q(id: String) = dialect.quoteIdentifier(id)
+        val payloadCols = latest.columns.filterNot(c => c == Op || c == Seqc)
+        val colList = payloadCols.map(q).mkString(", ")
+        val keyMatch = keyCols
+          .map(k => s"$table.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val conn = java.sql.DriverManager.getConnection(url,
+          connectionProperties)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try {
+            if (!tableExists(conn, table))
+              st.executeUpdate(
+                s"CREATE TABLE $table AS SELECT $colList FROM $staging" +
+                  " WITH NO DATA")
+            st.executeUpdate(
+              s"DELETE FROM $table WHERE EXISTS " +
+                s"(SELECT 1 FROM $staging s WHERE $keyMatch)")
+            // CAST: dialects that map StringType to CLOB (Derby) don't
+            // support <> directly on the column
+            st.executeUpdate(
+              s"INSERT INTO $table ($colList) SELECT $colList " +
+                s"FROM $staging WHERE CAST(${q(Op)} AS VARCHAR(32)) <> " +
+                s"'${graft.cdc.ChangeModel.Delete}'")
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally st.close()
+        } finally conn.close()
+        ()
+      }
+      .start()
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, null,
+      Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally rs.close()
+  }
+
   private def readSnapshot(spark: SparkSession, path: String,
       like: DataFrame): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
