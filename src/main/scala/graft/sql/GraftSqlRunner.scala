@@ -167,12 +167,24 @@ object SqlText {
               // Batch: TTL only governs state eviction, not row
               // visibility — pass through. Streaming: substitute a
               // watermarked view of the source (state-TTL semantics,
-              // reference table_operator/lifetime.rs:29-88).
+              // reference table_operator/lifetime.rs:29-88). `ts` may
+              // be any timestamp EXPRESSION (factory.rs:142-205), not
+              // just a column — non-column expressions are projected
+              // into a synthetic event-time column first.
               if (streaming) {
                 val viewName = s"${src}__ttl"
                 val unquoted = dur.stripPrefix("'").stripSuffix("'")
-                graft.streaming.StreamOps.ttl(spark.table(src), ts, unquoted)
-                  .createOrReplaceTempView(viewName)
+                val base = spark.table(src)
+                val isPlainColumn =
+                  ts.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                    base.columns.exists(_.equalsIgnoreCase(ts))
+                val watermarked =
+                  if (isPlainColumn)
+                    graft.streaming.StreamOps.ttl(base, ts, unquoted)
+                  else
+                    graft.streaming.StreamOps.ttlExpr(
+                      base, org.apache.spark.sql.functions.expr(ts), unquoted)
+                watermarked.createOrReplaceTempView(viewName)
                 viewName
               } else src
           }

@@ -22,6 +22,19 @@ object StreamOps {
   def ttl(df: DataFrame, tsCol: String, duration: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, duration) else df
 
+  /** TTL on an arbitrary timestamp EXPRESSION (the reference accepts
+    * any expression — table_operator/factory.rs:142-205): the
+    * expression is projected into a synthetic event-time column, the
+    * watermark attaches to it, and the column stays in the frame
+    * (Spark's watermark lives on a real column; downstream stateful
+    * ops key their eviction off it).
+    */
+  def ttlExpr(df: DataFrame, tsExpr: Column, duration: String,
+      tsColName: String = "__ttl_ts"): DataFrame =
+    if (df.isStreaming)
+      df.withColumn(tsColName, tsExpr).withWatermark(tsColName, duration)
+    else df
+
   /** Tumbling-window aggregation (dozer TUMBLE, operator.rs:106-130). */
   def tumbleAgg(df: DataFrame, tsCol: String, size: String,
       keys: Seq[Column], aggs: Seq[Column], watermark: Option[String] = None)

@@ -106,6 +106,35 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(out.queryExecution.analyzed.toString.toLowerCase.contains("watermark"))
   }
 
+  test("streaming TTL accepts an arbitrary timestamp expression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val r = new graft.sql.GraftSqlRunner(spark, streaming = true)
+    r.registerSource("sev2", mem.toDF())
+    // lifetime keyed off an arithmetic expression of the event time
+    // (factory.rs:142-205) — projected into a synthetic watermark col
+    val out = r.run(
+      """SELECT user, COUNT(*) AS n INTO ttl_expr_out
+        |FROM TTL(sev2, ts + INTERVAL '5' MINUTE, '30 minutes')
+        |GROUP BY user""".stripMargin)("ttl_expr_out")
+    assert(out.isStreaming)
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.toLowerCase.contains("watermark"))
+    assert(analyzed.contains("__ttl_ts"))
+    // and it runs end-to-end
+    val q = out.writeStream.format("memory").queryName("ttl_expr_t")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(Ev(ts("2024-01-01 00:00:00"), "a", 1.0),
+        Ev(ts("2024-01-01 00:01:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ttl_expr_t").select($"n").collect()
+      assert(rows.map(_.getLong(0)).sum == 2L)
+    } finally q.stop()
+  }
+
   test("streaming mode rejects ORDER BY / LIMIT like the reference") {
     val r = runner(streaming = true)
     assert(intercept[GraftSqlException](
