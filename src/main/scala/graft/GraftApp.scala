@@ -50,15 +50,39 @@ object GraftApp {
       keys: Seq[String] = Nil,                // primary key for upsert
       checkpoint: Option[String] = None)
 
+  /** Config-declared scalar UDF — the reference's `udfs:` section
+    * (dozer-types/src/models/udf_config.rs: name + Onnx/JavaScript
+    * module). Graft's idiomatic equivalent is a SQL scalar function
+    * (Spark 4 `CREATE FUNCTION ... RETURN <expr>`): declarative,
+    * codegen'd through Catalyst, no interpreter boundary. Model-file
+    * UDF types (ONNX/JavaScript) stay documented out of scope
+    * (SURVEY §8) and raise at load time with that pointer.
+    */
+  final case class UdfConf(
+      name: String,
+      params: String,      // e.g. "price DOUBLE, rate DOUBLE"
+      returns: String,     // e.g. "DOUBLE"
+      expression: String)  // SQL expression over the params
+
   final case class GraftConfig(
       sources: Seq[SourceConf],
       sql: String,
       sinks: Seq[SinkConf],
-      streaming: Boolean = false)
+      streaming: Boolean = false,
+      udfs: Seq[UdfConf] = Nil)
+
+  /** Register the config's UDFs as SQL scalar functions on the session. */
+  def registerUdfs(spark: SparkSession, config: GraftConfig): Unit =
+    config.udfs.foreach { u =>
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY FUNCTION ${u.name}(${u.params}) " +
+          s"RETURNS ${u.returns} RETURN ${u.expression}")
+    }
 
   /** Run a batch pipeline: returns the INTO outputs after sinking. */
   def runBatch(spark: SparkSession, config: GraftConfig): Map[String, DataFrame] = {
     require(!config.streaming, "use runStreaming for streaming configs")
+    registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = false)
     config.sources.foreach { s =>
       val df = spark.read.format(s.format).load(s.path)
@@ -89,6 +113,7 @@ object GraftApp {
 
   /** Run a streaming pipeline: one StreamingQuery per sink. */
   def runStreaming(spark: SparkSession, config: GraftConfig): Seq[StreamingQuery] = {
+    registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = true)
     config.sources.foreach { s =>
       val schema = s.schema.getOrElse(

@@ -77,7 +77,8 @@ object GraftConfigLoader {
       sources = sources,
       sql = str(root, "sql"),
       sinks = sinks(root),
-      streaming = root.get("streaming").exists(_.toString.toBoolean))
+      streaming = root.get("streaming").exists(_.toString.toBoolean),
+      udfs = udfs(root))
   }
 
   // ---- dozer-compatible shape ------------------------------------------
@@ -129,10 +130,38 @@ object GraftConfigLoader {
       sources = sources,
       sql = str(root, "sql"),
       sinks = sinks(root),
-      streaming = root.get("streaming").exists(_.toString.toBoolean))
+      streaming = root.get("streaming").exists(_.toString.toBoolean),
+      udfs = udfs(root))
   }
 
   // ---- shared ----------------------------------------------------------
+
+  /** `udfs:` — SQL-expression UDFs register as Spark SQL scalar
+    * functions; the reference's model-file types (Onnx `path`,
+    * JavaScript `module`, udf_config.rs) have no Spark-native
+    * equivalent and raise with the documented mapping.
+    */
+  private def udfs(root: Map[String, Object]): Seq[GraftApp.UdfConf] =
+    root.get("udfs").map(_.asInstanceOf[java.util.List[Object]]
+      .asScala.toSeq.map(asMap)).getOrElse(Nil).map { u =>
+      val name = str(u, "name")
+      val m = u.asScala
+      m.get("expression") match {
+        case Some(e) =>
+          GraftApp.UdfConf(
+            name = name,
+            params = m.get("params").map(_.toString).getOrElse(""),
+            returns = m.get("returns").map(_.toString).getOrElse("DOUBLE"),
+            expression = e.toString)
+        case None =>
+          val kind = m.get("config").map(asMap)
+            .flatMap(c => c.asScala.keys.headOption).getOrElse("model-file")
+          fail(s"udf '$name' ($kind): only SQL-expression UDFs map to " +
+            "Spark natively; ONNX/JavaScript model UDFs are documented " +
+            "out of scope (SURVEY §8) — export the model behind a Scala " +
+            "UDF or pre-compute the feature column upstream")
+      }
+    }
 
   private def sinks(root: Map[String, Object]): Seq[SinkConf] =
     list(root, "sinks").map { s =>

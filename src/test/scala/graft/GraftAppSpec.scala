@@ -135,6 +135,51 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SURVEY"))
   }
 
+  test("config-declared SQL UDFs register and run in pipeline SQL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_udf").toString
+    val yaml =
+      s"""sources:
+         |  - name: ev
+         |    path: /root/testdata/sf0.001/events.parquet
+         |udfs:
+         |  - name: taxed
+         |    params: v DOUBLE, rate DOUBLE
+         |    returns: DOUBLE
+         |    expression: v * (1.0 + rate)
+         |sql: |
+         |  SELECT event_type, SUM(taxed(value, 0.1)) AS total INTO out1 FROM ev GROUP BY event_type;
+         |sinks:
+         |  - table: out1
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.udfs.map(_.name) == Seq("taxed"))
+    GraftApp.runBatch(spark, config)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.columns.toSet == Set("event_type", "total") && out.count() > 0)
+    // the SQL-function registration really is the declared expression
+    val direct = spark.sql("SELECT taxed(100.0D, 0.1D)").collect()(0).getDouble(0)
+    assert(math.abs(direct - 110.0) < 1e-9)
+  }
+
+  test("model-file UDF configs raise the documented out-of-scope mapping") {
+    val yaml =
+      """sources:
+        |  - name: ev
+        |    path: /x.parquet
+        |udfs:
+        |  - name: embedder
+        |    config: !Onnx
+        |      path: /models/embedder.onnx
+        |sql: SELECT 1 INTO x FROM ev;
+        |sinks: []
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfigLoader.fromYaml(yaml))
+    assert(e.getMessage.contains("SURVEY"))
+    assert(e.getMessage.contains("embedder"))
+  }
+
   test("global !! tags cannot instantiate arbitrary classes (SafeConstructor)") {
     // CVE-2022-1471 class: a global tag naming a JVM class must be
     // rejected by the safe loader, never constructed
