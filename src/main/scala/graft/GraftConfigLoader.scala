@@ -142,8 +142,9 @@ object GraftConfigLoader {
     * equivalent and raise with the documented mapping.
     */
   private def udfs(root: Map[String, Object]): Seq[GraftApp.UdfConf] =
-    root.get("udfs").map(_.asInstanceOf[java.util.List[Object]]
-      .asScala.toSeq.map(asMap)).getOrElse(Nil).map { u =>
+    root.get("udfs").filter(_ != null) // `udfs:` with no entries → null
+      .map(_.asInstanceOf[java.util.List[Object]]
+        .asScala.toSeq.map(asMap)).getOrElse(Nil).map { u =>
       val name = str(u, "name")
       val m = u.asScala
       m.get("expression") match {
@@ -173,8 +174,9 @@ object GraftConfigLoader {
         path = m.get("path").map(_.toString)
           .getOrElse(fail("sink needs a path (graft sinks are object-store)")),
         mode = m.get("mode").map(_.toString).getOrElse("append"),
-        keys = m.get("keys").map(_.asInstanceOf[java.util.List[Object]]
-          .asScala.map(_.toString).toSeq).getOrElse(Nil),
+        keys = m.get("keys").filter(_ != null)
+          .map(_.asInstanceOf[java.util.List[Object]]
+            .asScala.map(_.toString).toSeq).getOrElse(Nil),
         checkpoint = m.get("checkpoint").map(_.toString))
     }
 
@@ -182,7 +184,8 @@ object GraftConfigLoader {
     throw new IllegalArgumentException(msg)
 
   private def list(root: Map[String, Object], key: String): Seq[java.util.Map[String, Object]] =
-    root.get(key).map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(asMap))
+    root.get(key).filter(_ != null) // empty section parses to null
+      .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(asMap))
       .getOrElse(fail(s"config missing '$key'"))
 
   private def asMap(o: Any): java.util.Map[String, Object] =

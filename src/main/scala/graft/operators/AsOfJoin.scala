@@ -165,21 +165,25 @@ object AsOfJoin {
     // Guard the driver-side collect: this variant is for a SMALL right
     // side (dimension history); an accidentally-large one must fail
     // with a message, not an OOM. Mirrors Spark's broadcast-threshold
-    // idea, expressed in rows; limit(cap+1) keeps the probe cheap.
+    // idea, expressed in rows. The guard is folded into the index
+    // collect itself (limit cap+1 on the 2-column projection) so the
+    // right side is scanned once for probe+index, not twice.
     val maxRows = spark.conf
       .getOption("spark.graft.asof.broadcastMaxRows")
       .map(_.toLong).getOrElse(5000000L)
-    val probed = right.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
-    require(probed <= maxRows,
+    val capped = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val indexRows = right.select(rightKeyStr.as("__k"),
+      col(rightTs).cast("timestamp").as("__ts"))
+      .limit(capped)
+      .collect()
+    require(indexRows.length <= maxRows,
       s"asofJoinBroadcast right side exceeds $maxRows rows " +
         "(spark.graft.asof.broadcastMaxRows); use the sort-based " +
         "asofJoin/asofJoinMulti for a large right side")
 
     // driver-side sorted-timestamp index per (stringified) key
     val index: Map[String, Array[Long]] =
-      right.select(rightKeyStr.as("__k"),
-        col(rightTs).cast("timestamp").as("__ts"))
-        .collect()
+      indexRows
         .filter(r => !r.isNullAt(1))
         .groupBy(_.getString(0))
         .map { case (k, rows) =>
@@ -206,7 +210,12 @@ object AsOfJoin {
 
     val idxWindow = Window.partitionBy(rightKeyStr)
       .orderBy(col(rightTs).cast("timestamp").asc)
+    // NULL-ts rows are excluded from the driver index, so they must be
+    // excluded from the ranking too — otherwise row_number (nulls
+    // first) shifts every rank off the index by one and the join
+    // fetches the wrong right image
     val rightIndexed = right
+      .filter(col(rightTs).cast("timestamp").isNotNull)
       .withColumn("__rk", rightKeyStr)
       .withColumn("__ridx", row_number().over(idxWindow))
     val renamedRight = right.columns.foldLeft(rightIndexed) { (df, c) =>

@@ -126,10 +126,12 @@ object Multimodal {
           val sr = src.getRaster
           val sw = src.getWidth; val sh = src.getHeight
           val bands = sr.getNumBands
+          // 1 band = gray, 2 bands = gray+alpha (alpha dropped, NOT a
+          // color channel); 3+ = color (alpha dropped)
           val outType =
-            if (bands == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            if (bands <= 2) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
             else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
-          val outBands = if (bands == 1) 1 else 3
+          val outBands = if (bands <= 2) 1 else 3
           val dst = new java.awt.image.BufferedImage(w, h, outType)
           val dr = dst.getRaster
           val xScale = sw.toDouble / w
@@ -147,7 +149,7 @@ object Multimodal {
               val fx = sx - x0
               var b = 0
               while (b < outBands) {
-                val sb = if (b < bands) b else bands - 1
+                val sb = b // outBands ≤ color bands by construction
                 val v =
                   sr.getSample(x0, y0, sb) * (1 - fx) * (1 - fy) +
                   sr.getSample(x1, y0, sb) * fx * (1 - fy) +

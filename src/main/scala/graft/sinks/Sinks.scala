@@ -53,7 +53,7 @@ object Sinks {
         // instead of silently rebuilding from one microbatch.
         val tmp = statePath + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(statePath)
         val bak = new org.apache.hadoop.fs.Path(statePath + "_old")
@@ -113,11 +113,17 @@ object Sinks {
         val spark = batch.sparkSession
         val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
           .cast("int")
+        // persist: the batch feeds two actions (touched-bucket probe +
+        // merge write); without it the source side is recomputed twice
         val withB = batch.withColumn("_bucket", bucketOf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val touched = withB.select("_bucket").distinct()
           .collect().map(_.getInt(0)).sorted // ≤ numBuckets values
         if (touched.nonEmpty) {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
+          // resolve the filesystem FROM the state path (s3a://, hdfs://,
+          // file:// all differ from fs.defaultFS in general)
+          val fs = new Path(statePath).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val bakRoot = new Path(statePath + "_bak")
           def liveDir(b: Int) = new Path(statePath, s"_bucket=$b")
@@ -163,6 +169,7 @@ object Sinks {
           }
           fs.delete(new Path(tmp), true)
         }
+        } finally { withB.unpersist(); () }
         ()
       }
       .start()
@@ -216,6 +223,14 @@ object Sinks {
           .filter(col("_rn") === 1).drop("_rn")
         latest.write.mode("overwrite")
           .jdbc(url, staging, connectionProperties)
+        // create the target on first use through Spark's own JDBC
+        // writer (SaveMode.Ignore: create-if-missing, no-op otherwise)
+        // — the dialect supplies portable DDL, where a hand-written
+        // CREATE TABLE ... AS would not survive MySQL
+        latest.drop(graft.cdc.ChangeModel.OpCol,
+            graft.cdc.ChangeModel.SeqCol)
+          .limit(0).write.mode("ignore")
+          .jdbc(url, table, connectionProperties)
         // Spark's JDBC writer creates columns dialect-quoted
         // (case-preserved); the merge SQL must quote identically or
         // case-normalizing engines (Derby, Postgres) won't resolve them
@@ -231,10 +246,6 @@ object Sinks {
           conn.setAutoCommit(false)
           val st = conn.createStatement()
           try {
-            if (!tableExists(conn, table))
-              st.executeUpdate(
-                s"CREATE TABLE $table AS SELECT $colList FROM $staging" +
-                  " WITH NO DATA")
             st.executeUpdate(
               s"DELETE FROM $table WHERE EXISTS " +
                 s"(SELECT 1 FROM $staging s WHERE $keyMatch)")
@@ -253,20 +264,9 @@ object Sinks {
       }
       .start()
 
-  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, null,
-      Array("TABLE"))
-    try {
-      var found = false
-      while (!found && rs.next())
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      found
-    } finally rs.close()
-  }
-
   private def readSnapshot(spark: SparkSession, path: String,
       like: DataFrame): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + "_old")

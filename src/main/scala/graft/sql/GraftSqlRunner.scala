@@ -171,13 +171,13 @@ object SqlText {
               // be any timestamp EXPRESSION (factory.rs:142-205), not
               // just a column — non-column expressions are projected
               // into a synthetic event-time column first.
+              val base = spark.table(src)
+              val isPlainColumn =
+                ts.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                  base.columns.exists(_.equalsIgnoreCase(ts))
               if (streaming) {
                 val viewName = s"${src}__ttl"
                 val unquoted = dur.stripPrefix("'").stripSuffix("'")
-                val base = spark.table(src)
-                val isPlainColumn =
-                  ts.matches("[A-Za-z_][A-Za-z0-9_]*") &&
-                    base.columns.exists(_.equalsIgnoreCase(ts))
                 val watermarked =
                   if (isPlainColumn)
                     graft.streaming.StreamOps.ttl(base, ts, unquoted)
@@ -186,7 +186,12 @@ object SqlText {
                       base, org.apache.spark.sql.functions.expr(ts), unquoted)
                 watermarked.createOrReplaceTempView(viewName)
                 viewName
-              } else src
+              } else if (isPlainColumn) src
+              else
+                // batch parity: expression TTL projects the same
+                // synthetic column streaming's watermark lives on, so
+                // SELECT * yields one schema in both modes
+                s"""(SELECT __t.*, $ts AS __ttl_ts FROM $src AS __t) __ttlb"""
           }
           result = result.substring(0, start) + replacement + result.substring(end)
           changed = true

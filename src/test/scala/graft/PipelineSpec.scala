@@ -174,6 +174,30 @@ class PipelineSpec extends AnyFunSuite {
       "not an image".getBytes, 4, 4).isEmpty)
   }
 
+  test("gray+alpha images resize as gray, alpha never leaks into luma") {
+    import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer}
+    import java.awt.{Transparency, color => jcolor}
+    val cs = jcolor.ColorSpace.getInstance(jcolor.ColorSpace.CS_GRAY)
+    val cm = new ComponentColorModel(cs, true, false,
+      Transparency.TRANSLUCENT, DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(4, 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      raster.setSample(x, y, 0, 100) // luma
+      raster.setSample(x, y, 1, 255) // alpha
+    }
+    val img = new BufferedImage(cm, raster, false, null)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    // sanity: it decoded as a 2-band (gray+alpha) image
+    val Some((4, 4, 2, _)) =
+      Multimodal.MediaCodecs.decodeImage(baos.toByteArray)
+    val Some(resized) =
+      Multimodal.MediaCodecs.resizeImage(baos.toByteArray, 2, 2)
+    val Some((2, 2, c, luma)) = Multimodal.MediaCodecs.decodeImage(resized)
+    assert(c == 1)              // gray out, alpha dropped
+    assert(luma == 100 / 255.0) // not tinted by the 255 alpha band
+  }
+
   test("multimodal resize / feature-extract / frame-sample plumbing") {
     import spark.implicits._
     val media = Multimodal.renderPngs(

@@ -160,6 +160,29 @@ class SkewSpec extends AnyFunSuite {
       bcast(0).getDouble(1) == 100.0)
   }
 
+  test("asofJoinBroadcast ignores NULL-timestamp right rows without rank shift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // a NULL-ts right row per key must not consume a row_number rank,
+    // or every subsequent match joins the wrong right image
+    val quotes = Seq(
+      ("A", None, -1.0),
+      ("A", Some(ts("2024-01-01 10:00:00")), 100.0),
+      ("A", Some(ts("2024-01-01 10:05:00")), 101.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:01:00"), 1L),
+      ("A", ts("2024-01-01 10:06:00"), 2L))
+      .toDF("tsym", "tts", "qty")
+    val out = graft.operators.AsOfJoin.asofJoinBroadcast(
+      trades, "tsym", "tts", quotes, "sym", "qts")
+      .select($"qty", $"px").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -999.0 else r.getDouble(1)))
+      .toSet
+    assert(out == Set((1L, 100.0), (2L, 101.0)))
+  }
+
   test("asofJoinBroadcast rejects an oversized right side with a message") {
     import spark.implicits._
     import java.sql.Timestamp
