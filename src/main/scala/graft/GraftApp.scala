@@ -48,7 +48,8 @@ object GraftApp {
       path: String,
       mode: String = "append",                // "append" | "upsert" | "overwrite"
       keys: Seq[String] = Nil,                // primary key for upsert
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      buckets: Option[Int] = None)            // upsert scale path: hash-bucketed snapshot
 
   /** Config-declared scalar UDF — the reference's `udfs:` section
     * (dozer-types/src/models/udf_config.rs: name + Onnx/JavaScript
@@ -133,7 +134,13 @@ object GraftApp {
       val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
       sink.mode match {
         case "append" => graft.sinks.Sinks.appendParquet(df, sink.path, ckpt)
-        case "upsert" => graft.sinks.Sinks.upsertParquet(df, sink.keys, sink.path, ckpt)
+        case "upsert" => sink.buckets match {
+          // buckets: opts into the O(batch)-per-microbatch bucketed
+          // snapshot — the right choice once state outgrows one rewrite
+          case Some(n) => graft.sinks.Sinks.upsertParquetBucketed(
+            df, sink.keys, sink.path, ckpt, numBuckets = n)
+          case None => graft.sinks.Sinks.upsertParquet(df, sink.keys, sink.path, ckpt)
+        }
         case other    => throw new IllegalArgumentException(s"unknown streaming sink mode $other")
       }
     }

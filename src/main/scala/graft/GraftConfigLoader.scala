@@ -177,7 +177,8 @@ object GraftConfigLoader {
         keys = m.get("keys").filter(_ != null)
           .map(_.asInstanceOf[java.util.List[Object]]
             .asScala.map(_.toString).toSeq).getOrElse(Nil),
-        checkpoint = m.get("checkpoint").map(_.toString))
+        checkpoint = m.get("checkpoint").map(_.toString),
+        buckets = m.get("buckets").filter(_ != null).map(_.toString.toInt))
     }
 
   private def fail(msg: String): Nothing =

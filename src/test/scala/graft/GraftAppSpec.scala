@@ -163,6 +163,24 @@ class GraftAppSpec extends AnyFunSuite {
     assert(math.abs(direct - 110.0) < 1e-9)
   }
 
+  test("sink `buckets:` parses into the bucketed-upsert scale path") {
+    val yaml =
+      """sources:
+        |  - name: ev
+        |    path: /root/testdata/sf0.001/events.parquet
+        |sql: SELECT user_id INTO o FROM ev;
+        |sinks:
+        |  - table: o
+        |    path: /tmp/x
+        |    mode: upsert
+        |    keys: [user_id]
+        |    buckets: 128
+        |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.sinks.head.buckets.contains(128))
+    assert(config.sinks.head.keys == Seq("user_id"))
+  }
+
   test("model-file UDF configs raise the documented out-of-scope mapping") {
     val yaml =
       """sources:
