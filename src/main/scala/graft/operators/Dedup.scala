@@ -230,6 +230,116 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- near-dup clustering --------------------------------------------
+
+  /** Connected components over a pair list — the step AFTER pair
+    * generation in a dedup pipeline: near-dup pairs form a graph, each
+    * component is one duplicate cluster, and the canonical document is
+    * the component's minimum id.
+    *
+    * Two paths, same result:
+    *
+    *  - **small graph** (≤ `maxDriverEdges` symmetric edges, the common
+    *    case after blocking/bucketing caps cluster sizes): collect the
+    *    edge list (2 longs per edge) and run union-find with path
+    *    compression on the driver — one distributed job total. The
+    *    same bounded-model trade as IVF centroid training.
+    *  - **large graph**: hash-min label propagation, the standard
+    *    distributed CC — every node starts labeled with itself, each
+    *    hop takes the minimum label over the closed neighborhood, K
+    *    hops chain per driver action, stop when a checkpoint changes
+    *    nothing. Everything is joins/aggregations on the edge list;
+    *    driver state is a loop counter.
+    *
+    * Returns (doc_id, component) for every node that appears in
+    * `pairs`; singleton documents (no pair) are their own component by
+    * definition and can be unioned in by the caller if needed.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, maxDriverEdges: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    if (maxDriverEdges > 0) {
+      // probe the size with the same capped-collect trick as the
+      // broadcast as-of guard: one job, bounded driver memory
+      val capped = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
+      val edgeRows = pairs
+        .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .limit(capped).collect()
+      if (edgeRows.length <= maxDriverEdges) {
+        // driver-local union-find, min id as representative
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        edgeRows.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) {
+            val root = math.min(ra, rb)
+            parent(math.max(ra, rb)) = root
+            parent(math.min(ra, rb)) = root
+          }
+        }
+        val nodes = edgeRows.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
+        return nodes.map(n => (n, find(n))).toSeq
+          .toDF("doc_id", "component")
+      }
+      // fall through: graph exceeds the driver budget — distributed path
+    }
+    // symmetric closed edge list: both directions + self-loops, so a
+    // node's neighborhood minimum includes its own label. Persisted
+    // FIRST: pair generation upstream (LSH/jaccard join) is the
+    // expensive part and must run exactly once, not once per consumer.
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val edges = sym
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize, then release the upstream pair cache
+    sym.unpersist()
+    var labels = nodes.withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Unroll K propagation hops per driver action: each Spark job is
+    // the expensive part at small diameters (scheduling + AQE replan
+    // per stage), so checking convergence every hop triples the job
+    // count for nothing. K hops chain as one lazy plan; persist and
+    // test only at the checkpoints.
+    val K = 3
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      var next = labels
+      var k = 0
+      while (k < math.min(K, maxIter - it)) {
+        next = edges
+          .join(next.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("comp")).as("comp"))
+        k += 1
+      }
+      val mat = next.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one action per checkpoint: did any label shrink across K hops?
+      val changed = mat.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") < col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = mat
+      converged = changed == 0
+      it += k
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Near-duplicates by embedding cosine ≥ threshold, blocked by an LSH

@@ -90,23 +90,26 @@ object CdcQueries {
       val updatedRow = struct(col("o_orderkey"), col("o_custkey"),
         lit("U").as("o_orderstatus"), col("o_totalprice"))
       def src(lsn: org.apache.spark.sql.Column) = struct(lsn.as("lsn"))
-      // snapshot phase: flat envelopes (SnapshottingStarted..Done window)
-      val snapshot = o.select(to_json(struct(
-        row.as("after"),
-        src(col("o_orderkey")).as("source"),
-        lit("r").as("op"))).as("value"))
-      // streaming phase: payload-wrapped envelopes
-      val updates = o.filter(col("o_orderkey") % 3 === 0)
-        .select(to_json(struct(struct(
+      // One scan builds all three phases: per order an array of
+      // [snapshot r (flat envelope), conditional wrapped u, conditional
+      // wrapped d], exploded — no triple read of the source
+      val none = array().cast("array<string>")
+      val feed = o.select(explode(concat(
+        // snapshot phase (SnapshottingStarted..Done window)
+        array(to_json(struct(
+          row.as("after"),
+          src(col("o_orderkey")).as("source"),
+          lit("r").as("op")))),
+        // streaming phase: payload-wrapped envelopes
+        when(col("o_orderkey") % 3 === 0, array(to_json(struct(struct(
           row.as("before"), updatedRow.as("after"),
           src(col("o_orderkey") + 10000000L).as("source"),
-          lit("u").as("op")).as("payload"))).as("value"))
-      val deletes = o.filter(col("o_orderkey") % 7 === 0)
-        .select(to_json(struct(struct(
+          lit("u").as("op")).as("payload"))))).otherwise(none),
+        when(col("o_orderkey") % 7 === 0, array(to_json(struct(struct(
           row.as("before"),
           src(col("o_orderkey") + 20000000L).as("source"),
-          lit("d").as("op")).as("payload"))).as("value"))
-      val feed = snapshot.unionByName(updates).unionByName(deletes)
+          lit("d").as("op")).as("payload"))))).otherwise(none)
+      )).as("value"))
       val changes = Debezium.decode(feed, "value",
         o.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
       ChangeModel.applyChanges(changes, Seq("o_orderkey"))

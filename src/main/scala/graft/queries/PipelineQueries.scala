@@ -46,6 +46,41 @@ object PipelineQueries {
         "doc_id", "text", "source", threshold = 0.8)
     },
 
+    // Near-dup CLUSTERING: connected components over the q33 pair graph
+    // (the step after pair generation — each component is one duplicate
+    // cluster, min id = canonical doc). Spark: hash-min label
+    // propagation; oracle: DuckDB recursive transitive closure.
+    QueryDef("q48_dedup_components",
+      """WITH RECURSIVE toks AS (
+        |  SELECT source, doc_id,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toks a JOIN toks b ON a.source = b.source
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(a.tok) AS DOUBLE) >= 0.8 * len(b.tok)
+        |    AND CAST(len(b.tok) AS DOUBLE) >= 0.8 * len(a.tok)
+        |    AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |      / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8
+        |),
+        |sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "source", threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    },
+
     // MinHash + banded LSH candidates (the O(n·bands) scale path).
     // xxhash64 signatures have no DuckDB twin -> rows-only.
     QueryDef.noOracle("q34_minhash_pairs") { (s, dir) =>

@@ -133,6 +133,33 @@ class PipelineSpec extends AnyFunSuite {
       png(3) == 'G')
   }
 
+  test("connected components merge transitive near-dup chains (both paths)") {
+    import spark.implicits._
+    // two chains + a singleton pair: {1-2, 2-3, 3-4} -> comp 1,
+    // {10-11} -> comp 10; node 7 absent (no pair)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // driver union-find path (default threshold)
+    val local = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    // distributed hash-min path (threshold forced to 0)
+    val dist = graft.operators.Dedup.connectedComponents(
+      pairs, "id_a", "id_b", maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
+    // a longer chain (diameter 11): both paths converge to one component
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Seq(4000000L, 0L).foreach { thr =>
+      val cc = graft.operators.Dedup.connectedComponents(
+        chain, "id_a", "id_b", maxDriverEdges = thr)
+        .collect().map(r => r.getLong(1)).distinct
+      assert(cc.toSeq == Seq(1L), s"threshold $thr")
+    }
+  }
+
   test("hyperplane bucket matches the per-component hash formula") {
     import spark.implicits._
     // pin the bucket to the original (d, p)-hash definition so the
