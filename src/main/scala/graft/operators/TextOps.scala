@@ -57,6 +57,24 @@ object TextOps {
       punctRatio(text) * 0.2 +
       (lit(1.0) - abs(meanTokenLen(text) - 5.0) / 10.0) * 0.3
 
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** Email/IPv4 redaction patterns — deliberately restricted to regex
+    * constructs with identical semantics in Java regex and RE2
+    * (DuckDB), so scrubbed output is oracle-checkable bit-for-bit.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails then IPv4 addresses (order is part of the contract —
+    * an email's domain can contain digits but an IP never contains
+    * `@`). Pure `regexp_replace` chain: codegen'd, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
   // ---- language ID -----------------------------------------------------
 
   /** Small marker-word profiles; extend per deployment. */

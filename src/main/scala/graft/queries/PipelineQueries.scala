@@ -113,6 +113,27 @@ object PipelineQueries {
         TextOps.stopwordRatio(col("text"), stop).as("stop_ratio"))
     },
 
+    // PII scrubbing: deterministic fake emails/IPs planted per doc, then
+    // redacted — regex subset chosen for identical Java/RE2 semantics so
+    // the scrubbed text hash-matches the oracle exactly
+    QueryDef("q49_pii_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || doc_id || '@example.com via 10.0.'
+        |           || (doc_id % 256) || '.7',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.operators.TextOps.scrubPii(planted).as("clean"))
+    },
+
     // Full-text keyword search (dozer IndexDefinition::FullText analogue,
     // SURVEY §1.1 — here as a scan-time predicate; at scale the same
     // tokens column backs an inverted index / bloom filter file skip)

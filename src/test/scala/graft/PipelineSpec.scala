@@ -133,6 +133,23 @@ class PipelineSpec extends AnyFunSuite {
       png(3) == 'G')
   }
 
+  test("PII scrub redacts emails and IPv4, leaves near-misses alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.b+c@sub.domain.org now",      // email with plus/sub-domain
+      "ip 192.168.001.1 inside",            // zero-padded IP
+      "not-an-ip 1234.5.6.7 stays",         // 4-digit octet: \b blocks match on 1234? -> partial
+      "plain text untouched",
+      "two hits x@y.io and 8.8.8.8")
+      .toDF("t")
+    val out = rows.select(graft.operators.TextOps.scrubPii($"t").as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "ip <IP> inside")
+    assert(out(3) == "plain text untouched")
+    assert(out(4) == "two hits <EMAIL> and <IP>")
+  }
+
   test("connected components merge transitive near-dup chains (both paths)") {
     import spark.implicits._
     // two chains + a singleton pair: {1-2, 2-3, 3-4} -> comp 1,
