@@ -245,6 +245,41 @@ object PipelineQueries {
         "source", "doc_id", n = 30)
     },
 
+    // End-to-end CURATION pipeline — the composition a real training-data
+    // run executes: hygiene filter (alpha ratio + token bounds) → exact
+    // dedup (min doc per content digest) → per-source stratified sample.
+    // Every stage is an already-oracled operator; this proves they
+    // compose without breaking cross-engine determinism.
+    QueryDef("q50_curation",
+      """WITH hygiene AS (
+        |  SELECT doc_id, source, n_chars, text FROM documents
+        |  WHERE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+        |          / length(text) >= 0.5
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 2000
+        |),
+        |dedup AS (
+        |  SELECT * FROM hygiene
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM hygiene GROUP BY md5(text))
+        |),
+        |ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM dedup
+        |)
+        |SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      import graft.operators.{Sampling, TextOps}
+      val hygiene = t(s, dir, "documents")
+        .filter(TextOps.alphaRatio(col("text")) >= 0.5 &&
+          TextOps.tokenCount(col("text")).between(5, 2000))
+      val keep = hygiene.groupBy(md5(col("text")).as("__digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .drop("__digest")
+      val deduped = hygiene.join(keep, Seq("doc_id"), "left_semi")
+      Sampling.stratifiedExact(
+        deduped.select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", n = 20)
+    },
+
     // Multimodal: binary payload byte length (real, oracle-checked)
     QueryDef("q42_multimodal_bytes",
       """SELECT doc_id AS id,
