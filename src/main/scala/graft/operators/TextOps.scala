@@ -57,6 +57,35 @@ object TextOps {
       punctRatio(text) * 0.2 +
       (lit(1.0) - abs(meanTokenLen(text) - 5.0) / 10.0) * 0.3
 
+  // ---- full-text inverted index ----------------------------------------
+
+  /** Inverted index: one posting row per (distinct token, doc) — the
+    * dozer `IndexDefinition::FullText` analogue materialized as a
+    * table. At scale, write it out bucketed/partitioned by token so a
+    * query's term lookups are partition-pruned scans of just those
+    * postings instead of a full-corpus text scan.
+    */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+
+  /** AND-query over the index: docs containing ALL terms. Posting-list
+    * intersection as one filter + one count aggregation — the rows
+    * touched are O(Σ posting sizes of the query terms), independent of
+    * corpus size. (Index rows are distinct per (token, doc), so a
+    * plain count equals the distinct-term count.)
+    */
+  def searchAll(index: org.apache.spark.sql.DataFrame, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "searchAll needs at least one term")
+    index.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === terms.distinct.length)
+      .select(col("doc_id"))
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
 
   /** Email/IPv4 redaction patterns — deliberately restricted to regex

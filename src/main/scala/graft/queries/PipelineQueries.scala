@@ -113,6 +113,26 @@ object PipelineQueries {
         TextOps.stopwordRatio(col("text"), stop).as("stop_ratio"))
     },
 
+    // Same search through a materialized INVERTED INDEX (the at-scale
+    // path q36b's scan predicate stands in for): posting-list
+    // intersection + anti-join exclusion, O(touched postings) not
+    // O(corpus). Same oracle as q36b by construction.
+    QueryDef("q36c_fulltext_indexed",
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE list_has_all(regexp_split_to_array(trim(text), '\s+'),
+        |                   ['spark', 'window', 'stream'])
+        |  AND NOT list_contains(regexp_split_to_array(trim(text), '\s+'), 'slow')""".stripMargin) { (s, dir) =>
+      import graft.operators.TextOps
+      val docs = t(s, dir, "documents")
+      val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+      val hits = TextOps.searchAll(idx, Seq("spark", "window", "stream"))
+        .join(idx.filter(col("token") === "slow").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      docs.join(hits, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+    },
+
     // PII scrubbing: deterministic fake emails/IPs planted per doc, then
     // redacted — regex subset chosen for identical Java/RE2 semantics so
     // the scrubbed text hash-matches the oracle exactly
