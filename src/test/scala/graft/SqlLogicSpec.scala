@@ -9,9 +9,15 @@ import graft.sql.{SqlLogicParser, SqlLogicRunner}
   * test queries" gate, on the reference's actual test files rather than
   * hand-ported copies.
   *
-  * py_udf.test is excluded (python UDFs are a documented out-of-scope
-  * delta, SURVEY §8); records tagged `onlyif bug` are skipped exactly
-  * as the reference harness skips them.
+  * py_udf.test replays through SQL scalar UDFs: the corpus's Python
+  * bodies (dozer-tests/python_udf/python_udf.py — `add(a)=a+1`,
+  * `sum(a,b)=a+b`) are declared as the equivalent `CREATE FUNCTION
+  * ... RETURN` expressions, and the dozer `fn<type>(...)` return-type
+  * annotation is a dialect rewrite. The Python RUNTIME stays a
+  * documented out-of-scope delta (SURVEY §8) — what's replayed is the
+  * corpus semantics, which is what the harness checks.
+  * Records tagged `onlyif bug` are skipped exactly as the reference
+  * harness skips them.
   *
   * Comparison: lines are whitespace-normalized; numeric cells compare
   * with 1e-9 relative tolerance (the expected values were produced by
@@ -27,7 +33,17 @@ class SqlLogicSpec extends AnyFunSuite {
 
   private val files = Seq("account", "agg", "aggr_append_only",
     "aggregations", "complex", "example", "functions", "join", "nested",
-    "simple", "union")
+    "py_udf", "simple", "union")
+
+  // the py_udf corpus functions, as declared in
+  // /root/reference/dozer-tests/python_udf/python_udf.py
+  private def registerCorpusUdfs(): Unit = {
+    GraftApp.registerUdfs(spark, GraftApp.GraftConfig(
+      sources = Nil, sql = "", sinks = Nil,
+      udfs = Seq(
+        GraftApp.UdfConf("py_add", "a DOUBLE", "DOUBLE", "a + 1"),
+        GraftApp.UdfConf("py_sum", "a DOUBLE, b DOUBLE", "DOUBLE", "a + b"))))
+  }
 
   private def norm(s: String): String = s.trim.replaceAll("\\s+", " ")
 
@@ -52,6 +68,7 @@ class SqlLogicSpec extends AnyFunSuite {
       val content = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(corpus, s"$f.test").toPath))
       val records = SqlLogicParser.parse(content)
+      if (f == "py_udf") registerCorpusUdfs()
       val runner = new SqlLogicRunner(spark)
       var nQueries = 0
       records.foreach {
