@@ -105,6 +105,19 @@ class CdcSpec extends AnyFunSuite {
     assert(state == Seq((1L, "b")))
   }
 
+  test("Debezium decode accepts a binary value column (Kafka shape)") {
+    import spark.implicits._
+    // the Kafka source emits `value: binary`; decode casts through string
+    val feed = Seq(
+      """{"op":"c","after":{"id":7,"name":"seven"},"source":{"lsn":1}}"""
+        .getBytes("UTF-8")).toDF("value")
+    assert(feed.schema("value").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val rows = Debezium.decode(feed, "value", dbzRowSchema).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 7L &&
+      rows(0).getString(1) == "seven")
+  }
+
   test("Debezium encode/decode round-trips a change set") {
     import spark.implicits._
     val changes = Seq(
