@@ -116,4 +116,85 @@ class PropertySpec extends AnyFunSuite {
       assert(got == naive, s"binWidth=$w")
     }
   }
+
+  test("Debezium encode/decode round-trips random change histories") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.cdc.{ChangeModel, Debezium}
+    // random per-key histories: insert, then a mix of updates/deletes;
+    // pre/post pairs share a seq like a real feed
+    val histGen = for {
+      nKeys <- Gen.choose(1, 8)
+      ops <- Gen.listOfN(nKeys * 3, Gen.oneOf("u", "d", "c"))
+    } yield (nKeys, ops)
+    samples(histGen, n = 25).zipWithIndex.foreach { case ((nKeys, ops), run) =>
+      var seq = 0L
+      val changes = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      (0 until nKeys).foreach { k =>
+        seq += 1
+        changes += ((k.toLong, s"v$run-$k-0", ChangeModel.Insert, seq))
+      }
+      ops.zipWithIndex.foreach { case (op, i) =>
+        val k = (i % nKeys).toLong
+        seq += 1
+        op match {
+          case "u" =>
+            changes += ((k, s"v$run-$k-${i}a", ChangeModel.UpdatePre, seq))
+            changes += ((k, s"v$run-$k-${i}b", ChangeModel.UpdatePost, seq))
+          case "d" => changes += ((k, s"v$run-$k-$i", ChangeModel.Delete, seq))
+          case "c" => changes += ((k, s"v$run-$k-$i", ChangeModel.Insert, seq))
+        }
+      }
+      val df = changes.toSeq
+        .toDF("id", "name", ChangeModel.OpCol, ChangeModel.SeqCol)
+      val decoded = Debezium.decode(
+        Debezium.encode(df, Seq("id")), "value",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType))))
+      // the round-trip must preserve the APPLIED state exactly
+      val want = ChangeModel.applyChanges(df, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = ChangeModel.applyChanges(decoded, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"run $run: $changes")
+    }
+  }
+
+  test("connected components agree with brute-force reachability on random graphs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m,
+        for { a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) }
+          yield (a.toLong, b.toLong))
+    } yield edges.filter(e => e._1 != e._2)
+    samples(graphGen, n = 15).filter(_.nonEmpty).zipWithIndex.foreach {
+      case (edges, run) =>
+        // brute force: repeated relabeling to fixpoint
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val label = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+        var changed = true
+        while (changed) {
+          changed = false
+          edges.foreach { case (a, b) =>
+            val m = math.min(label(a), label(b))
+            if (label(a) != m) { label(a) = m; changed = true }
+            if (label(b) != m) { label(b) = m; changed = true }
+          }
+        }
+        val df = edges.toDF("id_a", "id_b")
+        Seq(4000000L, 0L).foreach { thr => // driver and distributed paths
+          val got = graft.operators.Dedup
+            .connectedComponents(df, "id_a", "id_b",
+              maxIter = 40, maxDriverEdges = thr)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == label.toMap, s"run $run thr $thr edges $edges")
+        }
+    }
+  }
 }
