@@ -57,6 +57,22 @@ object TextOps {
       punctRatio(text) * 0.2 +
       (lit(1.0) - abs(meanTokenLen(text) - 5.0) / 10.0) * 0.3
 
+  // ---- vocabulary statistics -------------------------------------------
+
+  /** Corpus vocabulary counts — the input to tokenizer/BPE training
+    * and frequency-based filtering: per token, total occurrences and
+    * document frequency. One explode + one hash aggregation (map-side
+    * partial combine makes the shuffle O(distinct tokens), not
+    * O(token instances)).
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   // ---- full-text inverted index ----------------------------------------
 
   /** Inverted index: one posting row per (distinct token, doc) — the

@@ -133,6 +133,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
     },
 
+    // Vocabulary stats — tokenizer/BPE training input: top-50 tokens by
+    // total count (deterministic tie-break on the token itself)
+    QueryDef("q51_vocab_stats",
+      """SELECT token,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |)
+        |GROUP BY token
+        |ORDER BY n_total DESC, token ASC
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      graft.operators.TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("n_total").desc, col("token").asc)
+        .limit(50)
+    },
+
     // PII scrubbing: deterministic fake emails/IPs planted per doc, then
     // redacted — regex subset chosen for identical Java/RE2 semantics so
     // the scrubbed text hash-matches the oracle exactly
