@@ -178,7 +178,14 @@ object GraftConfigLoader {
           .map(_.asInstanceOf[java.util.List[Object]]
             .asScala.map(_.toString).toSeq).getOrElse(Nil),
         checkpoint = m.get("checkpoint").map(_.toString),
-        buckets = m.get("buckets").filter(_ != null).map(_.toString.toInt))
+        buckets = m.get("buckets").filter(_ != null).map { b =>
+          val n = try b.toString.toInt catch {
+            case _: NumberFormatException =>
+              fail(s"sink buckets must be an integer, got '$b'")
+          }
+          if (n <= 0) fail(s"sink buckets must be positive, got $n")
+          n
+        })
     }
 
   private def fail(msg: String): Nothing =

@@ -259,11 +259,26 @@ object Dedup {
       maxIter: Int = 20, maxDriverEdges: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    if (maxDriverEdges > 0) {
+    // the expensive upstream (LSH/jaccard pair join) feeds the size
+    // probe AND the chosen path — cache it so it runs exactly once
+    val cachedPairs = pairs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the driver path's LongMap needs integral ids; fractional or
+    // string ids would truncate/NPE under cast — route them distributed
+    val integralIds = Seq(aCol, bCol).forall { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
+    if (maxDriverEdges > 0 && integralIds) {
       // probe the size with the same capped-collect trick as the
       // broadcast as-of guard: one job, bounded driver memory
       val capped = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
-      val edgeRows = pairs
+      val edgeRows = cachedPairs
         .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
         .limit(capped).collect()
       if (edgeRows.length <= maxDriverEdges) {
@@ -288,25 +303,32 @@ object Dedup {
         }
         val nodes = edgeRows.iterator
           .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
+        val idType = pairs.schema(aCol).dataType
+        cachedPairs.unpersist()
+        // cast back to the input id type so both paths return one schema
         return nodes.map(n => (n, find(n))).toSeq
           .toDF("doc_id", "component")
+          .select(col("doc_id").cast(idType).as("doc_id"),
+            col("component").cast(idType).as("component"))
       }
       // fall through: graph exceeds the driver budget — distributed path
     }
     // symmetric closed edge list: both directions + self-loops, so a
-    // node's neighborhood minimum includes its own label. Persisted
-    // FIRST: pair generation upstream (LSH/jaccard join) is the
-    // expensive part and must run exactly once, not once per consumer.
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node's neighborhood minimum includes its own label
+    val sym = cachedPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(cachedPairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
     val edges = sym
       .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize, then release the upstream pair cache
-    sym.unpersist()
-    var labels = nodes.withColumn("comp", col("id"))
+    edges.count() // materialize the edge cache off the pair cache...
+    cachedPairs.unpersist() // ...then release the upstream
+    // seed labels from the cached edges' self-loop rows (every node has
+    // exactly one), NOT from `nodes` — whose lineage would re-run the
+    // pair generation after the unpersist above
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("comp"))
+      .distinct() // input self-pairs would otherwise duplicate a seed
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Unroll K propagation hops per driver action: each Spark job is
     // the expensive part at small diameters (scheduling + AQE replan
@@ -337,6 +359,11 @@ object Dedup {
       it += k
     }
     edges.unpersist()
+    // silent wrong labels are worse than a loud stop: an unconverged
+    // exit would split one duplicate cluster into several "components"
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter hops; " +
+        "raise maxIter (needed ≈ diameter of the largest component)")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

@@ -309,9 +309,9 @@ object PipelineQueries {
       val hygiene = t(s, dir, "documents")
         .filter(TextOps.alphaRatio(col("text")) >= 0.5 &&
           TextOps.tokenCount(col("text")).between(5, 2000))
-      val keep = hygiene.groupBy(md5(col("text")).as("__digest"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .drop("__digest")
+      // reuse the oracled exact-dedup operator (q32) for the digest stage
+      val keep = graft.operators.Dedup.exactGroups(hygiene, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
       val deduped = hygiene.join(keep, Seq("doc_id"), "left_semi")
       Sampling.stratifiedExact(
         deduped.select(col("source"), col("doc_id"), col("n_chars")),

@@ -232,9 +232,12 @@ class SqlLogicRunner(spark: SparkSession) {
   private def dialectRewrite(sql: String): String = sql
     .replaceAll("(?i)\\bMAX_APPEND_ONLY\\s*\\(", "MAX(")
     .replaceAll("(?i)\\bMIN_APPEND_ONLY\\s*\\(", "MIN(")
-    // dozer's UDF return-type annotation `py_add<float>(a)` — the
-    // function resolves by name; the annotation has no Spark analogue
-    .replaceAll("\\b([A-Za-z_]\\w*)<([A-Za-z_]\\w*)>\\(", "$1(")
+    // dozer's Python-UDF return-type annotation `py_add<float>(a)` —
+    // the function resolves by name; the annotation has no Spark
+    // analogue. Scoped to the corpus's py_ naming convention so an
+    // `ident<ident>(` sequence elsewhere (e.g. in a string literal)
+    // is never mangled.
+    .replaceAll("\\b(py_\\w*)<([A-Za-z_]\\w*)>\\(", "$1(")
 
   private val groupByRe = """(?is)\bGROUP\s+BY\b""".r
 

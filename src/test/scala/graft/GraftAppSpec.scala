@@ -179,6 +179,38 @@ class GraftAppSpec extends AnyFunSuite {
     val config = GraftConfigLoader.fromYaml(yaml)
     assert(config.sinks.head.buckets.contains(128))
     assert(config.sinks.head.keys == Seq("user_id"))
+    // invalid bucket counts fail at load time, not deep in a microbatch
+    Seq("0", "-4", "many").foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        GraftConfigLoader.fromYaml(yaml.replace("buckets: 128", s"buckets: $bad")))
+      assert(e.getMessage.contains("buckets"))
+    }
+  }
+
+  test("batch upsert with buckets writes the bucketed snapshot layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bbuck").toString
+    val yaml =
+      s"""sources:
+         |  - name: ev
+         |    path: /root/testdata/sf0.001/events.parquet
+         |sql: |
+         |  SELECT user_id, MAX(event_id) AS last_event INTO o FROM ev GROUP BY user_id;
+         |sinks:
+         |  - table: o
+         |    path: $tmp/state
+         |    mode: upsert
+         |    keys: [user_id]
+         |    buckets: 4
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$tmp/state"))
+      .map(_.getPath.getName).filter(_.startsWith("_bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= 4)
+    val out = spark.read.parquet(s"$tmp/state")
+    assert(out.columns.contains("_bucket") && out.count() > 0)
   }
 
   test("model-file UDF configs raise the documented out-of-scope mapping") {

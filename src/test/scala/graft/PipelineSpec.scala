@@ -146,6 +146,9 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(out(0) == "mail <EMAIL> now")
     assert(out(1) == "ip <IP> inside")
+    // 4-digit leading octet: \b can't sit inside the digit run, and the
+    // remainder has only 3 octets — the near-IP must pass through intact
+    assert(out(2) == "not-an-ip 1234.5.6.7 stays")
     assert(out(3) == "plain text untouched")
     assert(out(4) == "two hits <EMAIL> and <IP>")
   }
