@@ -367,6 +367,22 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
+  /** Keep one canonical document per near-dup cluster: drop every doc
+    * whose component root is another doc. Composes any pair generator
+    * ([[jaccardPairs]], [[minhashPairs]], [[simhashPairs]],
+    * [[embeddingNearDups]]) with [[connectedComponents]] — the
+    * keep-one step that finishes a dedup pass. Docs in no pair are
+    * their own cluster and are kept. One left-anti join against the
+    * (small) set of non-canonical ids.
+    */
+  def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val dropIds = connectedComponents(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Near-duplicates by embedding cosine ≥ threshold, blocked by an LSH

@@ -180,6 +180,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize keeps exactly one doc per cluster plus singletons") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 10L, 11L).map(i => (i, s"doc$i"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup
+      .canonicalize(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3,4} -> 1; {10,11} -> 10; 7 untouched (no pair)
+    assert(kept == Set(1L, 7L, 10L))
+  }
+
   test("hyperplane bucket matches the per-component hash formula") {
     import spark.implicits._
     // pin the bucket to the original (d, p)-hash definition so the
