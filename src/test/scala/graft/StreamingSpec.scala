@@ -392,6 +392,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("orc and json sources round-trip through the object-store connector shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.load(spark, SparkFixture.sf0001, "nation")
+    Seq("orc", "json").foreach { fmt =>
+      val dir = s"$tmp/$fmt"
+      src.write.format(fmt).save(dir)
+      // batch snapshot
+      val back = graft.sources.Sources.snapshot(spark, dir, fmt)
+      assert(back.count() == src.count(), fmt)
+      // streaming tail of the same location
+      val stream = graft.sources.Sources.fileStream(
+        spark, dir, src.schema, format = fmt)
+      assert(stream.isStreaming)
+      val q = stream.writeStream.format("memory")
+        .queryName(s"fmt_$fmt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(spark.table(s"fmt_$fmt").count() == src.count(), fmt)
+    }
+  }
+
   test("csv source round-trips through the object-store connector shape") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     Tables.load(spark, SparkFixture.sf0001, "nation")
