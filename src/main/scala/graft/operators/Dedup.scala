@@ -143,22 +143,31 @@ object Dedup {
     * exact signature agreement estimates Jaccard. Returns
     * (id_a, id_b, est_jaccard ≥ threshold).
     */
-  def minhashPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+  /** Banded minhash index rows for a document table:
+    * (id, sig, band_idx, band_hash) — the unit both the batch pair
+    * join and the streaming dedup filter operate on.
+    */
+  def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleWidth: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
-    // explode into (band_idx, band_hash, id, sig)
-    val banded = sig.select(col("id"), col("sig"),
+    sig.select(col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",",
           slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))), bnd))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+    // explode into (band_idx, band_hash, id, sig)
+    val banded = bandedMinhash(df, idCol, textCol, numHashes, shingleWidth, bands)
     // Materialize the banded signature index once: it feeds three
     // consumers (bucket-size stats and both self-join legs), and
     // without caching each consumer re-runs the signature UDF over
@@ -194,6 +203,87 @@ object Dedup {
       .distinct() // a pair may collide in several bands
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** STREAMING near-dup dedup against a persistent LSH index — the
+    * incremental form of the dedup pass, i.e. what a continuously-fed
+    * training-data pipeline actually runs: each microbatch
+    *
+    *   1. drops docs whose minhash signature matches the accumulated
+    *      index at `est_jaccard ≥ threshold` (bucket equi-join against
+    *      the banded index, never a corpus scan),
+    *   2. canonicalizes near-dups WITHIN the batch (pair join +
+    *      connected components, min id survives),
+    *   3. appends the survivors to `outPath` and their banded
+    *      signatures to `indexPath`.
+    *
+    * Exactly-once: both appends go to per-batch subdirectories
+    * (`batch=<id>`, overwritten on retry), so a crashed microbatch
+    * re-runs idempotently; the checkpoint is the resume token. Readers
+    * use `spark.read.parquet(outPath)` (the `batch` partition column
+    * materializes; drop it). The index holds k longs + bands rows per
+    * KEPT doc — tiny next to the text, and shared across the fleet as
+    * plain parquet.
+    */
+  def minhashStreamDedup(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val est = (a: Column, b: Column) =>
+          org.apache.spark.sql.graft.VectorExpressions
+            .positionalMatches(a, b).cast("double") / size(a)
+        val banded = bandedMinhash(batch, idCol, textCol,
+          numHashes, shingleWidth, bands)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          // 1. drop batch docs already represented in the index
+          val afterIndex =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) banded
+            else {
+              val idx = spark.read.parquet(indexPath)
+                .select(col("band_idx"), col("band_hash"),
+                  col("sig").as("sig_idx"))
+              val dupIds = banded.join(idx, Seq("band_idx", "band_hash"))
+                .filter(est(col("sig"), col("sig_idx")) >= threshold)
+                .select(col("id")).distinct()
+              banded.join(dupIds, Seq("id"), "left_anti")
+            }
+          // 2. canonicalize near-dups within the batch
+          val l = afterIndex.select(col("band_idx"), col("band_hash"),
+            col("id").as("id_a"), col("sig").as("sig_a"))
+          val r = afterIndex.select(col("band_idx"), col("band_hash"),
+            col("id").as("id_b"), col("sig").as("sig_b"))
+          val pairs = l.join(r, Seq("band_idx", "band_hash"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              est(col("sig_a"), col("sig_b")).as("est_jaccard"))
+            .distinct()
+            .filter(col("est_jaccard") >= threshold)
+          val inBatchDrop = connectedComponents(pairs, "id_a", "id_b")
+            .filter(col("doc_id") =!= col("component"))
+            .select(col("doc_id").as("id"))
+          val keptBands = afterIndex.join(inBatchDrop, Seq("id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val keptIds = keptBands.select(col("id")).distinct()
+          // 3. append survivors + their index rows, idempotently per batch
+          batch.join(keptIds,
+              batch(idCol) === keptIds("id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          keptBands.write.mode("overwrite")
+            .parquet(s"$indexPath/batch=$batchId")
+          keptBands.unpersist()
+        } finally { banded.unpersist(); () }
+        ()
+      }
+      .start()
 
   // ---- SimHash ---------------------------------------------------------
 

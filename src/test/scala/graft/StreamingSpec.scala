@@ -11,6 +11,7 @@ import graft.cdc.ChangeModel
 
 case class Ev(ts: Timestamp, user: String, v: Double)
 case class Change(k: Long, v: Double, _op: String, _seq: Long)
+case class Doc(doc_id: Long, text: String)
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -249,6 +250,34 @@ class StreamingSpec extends AnyFunSuite {
     val finalState = spark.read.parquet(state)
       .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(finalState == Set((2L, 21.0), (3L, 30.0)))
+  }
+
+  test("streaming minhash dedup drops near-dups vs index and within batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val (idx, out, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different text about spark structured streaming windows"
+    val c = "novel third document mentioning entirely other things like parquet"
+    val mem = MemoryStream[Doc]
+    def run(): Unit = graft.operators.Dedup.minhashStreamDedup(
+      mem.toDF(), "doc_id", "text", idx, out, ckpt,
+      numHashes = 16, shingleWidth = 3, bands = 4, threshold = 0.7)
+      .awaitTermination()
+    // batch 1: two distinct docs
+    mem.addData(Doc(1L, a), Doc(2L, b))
+    run()
+    // batch 2: near-dup of doc1 (vs INDEX), novel doc, in-batch copy of it
+    mem.addData(Doc(3L, a), Doc(4L, c), Doc(5L, c))
+    run()
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // the index holds banded rows only for kept docs
+    val indexed = spark.read.parquet(idx)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 4L))
   }
 
   test("end-to-end CDC: Debezium file stream through bucketed upsert reaches batch state") {
