@@ -229,58 +229,92 @@ object Dedup {
       numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
       threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    streamDedupAgainstIndex(stream, idCol,
+      indexer = batch => bandedMinhash(batch, idCol, textCol,
+        numHashes, shingleWidth, bands),
+      bucketCols = Seq("band_idx", "band_hash"),
+      similarity = (a, b) => org.apache.spark.sql.graft.VectorExpressions
+        .positionalMatches(a, b).cast("double") / size(a),
+      threshold, indexPath, outPath, checkpoint)
+
+  /** [[minhashStreamDedup]] for EMBEDDING streams: incoming vectors
+    * are dropped when an already-kept vector in the same hyperplane
+    * bucket has cosine ≥ threshold — streaming embedding-level dedup
+    * for multimodal/encoder pipelines, same persistent-index contract.
+    */
+  def embeddingStreamDedup(stream: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      threshold: Double = 0.9, planes: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamDedupAgainstIndex(stream, idCol,
+      indexer = batch => batch.select(col(idCol).as("id"),
+        Similarity.normalize(col(vecCol)).as("sig"),
+        Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket")),
+      bucketCols = Seq("bucket"),
+      similarity = (a, b) => Similarity.dot(a, b), // unit vectors: dot = cosine
+      threshold, indexPath, outPath, checkpoint)
+
+  /** Shared streaming-dedup core: `indexer` turns a batch into index
+    * rows (id, sig, bucket columns); docs match when they share a
+    * bucket and `similarity(sig, sig) ≥ threshold`. Steps per batch:
+    * drop vs the accumulated index, canonicalize in-batch (pair join +
+    * connected components, min id survives), append survivors to
+    * `outPath` and their index rows to `indexPath` — each into a
+    * per-batch `batch=<id>` subdirectory overwritten on retry, so a
+    * crashed microbatch replays idempotently.
+    */
+  private def streamDedupAgainstIndex(stream: DataFrame, idCol: String,
+      indexer: DataFrame => DataFrame, bucketCols: Seq[String],
+      similarity: (Column, Column) => Column, threshold: Double,
+      indexPath: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val est = (a: Column, b: Column) =>
-          org.apache.spark.sql.graft.VectorExpressions
-            .positionalMatches(a, b).cast("double") / size(a)
-        val banded = bandedMinhash(batch, idCol, textCol,
-          numHashes, shingleWidth, bands)
+        val rows = indexer(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           // 1. drop batch docs already represented in the index
           val afterIndex =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) banded
+            if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) rows
             else {
               val idx = spark.read.parquet(indexPath)
-                .select(col("band_idx"), col("band_hash"),
-                  col("sig").as("sig_idx"))
-              val dupIds = banded.join(idx, Seq("band_idx", "band_hash"))
-                .filter(est(col("sig"), col("sig_idx")) >= threshold)
+                .select(bucketCols.map(col) :+ col("sig").as("sig_idx"): _*)
+              val dupIds = rows.join(idx, bucketCols.toIndexedSeq)
+                .filter(similarity(col("sig"), col("sig_idx")) >= threshold)
                 .select(col("id")).distinct()
-              banded.join(dupIds, Seq("id"), "left_anti")
+              rows.join(dupIds, Seq("id"), "left_anti")
             }
           // 2. canonicalize near-dups within the batch
-          val l = afterIndex.select(col("band_idx"), col("band_hash"),
-            col("id").as("id_a"), col("sig").as("sig_a"))
-          val r = afterIndex.select(col("band_idx"), col("band_hash"),
-            col("id").as("id_b"), col("sig").as("sig_b"))
-          val pairs = l.join(r, Seq("band_idx", "band_hash"))
+          val l = afterIndex.select(bucketCols.map(col) ++
+            Seq(col("id").as("id_a"), col("sig").as("sig_a")): _*)
+          val r = afterIndex.select(bucketCols.map(col) ++
+            Seq(col("id").as("id_b"), col("sig").as("sig_b")): _*)
+          val pairs = l.join(r, bucketCols.toIndexedSeq)
             .filter(col("id_a") < col("id_b"))
             .select(col("id_a"), col("id_b"),
-              est(col("sig_a"), col("sig_b")).as("est_jaccard"))
+              similarity(col("sig_a"), col("sig_b")).as("sim"))
             .distinct()
-            .filter(col("est_jaccard") >= threshold)
+            .filter(col("sim") >= threshold)
           val inBatchDrop = connectedComponents(pairs, "id_a", "id_b")
             .filter(col("doc_id") =!= col("component"))
             .select(col("doc_id").as("id"))
-          val keptBands = afterIndex.join(inBatchDrop, Seq("id"), "left_anti")
+          val kept = afterIndex.join(inBatchDrop, Seq("id"), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val keptIds = keptBands.select(col("id")).distinct()
+          val keptIds = kept.select(col("id")).distinct()
           // 3. append survivors + their index rows, idempotently per batch
           batch.join(keptIds,
               batch(idCol) === keptIds("id"), "left_semi")
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          keptBands.write.mode("overwrite")
+          kept.write.mode("overwrite")
             .parquet(s"$indexPath/batch=$batchId")
-          keptBands.unpersist()
-        } finally { banded.unpersist(); () }
+          kept.unpersist()
+        } finally { rows.unpersist(); () }
         ()
       }
       .start()

@@ -280,6 +280,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 2L, 4L))
   }
 
+  test("streaming embedding dedup drops cosine near-dups vs the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edistream").toString
+    val (idx, out, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    // scaled copy: exactly parallel -> same hyperplane bucket by
+    // construction, cosine exactly 1 (dedup is magnitude-invariant)
+    val v1 = Array(1.0f, 0.0f, 0.0f, 0.1f)
+    val v1near = Array(0.5f, 0.0f, 0.0f, 0.05f)
+    val v2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    def run(): Unit = graft.operators.Dedup.embeddingStreamDedup(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, out, ckpt, threshold = 0.95, planes = 2)
+      .awaitTermination()
+    mem.addData((1L, v1), (2L, v2))
+    run()
+    mem.addData((3L, v1near)) // near-dup of indexed v1
+    run()
+    val kept = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("end-to-end CDC: Debezium file stream through bucketed upsert reaches batch state") {
     import org.apache.spark.sql.types._
     // the reference's core loop: WAL-shaped change feed -> decode ->
