@@ -138,11 +138,6 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column =
     signatureUdf(tokens(text), lit(numHashes), lit(shingleWidth))
 
-  /** LSH candidate pairs: signatures split into `bands` bands of
-    * `rowsPerBand`; docs sharing any band bucket become candidates, then
-    * exact signature agreement estimates Jaccard. Returns
-    * (id_a, id_b, est_jaccard ≥ threshold).
-    */
   /** Banded minhash index rows for a document table:
     * (id, sig, band_idx, band_hash) — the unit both the batch pair
     * join and the streaming dedup filter operate on.
@@ -162,6 +157,11 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** LSH candidate pairs: signatures split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band bucket become candidates, then
+    * exact signature agreement estimates Jaccard. Returns
+    * (id_a, id_b, est_jaccard ≥ threshold).
+    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
@@ -227,7 +227,9 @@ object Dedup {
   def minhashStreamDedup(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
       numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamDedupAgainstIndex(stream, idCol,
       indexer = batch => bandedMinhash(batch, idCol, textCol,
@@ -235,7 +237,7 @@ object Dedup {
       bucketCols = Seq("band_idx", "band_hash"),
       similarity = (a, b) => org.apache.spark.sql.graft.VectorExpressions
         .positionalMatches(a, b).cast("double") / size(a),
-      threshold, indexPath, outPath, checkpoint)
+      threshold, indexPath, outPath, checkpoint, maxBucketSize, trigger)
 
   /** [[minhashStreamDedup]] for EMBEDDING streams: incoming vectors
     * are dropped when an already-kept vector in the same hyperplane
@@ -244,7 +246,9 @@ object Dedup {
     */
   def embeddingStreamDedup(stream: DataFrame, idCol: String, vecCol: String,
       indexPath: String, outPath: String, checkpoint: String,
-      threshold: Double = 0.9, planes: Int = 8)
+      threshold: Double = 0.9, planes: Int = 8, maxBucketSize: Int = 10000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamDedupAgainstIndex(stream, idCol,
       indexer = batch => batch.select(col(idCol).as("id"),
@@ -252,7 +256,7 @@ object Dedup {
         Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket")),
       bucketCols = Seq("bucket"),
       similarity = (a, b) => Similarity.dot(a, b), // unit vectors: dot = cosine
-      threshold, indexPath, outPath, checkpoint)
+      threshold, indexPath, outPath, checkpoint, maxBucketSize, trigger)
 
   /** Shared streaming-dedup core: `indexer` turns a batch into index
     * rows (id, sig, bucket columns); docs match when they share a
@@ -261,39 +265,62 @@ object Dedup {
     * connected components, min id survives), append survivors to
     * `outPath` and their index rows to `indexPath` — each into a
     * per-batch `batch=<id>` subdirectory overwritten on retry, so a
-    * crashed microbatch replays idempotently.
+    * crashed microbatch replays idempotently (the index read excludes
+    * the current batch's own partition, or a replay after a
+    * post-write crash would self-match and wipe the batch).
+    * `maxBucketSize` bounds both joins against boilerplate mega
+    * buckets, mirroring [[minhashPairs]]; docs in an oversized batch
+    * bucket bypass dedup (kept) rather than stalling the query.
     */
   private def streamDedupAgainstIndex(stream: DataFrame, idCol: String,
       indexer: DataFrame => DataFrame, bucketCols: Seq[String],
       similarity: (Column, Column) => Column, threshold: Double,
-      indexPath: String, outPath: String, checkpoint: String)
+      indexPath: String, outPath: String, checkpoint: String,
+      maxBucketSize: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val rows = indexer(batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def cache(df: DataFrame): DataFrame = {
+          persisted += df
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         try {
+          val rows = cache(indexer(batch))
           val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
+          // mega-bucket guard (minhashPairs' maxBucketSize, streaming
+          // form): batch rows in oversized buckets skip candidate
+          // joins entirely — they survive to the output unfiltered
+          val smallBuckets = rows.groupBy(bucketCols.map(col): _*)
+            .agg(count(lit(1)).as("_bsz"))
+            .filter(col("_bsz") <= maxBucketSize)
+            .drop("_bsz")
+          val joinable = rows.join(smallBuckets, bucketCols.toIndexedSeq)
           // 1. drop batch docs already represented in the index
-          val afterIndex =
+          // (minus the current batch partition — see scaladoc)
+          val afterIndex = cache(
             if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) rows
             else {
               val idx = spark.read.parquet(indexPath)
+                .filter(col("batch") =!= batchId)
                 .select(bucketCols.map(col) :+ col("sig").as("sig_idx"): _*)
-              val dupIds = rows.join(idx, bucketCols.toIndexedSeq)
+              val dupIds = joinable.join(idx, bucketCols.toIndexedSeq)
                 .filter(similarity(col("sig"), col("sig_idx")) >= threshold)
                 .select(col("id")).distinct()
               rows.join(dupIds, Seq("id"), "left_anti")
-            }
-          // 2. canonicalize near-dups within the batch
-          val l = afterIndex.select(bucketCols.map(col) ++
+            })
+          // 2. canonicalize near-dups within the batch (same keep-one
+          // step as the batch pipeline)
+          val candidates = afterIndex.join(smallBuckets, bucketCols.toIndexedSeq)
+          val l = candidates.select(bucketCols.map(col) ++
             Seq(col("id").as("id_a"), col("sig").as("sig_a")): _*)
-          val r = afterIndex.select(bucketCols.map(col) ++
+          val r = candidates.select(bucketCols.map(col) ++
             Seq(col("id").as("id_b"), col("sig").as("sig_b")): _*)
           val pairs = l.join(r, bucketCols.toIndexedSeq)
             .filter(col("id_a") < col("id_b"))
@@ -301,11 +328,7 @@ object Dedup {
               similarity(col("sig_a"), col("sig_b")).as("sim"))
             .distinct()
             .filter(col("sim") >= threshold)
-          val inBatchDrop = connectedComponents(pairs, "id_a", "id_b")
-            .filter(col("doc_id") =!= col("component"))
-            .select(col("doc_id").as("id"))
-          val kept = afterIndex.join(inBatchDrop, Seq("id"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val kept = cache(canonicalize(afterIndex, "id", pairs, "id_a", "id_b"))
           val keptIds = kept.select(col("id")).distinct()
           // 3. append survivors + their index rows, idempotently per batch
           batch.join(keptIds,
@@ -313,8 +336,7 @@ object Dedup {
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           kept.write.mode("overwrite")
             .parquet(s"$indexPath/batch=$batchId")
-          kept.unpersist()
-        } finally { rows.unpersist(); () }
+        } finally { persisted.foreach(_.unpersist()); () }
         ()
       }
       .start()

@@ -461,7 +461,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = stream.writeStream.format("memory")
         .queryName(s"fmt_$fmt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), s"$fmt stream timed out")
       assert(spark.table(s"fmt_$fmt").count() == src.count(), fmt)
     }
   }
