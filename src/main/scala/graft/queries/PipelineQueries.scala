@@ -81,6 +81,45 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     },
 
+    // Keep-one canonicalization over the same pair graph: documents
+    // surviving near-dup dedup (component roots + singletons)
+    QueryDef("q52_canonical_docs",
+      """WITH RECURSIVE toks AS (
+        |  SELECT source, doc_id,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toks a JOIN toks b ON a.source = b.source
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(a.tok) AS DOUBLE) >= 0.8 * len(b.tok)
+        |    AND CAST(len(b.tok) AS DOUBLE) >= 0.8 * len(a.tok)
+        |    AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |      / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8
+        |),
+        |sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |),
+        |drops AS (
+        |  SELECT a AS doc_id FROM reach GROUP BY a
+        |  HAVING LEAST(a, MIN(b)) <> a
+        |)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs,
+        "doc_id", "text", "source", threshold = 0.8)
+      Dedup.canonicalize(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
     // MinHash + banded LSH candidates (the O(n·bands) scale path).
     // xxhash64 signatures have no DuckDB twin -> rows-only.
     QueryDef.noOracle("q34_minhash_pairs") { (s, dir) =>
