@@ -531,6 +531,33 @@ object Dedup {
 
   // ---- embedding near-dup ---------------------------------------------
 
+  /** SEMANTIC dedup (SemDeDup-style): cluster embeddings with a trained
+    * k-means coarse quantizer, generate cosine-≥-threshold pairs only
+    * WITHIN each cell, keep the minimum id per near-dup component.
+    * Returns the surviving rows of `emb`.
+    *
+    * Versus [[embeddingNearDups]]' random hyperplanes, trained cells
+    * put semantically close vectors in the same block by construction —
+    * fewer cross-block misses at equal block count. Cost shape is
+    * identical: one model broadcast, one cell shuffle, quadratic only
+    * within cells (AQE splits skewed cells).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16): DataFrame = {
+    val centroids = Ivf.trainCentroids(emb, vecCol, nlist)
+    val withCell = emb.select(col(idCol).as("id"),
+      Similarity.normalize(col(vecCol)).as("vec"),
+      Ivf.assignCells(emb, vecCol, centroids).as("cell"))
+    val l = withCell.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = withCell.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.dot(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+    canonicalize(emb, idCol, pairs, "id_a", "id_b")
+  }
+
   /** Near-duplicates by embedding cosine ≥ threshold, blocked by an LSH
     * signbit bucket (see [[Similarity.hyperplaneBucket]]) so the join is
     * not O(n²) at scale.

@@ -120,6 +120,17 @@ object Ivf {
     }.sortBy(_._2).take(n).map(_._1)
   }
 
+  /** Nearest-cell id column for a trained coarse quantizer — exposed so
+    * other operators (semantic dedup, partition-by-cell layouts) can
+    * reuse the same broadcast model + assignment the index uses.
+    */
+  def assignCells(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v))
+    assignUdf(col(vecCol))
+  }
+
   /** Approximate top-k: corpus indexed by nearest cell, queries probe
     * their `nprobe` nearest cells, exact cosine within candidates.
     */

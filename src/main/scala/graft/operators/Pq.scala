@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-compression ANN path: split
+  * each d-dim vector into `m` subvectors, k-means each subspace to `k`
+  * centroids (k ≤ 256), store each vector as `m` one-byte codes. A
+  * 1024-dim float vector (4 KiB) becomes m=16 bytes — 256× smaller —
+  * so a 100 TB embedding corpus's index fits in cluster memory, which
+  * is the entire point at scale.
+  *
+  * Search is ADC (asymmetric distance computation): per query, one
+  * m×k lookup table of subspace inner products against the EXACT query
+  * vector; a candidate's score is m table lookups + adds — no float
+  * vector is ever read at scan time. Training mirrors
+  * [[Ivf.trainCentroids]]: one TakeOrdered sample job, driver-local
+  * seeded Lloyd (model is m×k×(d/m) doubles = the same few KB a coarse
+  * quantizer ships), bit-deterministic regardless of partitioning.
+  *
+  * Reference has no ANN surface; this extends the brief's similarity
+  * family (SURVEY §2 extension table) alongside LSH and IVF.
+  */
+object Pq {
+
+  /** Trained codebooks: `centroids(sub)(code)(dim within subspace)`.
+    * Subspace s covers dims [bounds(s), bounds(s+1)).
+    */
+  final case class Model(centroids: Array[Array[Array[Double]]], dim: Int) {
+    def m: Int = centroids.length
+    def k: Int = centroids.head.length
+    def bounds: Array[Int] = Array.tabulate(m + 1)(s => s * dim / m)
+  }
+
+  /** Train per-subspace codebooks with deterministic Lloyd iterations
+    * on a hash-ordered sample (one distributed job; see
+    * [[Ivf.trainCentroids]] for why driver-local beats distributed
+    * Lloyd for few-KB models).
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int = 16,
+      iters: Int = 4, maxTrainVectors: Int = 1 << 17): Model = {
+    require(k <= 256, s"PQ codes are single bytes; k=$k > 256")
+    val cap = math.min(maxTrainVectors, math.max(1 << 13, k * 512))
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("__v"))
+      .withColumn("_h", xxhash64(col("__v")))
+      .orderBy(col("_h"))
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "PQ training corpus is empty")
+    val dim = sample.head.length
+    require(m >= 1 && m <= dim, s"m=$m must be in [1, dim=$dim]")
+    val bounds = Array.tabulate(m + 1)(s => s * dim / m)
+    val centroids = Array.tabulate(m) { s =>
+      val lo = bounds(s); val hi = bounds(s + 1); val dsub = hi - lo
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
+      // seed with the first k sample subvectors (hash order = stable)
+      var cents = sub.take(math.min(k, sub.length)).map(_.clone)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        var i = 0
+        while (i < sub.length) {
+          val v = sub(i)
+          val c = nearestSub(cents, v)
+          counts(c) += 1
+          val acc = sums(c)
+          var d = 0
+          while (d < dsub) { acc(d) += v(d); d += 1 }
+          i += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(d => sums(c)(d) / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+    Model(centroids, dim)
+  }
+
+  private def nearestSub(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var i = 0
+      while (i < cent.length) { val df = v(i) - cent(i); d += df * df; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode vectors to m-byte PQ codes (BinaryType). Vectors are
+    * unit-normalized first so ADC inner products rank by cosine.
+    */
+  def encode(df: DataFrame, vecCol: String, model: Model): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val enc = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val mod = bc.value
+        val vec = normalized(v)
+        val bounds = mod.bounds
+        val code = new Array[Byte](mod.m)
+        var s = 0
+        while (s < mod.m) {
+          val lo = bounds(s); val hi = bounds(s + 1)
+          val sub = java.util.Arrays.copyOfRange(vec, lo, hi)
+          code(s) = nearestSub(mod.centroids(s), sub).toByte
+          s += 1
+        }
+        code
+      }
+    }
+    enc(col(vecCol))
+  }
+
+  private def normalized(v: Seq[Float]): Array[Double] = {
+    val arr = new Array[Double](v.length)
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; arr(i) = x; n += x * x; i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    i = 0
+    while (i < arr.length) { arr(i) *= inv; i += 1 }
+    arr
+  }
+
+  /** Exact inner product of a (normalized) query with a code's
+    * reconstruction — the invariant ADC scores must satisfy; used by
+    * tests and by rerank stages that keep the codes.
+    */
+  def reconstructScore(model: Model, query: Array[Double], code: Array[Byte]): Double = {
+    val bounds = model.bounds
+    var score = 0.0
+    var s = 0
+    while (s < model.m) {
+      val cent = model.centroids(s)(code(s) & 0xFF)
+      val lo = bounds(s)
+      var d = 0
+      while (d < cent.length) { score += query(lo + d) * cent(d); d += 1 }
+      s += 1
+    }
+    score
+  }
+
+  /** ADC top-k: scan the m-byte codes, score = Σ_s lut(s·k + code(s)).
+    * The per-query LUT (m×k doubles) is built once on the query side
+    * and rides through the broadcast — the corpus side touches only
+    * (id, code). At 1000 executors this is the classic
+    * memory-resident-PQ scan: corpus I/O is m bytes/vector.
+    *
+    * `rerank > kNeighbors` enables the standard two-stage shape: ADC
+    * shortlists `rerank` candidates per query, then ONLY those rows'
+    * full float vectors are read for an exact cosine re-rank — the
+    * expensive I/O is O(queries × rerank), not O(corpus), which is
+    * precisely why PQ indexes pair with a rerank stage in production.
+    * `rerank = 0` returns raw ADC ranks (`score` is then the
+    * quantized inner product).
+    */
+  def adcTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      kNeighbors: Int, model: Model, rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val lutUdf = udf { (q: Seq[Float]) =>
+      if (q == null) null
+      else {
+        val mod = bc.value
+        val qn = normalized(q)
+        val bounds = mod.bounds
+        val lut = new Array[Double](mod.m * mod.k)
+        var s = 0
+        while (s < mod.m) {
+          val lo = bounds(s)
+          val cents = mod.centroids(s)
+          var c = 0
+          while (c < cents.length) {
+            val cent = cents(c)
+            var acc = 0.0
+            var d = 0
+            while (d < cent.length) { acc += qn(lo + d) * cent(d); d += 1 }
+            lut(s * mod.k + c) = acc
+            c += 1
+          }
+          s += 1
+        }
+        lut.toSeq
+      }
+    }
+    val scoreUdf = udf { (lut: Seq[Double], code: Array[Byte]) =>
+      if (lut == null || code == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val mod = bc.value
+        var score = 0.0
+        var s = 0
+        while (s < code.length) {
+          score += lut(s * mod.k + (code(s) & 0xFF))
+          s += 1
+        }
+        java.lang.Double.valueOf(score)
+      }
+    }
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      encode(corpus, corpusVec, model).as("code"))
+    val q = queries.select(col(queryId).as("query_id"),
+      lutUdf(col(queryVec)).as("__lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val shortlistK = if (rerank > kNeighbors) rerank else kNeighbors
+    val adc = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        scoreUdf(col("__lut"), col("code")).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= shortlistK)
+    if (rerank <= kNeighbors) adc
+    else {
+      // exact rerank: fetch full vectors for the shortlist only
+      val cv = corpus.select(col(corpusId).as("neighbor_id"),
+        Similarity.normalize(col(corpusVec)).as("__cvec"))
+      val qv = queries.select(col(queryId).as("query_id"),
+        Similarity.normalize(col(queryVec)).as("__qvec"))
+      val exact = adc.select(col("query_id"), col("neighbor_id"))
+        .join(cv, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.dot(col("__qvec"), col("__cvec")).as("score"))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNeighbors)
+    }
+  }
+}

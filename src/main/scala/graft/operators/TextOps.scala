@@ -57,6 +57,178 @@ object TextOps {
       punctRatio(text) * 0.2 +
       (lit(1.0) - abs(meanTokenLen(text) - 5.0) / 10.0) * 0.3
 
+  // ---- repetition metrics (Gopher-style quality filters) ---------------
+
+  /** Fraction of word n-gram INSTANCES in a document that are repeats
+    * of an earlier n-gram in the same document — the within-doc
+    * repetition signal quality filters threshold on (boilerplate and
+    * degenerate generations score high). Pure builtins over the
+    * shingle array: `1 - distinct/total`, integer-exact and therefore
+    * oracle-checkable in any SQL engine.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = Dedup.shingles(text, n)
+    (size(grams) - size(array_distinct(grams))).cast("double") / size(grams)
+  }
+
+  /** Ratio of non-alphanumeric-non-space symbols to whitespace tokens —
+    * the symbol-to-word quality heuristic.
+    */
+  def symbolWordRatio(text: Column): Column =
+    charClassCount(text, "[^A-Za-z0-9\\s]").cast("double") / size(tokens(text))
+
+  /** Per-document most-frequent word n-gram: (doc_id, top_gram, top_n,
+    * n_grams, n_distinct, top_fraction). Ties break on the gram string
+    * ascending — deterministic across engines.
+    *
+    * Shape: ONE explode + one (doc, gram) hash aggregation + one
+    * per-doc window stage that computes the rank AND the per-doc
+    * totals together (same partition key → one exchange + one sort; no
+    * second aggregation over the exploded instances, no join). The
+    * totals ride on the rank-1 row, so dup-instance fractions
+    * ((n_grams − n_distinct) / n_grams) come for free.
+    */
+  def topNgramPerDoc(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    counts.select(col("doc_id"), col("gram"), col("cnt"),
+        row_number().over(ranked).as("__rn"),
+        sum(col("cnt")).over(byDoc).as("n_grams"),
+        count(lit(1)).over(byDoc).as("n_distinct"))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"),
+        col("cnt").as("top_n"), col("n_grams"), col("n_distinct"),
+        (col("cnt").cast("double") / col("n_grams")).as("top_fraction"))
+  }
+
+  // ---- chunking / sequence packing -------------------------------------
+
+  /** Split documents into overlapping token windows (`window` tokens,
+    * step `stride`) — context-window chunking for training/embedding
+    * pipelines. One chunk per start offset 0, stride, 2·stride, … < n;
+    * the final chunk may be shorter. Pure builtins (sequence + slice):
+    * row explosion happens AFTER the cheap tokenize, so the shuffle-free
+    * map stage emits (doc_id, chunk_idx, chunk_text, n_tokens) directly.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1, s"window=$window stride=$stride must be >= 1")
+    val tok = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), tok.as("__tok"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), size(col("__tok")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")),
+        col("__tok"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("__tok"), col("__start") + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("__tok")) - col("__start")).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Concat-and-cut sequence PACKING — how pretraining runs turn a
+    * document stream into fixed-budget training sequences: within each
+    * `groupCol` stream, documents are laid out in `orderCol` order and
+    * the token stream is cut every `budget` tokens. Per doc:
+    * cumulative offset, owning sequence index, and offset within that
+    * sequence. Integer window math only (one shuffle on the group key)
+    * — deterministic and oracle-checkable; at scale each group packs
+    * independently, so parallelism = number of groups (shards).
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      orderCol: String, tokenCountCol: String, budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(col(tokenCountCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("seq_idx", floor(col("cum_before") / budget).cast("long"))
+      .withColumn("seq_offset", (col("cum_before") % budget).cast("long"))
+  }
+
+  // ---- corpus-level n-gram dedup / decontamination ---------------------
+
+  /** Per-document CORPUS-duplicate n-gram stats — the RefinedWeb-style
+    * signal: how much of this document's content also appears elsewhere
+    * in the corpus. For each doc: total n-gram instances, instances
+    * whose gram occurs in ≥2 distinct docs, and the duplicate fraction.
+    *
+    * Shape at scale: ONE explode into a (doc, gram) count aggregation;
+    * gram doc-frequency derives from that same aggregation (its
+    * exchange is reused — Catalyst ReuseExchange — so the corpus is
+    * tokenized and shuffled once); then a gram-keyed join of the two
+    * aggregated sides and a per-doc rollup of instance counts. With
+    * `hashGrams` the join/shuffle keys are 64-bit xxhash64 values
+    * instead of gram strings — the 100 TB path (set false only for
+    * cross-engine oracle checks where the hash has no SQL twin; the
+    * fractions are identical either way up to 2⁻⁶⁴ collisions).
+    */
+  def corpusDupNgramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int, hashGrams: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    // hash AFTER the explode (a generator cannot nest inside xxhash64)
+    val counts = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .select(col("doc_id"),
+        (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    // one row per (doc, gram) -> row count per gram IS the doc frequency
+    val docFreq = counts.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+    counts.join(docFreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(when(col("__df") >= 2, col("__cnt")).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_fraction",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
+  /** Benchmark DECONTAMINATION: flag training documents sharing any
+    * word n-gram with an evaluation set — the contamination check every
+    * training-data pipeline runs before a model sees the data. Returns
+    * every training doc with the count of distinct shared n-grams
+    * (0 = clean).
+    *
+    * The eval side is aggregated to distinct shingles first (tiny next
+    * to the corpus — benchmarks are thousands of docs, not billions),
+    * so the join is corpus-scan × broadcast-able eval-shingle set; with
+    * `hashGrams` the key is a long. No shuffle of the corpus text
+    * itself — only (doc_id, gram) pairs.
+    */
+  def decontaminate(train: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, eval: org.apache.spark.sql.DataFrame,
+      evalTextCol: String, n: Int, hashGrams: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    // explode first, hash second (generators cannot nest in expressions)
+    def hashed(c: Column) = if (hashGrams) xxhash64(c) else c
+    val evalGrams = eval
+      .select(explode(array_distinct(Dedup.shingles(col(evalTextCol), n))).as("__g"))
+      .select(hashed(col("__g")).as("gram")).distinct()
+    val trainGrams = train
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__g"))
+      .select(col("doc_id"), hashed(col("__g")).as("gram"))
+    val shared = trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
   // ---- vocabulary statistics -------------------------------------------
 
   /** Corpus vocabulary counts — the input to tokenizer/BPE training

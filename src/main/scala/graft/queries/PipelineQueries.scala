@@ -172,6 +172,175 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
     },
 
+    // Within-doc n-gram repetition metrics (Gopher-style quality
+    // filters): duplicate 2/3-gram instance fractions + the most
+    // frequent 2-gram per doc. Integer-count math over identical
+    // tokenization => fully oracled.
+    QueryDef("q53_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tok) < 2 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 1),
+        |                             i -> array_to_string(tok[i:i+1], ' ')) END AS g2,
+        |    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 2),
+        |                             i -> array_to_string(tok[i:i+2], ' ')) END AS g3
+        |  FROM tok
+        |),
+        |fracs AS (
+        |  SELECT doc_id,
+        |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup2_fraction,
+        |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3_fraction
+        |  FROM grams
+        |),
+        |counts AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(g2) AS gram FROM grams)
+        |  GROUP BY doc_id, gram
+        |),
+        |top AS (
+        |  SELECT doc_id, gram AS top_gram, cnt AS top_n,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |  FROM counts
+        |),
+        |totals AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams FROM counts GROUP BY doc_id
+        |)
+        |SELECT f.doc_id, f.dup2_fraction, f.dup3_fraction,
+        |  t.top_gram, CAST(t.top_n AS BIGINT) AS top_n, tl.n_grams,
+        |  CAST(t.top_n AS DOUBLE) / tl.n_grams AS top_fraction
+        |FROM fracs f
+        |JOIN top t ON f.doc_id = t.doc_id AND t.rn = 1
+        |JOIN totals tl ON f.doc_id = tl.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // dup2 falls out of the top-gram aggregation's totals; only dup3
+      // needs a per-row pass over the text (cheap map work in the scan)
+      TextOps.topNgramPerDoc(docs, "doc_id", "text", 2)
+        .withColumn("dup2_fraction",
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+        .drop("n_distinct")
+        .join(docs.select(col("doc_id"),
+          TextOps.dupNgramFraction(col("text"), 3).as("dup3_fraction")),
+          Seq("doc_id"))
+    },
+
+    // CORPUS-level duplicate n-gram fraction (RefinedWeb-style): how
+    // much of each doc's 5-gram content appears in >=2 docs. The Spark
+    // side runs the production path (xxhash64'd gram keys); fractions
+    // are hash-free so the oracle matches exactly.
+    QueryDef("q54_ngram_corpus_dedup",
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 4),
+        |                             i -> array_to_string(tok[i:i+4], ' ')) END) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |        FROM documents)
+        |),
+        |df AS (
+        |  SELECT gram, COUNT(DISTINCT doc_id) AS docs FROM grams GROUP BY gram
+        |)
+        |SELECT g.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_fraction
+        |FROM grams g JOIN df ON g.gram = df.gram
+        |GROUP BY g.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.corpusDupNgramStats(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, hashGrams = true)
+    },
+
+    // Benchmark DECONTAMINATION: docs with doc_id % 97 == 0 stand in
+    // for the eval set; every other doc is flagged when it shares any
+    // 5-gram with that set. Spark side: distinct eval shingles
+    // broadcast against the corpus shingle stream (hashed keys).
+    QueryDef("q55_decontaminate",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 4),
+        |                             i -> array_to_string(tok[i:i+4], ' ')) END)) AS gram
+        |  FROM tok
+        |),
+        |eval_grams AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        |),
+        |shared AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |  FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_shared_grams, 0) AS n_shared_grams,
+        |  COALESCE(s.n_shared_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        n = 5, hashGrams = true)
+    },
+
+    // Context-window CHUNKING: split each doc into 32-token windows at
+    // stride 16 (training/embedding input prep). Pure tokenize + slice
+    // math => fully oracled.
+    QueryDef("q58_chunking",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents
+        |),
+        |starts AS (
+        |  SELECT doc_id, tok, unnest(generate_series(1, len(tok), 16)) AS s
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 16 AS BIGINT) AS chunk_idx,
+        |  array_to_string(tok[s:s+31], ' ') AS chunk_text,
+        |  CAST(LEAST(32, len(tok) - s + 1) AS BIGINT) AS n_tokens
+        |FROM starts""".stripMargin) { (s, dir) =>
+      TextOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))
+    },
+
+    // Concat-and-cut sequence PACKING: lay each source's docs out in
+    // doc_id order, cut the token stream every 512 tokens — the
+    // pretraining sequence-packing layout. Window-cumsum integer math
+    // => fully oracled.
+    QueryDef("q59_packing",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t
+        |)
+        |SELECT source, doc_id, n_tokens, cum_before,
+        |  CAST(cum_before // 512 AS BIGINT) AS seq_idx,
+        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin) { (s, dir) =>
+      TextOps.packSequences(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 512)
+    },
+
     // Vocabulary stats — tokenizer/BPE training input: top-50 tokens by
     // total count (deterministic tie-break on the token itself)
     QueryDef("q51_vocab_stats",
@@ -301,10 +470,32 @@ object PipelineQueries {
         "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
     },
 
+    // Product-quantization ANN: 8-byte codes per vector (vs 4·dim-byte
+    // floats), ADC table scan — the memory-compression scale path.
+    // Rows-only; ADC-vs-reconstruction invariant + recall in PipelineSpec.
+    QueryDef.noOracle("q56_ann_pq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.train(emb, "embedding", m = 8, k = 16)
+      graft.operators.Pq.adcTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", kNeighbors = 5, model, rerank = 50)
+    },
+
     // Embedding near-dup pairs — rows-only
     QueryDef.noOracle("q41_embedding_neardup") { (s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.3, planes = 4)
+    },
+
+    // Semantic dedup (SemDeDup-style): trained-cell blocking + cosine
+    // keep-one — rows-only (float k-means has no SQL twin); invariants
+    // in PipelineSpec.
+    QueryDef.noOracle("q57_semantic_dedup") { (s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.98, nlist = 16)
+        .select(col("vec_id"), col("label"))
     },
 
     // Deterministic stratified sampling (training-data curation):

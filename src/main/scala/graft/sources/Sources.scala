@@ -36,6 +36,23 @@ object Sources {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
 
+  /** PUSH channel, change-stream phase: a real DataSource V2
+    * micro-batch source over the named in-process ingest channel
+    * ([[PushBuffer]]) — the dozer gRPC ingest analogue
+    * (dozer-ingestion/grpc/src/adapter/). Rows: (seq, ts, value JSON).
+    */
+  def push(spark: SparkSession, channel: String): DataFrame =
+    spark.readStream.format("graft.sources.PushSource")
+      .option("channel", channel).load()
+
+  /** PUSH channel, snapshot phase: batch read of everything pushed so
+    * far — the connector's SnapshottingStarted/Done contract
+    * (dozer-types/src/models/ingestion_types.rs:41-45).
+    */
+  def pushSnapshot(spark: SparkSession, channel: String): DataFrame =
+    spark.read.format("graft.sources.PushSource")
+      .option("channel", channel).load()
+
   /** A CDC file stream: change-log rows with _op/_seq columns (see
     * graft.cdc.ChangeModel) arriving as files — the Debezium-topic
     * shape without a broker.

@@ -334,4 +334,154 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("n") > 1).collect()
     assert(g.length == 1 && g(0).getAs[Long]("keep_id") == 1L)
   }
+
+  test("repetition metrics: dup n-gram fraction and top n-gram") {
+    import spark.implicits._
+    // "a b a b a" -> 2-grams: [a b, b a, a b, b a] => 2 dup instances / 4
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("doc_id", "text")
+    val fr = docs.select(col("doc_id"),
+      TextOps.dupNgramFraction(col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fr(1L) == 0.5 && fr(2L) == 0.0)
+    val top = TextOps.topNgramPerDoc(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("top_gram"), r.getAs[Long]("top_n"),
+          r.getAs[Long]("n_grams")))).toMap
+    assert(top(1L) == (("a b", 2L, 4L))) // tie at 2 broken by gram asc
+    assert(top(2L)._2 == 1L && top(2L)._3 == 3L)
+  }
+
+  test("corpus dup n-gram stats: shared grams counted, hashing invariant") {
+    import spark.implicits._
+    val shared = "one two three four five"
+    val docs = Seq(
+      (1L, shared + " alpha beta gamma delta"), // grams 1-5 shared with doc 2
+      (2L, shared + " epsilon zeta eta theta"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    def stats(hash: Boolean) =
+      TextOps.corpusDupNgramStats(docs, "doc_id", "text", n = 5, hashGrams = hash)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared")))).toMap
+    val h = stats(true)
+    assert(h == stats(false)) // hashed path must not change the counts
+    // 9 tokens -> 5 grams each for docs 1/2; only "one two three four five" shared
+    assert(h(1L) == ((5L, 1L)) && h(2L) == ((5L, 1L)) && h(3L) == ((4L, 0L)))
+  }
+
+  test("decontamination flags docs sharing a shingle with the eval set") {
+    import spark.implicits._
+    val evalDoc = Seq((100L, "held out benchmark question about spark")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix held out benchmark question about spark suffix"), // contains eval 5-grams
+      (2L, "completely unrelated training content here today")).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, "doc_id", "text", evalDoc, "text", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_grams"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1L)
+    assert(out(2L) == ((0L, false)))
+    // hashed and plain paths agree
+    val plain = TextOps.decontaminate(train, "doc_id", "text", evalDoc, "text",
+      n = 5, hashGrams = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(plain == out.map { case (k, v) => k -> v._1 })
+  }
+
+  test("chunking emits stride windows with a short tail") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+    // starts 0,3,6,9 over 10 tokens
+    assert(chunks.length == 4)
+    assert(chunks(0) == ((0, "t1 t2 t3 t4", 4L)))
+    assert(chunks(1) == ((1, "t4 t5 t6 t7", 4L)))
+    assert(chunks(3) == ((3, "t10", 1L))) // tail shorter than window
+  }
+
+  test("sequence packing cuts the per-group token stream at the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 100L),
+      ("s2", 9L, 600L)).toDF("source", "doc_id", "n_tokens")
+    val packed = TextOps.packSequences(docs, "source", "doc_id", "n_tokens", budget = 512)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("cum_before"), r.getAs[Long]("seq_idx"), r.getAs[Long]("seq_offset")))).toMap
+    assert(packed(("s1", 1L)) == ((0L, 0L, 0L)))
+    assert(packed(("s1", 2L)) == ((300L, 0L, 300L))) // crosses into seq 1 mid-doc
+    assert(packed(("s1", 3L)) == ((600L, 1L, 88L)))
+    assert(packed(("s2", 9L)) == ((0L, 0L, 0L))) // groups pack independently
+  }
+
+  test("PQ: ADC score equals reconstruction dot product; training is deterministic") {
+    import graft.operators.Pq
+    val emb = Tables.load(spark, dir, "embeddings")
+    val model = Pq.train(emb, "embedding", m = 8, k = 16)
+    val model2 = Pq.train(emb, "embedding", m = 8, k = 16)
+    assert(model.centroids.flatten.flatten.toSeq == model2.centroids.flatten.flatten.toSeq)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val adc = Pq.adcTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+      kNeighbors = 5, model)
+    // cross-check a scored pair against the driver-side reconstruction
+    val qVecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val codes = emb.select(col("vec_id"), Pq.encode(emb, "embedding", model).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code")).toMap
+    adc.collect().foreach { r =>
+      val q = qVecs(r.getAs[Long]("query_id"))
+      val n = q.map(_.toDouble)
+      val norm = math.sqrt(n.map(x => x * x).sum)
+      val qn = n.map(_ / norm)
+      val want = Pq.reconstructScore(model, qn, codes(r.getAs[Long]("neighbor_id")))
+      assert(math.abs(r.getAs[Double]("score") - want) < 1e-9)
+    }
+  }
+
+  test("PQ ANN keeps recall vs brute force on clustered embeddings") {
+    import graft.operators.Pq
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Pq.train(emb, "embedding", m = 8, k = 16)
+    val adcOnly = Pq.adcTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", kNeighbors = 5, model)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (exact & adcOnly).size.toDouble / exact.size
+    assert(adcRecall > 0.15, s"raw ADC recall=$adcRecall")
+    // the production shape: ADC shortlist (top-50 of 500) + exact rerank
+    val reranked = Pq.adcTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", kNeighbors = 5, model, rerank = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    assert(recall > adcRecall, s"rerank did not help: $recall <= $adcRecall")
+    assert(recall > 0.6, s"reranked recall=$recall")
+  }
+
+  test("semantic dedup keeps one vector per near-identical group") {
+    import spark.implicits._
+    // three exact-duplicate groups + two singletons, 8-dim unit vectors
+    def unit(seed: Int): Seq[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val rows = Seq(
+      (1L, unit(7)), (2L, unit(7)), (3L, unit(7)), // group A -> keep 1
+      (4L, unit(11)), (5L, unit(11)),              // group B -> keep 4
+      (6L, unit(13)), (7L, unit(17)))              // singletons
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.999, nlist = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L, 7L))
+  }
 }
