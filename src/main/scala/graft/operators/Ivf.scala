@@ -131,6 +131,17 @@ object Ivf {
     assignUdf(col(vecCol))
   }
 
+  /** Query-side multi-probe: the `nprobe` nearest cell ids (array
+    * column) — exposed so composed indexes (IVF-PQ) can reuse the
+    * coarse quantizer's probing exactly as [[ivfTopK]] does.
+    */
+  def probeCells(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val probeUdf = udf((v: Seq[Float]) => nearestN(bc.value, v, nprobe))
+    probeUdf(col(vecCol))
+  }
+
   /** Approximate top-k: corpus indexed by nearest cell, queries probe
     * their `nprobe` nearest cells, exact cosine within candidates.
     */

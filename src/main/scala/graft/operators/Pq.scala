@@ -164,13 +164,11 @@ object Pq {
     * `rerank = 0` returns raw ADC ranks (`score` is then the
     * quantized inner product).
     */
-  def adcTopK(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      kNeighbors: Int, model: Model, rerank: Int = 0): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Per-query LUT of subspace inner products (m×k doubles, flat). */
+  private def lutUdfFor(spark: org.apache.spark.sql.SparkSession,
+      model: Model): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(model)
-    val lutUdf = udf { (q: Seq[Float]) =>
+    udf { (q: Seq[Float]) =>
       if (q == null) null
       else {
         val mod = bc.value
@@ -195,19 +193,33 @@ object Pq {
         lut.toSeq
       }
     }
-    val scoreUdf = udf { (lut: Seq[Double], code: Array[Byte]) =>
+  }
+
+  /** ADC score = Σ_s lut(s·k + code(s)) — m lookups + adds per row. */
+  private def adcScoreUdfFor(spark: org.apache.spark.sql.SparkSession,
+      model: Model): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val k = model.k
+    udf { (lut: Seq[Double], code: Array[Byte]) =>
       if (lut == null || code == null) null.asInstanceOf[java.lang.Double]
       else {
-        val mod = bc.value
         var score = 0.0
         var s = 0
         while (s < code.length) {
-          score += lut(s * mod.k + (code(s) & 0xFF))
+          score += lut(s * k + (code(s) & 0xFF))
           s += 1
         }
         java.lang.Double.valueOf(score)
       }
     }
+  }
+
+  def adcTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      kNeighbors: Int, model: Model, rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val lutUdf = lutUdfFor(spark, model)
+    val scoreUdf = adcScoreUdfFor(spark, model)
     val c = corpus.select(col(corpusId).as("neighbor_id"),
       encode(corpus, corpusVec, model).as("code"))
     val q = queries.select(col(queryId).as("query_id"),
@@ -223,6 +235,54 @@ object Pq {
     if (rerank <= kNeighbors) adc
     else {
       // exact rerank: fetch full vectors for the shortlist only
+      val cv = corpus.select(col(corpusId).as("neighbor_id"),
+        Similarity.normalize(col(corpusVec)).as("__cvec"))
+      val qv = queries.select(col(queryId).as("query_id"),
+        Similarity.normalize(col(queryVec)).as("__qvec"))
+      val exact = adc.select(col("query_id"), col("neighbor_id"))
+        .join(cv, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.dot(col("__qvec"), col("__cvec")).as("score"))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNeighbors)
+    }
+  }
+
+  /** IVF-PQ — the production 100 TB ANN shape: an IVF coarse quantizer
+    * prunes the corpus to `nprobe` cells per query, PQ codes make the
+    * within-cell scan m bytes/vector, and an exact rerank touches only
+    * `rerank` full float vectors per query. Versus [[adcTopK]]'s full
+    * scan, the candidate set shrinks by ~nlist/nprobe; versus
+    * [[Ivf.ivfTopK]]'s exact within-cell cosine, the scan reads codes,
+    * not floats. Cell ids and codes are both computed in one corpus
+    * pass (index-build analogue); the query side (LUT + probed cells)
+    * broadcasts.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      kNeighbors: Int, centroids: Array[Array[Double]], nprobe: Int,
+      model: Model, rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val lutUdf = lutUdfFor(spark, model)
+    val scoreUdf = adcScoreUdfFor(spark, model)
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      Ivf.assignCells(corpus, corpusVec, centroids).as("cell"),
+      encode(corpus, corpusVec, model).as("code"))
+    val q = queries.select(col(queryId).as("query_id"),
+      lutUdf(col(queryVec)).as("__lut"),
+      explode(Ivf.probeCells(queries, queryVec, centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val shortlistK = if (rerank > kNeighbors) rerank else kNeighbors
+    val adc = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        scoreUdf(col("__lut"), col("code")).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= shortlistK)
+    if (rerank <= kNeighbors) adc
+    else {
       val cv = corpus.select(col(corpusId).as("neighbor_id"),
         Similarity.normalize(col(corpusVec)).as("__cvec"))
       val qv = queries.select(col(queryId).as("query_id"),

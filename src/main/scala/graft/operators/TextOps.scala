@@ -157,6 +157,40 @@ object TextOps {
       .withColumn("seq_offset", (col("cum_before") % budget).cast("long"))
   }
 
+  /** CCNet-style corpus-level SPAN dedup: cut each document into
+    * non-overlapping `unit`-token spans, keep only the FIRST occurrence
+    * of each span corpus-wide (order = (doc_id, span position)), and
+    * reassemble the surviving spans per document. Boilerplate that
+    * repeats across documents (headers, navigation, license blocks)
+    * disappears from every copy but the first; documents whose every
+    * span was seen earlier vanish entirely.
+    *
+    * Scale shape: the explode emits (doc, span_idx, span) rows; the
+    * keep-first decision is ONE row_number window partitioned by the
+    * span's 64-bit hash — so the shuffle key is 8 bytes and the state
+    * per key is the single winning row, exactly the CCNet sharded-hash
+    * layout. Reassembly groups back by doc_id (second shuffle,
+    * collect_list of kept spans is bounded by the original doc size).
+    */
+  def spanDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, unit: Int): org.apache.spark.sql.DataFrame = {
+    require(unit >= 1, s"unit=$unit must be >= 1")
+    val spans = chunkDocs(df, idCol, textCol, window = unit, stride = unit)
+      .withColumnRenamed("chunk_idx", "span_idx")
+      .withColumnRenamed("chunk_text", "span")
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("span")))
+      .orderBy(col("doc_id"), col("span_idx"))
+    spans.withColumn("__occ", row_number().over(firstOcc))
+      .filter(col("__occ") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          x => x("span")), " ").as("text_dedup"),
+        count(lit(1)).as("n_spans_kept"))
+  }
+
   // ---- corpus-level n-gram dedup / decontamination ---------------------
 
   /** Per-document CORPUS-duplicate n-gram stats — the RefinedWeb-style

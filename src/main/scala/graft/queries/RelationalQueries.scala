@@ -326,6 +326,62 @@ object RelationalQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // Correlated SCALAR subquery (TPC-H Q17 shape, per-brand output).
+    // The Spark side runs the correlated text verbatim — Catalyst's
+    // decorrelation rewrites it into the aggregate-join plan, which is
+    // the plan you'd hand-write at 100 TB (one shuffle on l_partkey for
+    // the per-part average, then a fact-fact join on the same key, so
+    // the exchange is reused). Determinism: the threshold is an exact
+    // decimal sum cast to double, divided by a count, then * 0.5 — the
+    // identical IEEE expression tree on both engines.
+    QueryDef("q60_corr_scalar_subq",
+      """SELECT p.p_brand,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+        |  COUNT(*) AS n_small
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g60_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g60_part")
+      s.sql(
+        """SELECT p.p_brand,
+          |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+          |  COUNT(*) AS n_small
+          |FROM g60_lineitem l JOIN g60_part p ON p.p_partkey = l.l_partkey
+          |WHERE l.l_quantity < (
+          |  SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+          |  FROM g60_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          |GROUP BY p.p_brand""".stripMargin)
+    },
+
+    // Correlated subquery in HAVING (TPC-H Q20 shape): suppliers with a
+    // part whose shipped share exceeds 30% of that part's corpus-wide
+    // total. The DataFrame side is the hand-decorrelated plan: both
+    // aggregates shuffle on l_partkey (exchange reuse), then a
+    // broadcast-able semi join onto supplier.
+    QueryDef("q61_corr_having_subq",
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 0.3 * (
+        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val perSuppPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("supp_qty"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("part_qty"))
+      val dominant = perSuppPart.join(perPart, Seq("l_partkey"))
+        .filter(col("supp_qty") > lit(0.3) * col("part_qty"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
     }
   )
 }
