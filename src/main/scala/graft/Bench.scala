@@ -29,13 +29,23 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // per-query isolation: operators that persist an index for multiple
+      // consumers (e.g. the banded LSH index) leave cache blocks behind;
+      // dropping them keeps each timing independent of run order.
+      spark.sharedState.cacheManager.clearCache()
+      // progress line per query (stderr, driver-diagnosable if a run
+      // stalls or the whole suite's wall-clock blows up)
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      sec
     }
 
     // local-iteration filter: comma-separated query names (driver unset)
