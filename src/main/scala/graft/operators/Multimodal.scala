@@ -112,6 +112,74 @@ object Multimodal {
       (0 until n).map(i => i * len / n)
     }
 
+    // ---- frame container ("GFRM") ----------------------------------
+    // The JDK ships no video codec, so commercial containers (mp4/webm)
+    // stay out of reach — but frame SAMPLING is a container-parsing
+    // problem, not a codec problem. GFRM is a minimal keyframe-only
+    // container (magic "GFRM", u32-BE frame count, then per frame a
+    // u32-BE length + an intact still-image payload, e.g. PNG). Parsing
+    // it is real byte-level work: seek the index, slice the sampled
+    // frames, hand each to the REAL image decoder. The same code path
+    // works for any keyframe container once a demuxer for it exists.
+
+    private val FrameMagic = Array[Byte]('G', 'F', 'R', 'M')
+
+    /** Serialize still-image payloads into a GFRM container. */
+    def encodeFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.write(FrameMagic)
+      dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      dos.flush()
+      out.toByteArray
+    }
+
+    /** Frame count from the container header without touching frame
+      * bytes — the metadata probe. None if not a GFRM payload.
+      */
+    def frameCount(payload: Array[Byte]): Option[Int] =
+      if (payload.length < 8 ||
+          !java.util.Arrays.equals(payload.slice(0, 4), FrameMagic)) None
+      else Some(java.nio.ByteBuffer.wrap(payload, 4, 4).getInt)
+
+    /** Parse a GFRM container into its frame payloads. None on a
+      * non-GFRM or structurally corrupt payload (bad length prefix,
+      * truncated frame) — never throws.
+      */
+    def decodeFrames(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+      frameCount(payload).flatMap { n =>
+        try {
+          val buf = java.nio.ByteBuffer.wrap(payload, 8, payload.length - 8)
+          val frames = Vector.newBuilder[Array[Byte]]
+          var i = 0
+          var ok = n >= 0
+          while (ok && i < n) {
+            if (buf.remaining() < 4) ok = false
+            else {
+              val len = buf.getInt
+              if (len < 0 || buf.remaining() < len) ok = false
+              else {
+                val f = new Array[Byte](len)
+                buf.get(f)
+                frames += f
+                i += 1
+              }
+            }
+          }
+          if (ok && buf.remaining() == 0) Some(frames.result()) else None
+        } catch { case _: Exception => None }
+      }
+
+    /** Uniform temporal sampling: `k` frame indices spread over `n`
+      * frames — index i ↦ floor(i·n/k), the standard stride sampler
+      * (every frame once when k ≥ n would repeat; callers cap k at n).
+      */
+    def uniformFrameIndices(n: Int, k: Int): Seq[Int] = {
+      val kk = math.min(math.max(k, 0), n)
+      (0 until kk).map(i => (i.toLong * n / kk).toInt)
+    }
+
     /** Real resize: decode via `javax.imageio`, exact bilinear rescale
       * on the raster (deterministic double math, no AWT rendering
       * pipeline), re-encode as PNG. None if the payload doesn't decode.
@@ -231,7 +299,8 @@ object Multimodal {
 
   case class FeatureRow(id: Long, embedding: Array[Float])
 
-  case class FrameRow(id: Long, frameIdx: Int, offset: Long)
+  case class FrameRow(id: Long, frameIdx: Int, nFrames: Int,
+      ok: Boolean, width: Int, height: Int, meanLuma: Double)
 
   /** Batched resize — partition-local, no shuffle; output rows carry
     * the re-encoded PNG payload and the target dimensions. Payloads
@@ -260,16 +329,34 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: one output row per sampled frame offset —
-    * the video-to-frames explosion of a multimodal pipeline.
+  /** REAL frame sampling: parse the GFRM container index, slice `k`
+    * uniformly-spread keyframes, decode each with the REAL image
+    * decoder — the video-to-frames explosion of a multimodal pipeline.
+    * Partition-local (no shuffle); only the sampled frames are ever
+    * decoded, so cost is O(k), not O(container frames). A payload that
+    * is not a parseable container yields one `ok = false` row with
+    * sentinel dimensions (corpus-hygiene accounting, same contract as
+    * [[decodeBatched]]).
     */
   def frameSample(ds: Dataset[MediaRow], framesPerDoc: Int): Dataset[FrameRow] = {
     implicit val enc = Encoders.product[FrameRow]
     ds.mapPartitions { rows =>
-      rows.flatMap { r =>
-        MediaCodecs.sampleFrameOffsets(r.payload, framesPerDoc)
-          .zipWithIndex.map { case (off, idx) => FrameRow(r.id, idx, off) }
-      }
+      rows.grouped(MediaCodecs.BatchSize).flatMap(_.flatMap { r =>
+        MediaCodecs.decodeFrames(r.payload) match {
+          case Some(frames) if frames.nonEmpty =>
+            MediaCodecs.uniformFrameIndices(frames.length, framesPerDoc)
+              .map { idx =>
+                MediaCodecs.decodeImage(frames(idx)) match {
+                  case Some((w, h, _, luma)) =>
+                    FrameRow(r.id, idx, frames.length, ok = true, w, h, luma)
+                  case None =>
+                    FrameRow(r.id, idx, frames.length, ok = false, -1, -1, -1.0)
+                }
+              }
+          case _ =>
+            Seq(FrameRow(r.id, -1, 0, ok = false, -1, -1, -1.0))
+        }
+      })
     }
   }
 
@@ -297,6 +384,36 @@ object Multimodal {
     * (mean luma of a constant image = gray/255). The bytes are genuine
     * `javax.imageio` PNG output, not a fake.
     */
+  /** Deterministic REAL-VIDEO corpus: each row gets a GFRM container of
+    * `2 + id % 4` genuine PNG frames with closed-form per-frame pixels —
+    *
+    *   frame f of id: width = 8 + id % 8, height = 8 + id % 5,
+    *                  gray = (id·31 + f·17) % 200
+    *
+    * so a frame-sampling stage downstream is oracle-checkable in SQL
+    * (sampled indices = floor(i·n/k); mean luma of a constant frame =
+    * gray/255). The container and every frame are real bytes through
+    * the real encoder — nothing in the read path knows the content is
+    * synthetic.
+    */
+  def renderVideos(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 2 + math.floorMod(id, 4L).toInt
+          val w = 8 + math.floorMod(id, 8L).toInt
+          val h = 8 + math.floorMod(id, 5L).toInt
+          val frames = (0 until n).map { f =>
+            MediaCodecs.encodeGrayPng(w, h,
+              math.floorMod(id * 31 + f * 17, 200L).toInt)
+          }
+          MediaRow(id, MediaCodecs.encodeFrames(frames), "video")
+        }
+      }
+  }
+
   def renderPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -44,6 +44,46 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic WEIGHTED SOURCE MIXING — the "data mixture" step of
+    * a pretraining pipeline: each source (domain, dump, corpus shard)
+    * is downsampled to its mixture weight, with membership a pure
+    * function of the row key, so the same key survives in every table
+    * and on every run regardless of partitioning.
+    *
+    * Membership: the first 8 hex chars of `md5("<key>:<seed>")`
+    * compared against the weight's hex threshold
+    * (`floor(weight · 16^8)` zero-padded) — lowercase-hex string order
+    * IS numeric order, and md5 hex is identical in every engine, so
+    * the decision is portable to plain SQL (unlike xxhash64, which has
+    * no cross-engine twin). Per-row cost is one md5 over a short key —
+    * fine for a curation pass; use [[byKeyHash]] when portability
+    * doesn't matter and the hash is on the hot path.
+    *
+    * Sources absent from `weights` get `defaultWeight` (1.0 keeps
+    * them whole).
+    */
+  def weightedBySource(df: DataFrame, sourceCol: String, keyCol: String,
+      weights: Map[String, Double], seed: Long = 0L,
+      defaultWeight: Double = 1.0): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"weight $f must be in [0,1]"))
+    val h = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 8)
+    def keep(f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else if (f <= 0.0) lit(false)
+      else h < lit(f"${(f * 4294967296.0).toLong}%08x")
+    val cond = weights.toSeq.sortBy(_._1)
+      .foldLeft(null: Column) { case (acc, (s, f)) =>
+        val branch = col(sourceCol) === s
+        if (acc == null) when(branch, keep(f)) else acc.when(branch, keep(f))
+      } match {
+      case null => keep(defaultWeight)
+      case w => w.otherwise(keep(defaultWeight))
+    }
+    df.filter(cond)
+  }
+
   /** Train/validation/test split tag as a pure function of the key:
     * stable across runs and tables. Fractions must sum to ≤ 1; the
     * remainder is "train".

@@ -81,12 +81,15 @@ object TextOps {
     * n_grams, n_distinct, top_fraction). Ties break on the gram string
     * ascending — deterministic across engines.
     *
-    * Shape: ONE explode + one (doc, gram) hash aggregation + one
-    * per-doc window stage that computes the rank AND the per-doc
-    * totals together (same partition key → one exchange + one sort; no
-    * second aggregation over the exploded instances, no join). The
-    * totals ride on the rank-1 row, so dup-instance fractions
-    * ((n_grams − n_distinct) / n_grams) come for free.
+    * Shape: ONE explode + one (doc, gram) hash aggregation + one more
+    * hash aggregation per doc where the winner is `min(struct(-cnt,
+    * gram))` — lexicographic struct ordering IS (cnt desc, gram asc),
+    * so no window, no per-doc sort, and partial aggregation applies to
+    * the top-1 selection itself (each map task forwards one candidate
+    * struct per doc). The totals ride in the same aggregate, so
+    * dup-instance fractions ((n_grams − n_distinct) / n_grams) come
+    * for free. At corpus scale this is two shuffles of (doc, gram)
+    * counts and zero sorts.
     */
   def topNgramPerDoc(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
@@ -94,19 +97,14 @@ object TextOps {
       explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    val ranked = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("gram").asc)
-    counts.select(col("doc_id"), col("gram"), col("cnt"),
-        row_number().over(ranked).as("__rn"),
-        sum(col("cnt")).over(byDoc).as("n_grams"),
-        count(lit(1)).over(byDoc).as("n_distinct"))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("gram").as("top_gram"),
-        col("cnt").as("top_n"), col("n_grams"), col("n_distinct"),
-        (col("cnt").cast("double") / col("n_grams")).as("top_fraction"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("__top"),
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("__top.g").as("top_gram"),
+        (-col("__top.nc")).as("top_n"), col("n_grams"), col("n_distinct"),
+        ((-col("__top.nc")).cast("double") / col("n_grams")).as("top_fraction"))
   }
 
   // ---- chunking / sequence packing -------------------------------------

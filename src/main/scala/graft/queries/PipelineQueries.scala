@@ -595,6 +595,76 @@ object PipelineQueries {
         .filter(col("ok"))
         .select(col("id"), col("width"), col("height"),
           col("meanLuma").as("mean_luma"))
+    },
+
+    // Multimodal: REAL frame sampling — render GFRM containers of real
+    // PNG frames (count/dims/gray closed-form in doc_id), parse the
+    // container index, uniformly sample 2 keyframes, decode each with
+    // the real image decoder. Fully oracled: sampled indices are
+    // floor(i·n/k) and a constant frame's mean luma is gray/255.
+    QueryDef("q63_frame_sample",
+      """SELECT doc_id AS id,
+        |  CAST(idx AS INTEGER) AS frame_idx,
+        |  CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST((doc_id * 31 + idx * 17) % 200 AS DOUBLE) / 255.0 AS mean_luma
+        |FROM (SELECT doc_id, unnest([0, (2 + doc_id % 4) // 2]) AS idx
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderVideos(t(s, dir, "documents"), "doc_id")
+      Multimodal.frameSample(media, framesPerDoc = 2)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("nFrames").as("n_frames"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"))
+    },
+
+    // Weighted SOURCE MIXING (pretraining data-mixture step): per-source
+    // keep rates as a pure md5-threshold function of doc_id — portable
+    // hash, so the kept set is oracle-checkable verbatim in SQL.
+    QueryDef("q62_data_mix",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS hx
+        |  FROM documents)
+        |WHERE CASE source
+        |  WHEN 'src0' THEN FALSE
+        |  WHEN 'src1' THEN hx < '40000000'
+        |  WHEN 'src2' THEN hx < '80000000'
+        |  WHEN 'src3' THEN TRUE
+        |  ELSE hx < '19999999' END""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.weightedBySource(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        weights = Map("src0" -> 0.0, "src1" -> 0.25,
+          "src2" -> 0.5, "src3" -> 1.0),
+        seed = 7L, defaultWeight = 0.1)
+    },
+
+    // Brute-force ANN with an ORACLE: rank order (cos desc, id asc) is
+    // float-stable here — the smallest adjacent top-k cosine gap in
+    // this data is ~2e-5, nine orders above any accumulation-order
+    // noise — so emitting (query, neighbor, rank) without the float
+    // score hash-matches DuckDB's list_cosine_similarity ranking.
+    QueryDef("q39b_ann_rank",
+      """SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS nn_rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rn
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("nn_rank"))
     }
   )
 }

@@ -291,13 +291,74 @@ class PipelineSpec extends AnyFunSuite {
       feats.toDF(), "id", "embedding",
       feats.toDF().limit(3), "id", "embedding", k = 2)
     assert(knn.count() == 6)
-    // frame sampling: one row per frame, monotone offsets
-    val frames = Multimodal.frameSample(media, 4).collect()
-    assert(frames.length == 200)
-    assert(frames.groupBy(_.id).values.forall { fs =>
-      val offs = fs.sortBy(_.frameIdx).map(_.offset)
-      offs.length == 4 && offs.zip(offs.tail).forall(p => p._1 <= p._2)
+    // frame sampling over a non-container payload: one honest
+    // ok=false accounting row per doc, nothing decoded
+    val notVideo = Multimodal.frameSample(media, 4).collect()
+    assert(notVideo.length == media.count())
+    assert(notVideo.forall(f => !f.ok && f.nFrames == 0))
+  }
+
+  test("GFRM container: round-trip, real frame sampling, corruption") {
+    import Multimodal.MediaCodecs
+    // byte-level round trip through the container
+    val f0 = MediaCodecs.encodeGrayPng(8, 8, 10)
+    val f1 = MediaCodecs.encodeGrayPng(8, 8, 20)
+    val f2 = MediaCodecs.encodeGrayPng(8, 8, 30)
+    val container = MediaCodecs.encodeFrames(Seq(f0, f1, f2))
+    assert(MediaCodecs.frameCount(container).contains(3))
+    val Some(back) = MediaCodecs.decodeFrames(container)
+    assert(back.length == 3 && back(1).sameElements(f1))
+    // structural corruption is detected, not thrown
+    assert(MediaCodecs.decodeFrames(container.dropRight(1)).isEmpty)
+    assert(MediaCodecs.decodeFrames(container ++ Array[Byte](0)).isEmpty)
+    assert(MediaCodecs.decodeFrames("plainly not a container".getBytes).isEmpty)
+    // uniform sampling: floor(i*n/k), capped at n
+    assert(MediaCodecs.uniformFrameIndices(10, 4) == Seq(0, 2, 5, 7))
+    assert(MediaCodecs.uniformFrameIndices(2, 5) == Seq(0, 1))
+    // end-to-end: rendered videos -> sampled frames decode to the
+    // closed-form dims/gray of their sampled index
+    val docs = Tables.load(spark, dir, "documents").limit(40)
+    val vids = Multimodal.renderVideos(docs, "doc_id")
+    val rows = Multimodal.frameSample(vids, 2).collect()
+    assert(rows.nonEmpty && rows.forall(_.ok))
+    assert(rows.forall { r =>
+      val n = 2 + math.floorMod(r.id, 4L).toInt
+      val expectIdx = Set(0, n / 2)
+      r.nFrames == n && expectIdx.contains(r.frameIdx) &&
+        r.width == 8 + math.floorMod(r.id, 8L).toInt &&
+        r.height == 8 + math.floorMod(r.id, 5L).toInt &&
+        r.meanLuma ==
+          math.floorMod(r.id * 31 + r.frameIdx * 17, 200L).toInt / 255.0
     })
+    // only sampled frames, not the whole container
+    assert(rows.groupBy(_.id).values.forall(_.length == 2))
+  }
+
+  test("weighted source mixing: deterministic, per-source rates, portable") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val weights = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
+    val kept = Sampling.weightedBySource(docs, "source", "doc_id",
+      weights, seed = 7L, defaultWeight = 0.2)
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    // weight 0 drops everything, weight 1 keeps everything
+    assert(!keptRows.exists(_._2 == "src0"))
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(keptRows.count(_._2 == "src1").toLong == src1Total)
+    // partitioning must not change membership
+    val keptRepart = Sampling.weightedBySource(docs.repartition(7),
+      "source", "doc_id", weights, seed = 7L, defaultWeight = 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keptRows.toSet == keptRepart.toSet)
+    // the decision replays exactly from the documented md5 formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex8(key: Long) = md.digest(s"$key:7".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val src2Keys = docs.filter(col("source") === "src2")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = src2Keys.filter(k => hex8(k) < f"${(0.5 * 4294967296.0).toLong}%08x").toSet
+    assert(keptRows.filter(_._2 == "src2").map(_._1).toSet == expect)
   }
 
   test("hash sampling is partition-independent and join-stable") {
