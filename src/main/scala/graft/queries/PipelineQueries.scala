@@ -314,6 +314,35 @@ object PipelineQueries {
           col("chunk_text"), col("n_tokens"))
     },
 
+    // CCNet-style corpus SPAN DEDUP: 16-token spans, first occurrence
+    // (by doc_id, position) survives corpus-wide, docs reassembled from
+    // their kept spans. The keep-first decision keys on span equality
+    // (Spark distributes by the span's 64-bit hash; the oracle
+    // partitions by the span text itself — same decision) => oracled.
+    QueryDef("q64_span_dedup",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents
+        |),
+        |spans AS (
+        |  SELECT doc_id, CAST((s - 1) // 16 AS INTEGER) AS span_idx,
+        |    array_to_string(tok[s:s+15], ' ') AS span
+        |  FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok), 16)) AS s
+        |        FROM tok)
+        |),
+        |first AS (
+        |  SELECT doc_id, span_idx, span,
+        |    ROW_NUMBER() OVER (PARTITION BY span
+        |                       ORDER BY doc_id, span_idx) AS occ
+        |  FROM spans
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list(span ORDER BY span_idx), ' ') AS text_dedup,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans_kept
+        |FROM first WHERE occ = 1 GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.spanDedup(t(s, dir, "documents"), "doc_id", "text", unit = 16)
+    },
+
     // Concat-and-cut sequence PACKING: lay each source's docs out in
     // doc_id order, cut the token stream every 512 tokens — the
     // pretraining sequence-packing layout. Window-cumsum integer math
