@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding merge learning — the tokenizer-TRAINING step of a
+  * pretraining data pipeline (Sennrich et al. 2016 semantics: greedy
+  * highest-frequency adjacent-pair merges, learned over word counts).
+  *
+  * Distributed shape: the working set after the first aggregation is the
+  * DISTINCT-WORD table (word-symbol array, corpus count) — O(vocabulary),
+  * not O(corpus), which is what makes 100 TB feasible: a trillion-token
+  * corpus has ~10⁷–10⁸ distinct words, and every merge round is
+  *   (a) one explode of adjacent symbol pairs + one weighted count
+  *       aggregation (map-side combined, so the shuffle is O(distinct
+  *       pairs)), reduced to a single argmax row via min(struct(-freq,
+  *       a, b)) — lexicographic struct ordering IS (freq desc, pair asc),
+  *       so the tie-break is deterministic and partial aggregation
+  *       forwards one candidate per map task;
+  *   (b) one map-only pass rewriting the symbol arrays (a per-WORD UDF —
+  *       off the per-token hot path by construction).
+  * Only the single winning (pair, freq) row ever reaches the driver per
+  * round — the model being trained, not data.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** One greedy left-to-right merge pass of (a,b) -> a+b over a symbol
+    * sequence — the classic BPE apply step ("aaa" with pair (a,a) gives
+    * ["aa","a"], matching the reference implementations).
+    */
+  def mergeOnce(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Learn up to `numMerges` merges from the corpus in `df.textCol`.
+    * Stops early when the best remaining pair's weighted frequency drops
+    * below `minPairFreq`. Word boundaries are whitespace (the same
+    * tokenizer as every other TextOps metric); merges never cross words.
+    *
+    * Lineage/caching: each round persists the rewritten word table and
+    * materializes it before dropping its parent, so the active plan
+    * stays one UDF layer deep (persist-with-recompute lineage rather
+    * than localCheckpoint — executor loss recomputes instead of failing
+    * the job).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minPairFreq: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    var words = df
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // argmax over weighted adjacent-pair counts; ties (freq, a, b) asc
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
+          .as(Seq("i", "a")), col("syms"), col("n"))
+        .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"), col("n"))
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("freq"))
+        .agg(min(struct((-col("freq")).as("nf"),
+          col("a").as("a"), col("b").as("b"))).as("m"))
+        .select(col("m.a"), col("m.b"), (-col("m.nf")).as("freq"))
+        .collect()
+
+      if (best.isEmpty || best(0).isNullAt(0) || best(0).getLong(2) < minPairFreq) {
+        done = true
+      } else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        val f = best(0).getLong(2)
+        merges += Merge(rank, a, b, f)
+        val applyMerge = udf((s: Seq[String]) =>
+          mergeOnce(s.toIndexedSeq, a, b))
+        val next = words.select(applyMerge(col("syms")).as("syms"), col("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Apply a learned merge list to one token (greedy, in rank order) —
+    * the ENCODE step. O(merges · |token|), pure function of its inputs.
+    */
+  def segmentToken(token: String, merges: Seq[Merge]): IndexedSeq[String] = {
+    var syms: IndexedSeq[String] = token.map(_.toString)
+    merges.foreach { m =>
+      if (syms.length >= 2) syms = mergeOnce(syms, m.left, m.right)
+    }
+    syms
+  }
+
+  /** Per-document subword segmentation stats under a learned merge list:
+    * (doc_id, n_tokens, n_subwords) — the compression a tokenizer buys.
+    * The merge list is tiny (the trained model) and closes over the UDF;
+    * map-only, no shuffle.
+    */
+  def segmentStats(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ms = merges.sortBy(_.rank)
+    val nSubwords = udf((toks: Seq[String]) =>
+      if (toks == null) 0L
+      else toks.iterator.map(t => segmentToken(t, ms).length.toLong).sum)
+    val tok = Dedup.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+      size(tok).cast("long").as("n_tokens"),
+      nSubwords(tok).as("n_subwords"))
+  }
+
+  /** Merge list as a DataFrame for query/driver surfaces. */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+}

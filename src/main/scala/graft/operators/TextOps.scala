@@ -277,6 +277,93 @@ object TextOps {
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  // ---- vocabulary coverage (OOV-rate quality filter) -------------------
+
+  /** Per-document out-of-vocabulary stats against a reference vocabulary
+    * (the CCNet-style "does this look like the reference corpus" gate,
+    * integer-exact where the perplexity variant in [[LangModel]] is
+    * float): token instances, instances missing from the vocabulary, and
+    * the OOV rate. `vocab` is any DataFrame whose `token` column holds
+    * the reference vocabulary (deduplicated here).
+    *
+    * Shape at scale: ONE explode of the corpus into (doc, token) rows,
+    * a BROADCAST left join against the vocabulary (reference vocabs are
+    * bounded — top-K words of a curated corpus — so they broadcast even
+    * when the corpus is 100 TB), and one per-doc hash rollup. The corpus
+    * text itself is never shuffled.
+    */
+  def oovStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = vocab.select(col("token")).distinct().withColumn("__in", lit(1))
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  // ---- blocklist filtering ---------------------------------------------
+
+  /** Blocklist hit counting + keep decision (the word-filter gate every
+    * web-corpus pipeline runs, LDNOOBW-style): token instances, flagged
+    * instances, and `kept` = flagged instances stay under `maxPerMille`
+    * per thousand tokens. The threshold compare is INTEGER math
+    * (n_flagged·1000 < n_tokens·maxPerMille) so the decision reproduces
+    * bit-exactly in any SQL engine. Pure builtins — codegen'd filter
+    * over the token array, no explode, no shuffle.
+    */
+  def blocklistStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: Seq[String], maxPerMille: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(blocklist.nonEmpty, "blocklistStats needs at least one word")
+    val tok = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+        size(tok).cast("long").as("n_tokens"),
+        size(filter(tok, t => t.isin(blocklist.map(lit): _*)))
+          .cast("long").as("n_flagged"))
+      .withColumn("kept",
+        col("n_flagged") * 1000 < col("n_tokens") * maxPerMille)
+  }
+
+  // ---- tf-idf key-term extraction --------------------------------------
+
+  /** Top-k characteristic terms per document by a tf-idf-style score
+    * tf·N/df (rarity weight WITHOUT the log so the score is a single
+    * IEEE multiply+divide — bit-identical across engines, making the
+    * whole extraction oracle-checkable; log-scaled variants differ in
+    * libm ulps). Ties break on token ascending.
+    *
+    * Shape at scale: one explode into a (doc, token) count aggregation;
+    * document frequency derives from that same aggregation (its
+    * exchange is reused by Catalyst); N arrives as a broadcast scalar;
+    * the per-doc top-k is a rank window that Spark executes with
+    * partial WindowGroupLimit pushdown (each map task forwards at most
+    * k candidates per doc before the shuffle).
+    */
+  def keyTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val counts = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = counts.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    counts.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("__n") / col("df"))
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("term_rank"))
+  }
+
   // ---- full-text inverted index ----------------------------------------
 
   /** Inverted index: one posting row per (distinct token, doc) — the

@@ -671,6 +671,97 @@ object PipelineQueries {
         seed = 7L, defaultWeight = 0.1)
     },
 
+    // Vocabulary-coverage (OOV) quality gate: reference vocab = src0's
+    // tokens; OOV tokens are PLANTED per doc_id (the synthetic corpus
+    // shares one vocabulary, so un-planted OOV would be uniformly zero).
+    // Integer-exact counts -> fully oracled.
+    QueryDef("q65_oov",
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE source = 'src0'
+        |),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(
+        |      text || ' zz' || CAST(doc_id % 7 AS VARCHAR) || ' ' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN 'spark'
+        |           ELSE 'qq' || CAST(doc_id % 4 AS VARCHAR) END), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" zz"), (col("doc_id") % 7).cast("string"), lit(" "),
+          when(col("doc_id") % 3 === 0, lit("spark"))
+            .otherwise(concat(lit("qq"), (col("doc_id") % 4).cast("string"))))
+          .as("text"))
+      val vocab = docs.filter(col("source") === "src0")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      TextOps.oovStats(planted, "doc_id", "text", vocab)
+    },
+
+    // Blocklist word filter (LDNOOBW-style gate): flagged-instance
+    // counts + integer-math keep decision at 50 per mille.
+    QueryDef("q66_blocklist",
+      """SELECT doc_id, n_tokens, n_flagged,
+        |  n_flagged * 1000 < n_tokens * 50 AS kept
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> list_contains(['slow', 'dup', 'big'], t))) AS BIGINT) AS n_flagged
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      TextOps.blocklistStats(t(s, dir, "documents"), "doc_id", "text",
+        blocklist = Seq("slow", "dup", "big"), maxPerMille = 50)
+    },
+
+    // Tf-idf key-term extraction: top-3 characteristic terms per doc by
+    // tf·N/df (log-free rarity weight -> bit-exact cross-engine score).
+    QueryDef("q67_keyterms",
+      """WITH counts AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token
+        |),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM counts GROUP BY token),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df, score, CAST(rn AS INTEGER) AS term_rank FROM (
+        |  SELECT c.doc_id, c.token, c.tf, d.df,
+        |    CAST(c.tf AS DOUBLE) * n.n_docs / d.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY c.doc_id
+        |      ORDER BY CAST(c.tf AS DOUBLE) * n.n_docs / d.df DESC, c.token ASC) AS rn
+        |  FROM counts c JOIN dfreq d USING (token) CROSS JOIN n
+        |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      TextOps.keyTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // BPE merge learning (tokenizer training). Iterative greedy argmax
+    // has no single-statement SQL twin -> rows-only; PipelineSpec checks
+    // the distributed trainer against a sequential reference and the
+    // Sennrich toy corpus.
+    QueryDef.noOracle("q68_bpe_merges") { (s, dir) =>
+      val merges = graft.operators.Bpe.train(
+        t(s, dir, "documents"), "text", numMerges = 12)
+      graft.operators.Bpe.mergesDf(s, merges)
+    },
+
+    // CCNet-style LM quality scoring: bigram perplexity of every doc
+    // against a src0-trained reference model. Float log math -> rows-only;
+    // closed-form hand-computed checks in PipelineSpec.
+    QueryDef.noOracle("q69_lm_perplexity") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.LangModel.perplexity(
+        docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", alpha = 1.0)
+    },
+
     // Brute-force ANN with an ORACLE: rank order (cos desc, id asc) is
     // float-stable here — the smallest adjacent top-k cosine gap in
     // this data is ~2e-5, nine orders above any accumulation-order

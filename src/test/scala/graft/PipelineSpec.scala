@@ -545,4 +545,120 @@ class PipelineSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 6L, 7L))
   }
+
+  test("oov stats count planted out-of-vocabulary instances") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x q q")).toDF("doc_id", "text")
+    val vocab = Seq("x", "y", "z").toDF("token")
+    val m = TextOps.oovStats(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(m(1L) == ((3L, 0L, 0.0)))
+    assert(m(2L) == ((3L, 2L, 2.0 / 3)))
+  }
+
+  test("blocklist keep decision is exact at the per-mille boundary") {
+    import spark.implicits._
+    // 20 tokens, threshold 50/1000: 1 hit => 1000 < 1000 is false -> dropped
+    val clean = (1 to 20).map(i => s"w$i").mkString(" ")
+    val oneHit = ("bad" +: (2 to 20).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, clean), (2L, oneHit)).toDF("doc_id", "text")
+    val m = TextOps.blocklistStats(docs, "doc_id", "text",
+      blocklist = Seq("bad"), maxPerMille = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_flagged"), r.getAs[Boolean]("kept")))).toMap
+    assert(m(1L) == ((0L, true)))
+    assert(m(2L) == ((1L, false)))
+  }
+
+  test("keyTerms ranks rare high-tf tokens first, ties on token asc") {
+    import spark.implicits._
+    // N=2 docs. doc1: "a a b", doc2: "b c". df: a=1, b=2, c=1.
+    // doc1 scores: a = 2*2/1 = 4, b = 1*2/2 = 1 -> a first.
+    // doc2 scores: b = 1*2/2 = 1, c = 1*2/1 = 2 -> c first.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextOps.keyTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("term_rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Double]("score")))).toMap
+    assert(rows((1L, 1)) == (("a", 4.0)) && rows((1L, 2)) == (("b", 1.0)))
+    assert(rows((2L, 1)) == (("c", 2.0)) && rows((2L, 2)) == (("b", 1.0)))
+  }
+
+  test("BPE: distributed trainer equals sequential reference; toy corpus learns 'est'") {
+    import spark.implicits._
+    import graft.operators.Bpe
+
+    // sequential reference implementation (Sennrich get_stats/merge loop)
+    def refBpe(corpus: Seq[String], numMerges: Int, minFreq: Long)
+        : Seq[(String, String, Long)] = {
+      var words: Seq[(IndexedSeq[String], Long)] = corpus
+        .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, g) => (w.map(_.toString).toIndexedSeq, g.size.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      while (continue && out.length < numMerges) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        words.foreach { case (syms, n) =>
+          var i = 0
+          while (i + 1 < syms.length) { pairs((syms(i), syms(i + 1))) += n; i += 1 }
+        }
+        if (pairs.isEmpty) continue = false
+        else {
+          val ((a, b), f) = pairs.minBy { case ((a, b), f) => (-f, a, b) }
+          if (f < minFreq) continue = false
+          else {
+            out += ((a, b, f))
+            words = words.map { case (s, n) => (Bpe.mergeOnce(s, a, b), n) }
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    // the classic toy corpus: 'est' must emerge as a unit
+    val toy = Seq("low low low low low lower lower newest newest newest " +
+      "newest newest newest widest widest widest")
+    val toyDf = toy.toDF("text")
+    val learned = Bpe.train(toyDf, "text", numMerges = 6, minPairFreq = 1L)
+      .map(m => (m.left, m.right, m.freq))
+    assert(learned == refBpe(toy, 6, 1L))
+    assert(learned.map { case (a, b, _) => a + b }.contains("est"))
+
+    // overlap counting parity on degenerate runs ("aaaa": (a,a) counted 3x)
+    val runs = Seq("aaaa aaaa bab")
+    assert(Bpe.train(runs.toDF("text"), "text", numMerges = 3, minPairFreq = 1L)
+      .map(m => (m.left, m.right, m.freq)) == refBpe(runs, 3, 1L))
+
+    // segmentation: greedy merge application compresses the training corpus
+    val stats = Bpe.segmentStats(toyDf, "text", "text",
+      Bpe.train(toyDf, "text", numMerges = 6, minPairFreq = 1L))
+      .collect()(0)
+    assert(stats.getAs[Long]("n_subwords") < "lowlower".length * 16 &&
+      stats.getAs[Long]("n_subwords") > stats.getAs[Long]("n_tokens"))
+  }
+
+  test("bigram LM perplexity matches closed-form hand computation") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    // ref "a b a b": bigrams (a b)x2, (b a)x1; lefts a->2, b->1; V=2, alpha=1
+    val ref = Seq("a b a b").toDF("text")
+    val docs = Seq((1L, "a b"), (2L, "b b"), (3L, "c c")).toDF("doc_id", "text")
+    val m = LangModel.perplexity(docs, "doc_id", "text", ref, "text", alpha = 1.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("perplexity")).toMap
+    // p(b|a)=(2+1)/(2+2)=0.75 -> ppl 4/3; p(b|b)=(0+1)/(1+2)=1/3 -> ppl 3;
+    // unseen context c: p=(0+1)/(0+2)=0.5 -> ppl 2
+    assert(math.abs(m(1L) - 4.0 / 3) < 1e-12)
+    assert(math.abs(m(2L) - 3.0) < 1e-12)
+    assert(math.abs(m(3L) - 2.0) < 1e-12)
+    // reference-like text scores lower perplexity than gibberish
+    val docs2 = Seq((1L, "a b a b a b"), (2L, "q r s t u v")).toDF("doc_id", "text")
+    val m2 = LangModel.perplexity(docs2, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("perplexity")).toMap
+    assert(m2(1L) < m2(2L))
+  }
 }
