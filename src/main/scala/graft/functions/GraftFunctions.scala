@@ -106,5 +106,36 @@ object GraftFunctions {
       (j: String, p: String) => JsonPathEval.value(j, p))
     spark.udf.register("json_query",
       (j: String, p: String) => JsonPathEval.query(j, p))
+
+    // ---- training-data pipeline functions on the SQL surface ----------
+    // Column-composite builtins converted through the Column↔Expression
+    // shim: SQL configs (GraftSqlRunner / `dozer run` YAML) get the same
+    // pipeline gates the DataFrame API has.
+    import org.apache.spark.sql.GraftShims.{column => c, toCatalyst => e}
+    import graft.operators.TextOps
+    def temp1(name: String)(f: Column => Column): Unit =
+      temp(name) {
+        case Seq(x) => e(f(c(x)))
+        case es =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> s"`$name`",
+              "expectedNum" -> "1",
+              "actualNum" -> es.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+    temp1("token_count")(TextOps.tokenCount)
+    temp1("token_estimate")(TextOps.tokenEstimate)
+    temp1("quality_score")(TextOps.qualityScore(_, defaultStopwords))
+    temp1("lang_id")(TextOps.langId)
+    temp1("scrub_pii")(TextOps.scrubPii)
+    temp1("fingerprint64")(TextOps.fingerprint64(_))
+    temp1("simhash64")(x => TextOps.simhash64(TextOps.tokens(x)))
   }
+
+  /** Stopword set backing SQL `quality_score` (the English marker list —
+    * deployments pass their own via the Column API).
+    */
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 }

@@ -762,6 +762,20 @@ object PipelineQueries {
         docs.filter(col("source") === "src0"), "text", alpha = 1.0)
     },
 
+    // Linear quality classifier (fastText-style hash features + log-odds
+    // head; the reference's ONNX-scoring analogue, Spark-first). Lang
+    // marker tokens are PLANTED so the en-vs-rest head has signal to
+    // learn on this single-vocabulary synthetic corpus. Float log
+    // weights -> rows-only; closed-form + discrimination in PipelineSpec.
+    QueryDef.noOracle("q70_quality_classifier") { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" tag_"), col("lang")).as("text"))
+      val weights = graft.operators.Classifier.trainLogOdds(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", dim = 1024)
+      graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
+    },
+
     // Brute-force ANN with an ORACLE: rank order (cos desc, id asc) is
     // float-stable here — the smallest adjacent top-k cosine gap in
     // this data is ~2e-5, nine orders above any accumulation-order

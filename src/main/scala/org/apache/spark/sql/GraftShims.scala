@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode→Catalyst conversion. `expression` wraps a
+    * non-trivial Column in a lazy ColumnNodeExpression, which only the
+    * Dataset API's analyzer path unwraps — an expression returned from
+    * a FunctionRegistry builder must already be real Catalyst or
+    * codegen dies on the wrapper. Use this for function registration.
+    */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -640,6 +640,57 @@ class PipelineSpec extends AnyFunSuite {
       stats.getAs[Long]("n_subwords") > stats.getAs[Long]("n_tokens"))
   }
 
+  test("linear classifier: closed-form scoring and learned discrimination") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // closed-form: dim=4, every token's weight known => margin is exact
+    val dim = 4
+    val w = Array(0.5, -0.25, 1.0, 0.0)
+    val docs = Seq((1L, "x y x"), (2L, "")).toDF("doc_id", "text")
+    val buckets = docs.sparkSession.sql(
+      "SELECT pmod(hash('x'), 4) AS bx, pmod(hash('y'), 4) AS by")
+      .collect()(0)
+    val expected1 = (2 * w(buckets.getInt(0)) + w(buckets.getInt(1))) / 3 + 0.1
+    val m = Classifier.scoreLinear(docs, "doc_id", "text", w, bias = 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("margin")))).toMap
+    assert(math.abs(m(1L)._2 - expected1) < 1e-12 && m(1L)._1 == 3L)
+    assert(math.abs(m(2L)._2 - 0.1) < 1e-12) // empty doc scores the bias
+    // discrimination: planted class vocab separates after training
+    val pos = (1 to 30).map(i => (i.toLong, s"good clean prose $i sample"))
+      .toDF("doc_id", "text")
+    val neg = (31 to 60).map(i => (i.toLong, s"spam junk noise $i garbage"))
+      .toDF("doc_id", "text")
+    val weights = Classifier.trainLogOdds(pos, neg, "text", dim = 256)
+    val scored = Classifier.scoreLinear(pos.union(neg), "doc_id", "text", weights)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val posAvg = (1 to 30).map(i => scored(i.toLong)).sum / 30
+    val negAvg = (31 to 60).map(i => scored(i.toLong)).sum / 30
+    assert(posAvg > 0.6 && negAvg < 0.4, s"pos=$posAvg neg=$negAvg")
+  }
+
+  test("pipeline functions are callable from SQL") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "The quick visit costs 10.0.1.7 dollars at bob@x.io today"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlfn_docs")
+    val r = s.sql(
+      """SELECT token_count(text) AS tc, token_estimate(text) AS te,
+        |  lang_id(text) AS lid, quality_score(text) AS qs,
+        |  scrub_pii(text) AS clean, fingerprint64(text) AS fp,
+        |  simhash64(text) AS sh
+        |FROM sqlfn_docs""".stripMargin).collect()(0)
+    assert(r.getAs[Int]("tc") == 9)
+    assert(r.getAs[Long]("te") > 9)
+    assert(!r.getAs[String]("clean").contains("bob@x.io") &&
+      !r.getAs[String]("clean").contains("10.0.0") &&
+      r.getAs[String]("clean").contains("<EMAIL>") &&
+      r.getAs[String]("clean").contains("<IP>"))
+    assert(r.getAs[Double]("qs") > 0.0)
+    assert(r.getAs[String]("lid") != null)
+    assert(r.get(r.fieldIndex("fp")) != null && r.get(r.fieldIndex("sh")) != null)
+  }
+
   test("bigram LM perplexity matches closed-form hand computation") {
     import spark.implicits._
     import graft.operators.LangModel
