@@ -42,6 +42,12 @@ object Bench {
       // consumers (e.g. the banded LSH index) leave cache blocks behind;
       // dropping them keeps each timing independent of run order.
       spark.sharedState.cacheManager.clearCache()
+      // Spark's ContextCleaner reclaims broadcast/shuffle state only on
+      // driver GC; 70+ queries in one JVM otherwise accumulate until
+      // late queries pay multi-second GC pauses (measured 16s->58s on
+      // the same query isolated vs in-suite). One explicit GC per query
+      // keeps timings order-independent.
+      System.gc()
       // progress line per query (stderr, driver-diagnosable if a run
       // stalls or the whole suite's wall-clock blows up)
       System.err.println(f"[bench] $name%-28s $sec%8.3f s")

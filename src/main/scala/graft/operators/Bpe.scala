@@ -47,14 +47,28 @@ object Bpe {
     * below `minPairFreq`. Word boundaries are whitespace (the same
     * tokenizer as every other TextOps metric); merges never cross words.
     *
-    * Lineage/caching: each round persists the rewritten word table and
-    * materializes it before dropping its parent, so the active plan
-    * stays one UDF layer deep (persist-with-recompute lineage rather
-    * than localCheckpoint — executor loss recomputes instead of failing
-    * the job).
+    * HYBRID execution (the q48 connected-components trade): the corpus
+    * collapses to the distinct-word count table in ONE distributed
+    * aggregation — O(vocabulary) rows. When that vocabulary fits under
+    * `driverVocabBudget` (it does for any human-language corpus: ~10⁷
+    * distinct words ≪ the budget only at extreme web scale), the merge
+    * loop runs on the driver over the collected table — merge rounds
+    * are pure model training on model-sized data, and numMerges × Spark
+    * -job scheduling overhead would dominate the real work. Above the
+    * budget, every round runs distributed: a weighted pair-count
+    * aggregation reduced to a single argmax row via min(struct(-freq,
+    * a, b)) (partial-aggregatable, deterministic tie-break) + a
+    * map-only symbol rewrite. Both paths implement identical semantics
+    * (spec-enforced, including overlap counting).
+    *
+    * Lineage/caching (distributed path): each round persists the
+    * rewritten word table and materializes it before dropping its
+    * parent, so the active plan stays one UDF layer deep
+    * (persist-with-recompute lineage rather than localCheckpoint —
+    * executor loss recomputes instead of failing the job).
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minPairFreq: Long = 2L): Seq[Merge] = {
+      minPairFreq: Long = 2L, driverVocabBudget: Long = 4_000_000L): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
     var words = df
       .select(explode(Dedup.tokens(col(textCol))).as("w"))
@@ -62,7 +76,15 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(split(col("w"), "").as("syms"), col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    val vocabSize = words.count()
+
+    if (vocabSize <= driverVocabBudget) {
+      val local = words.collect().map { r =>
+        (r.getSeq[String](0).toIndexedSeq, r.getLong(1))
+      }.toIndexedSeq
+      words.unpersist()
+      return trainLocal(local, numMerges, minPairFreq)
+    }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
@@ -97,6 +119,35 @@ object Bpe {
       }
     }
     words.unpersist()
+    merges.toSeq
+  }
+
+  /** Driver-side merge loop over the collected (symbols, count) table —
+    * identical argmax/tie-break/overlap semantics to the distributed
+    * rounds (PipelineSpec holds the two paths equal).
+    */
+  private def trainLocal(vocab: IndexedSeq[(IndexedSeq[String], Long)],
+      numMerges: Int, minPairFreq: Long): Seq[Merge] = {
+    var words = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) { pairs((syms(i), syms(i + 1))) += n; i += 1 }
+      }
+      if (pairs.isEmpty) continue = false
+      else {
+        val ((a, b), f) = pairs.minBy { case ((a, b), f) => (-f, a, b) }
+        if (f < minPairFreq) continue = false
+        else {
+          merges += Merge(merges.length + 1, a, b, f)
+          words = words.map { case (s, n) => (mergeOnce(s, a, b), n) }
+        }
+      }
+    }
     merges.toSeq
   }
 

@@ -24,7 +24,7 @@ object LangModel {
 
   /** Bigram counts over the reference corpus: ("w1 w2" gram, cnt). */
   def bigramCounts(ref: DataFrame, textCol: String): DataFrame =
-    ref.select(explode(Dedup.shingles(col(textCol), 2)).as("gram"))
+    ref.select(explode(Dedup.shinglesFast(col(textCol), 2)).as("gram"))
       .filter(size(split(col("gram"), " ")) === 2) // drop <2-token docs
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
 
@@ -48,7 +48,7 @@ object LangModel {
       .agg(countDistinct(col("w")).as("__v"))
 
     val docBigrams = df.select(col(idCol).as("doc_id"),
-        explode(Dedup.shingles(col(textCol), 2)).as("gram"))
+        explode(Dedup.shinglesFast(col(textCol), 2)).as("gram"))
       .filter(size(split(col("gram"), " ")) === 2)
       .withColumn("w1", substring_index(col("gram"), " ", 1))
 

@@ -77,34 +77,95 @@ object TextOps {
   def symbolWordRatio(text: Column): Column =
     charClassCount(text, "[^A-Za-z0-9\\s]").cast("double") / size(tokens(text))
 
+  /** Row-local top-gram kernel: one hash-map pass over a doc's n-grams.
+    * Semantics mirror [[Dedup.shingles]] exactly (docs shorter than n
+    * collapse to one whole-text gram); ties break on the gram string
+    * ascending (ASCII/BMP-safe vs engines comparing UTF-8 bytes).
+    */
+  final case class TopGramStats(top_gram: String, top_n: Long,
+      n_grams: Long, n_distinct: Long)
+
+  def topGramStats(toks: Seq[String], n: Int): TopGramStats = {
+    val grams: Iterator[String] =
+      if (toks == null) Iterator.empty
+      else if (toks.length < n) Iterator(toks.mkString(" "))
+      else toks.iterator.sliding(n).withPartial(false).map(_.mkString(" "))
+    val counts = new java.util.HashMap[String, Long]()
+    var total = 0L
+    grams.foreach { g => total += 1; counts.merge(g, 1L, _ + _) }
+    var topG: String = null
+    var topN = 0L
+    counts.forEach { (g, c) =>
+      if (c > topN || (c == topN && (topG == null || g.compareTo(topG) < 0))) {
+        topG = g; topN = c
+      }
+    }
+    TopGramStats(topG, topN, total, counts.size.toLong)
+  }
+
+  private val topGramUdf = udf((toks: Seq[String], n: Int) => topGramStats(toks, n))
+
+  /** Combined per-doc repetition kernel: top-gram stats at `nTop` plus
+    * instance/distinct counts at `nDup`, one row-local UDF call (the
+    * higher-order-function formulation of the dup fraction runs
+    * interpreted per gram — measurably slower than one hash pass).
+    */
+  final case class RepetitionStats(top_gram: String, top_n: Long,
+      n_grams: Long, n_distinct: Long, dup_total: Long, dup_distinct: Long)
+
+  private val repetitionUdf = udf((toks: Seq[String], nTop: Int, nDup: Int) => {
+    val t = topGramStats(toks, nTop)
+    val set = new java.util.HashSet[String]()
+    var total = 0L
+    val grams: Iterator[String] =
+      if (toks == null) Iterator.empty
+      else if (toks.length < nDup) Iterator(toks.mkString(" "))
+      else toks.iterator.sliding(nDup).withPartial(false).map(_.mkString(" "))
+    grams.foreach { g => total += 1; set.add(g) }
+    RepetitionStats(t.top_gram, t.top_n, t.n_grams, t.n_distinct,
+      total, set.size.toLong)
+  })
+
+  /** One-pass per-doc repetition metrics (q53 shape): top `nTop`-gram +
+    * dup fractions at both widths. Map-only, zero exchanges.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nTop: Int, nDup: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("__s", repetitionUdf(tokens(col(textCol)), lit(nTop), lit(nDup)))
+      .select(col(idCol).as("doc_id"),
+        col("__s.top_gram").as("top_gram"), col("__s.top_n").as("top_n"),
+        col("__s.n_grams").as("n_grams"),
+        ((col("__s.n_grams") - col("__s.n_distinct")).cast("double") /
+          col("__s.n_grams")).as("dup2_fraction"),
+        ((col("__s.dup_total") - col("__s.dup_distinct")).cast("double") /
+          col("__s.dup_total")).as("dup3_fraction"),
+        (col("__s.top_n").cast("double") / col("__s.n_grams")).as("top_fraction"))
+
   /** Per-document most-frequent word n-gram: (doc_id, top_gram, top_n,
     * n_grams, n_distinct, top_fraction). Ties break on the gram string
     * ascending — deterministic across engines.
     *
-    * Shape: ONE explode + one (doc, gram) hash aggregation + one more
-    * hash aggregation per doc where the winner is `min(struct(-cnt,
-    * gram))` — lexicographic struct ordering IS (cnt desc, gram asc),
-    * so no window, no per-doc sort, and partial aggregation applies to
-    * the top-1 selection itself (each map task forwards one candidate
-    * struct per doc). The totals ride in the same aggregate, so
-    * dup-instance fractions ((n_grams − n_distinct) / n_grams) come
-    * for free. At corpus scale this is two shuffles of (doc, gram)
-    * counts and zero sorts.
+    * Shape: a single MAP-ONLY pass — per-doc gram counting is row-local,
+    * so exploding into (doc, gram) rows and shuffling them (the
+    * aggregation formulation) ships the whole tokenized corpus across
+    * the network to compute values each row already had. One UDF
+    * hash-map per doc (the minhash trade: measured ~7× on this query's
+    * bench shape), zero exchanges; at 100 TB the scan parallelism is
+    * the only knob.
+    */
+  /** Extra input columns (beyond the text) ride through untouched, so
+    * callers can co-compute other row-local metrics in the same pass.
     */
   def topNgramPerDoc(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    val counts = df.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    counts.groupBy(col("doc_id"))
-      .agg(
-        min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("__top"),
-        sum(col("cnt")).as("n_grams"),
-        count(lit(1)).as("n_distinct"))
-      .select(col("doc_id"), col("__top.g").as("top_gram"),
-        (-col("__top.nc")).as("top_n"), col("n_grams"), col("n_distinct"),
-        ((-col("__top.nc")).cast("double") / col("n_grams")).as("top_fraction"))
+    val carried = df.columns.filter(c => c != idCol && c != textCol)
+      .map(col).toSeq
+    df.withColumn("__s", topGramUdf(tokens(col(textCol)), lit(n)))
+      .select(col(idCol).as("doc_id") +: carried :+
+        col("__s.top_gram").as("top_gram") :+
+        col("__s.top_n").as("top_n") :+ col("__s.n_grams").as("n_grams") :+
+        col("__s.n_distinct").as("n_distinct") :+
+        (col("__s.top_n").cast("double") / col("__s.n_grams")).as("top_fraction"): _*)
   }
 
   // ---- chunking / sequence packing -------------------------------------
@@ -211,7 +272,7 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     // hash AFTER the explode (a generator cannot nest inside xxhash64)
     val counts = df.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      explode(Dedup.shinglesFast(col(textCol), n)).as("__g"))
       .select(col("doc_id"),
         (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
@@ -245,11 +306,11 @@ object TextOps {
     // explode first, hash second (generators cannot nest in expressions)
     def hashed(c: Column) = if (hashGrams) xxhash64(c) else c
     val evalGrams = eval
-      .select(explode(array_distinct(Dedup.shingles(col(evalTextCol), n))).as("__g"))
+      .select(explode(array_distinct(Dedup.shinglesFast(col(evalTextCol), n))).as("__g"))
       .select(hashed(col("__g")).as("gram")).distinct()
     val trainGrams = train
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__g"))
+        explode(array_distinct(Dedup.shinglesFast(col(textCol), n))).as("__g"))
       .select(col("doc_id"), hashed(col("__g")).as("gram"))
     val shared = trainGrams.join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))

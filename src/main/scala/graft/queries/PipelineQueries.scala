@@ -216,16 +216,9 @@ object PipelineQueries {
         |FROM fracs f
         |JOIN top t ON f.doc_id = t.doc_id AND t.rn = 1
         |JOIN totals tl ON f.doc_id = tl.doc_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      // dup2 falls out of the top-gram aggregation's totals; only dup3
-      // needs a per-row pass over the text (cheap map work in the scan)
-      TextOps.topNgramPerDoc(docs, "doc_id", "text", 2)
-        .withColumn("dup2_fraction",
-          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
-        .drop("n_distinct")
-        .join(docs.select(col("doc_id"),
-          TextOps.dupNgramFraction(col("text"), 3).as("dup3_fraction")),
-          Seq("doc_id"))
+      // every output is row-local -> ONE map-only UDF pass, zero exchanges
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+        nTop = 2, nDup = 3)
     },
 
     // CORPUS-level duplicate n-gram fraction (RefinedWeb-style): how

@@ -626,11 +626,16 @@ class PipelineSpec extends AnyFunSuite {
       .map(m => (m.left, m.right, m.freq))
     assert(learned == refBpe(toy, 6, 1L))
     assert(learned.map { case (a, b, _) => a + b }.contains("est"))
+    // the DISTRIBUTED rounds (forced via budget=0) match the driver path
+    assert(Bpe.train(toyDf, "text", numMerges = 6, minPairFreq = 1L,
+      driverVocabBudget = 0L).map(m => (m.left, m.right, m.freq)) == learned)
 
     // overlap counting parity on degenerate runs ("aaaa": (a,a) counted 3x)
     val runs = Seq("aaaa aaaa bab")
     assert(Bpe.train(runs.toDF("text"), "text", numMerges = 3, minPairFreq = 1L)
       .map(m => (m.left, m.right, m.freq)) == refBpe(runs, 3, 1L))
+    assert(Bpe.train(runs.toDF("text"), "text", numMerges = 3, minPairFreq = 1L,
+      driverVocabBudget = 0L).map(m => (m.left, m.right, m.freq)) == refBpe(runs, 3, 1L))
 
     // segmentation: greedy merge application compresses the training corpus
     val stats = Bpe.segmentStats(toyDf, "text", "text",
