@@ -197,4 +197,65 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("shinglesFast UDF equals the builtin shingle expression on random docs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "的", "x1", "-", "word")
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    Seq(1, 2, 3, 5).foreach { w =>
+      val both = df.select(col("doc_id"),
+        graft.operators.Dedup.shingles(col("text"), w).as("builtin"),
+        graft.operators.Dedup.shinglesFast(col("text"), w).as("fast"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"w=$w doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("repetitionStats kernel equals the explode+aggregate formulation") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "e e") // "e e" -> two tokens
+    val docGen = for {
+      n <- Gen.choose(1, 20)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val fast = graft.operators.TextOps
+      .repetitionStats(df, "doc_id", "text", nTop = 2, nDup = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("top_gram"), r.getAs[Long]("top_n"),
+          r.getAs[Long]("n_grams"), r.getAs[Double]("dup2_fraction"),
+          r.getAs[Double]("dup3_fraction")))).toMap
+    // reference: the original explode + min(struct) aggregation shape
+    val counts = df.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("t"),
+        sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_distinct"))
+    val dup3 = df.select(col("doc_id"),
+      graft.operators.TextOps.dupNgramFraction(col("text"), 3).as("d3"))
+    val ref = agg.join(dup3, Seq("doc_id")).collect().map { r =>
+      val ng = r.getAs[Long]("n_grams")
+      val nd = r.getAs[Long]("n_distinct")
+      r.getAs[Long]("doc_id") -> ((
+        r.getStruct(1).getString(1), -r.getStruct(1).getLong(0), ng,
+        (ng - nd).toDouble / ng, r.getAs[Double]("d3")))
+    }.toMap
+    assert(fast == ref)
+  }
 }
