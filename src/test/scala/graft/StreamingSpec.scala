@@ -506,6 +506,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(seqs == Seq(0L, 1L, 2L, 3L, 4L)) // no re-read, no loss
   }
 
+  test("quality gates run map-only on streams and equal their batch results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Classifier, TextOps}
+    val docs = Seq(
+      Doc(1L, "good clean prose sample here"),
+      Doc(2L, "spam junk bad noise garbage text"),
+      Doc(3L, "more good clean prose prose prose"))
+    val weights = Classifier.trainLogOdds(
+      Seq(Doc(0L, "good clean prose")).toDF(),
+      Seq(Doc(0L, "spam junk noise")).toDF(), "text", dim = 128)
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val scored = Classifier.scoreLinear(df, "doc_id", "text", weights)
+      val block = TextOps.blocklistStats(df, "doc_id", "text",
+        blocklist = Seq("bad"), maxPerMille = 100)
+        .select(col("doc_id"), col("kept"))
+      val rep = TextOps.repetitionStats(df, "doc_id", "text", nTop = 2, nDup = 3)
+        .select(col("doc_id"), col("dup2_fraction"))
+      // map-only composition: same-source joins collapse on the stream too
+      scored.join(block, Seq("doc_id")).join(rep, Seq("doc_id"))
+    }
+    val batch = gate(docs.toDF()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("margin"),
+        r.getAs[Boolean]("kept"), r.getAs[Double]("dup2_fraction"))).toSet
+    val mem = MemoryStream[Doc]
+    mem.addData(docs: _*)
+    val q = gate(mem.toDF()).writeStream.format("memory")
+      .queryName("quality_gate_stream").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("quality_gate_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("margin"),
+        r.getAs[Boolean]("kept"), r.getAs[Double]("dup2_fraction"))).toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
   test("hop agg emits per overlapping window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
