@@ -28,6 +28,26 @@ object LangModel {
       .filter(size(split(col("gram"), " ")) === 2) // drop <2-token docs
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
 
+  /** Integer-exact model-coverage companion to [[perplexity]]: per doc,
+    * how many bigram instances appear in the reference model at all.
+    * Same broadcast-model scan shape; count math only, so the result is
+    * oracle-checkable bit-for-bit. Documents with <2 tokens are omitted
+    * (no bigrams — length-filter them separately).
+    */
+  def bigramCoverage(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val known = bigramCounts(ref, refTextCol)
+      .select(col("gram")).withColumn("__in", lit(1))
+    df.select(col(idCol).as("doc_id"),
+        explode(Dedup.shinglesFast(col(textCol), 2)).as("gram"))
+      .filter(size(split(col("gram"), " ")) === 2)
+      .join(broadcast(known), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__in").isNull, 0L).otherwise(1L)).as("n_known"))
+      .withColumn("coverage", col("n_known").cast("double") / col("n_bigrams"))
+  }
+
   /** Score every document in `df` against the reference model.
     * Output: (doc_id, n_bigrams, cross_entropy, perplexity); documents
     * with fewer than two tokens have no bigrams and are omitted (they

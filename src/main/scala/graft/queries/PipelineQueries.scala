@@ -755,6 +755,46 @@ object PipelineQueries {
         docs.filter(col("source") === "src0"), "text", alpha = 1.0)
     },
 
+    // Integer-exact companion to the LM filter: fraction of each doc's
+    // bigram INSTANCES seen in the src0 reference model — same broadcast
+    // -model scoring shape, but count math only, so fully oracled.
+    QueryDef("q69b_bigram_coverage",
+      """WITH ref AS (
+        |  SELECT DISTINCT tok[i] || ' ' || tok[i+1] AS gram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS tok
+        |        FROM documents WHERE source = 'src0'),
+        |       UNNEST(range(1, len(tok))) AS t(i)
+        |  WHERE len(tok) >= 2
+        |),
+        |docg AS (
+        |  SELECT doc_id, tok[i] || ' ' || tok[i+1] AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |        FROM documents),
+        |       UNNEST(range(1, len(tok))) AS t(i)
+        |  WHERE len(tok) >= 2
+        |)
+        |SELECT d.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN r.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_known,
+        |  CAST(SUM(CASE WHEN r.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / COUNT(*) AS coverage
+        |FROM docg d LEFT JOIN ref r ON d.gram = r.gram
+        |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.LangModel.bigramCoverage(
+        docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+    },
+
+    // Tokenizer APPLY step: per-doc subword counts under the corpus-
+    // trained merge list (rows-only: the merge list itself is the
+    // iterative trainer's output; segmentation math spec'd in
+    // PipelineSpec against per-token reference segmentation).
+    QueryDef.noOracle("q68b_bpe_segment") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 12)
+      graft.operators.Bpe.segmentStats(docs, "doc_id", "text", merges)
+    },
+
     // Linear quality classifier (fastText-style hash features + log-odds
     // head; the reference's ONNX-scoring analogue, Spark-first). Lang
     // marker tokens are PLANTED so the en-vs-rest head has signal to
