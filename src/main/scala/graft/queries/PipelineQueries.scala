@@ -809,6 +809,20 @@ object PipelineQueries {
       graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
     },
 
+    // Cluster-balanced sampling (topic-balance curation): k-means cells
+    // over the embedding corpus, then an exact per-cell quota — the
+    // "diversify by semantic cluster" step of dataset mixing. Float
+    // k-means has no SQL twin -> rows-only; cell stability + quota
+    // enforcement in PipelineSpec.
+    QueryDef.noOracle("q71_cluster_balance") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.Ivf.trainCentroids(emb, "embedding", nlist = 16)
+      graft.operators.Sampling.stratifiedExact(
+        emb.withColumn("cell", graft.operators.Ivf.assignCells(emb, "embedding", cents))
+          .select(col("vec_id"), col("label"), col("cell")),
+        "cell", "vec_id", n = 20)
+    },
+
     // Brute-force ANN with an ORACLE: rank order (cos desc, id asc) is
     // float-stable here — the smallest adjacent top-k cosine gap in
     // this data is ~2e-5, nine orders above any accumulation-order

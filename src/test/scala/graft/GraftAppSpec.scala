@@ -46,6 +46,24 @@ class GraftAppSpec extends AnyFunSuite {
       Seq("window_start", "event_type", "n"), "left_anti").count() == 0)
   }
 
+  test("config-driven curation pipeline: quality gates run in dialect SQL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val config = GraftConfig(
+      sources = Seq(SourceConf("docs", s"$dir/documents.parquet")),
+      sql =
+        """SELECT doc_id, scrub_pii(text) AS clean, token_count(text) AS tc,
+          |  quality_score(text) AS qs, lang_id(text) AS lid,
+          |  fingerprint64(text) AS fp
+          |INTO scored FROM docs;
+          |SELECT doc_id, clean, lid INTO curated FROM scored
+          |WHERE tc BETWEEN 5 AND 2000 AND qs > 0.1""".stripMargin,
+      sinks = Seq(SinkConf("curated", s"$tmp/out", mode = "overwrite")))
+    val outputs = runBatch(spark, config)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() > 0 && out.count() == outputs("curated").count())
+    assert(out.columns.toSet == Set("doc_id", "clean", "lid"))
+  }
+
   test("unknown sink table fails loudly") {
     val e = intercept[IllegalArgumentException] {
       runBatch(spark, GraftConfig(

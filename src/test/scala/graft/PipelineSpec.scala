@@ -696,6 +696,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.get(r.fieldIndex("fp")) != null && r.get(r.fieldIndex("sh")) != null)
   }
 
+  test("cluster-balanced sampling: per-cell quota, deterministic cells") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    import graft.operators.{Ivf, Sampling}
+    val cents = Ivf.trainCentroids(emb, "embedding", nlist = 8)
+    val assigned = emb
+      .withColumn("cell", Ivf.assignCells(emb, "embedding", cents))
+      .select(col("vec_id"), col("cell"))
+    val sampled = Sampling.stratifiedExact(assigned, "cell", "vec_id", n = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+    // quota respected per cell
+    sampled.groupBy(_._2).foreach { case (_, g) => assert(g.length <= 5) }
+    // deterministic: same training, same cells, same sample
+    val cents2 = Ivf.trainCentroids(emb, "embedding", nlist = 8)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    // each sampled row keeps the n smallest vec_ids of its cell
+    val byCell = assigned.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.take(5).toSet).toMap
+    sampled.foreach { case (id, cell) => assert(byCell(cell).contains(id)) }
+  }
+
   test("bigram LM perplexity matches closed-form hand computation") {
     import spark.implicits._
     import graft.operators.LangModel
