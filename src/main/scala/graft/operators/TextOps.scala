@@ -258,10 +258,12 @@ object TextOps {
     * whose gram occurs in ≥2 distinct docs, and the duplicate fraction.
     *
     * Shape at scale: ONE explode into a (doc, gram) count aggregation;
-    * gram doc-frequency derives from that same aggregation (its
-    * exchange is reused — Catalyst ReuseExchange — so the corpus is
-    * tokenized and shuffled once); then a gram-keyed join of the two
-    * aggregated sides and a per-doc rollup of instance counts. With
+    * gram doc-frequency is a COUNT window over the gram partition of
+    * that same aggregated relation (one row per (doc, gram), so the
+    * partition row count IS the doc frequency) — a re-aggregation or
+    * self-join would tokenize and shuffle the corpus twice (measured:
+    * AQE stage reuse does not fire across such consumers); then a
+    * per-doc rollup of instance counts. With
     * `hashGrams` the join/shuffle keys are 64-bit xxhash64 values
     * instead of gram strings — the 100 TB path (set false only for
     * cross-engine oracle checks where the hash has no SQL twin; the
@@ -277,9 +279,10 @@ object TextOps {
         (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("__cnt"))
-    // one row per (doc, gram) -> row count per gram IS the doc frequency
-    val docFreq = counts.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
-    counts.join(docFreq, Seq("gram"))
+    // one row per (doc, gram) -> gram-partition row count IS the doc freq
+    counts
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("__cnt")).as("n_grams"),
         sum(when(col("__df") >= 2, col("__cnt")).otherwise(0L)).as("n_shared"))
@@ -397,12 +400,15 @@ object TextOps {
     * whole extraction oracle-checkable; log-scaled variants differ in
     * libm ulps). Ties break on token ascending.
     *
-    * Shape at scale: one explode into a (doc, token) count aggregation;
-    * document frequency derives from that same aggregation (its
-    * exchange is reused by Catalyst); N arrives as a broadcast scalar;
-    * the per-doc top-k is a rank window that Spark executes with
-    * partial WindowGroupLimit pushdown (each map task forwards at most
-    * k candidates per doc before the shuffle).
+    * Shape at scale: ONE corpus scan — explode into a (doc, token)
+    * count aggregation, then document frequency as a COUNT window over
+    * the token partition of that same aggregated relation (a
+    * re-aggregation or self-join would tokenize and shuffle the corpus
+    * twice: measured, AQE stage reuse does not fire across the two
+    * consumers). N arrives as a broadcast scalar; the per-doc top-k is
+    * a rank window that Spark executes with partial WindowGroupLimit
+    * pushdown (each map task forwards at most k candidates per doc
+    * before the shuffle).
     */
   def keyTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -411,12 +417,12 @@ object TextOps {
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = counts.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token").asc)
-    counts.join(docFreq, Seq("token"))
+    counts.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") * col("__n") / col("df"))
       .withColumn("term_rank", row_number().over(w).cast("int"))

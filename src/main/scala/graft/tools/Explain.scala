@@ -20,9 +20,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.configure(spark)
-    names.foreach { n =>
+    // "-run" prints the FINAL adaptive plan after execution (AQE's
+    // exchange reuse / coalescing / join demotions only show there)
+    val run = names.contains("-run")
+    names.filter(_ != "-run").foreach { n =>
       println(s"========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      if (run) {
+        // collect() drives THIS Dataset's QueryExecution (a write would
+        // clone the plan and leave this one un-finalized)
+        df.collect()
+        println(s"---------- $n (executed, final adaptive plan) ----------")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }
