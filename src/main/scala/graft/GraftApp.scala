@@ -27,13 +27,82 @@ object GraftApp {
     * queries terminate.
     */
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: GraftApp <config.yaml>")
-    val config = GraftConfigLoader.fromYamlFile(args(0))
-    val spark = GraftSession.create(
-      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-    if (config.streaming) runStreaming(spark, config).foreach(_.awaitTermination())
-    else runBatch(spark, config)
-    spark.stop()
+    val (cmd, cfgPath) = args match {
+      case Array(c @ ("build" | "clean" | "run"), p) => (c, p)
+      case Array(p) => ("run", p)
+      case _ => throw new IllegalArgumentException(
+        "usage: GraftApp [run|build|clean] <config.yaml>")
+    }
+    val config = GraftConfigLoader.fromYamlFile(cfgPath)
+    cmd match {
+      case "clean" => clean(config)
+      case "build" =>
+        val spark = GraftSession.create(
+          sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        try build(spark, config).foreach { case (t, s) =>
+          println(s"$t: ${s.simpleString}")
+        } finally spark.stop()
+      case "run" =>
+        val spark = GraftSession.create(
+          sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        try {
+          if (config.streaming)
+            runStreaming(spark, config).foreach(_.awaitTermination())
+          else runBatch(spark, config)
+        } finally spark.stop()
+    }
+  }
+
+  /** `dozer build` equivalent (reference dozer-cli/src/cli/types.rs:47-60):
+    * validate the pipeline end-to-end WITHOUT executing — resolve every
+    * source schema, analyze the dialect SQL into plans (Catalyst analysis
+    * runs eagerly, so unknown columns/tables/functions fail here), check
+    * every sink references an INTO output and has a legal mode — and
+    * return each output table's schema. No sink is written.
+    */
+  def build(spark: SparkSession, config: GraftConfig): Map[String, StructType] = {
+    registerUdfs(spark, config)
+    val runner = new GraftSqlRunner(spark, streaming = config.streaming)
+    config.sources.foreach { s =>
+      val schema = s.schema.getOrElse(
+        spark.read.format(s.format).load(s.path).schema)
+      val df =
+        if (config.streaming) {
+          val raw = spark.readStream.format(s.format).schema(schema).load(s.path)
+          s.watermark.fold(raw) { case (ts, dur) => raw.withWatermark(ts, dur) }
+        } else spark.read.format(s.format).schema(schema).load(s.path)
+      runner.registerSource(s.name, df)
+    }
+    val outputs = runner.run(config.sql)
+    config.sinks.foreach { sink =>
+      require(outputs.contains(sink.table),
+        s"sink references unknown output table '${sink.table}'")
+      require(Set("append", "overwrite", "upsert")(sink.mode),
+        s"unknown sink mode ${sink.mode}")
+      if (sink.mode == "upsert")
+        require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
+    }
+    outputs.map { case (t, df) => t -> df.schema }
+  }
+
+  /** `dozer clean` equivalent: remove every sink's materialized data and
+    * streaming checkpoints declared in the config (the reference wipes
+    * its app-data directory). Idempotent — missing paths are fine.
+    */
+  def clean(config: GraftConfig): Unit = {
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    config.sinks.foreach { s =>
+      rm(s.path)
+      rm(s.checkpoint.getOrElse(s.path + "_ckpt"))
+    }
   }
 
   final case class SourceConf(

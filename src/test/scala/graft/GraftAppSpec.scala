@@ -64,6 +64,45 @@ class GraftAppSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("doc_id", "clean", "lid"))
   }
 
+  test("build validates the pipeline and reports schemas without writing sinks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_build").toString
+    val config = GraftConfig(
+      sources = Seq(SourceConf("ev", s"$dir/events.parquet")),
+      sql = "SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type",
+      sinks = Seq(SinkConf("per_type", s"$tmp/out", mode = "overwrite")))
+    val schemas = build(spark, config)
+    assert(schemas("per_type").fieldNames.toSeq == Seq("event_type", "n"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/out")))
+    // analysis errors surface at build time
+    val bad = intercept[Exception] {
+      build(spark, config.copy(sql = "SELECT no_such_col INTO x FROM ev"))
+    }
+    assert(bad.getMessage.toLowerCase.contains("no_such_col"))
+    // sink validation: unknown table and upsert-without-keys both fail
+    assert(intercept[IllegalArgumentException] {
+      build(spark, config.copy(sinks = Seq(SinkConf("nope", s"$tmp/x"))))
+    }.getMessage.contains("nope"))
+    assert(intercept[IllegalArgumentException] {
+      build(spark, config.copy(
+        sinks = Seq(SinkConf("per_type", s"$tmp/x", mode = "upsert"))))
+    }.getMessage.contains("keys"))
+  }
+
+  test("clean removes sink data and checkpoints, idempotently") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    val config = GraftConfig(
+      sources = Seq(SourceConf("ev", s"$dir/events.parquet")),
+      sql = "SELECT event_type INTO out1 FROM ev",
+      sinks = Seq(SinkConf("out1", s"$tmp/out", mode = "overwrite")))
+    runBatch(spark, config)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/out_ckpt/x"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/out")))
+    clean(config)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/out")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/out_ckpt")))
+    clean(config) // second run is a no-op, not an error
+  }
+
   test("unknown sink table fails loudly") {
     val e = intercept[IllegalArgumentException] {
       runBatch(spark, GraftConfig(
