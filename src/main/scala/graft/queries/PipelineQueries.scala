@@ -505,6 +505,21 @@ object PipelineQueries {
         "qid", "qvec", kNeighbors = 5, model, rerank = 50)
     },
 
+    // IVF-PQ ANN — the production 100 TB shape: coarse cells prune the
+    // corpus to nprobe/nlist, PQ codes make the cell scan m bytes per
+    // vector, exact rerank touches `rerank` floats per query. Rows-only;
+    // recall vs brute force in PipelineSpec.
+    QueryDef.noOracle("q72_ann_ivfpq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.Ivf.trainCentroids(emb, "embedding", nlist = 16)
+      val model = graft.operators.Pq.train(emb, "embedding", m = 8, k = 16)
+      graft.operators.Pq.ivfAdcTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", kNeighbors = 5, cents, nprobe = 4, model, rerank = 50)
+    },
+
     // Embedding near-dup pairs — rows-only
     QueryDef.noOracle("q41_embedding_neardup") { (s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"),

@@ -696,6 +696,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.get(r.fieldIndex("fp")) != null && r.get(r.fieldIndex("sh")) != null)
   }
 
+  test("IVF-PQ ANN keeps recall vs brute force; full-probe+rerank is near-exact") {
+    import graft.operators.{Ivf, Pq, Similarity}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 15)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Ivf.trainCentroids(emb, "embedding", nlist = 8)
+    val model = Pq.train(emb, "embedding", m = 8, k = 16)
+    // full probe + generous rerank ~ brute force (residual loss is PQ
+    // shortlist distortion at m=8,k=16 — 2 bits/dim)
+    val full = Pq.ivfAdcTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", kNeighbors = 5, cents, nprobe = 8, model, rerank = 200)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRecall = (exact & full).size.toDouble / exact.size
+    assert(fullRecall > 0.85, s"full-probe recall=$fullRecall")
+    // partial probe keeps decent recall at a fraction of the scan
+    val part = Pq.ivfAdcTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", kNeighbors = 5, cents, nprobe = 3, model, rerank = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val partRecall = (exact & part).size.toDouble / exact.size
+    assert(partRecall > 0.5, s"partial-probe recall=$partRecall")
+  }
+
   test("cluster-balanced sampling: per-cell quota, deterministic cells") {
     val emb = Tables.load(spark, dir, "embeddings")
     import graft.operators.{Ivf, Sampling}
