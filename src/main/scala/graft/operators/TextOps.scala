@@ -250,6 +250,49 @@ object TextOps {
         count(lit(1)).as("n_spans_kept"))
   }
 
+  /** Exact-substring duplication stats (the deduplicating-training-data
+    * signal of Lee et al. 2022, window-hash approximation of their
+    * suffix-array pass): a length-`w` token window duplicated ANYWHERE
+    * in the corpus (incl. within the same doc) marks its positions as
+    * duplicated; per doc, the fraction of token positions covered.
+    *
+    * Shape at scale: stride-1 windows explode to O(corpus tokens) rows,
+    * but each carries only (doc_id, pos, 8-byte xxhash64) — the ONE
+    * corpus-wide shuffle is on the hash; the duplicated-window count
+    * re-derives via a COUNT window over the hash partition (same
+    * single-shuffle trick as keyTerms/corpusDupNgramStats, measured
+    * cheaper than a re-aggregation+join); coverage is a distinct-count
+    * of exploded positions per doc. Integer math throughout, so the
+    * whole operator oracle-checks despite the internal hashing (2⁻⁶⁴
+    * collision caveat).
+    */
+  def substringDupStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int): org.apache.spark.sql.DataFrame = {
+    require(w >= 1, s"w=$w must be >= 1")
+    val tok = tokens(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), tok.as("__tok"),
+      size(tok).cast("long").as("n_tokens"))
+    val windows = base.filter(size(col("__tok")) >= w)
+      .select(col("doc_id"),
+        posexplode(Dedup.shinglesFast(concat_ws(" ", col("__tok")), w))
+          .as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("__g")).as("__h"))
+    val dupPositions = windows
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("__cnt") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("dup_pos"))
+    val coverage = dupPositions.groupBy(col("doc_id"))
+      .agg(countDistinct(col("dup_pos")).as("n_dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(coverage, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_fraction",
+        col("n_dup_tokens").cast("double") / col("n_tokens"))
+  }
+
   // ---- corpus-level n-gram dedup / decontamination ---------------------
 
   /** Per-document CORPUS-duplicate n-gram stats — the RefinedWeb-style

@@ -679,6 +679,35 @@ object PipelineQueries {
         seed = 7L, defaultWeight = 0.1)
     },
 
+    // Exact-substring duplication (Lee et al. deduplicating-training-data
+    // signal, window-hash form): positions covered by any 8-token window
+    // duplicated anywhere in the corpus. Integer-exact despite internal
+    // xxhash64 keys -> fully oracled.
+    QueryDef("q73_substring_dup",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents
+        |),
+        |wins AS (
+        |  SELECT doc_id, i, array_to_string(tok[i:i+7], ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(tok) - 6)) AS u(i)
+        |  WHERE len(tok) >= 8
+        |),
+        |cnts AS (SELECT gram, COUNT(*) AS cnt FROM wins GROUP BY gram),
+        |dup_pos AS (
+        |  SELECT DISTINCT w.doc_id, p.pos
+        |  FROM wins w JOIN cnts c USING (gram),
+        |       UNNEST(range(w.i, w.i + 8)) AS p(pos)
+        |  WHERE c.cnt >= 2
+        |),
+        |cov AS (SELECT doc_id, COUNT(*) AS n FROM dup_pos GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.tok) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(cov.n, 0) AS BIGINT) AS n_dup_tokens,
+        |  CAST(COALESCE(cov.n, 0) AS DOUBLE) / len(t.tok) AS dup_fraction
+        |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, dir) =>
+      TextOps.substringDupStats(t(s, dir, "documents"), "doc_id", "text", w = 8)
+    },
+
     // Vocabulary-coverage (OOV) quality gate: reference vocab = src0's
     // tokens; OOV tokens are PLANTED per doc_id (the synthetic corpus
     // shares one vocabulary, so un-planted OOV would be uniformly zero).

@@ -724,6 +724,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(partRecall > 0.5, s"partial-probe recall=$partRecall")
   }
 
+  test("substring-dup stats: planted duplicate spans are covered exactly") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token span; doc 3 repeats its own span;
+    // doc 4 is clean; doc 5 is too short for any window
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span a1 a2 a3"),                  // 11 tok, dup pos 0-7
+      (2L, s"b1 b2 $span"),                     // 10 tok, dup pos 2-9
+      (3L, s"$span $span"),                     // 16 tok, all dup
+      (4L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique
+      (5L, "tiny doc only")).toDF("doc_id", "text")
+    val m = graft.operators.TextOps.substringDupStats(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens")))).toMap
+    assert(m(1L) == ((11L, 8L)))
+    assert(m(2L) == ((10L, 8L)))
+    assert(m(3L) == ((16L, 16L)))
+    assert(m(4L) == ((12L, 0L)))
+    assert(m(5L) == ((3L, 0L)))
+  }
+
   test("cluster-balanced sampling: per-cell quota, deterministic cells") {
     val emb = Tables.load(spark, dir, "embeddings")
     import graft.operators.{Ivf, Sampling}
