@@ -103,6 +103,86 @@ object Multimodal {
       out.toByteArray
     }
 
+    // ---- audio: REAL RIFF/WAVE PCM16 codec (byte-level, no deps) ----
+
+    /** Encode mono/stereo PCM16 samples as a standards-conformant WAV
+      * file (RIFF header + fmt + data chunks, little-endian) — real
+      * bytes any audio tool plays.
+      */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short],
+        channels: Int = 1): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)                       // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * channels * 2)         // byte rate
+        .putShort((channels * 2).toShort)          // block align
+        .putShort(16.toShort)                      // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode a PCM16 WAV: walk the RIFF chunk list (fmt before data,
+      * unknown chunks skipped — real files carry LIST/INFO etc.),
+      * validate PCM/16-bit, return (sampleRate, channels, nFrames,
+      * meanAbsAmplitude in [0,1]). None on anything malformed — a
+      * corrupt corpus row must flag, not throw.
+      */
+    def decodeWav(payload: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+      if (payload == null || payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      try {
+        if (tag4() != "RIFF") return None
+        bb.getInt // riff size (trust chunk walk, not this)
+        if (tag4() != "WAVE") return None
+        var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+        while (bb.remaining() >= 8) {
+          val id = tag4()
+          val len = bb.getInt
+          if (len < 0 || len > bb.remaining()) return None
+          id match {
+            case "fmt " =>
+              if (len < 16) return None
+              val pos = bb.position()
+              val audioFormat = bb.getShort
+              val channels = bb.getShort.toInt
+              val sampleRate = bb.getInt
+              bb.getInt; bb.getShort // byte rate, block align
+              val bits = bb.getShort
+              if (audioFormat != 1 || bits != 16 || channels < 1) return None
+              fmt = Some((channels, sampleRate))
+              bb.position(pos + len + (len & 1)) // chunks pad to even
+            case "data" =>
+              val (channels, sampleRate) = fmt.getOrElse(return None)
+              val nSamples = len / 2
+              var sumAbs = 0.0
+              var i = 0
+              val pos = bb.position()
+              while (i < nSamples) {
+                sumAbs += math.abs(bb.getShort(pos + i * 2).toInt)
+                i += 1
+              }
+              val nFrames = nSamples.toLong / channels
+              val mean = if (nSamples == 0) 0.0 else sumAbs / nSamples / 32768.0
+              return Some((sampleRate, channels, nFrames, mean))
+            case _ =>
+              bb.position(bb.position() + len + (len & 1))
+          }
+        }
+        None // no data chunk
+      } catch { case _: RuntimeException => None }
+    }
+
     /** STUB: frame sampling — returns `n` pseudo-frame offsets (the
       * JDK has no video codec; a real implementation indexes container
       * keyframes).
@@ -410,6 +490,45 @@ object Multimodal {
               math.floorMod(id * 31 + f * 17, 200L).toInt)
           }
           MediaRow(id, MediaCodecs.encodeFrames(frames), "video")
+        }
+      }
+  }
+
+  case class AudioRow(id: Long, ok: Boolean, sampleRate: Int,
+      channels: Int, nFrames: Long, durationMs: Double, meanAmp: Double)
+
+  /** Batched REAL WAV decode over binary payloads (same mapPartitions
+    * shape as [[decodeBatched]] — shuffle-free, corpus-scale map work).
+    */
+  def decodeWavBatched(ds: Dataset[MediaRow]): Dataset[AudioRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodecs.decodeWav(r.payload) match {
+          case Some((sr, ch, n, mean)) =>
+            AudioRow(r.id, ok = true, sr, ch, n,
+              n.toDouble * 1000.0 / sr, mean)
+          case None => AudioRow(r.id, ok = false, 0, 0, 0L, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** Deterministic real WAV corpus: per id, a constant-|amplitude|
+    * square wave (every sample ±A) so the decoded mean amplitude is
+    * A/32768 in closed form — the audio analogue of [[renderPngs]].
+    */
+  def renderWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 400 + math.floorMod(id, 256L).toInt
+          val amp = (math.floorMod(id * 37, 16384L) + 1).toInt
+          val samples = Array.tabulate(n)(i =>
+            (if (i % 2 == 0) amp else -amp).toShort)
+          MediaRow(id, MediaCodecs.encodeWavPcm16(8000, samples), "audio")
         }
       }
   }

@@ -657,6 +657,28 @@ object PipelineQueries {
           col("meanLuma").as("mean_luma"))
     },
 
+    // Multimodal AUDIO: REAL RIFF/PCM16 WAV codec — render a constant-
+    // |amplitude| square-wave WAV per doc (every field closed-form in
+    // doc_id), decode the bytes back at the RIFF chunk level. Fully
+    // oracled: rate/channels/frames from the header walk, mean |amp|
+    // from the PCM samples (= A/32768 exactly for a square wave).
+    QueryDef("q74_audio_decode",
+      """SELECT doc_id AS id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(400 + doc_id % 256 AS BIGINT) AS n_frames,
+        |  CAST(400 + doc_id % 256 AS DOUBLE) * 1000 / 8000 AS duration_ms,
+        |  CAST((doc_id * 37) % 16384 + 1 AS DOUBLE) / 32768 AS mean_amp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderWavs(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeWavBatched(media)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"), col("meanAmp").as("mean_amp"))
+    },
+
     // Weighted SOURCE MIXING (pretraining data-mixture step): per-source
     // keep rates as a pure md5-threshold function of doc_id — portable
     // hash, so the kept set is oracle-checkable verbatim in SQL.

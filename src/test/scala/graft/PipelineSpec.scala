@@ -724,6 +724,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(partRecall > 0.5, s"partial-probe recall=$partRecall")
   }
 
+  test("WAV codec: JDK-parser cross-check, chunk skipping, corruption flags") {
+    import graft.operators.Multimodal.MediaCodecs
+    val samples = Array.tabulate(500)(i => (if (i % 2 == 0) 1200 else -1200).toShort)
+    val wav = MediaCodecs.encodeWavPcm16(8000, samples)
+    // the JDK's own parser accepts our encoder's bytes and agrees on format
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(aff.getFormat.getSampleRate == 8000f &&
+      aff.getFormat.getChannels == 1 &&
+      aff.getFormat.getSampleSizeInBits == 16 &&
+      aff.getFrameLength == 500)
+    // our decoder round-trips, mean |amp| exact for a square wave
+    val Some((sr, ch, n, mean)) = MediaCodecs.decodeWav(wav)
+    assert(sr == 8000 && ch == 1 && n == 500L && mean == 1200.0 / 32768)
+    // unknown chunks (LIST/INFO) before data are skipped like real files
+    val data = wav.drop(36) // "data" + len + samples
+    val fmtPart = wav.slice(12, 36)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val bodyLen = 4 + fmtPart.length + list.length + data.length
+    val withList = "RIFF".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(bodyLen).array() ++
+      "WAVE".getBytes("US-ASCII") ++ fmtPart ++ list ++ data
+    assert(MediaCodecs.decodeWav(withList) == Some((8000, 1, 500L, 1200.0 / 32768)))
+    // corruption: truncated, wrong magic, fmt claiming float -> None
+    assert(MediaCodecs.decodeWav(wav.take(30)) == None)
+    assert(MediaCodecs.decodeWav("not a wav at all, just text bytes!!!!!!!!!!!".getBytes) == None)
+    val floatFmt = wav.clone(); floatFmt(20) = 3 // audioFormat = IEEE float
+    assert(MediaCodecs.decodeWav(floatFmt) == None)
+    // stereo: frames = samples / channels
+    val stereo = MediaCodecs.encodeWavPcm16(16000, samples, channels = 2)
+    assert(MediaCodecs.decodeWav(stereo) == Some((16000, 2, 250L, 1200.0 / 32768)))
+  }
+
   test("substring-dup stats: planted duplicate spans are covered exactly") {
     import spark.implicits._
     // docs 1 and 2 share an 8-token span; doc 3 repeats its own span;
