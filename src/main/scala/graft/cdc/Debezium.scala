@@ -131,7 +131,7 @@ object Debezium {
   def encode(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val payload = changes.columns
       .filterNot(c => c == ChangeModel.OpCol || c == ChangeModel.SeqCol)
-    val rowStruct = struct(payload.map(col): _*)
+    val rowStruct = struct(payload.toIndexedSeq.map(col): _*)
     val rowType = StructType(changes.schema.fields
       .filterNot(f => f.name == ChangeModel.OpCol || f.name == ChangeModel.SeqCol))
     val pre = changes.filter(col(ChangeModel.OpCol) === ChangeModel.UpdatePre)

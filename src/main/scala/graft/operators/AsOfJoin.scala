@@ -70,14 +70,14 @@ object AsOfJoin {
       leftKeys.zip(keyCols).map { case (k, a) => col(k).as(a) } ++ Seq(
         col(leftTs).cast("timestamp").as("__ts"),
         lit(1).as("__is_left"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(rightType).as("__r")): _*)
     val r = right.select(
       rightKeys.zip(keyCols).map { case (k, a) => col(k).as(a) } ++ Seq(
         col(rightTs).cast("timestamp").as("__ts"),
         lit(0).as("__is_left"),
         lit(null).cast(StructType(left.schema.fields)).as("__l"),
-        struct(right.columns.map(col): _*).as("__r")): _*)
+        struct(right.columns.toIndexedSeq.map(col): _*).as("__r")): _*)
     // Backward scans ascending with a trailing window; forward is the
     // mirror image (descending scan = "next right" carried backward).
     // Tie handling at equal ts is direction-independent: a right row is
@@ -93,7 +93,7 @@ object AsOfJoin {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .select(
-        left.columns.map(c => col("__l").getField(c).as(c)) ++
+        left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c)) ++
         right.columns.map(c => col("__match").getField(c)
           .as(if (overlap(c)) c + rightSuffix else c)): _*)
   }

@@ -75,6 +75,10 @@ object Similarity {
   private object PlaneCache {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    // productHash's exact value IS the bucket contract (specs and any
+    // persisted LSH index depend on it); 2.13's suggested caseClassHash
+    // hashes differently, so pin the deprecated function deliberately.
+    @annotation.nowarn("cat=deprecation")
     def component(d: Int, p: Int): Double = {
       val h = scala.util.hashing.MurmurHash3.productHash((d, p)).toLong
       (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0

@@ -27,7 +27,7 @@ object Skew {
         "(outer-preserved dim rows would be duplicated saltFactor times)")
     // deterministic per-row salt: hash of the whole fact row tuple
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltFactor)))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)))
     val replicated = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")

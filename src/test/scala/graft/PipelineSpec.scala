@@ -199,7 +199,11 @@ class PipelineSpec extends AnyFunSuite {
     // precomputed plane matrix can never drift from it
     val v = Array(0.3f, -1.2f, 0.7f, 2.2f, -0.1f)
     def component(d: Int, p: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((d, p)).toLong
+      val h: Long = {
+        @annotation.nowarn("cat=deprecation") // pinned bucket contract
+        val hh = scala.util.hashing.MurmurHash3.productHash((d, p))
+        hh.toLong
+      }
       (Math.floorMod(h, 2000001L).toDouble / 1000000.0) - 1.0
     }
     val planes = 6
