@@ -183,6 +183,69 @@ object Multimodal {
       } catch { case _: RuntimeException => None }
     }
 
+    /** Decode a PCM16 WAV to its raw samples (same chunk walk as
+      * [[decodeWav]], materializing the data chunk).
+      */
+    def decodeWavPcm(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      decodeWav(payload).flatMap { case (_, _, _, _) =>
+        // re-walk to slice the data chunk (decodeWav validated shape)
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.position(12)
+        var fmt: Option[(Int, Int)] = None
+        while (bb.remaining() >= 8) {
+          val a = new Array[Byte](4); bb.get(a)
+          val id = new String(a, "US-ASCII")
+          val len = bb.getInt
+          id match {
+            case "fmt " =>
+              val pos = bb.position()
+              bb.getShort
+              val channels = bb.getShort.toInt
+              val sampleRate = bb.getInt
+              fmt = Some((channels, sampleRate))
+              bb.position(pos + len + (len & 1))
+            case "data" =>
+              val (channels, sampleRate) = fmt.get
+              val n = len / 2
+              val out = new Array[Short](n)
+              var i = 0
+              val pos = bb.position()
+              while (i < n) { out(i) = bb.getShort(pos + i * 2); i += 1 }
+              return Some((sampleRate, channels, out))
+            case _ => bb.position(bb.position() + len + (len & 1))
+          }
+        }
+        None
+      }
+    }
+
+    /** REAL audio features: per `window`-sample frame, RMS amplitude
+      * (normalized to [0,1]) and zero-crossing rate (strict sign flips
+      * / (frame length − 1); 0 for length-1 frames). The final frame
+      * may be short. Deterministic double math.
+      */
+    def audioFeatures(payload: Array[Byte], window: Int)
+        : Option[IndexedSeq[(Double, Double)]] = {
+      require(window >= 1, s"window=$window must be >= 1")
+      decodeWavPcm(payload).map { case (_, _, samples) =>
+        samples.grouped(window).map { frame =>
+          var sumSq = 0.0
+          var flips = 0
+          var i = 0
+          while (i < frame.length) {
+            val s = frame(i).toDouble
+            sumSq += s * s
+            if (i > 0 && frame(i).toInt * frame(i - 1).toInt < 0) flips += 1
+            i += 1
+          }
+          val rms = math.sqrt(sumSq / frame.length) / 32768.0
+          val zcr = if (frame.length > 1) flips.toDouble / (frame.length - 1) else 0.0
+          (rms, zcr)
+        }.toIndexedSeq
+      }
+    }
+
     /** STUB: frame sampling — returns `n` pseudo-frame offsets (the
       * JDK has no video codec; a real implementation indexes container
       * keyframes).
@@ -509,6 +572,27 @@ object Multimodal {
             AudioRow(r.id, ok = true, sr, ch, n,
               n.toDouble * 1000.0 / sr, mean)
           case None => AudioRow(r.id, ok = false, 0, 0, 0L, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  case class AudioFeatureRow(id: Long, ok: Boolean, nWindows: Long,
+      meanRms: Double, meanZcr: Double)
+
+  /** Batched audio feature extraction: per doc, window count and the
+    * unweighted means of window RMS / zero-crossing rate. Map-only.
+    */
+  def audioFeaturesBatched(ds: Dataset[MediaRow], window: Int)
+      : Dataset[AudioFeatureRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodecs.audioFeatures(r.payload, window) match {
+          case Some(ws) if ws.nonEmpty =>
+            AudioFeatureRow(r.id, ok = true, ws.length.toLong,
+              ws.map(_._1).sum / ws.length, ws.map(_._2).sum / ws.length)
+          case _ => AudioFeatureRow(r.id, ok = false, 0L, 0.0, 0.0)
         }
       }
     }

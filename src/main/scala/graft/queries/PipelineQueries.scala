@@ -679,6 +679,25 @@ object PipelineQueries {
           col("durationMs").as("duration_ms"), col("meanAmp").as("mean_amp"))
     },
 
+    // Multimodal AUDIO features: REAL windowed RMS + zero-crossing rate
+    // over the decoded PCM (window=256). Square-wave closed forms: every
+    // window's RMS is A/32768; ZCR is 1.0 except the single-sample tail
+    // at n=513 (doc_id%256=113), which contributes 0.
+    QueryDef("q74b_audio_features",
+      """SELECT doc_id AS id,
+        |  CAST((400 + doc_id % 256 + 255) // 256 AS BIGINT) AS n_windows,
+        |  CAST((doc_id * 37) % 16384 + 1 AS DOUBLE) / 32768 AS mean_rms,
+        |  CASE WHEN 400 + doc_id % 256 = 513
+        |       THEN CAST(2 AS DOUBLE) / 3 ELSE 1.0 END AS mean_zcr
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderWavs(t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeaturesBatched(media, window = 256)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("nWindows").as("n_windows"),
+          col("meanRms").as("mean_rms"), col("meanZcr").as("mean_zcr"))
+    },
+
     // Weighted SOURCE MIXING (pretraining data-mixture step): per-source
     // keep rates as a pure md5-threshold function of doc_id — portable
     // hash, so the kept set is oracle-checkable verbatim in SQL.

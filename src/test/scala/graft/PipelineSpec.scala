@@ -763,6 +763,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav(stereo) == Some((16000, 2, 250L, 1200.0 / 32768)))
   }
 
+  test("audio features: windowed RMS/ZCR match hand computation") {
+    import graft.operators.Multimodal.MediaCodecs
+    // samples: [3000, -3000, 3000, 0, 4000] with window 4 ->
+    // w1 = [3000,-3000,3000,0]: rms = sqrt(27e6/4)/32768, zcr = 2/3
+    // w2 = [4000]: rms = 4000/32768, zcr = 0 (length-1 frame)
+    val s = Array[Short](3000, -3000, 3000, 0, 4000)
+    val wav = MediaCodecs.encodeWavPcm16(8000, s)
+    val Some(ws) = MediaCodecs.audioFeatures(wav, window = 4)
+    assert(ws.length == 2)
+    assert(math.abs(ws(0)._1 - math.sqrt(27e6 / 4) / 32768.0) < 1e-15)
+    assert(ws(0)._2 == 2.0 / 3)
+    assert(ws(1)._1 == 4000.0 / 32768 && ws(1)._2 == 0.0)
+    // non-wav payloads flag
+    assert(MediaCodecs.audioFeatures("junk".getBytes, 4) == None)
+  }
+
   test("substring-dup stats: planted duplicate spans are covered exactly") {
     import spark.implicits._
     // docs 1 and 2 share an 8-token span; doc 3 repeats its own span;
