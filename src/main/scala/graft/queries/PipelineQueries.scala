@@ -698,6 +698,36 @@ object PipelineQueries {
           col("meanRms").as("mean_rms"), col("meanZcr").as("mean_zcr"))
     },
 
+    // End-to-end MULTIMODAL curation: text hygiene × real image decode ×
+    // real audio decode, joined per doc with a composite keep decision —
+    // the q50 pipeline generalized across modalities. Every leg is an
+    // already-oracled operator; the composition stays bit-exact.
+    QueryDef("q75_multimodal_curation",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(doc_id % 200 AS DOUBLE) / 255.0 AS mean_luma,
+        |  CAST((doc_id * 37) % 16384 + 1 AS DOUBLE) / 32768 AS mean_amp,
+        |  len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 2000
+        |    AND CAST(doc_id % 200 AS DOUBLE) / 255.0 < 0.7
+        |    AND CAST((doc_id * 37) % 16384 + 1 AS DOUBLE) / 32768 < 0.4 AS kept
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val text = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val images = Multimodal.decodeBatched(
+          Multimodal.renderPngs(docs, "doc_id")).toDF()
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("meanLuma").as("mean_luma"))
+      val audio = Multimodal.decodeWavBatched(
+          Multimodal.renderWavs(docs, "doc_id")).toDF()
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("meanAmp").as("mean_amp"))
+      text.join(images, Seq("doc_id")).join(audio, Seq("doc_id"))
+        .withColumn("kept",
+          col("n_tokens").between(5, 2000) &&
+            col("mean_luma") < 0.7 && col("mean_amp") < 0.4)
+    },
+
     // Weighted SOURCE MIXING (pretraining data-mixture step): per-source
     // keep rates as a pure md5-threshold function of doc_id — portable
     // hash, so the kept set is oracle-checkable verbatim in SQL.
