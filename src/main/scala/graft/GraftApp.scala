@@ -29,7 +29,7 @@ object GraftApp {
   def main(args: Array[String]): Unit = {
     val (cmd, cfgPath) = args match {
       case Array(c @ ("build" | "clean" | "run"), p) => (c, p)
-      case Array(p) => ("run", p)
+      case Array(p) if !Set("build", "clean", "run")(p) => ("run", p)
       case _ => throw new IllegalArgumentException(
         "usage: GraftApp [run|build|clean] <config.yaml>")
     }
@@ -74,11 +74,16 @@ object GraftApp {
       runner.registerSource(s.name, df)
     }
     val outputs = runner.run(config.sql)
+    // legal modes differ by execution mode — mirror run's dispatch so
+    // build rejects exactly what run would reject
+    val legalModes =
+      if (config.streaming) Set("append", "upsert")
+      else Set("append", "overwrite", "upsert")
     config.sinks.foreach { sink =>
       require(outputs.contains(sink.table),
         s"sink references unknown output table '${sink.table}'")
-      require(Set("append", "overwrite", "upsert")(sink.mode),
-        s"unknown sink mode ${sink.mode}")
+      require(legalModes(sink.mode),
+        s"unknown ${if (config.streaming) "streaming " else ""}sink mode ${sink.mode}")
       if (sink.mode == "upsert")
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
     }
@@ -94,9 +99,11 @@ object GraftApp {
       val root = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close() // the stream holds open directory handles
       }
     }
     config.sinks.foreach { s =>

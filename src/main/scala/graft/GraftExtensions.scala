@@ -29,13 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
       (es: Seq[Expression]) => {
         if (es.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`dot_product`",
-              "expectedNum" -> "2",
-              "actualNum" -> es.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+          graft.functions.GraftFunctions.wrongNumArgs("dot_product", 2, es.length)
         org.apache.spark.sql.graft.VectorExpressions.DotProduct(es(0), es(1))
       }))
     // binned range-join rewrite (opt-in: spark.graft.rangeJoin.binWidth)

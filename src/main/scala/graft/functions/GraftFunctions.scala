@@ -90,14 +90,7 @@ object GraftFunctions {
     temp("dot_product") {
       case Seq(a, b) =>
         org.apache.spark.sql.graft.VectorExpressions.DotProduct(a, b)
-      case es =>
-        throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> "`dot_product`",
-            "expectedNum" -> "2",
-            "actualNum" -> es.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
+      case es => wrongNumArgs("dot_product", 2, es.length)
     }
     ToCharUdf.register(spark)
     GeoUdfs.register(spark)
@@ -116,14 +109,7 @@ object GraftFunctions {
     def temp1(name: String)(f: Column => Column): Unit =
       temp(name) {
         case Seq(x) => e(f(c(x)))
-        case es =>
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> s"`$name`",
-              "expectedNum" -> "1",
-              "actualNum" -> es.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+        case es => wrongNumArgs(name, 1, es.length)
       }
     temp1("token_count")(TextOps.tokenCount)
     temp1("token_estimate")(TextOps.tokenEstimate)
@@ -138,4 +124,14 @@ object GraftFunctions {
     * deployments pass their own via the Column API).
     */
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Shared user-facing arity error for SQL-registered functions. */
+  private[graft] def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
 }

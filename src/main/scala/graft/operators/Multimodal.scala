@@ -220,15 +220,25 @@ object Multimodal {
       }
     }
 
-    /** REAL audio features: per `window`-sample frame, RMS amplitude
+    /** REAL audio features: per `window`-FRAME window, RMS amplitude
       * (normalized to [0,1]) and zero-crossing rate (strict sign flips
-      * / (frame length − 1); 0 for length-1 frames). The final frame
-      * may be short. Deterministic double math.
+      * / (window length − 1); 0 for length-1 windows). The final window
+      * may be short. Multi-channel audio is downmixed to mono first
+      * (per-frame channel mean) — windowing the raw interleaved array
+      * would count cross-channel sign flips as crossings. Deterministic
+      * double math.
       */
     def audioFeatures(payload: Array[Byte], window: Int)
         : Option[IndexedSeq[(Double, Double)]] = {
       require(window >= 1, s"window=$window must be >= 1")
-      decodeWavPcm(payload).map { case (_, _, samples) =>
+      decodeWavPcm(payload).map { case (_, channels, interleaved) =>
+        val samples: Array[Short] =
+          if (channels <= 1) interleaved
+          else Array.tabulate(interleaved.length / channels) { f =>
+            var c = 0; var sum = 0
+            while (c < channels) { sum += interleaved(f * channels + c); c += 1 }
+            (sum / channels).toShort
+          }
         samples.grouped(window).map { frame =>
           var sumSq = 0.0
           var flips = 0
@@ -244,15 +254,6 @@ object Multimodal {
           (rms, zcr)
         }.toIndexedSeq
       }
-    }
-
-    /** STUB: frame sampling — returns `n` pseudo-frame offsets (the
-      * JDK has no video codec; a real implementation indexes container
-      * keyframes).
-      */
-    def sampleFrameOffsets(payload: Array[Byte], n: Int): Seq[Long] = {
-      val len = math.max(payload.length.toLong, 1L)
-      (0 until n).map(i => i * len / n)
     }
 
     // ---- frame container ("GFRM") ----------------------------------

@@ -131,7 +131,8 @@ object TextOps {
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, nTop: Int, nDup: Int): org.apache.spark.sql.DataFrame =
-    df.withColumn("__s", repetitionUdf(tokens(col(textCol)), lit(nTop), lit(nDup)))
+    df.filter(col(textCol).isNotNull) // match the explode-formulation contract
+      .withColumn("__s", repetitionUdf(tokens(col(textCol)), lit(nTop), lit(nDup)))
       .select(col(idCol).as("doc_id"),
         col("__s.top_gram").as("top_gram"), col("__s.top_n").as("top_n"),
         col("__s.n_grams").as("n_grams"),
@@ -160,7 +161,10 @@ object TextOps {
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     val carried = df.columns.filter(c => c != idCol && c != textCol)
       .map(col).toSeq
-    df.withColumn("__s", topGramUdf(tokens(col(textCol)), lit(n)))
+    // null text drops the doc — the contract of the original explode
+    // formulation (and of the SQL oracles, whose joins produce no row)
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__s", topGramUdf(tokens(col(textCol)), lit(n)))
       .select(col(idCol).as("doc_id") +: carried :+
         col("__s.top_gram").as("top_gram") :+
         col("__s.top_n").as("top_n") :+ col("__s.n_grams").as("n_grams") :+

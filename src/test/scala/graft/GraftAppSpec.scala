@@ -86,6 +86,14 @@ class GraftAppSpec extends AnyFunSuite {
       build(spark, config.copy(
         sinks = Seq(SinkConf("per_type", s"$tmp/x", mode = "upsert"))))
     }.getMessage.contains("keys"))
+    // streaming configs reject batch-only modes exactly like run does
+    val streamCfg = config.copy(streaming = true,
+      sources = Seq(SourceConf("ev", s"$dir/events.parquet")),
+      sql = "SELECT event_type INTO per_type FROM ev",
+      sinks = Seq(SinkConf("per_type", s"$tmp/x", mode = "overwrite")))
+    assert(intercept[IllegalArgumentException] {
+      build(spark, streamCfg)
+    }.getMessage.contains("streaming sink mode"))
   }
 
   test("clean removes sink data and checkpoints, idempotently") {

@@ -777,6 +777,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ws(1)._1 == 4000.0 / 32768 && ws(1)._2 == 0.0)
     // non-wav payloads flag
     assert(MediaCodecs.audioFeatures("junk".getBytes, 4) == None)
+    // stereo downmixes per frame before windowing (no cross-channel ZCR):
+    // L=1000 const, R=-500 const -> mono 250 const -> rms 250/32768, zcr 0
+    val stereo = MediaCodecs.encodeWavPcm16(8000,
+      Array.tabulate[Short](8)(i => if (i % 2 == 0) 1000 else -500), channels = 2)
+    val Some(sws) = MediaCodecs.audioFeatures(stereo, window = 4)
+    assert(sws == IndexedSeq((250.0 / 32768, 0.0)))
+  }
+
+  test("null-text docs drop from per-doc text kernels (explode contract)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(TextOps.topNgramPerDoc(docs, "doc_id", "text", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(TextOps.repetitionStats(docs, "doc_id", "text", 2, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("substring-dup stats: planted duplicate spans are covered exactly") {
