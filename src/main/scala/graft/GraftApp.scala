@@ -125,7 +125,8 @@ object GraftApp {
       mode: String = "append",                // "append" | "upsert" | "overwrite"
       keys: Seq[String] = Nil,                // primary key for upsert
       checkpoint: Option[String] = None,
-      buckets: Option[Int] = None)            // upsert scale path: hash-bucketed snapshot
+      buckets: Option[Int] = None,            // upsert scale path: hash-bucketed snapshot
+      partitionBy: Seq[String] = Nil)         // hive-style output partitioning
 
   /** Config-declared scalar UDF — the reference's `udfs:` section
     * (dozer-types/src/models/udf_config.rs: name + Onnx/JavaScript
@@ -170,9 +171,13 @@ object GraftApp {
       val df = outputs.getOrElse(sink.table,
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
+      def writer(d: org.apache.spark.sql.DataFrame) = {
+        val w = d.write
+        if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
+      }
       sink.mode match {
-        case "append"    => df.write.mode("append").parquet(sink.path)
-        case "overwrite" => df.write.mode("overwrite").parquet(sink.path)
+        case "append"    => writer(df).mode("append").parquet(sink.path)
+        case "overwrite" => writer(df).mode("overwrite").parquet(sink.path)
         case "upsert" =>
           // batch upsert = latest image per key over existing + new
           val merged = graft.cdc.ChangeModel.applyChanges(

@@ -185,7 +185,10 @@ object GraftConfigLoader {
           }
           if (n <= 0) fail(s"sink buckets must be positive, got $n")
           n
-        })
+        },
+        partitionBy = m.get("partition_by").filter(_ != null)
+          .map(_.asInstanceOf[java.util.List[Object]]
+            .asScala.map(_.toString).toSeq).getOrElse(Nil))
     }
 
   private def fail(msg: String): Nothing =

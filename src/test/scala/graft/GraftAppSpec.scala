@@ -96,6 +96,24 @@ class GraftAppSpec extends AnyFunSuite {
     }.getMessage.contains("streaming sink mode"))
   }
 
+  test("partition_by writes hive-style partitioned sink output") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val config = GraftConfig(
+      sources = Seq(SourceConf("docs", s"$dir/documents.parquet")),
+      sql = "SELECT doc_id, lang, n_chars INTO by_lang FROM docs",
+      sinks = Seq(SinkConf("by_lang", s"$tmp/out", mode = "overwrite",
+        partitionBy = Seq("lang"))))
+    runBatch(spark, config)
+    val dirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=en")))
+    // partition pruning works on the written layout
+    val en = spark.read.parquet(s"$tmp/out").filter(org.apache.spark.sql
+      .functions.col("lang") === "en")
+    assert(en.count() > 0 &&
+      en.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"))
+  }
+
   test("clean removes sink data and checkpoints, idempotently") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_clean").toString
     val config = GraftConfig(
