@@ -924,6 +924,38 @@ object PipelineQueries {
       graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
     },
 
+    // Retrieval HYDRATION: ANN neighbors joined back to the source table
+    // — the vector-store serving pattern (search → fetch document). Rank
+    // order is float-stable here (q39b analysis), and the hydration join
+    // is a broadcast of the tiny result set against the corpus.
+    QueryDef("q76_retrieval",
+      """WITH rank AS (
+        |  SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS nn_rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 3)
+        |SELECT r.query_id, r.neighbor_id, r.nn_rank, d.lang, d.n_chars
+        |FROM rank r JOIN documents d ON r.neighbor_id = d.doc_id""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val hits = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("nn_rank"))
+      hits.join(t(s, dir, "documents")
+          .select(col("doc_id").as("neighbor_id"), col("lang"), col("n_chars")),
+        Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("nn_rank"),
+          col("lang"), col("n_chars"))
+    },
+
     // Cluster-balanced sampling (topic-balance curation): k-means cells
     // over the embedding corpus, then an exact per-cell quota — the
     // "diversify by semantic cluster" step of dataset mixing. Float
