@@ -167,4 +167,56 @@ object Ivf {
         Similarity.dot(col("qvec"), col("cvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- persisted index (build once, query many) ------------------------
+
+  /** Materialize the IVF index: centroids as a tiny JSON model file,
+    * cell-assigned normalized vectors as parquet PARTITIONED BY cell —
+    * so query-time probes are partition-pruned scans of exactly the
+    * nprobe cells, not a full-corpus read. The build is the one
+    * corpus-scale pass; serving jobs only load.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String): Unit = {
+    val centroids = trainCentroids(corpus, vecCol, nlist)
+    corpus.select(col(idCol).as("neighbor_id"),
+        Similarity.normalize(col(vecCol)).as("cvec"),
+        assignCells(corpus, vecCol, centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val json = centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "centroids.json"), json)
+  }
+
+  /** Load the model file written by [[buildIndex]]. */
+  def loadCentroids(path: String): Array[Array[Double]] = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "centroids.json"))
+    // minimal [[...],[...]] parser — the file is machine-written above
+    json.trim.stripPrefix("[").stripSuffix("]")
+      .split("\\]\\s*,\\s*\\[")
+      .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.trim.toDouble))
+  }
+
+  /** Query a persisted index: probe cells prune the parquet scan via
+    * the cell partitioning (`cell IN (...)` reaches PartitionFilters);
+    * exact cosine within candidates, same ranking as [[ivfTopK]].
+    */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = loadCentroids(path)
+    val cells = spark.read.parquet(s"$path/cells")
+    val q = queries.select(col(queryId).as("query_id"),
+      Similarity.normalize(col(queryVec)).as("qvec"),
+      explode(probeCells(queries, queryVec, centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -816,6 +816,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(5L) == ((3L, 0L)))
   }
 
+  test("persisted IVF index: query equals in-memory ivfTopK; probes prune partitions") {
+    import graft.operators.Ivf
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 8, path = tmp)
+    val direct = Ivf.ivfTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromIndex = Ivf.queryIndex(spark, tmp, queries, "qid", "qvec",
+      k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex == direct) // same centroids (deterministic training)
+    // the cell layout is hive-partitioned so probes partition-prune
+    val cellDirs = new java.io.File(s"$tmp/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+  }
+
   test("cluster-balanced sampling: per-cell quota, deterministic cells") {
     val emb = Tables.load(spark, dir, "embeddings")
     import graft.operators.{Ivf, Sampling}
