@@ -924,6 +924,31 @@ object PipelineQueries {
       graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
     },
 
+    // Per-source DATASET CARD: the corpus-statistics report every
+    // training-data release ships — doc/token/char totals, language
+    // spread, quality-gate pass rate per source. Integer counts and
+    // exact-decimal means -> fully oracled.
+    QueryDef("q77_data_card",
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+        |  CAST(SUM(CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+        |                BETWEEN 5 AND 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+          sum(when(TextOps.tokenCount(col("text")).between(5, 2000), 1L)
+            .otherwise(0L)).as("n_pass_len"))
+    },
+
     // Retrieval HYDRATION: ANN neighbors joined back to the source table
     // — the vector-store serving pattern (search → fetch document). Rank
     // order is float-stable here (q39b analysis), and the hydration join
