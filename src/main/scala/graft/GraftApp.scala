@@ -86,6 +86,19 @@ object GraftApp {
         s"unknown ${if (config.streaming) "streaming " else ""}sink mode ${sink.mode}")
       if (sink.mode == "upsert")
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
+      // partition_by legality + column existence (run would fail at
+      // write time with a deep AnalysisException; surface it here)
+      if (sink.partitionBy.nonEmpty) {
+        val legal = if (config.streaming) sink.mode == "append"
+          else sink.mode != "upsert"
+        require(legal,
+          s"partition_by is not supported on ${sink.mode} sinks (sink '${sink.table}')")
+        val cols = outputs(sink.table).schema.fieldNames.toSet
+        val missing = sink.partitionBy.filterNot(cols)
+        require(missing.isEmpty,
+          s"partition_by columns ${missing.mkString(", ")} not in output " +
+            s"'${sink.table}' (has ${cols.mkString(", ")})")
+      }
     }
     outputs.map { case (t, df) => t -> df.schema }
   }
@@ -171,6 +184,10 @@ object GraftApp {
       val df = outputs.getOrElse(sink.table,
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
+      // upsert snapshots own their layout — reject a partition spec
+      // instead of silently dropping it
+      require(sink.partitionBy.isEmpty || sink.mode != "upsert",
+        s"partition_by is not supported on upsert sinks (sink '${sink.table}')")
       def writer(d: org.apache.spark.sql.DataFrame) = {
         val w = d.write
         if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
@@ -226,8 +243,13 @@ object GraftApp {
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
       val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
+      // upsert snapshots own their layout (flat or key-hash buckets) —
+      // a user partition spec would be silently unhonored, so reject it
+      require(sink.partitionBy.isEmpty || sink.mode == "append",
+        s"partition_by is only supported on append sinks (sink '${sink.table}')")
       sink.mode match {
-        case "append" => graft.sinks.Sinks.appendParquet(df, sink.path, ckpt)
+        case "append" => graft.sinks.Sinks.appendParquet(
+          df, sink.path, ckpt, sink.partitionBy)
         case "upsert" => sink.buckets match {
           // buckets: opts into the O(batch)-per-microbatch bucketed
           // snapshot — the right choice once state outgrows one rewrite

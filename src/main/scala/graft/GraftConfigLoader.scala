@@ -174,9 +174,7 @@ object GraftConfigLoader {
         path = m.get("path").map(_.toString)
           .getOrElse(fail("sink needs a path (graft sinks are object-store)")),
         mode = m.get("mode").map(_.toString).getOrElse("append"),
-        keys = m.get("keys").filter(_ != null)
-          .map(_.asInstanceOf[java.util.List[Object]]
-            .asScala.map(_.toString).toSeq).getOrElse(Nil),
+        keys = strList(m, "keys"),
         checkpoint = m.get("checkpoint").map(_.toString),
         buckets = m.get("buckets").filter(_ != null).map { b =>
           val n = try b.toString.toInt catch {
@@ -186,10 +184,18 @@ object GraftConfigLoader {
           if (n <= 0) fail(s"sink buckets must be positive, got $n")
           n
         },
-        partitionBy = m.get("partition_by").filter(_ != null)
-          .map(_.asInstanceOf[java.util.List[Object]]
-            .asScala.map(_.toString).toSeq).getOrElse(Nil))
+        partitionBy = strList(m, "partition_by"))
     }
+
+  /** String-list sink field; a bare scalar (`keys: id`) is accepted as a
+    * one-element list rather than dying in a ClassCastException.
+    */
+  private def strList(m: scala.collection.Map[String, Object],
+      key: String): Seq[String] =
+    m.get(key).filter(_ != null).map {
+      case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+      case scalar => Seq(scalar.toString)
+    }.getOrElse(Nil)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)

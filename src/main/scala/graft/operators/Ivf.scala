@@ -142,6 +142,27 @@ object Ivf {
     probeUdf(col(vecCol))
   }
 
+  /** Shared candidate-ranking tail: cell-equi-join the (neighbor_id,
+    * cvec, cell) corpus side with the broadcast (query_id, qvec, cell)
+    * probe side, exact cosine, top-k per query. Both the in-memory and
+    * persisted-index paths rank through here, so they cannot diverge.
+    */
+  private def rankCandidates(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def probeSide(queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    queries.select(col(queryId).as("query_id"),
+      Similarity.normalize(col(queryVec)).as("qvec"),
+      explode(probeCells(queries, queryVec, centroids, nprobe)).as("cell"))
+
   /** Approximate top-k: corpus indexed by nearest cell, queries probe
     * their `nprobe` nearest cells, exact cosine within candidates.
     */
@@ -150,22 +171,10 @@ object Ivf {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids = trainCentroids(corpus, corpusVec, nlist)
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Float]) => nearest(bc.value, v))
-    val probeUdf = udf((v: Seq[Float]) => nearestN(bc.value, v, nprobe))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
       Similarity.normalize(col(corpusVec)).as("cvec"),
-      assignUdf(col(corpusVec)).as("cell"))
-    val q = queries.select(col(queryId).as("query_id"),
-      Similarity.normalize(col(queryVec)).as("qvec"),
-      explode(probeUdf(col(queryVec))).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.dot(col("qvec"), col("cvec")).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      assignCells(corpus, corpusVec, centroids).as("cell"))
+    rankCandidates(c, probeSide(queries, queryId, queryVec, centroids, nprobe), k)
   }
 
   // ---- persisted index (build once, query many) ------------------------
@@ -179,6 +188,8 @@ object Ivf {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, path: String): Unit = {
     val centroids = trainCentroids(corpus, vecCol, nlist)
+    require(centroids.nonEmpty,
+      s"buildIndex: corpus has no vectors to index at $path")
     corpus.select(col(idCol).as("neighbor_id"),
         Similarity.normalize(col(vecCol)).as("cvec"),
         assignCells(corpus, vecCol, centroids).as("cell"))
@@ -194,29 +205,28 @@ object Ivf {
     val json = java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "centroids.json"))
     // minimal [[...],[...]] parser — the file is machine-written above
-    json.trim.stripPrefix("[").stripSuffix("]")
-      .split("\\]\\s*,\\s*\\[")
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    require(body.nonEmpty, s"empty IVF index (no centroids) at $path")
+    body.split("\\]\\s*,\\s*\\[")
       .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.trim.toDouble))
   }
 
-  /** Query a persisted index: probe cells prune the parquet scan via
-    * the cell partitioning (`cell IN (...)` reaches PartitionFilters);
-    * exact cosine within candidates, same ranking as [[ivfTopK]].
+  /** Query a persisted index. The probed cell set is collected first
+    * (bounded by nlist regardless of query count) and applied as a
+    * LITERAL `cell IN (...)` predicate, so the partitioned layout
+    * statically prunes to at most queries×nprobe cells — dynamic
+    * partition pruning alone does not fire on an unfiltered probe side.
+    * Exact cosine within candidates; same ranking path as [[ivfTopK]].
     */
   def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int): DataFrame = {
     val centroids = loadCentroids(path)
+    val q = probeSide(queries, queryId, queryVec, centroids, nprobe)
+    val probedCells: Array[Int] = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist rows — a model-sized action
     val cells = spark.read.parquet(s"$path/cells")
-    val q = queries.select(col(queryId).as("query_id"),
-      Similarity.normalize(col(queryVec)).as("qvec"),
-      explode(probeCells(queries, queryVec, centroids, nprobe)).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cells.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.dot(col("qvec"), col("cvec")).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    rankCandidates(cells, q, k)
   }
 }

@@ -12,14 +12,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 object Sinks {
 
   /** Append sink: parquet files + checkpoint (exactly-once). */
-  def appendParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
-    df.writeStream
+  def appendParquet(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String] = Nil): StreamingQuery = {
+    val w = df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .start()
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
 
   /** Keyed upsert sink: every microbatch merges the batch's changes
     * into a keyed parquet snapshot via latest-by-key reduction — the

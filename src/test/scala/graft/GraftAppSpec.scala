@@ -94,6 +94,16 @@ class GraftAppSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       build(spark, streamCfg)
     }.getMessage.contains("streaming sink mode"))
+    // partition_by: unknown column and upsert-mode both fail at build
+    assert(intercept[IllegalArgumentException] {
+      build(spark, config.copy(sinks = Seq(SinkConf("per_type", s"$tmp/x",
+        mode = "overwrite", partitionBy = Seq("no_such_col")))))
+    }.getMessage.contains("no_such_col"))
+    assert(intercept[IllegalArgumentException] {
+      build(spark, config.copy(sinks = Seq(SinkConf("per_type", s"$tmp/x",
+        mode = "upsert", keys = Seq("event_type"),
+        partitionBy = Seq("event_type")))))
+    }.getMessage.contains("partition_by"))
   }
 
   test("partition_by writes hive-style partitioned sink output") {

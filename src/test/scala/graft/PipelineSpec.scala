@@ -836,6 +836,12 @@ class PipelineSpec extends AnyFunSuite {
     val cellDirs = new java.io.File(s"$tmp/cells").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+    // the literal cell IN (...) predicate reaches PartitionFilters —
+    // STATIC pruning, not hoping dynamic partition pruning fires
+    val qdf = Ivf.queryIndex(spark, tmp, queries, "qid", "qvec", k = 5, nprobe = 2)
+    qdf.collect()
+    val planStr = qdf.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cell"), planStr.take(400))
   }
 
   test("cluster-balanced sampling: per-cell quota, deterministic cells") {
