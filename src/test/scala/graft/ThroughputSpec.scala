@@ -63,6 +63,45 @@ class ThroughputSpec extends AnyFunSuite {
     assert(rps > 10000, s"stateless pipe unexpectedly slow: $rps rows/s")
   }
 
+  test("text quality-gate curation sustains bulk document rates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40k real documents (sf0.1 corpus cycled 8x) through the map-only
+    // gate stack: classifier margin + blocklist + token/quality metrics
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val corpus = (0 until 8).flatMap(r =>
+      docs.map { case (id, t) => (id + r * 1000000L, t) })
+    val weights = graft.operators.Classifier.trainLogOdds(
+      Seq((0L, "good clean prose")).toDF("doc_id", "text"),
+      Seq((0L, "spam junk noise")).toDF("doc_id", "text"), "text", dim = 1024)
+    val mem = MemoryStream[(Long, String)]
+    val gate = {
+      val df = mem.toDF().toDF("doc_id", "text")
+      val scored = graft.operators.Classifier
+        .scoreLinear(df, "doc_id", "text", weights)
+      val block = graft.operators.TextOps.blocklistStats(df, "doc_id", "text",
+        Seq("slow", "dup", "big"), maxPerMille = 50)
+        .select(col("doc_id"), col("kept"))
+      scored.join(block, Seq("doc_id"))
+    }
+    val q = gate.writeStream.format("noop").queryName("tp_curation")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val batches = corpus.grouped(5000).toSeq
+      mem.addData(batches.head: _*)
+      q.processAllAvailable()
+      val timedRows = batches.tail.map(_.size).sum
+      val t0 = System.nanoTime()
+      batches.tail.foreach(b => mem.addData(b: _*))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rps = timedRows / secs
+      info(f"tp_curation: $timedRows docs in $secs%.2f s = $rps%.0f docs/s")
+      assert(rps > 2000, s"curation gate unexpectedly slow: $rps docs/s")
+    } finally q.stop()
+  }
+
   test("stateful windowed aggregation sustains bulk row rates") {
     import spark.implicits._
     val rps = run("tp_windowed")(
