@@ -57,6 +57,12 @@ class GraftSqlRunner(spark: SparkSession, streaming: Boolean = false) {
     }
   }
 
+  // Keyword checks are regex-over-stripped-text: string literals can't
+  // false-positive, but a QUOTED IDENTIFIER literally named `limit` /
+  // `except` etc. would (they are reserved words in the dozer dialect,
+  // so the corpus can't produce one). A parser-level check would need
+  // Catalyst's parsed tree before analysis — not worth it for the
+  // dialect subset; revisit if a corpus file ever trips this.
   private def validate(stmt: String): Unit = {
     val bare = SqlText.stripStrings(stmt)
     val up = bare.toUpperCase
