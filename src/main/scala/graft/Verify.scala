@@ -21,7 +21,16 @@ object Verify {
     // local-iteration filter: comma-separated query names (driver unset)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
+    val attempted = SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
+    // Manifest of attempted queries, written BEFORE running any of them:
+    // the gate (tools/check.py) counts an attempted query with no output
+    // dir as a FAILURE, so a query that crashes (caught below) or kills
+    // the JVM cannot silently read as "skipped". Written first so even a
+    // hard JVM death mid-run leaves the intended query list on disk.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    attempted
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -140,7 +140,8 @@ object Bpe {
       }
       if (pairs.isEmpty) continue = false
       else {
-        val ((a, b), f) = pairs.minBy { case ((a, b), f) => (-f, a, b) }
+        val ((a, b), f) = pairs.minBy { case ((a, b), f) => (-f, a, b) }(
+          Ordering.Tuple3(Ordering.Long, codePointOrder, codePointOrder))
         if (f < minPairFreq) continue = false
         else {
           merges += Merge(merges.length + 1, a, b, f)
@@ -151,28 +152,99 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Apply a learned merge list to one token (greedy, in rank order) —
-    * the ENCODE step. O(merges · |token|), pure function of its inputs.
+  /** Code-point string ordering == UTF-8 binary order == Spark's string
+    * `min`/struct ordering. Scala/Java's default `String` compare is
+    * UTF-16 code-UNIT order, which disagrees above the BMP (surrogates
+    * 0xD800–0xDFFF sort below U+E000–U+FFFF but encode code points
+    * ≥ 0x10000) — using it in [[trainLocal]] would let equal-frequency
+    * tie-breaks diverge from the distributed argmax on emoji/CJK-ext
+    * symbols.
     */
-  def segmentToken(token: String, merges: Seq[Merge]): IndexedSeq[String] = {
-    var syms: IndexedSeq[String] = token.map(_.toString)
-    merges.foreach { m =>
-      if (syms.length >= 2) syms = mergeOnce(syms, m.left, m.right)
+  private val codePointOrder: Ordering[String] = (x: String, y: String) => {
+    val nx = x.length; val ny = y.length
+    var i = 0
+    var r = 0
+    while (r == 0 && i < nx && i < ny) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(i)
+      r = Integer.compare(cx, cy)
+      if (r == 0) i += Character.charCount(cx)
+    }
+    if (r != 0) r else Integer.compare(nx - i, ny - i)
+  }
+
+  /** Split a token into code-POINT symbols — the same decomposition as
+    * the training side's `split(col, "")` (Java regex is code-point
+    * aware), so supplementary-plane characters stay whole instead of
+    * being broken into unpaired surrogates that no learned merge could
+    * ever match.
+    */
+  private def codePointSyms(token: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < token.length) {
+      val cp = token.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += token.substring(i, i + n)
+      i += n
+    }
+    out.toIndexedSeq
+  }
+
+  /** Compile a merge list into the pair→rank lookup [[segmentToken]]
+    * scans with — build once per model, reuse across every token.
+    */
+  def compileRanks(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.sortBy(_.rank).zipWithIndex
+      .map { case (m, i) => (m.left, m.right) -> i }.toMap
+
+  /** Apply a learned merge list to one token — the ENCODE step.
+    * Instead of replaying the full merge list in rank order
+    * (O(merges · |token|) — dominated by model size, not token size),
+    * repeatedly merge the lowest-RANK adjacent pair present
+    * (O(applied · |token|), applied ≤ |token|−1). The two are
+    * equivalent for any trained model: a merge's operands are formed
+    * at strictly earlier ranks, so applying rank r can only create
+    * pairs involving the new symbol — all of rank > r — never a pair
+    * an earlier rank should have consumed (spec-held against the
+    * replay implementation).
+    */
+  def segmentToken(token: String, merges: Seq[Merge]): IndexedSeq[String] =
+    segmentTokenRanked(token, compileRanks(merges))
+
+  /** [[segmentToken]] against a precompiled [[compileRanks]] lookup. */
+  def segmentTokenRanked(token: String,
+      ranks: Map[(String, String), Int]): IndexedSeq[String] = {
+    var syms = codePointSyms(token)
+    var go = syms.length >= 2
+    while (go) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) go = false
+      else {
+        syms = mergeOnce(syms, syms(bestI), syms(bestI + 1))
+        go = syms.length >= 2
+      }
     }
     syms
   }
 
   /** Per-document subword segmentation stats under a learned merge list:
     * (doc_id, n_tokens, n_subwords) — the compression a tokenizer buys.
-    * The merge list is tiny (the trained model) and closes over the UDF;
-    * map-only, no shuffle.
+    * The compiled rank lookup is tiny (the trained model) and closes
+    * over the UDF; map-only, no shuffle.
     */
   def segmentStats(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val ms = merges.sortBy(_.rank)
+    val ranks = compileRanks(merges)
     val nSubwords = udf((toks: Seq[String]) =>
       if (toks == null) 0L
-      else toks.iterator.map(t => segmentToken(t, ms).length.toLong).sum)
+      else toks.iterator.map(t => segmentTokenRanked(t, ranks).length.toLong).sum)
     val tok = Dedup.tokens(col(textCol))
     df.select(col(idCol).as("doc_id"),
       size(tok).cast("long").as("n_tokens"),

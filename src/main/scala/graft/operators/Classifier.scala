@@ -55,7 +55,10 @@ object Classifier {
 
   /** Score `df.textCol` with a broadcast weight vector: (doc_id, n_tokens,
     * margin, score). margin = mean token weight + bias; score = sigmoid.
-    * Documents with zero tokens get margin = bias.
+    * Documents with zero tokens get margin = bias. NULL-text rows are
+    * DROPPED — the same contract every per-doc text kernel here enforces
+    * (topNgramPerDoc, repetitionStats): an unscorable row must not leak
+    * downstream looking like a scored one.
     */
   def scoreLinear(df: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], bias: Double = 0.0): DataFrame = {
@@ -69,7 +72,8 @@ object Classifier {
     val margin = when(size(tok) > 0,
       aggregate(perTok, lit(0.0), _ + _) / size(tok) + bias)
       .otherwise(lit(bias))
-    df.select(col(idCol).as("doc_id"),
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         size(tok).cast("long").as("n_tokens"),
         margin.as("margin"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("margin"))))

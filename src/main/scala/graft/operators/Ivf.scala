@@ -196,14 +196,29 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val json = centroids.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "centroids.json"), json)
+    // Hadoop FileSystem API, same as the cell parquet above — the model
+    // file must land NEXT TO the cells on whatever FS `path` names
+    // (HDFS/S3/local), not on the driver's local disk.
+    val model = new org.apache.hadoop.fs.Path(path, "centroids.json")
+    val fs = model.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(model, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  /** Load the model file written by [[buildIndex]]. */
+  /** Load the model file written by [[buildIndex]] (any Hadoop FS). */
   def loadCentroids(path: String): Array[Array[Double]] = {
-    val json = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "centroids.json"))
+    val model = new org.apache.hadoop.fs.Path(path, "centroids.json")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = model.getFileSystem(conf)
+    val len = fs.getFileStatus(model).getLen.toInt // model-sized: nlist×dim
+    val bytes = new Array[Byte](len)
+    val in = fs.open(model)
+    try in.readFully(bytes) finally in.close()
+    val json = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     // minimal [[...],[...]] parser — the file is machine-written above
     val body = json.trim.stripPrefix("[").stripSuffix("]").trim
     require(body.nonEmpty, s"empty IVF index (no centroids) at $path")

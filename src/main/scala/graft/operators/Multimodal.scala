@@ -159,7 +159,8 @@ object Multimodal {
               val sampleRate = bb.getInt
               bb.getInt; bb.getShort // byte rate, block align
               val bits = bb.getShort
-              if (audioFormat != 1 || bits != 16 || channels < 1) return None
+              if (audioFormat != 1 || bits != 16 || channels < 1 ||
+                sampleRate <= 0) return None // rate 0 ⇒ duration = ∞
               fmt = Some((channels, sampleRate))
               bb.position(pos + len + (len & 1)) // chunks pad to even
             case "data" =>

@@ -1018,6 +1018,64 @@ object PipelineQueries {
         "qid", "qvec", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("nn_rank"))
+    },
+
+    // IVF ANN at FULL probe (nprobe = nlist) — the oracle-mode
+    // degenerate configuration: every cell is probed, so the candidate
+    // set is the whole corpus and the exact within-cell cosine ranking
+    // must equal brute force (PipelineSpec proves the equality; this
+    // query proves it cross-engine vs DuckDB). Rank-only output (q39b
+    // float-stability analysis applies: the smallest adjacent cosine
+    // gap is ~2e-5, far above accumulation-order noise). Production
+    // shape is q40b (nprobe << nlist); this pins the pipeline exact.
+    QueryDef("q40c_ann_ivf_fullprobe",
+      """SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS nn_rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rn
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Ivf.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("nn_rank"))
+    },
+
+    // IVF-PQ at full probe + full exact rerank — same oracle-mode idea
+    // one level up: all cells probed, ADC shortlist wide enough (4096 >
+    // corpus at every test SF) that the exact-rerank stage re-scores
+    // every candidate with true cosine, so the final ranking must equal
+    // brute force regardless of PQ quantization error. Proves the whole
+    // IVF-PQ pipeline (cell assign → code encode → ADC scan → exact
+    // rerank) is exact when un-approximated; production shape is q72.
+    QueryDef("q72b_ann_ivfpq_rerank",
+      """SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS nn_rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rn
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.Ivf.trainCentroids(emb, "embedding", nlist = 16)
+      val model = graft.operators.Pq.train(emb, "embedding", m = 8, k = 16)
+      graft.operators.Pq.ivfAdcTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", kNeighbors = 5, cents, nprobe = 16, model,
+        rerank = 4096)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("nn_rank"))
     }
   )
 }

@@ -647,6 +647,47 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0)
     assert(stats.getAs[Long]("n_subwords") < "lowlower".length * 16 &&
       stats.getAs[Long]("n_subwords") > stats.getAs[Long]("n_tokens"))
+
+    // min-rank segmentation equals the rank-order replay reference
+    // (replay = apply each merge once, in rank order — the pre-trie impl)
+    def replaySegment(token: String, ms: Seq[Bpe.Merge]): IndexedSeq[String] = {
+      var syms: IndexedSeq[String] = token.map(_.toString)
+      ms.sortBy(_.rank).foreach { m =>
+        if (syms.length >= 2) syms = Bpe.mergeOnce(syms, m.left, m.right)
+      }
+      syms
+    }
+    val toyModel = Bpe.train(toyDf, "text", numMerges = 6, minPairFreq = 1L)
+    for (tok <- Seq("lowest", "newest", "widest", "low", "lower", "slower",
+        "wi", "x", "")) {
+      assert(Bpe.segmentToken(tok, toyModel) == replaySegment(tok, toyModel),
+        s"segment divergence on '$tok'")
+    }
+  }
+
+  test("BPE: non-BMP parity — tie-break and segmentation above the BMP") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // U+E000 (BMP private-use) vs U+1F600 (emoji, surrogate pair):
+    // UTF-16 code-unit order sorts the emoji FIRST (0xD83D < 0xE000),
+    // code-point/UTF8-binary order sorts it LAST (0x1F600 > 0xE000).
+    // Equal-frequency tie between ("x",U+E000) and ("x",U+1F600) must
+    // resolve identically on the driver and distributed paths.
+    val e000 = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    val corpus = Seq(s"x$e000 x$emoji x$e000 x$emoji").toDF("text")
+    val local = Bpe.train(corpus, "text", numMerges = 1, minPairFreq = 1L)
+    val dist = Bpe.train(corpus, "text", numMerges = 1, minPairFreq = 1L,
+      driverVocabBudget = 0L)
+    assert(local.map(m => (m.left, m.right, m.freq)) ==
+      dist.map(m => (m.left, m.right, m.freq)))
+    assert(local.head.right == e000, // code-point order, not UTF-16
+      s"tie broke to ${local.head.right.map(_.toInt).mkString("+")}")
+    // segmentation decomposes by code point (surrogate pairs stay whole,
+    // matching the training side's split) so non-BMP merges apply
+    val pairModel = Seq(Bpe.Merge(1, emoji, emoji, 2L))
+    assert(Bpe.segmentToken(emoji + emoji, pairModel) == IndexedSeq(emoji + emoji))
+    assert(Bpe.segmentToken("x" + emoji, pairModel) == IndexedSeq("x", emoji))
   }
 
   test("linear classifier: closed-form scoring and learned discrimination") {
@@ -655,7 +696,8 @@ class PipelineSpec extends AnyFunSuite {
     // closed-form: dim=4, every token's weight known => margin is exact
     val dim = 4
     val w = Array(0.5, -0.25, 1.0, 0.0)
-    val docs = Seq((1L, "x y x"), (2L, "")).toDF("doc_id", "text")
+    val docs = Seq((1L, "x y x"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     val buckets = docs.sparkSession.sql(
       "SELECT pmod(hash('x'), 4) AS bx, pmod(hash('y'), 4) AS by")
       .collect()(0)
@@ -665,6 +707,8 @@ class PipelineSpec extends AnyFunSuite {
         ((r.getAs[Long]("n_tokens"), r.getAs[Double]("margin")))).toMap
     assert(math.abs(m(1L)._2 - expected1) < 1e-12 && m(1L)._1 == 3L)
     assert(math.abs(m(2L)._2 - 0.1) < 1e-12) // empty doc scores the bias
+    // null text is DROPPED (the per-doc kernel contract), not bias-scored
+    assert(!m.contains(3L))
     // discrimination: planted class vocab separates after training
     val pos = (1 to 30).map(i => (i.toLong, s"good clean prose $i sample"))
       .toDF("doc_id", "text")
@@ -758,6 +802,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav("not a wav at all, just text bytes!!!!!!!!!!!".getBytes) == None)
     val floatFmt = wav.clone(); floatFmt(20) = 3 // audioFormat = IEEE float
     assert(MediaCodecs.decodeWav(floatFmt) == None)
+    // sampleRate = 0 (bytes 24-27): would make durationMs infinite — flag
+    val zeroRate = wav.clone()
+    zeroRate(24) = 0; zeroRate(25) = 0; zeroRate(26) = 0; zeroRate(27) = 0
+    assert(MediaCodecs.decodeWav(zeroRate) == None)
     // stereo: frames = samples / channels
     val stereo = MediaCodecs.encodeWavPcm16(16000, samples, channels = 2)
     assert(MediaCodecs.decodeWav(stereo) == Some((16000, 2, 250L, 1200.0 / 32768)))

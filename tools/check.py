@@ -31,11 +31,20 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     import os
+    # Verify writes manifest.json (the attempted-query list) before running
+    # anything. A manifest query with no output dir means the query crashed
+    # (or killed the JVM) -> that is a FAILURE, not a skip. Only queries
+    # absent from the manifest (SPARK_GRAFT_VERIFY_ONLY partial runs) are
+    # skipped quietly. Fallback for pre-manifest output dirs: old skip rule.
+    manifest_path = f"{out_dir}/manifest.json"
+    attempted = set(json.load(open(manifest_path))) if os.path.exists(manifest_path) else None
     for name, sql in sorted(oracles.items()):
-        # partial Verify runs (SPARK_GRAFT_VERIFY_ONLY) leave other dirs
-        # absent -- skip quietly instead of flagging spurious failures
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if attempted is not None and name in attempted:
+                print(f"FAIL {name}  attempted (in manifest) but no output dir -- query crashed")
+                n_fail += 1
+            else:
+                n_skip += 1
             continue
         try:
             want = con.execute(sql).df()
