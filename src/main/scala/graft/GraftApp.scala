@@ -203,19 +203,18 @@ object GraftApp {
               .withColumn(graft.cdc.ChangeModel.SeqCol,
                 org.apache.spark.sql.functions.monotonically_increasing_id()),
             sink.keys)
-          sink.buckets match {
-            // buckets: write the same hash-bucketed layout the streaming
-            // bucketed sink maintains, so a later stream can take over
-            // the snapshot (and bucket-pruned readers work identically)
-            case Some(n) =>
-              import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-              merged
-                .withColumn("_bucket",
-                  pmod(xxhash64(sink.keys.map(col): _*), lit(n)).cast("int"))
-                .write.mode("overwrite").partitionBy("_bucket")
-                .parquet(sink.path)
-            case None =>
-              merged.write.mode("overwrite").parquet(sink.path)
+          // always the hash-bucketed layout the streaming sink
+          // maintains (no `buckets:` = one bucket), so a later stream
+          // can take over the snapshot without a layout migration and
+          // bucket-pruned readers work identically
+          locally {
+            import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+            val n = sink.buckets.getOrElse(1)
+            merged
+              .withColumn("_bucket",
+                pmod(xxhash64(sink.keys.map(col): _*), lit(n)).cast("int"))
+              .write.mode("overwrite").partitionBy("_bucket")
+              .parquet(sink.path)
           }
         case other => throw new IllegalArgumentException(s"unknown sink mode $other")
       }

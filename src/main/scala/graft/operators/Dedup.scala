@@ -219,6 +219,52 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Coverage contract for a capped bucket index: ONE metrics row
+    * (total_buckets, dropped_buckets, index_rows, dropped_index_rows,
+    * dropped_candidate_pairs) where dropped_candidate_pairs is the
+    * Σ n·(n−1)/2 the mega-bucket cap declined to generate. The caps in
+    * [[minhashPairs]]/[[simhashPairs]] are the right scale guard, but a
+    * silent one: at 100 TB a boilerplate-heavy corpus could shed most
+    * true near-dups with no signal. This row IS the signal — run it
+    * next to the pair job (same index DataFrame, one extra
+    * aggregation) and alert when dropped_candidate_pairs is a
+    * non-trivial fraction of the corpus. Deterministic (pure
+    * aggregation — no accumulator under-/double-counting on retries).
+    */
+  private def bucketCoverage(index: DataFrame, keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    index.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .agg(
+        count(lit(1)).as("total_buckets"),
+        sum(when(col("_bsz") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(col("_bsz")).as("index_rows"),
+        sum(when(col("_bsz") > maxBucketSize, col("_bsz")).otherwise(0L))
+          .as("dropped_index_rows"),
+        sum(when(col("_bsz") > maxBucketSize,
+          expr("_bsz * (_bsz - 1) div 2")).otherwise(0L)) // integral div
+          .as("dropped_candidate_pairs"))
+  }
+
+  /** [[bucketCoverage]] over the banded minhash index [[minhashPairs]]
+    * prunes — same parameters produce the same buckets.
+    */
+  def minhashCoverage(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = 100): DataFrame =
+    bucketCoverage(
+      bandedMinhash(df, idCol, textCol, numHashes, shingleWidth, bands),
+      Seq("band_idx", "band_hash"), maxBucketSize)
+
+  /** [[bucketCoverage]] over the simhash chunk index [[simhashPairs]]
+    * prunes.
+    */
+  def simhashCoverage(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 200): DataFrame =
+    bucketCoverage(simhashChunks(df, idCol, textCol),
+      Seq("chunk_idx", "chunk"), maxBucketSize)
+
   /** STREAMING near-dup dedup against a persistent LSH index — the
     * incremental form of the dedup pass, i.e. what a continuously-fed
     * training-data pipeline actually runs: each microbatch
@@ -358,19 +404,29 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
+  /** The simhash chunk index: (id, fp, chunk_idx, chunk) — 16-bit
+    * fingerprint chunks as bucket keys. Shared by [[simhashPairs]] and
+    * [[simhashCoverage]] so the coverage row audits exactly the buckets
+    * the pair join prunes.
+    */
+  private[graft] def simhashChunks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      TextOps.simhash64(tokens(col(textCol))).as("fp"))
+    fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map { c =>
+        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+  }
+
   /** 64-bit simhash per doc + Hamming-bucket candidate pairs: fingerprint
     * chunks of 16 bits are bucket keys (pigeonhole: pairs within Hamming
     * distance ≤ 3 share at least one of 4 chunks).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-      TextOps.simhash64(tokens(col(textCol))).as("fp"))
-    val chunked = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map { c =>
-        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)))
-      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val chunked = simhashChunks(df, idCol, textCol)
       // materialize the fingerprint index once (three consumers — same
       // fault-tolerant-persist rationale as minhashPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

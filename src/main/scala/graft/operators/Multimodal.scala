@@ -405,6 +405,52 @@ object Multimodal {
       if (n > 0) { i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
       v
     }
+
+    /** A REAL (non-learned) encoder through the pluggable seam: decode
+      * via the genuine javax.imageio path, histogram the luma samples
+      * into `bins` buckets, unit-normalize — an actual pixel-space
+      * feature (two images with different brightness distributions get
+      * different vectors; undecodable payloads get the zero vector so
+      * the row is visibly unembedded rather than dropped or faked).
+      * Stands where a vision model would plug in via
+      * [[Multimodal.featureExtractBatched]]'s encoder parameter.
+      */
+    def lumaHistogramEncoder(bins: Int): Array[Byte] => Array[Float] =
+      payload =>
+        try {
+          val img =
+            if (!looksLikeImage(payload)) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+          if (img == null) new Array[Float](bins)
+          else {
+            val v = new Array[Float](bins)
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val bands = raster.getNumBands
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var s = 0
+                var b = 0
+                while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+                val luma = s / bands // 0..255 mean over bands
+                v(math.min(bins - 1, luma * bins / 256)) += 1.0f
+                x += 1
+              }
+              y += 1
+            }
+            var ss = 0.0
+            v.foreach(f => ss += f.toDouble * f.toDouble)
+            val n = math.sqrt(ss)
+            if (n > 0) {
+              var i = 0
+              while (i < bins) { v(i) = (v(i) / n).toFloat; i += 1 }
+            }
+            v
+          }
+        } catch { case _: Exception => new Array[Float](bins) }
   }
 
   /** Attach a binary payload column built from a string column — the
@@ -463,13 +509,25 @@ object Multimodal {
   }
 
   /** Batched feature extraction → `(id, embedding)` with unit-norm
-    * Float vectors, directly consumable by the ANN operators.
+    * Float vectors, directly consumable by the ANN operators. Default
+    * encoder is the deterministic byte-hash stand-in
+    * ([[MediaCodecs.extractFeatures]]).
     */
-  def featureExtractBatched(ds: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
+  def featureExtractBatched(ds: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] =
+    featureExtractBatched(ds, MediaCodecs.extractFeatures(_, dim))
+
+  /** The pluggable-encoder seam: any `Array[Byte] => Array[Float]` —
+    * a real vision/audio model wrapper, [[MediaCodecs.lumaHistogramEncoder]],
+    * or the stand-in. The encoder closure ships to executors; keep its
+    * captured state model-sized (weights, not data). Plan shape is
+    * unchanged: partition-local batched map, no shuffle.
+    */
+  def featureExtractBatched(ds: Dataset[MediaRow],
+      encoder: Array[Byte] => Array[Float]): Dataset[FeatureRow] = {
     implicit val enc = Encoders.product[FeatureRow]
     ds.mapPartitions { rows =>
       rows.grouped(MediaCodecs.BatchSize).flatMap(_.map { r =>
-        FeatureRow(r.id, MediaCodecs.extractFeatures(r.payload, dim))
+        FeatureRow(r.id, encoder(r.payload))
       })
     }
   }

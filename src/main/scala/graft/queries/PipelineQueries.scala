@@ -132,6 +132,21 @@ object PipelineQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
     },
 
+    // Mega-bucket COVERAGE contract for the capped LSH/simhash pair
+    // generators (q34/q35 parameters): one row per family counting the
+    // buckets/index-rows/candidate-pairs the cap dropped — the alerting
+    // signal that at scale the guard isn't silently shedding true
+    // near-dups. Rows-only (bucket keys hash a UDF signature); planted
+    // mega-bucket counts asserted in PipelineSpec.
+    QueryDef.noOracle("q34c_lsh_coverage") { (s, dir) =>
+      Dedup.minhashCoverage(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 16, shingleWidth = 3, bands = 4)
+        .withColumn("family", lit("minhash"))
+        .unionByName(
+          Dedup.simhashCoverage(t(s, dir, "documents"), "doc_id", "text")
+            .withColumn("family", lit("simhash")))
+    },
+
     // Token counting + quality metrics (all integer-exact or
     // double-of-identical-ints => oracle-checkable)
     QueryDef("q36_text_quality",

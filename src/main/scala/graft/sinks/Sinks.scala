@@ -27,62 +27,23 @@ object Sinks {
     * into a keyed parquet snapshot via latest-by-key reduction — the
     * PrimaryKeyLookupRecordWriter semantics (record_store.rs:48-87).
     *
+    * ONE implementation: this is [[upsertParquetBucketed]] with a
+    * single bucket — whole-snapshot rewrite per microbatch, the right
+    * shape only while total state is small. Once state outgrows one
+    * task's comfortable rewrite, call the bucketed variant directly
+    * (or set `buckets:` in config) — same layout family, same
+    * crash-safety dance, O(touched buckets) per batch instead of
+    * O(total state).
+    *
     * Implementation note: without a transactional table format the
-    * merge is read-union-rewrite of the snapshot; on a real deployment
-    * swap the body for Delta `MERGE INTO` / JDBC upsert keyed on the
-    * schema PK. State per key stays bounded: one row.
+    * merge is read-union-rewrite of the touched buckets; on a real
+    * deployment swap the body for Delta `MERGE INTO` / JDBC upsert
+    * keyed on the schema PK. State per key stays bounded: one row.
     */
   def upsertParquet(changes: DataFrame, keyCols: Seq[String], statePath: String,
       checkpoint: String): StreamingQuery =
-    changes.writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val existing = readSnapshot(spark, statePath, batch)
-        val merged = graft.cdc.ChangeModel.latestImages(
-          existing match {
-            case Some(e) => e.unionByName(batch, allowMissingColumns = true)
-            case None    => batch
-          },
-          keyCols)
-        // Crash-safe snapshot swap: materialize to tmp, demote the live
-        // snapshot to a backup, promote tmp, then drop the backup. At no
-        // instant is there zero committed snapshots on disk — a crash at
-        // any point leaves either dst or dst_old readable, so a
-        // foreachBatch retry resumes from the last committed keyset
-        // instead of silently rebuilding from one microbatch.
-        val tmp = statePath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(statePath)
-        val bak = new org.apache.hadoop.fs.Path(statePath + "_old")
-        def renameOrFail(from: org.apache.hadoop.fs.Path,
-            to: org.apache.hadoop.fs.Path): Unit =
-          // Hadoop FileSystem.rename reports most failures by returning
-          // false; failing loudly makes the micro-batch retry instead of
-          // committing the checkpoint over an unapplied batch
-          require(fs.rename(from, to), s"rename $from -> $to failed")
-        if (fs.exists(dst)) {
-          // normal path: demote live snapshot, promote tmp, drop backup.
-          // The pre-demote delete only removes a backup that is now
-          // redundant (dst exists and is preferred by readSnapshot).
-          fs.delete(bak, true)
-          renameOrFail(dst, bak)
-          renameOrFail(new org.apache.hadoop.fs.Path(tmp), dst)
-          fs.delete(bak, true)
-        } else {
-          // recovery path (crash between demote and promote): bak is the
-          // ONLY committed snapshot — it must survive until dst exists
-          // again, so promote first, delete the backup after
-          renameOrFail(new org.apache.hadoop.fs.Path(tmp), dst)
-          fs.delete(bak, true)
-        }
-        ()
-      }
-      .start()
+    upsertParquetBucketed(changes, keyCols, statePath, checkpoint,
+      numBuckets = 1)
 
   /** Scale path of [[upsertParquet]]: the snapshot is hash-bucketed by
     * key into `numBuckets` partition directories (`_bucket=<i>/`), and
@@ -127,6 +88,23 @@ object Sinks {
           // file:// all differ from fs.defaultFS in general)
           val fs = new Path(statePath).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
+          // Guard against a pre-bucketed (flat) snapshot at this path:
+          // the bucket merge only reads `_bucket=<i>/` dirs, so flat
+          // parquet here would be silently IGNORED and the keyset
+          // rebuilt from one microbatch — fail loudly instead (migrate
+          // by rewriting the old snapshot through a one-off batch
+          // upsert into a fresh path).
+          if (fs.exists(new Path(statePath))) {
+            val flat = fs.listStatus(new Path(statePath)).filter { st =>
+              val n = st.getPath.getName
+              !n.startsWith("_bucket=") && !n.startsWith("_") &&
+                !n.startsWith(".")
+            }
+            require(flat.isEmpty,
+              s"unbucketed snapshot content at $statePath " +
+                s"(e.g. ${flat.head.getPath.getName}); bucketed upsert " +
+                "would ignore it — migrate the snapshot first")
+          }
           val bakRoot = new Path(statePath + "_bak")
           def liveDir(b: Int) = new Path(statePath, s"_bucket=$b")
           def bakDir(b: Int) = new Path(bakRoot, s"_bucket=$b")
@@ -266,16 +244,4 @@ object Sinks {
       }
       .start()
 
-  private def readSnapshot(spark: SparkSession, path: String,
-      like: DataFrame): Option[DataFrame] = {
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + "_old")
-    // Prefer the live snapshot; fall back to the backup left by a crash
-    // mid-swap (after dst was demoted, before tmp was promoted).
-    if (fs.exists(dst)) Some(spark.read.parquet(path))
-    else if (fs.exists(bak)) Some(spark.read.parquet(path + "_old"))
-    else None
-  }
 }

@@ -34,6 +34,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("bucket caps are observable: planted mega-bucket shows up in coverage") {
+    import spark.implicits._
+    // 12 identical docs -> one size-12 bucket in each of the 4 bands /
+    // 4 simhash chunks; cap 10 drops all four. 3 unrelated docs stay.
+    val boiler = "this exact boilerplate footer repeats on every single page of the crawl"
+    val docs = ((1 to 12).map(i => (i.toLong, boiler)) ++ Seq(
+      (101L, "completely unrelated prose about catalyst optimizer internals"),
+      (102L, "numeric tables and csv fragments 1 2 3 4 5 6 7 8 9 10 11 12"),
+      (103L, "short poem of moonlight rivers and distant quiet mountains")))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashCoverage(docs, "doc_id", "text",
+      numHashes = 16, shingleWidth = 3, bands = 4, maxBucketSize = 10)
+      .collect()(0)
+    assert(mh.getAs[Long]("dropped_buckets") == 4L)
+    assert(mh.getAs[Long]("dropped_index_rows") == 48L)
+    assert(mh.getAs[Long]("dropped_candidate_pairs") == 4L * (12 * 11 / 2))
+    assert(mh.getAs[Long]("index_rows") == 60L) // 15 docs x 4 bands
+    // and the capped pair join really does generate none of those pairs
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, shingleWidth = 3, bands = 4, threshold = 0.25,
+      maxBucketSize = 10).count()
+    assert(pairs == 0L)
+    val sh = Dedup.simhashCoverage(docs, "doc_id", "text", maxBucketSize = 10)
+      .collect()(0)
+    assert(sh.getAs[Long]("dropped_buckets") == 4L)
+    assert(sh.getAs[Long]("dropped_candidate_pairs") == 4L * (12 * 11 / 2))
+    // raising the cap over the cluster size -> nothing dropped
+    val loose = Dedup.minhashCoverage(docs, "doc_id", "text",
+      numHashes = 16, shingleWidth = 3, bands = 4, maxBucketSize = 12)
+      .collect()(0)
+    assert(loose.getAs[Long]("dropped_buckets") == 0L &&
+      loose.getAs[Long]("dropped_candidate_pairs") == 0L)
+  }
+
   test("LSH ANN reaches decent recall vs brute force") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
@@ -295,6 +329,23 @@ class PipelineSpec extends AnyFunSuite {
       feats.toDF(), "id", "embedding",
       feats.toDF().limit(3), "id", "embedding", k = 2)
     assert(knn.count() == 6)
+    // pluggable-encoder seam with a REAL pixel-space kernel: each doc's
+    // PNG is constant gray (= id mod 200), so its luma histogram is a
+    // one-hot unit vector at bin gray*bins/256 — verified per row
+    val bins = 8
+    val luma = Multimodal.featureExtractBatched(
+      media, Multimodal.MediaCodecs.lumaHistogramEncoder(bins)).collect()
+    assert(luma.forall { f =>
+      val gray = math.floorMod(f.id, 200L).toInt
+      val hot = math.min(bins - 1, gray * bins / 256)
+      f.embedding.length == bins &&
+        math.abs(f.embedding(hot) - 1.0f) < 1e-6 &&
+        f.embedding.zipWithIndex.forall { case (v, i) => i == hot || v == 0f }
+    })
+    // undecodable payload through the same seam -> visible zero vector
+    val textRow = Multimodal.MediaCodecs
+      .lumaHistogramEncoder(bins)("just some text".getBytes)
+    assert(textRow.forall(_ == 0f) && textRow.length == bins)
     // frame sampling over a non-container payload: one honest
     // ok=false accounting row per doc, nothing decoded
     val notVideo = Multimodal.frameSample(media, 4).collect()

@@ -156,12 +156,15 @@ class StreamingSpec extends AnyFunSuite {
       Change(2L, 20.0, ChangeModel.Insert, 2L))
     graft.sinks.Sinks.upsertParquet(mem.toDF(), Seq("k"), state, ckpt)
       .awaitTermination()
-    // Simulate a crash between demoting the live snapshot and promoting
+    // Simulate a crash between demoting the live bucket and promoting
     // the new one: only the backup exists when the retry starts.
+    // (upsertParquet IS the bucketed path at numBuckets=1, so the
+    // demote target is `<state>_bak/_bucket=0`.)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(state),
-      new org.apache.hadoop.fs.Path(state + "_old")))
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(state + "_bak")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state + "/_bucket=0"),
+      new org.apache.hadoop.fs.Path(state + "_bak/_bucket=0")))
     mem.addData(Change(3L, 30.0, ChangeModel.Insert, 3L))
     graft.sinks.Sinks.upsertParquet(mem.toDF(), Seq("k"), state, ckpt)
       .awaitTermination()
@@ -170,8 +173,8 @@ class StreamingSpec extends AnyFunSuite {
     val finalState = spark.read.parquet(state)
       .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(finalState == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
-    // the successful swap cleared the backup
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_old")))
+    // the successful swap cleared the backup bucket
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_bak/_bucket=0")))
   }
 
   test("bucketed upsert rewrites only touched buckets, leaves others untouched") {
