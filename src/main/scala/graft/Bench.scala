@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * each query timed end-to-end writing to the `noop` datasource — forces
   * full evaluation of every column with zero sink I/O, unlike count()
   * which lets Catalyst prune projections.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times back-to-back
+  * (default 2) and the per-query figure is the median (mean of the two
+  * middle samples for an even count) — single-run machine jitter on
+  * this box has repeatedly shown ±2 s swings that read as fake
+  * regressions/speedups (round-5/6 trajectory), and medians halve that
+  * variance without re-litigating it every round. `runs` is carried in
+  * the JSON so trajectories across rounds compare like with like.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,14 +65,25 @@ object Bench {
     // local-iteration filter: comma-separated query names (driver unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else {
+        val s = ok.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+      }
+    }
     runOnce("q1_agg") // warmup: JIT + codegen + FS metadata
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map(n => n -> median(Seq.fill(runs)(runOnce(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

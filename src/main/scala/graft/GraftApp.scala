@@ -64,6 +64,7 @@ object GraftApp {
     registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = config.streaming)
     config.sources.foreach { s =>
+      requireFormatAvailable(spark, s.format, "source")
       val schema = s.schema.getOrElse(
         spark.read.format(s.format).load(s.path).schema)
       val df =
@@ -84,8 +85,16 @@ object GraftApp {
         s"sink references unknown output table '${sink.table}'")
       require(legalModes(sink.mode),
         s"unknown ${if (config.streaming) "streaming " else ""}sink mode ${sink.mode}")
-      if (sink.mode == "upsert")
+      requireFormatAvailable(spark, sink.format, "sink")
+      if (sink.mode == "upsert") {
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
+        // the upsert snapshot's crash-safe swap is parquet-layout-owned;
+        // a transactional format would bring its own MERGE INTO path
+        require(sink.format == "parquet",
+          s"upsert sink '${sink.table}' supports format parquet only " +
+            s"(got '${sink.format}'; delta upsert = MERGE INTO via the " +
+            "delta connector, not the snapshot-swap path)")
+      }
       // partition_by legality + column existence (run would fail at
       // write time with a deep AnalysisException; surface it here)
       if (sink.partitionBy.nonEmpty) {
@@ -139,7 +148,40 @@ object GraftApp {
       keys: Seq[String] = Nil,                // primary key for upsert
       checkpoint: Option[String] = None,
       buckets: Option[Int] = None,            // upsert scale path: hash-bucketed snapshot
-      partitionBy: Seq[String] = Nil)         // hive-style output partitioning
+      partitionBy: Seq[String] = Nil,         // hive-style output partitioning
+      format: String = "parquet")             // "parquet" | "delta" | any DataSource name
+
+  /** Formats the bundled Spark distribution resolves without extra jars.
+    * Anything else ("delta", "iceberg", …) is config-accepted and probed
+    * against the classpath at build/run time — the reference ships a
+    * DeltaLake connector (dozer-ingestion/deltalake/, config shape
+    * dozer-types/src/models/ingestion_types.rs:377-393); on Spark the
+    * SAME config works the moment the delta-spark jars are on the
+    * classpath, because source/sink IO goes through
+    * `spark.read.format(...)` / `df.write.format(...)` uniformly.
+    */
+  private val builtinFormats =
+    Set("parquet", "csv", "json", "orc", "text", "avro", "binaryFile")
+
+  /** Fail fast — at build/validate time, not deep inside a microbatch —
+    * when a configured format's DataSource is not on the classpath.
+    */
+  private[graft] def requireFormatAvailable(spark: SparkSession,
+      format: String, what: String): Unit =
+    if (!builtinFormats(format)) {
+      val ok =
+        try {
+          org.apache.spark.sql.execution.datasources.DataSource
+            .lookupDataSource(format, spark.sessionState.conf)
+          true
+        } catch { case _: Exception => false }
+      if (!ok) throw new IllegalArgumentException(
+        s"$what format '$format' has no DataSource on the classpath" +
+          (if (format == "delta")
+            " — add the delta-spark connector jars (io.delta:delta-spark" +
+              " matching this Spark version) or switch the config to parquet"
+          else ""))
+    }
 
   /** Config-declared scalar UDF — the reference's `udfs:` section
     * (dozer-types/src/models/udf_config.rs: name + Onnx/JavaScript
@@ -176,6 +218,7 @@ object GraftApp {
     registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = false)
     config.sources.foreach { s =>
+      requireFormatAvailable(spark, s.format, "source")
       val df = spark.read.format(s.format).load(s.path)
       runner.registerSource(s.name, df)
     }
@@ -184,17 +227,22 @@ object GraftApp {
       val df = outputs.getOrElse(sink.table,
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
+      requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout — reject a partition spec
       // instead of silently dropping it
       require(sink.partitionBy.isEmpty || sink.mode != "upsert",
         s"partition_by is not supported on upsert sinks (sink '${sink.table}')")
+      require(sink.mode != "upsert" || sink.format == "parquet",
+        s"upsert sink '${sink.table}' supports format parquet only")
       def writer(d: org.apache.spark.sql.DataFrame) = {
         val w = d.write
         if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
       }
       sink.mode match {
-        case "append"    => writer(df).mode("append").parquet(sink.path)
-        case "overwrite" => writer(df).mode("overwrite").parquet(sink.path)
+        case "append" =>
+          writer(df).mode("append").format(sink.format).save(sink.path)
+        case "overwrite" =>
+          writer(df).mode("overwrite").format(sink.format).save(sink.path)
         case "upsert" =>
           // batch upsert = latest image per key over existing + new
           val merged = graft.cdc.ChangeModel.applyChanges(
@@ -227,6 +275,7 @@ object GraftApp {
     registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = true)
     config.sources.foreach { s =>
+      requireFormatAvailable(spark, s.format, "source")
       val schema = s.schema.getOrElse(
         spark.read.format(s.format).load(s.path).schema) // infer from existing files
       val raw = spark.readStream.format(s.format).schema(schema).load(s.path)
@@ -242,13 +291,16 @@ object GraftApp {
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
       val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
+      requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout (flat or key-hash buckets) —
       // a user partition spec would be silently unhonored, so reject it
       require(sink.partitionBy.isEmpty || sink.mode == "append",
         s"partition_by is only supported on append sinks (sink '${sink.table}')")
+      require(sink.mode != "upsert" || sink.format == "parquet",
+        s"upsert sink '${sink.table}' supports format parquet only")
       sink.mode match {
         case "append" => graft.sinks.Sinks.appendParquet(
-          df, sink.path, ckpt, sink.partitionBy)
+          df, sink.path, ckpt, sink.partitionBy, sink.format)
         case "upsert" => sink.buckets match {
           // buckets: opts into the O(batch)-per-microbatch bucketed
           // snapshot — the right choice once state outgrows one rewrite

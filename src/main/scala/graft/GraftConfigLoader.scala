@@ -85,28 +85,47 @@ object GraftConfigLoader {
 
   private def fromDozer(root: Map[String, Object]): GraftConfig = {
     case class Conn(name: String, basePath: String,
-        tables: Map[String, (String, String)]) // table -> (subPath, ext)
+        tables: Map[String, (String, String)], // table -> (subPath, ext)
+        delta: Boolean = false)                // DeltaLake connection
     val conns = list(root, "connections").map { c =>
       val cm = c.asScala
       val name = str(c, "name")
       val cfg = asMap(cm.getOrElse("config",
         fail(s"connection '$name' has no config")))
-      val details = cfg.asScala.get("details").map(asMap)
-        .getOrElse(fail(
-          s"connection '$name': only object-store (LocalStorage/S3) " +
-            "connections map to direct Spark reads; Postgres/MySQL CDC and " +
-            "Kafka are config-level mappings documented in SURVEY §2.1"))
-      val basePath = str(details, "path")
-      val tables = cfg.asScala.get("tables").map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
-        .getOrElse(Nil).map { t =>
-        val tm = asMap(t)
-        val tname = str(tm, "name")
-        val tcfg = tm.asScala.get("config").map(asMap)
-        val sub = tcfg.flatMap(_.asScala.get("path")).map(_.toString).getOrElse("")
-        val ext = tcfg.flatMap(_.asScala.get("extension")).map(_.toString).getOrElse(".parquet")
-        tname -> (sub, ext)
-      }.toMap
-      Conn(name, basePath, tables)
+      cfg.asScala.get("details").map(asMap) match {
+        case Some(details) =>
+          val basePath = str(details, "path")
+          val tables = cfg.asScala.get("tables").map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
+            .getOrElse(Nil).map { t =>
+            val tm = asMap(t)
+            val tname = str(tm, "name")
+            val tcfg = tm.asScala.get("config").map(asMap)
+            val sub = tcfg.flatMap(_.asScala.get("path")).map(_.toString).getOrElse("")
+            val ext = tcfg.flatMap(_.asScala.get("extension")).map(_.toString).getOrElse(".parquet")
+            tname -> (sub, ext)
+          }.toMap
+          Conn(name, basePath, tables)
+        case None =>
+          // DeltaLake shape (ingestion_types.rs:377-393): no `details`,
+          // `tables` entries carry {path, name} directly. Maps to
+          // format=delta sources; availability of the connector jar is
+          // probed at build/run time, not here.
+          val dtabs = cfg.asScala.get("tables")
+            .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
+            .getOrElse(Nil).flatMap { t =>
+              val tm = asMap(t).asScala
+              (tm.get("path"), tm.get("name")) match {
+                case (Some(p), Some(n)) => Some(n.toString -> (p.toString, ""))
+                case _                  => None
+              }
+            }.toMap
+          if (dtabs.nonEmpty) Conn(name, "", dtabs, delta = true)
+          else fail(
+            s"connection '$name': only object-store (LocalStorage/S3) and " +
+              "DeltaLake connections map to direct Spark reads; " +
+              "Postgres/MySQL CDC and Kafka are config-level mappings " +
+              "documented in SURVEY §2.1")
+      }
     }
     val connByName = conns.map(c => c.name -> c).toMap
     val sources = list(root, "sources").map { s =>
@@ -115,16 +134,23 @@ object GraftConfigLoader {
       val tableName = str(s, "table_name")
       val conn = connByName.getOrElse(connName,
         fail(s"source '$sname' references unknown connection '$connName'"))
-      val (sub, ext) = conn.tables.getOrElse(tableName, ("", ".parquet"))
-      val dir = Seq(conn.basePath, sub).filter(_.nonEmpty).mkString("/")
-      // a file named <table><ext> under the prefix wins; otherwise the
-      // prefix is the table's folder (dozer's object-store scan shape)
-      val candidate = s"$dir/$tableName$ext"
-      val path =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(candidate))) candidate
-        else dir
-      SourceConf(name = sname, path = path,
-        format = if (ext.contains("csv")) "csv" else "parquet")
+      if (conn.delta) {
+        val (tpath, _) = conn.tables.getOrElse(tableName,
+          fail(s"source '$sname': DeltaLake connection '$connName' has " +
+            s"no table '$tableName'"))
+        SourceConf(name = sname, path = tpath, format = "delta")
+      } else {
+        val (sub, ext) = conn.tables.getOrElse(tableName, ("", ".parquet"))
+        val dir = Seq(conn.basePath, sub).filter(_.nonEmpty).mkString("/")
+        // a file named <table><ext> under the prefix wins; otherwise the
+        // prefix is the table's folder (dozer's object-store scan shape)
+        val candidate = s"$dir/$tableName$ext"
+        val path =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(candidate))) candidate
+          else dir
+        SourceConf(name = sname, path = path,
+          format = if (ext.contains("csv")) "csv" else "parquet")
+      }
     }
     GraftConfig(
       sources = sources,
@@ -184,7 +210,8 @@ object GraftConfigLoader {
           if (n <= 0) fail(s"sink buckets must be positive, got $n")
           n
         },
-        partitionBy = strList(m, "partition_by"))
+        partitionBy = strList(m, "partition_by"),
+        format = m.get("format").map(_.toString).getOrElse("parquet"))
     }
 
   /** String-list sink field; a bare scalar (`keys: id`) is accepted as a

@@ -11,11 +11,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object Sinks {
 
-  /** Append sink: parquet files + checkpoint (exactly-once). */
+  /** Append sink: immutable-log files + checkpoint (exactly-once).
+    * `format` is any streaming-capable DataSource name — "parquet"
+    * default, "delta" once the connector jars are on the classpath
+    * (GraftApp probes availability at build time).
+    */
   def appendParquet(df: DataFrame, path: String, checkpoint: String,
-      partitionBy: Seq[String] = Nil): StreamingQuery = {
+      partitionBy: Seq[String] = Nil, format: String = "parquet")
+      : StreamingQuery = {
     val w = df.writeStream
-      .format("parquet")
+      .format(format)
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

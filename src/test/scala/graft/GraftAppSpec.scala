@@ -323,6 +323,65 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e.getMessage.contains("embedder"))
   }
 
+  test("delta format: config accepted, loud classpath probe, dozer shape maps") {
+    // native shape: format: delta parses into source/sink confs
+    val yaml =
+      """sources:
+        |  - name: ev
+        |    path: /data/delta/events
+        |    format: delta
+        |sql: SELECT 1 AS one INTO o FROM ev;
+        |sinks:
+        |  - table: o
+        |    path: /out/o
+        |    mode: overwrite
+        |    format: delta
+        |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.sources.head.format == "delta")
+    assert(config.sinks.head.format == "delta")
+    // dozer-compatible shape: a DeltaLake connection (tables with
+    // path+name, no `details`) maps each table to a format=delta source
+    val dozerYaml =
+      """connections:
+        |  - name: lake
+        |    config: !DeltaLake
+        |      tables:
+        |        - path: /data/delta/orders_tbl
+        |          name: orders
+        |sources:
+        |  - name: orders
+        |    connection: lake
+        |    table_name: orders
+        |sql: SELECT 1 AS one INTO o FROM orders;
+        |sinks: []
+        |""".stripMargin
+    val dz = GraftConfigLoader.fromYaml(dozerYaml)
+    assert(dz.sources.head.format == "delta" &&
+      dz.sources.head.path == "/data/delta/orders_tbl")
+    // availability probe: this environment ships no delta-spark jars,
+    // so build must fail with the actionable message BEFORE touching
+    // data. (If a connector jar is ever added, the probe passes and
+    // this assertion is skipped — the config itself is legal.)
+    val deltaAvailable =
+      try {
+        org.apache.spark.sql.execution.datasources.DataSource
+          .lookupDataSource("delta", spark.sessionState.conf)
+        true
+      } catch { case _: Exception => false }
+    if (!deltaAvailable) {
+      val e = intercept[IllegalArgumentException](
+        GraftApp.build(spark, config))
+      assert(e.getMessage.contains("delta-spark"))
+      // upsert onto delta is rejected as mode/format, not attempted
+      val e2 = intercept[IllegalArgumentException](
+        GraftApp.build(spark, GraftConfigLoader.fromYaml(
+          yaml.replace("mode: overwrite", "mode: upsert\n    keys: [one]"))))
+      assert(e2.getMessage.contains("delta-spark") ||
+        e2.getMessage.contains("parquet only"))
+    }
+  }
+
   test("global !! tags cannot instantiate arbitrary classes (SafeConstructor)") {
     // CVE-2022-1471 class: a global tag naming a JVM class must be
     // rejected by the safe loader, never constructed
