@@ -133,4 +133,43 @@ object Sources {
       case None => base
     }
   }
+
+  /** Reader options for dozer's Snowflake connector config
+    * (`SnowflakeConfig`, ingestion_types.rs:196-211: server/port/user/
+    * password/database/schema/warehouse [+ driver]) mapped onto the
+    * Snowflake JDBC driver through Spark's generic JDBC source — the
+    * reference's batch/table-stream read is a JDBC snapshot in Spark
+    * terms. Pure config mapping (SURVEY §2.1): the snowflake-jdbc jar
+    * supplies the driver on a deployment.
+    * {{{
+    * spark.read.format("jdbc")
+    *   .options(Sources.snowflakeOptions(...)).load()
+    * }}}
+    */
+  def snowflakeOptions(server: String, port: String, user: String,
+      password: String, database: String, schema: String, warehouse: String,
+      table: String, driver: Option[String] = None): Map[String, String] =
+    Map(
+      "url" -> (s"jdbc:snowflake://$server:$port/?db=$database" +
+        s"&schema=$schema&warehouse=$warehouse"),
+      "dbtable" -> table,
+      "user" -> user, "password" -> password,
+      "driver" -> driver.getOrElse(
+        "net.snowflake.client.jdbc.SnowflakeDriver"))
+
+  /** Reader options for dozer's MongoDB connector config
+    * (`MongodbConfig`, ingestion_types.rs:399-401: a connection
+    * string) mapped onto the mongo-spark connector — the snapshot
+    * phase is `format("mongodb")` batch read; the change-stream phase
+    * is the same format via `readStream` (connector-managed resume
+    * tokens play the OpIdentifier role). Pure config mapping (SURVEY
+    * §2.1): the mongo-spark-connector jar supplies the source on a
+    * deployment.
+    */
+  def mongodbOptions(connectionString: String, database: String,
+      collection: String): Map[String, String] =
+    Map(
+      "connection.uri" -> connectionString,
+      "database" -> database,
+      "collection" -> collection)
 }

@@ -143,6 +143,20 @@ class StreamingSpec extends AnyFunSuite {
       partitionColumn = Some(("o_orderkey", 0L, 1000000L, 16)))
     assert(j("dbtable") == "public.orders" && j("numPartitions") == "16")
     assert(j("partitionColumn") == "o_orderkey")
+    // Snowflake: the SnowflakeConfig fields land in the JDBC url/driver
+    val sf = graft.sources.Sources.snowflakeOptions(
+      "acct.snowflakecomputing.com", "443", "u", "p",
+      "analytics", "public", "wh1", "orders")
+    assert(sf("url") ==
+      "jdbc:snowflake://acct.snowflakecomputing.com:443/?db=analytics" +
+        "&schema=public&warehouse=wh1")
+    assert(sf("dbtable") == "orders" &&
+      sf("driver") == "net.snowflake.client.jdbc.SnowflakeDriver")
+    // MongoDB: connection string + namespace for the mongo-spark source
+    val mo = graft.sources.Sources.mongodbOptions(
+      "mongodb://h:27017", "appdb", "events")
+    assert(mo("connection.uri") == "mongodb://h:27017" &&
+      mo("database") == "appdb" && mo("collection") == "events")
   }
 
   test("upsert sink recovers committed keys from backup after a mid-swap crash") {
