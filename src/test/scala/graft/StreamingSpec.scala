@@ -523,6 +523,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(seqs == Seq(0L, 1L, 2L, 3L, 4L)) // no re-read, no loss
   }
 
+  test("webhook source: HTTP verbs land as envelope rows on the push channel") {
+    import graft.sources.{PushBuffer, Sources, WebhookServer}
+    val chan = "webhook_spec"
+    PushBuffer.clear(chan)
+    val srv = WebhookServer.start(0, Map("/ingest" -> chan))
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def req(verb: String, body: String) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:${srv.port}/ingest"))
+        val withBody = verb match {
+          case "GET" => b.GET()
+          case v => b.method(v,
+            java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        }
+        http.send(withBody.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // POST one object, PUT one, DELETE one, POST an array of two
+      assert(req("POST", """{"k":1,"v":"a"}""").statusCode() == 200)
+      assert(req("PUT", """{"k":1,"v":"b"}""").statusCode() == 200)
+      assert(req("DELETE", """{"k":1}""").statusCode() == 200)
+      val arr = req("POST", """[{"k":2},{"k":3}]""")
+      assert(arr.statusCode() == 200 && arr.body().contains("\"inserted\":2"))
+      // malformed / non-object bodies flag at the edge, verbs outside
+      // the contract are rejected — nothing reaches the channel
+      assert(req("POST", """not json at all""").statusCode() == 400)
+      assert(req("POST", """["scalar", 5]""").statusCode() == 400)
+      assert(req("GET", "").statusCode() == 405)
+      // the channel now serves the 5 envelopes through the REAL
+      // DataSource V2 push table — verbs preserved for the change map
+      val snap = Sources.pushSnapshot(spark, chan)
+        .select(col("seq"),
+          org.apache.spark.sql.functions.get_json_object(col("value"), "$.verb").as("verb"),
+          org.apache.spark.sql.functions.get_json_object(col("value"), "$.data.k").cast("int").as("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toList
+        .sortBy(_._1)
+      assert(snap.map(_._2) == List("POST", "PUT", "DELETE", "POST", "POST"))
+      assert(snap.map(_._3) == List(1, 1, 1, 2, 3))
+    } finally srv.stop()
+  }
+
   test("quality gates run map-only on streams and equal their batch results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
