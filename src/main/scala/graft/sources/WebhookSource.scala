@@ -95,6 +95,32 @@ object WebhookServer {
     }
   }
 
+  /** Decode a [[PushSource]] webhook feed into change rows: the verb
+    * becomes the change op (POST→insert, PUT→update_postimage,
+    * DELETE→delete — the reference's verb contract), `seq` becomes the
+    * change sequence, and the `data` object lifts into columns via
+    * `from_json` with the caller's row schema. Pure column work, so it
+    * applies identically to the batch snapshot and the micro-batch
+    * stream; feed the result straight into `ChangeModel.applyChanges`
+    * or an upsert sink.
+    */
+  def changes(feed: org.apache.spark.sql.DataFrame,
+      rowSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Op = graft.cdc.ChangeModel
+    feed.select(
+        col("seq").as(Op.SeqCol),
+        get_json_object(col("value"), "$.verb").as("__verb"),
+        from_json(get_json_object(col("value"), "$.data"), rowSchema).as("__r"))
+      .select(
+        col("__r.*"),
+        when(col("__verb") === "PUT", Op.UpdatePost)
+          .when(col("__verb") === "DELETE", Op.Delete)
+          .otherwise(Op.Insert).as(Op.OpCol),
+        col(Op.SeqCol))
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -562,6 +562,19 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(_._1)
       assert(snap.map(_._2) == List("POST", "PUT", "DELETE", "POST", "POST"))
       assert(snap.map(_._3) == List(1, 1, 1, 2, 3))
+      // verb -> change-op decode feeds the CDC operators: after
+      // insert(k=1,a) / update(k=1,b) / delete(k=1) / insert(k=2,k=3),
+      // the applied state is exactly {2, 3}
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+      val applied = ChangeModel.applyChanges(
+        WebhookServer.changes(Sources.pushSnapshot(spark, chan), rowSchema),
+        keyCols = Seq("k"))
+      assert(applied.select("k").collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(2, 3))
     } finally srv.stop()
   }
 
