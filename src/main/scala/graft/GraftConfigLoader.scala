@@ -11,7 +11,8 @@ import graft.GraftApp.{GraftConfig, SinkConf, SourceConf}
   * sources:
   *   - name: orders
   *     path: /data/sf/orders.parquet
-  *     format: parquet            # optional, default parquet
+  *     format: parquet            # optional, default parquet (csv/json/orc/delta/…)
+  *     options: {header: "true"}  # optional reader passthrough
   *     watermark: {column: ts, delay: 10 minutes}   # optional
   * sql: |
   *   SELECT ... INTO out1 FROM orders;
@@ -20,6 +21,8 @@ import graft.GraftApp.{GraftConfig, SinkConf, SourceConf}
   *     path: /out/out1
   *     mode: append | upsert | overwrite
   *     keys: [k]                  # upsert primary key
+  *     format: parquet            # optional (append/overwrite may use delta/…)
+  *     options: {compression: zstd}  # optional writer passthrough
   *     checkpoint: /ckpt/out1     # streaming only
   * streaming: false
   * }}}
@@ -71,7 +74,8 @@ object GraftConfigLoader {
         watermark = s.asScala.get("watermark").map { w =>
           val m = asMap(w)
           (str(m, "column"), str(m, "delay"))
-        })
+        },
+        options = optMap(s, "options"))
     }
     GraftConfig(
       sources = sources,
@@ -211,7 +215,8 @@ object GraftConfigLoader {
           n
         },
         partitionBy = strList(m, "partition_by"),
-        format = m.get("format").map(_.toString).getOrElse("parquet"))
+        format = m.get("format").map(_.toString).getOrElse("parquet"),
+        options = optMap(s, "options"))
     }
 
   /** String-list sink field; a bare scalar (`keys: id`) is accepted as a
@@ -234,6 +239,15 @@ object GraftConfigLoader {
 
   private def asMap(o: Any): java.util.Map[String, Object] =
     o.asInstanceOf[java.util.Map[String, Object]]
+
+  /** Optional string→string map field (`options:` reader/writer
+    * passthrough); absent or null → empty.
+    */
+  private def optMap(m: java.util.Map[String, Object],
+      key: String): Map[String, String] =
+    Option(m.get(key)).map(asMap(_).asScala.map {
+      case (k, v) => k -> (if (v == null) "" else v.toString)
+    }.toMap).getOrElse(Map.empty)
 
   private def str(m: java.util.Map[String, Object], key: String): String =
     Option(m.get(key)).map(_.toString.trim)

@@ -17,10 +17,11 @@ object Sinks {
     * (GraftApp probes availability at build time).
     */
   def appendParquet(df: DataFrame, path: String, checkpoint: String,
-      partitionBy: Seq[String] = Nil, format: String = "parquet")
-      : StreamingQuery = {
+      partitionBy: Seq[String] = Nil, format: String = "parquet",
+      options: Map[String, String] = Map.empty): StreamingQuery = {
     val w = df.writeStream
       .format(format)
+      .options(options)
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

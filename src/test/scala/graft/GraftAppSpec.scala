@@ -323,6 +323,34 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e.getMessage.contains("embedder"))
   }
 
+  test("options: passthrough reaches the reader and the writer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opts").toString
+    // a headered CSV only reads correctly if the reader options land
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/in.csv"), "k,v\n1,a\n2,b\n")
+    val yaml =
+      s"""sources:
+         |  - name: t
+         |    path: $tmp/in.csv
+         |    format: csv
+         |    options: {header: "true", inferSchema: "true"}
+         |sql: SELECT k, v INTO o FROM t;
+         |sinks:
+         |  - table: o
+         |    path: $tmp/out
+         |    mode: overwrite
+         |    options: {compression: gzip}
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val out = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a"), (2, "b"))) // header consumed, types inferred
+    // the writer option really reached the parquet writer
+    val parts = new java.io.File(s"$tmp/out").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts.nonEmpty && parts.forall(_.contains(".gz.")))
+  }
+
   test("delta format: config accepted, loud classpath probe, dozer shape maps") {
     // native shape: format: delta parses into source/sink confs
     val yaml =
