@@ -43,9 +43,25 @@ object WebhookServer {
     def stop(): Unit = server.stop(0)
   }
 
-  /** Start serving `endpoints` (URL path -> push channel). */
-  def start(port: Int, endpoints: Map[String, String]): Handle = {
+  /** Start serving `endpoints` (URL path -> push channel). A small
+    * thread pool handles requests — without an executor the JDK server
+    * serializes every client on its dispatcher thread; [[PushBuffer]]
+    * appends are synchronized per channel, so concurrency is safe and
+    * `seq` stays gap-free.
+    */
+  def start(port: Int, endpoints: Map[String, String],
+      threads: Int = 8): Handle = {
+    // TCP_NODELAY on the server's sockets: without it the JDK server's
+    // separate header/body writes hit Nagle + the peer's 40 ms delayed
+    // ACK — measured 45 ms/request vs 1.7 ms with nodelay on loopback.
+    // ServerConfig snapshots this property on the FIRST HttpServer
+    // class load, so it must be set before create(); this object is
+    // the library's only HttpServer user.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      threads,
+      r => { val t = new Thread(r, "graft-webhook"); t.setDaemon(true); t }))
     endpoints.foreach { case (path, channel) =>
       server.createContext(path, handler(channel))
     }

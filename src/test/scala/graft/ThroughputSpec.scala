@@ -111,4 +111,33 @@ class ThroughputSpec extends AnyFunSuite {
       OutputMode.Update)
     assert(rps > 5000, s"windowed agg unexpectedly slow: $rps rows/s")
   }
+
+  test("webhook HTTP ingest sustains bulk request rates") {
+    import graft.sources.{PushBuffer, WebhookServer}
+    val chan = "tp_webhook"
+    PushBuffer.clear(chan)
+    val srv = WebhookServer.start(0, Map("/ingest" -> chan))
+    try {
+      val uri = java.net.URI.create(s"http://127.0.0.1:${srv.port}/ingest")
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(body: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(uri)
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      post("""{"warm":0}""") // connection + JIT warmup
+      // 200 batched posts of 50 rows each = 10k rows through real HTTP
+      val batch = (1 to 50).map(i => s"""{"k":$i}""").mkString("[", ",", "]")
+      val nPosts = 200
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < nPosts) { assert(post(batch).statusCode() == 200); i += 1 }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rps = nPosts * 50 / secs
+      info(f"tp_webhook: ${nPosts * 50} rows in $secs%.2f s = $rps%.0f rows/s")
+      assert(PushBuffer.endOffset(chan) == nPosts * 50 + 1)
+      // loose floor (CI-safe): HTTP parse + Jackson + buffer append
+      assert(rps > 2000, s"webhook ingest unexpectedly slow: $rps rows/s")
+    } finally srv.stop()
+  }
 }
