@@ -296,4 +296,125 @@ object Pq {
         .filter(col("rank") <= kNeighbors)
     }
   }
+
+  // ---- persisted IVF-PQ index (build once, query many) -----------------
+
+  /** Materialize the full IVF-PQ index — the production serving shape
+    * of [[ivfAdcTopK]]: coarse centroids + PQ codebooks in one JSON
+    * model file (written through the Hadoop FileSystem, same contract
+    * as [[Ivf.buildIndex]]), and cell-assigned rows as parquet
+    * PARTITIONED BY cell carrying (neighbor_id, cvec, code) — codes
+    * feed the ADC scan, the normalized vectors make exact rerank
+    * index-local (no join back to the source corpus at query time).
+    * The build is the one corpus-scale pass; serving jobs load a
+    * few-KB model and read only the probed cell partitions.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, k: Int, path: String): Unit = {
+    val coarse = Ivf.trainCentroids(corpus, vecCol, nlist)
+    require(coarse.nonEmpty,
+      s"buildIndex: corpus has no vectors to index at $path")
+    val model = train(corpus, vecCol, m, k)
+    corpus.select(col(idCol).as("neighbor_id"),
+        Similarity.normalize(col(vecCol)).as("cvec"),
+        encode(corpus, vecCol, model).as("code"),
+        Ivf.assignCells(corpus, vecCol, coarse).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def arr2(a: Array[Array[Double]]) = {
+      val n = mapper.createArrayNode()
+      a.foreach { row =>
+        val r = mapper.createArrayNode(); row.foreach(r.add); n.add(r)
+      }
+      n
+    }
+    val root = mapper.createObjectNode()
+    root.put("dim", model.dim)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("coarse", arr2(coarse))
+    val cb = mapper.createArrayNode()
+    model.centroids.foreach(sub => cb.add(arr2(sub)))
+    root.set[com.fasterxml.jackson.databind.JsonNode]("codebooks", cb)
+    val mp = new org.apache.hadoop.fs.Path(path, "model.json")
+    val fs = mp.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
+  /** Load the (coarse centroids, PQ model) pair written by
+    * [[buildIndex]] (any Hadoop FS).
+    */
+  def loadIndexModel(path: String): (Array[Array[Double]], Model) = {
+    val mp = new org.apache.hadoop.fs.Path(path, "model.json")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = mp.getFileSystem(conf)
+    val len = fs.getFileStatus(mp).getLen.toInt // model-sized
+    val bytes = new Array[Byte](len)
+    val in = fs.open(mp)
+    try in.readFully(bytes) finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(bytes)
+    def arr2(n: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+      val out = new Array[Array[Double]](n.size())
+      var i = 0
+      while (i < n.size()) {
+        val row = n.get(i)
+        val r = new Array[Double](row.size())
+        var j = 0
+        while (j < row.size()) { r(j) = row.get(j).asDouble(); j += 1 }
+        out(i) = r; i += 1
+      }
+      out
+    }
+    val coarse = arr2(root.get("coarse"))
+    val cbNode = root.get("codebooks")
+    val codebooks = Array.tabulate(cbNode.size())(s => arr2(cbNode.get(s)))
+    (coarse, Model(codebooks, root.get("dim").asInt()))
+  }
+
+  /** Query a persisted IVF-PQ index. The probed cell set is collected
+    * first (bounded by nlist regardless of query count) and applied as
+    * a LITERAL `cell IN (...)` predicate, so the partitioned layout
+    * statically prunes to the probed cells (same contract as
+    * [[Ivf.queryIndex]]); ADC + exact rerank then run exactly as in
+    * [[ivfAdcTopK]], but against index-held codes and vectors — the
+    * source corpus is never read.
+    */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      kNeighbors: Int, nprobe: Int, rerank: Int = 0): DataFrame = {
+    val (coarse, model) = loadIndexModel(path)
+    val lutUdf = lutUdfFor(spark, model)
+    val scoreUdf = adcScoreUdfFor(spark, model)
+    val q = queries.select(col(queryId).as("query_id"),
+      lutUdf(col(queryVec)).as("__lut"),
+      explode(Ivf.probeCells(queries, queryVec, coarse, nprobe)).as("cell"))
+    val probedCells: Array[Int] = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist rows — a model-sized action
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val shortlistK = if (rerank > kNeighbors) rerank else kNeighbors
+    val adc = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        scoreUdf(col("__lut"), col("code")).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= shortlistK)
+    if (rerank <= kNeighbors) adc
+    else {
+      val cv = cells.select(col("neighbor_id"), col("cvec").as("__cvec"))
+      val qv = queries.select(col(queryId).as("query_id"),
+        Similarity.normalize(col(queryVec)).as("__qvec"))
+      adc.select(col("query_id"), col("neighbor_id"))
+        .join(cv, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.dot(col("__qvec"), col("__cvec")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNeighbors)
+    }
+  }
 }

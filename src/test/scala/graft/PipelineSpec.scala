@@ -943,6 +943,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(planStr.contains("PartitionFilters: [cell"), planStr.take(400))
   }
 
+  test("persisted IVF-PQ index: query equals in-memory ivfAdcTopK; probes prune") {
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.buildIndex(emb, "vec_id", "embedding", nlist = 8, m = 8, k = 16,
+      path = tmp)
+    // the JSON model file round-trips bit-exactly (Jackson shortest-
+    // round-trip doubles), so index scoring == in-memory scoring
+    val (coarse, model) = Pq.loadIndexModel(tmp)
+    val coarse0 = Ivf.trainCentroids(emb, "embedding", nlist = 8)
+    val model0 = Pq.train(emb, "embedding", m = 8, k = 16)
+    assert(coarse.map(_.toSeq).toSeq == coarse0.map(_.toSeq).toSeq)
+    assert(model.dim == model0.dim &&
+      model.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+        model0.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val direct = Pq.ivfAdcTopK(emb, "vec_id", "embedding", queries,
+      "qid", "qvec", kNeighbors = 5, coarse0, nprobe = 3, model0, rerank = 20)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromIndex = Pq.queryIndex(spark, tmp, queries, "qid", "qvec",
+      kNeighbors = 5, nprobe = 3, rerank = 20)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex == direct)
+    // literal cell IN (...) reaches PartitionFilters — static pruning
+    val qdf = Pq.queryIndex(spark, tmp, queries, "qid", "qvec",
+      kNeighbors = 5, nprobe = 2, rerank = 20)
+    qdf.collect()
+    val planStr = qdf.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cell"), planStr.take(400))
+  }
+
   test("cluster-balanced sampling: per-cell quota, deterministic cells") {
     val emb = Tables.load(spark, dir, "embeddings")
     import graft.operators.{Ivf, Sampling}
