@@ -207,6 +207,24 @@ object Ivf {
     finally out.close()
   }
 
+  /** Append a batch of new vectors to an existing index under the
+    * FROZEN model: cells are assigned with the centroids trained at
+    * build time (k-means models are not incrementally retrained — the
+    * standard IVF maintenance contract; rebuild when drift matters)
+    * and the rows parquet-APPEND into their cell partitions, so only
+    * the touched partitions gain files and concurrent queries keep
+    * reading committed data. This is the streaming-ingest shape: call
+    * it per micro-batch from foreachBatch.
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val centroids = loadCentroids(path)
+    batch.select(col(idCol).as("neighbor_id"),
+        Similarity.normalize(col(vecCol)).as("cvec"),
+        assignCells(batch, vecCol, centroids).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Load the model file written by [[buildIndex]] (any Hadoop FS). */
   def loadCentroids(path: String): Array[Array[Double]] = {
     val model = new org.apache.hadoop.fs.Path(path, "centroids.json")

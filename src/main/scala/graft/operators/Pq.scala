@@ -341,6 +341,21 @@ object Pq {
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
   }
 
+  /** Append a batch of new vectors under the FROZEN model (coarse
+    * centroids AND codebooks from build time — same maintenance
+    * contract as [[Ivf.appendToIndex]]; rebuild when quantization
+    * drift matters). Only the touched cell partitions gain files.
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val (coarse, model) = loadIndexModel(path)
+    batch.select(col(idCol).as("neighbor_id"),
+        Similarity.normalize(col(vecCol)).as("cvec"),
+        encode(batch, vecCol, model).as("code"),
+        Ivf.assignCells(batch, vecCol, coarse).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Load the (coarse centroids, PQ model) pair written by
     * [[buildIndex]] (any Hadoop FS).
     */

@@ -977,6 +977,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(planStr.contains("PartitionFilters: [cell"), planStr.take(400))
   }
 
+  test("index append: frozen-model ingest equals rebuild-free full query") {
+    import graft.operators.{Ivf, Pq, Similarity}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val first = emb.filter(col("vec_id") % 2 === 0)  // build on half...
+    val second = emb.filter(col("vec_id") % 2 === 1) // ...append the rest
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // IVF: after append, a FULL-probe query must rank the whole corpus
+    // exactly like brute force (model frozen; data complete)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_append").toString
+    Ivf.buildIndex(first, "vec_id", "embedding", nlist = 8, path = tmp)
+    Ivf.appendToIndex(second, "vec_id", "embedding", tmp)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val appended = Ivf.queryIndex(spark, tmp, queries, "qid", "qvec",
+      k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(appended == exact)
+    // IVF-PQ: same contract through the code path (full probe + rerank
+    // wide enough to cover the corpus -> exact ranking)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_append_pq").toString
+    Pq.buildIndex(first, "vec_id", "embedding", nlist = 8, m = 8, k = 16,
+      path = tmp2)
+    Pq.appendToIndex(second, "vec_id", "embedding", tmp2)
+    val appendedPq = Pq.queryIndex(spark, tmp2, queries, "qid", "qvec",
+      kNeighbors = 5, nprobe = 8, rerank = 4096)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(appendedPq == exact)
+  }
+
   test("cluster-balanced sampling: per-cell quota, deterministic cells") {
     val emb = Tables.load(spark, dir, "embeddings")
     import graft.operators.{Ivf, Sampling}
