@@ -12,6 +12,7 @@ import graft.cdc.ChangeModel
 case class Ev(ts: Timestamp, user: String, v: Double)
 case class Change(k: Long, v: Double, _op: String, _seq: Long)
 case class Doc(doc_id: Long, text: String)
+case class Vec(vec_id: Long, embedding: Array[Float])
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -576,6 +577,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(applied.select("k").collect().map(_.getInt(0)).sorted.toSeq
         == Seq(2, 3))
     } finally srv.stop()
+  }
+
+  test("streaming index maintenance: foreachBatch append keeps the ANN index exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ivf, Similarity}
+    val emb = Tables.load(spark, SparkFixture.sf0001, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ivf").toString
+    // bootstrap the index from the first half of the corpus
+    Ivf.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 8, path = tmp)
+    // stream the second half in as micro-batches through foreachBatch
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").as[Vec].collect()
+    val mem = MemoryStream[Vec]
+    val q = mem.toDS().toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivf.appendToIndex(batch, "vec_id", "embedding", tmp); ()
+      }
+      .start()
+    mem.addData(rest.toIndexedSeq: _*)
+    assert(q.awaitTermination(120000), "index append stream timed out")
+    // the streamed-in index now ranks the WHOLE corpus exactly
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val served = Ivf.queryIndex(spark, tmp, queries, "qid", "qvec",
+      k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == exact)
   }
 
   test("quality gates run map-only on streams and equal their batch results") {
