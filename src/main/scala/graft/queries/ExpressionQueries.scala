@@ -163,6 +163,36 @@ object ExpressionQueries {
         GraftFunctions.distance(col("pt"), origin, "VINCENTY").as("vin_m"))
     },
 
+    // Geo DISTANCE with an ORACLE — the q39b rank trick applied to the
+    // geo family: ranking the 25 nation points by haversine distance to
+    // the origin is float-stable (min adjacent gap ~806 m, nine-plus
+    // orders above libm ulp drift), so (nation, rank) hash-matches a
+    // DuckDB haversine formulated in plain SQL even though the raw
+    // meters (q23) cannot. Exercises the codegen'd GeoUdfs path under
+    // the hard gate.
+    QueryDef("q23b_geo_rank",
+      """SELECT n_nationkey, CAST(rn AS INTEGER) AS dist_rank FROM (
+        |  SELECT n_nationkey, ROW_NUMBER() OVER (ORDER BY
+        |    2*6371000*asin(sqrt(
+        |      pow(sin(radians(n_nationkey*6.0 - 72.0)/2), 2) +
+        |      cos(radians(0))*cos(radians(n_nationkey*6.0 - 72.0)) *
+        |      pow(sin(radians(n_nationkey*14.0 - 175.0)/2), 2))) ASC,
+        |    n_nationkey ASC) AS rn
+        |  FROM nation)""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          GraftFunctions.distance(
+            GraftFunctions.point(
+              (col("n_nationkey") * 14.0) - 175.0,
+              (col("n_nationkey") * 6.0) - 72.0),
+            GraftFunctions.point(lit(0.0), lit(0.0)),
+            "HAVERSINE").as("hav"))
+        .select(col("n_nationkey"),
+          row_number().over(
+            Window.orderBy(col("hav").asc, col("n_nationkey").asc))
+            .as("dist_rank"))
+    },
+
     // JSON_VALUE / JSON_QUERY — json_functions.rs:44-118 (props = {"k": int})
     QueryDef("q24_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
