@@ -60,6 +60,48 @@ object Classifier {
     * (topNgramPerDoc, repetitionStats): an unscorable row must not leak
     * downstream looking like a scored one.
     */
+  /** Exact-arithmetic classifier variant: per-token polarity votes.
+    * A token votes +1 if its rate in the positive corpus exceeds its
+    * rate in the negative corpus, -1 if below, 0 on an exact tie; a
+    * document's margin is the sum of its tokens' votes. The rate
+    * comparison is done by cross-multiplication over exact integers
+    * (pos_n·neg_tot vs neg_n·pos_tot, in Decimal(38,0) so 100 TB-scale
+    * counts cannot overflow), so the whole pipeline is integer-exact and
+    * replays bit-identically in any engine — unlike the log-odds head,
+    * whose float weights are libm-dependent.
+    *
+    * Shape at scale: one vocab-keyed shuffle for the rates, a broadcast
+    * of the vocab-sized vote table back onto the exploded corpus, one
+    * doc-keyed shuffle for the margins. NULL-text rows are dropped (the
+    * per-doc kernel contract).
+    */
+  def scoreTokenPolarity(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, posLabel: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        (col(labelCol) === posLabel).as("pos"),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val rates = toks.groupBy(col("token")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("pos_n"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("neg_n"))
+    val tot = rates.agg(sum(col("pos_n")).as("pos_tot"),
+      sum(col("neg_n")).as("neg_tot"))
+    val votes = rates.crossJoin(broadcast(tot))
+      .select(col("token"),
+        when(col("pos_n").cast(dec) * col("neg_tot").cast(dec) >
+             col("neg_n").cast(dec) * col("pos_tot").cast(dec), 1)
+          .when(col("pos_n").cast(dec) * col("neg_tot").cast(dec) <
+                col("neg_n").cast(dec) * col("pos_tot").cast(dec), -1)
+          .otherwise(0).as("vote"))
+    toks.join(broadcast(votes), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("vote")).cast("long").as("margin"))
+  }
+
   def scoreLinear(df: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], bias: Double = 0.0): DataFrame = {
     val dim = weights.length

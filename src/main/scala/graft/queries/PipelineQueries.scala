@@ -477,6 +477,26 @@ object PipelineQueries {
         TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
     },
 
+    // Rolling-hash fingerprint, fully oracled: the mod-(2^61-1) polynomial
+    // recurrence is pure integer arithmetic, so DuckDB replays it exactly
+    // with a HUGEINT list_reduce over the normalized character stream.
+    // This oracles the custom-hash family that q38 itself (simhash) can't.
+    QueryDef("q38b_fingerprint_oracle",
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN trim(text) = '' THEN 0
+        |       ELSE CAST(list_reduce(
+        |    list_prepend(0::HUGEINT,
+        |      list_transform(
+        |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+        |        c -> ord(c)::HUGEINT)),
+        |    (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT)
+        |  END AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint64(col("text")).as("fp"))
+    },
+
     // Brute-force cosine top-5 for 10 query vectors — rows-only
     QueryDef.noOracle("q39_ann_bruteforce") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -937,6 +957,38 @@ object PipelineQueries {
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"), "text", dim = 1024)
       graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
+    },
+
+    // Exact-integer classifier head: per-token polarity votes (rate
+    // comparison by cross-multiplication — no floats anywhere), margins
+    // as integer vote sums. Fully oracled; covers the classifier family
+    // exactly where q70's float log-odds head can only be rows-only.
+    QueryDef("q70b_token_polarity",
+      """WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), tk2 AS (SELECT * FROM tk WHERE token <> ''),
+        |rates AS (
+        |  SELECT token,
+        |         SUM(CASE WHEN pos THEN 1 ELSE 0 END)::HUGEINT AS pos_n,
+        |         SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)::HUGEINT AS neg_n
+        |  FROM tk2 GROUP BY token
+        |), tot AS (
+        |  SELECT SUM(pos_n) AS pos_tot, SUM(neg_n) AS neg_tot FROM rates
+        |), votes AS (
+        |  SELECT token,
+        |         CASE WHEN pos_n * neg_tot > neg_n * pos_tot THEN 1
+        |              WHEN pos_n * neg_tot < neg_n * pos_tot THEN -1
+        |              ELSE 0 END AS vote
+        |  FROM rates, tot
+        |)
+        |SELECT tk2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(votes.vote) AS BIGINT) AS margin
+        |FROM tk2 JOIN votes USING (token)
+        |GROUP BY tk2.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Classifier.scoreTokenPolarity(
+        t(s, dir, "documents"), "doc_id", "text", "lang", "en")
     },
 
     // Per-source DATASET CARD: the corpus-statistics report every
