@@ -1,0 +1,119 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ethereum log ingestion seam — the Spark-first analogue of the
+  * reference's eth-log connector (`/root/reference/dozer-ingestion/
+  * ethereum/`): the `eth_logs` table shape and synthetic row id come
+  * from `log/helper.rs:180-228` (id = block_no*100000 + log_idx*2),
+  * contract-event decoding from `decode_event` (`log/helper.rs:61-129`,
+  * topics[0] = event signature, indexed params in topics[1..]), and the
+  * config surface from `EthConfig`/`EthLogConfig`/`EthFilter`
+  * (`dozer-types/src/models/ingestion_types.rs:99-134`).
+  *
+  * No web3 client exists in this environment (zero egress), so — exactly
+  * like the Debezium seam for Postgres/MySQL CDC ([[Debezium]]) — the
+  * boundary is the PUBLIC wire format: `eth_getLogs` / `logs`
+  * subscription JSON objects, one per row, arriving over any transport
+  * (Kafka topic, file stream, [[graft.sources.WebhookServer]] push).
+  * Everything after the wire is real and tested: schema, hex decode,
+  * reorg retraction (`removed: true` → delete), ERC-20 event parsing.
+  *
+  * Scale shape: decode is `from_json` + codegen'd string/arithmetic ops,
+  * map-only — an embarrassingly parallel scan at 100 TB, no shuffle.
+  */
+object EthLogs {
+
+  /** JSON-RPC log object schema (the public `eth_getLogs` result shape):
+    * quantities are hex strings per the Ethereum JSON-RPC spec.
+    */
+  val logSchema: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("topics", ArrayType(StringType)),
+    StructField("data", StringType),
+    StructField("blockHash", StringType),
+    StructField("blockNumber", StringType),
+    StructField("transactionHash", StringType),
+    StructField("transactionIndex", StringType),
+    StructField("logIndex", StringType),
+    StructField("removed", BooleanType)))
+
+  /** `0x`-quantity hex string → BIGINT (codegen'd `conv`; quantities in
+    * log metadata are < 2^63 in practice).
+    */
+  def hexToLong(c: Column): Column =
+    conv(regexp_replace(lower(c), "^0x", ""), 16, 10).cast(LongType)
+
+  /** 256-bit hex word → Decimal(38,0); null when the value exceeds 38
+    * digits (~1.27e38 < 2^256 — out-of-range rows must flag, not wrap).
+    */
+  // emits the digits as a string (the UDF encoder would otherwise pin
+  // Decimal(38,18), overflowing past 20 integer digits); the exact
+  // string->Decimal(38,0) cast happens outside
+  private val hexToDecimalUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val h = s.toLowerCase.stripPrefix("0x")
+      if (h.isEmpty || !h.forall(c => c.isDigit || (c >= 'a' && c <= 'f'))) null
+      else {
+        val v = BigInt(h, 16)
+        if (v.toString.length > 38) null else v.toString
+      }
+    }
+  }
+
+  def hexToDecimal(c: Column): Column =
+    hexToDecimalUdf(c).cast(DecimalType(38, 0))
+
+  /** Decode a column of raw `eth_getLogs` JSON objects into the
+    * reference's `eth_logs` table shape (helper.rs:190-228): synthetic
+    * `id`, typed block/txn/log indexes, plus the CDC `op` column —
+    * `removed: true` (a chain reorg dropped the block) becomes a delete,
+    * the retraction semantics the rest of the CDC model consumes.
+    */
+  def decode(df: DataFrame, jsonCol: String): DataFrame = {
+    val p = from_json(col(jsonCol), logSchema)
+    df.select(p.as("log"))
+      .select(
+        (hexToLong(col("log.blockNumber")) * lit(100000L) +
+          hexToLong(col("log.logIndex")) * lit(2L)).as("id"),
+        lower(col("log.address")).as("address"),
+        col("log.topics").as("topics"),
+        col("log.data").as("data"),
+        col("log.blockHash").as("block_hash"),
+        hexToLong(col("log.blockNumber")).as("block_number"),
+        col("log.transactionHash").as("transaction_hash"),
+        hexToLong(col("log.transactionIndex")).as("transaction_index"),
+        hexToLong(col("log.logIndex")).as("log_index"),
+        coalesce(col("log.removed"), lit(false)).as("removed"),
+        when(coalesce(col("log.removed"), lit(false)), lit("d"))
+          .otherwise(lit("c")).as("op"))
+  }
+
+  /** keccak256("Transfer(address,address,uint256)") — the public ERC-20
+    * Transfer event signature (topics[0]).
+    */
+  val TransferSig =
+    "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+  /** Parse ERC-20 Transfer events out of decoded logs (the
+    * `decode_event` analogue for the most common ABI): indexed `from` /
+    * `to` are the low 20 bytes of topics[1]/topics[2], `value` is the
+    * 256-bit data word. Non-Transfer logs are dropped.
+    */
+  def transfers(logs: DataFrame): DataFrame =
+    logs
+      .filter(size(col("topics")) === 3 &&
+        lower(col("topics")(0)) === TransferSig)
+      .select(
+        col("id"), col("address").as("token"),
+        concat(lit("0x"), substring(lower(col("topics")(1)), -40, 40))
+          .as("from_addr"),
+        concat(lit("0x"), substring(lower(col("topics")(2)), -40, 40))
+          .as("to_addr"),
+        hexToDecimal(col("data")).as("value"),
+        col("block_number"), col("transaction_hash"), col("removed"),
+        col("op"))
+}

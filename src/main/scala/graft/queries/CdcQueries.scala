@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Q._
-import graft.cdc.{ChangeModel, Debezium, RetractableExtremum}
+import graft.cdc.{ChangeModel, Debezium, EthLogs, RetractableExtremum}
 
 /** CDC semantics (SURVEY §2.3 + §6 step 6): the events table replayed as
   * a change stream — `error` events act as deletes, everything else as
@@ -115,6 +115,49 @@ object CdcQueries {
       ChangeModel.applyChanges(changes, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus").as("status"), col("o_totalprice"))
+    },
+
+    // Ethereum log decode end-to-end (the eth-log connector's wire
+    // format as a Spark source, EthLogs seam): a deterministic ERC-20
+    // Transfer feed generated from the orders table — custkey as the
+    // indexed from-address, order value in cents as the 256-bit data
+    // word, ~1% of logs marked `removed` (chain reorg) — is serialized
+    // to eth_getLogs JSON, decoded back through EthLogs.decode +
+    // transfers, reorg rows retracted, and aggregated per sender; the
+    // oracle states the same aggregation over the raw orders.
+    QueryDef("q78_eth_transfers",
+      """SELECT o_custkey AS custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transfers,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderkey % 97 <> 0
+        |GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def pad64(c: org.apache.spark.sql.Column) =
+        concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+      val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val feed = o.select(to_json(struct(
+        lit("0x" + "ee" * 20).as("address"),
+        array(lit(EthLogs.TransferSig),
+          pad64(col("o_custkey")),
+          pad64(col("o_custkey") + 7)).as("topics"),
+        pad64(cents).as("data"),
+        lit(null).cast("string").as("blockHash"),
+        concat(lit("0x"), lower(hex(expr("o_orderkey div 100") + 1)))
+          .as("blockNumber"),
+        lit(null).cast("string").as("transactionHash"),
+        concat(lit("0x"), lower(hex(col("o_orderkey") % 50)))
+          .as("transactionIndex"),
+        concat(lit("0x"), lower(hex(col("o_orderkey") % 100)))
+          .as("logIndex"),
+        (col("o_orderkey") % 97 === 0).as("removed"))).as("value"))
+      EthLogs.transfers(EthLogs.decode(feed, "value"))
+        .filter(col("op") === "c")
+        .groupBy(conv(substring(col("from_addr"), 3, 40), 16, 10)
+          .cast("long").as("custkey"))
+        .agg(count(lit(1)).as("n_transfers"),
+          sum(col("value")).cast("long").as("total_cents"))
     }
   )
 }

@@ -172,4 +172,24 @@ object Sources {
       "connection.uri" -> connectionString,
       "database" -> database,
       "collection" -> collection)
+
+  /** Option bridge for dozer's Ethereum log connector config
+    * (`EthConfig`/`EthLogConfig`/`EthFilter`, ingestion_types.rs:99-134:
+    * wss_url + optional from/to-block and address/topic filters). The
+    * wire format — `eth_getLogs` JSON log objects — is decoded by
+    * [[graft.cdc.EthLogs]]; this mapping carries the subscription
+    * parameters to whatever transport delivers them (a web3 bridge
+    * publishing to Kafka, a file drop, a webhook push). Pure config
+    * mapping, SURVEY §2.1.
+    */
+  def ethereumOptions(wssUrl: String, fromBlock: Option[Long] = None,
+      toBlock: Option[Long] = None, addresses: Seq[String] = Nil,
+      topics: Seq[String] = Nil): Map[String, String] =
+    Map("wss_url" -> wssUrl) ++
+      fromBlock.map(b => "from_block" -> b.toString) ++
+      toBlock.map(b => "to_block" -> b.toString) ++
+      (if (addresses.nonEmpty) Map("addresses" -> addresses.mkString(","))
+       else Map.empty) ++
+      (if (topics.nonEmpty) Map("topics" -> topics.mkString(","))
+       else Map.empty)
 }

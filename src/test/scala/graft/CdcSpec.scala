@@ -171,4 +171,60 @@ class CdcSpec extends AnyFunSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(state == Seq((1L, "uno"), (3L, "three")))
   }
+
+  test("EthLogs.decode: typed row, reference id scheme, reorg -> delete op") {
+    import spark.implicits._
+    import graft.cdc.EthLogs
+    val sig = EthLogs.TransferSig
+    val from = "0x" + "0" * 24 + "00000000000000000000000000000000000000aa"
+    val to = "0x" + "0" * 24 + "00000000000000000000000000000000000000bb"
+    val raw = Seq(
+      // live Transfer: block 0x10=16, logIndex 0x3 -> id 16*100000+3*2
+      s"""{"address":"0xEE00000000000000000000000000000000000001",
+         |"topics":["$sig","$from","$to"],
+         |"data":"0x${"0" * 62}2a","blockNumber":"0x10",
+         |"transactionIndex":"0x1","logIndex":"0x3","removed":false}"""
+        .stripMargin.replace("\n", ""),
+      // reorg'd log -> delete op
+      s"""{"address":"0xee02","topics":["$sig","$from","$to"],
+         |"data":"0x01","blockNumber":"0x11","transactionIndex":"0x0",
+         |"logIndex":"0x0","removed":true}""".stripMargin.replace("\n", ""),
+      // non-Transfer event (2 topics) -> decoded but not a transfer
+      s"""{"address":"0xee03","topics":["0xdead","$from"],"data":"0x05",
+         |"blockNumber":"0x12","transactionIndex":"0x0","logIndex":"0x1",
+         |"removed":false}""".stripMargin.replace("\n", "")
+    ).toDF("value")
+    val logs = EthLogs.decode(raw, "value")
+    val rows = logs.orderBy("block_number").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("id") == 16L * 100000 + 3 * 2)
+    assert(rows(0).getAs[String]("address") ==
+      "0xee00000000000000000000000000000000000001")
+    assert(rows(0).getAs[String]("op") == "c")
+    assert(rows(1).getAs[Boolean]("removed") && rows(1).getAs[String]("op") == "d")
+
+    val tr = EthLogs.transfers(logs).orderBy("block_number").collect()
+    assert(tr.length == 2, "non-Transfer log must be dropped")
+    assert(tr(0).getAs[String]("from_addr") ==
+      "0x" + "00000000000000000000000000000000000000aa")
+    assert(tr(0).getAs[java.math.BigDecimal]("value").longValueExact == 42L)
+    assert(tr(1).getAs[String]("op") == "d")
+  }
+
+  test("EthLogs.hexToDecimal: 256-bit word fits or flags null") {
+    import spark.implicits._
+    import graft.cdc.EthLogs
+    val df = Seq(
+      "0x" + "0" * 63 + "1",              // 1
+      "0x" + "f" * 64,                    // 2^256-1 > 38 digits -> null
+      "0x" + "0" * 32 + "f" * 32,         // 2^128-1 > 38 digits -> null
+      "0xzz",                             // malformed -> null
+      "0x" + "0" * 41 + "f" * 23          // 2^92-1, 28 digits -> fits
+    ).toDF("h").select(EthLogs.hexToDecimal(col("h")).as("v"))
+    val vs = df.collect().map(r =>
+      Option(r.getAs[java.math.BigDecimal]("v")).map(_.toBigInteger))
+    assert(vs(0).contains(java.math.BigInteger.ONE))
+    assert(vs(1).isEmpty && vs(2).isEmpty && vs(3).isEmpty)
+    assert(vs(4).contains(BigInt("f" * 23, 16).bigInteger))
+  }
 }
