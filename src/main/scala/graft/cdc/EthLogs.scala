@@ -92,6 +92,67 @@ object EthLogs {
           .otherwise(lit("c")).as("op"))
   }
 
+  /** One flattened call from a `debug_traceBlockByNumber` callTracer
+    * result — the reference's trace-provider row shape
+    * (`trace/helper.rs:88-150`: type_field/from/to/value/gas/gas_used/
+    * input/output; 256-bit quantities taken at their low 64 bits,
+    * `map_trace_to_ops`'s `low_u64`).
+    */
+  final case class EthCall(type_field: String, from: String, to: String,
+      value: Long, gas: Long, gas_used: Long,
+      input: Option[String], output: Option[String])
+
+  private def parseHexLow64(s: String): Long =
+    if (s == null) 0L
+    else {
+      val h = s.toLowerCase.stripPrefix("0x")
+      if (h.isEmpty || !h.forall(c => c.isDigit || (c >= 'a' && c <= 'f'))) 0L
+      else BigInt(h, 16).longValue // low 64 bits, reference low_u64
+    }
+
+  // callTracer results nest arbitrarily (calls: [Trace]); Spark schemas
+  // cannot recurse, so the flatten is a Jackson tree walk in a kernel
+  // UDF — map-only, the Spark-native answer to map_trace_to_ops'
+  // recursion (trace/helper.rs:152-176)
+  private val flattenTraceUdf = udf { (json: String) =>
+    if (json == null) Seq.empty[EthCall]
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def walk(n: com.fasterxml.jackson.databind.JsonNode): Seq[EthCall] = {
+        def str(f: String): Option[String] =
+          Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+        val self = EthCall(
+          str("type").getOrElse(""),
+          str("from").map(_.toLowerCase).getOrElse(""),
+          str("to").map(_.toLowerCase).getOrElse(""),
+          parseHexLow64(str("value").orNull),
+          parseHexLow64(str("gas").orNull),
+          parseHexLow64(str("gasUsed").orNull),
+          str("input"), str("output"))
+        val kids = Option(n.get("calls")).filterNot(_.isNull).toSeq
+          .flatMap(c => (0 until c.size).flatMap(i => walk(c.get(i))))
+        self +: kids
+      }
+      try {
+        val root = mapper.readTree(json)
+        // accept both the raw Trace and the {"result": Trace} wrapper
+        val t = Option(root.get("result")).filterNot(_.isNull).getOrElse(root)
+        walk(t)
+      } catch { case _: Exception => Seq.empty[EthCall] }
+    }
+  }
+
+  /** Decode a column of callTracer JSON objects (the trace provider's
+    * wire format, `EthProviderConfig::Trace`) into the flattened
+    * `eth_traces` table: every call in the tree becomes one row, parents
+    * before children. Map-only at any scale.
+    */
+  def decodeTraces(df: DataFrame, jsonCol: String): DataFrame =
+    df.select(explode(flattenTraceUdf(col(jsonCol))).as("c"))
+      .select(col("c.type_field"), col("c.from").as("from_addr"),
+        col("c.to").as("to_addr"), col("c.value"), col("c.gas"),
+        col("c.gas_used"), col("c.input"), col("c.output"))
+
   /** keccak256("Transfer(address,address,uint256)") — the public ERC-20
     * Transfer event signature (topics[0]).
     */

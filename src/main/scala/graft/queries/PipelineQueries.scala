@@ -959,6 +959,18 @@ object PipelineQueries {
       graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
     },
 
+    // DSIR importance resampling: hashed unigram+bigram log-ratios
+    // fitted en-vs-raw (markers planted, q70 pattern), raw corpus scored
+    // map-only, deterministic top-100 selection. Float log weights ->
+    // rows-only; ordering + closed-form lambda checks in PipelineSpec.
+    QueryDef.noOracle("q79_dsir_resample") { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" tag_"), col("lang")).as("text"))
+      graft.operators.Dsir.resample(
+        docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", dim = 2048, k = 100)
+    },
+
     // Exact-integer classifier head: per-token polarity votes (rate
     // comparison by cross-multiplication — no floats anywhere), margins
     // as integer vote sums. Fully oracled; covers the classifier family

@@ -211,6 +211,29 @@ class CdcSpec extends AnyFunSuite {
     assert(tr(1).getAs[String]("op") == "d")
   }
 
+  test("EthLogs.decodeTraces: recursive callTracer tree flattens, parents first") {
+    import spark.implicits._
+    import graft.cdc.EthLogs
+    val trace =
+      """{"result":{"type":"CALL","from":"0xAA","to":"0xBB","value":"0x0de0b6b3a7640000",
+        |"gas":"0x5208","gasUsed":"0x5208","input":"0x","calls":[
+        |  {"type":"DELEGATECALL","from":"0xBB","to":"0xCC","gas":"0x100","gasUsed":"0x80",
+        |   "calls":[{"type":"STATICCALL","from":"0xCC","to":"0xDD","gas":"0x10","gasUsed":"0x8"}]},
+        |  {"type":"CALL","from":"0xBB","to":"0xEE","value":"0x1","gas":"0x200","gasUsed":"0x100"}
+        |]}}""".stripMargin.replace("\n", "")
+    val rows = EthLogs.decodeTraces(Seq(trace).toDF("value"), "value").collect()
+    assert(rows.length == 4, "3 levels flatten to 4 calls")
+    assert(rows(0).getAs[String]("type_field") == "CALL")
+    assert(rows(0).getAs[Long]("value") == 1000000000000000000L) // 1 ether in wei
+    assert(rows(1).getAs[String]("type_field") == "DELEGATECALL" &&
+      rows(1).getAs[Long]("value") == 0L) // missing value -> 0, reference U256::zero
+    assert(rows(2).getAs[String]("type_field") == "STATICCALL" &&
+      rows(2).getAs[String]("from_addr") == "0xcc")
+    assert(rows(3).getAs[String]("to_addr") == "0xee")
+    // malformed JSON decodes to zero rows, not a crash
+    assert(EthLogs.decodeTraces(Seq("{nope").toDF("value"), "value").count() == 0)
+  }
+
   test("EthLogs.hexToDecimal: 256-bit word fits or flags null") {
     import spark.implicits._
     import graft.cdc.EthLogs

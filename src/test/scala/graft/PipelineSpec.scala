@@ -773,6 +773,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(posAvg > 0.6 && negAvg < 0.4, s"pos=$posAvg neg=$negAvg")
   }
 
+  test("DSIR: closed-form log-ratios and target-like selection") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val dim = 64
+    // replicate the fit by hand from Spark's own bucket ids (collision-
+    // safe: counts accumulate per bucket exactly as the operator does)
+    val b = spark.sql(
+      s"""SELECT pmod(hash('x'), $dim) AS bx, pmod(hash('y'), $dim) AS by,
+         |  pmod(hash('x y'), $dim) AS bxy, pmod(hash('x x'), $dim) AS bxx,
+         |  pmod(hash('y y'), $dim) AS byy""".stripMargin).collect()(0)
+    val (bx, by, bxy, bxx, byy) =
+      (b.getInt(0), b.getInt(1), b.getInt(2), b.getInt(3), b.getInt(4))
+    val target = Seq((1L, "x x")).toDF("doc_id", "text")
+    val raw = Seq((10L, "x x"), (11L, "y y")).toDF("doc_id", "text")
+    def counts(featureSets: Seq[Seq[Int]]): Map[Int, Long] =
+      featureSets.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val t = counts(Seq(Seq(bx, bx, bxx)))
+    val r = counts(Seq(Seq(bx, bx, bxx), Seq(by, by, byy)))
+    val tTot = 3.0 + dim
+    val rTot = 6.0 + dim
+    def lam(bk: Int) =
+      math.log((t.getOrElse(bk, 0L) + 1.0) / tTot) -
+        math.log((r.getOrElse(bk, 0L) + 1.0) / rTot)
+    val fitted = Dsir.fitLogRatios(target, raw, "text", dim)
+    assert(math.abs(fitted(bx) - lam(bx)) < 1e-12)
+    assert(math.abs(fitted(byy) - lam(byy)) < 1e-12)
+    // score "x y": features are [bx, by, bxy] (unigrams + one bigram)
+    val scored = Dsir.scoreLogWeights(
+      Seq((5L, "x y"), (6L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", fitted)
+      .collect().map(row => row.getAs[Long]("doc_id") ->
+        ((row.getAs[Long]("n_features"), row.getAs[Double]("log_weight")))).toMap
+    assert(scored(5L)._1 == 3L)
+    assert(math.abs(scored(5L)._2 - (lam(bx) + lam(by) + lam(bxy))) < 1e-12)
+    assert(!scored.contains(6L), "null text is dropped")
+
+    // selection: raw docs sharing the target's planted vocab win top-k
+    val tgt = (1 to 20).map(i => (i.toLong, s"clean careful prose item $i"))
+      .toDF("doc_id", "text")
+    val mixed = ((101 to 110).map(i => (i.toLong, s"clean careful prose item $i")) ++
+      (201 to 210).map(i => (i.toLong, s"spam junk noise garbage $i")))
+      .toDF("doc_id", "text")
+    val picked = Dsir.resample(mixed, tgt, "doc_id", "text", dim = 512, k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(picked == (101 to 110).map(_.toLong).toSet,
+      s"expected the target-like docs, got $picked")
+  }
+
   test("pipeline functions are callable from SQL") {
     val s = spark
     import s.implicits._
