@@ -90,7 +90,14 @@ object Debezium {
     // alongside the flat envelope fields, and whichever is absent
     // parses to null
     val full = StructType(StructField("payload", env) +: env.fields)
-    val p = raw.withColumn("__dbz", from_json(col(valueCol).cast("string"), full))
+    // explode(array(..)) materializes the parsed envelope as a generator
+    // output: the ~8 downstream references (images per op branch, seq
+    // fallbacks) extract fields from the materialized struct instead of
+    // each inlining — and re-running — the from_json (the q78 lesson:
+    // projection collapse + pushdown multiply an inlined parse 4x)
+    val p = raw.select(col("*"),
+      explode(array(from_json(col(valueCol).cast("string"), full)))
+        .as("__dbz"))
     val flatEnv = struct(
       col("__dbz.before").as("before"),
       col("__dbz.after").as("after"),
