@@ -96,6 +96,21 @@ object EthLogs {
           .otherwise(lit("c")).as("op"))
   }
 
+  /** Decoded logs as [[ChangeModel]] change rows keyed by `id`: a live
+    * log is an Insert, a `removed` reorg notification is a Delete of
+    * the same id; the sequence orders the removal after the original
+    * delivery of the same log (id is block/log-index-derived, so +1 on
+    * the removal is a correct per-key tiebreak).
+    */
+  def asChanges(logs: DataFrame): DataFrame =
+    logs
+      .withColumn(ChangeModel.OpCol,
+        when(col("removed"), ChangeModel.Delete)
+          .otherwise(ChangeModel.Insert))
+      .withColumn(ChangeModel.SeqCol,
+        col("id") + when(col("removed"), 1L).otherwise(0L))
+      .drop("op")
+
   /** One flattened call from a `debug_traceBlockByNumber` callTracer
     * result — the reference's trace-provider row shape
     * (`trace/helper.rs:88-150`: type_field/from/to/value/gas/gas_used/

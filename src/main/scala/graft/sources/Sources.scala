@@ -91,6 +91,22 @@ object Sources {
         format = "text", maxFilesPerTrigger = maxFilesPerTrigger),
       "value", rowSchema)
 
+  /** Micro-batch stream of `eth_getLogs` JSON objects from newline
+    * files in `path` — the file-based stand-in for a web3 subscription
+    * bridge (same wire format, no client). Composes [[fileStream]]
+    * (text) with [[graft.cdc.EthLogs.decode]]; pair with
+    * `EthLogs.asChanges` + `ChangeModel.applyChanges` for
+    * reorg-correct materialized state.
+    */
+  def ethLogFileStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    graft.cdc.EthLogs.decode(
+      fileStream(spark, path,
+        StructType(Seq(org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))),
+        format = "text", maxFilesPerTrigger = maxFilesPerTrigger),
+      "value")
+
   /** Reader options for dozer's Kafka connector config
     * (dozer-ingestion/kafka: broker url + topic [+ schema registry]),
     * mapped onto Spark's kafka source. Pure config mapping — the

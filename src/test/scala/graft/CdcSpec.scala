@@ -211,6 +211,41 @@ class CdcSpec extends AnyFunSuite {
     assert(tr(1).getAs[String]("op") == "d")
   }
 
+  test("eth log stream: reorg retraction reaches materialized state") {
+    import graft.cdc.EthLogs
+    val sig = EthLogs.TransferSig
+    val dir = java.nio.file.Files.createTempDirectory("ethstream").toFile
+    val feedDir = new java.io.File(dir, "feed"); feedDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+    def log(block: Int, idx: Int, removed: Boolean) =
+      s"""{"address":"0xee01","topics":["$sig"],"data":"0x01",""" +
+        s""""blockNumber":"0x${block.toHexString}","transactionIndex":"0x0",""" +
+        s""""logIndex":"0x${idx.toHexString}","removed":$removed}"""
+    // batch 1: two live logs; batch 2: one new log + a reorg removal of
+    // the second log from batch 1
+    java.nio.file.Files.write(
+      new java.io.File(feedDir, "00_live.json").toPath,
+      Seq(log(16, 0, false), log(16, 1, false)).mkString("\n").getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(feedDir, "01_reorg.json").toPath,
+      Seq(log(17, 0, false), log(16, 1, true)).mkString("\n").getBytes)
+    val stream = EthLogs.asChanges(graft.sources.Sources.ethLogFileStream(
+      spark, feedDir.getAbsolutePath, maxFilesPerTrigger = 1))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val state = ChangeModel.applyChanges(
+      spark.read.parquet(outDir), Seq("id"))
+      .orderBy("id").collect().map(_.getAs[Long]("id")).toSeq
+    assert(state == Seq(16L * 100000, 17L * 100000),
+      "the reorged log must be retracted, the others kept")
+  }
+
   test("EthLogs.decodeTraces: recursive callTracer tree flattens, parents first") {
     import spark.implicits._
     import graft.cdc.EthLogs
