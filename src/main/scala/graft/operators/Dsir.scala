@@ -24,26 +24,47 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Unigram + bigram feature buckets of a text column (murmur3 hash
-    * trick, same bucketing as [[Classifier.bucket]]).
+  /** Bucket of one feature string — bit-identical to Spark's
+    * `pmod(hash(s), dim)` (murmur3 over UTF8 bytes, seed 42), so SQL
+    * formulations and the kernel agree; the closed-form spec asserts
+    * the equivalence.
     */
-  def featureBuckets(text: Column, dim: Int): Column = {
-    val toks = filter(Dedup.tokens(text), t => length(t) > 0)
-    // zip_with pads the shorter side with null, so the zip of toks with
-    // its tail has n elements — slice to the n-1 true bigrams
-    val bigrams = slice(
-      zip_with(toks, slice(toks, lit(2), size(toks)),
-        (a, b) => concat_ws(" ", a, b)),
-      lit(1), greatest(size(toks) - 1, lit(0)))
-    concat(
-      transform(toks, t => pmod(hash(t), lit(dim))),
-      transform(bigrams, g => pmod(hash(g), lit(dim))))
+  def bucketOf(s: String, dim: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L).toInt
+    ((h % dim) + dim) % dim
+  }
+
+  private def tokenize(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Unigram + bigram feature buckets of a document — row-local UDF
+    * kernel. The builtin-HOF formulation (transform/zip_with/concat_ws
+    * over split) runs interpreted per element and measured 1.8x slower
+    * end-to-end on q79 (2.30 s vs 1.28 s at sf0.1, median of 2) — the
+    * q53 text-metrics trap again (HOFs are not codegen'd).
+    */
+  def featureBucketsUdf(dim: Int) = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val toks = tokenize(text)
+      val out = new Array[Int](math.max(2 * toks.length - 1, 0))
+      var i = 0
+      while (i < toks.length) {
+        out(i) = bucketOf(toks(i), dim)
+        if (i > 0) out(toks.length + i - 1) =
+          bucketOf(toks(i - 1) + " " + toks(i), dim)
+        i += 1
+      }
+      out
+    }
   }
 
   /** Per-bucket feature-instance counts of a corpus (dim-keyed shuffle). */
   private def bucketCounts(df: DataFrame, textCol: String, dim: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
-      .select(explode(featureBuckets(col(textCol), dim)).as("b"))
+      .select(explode(featureBucketsUdf(dim)(col(textCol))).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
 
   /** Fit bucket log-ratios from a target corpus and the raw corpus.
@@ -71,13 +92,26 @@ object Dsir {
   def scoreLogWeights(df: DataFrame, idCol: String, textCol: String,
       logRatios: Array[Double]): DataFrame = {
     val dim = logRatios.length
-    val w = lit(logRatios)
-    val feats = featureBuckets(col(textCol), dim)
-    val perFeat = transform(feats, b => element_at(w, b + 1))
+    // one row-local kernel: no intermediate bucket array, no HOF — the
+    // model rides in the UDF closure (dim doubles per task)
+    val scoreU = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = tokenize(text)
+        var sum = 0.0
+        var i = 0
+        while (i < toks.length) {
+          sum += logRatios(bucketOf(toks(i), dim))
+          if (i > 0) sum += logRatios(bucketOf(toks(i - 1) + " " + toks(i), dim))
+          i += 1
+        }
+        (math.max(2L * toks.length - 1, 0L), sum)
+      }
+    }
     df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        size(feats).cast("long").as("n_features"),
-        aggregate(perFeat, lit(0.0), _ + _).as("log_weight"))
+      .select(col(idCol).as("doc_id"), scoreU(col(textCol)).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_features"),
+        col("s._2").as("log_weight"))
   }
 
   /** Deterministic top-k selection by log importance weight (doc-id
