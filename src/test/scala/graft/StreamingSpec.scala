@@ -579,6 +579,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("webhook transport carries eth logs: HTTP POST to decoded transfers") {
+    import graft.sources.{PushBuffer, Sources, WebhookServer}
+    import graft.cdc.EthLogs
+    val chan = "webhook_eth"
+    PushBuffer.clear(chan)
+    val srv = WebhookServer.start(0, Map("/eth" -> chan))
+    try {
+      val sig = EthLogs.TransferSig
+      val from = "0x" + "0" * 24 + "00000000000000000000000000000000000000aa"
+      val to = "0x" + "0" * 24 + "00000000000000000000000000000000000000bb"
+      val logJson =
+        s"""{"address":"0xee01","topics":["$sig","$from","$to"],
+           |"data":"0x${"0" * 62}2a","blockNumber":"0x10",
+           |"transactionIndex":"0x0","logIndex":"0x1","removed":false}"""
+          .stripMargin.replace("\n", "")
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(
+        java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:${srv.port}/eth"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(logJson))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      // the webhook envelope's data field IS the eth log object — the
+      // "any transport" claim: unwrap, then the standard decode path
+      val raw = Sources.pushSnapshot(spark, chan)
+        .select(org.apache.spark.sql.functions.get_json_object(
+          col("value"), "$.data").as("value"))
+      val tr = EthLogs.transfers(EthLogs.decode(raw, "value")).collect()
+      assert(tr.length == 1)
+      assert(tr(0).getAs[java.math.BigDecimal]("value").longValueExact == 42L)
+      assert(tr(0).getAs[String]("from_addr").endsWith("aa"))
+      assert(tr(0).getAs[Long]("block_number") == 16L)
+    } finally srv.stop()
+  }
+
   test("streaming index maintenance: foreachBatch append keeps the ANN index exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
