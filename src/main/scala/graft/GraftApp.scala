@@ -45,11 +45,15 @@ object GraftApp {
       case "run" =>
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        val hooks = startWebhooks(config)
         try {
           if (config.streaming)
             runStreaming(spark, config).foreach(_.awaitTermination())
           else runBatch(spark, config)
-        } finally spark.stop()
+        } finally {
+          hooks.foreach(_.stop())
+          spark.stop()
+        }
     }
   }
 
@@ -65,16 +69,7 @@ object GraftApp {
     val runner = new GraftSqlRunner(spark, streaming = config.streaming)
     config.sources.foreach { s =>
       requireFormatAvailable(spark, s.format, "source")
-      val schema = s.schema.getOrElse(
-        spark.read.format(s.format).options(s.options).load(s.path).schema)
-      val df =
-        if (config.streaming) {
-          val raw = spark.readStream.format(s.format).options(s.options)
-            .schema(schema).load(s.path)
-          s.watermark.fold(raw) { case (ts, dur) => raw.withWatermark(ts, dur) }
-        } else spark.read.format(s.format).options(s.options)
-          .schema(schema).load(s.path)
-      runner.registerSource(s.name, df)
+      runner.registerSource(s.name, loadSource(spark, s, config.streaming))
     }
     val outputs = runner.run(config.sql)
     // legal modes differ by execution mode — mirror run's dispatch so
@@ -142,7 +137,14 @@ object GraftApp {
       format: String = "parquet",
       schema: Option[StructType] = None,     // required when streaming
       watermark: Option[(String, String)] = None, // (tsCol, duration) = TTL
-      options: Map[String, String] = Map.empty)   // reader passthrough (header, delimiter, …)
+      options: Map[String, String] = Map.empty,   // reader passthrough (header, delimiter, …)
+      decode: Option[String] = None)         // "webhook": push envelope -> change rows
+
+  /** One config-declared webhook listener (reference WebhookConfig,
+    * ingestion_types.rs:560-588): the app starts it for `run` and
+    * stops it when the pipeline terminates.
+    */
+  final case class WebhookConf(port: Int, endpoints: Map[String, String])
 
   final case class SinkConf(
       table: String,                          // an INTO output name
@@ -206,7 +208,51 @@ object GraftApp {
       sql: String,
       sinks: Seq[SinkConf],
       streaming: Boolean = false,
-      udfs: Seq[UdfConf] = Nil)
+      udfs: Seq[UdfConf] = Nil,
+      webhooks: Seq[WebhookConf] = Nil)
+
+  /** Start every config-declared webhook listener. Callers own the
+    * handles (`main` stops them when the pipeline terminates).
+    */
+  def startWebhooks(config: GraftConfig): Seq[graft.sources.WebhookServer.Handle] =
+    config.webhooks.map(w =>
+      graft.sources.WebhookServer.start(w.port, w.endpoints))
+
+  /** Resolve one source to a DataFrame: plain format reads (schema
+    * inferred from existing files for streams), or the webhook decode
+    * path — the push channel's verb envelopes lifted to [[graft.cdc.ChangeModel]]
+    * change rows against the endpoint's declared row schema.
+    */
+  private def loadSource(spark: SparkSession, s: SourceConf,
+      streaming: Boolean): DataFrame = {
+    val raw = s.decode match {
+      case Some("webhook") =>
+        val chan = s.options.getOrElse("channel",
+          throw new IllegalArgumentException(
+            s"webhook source '${s.name}' needs a channel option"))
+        val feed =
+          if (streaming) graft.sources.Sources.push(spark, chan)
+          else graft.sources.Sources.pushSnapshot(spark, chan)
+        graft.sources.WebhookServer.changes(feed, s.schema.getOrElse(
+          throw new IllegalArgumentException(
+            s"webhook source '${s.name}' needs a row schema")))
+      case Some(other) => throw new IllegalArgumentException(
+        s"source '${s.name}': unknown decode '$other'")
+      case None =>
+        if (streaming) {
+          val schema = s.schema.getOrElse(spark.read.format(s.format)
+            .options(s.options).load(s.path).schema) // infer from existing files
+          spark.readStream.format(s.format).options(s.options)
+            .schema(schema).load(s.path)
+        } else {
+          val r = spark.read.format(s.format).options(s.options)
+          s.schema.fold(r)(r.schema).load(s.path)
+        }
+    }
+    if (streaming) s.watermark.fold(raw) { case (ts, dur) =>
+      raw.withWatermark(ts, dur)
+    } else raw
+  }
 
   /** Register the config's UDFs as SQL scalar functions on the session. */
   def registerUdfs(spark: SparkSession, config: GraftConfig): Unit =
@@ -223,8 +269,7 @@ object GraftApp {
     val runner = new GraftSqlRunner(spark, streaming = false)
     config.sources.foreach { s =>
       requireFormatAvailable(spark, s.format, "source")
-      val df = spark.read.format(s.format).options(s.options).load(s.path)
-      runner.registerSource(s.name, df)
+      runner.registerSource(s.name, loadSource(spark, s, streaming = false))
     }
     val outputs = runner.run(config.sql)
     config.sinks.foreach { sink =>
@@ -280,15 +325,7 @@ object GraftApp {
     val runner = new GraftSqlRunner(spark, streaming = true)
     config.sources.foreach { s =>
       requireFormatAvailable(spark, s.format, "source")
-      val schema = s.schema.getOrElse(
-        spark.read.format(s.format).options(s.options).load(s.path).schema) // infer from existing files
-      val raw = spark.readStream.format(s.format).options(s.options)
-            .schema(schema).load(s.path)
-      val df = s.watermark match {
-        case Some((ts, dur)) => raw.withWatermark(ts, dur)
-        case None            => raw
-      }
-      runner.registerSource(s.name, df)
+      runner.registerSource(s.name, loadSource(spark, s, streaming = true))
     }
     val outputs = runner.run(config.sql)
     config.sinks.map { sink =>

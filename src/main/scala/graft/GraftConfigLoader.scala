@@ -87,15 +87,83 @@ object GraftConfigLoader {
 
   // ---- dozer-compatible shape ------------------------------------------
 
+  /** Webhook connection (`WebhookConfig`, ingestion_types.rs:560-588):
+    * port + endpoints, each endpoint declaring its tables' row schemas
+    * as the reference's inline JSON (`{"table": {"schema": {"fields":
+    * [{name, typ, nullable}]}}}`, webhook/src/util.rs:16-29). Tables
+    * land as push-channel sources the app decodes via
+    * `WebhookServer.changes`; the channel is `<conn>_<path>`.
+    */
+  private case class WebhookConn(name: String, port: Int,
+      endpoints: Map[String, String],               // path -> channel
+      tables: Map[String, (String, org.apache.spark.sql.types.StructType)])
+
+  private def parseWebhookSchemas(json: String): Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.readTree(json)
+    val out = scala.collection.mutable.Map[String, StructType]()
+    rootNode.fields().asScala.foreach { e =>
+      val fieldsNode = Option(e.getValue.get("schema"))
+        .map(_.get("fields")).getOrElse(e.getValue.get("fields"))
+      if (fieldsNode == null)
+        fail(s"webhook schema for table '${e.getKey}' has no fields")
+      val fields = (0 until fieldsNode.size).map { i =>
+        val f = fieldsNode.get(i)
+        val typ = scala.util.Try(
+          graft.types.FieldType.withName(f.get("typ").asText)).getOrElse(
+          fail(s"webhook table '${e.getKey}': unknown typ '${f.get("typ").asText}'"))
+        StructField(f.get("name").asText,
+          graft.types.TypeMapping.toSpark(typ),
+          nullable = Option(f.get("nullable")).forall(_.asBoolean(true)))
+      }
+      out(e.getKey) = StructType(fields)
+    }
+    out.toMap
+  }
+
   private def fromDozer(root: Map[String, Object]): GraftConfig = {
     case class Conn(name: String, basePath: String,
         tables: Map[String, (String, String)], // table -> (subPath, ext)
         delta: Boolean = false)                // DeltaLake connection
-    val conns = list(root, "connections").map { c =>
+    val rawConns = list(root, "connections").map { c =>
       val cm = c.asScala
       val name = str(c, "name")
       val cfg = asMap(cm.getOrElse("config",
         fail(s"connection '$name' has no config")))
+      if (cfg.asScala.contains("endpoints")) {
+        val port = cfg.asScala.get("port").map(_.toString.toInt).getOrElse(0)
+        val eps = cfg.asScala("endpoints")
+          .asInstanceOf[java.util.List[Object]].asScala.toSeq.map(asMap)
+        var endpoints = Map[String, String]()
+        var tables = Map[String, (String, org.apache.spark.sql.types.StructType)]()
+        eps.foreach { ep =>
+          val path = str(ep, "path")
+          val chan = s"${name}_${path.stripPrefix("/").replace('/', '_')}"
+          endpoints += (path -> chan)
+          // schema: inline JSON string (tag-stripped !Inline) or a map
+          // {Inline: json} / {Path: file}
+          val schemaJson = ep.asScala.get("schema").map {
+            case s: String => s
+            case m: java.util.Map[_, _] =>
+              val mm = m.asInstanceOf[java.util.Map[String, Object]].asScala
+              mm.get("Inline").map(_.toString).getOrElse(
+                mm.get("Path").map(p => new String(java.nio.file.Files
+                  .readAllBytes(java.nio.file.Paths.get(p.toString))))
+                  .getOrElse(fail(
+                    s"webhook endpoint '$path': schema needs Inline or Path")))
+            case other => fail(
+              s"webhook endpoint '$path': unparseable schema $other")
+          }.getOrElse(fail(s"webhook endpoint '$path' has no schema"))
+          parseWebhookSchemas(schemaJson).foreach { case (t, st) =>
+            if (!tables.contains(t)) tables += (t -> (chan, st))
+          }
+        }
+        Right(WebhookConn(name, port, endpoints, tables))
+      } else Left((name, cfg))
+    }
+    val webhookConns = rawConns.collect { case Right(w) => w }
+    val conns = rawConns.collect { case Left((name, cfg)) =>
       cfg.asScala.get("details").map(asMap) match {
         case Some(details) =>
           val basePath = str(details, "path")
@@ -132,10 +200,19 @@ object GraftConfigLoader {
       }
     }
     val connByName = conns.map(c => c.name -> c).toMap
+    val webhookByName = webhookConns.map(w => w.name -> w).toMap
     val sources = list(root, "sources").map { s =>
       val sname = str(s, "name")
       val connName = str(s, "connection")
       val tableName = str(s, "table_name")
+      webhookByName.get(connName) match { case Some(w) =>
+        val (chan, schema) = w.tables.getOrElse(tableName,
+          fail(s"source '$sname': webhook connection '$connName' declares " +
+            s"no table '$tableName' (has ${w.tables.keys.mkString(", ")})"))
+        SourceConf(name = sname, path = "",
+          format = "graft.sources.PushSource", schema = Some(schema),
+          options = Map("channel" -> chan), decode = Some("webhook"))
+      case None =>
       val conn = connByName.getOrElse(connName,
         fail(s"source '$sname' references unknown connection '$connName'"))
       if (conn.delta) {
@@ -155,13 +232,15 @@ object GraftConfigLoader {
         SourceConf(name = sname, path = path,
           format = if (ext.contains("csv")) "csv" else "parquet")
       }
+      }
     }
     GraftConfig(
       sources = sources,
       sql = str(root, "sql"),
       sinks = sinks(root),
       streaming = root.get("streaming").exists(_.toString.toBoolean),
-      udfs = udfs(root))
+      udfs = udfs(root),
+      webhooks = webhookConns.map(w => GraftApp.WebhookConf(w.port, w.endpoints)))
   }
 
   // ---- shared ----------------------------------------------------------

@@ -206,6 +206,65 @@ class GraftAppSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("event_type", "n") && out.count() > 0)
   }
 
+  test("dozer !Webhook connection: HTTP ingest to sink through config alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_webhook_cfg").toString
+    // reference shape: WebhookConfig{port, endpoints:[{path, verbs,
+    // schema: !Inline json}]} (ingestion_types.rs:560-588); the inline
+    // json is the webhook connector's table->schema map (util.rs:16-29)
+    val yaml =
+      s"""app_name: webhook-app
+         |version: 1
+         |connections:
+         |  - config: !Webhook
+         |      port: 0
+         |      endpoints:
+         |        - path: /users
+         |          verbs: [POST]
+         |          schema: '{"users": {"schema": {"fields": [
+         |            {"name": "uid", "typ": "Int", "nullable": false},
+         |            {"name": "score", "typ": "Float", "nullable": true}]}}}'
+         |    name: hooks
+         |sources:
+         |  - name: users
+         |    connection: hooks
+         |    table_name: users
+         |sql: |
+         |  SELECT uid, score INTO kept FROM users WHERE score >= 0.5;
+         |sinks:
+         |  - table_name: kept
+         |    path: $tmp/out
+         |    checkpoint: $tmp/ckpt
+         |streaming: true
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.webhooks.map(_.endpoints) == Seq(Map("/users" -> "hooks_users")))
+    val src = config.sources.head
+    assert(src.decode.contains("webhook") &&
+      src.options("channel") == "hooks_users")
+    assert(src.schema.get.fieldNames.toSeq == Seq("uid", "score"))
+    graft.sources.PushBuffer.clear("hooks_users")
+    val hooks = GraftApp.startWebhooks(config)
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(body: String) = http.send(
+        java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${hooks.head.port}/users"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(post("""[{"uid":1,"score":0.9},{"uid":2,"score":0.1}]""")
+        .statusCode() == 200)
+      assert(post("""{"uid":3,"score":0.7}""").statusCode() == 200)
+      val queries = runStreaming(spark, config)
+      try queries.foreach(_.awaitTermination())
+      finally queries.foreach(_.stop())
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("uid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(1L, 3L), "score gate keeps uid 1 and 3 only")
+    } finally hooks.foreach(_.stop())
+  }
+
   test("non-object-store dozer connections raise the documented mapping") {
     val yaml =
       """connections:
