@@ -192,10 +192,20 @@ object GraftConfigLoader {
               }
             }.toMap
           if (dtabs.nonEmpty) Conn(name, "", dtabs, delta = true)
+          else if (cfg.asScala.contains("provider") ||
+              cfg.asScala.contains("wss_url"))
+            fail(
+              s"connection '$name': Ethereum subscriptions need a web3 " +
+                "transport — decode the eth_getLogs/callTracer wire with " +
+                "cdc.EthLogs over a Kafka topic, file drop " +
+                "(Sources.ethLogFileStream) or webhook push; " +
+                "Sources.ethereumOptions carries the subscription config " +
+                "(SURVEY §2.1)")
           else fail(
-            s"connection '$name': only object-store (LocalStorage/S3) and " +
-              "DeltaLake connections map to direct Spark reads; " +
-              "Postgres/MySQL CDC and Kafka are config-level mappings " +
+            s"connection '$name': only object-store (LocalStorage/S3), " +
+              "DeltaLake, and Webhook connections map to runnable " +
+              "sources here; Postgres/MySQL CDC, Kafka, Snowflake, " +
+              "MongoDB, and Ethereum are config-level mappings " +
               "documented in SURVEY §2.1")
       }
     }

@@ -258,4 +258,26 @@ class PropertySpec extends AnyFunSuite {
     }.toMap
     assert(fast == ref)
   }
+
+  test("Dsir.bucketOf equals Spark pmod(hash(s), dim) on arbitrary unicode") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // include supplementary-plane symbols — the kernel hashes UTF8
+    // bytes like Spark, not UTF-16 code units
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("的", "é", "𝔘", "🙂", "a b", "")).map(_.mkString))
+    val strs = samples(Gen.frequency((1, Gen.const("")), (9, strGen)), 150)
+      .distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    Seq(2, 64, 1024).foreach { dim =>
+      val rows = strs.toDF("id", "s")
+        .select(col("id"), col("s"), pmod(hash(col("s")), lit(dim)).as("b"))
+        .collect()
+      rows.foreach { r =>
+        assert(graft.operators.Dsir.bucketOf(r.getString(1), dim) == r.getInt(2),
+          s"dim=$dim s=${r.getString(1)}")
+      }
+    }
+  }
 }
