@@ -130,6 +130,22 @@ object Debezium {
         col("__seq").as(ChangeModel.SeqCol))
   }
 
+  /** Dead-letter companion to [[decode]]: the raw rows decode silently
+    * drops — unparseable JSON, or an envelope with no recognizable op
+    * in either the flat or payload-wrapped position. Route these to a
+    * reject sink; at scale, silent drops on a CDC feed are data loss
+    * with no signal (the same observability contract as the capped
+    * LSH/SimHash indexes' coverage rows).
+    */
+  def malformed(raw: DataFrame, valueCol: String): DataFrame = {
+    val probe = StructType(Seq(
+      StructField("op", StringType),
+      StructField("payload", StructType(Seq(StructField("op", StringType))))))
+    val p = from_json(col(valueCol).cast("string"), probe)
+    raw.filter(p.isNull ||
+      (p.getField("op").isNull && p.getField("payload").getField("op").isNull))
+  }
+
   /** Encode change rows back into flat Debezium JSON — the inverse of
     * [[decode]] for round-trip tests and for emitting a graft result
     * as a CDC feed a Debezium consumer understands. Update pre/post

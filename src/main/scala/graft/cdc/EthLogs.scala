@@ -96,6 +96,17 @@ object EthLogs {
           .otherwise(lit("c")).as("op"))
   }
 
+  /** Dead-letter companion to [[decode]]: raw rows that do not parse as
+    * a log object or lack the block/log-index quantities every non-
+    * pending log carries (helper.rs:190-196 `expect`s them). Route to a
+    * reject sink — a decode pipeline must not silently drop wire noise.
+    */
+  def malformed(df: DataFrame, jsonCol: String): DataFrame = {
+    val p = from_json(col(jsonCol), logSchema)
+    df.filter(p.isNull || p.getField("blockNumber").isNull ||
+      p.getField("logIndex").isNull)
+  }
+
   /** Decoded logs as [[ChangeModel]] change rows keyed by `id`: a live
     * log is an Insert, a `removed` reorg notification is a Delete of
     * the same id; the sequence orders the removal after the original

@@ -211,6 +211,34 @@ class CdcSpec extends AnyFunSuite {
     assert(tr(1).getAs[String]("op") == "d")
   }
 
+  test("dead-letter companions catch what decode silently drops") {
+    import spark.implicits._
+    import graft.cdc.EthLogs
+    val rowSchema = StructType(Seq(StructField("id", LongType)))
+    val dbzFeed = Seq(
+      """{"op":"c","after":{"id":1},"source":{"lsn":1}}""",          // good
+      """{"payload":{"op":"d","before":{"id":1},"source":{"lsn":2}}}""", // good
+      """not json at all""",                                          // reject
+      """{"foo": 1}""",                                               // no op anywhere
+      """{"payload":{"before":{"id":9}}}"""                           // wrapped, no op
+    ).toDF("value")
+    assert(graft.cdc.Debezium.decode(dbzFeed, "value", rowSchema).count() == 2)
+    val dbzBad = graft.cdc.Debezium.malformed(dbzFeed, "value")
+      .collect().map(_.getString(0)).toSet
+    assert(dbzBad == Set("not json at all", """{"foo": 1}""",
+      """{"payload":{"before":{"id":9}}}"""))
+
+    val ethFeed = Seq(
+      """{"address":"0xa","topics":[],"data":"0x","blockNumber":"0x1","logIndex":"0x0"}""",
+      """garbage{""",
+      """{"address":"0xb"}""" // pending log: no block/log index
+    ).toDF("value")
+    assert(EthLogs.decode(ethFeed, "value").filter(col("id").isNotNull).count() == 1)
+    val ethBad = EthLogs.malformed(ethFeed, "value")
+      .collect().map(_.getString(0)).toSet
+    assert(ethBad == Set("garbage{", """{"address":"0xb"}"""))
+  }
+
   test("eth log stream: reorg retraction reaches materialized state") {
     import graft.cdc.EthLogs
     val sig = EthLogs.TransferSig
