@@ -153,6 +153,33 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column =
     signatureUdf(tokens(text), lit(numHashes), lit(shingleWidth))
 
+  /** Banding parameters for a target Jaccard threshold: among the
+    * (bands, rows) factorizations of `numHashes`, pick the one whose
+    * S-curve inflection (1/b)^(1/r) lands closest to `threshold`
+    * (Leskovec-Rajaraman-Ullman, MMDS §3.4.3 — the standard tuning
+    * rule). Returns (bands, rowsPerBand, inflection). At 100 TB this
+    * choice IS the cost model: bands drive index size and candidate
+    * volume, rows drive selectivity; picking them by hand usually
+    * lands orders of magnitude off on one side.
+    */
+  def lshParams(numHashes: Int, threshold: Double): (Int, Int, Double) = {
+    require(numHashes >= 2, s"numHashes=$numHashes must be >= 2")
+    require(threshold > 0 && threshold < 1,
+      s"threshold=$threshold must be in (0, 1)")
+    val cands = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    cands.minBy { case (_, _, s) => math.abs(s - threshold) }
+  }
+
+  /** Probability a pair at similarity `s` becomes an LSH candidate
+    * under (bands, rows): 1 - (1 - s^r)^b — the S-curve itself, for
+    * coverage estimates next to the dropped-bucket metrics row.
+    */
+  def lshCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
   /** Banded minhash index rows for a document table:
     * (id, sig, band_idx, band_hash) — the unit both the batch pair
     * join and the streaming dedup filter operate on.

@@ -22,6 +22,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshParams picks the factorization whose S-curve inflection hits the threshold") {
+    // closed-form: 128 hashes, t=0.5 -> among divisor pairs the
+    // inflection (1/b)^(1/r) closest to 0.5; verify against a scan
+    for (t <- Seq(0.2, 0.5, 0.8); n <- Seq(32, 128, 256)) {
+      val (b, r, s) = Dedup.lshParams(n, t)
+      assert(b * r == n)
+      val best = (1 to n).filter(n % _ == 0).map { bb =>
+        math.abs(math.pow(1.0 / bb, 1.0 / (n / bb)) - t)
+      }.min
+      assert(math.abs(s - t) == best, s"n=$n t=$t got ($b,$r,$s)")
+    }
+    // the S-curve is monotone in s and steep around the inflection
+    val (b, r, mid) = Dedup.lshParams(128, 0.5)
+    assert(Dedup.lshCandidateProb(mid + 0.2, b, r) >
+      Dedup.lshCandidateProb(mid, b, r))
+    assert(Dedup.lshCandidateProb(mid, b, r) >
+      Dedup.lshCandidateProb(mid - 0.2, b, r))
+    assert(Dedup.lshCandidateProb(0.95, b, r) > 0.95)
+    assert(Dedup.lshCandidateProb(0.05, b, r) < 0.05)
+  }
+
   test("simhash hamming pairs find planted near-duplicates") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
