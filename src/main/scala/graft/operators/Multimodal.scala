@@ -460,6 +460,85 @@ object Multimodal {
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
       .withColumn("kind", lit(kind))
 
+  // ---- content-defined chunking (binary dedup) -----------------------
+
+  /** Gear table for FastCDC-style content-defined chunking (Xia et al.,
+    * USENIX ATC'16): 256 pseudo-random 64-bit constants from a fixed
+    *-seed SplitMix64 so boundaries are deterministic everywhere.
+    */
+  private val gearTable: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      // SplitMix64 step
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Content-defined chunk boundaries of a byte payload: gear rolling
+    * hash, cut when the top `avgBits` bits are zero and the chunk is at
+    * least `minSize`; hard cut at `maxSize`. Because boundaries depend
+    * only on local content, a shared segment chunks identically at ANY
+    * byte offset — the property fixed-size chunking lacks and the whole
+    * point for cross-document binary dedup (common headers, embedded
+    * assets, re-encoded copies). Returns (offset, length, md5) per
+    * chunk. Row-local kernel: map-only at any scale; the cross-corpus
+    * dedup is then one digest-keyed shuffle.
+    */
+  def cdcChunks(bytes: Array[Byte], minSize: Int, avgBits: Int,
+      maxSize: Int): Seq[(Long, Long, String)] = {
+    require(minSize >= 1 && maxSize >= minSize && avgBits >= 1)
+    if (bytes == null || bytes.isEmpty) return Nil
+    val mask = (1L << avgBits) - 1 // cut when (h & mask) == 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gearTable(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize ||
+          i == bytes.length - 1) {
+        md.reset()
+        md.update(bytes, start, len)
+        out += ((start.toLong, len.toLong,
+          md.digest().map("%02x".format(_)).mkString))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Explode a binary column into content-defined chunks:
+    * (idCol, chunk_offset, chunk_len, digest). One kernel pass, no
+    * shuffle; defaults give ~2^avgBits-byte average chunks.
+    */
+  def chunkify(df: DataFrame, idCol: String, binCol: String,
+      minSize: Int = 64, avgBits: Int = 8, maxSize: Int = 4096): DataFrame = {
+    val u = udf { (b: Array[Byte]) => cdcChunks(b, minSize, avgBits, maxSize) }
+    df.filter(col(binCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(u(col(binCol))).as("c"))
+      .select(col("doc_id"), col("c._1").as("chunk_offset"),
+        col("c._2").as("chunk_len"), col("c._3").as("digest"))
+  }
+
+  /** Cross-corpus chunk dedup report: per duplicated digest, the number
+    * of holders and total duplicated bytes (digest-keyed shuffle — the
+    * only exchange in the job).
+    */
+  def chunkDedup(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        first(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_copies") > 1)
+
   /** Batched decode over partitions — the mapInPandas analogue: each
     * partition is consumed in [[MediaCodecs.BatchSize]] chunks, one
     * codec call per row but grouped so a vectorized codec can be

@@ -959,6 +959,18 @@ object PipelineQueries {
       graft.operators.Classifier.scoreLinear(docs, "doc_id", "text", weights)
     },
 
+    // Content-defined chunk dedup over the corpus's byte payloads
+    // (FastCDC gear boundaries -> md5 digests -> digest-keyed dedup):
+    // the binary-side near-dup story — shift-resistant shared-segment
+    // detection. Gear boundaries aren't SQL-expressible -> rows-only;
+    // shift-resistance + tiling invariants in PipelineSpec.
+    QueryDef.noOracle("q80_cdc_chunk_dedup") { (s, dir) =>
+      val docs = graft.operators.Multimodal.withBinaryPayload(
+        t(s, dir, "documents"), "text", "text/plain")
+      graft.operators.Multimodal.chunkDedup(
+        graft.operators.Multimodal.chunkify(docs, "doc_id", "payload"))
+    },
+
     // DSIR importance resampling: hashed unigram+bigram log-ratios
     // fitted en-vs-raw (markers planted, q70 pattern), raw corpus scored
     // map-only, deterministic top-100 selection. Float log weights ->

@@ -842,6 +842,39 @@ class PipelineSpec extends AnyFunSuite {
       s"expected the target-like docs, got $picked")
   }
 
+  test("content-defined chunking: shared segments dedup across byte offsets") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(42)
+    def blob(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    val shared = blob(2000)
+    val docA = blob(500) ++ shared ++ blob(300)
+    val docB = blob(777) ++ shared ++ blob(123) // different offset
+    // kernel invariants: chunks tile the payload exactly
+    val chunksA = Multimodal.cdcChunks(docA, 64, 8, 4096)
+    assert(chunksA.head._1 == 0L && chunksA.map(_._2).sum == docA.length)
+    chunksA.sliding(2).foreach { case Seq((o1, l1, _), (o2, _, _)) =>
+      assert(o1 + l1 == o2)
+    case _ => }
+    // shift resistance: the shared segment yields identical digests in
+    // both docs even though its offset differs by 277 bytes
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "payload")
+    val chunks = Multimodal.chunkify(df, "doc_id", "payload")
+    val dup = Multimodal.chunkDedup(chunks)
+      .filter(col("n_docs") === 2).collect()
+    assert(dup.length >= 3,
+      s"expected >=3 shared interior chunks, got ${dup.length}")
+    // and the duplicated bytes are a meaningful share of the segment
+    val dupBytes = dup.map(_.getAs[Long]("chunk_len")).sum
+    assert(dupBytes > 800, s"shared bytes $dupBytes")
+    // fixed-size chunking would find none (offsets differ): digests at
+    // equal offsets disagree
+    val fixedA = docA.grouped(256).toSeq
+    val fixedB = docB.grouped(256).toSeq
+    val fixedShared = fixedA.zip(fixedB).count { case (a, b) => a.sameElements(b) }
+    assert(fixedShared == 0, "offset shift defeats fixed-size chunking")
+  }
+
   test("pipeline functions are callable from SQL") {
     val s = spark
     import s.implicits._
