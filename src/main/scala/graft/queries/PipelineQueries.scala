@@ -971,6 +971,38 @@ object PipelineQueries {
         graft.operators.Multimodal.chunkify(docs, "doc_id", "payload"))
     },
 
+    // Fixed-stride chunk dedup — the SQL-expressible exact variant of
+    // q80 (stride boundaries instead of gear boundaries), fully oracled:
+    // md5 over UTF8 bytes agrees between Spark and DuckDB, so the whole
+    // chunk-digest report hash-matches.
+    QueryDef("q80b_fixed_chunk_dedup",
+      """WITH offs AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1, 256)) AS o
+        |  FROM documents WHERE length(text) > 0
+        |), chunks AS (
+        |  SELECT doc_id, md5(substr(text, CAST(o AS INTEGER), 256)) AS digest,
+        |         length(substr(text, CAST(o AS INTEGER), 256)) AS chunk_len
+        |  FROM offs
+        |)
+        |SELECT digest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+        |FROM chunks GROUP BY digest HAVING COUNT(*) > 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(256))).as("o"))
+        .select(col("doc_id"),
+          expr("substring(text, CAST(o AS INT), 256)").as("chunk"))
+        .select(col("doc_id"), md5(encode(col("chunk"), "UTF-8")).as("digest"),
+          length(col("chunk")).as("chunk_len"))
+        .groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          min(col("chunk_len")).cast("long").as("chunk_len"))
+        .filter(col("n_copies") > 1)
+    },
+
     // DSIR importance resampling: hashed unigram+bigram log-ratios
     // fitted en-vs-raw (markers planted, q70 pattern), raw corpus scored
     // map-only, deterministic top-100 selection. Float log weights ->
