@@ -673,4 +673,119 @@ object Dedup {
         Similarity.dot(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ---- oracled minhash (cross-engine-exact hash family) ---------------
+
+  /** Minhash over the ORACLED hash family: shingles are hashed with the
+    * same mod-(2^61-1) polynomial rolling hash that q38b proved
+    * cross-engine-exact (`TextOps.fingerprint64`), and the k "random"
+    * permutations are affine maps g_j(h) = ((2j+1)·h + 999983·j) mod p
+    * over the same Mersenne prime. Everything is integer arithmetic, so
+    * DuckDB replays the full signature (HUGEINT list_reduce per shingle
+    * + the affine min per permutation) bit-exactly — this is the oracle
+    * twin of [[minhashSignature]], whose MurmurHash3 kernel has no
+    * cross-engine expression. Same normalization contract as q38b:
+    * lower → trim → collapse whitespace (BMP text; see SCALE.md).
+    *
+    * Scale shape is identical to the production kernel: one row-local
+    * pass per document (each shingle hashed once, k affine updates),
+    * no shuffle until the caller aggregates.
+    */
+  private val oracleSignatureUdf = udf {
+    (text: String, numHashes: Int, shingleWidth: Int) =>
+      if (text == null) null
+      else {
+        val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+        if (norm.isEmpty) null
+        else {
+          val tk = norm.split(" ")
+          val shingleSet = new scala.collection.mutable.HashSet[String]
+          if (tk.length < shingleWidth) shingleSet += tk.mkString(" ")
+          else tk.sliding(shingleWidth).foreach(s => shingleSet += s.mkString(" "))
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          shingleSet.foreach { s =>
+            val h = Mod61.hashString(s)
+            var j = 0
+            while (j < numHashes) {
+              val g = (Mod61.mulMod(2L * j + 1L, h) + j * 999983L) % Mod61.MOD
+              if (g < sig(j)) sig(j) = g
+              j += 1
+            }
+          }
+          sig.toSeq
+        }
+      }
+  }
+
+  /** Exploded oracled signatures: (idCol, j, minhash) — one row per
+    * document per permutation. Fully DuckDB-hash-matched (q34d).
+    */
+  def oracleMinhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3): DataFrame =
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(oracleSignatureUdf(col(textCol), lit(numHashes), lit(shingleWidth)))
+          .as(Seq("j", "minhash")))
+
+  /** Banded-LSH candidate pairs over the oracled signatures: band key is
+    * the in-band signature values joined as a string (no re-hash — the
+    * key stays cross-engine-exact), pairs are the distinct (a < b) doc
+    * ids sharing any band key. This oracles the ENTIRE production LSH
+    * path shape — signature, banding, bucket equi-join — end to end
+    * (q34e). Cost is the production cost: O(docs × bands) index rows,
+    * one bucket-key shuffle, never all-pairs.
+    */
+  def oracleLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val banded = oracleMinhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+      .withColumn("band", (col("j") / rows).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(j, minhash))), x -> cast(x.minhash as string))"),
+        "_").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col(idCol).as("doc_a"))
+    val b = banded.select(col("band"), col("bkey"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+}
+
+/** Exact arithmetic over GF(2^61-1) shared by the oracled hash family
+  * (fingerprint q38b, minhash q34d/q34e, simhash q35c). The Mersenne
+  * prime makes the 128-bit product reducible with shifts only:
+  * 2^64 ≡ 8, 2^61 ≡ 1 (mod p).
+  */
+private[operators] object Mod61 {
+  val MOD: Long = (1L << 61) - 1
+
+  /** (a·b) mod (2^61-1) for 0 ≤ a,b < 2^61, via the exact 128-bit
+    * product: product = hi·2^64 + lo ≡ hi·8 + (lo >>> 61) + (lo & MOD).
+    */
+  def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = hi * 8 + (lo >>> 61) + (lo & MOD)
+    if (r >= MOD) r -= MOD
+    if (r >= MOD) r -= MOD
+    r
+  }
+
+  /** The q38b polynomial rolling hash: fold (acc·1000003 + char) mod p
+    * over UTF-16 code units (== code points on BMP text — the
+    * documented cross-engine contract vs DuckDB's per-code-point
+    * string_split).
+    */
+  def hashString(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (mulMod(h, 1000003L) + s.charAt(i)) % MOD
+      i += 1
+    }
+    h
+  }
 }

@@ -602,4 +602,36 @@ object TextOps {
       java.lang.Long.valueOf(fp)
     }
   }
+
+  /** 61-bit simhash over the ORACLED token-hash family: each token
+    * (multiplicity counted, same as [[simhash64]]) is hashed with the
+    * q38b mod-(2^61-1) rolling hash, and bit j of the fingerprint is the
+    * strict majority vote of bit j across token hashes. All integer
+    * arithmetic — DuckDB replays it exactly (bit-sum per j via
+    * `(h >> j) & 1`, q35c), which [[simhash64]]'s MurmurHash3 kernel
+    * cannot. Same normalization contract as q38b: lower → trim →
+    * collapse whitespace; null/blank text → null.
+    */
+  val simhash61Oracle = udf { (text: String) =>
+    if (text == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      if (norm.isEmpty) null.asInstanceOf[java.lang.Long]
+      else {
+        val counts = new Array[Int](61)
+        norm.split(" ").foreach { t =>
+          val h = graft.operators.Mod61.hashString(t)
+          var b = 0
+          while (b < 61) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 61) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(fp)
+      }
+    }
+  }
 }

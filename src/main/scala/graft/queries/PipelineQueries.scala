@@ -132,6 +132,108 @@ object PipelineQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
     },
 
+    // ORACLED minhash signatures: the q38b rolling hash as shingle hash
+    // + affine permutations mod 2^61-1, all integer arithmetic — DuckDB
+    // replays the full signature bit-exactly. Oracle twin of q34's
+    // MurmurHash3 kernel (same shape, cross-engine-exact hash family).
+    QueryDef("q34d_minhash_oracle",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |),
+        |shing AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[p:least(p+2, len(tk))], ' ') AS s
+        |  FROM norm, UNNEST(range(1, greatest(len(tk)-2, 1)+1)) AS u(p)
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(s, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h
+        |  FROM shing
+        |)
+        |SELECT doc_id, CAST(j AS INT) AS j,
+        |  CAST(MIN(((2*j+1)::HUGEINT * h + j*999983) % 2305843009213693951) AS BIGINT) AS minhash
+        |FROM hashed CROSS JOIN (SELECT unnest(range(0,16)) AS j) perms
+        |GROUP BY doc_id, j""".stripMargin) { (s, dir) =>
+      Dedup.oracleMinhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, shingleWidth = 3)
+    },
+
+    // ORACLED banded-LSH candidate pairs over the q34d signatures — the
+    // ENTIRE production LSH path (signature → band key → bucket
+    // equi-join → distinct pairs) hash-matched end to end.
+    QueryDef("q34e_lsh_pairs_oracle",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |),
+        |shing AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[p:least(p+2, len(tk))], ' ') AS s
+        |  FROM norm, UNNEST(range(1, greatest(len(tk)-2, 1)+1)) AS u(p)
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(s, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h
+        |  FROM shing
+        |),
+        |sig AS (
+        |  SELECT doc_id, j,
+        |    CAST(MIN(((2*j+1)::HUGEINT * h + j*999983) % 2305843009213693951) AS BIGINT) AS minhash
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(0,16)) AS j) perms
+        |  GROUP BY doc_id, j
+        |),
+        |banded AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 4
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+        |WHERE a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.oracleLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, shingleWidth = 3, bands = 4)
+    },
+
+    // ORACLED 61-bit simhash: strict bitwise majority vote over the
+    // q38b token hashes — the oracle twin of q35's 64-bit Murmur
+    // simhash. Bit sums replay in DuckDB via (h >> j) & 1.
+    QueryDef("q35c_simhash_oracle",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS BIGINT) AS h
+        |  FROM tok
+        |),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(0,61)) AS j) b
+        |  GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), TextOps.simhash61Oracle(col("text")).as("simhash"))
+    },
+
     // Mega-bucket COVERAGE contract for the capped LSH/simhash pair
     // generators (q34/q35 parameters): one row per family counting the
     // buckets/index-rows/candidate-pairs the cap dropped — the alerting

@@ -22,6 +22,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("oracled minhash: kernel matches an independent BigInt replay; LSH pairs find planted dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
+    val nearDup = base.replace("quiet", "silent")
+    val unrelated = "completely different content about spark catalyst optimizer rules and physical planning"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+
+    // independent replay: BigInt arithmetic, no shared code with Mod61
+    val P = BigInt(2).pow(61) - 1
+    def hashStr(s: String): BigInt =
+      s.foldLeft(BigInt(0))((acc, c) => (acc * 1000003 + c.toInt) mod P)
+    def sigOf(text: String, k: Int, w: Int): Seq[Long] = {
+      val tk = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+      val sh = (if (tk.length < w) Seq(tk.mkString(" "))
+                else tk.sliding(w).map(_.mkString(" ")).toSeq).distinct
+      (0 until k).map { j =>
+        sh.map(s => ((BigInt(2 * j + 1) * hashStr(s) + BigInt(j) * 999983) mod P).toLong).min
+      }
+    }
+
+    val got = Dedup.oracleMinhashSignatures(docs, "doc_id", "text", 16, 3)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, text) <- Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      assert(got(id) == sigOf(text, 16, 3), s"doc $id signature mismatch")
+
+    // identical docs share every band -> guaranteed pair; unrelated stays out
+    val pairs = Dedup.oracleLshPairs(docs, "doc_id", "text", 16, 3, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("oracled simhash61: identical docs agree, strict majority on a closed-form corpus") {
+    import spark.implicits._
+    // closed-form: single token -> simhash == low 61 bits of its hash
+    val P = BigInt(2).pow(61) - 1
+    def hashStr(s: String): Long =
+      s.foldLeft(BigInt(0))((acc, c) => (acc * 1000003 + c.toInt) mod P).toLong
+    val docs = Seq((1L, "hello"), (2L, "hello hello hello"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextOps.simhash61Oracle($"text").as("fp"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(hashStr("hello")))
+    assert(got(2L) == got(1L)) // odd multiplicity, same strict majority
+    assert(got(3L).isEmpty)
+  }
+
   test("lshParams picks the factorization whose S-curve inflection hits the threshold") {
     // closed-form: 128 hashes, t=0.5 -> among divisor pairs the
     // inflection (1/b)^(1/r) closest to 0.5; verify against a scan
