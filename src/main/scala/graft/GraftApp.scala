@@ -27,13 +27,35 @@ object GraftApp {
     * queries terminate.
     */
   def main(args: Array[String]): Unit = {
-    val (cmd, cfgPath) = args match {
-      case Array(c @ ("build" | "clean" | "run"), p) => (c, p)
-      case Array(p) if !Set("build", "clean", "run")(p) => ("run", p)
+    // dozer-cli arg surface (reference dozer-cli/src/cli/types.rs:16-35):
+    // [run|build|clean] <config patterns...> [--config-overrides /ptr=json ...]
+    // Multiple config paths/globs deep-merge; `.sql` files append to `sql`.
+    val overrides = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cmd = "run"
+    var i = 0
+    def splitOverride(s: String): (String, String) = s.split("=", 2) match {
+      case Array(p, v) => (p, v)
       case _ => throw new IllegalArgumentException(
-        "usage: GraftApp [run|build|clean] <config.yaml>")
+        s"--config-overrides needs /pointer=value, got '$s'")
     }
-    val config = GraftConfigLoader.fromYamlFile(cfgPath)
+    while (i < args.length) {
+      args(i) match {
+        case c @ ("build" | "clean" | "run") if paths.isEmpty && i == 0 => cmd = c
+        case "--config-overrides" =>
+          i += 1
+          if (i >= args.length) throw new IllegalArgumentException(
+            "--config-overrides needs /pointer=value")
+          overrides += splitOverride(args(i))
+        case o if o.startsWith("--config-overrides=") =>
+          overrides += splitOverride(o.stripPrefix("--config-overrides="))
+        case p => paths += p
+      }
+      i += 1
+    }
+    if (paths.isEmpty) throw new IllegalArgumentException(
+      "usage: GraftApp [run|build|clean] <config.yaml...> [--config-overrides /ptr=val]")
+    val config = GraftConfigLoader.fromPaths(paths.toSeq, overrides.toSeq)
     cmd match {
       case "clean" => clean(config)
       case "build" =>

@@ -45,6 +45,11 @@ object GraftConfigLoader {
       java.nio.file.Paths.get(path))))
 
   def fromYaml(text: String): GraftConfig = {
+    val root = parseRoot(text).asScala.toMap
+    if (root.contains("connections")) fromDozer(root) else fromNative(root)
+  }
+
+  private def parseRoot(text: String): java.util.Map[String, Object] = {
     // snakeyaml's safe loader rejects unknown application tags; dozer's
     // enum tags only disambiguate connector types we re-infer from the
     // fields themselves. Only strip tags in tag position (preceded by
@@ -58,9 +63,135 @@ object GraftConfigLoader {
     val yaml = new org.yaml.snakeyaml.Yaml(
       new org.yaml.snakeyaml.constructor.SafeConstructor(
         new org.yaml.snakeyaml.LoaderOptions()))
-    val root = yaml.load[java.util.Map[String, Object]](cleaned)
-      .asScala.toMap
+    yaml.load[java.util.Map[String, Object]](cleaned)
+  }
+
+  // ---- multi-file combine + overrides (dozer-cli parity) ---------------
+
+  /** `dozer`'s multi-config entry point
+    * (reference dozer-cli/src/config_helper.rs:12-58 `combine_config` +
+    * dozer-cli/src/cli/helper.rs:191-212 `apply_overrides`): glob-expand
+    * each pattern, deep-merge `.yml`/`.yaml` trees (mappings merge
+    * recursively, sequences concatenate, conflicting scalars are an
+    * error), append `.sql` file contents to the `sql` key joined with
+    * ';', then apply JSON-pointer overrides (`/sinks/0/path=...`) that
+    * must address an existing node. At least one YAML file must match.
+    */
+  def fromPaths(patterns: Seq[String],
+      overrides: Seq[(String, String)] = Nil): GraftConfig = {
+    val merged = new java.util.LinkedHashMap[String, Object]()
+    var yamlFound = false
+    for (pattern <- patterns; path <- expandGlob(pattern)) {
+      val name = path.toString
+      val content = new String(java.nio.file.Files.readAllBytes(path))
+      if (name.endsWith(".yml") || name.endsWith(".yaml")) {
+        yamlFound = true
+        val tree = parseRoot(content)
+        if (tree != null) mergeInto(tree, merged, "/")
+      } else if (name.endsWith(".sql")) {
+        val sql = Option(merged.get("sql")) match {
+          case Some(s: String) => s + ";" + content
+          case Some(other) => fail(s"config key 'sql' is not a string: $other")
+          case None => content
+        }
+        merged.put("sql", sql)
+      } else fail(s"config file '$name' extension not supported (.yaml/.yml/.sql)")
+    }
+    if (!yamlFound) fail(s"no .yaml/.yml config matched ${patterns.mkString(", ")}")
+    overrides.foreach { case (ptr, v) => applyOverride(merged, ptr, v) }
+    val root = merged.asScala.toMap
     if (root.contains("connections")) fromDozer(root) else fromNative(root)
+  }
+
+  /** Glob expansion over the pattern's directory (supports `*`, `?`,
+    * `[...]` in the file component and `**` across directories via
+    * NIO's glob matcher); a literal path returns itself. Matches are
+    * sorted so merge order is deterministic.
+    */
+  private def expandGlob(pattern: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{FileSystems, Files, Paths}
+    if (!pattern.exists("*?[".contains(_))) {
+      val p = Paths.get(pattern)
+      if (Files.exists(p)) Seq(p) else fail(s"config path not found: $pattern")
+    } else {
+      val norm = if (pattern.startsWith("./")) pattern.drop(2) else pattern
+      val firstWild = norm.indexWhere("*?[".contains(_))
+      val lastSep = norm.lastIndexOf('/', firstWild)
+      val (baseStr, glob) =
+        if (lastSep < 0) (".", norm)
+        else (norm.substring(0, lastSep), norm.substring(lastSep + 1))
+      val base = Paths.get(baseStr)
+      if (!Files.isDirectory(base)) Seq.empty
+      else {
+        val matcher = FileSystems.getDefault.getPathMatcher("glob:" + glob)
+        val walker =
+          if (glob.contains("**")) Files.walk(base) else Files.list(base)
+        try walker.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && matcher.matches(base.relativize(p)))
+          .toSeq.sortBy(_.toString)
+        finally walker.close()
+      }
+    }
+  }
+
+  /** Dozer merge_yaml semantics (config_helper.rs:101-139): mappings
+    * deep-merge, sequences concatenate, anything else colliding is an
+    * error (no silent scalar override).
+    */
+  private def mergeInto(from: java.util.Map[String, Object],
+      to: java.util.Map[String, Object], at: String): Unit =
+    from.asScala.foreach { case (k, v) =>
+      to.get(k) match {
+        case null if !to.containsKey(k) => to.put(k, v)
+        case existing => (v, existing) match {
+          case (fm: java.util.Map[_, _], tm: java.util.Map[_, _]) =>
+            mergeInto(fm.asInstanceOf[java.util.Map[String, Object]],
+              tm.asInstanceOf[java.util.Map[String, Object]], s"$at$k/")
+          case (fs: java.util.List[_], ts: java.util.List[_]) =>
+            ts.asInstanceOf[java.util.List[Object]]
+              .addAll(fs.asInstanceOf[java.util.List[Object]])
+          case _ =>
+            fail(s"cannot merge config values at $at$k: '$v' onto '$existing'")
+        }
+      }
+    }
+
+  /** JSON-pointer override (RFC 6901 escapes; cli/helper.rs:197-203):
+    * the pointer must address an existing node, whose value is replaced
+    * with the YAML/JSON-parsed `value`.
+    */
+  private def applyOverride(root: java.util.Map[String, Object],
+      pointer: String, value: String): Unit = {
+    if (!pointer.startsWith("/")) fail(s"config override pointer must start with '/': $pointer")
+    val segs = pointer.drop(1).split("/", -1).toSeq
+      .map(_.replace("~1", "/").replace("~0", "~"))
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.constructor.SafeConstructor(
+        new org.yaml.snakeyaml.LoaderOptions()))
+    val parsed = yaml.load[Object](value)
+    def missing(): Nothing =
+      fail(s"config override points at a missing node: $pointer")
+    def set(node: Object, rest: Seq[String]): Unit = (node, rest) match {
+      case (m: java.util.Map[_, _], Seq(last)) =>
+        val mm = m.asInstanceOf[java.util.Map[String, Object]]
+        if (!mm.containsKey(last)) missing()
+        mm.put(last, parsed)
+      case (l: java.util.List[_], Seq(last)) =>
+        val ll = l.asInstanceOf[java.util.List[Object]]
+        val i = last.toIntOption.getOrElse(missing())
+        if (i < 0 || i >= ll.size) missing()
+        ll.set(i, parsed)
+      case (m: java.util.Map[_, _], head +: tail) =>
+        val next = m.asInstanceOf[java.util.Map[String, Object]].get(head)
+        if (next == null) missing()
+        set(next, tail)
+      case (l: java.util.List[_], head +: tail) =>
+        val ll = l.asInstanceOf[java.util.List[Object]]
+        val i = head.toIntOption.filter(i => i >= 0 && i < ll.size).getOrElse(missing())
+        set(ll.get(i), tail)
+      case _ => missing()
+    }
+    if (segs.isEmpty) missing() else set(root, segs)
   }
 
   // ---- graft-native shape ----------------------------------------------

@@ -169,6 +169,54 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() > 0)
   }
 
+  test("multi-file config combine: globbed yaml deep-merge, .sql append, overrides") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_combine")
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(tmp.resolve(name), text)
+    write("a-config.yaml",
+      s"""app_name: combined
+         |sources:
+         |  - name: ev
+         |    path: $dir/events.parquet
+         |""".stripMargin)
+    write("b-config.yaml",
+      s"""sinks:
+         |  - table: per_type
+         |    path: ${tmp}/out
+         |  - table: totals
+         |    path: ${tmp}/out2
+         |""".stripMargin)
+    write("q1.sql",
+      "SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type")
+    write("q2.sql", "SELECT COUNT(*) AS n INTO totals FROM ev")
+
+    val config = GraftConfigLoader.fromPaths(
+      Seq(s"$tmp/*-config.yaml", s"$tmp/q*.sql"),
+      overrides = Seq("/sinks/1/path" -> s"$tmp/out2b"))
+    assert(config.sources.map(_.name) == Seq("ev"))
+    assert(config.sinks.map(_.table) == Seq("per_type", "totals"))
+    assert(config.sinks(1).path == s"$tmp/out2b") // override replaced it
+    assert(config.sql.contains(";")) // both .sql files joined
+
+    runBatch(spark, config)
+    assert(spark.read.parquet(s"$tmp/out").count() > 0)
+    assert(spark.read.parquet(s"$tmp/out2b").count() == 1)
+
+    // conflicting scalar keys are a loud error, not a silent override
+    write("c-config.yaml", "app_name: other\n")
+    val e = intercept[IllegalArgumentException] {
+      GraftConfigLoader.fromPaths(Seq(s"$tmp/*-config.yaml"))
+    }
+    assert(e.getMessage.contains("cannot merge"))
+
+    // an override pointer must address an existing node
+    val e2 = intercept[IllegalArgumentException] {
+      GraftConfigLoader.fromPaths(Seq(s"$tmp/a-config.yaml"),
+        overrides = Seq("/nope/0" -> "1"))
+    }
+    assert(e2.getMessage.contains("missing node"))
+  }
+
   test("dozer-compatible YAML (tagged object-store connections) loads") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dozer_yaml").toString
     // the reference's config shape: connections with !LocalStorage tag,
