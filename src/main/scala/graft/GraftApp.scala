@@ -97,14 +97,15 @@ object GraftApp {
     // legal modes differ by execution mode — mirror run's dispatch so
     // build rejects exactly what run would reject
     val legalModes =
-      if (config.streaming) Set("append", "upsert")
-      else Set("append", "overwrite", "upsert")
+      if (config.streaming) Set("append", "upsert", "dummy", "jdbc")
+      else Set("append", "overwrite", "upsert", "dummy", "jdbc")
     config.sinks.foreach { sink =>
       require(outputs.contains(sink.table),
         s"sink references unknown output table '${sink.table}'")
       require(legalModes(sink.mode),
         s"unknown ${if (config.streaming) "streaming " else ""}sink mode ${sink.mode}")
-      requireFormatAvailable(spark, sink.format, "sink")
+      if (sink.mode == "jdbc") requireJdbcAvailable(sink)
+      else if (sink.mode != "dummy") requireFormatAvailable(spark, sink.format, "sink")
       if (sink.mode == "upsert") {
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
         // the upsert snapshot's crash-safe swap is parquet-layout-owned;
@@ -148,8 +149,12 @@ object GraftApp {
       }
     }
     config.sinks.foreach { s =>
-      rm(s.path)
-      rm(s.checkpoint.getOrElse(s.path + "_ckpt"))
+      // dummy/jdbc sinks have no object-store path — an empty path must
+      // never reach rm (Paths.get("") is the working directory)
+      if (s.path.nonEmpty) {
+        rm(s.path)
+        rm(s.checkpoint.getOrElse(s.path + "_ckpt"))
+      } else s.checkpoint.foreach(rm)
     }
   }
 
@@ -190,6 +195,28 @@ object GraftApp {
     */
   private val builtinFormats =
     Set("parquet", "csv", "json", "orc", "text", "avro", "binaryFile")
+
+  /** Fail fast for JDBC sinks: the url must be present and its driver
+    * loadable (explicit `driver` option or DriverManager url probe) —
+    * same build-time contract as [[requireFormatAvailable]]. The
+    * ClickHouse/Oracle jars are deployment-supplied, like the Kafka
+    * and Delta connector jars.
+    */
+  private[graft] def requireJdbcAvailable(sink: SinkConf): Unit = {
+    val url = sink.options.getOrElse("url",
+      throw new IllegalArgumentException(
+        s"jdbc sink '${sink.table}' needs options.url"))
+    try sink.options.get("driver") match {
+      case Some(d) => Class.forName(d)
+      case None => java.sql.DriverManager.getDriver(url)
+    } catch {
+      case _: ClassNotFoundException | _: java.sql.SQLException =>
+        throw new IllegalArgumentException(
+          s"jdbc sink '${sink.table}': no JDBC driver for '$url' on the " +
+            "classpath — add the driver jar (e.g. clickhouse-jdbc, ojdbc) " +
+            "via --jars/spark.jars, exactly like the Kafka/Delta connector jars")
+    }
+  }
 
   /** Fail fast — at build/validate time, not deep inside a microbatch —
     * when a configured format's DataSource is not on the classpath.
@@ -298,7 +325,8 @@ object GraftApp {
       val df = outputs.getOrElse(sink.table,
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
-      requireFormatAvailable(spark, sink.format, "sink")
+      if (sink.mode == "jdbc") requireJdbcAvailable(sink)
+      else if (sink.mode != "dummy") requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout — reject a partition spec
       // instead of silently dropping it
       require(sink.partitionBy.isEmpty || sink.mode != "upsert",
@@ -314,6 +342,20 @@ object GraftApp {
           writer(df).mode("append").format(sink.format).save(sink.path)
         case "overwrite" =>
           writer(df).mode("overwrite").format(sink.format).save(sink.path)
+        case "dummy" =>
+          // reference Dummy sink (sink.rs:127-129): consume, write nothing
+          println(s"[graft] dummy sink '${sink.table}': ${df.count()} rows")
+        case "jdbc" =>
+          val url = sink.options("url")
+          val props = new java.util.Properties
+          sink.options.foreach { case (k, v) =>
+            if (k != "url" && k != "dbtable") props.setProperty(k, v)
+          }
+          if (sink.keys.nonEmpty)
+            graft.sinks.Sinks.upsertJdbcRowsBatch(
+              df, sink.keys, url, sink.options("dbtable"), props)
+          else
+            df.write.mode("append").jdbc(url, sink.options("dbtable"), props)
         case "upsert" =>
           // batch upsert = latest image per key over existing + new
           val merged = graft.cdc.ChangeModel.applyChanges(
@@ -355,7 +397,8 @@ object GraftApp {
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
       val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
-      requireFormatAvailable(spark, sink.format, "sink")
+      if (sink.mode == "jdbc") requireJdbcAvailable(sink)
+      else if (sink.mode != "dummy") requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout (flat or key-hash buckets) —
       // a user partition spec would be silently unhonored, so reject it
       require(sink.partitionBy.isEmpty || sink.mode == "append",
@@ -372,6 +415,30 @@ object GraftApp {
             df, sink.keys, sink.path, ckpt, numBuckets = n)
           case None => graft.sinks.Sinks.upsertParquet(df, sink.keys, sink.path, ckpt)
         }
+        case "dummy" =>
+          // consume + count per microbatch; a throwaway checkpoint is
+          // fine — the dummy sink has no state worth resuming
+          val dckpt = sink.checkpoint.getOrElse(
+            java.nio.file.Files.createTempDirectory("graft_dummy_ckpt").toString)
+          df.writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+            .option("checkpointLocation", dckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              println(s"[graft] dummy sink '${sink.table}' batch $id: ${b.count()} rows")
+            }
+            .start()
+        case "jdbc" =>
+          require(sink.keys.nonEmpty,
+            s"streaming jdbc sink '${sink.table}' needs keys (the merge key)")
+          val jckpt = sink.checkpoint.getOrElse(throw new IllegalArgumentException(
+            s"streaming jdbc sink '${sink.table}' needs a checkpoint for exactly-once resume"))
+          val props = new java.util.Properties
+          sink.options.foreach { case (k, v) =>
+            if (k != "url" && k != "dbtable") props.setProperty(k, v)
+          }
+          graft.sinks.Sinks.upsertJdbcRows(
+            df, sink.keys, sink.options("url"), sink.options("dbtable"), jckpt, props)
         case other    => throw new IllegalArgumentException(s"unknown streaming sink mode $other")
       }
     }

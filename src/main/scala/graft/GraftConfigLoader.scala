@@ -256,7 +256,11 @@ object GraftConfigLoader {
   private def fromDozer(root: Map[String, Object]): GraftConfig = {
     case class Conn(name: String, basePath: String,
         tables: Map[String, (String, String)], // table -> (subPath, ext)
-        delta: Boolean = false)                // DeltaLake connection
+        delta: Boolean = false,                // DeltaLake connection
+        // connection shapes with no runnable-SOURCE mapping keep their
+        // documented error here and fail only when a source references
+        // them — a sink-only connection (Oracle sink) must still parse
+        error: Option[String] = None)
     val rawConns = list(root, "connections").map { c =>
       val cm = c.asScala
       val name = str(c, "name")
@@ -325,19 +329,19 @@ object GraftConfigLoader {
           if (dtabs.nonEmpty) Conn(name, "", dtabs, delta = true)
           else if (cfg.asScala.contains("provider") ||
               cfg.asScala.contains("wss_url"))
-            fail(
+            Conn(name, "", Map.empty, error = Some(
               s"connection '$name': Ethereum subscriptions need a web3 " +
                 "transport — decode the eth_getLogs/callTracer wire with " +
                 "cdc.EthLogs over a Kafka topic, file drop " +
                 "(Sources.ethLogFileStream) or webhook push; " +
                 "Sources.ethereumOptions carries the subscription config " +
-                "(SURVEY §2.1)")
-          else fail(
+                "(SURVEY §2.1)"))
+          else Conn(name, "", Map.empty, error = Some(
             s"connection '$name': only object-store (LocalStorage/S3), " +
               "DeltaLake, and Webhook connections map to runnable " +
               "sources here; Postgres/MySQL CDC, Kafka, Snowflake, " +
               "MongoDB, and Ethereum are config-level mappings " +
-              "documented in SURVEY §2.1")
+              "documented in SURVEY §2.1"))
       }
     }
     val connByName = conns.map(c => c.name -> c).toMap
@@ -356,6 +360,7 @@ object GraftConfigLoader {
       case None =>
       val conn = connByName.getOrElse(connName,
         fail(s"source '$sname' references unknown connection '$connName'"))
+      conn.error.foreach(fail)
       if (conn.delta) {
         val (tpath, _) = conn.tables.getOrElse(tableName,
           fail(s"source '$sname': DeltaLake connection '$connName' has " +
@@ -417,13 +422,25 @@ object GraftConfigLoader {
   private def sinks(root: Map[String, Object]): Seq[SinkConf] =
     list(root, "sinks").map { s =>
       val m = s.asScala
+      if (m.contains("config")) {
+        // dozer Sink { name, config: !Dummy/!Clickhouse/!Oracle/!Aerospike }
+        // (reference dozer-types/src/models/sink.rs:99-123) — the tag is
+        // stripped, so the sink type is inferred from its fields.
+        dozerSink(root, m.get("name").map(_.toString).getOrElse("<unnamed>"),
+          asMap(m("config")).asScala)
+      } else {
+      val mode = m.get("mode").map(_.toString).getOrElse("append")
       SinkConf(
         table = m.get("table").orElse(m.get("table_name")).map(_.toString)
           .getOrElse(fail("sink needs table/table_name")),
         // dozer sinks name managed endpoints; ours need a target path
-        path = m.get("path").map(_.toString)
-          .getOrElse(fail("sink needs a path (graft sinks are object-store)")),
-        mode = m.get("mode").map(_.toString).getOrElse("append"),
+        // (except dummy, which consumes without writing, and jdbc,
+        // which targets options.url/dbtable)
+        path = m.get("path").map(_.toString).getOrElse {
+          if (mode == "dummy" || mode == "jdbc") ""
+          else fail("sink needs a path (graft sinks are object-store)")
+        },
+        mode = mode,
         keys = strList(m, "keys"),
         checkpoint = m.get("checkpoint").map(_.toString),
         buckets = m.get("buckets").filter(_ != null).map { b =>
@@ -437,7 +454,72 @@ object GraftConfigLoader {
         partitionBy = strList(m, "partition_by"),
         format = m.get("format").map(_.toString).getOrElse("parquet"),
         options = optMap(s, "options"))
+      }
     }
+
+  /** Map a dozer sink config (tag stripped) onto the Spark-side sink
+    * surface. Type inference by fields, mirroring the reference enum
+    * (sink.rs:107-112):
+    *  - Clickhouse {host, port, database, source_table_name,
+    *    sink_table_name, create_table_options.primary_keys} → the JDBC
+    *    merge sink (ClickHouse speaks JDBC; ReplacingMergeTree's
+    *    replace-by-key IS the keyed merge);
+    *  - Oracle {connection, table_name, unique_key, owner} → the JDBC
+    *    merge sink against the named connection's OracleConfig
+    *    (ingestion_types.rs OracleConfig: user/password/host/port/sid);
+    *  - Dummy {table_name} → consume + count, write nothing;
+    *  - Aerospike → no Spark analogue, documented error.
+    * The JDBC driver jar is probed at build/run, not config parse.
+    */
+  private def dozerSink(root: Map[String, Object], name: String,
+      cfg: scala.collection.Map[String, Object]): SinkConf = {
+    def s(k: String) = cfg.get(k).filter(_ != null).map(_.toString)
+    if (cfg.contains("metadata_namespace"))
+      fail(s"sink '$name': the Aerospike sink has no Spark-level analogue " +
+        "in this build — use a JDBC or object-store sink (SURVEY §2.2)")
+    else if (cfg.contains("source_table_name") || cfg.contains("sink_table_name")) {
+      val host = s("host").getOrElse("0.0.0.0")
+      val port = s("port").getOrElse("9000")
+      val db = s("database").getOrElse("default")
+      val keys = cfg.get("create_table_options").filter(_ != null)
+        .map(o => asMap(o).asScala)
+        .flatMap(_.get("primary_keys")).filter(_ != null).map {
+          case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+          case x => Seq(x.toString)
+        }.getOrElse(Nil)
+      val src = s("source_table_name")
+        .getOrElse(fail(s"sink '$name' needs source_table_name"))
+      SinkConf(
+        table = src, path = "", mode = "jdbc", keys = keys,
+        options = Map(
+          "url" -> s"jdbc:clickhouse://$host:$port/$db",
+          "dbtable" -> s("sink_table_name").getOrElse(src),
+          "driver" -> "com.clickhouse.jdbc.ClickHouseDriver") ++
+          s("user").map("user" -> _) ++ s("password").map("password" -> _))
+    } else if (cfg.contains("connection")) {
+      val connName = s("connection").get
+      val conn = list(root, "connections")
+        .find(c => c.asScala.get("name").exists(_.toString == connName))
+        .getOrElse(fail(s"sink '$name': connection '$connName' not found"))
+      val cc = asMap(conn.asScala.getOrElse("config",
+        fail(s"sink '$name': connection '$connName' has no config"))).asScala
+      def c(k: String) = cc.get(k).filter(_ != null).map(_.toString)
+      val host = c("host").getOrElse(fail(s"connection '$connName' needs host"))
+      val port = c("port").getOrElse("1521")
+      val sid = c("sid").getOrElse(fail(s"connection '$connName' needs sid"))
+      val tbl = s("table_name").getOrElse(fail(s"sink '$name' needs table_name"))
+      SinkConf(
+        table = tbl, path = "", mode = "jdbc", keys = strList(cfg, "unique_key"),
+        options = Map(
+          "url" -> s"jdbc:oracle:thin:@//$host:$port/$sid",
+          "dbtable" -> s("owner").map(o => s"$o.$tbl").getOrElse(tbl),
+          "driver" -> "oracle.jdbc.OracleDriver") ++
+          c("user").map("user" -> _) ++ c("password").map("password" -> _))
+    } else if (cfg.contains("table_name")) {
+      SinkConf(table = s("table_name").get, path = "", mode = "dummy")
+    } else fail(s"sink '$name': unrecognized dozer sink config " +
+      s"(fields: ${cfg.keys.mkString(", ")})")
+  }
 
   /** String-list sink field; a bare scalar (`keys: id`) is accepted as a
     * one-element list rather than dying in a ClassCastException.

@@ -250,4 +250,76 @@ object Sinks {
       }
       .start()
 
+  /** Config-level JDBC upsert for PLAIN rows (no CDC metadata): stage
+    * the batch, then transactionally delete target rows whose key
+    * appears in the stage and insert the stage. This is the merge
+    * contract `dozer run` configs surface for the ClickHouse/Oracle
+    * sinks (reference dozer-sink-clickhouse/src/sink.rs:262-288 maps
+    * deltas onto versioned inserts; with plain INTO output rows the
+    * merge IS delete+insert). Same staging/quoting machinery as
+    * [[upsertJdbc]], minus the delta classification.
+    *
+    * Scale note: the stage write is distributed (Spark JDBC writer);
+    * only the two merge statements run on the target engine, which is
+    * where a warehouse wants them — no row ever moves through the
+    * driver.
+    */
+  def upsertJdbcRowsBatch(rows: DataFrame, keyCols: Seq[String], url: String,
+      table: String,
+      connectionProperties: java.util.Properties = new java.util.Properties)
+      : Unit = {
+    require(keyCols.nonEmpty, "upsertJdbcRowsBatch needs key columns")
+    val staging = table + "_staging"
+    // string KEY columns must be declared as a comparable SQL type —
+    // Spark's default string mapping is CLOB/TEXT on several dialects
+    // (Derby among them) and CLOBs can't sit in an equality predicate.
+    // Merge keys are short by contract; payload strings keep the default.
+    val keyTypes = rows.schema.fields
+      .filter(f => keyCols.contains(f.name) &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(512)")
+    def writer(df: DataFrame) = {
+      val w = df.write
+      if (keyTypes.nonEmpty)
+        w.option("createTableColumnTypes", keyTypes.mkString(", ")) else w
+    }
+    writer(rows).mode("overwrite").jdbc(url, staging, connectionProperties)
+    writer(rows.limit(0)).mode("ignore").jdbc(url, table, connectionProperties)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    def q(id: String) = dialect.quoteIdentifier(id)
+    val colList = rows.columns.map(q).mkString(", ")
+    val keyMatch = keyCols
+      .map(k => s"$table.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val conn = java.sql.DriverManager.getConnection(url, connectionProperties)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE EXISTS " +
+            s"(SELECT 1 FROM $staging s WHERE $keyMatch)")
+        st.executeUpdate(
+          s"INSERT INTO $table ($colList) SELECT $colList FROM $staging")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Streaming wrapper over [[upsertJdbcRowsBatch]] — checkpointed
+    * foreachBatch, exactly-once via the idempotent key merge.
+    */
+  def upsertJdbcRows(rows: DataFrame, keyCols: Seq[String], url: String,
+      table: String, checkpoint: String,
+      connectionProperties: java.util.Properties = new java.util.Properties)
+      : StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertJdbcRowsBatch(batch, keyCols, url, table, connectionProperties)
+      }
+      .start()
 }
