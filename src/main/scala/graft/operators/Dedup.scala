@@ -739,12 +739,17 @@ object Dedup {
       numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
+    // persist the banded index so both self-join legs reuse ONE
+    // signature pass over the corpus (same rationale as minhashPairs:
+    // the index is bands rows of one string per doc, tiny next to the
+    // text; recomputable lineage beats localCheckpoint on executor loss)
     val banded = oracleMinhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
-      .withColumn("band", (col("j") / rows).cast("int"))
+      .withColumn("band", expr(s"j div $rows"))
       .groupBy(col(idCol), col("band"))
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(j, minhash))), x -> cast(x.minhash as string))"),
         "_").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bkey"), col(idCol).as("doc_a"))
     val b = banded.select(col("band"), col("bkey"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "bkey"))
