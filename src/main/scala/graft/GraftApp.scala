@@ -41,7 +41,8 @@ object GraftApp {
     }
     while (i < args.length) {
       args(i) match {
-        case c @ ("build" | "clean" | "run") if paths.isEmpty && i == 0 => cmd = c
+        case c @ ("build" | "clean" | "run" | "dot" | "ui") if paths.isEmpty && i == 0 =>
+          cmd = if (c == "ui") "dot" else c
         case "--config-overrides" =>
           i += 1
           if (i >= args.length) throw new IllegalArgumentException(
@@ -64,6 +65,11 @@ object GraftApp {
         try build(spark, config).foreach { case (t, s) =>
           println(s"$t: ${s.simpleString}")
         } finally spark.stop()
+      case "dot" =>
+        // `dozer ui`'s graph contract without the web shell
+        val spark = GraftSession.create(
+          sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        try println(dot(spark, config)) finally spark.stop()
       case "run" =>
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -130,6 +136,63 @@ object GraftApp {
       }
     }
     outputs.map { case (t, df) => t -> df.schema }
+  }
+
+  /** `dozer ui`'s pipeline-contract surface (reference
+    * dozer-cli/src/ui/app/state.rs:231-239 `generate_dot`, 220-229
+    * `get_graph_schemas`) minus the web shell: the config's dataflow
+    * DAG — source → INTO output → sink — rendered as DOT, with each
+    * node's schema in its tooltip. Table references come from each
+    * output's ANALYZED plan (the temp-view `SubqueryAlias` nodes), not
+    * regexed SQL, so aliases, CTEs, and dialect rewrites resolve
+    * exactly as the engine resolves them; descent stops at the first
+    * known name so edges are DIRECT dependencies only.
+    */
+  def dot(spark: SparkSession, config: GraftConfig): String = {
+    registerUdfs(spark, config)
+    val runner = new GraftSqlRunner(spark, streaming = config.streaming)
+    config.sources.foreach { s =>
+      runner.registerSource(s.name, loadSource(spark, s, config.streaming))
+    }
+    val outputs = runner.run(config.sql)
+    val known = config.sources.map(_.name).toSet ++ outputs.keySet
+    def directRefs(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] = plan match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+          if known(a.alias) => Set(a.alias)
+      case other =>
+        val fromChildren = other.children.flatMap(directRefs).toSet
+        val fromSubqueries = other.expressions.flatMap(_.collect {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            directRefs(s.plan)
+        }.flatten).toSet
+        fromChildren ++ fromSubqueries
+    }
+    def esc(s: String) = s.replace("\"", "\\\"")
+    val sb = new StringBuilder("digraph pipeline {\n  rankdir=LR;\n")
+    config.sources.foreach { s =>
+      sb ++= s"""  "${esc(s.name)}" [shape=cylinder tooltip="${esc(s.format)}: ${esc(s.path)}"];\n"""
+    }
+    outputs.foreach { case (name, df) =>
+      sb ++= s"""  "${esc(name)}" [shape=box tooltip="${esc(df.schema.simpleString)}"];\n"""
+    }
+    config.sinks.zipWithIndex.foreach { case (k, i) =>
+      val target = k.mode match {
+        case "dummy" => "dummy"
+        case "jdbc" => k.options.getOrElse("url", "jdbc")
+        case _ => k.path
+      }
+      sb ++= s"""  "sink$i" [shape=note label="${esc(k.mode)}: ${esc(target)}"];\n"""
+    }
+    outputs.foreach { case (name, df) =>
+      directRefs(df.queryExecution.analyzed).filter(_ != name).toSeq.sorted
+        .foreach(r => sb ++= s"""  "${esc(r)}" -> "${esc(name)}";\n""")
+    }
+    config.sinks.zipWithIndex.foreach { case (k, i) =>
+      sb ++= s"""  "${esc(k.table)}" -> "sink$i";\n"""
+    }
+    sb ++= "}\n"
+    sb.toString
   }
 
   /** `dozer clean` equivalent: remove every sink's materialized data and

@@ -169,6 +169,34 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() > 0)
   }
 
+  test("dot renders the pipeline DAG with direct-dependency edges only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dot").toString
+    val yaml =
+      s"""sources:
+         |  - name: ev
+         |    path: $dir/events.parquet
+         |  - name: nat
+         |    path: $dir/nation.parquet
+         |sql: |
+         |  SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type;
+         |  SELECT p.event_type, p.n, x.n_name INTO enriched
+         |  FROM per_type p JOIN nat x ON p.n % 25 = x.n_nationkey;
+         |sinks:
+         |  - table: enriched
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val d = GraftApp.dot(spark, GraftConfigLoader.fromYaml(yaml))
+    assert(d.contains("\"ev\" -> \"per_type\""))
+    assert(d.contains("\"per_type\" -> \"enriched\""))
+    assert(d.contains("\"nat\" -> \"enriched\""))
+    assert(!d.contains("\"ev\" -> \"enriched\"")) // direct deps only
+    assert(d.contains("\"enriched\" -> \"sink0\""))
+    assert(d.contains("shape=cylinder") && d.contains("shape=note"))
+    // schemas ride as tooltips (the get_graph_schemas contract)
+    assert(d.contains("struct<event_type:string,n:bigint"))
+  }
+
   test("dozer sink types: dummy consumes, jdbc merges into Derby, missing drivers fail loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sinks").toString
     // native-shape jdbc sink against Derby: run twice, keyed merge keeps
