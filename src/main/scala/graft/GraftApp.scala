@@ -33,6 +33,7 @@ object GraftApp {
     val overrides = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var cmd = "run"
+    var locked = false
     var i = 0
     def splitOverride(s: String): (String, String) = s.split("=", 2) match {
       case Array(p, v) => (p, v)
@@ -50,6 +51,7 @@ object GraftApp {
           overrides += splitOverride(args(i))
         case o if o.startsWith("--config-overrides=") =>
           overrides += splitOverride(o.stripPrefix("--config-overrides="))
+        case "--locked" => locked = true
         case p => paths += p
       }
       i += 1
@@ -57,12 +59,23 @@ object GraftApp {
     if (paths.isEmpty) throw new IllegalArgumentException(
       "usage: GraftApp [run|build|clean] <config.yaml...> [--config-overrides /ptr=val]")
     val config = GraftConfigLoader.fromPaths(paths.toSeq, overrides.toSeq)
+    // lock file lives next to the first concrete config file (the
+    // reference keeps dozer.lock in the app home dir), falling back to
+    // the working directory for glob-only invocations
+    val lockPath = {
+      val first = java.nio.file.Paths.get(paths.head)
+      if (java.nio.file.Files.isRegularFile(first) && first.getParent != null)
+        first.getParent.resolve("graft.lock")
+      else java.nio.file.Paths.get("graft.lock")
+    }
     cmd match {
-      case "clean" => clean(config)
+      case "clean" =>
+        clean(config)
+        java.nio.file.Files.deleteIfExists(lockPath) // home-dir wipe analogue
       case "build" =>
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-        try build(spark, config).foreach { case (t, s) =>
+        try buildLocked(spark, config, lockPath, locked).foreach { case (t, s) =>
           println(s"$t: ${s.simpleString}")
         } finally spark.stop()
       case "dot" =>
@@ -73,6 +86,9 @@ object GraftApp {
       case "run" =>
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        // run_all builds (with the locked check) before executing
+        // (orchestrator.rs:221-226)
+        buildLocked(spark, config, lockPath, locked)
         val hooks = startWebhooks(config)
         try {
           if (config.streaming)
@@ -136,6 +152,60 @@ object GraftApp {
       }
     }
     outputs.map { case (t, df) => t -> df.schema }
+  }
+
+  /** The build contract — a deterministic text rendering of everything
+    * `dozer build` locks (reference dozer-cli/src/simple/orchestrator.rs:
+    * 150-205: Contract over DAG schemas + connections, serialized to
+    * dozer.lock): sources, per-INTO output schemas, sinks, UDFs. Two
+    * configs with the same contract produce the same pipeline shape.
+    */
+  def contract(spark: SparkSession, config: GraftConfig): String =
+    renderContract(config, build(spark, config))
+
+  private def renderContract(config: GraftConfig,
+      schemas: Map[String, StructType]): String = {
+    val sb = new StringBuilder("graft contract v1\n")
+    config.sources.sortBy(_.name).foreach { s =>
+      sb ++= s"source ${s.name} ${s.format} ${s.path}\n"
+    }
+    schemas.toSeq.sortBy(_._1).foreach { case (t, sch) =>
+      sb ++= s"output $t ${sch.simpleString}\n"
+    }
+    config.sinks.sortBy(_.table).foreach { k =>
+      val target = k.mode match {
+        case "dummy" => "-"
+        case "jdbc" => k.options.getOrElse("url", "jdbc") + "/" +
+          k.options.getOrElse("dbtable", k.table)
+        case _ => k.path
+      }
+      sb ++= s"sink ${k.table} ${k.mode} $target keys=${k.keys.mkString(",")}\n"
+    }
+    config.udfs.sortBy(_.name).foreach(u => sb ++= s"udf ${u.name}\n")
+    sb.toString
+  }
+
+  /** `dozer build [--locked]` core (orchestrator.rs:186-197): with
+    * `locked`, the existing lock file must exist and match the current
+    * contract (LockedNoLockFile / LockedOutdatedLockfile analogues);
+    * the fresh contract is then written. Returns the output schemas.
+    */
+  def buildLocked(spark: SparkSession, config: GraftConfig,
+      lockPath: java.nio.file.Path, locked: Boolean): Map[String, StructType] = {
+    val schemas = build(spark, config)
+    val c = renderContract(config, schemas)
+    if (locked) {
+      if (!java.nio.file.Files.exists(lockPath))
+        throw new IllegalStateException(
+          s"--locked: no lock file at $lockPath (run build once without --locked)")
+      val existing = new String(java.nio.file.Files.readAllBytes(lockPath))
+      if (existing != c)
+        throw new IllegalStateException(
+          s"--locked: config no longer matches $lockPath — the pipeline " +
+            "contract changed (sources, output schemas, sinks, or udfs)")
+    }
+    java.nio.file.Files.writeString(lockPath, c)
+    schemas
   }
 
   /** `dozer ui`'s pipeline-contract surface (reference

@@ -169,6 +169,44 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() > 0)
   }
 
+  test("build --locked: lock written, unchanged passes, contract drift fails") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lock")
+    val lock = tmp.resolve("graft.lock")
+    def cfg(sql: String) = GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: ev
+         |    path: $dir/events.parquet
+         |sql: |
+         |  $sql
+         |sinks:
+         |  - table: o
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin)
+    val c1 = cfg("SELECT event_type, COUNT(*) AS n INTO o FROM ev GROUP BY event_type")
+
+    // locked with no lock file: the LockedNoLockFile analogue
+    val e0 = intercept[IllegalStateException] {
+      GraftApp.buildLocked(spark, c1, lock, locked = true)
+    }
+    assert(e0.getMessage.contains("no lock file"))
+
+    GraftApp.buildLocked(spark, c1, lock, locked = false)
+    assert(java.nio.file.Files.exists(lock))
+    assert(new String(java.nio.file.Files.readAllBytes(lock))
+      .contains("output o struct<event_type:string,n:bigint>"))
+
+    // same contract passes under --locked
+    GraftApp.buildLocked(spark, c1, lock, locked = true)
+
+    // output schema drift: the LockedOutdatedLockfile analogue
+    val c2 = cfg("SELECT event_type, SUM(value) AS n INTO o FROM ev GROUP BY event_type")
+    val e1 = intercept[IllegalStateException] {
+      GraftApp.buildLocked(spark, c2, lock, locked = true)
+    }
+    assert(e1.getMessage.contains("contract changed"))
+  }
+
   test("dot renders the pipeline DAG with direct-dependency edges only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dot").toString
     val yaml =
