@@ -372,6 +372,45 @@ object TextOps {
       .withColumn("contaminated", col("n_shared_grams") > 0)
   }
 
+  /** [[decontaminate]] for eval sets too large to broadcast-join: a
+    * Bloom filter over the eval shingle hashes rides to every executor
+    * (a few MB for millions of grams at `fpp`), the corpus grams are
+    * pre-filtered by might-contain — a map-only pass that discards the
+    * overwhelmingly-clean majority — and ONLY the Bloom survivors pay
+    * the exact anti-contamination join. False positives therefore cost
+    * a little extra join input, never a wrong verdict: results are
+    * bit-identical to [[decontaminate]] (spec-asserted).
+    *
+    * 100 TB shape: eval sets are 1e6–1e9 grams; a broadcast hash set at
+    * the top of that range is tens of GB, while the Bloom at fpp=1e-3
+    * stays under ~2 GB and the exact join's left side shrinks by ~1000×.
+    */
+  def decontaminateBloom(train: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, eval: org.apache.spark.sql.DataFrame,
+      evalTextCol: String, n: Int, expectedGrams: Long = 1000000L,
+      fpp: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(Dedup.shinglesFast(col(evalTextCol), n))).as("__g"))
+      .select(xxhash64(col("__g")).as("gram")).distinct()
+    val bloom = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val spark = train.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: Long) => bloomBc.value.mightContainLong(g))
+    val trainGrams = train
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Dedup.shinglesFast(col(textCol), n))).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("gram"))
+      .filter(mightContain(col("gram")))          // map-only prune
+    val shared = trainGrams.join(evalGrams, Seq("gram")) // exact verify
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
   // ---- vocabulary statistics -------------------------------------------
 
   /** Corpus vocabulary counts — the input to tokenizer/BPE training

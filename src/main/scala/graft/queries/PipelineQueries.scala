@@ -401,6 +401,44 @@ object PipelineQueries {
         n = 5, hashGrams = true)
     },
 
+    // Decontamination via the BLOOM scale path (eval sets too big to
+    // broadcast): Bloom-filter pre-prune + exact verify join. Results
+    // are bit-identical to q55 by construction (false positives only
+    // add exact-join input), so the SAME DuckDB oracle applies — the
+    // scale path itself is hash-matched cross-engine.
+    QueryDef("q55b_decontaminate_bloom",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 4),
+        |                             i -> array_to_string(tok[i:i+4], ' ')) END)) AS gram
+        |  FROM tok
+        |),
+        |eval_grams AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        |),
+        |shared AS (
+        |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |  FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_shared_grams, 0) AS n_shared_grams,
+        |  COALESCE(s.n_shared_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        n = 5, expectedGrams = 500000L)
+    },
+
     // Context-window CHUNKING: split each doc into 32-token windows at
     // stride 16 (training/embedding input prep). Pure tokenize + slice
     // math => fully oracled.

@@ -572,6 +572,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain == out.map { case (k, v) => k -> v._1 })
   }
 
+  test("bloom decontamination is bit-identical to the exact broadcast path") {
+    // real corpus: eval set = every 10th doc, so shared shingles exist
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 10 === 0).select(col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_shared_grams"), r.getAs[Boolean]("contaminated")))
+        .sortBy(_._1).toSeq
+    val exact = canon(TextOps.decontaminate(docs, "doc_id", "text", eval, "text", n = 3))
+    val bloom = canon(TextOps.decontaminateBloom(docs, "doc_id", "text", eval, "text",
+      n = 3, expectedGrams = 100000L))
+    assert(exact == bloom)
+    assert(exact.exists(_._3)) // the planted overlap is actually flagged
+  }
+
   test("chunking emits stride windows with a short tail") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
