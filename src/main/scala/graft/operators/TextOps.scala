@@ -389,9 +389,13 @@ object TextOps {
       textCol: String, eval: org.apache.spark.sql.DataFrame,
       evalTextCol: String, n: Int, expectedGrams: Long = 1000000L,
       fpp: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    // persist: the gram set feeds two consumers — the bloomFilter
+    // ACTION and the exact verify join — and shingling the eval set
+    // twice is the avoidable cost at 1e9 grams
     val evalGrams = eval
       .select(explode(array_distinct(Dedup.shinglesFast(col(evalTextCol), n))).as("__g"))
       .select(xxhash64(col("__g")).as("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = evalGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val spark = train.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
