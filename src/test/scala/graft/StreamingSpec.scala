@@ -47,6 +47,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session window agg over a stream: gap merging matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user a: two bursts separated by > 30 min gap -> two sessions;
+    // the first burst's events 00:01/00:10 merge (gap < 30 min)
+    val data = Seq(
+      Ev(ts("2024-01-01 00:01:00"), "a", 1.0),
+      Ev(ts("2024-01-01 00:10:00"), "a", 2.0),
+      Ev(ts("2024-01-01 01:00:00"), "a", 4.0),
+      Ev(ts("2024-01-01 00:05:00"), "b", 3.0))
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"session_window.start".as("start"), $"user", $"n", $"s")
+    val q = agg.writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:01:00.0", "a", 2L, 3.0), // merged burst
+        ("2024-01-01 01:00:00.0", "a", 1L, 4.0), // new session after gap
+        ("2024-01-01 00:05:00.0", "b", 1L, 3.0)))
+      // batch replay of the same rows through the same expression agrees
+      val batch = data.toDF()
+        .groupBy(session_window($"ts", "30 minutes"), $"user")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .select($"session_window.start".as("start"), $"user", $"n", $"s")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("TTL wrapper adds a watermark on streams and is a no-op on batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
