@@ -415,6 +415,32 @@ object TextOps {
       .withColumn("contaminated", col("n_shared_grams") > 0)
   }
 
+  /** Length-bucketed training-batch assignment: docs land in a
+    * power-of-two token-length bucket (map-only: bit length of
+    * n_tokens), batches of `batchSize` are numbered within each
+    * (bucket, salt) group, ordered by doc id. Length-homogeneous
+    * batches waste less padding at train time; the salt bounds every
+    * window partition at ~corpus/(buckets·saltGroups) rows, so no
+    * single-partition sort appears at any scale — batches never span
+    * salt groups by design, and batch homogeneity depends only on the
+    * bucket. Raise `saltGroups` with corpus size (it only adds
+    * parallelism). All integer arithmetic — fully oracled (q82).
+    */
+  def lengthBatches(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, batchSize: Int, saltGroups: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1 && saltGroups >= 1)
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("int"))
+      .withColumn("salt", (col("doc_id") % saltGroups).cast("int"))
+      .withColumn("batch_id",
+        (((row_number().over(Window.partitionBy(col("bucket"), col("salt"))
+          .orderBy(col("doc_id")))) - 1) / batchSize).cast("long"))
+  }
+
   // ---- vocabulary statistics -------------------------------------------
 
   /** Corpus vocabulary counts — the input to tokenizer/BPE training

@@ -439,6 +439,29 @@ object PipelineQueries {
         n = 5, expectedGrams = 500000L)
     },
 
+    // Length-bucketed BATCH ASSIGNMENT (training prep): power-of-two
+    // token-length buckets (bit length — map-only), batches of 8
+    // numbered within (bucket, salt) groups. The salt bounds every
+    // window partition, so the plan has no single-partition sort at
+    // any scale. Integer-exact => fully oracled.
+    QueryDef("q82_length_batches",
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(length(bin(n_tokens)) AS INT) AS bucket,
+        |    CAST(doc_id % 4 AS INT) AS salt
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, bucket, salt,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket, salt ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_id
+        |FROM b""".stripMargin) { (s, dir) =>
+      TextOps.lengthBatches(t(s, dir, "documents"), "doc_id", "text",
+        batchSize = 8, saltGroups = 4)
+    },
+
     // Context-window CHUNKING: split each doc into 32-token windows at
     // stride 16 (training/embedding input prep). Pure tokenize + slice
     // math => fully oracled.

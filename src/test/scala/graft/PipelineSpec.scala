@@ -588,6 +588,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.exists(_._3)) // the planted overlap is actually flagged
   }
 
+  test("length batches: bounded size, bucket-homogeneous, partition-independent") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Int]("bucket"), r.getAs[Int]("salt"), r.getAs[Long]("batch_id")))
+        .sortBy(_._1).toSeq
+    val out = canon(TextOps.lengthBatches(docs, "doc_id", "text", batchSize = 8, saltGroups = 4))
+    // every batch has at most batchSize rows, all in one length bucket
+    out.groupBy(t => (t._3, t._4, t._5)).foreach { case (_, rows) =>
+      assert(rows.size <= 8)
+      assert(rows.map(_._3).distinct.size == 1)
+    }
+    // bucket is the bit length of n_tokens (2^(b-1) <= n < 2^b)
+    out.foreach { case (_, n, b, _, _) =>
+      assert(n >= (1L << (b - 1)) && n < (1L << b))
+    }
+    // physical partitioning does not change assignments
+    val re = canon(TextOps.lengthBatches(docs.repartition(13), "doc_id", "text",
+      batchSize = 8, saltGroups = 4))
+    assert(re == out)
+  }
+
   test("chunking emits stride windows with a short tail") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
