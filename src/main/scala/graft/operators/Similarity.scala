@@ -114,6 +114,54 @@ object Similarity {
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     bucketUdf(vec, lit(planes))
 
+  /** SQ8 codes of a vector column as array<int> — symmetric int8
+    * scalar quantization, `round(x·127/max|x|)` per component. Integer
+    * output, so SQ8 pipelines oracle-check exactly (unlike any
+    * float-scored ANN).
+    */
+  def sq8Codes(vec: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sq8Codes(vec)
+
+  /** SQ8 storage form: the same codes packed one signed byte per
+    * dimension (binary column, 4× smaller than the float embedding).
+    */
+  def sq8Packed(vec: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sq8Packed(vec)
+
+  /** Per-vector reconstruction scale max|x|/127 (|error| ≤ scale/2). */
+  def sq8Scale(vec: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sq8Scale(vec)
+
+  /** Top-k neighbors by SQ8 integer dot product — the quantized ANN
+    * scan: corpus stored as packed int8 codes (4× less IO/memory than
+    * float), similarity = exact integer dot of code vectors, ranked
+    * (sim desc, id asc). Approximates dot-product (MIPS) ranking;
+    * compose with [[normalize]] upstream when cosine ranking is wanted.
+    *
+    * Scale shape matches [[bruteForceTopK]]: broadcast the query codes,
+    * scan the (4× smaller) corpus once, one shuffle on query id for the
+    * per-query rank. Every value in the plan is an integer, so the
+    * whole scan — codes, similarity, rank — hash-checks against a SQL
+    * replay (q83b).
+    */
+  def sq8TopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val dotI8 = org.apache.spark.sql.graft.VectorExpressions.dotInt8 _
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      sq8Packed(col(corpusVec)).as("__ccode"))
+    val q = queries.select(col(queryId).as("query_id"),
+      sq8Packed(col(queryVec)).as("__qcode"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotI8(col("__qcode"), col("__ccode")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: rank candidates within each query's bucket.
     * Recall is tunable via `planes` (fewer planes → bigger buckets).
     */

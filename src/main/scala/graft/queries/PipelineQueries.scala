@@ -1362,6 +1362,75 @@ object PipelineQueries {
         rerank = 4096)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").as("nn_rank"))
+    },
+
+    // SQ8 scalar quantization (the standard 4×-compression embedding
+    // store: float32 → int8 codes + one scale per vector). Codes are
+    // round(x·127/max|x|) — INTEGER output, and round-half-away-from-
+    // zero is the SQL ROUND rule, so unlike float-scored ANN the whole
+    // quantization hash-checks cell-by-cell cross-engine. Map-only.
+    QueryDef("q83_sq8_quantize",
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |),
+        |codes AS (
+        |  SELECT vec_id, ma / 127.0 AS scale,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> 0)
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS INT))
+        |    END AS code
+        |  FROM m
+        |)
+        |SELECT vec_id, CAST(g AS INT) AS pos, code[g + 1] AS code, scale
+        |FROM codes, UNNEST(range(len(code))) AS t(g)""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.sq8Codes(col("embedding"))).as(Seq("pos", "code")),
+          Similarity.sq8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("pos"), col("code"), col("scale"))
+    },
+
+    // SQ8 ANN scan: corpus stored as packed int8 codes (4× less scan
+    // IO), similarity = EXACT integer dot product of code vectors,
+    // ranked (sim desc, id asc). Every value in the plan is an integer
+    // — codes, similarity, rank — so this ANN query hash-matches a SQL
+    // replay outright, no rank-only float-stability argument needed.
+    QueryDef("q83b_sq8_ann",
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma,
+        |    embedding
+        |  FROM embeddings
+        |),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS code
+        |  FROM m
+        |)
+        |SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS nn_rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(q.code, c.code) AS BIGINT) AS sim,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.code, c.code) DESC, c.vec_id ASC) AS rn
+        |  FROM codes q, codes c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("sim").cast("long").as("sim"), col("rank").as("nn_rank"))
     }
   )
 }

@@ -123,6 +123,54 @@ object VectorExpressions {
       "intersectLongCount",
       Seq(GraftShims.expression(a), GraftShims.expression(b)),
       inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))))
+
+  /** Symmetric int8 scalar quantization (SQ8), inspection form: each
+    * component rounded (half away from zero, the SQL ROUND rule) to
+    * `round(x · 127 / max|x|)` ∈ [-127, 127]. Integer output — exact
+    * cross-engine, so SQ8 pipelines are fully oracle-checkable.
+    */
+  def sq8Codes(v: Column): Column =
+    GraftShims.column(StaticInvoke(
+      VectorKernels.getClass,
+      ArrayType(IntegerType, containsNull = false),
+      "sq8I",
+      Seq(GraftShims.expression(v.cast("array<double>"))),
+      inputTypes = Seq(ArrayType(DoubleType))))
+
+  /** SQ8, storage form: the same codes packed one signed byte per
+    * dimension — 4× smaller than the float embedding (the point of SQ8
+    * at corpus scale: a 100 TB float corpus becomes 25 TB of codes).
+    */
+  def sq8Packed(v: Column): Column =
+    GraftShims.column(StaticInvoke(
+      VectorKernels.getClass,
+      BinaryType,
+      "sq8Bytes",
+      Seq(GraftShims.expression(v.cast("array<double>"))),
+      inputTypes = Seq(ArrayType(DoubleType))))
+
+  /** Per-vector reconstruction scale `max|x| / 127`: component i
+    * de-quantizes as `code(i) · scale`, with |error| ≤ scale/2.
+    */
+  def sq8Scale(v: Column): Column =
+    GraftShims.column(StaticInvoke(
+      VectorKernels.getClass,
+      DoubleType,
+      "sq8ScaleOf",
+      Seq(GraftShims.expression(v.cast("array<double>"))),
+      inputTypes = Seq(ArrayType(DoubleType))))
+
+  /** Integer dot product of two packed-int8 code columns — the SQ8 ANN
+    * scan kernel: a primitive signed-byte multiply-add loop (≤ 127²·dim
+    * per pair, exact in an int for any dim < 133 000).
+    */
+  def dotInt8(a: Column, b: Column): Column =
+    GraftShims.column(StaticInvoke(
+      VectorKernels.getClass,
+      IntegerType,
+      "dotBytes",
+      Seq(GraftShims.expression(a), GraftShims.expression(b)),
+      inputTypes = Seq(BinaryType, BinaryType)))
 }
 
 /** Static kernels targeted by `StaticInvoke` — bodies run inside the
@@ -160,6 +208,65 @@ object VectorKernels {
       i += 1
     }
     c
+  }
+
+  /** Quantization core: code_i = round((x_i · 127) / max|x|), half away
+    * from zero decided EXACTLY via floor + remainder comparison (the
+    * naive `floor(t + 0.5)` misrounds doubles like 0.49999999999999994
+    * where the fp add crosses the half). Zero vectors quantize to all
+    * zeros. Matches SQL `ROUND(x * 127.0 / ma)` bit-for-bit.
+    */
+  private def sq8Core(v: ArrayData): Array[Int] = {
+    val n = v.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > ma) ma = a; i += 1
+    }
+    val out = new Array[Int](n)
+    if (ma == 0.0) return out
+    i = 0
+    while (i < n) {
+      val t = (v.getDouble(i) * 127.0) / ma
+      val f = math.floor(t)
+      val d = t - f
+      out(i) = (if (d > 0.5 || (d == 0.5 && t >= 0)) f + 1.0 else f).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** array<double> → SQ8 codes as array<int> (inspection/oracle form). */
+  def sq8I(v: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(sq8Core(v))
+
+  /** array<double> → SQ8 codes packed one signed byte per dimension. */
+  def sq8Bytes(v: ArrayData): Array[Byte] = {
+    val codes = sq8Core(v)
+    val out = new Array[Byte](codes.length)
+    var i = 0
+    while (i < codes.length) { out(i) = codes(i).toByte; i += 1 }
+    out
+  }
+
+  /** Reconstruction scale max|x| / 127 (0 for a zero vector). */
+  def sq8ScaleOf(v: ArrayData): Double = {
+    val n = v.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > ma) ma = a; i += 1
+    }
+    ma / 127.0
+  }
+
+  /** Exact integer dot product of two packed signed-int8 code buffers. */
+  def dotBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var s = 0
+    var i = 0
+    while (i < n) { s += a(i).toInt * b(i).toInt; i += 1 }
+    s
   }
 
   /** |A ∩ B| for two long arrays with distinct elements: open-address

@@ -588,6 +588,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.exists(_._3)) // the planted overlap is actually flagged
   }
 
+  test("sq8: closed-form codes, packed==array, zero vector, reconstruction bound") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        Similarity.sq8Codes(col("embedding")).as("code"),
+        Similarity.sq8Packed(col("embedding")).as("packed"),
+        Similarity.sq8Scale(col("embedding")).as("scale"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Int](1).toList,
+        r.getAs[Array[Byte]]("packed"), r.getAs[Double]("scale")))
+      .sortBy(_._1)
+    // round(−63.5) is away from zero (−64), matching SQL ROUND
+    assert(got(0)._2 == List(127, -64, 32))
+    assert(got(1)._2 == List(0, 0, 0) && got(1)._4 == 0.0)
+    assert(got(2)._2 == List(-127, 64, 32))
+    // packed bytes are exactly the int codes
+    got.foreach { case (_, code, packed, _) =>
+      assert(packed.toSeq.map(_.toInt) == code)
+    }
+    // de-quantization error bound: |code·scale − x| ≤ scale/2
+    val x = Array(1.0, -0.5, 0.25)
+    val (codes, scale) = (got(0)._2, got(0)._4)
+    x.indices.foreach { i =>
+      assert(math.abs(codes(i) * scale - x(i)) <= scale / 2 + 1e-12)
+    }
+  }
+
+  test("sq8 ANN: high recall vs float brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10))
+    val sq8 = hits(Similarity.sq8TopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10))
+    // embeddings here are unit-norm, so exact cosine == exact dot
+    // ranking and the only error source is int8 quantization noise
+    // reordering near-ties; measured recall@10 is 0.77 on this corpus
+    // (plain SQ8, no rerank — the production composition feeds a float
+    // rerank stage like q72b's when higher recall is needed)
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall >= 0.7, s"sq8 recall $recall")
+  }
+
   test("length batches: bounded size, bucket-homogeneous, partition-independent") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
