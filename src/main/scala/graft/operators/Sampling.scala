@@ -84,6 +84,33 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic EPOCH SHUFFLE — the training-order step: a
+    * pseudorandom total order over the corpus that is a pure function
+    * of (key, epoch), so every run, every partitioning, and every
+    * engine derives the same order, and each epoch gets a fresh
+    * permutation.
+    *
+    * No global sort appears at any scale: the md5 of "<key>:<epoch>"
+    * yields a bucket (first two hex nibbles → 0..255) and rows are
+    * ranked only WITHIN their bucket (window partitions bounded at
+    * ~corpus/256); `shuffle_pos = rank·256 + bucket` interleaves the
+    * buckets into one strictly-ordered key. Positions are sparse
+    * (buckets differ in size) — consumers sort by `shuffle_pos`, they
+    * don't index by it. All string/integer math (md5 hex, instr,
+    * row_number), portable to plain SQL — fully oracled (q84).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    val h = md5(concat(col(keyCol).cast("string"), lit(":" + epoch)))
+    df.select(col(keyCol).as("doc_id"), h.as("__hx"))
+      .withColumn("bucket",
+        conv(substring(col("__hx"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("__hx"), col("doc_id"))))
+      .select(col("doc_id"), col("bucket"),
+        (col("__rk") - 1).cast("long").as("rank_in_bucket"),
+        ((col("__rk") - 1) * 256 + col("bucket")).cast("long").as("shuffle_pos"))
+  }
+
   /** Train/validation/test split tag as a pure function of the key:
     * stable across runs and tables. Fractions must sum to ≤ 1; the
     * remainder is "train".

@@ -462,6 +462,30 @@ object PipelineQueries {
         batchSize = 8, saltGroups = 4)
     },
 
+    // Deterministic EPOCH SHUFFLE (training order): md5(key:epoch) →
+    // 256 interleaved buckets, rank within bucket, sparse strictly-
+    // ordered shuffle_pos. A pure function of (key, epoch) — same
+    // order on every run/partitioning/engine — with NO global sort in
+    // the plan (window partitions bounded at ~corpus/256). md5-hex +
+    // integer math => fully oracled.
+    QueryDef("q84_epoch_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS hx FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, hx,
+        |    CAST((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) AS INT) AS bucket
+        |  FROM h
+        |)
+        |SELECT doc_id, bucket,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hx, doc_id) - 1 AS BIGINT) AS rank_in_bucket,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hx, doc_id) - 1) * 256 + bucket AS BIGINT) AS shuffle_pos
+        |FROM b""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.epochShuffle(
+        t(s, dir, "documents"), "doc_id", epoch = 1)
+    },
+
     // Context-window CHUNKING: split each doc into 32-token windows at
     // stride 16 (training/embedding input prep). Pure tokenize + slice
     // math => fully oracled.
