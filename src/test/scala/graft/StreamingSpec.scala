@@ -667,6 +667,10 @@ class StreamingSpec extends AnyFunSuite {
     val rest = emb.filter(col("vec_id") % 2 === 1)
       .select("vec_id", "embedding").as[Vec].collect()
     val mem = MemoryStream[Vec]
+    // data must be buffered BEFORE start(): AvailableNow snapshots the
+    // available end offset at query start, so a later addData may fall
+    // outside the run (a real race under full-suite load)
+    mem.addData(rest.toIndexedSeq: _*)
     val q = mem.toDS().toDF().writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -675,7 +679,6 @@ class StreamingSpec extends AnyFunSuite {
         Ivf.appendToIndex(batch, "vec_id", "embedding", tmp); ()
       }
       .start()
-    mem.addData(rest.toIndexedSeq: _*)
     assert(q.awaitTermination(120000), "index append stream timed out")
     // the streamed-in index now ranks the WHOLE corpus exactly
     val queries = emb.filter(col("vec_id") < 10)
