@@ -181,7 +181,8 @@ object GraftApp {
       }
       sb ++= s"sink ${k.table} ${k.mode} $target keys=${k.keys.mkString(",")}\n"
     }
-    config.udfs.sortBy(_.name).foreach(u => sb ++= s"udf ${u.name}\n")
+    config.udfs.sortBy(_.name).foreach(u =>
+      sb ++= s"udf ${u.name}${u.onnxPath.fold("")(p => s" onnx=$p")}\n")
     sb.toString
   }
 
@@ -373,17 +374,23 @@ object GraftApp {
 
   /** Config-declared scalar UDF — the reference's `udfs:` section
     * (dozer-types/src/models/udf_config.rs: name + Onnx/JavaScript
-    * module). Graft's idiomatic equivalent is a SQL scalar function
-    * (Spark 4 `CREATE FUNCTION ... RETURN <expr>`): declarative,
-    * codegen'd through Catalyst, no interpreter boundary. Model-file
-    * UDF types (ONNX/JavaScript) stay documented out of scope
-    * (SURVEY §8) and raise at load time with that pointer.
+    * module). Two kinds map onto Spark:
+    *   - SQL-expression UDFs (graft extension) become SQL scalar
+    *     functions (Spark 4 `CREATE FUNCTION ... RETURN <expr>`):
+    *     declarative, codegen'd through Catalyst, no interpreter
+    *     boundary;
+    *   - ONNX model UDFs (`UdfType::Onnx { path }`) load through
+    *     graft's pure-JVM runtime ([[graft.functions.OnnxMini]]) and
+    *     register as `name(x1..xN)` + `name_vec(array<float>)`.
+    * JavaScript module UDFs stay documented out of scope (SURVEY §8 —
+    * no JS engine in the JVM 17 runtime) and raise at load time.
     */
   final case class UdfConf(
       name: String,
-      params: String,      // e.g. "price DOUBLE, rate DOUBLE"
-      returns: String,     // e.g. "DOUBLE"
-      expression: String)  // SQL expression over the params
+      params: String,               // e.g. "price DOUBLE, rate DOUBLE"
+      returns: String,              // e.g. "DOUBLE"
+      expression: String,           // SQL expression over the params
+      onnxPath: Option[String] = None) // UdfType::Onnx { path }  // SQL expression over the params
 
   final case class GraftConfig(
       sources: Seq[SourceConf],
@@ -436,12 +443,19 @@ object GraftApp {
     } else raw
   }
 
-  /** Register the config's UDFs as SQL scalar functions on the session. */
+  /** Register the config's UDFs on the session: SQL scalar functions
+    * for expression UDFs, the OnnxMini runtime for model UDFs.
+    */
   def registerUdfs(spark: SparkSession, config: GraftConfig): Unit =
     config.udfs.foreach { u =>
-      spark.sql(
-        s"CREATE OR REPLACE TEMPORARY FUNCTION ${u.name}(${u.params}) " +
-          s"RETURNS ${u.returns} RETURN ${u.expression}")
+      u.onnxPath match {
+        case Some(path) =>
+          graft.functions.OnnxMini.registerFromPath(spark, u.name, path)
+        case None =>
+          spark.sql(
+            s"CREATE OR REPLACE TEMPORARY FUNCTION ${u.name}(${u.params}) " +
+              s"RETURNS ${u.returns} RETURN ${u.expression}")
+      }
     }
 
   /** Run a batch pipeline: returns the INTO outputs after sinking. */

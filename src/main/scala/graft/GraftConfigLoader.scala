@@ -392,9 +392,12 @@ object GraftConfigLoader {
   // ---- shared ----------------------------------------------------------
 
   /** `udfs:` — SQL-expression UDFs register as Spark SQL scalar
-    * functions; the reference's model-file types (Onnx `path`,
-    * JavaScript `module`, udf_config.rs) have no Spark-native
-    * equivalent and raise with the documented mapping.
+    * functions; ONNX model UDFs (udf_config.rs `UdfType::Onnx { path }`,
+    * YAML `config: !Onnx path: …` — the tag is stripped by the loader,
+    * so the type is inferred from the `path` field, same convention as
+    * the dozer sink tags) load through [[graft.functions.OnnxMini]].
+    * JavaScript module UDFs have no JVM-17-native engine and raise with
+    * the documented mapping.
     */
   private def udfs(root: Map[String, Object]): Seq[GraftApp.UdfConf] =
     root.get("udfs").filter(_ != null) // `udfs:` with no entries → null
@@ -402,20 +405,23 @@ object GraftConfigLoader {
         .asScala.toSeq.map(asMap)).getOrElse(Nil).map { u =>
       val name = str(u, "name")
       val m = u.asScala
-      m.get("expression") match {
-        case Some(e) =>
+      (m.get("expression"),
+        m.get("config").map(asMap).map(_.asScala)) match {
+        case (Some(e), _) =>
           GraftApp.UdfConf(
             name = name,
             params = m.get("params").map(_.toString).getOrElse(""),
             returns = m.get("returns").map(_.toString).getOrElse("DOUBLE"),
             expression = e.toString)
-        case None =>
-          val kind = m.get("config").map(asMap)
-            .flatMap(c => c.asScala.keys.headOption).getOrElse("model-file")
-          fail(s"udf '$name' ($kind): only SQL-expression UDFs map to " +
-            "Spark natively; ONNX/JavaScript model UDFs are documented " +
-            "out of scope (SURVEY §8) — export the model behind a Scala " +
-            "UDF or pre-compute the feature column upstream")
+        case (None, Some(c)) if c.contains("path") =>
+          GraftApp.UdfConf(name = name, params = "", returns = "DOUBLE",
+            expression = "", onnxPath = Some(c("path").toString))
+        case (None, c) =>
+          val kind = c.flatMap(_.keys.headOption).getOrElse("model-file")
+          fail(s"udf '$name' ($kind): SQL-expression UDFs and ONNX model " +
+            "UDFs (config with a `path`) map to Spark; JavaScript module " +
+            "UDFs are documented out of scope (SURVEY §8) — port the " +
+            "module to a SQL expression or an ONNX model")
       }
     }
 

@@ -486,6 +486,63 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", epoch = 1)
     },
 
+    // ONNX model inference — the reference's config-declared ONNX UDF
+    // surface (dozer-sql/expression/src/onnx/udf.rs) run through graft's
+    // pure-JVM runtime (OnnxMini: protobuf wire parse + MLP interpreter).
+    // The 64→16→8 classifier head has INTEGER weights from a closed-form
+    // rule and scores SQ8-quantized (integer) inputs, so every f32
+    // activation is an exact integer < 2^24 — the full network REPLAYS
+    // in DuckDB integer arithmetic and the argmax label hash-matches.
+    // The query encodes the model to ONNX bytes and re-parses it, so the
+    // wire format itself is on the oracled path. Map-only at any scale:
+    // the model ships inside the UDF closure (KB-sized), no shuffle.
+    QueryDef("q85_onnx_mlp",
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma
+        |  FROM embeddings
+        |),
+        |x AS (
+        |  SELECT vec_id, CAST(g AS INT) AS i,
+        |    CASE WHEN ma = 0 THEN 0
+        |      ELSE CAST(round(CAST(embedding[g + 1] AS DOUBLE) * 127.0 / ma) AS INT)
+        |    END AS xi
+        |  FROM m, UNNEST(range(len(embedding))) AS t(g)
+        |),
+        |w1 AS (
+        |  SELECT CAST(i.g AS INT) AS i, CAST(j.g AS INT) AS j,
+        |    ((i.g * 7 + j.g * 3) % 5) - 2 AS w
+        |  FROM UNNEST(range(64)) i(g), UNNEST(range(16)) j(g)
+        |),
+        |h AS (
+        |  SELECT x.vec_id, w1.j,
+        |    GREATEST(0, SUM(x.xi * w1.w) + ((w1.j % 3) - 1)) AS hj
+        |  FROM x JOIN w1 ON x.i = w1.i GROUP BY x.vec_id, w1.j
+        |),
+        |w2 AS (
+        |  SELECT CAST(j.g AS INT) AS j, CAST(k.g AS INT) AS k,
+        |    ((j.g * 5 + k.g * 11) % 7) - 3 AS w
+        |  FROM UNNEST(range(16)) j(g), UNNEST(range(8)) k(g)
+        |),
+        |lg AS (
+        |  SELECT h.vec_id, w2.k, SUM(h.hj * w2.w) AS lk
+        |  FROM h JOIN w2 ON h.j = w2.j GROUP BY h.vec_id, w2.k
+        |)
+        |SELECT vec_id, CAST(k AS INT) AS label FROM (
+        |  SELECT vec_id, k,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY lk DESC, k) AS rn
+        |  FROM lg) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import graft.functions.{OnnxMini, OnnxModels}
+      OnnxMini.register(s, "graft_q85",
+        OnnxMini.parse(OnnxModels.q85Bytes))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.sq8Codes(col("embedding")).as("codes"))
+        .select(col("vec_id"),
+          expr("graft_q85_vec(transform(codes, c -> cast(c AS float)))")
+            .cast("int").as("label"))
+    },
+
     // Context-window CHUNKING: split each doc into 32-token windows at
     // stride 16 (training/embedding input prep). Pure tokenize + slice
     // math => fully oracled.

@@ -569,21 +569,58 @@ class GraftAppSpec extends AnyFunSuite {
     assert(out.columns.contains("_bucket") && out.count() > 0)
   }
 
-  test("model-file UDF configs raise the documented out-of-scope mapping") {
+  test("config-declared ONNX UDF loads the model file and runs in pipeline SQL") {
+    import graft.functions.{OnnxMini, OnnxModels}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onnx_cfg").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/clf.onnx"), OnnxModels.q85Bytes)
+    val yaml =
+      s"""sources:
+         |  - name: emb
+         |    path: /root/testdata/sf0.001/embeddings.parquet
+         |udfs:
+         |  - name: clf
+         |    config: !Onnx
+         |      path: $tmp/clf.onnx
+         |sql: |
+         |  SELECT vec_id, CAST(clf_vec(transform(embedding, x -> CAST(round(x * 8) AS FLOAT))) AS INT) AS label INTO out1 FROM emb;
+         |sinks:
+         |  - table: out1
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.udfs.head.onnxPath.contains(s"$tmp/clf.onnx"))
+    GraftApp.runBatch(spark, config)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() > 0)
+    val labels = out.select("label").collect().map(_.getInt(0))
+    assert(labels.forall(l => l >= 0 && l < OnnxModels.Classes))
+    assert(labels.distinct.length > 1) // the head actually discriminates
+    // the registered function really is the declared model
+    val m = OnnxMini.parse(OnnxModels.q85Bytes)
+    val probe = Array.tabulate(OnnxModels.Dim)(i => ((i % 17) - 8).toFloat)
+    val direct = spark.sql(
+      s"SELECT clf_vec(array(${probe.map(v => s"CAST($v AS FLOAT)").mkString(",")}))")
+      .head().getDouble(0)
+    assert(direct == OnnxMini.scalar(m, probe))
+  }
+
+  test("JavaScript module UDF configs raise the documented out-of-scope mapping") {
     val yaml =
       """sources:
         |  - name: ev
         |    path: /x.parquet
         |udfs:
-        |  - name: embedder
-        |    config: !Onnx
-        |      path: /models/embedder.onnx
+        |  - name: scorer
+        |    config: !JavaScript
+        |      module: /models/scorer.js
         |sql: SELECT 1 INTO x FROM ev;
         |sinks: []
         |""".stripMargin
     val e = intercept[IllegalArgumentException](GraftConfigLoader.fromYaml(yaml))
     assert(e.getMessage.contains("SURVEY"))
-    assert(e.getMessage.contains("embedder"))
+    assert(e.getMessage.contains("scorer"))
   }
 
   test("options: passthrough reaches the reader and the writer") {
