@@ -401,6 +401,82 @@ object PipelineQueries {
         n = 5, hashGrams = true)
     },
 
+    // Count-Min Sketch corpus-frequency estimates for eval-set grams —
+    // the BOUNDED-MEMORY counting path (Cormode & Muthukrishnan): the
+    // hash-aggregate key space is the depth×width cell grid, so per-task
+    // state and shuffle volume are capped regardless of corpus size, and
+    // the finished sketch broadcasts for map-side lookups. Built on the
+    // q38b/q34d mod-(2^61-1) hash family => sketch construction AND
+    // point queries replay bit-exactly in DuckDB (est is deterministic,
+    // and the output demonstrates est >= exact, the CMS guarantee).
+    QueryDef("q86_cms_gram_freq",
+      """WITH train AS (
+        |  SELECT text FROM documents WHERE doc_id % 97 <> 0 AND text IS NOT NULL
+        |),
+        |tg AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 4),
+        |                             i -> array_to_string(tok[i:i+4], ' ')) END) AS gram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS tok FROM train)
+        |),
+        |th AS (
+        |  SELECT gram, list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(string_split(gram, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h
+        |  FROM tg
+        |),
+        |ds AS (SELECT unnest(range(0, 4)) AS d),
+        |cells AS (
+        |  SELECT CAST(d AS INT) AS d,
+        |    CAST(((2*d+1)::HUGEINT * h + d*999983) % 2305843009213693951 % 65536 AS BIGINT) AS cell,
+        |    COUNT(*) AS c
+        |  FROM th CROSS JOIN ds GROUP BY 1, 2
+        |),
+        |eg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tok) - 4),
+        |                             i -> array_to_string(tok[i:i+4], ' ')) END) AS gram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS tok
+        |        FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL)
+        |),
+        |eh AS (
+        |  SELECT gram, list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(string_split(gram, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h
+        |  FROM eg
+        |),
+        |ec AS (
+        |  SELECT gram, CAST(d AS INT) AS d,
+        |    CAST(((2*d+1)::HUGEINT * h + d*999983) % 2305843009213693951 % 65536 AS BIGINT) AS cell
+        |  FROM eh CROSS JOIN ds
+        |),
+        |est AS (
+        |  SELECT ec.gram, MIN(COALESCE(cells.c, 0)) AS est
+        |  FROM ec LEFT JOIN cells ON ec.d = cells.d AND ec.cell = cells.cell
+        |  GROUP BY ec.gram
+        |),
+        |exact AS (SELECT gram, COUNT(*) AS cnt FROM tg GROUP BY gram)
+        |SELECT e.gram, CAST(e.est AS BIGINT) AS est,
+        |  CAST(COALESCE(x.cnt, 0) AS BIGINT) AS exact
+        |FROM est e LEFT JOIN exact x ON e.gram = x.gram""".stripMargin) { (s, dir) =>
+      import graft.operators.Sketches
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val sketch = Sketches.cmsBuild(train, "text", n = 5,
+        depth = 4, width = 65536)
+      val evalGrams = Sketches.gramOccurrences(
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 5).distinct()
+      val exact = Sketches.gramOccurrences(train, "text", n = 5)
+        .groupBy("gram").agg(count(lit(1)).as("__cnt"))
+      Sketches.cmsEstimate(sketch, evalGrams, "gram",
+          depth = 4, width = 65536)
+        .join(exact, Seq("gram"), "left")
+        .select(col("gram"), col("est"),
+          coalesce(col("__cnt"), lit(0L)).as("exact"))
+    },
+
     // Decontamination via the BLOOM scale path (eval sets too big to
     // broadcast): Bloom-filter pre-prune + exact verify join. Results
     // are bit-identical to q55 by construction (false positives only

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Count-Min Sketch invariants on a planted corpus. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"), // exact dup: grams count twice
+    (3L, "a dog ran over the hill today"),
+    (4L, "the cat sat on a log"),
+    (5L, "short doc"), // < n tokens -> whole-doc gram
+    (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("CMS never underestimates, and is exact when width kills collisions") {
+    val n = 3
+    val exact = Sketches.gramOccurrences(corpus, "text", n)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val queries = exact.select("gram")
+    // tiny sketch: collisions guaranteed -> est >= exact everywhere
+    val tiny = Sketches.cmsEstimate(
+      Sketches.cmsBuild(corpus, "text", n, depth = 2, width = 4),
+      queries, "gram", depth = 2, width = 4)
+      .join(exact, Seq("gram"))
+      .select("gram", "est", "cnt").collect()
+    assert(tiny.nonEmpty)
+    for (r <- tiny)
+      assert(r.getLong(1) >= r.getLong(2), s"underestimate for ${r.getString(0)}")
+    // huge sketch: no collisions -> est == exact for every gram
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsBuild(corpus, "text", n, depth = 4, width = 1 << 20),
+      queries, "gram", depth = 4, width = 1 << 20)
+      .join(exact, Seq("gram"))
+      .select("gram", "est", "cnt").collect()
+    for (r <- wide)
+      assert(r.getLong(1) == r.getLong(2), s"collision at 2^20 for ${r.getString(0)}")
+    // the planted dup's grams really count with multiplicity
+    val catSat = wide.find(_.getString(0) == "the cat sat").get
+    assert(catSat.getLong(2) == 3L)
+    // a never-seen gram estimates 0 (all its cells untouched at 2^20)
+    val zero = Sketches.cmsEstimate(
+      Sketches.cmsBuild(corpus, "text", n, depth = 4, width = 1 << 20),
+      Seq("totally absent gram").toDF("gram"), "gram",
+      depth = 4, width = 1 << 20).collect()
+    assert(zero.head.getLong(1) == 0L)
+  }
+
+  test("sketch size is bounded by depth*width and the estimate join broadcasts") {
+    val sk = Sketches.cmsBuild(corpus, "text", 3, depth = 2, width = 4)
+    assert(sk.count() <= 8)
+    val plan = Sketches.cmsEstimate(sk,
+      Seq("the cat sat").toDF("gram"), "gram", depth = 2, width = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"sketch lookup should broadcast:\n$plan")
+  }
+}
