@@ -172,6 +172,38 @@ object TextOps {
         (col("__s.top_n").cast("double") / col("__s.n_grams")).as("top_fraction"): _*)
   }
 
+  /** Exact grouped token-length percentiles via a bounded HISTOGRAM —
+    * the 100 TB shape for distribution stats on a data card. A naive
+    * exact percentile sorts the corpus (a full-width shuffle of every
+    * row); here the only corpus-wide operation is `groupBy(group, len)`,
+    * whose aggregation state is bounded by (#groups × #distinct
+    * lengths) — map-side combine collapses each task to that grid, the
+    * shuffle moves only histogram cells, and the window + percentile
+    * selection run on the (tiny) histogram. Integer-only selection rule
+    * (`100·cum ≥ p·total`, percentile_disc semantics: smallest length
+    * whose cumulative count reaches p%), so results hash-match a SQL
+    * replay (q87).
+    */
+  def lengthPercentiles(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String,
+      ps: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $ps")
+    val hist = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        tokenCount(col(textCol)).cast("long").as("len"))
+      .groupBy("grp", "len").agg(count(lit(1)).as("cnt"))
+    val byLen = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("len")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byLen))
+      .withColumn("total", sum("cnt").over(whole))
+    val aggs = ps.map(p =>
+      min(when(col("cum") * 100 >= col("total") * p, col("len"))).as(s"p$p"))
+    cum.groupBy(col("grp").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---- chunking / sequence packing -------------------------------------
 
   /** Split documents into overlapping token windows (`window` tokens,

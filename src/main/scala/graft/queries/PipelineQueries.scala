@@ -477,6 +477,34 @@ object PipelineQueries {
           coalesce(col("__cnt"), lit(0L)).as("exact"))
     },
 
+    // Exact token-length percentiles per source via a bounded histogram
+    // (data-card distribution stats). No corpus sort at any scale: the
+    // only wide operation is the (source, len) histogram groupBy, whose
+    // map-side state is capped by the grid; percentile selection
+    // (percentile_disc semantics, integer rule 100·cum >= p·total) runs
+    // on the histogram. Fully oracled.
+    QueryDef("q87_length_percentiles",
+      """WITH hist AS (
+        |  SELECT source AS grp,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len,
+        |    COUNT(*) AS cnt
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT grp, len,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY len) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS total
+        |  FROM hist
+        |)
+        |SELECT grp AS source,
+        |  MIN(CASE WHEN cum * 100 >= total * 50 THEN len END) AS p50,
+        |  MIN(CASE WHEN cum * 100 >= total * 90 THEN len END) AS p90,
+        |  MIN(CASE WHEN cum * 100 >= total * 99 THEN len END) AS p99
+        |FROM cum GROUP BY grp""".stripMargin) { (s, dir) =>
+      TextOps.lengthPercentiles(t(s, dir, "documents"), "source", "text",
+        ps = Seq(50, 90, 99))
+    },
+
     // Decontamination via the BLOOM scale path (eval sets too big to
     // broadcast): Bloom-filter pre-prune + exact verify join. Results
     // are bit-identical to q55 by construction (false positives only

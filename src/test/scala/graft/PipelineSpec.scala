@@ -1290,4 +1290,25 @@ class PipelineSpec extends AnyFunSuite {
         r.getAs[Double]("perplexity")).toMap
     assert(m2(1L) < m2(2L))
   }
+
+  test("length percentiles follow percentile_disc on a planted histogram") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // group g: lengths 1..10 (one doc each) -> p50=5, p90=9, p99=10;
+    // group h: lengths {2 (x9), 100 (x1)} -> p50=2, p90=2, p99=100
+    val docs: Seq[(String, String)] =
+      ((1 to 10).map(n => ("g", ("w " * n).trim)) ++
+        (1 to 9).map(_ => ("h", "w w")) :+ ("h", ("w " * 100).trim)).toList
+    val df = docs.toDF("source", "text")
+    val got = TextOps.lengthPercentiles(df, "source", "text", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("g") == ((5L, 9L, 10L)))
+    assert(got("h") == ((2L, 2L, 100L)))
+    // null text is excluded, not counted as length 0
+    val withNull = (docs :+ ("g", null.asInstanceOf[String])).toDF("source", "text")
+    val got2 = TextOps.lengthPercentiles(withNull, "source", "text", Seq(50))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("g") == 5L)
+  }
 }
