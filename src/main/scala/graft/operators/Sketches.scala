@@ -78,6 +78,16 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Merge sketches built with the SAME (n, depth, width): cell-wise
+    * counter addition. This is why CMS fits incremental corpora — a
+    * per-batch/per-shard sketch merges into the running sketch without
+    * revisiting any data (streaming decontamination counters, per-day
+    * corpus snapshots), and merge(build(A), build(B)) == build(A ∪ B)
+    * exactly (SketchSpec).
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("d", "cell").agg(sum("c").as("c"))
+
   /** Point-query the sketch for each distinct gram in `queries`:
     * est = MIN over d of the gram's cell counters (0 for an untouched
     * cell). The sketch side is broadcast — it is ≤ depth×width rows by

@@ -50,6 +50,17 @@ class SketchSpec extends AnyFunSuite {
     assert(zero.head.getLong(1) == 0L)
   }
 
+  test("merge(build(A), build(B)) == build(A union B) cell for cell") {
+    val (a, b) = (corpus.filter($"doc_id" <= 3), corpus.filter($"doc_id" > 3))
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(a, "text", 3, depth = 3, width = 16),
+      Sketches.cmsBuild(b, "text", 3, depth = 3, width = 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsBuild(corpus, "text", 3, depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("sketch size is bounded by depth*width and the estimate join broadcasts") {
     val sk = Sketches.cmsBuild(corpus, "text", 3, depth = 2, width = 4)
     assert(sk.count() <= 8)
