@@ -61,6 +61,35 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("streaming sketch maintenance: per-batch sketches merge to the batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val rows = corpus.filter($"text".isNotNull)
+      .as[(Long, String)].collect().toIndexedSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*) // before start: AvailableNow snapshots offsets at start
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // append the BATCH-LOCAL sketch; merge is deferred to read time
+        // (cell-wise sum = cmsMerge over all appended shards), so the
+        // write is idempotent-friendly and never rewrites history
+        Sketches.cmsBuild(batch, "text", 3, depth = 3, width = 16)
+          .write.mode("append").parquet(s"$tmp/sketch")
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "sketch stream timed out")
+    val streamed = spark.read.parquet(s"$tmp/sketch")
+      .groupBy("d", "cell").agg(org.apache.spark.sql.functions.sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsBuild(corpus, "text", 3, depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == whole)
+  }
+
   test("sketch size is bounded by depth*width and the estimate join broadcasts") {
     val sk = Sketches.cmsBuild(corpus, "text", 3, depth = 2, width = 4)
     assert(sk.count() <= 8)
