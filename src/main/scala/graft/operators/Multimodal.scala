@@ -451,6 +451,71 @@ object Multimodal {
             v
           }
         } catch { case _: Exception => new Array[Float](bins) }
+
+    /** Perceptual image hashes over the REAL decode path: the image's
+      * luma plane is bilinearly resampled (the [[resizeImage]] kernel,
+      * kept in exact doubles) to an 8×8 grid, then
+      *   - aHash (64 bits): bit i=gy·8+gx set iff grid(gx,gy) > grid
+      *     mean (strict; ties clear);
+      *   - dHash (56 bits): bit i=gy·7+gx set iff grid(gx+1,gy) >
+      *     grid(gx,gy) — the horizontal-gradient variant computed from
+      *     the same grid (classic dHash resamples to 9×8; one grid
+      *     keeps the kernel single-pass and the SQL replay exact).
+      * Luma: band 0 for gray; ITU-R 601 (0.299, 0.587, 0.114) for
+      * color. None for undecodable bytes.
+      */
+    def perceptualHash(payload: Array[Byte]): Option[(Long, Long)] =
+      try {
+        if (!looksLikeImage(payload)) return None
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) return None
+        val r = img.getRaster
+        val sw = img.getWidth; val sh = img.getHeight
+        val bands = r.getNumBands
+        def luma(x: Int, y: Int): Double =
+          if (bands >= 3)
+            0.299 * r.getSample(x, y, 0) + 0.587 * r.getSample(x, y, 1) +
+              0.114 * r.getSample(x, y, 2)
+          else r.getSample(x, y, 0).toDouble
+        val grid = new Array[Double](64)
+        val xScale = sw / 8.0; val yScale = sh / 8.0
+        var gy = 0
+        while (gy < 8) {
+          val sy = math.min(math.max((gy + 0.5) * yScale - 0.5, 0.0), sh - 1.0)
+          val y0 = sy.toInt; val y1 = math.min(y0 + 1, sh - 1); val fy = sy - y0
+          var gx = 0
+          while (gx < 8) {
+            val sx = math.min(math.max((gx + 0.5) * xScale - 0.5, 0.0), sw - 1.0)
+            val x0 = sx.toInt; val x1 = math.min(x0 + 1, sw - 1); val fx = sx - x0
+            grid(gy * 8 + gx) =
+              luma(x0, y0) * (1 - fx) * (1 - fy) + luma(x1, y0) * fx * (1 - fy) +
+                luma(x0, y1) * (1 - fx) * fy + luma(x1, y1) * fx * fy
+            gx += 1
+          }
+          gy += 1
+        }
+        var sum = 0.0
+        grid.foreach(sum += _)
+        val mean = sum / 64.0
+        var a = 0L; var d = 0L
+        var i = 0
+        while (i < 64) {
+          if (grid(i) > mean) a |= 1L << i
+          i += 1
+        }
+        gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 7) {
+            if (grid(gy * 8 + gx + 1) > grid(gy * 8 + gx))
+              d |= 1L << (gy * 7 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        Some((a, d))
+      } catch { case _: Exception => None }
   }
 
   /** Attach a binary payload column built from a string column — the
@@ -768,5 +833,85 @@ object Multimodal {
           MediaRow(id, MediaCodecs.encodeGrayPng(w, h, gray), "image")
         }
       }
+  }
+
+  /** Render 64×64 gray GRADIENT PNGs, pixel(x,y) = (g0 + 3x + 5y) mod
+    * 256 with g0 = id mod 97 — real non-constant images whose 8×8
+    * bilinear luma grid is CLOSED-FORM (64/8 = 8 ⇒ every grid sample
+    * sits at fraction .5, so each cell is the exact mean of 4 integer
+    * pixels — a dyadic rational, bit-reproducible in any engine). The
+    * fixture that lets perceptual hashing be fully oracled (q88).
+    */
+  def renderGradientPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g0 = math.floorMod(id, 97L).toInt
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              raster.setSample(x, y, 0, (g0 + 3 * x + 5 * y) % 256)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRow(id, out.toByteArray, "image")
+        }
+      }
+  }
+
+  final case class PHashRow(id: Long, ok: Boolean, ahash: Long, dhash: Long)
+
+  /** Perceptual hashes per media row — batched mapPartitions like the
+    * other codec stages: shuffle-free, decode cost only.
+    */
+  def perceptualHashBatched(ds: Dataset[MediaRow]): Dataset[PHashRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      MediaCodecs.perceptualHash(m.payload) match {
+        case Some((a, d)) => PHashRow(m.id, ok = true, a, d)
+        case None => PHashRow(m.id, ok = false, 0L, 0L)
+      }
+    })
+  }
+
+  /** Image near-dup candidate pairs by Hamming distance on a 64-bit
+    * perceptual hash: pigeonhole the hash into `maxHamming + 1` chunks
+    * (two hashes within maxHamming MUST agree on at least one chunk),
+    * bucket-join on (chunk index, chunk value), verify with
+    * `bit_count(xor) <= maxHamming`. Never all-pairs — the same scale
+    * shape as the simhash text pairer (`Dedup.simhashPairs`).
+    */
+  def phashNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val chunked = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("ci"))
+      .withColumn("cv",
+        // last chunk takes the remaining high bits
+        when(col("ci") === chunks - 1,
+          shiftrightunsigned(col("h"), (chunks - 1) * width))
+          .otherwise(expr(s"shiftrightunsigned(h, ci * $width)")
+            .bitwiseAND(lit((1L << width) - 1))))
+    val l = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("h").as("h_a"))
+    val r = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("h").as("h_b"))
+    l.join(r, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -1017,6 +1017,49 @@ object PipelineQueries {
           col("meanLuma").as("mean_luma"))
     },
 
+    // Multimodal: perceptual image hashing (aHash 64-bit + dHash 56-bit)
+    // over the REAL javax.imageio decode path — image near-dup
+    // fingerprints. Fully oracled via the gradient fixture: 64×64
+    // gradient PNGs put every 8×8 bilinear grid sample at fraction .5,
+    // so each cell is the exact mean of 4 integer pixels (dyadic
+    // rationals, bit-reproducible) and DuckDB replays grid, mean,
+    // threshold bits, and the signed-64 assembly exactly.
+    QueryDef("q88_image_phash",
+      """WITH g AS (SELECT doc_id, doc_id % 97 AS g0 FROM documents),
+        |cell AS (
+        |  SELECT doc_id, CAST(x.gx AS INT) AS gx, CAST(y.gy AS INT) AS gy,
+        |    ( (g0 + 3*(8*x.gx+3) + 5*(8*y.gy+3)) % 256
+        |    + (g0 + 3*(8*x.gx+4) + 5*(8*y.gy+3)) % 256
+        |    + (g0 + 3*(8*x.gx+3) + 5*(8*y.gy+4)) % 256
+        |    + (g0 + 3*(8*x.gx+4) + 5*(8*y.gy+4)) % 256 ) / 4.0 AS v
+        |  FROM g, UNNEST(range(8)) x(gx), UNNEST(range(8)) y(gy)
+        |),
+        |m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM cell GROUP BY doc_id),
+        |a AS (
+        |  SELECT c.doc_id,
+        |    SUM(CASE WHEN c.v > m.mean
+        |        THEN (1::HUGEINT << (c.gy * 8 + c.gx)) ELSE 0::HUGEINT END) AS au
+        |  FROM cell c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id
+        |),
+        |d AS (
+        |  SELECT l.doc_id,
+        |    SUM(CASE WHEN rgt.v > l.v
+        |        THEN (1::BIGINT << (l.gy * 7 + l.gx)) ELSE 0::BIGINT END) AS dh
+        |  FROM cell l JOIN cell rgt
+        |    ON l.doc_id = rgt.doc_id AND rgt.gy = l.gy AND rgt.gx = l.gx + 1
+        |  WHERE l.gx < 7 GROUP BY l.doc_id
+        |)
+        |SELECT a.doc_id AS id,
+        |  CAST(CASE WHEN au >= 9223372036854775808::HUGEINT
+        |       THEN au - 18446744073709551616::HUGEINT ELSE au END AS BIGINT) AS ahash,
+        |  CAST(d.dh AS BIGINT) AS dhash
+        |FROM a JOIN d ON a.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderGradientPngs(t(s, dir, "documents"), "doc_id")
+      Multimodal.perceptualHashBatched(media).toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("ahash"), col("dhash"))
+    },
+
     // Multimodal: REAL frame sampling — render GFRM containers of real
     // PNG frames (count/dims/gray closed-form in doc_id), parse the
     // container index, uniformly sample 2 keyframes, decode each with

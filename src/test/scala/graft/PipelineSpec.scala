@@ -342,6 +342,67 @@ class PipelineSpec extends AnyFunSuite {
       "not an image".getBytes, 4, 4).isEmpty)
   }
 
+  test("perceptual hash: scale-invariant on content, pairs find planted near-dups") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{MediaCodecs, MediaRow}
+    // render f(x/w, y/h) at two resolutions: smooth content => same grid
+    def gradient(w: Int, h: Int, tweak: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (255.0 * (x.toDouble / w + y.toDouble / h) / 2).toInt
+          img.getRaster.setSample(x, y, 0,
+            math.min(255, v + (if (x < 2 && y < 2) tweak else 0)))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val Some((a64, d64)) = MediaCodecs.perceptualHash(gradient(64, 64, 0))
+    val Some((a128, d128)) = MediaCodecs.perceptualHash(gradient(128, 128, 0))
+    // same content at 2x resolution: hashes within a couple of bits
+    assert(java.lang.Long.bitCount(a64 ^ a128) <= 2, s"$a64 vs $a128")
+    assert(java.lang.Long.bitCount(d64 ^ d128) <= 2)
+    // a corner tweak is a near-dup; inverted content is far
+    val Some((aTweak, _)) = MediaCodecs.perceptualHash(gradient(64, 64, 40))
+    assert(java.lang.Long.bitCount(a64 ^ aTweak) <= 3)
+    val inverted = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.getRaster.setSample(x, y, 0,
+          255 - (255.0 * (x / 64.0 + y / 64.0) / 2).toInt)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val Some((aInv, _)) = MediaCodecs.perceptualHash(inverted)
+    assert(java.lang.Long.bitCount(a64 ^ aInv) > 16)
+    // undecodable bytes refuse rather than throw
+    assert(MediaCodecs.perceptualHash("not an image".getBytes).isEmpty)
+    // pair generation: 1~2 (scale twin), 1~3 (tweak), never 1~4 (inverse)
+    val media = Seq(
+      MediaRow(1L, gradient(64, 64, 0), "image"),
+      MediaRow(2L, gradient(128, 128, 0), "image"),
+      MediaRow(3L, gradient(64, 64, 40), "image"),
+      MediaRow(4L, inverted, "image")).toDS()
+    val hashes = graft.operators.Multimodal.perceptualHashBatched(media)
+      .toDF().filter(col("ok"))
+    val pairs = graft.operators.Multimodal.phashNearDupPairs(
+      hashes, "id", "ahash", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("gray+alpha images resize as gray, alpha never leaks into luma") {
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer}
     import java.awt.{Transparency, color => jcolor}
