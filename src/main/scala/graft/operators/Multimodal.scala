@@ -257,6 +257,27 @@ object Multimodal {
       }
     }
 
+    /** Audio content fingerprint over the REAL WAV decode path — the
+      * acoustic analogue of [[perceptualHash]]: bit w is set iff the
+      * RMS energy of window w+1 exceeds window w (first 64 windows ⇒ ≤
+      * 63 bits). The energy-delta SIGN pattern is what survives gain
+      * changes poorly but re-encodings well — the classic
+      * Haitsma-Kalker fingerprint shape reduced to the energy band the
+      * PCM decoder provides (no FFT in the JDK). None for undecodable
+      * bytes.
+      */
+    def audioFingerprint(payload: Array[Byte], window: Int): Option[Long] =
+      audioFeatures(payload, window).map { wins =>
+        var f = 0L
+        val n = math.min(wins.length, 64)
+        var w = 0
+        while (w < n - 1) {
+          if (wins(w + 1)._1 > wins(w)._1) f |= 1L << w
+          w += 1
+        }
+        f
+      }
+
     // ---- frame container ("GFRM") ----------------------------------
     // The JDK ships no video codec, so commercial containers (mp4/webm)
     // stay out of reach — but frame SAMPLING is a container-parsing
@@ -819,6 +840,45 @@ object Multimodal {
           MediaRow(id, MediaCodecs.encodeWavPcm16(8000, samples), "audio")
         }
       }
+  }
+
+  /** Render STAIRCASE WAVs: 32 windows × 128 samples of a ±A_w square
+    * wave with per-window amplitude A_w = (id·31 + w·57) mod 16384 + 1.
+    * Each window's RMS is exactly A_w/32768 (constant |sample| per
+    * window; the sqrt of an exactly-representable square is exact), so
+    * the [[MediaCodecs.audioFingerprint]] bit pattern is CLOSED-FORM in
+    * doc_id — the fixture that lets audio fingerprinting be fully
+    * oracled (q89).
+    */
+  def renderStaircaseWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val samples = Array.tabulate(32 * 128) { i =>
+            val w = i / 128
+            val amp = (math.floorMod(id * 31 + w * 57L, 16384L) + 1).toInt
+            (if (i % 2 == 0) amp else -amp).toShort
+          }
+          MediaRow(id, MediaCodecs.encodeWavPcm16(8000, samples), "audio")
+        }
+      }
+  }
+
+  final case class AudioFpRow(id: Long, ok: Boolean, fp: Long)
+
+  /** Audio fingerprints per media row — batched, shuffle-free. */
+  def audioFingerprintBatched(ds: Dataset[MediaRow],
+      window: Int): Dataset[AudioFpRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { m =>
+      MediaCodecs.audioFingerprint(m.payload, window) match {
+        case Some(f) => AudioFpRow(m.id, ok = true, f)
+        case None => AudioFpRow(m.id, ok = false, 0L)
+      }
+    })
   }
 
   def renderPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {

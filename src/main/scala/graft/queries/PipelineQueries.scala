@@ -1124,6 +1124,27 @@ object PipelineQueries {
           col("meanRms").as("mean_rms"), col("meanZcr").as("mean_zcr"))
     },
 
+    // Multimodal AUDIO fingerprinting (Haitsma-Kalker energy-delta sign
+    // bits) over the REAL WAV decode path — the acoustic analogue of
+    // q88. Fully oracled via the staircase fixture: window w's RMS is
+    // exactly A_w/32768 (constant |sample| per window, exact sqrt), so
+    // bit w = [A_{w+1} > A_w] is closed-form integer arithmetic.
+    QueryDef("q89_audio_fingerprint",
+      """SELECT doc_id AS id,
+        |  CAST(SUM(CASE WHEN (doc_id*31 + (w+1)*57) % 16384 + 1
+        |                   > (doc_id*31 + w*57) % 16384 + 1
+        |           THEN (1::BIGINT << CAST(w AS INT)) ELSE 0::BIGINT END)
+        |       AS BIGINT) AS fp
+        |FROM documents, UNNEST(range(31)) t(w)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderStaircaseWavs(
+        t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFingerprintBatched(media, window = 128)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("fp"))
+    },
+
     // End-to-end MULTIMODAL curation: text hygiene × real image decode ×
     // real audio decode, joined per doc with a composite keep decision —
     // the q50 pipeline generalized across modalities. Every leg is an

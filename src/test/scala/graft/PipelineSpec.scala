@@ -403,6 +403,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("audio fingerprint: gain-invariant energy-delta bits, refuses garbage") {
+    import graft.operators.Multimodal.MediaCodecs
+    def staircase(amps: Seq[Int]): Array[Byte] =
+      MediaCodecs.encodeWavPcm16(8000,
+        amps.flatMap(a => (0 until 128).map(i =>
+          (if (i % 2 == 0) a else -a).toShort)).toArray)
+    val amps = Seq(100, 300, 200, 500, 400, 800, 700, 900)
+    val Some(fp) = MediaCodecs.audioFingerprint(staircase(amps), 128)
+    // expected bits: up,down,up,down,up,down,up = 0b1010101
+    assert(fp == 0x55L, s"fp=$fp")
+    // a uniform gain change preserves every delta sign
+    val Some(fpLoud) = MediaCodecs.audioFingerprint(staircase(amps.map(_ * 3)), 128)
+    assert(fpLoud == fp)
+    // a different energy contour fingerprints differently
+    val Some(fpOther) = MediaCodecs.audioFingerprint(
+      staircase(amps.reverse), 128)
+    assert(fpOther != fp)
+    assert(MediaCodecs.audioFingerprint("not audio".getBytes, 128).isEmpty)
+  }
+
   test("gray+alpha images resize as gray, alpha never leaks into luma") {
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer}
     import java.awt.{Transparency, color => jcolor}
