@@ -728,6 +728,38 @@ object Multimodal {
     }
   }
 
+  final case class VideoFpRow(id: Long, ok: Boolean, nFrames: Int, fp: Long)
+
+  /** Temporal video fingerprint — the sequence analogue of the image
+    * and audio fingerprints: parse the container (REAL byte-level GFRM
+    * demux), decode every frame with the REAL image decoder, and set
+    * bit f iff mean luma rises from frame f to f+1 (first 64 frames).
+    * The luma-delta sign contour survives re-encoding and per-frame
+    * brightness detail loss; shot-boundary-ish content changes flip
+    * many bits. Shuffle-free batched map like the other codec stages.
+    */
+  def videoFingerprintBatched(ds: Dataset[MediaRow]): Dataset[VideoFpRow] = {
+    implicit val enc = Encoders.product[VideoFpRow]
+    ds.mapPartitions(_.map { r =>
+      val decoded = MediaCodecs.decodeFrames(r.payload).flatMap { frames =>
+        val lumas = frames.map(f => MediaCodecs.decodeImage(f).map(_._4))
+        if (frames.isEmpty || lumas.exists(_.isEmpty)) None
+        else Some((frames.length, lumas.map(_.get)))
+      }
+      decoded match {
+        case Some((n, l)) =>
+          var fp = 0L
+          var i = 0
+          while (i < math.min(l.length - 1, 63)) {
+            if (l(i + 1) > l(i)) fp |= 1L << i
+            i += 1
+          }
+          VideoFpRow(r.id, ok = true, n, fp)
+        case None => VideoFpRow(r.id, ok = false, 0, 0L)
+      }
+    })
+  }
+
   /** End-to-end: documents text → binary payload → decode attempt.
     * `n_bytes` is real for every row; text bytes are not an image, so
     * the codec columns come back `ok = false` with sentinels — the

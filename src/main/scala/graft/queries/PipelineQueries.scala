@@ -1145,6 +1145,26 @@ object PipelineQueries {
         .select(col("id"), col("fp"))
     },
 
+    // Multimodal VIDEO temporal fingerprint — the sequence analogue of
+    // q88/q89: REAL GFRM container demux + REAL per-frame PNG decode,
+    // bit f = [mean_luma(f+1) > mean_luma(f)]. Fully oracled: frame
+    // lumas are closed-form in (doc_id, f), so the bit pattern is
+    // integer arithmetic (constant frames ⇒ exact gray/255 luma).
+    QueryDef("q90_video_fingerprint",
+      """SELECT doc_id AS id, CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+        |  CAST(SUM(CASE WHEN (doc_id*31 + (f+1)*17) % 200
+        |                   > (doc_id*31 + f*17) % 200
+        |           THEN (1::BIGINT << CAST(f AS INT)) ELSE 0::BIGINT END)
+        |       AS BIGINT) AS fp
+        |FROM documents, UNNEST(range(1 + doc_id % 4)) t(f)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderVideos(t(s, dir, "documents"), "doc_id")
+      Multimodal.videoFingerprintBatched(media)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("nFrames").as("n_frames"), col("fp"))
+    },
+
     // End-to-end MULTIMODAL curation: text hygiene × real image decode ×
     // real audio decode, joined per doc with a composite keep decision —
     // the q50 pipeline generalized across modalities. Every leg is an

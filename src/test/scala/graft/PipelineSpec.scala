@@ -423,6 +423,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodecs.audioFingerprint("not audio".getBytes, 128).isEmpty)
   }
 
+  test("video temporal fingerprint tracks luma deltas, flags corrupt containers") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodecs, MediaRow}
+    def video(grays: Seq[Int]): Array[Byte] =
+      MediaCodecs.encodeFrames(grays.map(g =>
+        MediaCodecs.encodeGrayPng(4, 4, g)))
+    val media = Seq(
+      MediaRow(1L, video(Seq(10, 50, 30, 80)), "video"),   // up,down,up -> 0b101
+      MediaRow(2L, video(Seq(200, 100)), "video"),         // down -> 0
+      MediaRow(3L, "junk".getBytes, "video")).toDS()
+    val rows = Multimodal.videoFingerprintBatched(media)
+      .collect().map(r => r.id -> r).toMap
+    assert(rows(1L).ok && rows(1L).nFrames == 4 && rows(1L).fp == 0x5L)
+    assert(rows(2L).ok && rows(2L).nFrames == 2 && rows(2L).fp == 0L)
+    assert(!rows(3L).ok)
+  }
+
   test("gray+alpha images resize as gray, alpha never leaks into luma") {
     import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer}
     import java.awt.{Transparency, color => jcolor}
