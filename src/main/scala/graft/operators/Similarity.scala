@@ -162,6 +162,24 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** ANN evaluation: recall@k of approximate results against ground
+    * truth. Both inputs are (query_id, neighbor_id, rank ≤ k) result
+    * sets (any of the topK operators); recall = |approx ∩ truth| / k
+    * per query. The eval-harness metric every index tuning loop needs —
+    * an inner join on (query, neighbor) + one small agg, integer
+    * counting so it oracle-checks when both result sets do (q91).
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    t.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      .join(t.select("query_id").distinct(), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** Approximate top-k: rank candidates within each query's bucket.
     * Recall is tunable via `planes` (fewer planes → bigger buckets).
     */

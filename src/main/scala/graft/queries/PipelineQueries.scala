@@ -1667,6 +1667,62 @@ object PipelineQueries {
     // ranked (sim desc, id asc). Every value in the plan is an integer
     // — codes, similarity, rank — so this ANN query hash-matches a SQL
     // replay outright, no rank-only float-stability argument needed.
+    // ANN EVAL harness: recall@5 of the SQ8 integer scan (q83b) against
+    // the exact float ranking (rank-stable per the q39b argument) — the
+    // metric every index/quantizer tuning loop reads. Both result sets
+    // replay in DuckDB (integer dot / list_cosine_similarity), so the
+    // recall counts hash-match end to end.
+    QueryDef("q91_ann_recall",
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma,
+        |    embedding
+        |  FROM embeddings
+        |),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS code
+        |  FROM m
+        |),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.code, c.code) DESC, c.vec_id ASC) AS rn
+        |    FROM codes q, codes c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rn <= 5
+        |),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rn <= 5
+        |)
+        |SELECT t.query_id,
+        |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+        |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5 AS recall
+        |FROM truth t LEFT JOIN approx a
+        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |GROUP BY t.query_id""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val approx = Similarity.sq8TopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      Similarity.recallAtK(approx, truth, k = 5)
+    },
+
     QueryDef("q83b_sq8_ann",
       """WITH m AS (
         |  SELECT vec_id,

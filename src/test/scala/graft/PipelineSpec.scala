@@ -1390,6 +1390,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(m2(1L) < m2(2L))
   }
 
+  test("recall@k counts approx hits per query, keeps zero-recall queries") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 80L), (2L, 81L), (2L, 82L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2L, 2.0 / 3)))
+    assert(got(2L) == ((0L, 0.0))) // total miss still reported
+  }
+
   test("length percentiles follow percentile_disc on a planted histogram") {
     import spark.implicits._
     import graft.operators.TextOps
