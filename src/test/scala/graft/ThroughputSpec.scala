@@ -140,4 +140,29 @@ class ThroughputSpec extends AnyFunSuite {
       assert(rps > 2000, s"webhook ingest unexpectedly slow: $rps rows/s")
     } finally srv.stop()
   }
+
+  test("ONNX model UDF sustains bulk inference rates") {
+    import graft.functions.{OnnxMini, OnnxModels}
+    // the q85 head (64->16->8 Gemm/Relu/Gemm/ArgMax) over the sf0.1
+    // embeddings corpus (50k vectors) — the model-scoring map stage
+    OnnxMini.register(spark, "tp_onnx",
+      OnnxMini.parse(OnnxModels.q85Bytes))
+    // sf0.1 has only 2k vectors — replicate 64x (~128k rows) so fixed
+    // job overhead amortizes and the measured rate is the map-stage rate
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(64).select(col("id").as("rep")))
+      .persist()
+    val n = emb.count() // materialize before timing
+    val t0 = System.nanoTime()
+    val scored = emb.selectExpr("vec_id", "tp_onnx_vec(embedding) AS y")
+      .agg(count(lit(1)), sum("y")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rps = n / secs
+    emb.unpersist()
+    info(f"tp_onnx: $n rows in $secs%.2f s = $rps%.0f rows/s")
+    assert(scored.head.getLong(0) == n)
+    // loose floor (CI-safe): ~1.2k mul-adds per row through the interpreter
+    assert(rps > 10000, s"onnx inference unexpectedly slow: $rps rows/s")
+  }
 }
