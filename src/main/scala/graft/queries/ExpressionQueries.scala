@@ -332,6 +332,34 @@ object ExpressionQueries {
       val p = t(s, dir, "part")
       p.filter(col("p_size") > 40).select(col("p_brand"))
         .except(p.filter(col("p_size") <= 10).select(col("p_brand")))
+    },
+
+    // Python UDF runtime (python_udf.rs:29-81): the dialect's
+    // `name<type>(args)` calls resolve against module `python_udf` and
+    // execute on per-task-thread python3 workers (graft.functions.PyUdf —
+    // PySpark's worker model without PySpark). Fully oracled: the fixture
+    // functions are integer-exact, so DuckDB replays the arithmetic and
+    // the hash gate covers the whole pipe — syntax rewrite, struct
+    // marshaling, JSON wire round-trip, and typed extraction.
+    QueryDef("q92_python_udf",
+      """SELECT doc_id AS id,
+        |  (doc_id * 31 + n_chars) % 9973 AS score,
+        |  ((n_chars % 2) = 0) AS even_len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val mod = graft.functions.PyUdf.ensureFixtureModule(
+        """def py_doc_score(doc_id, n_chars):
+          |    return (doc_id * 31 + n_chars) % 9973
+          |def py_even(n):
+          |    return n % 2 == 0
+          |""".stripMargin, "graft_pyudf_oracle")
+      s.conf.set("spark.graft.python_udf.dir", mod)
+      val runner = new graft.sql.GraftSqlRunner(s)
+      runner.registerSource("documents", t(s, dir, "documents"))
+      runner.run(
+        """SELECT doc_id AS id,
+          |  py_doc_score<int>(doc_id, n_chars) AS score,
+          |  py_even<boolean>(n_chars) AS even_len
+          |FROM documents INTO q92""".stripMargin)("q92")
     }
   )
 }

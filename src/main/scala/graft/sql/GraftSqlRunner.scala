@@ -45,7 +45,8 @@ class GraftSqlRunner(spark: SparkSession, streaming: Boolean = false) {
   private def runStatement(stmt: String): Unit = {
     validate(stmt)
     val (sql, into) = SqlText.extractInto(stmt)
-    val rewritten = SqlText.rewriteTableFunctions(sql, streaming, spark)
+    val rewritten = SqlText.rewriteTableFunctions(
+      SqlText.rewritePythonUdfs(sql, spark), streaming, spark)
     val df = spark.sql(rewritten)
     into match {
       case Some(name) =>
@@ -237,6 +238,49 @@ object SqlText {
       .replaceAll("(?i)\\bwindow_end\\b", s"$winExpr.end")
       .replace("__ws_alias__", "window_start")
       .replace("__we_alias__", "window_end")
+  }
+
+  /** Rewrite the reference's Python-UDF call syntax
+    * `name<RETURN_TYPE>(args)` (python_udf.rs:15-17 documents the
+    * syntax; builder resolves it against module `python_udf` on
+    * `$VIRTUAL_ENV`) into the arity-independent registered form
+    * `name(struct(args))`, registering `name` through
+    * [[graft.functions.PyUdf]] on first sight. Scans stripped text so
+    * string literals can't trip it; `<type>` must be one of the
+    * reference's return-type keywords, so ordinary `a < b` comparisons
+    * never match.
+    */
+  private val pyUdfCall =
+    ("(?i)\\b([A-Za-z_][A-Za-z_0-9]*)\\s*<\\s*" +
+     "(int8|int|uint|i128|u128|float|boolean|string|text|binary" +
+     // reference-rejected return types still parse as the UDF syntax so
+     // the "Unsupported return type" parity error fires (python_udf.rs:74-77)
+     "|decimal|date|timestamp|point|duration|json)\\s*>\\s*\\(").r
+
+  def rewritePythonUdfs(sql: String, spark: SparkSession): String = {
+    val bare = stripStrings(sql)
+    pyUdfCall.findFirstMatchIn(bare) match {
+      case None => sql
+      case Some(m) =>
+        val (name, retType) = (m.group(1), m.group(2))
+        var depth = 1
+        var i = m.end
+        while (depth > 0 && i < sql.length) {
+          sql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _   =>
+          }
+          i += 1
+        }
+        if (depth != 0)
+          throw new GraftSqlException(s"unbalanced parentheses in $name<$retType>(…)")
+        val args = sql.substring(m.end, i - 1).trim
+        graft.functions.PyUdf.register(spark, name, retType)
+        val call = s"$name(struct($args))"
+        // re-scan: later calls (and python calls nested in args) rewrite too
+        rewritePythonUdfs(sql.substring(0, m.start) + call + sql.substring(i), spark)
+    }
   }
 
   /** Find first `FN(...)` call of the given names; returns

@@ -229,15 +229,22 @@ class SqlLogicRunner(spark: SparkSession) {
     df.collect().toSeq.map(formatRow)
   }
 
-  private def dialectRewrite(sql: String): String = sql
-    .replaceAll("(?i)\\bMAX_APPEND_ONLY\\s*\\(", "MAX(")
-    .replaceAll("(?i)\\bMIN_APPEND_ONLY\\s*\\(", "MIN(")
-    // dozer's Python-UDF return-type annotation `py_add<float>(a)` —
-    // the function resolves by name; the annotation has no Spark
-    // analogue. Scoped to the corpus's py_ naming convention so an
+  private def dialectRewrite(sql: String): String = {
+    val base = sql
+      .replaceAll("(?i)\\bMAX_APPEND_ONLY\\s*\\(", "MAX(")
+      .replaceAll("(?i)\\bMIN_APPEND_ONLY\\s*\\(", "MIN(")
+    // dozer's Python-UDF call syntax `py_add<float>(a)`. When a module
+    // dir is configured, route through the REAL python runtime
+    // (SqlText.rewritePythonUdfs registers + structs the call); else
+    // strip the annotation and resolve by name against SQL-expression
+    // stand-ins. Scoped to the corpus's py_ naming convention so an
     // `ident<ident>(` sequence elsewhere (e.g. in a string literal)
     // is never mangled.
-    .replaceAll("\\b(py_\\w*)<([A-Za-z_]\\w*)>\\(", "$1(")
+    if (spark.conf.getOption("spark.graft.python_udf.dir").isDefined)
+      SqlText.rewritePythonUdfs(base, spark)
+    else
+      base.replaceAll("\\b(py_\\w*)<([A-Za-z_]\\w*)>\\(", "$1(")
+  }
 
   private val groupByRe = """(?is)\bGROUP\s+BY\b""".r
 

@@ -36,13 +36,26 @@ class SqlLogicSpec extends AnyFunSuite {
     "py_udf", "simple", "union")
 
   // the py_udf corpus functions, as declared in
-  // /root/reference/dozer-tests/python_udf/python_udf.py
+  // /root/reference/dozer-tests/python_udf/python_udf.py. With a live
+  // python3 the corpus replays through the REAL worker runtime
+  // (graft.functions.PyUdf); without one, through SQL-expression
+  // stand-ins — same semantics, so the expected blocks hold either way.
   private def registerCorpusUdfs(): Unit = {
-    GraftApp.registerUdfs(spark, GraftApp.GraftConfig(
-      sources = Nil, sql = "", sinks = Nil,
-      udfs = Seq(
-        GraftApp.UdfConf("py_add", "a DOUBLE", "DOUBLE", "a + 1"),
-        GraftApp.UdfConf("py_sum", "a DOUBLE, b DOUBLE", "DOUBLE", "a + b"))))
+    if (graft.functions.PyUdf.pythonAvailable) {
+      val dir = graft.functions.PyUdf.ensureFixtureModule(
+        """def py_add(a):
+          |    return a + 1
+          |def py_sum(a, b):
+          |    return a + b
+          |""".stripMargin, "graft_pyudf_corpus")
+      spark.conf.set("spark.graft.python_udf.dir", dir)
+    } else {
+      GraftApp.registerUdfs(spark, GraftApp.GraftConfig(
+        sources = Nil, sql = "", sinks = Nil,
+        udfs = Seq(
+          GraftApp.UdfConf("py_add", "a DOUBLE", "DOUBLE", "a + 1"),
+          GraftApp.UdfConf("py_sum", "a DOUBLE, b DOUBLE", "DOUBLE", "a + b"))))
+    }
   }
 
   private def norm(s: String): String = s.trim.replaceAll("\\s+", " ")
@@ -69,6 +82,7 @@ class SqlLogicSpec extends AnyFunSuite {
         new java.io.File(corpus, s"$f.test").toPath))
       val records = SqlLogicParser.parse(content)
       if (f == "py_udf") registerCorpusUdfs()
+      try {
       val runner = new SqlLogicRunner(spark)
       var nQueries = 0
       records.foreach {
@@ -105,6 +119,7 @@ class SqlLogicSpec extends AnyFunSuite {
       }
       info(s"$f.test: ${records.size} records, $nQueries queries verified, " +
         s"${batch.size} tables CDC-replay checked")
+      } finally if (f == "py_udf") spark.conf.unset("spark.graft.python_udf.dir")
     }
   }
 }
