@@ -182,7 +182,8 @@ object GraftApp {
       sb ++= s"sink ${k.table} ${k.mode} $target keys=${k.keys.mkString(",")}\n"
     }
     config.udfs.sortBy(_.name).foreach(u =>
-      sb ++= s"udf ${u.name}${u.onnxPath.fold("")(p => s" onnx=$p")}\n")
+      sb ++= s"udf ${u.name}${u.onnxPath.fold("")(p => s" onnx=$p")}" +
+        s"${u.jsModule.fold("")(m => s" js=$m")}\n")
     sb.toString
   }
 
@@ -381,16 +382,19 @@ object GraftApp {
     *     boundary;
     *   - ONNX model UDFs (`UdfType::Onnx { path }`) load through
     *     graft's pure-JVM runtime ([[graft.functions.OnnxMini]]) and
-    *     register as `name(x1..xN)` + `name_vec(array<float>)`.
-    * JavaScript module UDFs stay documented out of scope (SURVEY §8 —
-    * no JS engine in the JVM 17 runtime) and raise at load time.
+    *     register as `name(x1..xN)` + `name_vec(array<float>)`;
+    *   - JavaScript module UDFs (`UdfType::JavaScript { module }`) load
+    *     through graft's ES-subset interpreter ([[graft.functions.JsUdf]])
+    *     and register as `name(col)` returning a JSON string — the
+    *     reference's 1-arg Json→Json contract (javascript/validate.rs).
     */
   final case class UdfConf(
       name: String,
       params: String,               // e.g. "price DOUBLE, rate DOUBLE"
       returns: String,              // e.g. "DOUBLE"
       expression: String,           // SQL expression over the params
-      onnxPath: Option[String] = None) // UdfType::Onnx { path }  // SQL expression over the params
+      onnxPath: Option[String] = None,  // UdfType::Onnx { path }
+      jsModule: Option[String] = None)  // UdfType::JavaScript { module }
 
   final case class GraftConfig(
       sources: Seq[SourceConf],
@@ -448,10 +452,12 @@ object GraftApp {
     */
   def registerUdfs(spark: SparkSession, config: GraftConfig): Unit =
     config.udfs.foreach { u =>
-      u.onnxPath match {
-        case Some(path) =>
+      (u.onnxPath, u.jsModule) match {
+        case (Some(path), _) =>
           graft.functions.OnnxMini.registerFromPath(spark, u.name, path)
-        case None =>
+        case (None, Some(module)) =>
+          graft.functions.JsUdf.registerFromPath(spark, u.name, module)
+        case (None, None) =>
           spark.sql(
             s"CREATE OR REPLACE TEMPORARY FUNCTION ${u.name}(${u.params}) " +
               s"RETURNS ${u.returns} RETURN ${u.expression}")

@@ -395,9 +395,9 @@ object GraftConfigLoader {
     * functions; ONNX model UDFs (udf_config.rs `UdfType::Onnx { path }`,
     * YAML `config: !Onnx path: …` — the tag is stripped by the loader,
     * so the type is inferred from the `path` field, same convention as
-    * the dozer sink tags) load through [[graft.functions.OnnxMini]].
-    * JavaScript module UDFs have no JVM-17-native engine and raise with
-    * the documented mapping.
+    * the dozer sink tags) load through [[graft.functions.OnnxMini]];
+    * JavaScript module UDFs (`config: !JavaScript module: …`) load
+    * through the ES-subset interpreter ([[graft.functions.JsUdf]]).
     */
   private def udfs(root: Map[String, Object]): Seq[GraftApp.UdfConf] =
     root.get("udfs").filter(_ != null) // `udfs:` with no entries → null
@@ -416,12 +416,16 @@ object GraftConfigLoader {
         case (None, Some(c)) if c.contains("path") =>
           GraftApp.UdfConf(name = name, params = "", returns = "DOUBLE",
             expression = "", onnxPath = Some(c("path").toString))
+        case (None, Some(c)) if c.contains("module") =>
+          // UdfType::JavaScript { module } (udf_config.rs:28-33) — the
+          // !JavaScript tag is stripped by the loader, so the type is
+          // inferred from the `module` field, same convention as !Onnx
+          GraftApp.UdfConf(name = name, params = "", returns = "STRING",
+            expression = "", jsModule = Some(c("module").toString))
         case (None, c) =>
           val kind = c.flatMap(_.keys.headOption).getOrElse("model-file")
-          fail(s"udf '$name' ($kind): SQL-expression UDFs and ONNX model " +
-            "UDFs (config with a `path`) map to Spark; JavaScript module " +
-            "UDFs are documented out of scope (SURVEY §8) — port the " +
-            "module to a SQL expression or an ONNX model")
+          fail(s"udf '$name' ($kind): expected a SQL `expression`, an ONNX " +
+            "`config` with a `path`, or a JavaScript `config` with a `module`")
       }
     }
 

@@ -360,6 +360,37 @@ object ExpressionQueries {
           |  py_doc_score<int>(doc_id, n_chars) AS score,
           |  py_even<boolean>(n_chars) AS even_len
           |FROM documents INTO q92""".stripMargin)("q92")
+    },
+
+    // JavaScript UDF runtime (udf_config.rs UdfType::JavaScript;
+    // evaluate.rs 1-arg Json→Json contract) on the ES-subset interpreter
+    // (graft.functions.JsMini — JDK 17 has no JS engine, so the module
+    // runs on a thread-confined tree-walking evaluator; per-row eval is
+    // in-JVM and shuffle-free). Fully oracled: the module's integer
+    // word/vowel arithmetic replays exactly in DuckDB, covering parse,
+    // default-export resolution, struct→object marshaling, the
+    // String/Array prototype surface, and JSON serialization.
+    QueryDef("q93_js_udf",
+      """SELECT doc_id AS id,
+        |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) * 1000
+        |    + (length(text) - length(regexp_replace(text, '[aeiouAEIOU]', '', 'g'))) % 97
+        |    + doc_id % 7 AS score
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, dir) =>
+      graft.functions.JsUdf.register(s, "js_doc_score",
+        """export default function (doc) {
+          |  let words = doc.text.split(" ").filter(w => w.length > 0);
+          |  let vowels = 0;
+          |  for (let w of words) {
+          |    for (let i = 0; i < w.length; i++) {
+          |      if ("aeiouAEIOU".includes(w.charAt(i))) vowels++;
+          |    }
+          |  }
+          |  return words.length * 1000 + vowels % 97 + doc.doc_id % 7;
+          |}""".stripMargin)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .selectExpr("doc_id AS id",
+          "CAST(js_doc_score(struct(text, doc_id)) AS BIGINT) AS score")
     }
   )
 }

@@ -606,21 +606,60 @@ class GraftAppSpec extends AnyFunSuite {
     assert(direct == OnnxMini.scalar(m, probe))
   }
 
-  test("JavaScript module UDF configs raise the documented out-of-scope mapping") {
+  test("config-declared JavaScript UDF loads the module file and runs in pipeline SQL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_js_cfg").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/scorer.js"),
+      """export default function (input) {
+        |    return input * input;
+        |}""".stripMargin.getBytes("UTF-8")) // dozer-deno square.js, verbatim
     val yaml =
-      """sources:
-        |  - name: ev
-        |    path: /x.parquet
-        |udfs:
-        |  - name: scorer
-        |    config: !JavaScript
-        |      module: /models/scorer.js
-        |sql: SELECT 1 INTO x FROM ev;
-        |sinks: []
-        |""".stripMargin
-    val e = intercept[IllegalArgumentException](GraftConfigLoader.fromYaml(yaml))
-    assert(e.getMessage.contains("SURVEY"))
-    assert(e.getMessage.contains("scorer"))
+      s"""sources:
+         |  - name: docs
+         |    path: /root/testdata/sf0.001/documents.parquet
+         |udfs:
+         |  - name: scorer
+         |    config: !JavaScript
+         |      module: $tmp/scorer.js
+         |sql: |
+         |  SELECT doc_id, CAST(scorer(n_chars) AS BIGINT) AS sq INTO out1 FROM docs;
+         |sinks:
+         |  - table: out1
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.udfs.head.jsModule.contains(s"$tmp/scorer.js"))
+    GraftApp.runBatch(spark, config)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() > 0)
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    out.select($"doc_id", $"sq").as[(Long, Long)].collect().foreach {
+      case (id, sq) => assert(sq == docs(id) * docs(id))
+    }
+  }
+
+  test("JavaScript UDF config with a bad module fails at load, not per-row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_js_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/bad.js"),
+      "function noExport(x) { return x }".getBytes("UTF-8"))
+    val yaml =
+      s"""sources:
+         |  - name: docs
+         |    path: /root/testdata/sf0.001/documents.parquet
+         |udfs:
+         |  - name: bad
+         |    config: !JavaScript
+         |      module: $tmp/bad.js
+         |sql: SELECT doc_id INTO x FROM docs;
+         |sinks: []
+         |""".stripMargin
+    val e = intercept[Exception](
+      GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml)))
+    assert(e.getMessage.contains("default export"))
   }
 
   test("options: passthrough reaches the reader and the writer") {

@@ -1,0 +1,214 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.JsMini
+import graft.functions.JsMini._
+
+/** The ES-subset interpreter behind JavaScript UDFs (reference
+  * dozer-sql/expression/src/javascript/ + dozer-deno runtime). The first
+  * two cases are the reference's own test modules, verbatim
+  * (dozer-deno/src/runtime/square.js, exception.js).
+  */
+class JsMiniSpec extends AnyFunSuite {
+
+  private def run(src: String, arg: V): V = JsMini.load(src).callDefault(arg)
+
+  test("reference square.js module verbatim") {
+    val m = "export default function (input) {\n    return input * input;\n}"
+    assert(run(m, VNum(7)) == VNum(49))
+  }
+
+  test("reference exception.js module verbatim") {
+    val m = "export default function () {\n    throw new Error(\"exception from javascript\");\n}"
+    val e = intercept[JsError] { run(m, VNull) }
+    assert(e.getMessage.contains("exception from javascript"))
+  }
+
+  test("module has no default export → load error") {
+    intercept[JsSyntaxError] { JsMini.load("function f(x) { return x }") }
+  }
+
+  test("objects, arrays, methods, control flow") {
+    val m =
+      """function clean(s) { return s.trim().toLowerCase(); }
+        |export default function (doc) {
+        |  let words = clean(doc.text).split(" ").filter(w => w.length > 0);
+        |  let counts = {};
+        |  for (let w of words) {
+        |    counts[w] = (counts[w] || 0) + 1;
+        |  }
+        |  let top = "";
+        |  let best = 0;
+        |  for (let w of Object.keys(counts)) {
+        |    if (counts[w] > best) { best = counts[w]; top = w; }
+        |  }
+        |  return { n: words.length, top: top, best: best };
+        |}""".stripMargin
+    val out = run(m, obj("text" -> VStr("  The cat the DOG the bird "))).asInstanceOf[VObj]
+    assert(out.fields("n") == VNum(6))
+    assert(out.fields("top") == VStr("the"))
+    assert(out.fields("best") == VNum(3))
+  }
+
+  test("arithmetic, ternary, logical, template of ops") {
+    val m =
+      """export default function (x) {
+        |  let a = x % 5;
+        |  let b = x > 10 ? "big" : "small";
+        |  let c = (x > 0 && x < 100) || x === -1;
+        |  return [a, b, c, x ** 2, -x, !c, typeof x, typeof b];
+        |}""".stripMargin
+    val out = run(m, VNum(12)).asInstanceOf[VArr]
+    assert(out.items.toSeq == Seq(VNum(2), VStr("big"), VBool(true),
+      VNum(144), VNum(-12), VBool(false), VStr("number"), VStr("string")))
+  }
+
+  test("classic for, while, break/continue, compound assignment") {
+    val m =
+      """export default function (n) {
+        |  let sum = 0;
+        |  for (let i = 0; i < n; i++) {
+        |    if (i % 2 === 0) continue;
+        |    if (i > 20) break;
+        |    sum += i;
+        |  }
+        |  let j = 0;
+        |  while (j < 3) { sum *= 2; j++; }
+        |  return sum;
+        |}""".stripMargin
+    // odd i in [0,n) capped at 20: 1+3+...; n=10 → 1+3+5+7+9=25; 25*8=200
+    assert(run(m, VNum(10)) == VNum(200))
+  }
+
+  test("closures and higher-order functions") {
+    val m =
+      """function mkAdder(k) { return function (x) { return x + k; }; }
+        |export default function (arr) {
+        |  const add10 = mkAdder(10);
+        |  return arr.map(add10).reduce((a, b) => a + b, 0);
+        |}""".stripMargin
+    assert(run(m, arr(VNum(1), VNum(2), VNum(3))) == VNum(36))
+  }
+
+  test("string prototype surface") {
+    val m =
+      """export default function (s) {
+        |  return {
+        |    up: s.toUpperCase(),
+        |    head: s.slice(0, 3),
+        |    tail: s.slice(-3),
+        |    mid: s.substring(2, 5),
+        |    idx: s.indexOf("lo"),
+        |    has: s.includes("ell"),
+        |    rep: s.replace("l", "L"),
+        |    repAll: s.replaceAll("l", "L"),
+        |    code: s.charCodeAt(0)
+        |  };
+        |}""".stripMargin
+    val out = run(m, VStr("hello")).asInstanceOf[VObj]
+    assert(out.fields("up") == VStr("HELLO"))
+    assert(out.fields("head") == VStr("hel"))
+    assert(out.fields("tail") == VStr("llo"))
+    assert(out.fields("mid") == VStr("llo"))
+    assert(out.fields("idx") == VNum(3))
+    assert(out.fields("has") == VBool(true))
+    assert(out.fields("rep") == VStr("heLlo"))
+    assert(out.fields("repAll") == VStr("heLLo"))
+    assert(out.fields("code") == VNum(104))
+  }
+
+  test("array prototype surface") {
+    val m =
+      """export default function (a) {
+        |  return {
+        |    sorted: a.slice().sort((x, y) => x - y),
+        |    sum: a.reduce((s, x) => s + x),
+        |    even: a.filter(x => x % 2 === 0),
+        |    joined: a.join("-"),
+        |    has3: a.includes(3),
+        |    some: a.some(x => x > 8),
+        |    every: a.every(x => x > 0),
+        |    flat: [[1, 2], [3]].flat()
+        |  };
+        |}""".stripMargin
+    val out = run(m, arr(VNum(5), VNum(3), VNum(8), VNum(2))).asInstanceOf[VObj]
+    assert(out.fields("sorted").asInstanceOf[VArr].items.toSeq ==
+      Seq(VNum(2), VNum(3), VNum(5), VNum(8)))
+    assert(out.fields("sum") == VNum(18))
+    assert(out.fields("even").asInstanceOf[VArr].items.toSeq == Seq(VNum(8), VNum(2)))
+    assert(out.fields("joined") == VStr("5-3-8-2"))
+    assert(out.fields("has3") == VBool(true))
+    assert(out.fields("some") == VBool(false))
+    assert(out.fields("every") == VBool(true))
+    assert(out.fields("flat").asInstanceOf[VArr].items.toSeq ==
+      Seq(VNum(1), VNum(2), VNum(3)))
+  }
+
+  test("Math / JSON / parseInt globals") {
+    val m =
+      """export default function (x) {
+        |  const s = JSON.stringify({ a: x, b: [1.5, true, null], c: "q\"z" });
+        |  const back = JSON.parse(s);
+        |  return {
+        |    floor: Math.floor(x), round: Math.round(x), abs: Math.abs(-x),
+        |    mx: Math.max(1, x, 3), pw: Math.pow(2, 10),
+        |    pi: parseInt("42px"), pf: parseFloat("3.5rest"),
+        |    json: s, a: back.a, b1: back.b[0]
+        |  };
+        |}""".stripMargin
+    val out = run(m, VNum(7.6)).asInstanceOf[VObj]
+    assert(out.fields("floor") == VNum(7))
+    assert(out.fields("round") == VNum(8))
+    assert(out.fields("abs") == VNum(7.6))
+    assert(out.fields("mx") == VNum(7.6))
+    assert(out.fields("pw") == VNum(1024))
+    assert(out.fields("pi") == VNum(42))
+    assert(out.fields("pf") == VNum(3.5))
+    assert(out.fields("json") == VStr("""{"a":7.6,"b":[1.5,true,null],"c":"q\"z"}"""))
+    assert(out.fields("a") == VNum(7.6))
+    assert(out.fields("b1") == VNum(1.5))
+  }
+
+  test("try/catch/finally and throw of values") {
+    val m =
+      """export default function (x) {
+        |  let log = [];
+        |  try {
+        |    if (x > 5) throw { code: 42 };
+        |    log.push("no-throw");
+        |  } catch (e) {
+        |    log.push(e.code);
+        |  } finally {
+        |    log.push("fin");
+        |  }
+        |  return log;
+        |}""".stripMargin
+    assert(run(m, VNum(9)).asInstanceOf[VArr].items.toSeq == Seq(VNum(42), VStr("fin")))
+    assert(run(m, VNum(1)).asInstanceOf[VArr].items.toSeq == Seq(VStr("no-throw"), VStr("fin")))
+  }
+
+  test("JS number formatting: integers print without decimal point") {
+    assert(stringify(VNum(3.0)) == "3")
+    assert(stringify(VNum(3.25)) == "3.25")
+    assert(stringify(VNum(1e9)) == "1000000000")
+    assert(toDisplay(VNum(-0.0)) == "0")
+  }
+
+  test("equality semantics: strict vs loose") {
+    val m =
+      """export default function (x) {
+        |  return [x == "7", x === 7, null == undefined, null === undefined,
+        |          "" == 0, "" === 0];
+        |}""".stripMargin
+    assert(run(m, VNum(7)).asInstanceOf[VArr].items.toSeq ==
+      Seq(VBool(true), VBool(true), VBool(true), VBool(false),
+        VBool(true), VBool(false)))
+  }
+
+  test("undefined access raises like JS") {
+    val e = intercept[JsError] {
+      run("export default function (o) { return o.a.b; }", obj("x" -> VNum(1)))
+    }
+    assert(e.getMessage.contains("of undefined"))
+  }
+}
