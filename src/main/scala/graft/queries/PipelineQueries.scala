@@ -1083,6 +1083,37 @@ object PipelineQueries {
           col("meanLuma").as("mean_luma"))
     },
 
+    // REAL ISO-BMFF (MP4) keyframe sampling: mux real box trees
+    // (ftyp/mdat/moov with stts/stss/stsc/stsz/stco sample tables), then
+    // demux by walking the tables — keyframe byte ranges + stts
+    // timestamps located WITHOUT decoding video, exactly how a real
+    // pipeline indexes 100 TB of video. Sample payloads are PNG (the
+    // JDK has no H.264 decoder — codec is the documented delta, the
+    // container walk is the real thing). Fully oracled: sampled sync
+    // samples are floor(i·kfn/2) over keyframes at even indices,
+    // ts = idx·100 ms, constant frames decode to gray/255.
+    QueryDef("q94_mp4_demux",
+      """SELECT doc_id AS id,
+        |  CAST(idx AS INTEGER) AS frame_idx,
+        |  CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+        |  CAST((3 + doc_id % 4) // 2 AS INTEGER) AS kf_count,
+        |  CAST(idx AS DOUBLE) * 100 AS ts_ms,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST((doc_id * 31 + idx * 17) % 200 AS DOUBLE) / 255.0 AS mean_luma
+        |FROM (SELECT doc_id,
+        |        unnest(CASE WHEN doc_id % 4 = 0 THEN [0] ELSE [0, 2] END) AS idx
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderMp4s(t(s, dir, "documents"), "doc_id")
+      Multimodal.mp4FrameSample(media, framesPerDoc = 2)
+        .toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("nFrames").as("n_frames"), col("kfCount").as("kf_count"),
+          col("tsMs").as("ts_ms"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"))
+    },
+
     // Multimodal AUDIO: REAL RIFF/PCM16 WAV codec — render a constant-
     // |amplitude| square-wave WAV per doc (every field closed-form in
     // doc_id), decode the bytes back at the RIFF chunk level. Fully

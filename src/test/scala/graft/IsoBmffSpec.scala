@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IsoBmff, Multimodal}
+import graft.operators.Multimodal.MediaCodecs
+
+/** The real ISO-BMFF demuxer: box walk, sample tables, keyframe
+  * extraction, and corrupt-input behavior (never throw, never invent).
+  */
+class IsoBmffSpec extends AnyFunSuite {
+
+  private val frames: Seq[Array[Byte]] =
+    (0 until 5).map(i => MediaCodecs.encodeGrayPng(12, 9, 40 + i * 10))
+
+  private def muxed(keyEvery: Int = 2): Array[Byte] =
+    IsoBmff.mux(frames, codec = "png ", width = 12, height = 9,
+      timescale = 1000, sampleDelta = 100, keyframeEvery = keyEvery)
+
+  test("mux → parse round-trips the full sample table") {
+    val track = IsoBmff.parse(muxed()).get
+    assert(track.codec == "png ")
+    assert(track.width == 12 && track.height == 9)
+    assert(track.timescale == 1000)
+    assert(track.samples.length == 5)
+    assert(track.samples.map(_.size) == frames.map(_.length))
+    // dts ramps by the stts delta; ms conversion uses mdhd timescale
+    assert(track.samples.map(_.dts) == IndexedSeq(0L, 100L, 200L, 300L, 400L))
+    assert(track.samples.map(track.timeMs) ==
+      IndexedSeq(0.0, 100.0, 200.0, 300.0, 400.0))
+    // stss every 2nd sample → keyframes at even indices
+    assert(track.samples.map(_.keyframe) ==
+      IndexedSeq(true, false, true, false, true))
+    // offsets are contiguous within mdat
+    assert(track.samples.sliding(2).forall {
+      case Seq(a, b) => b.offset == a.offset + a.size
+      case _         => true
+    })
+  }
+
+  test("sampleBytes slices the exact original payloads") {
+    val bytes = muxed()
+    val track = IsoBmff.parse(bytes).get
+    track.samples.zip(frames).foreach { case (s, f) =>
+      assert(IsoBmff.sampleBytes(bytes, s).get.toSeq == f.toSeq)
+    }
+    // ...and each slice decodes with the real image decoder
+    val (w, h, _, _) =
+      MediaCodecs.decodeImage(IsoBmff.sampleBytes(bytes, track.samples.head).get).get
+    assert(w == 12 && h == 9)
+  }
+
+  test("no stss box → every sample is a sync sample (spec semantics)") {
+    val track = IsoBmff.parse(muxed(keyEvery = 1)).get
+    assert(track.samples.forall(_.keyframe))
+    assert(track.keyframes.length == 5)
+  }
+
+  test("corrupt inputs return None, never throw") {
+    val good = muxed()
+    assert(IsoBmff.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(IsoBmff.parse(new Array[Byte](0)).isEmpty)
+    // a GFRM container is not ISO-BMFF
+    assert(IsoBmff.parse(MediaCodecs.encodeFrames(frames)).isEmpty)
+    // truncating inside moov kills the sample tables
+    assert(IsoBmff.parse(good.take(good.length - 40)).isEmpty)
+    // flipping the ftyp magic fails the leading-box check
+    val bad = good.clone(); bad(4) = 'X'
+    assert(IsoBmff.parse(bad).isEmpty)
+  }
+
+  test("non-video handler is skipped") {
+    val bytes = muxed()
+    // patch the hdlr handler type 'vide' → 'soun'
+    val idx = bytes.indexOfSlice("vide".getBytes("ISO-8859-1"))
+    assert(idx > 0)
+    val patched = bytes.clone()
+    "soun".getBytes("ISO-8859-1").zipWithIndex.foreach { case (b, i) =>
+      patched(idx + i) = b }
+    assert(IsoBmff.parse(patched).isEmpty)
+  }
+
+  test("sampleBytes refuses ranges beyond the payload (truncated mdat)") {
+    val bytes = muxed()
+    val track = IsoBmff.parse(bytes).get
+    val last = track.samples.last
+    val truncated = bytes.take((last.offset + 2).toInt)
+    assert(IsoBmff.sampleBytes(truncated, last).isEmpty)
+  }
+
+  test("mp4FrameSample: corrupt payloads yield one ok=false row") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, muxed(), "video"),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9, 9), "video"))
+    val out = Multimodal.mp4FrameSample(rows.toDS(), framesPerDoc = 2)
+      .collect().sortBy(r => (r.id, r.frameIdx))
+    val good = out.filter(_.id == 1L)
+    assert(good.forall(_.ok))
+    assert(good.map(_.frameIdx).toSeq == Seq(0, 2)) // keyframes 0,2,4 → sampled 0,2
+    assert(good.head.kfCount == 3 && good.head.nFrames == 5)
+    assert(good.map(_.tsMs).toSeq == Seq(0.0, 200.0))
+    val bad = out.filter(_.id == 2L)
+    assert(bad.length == 1 && !bad.head.ok && bad.head.nFrames == 0)
+  }
+}
