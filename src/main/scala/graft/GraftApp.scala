@@ -358,7 +358,9 @@ object GraftApp {
     */
   private[graft] def requireFormatAvailable(spark: SparkSession,
       format: String, what: String): Unit =
-    if (!builtinFormats(format)) {
+    // decode-seam sources (webhook push, javascript ingest) carry no
+    // DataSource format; their load path is the decode branch
+    if (format.nonEmpty && !builtinFormats(format)) {
       val ok =
         try {
           org.apache.spark.sql.execution.datasources.DataSource
@@ -429,6 +431,17 @@ object GraftApp {
         graft.sources.WebhookServer.changes(feed, s.schema.getOrElse(
           throw new IllegalArgumentException(
             s"webhook source '${s.name}' needs a row schema")))
+      case Some("javascript") =>
+        // JS ingestion connector: the bootstrap script (s.path) runs on
+        // the embedded runtime and its `ingest` envelopes materialize
+        // the single `json_records` table. Batch-only: the script is a
+        // bounded driver-side generator, like the reference's single
+        // deno runtime (dozer-ingestion/javascript/src/lib.rs).
+        if (streaming) throw new IllegalArgumentException(
+          s"source '${s.name}': the JavaScript connector is a bounded " +
+            "script run — use it in batch mode")
+        graft.sources.JsIngest.jsonRecords(spark,
+          graft.sources.JsIngest.readModule(spark, s.path))
       case Some(other) => throw new IllegalArgumentException(
         s"source '${s.name}': unknown decode '$other'")
       case None =>

@@ -257,6 +257,7 @@ object GraftConfigLoader {
     case class Conn(name: String, basePath: String,
         tables: Map[String, (String, String)], // table -> (subPath, ext)
         delta: Boolean = false,                // DeltaLake connection
+        js: Boolean = false,                   // JavaScript connector (bootstrap_path)
         // connection shapes with no runnable-SOURCE mapping keep their
         // documented error here and fail only when a source references
         // them — a sink-only connection (Oracle sink) must still parse
@@ -327,6 +328,12 @@ object GraftConfigLoader {
               }
             }.toMap
           if (dtabs.nonEmpty) Conn(name, "", dtabs, delta = true)
+          // JavaScript connector (ingestion_types.rs:549-556
+          // JavaScriptConfig { bootstrap_path }): the script runs on the
+          // embedded JsMini runtime; its table is always `json_records`
+          else if (cfg.asScala.contains("bootstrap_path"))
+            Conn(name, cfg.asScala("bootstrap_path").toString,
+              Map("json_records" -> ("", ".js")), js = true)
           else if (cfg.asScala.contains("provider") ||
               cfg.asScala.contains("wss_url"))
             Conn(name, "", Map.empty, error = Some(
@@ -366,6 +373,13 @@ object GraftConfigLoader {
           fail(s"source '$sname': DeltaLake connection '$connName' has " +
             s"no table '$tableName'"))
         SourceConf(name = sname, path = tpath, format = "delta")
+      } else if (conn.js) {
+        if (tableName != "json_records")
+          fail(s"source '$sname': JavaScript connection '$connName' " +
+            s"exposes one table, 'json_records' (got '$tableName') — " +
+            "dozer-ingestion/javascript/src/lib.rs:38-44")
+        SourceConf(name = sname, path = conn.basePath, format = "",
+          decode = Some("javascript"))
       } else {
         val (sub, ext) = conn.tables.getOrElse(tableName, ("", ".parquet"))
         val dir = Seq(conn.basePath, sub).filter(_.nonEmpty).mkString("/")

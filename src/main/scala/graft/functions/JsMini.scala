@@ -96,7 +96,7 @@ object JsMini {
   private val keywords = Set("function", "return", "if", "else", "while",
     "for", "of", "let", "const", "var", "true", "false", "null", "undefined",
     "throw", "try", "catch", "finally", "break", "continue", "new", "typeof",
-    "export", "default", "in")
+    "export", "default", "in", "async", "await")
 
   private val punct = Seq("===", "!==", "**=", "...", "=>", "==", "!=", "<=",
     ">=", "&&", "||", "**", "+=", "-=", "*=", "/=", "%=", "++", "--",
@@ -206,6 +206,10 @@ object JsMini {
       case "export" =>
         eat("export"); eat("default")
         SExportDefault(expression())
+      case "async" if toks(pos + 1).kind == "function" =>
+        eat("async")
+        val f = functionExpr()
+        SFunDecl(f.name, f)
       case "function" =>
         val f = functionExpr()
         SFunDecl(f.name, f)
@@ -368,6 +372,9 @@ object JsMini {
       else l
     }
     private def unaryExpr(): Expr = peek.kind match {
+      // single-threaded synchronous evaluator: `await` is identity, so
+      // deno-style async ingest scripts run unchanged
+      case "await" => pos += 1; unaryExpr()
       case "!" => pos += 1; EUnary("!", unaryExpr())
       case "-" => pos += 1; EUnary("-", unaryExpr())
       case "+" => pos += 1; EUnary("+", unaryExpr())
@@ -427,6 +434,9 @@ object JsMini {
         case "null"  => pos += 1; ENull
         case "undefined" => pos += 1; EUndef
         case "function"  => functionExpr()
+        case "async" =>
+          pos += 1 // `async function` / `async () =>`: evaluated synchronously
+          primary()
         case "ident" =>
           // arrow shorthand: `x => …`
           if (toks(pos + 1).kind == "=>") { pos += 1; arrowFrom(Seq(t.text)) }
@@ -1138,16 +1148,18 @@ object JsMini {
   /** A loaded module: top-level statements executed once, default export
     * captured — dozer-deno/src/runtime/mod.rs:235-241's resolution.
     */
-  final class Module(src: String) {
+  final class Module(src: String, extraGlobals: Map[String, V] = Map.empty) {
     private val stmts = parse(src)
     private val env = globalEnv().child
+    extraGlobals.foreach { case (k, v) => env.declare(k, v) }
     private var default: Option[V] = None
     stmts.foreach {
       case SExportDefault(e) =>
         default = Some(eval(e, env))
       case s => exec(s, env)
     }
-    val defaultExport: V = default.getOrElse(
+    private def defaultOpt: Option[V] = default
+    lazy val defaultExport: V = defaultOpt.getOrElse(
       throw new JsSyntaxError("module has no default export"))
 
     /** The UDF contract: one JSON-shaped argument in, JSON out
@@ -1157,4 +1169,11 @@ object JsMini {
   }
 
   def load(src: String): Module = new Module(src)
+
+  /** Load with host-injected globals (e.g. an `ingest` op for source
+    * scripts) — top-level statements run during load; a default export
+    * is not required for this entry point.
+    */
+  def loadWithGlobals(src: String, globals: Map[String, V]): Module =
+    new Module(src, globals)
 }

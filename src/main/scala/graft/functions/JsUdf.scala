@@ -88,7 +88,7 @@ object JsUdf {
   def register(spark: SparkSession, name: String, moduleSource: String): Unit = {
     // fail fast on syntax errors / missing default export, driver-side —
     // the reference validates the module at build time too
-    JsMini.load(moduleSource)
+    JsMini.load(moduleSource).defaultExport
     val f = new UDF1[Any, String] {
       override def call(arg: Any): String = evalRow(moduleSource, arg)
     }

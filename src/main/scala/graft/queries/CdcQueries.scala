@@ -158,6 +158,34 @@ object CdcQueries {
           .cast("long").as("custkey"))
         .agg(count(lit(1)).as("n_transfers"),
           sum(col("value")).cast("long").as("total_cents"))
+    },
+
+    // JavaScript ingestion connector (dozer-ingestion/javascript):
+    // bootstrap script on the embedded ES-subset runtime → Insert/
+    // Update/Delete envelopes → json_records state (whole-value
+    // identity, no PK — lib.rs:25-58). Fully oracled: the script's
+    // integer generation and the replay outcome are closed-form —
+    // updates hit only untouched values, deletes miss already-updated
+    // ones, and the JSON text matches DuckDB string assembly exactly.
+    QueryDef("q95_js_ingest",
+      """SELECT CASE WHEN i % 3 = 0 THEN '{"n":' || i || ',"t":1}'
+        |            ELSE '{"n":' || i || '}' END AS value
+        |FROM range(1, 301) t(i)
+        |WHERE NOT (i % 5 = 0 AND i % 3 <> 0)""".stripMargin) { (s, _) =>
+      val script =
+        """ingest({ typ: "SnapshottingDone", old_val: null, new_val: null });
+          |for (let i = 1; i <= 300; i++) {
+          |  ingest({ typ: "Insert", old_val: null, new_val: { n: i } });
+          |}
+          |for (let i = 3; i <= 300; i += 3) {
+          |  ingest({ typ: "Update", old_val: { n: i }, new_val: { n: i, t: 1 } });
+          |}
+          |for (let i = 5; i <= 300; i += 5) {
+          |  // misses multiples of 15: those were rewritten by the update
+          |  ingest({ typ: "Delete", old_val: { n: i }, new_val: null });
+          |}
+          |""".stripMargin
+      graft.sources.JsIngest.jsonRecords(s, script)
     }
   )
 }

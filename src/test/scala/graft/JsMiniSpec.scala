@@ -25,7 +25,9 @@ class JsMiniSpec extends AnyFunSuite {
   }
 
   test("module has no default export → load error") {
-    intercept[JsSyntaxError] { JsMini.load("function f(x) { return x }") }
+    intercept[JsSyntaxError] {
+      JsMini.load("function f(x) { return x }").defaultExport
+    }
   }
 
   test("objects, arrays, methods, control flow") {
