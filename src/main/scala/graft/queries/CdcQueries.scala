@@ -186,6 +186,67 @@ object CdcQueries {
           |}
           |""".stripMargin
       graft.sources.JsIngest.jsonRecords(s, script)
+    },
+
+    // Native pgoutput wire decode end-to-end (replicator.rs streams
+    // XLogData frames; xlog_mapper.rs maps Relation/Insert/Update/
+    // Delete): the same deterministic change feed as q47 — inserts for
+    // every order, updates (status -> 'U') for keys %3=0, deletes for
+    // keys %7=0 — is ENCODED into binary pgoutput frames (Relation
+    // frame first; updates arrive wrapped in the stream's XLogData
+    // envelope whose WAL-start LSN carries the sequence; periodic
+    // keepalives interleave), decoded back through PgOutput.changes,
+    // and materialized. Encode runs distributed (map-only flatMap);
+    // the only collect is the one Relation frame. Oracle states the
+    // final table.
+    QueryDef("q96_pgoutput_cdc",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.cdc.PgOutput
+      val relId = 16384
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val rel = PgOutput.Encode.relation(relId, "public", "orders", 'd',
+        Seq(("o_orderkey", 20, true), ("o_custkey", 20, false),
+          ("o_orderstatus", 25, false), ("o_totalprice", 701, false)))
+      val relDf = Seq((0L, rel)).toDF("seq", "frame")
+      val dataDf = o.as[(Long, Long, String, Double)].flatMap {
+        case (k, c, st, tp) =>
+          // Double/Long text round-trips exactly: Scala toString is
+          // shortest-round-trip and from_json parses it back bit-equal.
+          val row = Seq(Some(k.toString), Some(c.toString), Some(st),
+            Some(tp.toString))
+          val keyOnly = Seq(Some(k.toString), None, None, None)
+          val ins = Seq((k, PgOutput.Encode.insert(relId, row)))
+          val upd = if (k % 3 == 0) Seq((0L, PgOutput.Encode.xlogData(
+            k + 10000000L, k + 10000001L, 0L,
+            PgOutput.Encode.update(relId, Some(('K', keyOnly)),
+              Seq(Some(k.toString), Some(c.toString), Some("U"),
+                Some(tp.toString)))))) else Nil
+          val del = if (k % 7 == 0) Seq((k + 20000000L,
+            PgOutput.Encode.delete(relId, 'K', keyOnly))) else Nil
+          val ka = if (k % 1000 == 0) Seq((0L,
+            PgOutput.Encode.keepalive(k, 0L, replyRequested = false)))
+          else Nil
+          ins ++ upd ++ del ++ ka
+      }.toDF("seq", "frame")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      PgOutput.materialize(relDf.unionAll(dataDf),
+          PgOutput.Selection("orders"), schema, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
     }
   )
 }
