@@ -356,7 +356,8 @@ object PgOutput extends Serializable {
       : DataFrame = {
     val bare = name.substring(name.indexOf('.') + 1)
     changes
-      .filter(col("table") === name || col("table") === bare)
+      .filter(col("table") === name || col("table") === bare ||
+        substring_index(col("table"), ".", -1) === name)
       .withColumn("_row", from_json(col("row_json"), rowSchema))
       .select((rowSchema.fieldNames.map(f => col(s"_row.$f").as(f)) ++
         Seq(col("_op"), col("_seq"))): _*)

@@ -247,6 +247,64 @@ object CdcQueries {
           PgOutput.Selection("orders"), schema, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus").as("status"), col("o_totalprice"))
+    },
+
+    // Native MySQL binlog decode end-to-end (dozer-ingestion/mysql's
+    // binlog surface): a deterministic change feed from customer —
+    // WriteRows for every customer, UpdateRows (mktsegment -> 'UPD')
+    // for keys %4=0, DeleteRows for keys %9=0 — encoded as binary
+    // row-events v2 (TABLE_MAP carries column names via the 8.0
+    // COLUMN_NAME metadata TLV; an FDE declares CRC32 so every frame's
+    // trailer is verified during decode), decoded back through
+    // MyBinlog.changes, materialized. Oracle states the final table.
+    QueryDef("q97_mysql_binlog_cdc",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'UPD' ELSE c_mktsegment END AS segment,
+        |  c_acctbal
+        |FROM customer WHERE c_custkey % 9 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.cdc.MyBinlog
+      import graft.cdc.MyBinlog.{ColType, Encode}
+      val table = Encode.Table(42L, "tpch", "customer", Seq(
+        ("c_custkey", ColType.LongLong, 0),
+        ("c_name", ColType.Varchar, 64),
+        ("c_mktsegment", ColType.Varchar, 32),
+        ("c_acctbal", ColType.Double, 8)))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      val fde = Seq(
+        (0L, Encode.formatDescription(1L, crc32 = true)),
+        (2L, Encode.tableMap(table, 2L, checksum = true))).toDF("seq", "frame")
+      val dataDf = c.as[(Long, String, String, Double)].flatMap {
+        case (k, name, seg, bal) =>
+          val row = Seq(Some(k.toString), Some(name), Some(seg),
+            Some(bal.toString))
+          val upd = Seq(Some(k.toString), Some(name), Some("UPD"),
+            Some(bal.toString))
+          val ins = Seq((0L, Encode.writeRows(table, Seq(row),
+            logPos = k + 10L, checksum = true)))
+          val u = if (k % 4 == 0) Seq((0L, Encode.updateRows(table,
+            Seq((row, upd)), logPos = k + 10000000L, checksum = true)))
+          else Nil
+          val d = if (k % 9 == 0) Seq((0L, Encode.deleteRows(table,
+            Seq(if (k % 4 == 0) upd else row), logPos = k + 20000000L,
+            checksum = true))) else Nil
+          ins ++ u ++ d
+      }.toDF("seq", "frame")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      MyBinlog.materialize(fde.unionAll(dataDf),
+          MyBinlog.Selection("customer"), schema, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment").as("segment"), col("c_acctbal"))
     }
   )
 }
