@@ -305,6 +305,117 @@ object CdcQueries {
           MyBinlog.Selection("customer"), schema, Seq("c_custkey"))
         .select(col("c_custkey"), col("c_name"),
           col("c_mktsegment").as("segment"), col("c_acctbal"))
+    },
+
+    // MongoDB change-stream decode end-to-end (dozer-ingestion/mongodb
+    // lib.rs:215-250): a deterministic `collection.watch()` feed from
+    // part — inserts for every part, updateLookup updates (+1 on
+    // retailprice) for keys %5=0, deletes for keys %11=0, plus noise
+    // events on a foreign namespace that the selection must drop —
+    // serialized as change-event JSON, decoded through MongoCdc
+    // (single parse + explode, no UDF), materialized. Oracle states
+    // the final collection.
+    QueryDef("q98_mongo_cdc",
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 1
+        |       ELSE p_retailprice END AS price,
+        |  p_brand
+        |FROM part WHERE p_partkey % 11 <> 0""".stripMargin) { (s, dir) =>
+      import graft.cdc.MongoCdc
+      val p = t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p_partkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p_brand",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p_retailprice",
+          org.apache.spark.sql.types.DoubleType)))
+      def ns(dbName: String, collName: String) =
+        struct(lit(dbName).as("db"), lit(collName).as("coll"))
+      def clusterTime(tSecs: org.apache.spark.sql.Column,
+          ord: org.apache.spark.sql.Column) =
+        struct(struct(tSecs.as("t"), ord.as("i")).as("$timestamp"))
+      val keyDoc = struct(col("p_partkey"))
+      val fullRow = struct(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+      val updatedRow = struct(col("p_partkey"), col("p_name"), col("p_brand"),
+        (col("p_retailprice") + 1).as("p_retailprice"))
+      val none = array().cast("array<string>")
+      val feed = p.select(explode(concat(
+        array(to_json(struct(
+          lit("insert").as("operationType"), ns("tpch", "part").as("ns"),
+          keyDoc.as("documentKey"), fullRow.as("fullDocument"),
+          clusterTime(lit(1), col("p_partkey")).as("clusterTime")))),
+        when(col("p_partkey") % 5 === 0, array(to_json(struct(
+          lit("update").as("operationType"), ns("tpch", "part").as("ns"),
+          keyDoc.as("documentKey"),
+          updatedRow.as("fullDocument"), // fullDocument: updateLookup
+          clusterTime(lit(2), col("p_partkey")).as("clusterTime")))))
+          .otherwise(none),
+        when(col("p_partkey") % 11 === 0, array(to_json(struct(
+          lit("delete").as("operationType"), ns("tpch", "part").as("ns"),
+          keyDoc.as("documentKey"),
+          clusterTime(lit(3), col("p_partkey")).as("clusterTime")))))
+          .otherwise(none),
+        // foreign-namespace noise the selection must drop
+        when(col("p_partkey") % 100 === 0, array(to_json(struct(
+          lit("insert").as("operationType"), ns("other", "coll").as("ns"),
+          keyDoc.as("documentKey"), fullRow.as("fullDocument"),
+          clusterTime(lit(9), col("p_partkey")).as("clusterTime")))))
+          .otherwise(none)
+      )).as("value"))
+      MongoCdc.materialize(feed, "value", "tpch", "part", rowSchema,
+          Seq("p_partkey"))
+        .select(col("p_partkey"), col("p_name"),
+          col("p_retailprice").as("price"), col("p_brand"))
+    },
+
+    // Snowflake table-stream decode end-to-end (dozer-ingestion/
+    // snowflake stream_consumer.rs:62-92): a deterministic stream from
+    // supplier — plain inserts, ISUPDATE delete+insert pairs (+100 on
+    // acctbal) for keys %6=0, plain deletes for keys %13=0 — decoded
+    // through SnowStream.changesPaired and materialized. Oracle states
+    // the final table.
+    QueryDef("q99_snowflake_stream",
+      """SELECT s_suppkey, s_name,
+        |  CASE WHEN s_suppkey % 6 = 0 THEN s_acctbal + 100
+        |       ELSE s_acctbal END AS acctbal
+        |FROM supplier WHERE s_suppkey % 13 <> 0""".stripMargin) { (s, dir) =>
+      import graft.cdc.SnowStream
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      def srow(bal: org.apache.spark.sql.Column, action: String,
+          isUpd: Boolean, seq: org.apache.spark.sql.Column) =
+        struct(col("s_suppkey"), col("s_name"), bal.as("s_acctbal"),
+          lit(action).as("action"), lit(isUpd).as("is_update"),
+          seq.as("seq"))
+      val none = array().cast(
+        "array<struct<s_suppkey:bigint,s_name:string,s_acctbal:double," +
+          "action:string,is_update:boolean,seq:bigint>>")
+      val stream = sup.select(explode(concat(
+        array(srow(col("s_acctbal"), "INSERT", isUpd = false,
+          col("s_suppkey"))),
+        when(col("s_suppkey") % 6 === 0, array(
+          srow(col("s_acctbal"), "DELETE", isUpd = true,
+            col("s_suppkey") + 10000000L),
+          srow(col("s_acctbal") + 100, "INSERT", isUpd = true,
+            col("s_suppkey") + 10000000L))).otherwise(none),
+        when(col("s_suppkey") % 13 === 0, array(
+          srow(when(col("s_suppkey") % 6 === 0, col("s_acctbal") + 100)
+            .otherwise(col("s_acctbal")), "DELETE", isUpd = false,
+            col("s_suppkey") + 20000000L))).otherwise(none)
+      )).as("r")).select(
+        col("r.s_suppkey").as("s_suppkey"), col("r.s_name").as("s_name"),
+        col("r.s_acctbal").as("s_acctbal"),
+        col("r.action").as(SnowStream.Action),
+        col("r.is_update").as(SnowStream.IsUpdate),
+        col("r.seq").as("seq"))
+      SnowStream.materialize(stream, "seq", Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("acctbal"))
     }
   )
 }
