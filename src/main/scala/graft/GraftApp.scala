@@ -456,7 +456,10 @@ object GraftApp {
         }
     }
     if (streaming) s.watermark.fold(raw) { case (ts, dur) =>
-      raw.withWatermark(ts, dur)
+      // Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ,
+      // which withWatermark rejects; normalize to TIMESTAMP first (session
+      // TZ is UTC, wall clock unchanged).
+      Tables.normalizeEventTime(raw, ts).withWatermark(ts, dur)
     } else raw
   }
 

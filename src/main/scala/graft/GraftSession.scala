@@ -30,9 +30,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
-      // LongType under this flag and Tables.load converts to µs timestamps
-      // (values are whole µs, so the truncation is lossless — TESTDATA.md).
+      // Older testdata generations stored events.ts as TIMESTAMP(NANOS);
+      // under this flag Spark reads those as LongType and Tables.load
+      // converts to µs timestamps. Current testdata stores TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) — Spark reads TIMESTAMP_NTZ and Tables.load
+      // normalizes to TIMESTAMP (session TZ is UTC, wall clock preserved).
+      // Both branches are kept so the engine is robust to either layout.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     configure(spark)
@@ -70,20 +73,33 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  /** Columns stored as TIMESTAMP(NANOS) in the driver's parquet; Spark
-    * surfaces them as LongType (nanosAsLong) and we restore µs timestamps.
+  /** Event-time columns in the driver's parquet, normalized to TIMESTAMP at
+    * load whatever the physical storage: TIMESTAMP(NANOS) surfaces as
+    * LongType (nanosAsLong) and is restored to µs timestamps;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ and
+    * is cast (session TZ is UTC, so the wall clock — and the DuckDB-naive
+    * oracle comparison — is unchanged). `withWatermark` requires
+    * TimestampType, so NTZ must not leak past source load.
     */
-  private val nanoTsColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  private val eventTimeColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanoTsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    eventTimeColumns.getOrElse(name, Nil).foldLeft(raw)(normalizeEventTime)
+  }
+
+  /** Normalize one event-time column to TimestampType (see above). */
+  def normalizeEventTime(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType =>
         // integer `div`, NOT `/`: double division loses µs precision on
         // nano epochs (~1.7e18 > 2^53)
         df.withColumn(c,
           org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-      else df
+      case TimestampNTZType =>
+        df.withColumn(c, df.col(c).cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -20,7 +20,9 @@ object StreamOps {
     * event-time watermark (state eviction, not row filtering).
     */
   def ttl(df: DataFrame, tsCol: String, duration: String): DataFrame =
-    if (df.isStreaming) df.withWatermark(tsCol, duration) else df
+    if (df.isStreaming)
+      graft.Tables.normalizeEventTime(df, tsCol).withWatermark(tsCol, duration)
+    else df
 
   /** TTL on an arbitrary timestamp EXPRESSION (the reference accepts
     * any expression — table_operator/factory.rs:142-205): the
@@ -32,7 +34,9 @@ object StreamOps {
   def ttlExpr(df: DataFrame, tsExpr: Column, duration: String,
       tsColName: String = "__ttl_ts"): DataFrame =
     if (df.isStreaming)
-      df.withColumn(tsColName, tsExpr).withWatermark(tsColName, duration)
+      graft.Tables.normalizeEventTime(
+        df.withColumn(tsColName, tsExpr), tsColName)
+        .withWatermark(tsColName, duration)
     else df
 
   /** Tumbling-window aggregation (dozer TUMBLE, operator.rs:106-130). */
