@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,45 +65,126 @@ object PushSource {
 
 /** Driver-side push channels. Thread-safe; each push is assigned a
   * monotonically increasing `seq` (the offset AND the resume token).
+  *
+  * BOUNDED, like every reference channel (dozer caps each inter-operator
+  * channel at 20,000 ops — dozer-core/src/executor/mod.rs:24-31): a
+  * channel retains at most `capacity` unconsumed events. Producers block
+  * for bounded time waiting for space, then fail loudly
+  * ([[PushBuffer.Full]]); the webhook edge maps that to HTTP 429 +
+  * Retry-After. Space frees when the streaming query COMMITS a
+  * micro-batch ([[release]] evicts the committed prefix — the offsets
+  * stay absolute, so checkpointed resume is unaffected). Without the
+  * bound, sustained ingest against a slow micro-batch is a driver OOM.
   */
 object PushBuffer {
   final case class Event(seq: Long, tsMicros: Long, value: String)
 
-  private val channels =
-    new ConcurrentHashMap[String, java.util.ArrayList[Event]]()
+  /** Reference parity: dozer-core/src/executor/mod.rs:24-31. */
+  val DefaultCapacity: Int = 20000
 
-  private def buf(channel: String): java.util.ArrayList[Event] =
-    channels.computeIfAbsent(channel, _ => new java.util.ArrayList[Event]())
+  /** Producer-visible overflow: the channel stayed full past the wait. */
+  final class Full(channel: String, capacity: Int) extends RuntimeException(
+    s"push channel '$channel' is full ($capacity events retained and not " +
+      "yet committed by a consumer) — back off and retry")
 
-  /** Append values; returns the exclusive end offset after the push. */
-  def push(channel: String, values: String*): Long = {
+  private final class Chan(var capacity: Int) {
+    val events = new java.util.ArrayDeque[Event]()
+    var base: Long = 0L // seq of the first retained event
+    def end: Long = base + events.size
+  }
+
+  private val channels = new ConcurrentHashMap[String, Chan]()
+
+  private def buf(channel: String): Chan =
+    channels.computeIfAbsent(channel, _ => new Chan(DefaultCapacity))
+
+  /** Set a channel's capacity (events retained, not total ever pushed). */
+  def configure(channel: String, capacity: Int): Unit = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val b = buf(channel)
+    b.synchronized { b.capacity = capacity; b.notifyAll() }
+  }
+
+  def capacityOf(channel: String): Int = {
+    val b = buf(channel)
+    b.synchronized(b.capacity)
+  }
+
+  /** Seq of the first event still retained (batch snapshots start here). */
+  def baseOffset(channel: String): Long = {
+    val b = buf(channel)
+    b.synchronized(b.base)
+  }
+
+  /** Append values atomically (all or none); returns the exclusive end
+    * offset. Blocks up to `waitMs` for space, then throws [[Full]].
+    */
+  def push(channel: String, values: String*): Long =
+    pushAll(channel, values, waitMs = 10000L)
+
+  def pushAll(channel: String, values: Seq[String], waitMs: Long): Long = {
     val b = buf(channel)
     b.synchronized {
+      require(values.length <= b.capacity,
+        s"push of ${values.length} events can never fit channel " +
+          s"'$channel' capacity ${b.capacity}")
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      while (b.events.size + values.length > b.capacity) {
+        val leftMs = (deadline - System.nanoTime()) / 1000000L
+        if (leftMs <= 0) throw new Full(channel, b.capacity)
+        b.wait(leftMs)
+      }
       val now = System.currentTimeMillis() * 1000L
-      values.foreach(v => b.add(Event(b.size().toLong, now, v)))
-      b.size().toLong
+      values.foreach(v => b.events.add(Event(b.end, now, v)))
+      b.end
     }
   }
+
+  /** Non-blocking push; Some(end offset) or None if it would overflow. */
+  def tryPush(channel: String, values: Seq[String]): Option[Long] =
+    try Some(pushAll(channel, values, waitMs = 0L))
+    catch { case _: Full => None }
 
   /** Current exclusive end offset. */
   def endOffset(channel: String): Long = {
     val b = buf(channel)
-    b.synchronized(b.size().toLong)
+    b.synchronized(b.end)
   }
 
-  /** Events in [from, until). */
+  /** Events currently retained (buffered, not yet released). */
+  def retained(channel: String): Int = {
+    val b = buf(channel)
+    b.synchronized(b.events.size)
+  }
+
+  /** Evict events with seq < upTo (called when a micro-batch COMMITS —
+    * the consumer's checkpoint has durably recorded them) and wake any
+    * blocked producers.
+    */
+  def release(channel: String, upTo: Long): Unit = {
+    val b = buf(channel)
+    b.synchronized {
+      while (b.base < upTo && !b.events.isEmpty) {
+        b.events.removeFirst(); b.base += 1
+      }
+      b.notifyAll()
+    }
+  }
+
+  /** Events in [from, until), clamped to what is still retained. */
   def slice(channel: String, from: Long, until: Long): Array[Event] = {
     val b = buf(channel)
     b.synchronized {
-      val hi = math.min(until, b.size().toLong).toInt
-      val lo = math.min(math.max(from, 0L), hi.toLong).toInt
-      Array.tabulate(hi - lo)(i => b.get(lo + i))
+      val hi = math.min(until, b.end)
+      val lo = math.min(math.max(from, b.base), hi)
+      val all = b.events.toArray(new Array[Event](b.events.size))
+      java.util.Arrays.copyOfRange(all, (lo - b.base).toInt, (hi - b.base).toInt)
     }
   }
 
   def clear(channel: String): Unit = {
     val b = buf(channel)
-    b.synchronized(b.clear())
+    b.synchronized { b.events.clear(); b.base = 0L; b.notifyAll() }
   }
 }
 
@@ -119,24 +200,53 @@ private[sources] class PushTable(channel: String) extends Table with SupportsRea
 private[sources] class PushScan(channel: String) extends Scan {
   override def readSchema(): StructType = PushSource.Schema
 
-  /** Snapshot phase: everything pushed so far, fixed at planning time. */
+  /** Snapshot phase: everything still retained, fixed at planning time
+    * (events evicted by a streaming consumer's commit are gone — the
+    * snapshot is of the channel, not of history).
+    */
   override def toBatch: Batch = new Batch {
+    private val base = PushBuffer.baseOffset(channel)
     private val end = PushBuffer.endOffset(channel)
     override def planInputPartitions(): Array[InputPartition] =
-      PushScan.partitions(channel, 0L, end)
+      PushScan.partitions(channel, base, end)
     override def createReaderFactory(): PartitionReaderFactory =
       PushScan.readerFactory
   }
 
-  /** Change-stream phase: micro-batches over [start, latest). */
+  /** Change-stream phase: micro-batches over [start, latest).
+    *
+    * ADMISSION CONTROL: Spark commits batch N's source offsets only when
+    * batch N+1 runs (MicroBatchExecution.cleanUpLastExecutedMicroBatch
+    * commits `offsetLog.get(batchId - 1)`), and a batch only runs when it
+    * has data. If one batch could swallow the whole channel, a full
+    * channel whose events were all consumed-but-uncommitted would
+    * deadlock: producers blocked on space, space blocked on a commit,
+    * the commit blocked on a next batch that needs new data. Capping
+    * every batch at half the channel capacity guarantees a full channel
+    * always has uncommitted events BEYOND the last batch, so the next
+    * batch runs, commits its predecessor, and frees space.
+    */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream with SupportsAdmissionControl {
+      private def maxBatch: Long =
+        math.max(1L, PushBuffer.capacityOf(channel) / 2L)
       override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "latestOffset(Offset, ReadLimit) should be called instead")
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+        PushOffset(math.min(PushBuffer.endOffset(channel),
+          start.asInstanceOf[PushOffset].seq + maxBatch))
+      override def reportLatestOffset(): Offset =
         PushOffset(PushBuffer.endOffset(channel))
+      override def getDefaultReadLimit: ReadLimit =
+        ReadLimit.maxRows(maxBatch)
       override def initialOffset(): Offset = PushOffset(0L)
       override def deserializeOffset(json: String): Offset =
         PushOffset(json.trim.toLong)
-      override def commit(end: Offset): Unit = () // buffer retained for replay
+      override def commit(end: Offset): Unit =
+        // the checkpoint has durably recorded [start, end) — evict the
+        // committed prefix so blocked producers get space (backpressure)
+        PushBuffer.release(channel, end.asInstanceOf[PushOffset].seq)
       override def stop(): Unit = ()
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
         PushScan.partitions(channel,

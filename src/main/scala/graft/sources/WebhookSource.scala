@@ -99,13 +99,23 @@ object WebhookServer {
             respond(ex, 400,
               """{"error":"body must be a JSON object or array of objects"}""")
           case Some(rs) =>
-            rs.foreach { n =>
+            val envs = rs.map { n =>
               val env = mapper.createObjectNode()
               env.put("verb", verb)
               env.set[com.fasterxml.jackson.databind.JsonNode]("data", n)
-              PushBuffer.push(channel, mapper.writeValueAsString(env))
+              mapper.writeValueAsString(env)
             }
-            respond(ex, 200, s"""{"inserted":${rs.length}}""")
+            // atomic all-or-nothing append; if the channel is full (the
+            // consumer's micro-batch is behind) the client gets 429 +
+            // Retry-After instead of the driver growing without bound
+            PushBuffer.tryPush(channel, envs) match {
+              case Some(_) =>
+                respond(ex, 200, s"""{"inserted":${rs.length}}""")
+              case None =>
+                ex.getResponseHeaders.set("Retry-After", "1")
+                respond(ex, 429,
+                  """{"error":"ingest channel full, retry later"}""")
+            }
         }
       }
     }

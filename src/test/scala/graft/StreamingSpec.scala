@@ -730,6 +730,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("push channel is bounded: full channel rejects, commit frees space") {
+    import graft.sources.{PushBuffer, Sources}
+    val chan = "push_backpressure"
+    PushBuffer.clear(chan)
+    PushBuffer.configure(chan, capacity = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bp").toString
+    // fill to capacity; the 9th event must NOT grow the buffer
+    (1 to 8).foreach(i => PushBuffer.push(chan, s"""{"k":$i}"""))
+    assert(PushBuffer.retained(chan) == 8)
+    assert(PushBuffer.tryPush(chan, Seq("""{"k":9}""")).isEmpty)
+    intercept[PushBuffer.Full] {
+      PushBuffer.pushAll(chan, Seq("""{"k":9}"""), waitMs = 50L)
+    }
+    assert(PushBuffer.retained(chan) == 8) // rejected push appended nothing
+    // a push that can never fit fails immediately, loudly
+    intercept[IllegalArgumentException] {
+      PushBuffer.pushAll(chan, (1 to 9).map(i => s"""{"x":$i}"""), waitMs = 0L)
+    }
+    // consuming evicts the committed prefix and unblocks producers —
+    // the slow-sink case bounded end-to-end. Spark commits batch N only
+    // when batch N+1 RUNS, so admission control caps every batch at
+    // capacity/2: the 8 events split into [0,4) + [4,8), and running
+    // [4,8) commits [0,4) — a full channel can never deadlock on its
+    // own uncommitted tail.
+    val q = Sources.push(spark, chan)
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/cp")
+      .start()
+    try {
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (PushBuffer.retained(chan) > 4 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(PushBuffer.retained(chan) == 4) // batch [0,4) committed+evicted
+      assert(PushBuffer.endOffset(chan) == 8L) // offsets stay absolute
+      // space is free again; the query reads ONLY the new events
+      assert(PushBuffer.tryPush(chan, Seq("""{"k":9}""")).contains(9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val seqs = spark.read.parquet(s"$tmp/out")
+      .select("seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (0L to 8L)) // no re-read, no loss across eviction
+  }
+
+  test("webhook edge returns 429 + Retry-After when the channel is full") {
+    import graft.sources.{PushBuffer, WebhookServer}
+    val chan = "webhook_429"
+    PushBuffer.clear(chan)
+    PushBuffer.configure(chan, capacity = 3)
+    val srv = WebhookServer.start(0, Map("/ingest" -> chan))
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(body: String) = http.send(
+        java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:${srv.port}/ingest"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(post("""[{"k":1},{"k":2},{"k":3}]""").statusCode() == 200)
+      val full = post("""{"k":4}""")
+      assert(full.statusCode() == 429)
+      assert(full.headers().firstValue("Retry-After").orElse("") == "1")
+      assert(PushBuffer.retained(chan) == 3) // nothing appended past cap
+      // consumer catches up -> edge accepts again
+      PushBuffer.release(chan, 3L)
+      assert(post("""{"k":4}""").statusCode() == 200)
+    } finally srv.stop()
+  }
+
   test("hop agg emits per overlapping window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
