@@ -638,7 +638,42 @@ object JsMini {
       throw new JsError(VStr(s"${toDisplay(other)} is not a function"))
   }
 
-  private def exec(s: Stmt, env: Env): Unit = s match {
+  // ---------------------------------------------------------------- budget
+
+  /** Per-entry step budget. An in-JVM interpreter cannot be killed like
+    * the reference's Deno worker process (dozer-deno runs scripts in a
+    * separate runtime the host can terminate), so every statement and
+    * expression evaluation counts against a fuel budget; `while(true){}`
+    * in a UDF or ingest script raises loudly instead of hanging the
+    * executor task forever. The budget resets at each top-level entry
+    * (module load, per-row callDefault) — NOT inside callFunction, or a
+    * loop invoking callbacks would refresh its own fuel.
+    */
+  val DefaultBudget: Long = 20000000L
+
+  final class BudgetExceeded(budget: Long) extends RuntimeException(
+    s"JsMini execution budget exceeded ($budget steps) — the script is " +
+      "likely stuck in an infinite loop; split the work or simplify the UDF")
+
+  private val fuel = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = Array(DefaultBudget)
+  }
+
+  private[functions] def resetBudget(steps: Long = DefaultBudget): Unit =
+    fuel.get()(0) = steps
+
+  @inline private def tick(): Unit = {
+    val a = fuel.get()
+    a(0) -= 1
+    if (a(0) <= 0) {
+      a(0) = DefaultBudget // don't poison the thread's next entry
+      throw new BudgetExceeded(DefaultBudget)
+    }
+  }
+
+  private def exec(s: Stmt, env: Env): Unit = { tick(); execStmt(s, env) }
+
+  private def execStmt(s: Stmt, env: Env): Unit = s match {
     case SExpr(e) => eval(e, env)
     case SLet(decls) =>
       decls.foreach { case (name, init) =>
@@ -702,7 +737,9 @@ object JsMini {
     case SExportDefault(_) => // handled at module load
   }
 
-  private def eval(e: Expr, env: Env): V = e match {
+  private def eval(e: Expr, env: Env): V = { tick(); evalExpr(e, env) }
+
+  private def evalExpr(e: Expr, env: Env): V = e match {
     case ENum(v)  => VNum(v)
     case EStr(v)  => VStr(v)
     case EBool(v) => VBool(v)
@@ -1153,6 +1190,7 @@ object JsMini {
     private val env = globalEnv().child
     extraGlobals.foreach { case (k, v) => env.declare(k, v) }
     private var default: Option[V] = None
+    resetBudget() // top-level entry: the whole module run shares one budget
     stmts.foreach {
       case SExportDefault(e) =>
         default = Some(eval(e, env))
@@ -1165,7 +1203,10 @@ object JsMini {
     /** The UDF contract: one JSON-shaped argument in, JSON out
       * (javascript/validate.rs:10-27).
       */
-    def callDefault(arg: V): V = callFunction(defaultExport, Seq(arg))
+    def callDefault(arg: V): V = {
+      resetBudget() // top-level entry: each row gets a fresh budget
+      callFunction(defaultExport, Seq(arg))
+    }
   }
 
   def load(src: String): Module = new Module(src)

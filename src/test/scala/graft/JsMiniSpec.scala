@@ -213,4 +213,40 @@ class JsMiniSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("of undefined"))
   }
+
+  test("execution budget: while(true) in a UDF fails fast, loudly") {
+    val t0 = System.nanoTime()
+    val e = intercept[JsMini.BudgetExceeded] {
+      run("export default function () { while (true) {} }", VNull)
+    }
+    assert(e.getMessage.contains("budget exceeded"))
+    assert((System.nanoTime() - t0) / 1e9 < 60, "budget trip took too long")
+    // the thread is not poisoned: the next call gets a fresh budget
+    assert(run("export default function (x) { return x + 1; }", VNum(1)) == VNum(2))
+  }
+
+  test("execution budget: infinite top-level module load fails fast") {
+    intercept[JsMini.BudgetExceeded] {
+      JsMini.load("let i = 0; while (true) { i = i + 1; }")
+    }
+  }
+
+  test("execution budget: callbacks do not refresh the loop's fuel") {
+    intercept[JsMini.BudgetExceeded] {
+      run(
+        """export default function () {
+          |  while (true) { [1, 2, 3].map(function (x) { return x; }); }
+          |}""".stripMargin, VNull)
+    }
+  }
+
+  test("execution budget: legitimate heavy-but-finite work completes") {
+    val m =
+      """export default function (n) {
+        |  let s = 0;
+        |  for (let i = 0; i < n; i = i + 1) { s = s + i; }
+        |  return s;
+        |}""".stripMargin
+    assert(run(m, VNum(100000)) == VNum(4999950000.0))
+  }
 }
