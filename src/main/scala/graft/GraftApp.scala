@@ -431,6 +431,20 @@ object GraftApp {
         graft.sources.WebhookServer.changes(feed, s.schema.getOrElse(
           throw new IllegalArgumentException(
             s"webhook source '${s.name}' needs a row schema")))
+      case Some("arrow") =>
+        // Arrow IPC push ingest (gRPC adapter parity — grpc/src/adapter/
+        // arrow.rs): clients push IPC frames onto the bounded channel via
+        // ArrowIngest.ingest; both scan phases decode map-only.
+        val chan = s.options.getOrElse("channel",
+          throw new IllegalArgumentException(
+            s"arrow source '${s.name}' needs a channel option"))
+        val schemaName = s.options.getOrElse("schema_name", s.name)
+        val feed =
+          if (streaming) graft.sources.Sources.push(spark, chan)
+          else graft.sources.Sources.pushSnapshot(spark, chan)
+        graft.sources.ArrowIngest.changes(feed, schemaName, s.schema.getOrElse(
+          throw new IllegalArgumentException(
+            s"arrow source '${s.name}' needs a row schema")))
       case Some("javascript") =>
         // JS ingestion connector: the bootstrap script (s.path) runs on
         // the embedded runtime and its `ingest` envelopes materialize

@@ -202,11 +202,14 @@ object GraftConfigLoader {
         name = str(s, "name"),
         path = str(s, "path"),
         format = s.asScala.get("format").map(_.toString).getOrElse("parquet"),
+        schema = s.asScala.get("schema").map(x =>
+          org.apache.spark.sql.types.StructType.fromDDL(x.toString)),
         watermark = s.asScala.get("watermark").map { w =>
           val m = asMap(w)
           (str(m, "column"), str(m, "delay"))
         },
-        options = optMap(s, "options"))
+        options = optMap(s, "options"),
+        decode = s.asScala.get("decode").map(_.toString))
     }
     GraftConfig(
       sources = sources,

@@ -416,6 +416,23 @@ object CdcQueries {
         col("r.seq").as("seq"))
       SnowStream.materialize(stream, "seq", Seq("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("acctbal"))
+    },
+
+    // Arrow IPC ingest round-trip (dozer-ingestion/grpc/src/adapter/
+    // arrow.rs: IngestArrowRequest carries an Arrow IPC stream decoded
+    // with StreamReader, every record an Insert): the events table —
+    // longs, strings, a double, and a µs timestamp, the adapter's full
+    // scalar surface — is encoded into one IPC frame per partition
+    // executor-side, decoded back map-only, and must round-trip
+    // bit-exactly against the raw table. No shuffle anywhere: encode
+    // and decode are both narrow.
+    QueryDef("q100_arrow_ingest",
+      "SELECT event_id, ts, user_id, event_type, value FROM events") {
+      (s, dir) =>
+      import graft.sources.ArrowIngest
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ArrowIngest.decodeFrames(ArrowIngest.encodeFrames(ev), ev.schema)
     }
   )
 }

@@ -469,6 +469,39 @@ class GraftAppSpec extends AnyFunSuite {
     } finally hooks.foreach(_.stop())
   }
 
+  test("arrow source: native config decodes IPC frames from a push channel") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrowcfg").toString
+    val chan = "arrow_cfg_spec"
+    graft.sources.PushBuffer.clear(chan)
+    val rowSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    graft.sources.ArrowIngest.ingest(chan, "measures",
+      graft.sources.ArrowIngest.encodePartition(
+        Seq(Row(1L, 0.25), Row(2L, 0.75), Row(3L, 0.5)).iterator,
+        rowSchema, 1024))
+    val config = GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: measures
+         |    path: ""
+         |    decode: arrow
+         |    schema: "k BIGINT, v DOUBLE"
+         |    options:
+         |      channel: $chan
+         |      schema_name: measures
+         |sql: |
+         |  SELECT k, v INTO big FROM measures WHERE v >= 0.5;
+         |sinks:
+         |  - table: big
+         |    path: $tmp/out
+         |""".stripMargin)
+    GraftApp.runBatch(spark, config)
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 3L))
+  }
+
   test("non-object-store dozer connections raise the documented mapping") {
     val yaml =
       """connections:
