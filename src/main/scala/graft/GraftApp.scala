@@ -568,6 +568,15 @@ object GraftApp {
 
   /** Run a streaming pipeline: one StreamingQuery per sink. */
   def runStreaming(spark: SparkSession, config: GraftConfig): Seq[StreamingQuery] = {
+    // Default streaming state onto RocksDB (SCALE.md contract) even on a
+    // caller-built session; a caller who configured a non-default
+    // provider keeps it. Read at query start, so setting it here covers
+    // every query this run launches.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val hdfsDefault =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    if (spark.conf.get(providerKey, hdfsDefault).endsWith("HDFSBackedStateStoreProvider"))
+      spark.conf.set(providerKey, GraftSession.RocksDBProvider)
     registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = true)
     config.sources.foreach { s =>

@@ -37,9 +37,21 @@ object GraftSession {
       // normalizes to TIMESTAMP (session TZ is UTC, wall clock preserved).
       // Both branches are kept so the engine is robust to either layout.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state lives in RocksDB, not on the executor heap: at
+      // the design target (100 TB, large keyed state) the default
+      // HDFS-backed in-memory store is the first thing to fall over —
+      // RocksDB spills to local disk, bounds heap by block-cache size,
+      // and checkpoints changelogs. Spark bundles rocksdbjni. Override
+      // with spark.sql.streaming.stateStore.providerClass if needed.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        GraftSession.RocksDBProvider)
       .getOrCreate()
     configure(spark)
   }
+
+  /** Spark's bundled RocksDB state store provider (SCALE.md contract). */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Idempotently registers the engine's SQL surface on an existing session
     * (used by Verify/Bench, which build their own sessions, and by tests).

@@ -799,6 +799,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("stateful query runs on the RocksDB state store (SCALE.md contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      == GraftSession.RocksDBProvider)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    val mem = MemoryStream[String]
+    mem.addData("a", "b", "a", "c", "a")
+    val q = graft.streaming.StatefulOps.runningCounts(mem.toDS())
+      .writeStream.format("memory").queryName("rocks_counts")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rocks_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      // the checkpoint carries RocksDB artifacts (zip snapshots /
+      // changelogs), not the HDFS provider's .delta files
+      val stateFiles = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(ckpt, "state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var names = List.empty[String]
+      while (stateFiles.hasNext) names ::= stateFiles.next().getFileName.toString
+      assert(!names.exists(_.endsWith(".delta")),
+        s"HDFS-provider .delta files in RocksDB checkpoint: $names")
+      assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+        s"no RocksDB snapshot/changelog artifacts found: $names")
+    } finally q.stop()
+  }
+
   test("hop agg emits per overlapping window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
