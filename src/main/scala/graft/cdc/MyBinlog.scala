@@ -190,17 +190,24 @@ object MyBinlog extends Serializable {
   private type Registry = Map[Long, Vector[(Long, TableMeta)]]
 
   private def buildRegistry(frames: Dataset[(Long, Array[Byte])],
-      selections: Seq[Selection]): (Registry, Vector[(Long, Int)]) = {
+      selections: Seq[Selection], lenient: Boolean = false)
+      : (Registry, Vector[(Long, Int)]) = {
     val metaFrames = frames.filter { f =>
-      val t = eventType(f._2)
-      t == EventType.TableMap || t == EventType.FormatDescription
+      try {
+        val t = eventType(f._2)
+        t == EventType.TableMap || t == EventType.FormatDescription
+      } catch { case _: Exception => false } // truncated header
     }.collect()
     // checksum regime: (seq, alg) switch points from FDE frames
     val algs = metaFrames.iterator
       .filter(f => eventType(f._2) == EventType.FormatDescription)
-      .map { case (seq, frame) =>
-        val logPos = new Reader(frame, 13, frame.length).u32()
-        (if (logPos > 0) logPos else seq, checksumAlg(frame))
+      .flatMap { case (seq, frame) =>
+        try {
+          val logPos = new Reader(frame, 13, frame.length).u32()
+          Some((if (logPos > 0) logPos else seq, checksumAlg(frame)))
+        } catch {
+          case e: Exception if lenient => None // corrupt FDE → malformed()
+        }
       }.toVector.sortBy(_._1)
     def checksummedAt(seq: Long): Boolean = {
       val at = algs.takeWhile(_._1 <= seq)
@@ -211,12 +218,16 @@ object MyBinlog extends Serializable {
     // force at that seq even when that table is unselected
     val versions = metaFrames.iterator
       .filter(f => eventType(f._2) == EventType.TableMap)
-      .map { case (seq0, frame) =>
-        val (h, r) = readHeader(frame, checksummedAt(
-          if (frameLogPos(frame) > 0) frameLogPos(frame) else seq0))
-        val seq = if (h.logPos > 0) h.logPos else seq0
-        val (tableId, meta) = readTableMap(r)
-        (tableId, (seq, meta))
+      .flatMap { case (seq0, frame) =>
+        try {
+          val (h, r) = readHeader(frame, checksummedAt(
+            if (frameLogPos(frame) > 0) frameLogPos(frame) else seq0))
+          val seq = if (h.logPos > 0) h.logPos else seq0
+          val (tableId, meta) = readTableMap(r)
+          Some((tableId, (seq, meta)))
+        } catch {
+          case e: Exception if lenient => None // corrupt map → malformed()
+        }
       }.toVector
     val reg = versions.groupBy(_._1).map { case (id, vs) =>
       val sorted = vs.map(_._2).sortBy(_._1)
@@ -371,6 +382,41 @@ object MyBinlog extends Serializable {
     ds.flatMap { case (seq, frame) =>
       decodeFrame(reg, algs, selections, seq, frame) }
       .toDF()
+  }
+
+  /** Lenient decode + dead-letter companions — the same contract as
+    * [[PgOutput.changesLenient]]/[[PgOutput.malformed]]: corrupt events
+    * (truncated headers, CRC32 mismatches, bad metadata) skip the
+    * change stream and land in `malformed` with reasons, map-only.
+    */
+  def changesLenient(frames: DataFrame, selections: Seq[Selection]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val ds = frames.select(col("seq").cast("long"), col("frame"))
+      .as[(Long, Array[Byte])]
+    val (reg, algs) = buildRegistry(ds, selections, lenient = true)
+    ds.flatMap { case (seq, frame) =>
+      try decodeFrame(reg, algs, selections, seq, frame)
+      catch { case _: Exception => Nil }
+    }.toDF()
+  }
+
+  /** Dead-letter rows `(seq, reason)` for events [[changesLenient]]
+    * skipped.
+    */
+  def malformed(frames: DataFrame, selections: Seq[Selection]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val ds = frames.select(col("seq").cast("long"), col("frame"))
+      .as[(Long, Array[Byte])]
+    val (reg, algs) = buildRegistry(ds, selections, lenient = true)
+    ds.flatMap { case (seq, frame) =>
+      try { decodeFrame(reg, algs, selections, seq, frame); Nil }
+      catch { case e: Exception =>
+        Seq((seq, s"${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("")}"))
+      }
+    }.toDF("seq", "reason")
   }
 
   /** Decode + materialize current state for one table. */

@@ -177,23 +177,31 @@ object PgOutput extends Serializable {
     * changes) — a model-sized collect, NOT data-sized.
     */
   private def buildRegistry(frames: Dataset[(Long, Array[Byte])],
-      selections: Seq[Selection]): Registry = {
-    val relFrames = frames.filter(f => isRelationFrame(f._2)).collect()
+      selections: Seq[Selection], lenient: Boolean = false): Registry = {
+    val relFrames = frames.filter { f =>
+      try isRelationFrame(f._2)
+      catch { case _: Exception => false } // corrupt wrap: not a Relation
+    }.collect()
     val versions = relFrames.flatMap { case (seq, frame) =>
-      val (off, lsn) = unwrap(frame).get
-      val r = new Reader(frame, off + 1)
-      val (relId, qualified, identity, allCols) = readRelation(r)
-      selectionFor(selections, qualified).map { sel =>
-        val wanted =
-          if (sel.columns.isEmpty) allCols
-          else {
-            val byName = allCols.map(c => c.name -> c).toMap
-            sel.columns.toVector.map(n => byName.getOrElse(n,
-              throw new IllegalArgumentException(
-                s"pgoutput: relation $qualified has no column '$n' " +
-                  s"(has ${allCols.map(_.name).mkString(", ")})")))
-          }
-        (relId, (lsn.getOrElse(seq), RelMeta(qualified, identity, wanted)))
+      try {
+        val (off, lsn) = unwrap(frame).get
+        val r = new Reader(frame, off + 1)
+        val (relId, qualified, identity, allCols) = readRelation(r)
+        selectionFor(selections, qualified).map { sel =>
+          val wanted =
+            if (sel.columns.isEmpty) allCols
+            else {
+              val byName = allCols.map(c => c.name -> c).toMap
+              sel.columns.toVector.map(n => byName.getOrElse(n,
+                throw new IllegalArgumentException(
+                  s"pgoutput: relation $qualified has no column '$n' " +
+                    s"(has ${allCols.map(_.name).mkString(", ")})")))
+            }
+          (relId, (lsn.getOrElse(seq), RelMeta(qualified, identity, wanted)))
+        }
+      } catch {
+        // corrupt Relation frame: skipped here, surfaced by [[malformed]]
+        case e: Exception if lenient => None
       }
     }
     versions.groupBy(_._1).map { case (relId, vs) =>
@@ -344,6 +352,45 @@ object PgOutput extends Serializable {
       .as[(Long, Array[Byte])]
     val reg = buildRegistry(ds, selections)
     ds.flatMap { case (seq, frame) => decodeFrame(reg, seq, frame) }.toDF()
+  }
+
+  private def describeFailure(e: Throwable): String =
+    s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+
+  /** Lenient decode for pipelines that must survive corrupt frames
+    * (the [[Debezium.malformed]] dead-letter pattern, applied to the
+    * binary codec): frames that fail to decode are skipped here and
+    * surface with reasons in [[malformed]]; corrupt Relation frames are
+    * likewise skipped when building the registry. The strict
+    * [[changes]] stays loud — in a healthy replication session a
+    * corrupt frame is a protocol violation worth stopping for; route
+    * `changesLenient` + `malformed` when availability wins.
+    */
+  def changesLenient(frames: DataFrame, selections: Seq[Selection]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val ds = frames.select(col("seq").cast("long"), col("frame"))
+      .as[(Long, Array[Byte])]
+    val reg = buildRegistry(ds, selections, lenient = true)
+    ds.flatMap { case (seq, frame) =>
+      try decodeFrame(reg, seq, frame)
+      catch { case _: Exception => Nil }
+    }.toDF()
+  }
+
+  /** Dead-letter rows `(seq, reason)` for frames [[changesLenient]]
+    * skipped — map-only, same scan shape as the decode itself.
+    */
+  def malformed(frames: DataFrame, selections: Seq[Selection]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val ds = frames.select(col("seq").cast("long"), col("frame"))
+      .as[(Long, Array[Byte])]
+    val reg = buildRegistry(ds, selections, lenient = true)
+    ds.flatMap { case (seq, frame) =>
+      try { decodeFrame(reg, seq, frame); Nil }
+      catch { case e: Exception => Seq((seq, describeFailure(e))) }
+    }.toDF("seq", "reason")
   }
 
   /** Flatten one table's envelope rows to ChangeModel change rows with

@@ -180,4 +180,33 @@ class MyBinlogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(state == Seq((1L, "a2", 9.0)))
   }
+
+  test("dead letter: CRC mismatch and truncated events land in malformed, lenient survives") {
+    val goodWrite = Encode.writeRows(users,
+      Seq(Seq(Some("1"), Some("a"), Some("1.0"))), checksum = true)
+    val crcBroken = { val c = goodWrite.clone(); c(25) = (c(25) ^ 1).toByte; c }
+    val truncated = goodWrite.take(10) // shorter than the v4 header
+    val frames = Seq(
+      1L -> Encode.formatDescription(1L, crc32 = true),
+      2L -> Encode.tableMap(users, 0L, checksum = true),
+      3L -> goodWrite,
+      4L -> crcBroken,
+      5L -> truncated,
+      6L -> Encode.writeRows(users,
+        Seq(Seq(Some("2"), Some("b"), Some("2.0"))), checksum = true))
+    // strict decode is loud
+    intercept[Exception] { decoded(frames) }
+    // lenient decode survives: the two good writes come through
+    val ok = MyBinlog.changesLenient(framesDf(frames), Seq(Selection("users")))
+      .orderBy("_seq").collect().map(r => r.getString(3)).toSeq
+    assert(ok == Seq(
+      """{"id":1,"name":"a","score":1.0}""",
+      """{"id":2,"name":"b","score":2.0}"""))
+    // corrupt events dead-letter with reasons
+    val dlq = MyBinlog.malformed(framesDf(frames), Seq(Selection("users")))
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dlq.map(_._1) == Seq(4L, 5L))
+    assert(dlq.exists(_._2.contains("CRC32 mismatch")))
+  }
 }

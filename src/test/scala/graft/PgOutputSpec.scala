@@ -184,4 +184,31 @@ class PgOutputSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(state == Seq((1L, "a2", 9.0)))
   }
+
+  test("dead letter: corrupt frames land in malformed with reasons, lenient stream survives") {
+    val good = Encode.insert(RelId, Seq(Some("1"), Some("ann"), Some("1.5")))
+    val truncated = good.take(good.length / 2) // mid-tuple cut
+    val unknownType = Array[Byte]('Z'.toByte, 0, 0, 0, 1)
+    val frames = Seq(
+      0L -> rel(),
+      1L -> good,
+      2L -> truncated,
+      3L -> unknownType,
+      4L -> Encode.insert(RelId, Seq(Some("2"), Some("bob"), Some("2.5"))))
+    // strict decode is loud
+    intercept[org.apache.spark.SparkException] {
+      PgOutput.changes(framesDf(frames), Seq(Selection("users"))).collect()
+    }
+    // lenient decode survives: good frames pass through
+    val ok = PgOutput.changesLenient(framesDf(frames), Seq(Selection("users")))
+      .orderBy("_seq").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(ok == Seq((ChangeModel.Insert, 1L), (ChangeModel.Insert, 4L)))
+    // ... and the corrupt ones are dead-lettered with reasons
+    val dlq = PgOutput.malformed(framesDf(frames), Seq(Selection("users")))
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dlq.map(_._1) == Seq(2L, 3L))
+    assert(dlq.forall(_._2.nonEmpty))
+  }
 }
