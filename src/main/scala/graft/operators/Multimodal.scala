@@ -564,6 +564,14 @@ object Multimodal {
     }
   }
 
+  /** Gear constants as unsigned decimal strings — embedded in the q80
+    * DuckDB oracle so the oracle replays the SAME table this kernel
+    * uses (one source of truth; the rolling hash is pure integer math
+    * mod 2^64, which DuckDB replays in HUGEINT).
+    */
+  def gearConstantsUnsigned: IndexedSeq[String] =
+    gearTable.map(java.lang.Long.toUnsignedString).toIndexedSeq
+
   /** Content-defined chunk boundaries of a byte payload: gear rolling
     * hash, cut when the top `avgBits` bits are zero and the chunk is at
     * least `minSize`; hard cut at `maxSize`. Because boundaries depend

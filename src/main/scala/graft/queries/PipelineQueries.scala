@@ -17,6 +17,87 @@ object PipelineQueries {
 
   private val stop = Seq("the", "a")
 
+  /** DuckDB replay of [[graft.operators.Bpe.train]] (numMerges rounds,
+    * minPairFreq = 2): generated, not hand-written, because each round
+    * is the same three CTEs — overlapping pair counts, argmax with the
+    * (freq desc, a, b) tie-break, greedy merge apply. The merge apply
+    * is windowed, not sequential: for a ≠ b adjacent matches cannot
+    * overlap, and for a == b greedy left-to-right merges land exactly
+    * at even offsets within each maximal run of a's. An early stop
+    * (best freq < 2) yields an empty bestK, which empties every later
+    * level — the same truncation the trainer performs.
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    def round(k: Int): String =
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT syms[p] AS a, syms[p+1] AS b, SUM(n)::BIGINT AS freq
+         |  FROM lvl$k, UNNEST(range(1, len(syms))) AS u(p)
+         |  GROUP BY 1, 2
+         |),
+         |best$k AS (SELECT a, b, freq FROM pc$k WHERE freq >= 2
+         |           ORDER BY freq DESC, a, b LIMIT 1),
+         |lvl${k + 1} AS MATERIALIZED (
+         |  SELECT w, list(sym ORDER BY p) AS syms, MIN(n) AS n
+         |  FROM (
+         |    SELECT w, n, p, CASE WHEN m THEN s || s2 ELSE s END AS sym, m,
+         |           lag(m, 1, FALSE) OVER (PARTITION BY w ORDER BY p) AS pm
+         |    FROM (
+         |      SELECT e.w, e.n, e.p, e.s, e.s2,
+         |             (e.s = x.a AND e.s2 IS NOT DISTINCT FROM x.b AND
+         |              (x.a <> x.b OR (e.p - MIN(e.p) OVER
+         |                 (PARTITION BY e.w, e.s, e.p - e.rn)) % 2 = 0)) AS m
+         |      FROM (
+         |        SELECT l.w, l.n, u.p, l.syms[u.p] AS s,
+         |               CASE WHEN u.p < len(l.syms) THEN l.syms[u.p+1] END AS s2,
+         |               ROW_NUMBER() OVER (PARTITION BY l.w, l.syms[u.p]
+         |                                  ORDER BY u.p) AS rn
+         |        FROM lvl$k l, UNNEST(range(1, len(l.syms)+1)) AS u(p)
+         |      ) e CROSS JOIN best$k x
+         |    )
+         |  )
+         |  WHERE NOT pm
+         |  GROUP BY w
+         |)""".stripMargin
+    val lvl0 =
+      """WITH
+        |lvl0 AS MATERIALIZED (
+        |  SELECT w, string_split(w, '') AS syms, COUNT(*)::BIGINT AS n
+        |  FROM (
+        |    SELECT unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE w <> '' GROUP BY w
+        |)""".stripMargin
+    (lvl0 +: (0 until rounds).map(round)).mkString(",\n")
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val sel = (0 until rounds)
+      .map(k => s"SELECT ${k + 1} AS rank, a AS left, b AS right, freq FROM best$k")
+      .mkString(" UNION ALL ")
+    bpeChainSql(rounds) +
+      s"""\nSELECT CAST(rank AS INT) AS rank, "left", "right", freq
+         |FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Bpe.segmentStats]] under the
+    * same trained merges: the lvl$rounds table IS the corpus vocabulary
+    * segmented by the full merge list (rank-priority apply ==
+    * sequential training passes for greedily-learned merges), so
+    * per-doc subword counts are one token-to-vocab join away.
+    */
+  private def bpeSegmentOracleSql(rounds: Int): String =
+    bpeChainSql(rounds) +
+      s""",
+         |seg AS (SELECT w, len(syms)::BIGINT AS k FROM lvl$rounds),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |)
+         |SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+         |       SUM(s.k)::BIGINT AS n_subwords
+         |FROM tok t JOIN seg s ON s.w = t.w GROUP BY t.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup by digest — hash-groupBy, one shuffle
@@ -1352,7 +1433,17 @@ object PipelineQueries {
     // has no single-statement SQL twin -> rows-only; PipelineSpec checks
     // the distributed trainer against a sequential reference and the
     // Sennrich toy corpus.
-    QueryDef.noOracle("q68_bpe_merges") { (s, dir) =>
+    // FULLY ORACLED (round 8): BPE training is exact integer math —
+    // word counts, overlapping adjacent-pair counts, argmax with
+    // (freq desc, a, b) tie-break, greedy left-to-right merge — so the
+    // 12 rounds unroll into chained MATERIALIZED CTEs DuckDB replays
+    // bit-exactly. The greedy merge needs no sequential scan in SQL:
+    // for a ≠ b matches can't overlap (merge all); for a == b merges
+    // land at even offsets within each run of consecutive a's
+    // (islands trick + parity). MATERIALIZED matters: without it each
+    // lvl CTE re-inlines into its two consumers and the 12-level chain
+    // re-evaluates exponentially.
+    QueryDef("q68_bpe_merges", bpeOracleSql(rounds = 12)) { (s, dir) =>
       val merges = graft.operators.Bpe.train(
         t(s, dir, "documents"), "text", numMerges = 12)
       graft.operators.Bpe.mergesDf(s, merges)
@@ -1399,10 +1490,12 @@ object PipelineQueries {
     },
 
     // Tokenizer APPLY step: per-doc subword counts under the corpus-
-    // trained merge list (rows-only: the merge list itself is the
-    // iterative trainer's output; segmentation math spec'd in
-    // PipelineSpec against per-token reference segmentation).
-    QueryDef.noOracle("q68b_bpe_segment") { (s, dir) =>
+    // trained merge list. FULLY ORACLED (round 8): the q68 training
+    // chain's final level IS the vocabulary's segmentation, and every
+    // corpus token is in the vocabulary by construction, so subword
+    // counts replay as one token-to-vocab join (plus the PipelineSpec
+    // per-token reference segmentation checks).
+    QueryDef("q68b_bpe_segment", bpeSegmentOracleSql(rounds = 12)) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.train(docs, "text", numMerges = 12)
       graft.operators.Bpe.segmentStats(docs, "doc_id", "text", merges)
@@ -1425,9 +1518,48 @@ object PipelineQueries {
     // Content-defined chunk dedup over the corpus's byte payloads
     // (FastCDC gear boundaries -> md5 digests -> digest-keyed dedup):
     // the binary-side near-dup story — shift-resistant shared-segment
-    // detection. Gear boundaries aren't SQL-expressible -> rows-only;
-    // shift-resistance + tiling invariants in PipelineSpec.
-    QueryDef.noOracle("q80_cdc_chunk_dedup") { (s, dir) =>
+    // detection. FULLY ORACLED (round 8): the gear rolling hash is pure
+    // integer math mod 2^64 — DuckDB replays it in HUGEINT with the
+    // same 256 gear constants (embedded from the kernel's own table)
+    // via a recursive byte-walk, cutting where (h & 255) == 0 at
+    // len >= 64, hard-cut 4096, chunk at end-of-doc; md5 over the text
+    // agrees byte-for-byte because the corpus is ASCII (the Spark side
+    // chunks the UTF-8 payload bytes).
+    QueryDef("q80_cdc_chunk_dedup",
+      s"""WITH RECURSIVE
+        |g(b, v) AS (VALUES ${
+          graft.operators.Multimodal.gearConstantsUnsigned.zipWithIndex
+            .map { case (v, i) => s"($i,$v)" }.mkString(",")}),
+        |d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |      WHERE length(text) > 0),
+        |step(doc_id, i, h, start, boundary, c_start, c_len) AS (
+        |  SELECT doc_id, 0, 0::HUGEINT, 1, FALSE, 0, 0 FROM d
+        |  UNION ALL
+        |  SELECT doc_id, i, CASE WHEN cut THEN 0::HUGEINT ELSE h2 END,
+        |         CASE WHEN cut THEN i + 1 ELSE start END,
+        |         cut, start, len
+        |  FROM (
+        |    SELECT s.doc_id, s.i + 1 AS i, s.start,
+        |           (s.h * 2 + g.v) % 18446744073709551616 AS h2,
+        |           (s.i + 2 - s.start) AS len,
+        |           (((s.i + 2 - s.start) >= 64 AND
+        |             ((s.h * 2 + g.v) % 18446744073709551616) % 256 = 0)
+        |             OR (s.i + 2 - s.start) >= 4096 OR s.i + 1 = d.n) AS cut
+        |    FROM step s
+        |    JOIN d ON d.doc_id = s.doc_id AND s.i < d.n
+        |    JOIN g ON g.b = ord(substr(d.text, s.i + 1, 1))
+        |  )
+        |),
+        |chunks AS (
+        |  SELECT s.doc_id, md5(substr(d.text, s.c_start, s.c_len)) AS digest,
+        |         s.c_len AS chunk_len
+        |  FROM step s JOIN d ON d.doc_id = s.doc_id WHERE s.boundary
+        |)
+        |SELECT digest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+        |FROM chunks GROUP BY digest HAVING COUNT(*) > 1""".stripMargin) {
+      (s, dir) =>
       val docs = graft.operators.Multimodal.withBinaryPayload(
         t(s, dir, "documents"), "text", "text/plain")
       graft.operators.Multimodal.chunkDedup(
