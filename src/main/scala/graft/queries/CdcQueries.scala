@@ -418,6 +418,58 @@ object CdcQueries {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("acctbal"))
     },
 
+    // Kafka-transported Debezium CDC end-to-end (the Kafka connector's
+    // full stack: stream_consumer_basic.rs consumes topic messages and
+    // maps values through the Debezium envelope; here the TRANSPORT is
+    // the native RecordBatch v2 wire codec): the q47 change feed —
+    // snapshot reads for every order, payload-wrapped updates for keys
+    // %3=0, deletes for keys %7=0 — is packed into one v2 batch per
+    // order (baseOffset = key*4, so Kafka offsets order the phases per
+    // key with no global sort; CRC32C on every batch), decoded back,
+    // and materialized. Encode and decode are both map-only.
+    QueryDef("q101_kafka_debezium_cdc",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.cdc.KafkaBatch
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val batches = o.as[(Long, Long, String, Double)].map {
+        case (k, c, st, tp) =>
+          def row(status: String) =
+            s"""{"o_orderkey":$k,"o_custkey":$c,""" +
+              s""""o_orderstatus":"$status","o_totalprice":$tp}"""
+          val snap = s"""{"after":${row(st)},"op":"r"}"""
+          val upd = s"""{"payload":{"before":${row(st)},""" +
+            s""""after":${row("U")},"op":"u"}}"""
+          val del = s"""{"payload":{"before":${row(if (k % 3 == 0) "U" else st)},""" +
+            s""""op":"d"}}"""
+          val values = Seq(snap) ++
+            (if (k % 3 == 0) Seq(upd) else Nil) ++
+            (if (k % 7 == 0) Seq(del) else Nil)
+          (k, KafkaBatch.Encode.batch(
+            baseOffset = k * 4,
+            baseTimestamp = 1700000000000L + k,
+            records = values.map(v => (1700000000000L + k, k.toString, v))))
+      }.toDF("seq", "frame")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.cdc.ChangeModel.applyChanges(
+        KafkaBatch.debeziumChanges(batches, schema), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
+    },
+
     // Arrow IPC ingest round-trip (dozer-ingestion/grpc/src/adapter/
     // arrow.rs: IngestArrowRequest carries an Arrow IPC stream decoded
     // with StreamReader, every record an Insert): the events table —

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cdc.{ChangeModel, KafkaBatch}
+import graft.cdc.KafkaBatch.{Encode, Rec}
+
+/** Native Kafka RecordBatch v2 wire-codec tests (reference
+  * dozer-ingestion/kafka consumes these frames via librdkafka; no
+  * broker here, so every decode runs against bytes the sibling encoder
+  * produced — the PgOutput/MyBinlog strategy).
+  */
+class KafkaBatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def framesDf(frames: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    frames.toDF("seq", "frame")
+  }
+
+  test("record batch round-trips: offsets, timestamps, keys, tombstones") {
+    val batch = Encode.batch(baseOffset = 100L, baseTimestamp = 5000L,
+      records = Seq(
+        (5000L, "k1", """{"a":1}"""),
+        (5007L, "k2", """{"a":2}"""),
+        (5009L, null, null))) // null key + tombstone value
+    val recs = KafkaBatch.decodeBatch(batch)
+    assert(recs == Seq(
+      Rec(100L, 5000L, "k1", """{"a":1}"""),
+      Rec(101L, 5007L, "k2", """{"a":2}"""),
+      Rec(102L, 5009L, null, null)))
+  }
+
+  test("varint framing survives large deltas and long values") {
+    val big = "x" * 70000 // value length needs a 3-byte varint
+    val batch = Encode.batch(7L, 0L, Seq((123456789L, "k", big)))
+    val recs = KafkaBatch.decodeBatch(batch)
+    assert(recs == Seq(Rec(7L, 123456789L, "k", big)))
+  }
+
+  test("CRC32C mismatch is loud; control batches decode to no records") {
+    val good = Encode.batch(0L, 0L, Seq((0L, "k", "v")))
+    val corrupt = good.clone()
+    corrupt(good.length - 1) = (corrupt(good.length - 1) ^ 1).toByte
+    val e = intercept[IllegalArgumentException] {
+      KafkaBatch.decodeBatch(corrupt)
+    }
+    assert(e.getMessage.contains("CRC32C mismatch"))
+    val control = Encode.batch(9L, 0L, Seq((0L, null, "commit-marker")),
+      control = true)
+    assert(KafkaBatch.decodeBatch(control).isEmpty)
+  }
+
+  test("compressed batches are rejected loudly, not mis-decoded") {
+    val good = Encode.batch(0L, 0L, Seq((0L, "k", "v")))
+    // flip the compression bits in attributes (offset 21-22), re-crc
+    val tampered = good.clone()
+    tampered(22) = 1 // gzip
+    val crc = new java.util.zip.CRC32C
+    crc.update(tampered, 21, tampered.length - 21)
+    val bb = java.nio.ByteBuffer.wrap(tampered)
+    bb.putInt(17, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException] {
+      KafkaBatch.decodeBatch(tampered)
+    }
+    assert(e.getMessage.contains("compressed"))
+  }
+
+  test("segment split walks batchLength framing; garbage tails are loud") {
+    val b1 = Encode.batch(0L, 0L, Seq((0L, "a", "1"), (1L, "b", "2")))
+    val b2 = Encode.batch(2L, 10L, Seq((10L, "c", "3")))
+    val seg = Encode.segment(Seq(b1, b2))
+    val parts = KafkaBatch.splitSegment(seg)
+    assert(parts.length == 2)
+    assert(parts.map(p => KafkaBatch.decodeBatch(p).map(_.offset)) ==
+      Seq(Seq(0L, 1L), Seq(2L)))
+    intercept[IllegalArgumentException] {
+      KafkaBatch.splitSegment(seg ++ Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("records() distributed decode; lenient + malformed dead-letter pair") {
+    val good1 = Encode.batch(0L, 1000L, Seq((1000L, "k1", "v1")))
+    val corrupt = good1.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 1).toByte
+    val good2 = Encode.batch(1L, 2000L, Seq((2000L, "k2", "v2")))
+    val frames = Seq(10L -> good1, 11L -> corrupt, 12L -> good2)
+    // strict is loud
+    intercept[org.apache.spark.SparkException] {
+      KafkaBatch.records(framesDf(frames)).collect()
+    }
+    // lenient survives with the good records
+    val ok = KafkaBatch.recordsLenient(framesDf(frames))
+      .orderBy(ChangeModel.SeqCol).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq
+    assert(ok == Seq((0L, "k1", "v1"), (1L, "k2", "v2")))
+    val dlq = KafkaBatch.malformed(framesDf(frames)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dlq.map(_._1) == Seq(11L) && dlq.head._2.contains("CRC32C"))
+  }
+
+  test("debezium over kafka: values decode to change rows, offset is the seq") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val batch = Encode.batch(50L, 0L, Seq(
+      (0L, "1", """{"after":{"id":1,"v":"a"},"op":"r"}"""),
+      (1L, "1", """{"payload":{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"op":"u"}}"""),
+      (2L, "2", """{"after":{"id":2,"v":"x"},"op":"r"}""")))
+    val state = ChangeModel.applyChanges(
+      KafkaBatch.debeziumChanges(framesDf(Seq(0L -> batch)), rowSchema),
+      Seq("id"))
+    assert(state.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "b"), (2L, "x")))
+  }
+}
