@@ -1,0 +1,226 @@
+package graft.cdc
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** MySQL binlog replication SESSION client — the protocol half the
+  * binlog decoder ([[MyBinlog]]) sits behind. Reference:
+  * dozer-ingestion/mysql (mysql_async's `BinlogStream`: authenticate,
+  * set `@master_binlog_checksum`, REGISTER_SLAVE, BINLOG_DUMP, then
+  * consume the event stream).
+  *
+  * Implemented directly on the PUBLIC client/server protocol (MySQL
+  * docs "Connection Phase" + "Replication Protocol"):
+  *
+  *  - packet framing: 3-byte little-endian length + sequence id
+  *  - Initial Handshake V10 → Handshake Response 41 with
+  *    `mysql_native_password` proof: SHA1(pw) XOR SHA1(scramble ·
+  *    SHA1(SHA1(pw))) — pure JDK MessageDigest
+  *  - `COM_QUERY` for the checksum session var (servers with
+  *    binlog_checksum=CRC32 require the client to declare awareness
+  *    before BINLOG_DUMP — the decoder's FDE-driven CRC regime then
+  *    verifies each event)
+  *  - `COM_REGISTER_SLAVE` + `COM_BINLOG_DUMP`, then the event stream:
+  *    each packet `0x00 · <binlog event bytes>` — exactly the frames
+  *    [[MyBinlog.changes]] decodes (header log_pos supplies the seq)
+  *
+  * Driver-side by design (one dump connection per server contract);
+  * the data-sized decode runs distributed in [[MyBinlog.changes]].
+  * Auth scope: `mysql_native_password`; `caching_sha2_password` needs
+  * the RSA/TLS exchange and a live server to validate — documented
+  * error, use a JDBC-side tunnel or server-side native-password user.
+  */
+object MyReplication {
+
+  /** One streamed binlog event (seq = arrival index; the decoder
+    * prefers the event header's log_pos, same as q97's frames).
+    */
+  final case class BinlogEvent(seq: Long, frame: Array[Byte])
+
+  private def sha1(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** mysql_native_password proof (documented scramble). */
+  def nativePassword(password: String, scramble: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val p1 = sha1(password.getBytes(UTF_8))
+    val p2 = sha1(p1)
+    val proof = sha1(scramble, p2)
+    proof.indices.foreach(i => proof(i) = (proof(i) ^ p1(i)).toByte)
+    proof
+  }
+
+  final class Session(host: String, port: Int, user: String,
+      password: String, database: String = "") extends AutoCloseable {
+
+    private val socket = new Socket(host, port)
+    socket.setTcpNoDelay(true)
+    private val in = new DataInputStream(socket.getInputStream)
+    private val out = new DataOutputStream(socket.getOutputStream)
+    private var seqId = 0
+
+    // ---------------------------------------------------------- framing
+
+    private def readPacket(): Array[Byte] = {
+      val b0 = in.read(); val b1 = in.read(); val b2 = in.read()
+      require(b0 >= 0 && b1 >= 0 && b2 >= 0, "mysql: stream closed")
+      val len = b0 | (b1 << 8) | (b2 << 16)
+      seqId = (in.read() + 1) & 0xff
+      val p = new Array[Byte](len)
+      in.readFully(p)
+      p
+    }
+
+    private def writePacket(payload: Array[Byte]): Unit = {
+      out.writeByte(payload.length & 0xff)
+      out.writeByte((payload.length >> 8) & 0xff)
+      out.writeByte((payload.length >> 16) & 0xff)
+      out.writeByte(seqId)
+      seqId = (seqId + 1) & 0xff
+      out.write(payload)
+      out.flush()
+    }
+
+    private def fail(p: Array[Byte]): Nothing = {
+      // ERR: 0xff, code u16le, '#', sqlstate 5, message
+      val code = (p(1) & 0xff) | ((p(2) & 0xff) << 8)
+      val msg = new String(p, 9, p.length - 9, UTF_8)
+      throw new IllegalStateException(s"mysql error $code: $msg")
+    }
+
+    private def expectOk(p: Array[Byte]): Unit = (p(0) & 0xff) match {
+      case 0x00 | 0xfe => ()
+      case 0xff => fail(p)
+      case other => throw new IllegalStateException(
+        s"mysql: expected OK, got 0x${other.toHexString}")
+    }
+
+    // ---------------------------------------------------------- connect
+
+    def connect(): Unit = {
+      val hs = readPacket()
+      require((hs(0) & 0xff) == 10, s"mysql: handshake v${hs(0)} unsupported")
+      var p = 1
+      while (hs(p) != 0) p += 1 // server version
+      p += 1
+      p += 4 // thread id
+      val scramble1 = java.util.Arrays.copyOfRange(hs, p, p + 8); p += 8
+      p += 1 // filler
+      p += 2 // capabilities low
+      p += 1 // charset
+      p += 2 // status
+      p += 2 // capabilities high
+      val authLen = hs(p) & 0xff; p += 1
+      p += 10 // reserved
+      val rest = math.max(13, authLen - 8)
+      val scramble2 = java.util.Arrays.copyOfRange(hs, p, p + rest - 1) // drop NUL
+      p += rest
+      val pluginEnd = {
+        var e = p
+        while (e < hs.length && hs(e) != 0) e += 1
+        e
+      }
+      val plugin = new String(hs, p, pluginEnd - p, UTF_8)
+      if (plugin == "caching_sha2_password")
+        throw new IllegalStateException(
+          "caching_sha2_password needs the RSA/TLS exchange — use a " +
+            "mysql_native_password replication user or a JDBC-side tunnel")
+      val scramble = scramble1 ++ scramble2
+      val proof = nativePassword(password, scramble)
+
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      // CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+      //  | CLIENT_LONG_PASSWORD (| CLIENT_CONNECT_WITH_DB)
+      val caps = 0x00000200 | 0x00008000 | 0x00080000 | 0x00000001 |
+        (if (database.nonEmpty) 0x00000008 else 0)
+      d.writeByte(caps & 0xff); d.writeByte((caps >> 8) & 0xff)
+      d.writeByte((caps >> 16) & 0xff); d.writeByte((caps >> 24) & 0xff)
+      d.writeInt(0x01000000) // max packet (LE 16MB)
+      d.writeByte(33) // utf8
+      d.write(new Array[Byte](23))
+      d.write(user.getBytes(UTF_8)); d.writeByte(0)
+      d.writeByte(proof.length); d.write(proof)
+      if (database.nonEmpty) { d.write(database.getBytes(UTF_8)); d.writeByte(0) }
+      d.write("mysql_native_password".getBytes(UTF_8)); d.writeByte(0)
+      d.flush()
+      writePacket(body.toByteArray)
+      expectOk(readPacket())
+    }
+
+    // ---------------------------------------------------------- commands
+
+    /** COM_QUERY expecting a bare OK (session vars, checksum declare). */
+    def exec(sql: String): Unit = {
+      seqId = 0
+      writePacket(Array(0x03.toByte) ++ sql.getBytes(UTF_8))
+      expectOk(readPacket())
+    }
+
+    /** Declare binlog-checksum awareness (replication clients must set
+      * this before BINLOG_DUMP on CRC32 servers).
+      */
+    def declareChecksum(): Unit =
+      exec("SET @master_binlog_checksum = @@global.binlog_checksum")
+
+    /** COM_REGISTER_SLAVE — announce this client as a replica. */
+    def registerSlave(serverId: Int): Unit = {
+      seqId = 0
+      val b = new ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.writeByte(0x15)
+      d.writeByte(serverId & 0xff); d.writeByte((serverId >> 8) & 0xff)
+      d.writeByte((serverId >> 16) & 0xff); d.writeByte((serverId >> 24) & 0xff)
+      d.writeByte(0); d.writeByte(0); d.writeByte(0) // hostname/user/password len 0
+      d.writeByte(0); d.writeByte(0) // port
+      d.write(new Array[Byte](8)) // rank + master id
+      d.flush()
+      writePacket(b.toByteArray)
+      expectOk(readPacket())
+    }
+
+    /** COM_BINLOG_DUMP from (filename, pos); invokes `handler` per
+      * binlog event until EOF or `maxEvents`. Returns events consumed.
+      */
+    def binlogDump(serverId: Int, filename: String, pos: Long,
+        maxEvents: Long = Long.MaxValue)(handler: BinlogEvent => Unit): Long = {
+      seqId = 0
+      val b = new ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.writeByte(0x12)
+      d.writeByte((pos & 0xff).toInt); d.writeByte(((pos >> 8) & 0xff).toInt)
+      d.writeByte(((pos >> 16) & 0xff).toInt); d.writeByte(((pos >> 24) & 0xff).toInt)
+      d.writeByte(0); d.writeByte(0) // flags
+      d.writeByte(serverId & 0xff); d.writeByte((serverId >> 8) & 0xff)
+      d.writeByte((serverId >> 16) & 0xff); d.writeByte((serverId >> 24) & 0xff)
+      d.write(filename.getBytes(UTF_8))
+      d.flush()
+      writePacket(b.toByteArray)
+      var n = 0L
+      var open = true
+      while (open && n < maxEvents) {
+        val p = readPacket()
+        (p(0) & 0xff) match {
+          case 0x00 =>
+            handler(BinlogEvent(n, java.util.Arrays.copyOfRange(p, 1, p.length)))
+            n += 1
+          case 0xfe => open = false // EOF
+          case 0xff => fail(p)
+          case other => throw new IllegalStateException(
+            s"mysql: unexpected dump packet 0x${other.toHexString}")
+        }
+      }
+      n
+    }
+
+    override def close(): Unit = {
+      try { seqId = 0; writePacket(Array(0x01.toByte)) } // COM_QUIT
+      catch { case _: Exception => }
+      socket.close()
+    }
+  }
+}
