@@ -150,6 +150,12 @@ object KafkaBatch {
     out.result()
   }
 
+  private def toRecordRows(df: Dataset[Rec]): DataFrame =
+    df.toDF()
+      .select(col("offset").as(ChangeModel.SeqCol),
+        (col("tsMillis") / 1000).cast("timestamp").as("ts"),
+        col("key"), col("value"))
+
   /** Decode a DataFrame of `(seq, batch binary)` rows into
     * `(_seq = Kafka offset, ts, key, value)` — map-only, strict
     * (corrupt batches are loud; see [[recordsLenient]]/[[malformed]]).
@@ -157,12 +163,22 @@ object KafkaBatch {
   def records(batches: DataFrame): DataFrame = {
     val spark = batches.sparkSession
     import spark.implicits._
-    batches.select(col("frame")).as[Array[Byte]]
-      .flatMap(b => decodeBatch(b))
-      .toDF()
-      .select(col("offset").as(ChangeModel.SeqCol),
-        (col("tsMillis") / 1000).cast("timestamp").as("ts"),
-        col("key"), col("value"))
+    toRecordRows(batches.select(col("frame")).as[Array[Byte]]
+      .flatMap(b => decodeBatch(b)))
+  }
+
+  /** Decode whole SEGMENT payloads (each a concatenation of batches —
+    * the on-disk log format, e.g. rows from Spark's `binaryFile`
+    * source): split on batchLength framing, then decode — still
+    * map-only, so a directory of dumped segments fans out one task per
+    * file. Works identically on batch and streaming inputs.
+    */
+  def recordsFromSegments(files: DataFrame,
+      contentCol: String = "content"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    toRecordRows(files.select(col(contentCol)).as[Array[Byte]]
+      .flatMap(seg => splitSegment(seg).iterator.flatMap(decodeBatch)))
   }
 
   /** Lenient + dead-letter pair (the [[PgOutput.changesLenient]]

@@ -107,6 +107,42 @@ object Sources {
         format = "text", maxFilesPerTrigger = maxFilesPerTrigger),
       "value")
 
+  /** Micro-batch stream of Kafka records from dumped SEGMENT files
+    * (the on-disk log format — concatenated RecordBatch v2) under
+    * `path`: Spark's `binaryFile` source reads whole segments, the
+    * native codec splits and decodes them map-only. The broker-less
+    * path for the reference's Kafka connector content (values are
+    * typically Debezium envelopes — compose with
+    * [[graft.cdc.KafkaBatch.debeziumChanges]]' decode step or
+    * `Debezium.decode` on the `value` column).
+    */
+  def kafkaSegmentStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    // binaryFile's schema is fixed by the format, but the STREAMING
+    // source requires it stated explicitly
+    val binaryFileSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    graft.cdc.KafkaBatch.recordsFromSegments(
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .option("pathGlobFilter", "*.log")
+        .load(path))
+  }
+
+  /** Batch twin of [[kafkaSegmentStream]]. */
+  def kafkaSegmentSnapshot(spark: SparkSession, path: String): DataFrame =
+    graft.cdc.KafkaBatch.recordsFromSegments(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.log").load(path))
+
   /** Reader options for dozer's Kafka connector config
     * (dozer-ingestion/kafka: broker url + topic [+ schema registry]),
     * mapped onto Spark's kafka source. Pure config mapping — the

@@ -100,6 +100,32 @@ class KafkaBatchSpec extends AnyFunSuite {
     assert(dlq.map(_._1) == Seq(11L) && dlq.head._2.contains("CRC32C"))
   }
 
+  test("segment files stream through binaryFile: batch + micro-batch paths") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_seg")
+    def writeSeg(name: String, batches: Array[Byte]*): Unit =
+      java.nio.file.Files.write(dir.resolve(name), Encode.segment(batches))
+    writeSeg("00000000.log",
+      Encode.batch(0L, 1000L, Seq((1000L, "a", "v0"), (1001L, "b", "v1"))),
+      Encode.batch(2L, 2000L, Seq((2000L, "c", "v2"))))
+    writeSeg("00000003.log",
+      Encode.batch(3L, 3000L, Seq((3000L, "d", "v3"))))
+    java.nio.file.Files.write(dir.resolve("ignored.txt"),
+      "not a segment".getBytes) // pathGlobFilter skips non-.log files
+    val snap = Sources.kafkaSegmentSnapshot(spark, dir.toString)
+      .orderBy(ChangeModel.SeqCol).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(snap == Seq((0L, "v0"), (1L, "v1"), (2L, "v2"), (3L, "v3")))
+    val q = Sources.kafkaSegmentStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("kafka_seg_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "segment stream timed out")
+    val streamed = spark.table("kafka_seg_out")
+      .orderBy(ChangeModel.SeqCol).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(streamed == snap)
+  }
+
   test("debezium over kafka: values decode to change rows, offset is the seq") {
     val rowSchema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))
