@@ -8,10 +8,15 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
   * tables: dedup (exact, Jaccard, MinHash-LSH, SimHash, embedding),
   * similarity search, text analysis, multimodal plumbing.
   *
-  * Oracle coverage: integer-count/ratio analytics and blocked Jaccard
-  * reproduce exactly in DuckDB; hash-fingerprint and cosine-score ops
-  * are rows-only (xxhash64/murmur3 and float libm have no cross-engine
-  * twin) and are instead covered by PipelineSpec.
+  * Oracle coverage: everything integer-exact reproduces in DuckDB —
+  * counts/ratios, blocked Jaccard, the 61-bit oracle hash family
+  * (q34d/e, q35c, q38b), gear-hash chunking (q80, recursive HUGEINT
+  * walk) and BPE train/apply (q68/q68b, unrolled MATERIALIZED CTEs).
+  * The 17 remaining rows-only entries are xxhash64/murmur3
+  * fingerprints and float cosine/log scores (no cross-engine twin by
+  * design — each has an oracled integer companion where one exists:
+  * q23b, q34d/e, q35c, q38b, q39b, q40c, q69b, q70b, q72b, q83b) and
+  * are covered by PipelineSpec instead.
   */
 object PipelineQueries {
 
