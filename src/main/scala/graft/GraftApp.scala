@@ -445,6 +445,12 @@ object GraftApp {
         graft.sources.ArrowIngest.changes(feed, schemaName, s.schema.getOrElse(
           throw new IllegalArgumentException(
             s"arrow source '${s.name}' needs a row schema")))
+      case Some("kafka_segments") =>
+        // Dumped Kafka log segments through the native RecordBatch v2
+        // codec (cdc.KafkaBatch) — the broker-less path for the Kafka
+        // connector's content; values are typically Debezium envelopes.
+        if (streaming) graft.sources.Sources.kafkaSegmentStream(spark, s.path)
+        else graft.sources.Sources.kafkaSegmentSnapshot(spark, s.path)
       case Some("javascript") =>
         // JS ingestion connector: the bootstrap script (s.path) runs on
         // the embedded runtime and its `ingest` envelopes materialize

@@ -469,6 +469,33 @@ class GraftAppSpec extends AnyFunSuite {
     } finally hooks.foreach(_.stop())
   }
 
+  test("kafka segment source: native config decodes dumped log segments") {
+    import graft.cdc.KafkaBatch.Encode
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafkacfg")
+    java.nio.file.Files.write(tmp.resolve("00000000.log"), Encode.segment(Seq(
+      Encode.batch(0L, 1000L, Seq(
+        (1000L, "1", """{"k":1,"v":"keep"}"""),
+        (1001L, "2", """{"k":2,"v":"drop"}"""),
+        (1002L, "3", """{"k":3,"v":"keep"}"""))))))
+    val out = java.nio.file.Files.createTempDirectory("graft_kafkaout").toString
+    val config = GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: topic
+         |    path: $tmp
+         |    decode: kafka_segments
+         |sql: |
+         |  SELECT _seq, get_json_object(value, '$$.k') AS k INTO kept
+         |  FROM topic WHERE get_json_object(value, '$$.v') = 'keep';
+         |sinks:
+         |  - table: kept
+         |    path: $out/kept
+         |""".stripMargin)
+    GraftApp.runBatch(spark, config)
+    val got = spark.read.parquet(s"$out/kept")
+      .select("k").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("1", "3"))
+  }
+
   test("arrow source: native config decodes IPC frames from a push channel") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
