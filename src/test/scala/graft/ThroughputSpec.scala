@@ -141,6 +141,44 @@ class ThroughputSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("kafka RecordBatch decode sustains bulk record rates") {
+    import spark.implicits._
+    import graft.cdc.KafkaBatch
+    // 100k records in 1k-record batches (typical producer batching)
+    val batches = (0 until 100).map { b =>
+      KafkaBatch.Encode.batch(b * 1000L, 1000000L + b,
+        (0 until 1000).map(i =>
+          (1000000L + b, s"k${b * 1000 + i}", s"""{"n":${b * 1000 + i}}""")))
+    }
+    val df = batches.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("seq", "frame").repartition(8).cache()
+    df.count() // materialize outside the timed window
+    val t0 = System.nanoTime()
+    val n = KafkaBatch.records(df).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    df.unpersist()
+    assert(n == 100000L)
+    val rps = n / secs
+    info(f"tp_kafka_decode: $n records in $secs%.2f s = $rps%.0f rec/s")
+    assert(rps > 20000, s"kafka decode unexpectedly slow: $rps rec/s")
+  }
+
+  test("arrow IPC decode sustains bulk row rates") {
+    import graft.sources.ArrowIngest
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val frames = ArrowIngest.encodeFrames(ev.repartition(8)).cache()
+    frames.count() // materialize encode outside the timed window
+    val t0 = System.nanoTime()
+    val n = ArrowIngest.decodeFrames(frames, ev.schema).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    frames.unpersist()
+    assert(n == 100000L)
+    val rps = n / secs
+    info(f"tp_arrow_decode: $n rows in $secs%.2f s = $rps%.0f rows/s")
+    assert(rps > 20000, s"arrow decode unexpectedly slow: $rps rows/s")
+  }
+
   test("ONNX model UDF sustains bulk inference rates") {
     import graft.functions.{OnnxMini, OnnxModels}
     // the q85 head (64->16->8 Gemm/Relu/Gemm/ArgMax) over the sf0.1
