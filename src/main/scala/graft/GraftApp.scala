@@ -90,12 +90,14 @@ object GraftApp {
         // (orchestrator.rs:221-226)
         buildLocked(spark, config, lockPath, locked)
         val hooks = startWebhooks(config)
+        val grpcHandles = startGrpcServers(config)
         try {
           if (config.streaming)
             runStreaming(spark, config).foreach(_.awaitTermination())
           else runBatch(spark, config)
         } finally {
           hooks.foreach(_.stop())
+          grpcHandles.foreach(_.stop())
           spark.stop()
         }
     }
@@ -404,7 +406,16 @@ object GraftApp {
       sinks: Seq[SinkConf],
       streaming: Boolean = false,
       udfs: Seq[UdfConf] = Nil,
-      webhooks: Seq[WebhookConf] = Nil)
+      webhooks: Seq[WebhookConf] = Nil,
+      grpcServers: Seq[GrpcServerConf] = Nil)
+
+  /** One config-declared gRPC ingest service (reference GrpcConfig,
+    * ingestion_types.rs:65-76: host/port/schemas/adapter) — a REAL
+    * gRPC-over-HTTP/2 listener ([[graft.sources.GrpcIngest]]); each
+    * declared schema lands on its own push channel.
+    */
+  final case class GrpcServerConf(port: Int,
+      tables: Map[String, graft.sources.GrpcIngest.TableSpec])
 
   /** Start every config-declared webhook listener. Callers own the
     * handles (`main` stops them when the pipeline terminates).
@@ -412,6 +423,10 @@ object GraftApp {
   def startWebhooks(config: GraftConfig): Seq[graft.sources.WebhookServer.Handle] =
     config.webhooks.map(w =>
       graft.sources.WebhookServer.start(w.port, w.endpoints))
+
+  /** Start every config-declared gRPC ingest service. */
+  def startGrpcServers(config: GraftConfig): Seq[graft.sources.GrpcIngest.Handle] =
+    config.grpcServers.map(g => graft.sources.GrpcIngest.start(g.port, g.tables))
 
   /** Resolve one source to a DataFrame: plain format reads (schema
     * inferred from existing files for streams), or the webhook decode
@@ -445,6 +460,20 @@ object GraftApp {
         graft.sources.ArrowIngest.changes(feed, schemaName, s.schema.getOrElse(
           throw new IllegalArgumentException(
             s"arrow source '${s.name}' needs a row schema")))
+      case Some("grpc") =>
+        // gRPC typed ingest (grpc/src/adapter/default.rs): the config-
+        // declared IngestService pushes one envelope per IngestRequest
+        // onto the channel; decode lifts them to ChangeModel rows.
+        val chan = s.options.getOrElse("channel",
+          throw new IllegalArgumentException(
+            s"grpc source '${s.name}' needs a channel option"))
+        val schemaName = s.options.getOrElse("schema_name", s.name)
+        val feed =
+          if (streaming) graft.sources.Sources.push(spark, chan)
+          else graft.sources.Sources.pushSnapshot(spark, chan)
+        graft.sources.GrpcIngest.changes(feed, schemaName, s.schema.getOrElse(
+          throw new IllegalArgumentException(
+            s"grpc source '${s.name}' needs a row schema")))
       case Some("kafka_segments") =>
         // Dumped Kafka log segments through the native RecordBatch v2
         // codec (cdc.KafkaBatch) — the broker-less path for the Kafka

@@ -232,6 +232,15 @@ object GraftConfigLoader {
       endpoints: Map[String, String],               // path -> channel
       tables: Map[String, (String, org.apache.spark.sql.types.StructType)])
 
+  /** gRPC ingest connection (`GrpcConfig`, ingestion_types.rs:65-76:
+    * host/port/schemas/adapter) — a REAL gRPC-over-HTTP/2 ingest
+    * service; `schemas` is the reference's inline JSON map (same
+    * SourceSchema shape as webhook endpoints), `adapter` selects the
+    * typed (`default`) or Arrow IPC (`arrow`) request decoding.
+    */
+  private case class GrpcConn(name: String, port: Int, adapter: String,
+      tables: Map[String, (String, org.apache.spark.sql.types.StructType)])
+
   private def parseWebhookSchemas(json: String): Map[String, org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -298,10 +307,36 @@ object GraftConfigLoader {
             if (!tables.contains(t)) tables += (t -> (chan, st))
           }
         }
-        Right(WebhookConn(name, port, endpoints, tables))
+        Right(Left(WebhookConn(name, port, endpoints, tables)))
+      } else if (cfg.asScala.contains("schemas")) {
+        // GrpcConfig (ingestion_types.rs:65-76); schemas: inline JSON
+        // string (!Inline tag stripped) or {Inline: json}/{Path: file}
+        val port = cfg.asScala.get("port").map(_.toString.toInt).getOrElse(0)
+        val adapter = cfg.asScala.get("adapter").map(_.toString)
+          .getOrElse("default")
+        if (adapter != "default" && adapter != "arrow")
+          fail(s"grpc connection '$name': adapter must be 'default' or " +
+            s"'arrow' (got '$adapter') — grpc/src/connector.rs")
+        val schemasJson = cfg.asScala("schemas") match {
+          case s: String => s
+          case m: java.util.Map[_, _] =>
+            val mm = m.asInstanceOf[java.util.Map[String, Object]].asScala
+            mm.get("Inline").map(_.toString).getOrElse(
+              mm.get("Path").map(p => new String(java.nio.file.Files
+                .readAllBytes(java.nio.file.Paths.get(p.toString))))
+                .getOrElse(fail(
+                  s"grpc connection '$name': schemas needs Inline or Path")))
+          case other => fail(
+            s"grpc connection '$name': unparseable schemas $other")
+        }
+        val tables = parseWebhookSchemas(schemasJson).map { case (t, st) =>
+          t -> (s"${name}_$t", st)
+        }
+        Right(Right(GrpcConn(name, port, adapter, tables)))
       } else Left((name, cfg))
     }
-    val webhookConns = rawConns.collect { case Right(w) => w }
+    val webhookConns = rawConns.collect { case Right(Left(w)) => w }
+    val grpcConns = rawConns.collect { case Right(Right(g)) => g }
     val conns = rawConns.collect { case Left((name, cfg)) =>
       cfg.asScala.get("details").map(asMap) match {
         case Some(details) =>
@@ -356,6 +391,7 @@ object GraftConfigLoader {
     }
     val connByName = conns.map(c => c.name -> c).toMap
     val webhookByName = webhookConns.map(w => w.name -> w).toMap
+    val grpcByName = grpcConns.map(g => g.name -> g).toMap
     val sources = list(root, "sources").map { s =>
       val sname = str(s, "name")
       val connName = str(s, "connection")
@@ -367,6 +403,14 @@ object GraftConfigLoader {
         SourceConf(name = sname, path = "",
           format = "graft.sources.PushSource", schema = Some(schema),
           options = Map("channel" -> chan), decode = Some("webhook"))
+      case None => grpcByName.get(connName) match { case Some(g) =>
+        val (chan, schema) = g.tables.getOrElse(tableName,
+          fail(s"source '$sname': grpc connection '$connName' declares " +
+            s"no schema '$tableName' (has ${g.tables.keys.mkString(", ")})"))
+        SourceConf(name = sname, path = "",
+          format = "graft.sources.PushSource", schema = Some(schema),
+          options = Map("channel" -> chan, "schema_name" -> tableName),
+          decode = Some(if (g.adapter == "arrow") "arrow" else "grpc"))
       case None =>
       val conn = connByName.getOrElse(connName,
         fail(s"source '$sname' references unknown connection '$connName'"))
@@ -396,6 +440,7 @@ object GraftConfigLoader {
           format = if (ext.contains("csv")) "csv" else "parquet")
       }
       }
+      }
     }
     GraftConfig(
       sources = sources,
@@ -403,7 +448,11 @@ object GraftConfigLoader {
       sinks = sinks(root),
       streaming = root.get("streaming").exists(_.toString.toBoolean),
       udfs = udfs(root),
-      webhooks = webhookConns.map(w => GraftApp.WebhookConf(w.port, w.endpoints)))
+      webhooks = webhookConns.map(w => GraftApp.WebhookConf(w.port, w.endpoints)),
+      grpcServers = grpcConns.map(g => GraftApp.GrpcServerConf(g.port,
+        g.tables.map { case (t, (chan, st)) =>
+          t -> graft.sources.GrpcIngest.TableSpec(st, chan)
+        })))
   }
 
   // ---- shared ----------------------------------------------------------

@@ -485,6 +485,79 @@ object CdcQueries {
       val ev = t(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
       ArrowIngest.decodeFrames(ArrowIngest.encodeFrames(ev), ev.schema)
+    },
+
+    // gRPC typed ingest over the REAL wire (dozer-ingestion/grpc/src/
+    // ingest.rs `ingest_stream` + adapter/default.rs): a deterministic
+    // customer change feed — insert every row, +100.00 acctbal update
+    // for keys %5=0, delete for keys %11=0 — is protobuf-encoded as
+    // IngestRequest messages, client-streamed through a LOOPBACK
+    // gRPC-over-HTTP/2 session (hand-rolled h2c server + client,
+    // netty-cross-validated in GrpcIngestSpec), decoded into
+    // ChangeModel rows off the push channel, and materialized.
+    // Driver budget: the protobuf feed is collected (~2 MB at sf0.1 —
+    // the loopback transport is driver-side by construction, like the
+    // reference's in-process tonic test server); the channel is sized
+    // to the snapshot replay since no consumer evicts mid-push.
+    QueryDef("q102_grpc_typed_cdc",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal,
+        |  c_nationkey
+        |FROM customer WHERE c_custkey % 11 <> 0""".stripMargin) { (s, dir) =>
+      import graft.sources.{GrpcClient, GrpcIngest, PushBuffer, Sources}
+      import graft.sources.GrpcIngest.Pbuf
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_nationkey", LongType)))
+      val rows = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_acctbal").cast("double"), col("c_nationkey").cast("long"))
+        .orderBy("c_custkey").collect()
+      def vals(k: Long, n: String, b: Double, nk: Long): Seq[Pbuf.Writer] = Seq(
+        new Pbuf.Writer().int(3, k), new Pbuf.Writer().str(7, n),
+        new Pbuf.Writer().fixed64(5, java.lang.Double.doubleToLongBits(b)),
+        new Pbuf.Writer().int(3, nk))
+      var seqNo = 0L
+      val messages = rows.iterator.flatMap { r =>
+        val k = r.getLong(0); val n = r.getString(1)
+        val b = r.getDouble(2); val nk = r.getLong(3)
+        def req(typ: Int, old: Seq[Pbuf.Writer], nw: Seq[Pbuf.Writer]) = {
+          seqNo += 1
+          val w = new Pbuf.Writer().str(1, "customer").int(2, typ.toLong)
+          old.foreach(w.embedded(3, _))
+          nw.foreach(w.embedded(4, _))
+          w.int(5, seqNo).result
+        }
+        Seq(req(GrpcIngest.OpInsert, Nil, vals(k, n, b, nk))) ++
+          (if (k % 5 == 0)
+            Seq(req(GrpcIngest.OpUpdate, vals(k, n, b, nk),
+              vals(k, n, b + 100.0, nk))) else Nil) ++
+          (if (k % 11 == 0)
+            Seq(req(GrpcIngest.OpDelete,
+              vals(k, n, if (k % 5 == 0) b + 100.0 else b, nk), Nil)) else Nil)
+      }.toSeq
+      val chan = "q102-grpc"
+      PushBuffer.clear(chan)
+      PushBuffer.configure(chan, math.max(PushBuffer.DefaultCapacity,
+        messages.length + 16))
+      val server = GrpcIngest.start(0,
+        Map("customer" -> GrpcIngest.TableSpec(schema, chan)))
+      try {
+        val client = new GrpcClient("127.0.0.1", server.port)
+        try {
+          val (hdrs, _) = client.call(
+            "/dozer.ingest.IngestService/ingest_stream", messages)
+          require(hdrs.get("grpc-status").contains("0"),
+            s"grpc ingest failed: $hdrs")
+        } finally client.close()
+        val feed = Sources.pushSnapshot(s, chan)
+        ChangeModel.applyChanges(
+          GrpcIngest.changes(feed, "customer", schema), Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            col("c_acctbal").as("bal"), col("c_nationkey"))
+      } finally server.stop()
     }
   )
 }

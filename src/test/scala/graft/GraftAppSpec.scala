@@ -809,6 +809,67 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("dozer !Grpc connection: gRPC-over-HTTP/2 ingest to sink through " +
+      "config alone (typed default adapter)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_grpc_cfg").toString
+    // reference shape: GrpcConfig{host, port, schemas: !Inline json,
+    // adapter} (ingestion_types.rs:65-76); schemas is the same
+    // SourceSchema map the webhook connector uses
+    val yaml =
+      s"""app_name: grpc-app
+         |version: 1
+         |connections:
+         |  - config: !Grpc
+         |      port: 0
+         |      adapter: default
+         |      schemas: '{"trades": {"schema": {"fields": [
+         |        {"name": "tid", "typ": "Int", "nullable": false},
+         |        {"name": "px", "typ": "Float", "nullable": true}]}}}'
+         |    name: feed
+         |sources:
+         |  - name: trades
+         |    connection: feed
+         |    table_name: trades
+         |sql: |
+         |  SELECT tid, px INTO kept FROM trades WHERE px >= 10.0;
+         |sinks:
+         |  - table_name: kept
+         |    path: $tmp/out
+         |    checkpoint: $tmp/ckpt
+         |streaming: true
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    val src = config.sources.head
+    assert(src.decode.contains("grpc") &&
+      src.options("channel") == "feed_trades" &&
+      src.options("schema_name") == "trades")
+    assert(src.schema.get.fieldNames.toSeq == Seq("tid", "px"))
+    graft.sources.PushBuffer.clear("feed_trades")
+    val servers = GraftApp.startGrpcServers(config)
+    try {
+      import graft.sources.GrpcIngest.Pbuf
+      val client = new graft.sources.GrpcClient("127.0.0.1", servers.head.port)
+      try {
+        def req(tid: Long, px: Double, seq: Long) = {
+          val w = new Pbuf.Writer().str(1, "trades").int(2, 0L)
+          w.embedded(4, new Pbuf.Writer().int(3, tid))
+          w.embedded(4, new Pbuf.Writer()
+            .fixed64(5, java.lang.Double.doubleToLongBits(px)))
+          w.int(5, seq).result
+        }
+        val (hdrs, _) = client.call("/dozer.ingest.IngestService/ingest_stream",
+          Seq(req(1L, 12.5, 1L), req(2L, 5.0, 2L), req(3L, 99.0, 3L)))
+        assert(hdrs("grpc-status") == "0", hdrs)
+      } finally client.close()
+      val queries = runStreaming(spark, config)
+      try queries.foreach(_.awaitTermination())
+      finally queries.foreach(_.stop())
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("tid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(1L, 3L), "px gate keeps tid 1 and 3 only")
+    } finally servers.foreach(_.stop())
+  }
+
   test("global !! tags cannot instantiate arbitrary classes (SafeConstructor)") {
     // CVE-2022-1471 class: a global tag naming a JVM class must be
     // rejected by the safe loader, never constructed
