@@ -1,0 +1,277 @@
+package graft.cdc
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+/** Native Kafka CONSUMER session client — the broker-protocol half the
+  * RecordBatch codec ([[KafkaBatch]]) sits behind. Reference:
+  * dozer-ingestion/kafka/src/connector.rs (librdkafka `BaseConsumer`:
+  * fetch metadata, assign partitions at offsets, poll messages;
+  * stream_consumer_basic.rs maps each message value through the
+  * Debezium envelope with the message offset as the resume token).
+  *
+  * Implemented directly on the PUBLIC Kafka wire protocol (the
+  * versioned request/response binary protocol every client speaks;
+  * big-endian, `size i32 | api_key i16 | api_version i16 |
+  * correlation_id i32 | client_id nullable-string | body`). Pinned to
+  * pre-"flexible" API versions so the frames carry no tagged fields:
+  *
+  *  - ApiVersions v0 (key 18) — handshake / feature probe
+  *  - Metadata v1 (key 3) — topic → partitions + leaders
+  *  - ListOffsets v1 (key 2) — earliest/latest partition offsets
+  *  - Fetch v4 (key 1) — returns RecordBatch v2 record sets, exactly
+  *    the frames [[KafkaBatch.decodeBatch]] decodes (v4 is the first
+  *    fetch version serving the v2 magic, KIP-98)
+  *
+  * The session is driver-side by design (one socket per broker, like
+  * the reference's single consumer); the record sets it returns are
+  * `(seq, batch)` rows whose decode runs DISTRIBUTED through
+  * [[KafkaBatch.changes]]/[[KafkaBatch.debeziumChanges]] — the fetch
+  * loop moves bytes, never parses records.
+  *
+  * KafkaClientSpec drives the full session against a loopback mock
+  * broker serving Encode-built batches (the Pg/MyReplication test
+  * pattern); SASL/TLS are documented out of scope (PLAINTEXT
+  * listeners, like the reference's default `security.protocol`).
+  */
+object KafkaClient {
+
+  final case class PartitionMeta(partition: Int, leader: Int, error: Int)
+  final case class TopicMeta(name: String, error: Int,
+      partitions: Seq[PartitionMeta])
+  final case class FetchedBatches(highWatermark: Long,
+      batches: Seq[Array[Byte]], error: Int)
+
+  // API keys
+  val ApiFetch = 1
+  val ApiListOffsets = 2
+  val ApiMetadata = 3
+  val ApiVersionsKey = 18
+
+  final class Session(host: String, port: Int,
+      clientId: String = "graft-consumer") extends AutoCloseable {
+
+    private val socket = new Socket(host, port)
+    socket.setTcpNoDelay(true)
+    private val in = new DataInputStream(socket.getInputStream)
+    private val out = new DataOutputStream(socket.getOutputStream)
+    private var correlation = 0
+
+    // ---------------------------------------------------------- framing
+
+    private def send(apiKey: Int, apiVersion: Int,
+        body: Writer => Unit): Int = {
+      correlation += 1
+      val w = new Writer
+      w.i16(apiKey); w.i16(apiVersion); w.i32(correlation)
+      w.str(clientId)
+      body(w)
+      val payload = w.result
+      out.writeInt(payload.length)
+      out.write(payload)
+      out.flush()
+      correlation
+    }
+
+    private def receive(expectCorrelation: Int): Reader = {
+      val size = in.readInt()
+      require(size >= 4 && size < (1 << 26), s"kafka: response size $size")
+      val buf = new Array[Byte](size)
+      in.readFully(buf)
+      val r = new Reader(buf)
+      val corr = r.i32()
+      require(corr == expectCorrelation,
+        s"kafka: correlation $corr != $expectCorrelation")
+      r
+    }
+
+    // --------------------------------------------------------- requests
+
+    /** ApiVersions v0 → map of api_key → (min, max). */
+    def apiVersions(): Map[Int, (Int, Int)] = {
+      val corr = send(ApiVersionsKey, 0, _ => ())
+      val r = receive(corr)
+      val err = r.i16()
+      require(err == 0, s"kafka: ApiVersions error $err")
+      (0 until r.i32()).map { _ =>
+        (r.i16(), (r.i16(), r.i16()))
+      }.toMap
+    }
+
+    /** Metadata v1 for `topics` (Nil = all). */
+    def metadata(topics: Seq[String]): Seq[TopicMeta] = {
+      val corr = send(ApiMetadata, 1, w => {
+        w.i32(topics.length)
+        topics.foreach(w.str)
+      })
+      val r = receive(corr)
+      val brokers = r.i32()
+      (0 until brokers).foreach { _ =>
+        r.i32(); r.str(); r.i32(); r.nstr() // node, host, port, rack
+      }
+      r.i32() // controller_id
+      (0 until r.i32()).map { _ =>
+        val err = r.i16()
+        val name = r.str()
+        r.bool() // is_internal
+        val parts = (0 until r.i32()).map { _ =>
+          val perr = r.i16()
+          val pid = r.i32()
+          val leader = r.i32()
+          (0 until r.i32()).foreach(_ => r.i32()) // replicas
+          (0 until r.i32()).foreach(_ => r.i32()) // isr
+          PartitionMeta(pid, leader, perr)
+        }
+        TopicMeta(name, err, parts)
+      }
+    }
+
+    /** ListOffsets v1: timestamp -1 = latest, -2 = earliest. */
+    def listOffset(topic: String, partition: Int, timestamp: Long): Long = {
+      val corr = send(ApiListOffsets, 1, w => {
+        w.i32(-1) // replica_id (consumer)
+        w.i32(1); w.str(topic)
+        w.i32(1); w.i32(partition); w.i64(timestamp)
+      })
+      val r = receive(corr)
+      require(r.i32() == 1, "kafka: ListOffsets topic count")
+      r.str()
+      require(r.i32() == 1, "kafka: ListOffsets partition count")
+      r.i32() // partition
+      val err = r.i16()
+      require(err == 0, s"kafka: ListOffsets error $err")
+      r.i64() // timestamp
+      r.i64() // offset
+    }
+
+    /** Fetch v4: one topic-partition from `offset`; returns the RAW
+      * RecordBatch v2 frames (split on batchLength — the response's
+      * record set may end with a truncated batch, which brokers send
+      * and clients must drop).
+      */
+    def fetch(topic: String, partition: Int, offset: Long,
+        maxWaitMs: Int = 500, minBytes: Int = 1,
+        maxBytes: Int = 8 * 1024 * 1024): FetchedBatches = {
+      val corr = send(ApiFetch, 4, w => {
+        w.i32(-1)        // replica_id
+        w.i32(maxWaitMs)
+        w.i32(minBytes)
+        w.i32(maxBytes)
+        w.i8(0)          // isolation_level = READ_UNCOMMITTED
+        w.i32(1); w.str(topic)
+        w.i32(1); w.i32(partition); w.i64(offset); w.i32(maxBytes)
+      })
+      val r = receive(corr)
+      r.i32() // throttle_time_ms
+      require(r.i32() == 1, "kafka: Fetch topic count")
+      r.str()
+      require(r.i32() == 1, "kafka: Fetch partition count")
+      r.i32() // partition
+      val err = r.i16()
+      val highWatermark = r.i64()
+      r.i64() // last_stable_offset
+      val aborted = r.i32()
+      (0 until math.max(aborted, 0)).foreach { _ => r.i64(); r.i64() }
+      val setSize = r.i32()
+      val recordSet = r.bytes(setSize)
+      FetchedBatches(highWatermark, splitBatches(recordSet), err)
+    }
+
+    /** Poll [fromOffset, highWatermark) to exhaustion — the snapshot
+      * read a bounded replay needs. Returns (nextOffset, batches).
+      */
+    def fetchAll(topic: String, partition: Int, fromOffset: Long,
+        maxFetches: Int = 10000): (Long, Seq[Array[Byte]]) = {
+      val outB = mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = fromOffset
+      var rounds = 0
+      var done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= maxFetches, s"kafka: $maxFetches fetches exhausted")
+        val f = fetch(topic, partition, off, maxWaitMs = 100)
+        require(f.error == 0, s"kafka: Fetch error ${f.error}")
+        if (f.batches.isEmpty) done = true
+        else {
+          outB ++= f.batches
+          val last = f.batches.last
+          // next offset = baseOffset + lastOffsetDelta + 1
+          val bb = ByteBuffer.wrap(last)
+          val baseOffset = bb.getLong(0)
+          val lastOffsetDelta = bb.getInt(23)
+          off = baseOffset + lastOffsetDelta + 1
+          if (off >= f.highWatermark) done = true
+        }
+      }
+      (off, outB.toSeq)
+    }
+
+    override def close(): Unit = socket.close()
+  }
+
+  /** Split a fetch record set into whole RecordBatch v2 frames,
+    * dropping a trailing truncated batch (normal broker behavior).
+    */
+  def splitBatches(recordSet: Array[Byte]): Seq[Array[Byte]] = {
+    val outB = mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (recordSet.length - pos >= 12) {
+      val batchLength = ByteBuffer.wrap(recordSet, pos + 8, 4).getInt
+      val total = 12 + batchLength
+      if (recordSet.length - pos < total) return outB.toSeq // truncated tail
+      outB += java.util.Arrays.copyOfRange(recordSet, pos, pos + total)
+      pos += total
+    }
+    outB.toSeq
+  }
+
+  // ------------------------------------------------------- wire helpers
+
+  final class Writer {
+    private val bos = new ByteArrayOutputStream()
+    private val d = new DataOutputStream(bos)
+    def i8(v: Int): Unit = d.writeByte(v)
+    def i16(v: Int): Unit = d.writeShort(v)
+    def i32(v: Int): Unit = d.writeInt(v)
+    def i64(v: Long): Unit = d.writeLong(v)
+    def bool(v: Boolean): Unit = d.writeByte(if (v) 1 else 0)
+    def str(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      d.writeShort(b.length)
+      d.write(b)
+    }
+    def nstr(s: Option[String]): Unit = s match {
+      case None => d.writeShort(-1)
+      case Some(v) => str(v)
+    }
+    def raw(b: Array[Byte]): Unit = d.write(b)
+    def result: Array[Byte] = { d.flush(); bos.toByteArray }
+  }
+
+  final class Reader(buf: Array[Byte]) {
+    var pos = 0
+    def i8(): Int = { val v = buf(pos); pos += 1; v.toInt }
+    def i16(): Int = { val v = ByteBuffer.wrap(buf, pos, 2).getShort.toInt; pos += 2; v }
+    def i32(): Int = { val v = ByteBuffer.wrap(buf, pos, 4).getInt; pos += 4; v }
+    def i64(): Long = { val v = ByteBuffer.wrap(buf, pos, 8).getLong; pos += 8; v }
+    def bool(): Boolean = i8() != 0
+    def str(): String = {
+      val n = i16()
+      require(n >= 0, "kafka: null string where non-null expected")
+      val s = new String(buf, pos, n, UTF_8); pos += n; s
+    }
+    def nstr(): Option[String] = {
+      val n = i16()
+      if (n < 0) None
+      else { val s = new String(buf, pos, n, UTF_8); pos += n; Some(s) }
+    }
+    def bytes(n: Int): Array[Byte] = {
+      require(n >= 0 && pos + n <= buf.length, s"kafka: truncated ($n at $pos)")
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+  }
+}
