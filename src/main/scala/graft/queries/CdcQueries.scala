@@ -487,6 +487,78 @@ object CdcQueries {
       ArrowIngest.decodeFrames(ArrowIngest.encodeFrames(ev), ev.schema)
     },
 
+    // Connect-JSON CDC with IN-BAND schemas over the Kafka transport
+    // (kafka/src/debezium/{stream_consumer,schema,mapper}.rs — the
+    // schema-registry consumption path: every message carries its
+    // Connect schema struct; the table schema, logical types, and
+    // primary key are all derived from the messages, nothing
+    // caller-declared): orders replayed as schema-carrying envelopes —
+    // snapshot reads, status updates for keys %3=0, deletes for keys
+    // %13=0 — with o_totalprice as a base64 Connect Decimal(12,2),
+    // o_orderdate as io.debezium.time.MicroTimestamp AND as an
+    // io.debezium.time.Date epoch-day column, packed into RecordBatch
+    // v2 frames (offsets order phases per key, no global sort), then
+    // records → ConnectJson.changes (1-row schema sample, map-only
+    // decode) → applyChanges on the key-schema-derived pk.
+    QueryDef("q103_connect_schema_cdc",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |  CAST(o_orderdate AS DATE) AS odate
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.cdc.{ConnectJson, KafkaBatch}
+      val schemaJson =
+        """{"type":"struct","fields":[
+          |{"type":"struct","field":"before","optional":true},
+          |{"type":"struct","field":"after","optional":true,"fields":[
+          |{"type":"int64","field":"o_orderkey","optional":false},
+          |{"type":"string","field":"status","optional":true},
+          |{"type":"bytes","field":"price","optional":true,
+          |"name":"org.apache.kafka.connect.data.Decimal",
+          |"parameters":{"scale":"2","connect.decimal.precision":"12"}},
+          |{"type":"int64","field":"ots","optional":true,
+          |"name":"io.debezium.time.MicroTimestamp"},
+          |{"type":"int32","field":"odate","optional":true,
+          |"name":"io.debezium.time.Date"}]}]}"""
+          .stripMargin.replace("\n", "")
+      val keySchemaJson =
+        """{"type":"struct","fields":[{"type":"int64","field":"o_orderkey"}]}"""
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long"), col("o_orderstatus"),
+        col("o_totalprice").cast("double"), col("o_orderdate").cast("timestamp"))
+      val batches = o.as[(Long, String, Double, java.sql.Timestamp)].map {
+        case (k, st, tp, ts) =>
+          val cents = java.math.BigDecimal.valueOf(tp)
+            .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue()
+          val priceB64 = java.util.Base64.getEncoder
+            .encodeToString(cents.toByteArray)
+          val micros = Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+            ts.getNanos / 1000L
+          val days = Math.floorDiv(micros, 86400000000L)
+          def row(status: String) =
+            s"""{"o_orderkey":$k,"status":"$status","price":"$priceB64",""" +
+              s""""ots":$micros,"odate":$days}"""
+          val key = s"""{"schema":$keySchemaJson,"payload":{"o_orderkey":$k}}"""
+          def env(payload: String) = s"""{"schema":$schemaJson,"payload":$payload}"""
+          val snap = env(s"""{"op":"r","after":${row(st)}}""")
+          val upd = env(s"""{"op":"u","before":${row(st)},"after":${row("U")}}""")
+          val del = env(s"""{"op":"d","before":${row(if (k % 3 == 0) "U" else st)}}""")
+          val values = Seq(snap) ++
+            (if (k % 3 == 0) Seq(upd) else Nil) ++
+            (if (k % 13 == 0) Seq(del) else Nil)
+          (k, KafkaBatch.Encode.batch(
+            baseOffset = k * 4,
+            baseTimestamp = 1700000000000L + k,
+            records = values.map(v => (1700000000000L + k, key, v))))
+      }.toDF("seq", "frame")
+      val recs = KafkaBatch.records(batches)
+      val (ch, pk) = ConnectJson.changes(recs, "value", Some("key"),
+        seq = Some(col(ChangeModel.SeqCol)))
+      ChangeModel.applyChanges(ch, pk)
+        .select(col("o_orderkey"), col("status"), col("price"), col("odate"))
+    },
+
     // gRPC typed ingest over the REAL wire (dozer-ingestion/grpc/src/
     // ingest.rs `ingest_stream` + adapter/default.rs): a deterministic
     // customer change feed — insert every row, +100.00 acctbal update
