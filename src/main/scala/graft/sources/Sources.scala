@@ -143,6 +143,78 @@ object Sources {
       spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.log").load(path))
 
+  /** LIVE Kafka tail via the NATIVE consumer session client
+    * ([[graft.cdc.KafkaClient]] — no librdkafka, no connector jar): a
+    * driver poller thread fetches RecordBatch v2 frames from the
+    * broker and lands each batch (base64) on a bounded push channel,
+    * so the feed gets both [[PushSource]] scan paths and the
+    * backpressure contract (a full channel blocks the poller, which
+    * simply stops fetching — Kafka's pull model needs nothing else).
+    * One poller per topic-partition, like the reference's consumer
+    * (connector.rs); the DATA decode runs distributed via
+    * [[kafkaLiveRecords]].
+    */
+  def kafkaLiveStart(host: String, port: Int, topic: String,
+      partition: Int, channel: String, fromEarliest: Boolean = true,
+      pollMs: Long = 200L): KafkaLiveHandle = {
+    val session = new graft.cdc.KafkaClient.Session(host, port)
+    val start = session.listOffset(topic, partition,
+      if (fromEarliest) -2L else -1L)
+    val handle = new KafkaLiveHandle(session)
+    val t = new Thread(() => {
+      var offset = start
+      try {
+        while (handle.running) {
+          val f = session.fetch(topic, partition, offset,
+            maxWaitMs = pollMs.toInt)
+          require(f.error == 0, s"kafka live: fetch error ${f.error}")
+          if (f.batches.isEmpty) Thread.sleep(pollMs)
+          else {
+            f.batches.foreach { b =>
+              // blocking push = backpressure: a full channel pauses
+              // the poll loop until the consumer commits
+              PushBuffer.push(channel,
+                java.util.Base64.getEncoder.encodeToString(b))
+              val bb = java.nio.ByteBuffer.wrap(b)
+              offset = bb.getLong(0) + bb.getInt(23) + 1
+            }
+          }
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case e: Exception => handle.failure = e
+      }
+    }, s"graft-kafka-live-$topic-$partition")
+    t.setDaemon(true)
+    handle.thread = t
+    t.start()
+    handle
+  }
+
+  final class KafkaLiveHandle private[sources] (
+      session: graft.cdc.KafkaClient.Session) {
+    @volatile private[sources] var running = true
+    @volatile var failure: Exception = null
+    private[sources] var thread: Thread = null
+    def stop(): Unit = {
+      running = false
+      if (thread != null) { thread.interrupt(); thread.join(5000) }
+      session.close()
+      if (failure != null) throw failure
+    }
+  }
+
+  /** Decode a [[kafkaLiveStart]] push feed (base64 batch per event)
+    * into Kafka records — map-only, batch and streaming alike; the
+    * channel seq orders batches, the Kafka offset inside each batch is
+    * the record `_seq`.
+    */
+  def kafkaLiveRecords(feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.cdc.KafkaBatch.records(
+      feed.select(col("seq"), unbase64(col("value")).as("frame")))
+  }
+
   /** Reader options for dozer's Kafka connector config
     * (dozer-ingestion/kafka: broker url + topic [+ schema registry]),
     * mapped onto Spark's kafka source. Pure config mapping — the

@@ -24,8 +24,16 @@ class KafkaClientSpec extends AnyFunSuite {
     * truncated tail — brokers cut record sets at max_bytes mid-batch
     * and clients must drop the partial frame).
     */
-  private final class MockBroker(topic: String, log: Seq[Array[Byte]],
+  private final class MockBroker(topic: String, log0: Seq[Array[Byte]],
       batchesPerFetch: Int = 2, truncatedTail: Boolean = false) {
+    private val logBuf =
+      new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]()
+    log0.foreach(logBuf.add)
+    private def log: Seq[Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      logBuf.asScala.toSeq
+    }
+    def append(b: Array[Byte]): Unit = { logBuf.add(b); () }
     val fetchOffsets = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     private val server = new ServerSocket(0)
     def port: Int = server.getLocalPort
@@ -181,6 +189,33 @@ class KafkaClientSpec extends AnyFunSuite {
     assert(split.length == 2)
     assert(split(0).toSeq == b0.toSeq && split(1).toSeq == b1.toSeq)
     assert(KafkaClient.splitBatches(set ++ b0.take(20)).length == 2)
+  }
+
+  test("live tail: the poller lands broker batches on a push channel " +
+      "as they appear, and the feed decodes distributed") {
+    import graft.sources.{PushBuffer, Sources}
+    val chan = "kafka-live-test"
+    PushBuffer.clear(chan)
+    val broker = new MockBroker("live", Seq(mkBatch(0L, Seq(("a", "v0")))))
+    val handle = Sources.kafkaLiveStart("127.0.0.1", broker.port, "live", 0,
+      chan, pollMs = 20L)
+    try {
+      def awaitRetained(n: Int): Unit = {
+        val deadline = System.nanoTime() + 10L * 1000000000L
+        while (PushBuffer.retained(chan) < n) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $n")
+          Thread.sleep(10)
+        }
+      }
+      awaitRetained(1)
+      broker.append(mkBatch(1L, Seq(("b", "v1"), ("c", "v2"))))
+      awaitRetained(2)
+      val recs = Sources.kafkaLiveRecords(
+        Sources.pushSnapshot(spark, chan)).orderBy("_seq").collect()
+      assert(recs.map(r => (r.getAs[Long]("_seq"), r.getAs[String]("key"),
+        r.getAs[String]("value"))).toSeq ==
+        Seq((0L, "a", "v0"), (1L, "b", "v1"), (2L, "c", "v2")))
+    } finally { handle.stop(); broker.close() }
   }
 
   test("end-to-end: fetched Debezium values materialize through " +
