@@ -559,6 +559,65 @@ object CdcQueries {
         .select(col("o_orderkey"), col("status"), col("price"), col("odate"))
     },
 
+    // Confluent-framed AVRO Debezium CDC (the registry path's binary
+    // format — kafka/src/debezium/schema_registry.rs fetches Avro
+    // schemas; topics carry `0x00 | schema id | avro binary`): orders
+    // replayed as Avro envelope records — snapshot reads, status
+    // updates ('A') for keys %4=0, deletes for keys %9=0 — with
+    // price as an Avro decimal(12,2) logical (unscaled BE bytes),
+    // odate as date-logical int, ots as timestamp-micros long.
+    // Encode is distributed (one frame per order, map-only); decode is
+    // the per-partition GenericDatumReader path; the one shuffle is
+    // applyChanges' key shuffle.
+    QueryDef("q104_avro_registry_cdc",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'A' ELSE o_orderstatus END AS status,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  o_orderdate AS ots
+        |FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.cdc.AvroConfluent
+      val envSchema =
+        """{"type":"record","name":"Envelope","fields":[
+          |{"name":"before","type":["null",{"type":"record","name":"OrderVal","fields":[
+          |{"name":"o_orderkey","type":"long"},
+          |{"name":"status","type":["null","string"]},
+          |{"name":"price","type":["null",{"type":"bytes",
+          |"logicalType":"decimal","precision":12,"scale":2}]},
+          |{"name":"odate","type":["null",{"type":"int","logicalType":"date"}]},
+          |{"name":"ots","type":["null",{"type":"long",
+          |"logicalType":"timestamp-micros"}]}]}]},
+          |{"name":"after","type":["null","OrderVal"]},
+          |{"name":"op","type":"string"}]}""".stripMargin.replace("\n", "")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long"), col("o_orderstatus"),
+        col("o_totalprice").cast("double"), col("o_orderdate").cast("timestamp"))
+      val frames = o.as[(Long, String, Double, java.sql.Timestamp)].flatMap {
+        case (k, st, tp, ts) =>
+          val price = java.math.BigDecimal.valueOf(tp)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+          val micros = Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+            ts.getNanos / 1000L
+          val day = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+            Math.floorDiv(micros, 86400000000L)))
+          def img(status: String): Seq[Any] = Seq(k, status, price, day, ts)
+          def env(op: String, before: Seq[Any], after: Seq[Any]) =
+            AvroConfluent.Encode.record(envSchema, 42, Seq(before, after, op))
+          val msgs = Seq((k * 4, env("r", null, img(st)))) ++
+            (if (k % 4 == 0)
+              Seq((k * 4 + 1, env("u", img(st), img("A")))) else Nil) ++
+            (if (k % 9 == 0)
+              Seq((k * 4 + 2, env("d",
+                img(if (k % 4 == 0) "A" else st), null))) else Nil)
+          msgs
+      }.toDF("seq", "value")
+      val ch = AvroConfluent.changes(frames, "value", envSchema)
+      ChangeModel.applyChanges(ch, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("status"), col("price"),
+          col("odate"), col("ots"))
+    },
+
     // gRPC typed ingest over the REAL wire (dozer-ingestion/grpc/src/
     // ingest.rs `ingest_stream` + adapter/default.rs): a deterministic
     // customer change feed — insert every row, +100.00 acctbal update
