@@ -270,6 +270,8 @@ object GraftConfigLoader {
         tables: Map[String, (String, String)], // table -> (subPath, ext)
         delta: Boolean = false,                // DeltaLake connection
         js: Boolean = false,                   // JavaScript connector (bootstrap_path)
+        kafkaBroker: Option[String] = None,    // Kafka connection (native client)
+        kafkaRegistry: Option[String] = None,  // + optional schema registry url
         // connection shapes with no runnable-SOURCE mapping keep their
         // documented error here and fail only when a source references
         // them — a sink-only connection (Oracle sink) must still parse
@@ -372,6 +374,18 @@ object GraftConfigLoader {
           else if (cfg.asScala.contains("bootstrap_path"))
             Conn(name, cfg.asScala("bootstrap_path").toString,
               Map("json_records" -> ("", ".js")), js = true)
+          // Kafka connection (KafkaConfig { broker, schema_registry_url },
+          // ingestion_types.rs:173-177): runnable through the NATIVE
+          // consumer session client — each source's table_name is its
+          // topic; without a registry the table is the reference's fixed
+          // (key, message) shape (no_schema_registry_basic.rs), with one
+          // it is the Connect-JSON in-band-schema typed decode
+          else if (cfg.asScala.contains("broker"))
+            Conn(name, "", Map.empty,
+              kafkaBroker = Some(cfg.asScala("broker").toString),
+              kafkaRegistry = cfg.asScala.get("schema_registry_url")
+                .filter(v => v != null && v.toString.nonEmpty)
+                .map(_.toString))
           else if (cfg.asScala.contains("provider") ||
               cfg.asScala.contains("wss_url"))
             Conn(name, "", Map.empty, error = Some(
@@ -420,6 +434,17 @@ object GraftConfigLoader {
           fail(s"source '$sname': DeltaLake connection '$connName' has " +
             s"no table '$tableName'"))
         SourceConf(name = sname, path = tpath, format = "delta")
+      } else if (conn.kafkaBroker.isDefined) {
+        SourceConf(name = sname, path = "",
+          format = "graft.sources.PushSource",
+          options = Map(
+            "channel" -> s"${connName}_$tableName",
+            "broker" -> conn.kafkaBroker.get,
+            "topic" -> tableName) ++
+            conn.kafkaRegistry.map("schema_registry_url" -> _),
+          decode = Some(
+            if (conn.kafkaRegistry.isDefined) "kafka_connect"
+            else "kafka_plain"))
       } else if (conn.js) {
         if (tableName != "json_records")
           fail(s"source '$sname': JavaScript connection '$connName' " +

@@ -156,10 +156,10 @@ object Sources {
     */
   def kafkaLiveStart(host: String, port: Int, topic: String,
       partition: Int, channel: String, fromEarliest: Boolean = true,
-      pollMs: Long = 200L): KafkaLiveHandle = {
+      pollMs: Long = 200L, fromOffset: Option[Long] = None): KafkaLiveHandle = {
     val session = new graft.cdc.KafkaClient.Session(host, port)
-    val start = session.listOffset(topic, partition,
-      if (fromEarliest) -2L else -1L)
+    val start = fromOffset.getOrElse(session.listOffset(topic, partition,
+      if (fromEarliest) -2L else -1L))
     val handle = new KafkaLiveHandle(session)
     val t = new Thread(() => {
       var offset = start
@@ -202,6 +202,43 @@ object Sources {
       session.close()
       if (failure != null) throw failure
     }
+  }
+
+  /** One-shot bounded DRAIN of a topic-partition onto a push channel —
+    * the batch-snapshot phase of a config-declared Kafka source
+    * (`dozer run` in batch mode). Per-channel bookkeeping makes
+    * repeated calls INCREMENTAL (only batches past the last drained
+    * offset are pushed), so plan-time schema derivation, `build`, and
+    * the actual run can each touch the source without duplicating
+    * data. Returns the next offset (where a streaming poller should
+    * resume — pass it to [[kafkaLiveStart]]'s `fromOffset`).
+    */
+  def kafkaDrainOnce(broker: String, topic: String, partition: Int,
+      channel: String): Long = KafkaDrainState.synchronized {
+    val (host, port) = splitBroker(broker)
+    val key = s"$channel|$topic|$partition"
+    val from = KafkaDrainState.next.getOrElse(key, 0L)
+    val session = new graft.cdc.KafkaClient.Session(host, port)
+    try {
+      val start =
+        if (KafkaDrainState.next.contains(key)) from
+        else session.listOffset(topic, partition, -2L)
+      val (next, batches) = session.fetchAll(topic, partition, start)
+      batches.foreach(b => PushBuffer.push(channel,
+        java.util.Base64.getEncoder.encodeToString(b)))
+      KafkaDrainState.next(key) = next
+      next
+    } finally session.close()
+  }
+
+  private object KafkaDrainState {
+    val next = scala.collection.mutable.Map.empty[String, Long]
+  }
+
+  def splitBroker(broker: String): (String, Int) = {
+    val i = broker.lastIndexOf(':')
+    require(i > 0, s"kafka broker must be host:port, got '$broker'")
+    (broker.substring(0, i), broker.substring(i + 1).toInt)
   }
 
   /** Decode a [[kafkaLiveStart]] push feed (base64 batch per event)

@@ -870,6 +870,103 @@ class GraftAppSpec extends AnyFunSuite {
     } finally servers.foreach(_.stop())
   }
 
+  test("dozer !Kafka connection (no registry): native-client drain to " +
+      "sink through config alone — fixed (key, message) table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_cfg").toString
+    val broker = new TestKafkaBroker("events_topic")
+    def batch(base: Long, recs: Seq[(String, String)]) =
+      graft.cdc.KafkaBatch.Encode.batch(base, 1700000000000L,
+        recs.map { case (k, v) => (1700000000000L, k, v) })
+    broker.append(batch(0L, Seq(("a", """{"n":1}"""), ("b", """{"n":2}"""))))
+    broker.append(batch(2L, Seq(("c", null)))) // tombstone
+    try {
+      val yaml =
+        s"""app_name: kafka-app
+           |version: 1
+           |connections:
+           |  - config: !Kafka
+           |      broker: ${broker.broker}
+           |    name: k
+           |sources:
+           |  - name: events
+           |    connection: k
+           |    table_name: events_topic
+           |sql: |
+           |  SELECT key, message INTO live FROM events WHERE _op = 'insert';
+           |sinks:
+           |  - table_name: live
+           |    path: $tmp/out
+           |    mode: overwrite
+           |""".stripMargin
+      val config = GraftConfigLoader.fromYaml(yaml)
+      val src = config.sources.head
+      assert(src.decode.contains("kafka_plain") &&
+        src.options("channel") == "k_events_topic" &&
+        src.options("topic") == "events_topic")
+      graft.sources.PushBuffer.clear("k_events_topic")
+      runBatch(spark, config)
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("key", "message").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(out == Seq(("a", """{"n":1}"""), ("b", """{"n":2}""")))
+    } finally broker.close()
+  }
+
+  test("dozer !Kafka connection WITH schema_registry_url: Connect-JSON " +
+      "in-band typed decode through config alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_sr").toString
+    val broker = new TestKafkaBroker("orders_cdc")
+    val valueSchema =
+      """{"type":"struct","fields":[
+        |{"type":"struct","field":"before","optional":true},
+        |{"type":"struct","field":"after","optional":true,"fields":[
+        |{"type":"int64","field":"id","optional":false},
+        |{"type":"string","field":"v","optional":true}]}]}"""
+        .stripMargin.replace("\n", "")
+    val keySchema =
+      """{"type":"struct","fields":[{"type":"int64","field":"id"}]}"""
+    def key(id: Long) = s"""{"schema":$keySchema,"payload":{"id":$id}}"""
+    def msg(p: String) = s"""{"schema":$valueSchema,"payload":$p}"""
+    broker.append(graft.cdc.KafkaBatch.Encode.batch(0L, 1700000000000L, Seq(
+      (1700000000000L, key(1),
+        msg("""{"op":"r","after":{"id":1,"v":"x"}}""")),
+      (1700000000001L, key(2),
+        msg("""{"op":"r","after":{"id":2,"v":"y"}}""")),
+      (1700000000002L, key(2),
+        msg("""{"op":"d","before":{"id":2,"v":"y"}}""")))))
+    try {
+      val yaml =
+        s"""app_name: kafka-sr-app
+           |version: 1
+           |connections:
+           |  - config: !Kafka
+           |      broker: ${broker.broker}
+           |      schema_registry_url: http://registry.invalid
+           |    name: k
+           |sources:
+           |  - name: orders
+           |    connection: k
+           |    table_name: orders_cdc
+           |sql: |
+           |  SELECT id, v, _op INTO state FROM orders;
+           |sinks:
+           |  - table_name: state
+           |    path: $tmp/out
+           |    mode: overwrite
+           |""".stripMargin
+      val config = GraftConfigLoader.fromYaml(yaml)
+      assert(config.sources.head.decode.contains("kafka_connect"))
+      graft.sources.PushBuffer.clear("k_orders_cdc")
+      runBatch(spark, config)
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("id", "v", "_op").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(out == Seq((1L, "x", "insert"), (2L, "y", "delete"),
+        (2L, "y", "insert")))
+    } finally broker.close()
+  }
+
   test("global !! tags cannot instantiate arbitrary classes (SafeConstructor)") {
     // CVE-2022-1471 class: a global tag naming a JVM class must be
     // rejected by the safe loader, never constructed
