@@ -704,6 +704,73 @@ object TextOps {
     }
   }
 
+  /** URL canonicalization — the dedup key of a web-curation pipeline
+    * (Common-Crawl-style corpora dedup by canonical URL before any
+    * content pass; one page is crawled under scheme/case/port/
+    * tracking-param variants that would all survive content-blind
+    * exact dedup). Pure NATIVE column work on Spark's `parse_url` +
+    * array functions — no UDF, no shuffle; a 100 TB crawl
+    * canonicalizes map-only and pays one hash shuffle only at the
+    * group-by-canonical step.
+    *
+    * Rules (the industry-standard safe subset):
+    *  - scheme and host lowercase; leading `www.` stripped
+    *  - default ports dropped (`:80` http, `:443` https); explicit
+    *    non-default ports kept
+    *  - path: trailing `/` stripped (root `/` collapses to empty)
+    *  - query: `utm_*`, `fbclid`, `gclid` tracking params dropped,
+    *    the rest SORTED for order-independence; empty query dropped
+    *  - fragment dropped
+    *
+    * Malformed urls (no parseable host) canonicalize to null — flag,
+    * not poison.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val proto = lower(try_parse_url(url, lit("PROTOCOL")))
+    val auth = try_parse_url(url, lit("AUTHORITY"))
+    val hostRaw = lower(try_parse_url(url, lit("HOST")))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    // AUTHORITY keeps the port; HOST drops it — their delta is the port
+    val port = when(lower(auth).contains(":"),
+      regexp_extract(lower(auth), ":(\\d+)$", 1)).otherwise(lit(""))
+    val keepPort = (port =!= "") &&
+      !(proto === "http" && port === "80") &&
+      !(proto === "https" && port === "443")
+    val path0 = coalesce(try_parse_url(url, lit("PATH")), lit(""))
+    val path = regexp_replace(path0, "/$", "")
+    val query0 = try_parse_url(url, lit("QUERY"))
+    val params = filter(split(query0, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    val query = when(query0.isNull || size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
+    when(proto.isNull || hostRaw.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        proto, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path, query))
+  }
+
+  /** Keep one row per canonical URL (lowest `orderCol` wins — the
+    * crawl's first fetch), adding the `canonical_url` column. Rows
+    * whose URL cannot be canonicalized are KEPT (null is not a dedup
+    * group). One hash shuffle on the canonical key.
+    */
+  def urlDedup(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      orderCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withCanon = df.withColumn("canonical_url",
+      canonicalizeUrl(col(urlCol)))
+    val w = Window.partitionBy(col("canonical_url"))
+      .orderBy(col(orderCol).asc)
+    withCanon
+      .withColumn("__rn",
+        when(col("canonical_url").isNull, lit(1))
+          .otherwise(row_number().over(w)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** 61-bit simhash over the ORACLED token-hash family: each token
     * (multiplicity counted, same as [[simhash64]]) is hashed with the
     * q38b mod-(2^61-1) rolling hash, and bit j of the fingerprint is the

@@ -1924,6 +1924,31 @@ object PipelineQueries {
         "qid", "qvec", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           col("sim").cast("long").as("sim"), col("rank").as("nn_rank"))
+    },
+
+    // URL canonicalization + crawl dedup (Common-Crawl-style corpora
+    // dedup by canonical URL before any content pass): two messy
+    // variants of every page — scheme/host case, www., explicit :443,
+    // trailing slash, utm_/fbclid tracking params, unsorted query,
+    // fragment — built deterministically per doc pair, canonicalized
+    // with NATIVE parse_url+array column work (no UDF, map-only), then
+    // deduped keep-first by doc_id (one hash shuffle). The oracle
+    // states the canonical form closed-form per doc_id — every rule
+    // must land exactly for the hash to match.
+    QueryDef("q105_url_canonical_dedup",
+      """SELECT doc_id,
+        |  'https://example.com/item/' || CAST(doc_id // 2 AS VARCHAR)
+        |    || '?a=1&b=2' AS canonical_url
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val base = (col("doc_id") / 2).cast("long").cast("string")
+      val url = when(col("doc_id") % 2 === 0,
+        concat(lit("https://Example.com/item/"), base,
+          lit("/?b=2&a=1#frag")))
+        .otherwise(concat(lit("HTTPS://WWW.example.COM:443/item/"), base,
+          lit("?utm_source=feed&fbclid=xyz&a=1&utm_medium=rss&b=2")))
+      TextOps.urlDedup(docs.withColumn("url", url), "url", "doc_id")
+        .select(col("doc_id"), col("canonical_url"))
     }
   )
 }

@@ -1423,4 +1423,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2("g") == 5L)
   }
+
+  test("url canonicalization: case, www, default vs explicit ports, " +
+      "trailing slash, tracking params, param sort, fragments, malformed") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/b/?z=1&a=2#f", "http://ex.com/A/b?a=2&z=1"),
+      ("https://ex.com:8443/p", "https://ex.com:8443/p"), // non-default kept
+      ("https://ex.com/", "https://ex.com"),
+      ("https://ex.com/p?utm_source=x&utm_medium=y", "https://ex.com/p"),
+      ("https://ex.com/p?fbclid=1&gclid=2&k=v", "https://ex.com/p?k=v"),
+      ("http://ex.com:443/p", "http://ex.com:443/p"), // 443 not http default
+      ("not a url at all", null))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"want $want got $g")
+    }
+
+    // dedup: keep-first per canonical group; malformed rows all kept
+    val rows = Seq(
+      (1L, "https://ex.com/p?a=1&b=2"),
+      (2L, "HTTPS://WWW.ex.com:443/p/?b=2&a=1#x"),
+      (3L, "%%bad%%"), (4L, "%%bad%%"))
+      .toDF("doc_id", "url")
+    val kept = TextOps.urlDedup(rows, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
 }

@@ -179,6 +179,45 @@ class ThroughputSpec extends AnyFunSuite {
     assert(rps > 20000, s"arrow decode unexpectedly slow: $rps rows/s")
   }
 
+  test("gRPC wire ingest sustains bulk message rates") {
+    import graft.sources.{GrpcClient, GrpcIngest, PushBuffer}
+    import graft.sources.GrpcIngest.Pbuf
+    import org.apache.spark.sql.types._
+    val chan = "tp_grpc"
+    PushBuffer.clear(chan)
+    PushBuffer.configure(chan, 20000)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val server = GrpcIngest.start(0,
+      Map("m" -> GrpcIngest.TableSpec(schema, chan)))
+    val client = new GrpcClient("127.0.0.1", server.port)
+    try {
+      def req(i: Long) = {
+        val w = new Pbuf.Writer().str(1, "m").int(2, 0L)
+        w.embedded(4, new Pbuf.Writer().int(3, i))
+        w.embedded(4, new Pbuf.Writer()
+          .fixed64(5, java.lang.Double.doubleToLongBits(i * 0.5)))
+        w.int(5, i).result
+      }
+      // warm: one small call (connection + HPACK + JIT)
+      client.call("/dozer.ingest.IngestService/ingest_stream",
+        Seq(req(0L)))
+      val n = 10000
+      val msgs = (1 to n).map(i => req(i.toLong))
+      val t0 = System.nanoTime()
+      val (h, _) = client.call(
+        "/dozer.ingest.IngestService/ingest_stream", msgs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(h("grpc-status") == "0", h)
+      assert(PushBuffer.endOffset(chan) == n + 1L)
+      val rps = n / secs
+      info(f"tp_grpc: $n messages in $secs%.2f s = $rps%.0f msg/s")
+      // loose floor (CI-safe): h2c framing + flow control + protobuf
+      // decode + Jackson envelope per message, one HTTP/2 stream
+      assert(rps > 2000, s"grpc ingest unexpectedly slow: $rps msg/s")
+    } finally { client.close(); server.stop() }
+  }
+
   test("ONNX model UDF sustains bulk inference rates") {
     import graft.functions.{OnnxMini, OnnxModels}
     // the q85 head (64->16->8 Gemm/Relu/Gemm/ArgMax) over the sf0.1
