@@ -86,9 +86,6 @@ object GraftApp {
       case "run" =>
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-        // kafka sources prime their channels BEFORE the locked build —
-        // schema analysis (in-band Connect derivation) needs data
-        val kafkaHandles = startKafkaTails(config)
         // run_all builds (with the locked check) before executing
         // (orchestrator.rs:221-226)
         buildLocked(spark, config, lockPath, locked)
@@ -101,7 +98,6 @@ object GraftApp {
         } finally {
           hooks.foreach(_.stop())
           grpcHandles.foreach(_.stop())
-          kafkaHandles.foreach(_.stop())
           spark.stop()
         }
     }
@@ -432,26 +428,6 @@ object GraftApp {
   def startGrpcServers(config: GraftConfig): Seq[graft.sources.GrpcIngest.Handle] =
     config.grpcServers.map(g => graft.sources.GrpcIngest.start(g.port, g.tables))
 
-  /** Prime every config-declared Kafka source: drain the current log
-    * onto its channel (so plan-time schema derivation and the batch
-    * phase see data), and in streaming mode start a live poller
-    * resuming exactly where the drain stopped — no duplicates, no gap.
-    */
-  def startKafkaTails(config: GraftConfig)
-      : Seq[graft.sources.Sources.KafkaLiveHandle] =
-    config.sources
-      .filter(s => s.decode.contains("kafka_plain") ||
-        s.decode.contains("kafka_connect"))
-      .flatMap { s =>
-        val next = graft.sources.Sources.kafkaDrainOnce(
-          s.options("broker"), s.options("topic"), 0, s.options("channel"))
-        if (config.streaming) {
-          val (host, port) = graft.sources.Sources.splitBroker(s.options("broker"))
-          Some(graft.sources.Sources.kafkaLiveStart(host, port,
-            s.options("topic"), 0, s.options("channel"),
-            fromOffset = Some(next)))
-        } else None
-      }
 
   /** Resolve one source to a DataFrame: plain format reads (schema
     * inferred from existing files for streams), or the webhook decode
@@ -500,39 +476,40 @@ object GraftApp {
           throw new IllegalArgumentException(
             s"grpc source '${s.name}' needs a row schema")))
       case Some("kafka_plain") | Some("kafka_connect") =>
-        // Config-declared Kafka source over the NATIVE consumer client
-        // (KafkaConfig, ingestion_types.rs:173-177). Batch mode drains
-        // the topic incrementally onto the channel here; streaming mode
-        // is fed by the poller `run` starts (startKafkaTails).
-        val chan = s.options("channel")
-        val topic = s.options("topic")
-        if (!streaming)
-          graft.sources.Sources.kafkaDrainOnce(
-            s.options("broker"), topic, 0, chan)
-        val feed =
-          if (streaming) graft.sources.Sources.push(spark, chan)
-          else graft.sources.Sources.pushSnapshot(spark, chan)
-        val recs = graft.sources.Sources.kafkaLiveRecords(feed)
+        // Config-declared Kafka source over the NATIVE DataSource V2
+        // (KafkaConfig, ingestion_types.rs:173-177): Kafka offsets ARE
+        // the checkpoint offsets (OpIdentifier parity) and the fetch
+        // runs on the executors — no driver channel, no poller.
+        import org.apache.spark.sql.functions.{col, when}
+        val Op = graft.cdc.ChangeModel
+        val kopts = Map(
+          "broker" -> s.options("broker"), "topic" -> s.options("topic"))
+        def reader(stream: Boolean): DataFrame = {
+          val df =
+            if (stream)
+              spark.readStream.format("graft.sources.KafkaNativeSource")
+                .options(kopts).load()
+            else
+              spark.read.format("graft.sources.KafkaNativeSource")
+                .options(kopts).load()
+          df.withColumnRenamed("offset", Op.SeqCol)
+        }
+        val recs = reader(streaming)
         if (s.decode.contains("kafka_plain")) {
           // no-registry contract: fixed (key pk, message) table
           // (no_schema_registry_basic.rs); tombstones delete the key
-          import org.apache.spark.sql.functions.{col, when}
-          val Op = graft.cdc.ChangeModel
           recs.select(col("key"), col("value").as("message"),
             when(col("value").isNull, Op.Delete)
               .otherwise(Op.Insert).as(Op.OpCol),
             col(Op.SeqCol))
         } else {
           // registry path: Connect-JSON messages with in-band schemas —
-          // derive the contract from what is on the channel (batch
-          // snapshot), then decode the feed (works for the stream too)
-          import org.apache.spark.sql.functions.col
-          val snapRecs = graft.sources.Sources.kafkaLiveRecords(
-            graft.sources.Sources.pushSnapshot(spark, chan))
+          // derive the contract from a batch sample of the topic, then
+          // decode the feed (identical for the stream)
           val d = graft.cdc.ConnectJson.deriveFromFeed(
-            snapRecs, "value", Some("key"))
+            reader(stream = false), "value", Some("key"))
           graft.cdc.ConnectJson.decodeWith(d, recs, "value",
-            seq = Some(col(graft.cdc.ChangeModel.SeqCol)))
+            seq = Some(col(Op.SeqCol)))
         }
       case Some("kafka_segments") =>
         // Dumped Kafka log segments through the native RecordBatch v2

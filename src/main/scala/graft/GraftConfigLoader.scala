@@ -436,9 +436,8 @@ object GraftConfigLoader {
         SourceConf(name = sname, path = tpath, format = "delta")
       } else if (conn.kafkaBroker.isDefined) {
         SourceConf(name = sname, path = "",
-          format = "graft.sources.PushSource",
+          format = "graft.sources.KafkaNativeSource",
           options = Map(
-            "channel" -> s"${connName}_$tableName",
             "broker" -> conn.kafkaBroker.get,
             "topic" -> tableName) ++
             conn.kafkaRegistry.map("schema_registry_url" -> _),

@@ -901,9 +901,8 @@ class GraftAppSpec extends AnyFunSuite {
       val config = GraftConfigLoader.fromYaml(yaml)
       val src = config.sources.head
       assert(src.decode.contains("kafka_plain") &&
-        src.options("channel") == "k_events_topic" &&
-        src.options("topic") == "events_topic")
-      graft.sources.PushBuffer.clear("k_events_topic")
+        src.options("topic") == "events_topic" &&
+        src.options("broker") == broker.broker)
       runBatch(spark, config)
       val out = spark.read.parquet(s"$tmp/out")
         .select("key", "message").collect()
@@ -956,7 +955,6 @@ class GraftAppSpec extends AnyFunSuite {
            |""".stripMargin
       val config = GraftConfigLoader.fromYaml(yaml)
       assert(config.sources.head.decode.contains("kafka_connect"))
-      graft.sources.PushBuffer.clear("k_orders_cdc")
       runBatch(spark, config)
       val out = spark.read.parquet(s"$tmp/out")
         .select("id", "v", "_op").collect()
