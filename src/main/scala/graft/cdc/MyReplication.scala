@@ -167,6 +167,77 @@ object MyReplication {
     def declareChecksum(): Unit =
       exec("SET @master_binlog_checksum = @@global.binlog_checksum")
 
+    // ------------------------------------------------ text result sets
+
+    private def lenencInt(p: Array[Byte], pos: Int): (Long, Int) =
+      (p(pos) & 0xff) match {
+        case 0xfc => (((p(pos + 1) & 0xffL)) | ((p(pos + 2) & 0xffL) << 8), pos + 3)
+        case 0xfd => ((p(pos + 1) & 0xffL) | ((p(pos + 2) & 0xffL) << 8) |
+          ((p(pos + 3) & 0xffL) << 16), pos + 4)
+        case 0xfe =>
+          var v = 0L
+          var i = 7
+          while (i >= 0) { v = (v << 8) | (p(pos + 1 + i) & 0xffL); i -= 1 }
+          (v, pos + 9)
+        case n => (n.toLong, pos + 1)
+      }
+
+    private def lenencStr(p: Array[Byte], pos: Int): (Option[String], Int) =
+      if ((p(pos) & 0xff) == 0xfb) (None, pos + 1)
+      else {
+        val (len, at) = lenencInt(p, pos)
+        (Some(new String(p, at, len.toInt, UTF_8)), at + len.toInt)
+      }
+
+    private def isEofOrOk(p: Array[Byte]): Boolean =
+      ((p(0) & 0xff) == 0xfe && p.length < 9) || (p(0) & 0xff) == 0x00
+
+    /** SNAPSHOT read: COM_QUERY with a TEXT result set (the documented
+      * protocol: column-count, ColumnDefinition41 packets, rows of
+      * lenenc strings with 0xfb NULLs, EOF/OK terminators). The
+      * snapshot-phase twin of [[PgReplication.Session.select]] — with
+      * it the MySQL path needs no JDBC driver either. Returns (column
+      * names, rows as text cells).
+      */
+    def select(sql: String): (Seq[String], Seq[Seq[Option[String]]]) = {
+      seqId = 0
+      writePacket(Array(0x03.toByte) ++ sql.getBytes(UTF_8))
+      val first = readPacket()
+      (first(0) & 0xff) match {
+        case 0xff => fail(first)
+        case 0x00 => (Nil, Nil) // OK with no result set
+        case _ =>
+          val (nCols, _) = lenencInt(first, 0)
+          val cols = (0 until nCols.toInt).map { _ =>
+            val p = readPacket()
+            // ColumnDefinition41: catalog, schema, table, org_table,
+            // name, … — the 5th lenenc string is the display name
+            var pos = 0
+            var name: Option[String] = None
+            (0 until 5).foreach { i =>
+              val (s, next) = lenencStr(p, pos)
+              if (i == 4) name = s
+              pos = next
+            }
+            name.getOrElse("")
+          }
+          var p = readPacket()
+          if (isEofOrOk(p)) p = readPacket() // EOF after column defs
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
+          while (!isEofOrOk(p)) {
+            if ((p(0) & 0xff) == 0xff) fail(p)
+            var pos = 0
+            rows += cols.map { _ =>
+              val (s, next) = lenencStr(p, pos)
+              pos = next
+              s
+            }
+            p = readPacket()
+          }
+          (cols, rows.toSeq)
+      }
+    }
+
     /** COM_REGISTER_SLAVE — announce this client as a replica. */
     def registerSlave(serverId: Int): Unit = {
       seqId = 0

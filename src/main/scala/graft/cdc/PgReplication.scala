@@ -158,14 +158,27 @@ object PgReplication {
 
     // ----------------------------------------------------- simple query
 
-    /** Run a replication command, return its rows as string cells. */
-    private def query(sql: String): Seq[Seq[Option[String]]] = {
+    /** Run a simple-protocol query, returning (column names, rows as
+      * text cells).
+      */
+    private def queryWithCols(sql: String)
+        : (Seq[String], Seq[Seq[Option[String]]]) = {
       send('Q', cstr(sql))
+      var cols: Seq[String] = Nil
       val rows = mutable.ArrayBuffer.empty[Seq[Option[String]]]
       var done = false
       while (!done) {
         recv() match {
-          case ('T', _) => // RowDescription (names/oids unused — positional)
+          case ('T', p) => // RowDescription
+            val bb = java.nio.ByteBuffer.wrap(p)
+            val n = bb.getShort.toInt
+            cols = Seq.fill(n) {
+              val start = bb.position()
+              while (bb.get() != 0) ()
+              val name = new String(p, start, bb.position() - start - 1, UTF_8)
+              bb.position(bb.position() + 18) // oid/attnum/typoid/len/mod/fmt
+              name
+            }
           case ('D', p) =>
             val bb = java.nio.ByteBuffer.wrap(p)
             val n = bb.getShort.toInt
@@ -183,8 +196,24 @@ object PgReplication {
           case (t, _) => throw new IllegalStateException(s"unexpected '$t' in query")
         }
       }
-      rows.toSeq
+      (cols, rows.toSeq)
     }
+
+    /** Run a replication command, return its rows as string cells. */
+    private def query(sql: String): Seq[Seq[Option[String]]] =
+      queryWithCols(sql)._2
+
+    /** SNAPSHOT read over the SAME connection and protocol (reference
+      * snapshotter.rs:70 `query_raw` parity — the reference's snapshot
+      * is a plain SELECT too, not COPY): rows as text cells with their
+      * RowDescription column names. Run between
+      * `createSlot(useSnapshot = true)` and `startReplication` — the
+      * walsender connection's transaction sees the slot's exported
+      * snapshot, which is the gapless-handoff contract. With this the
+      * Postgres path needs NO JDBC driver at all.
+      */
+    def select(sql: String): (Seq[String], Seq[Seq[Option[String]]]) =
+      queryWithCols(sql)
 
     def identifySystem(): SystemInfo = {
       val r = query("IDENTIFY_SYSTEM").head

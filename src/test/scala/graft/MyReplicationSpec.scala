@@ -88,8 +88,30 @@ class MyReplicationSpec extends AnyFunSuite {
           (cmd(0) & 0xff) match {
             case 0x01 => open = false // COM_QUIT
             case 0x03 => // COM_QUERY
-              queries.add(new String(cmd, 1, cmd.length - 1, UTF_8))
-              packet(out, 1, Array[Byte](0x00, 0x00, 0x00, 0x00, 0x00))
+              val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
+              queries.add(sql)
+              if (sql.startsWith("SELECT")) {
+                // text result set: column count, 2 ColumnDefinition41,
+                // EOF, rows (lenenc strings, 0xfb NULL), EOF
+                def lenencStr(s: String): Array[Byte] = {
+                  val b = s.getBytes(UTF_8)
+                  Array(b.length.toByte) ++ b
+                }
+                def colDef(name: String): Array[Byte] =
+                  lenencStr("def") ++ lenencStr("shop") ++
+                    lenencStr("users") ++ lenencStr("users") ++
+                    lenencStr(name) ++ lenencStr(name) ++
+                    Array[Byte](0x0c, 33, 0, 0, 1, 0, 0,
+                      0xfd.toByte, 0, 0, 0, 0, 0)
+                packet(out, 1, Array[Byte](2)) // column count
+                packet(out, 2, colDef("id"))
+                packet(out, 3, colDef("name"))
+                packet(out, 4, Array(0xfe.toByte, 0x00, 0x00, 0x00, 0x00))
+                packet(out, 5, lenencStr("1") ++ lenencStr("ann"))
+                packet(out, 6, lenencStr("2") ++ Array(0xfb.toByte))
+                packet(out, 7, Array(0xfe.toByte, 0x00, 0x00, 0x00, 0x00))
+              } else
+                packet(out, 1, Array[Byte](0x00, 0x00, 0x00, 0x00, 0x00))
             case 0x15 => // COM_REGISTER_SLAVE
               sawRegisterSlave = true
               packet(out, 1, Array[Byte](0x00, 0x00, 0x00, 0x00, 0x00))
@@ -138,6 +160,11 @@ class MyReplicationSpec extends AnyFunSuite {
     try {
       session.connect()
       session.declareChecksum()
+      // snapshot phase: the native TEXT result-set read (no JDBC)
+      val (cols, rows) = session.select("SELECT id, name FROM shop.users")
+      assert(cols == Seq("id", "name"))
+      assert(rows == Seq(Seq(Some("1"), Some("ann")),
+        Seq(Some("2"), None)))
       session.registerSlave(serverId = 1234)
       val n = session.binlogDump(1234, "binlog.000001", 4L) { e => got += e }
       assert(n == 4)

@@ -137,6 +137,13 @@ class PgReplicationSpec extends AnyFunSuite {
               backend(out, 'c', Array.emptyByteArray) // CopyDone
               backend(out, 'C', cstr("COPY 0"))
               backend(out, 'Z', Array('I'.toByte))
+            } else if (q.startsWith("SELECT")) {
+              // snapshot-phase simple query (snapshotter.rs query_raw)
+              backend(out, 'T', rowDesc("id", "name"))
+              backend(out, 'D', dataRow(Seq(Some("1"), Some("ada"))))
+              backend(out, 'D', dataRow(Seq(Some("2"), None)))
+              backend(out, 'C', cstr("SELECT 2"))
+              backend(out, 'Z', Array('I'.toByte))
             } else {
               backend(out, 'E', Array('M'.toByte) ++ cstr(s"unknown: $q") ++
                 Array(0.toByte))
@@ -185,6 +192,12 @@ class PgReplicationSpec extends AnyFunSuite {
         session, "graft_slot", "mypub", maxMessages = 5) { info =>
         assert(info.consistentPoint == ConsistentPoint &&
           info.snapshotName.contains("00000003-00000002-1"))
+        // snapshot phase over the SAME connection — the native
+        // simple-query read (snapshotter.rs query_raw parity, no JDBC)
+        val (cols, rows) = session.select("SELECT id, name FROM users")
+        assert(cols == Seq("id", "name"))
+        assert(rows == Seq(Seq(Some("1"), Some("ada")),
+          Seq(Some("2"), None)))
         "snapshot-done"
       } { m => got += m }
       assert(slotInfo == "snapshot-done")
