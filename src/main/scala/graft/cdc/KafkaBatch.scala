@@ -98,9 +98,7 @@ object KafkaBatch {
     require(c.getValue == crc,
       f"kafka: CRC32C mismatch (stored 0x$crc%08x, computed 0x${c.getValue}%08x)")
     val attributes = r.i16()
-    require((attributes & 0x07) == 0,
-      s"kafka: compressed batches are not supported (codec ${attributes & 0x07}) — " +
-        "decompress segments before ingest")
+    val codec = attributes & 0x07
     val isControl = (attributes & 0x20) != 0
     r.i32() // lastOffsetDelta
     val baseTimestamp = r.i64()
@@ -111,7 +109,29 @@ object KafkaBatch {
     val n = r.i32()
     require(n >= 0, s"kafka: negative record count $n")
     if (isControl) return Nil // consumers skip control records (KIP-98)
+    // compressed batches: the RECORDS block (everything after the
+    // 61-byte header) is one compressed stream; every codec's
+    // decompressor ships with Spark (gzip = JDK, snappy-java / lz4-java
+    // frame / zstd-jni), so nothing is rejected any more
+    val r2 = codec match {
+      case 0 => r
+      case c =>
+        val compressed = java.util.Arrays.copyOfRange(batch, r.pos, batch.length)
+        val in: java.io.InputStream =
+          new java.io.ByteArrayInputStream(compressed)
+        val stream = c match {
+          case 1 => new java.util.zip.GZIPInputStream(in)
+          case 2 => new org.xerial.snappy.SnappyInputStream(in)
+          case 3 => new net.jpountz.lz4.LZ4FrameInputStream(in)
+          case 4 => new com.github.luben.zstd.ZstdInputStream(in)
+          case other => throw new IllegalArgumentException(
+            s"kafka: unknown compression codec $other")
+        }
+        val plain = try stream.readAllBytes() finally stream.close()
+        new Reader(plain, 0)
+    }
     Vector.fill(n) {
+      val r = r2
       val len = r.varint()
       val end = r.pos + len
       r.u8() // record attributes (unused in v2)
@@ -259,16 +279,39 @@ object KafkaBatch {
       framed.toByteArray
     }
 
-    /** Encode one RecordBatch v2 (uncompressed; control = bit 5). */
+    /** Encode one RecordBatch v2 (control = bit 5; `codec` 0=none
+      * 1=gzip 2=snappy 3=lz4 4=zstd compresses the records block, the
+      * same platform codecs the decoder accepts).
+      */
     def batch(baseOffset: Long, baseTimestamp: Long,
-        records: Seq[(Long, String, String)], control: Boolean = false): Array[Byte] = {
+        records: Seq[(Long, String, String)], control: Boolean = false,
+        codec: Int = 0): Array[Byte] = {
       require(records.nonEmpty, "kafka: empty batch")
       val recBytes = records.zipWithIndex.map { case ((ts, k, v), i) =>
         record(ts - baseTimestamp, i, k, v)
       }
+      val recordsBlock = {
+        val plain = new ByteArrayOutputStream()
+        recBytes.foreach(plain.write)
+        codec match {
+          case 0 => plain.toByteArray
+          case c =>
+            val out = new ByteArrayOutputStream()
+            val z: java.io.OutputStream = c match {
+              case 1 => new java.util.zip.GZIPOutputStream(out)
+              case 2 => new org.xerial.snappy.SnappyOutputStream(out)
+              case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(out)
+              case 4 => new com.github.luben.zstd.ZstdOutputStream(out)
+              case other => throw new IllegalArgumentException(
+                s"kafka: unknown compression codec $other")
+            }
+            z.write(plain.toByteArray); z.close()
+            out.toByteArray
+        }
+      }
       val tail = new ByteArrayOutputStream() // attributes onward (crc'd)
       val t = new DataOutputStream(tail)
-      t.writeShort(if (control) 0x20 else 0)
+      t.writeShort((if (control) 0x20 else 0) | (codec & 0x07))
       t.writeInt(records.length - 1)  // lastOffsetDelta
       t.writeLong(baseTimestamp)
       t.writeLong(records.map(_._1).max) // maxTimestamp
@@ -276,7 +319,7 @@ object KafkaBatch {
       t.writeShort(-1) // producerEpoch
       t.writeInt(-1)   // baseSequence
       t.writeInt(records.length)
-      recBytes.foreach(t.write)
+      tail.write(recordsBlock)
       t.flush()
       val crc = new java.util.zip.CRC32C
       crc.update(tail.toByteArray)
