@@ -870,6 +870,66 @@ class GraftAppSpec extends AnyFunSuite {
     } finally servers.foreach(_.stop())
   }
 
+  test("dozer !Grpc connection with adapter: arrow — IPC frames over the " +
+      "real wire to a sink through config alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_grpc_arrow").toString
+    val yaml =
+      s"""app_name: grpc-arrow-app
+         |version: 1
+         |connections:
+         |  - config: !Grpc
+         |      port: 0
+         |      adapter: arrow
+         |      schemas: '{"metrics": {"schema": {"fields": [
+         |        {"name": "mid", "typ": "Int", "nullable": false},
+         |        {"name": "val", "typ": "Float", "nullable": true}]}}}'
+         |    name: feed
+         |sources:
+         |  - name: metrics
+         |    connection: feed
+         |    table_name: metrics
+         |sql: |
+         |  SELECT mid, val INTO kept FROM metrics WHERE val > 1.0;
+         |sinks:
+         |  - table_name: kept
+         |    path: $tmp/out
+         |    checkpoint: $tmp/ckpt
+         |streaming: true
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    val src = config.sources.head
+    assert(src.decode.contains("arrow") &&
+      src.options("channel") == "feed_metrics")
+    graft.sources.PushBuffer.clear("feed_metrics")
+    val servers = GraftApp.startGrpcServers(config)
+    try {
+      import graft.sources.GrpcIngest.Pbuf
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("mid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("val",
+          org.apache.spark.sql.types.DoubleType)))
+      val frame = graft.sources.ArrowIngest.encodePartition(Seq(
+        org.apache.spark.sql.Row(1L, 0.5),
+        org.apache.spark.sql.Row(2L, 2.5),
+        org.apache.spark.sql.Row(3L, 9.0)).iterator, rowSchema, 1024)
+      val client = new graft.sources.GrpcClient("127.0.0.1", servers.head.port)
+      try {
+        val req = new Pbuf.Writer().str(1, "metrics").bytes(2, frame)
+          .int(3, 1L).result
+        val (h, _) = client.call("/dozer.ingest.IngestService/ingest_arrow",
+          Seq(req))
+        assert(h("grpc-status") == "0", h)
+      } finally client.close()
+      val queries = runStreaming(spark, config)
+      try queries.foreach(_.awaitTermination())
+      finally queries.foreach(_.stop())
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("mid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(2L, 3L), "val gate keeps mid 2 and 3 only")
+    } finally servers.foreach(_.stop())
+  }
+
   test("dozer !Kafka connection (no registry): native-client drain to " +
       "sink through config alone — fixed (key, message) table") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_cfg").toString
