@@ -195,7 +195,7 @@ object AvroConfluent {
     val src = feed.select(col(seqCol).cast("long"), col(valueCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     src.mapPartitions { it =>
-      val schema = new AvroSchema.Parser().parse(avroSchemaJson)
+      val schema = parsedSchema(avroSchemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       var decoder: org.apache.avro.io.BinaryDecoder = null
       val fields = schema.getFields.asScala.toSeq
@@ -247,10 +247,22 @@ object AvroConfluent {
     * declared scale), timestamps java.sql.Timestamp, dates
     * java.sql.Date.
     */
+  /** Parsed-schema cache: encode runs once PER RECORD in capture
+    * fixtures (q104 builds one envelope per source row) and
+    * `Schema.Parser` is the dominant cost at that granularity; parsed
+    * Avro schemas are immutable and safe to share across threads.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AvroSchema]()
+
+  private def parsedSchema(json: String): AvroSchema =
+    schemaCache.computeIfAbsent(json,
+      j => new AvroSchema.Parser().parse(j))
+
   object Encode {
     def record(avroSchemaJson: String, schemaId: Int,
         values: Seq[Any]): Array[Byte] = {
-      val schema = new AvroSchema.Parser().parse(avroSchemaJson)
+      val schema = parsedSchema(avroSchemaJson)
       val rec = buildRecord(schema, values)
       val out = new ByteArrayOutputStream()
       val enc = EncoderFactory.get().binaryEncoder(out, null)

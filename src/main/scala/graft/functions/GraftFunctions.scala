@@ -118,6 +118,9 @@ object GraftFunctions {
     temp1("scrub_pii")(TextOps.scrubPii)
     temp1("fingerprint64")(TextOps.fingerprint64(_))
     temp1("simhash64")(x => TextOps.simhash64(TextOps.tokens(x)))
+    temp1("canonical_url")(TextOps.canonicalizeUrl)
+    temp1("url_host")(TextOps.urlHost)
+    temp1("registered_domain")(x => TextOps.registeredDomain(TextOps.urlHost(x)))
   }
 
   /** Stopword set backing SQL `quality_score` (the English marker list —

@@ -751,6 +751,39 @@ object TextOps {
         path, query))
   }
 
+  /** Canonical host of a URL: lowercase, `www.` stripped, null when
+    * unparseable — the grouping key of host-level crawl stats.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** Registered domain approximated as the last two host labels
+    * (example.com from a.b.example.com) — the DOMAIN-level filter key
+    * of web curation pipelines (spam/SEO domain blocklists act here,
+    * not per-host). Public-suffix lists (co.uk and friends) are a
+    * data file, not an algorithm: callers with ccTLD corpora should
+    * pre-strip known suffixes; the two-label rule is the documented
+    * approximation. Single-label hosts pass through whole.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(host.isNull, lit(null).cast("string"))
+      .when(size(labels) <= 2, host)
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** Domain-blocklist gate: adds `domain` and `domain_kept` (false when
+    * the registered domain is blocklisted OR the URL is unparseable —
+    * unattributable rows fail closed). Map-only, no UDF, no shuffle.
+    */
+  def domainFilter(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      blockedDomains: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val domain = registeredDomain(urlHost(col(urlCol)))
+    df.withColumn("domain", domain)
+      .withColumn("domain_kept",
+        domain.isNotNull && !domain.isin(blockedDomains.map(lit): _*))
+  }
+
   /** Keep one row per canonical URL (lowest `orderCol` wins — the
     * crawl's first fetch), adding the `canonical_url` column. Rows
     * whose URL cannot be canonicalized are KEPT (null is not a dedup
@@ -763,12 +796,15 @@ object TextOps {
       canonicalizeUrl(col(urlCol)))
     val w = Window.partitionBy(col("canonical_url"))
       .orderBy(col(orderCol).asc)
-    withCanon
-      .withColumn("__rn",
-        when(col("canonical_url").isNull, lit(1))
-          .otherwise(row_number().over(w)))
+    // null canonicals split off BEFORE the window: they skip the
+    // shuffle entirely AND the plain rank-filter shape lets Catalyst
+    // insert WindowGroupLimit (partial sort + per-group top-1 before
+    // the exchange) — a when()-guarded rank would block both
+    val kept = withCanon.filter(col("canonical_url").isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    kept.unionByName(withCanon.filter(col("canonical_url").isNull))
   }
 
   /** 61-bit simhash over the ORACLED token-hash family: each token

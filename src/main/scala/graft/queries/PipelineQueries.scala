@@ -1949,6 +1949,32 @@ object PipelineQueries {
           lit("?utm_source=feed&fbclid=xyz&a=1&utm_medium=rss&b=2")))
       TextOps.urlDedup(docs.withColumn("url", url), "url", "doc_id")
         .select(col("doc_id"), col("canonical_url"))
+    },
+
+    // Domain-level blocklist filtering (the standard web-curation step
+    // BEFORE any content pass — spam/SEO domains are dropped by
+    // registered domain, not per-URL): deterministic host per
+    // doc_id%5, registered domain = last two host labels, blocklist
+    // {bad-ads.net}; unparseable URLs fail closed. Map-only native
+    // column work; the oracle states domain and keep decision
+    // closed-form per residue.
+    QueryDef("q106_domain_filter",
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.com'
+        |    WHEN 3 THEN 'site.org' END AS domain
+        |FROM documents WHERE doc_id % 5 IN (0, 1, 3)""".stripMargin) {
+      (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val host = element_at(array(lit("a.b.example.com"),
+        lit("WWW.Example.COM"), lit("spam.bad-ads.net"),
+        lit("news.site.org"), lit("cdn.bad-ads.net")),
+        (col("doc_id") % 5).cast("int") + 1)
+      val withUrl = docs.withColumn("url",
+        concat(lit("https://"), host, lit("/p/"), col("doc_id")))
+      TextOps.domainFilter(withUrl, "url", Seq("bad-ads.net"))
+        .filter(col("domain_kept"))
+        .select(col("doc_id"), col("domain"))
     }
   )
 }

@@ -50,6 +50,45 @@ class GrpcIngestSpec extends AnyFunSuite {
       ":authority" -> "www.example.com", "custom-key" -> "custom-value"))
   }
 
+  test("hpack survives fuzzed header blocks: every outcome is a clean " +
+      "return or a loud exception, never a hang or runaway") {
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 2000).foreach { i =>
+      val block = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(block)
+      val d = new Hpack.Decoder()
+      try { d.decode(block); () }
+      catch { case _: Exception => () } // loud is fine; silence the loop
+    }
+    // huffman decode on random payloads likewise terminates
+    (0 until 2000).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(32) + 1)
+      rnd.nextBytes(bytes)
+      try { Hpack.huffmanDecode(bytes, 0, bytes.length); () }
+      catch { case _: Exception => () }
+    }
+  }
+
+  test("http2 server closes connections with a bad preface instead of " +
+      "interpreting garbage") {
+    val server = GrpcIngest.start(0, Map.empty)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        sock.setSoTimeout(5000)
+        sock.getOutputStream.write(
+          "GET / HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("US-ASCII"))
+        sock.getOutputStream.flush()
+        // server must drop the connection (EOF), not answer
+        val drained = try {
+          while (sock.getInputStream.read() >= 0) ()
+          true
+        } catch { case _: java.net.SocketException => true }
+        assert(drained)
+      } finally sock.close()
+    } finally server.stop()
+  }
+
   test("hpack round-trips its own literal encoding") {
     val d = new Hpack.Decoder()
     val hs = Seq(":status" -> "200", "content-type" -> "application/grpc",

@@ -1129,6 +1129,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("qs") > 0.0)
     assert(r.getAs[String]("lid") != null)
     assert(r.get(r.fieldIndex("fp")) != null && r.get(r.fieldIndex("sh")) != null)
+
+    val u = s.sql(
+      """SELECT canonical_url('HTTP://WWW.Ex.COM:80/A/?b=1&a=2#f') AS cu,
+        |  url_host('https://WWW.a.Ex.COM/x') AS h,
+        |  registered_domain('https://a.b.example.com/x') AS d""".stripMargin)
+      .collect()(0)
+    assert(u.getAs[String]("cu") == "http://ex.com/A?a=2&b=1")
+    assert(u.getAs[String]("h") == "a.ex.com")
+    assert(u.getAs[String]("d") == "example.com")
   }
 
   test("IVF-PQ ANN keeps recall vs brute force; full-probe+rerank is near-exact") {
@@ -1451,5 +1460,27 @@ class PipelineSpec extends AnyFunSuite {
     val kept = TextOps.urlDedup(rows, "url", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("registered domain: label slicing, single-label hosts, the " +
+      "documented public-suffix caveat, and fail-closed blocking") {
+    import spark.implicits._
+    val got = Seq(
+      "https://a.b.example.com/x", "https://WWW.Example.COM/x",
+      "https://localhost/x", "https://x.co.uk/x", "%%bad%%")
+      .toDF("url")
+      .select(TextOps.registeredDomain(TextOps.urlHost(col("url"))).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("example.com", "example.com", "localhost",
+      "co.uk", // the documented two-label approximation on ccTLDs
+      null))
+
+    val gated = TextOps.domainFilter(
+      Seq((1L, "https://ok.example.com/a"), (2L, "https://x.spam.net/b"),
+        (3L, "%%bad%%")).toDF("doc_id", "url"),
+      "url", Seq("spam.net"))
+    val kept = gated.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Boolean]("domain_kept"))).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> false))
   }
 }
