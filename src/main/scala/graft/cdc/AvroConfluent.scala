@@ -3,13 +3,13 @@ package graft.cdc
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 
-import scala.collection.mutable
+
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{LogicalTypes, Schema => AvroSchema}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 

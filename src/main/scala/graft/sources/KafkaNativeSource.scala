@@ -23,25 +23,30 @@ import graft.cdc.{KafkaBatch, KafkaClient}
   * drain-to-channel bridge:
   *
   *  - **Kafka offsets ARE the checkpoint offsets** — the streaming
-  *    offset log persists the topic offset (dozer's `OpIdentifier` for
-  *    Kafka is exactly the message offset, stream_consumer_basic.rs),
-  *    so a restarted query resumes from the broker precisely where the
-  *    checkpoint says, no duplicates, no gap, nothing buffered on the
-  *    driver.
-  *  - **Fetch runs on the EXECUTORS** — planned partitions carry
-  *    (broker, topic, partition, fromOffset, untilOffset); each reader
-  *    opens its own session and fetches only its slice, so a large
-  *    catch-up fans out across the cluster (numSlices option) while
-  *    the driver only asks for the high watermark.
+  *    offset log persists one offset PER TOPIC-PARTITION (dozer's
+  *    `OpIdentifier` for Kafka is exactly the message offset,
+  *    stream_consumer_basic.rs / stream_consumer_helper.rs's
+  *    OffsetsMap), so a restarted query resumes from the broker
+  *    precisely where the checkpoint says, no duplicates, no gap,
+  *    nothing buffered on the driver.
+  *  - **Partitions are DISCOVERED from broker metadata** (the
+  *    consumer contract) unless pinned with the `partition` /
+  *    `partitions` options, and **fetch runs on the EXECUTORS** —
+  *    planned input partitions carry (broker, topic, partition,
+  *    fromOffset, untilOffset); each reader opens its own session and
+  *    fetches only its slice, so a large catch-up fans out across the
+  *    cluster while the driver only asks for high watermarks.
   *
-  * Options: `broker` (host:port), `topic`, `partition` (default 0),
-  * `numSlices` (default 4), `maxOffsetsPerTrigger` (default 10000).
-  * Schema: `(offset BIGINT, ts TIMESTAMP, key STRING, value STRING)` —
-  * decoded records; `value` is typically a Debezium/Connect envelope
-  * for the CDC decoders downstream.
+  * Options: `broker` (host:port), `topic`, `partition`/`partitions`
+  * (optional pin, e.g. "0" / "0,2"), `numSlices` (per-partition fetch
+  * parallelism for big ranges, default 4), `maxOffsetsPerTrigger`
+  * (default 10000, spread over partitions). Schema:
+  * `(partition INT, offset BIGINT, ts TIMESTAMP, key STRING,
+  * value STRING)`; Kafka's ordering contract is per partition (and so
+  * per key under key-hash partitioning), which is exactly the
+  * ordering CDC decoders need.
   *
-  * PLAINTEXT listeners (the reference's default); one topic-partition
-  * per table, matching the reference's table model.
+  * PLAINTEXT listeners (the reference's default).
   */
 class KafkaNativeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -55,10 +60,12 @@ class KafkaNativeSource extends TableProvider {
       require(v != null && v.nonEmpty, s"kafka native source needs .option(\"$k\", …)")
       v
     }
+    val pinned = Option(opts.get("partitions")).orElse(Option(opts.get("partition")))
+      .map(_.split(",").map(_.trim.toInt).toSeq)
     new KafkaNativeTable(KafkaNativeConf(
       broker = req("broker"),
       topic = req("topic"),
-      partition = Option(opts.get("partition")).map(_.toInt).getOrElse(0),
+      pinnedPartitions = pinned,
       numSlices = Option(opts.get("numSlices")).map(_.toInt).getOrElse(4),
       maxPerTrigger = Option(opts.get("maxOffsetsPerTrigger"))
         .map(_.toLong).getOrElse(10000L)))
@@ -67,6 +74,7 @@ class KafkaNativeSource extends TableProvider {
 
 object KafkaNativeSource {
   val Schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
     StructField("offset", LongType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
     StructField("key", StringType, nullable = true),
@@ -74,11 +82,12 @@ object KafkaNativeSource {
 }
 
 private[sources] final case class KafkaNativeConf(broker: String,
-    topic: String, partition: Int, numSlices: Int, maxPerTrigger: Long)
+    topic: String, pinnedPartitions: Option[Seq[Int]], numSlices: Int,
+    maxPerTrigger: Long)
 
 private[sources] class KafkaNativeTable(conf: KafkaNativeConf)
     extends Table with SupportsRead {
-  override def name(): String = s"kafka:${conf.topic}/${conf.partition}"
+  override def name(): String = s"kafka:${conf.topic}"
   override def schema(): StructType = KafkaNativeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
@@ -95,11 +104,29 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
     try f(s) finally s.close()
   }
 
-  /** Snapshot: [earliest, latest) fixed at planning time. */
+  /** Partition ids: pinned by option, else broker metadata. */
+  private def partitionIds(s: KafkaClient.Session): Seq[Int] =
+    conf.pinnedPartitions.getOrElse {
+      val meta = s.metadata(Seq(conf.topic))
+      val topicMeta = meta.find(_.name == conf.topic).getOrElse(
+        throw new IllegalStateException(
+          s"kafka native: broker metadata has no topic '${conf.topic}'"))
+      require(topicMeta.error == 0,
+        s"kafka native: metadata error ${topicMeta.error} for '${conf.topic}'")
+      topicMeta.partitions.map(_.partition).sorted
+    }
+
+  private def offsetsAt(timestamp: Long): Map[Int, Long] = withSession { s =>
+    partitionIds(s).map(p =>
+      p -> s.listOffset(conf.topic, p, timestamp)).toMap
+  }
+
+  /** Snapshot: [earliest, latest) per partition, fixed at planning. */
   override def toBatch: Batch = new Batch {
     private val (start, end) = withSession { s =>
-      (s.listOffset(conf.topic, conf.partition, -2L),
-        s.listOffset(conf.topic, conf.partition, -1L))
+      val ps = partitionIds(s)
+      (ps.map(p => p -> s.listOffset(conf.topic, p, -2L)).toMap,
+        ps.map(p => p -> s.listOffset(conf.topic, p, -1L)).toMap)
     }
     override def planInputPartitions(): Array[InputPartition] =
       KafkaNativeScan.slices(conf, start, end)
@@ -111,55 +138,64 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
     new MicroBatchStream with SupportsAdmissionControl
         with SupportsTriggerAvailableNow {
       // AvailableNow contract: capture the end ONCE, then page micro-
-      // batches (≤ maxPerTrigger each) up to it — a bounded catch-up
-      // run that still checkpoints per batch
-      private var availableEnd: Option[Long] = None
+      // batches up to it — a bounded catch-up that checkpoints per batch
+      private var availableEnd: Option[Map[Int, Long]] = None
       override def prepareForTriggerAvailableNow(): Unit =
-        availableEnd = Some(withSession(
-          _.listOffset(conf.topic, conf.partition, -1L)))
+        availableEnd = Some(offsetsAt(-1L))
       override def initialOffset(): Offset =
-        KafkaNativeOffset(withSession(
-          _.listOffset(conf.topic, conf.partition, -2L)))
+        KafkaNativeOffset(offsetsAt(-2L))
       override def latestOffset(): Offset =
         throw new UnsupportedOperationException(
           "latestOffset(Offset, ReadLimit) should be called instead")
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-        val hw = availableEnd.getOrElse(
-          withSession(_.listOffset(conf.topic, conf.partition, -1L)))
-        KafkaNativeOffset(math.min(hw,
-          start.asInstanceOf[KafkaNativeOffset].offset + conf.maxPerTrigger))
+        val from = start.asInstanceOf[KafkaNativeOffset].offsets
+        val hw = availableEnd.getOrElse(offsetsAt(-1L))
+        // spread the trigger budget over partitions; a partition that
+        // appears mid-stream starts at its earliest offset
+        val perPart = math.max(1L, conf.maxPerTrigger / math.max(1, hw.size))
+        KafkaNativeOffset(hw.map { case (p, h) =>
+          p -> math.min(h, from.getOrElse(p, 0L) + perPart)
+        })
       }
       override def reportLatestOffset(): Offset =
-        KafkaNativeOffset(withSession(
-          _.listOffset(conf.topic, conf.partition, -1L)))
+        KafkaNativeOffset(availableEnd.getOrElse(offsetsAt(-1L)))
       override def getDefaultReadLimit: ReadLimit =
         ReadLimit.maxRows(conf.maxPerTrigger)
       override def deserializeOffset(json: String): Offset =
-        KafkaNativeOffset(json.trim.toLong)
+        KafkaNativeOffset(KafkaNativeOffset.parse(json))
       override def commit(end: Offset): Unit = () // the broker retains
       override def stop(): Unit = ()
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
         KafkaNativeScan.slices(conf,
-          start.asInstanceOf[KafkaNativeOffset].offset,
-          end.asInstanceOf[KafkaNativeOffset].offset)
+          start.asInstanceOf[KafkaNativeOffset].offsets,
+          end.asInstanceOf[KafkaNativeOffset].offsets)
       override def createReaderFactory(): PartitionReaderFactory =
         KafkaNativeScan.readerFactory
     }
 }
 
 private[sources] object KafkaNativeScan {
-  def slices(conf: KafkaNativeConf, from: Long, until: Long): Array[InputPartition] = {
-    if (until <= from) return Array.empty
-    val n = math.min(conf.numSlices.toLong, until - from).toInt
-    val per = (until - from + n - 1) / n
-    (0 until n).map { i =>
-      val lo = from + i * per
-      val hi = math.min(until, lo + per)
-      KafkaNativePartition(conf.broker, conf.topic, conf.partition, lo, hi)
-        : InputPartition
-    }.filter(p => p.asInstanceOf[KafkaNativePartition].from <
-      p.asInstanceOf[KafkaNativePartition].until).toArray
-  }
+  /** Per topic-partition: split [from, until) into at most
+    * `numSlices` offset ranges (per-partition fetch parallelism).
+    */
+  def slices(conf: KafkaNativeConf, from: Map[Int, Long],
+      until: Map[Int, Long]): Array[InputPartition] =
+    until.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
+      val lo = from.getOrElse(p, 0L)
+      if (hi <= lo) Nil
+      else {
+        val n = math.min(conf.numSlices.toLong, hi - lo).toInt
+        val per = (hi - lo + n - 1) / n
+        (0 until n).flatMap { i =>
+          val a = lo + i * per
+          val b = math.min(hi, a + per)
+          if (a < b)
+            Some(KafkaNativePartition(conf.broker, conf.topic, p, a, b)
+              : InputPartition)
+          else None
+        }
+      }
+    }.toArray
 
   val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -195,7 +231,7 @@ private[sources] object KafkaNativeScan {
         }
 
         override def get(): InternalRow = InternalRow(
-          current.offset, current.tsMillis * 1000L,
+          p.partition, current.offset, current.tsMillis * 1000L,
           if (current.key == null) null else UTF8String.fromString(current.key),
           if (current.value == null) null else UTF8String.fromString(current.value))
 
@@ -209,6 +245,22 @@ private[sources] final case class KafkaNativePartition(broker: String,
     topic: String, partition: Int, from: Long, until: Long)
   extends InputPartition
 
-private[sources] final case class KafkaNativeOffset(offset: Long) extends Offset {
-  override def json(): String = offset.toString
+private[sources] final case class KafkaNativeOffset(offsets: Map[Int, Long])
+    extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+private[sources] object KafkaNativeOffset {
+  def parse(json: String): Map[Int, Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val b = Map.newBuilder[Int, Long]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      b += (e.getKey.toInt -> e.getValue.asLong())
+    }
+    b.result()
+  }
 }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.cdc.KafkaBatch
 
 /** Native Kafka DataSource V2 against the loopback mock broker:
-  * distributed fetch slices, Kafka-offset checkpoints, true
-  * stop-append-restart resume.
+  * metadata-discovered partitions, distributed fetch slices,
+  * per-partition Kafka-offset checkpoints, true stop-append-restart
+  * resume.
   */
 class KafkaNativeSourceSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
@@ -28,10 +29,56 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
         .option("numSlices", "2")
         .load()
       val rows = df.orderBy("offset").collect()
-      assert(rows.map(_.getLong(0)).toSeq == (0L to 3L))
-      assert(rows.map(_.getString(2)).toSeq == Seq("a", "b", "c", "d"))
-      assert(rows(3).isNullAt(3)) // tombstone value
+      assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L to 3L))
+      assert(rows.map(_.getAs[String]("key")).toSeq == Seq("a", "b", "c", "d"))
+      assert(rows.forall(_.getAs[Int]("partition") == 0))
+      assert(rows(3).isNullAt(rows(3).fieldIndex("value"))) // tombstone
       assert(df.rdd.getNumPartitions == 2)
+    } finally broker.close()
+  }
+
+  test("multi-partition topic: partitions discovered from metadata, " +
+      "each fetched independently, per-partition offset checkpoints") {
+    val broker = new TestKafkaBroker("tm", nPartitions = 3)
+    broker.append(0, batch(0L, Seq(("p0a", "x"), ("p0b", "y"))))
+    broker.append(1, batch(0L, Seq(("p1a", "z"))))
+    // partition 2 stays empty
+    val tmp = java.nio.file.Files.createTempDirectory("kafka_native_m").toString
+    def startQuery() =
+      spark.readStream.format("graft.sources.KafkaNativeSource")
+        .option("broker", broker.broker).option("topic", "tm")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    try {
+      // batch snapshot across partitions
+      val snap = spark.read.format("graft.sources.KafkaNativeSource")
+        .option("broker", broker.broker).option("topic", "tm")
+        .load().collect()
+      assert(snap.map(r => (r.getAs[Int]("partition"),
+        r.getAs[Long]("offset"), r.getAs[String]("key"))).sortBy(t => (t._1, t._2))
+        .toSeq == Seq((0, 0L, "p0a"), (0, 1L, "p0b"), (1, 0L, "p1a")))
+
+      val q1 = startQuery()
+      q1.awaitTermination()
+      assert(spark.read.parquet(s"$tmp/out").count() == 3)
+
+      // new data on BOTH partitions while no query runs; restart resumes
+      // each partition from its own checkpointed offset
+      broker.append(0, batch(2L, Seq(("p0c", "w"))))
+      broker.append(1, batch(1L, Seq(("p1b", "v"))))
+      val q2 = startQuery()
+      q2.awaitTermination()
+      val rows = spark.read.parquet(s"$tmp/out")
+        .select("partition", "offset", "key").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows == Seq(
+        (0, 0L, "p0a"), (0, 1L, "p0b"), (0, 2L, "p0c"),
+        (1, 0L, "p1a"), (1, 1L, "p1b")))
     } finally broker.close()
   }
 
@@ -61,8 +108,9 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
       q2.awaitTermination()
       val rows = spark.read.parquet(s"$tmp/out").orderBy("offset").collect()
       // exactly once: offsets 0..4, each exactly one row
-      assert(rows.map(_.getLong(0)).toSeq == (0L to 4L))
-      assert(rows.map(_.getString(2)).toSeq == Seq("a", "b", "c", "d", "e"))
+      assert(rows.map(_.getAs[Long]("offset")).toSeq == (0L to 4L))
+      assert(rows.map(_.getAs[String]("key")).toSeq ==
+        Seq("a", "b", "c", "d", "e"))
     } finally broker.close()
   }
 
