@@ -35,8 +35,10 @@ import scala.collection.mutable
   *
   * KafkaClientSpec drives the full session against a loopback mock
   * broker serving Encode-built batches (the Pg/MyReplication test
-  * pattern); SASL/TLS are documented out of scope (PLAINTEXT
-  * listeners, like the reference's default `security.protocol`).
+  * pattern). Auth: PLAINTEXT (the reference's default
+  * `security.protocol`) and SASL_PLAINTEXT via [[Session.saslPlain]];
+  * TLS and GSSAPI/SCRAM SASL mechanisms are out of scope (no
+  * cert/KDC infrastructure to validate against).
   */
 object KafkaClient {
 
@@ -50,6 +52,7 @@ object KafkaClient {
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiSaslHandshake = 17
   val ApiVersionsKey = 18
 
   final class Session(host: String, port: Int,
@@ -90,6 +93,35 @@ object KafkaClient {
     }
 
     // --------------------------------------------------------- requests
+
+    /** SASL/PLAIN authentication (SaslHandshake v0 + the pre-KIP-152
+      * raw token exchange — the wire every SASL_PLAINTEXT listener
+      * accepts): negotiate the PLAIN mechanism, send the RFC 4616
+      * `\0user\0password` token length-framed, expect the broker's
+      * (empty) token back. Call before any other request on a
+      * SASL_PLAINTEXT listener. GSSAPI/SCRAM mechanisms and TLS are
+      * out of scope (no KDC/cert infrastructure to validate against).
+      */
+    def saslPlain(username: String, passwd: String): Unit = {
+      val corr = send(ApiSaslHandshake, 0, w => w.str("PLAIN"))
+      val r = receive(corr)
+      val err = r.i16()
+      val mechs = (0 until r.i32()).map(_ => r.str())
+      require(err == 0,
+        s"kafka: SaslHandshake error $err (broker mechanisms: $mechs)")
+      // RFC 4616: authzid NUL authcid NUL passwd (empty authzid)
+      val token = Array[Byte](0) ++ username.getBytes(UTF_8) ++
+        Array[Byte](0) ++ passwd.getBytes(UTF_8)
+      out.writeInt(token.length)
+      out.write(token)
+      out.flush()
+      val respLen = in.readInt()
+      require(respLen >= 0 && respLen < (1 << 20),
+        s"kafka: SASL response size $respLen — authentication failed " +
+          "(brokers close or garble the stream on bad credentials)")
+      val resp = new Array[Byte](respLen)
+      in.readFully(resp)
+    }
 
     /** ApiVersions v0 → map of api_key → (min, max). */
     def apiVersions(): Map[Int, (Int, Int)] = {

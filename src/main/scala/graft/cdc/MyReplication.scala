@@ -44,6 +44,43 @@ object MyReplication {
     md.digest()
   }
 
+  private def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** caching_sha2_password scramble (the MySQL-8 default; documented
+    * construction): `XOR(SHA256(pw), SHA256(SHA256(SHA256(pw)) ·
+    * nonce))`.
+    */
+  def cachingSha2Scramble(password: String, nonce: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val p1 = sha256(password.getBytes(UTF_8))
+    val p2 = sha256(sha256(p1), nonce)
+    p1.indices.map(i => (p1(i) ^ p2(i)).toByte).toArray
+  }
+
+  /** Full-auth fallback on a plain connection: the XOR-obfuscated
+    * NUL-terminated password, RSA-OAEP encrypted with the server's
+    * public key (the documented sha256_password/caching_sha2 exchange).
+    */
+  def rsaEncryptPassword(password: String, nonce: Array[Byte],
+      publicKeyPem: String): Array[Byte] = {
+    val der = java.util.Base64.getMimeDecoder.decode(
+      publicKeyPem.replace("-----BEGIN PUBLIC KEY-----", "")
+        .replace("-----END PUBLIC KEY-----", "").trim)
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val plain = password.getBytes(UTF_8) :+ 0.toByte
+    val obfuscated = plain.indices.map(i =>
+      (plain(i) ^ nonce(i % nonce.length)).toByte).toArray
+    val c = javax.crypto.Cipher.getInstance(
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(obfuscated)
+  }
+
   /** mysql_native_password proof (documented scramble). */
   def nativePassword(password: String, scramble: Array[Byte]): Array[Byte] = {
     if (password.isEmpty) return Array.emptyByteArray
@@ -125,12 +162,13 @@ object MyReplication {
         e
       }
       val plugin = new String(hs, p, pluginEnd - p, UTF_8)
-      if (plugin == "caching_sha2_password")
-        throw new IllegalStateException(
-          "caching_sha2_password needs the RSA/TLS exchange — use a " +
-            "mysql_native_password replication user or a JDBC-side tunnel")
       val scramble = scramble1 ++ scramble2
-      val proof = nativePassword(password, scramble)
+      val caching = plugin == "caching_sha2_password"
+      require(caching || plugin == "mysql_native_password",
+        s"mysql: unsupported auth plugin '$plugin'")
+      val proof =
+        if (caching) cachingSha2Scramble(password, scramble)
+        else nativePassword(password, scramble)
 
       val body = new ByteArrayOutputStream()
       val d = new DataOutputStream(body)
@@ -146,10 +184,38 @@ object MyReplication {
       d.write(user.getBytes(UTF_8)); d.writeByte(0)
       d.writeByte(proof.length); d.write(proof)
       if (database.nonEmpty) { d.write(database.getBytes(UTF_8)); d.writeByte(0) }
-      d.write("mysql_native_password".getBytes(UTF_8)); d.writeByte(0)
+      d.write(plugin.getBytes(UTF_8)); d.writeByte(0)
       d.flush()
       writePacket(body.toByteArray)
-      expectOk(readPacket())
+      if (!caching) expectOk(readPacket())
+      else {
+        // caching_sha2 continuation (documented flow): AuthMoreData
+        // 0x01 0x03 = fast-auth success (server had the cache) → OK;
+        // 0x01 0x04 = perform full authentication — on a PLAIN
+        // connection request the server's RSA public key (0x02),
+        // receive the PEM (AuthMoreData), and send
+        // RSA-OAEP(XOR(password·NUL, scramble))
+        var done = false
+        while (!done) {
+          val r = readPacket()
+          (r(0) & 0xff) match {
+            case 0x00 | 0xfe => done = true // OK
+            case 0xff => fail(r)
+            case 0x01 if r.length >= 2 && r(1) == 0x03 => // fast auth ok
+              expectOk(readPacket())
+              done = true
+            case 0x01 if r.length >= 2 && r(1) == 0x04 => // full auth
+              writePacket(Array(0x02.toByte)) // request RSA public key
+              val keyPkt = readPacket()
+              require((keyPkt(0) & 0xff) == 0x01,
+                "mysql: expected AuthMoreData with the RSA key")
+              val pem = new String(keyPkt, 1, keyPkt.length - 1, UTF_8)
+              writePacket(rsaEncryptPassword(password, scramble, pem))
+            case other => throw new IllegalStateException(
+              s"mysql: unexpected auth packet 0x${other.toHexString}")
+          }
+        }
+      }
     }
 
     // ---------------------------------------------------------- commands

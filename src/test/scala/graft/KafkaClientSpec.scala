@@ -191,6 +191,67 @@ class KafkaClientSpec extends AnyFunSuite {
     assert(KafkaClient.splitBatches(set ++ b0.take(20)).length == 2)
   }
 
+  test("SASL/PLAIN: handshake negotiates the mechanism, the RFC 4616 " +
+      "token authenticates, wrong credentials are refused") {
+    // minimal SASL_PLAINTEXT mock: SaslHandshake v0 then the raw
+    // token exchange, gating the normal request loop behind auth
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          // SaslHandshake request
+          val sz = in.readInt(); val req = new Array[Byte](sz); in.readFully(req)
+          val r = new KafkaClient.Reader(req)
+          assert(r.i16() == KafkaClient.ApiSaslHandshake && r.i16() == 0)
+          val corr = r.i32(); r.nstr()
+          val mech = r.str()
+          val w = new KafkaClient.Writer
+          w.i32(corr)
+          if (mech != "PLAIN") { w.i16(33); w.i32(1); w.str("PLAIN") }
+          else { w.i16(0); w.i32(1); w.str("PLAIN") }
+          val resp = w.result
+          out.writeInt(resp.length); out.write(resp); out.flush()
+          if (mech == "PLAIN") {
+            val tl = in.readInt(); val tok = new Array[Byte](tl); in.readFully(tok)
+            val parts = new String(tok, "UTF-8").split('\u0000')
+            // token = "", user, pass
+            if (parts.length == 3 && parts(1) == "bob" && parts(2) == "pw") {
+              out.writeInt(0); out.flush() // empty broker token = success
+              // serve one ApiVersions to prove the session continues
+              val sz2 = in.readInt(); val req2 = new Array[Byte](sz2)
+              in.readFully(req2)
+              val r2 = new KafkaClient.Reader(req2)
+              r2.i16(); r2.i16()
+              val corr2 = r2.i32()
+              val w2 = new KafkaClient.Writer
+              w2.i32(corr2); w2.i16(0); w2.i32(1)
+              w2.i16(1); w2.i16(0); w2.i16(12)
+              val resp2 = w2.result
+              out.writeInt(resp2.length); out.write(resp2); out.flush()
+            } else sock.close() // brokers drop the connection on bad creds
+          }
+          if (!sock.isClosed) () // keep for the session to close
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val good = new KafkaClient.Session("127.0.0.1", server.getLocalPort)
+      try {
+        good.saslPlain("bob", "pw")
+        assert(good.apiVersions().contains(KafkaClient.ApiFetch))
+      } finally good.close()
+
+      val bad = new KafkaClient.Session("127.0.0.1", server.getLocalPort)
+      try {
+        intercept[Exception] { bad.saslPlain("bob", "WRONG") }
+      } finally bad.close()
+    } finally server.close()
+  }
+
   test("live tail: the poller lands broker batches on a push channel " +
       "as they appear, and the feed decodes distributed") {
     import graft.sources.{PushBuffer, Sources}

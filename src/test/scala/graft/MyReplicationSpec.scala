@@ -23,7 +23,8 @@ class MyReplicationSpec extends AnyFunSuite {
     (1 to 20).map(_.toByte).toArray // fixed 20-byte nonce
 
   private final class MockMysqld(events: Seq[Array[Byte]],
-      password: String, plugin: String = "mysql_native_password") {
+      password: String, plugin: String = "mysql_native_password",
+      cachingFullAuth: Boolean = false) {
     @volatile var sawRegisterSlave = false
     @volatile var dumpRequest: Option[(Long, String)] = None
     val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -67,21 +68,57 @@ class MyReplicationSpec extends AnyFunSuite {
         val p = new Array[Byte](len); in.readFully(p)
         (seq, p)
       }
-      // handshake response: verify the native-password proof
+      // handshake response: verify the plugin-specific proof
       val (_, resp) = read()
       var p = 4 + 4 + 1 + 23
       val userEnd = { var e = p; while (resp(e) != 0) e += 1; e }
       p = userEnd + 1
       val proofLen = resp(p) & 0xff; p += 1
       val proof = java.util.Arrays.copyOfRange(resp, p, p + proofLen)
-      val expected = MyReplication.nativePassword(password, Scramble)
-      if (!java.util.Arrays.equals(proof, expected)) {
-        packet(out, 2, Array(0xff.toByte, 0x15, 0x04, '#'.toByte,
+      val expected =
+        if (plugin == "caching_sha2_password")
+          MyReplication.cachingSha2Scramble(password, Scramble)
+        else MyReplication.nativePassword(password, Scramble)
+      var authOk = java.util.Arrays.equals(proof, expected)
+      var seqNo = 2
+      if (plugin == "caching_sha2_password") {
+        if (cachingFullAuth) {
+          // no cached entry server-side: the scramble cannot be
+          // checked — full authentication decides, not the fast proof
+          // full authentication: 0x01 0x04, serve the RSA key, verify
+          // the OAEP-encrypted XORed password
+          packet(out, seqNo, Array[Byte](0x01, 0x04)); seqNo += 1
+          val (_, req) = read()
+          require((req(0) & 0xff) == 0x02, "mock: expected RSA key request")
+          val kp = {
+            val g = java.security.KeyPairGenerator.getInstance("RSA")
+            g.initialize(2048); g.generateKeyPair()
+          }
+          val pem = "-----BEGIN PUBLIC KEY-----\n" +
+            java.util.Base64.getMimeEncoder.encodeToString(
+              kp.getPublic.getEncoded) + "\n-----END PUBLIC KEY-----\n"
+          packet(out, seqNo, Array(0x01.toByte) ++ pem.getBytes(UTF_8))
+          seqNo += 1
+          val (_, enc) = read()
+          val c = javax.crypto.Cipher.getInstance(
+            "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE, kp.getPrivate)
+          val ob = c.doFinal(enc)
+          val plain = ob.indices.map(i =>
+            (ob(i) ^ Scramble(i % Scramble.length)).toByte).toArray
+          authOk = java.util.Arrays.equals(plain,
+            password.getBytes(UTF_8) :+ 0.toByte)
+        } else if (authOk) {
+          packet(out, seqNo, Array[Byte](0x01, 0x03)); seqNo += 1 // fast auth
+        }
+      }
+      if (!authOk) {
+        packet(out, seqNo, Array(0xff.toByte, 0x15, 0x04, '#'.toByte,
           '2', '8', '0', '0', '0').map(_.toByte) ++
           "Access denied".getBytes(UTF_8))
         sock.close(); server.close()
       } else {
-        packet(out, 2, Array[Byte](0x00, 0x00, 0x00, 0x00, 0x00)) // OK
+        packet(out, seqNo, Array[Byte](0x00, 0x00, 0x00, 0x00, 0x00)) // OK
         var open = true
         while (open) {
           val (_, cmd) = read()
@@ -194,13 +231,41 @@ class MyReplicationSpec extends AnyFunSuite {
     } finally session.close()
   }
 
-  test("session: caching_sha2_password raises the documented error") {
-    val mock = new MockMysqld(Nil, password = "x",
+  test("session: caching_sha2_password FAST path (server cache hit) " +
+      "authenticates and commands run") {
+    val mock = new MockMysqld(Nil, password = "sekret",
       plugin = "caching_sha2_password")
-    val session = new MyReplication.Session("127.0.0.1", mock.port, "repl", "x")
+    val session = new MyReplication.Session("127.0.0.1", mock.port,
+      "repl", "sekret")
+    try {
+      session.connect()
+      session.exec("SET @x = 1") // post-auth command round-trips
+      assert(mock.queries.peek() == "SET @x = 1")
+    } finally session.close()
+  }
+
+  test("session: caching_sha2_password FULL path — RSA key request, " +
+      "OAEP-encrypted XORed password, server-side decrypt verify") {
+    val mock = new MockMysqld(Nil, password = "sekret",
+      plugin = "caching_sha2_password", cachingFullAuth = true)
+    val session = new MyReplication.Session("127.0.0.1", mock.port,
+      "repl", "sekret")
+    try {
+      session.connect()
+      session.exec("SET @y = 2")
+      assert(mock.queries.peek() == "SET @y = 2")
+    } finally session.close()
+  }
+
+  test("session: caching_sha2 full path with a wrong password is refused " +
+      "after the RSA exchange") {
+    val mock = new MockMysqld(Nil, password = "right",
+      plugin = "caching_sha2_password", cachingFullAuth = true)
+    val session = new MyReplication.Session("127.0.0.1", mock.port,
+      "repl", "wrong")
     try {
       val e = intercept[IllegalStateException] { session.connect() }
-      assert(e.getMessage.contains("caching_sha2_password"))
+      assert(e.getMessage.contains("Access denied"))
     } finally session.close()
   }
 

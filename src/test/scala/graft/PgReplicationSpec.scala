@@ -28,7 +28,7 @@ class PgReplicationSpec extends AnyFunSuite {
   /** Scripted one-connection walsender. Records standby status updates. */
   private final class MockWalsender(frames: Seq[Array[Byte]],
       keepaliveAfter: Int, requirePassword: Boolean = false,
-      scram: Boolean = false) {
+      scram: Boolean = false, tamperServerSig: Boolean = false) {
     val statusUpdates = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     @volatile var sawReplicationParam = false
     @volatile var lastQuery = ""
@@ -76,9 +76,80 @@ class PgReplicationSpec extends AnyFunSuite {
       sawReplicationParam = params.grouped(2).exists(p =>
         p.length == 2 && p(0) == "replication" && p(1) == "database")
       if (scram) {
+        // REAL server-side SCRAM-SHA-256 (same RFC primitives): offer
+        // the mechanism, build server-first, VERIFY the client proof,
+        // answer with the server signature
+        import graft.cdc.PgReplication.Scram
+        val salt = (1 to 16).map(_.toByte).toArray
+        val saltB64 = java.util.Base64.getEncoder.encodeToString(salt)
+        val iters = 4096
         val b = new ByteArrayOutputStream(); val d = new DataOutputStream(b)
-        d.writeInt(10); d.write(cstr("SCRAM-SHA-256")); d.write(0); d.flush()
+        d.writeInt(10); d.write(cstr("SCRAM-SHA-256")); d.writeByte(0); d.flush()
         backend(out, 'R', b.toByteArray)
+        // SASLInitialResponse: mech cstring + i32 len + client-first
+        val t1 = in.readByte().toChar; val l1 = in.readInt()
+        val p1 = new Array[Byte](l1 - 4); in.readFully(p1)
+        require(t1 == 'p', "mock: expected SASLInitialResponse")
+        val mechEnd = p1.indexOf(0.toByte)
+        require(new String(p1, 0, mechEnd, UTF_8) == "SCRAM-SHA-256")
+        val cfLen = java.nio.ByteBuffer.wrap(p1, mechEnd + 1, 4).getInt
+        val clientFirst = new String(p1, mechEnd + 5, cfLen, UTF_8)
+        require(clientFirst.startsWith("n,,"), s"mock: gs2 header in '$clientFirst'")
+        val clientFirstBare = clientFirst.substring(3)
+        val clientNonce = clientFirstBare.split(",").find(_.startsWith("r="))
+          .get.substring(2)
+        val fullNonce = clientNonce + "SRVNONCE"
+        val serverFirst = s"r=$fullNonce,s=$saltB64,i=$iters"
+        val c2 = new ByteArrayOutputStream(); val d2 = new DataOutputStream(c2)
+        d2.writeInt(11); d2.write(serverFirst.getBytes(UTF_8)); d2.flush()
+        backend(out, 'R', c2.toByteArray)
+        // SASLResponse: client-final-message
+        val t2 = in.readByte().toChar; val l2 = in.readInt()
+        val p2 = new Array[Byte](l2 - 4); in.readFully(p2)
+        require(t2 == 'p', "mock: expected SASLResponse")
+        val clientFinal = new String(p2, UTF_8)
+        val woProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+        val proofB64 = clientFinal.substring(clientFinal.indexOf(",p=") + 3)
+        val authMessage = s"$clientFirstBare,$serverFirst,$woProof"
+        val salted = Scram.saltedPassword("sekret", salt, iters)
+        val expected = java.util.Base64.getEncoder.encodeToString(
+          Scram.clientProof(salted, authMessage))
+        if (proofB64 != expected) {
+          backend(out, 'E', Array('M'.toByte) ++
+            cstr("password authentication failed") ++ Array(0.toByte))
+        } else {
+          val sig = java.util.Base64.getEncoder.encodeToString(
+            Scram.serverSignature(salted, authMessage))
+          val c3 = new ByteArrayOutputStream(); val d3 = new DataOutputStream(c3)
+          d3.writeInt(12)
+          d3.write((if (tamperServerSig) "v=AAAA" else s"v=$sig").getBytes(UTF_8))
+          d3.flush()
+          backend(out, 'R', c3.toByteArray)
+          backend(out, 'R', i32(0)) // AuthenticationOk
+          backend(out, 'S', cstr("server_version") ++ cstr("16.0"))
+          backend(out, 'Z', Array('I'.toByte))
+          // minimal query loop so identifySystem works post-auth
+          var open2 = true
+          while (open2) {
+            val typ = try in.readByte().toChar catch {
+              case _: Exception => open2 = false; 'X'
+            }
+            if (open2) {
+              val l = in.readInt()
+              val payload = new Array[Byte](l - 4); in.readFully(payload)
+              typ match {
+                case 'X' => open2 = false
+                case 'Q' =>
+                  backend(out, 'T', rowDesc("systemid", "timeline", "xlogpos", "dbname"))
+                  backend(out, 'D', dataRow(Seq(Some("7001"), Some("1"),
+                    Some(ConsistentPoint), Some("app"))))
+                  backend(out, 'C', cstr("IDENTIFY_SYSTEM"))
+                  backend(out, 'Z', Array('I'.toByte))
+                case _ =>
+              }
+            }
+          }
+        }
         sock.close(); server.close()
       } else {
       if (requirePassword) {
@@ -239,12 +310,53 @@ class PgReplicationSpec extends AnyFunSuite {
     } finally session.close()
   }
 
-  test("session: SCRAM raises the documented out-of-scope error") {
+  test("SCRAM proof math matches the RFC 7677 published example") {
+    import PgReplication.Scram
+    val salt = java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val snonce = "rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val authMessage =
+      "n=user,r=rOprNGfwEbeRWgbNEkqO," +
+        s"r=$snonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096," +
+        s"c=biws,r=$snonce"
+    val salted = Scram.saltedPassword("pencil", salt, 4096)
+    assert(java.util.Base64.getEncoder.encodeToString(
+      Scram.clientProof(salted, authMessage)) ==
+      "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert(java.util.Base64.getEncoder.encodeToString(
+      Scram.serverSignature(salted, authMessage)) ==
+      "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+  }
+
+  test("session: full SCRAM-SHA-256 exchange authenticates and the " +
+      "session proceeds (server proof VERIFIED by the mock)") {
     val mock = new MockWalsender(Nil, keepaliveAfter = -1, scram = true)
-    val session = new PgReplication.Session("127.0.0.1", mock.port, "app", "dozer")
+    val session = new PgReplication.Session("127.0.0.1", mock.port, "app",
+      "dozer", Some("sekret"), scramNonce = Some("clientNonce123"))
+    try {
+      session.connect()
+      assert(session.identifySystem().systemId == "7001")
+    } finally session.close()
+  }
+
+  test("session: SCRAM with a wrong password is refused by the server") {
+    val mock = new MockWalsender(Nil, keepaliveAfter = -1, scram = true)
+    val session = new PgReplication.Session("127.0.0.1", mock.port, "app",
+      "dozer", Some("WRONG"), scramNonce = Some("clientNonce123"))
     try {
       val e = intercept[IllegalStateException] { session.connect() }
-      assert(e.getMessage.contains("SCRAM"))
+      assert(e.getMessage.contains("authentication failed"))
+    } finally session.close()
+  }
+
+  test("session: a tampered SCRAM server signature is rejected " +
+      "(mutual auth — the server must prove password knowledge)") {
+    val mock = new MockWalsender(Nil, keepaliveAfter = -1, scram = true,
+      tamperServerSig = true)
+    val session = new PgReplication.Session("127.0.0.1", mock.port, "app",
+      "dozer", Some("sekret"), scramNonce = Some("clientNonce123"))
+    try {
+      val e = intercept[IllegalArgumentException] { session.connect() }
+      assert(e.getMessage.contains("server signature mismatch"))
     } finally session.close()
   }
 
