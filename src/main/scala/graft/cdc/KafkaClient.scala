@@ -36,15 +36,36 @@ import scala.collection.mutable
   * KafkaClientSpec drives the full session against a loopback mock
   * broker serving Encode-built batches (the Pg/MyReplication test
   * pattern). Auth: PLAINTEXT (the reference's default
-  * `security.protocol`) and SASL_PLAINTEXT via [[Session.saslPlain]];
-  * TLS and GSSAPI/SCRAM SASL mechanisms are out of scope (no
-  * cert/KDC infrastructure to validate against).
+  * `security.protocol`), SASL/PLAIN via [[Session.saslPlain]], and
+  * SASL/SCRAM-SHA-256 via [[Session.saslScram]] (KIP-152 framed
+  * exchange with mutual authentication); TLS and GSSAPI are out of
+  * scope (no cert/KDC infrastructure to validate against).
   */
 object KafkaClient {
 
   final case class PartitionMeta(partition: Int, leader: Int, error: Int)
   final case class TopicMeta(name: String, error: Int,
       partitions: Seq[PartitionMeta])
+  /** One row of the Metadata response's broker address book. */
+  final case class BrokerMeta(nodeId: Int, host: String, port: Int)
+  /** Metadata response in full: the address book + the topic list.
+    * The address book is what leader ROUTING needs — each partition's
+    * `leader` node id resolves through `brokers` to the host:port every
+    * fetch for that partition must go to (rdkafka does this
+    * transparently; dozer-ingestion/kafka/src/connector.rs relies on
+    * it). Fetching from a non-leader returns error 6.
+    */
+  final case class ClusterMeta(brokers: Map[Int, BrokerMeta],
+      topics: Seq[TopicMeta]) {
+    /** host:port of `partition`'s leader, when the address book has it
+      * (a leaderless partition reports -1 during election). */
+    def leaderAddr(topic: String, partition: Int): Option[(String, Int)] =
+      for {
+        t <- topics.find(_.name == topic)
+        p <- t.partitions.find(_.partition == partition)
+        b <- brokers.get(p.leader)
+      } yield (b.host, b.port)
+  }
   final case class FetchedBatches(highWatermark: Long,
       batches: Seq[Array[Byte]], error: Int)
 
@@ -54,6 +75,10 @@ object KafkaClient {
   val ApiMetadata = 3
   val ApiSaslHandshake = 17
   val ApiVersionsKey = 18
+  val ApiSaslAuthenticate = 36
+
+  /** Error codes the client routes on. */
+  val ErrNotLeaderOrFollower = 6
 
   final class Session(host: String, port: Int,
       clientId: String = "graft-consumer") extends AutoCloseable {
@@ -123,6 +148,69 @@ object KafkaClient {
       in.readFully(resp)
     }
 
+    /** SASL/SCRAM-SHA-256 (RFC 5802/7677 over Kafka's framed SASL:
+      * SaslHandshake v1 negotiates the mechanism, then every SASL
+      * token rides a SaslAuthenticate request/response pair — KIP-152,
+      * the exchange every secured non-TLS cluster actually runs). The
+      * SCRAM math is [[PgReplication.Scram]] — the same RFC-7677-
+      * vector-pinned primitives the Postgres walsender client uses —
+      * with MUTUAL authentication: the server's final `v=` signature
+      * is verified, so a server that does not know the password is
+      * refused even if it fakes success codes. `nonceOverride` exists
+      * for deterministic tests only.
+      */
+    def saslScram(username: String, passwd: String,
+        nonceOverride: Option[String] = None): Unit = {
+      val corr = send(ApiSaslHandshake, 1, w => w.str("SCRAM-SHA-256"))
+      val hs = receive(corr)
+      val hsErr = hs.i16()
+      val mechs = (0 until hs.i32()).map(_ => hs.str())
+      require(hsErr == 0,
+        s"kafka: SaslHandshake error $hsErr (broker mechanisms: $mechs)")
+      def authenticate(token: Array[Byte]): Array[Byte] = {
+        val c = send(ApiSaslAuthenticate, 0, w => {
+          w.i32(token.length); w.raw(token)
+        })
+        val r = receive(c)
+        val err = r.i16()
+        val msg = r.nstr()
+        require(err == 0, s"kafka: SaslAuthenticate error $err" +
+          msg.fold("")(m => s" — $m"))
+        r.bytes(r.i32())
+      }
+      val b64 = java.util.Base64.getEncoder
+      val nonce = nonceOverride.getOrElse {
+        val b = new Array[Byte](18)
+        new java.security.SecureRandom().nextBytes(b)
+        b64.encodeToString(b)
+      }
+      // RFC 5802 saslname escaping for the n= attribute
+      val user = username.replace("=", "=3D").replace(",", "=2C")
+      val clientFirstBare = s"n=$user,r=$nonce"
+      val serverFirst = new String(
+        authenticate(("n,," + clientFirstBare).getBytes(UTF_8)), UTF_8)
+      val attrs = serverFirst.split(",").map { a =>
+        a.substring(0, 1) -> a.substring(2)
+      }.toMap
+      val fullNonce = attrs("r")
+      // RFC 5802 MUST: the combined nonce extends the client nonce
+      require(fullNonce.startsWith(nonce),
+        "kafka: SCRAM server nonce does not begin with the client nonce")
+      val salt = java.util.Base64.getDecoder.decode(attrs("s"))
+      val salted = PgReplication.Scram.saltedPassword(
+        passwd, salt, attrs("i").toInt)
+      val clientFinalWoProof = s"c=biws,r=$fullNonce"
+      val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalWoProof"
+      val proof = b64.encodeToString(
+        PgReplication.Scram.clientProof(salted, authMessage))
+      val serverFinal = new String(
+        authenticate(s"$clientFinalWoProof,p=$proof".getBytes(UTF_8)), UTF_8)
+      require(serverFinal == "v=" + b64.encodeToString(
+        PgReplication.Scram.serverSignature(salted, authMessage)),
+        "kafka: SCRAM server signature mismatch — the server does not " +
+          "know the password (possible MITM); aborting")
+    }
+
     /** ApiVersions v0 → map of api_key → (min, max). */
     def apiVersions(): Map[Int, (Int, Int)] = {
       val corr = send(ApiVersionsKey, 0, _ => ())
@@ -134,19 +222,30 @@ object KafkaClient {
       }.toMap
     }
 
-    /** Metadata v1 for `topics` (Nil = all). */
-    def metadata(topics: Seq[String]): Seq[TopicMeta] = {
+    /** Metadata v1 for `topics` (Nil = all) — topic list only; use
+      * [[metadataFull]] when the broker address book matters (it does
+      * for any multi-broker fetch plan).
+      */
+    def metadata(topics: Seq[String]): Seq[TopicMeta] =
+      metadataFull(topics).topics
+
+    /** Metadata v1 for `topics` (Nil = all), keeping the broker
+      * address book the response leads with — `leader` ids in the
+      * partition rows are node ids INTO that book.
+      */
+    def metadataFull(topics: Seq[String]): ClusterMeta = {
       val corr = send(ApiMetadata, 1, w => {
         w.i32(topics.length)
         topics.foreach(w.str)
       })
       val r = receive(corr)
-      val brokers = r.i32()
-      (0 until brokers).foreach { _ =>
-        r.i32(); r.str(); r.i32(); r.nstr() // node, host, port, rack
-      }
+      val brokers = (0 until r.i32()).map { _ =>
+        val node = r.i32(); val host = r.str(); val port = r.i32()
+        r.nstr() // rack
+        node -> BrokerMeta(node, host, port)
+      }.toMap
       r.i32() // controller_id
-      (0 until r.i32()).map { _ =>
+      val ts = (0 until r.i32()).map { _ =>
         val err = r.i16()
         val name = r.str()
         r.bool() // is_internal
@@ -160,6 +259,7 @@ object KafkaClient {
         }
         TopicMeta(name, err, parts)
       }
+      ClusterMeta(brokers, ts)
     }
 
     /** ListOffsets v1: timestamp -1 = latest, -2 = earliest. */

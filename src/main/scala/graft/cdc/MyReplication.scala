@@ -199,7 +199,16 @@ object MyReplication {
         while (!done) {
           val r = readPacket()
           (r(0) & 0xff) match {
-            case 0x00 | 0xfe => done = true // OK
+            case 0x00 => done = true // OK
+            case 0xfe =>
+              // At this point 0xfe is AuthSwitchRequest (or EOF), not
+              // OK — treating it as success would desync the stream
+              // while the server waits for a switch response. Loud.
+              throw new IllegalStateException(
+                "mysql: server requested an auth-method switch " +
+                  "mid-caching_sha2 exchange — unsupported; configure " +
+                  "the account for caching_sha2_password or " +
+                  "mysql_native_password")
             case 0xff => fail(r)
             case 0x01 if r.length >= 2 && r(1) == 0x03 => // fast auth ok
               expectOk(readPacket())

@@ -174,6 +174,7 @@ object PgReplication {
       out.flush()
       // SCRAM exchange state (RFC 5802 message names)
       var clientFirstBare: String = null
+      var clientNonce: String = null
       var serverFirst: String = null
       var salted: Array[Byte] = null
       var expectedServerSig: String = null
@@ -199,6 +200,7 @@ object PgReplication {
                   new java.security.SecureRandom().nextBytes(b)
                   java.util.Base64.getEncoder.encodeToString(b)
                 }
+                clientNonce = nonce
                 clientFirstBare = s"n=,r=$nonce" // pg takes user from startup
                 val initial = ("n,," + clientFirstBare).getBytes(UTF_8)
                 val body = new ByteArrayOutputStream()
@@ -214,6 +216,11 @@ object PgReplication {
                   a.substring(0, 1) -> a.substring(2)
                 }.toMap
                 val fullNonce = attrs("r")
+                // RFC 5802 MUST: the combined nonce begins with ours —
+                // a server replaying someone else's exchange fails here
+                // before any proof is computed
+                require(fullNonce.startsWith(clientNonce),
+                  "SCRAM server nonce does not begin with the client nonce")
                 val salt = java.util.Base64.getDecoder.decode(attrs("s"))
                 val iters = attrs("i").toInt
                 salted = Scram.saltedPassword(pwd, salt, iters)

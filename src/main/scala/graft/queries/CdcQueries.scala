@@ -503,8 +503,8 @@ object CdcQueries {
     QueryDef("q103_connect_schema_cdc",
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-        |  CAST(o_orderdate AS DATE) AS odate
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.cdc.{ConnectJson, KafkaBatch}
@@ -555,8 +555,21 @@ object CdcQueries {
       val recs = KafkaBatch.records(batches)
       val (ch, pk) = ConnectJson.changes(recs, "value", Some("key"),
         seq = Some(col(ChangeModel.SeqCol)))
-      ChangeModel.applyChanges(ch, pk)
-        .select(col("o_orderkey"), col("status"), col("price"), col("odate"))
+      val applied = ChangeModel.applyChanges(ch, pk)
+      // The Connect Decimal / Debezium Date decodes are the point of this
+      // query: assert the in-band-schema-derived types, then emit the
+      // suite's hash-stable representations (DOUBLE / TIMESTAMP — raw
+      // DECIMAL and DATE columns are not rendered identically by the
+      // DuckDB-oracle hasher, CORRECTNESS_r08 q103).
+      require(applied.schema("price").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 2),
+        s"Connect Decimal decode lost its type: ${applied.schema("price")}")
+      require(applied.schema("odate").dataType ==
+        org.apache.spark.sql.types.DateType,
+        s"Debezium Date decode lost its type: ${applied.schema("odate")}")
+      applied.select(col("o_orderkey"), col("status"),
+        col("price").cast("double").as("price"),
+        col("odate").cast("timestamp").as("odate"))
     },
 
     // Confluent-framed AVRO Debezium CDC (the registry path's binary
@@ -572,8 +585,8 @@ object CdcQueries {
     QueryDef("q104_avro_registry_cdc",
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 4 = 0 THEN 'A' ELSE o_orderstatus END AS status,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate,
         |  o_orderdate AS ots
         |FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -613,9 +626,19 @@ object CdcQueries {
           msgs
       }.toDF("seq", "value")
       val ch = AvroConfluent.changes(frames, "value", envSchema)
-      ChangeModel.applyChanges(ch, Seq("o_orderkey"))
-        .select(col("o_orderkey"), col("status"), col("price"),
-          col("odate"), col("ots"))
+      val applied = ChangeModel.applyChanges(ch, Seq("o_orderkey"))
+      // Assert the Avro decimal/date logical-type decodes, then emit
+      // hash-stable DOUBLE / TIMESTAMP (see q103 note; CORRECTNESS_r08
+      // q104 failed on the raw DECIMAL/DATE rendering, values identical).
+      require(applied.schema("price").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 2),
+        s"Avro decimal logical decode lost its type: ${applied.schema("price")}")
+      require(applied.schema("odate").dataType ==
+        org.apache.spark.sql.types.DateType,
+        s"Avro date logical decode lost its type: ${applied.schema("odate")}")
+      applied.select(col("o_orderkey"), col("status"),
+        col("price").cast("double").as("price"),
+        col("odate").cast("timestamp").as("odate"), col("ots"))
     },
 
     // gRPC typed ingest over the REAL wire (dozer-ingestion/grpc/src/

@@ -191,8 +191,14 @@ object Hpack {
 
   // ------------------------------------------------------------- decoder
 
-  /** Stateful HPACK decoder — one per HTTP/2 connection. */
-  final class Decoder(var maxTableSize: Int = 4096) {
+  /** Stateful HPACK decoder — one per HTTP/2 connection.
+    *
+    * `settingsMaxTableSize` is the ceiling this endpoint advertised in
+    * SETTINGS_HEADER_TABLE_SIZE (RFC 7541 §4.2: a size update may not
+    * exceed it) — an untrusted peer cannot grow the table beyond it.
+    */
+  final class Decoder(var maxTableSize: Int = 4096,
+      val settingsMaxTableSize: Int = 4096) {
     private val dynamic = mutable.ArrayDeque.empty[(String, String)]
     private var dynSize = 0
 
@@ -273,7 +279,17 @@ object Hpack {
           add(name, value)
           out += ((name, value))
         } else if ((b & 0xe0) == 0x20) { // dynamic table size update
-          val sz = readInt(5).toInt
+          // readInt(5) can carry up to 2^56; compare as Long BEFORE any
+          // toInt (which could overflow negative) and reject updates
+          // above the advertised SETTINGS_HEADER_TABLE_SIZE — RFC 7541
+          // §4.2 makes oversize updates a decoding error, which also
+          // closes the memory-DoS a hostile h2c client would otherwise
+          // have (grow the table arbitrarily, then stuff it)
+          val szL = readInt(5)
+          require(szL >= 0 && szL <= settingsMaxTableSize,
+            s"hpack: dynamic table size update $szL exceeds advertised " +
+              s"SETTINGS_HEADER_TABLE_SIZE $settingsMaxTableSize")
+          val sz = szL.toInt
           maxTableSize = sz
           evictTo(sz)
         } else { // literal without indexing (0000) / never indexed (0001)
