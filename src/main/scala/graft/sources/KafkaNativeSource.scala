@@ -32,10 +32,19 @@ import graft.cdc.{KafkaBatch, KafkaClient}
   *  - **Partitions are DISCOVERED from broker metadata** (the
   *    consumer contract) unless pinned with the `partition` /
   *    `partitions` options, and **fetch runs on the EXECUTORS** —
-  *    planned input partitions carry (broker, topic, partition,
-  *    fromOffset, untilOffset); each reader opens its own session and
-  *    fetches only its slice, so a large catch-up fans out across the
-  *    cluster while the driver only asks for high watermarks.
+  *    planned input partitions carry (leaderBroker, bootstrap, topic,
+  *    partition, fromOffset, untilOffset); each reader opens its own
+  *    session and fetches only its slice, so a large catch-up fans out
+  *    across the cluster while the driver only asks for high
+  *    watermarks.
+  *  - **Requests are LEADER-ROUTED** (what rdkafka does transparently
+  *    for the reference, dozer-ingestion/kafka/src/connector.rs):
+  *    planning resolves each partition's leader through the Metadata
+  *    address book, ListOffsets/Fetch go to that broker, and a fetch
+  *    answered with error 6 (NOT_LEADER_OR_FOLLOWER — leadership moved
+  *    after planning) refreshes metadata via the bootstrap broker and
+  *    retries once against the new leader. A partition appearing
+  *    mid-stream starts at its EARLIEST retained offset, not 0.
   *
   * Options: `broker` (host:port), `topic`, `partition`/`partitions`
   * (optional pin, e.g. "0" / "0,2"), `numSlices` (per-partition fetch
@@ -98,17 +107,23 @@ private[sources] class KafkaNativeTable(conf: KafkaNativeConf)
 private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
   override def readSchema(): StructType = KafkaNativeSource.Schema
 
-  private def withSession[A](f: KafkaClient.Session => A): A = {
-    val (host, port) = Sources.splitBroker(conf.broker)
+  private def withSession[A](broker: String)(f: KafkaClient.Session => A): A = {
+    val (host, port) = Sources.splitBroker(broker)
     val s = new KafkaClient.Session(host, port)
     try f(s) finally s.close()
   }
 
+  /** One Metadata round-trip to the bootstrap broker: the address book
+    * + per-partition leaders. Re-fetched per planning call — leadership
+    * moves between micro-batches must re-route the next plan.
+    */
+  private def cluster(): KafkaClient.ClusterMeta =
+    withSession(conf.broker)(_.metadataFull(Seq(conf.topic)))
+
   /** Partition ids: pinned by option, else broker metadata. */
-  private def partitionIds(s: KafkaClient.Session): Seq[Int] =
+  private def partitionIds(meta: KafkaClient.ClusterMeta): Seq[Int] =
     conf.pinnedPartitions.getOrElse {
-      val meta = s.metadata(Seq(conf.topic))
-      val topicMeta = meta.find(_.name == conf.topic).getOrElse(
+      val topicMeta = meta.topics.find(_.name == conf.topic).getOrElse(
         throw new IllegalStateException(
           s"kafka native: broker metadata has no topic '${conf.topic}'"))
       require(topicMeta.error == 0,
@@ -116,20 +131,40 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
       topicMeta.partitions.map(_.partition).sorted
     }
 
-  private def offsetsAt(timestamp: Long): Map[Int, Long] = withSession { s =>
-    partitionIds(s).map(p =>
-      p -> s.listOffset(conf.topic, p, timestamp)).toMap
+  /** host:port every request for `p` must go to: its leader when the
+    * address book resolves it, else the bootstrap broker (single-node
+    * deployments often report a loopback-unreachable advertised
+    * address; the bootstrap answered Metadata, so it exists).
+    */
+  private def routeFor(meta: KafkaClient.ClusterMeta, p: Int): String =
+    meta.leaderAddr(conf.topic, p)
+      .map { case (h, pt) => s"$h:$pt" }.getOrElse(conf.broker)
+
+  /** ListOffsets routed to each partition's leader — offsets are
+    * leader state; a non-leader answers error 6, not a number.
+    */
+  private def offsetsAt(timestamp: Long, parts: Seq[Int],
+      meta: KafkaClient.ClusterMeta): Map[Int, Long] =
+    parts.groupBy(routeFor(meta, _)).flatMap { case (broker, ps) =>
+      withSession(broker) { s =>
+        ps.map(p => p -> s.listOffset(conf.topic, p, timestamp))
+      }
+    }
+
+  private def offsetsAt(timestamp: Long): Map[Int, Long] = {
+    val meta = cluster()
+    offsetsAt(timestamp, partitionIds(meta), meta)
   }
 
   /** Snapshot: [earliest, latest) per partition, fixed at planning. */
   override def toBatch: Batch = new Batch {
-    private val (start, end) = withSession { s =>
-      val ps = partitionIds(s)
-      (ps.map(p => p -> s.listOffset(conf.topic, p, -2L)).toMap,
-        ps.map(p => p -> s.listOffset(conf.topic, p, -1L)).toMap)
+    private val (meta, start, end) = {
+      val m = cluster()
+      val ps = partitionIds(m)
+      (m, offsetsAt(-2L, ps, m), offsetsAt(-1L, ps, m))
     }
     override def planInputPartitions(): Array[InputPartition] =
-      KafkaNativeScan.slices(conf, start, end)
+      KafkaNativeScan.slices(conf, meta, start, end)
     override def createReaderFactory(): PartitionReaderFactory =
       KafkaNativeScan.readerFactory
   }
@@ -150,11 +185,21 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
         val from = start.asInstanceOf[KafkaNativeOffset].offsets
         val hw = availableEnd.getOrElse(offsetsAt(-1L))
-        // spread the trigger budget over partitions; a partition that
-        // appears mid-stream starts at its earliest offset
+        // a partition that appears mid-stream starts at its EARLIEST
+        // offset (offset 0 may be retention-truncated — fetching it
+        // would fail loudly instead of resuming)
+        val newParts = hw.keySet.diff(from.keySet).toSeq.sorted
+        val earliest: Map[Int, Long] =
+          if (newParts.isEmpty) Map.empty
+          else {
+            val m = cluster()
+            offsetsAt(-2L, newParts, m)
+          }
+        // spread the trigger budget over partitions
         val perPart = math.max(1L, conf.maxPerTrigger / math.max(1, hw.size))
         KafkaNativeOffset(hw.map { case (p, h) =>
-          p -> math.min(h, from.getOrElse(p, 0L) + perPart)
+          p -> math.min(h,
+            from.getOrElse(p, earliest.getOrElse(p, 0L)) + perPart)
         })
       }
       override def reportLatestOffset(): Offset =
@@ -165,10 +210,17 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
         KafkaNativeOffset(KafkaNativeOffset.parse(json))
       override def commit(end: Offset): Unit = () // the broker retains
       override def stop(): Unit = ()
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        KafkaNativeScan.slices(conf,
-          start.asInstanceOf[KafkaNativeOffset].offsets,
-          end.asInstanceOf[KafkaNativeOffset].offsets)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val from = start.asInstanceOf[KafkaNativeOffset].offsets
+        val until = end.asInstanceOf[KafkaNativeOffset].offsets
+        val meta = cluster()
+        // a partition in `until` but absent from the checkpointed start
+        // appeared mid-stream: read from its earliest retained offset
+        val missing = until.keySet.diff(from.keySet).toSeq.sorted
+        val filled =
+          if (missing.isEmpty) from else from ++ offsetsAt(-2L, missing, meta)
+        KafkaNativeScan.slices(conf, meta, filled, until)
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         KafkaNativeScan.readerFactory
     }
@@ -177,11 +229,17 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
 private[sources] object KafkaNativeScan {
   /** Per topic-partition: split [from, until) into at most
     * `numSlices` offset ranges (per-partition fetch parallelism).
+    * Each planned slice carries the partition LEADER's address (from
+    * the Metadata address book) next to the bootstrap broker — the
+    * reader fetches from the leader and falls back to a
+    * metadata-refresh-and-reroute on error 6.
     */
-  def slices(conf: KafkaNativeConf, from: Map[Int, Long],
-      until: Map[Int, Long]): Array[InputPartition] =
+  def slices(conf: KafkaNativeConf, meta: KafkaClient.ClusterMeta,
+      from: Map[Int, Long], until: Map[Int, Long]): Array[InputPartition] =
     until.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
       val lo = from.getOrElse(p, 0L)
+      val leader = meta.leaderAddr(conf.topic, p)
+        .map { case (h, pt) => s"$h:$pt" }.getOrElse(conf.broker)
       if (hi <= lo) Nil
       else {
         val n = math.min(conf.numSlices.toLong, hi - lo).toInt
@@ -190,8 +248,8 @@ private[sources] object KafkaNativeScan {
           val a = lo + i * per
           val b = math.min(hi, a + per)
           if (a < b)
-            Some(KafkaNativePartition(conf.broker, conf.topic, p, a, b)
-              : InputPartition)
+            Some(KafkaNativePartition(leader, conf.broker, conf.topic,
+              p, a, b): InputPartition)
           else None
         }
       }
@@ -201,31 +259,59 @@ private[sources] object KafkaNativeScan {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[KafkaNativePartition]
       new PartitionReader[InternalRow] {
-        private val (host, port) = Sources.splitBroker(p.broker)
-        private val session = new KafkaClient.Session(host, port)
+        private def connect(broker: String): KafkaClient.Session = {
+          val (host, port) = Sources.splitBroker(broker)
+          new KafkaClient.Session(host, port)
+        }
+        private var session = connect(p.broker)
+        private var rerouted = false
         private var offset = p.from
         private var recs: Iterator[KafkaBatch.Rec] = Iterator.empty
         private var current: KafkaBatch.Rec = _
+
+        /** Leadership moved since planning (error 6): ask the
+          * bootstrap broker for fresh metadata and reconnect to the
+          * new leader — once; a second move mid-slice fails loudly.
+          */
+        private def reroute(): Unit = {
+          require(!rerouted,
+            s"kafka native: ${p.topic}-${p.partition} leadership moved " +
+              "twice within one slice read — giving up")
+          rerouted = true
+          session.close()
+          val fresh = {
+            val s = connect(p.bootstrap)
+            try s.metadataFull(Seq(p.topic)) finally s.close()
+          }
+          val (h, pt) = fresh.leaderAddr(p.topic, p.partition).getOrElse(
+            throw new IllegalStateException(
+              s"kafka native: no leader for ${p.topic}-${p.partition} " +
+                "after metadata refresh"))
+          session = connect(s"$h:$pt")
+        }
 
         override def next(): Boolean = {
           while (!recs.hasNext && offset < p.until) {
             val f = session.fetch(p.topic, p.partition, offset,
               maxWaitMs = 500)
-            require(f.error == 0, s"kafka native: fetch error ${f.error}")
-            if (f.batches.isEmpty) {
-              // nothing at/past our offset although the planner said
-              // there would be — loud, never a silent short read
-              require(offset >= f.highWatermark,
-                s"kafka native: empty fetch at $offset below " +
-                  s"watermark ${f.highWatermark}")
-              return false
+            if (f.error == KafkaClient.ErrNotLeaderOrFollower) reroute()
+            else {
+              require(f.error == 0, s"kafka native: fetch error ${f.error}")
+              if (f.batches.isEmpty) {
+                // nothing at/past our offset although the planner said
+                // there would be — loud, never a silent short read
+                require(offset >= f.highWatermark,
+                  s"kafka native: empty fetch at $offset below " +
+                    s"watermark ${f.highWatermark}")
+                return false
+              }
+              val decoded = f.batches.iterator.flatMap(KafkaBatch.decodeBatch)
+                .filter(r => r.offset >= p.from && r.offset < p.until)
+              val lastBatch = f.batches.last
+              val bb = java.nio.ByteBuffer.wrap(lastBatch)
+              offset = bb.getLong(0) + bb.getInt(23) + 1
+              recs = decoded
             }
-            val decoded = f.batches.iterator.flatMap(KafkaBatch.decodeBatch)
-              .filter(r => r.offset >= p.from && r.offset < p.until)
-            val lastBatch = f.batches.last
-            val bb = java.nio.ByteBuffer.wrap(lastBatch)
-            offset = bb.getLong(0) + bb.getInt(23) + 1
-            recs = decoded
           }
           if (recs.hasNext) { current = recs.next(); true } else false
         }
@@ -242,7 +328,7 @@ private[sources] object KafkaNativeScan {
 }
 
 private[sources] final case class KafkaNativePartition(broker: String,
-    topic: String, partition: Int, from: Long, until: Long)
+    bootstrap: String, topic: String, partition: Int, from: Long, until: Long)
   extends InputPartition
 
 private[sources] final case class KafkaNativeOffset(offsets: Map[Int, Long])

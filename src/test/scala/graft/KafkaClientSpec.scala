@@ -252,6 +252,74 @@ class KafkaClientSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("SASL/SCRAM-SHA-256: framed handshake + mutual auth succeed, " +
+      "and the session continues with normal requests") {
+    val cluster = new TestKafkaCluster("tscram",
+      scramUser = Some(("alice", "s3cr3t")))
+    val sess = new KafkaClient.Session("127.0.0.1", cluster.port(0))
+    try {
+      sess.saslScram("alice", "s3cr3t", Some("cnonceFixed01"))
+      // post-auth: the request loop keeps working
+      assert(sess.apiVersions().contains(KafkaClient.ApiFetch))
+    } finally { sess.close(); cluster.close() }
+  }
+
+  test("SASL/SCRAM-SHA-256: a wrong password is refused with " +
+      "SASL_AUTHENTICATION_FAILED (error 58)") {
+    val cluster = new TestKafkaCluster("tscram2",
+      scramUser = Some(("alice", "s3cr3t")))
+    val sess = new KafkaClient.Session("127.0.0.1", cluster.port(0))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        sess.saslScram("alice", "WRONG", Some("cnonceFixed02"))
+      }
+      assert(e.getMessage.contains("58"))
+    } finally { sess.close(); cluster.close() }
+  }
+
+  test("SASL/SCRAM-SHA-256: a server that fakes success without " +
+      "knowing the password fails the client's server-signature check") {
+    val cluster = new TestKafkaCluster("tscram3",
+      scramUser = Some(("alice", "s3cr3t")), tamperScramSig = true)
+    val sess = new KafkaClient.Session("127.0.0.1", cluster.port(0))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        sess.saslScram("alice", "s3cr3t", Some("cnonceFixed03"))
+      }
+      assert(e.getMessage.contains("signature mismatch"))
+    } finally { sess.close(); cluster.close() }
+  }
+
+  test("SASL/SCRAM-SHA-256: a combined nonce that does not extend the " +
+      "client nonce is rejected (RFC 5802 MUST) before any proof is sent") {
+    val cluster = new TestKafkaCluster("tscram4",
+      scramUser = Some(("alice", "s3cr3t")), tamperScramNonce = true)
+    val sess = new KafkaClient.Session("127.0.0.1", cluster.port(0))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        sess.saslScram("alice", "s3cr3t", Some("cnonceFixed04"))
+      }
+      assert(e.getMessage.contains("nonce"))
+    } finally { sess.close(); cluster.close() }
+  }
+
+  test("metadataFull keeps the broker address book and per-partition " +
+      "leaders resolve through it") {
+    val cluster = new TestKafkaCluster("tmeta", nPartitions = 3, nBrokers = 2)
+    val sess = new KafkaClient.Session("127.0.0.1", cluster.port(0))
+    try {
+      val meta = sess.metadataFull(Seq("tmeta"))
+      assert(meta.brokers.keySet == Set(0, 1))
+      assert(meta.brokers(1).port == cluster.port(1))
+      // round-robin leadership: 0->b0, 1->b1, 2->b0
+      assert(meta.leaderAddr("tmeta", 0).map(_._2).contains(cluster.port(0)))
+      assert(meta.leaderAddr("tmeta", 1).map(_._2).contains(cluster.port(1)))
+      assert(meta.leaderAddr("tmeta", 2).map(_._2).contains(cluster.port(0)))
+      assert(meta.leaderAddr("tmeta", 9).isEmpty)
+      assert(meta.leaderAddr("nope", 0).isEmpty)
+    } finally { sess.close(); cluster.close() }
+  }
+
   test("live tail: the poller lands broker batches on a push channel " +
       "as they appear, and the feed decodes distributed") {
     import graft.sources.{PushBuffer, Sources}

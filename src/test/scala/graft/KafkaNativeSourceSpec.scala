@@ -137,6 +137,85 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("leader routing: a two-broker cluster with split partition " +
+      "leadership serves a full snapshot — every fetch goes to the " +
+      "partition's leader, never the bootstrap fallback") {
+    // partitions 0,2 lead on broker 0; partition 1 leads on broker 1.
+    // The mock answers error 6 to any non-leader request, so this test
+    // fails loudly if planning ignores the Metadata address book.
+    val cluster = new TestKafkaCluster("tlr", nPartitions = 3, nBrokers = 2)
+    cluster.append(0, batch(0L, Seq(("p0a", "x"), ("p0b", "y"))))
+    cluster.append(1, batch(0L, Seq(("p1a", "z"))))
+    cluster.append(2, batch(0L, Seq(("p2a", "w"))))
+    try {
+      assert(cluster.leaderOf(0) == 0 && cluster.leaderOf(1) == 1 &&
+        cluster.leaderOf(2) == 0)
+      val rows = spark.read.format("graft.sources.KafkaNativeSource")
+        .option("broker", cluster.bootstrap).option("topic", "tlr")
+        .load().collect()
+        .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"),
+          r.getAs[String]("key"))).sortBy(t => (t._1, t._2)).toSeq
+      assert(rows == Seq((0, 0L, "p0a"), (0, 1L, "p0b"),
+        (1, 0L, "p1a"), (2, 0L, "p2a")))
+    } finally cluster.close()
+  }
+
+  test("leader routing: leadership moving AFTER planning (error 6 on " +
+      "the first fetch) reroutes through a metadata refresh and the " +
+      "read completes against the new leader") {
+    val cluster = new TestKafkaCluster("tmv", nPartitions = 1, nBrokers = 2)
+    cluster.append(0, batch(0L, Seq(("a", "v0"), ("b", "v1"))))
+    try {
+      // the old leader answers the next fetch with error 6 and flips
+      // leadership to broker 1 — exactly a move between plan and read
+      cluster.moveLeaderOnNextFetch(0, 1)
+      val rows = spark.read.format("graft.sources.KafkaNativeSource")
+        .option("broker", cluster.bootstrap).option("topic", "tmv")
+        .option("numSlices", "1")
+        .load().orderBy("offset").collect()
+      assert(rows.map(_.getAs[String]("key")).toSeq == Seq("a", "b"))
+      assert(!cluster.movePending, "the move was never triggered — the " +
+        "reader did not fetch from the planned leader")
+      assert(cluster.leaderOf(0) == 1)
+    } finally cluster.close()
+  }
+
+  test("a partition appearing mid-stream starts at its EARLIEST " +
+      "retained offset (not 0 — which is retention-truncated and " +
+      "would fail with OFFSET_OUT_OF_RANGE)") {
+    val cluster = new TestKafkaCluster("tgrow", nPartitions = 2)
+    cluster.setVisiblePartitions(1)
+    cluster.append(0, batch(0L, Seq(("p0a", "x"), ("p0b", "y"))))
+    val tmp = java.nio.file.Files.createTempDirectory("kafka_grow").toString
+    def startQuery() =
+      spark.readStream.format("graft.sources.KafkaNativeSource")
+        .option("broker", cluster.bootstrap).option("topic", "tgrow")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    try {
+      val q1 = startQuery()
+      q1.awaitTermination()
+      assert(spark.read.parquet(s"$tmp/out").count() == 2)
+
+      // partition 1 appears, already retention-truncated below offset 2
+      cluster.truncateBefore(1, 2L)
+      cluster.append(1, batch(2L, Seq(("p1a", "z"), ("p1b", "w"))))
+      cluster.setVisiblePartitions(2)
+      val q2 = startQuery()
+      q2.awaitTermination()
+      val rows = spark.read.parquet(s"$tmp/out")
+        .select("partition", "offset", "key").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows == Seq((0, 0L, "p0a"), (0, 1L, "p0b"),
+        (1, 2L, "p1a"), (1, 3L, "p1b")))
+    } finally cluster.close()
+  }
+
   test("composes with the CDC decoders: debezium values off the native " +
       "source materialize state") {
     val broker = new TestKafkaBroker("t4")
