@@ -38,9 +38,10 @@ import org.apache.spark.sql.functions._
   * offset). Values then feed the existing [[Debezium]] envelope
   * decoder — the reference's content contract on this transport.
   *
-  * Scope: compression attribute must be `none` (the reference's
-  * Debezium topics default) — compressed batches fail loudly rather
-  * than silently mis-decoding; control batches (attribute bit 5) are
+  * Scope: all four compression codecs decode (gzip via the JDK;
+  * snappy / lz4-frame / zstd via the natives Spark already bundles) —
+  * the records block decompresses as one stream per batch, exactly the
+  * wire layout producers write; control batches (attribute bit 5) are
   * consumed and skipped like every consumer does; CRC32C (JDK-native
   * since Java 9) is verified on every batch.
   */
@@ -51,6 +52,12 @@ object KafkaBatch {
     * preserved — tombstones keep a null value).
     */
   final case class Rec(offset: Long, tsMillis: Long, key: String, value: String)
+
+  /** [[Rec]]'s binary twin — the raw key/value bytes, for topics whose
+    * payloads are NOT UTF-8 text (Confluent-framed Avro, protobuf).
+    */
+  final case class RecB(offset: Long, tsMillis: Long, key: Array[Byte],
+      value: Array[Byte])
 
   // --------------------------------------------------------------- decode
 
@@ -78,10 +85,17 @@ object KafkaBatch {
     def varint(): Int = varlong().toInt
   }
 
-  /** Decode one RecordBatch v2. Verifies magic and CRC32C; skips the
-    * records of control batches (returning Nil, like a consumer).
+  /** Decode one RecordBatch v2 into UTF-8 string records. */
+  def decodeBatch(batch: Array[Byte]): Seq[Rec] =
+    decodeBatchBytes(batch).map(b => Rec(b.offset, b.tsMillis,
+      if (b.key == null) null else new String(b.key, UTF_8),
+      if (b.value == null) null else new String(b.value, UTF_8)))
+
+  /** Decode one RecordBatch v2 into raw-byte records. Verifies magic
+    * and CRC32C; skips the records of control batches (returning Nil,
+    * like a consumer).
     */
-  def decodeBatch(batch: Array[Byte]): Seq[Rec] = {
+  def decodeBatchBytes(batch: Array[Byte]): Seq[RecB] = {
     require(batch.length >= 61, s"kafka: batch shorter than the v2 header (${batch.length})")
     val r = new Reader(batch, 0)
     val baseOffset = r.i64()
@@ -138,9 +152,9 @@ object KafkaBatch {
       val tsDelta = r.varlong()
       val offDelta = r.varint()
       val keyLen = r.varint()
-      val key = if (keyLen < 0) null else new String(r.bytes(keyLen), UTF_8)
+      val key = if (keyLen < 0) null else r.bytes(keyLen)
       val valLen = r.varint()
-      val value = if (valLen < 0) null else new String(r.bytes(valLen), UTF_8)
+      val value = if (valLen < 0) null else r.bytes(valLen)
       val nHeaders = r.varint()
       var i = 0
       while (i < nHeaders) { // headers parsed (framing) and discarded
@@ -149,7 +163,7 @@ object KafkaBatch {
         i += 1
       }
       require(r.pos == end, s"kafka: record framing off by ${end - r.pos}")
-      Rec(baseOffset + offDelta, baseTimestamp + tsDelta, key, value)
+      RecB(baseOffset + offDelta, baseTimestamp + tsDelta, key, value)
     }
   }
 
@@ -259,16 +273,16 @@ object KafkaBatch {
     }
 
     private def record(tsDelta: Long, offDelta: Int,
-        key: String, value: String): Array[Byte] = {
+        key: Array[Byte], value: Array[Byte]): Array[Byte] = {
       val body = new ByteArrayOutputStream()
       val d = new DataOutputStream(body)
       d.writeByte(0) // record attributes
       varlong(d, tsDelta)
       varlong(d, offDelta.toLong)
       if (key == null) varlong(d, -1L)
-      else { val b = key.getBytes(UTF_8); varlong(d, b.length.toLong); d.write(b) }
+      else { varlong(d, key.length.toLong); d.write(key) }
       if (value == null) varlong(d, -1L)
-      else { val b = value.getBytes(UTF_8); varlong(d, b.length.toLong); d.write(b) }
+      else { varlong(d, value.length.toLong); d.write(value) }
       varlong(d, 0L) // headers
       d.flush()
       val framed = new ByteArrayOutputStream()
@@ -279,13 +293,24 @@ object KafkaBatch {
       framed.toByteArray
     }
 
-    /** Encode one RecordBatch v2 (control = bit 5; `codec` 0=none
-      * 1=gzip 2=snappy 3=lz4 4=zstd compresses the records block, the
-      * same platform codecs the decoder accepts).
-      */
+    /** [[batchBytes]] with UTF-8 string payloads. */
     def batch(baseOffset: Long, baseTimestamp: Long,
         records: Seq[(Long, String, String)], control: Boolean = false,
-        codec: Int = 0): Array[Byte] = {
+        codec: Int = 0): Array[Byte] =
+      batchBytes(baseOffset, baseTimestamp,
+        records.map { case (ts, k, v) =>
+          (ts, if (k == null) null else k.getBytes(UTF_8),
+            if (v == null) null else v.getBytes(UTF_8))
+        }, control, codec)
+
+    /** Encode one RecordBatch v2 from raw-byte payloads (control =
+      * bit 5; `codec` 0=none 1=gzip 2=snappy 3=lz4 4=zstd compresses
+      * the records block, the same platform codecs the decoder
+      * accepts).
+      */
+    def batchBytes(baseOffset: Long, baseTimestamp: Long,
+        records: Seq[(Long, Array[Byte], Array[Byte])],
+        control: Boolean = false, codec: Int = 0): Array[Byte] = {
       require(records.nonEmpty, "kafka: empty batch")
       val recBytes = records.zipWithIndex.map { case ((ts, k, v), i) =>
         record(ts - baseTimestamp, i, k, v)

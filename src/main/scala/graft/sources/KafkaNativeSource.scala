@@ -49,17 +49,18 @@ import graft.cdc.{KafkaBatch, KafkaClient}
   * Options: `broker` (host:port), `topic`, `partition`/`partitions`
   * (optional pin, e.g. "0" / "0,2"), `numSlices` (per-partition fetch
   * parallelism for big ranges, default 4), `maxOffsetsPerTrigger`
-  * (default 10000, spread over partitions). Schema:
-  * `(partition INT, offset BIGINT, ts TIMESTAMP, key STRING,
-  * value STRING)`; Kafka's ordering contract is per partition (and so
-  * per key under key-hash partitioning), which is exactly the
+  * (default 10000, spread over partitions), `valueFormat`
+  * (`string` default | `binary` for Avro/protobuf topics). Schema:
+  * `(partition INT, offset BIGINT, ts TIMESTAMP, key STRING|BINARY,
+  * value STRING|BINARY)`; Kafka's ordering contract is per partition
+  * (and so per key under key-hash partitioning), which is exactly the
   * ordering CDC decoders need.
   *
   * PLAINTEXT listeners (the reference's default).
   */
 class KafkaNativeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KafkaNativeSource.Schema
+    KafkaNativeSource.schemaFor(KafkaNativeSource.isBinary(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -77,27 +78,45 @@ class KafkaNativeSource extends TableProvider {
       pinnedPartitions = pinned,
       numSlices = Option(opts.get("numSlices")).map(_.toInt).getOrElse(4),
       maxPerTrigger = Option(opts.get("maxOffsetsPerTrigger"))
-        .map(_.toLong).getOrElse(10000L)))
+        .map(_.toLong).getOrElse(10000L),
+      binary = KafkaNativeSource.isBinary(opts)))
   }
 }
 
 object KafkaNativeSource {
-  val Schema: StructType = StructType(Seq(
-    StructField("partition", IntegerType, nullable = false),
-    StructField("offset", LongType, nullable = false),
-    StructField("ts", TimestampType, nullable = false),
-    StructField("key", StringType, nullable = true),
-    StructField("value", StringType, nullable = true)))
+  /** `valueFormat`: `string` (default — Debezium/Connect-JSON topics
+    * are UTF-8 text) or `binary` (Confluent-framed Avro, protobuf —
+    * raw key/value bytes, lossless).
+    */
+  private[sources] def isBinary(opts: CaseInsensitiveStringMap): Boolean =
+    Option(opts.get("valueFormat")).map(_.toLowerCase) match {
+      case None | Some("string") => false
+      case Some("binary") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"kafka native: valueFormat must be string|binary, got '$other'")
+    }
+
+  def schemaFor(binary: Boolean): StructType = {
+    val payload = if (binary) BinaryType else StringType
+    StructType(Seq(
+      StructField("partition", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("key", payload, nullable = true),
+      StructField("value", payload, nullable = true)))
+  }
+
+  val Schema: StructType = schemaFor(binary = false)
 }
 
 private[sources] final case class KafkaNativeConf(broker: String,
     topic: String, pinnedPartitions: Option[Seq[Int]], numSlices: Int,
-    maxPerTrigger: Long)
+    maxPerTrigger: Long, binary: Boolean = false)
 
 private[sources] class KafkaNativeTable(conf: KafkaNativeConf)
     extends Table with SupportsRead {
   override def name(): String = s"kafka:${conf.topic}"
-  override def schema(): StructType = KafkaNativeSource.Schema
+  override def schema(): StructType = KafkaNativeSource.schemaFor(conf.binary)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -105,7 +124,7 @@ private[sources] class KafkaNativeTable(conf: KafkaNativeConf)
 }
 
 private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
-  override def readSchema(): StructType = KafkaNativeSource.Schema
+  override def readSchema(): StructType = KafkaNativeSource.schemaFor(conf.binary)
 
   private def withSession[A](broker: String)(f: KafkaClient.Session => A): A = {
     val (host, port) = Sources.splitBroker(broker)
@@ -249,7 +268,7 @@ private[sources] object KafkaNativeScan {
           val b = math.min(hi, a + per)
           if (a < b)
             Some(KafkaNativePartition(leader, conf.broker, conf.topic,
-              p, a, b): InputPartition)
+              p, a, b, conf.binary): InputPartition)
           else None
         }
       }
@@ -266,8 +285,8 @@ private[sources] object KafkaNativeScan {
         private var session = connect(p.broker)
         private var rerouted = false
         private var offset = p.from
-        private var recs: Iterator[KafkaBatch.Rec] = Iterator.empty
-        private var current: KafkaBatch.Rec = _
+        private var recs: Iterator[KafkaBatch.RecB] = Iterator.empty
+        private var current: KafkaBatch.RecB = _
 
         /** Leadership moved since planning (error 6): ask the
           * bootstrap broker for fresh metadata and reconnect to the
@@ -305,7 +324,8 @@ private[sources] object KafkaNativeScan {
                     s"watermark ${f.highWatermark}")
                 return false
               }
-              val decoded = f.batches.iterator.flatMap(KafkaBatch.decodeBatch)
+              val decoded = f.batches.iterator
+                .flatMap(KafkaBatch.decodeBatchBytes)
                 .filter(r => r.offset >= p.from && r.offset < p.until)
               val lastBatch = f.batches.last
               val bb = java.nio.ByteBuffer.wrap(lastBatch)
@@ -316,10 +336,14 @@ private[sources] object KafkaNativeScan {
           if (recs.hasNext) { current = recs.next(); true } else false
         }
 
+        private def payload(b: Array[Byte]): Any =
+          if (b == null) null
+          else if (p.binary) b
+          else UTF8String.fromBytes(b)
+
         override def get(): InternalRow = InternalRow(
           p.partition, current.offset, current.tsMillis * 1000L,
-          if (current.key == null) null else UTF8String.fromString(current.key),
-          if (current.value == null) null else UTF8String.fromString(current.value))
+          payload(current.key), payload(current.value))
 
         override def close(): Unit = session.close()
       }
@@ -328,7 +352,8 @@ private[sources] object KafkaNativeScan {
 }
 
 private[sources] final case class KafkaNativePartition(broker: String,
-    bootstrap: String, topic: String, partition: Int, from: Long, until: Long)
+    bootstrap: String, topic: String, partition: Int, from: Long, until: Long,
+    binary: Boolean = false)
   extends InputPartition
 
 private[sources] final case class KafkaNativeOffset(offsets: Map[Int, Long])

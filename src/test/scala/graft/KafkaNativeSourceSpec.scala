@@ -216,6 +216,120 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
     } finally cluster.close()
   }
 
+  test("Connect-JSON STREAM decode: contract derived ONCE from a batch " +
+      "snapshot, decodeWith on the native Kafka stream, bucketed " +
+      "upsert — checkpoint restart resumes with no duplicates") {
+    // the schema-registry consumption path as a LIVE pipeline: the
+    // topic carries in-band Connect schemas (decimal logical included);
+    // nothing is caller-declared
+    val broker = new TestKafkaBroker("tcjs")
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"type":"struct","field":"before","optional":true},
+        |{"type":"struct","field":"after","optional":true,"fields":[
+        |{"type":"int64","field":"id","optional":false},
+        |{"type":"string","field":"name","optional":true},
+        |{"type":"bytes","field":"price","optional":true,
+        |"name":"org.apache.kafka.connect.data.Decimal",
+        |"parameters":{"scale":"2","connect.decimal.precision":"12"}}]}]}"""
+        .stripMargin.replace("\n", "")
+    val keySchemaJson =
+      """{"type":"struct","fields":[{"type":"int64","field":"id"}]}"""
+    def priceB64(cents: Long) = java.util.Base64.getEncoder.encodeToString(
+      java.math.BigInteger.valueOf(cents).toByteArray)
+    def row(id: Long, name: String, cents: Long) =
+      s"""{"id":$id,"name":"$name","price":"${priceB64(cents)}"}"""
+    def key(id: Long) =
+      s"""{"schema":$keySchemaJson,"payload":{"id":$id}}"""
+    def env(payload: String) =
+      s"""{"schema":$schemaJson,"payload":$payload}"""
+    broker.append(batch(0L, Seq(
+      (key(1), env(s"""{"op":"r","after":${row(1, "one", 150)}}""")),
+      (key(2), env(s"""{"op":"r","after":${row(2, "two", 225)}}""")))))
+
+    // derive the contract from a BATCH snapshot of the same topic —
+    // the documented stream recipe (ConnectJson.changes refuses
+    // streams: a stream cannot be sampled)
+    def snap() = spark.read.format("graft.sources.KafkaNativeSource")
+      .option("broker", broker.broker).option("topic", "tcjs").load()
+    val derived = graft.cdc.ConnectJson.deriveFromFeed(
+      snap(), "value", Some("key"))
+    assert(derived.primaryKey == Seq("id"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("cjs").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .format("graft.sources.KafkaNativeSource")
+        .option("broker", broker.broker).option("topic", "tcjs").load()
+      val ch = graft.cdc.ConnectJson.decodeWith(
+        derived, stream, "value", seq = Some(col("offset")))
+      graft.sinks.Sinks.upsertParquetBucketed(ch, derived.primaryKey,
+        s"$tmp/state", s"$tmp/ckpt", numBuckets = 4).awaitTermination()
+    }
+    try {
+      run()
+      def state() = spark.read.parquet(s"$tmp/state")
+        .select(col("id"), col("name"),
+          col("price").cast("double").as("p")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(state() == Set((1L, "one", 1.50), (2L, "two", 2.25)))
+
+      // changes land while no query runs; the restart decodes them
+      // with the SAME derived contract and merges exactly-once
+      broker.append(batch(2L, Seq(
+        (key(1), env(s"""{"op":"u","before":${row(1, "one", 150)},""" +
+          s""""after":${row(1, "uno", 999)}}""")),
+        (key(2), env(s"""{"op":"d","before":${row(2, "two", 225)}}""")))))
+      run()
+      assert(state() == Set((1L, "uno", 9.99)))
+    } finally broker.close()
+  }
+
+  test("Avro-registry STREAM decode: valueFormat=binary carries " +
+      "Confluent frames losslessly; AvroConfluent.changes runs " +
+      "map-only on the stream into the upsert sink") {
+    import graft.cdc.AvroConfluent
+    val envSchema =
+      """{"type":"record","name":"Env","fields":[
+        |{"name":"before","type":["null",{"type":"record","name":"V","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":["null","string"]}]}]},
+        |{"name":"after","type":["null","V"]},
+        |{"name":"op","type":"string"}]}""".stripMargin.replace("\n", "")
+    def frame(op: String, before: Seq[Any], after: Seq[Any]) =
+      AvroConfluent.Encode.record(envSchema, 7, Seq(before, after, op))
+    val broker = new TestKafkaBroker("tavs")
+    def batchB(base: Long, frames: Seq[Array[Byte]]) =
+      graft.cdc.KafkaBatch.Encode.batchBytes(base, 1700000000000L + base,
+        frames.map(f => (1700000000000L + base, null: Array[Byte], f)))
+    broker.append(batchB(0L, Seq(
+      frame("r", null, Seq(1L, "one")), frame("r", null, Seq(2L, "two")))))
+    val tmp = java.nio.file.Files.createTempDirectory("avs").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .format("graft.sources.KafkaNativeSource")
+        .option("broker", broker.broker).option("topic", "tavs")
+        .option("valueFormat", "binary").load()
+      val ch = AvroConfluent.changes(
+        stream.withColumnRenamed("offset", "seq"), "value", envSchema)
+      graft.sinks.Sinks.upsertParquetBucketed(
+        ch.withColumnRenamed("seq", graft.cdc.ChangeModel.SeqCol),
+        Seq("id"), s"$tmp/state", s"$tmp/ckpt", numBuckets = 2)
+        .awaitTermination()
+    }
+    try {
+      run()
+      def state() = spark.read.parquet(s"$tmp/state")
+        .select("id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(state() == Set((1L, "one"), (2L, "two")))
+      broker.append(batchB(2L, Seq(
+        frame("u", Seq(1L, "one"), Seq(1L, "uno")),
+        frame("d", Seq(2L, "two"), null))))
+      run()
+      assert(state() == Set((1L, "uno")))
+    } finally broker.close()
+  }
+
   test("composes with the CDC decoders: debezium values off the native " +
       "source materialize state") {
     val broker = new TestKafkaBroker("t4")
