@@ -129,4 +129,43 @@ object Dsir {
     selectTopK(
       scoreLogWeights(raw, idCol, textCol,
         fitLogRatios(target, raw, textCol, dim)), k)
+
+  /** ORACLE twin of the model's sufficient statistics: per-bucket
+    * target/raw feature counts with the GF(2^61-1) rolling hash (the
+    * q34d cross-engine-exact family) instead of murmur3 — everything
+    * downstream of these integers is O(dim) driver-side log-ratio
+    * arithmetic (closed-form-checked in PipelineSpec), so hash-matching
+    * the counts pins the distributed 99% of DSIR cross-engine.
+    *
+    * One shared scan computes both sides (`isTarget` marks the target
+    * rows — the common "target is a labeled subset of raw" setup; the
+    * general two-corpus fit stays [[fitLogRatios]]). Output:
+    * `(bucket BIGINT, target_n BIGINT, raw_n BIGINT)`; a bucket no
+    * feature hashes into emits nothing (add-1 smoothing is model math,
+    * not data).
+    */
+  def oracleBucketStats(raw: DataFrame, isTarget: Column, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2, s"dim=$dim must be >= 2")
+    val fb = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = tokenize(text)
+        val out = new Array[Long](math.max(2 * toks.length - 1, 0))
+        var i = 0
+        while (i < toks.length) {
+          out(i) = Mod61.hashString(toks(i)) % dim
+          if (i > 0) out(toks.length + i - 1) =
+            Mod61.hashString(toks(i - 1) + " " + toks(i)) % dim
+          i += 1
+        }
+        out
+      }
+    }
+    raw.filter(col(textCol).isNotNull)
+      .select(isTarget.as("__t"), explode(fb(col(textCol))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("target_n"),
+        count(lit(1)).as("raw_n"))
+  }
 }

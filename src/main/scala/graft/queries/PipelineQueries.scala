@@ -1606,13 +1606,54 @@ object PipelineQueries {
     // DSIR importance resampling: hashed unigram+bigram log-ratios
     // fitted en-vs-raw (markers planted, q70 pattern), raw corpus scored
     // map-only, deterministic top-100 selection. Float log weights ->
-    // rows-only; ordering + closed-form lambda checks in PipelineSpec.
+    // rows-only; ordering + closed-form lambda checks in PipelineSpec;
+    // the distributed hashing+counting core is fully oracled by the
+    // q79b companion.
     QueryDef.noOracle("q79_dsir_resample") { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         concat(col("text"), lit(" tag_"), col("lang")).as("text"))
       graft.operators.Dsir.resample(
         docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", dim = 2048, k = 100)
+    },
+
+    // ORACLED DSIR sufficient statistics — q79's distributed core with
+    // the GF(2^61-1) rolling hash (q34d family) in place of murmur3:
+    // per-bucket target (en) / raw feature-instance counts over hashed
+    // unigrams+bigrams, one shared corpus scan, one dim-keyed shuffle.
+    // Everything past these integers is O(dim) driver-side log-ratio
+    // arithmetic (closed-form in PipelineSpec), so this pins the DSIR
+    // pipeline cross-engine bit-exactly.
+    QueryDef("q79b_dsir_bucket_oracle",
+      """WITH toks AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), feats AS (
+        |  SELECT lang, tk[i] AS f
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT lang, tk[i - 1] || ' ' || tk[i] AS f
+        |  FROM toks, UNNEST(range(2, len(tk) + 1)) AS u(i)
+        |), hashed AS (
+        |  SELECT lang,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(f, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
+        |      % 2048 AS b
+        |  FROM feats
+        |)
+        |SELECT CAST(b AS BIGINT) AS bucket,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS target_n,
+        |  CAST(COUNT(*) AS BIGINT) AS raw_n
+        |FROM hashed GROUP BY b""".stripMargin) { (s, dir) =>
+      graft.operators.Dsir.oracleBucketStats(
+        t(s, dir, "documents"), col("lang") === "en", "text", dim = 2048)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("target_n"), col("raw_n"))
     },
 
     // Exact-integer classifier head: per-token polarity votes (rate
@@ -1708,7 +1749,8 @@ object PipelineQueries {
     // over the embedding corpus, then an exact per-cell quota — the
     // "diversify by semantic cluster" step of dataset mixing. Float
     // k-means has no SQL twin -> rows-only; cell stability + quota
-    // enforcement in PipelineSpec.
+    // enforcement in PipelineSpec; the quota machinery itself is fully
+    // oracled by the q71b companion.
     QueryDef.noOracle("q71_cluster_balance") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val cents = graft.operators.Ivf.trainCentroids(emb, "embedding", nlist = 16)
@@ -1716,6 +1758,27 @@ object PipelineQueries {
         emb.withColumn("cell", graft.operators.Ivf.assignCells(emb, "embedding", cents))
           .select(col("vec_id"), col("label"), col("cell")),
         "cell", "vec_id", n = 20)
+    },
+
+    // ORACLED stratified quota — q71's selection machinery over a
+    // DETERMINISTIC cross-engine cell assignment (md5 prefix of the
+    // vec id; md5 hex is identical in every engine — the q41b/q62
+    // portability argument): per-cell row_number quota, same
+    // stratifiedExact operator, hash-matched end to end. Only the cell
+    // SOURCE differs from q71 (float k-means has no SQL twin); the
+    // quota path is byte-identical code.
+    QueryDef("q71b_stratified_quota_oracle",
+      """SELECT vec_id, label, cell FROM (
+        |  SELECT vec_id, label, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        |  FROM (
+        |    SELECT vec_id, label,
+        |      substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS cell
+        |    FROM embeddings))
+        |WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        substring(md5(col("vec_id").cast("string")), 1, 2).as("cell"))
+      graft.operators.Sampling.stratifiedExact(emb, "cell", "vec_id", n = 20)
     },
 
     // Brute-force ANN with an ORACLE: rank order (cos desc, id asc) is

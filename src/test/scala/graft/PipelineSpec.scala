@@ -1076,6 +1076,38 @@ class PipelineSpec extends AnyFunSuite {
       s"expected the target-like docs, got $picked")
   }
 
+  test("DSIR oracle bucket stats: hand-computed GF(2^61-1) buckets, " +
+      "one-pass target/raw counts") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val dim = 64
+    // hand-replicate the kernel's features for "x y" (unigrams x, y +
+    // bigram "x y") and "y y" via the same public rolling-hash bucket
+    def bk(s: String): Long = {
+      var h = java.math.BigInteger.ZERO
+      val M = java.math.BigInteger.valueOf((1L << 61) - 1)
+      s.foreach { c =>
+        h = h.multiply(java.math.BigInteger.valueOf(1000003L))
+          .add(java.math.BigInteger.valueOf(c.toLong)).mod(M)
+      }
+      h.mod(java.math.BigInteger.valueOf(dim)).longValueExact()
+    }
+    val df = Seq(("en", "x y"), ("de", "y y"),
+      ("de", null.asInstanceOf[String])).toDF("lang", "text")
+    val got = Dsir.oracleBucketStats(df, org.apache.spark.sql.functions
+        .col("lang") === "en", "text", dim)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("target_n"), r.getAs[Long]("raw_n")))).toMap
+    val feats = Seq(
+      (true, Seq(bk("x"), bk("y"), bk("x y"))),   // en doc
+      (false, Seq(bk("y"), bk("y"), bk("y y"))))  // de doc; null dropped
+    val want = feats.flatMap { case (t, bs) => bs.map(b => (b, t)) }
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> ((xs.count(_._2).toLong, xs.size.toLong))
+      }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
