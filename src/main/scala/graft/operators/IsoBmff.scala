@@ -31,8 +31,20 @@ object IsoBmff {
   final case class Sample(index: Int, offset: Long, size: Int,
       dts: Long, keyframe: Boolean)
 
+  /** The H.264 stream properties an `avcC` box declares WITHOUT any
+    * payload decode: profile/level from the config record, the coded
+    * resolution from the first SPS (ITU-T H.264 §7.3.2.1.1 — mb grid
+    * minus frame cropping), NAL length framing, parameter-set census.
+    * This is what ffprobe-style indexing reads from 100 TB of video
+    * before ever touching a decoder.
+    */
+  final case class AvcConfig(profileIdc: Int, profileCompat: Int,
+      levelIdc: Int, nalLengthSize: Int, nSps: Int, nPps: Int,
+      spsWidth: Int, spsHeight: Int)
+
   final case class VideoTrack(codec: String, width: Int, height: Int,
-      timescale: Long, samples: IndexedSeq[Sample]) {
+      timescale: Long, samples: IndexedSeq[Sample],
+      avc: Option[AvcConfig] = None) {
     def timeMs(s: Sample): Double = s.dts * 1000.0 / timescale
     def keyframes: IndexedSeq[Sample] = samples.filter(_.keyframe)
   }
@@ -120,6 +132,18 @@ object IsoBmff {
     // VisualSampleEntry: 8 hdr + 6 reserved + 2 dataRefIdx + 16 pre/reserved
     val width = u16(b, entryStart.toInt + 32)
     val height = u16(b, entryStart.toInt + 34)
+    // avc1/avc3 sample entries carry an avcC child after the fixed
+    // 78-byte VisualSampleEntry body — the no-decode stream probe
+    val avc: Option[AvcConfig] = {
+      val entrySize = u32(b, entryStart.toInt)
+      val childStart = entryStart + 8 + 78
+      val childEnd = entryStart + entrySize
+      if (!Set("avc1", "avc3").contains(codec) || childStart >= childEnd ||
+          childEnd > stsdE) None
+      else find(b, childStart, childEnd, "avcC").flatMap { case (s, e) =>
+        parseAvcC(java.util.Arrays.copyOfRange(b, s.toInt, e.toInt))
+      }
+    }
 
     // stsz: per-sample sizes
     val (stszS, _) = find(b, stblS, stblE, "stsz").getOrElse(return None)
@@ -196,7 +220,8 @@ object IsoBmff {
       c += 1
     }
     if (si < sampleCount) return None
-    Some(VideoTrack(codec, width, height, timescale, samples.toIndexedSeq))
+    Some(VideoTrack(codec, width, height, timescale, samples.toIndexedSeq,
+      avc))
   }
 
   /** Slice one sample's bytes out of the file. None when the recorded
@@ -207,6 +232,146 @@ object IsoBmff {
     else Some(java.util.Arrays.copyOfRange(
       payload, s.offset.toInt, s.offset.toInt + s.size))
 
+  // ------------------------------------------------ avcC / SPS probing
+
+  /** RBSP bit reader (emulation-prevention bytes 00 00 03 stripped)
+    * with the Exp-Golomb reads SPS parsing needs.
+    */
+  private final class BitReader(nal: Array[Byte], from: Int) {
+    private val rbsp: Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var i = from
+      var zeros = 0
+      while (i < nal.length) {
+        val b = nal(i) & 0xff
+        if (zeros >= 2 && b == 3) zeros = 0 // drop emulation-prevention byte
+        else {
+          out.write(b)
+          zeros = if (b == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+    private var bit = 0
+    def u1(): Int = {
+      require(bit < rbsp.length * 8, "sps: bitstream exhausted")
+      val v = (rbsp(bit >> 3) >> (7 - (bit & 7))) & 1
+      bit += 1
+      v
+    }
+    def u(n: Int): Int = { var v = 0; (0 until n).foreach(_ => v = (v << 1) | u1()); v }
+    /** ue(v) — unsigned Exp-Golomb. */
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) { zeros += 1; require(zeros < 32, "sps: ue overflow") }
+      (1 << zeros) - 1 + u(zeros)
+    }
+    /** se(v) — signed Exp-Golomb. */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** Parse one SPS NAL → (profile, compat, level, width, height).
+    * The full §7.3.2.1.1 walk up to the cropping window, including the
+    * high-profile chroma/bit-depth/scaling-list fields — resolution
+    * without payload decode.
+    */
+  def parseSps(nal: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+      val profileIdc = nal(1) & 0xff
+      val compat = nal(2) & 0xff
+      val levelIdc = nal(3) & 0xff
+      val r = new BitReader(nal, 4)
+      r.ue() // seq_parameter_set_id
+      var chromaFormatIdc = 1 // 4:2:0 default for non-high profiles
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profileIdc)) {
+        chromaFormatIdc = r.ue()
+        if (chromaFormatIdc == 3) r.u1() // separate_colour_plane_flag
+        r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+        r.u1() // qpprime_y_zero_transform_bypass_flag
+        if (r.u1() == 1) { // seq_scaling_matrix_present
+          val lists = if (chromaFormatIdc != 3) 8 else 12
+          (0 until lists).foreach { i =>
+            if (r.u1() == 1) { // seq_scaling_list_present[i]
+              val size = if (i < 6) 16 else 64
+              var last = 8; var next = 8
+              (0 until size).foreach { _ =>
+                if (next != 0) next = (last + r.se() + 256) % 256
+                last = if (next == 0) last else next
+              }
+            }
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match { // pic_order_cnt_type
+        case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+        case 1 =>
+          r.u1(); r.se(); r.se()
+          (0 until r.ue()).foreach(_ => r.se())
+        case _ => ()
+      }
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed_flag
+      val picWidthMbs = r.ue() + 1
+      val picHeightUnits = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+      r.u1() // direct_8x8_inference_flag
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (r.u1() == 1) { // frame_cropping_flag
+        cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+      }
+      // crop units (§7.4.2.1.1): 4:2:0 → (2, 2·(2−fmo)); mono → (1, 2−fmo)
+      val (cux, cuy) =
+        if (chromaFormatIdc == 0) (1, 2 - frameMbsOnly)
+        else if (chromaFormatIdc == 1) (2, 2 * (2 - frameMbsOnly))
+        else if (chromaFormatIdc == 2) (2, 1 * (2 - frameMbsOnly))
+        else (1, 1 * (2 - frameMbsOnly))
+      val width = picWidthMbs * 16 - cux * (cl + cr)
+      val height = (2 - frameMbsOnly) * picHeightUnits * 16 - cuy * (ct + cb)
+      if (width <= 0 || height <= 0) None
+      else Some((profileIdc, compat, levelIdc, width, height))
+    } catch { case _: Exception => None }
+
+  /** Parse an `avcC` payload (AVCDecoderConfigurationRecord, ISO/IEC
+    * 14496-15 §5.3.3.1): config header + SPS/PPS arrays, first SPS
+    * parsed for the coded resolution. None on anything malformed.
+    */
+  def parseAvcC(b: Array[Byte]): Option[AvcConfig] =
+    try {
+      if (b.length < 7 || (b(0) & 0xff) != 1) return None
+      val profile = b(1) & 0xff
+      val compat = b(2) & 0xff
+      val level = b(3) & 0xff
+      val nalLen = (b(4) & 0x03) + 1
+      val nSps = b(5) & 0x1f
+      var p = 6
+      var first: Option[(Int, Int, Int, Int, Int)] = None
+      (0 until nSps).foreach { i =>
+        val len = u16(b, p); p += 2
+        if (p + len > b.length) return None
+        if (i == 0) first =
+          parseSps(java.util.Arrays.copyOfRange(b, p, p + len))
+        p += len
+      }
+      if (p >= b.length) return None
+      val nPps = b(p) & 0xff; p += 1
+      (0 until nPps).foreach { _ =>
+        val len = u16(b, p); p += 2
+        if (p + len > b.length) return None
+        p += len
+      }
+      first.map { case (_, _, _, w, h) =>
+        AvcConfig(profile, compat, level, nalLen, nSps, nPps, w, h)
+      }
+    } catch { case _: Exception => None }
+
   // -------------------------------------------------------------- muxing
 
   /** Serialize frames into a real single-track ISO-BMFF file:
@@ -215,7 +380,8 @@ object IsoBmff {
     * samples 0, n, 2n, … as sync; 1 omits `stss` (all sync, per spec).
     */
   def mux(frames: Seq[Array[Byte]], codec: String, width: Int, height: Int,
-      timescale: Int, sampleDelta: Int, keyframeEvery: Int = 1): Array[Byte] = {
+      timescale: Int, sampleDelta: Int, keyframeEvery: Int = 1,
+      avcC: Option[Array[Byte]] = None): Array[Byte] = {
     require(frames.nonEmpty && codec.length == 4)
 
     def box(typ: String)(body: DataOutputStream => Unit): Array[Byte] = {
@@ -300,6 +466,12 @@ object IsoBmff {
       (0 until 32).foreach(_ => e.writeByte(0)) // compressor name
       e.writeShort(24)                         // depth
       e.writeShort(-1)                         // predefined
+      // child boxes after the fixed 78-byte body (avcC for avc1/avc3)
+      avcC.foreach { cfg =>
+        e.writeInt(8 + cfg.length)
+        e.writeBytes("avcC")
+        e.write(cfg)
+      }
       d.writeInt(8 + entry.size)
       d.writeBytes(codec)
       entry.writeTo(d)
@@ -339,5 +511,117 @@ object IsoBmff {
     val out = new ByteArrayOutputStream()
     out.write(ftyp); out.write(mdat); out.write(moov)
     out.toByteArray
+  }
+
+  /** Encode twins for the avcC probe (the PgOutput/KafkaBatch.Encode
+    * strategy: every parse in the gate runs against bytes built here,
+    * and the builders follow the published bitstream syntax — ITU-T
+    * H.264 §7.3.2.1.1 for the SPS, ISO/IEC 14496-15 §5.3.3.1 for the
+    * config record).
+    */
+  object AvcEncode {
+    private final class BitWriter {
+      private val out = new ByteArrayOutputStream()
+      private var cur = 0
+      private var nbits = 0
+      def u1(v: Int): Unit = {
+        cur = (cur << 1) | (v & 1); nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+      }
+      def u(n: Int, v: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => u1((v >> i) & 1))
+      def ue(v: Int): Unit = {
+        require(v >= 0)
+        val code = v + 1
+        val len = 32 - Integer.numberOfLeadingZeros(code)
+        (0 until len - 1).foreach(_ => u1(0))
+        u(len, code)
+      }
+      /** rbsp_trailing_bits: stop bit + align. */
+      def trailing(): Unit = { u1(1); while (nbits != 0) u1(0) }
+      def result: Array[Byte] = out.toByteArray
+    }
+
+    /** Build one SPS NAL declaring `width`×`height` (even dimensions;
+      * mb-grid rounding expressed through the frame-cropping window,
+      * exactly how encoders emit non-multiple-of-16 sizes). Profiles
+      * 66/77 (no chroma block) and 100 (4:2:0, 8-bit, no scaling
+      * matrix) — the three profiles real corpora carry.
+      */
+    def sps(profileIdc: Int, levelIdc: Int, width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+        s"avc sps: even dimensions required, got ${width}x$height")
+      require(Set(66, 77, 100).contains(profileIdc),
+        s"avc sps: unsupported profile $profileIdc")
+      val mbW = (width + 15) / 16
+      val mbH = (height + 15) / 16
+      // 4:2:0 frame coding: CropUnitX = SubWidthC = 2,
+      // CropUnitY = SubHeightC·(2 − frame_mbs_only) = 2
+      val cropR = (mbW * 16 - width) / 2
+      val cropB = (mbH * 16 - height) / 2
+      require(cropR * 2 == mbW * 16 - width && cropB * 2 == mbH * 16 - height,
+        s"avc sps: ${width}x$height not expressible with 4:2:0 crop units")
+      val w = new BitWriter
+      w.ue(0) // seq_parameter_set_id
+      if (profileIdc == 100) {
+        w.ue(1)       // chroma_format_idc 4:2:0
+        w.ue(0); w.ue(0) // bit depths 8
+        w.u1(0)       // qpprime_y_zero_transform_bypass
+        w.u1(0)       // seq_scaling_matrix_present
+      }
+      w.ue(0) // log2_max_frame_num_minus4
+      w.ue(0) // pic_order_cnt_type
+      w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+      w.ue(1) // max_num_ref_frames
+      w.u1(0) // gaps_in_frame_num_value_allowed
+      w.ue(mbW - 1)
+      w.ue(mbH - 1)
+      w.u1(1) // frame_mbs_only
+      w.u1(1) // direct_8x8_inference
+      if (cropR == 0 && cropB == 0) w.u1(0)
+      else { w.u1(1); w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB) }
+      w.u1(0) // vui_parameters_present
+      w.trailing()
+      Array[Byte](0x67.toByte, profileIdc.toByte, 0x00, levelIdc.toByte) ++
+        w.result
+    }
+
+    /** Minimal PPS NAL (all-default fields). */
+    def pps(): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0); w.ue(0) // pps id, sps id
+      w.u1(0)          // entropy_coding_mode (CAVLC)
+      w.u1(0)          // bottom_field_pic_order_in_frame_present
+      w.ue(0)          // num_slice_groups_minus1
+      w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+      w.u1(0)          // weighted_pred
+      w.u(2, 0)        // weighted_bipred_idc
+      w.ue(0); w.ue(0) // pic_init_qp/qs (se(0) == ue(0) encoding)
+      w.ue(0)          // chroma_qp_index_offset (se(0))
+      w.u1(1)          // deblocking_filter_control_present
+      w.u1(0)          // constrained_intra_pred
+      w.u1(0)          // redundant_pic_cnt_present
+      w.trailing()
+      Array[Byte](0x68.toByte) ++ w.result
+    }
+
+    /** AVCDecoderConfigurationRecord from one SPS + one PPS,
+      * 4-byte NAL length framing.
+      */
+    def avcC(sps: Array[Byte], pps: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val d = new DataOutputStream(out)
+      d.writeByte(1)            // configurationVersion
+      d.writeByte(sps(1))       // AVCProfileIndication
+      d.writeByte(sps(2))       // profile_compatibility
+      d.writeByte(sps(3))       // AVCLevelIndication
+      d.writeByte(0xff)         // reserved(6) + lengthSizeMinusOne=3
+      d.writeByte(0xe1)         // reserved(3) + numOfSPS=1
+      d.writeShort(sps.length); d.write(sps)
+      d.writeByte(1)            // numOfPPS
+      d.writeShort(pps.length); d.write(pps)
+      d.flush()
+      out.toByteArray
+    }
   }
 }

@@ -891,6 +891,60 @@ object Multimodal {
     }
   }
 
+  /** Render AVC-declared MP4s: each file is a REAL box tree whose
+    * `avc1` sample entry carries a REAL avcC (AVCDecoderConfiguration-
+    * Record with a spec-encoded SPS/PPS) — profile, level, and coded
+    * resolution all closed-form in doc_id. The mdat samples are opaque
+    * (H.264 payload decode is the documented out-of-JDK delta; the
+    * probe never touches them — that's the point).
+    */
+  def renderAvcMp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val profile = Seq(66, 77, 100)(math.floorMod(id, 3L).toInt)
+          val level = 30 + math.floorMod(id, 3L).toInt * 10
+          val w = 2 * (50 + math.floorMod(id, 37L).toInt)
+          val h = 2 * (40 + math.floorMod(id, 29L).toInt)
+          val cfg = IsoBmff.AvcEncode.avcC(
+            IsoBmff.AvcEncode.sps(profile, level, w, h),
+            IsoBmff.AvcEncode.pps())
+          val frames = (0 until 2).map(f =>
+            Array.fill(16)((id + f).toByte): Array[Byte])
+          MediaRow(id, IsoBmff.mux(frames, codec = "avc1", width = w,
+            height = h, timescale = 1000, sampleDelta = 40,
+            keyframeEvery = 2, avcC = Some(cfg)), "video")
+        }
+      }
+  }
+
+  case class AvcProbeRow(id: Long, ok: Boolean, codec: String,
+      profileIdc: Int, levelIdc: Int, width: Int, height: Int,
+      nalLengthSize: Int, nSps: Int, nPps: Int)
+
+  /** No-decode H.264 stream probe: walk the container to the avcC box
+    * and read profile/level/SPS resolution — the ffprobe-style metadata
+    * pass a 100 TB video corpus runs before any transcode. Map-only,
+    * O(box tree) per file, payload bytes never touched.
+    */
+  def mp4AvccProbe(ds: Dataset[MediaRow]): Dataset[AvcProbeRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        IsoBmff.parse(r.payload).flatMap(t => t.avc.map((t, _))) match {
+          case Some((track, a)) =>
+            AvcProbeRow(r.id, ok = true, track.codec, a.profileIdc,
+              a.levelIdc, a.spsWidth, a.spsHeight, a.nalLengthSize,
+              a.nSps, a.nPps)
+          case None =>
+            AvcProbeRow(r.id, ok = false, "", -1, -1, -1, -1, -1, -1, -1)
+        }
+      }
+    }
+  }
+
   case class AudioRow(id: Long, ok: Boolean, sampleRate: Int,
       channels: Int, nFrames: Long, durationMs: Double, meanAmp: Double)
 

@@ -1200,6 +1200,34 @@ object PipelineQueries {
           col("meanLuma").as("mean_luma"))
     },
 
+    // No-decode H.264 stream probe: REAL avcC boxes (spec-encoded
+    // SPS/PPS, ISO/IEC 14496-15 + ITU-T H.264 §7.3.2.1.1) inside real
+    // avc1 sample entries — profile/level/coded-resolution read from
+    // the parameter sets WITHOUT touching a payload byte (the codec
+    // decode stays the documented out-of-JDK delta; indexing never
+    // needed it). Resolution exercises the frame-cropping window
+    // (widths/heights not multiples of 16). Fully oracled: every
+    // column is closed-form in doc_id.
+    QueryDef("q94b_avcc_probe",
+      """SELECT doc_id AS id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+        |       ELSE 100 END AS INTEGER) AS profile_idc,
+        |  CAST(30 + (doc_id % 3) * 10 AS INTEGER) AS level_idc,
+        |  CAST(2 * (50 + doc_id % 37) AS INTEGER) AS width,
+        |  CAST(2 * (40 + doc_id % 29) AS INTEGER) AS height,
+        |  CAST(4 AS INTEGER) AS nal_length_size,
+        |  CAST(1 AS INTEGER) AS n_sps,
+        |  CAST(1 AS INTEGER) AS n_pps
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderAvcMp4s(t(s, dir, "documents"), "doc_id")
+      Multimodal.mp4AvccProbe(media).toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("profileIdc").as("profile_idc"),
+          col("levelIdc").as("level_idc"), col("width"), col("height"),
+          col("nalLengthSize").as("nal_length_size"),
+          col("nSps").as("n_sps"), col("nPps").as("n_pps"))
+    },
+
     // Multimodal AUDIO: REAL RIFF/PCM16 WAV codec — render a constant-
     // |amplitude| square-wave WAV per doc (every field closed-form in
     // doc_id), decode the bytes back at the RIFF chunk level. Fully

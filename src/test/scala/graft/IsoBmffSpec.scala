@@ -103,4 +103,67 @@ class IsoBmffSpec extends AnyFunSuite {
     val bad = out.filter(_.id == 2L)
     assert(bad.length == 1 && !bad.head.ok && bad.head.nFrames == 0)
   }
+
+  test("SPS encode → parse round-trips profile/level/resolution for " +
+      "every profile branch, including frame cropping") {
+    // non-multiple-of-16 dims exercise the cropping window; profile
+    // 100 exercises the high-profile chroma/bit-depth block
+    for {
+      profile <- Seq(66, 77, 100)
+      (w, h) <- Seq((320, 240), (100, 82), (1920, 1080), (16, 16))
+    } {
+      val sps = IsoBmff.AvcEncode.sps(profile, 31, w, h)
+      val parsed = IsoBmff.parseSps(sps)
+      assert(parsed.contains((profile, 0, 31, w, h)),
+        s"profile=$profile ${w}x$h → $parsed")
+    }
+  }
+
+  test("avcC record round-trips through parseAvcC; malformed records " +
+      "and truncated SPS return None") {
+    val sps = IsoBmff.AvcEncode.sps(100, 42, 638, 478)
+    val cfg = IsoBmff.AvcEncode.avcC(sps, IsoBmff.AvcEncode.pps())
+    val parsed = IsoBmff.parseAvcC(cfg)
+    assert(parsed.contains(IsoBmff.AvcConfig(100, 0, 42,
+      nalLengthSize = 4, nSps = 1, nPps = 1,
+      spsWidth = 638, spsHeight = 478)))
+    assert(IsoBmff.parseAvcC(Array[Byte](2, 0, 0, 0, 0, 0, 0)).isEmpty)
+    assert(IsoBmff.parseAvcC(cfg.take(9)).isEmpty)
+    // SPS bytes corrupted → the record parses but the SPS does not
+    val broken = cfg.clone()
+    broken(8) = 0x00 // nal type no longer 7
+    assert(IsoBmff.parseAvcC(broken).isEmpty)
+  }
+
+  test("an avc1 sample entry's avcC surfaces on the parsed track; " +
+      "non-avc entries carry none") {
+    val sps = IsoBmff.AvcEncode.sps(77, 30, 640, 360)
+    val cfg = IsoBmff.AvcEncode.avcC(sps, IsoBmff.AvcEncode.pps())
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6))
+    val withAvc = IsoBmff.mux(frames, "avc1", 640, 360,
+      timescale = 1000, sampleDelta = 40, avcC = Some(cfg))
+    val track = IsoBmff.parse(withAvc).get
+    assert(track.codec == "avc1")
+    assert(track.avc.exists(a => a.profileIdc == 77 && a.levelIdc == 30 &&
+      a.spsWidth == 640 && a.spsHeight == 360))
+    // sample tables stay intact next to the child box
+    assert(track.samples.length == 2)
+    val plain = IsoBmff.parse(IsoBmff.mux(frames, "png ", 8, 8,
+      timescale = 1000, sampleDelta = 40)).get
+    assert(plain.avc.isEmpty)
+  }
+
+  test("RBSP emulation-prevention bytes are stripped before SPS bit " +
+      "parsing") {
+    // plant a known 00 00 pair after the stop bit (spec-legal trailing
+    // zero bytes), then escape it as 00 00 03 00 the way an encoder
+    // must — both forms carry the same RBSP and must parse identically
+    val sps = IsoBmff.AvcEncode.sps(66, 30, 320, 240)
+    val plain = sps ++ Array[Byte](0, 0, 0)
+    val escaped = sps ++ Array[Byte](0, 0, 3, 0)
+    val want = IsoBmff.parseSps(sps)
+    assert(want.isDefined)
+    assert(IsoBmff.parseSps(plain) == want)
+    assert(IsoBmff.parseSps(escaped) == want)
+  }
 }
