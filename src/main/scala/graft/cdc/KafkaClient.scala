@@ -35,11 +35,14 @@ import scala.collection.mutable
   *
   * KafkaClientSpec drives the full session against a loopback mock
   * broker serving Encode-built batches (the Pg/MyReplication test
-  * pattern). Auth: PLAINTEXT (the reference's default
-  * `security.protocol`), SASL/PLAIN via [[Session.saslPlain]], and
-  * SASL/SCRAM-SHA-256 via [[Session.saslScram]] (KIP-152 framed
-  * exchange with mutual authentication); TLS and GSSAPI are out of
-  * scope (no cert/KDC infrastructure to validate against).
+  * pattern). Security: PLAINTEXT (the reference's default
+  * `security.protocol`), SSL via [[Tls]] (JSSE with truststore pinning
+  * + SAN endpoint verification; loopback-tested against a
+  * keytool-issued certificate), SASL/PLAIN via [[Session.saslPlain]],
+  * and SASL/SCRAM-SHA-256 via [[Session.saslScram]] (KIP-152 framed
+  * exchange with mutual authentication) — each SASL mechanism
+  * composes with either transport (SASL_PLAINTEXT / SASL_SSL). GSSAPI
+  * is out of scope (no KDC to validate against).
   */
 object KafkaClient {
 
@@ -80,10 +83,50 @@ object KafkaClient {
   /** Error codes the client routes on. */
   val ErrNotLeaderOrFollower = 6
 
-  final class Session(host: String, port: Int,
-      clientId: String = "graft-consumer") extends AutoCloseable {
+  /** TLS plumbing for SSL / SASL_SSL listeners — pure JSSE. */
+  object Tls {
+    /** Socket factory trusting ONLY the given PKCS12/JKS truststore
+      * (the `ssl.truststore.location` contract every Kafka client
+      * honors). Hostname verification follows the certificate check:
+      * the endpoint algorithm is set to HTTPS-style host matching.
+      */
+    def socketFactory(truststorePath: String,
+        password: String): javax.net.ssl.SSLSocketFactory = {
+      val ks = java.security.KeyStore.getInstance(
+        new java.io.File(truststorePath), password.toCharArray)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      ctx.getSocketFactory
+    }
 
-    private val socket = new Socket(host, port)
+    /** System-CA-trusting factory (public brokers with real certs). */
+    def defaultFactory(): javax.net.ssl.SSLSocketFactory =
+      javax.net.ssl.SSLContext.getDefault.getSocketFactory
+  }
+
+  final class Session(host: String, port: Int,
+      clientId: String = "graft-consumer",
+      ssl: Option[javax.net.ssl.SSLSocketFactory] = None)
+      extends AutoCloseable {
+
+    private val socket: Socket = ssl match {
+      case None => new Socket(host, port)
+      case Some(f) =>
+        val s = f.createSocket(host, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        // hostname/IP verification against the certificate's SAN —
+        // without this a valid-but-wrong-host cert would pass
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
+        // fail the connection NOW (with the TLS alert) rather than on
+        // the first request's read
+        s.startHandshake()
+        s
+    }
     socket.setTcpNoDelay(true)
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new DataOutputStream(socket.getOutputStream)

@@ -56,7 +56,11 @@ import graft.cdc.{KafkaBatch, KafkaClient}
   * (and so per key under key-hash partitioning), which is exactly the
   * ordering CDC decoders need.
   *
-  * PLAINTEXT listeners (the reference's default).
+  * Transport: PLAINTEXT (the reference's default) or SSL via
+  * `tls=true` [+ `truststore`/`truststorePassword` to pin a
+  * certificate; system CAs otherwise] — every session (planner and
+  * executor readers alike) then handshakes TLS with SAN hostname
+  * verification before the first frame.
   */
 class KafkaNativeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -79,7 +83,11 @@ class KafkaNativeSource extends TableProvider {
       numSlices = Option(opts.get("numSlices")).map(_.toInt).getOrElse(4),
       maxPerTrigger = Option(opts.get("maxOffsetsPerTrigger"))
         .map(_.toLong).getOrElse(10000L),
-      binary = KafkaNativeSource.isBinary(opts)))
+      binary = KafkaNativeSource.isBinary(opts),
+      tls = Option(opts.get("tls")).exists(_.toBoolean),
+      truststore = Option(opts.get("truststore")),
+      truststorePassword = Option(opts.get("truststorePassword"))
+        .getOrElse("")))
   }
 }
 
@@ -111,7 +119,20 @@ object KafkaNativeSource {
 
 private[sources] final case class KafkaNativeConf(broker: String,
     topic: String, pinnedPartitions: Option[Seq[Int]], numSlices: Int,
-    maxPerTrigger: Long, binary: Boolean = false)
+    maxPerTrigger: Long, binary: Boolean = false, tls: Boolean = false,
+    truststore: Option[String] = None, truststorePassword: String = "") {
+  /** One socket factory per session opener: truststore-pinned when a
+    * path is configured, system CAs otherwise. (Executors resolve the
+    * truststore path locally — ship it with `--files` on a cluster.)
+    */
+  def sslFactory(): Option[javax.net.ssl.SSLSocketFactory] =
+    if (!tls) None
+    else Some(truststore match {
+      case Some(path) =>
+        graft.cdc.KafkaClient.Tls.socketFactory(path, truststorePassword)
+      case None => graft.cdc.KafkaClient.Tls.defaultFactory()
+    })
+}
 
 private[sources] class KafkaNativeTable(conf: KafkaNativeConf)
     extends Table with SupportsRead {
@@ -128,7 +149,7 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
 
   private def withSession[A](broker: String)(f: KafkaClient.Session => A): A = {
     val (host, port) = Sources.splitBroker(broker)
-    val s = new KafkaClient.Session(host, port)
+    val s = new KafkaClient.Session(host, port, ssl = conf.sslFactory())
     try f(s) finally s.close()
   }
 
@@ -267,8 +288,7 @@ private[sources] object KafkaNativeScan {
           val a = lo + i * per
           val b = math.min(hi, a + per)
           if (a < b)
-            Some(KafkaNativePartition(leader, conf.broker, conf.topic,
-              p, a, b, conf.binary): InputPartition)
+            Some(KafkaNativePartition(leader, conf, p, a, b): InputPartition)
           else None
         }
       }
@@ -280,7 +300,7 @@ private[sources] object KafkaNativeScan {
       new PartitionReader[InternalRow] {
         private def connect(broker: String): KafkaClient.Session = {
           val (host, port) = Sources.splitBroker(broker)
-          new KafkaClient.Session(host, port)
+          new KafkaClient.Session(host, port, ssl = p.conf.sslFactory())
         }
         private var session = connect(p.broker)
         private var rerouted = false
@@ -352,9 +372,12 @@ private[sources] object KafkaNativeScan {
 }
 
 private[sources] final case class KafkaNativePartition(broker: String,
-    bootstrap: String, topic: String, partition: Int, from: Long, until: Long,
-    binary: Boolean = false)
-  extends InputPartition
+    conf: KafkaNativeConf, partition: Int, from: Long, until: Long)
+  extends InputPartition {
+  def bootstrap: String = conf.broker
+  def topic: String = conf.topic
+  def binary: Boolean = conf.binary
+}
 
 private[sources] final case class KafkaNativeOffset(offsets: Map[Int, Long])
     extends Offset {

@@ -303,6 +303,37 @@ class KafkaClientSpec extends AnyFunSuite {
     } finally { sess.close(); cluster.close() }
   }
 
+  test("TLS: a truststore-pinned session handshakes against the mock " +
+      "broker's keytool-issued certificate and the fetch path works; " +
+      "an unpinned client refuses the self-signed cert") {
+    import graft.cdc.KafkaBatch
+    val cluster = new TestKafkaCluster("ttls", tls = true)
+    cluster.append(KafkaBatch.Encode.batch(0L, 1700000000000L,
+      Seq((1700000000000L, "k", "v"))))
+    try {
+      val sess = new KafkaClient.Session("127.0.0.1", cluster.port(0),
+        ssl = Some(KafkaClient.Tls.socketFactory(
+          TestTls.truststorePath, TestTls.password)))
+      try {
+        assert(sess.listOffset("ttls", 0, -1L) == 1L)
+        val (next, batches) = sess.fetchAll("ttls", 0, 0L)
+        assert(next == 1L &&
+          batches.flatMap(KafkaBatch.decodeBatch).map(_.key) == Seq("k"))
+      } finally sess.close()
+
+      // system-CA trust must REJECT the self-signed broker cert
+      intercept[Exception] {
+        new KafkaClient.Session("127.0.0.1", cluster.port(0),
+          ssl = Some(KafkaClient.Tls.defaultFactory()))
+      }
+      // and a plaintext client on a TLS listener fails, not hangs
+      intercept[Exception] {
+        val plain = new KafkaClient.Session("127.0.0.1", cluster.port(0))
+        try plain.apiVersions() finally plain.close()
+      }
+    } finally cluster.close()
+  }
+
   test("metadataFull keeps the broker address book and per-partition " +
       "leaders resolve through it") {
     val cluster = new TestKafkaCluster("tmeta", nPartitions = 3, nBrokers = 2)

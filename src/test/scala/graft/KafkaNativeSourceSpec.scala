@@ -216,6 +216,22 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
     } finally cluster.close()
   }
 
+  test("TLS transport: tls=true + pinned truststore reads the topic " +
+      "over real JSSE handshakes on both the planner and reader " +
+      "sessions") {
+    val cluster = new TestKafkaCluster("ttlsrc", tls = true)
+    cluster.append(batch(0L, Seq(("a", "v0"), ("b", "v1"))))
+    try {
+      val rows = spark.read.format("graft.sources.KafkaNativeSource")
+        .option("broker", cluster.bootstrap).option("topic", "ttlsrc")
+        .option("tls", "true")
+        .option("truststore", TestTls.truststorePath)
+        .option("truststorePassword", TestTls.password)
+        .load().orderBy("offset").collect()
+      assert(rows.map(_.getAs[String]("key")).toSeq == Seq("a", "b"))
+    } finally cluster.close()
+  }
+
   test("Connect-JSON STREAM decode: contract derived ONCE from a batch " +
       "snapshot, decodeWith on the native Kafka stream, bucketed " +
       "upsert — checkpoint restart resumes with no duplicates") {

@@ -26,9 +26,51 @@ import graft.cdc.{KafkaClient, PgReplication}
   * 58 (SASL_AUTHENTICATION_FAILED). `tamperScramSig` serves a broken
   * server signature to prove the client's mutual-auth check.
   */
+/** One keytool-issued self-signed certificate (SAN=IP:127.0.0.1) per
+  * test JVM: a PKCS12 keystore for mock TLS listeners and a matching
+  * truststore for clients — real JSSE handshakes, no fixture bytes.
+  */
+object TestTls {
+  lazy val (keystorePath, truststorePath, password): (String, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ks = dir.resolve("broker.p12").toString
+    val cer = dir.resolve("broker.cer").toString
+    val ts = dir.resolve("trust.p12").toString
+    val pw = "changeit"
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder(("keytool" +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      require(p.waitFor() == 0, s"keytool failed: $out")
+    }
+    run("-genkeypair", "-alias", "broker", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "30", "-storetype", "PKCS12",
+      "-keystore", ks, "-storepass", pw, "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1")
+    run("-exportcert", "-alias", "broker", "-keystore", ks,
+      "-storepass", pw, "-file", cer)
+    run("-importcert", "-noprompt", "-alias", "broker", "-storetype",
+      "PKCS12", "-keystore", ts, "-storepass", pw, "-file", cer)
+    (ks, ts, pw)
+  }
+
+  /** Server-side SSLContext over the generated keystore. */
+  lazy val serverContext: javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance(
+      new java.io.File(keystorePath), password.toCharArray)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, password.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+}
+
 final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
     nBrokers: Int = 1, scramUser: Option[(String, String)] = None,
-    tamperScramSig: Boolean = false, tamperScramNonce: Boolean = false) {
+    tamperScramSig: Boolean = false, tamperScramNonce: Boolean = false,
+    tls: Boolean = false) {
   private val logs = Array.fill(nPartitions)(
     new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]())
   // partition -> broker index currently leading it (round-robin start)
@@ -43,7 +85,9 @@ final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
   // one-shot: on the next Fetch for (partition), flip leadership to
   // (broker) and answer error 6 — models a move between plan and read
   @volatile private var pendingMove: Option[(Int, Int)] = None
-  private val servers = Array.fill(nBrokers)(new ServerSocket(0))
+  private val servers: Array[ServerSocket] = Array.fill(nBrokers)(
+    if (tls) TestTls.serverContext.getServerSocketFactory.createServerSocket(0)
+    else new ServerSocket(0))
 
   def port(broker: Int): Int = servers(broker).getLocalPort
   def broker(i: Int): String = s"127.0.0.1:${port(i)}"
