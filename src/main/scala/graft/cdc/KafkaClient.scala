@@ -83,28 +83,15 @@ object KafkaClient {
   /** Error codes the client routes on. */
   val ErrNotLeaderOrFollower = 6
 
-  /** TLS plumbing for SSL / SASL_SSL listeners — pure JSSE. */
+  /** TLS plumbing for SSL / SASL_SSL listeners — the shared
+    * [[graft.cdc.Tls]] JSSE helpers under the client's namespace.
+    */
   object Tls {
-    /** Socket factory trusting ONLY the given PKCS12/JKS truststore
-      * (the `ssl.truststore.location` contract every Kafka client
-      * honors). Hostname verification follows the certificate check:
-      * the endpoint algorithm is set to HTTPS-style host matching.
-      */
     def socketFactory(truststorePath: String,
-        password: String): javax.net.ssl.SSLSocketFactory = {
-      val ks = java.security.KeyStore.getInstance(
-        new java.io.File(truststorePath), password.toCharArray)
-      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
-        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
-      tmf.init(ks)
-      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-      ctx.init(null, tmf.getTrustManagers, null)
-      ctx.getSocketFactory
-    }
-
-    /** System-CA-trusting factory (public brokers with real certs). */
+        password: String): javax.net.ssl.SSLSocketFactory =
+      graft.cdc.Tls.socketFactory(truststorePath, password)
     def defaultFactory(): javax.net.ssl.SSLSocketFactory =
-      javax.net.ssl.SSLContext.getDefault.getSocketFactory
+      graft.cdc.Tls.defaultFactory()
   }
 
   final class Session(host: String, port: Int,
@@ -114,18 +101,9 @@ object KafkaClient {
 
     private val socket: Socket = ssl match {
       case None => new Socket(host, port)
-      case Some(f) =>
-        val s = f.createSocket(host, port)
-          .asInstanceOf[javax.net.ssl.SSLSocket]
-        // hostname/IP verification against the certificate's SAN —
-        // without this a valid-but-wrong-host cert would pass
-        val params = s.getSSLParameters
-        params.setEndpointIdentificationAlgorithm("HTTPS")
-        s.setSSLParameters(params)
-        // fail the connection NOW (with the TLS alert) rather than on
-        // the first request's read
-        s.startHandshake()
-        s
+      // implicit TLS: handshake (with SAN verification) at connect,
+      // so an untrusted/wrong-host cert fails with the TLS alert
+      case Some(f) => graft.cdc.Tls.connect(host, port, f)
     }
     socket.setTcpNoDelay(true)
     private val in = new DataInputStream(socket.getInputStream)

@@ -27,9 +27,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Driver-side by design (one dump connection per server contract);
   * the data-sized decode runs distributed in [[MyBinlog.changes]].
-  * Auth scope: `mysql_native_password`; `caching_sha2_password` needs
-  * the RSA/TLS exchange and a live server to validate — documented
-  * error, use a JDBC-side tunnel or server-side native-password user.
+  * Auth scope: `mysql_native_password` AND `caching_sha2_password`
+  * (the MySQL-8 default — fast path + RSA-OAEP full-auth fallback,
+  * pure JDK; both loopback-verified incl. wrong-password refusal).
+  * Transport: plaintext or TLS via the documented Protocol::SSLRequest
+  * mid-handshake upgrade (CLIENT_SSL capability + short prelude, then
+  * the full HandshakeResponse rides encrypted; SAN endpoint
+  * verification through [[Tls.upgrade]]).
   */
 object MyReplication {
 
@@ -92,12 +96,16 @@ object MyReplication {
   }
 
   final class Session(host: String, port: Int, user: String,
-      password: String, database: String = "") extends AutoCloseable {
+      password: String, database: String = "",
+      ssl: Option[javax.net.ssl.SSLSocketFactory] = None)
+      extends AutoCloseable {
 
-    private val socket = new Socket(host, port)
+    // vars: the MySQL TLS upgrade happens MID-handshake (after the
+    // server greeting, before the full response — Protocol::SSLRequest)
+    private var socket = new Socket(host, port)
     socket.setTcpNoDelay(true)
-    private val in = new DataInputStream(socket.getInputStream)
-    private val out = new DataOutputStream(socket.getOutputStream)
+    private var in = new DataInputStream(socket.getInputStream)
+    private var out = new DataOutputStream(socket.getOutputStream)
     private var seqId = 0
 
     // ---------------------------------------------------------- framing
@@ -170,17 +178,33 @@ object MyReplication {
         if (caching) cachingSha2Scramble(password, scramble)
         else nativePassword(password, scramble)
 
+      // CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+      //  | CLIENT_LONG_PASSWORD (| CLIENT_CONNECT_WITH_DB | CLIENT_SSL)
+      val caps = 0x00000200 | 0x00008000 | 0x00080000 | 0x00000001 |
+        (if (database.nonEmpty) 0x00000008 else 0) |
+        (if (ssl.isDefined) 0x00000800 else 0)
+      def capsAndPrelude(d: DataOutputStream): Unit = {
+        d.writeByte(caps & 0xff); d.writeByte((caps >> 8) & 0xff)
+        d.writeByte((caps >> 16) & 0xff); d.writeByte((caps >> 24) & 0xff)
+        d.writeInt(0x01000000) // max packet (LE 16MB)
+        d.writeByte(33) // utf8
+        d.write(new Array[Byte](23))
+      }
+      // Protocol::SSLRequest — the 32-byte capability prelude alone,
+      // then TLS layers over the stream and the FULL response follows
+      // encrypted (seq ids continue across the upgrade)
+      ssl.foreach { f =>
+        val short = new ByteArrayOutputStream()
+        val sd = new DataOutputStream(short)
+        capsAndPrelude(sd); sd.flush()
+        writePacket(short.toByteArray)
+        socket = Tls.upgrade(socket, host, f)
+        in = new DataInputStream(socket.getInputStream)
+        out = new DataOutputStream(socket.getOutputStream)
+      }
       val body = new ByteArrayOutputStream()
       val d = new DataOutputStream(body)
-      // CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
-      //  | CLIENT_LONG_PASSWORD (| CLIENT_CONNECT_WITH_DB)
-      val caps = 0x00000200 | 0x00008000 | 0x00080000 | 0x00000001 |
-        (if (database.nonEmpty) 0x00000008 else 0)
-      d.writeByte(caps & 0xff); d.writeByte((caps >> 8) & 0xff)
-      d.writeByte((caps >> 16) & 0xff); d.writeByte((caps >> 24) & 0xff)
-      d.writeInt(0x01000000) // max packet (LE 16MB)
-      d.writeByte(33) // utf8
-      d.write(new Array[Byte](23))
+      capsAndPrelude(d)
       d.write(user.getBytes(UTF_8)); d.writeByte(0)
       d.writeByte(proof.length); d.write(proof)
       if (database.nonEmpty) { d.write(database.getBytes(UTF_8)); d.writeByte(0) }

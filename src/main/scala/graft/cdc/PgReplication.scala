@@ -42,7 +42,10 @@ import scala.collection.mutable
   * exchange incl. mutual authentication (the server's signature is
   * VERIFIED; a server that cannot prove knowledge of the password is
   * rejected). The proof math is pinned against RFC 7677's published
-  * example vectors in PgReplicationSpec.
+  * example vectors in PgReplicationSpec. Transport: plaintext or TLS
+  * via the documented SSLRequest upgrade (`sslmode=require`
+  * semantics — an 'N' refusal aborts, never a silent fallback; SAN
+  * endpoint verification through [[Tls.upgrade]]).
   */
 object PgReplication {
 
@@ -109,10 +112,27 @@ object PgReplication {
 
   final class Session(host: String, port: Int, database: String,
       user: String, password: Option[String] = None,
-      scramNonce: Option[String] = None) extends AutoCloseable {
+      scramNonce: Option[String] = None,
+      ssl: Option[javax.net.ssl.SSLSocketFactory] = None)
+      extends AutoCloseable {
 
-    private val socket = new Socket(host, port)
-    socket.setTcpNoDelay(true)
+    private val socket: Socket = {
+      val plain = new Socket(host, port)
+      plain.setTcpNoDelay(true)
+      ssl match {
+        case None => plain
+        case Some(f) =>
+          // SSLRequest (docs §55.2.10): int32 len 8 + code 80877103;
+          // 'S' → TLS layers over the same stream, anything else is a
+          // refusal (sslmode=require semantics — never fall back)
+          val d = new DataOutputStream(plain.getOutputStream)
+          d.writeInt(8); d.writeInt(80877103); d.flush()
+          val resp = plain.getInputStream.read()
+          require(resp == 'S',
+            s"postgres: server refused SSL (got '${resp.toChar}')")
+          Tls.upgrade(plain, host, f)
+      }
+    }
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new DataOutputStream(socket.getOutputStream)
 

@@ -24,7 +24,7 @@ class MyReplicationSpec extends AnyFunSuite {
 
   private final class MockMysqld(events: Seq[Array[Byte]],
       password: String, plugin: String = "mysql_native_password",
-      cachingFullAuth: Boolean = false) {
+      cachingFullAuth: Boolean = false, tls: Boolean = false) {
     @volatile var sawRegisterSlave = false
     @volatile var dumpRequest: Option[(Long, String)] = None
     val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -57,16 +57,29 @@ class MyReplicationSpec extends AnyFunSuite {
     }
 
     val thread = new Thread(() => {
-      val sock = server.accept()
+      var sock = server.accept()
       sock.setTcpNoDelay(true)
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
+      var in = new DataInputStream(sock.getInputStream)
+      var out = new DataOutputStream(sock.getOutputStream)
       packet(out, 0, handshake)
       def read(): (Int, Array[Byte]) = {
         val len = in.read() | (in.read() << 8) | (in.read() << 16)
         val seq = in.read()
         val p = new Array[Byte](len); in.readFully(p)
         (seq, p)
+      }
+      if (tls) {
+        // Protocol::SSLRequest: the 32-byte capability prelude with
+        // CLIENT_SSL set, then TLS layers over the stream and the full
+        // response arrives encrypted
+        val (_, sslReq) = read()
+        require(sslReq.length == 32, s"mock: SSLRequest len ${sslReq.length}")
+        val caps = (sslReq(0) & 0xff) | ((sslReq(1) & 0xff) << 8) |
+          ((sslReq(2) & 0xff) << 16) | ((sslReq(3) & 0xff) << 24)
+        require((caps & 0x0800) != 0, "mock: CLIENT_SSL not set")
+        sock = TestTls.serverWrap(sock)
+        in = new DataInputStream(sock.getInputStream)
+        out = new DataOutputStream(sock.getOutputStream)
       }
       // handshake response: verify the plugin-specific proof
       val (_, resp) = read()
@@ -219,6 +232,23 @@ class MyReplicationSpec extends AnyFunSuite {
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(state == Seq((2L, "bob", 2.5)))
+  }
+
+  test("session: TLS via the mid-handshake SSLRequest upgrade — auth " +
+      "and the dump stream run over the encrypted channel") {
+    val mock = new MockMysqld(binlogEvents, password = "sekret", tls = true)
+    val session = new MyReplication.Session("127.0.0.1", mock.port,
+      "repl", "sekret", ssl = Some(graft.cdc.Tls.socketFactory(
+        TestTls.truststorePath, TestTls.password)))
+    val got = mutable.ArrayBuffer.empty[MyReplication.BinlogEvent]
+    try {
+      session.connect()
+      session.declareChecksum()
+      session.registerSlave(serverId = 77)
+      val n = session.binlogDump(77, "binlog.000001", 4L) { e => got += e }
+      assert(n == 4)
+    } finally session.close()
+    assert(mock.sawRegisterSlave && got.nonEmpty)
   }
 
   test("session: wrong password is refused by the server") {

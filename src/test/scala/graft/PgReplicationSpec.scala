@@ -28,7 +28,8 @@ class PgReplicationSpec extends AnyFunSuite {
   /** Scripted one-connection walsender. Records standby status updates. */
   private final class MockWalsender(frames: Seq[Array[Byte]],
       keepaliveAfter: Int, requirePassword: Boolean = false,
-      scram: Boolean = false, tamperServerSig: Boolean = false) {
+      scram: Boolean = false, tamperServerSig: Boolean = false,
+      tls: Boolean = false) {
     val statusUpdates = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     @volatile var sawReplicationParam = false
     @volatile var lastQuery = ""
@@ -65,8 +66,16 @@ class PgReplicationSpec extends AnyFunSuite {
     }
 
     val thread = new Thread(() => {
-      val sock = server.accept()
+      var sock: java.net.Socket = server.accept()
       sock.setTcpNoDelay(true)
+      if (tls) {
+        // SSLRequest: len 8, code 80877103 → answer 'S' and upgrade
+        val pin = new DataInputStream(sock.getInputStream)
+        require(pin.readInt() == 8 && pin.readInt() == 80877103,
+          "mock: expected SSLRequest first")
+        sock.getOutputStream.write('S'); sock.getOutputStream.flush()
+        sock = TestTls.serverWrap(sock)
+      }
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       // startup message (untyped): len, proto, k\0v\0...\0
@@ -297,6 +306,42 @@ class PgReplicationSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val acks = mock.statusUpdates.asScala.toSeq
     assert(acks.nonEmpty && acks.max == Base + 41L)
+  }
+
+  test("session: TLS via SSLRequest upgrade — streaming works over the " +
+      "encrypted channel; a server refusing SSL aborts the connect") {
+    val mock = new MockWalsender(walFrames.take(2), keepaliveAfter = -1,
+      tls = true)
+    val session = new PgReplication.Session("127.0.0.1", mock.port, "app",
+      "dozer", ssl = Some(graft.cdc.Tls.socketFactory(
+        TestTls.truststorePath, TestTls.password)))
+    try {
+      session.connect()
+      assert(mock.sawReplicationParam)
+      assert(session.identifySystem().systemId == "7001")
+    } finally session.close()
+
+    // sslmode=require semantics: a server answering 'N' must abort —
+    // never a silent plaintext fallback
+    val refuser = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val s = refuser.accept()
+        val pin = new DataInputStream(s.getInputStream)
+        pin.readInt(); pin.readInt()
+        s.getOutputStream.write('N'); s.getOutputStream.flush()
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new PgReplication.Session("127.0.0.1", refuser.getLocalPort,
+          "app", "dozer", ssl = Some(graft.cdc.Tls.socketFactory(
+            TestTls.truststorePath, TestTls.password)))
+      }
+      assert(e.getMessage.contains("refused SSL"))
+    } finally refuser.close()
   }
 
   test("session: cleartext password auth round-trips") {

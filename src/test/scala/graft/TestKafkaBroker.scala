@@ -54,6 +54,18 @@ object TestTls {
     (ks, ts, pw)
   }
 
+  /** STARTTLS-style server-side wrap of an accepted plaintext socket
+    * (the mock walsender / mock MySQL upgrade step).
+    */
+  def serverWrap(sock: java.net.Socket): javax.net.ssl.SSLSocket = {
+    val tls = serverContext.getSocketFactory
+      .createSocket(sock, "127.0.0.1", sock.getPort, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    tls.setUseClientMode(false)
+    tls.startHandshake()
+    tls
+  }
+
   /** Server-side SSLContext over the generated keystore. */
   lazy val serverContext: javax.net.ssl.SSLContext = {
     val ks = java.security.KeyStore.getInstance(
