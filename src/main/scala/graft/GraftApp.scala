@@ -482,8 +482,15 @@ object GraftApp {
         // runs on the executors — no driver channel, no poller.
         import org.apache.spark.sql.functions.{col, when}
         val Op = graft.cdc.ChangeModel
+        // security/transport options pass through to the native source
+        // (tls/truststore/truststorePassword, valueFormat, pinning,
+        // admission) — the round-9 SSL surface from config
+        val passthrough = Seq("tls", "truststore", "truststorePassword",
+          "valueFormat", "partitions", "partition", "numSlices",
+          "maxOffsetsPerTrigger")
         val kopts = Map(
-          "broker" -> s.options("broker"), "topic" -> s.options("topic"))
+          "broker" -> s.options("broker"), "topic" -> s.options("topic")) ++
+          passthrough.flatMap(k => s.options.get(k).map(k -> _))
         def reader(stream: Boolean): DataFrame = {
           val df =
             if (stream)

@@ -272,6 +272,7 @@ object GraftConfigLoader {
         js: Boolean = false,                   // JavaScript connector (bootstrap_path)
         kafkaBroker: Option[String] = None,    // Kafka connection (native client)
         kafkaRegistry: Option[String] = None,  // + optional schema registry url
+        kafkaExtra: Map[String, String] = Map.empty, // tls/truststore/...
         // connection shapes with no runnable-SOURCE mapping keep their
         // documented error here and fail only when a source references
         // them — a sink-only connection (Oracle sink) must still parse
@@ -385,7 +386,17 @@ object GraftConfigLoader {
               kafkaBroker = Some(cfg.asScala("broker").toString),
               kafkaRegistry = cfg.asScala.get("schema_registry_url")
                 .filter(v => v != null && v.toString.nonEmpty)
-                .map(_.toString))
+                .map(_.toString),
+              // transport/security passthrough (round-9 SSL surface):
+              // snake-case config keys → native-source option names
+              kafkaExtra = Seq(
+                "tls" -> "tls",
+                "truststore" -> "truststore",
+                "truststore_password" -> "truststorePassword",
+                "value_format" -> "valueFormat").flatMap { case (yk, ok) =>
+                  cfg.asScala.get(yk).filter(_ != null)
+                    .map(v => ok -> v.toString)
+                }.toMap)
           else if (cfg.asScala.contains("provider") ||
               cfg.asScala.contains("wss_url"))
             Conn(name, "", Map.empty, error = Some(
@@ -440,7 +451,8 @@ object GraftConfigLoader {
           options = Map(
             "broker" -> conn.kafkaBroker.get,
             "topic" -> tableName) ++
-            conn.kafkaRegistry.map("schema_registry_url" -> _),
+            conn.kafkaRegistry.map("schema_registry_url" -> _) ++
+            conn.kafkaExtra,
           decode = Some(
             if (conn.kafkaRegistry.isDefined) "kafka_connect"
             else "kafka_plain"))

@@ -971,6 +971,47 @@ class GraftAppSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("dozer !Kafka connection over TLS: the tls/truststore config " +
+      "keys reach the native source and the drain runs encrypted") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_tls").toString
+    val cluster = new TestKafkaCluster("sec_topic", tls = true)
+    cluster.append(graft.cdc.KafkaBatch.Encode.batch(0L, 1700000000000L,
+      Seq((1700000000000L, "a", """{"n":1}"""),
+        (1700000000001L, "b", """{"n":2}"""))))
+    try {
+      val yaml =
+        s"""app_name: kafka-tls-app
+           |version: 1
+           |connections:
+           |  - config: !Kafka
+           |      broker: ${cluster.bootstrap}
+           |      tls: true
+           |      truststore: ${TestTls.truststorePath}
+           |      truststore_password: ${TestTls.password}
+           |    name: k
+           |sources:
+           |  - name: events
+           |    connection: k
+           |    table_name: sec_topic
+           |sql: |
+           |  SELECT key, message INTO live FROM events WHERE _op = 'insert';
+           |sinks:
+           |  - table_name: live
+           |    path: $tmp/out
+           |    mode: overwrite
+           |""".stripMargin
+      val config = GraftConfigLoader.fromYaml(yaml)
+      val src = config.sources.head
+      assert(src.options("tls") == "true" &&
+        src.options("truststore") == TestTls.truststorePath)
+      runBatch(spark, config)
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("key", "message").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(out == Seq(("a", """{"n":1}"""), ("b", """{"n":2}""")))
+    } finally cluster.close()
+  }
+
   test("dozer !Kafka connection WITH schema_registry_url: Connect-JSON " +
       "in-band typed decode through config alone") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_sr").toString
