@@ -50,7 +50,10 @@ import graft.cdc.{KafkaBatch, KafkaClient}
   * (optional pin, e.g. "0" / "0,2"), `numSlices` (per-partition fetch
   * parallelism for big ranges, default 4), `maxOffsetsPerTrigger`
   * (default 10000, spread over partitions), `valueFormat`
-  * (`string` default | `binary` for Avro/protobuf topics). Schema:
+  * (`string` default | `binary` for Avro/protobuf topics),
+  * `startingOffsets` (`earliest` default | `latest` | per-partition
+  * JSON) / `startingTimestamp` (epoch ms, ListOffsets time lookup) —
+  * first start only, the checkpoint always wins on restart. Schema:
   * `(partition INT, offset BIGINT, ts TIMESTAMP, key STRING|BINARY,
   * value STRING|BINARY)`; Kafka's ordering contract is per partition
   * (and so per key under key-hash partitioning), which is exactly the
@@ -87,7 +90,10 @@ class KafkaNativeSource extends TableProvider {
       tls = Option(opts.get("tls")).exists(_.toBoolean),
       truststore = Option(opts.get("truststore")),
       truststorePassword = Option(opts.get("truststorePassword"))
-        .getOrElse("")))
+        .getOrElse(""),
+      startingOffsets = Option(opts.get("startingOffsets")),
+      startingTimestamp = Option(opts.get("startingTimestamp"))
+        .map(_.toLong)))
   }
 }
 
@@ -120,7 +126,11 @@ object KafkaNativeSource {
 private[sources] final case class KafkaNativeConf(broker: String,
     topic: String, pinnedPartitions: Option[Seq[Int]], numSlices: Int,
     maxPerTrigger: Long, binary: Boolean = false, tls: Boolean = false,
-    truststore: Option[String] = None, truststorePassword: String = "") {
+    truststore: Option[String] = None, truststorePassword: String = "",
+    startingOffsets: Option[String] = None,
+    startingTimestamp: Option[Long] = None) {
+  require(startingOffsets.isEmpty || startingTimestamp.isEmpty,
+    "kafka native: startingOffsets and startingTimestamp are exclusive")
   /** One socket factory per session opener: truststore-pinned when a
     * path is configured, system CAs otherwise. (Executors resolve the
     * truststore path locally — ship it with `--files` on a cluster.)
@@ -196,12 +206,50 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
     offsetsAt(timestamp, partitionIds(meta), meta)
   }
 
-  /** Snapshot: [earliest, latest) per partition, fixed at planning. */
+  /** Resolve the configured start position per partition (the
+    * spark-kafka `startingOffsets`/`startingOffsetsByTimestamp`
+    * surface on the native wire):
+    *
+    *  - none / `earliest` → ListOffsets -2 (default)
+    *  - `latest` → ListOffsets -1 (new data only)
+    *  - JSON `{"0": 5, "1": -2}` → explicit per-partition offsets,
+    *    -2/-1 resolving through ListOffsets; unlisted partitions start
+    *    earliest
+    *  - `startingTimestamp` (epoch ms) → ListOffsets with the real
+    *    timestamp (first offset with ts >= t); a partition with no
+    *    such message falls back to its high watermark (read only what
+    *    arrives later — the `latest` strategy for missing offsets)
+    */
+  private def startFor(parts: Seq[Int],
+      meta: KafkaClient.ClusterMeta): Map[Int, Long] =
+    (conf.startingTimestamp, conf.startingOffsets) match {
+      case (Some(ts), _) =>
+        val byTs = offsetsAt(ts, parts, meta)
+        val missing = byTs.filter(_._2 < 0L).keys.toSeq.sorted
+        val hw = if (missing.isEmpty) Map.empty[Int, Long]
+          else offsetsAt(-1L, missing, meta)
+        byTs.map { case (p, o) => p -> (if (o < 0) hw(p) else o) }
+      case (_, None) | (_, Some("earliest")) => offsetsAt(-2L, parts, meta)
+      case (_, Some("latest")) => offsetsAt(-1L, parts, meta)
+      case (_, Some(json)) if json.trim.startsWith("{") =>
+        val want = KafkaNativeOffset.parse(json)
+        val spec = parts.map(p => p -> want.getOrElse(p, -2L)).toMap
+        def resolve(sentinel: Long): Map[Int, Long] = {
+          val ps = spec.filter(_._2 == sentinel).keys.toSeq.sorted
+          if (ps.isEmpty) Map.empty else offsetsAt(sentinel, ps, meta)
+        }
+        spec ++ resolve(-2L) ++ resolve(-1L)
+      case (_, Some(other)) => throw new IllegalArgumentException(
+        s"kafka native: startingOffsets must be earliest|latest|{json}, " +
+          s"got '$other'")
+    }
+
+  /** Snapshot: [start, latest) per partition, fixed at planning. */
   override def toBatch: Batch = new Batch {
     private val (meta, start, end) = {
       val m = cluster()
       val ps = partitionIds(m)
-      (m, offsetsAt(-2L, ps, m), offsetsAt(-1L, ps, m))
+      (m, startFor(ps, m), offsetsAt(-1L, ps, m))
     }
     override def planInputPartitions(): Array[InputPartition] =
       KafkaNativeScan.slices(conf, meta, start, end)
@@ -217,8 +265,11 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
       private var availableEnd: Option[Map[Int, Long]] = None
       override def prepareForTriggerAvailableNow(): Unit =
         availableEnd = Some(offsetsAt(-1L))
-      override def initialOffset(): Offset =
-        KafkaNativeOffset(offsetsAt(-2L))
+      override def initialOffset(): Offset = {
+        // first start only — an existing checkpoint always wins
+        val m = cluster()
+        KafkaNativeOffset(startFor(partitionIds(m), m))
+      }
       override def latestOffset(): Offset =
         throw new UnsupportedOperationException(
           "latestOffset(Offset, ReadLimit) should be called instead")

@@ -216,6 +216,63 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
     } finally cluster.close()
   }
 
+  test("startingOffsets: latest skips history on first start (stream " +
+      "reads only post-start appends); per-partition JSON pins exact " +
+      "offsets; timestamp lookup finds the first message at/after t") {
+    // history: offsets 0..2 at ts 1000/2000/3000 on partition 0;
+    // partition 1 has offsets 0..1 at ts 1500/2500
+    val broker = new TestKafkaBroker("tso", nPartitions = 2)
+    def tsBatch(p: Int, base: Long, recs: Seq[(Long, String)]): Unit =
+      broker.append(p, graft.cdc.KafkaBatch.Encode.batch(base, recs.head._1,
+        recs.map { case (ts, k) => (ts, k, s"v$k") }))
+    tsBatch(0, 0L, Seq((1000L, "a"), (2000L, "b"), (3000L, "c")))
+    tsBatch(1, 0L, Seq((1500L, "x"), (2500L, "y")))
+    try {
+      def read(extra: (String, String)*) = {
+        val r = spark.read.format("graft.sources.KafkaNativeSource")
+          .option("broker", broker.broker).option("topic", "tso")
+        extra.foreach { case (k, v) => r.option(k, v) }
+        r.load().collect()
+          .map(x => (x.getAs[Int]("partition"), x.getAs[String]("key")))
+          .sortBy(t => (t._1, t._2)).toSeq
+      }
+      // batch latest → empty snapshot
+      assert(read("startingOffsets" -> "latest").isEmpty)
+      // per-partition JSON: p0 from 2, p1 from -2 (earliest)
+      assert(read("startingOffsets" -> """{"0": 2, "1": -2}""") ==
+        Seq((0, "c"), (1, "x"), (1, "y")))
+      // timestamp 2100: p0 from ts 3000 ("c"), p1 from ts 2500 ("y")
+      assert(read("startingTimestamp" -> "2100") ==
+        Seq((0, "c"), (1, "y")))
+      // timestamp past everything → hw fallback → empty
+      assert(read("startingTimestamp" -> "99999").isEmpty)
+
+      // STREAM with latest: history skipped, the restart picks up only
+      // what arrived after the first start
+      val tmp = java.nio.file.Files.createTempDirectory("kafka_so").toString
+      def startQuery() =
+        spark.readStream.format("graft.sources.KafkaNativeSource")
+          .option("broker", broker.broker).option("topic", "tso")
+          .option("startingOffsets", "latest")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      startQuery().awaitTermination()
+      // an all-skipped first run may write no parquet files at all
+      val n0 = try spark.read.parquet(s"$tmp/out").count()
+        catch { case _: Exception => 0L }
+      assert(n0 == 0)
+      tsBatch(0, 3L, Seq((4000L, "d")))
+      startQuery().awaitTermination()
+      val got = spark.read.parquet(s"$tmp/out").select("key").collect()
+        .map(_.getString(0)).toSeq
+      assert(got == Seq("d"))
+    } finally broker.close()
+  }
+
   test("TLS transport: tls=true + pinned truststore reads the topic " +
       "over real JSSE handshakes on both the planner and reader " +
       "sessions") {

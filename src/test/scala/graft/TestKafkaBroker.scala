@@ -3,7 +3,7 @@ package graft
 import java.io.{DataInputStream, DataOutputStream}
 import java.net.ServerSocket
 
-import graft.cdc.{KafkaClient, PgReplication}
+import graft.cdc.{KafkaBatch, KafkaClient, PgReplication}
 
 /** Loopback mock Kafka CLUSTER (the documented wire protocol subset the
   * native client speaks: ApiVersions v0 / Metadata v1 / ListOffsets v1
@@ -261,8 +261,14 @@ final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
             if (leaders.get(part) != myId) {
               w.i32(1); w.i32(part); w.i16(6); w.i64(-1L); w.i64(-1L)
             } else {
-              val off = if (ts == -2L) earliest.get(part)
-                else highWatermark(part)
+              // -2 earliest, -1 latest, >=0 first offset with ts >= t
+              // (-1 when no such message — the protocol's answer)
+              val off = ts match {
+                case -2L => earliest.get(part)
+                case -1L => highWatermark(part)
+                case t => log(part).flatMap(KafkaBatch.decodeBatch)
+                  .find(_.tsMillis >= t).map(_.offset).getOrElse(-1L)
+              }
               w.i32(1); w.i32(part); w.i16(0); w.i64(-1L); w.i64(off)
             }
           case KafkaClient.ApiFetch =>
