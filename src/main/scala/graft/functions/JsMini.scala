@@ -62,6 +62,10 @@ object JsMini {
   final case class EArr(items: Seq[Expr]) extends Expr
   final case class EObj(fields: Seq[(String, Expr)]) extends Expr
   final case class EFun(params: Seq[String], body: Seq[Stmt], name: String) extends Expr
+  /** Template literal: literal chunks (Left) and `${}` interpolations
+    * (Right), concatenated with display coercion at eval.
+    */
+  final case class ETemplate(parts: Seq[Either[String, Expr]]) extends Expr
   final case class EUnary(op: String, e: Expr) extends Expr
   final case class EBin(op: String, l: Expr, r: Expr) extends Expr
   final case class ELogical(op: String, l: Expr, r: Expr) extends Expr
@@ -151,6 +155,46 @@ object JsMini {
         if (i >= n) err("unterminated string")
         i += 1
         out += Tok("str", sb.toString, start)
+      } else if (c == '`') {
+        // template literal: capture the RAW inner text (escapes and
+        // ${…} regions intact — the parser splits and sub-parses).
+        // Inside ${…}, braces nest and quoted strings (including
+        // 1-level nested backticks) are skipped verbatim.
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '`') { closed = true; i += 1 }
+          else if (ch == '\\' && i + 1 < n) {
+            sb += ch; sb += src.charAt(i + 1); i += 2
+          } else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
+            sb ++= "${"; i += 2
+            var depth = 1
+            while (i < n && depth > 0) {
+              val c2 = src.charAt(i)
+              c2 match {
+                case '{' => depth += 1; sb += c2; i += 1
+                case '}' =>
+                  depth -= 1; sb += c2; i += 1
+                case q @ ('"' | '\'' | '`') =>
+                  sb += q; i += 1
+                  var qdone = false
+                  while (i < n && !qdone) {
+                    val c3 = src.charAt(i)
+                    if (c3 == '\\' && i + 1 < n) {
+                      sb += c3; sb += src.charAt(i + 1); i += 2
+                    } else { sb += c3; i += 1; if (c3 == q) qdone = true }
+                  }
+                case other => sb += other; i += 1
+              }
+            }
+            if (depth > 0) err("unterminated ${ in template literal")
+          } else { sb += ch; i += 1 }
+        }
+        if (!closed) err("unterminated template literal")
+        out += Tok("template", sb.toString, start)
       } else if (c.isLetter || c == '_' || c == '$') {
         val start = i
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||
@@ -429,6 +473,7 @@ object JsMini {
           else t.text.toDouble
           ENum(v)
         case "str"   => pos += 1; EStr(t.text)
+        case "template" => pos += 1; parseTemplate(t.text)
         case "true"  => pos += 1; EBool(true)
         case "false" => pos += 1; EBool(false)
         case "null"  => pos += 1; ENull
@@ -508,6 +553,59 @@ object JsMini {
   }
 
   def parse(src: String): Seq[Stmt] = new Parser(lex(src)).parseModule()
+
+  /** Split a raw template-literal body into literal chunks and
+    * sub-parsed `${…}` interpolations (the lexer kept it verbatim).
+    */
+  private def parseTemplate(raw: String): ETemplate = {
+    val parts = mutable.ArrayBuffer.empty[Either[String, Expr]]
+    val lit = new StringBuilder
+    var i = 0
+    val n = raw.length
+    def flush(): Unit =
+      if (lit.nonEmpty) { parts += Left(lit.toString); lit.clear() }
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        raw.charAt(i + 1) match {
+          case 'n' => lit += '\n'; case 't' => lit += '\t'
+          case 'r' => lit += '\r'; case '\\' => lit += '\\'
+          case '`' => lit += '`'; case '$' => lit += '$'
+          case 'u' =>
+            require(i + 5 < n, "js: bad \\u escape in template")
+            lit += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar
+            i += 4
+          case other => lit += other
+        }
+        i += 2
+      } else if (c == '$' && i + 1 < n && raw.charAt(i + 1) == '{') {
+        flush()
+        i += 2
+        val exprStart = i
+        var depth = 1
+        while (i < n && depth > 0) {
+          val c2 = raw.charAt(i)
+          c2 match {
+            case '{' => depth += 1; i += 1
+            case '}' => depth -= 1; i += 1
+            case q @ ('"' | '\'' | '`') =>
+              i += 1
+              var qdone = false
+              while (i < n && !qdone) {
+                if (raw.charAt(i) == '\\' && i + 1 < n) i += 2
+                else { qdone = raw.charAt(i) == q; i += 1 }
+              }
+            case _ => i += 1
+          }
+        }
+        require(depth == 0, "js: unterminated ${ in template literal")
+        val src = raw.substring(exprStart, i - 1)
+        parts += Right(new Parser(lex(src)).expression())
+      } else { lit += c; i += 1 }
+    }
+    flush()
+    ETemplate(parts.toSeq)
+  }
 
   // ------------------------------------------------------------ evaluation
 
@@ -742,6 +840,10 @@ object JsMini {
   private def evalExpr(e: Expr, env: Env): V = e match {
     case ENum(v)  => VNum(v)
     case EStr(v)  => VStr(v)
+    case ETemplate(parts) => VStr(parts.map {
+      case Left(s)  => s
+      case Right(e) => toDisplay(eval(e, env))
+    }.mkString)
     case EBool(v) => VBool(v)
     case ENull    => VNull
     case EUndef   => VUndef

@@ -30,6 +30,27 @@ class JsMiniSpec extends AnyFunSuite {
     }
   }
 
+  test("template literals: interpolation, nesting, escapes, multiline, " +
+      "display coercion") {
+    val m =
+      """export default function (x) {
+        |  const who = "world";
+        |  const n = 2;
+        |  const a = `hello ${who}!`;
+        |  const b = `${n} + ${n} = ${n + n}`;
+        |  const c = `outer ${`inner ${who}`} done`;
+        |  const d = `esc \` \${not} \n${"q"}`;
+        |  const e = `obj ${ {k: 1}.k } arr ${[1,2][1]} null ${null}`;
+        |  const f = `line1
+        |line2`;
+        |  return a + "|" + b + "|" + c + "|" + d + "|" + e + "|" + f;
+        |}""".stripMargin
+    val got = run(m, VNull).asInstanceOf[VStr].v
+    assert(got ==
+      "hello world!|2 + 2 = 4|outer inner world done|esc ` ${not} \nq|" +
+        "obj 1 arr 2 null null|line1\nline2")
+  }
+
   test("objects, arrays, methods, control flow") {
     val m =
       """function clean(s) { return s.trim().toLowerCase(); }
