@@ -487,7 +487,8 @@ object GraftApp {
         // admission) — the round-9 SSL surface from config
         val passthrough = Seq("tls", "truststore", "truststorePassword",
           "valueFormat", "partitions", "partition", "numSlices",
-          "maxOffsetsPerTrigger")
+          "maxOffsetsPerTrigger", "startingOffsets", "startingTimestamp",
+          "sasl", "saslUsername", "saslPassword")
         val kopts = Map(
           "broker" -> s.options("broker"), "topic" -> s.options("topic")) ++
           passthrough.flatMap(k => s.options.get(k).map(k -> _))

@@ -393,7 +393,12 @@ object GraftConfigLoader {
                 "tls" -> "tls",
                 "truststore" -> "truststore",
                 "truststore_password" -> "truststorePassword",
-                "value_format" -> "valueFormat").flatMap { case (yk, ok) =>
+                "value_format" -> "valueFormat",
+                "starting_offsets" -> "startingOffsets",
+                "starting_timestamp" -> "startingTimestamp",
+                "sasl" -> "sasl",
+                "sasl_username" -> "saslUsername",
+                "sasl_password" -> "saslPassword").flatMap { case (yk, ok) =>
                   cfg.asScala.get(yk).filter(_ != null)
                     .map(v => ok -> v.toString)
                 }.toMap)

@@ -93,7 +93,10 @@ class KafkaNativeSource extends TableProvider {
         .getOrElse(""),
       startingOffsets = Option(opts.get("startingOffsets")),
       startingTimestamp = Option(opts.get("startingTimestamp"))
-        .map(_.toLong)))
+        .map(_.toLong),
+      sasl = Option(opts.get("sasl")).map(_.toLowerCase),
+      saslUsername = Option(opts.get("saslUsername")).getOrElse(""),
+      saslPassword = Option(opts.get("saslPassword")).getOrElse("")))
   }
 }
 
@@ -128,9 +131,32 @@ private[sources] final case class KafkaNativeConf(broker: String,
     maxPerTrigger: Long, binary: Boolean = false, tls: Boolean = false,
     truststore: Option[String] = None, truststorePassword: String = "",
     startingOffsets: Option[String] = None,
-    startingTimestamp: Option[Long] = None) {
+    startingTimestamp: Option[Long] = None,
+    sasl: Option[String] = None, saslUsername: String = "",
+    saslPassword: String = "") {
   require(startingOffsets.isEmpty || startingTimestamp.isEmpty,
     "kafka native: startingOffsets and startingTimestamp are exclusive")
+  require(sasl.forall(Set("plain", "scram-sha-256")),
+    s"kafka native: sasl must be plain|scram-sha-256, got '${sasl.get}'")
+
+  /** Open (and, when configured, TLS-handshake + SASL-authenticate) a
+    * session to `broker` — every session opener (planner and executor
+    * readers) goes through here, so SASL_PLAINTEXT / SASL_SSL both
+    * compose from options.
+    */
+  def openSession(broker: String): graft.cdc.KafkaClient.Session = {
+    val (host, port) = Sources.splitBroker(broker)
+    val s = new graft.cdc.KafkaClient.Session(host, port,
+      ssl = sslFactory())
+    try {
+      sasl match {
+        case Some("plain") => s.saslPlain(saslUsername, saslPassword)
+        case Some("scram-sha-256") => s.saslScram(saslUsername, saslPassword)
+        case _ => ()
+      }
+      s
+    } catch { case e: Throwable => s.close(); throw e }
+  }
   /** One socket factory per session opener: truststore-pinned when a
     * path is configured, system CAs otherwise. (Executors resolve the
     * truststore path locally — ship it with `--files` on a cluster.)
@@ -158,8 +184,7 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
   override def readSchema(): StructType = KafkaNativeSource.schemaFor(conf.binary)
 
   private def withSession[A](broker: String)(f: KafkaClient.Session => A): A = {
-    val (host, port) = Sources.splitBroker(broker)
-    val s = new KafkaClient.Session(host, port, ssl = conf.sslFactory())
+    val s = conf.openSession(broker)
     try f(s) finally s.close()
   }
 
@@ -349,10 +374,8 @@ private[sources] object KafkaNativeScan {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[KafkaNativePartition]
       new PartitionReader[InternalRow] {
-        private def connect(broker: String): KafkaClient.Session = {
-          val (host, port) = Sources.splitBroker(broker)
-          new KafkaClient.Session(host, port, ssl = p.conf.sslFactory())
-        }
+        private def connect(broker: String): KafkaClient.Session =
+          p.conf.openSession(broker)
         private var session = connect(p.broker)
         private var rerouted = false
         private var offset = p.from

@@ -273,6 +273,32 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("SASL/SCRAM on the source: a broker that refuses unauthenticated " +
+      "requests serves the snapshot once sasl=scram-sha-256 credentials " +
+      "are configured; wrong credentials fail loudly") {
+    val cluster = new TestKafkaCluster("tsasl",
+      scramUser = Some(("svc", "pw1")), requireSasl = true)
+    cluster.append(batch(0L, Seq(("a", "v0"), ("b", "v1"))))
+    try {
+      def read(user: String, pass: String) =
+        spark.read.format("graft.sources.KafkaNativeSource")
+          .option("broker", cluster.bootstrap).option("topic", "tsasl")
+          .option("sasl", "scram-sha-256")
+          .option("saslUsername", user).option("saslPassword", pass)
+          .load().orderBy("offset").collect()
+      assert(read("svc", "pw1").map(_.getAs[String]("key")).toSeq ==
+        Seq("a", "b"))
+      intercept[Exception] { read("svc", "WRONG") }
+      // and an unauthenticated client cannot read at all — the broker
+      // drops its data requests
+      intercept[Exception] {
+        spark.read.format("graft.sources.KafkaNativeSource")
+          .option("broker", cluster.bootstrap).option("topic", "tsasl")
+          .load().collect()
+      }
+    } finally cluster.close()
+  }
+
   test("TLS transport: tls=true + pinned truststore reads the topic " +
       "over real JSSE handshakes on both the planner and reader " +
       "sessions") {

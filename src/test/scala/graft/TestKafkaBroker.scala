@@ -82,7 +82,7 @@ object TestTls {
 final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
     nBrokers: Int = 1, scramUser: Option[(String, String)] = None,
     tamperScramSig: Boolean = false, tamperScramNonce: Boolean = false,
-    tls: Boolean = false) {
+    tls: Boolean = false, requireSasl: Boolean = false) {
   private val logs = Array.fill(nPartitions)(
     new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]]())
   // partition -> broker index currently leading it (round-robin start)
@@ -162,6 +162,10 @@ final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
     var scramClientFirstBare: String = null
     var scramServerFirst: String = null
     var scramSalted: Array[Byte] = null
+    // a requireSasl broker answers data APIs only after a successful
+    // SASL exchange — it CLOSES the connection otherwise, which is
+    // what production brokers do to unauthenticated requests
+    var authed = !requireSasl
     try {
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(sock.getInputStream)
@@ -175,6 +179,10 @@ final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
         val corr = r.i32(); r.nstr()
         val w = new KafkaClient.Writer
         w.i32(corr)
+        if (!authed && apiKey != KafkaClient.ApiVersionsKey &&
+            apiKey != KafkaClient.ApiSaslHandshake &&
+            apiKey != KafkaClient.ApiSaslAuthenticate)
+          throw new IllegalStateException("mock: unauthenticated request")
         apiKey match {
           case KafkaClient.ApiVersionsKey =>
             w.i16(0); w.i32(3)
@@ -236,6 +244,7 @@ final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
               else {
                 val sig = java.util.Base64.getEncoder.encodeToString(
                   PgReplication.Scram.serverSignature(scramSalted, authMessage))
+                authed = true
                 respond(0, None,
                   "v=" + (if (tamperScramSig) "TAMPERED" + sig else sig))
               }
