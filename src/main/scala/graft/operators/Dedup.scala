@@ -735,20 +735,29 @@ object Dedup {
     * (q34e). Cost is the production cost: O(docs × bands) index rows,
     * one bucket-key shuffle, never all-pairs.
     */
-  def oracleLshPairs(df: DataFrame, idCol: String, textCol: String,
+  /** The banded index over the ORACLE hash family — the q34e candidate
+    * join and the q34f coverage metric both read this one shape.
+    */
+  def oracleBandedIndex(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
-    // persist the banded index so both self-join legs reuse ONE
-    // signature pass over the corpus (same rationale as minhashPairs:
-    // the index is bands rows of one string per doc, tiny next to the
-    // text; recomputable lineage beats localCheckpoint on executor loss)
-    val banded = oracleMinhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+    oracleMinhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
       .withColumn("band", expr(s"j div $rows"))
       .groupBy(col(idCol), col("band"))
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(j, minhash))), x -> cast(x.minhash as string))"),
         "_").as("bkey"))
+  }
+
+  def oracleLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+    // persist the banded index so both self-join legs reuse ONE
+    // signature pass over the corpus (same rationale as minhashPairs:
+    // the index is bands rows of one string per doc, tiny next to the
+    // text; recomputable lineage beats localCheckpoint on executor loss)
+    val banded = oracleBandedIndex(df, idCol, textCol, numHashes,
+      shingleWidth, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bkey"), col(idCol).as("doc_a"))
     val b = banded.select(col("band"), col("bkey"), col(idCol).as("doc_b"))
@@ -757,6 +766,18 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** ORACLED cap-coverage metric (the q34c contract over the oracle
+    * hash family): the same [[bucketCoverage]] aggregation the
+    * production guard runs, on the q34e banded index — every output an
+    * integer, DuckDB-replayable end to end.
+    */
+  def oracleLshCoverage(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = 100): DataFrame =
+    bucketCoverage(
+      oracleBandedIndex(df, idCol, textCol, numHashes, shingleWidth, bands),
+      Seq("band", "bkey"), maxBucketSize)
 }
 
 /** Exact arithmetic over GF(2^61-1) shared by the oracled hash family

@@ -335,6 +335,57 @@ object PipelineQueries {
             .withColumn("family", lit("simhash")))
     },
 
+    // ORACLED cap-coverage metric — q34c's exact aggregation over the
+    // q34e oracle-hash banded index, cap 1 so every shared bucket
+    // registers as dropped: total/dropped buckets, index rows, and
+    // Σ n·(n−1)/2 shed candidate pairs, all integers, hash-matched.
+    // This pins the GUARD's arithmetic cross-engine; q34c keeps the
+    // production (murmur/xxhash) index under ScalaTest planted-bucket
+    // checks.
+    QueryDef("q34f_lsh_coverage_oracle",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |),
+        |shing AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[p:least(p+2, len(tk))], ' ') AS s
+        |  FROM norm, UNNEST(range(1, greatest(len(tk)-2, 1)+1)) AS u(p)
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(s, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h
+        |  FROM shing
+        |),
+        |sig AS (
+        |  SELECT doc_id, j,
+        |    CAST(MIN(((2*j+1)::HUGEINT * h + j*999983) % 2305843009213693951) AS BIGINT) AS minhash
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(0,16)) AS j) perms
+        |  GROUP BY doc_id, j
+        |),
+        |banded AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 4
+        |),
+        |bsz AS (
+        |  SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS total_buckets,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+        |  CAST(SUM(n) AS BIGINT) AS index_rows,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dropped_index_rows,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+        |    AS dropped_candidate_pairs
+        |FROM bsz""".stripMargin) { (s, dir) =>
+      Dedup.oracleLshCoverage(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, shingleWidth = 3, bands = 4, maxBucketSize = 1)
+    },
+
     // Token counting + quality metrics (all integer-exact or
     // double-of-identical-ints => oracle-checkable)
     QueryDef("q36_text_quality",
