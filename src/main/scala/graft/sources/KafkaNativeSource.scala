@@ -94,6 +94,8 @@ class KafkaNativeSource extends TableProvider {
       startingOffsets = Option(opts.get("startingOffsets")),
       startingTimestamp = Option(opts.get("startingTimestamp"))
         .map(_.toLong),
+      timestampStrategy = Option(opts.get("startingTimestampStrategy"))
+        .map(_.toLowerCase).getOrElse("latest"),
       sasl = Option(opts.get("sasl")).map(_.toLowerCase),
       saslUsername = Option(opts.get("saslUsername")).getOrElse(""),
       saslPassword = Option(opts.get("saslPassword")).getOrElse("")))
@@ -132,12 +134,28 @@ private[sources] final case class KafkaNativeConf(broker: String,
     truststore: Option[String] = None, truststorePassword: String = "",
     startingOffsets: Option[String] = None,
     startingTimestamp: Option[Long] = None,
+    timestampStrategy: String = "latest",
     sasl: Option[String] = None, saslUsername: String = "",
     saslPassword: String = "") {
   require(startingOffsets.isEmpty || startingTimestamp.isEmpty,
     "kafka native: startingOffsets and startingTimestamp are exclusive")
+  require(Set("latest", "error").contains(timestampStrategy),
+    s"kafka native: startingTimestampStrategy must be latest|error, " +
+      s"got '$timestampStrategy'")
   require(sasl.forall(Set("plain", "scram-sha-256")),
     s"kafka native: sasl must be plain|scram-sha-256, got '${sasl.get}'")
+
+  /** Secrets may be configured as `env:NAME` to resolve from the
+    * process environment at session-open time instead of riding
+    * verbatim in the serialized scan conf (where plan dumps / event
+    * logs could surface them).
+    */
+  private def secret(v: String): String =
+    if (v.startsWith("env:"))
+      sys.env.getOrElse(v.substring(4), throw new IllegalArgumentException(
+        s"kafka native: environment variable '${v.substring(4)}' " +
+          "(referenced by an env: option) is not set"))
+    else v
 
   /** Open (and, when configured, TLS-handshake + SASL-authenticate) a
     * session to `broker` — every session opener (planner and executor
@@ -150,8 +168,10 @@ private[sources] final case class KafkaNativeConf(broker: String,
       ssl = sslFactory())
     try {
       sasl match {
-        case Some("plain") => s.saslPlain(saslUsername, saslPassword)
-        case Some("scram-sha-256") => s.saslScram(saslUsername, saslPassword)
+        case Some("plain") =>
+          s.saslPlain(saslUsername, secret(saslPassword))
+        case Some("scram-sha-256") =>
+          s.saslScram(saslUsername, secret(saslPassword))
         case _ => ()
       }
       s
@@ -165,7 +185,8 @@ private[sources] final case class KafkaNativeConf(broker: String,
     if (!tls) None
     else Some(truststore match {
       case Some(path) =>
-        graft.cdc.KafkaClient.Tls.socketFactory(path, truststorePassword)
+        graft.cdc.KafkaClient.Tls.socketFactory(path,
+          secret(truststorePassword))
       case None => graft.cdc.KafkaClient.Tls.defaultFactory()
     })
 }
@@ -251,6 +272,11 @@ private[sources] class KafkaNativeScan(conf: KafkaNativeConf) extends Scan {
       case (Some(ts), _) =>
         val byTs = offsetsAt(ts, parts, meta)
         val missing = byTs.filter(_._2 < 0L).keys.toSeq.sorted
+        if (missing.nonEmpty && conf.timestampStrategy == "error")
+          throw new IllegalStateException(
+            s"kafka native: no offset at/after timestamp $ts for " +
+              s"partitions ${missing.mkString(",")} " +
+              "(startingTimestampStrategy=error)")
         val hw = if (missing.isEmpty) Map.empty[Int, Long]
           else offsetsAt(-1L, missing, meta)
         byTs.map { case (p, o) => p -> (if (o < 0) hw(p) else o) }

@@ -246,6 +246,12 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
         Seq((0, "c"), (1, "y")))
       // timestamp past everything → hw fallback → empty
       assert(read("startingTimestamp" -> "99999").isEmpty)
+      // spark-kafka's strict mode: error instead of the hw fallback
+      val e = intercept[Exception] {
+        read("startingTimestamp" -> "99999",
+          "startingTimestampStrategy" -> "error")
+      }
+      assert(e.getMessage != null)
 
       // STREAM with latest: history skipped, the restart picks up only
       // what arrived after the first start
@@ -289,6 +295,25 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
       assert(read("svc", "pw1").map(_.getAs[String]("key")).toSeq ==
         Seq("a", "b"))
       intercept[Exception] { read("svc", "WRONG") }
+      // env: indirection — a missing variable fails loudly with its name
+      val e = intercept[Exception] { read("svc", "env:GRAFT_NO_SUCH_VAR") }
+      assert(e.getMessage.contains("GRAFT_NO_SUCH_VAR"))
+      // and a present one resolves (password = the HOME value, so the
+      // secret never appears in the option map)
+      sys.env.get("HOME").foreach { home =>
+        val c2 = new TestKafkaCluster("tsasl2",
+          scramUser = Some(("svc", home)), requireSasl = true)
+        c2.append(batch(0L, Seq(("z", "v"))))
+        try {
+          val rows = spark.read.format("graft.sources.KafkaNativeSource")
+            .option("broker", c2.bootstrap).option("topic", "tsasl2")
+            .option("sasl", "scram-sha-256")
+            .option("saslUsername", "svc")
+            .option("saslPassword", "env:HOME")
+            .load().collect()
+          assert(rows.map(_.getAs[String]("key")).toSeq == Seq("z"))
+        } finally c2.close()
+      }
       // and an unauthenticated client cannot read at all — the broker
       // drops its data requests
       intercept[Exception] {
