@@ -66,6 +66,17 @@ object JsMini {
     * (Right), concatenated with display coercion at eval.
     */
   final case class ETemplate(parts: Seq[Either[String, Expr]]) extends Expr
+  /** `...expr` — valid only inside array literals and call arguments. */
+  final case class ESpread(e: Expr) extends Expr
+
+  /** Destructuring binding patterns (`const [a, , b = 1, ...r] = …`,
+    * `const {x, y: alias, ...rest} = …`) — recursive, with defaults on
+    * identifier targets.
+    */
+  sealed trait Pat
+  final case class PIdent(name: String, default: Option[Expr]) extends Pat
+  final case class PArr(items: Seq[Option[Pat]], rest: Option[String]) extends Pat
+  final case class PObj(fields: Seq[(String, Pat)], rest: Option[String]) extends Pat
   final case class EUnary(op: String, e: Expr) extends Expr
   final case class EBin(op: String, l: Expr, r: Expr) extends Expr
   final case class ELogical(op: String, l: Expr, r: Expr) extends Expr
@@ -78,6 +89,7 @@ object JsMini {
   sealed trait Stmt
   final case class SExpr(e: Expr) extends Stmt
   final case class SLet(decls: Seq[(String, Option[Expr])]) extends Stmt
+  final case class SDestructure(pat: Pat, init: Expr) extends Stmt
   final case class SIf(c: Expr, t: Seq[Stmt], f: Seq[Stmt]) extends Stmt
   final case class SWhile(c: Expr, body: Seq[Stmt]) extends Stmt
   final case class SFor(init: Option[Stmt], cond: Option[Expr],
@@ -259,15 +271,26 @@ object JsMini {
         SFunDecl(f.name, f)
       case "let" | "const" | "var" =>
         pos += 1
-        val decls = mutable.ArrayBuffer.empty[(String, Option[Expr])]
-        var more = true
-        while (more) {
-          val name = eat("ident").text
-          val init = if (opt("=")) Some(assignExpr()) else None
-          decls += ((name, init))
-          more = opt(",")
+        if (at("[") || at("{")) {
+          // one destructuring declaration per statement
+          val pat = pattern()
+          eat("=")
+          val init = assignExpr()
+          if (at(","))
+            throw new JsSyntaxError(
+              "one destructuring declaration per statement")
+          SDestructure(pat, init)
+        } else {
+          val decls = mutable.ArrayBuffer.empty[(String, Option[Expr])]
+          var more = true
+          while (more) {
+            val name = eat("ident").text
+            val init = if (opt("=")) Some(assignExpr()) else None
+            decls += ((name, init))
+            more = opt(",")
+          }
+          SLet(decls.toSeq)
         }
-        SLet(decls.toSeq)
       case "if" =>
         eat("if"); eat("(")
         val c = expression()
@@ -444,7 +467,7 @@ object JsMini {
         } else if (opt("(")) {
           val args = mutable.ArrayBuffer.empty[Expr]
           while (!at(")")) {
-            args += assignExpr()
+            args += (if (opt("...")) ESpread(assignExpr()) else assignExpr())
             if (!at(")")) eat(",")
           }
           eat(")")
@@ -461,6 +484,53 @@ object JsMini {
       val body: Seq[Stmt] =
         if (at("{")) block() else Seq(SReturn(Some(assignExpr())))
       EFun(params, body, "")
+    }
+
+    /** Binding pattern for destructuring declarations. */
+    private def pattern(): Pat = peek.kind match {
+      case "[" =>
+        eat("[")
+        val items = mutable.ArrayBuffer.empty[Option[Pat]]
+        var rest: Option[String] = None
+        while (!at("]")) {
+          if (at(",")) { items += None; pos += 1 } // elision hole
+          else if (at("...")) {
+            pos += 1
+            rest = Some(eat("ident").text)
+            if (!at("]"))
+              throw new JsSyntaxError("rest element must be last")
+          } else {
+            items += Some(pattern())
+            if (!at("]")) eat(",")
+          }
+        }
+        eat("]")
+        PArr(items.toSeq, rest)
+      case "{" =>
+        eat("{")
+        val fields = mutable.ArrayBuffer.empty[(String, Pat)]
+        var rest: Option[String] = None
+        while (!at("}")) {
+          if (at("...")) {
+            pos += 1
+            rest = Some(eat("ident").text)
+            if (!at("}"))
+              throw new JsSyntaxError("rest element must be last")
+          } else {
+            val key = eat("ident").text
+            val target: Pat =
+              if (opt(":")) pattern()
+              else PIdent(key,
+                if (opt("=")) Some(assignExpr()) else None)
+            fields += ((key, target))
+            if (!at("}")) eat(",")
+          }
+        }
+        eat("}")
+        PObj(fields.toSeq, rest)
+      case _ =>
+        val n = eat("ident").text
+        PIdent(n, if (opt("=")) Some(assignExpr()) else None)
     }
 
     private def primary(): Expr = {
@@ -515,7 +585,7 @@ object JsMini {
           pos += 1
           val items = mutable.ArrayBuffer.empty[Expr]
           while (!at("]")) {
-            items += assignExpr()
+            items += (if (opt("...")) ESpread(assignExpr()) else assignExpr())
             if (!at("]")) eat(",")
           }
           eat("]")
@@ -717,6 +787,53 @@ object JsMini {
     case _ => strictEq(l, r)
   }
 
+  /** Flatten `...spread` elements into the evaluated argument list. */
+  private def spreadArgs(items: Seq[Expr], env: Env): Seq[V] =
+    items.flatMap {
+      case ESpread(e) => eval(e, env) match {
+        case a: VArr => a.items.toSeq
+        case VStr(str) => str.map(c => VStr(c.toString))
+        case other => throw new JsError(
+          VStr(s"${toDisplay(other)} is not iterable (spread)"))
+      }
+      case e => Seq(eval(e, env))
+    }
+
+  /** Recursive destructuring bind (array/object patterns, identifier
+    * defaults applied on undefined, rest collectors).
+    */
+  private def bindPattern(p: Pat, v: V, env: Env): Unit = p match {
+    case PIdent(n, d) =>
+      env.declare(n,
+        if (v == VUndef) d.map(eval(_, env)).getOrElse(VUndef) else v)
+    case PArr(items, rest) =>
+      val arr: Seq[V] = v match {
+        case a: VArr => a.items.toSeq
+        case VStr(str) => str.map(c => VStr(c.toString))
+        case other => throw new JsError(
+          VStr(s"${toDisplay(other)} is not iterable (destructuring)"))
+      }
+      items.zipWithIndex.foreach { case (slot, i) =>
+        slot.foreach(pp =>
+          bindPattern(pp, if (i < arr.length) arr(i) else VUndef, env))
+      }
+      rest.foreach(r => env.declare(r,
+        new VArr(mutable.ArrayBuffer(arr.drop(items.length): _*))))
+    case PObj(fields, rest) =>
+      val o = v match {
+        case o: VObj => o
+        case other => throw new JsError(
+          VStr(s"cannot destructure ${toDisplay(other)} as an object"))
+      }
+      fields.foreach { case (k, pp) =>
+        bindPattern(pp, o.fields.getOrElse(k, VUndef), env)
+      }
+      rest.foreach { r =>
+        val keep = o.fields.filter { case (k, _) => !fields.exists(_._1 == k) }
+        env.declare(r, new VObj(mutable.LinkedHashMap(keep.toSeq: _*)))
+      }
+  }
+
   private def add(l: V, r: V): V = (l, r) match {
     case (VStr(a), b) => VStr(a + toDisplay(b))
     case (a, VStr(b)) => VStr(toDisplay(a) + b)
@@ -777,6 +894,8 @@ object JsMini {
       decls.foreach { case (name, init) =>
         env.declare(name, init.map(eval(_, env)).getOrElse(VUndef))
       }
+    case SDestructure(pat, init) =>
+      bindPattern(pat, eval(init, env), env)
     case SIf(c, t, f) =>
       if (truthy(eval(c, env))) { val e = env.child; t.foreach(exec(_, e)) }
       else { val e = env.child; f.foreach(exec(_, e)) }
@@ -850,7 +969,10 @@ object JsMini {
     case EIdent(name) =>
       env.lookup(name).getOrElse(
         throw new JsError(VStr(s"$name is not defined")))
-    case EArr(items) => new VArr(mutable.ArrayBuffer(items.map(eval(_, env)): _*))
+    case EArr(items) =>
+      new VArr(mutable.ArrayBuffer(spreadArgs(items, env): _*))
+    case ESpread(_) => throw new JsSyntaxError(
+      "spread is only valid in array literals and call arguments")
     case EObj(fields) =>
       new VObj(mutable.LinkedHashMap(fields.map { case (k, v) => k -> eval(v, env) }: _*))
     case EFun(params, body, name) => VFun(params, body, env, name)
@@ -926,10 +1048,10 @@ object JsMini {
     case ECall(EMember(targetE, name), args) =>
       // method call: bind `this` value for prototype methods
       val target = eval(targetE, env)
-      val argVs = args.map(eval(_, env))
+      val argVs = spreadArgs(args, env)
       method(target, name, argVs)
     case ECall(target, args) =>
-      callFunction(eval(target, env), args.map(eval(_, env)))
+      callFunction(eval(target, env), spreadArgs(args, env))
     case EAssign(op, target, valueE) =>
       val rhs = eval(valueE, env)
       def combined(cur: V): V = op match {

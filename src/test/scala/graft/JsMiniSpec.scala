@@ -51,6 +51,36 @@ class JsMiniSpec extends AnyFunSuite {
         "obj 1 arr 2 null null|line1\nline2")
   }
 
+  test("spread in array literals and calls; array/object destructuring " +
+      "with defaults, holes, aliases, and rest") {
+    val m =
+      """export default function (x) {
+        |  const a = [1, 2];
+        |  const b = [0, ...a, 3];                 // [0,1,2,3]
+        |  const sum = Math.max(...b);             // 3
+        |  const [p, , q = 9, ...tail] = b;        // p=0 q=2 tail=[3]
+        |  const [u = 7] = [];                     // default on undefined
+        |  const obj = {x: 1, y: {z: 5}, w: 4};
+        |  const {x: alias, y: {z}, missing = 8, ...rest} = obj;
+        |  const chars = [..."ab"];                // string spread
+        |  return [b.length, sum, p, q, tail[0], u,
+        |          alias, z, missing, rest.w, chars[1]];
+        |}""".stripMargin
+    val got = run(m, VNull).asInstanceOf[VArr].items.toSeq
+    assert(got == Seq(VNum(4), VNum(3), VNum(0), VNum(2), VNum(3), VNum(7),
+      VNum(1), VNum(5), VNum(8), VNum(4), VStr("b")))
+  }
+
+  test("destructuring errors are loud: non-iterable array pattern, " +
+      "non-object object pattern, rest not last") {
+    intercept[JsError] { run(
+      "export default function () { const [a] = 5; return a; }", VNull) }
+    intercept[JsError] { run(
+      "export default function () { const {a} = null; return a; }", VNull) }
+    intercept[JsSyntaxError] { JsMini.parse(
+      "const [...r, a] = [1, 2];") }
+  }
+
   test("objects, arrays, methods, control flow") {
     val m =
       """function clean(s) { return s.trim().toLowerCase(); }
