@@ -16,7 +16,10 @@ import scala.collection.mutable
   * UDFs actually use, not an embedded browser runtime. Supported: numbers
   * /strings/booleans/null/undefined, objects/arrays, the operator set
   * through ternary and logical and/or, member/index access, assignment
-  * (plain + compound), `function` declarations and expressions, arrow
+  * (plain + compound), template literals with interpolation, spread in
+  * array literals and call arguments, array/object destructuring
+  * declarations (holes, defaults, aliases, nesting, rest), `function`
+  * declarations and expressions, arrow
   * functions, if/else, while, classic for, for-of, return/throw/
   * try-catch-finally/break/continue, `Math`/`JSON`/`Object`/`Number`
   * builtins and the common String/Array prototype methods. Semicolons
