@@ -5,21 +5,39 @@ import java.net.Socket
 
 import scala.collection.mutable
 
-/** Minimal gRPC-over-h2c CLIENT — the counterpart session role to
-  * [[GrpcIngest]]'s server, the same pairing as PgReplication /
-  * MyReplication's native client sessions: prior-knowledge HTTP/2
-  * preface, [[Hpack]]-encoded request headers, gRPC length-prefixed
-  * messages, trailer decoding. Used by the oracled wire round-trip
-  * query (q102) and available to applications that need to push into a
-  * remote dozer-protocol ingest endpoint.
+/** Minimal gRPC CLIENT over h2c or h2-over-TLS — the counterpart
+  * session role to [[GrpcIngest]]'s server, the same pairing as
+  * PgReplication / MyReplication's native client sessions:
+  * prior-knowledge HTTP/2 preface (h2c) or ALPN-negotiated `h2`
+  * (RFC 7540 §3.3, TLS), [[Hpack]]-encoded request headers, gRPC
+  * length-prefixed messages, trailer decoding. Used by the oracled
+  * wire round-trip query (q102) and available to applications that
+  * need to push into a remote dozer-protocol ingest endpoint.
   *
   * Flow control is honored: the client tracks the connection and
   * stream send windows (RFC 9113 §5.2, initial 65535) and consumes
   * WINDOW_UPDATE frames before sending more — without this any
   * request body over 64 KiB would violate the protocol.
   */
-final class GrpcClient(host: String, port: Int) extends AutoCloseable {
-  private val sock = new Socket(host, port)
+final class GrpcClient(host: String, port: Int,
+    ssl: Option[javax.net.ssl.SSLSocketFactory] = None)
+    extends AutoCloseable {
+  private val sock: Socket = ssl match {
+    case None => new Socket(host, port)
+    case Some(f) =>
+      val s = f.createSocket(host, port)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      val params = s.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      // ALPN: gRPC-over-TLS REQUIRES the h2 protocol token
+      params.setApplicationProtocols(Array("h2"))
+      s.setSSLParameters(params)
+      s.startHandshake()
+      require(s.getApplicationProtocol == "h2",
+        s"grpc: server did not negotiate h2 via ALPN " +
+          s"(got '${s.getApplicationProtocol}')")
+      s
+  }
   sock.setTcpNoDelay(true)
   private val in = new BufferedInputStream(sock.getInputStream)
   private val out = new BufferedOutputStream(sock.getOutputStream)

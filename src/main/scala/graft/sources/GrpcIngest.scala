@@ -362,8 +362,9 @@ object GrpcIngest {
   }
 
   /** Start the ingest service on `port` (0 = ephemeral). */
-  def start(port: Int, tables: Map[String, TableSpec]): Handle =
-    new Handle(Http2.serve(port, new ServiceHandler(tables)))
+  def start(port: Int, tables: Map[String, TableSpec],
+      tls: Option[javax.net.ssl.SSLContext] = None): Handle =
+    new Handle(Http2.serve(port, new ServiceHandler(tables), tls))
 
   private val ServicePrefix = "/dozer.ingest.IngestService/"
 

@@ -160,11 +160,24 @@ object Http2 {
     def stop(): Unit = { ss.close() }
   }
 
-  /** Start an h2c server; `handler` is invoked on the connection
-    * thread for every completed request stream.
+  /** Start an h2c server — or, with `tls`, an h2-over-TLS server that
+    * advertises `h2` via ALPN (RFC 7540 §3.3; gRPC's required
+    * transport on secured listeners). `handler` is invoked on the
+    * connection thread for every completed request stream. The framing
+    * layer is identical either way — TLS only wraps the byte streams.
     */
-  def serve(port: Int, handler: Handler): Server = {
-    val ss = new ServerSocket(port)
+  def serve(port: Int, handler: Handler,
+      tls: Option[javax.net.ssl.SSLContext] = None): Server = {
+    val ss: ServerSocket = tls match {
+      case None => new ServerSocket(port)
+      case Some(ctx) =>
+        val s = ctx.getServerSocketFactory.createServerSocket(port)
+          .asInstanceOf[javax.net.ssl.SSLServerSocket]
+        val params = s.getSSLParameters
+        params.setApplicationProtocols(Array("h2"))
+        s.setSSLParameters(params)
+        s
+    }
     val accept = new Thread(() => {
       try {
         while (!ss.isClosed) {

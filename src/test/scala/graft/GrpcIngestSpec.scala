@@ -252,6 +252,34 @@ class GrpcIngestSpec extends AnyFunSuite {
     } finally { client.close(); server.stop() }
   }
 
+  test("gRPC over TLS: the server advertises h2 via ALPN, the pinned " +
+      "client negotiates it and the typed ingest round-trips encrypted; " +
+      "an unpinned client is refused at the handshake") {
+    PushBuffer.clear("grpc-tls")
+    val server = GrpcIngest.start(0,
+      Map("users" -> GrpcIngest.TableSpec(usersSchema, "grpc-tls")),
+      tls = Some(TestTls.serverContext))
+    val client = new graft.sources.GrpcClient("127.0.0.1", server.port,
+      ssl = Some(graft.cdc.Tls.socketFactory(
+        TestTls.truststorePath, TestTls.password)))
+    try {
+      val (h, m) = client.call("/dozer.ingest.IngestService/ingest",
+        Seq(ingestRequest("users", GrpcIngest.OpInsert, Nil,
+          userVals(7L, "tls-user", 1.5, active = true), 99L)))
+      assert(h("grpc-status") == "0", h)
+      val p = Pbuf(m.head)
+      assert(p.readTag() == ((1, 0)) && p.readVarint() == 99L)
+      val evs = PushBuffer.slice("grpc-tls", 0L, 10L)
+      assert(evs.length == 1 && evs.head.value.contains("tls-user"))
+
+      // unpinned client: the self-signed cert fails the trust check
+      intercept[Exception] {
+        new graft.sources.GrpcClient("127.0.0.1", server.port,
+          ssl = Some(graft.cdc.Tls.defaultFactory()))
+      }
+    } finally { client.close(); server.stop() }
+  }
+
   test("client-streaming ingest_stream: insert/update/delete decode into " +
       "ChangeModel rows through the push scan") {
     PushBuffer.clear("grpc-t2")
