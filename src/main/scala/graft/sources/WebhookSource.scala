@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer, HttpsConfigurator, HttpsServer}
 
 /** WEBHOOK ingestion — the dozer webhook connector analogue
   * (/root/reference/dozer-ingestion/webhook/src/server.rs: an HTTP
@@ -50,7 +50,8 @@ object WebhookServer {
     * `seq` stays gap-free.
     */
   def start(port: Int, endpoints: Map[String, String],
-      threads: Int = 8): Handle = {
+      threads: Int = 8,
+      tls: Option[javax.net.ssl.SSLContext] = None): Handle = {
     // TCP_NODELAY on the server's sockets: without it the JDK server's
     // separate header/body writes hit Nagle + the peer's 40 ms delayed
     // ACK — measured 45 ms/request vs 1.7 ms with nodelay on loopback.
@@ -58,7 +59,15 @@ object WebhookServer {
     // class load, so it must be set before create(); this object is
     // the library's only HttpServer user.
     System.setProperty("sun.net.httpserver.nodelay", "true")
-    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    val addr = new java.net.InetSocketAddress(port)
+    // HTTPS: same handlers, same contract — TLS wraps the listener
+    val server = tls match {
+      case None => HttpServer.create(addr, 0)
+      case Some(ctx) =>
+        val s = HttpsServer.create(addr, 0)
+        s.setHttpsConfigurator(new HttpsConfigurator(ctx))
+        s
+    }
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
       threads,
       r => { val t = new Thread(r, "graft-webhook"); t.setDaemon(true); t }))

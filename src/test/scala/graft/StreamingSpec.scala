@@ -563,6 +563,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(seqs == Seq(0L, 1L, 2L, 3L, 4L)) // no re-read, no loss
   }
 
+  test("webhook over HTTPS: the same envelope contract behind a TLS " +
+      "listener; an untrusting client refuses the self-signed cert") {
+    import graft.sources.{PushBuffer, Sources, WebhookServer}
+    val chan = "webhook_tls_spec"
+    PushBuffer.clear(chan)
+    val srv = WebhookServer.start(0, Map("/ingest" -> chan),
+      tls = Some(TestTls.serverContext))
+    try {
+      // pinned client: trust only the test certificate
+      val ks = java.security.KeyStore.getInstance(
+        new java.io.File(TestTls.truststorePath),
+        TestTls.password.toCharArray)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      val https = java.net.http.HttpClient.newBuilder().sslContext(ctx).build()
+      def post(body: String) = https.send(
+        java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(
+            s"https://127.0.0.1:${srv.port}/ingest"))
+          .method("POST",
+            java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(post("""{"k":1,"v":"secure"}""").statusCode() == 200)
+      val snap = Sources.pushSnapshot(spark, chan).collect()
+      assert(snap.length == 1 &&
+        snap.head.getAs[String]("value").contains("secure"))
+
+      // a default-trust client must refuse the self-signed cert
+      val plain = java.net.http.HttpClient.newHttpClient()
+      intercept[java.io.IOException] {
+        plain.send(java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(
+            s"https://127.0.0.1:${srv.port}/ingest"))
+          .method("POST",
+            java.net.http.HttpRequest.BodyPublishers.ofString("{}"))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+    } finally srv.stop()
+  }
+
   test("webhook source: HTTP verbs land as envelope rows on the push channel") {
     import graft.sources.{PushBuffer, Sources, WebhookServer}
     val chan = "webhook_spec"
