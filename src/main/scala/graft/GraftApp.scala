@@ -539,7 +539,15 @@ object GraftApp {
       case Some(other) => throw new IllegalArgumentException(
         s"source '${s.name}': unknown decode '$other'")
       case None =>
-        if (streaming) {
+        if (s.format == "avro") {
+          // Avro object-container files through the NATIVE reader
+          // (spark-avro module not shipped; avro-1.12 runtime is)
+          if (streaming) throw new IllegalArgumentException(
+            s"source '${s.name}': the avro container source is " +
+              "batch-only here — land files and run batch, or front " +
+              "them with the Kafka/Confluent path for streams")
+          graft.sources.AvroFiles.read(spark, s.path)
+        } else if (streaming) {
           val schema = s.schema.getOrElse(spark.read.format(s.format)
             .options(s.options).load(s.path).schema) // infer from existing files
           spark.readStream.format(s.format).options(s.options)

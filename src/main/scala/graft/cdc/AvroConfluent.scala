@@ -122,7 +122,7 @@ object AvroConfluent {
 
   // ------------------------------------------------------ value convert
 
-  private def convert(v: AnyRef, s: AvroSchema): Any = {
+  private[graft] def convert(v: AnyRef, s: AvroSchema): Any = {
     if (v == null) return null
     s.getType match {
       case AvroSchema.Type.UNION =>
@@ -255,7 +255,7 @@ object AvroConfluent {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, AvroSchema]()
 
-  private def parsedSchema(json: String): AvroSchema =
+  private[graft] def parsedSchema(json: String): AvroSchema =
     schemaCache.computeIfAbsent(json,
       j => new AvroSchema.Parser().parse(j))
 
