@@ -271,7 +271,7 @@ object AvroConfluent {
       frame(schemaId, out.toByteArray)
     }
 
-    private def buildRecord(schema: AvroSchema, values: Seq[Any]): GenericRecord = {
+    private[graft] def buildRecord(schema: AvroSchema, values: Seq[Any]): GenericRecord = {
       val rec = new GenericData.Record(schema)
       schema.getFields.asScala.zip(values).foreach { case (f, v) =>
         rec.put(f.pos(), toAvro(v, f.schema()))

@@ -487,6 +487,39 @@ object CdcQueries {
       ArrowIngest.decodeFrames(ArrowIngest.encodeFrames(ev), ev.schema)
     },
 
+    // Avro OBJECT CONTAINER FILE round-trip (the `.avro` object-store
+    // format, read natively — spark-avro is not shipped): orders
+    // encoded into one deflate-compressed container per partition
+    // executor-side (real headers/sync markers/blocks via the avro
+    // library writer path), decoded back map-only with reader-schema
+    // resolution and the decimal/timestamp logical conversions. Must
+    // round-trip exactly; no shuffle anywhere — encode and decode are
+    // both narrow (the q100 Arrow-IPC pattern).
+    QueryDef("q107_avro_container_files",
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  CAST(o_orderdate AS TIMESTAMP) AS ots
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import graft.sources.AvroFiles
+      val avroSchema =
+        """{"type":"record","name":"Ord","fields":[
+          |{"name":"o_orderkey","type":"long"},
+          |{"name":"status","type":["null","string"]},
+          |{"name":"price","type":{"type":"bytes","logicalType":"decimal",
+          |"precision":12,"scale":2}},
+          |{"name":"ots","type":{"type":"long",
+          |"logicalType":"timestamp-micros"}}]}""".stripMargin.replace("\n", "")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+      val decoded = AvroFiles.decodeContainers(
+        AvroFiles.encodeContainers(o, avroSchema), avroSchema)
+      decoded.select(col("o_orderkey"), col("status"),
+        col("price").cast("double").as("price"), col("ots"))
+    },
+
     // Connect-JSON CDC with IN-BAND schemas over the Kafka transport
     // (kafka/src/debezium/{stream_consumer,schema,mapper}.rs — the
     // schema-registry consumption path: every message carries its

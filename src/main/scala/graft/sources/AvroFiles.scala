@@ -57,12 +57,20 @@ object AvroFiles {
     * applies per file — renamed/added fields follow the spec rules).
     */
   def readWith(spark: SparkSession, path: String,
+      readerSchemaJson: String): DataFrame =
+    decodeContainers(binary(spark, path), readerSchemaJson)
+
+  /** Decode a feed of in-memory container byte blobs — the transport-
+    * agnostic half [[readWith]] and the round-trip gate share.
+    */
+  def decodeContainers(
+      files: org.apache.spark.sql.Dataset[Array[Byte]],
       readerSchemaJson: String): DataFrame = {
     val outSchema: StructType = AvroConfluent.sparkSchema(readerSchemaJson)
-    binary(spark, path).mapPartitions { files =>
+    files.mapPartitions { fs =>
       val expected: AvroSchema = AvroConfluent.parsedSchema(readerSchemaJson)
       val fields = expected.getFields.asScala.toSeq
-      files.flatMap { bytes =>
+      fs.flatMap { bytes =>
         val datum = new GenericDatumReader[GenericRecord]()
         datum.setExpected(expected)
         val reader = new DataFileReader[GenericRecord](
@@ -81,6 +89,30 @@ object AvroFiles {
       }
     }(Encoders.row(outSchema)).toDF()
   }
+
+  /** Encode twin (the PgOutput/KafkaBatch/Arrow gate strategy): one
+    * deflate-compressed container per input partition, built in
+    * memory executor-side. Row values must align with the schema's
+    * field order.
+    */
+  def encodeContainers(df: DataFrame, avroSchemaJson: String)
+      : org.apache.spark.sql.Dataset[Array[Byte]] =
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val schema = AvroConfluent.parsedSchema(avroSchemaJson)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](
+            schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
+        w.create(schema, out)
+        try rows.foreach(r =>
+          w.append(AvroConfluent.Encode.buildRecord(schema, r.toSeq)))
+        finally w.close()
+        Iterator.single(out.toByteArray)
+      }
+    }(Encoders.BINARY)
 
   private def binary(spark: SparkSession, path: String) = {
     import spark.implicits._
