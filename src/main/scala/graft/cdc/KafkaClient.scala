@@ -96,8 +96,8 @@ object KafkaClient {
 
   final class Session(host: String, port: Int,
       clientId: String = "graft-consumer",
-      ssl: Option[javax.net.ssl.SSLSocketFactory] = None)
-      extends AutoCloseable {
+      ssl: Option[javax.net.ssl.SSLSocketFactory] = None,
+      soTimeoutMs: Int = 30000) extends AutoCloseable {
 
     private val socket: Socket = ssl match {
       case None => new Socket(host, port)
@@ -106,6 +106,10 @@ object KafkaClient {
       case Some(f) => graft.cdc.Tls.connect(host, port, f)
     }
     socket.setTcpNoDelay(true)
+    // every request here is answered within its own bound (Fetch's
+    // maxWaitMs is the longest, 500 ms) — a silent broker is a FAULT;
+    // the read timeout turns a hung task into a loud SocketTimeout
+    socket.setSoTimeout(soTimeoutMs)
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new DataOutputStream(socket.getOutputStream)
     private var correlation = 0
