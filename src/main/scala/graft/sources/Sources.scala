@@ -264,14 +264,44 @@ object Sources {
     * }}}
     */
   def kafkaOptions(brokerUrl: String, topic: String,
-      startFromEarliest: Boolean = true): Map[String, String] =
+      startFromEarliest: Boolean = true,
+      tls: Boolean = false, truststore: Option[String] = None,
+      truststorePassword: String = "",
+      saslMechanism: Option[String] = None, saslUsername: String = "",
+      saslPassword: String = ""): Map[String, String] = {
+    val security = (tls, saslMechanism.isDefined) match {
+      case (false, false) => Map.empty[String, String]
+      case (t, s) => Map("kafka.security.protocol" -> ((t, s) match {
+        case (true, true) => "SASL_SSL"
+        case (true, false) => "SSL"
+        case _ => "SASL_PLAINTEXT"
+      }))
+    }
+    val ssl = truststore.toSeq.flatMap(path => Seq(
+      "kafka.ssl.truststore.location" -> path,
+      "kafka.ssl.truststore.password" -> truststorePassword))
+    val sasl = saslMechanism.toSeq.flatMap { m =>
+      val mech = m.toUpperCase match {
+        case "PLAIN" => "PLAIN"
+        case "SCRAM-SHA-256" => "SCRAM-SHA-256"
+        case other => other
+      }
+      val module =
+        if (mech == "PLAIN") "org.apache.kafka.common.security.plain.PlainLoginModule"
+        else "org.apache.kafka.common.security.scram.ScramLoginModule"
+      Seq("kafka.sasl.mechanism" -> mech,
+        "kafka.sasl.jaas.config" ->
+          (s"""$module required username="$saslUsername" """ +
+            s"""password="$saslPassword";"""))
+    }
     Map(
       "kafka.bootstrap.servers" -> brokerUrl,
       "subscribe" -> topic,
       "startingOffsets" -> (if (startFromEarliest) "earliest" else "latest"),
       // resume/exactly-once comes from the query's checkpointLocation,
       // not Kafka group offsets (the OpIdentifier analogue)
-      "failOnDataLoss" -> "true")
+      "failOnDataLoss" -> "true") ++ security ++ ssl ++ sasl
+  }
 
   /** Reader config for JDBC snapshot loads (dozer's Postgres/MySQL
     * connectors' snapshot phase; their log-based CDC phase has no

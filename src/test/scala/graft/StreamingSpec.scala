@@ -178,6 +178,23 @@ class StreamingSpec extends AnyFunSuite {
     val k = graft.sources.Sources.kafkaOptions("broker:9092", "orders")
     assert(k("kafka.bootstrap.servers") == "broker:9092")
     assert(k("subscribe") == "orders" && k("startingOffsets") == "earliest")
+    assert(!k.contains("kafka.security.protocol")) // plaintext default
+    // security mapping: protocol/truststore/JAAS land as the connector's
+    // documented option names
+    val ks = graft.sources.Sources.kafkaOptions("b:9093", "t",
+      tls = true, truststore = Some("/etc/ts.p12"),
+      truststorePassword = "pw", saslMechanism = Some("scram-sha-256"),
+      saslUsername = "svc", saslPassword = "s3c")
+    assert(ks("kafka.security.protocol") == "SASL_SSL")
+    assert(ks("kafka.ssl.truststore.location") == "/etc/ts.p12")
+    assert(ks("kafka.sasl.mechanism") == "SCRAM-SHA-256")
+    assert(ks("kafka.sasl.jaas.config").contains("ScramLoginModule") &&
+      ks("kafka.sasl.jaas.config").contains("""username="svc""""))
+    assert(graft.sources.Sources.kafkaOptions("b", "t", tls = true)
+      ("kafka.security.protocol") == "SSL")
+    assert(graft.sources.Sources.kafkaOptions("b", "t",
+      saslMechanism = Some("plain"))("kafka.security.protocol")
+      == "SASL_PLAINTEXT")
     val j = graft.sources.Sources.jdbcOptions(
       "jdbc:postgresql://h/db", "public.orders", "u", "p",
       partitionColumn = Some(("o_orderkey", 0L, 1000000L, 16)))
