@@ -280,4 +280,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SPS encode → parse round-trips arbitrary even resolutions and " +
+      "profiles (cropping window inclusive)") {
+    import graft.operators.IsoBmff
+    val caseGen = for {
+      profile <- Gen.oneOf(66, 77, 100)
+      level <- Gen.oneOf(10, 30, 31, 40, 42, 51, 62)
+      w <- Gen.choose(1, 2048).map(_ * 2)
+      h <- Gen.choose(1, 1080).map(_ * 2)
+    } yield (profile, level, w, h)
+    samples(caseGen).foreach { case (p, l, w, h) =>
+      val parsed = IsoBmff.parseSps(IsoBmff.AvcEncode.sps(p, l, w, h))
+      assert(parsed.contains((p, 0, l, w, h)), s"p=$p l=$l ${w}x$h")
+    }
+  }
+
+  test("Kafka RecordBatch v2 byte records round-trip arbitrary binary " +
+      "payloads (incl. tombstones, empty and null keys)") {
+    import graft.cdc.KafkaBatch
+    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.const(null: Array[Byte]),
+      Gen.const(Array.emptyByteArray),
+      Gen.choose(1, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+          .map(_.toArray)))
+    val recGen = for {
+      k <- bytesGen; v <- bytesGen
+      tsDelta <- Gen.choose(0L, 100000L)
+    } yield (1700000000000L + tsDelta, k, v)
+    val batchGen = for {
+      base <- Gen.choose(0L, 1000000L)
+      n <- Gen.choose(1, 12)
+      recs <- Gen.listOfN(n, recGen)
+      codec <- Gen.oneOf(0, 1, 2, 3, 4)
+    } yield (base, recs, codec)
+    samples(batchGen, n = 120).foreach { case (base, recs, codec) =>
+      val frame = KafkaBatch.Encode.batchBytes(base, recs.map(_._1).min,
+        recs, codec = codec)
+      val back = KafkaBatch.decodeBatchBytes(frame)
+      assert(back.length == recs.length)
+      back.zip(recs).zipWithIndex.foreach { case ((got, (ts, k, v)), i) =>
+        assert(got.offset == base + i && got.tsMillis == ts)
+        def eq(a: Array[Byte], b: Array[Byte]) =
+          (a == null && b == null) ||
+            (a != null && b != null && java.util.Arrays.equals(a, b))
+        assert(eq(got.key, k) && eq(got.value, v), s"codec=$codec rec $i")
+      }
+    }
+  }
+
+  test("JsMini template literals: any literal text round-trips through " +
+      "the lexer escape cycle") {
+    import graft.functions.JsMini
+    import graft.functions.JsMini._
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('`', '$', '{', '}', '\\', '\n', ' ',
+        '"', '\'')))
+      .map(_.mkString).map(_.take(40))
+    samples(textGen, n = 200).foreach { text =>
+      // escape the template-significant characters the way an author
+      // would, then the template must evaluate back to the raw text
+      val escaped = text.replace("\\", "\\\\").replace("`", "\\`")
+        .replace("$", "\\$")
+      val m = s"export default function () { return `$escaped`; }"
+      val got = JsMini.load(m).callDefault(VNull)
+      assert(got == VStr(text), s"text=${text.map(_.toInt)}")
+    }
+  }
 }
