@@ -115,6 +115,42 @@ object Sampling {
     * stable across runs and tables. Fractions must sum to ≤ 1; the
     * remainder is "train".
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws `u ∈ (0,1)` and competes with priority `u^(1/w)`; the k
+    * largest priorities are EXACTLY a weighted sample without
+    * replacement. The draw is DETERMINISTIC — `u` comes from the md5
+    * of `key:seed` (the [[weightedBySource]] portability argument:
+    * md5 is identical in every engine and independent of partitioning),
+    * so the same keys win on every run, at any partitioning, across
+    * every table sharing the key.
+    *
+    * This is the data-mixing primitive [[weightedBySource]] cannot
+    * express: an EXACT budget `k` with inclusion probability
+    * proportional to per-row weight (quality score, token count,
+    * source multiplier), not an expected fraction per source.
+    *
+    * Scale shape: priority is map-only column work; selection is a
+    * global TakeOrdered top-k (never a full sort); ascending tie-break
+    * on the key makes the result total-order stable. Weights must be
+    * strictly positive.
+    */
+  def weightedSampleExact(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 0, s"k=$k must be >= 0")
+    // u from the first 12 md5 hex digits: 48 uniform bits, exact in a
+    // double, never 0 (we add 1) so ln/pow stay finite
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + seed))), 1, 12), 16, 10).cast("double") + 1.0) /
+      lit(281474976710656.0) // 2^48
+    val priority = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_aes_priority", priority)
+      .orderBy(col("_aes_priority").desc, col(keyCol))
+      .limit(k)
+      .drop("_aes_priority")
+  }
+
   def splitTag(keyCol: Column, valFraction: Double, testFraction: Double,
       seed: Long = 0L): Column = {
     require(valFraction + testFraction <= 1.0, "fractions must sum to <= 1")

@@ -1839,6 +1839,20 @@ object PipelineQueries {
         "cell", "vec_id", n = 20)
     },
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // an exact-budget k with inclusion odds proportional to per-row
+    // weight (here n_chars — longer documents more likely) — the
+    // data-mixing primitive an expected-fraction filter cannot give.
+    // Deterministic md5-keyed draws (partition-independent, replayable)
+    // but float pow priorities -> rows-only; weight bias, exact budget,
+    // determinism, and partition independence in PipelineSpec.
+    QueryDef.noOracle("q108_weighted_sample") { (s, dir) =>
+      graft.operators.Sampling.weightedSampleExact(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "doc_id", "n_chars", k = 200)
+    },
+
     // ORACLED stratified quota — q71's selection machinery over a
     // DETERMINISTIC cross-engine cell assignment (md5 prefix of the
     // vec id; md5 hex is identical in every engine — the q41b/q62

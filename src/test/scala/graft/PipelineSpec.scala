@@ -1108,6 +1108,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("A-ES weighted sampling: exact budget, no replacement, " +
+      "deterministic and partition-independent, weight-biased") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 400 keys: half weight 20, half weight 1
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i <= 200) 20.0 else 1.0)).toDF("k", "w")
+    val picked = Sampling.weightedSampleExact(df, "k", "w", k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(picked.length == 100)
+    assert(picked.distinct.length == 100, "without replacement")
+    // determinism + partition independence
+    val again = Sampling.weightedSampleExact(df.repartition(7), "k", "w",
+      k = 100).collect().map(_.getLong(0)).toSeq
+    assert(again.sorted == picked.sorted)
+    // heavy keys (20x weight) dominate: expected share >> half; a
+    // loose bound keeps the test deterministic-but-meaningful
+    val heavy = picked.count(_ <= 200)
+    assert(heavy > 75, s"heavy=$heavy of 100")
+    // different seed, different (but still deterministic) selection
+    val other = Sampling.weightedSampleExact(df, "k", "w", k = 100,
+      seed = 7L).collect().map(_.getLong(0)).toSeq
+    assert(other.sorted != picked.sorted)
+    // k >= population keeps every positive-weight row
+    val all = Sampling.weightedSampleExact(df, "k", "w", k = 1000)
+    assert(all.count() == 400)
+    // zero/negative/null weights are excluded
+    val mixed = Seq((1L, 1.0), (2L, 0.0), (3L, -1.0),
+      (4L, Double.NaN)).toDF("k", "w")
+      .withColumn("w", when(col("k") === 4L,
+        lit(null).cast("double")).otherwise(col("w")))
+    assert(Sampling.weightedSampleExact(mixed, "k", "w", k = 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
