@@ -608,6 +608,68 @@ object TextOps {
       .select(col("doc_id"))
   }
 
+  /** BM25 sufficient statistics for a query's terms — every column an
+    * integer, so the distributed 99% of lexical retrieval is
+    * DuckDB-oracled (q109b): per matching (doc, term) the term
+    * frequency and document length, per term the document frequency,
+    * plus the corpus totals the idf/avgdl terms need. The float BM25
+    * arithmetic on top is O(matching postings), map-only
+    * ([[bm25TopK]], rows-only by the float-output convention).
+    *
+    * Scale shape: the `isin(query terms)` filter lands BEFORE the
+    * explode's shuffle, so the aggregation carries only the query
+    * terms' postings — O(Σ posting sizes), independent of corpus
+    * width; corpus totals are one cheap no-explode aggregation; df is
+    * a reduction of the already-tiny tf frame, broadcast back.
+    */
+  def bm25Stats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__tk"))
+    val tf = base
+      .select(col("doc_id"), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("token"))
+      .filter(col("token").isin(terms.distinct: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val totals = base.select(count(lit(1)).as("n_docs"),
+      sum(size(col("__tk"))).as("total_len"))
+    tf.join(broadcast(dfCounts), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("token"), col("tf").cast("long").as("tf"),
+        col("dl").cast("long").as("dl"), col("df").cast("long").as("df"),
+        col("n_docs"), col("total_len").cast("long").as("total_len"))
+  }
+
+  /** BM25 top-k lexical retrieval (Robertson/Spärck Jones; the Lucene
+    * formulation: idf = ln(1 + (N − df + ½)/(df + ½)), tf norm with
+    * k1/b length normalization). Scores sum per doc over the query
+    * terms; ties break on doc id. Float output → rows-only; the
+    * integer statistics underneath are the oracled [[bm25Stats]].
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val s = bm25Stats(df, idCol, textCol, terms)
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    s.withColumn("__s", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__s")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
 
   /** Email/IPv4 redaction patterns — deliberately restricted to regex

@@ -1792,6 +1792,46 @@ object PipelineQueries {
             .otherwise(0L)).as("n_pass_len"))
     },
 
+    // BM25 lexical retrieval (the standard-formula counterpart to the
+    // ANN family — what every RAG pipeline runs next to the vector
+    // index). Float idf/length-norm scores -> rows-only; hand-computed
+    // closed-form check in PipelineSpec; the integer statistics
+    // underneath are fully oracled by the q109b companion.
+    QueryDef.noOracle("q109_bm25_retrieval") { (s, dir) =>
+      graft.operators.TextOps.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "merge", "vector"), k = 10)
+    },
+
+    // ORACLED BM25 sufficient statistics — per matching (doc, query
+    // term): tf + doc length; per term: df; corpus totals for
+    // idf/avgdl. Everything an integer; the postings shuffle carries
+    // ONLY the query terms' rows (isin before the explode's
+    // aggregation).
+    QueryDef("q109b_bm25_stats_oracle",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, len(tk) AS dl, t.token, COUNT(*) AS tf
+        |  FROM base, UNNEST(tk) AS t(token)
+        |  WHERE t.token IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, len(tk), t.token
+        |), dfc AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_len FROM base
+        |)
+        |SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+        |  CAST(tf.dl AS BIGINT) AS dl, CAST(dfc.df AS BIGINT) AS df,
+        |  CAST(tot.n_docs AS BIGINT) AS n_docs,
+        |  CAST(tot.total_len AS BIGINT) AS total_len
+        |FROM tf JOIN dfc USING (token) CROSS JOIN tot""".stripMargin) {
+      (s, dir) =>
+      graft.operators.TextOps.bm25Stats(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "merge", "vector"))
+    },
+
     // Retrieval HYDRATION: ANN neighbors joined back to the source table
     // — the vector-store serving pattern (search → fetch document). Rank
     // order is float-stable here (q39b analysis), and the hydration join

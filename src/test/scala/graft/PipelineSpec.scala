@@ -1108,6 +1108,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("BM25: hand-computed scores on a tiny corpus; ranking favors " +
+      "rare terms and penalizes long documents") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // corpus: d1 has 'cat' twice in 4 tokens; d2 has 'cat' once in 8;
+    // d3 has only 'dog' (rare term)
+    val docs = Seq(
+      (1L, "cat cat fish bird"),
+      (2L, "cat fish bird fish bird fish bird fish"),
+      (3L, "dog fish bird lake")).toDF("doc_id", "text")
+    val stats = TextOps.bm25Stats(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // (tf, dl, df, n_docs, total_len)
+    assert(stats((1L, "cat")) == ((2L, 4L, 2L, 3L, 16L)))
+    assert(stats((2L, "cat")) == ((1L, 8L, 2L, 3L, 16L)))
+    assert(stats((3L, "dog")) == ((1L, 4L, 1L, 3L, 16L)))
+
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "dog"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bm25(tf: Long, dl: Long, dfc: Long, n: Long, avgdl: Double,
+        k1: Double = 1.2, b: Double = 0.75): Double =
+      math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5)) *
+        tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val avgdl = 16.0 / 3
+    assert(math.abs(got(1L) - bm25(2, 4, 2, 3, avgdl)) < 1e-12)
+    assert(math.abs(got(2L) - bm25(1, 8, 2, 3, avgdl)) < 1e-12)
+    assert(math.abs(got(3L) - bm25(1, 4, 1, 3, avgdl)) < 1e-12)
+    // rare 'dog' (df=1) outscores common 'cat' at equal tf/dl; the
+    // long doc scores below the short one for the same term
+    assert(got(3L) > got(1L) && got(1L) > got(2L))
+  }
+
   test("A-ES weighted sampling: exact budget, no replacement, " +
       "deterministic and partition-independent, weight-biased") {
     import spark.implicits._
