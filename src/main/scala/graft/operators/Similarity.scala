@@ -201,4 +201,37 @@ object Similarity {
         dot(col("qvec"), col("cvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of several
+    * retrievers' rankings — the standard hybrid-retrieval combiner
+    * (lexical + vector, exact + quantized): each list contributes
+    * `1/(kRrf + rank)` per item, items sum across lists, top-k by the
+    * fused score with a neighbor-id tie-break. Inputs are
+    * `(query_id, neighbor_id, rank)` frames (any extra columns are
+    * dropped).
+    *
+    * Scale shape: the ranked lists are k-bounded per query already, so
+    * the union + aggregation is O(queries × k × lists) — result-sized,
+    * never corpus-sized. Determinism: `1/(kRrf+rank)` is one IEEE
+    * division (correctly rounded everywhere); with TWO lists the
+    * per-item sum has at most two addends, so the fused score is
+    * bit-identical across engines — that is what lets q110
+    * hash-match a DOUBLE score column cross-engine.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && kRrf >= 0)
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    unioned
+      .withColumn("__c", lit(1.0) / (lit(kRrf) + col("rank")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__c")).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w).cast("int"))
+      .filter(col("fused_rank") <= k)
+  }
 }

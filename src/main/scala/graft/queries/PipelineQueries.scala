@@ -2122,6 +2122,72 @@ object PipelineQueries {
           col("sim").cast("long").as("sim"), col("rank").as("nn_rank"))
     },
 
+    // HYBRID RETRIEVAL FUSION, fully oracled: reciprocal-rank fusion
+    // of the exact-cosine retriever (q39b's rank-stable ranking) and
+    // the SQ8 integer-dot retriever (q83b) — the standard two-leg
+    // hybrid combiner. The DOUBLE rrf score hash-matches cross-engine
+    // because 1/(60+rank) is one correctly-rounded IEEE division and
+    // each item sums at most TWO addends (see rrfFuse scaladoc); ties
+    // break on neighbor id identically. Cost is result-sized: both
+    // input lists are k-bounded per query before the fusion shuffle.
+    QueryDef("q110_hybrid_rrf",
+      """WITH brute AS (
+        |  SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 10
+        |), m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma,
+        |    embedding
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS code
+        |  FROM m
+        |), sq8 AS (
+        |  SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.code, c.code) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM codes q, codes c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 10
+        |), u AS (
+        |  SELECT * FROM brute UNION ALL SELECT * FROM sq8
+        |), f AS (
+        |  SELECT query_id, neighbor_id,
+        |    SUM(1.0 / (60 + rn)) AS rrf_score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM u GROUP BY query_id, neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, rrf_score, n_lists,
+        |  CAST(rk AS INTEGER) AS fused_rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, neighbor_id ASC) AS rk FROM f)
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+      val sq8 = Similarity.sq8TopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+      Similarity.rrfFuse(Seq(brute, sq8), k = 5)
+    },
+
     // URL canonicalization + crawl dedup (Common-Crawl-style corpora
     // dedup by canonical URL before any content pass): two messy
     // variants of every page — scheme/host case, www., explicit :443,
