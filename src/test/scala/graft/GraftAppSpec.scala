@@ -1012,6 +1012,60 @@ class GraftAppSpec extends AnyFunSuite {
     } finally cluster.close()
   }
 
+  test("dozer !Kafka connection STREAMING over TLS + SASL/SCRAM: " +
+      "checkpointed micro-batches from config alone, restart resumes " +
+      "exactly-once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_str").toString
+    val cluster = new TestKafkaCluster("sec_stream", tls = true,
+      scramUser = Some(("svc", "pw1")), requireSasl = true)
+    def append(base: Long, recs: (String, String)*): Unit =
+      cluster.append(graft.cdc.KafkaBatch.Encode.batch(base, 1700000000000L,
+        recs.map { case (k, v) => (1700000000000L, k, v) }))
+    append(0L, ("a", """{"n":1}"""), ("b", """{"n":2}"""))
+    try {
+      val yaml =
+        s"""app_name: kafka-sec-stream
+           |version: 1
+           |connections:
+           |  - config: !Kafka
+           |      broker: ${cluster.bootstrap}
+           |      tls: true
+           |      truststore: ${TestTls.truststorePath}
+           |      truststore_password: ${TestTls.password}
+           |      sasl: scram-sha-256
+           |      sasl_username: svc
+           |      sasl_password: pw1
+           |    name: k
+           |sources:
+           |  - name: events
+           |    connection: k
+           |    table_name: sec_stream
+           |sql: |
+           |  SELECT key, message INTO live FROM events WHERE _op = 'insert';
+           |sinks:
+           |  - table_name: live
+           |    path: $tmp/out
+           |    checkpoint: $tmp/ckpt
+           |streaming: true
+           |""".stripMargin
+      val config = GraftConfigLoader.fromYaml(yaml)
+      def runOnce(): Unit = {
+        val queries = runStreaming(spark, config)
+        try queries.foreach(_.awaitTermination())
+        finally queries.foreach(_.stop())
+      }
+      runOnce()
+      def keys() = spark.read.parquet(s"$tmp/out")
+        .select("key").collect().map(_.getString(0)).sorted.toSeq
+      assert(keys() == Seq("a", "b"))
+      // data lands while no query runs; the restart resumes from the
+      // checkpointed Kafka offsets over the same secured transport
+      append(2L, ("c", """{"n":3}"""))
+      runOnce()
+      assert(keys() == Seq("a", "b", "c"))
+    } finally cluster.close()
+  }
+
   test("dozer !Kafka connection WITH schema_registry_url: Connect-JSON " +
       "in-band typed decode through config alone") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_sr").toString
