@@ -162,6 +162,31 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Quantized near-dup PAIRS: probes against the corpus by exact
+    * integer dot of SQ8 codes with an integer threshold — the
+    * quantized prefilter stage of embedding dedup (cheap 4×-smaller
+    * scan finds candidates; the float verifier runs on survivors
+    * only). Every value integer → the whole decision oracle-checks
+    * (q41c), unlike the float-cosine path (q41).
+    *
+    * `probe` bounds the left side (e.g. `col(id) < 50` for a probe
+    * set, or a batch predicate in incremental dedup) — cost is
+    * O(|probes| × corpus), broadcast-probe shaped, never all-pairs.
+    */
+  def sq8NearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      probe: Column, threshold: Long): DataFrame = {
+    val dotI8 = org.apache.spark.sql.graft.VectorExpressions.dotInt8 _
+    val coded = corpus.select(col(idCol), sq8Packed(col(vecCol)).as("__code"))
+    val a = coded.filter(probe)
+      .select(col(idCol).as("id_a"), col("__code").as("__ca"))
+    val b = coded.select(col(idCol).as("id_b"), col("__code").as("__cb"))
+    b.crossJoin(broadcast(a))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        dotI8(col("__ca"), col("__cb")).cast("long").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** ANN evaluation: recall@k of approximate results against ground
     * truth. Both inputs are (query_id, neighbor_id, rank ≤ k) result
     * sets (any of the topK operators); recall = |approx ∩ truth| / k

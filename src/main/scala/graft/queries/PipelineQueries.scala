@@ -1040,10 +1040,42 @@ object PipelineQueries {
         "qid", "qvec", kNeighbors = 5, cents, nprobe = 4, model, rerank = 50)
     },
 
-    // Embedding near-dup pairs — rows-only
+    // Embedding near-dup pairs — rows-only (float cosine); the
+    // quantized prefilter stage is fully oracled by the q41c companion.
     QueryDef.noOracle("q41_embedding_neardup") { (s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.3, planes = 4)
+    },
+
+    // ORACLED quantized near-dup prefilter — the SQ8 stage of embedding
+    // dedup (integer codes, exact integer dot, integer threshold): the
+    // cheap 4x-smaller candidate scan whose survivors the float
+    // verifier re-checks. Broadcast-probe shaped (probes x corpus,
+    // never all-pairs); every value hash-matches DuckDB.
+    QueryDef("q41c_quantized_neardup",
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma,
+        |    embedding
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS code
+        |  FROM m
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.code, b.code) AS BIGINT) AS sim
+        |FROM codes a, codes b
+        |WHERE a.vec_id < 50 AND b.vec_id > a.vec_id
+        |  AND list_dot_product(a.code, b.code) >= 65000""".stripMargin) {
+      (s, dir) =>
+      Similarity.sq8NearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", probe = col("vec_id") < 50,
+        threshold = 65000L)
     },
 
     // Semantic dedup (SemDeDup-style): trained-cell blocking + cosine
