@@ -187,6 +187,39 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Deterministic QUANTIZED cell dedup — the oracled twin of
+    * SemDeDup-style semantic dedup (q57): blocking cells come from an
+    * md5 prefix of the id (cross-engine deterministic, unlike float
+    * k-means), similarity is the exact SQ8 integer dot, and the drop
+    * rule is "dominated by ANY lower-id cell-mate at ≥ threshold" —
+    * one relational pass (anti-join), no greedy chain, so the whole
+    * decision replays in SQL (q57b). Slightly more aggressive than
+    * greedy keep-one (a dropped dominator still eliminates its
+    * victims) — that is the documented contract difference vs q57.
+    *
+    * Scale shape: quadratic only WITHIN a cell (`cellHexLen` tunes the
+    * block count), one cell-keyed self-join + left-anti — the blocked
+    * dedup shape of q33/q57, never corpus all-pairs.
+    */
+  def quantizedCellDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Long, cellHexLen: Int = 1): DataFrame = {
+    require(cellHexLen >= 1 && cellHexLen <= 8)
+    val dotI8 = org.apache.spark.sql.graft.VectorExpressions.dotInt8 _
+    val coded = df.select(col(idCol),
+      substring(md5(col(idCol).cast("string")), 1, cellHexLen).as("cell"),
+      sq8Packed(col(vecCol)).as("__code"))
+    val a = coded.select(col("cell"), col(idCol).as("__ida"),
+      col("__code").as("__ca"))
+    val b = coded.select(col("cell"), col(idCol).as("__idb"),
+      col("__code").as("__cb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("__idb") < col("__ida") &&
+        dotI8(col("__ca"), col("__cb")) >= threshold)
+      .select(col("__ida").as(idCol)).distinct()
+    coded.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** ANN evaluation: recall@k of approximate results against ground
     * truth. Both inputs are (query_id, neighbor_id, rank ≤ k) result
     * sets (any of the topK operators); recall = |approx ∩ truth| / k

@@ -1078,9 +1078,39 @@ object PipelineQueries {
         threshold = 65000L)
     },
 
+    // ORACLED quantized cell dedup — q57's shape with cross-engine-
+    // deterministic pieces: md5-prefix cells (16 blocks), exact SQ8
+    // integer-dot similarity, dominated-by-lower-id drop rule (one
+    // relational pass, no greedy chain — the documented contract
+    // delta vs q57's keep-one). Quadratic only within a cell.
+    QueryDef("q57b_quantized_cell_dedup",
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma,
+        |    embedding
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id, substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS cell,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS code
+        |  FROM m
+        |)
+        |SELECT vec_id, cell FROM codes a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM codes b
+        |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+        |    AND list_dot_product(a.code, b.code) >= 55000)""".stripMargin) {
+      (s, dir) =>
+      Similarity.quantizedCellDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 55000L, cellHexLen = 1)
+    },
+
     // Semantic dedup (SemDeDup-style): trained-cell blocking + cosine
-    // keep-one — rows-only (float k-means has no SQL twin); invariants
-    // in PipelineSpec.
+    // keep-one — rows-only (float k-means has no SQL twin); the
+    // quantized deterministic twin is fully oracled as q57b.
     QueryDef.noOracle("q57_semantic_dedup") { (s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.98, nlist = 16)
