@@ -767,6 +767,74 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH dedup EVALUATION — precision/recall of the banded-LSH
+    * candidate generator against exact blocked Jaccard ground truth
+    * (the q91-for-ANN analogue, for dedup): truth = same-block pairs
+    * with token-set Jaccard ≥ `jaccardThreshold`; candidates = the
+    * oracle-hash LSH pairs restricted to the same universe (same
+    * block). n_hit/n_candidates and n_hit/n_truth are each ONE IEEE
+    * division of integers, so even the float metrics replay bit-exact
+    * cross-engine (q34g). This is the tuning-loop metric every LSH
+    * deployment watches when picking bands/hashes vs a threshold.
+    */
+  /** Distinct shingle hashes per doc, sorted — the exact sets the
+    * minhash signatures summarize, in the oracle hash family.
+    */
+  private val oracleShingleSetUdf = udf {
+    (text: String, shingleWidth: Int) =>
+      if (text == null) null
+      else {
+        val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+        if (norm.isEmpty) null
+        else {
+          val tk = norm.split(" ")
+          val shingleSet = new scala.collection.mutable.HashSet[String]
+          if (tk.length < shingleWidth) shingleSet += tk.mkString(" ")
+          else tk.sliding(shingleWidth).foreach(s => shingleSet += s.mkString(" "))
+          shingleSet.map(Mod61.hashString).toArray.sorted
+        }
+      }
+  }
+
+  def oracleLshEval(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, jaccardThreshold: Double, numHashes: Int = 16,
+      shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+    // ground truth over SHINGLE sets — the similarity minhash actually
+    // approximates (token-set Jaccard is a different duplicate notion:
+    // two random orderings of one vocabulary are token-identical but
+    // share no shingles)
+    val sets = df.select(col(blockCol).as("__blk"), col(idCol),
+        oracleShingleSetUdf(col(textCol), lit(shingleWidth)).as("__hs"))
+      .filter(col("__hs").isNotNull)
+    val a = sets.select(col("__blk"), col(idCol).as("id_a"),
+      col("__hs").as("__ha"))
+    val b = sets.select(col("__blk"), col(idCol).as("id_b"),
+      col("__hs").as("__hb"))
+    val truth = a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__i", org.apache.spark.sql.graft.VectorExpressions
+        .intersectCardinality(col("__ha"), col("__hb")).cast("double"))
+      .filter(col("__i") >=
+        lit(jaccardThreshold) *
+          (size(col("__ha")) + size(col("__hb")) - col("__i")))
+      .select(col("id_a"), col("id_b"))
+    val srcA = df.select(col(idCol).as("id_a"), col(blockCol).as("__sa"))
+    val srcB = df.select(col(idCol).as("id_b"), col(blockCol).as("__sb"))
+    val cand = oracleLshPairs(df, idCol, textCol, numHashes,
+        shingleWidth, bands)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      .join(srcA, Seq("id_a")).join(srcB, Seq("id_b"))
+      .filter(col("__sa") === col("__sb"))
+      .select(col("id_a"), col("id_b"))
+    val hit = cand.intersect(truth)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_candidates")).as("precision"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** ORACLED cap-coverage metric (the q34c contract over the oracle
     * hash family): the same [[bucketCoverage]] aggregation the
     * production guard runs, on the q34e banded index — every output an

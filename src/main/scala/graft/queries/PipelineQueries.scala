@@ -386,6 +386,87 @@ object PipelineQueries {
         numHashes = 16, shingleWidth = 3, bands = 4, maxBucketSize = 1)
     },
 
+    // ORACLED LSH dedup EVALUATION — the q91-for-ANN analogue: the
+    // banded-LSH candidate generator's precision/recall against exact
+    // same-source SHINGLE-Jaccard ground truth at 0.5 (the similarity
+    // minhash actually approximates — token-set Jaccard is a different
+    // duplicate notion: two random orderings of one vocabulary are
+    // token-identical yet share no shingles, a distinction this very
+    // harness surfaced during development). Counts + single-division
+    // float metrics all hash-matched (one IEEE division each is
+    // bit-exact cross-engine). The tuning-loop readout for picking
+    // bands/hashes against a target threshold.
+    QueryDef("q34g_lsh_eval_oracle",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |),
+        |shing AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[p:least(p+2, len(tk))], ' ') AS s
+        |  FROM norm, UNNEST(range(1, greatest(len(tk)-2, 1)+1)) AS u(p)
+        |),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(s, ''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h
+        |  FROM shing
+        |),
+        |sets AS (
+        |  SELECT doc_id, list_distinct(list(h)) AS hs
+        |  FROM hashed GROUP BY doc_id
+        |),
+        |setsrc AS (
+        |  SELECT s.doc_id, d.source, s.hs
+        |  FROM sets s JOIN documents d USING (doc_id)
+        |),
+        |truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM setsrc a JOIN setsrc b ON a.source = b.source
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5
+        |),
+        |sig AS (
+        |  SELECT doc_id, j,
+        |    CAST(MIN(((2*j+1)::HUGEINT * h + j*999983) % 2305843009213693951) AS BIGINT) AS minhash
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(0,16)) AS j) perms
+        |  GROUP BY doc_id, j
+        |),
+        |banded AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 4
+        |),
+        |cand0 AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |src AS (SELECT doc_id, source FROM documents),
+        |cand AS (
+        |  SELECT c.id_a, c.id_b FROM cand0 c
+        |  JOIN src sa ON c.id_a = sa.doc_id
+        |  JOIN src sb ON c.id_b = sb.doc_id
+        |  WHERE sa.source = sb.source
+        |),
+        |hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+        |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+        |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+        |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM cand) AS precision,
+        |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM truth) AS recall""".stripMargin) {
+      (s, dir) =>
+      Dedup.oracleLshEval(t(s, dir, "documents"), "doc_id", "text",
+        "source", jaccardThreshold = 0.5)
+    },
+
     // Token counting + quality metrics (all integer-exact or
     // double-of-identical-ints => oracle-checkable)
     QueryDef("q36_text_quality",
