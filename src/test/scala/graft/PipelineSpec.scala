@@ -1108,6 +1108,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("RRF fusion: hand-computed scores, cross-list agreement boost, " +
+      "tie-break on neighbor id") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(Seq(l1, l2), k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4))).sortBy(_._4)
+    // 11: 1/62+1/61 (both lists); 10: 1/61+1/63; 12: 1/63; 13: 1/62
+    val s = Map(10L -> (1.0/61 + 1.0/63), 11L -> (1.0/62 + 1.0/61),
+      12L -> 1.0/63, 13L -> 1.0/62)
+    got.foreach { case (n, sc, nl, _) =>
+      assert(math.abs(sc - s(n)) < 1e-15, s"n=$n")
+      assert(nl == (if (n == 10L || n == 11L) 2L else 1L))
+    }
+    // agreement wins: 11 (in both, high) > 10 (in both, lower) > 13 > 12
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+  }
+
+  test("LSH eval harness: a planted shingle near-dup is truth, " +
+      "candidate, and hit; an unrelated doc is neither") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "s1"),
+      (2L, base + " lambda", "s1"),         // ~shingle-identical to 1
+      (3L, "one two three four five six seven eight nine ten", "s1"),
+      (4L, base, "s2"))                      // same text, OTHER block
+      .toDF("doc_id", "text", "source")
+    val row = Dedup.oracleLshEval(docs, "doc_id", "text", "source",
+      jaccardThreshold = 0.5).collect().head
+    // truth: only (1,2) — (1,4)/(2,4) are cross-block, 3 shares nothing
+    assert(row.getLong(0) == 1L, s"n_truth=${row.getLong(0)}")
+    assert(row.getLong(2) == 1L, s"n_hit=${row.getLong(2)}")
+    assert(row.getDouble(4) == 1.0) // recall
+    assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("quantized cell dedup: identical vectors in one cell collapse " +
+      "to the lowest id; cross-cell twins both survive") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // find two ids in the SAME md5-prefix cell and one in another
+    def cell(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x".substring(0, 1)
+    }
+    val ids = (1L to 200L)
+    val c0 = cell(1L)
+    val same = ids.filter(cell(_) == c0).take(2)
+    val other = ids.find(cell(_) != c0).get
+    val v = Array.fill(8)(1.0f)
+    val docs = (same.map(i => (i, v)) :+ ((other, v)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.quantizedCellDedup(docs, "vec_id", "embedding",
+      threshold = 1L).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(same.min, other).sorted,
+      s"kept=$kept same=$same other=$other")
+  }
+
   test("BM25: hand-computed scores on a tiny corpus; ranking favors " +
       "rare terms and penalizes long documents") {
     import spark.implicits._
