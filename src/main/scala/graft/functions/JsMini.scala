@@ -122,6 +122,57 @@ object JsMini {
     "(", ")", "[", "]", "{", "}", ",", ";", ":", "?", ".", "+", "-", "*",
     "/", "%", "<", ">", "=", "!")
 
+  /** Index just past the closing backtick of a template-literal body that
+    * starts at `from` (just after the opening backtick). Recurses through
+    * `${…}` regions via [[interpEnd]], so templates nest to arbitrary
+    * depth — the raw body is sub-lexed later, which re-enters here for
+    * each inner template.
+    */
+  private def templateEnd(src: String, from: Int): Int = {
+    val n = src.length
+    var i = from
+    while (i < n) {
+      src.charAt(i) match {
+        case '\\' if i + 1 < n                             => i += 2
+        case '`'                                           => return i + 1
+        case '$' if i + 1 < n && src.charAt(i + 1) == '{'  => i = interpEnd(src, i + 2)
+        case _                                             => i += 1
+      }
+    }
+    throw new JsSyntaxError(s"unterminated template literal at offset $from")
+  }
+
+  /** Index just past the `}` matching a `${` whose body starts at `from`.
+    * Brace-depth aware; quoted strings are skipped opaquely and nested
+    * backtick templates recurse through [[templateEnd]].
+    */
+  private def interpEnd(src: String, from: Int): Int = {
+    val n = src.length
+    var i = from
+    var depth = 1
+    while (i < n && depth > 0) {
+      src.charAt(i) match {
+        case '\\' if i + 1 < n => i += 2
+        case '{'               => depth += 1; i += 1
+        case '}'               => depth -= 1; i += 1
+        case '`'               => i = templateEnd(src, i + 1)
+        case q @ ('"' | '\'')  =>
+          i += 1
+          var qdone = false
+          while (i < n && !qdone) {
+            if (src.charAt(i) == '\\' && i + 1 < n) i += 2
+            else { qdone = src.charAt(i) == q; i += 1 }
+          }
+          if (!qdone)
+            throw new JsSyntaxError(s"unterminated string in $${…} at offset $from")
+        case _                 => i += 1
+      }
+    }
+    if (depth > 0)
+      throw new JsSyntaxError(s"unterminated $${ in template literal at offset $from")
+    i
+  }
+
   private def lex(src: String): IndexedSeq[Tok] = {
     val out = mutable.ArrayBuffer.empty[Tok]
     var i = 0
@@ -172,44 +223,12 @@ object JsMini {
         out += Tok("str", sb.toString, start)
       } else if (c == '`') {
         // template literal: capture the RAW inner text (escapes and
-        // ${…} regions intact — the parser splits and sub-parses).
-        // Inside ${…}, braces nest and quoted strings (including
-        // 1-level nested backticks) are skipped verbatim.
+        // ${…} regions intact — the parser splits and sub-parses, which
+        // re-lexes inner templates, so nesting is arbitrary-depth).
         val start = i
-        i += 1
-        val sb = new StringBuilder
-        var closed = false
-        while (i < n && !closed) {
-          val ch = src.charAt(i)
-          if (ch == '`') { closed = true; i += 1 }
-          else if (ch == '\\' && i + 1 < n) {
-            sb += ch; sb += src.charAt(i + 1); i += 2
-          } else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
-            sb ++= "${"; i += 2
-            var depth = 1
-            while (i < n && depth > 0) {
-              val c2 = src.charAt(i)
-              c2 match {
-                case '{' => depth += 1; sb += c2; i += 1
-                case '}' =>
-                  depth -= 1; sb += c2; i += 1
-                case q @ ('"' | '\'' | '`') =>
-                  sb += q; i += 1
-                  var qdone = false
-                  while (i < n && !qdone) {
-                    val c3 = src.charAt(i)
-                    if (c3 == '\\' && i + 1 < n) {
-                      sb += c3; sb += src.charAt(i + 1); i += 2
-                    } else { sb += c3; i += 1; if (c3 == q) qdone = true }
-                  }
-                case other => sb += other; i += 1
-              }
-            }
-            if (depth > 0) err("unterminated ${ in template literal")
-          } else { sb += ch; i += 1 }
-        }
-        if (!closed) err("unterminated template literal")
-        out += Tok("template", sb.toString, start)
+        val end = templateEnd(src, i + 1)
+        out += Tok("template", src.substring(i + 1, end - 1), start)
+        i = end
       } else if (c.isLetter || c == '_' || c == '$') {
         val start = i
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||
@@ -653,27 +672,11 @@ object JsMini {
         i += 2
       } else if (c == '$' && i + 1 < n && raw.charAt(i + 1) == '{') {
         flush()
-        i += 2
-        val exprStart = i
-        var depth = 1
-        while (i < n && depth > 0) {
-          val c2 = raw.charAt(i)
-          c2 match {
-            case '{' => depth += 1; i += 1
-            case '}' => depth -= 1; i += 1
-            case q @ ('"' | '\'' | '`') =>
-              i += 1
-              var qdone = false
-              while (i < n && !qdone) {
-                if (raw.charAt(i) == '\\' && i + 1 < n) i += 2
-                else { qdone = raw.charAt(i) == q; i += 1 }
-              }
-            case _ => i += 1
-          }
-        }
-        require(depth == 0, "js: unterminated ${ in template literal")
-        val src = raw.substring(exprStart, i - 1)
+        val exprStart = i + 2
+        val end = interpEnd(raw, exprStart)
+        val src = raw.substring(exprStart, end - 1)
         parts += Right(new Parser(lex(src)).expression())
+        i = end
       } else { lit += c; i += 1 }
     }
     flush()

@@ -51,6 +51,26 @@ class JsMiniSpec extends AnyFunSuite {
         "obj 1 arr 2 null null|line1\nline2")
   }
 
+  test("template literals: arbitrary-depth nesting with interpolation at " +
+      "every level; unterminated nesting is a loud syntax error") {
+    // Three levels deep, each level interpolating — the lexer's boundary
+    // scan recurses, then sub-parsing re-lexes each inner template.
+    val m =
+      """export default function (x) {
+        |  const w = "w";
+        |  return `L1 ${`L2 ${`L3 ${w}${"`"}`} ${w}`} end`;
+        |}""".stripMargin
+    assert(run(m, VNull) == VStr("L1 L2 L3 w` w end"))
+    // Level-2 template left unterminated inside level-1's ${…}
+    intercept[JsSyntaxError] {
+      JsMini.parse("const a = `one ${`two ${x} ` ;")
+    }
+    // Unterminated ${ inside a nested template
+    intercept[JsSyntaxError] {
+      JsMini.parse("const a = `one ${`two ${x`}`;")
+    }
+  }
+
   test("spread in array literals and calls; array/object destructuring " +
       "with defaults, holes, aliases, and rest") {
     val m =
