@@ -8,6 +8,49 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = SparkFixture.sf0001
 
+  test("filter funnel: closed-form per-stage attrition on a planted corpus") {
+    import spark.implicits._
+    // 6 docs, each engineered to die at a specific stage (or survive):
+    //   10 -> null text           (drops at non_empty)
+    //   11 -> 3 tokens            (drops at len_gate)
+    //   12 -> digits only         (drops at alpha_gate)
+    //   13 -> one token repeated  (drops at uniq_gate)
+    //   14/15 -> identical good   (15 drops at exact_dedup, 14 survives)
+    val docs = Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, "too few tokens"),
+      (12L, "11 22 33 44 55 66 77 88"),
+      (13L, "spam spam spam spam spam spam spam spam spam spam"),
+      (14L, "a clean sentence with seven distinct words"),
+      (15L, "a clean sentence with seven distinct words"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Funnel.report(
+      docs, "doc_id",
+      Seq(
+        "non_empty" -> (col("text").isNotNull && trim(col("text")) =!= ""),
+        "len_gate" -> graft.operators.TextOps.tokenCount(col("text")).between(5, 2000),
+        "alpha_gate" ->
+          (TextOps.charClassCount(col("text"), "[A-Za-z]") * 2 >= length(col("text"))),
+        "uniq_gate" -> {
+          val toks = TextOps.tokens(col("text"))
+          size(array_distinct(toks)) * 10 >= size(toks) * 3
+        }),
+      dedupKey = Some(md5(col("text").cast("binary"))))
+      .orderBy("stage_id")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "non_empty", 6L, 5L, 1L),
+      (2, "len_gate", 5L, 4L, 1L),
+      (3, "alpha_gate", 4L, 3L, 1L),
+      (4, "uniq_gate", 3L, 2L, 1L),
+      (5, "exact_dedup", 2L, 1L, 1L)))
+    // funnel invariant: each stage's n_in is the previous stage's n_pass
+    got.sliding(2).foreach { case Seq(a, b) => assert(b._3 == a._4); case _ => }
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnel.report(docs, "doc_id", Seq.empty)
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
