@@ -1993,6 +1993,40 @@ object PipelineQueries {
         dedupKey = Some(md5(col("text").cast("binary"))))
     },
 
+    // windowFunnel CONVERSION REPORT: per-user max sequential depth
+    // through view -> click -> purchase within 6h of the chain's first
+    // event, strict (ts, event_id) order. The greedy latest-chain-start
+    // fold is provably the EXISTS-chain reachability the oracle's
+    // self-joins express (validity only compares each step against the
+    // chain start, so a later start dominates). Integer output -> fully
+    // oracled.
+    QueryDef("q112_window_funnel",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE event_type IN ('view','click','purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click'
+        |         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000),
+        |l3 AS (SELECT DISTINCT a.user_id FROM e a
+        |       JOIN e b ON a.user_id=b.user_id JOIN e c ON a.user_id=c.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click' AND c.event_type='purchase'
+        |         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |         AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND epoch_us(c.ts) - epoch_us(a.ts) <= 21600000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_level
+        |FROM u""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.windowFunnel(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 21600000000L)
+    },
+
     // BM25 lexical retrieval (the standard-formula counterpart to the
     // ANN family — what every RAG pipeline runs next to the vector
     // index). Float idf/length-norm scores -> rows-only; hand-computed

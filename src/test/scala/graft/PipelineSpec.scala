@@ -51,6 +51,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("windowFunnel: greedy restart, window expiry, same-ts tie-break, " +
+      "out-of-order input, no-step-1 users") {
+    import spark.implicits._
+    val H = 3600000000L // 1h in micros
+    // (event_id, us, user, type) — rows deliberately shuffled
+    val rows = Seq(
+      // user 1: purchase lands 7h after the only view -> level 2
+      (10L, 0L, 1L, "view"), (11L, H / 2, 1L, "click"), (12L, 7 * H, 1L, "purchase"),
+      // user 2: a LATER view restarts the chain; purchase is 5h30 after
+      // it (<=6h) though 7h30 after the first view -> level 3 (greedy)
+      (20L, 0L, 2L, "view"), (21L, 2 * H, 2L, "view"),
+      (22L, 2 * H + H / 2, 2L, "click"), (23L, 7 * H + H / 2, 2L, "purchase"),
+      // user 3: click+purchase but never a view -> level 0
+      (30L, 0L, 3L, "click"), (31L, H, 3L, "purchase"),
+      // user 4: view and click share a timestamp, click id greater -> counts
+      (40L, 0L, 4L, "view"), (41L, 0L, 4L, "click"),
+      // user 5: same-ts pair but click id SMALLER -> not "after" -> level 1
+      (51L, 0L, 5L, "view"), (50L, 0L, 5L, "click"),
+      // noise type is ignored
+      (60L, 0L, 1L, "error"))
+      .map { case (id, us, u, t) => (id, us, u, t) }
+    val df = rows.toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.EventFunnel.windowFunnel(
+      df, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 6 * H)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 3, 3L -> 0, 4L -> 2, 5L -> 1))
+    intercept[IllegalArgumentException] {
+      graft.operators.EventFunnel.windowFunnel(
+        df, "user_id", "ts", "event_id", "event_type", Seq.empty, 1L)
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
