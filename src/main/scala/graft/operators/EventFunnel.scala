@@ -67,4 +67,37 @@ object EventFunnel {
     grouped.select(col(userCol),
       size(filter(folded, x => x =!= lit(-1L))).cast("int").as("funnel_level"))
   }
+
+  /** Cohort retention: users grouped by their first-activity day, with
+    * counts of how many returned at each of `offsets` days later — the
+    * release-dashboard companion to [[windowFunnel]].
+    *
+    * Cohort days are epoch-day BIGINTs, not raw DATEs (hash-stable
+    * across engines — the repo's determinism convention). One per-user
+    * aggregation (min day + distinct active days, bounded by the user's
+    * distinct-day count) and one tiny per-cohort aggregation; both with
+    * map-side partial agg, the second over one row per user.
+    *
+    * Output: `cohort_day BIGINT, n_users BIGINT, n_d<o> BIGINT` per
+    * offset `o`, one row per cohort day.
+    */
+  def retention(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty, "retention needs at least one day offset")
+    val dayUs = 86400000000L
+    val ev = df.select(col(userCol),
+      floor(unix_micros(col(tsCol)) / dayUs).cast("long").as("__day"))
+    val per = ev.groupBy(col(userCol))
+      .agg(min(col("__day")).as("__d0"),
+        collect_set(col("__day")).as("__days"))
+    val flagged = per.select(col("__d0") +: offsets.map(o =>
+      when(array_contains(col("__days"), col("__d0") + o), 1L)
+        .otherwise(0L).as(s"__r$o")): _*)
+    flagged.groupBy(col("__d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        offsets.map(o => sum(col(s"__r$o")).as(s"n_d$o")): _*)
+  }
 }

@@ -2027,6 +2027,26 @@ object PipelineQueries {
         Seq("view", "click", "purchase"), windowMicros = 21600000000L)
     },
 
+    // Cohort RETENTION report: users bucketed by first-activity day with
+    // day+1 / day+7 return counts — the dashboard companion to q112.
+    // Cohort keys are epoch-day BIGINTs (hash-stable; raw DATE columns
+    // are the one type the driver's hasher renders differently, q103/104
+    // round-8 lesson). All-integer -> fully oracled.
+    QueryDef("q113_retention_cohorts",
+      """WITH ev AS (SELECT user_id,
+        |  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+        |d0 AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id),
+        |f AS (SELECT d.user_id, d.d0,
+        |        MAX(CASE WHEN e.day = d.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+        |        MAX(CASE WHEN e.day = d.d0 + 7 THEN 1 ELSE 0 END) AS r7
+        |      FROM d0 d JOIN ev e USING (user_id) GROUP BY d.user_id, d.d0)
+        |SELECT d0 AS cohort_day, COUNT(*) AS n_users,
+        |  CAST(SUM(r1) AS BIGINT) AS n_d1, CAST(SUM(r7) AS BIGINT) AS n_d7
+        |FROM f GROUP BY d0""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.retention(
+        t(s, dir, "events"), "user_id", "ts", Seq(1, 7))
+    },
+
     // BM25 lexical retrieval (the standard-formula counterpart to the
     // ANN family — what every RAG pipeline runs next to the vector
     // index). Float idf/length-norm scores -> rows-only; hand-computed

@@ -85,6 +85,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("retention cohorts: closed-form day-offset return flags") {
+    import spark.implicits._
+    val D = 86400000000L
+    // user 1: d0=0, returns d1 and d7; user 2: d0=0, returns d2 only;
+    // user 3: d0=5 (different cohort), returns d6 (= d0+1)
+    val rows = Seq(
+      (1L, 0L), (1L, 1 * D + 5L), (1L, 7 * D + 9L),
+      (2L, 100L), (2L, 2 * D),
+      (3L, 5 * D), (3L, 6 * D + 1L))
+    val df = rows.toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.EventFunnel.retention(df, "user_id", "ts", Seq(1, 7))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 1L, 1L), (5L, 1L, 1L, 0L)))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
