@@ -101,6 +101,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((0L, 2L, 1L, 1L), (5L, 1L, 1L, 0L)))
   }
 
+  test("funnel/retention plan shapes: shuffle counts and scan pushdown " +
+      "match the SCALE.md claims") {
+    def shuffles(df: org.apache.spark.sql.DataFrame): (Int, String) = {
+      val s = df.queryExecution.executedPlan.toString
+      ("Exchange ".r.findAllIn(s).size, s)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q112: ONE hash shuffle (per-user groupBy); the step filter is
+      // pushed into the parquet scan, so it runs below that exchange
+      val funnel = SparkEntry.queries("q112_window_funnel")(spark, dir)
+      val (n112, p112) = shuffles(funnel)
+      assert(n112 == 1, p112.take(600))
+      assert(p112.contains("In(event_type"), p112.take(600))
+      // q113: per-user agg + per-cohort agg = two hash shuffles
+      val (n113, p113) = shuffles(
+        SparkEntry.queries("q113_retention_cohorts")(spark, dir))
+      assert(n113 == 2, p113.take(600))
+      // q111: md5-key window shuffle + the single-row total agg's
+      // SinglePartition exchange — nothing else
+      val (n111, p111) = shuffles(
+        SparkEntry.queries("q111_filter_funnel")(spark, dir))
+      assert(n111 == 2, p111.take(600))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
