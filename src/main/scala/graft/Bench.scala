@@ -91,13 +91,21 @@ object Bench {
         if (runs == 2 && base.forall(s => s >= 0 && s < 1.0))
           base :+ runOnce(n)
         else base
-      n -> median(samples)
+      (n, median(samples), samples.filter(_ >= 0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min,max] sample spread, persisted so a reader can tell
+    // run-to-run jitter from a real regression without a re-run (a 1.9 s
+    // median whose samples span [1.4, 2.0] is noise; [1.9, 1.9] is not)
+    val spread = results.map { case (k, _, ss) =>
+      val lo = if (ss.isEmpty) -1.0 else ss.min
+      val hi = if (ss.isEmpty) -1.0 else ss.max
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the full per-query map: the driver's BENCH_r*.json
     // captures stdout with a length cap, which truncates the queries map

@@ -128,25 +128,30 @@ object JsMini {
     * depth — the raw body is sub-lexed later, which re-enters here for
     * each inner template.
     */
-  private def templateEnd(src: String, from: Int): Int = {
+  private def templateEnd(src: String, from: Int, base: Int = 0): Int = {
     val n = src.length
     var i = from
     while (i < n) {
       src.charAt(i) match {
         case '\\' if i + 1 < n                             => i += 2
         case '`'                                           => return i + 1
-        case '$' if i + 1 < n && src.charAt(i + 1) == '{'  => i = interpEnd(src, i + 2)
+        case '$' if i + 1 < n && src.charAt(i + 1) == '{'  =>
+          i = interpEnd(src, i + 2, base)
         case _                                             => i += 1
       }
     }
-    throw new JsSyntaxError(s"unterminated template literal at offset $from")
+    // `base` shifts re-lex-path offsets (parseTemplate works on the raw
+    // template BODY) back to module coordinates, so nested-template
+    // diagnostics point into the source the user wrote
+    throw new JsSyntaxError(
+      s"unterminated template literal at offset ${base + from}")
   }
 
   /** Index just past the `}` matching a `${` whose body starts at `from`.
     * Brace-depth aware; quoted strings are skipped opaquely and nested
     * backtick templates recurse through [[templateEnd]].
     */
-  private def interpEnd(src: String, from: Int): Int = {
+  private def interpEnd(src: String, from: Int, base: Int = 0): Int = {
     val n = src.length
     var i = from
     var depth = 1
@@ -155,7 +160,7 @@ object JsMini {
         case '\\' if i + 1 < n => i += 2
         case '{'               => depth += 1; i += 1
         case '}'               => depth -= 1; i += 1
-        case '`'               => i = templateEnd(src, i + 1)
+        case '`'               => i = templateEnd(src, i + 1, base)
         case q @ ('"' | '\'')  =>
           i += 1
           var qdone = false
@@ -164,12 +169,14 @@ object JsMini {
             else { qdone = src.charAt(i) == q; i += 1 }
           }
           if (!qdone)
-            throw new JsSyntaxError(s"unterminated string in $${…} at offset $from")
+            throw new JsSyntaxError(
+              s"unterminated string in $${…} at offset ${base + from}")
         case _                 => i += 1
       }
     }
     if (depth > 0)
-      throw new JsSyntaxError(s"unterminated $${ in template literal at offset $from")
+      throw new JsSyntaxError(
+        s"unterminated $${ in template literal at offset ${base + from}")
     i
   }
 
@@ -565,7 +572,7 @@ object JsMini {
           else t.text.toDouble
           ENum(v)
         case "str"   => pos += 1; EStr(t.text)
-        case "template" => pos += 1; parseTemplate(t.text)
+        case "template" => pos += 1; parseTemplate(t.text, t.pos + 1)
         case "true"  => pos += 1; EBool(true)
         case "false" => pos += 1; EBool(false)
         case "null"  => pos += 1; ENull
@@ -649,7 +656,10 @@ object JsMini {
   /** Split a raw template-literal body into literal chunks and
     * sub-parsed `${…}` interpolations (the lexer kept it verbatim).
     */
-  private def parseTemplate(raw: String): ETemplate = {
+  /** `base` = module-source offset of `raw`'s first character, so
+    * diagnostics from this re-lex path stay module-relative.
+    */
+  private def parseTemplate(raw: String, base: Int = 0): ETemplate = {
     val parts = mutable.ArrayBuffer.empty[Either[String, Expr]]
     val lit = new StringBuilder
     var i = 0
@@ -673,9 +683,15 @@ object JsMini {
       } else if (c == '$' && i + 1 < n && raw.charAt(i + 1) == '{') {
         flush()
         val exprStart = i + 2
-        val end = interpEnd(raw, exprStart)
+        val end = interpEnd(raw, exprStart, base)
         val src = raw.substring(exprStart, end - 1)
-        parts += Right(new Parser(lex(src)).expression())
+        parts += Right(
+          try new Parser(lex(src)).expression()
+          catch { case e: JsSyntaxError =>
+            throw new JsSyntaxError(
+              s"${e.getMessage} (inside template interpolation at module " +
+                s"offset ${base + exprStart})")
+          })
         i = end
       } else { lit += c; i += 1 }
     }

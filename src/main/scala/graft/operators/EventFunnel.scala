@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** ClickHouse-style `windowFunnel`: per-user maximum sequential-step depth
@@ -17,17 +17,55 @@ import org.apache.spark.sql.functions._
   * exact here because validity at each step only compares the current
   * event against the chain start, so a later start strictly dominates.
   *
+  * Null handling (part of the contract, not an accident): rows with a
+  * NULL timestamp are dropped up front — an unknown-time event cannot
+  * take a position in a time-ordered chain. Callers whose ts column may
+  * be mostly null should check coverage upstream; the funnel itself
+  * reports only over timestamped events.
+  *
+  * Strict modes ([[FunnelMode]]) refine which chains count, matching the
+  * ClickHouse windowFunnel mode family re-derived as REACHABILITY
+  * semantics (max k such that a qualifying chain exists — the property
+  * the q112 EXISTS-chain oracle established; ClickHouse's own greedy
+  * scan is not reachability-exact under its strict modes, ours is):
+  *  - [[FunnelMode.StrictIncrease]]: chain timestamps must STRICTLY
+  *    increase (equal-ts events cannot chain).
+  *  - [[FunnelMode.StrictOrder]]: chain events must be CONSECUTIVE among
+  *    ALL the user's events — any interleaved event (of any type) breaks
+  *    the chain. The input is therefore NOT pre-filtered to step types
+  *    in this mode.
+  *  - [[FunnelMode.StrictDedup]]: a repeat of a condition the chain has
+  *    already satisfied (an event of type step_j, j ≤ current level,
+  *    between two chain events) breaks the chain.
+  *
   * 100 TB shape: non-step events are filtered BEFORE the single per-user
-  * hash shuffle; the fold is a native higher-order `aggregate` over each
-  * user's sorted step events (no UDF, no window join, state = K longs).
-  * Per-user working set is that user's step-event count — the same
-  * per-key bound any sessionization pays; cap hyperactive keys upstream
-  * (e.g. time-bucket the funnel) if a key exceeds executor memory.
+  * hash shuffle (except StrictOrder, whose semantics need every event —
+  * the same per-key volume any sessionization of the full stream pays);
+  * the default fold is a native higher-order `aggregate` (no UDF, state
+  * = K longs). The strict folds are one typed function over the user's
+  * sorted events — same shuffle, same per-key bound, O(K) state — used
+  * because their exact guards need two-phase timestamp-group state that
+  * Column-lambda folds express badly.
   */
 object EventFunnel {
 
+  sealed trait FunnelMode
+  object FunnelMode {
+    case object Default extends FunnelMode
+    case object StrictIncrease extends FunnelMode
+    case object StrictOrder extends FunnelMode
+    case object StrictDedup extends FunnelMode
+  }
+
+  private def requireNoClash(userCol: String, internal: Seq[String]): Unit =
+    require(!internal.contains(userCol),
+      s"user column '$userCol' collides with EventFunnel's internal " +
+        "working/output columns; rename it first")
+
   /** Output: (userCol, funnel_level INT) — one row per user having at
-    * least one step event; level 0 = step-1 event never seen.
+    * least one step event (StrictOrder: at least one event of any type,
+    * since every event participates in its semantics); level 0 = step-1
+    * event never seen / never chained.
     */
   def windowFunnel(
       df: DataFrame,
@@ -36,36 +74,161 @@ object EventFunnel {
       orderCol: String,
       typeCol: String,
       steps: Seq[String],
-      windowMicros: Long): DataFrame = {
+      windowMicros: Long,
+      mode: FunnelMode = FunnelMode.Default): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    requireNoClash(userCol, Seq("e", "evs", "funnel_level"))
     val k = steps.size
-    val ev = df
-      .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol),
-        struct(
-          unix_micros(col(tsCol)).as("us"),
-          col(orderCol).cast("long").as("ord"),
-          col(typeCol).as("t")).as("e"))
-    val grouped = ev.groupBy(col(userCol))
-      .agg(sort_array(collect_list(col("e"))).as("evs"))
-    val init = array(Seq.fill(k)(lit(-1L)): _*)
-    val folded = aggregate(col("evs"), init, (acc: Column, e: Column) => {
-      val us = e.getField("us")
-      val t = e.getField("t")
-      array((0 until k).map { i =>
-        val cur = element_at(acc, i + 1)
-        if (i == 0) when(t === steps.head, greatest(cur, us)).otherwise(cur)
-        else {
-          val prevStart = element_at(acc, i)
-          when(
-            t === steps(i) && prevStart =!= lit(-1L) &&
-              (us - prevStart) <= lit(windowMicros),
-            greatest(cur, prevStart)).otherwise(cur)
+    val timed = df.filter(col(tsCol).isNotNull)
+    mode match {
+      case FunnelMode.Default =>
+        val ev = timed
+          .filter(col(typeCol).isin(steps: _*))
+          .select(col(userCol),
+            struct(
+              unix_micros(col(tsCol)).as("us"),
+              col(orderCol).cast("long").as("ord"),
+              col(typeCol).as("t")).as("e"))
+        val grouped = ev.groupBy(col(userCol))
+          .agg(sort_array(collect_list(col("e"))).as("evs"))
+        val init = array(Seq.fill(k)(lit(-1L)): _*)
+        val folded = aggregate(col("evs"), init, (acc: Column, e: Column) => {
+          val us = e.getField("us")
+          val t = e.getField("t")
+          array((0 until k).map { i =>
+            val cur = element_at(acc, i + 1)
+            if (i == 0) when(t === steps.head, greatest(cur, us)).otherwise(cur)
+            else {
+              val prevStart = element_at(acc, i)
+              when(
+                t === steps(i) && prevStart =!= lit(-1L) &&
+                  (us - prevStart) <= lit(windowMicros),
+                greatest(cur, prevStart)).otherwise(cur)
+            }
+          }: _*)
+        })
+        grouped.select(col(userCol),
+          size(filter(folded, x => x =!= lit(-1L))).cast("int").as("funnel_level"))
+
+      case strict =>
+        // step index 1..k; 0 = non-step (only StrictOrder keeps those)
+        val tIdx = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
+          when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
         }
-      }: _*)
-    })
-    grouped.select(col(userCol),
-      size(filter(folded, x => x =!= lit(-1L))).cast("int").as("funnel_level"))
+        val base = strict match {
+          case FunnelMode.StrictOrder => timed
+          case _ => timed.filter(col(typeCol).isin(steps: _*))
+        }
+        val ev = base.select(col(userCol),
+          struct(
+            unix_micros(col(tsCol)).as("us"),
+            col(orderCol).cast("long").as("ord"),
+            tIdx.as("t")).as("e"))
+        val foldUdf = strict match {
+          case FunnelMode.StrictIncrease =>
+            udf((evs: Seq[Row]) => foldStrictIncrease(evs, k, windowMicros))
+          case FunnelMode.StrictOrder =>
+            udf((evs: Seq[Row]) => foldStrictOrder(evs, windowMicros))
+          case _ =>
+            udf((evs: Seq[Row]) => foldStrictDedup(evs, k, windowMicros))
+        }
+        ev.groupBy(col(userCol))
+          .agg(sort_array(collect_list(col("e"))).as("evs"))
+          .select(col(userCol),
+            foldUdf(col("evs")).cast("int").as("funnel_level"))
+    }
+  }
+
+  private val NONE = Long.MinValue
+
+  /** Strictly-increasing-timestamp chains. Exactness needs two-phase
+    * state: a step event at time T may only extend chains whose last
+    * event is STRICTLY earlier, i.e. the per-level best-start AS OF the
+    * previous distinct timestamp — updates within one timestamp group
+    * are staged and become visible when the clock advances. Within the
+    * visible set, keep-max-start greedy is exact (every visible chain's
+    * last event precedes T, so extension validity depends on the start
+    * alone).
+    */
+  private def foldStrictIncrease(evs: Seq[Row], k: Int, window: Long): Int = {
+    val visible = Array.fill(k + 1)(NONE)
+    val staged = Array.fill(k + 1)(NONE)
+    var curTs = NONE
+    var maxLevel = 0
+    evs.foreach { e =>
+      val us = e.getLong(0)
+      val t = e.getInt(2)
+      if (us != curTs) {
+        var j = 1
+        while (j <= k) {
+          if (staged(j) > visible(j)) visible(j) = staged(j)
+          j += 1
+        }
+        curTs = us
+      }
+      if (t == 1) {
+        if (us > staged(1)) staged(1) = us
+        if (maxLevel < 1) maxLevel = 1
+      } else if (t >= 2) {
+        val p = visible(t - 1)
+        if (p != NONE && us - p <= window) {
+          if (p > staged(t)) staged(t) = p
+          if (t > maxLevel) maxLevel = t
+        }
+      }
+    }
+    maxLevel
+  }
+
+  /** Consecutive-events chains: only a chain ending at the IMMEDIATELY
+    * preceding event can be extended, so the whole state is that one
+    * (level, start) pair plus the best level ever reached.
+    */
+  private def foldStrictOrder(evs: Seq[Row], window: Long): Int = {
+    var prevLevel = 0
+    var prevStart = 0L
+    var maxLevel = 0
+    evs.foreach { e =>
+      val us = e.getLong(0)
+      val t = e.getInt(2)
+      if (t >= 2 && prevLevel == t - 1 && us - prevStart <= window) {
+        prevLevel = t // chain start unchanged
+      } else if (t == 1) {
+        prevLevel = 1; prevStart = us
+      } else {
+        prevLevel = 0
+      }
+      if (prevLevel > maxLevel) maxLevel = prevLevel
+    }
+    maxLevel
+  }
+
+  /** No-repeated-condition chains: an event of condition t interrupts
+    * every live chain that already holds condition t (levels ≥ t); kills
+    * are uniform across a level (the current event postdates every live
+    * chain's last event), so keep-max-start greedy stays exact.
+    */
+  private def foldStrictDedup(evs: Seq[Row], k: Int, window: Long): Int = {
+    val levels = Array.fill(k + 1)(NONE)
+    var maxLevel = 0
+    evs.foreach { e =>
+      val us = e.getLong(0)
+      val t = e.getInt(2)
+      val cand =
+        if (t == 1) us
+        else {
+          val p = levels(t - 1)
+          if (p != NONE && us - p <= window) p else NONE
+        }
+      var j = t
+      while (j <= k) { levels(j) = NONE; j += 1 }
+      if (cand != NONE) {
+        levels(t) = cand
+        if (t > maxLevel) maxLevel = t
+      }
+    }
+    maxLevel
   }
 
   /** Cohort retention: users grouped by their first-activity day, with
@@ -76,7 +239,8 @@ object EventFunnel {
     * across engines — the repo's determinism convention). One per-user
     * aggregation (min day + distinct active days, bounded by the user's
     * distinct-day count) and one tiny per-cohort aggregation; both with
-    * map-side partial agg, the second over one row per user.
+    * map-side partial agg, the second over one row per user. Rows with
+    * a NULL timestamp are dropped (no day to cohort them into).
     *
     * Output: `cohort_day BIGINT, n_users BIGINT, n_d<o> BIGINT` per
     * offset `o`, one row per cohort day.
@@ -87,8 +251,10 @@ object EventFunnel {
       tsCol: String,
       offsets: Seq[Int]): DataFrame = {
     require(offsets.nonEmpty, "retention needs at least one day offset")
+    requireNoClash(userCol,
+      Seq("__day", "__d0", "__days") ++ offsets.map(o => s"__r$o"))
     val dayUs = 86400000000L
-    val ev = df.select(col(userCol),
+    val ev = df.filter(col(tsCol).isNotNull).select(col(userCol),
       floor(unix_micros(col(tsCol)) / dayUs).cast("long").as("__day"))
     val per = ev.groupBy(col(userCol))
       .agg(min(col("__day")).as("__d0"),

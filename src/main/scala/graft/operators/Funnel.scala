@@ -39,6 +39,13 @@ object Funnel {
       stages: Seq[(String, Column)],
       dedupKey: Option[Column] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // the stage machinery adds internal __s<i> flag columns; an input
+    // that already carries one would be silently overwritten and corrupt
+    // the attrition counts — refuse loudly instead
+    val clash = df.columns.filter(_.matches("__s\\d+"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Funnel's " +
+        "internal __s<i> stage flags; rename them before calling report")
     val names = stages.map(_._1) ++ dedupKey.map(_ => "exact_dedup")
     val total = names.size
 

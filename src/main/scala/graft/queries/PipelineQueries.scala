@@ -2047,6 +2047,127 @@ object PipelineQueries {
         t(s, dir, "events"), "user_id", "ts", Seq(1, 7))
     },
 
+    // windowFunnel STRICT_INCREASE: chain timestamps must STRICTLY
+    // increase (equal-ts events cannot chain) — reachability semantics,
+    // so the oracle is q112's EXISTS-chain with strict ts inequalities.
+    // The Spark fold stages same-timestamp updates and commits them when
+    // the clock advances, which makes keep-max-start greedy exact.
+    QueryDef("q112b_funnel_strict_increase",
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE ts IS NOT NULL
+        |             AND event_type IN ('view','click','purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click'
+        |         AND b.ts > a.ts
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000),
+        |l3 AS (SELECT DISTINCT a.user_id FROM e a
+        |       JOIN e b ON a.user_id=b.user_id JOIN e c ON a.user_id=c.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click' AND c.event_type='purchase'
+        |         AND b.ts > a.ts AND c.ts > b.ts
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND epoch_us(c.ts) - epoch_us(a.ts) <= 21600000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_level
+        |FROM u""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.windowFunnel(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 21600000000L,
+        mode = graft.operators.EventFunnel.FunnelMode.StrictIncrease)
+    },
+
+    // windowFunnel STRICT_ORDER: chain events must be CONSECUTIVE among
+    // ALL the user's events — any interleaved event of any type breaks
+    // the chain. Universe = every event (signup/error interleaves
+    // matter), so the oracle's adjacency is a NOT EXISTS over the full
+    // stream in (ts, event_id) tuple order.
+    QueryDef("q112c_funnel_strict_order",
+      """WITH ae AS (SELECT user_id, ts, event_id, event_type FROM events
+        |            WHERE ts IS NOT NULL),
+        |u AS (SELECT DISTINCT user_id FROM ae),
+        |l1 AS (SELECT DISTINCT user_id FROM ae WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT a.user_id FROM ae a JOIN ae b ON a.user_id = b.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click'
+        |         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND NOT EXISTS (SELECT 1 FROM ae x WHERE x.user_id = a.user_id
+        |           AND (x.ts > a.ts OR (x.ts = a.ts AND x.event_id > a.event_id))
+        |           AND (x.ts < b.ts OR (x.ts = b.ts AND x.event_id < b.event_id)))),
+        |l3 AS (SELECT DISTINCT a.user_id FROM ae a
+        |       JOIN ae b ON a.user_id=b.user_id JOIN ae c ON a.user_id=c.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click' AND c.event_type='purchase'
+        |         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |         AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND epoch_us(c.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND NOT EXISTS (SELECT 1 FROM ae x WHERE x.user_id = a.user_id
+        |           AND (x.ts > a.ts OR (x.ts = a.ts AND x.event_id > a.event_id))
+        |           AND (x.ts < b.ts OR (x.ts = b.ts AND x.event_id < b.event_id)))
+        |         AND NOT EXISTS (SELECT 1 FROM ae x WHERE x.user_id = b.user_id
+        |           AND (x.ts > b.ts OR (x.ts = b.ts AND x.event_id > b.event_id))
+        |           AND (x.ts < c.ts OR (x.ts = c.ts AND x.event_id < c.event_id))))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_level
+        |FROM u""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.windowFunnel(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 21600000000L,
+        mode = graft.operators.EventFunnel.FunnelMode.StrictOrder)
+    },
+
+    // windowFunnel STRICT_DEDUP: a repeat of a condition the chain has
+    // already satisfied breaks it — a second 'view' between the chain's
+    // view and click kills level 2; a 'view' or 'click' between the
+    // click and the purchase kills level 3. Conditions NOT yet held
+    // (e.g. a click between view and click) never interrupt.
+    QueryDef("q112d_funnel_strict_dedup",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE ts IS NOT NULL
+        |             AND event_type IN ('view','click','purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click'
+        |         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND NOT EXISTS (SELECT 1 FROM e x WHERE x.user_id = a.user_id
+        |           AND x.event_type = 'view'
+        |           AND (x.ts > a.ts OR (x.ts = a.ts AND x.event_id > a.event_id))
+        |           AND (x.ts < b.ts OR (x.ts = b.ts AND x.event_id < b.event_id)))),
+        |l3 AS (SELECT DISTINCT a.user_id FROM e a
+        |       JOIN e b ON a.user_id=b.user_id JOIN e c ON a.user_id=c.user_id
+        |       WHERE a.event_type='view' AND b.event_type='click' AND c.event_type='purchase'
+        |         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |         AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+        |         AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND epoch_us(c.ts) - epoch_us(a.ts) <= 21600000000
+        |         AND NOT EXISTS (SELECT 1 FROM e x WHERE x.user_id = a.user_id
+        |           AND x.event_type = 'view'
+        |           AND (x.ts > a.ts OR (x.ts = a.ts AND x.event_id > a.event_id))
+        |           AND (x.ts < b.ts OR (x.ts = b.ts AND x.event_id < b.event_id)))
+        |         AND NOT EXISTS (SELECT 1 FROM e x WHERE x.user_id = b.user_id
+        |           AND x.event_type IN ('view','click')
+        |           AND (x.ts > b.ts OR (x.ts = b.ts AND x.event_id > b.event_id))
+        |           AND (x.ts < c.ts OR (x.ts = c.ts AND x.event_id < c.event_id))))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_level
+        |FROM u""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.windowFunnel(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 21600000000L,
+        mode = graft.operators.EventFunnel.FunnelMode.StrictDedup)
+    },
+
     // BM25 lexical retrieval (the standard-formula counterpart to the
     // ANN family — what every RAG pipeline runs next to the vector
     // index). Float idf/length-norm scores -> rows-only; hand-computed

@@ -69,6 +69,13 @@ class JsMiniSpec extends AnyFunSuite {
     intercept[JsSyntaxError] {
       JsMini.parse("const a = `one ${`two ${x`}`;")
     }
+    // Re-lex-path diagnostics are MODULE-relative: a bad expression
+    // inside an interpolation reports the offset in the source the user
+    // wrote, not an offset into the extracted template body
+    val src = "const pad = 12345; const a = `ab${1 +}cd`;"
+    val e = intercept[JsSyntaxError] { JsMini.parse(src) }
+    assert(e.getMessage.contains(s"module offset ${src.indexOf("1 +")}"),
+      e.getMessage)
   }
 
   test("spread in array literals and calls; array/object destructuring " +

@@ -85,6 +85,77 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("windowFunnel strict modes: strict_increase two-phase same-ts, " +
+      "strict_order interleave breaks, strict_dedup held-condition repeats, " +
+      "null-ts drop, collision guard") {
+    import spark.implicits._
+    import graft.operators.EventFunnel
+    import graft.operators.EventFunnel.FunnelMode
+    val H = 3600000000L
+    val M = 60000000L
+    val rows = Seq(
+      // u1: view(0) view(5H) click(5H) purchase(6H) — strict_increase
+      // must chain click(5H) with view(0), NOT view(5H): proves staged
+      // same-ts updates stay invisible until the clock advances
+      (10L, 0L, 1L, "view"), (11L, 5 * H, 1L, "view"),
+      (12L, 5 * H, 1L, "click"), (13L, 6 * H, 1L, "purchase"),
+      // u2: view/click share a ts (click id greater) — default chains
+      // them (tuple order), strict_increase cannot: purchase then has
+      // no level-2 predecessor either -> level 1
+      (20L, 0L, 2L, "view"), (21L, 0L, 2L, "click"), (22L, H, 2L, "purchase"),
+      // u4: an 'error' between view and click breaks strict_order
+      (40L, 0L, 4L, "view"), (41L, 1 * M, 4L, "error"),
+      (42L, 2 * M, 4L, "click"), (43L, 3 * M, 4L, "purchase"),
+      // u5: perfectly consecutive chain -> 3 in every mode
+      (50L, 0L, 5L, "view"), (51L, 1 * M, 5L, "click"), (52L, 2 * M, 5L, "purchase"),
+      // u6: error after the click breaks only the level-3 extension
+      (60L, 0L, 6L, "view"), (61L, 1 * M, 6L, "click"),
+      (62L, 90L * 1000000L, 6L, "error"), (63L, 2 * M, 6L, "purchase"),
+      // u8: a second view BETWEEN click and purchase repeats a held
+      // condition -> strict_dedup kills the level-2 chain -> 2
+      (80L, 0L, 8L, "view"), (81L, 1 * M, 8L, "click"),
+      (82L, 2 * M, 8L, "view"), (83L, 3 * M, 8L, "purchase"),
+      // u9: a second click between view and click does NOT interrupt
+      // (click was not yet held by the level-1 chain) -> 3
+      (90L, 0L, 9L, "view"), (91L, 1 * M, 9L, "click"),
+      (92L, 2 * M, 9L, "click"), (93L, 3 * M, 9L, "purchase"),
+      // u99: only a null-ts event -> dropped entirely (documented)
+      (990L, -1L, 99L, "view"))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts",
+        when(col("us") >= 0, timestamp_micros(col("us"))))
+    def run(mode: FunnelMode): Map[Long, Int] =
+      EventFunnel.windowFunnel(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), 6 * H, mode)
+        .as[(Long, Int)].collect().toMap
+    val dflt = run(FunnelMode.Default)
+    assert(dflt(1L) == 3 && dflt(2L) == 3 && dflt(4L) == 3 &&
+      dflt(5L) == 3 && dflt(8L) == 3 && dflt(9L) == 3)
+    assert(!dflt.contains(99L), "null-ts-only user must be dropped")
+    val inc = run(FunnelMode.StrictIncrease)
+    assert(inc == Map(1L -> 3, 2L -> 1, 4L -> 3, 5L -> 3, 6L -> 3,
+      8L -> 3, 9L -> 3))
+    val ord = run(FunnelMode.StrictOrder)
+    assert(ord == Map(1L -> 3, 2L -> 3, 4L -> 1, 5L -> 3, 6L -> 2,
+      8L -> 2, 9L -> 2))
+    val ddp = run(FunnelMode.StrictDedup)
+    assert(ddp == Map(1L -> 3, 2L -> 3, 4L -> 3, 5L -> 3, 6L -> 3,
+      8L -> 2, 9L -> 3))
+    intercept[IllegalArgumentException] {
+      EventFunnel.windowFunnel(df.withColumnRenamed("user_id", "evs"),
+        "evs", "ts", "event_id", "event_type", Seq("view"), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      EventFunnel.retention(df.withColumnRenamed("user_id", "__d0"),
+        "__d0", "ts", Seq(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnel.report(
+        df.withColumn("__s1", lit(1L)), "event_id",
+        Seq("gate" -> col("us").geq(0)))
+    }
+  }
+
   test("retention cohorts: closed-form day-offset return flags") {
     import spark.implicits._
     val D = 86400000000L
