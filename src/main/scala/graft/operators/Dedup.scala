@@ -796,14 +796,45 @@ object Dedup {
       }
   }
 
+  /** The ground-truth side is a within-block all-pairs self-join —
+    * O(blockSize²) by nature. `maxBlockSize` bounds it: each block is
+    * deterministically capped to its first `maxBlockSize` docs in
+    * (md5(id), id) order — a partitioning-independent, cross-engine
+    * replayable sample — and BOTH truth and candidate sides run over the
+    * same capped universe, so precision/recall stay coherent. The shed
+    * volume is reported in-band (`n_docs_shed`, `n_pairs_shed` = Σ per
+    * block of C(n,2) − C(cap,2)), the [[bucketCoverage]] contract: a
+    * capped evaluation SAYS it is capped instead of silently reading as
+    * exhaustive. Per-block cost is ≤ cap², so the evaluation scales
+    * linearly in block COUNT no matter how skewed block sizes get.
+    */
   def oracleLshEval(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, jaccardThreshold: Double, numHashes: Int = 16,
-      shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+      shingleWidth: Int = 3, bands: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(maxBlockSize >= 2,
+      s"maxBlockSize=$maxBlockSize leaves no pairs to evaluate")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val capped = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBlockSize)
+      .drop("__rn")
+    val capL = maxBlockSize.toLong
+    val shed = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(when(col("__n") > capL, col("__n") - capL)), lit(0L))
+          .as("n_docs_shed"),
+        coalesce(sum(when(col("__n") > capL,
+            shiftright(col("__n") * (col("__n") - 1) -
+              lit(capL * (capL - 1)), 1))), lit(0L))
+          .as("n_pairs_shed"))
     // ground truth over SHINGLE sets — the similarity minhash actually
     // approximates (token-set Jaccard is a different duplicate notion:
     // two random orderings of one vocabulary are token-identical but
     // share no shingles)
-    val sets = df.select(col(blockCol).as("__blk"), col(idCol),
+    val sets = capped.select(col(blockCol).as("__blk"), col(idCol),
         oracleShingleSetUdf(col(textCol), lit(shingleWidth)).as("__hs"))
       .filter(col("__hs").isNotNull)
     val a = sets.select(col("__blk"), col(idCol).as("id_a"),
@@ -818,9 +849,9 @@ object Dedup {
         lit(jaccardThreshold) *
           (size(col("__ha")) + size(col("__hb")) - col("__i")))
       .select(col("id_a"), col("id_b"))
-    val srcA = df.select(col(idCol).as("id_a"), col(blockCol).as("__sa"))
-    val srcB = df.select(col(idCol).as("id_b"), col(blockCol).as("__sb"))
-    val cand = oracleLshPairs(df, idCol, textCol, numHashes,
+    val srcA = capped.select(col(idCol).as("id_a"), col(blockCol).as("__sa"))
+    val srcB = capped.select(col(idCol).as("id_b"), col(blockCol).as("__sb"))
+    val cand = oracleLshPairs(capped, idCol, textCol, numHashes,
         shingleWidth, bands)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       .join(srcA, Seq("id_a")).join(srcB, Seq("id_b"))
@@ -830,9 +861,11 @@ object Dedup {
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(shed)
       .select(col("n_truth"), col("n_candidates"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_candidates")).as("precision"),
-        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        col("n_docs_shed"), col("n_pairs_shed"))
   }
 
   /** ORACLED cap-coverage metric (the q34c contract over the oracle

@@ -395,12 +395,32 @@ object PipelineQueries {
     // harness surfaced during development). Counts + single-division
     // float metrics all hash-matched (one IEEE division each is
     // bit-exact cross-engine). The tuning-loop readout for picking
-    // bands/hashes against a target threshold.
+    // bands/hashes against a target threshold. The quadratic truth side
+    // is bounded: blocks are capped at 1000 docs via a deterministic
+    // (md5(id), id)-order sample mirrored in this SQL, with shed doc/pair
+    // volume reported in-band (zero at every test SF — the cap exists
+    // for the skewed-block case a 100× corpus would hit).
     QueryDef("q34g_lsh_eval_oracle",
-      """WITH norm AS (
-        |  SELECT doc_id,
+      """WITH ranked AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |),
+        |samp AS (SELECT doc_id FROM ranked WHERE rn <= 1000),
+        |shed AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN n > 1000 THEN n - 1000 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_docs_shed,
+        |    CAST(COALESCE(SUM(CASE WHEN n > 1000
+        |      THEN (n * (n - 1) - 1000 * 999) // 2 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_pairs_shed
+        |  FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+        |),
+        |norm AS (
+        |  SELECT d.doc_id,
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |  FROM documents d JOIN samp USING (doc_id)
+        |  WHERE text IS NOT NULL AND trim(text) <> ''
         |),
         |shing AS (
         |  SELECT DISTINCT doc_id,
@@ -446,7 +466,7 @@ object PipelineQueries {
         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
         |  WHERE a.doc_id < b.doc_id
         |),
-        |src AS (SELECT doc_id, source FROM documents),
+        |src AS (SELECT d.doc_id, d.source FROM documents d JOIN samp USING (doc_id)),
         |cand AS (
         |  SELECT c.id_a, c.id_b FROM cand0 c
         |  JOIN src sa ON c.id_a = sa.doc_id
@@ -461,10 +481,12 @@ object PipelineQueries {
         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM cand) AS precision,
         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-        |    / (SELECT COUNT(*) FROM truth) AS recall""".stripMargin) {
+        |    / (SELECT COUNT(*) FROM truth) AS recall,
+        |  (SELECT n_docs_shed FROM shed) AS n_docs_shed,
+        |  (SELECT n_pairs_shed FROM shed) AS n_pairs_shed""".stripMargin) {
       (s, dir) =>
       Dedup.oracleLshEval(t(s, dir, "documents"), "doc_id", "text",
-        "source", jaccardThreshold = 0.5)
+        "source", jaccardThreshold = 0.5, maxBlockSize = 1000)
     },
 
     // Token counting + quality metrics (all integer-exact or

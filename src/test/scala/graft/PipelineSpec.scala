@@ -198,6 +198,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("oracleLshEval caps a planted mega-block deterministically and " +
+      "reports the shed doc/pair volume in-band") {
+    import spark.implicits._
+    // block 'big' holds 8 docs; cap 5 -> 3 docs shed and
+    // (8·7 − 5·4)/2 = 18 ground-truth pairs shed
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta token$i", "big")) ++
+      Seq((100L, "totally different content here entirely now", "small"))
+    val df = docs.toDF("doc_id", "text", "source")
+    def eval(cap: Int) = Dedup.oracleLshEval(
+      df, "doc_id", "text", "source", 0.5, maxBlockSize = cap)
+    val row = eval(5).collect().head
+    assert(row.getAs[Long]("n_docs_shed") == 3L)
+    assert(row.getAs[Long]("n_pairs_shed") == 18L)
+    // capped universe bounds the truth join: at most C(5,2) big-block
+    // pairs (+0 from the singleton block)
+    assert(row.getAs[Long]("n_truth") <= 10L)
+    // the sample is a pure function of ids -> identical on a re-run
+    assert(eval(5).collect().head.toSeq == row.toSeq)
+    // an ample cap sheds nothing and evaluates every pair
+    val full = eval(100).collect().head
+    assert(full.getAs[Long]("n_docs_shed") == 0L &&
+      full.getAs[Long]("n_pairs_shed") == 0L)
+    assert(full.getAs[Long]("n_truth") == 28L, full.toString) // C(8,2) near-dups
+    intercept[IllegalArgumentException] { eval(1) }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
