@@ -270,26 +270,72 @@ object Similarity {
     *
     * Scale shape: the ranked lists are k-bounded per query already, so
     * the union + aggregation is O(queries × k × lists) — result-sized,
-    * never corpus-sized. Determinism: `1/(kRrf+rank)` is one IEEE
-    * division (correctly rounded everywhere); with TWO lists the
-    * per-item sum has at most two addends, so the fused score is
-    * bit-identical across engines — that is what lets q110
-    * hash-match a DOUBLE score column cross-engine.
+    * never corpus-sized.
+    *
+    * Determinism for ANY list count: the per-item score Σᵢ 1/cᵢ (with
+    * cᵢ = kRrf + rankᵢ) is accumulated as an EXACT integer rational
+    * N/D — D = Πcᵢ, N = Σᵢ D/cᵢ, both order-independent 64-bit exact —
+    * and becomes a double in ONE correctly-rounded IEEE division. A
+    * naive float SUM would depend on shuffle arrival order from three
+    * addends up (and differs from the rational value in the last ulp),
+    * which is why the oracle replays the same rational form. Exact
+    * while D < 2⁶³: guarded to ≤6 lists, which with default kRrf=60
+    * is safe for input ranks up to ~2¹⁰ (1084⁶ < 2⁶³).
     */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rankings.size <= 6,
+      s"${rankings.size} lists could overflow the exact rational " +
+        "accumulator (D = prod(kRrf+rank) must stay under 2^63); " +
+        "fuse hierarchically beyond 6")
     require(k >= 1 && kRrf >= 0)
     val unioned = rankings
       .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    // fold carries (numerator, denominator): (n, d) ⊕ c = (n·c + d, d·c)
+    val folded = aggregate(
+      col("__cs"),
+      struct(lit(0L).as("n"), lit(1L).as("d")),
+      (acc: Column, c: Column) => struct(
+        (acc.getField("n") * c + acc.getField("d")).as("n"),
+        (acc.getField("d") * c).as("d")))
     unioned
-      .withColumn("__c", lit(1.0) / (lit(kRrf) + col("rank")))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__c")).as("rrf_score"),
-        count(lit(1)).as("n_lists"))
+      .agg(collect_list((lit(kRrf) + col("rank")).cast("long")).as("__cs"))
+      .withColumn("__nd", folded)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__nd.n").cast("double") / col("__nd.d").cast("double"))
+          .as("rrf_score"),
+        size(col("__cs")).cast("long").as("n_lists"))
       .withColumn("fused_rank", row_number().over(w).cast("int"))
       .filter(col("fused_rank") <= k)
+  }
+
+  /** Top-k neighbors by SQ8 integer L1 (Manhattan) distance — a third
+    * integer-exact retriever leg next to [[sq8TopK]]'s dot product:
+    * distance = Σ|qᵢ−cᵢ| over int8 codes, ranked (dist asc, id asc).
+    * Same scale shape as [[bruteForceTopK]]: broadcast query codes, one
+    * corpus scan, one shuffle on query id for the per-query rank; every
+    * value an integer, so the ranking replays exactly in SQL.
+    */
+  def sq8L1TopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      sq8Codes(col(corpusVec)).as("__cc"))
+    val q = queries.select(col(queryId).as("query_id"),
+      sq8Codes(col(queryVec)).as("__qc"))
+    val dist = aggregate(
+      zip_with(col("__qc"), col("__cc"), (x, y) => abs(x - y)),
+      lit(0L), (acc: Column, v: Column) => acc + v)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

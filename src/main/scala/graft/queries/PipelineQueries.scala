@@ -2524,10 +2524,11 @@ object PipelineQueries {
     // of the exact-cosine retriever (q39b's rank-stable ranking) and
     // the SQ8 integer-dot retriever (q83b) — the standard two-leg
     // hybrid combiner. The DOUBLE rrf score hash-matches cross-engine
-    // because 1/(60+rank) is one correctly-rounded IEEE division and
-    // each item sums at most TWO addends (see rrfFuse scaladoc); ties
-    // break on neighbor id identically. Cost is result-sized: both
-    // input lists are k-bounded per query before the fusion shuffle.
+    // because both engines accumulate it as the EXACT integer rational
+    // N/D (see rrfFuse scaladoc) and divide once — IEEE-identical for
+    // any list count; ties break on neighbor id identically. Cost is
+    // result-sized: input lists are k-bounded per query before the
+    // fusion shuffle.
     QueryDef("q110_hybrid_rrf",
       """WITH brute AS (
         |  SELECT query_id, neighbor_id, rn FROM (
@@ -2565,16 +2566,24 @@ object PipelineQueries {
         |), u AS (
         |  SELECT * FROM brute UNION ALL SELECT * FROM sq8
         |), f AS (
-        |  SELECT query_id, neighbor_id,
-        |    SUM(1.0 / (60 + rn)) AS rrf_score,
-        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  SELECT query_id, neighbor_id, list(60 + rn) AS cs
         |  FROM u GROUP BY query_id, neighbor_id
+        |), fr AS (
+        |  SELECT query_id, neighbor_id, cs,
+        |    list_reduce(cs, (a, b) -> a * b) AS d
+        |  FROM f
+        |), fx AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_sum(list_transform(cs, x -> d // x)) AS DOUBLE) / d
+        |      AS rrf_score,
+        |    CAST(len(cs) AS BIGINT) AS n_lists
+        |  FROM fr
         |)
         |SELECT query_id, neighbor_id, rrf_score, n_lists,
         |  CAST(rk AS INTEGER) AS fused_rank
         |FROM (SELECT *, ROW_NUMBER() OVER (
         |        PARTITION BY query_id
-        |        ORDER BY rrf_score DESC, neighbor_id ASC) AS rk FROM f)
+        |        ORDER BY rrf_score DESC, neighbor_id ASC) AS rk FROM fx)
         |WHERE rk <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -2584,6 +2593,90 @@ object PipelineQueries {
       val sq8 = Similarity.sq8TopK(
         emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
       Similarity.rrfFuse(Seq(brute, sq8), k = 5)
+    },
+
+    // THREE-LIST hybrid fusion — the case the naive float-sum RRF
+    // cannot oracle (three addends depend on shuffle arrival order):
+    // exact cosine + SQ8 dot + SQ8 L1 fused through the same rational
+    // accumulator, proving rrfFuse determinism beyond two lists.
+    QueryDef("q110b_hybrid_rrf3",
+      """WITH brute AS (
+        |  SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 10
+        |), m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS ma,
+        |    embedding
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0
+        |      THEN list_transform(embedding, y -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |             y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS code
+        |  FROM m
+        |), sq8 AS (
+        |  SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.code, c.code) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM codes q, codes c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 10
+        |), l1 AS (
+        |  SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (
+        |        PARTITION BY q.vec_id
+        |        ORDER BY list_sum(list_transform(list_zip(q.code, c.code),
+        |                   x -> abs(x[1] - x[2]))) ASC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM codes q, codes c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 10
+        |), u AS (
+        |  SELECT * FROM brute UNION ALL SELECT * FROM sq8
+        |  UNION ALL SELECT * FROM l1
+        |), f AS (
+        |  SELECT query_id, neighbor_id, list(60 + rn) AS cs
+        |  FROM u GROUP BY query_id, neighbor_id
+        |), fr AS (
+        |  SELECT query_id, neighbor_id, cs,
+        |    list_reduce(cs, (a, b) -> a * b) AS d
+        |  FROM f
+        |), fx AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_sum(list_transform(cs, x -> d // x)) AS DOUBLE) / d
+        |      AS rrf_score,
+        |    CAST(len(cs) AS BIGINT) AS n_lists
+        |  FROM fr
+        |)
+        |SELECT query_id, neighbor_id, rrf_score, n_lists,
+        |  CAST(rk AS INTEGER) AS fused_rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY query_id
+        |        ORDER BY rrf_score DESC, neighbor_id ASC) AS rk FROM fx)
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+      val sq8 = Similarity.sq8TopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+      val l1 = Similarity.sq8L1TopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+      Similarity.rrfFuse(Seq(brute, sq8, l1), k = 5)
     },
 
     // URL canonicalization + crawl dedup (Common-Crawl-style corpora

@@ -1347,6 +1347,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
   }
 
+  test("RRF rational accumulator: 3-list score is the EXACT N/D double, " +
+      "independent of union order; >6 lists refused") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // item 10 at ranks (1, 2, 10) -> cs {61, 62, 70}:
+    // D = 61·62·70 = 264740, N = D/61 + D/62 + D/70 = 4340+4270+3782
+    val l1 = Seq((1L, 10L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val l2 = Seq((1L, 10L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val l3 = Seq((1L, 10L, 10)).toDF("query_id", "neighbor_id", "rank")
+    val want = (4340L + 4270L + 3782L).toDouble / 264740L.toDouble
+    def score(ls: Seq[org.apache.spark.sql.DataFrame]): Double =
+      Similarity.rrfFuse(ls, k = 1).collect().head.getAs[Double]("rrf_score")
+    assert(score(Seq(l1, l2, l3)) == want)          // bit-exact, no epsilon
+    assert(score(Seq(l3, l1, l2)) == want)          // order-independent
+    // and it differs from naive float summation in the last ulp for
+    // SOME rank triples — the reason the oracle replays the rational
+    // form (witness triple 62,63,70 from the operator scaladoc)
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq.fill(7)(l1), k = 1)
+    }
+  }
+
   test("LSH eval harness: a planted shingle near-dup is truth, " +
       "candidate, and hit; an unrelated doc is neither") {
     import spark.implicits._
