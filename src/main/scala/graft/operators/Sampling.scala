@@ -151,6 +151,39 @@ object Sampling {
       .drop("_aes_priority")
   }
 
+  /** Fully-ORACLED A-ES variant: [[weightedSampleExact]] with weights
+    * restricted to powers of two in [1, 64], which makes the float
+    * priority itself bit-exact cross-engine. General `pow(u, 1/w)` is
+    * only 1-ulp-accurate and library-dependent — un-oracleable — but
+    * `u^(1/2^j)` is j iterated `sqrt` calls, and IEEE-754 requires
+    * sqrt to be CORRECTLY rounded, so any engine composing the same
+    * sqrt chain produces the identical double. u is exact by
+    * construction (48 md5 bits scaled by 2⁻⁴⁸). Weights outside the
+    * allowed set raise at runtime (no silent drop — this variant's
+    * whole point is replayability). Output = input columns plus the
+    * `priority` double; selection is the same TakeOrdered top-k.
+    */
+  def weightedSamplePow2(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 0, s"k=$k must be >= 0")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + seed))), 1, 12), 16, 10).cast("double") + 1.0) /
+      lit(281474976710656.0) // 2^48
+    val wcol = col(weightCol).cast("int")
+    val priority = Seq(1, 2, 4, 8, 16, 32, 64)
+      .foldLeft(null: Column) { (acc, wv) =>
+        val p = (0 until Integer.numberOfTrailingZeros(wv))
+          .foldLeft(u)((c, _) => sqrt(c))
+        if (acc == null) when(wcol === wv, p) else acc.when(wcol === wv, p)
+      }
+      .otherwise(raise_error(concat(
+        lit("weightedSamplePow2: weight must be a power of two in " +
+          "[1, 64], got "), col(weightCol).cast("string"))))
+    df.withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
+
   def splitTag(keyCol: Column, valFraction: Double, testFraction: Double,
       seed: Long = 0L): Column = {
     require(valFraction + testFraction <= 1.0, "fractions must sum to <= 1")

@@ -2291,6 +2291,36 @@ object PipelineQueries {
         "doc_id", "n_chars", k = 200)
     },
 
+    // ORACLED A-ES draw — q108's replayable twin: weights restricted to
+    // powers of two, so the float priority u^(1/w) is an ITERATED-SQRT
+    // chain (IEEE sqrt is correctly rounded everywhere; general pow is
+    // not) over an exact 48-bit md5 uniform — the whole draw, priority
+    // double included, hash-matches DuckDB end to end.
+    QueryDef("q108b_weighted_sample_oracle",
+      """WITH wt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+        |      AS INTEGER) AS w
+        |  FROM documents
+        |), pr AS (
+        |  SELECT doc_id, w,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 12))
+        |       ::BIGINT::DOUBLE + 1.0) / 281474976710656.0 AS u
+        |  FROM wt
+        |)
+        |SELECT doc_id, w,
+        |  CASE w WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+        |         ELSE sqrt(sqrt(u)) END AS priority
+        |FROM pr
+        |ORDER BY priority DESC, doc_id
+        |LIMIT 200""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, 1)
+          .when(col("doc_id") % 3 === 1, 2)
+          .otherwise(4).cast("int").as("w"))
+      graft.operators.Sampling.weightedSamplePow2(docs, "doc_id", "w", k = 200)
+    },
+
     // ORACLED stratified quota — q71's selection machinery over a
     // DETERMINISTIC cross-engine cell assignment (md5 prefix of the
     // vec id; md5 hex is identical in every engine — the q41b/q62

@@ -1482,6 +1482,41 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("pow2 A-ES: closed-form sqrt-chain priority, weight bias, " +
+      "partition independence, non-pow2 weight raises") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // closed-form replay of the operator's arithmetic for one key:
+    // u from the first 12 md5 hex digits of "7:0", weight 4 -> √√u
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("7:0".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 12)
+    val wantU = (java.lang.Long.parseLong(md, 16).toDouble + 1.0) /
+      281474976710656.0
+    val one = Seq((7L, 4)).toDF("k", "w")
+    val got = Sampling.weightedSamplePow2(one, "k", "w", k = 1)
+      .collect().head.getAs[Double]("priority")
+    assert(got == math.sqrt(math.sqrt(wantU))) // bit-exact, no epsilon
+    // bias + budget + partition independence over a 64x weight spread
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i <= 200) 64 else 1)).toDF("k", "w")
+    val picked = Sampling.weightedSamplePow2(df, "k", "w", k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(picked.length == 100 && picked.distinct.length == 100)
+    assert(picked.count(_ <= 200) > 80, "64x-weight keys must dominate")
+    val again = Sampling.weightedSamplePow2(df.repartition(7), "k", "w",
+      k = 100).collect().map(_.getLong(0)).toSeq
+    assert(again.sorted == picked.sorted)
+    // a non-power-of-two weight fails LOUDLY (replayability contract)
+    val bad = Seq((1L, 3)).toDF("k", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSamplePow2(bad, "k", "w", k = 1).collect()
+    }
+    assert(e.getMessage.contains("power of two") ||
+      Option(e.getCause).exists(_.getMessage.contains("power of two")),
+      e.toString)
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
