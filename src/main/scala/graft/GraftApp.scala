@@ -91,11 +91,20 @@ object GraftApp {
         buildLocked(spark, config, lockPath, locked)
         val hooks = startWebhooks(config)
         val grpcHandles = startGrpcServers(config)
+        // telemetry endpoint (reference prometheus_server.rs): listener
+        // attaches before any stream starts so counters miss nothing
+        val metrics = config.metricsPort.map { p =>
+          val rec = graft.streaming.StreamMetrics.attach(spark)
+          val h = graft.streaming.MetricsServer.start(p, rec)
+          println(s"metrics: http://0.0.0.0:${h.port}/metrics")
+          h
+        }
         try {
           if (config.streaming)
             runStreaming(spark, config).foreach(_.awaitTermination())
           else runBatch(spark, config)
         } finally {
+          metrics.foreach(_.stop())
           hooks.foreach(_.stop())
           grpcHandles.foreach(_.stop())
           spark.stop()
@@ -407,7 +416,11 @@ object GraftApp {
       streaming: Boolean = false,
       udfs: Seq[UdfConf] = Nil,
       webhooks: Seq[WebhookConf] = Nil,
-      grpcServers: Seq[GrpcServerConf] = Nil)
+      grpcServers: Seq[GrpcServerConf] = Nil,
+      // telemetry.metrics: !Prometheus{address} (reference
+      // dozer-types/src/models/telemetry.rs:39-56) — port of the
+      // /metrics scrape endpoint served during `run`
+      metricsPort: Option[Int] = None)
 
   /** One config-declared gRPC ingest service (reference GrpcConfig,
     * ingestion_types.rs:65-76: host/port/schemas/adapter) — a REAL
@@ -685,15 +698,20 @@ object GraftApp {
         s"partition_by is only supported on append sinks (sink '${sink.table}')")
       require(sink.mode != "upsert" || sink.format == "parquet",
         s"upsert sink '${sink.table}' supports format parquet only")
+      // streaming queries carry the sink table as their name so
+      // listener progress / the /metrics endpoint label per sink
+      val qn = Some(sink.table)
       sink.mode match {
         case "append" => graft.sinks.Sinks.appendParquet(
-          df, sink.path, ckpt, sink.partitionBy, sink.format, sink.options)
+          df, sink.path, ckpt, sink.partitionBy, sink.format, sink.options,
+          queryName = qn)
         case "upsert" => sink.buckets match {
           // buckets: opts into the O(batch)-per-microbatch bucketed
           // snapshot — the right choice once state outgrows one rewrite
           case Some(n) => graft.sinks.Sinks.upsertParquetBucketed(
-            df, sink.keys, sink.path, ckpt, numBuckets = n)
-          case None => graft.sinks.Sinks.upsertParquet(df, sink.keys, sink.path, ckpt)
+            df, sink.keys, sink.path, ckpt, numBuckets = n, queryName = qn)
+          case None => graft.sinks.Sinks.upsertParquet(
+            df, sink.keys, sink.path, ckpt, queryName = qn)
         }
         case "dummy" =>
           // consume + count per microbatch; a throwaway checkpoint is
@@ -701,6 +719,7 @@ object GraftApp {
           val dckpt = sink.checkpoint.getOrElse(
             java.nio.file.Files.createTempDirectory("graft_dummy_ckpt").toString)
           df.writeStream
+            .queryName(sink.table)
             .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
             .option("checkpointLocation", dckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -718,7 +737,8 @@ object GraftApp {
             if (k != "url" && k != "dbtable") props.setProperty(k, v)
           }
           graft.sinks.Sinks.upsertJdbcRows(
-            df, sink.keys, sink.options("url"), sink.options("dbtable"), jckpt, props)
+            df, sink.keys, sink.options("url"), sink.options("dbtable"),
+            jckpt, props, queryName = qn)
         case other    => throw new IllegalArgumentException(s"unknown streaming sink mode $other")
       }
     }

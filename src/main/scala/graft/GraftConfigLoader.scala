@@ -216,8 +216,24 @@ object GraftConfigLoader {
       sql = str(root, "sql"),
       sinks = sinks(root),
       streaming = root.get("streaming").exists(_.toString.toBoolean),
-      udfs = udfs(root))
+      udfs = udfs(root),
+      metricsPort = root.get("metrics_port").map(_.toString.toInt)
+        .orElse(metricsPort(root)))
   }
+
+  /** `telemetry.metrics: !Prometheus{address: host:port}` (reference
+    * dozer-types/src/models/telemetry.rs:39-56; the !Prometheus tag is
+    * stripped by the loader like every dozer enum tag) → scrape port.
+    */
+  private def metricsPort(root: Map[String, Object]): Option[Int] =
+    root.get("telemetry").map(asMap).flatMap(_.asScala.get("metrics"))
+      .map(asMap).flatMap(_.asScala.get("address")).map { a =>
+        val s = a.toString
+        val i = s.lastIndexOf(':')
+        if (i < 0) fail(s"telemetry metrics address '$s' has no port")
+        s.substring(i + 1).toIntOption.getOrElse(
+          fail(s"telemetry metrics address '$s' has a non-numeric port"))
+      }
 
   // ---- dozer-compatible shape ------------------------------------------
 
@@ -493,7 +509,8 @@ object GraftConfigLoader {
       grpcServers = grpcConns.map(g => GraftApp.GrpcServerConf(g.port,
         g.tables.map { case (t, (chan, st)) =>
           t -> graft.sources.GrpcIngest.TableSpec(st, chan)
-        })))
+        })),
+      metricsPort = metricsPort(root))
   }
 
   // ---- shared ----------------------------------------------------------

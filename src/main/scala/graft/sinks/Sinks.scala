@@ -11,6 +11,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object Sinks {
 
+  /** Label the streaming query (surfaces in StreamingQueryListener
+    * progress and the /metrics endpoint as `query="<name>"`).
+    */
+  private def named[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      name: Option[String]): org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    name.fold(w)(w.queryName)
+
   /** Append sink: immutable-log files + checkpoint (exactly-once).
     * `format` is any streaming-capable DataSource name — "parquet"
     * default, "delta" once the connector jars are on the classpath
@@ -18,8 +25,9 @@ object Sinks {
     */
   def appendParquet(df: DataFrame, path: String, checkpoint: String,
       partitionBy: Seq[String] = Nil, format: String = "parquet",
-      options: Map[String, String] = Map.empty): StreamingQuery = {
-    val w = df.writeStream
+      options: Map[String, String] = Map.empty,
+      queryName: Option[String] = None): StreamingQuery = {
+    val w = named(df.writeStream, queryName)
       .format(format)
       .options(options)
       .option("path", path)
@@ -47,9 +55,9 @@ object Sinks {
     * keyed on the schema PK. State per key stays bounded: one row.
     */
   def upsertParquet(changes: DataFrame, keyCols: Seq[String], statePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, queryName: Option[String] = None): StreamingQuery =
     upsertParquetBucketed(changes, keyCols, statePath, checkpoint,
-      numBuckets = 1)
+      numBuckets = 1, queryName = queryName)
 
   /** Scale path of [[upsertParquet]]: the snapshot is hash-bucketed by
     * key into `numBuckets` partition directories (`_bucket=<i>/`), and
@@ -71,8 +79,9 @@ object Sinks {
     * as a co-location hint for key-equi-joins against the snapshot).
     */
   def upsertParquetBucketed(changes: DataFrame, keyCols: Seq[String],
-      statePath: String, checkpoint: String, numBuckets: Int = 64): StreamingQuery =
-    changes.writeStream
+      statePath: String, checkpoint: String, numBuckets: Int = 64,
+      queryName: Option[String] = None): StreamingQuery =
+    named(changes.writeStream, queryName)
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -312,9 +321,10 @@ object Sinks {
     */
   def upsertJdbcRows(rows: DataFrame, keyCols: Seq[String], url: String,
       table: String, checkpoint: String,
-      connectionProperties: java.util.Properties = new java.util.Properties)
+      connectionProperties: java.util.Properties = new java.util.Properties,
+      queryName: Option[String] = None)
       : StreamingQuery =
-    rows.writeStream
+    named(rows.writeStream, queryName)
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -26,6 +26,8 @@ object StreamMetrics {
 
   final class Recorder extends StreamingQueryListener {
     private val latest = new ConcurrentHashMap[String, Snapshot]()
+    private val inputTotals = new ConcurrentHashMap[String, java.lang.Long]()
+    private val batchTotals = new ConcurrentHashMap[String, java.lang.Long]()
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -35,6 +37,10 @@ object StreamMetrics {
       val p = e.progress
       val name = Option(p.name).getOrElse(p.id.toString)
       val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      // cumulative counters feed the Prometheus endpoint (a counter must
+      // be monotone across scrapes; the latest-snapshot gauge is not)
+      inputTotals.merge(name, p.numInputRows, (a, b) => a + b)
+      batchTotals.merge(name, 1L, (a, b) => a + b)
       latest.put(name, Snapshot(
         name = name,
         batchId = p.batchId,
@@ -57,6 +63,18 @@ object StreamMetrics {
     def all(): Map[String, Snapshot] = {
       import scala.jdk.CollectionConverters._
       latest.asScala.toMap
+    }
+
+    /** Cumulative input rows per query since this recorder attached. */
+    def inputRowsTotal(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      inputTotals.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    }
+
+    /** Cumulative micro-batch count per query. */
+    def batchesTotal(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      batchTotals.asScala.map { case (k, v) => k -> v.longValue }.toMap
     }
   }
 

@@ -169,6 +169,95 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() > 0)
   }
 
+  test("prometheus metrics endpoint: telemetry config parses, /metrics " +
+      "serves live per-sink counters during a streaming run, 404 elsewhere") {
+    // config surface: dozer telemetry shape (tag stripped) and the
+    // graft-native metrics_port shorthand both land on metricsPort
+    val dz = GraftConfigLoader.fromYaml(
+      s"""app_name: prom-app
+         |connections:
+         |  - config: !LocalStorage
+         |      details:
+         |        path: /root/testdata
+         |      tables:
+         |        - !Table
+         |            name: events
+         |            config: !Parquet
+         |              path: sf0.001
+         |              extension: .parquet
+         |    name: store
+         |sources:
+         |  - name: ev
+         |    connection: store
+         |    table_name: events
+         |sql: |
+         |  SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type;
+         |telemetry:
+         |  metrics: !Prometheus
+         |    address: 0.0.0.0:9876
+         |sinks:
+         |  - name: d
+         |    config: !Dummy
+         |      table_name: per_type
+         |""".stripMargin)
+    assert(dz.metricsPort.contains(9876))
+    assert(GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: ev
+         |    path: $dir/events.parquet
+         |sql: SELECT 1 AS one INTO o FROM ev;
+         |metrics_port: 9877
+         |sinks:
+         |  - table: o
+         |    path: /tmp/x
+         |""".stripMargin).metricsPort.contains(9877))
+
+    // live scrape: recorder + server around a real streaming run
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prom").toString
+    Tables.load(spark, dir, "events").write.parquet(s"$tmp/src")
+    val config = GraftConfig(
+      sources = Seq(SourceConf("ev", s"$tmp/src",
+        watermark = Some(("ts", "1 hour")))),
+      sql =
+        """SELECT window_start, event_type, COUNT(*) AS n INTO counts
+          |FROM TUMBLE(ev, ts, '1 hour') GROUP BY window_start, event_type""".stripMargin,
+      sinks = Seq(SinkConf("counts", s"$tmp/out")),
+      streaming = true)
+    val rec = graft.streaming.StreamMetrics.attach(spark)
+    val handle = graft.streaming.MetricsServer.start(0, rec)
+    try {
+      val queries = runStreaming(spark, config)
+      try queries.foreach(_.awaitTermination())
+      finally queries.foreach(_.stop())
+      def get(path: String): (Int, String) = {
+        val c = java.net.URI.create(s"http://127.0.0.1:${handle.port}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val is = if (code == 200) c.getInputStream else c.getErrorStream
+        val body = new String(is.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        (code, body)
+      }
+      val (code, body) = get("/metrics")
+      assert(code == 200)
+      assert(body.contains("graft_up 1"), body)
+      // the streaming query is named after its sink table, and the
+      // cumulative counter saw the source rows
+      val m = """graft_input_rows_total\{query="counts"\} (\d+)""".r
+      val rows = m.findFirstMatchIn(body).map(_.group(1).toLong)
+        .getOrElse(fail(s"no counts counter in:\n$body"))
+      assert(rows > 0)
+      assert(body.contains("""graft_batches_total{query="counts"}"""))
+      assert(body.contains("""graft_state_rows{query="counts"}"""))
+      // reference parity: anything else 404s and points at /metrics
+      val (nf, nfBody) = get("/other")
+      assert(nf == 404 && nfBody.contains("/metrics"))
+    } finally {
+      handle.stop()
+      spark.streams.removeListener(rec)
+    }
+  }
+
   test("build --locked: lock written, unchanged passes, contract drift fails") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lock")
     val lock = tmp.resolve("graft.lock")
