@@ -42,9 +42,22 @@ object IsoBmff {
       levelIdc: Int, nalLengthSize: Int, nSps: Int, nPps: Int,
       spsWidth: Int, spsHeight: Int)
 
+  /** The H.265 stream properties an `hvcC` box declares WITHOUT any
+    * payload decode (HEVCDecoderConfigurationRecord, ISO/IEC 14496-15
+    * §8.3.3.1): profile space/tier/profile/level from the record
+    * header, chroma format, NAL framing, parameter-set array census,
+    * and the coded resolution from the SPS in the arrays (ITU-T H.265
+    * §7.3.2.2.1 — luma grid minus the conformance window). The hev1/
+    * hvc1 mirror of [[AvcConfig]].
+    */
+  final case class HevcConfig(profileSpace: Int, tierFlag: Int,
+      profileIdc: Int, levelIdc: Int, chromaFormat: Int,
+      nalLengthSize: Int, numArrays: Int, spsWidth: Int, spsHeight: Int)
+
   final case class VideoTrack(codec: String, width: Int, height: Int,
       timescale: Long, samples: IndexedSeq[Sample],
-      avc: Option[AvcConfig] = None) {
+      avc: Option[AvcConfig] = None,
+      hevc: Option[HevcConfig] = None) {
     def timeMs(s: Sample): Double = s.dts * 1000.0 / timescale
     def keyframes: IndexedSeq[Sample] = samples.filter(_.keyframe)
   }
@@ -144,6 +157,17 @@ object IsoBmff {
         parseAvcC(java.util.Arrays.copyOfRange(b, s.toInt, e.toInt))
       }
     }
+    // hev1/hvc1 sample entries carry the hvcC twin at the same offset
+    val hevc: Option[HevcConfig] = {
+      val entrySize = u32(b, entryStart.toInt)
+      val childStart = entryStart + 8 + 78
+      val childEnd = entryStart + entrySize
+      if (!Set("hvc1", "hev1").contains(codec) || childStart >= childEnd ||
+          childEnd > stsdE) None
+      else find(b, childStart, childEnd, "hvcC").flatMap { case (s, e) =>
+        parseHvcC(java.util.Arrays.copyOfRange(b, s.toInt, e.toInt))
+      }
+    }
 
     // stsz: per-sample sizes
     val (stszS, _) = find(b, stblS, stblE, "stsz").getOrElse(return None)
@@ -221,7 +245,7 @@ object IsoBmff {
     }
     if (si < sampleCount) return None
     Some(VideoTrack(codec, width, height, timescale, samples.toIndexedSeq,
-      avc))
+      avc, hevc))
   }
 
   /** Slice one sample's bytes out of the file. None when the recorded
@@ -372,6 +396,91 @@ object IsoBmff {
       }
     } catch { case _: Exception => None }
 
+  /** Parse one H.265 SPS NAL → (profileIdc, tier, levelIdc, width,
+    * height). ITU-T H.265 §7.3.2.2.1 through the conformance window:
+    * the profile_tier_level block (88+8 bits + per-sub-layer blocks),
+    * then chroma format and the luma dimensions minus the
+    * SubWidthC/SubHeightC-scaled window offsets.
+    */
+  def parseHevcSps(nal: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      // 2-byte NAL header: forbidden(1) type(6) layer(6) tid+1(3)
+      if (nal.length < 4 || ((nal(0) >> 1) & 0x3f) != 33) return None
+      val r = new BitReader(nal, 2)
+      r.u(4) // sps_video_parameter_set_id
+      val maxSub = r.u(3) // sps_max_sub_layers_minus1
+      r.u1() // sps_temporal_id_nesting_flag
+      // profile_tier_level(1, maxSub)
+      val profileSpace = r.u(2)
+      val tier = r.u1()
+      val profileIdc = r.u(5)
+      r.u(32)          // general_profile_compatibility_flags
+      r.u(32); r.u(16) // 48 general constraint bits
+      val levelIdc = r.u(8)
+      val subProf = Array.fill(maxSub)(false)
+      val subLev = Array.fill(maxSub)(false)
+      (0 until maxSub).foreach { i =>
+        subProf(i) = r.u1() == 1; subLev(i) = r.u1() == 1
+      }
+      if (maxSub > 0) (maxSub until 8).foreach(_ => r.u(2))
+      (0 until maxSub).foreach { i =>
+        if (subProf(i)) { r.u(32); r.u(32); r.u(24) } // 88-bit block
+        if (subLev(i)) r.u(8)
+      }
+      r.ue() // sps_seq_parameter_set_id
+      val chroma = r.ue()
+      if (chroma == 3) r.u1() // separate_colour_plane_flag
+      val lumaW = r.ue()
+      val lumaH = r.ue()
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (r.u1() == 1) { // conformance_window_flag
+        cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+      }
+      val subW = if (chroma == 1 || chroma == 2) 2 else 1
+      val subH = if (chroma == 1) 2 else 1
+      val width = lumaW - subW * (cl + cr)
+      val height = lumaH - subH * (ct + cb)
+      if (width <= 0 || height <= 0) None
+      else Some((profileIdc, tier, levelIdc, width, height))
+    } catch { case _: Exception => None }
+
+  /** Parse an `hvcC` payload (HEVCDecoderConfigurationRecord, ISO/IEC
+    * 14496-15 §8.3.3.1): 23-byte config header + NAL arrays, the SPS
+    * array's first NAL parsed for the coded resolution. None on
+    * anything malformed.
+    */
+  def parseHvcC(b: Array[Byte]): Option[HevcConfig] =
+    try {
+      if (b.length < 23 || (b(0) & 0xff) != 1) return None
+      val profileSpace = (b(1) >> 6) & 0x3
+      val tier = (b(1) >> 5) & 0x1
+      val profileIdc = b(1) & 0x1f
+      // bytes 2..5 compat flags, 6..11 constraint flags (kept opaque)
+      val levelIdc = b(12) & 0xff
+      val chromaFormat = b(16) & 0x3
+      val nalLen = (b(21) & 0x03) + 1
+      val numArrays = b(22) & 0xff
+      var p = 23
+      var sps: Option[(Int, Int, Int, Int, Int)] = None
+      (0 until numArrays).foreach { _ =>
+        if (p + 3 > b.length) return None
+        val nalType = b(p) & 0x3f
+        val numNalus = u16(b, p + 1)
+        p += 3
+        (0 until numNalus).foreach { j =>
+          val len = u16(b, p); p += 2
+          if (p + len > b.length) return None
+          if (nalType == 33 && j == 0 && sps.isEmpty)
+            sps = parseHevcSps(java.util.Arrays.copyOfRange(b, p, p + len))
+          p += len
+        }
+      }
+      sps.map { case (_, _, _, w, h) =>
+        HevcConfig(profileSpace, tier, profileIdc, levelIdc, chromaFormat,
+          nalLen, numArrays, w, h)
+      }
+    } catch { case _: Exception => None }
+
   // -------------------------------------------------------------- muxing
 
   /** Serialize frames into a real single-track ISO-BMFF file:
@@ -381,7 +490,8 @@ object IsoBmff {
     */
   def mux(frames: Seq[Array[Byte]], codec: String, width: Int, height: Int,
       timescale: Int, sampleDelta: Int, keyframeEvery: Int = 1,
-      avcC: Option[Array[Byte]] = None): Array[Byte] = {
+      avcC: Option[Array[Byte]] = None,
+      hvcC: Option[Array[Byte]] = None): Array[Byte] = {
     require(frames.nonEmpty && codec.length == 4)
 
     def box(typ: String)(body: DataOutputStream => Unit): Array[Byte] = {
@@ -466,10 +576,16 @@ object IsoBmff {
       (0 until 32).foreach(_ => e.writeByte(0)) // compressor name
       e.writeShort(24)                         // depth
       e.writeShort(-1)                         // predefined
-      // child boxes after the fixed 78-byte body (avcC for avc1/avc3)
+      // child boxes after the fixed 78-byte body (avcC for avc1/avc3,
+      // hvcC for hvc1/hev1)
       avcC.foreach { cfg =>
         e.writeInt(8 + cfg.length)
         e.writeBytes("avcC")
+        e.write(cfg)
+      }
+      hvcC.foreach { cfg =>
+        e.writeInt(8 + cfg.length)
+        e.writeBytes("hvcC")
         e.write(cfg)
       }
       d.writeInt(8 + entry.size)
@@ -519,28 +635,29 @@ object IsoBmff {
     * H.264 §7.3.2.1.1 for the SPS, ISO/IEC 14496-15 §5.3.3.1 for the
     * config record).
     */
-  object AvcEncode {
-    private final class BitWriter {
-      private val out = new ByteArrayOutputStream()
-      private var cur = 0
-      private var nbits = 0
-      def u1(v: Int): Unit = {
-        cur = (cur << 1) | (v & 1); nbits += 1
-        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
-      }
-      def u(n: Int, v: Int): Unit =
-        (n - 1 to 0 by -1).foreach(i => u1((v >> i) & 1))
-      def ue(v: Int): Unit = {
-        require(v >= 0)
-        val code = v + 1
-        val len = 32 - Integer.numberOfLeadingZeros(code)
-        (0 until len - 1).foreach(_ => u1(0))
-        u(len, code)
-      }
-      /** rbsp_trailing_bits: stop bit + align. */
-      def trailing(): Unit = { u1(1); while (nbits != 0) u1(0) }
-      def result: Array[Byte] = out.toByteArray
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def u1(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
     }
+    def u(n: Int, v: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => u1((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      (0 until len - 1).foreach(_ => u1(0))
+      u(len, code)
+    }
+    /** rbsp_trailing_bits: stop bit + align. */
+    def trailing(): Unit = { u1(1); while (nbits != 0) u1(0) }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  object AvcEncode {
 
     /** Build one SPS NAL declaring `width`×`height` (even dimensions;
       * mb-grid rounding expressed through the frame-cropping window,
@@ -620,6 +737,96 @@ object IsoBmff {
       d.writeShort(sps.length); d.write(sps)
       d.writeByte(1)            // numOfPPS
       d.writeShort(pps.length); d.write(pps)
+      d.flush()
+      out.toByteArray
+    }
+  }
+
+  /** Encode twins for the hvcC probe — the HEVC mirror of [[AvcEncode]]
+    * (ITU-T H.265 §7.3.2.2.1 SPS syntax, ISO/IEC 14496-15 §8.3.3.1
+    * config record). Every gate parse runs against bytes built from the
+    * published syntax, never from a captured blob.
+    */
+  object HevcEncode {
+
+    /** Build one H.265 SPS NAL declaring `width`×`height` (even
+      * dimensions; the 8-aligned luma grid is trimmed through the
+      * conformance window, exactly how encoders express non-multiple-
+      * of-8 sizes). 4:2:0, 8-bit, single temporal layer — the shape
+      * real corpora carry.
+      */
+    def sps(profileIdc: Int, tier: Int, levelIdc: Int,
+        width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+        s"hevc sps: even dimensions required, got ${width}x$height")
+      require(tier == 0 || tier == 1, s"hevc sps: tier must be 0/1")
+      require(profileIdc >= 1 && profileIdc <= 31)
+      val padW = (width + 7) / 8 * 8
+      val padH = (height + 7) / 8 * 8
+      // 4:2:0: window offsets count in SubWidthC/SubHeightC = 2 units
+      val cropR = (padW - width) / 2
+      val cropB = (padH - height) / 2
+      val w = new BitWriter
+      w.u(4, 0)  // sps_video_parameter_set_id
+      w.u(3, 0)  // sps_max_sub_layers_minus1
+      w.u1(1)    // sps_temporal_id_nesting_flag
+      // profile_tier_level(1, 0)
+      w.u(2, 0); w.u1(tier); w.u(5, profileIdc)
+      w.u(32, 1 << (31 - profileIdc)) // compat flag for this profile
+      w.u(32, 0); w.u(16, 0)          // 48 constraint bits
+      w.u(8, levelIdc)
+      w.ue(0)    // sps_seq_parameter_set_id
+      w.ue(1)    // chroma_format_idc 4:2:0
+      w.ue(padW) // pic_width_in_luma_samples
+      w.ue(padH) // pic_height_in_luma_samples
+      if (cropR == 0 && cropB == 0) w.u1(0)
+      else { w.u1(1); w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB) }
+      w.ue(0); w.ue(0) // bit_depth_luma/chroma_minus8
+      w.ue(0)    // log2_max_pic_order_cnt_lsb_minus4
+      w.u1(0)    // sps_sub_layer_ordering_info_present (→ one triplet)
+      w.ue(1); w.ue(0); w.ue(0) // max_dec_pic_buffering/num_reorder/latency
+      w.ue(0); w.ue(0) // log2_min_luma_cb_minus3, log2_diff_max_min_cb
+      w.ue(0); w.ue(0) // log2_min_tb_minus2, log2_diff_max_min_tb
+      w.ue(0); w.ue(0) // max_transform_hierarchy_depth inter/intra
+      w.u1(0)    // scaling_list_enabled
+      w.u1(0)    // amp_enabled
+      w.u1(0)    // sample_adaptive_offset_enabled
+      w.u1(0)    // pcm_enabled
+      w.ue(0)    // num_short_term_ref_pic_sets
+      w.u1(0)    // long_term_ref_pics_present
+      w.u1(0)    // sps_temporal_mvp_enabled
+      w.u1(0)    // strong_intra_smoothing_enabled
+      w.u1(0)    // vui_parameters_present
+      w.u1(0)    // sps_extension_present
+      w.trailing()
+      // NAL header: type 33, layer 0, temporal_id_plus1 = 1
+      Array[Byte]((33 << 1).toByte, 0x01) ++ w.result
+    }
+
+    /** HEVCDecoderConfigurationRecord holding one SPS array, 4-byte
+      * NAL length framing, 4:2:0 8-bit, single temporal layer.
+      */
+    def hvcC(profileIdc: Int, tier: Int, levelIdc: Int,
+        sps: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val d = new DataOutputStream(out)
+      d.writeByte(1)                            // configurationVersion
+      d.writeByte((tier << 5) | profileIdc)     // space(0)+tier+profile
+      d.writeInt(1 << (31 - profileIdc))        // compat flags
+      (0 until 6).foreach(_ => d.writeByte(0))  // constraint flags
+      d.writeByte(levelIdc)
+      d.writeShort(0xf000)                      // reserved + min_spatial_seg
+      d.writeByte(0xfc)                         // reserved + parallelism 0
+      d.writeByte(0xfc | 1)                     // reserved + chroma 4:2:0
+      d.writeByte(0xf8)                         // reserved + luma depth 8
+      d.writeByte(0xf8)                         // reserved + chroma depth 8
+      d.writeShort(0)                           // avgFrameRate
+      // constantFrameRate(0) numTemporalLayers(1) nested(1) lenMinus1(3)
+      d.writeByte((1 << 3) | (1 << 2) | 3)
+      d.writeByte(1)                            // numOfArrays
+      d.writeByte(0x80 | 33)                    // completeness + SPS type
+      d.writeShort(1)                           // numNalus
+      d.writeShort(sps.length); d.write(sps)
       d.flush()
       out.toByteArray
     }

@@ -945,6 +945,58 @@ object Multimodal {
     }
   }
 
+  /** Deterministic hvc1 MP4s: real hvcC boxes (spec-encoded H.265 SPS)
+    * with closed-form profile/tier/level/resolution in the id — the
+    * HEVC mirror of [[renderAvcMp4s]].
+    */
+  def renderHevcMp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val profile = 1 + math.floorMod(id, 2L).toInt // Main / Main 10
+          val tier = math.floorMod(id, 2L).toInt
+          val level = 60 + 30 * math.floorMod(id, 3L).toInt
+          val w = 2 * (60 + math.floorMod(id, 33L).toInt)
+          val h = 2 * (40 + math.floorMod(id, 23L).toInt)
+          val sps = IsoBmff.HevcEncode.sps(profile, tier, level, w, h)
+          val cfg = IsoBmff.HevcEncode.hvcC(profile, tier, level, sps)
+          val frames = (0 until 2).map(f =>
+            Array.fill(16)((id + f).toByte): Array[Byte])
+          MediaRow(id, IsoBmff.mux(frames, codec = "hvc1", width = w,
+            height = h, timescale = 1000, sampleDelta = 40,
+            keyframeEvery = 2, hvcC = Some(cfg)), "video")
+        }
+      }
+  }
+
+  case class HevcProbeRow(id: Long, ok: Boolean, codec: String,
+      profileSpace: Int, tierFlag: Int, profileIdc: Int, levelIdc: Int,
+      chromaFormat: Int, width: Int, height: Int, nalLengthSize: Int,
+      nArrays: Int)
+
+  /** No-decode H.265 stream probe — the hvcC mirror of
+    * [[mp4AvccProbe]]: map-only container walk to the config record,
+    * payload bytes never touched.
+    */
+  def mp4HvccProbe(ds: Dataset[MediaRow]): Dataset[HevcProbeRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        IsoBmff.parse(r.payload).flatMap(t => t.hevc.map((t, _))) match {
+          case Some((track, h)) =>
+            HevcProbeRow(r.id, ok = true, track.codec, h.profileSpace,
+              h.tierFlag, h.profileIdc, h.levelIdc, h.chromaFormat,
+              h.spsWidth, h.spsHeight, h.nalLengthSize, h.numArrays)
+          case None =>
+            HevcProbeRow(r.id, ok = false, "", -1, -1, -1, -1, -1, -1,
+              -1, -1, -1)
+        }
+      }
+    }
+  }
+
   case class AudioRow(id: Long, ok: Boolean, sampleRate: Int,
       channels: Int, nFrames: Long, durationMs: Double, meanAmp: Double)
 

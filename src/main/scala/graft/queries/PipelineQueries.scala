@@ -1444,6 +1444,35 @@ object PipelineQueries {
           col("nSps").as("n_sps"), col("nPps").as("n_pps"))
     },
 
+    // No-decode H.265 stream probe — hvcC parity with q94b: REAL
+    // HEVCDecoderConfigurationRecords (spec-encoded H.265 SPS, ISO/IEC
+    // 14496-15 §8.3.3.1 + ITU-T H.265 §7.3.2.2.1) inside hvc1 sample
+    // entries; profile space/tier/profile/level/chroma from the record,
+    // resolution from the SPS conformance window. Fully oracled:
+    // every column closed-form in doc_id.
+    QueryDef("q94c_hvcc_probe",
+      """SELECT doc_id AS id,
+        |  CAST(doc_id % 2 AS INTEGER) AS tier_flag,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS profile_idc,
+        |  CAST(60 + 30 * (doc_id % 3) AS INTEGER) AS level_idc,
+        |  CAST(1 AS INTEGER) AS chroma_format,
+        |  CAST(2 * (60 + doc_id % 33) AS INTEGER) AS width,
+        |  CAST(2 * (40 + doc_id % 23) AS INTEGER) AS height,
+        |  CAST(4 AS INTEGER) AS nal_length_size,
+        |  CAST(1 AS INTEGER) AS n_arrays
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderHevcMp4s(t(s, dir, "documents"), "doc_id")
+      Multimodal.mp4HvccProbe(media).toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("tierFlag").as("tier_flag"),
+          col("profileIdc").as("profile_idc"),
+          col("levelIdc").as("level_idc"),
+          col("chromaFormat").as("chroma_format"),
+          col("width"), col("height"),
+          col("nalLengthSize").as("nal_length_size"),
+          col("nArrays").as("n_arrays"))
+    },
+
     // Multimodal AUDIO: REAL RIFF/PCM16 WAV codec — render a constant-
     // |amplitude| square-wave WAV per doc (every field closed-form in
     // doc_id), decode the bytes back at the RIFF chunk level. Fully

@@ -166,4 +166,49 @@ class IsoBmffSpec extends AnyFunSuite {
     assert(IsoBmff.parseSps(plain) == want)
     assert(IsoBmff.parseSps(escaped) == want)
   }
+
+  test("H.265 SPS encode → parse round-trips profile/tier/level and the " +
+      "conformance-window resolution") {
+    // 100x50: luma grid pads to 104x56, window crops 2 and 3 chroma
+    // units back — the non-multiple-of-8 path
+    for ((p, t, l, w, h) <- Seq((1, 0, 93, 100, 50), (2, 1, 120, 1920, 1080),
+        (1, 0, 60, 8, 8), (4, 1, 153, 3838, 2158))) {
+      val sps = IsoBmff.HevcEncode.sps(p, t, l, w, h)
+      assert(IsoBmff.parseHevcSps(sps).contains((p, t, l, w, h)),
+        s"$p/$t/$l ${w}x$h -> ${IsoBmff.parseHevcSps(sps)}")
+    }
+    // wrong NAL type rejected
+    val sps = IsoBmff.HevcEncode.sps(1, 0, 93, 64, 64)
+    val notSps = sps.clone(); notSps(0) = (34 << 1).toByte
+    assert(IsoBmff.parseHevcSps(notSps).isEmpty)
+  }
+
+  test("hvcC record round-trips through parseHvcC; malformed and " +
+      "truncated records return None") {
+    val sps = IsoBmff.HevcEncode.sps(2, 1, 123, 638, 478)
+    val cfg = IsoBmff.HevcEncode.hvcC(2, 1, 123, sps)
+    assert(IsoBmff.parseHvcC(cfg).contains(IsoBmff.HevcConfig(
+      profileSpace = 0, tierFlag = 1, profileIdc = 2, levelIdc = 123,
+      chromaFormat = 1, nalLengthSize = 4, numArrays = 1,
+      spsWidth = 638, spsHeight = 478)))
+    assert(IsoBmff.parseHvcC(Array.fill[Byte](23)(0)).isEmpty) // bad version
+    assert(IsoBmff.parseHvcC(cfg.take(25)).isEmpty)            // truncated
+    val broken = cfg.clone()
+    broken(23) = (0x80 | 34).toByte // array advertises PPS, no SPS anywhere
+    assert(IsoBmff.parseHvcC(broken).isEmpty)
+  }
+
+  test("an hvc1 sample entry's hvcC surfaces on the parsed track next " +
+      "to an intact sample table; avc stays empty") {
+    val sps = IsoBmff.HevcEncode.sps(1, 0, 93, 640, 360)
+    val cfg = IsoBmff.HevcEncode.hvcC(1, 0, 93, sps)
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6))
+    val track = IsoBmff.parse(IsoBmff.mux(frames, "hvc1", 640, 360,
+      timescale = 1000, sampleDelta = 40, hvcC = Some(cfg))).get
+    assert(track.codec == "hvc1")
+    assert(track.hevc.exists(h => h.profileIdc == 1 && h.levelIdc == 93 &&
+      h.spsWidth == 640 && h.spsHeight == 360 && h.chromaFormat == 1))
+    assert(track.avc.isEmpty)
+    assert(track.samples.length == 2)
+  }
 }
