@@ -40,11 +40,32 @@ object JsMini {
   final case class VNum(v: Double) extends V
   final case class VStr(v: String) extends V
   final case class VBool(v: Boolean) extends V
-  final class VObj(val fields: mutable.LinkedHashMap[String, V]) extends V
+  final class VObj(val fields: mutable.LinkedHashMap[String, V]) extends V {
+    /** Set when the object was constructed by a `class` — instance
+      * method lookup walks the class chain; `fields` stay data-only
+      * (JSON round-trips never see methods).
+      */
+    var klass: Option[VClass] = None
+  }
   final class VArr(val items: mutable.ArrayBuffer[V]) extends V
   final case class VFun(params: Seq[String], body: Seq[Stmt], closure: Env,
-      name: String) extends V
+      name: String, arrow: Boolean = false,
+      home: Option[VClass] = None) extends V
   final case class VNative(name: String, f: Seq[V] => V) extends V
+
+  /** A `class` value: constructor + method tables + parent link. The
+    * member maps are filled right after construction (methods carry a
+    * `home` reference back to the class for `super` resolution).
+    */
+  final class VClass(val name: String, val parent: Option[VClass]) extends V {
+    var ctor: Option[VFun] = None
+    var methods: Map[String, VFun] = Map.empty
+    var statics: Map[String, VFun] = Map.empty
+    def findMethod(n: String): Option[VFun] =
+      methods.get(n).orElse(parent.flatMap(_.findMethod(n)))
+    def findStatic(n: String): Option[VFun] =
+      statics.get(n).orElse(parent.flatMap(_.findStatic(n)))
+  }
 
   final class JsError(val value: V)
     extends RuntimeException(s"js exception: ${toDisplay(value)}")
@@ -64,11 +85,22 @@ object JsMini {
   final case class EIdent(name: String) extends Expr
   final case class EArr(items: Seq[Expr]) extends Expr
   final case class EObj(fields: Seq[(String, Expr)]) extends Expr
-  final case class EFun(params: Seq[String], body: Seq[Stmt], name: String) extends Expr
+  final case class EFun(params: Seq[String], body: Seq[Stmt], name: String,
+      arrow: Boolean = false) extends Expr
+  /** `class Name extends Parent { constructor(){} m(){} static s(){} }` */
+  final case class EClass(name: String, parent: Option[Expr],
+      ctor: Option[EFun], methods: Seq[(String, EFun)],
+      statics: Seq[(String, EFun)]) extends Expr
   /** Template literal: literal chunks (Left) and `${}` interpolations
     * (Right), concatenated with display coercion at eval.
     */
   final case class ETemplate(parts: Seq[Either[String, Expr]]) extends Expr
+  /** Tagged template `tag\`a${x}b\`` — the tag called with the cooked
+    * strings array + one argument per interpolation (no `.raw`: the
+    * documented subset cooks escapes before the call).
+    */
+  final case class ETagged(tag: Expr, parts: Seq[Either[String, Expr]])
+    extends Expr
   /** `...expr` — valid only inside array literals and call arguments. */
   final case class ESpread(e: Expr) extends Expr
 
@@ -105,6 +137,7 @@ object JsMini {
   case object SBreak extends Stmt
   case object SContinue extends Stmt
   final case class SFunDecl(name: String, fn: EFun) extends Stmt
+  final case class SClassDecl(name: String, cls: EClass) extends Stmt
   final case class SExportDefault(e: Expr) extends Stmt
   final case class SBlock(body: Seq[Stmt]) extends Stmt
 
@@ -298,6 +331,11 @@ object JsMini {
       case "function" =>
         val f = functionExpr()
         SFunDecl(f.name, f)
+      // `class` is contextual (not a reserved word here): only a
+      // `class <Name>` pair in statement position starts a declaration
+      case "ident" if peek.text == "class" &&
+          toks(pos + 1).kind == "ident" =>
+        classDecl()
       case "let" | "const" | "var" =>
         pos += 1
         if (at("[") || at("{")) {
@@ -393,6 +431,53 @@ object JsMini {
       }
       eat(")")
       EFun(params.toSeq, block(), name)
+    }
+
+    /** `class Name [extends Expr] { constructor/methods/static methods }`.
+      * Members are `name(params){body}` — fields, getters/setters and
+      * computed names stay outside the subset.
+      */
+    private def classDecl(): Stmt = {
+      eat("ident") // the contextual 'class'
+      val name = eat("ident").text
+      val parent =
+        if (at("ident") && peek.text == "extends") { pos += 1; Some(postfixExpr()) }
+        else None
+      eat("{")
+      var ctor: Option[EFun] = None
+      val methods = mutable.ArrayBuffer.empty[(String, EFun)]
+      val statics = mutable.ArrayBuffer.empty[(String, EFun)]
+      while (!at("}")) {
+        if (!opt(";")) {
+          // 'static' is contextual too: `static m(` is a static method,
+          // `static(` a method literally named static. Method names may
+          // be keywords (`of`, `in`, …), same as member access.
+          def nameLike(t: Tok): Boolean = t.kind == "ident" || keywords(t.kind)
+          val isStatic = at("ident") && peek.text == "static" &&
+            nameLike(toks(pos + 1))
+          if (isStatic) pos += 1
+          val t = peek
+          if (!nameLike(t))
+            throw new JsSyntaxError(
+              s"expected method name, got '${t.text}' (offset ${t.pos})")
+          pos += 1
+          val mname = t.text
+          eat("(")
+          val params = mutable.ArrayBuffer.empty[String]
+          while (!at(")")) {
+            params += eat("ident").text
+            if (!at(")")) eat(",")
+          }
+          eat(")")
+          val fn = EFun(params.toSeq, block(), mname)
+          if (!isStatic && mname == "constructor") ctor = Some(fn)
+          else if (isStatic) statics += ((mname, fn))
+          else methods += ((mname, fn))
+        }
+      }
+      eat("}")
+      SClassDecl(name,
+        EClass(name, parent, ctor, methods.toSeq, statics.toSeq))
     }
 
     def expression(): Expr = assignExpr()
@@ -501,6 +586,10 @@ object JsMini {
           }
           eat(")")
           e = ECall(e, args.toSeq)
+        } else if (at("template")) {
+          // tagged template: a template token directly after a callable
+          val t = eat("template")
+          e = ETagged(e, parseTemplate(t.text, t.pos + 1).parts)
         } else if (at("++")) { pos += 1; e = EAssign("+=", e, ENum(1)) }
         else if (at("--")) { pos += 1; e = EAssign("-=", e, ENum(1)) }
         else done = true
@@ -512,7 +601,7 @@ object JsMini {
       eat("=>")
       val body: Seq[Stmt] =
         if (at("{")) block() else Seq(SReturn(Some(assignExpr())))
-      EFun(params, body, "")
+      EFun(params, body, "", arrow = true)
     }
 
     /** Binding pattern for destructuring declarations. */
@@ -749,6 +838,7 @@ object JsMini {
     case a: VArr     => a.items.map(toDisplay).mkString(",")
     case f: VFun     => s"function ${f.name}"
     case n: VNative  => s"function ${n.name}"
+    case k: VClass   => s"class ${k.name}"
   }
 
   def toNum(v: V): Double = v match {
@@ -776,7 +866,7 @@ object JsMini {
         .filter { case (_, fv) => !fv.isInstanceOf[VFun] && fv != VUndef }
         .map { case (k, fv) => quote(k) + ":" + stringify(fv) }
         .mkString("{", ",", "}")
-    case _: VFun | _: VNative => "null"
+    case _: VFun | _: VNative | _: VClass => "null"
   }
 
   private def quote(s: String): String = {
@@ -862,10 +952,24 @@ object JsMini {
     case _            => VNum(toNum(l) + toNum(r))
   }
 
-  def callFunction(f: V, args: Seq[V]): V = f match {
+  def callFunction(f: V, args: Seq[V]): V = callWith(f, args, None)
+
+  /** Call with an explicit `this`. Arrows skip both bindings, so their
+    * `this`/`super` resolve lexically through the closure chain — the
+    * one semantic split between the two function forms the subset
+    * models. Non-arrow calls always bind (to undefined outside a
+    * method), matching strict-mode JS. Calling a class constructs.
+    */
+  private def callWith(f: V, args: Seq[V], thisV: Option[V]): V = f match {
     case VNative(_, nf) => nf(args)
-    case VFun(params, body, closure, _) =>
+    case k: VClass      => construct(k, args)
+    case VFun(params, body, closure, _, arrow, home) =>
       val env = closure.child
+      if (!arrow) {
+        env.declare("this", thisV.getOrElse(VUndef))
+        env.declare("__super__",
+          home.flatMap(_.parent).getOrElse(VUndef: V))
+      }
       params.zipWithIndex.foreach { case (p, i) =>
         env.declare(p, if (i < args.length) args(i) else VUndef)
       }
@@ -874,6 +978,23 @@ object JsMini {
     case other =>
       throw new JsError(VStr(s"${toDisplay(other)} is not a function"))
   }
+
+  /** `new K(args)`: fresh instance, constructor chain run with `this`
+    * bound (a parentless missing constructor is a no-op; a subclass
+    * missing one forwards its arguments up, per spec default).
+    */
+  private def construct(k: VClass, args: Seq[V]): VObj = {
+    val o = new VObj(mutable.LinkedHashMap.empty)
+    o.klass = Some(k)
+    runCtor(k, o, args)
+    o
+  }
+
+  private def runCtor(k: VClass, o: VObj, args: Seq[V]): Unit =
+    k.ctor match {
+      case Some(f) => callWith(f, args, Some(o))
+      case None    => k.parent.foreach(p => runCtor(p, o, args))
+    }
 
   // ---------------------------------------------------------------- budget
 
@@ -970,7 +1091,9 @@ object JsMini {
     case SBreak    => throw BreakSignal
     case SContinue => throw ContinueSignal
     case SFunDecl(name, fn) =>
-      env.declare(name, VFun(fn.params, fn.body, env, name))
+      env.declare(name, VFun(fn.params, fn.body, env, name, fn.arrow))
+    case SClassDecl(name, cls) =>
+      env.declare(name, eval(cls, env))
     case SBlock(body) =>
       val e = env.child; body.foreach(exec(_, e))
     case SExportDefault(_) => // handled at module load
@@ -997,7 +1120,31 @@ object JsMini {
       "spread is only valid in array literals and call arguments")
     case EObj(fields) =>
       new VObj(mutable.LinkedHashMap(fields.map { case (k, v) => k -> eval(v, env) }: _*))
-    case EFun(params, body, name) => VFun(params, body, env, name)
+    case EFun(params, body, name, arrow) => VFun(params, body, env, name, arrow)
+    case EClass(name, parentE, ctorE, methodsE, staticsE) =>
+      val parent = parentE.map(eval(_, env)).map {
+        case k: VClass => k
+        case other => throw new JsError(VStr(
+          s"class $name extends a non-class (${toDisplay(other)})"))
+      }
+      val k = new VClass(name, parent)
+      def bind(f: EFun): VFun =
+        VFun(f.params, f.body, env, f.name, arrow = false, home = Some(k))
+      k.ctor = ctorE.map(bind)
+      k.methods = methodsE.map { case (n, f) => n -> bind(f) }.toMap
+      k.statics = staticsE.map { case (n, f) => n -> bind(f) }.toMap
+      k
+    case ETagged(tagE, parts) =>
+      val tag = eval(tagE, env)
+      val strings = mutable.ArrayBuffer("")
+      val exprVs = mutable.ArrayBuffer.empty[V]
+      parts.foreach {
+        case Left(s)  => strings(strings.length - 1) += s
+        case Right(x) => exprVs += eval(x, env); strings += ""
+      }
+      callFunction(tag,
+        new VArr(mutable.ArrayBuffer(strings.map(VStr(_): V).toSeq: _*)) +:
+          exprVs.toSeq)
     case EUnary(op, x) =>
       val v = eval(x, env)
       op match {
@@ -1010,7 +1157,7 @@ object JsMini {
           case _: VNum => "number"
           case _: VStr => "string"
           case _: VBool => "boolean"
-          case _: VFun | _: VNative => "function"
+          case _: VFun | _: VNative | _: VClass => "function"
           case _ => "object"
         })
       }
@@ -1067,6 +1214,20 @@ object JsMini {
         case (other, _) =>
           throw new JsError(VStr(s"cannot index ${toDisplay(other)}"))
       }
+    case ECall(EIdent("super"), args) =>
+      // super(...) — run the parent constructor chain on this instance
+      (env.lookup("__super__"), env.lookup("this")) match {
+        case (Some(p: VClass), Some(o: VObj)) =>
+          runCtor(p, o, spreadArgs(args, env)); VUndef
+        case _ => throw new JsError(VStr(
+          "'super(...)' is only valid inside a subclass constructor"))
+      }
+    case ECall(EMember(EIdent("super"), name), args)
+        if env.lookup("__super__").exists(_.isInstanceOf[VClass]) =>
+      val p = env.lookup("__super__").get.asInstanceOf[VClass]
+      val f = p.findMethod(name).getOrElse(throw new JsError(VStr(
+        s"super.$name is not a method of class ${p.name}")))
+      callWith(f, spreadArgs(args, env), env.lookup("this"))
     case ECall(EMember(targetE, name), args) =>
       // method call: bind `this` value for prototype methods
       val target = eval(targetE, env)
@@ -1122,7 +1283,10 @@ object JsMini {
   private def member(v: V, name: String): V = (v, name) match {
     case (VStr(s), "length") => VNum(s.length)
     case (a: VArr, "length") => VNum(a.items.length)
-    case (o: VObj, n)        => o.fields.getOrElse(n, VUndef)
+    case (o: VObj, n)        => o.fields.getOrElse(n,
+      o.klass.flatMap(_.findMethod(n)).getOrElse(VUndef))
+    case (k: VClass, "name") => VStr(k.name)
+    case (k: VClass, n)      => k.findStatic(n).getOrElse(VUndef)
     case (VUndef, n) =>
       throw new JsError(VStr(s"cannot read '$n' of undefined"))
     case (VNull, n) =>
@@ -1131,8 +1295,15 @@ object JsMini {
   }
 
   private def method(target: V, name: String, args: Seq[V]): V = (target, name) match {
-    // ---- shared object surface
-    case (o: VObj, n) if o.fields.contains(n) => callFunction(o.fields(n), args)
+    // ---- shared object surface (function-valued fields get `this`)
+    case (o: VObj, n) if o.fields.contains(n) =>
+      callWith(o.fields(n), args, Some(o))
+    // class instance methods resolve up the class chain
+    case (o: VObj, n) if o.klass.exists(_.findMethod(n).isDefined) =>
+      callWith(o.klass.get.findMethod(n).get, args, Some(o))
+    // static methods (inherited through the chain too)
+    case (k: VClass, n) if k.findStatic(n).isDefined =>
+      callWith(k.findStatic(n).get, args, Some(k))
 
     // ---- String.prototype
     case (VStr(s), "toUpperCase") => VStr(s.toUpperCase)

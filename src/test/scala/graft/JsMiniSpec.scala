@@ -327,4 +327,78 @@ class JsMiniSpec extends AnyFunSuite {
         |}""".stripMargin
     assert(run(m, VNum(100000)) == VNum(4999950000.0))
   }
+
+  test("classes: constructor/this, methods, extends + super chain, " +
+      "statics, implicit subclass constructor, arrow lexical this") {
+    val m =
+      """class Counter {
+        |  constructor(start) { this.n = start }
+        |  inc(by) { this.n = this.n + by; return this.n }
+        |  get() { return this.n }
+        |  static of(x) { return new Counter(x) }
+        |}
+        |class Double extends Counter {
+        |  constructor(start) { super(start) }
+        |  inc(by) { return super.inc(by * 2) }
+        |  describe() {
+        |    const f = () => this.get();
+        |    return `n=${f()}`;
+        |  }
+        |}
+        |class Triple extends Double {}
+        |export default function (x) {
+        |  const c = Counter.of(10);
+        |  c.inc(5);
+        |  const d = new Double(1);
+        |  d.inc(3);
+        |  const t = new Triple(2);
+        |  t.inc(1);
+        |  return {
+        |    base: c.get(), dbl: d.get(), txt: d.describe(),
+        |    tri: t.get(), stat: Triple.of(4).get(),
+        |    kind: typeof Counter, nm: Counter.name
+        |  };
+        |}""".stripMargin
+    val o = run(m, VNull).asInstanceOf[VObj]
+    assert(o.fields("base") == VNum(15))
+    assert(o.fields("dbl") == VNum(7))     // super.inc doubled 3
+    assert(o.fields("txt") == VStr("n=7")) // arrow saw the instance
+    assert(o.fields("tri") == VNum(4))     // implicit ctor forwarded 2
+    assert(o.fields("stat") == VNum(4))    // static inherited down 2 levels
+    assert(o.fields("kind") == VStr("function"))
+    assert(o.fields("nm") == VStr("Counter"))
+    // instances JSON-serialize as data only (methods never leak)
+    assert(JsMini.stringify(run(
+      "class P { constructor(x) { this.x = x } m() {} }\n" +
+        "export default function (v) { return new P(3) }", VNull)) ==
+      """{"x":3}""")
+    // super outside a subclass constructor is a loud error
+    intercept[JsError] {
+      run("export default function (v) { super(1); }", VNull)
+    }
+    // extending a non-class is a loud error
+    intercept[JsError] {
+      run("const B = 5;\nclass A extends B {}\n" +
+        "export default function (v) { return 0 }", VNull)
+    }
+  }
+
+  test("tagged templates: cooked strings array + one arg per " +
+      "interpolation, empty-chunk padding, expression tags") {
+    val m =
+      """function tag(strings, a, b) {
+        |  return strings.join('|') + '#' + a + '#' + b;
+        |}
+        |const tags = { t: tag };
+        |export default function (x) {
+        |  const plain = tag`one ${1 + 1} two ${'z'} three`;
+        |  const edges = tag`${x}${x}`;
+        |  const viaMember = tags.t`a${x}b`;
+        |  return [plain, edges, viaMember];
+        |}""".stripMargin
+    val got = run(m, VNum(9)).asInstanceOf[VArr].items
+    assert(got(0) == VStr("one | two | three#2#z"))
+    assert(got(1) == VStr("||#9#9")) // 3 empty cooked chunks, 2 args
+    assert(got(2) == VStr("a|b#9#undefined"))
+  }
 }
