@@ -96,7 +96,7 @@ object GraftApp {
         val metrics = config.metricsPort.map { p =>
           val rec = graft.streaming.StreamMetrics.attach(spark)
           val h = graft.streaming.MetricsServer.start(p, rec)
-          println(s"metrics: http://0.0.0.0:${h.port}/metrics")
+          println(s"metrics: serving /metrics on port ${h.port}")
           h
         }
         try {

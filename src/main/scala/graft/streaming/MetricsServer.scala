@@ -31,8 +31,7 @@ object MetricsServer {
   /** Serve `GET /metrics` from `recorder`'s live counters. */
   def start(port: Int, recorder: StreamMetrics.Recorder): Handle = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
-    val server = HttpServer.create(
-      new java.net.InetSocketAddress("0.0.0.0", port), 0)
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     server.setExecutor(pool)
     server.createContext("/", new HttpHandler {
