@@ -147,6 +147,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == Set((1L, 11.0), (3L, 30.0)))
   }
 
+  test("streaming windowFunnel: levels emitted on increase across " +
+      "micro-batches, O(K) state carries chains over batch boundaries, " +
+      "window expiry respected, in-order stream matches batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Fe(ts: Timestamp, event_id: Long, user_id: Long, event_type: String)
+    val mem = MemoryStream[(Long, Long, Long, String)] // (us, id, user, type)
+    val H = 3600000000L
+    val df = mem.toDF().toDF("us", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.streaming.FunnelStream.windowFunnelStream(
+      df, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 6 * H)
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    def rows() = spark.sql("SELECT * FROM funnel_out")
+      .as[(String, Int)].collect().toSeq
+    try {
+      // batch 1: user 1 views; user 2 views (its chain start)
+      mem.addData((0L, 10L, 1L, "view"), (0L, 20L, 2L, "view"))
+      q.processAllAvailable()
+      assert(rows().toSet == Set(("1", 1), ("2", 1)))
+      // batch 2: user 1 converts fully (chain spans the batch
+      // boundary via the K-long state); user 2 clicks 7h after the
+      // view -> window expired, still level 1 (no new emission)
+      mem.addData((1L * H, 11L, 1L, "click"), (2L * H, 12L, 1L, "purchase"),
+        (7L * H, 21L, 2L, "click"))
+      q.processAllAvailable()
+      val all = rows()
+      assert(all.toSet == Set(("1", 1), ("1", 3), ("2", 1)),
+        all.toString) // user 1 re-emitted at 3; user 2 never advanced
+      // batch 3: a LATER view for user 2 restarts its chain; click
+      // within window now advances it (greedy restart across batches)
+      mem.addData((8L * H, 22L, 2L, "view"), (9L * H, 23L, 2L, "click"))
+      q.processAllAvailable()
+      assert(rows().count { case (u, l) => u == "2" && l == 2 } == 1)
+    } finally q.stop()
+    // parity: replaying the same in-order feed through the BATCH
+    // operator yields the same final levels
+    val batchDf = Seq(
+      (0L, 10L, 1L, "view"), (0L, 20L, 2L, "view"),
+      (1L * H, 11L, 1L, "click"), (2L * H, 12L, 1L, "purchase"),
+      (7L * H, 21L, 2L, "click"),
+      (8L * H, 22L, 2L, "view"), (9L * H, 23L, 2L, "click"))
+      .toDF("us", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val batch = graft.operators.EventFunnel.windowFunnel(
+      batchDf, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"), 6 * H)
+      .as[(Long, Int)].collect().toMap
+    assert(batch == Map(1L -> 3, 2L -> 2))
+  }
+
   test("StreamMetrics records per-query progress snapshots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
