@@ -231,6 +231,55 @@ object EventFunnel {
     maxLevel
   }
 
+  /** ClickHouse-style `sequenceCount` for a two-step pattern: per user,
+    * the number of NON-OVERLAPPING `first → second` chains under greedy
+    * earliest matching (each event used at most once) — the "how many
+    * times did they convert" companion to [[windowFunnel]]'s "how deep
+    * did they get".
+    *
+    * Greedy matching has a closed relational form — no fold needed. It
+    * is bracket matching (`first` opens, `second` closes), and the
+    * maximum number of matched pairs equals
+    * `n_second − max(0, max over prefixes of (#second − #first))`: a
+    * `second` goes unmatched exactly when closes exceed opens in some
+    * prefix, and the worst prefix excess counts precisely the
+    * unmatchable ones. One prefix-sum window + one aggregation, every
+    * value an integer — the whole operator replays exactly in SQL.
+    *
+    * 100 TB shape: events filtered to the two step types BEFORE the
+    * single per-user shuffle; one window pass + one aggregation, both
+    * partitioned on the user key (no second shuffle — same key).
+    * Output: (userCol, n_first, n_second, n_matched), one row per user
+    * with ≥1 step event.
+    */
+  def sequencePairCount(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderCol: String,
+      typeCol: String,
+      first: String,
+      second: String): DataFrame = {
+    require(first != second, "sequencePairCount steps must differ")
+    requireNoClash(userCol,
+      Seq("__x", "n_first", "n_second", "n_matched"))
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.filter(col(tsCol).isNotNull &&
+      col(typeCol).isin(first, second))
+    val upto = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(orderCol).cast("long"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("__x", sum(
+        when(col(typeCol) === second, 1L).otherwise(-1L)).over(upto))
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(col(typeCol) === first, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col(typeCol) === second, 1L).otherwise(0L)).as("n_second"),
+        (sum(when(col(typeCol) === second, 1L).otherwise(0L)) -
+          greatest(max(col("__x")), lit(0L))).as("n_matched"))
+  }
+
   /** Cohort retention: users grouped by their first-activity day, with
     * counts of how many returned at each of `offsets` days later — the
     * release-dashboard companion to [[windowFunnel]].

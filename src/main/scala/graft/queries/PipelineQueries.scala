@@ -2219,6 +2219,35 @@ object PipelineQueries {
         mode = graft.operators.EventFunnel.FunnelMode.StrictDedup)
     },
 
+    // sequenceCount (ClickHouse's other event-sequence aggregate): per
+    // user, the MAXIMUM number of non-overlapping view->purchase pairs
+    // under greedy matching. Closed relational form — bracket matching:
+    // n_matched = n_second − max(0, worst prefix excess of seconds over
+    // firsts) — one prefix-sum window, all integers, fully oracled.
+    QueryDef("q114_sequence_pair_count",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+        |), x AS (
+        |  SELECT user_id, event_type,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_first,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_second,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    - GREATEST(MAX(xs), 0) AS BIGINT) AS n_matched
+        |FROM x GROUP BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.sequencePairCount(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        first = "view", second = "purchase")
+    },
+
     // BM25 lexical retrieval (the standard-formula counterpart to the
     // ANN family — what every RAG pipeline runs next to the vector
     // index). Float idf/length-norm scores -> rows-only; hand-computed

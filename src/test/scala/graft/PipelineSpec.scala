@@ -156,6 +156,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sequencePairCount: greedy non-overlap matching via the bracket " +
+      "identity, unmatched-close sequences, used-once semantics") {
+    import spark.implicits._
+    val M = 60000000L
+    // user 1: B A B B A B in time order -> 4 closes, worst prefix
+    // excess 2 -> 2 matched (the rank-based shortcut would say 0)
+    // user 2: A A B -> 1 matched; user 3: B B A -> 0 matched
+    // user 4: A B A B -> 2 matched (clean pairs)
+    val rows = Seq(
+      (10L, 0L, 1L, "purchase"), (11L, 1 * M, 1L, "view"),
+      (12L, 2 * M, 1L, "purchase"), (13L, 3 * M, 1L, "purchase"),
+      (14L, 4 * M, 1L, "view"), (15L, 5 * M, 1L, "purchase"),
+      (20L, 0L, 2L, "view"), (21L, 1 * M, 2L, "view"), (22L, 2 * M, 2L, "purchase"),
+      (30L, 0L, 3L, "purchase"), (31L, 1 * M, 3L, "purchase"), (32L, 2 * M, 3L, "view"),
+      (40L, 0L, 4L, "view"), (41L, 1 * M, 4L, "purchase"),
+      (42L, 2 * M, 4L, "view"), (43L, 3 * M, 4L, "purchase"),
+      // noise types are filtered before the shuffle
+      (50L, 0L, 1L, "error"))
+    val df = rows.toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.EventFunnel.sequencePairCount(
+      df, "user_id", "ts", "event_id", "event_type", "view", "purchase")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 4L, 2L)),
+      2L -> ((2L, 1L, 1L)),
+      3L -> ((1L, 2L, 0L)),
+      4L -> ((2L, 2L, 2L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.EventFunnel.sequencePairCount(
+        df, "user_id", "ts", "event_id", "event_type", "view", "view")
+    }
+  }
+
   test("retention cohorts: closed-form day-offset return flags") {
     import spark.implicits._
     val D = 86400000000L
