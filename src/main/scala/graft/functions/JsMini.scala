@@ -50,7 +50,22 @@ object JsMini {
   final class VArr(val items: mutable.ArrayBuffer[V]) extends V
   final case class VFun(params: Seq[String], body: Seq[Stmt], closure: Env,
       name: String, arrow: Boolean = false,
-      home: Option[VClass] = None) extends V
+      home: Option[VClass] = None, gen: Boolean = false) extends V
+
+  /** A generator instance (`function*` call). EAGER SUBSET SEMANTICS,
+    * documented: the body runs TO COMPLETION on first consumption,
+    * collecting every yield — correct for all terminating generators
+    * (the transform/flatten scripts ingest pipelines write), while an
+    * infinite generator raises the interpreter's fuel-budget error
+    * instead of producing values lazily. `yield` evaluates to
+    * undefined (no two-way `next(v)` protocol).
+    */
+  final class VGen private[functions] (private[functions] val fun: VFun,
+      private[functions] val args: Seq[V],
+      private[functions] val thisV: Option[V]) extends V {
+    private[functions] var out: Option[IndexedSeq[V]] = None
+    private[functions] var idx = 0
+  }
   final case class VNative(name: String, f: Seq[V] => V) extends V
 
   /** A `class` value: constructor + method tables + parent link. The
@@ -86,7 +101,9 @@ object JsMini {
   final case class EArr(items: Seq[Expr]) extends Expr
   final case class EObj(fields: Seq[(String, Expr)]) extends Expr
   final case class EFun(params: Seq[String], body: Seq[Stmt], name: String,
-      arrow: Boolean = false) extends Expr
+      arrow: Boolean = false, gen: Boolean = false) extends Expr
+  /** `yield x` / `yield* iterable` (generator bodies only). */
+  final case class EYield(e: Expr, delegate: Boolean) extends Expr
   /** `class Name extends Parent { constructor(){} m(){} static s(){} }` */
   final case class EClass(name: String, parent: Option[Expr],
       ctor: Option[EFun], methods: Seq[(String, EFun)],
@@ -420,8 +437,16 @@ object JsMini {
     private def branchBody(): Seq[Stmt] =
       if (at("{")) block() else Seq(statement())
 
+    /** >0 while parsing a generator body — gates `yield` (which stays a
+      * plain identifier everywhere else, like real JS outside
+      * generators). Non-generator function/method/arrow bodies reset it
+      * (yield may not cross a function boundary).
+      */
+    private var genDepth = 0
+
     private def functionExpr(): EFun = {
       eat("function")
+      val isGen = opt("*")
       val name = if (at("ident")) eat("ident").text else ""
       eat("(")
       val params = mutable.ArrayBuffer.empty[String]
@@ -430,7 +455,10 @@ object JsMini {
         if (!at(")")) eat(",")
       }
       eat(")")
-      EFun(params.toSeq, block(), name)
+      val saved = genDepth
+      genDepth = if (isGen) genDepth + 1 else 0
+      val body = try block() finally genDepth = saved
+      EFun(params.toSeq, body, name, gen = isGen)
     }
 
     /** `class Name [extends Expr] { constructor/methods/static methods }`.
@@ -469,7 +497,10 @@ object JsMini {
             if (!at(")")) eat(",")
           }
           eat(")")
-          val fn = EFun(params.toSeq, block(), mname)
+          val saved = genDepth
+          genDepth = 0 // methods are non-generator in this subset
+          val mbody = try block() finally genDepth = saved
+          val fn = EFun(params.toSeq, mbody, mname)
           if (!isStatic && mname == "constructor") ctor = Some(fn)
           else if (isStatic) statics += ((mname, fn))
           else methods += ((mname, fn))
@@ -483,6 +514,13 @@ object JsMini {
     def expression(): Expr = assignExpr()
 
     private def assignExpr(): Expr = {
+      if (genDepth > 0 && at("ident") && peek.text == "yield") {
+        pos += 1
+        val delegate = opt("*")
+        val stops = Set(";", ")", "]", "}", ",", "eof")
+        val arg = if (stops(peek.kind)) EUndef else assignExpr()
+        return EYield(arg, delegate)
+      }
       val left = condExpr()
       peek.kind match {
         case op @ ("=" | "+=" | "-=" | "*=" | "/=" | "%=") =>
@@ -599,8 +637,11 @@ object JsMini {
 
     private def arrowFrom(params: Seq[String]): Expr = {
       eat("=>")
+      val saved = genDepth
+      genDepth = 0 // arrows are never generators; yield can't cross in
       val body: Seq[Stmt] =
-        if (at("{")) block() else Seq(SReturn(Some(assignExpr())))
+        try { if (at("{")) block() else Seq(SReturn(Some(assignExpr()))) }
+        finally genDepth = saved
       EFun(params, body, "", arrow = true)
     }
 
@@ -839,6 +880,7 @@ object JsMini {
     case f: VFun     => s"function ${f.name}"
     case n: VNative  => s"function ${n.name}"
     case k: VClass   => s"class ${k.name}"
+    case _: VGen     => "[object Generator]"
   }
 
   def toNum(v: V): Double = v match {
@@ -866,7 +908,7 @@ object JsMini {
         .filter { case (_, fv) => !fv.isInstanceOf[VFun] && fv != VUndef }
         .map { case (k, fv) => quote(k) + ":" + stringify(fv) }
         .mkString("{", ",", "}")
-    case _: VFun | _: VNative | _: VClass => "null"
+    case _: VFun | _: VNative | _: VClass | _: VGen => "null"
   }
 
   private def quote(s: String): String = {
@@ -902,12 +944,7 @@ object JsMini {
   /** Flatten `...spread` elements into the evaluated argument list. */
   private def spreadArgs(items: Seq[Expr], env: Env): Seq[V] =
     items.flatMap {
-      case ESpread(e) => eval(e, env) match {
-        case a: VArr => a.items.toSeq
-        case VStr(str) => str.map(c => VStr(c.toString))
-        case other => throw new JsError(
-          VStr(s"${toDisplay(other)} is not iterable (spread)"))
-      }
+      case ESpread(e) => iterableItems(eval(e, env), "spread")
       case e => Seq(eval(e, env))
     }
 
@@ -963,20 +1000,60 @@ object JsMini {
   private def callWith(f: V, args: Seq[V], thisV: Option[V]): V = f match {
     case VNative(_, nf) => nf(args)
     case k: VClass      => construct(k, args)
-    case VFun(params, body, closure, _, arrow, home) =>
-      val env = closure.child
-      if (!arrow) {
-        env.declare("this", thisV.getOrElse(VUndef))
-        env.declare("__super__",
-          home.flatMap(_.parent).getOrElse(VUndef: V))
-      }
-      params.zipWithIndex.foreach { case (p, i) =>
-        env.declare(p, if (i < args.length) args(i) else VUndef)
-      }
-      try { body.foreach(exec(_, env)); VUndef }
-      catch { case r: ReturnSignal => r.value }
+    case fn: VFun if fn.gen => new VGen(fn, args, thisV)
+    case fn: VFun      => invoke(fn, args, thisV)
     case other =>
       throw new JsError(VStr(s"${toDisplay(other)} is not a function"))
+  }
+
+  private def invoke(fn: VFun, args: Seq[V], thisV: Option[V]): V = {
+    val env = fn.closure.child
+    if (!fn.arrow) {
+      env.declare("this", thisV.getOrElse(VUndef))
+      env.declare("__super__",
+        fn.home.flatMap(_.parent).getOrElse(VUndef: V))
+    }
+    fn.params.zipWithIndex.foreach { case (p, i) =>
+      env.declare(p, if (i < args.length) args(i) else VUndef)
+    }
+    try { fn.body.foreach(exec(_, env)); VUndef }
+    catch { case r: ReturnSignal => r.value }
+  }
+
+  // --------------------------------------------------------- generators
+
+  /** Active yield collectors, innermost last (nested generator
+    * materialization pushes its own sink).
+    */
+  private val yieldSinks =
+    new ThreadLocal[List[mutable.ArrayBuffer[V]]] {
+      override def initialValue(): List[mutable.ArrayBuffer[V]] = Nil
+    }
+
+  /** Run the generator body to completion (once) and return its yields
+    * — the eager subset semantics documented on [[VGen]]. The fuel
+    * budget bounds runaway bodies.
+    */
+  private def force(g: VGen): IndexedSeq[V] = {
+    if (g.out.isEmpty) {
+      val sink = mutable.ArrayBuffer.empty[V]
+      yieldSinks.set(sink :: yieldSinks.get)
+      try invoke(g.fun, g.args, g.thisV)
+      finally yieldSinks.set(yieldSinks.get.tail)
+      g.out = Some(sink.toIndexedSeq)
+    }
+    g.out.get
+  }
+
+  /** The values a for-of / spread / yield* walks; loud on anything
+    * non-iterable.
+    */
+  private def iterableItems(v: V, what: String): Seq[V] = v match {
+    case a: VArr => a.items.toSeq
+    case VStr(s) => s.map(c => VStr(c.toString))
+    case g: VGen => force(g)
+    case other =>
+      throw new JsError(VStr(s"${toDisplay(other)} is not iterable ($what)"))
   }
 
   /** `new K(args)`: fresh instance, constructor chain run with `this`
@@ -1062,12 +1139,7 @@ object JsMini {
         }
       } catch { case BreakSignal => }
     case SForOf(name, iter, body) =>
-      val it = eval(iter, env) match {
-        case a: VArr => a.items.toSeq
-        case VStr(s) => s.map(c => VStr(c.toString)).toSeq
-        case other =>
-          throw new JsError(VStr(s"${toDisplay(other)} is not iterable"))
-      }
+      val it = iterableItems(eval(iter, env), "for-of")
       try {
         it.foreach { v =>
           val e = env.child
@@ -1091,7 +1163,8 @@ object JsMini {
     case SBreak    => throw BreakSignal
     case SContinue => throw ContinueSignal
     case SFunDecl(name, fn) =>
-      env.declare(name, VFun(fn.params, fn.body, env, name, fn.arrow))
+      env.declare(name,
+        VFun(fn.params, fn.body, env, name, fn.arrow, gen = fn.gen))
     case SClassDecl(name, cls) =>
       env.declare(name, eval(cls, env))
     case SBlock(body) =>
@@ -1120,7 +1193,17 @@ object JsMini {
       "spread is only valid in array literals and call arguments")
     case EObj(fields) =>
       new VObj(mutable.LinkedHashMap(fields.map { case (k, v) => k -> eval(v, env) }: _*))
-    case EFun(params, body, name, arrow) => VFun(params, body, env, name, arrow)
+    case EFun(params, body, name, arrow, gen) =>
+      VFun(params, body, env, name, arrow, gen = gen)
+    case EYield(x, delegate) =>
+      yieldSinks.get.headOption match {
+        case Some(sink) =>
+          if (delegate) sink ++= iterableItems(eval(x, env), "yield*")
+          else sink += eval(x, env)
+          VUndef
+        case None => throw new JsError(VStr(
+          "yield outside a running generator body"))
+      }
     case EClass(name, parentE, ctorE, methodsE, staticsE) =>
       val parent = parentE.map(eval(_, env)).map {
         case k: VClass => k
@@ -1304,6 +1387,14 @@ object JsMini {
     // static methods (inherited through the chain too)
     case (k: VClass, n) if k.findStatic(n).isDefined =>
       callWith(k.findStatic(n).get, args, Some(k))
+
+    // ---- Generator.prototype (eager subset — see VGen)
+    case (g: VGen, "next") =>
+      val items = force(g)
+      if (g.idx < items.length) {
+        val v = items(g.idx); g.idx += 1
+        obj("value" -> v, "done" -> VBool(false))
+      } else obj("value" -> VUndef, "done" -> VBool(true))
 
     // ---- String.prototype
     case (VStr(s), "toUpperCase") => VStr(s.toUpperCase)

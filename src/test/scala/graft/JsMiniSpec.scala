@@ -401,4 +401,59 @@ class JsMiniSpec extends AnyFunSuite {
     assert(got(1) == VStr("||#9#9")) // 3 empty cooked chunks, 2 args
     assert(got(2) == VStr("a|b#9#undefined"))
   }
+
+  test("generators (eager subset): function*, yield/yield*, for-of, " +
+      "spread, next() protocol, closure capture, budget guard on " +
+      "infinite bodies, yield is a plain identifier elsewhere") {
+    val m =
+      """function* range(n) {
+        |  for (let i = 0; i < n; i++) yield i * 10;
+        |}
+        |function* both(n) {
+        |  yield -1;
+        |  yield* range(n);      // delegation
+        |  yield* [100, 200];    // array delegation
+        |}
+        |export default function (n) {
+        |  let sum = 0;
+        |  for (const v of range(n)) sum += v;
+        |  const spreadOut = [...both(2)];
+        |  const g = range(2);
+        |  const a = g.next(); const b = g.next(); const c = g.next();
+        |  return { sum: sum, s: spreadOut,
+        |           n1: a.value, n2: b.value, d2: b.done, d3: c.done };
+        |}""".stripMargin
+    val o = run(m, VNum(4)).asInstanceOf[VObj]
+    assert(o.fields("sum") == VNum(60)) // 0+10+20+30
+    assert(o.fields("s").asInstanceOf[VArr].items.toSeq ==
+      Seq(VNum(-1), VNum(0), VNum(10), VNum(100), VNum(200)))
+    assert(o.fields("n1") == VNum(0) && o.fields("n2") == VNum(10))
+    assert(o.fields("d2") == VBool(false) && o.fields("d3") == VBool(true))
+    // generator closes over outer state like any function
+    assert(run(
+      """let base = 5;
+        |function* g() { yield base; base = base + 1; yield base; }
+        |export default function (v) { return [...g()]; }""".stripMargin,
+      VNull).asInstanceOf[VArr].items.toSeq == Seq(VNum(5), VNum(6)))
+    // an INFINITE generator raises the fuel budget loudly (the eager
+    // subset's documented behavior) instead of hanging
+    intercept[JsMini.BudgetExceeded] {
+      run(
+        """function* forever() { while (true) yield 1; }
+          |export default function (v) { return forever().next(); }""".stripMargin,
+        VNull)
+    }
+    // outside generator bodies, yield stays an ordinary identifier
+    assert(run(
+      "export default function (v) { const yield = 3; return yield + 1; }",
+      VNull) == VNum(4))
+    // arrows inside a generator cannot yield across the boundary:
+    // the arrow body parses yield as an identifier -> undefined var
+    intercept[JsError] {
+      run(
+        """function* g() { const f = () => yield 1; f(); }
+          |export default function (v) { return [...g()]; }""".stripMargin,
+        VNull)
+    }
+  }
 }
