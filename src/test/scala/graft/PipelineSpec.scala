@@ -225,6 +225,22 @@ class PipelineSpec extends AnyFunSuite {
       val (n113, p113) = shuffles(
         SparkEntry.queries("q113_retention_cohorts")(spark, dir))
       assert(n113 == 2, p113.take(600))
+      // strict funnel modes keep q112's single per-user shuffle (the
+      // pushed step filter disappears only for StrictOrder, whose
+      // semantics need every event)
+      for (q <- Seq("q112b_funnel_strict_increase",
+          "q112c_funnel_strict_order", "q112d_funnel_strict_dedup")) {
+        val (n, p) = shuffles(SparkEntry.queries(q)(spark, dir))
+        assert(n == 1, s"$q: ${p.take(600)}")
+        if (q != "q112c_funnel_strict_order")
+          assert(p.contains("In(event_type"), s"$q: ${p.take(600)}")
+      }
+      // q114: the prefix-sum window and the aggregation share the user
+      // key -> ONE shuffle total, filter pushed to the scan
+      val (n114, p114) = shuffles(
+        SparkEntry.queries("q114_sequence_pair_count")(spark, dir))
+      assert(n114 == 1, p114.take(600))
+      assert(p114.contains("In(event_type"), p114.take(600))
       // q111: md5-key window shuffle + the single-row total agg's
       // SinglePartition exchange — nothing else
       val (n111, p111) = shuffles(
