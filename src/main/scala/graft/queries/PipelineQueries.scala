@@ -2248,6 +2248,137 @@ object PipelineQueries {
         first = "view", second = "purchase")
     },
 
+    // KMV distinct sketch, fully ORACLED — the first sketch family
+    // where even the float ESTIMATE hash-matches: the sketch is "the k
+    // smallest distinct GF(2^61-1) hashes" (ORDER BY hash LIMIT k in
+    // SQL), the estimator (k-1)·M/kth is two fixed-order IEEE ops.
+    // Per-nation distinct customers, estimate next to the exact count.
+    QueryDef("q115_kmv_distinct",
+      """WITH hashed AS (
+        |  SELECT DISTINCT c_nationkey AS nation,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+        |          c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h0
+        |  FROM customer
+        |), fin AS (
+        |  SELECT nation,
+        |    (h0 * 1250284240999530269::HUGEINT + 558566537817138577)
+        |      % 2305843009213693951 AS h
+        |  FROM hashed
+        |), ranked AS (
+        |  SELECT nation, h,
+        |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY h) AS rn
+        |  FROM fin
+        |), sk AS (
+        |  SELECT nation, list(CAST(h AS BIGINT) ORDER BY h) AS kmv
+        |  FROM ranked WHERE rn <= 32 GROUP BY nation
+        |), ex AS (
+        |  SELECT c_nationkey AS nation,
+        |    COUNT(DISTINCT c_custkey) AS exact_distinct
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT sk.nation, kmv,
+        |  CAST(len(kmv) AS INTEGER) AS n_kmv,
+        |  CASE WHEN len(kmv) < 32 THEN CAST(len(kmv) AS DOUBLE)
+        |       ELSE CAST(31 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |            / CAST(kmv[32] AS DOUBLE) END AS est_distinct,
+        |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+        |FROM sk JOIN ex USING (nation)""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      val cust = t(s, dir, "customer")
+      val sk = Kmv.sketch(cust, Seq("c_nationkey"), "c_custkey", 32)
+        .withColumnRenamed("c_nationkey", "nation")
+      val ex = cust.groupBy(col("c_nationkey").as("nation"))
+        .agg(countDistinct(col("c_custkey")).as("exact_distinct"))
+      sk.join(ex, "nation").select(col("nation"), col("kmv"),
+        size(col("kmv")).cast("int").as("n_kmv"),
+        Kmv.estimate(col("kmv"), 32).as("est_distinct"),
+        col("exact_distinct"))
+    },
+
+    // KMV SET OPERATIONS — the audience-overlap question sketches
+    // exist for: union sketch of two segments (merge+truncate, the
+    // mergeability that rolls per-partition sketches up), Jaccard from
+    // the union sketch's votes, intersection estimate = jaccard ×
+    // union estimate — next to the exact intersection for calibration.
+    // Every float is a fixed-order composition of IEEE ops -> oracled.
+    QueryDef("q115b_kmv_overlap",
+      """WITH e AS (
+        |  SELECT event_type, user_id FROM events
+        |  WHERE event_type IN ('view', 'purchase')
+        |), hashed AS (
+        |  SELECT DISTINCT event_type,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+        |          c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h0
+        |  FROM e
+        |), fin AS (
+        |  SELECT event_type,
+        |    (h0 * 1250284240999530269::HUGEINT + 558566537817138577)
+        |      % 2305843009213693951 AS h
+        |  FROM hashed
+        |), ranked AS (
+        |  SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM fin
+        |), sk AS (
+        |  SELECT event_type, list(CAST(h AS BIGINT) ORDER BY h) AS kmv
+        |  FROM ranked WHERE rn <= 32 GROUP BY event_type
+        |), ab AS (
+        |  SELECT (SELECT kmv FROM sk WHERE event_type = 'view') AS a,
+        |         (SELECT kmv FROM sk WHERE event_type = 'purchase') AS b
+        |), uu AS (
+        |  SELECT a, b, list_sort(list_distinct(list_concat(a, b)))[1:32] AS un
+        |  FROM ab
+        |), est AS (
+        |  SELECT
+        |    CAST(len(a) AS INTEGER) AS n_a,
+        |    CAST(len(b) AS INTEGER) AS n_b,
+        |    CAST(len(un) AS INTEGER) AS n_union_sketch,
+        |    CAST(len(list_intersect(list_intersect(un, a), b)) AS DOUBLE)
+        |      / CAST(len(un) AS DOUBLE) AS jaccard_est,
+        |    (CAST(len(list_intersect(list_intersect(un, a), b)) AS DOUBLE)
+        |      / CAST(len(un) AS DOUBLE))
+        |    * (CASE WHEN len(un) < 32 THEN CAST(len(un) AS DOUBLE)
+        |            ELSE CAST(31 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |                 / CAST(un[32] AS DOUBLE) END) AS est_intersection
+        |  FROM uu
+        |), exact AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+        |    SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase')
+        |)
+        |SELECT est.*, exact.exact_intersection FROM est, exact""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.Kmv
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+      val sk = Kmv.sketch(ev, Seq("event_type"), "user_id", 32)
+      val a = sk.filter(col("event_type") === "view")
+        .select(col("kmv").as("a"))
+      val b = sk.filter(col("event_type") === "purchase")
+        .select(col("kmv").as("b"))
+      val exact = ev.filter(col("event_type") === "view")
+        .select("user_id").distinct()
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct())
+        .agg(count(lit(1)).as("exact_intersection"))
+      a.crossJoin(b).select(
+        size(col("a")).cast("int").as("n_a"),
+        size(col("b")).cast("int").as("n_b"),
+        size(Kmv.union(col("a"), col("b"), 32)).cast("int")
+          .as("n_union_sketch"),
+        Kmv.jaccard(col("a"), col("b"), 32).as("jaccard_est"),
+        Kmv.intersectEstimate(col("a"), col("b"), 32)
+          .as("est_intersection"))
+        .crossJoin(exact)
+    },
+
     // BM25 lexical retrieval (the standard-formula counterpart to the
     // ANN family — what every RAG pipeline runs next to the vector
     // index). Float idf/length-norm scores -> rows-only; hand-computed

@@ -276,6 +276,47 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { eval(1) }
   }
 
+  test("KMV sketch: exact under k, estimator within tolerance over k, " +
+      "mergeable union, calibrated intersection estimate") {
+    import spark.implicits._
+    import graft.operators.Kmv
+    // group 'small' has 10 distinct keys (< k=64): sketch IS the key
+    // set, estimate exact; 'big' has 1000: estimator engages
+    val rows = (1 to 10).map(i => ("small", i.toLong)) ++
+      (1001L to 2000L).map(i => ("big", i))
+    val df = rows.toDF("seg", "key")
+    val sk = Kmv.sketch(df, Seq("seg"), "key", 64)
+      .withColumn("est", Kmv.estimate(col("kmv"), 64))
+      .collect().map(r => r.getAs[String]("seg") ->
+        ((r.getSeq[Long](r.fieldIndex("kmv")).toSeq, r.getAs[Double]("est")))).toMap
+    assert(sk("small")._1.length == 10 && sk("small")._2 == 10.0)
+    assert(sk("big")._1.length == 64)
+    assert(sk("big")._1 == sk("big")._1.sorted, "sketch must be ascending")
+    assert(math.abs(sk("big")._2 - 1000.0) / 1000.0 < 0.35,
+      s"estimate ${sk("big")._2} too far from 1000")
+    // duplicates never change a sketch (distinct semantics)
+    val dup = Kmv.sketch(df.union(df), Seq("seg"), "key", 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](r.fieldIndex("kmv")).toSeq).toMap
+    assert(dup("big") == sk("big")._1 && dup("small") == sk("small")._1)
+    // set ops: segments with a known 50% overlap
+    val a = (1L to 400L).map(("a", _)); val b = (201L to 600L).map(("b", _))
+    val sk2 = Kmv.sketch((a ++ b).toDF("seg", "key"), Seq("seg"), "key", 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](r.fieldIndex("kmv")).toSeq).toMap
+    val j = (sk2("a"), sk2("b"))
+    val est = spark.range(1).select(
+      Kmv.jaccard(typedLit(j._1), typedLit(j._2), 64).as("jac"),
+      Kmv.intersectEstimate(typedLit(j._1), typedLit(j._2), 64).as("inter"),
+      Kmv.estimate(Kmv.union(typedLit(j._1), typedLit(j._2), 64), 64).as("un"))
+      .collect().head
+    // true jaccard 200/600 = 0.333, intersection 200, union 600
+    assert(math.abs(est.getAs[Double]("jac") - 0.333) < 0.2, est.toString)
+    assert(math.abs(est.getAs[Double]("inter") - 200.0) < 120.0, est.toString)
+    assert(math.abs(est.getAs[Double]("un") - 600.0) < 250.0, est.toString)
+    intercept[IllegalArgumentException] {
+      Kmv.sketch(df, Seq("seg"), "key", 1)
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
