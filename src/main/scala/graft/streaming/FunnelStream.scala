@@ -31,6 +31,8 @@ object FunnelStream {
   final case class FunnelEvent(user: String, us: Long, ord: Long, t: Int)
   final case class FunnelState(starts: Array[Long], maxLevel: Int)
   final case class FunnelLevel(user: String, funnel_level: Int)
+  final case class PairState(nSecond: Long, excess: Long, maxExcess: Long)
+  final case class PairCount(user: String, n_matched: Long)
 
   private val NONE = Long.MinValue
 
@@ -89,6 +91,64 @@ object FunnelStream {
             state.update(FunnelState(starts, maxLevel))
             idleTimeout.foreach(state.setTimeoutDuration)
             if (maxLevel > st.maxLevel) Iterator.single(FunnelLevel(user, maxLevel))
+            else Iterator.empty
+          }
+      }
+  }
+
+  /** STREAMING sequenceCount — the live twin of
+    * [[graft.operators.EventFunnel.sequencePairCount]]: per-user count
+    * of non-overlapping `first → second` pairs, re-emitted whenever it
+    * grows. The bracket-matching identity is a running fold, so state
+    * is THREE longs per user (seconds seen, running excess, worst
+    * excess) — `n_matched = nSecond − max(maxExcess, 0)` at any point.
+    * Same in-order-arrival contract as [[windowFunnelStream]]; the
+    * batch operator over the full log is the reconciliation oracle.
+    */
+  def sequencePairCountStream(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderCol: String,
+      typeCol: String,
+      first: String,
+      second: String,
+      idleTimeout: Option[String] = None): Dataset[PairCount] = {
+    require(first != second, "sequencePairCountStream steps must differ")
+    implicit val evEnc = Encoders.product[FunnelEvent]
+    implicit val stEnc = Encoders.product[PairState]
+    implicit val outEnc = Encoders.product[PairCount]
+    implicit val strEnc = Encoders.STRING
+    val ev = df
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(first, second))
+      .select(col(userCol).cast("string").as("user"),
+        unix_micros(col(tsCol)).as("us"),
+        col(orderCol).cast("long").as("ord"),
+        when(col(typeCol) === second, 2).otherwise(1).as("t"))
+      .as[FunnelEvent]
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def matched(s: PairState): Long = s.nSecond - math.max(s.maxExcess, 0L)
+    ev.groupByKey(_.user)
+      .flatMapGroupsWithState[PairState, PairCount](
+        OutputMode.Update, timeout) {
+        (user: String, rows: Iterator[FunnelEvent],
+            state: GroupState[PairState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(PairState(0L, 0L, 0L))
+            var (nSecond, excess, maxExcess) =
+              (st.nSecond, st.excess, st.maxExcess)
+            rows.toArray.sortBy(e => (e.us, e.ord)).foreach { e =>
+              if (e.t == 2) { nSecond += 1; excess += 1 } else excess -= 1
+              if (excess > maxExcess) maxExcess = excess
+            }
+            val next = PairState(nSecond, excess, maxExcess)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            if (matched(next) > matched(st))
+              Iterator.single(PairCount(user, matched(next)))
             else Iterator.empty
           }
       }

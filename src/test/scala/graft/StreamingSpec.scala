@@ -200,6 +200,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Map(1L -> 3, 2L -> 2))
   }
 
+  test("streaming sequencePairCount: three-long state, count re-emitted " +
+      "on growth, cross-batch matching equals the batch identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)] // (us, id, user, type)
+    val M = 60000000L
+    val df = mem.toDF().toDF("us", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.streaming.FunnelStream.sequencePairCountStream(
+      df, "user_id", "ts", "event_id", "event_type", "view", "purchase")
+    val q = out.toDF().writeStream.format("memory").queryName("pairs_out")
+      .outputMode(OutputMode.Update).start()
+    def rows() = spark.sql("SELECT * FROM pairs_out")
+      .as[(String, Long)].collect().toSeq
+    try {
+      // batch 1: purchase-before-view yields nothing; a view opens
+      mem.addData((0L, 10L, 1L, "purchase"), (1 * M, 11L, 1L, "view"))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2: the purchase closes the batch-1 view -> count 1
+      mem.addData((2 * M, 12L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(rows() == Seq(("1", 1L)))
+      // batch 3: view+purchase in one batch -> count 2 emitted once
+      mem.addData((3 * M, 13L, 1L, "view"), (4 * M, 14L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(rows().toSet == Set(("1", 1L), ("1", 2L)))
+      // an unmatched purchase changes nothing
+      mem.addData((5 * M, 15L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(rows().size == 2)
+    } finally q.stop()
+    // batch identity on the full log agrees
+    val batch = graft.operators.EventFunnel.sequencePairCount(
+      Seq((10L, 0L, 1L, "purchase"), (11L, 1 * M, 1L, "view"),
+        (12L, 2 * M, 1L, "purchase"), (13L, 3 * M, 1L, "view"),
+        (14L, 4 * M, 1L, "purchase"), (15L, 5 * M, 1L, "purchase"))
+        .toDF("event_id", "us", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))),
+      "user_id", "ts", "event_id", "event_type", "view", "purchase")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(batch._4 == 2L)
+  }
+
   test("StreamMetrics records per-query progress snapshots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
