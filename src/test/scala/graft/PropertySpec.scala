@@ -348,4 +348,118 @@ class PropertySpec extends AnyFunSuite {
       assert(got == VStr(text), s"text=${text.map(_.toInt)}")
     }
   }
+
+  test("windowFunnel all four modes agree with brute-force chain " +
+      "enumeration on random event sets (equal timestamps included)") {
+    import graft.operators.EventFunnel
+    import graft.operators.EventFunnel.FunnelMode
+    import org.apache.spark.sql.functions._
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val stepIdx = steps.zipWithIndex.toMap
+    val types = steps :+ "other"
+    // per user: up to 10 events, timestamps in a 6-tick range so
+    // same-ts collisions are COMMON (the hard case for StrictIncrease)
+    val evGen = for {
+      n <- Gen.choose(0, 10)
+      evs <- Gen.listOfN(n, for {
+        us <- Gen.choose(0L, 5L)
+        t <- Gen.oneOf(types)
+      } yield (us, t))
+    } yield evs.zipWithIndex.map { case ((us, t), i) => (us, i.toLong, t) }
+    val cases = samples(evGen, 250).zipWithIndex
+      .map { case (evs, u) => u.toLong -> evs }
+
+    def brute(events: Seq[(Long, Long, String)], window: Long,
+        mode: FunnelMode): Int = {
+      val sorted = events.sortBy(e => (e._1, e._2))
+      val uni =
+        if (mode == FunnelMode.StrictOrder) sorted
+        else sorted.filter(e => stepIdx.contains(e._3))
+      val n = uni.length
+      def reach(levels: Int): Boolean = {
+        def rec(pos: Int, level: Int, startUs: Long, prevUs: Long,
+            prevIdx: Int): Boolean =
+          if (level == levels) true
+          else (pos until n).exists { i =>
+            val e = uni(i)
+            stepIdx.get(e._3).contains(level) && {
+              val windowOk = level == 0 || e._1 - startUs <= window
+              val modeOk = mode match {
+                case FunnelMode.Default => true
+                case FunnelMode.StrictIncrease => level == 0 || e._1 > prevUs
+                case FunnelMode.StrictOrder => level == 0 || i == prevIdx + 1
+                case FunnelMode.StrictDedup => level == 0 ||
+                  ((prevIdx + 1) until i).forall(j =>
+                    stepIdx(uni(j)._3) >= level)
+              }
+              windowOk && modeOk &&
+                rec(i + 1, level + 1,
+                  if (level == 0) e._1 else startUs, e._1, i)
+            }
+          }
+        rec(0, 0, 0L, 0L, -1)
+      }
+      (steps.length to 1 by -1).find(reach).getOrElse(0)
+    }
+
+    val df = cases.flatMap { case (u, evs) =>
+      evs.map { case (us, ord, t) => (u, us, ord, t) }
+    }.toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    for {
+      window <- Seq(2L, 100L)
+      mode <- Seq(FunnelMode.Default, FunnelMode.StrictIncrease,
+        FunnelMode.StrictOrder, FunnelMode.StrictDedup)
+    } {
+      val got = EventFunnel.windowFunnel(df, "user_id", "ts", "event_id",
+        "event_type", steps, window, mode)
+        .as[(Long, Int)].collect().toMap
+      cases.foreach { case (u, evs) =>
+        val want = brute(evs, window, mode)
+        val level = got.getOrElse(u, 0)
+        assert(level == want,
+          s"mode=$mode window=$window user=$u events=$evs: " +
+            s"operator=$level brute=$want")
+      }
+    }
+  }
+
+  test("sequencePairCount equals greedy simulation on random sequences") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val evGen = for {
+      n <- Gen.choose(0, 14)
+      evs <- Gen.listOfN(n, for {
+        us <- Gen.choose(0L, 6L)
+        t <- Gen.oneOf("view", "purchase", "other")
+      } yield (us, t))
+    } yield evs.zipWithIndex.map { case ((us, t), i) => (us, i.toLong, t) }
+    val cases = samples(evGen, 250).zipWithIndex
+      .map { case (evs, u) => u.toLong -> evs }
+    def greedy(evs: Seq[(Long, Long, String)]): Long = {
+      var avail = 0L; var m = 0L
+      evs.filter(e => e._3 == "view" || e._3 == "purchase")
+        .sortBy(e => (e._1, e._2)).foreach { e =>
+          if (e._3 == "view") avail += 1
+          else if (avail > 0) { avail -= 1; m += 1 }
+        }
+      m
+    }
+    val df = cases.flatMap { case (u, evs) =>
+      evs.map { case (us, ord, t) => (u, us, ord, t) }
+    }.toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.EventFunnel.sequencePairCount(
+      df, "user_id", "ts", "event_id", "event_type", "view", "purchase")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    cases.foreach { case (u, evs) =>
+      val want = greedy(evs)
+      assert(got.getOrElse(u, 0L) == want,
+        s"user=$u events=$evs operator=${got.get(u)} greedy=$want")
+    }
+  }
 }
