@@ -2248,6 +2248,57 @@ object PipelineQueries {
         first = "view", second = "purchase")
     },
 
+    // Z-ORDER key — the write-side layout optimization behind
+    // multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
+    // interleave (customer, order-day) bits into one Morton key whose
+    // sort ranges are tight in BOTH dimensions. The key is pure
+    // shift/and/or bit arithmetic (codegen'd, no UDF) and replays
+    // exactly in SQL — layout decisions audit cross-engine.
+    QueryDef("q117_zorder_key",
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    (o_custkey & 2147483647) AS x0,
+        |    (CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+        |      & 2147483647) AS y0
+        |  FROM orders
+        |), s1 AS (
+        |  SELECT o_orderkey,
+        |    (x0 | (x0 << 16)) & 281470681808895 AS x,
+        |    (y0 | (y0 << 16)) & 281470681808895 AS y
+        |  FROM base
+        |), s2 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 8)) & 71777214294589695 AS x,
+        |    (y | (y << 8)) & 71777214294589695 AS y
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 4)) & 1085102592571150095 AS x,
+        |    (y | (y << 4)) & 1085102592571150095 AS y
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 2)) & 3689348814741910323 AS x,
+        |    (y | (y << 2)) & 3689348814741910323 AS y
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 1)) & 6148914691236517205 AS x,
+        |    (y | (y << 1)) & 6148914691236517205 AS y
+        |  FROM s4
+        |)
+        |SELECT o_orderkey, x | (y << 1) AS zkey FROM s5""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.Layout
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Layout.mortonKey(Seq(
+          col("o_custkey"),
+          // NTZ parquet timestamps: cast interprets in the session's
+          // pinned UTC, matching the oracle's epoch_us
+          floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+            86400000000L).cast("long"))).as("zkey"))
+    },
+
     // KMV distinct sketch, fully ORACLED — the first sketch family
     // where even the float ESTIMATE hash-matches: the sketch is "the k
     // smallest distinct GF(2^61-1) hashes" (ORDER BY hash LIMIT k in

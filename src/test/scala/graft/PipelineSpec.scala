@@ -317,6 +317,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Z-order layout: closed-form Morton bits, per-partition ranges " +
+      "tight in BOTH dimensions, parquet round-trip") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // closed-form interleaves: (x=5, y=3) -> 0b011011 = 27;
+    // 3-d (2, 0, 1) -> bit3(x1) + bit2(z0) = 12
+    val keys = spark.range(1).select(
+      Layout.mortonKey(Seq(lit(5L), lit(3L))).as("k2"),
+      Layout.mortonKey(Seq(lit(2L), lit(0L), lit(1L))).as("k3"),
+      Layout.mortonKey(Seq(lit(0L), lit(0L))).as("z0"),
+      // top bits interleave without collision: (2^30, 2^30)
+      Layout.mortonKey(Seq(lit(1L << 30), lit(1L << 30))).as("hi"))
+      .collect().head
+    assert(keys.getAs[Long]("k2") == 27L)
+    assert(keys.getAs[Long]("k3") == 12L)
+    assert(keys.getAs[Long]("z0") == 0L)
+    assert(keys.getAs[Long]("hi") == 3L << 60)
+    intercept[IllegalArgumentException] { Layout.mortonKey(Seq(lit(1L))) }
+    // locality: a 64x64 grid z-ordered into 16 range partitions gives
+    // per-partition spans near the 16x16 quadrant ideal in BOTH dims —
+    // a single-column sort would leave one dim at full width (63)
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    val parts = grid
+      .withColumn("z", Layout.mortonKey(Seq(col("x"), col("y"))))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .select("x", "y").as[(Int, Int)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else Iterator.single((
+          rows.map(_._1).max - rows.map(_._1).min,
+          rows.map(_._2).max - rows.map(_._2).min))
+      }.collect()
+    val (avgX, avgY) = (parts.map(_._1).sum.toDouble / parts.length,
+      parts.map(_._2).sum.toDouble / parts.length)
+    assert(avgX <= 34 && avgY <= 34,
+      s"z-order spans too wide: x=$avgX y=$avgY over ${parts.length} parts")
+    // write path round-trips and drops the internal key column
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.zorderWrite(grid, Seq(col("x"), col("y")), 8, s"$tmp/z")
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() == 64 * 64 && back.columns.toSet == Set("x", "y"))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
