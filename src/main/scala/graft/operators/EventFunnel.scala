@@ -280,6 +280,49 @@ object EventFunnel {
           greatest(max(col("__x")), lit(0L))).as("n_matched"))
   }
 
+  /** Minimum time-to-conversion: per user, the smallest `second.ts −
+    * first.ts` over valid `first → second` pairs within `windowMicros`
+    * — the "how fast do converters convert" latency metric next to
+    * [[windowFunnel]]'s depth and [[sequencePairCount]]'s volume.
+    *
+    * Efficient form: for each `second` event only its LATEST preceding
+    * `first` matters (any older one gives a larger gap), which is one
+    * ignore-nulls `last` window over the per-user sort — so the oracle's
+    * O(n²) pair-join MIN collapses to a single window pass + one
+    * aggregation on the same user key (one shuffle). Output:
+    * (userCol, min_ttc_us BIGINT), rows only for users with a valid
+    * pair.
+    */
+  def timeToConversion(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderCol: String,
+      typeCol: String,
+      first: String,
+      second: String,
+      windowMicros: Long): DataFrame = {
+    require(first != second, "timeToConversion steps must differ")
+    requireNoClash(userCol, Seq("__us", "__lv", "min_ttc_us"))
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(first, second))
+      .select(col(userCol), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__us"),
+        col(orderCol).cast("long").as("__ord"))
+    val before = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("__lv",
+        last(when(col("__t") === first, col("__us")), ignoreNulls = true)
+          .over(before))
+      .filter(col("__t") === second && col("__lv").isNotNull &&
+        (col("__us") - col("__lv")) <= windowMicros)
+      .groupBy(col(userCol))
+      .agg(min(col("__us") - col("__lv")).as("min_ttc_us"))
+  }
+
   /** Cohort retention: users grouped by their first-activity day, with
     * counts of how many returned at each of `offsets` days later — the
     * release-dashboard companion to [[windowFunnel]].

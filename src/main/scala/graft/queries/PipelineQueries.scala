@@ -2248,6 +2248,24 @@ object PipelineQueries {
         first = "view", second = "purchase")
     },
 
+    // Minimum time-to-conversion per user (view -> purchase within 6h):
+    // the oracle states the O(n²) pair-join MIN; the operator computes
+    // the same value with ONE ignore-nulls window pass (only the latest
+    // preceding view matters per purchase) + one same-key aggregation.
+    QueryDef("q116_time_to_conversion",
+      """SELECT a.user_id,
+        |  CAST(MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS min_ttc_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.ts IS NOT NULL AND b.ts IS NOT NULL
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |GROUP BY a.user_id""".stripMargin) { (s, dir) =>
+      graft.operators.EventFunnel.timeToConversion(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        first = "view", second = "purchase", windowMicros = 21600000000L)
+    },
+
     // Z-ORDER key — the write-side layout optimization behind
     // multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
     // interleave (customer, order-day) bits into one Morton key whose

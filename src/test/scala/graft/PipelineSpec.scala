@@ -191,6 +191,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("timeToConversion: latest-view dominance, same-ts zero, window " +
+      "exclusion, single-shuffle plan") {
+    import spark.implicits._
+    val M = 60000000L
+    val rows = Seq(
+      // u1: views at 0 and 3m, purchase at 5m -> min gap 2m (latest view)
+      (10L, 0L, 1L, "view"), (11L, 3 * M, 1L, "view"), (12L, 5 * M, 1L, "purchase"),
+      // u2: same-ts view then purchase (ord order) -> 0
+      (20L, 0L, 2L, "view"), (21L, 0L, 2L, "purchase"),
+      // u3: purchase 7h after the only view -> outside 6h, no row
+      (30L, 0L, 3L, "view"), (31L, 420 * M, 3L, "purchase"),
+      // u4: purchase BEFORE any view -> no row
+      (40L, 0L, 4L, "purchase"), (41L, 1 * M, 4L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.EventFunnel.timeToConversion(
+      rows, "user_id", "ts", "event_id", "event_type",
+      "view", "purchase", 21600000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> (2 * M), 2L -> 0L))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q116_time_to_conversion")(
+        spark, dir).queryExecution.executedPlan.toString
+      assert("Exchange ".r.findAllIn(plan).size == 1, plan.take(600))
+      assert(plan.contains("In(event_type"), plan.take(600))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retention cohorts: closed-form day-offset return flags") {
     import spark.implicits._
     val D = 86400000000L
