@@ -19,6 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      TUMBLE(src, ts, 'interval')        → window(ts, interval)
   *      HOP(src, ts, 'slide', 'interval')  → window(ts, interval, slide)
   *      TTL(src, ts, 'interval')           → watermark spec on src
+  *    plus the graft event-analytics table operators (batch):
+  *      WINDOW_FUNNEL / SEQUENCE_COUNT / RETENTION / TIME_TO_CONVERSION
   *        (state-eviction hint: a no-op on batch relations, becomes
   *         `withWatermark` when the registered source is streaming —
   *         reference table_operator/lifetime.rs:29-88)
@@ -135,12 +137,71 @@ object SqlText {
       spark: SparkSession): String = {
     var result = sql
     var pendingWindow: Option[String] = None // native window() expr (streaming)
+    var evtViews = 0 // unique names for event-analytics result views
+    def unq(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
     var changed = true
     while (changed) {
       changed = false
-      findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL")) match {
+      findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL",
+        "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
+        "TIME_TO_CONVERSION")) match {
         case Some((fn, start, end, args)) =>
+          // event-analytics table operators (graft extensions beyond the
+          // reference dialect): each materializes its aggregate as a
+          // derived view the rest of the query reads. Batch-mode only —
+          // live pipelines use graft.streaming.FunnelStream's stateful
+          // twins, whose update-emission semantics don't fit a
+          // FROM-clause table.
+          def evtView(out: org.apache.spark.sql.DataFrame): String = {
+            require(!streaming,
+              s"$fn is a batch table operator; streaming pipelines use " +
+                "the FunnelStream stateful equivalents")
+            evtViews += 1
+            val vn = s"__evt$evtViews"
+            out.createOrReplaceTempView(vn)
+            vn
+          }
           val replacement = fn match {
+            case "WINDOW_FUNNEL" =>
+              // WINDOW_FUNNEL(src, user, ts, ord, type, 'steps,csv',
+              //   'window' [, 'strict_increase|strict_order|strict_dedup'])
+              val a = args.map(_.trim)
+              val steps = unq(a(5)).split(",").map(_.trim).toSeq
+              val win = graft.functions.HopWindows
+                .parseDurationMicros(unq(a(6)))
+              val mode = a.drop(7).headOption.map(m =>
+                unq(m).toLowerCase match {
+                  case "strict_increase" =>
+                    graft.operators.EventFunnel.FunnelMode.StrictIncrease
+                  case "strict_order" =>
+                    graft.operators.EventFunnel.FunnelMode.StrictOrder
+                  case "strict_dedup" | "strict_deduplication" =>
+                    graft.operators.EventFunnel.FunnelMode.StrictDedup
+                  case other => throw new IllegalArgumentException(
+                    s"WINDOW_FUNNEL: unknown mode '$other'")
+                }).getOrElse(graft.operators.EventFunnel.FunnelMode.Default)
+              evtView(graft.operators.EventFunnel.windowFunnel(
+                spark.table(a(0)), a(1), a(2), a(3), a(4), steps, win, mode))
+            case "SEQUENCE_COUNT" =>
+              // SEQUENCE_COUNT(src, user, ts, ord, type, 'first', 'second')
+              val a = args.map(_.trim)
+              evtView(graft.operators.EventFunnel.sequencePairCount(
+                spark.table(a(0)), a(1), a(2), a(3), a(4),
+                unq(a(5)), unq(a(6))))
+            case "RETENTION" =>
+              // RETENTION(src, user, ts, 'offsets,csv')
+              val a = args.map(_.trim)
+              evtView(graft.operators.EventFunnel.retention(
+                spark.table(a(0)), a(1), a(2),
+                unq(a(3)).split(",").map(_.trim.toInt).toSeq))
+            case "TIME_TO_CONVERSION" =>
+              // TIME_TO_CONVERSION(src, user, ts, ord, type,
+              //   'first', 'second', 'window')
+              val a = args.map(_.trim)
+              evtView(graft.operators.EventFunnel.timeToConversion(
+                spark.table(a(0)), a(1), a(2), a(3), a(4),
+                unq(a(5)), unq(a(6)),
+                graft.functions.HopWindows.parseDurationMicros(unq(a(7)))))
             case "SESSION" =>
               // gap-based session windows (beyond the reference's
               // TUMBLE/HOP): Spark's session_window works in GROUP BY
@@ -297,6 +358,10 @@ object SqlText {
         var argStart = m.end
         while (depth > 0 && i < sql.length) {
           sql.charAt(i) match {
+            case '\'' => // opaque string literal: a comma inside
+              // 'view,click' is argument CONTENT, not a separator
+              i += 1
+              while (i < sql.length && sql.charAt(i) != '\'') i += 1
             case '(' => depth += 1
             case ')' =>
               depth -= 1

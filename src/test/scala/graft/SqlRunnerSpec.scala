@@ -135,6 +135,63 @@ class SqlRunnerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-analytics table operators run from dialect SQL and match " +
+      "the operator API; streaming configs reject them") {
+    val ev = Tables.load(spark, dir, "events")
+    val out = runner().run(
+      """SELECT user_id, funnel_level INTO converted
+        |FROM WINDOW_FUNNEL(events, user_id, ts, event_id, event_type,
+        |  'view,click,purchase', '6 hours') WHERE funnel_level >= 2;
+        |SELECT user_id, funnel_level INTO strict
+        |FROM WINDOW_FUNNEL(events, user_id, ts, event_id, event_type,
+        |  'view,click,purchase', '6 hours', 'strict_increase');
+        |SELECT user_id, n_matched INTO pairs
+        |FROM SEQUENCE_COUNT(events, user_id, ts, event_id, event_type,
+        |  'view', 'purchase') WHERE n_matched > 0;
+        |SELECT cohort_day, n_users, n_d1 INTO cohorts
+        |FROM RETENTION(events, user_id, ts, '1,7');
+        |SELECT user_id, min_ttc_us INTO latency
+        |FROM TIME_TO_CONVERSION(events, user_id, ts, event_id, event_type,
+        |  'view', 'purchase', '6 hours')""".stripMargin)
+    import graft.operators.EventFunnel
+    val W = 21600000000L
+    val steps = Seq("view", "click", "purchase")
+    val wantConverted = EventFunnel.windowFunnel(ev, "user_id", "ts",
+      "event_id", "event_type", steps, W)
+      .filter(col("funnel_level") >= 2)
+    assert(out("converted").count() == wantConverted.count() &&
+      out("converted").except(wantConverted).count() == 0)
+    val wantStrict = EventFunnel.windowFunnel(ev, "user_id", "ts",
+      "event_id", "event_type", steps, W,
+      EventFunnel.FunnelMode.StrictIncrease)
+    assert(out("strict").except(wantStrict).count() == 0)
+    val wantPairs = EventFunnel.sequencePairCount(ev, "user_id", "ts",
+      "event_id", "event_type", "view", "purchase")
+      .filter(col("n_matched") > 0).select("user_id", "n_matched")
+    assert(out("pairs").except(wantPairs).count() == 0 &&
+      out("pairs").count() == wantPairs.count())
+    assert(out("cohorts").count() ==
+      EventFunnel.retention(ev, "user_id", "ts", Seq(1, 7)).count())
+    val wantTtc = EventFunnel.timeToConversion(ev, "user_id", "ts",
+      "event_id", "event_type", "view", "purchase", W)
+    assert(out("latency").except(wantTtc).count() == 0 &&
+      out("latency").count() == wantTtc.count())
+    // unknown mode is loud
+    val bad = intercept[Exception](runner().run(
+      """SELECT user_id INTO x FROM WINDOW_FUNNEL(events, user_id, ts,
+        |  event_id, event_type, 'view', '1 hour', 'nope')""".stripMargin))
+    assert(bad.getMessage.contains("unknown mode") ||
+      Option(bad.getCause).exists(_.getMessage.contains("unknown mode")))
+    // streaming rejection, same pattern as ORDER BY parity
+    val e = intercept[Exception](runner(streaming = true).run(
+      """SELECT user_id, funnel_level INTO f
+        |FROM WINDOW_FUNNEL(events, user_id, ts, event_id, event_type,
+        |  'view', '1 hour')""".stripMargin))
+    assert(e.getMessage.contains("batch table operator") ||
+      Option(e.getCause).exists(_.getMessage.contains("batch table operator")),
+      e.toString)
+  }
+
   test("streaming mode rejects ORDER BY / LIMIT like the reference") {
     val r = runner(streaming = true)
     assert(intercept[GraftSqlException](
