@@ -82,6 +82,13 @@ object Kmv {
         lit((k - 1).toDouble) * lit(Mod61.MOD.toDouble) /
           element_at(kmv, k).cast("double"))
 
+  /** Scalar twin of [[estimate]] for driver-side / stream-state use
+    * (identical arithmetic, identical value).
+    */
+  def estimateValue(kmv: Array[Long], k: Int): Double =
+    if (kmv.length < k) kmv.length.toDouble
+    else (k - 1).toDouble * Mod61.MOD.toDouble / kmv(k - 1).toDouble
+
   /** Union sketch of two sketches (merge, dedup, keep k smallest) —
     * the mergeability that lets per-partition / per-day sketches roll
     * up without touching raw data again.

@@ -244,6 +244,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch._4 == 2L)
   }
 
+  test("streaming KMV: O(k) sketch state across micro-batches, " +
+      "estimates refresh, final sketch equals the batch sketch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = graft.streaming.KmvStream.distinctEstimates(
+      mem.toDF().toDF("seg", "key"), "seg", "key", k = 16)
+    val q = out.toDF().writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Update).start()
+    def latest() = spark.sql(
+      "SELECT * FROM kmv_out").as[(String, Int, Double)].collect()
+    try {
+      mem.addData((1L to 5L).map(i => ("s", i)): _*)
+      q.processAllAvailable()
+      // 5 distinct keys, under-full sketch -> exact estimate
+      assert(latest().contains(("s", 5, 5.0)))
+      // duplicates change nothing; new keys grow the sketch to k
+      mem.addData(((1L to 5L) ++ (6L to 300L)).map(i => ("s", i)): _*)
+      q.processAllAvailable()
+      val last = latest().last
+      assert(last._2 == 16)
+      assert(math.abs(last._3 - 300.0) / 300.0 < 0.6,
+        s"estimate ${last._3} too far from 300")
+    } finally q.stop()
+    // reconciliation: the streamed sketch state equals the batch sketch
+    // over the same data (same hash family, same union rule)
+    val batch = graft.operators.Kmv.sketch(
+      (1L to 300L).map(("s", _)).toDF("seg", "key"), Seq("seg"), "key", 16)
+      .collect().head.getSeq[Long](1).toSeq
+    val streamed = spark.sql("SELECT * FROM kmv_out")
+      .as[(String, Int, Double)].collect().last
+    val batchEst = graft.operators.Kmv.estimateValue(batch.toArray, 16)
+    assert(streamed._3 == batchEst, s"stream ${streamed._3} batch $batchEst")
+  }
+
   test("StreamMetrics records per-query progress snapshots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
