@@ -258,6 +258,34 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("event-analytics table operators run from config YAML alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_cfg").toString
+    Tables.load(spark, dir, "events").write.parquet(s"$tmp/src")
+    val yaml =
+      s"""app_name: funnel-app
+         |sources:
+         |  - name: ev
+         |    path: $tmp/src
+         |sql: |
+         |  SELECT funnel_level, COUNT(*) AS n_users INTO conv
+         |  FROM WINDOW_FUNNEL(ev, user_id, ts, event_id, event_type,
+         |    'view,click,purchase', '6 hours')
+         |  GROUP BY funnel_level;
+         |sinks:
+         |  - table: conv
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val out = spark.read.parquet(s"$tmp/out")
+    val want = graft.operators.EventFunnel.windowFunnel(
+      Tables.load(spark, dir, "events"), "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"), 21600000000L)
+      .groupBy("funnel_level").count()
+    assert(out.count() == want.count() && out.count() > 0)
+    assert(out.columns.toSet == Set("funnel_level", "n_users"))
+  }
+
   test("build --locked: lock written, unchanged passes, contract drift fails") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lock")
     val lock = tmp.resolve("graft.lock")
