@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Z-ORDER (Morton) data layout for multi-dimensional data skipping —
@@ -74,4 +74,79 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** One row per (file, row group, column): the parquet FOOTER min/max
+    * statistics a scan planner prunes with — read WITHOUT touching any
+    * data page (footers are KB-sized). This is the audit surface for
+    * layout decisions: after a [[zorderWrite]], every dimension's
+    * per-group ranges should be tight; if they are not, the layout is
+    * not buying the skipping it promised. Footer reads fan out over the
+    * executors (one task per file batch), so auditing a 100 TB table
+    * costs one metadata pass, not a scan. Integer-typed columns
+    * (INT32/INT64) report min/max as longs; others are skipped.
+    */
+  final case class ColumnStats(file: String, rowGroup: Int,
+      column: String, numRows: Long, min: Long, max: Long)
+
+  def footerStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, columns: Seq[String]): Dataset[ColumnStats] = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(conf)
+    val files = fs.listStatus(fsPath).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(_.toString)
+      .sorted
+    val wanted = columns.toSet
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    spark.createDataset(files)
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+              case (block, i) =>
+                block.getColumns.asScala.toSeq.flatMap { c =>
+                  val name = c.getPath.toDotString
+                  val st = c.getStatistics
+                  if (!wanted.contains(name) || st == null ||
+                      !st.hasNonNullValue) None
+                  else st.genericGetMin match {
+                    case mn: java.lang.Number =>
+                      Some(ColumnStats(p, i, name, block.getRowCount,
+                        mn.longValue,
+                        st.genericGetMax
+                          .asInstanceOf[java.lang.Number].longValue))
+                    case _ => None
+                  }
+                }
+            }
+          } finally reader.close()
+        }
+      }
+  }
+
+  /** Scan-pruning audit for a long-typed predicate `column BETWEEN lo
+    * AND hi`: how many row groups the footer statistics let a scan
+    * SKIP. Output: one row — n_groups, n_scanned, n_pruned,
+    * pruned_fraction.
+    */
+  def pruningReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String, lo: Long, hi: Long): DataFrame = {
+    val st = footerStats(spark, dir, Seq(column))
+    st.toDF()
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("min") <= hi && col("max") >= lo, 1L).otherwise(0L))
+          .as("n_scanned"))
+      .select(col("n_groups"), col("n_scanned"),
+        (col("n_groups") - col("n_scanned")).as("n_pruned"),
+        ((col("n_groups") - col("n_scanned")).cast("double") /
+          col("n_groups")).as("pruned_fraction"))
+  }
 }

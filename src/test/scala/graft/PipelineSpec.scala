@@ -392,6 +392,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == 64 * 64 && back.columns.toSet == Set("x", "y"))
   }
 
+  test("footer-statistics audit: z-ordered files prune row groups on " +
+      "the SECOND dimension where a single-column sort scans everything") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Layout.zorderWrite(grid, Seq(col("x"), col("y")), 16, s"$tmp/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$tmp/linear")
+    // predicate on y (the dimension the linear layout ignores)
+    val z = Layout.pruningReport(spark, s"$tmp/z", "y", 0, 7).collect().head
+    val l = Layout.pruningReport(spark, s"$tmp/linear", "y", 0, 7)
+      .collect().head
+    assert(l.getAs[Long]("n_pruned") == 0L,
+      s"x-sorted groups span all y: $l") // every group intersects y<=7
+    assert(z.getAs[Double]("pruned_fraction") >= 0.5, z.toString)
+    assert(z.getAs[Long]("n_groups") ==
+      z.getAs[Long]("n_scanned") + z.getAs[Long]("n_pruned"))
+    // the raw stats surface is per (file, group, column), ranges sane
+    val st = Layout.footerStats(spark, s"$tmp/z", Seq("x", "y")).collect()
+    assert(st.nonEmpty && st.forall(s => s.min <= s.max))
+    assert(st.map(_.column).toSet == Set("x", "y"))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
