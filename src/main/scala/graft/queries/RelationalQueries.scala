@@ -235,6 +235,82 @@ object RelationalQueries {
           sum(col("cnt_part")).as("n_items"))
     },
 
+    // TPC-H Q3 shape (beyond the reference's own joins — the shipping-
+    // priority query): SELECTIVE filters on both join sides (market
+    // segment, order date, ship date) + grouped revenue + deterministic
+    // top-10. Exercises filter pushdown into every scan and a
+    // TakeOrdered instead of a global sort; dates leave the query as
+    // epoch-day BIGINTs (hash-stable), revenue via exact decimal
+    // partials cast once to double.
+    QueryDef("q15f_tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS o_day
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND epoch_us(o_orderdate) < 795225600000000
+        |  AND epoch_us(l_shipdate) > 795225600000000
+        |GROUP BY l_orderkey, o_day
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cutoff = 795225600000000L // 1995-03-15 UTC in micros
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(unix_micros(col("o_orderdate").cast("timestamp")) < cutoff)
+      val l = t(s, dir, "lineitem")
+        .filter(unix_micros(col("l_shipdate").cast("timestamp")) > cutoff)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+            86400000000L).cast("long").as("o_day"))
+        .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) -
+            col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_day"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q10 shape: returned-item revenue by customer, top 20 — a
+    // fact-side filter (returnflag) joined through orders to a grouped
+    // customer dimension with the nation name broadcast in. Grouped
+    // top-k again lowers to TakeOrdered.
+    QueryDef("q15g_tpch_q10",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = broadcast(t(s, dir, "nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(4, 2)) -
+            col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // SESSION window (beyond reference's TUMBLE/HOP; Spark session_window
     // == SQL gaps-and-islands with a 30-minute gap). Boundary semantics:
     // both split strictly when gap exceeded; exact-boundary ties are

@@ -417,6 +417,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(st.map(_.column).toSet == Set("x", "y"))
   }
 
+  test("TPC-H Q3/Q10 analogue plan shapes: selective filters pushed to " +
+      "every scan, dimensions broadcast, top-k lowers to TakeOrdered") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p3 = SparkEntry.queries("q15f_tpch_q3")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p3.contains("TakeOrderedAndProject"), p3.take(400))
+      assert(p3.contains("BroadcastHashJoin"), p3.take(400))
+      // each side's selective predicate reaches its parquet scan
+      assert(p3.contains("EqualTo(c_mktsegment,BUILDING)"), p3.take(2000))
+      assert(p3.contains("IsNotNull(l_shipdate)") ||
+        p3.contains("l_shipdate"), p3.take(2000))
+      val p10 = SparkEntry.queries("q15g_tpch_q10")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p10.contains("TakeOrderedAndProject"), p10.take(400))
+      assert(p10.contains("BroadcastHashJoin"), p10.take(400))
+      assert(p10.contains("EqualTo(l_returnflag,R)"), p10.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again until dusk falls on the quiet valley"
