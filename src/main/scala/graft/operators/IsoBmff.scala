@@ -42,6 +42,17 @@ object IsoBmff {
       levelIdc: Int, nalLengthSize: Int, nSps: Int, nPps: Int,
       spsWidth: Int, spsHeight: Int)
 
+  /** The AV1 stream properties an `av1C` box declares WITHOUT any
+    * payload decode (AV1CodecConfigurationRecord, the AV1-in-ISOBMFF
+    * binding §2.3): profile/level/tier/bit-depth/monochrome from the
+    * record header, resolution from the Sequence Header OBU inside the
+    * configOBUs (AV1 spec §5.5 — max_frame_width/height_minus_1). The
+    * av01 mirror of [[AvcConfig]]/[[HevcConfig]].
+    */
+  final case class Av1Config(seqProfile: Int, seqLevelIdx: Int,
+      seqTier: Int, highBitdepth: Int, monochrome: Int,
+      maxWidth: Int, maxHeight: Int)
+
   /** The H.265 stream properties an `hvcC` box declares WITHOUT any
     * payload decode (HEVCDecoderConfigurationRecord, ISO/IEC 14496-15
     * §8.3.3.1): profile space/tier/profile/level from the record
@@ -57,7 +68,8 @@ object IsoBmff {
   final case class VideoTrack(codec: String, width: Int, height: Int,
       timescale: Long, samples: IndexedSeq[Sample],
       avc: Option[AvcConfig] = None,
-      hevc: Option[HevcConfig] = None) {
+      hevc: Option[HevcConfig] = None,
+      av1: Option[Av1Config] = None) {
     def timeMs(s: Sample): Double = s.dts * 1000.0 / timescale
     def keyframes: IndexedSeq[Sample] = samples.filter(_.keyframe)
   }
@@ -168,6 +180,16 @@ object IsoBmff {
         parseHvcC(java.util.Arrays.copyOfRange(b, s.toInt, e.toInt))
       }
     }
+    // av01 sample entries carry av1C
+    val av1: Option[Av1Config] = {
+      val entrySize = u32(b, entryStart.toInt)
+      val childStart = entryStart + 8 + 78
+      val childEnd = entryStart + entrySize
+      if (codec != "av01" || childStart >= childEnd || childEnd > stsdE) None
+      else find(b, childStart, childEnd, "av1C").flatMap { case (s, e) =>
+        parseAv1C(java.util.Arrays.copyOfRange(b, s.toInt, e.toInt))
+      }
+    }
 
     // stsz: per-sample sizes
     val (stszS, _) = find(b, stblS, stblE, "stsz").getOrElse(return None)
@@ -245,7 +267,7 @@ object IsoBmff {
     }
     if (si < sampleCount) return None
     Some(VideoTrack(codec, width, height, timescale, samples.toIndexedSeq,
-      avc, hevc))
+      avc, hevc, av1))
   }
 
   /** Slice one sample's bytes out of the file. None when the recorded
@@ -261,8 +283,15 @@ object IsoBmff {
   /** RBSP bit reader (emulation-prevention bytes 00 00 03 stripped)
     * with the Exp-Golomb reads SPS parsing needs.
     */
-  private final class BitReader(nal: Array[Byte], from: Int) {
-    private val rbsp: Array[Byte] = {
+  /** `stripEp=false` reads raw bits (AV1 OBUs carry no
+    * emulation-prevention bytes, unlike H.264/H.265 RBSP).
+    */
+  private final class BitReader(nal: Array[Byte], from: Int,
+      stripEp: Boolean = true) {
+    private val rbsp: Array[Byte] =
+      if (!stripEp) java.util.Arrays.copyOfRange(nal, from, nal.length)
+      else rbspOf(nal, from)
+    private def rbspOf(nal: Array[Byte], from: Int): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       var i = from
       var zeros = 0
@@ -481,6 +510,88 @@ object IsoBmff {
       }
     } catch { case _: Exception => None }
 
+  /** Parse an AV1 Sequence Header OBU payload (AV1 spec §5.5, the
+    * without-timing-info subset real mp4 muxes emit) →
+    * (profile, levelIdx, tier, maxWidth, maxHeight). AV1 bits are raw
+    * — no emulation prevention.
+    */
+  def parseAv1SeqHeader(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      val r = new BitReader(payload, 0, stripEp = false)
+      val profile = r.u(3)
+      r.u1() // still_picture
+      val reduced = r.u1()
+      var level = 0
+      var tier = 0
+      if (reduced == 1) level = r.u(5)
+      else {
+        if (r.u1() == 1) return None // timing_info present: out of subset
+        r.u1() // initial_display_delay_present_flag (0 in this subset)
+        val opCnt = r.u(5) // operating_points_cnt_minus_1
+        var i = 0
+        while (i <= opCnt) {
+          r.u(12) // operating_point_idc
+          val l = r.u(5)
+          val t = if (l > 7) r.u1() else 0
+          if (i == 0) { level = l; tier = t }
+          i += 1
+        }
+      }
+      val wBits = r.u(4) + 1
+      val hBits = r.u(4) + 1
+      val w = r.u(wBits) + 1
+      val h = r.u(hBits) + 1
+      Some((profile, level, tier, w, h))
+    } catch { case _: Exception => None }
+
+  /** Parse an `av1C` payload (AV1CodecConfigurationRecord, AV1-ISOBMFF
+    * binding §2.3): 4-byte header + configOBUs; the Sequence Header
+    * OBU inside them supplies the resolution. None on anything
+    * malformed or outside the documented subset.
+    */
+  def parseAv1C(b: Array[Byte]): Option[Av1Config] =
+    try {
+      // marker(1)=1 + version(7)=1 → 0x81
+      if (b.length < 5 || (b(0) & 0xff) != 0x81) return None
+      val seqProfile = (b(1) >> 5) & 0x7
+      val seqLevel = b(1) & 0x1f
+      val seqTier = (b(2) >> 7) & 0x1
+      val highBd = (b(2) >> 6) & 0x1
+      val mono = (b(2) >> 4) & 0x1
+      // byte 3: presentation-delay bits (opaque here); then configOBUs
+      var p = 4
+      while (p < b.length) {
+        val hdr = b(p) & 0xff
+        val obuType = (hdr >> 3) & 0xf
+        val hasExt = (hdr >> 2) & 0x1
+        val hasSize = (hdr >> 1) & 0x1
+        var q = p + 1 + hasExt
+        if (hasSize == 0) return None // configOBUs must carry sizes
+        var size = 0L
+        var shift = 0
+        var more = true
+        while (more) { // leb128
+          if (q >= b.length) return None
+          val byte = b(q) & 0xff; q += 1
+          size |= (byte & 0x7fL) << shift
+          shift += 7
+          more = (byte & 0x80) != 0
+        }
+        if (q + size > b.length) return None
+        if (obuType == 1) { // OBU_SEQUENCE_HEADER
+          return parseAv1SeqHeader(
+            java.util.Arrays.copyOfRange(b, q, q + size.toInt))
+            .map { case (_, _, _, w, h) =>
+              // the record header mirrors the first operating point's
+              // profile/level/tier; the OBU supplies the resolution
+              Av1Config(seqProfile, seqLevel, seqTier, highBd, mono, w, h)
+            }
+        }
+        p = q + size.toInt
+      }
+      None
+    } catch { case _: Exception => None }
+
   // -------------------------------------------------------------- muxing
 
   /** Serialize frames into a real single-track ISO-BMFF file:
@@ -491,7 +602,8 @@ object IsoBmff {
   def mux(frames: Seq[Array[Byte]], codec: String, width: Int, height: Int,
       timescale: Int, sampleDelta: Int, keyframeEvery: Int = 1,
       avcC: Option[Array[Byte]] = None,
-      hvcC: Option[Array[Byte]] = None): Array[Byte] = {
+      hvcC: Option[Array[Byte]] = None,
+      av1C: Option[Array[Byte]] = None): Array[Byte] = {
     require(frames.nonEmpty && codec.length == 4)
 
     def box(typ: String)(body: DataOutputStream => Unit): Array[Byte] = {
@@ -586,6 +698,11 @@ object IsoBmff {
       hvcC.foreach { cfg =>
         e.writeInt(8 + cfg.length)
         e.writeBytes("hvcC")
+        e.write(cfg)
+      }
+      av1C.foreach { cfg =>
+        e.writeInt(8 + cfg.length)
+        e.writeBytes("av1C")
         e.write(cfg)
       }
       d.writeInt(8 + entry.size)
@@ -828,6 +945,65 @@ object IsoBmff {
       d.writeShort(1)                           // numNalus
       d.writeShort(sps.length); d.write(sps)
       d.flush()
+      out.toByteArray
+    }
+  }
+
+  /** Encode twins for the av1C probe — the AV1 mirror of [[AvcEncode]]
+    * (AV1 spec §5.5 sequence header, AV1-ISOBMFF binding §2.3 config
+    * record).
+    */
+  object Av1Encode {
+
+    /** Build one Sequence Header OBU (full header shape: one operating
+      * point, no timing info — what real muxes emit) declaring
+      * `width`×`height` at the given profile/level/tier.
+      */
+    def sequenceHeader(profile: Int, levelIdx: Int, tier: Int,
+        width: Int, height: Int): Array[Byte] = {
+      require(profile >= 0 && profile <= 2)
+      require(levelIdx >= 0 && levelIdx <= 31)
+      require(tier == 0 || tier == 1)
+      require(width >= 1 && height >= 1 &&
+        width <= (1 << 16) && height <= (1 << 16))
+      val w = new BitWriter
+      w.u(3, profile)
+      w.u1(0) // still_picture
+      w.u1(0) // reduced_still_picture_header
+      w.u1(0) // timing_info_present_flag
+      w.u1(0) // initial_display_delay_present_flag
+      w.u(5, 0) // operating_points_cnt_minus_1
+      w.u(12, 0) // operating_point_idc[0]
+      w.u(5, levelIdx)
+      if (levelIdx > 7) w.u1(tier)
+      def bitsFor(v: Int): Int =
+        math.max(1, 32 - Integer.numberOfLeadingZeros(v - 1))
+      val wb = bitsFor(width); val hb = bitsFor(height)
+      w.u(4, wb - 1); w.u(4, hb - 1)
+      w.u(wb, width - 1); w.u(hb, height - 1)
+      // remaining seq fields are beyond the probe's read point; byte-
+      // align with trailing bits (OBUs are byte-sized)
+      w.trailing()
+      val payload = w.result
+      val out = new ByteArrayOutputStream()
+      out.write((1 << 3) | 0x2) // obu_header: type=1, has_size=1
+      var size = payload.length
+      while (size >= 0x80) { out.write((size & 0x7f) | 0x80); size >>= 7 }
+      out.write(size) // leb128
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+
+    /** AV1CodecConfigurationRecord holding the sequence header OBU. */
+    def av1C(profile: Int, levelIdx: Int, tier: Int,
+        seqHeader: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(0x81) // marker + version 1
+      out.write((profile << 5) | levelIdx)
+      // tier | high_bd=0 | twelve=0 | mono=0 | ss_x=1 ss_y=1 (4:2:0)
+      out.write((tier << 7) | 0x0c)
+      out.write(0)         // no presentation delay
+      out.write(seqHeader, 0, seqHeader.length)
       out.toByteArray
     }
   }

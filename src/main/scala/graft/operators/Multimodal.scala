@@ -997,6 +997,53 @@ object Multimodal {
     }
   }
 
+  /** Deterministic av01 MP4s: real av1C boxes (spec-encoded Sequence
+    * Header OBUs) with closed-form profile/level/tier/resolution — the
+    * AV1 leg of the codec-probe trio.
+    */
+  def renderAv1Mp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val profile = math.floorMod(id, 3L).toInt
+          val level = 8 + math.floorMod(id, 5L).toInt // >7: tier coded
+          val tier = math.floorMod(id, 2L).toInt
+          val w = 100 + math.floorMod(id, 37L).toInt
+          val h = 60 + math.floorMod(id, 23L).toInt
+          val seq = IsoBmff.Av1Encode.sequenceHeader(profile, level, tier, w, h)
+          val cfg = IsoBmff.Av1Encode.av1C(profile, level, tier, seq)
+          val frames = (0 until 2).map(f =>
+            Array.fill(16)((id + f).toByte): Array[Byte])
+          MediaRow(id, IsoBmff.mux(frames, codec = "av01", width = w,
+            height = h, timescale = 1000, sampleDelta = 40,
+            keyframeEvery = 2, av1C = Some(cfg)), "video")
+        }
+      }
+  }
+
+  case class Av1ProbeRow(id: Long, ok: Boolean, codec: String,
+      seqProfile: Int, seqLevelIdx: Int, seqTier: Int, highBitdepth: Int,
+      monochrome: Int, width: Int, height: Int)
+
+  /** No-decode AV1 stream probe — the av1C mirror of [[mp4AvccProbe]]. */
+  def mp4Av1Probe(ds: Dataset[MediaRow]): Dataset[Av1ProbeRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        IsoBmff.parse(r.payload).flatMap(t => t.av1.map((t, _))) match {
+          case Some((track, a)) =>
+            Av1ProbeRow(r.id, ok = true, track.codec, a.seqProfile,
+              a.seqLevelIdx, a.seqTier, a.highBitdepth, a.monochrome,
+              a.maxWidth, a.maxHeight)
+          case None =>
+            Av1ProbeRow(r.id, ok = false, "", -1, -1, -1, -1, -1, -1, -1)
+        }
+      }
+    }
+  }
+
   case class AudioRow(id: Long, ok: Boolean, sampleRate: Int,
       channels: Int, nFrames: Long, durationMs: Double, meanAmp: Double)
 

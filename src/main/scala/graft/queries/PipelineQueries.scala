@@ -1473,6 +1473,34 @@ object PipelineQueries {
           col("nArrays").as("n_arrays"))
     },
 
+    // No-decode AV1 stream probe — av1C parity with q94b/q94c,
+    // completing the codec trio: REAL AV1CodecConfigurationRecords
+    // (spec-encoded Sequence Header OBUs, AV1 spec §5.5 + the ISOBMFF
+    // binding) inside av01 sample entries; profile/level/tier/depth/
+    // chroma from the record, resolution from the OBU bit parse (raw
+    // bits + leb128 — AV1 has no emulation prevention). Fully oracled.
+    QueryDef("q94d_av1c_probe",
+      """SELECT doc_id AS id,
+        |  CAST(doc_id % 3 AS INTEGER) AS seq_profile,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS seq_level_idx,
+        |  CAST(doc_id % 2 AS INTEGER) AS seq_tier,
+        |  CAST(0 AS INTEGER) AS high_bitdepth,
+        |  CAST(0 AS INTEGER) AS monochrome,
+        |  CAST(100 + doc_id % 37 AS INTEGER) AS width,
+        |  CAST(60 + doc_id % 23 AS INTEGER) AS height
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderAv1Mp4s(t(s, dir, "documents"), "doc_id")
+      Multimodal.mp4Av1Probe(media).toDF()
+        .filter(col("ok"))
+        .select(col("id"),
+          col("seqProfile").as("seq_profile"),
+          col("seqLevelIdx").as("seq_level_idx"),
+          col("seqTier").as("seq_tier"),
+          col("highBitdepth").as("high_bitdepth"),
+          col("monochrome").as("monochrome"),
+          col("width"), col("height"))
+    },
+
     // Multimodal AUDIO: REAL RIFF/PCM16 WAV codec — render a constant-
     // |amplitude| square-wave WAV per doc (every field closed-form in
     // doc_id), decode the bytes back at the RIFF chunk level. Fully

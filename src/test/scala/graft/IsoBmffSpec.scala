@@ -211,4 +211,50 @@ class IsoBmffSpec extends AnyFunSuite {
     assert(track.avc.isEmpty)
     assert(track.samples.length == 2)
   }
+
+  test("AV1 sequence-header encode → parse round-trips profile/level/" +
+      "tier/resolution; low levels omit the tier bit") {
+    for ((p, l, t, w, h) <- Seq((0, 8, 0, 101, 61), (1, 12, 1, 1920, 1080),
+        (2, 10, 1, 100, 60), (0, 4, 0, 64, 64), (0, 9, 1, 1, 1))) {
+      val seq = IsoBmff.Av1Encode.sequenceHeader(p, l, t, w, h)
+      val cfg = IsoBmff.Av1Encode.av1C(p, l, t, seq)
+      val got = IsoBmff.parseAv1C(cfg)
+      assert(got.contains(IsoBmff.Av1Config(p, l, t, 0, 0, w, h)),
+        s"$p/$l/$t ${w}x$h -> $got")
+    }
+    // reduced_still_picture_header path (not emitted by the encoder):
+    // profile 0, still, reduced, level 9, 8x6 — hand-packed bits
+    def pack(bits: Seq[(Int, Int)]): Array[Byte] = {
+      var acc = Vector.empty[Int]
+      bits.foreach { case (n, v) =>
+        acc = acc ++ (n - 1 to 0 by -1).map(i => (v >> i) & 1) }
+      acc = acc :+ 1 // trailing stop bit
+      while (acc.length % 8 != 0) acc = acc :+ 0
+      acc.grouped(8).map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte)
+        .toArray
+    }
+    val reduced = pack(Seq((3, 0), (1, 1), (1, 1), (5, 9),
+      (4, 3), (4, 3), (4, 7), (4, 5)))
+    assert(IsoBmff.parseAv1SeqHeader(reduced).contains((0, 9, 0, 8, 6)))
+  }
+
+  test("av1C malformed records return None; av01 tracks surface the " +
+      "config next to an intact sample table") {
+    val seq = IsoBmff.Av1Encode.sequenceHeader(0, 8, 0, 320, 240)
+    val cfg = IsoBmff.Av1Encode.av1C(0, 8, 0, seq)
+    assert(IsoBmff.parseAv1C(cfg.updated(0, 0x01.toByte)).isEmpty) // marker
+    assert(IsoBmff.parseAv1C(cfg.take(6)).isEmpty)                 // truncated
+    // a config carrying only a padding OBU (type 15) has no resolution
+    val pad = Array[Byte](0x81.toByte, 0x08, 0x0c, 0x00,
+      ((15 << 3) | 0x2).toByte, 0x01, 0x00)
+    assert(IsoBmff.parseAv1C(pad).isEmpty)
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6))
+    val track = IsoBmff.parse(IsoBmff.mux(frames, "av01", 320, 240,
+      timescale = 1000, sampleDelta = 40, av1C = Some(cfg))).get
+    assert(track.codec == "av01")
+    assert(track.av1.exists(a => a.seqLevelIdx == 8 && a.maxWidth == 320 &&
+      a.maxHeight == 240))
+    assert(track.avc.isEmpty && track.hevc.isEmpty)
+    assert(track.samples.length == 2)
+  }
 }
