@@ -745,6 +745,44 @@ object CdcQueries {
           .select(col("c_custkey"), col("c_name"),
             col("c_acctbal").as("bal"), col("c_nationkey"))
       } finally server.stop()
+    },
+
+    // SNAPSHOT DIFF → CDC: the re-snapshot connector seam — two
+    // deterministic generations of orders (rows leave, rows arrive,
+    // some totals change) diffed into insert/delete/update_postimage
+    // ops by ONE full-outer key join. The oracle states the same
+    // classification in SQL; identical rows emit nothing.
+    QueryDef("q118_snapshot_diff",
+      """WITH oldt AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |), newt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |)
+        |SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+        |  COALESCE(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update_postimage' END AS _op,
+        |  CAST(1 AS BIGINT) AS _seq
+        |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      graft.cdc.SnapshotDiff.changes(oldSnap, newSnap, Seq("o_orderkey"))
     }
   )
 }

@@ -313,4 +313,39 @@ class CdcSpec extends AnyFunSuite {
     assert(vs(1).isEmpty && vs(2).isEmpty && vs(3).isEmpty)
     assert(vs(4).contains(BigInt("f" * 23, 16).bigInteger))
   }
+
+  test("snapshot diff: classification, silence on identical rows, and " +
+      "the round-trip law applyChanges(old ++ diff) == new") {
+    import spark.implicits._
+    import graft.cdc.{ChangeModel, SnapshotDiff}
+    val oldSnap = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val newSnap = Seq(
+      (1L, "a", 10.0),           // unchanged -> silent
+      (2L, "b", 25.0),           // value change -> update_postimage
+      (4L, "D", 40.0),           // non-numeric change -> update too
+      (5L, "e", 50.0))           // new key -> insert; 3 gone -> delete
+      .toDF("k", "name", "v")
+    val diff = SnapshotDiff.changes(oldSnap, newSnap, Seq("k"), seq = 2L)
+    val ops = diff.select("k", "_op").as[(Long, String)].collect().toMap
+    assert(ops == Map(2L -> "update_postimage", 3L -> "delete",
+      4L -> "update_postimage", 5L -> "insert"))
+    assert(diff.count() == 4) // key 1 emits nothing
+    // delete rows carry the OLD image (there is no new one)
+    assert(diff.filter($"k" === 3L).select("name").as[String].head() == "c")
+    // round-trip law: old as inserts at seq 1 + the diff at seq 2
+    // materializes exactly the new snapshot
+    val oldAsChanges = oldSnap
+      .withColumn("_op", lit(ChangeModel.Insert))
+      .withColumn("_seq", lit(1L))
+    val rebuilt = ChangeModel.applyChanges(
+      oldAsChanges.unionByName(diff), Seq("k"))
+    assert(rebuilt.except(newSnap).count() == 0 &&
+      newSnap.except(rebuilt).count() == 0)
+    // mismatched schemas are loud
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.changes(oldSnap, newSnap.drop("v"), Seq("k"))
+    }
+  }
 }
