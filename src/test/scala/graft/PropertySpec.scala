@@ -462,4 +462,35 @@ class PropertySpec extends AnyFunSuite {
         s"user=$u events=$evs operator=${got.get(u)} greedy=$want")
     }
   }
+
+  test("codec-config parsers are total on arbitrary bytes: None or a " +
+      "value, never a throw") {
+    import graft.operators.IsoBmff
+    val rnd = new scala.util.Random(1234)
+    // pure noise, truncations of VALID records, and bit-flipped valids
+    val valids = Seq(
+      IsoBmff.AvcEncode.avcC(IsoBmff.AvcEncode.sps(100, 31, 640, 480),
+        IsoBmff.AvcEncode.pps()),
+      IsoBmff.HevcEncode.hvcC(1, 0, 93,
+        IsoBmff.HevcEncode.sps(1, 0, 93, 640, 480)),
+      IsoBmff.Av1Encode.av1C(0, 8, 0,
+        IsoBmff.Av1Encode.sequenceHeader(0, 8, 0, 640, 480)))
+    val cases: Seq[Array[Byte]] =
+      (0 until 300).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)) ++
+      valids.flatMap(v => (0 until v.length by 3).map(v.take)) ++
+      valids.flatMap { v =>
+        (0 until 40).map { _ =>
+          val m = v.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt.toByte
+          m
+        }
+      }
+    cases.foreach { b =>
+      IsoBmff.parseAvcC(b); IsoBmff.parseHvcC(b); IsoBmff.parseAv1C(b)
+      IsoBmff.parseSps(b); IsoBmff.parseHevcSps(b)
+      IsoBmff.parseAv1SeqHeader(b)
+      IsoBmff.parse(b) // whole-container walk too
+    }
+    succeed
+  }
 }
