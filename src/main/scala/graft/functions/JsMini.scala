@@ -82,6 +82,23 @@ object JsMini {
       statics.get(n).orElse(parent.flatMap(_.findStatic(n)))
   }
 
+  /** `Map`/`Set` (insertion-ordered). Key identity approximates JS
+    * SameValueZero: primitives by value, objects/arrays/functions by
+    * reference.
+    */
+  final class VMapV(
+      val entries: mutable.LinkedHashMap[String, (V, V)]) extends V
+  final class VSetV(val items: mutable.LinkedHashMap[String, V]) extends V
+
+  private def sameValueKey(v: V): String = v match {
+    case VStr(s)  => "s:" + s
+    case VNum(n)  => "n:" + numToString(n)
+    case VBool(b) => "b:" + b
+    case VNull    => "null"
+    case VUndef   => "undef"
+    case o        => "o:" + System.identityHashCode(o)
+  }
+
   final class JsError(val value: V)
     extends RuntimeException(s"js exception: ${toDisplay(value)}")
   final class JsSyntaxError(msg: String) extends RuntimeException(msg)
@@ -881,6 +898,8 @@ object JsMini {
     case n: VNative  => s"function ${n.name}"
     case k: VClass   => s"class ${k.name}"
     case _: VGen     => "[object Generator]"
+    case _: VMapV    => "[object Map]"
+    case _: VSetV    => "[object Set]"
   }
 
   def toNum(v: V): Double = v match {
@@ -909,6 +928,7 @@ object JsMini {
         .map { case (k, fv) => quote(k) + ":" + stringify(fv) }
         .mkString("{", ",", "}")
     case _: VFun | _: VNative | _: VClass | _: VGen => "null"
+    case _: VMapV | _: VSetV => "{}" // JSON.stringify(Map/Set) parity
   }
 
   private def quote(s: String): String = {
@@ -1052,6 +1072,9 @@ object JsMini {
     case a: VArr => a.items.toSeq
     case VStr(s) => s.map(c => VStr(c.toString))
     case g: VGen => force(g)
+    case m: VMapV =>
+      m.entries.valuesIterator.map { case (k, x) => arr(k, x): V }.toSeq
+    case s: VSetV => s.items.valuesIterator.toSeq
     case other =>
       throw new JsError(VStr(s"${toDisplay(other)} is not iterable ($what)"))
   }
@@ -1370,6 +1393,8 @@ object JsMini {
       o.klass.flatMap(_.findMethod(n)).getOrElse(VUndef))
     case (k: VClass, "name") => VStr(k.name)
     case (k: VClass, n)      => k.findStatic(n).getOrElse(VUndef)
+    case (m: VMapV, "size")  => VNum(m.entries.size)
+    case (s: VSetV, "size")  => VNum(s.items.size)
     case (VUndef, n) =>
       throw new JsError(VStr(s"cannot read '$n' of undefined"))
     case (VNull, n) =>
@@ -1387,6 +1412,43 @@ object JsMini {
     // static methods (inherited through the chain too)
     case (k: VClass, n) if k.findStatic(n).isDefined =>
       callWith(k.findStatic(n).get, args, Some(k))
+
+    // ---- Map.prototype / Set.prototype (SameValueZero approximation)
+    case (m: VMapV, "get") =>
+      m.entries.get(sameValueKey(args.head)).map(_._2).getOrElse(VUndef)
+    case (m: VMapV, "set") =>
+      m.entries(sameValueKey(args.head)) =
+        (args.head, args.lift(1).getOrElse(VUndef)); m
+    case (m: VMapV, "has") =>
+      VBool(m.entries.contains(sameValueKey(args.head)))
+    case (m: VMapV, "delete") =>
+      VBool(m.entries.remove(sameValueKey(args.head)).isDefined)
+    case (m: VMapV, "clear") => m.entries.clear(); VUndef
+    case (m: VMapV, "keys") =>
+      new VArr(mutable.ArrayBuffer(
+        m.entries.valuesIterator.map(_._1).toSeq: _*))
+    case (m: VMapV, "values") =>
+      new VArr(mutable.ArrayBuffer(
+        m.entries.valuesIterator.map(_._2).toSeq: _*))
+    case (m: VMapV, "entries") =>
+      new VArr(mutable.ArrayBuffer(
+        m.entries.valuesIterator.map { case (k, v) => arr(k, v): V }.toSeq: _*))
+    case (m: VMapV, "forEach") =>
+      m.entries.values.toSeq.foreach { case (k, v) =>
+        callFunction(args.head, Seq(v, k, m)) }
+      VUndef
+    case (s: VSetV, "add") =>
+      s.items(sameValueKey(args.head)) = args.head; s
+    case (s: VSetV, "has") =>
+      VBool(s.items.contains(sameValueKey(args.head)))
+    case (s: VSetV, "delete") =>
+      VBool(s.items.remove(sameValueKey(args.head)).isDefined)
+    case (s: VSetV, "clear") => s.items.clear(); VUndef
+    case (s: VSetV, n) if n == "values" || n == "keys" =>
+      new VArr(mutable.ArrayBuffer(s.items.valuesIterator.toSeq: _*))
+    case (s: VSetV, "forEach") =>
+      s.items.values.toSeq.foreach(v => callFunction(args.head, Seq(v, v, s)))
+      VUndef
 
     // ---- Generator.prototype (eager subset — see VGen)
     case (g: VGen, "next") =>
@@ -1638,6 +1700,29 @@ object JsMini {
       "Array" -> arrayObj,
       "NaN" -> VNum(Double.NaN),
       "Infinity" -> VNum(Double.PositiveInfinity),
+      // `new Map([[k,v],...])` / `new Set(iterable)` — `new` evaluates
+      // as a plain call, so the natives ARE the constructors
+      native("Map")(args => {
+        val m = new VMapV(mutable.LinkedHashMap.empty)
+        args.headOption.filterNot(a => a == VUndef || a == VNull)
+          .foreach { init =>
+            iterableItems(init, "Map") .foreach {
+              case pair: VArr if pair.items.length >= 2 =>
+                m.entries(sameValueKey(pair.items(0))) =
+                  (pair.items(0), pair.items(1))
+              case other => throw new JsError(VStr(
+                s"Map entries must be [key, value] pairs, got ${toDisplay(other)}"))
+            }
+          }
+        m
+      }),
+      native("Set")(args => {
+        val s = new VSetV(mutable.LinkedHashMap.empty)
+        args.headOption.filterNot(a => a == VUndef || a == VNull)
+          .foreach(init => iterableItems(init, "Set")
+            .foreach(v => s.items(sameValueKey(v)) = v))
+        s
+      }),
       native("parseInt")(args => {
         val s = toDisplay(args.head).trim
         val radix = args.lift(1).map(a => toNum(a).toInt).filter(_ != 0).getOrElse(10)

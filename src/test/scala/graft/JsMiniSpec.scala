@@ -456,4 +456,46 @@ class JsMiniSpec extends AnyFunSuite {
         VNull)
     }
   }
+
+  test("Map/Set: construction from iterables, SameValueZero-style keys, " +
+      "size, iteration/spread, reference identity for object keys") {
+    val m =
+      """export default function (x) {
+        |  const m = new Map([["a", 1], ["b", 2]]);
+        |  m.set("a", 10).set(3, "three");
+        |  m.delete("b");
+        |  const keyObj = {id: 1};
+        |  m.set(keyObj, "obj");
+        |  const entries = [...m].map(e => `${e[0]}=${e[1]}`).join(",");
+        |  const s = new Set([1, 2, 2, 3]);
+        |  s.add(2); s.add(4); s.delete(3);
+        |  let total = 0;
+        |  for (const v of s) total += v;
+        |  const fromGen = new Set((function* () { yield 7; yield 7; })());
+        |  return {
+        |    mSize: m.size, got: m.get("a"), miss: m.get("zz"),
+        |    hasNum: m.has(3), entries: entries,
+        |    objHit: m.get(keyObj), objMiss: m.get({id: 1}),
+        |    sSize: s.size, total: total, genSize: fromGen.size,
+        |    json: JSON.stringify({m: m, s: s})
+        |  };
+        |}""".stripMargin
+    val o = run(m, VNull).asInstanceOf[VObj]
+    assert(o.fields("mSize") == VNum(3)) // {a, 3, keyObj} after delete(b)
+    assert(o.fields("got") == VNum(10))
+    assert(o.fields("miss") == VUndef)
+    assert(o.fields("hasNum") == VBool(true))
+    assert(o.fields("entries") ==
+      VStr("""a=10,3=three,{"id":1}=obj""")) // objects display as JSON here
+    assert(o.fields("objHit") == VStr("obj"))
+    assert(o.fields("objMiss") == VUndef, "distinct objects are distinct keys")
+    assert(o.fields("sSize") == VNum(3)) // {1, 2, 4}
+    assert(o.fields("total") == VNum(7))
+    assert(o.fields("genSize") == VNum(1))
+    assert(o.fields("json") == VStr("""{"m":{},"s":{}}"""))
+    // a non-pair Map initializer is loud
+    intercept[JsError] {
+      run("export default function (v) { return new Map([1, 2]); }", VNull)
+    }
+  }
 }
