@@ -96,6 +96,15 @@ object Kmv {
   def union(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  /** Roll an ARRAY-of-sketches column up into one sketch (k smallest
+    * of the union) — the hierarchical merge that turns per-partition /
+    * per-day / per-nation sketches into coarser segments without ever
+    * re-touching raw data. Union is associative and commutative, so the
+    * result is independent of collection order.
+    */
+  def unionAll(sketches: Column, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(sketches))), 1, k)
+
   /** Jaccard estimate between two sketched segments: the fraction of
     * the union sketch's values present in BOTH input sketches (the
     * standard KMV set-operation rule — only values below the union's

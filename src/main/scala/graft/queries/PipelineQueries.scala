@@ -2294,6 +2294,72 @@ object PipelineQueries {
         first = "view", second = "purchase", windowMicros = 21600000000L)
     },
 
+    // KMV hierarchical ROLLUP — the mergeability the sketch exists for:
+    // per-nation sketches union into per-region sketches (k smallest of
+    // the flattened union — order-independent, raw data never re-read),
+    // estimate next to the exact regional distinct count. Oracled end
+    // to end including the estimate.
+    QueryDef("q119_kmv_rollup",
+      """WITH hashed AS (
+        |  SELECT DISTINCT c_nationkey AS nation,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+        |          c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951) AS h0
+        |  FROM customer
+        |), fin AS (
+        |  SELECT nation,
+        |    (h0 * 1250284240999530269::HUGEINT + 558566537817138577)
+        |      % 2305843009213693951 AS h
+        |  FROM hashed
+        |), ranked AS (
+        |  SELECT nation, h,
+        |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY h) AS rn
+        |  FROM fin
+        |), sk AS (
+        |  SELECT nation, list(CAST(h AS BIGINT) ORDER BY h) AS kmv
+        |  FROM ranked WHERE rn <= 32 GROUP BY nation
+        |), rolled AS (
+        |  SELECT n.n_regionkey AS region,
+        |    list_sort(list_distinct(flatten(list(sk.kmv))))[1:32] AS un,
+        |    COUNT(*) AS n_nations
+        |  FROM sk JOIN nation n ON sk.nation = n.n_nationkey
+        |  GROUP BY n.n_regionkey
+        |), ex AS (
+        |  SELECT n.n_regionkey AS region,
+        |    COUNT(DISTINCT c.c_custkey) AS exact_distinct
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_regionkey
+        |)
+        |SELECT r.region, CAST(r.n_nations AS BIGINT) AS n_nations,
+        |  CAST(len(un) AS INTEGER) AS n_kmv,
+        |  CASE WHEN len(un) < 32 THEN CAST(len(un) AS DOUBLE)
+        |       ELSE CAST(31 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |            / CAST(un[32] AS DOUBLE) END AS est_distinct,
+        |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+        |FROM rolled r JOIN ex USING (region)""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")))
+      val sk = Kmv.sketch(cust, Seq("c_nationkey"), "c_custkey", 32)
+      val rolled = sk
+        .join(nat, sk("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"))
+        .agg(collect_list(col("kmv")).as("__sks"),
+          count(lit(1)).as("n_nations"))
+        .select(col("region"), col("n_nations"),
+          Kmv.unionAll(col("__sks"), 32).as("un"))
+      val ex = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"))
+        .agg(countDistinct(col("c_custkey")).as("exact_distinct"))
+      rolled.join(ex, "region").select(col("region"), col("n_nations"),
+        size(col("un")).cast("int").as("n_kmv"),
+        Kmv.estimate(col("un"), 32).as("est_distinct"),
+        col("exact_distinct"))
+    },
+
     // Z-ORDER key — the write-side layout optimization behind
     // multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
     // interleave (customer, order-day) bits into one Morton key whose
