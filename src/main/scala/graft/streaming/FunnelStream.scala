@@ -28,13 +28,91 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object FunnelStream {
 
+  import graft.operators.EventFunnel.FunnelMode
+
   final case class FunnelEvent(user: String, us: Long, ord: Long, t: Int)
-  final case class FunnelState(starts: Array[Long], maxLevel: Int)
+  /** Per-user carry state for every mode, encoded as one long array:
+    * Default → K chain starts; StrictIncrease → visible(K) ++ staged(K)
+    * ++ curTs; StrictOrder → (prevLevel, prevStart); StrictDedup → K
+    * live-chain starts. Always O(K).
+    */
+  final case class FunnelState(acc: Array[Long], maxLevel: Int)
   final case class FunnelLevel(user: String, funnel_level: Int)
   final case class PairState(nSecond: Long, excess: Long, maxExcess: Long)
   final case class PairCount(user: String, n_matched: Long)
 
   private val NONE = Long.MinValue
+
+  private def initState(k: Int, mode: FunnelMode): Array[Long] = mode match {
+    case FunnelMode.StrictIncrease =>
+      Array.fill(2 * k)(NONE) :+ NONE // visible ++ staged ++ curTs
+    case FunnelMode.StrictOrder => Array(0L, 0L) // prevLevel, prevStart
+    case _ => Array.fill(k)(NONE)
+  }
+
+  /** One event through the mode's fold; returns the updated max level.
+    * Each body is the batch operator's fold with the accumulator lifted
+    * into the carry array, so a streamed in-order feed lands on the
+    * same levels as a batch recompute.
+    */
+  private def step(acc: Array[Long], maxLevel0: Int, k: Int,
+      window: Long, mode: FunnelMode, us: Long, t: Int): Int = {
+    var maxLevel = maxLevel0
+    mode match {
+      case FunnelMode.StrictIncrease =>
+        // acc = visible(0..k-1) ++ staged(k..2k-1) ++ curTs(2k)
+        if (us != acc(2 * k)) {
+          var j = 0
+          while (j < k) {
+            if (acc(k + j) > acc(j)) acc(j) = acc(k + j)
+            j += 1
+          }
+          acc(2 * k) = us
+        }
+        if (t == 1) {
+          if (us > acc(k)) acc(k) = us
+          if (maxLevel < 1) maxLevel = 1
+        } else if (t >= 2) {
+          val p = acc(t - 2)
+          if (p != NONE && us - p <= window) {
+            if (p > acc(k + t - 1)) acc(k + t - 1) = p
+            if (t > maxLevel) maxLevel = t
+          }
+        }
+      case FunnelMode.StrictOrder =>
+        val prevLevel = acc(0).toInt; val prevStart = acc(1)
+        if (t >= 2 && prevLevel == t - 1 && us - prevStart <= window) {
+          acc(0) = t.toLong // start unchanged
+        } else if (t == 1) { acc(0) = 1L; acc(1) = us }
+        else { acc(0) = 0L }
+        if (acc(0).toInt > maxLevel) maxLevel = acc(0).toInt
+      case FunnelMode.StrictDedup =>
+        val cand =
+          if (t == 1) us
+          else {
+            val p = acc(t - 2)
+            if (p != NONE && us - p <= window) p else NONE
+          }
+        var j = t - 1
+        while (j < k) { acc(j) = NONE; j += 1 }
+        if (cand != NONE) {
+          acc(t - 1) = cand
+          if (t > maxLevel) maxLevel = t
+        }
+      case _ => // Default greedy
+        if (t == 1) {
+          if (us > acc(0)) acc(0) = us
+          if (maxLevel < 1) maxLevel = 1
+        } else if (t >= 2) {
+          val p = acc(t - 2)
+          if (p != NONE && us - p <= window) {
+            if (p > acc(t - 1)) acc(t - 1) = p
+            if (t > maxLevel) maxLevel = t
+          }
+        }
+    }
+    maxLevel
+  }
 
   def windowFunnelStream(
       df: DataFrame,
@@ -44,7 +122,8 @@ object FunnelStream {
       typeCol: String,
       steps: Seq[String],
       windowMicros: Long,
-      idleTimeout: Option[String] = None): Dataset[FunnelLevel] = {
+      idleTimeout: Option[String] = None,
+      mode: FunnelMode = FunnelMode.Default): Dataset[FunnelLevel] = {
     require(steps.nonEmpty, "windowFunnelStream needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
@@ -55,8 +134,14 @@ object FunnelStream {
     implicit val stEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[FunnelLevel]
     implicit val strEnc = Encoders.STRING
-    val ev = df
-      .filter(col(tsCol).isNotNull && col(typeCol).isin(steps: _*))
+    // StrictOrder semantics need every event; other modes push the
+    // step-type filter below the shuffle (the batch operator's shape)
+    val typed = df.filter(col(tsCol).isNotNull)
+    val base = mode match {
+      case FunnelMode.StrictOrder => typed
+      case _ => typed.filter(col(typeCol).isin(steps: _*))
+    }
+    val ev = base
       .select(col(userCol).cast("string").as("user"),
         unix_micros(col(tsCol)).as("us"),
         col(orderCol).cast("long").as("ord"),
@@ -73,22 +158,13 @@ object FunnelStream {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val st = state.getOption
-              .getOrElse(FunnelState(Array.fill(k)(NONE), 0))
-            val starts = st.starts.clone()
+              .getOrElse(FunnelState(initState(k, mode), 0))
+            val acc = st.acc.clone()
             var maxLevel = st.maxLevel
             rows.toArray.sortBy(e => (e.us, e.ord)).foreach { e =>
-              if (e.t == 1) {
-                if (e.us > starts(0)) starts(0) = e.us
-                if (maxLevel < 1) maxLevel = 1
-              } else if (e.t >= 2) {
-                val p = starts(e.t - 2)
-                if (p != NONE && e.us - p <= windowMicros) {
-                  if (p > starts(e.t - 1)) starts(e.t - 1) = p
-                  if (e.t > maxLevel) maxLevel = e.t
-                }
-              }
+              maxLevel = step(acc, maxLevel, k, windowMicros, mode, e.us, e.t)
             }
-            state.update(FunnelState(starts, maxLevel))
+            state.update(FunnelState(acc, maxLevel))
             idleTimeout.foreach(state.setTimeoutDuration)
             if (maxLevel > st.maxLevel) Iterator.single(FunnelLevel(user, maxLevel))
             else Iterator.empty

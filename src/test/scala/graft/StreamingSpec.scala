@@ -200,6 +200,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Map(1L -> 3, 2L -> 2))
   }
 
+  test("streaming windowFunnel strict modes: split-batch feeds land on " +
+      "the batch operator's levels (state carries across batches)") {
+    import spark.implicits._
+    import graft.operators.EventFunnel
+    import graft.operators.EventFunnel.FunnelMode
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L
+    val M = 60000000L
+    // the PipelineSpec strict-mode scenario rows (same-ts chains,
+    // interleave breaks, held-condition repeats), in (us, id, user, t)
+    val rows = Seq(
+      (0L, 10L, 1L, "view"), (5 * H, 11L, 1L, "view"),
+      (5 * H, 12L, 1L, "click"), (6 * H, 13L, 1L, "purchase"),
+      (0L, 20L, 2L, "view"), (0L, 21L, 2L, "click"), (H, 22L, 2L, "purchase"),
+      (0L, 40L, 4L, "view"), (1 * M, 41L, 4L, "error"),
+      (2 * M, 42L, 4L, "click"), (3 * M, 43L, 4L, "purchase"),
+      (0L, 80L, 8L, "view"), (1 * M, 81L, 8L, "click"),
+      (2 * M, 82L, 8L, "view"), (3 * M, 83L, 8L, "purchase"))
+      .sortBy(r => (r._1, r._2))
+    val (b1, b2) = rows.splitAt(7) // split mid-chain on purpose
+    for (mode <- Seq(FunnelMode.Default, FunnelMode.StrictIncrease,
+        FunnelMode.StrictOrder, FunnelMode.StrictDedup)) {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val name = s"funnel_mode_${mode.getClass.getSimpleName.stripSuffix("$")}"
+      val df = mem.toDF().toDF("us", "event_id", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val q = graft.streaming.FunnelStream.windowFunnelStream(
+        df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), 6 * H, mode = mode)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.sql(s"SELECT * FROM $name")
+        .as[(String, Int)].collect()
+        .groupBy(_._1).map { case (u, xs) => u.toLong -> xs.map(_._2).max }
+      val batch = EventFunnel.windowFunnel(
+        rows.toDF("us", "event_id", "user_id", "event_type")
+          .withColumn("ts", timestamp_micros(col("us"))),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), 6 * H, mode)
+        .as[(Long, Int)].collect().toMap
+      batch.foreach { case (u, lvl) =>
+        assert(streamed.getOrElse(u, 0) == lvl,
+          s"mode=$mode user=$u stream=${streamed.get(u)} batch=$lvl")
+      }
+      streamed.keys.foreach(u => assert(batch.contains(u), s"extra $u"))
+    }
+  }
+
   test("streaming sequencePairCount: three-long state, count re-emitted " +
       "on growth, cross-batch matching equals the batch identity") {
     import spark.implicits._
