@@ -493,4 +493,36 @@ class PropertySpec extends AnyFunSuite {
     }
     succeed
   }
+
+  test("JsMini.parse is total: arbitrary source raises only the typed " +
+      "syntax error, never an internal exception") {
+    import graft.functions.JsMini
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abx01 ._=+-*/(){}[]`'\"$,;:<>!&|?%#\n\\yield class=>"
+    val valid =
+      """class A { constructor(x) { this.x = x } m() { return this.x } }
+        |function* g(n) { for (let i = 0; i < n; i++) yield i; }
+        |const t = (s, v) => `${s}-${v}`;
+        |export default function (v) { return [...g(3), new A(v).m()]; }
+        |""".stripMargin
+    val cases: Seq[String] =
+      (0 until 400).map(_ => Seq.fill(rnd.nextInt(80))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      (0 until valid.length by 7).map(valid.take) ++
+      (0 until 100).map { _ =>
+        val i = rnd.nextInt(valid.length)
+        valid.substring(0, i) +
+          alphabet(rnd.nextInt(alphabet.length)) + valid.substring(i)
+      }
+    cases.foreach { src =>
+      try { JsMini.parse(src); () }
+      catch {
+        case _: JsMini.JsSyntaxError => ()
+        case e: Throwable =>
+          fail(s"non-syntax exception ${e.getClass.getName}: ${e.getMessage}\n" +
+            s"source <<<$src>>>")
+      }
+    }
+    succeed
+  }
 }
