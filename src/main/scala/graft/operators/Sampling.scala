@@ -184,6 +184,38 @@ object Sampling {
       .limit(k)
   }
 
+  /** PER-GROUP exact-budget weighted sampling — the "k docs per domain,
+    * weight-biased" curation quota: [[weightedSamplePow2]]'s replayable
+    * priorities ranked WITHIN each group (one shuffle on the group key,
+    * WindowGroupLimit keeps the sort partial), so every group gets
+    * exactly min(k, |group|) rows with inclusion odds ∝ weight. Fully
+    * oracled for power-of-two weights like the global variant.
+    */
+  def weightedSamplePow2PerGroup(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, weightCol: String, kPerGroup: Int,
+      seed: Long = 0L): DataFrame = {
+    require(kPerGroup >= 1, s"kPerGroup=$kPerGroup must be >= 1")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + seed))), 1, 12), 16, 10).cast("double") + 1.0) /
+      lit(281474976710656.0)
+    val wcol = col(weightCol).cast("int")
+    val priority = Seq(1, 2, 4, 8, 16, 32, 64)
+      .foldLeft(null: Column) { (acc, wv) =>
+        val p = (0 until Integer.numberOfTrailingZeros(wv))
+          .foldLeft(u)((c, _) => sqrt(c))
+        if (acc == null) when(wcol === wv, p) else acc.when(wcol === wv, p)
+      }
+      .otherwise(raise_error(concat(
+        lit("weightedSamplePow2PerGroup: weight must be a power of two " +
+          "in [1, 64], got "), col(weightCol).cast("string"))))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("priority").desc, col(keyCol))
+    df.withColumn("priority", priority)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kPerGroup)
+      .drop("__rn")
+  }
+
   def splitTag(keyCol: Column, valFraction: Double, testFraction: Double,
       seed: Long = 0L): Column = {
     require(valFraction + testFraction <= 1.0, "fractions must sum to <= 1")

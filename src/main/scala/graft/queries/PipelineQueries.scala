@@ -2673,6 +2673,40 @@ object PipelineQueries {
       graft.operators.Sampling.weightedSamplePow2(docs, "doc_id", "w", k = 200)
     },
 
+    // PER-GROUP weighted quota — the "k docs per language, weight-
+    // biased" curation budget: the q108b pow2 A-ES priorities ranked
+    // within each lang (one group-keyed window), fully oracled
+    // including the sqrt-chain priority doubles.
+    QueryDef("q120_weighted_quota_per_group",
+      """WITH wt AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+        |      AS INTEGER) AS w
+        |  FROM documents
+        |), pr AS (
+        |  SELECT doc_id, lang, w,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 12))
+        |       ::BIGINT::DOUBLE + 1.0) / 281474976710656.0 AS u
+        |  FROM wt
+        |), scored AS (
+        |  SELECT doc_id, lang, w,
+        |    CASE w WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+        |           ELSE sqrt(sqrt(u)) END AS priority
+        |  FROM pr
+        |)
+        |SELECT doc_id, lang, w, priority FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 3 === 0, 1)
+          .when(col("doc_id") % 3 === 1, 2)
+          .otherwise(4).cast("int").as("w"))
+      graft.operators.Sampling.weightedSamplePow2PerGroup(
+        docs, Seq("lang"), "doc_id", "w", kPerGroup = 20)
+    },
+
     // ORACLED stratified quota — q71's selection machinery over a
     // DETERMINISTIC cross-engine cell assignment (md5 prefix of the
     // vec id; md5 hex is identical in every engine — the q41b/q62

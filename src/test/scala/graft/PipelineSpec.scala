@@ -1694,6 +1694,30 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("per-group pow2 A-ES: exact quota per group, bias within group, " +
+      "partition independence") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // two groups; heavy keys (w=64) dominate WITHIN each group
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", if (i <= 100) 64 else 1))
+      .toDF("k", "g", "w")
+    val picked = Sampling.weightedSamplePow2PerGroup(
+      df, Seq("g"), "k", "w", kPerGroup = 30)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(picked.length == 60)
+    assert(picked.count(_._1 == "a") == 30 && picked.count(_._1 == "b") == 30)
+    assert(picked.count(_._2 <= 100) > 40, "64x weights must dominate")
+    val again = Sampling.weightedSamplePow2PerGroup(
+      df.repartition(7), Seq("g"), "k", "w", kPerGroup = 30)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(again.sorted.toSeq == picked.sorted.toSeq)
+    // under-full group keeps everything
+    val tiny = Sampling.weightedSamplePow2PerGroup(
+      df.filter(col("k") <= 5), Seq("g"), "k", "w", kPerGroup = 30)
+    assert(tiny.count() == 5)
+  }
+
   test("pow2 A-ES: closed-form sqrt-chain priority, weight bias, " +
       "partition independence, non-pow2 weight raises") {
     import spark.implicits._
