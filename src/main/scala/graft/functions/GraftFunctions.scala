@@ -121,6 +121,16 @@ object GraftFunctions {
     temp1("canonical_url")(TextOps.canonicalizeUrl)
     temp1("url_host")(TextOps.urlHost)
     temp1("registered_domain")(x => TextOps.registeredDomain(TextOps.urlHost(x)))
+
+    // KMV distinct sketches in plain SQL: `kmv_sketch(CAST(key AS
+    // STRING))` per group (k=32 — the q115 family's default), estimated
+    // or set-operated downstream; the arrays are the same sketches the
+    // Column operator and the streaming state build.
+    spark.udf.register("kmv_sketch",
+      org.apache.spark.sql.functions.udaf(
+        graft.operators.Kmv.sketchAggregator(32)))
+    spark.udf.register("kmv_estimate",
+      (kmv: Seq[Long]) => graft.operators.Kmv.estimateValue(kmv.toArray, 32))
   }
 
   /** Stopword set backing SQL `quality_score` (the English marker list —

@@ -40,10 +40,12 @@ object Kmv {
   private val FinA = 1250284240999530269L
   private val FinB = 558566537817138577L
 
+  /** Scalar form of the finalized 61-bit key hash. */
+  def hash61Value(s: String): Long =
+    (Mod61.mulMod(Mod61.hashString(s), FinA) + FinB) % Mod61.MOD
+
   private val hashUdf = udf { (s: String) =>
-    if (s == null) null
-    else java.lang.Long.valueOf(
-      (Mod61.mulMod(Mod61.hashString(s), FinA) + FinB) % Mod61.MOD)
+    if (s == null) null else java.lang.Long.valueOf(hash61Value(s))
   }
 
   /** Hash a key column into the oracle 61-bit family (via its string
@@ -88,6 +90,38 @@ object Kmv {
   def estimateValue(kmv: Array[Long], k: Int): Double =
     if (kmv.length < k) kmv.length.toDouble
     else (k - 1).toDouble * Mod61.MOD.toDouble / kmv(k - 1).toDouble
+
+  /** Typed KMV aggregator for the SQL surface (`kmv_sketch(key)` in
+    * GROUP BY): the per-partition buffer IS the sketch (sorted, ≤ k),
+    * merge is the union rule — same arrays the [[sketch]] operator
+    * builds, so SQL-surface sketches compose with [[estimate]]/
+    * [[union]]/[[jaccard]] and with the streaming state.
+    */
+  def sketchAggregator(k: Int)
+      : org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] = {
+    require(k >= 2)
+    new org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.empty[Long]
+      def reduce(b: Array[Long], key: String): Array[Long] =
+        if (key == null) b
+        else {
+          val h = hash61Value(key)
+          if (b.length >= k && h >= b(b.length - 1)) b
+          else if (java.util.Arrays.binarySearch(b, h) >= 0) b
+          else {
+            val nb = (b :+ h).sorted
+            if (nb.length > k) nb.take(k) else nb
+          }
+        }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+        (a ++ b).distinct.sorted.take(k)
+      def finish(a: Array[Long]): Array[Long] = a
+      def bufferEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      def outputEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+  }
 
   /** Union sketch of two sketches (merge, dedup, keep k smallest) —
     * the mergeability that lets per-partition / per-day sketches roll

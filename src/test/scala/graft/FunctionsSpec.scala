@@ -148,4 +148,34 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getInt(0)
     assert(n == 500)
   }
+
+  test("kmv_sketch/kmv_estimate on the SQL surface equal the Column " +
+      "operator's sketches") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("seg", "key")
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      """SELECT seg, kmv_sketch(CAST(key AS STRING)) AS kmv,
+        |       kmv_estimate(kmv_sketch(CAST(key AS STRING))) AS est
+        |FROM kmv_in GROUP BY seg""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1).toSeq, r.getDouble(2)))).toMap
+    val viaOp = graft.operators.Kmv.sketch(df, Seq("seg"), "key", 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaSql.keySet == Set("a", "b"))
+    viaOp.foreach { case (seg, sk) =>
+      assert(viaSql(seg)._1 == sk, s"seg=$seg")
+      assert(viaSql(seg)._2 ==
+        graft.operators.Kmv.estimateValue(sk.toArray, 32))
+    }
+    // partitioning never changes a sketch (merge = union rule)
+    val repart = df.repartition(13)
+    repart.createOrReplaceTempView("kmv_in2")
+    val again = spark.sql(
+      "SELECT seg, kmv_sketch(CAST(key AS STRING)) AS kmv FROM kmv_in2 GROUP BY seg")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(again == viaOp.map { case (k, v) => k -> v })
+  }
 }
