@@ -843,6 +843,17 @@ object Dedup {
       col("__hs").as("__hb"))
     val truth = a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
+      // length prefilter (semantics-preserving, oracle untouched):
+      // J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so a pair can only reach the
+      // threshold when the smaller set is at least t× the larger — the
+      // classic size-ratio bound skips the expensive intersection for
+      // most pairs. The −1 slack keeps boundary pairs regardless of
+      // float rounding; survivors still face the exact test below.
+      .filter(
+        least(size(col("__ha")), size(col("__hb"))).cast("double") >=
+          lit(jaccardThreshold) *
+            greatest(size(col("__ha")), size(col("__hb"))).cast("double")
+            - 1.0)
       .withColumn("__i", org.apache.spark.sql.graft.VectorExpressions
         .intersectCardinality(col("__ha"), col("__hb")).cast("double"))
       .filter(col("__i") >=
