@@ -37,6 +37,23 @@ object Funnel {
       df: DataFrame,
       idCol: String,
       stages: Seq[(String, Column)],
+      dedupKey: Option[Column] = None): DataFrame =
+    reportByGroup(df, idCol, Nil, stages, dedupKey)
+
+  /** Per-GROUP attrition — [[report]] broken out by `groupCols` (the
+    * per-language/per-source rows a dataset card publishes). Identical
+    * single-scan flag machinery; the group keys ride into the final
+    * aggregation (still map-side partial) and output is
+    * O(#groups × #stages). The optional exact-dedup stage keeps its
+    * GLOBAL canonical (min id per dedup key): a text duplicated across
+    * groups still keeps exactly one copy corpus-wide, counted in the
+    * keeper's group — the semantics a cross-source dedup report needs.
+    */
+  def reportByGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      stages: Seq[(String, Column)],
       dedupKey: Option[Column] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     // the stage machinery adds internal __s<i> flag columns; an input
@@ -66,7 +83,10 @@ object Funnel {
     }
 
     val aggs = (1 to total).map(i => sum(col(s"__s$i")).as(s"__c$i"))
-    val totals = flagged.agg(count(lit(1)).as("__c0"), aggs: _*)
+    val totals =
+      if (groupCols.isEmpty) flagged.agg(count(lit(1)).as("__c0"), aggs: _*)
+      else flagged.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__c0"), aggs: _*)
 
     val rows = (1 to total).map { i =>
       struct(
@@ -76,8 +96,9 @@ object Funnel {
         col(s"__c$i").as("n_pass"))
     }
     totals
-      .select(explode(array(rows: _*)).as("r"))
-      .select(col("r.stage_id"), col("r.stage"), col("r.n_in"), col("r.n_pass"))
+      .select(groupCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("r.stage_id"), col("r.stage"),
+        col("r.n_in"), col("r.n_pass")): _*)
       .withColumn("n_drop", col("n_in") - col("n_pass"))
   }
 }

@@ -2072,6 +2072,64 @@ object PipelineQueries {
         dedupKey = Some(md5(col("text").cast("binary"))))
     },
 
+    // Per-LANGUAGE attrition — q111's funnel broken out by lang (the
+    // per-language rows a dataset card publishes): same single scan,
+    // group keys ride the final aggregation; exact dedup keeps its
+    // GLOBAL canonical (a cross-language duplicate keeps one copy
+    // corpus-wide, counted in the keeper's language). All integers.
+    QueryDef("q121_filter_funnel_by_lang",
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    COALESCE(text IS NOT NULL AND trim(text) <> '', FALSE) AS s1
+        |  FROM documents
+        |), f2 AS (
+        |  SELECT *, COALESCE(s1 AND
+        |    len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 2000,
+        |    FALSE) AS s2 FROM f
+        |), f3 AS (
+        |  SELECT *, COALESCE(s2 AND
+        |    2 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+        |      >= length(text), FALSE) AS s3 FROM f2
+        |), f4 AS (
+        |  SELECT *, COALESCE(s3 AND
+        |    10 * len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      >= 3 * len(regexp_split_to_array(trim(text), '\s+')), FALSE) AS s4
+        |  FROM f3
+        |), f5 AS (
+        |  SELECT *, COALESCE(s4 AND doc_id =
+        |    MIN(CASE WHEN s4 THEN doc_id END) OVER (PARTITION BY md5(text)),
+        |    FALSE) AS s5 FROM f4
+        |), tot AS (
+        |  SELECT lang, COUNT(*) AS c0,
+        |    CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |  FROM f5 GROUP BY lang
+        |)
+        |SELECT lang, CAST(1 AS INTEGER) AS stage_id, 'non_empty' AS stage,
+        |       c0 AS n_in, c1 AS n_pass, c0 - c1 AS n_drop FROM tot
+        |UNION ALL SELECT lang, CAST(2 AS INTEGER), 'len_gate', c1, c2, c1 - c2 FROM tot
+        |UNION ALL SELECT lang, CAST(3 AS INTEGER), 'alpha_gate', c2, c3, c2 - c3 FROM tot
+        |UNION ALL SELECT lang, CAST(4 AS INTEGER), 'uniq_gate', c3, c4, c3 - c4 FROM tot
+        |UNION ALL SELECT lang, CAST(5 AS INTEGER), 'exact_dedup', c4, c5, c4 - c5 FROM tot""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.{Funnel, TextOps}
+      val toks = TextOps.tokens(col("text"))
+      Funnel.reportByGroup(
+        t(s, dir, "documents"), "doc_id", Seq("lang"),
+        Seq(
+          "non_empty" -> (col("text").isNotNull && trim(col("text")) =!= ""),
+          "len_gate" -> TextOps.tokenCount(col("text")).between(5, 2000),
+          "alpha_gate" ->
+            (TextOps.charClassCount(col("text"), "[A-Za-z]") * 2 >=
+              length(col("text"))),
+          "uniq_gate" ->
+            (size(array_distinct(toks)) * 10 >= size(toks) * 3)),
+        dedupKey = Some(md5(col("text").cast("binary"))))
+    },
+
     // windowFunnel CONVERSION REPORT: per-user max sequential depth
     // through view -> click -> purchase within 6h of the chain's first
     // event, strict (ts, event_id) order. The greedy latest-chain-start
