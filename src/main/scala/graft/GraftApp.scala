@@ -328,7 +328,8 @@ object GraftApp {
       buckets: Option[Int] = None,            // upsert scale path: hash-bucketed snapshot
       partitionBy: Seq[String] = Nil,         // hive-style output partitioning
       format: String = "parquet",             // "parquet" | "delta" | any DataSource name
-      options: Map[String, String] = Map.empty) // writer passthrough (compression, …)
+      options: Map[String, String] = Map.empty, // writer passthrough (compression, …)
+      zorderBy: Seq[String] = Nil)            // 2-3 dims: Z-order cluster batch writes
 
   /** Formats the bundled Spark distribution resolves without extra jars.
     * Anything else ("delta", "iceberg", …) is config-accepted and probed
@@ -617,15 +618,42 @@ object GraftApp {
         s"partition_by is not supported on upsert sinks (sink '${sink.table}')")
       require(sink.mode != "upsert" || sink.format == "parquet",
         s"upsert sink '${sink.table}' supports format parquet only")
+      // zorder_by: cluster the batch write on the Morton key of 2-3
+      // dimension columns so every file's min/max statistics prune
+      // scans on ANY of them (operators.Layout); orthogonal to
+      // partition_by (dirs split first, files cluster within)
+      require(sink.zorderBy.isEmpty || sink.mode == "append" ||
+        sink.mode == "overwrite",
+        s"zorder_by is only supported on append/overwrite sinks " +
+          s"(sink '${sink.table}')")
+      require(sink.zorderBy.isEmpty ||
+        (sink.zorderBy.size >= 2 && sink.zorderBy.size <= 3),
+        s"zorder_by takes 2 or 3 columns (sink '${sink.table}')")
+      val clustered =
+        if (sink.zorderBy.isEmpty) df
+        else {
+          val keyed = df.withColumn("__z", graft.operators.Layout.mortonKey(
+            sink.zorderBy.map(org.apache.spark.sql.functions.col)))
+          // zorder_files pins the file count (an explicit repartition
+          // AQE won't coalesce); without it the session's shuffle
+          // parallelism decides and AQE may merge small outputs
+          val ranged = sink.options.get("zorder_files") match {
+            case Some(n) => keyed.repartitionByRange(n.toInt,
+              org.apache.spark.sql.functions.col("__z"))
+            case None => keyed.repartitionByRange(
+              org.apache.spark.sql.functions.col("__z"))
+          }
+          ranged.sortWithinPartitions("__z").drop("__z")
+        }
       def writer(d: org.apache.spark.sql.DataFrame) = {
-        val w = d.write.options(sink.options)
+        val w = d.write.options(sink.options - "zorder_files")
         if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
       }
       sink.mode match {
         case "append" =>
-          writer(df).mode("append").format(sink.format).save(sink.path)
+          writer(clustered).mode("append").format(sink.format).save(sink.path)
         case "overwrite" =>
-          writer(df).mode("overwrite").format(sink.format).save(sink.path)
+          writer(clustered).mode("overwrite").format(sink.format).save(sink.path)
         case "dummy" =>
           // reference Dummy sink (sink.rs:127-129): consume, write nothing
           println(s"[graft] dummy sink '${sink.table}': ${df.count()} rows")

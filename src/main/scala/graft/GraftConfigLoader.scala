@@ -587,7 +587,8 @@ object GraftConfigLoader {
         },
         partitionBy = strList(m, "partition_by"),
         format = m.get("format").map(_.toString).getOrElse("parquet"),
-        options = optMap(s, "options"))
+        options = optMap(s, "options"),
+        zorderBy = strList(m, "zorder_by"))
       }
     }
 

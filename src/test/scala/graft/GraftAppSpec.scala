@@ -286,6 +286,45 @@ class GraftAppSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("funnel_level", "n_users"))
   }
 
+  test("zorder_by on a batch sink clusters files so footer stats prune " +
+      "the second dimension") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zsink").toString
+    import spark.implicits._
+    (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y").write.parquet(s"$tmp/src")
+    val yaml =
+      s"""app_name: z-app
+         |sources:
+         |  - name: grid
+         |    path: $tmp/src
+         |sql: |
+         |  SELECT x, y INTO cells FROM grid;
+         |sinks:
+         |  - table: cells
+         |    path: $tmp/out
+         |    mode: overwrite
+         |    zorder_by: [x, y]
+         |    options:
+         |      zorder_files: "16"
+         |""".stripMargin
+    val config = GraftConfigLoader.fromYaml(yaml)
+    assert(config.sinks.head.zorderBy == Seq("x", "y"))
+    runBatch(spark, config)
+    assert(spark.read.parquet(s"$tmp/out").count() == 64 * 64)
+    val rep = graft.operators.Layout
+      .pruningReport(spark, s"$tmp/out", "y", 0, 7).collect().head
+    assert(rep.getAs[Double]("pruned_fraction") >= 0.5, rep.toString)
+    // guard rails: wrong arity and upsert mode are loud
+    intercept[IllegalArgumentException] {
+      runBatch(spark, config.copy(sinks = Seq(
+        config.sinks.head.copy(zorderBy = Seq("x")))))
+    }
+    intercept[IllegalArgumentException] {
+      runBatch(spark, config.copy(sinks = Seq(config.sinks.head.copy(
+        mode = "upsert", keys = Seq("x")))))
+    }
+  }
+
   test("build --locked: lock written, unchanged passes, contract drift fails") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lock")
     val lock = tmp.resolve("graft.lock")
