@@ -161,6 +161,20 @@ object GraftApp {
           s"partition_by columns ${missing.mkString(", ")} not in output " +
             s"'${sink.table}' (has ${cols.mkString(", ")})")
       }
+      // zorder_by gets the same build-time surface (arity, mode, columns)
+      if (sink.zorderBy.nonEmpty) {
+        require(!config.streaming &&
+          (sink.mode == "append" || sink.mode == "overwrite"),
+          s"zorder_by is only supported on batch append/overwrite sinks " +
+            s"(sink '${sink.table}')")
+        require(sink.zorderBy.size >= 2 && sink.zorderBy.size <= 3,
+          s"zorder_by takes 2 or 3 columns (sink '${sink.table}')")
+        val cols = outputs(sink.table).schema.fieldNames.toSet
+        val missing = sink.zorderBy.filterNot(cols)
+        require(missing.isEmpty,
+          s"zorder_by columns ${missing.mkString(", ")} not in output " +
+            s"'${sink.table}' (has ${cols.mkString(", ")})")
+      }
     }
     outputs.map { case (t, df) => t -> df.schema }
   }

@@ -104,6 +104,15 @@ class GraftAppSpec extends AnyFunSuite {
         mode = "upsert", keys = Seq("event_type"),
         partitionBy = Seq("event_type")))))
     }.getMessage.contains("partition_by"))
+    // zorder_by: build surfaces unknown columns and bad arity too
+    assert(intercept[IllegalArgumentException] {
+      build(spark, config.copy(sinks = Seq(SinkConf("per_type", s"$tmp/x",
+        mode = "overwrite", zorderBy = Seq("n", "no_such_col")))))
+    }.getMessage.contains("no_such_col"))
+    assert(intercept[IllegalArgumentException] {
+      build(spark, config.copy(sinks = Seq(SinkConf("per_type", s"$tmp/x",
+        mode = "overwrite", zorderBy = Seq("n")))))
+    }.getMessage.contains("2 or 3"))
   }
 
   test("partition_by writes hive-style partitioned sink output") {
