@@ -2469,6 +2469,59 @@ object PipelineQueries {
             86400000000L).cast("long"))).as("zkey"))
     },
 
+    // 3-D Z-order key — the (customer, order-day, priority-bucket)
+    // interleave for three-predicate data skipping; the every-third-bit
+    // magic-mask cascade replayed as BIGINT arithmetic in the oracle.
+    QueryDef("q122_zorder3_key",
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    (o_custkey & 2097151) AS x0,
+        |    (CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+        |      & 2097151) AS y0,
+        |    (length(o_orderpriority) & 2097151) AS z0
+        |  FROM orders
+        |), s1 AS (
+        |  SELECT o_orderkey,
+        |    (x0 | (x0 << 32)) & 8725724278095871 AS x,
+        |    (y0 | (y0 << 32)) & 8725724278095871 AS y,
+        |    (z0 | (z0 << 32)) & 8725724278095871 AS z
+        |  FROM base
+        |), s2 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 16)) & 8725728556220671 AS x,
+        |    (y | (y << 16)) & 8725728556220671 AS y,
+        |    (z | (z << 16)) & 8725728556220671 AS z
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 8)) & 1157144660301377551 AS x,
+        |    (y | (y << 8)) & 1157144660301377551 AS y,
+        |    (z | (z << 8)) & 1157144660301377551 AS z
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 4)) & 1207822528635744451 AS x,
+        |    (y | (y << 4)) & 1207822528635744451 AS y,
+        |    (z | (z << 4)) & 1207822528635744451 AS z
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT o_orderkey,
+        |    (x | (x << 2)) & 1317624576693539401 AS x,
+        |    (y | (y << 2)) & 1317624576693539401 AS y,
+        |    (z | (z << 2)) & 1317624576693539401 AS z
+        |  FROM s4
+        |)
+        |SELECT o_orderkey, x | (y << 1) | (z << 2) AS zkey FROM s5""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.Layout
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Layout.mortonKey(Seq(
+          col("o_custkey"),
+          floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+            86400000000L).cast("long"),
+          length(col("o_orderpriority")).cast("long"))).as("zkey"))
+    },
+
     // KMV distinct sketch, fully ORACLED — the first sketch family
     // where even the float ESTIMATE hash-matches: the sketch is "the k
     // smallest distinct GF(2^61-1) hashes" (ORDER BY hash LIMIT k in
