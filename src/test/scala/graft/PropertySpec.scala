@@ -525,4 +525,36 @@ class PropertySpec extends AnyFunSuite {
     }
     succeed
   }
+
+  test("snapshot-diff round-trip law holds on random table pairs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.cdc.{ChangeModel, SnapshotDiff}
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    (0 until 12).foreach { trial =>
+      def snap(): Seq[(Long, Long, String)] =
+        (1 to 40).filter(_ => rnd.nextBoolean()).map(k =>
+          (k.toLong, rnd.nextInt(3).toLong, s"v${rnd.nextInt(3)}"))
+      val oldRows = snap(); val newRows = snap()
+      val oldDf = oldRows.toDF("k", "a", "b")
+      val newDf = newRows.toDF("k", "a", "b")
+      val diff = SnapshotDiff.changes(oldDf, newDf, Seq("k"), seq = 2L)
+      // silence on identical rows: diff row count == classified changes
+      val oldM = oldRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val newM = newRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val wantChanges =
+        (newM.keySet -- oldM.keySet).size +          // inserts
+        (oldM.keySet -- newM.keySet).size +          // deletes
+        (oldM.keySet & newM.keySet)
+          .count(k => oldM(k) != newM(k))            // updates
+      assert(diff.count() == wantChanges, s"trial $trial")
+      val rebuilt = ChangeModel.applyChanges(
+        oldDf.withColumn("_op", lit(ChangeModel.Insert))
+          .withColumn("_seq", lit(1L))
+          .unionByName(diff), Seq("k"))
+      assert(rebuilt.except(newDf).count() == 0 &&
+        newDf.except(rebuilt).count() == 0, s"trial $trial")
+    }
+  }
 }
