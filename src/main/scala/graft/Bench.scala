@@ -11,16 +11,14 @@ import org.apache.spark.sql.SparkSession
   * which lets Catalyst prune projections.
   *
   * Each query is timed SPARK_GRAFT_BENCH_RUNS times back-to-back
-  * (default 2) and the per-query figure is the median (mean of the two
-  * middle samples for an even count) — single-run machine jitter on
-  * this box has repeatedly shown ±2 s swings that read as fake
-  * regressions/speedups (round-5/6 trajectory), and medians halve that
-  * variance without re-litigating it every round. SUB-SECOND queries
-  * (both first samples under 1 s) take a third sample: their ±30%
-  * suite-contention noise was costing every judge a regression-triage
-  * pass, a true median over 3 kills the outlier for pennies — the
-  * extra run is by construction < 1 s. `runs` is carried in the JSON
-  * so trajectories across rounds compare like with like.
+  * (default 3 since round 11) and the per-query figure is the median
+  * (mean of the two middle samples for an even count) — single-run
+  * machine jitter on this box has repeatedly shown ±2 s swings that
+  * read as fake regressions/speedups (round-5/6 trajectory), and with
+  * 2 runs the recorded value is the MEAN of an outlier pair (round-10
+  * q36: 0.22s → recorded 1.19s off a [0.31, 2.08] spread). A true
+  * median over 3 kills a single outlier entirely. `runs` is carried in
+  * the JSON so trajectories across rounds compare like with like.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,7 +68,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     def median(xs: Seq[Double]): Double = {

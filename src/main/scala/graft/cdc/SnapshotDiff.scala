@@ -32,8 +32,22 @@ object SnapshotDiff {
       s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs " +
         newDf.columns.mkString(","))
     val valueCols = oldDf.columns.filterNot(keyCols.contains).toSeq
-    val o = oldDf.as("o")
-    val n = newDf.as("n")
+    // enforce the documented keys-must-be-non-null precondition: a
+    // null-key row never matches in the full-outer join and would be
+    // silently classified as an insert (with the OLD image, for
+    // old-side rows) — raise in the scan projection instead. The wrap
+    // rides the key columns the join itself consumes, so it cannot be
+    // pruned away.
+    def keyChecked(df: DataFrame, side: String): DataFrame =
+      keyCols.foldLeft(df) { (d, k) =>
+        d.withColumn(k,
+          when(col(k).isNull, raise_error(lit(
+            s"SnapshotDiff: null key column '$k' in the $side snapshot " +
+              "— keys must be non-null")))
+            .otherwise(col(k)))
+      }
+    val o = keyChecked(oldDf, "old").as("o")
+    val n = keyChecked(newDf, "new").as("n")
     val on = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     val inOld = col(s"o.${keyCols.head}").isNotNull
     val inNew = col(s"n.${keyCols.head}").isNotNull

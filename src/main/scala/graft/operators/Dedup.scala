@@ -817,10 +817,15 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(blockCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // The capped universe feeds FOUR consumers (truth sets, both
+    // candidate source-lookup legs, and the banded index inside
+    // oracleLshPairs) — persist it so the row_number shuffle and scan
+    // run once, not per consumer.
     val capped = df
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBlockSize)
       .drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capL = maxBlockSize.toLong
     val shed = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
       .agg(
@@ -868,11 +873,20 @@ object Dedup {
       .join(srcA, Seq("id_a")).join(srcB, Seq("id_b"))
       .filter(col("__sa") === col("__sb"))
       .select(col("id_a"), col("id_b"))
-    val hit = cand.intersect(truth)
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .crossJoin(shed)
+    // ONE job counts truth, candidates, and their overlap: both sides
+    // are unique on (id_a, id_b), so a 1:1 full-outer join tags each
+    // pair as truth-only / cand-only / both, and three sums replace the
+    // former intersect + three separate count jobs — each of which
+    // re-derived the truth/cand lineage from scratch (the round-10
+    // bench hotspot: this query alone was 8% of the suite).
+    val counts = truth.withColumn("__t", lit(1L))
+      .join(cand.withColumn("__c", lit(1L)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(
+        coalesce(sum(col("__t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_hit"))
+    counts.crossJoin(shed)
       .select(col("n_truth"), col("n_candidates"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_candidates")).as("precision"),
         (col("n_hit").cast("double") / col("n_truth")).as("recall"),

@@ -303,7 +303,8 @@ object EventFunnel {
       second: String,
       windowMicros: Long): DataFrame = {
     require(first != second, "timeToConversion steps must differ")
-    requireNoClash(userCol, Seq("__us", "__lv", "min_ttc_us"))
+    requireNoClash(userCol,
+      Seq("__t", "__ord", "__us", "__lv", "min_ttc_us"))
     import org.apache.spark.sql.expressions.Window
     val ev = df.filter(col(tsCol).isNotNull &&
         col(typeCol).isin(first, second))

@@ -56,13 +56,15 @@ object Funnel {
       stages: Seq[(String, Column)],
       dedupKey: Option[Column] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    // the stage machinery adds internal __s<i> flag columns; an input
-    // that already carries one would be silently overwritten and corrupt
-    // the attrition counts — refuse loudly instead
-    val clash = df.columns.filter(_.matches("__s\\d+"))
+    // the stage machinery adds internal __s<i> flag columns and __c<i>
+    // count aliases; an input (or group) column with one of those names
+    // would be silently overwritten / made ambiguous and corrupt the
+    // attrition counts — refuse loudly instead
+    val clash = df.columns.filter(_.matches("__[sc]\\d+"))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with Funnel's " +
-        "internal __s<i> stage flags; rename them before calling report")
+        "internal __s<i>/__c<i> working columns; rename them before " +
+        "calling report")
     val names = stages.map(_._1) ++ dedupKey.map(_ => "exact_dedup")
     val total = names.size
 

@@ -169,7 +169,10 @@ object Sampling {
     val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
         lit(":" + seed))), 1, 12), 16, 10).cast("double") + 1.0) /
       lit(281474976710656.0) // 2^48
-    val wcol = col(weightCol).cast("int")
+    // match on the DOUBLE value, not a truncating int cast: a
+    // fractional weight like 2.5 must fall through to the raise, not
+    // silently sample as weight 2
+    val wcol = col(weightCol).cast("double")
     val priority = Seq(1, 2, 4, 8, 16, 32, 64)
       .foldLeft(null: Column) { (acc, wv) =>
         val p = (0 until Integer.numberOfTrailingZeros(wv))
@@ -198,7 +201,10 @@ object Sampling {
     val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
         lit(":" + seed))), 1, 12), 16, 10).cast("double") + 1.0) /
       lit(281474976710656.0)
-    val wcol = col(weightCol).cast("int")
+    // match on the DOUBLE value, not a truncating int cast: a
+    // fractional weight like 2.5 must fall through to the raise, not
+    // silently sample as weight 2
+    val wcol = col(weightCol).cast("double")
     val priority = Seq(1, 2, 4, 8, 16, 32, 64)
       .foldLeft(null: Column) { (acc, wv) =>
         val p = (0 until Integer.numberOfTrailingZeros(wv))

@@ -289,8 +289,28 @@ object Similarity {
         "accumulator (D = prod(kRrf+rank) must stay under 2^63); " +
         "fuse hierarchically beyond 6")
     require(k >= 1 && kRrf >= 0)
+    // The ≤6-lists guard alone doesn't make the rational exact: with
+    // huge ranks (or a big kRrf) the denominator Π(kRrf+rank) can still
+    // pass 2⁶³ and wrap silently. Enforce the per-factor bound at
+    // runtime: every cost must satisfy cᴸ < 2⁶³ for L lists, so the
+    // worst-case product stays exact no matter which lists an item
+    // appears in.
+    val maxCost: Long = {
+      var c = math.pow(2.0, 63.0 / rankings.size).toLong + 1
+      while (BigInt(c).pow(rankings.size) >= BigInt(2).pow(63)) c -= 1
+      c
+    }
+    val costChecked = when(
+      (lit(kRrf.toLong) + col("rank").cast("long")) > maxCost,
+      raise_error(concat(
+        lit(s"rrfFuse: kRrf+rank exceeds $maxCost, the exact-rational " +
+          s"bound for ${rankings.size} lists (prod of costs must stay " +
+          "under 2^63); truncate the input rankings or fuse fewer lists"),
+        lit(" (rank="), col("rank").cast("string"), lit(")"))))
+      .otherwise(col("rank"))
     val unioned = rankings
-      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        costChecked.as("rank")))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_score").desc, col("neighbor_id").asc)

@@ -2553,7 +2553,7 @@ object PipelineQueries {
         |    COUNT(DISTINCT c_custkey) AS exact_distinct
         |  FROM customer GROUP BY 1
         |)
-        |SELECT sk.nation, kmv,
+        |SELECT sk.nation, array_to_string(kmv, ',') AS kmv,
         |  CAST(len(kmv) AS INTEGER) AS n_kmv,
         |  CASE WHEN len(kmv) < 32 THEN CAST(len(kmv) AS DOUBLE)
         |       ELSE CAST(31 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
@@ -2566,7 +2566,13 @@ object PipelineQueries {
         .withColumnRenamed("c_nationkey", "nation")
       val ex = cust.groupBy(col("c_nationkey").as("nation"))
         .agg(countDistinct(col("c_custkey")).as("exact_distinct"))
-      sk.join(ex, "nation").select(col("nation"), col("kmv"),
+      // The raw array<bigint> sketch crashes the harness comparator
+      // (pandas lexsort can't hash list cells) — emit it as the
+      // canonical comma-joined string, mirrored by array_to_string in
+      // the oracle SQL. Values are identical; only the transport is
+      // string-typed.
+      sk.join(ex, "nation").select(col("nation"),
+        concat_ws(",", col("kmv")).as("kmv"),
         size(col("kmv")).cast("int").as("n_kmv"),
         Kmv.estimate(col("kmv"), 32).as("est_distinct"),
         col("exact_distinct"))

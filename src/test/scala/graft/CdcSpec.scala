@@ -347,5 +347,23 @@ class CdcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotDiff.changes(oldSnap, newSnap.drop("v"), Seq("k"))
     }
+    // the documented keys-must-be-non-null precondition is ENFORCED:
+    // a null-key row (either side) raises instead of being silently
+    // classified as an insert carrying the old image
+    val withNullKey = Seq((Some(1L), "a", 10.0), (None, "x", 99.0))
+      .toDF("k", "name", "v")
+    def rootMsg(e: Throwable): String = {
+      var t = e; val sb = new StringBuilder(t.getMessage)
+      while (t.getCause != null) { t = t.getCause; sb.append(t.getMessage) }
+      sb.toString
+    }
+    val eOld = intercept[Exception] {
+      SnapshotDiff.changes(withNullKey, newSnap, Seq("k")).collect()
+    }
+    assert(rootMsg(eOld).contains("null key"), eOld.toString)
+    val eNew = intercept[Exception] {
+      SnapshotDiff.changes(oldSnap, withNullKey, Seq("k")).collect()
+    }
+    assert(rootMsg(eNew).contains("null key"), eNew.toString)
   }
 }

@@ -154,6 +154,24 @@ class PipelineSpec extends AnyFunSuite {
         df.withColumn("__s1", lit(1L)), "event_id",
         Seq("gate" -> col("us").geq(0)))
     }
+    // __c<i> count aliases are working columns too — a colliding input
+    // (e.g. a group column named __c1) must refuse, not corrupt counts
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnel.reportByGroup(
+        df.withColumn("__c1", lit("g")), "event_id", Seq("__c1"),
+        Seq("gate" -> col("us").geq(0)))
+    }
+    // timeToConversion's full internal-name list includes __t and __ord
+    intercept[IllegalArgumentException] {
+      EventFunnel.timeToConversion(
+        df.withColumnRenamed("user_id", "__t"), "__t", "ts", "event_id",
+        "event_type", "view", "purchase", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      EventFunnel.timeToConversion(
+        df.withColumnRenamed("user_id", "__ord"), "__ord", "ts",
+        "event_id", "event_type", "view", "purchase", 1L)
+    }
   }
 
   test("sequencePairCount: greedy non-overlap matching via the bracket " +
@@ -1579,6 +1597,26 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.rrfFuse(Seq.fill(7)(l1), k = 1)
     }
+    // and WITHIN the list-count guard, a rank big enough to push the
+    // denominator product past 2^63 raises at runtime instead of
+    // silently wrapping the "exact" rational (6 lists -> each cost must
+    // stay <= floor(2^(63/6)) = 1448, i.e. rank <= 1388 at kRrf=60)
+    val bigRank = Seq((1L, 10L, 2000)).toDF("query_id", "neighbor_id", "rank")
+    val eOv = intercept[Exception] {
+      Similarity.rrfFuse(Seq.fill(6)(bigRank), k = 1).collect()
+    }
+    def chainMsg(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder(String.valueOf(c.getMessage))
+      while (c.getCause != null) { c = c.getCause
+        sb.append(String.valueOf(c.getMessage)) }
+      sb.toString
+    }
+    assert(chainMsg(eOv).contains("exact-rational"), eOv.toString)
+    // the bound is per-list-count: the same rank 2000 with TWO lists is
+    // exact (2060^2 << 2^63) and must keep working
+    val two = Similarity.rrfFuse(Seq.fill(2)(bigRank), k = 1)
+      .collect().head
+    assert(two.getAs[Double]("rrf_score") == 2.0 / 2060.0)
   }
 
   test("LSH eval harness: a planted shingle near-dup is truth, " +
@@ -1751,6 +1789,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("power of two") ||
       Option(e.getCause).exists(_.getMessage.contains("power of two")),
       e.toString)
+    // ... including a FRACTIONAL weight: 2.5 must raise, not silently
+    // truncate to 2 (the int-cast bug class)
+    val frac = Seq((1L, 2.5)).toDF("k", "w")
+    val ef = intercept[Exception] {
+      Sampling.weightedSamplePow2(frac, "k", "w", k = 1).collect()
+    }
+    assert(ef.getMessage.contains("power of two") ||
+      Option(ef.getCause).exists(_.getMessage.contains("power of two")),
+      ef.toString)
   }
 
   test("content-defined chunking: shared segments dedup across byte offsets") {
