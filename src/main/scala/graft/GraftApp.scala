@@ -562,8 +562,11 @@ object GraftApp {
         if (streaming) throw new IllegalArgumentException(
           s"source '${s.name}': the JavaScript connector is a bounded " +
             "script run — use it in batch mode")
-        graft.sources.JsIngest.jsonRecords(spark,
-          graft.sources.JsIngest.readModule(spark, s.path))
+        // bundled load: the bootstrap may `import` relative helper
+        // modules next to it (dozer-deno ts_module_loader parity)
+        val (jsEntry, jsSources) =
+          graft.functions.JsModules.bundleFromPath(spark, s.path)
+        graft.sources.JsIngest.jsonRecordsBundle(spark, jsSources, jsEntry)
       case Some(other) => throw new IllegalArgumentException(
         s"source '${s.name}': unknown decode '$other'")
       case None =>

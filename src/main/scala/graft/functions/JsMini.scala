@@ -173,6 +173,23 @@ object JsMini {
   final case class SFunDecl(name: String, fn: EFun) extends Stmt
   final case class SClassDecl(name: String, cls: EClass) extends Stmt
   final case class SExportDefault(e: Expr) extends Stmt
+  /** `import d from…` / `import {a as b} from…` / `import * as ns from…`
+    * / bare `import './m.js'` (module top level only). `named` pairs are
+    * (exportedName, localBinding).
+    */
+  final case class SImport(default: Option[String],
+      named: Seq[(String, String)], ns: Option[String],
+      from: String) extends Stmt
+  /** `export {a, b as c}` (pairs = (localName, exportedName)) or the
+    * re-export form `export {a} from './m.js'` (pairs =
+    * (sourceExportName, exportedName)).
+    */
+  final case class SExportNamed(names: Seq[(String, String)],
+      from: Option[String]) extends Stmt
+  /** `export function f…` / `export class C…` / `export const x = …` —
+    * the declaration executes normally and `names` also become exports.
+    */
+  final case class SExportDecl(decl: Stmt, names: Seq[String]) extends Stmt
   final case class SBlock(body: Seq[Stmt]) extends Stmt
 
   // ----------------------------------------------------------------- lexer
@@ -354,10 +371,83 @@ object JsMini {
       s
     }
 
+    // `{ a, b as c }` — shared by import clauses and export lists;
+    // returns (sourceName, boundName) pairs
+    private def nameList(): Seq[(String, String)] = {
+      eat("{")
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      while (!at("}")) {
+        val n = eat("ident").text
+        val bound =
+          if (at("ident") && peek.text == "as") { pos += 1; eat("ident").text }
+          else n
+        out += ((n, bound))
+        if (!at("}")) eat(",")
+      }
+      eat("}")
+      out.toSeq
+    }
+
+    // `import` is contextual (scripts may use it as a plain identifier);
+    // only the statement shapes `import "…"`, `import {…} from`,
+    // `import * as ns from`, `import d from`, `import d, {…} from`
+    // start an import declaration
+    private def importAhead: Boolean = {
+      val t1 = toks(pos + 1)
+      t1.kind == "str" || t1.kind == "{" || t1.kind == "*" ||
+        (t1.kind == "ident" && pos + 2 < toks.length &&
+          (toks(pos + 2).kind == "," ||
+            (toks(pos + 2).kind == "ident" && toks(pos + 2).text == "from")))
+    }
+
+    private def parseImport(): Stmt = {
+      eat("ident") // 'import'
+      if (at("str")) return SImport(None, Nil, None, eat("str").text)
+      var default: Option[String] = None
+      var ns: Option[String] = None
+      var named: Seq[(String, String)] = Nil
+      if (at("ident")) {
+        default = Some(eat("ident").text)
+        opt(",")
+      }
+      if (at("*")) {
+        eat("*")
+        val as = eat("ident")
+        if (as.text != "as") throw new JsSyntaxError(
+          s"expected 'as' after 'import *' (offset ${as.pos})")
+        ns = Some(eat("ident").text)
+      } else if (at("{")) named = nameList()
+      val fromTok = eat("ident")
+      if (fromTok.text != "from") throw new JsSyntaxError(
+        s"expected 'from' in import statement (offset ${fromTok.pos})")
+      SImport(default, named, ns, eat("str").text)
+    }
+
     private def statementInner(): Stmt = peek.kind match {
       case "export" =>
-        eat("export"); eat("default")
-        SExportDefault(expression())
+        eat("export")
+        if (at("default")) { eat("default"); SExportDefault(expression()) }
+        else if (at("{")) {
+          val names = nameList()
+          val from =
+            if (at("ident") && peek.text == "from") {
+              pos += 1; Some(eat("str").text)
+            } else None
+          SExportNamed(names, from)
+        } else {
+          val decl = statementInner()
+          val names = decl match {
+            case SFunDecl(n, _)   => Seq(n)
+            case SClassDecl(n, _) => Seq(n)
+            case SLet(ds)         => ds.map(_._1)
+            case _ => throw new JsSyntaxError(
+              "export must be followed by default, a {name list}, or a " +
+                s"function/class/let/const/var declaration (offset ${peek.pos})")
+          }
+          SExportDecl(decl, names)
+        }
+      case "ident" if peek.text == "import" && importAhead =>
+        parseImport()
       case "async" if toks(pos + 1).kind == "function" =>
         eat("async")
         val f = functionExpr()
@@ -1193,6 +1283,9 @@ object JsMini {
     case SBlock(body) =>
       val e = env.child; body.foreach(exec(_, e))
     case SExportDefault(_) => // handled at module load
+    case _: SImport | _: SExportNamed | _: SExportDecl =>
+      throw new JsSyntaxError(
+        "import/export is only allowed at module top level")
   }
 
   private def eval(e: Expr, env: Env): V = { tick(); evalExpr(e, env) }
@@ -1775,23 +1868,151 @@ object JsMini {
 
   // ---------------------------------------------------------------- module
 
-  /** A loaded module: top-level statements executed once, default export
-    * captured — dozer-deno/src/runtime/mod.rs:235-241's resolution.
+  /** Lexical ES-style specifier resolution over bundle keys (the
+    * file-URL half of deno_core::resolve_import,
+    * dozer-deno/src/ts_module_loader/mod.rs:79-86, re-expressed over
+    * relative slash paths): `./` and `../` resolve against the importing
+    * module's directory, a leading `/` is bundle-root-absolute. Bare
+    * specifiers (package names) and URL schemes are rejected LOUDLY —
+    * deno would fetch over the network; this runtime is zero-egress by
+    * design, so the module must be vendored into the bundle.
     */
-  final class Module(src: String, extraGlobals: Map[String, V] = Map.empty) {
+  def resolveSpecifier(spec: String, referrer: String): String = {
+    if (spec.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"))
+      throw new JsSyntaxError(
+        s"import '$spec': URL-scheme imports are not supported (this " +
+          "runtime is zero-egress; vendor the module into the bundle)")
+    if (!spec.startsWith("./") && !spec.startsWith("../") &&
+        !spec.startsWith("/"))
+      throw new JsSyntaxError(
+        s"import '$spec': bare specifiers are not resolvable (no package " +
+          "registry in the JsMini subset; use a relative './…' path)")
+    val segs = mutable.ArrayBuffer.empty[String]
+    if (!spec.startsWith("/"))
+      referrer.split("/").dropRight(1).foreach(s => if (s.nonEmpty) segs += s)
+    spec.split("/").foreach {
+      case "" | "." => ()
+      case ".." =>
+        if (segs.isEmpty)
+          throw new JsSyntaxError(
+            s"import '$spec' (from '$referrer') escapes the bundle root")
+        segs.remove(segs.length - 1)
+      case s => segs += s
+    }
+    segs.mkString("/")
+  }
+
+  /** Top-level import / re-export specifiers of a module source — the
+    * edges a bundler must follow ([[graft.functions.JsModules]]).
+    */
+  def moduleImports(src: String): Seq[String] =
+    parse(src).collect {
+      case SImport(_, _, _, from)      => from
+      case SExportNamed(_, Some(from)) => from
+    }
+
+  /** Execute-once module cache with loud cycle detection for a
+    * multi-module program. Modules load EAGERLY in import order; the
+    * subset has no live bindings, so cyclic imports are rejected with
+    * the cycle named (a documented delta from ES module semantics —
+    * dozer-deno's loader tolerates cycles via deno_core's graph).
+    */
+  final class ModuleRegistry private[JsMini] (
+      sources: String => Option[String],
+      extraGlobals: Map[String, V]) {
+    private val loaded = mutable.Map.empty[String, Module]
+    private val loading = mutable.Set.empty[String]
+    private[JsMini] def moduleAt(key: String, spec: String,
+        referrer: String, entry: Boolean = false): Module =
+      loaded.getOrElse(key, {
+        if (loading(key))
+          throw new JsSyntaxError(
+            s"import cycle: '$spec' (from '$referrer') is already " +
+              "loading — the JsMini subset loads modules eagerly with no " +
+              "live bindings, so cyclic imports are rejected")
+        val src = sources(key).getOrElse(throw new JsSyntaxError(
+          s"module not found: '$spec' (from '$referrer') resolved to " +
+            s"'$key', which is not in the bundle"))
+        loading += key
+        try {
+          val m = new Module(src, extraGlobals, key, this, entry)
+          loaded(key) = m
+          m
+        } finally loading -= key
+      })
+    private[JsMini] def resolve(spec: String, referrer: String): Module =
+      moduleAt(resolveSpecifier(spec, referrer), spec, referrer)
+  }
+
+  /** A loaded module: top-level statements executed once, default export
+    * captured (dozer-deno/src/runtime/mod.rs:235-241's resolution),
+    * named exports collected, imports resolved through the registry.
+    */
+  final class Module private[JsMini] (src: String,
+      extraGlobals: Map[String, V],
+      key: String,
+      registry: ModuleRegistry,
+      entry: Boolean) {
     private val stmts = parse(src)
     private val env = globalEnv().child
     extraGlobals.foreach { case (k, v) => env.declare(k, v) }
     private var default: Option[V] = None
-    resetBudget() // top-level entry: the whole module run shares one budget
+    /** Named exports, insertion-ordered. */
+    private[JsMini] val exports = mutable.LinkedHashMap.empty[String, V]
+    // only the ENTRY module resets the interpreter budget: an imported
+    // module loading mid-run must not hand the program a fresh
+    // infinite-loop allowance
+    if (entry) resetBudget()
+    private val deferredNamed = mutable.ArrayBuffer.empty[(String, String)]
     stmts.foreach {
       case SExportDefault(e) =>
         default = Some(eval(e, env))
+      case SImport(d, named, ns, from) =>
+        val m = registry.resolve(from, key)
+        d.foreach(n => env.declare(n, m.defaultOr(from)))
+        named.foreach { case (exported, local) =>
+          env.declare(local, m.namedExport(exported, from))
+        }
+        ns.foreach(n => env.declare(n, m.namespaceObject))
+      case SExportDecl(decl, names) =>
+        exec(decl, env)
+        names.foreach(n => deferredNamed += ((n, n)))
+      case SExportNamed(names, Some(from)) =>
+        val m = registry.resolve(from, key)
+        names.foreach { case (srcName, exported) =>
+          exports(exported) = m.namedExport(srcName, from)
+        }
+      case SExportNamed(names, None) =>
+        names.foreach { case (local, exported) =>
+          deferredNamed += ((local, exported))
+        }
       case s => exec(s, env)
     }
+    // local named exports resolve AFTER the top-level pass, so
+    // `export {f}` may precede `function f` — declaration-order
+    // independence, the useful half of ES hoisting
+    deferredNamed.foreach { case (local, exported) =>
+      exports(exported) = env.lookup(local).getOrElse(
+        throw new JsSyntaxError(
+          s"module '$key' exports '$local', which is not defined"))
+    }
     private def defaultOpt: Option[V] = default
+    private[JsMini] def defaultOr(spec: String): V = defaultOpt.getOrElse(
+      throw new JsSyntaxError(s"module '$spec' has no default export"))
     lazy val defaultExport: V = defaultOpt.getOrElse(
       throw new JsSyntaxError("module has no default export"))
+    /** The `import * as ns` object: named exports plus `default`. */
+    private[JsMini] lazy val namespaceObject: V = {
+      val fields = mutable.LinkedHashMap.empty[String, V]
+      exports.foreach { case (k, v) => fields(k) = v }
+      defaultOpt.foreach(d => fields("default") = d)
+      new VObj(fields)
+    }
+    private[JsMini] def namedExport(name: String, spec: String): V =
+      exports.getOrElse(name, throw new JsSyntaxError(
+        s"module '$spec' has no export named '$name'" +
+          (if (exports.isEmpty) ""
+           else s" (exports: ${exports.keys.mkString(", ")})")))
 
     /** The UDF contract: one JSON-shaped argument in, JSON out
       * (javascript/validate.rs:10-27).
@@ -1800,14 +2021,28 @@ object JsMini {
       resetBudget() // top-level entry: each row gets a fresh budget
       callFunction(defaultExport, Seq(arg))
     }
+    /** Named export lookup for host integration / tests. */
+    def namedOpt(name: String): Option[V] = exports.get(name)
   }
 
-  def load(src: String): Module = new Module(src)
+  def load(src: String): Module = loadBundle(Map("main.js" -> src), "main.js")
 
   /** Load with host-injected globals (e.g. an `ingest` op for source
     * scripts) — top-level statements run during load; a default export
     * is not required for this entry point.
     */
   def loadWithGlobals(src: String, globals: Map[String, V]): Module =
-    new Module(src, globals)
+    loadBundle(Map("main.js" -> src), "main.js", globals)
+
+  /** Load a multi-module program from an in-memory bundle: `sources`
+    * maps bundle keys (relative slash paths) to module text; imports
+    * resolve between them via [[resolveSpecifier]]. Driver-side file
+    * loading builds the bundle once ([[graft.functions.JsModules]]) so
+    * executors never touch a filesystem — the closure ships the sources.
+    */
+  def loadBundle(sources: Map[String, String], entry: String,
+      globals: Map[String, V] = Map.empty): Module = {
+    val reg = new ModuleRegistry(sources.get, globals)
+    reg.moduleAt(entry, entry, "<entry>", entry = true)
+  }
 }

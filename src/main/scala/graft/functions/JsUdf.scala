@@ -27,13 +27,20 @@ import org.apache.spark.sql.types.StringType
   */
 object JsUdf {
 
-  private val modules = new ThreadLocal[mutable.Map[String, JsMini.Module]] {
-    override def initialValue(): mutable.Map[String, JsMini.Module] =
+  /** A self-contained multi-module program: the executor-shipped form
+    * of an entry script plus its transitive imports
+    * ([[JsModules.bundleFromPath]]); single-file modules are a
+    * one-entry bundle.
+    */
+  final case class Bundle(entry: String, sources: Map[String, String])
+
+  private val modules = new ThreadLocal[mutable.Map[Bundle, JsMini.Module]] {
+    override def initialValue(): mutable.Map[Bundle, JsMini.Module] =
       mutable.Map.empty
   }
 
-  private def moduleFor(src: String): JsMini.Module =
-    modules.get().getOrElseUpdate(src, JsMini.load(src))
+  private def moduleFor(b: Bundle): JsMini.Module =
+    modules.get().getOrElseUpdate(b, JsMini.loadBundle(b.sources, b.entry))
 
   /** Spark value → JS value. Rows carry their schema (field names become
     * object keys); binary becomes base64 (JSON has no byte type — same
@@ -78,38 +85,38 @@ object JsUdf {
   /** Evaluate one row: marshal in, call the default export, serialize the
     * JSON result (undefined → SQL NULL).
     */
-  def evalRow(moduleSrc: String, arg: Any): String =
-    moduleFor(moduleSrc).callDefault(toJs(arg)) match {
+  def evalRow(bundle: Bundle, arg: Any): String =
+    moduleFor(bundle).callDefault(toJs(arg)) match {
       case JsMini.VUndef => null
       case v             => JsMini.stringify(v)
     }
 
-  /** Register `name(col)` returning a JSON string. */
-  def register(spark: SparkSession, name: String, moduleSource: String): Unit = {
-    // fail fast on syntax errors / missing default export, driver-side —
-    // the reference validates the module at build time too
-    JsMini.load(moduleSource).defaultExport
+  /** Register `name(col)` returning a JSON string (single-file module). */
+  def register(spark: SparkSession, name: String, moduleSource: String): Unit =
+    registerBundle(spark, name,
+      Bundle("main.js", Map("main.js" -> moduleSource)))
+
+  /** Register a multi-module program (entry + transitive imports). */
+  def registerBundle(spark: SparkSession, name: String,
+      bundle: Bundle): Unit = {
+    // fail fast on syntax errors / unresolvable imports / missing
+    // default export, driver-side — the reference validates the module
+    // at build time too
+    JsMini.loadBundle(bundle.sources, bundle.entry).defaultExport
     val f = new UDF1[Any, String] {
-      override def call(arg: Any): String = evalRow(moduleSource, arg)
+      override def call(arg: Any): String = evalRow(bundle, arg)
     }
     spark.udf.register(name, f, StringType)
   }
 
   /** Register from a module file path — any Hadoop filesystem (HDFS/S3/
-    * local), so cluster submission works unchanged.
+    * local), so cluster submission works unchanged. Relative `import`s
+    * next to the entry file are bundled transitively
+    * ([[JsModules.bundleFromPath]]), so multi-file reference scripts
+    * load as they do under dozer-deno's module loader.
     */
   def registerFromPath(spark: SparkSession, name: String, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val src =
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    register(spark, name, src)
+    val (entry, sources) = JsModules.bundleFromPath(spark, path)
+    registerBundle(spark, name, Bundle(entry, sources))
   }
 }

@@ -39,6 +39,14 @@ object JsIngest {
 
   /** Run a bootstrap script, collecting its `ingest` calls in order. */
   def runScript(src: String,
+      extraGlobals: Map[String, V] = Map.empty): Seq[ChangeRow] =
+    runScriptBundle(Map("main.js" -> src), "main.js", extraGlobals)
+
+  /** Multi-module variant: bootstrap scripts may `import` relative
+    * helper modules, resolved from the bundle (the dozer-deno module
+    * loader seam — see [[graft.functions.JsModules]]).
+    */
+  def runScriptBundle(sources: Map[String, String], entry: String,
       extraGlobals: Map[String, V] = Map.empty): Seq[ChangeRow] = {
     val out = mutable.ArrayBuffer.empty[ChangeRow]
     val ingest = VNative("ingest", { args =>
@@ -65,7 +73,7 @@ object JsIngest {
       "internal" -> VStr("__graft_internal__"),
       "__graft_internal__" -> JsMini.obj(
         "core" -> JsMini.obj("ops" -> JsMini.obj("ingest" -> ingest))))
-    JsMini.loadWithGlobals(src,
+    JsMini.loadBundle(sources, entry,
       Map("ingest" -> ingest, "Deno" -> deno) ++ extraGlobals)
     out.toSeq
   }
@@ -85,9 +93,16 @@ object JsIngest {
     * `old_val`, Update rewrites one row equal to `old_val` to `new_val`.
     */
   def jsonRecords(spark: SparkSession, scriptSrc: String,
+      extraGlobals: Map[String, V] = Map.empty): DataFrame =
+    jsonRecordsBundle(spark, Map("main.js" -> scriptSrc), "main.js",
+      extraGlobals)
+
+  /** [[jsonRecords]] over a multi-module bundle. */
+  def jsonRecordsBundle(spark: SparkSession,
+      sources: Map[String, String], entry: String,
       extraGlobals: Map[String, V] = Map.empty): DataFrame = {
     val state = mutable.ArrayBuffer.empty[String]
-    runScript(scriptSrc, extraGlobals).foreach { c =>
+    runScriptBundle(sources, entry, extraGlobals).foreach { c =>
       c.op match {
         case "Insert" => state += c.new_val
         case "Delete" =>

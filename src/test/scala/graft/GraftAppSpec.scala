@@ -866,6 +866,81 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("config-declared JavaScript UDF with a multi-file module: the " +
+      "entry imports a helper, bundled at registration (dozer-deno " +
+      "ts_module_loader seam)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_js_mod").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/lib"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/lib/math.js"),
+      """export const OFFSET = 7;
+        |export function square(x) { return x * x; }""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/scorer.js"),
+      """import { square, OFFSET } from './lib/math.js';
+        |export default function (input) {
+        |    return square(input) + OFFSET;
+        |}""".stripMargin)
+    val yaml =
+      s"""sources:
+         |  - name: docs
+         |    path: /root/testdata/sf0.001/documents.parquet
+         |udfs:
+         |  - name: scorer2
+         |    config: !JavaScript
+         |      module: $tmp/scorer.js
+         |sql: |
+         |  SELECT doc_id, CAST(scorer2(n_chars) AS BIGINT) AS sq INTO out1 FROM docs;
+         |sinks:
+         |  - table: out1
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val out = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id", $"sq").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, sq) => assert(sq == docs(id) * docs(id) + 7) }
+  }
+
+  test("JavaScript ingestion bootstrap may import helper modules " +
+      "(bundled through the same loader)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_js_boot").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/rows.js"),
+      """export default [
+        |  { id: 1, name: "a" },
+        |  { id: 2, name: "b" }
+        |];""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/boot.js"),
+      """import rows from './rows.js';
+        |for (const r of rows) {
+        |  ingest({ typ: "Insert", new_val: r });
+        |}
+        |ingest({ typ: "SnapshottingDone" });""".stripMargin)
+    val yaml =
+      s"""sources:
+         |  - name: js_src
+         |    path: $tmp/boot.js
+         |    decode: javascript
+         |sql: SELECT value INTO outj FROM js_src;
+         |sinks:
+         |  - table: outj
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    import spark.implicits._
+    val vals = spark.read.parquet(s"$tmp/out").as[String].collect().sorted
+    assert(vals.length == 2)
+    assert(vals(0).contains("\"id\":1") && vals(1).contains("\"id\":2"))
+  }
+
   test("JavaScript UDF config with a bad module fails at load, not per-row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_js_bad").toString
     java.nio.file.Files.write(

@@ -498,4 +498,116 @@ class JsMiniSpec extends AnyFunSuite {
       run("export default function (v) { return new Map([1, 2]); }", VNull)
     }
   }
+
+  // ------------------------------------------------------ ES modules
+  // (dozer-deno/src/ts_module_loader/mod.rs: resolve_import + fetch +
+  // execute-once; here over in-memory bundles — JsModules does the IO)
+
+  test("ES modules: default + named imports, alias, namespace, " +
+      "export-decl forms, deferred export lists") {
+    val helper =
+      """export const TWO = 2;
+        |export function triple(x) { return x * 3; }
+        |const hidden = 99;
+        |function late(x) { return x + TWO; }
+        |export { late, hidden as leaked };
+        |export default function (x) { return x * 10; }""".stripMargin
+    val entry =
+      """import tenX, { TWO, triple as t3, late, leaked } from './lib/helper.js';
+        |import * as h from './lib/helper.js';
+        |export default function (x) {
+        |  return tenX(x) + t3(x) + TWO + late(1) + leaked +
+        |    h.triple(1) + h['default'](1) + h.TWO;
+        |}""".stripMargin
+    val m = JsMini.loadBundle(
+      Map("main.js" -> entry, "lib/helper.js" -> helper), "main.js")
+    // 10x + 3x + 2 + 3 + 99 + 3 + 10 + 2 = 13x + 119
+    assert(m.callDefault(VNum(2)) == VNum(13 * 2 + 119))
+  }
+
+  test("ES modules: diamond imports execute a shared module ONCE; " +
+      "re-export `from`; relative ../ resolution in subdirectories") {
+    val counter =
+      """let n = 0;
+        |export function bump() { n = n + 1; return n; }
+        |export function count() { return n; }""".stripMargin
+    val a =
+      """import { bump } from '../counter.js';
+        |export const aSaw = bump();""".stripMargin
+    val b =
+      """import { bump } from '../counter.js';
+        |export const bSaw = bump();
+        |export { count } from '../counter.js';""".stripMargin
+    val entry =
+      """import { aSaw } from './sub/a.js';
+        |import { bSaw, count } from './sub/b.js';
+        |export default function () { return [aSaw, bSaw, count()]; }""".stripMargin
+    val m = JsMini.loadBundle(Map(
+      "main.js" -> entry, "sub/a.js" -> a, "sub/b.js" -> b,
+      "counter.js" -> counter), "main.js")
+    val got = m.callDefault(VUndef).asInstanceOf[VArr]
+    // one shared instance: a bumps to 1, b to 2, final count 2
+    assert(got.items.toSeq == Seq(VNum(1), VNum(2), VNum(2)))
+  }
+
+  test("ES modules: loud failures — cycle, missing module, missing " +
+      "export, bare specifier, URL scheme, root escape, nested import") {
+    def bundle(ms: (String, String)*): Unit = {
+      JsMini.loadBundle(ms.toMap, "main.js")
+      ()
+    }
+    val cyc = intercept[JsSyntaxError] {
+      bundle(
+        "main.js" -> "import { x } from './a.js'; export default function(){}",
+        "a.js" -> "import { y } from './main.js'; export const x = 1;")
+    }
+    assert(cyc.getMessage.contains("cycle"))
+    val missing = intercept[JsSyntaxError] {
+      bundle("main.js" -> "import { x } from './nope.js';")
+    }
+    assert(missing.getMessage.contains("not in the bundle"))
+    val noExport = intercept[JsSyntaxError] {
+      bundle(
+        "main.js" -> "import { absent } from './a.js';",
+        "a.js" -> "export const present = 1;")
+    }
+    assert(noExport.getMessage.contains("no export named 'absent'") &&
+      noExport.getMessage.contains("present"))
+    val bare = intercept[JsSyntaxError] {
+      bundle("main.js" -> "import { x } from 'lodash';")
+    }
+    assert(bare.getMessage.contains("bare specifier"))
+    val url = intercept[JsSyntaxError] {
+      bundle("main.js" -> "import { x } from 'https://example.com/m.js';")
+    }
+    assert(url.getMessage.contains("zero-egress"))
+    val escape = intercept[JsSyntaxError] {
+      bundle("main.js" -> "import { x } from '../outside.js';")
+    }
+    assert(escape.getMessage.contains("escapes the bundle root"))
+    val nested = intercept[JsSyntaxError] {
+      JsMini.loadBundle(Map(
+        "main.js" ->
+          "export default function () { import { x } from './a.js'; }",
+        "a.js" -> "export const x = 1;"), "main.js")
+        .callDefault(VUndef) // function bodies run at call time
+    }
+    assert(nested.getMessage.contains("top level"))
+    // an undefined name in an export list is loud too
+    val undef = intercept[JsSyntaxError] {
+      bundle("main.js" -> "export { ghost };")
+    }
+    assert(undef.getMessage.contains("not defined"))
+  }
+
+  test("ES modules: `import` stays usable as a plain identifier in " +
+      "scripts (contextual keyword)") {
+    val m =
+      """export default function (x) {
+        |  const import_ = 5;
+        |  let obj = { value: 2 };
+        |  return import_ + obj.value + x;
+        |}""".stripMargin
+    assert(run(m, VNum(1)) == VNum(8))
+  }
 }
