@@ -819,19 +819,27 @@ object TextOps {
   def urlHost(url: Column): Column =
     regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
 
-  /** Registered domain approximated as the last two host labels
-    * (example.com from a.b.example.com) — the DOMAIN-level filter key
-    * of web curation pipelines (spam/SEO domain blocklists act here,
-    * not per-host). Public-suffix lists (co.uk and friends) are a
-    * data file, not an algorithm: callers with ccTLD corpora should
-    * pre-strip known suffixes; the two-label rule is the documented
-    * approximation. Single-label hosts pass through whole.
+  /** Registered (registrable) domain of a host under the public-suffix
+    * list — the DOMAIN-level filter key of web curation pipelines
+    * (spam/SEO domain blocklists act here, not per-host). Backed by
+    * [[Psl]]: the full publicsuffix.org algorithm (wildcards,
+    * exceptions, longest match) over a vendored snapshot of the public
+    * data, so ccTLD registries slice correctly (`a.example.co.uk` →
+    * `example.co.uk`, not `co.uk`). A host that IS a public suffix —
+    * including every single-label host, per the implicit `*` default
+    * rule — has no registrable domain and yields null (which
+    * [[domainFilter]] fails closed on). Codegen'd `StaticInvoke`, no
+    * UDF: O(#labels) JVM-local hash probes per row inside the
+    * whole-stage span.
     */
   def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    when(host.isNull, lit(null).cast("string"))
-      .when(size(labels) <= 2, host)
-      .otherwise(array_join(slice(labels, -2, 2), "."))
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.StringType
+    GraftShims.column(StaticInvoke(
+      Psl.getClass, StringType, "registrableUtf8",
+      Seq(GraftShims.expression(host)),
+      inputTypes = Seq(StringType)))
   }
 
   /** Domain-blocklist gate: adds `domain` and `domain_kept` (false when

@@ -3261,6 +3261,42 @@ object PipelineQueries {
       TextOps.domainFilter(withUrl, "url", Seq("bad-ads.net"))
         .filter(col("domain_kept"))
         .select(col("doc_id"), col("domain"))
+    },
+
+    // PUBLIC-SUFFIX-LIST registered domains (q106's ccTLD-correct
+    // sibling): deterministic hosts per doc_id%8 exercise multi-label
+    // registries (co.uk, com.au), the private section (github.io), a
+    // wildcard TLD (*.ck), its exception (!www.ck), and the
+    // no-registrable-domain case (a host that IS a public suffix →
+    // null). The hosts are synthetic, so the oracle states the PSL
+    // algorithm's answers closed-form per residue — the Spark side must
+    // reproduce them through the real snapshot + algorithm
+    // (operators/Psl.scala, codegen'd StaticInvoke lookup).
+    QueryDef("q106b_psl_domains",
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'example.co.uk'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN 'bbc.com.au'
+        |    WHEN 3 THEN 'project.github.io'
+        |    WHEN 4 THEN 'foo.bar.ck'
+        |    WHEN 5 THEN 'www.ck'
+        |    WHEN 6 THEN 'example.com'
+        |    ELSE NULL END AS domain
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val hosts = array(
+        lit("www.example.co.uk"),        // www subdomain + co.uk registry
+        lit("deep.sub.example.co.uk"),   // deep subdomain, same domain
+        lit("news.bbc.com.au"),          // com.au registry
+        lit("project.github.io"),        // PSL private section
+        lit("foo.bar.ck"),               // *.ck wildcard: bar.ck is a suffix
+        lit("www.ck"),                   // !www.ck exception beats *.ck
+        lit("a.b.example.com"),          // plain gTLD
+        lit("co.uk"))                    // IS a public suffix -> null
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.registeredDomain(
+          element_at(hosts, (col("doc_id") % 8).cast("int") + 1))
+          .as("domain"))
     }
   )
 }

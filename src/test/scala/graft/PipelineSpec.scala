@@ -2186,8 +2186,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L, 4L))
   }
 
-  test("registered domain: label slicing, single-label hosts, the " +
-      "documented public-suffix caveat, and fail-closed blocking") {
+  test("registered domain: public-suffix-list semantics (ccTLD " +
+      "registries, wildcards, exceptions, suffix-is-host nulls) and " +
+      "fail-closed blocking") {
     import spark.implicits._
     val got = Seq(
       "https://a.b.example.com/x", "https://WWW.Example.COM/x",
@@ -2195,8 +2196,9 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("url")
       .select(TextOps.registeredDomain(TextOps.urlHost(col("url"))).as("d"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
-    assert(got == Seq("example.com", "example.com", "localhost",
-      "co.uk", // the documented two-label approximation on ccTLDs
+    assert(got == Seq("example.com", "example.com",
+      null, // single-label host = public suffix under the `*` default
+      "x.co.uk", // co.uk slices correctly now (round-11 PSL snapshot)
       null))
 
     val gated = TextOps.domainFilter(
@@ -2206,5 +2208,34 @@ class PipelineSpec extends AnyFunSuite {
     val kept = gated.collect().map(r =>
       (r.getAs[Long]("doc_id"), r.getAs[Boolean]("domain_kept"))).toMap
     assert(kept == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("PSL algorithm unit cases: longest match, wildcard, exception, " +
+      "private section, unknown TLD default, degenerate hosts") {
+    import graft.operators.Psl
+    // multi-label registry beats the shorter uk match
+    assert(Psl.registrable("a.b.example.co.uk") == "example.co.uk")
+    assert(Psl.registrable("example.co.uk") == "example.co.uk")
+    assert(Psl.registrable("co.uk") == null) // IS a public suffix
+    assert(Psl.registrable("uk") == null)
+    // unknown TLD: implicit `*` default rule → one label of suffix
+    assert(Psl.registrable("a.b.sometld") == "b.sometld")
+    assert(Psl.registrable("sometld") == null)
+    // wildcard *.ck: every second-level ck label is a suffix
+    assert(Psl.registrable("a.foo.bar.ck") == "foo.bar.ck")
+    assert(Psl.registrable("bar.ck") == null)
+    // exception !www.ck prevails over the wildcard
+    assert(Psl.registrable("www.ck") == "www.ck")
+    assert(Psl.registrable("sub.www.ck") == "www.ck")
+    // private section
+    assert(Psl.registrable("project.github.io") == "project.github.io")
+    assert(Psl.registrable("github.io") == null)
+    // com.au et al
+    assert(Psl.registrable("shop.company.com.au") == "company.com.au")
+    // degenerate inputs never throw
+    assert(Psl.registrable(null) == null)
+    assert(Psl.registrable("") == null)
+    assert(Psl.registrable(".") == null)
+    assert(Psl.registrable("a..b") == null) // empty labels are malformed
   }
 }
