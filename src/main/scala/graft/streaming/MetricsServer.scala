@@ -94,6 +94,37 @@ object MetricsServer {
     family("graft_state_rows",
       "Total stateful-operator rows held for the query", "gauge",
       snaps.map(s => (s.name, s.stateRowsTotal.toString)))
+    family("graft_state_memory_bytes",
+      "Total state-store memory held for the query", "gauge",
+      snaps.map(s => (s.name, s.stateMemoryBytes.toString)))
+    // watermark rows exist only once a query HAS one (batch 0 of an
+    // event-time query reports none; append-only queries never do)
+    family("graft_watermark_epoch_ms",
+      "Event-time watermark of the query, epoch milliseconds", "gauge",
+      snaps.flatMap(s => s.watermarkMs.map(w => (s.name, w.toString))))
+    // per-stateful-operator breakdown, labelled like the reference's
+    // per-entity telemetry (dozer-tracing/src/constants.rs table/
+    // connection labels): which operator holds the state, how big, and
+    // last-batch churn
+    def opFamily(name: String, help: String,
+        value: StreamMetrics.OperatorState => Long): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
+      snaps.foreach { s =>
+        s.operators.foreach { o =>
+          sb.append(s"""$name{query="${esc(s.name)}",operator="${esc(o.operator)}"} ${value(o)}""")
+            .append('\n')
+        }
+      }
+    }
+    opFamily("graft_state_operator_rows",
+      "State rows held per stateful operator", _.rowsTotal)
+    opFamily("graft_state_operator_memory_bytes",
+      "State-store memory per stateful operator", _.memoryBytes)
+    opFamily("graft_state_operator_rows_updated",
+      "State rows updated in the latest micro-batch", _.rowsUpdated)
+    opFamily("graft_state_operator_rows_removed",
+      "State rows evicted in the latest micro-batch (watermark TTL)",
+      _.rowsRemoved)
     sb.toString
   }
 }

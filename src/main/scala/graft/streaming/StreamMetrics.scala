@@ -14,6 +14,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamMetrics {
 
+  /** One stateful operator's state-store footprint within a query. */
+  final case class OperatorState(
+      operator: String,
+      rowsTotal: Long,
+      memoryBytes: Long,
+      rowsUpdated: Long,
+      rowsRemoved: Long)
+
   /** Latest-progress snapshot of one streaming query. */
   final case class Snapshot(
       name: String,
@@ -22,7 +30,12 @@ object StreamMetrics {
       inputRowsPerSecond: Double,
       processedRowsPerSecond: Double,
       batchDurationMs: Long,
-      stateRowsTotal: Long)
+      stateRowsTotal: Long,
+      stateMemoryBytes: Long = 0L,
+      /** Event-time watermark as epoch millis; None until one is set. */
+      watermarkMs: Option[Long] = None,
+      /** Per-stateful-operator breakdown (aggregation, dedup, join …). */
+      operators: Seq[OperatorState] = Nil)
 
   final class Recorder extends StreamingQueryListener {
     private val latest = new ConcurrentHashMap[String, Snapshot]()
@@ -37,6 +50,26 @@ object StreamMetrics {
       val p = e.progress
       val name = Option(p.name).getOrElse(p.id.toString)
       val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      // per-operator state breakdown: rows + memory + churn per
+      // stateful operator (reference telemetry publishes per-entity
+      // labels the same way — dozer-tracing/src/constants.rs TABLE/
+      // CONNECTION labels); operator names fall back to their index
+      // when Spark reports none
+      val ops = p.stateOperators.toSeq.zipWithIndex.map { case (so, i) =>
+        OperatorState(
+          operator = Option(so.operatorName).filter(_.nonEmpty)
+            .getOrElse(s"op$i"),
+          rowsTotal = so.numRowsTotal,
+          memoryBytes = so.memoryUsedBytes,
+          rowsUpdated = so.numRowsUpdated,
+          rowsRemoved = so.numRowsRemoved)
+      }
+      // event-time watermark (ISO-8601 in the progress map) → epoch ms;
+      // absent or unparseable → None (batch-0 / no-watermark queries)
+      val wm = Option(p.eventTime.get("watermark")).flatMap { s =>
+        try Some(java.time.Instant.parse(s).toEpochMilli)
+        catch { case _: Exception => None }
+      }.filter(_ > 0L)
       // cumulative counters feed the Prometheus endpoint (a counter must
       // be monotone across scrapes; the latest-snapshot gauge is not)
       inputTotals.merge(name, p.numInputRows, (a, b) => a + b)
@@ -50,7 +83,10 @@ object StreamMetrics {
         processedRowsPerSecond =
           if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
         batchDurationMs = p.batchDuration,
-        stateRowsTotal = stateRows))
+        stateRowsTotal = stateRows,
+        stateMemoryBytes = p.stateOperators.map(_.memoryUsedBytes).sum,
+        watermarkMs = wm,
+        operators = ops))
     }
 
     override def onQueryTerminated(

@@ -267,6 +267,59 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("per-stream state metrics on the endpoint: state memory, " +
+      "per-operator rows/churn, and the event-time watermark gauge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    implicit val sqlCtx = spark.sqlContext
+    val rec = graft.streaming.StreamMetrics.attach(spark)
+    val handle = graft.streaming.MetricsServer.start(0, rec)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val agg = mem.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("state_metrics_q")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(Ev(t("2024-01-01 00:01:00"), "a", 1.0),
+        Ev(t("2024-01-01 00:02:00"), "b", 2.0))
+      q.processAllAvailable()
+      // second batch advances the watermark past the first window and
+      // evicts its state (the churn the rows_removed gauge reports)
+      mem.addData(Ev(t("2024-01-01 03:00:00"), "a", 3.0))
+      q.processAllAvailable()
+      val c = java.net.URI.create(
+          s"http://127.0.0.1:${handle.port}/metrics")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(c.getResponseCode == 200)
+      val body = new String(c.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def gauge(re: String): Long =
+        re.r.findFirstMatchIn(body).map(_.group(1).toLong)
+          .getOrElse(fail(s"missing $re in:\n$body"))
+      // the stateful agg holds rows and memory, labelled per operator
+      assert(gauge(
+        """graft_state_memory_bytes\{query="state_metrics_q"\} (\d+)""") > 0)
+      assert(gauge("""graft_state_operator_rows\{query="state_metrics_q",""" +
+        """operator="[^"]+"\} (\d+)""") >= 0)
+      assert(body.contains("graft_state_operator_memory_bytes"))
+      assert(body.contains("graft_state_operator_rows_updated"))
+      assert(body.contains("graft_state_operator_rows_removed"))
+      // watermark = global max event time minus the 10-minute delay
+      // (processAllAvailable runs the no-data follow-up batch, so the
+      // latest progress already carries batch 2's advance)
+      val wm = gauge(
+        """graft_watermark_epoch_ms\{query="state_metrics_q"\} (\d+)""")
+      assert(wm ==
+        t("2024-01-01 03:00:00").getTime - 10 * 60 * 1000L, body)
+    } finally {
+      q.stop()
+      handle.stop()
+      spark.streams.removeListener(rec)
+    }
+  }
+
   test("event-analytics table operators run from config YAML alone") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_cfg").toString
     Tables.load(spark, dir, "events").write.parquet(s"$tmp/src")
