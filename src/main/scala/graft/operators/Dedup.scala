@@ -904,6 +904,90 @@ object Dedup {
     bucketCoverage(
       oracleBandedIndex(df, idCol, textCol, numHashes, shingleWidth, bands),
       Seq("band", "bkey"), maxBucketSize)
+
+  // ------------------------------------------------- exact substrings
+
+  /** Hashes of the k-char windows of `text` at stride-spaced positions
+    * (0, stride, 2·stride, …; only full windows), in the oracled
+    * GF(2^61-1) polynomial family. Texts shorter than k contribute no
+    * windows.
+    */
+  private val windowHashesUdf = udf { (text: String, k: Int, stride: Int) =>
+    if (text == null) null
+    else {
+      val n = text.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var p = 0
+      while (p + k <= n) {
+        out += Mod61.hashString(text.substring(p, p + k))
+        p += stride
+      }
+      out.toArray
+    }
+  }
+
+  /** EXACT-SUBSTRING duplication profile — the ExactSubstr dedup notion
+    * of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2021): long verbatim character spans repeated anywhere
+    * in the corpus (boilerplate, licenses, templated text) that
+    * document-level and near-dup passes both miss. The paper builds a
+    * single-node suffix array; the distributed re-expression is a
+    * hash-shingle shuffle — k-char windows at stride-spaced positions,
+    * hashed in the oracled GF(2^61-1) family, with a window counted as
+    * DUPLICATED when its content occurs at more than one window site
+    * corpus-wide (other docs or self-repetition alike).
+    *
+    * Output: one row per document with ≥1 window (`len(text) ≥ k`):
+    * `(idCol, n_windows, n_dup_windows, dup_ratio)` — integers plus one
+    * IEEE division, so the whole profile replays exactly in SQL.
+    *
+    * 100 TB shape: windows are O(corpus_chars / stride) map-side rows;
+    * the site count is one hash-shuffled aggregation WITH map-side
+    * partial combine; the count join back to window sites is
+    * co-partitioned on the same hash key (no extra shuffle on the big
+    * side — each window row matches exactly ONE count row, so a
+    * boilerplate mega-window skews only the count row's popularity, not
+    * the join fan-out); the per-doc rollup is the one remaining
+    * shuffle. 61-bit hashes make cross-content collisions negligible
+    * (documented probabilistic contract; the oracle replays the SAME
+    * hashes, so the gate is exact regardless).
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40, stride: Int = 10): DataFrame = {
+    require(k >= 2, s"window k=$k must be >= 2")
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val win = df
+      .select(col(idCol),
+        explode(windowHashesUdf(col(textCol), lit(k), lit(stride))).as("__h"))
+    val sites = win.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__sites"))
+    win.join(sites, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__sites") > 1L, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
+  /** The corpus-wide view of the same profile: the `topN` most-repeated
+    * k-char windows by site count (ties broken on the hash), with the
+    * number of distinct documents they appear in — the "what IS this
+    * boilerplate" inspection query next to [[substringDupStats]]'s
+    * per-doc ratios. All integers; fully oracled.
+    */
+  def substringDupTop(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40, stride: Int = 10, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN=$topN must be >= 1")
+    df.select(col(idCol),
+        explode(windowHashesUdf(col(textCol), lit(k), lit(stride))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("sites"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("sites") > 1L)
+      .orderBy(col("sites").desc, col("h").asc)
+      .limit(topN)
+  }
 }
 
 /** Exact arithmetic over GF(2^61-1) shared by the oracled hash family

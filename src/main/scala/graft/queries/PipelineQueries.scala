@@ -3297,6 +3297,64 @@ object PipelineQueries {
         TextOps.registeredDomain(
           element_at(hosts, (col("doc_id") % 8).cast("int") + 1))
           .as("domain"))
+    },
+
+    // EXACT-SUBSTRING duplication profile (Lee et al. 2021's ExactSubstr
+    // dedup notion, distributed as a hash-shingle shuffle instead of the
+    // paper's single-node suffix array): per-doc count of 40-char
+    // stride-10 windows whose content recurs ANYWHERE in the corpus
+    // (other docs or self-repetition) — the long-verbatim-boilerplate
+    // signal doc-level and near-dup passes both miss. Window hashes are
+    // the oracled GF(2^61-1) polynomial, counts are integers, the ratio
+    // is one IEEE division -> the whole profile hash-matches.
+    QueryDef("q123_substring_dup",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(substr(text, p, 40), ''),
+        |          c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
+        |      AS BIGINT) AS h
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2, 10)) AS u(p)
+        |  WHERE text IS NOT NULL AND length(text) >= 40
+        |), s AS (
+        |  SELECT h, COUNT(*) AS sites FROM w GROUP BY h
+        |)
+        |SELECT w.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN s.sites > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(SUM(CASE WHEN s.sites > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS dup_ratio
+        |FROM w JOIN s USING (h)
+        |GROUP BY w.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 40, stride = 10)
+    },
+
+    // The corpus-wide half: the 20 most-repeated 40-char windows by
+    // site count with their distinct-document spread — "what IS this
+    // boilerplate". Ties broken on the (unique) hash, so the LIMIT is
+    // deterministic cross-engine; all integers.
+    QueryDef("q123b_substring_top",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(string_split(substr(text, p, 40), ''),
+        |          c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2305843009213693951)
+        |      AS BIGINT) AS h
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2, 10)) AS u(p)
+        |  WHERE text IS NOT NULL AND length(text) >= 40
+        |)
+        |SELECT h, CAST(COUNT(*) AS BIGINT) AS sites,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM w GROUP BY h HAVING COUNT(*) > 1
+        |ORDER BY sites DESC, h ASC LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.substringDupTop(t(s, dir, "documents"), "doc_id", "text",
+        k = 40, stride = 10, topN = 20)
     }
   )
 }

@@ -1800,6 +1800,42 @@ class PipelineSpec extends AnyFunSuite {
       ef.toString)
   }
 
+  test("exact-substring duplication: planted cross-doc span and " +
+      "self-repetition both flag; unique text does not; short docs drop") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val boiler = "x" * 25 + "SHARED-BOILERPLATE-SPAN-" + "y" * 25 // 74 chars
+    val docs = Seq(
+      (1L, boiler + " unique tail one " + "a" * 40),
+      (2L, "different head " + boiler + " two"),
+      (3L, "b" * 120),                       // self-repeating run
+      (4L, ('c' to 'z').mkString * 5),       // unique-ish content
+      (5L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, "doc_id", "text",
+        k = 20, stride = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 5 is under k chars -> absent entirely
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // the planted span recurs across docs 1/2 -> both have dup windows
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0)
+    // the all-'b' run repeats its own window at every stride position
+    val (w3, d3, r3) = got(3L)
+    assert(d3 == w3 && r3 == 1.0, s"self-repetition should be 100%: $got")
+    // ratios are the single division of the counts
+    got.values.foreach { case (w, d, r) => assert(r == d.toDouble / w) }
+    // corpus-wide top windows: the repeated hashes appear with their
+    // site counts and distinct-doc spread
+    val top = Dedup.substringDupTop(docs, "doc_id", "text",
+      k = 20, stride = 5, topN = 50).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getLong(1) > 1L))
+    // the all-'b' window is the most-repeated and lives in one doc
+    assert(top.head.getLong(2) == 1L)
+    // at least one window spans two docs (the planted boilerplate)
+    assert(top.exists(_.getLong(2) == 2L), top.mkString("\n"))
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
