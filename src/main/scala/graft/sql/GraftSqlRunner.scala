@@ -144,7 +144,7 @@ object SqlText {
       changed = false
       findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL",
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
-        "TIME_TO_CONVERSION")) match {
+        "TIME_TO_CONVERSION", "SUBSTRING_DUP", "SUBSTRING_DUP_TOP")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -202,6 +202,22 @@ object SqlText {
                 spark.table(a(0)), a(1), a(2), a(3), a(4),
                 unq(a(5)), unq(a(6)),
                 graft.functions.HopWindows.parseDurationMicros(unq(a(7)))))
+            case "SUBSTRING_DUP" =>
+              // SUBSTRING_DUP(src, id, text [, k, stride]) — per-doc
+              // exact-substring duplication profile (Dedup family)
+              val a = args.map(_.trim)
+              evtView(graft.operators.Dedup.substringDupStats(
+                spark.table(a(0)), a(1), a(2),
+                k = a.lift(3).map(_.toInt).getOrElse(40),
+                stride = a.lift(4).map(_.toInt).getOrElse(10)))
+            case "SUBSTRING_DUP_TOP" =>
+              // SUBSTRING_DUP_TOP(src, id, text [, k, stride, topN])
+              val a = args.map(_.trim)
+              evtView(graft.operators.Dedup.substringDupTop(
+                spark.table(a(0)), a(1), a(2),
+                k = a.lift(3).map(_.toInt).getOrElse(40),
+                stride = a.lift(4).map(_.toInt).getOrElse(10),
+                topN = a.lift(5).map(_.toInt).getOrElse(20)))
             case "SESSION" =>
               // gap-based session windows (beyond the reference's
               // TUMBLE/HOP): Spark's session_window works in GROUP BY

@@ -348,6 +348,42 @@ class GraftAppSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("funnel_level", "n_users"))
   }
 
+  test("SUBSTRING_DUP table operators run from config YAML alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_subdup_cfg").toString
+    Tables.load(spark, dir, "documents").write.parquet(s"$tmp/src")
+    val yaml =
+      s"""app_name: subdup-app
+         |sources:
+         |  - name: docs
+         |    path: $tmp/src
+         |sql: |
+         |  SELECT doc_id, n_dup_windows, dup_ratio INTO flagged
+         |  FROM SUBSTRING_DUP(docs, doc_id, text, 40, 10)
+         |  WHERE n_dup_windows > 0;
+         |  SELECT h, sites, n_docs INTO boiler
+         |  FROM SUBSTRING_DUP_TOP(docs, doc_id, text, 40, 10, 5);
+         |sinks:
+         |  - table: flagged
+         |    path: $tmp/out1
+         |    mode: overwrite
+         |  - table: boiler
+         |    path: $tmp/out2
+         |    mode: overwrite
+         |""".stripMargin
+    runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val flagged = spark.read.parquet(s"$tmp/out1")
+    import org.apache.spark.sql.functions.col
+    val want = graft.operators.Dedup.substringDupStats(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", 40, 10)
+      .filter(col("n_dup_windows") > 0)
+    assert(flagged.count() == want.count())
+    assert(flagged.columns.toSet ==
+      Set("doc_id", "n_dup_windows", "dup_ratio"))
+    val boiler = spark.read.parquet(s"$tmp/out2")
+    assert(boiler.count() <= 5)
+    assert(boiler.columns.toSet == Set("h", "sites", "n_docs"))
+  }
+
   test("zorder_by on a batch sink clusters files so footer stats prune " +
       "the second dimension") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zsink").toString
