@@ -190,6 +190,10 @@ object JsMini {
     * the declaration executes normally and `names` also become exports.
     */
   final case class SExportDecl(decl: Stmt, names: Seq[String]) extends Stmt
+  /** `export * from './m.js'` — re-export every NAMED export of the
+    * target (the default export is not forwarded, per ES semantics).
+    */
+  final case class SExportAll(from: String) extends Stmt
   final case class SBlock(body: Seq[Stmt]) extends Stmt
 
   // ----------------------------------------------------------------- lexer
@@ -427,6 +431,13 @@ object JsMini {
       case "export" =>
         eat("export")
         if (at("default")) { eat("default"); SExportDefault(expression()) }
+        else if (at("*")) {
+          eat("*")
+          val fromTok = eat("ident")
+          if (fromTok.text != "from") throw new JsSyntaxError(
+            s"expected 'from' after 'export *' (offset ${fromTok.pos})")
+          SExportAll(eat("str").text)
+        }
         else if (at("{")) {
           val names = nameList()
           val from =
@@ -1283,7 +1294,7 @@ object JsMini {
     case SBlock(body) =>
       val e = env.child; body.foreach(exec(_, e))
     case SExportDefault(_) => // handled at module load
-    case _: SImport | _: SExportNamed | _: SExportDecl =>
+    case _: SImport | _: SExportNamed | _: SExportDecl | _: SExportAll =>
       throw new JsSyntaxError(
         "import/export is only allowed at module top level")
   }
@@ -1909,6 +1920,7 @@ object JsMini {
     parse(src).collect {
       case SImport(_, _, _, from)      => from
       case SExportNamed(_, Some(from)) => from
+      case SExportAll(from)            => from
     }
 
   /** Execute-once module cache with loud cycle detection for a
@@ -1985,6 +1997,10 @@ object JsMini {
       case SExportNamed(names, None) =>
         names.foreach { case (local, exported) =>
           deferredNamed += ((local, exported))
+        }
+      case SExportAll(from) =>
+        registry.resolve(from, key).exports.foreach { case (n, v) =>
+          exports(n) = v
         }
       case s => exec(s, env)
     }

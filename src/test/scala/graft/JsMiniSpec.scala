@@ -550,6 +550,28 @@ class JsMiniSpec extends AnyFunSuite {
     assert(got.items.toSeq == Seq(VNum(1), VNum(2), VNum(2)))
   }
 
+  test("ES modules: export * from re-exports every named export " +
+      "but not the default") {
+    val base =
+      """export const A = 1;
+        |export function f(x) { return x + 1; }
+        |export default function () { return "base-default"; }""".stripMargin
+    val hub = "export * from './base.js';"
+    val entry =
+      """import { A, f } from './hub.js';
+        |export default function () { return f(A); }""".stripMargin
+    val m = JsMini.loadBundle(Map(
+      "main.js" -> entry, "hub.js" -> hub, "base.js" -> base), "main.js")
+    assert(m.callDefault(VUndef) == VNum(2))
+    // the default is NOT forwarded through export *
+    val noDefault = intercept[JsSyntaxError] {
+      JsMini.loadBundle(Map(
+        "main.js" -> "import d from './hub.js';",
+        "hub.js" -> hub, "base.js" -> base), "main.js")
+    }
+    assert(noDefault.getMessage.contains("no default export"))
+  }
+
   test("ES modules: loud failures — cycle, missing module, missing " +
       "export, bare specifier, URL scheme, root escape, nested import") {
     def bundle(ms: (String, String)*): Unit = {
