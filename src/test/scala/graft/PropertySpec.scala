@@ -557,4 +557,55 @@ class PropertySpec extends AnyFunSuite {
         newDf.except(rebuilt).count() == 0, s"trial $trial")
     }
   }
+
+  test("PSL registrable domain: idempotent, suffix+1 labels, and total " +
+      "on random label stacks") {
+    import graft.operators.Psl
+    val labelGen = Gen.oneOf("a", "bb", "ccc", "www", "example", "x1")
+    val tldGen = Gen.oneOf("com", "uk", "au", "io", "ck", "sometld", "np")
+    val midGen = Gen.oneOf("co", "org", "github", "gov", "bar", "plain")
+    val hostGen = for {
+      depth <- Gen.choose(0, 4)
+      front <- Gen.listOfN(depth, labelGen)
+      mid <- midGen
+      tld <- tldGen
+    } yield (front :+ mid :+ tld).mkString(".")
+    samples(hostGen, 400).foreach { h =>
+      val r = Psl.registrable(h) // total: never throws
+      if (r != null) {
+        // idempotence: a registrable domain is its own registrable domain
+        assert(Psl.registrable(r) == r, s"host=$h r=$r")
+        // the result is a suffix of the host with at least 2 segments
+        // of meaning: public suffix + one label
+        assert(h == r || h.endsWith("." + r), s"host=$h r=$r")
+      }
+    }
+  }
+
+  test("substring-dup stats are partition-independent and bounded by " +
+      "window counts on random corpora") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(77)
+    val words = Vector("alpha", "beta", "gamma", "delta", "shared phrase",
+      "the quick brown fox", "lorem ipsum dolor")
+    val docs = (1 to 60).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val a = Dedup.substringDupStats(df, "doc_id", "text", k = 12, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Dedup.substringDupStats(df.repartition(7), "doc_id", "text",
+        k = 12, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    // invariants: 0 <= dup <= windows; window count matches the formula
+    a.foreach { case (id, w, d) =>
+      val len = docs(id.toInt - 1)._2.length
+      assert(w == (len - 12) / 4 + 1, s"doc $id")
+      assert(d >= 0 && d <= w)
+    }
+  }
 }
