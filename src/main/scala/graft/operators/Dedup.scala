@@ -926,14 +926,18 @@ object Dedup {
     }
   }
 
-  /** EXACT-SUBSTRING duplication profile — the ExactSubstr dedup notion
-    * of "Deduplicating Training Data Makes Language Models Better"
-    * (Lee et al. 2021): long verbatim character spans repeated anywhere
-    * in the corpus (boilerplate, licenses, templated text) that
-    * document-level and near-dup passes both miss. The paper builds a
-    * single-node suffix array; the distributed re-expression is a
-    * hash-shingle shuffle — k-char windows at stride-spaced positions,
-    * hashed in the oracled GF(2^61-1) family, with a window counted as
+  /** CHARACTER-window duplication profile — the ExactSubstr dedup
+    * notion of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2021) at the paper's own granularity: long
+    * verbatim CHARACTER spans repeated anywhere in the corpus
+    * (boilerplate, licenses, templated text) that document-level and
+    * near-dup passes both miss. Complements [[TextOps.substringDupStats]]
+    * (q73), which works in TOKEN windows at stride 1 and reports
+    * per-token coverage: this family samples k-CHAR windows at a
+    * STRIDE — the knob that makes a 100 TB pass affordable (work is
+    * O(corpus_chars / stride)) — and adds the corpus-wide top-N view.
+    * The paper builds a single-node suffix array; the distributed
+    * re-expression is a hash-shingle shuffle, with a window counted as
     * DUPLICATED when its content occurs at more than one window site
     * corpus-wide (other docs or self-repetition alike).
     *
@@ -952,7 +956,7 @@ object Dedup {
     * (documented probabilistic contract; the oracle replays the SAME
     * hashes, so the gate is exact regardless).
     */
-  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+  def charWindowDupStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 40, stride: Int = 10): DataFrame = {
     require(k >= 2, s"window k=$k must be >= 2")
     require(stride >= 1, s"stride=$stride must be >= 1")
@@ -976,7 +980,7 @@ object Dedup {
     * boilerplate" inspection query next to [[substringDupStats]]'s
     * per-doc ratios. All integers; fully oracled.
     */
-  def substringDupTop(df: DataFrame, idCol: String, textCol: String,
+  def charWindowDupTop(df: DataFrame, idCol: String, textCol: String,
       k: Int = 40, stride: Int = 10, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN=$topN must be >= 1")
     df.select(col(idCol),

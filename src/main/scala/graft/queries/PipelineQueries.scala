@@ -3307,7 +3307,7 @@ object PipelineQueries {
     // signal doc-level and near-dup passes both miss. Window hashes are
     // the oracled GF(2^61-1) polynomial, counts are integers, the ratio
     // is one IEEE division -> the whole profile hash-matches.
-    QueryDef("q123_substring_dup",
+    QueryDef("q123_char_window_dup",
       """WITH w AS (
         |  SELECT doc_id,
         |    CAST(list_reduce(
@@ -3329,7 +3329,7 @@ object PipelineQueries {
         |    / COUNT(*) AS dup_ratio
         |FROM w JOIN s USING (h)
         |GROUP BY w.doc_id""".stripMargin) { (s, dir) =>
-      Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.charWindowDupStats(t(s, dir, "documents"), "doc_id", "text",
         k = 40, stride = 10)
     },
 
@@ -3337,7 +3337,7 @@ object PipelineQueries {
     // site count with their distinct-document spread — "what IS this
     // boilerplate". Ties broken on the (unique) hash, so the LIMIT is
     // deterministic cross-engine; all integers.
-    QueryDef("q123b_substring_top",
+    QueryDef("q123b_char_window_top",
       """WITH w AS (
         |  SELECT doc_id,
         |    CAST(list_reduce(
@@ -3353,7 +3353,7 @@ object PipelineQueries {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM w GROUP BY h HAVING COUNT(*) > 1
         |ORDER BY sites DESC, h ASC LIMIT 20""".stripMargin) { (s, dir) =>
-      Dedup.substringDupTop(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.charWindowDupTop(t(s, dir, "documents"), "doc_id", "text",
         k = 40, stride = 10, topN = 20)
     }
   )

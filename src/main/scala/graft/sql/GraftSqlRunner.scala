@@ -144,7 +144,7 @@ object SqlText {
       changed = false
       findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL",
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
-        "TIME_TO_CONVERSION", "SUBSTRING_DUP", "SUBSTRING_DUP_TOP")) match {
+        "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -202,18 +202,18 @@ object SqlText {
                 spark.table(a(0)), a(1), a(2), a(3), a(4),
                 unq(a(5)), unq(a(6)),
                 graft.functions.HopWindows.parseDurationMicros(unq(a(7)))))
-            case "SUBSTRING_DUP" =>
-              // SUBSTRING_DUP(src, id, text [, k, stride]) — per-doc
-              // exact-substring duplication profile (Dedup family)
+            case "CHAR_WINDOW_DUP" =>
+              // CHAR_WINDOW_DUP(src, id, text [, k, stride]) — per-doc
+              // character-window duplication profile (Dedup family)
               val a = args.map(_.trim)
-              evtView(graft.operators.Dedup.substringDupStats(
+              evtView(graft.operators.Dedup.charWindowDupStats(
                 spark.table(a(0)), a(1), a(2),
                 k = a.lift(3).map(_.toInt).getOrElse(40),
                 stride = a.lift(4).map(_.toInt).getOrElse(10)))
-            case "SUBSTRING_DUP_TOP" =>
-              // SUBSTRING_DUP_TOP(src, id, text [, k, stride, topN])
+            case "CHAR_WINDOW_DUP_TOP" =>
+              // CHAR_WINDOW_DUP_TOP(src, id, text [, k, stride, topN])
               val a = args.map(_.trim)
-              evtView(graft.operators.Dedup.substringDupTop(
+              evtView(graft.operators.Dedup.charWindowDupTop(
                 spark.table(a(0)), a(1), a(2),
                 k = a.lift(3).map(_.toInt).getOrElse(40),
                 stride = a.lift(4).map(_.toInt).getOrElse(10),

@@ -348,7 +348,7 @@ class GraftAppSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("funnel_level", "n_users"))
   }
 
-  test("SUBSTRING_DUP table operators run from config YAML alone") {
+  test("CHAR_WINDOW_DUP table operators run from config YAML alone") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_subdup_cfg").toString
     Tables.load(spark, dir, "documents").write.parquet(s"$tmp/src")
     val yaml =
@@ -358,10 +358,10 @@ class GraftAppSpec extends AnyFunSuite {
          |    path: $tmp/src
          |sql: |
          |  SELECT doc_id, n_dup_windows, dup_ratio INTO flagged
-         |  FROM SUBSTRING_DUP(docs, doc_id, text, 40, 10)
+         |  FROM CHAR_WINDOW_DUP(docs, doc_id, text, 40, 10)
          |  WHERE n_dup_windows > 0;
          |  SELECT h, sites, n_docs INTO boiler
-         |  FROM SUBSTRING_DUP_TOP(docs, doc_id, text, 40, 10, 5);
+         |  FROM CHAR_WINDOW_DUP_TOP(docs, doc_id, text, 40, 10, 5);
          |sinks:
          |  - table: flagged
          |    path: $tmp/out1
@@ -373,7 +373,7 @@ class GraftAppSpec extends AnyFunSuite {
     runBatch(spark, GraftConfigLoader.fromYaml(yaml))
     val flagged = spark.read.parquet(s"$tmp/out1")
     import org.apache.spark.sql.functions.col
-    val want = graft.operators.Dedup.substringDupStats(
+    val want = graft.operators.Dedup.charWindowDupStats(
         Tables.load(spark, dir, "documents"), "doc_id", "text", 40, 10)
       .filter(col("n_dup_windows") > 0)
     assert(flagged.count() == want.count())

@@ -1811,7 +1811,7 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "b" * 120),                       // self-repeating run
       (4L, ('c' to 'z').mkString * 5),       // unique-ish content
       (5L, "too short")).toDF("doc_id", "text")
-    val got = Dedup.substringDupStats(docs, "doc_id", "text",
+    val got = Dedup.charWindowDupStats(docs, "doc_id", "text",
         k = 20, stride = 5)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
@@ -1826,7 +1826,7 @@ class PipelineSpec extends AnyFunSuite {
     got.values.foreach { case (w, d, r) => assert(r == d.toDouble / w) }
     // corpus-wide top windows: the repeated hashes appear with their
     // site counts and distinct-doc spread
-    val top = Dedup.substringDupTop(docs, "doc_id", "text",
+    val top = Dedup.charWindowDupTop(docs, "doc_id", "text",
       k = 20, stride = 5, topN = 50).collect()
     assert(top.nonEmpty)
     assert(top.forall(_.getLong(1) > 1L))

@@ -595,9 +595,9 @@ class PropertySpec extends AnyFunSuite {
       (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
     }
     val df = docs.toDF("doc_id", "text")
-    val a = Dedup.substringDupStats(df, "doc_id", "text", k = 12, stride = 4)
+    val a = Dedup.charWindowDupStats(df, "doc_id", "text", k = 12, stride = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
-    val b = Dedup.substringDupStats(df.repartition(7), "doc_id", "text",
+    val b = Dedup.charWindowDupStats(df.repartition(7), "doc_id", "text",
         k = 12, stride = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(a.toSeq == b.toSeq)
