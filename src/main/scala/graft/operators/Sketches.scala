@@ -103,4 +103,72 @@ object Sketches {
         "left")
       .groupBy(col("gram"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  // ------------------------------------------- log-linear histograms
+
+  /** Bucket LOWER BOUND of a non-negative integer value in an
+    * HdrHistogram-style log-linear layout with `bits` sub-bucket bits:
+    * values below 2^bits map to themselves (exact); above, the top
+    * bits+1 binary digits are kept and the rest zeroed, so the bucket
+    * width at magnitude 2^e is 2^(e-bits) and the RELATIVE error is
+    * bounded by 2^-bits everywhere. Every step is integer arithmetic
+    * (`length(bin(v))-1` is the cross-engine integer log2; the zeroing
+    * is `v - v % 2^(e-bits)`), so the mapping replays exactly in SQL.
+    */
+  def logBucketLo(v: Column, bits: Int): Column = {
+    val e = (length(bin(v)) - 1).cast("int")
+    val shift = greatest(e - bits, lit(0))
+    // 2^shift exact in a double up to 2^62, cast back lossless
+    val p = pow(lit(2.0), shift).cast("long")
+    when(v <= 0L, lit(0L)).otherwise(v - (v % p))
+  }
+
+  /** Per-group log-linear HISTOGRAM: `(groupCols…, bucket_lo, n)` —
+    * the mergeable quantile sketch every latency/size dashboard keeps
+    * (HdrHistogram / Prometheus-style): counts are ADDITIVE, so
+    * per-shard or per-day histograms roll up by bucket-wise sum
+    * without revisiting data, and state is bounded by
+    * O(64 · 2^bits) buckets per group regardless of input size.
+    * One hash aggregation with map-side partial combine; all integers.
+    */
+  def logHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      bits: Int = 5): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits=$bits out of range")
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0L)
+      .groupBy(groupCols.map(col) :+
+        logBucketLo(col(valueCol).cast("long"), bits).as("bucket_lo"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates read off the histogram: for each requested
+    * `q`, the smallest bucket_lo whose cumulative count reaches
+    * ceil(q · total) — the standard histogram walk, a LOWER bound on
+    * the true quantile with relative error ≤ 2^-bits. Output:
+    * `(groupCols…, q_pct INT, est_lo BIGINT, n_total BIGINT)`. All
+    * integer arithmetic on integer inputs → exact cross-engine replay.
+    */
+  def logHistQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, bits: Int = 5,
+      qPcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
+      s"quantile percents must be in [1,100]: $qPcts")
+    import org.apache.spark.sql.expressions.Window
+    val hist = logHistogram(df, groupCols, valueCol, bits)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__total", sum(col("n")).over(tw))
+    val qs = explode(array(qPcts.map(lit): _*)).as("q_pct")
+    cum.select(groupCols.map(col) :+ col("bucket_lo") :+ col("__cum") :+
+        col("__total") :+ qs: _*)
+      // cum ≥ ceil(q·total/100) without division: 100·cum ≥ q·total
+      // (integer comparison — the percentile_disc rank rule)
+      .filter(col("__cum") * 100L >= col("q_pct") * col("__total"))
+      .groupBy(groupCols.map(col) :+ col("q_pct"): _*)
+      .agg(min(col("bucket_lo")).as("est_lo"),
+        first(col("__total")).as("n_total"))
+  }
 }

@@ -3333,6 +3333,79 @@ object PipelineQueries {
         k = 40, stride = 10)
     },
 
+    // LOG-LINEAR HISTOGRAM (HdrHistogram-style mergeable quantile
+    // sketch): per-flag bucket counts of price cents with 5 sub-bucket
+    // bits — relative error ≤ 2^-5, state O(64·2^5) buckets per group,
+    // per-shard histograms roll up by bucket-wise sum. The bucket
+    // mapping is pure integer arithmetic (length(bin(v))-1 is the
+    // cross-engine integer log2), so the SKETCH ITSELF hash-matches —
+    // unlike t-digest/KLL whose float centroids or randomness cannot.
+    QueryDef("q124_log_histogram",
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT flag,
+        |    CASE WHEN cents <= 0 THEN 0
+        |         ELSE cents - cents % CAST(pow(2.0,
+        |           greatest(length(bin(cents)) - 1 - 5, 0)) AS BIGINT)
+        |    END AS bucket_lo
+        |  FROM v
+        |)
+        |SELECT flag, bucket_lo, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY flag, bucket_lo""".stripMargin) { (s, dir) =>
+      import graft.operators.Sketches
+      val cents = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      Sketches.logHistogram(cents, Seq("flag"), "cents", bits = 5)
+    },
+
+    // Quantiles read off the histogram: per flag, the p50/p90/p99
+    // bucket lower bounds (cumulative-count walk, percentile_disc rank
+    // rule as a pure integer comparison) next to the group total. A
+    // LOWER bound on each true quantile within 2^-5 relative error —
+    // and every value an integer, so the estimates replay exactly.
+    QueryDef("q124b_log_hist_quantiles",
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT flag,
+        |    CASE WHEN cents <= 0 THEN 0
+        |         ELSE cents - cents % CAST(pow(2.0,
+        |           greatest(length(bin(cents)) - 1 - 5, 0)) AS BIGINT)
+        |    END AS bucket_lo
+        |  FROM v
+        |), h AS (
+        |  SELECT flag, bucket_lo, COUNT(*) AS n FROM b GROUP BY 1, 2
+        |), c AS (
+        |  SELECT flag, bucket_lo,
+        |    SUM(n) OVER (PARTITION BY flag ORDER BY bucket_lo) AS cum,
+        |    SUM(n) OVER (PARTITION BY flag) AS total
+        |  FROM h
+        |), q AS (
+        |  SELECT flag, bucket_lo, cum, total, q_pct
+        |  FROM c, UNNEST([50, 90, 99]) AS u(q_pct)
+        |)
+        |SELECT flag, q_pct, CAST(MIN(bucket_lo) AS BIGINT) AS est_lo,
+        |  CAST(MIN(total) AS BIGINT) AS n_total
+        |FROM q WHERE cum * 100 >= q_pct * total
+        |GROUP BY flag, q_pct""".stripMargin) { (s, dir) =>
+      import graft.operators.Sketches
+      val cents = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      Sketches.logHistQuantiles(cents, Seq("flag"), "cents", bits = 5,
+        qPcts = Seq(50, 90, 99))
+    },
+
     // The corpus-wide half: the 20 most-repeated 40-char windows by
     // site count with their distinct-document spread — "what IS this
     // boilerplate". Ties broken on the (unique) hash, so the LIMIT is

@@ -90,6 +90,60 @@ class SketchSpec extends AnyFunSuite {
     assert(streamed == whole)
   }
 
+  test("log-linear histogram: bucket math, error bound against exact " +
+      "quantiles, and additive mergeability") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // heavy-tailed values across 5 decades, two groups
+    val rows = (1 to 4000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, math.round(math.exp(rnd.nextDouble() * 11.5)) + 1L)
+    }
+    val df = rows.toDF("g", "v")
+    val bits = 5
+    // bucket mapping invariants: lo <= v < lo + width, width/lo <= 2^-bits
+    val mapped = df.select(col("g"), col("v"),
+        graft.operators.Sketches.logBucketLo(col("v"), bits).as("lo"))
+      .collect()
+    mapped.foreach { r =>
+      val v = r.getLong(1); val lo = r.getLong(2)
+      assert(lo <= v, s"v=$v lo=$lo")
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val width = 1L << math.max(e - bits, 0)
+      assert(v < lo + width, s"v=$v lo=$lo width=$width")
+    }
+    // quantile estimates: lower bound within 2^-bits relative error
+    val est = graft.operators.Sketches.logHistQuantiles(
+        df, Seq("g"), "v", bits, Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Seq("a", "b").foreach { g =>
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      Seq(50, 90, 99).foreach { p =>
+        val exact = vs((math.ceil(p / 100.0 * vs.size) - 1).toInt.max(0))
+        val lo = est((g, p))
+        assert(lo <= exact, s"g=$g p=$p exact=$exact lo=$lo")
+        assert((exact - lo).toDouble / exact <= math.pow(2.0, -bits) + 1e-12,
+          s"g=$g p=$p exact=$exact lo=$lo")
+      }
+    }
+    // mergeability: histogram(A ∪ B) == bucket-wise sum of shard
+    // histograms (the property that lets per-day shards roll up)
+    val (sa, sb) = rows.splitAt(1700)
+    val merged = graft.operators.Sketches
+      .logHistogram(sa.toDF("g", "v"), Seq("g"), "v", bits)
+      .unionByName(graft.operators.Sketches
+        .logHistogram(sb.toDF("g", "v"), Seq("g"), "v", bits))
+      .groupBy("g", "bucket_lo").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = graft.operators.Sketches.logHistogram(df, Seq("g"), "v", bits)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    // bounded state: bucket count per group stays under 64 * 2^bits
+    val perGroup = whole.keys.groupBy(_._1).map(_._2.size)
+    assert(perGroup.forall(_ <= 64 * (1 << bits)))
+  }
+
   test("sketch size is bounded by depth*width and the estimate join broadcasts") {
     val sk = Sketches.cmsBuild(corpus, "text", 3, depth = 2, width = 4)
     assert(sk.count() <= 8)
