@@ -144,7 +144,8 @@ object SqlText {
       changed = false
       findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL",
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
-        "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP")) match {
+        "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP",
+        "LOG_HIST", "LOG_HIST_QUANTILES")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -218,6 +219,22 @@ object SqlText {
                 k = a.lift(3).map(_.toInt).getOrElse(40),
                 stride = a.lift(4).map(_.toInt).getOrElse(10),
                 topN = a.lift(5).map(_.toInt).getOrElse(20)))
+            case "LOG_HIST" =>
+              // LOG_HIST(src, group, value [, bits]) — mergeable
+              // log-linear histogram (Sketches family)
+              val a = args.map(_.trim)
+              evtView(graft.operators.Sketches.logHistogram(
+                spark.table(a(0)), Seq(a(1)), a(2),
+                bits = a.lift(3).map(_.toInt).getOrElse(5)))
+            case "LOG_HIST_QUANTILES" =>
+              // LOG_HIST_QUANTILES(src, group, value [, bits, 'p,csv'])
+              val a = args.map(_.trim)
+              evtView(graft.operators.Sketches.logHistQuantiles(
+                spark.table(a(0)), Seq(a(1)), a(2),
+                bits = a.lift(3).map(_.toInt).getOrElse(5),
+                qPcts = a.lift(4).map(p =>
+                    unq(p).split(",").map(_.trim.toInt).toSeq)
+                  .getOrElse(Seq(50, 90, 99))))
             case "SESSION" =>
               // gap-based session windows (beyond the reference's
               // TUMBLE/HOP): Spark's session_window works in GROUP BY

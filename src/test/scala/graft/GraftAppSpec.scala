@@ -384,6 +384,41 @@ class GraftAppSpec extends AnyFunSuite {
     assert(boiler.columns.toSet == Set("h", "sites", "n_docs"))
   }
 
+  test("LOG_HIST_QUANTILES table operator runs from config YAML alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_cfg").toString
+    Tables.load(spark, dir, "lineitem").write.parquet(s"$tmp/src")
+    val yaml =
+      s"""app_name: hist-app
+         |sources:
+         |  - name: li
+         |    path: $tmp/src
+         |sql: |
+         |  SELECT flag, q_pct, est_lo INTO pcts
+         |  FROM LOG_HIST_QUANTILES(cents_view, flag, cents, 5, '50,99');
+         |sinks:
+         |  - table: pcts
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    // the value prep (cents projection) is itself dialect SQL upstream
+    val yamlFull = yaml.replace(
+      "sql: |\n",
+      "sql: |\n  SELECT l_returnflag AS flag,\n" +
+        "    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " AS cents INTO cents_view FROM li;\n")
+    runBatch(spark, GraftConfigLoader.fromYaml(yamlFull))
+    import spark.implicits._
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.columns.toSet == Set("flag", "q_pct", "est_lo"))
+    val flags = Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag").distinct().count()
+    assert(out.count() == flags * 2) // two requested percentiles per flag
+    // p50 <= p99 within every flag
+    val m = out.as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap)
+    m.foreach { case (f, qs) => assert(qs(50) <= qs(99), s"flag $f: $qs") }
+  }
+
   test("zorder_by on a batch sink clusters files so footer stats prune " +
       "the second dimension") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zsink").toString
