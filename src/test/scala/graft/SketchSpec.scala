@@ -142,6 +142,17 @@ class SketchSpec extends AnyFunSuite {
     // bounded state: bucket count per group stays under 64 * 2^bits
     val perGroup = whole.keys.groupBy(_._1).map(_._2.size)
     assert(perGroup.forall(_ <= 64 * (1 << bits)))
+    // plan pin: ONE exchange (the group-key shuffle) with a map-side
+    // partial aggregate below it — the shape that holds at 100×
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Sketches
+        .logHistogram(df, Seq("g"), "v", bits)
+        .queryExecution.executedPlan.toString
+      assert("Exchange ".r.findAllIn(plan).size == 1, plan.take(800))
+      assert(plan.contains("partial_count") ||
+        "HashAggregate".r.findAllIn(plan).size == 2, plan.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("sketch size is bounded by depth*width and the estimate join broadcasts") {
