@@ -155,6 +155,37 @@ class SketchSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("streaming histogram maintenance: per-batch shard histograms " +
+      "merge to the batch build (same pattern as the CMS stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_stream").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val rnd = new scala.util.Random(5)
+    val all = (1 to 900).map(i =>
+      (if (i % 3 == 0) "x" else "y", rnd.nextInt(100000).toLong + 1))
+    val q = mem.toDF().toDF("g", "v").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // append the BATCH-LOCAL histogram; merge deferred to read time
+        // (bucket-wise sum) — idempotent-friendly, never rewrites
+        Sketches.logHistogram(batch, Seq("g"), "v", bits = 4)
+          .write.mode("append").parquet(s"$tmp/hist")
+        ()
+      }.start()
+    all.grouped(300).foreach(mem.addData(_: _*))
+    assert(q.awaitTermination(120000), "histogram stream timed out")
+    val streamed = spark.read.parquet(s"$tmp/hist")
+      .groupBy("g", "bucket_lo").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.logHistogram(
+        all.toDF("g", "v"), Seq("g"), "v", bits = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == whole)
+  }
+
   test("sketch size is bounded by depth*width and the estimate join broadcasts") {
     val sk = Sketches.cmsBuild(corpus, "text", 3, depth = 2, width = 4)
     assert(sk.count() <= 8)
