@@ -3406,6 +3406,58 @@ object PipelineQueries {
         qPcts = Seq(50, 90, 99))
     },
 
+    // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
+    // domain-authority signal crawl curation ranks and thresholds on):
+    // ranks are micro-units of 1e12, every iteration is integer
+    // divisions + shuffle-order-proof integer sums, so — unlike float
+    // PageRank, whose per-node sums depend on reduce order — the WHOLE
+    // computation hash-matches. Two unrolled iterations over a
+    // deterministic synthetic host graph (doc_id residues); the
+    // distributed form is one edge⋈rank join + one dst-sum shuffle per
+    // iteration (operators/GraphRank.scala).
+    QueryDef("q125_host_pagerank",
+      """WITH e AS (
+        |  SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+        |  FROM documents
+        |  WHERE doc_id % 50 <> (doc_id * 7 + 3) % 50
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        |), deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |p AS (
+        |  SELECT CAST(1000000000000 AS BIGINT)
+        |    // (SELECT COUNT(*) FROM nodes) AS init
+        |),
+        |r0 AS (SELECT node, (SELECT init FROM p) AS r FROM nodes),
+        |s1 AS (
+        |  SELECT e.dst AS node, SUM(r0.r // deg.d) AS m
+        |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r1 AS (
+        |  SELECT n.node,
+        |    (15 * (SELECT init FROM p)) // 100
+        |      + (85 * COALESCE(s1.m, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN s1 USING (node)
+        |),
+        |s2 AS (
+        |  SELECT e.dst AS node, SUM(r1.r // deg.d) AS m
+        |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT n.node,
+        |  CAST((15 * (SELECT init FROM p)) // 100
+        |    + (85 * COALESCE(s2.m, 0)) // 100 AS BIGINT) AS rank_int
+        |FROM nodes n LEFT JOIN s2 USING (node)""".stripMargin) { (s, dir) =>
+      import graft.operators.GraphRank
+      val edges = t(s, dir, "documents").select(
+          (col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 3) % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphRank.pageRank(edges, "src", "dst", iters = 2)
+        .withColumnRenamed("node", "node")
+    },
+
     // The corpus-wide half: the 20 most-repeated 40-char windows by
     // site count with their distinct-document spread — "what IS this
     // boilerplate". Ties broken on the (unique) hash, so the LIMIT is

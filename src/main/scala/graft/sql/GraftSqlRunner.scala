@@ -145,7 +145,7 @@ object SqlText {
       findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL",
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
         "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP",
-        "LOG_HIST", "LOG_HIST_QUANTILES")) match {
+        "LOG_HIST", "LOG_HIST_QUANTILES", "PAGE_RANK")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -235,6 +235,13 @@ object SqlText {
                 qPcts = a.lift(4).map(p =>
                     unq(p).split(",").map(_.trim.toInt).toSeq)
                   .getOrElse(Seq(50, 90, 99))))
+            case "PAGE_RANK" =>
+              // PAGE_RANK(edges, src, dst [, iters, dampingPct])
+              val a = args.map(_.trim)
+              evtView(graft.operators.GraphRank.pageRank(
+                spark.table(a(0)), a(1), a(2),
+                iters = a.lift(3).map(_.toInt).getOrElse(3),
+                dampingPct = a.lift(4).map(_.toInt).getOrElse(85)))
             case "SESSION" =>
               // gap-based session windows (beyond the reference's
               // TUMBLE/HOP): Spark's session_window works in GROUP BY

@@ -1836,6 +1836,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.exists(_.getLong(2) == 2L), top.mkString("\n"))
   }
 
+  test("integer fixed-point PageRank equals a brute-force reference on " +
+      "random graphs and is partition-independent") {
+    import spark.implicits._
+    import graft.operators.GraphRank
+    val rnd = new scala.util.Random(3)
+    (0 until 4).foreach { trial =>
+      val n = 6 + rnd.nextInt(10)
+      val edges = (0 until 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val iters = 3; val scale = 1000000000000L; val d = 85
+        // brute-force reference: same integer fixed-point recurrence
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val init = scale / nodes.size
+        val base = (100L - d) * init / 100L
+        var r = nodes.map(_ -> init).toMap
+        (1 to iters).foreach { _ =>
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map(e => r(e._1) / deg(e._1)).sum).toMap
+          r = nodes.map(v => v -> (base + d * in.getOrElse(v, 0L) / 100L)).toMap
+        }
+        val df = edges.toDF("src", "dst")
+        val got = GraphRank.pageRank(df, "src", "dst", iters = iters)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(got == r, s"trial $trial edges=$edges")
+        val again = GraphRank.pageRank(df.repartition(7), "src", "dst",
+            iters = iters)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(again == r, s"trial $trial repartitioned")
+      }
+    }
+    // authority ordering: everyone links to node 0, node 0 links out once
+    val star = ((1L to 8L).map(i => (i, 0L)) :+ ((0L, 1L))).toDF("src", "dst")
+    val ranks = GraphRank.pageRank(star, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L))
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
