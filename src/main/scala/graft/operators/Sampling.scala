@@ -231,4 +231,42 @@ object Sampling {
       .when(h < (lit(testFraction + valFraction) * buckets).cast("long"), "val")
       .otherwise("train")
   }
+
+  /** [[splitTag]]'s fully-ORACLED twin, generalized to any split list:
+    * deterministic leakage-safe split assignment — every row sharing
+    * `keyCol` (a dedup-cluster canonical, an exact-dup digest, a
+    * document family id) lands in the SAME split BY CONSTRUCTION, the
+    * property that keeps near-duplicates of a training document out of
+    * the eval split. `splits` are (name, permille) summing to 1000.
+    *
+    * Determinism contract: the 48-bit uniform comes from
+    * md5(key:seed) (identical in every engine, independent of
+    * partitioning — the [[weightedSampleExact]] portability argument)
+    * and split boundaries are INTEGER thresholds
+    * floor(2^48·cum/1000), so assignment replays bit-exactly in SQL —
+    * unlike [[splitTag]]'s xxhash64, which DuckDB lacks (rows-only).
+    * Map-only column work; no shuffle.
+    */
+  def splitByKey(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)], seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 1000,
+      s"split permilles must be positive and sum to 1000: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: $splits")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it first")
+    val u = conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + seed))), 1, 12), 16, 10).cast("long")
+    val cum = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val named = splits.map(_._1).zip(cum)
+    val head = named.init.foldLeft(null: Column) { case (acc, (name, c)) =>
+      val hi = (281474976710656L * c) / 1000L // floor(2^48·cum/1000)
+      if (acc == null) when(u < hi, name) else acc.when(u < hi, name)
+    }
+    val split =
+      if (head == null) lit(named.last._1)
+      else head.otherwise(named.last._1)
+    df.withColumn("split", split)
+  }
 }

@@ -3406,6 +3406,51 @@ object PipelineQueries {
         qPcts = Seq(50, 90, 99))
     },
 
+    // LEAKAGE-SAFE SPLITS, fully oracled (splitTag's md5 twin): every
+    // doc sharing a dedup-cluster key (here the exact-dup digest) lands
+    // in the SAME train/val/test split by construction — the property
+    // that keeps near-duplicates of training docs out of eval — with
+    // the audit column proving it in-band (max_splits_per_cluster must
+    // be 1). Assignment = 48 md5 bits against INTEGER thresholds
+    // floor(2^48·cum/1000): partitioning- and engine-independent.
+    QueryDef("q126_leakage_safe_split",
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(text) AS ckey
+        |  FROM documents WHERE text IS NOT NULL
+        |), a AS (
+        |  SELECT doc_id, ckey,
+        |    ('0x' || substr(md5(ckey || ':7'), 1, 12))::BIGINT AS u
+        |  FROM keyed
+        |), s AS (
+        |  SELECT doc_id, ckey,
+        |    CASE WHEN u < (281474976710656 * 800) // 1000 THEN 'train'
+        |         WHEN u < (281474976710656 * 900) // 1000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM a
+        |), aud AS (
+        |  SELECT CAST(MAX(ns) AS BIGINT) AS max_splits_per_cluster
+        |  FROM (SELECT ckey, COUNT(DISTINCT split) AS ns
+        |        FROM s GROUP BY ckey)
+        |)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters,
+        |  (SELECT max_splits_per_cluster FROM aud) AS max_splits_per_cluster
+        |FROM s GROUP BY split""".stripMargin) { (s, dir) =>
+      import graft.operators.Sampling
+      val keyed = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("ckey"))
+      val tagged = Sampling.splitByKey(keyed, "ckey",
+        Seq(("train", 800), ("val", 100), ("test", 100)), seed = 7L)
+      val aud = tagged.groupBy(col("ckey"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(max(col("ns")).as("max_splits_per_cluster"))
+      tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ckey")).as("n_clusters"))
+        .crossJoin(aud)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -1876,6 +1876,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L))
   }
 
+  test("leakage-safe splitByKey: key coherence, partition independence, " +
+      "fraction sanity, and loud validation") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // planted duplicate keys: every row of a key must share its split
+    val df = (1 to 3000).map(i => (i.toLong, s"k${i % 500}"))
+      .toDF("id", "ckey")
+    val splits = Seq(("train", 800), ("val", 100), ("test", 100))
+    val tagged = Sampling.splitByKey(df, "ckey", splits, seed = 7L)
+    val perKey = tagged.groupBy("ckey")
+      .agg(countDistinct("split").as("ns"))
+      .agg(max("ns")).collect().head.getLong(0)
+    assert(perKey == 1L, "a key must never span splits")
+    val counts = tagged.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 keys × 6 rows; expect roughly 80/10/10 with slack
+    assert(counts("train") > 2100 && counts("val") > 120 &&
+      counts("test") > 120, counts.toString)
+    assert(counts.values.sum == 3000)
+    val again = Sampling.splitByKey(df.repartition(5), "ckey", splits, 7L)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    // validation is loud: permilles must sum to 1000, names unique,
+    // no pre-existing 'split' column
+    intercept[IllegalArgumentException] {
+      Sampling.splitByKey(df, "ckey", Seq(("a", 500), ("b", 400)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByKey(df, "ckey", Seq(("a", 500), ("a", 500)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByKey(tagged, "ckey", splits)
+    }
+    // degenerate single split covers everything
+    val one = Sampling.splitByKey(df, "ckey", Seq(("all", 1000)))
+    assert(one.filter(col("split") === "all").count() == 3000)
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
