@@ -296,6 +296,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch._4 == 2L)
   }
 
+  test("streaming histogram quantiles: bounded bucket-map state across " +
+      "micro-batches, final estimates equal the batch operator exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = graft.streaming.HistStream.quantileEstimates(
+      mem.toDF().toDF("g", "v"), "g", "v", bits = 4, qPcts = Seq(50, 99))
+    val q = out.toDF().writeStream.format("memory").queryName("hist_out")
+      .outputMode(OutputMode.Update).start()
+    val rnd = new scala.util.Random(9)
+    val b1 = (1 to 400).map(_ => ("x", rnd.nextInt(50000).toLong + 1))
+    val b2 = (1 to 400).map(i =>
+      (if (i % 2 == 0) "x" else "y", rnd.nextInt(50000).toLong + 1))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // LAST emission per (group, q) — cumulative over both batches
+      val streamed = spark.sql("SELECT * FROM hist_out")
+        .as[(String, Int, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(_.maxBy(_._4)).values
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val batch = graft.operators.Sketches.logHistQuantiles(
+          (b1 ++ b2).toDF("g", "v"), Seq("g"), "v", bits = 4,
+          qPcts = Seq(50, 99))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed == batch,
+        s"stream $streamed\nbatch $batch")
+    } finally q.stop()
+  }
+
   test("streaming KMV: O(k) sketch state across micro-batches, " +
       "estimates refresh, final sketch equals the batch sketch bit-for-bit") {
     import spark.implicits._
