@@ -80,4 +80,65 @@ object GraphRank {
     }
     r
   }
+
+  /** Per-node TRIANGLE counts over the undirected simple graph induced
+    * by `edges` (direction, duplicates, and self-loops are normalized
+    * away) — the clustering-coefficient numerator, a standard
+    * link-spam / community-density signal on host graphs (spam farms
+    * show abnormal triangle density next to their PageRank).
+    *
+    * Algorithm: degree-ORIENTED wedge closing (the compact-forward /
+    * node-iterator++ scheme): orient each undirected edge from the
+    * (degree, id)-smaller endpoint to the larger, form wedges u→v→w,
+    * and close them against oriented edges u→w. Each triangle is found
+    * exactly once, and — the scale property — every node's oriented
+    * out-degree is O(√m) on any graph, so wedge fan-out is bounded even
+    * on power-law host graphs where a hub's undirected degree is
+    * millions (the naive all-wedges join explodes exactly there).
+    * Two self-joins hash-partitioned on node keys; all integers, so
+    * the whole computation replays exactly in SQL.
+    *
+    * Output: `(node, n_triangles BIGINT)` for every node of the graph
+    * (0 when the node closes none).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val src = col(srcCol)
+    val dst = col(dstCol)
+    // canonical undirected simple edges: (lo, hi), lo < hi, distinct
+    val und = edges
+      .select(least(src, dst).as("lo"), greatest(src, dst).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("lo").as("node"))
+      .unionByName(und.select(col("hi").as("node"))).distinct()
+    val deg = und.select(col("lo").as("node"))
+      .unionByName(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from (deg, id)-smaller endpoint to larger
+    val withDeg = und
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), "hi")
+    val oriented = withDeg.select(
+        when(col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          struct(col("lo").as("a"), col("hi").as("b")))
+          .otherwise(struct(col("hi").as("a"), col("lo").as("b")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges a→b→c closed by a→c
+    val e1 = oriented.select(col("a").as("u"), col("b").as("v"))
+    val e2 = oriented.select(col("a").as("v"), col("b").as("w"))
+    val e3 = oriented.select(col("a").as("u"), col("b").as("w"))
+    val tris = e1.join(e2, "v").join(e3, Seq("u", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -3503,6 +3503,59 @@ object PipelineQueries {
         .withColumnRenamed("node", "node")
     },
 
+    // TRIANGLE COUNTS per host (clustering-coefficient numerator — the
+    // link-spam/community-density signal read NEXT TO q125's PageRank:
+    // spam farms show abnormal triangle density for their authority).
+    // Degree-oriented wedge closing: each undirected edge points from
+    // its (degree, id)-smaller endpoint to the larger, so every node's
+    // oriented out-degree is O(√m) and the wedge join stays bounded on
+    // power-law host graphs (the naive all-wedges join explodes at
+    // hubs). All integers -> the two self-joins replay exactly in SQL.
+    QueryDef("q127_triangle_counts",
+      """WITH raw AS (
+        |  SELECT doc_id % 50 AS x, (doc_id * 7 + 3) % 50 AS y
+        |  FROM documents
+        |  WHERE doc_id % 50 <> (doc_id * 7 + 3) % 50
+        |), und AS (
+        |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi FROM raw
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT lo AS node FROM und UNION SELECT hi FROM und)
+        |), deg AS (
+        |  SELECT node, COUNT(*) AS d FROM
+        |    (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+        |  GROUP BY node
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+        |         THEN lo ELSE hi END AS a,
+        |    CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi)
+        |         THEN hi ELSE lo END AS b
+        |  FROM und
+        |  JOIN deg dl ON dl.node = und.lo
+        |  JOIN deg dh ON dh.node = und.hi
+        |), t AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM o e1
+        |  JOIN o e2 ON e1.b = e2.a
+        |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pn AS (
+        |  SELECT node, COUNT(*) AS c FROM (
+        |    SELECT u AS node FROM t
+        |    UNION ALL SELECT v FROM t
+        |    UNION ALL SELECT w FROM t)
+        |  GROUP BY node
+        |)
+        |SELECT n.node, CAST(COALESCE(pn.c, 0) AS BIGINT) AS n_triangles
+        |FROM nodes n LEFT JOIN pn USING (node)""".stripMargin) { (s, dir) =>
+      import graft.operators.GraphRank
+      val edges = t(s, dir, "documents").select(
+          (col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 3) % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphRank.triangleCounts(edges, "src", "dst")
+    },
+
     // The corpus-wide half: the 20 most-repeated 40-char windows by
     // site count with their distinct-document spread — "what IS this
     // boilerplate". Ties broken on the (unique) hash, so the LIMIT is

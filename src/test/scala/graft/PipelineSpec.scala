@@ -1915,6 +1915,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.filter(col("split") === "all").count() == 3000)
   }
 
+  test("triangle counts: K4 closed form, brute-force equality on random " +
+      "graphs, direction/duplicate normalization") {
+    import spark.implicits._
+    import graft.operators.GraphRank
+    // K4: every node participates in C(3,2) = 3 triangles
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val gotK4 = GraphRank.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // duplicates, reversed direction, and self-loops change nothing
+    val messy = k4.unionByName(k4.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .unionByName(Seq((2L, 2L)).toDF("src", "dst"))
+    val gotMessy = GraphRank.triangleCounts(messy, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMessy == gotK4)
+    // random graphs vs brute force
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { trial =>
+      val n = 8 + rnd.nextInt(8)
+      val und = (0 until 4 * n).map(_ =>
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (und.nonEmpty) {
+        val adj = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keys.toSeq.sorted
+        val brute = nodes.map { v =>
+          val nb = adj(v).toSeq
+          v -> (for {
+            i <- nb.indices; j <- (i + 1) until nb.size
+            if adj(nb(i)).contains(nb(j))
+          } yield 1).size.toLong
+        }.toMap
+        val got = GraphRank.triangleCounts(
+            und.toDF("src", "dst"), "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == brute, s"trial $trial und=$und")
+      }
+    }
+  }
+
   test("content-defined chunking: shared segments dedup across byte offsets") {
     import spark.implicits._
     import graft.operators.Multimodal
