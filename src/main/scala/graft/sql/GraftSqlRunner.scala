@@ -145,7 +145,8 @@ object SqlText {
       findCall(result, Set("TUMBLE", "HOP", "SESSION", "TTL",
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
         "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP",
-        "LOG_HIST", "LOG_HIST_QUANTILES", "PAGE_RANK")) match {
+        "LOG_HIST", "LOG_HIST_QUANTILES", "PAGE_RANK",
+        "TRIANGLE_COUNTS")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -242,6 +243,11 @@ object SqlText {
                 spark.table(a(0)), a(1), a(2),
                 iters = a.lift(3).map(_.toInt).getOrElse(3),
                 dampingPct = a.lift(4).map(_.toInt).getOrElse(85)))
+            case "TRIANGLE_COUNTS" =>
+              // TRIANGLE_COUNTS(edges, src, dst)
+              val a = args.map(_.trim)
+              evtView(graft.operators.GraphRank.triangleCounts(
+                spark.table(a(0)), a(1), a(2)))
             case "SESSION" =>
               // gap-based session windows (beyond the reference's
               // TUMBLE/HOP): Spark's session_window works in GROUP BY

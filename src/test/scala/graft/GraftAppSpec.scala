@@ -419,6 +419,39 @@ class GraftAppSpec extends AnyFunSuite {
     m.foreach { case (f, qs) => assert(qs(50) <= qs(99), s"flag $f: $qs") }
   }
 
+  test("graph table operators (PAGE_RANK, TRIANGLE_COUNTS) run from " +
+      "config YAML alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph_cfg").toString
+    Tables.load(spark, dir, "documents").write.parquet(s"$tmp/src")
+    val yaml =
+      s"""app_name: graph-app
+         |sources:
+         |  - name: docs
+         |    path: $tmp/src
+         |sql: |
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+         |  INTO edges FROM docs
+         |  WHERE doc_id % 50 <> (doc_id * 7 + 3) % 50;
+         |  SELECT node, rank_int INTO ranks
+         |  FROM PAGE_RANK(edges, src, dst, 2);
+         |  SELECT node, n_triangles INTO tris
+         |  FROM TRIANGLE_COUNTS(edges, src, dst);
+         |sinks:
+         |  - table: ranks
+         |    path: $tmp/out1
+         |    mode: overwrite
+         |  - table: tris
+         |    path: $tmp/out2
+         |    mode: overwrite
+         |""".stripMargin
+    runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val ranks = spark.read.parquet(s"$tmp/out1")
+    val tris = spark.read.parquet(s"$tmp/out2")
+    assert(ranks.count() == 50 && tris.count() == 50)
+    assert(ranks.columns.toSet == Set("node", "rank_int"))
+    assert(tris.columns.toSet == Set("node", "n_triangles"))
+  }
+
   test("zorder_by on a batch sink clusters files so footer stats prune " +
       "the second dimension") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zsink").toString
