@@ -324,6 +324,82 @@ object EventFunnel {
       .agg(min(col("__us") - col("__lv")).as("min_ttc_us"))
   }
 
+  /** Multi-touch ATTRIBUTION — which channel gets credit for each
+    * conversion, under the three standard models at once: FIRST-touch
+    * (the channel of the earliest in-window touch), LAST-touch (the
+    * latest), and LINEAR (credit split evenly across the conversion's
+    * in-window touches). The marketing-analytics companion to
+    * [[windowFunnel]]/[[timeToConversion]], computed in-engine so the
+    * raw event stream stays out of the sink (the same argument as the
+    * funnel family).
+    *
+    * Determinism contract: touches order by (ts, order-id); a touch
+    * participates when it precedes the conversion in that order and
+    * `conv_ts − touch_ts ≤ windowMicros`. Linear credit is an INTEGER
+    * permille per touch row — `1000 div n_touches` — so sums are
+    * shuffle-order-proof (a float 1/n sum is not); the flooring loses
+    * ≤ (n−1)‰ per conversion, documented. Rows with NULL timestamps
+    * drop (the [[windowFunnel]] contract).
+    *
+    * Output: one row per channel value:
+    * `(channel, touches, first_touch_convs, last_touch_convs,
+    * linear_credit_permille)` — all BIGINT.
+    *
+    * 100 TB shape: both sides filter to their event type BEFORE the
+    * single per-user hash join; per-user cost is touches×convs, the
+    * same per-key bound every sessionization pays (skewed mega-users →
+    * AQE skew handling). The first/last/linear reads share ONE window
+    * pass on the conversion key; the three per-channel rollups are
+    * channel-cardinality-sized.
+    */
+  def attribution(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderCol: String,
+      typeCol: String,
+      channel: Column,
+      touchType: String,
+      convType: String,
+      windowMicros: Long): DataFrame = {
+    require(touchType != convType, "attribution steps must differ")
+    requireNoClash(userCol, Seq("__tus", "__tord", "__ch", "__cus",
+      "__cord", "__n", "__rf", "__rl", "channel", "touches",
+      "first_touch_convs", "last_touch_convs", "linear_credit_permille"))
+    import org.apache.spark.sql.expressions.Window
+    val timed = df.filter(col(tsCol).isNotNull)
+    val touches = timed.filter(col(typeCol) === touchType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__tus"),
+        col(orderCol).cast("long").as("__tord"), channel.as("__ch"))
+    val convs = timed.filter(col(typeCol) === convType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__cus"),
+        col(orderCol).cast("long").as("__cord"))
+    val j = touches.join(convs, userCol)
+      .filter(
+        (col("__tus") < col("__cus") ||
+          (col("__tus") === col("__cus") && col("__tord") < col("__cord"))) &&
+          (col("__cus") - col("__tus")) <= windowMicros)
+    val convKey = Seq(col(userCol), col("__cus"), col("__cord"))
+    val byConv = Window.partitionBy(convKey: _*)
+    val asc = byConv.orderBy(col("__tus").asc, col("__tord").asc)
+    val desc = byConv.orderBy(col("__tus").desc, col("__tord").desc)
+    val ranked = j
+      .withColumn("__n", count(lit(1)).over(byConv))
+      .withColumn("__rf", row_number().over(asc))
+      .withColumn("__rl", row_number().over(desc))
+    // all three models read off the ONE ranked pass as conditional
+    // sums — no separate rollups, no re-join
+    ranked.groupBy(col("__ch"))
+      .agg(
+        count(lit(1)).as("touches"),
+        sum(when(col("__rf") === 1, 1L).otherwise(0L))
+          .as("first_touch_convs"),
+        sum(when(col("__rl") === 1, 1L).otherwise(0L))
+          .as("last_touch_convs"),
+        sum(expr("1000 div __n")).as("linear_credit_permille"))
+      .withColumnRenamed("__ch", "channel")
+  }
+
   /** Cohort retention: users grouped by their first-activity day, with
     * counts of how many returned at each of `offsets` days later — the
     * release-dashboard companion to [[windowFunnel]].

@@ -2352,6 +2352,54 @@ object PipelineQueries {
         first = "view", second = "purchase", windowMicros = 21600000000L)
     },
 
+    // MULTI-TOUCH ATTRIBUTION (first / last / linear in one pass) —
+    // which channel gets conversion credit, the marketing readout next
+    // to the funnel family. Channels derive from the event props JSON;
+    // linear credit is an INTEGER permille per touch (1000 div n) so
+    // the sums are shuffle-order-proof where a float 1/n sum is not —
+    // every output column hash-matches.
+    QueryDef("q128_attribution",
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id AS tord,
+        |    CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+        |      WHEN 0 THEN 'organic' WHEN 1 THEN 'ads'
+        |      WHEN 2 THEN 'email' ELSE 'social' END AS ch
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus, event_id AS cord
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |), j AS (
+        |  SELECT t.ch, t.user_id, c.cus, c.cord, t.tus, t.tord
+        |  FROM t JOIN c ON t.user_id = c.user_id
+        |  WHERE (t.tus < c.cus OR (t.tus = c.cus AND t.tord < c.cord))
+        |    AND c.cus - t.tus <= 21600000000
+        |), r AS (
+        |  SELECT ch,
+        |    COUNT(*) OVER (PARTITION BY user_id, cus, cord) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, cus, cord
+        |      ORDER BY tus, tord) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, cus, cord
+        |      ORDER BY tus DESC, tord DESC) AS rl
+        |  FROM j
+        |)
+        |SELECT ch AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS touches,
+        |  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch_convs,
+        |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch_convs,
+        |  CAST(SUM(1000 // n) AS BIGINT) AS linear_credit_permille
+        |FROM r GROUP BY ch""".stripMargin) { (s, dir) =>
+      val channel = expr(
+        """CASE CAST(get_json_object(props, '$.k') AS BIGINT) % 4
+          |  WHEN 0 THEN 'organic' WHEN 1 THEN 'ads'
+          |  WHEN 2 THEN 'email' ELSE 'social' END""".stripMargin)
+      graft.operators.EventFunnel.attribution(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        channel, touchType = "view", convType = "purchase",
+        windowMicros = 21600000000L)
+    },
+
     // KMV hierarchical ROLLUP — the mergeability the sketch exists for:
     // per-nation sketches union into per-region sketches (k smallest of
     // the flattened union — order-independent, raw data never re-read),

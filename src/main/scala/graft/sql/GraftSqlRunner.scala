@@ -146,7 +146,7 @@ object SqlText {
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
         "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP",
         "LOG_HIST", "LOG_HIST_QUANTILES", "PAGE_RANK",
-        "TRIANGLE_COUNTS")) match {
+        "TRIANGLE_COUNTS", "ATTRIBUTION")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -248,6 +248,16 @@ object SqlText {
               val a = args.map(_.trim)
               evtView(graft.operators.GraphRank.triangleCounts(
                 spark.table(a(0)), a(1), a(2)))
+            case "ATTRIBUTION" =>
+              // ATTRIBUTION(src, user, ts, ord, type, channelCol,
+              //   'touch', 'conv', 'window') — project the channel
+              //   column upstream (same prep-view pattern as LOG_HIST)
+              val a = args.map(_.trim)
+              evtView(graft.operators.EventFunnel.attribution(
+                spark.table(a(0)), a(1), a(2), a(3), a(4),
+                org.apache.spark.sql.functions.col(a(5)),
+                unq(a(6)), unq(a(7)),
+                graft.functions.HopWindows.parseDurationMicros(unq(a(8)))))
             case "SESSION" =>
               // gap-based session windows (beyond the reference's
               // TUMBLE/HOP): Spark's session_window works in GROUP BY

@@ -174,6 +174,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: first/last/linear credit hand-computed, window " +
+      "exclusion, same-ts ordering, integer permille determinism") {
+    import spark.implicits._
+    val M = 60000000L
+    val rows = Seq(
+      // u1: A then B then purchase -> first A, last B, linear 500/500;
+      // a second purchase 10h later is outside the 6h window
+      (10L, 0L, 1L, "view", "A"), (11L, 1 * M, 1L, "view", "B"),
+      (12L, 2 * M, 1L, "purchase", null),
+      (13L, 600 * M, 1L, "purchase", null),
+      // u2: two purchases, touches accumulate (A@0 for both, A@2m for
+      // the second) -> linear credit floors at 1000/2 per touch
+      (20L, 0L, 2L, "view", "A"), (21L, 1 * M, 2L, "purchase", null),
+      (22L, 2 * M, 2L, "view", "A"), (23L, 3 * M, 2L, "purchase", null),
+      // u3: purchase with no preceding view -> contributes nothing
+      (30L, 0L, 3L, "purchase", null),
+      // u4: view and purchase share a timestamp; order-id breaks the tie
+      (41L, 5L, 4L, "view", "A"), (42L, 5L, 4L, "purchase", null))
+      .toDF("event_id", "us", "user_id", "event_type", "ch")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.EventFunnel.attribution(
+        rows, "user_id", "ts", "event_id", "event_type", col("ch"),
+        touchType = "view", convType = "purchase",
+        windowMicros = 21600000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "A" -> ((5L, 4L, 3L, 3500L)),
+      "B" -> ((1L, 0L, 1L, 500L))), got.toString)
+    // shuffle-order determinism of the integer permille sums
+    val again = graft.operators.EventFunnel.attribution(
+        rows.repartition(7), "user_id", "ts", "event_id", "event_type",
+        col("ch"), "view", "purchase", 21600000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      graft.operators.EventFunnel.attribution(
+        rows, "user_id", "ts", "event_id", "event_type", col("ch"),
+        "view", "view", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.EventFunnel.attribution(
+        rows.withColumnRenamed("user_id", "__n"), "__n", "ts",
+        "event_id", "event_type", col("ch"), "view", "purchase", 1L)
+    }
+  }
+
   test("sequencePairCount: greedy non-overlap matching via the bracket " +
       "identity, unmatched-close sequences, used-once semantics") {
     import spark.implicits._
