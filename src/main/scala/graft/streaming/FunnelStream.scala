@@ -229,4 +229,99 @@ object FunnelStream {
           }
       }
   }
+
+  /** One emitted row per (conversion, credited touch): the streaming
+    * unit of [[graft.operators.EventFunnel.attribution]]. `is_first` /
+    * `is_last` mark the first-/last-touch model's pick;
+    * `credit_permille` is the linear model's integer share
+    * (`1000 div n_touches`). Downstream per-channel rollups (a
+    * groupBy in the same streaming query, or a batch read of the sink)
+    * reproduce the batch operator's table exactly.
+    */
+  final case class TouchCredit(user: String, conv_us: Long, conv_ord: Long,
+      channel: String, n_touches: Long, is_first: Boolean,
+      is_last: Boolean, credit_permille: Long)
+
+  final case class AttribEvent(user: String, us: Long, ord: Long,
+      isConv: Boolean, ch: String)
+
+  /** STREAMING multi-touch attribution — the live twin of
+    * [[graft.operators.EventFunnel.attribution]]: per-user state is the
+    * WINDOW-BOUNDED touch buffer (touches older than `windowMicros`
+    * behind the newest event seen can never credit a future conversion
+    * and are pruned — state is O(in-window touches), never O(history)).
+    * Each conversion emits its credited touches at arrival.
+    *
+    * Contract (the stream-twin convention of this file): events
+    * arriving in (ts, order-id) order produce EXACTLY the batch
+    * operator's attribution — StreamingSpec aggregates the emissions
+    * and asserts equality; a touch arriving after a conversion it
+    * should have credited is missed (the documented at-arrival
+    * semantics; feed watermark-ordered input for exact parity).
+    */
+  def attributionStream(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderCol: String,
+      typeCol: String,
+      channelCol: String,
+      touchType: String,
+      convType: String,
+      windowMicros: Long,
+      idleTimeout: Option[String] = None): Dataset[TouchCredit] = {
+    require(touchType != convType, "attribution steps must differ")
+    implicit val evEnc = Encoders.product[AttribEvent]
+    implicit val stEnc = Encoders.kryo[Array[(Long, Long, String)]]
+    implicit val outEnc = Encoders.product[TouchCredit]
+    implicit val strEnc = Encoders.STRING
+    val ev = df.filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(touchType, convType))
+      .select(col(userCol).cast("string").as("user"),
+        unix_micros(col(tsCol)).as("us"),
+        col(orderCol).cast("long").as("ord"),
+        (col(typeCol) === convType).as("isConv"),
+        coalesce(col(channelCol).cast("string"), lit("")).as("ch"))
+      .as[AttribEvent]
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ev.groupByKey(_.user)
+      .flatMapGroupsWithState[Array[(Long, Long, String)], TouchCredit](
+        OutputMode.Update, timeout) {
+        (user: String, rows: Iterator[AttribEvent],
+            state: GroupState[Array[(Long, Long, String)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption
+              .map(_.toVector).getOrElse(Vector.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
+            var maxUs = buf.lastOption.map(_._1).getOrElse(Long.MinValue)
+            rows.toArray.sortBy(e => (e.us, e.ord)).foreach { e =>
+              if (e.us > maxUs) maxUs = e.us
+              if (!e.isConv) buf :+= ((e.us, e.ord, e.ch))
+              else {
+                // qualifying touches are a SUFFIX of the (us, ord)-
+                // ordered buffer (all entries precede the conversion in
+                // walk order; the window cut is on ascending us)
+                val qual = buf.dropWhile(t => e.us - t._1 > windowMicros)
+                if (qual.nonEmpty) {
+                  val n = qual.size.toLong
+                  qual.zipWithIndex.foreach { case ((_, _, ch), i) =>
+                    out += TouchCredit(user, e.us, e.ord, ch, n,
+                      is_first = i == 0, is_last = i == qual.size - 1,
+                      credit_permille = 1000L / n)
+                  }
+                }
+              }
+            }
+            // prune: older than window behind the newest event can
+            // never credit a future conversion
+            val pruned = buf.dropWhile(t => maxUs - t._1 > windowMicros)
+            state.update(pruned.toArray)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
 }

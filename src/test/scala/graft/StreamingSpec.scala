@@ -331,6 +331,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution: window-bounded touch buffer, in-order " +
+      "arrival reproduces the batch models exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60000000L
+    // the PipelineSpec attribution scenario, streamed in ts order
+    val rows = Seq(
+      (10L, 0L, 1L, "view", "A"), (11L, 1 * M, 1L, "view", "B"),
+      (12L, 2 * M, 1L, "purchase", null),
+      (13L, 600 * M, 1L, "purchase", null),
+      (20L, 0L, 2L, "view", "A"), (21L, 1 * M, 2L, "purchase", null),
+      (22L, 2 * M, 2L, "view", "A"), (23L, 3 * M, 2L, "purchase", null),
+      (30L, 0L, 3L, "purchase", null),
+      (41L, 5L, 4L, "view", "A"), (42L, 5L, 4L, "purchase", null))
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(Long, Long, Long, String, String)]
+    val out = graft.streaming.FunnelStream.attributionStream(
+      mem.toDF().toDF("event_id", "us", "user_id", "event_type", "ch")
+        .withColumn("ts", timestamp_micros($"us")),
+      "user_id", "ts", "event_id", "event_type", "ch",
+      touchType = "view", convType = "purchase",
+      windowMicros = 21600000000L)
+    val q = out.toDF().writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (b1, b2) = rows.splitAt(6)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT channel, COUNT(*) AS touches,
+          |  SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS f,
+          |  SUM(CASE WHEN is_last THEN 1 ELSE 0 END) AS l,
+          |  SUM(credit_permille) AS cr
+          |FROM attr_out GROUP BY channel""".stripMargin)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val batch = graft.operators.EventFunnel.attribution(
+          rows.toDF("event_id", "us", "user_id", "event_type", "ch")
+            .withColumn("ts", timestamp_micros($"us")),
+          "user_id", "ts", "event_id", "event_type", $"ch",
+          "view", "purchase", 21600000000L)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed == batch, s"stream $streamed batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming KMV: O(k) sketch state across micro-batches, " +
       "estimates refresh, final sketch equals the batch sketch bit-for-bit") {
     import spark.implicits._
