@@ -85,10 +85,28 @@ object Sinks {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import org.apache.hadoop.fs.Path
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-        val spark = batch.sparkSession
+        val spark = batch0.sparkSession
+        // Non-CDC update-mode streams (stateful operators emitting
+        // refreshed per-key images, e.g. the funnel/histogram twins)
+        // carry no _op/_seq: treat each row as an upsert image with the
+        // batch id as its sequence, so later batches override earlier
+        // snapshots — exactly update-output semantics. CDC-shaped input
+        // (both columns present) keeps its own ordering.
+        val hasOp = batch0.columns.contains(graft.cdc.ChangeModel.OpCol)
+        val hasSeq = batch0.columns.contains(graft.cdc.ChangeModel.SeqCol)
+        require(hasOp == hasSeq,
+          s"sink input has ${if (hasOp) "_op" else "_seq"} without its " +
+            "partner column; provide both (CDC shape) or neither " +
+            "(plain upsert images)")
+        val batch =
+          if (hasOp) batch0
+          else batch0
+            .withColumn(graft.cdc.ChangeModel.OpCol,
+              lit(graft.cdc.ChangeModel.Insert))
+            .withColumn(graft.cdc.ChangeModel.SeqCol, lit(batchId))
         val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
           .cast("int")
         // persist: the batch feeds two actions (touched-bucket probe +

@@ -156,14 +156,48 @@ object SqlText {
           // FROM-clause table.
           def evtView(out: org.apache.spark.sql.DataFrame): String = {
             require(!streaming,
-              s"$fn is a batch table operator; streaming pipelines use " +
-                "the FunnelStream stateful equivalents")
+              s"$fn is a batch table operator in this form; streaming " +
+                "pipelines use the stateful stream twins (WINDOW_FUNNEL " +
+                "and LOG_HIST_QUANTILES map to them automatically; the " +
+                "rest live in graft.streaming.FunnelStream/HistStream)")
             evtViews += 1
             val vn = s"__evt$evtViews"
             out.createOrReplaceTempView(vn)
             vn
           }
+          // streaming table operators with FULL-SHAPE stateful twins
+          // register the twin's result (still a streaming DataFrame) —
+          // the same SQL runs in both modes, the dozer dialect promise
+          def streamView(out: org.apache.spark.sql.DataFrame): String = {
+            evtViews += 1
+            val vn = s"__evt$evtViews"
+            out.createOrReplaceTempView(vn)
+            vn
+          }
+          def funnelMode(a: Seq[String]) = a.drop(7).headOption.map(m =>
+            unq(m).toLowerCase match {
+              case "strict_increase" =>
+                graft.operators.EventFunnel.FunnelMode.StrictIncrease
+              case "strict_order" =>
+                graft.operators.EventFunnel.FunnelMode.StrictOrder
+              case "strict_dedup" | "strict_deduplication" =>
+                graft.operators.EventFunnel.FunnelMode.StrictDedup
+              case other => throw new IllegalArgumentException(
+                s"WINDOW_FUNNEL: unknown mode '$other'")
+            }).getOrElse(graft.operators.EventFunnel.FunnelMode.Default)
           val replacement = fn match {
+            case "WINDOW_FUNNEL" if streaming =>
+              // same argument surface as batch; the stateful twin keeps
+              // O(K) per-user state and re-emits levels as they deepen
+              // (update-mode output — pair with an upsert sink)
+              val a = args.map(_.trim)
+              val steps = unq(a(5)).split(",").map(_.trim).toSeq
+              val win = graft.functions.HopWindows
+                .parseDurationMicros(unq(a(6)))
+              streamView(graft.streaming.FunnelStream.windowFunnelStream(
+                spark.table(a(0)), a(1), a(2), a(3), a(4), steps, win,
+                mode = funnelMode(a))
+                .toDF().withColumnRenamed("user", a(1)))
             case "WINDOW_FUNNEL" =>
               // WINDOW_FUNNEL(src, user, ts, ord, type, 'steps,csv',
               //   'window' [, 'strict_increase|strict_order|strict_dedup'])
@@ -171,19 +205,9 @@ object SqlText {
               val steps = unq(a(5)).split(",").map(_.trim).toSeq
               val win = graft.functions.HopWindows
                 .parseDurationMicros(unq(a(6)))
-              val mode = a.drop(7).headOption.map(m =>
-                unq(m).toLowerCase match {
-                  case "strict_increase" =>
-                    graft.operators.EventFunnel.FunnelMode.StrictIncrease
-                  case "strict_order" =>
-                    graft.operators.EventFunnel.FunnelMode.StrictOrder
-                  case "strict_dedup" | "strict_deduplication" =>
-                    graft.operators.EventFunnel.FunnelMode.StrictDedup
-                  case other => throw new IllegalArgumentException(
-                    s"WINDOW_FUNNEL: unknown mode '$other'")
-                }).getOrElse(graft.operators.EventFunnel.FunnelMode.Default)
               evtView(graft.operators.EventFunnel.windowFunnel(
-                spark.table(a(0)), a(1), a(2), a(3), a(4), steps, win, mode))
+                spark.table(a(0)), a(1), a(2), a(3), a(4), steps, win,
+                funnelMode(a)))
             case "SEQUENCE_COUNT" =>
               // SEQUENCE_COUNT(src, user, ts, ord, type, 'first', 'second')
               val a = args.map(_.trim)
@@ -227,6 +251,17 @@ object SqlText {
               evtView(graft.operators.Sketches.logHistogram(
                 spark.table(a(0)), Seq(a(1)), a(2),
                 bits = a.lift(3).map(_.toInt).getOrElse(5)))
+            case "LOG_HIST_QUANTILES" if streaming =>
+              // stateful twin: bounded bucket-map state per group,
+              // quantile rows re-emitted as histograms grow
+              val a = args.map(_.trim)
+              streamView(graft.streaming.HistStream.quantileEstimates(
+                spark.table(a(0)), a(1), a(2),
+                bits = a.lift(3).map(_.toInt).getOrElse(5),
+                qPcts = a.lift(4).map(p =>
+                    unq(p).split(",").map(_.trim.toInt).toSeq)
+                  .getOrElse(Seq(50, 90, 99)))
+                .toDF().withColumnRenamed("group", a(1)))
             case "LOG_HIST_QUANTILES" =>
               // LOG_HIST_QUANTILES(src, group, value [, bits, 'p,csv'])
               val a = args.map(_.trim)

@@ -452,6 +452,40 @@ class GraftAppSpec extends AnyFunSuite {
     assert(tris.columns.toSet == Set("node", "n_triangles"))
   }
 
+  test("the SAME WINDOW_FUNNEL SQL runs in streaming mode through the " +
+      "stateful twin (config-to-upsert-sink)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    Tables.load(spark, dir, "events").write.parquet(s"$tmp/src")
+    val yaml =
+      s"""app_name: funnel-stream-app
+         |sources:
+         |  - name: ev
+         |    path: $tmp/src
+         |sql: |
+         |  SELECT user_id, funnel_level INTO conv
+         |  FROM WINDOW_FUNNEL(ev, user_id, ts, event_id, event_type,
+         |    'view,click,purchase', '6 hours');
+         |sinks:
+         |  - table: conv
+         |    path: $tmp/out
+         |    mode: upsert
+         |    keys: [user_id]
+         |""".stripMargin
+    val queries = runStreaming(spark, GraftConfigLoader.fromYaml(yaml))
+    try queries.foreach(_.awaitTermination())
+    finally queries.foreach(_.stop())
+    import spark.implicits._
+    val got = spark.read.parquet(s"$tmp/out")
+      .select($"user_id".cast("long"), $"funnel_level")
+      .as[(Long, Int)].collect().toMap
+    val want = graft.operators.EventFunnel.windowFunnel(
+        Tables.load(spark, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), 21600000000L)
+      .as[(Long, Int)].collect().toMap
+    assert(got.nonEmpty && got == want,
+      s"stream ${got.size} users vs batch ${want.size}")
+  }
+
   test("zorder_by on a batch sink clusters files so footer stats prune " +
       "the second dimension") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zsink").toString
