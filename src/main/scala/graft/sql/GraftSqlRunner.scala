@@ -208,6 +208,15 @@ object SqlText {
               evtView(graft.operators.EventFunnel.windowFunnel(
                 spark.table(a(0)), a(1), a(2), a(3), a(4), steps, win,
                 funnelMode(a)))
+            case "SEQUENCE_COUNT" if streaming =>
+              // stateful twin (three-long state per user), full column
+              // parity with the batch operator
+              val a = args.map(_.trim)
+              streamView(graft.streaming.FunnelStream
+                .sequencePairCountStream(
+                  spark.table(a(0)), a(1), a(2), a(3), a(4),
+                  unq(a(5)), unq(a(6)))
+                .toDF().withColumnRenamed("user", a(1)))
             case "SEQUENCE_COUNT" =>
               // SEQUENCE_COUNT(src, user, ts, ord, type, 'first', 'second')
               val a = args.map(_.trim)

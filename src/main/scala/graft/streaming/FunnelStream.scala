@@ -38,8 +38,15 @@ object FunnelStream {
     */
   final case class FunnelState(acc: Array[Long], maxLevel: Int)
   final case class FunnelLevel(user: String, funnel_level: Int)
-  final case class PairState(nSecond: Long, excess: Long, maxExcess: Long)
-  final case class PairCount(user: String, n_matched: Long)
+  final case class PairState(nFirst: Long, nSecond: Long, excess: Long,
+      maxExcess: Long)
+  /** Full batch-shape emission: (user, n_first, n_second, n_matched) —
+    * the [[graft.operators.EventFunnel.sequencePairCount]] row, re-sent
+    * whenever any count moves (so the dialect's streaming SEQUENCE_COUNT
+    * has column parity with batch).
+    */
+  final case class PairCount(user: String, n_first: Long, n_second: Long,
+      n_matched: Long)
 
   private val NONE = Long.MinValue
 
@@ -213,18 +220,20 @@ object FunnelStream {
             state: GroupState[PairState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val st = state.getOption.getOrElse(PairState(0L, 0L, 0L))
-            var (nSecond, excess, maxExcess) =
-              (st.nSecond, st.excess, st.maxExcess)
+            val st = state.getOption.getOrElse(PairState(0L, 0L, 0L, 0L))
+            var (nFirst, nSecond, excess, maxExcess) =
+              (st.nFirst, st.nSecond, st.excess, st.maxExcess)
             rows.toArray.sortBy(e => (e.us, e.ord)).foreach { e =>
-              if (e.t == 2) { nSecond += 1; excess += 1 } else excess -= 1
+              if (e.t == 2) { nSecond += 1; excess += 1 }
+              else { nFirst += 1; excess -= 1 }
               if (excess > maxExcess) maxExcess = excess
             }
-            val next = PairState(nSecond, excess, maxExcess)
+            val next = PairState(nFirst, nSecond, excess, maxExcess)
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
-            if (matched(next) > matched(st))
-              Iterator.single(PairCount(user, matched(next)))
+            if (next != st)
+              Iterator.single(
+                PairCount(user, nFirst, nSecond, matched(next)))
             else Iterator.empty
           }
       }

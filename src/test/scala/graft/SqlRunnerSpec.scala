@@ -182,11 +182,18 @@ class SqlRunnerSpec extends AnyFunSuite {
         |  event_id, event_type, 'view', '1 hour', 'nope')""".stripMargin))
     assert(bad.getMessage.contains("unknown mode") ||
       Option(bad.getCause).exists(_.getMessage.contains("unknown mode")))
-    // streaming rejection, same pattern as ORDER BY parity
-    val e = intercept[Exception](runner(streaming = true).run(
+    // round 11: streaming WINDOW_FUNNEL maps to the stateful twin
+    // instead of rejecting — same SQL, same columns (GraftAppSpec
+    // drives it end-to-end through an upsert sink); operators WITHOUT
+    // a full-shape twin still reject loudly
+    val streamed = runner(streaming = true).run(
       """SELECT user_id, funnel_level INTO f
         |FROM WINDOW_FUNNEL(events, user_id, ts, event_id, event_type,
-        |  'view', '1 hour')""".stripMargin))
+        |  'view', '1 hour')""".stripMargin)
+    assert(streamed("f").columns.toSet == Set("user_id", "funnel_level"))
+    val e = intercept[Exception](runner(streaming = true).run(
+      """SELECT cohort_day INTO c
+        |FROM RETENTION(events, user_id, ts, '1,7')""".stripMargin))
     assert(e.getMessage.contains("batch table operator") ||
       Option(e.getCause).exists(_.getMessage.contains("batch table operator")),
       e.toString)

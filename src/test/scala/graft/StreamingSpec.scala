@@ -265,24 +265,25 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.toDF().writeStream.format("memory").queryName("pairs_out")
       .outputMode(OutputMode.Update).start()
     def rows() = spark.sql("SELECT * FROM pairs_out")
-      .as[(String, Long)].collect().toSeq
+      .as[(String, Long, Long, Long)].collect().toSeq
     try {
-      // batch 1: purchase-before-view yields nothing; a view opens
+      // batch 1: purchase-before-view matches nothing but the counts
+      // move -> full batch-shape row with n_matched 0
       mem.addData((0L, 10L, 1L, "purchase"), (1 * M, 11L, 1L, "view"))
       q.processAllAvailable()
-      assert(rows().isEmpty)
-      // batch 2: the purchase closes the batch-1 view -> count 1
+      assert(rows() == Seq(("1", 1L, 1L, 0L)))
+      // batch 2: the purchase closes the batch-1 view -> match 1
       mem.addData((2 * M, 12L, 1L, "purchase"))
       q.processAllAvailable()
-      assert(rows() == Seq(("1", 1L)))
-      // batch 3: view+purchase in one batch -> count 2 emitted once
+      assert(rows().last == (("1", 1L, 2L, 1L)))
+      // batch 3: view+purchase in one batch -> match 2 emitted once
       mem.addData((3 * M, 13L, 1L, "view"), (4 * M, 14L, 1L, "purchase"))
       q.processAllAvailable()
-      assert(rows().toSet == Set(("1", 1L), ("1", 2L)))
-      // an unmatched purchase changes nothing
+      assert(rows().last == (("1", 2L, 3L, 2L)))
+      // an unmatched purchase: n_second moves, the match count doesn't
       mem.addData((5 * M, 15L, 1L, "purchase"))
       q.processAllAvailable()
-      assert(rows().size == 2)
+      assert(rows().last == (("1", 2L, 4L, 2L)) && rows().size == 4)
     } finally q.stop()
     // batch identity on the full log agrees
     val batch = graft.operators.EventFunnel.sequencePairCount(
