@@ -229,6 +229,16 @@ object SqlText {
               evtView(graft.operators.EventFunnel.retention(
                 spark.table(a(0)), a(1), a(2),
                 unq(a(3)).split(",").map(_.trim.toInt).toSeq))
+            case "TIME_TO_CONVERSION" if streaming =>
+              // stateful twin: two longs of state per user, min gap
+              // re-emitted on improvement (full column parity)
+              val a = args.map(_.trim)
+              streamView(graft.streaming.FunnelStream
+                .timeToConversionStream(
+                  spark.table(a(0)), a(1), a(2), a(3), a(4),
+                  unq(a(5)), unq(a(6)),
+                  graft.functions.HopWindows.parseDurationMicros(unq(a(7))))
+                .toDF().withColumnRenamed("user", a(1)))
             case "TIME_TO_CONVERSION" =>
               // TIME_TO_CONVERSION(src, user, ts, ord, type,
               //   'first', 'second', 'window')

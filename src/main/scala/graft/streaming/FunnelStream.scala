@@ -239,6 +239,68 @@ object FunnelStream {
       }
   }
 
+  final case class TtcState(lastFirstUs: Long, minGap: Long)
+  final case class Ttc(user: String, min_ttc_us: Long)
+
+  /** STREAMING minimum time-to-conversion — the live twin of
+    * [[graft.operators.EventFunnel.timeToConversion]]: two longs of
+    * state per user (the latest first-event time and the running
+    * minimum gap), re-emitting (user, min_ttc_us) whenever the minimum
+    * improves. In-order arrival reproduces the batch table exactly
+    * (only the LATEST preceding first event matters — the same
+    * dominance argument as the batch window form).
+    */
+  def timeToConversionStream(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderCol: String,
+      typeCol: String,
+      first: String,
+      second: String,
+      windowMicros: Long,
+      idleTimeout: Option[String] = None): Dataset[Ttc] = {
+    require(first != second, "timeToConversionStream steps must differ")
+    implicit val evEnc = Encoders.product[FunnelEvent]
+    implicit val stEnc = Encoders.product[TtcState]
+    implicit val outEnc = Encoders.product[Ttc]
+    implicit val strEnc = Encoders.STRING
+    val ev = df
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(first, second))
+      .select(col(userCol).cast("string").as("user"),
+        unix_micros(col(tsCol)).as("us"),
+        col(orderCol).cast("long").as("ord"),
+        when(col(typeCol) === second, 2).otherwise(1).as("t"))
+      .as[FunnelEvent]
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ev.groupByKey(_.user)
+      .flatMapGroupsWithState[TtcState, Ttc](OutputMode.Update, timeout) {
+        (user: String, rows: Iterator[FunnelEvent],
+            state: GroupState[TtcState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(TtcState(NONE, NONE))
+            var lastFirst = st.lastFirstUs
+            var minGap = st.minGap
+            rows.toArray.sortBy(e => (e.us, e.ord)).foreach { e =>
+              if (e.t == 1) lastFirst = e.us
+              else if (lastFirst != NONE) {
+                val gap = e.us - lastFirst
+                if (gap <= windowMicros &&
+                    (minGap == NONE || gap < minGap)) minGap = gap
+              }
+            }
+            state.update(TtcState(lastFirst, minGap))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            if (minGap != NONE && minGap != st.minGap)
+              Iterator.single(Ttc(user, minGap))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** One emitted row per (conversion, credited touch): the streaming
     * unit of [[graft.operators.EventFunnel.attribution]]. `is_first` /
     * `is_last` mark the first-/last-touch model's pick;

@@ -332,6 +332,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming time-to-conversion: two-long state, emission on " +
+      "improvement, cross-batch latest-view dominance equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60000000L
+    val mem = MemoryStream[(Long, Long, Long, String)] // (us, id, user, type)
+    val df = mem.toDF().toDF("us", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.streaming.FunnelStream.timeToConversionStream(
+      df, "user_id", "ts", "event_id", "event_type",
+      "view", "purchase", 21600000000L)
+    val q = out.toDF().writeStream.format("memory").queryName("ttc_out")
+      .outputMode(OutputMode.Update).start()
+    def rows() = spark.sql("SELECT * FROM ttc_out")
+      .as[(String, Long)].collect().toSeq
+    try {
+      // batch 1: view only -> nothing yet
+      mem.addData((0L, 10L, 1L, "view"))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2: a LATER view then purchase -> gap measured from the
+      // latest view (cross-batch state), 2 minutes
+      mem.addData((3 * M, 11L, 1L, "view"), (5 * M, 12L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(rows() == Seq(("1", 2 * M)))
+      // batch 3: worse gap -> no emission; better gap -> re-emit
+      mem.addData((10 * M, 13L, 1L, "purchase")) // 7m after latest view
+      q.processAllAvailable()
+      assert(rows().size == 1)
+      mem.addData((20 * M, 14L, 1L, "view"), (21 * M, 15L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(rows().last == (("1", 1 * M)))
+      // batch equality on the full log
+      val batch = graft.operators.EventFunnel.timeToConversion(
+        Seq((10L, 0L, 1L, "view"), (11L, 3 * M, 1L, "view"),
+          (12L, 5 * M, 1L, "purchase"), (13L, 10 * M, 1L, "purchase"),
+          (14L, 20 * M, 1L, "view"), (15L, 21 * M, 1L, "purchase"))
+          .toDF("event_id", "us", "user_id", "event_type")
+          .withColumn("ts", timestamp_micros(col("us"))),
+        "user_id", "ts", "event_id", "event_type", "view", "purchase",
+        21600000000L).as[(Long, Long)].collect().head
+      assert(batch._2 == 1 * M)
+    } finally q.stop()
+  }
+
   test("streaming attribution: window-bounded touch buffer, in-order " +
       "arrival reproduces the batch models exactly") {
     import spark.implicits._
