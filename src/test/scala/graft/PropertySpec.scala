@@ -558,6 +558,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("attribution equals brute-force per-conversion crediting on " +
+      "random event streams") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(21)
+    val W = 10L // micros window, small so exclusion paths exercise
+    (0 until 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val evs = (0 until n).map { i =>
+        val isConv = rnd.nextInt(4) == 0
+        (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(4).toLong,
+          if (isConv) "conv" else "touch",
+          if (isConv) null else s"ch${rnd.nextInt(3)}")
+      }
+      // brute force over the definition
+      val byUser = evs.groupBy(_._3)
+      val credit = scala.collection.mutable.Map.empty[String, Array[Long]]
+      byUser.values.foreach { ues =>
+        val sorted = ues.sortBy(e => (e._2, e._1))
+        sorted.filter(_._4 == "conv").foreach { c =>
+          val qual = sorted.filter(t => t._4 == "touch" &&
+            (t._2 < c._2 || (t._2 == c._2 && t._1 < c._1)) &&
+            c._2 - t._2 <= W)
+          if (qual.nonEmpty) {
+            val m = qual.size.toLong
+            qual.zipWithIndex.foreach { case (t, i) =>
+              val arr = credit.getOrElseUpdate(t._5, Array(0L, 0L, 0L, 0L))
+              arr(0) += 1
+              if (i == 0) arr(1) += 1
+              if (i == qual.size - 1) arr(2) += 1
+              arr(3) += 1000L / m
+            }
+          }
+        }
+      }
+      val df = evs.toDF("event_id", "us", "user_id", "event_type", "ch")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val got = graft.operators.EventFunnel.attribution(
+          df, "user_id", "ts", "event_id", "event_type", col("ch"),
+          "touch", "conv", W)
+        .collect().map(r => r.getString(0) ->
+          Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got.keySet == credit.keySet, s"trial $trial")
+      got.foreach { case (ch, a) =>
+        assert(a.sameElements(credit(ch)),
+          s"trial $trial ch=$ch got=${a.toSeq} want=${credit(ch).toSeq}")
+      }
+    }
+  }
+
   test("PSL registrable domain: idempotent, suffix+1 labels, and total " +
       "on random label stacks") {
     import graft.operators.Psl
