@@ -393,13 +393,24 @@ object GraftApp {
             .lookupDataSource(format, spark.sessionState.conf)
           true
         } catch { case _: Exception => false }
-      if (!ok) throw new IllegalArgumentException(
-        s"$what format '$format' has no DataSource on the classpath" +
-          (if (format == "delta")
-            " — add the delta-spark connector jars (io.delta:delta-spark" +
-              " matching this Spark version) or switch the config to parquet"
-          else ""))
+      // delta SOURCES read natively without the jar since round 11
+      // (DeltaLite snapshot reader over the public log format); sinks
+      // and advanced tables still need delta-spark
+      if (!ok && !(format == "delta" && what == "source"))
+        throw new IllegalArgumentException(
+          s"$what format '$format' has no DataSource on the classpath" +
+            (if (format == "delta")
+              " — add the delta-spark connector jars (io.delta:delta-spark" +
+                " matching this Spark version) or switch the config to parquet"
+            else ""))
     }
+
+  private[graft] def deltaSourceAvailable(spark: SparkSession): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("delta", spark.sessionState.conf)
+      true
+    } catch { case _: Exception => false }
 
   /** Config-declared scalar UDF — the reference's `udfs:` section
     * (dozer-types/src/models/udf_config.rs: name + Onnx/JavaScript
@@ -578,6 +589,16 @@ object GraftApp {
               "batch-only here — land files and run batch, or front " +
               "them with the Kafka/Confluent path for streams")
           graft.sources.AvroFiles.read(spark, s.path)
+        } else if (s.format == "delta" && !deltaSourceAvailable(spark)) {
+          // no delta-spark jar: the NATIVE snapshot reader over the
+          // public transaction-log format (reference reader.rs parity —
+          // one full scan of the latest version). Streaming tails need
+          // the connector's change feed → jar required.
+          if (streaming) throw new IllegalArgumentException(
+            s"source '${s.name}': the native Delta reader is a batch " +
+              "snapshot (reference connector parity); add the " +
+              "delta-spark jars for streaming reads")
+          graft.sources.DeltaLite.read(spark, s.path)
         } else if (streaming) {
           val schema = s.schema.getOrElse(spark.read.format(s.format)
             .options(s.options).load(s.path).schema) // infer from existing files

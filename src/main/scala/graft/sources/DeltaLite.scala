@@ -1,0 +1,259 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Native Delta Lake SNAPSHOT reader — no delta-spark jar required.
+  *
+  * The Delta transaction log is a PUBLIC format (delta.io PROTOCOL.md):
+  * `_delta_log/%020d.json` commits of JSON actions (`metaData`,
+  * `protocol`, `add`, `remove`, …) plus periodic parquet checkpoints,
+  * and the current table state is the replayed active-file set. The
+  * reference's connector does exactly a snapshot read of that state
+  * (dozer-ingestion/deltalake/src/reader.rs:36-47 — open_table + scan);
+  * this reader reproduces it Spark-natively:
+  *
+  *  1. `_last_checkpoint` (or the latest `*.checkpoint*.parquet` by
+  *     name) seeds the active-add set — read DISTRIBUTED as plain
+  *     parquet (a checkpoint is just a parquet table of actions).
+  *  2. JSON commits after the checkpoint replay in version order
+  *     (add → insert, remove → delete; other actions ignored except
+  *     metaData/protocol).
+  *  3. The schema is `metaData.schemaString` — Delta inherited Spark's
+  *     schema JSON verbatim, so `DataType.fromJson` parses it directly.
+  *  4. Partition columns are NOT stored in the data files; each add's
+  *     `partitionValues` strings are injected as typed literal columns
+  *     per partition group.
+  *
+  * Loud unsupported-capability errors (never silent wrong data):
+  * column mapping, deletion vectors, and reader features beyond
+  * timestampNtz — the advanced-protocol surface that genuinely needs
+  * delta-spark (`GraftApp.requireFormatAvailable` keeps pointing at the
+  * jar for those deployments).
+  *
+  * Scale note: the log replay is driver-side over O(#commits) JSON
+  * files and one distributed checkpoint read; the data scan reads each
+  * partition group as one parquet load. A full implementation would
+  * expose the file list through a FileIndex for partition pruning —
+  * this reader targets the reference connector's capability (one full
+  * snapshot scan feeding a pipeline), where every file is read anyway.
+  */
+object DeltaLite {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Snapshot(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      /** path (decoded, relative or absolute) → partitionValues */
+      files: Map[String, Map[String, Option[String]]],
+      version: Long)
+
+  /** Percent-decode a Delta action path (the spec URL-encodes relative
+    * paths as UTF-8; `+` stays literal, unlike URLDecoder).
+    */
+  def decodePath(p: String): String = {
+    val bytes = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 2 < p.length) {
+        bytes.write(Integer.parseInt(p.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        bytes.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def checkProtocol(protocol: JsonNode): Unit = {
+    val minReader = Option(protocol.get("minReaderVersion"))
+      .map(_.asInt).getOrElse(1)
+    val features = Option(protocol.get("readerFeatures"))
+      .map(n => (0 until n.size).map(n.get(_).asText).toSet)
+      .getOrElse(Set.empty[String])
+    val supported = Set("timestampNtz", "vacuumProtocolCheck")
+    require(minReader <= 2 || features.subsetOf(supported),
+      s"Delta table requires reader features ${features -- supported} " +
+        "(minReaderVersion " + minReader + ") — beyond the native " +
+        "snapshot reader; add the delta-spark jars for this table")
+  }
+
+  private def checkMetaData(meta: JsonNode): Unit = {
+    val conf = Option(meta.get("configuration"))
+    val mapping = conf.flatMap(c =>
+      Option(c.get("delta.columnMapping.mode")).map(_.asText))
+    require(mapping.forall(m => m == "none"),
+      s"Delta column mapping mode '${mapping.get}' is not supported by " +
+        "the native snapshot reader; add the delta-spark jars")
+  }
+
+  private def requireNoDv(add: JsonNode, path: String): Unit =
+    require(!add.has("deletionVector") || add.get("deletionVector").isNull,
+      s"Delta file $path carries a deletion vector — beyond the native " +
+        "snapshot reader; add the delta-spark jars")
+
+  /** Replay the log into the current snapshot state. */
+  def snapshot(spark: SparkSession, tablePath: String): Snapshot = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir),
+      s"$tablePath is not a Delta table (no _delta_log)")
+    val entries = fs.listStatus(logDir).map(_.getPath.getName).sorted
+    val commitRe = "(\\d{20})\\.json".r
+    val ckptRe = "(\\d{20})\\.checkpoint.*\\.parquet".r
+    // checkpoint to seed from: _last_checkpoint wins, else latest by name
+    val lastCkptFile = new Path(logDir, "_last_checkpoint")
+    val ckptVersion: Option[Long] =
+      if (fs.exists(lastCkptFile)) {
+        val in = fs.open(lastCkptFile)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(mapper.readTree(txt).get("version").asLong)
+      } else entries.collect { case ckptRe(v) => v.toLong }
+        .sorted.lastOption
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Nil
+    val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
+
+    def partValues(node: JsonNode): Map[String, Option[String]] = {
+      val out = mutable.LinkedHashMap.empty[String, Option[String]]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        out(e.getKey) =
+          if (e.getValue.isNull) None else Some(e.getValue.asText)
+      }
+      out.toMap
+    }
+
+    ckptVersion.foreach { v =>
+      val parts = entries.filter {
+        case ckptRe(cv) => cv.toLong == v
+        case _          => false
+      }
+      require(parts.nonEmpty,
+        s"_last_checkpoint names version $v but no checkpoint parquet " +
+          s"exists in $logDir")
+      val ckpt = spark.read.parquet(
+        parts.map(p => new Path(logDir, p).toString).toIndexedSeq: _*)
+      val cols = ckpt.columns.toSet
+      if (cols.contains("metaData")) {
+        val metas = ckpt.select("metaData")
+          .filter("metaData IS NOT NULL AND metaData.schemaString IS NOT NULL")
+          .select("metaData.schemaString", "metaData.partitionColumns",
+            "metaData.configuration")
+          .collect()
+        metas.lastOption.foreach { r =>
+          schemaJson = Some(r.getString(0))
+          partCols = r.getSeq[String](1).toSeq
+          val confMap = Option(r.getJavaMap[String, String](2))
+          confMap.foreach { m =>
+            val mode = Option(m.get("delta.columnMapping.mode"))
+            require(mode.forall(_ == "none"),
+              s"Delta column mapping mode '${mode.get}' is not " +
+                "supported by the native snapshot reader")
+          }
+        }
+      }
+      if (cols.contains("add")) {
+        ckpt.select("add")
+          .filter("add IS NOT NULL")
+          .select("add.path", "add.partitionValues")
+          .collect()
+          .foreach { r =>
+            val path = decodePath(r.getString(0))
+            val pv = Option(r.getJavaMap[String, String](1))
+              .map { m =>
+                val out = mutable.LinkedHashMap.empty[String, Option[String]]
+                m.forEach((k, v) => out(k) = Option(v))
+                out.toMap
+              }
+              .getOrElse(Map.empty[String, Option[String]])
+            files(path) = pv
+          }
+      }
+    }
+
+    val startAfter = ckptVersion.getOrElse(-1L)
+    val commits = entries.collect {
+      case n @ commitRe(v) if v.toLong > startAfter => (v.toLong, n)
+    }.sortBy(_._1)
+    require(ckptVersion.nonEmpty || commits.nonEmpty,
+      s"empty Delta log at $logDir")
+    var version = ckptVersion.getOrElse(-1L)
+    commits.foreach { case (v, name) =>
+      version = v
+      val in = fs.open(new Path(logDir, name))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split("\n").filter(_.trim.nonEmpty).foreach { line =>
+        val action = mapper.readTree(line)
+        if (action.has("protocol")) checkProtocol(action.get("protocol"))
+        if (action.has("metaData")) {
+          val m = action.get("metaData")
+          checkMetaData(m)
+          schemaJson = Some(m.get("schemaString").asText)
+          partCols = Option(m.get("partitionColumns"))
+            .map(n => (0 until n.size).map(n.get(_).asText).toSeq)
+            .getOrElse(Nil)
+        }
+        if (action.has("add")) {
+          val a = action.get("add")
+          val p = decodePath(a.get("path").asText)
+          requireNoDv(a, p)
+          files(p) = Option(a.get("partitionValues"))
+            .map(partValues).getOrElse(Map.empty)
+        }
+        if (action.has("remove")) {
+          files.remove(decodePath(action.get("remove").get("path").asText))
+          ()
+        }
+      }
+    }
+    val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"Delta log at $logDir carries no metaData action"))
+    Snapshot(schema, partCols, files.toMap, version)
+  }
+
+  /** The current table snapshot as a DataFrame (reader.rs parity: one
+    * full scan of the latest version).
+    */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = snapshot(spark, tablePath)
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val partFields = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the Delta schema")))
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    // group files by partition tuple; inject the typed partition
+    // literals per group and union
+    val groups = snap.files.toSeq.groupBy(_._2).toSeq
+    val parts = groups.map { case (pv, fs0) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(fs0.map(f => abs(f._1)): _*)
+      partFields.foldLeft(base) { (df, f) =>
+        df.withColumn(f.name,
+          pv.get(f.name).flatten
+            .map(s => lit(s).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)))
+      }
+    }
+    parts.reduce(_.unionByName(_)).select(
+      snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+  }
+}

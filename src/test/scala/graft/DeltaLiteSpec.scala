@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaLite
+
+final case class CkAdd(path: String, partitionValues: Map[String, String])
+final case class CkMeta(schemaString: String, partitionColumns: Seq[String],
+    configuration: Map[String, String])
+
+/** Native Delta snapshot reader over hand-crafted transaction logs —
+  * the log format is public (delta.io PROTOCOL.md), so the fixtures
+  * build real tables: parquet data files + `_delta_log` JSON commits +
+  * a parquet checkpoint, no delta-spark involved on either side.
+  */
+class DeltaLiteSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write `df` as ONE parquet file named `name` under `table`. */
+  private def writeDataFile(df: DataFrame, table: String,
+      name: String): Unit = {
+    val stage = table + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val f = fs(table).listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs(table).mkdirs(new Path(table))
+    assert(fs(table).rename(f, new Path(table, name)))
+    fs(table).delete(new Path(stage), true)
+    ()
+  }
+
+  private def writeLog(table: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val dir = new Path(table, "_delta_log")
+    fs(table).mkdirs(dir)
+    val out = fs(table).create(new Path(dir, f"$version%020d.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def metaAction(schemaJson: String,
+      partCols: Seq[String] = Nil): String = {
+    val pc = partCols.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${escape(schemaJson)},"partitionColumns":$pc,""" +
+      s""""configuration":{},"createdTime":1}}"""
+  }
+
+  private def escape(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("snapshot replay: adds across commits, removes drop files, " +
+      "latest metaData wins") {
+    val t = java.nio.file.Files.createTempDirectory("delta_basic").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, "f1.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t, "f2.parquet")
+    writeDataFile(Seq((4L, "d")).toDF("k", "v"), t, "f3.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 1, Seq(
+      """{"commitInfo":{"operation":"WRITE"}}""",
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaLite.read(spark, t)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (4L, "d"))) // f2 removed
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 1L && snap.files.keySet == Set("f1.parquet", "f3.parquet"))
+  }
+
+  test("partition columns come from partitionValues as typed literals; " +
+      "null partition values read as NULL") {
+    val t = java.nio.file.Files.createTempDirectory("delta_part").toString
+    // table schema includes partition cols; data files carry only (k, v)
+    val full = Seq((1L, "a", 10, "x")).toDF("k", "v", "p_num", "p_str").schema
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, "pa.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t, "pb.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(full.json, Seq("p_num", "p_str")),
+      """{"add":{"path":"pa.parquet","partitionValues":{"p_num":"7","p_str":"hi"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"pb.parquet","partitionValues":{"p_num":"9","p_str":null},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLite.read(spark, t)
+      .select("k", "p_num", "p_str")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got == Set((1L, 7, "hi"), (2L, 7, "hi"), (3L, 9, null)))
+  }
+
+  test("checkpoint parquet seeds the state; later commits replay on top; " +
+      "_last_checkpoint is honored") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ckpt").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "c1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "c2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t, "c3.parquet")
+    // checkpoint at version 2 holds metaData + the then-live adds
+    val ck = Seq(
+      (Option(CkAdd("c1.parquet", Map.empty)), Option.empty[CkMeta]),
+      (Option(CkAdd("c2.parquet", Map.empty)), Option.empty[CkMeta]),
+      (Option.empty[CkAdd],
+        Option(CkMeta(schema.json, Nil, Map.empty))))
+      .toDF("add", "metaData")
+    val stage = t + "_ckstage"
+    ck.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs(t).listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val logDir = new Path(t, "_delta_log")
+    fs(t).mkdirs(logDir)
+    assert(fs(t).rename(part,
+      new Path(logDir, f"${2L}%020d.checkpoint.parquet")))
+    fs(t).delete(new Path(stage), true)
+    val lc = fs(t).create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write("""{"version":2,"size":3}""".getBytes("UTF-8"))
+    finally lc.close()
+    // commit 3 after the checkpoint: drop c1, add c3
+    writeLog(t, 3, Seq(
+      """{"remove":{"path":"c1.parquet","deletionTimestamp":5,"dataChange":true}}""",
+      """{"add":{"path":"c3.parquet","partitionValues":{},"size":1,"modificationTime":5,"dataChange":true}}"""))
+    val got = DeltaLite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b"), (3L, "c")))
+    assert(DeltaLite.snapshot(spark, t).version == 3L)
+  }
+
+  test("advanced-protocol tables refuse loudly: reader features, " +
+      "column mapping, deletion vectors; non-delta path refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_bad").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(schema.json)))
+    val e1 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
+    assert(e1.getMessage.contains("deletionVectors") &&
+      e1.getMessage.contains("delta-spark"), e1.getMessage)
+    val t2 = java.nio.file.Files.createTempDirectory("delta_bad2").toString
+    writeLog(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+    val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    val t3 = java.nio.file.Files.createTempDirectory("delta_bad3").toString
+    writeLog(t3, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e3 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t3))
+    assert(e3.getMessage.contains("deletion vector"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](DeltaLite.snapshot(
+      spark, java.nio.file.Files.createTempDirectory("notdelta").toString))
+    assert(e4.getMessage.contains("_delta_log"), e4.getMessage)
+  }
+
+  test("URL-encoded add paths decode (percent sequences, literal plus)") {
+    assert(DeltaLite.decodePath("a%20b/part+1.parquet") == "a b/part+1.parquet")
+    assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")
+    assert(DeltaLite.decodePath("%C3%A9.parquet") == "é.parquet")
+  }
+}

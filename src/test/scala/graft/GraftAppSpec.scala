@@ -1228,16 +1228,76 @@ class GraftAppSpec extends AnyFunSuite {
         true
       } catch { case _: Exception => false }
     if (!deltaAvailable) {
+      // round 11: delta SOURCES read natively (DeltaLite) — the bogus
+      // path now fails as a data error, not a classpath error
       val e = intercept[IllegalArgumentException](
         GraftApp.build(spark, config))
-      assert(e.getMessage.contains("delta-spark"))
-      // upsert onto delta is rejected as mode/format, not attempted
+      assert(e.getMessage.contains("_delta_log"), e.getMessage)
+      // delta SINKS still require the connector jar, loudly
+      val sinkOnly = GraftConfigLoader.fromYaml(
+        yaml.replace("format: delta\nsql:", "format: parquet\nsql:")
+          .replace("path: /data/delta/events",
+            "path: /root/testdata/sf0.001/region.parquet"))
       val e2 = intercept[IllegalArgumentException](
-        GraftApp.build(spark, GraftConfigLoader.fromYaml(
-          yaml.replace("mode: overwrite", "mode: upsert\n    keys: [one]"))))
-      assert(e2.getMessage.contains("delta-spark") ||
-        e2.getMessage.contains("parquet only"))
+        GraftApp.build(spark, sinkOnly))
+      assert(e2.getMessage.contains("delta-spark"), e2.getMessage)
+      // streaming delta source: batch-only native reader, loud
+      val e3 = intercept[Exception](GraftApp.runStreaming(spark,
+        GraftConfigLoader.fromYaml(
+          """sources:
+            |  - name: ev
+            |    path: /data/delta/events
+            |    format: delta
+            |sql: SELECT 1 AS one INTO o FROM ev;
+            |sinks:
+            |  - table: o
+            |    path: /tmp/x
+            |""".stripMargin).copy(streaming = true)))
+      assert(e3.getMessage.contains("batch snapshot") ||
+        e3.getMessage.contains("delta"), e3.getMessage)
     }
+  }
+
+  test("a real Delta table (hand-crafted public-format log) reads " +
+      "through config alone via the native snapshot reader") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("delta_cfg").toString
+    val stage = t + "_stage"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fsys.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(t))
+    assert(fsys.rename(part, new org.apache.hadoop.fs.Path(t, "d1.parquet")))
+    val schemaJson = Seq((1L, "a")).toDF("k", "v").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val logDir = new org.apache.hadoop.fs.Path(t, "_delta_log")
+    fsys.mkdirs(logDir)
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(logDir, "0" * 20 + ".json"), true)
+    out.write((Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    val tmp = java.nio.file.Files.createTempDirectory("delta_cfg_out").toString
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: dt
+         |    path: $t
+         |    format: delta
+         |sql: SELECT k, v INTO o FROM dt WHERE k > 1;
+         |sinks:
+         |  - table: o
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin))
+    val got = spark.read.parquet(s"$tmp/out").as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((2L, "b"), (3L, "c")))
   }
 
   test("dozer !Grpc connection: gRPC-over-HTTP/2 ingest to sink through " +
