@@ -100,8 +100,12 @@ object DeltaLite {
       s"Delta file $path carries a deletion vector — beyond the native " +
         "snapshot reader; add the delta-spark jars")
 
-  /** Replay the log into the current snapshot state. */
-  def snapshot(spark: SparkSession, tablePath: String): Snapshot = {
+  /** Replay the log into the snapshot state at `asOf` (None = latest
+    * version) — version-pinned reads are what turns consecutive
+    * snapshots into a change feed ([[changedBetween]]).
+    */
+  def snapshot(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): Snapshot = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir),
@@ -109,15 +113,20 @@ object DeltaLite {
     val entries = fs.listStatus(logDir).map(_.getPath.getName).sorted
     val commitRe = "(\\d{20})\\.json".r
     val ckptRe = "(\\d{20})\\.checkpoint.*\\.parquet".r
-    // checkpoint to seed from: _last_checkpoint wins, else latest by name
+    // checkpoint to seed from: _last_checkpoint wins (unless pinned
+    // BEFORE it), else the latest by name not past the pin
     val lastCkptFile = new Path(logDir, "_last_checkpoint")
-    val ckptVersion: Option[Long] =
-      if (fs.exists(lastCkptFile)) {
-        val in = fs.open(lastCkptFile)
-        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        Some(mapper.readTree(txt).get("version").asLong)
-      } else entries.collect { case ckptRe(v) => v.toLong }
-        .sorted.lastOption
+    val ckptVersion: Option[Long] = {
+      val fromFile =
+        if (fs.exists(lastCkptFile)) {
+          val in = fs.open(lastCkptFile)
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          Some(mapper.readTree(txt).get("version").asLong)
+        } else None
+      val candidates = entries.collect { case ckptRe(v) => v.toLong }
+        .filter(v => asOf.forall(v <= _)).sorted.lastOption
+      fromFile.filter(v => asOf.forall(v <= _)).orElse(candidates)
+    }
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
@@ -183,10 +192,12 @@ object DeltaLite {
 
     val startAfter = ckptVersion.getOrElse(-1L)
     val commits = entries.collect {
-      case n @ commitRe(v) if v.toLong > startAfter => (v.toLong, n)
+      case n @ commitRe(v) if v.toLong > startAfter &&
+        asOf.forall(v.toLong <= _) => (v.toLong, n)
     }.sortBy(_._1)
     require(ckptVersion.nonEmpty || commits.nonEmpty,
-      s"empty Delta log at $logDir")
+      s"empty Delta log at $logDir" +
+        asOf.map(v => s" at or before version $v").getOrElse(""))
     var version = ckptVersion.getOrElse(-1L)
     commits.foreach { case (v, name) =>
       version = v
@@ -222,11 +233,12 @@ object DeltaLite {
     Snapshot(schema, partCols, files.toMap, version)
   }
 
-  /** The current table snapshot as a DataFrame (reader.rs parity: one
-    * full scan of the latest version).
+  /** Build the DataFrame for a restricted file subset of a snapshot
+    * (partition-literal injection per partition group).
     */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val snap = snapshot(spark, tablePath)
+  private def readFiles(spark: SparkSession, tablePath: String,
+      snap: Snapshot,
+      files: Map[String, Map[String, Option[String]]]): DataFrame = {
     val dataSchema = StructType(
       snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
     val partFields = snap.partitionColumns.map(c =>
@@ -236,12 +248,12 @@ object DeltaLite {
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
-    if (snap.files.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     // group files by partition tuple; inject the typed partition
     // literals per group and union
-    val groups = snap.files.toSeq.groupBy(_._2).toSeq
+    val groups = files.toSeq.groupBy(_._2).toSeq
     val parts = groups.map { case (pv, fs0) =>
       val base = spark.read.schema(dataSchema)
         .parquet(fs0.map(f => abs(f._1)): _*)
@@ -255,5 +267,47 @@ object DeltaLite {
     parts.reduce(_.unionByName(_)).select(
       snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
+  }
+
+  /** The table snapshot as a DataFrame (reader.rs parity: one full scan
+    * — of the latest version, or of `asOf` for version-pinned reads).
+    */
+  def read(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, asOf)
+    readFiles(spark, tablePath, snap, snap.files)
+  }
+
+  /** CDC between two table VERSIONS at O(changed files), composed with
+    * the snapshot-diff seam ([[graft.cdc.SnapshotDiff]], the q118
+    * re-snapshot contract): Delta data files are immutable, so rows in
+    * files present in BOTH versions cancel out of any keyed diff —
+    * only files REMOVED since `fromVersion` (old side) and files ADDED
+    * since (new side) need reading. For a keyed table (each key in one
+    * live row per version — the precondition SnapshotDiff already
+    * enforces via non-null keys) the restricted diff equals the full
+    *-snapshot diff exactly, at the cost of the churned files instead
+    * of the whole table. Output: the ChangeModel feed (`_op`/`_seq`)
+    * that [[graft.cdc.ChangeModel.applyChanges]] and every downstream
+    * CDC operator consume — delta-tail CDC without the connector jar.
+    */
+  def changesBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String],
+      seq: Long = 1L): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val oldSnap = snapshot(spark, tablePath, Some(fromVersion))
+    val newSnap = snapshot(spark, tablePath, Some(toVersion))
+    require(oldSnap.schema == newSnap.schema,
+      "schema changed between versions — diff the full snapshots " +
+        "explicitly after reconciling the schemas")
+    val removed = oldSnap.files.view
+      .filterKeys(p => !newSnap.files.contains(p)).toMap
+    val added = newSnap.files.view
+      .filterKeys(p => !oldSnap.files.contains(p)).toMap
+    graft.cdc.SnapshotDiff.changes(
+      readFiles(spark, tablePath, oldSnap, removed),
+      readFiles(spark, tablePath, newSnap, added),
+      keyCols, seq)
   }
 }

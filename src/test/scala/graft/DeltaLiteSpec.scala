@@ -161,6 +161,54 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("_delta_log"), e4.getMessage)
   }
 
+  test("version-pinned reads and O(changed-files) CDC between versions " +
+      "equal the full-snapshot diff") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cdc").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    // v0: keys 1..3 in two files; v1: key 2 rewritten + key 4 added in
+    // a new file, one old file removed (delta files are immutable, so a
+    // rewrite = remove + add)
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "s1.parquet")
+    writeDataFile(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), t, "s2.parquet")
+    writeDataFile(Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      t, "s3.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"s1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"s2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 1, Seq(
+      """{"remove":{"path":"s2.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      """{"add":{"path":"s3.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    // pinned reads see each version's state
+    assert(DeltaLite.read(spark, t, asOf = Some(0L))
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // O(changed-files) CDC: only s2 (removed) and s3 (added) are read;
+    // key 1 (untouched file) emits nothing, key 3 (same value, moved
+    // files) cancels, key 2 updates, key 4 inserts
+    val changes = DeltaLite.changesBetween(spark, t, 0L, 1L, Seq("k"))
+    val ops = changes.select("k", "_op").as[(Long, String)].collect().toMap
+    assert(ops == Map(2L -> "update_postimage", 4L -> "insert"), ops)
+    // equality with the full-snapshot diff (the law the file-level
+    // restriction must preserve)
+    val full = graft.cdc.SnapshotDiff.changes(
+      DeltaLite.read(spark, t, Some(0L)), DeltaLite.read(spark, t, Some(1L)),
+      Seq("k"))
+    assert(changes.collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq)
+    // and the rebuilt state law: v0-as-inserts + changes == v1
+    val rebuilt = graft.cdc.ChangeModel.applyChanges(
+      DeltaLite.read(spark, t, Some(0L))
+        .withColumn("_op", lit(graft.cdc.ChangeModel.Insert))
+        .withColumn("_seq", lit(0L))
+        .unionByName(changes), Seq("k"))
+    assert(rebuilt.as[(Long, String)].collect().toSet ==
+      DeltaLite.read(spark, t).as[(Long, String)].collect().toSet)
+  }
+
   test("URL-encoded add paths decode (percent sequences, literal plus)") {
     assert(DeltaLite.decodePath("a%20b/part+1.parquet") == "a b/part+1.parquet")
     assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")
