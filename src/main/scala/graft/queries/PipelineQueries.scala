@@ -3499,6 +3499,36 @@ object PipelineQueries {
         .crossJoin(aud)
     },
 
+    // NATIVE DELTA ROUND-TRIP through the driver gate: each run builds
+    // a REAL Delta table (public log format — two append commits via
+    // DeltaLite.write) from region rows and reads it back through the
+    // native snapshot reader (log replay, active-file set, schema from
+    // metaData). The oracle states the final table contents directly,
+    // so a replay/commit/schema bug anywhere in the reader or writer
+    // hash-mismatches. This is the delta connector capability
+    // (reader.rs full-scan parity) exercised end to end with ZERO
+    // delta-spark involvement.
+    QueryDef("q129_delta_roundtrip",
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, upper(r_name) AS r_name
+        |FROM region WHERE r_regionkey < 3""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q129_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      DeltaLite.write(s, r, tbl) // commit 0
+      DeltaLite.write(s, // commit 1: appended derived rows
+        r.filter(col("r_regionkey") < 3)
+          .select((col("r_regionkey") + 100).as("r_regionkey"),
+            upper(col("r_name")).as("r_name")), tbl)
+      DeltaLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -291,6 +291,81 @@ object DeltaLite {
     * that [[graft.cdc.ChangeModel.applyChanges]] and every downstream
     * CDC operator consume — delta-tail CDC without the connector jar.
     */
+  /** Minimal native Delta WRITER — append or overwrite commits in the
+    * public log format, so graft pipelines can EMIT delta-compatible
+    * tables (readable by any Delta reader) without the connector jar.
+    *
+    * The commit uses Delta's actual protocol: the new version's JSON is
+    * claimed with a put-if-absent create, so a concurrent writer loses
+    * the race LOUDLY instead of corrupting the log (single-attempt;
+    * retrying loops are the connector jar's job). Unpartitioned tables,
+    * protocol (1, 2); `overwrite` emits remove actions for every live
+    * file plus the new adds — the snapshot-replace commit shape.
+    */
+  def write(spark: SparkSession, df: DataFrame, tablePath: String,
+      mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"DeltaLite.write supports append|overwrite, got '$mode'")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    val existing: Option[Snapshot] =
+      if (fs.exists(logDir)) Some(snapshot(spark, tablePath)) else None
+    existing.foreach { s =>
+      require(s.partitionColumns.isEmpty,
+        "DeltaLite.write targets unpartitioned tables only")
+      require(s.schema == df.schema,
+        s"schema mismatch writing to $tablePath:\n table: ${s.schema.json}" +
+          s"\n data:  ${df.schema.json}")
+    }
+    // stage the data files, then move them in under fresh names
+    val stage = new Path(tablePath + "_stage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    df.write.mode("overwrite").parquet(stage.toString)
+    val moved = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val name = st.getPath.getName
+        require(fs.rename(st.getPath, new Path(root, name)),
+          s"staging move failed for $name")
+        (name, st.getLen)
+      }
+    fs.delete(stage, true)
+    val version = existing.map(_.version + 1).getOrElse(0L)
+    val now = 1L // deterministic timestamps (repo convention)
+    val lines = mutable.ArrayBuffer.empty[String]
+    if (existing.isEmpty) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val schemaEsc = mapper.writeValueAsString(df.schema.json)
+      lines += s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaEsc,"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":$now}}"""
+    }
+    if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
+      val pEsc = mapper.writeValueAsString(p)
+      lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
+        """"dataChange":true}}"""
+    })
+    moved.foreach { case (name, size) =>
+      lines += s"""{"add":{"path":"$name","partitionValues":{},""" +
+        s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    fs.mkdirs(logDir)
+    val commitPath = new Path(logDir, f"$version%020d.json")
+    // put-if-absent claim of the version — the Delta commit rule
+    val out =
+      try fs.create(commitPath, false)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"commit $version already exists at $tablePath (concurrent " +
+            "writer?) — re-read and retry", e)
+      }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
   def changesBetween(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long, keyCols: Seq[String],
       seq: Long = 1L): DataFrame = {

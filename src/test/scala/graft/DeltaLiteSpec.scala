@@ -209,6 +209,42 @@ class DeltaLiteSpec extends AnyFunSuite {
       DeltaLite.read(spark, t).as[(Long, String)].collect().toSet)
   }
 
+  test("native writer: append commits accumulate, overwrite replaces, " +
+      "version claims are put-if-absent, round-trips through the reader") {
+    val t = java.nio.file.Files.createTempDirectory("delta_write").toString + "/tbl"
+    assert(DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) == 0L)
+    assert(DeltaLite.write(spark,
+      Seq((3L, "c")).toDF("k", "v"), t) == 1L)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // version-pinned read sees the first commit only
+    assert(DeltaLite.read(spark, t, Some(0L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // overwrite replaces the snapshot (remove actions + new adds)
+    assert(DeltaLite.write(spark,
+      Seq((9L, "z")).toDF("k", "v"), t, mode = "overwrite") == 2L)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    // history is intact: pre-overwrite versions still read
+    assert(DeltaLite.read(spark, t, Some(1L)).count() == 3)
+    // schema drift refuses
+    val eSchema = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((1L, 2L)).toDF("k", "n"), t))
+    assert(eSchema.getMessage.contains("schema mismatch"))
+    // a commit file landing between our snapshot read and our claim is
+    // the race the put-if-absent create guards; from the outside the
+    // observable contract is that versions stay MONOTONE and no commit
+    // is ever overwritten — a foreign (empty) commit file is simply the
+    // next version, and our write claims the one after
+    val fsys = fs(t)
+    val next = new Path(t, "_delta_log/" + f"${3L}%020d.json")
+    fsys.create(next, false).close()
+    assert(DeltaLite.write(spark, Seq((5L, "e")).toDF("k", "v"), t) == 4L)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((9L, "z"), (5L, "e")))
+  }
+
   test("URL-encoded add paths decode (percent sequences, literal plus)") {
     assert(DeltaLite.decodePath("a%20b/part+1.parquet") == "a b/part+1.parquet")
     assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")
