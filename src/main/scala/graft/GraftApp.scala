@@ -138,7 +138,10 @@ object GraftApp {
       require(legalModes(sink.mode),
         s"unknown ${if (config.streaming) "streaming " else ""}sink mode ${sink.mode}")
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
-      else if (sink.mode != "dummy") requireFormatAvailable(spark, sink.format, "sink")
+      else if (sink.mode != "dummy" &&
+          !(!config.streaming && sink.format == "delta" &&
+            (sink.mode == "append" || sink.mode == "overwrite")))
+        requireFormatAvailable(spark, sink.format, "sink")
       if (sink.mode == "upsert") {
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
         // the upsert snapshot's crash-safe swap is parquet-layout-owned;
@@ -649,7 +652,12 @@ object GraftApp {
         throw new IllegalArgumentException(
           s"sink references unknown output table '${sink.table}'"))
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
-      else if (sink.mode != "dummy") requireFormatAvailable(spark, sink.format, "sink")
+      else if (sink.mode != "dummy" &&
+          !(sink.format == "delta" &&
+            (sink.mode == "append" || sink.mode == "overwrite")))
+        // batch append/overwrite delta sinks commit natively
+        // (DeltaLite.write) — no jar probe needed
+        requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout — reject a partition spec
       // instead of silently dropping it
       require(sink.partitionBy.isEmpty || sink.mode != "upsert",
@@ -688,6 +696,17 @@ object GraftApp {
         if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
       }
       sink.mode match {
+        case "append" | "overwrite"
+            if sink.format == "delta" && !deltaSourceAvailable(spark) =>
+          // native delta COMMITS without the jar (DeltaLite.write;
+          // unpartitioned, put-if-absent version claim). partition_by/
+          // zorder_by need the connector's layout control.
+          require(sink.partitionBy.isEmpty && sink.zorderBy.isEmpty,
+            s"delta sink '${sink.table}': partition_by/zorder_by need " +
+              "the delta-spark connector; the native writer commits " +
+              "unpartitioned tables")
+          graft.sources.DeltaLite.write(spark, df, sink.path, sink.mode)
+          ()
         case "append" =>
           writer(clustered).mode("append").format(sink.format).save(sink.path)
         case "overwrite" =>

@@ -1233,13 +1233,17 @@ class GraftAppSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](
         GraftApp.build(spark, config))
       assert(e.getMessage.contains("_delta_log"), e.getMessage)
-      // delta SINKS still require the connector jar, loudly
+      // batch delta SINKS commit natively now — build passes on a
+      // parquet source + delta sink config
       val sinkOnly = GraftConfigLoader.fromYaml(
         yaml.replace("format: delta\nsql:", "format: parquet\nsql:")
           .replace("path: /data/delta/events",
             "path: /root/testdata/sf0.001/region.parquet"))
+      GraftApp.build(spark, sinkOnly)
+      // STREAMING delta sinks still require the connector jar, loudly
       val e2 = intercept[IllegalArgumentException](
-        GraftApp.build(spark, sinkOnly))
+        GraftApp.build(spark, sinkOnly.copy(streaming = true,
+          sinks = sinkOnly.sinks.map(_.copy(mode = "append")))))
       assert(e2.getMessage.contains("delta-spark"), e2.getMessage)
       // streaming delta source: batch-only native reader, loud
       val e3 = intercept[Exception](GraftApp.runStreaming(spark,
@@ -1298,6 +1302,39 @@ class GraftAppSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$tmp/out").as[(Long, String)]
       .collect().toSet
     assert(got == Set((2L, "b"), (3L, "c")))
+    // and the reverse direction: a DELTA SINK commits natively from
+    // config alone, then reads back through the native reader
+    val t2 = java.nio.file.Files.createTempDirectory("delta_sink").toString
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: dt
+         |    path: $t
+         |    format: delta
+         |sql: SELECT k, v INTO o FROM dt;
+         |sinks:
+         |  - table: o
+         |    path: $t2/tbl
+         |    mode: overwrite
+         |    format: delta
+         |""".stripMargin))
+    val back = graft.sources.DeltaLite.read(spark, s"$t2/tbl")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a second overwrite run advances the version and replaces state
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: dt
+         |    path: $t
+         |    format: delta
+         |sql: SELECT k, v INTO o FROM dt WHERE k = 1;
+         |sinks:
+         |  - table: o
+         |    path: $t2/tbl
+         |    mode: overwrite
+         |    format: delta
+         |""".stripMargin))
+    assert(graft.sources.DeltaLite.read(spark, s"$t2/tbl").count() == 1)
+    assert(graft.sources.DeltaLite.snapshot(spark, s"$t2/tbl").version == 1L)
   }
 
   test("dozer !Grpc connection: gRPC-over-HTTP/2 ingest to sink through " +
