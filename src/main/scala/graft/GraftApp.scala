@@ -776,7 +776,11 @@ object GraftApp {
           s"sink references unknown output table '${sink.table}'"))
       val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
-      else if (sink.mode != "dummy") requireFormatAvailable(spark, sink.format, "sink")
+      else if (sink.mode != "dummy" &&
+          !(sink.format == "delta" && sink.mode == "append"))
+        // streaming delta APPEND commits natively with the txn
+        // exactly-once protocol; other delta modes keep the jar probe
+        requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout (flat or key-hash buckets) —
       // a user partition spec would be silently unhonored, so reject it
       require(sink.partitionBy.isEmpty || sink.mode == "append",
@@ -787,6 +791,13 @@ object GraftApp {
       // listener progress / the /metrics endpoint label per sink
       val qn = Some(sink.table)
       sink.mode match {
+        case "append"
+            if sink.format == "delta" && !deltaSourceAvailable(spark) =>
+          require(sink.partitionBy.isEmpty,
+            s"delta sink '${sink.table}': partition_by needs the " +
+              "delta-spark connector (native commits are unpartitioned)")
+          graft.sinks.Sinks.appendDelta(df, sink.path, ckpt,
+            appId = s"graft-${sink.table}", queryName = qn)
         case "append" => graft.sinks.Sinks.appendParquet(
           df, sink.path, ckpt, sink.partitionBy, sink.format, sink.options,
           queryName = qn)

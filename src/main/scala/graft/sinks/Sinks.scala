@@ -37,6 +37,28 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
   }
 
+  /** Streaming append into a NATIVE Delta table (no delta-spark jar):
+    * each micro-batch commits through [[graft.sources.DeltaLite.write]]
+    * with Delta's idempotent-writer `txn` action — the appId is stable
+    * per sink and the transaction version is the batch id, so a
+    * RETRIED batch (foreachBatch redelivery after a crash) is detected
+    * against the table's recorded high-water mark and skipped instead
+    * of double-appending. Exactly-once append, enforced by the table
+    * log itself (the same protocol delta-spark's streaming sink uses).
+    */
+  def appendDelta(df: DataFrame, tablePath: String, checkpoint: String,
+      appId: String, queryName: Option[String] = None): StreamingQuery =
+    named(df.writeStream, queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.DeltaLite.write(batch.sparkSession, batch,
+          tablePath, "append", txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
   /** Keyed upsert sink: every microbatch merges the batch's changes
     * into a keyed parquet snapshot via latest-by-key reduction — the
     * PrimaryKeyLookupRecordWriter semantics (record_store.rs:48-87).

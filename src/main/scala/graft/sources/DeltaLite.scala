@@ -52,7 +52,12 @@ object DeltaLite {
       partitionColumns: Seq[String],
       /** path (decoded, relative or absolute) → partitionValues */
       files: Map[String, Map[String, Option[String]]],
-      version: Long)
+      version: Long,
+      /** `txn` actions: appId → highest committed transaction version
+        * (Delta's idempotent-writer protocol — streaming sinks dedup
+        * retried micro-batches against this map).
+        */
+      txns: Map[String, Long] = Map.empty)
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -130,6 +135,7 @@ object DeltaLite {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
+    val txns = mutable.LinkedHashMap.empty[String, Long]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -170,6 +176,11 @@ object DeltaLite {
                 "supported by the native snapshot reader")
           }
         }
+      }
+      if (cols.contains("txn")) {
+        ckpt.select("txn").filter("txn IS NOT NULL")
+          .select("txn.appId", "txn.version").collect()
+          .foreach(r => txns(r.getString(0)) = r.getLong(1))
       }
       if (cols.contains("add")) {
         ckpt.select("add")
@@ -225,12 +236,16 @@ object DeltaLite {
           files.remove(decodePath(action.get("remove").get("path").asText))
           ()
         }
+        if (action.has("txn")) {
+          val t = action.get("txn")
+          txns(t.get("appId").asText) = t.get("version").asLong
+        }
       }
     }
     val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(
         s"Delta log at $logDir carries no metaData action"))
-    Snapshot(schema, partCols, files.toMap, version)
+    Snapshot(schema, partCols, files.toMap, version, txns.toMap)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -291,6 +306,21 @@ object DeltaLite {
     * that [[graft.cdc.ChangeModel.applyChanges]] and every downstream
     * CDC operator consume — delta-tail CDC without the connector jar.
     */
+  private def normalizeNullability(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType => StructType(st.fields.map(f => f.copy(
+        dataType = normalizeNullability(f.dataType), nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = normalizeNullability(a.elementType),
+          containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = normalizeNullability(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+
   /** Minimal native Delta WRITER — append or overwrite commits in the
     * public log format, so graft pipelines can EMIT delta-compatible
     * tables (readable by any Delta reader) without the connector jar.
@@ -303,7 +333,7 @@ object DeltaLite {
     * file plus the new adds — the snapshot-replace commit shape.
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
-      mode: String = "append"): Long = {
+      mode: String = "append", txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
@@ -311,10 +341,19 @@ object DeltaLite {
     val logDir = new Path(root, "_delta_log")
     val existing: Option[Snapshot] =
       if (fs.exists(logDir)) Some(snapshot(spark, tablePath)) else None
+    // Delta's idempotent-writer protocol: a (appId, version) txn at or
+    // below the table's recorded high-water mark is a RETRY of an
+    // already-committed batch — skip it (exactly-once foreachBatch)
+    txn.foreach { case (appId, v) =>
+      val committed = existing.flatMap(_.txns.get(appId))
+      if (committed.exists(_ >= v)) return existing.get.version
+    }
     existing.foreach { s =>
       require(s.partitionColumns.isEmpty,
         "DeltaLite.write targets unpartitioned tables only")
-      require(s.schema == df.schema,
+      // names + types must match; nullability may tighten (a nullable
+      // table column accepts non-null data)
+      require(normalizeNullability(s.schema) == normalizeNullability(df.schema),
         s"schema mismatch writing to $tablePath:\n table: ${s.schema.json}" +
           s"\n data:  ${df.schema.json}")
     }
@@ -341,6 +380,10 @@ object DeltaLite {
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":$schemaEsc,"partitionColumns":[],""" +
         s""""configuration":{},"createdTime":$now}}"""
+    }
+    txn.foreach { case (appId, v) =>
+      val idEsc = mapper.writeValueAsString(appId)
+      lines += s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""
     }
     if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
       val pEsc = mapper.writeValueAsString(p)

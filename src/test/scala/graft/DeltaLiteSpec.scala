@@ -245,6 +245,40 @@ class DeltaLiteSpec extends AnyFunSuite {
       Set((9L, "z"), (5L, "e")))
   }
 
+  test("streaming append sink: txn protocol makes batches exactly-once " +
+      "across stop/restart and skips retried batch ids") {
+    val base = java.nio.file.Files.createTempDirectory("delta_stream").toString
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val src = s"$base/src"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((1L, "a")).toDF("k", "v").schema).parquet(src)
+      val q = graft.sinks.Sinks.appendDelta(stream, tbl, ckpt, "app1")
+      assert(q.awaitTermination(120000), "stream timed out")
+    }
+    run()
+    assert(DeltaLite.read(spark, tbl).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // restart with MORE source data: only the new file lands (the
+    // checkpoint resumes the source; the table log has batch 0's txn)
+    Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    run()
+    val after = DeltaLite.read(spark, tbl).as[(Long, String)].collect().toSeq
+    assert(after.size == 3 && after.toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), after.toString)
+    // a RETRIED batch id (foreachBatch redelivery) is skipped against
+    // the table's txn high-water mark — no double append
+    val hwm = DeltaLite.snapshot(spark, tbl).txns("app1")
+    DeltaLite.write(spark, Seq((9L, "dup")).toDF("k", "v"), tbl,
+      "append", txn = Some(("app1", hwm)))
+    assert(DeltaLite.read(spark, tbl).count() == 3)
+    // a NEW transaction version commits normally
+    DeltaLite.write(spark, Seq((9L, "new")).toDF("k", "v"), tbl,
+      "append", txn = Some(("app1", hwm + 1)))
+    assert(DeltaLite.read(spark, tbl).count() == 4)
+  }
+
   test("URL-encoded add paths decode (percent sequences, literal plus)") {
     assert(DeltaLite.decodePath("a%20b/part+1.parquet") == "a b/part+1.parquet")
     assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")

@@ -1240,11 +1240,14 @@ class GraftAppSpec extends AnyFunSuite {
           .replace("path: /data/delta/events",
             "path: /root/testdata/sf0.001/region.parquet"))
       GraftApp.build(spark, sinkOnly)
-      // STREAMING delta sinks still require the connector jar, loudly
+      // delta UPSERT sinks stay parquet-only (MERGE INTO is the
+      // connector's job) — loud either way
       val e2 = intercept[IllegalArgumentException](
-        GraftApp.build(spark, sinkOnly.copy(streaming = true,
-          sinks = sinkOnly.sinks.map(_.copy(mode = "append")))))
-      assert(e2.getMessage.contains("delta-spark"), e2.getMessage)
+        GraftApp.build(spark, sinkOnly.copy(
+          sinks = sinkOnly.sinks.map(_.copy(mode = "upsert",
+            keys = Seq("one"))))))
+      assert(e2.getMessage.contains("parquet only") ||
+        e2.getMessage.contains("delta-spark"), e2.getMessage)
       // streaming delta source: batch-only native reader, loud
       val e3 = intercept[Exception](GraftApp.runStreaming(spark,
         GraftConfigLoader.fromYaml(
