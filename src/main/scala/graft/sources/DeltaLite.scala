@@ -409,6 +409,60 @@ object DeltaLite {
     version
   }
 
+  /** Write a parquet CHECKPOINT of the current snapshot (protocol +
+    * metaData + txn + live add actions) and point `_last_checkpoint`
+    * at it — what keeps log replay bounded as commits accumulate (the
+    * reader seeds from the checkpoint and replays only newer JSON).
+    * Call every N commits, like delta-spark's checkpointInterval.
+    */
+  final case class CpAdd(path: String,
+      partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, dataChange: Boolean)
+  final case class CpMeta(id: String,
+      schemaString: String, partitionColumns: Seq[String],
+      configuration: Map[String, String], createdTime: Long)
+  final case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
+  final case class CpTxn(appId: String, version: Long, lastUpdated: Long)
+
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    import spark.implicits._
+    val snap = snapshot(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    val schemaEsc = snap.schema.json
+    val adds = snap.files.toSeq.map { case (p, pv) =>
+      (Option(CpAdd(p, pv.collect { case (k, Some(v)) => k -> v }, 0L, 1L,
+        true)), Option.empty[CpMeta], Option.empty[CpProto],
+        Option.empty[CpTxn])
+    }
+    val meta = Seq((Option.empty[CpAdd],
+      Option(CpMeta("graft", schemaEsc, snap.partitionColumns,
+        Map.empty[String, String], 1L)),
+      Option(CpProto(1, 2)), Option.empty[CpTxn]))
+    val txns = snap.txns.toSeq.map { case (a, v) =>
+      (Option.empty[CpAdd], Option.empty[CpMeta], Option.empty[CpProto],
+        Option(CpTxn(a, v, 1L)))
+    }
+    val df = (adds ++ meta ++ txns)
+      .toDF("add", "metaData", "protocol", "txn")
+    val stage = new Path(tablePath + "_ckstage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage)
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val target = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+    fs.delete(target, false)
+    require(fs.rename(part, target), s"checkpoint rename failed: $target")
+    fs.delete(stage, true)
+    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write(
+      s"""{"version":${snap.version},"size":${adds.size + 1 + txns.size}}"""
+        .getBytes("UTF-8"))
+    finally lc.close()
+    snap.version
+  }
+
   def changesBetween(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long, keyCols: Seq[String],
       seq: Long = 1L): DataFrame = {

@@ -279,6 +279,30 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, tbl).count() == 4)
   }
 
+  test("native checkpointing: the written checkpoint seeds the reader, " +
+      "later commits replay on top, txn high-water marks survive") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ckw").toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t,
+      txn = Some(("appX", 5L)))
+    assert(DeltaLite.checkpoint(spark, t) == 1L)
+    // post-checkpoint commit
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    // the reader must now seed from the checkpoint (delete the JSON
+    // commits it covers to PROVE the checkpoint is what's read)
+    val fsys = fs(t)
+    fsys.delete(new Path(t, "_delta_log/" + "0" * 20 + ".json"), false)
+    fsys.delete(new Path(t, "_delta_log/" + "0" * 19 + "1.json"), false)
+    val got = DeltaLite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 2L && snap.txns("appX") == 5L)
+    // a retried txn version is still skipped after checkpointing
+    DeltaLite.write(spark, Seq((9L, "dup")).toDF("k", "v"), t,
+      txn = Some(("appX", 5L)))
+    assert(DeltaLite.read(spark, t).count() == 3)
+  }
+
   test("URL-encoded add paths decode (percent sequences, literal plus)") {
     assert(DeltaLite.decodePath("a%20b/part+1.parquet") == "a b/part+1.parquet")
     assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")
