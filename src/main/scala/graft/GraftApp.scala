@@ -139,17 +139,25 @@ object GraftApp {
         s"unknown ${if (config.streaming) "streaming " else ""}sink mode ${sink.mode}")
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
       else if (sink.mode != "dummy" &&
-          !(!config.streaming && sink.format == "delta" &&
-            (sink.mode == "append" || sink.mode == "overwrite")))
+          !(sink.format == "delta" &&
+            (sink.mode == "upsert" ||
+              (config.streaming && sink.mode == "append") ||
+              (!config.streaming &&
+                (sink.mode == "append" || sink.mode == "overwrite")))))
+        // delta append/overwrite/upsert commit natively — no jar probe
         requireFormatAvailable(spark, sink.format, "sink")
       if (sink.mode == "upsert") {
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
-        // the upsert snapshot's crash-safe swap is parquet-layout-owned;
-        // a transactional format would bring its own MERGE INTO path
-        require(sink.format == "parquet",
-          s"upsert sink '${sink.table}' supports format parquet only " +
-            s"(got '${sink.format}'; delta upsert = MERGE INTO via the " +
-            "delta connector, not the snapshot-swap path)")
+        // parquet upserts use the crash-safe snapshot swap; delta
+        // upserts commit natively as copy-on-write MERGE (only files
+        // holding touched keys are rewritten — DeltaLite.upsert)
+        require(sink.format == "parquet" || sink.format == "delta",
+          s"upsert sink '${sink.table}' supports formats parquet|delta " +
+            s"(got '${sink.format}')")
+        require(sink.format != "delta" || sink.buckets.isEmpty,
+          s"upsert sink '${sink.table}': buckets: is the parquet " +
+            "snapshot's layout knob; delta bounds churn via per-file " +
+            "key stats instead")
       }
       // partition_by legality + column existence (run would fail at
       // write time with a deep AnalysisException; surface it here)
@@ -654,16 +662,18 @@ object GraftApp {
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
       else if (sink.mode != "dummy" &&
           !(sink.format == "delta" &&
-            (sink.mode == "append" || sink.mode == "overwrite")))
-        // batch append/overwrite delta sinks commit natively
-        // (DeltaLite.write) — no jar probe needed
+            (sink.mode == "append" || sink.mode == "overwrite" ||
+              sink.mode == "upsert")))
+        // batch append/overwrite/upsert delta sinks commit natively
+        // (DeltaLite.write / DeltaLite.upsert) — no jar probe needed
         requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout — reject a partition spec
       // instead of silently dropping it
       require(sink.partitionBy.isEmpty || sink.mode != "upsert",
         s"partition_by is not supported on upsert sinks (sink '${sink.table}')")
-      require(sink.mode != "upsert" || sink.format == "parquet",
-        s"upsert sink '${sink.table}' supports format parquet only")
+      require(sink.mode != "upsert" ||
+        sink.format == "parquet" || sink.format == "delta",
+        s"upsert sink '${sink.table}' supports formats parquet|delta")
       // zorder_by: cluster the batch write on the Morton key of 2-3
       // dimension columns so every file's min/max statistics prune
       // scans on ANY of them (operators.Layout); orthogonal to
@@ -733,6 +743,12 @@ object GraftApp {
               .withColumn(graft.cdc.ChangeModel.SeqCol,
                 org.apache.spark.sql.functions.monotonically_increasing_id()),
             sink.keys)
+          if (sink.format == "delta") {
+            // native copy-on-write MERGE: rewrites only the table files
+            // holding batch keys (per-file stats pruning), one atomic
+            // Delta commit — no jar needed
+            graft.sources.DeltaLite.upsert(spark, merged, sink.path, sink.keys)
+          } else
           // always the hash-bucketed layout the streaming sink
           // maintains (no `buckets:` = one bucket), so a later stream
           // can take over the snapshot without a layout migration and
@@ -777,16 +793,18 @@ object GraftApp {
       val ckpt = sink.checkpoint.getOrElse(sink.path + "_ckpt")
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
       else if (sink.mode != "dummy" &&
-          !(sink.format == "delta" && sink.mode == "append"))
-        // streaming delta APPEND commits natively with the txn
+          !(sink.format == "delta" &&
+            (sink.mode == "append" || sink.mode == "upsert")))
+        // streaming delta APPEND/UPSERT commit natively with the txn
         // exactly-once protocol; other delta modes keep the jar probe
         requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout (flat or key-hash buckets) —
       // a user partition spec would be silently unhonored, so reject it
       require(sink.partitionBy.isEmpty || sink.mode == "append",
         s"partition_by is only supported on append sinks (sink '${sink.table}')")
-      require(sink.mode != "upsert" || sink.format == "parquet",
-        s"upsert sink '${sink.table}' supports format parquet only")
+      require(sink.mode != "upsert" ||
+        sink.format == "parquet" || sink.format == "delta",
+        s"upsert sink '${sink.table}' supports formats parquet|delta")
       // streaming queries carry the sink table as their name so
       // listener progress / the /metrics endpoint label per sink
       val qn = Some(sink.table)
@@ -801,6 +819,12 @@ object GraftApp {
         case "append" => graft.sinks.Sinks.appendParquet(
           df, sink.path, ckpt, sink.partitionBy, sink.format, sink.options,
           queryName = qn)
+        case "upsert" if sink.format == "delta" =>
+          // native copy-on-write MERGE per micro-batch: terminal images
+          // replace, terminal deletes remove, only key-touched files
+          // rewrite; the txn protocol de-dups retried batches
+          graft.sinks.Sinks.upsertDelta(df, sink.keys, sink.path, ckpt,
+            appId = s"graft-${sink.table}", queryName = qn)
         case "upsert" => sink.buckets match {
           // buckets: opts into the O(batch)-per-microbatch bucketed
           // snapshot — the right choice once state outgrows one rewrite

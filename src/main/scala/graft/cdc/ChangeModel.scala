@@ -63,6 +63,29 @@ object ChangeModel {
       .withColumn(OpCol, lit(Insert))
   }
 
+  /** One FINAL row per key INCLUDING terminal deletes — unlike
+    * [[latestImages]], a key whose last change is a delete survives as
+    * a `_op = delete` row instead of vanishing. This is the split an
+    * external MERGE sink needs: `_op = insert` rows are the images to
+    * upsert, `_op = delete` rows are the keys to remove. (A terminal
+    * bare update_preimage — malformed without its postimage — also
+    * classifies as delete, the same treatment latestImages gives it.)
+    */
+  def latestRows(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val opRank = when(col(OpCol) === UpdatePost, 2)
+      .when(col(OpCol) === Insert, 2)
+      .otherwise(1)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, opRank.desc)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn(OpCol,
+        when(col(OpCol).isin(Insert, UpdatePost), lit(Insert))
+          .otherwise(lit(Delete)))
+  }
+
   /** Interpret a plain keyed table as a change stream of upserts plus
     * deletes flagged by `deleteWhen` — handy for replaying an
     * append-only log (e.g. the events table) through CDC operators.

@@ -3529,6 +3529,40 @@ object PipelineQueries {
       DeltaLite.read(s, tbl)
     },
 
+    // NATIVE DELTA COPY-ON-WRITE MERGE through the driver gate: build a
+    // two-file table (key-ranged commits), then one atomic upsert commit
+    // that REPLACES key 1, DELETES key 4, and INSERTS key 200 — only
+    // files whose per-file key stats intersect the batch range are
+    // rewritten (DeltaLite.upsert). The oracle states the merged table
+    // directly, so a wrong replace/delete/insert, a mis-pruned file, or
+    // a stats/commit bug all hash-mismatch. This is the reference's
+    // replace-by-key sink contract (ReplacingMergeTree semantics) as a
+    // Delta MERGE, with ZERO delta-spark involvement.
+    QueryDef("q130_delta_upsert",
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_regionkey NOT IN (1, 4)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS r_regionkey, 'MERGED' AS r_name
+        |UNION ALL
+        |SELECT CAST(200 AS BIGINT) AS r_regionkey, 'NEWKEY' AS r_name""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q130_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      DeltaLite.write(s, r.filter(col("r_regionkey") < 3).coalesce(1), tbl)
+      DeltaLite.write(s, r.filter(col("r_regionkey") >= 3).coalesce(1), tbl)
+      DeltaLite.upsert(s,
+        Seq((1L, "MERGED"), (200L, "NEWKEY")).toDF("r_regionkey", "r_name"),
+        tbl, Seq("r_regionkey"),
+        deleteKeys = Some(Seq(Tuple1(4L)).toDF("r_regionkey")))
+      DeltaLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -59,6 +59,49 @@ object Sinks {
       }
       .start()
 
+  /** Streaming keyed UPSERT into a NATIVE Delta table: each micro-batch
+    * collapses to one FINAL row per key (`ChangeModel.latestRows`, CDC
+    * `_op`/`_seq` respected when present) and merges copy-on-write in
+    * one atomic Delta commit — terminal images replace/insert, terminal
+    * deletes remove the key (MERGE's WHEN MATCHED DELETE), and only the
+    * table files holding touched keys are rewritten, located through
+    * the per-file stats index. The same `txn` idempotence protocol as
+    * [[appendDelta]] makes retried batches exactly-once.
+    */
+  def upsertDelta(changes: DataFrame, keyCols: Seq[String],
+      tablePath: String, checkpoint: String, appId: String,
+      queryName: Option[String] = None): StreamingQuery =
+    named(changes.writeStream, queryName)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit,
+          monotonically_increasing_id}
+        val Op = graft.cdc.ChangeModel.OpCol
+        val asChanges =
+          if (batch0.columns.contains(Op)) batch0
+          else batch0
+            .withColumn(Op, lit(graft.cdc.ChangeModel.Insert))
+            .withColumn(graft.cdc.ChangeModel.SeqCol,
+              monotonically_increasing_id())
+        val latest = graft.cdc.ChangeModel.latestRows(asChanges, keyCols)
+          .localCheckpoint() // one row per key, reused for both splits
+        val images = latest
+          .filter(col(Op) === graft.cdc.ChangeModel.Insert)
+          .drop(Op, graft.cdc.ChangeModel.SeqCol)
+        val dels = latest
+          .filter(col(Op) === graft.cdc.ChangeModel.Delete)
+          .select(keyCols.map(col): _*)
+        // an empty first micro-batch must not try to create the table
+        if (!latest.isEmpty)
+          graft.sources.DeltaLite.upsert(batch0.sparkSession, images,
+            tablePath, keyCols, txn = Some((appId, batchId)),
+            deleteKeys = Some(dels))
+        ()
+      }
+      .start()
+
   /** Keyed upsert sink: every microbatch merges the batch's changes
     * into a keyed parquet snapshot via latest-by-key reduction — the
     * PrimaryKeyLookupRecordWriter semantics (record_store.rs:48-87).

@@ -57,7 +57,12 @@ object DeltaLite {
         * (Delta's idempotent-writer protocol — streaming sinks dedup
         * retried micro-batches against this map).
         */
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      /** path → the add action's `stats` JSON (numRecords/minValues/
+        * maxValues/nullCount per the Delta spec) where present — the
+        * per-file pruning index [[upsert]] uses to bound MERGE churn.
+        */
+      stats: Map[String, String] = Map.empty)
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -136,6 +141,7 @@ object DeltaLite {
     var partCols: Seq[String] = Nil
     val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
     val txns = mutable.LinkedHashMap.empty[String, Long]
+    val stats = mutable.LinkedHashMap.empty[String, String]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -183,10 +189,15 @@ object DeltaLite {
           .foreach(r => txns(r.getString(0)) = r.getLong(1))
       }
       if (cols.contains("add")) {
-        ckpt.select("add")
-          .filter("add IS NOT NULL")
-          .select("add.path", "add.partitionValues")
-          .collect()
+        val hasStats = ckpt.select("add.*").columns.contains("stats")
+        val proj =
+          if (hasStats) ckpt.select("add")
+            .filter("add IS NOT NULL")
+            .select("add.path", "add.partitionValues", "add.stats")
+          else ckpt.select("add")
+            .filter("add IS NOT NULL")
+            .select("add.path", "add.partitionValues")
+        proj.collect()
           .foreach { r =>
             val path = decodePath(r.getString(0))
             val pv = Option(r.getJavaMap[String, String](1))
@@ -197,6 +208,7 @@ object DeltaLite {
               }
               .getOrElse(Map.empty[String, Option[String]])
             files(path) = pv
+            if (hasStats && !r.isNullAt(2)) stats(path) = r.getString(2)
           }
       }
     }
@@ -231,9 +243,13 @@ object DeltaLite {
           requireNoDv(a, p)
           files(p) = Option(a.get("partitionValues"))
             .map(partValues).getOrElse(Map.empty)
+          Option(a.get("stats")).filterNot(_.isNull)
+            .foreach(s => stats(p) = s.asText)
         }
         if (action.has("remove")) {
-          files.remove(decodePath(action.get("remove").get("path").asText))
+          val p = decodePath(action.get("remove").get("path").asText)
+          files.remove(p)
+          stats.remove(p)
           ()
         }
         if (action.has("txn")) {
@@ -245,7 +261,7 @@ object DeltaLite {
     val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(
         s"Delta log at $logDir carries no metaData action"))
-    Snapshot(schema, partCols, files.toMap, version, txns.toMap)
+    Snapshot(schema, partCols, files.toMap, version, txns.toMap, stats.toMap)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -321,16 +337,133 @@ object DeltaLite {
       case other => other
     }
 
+  /** Columns the per-file stats index covers: top-level atomics whose
+    * min/max render into JSON with a comparison that matches the column
+    * order (numbers numerically, strings and ISO dates
+    * lexicographically). Timestamps are skipped — format variance
+    * across writers; a column without stats simply never prunes.
+    */
+  private def statsEligible(f: org.apache.spark.sql.types.StructField): Boolean = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Stage `df` as parquet, compute per-file stats DISTRIBUTED (one
+    * groupBy over the staged data keyed by file name), then move the
+    * part files into the table root under their staged (collision-free)
+    * names. Returns (name, size, statsJson) per data file.
+    */
+  private def stageWithStats(spark: SparkSession, df: DataFrame,
+      root: Path, fs: FileSystem): Seq[(String, Long, String)] = {
+    import org.apache.spark.sql.functions.{col, count, element_at,
+      input_file_name, lit, max, min, split, sum}
+    val stage = new Path(root.toString + "_stage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    df.write.mode("overwrite").parquet(stage.toString)
+    val eligible = df.schema.fields.filter(statsEligible).toSeq
+    val staged = spark.read.schema(df.schema).parquet(stage.toString)
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+    val aggs = Seq(count(lit(1)).as("__n")) ++ eligible.flatMap { f =>
+      Seq(min(col(f.name)).as(s"__min__${f.name}"),
+        max(col(f.name)).as(s"__max__${f.name}"),
+        sum(col(f.name).isNull.cast("long")).as(s"__nc__${f.name}"))
+    }
+    val statsByName = staged.groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+        val node = mapper.createObjectNode()
+        node.put("numRecords", r.getAs[Long]("__n"))
+        val minN = node.putObject("minValues")
+        val maxN = node.putObject("maxValues")
+        val ncN = node.putObject("nullCount")
+        eligible.foreach { f =>
+          def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode,
+              v: Any): Unit = v match {
+            case null => ()
+            case b: Byte => tgt.put(f.name, b.toInt); ()
+            case s: Short => tgt.put(f.name, s.toInt); ()
+            case i: Int => tgt.put(f.name, i); ()
+            case l: Long => tgt.put(f.name, l); ()
+            case fl: Float if !fl.isNaN && !fl.isInfinite =>
+              tgt.put(f.name, fl); ()
+            case d: Double if !d.isNaN && !d.isInfinite =>
+              tgt.put(f.name, d); ()
+            case s: String => tgt.put(f.name, s); ()
+            case d: java.math.BigDecimal => tgt.put(f.name, d); ()
+            case d: java.sql.Date => tgt.put(f.name, d.toString); ()
+            case _ => () // NaN/Inf extremes: omit (never prunes)
+          }
+          put(minN, r.getAs[Any](s"__min__${f.name}"))
+          put(maxN, r.getAs[Any](s"__max__${f.name}"))
+          ncN.put(f.name, r.getAs[Long](s"__nc__${f.name}"))
+        }
+        r.getAs[String]("__file") -> mapper.writeValueAsString(node)
+      }.toMap
+    val moved = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val name = st.getPath.getName
+        require(fs.rename(st.getPath, new Path(root, name)),
+          s"staging move failed for $name")
+        (name, st.getLen,
+          statsByName.getOrElse(name, """{"numRecords":0}"""))
+      }.toIndexedSeq
+    fs.delete(stage, true)
+    moved
+  }
+
+  /** Put-if-absent claim of a commit version — the Delta commit rule.
+    * A concurrent writer loses the race LOUDLY instead of corrupting
+    * the log (single-attempt; retrying loops are the connector jar's
+    * job).
+    */
+  private def claimCommit(fs: FileSystem, logDir: Path, version: Long,
+      lines: Seq[String], tablePath: String): Unit = {
+    fs.mkdirs(logDir)
+    val commitPath = new Path(logDir, f"$version%020d.json")
+    val out =
+      try fs.create(commitPath, false)
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"commit $version already exists at $tablePath (concurrent " +
+            "writer?) — re-read and retry", e)
+      }
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def addAction(name: String, size: Long, stats: String,
+      now: Long): String = {
+    val stEsc = mapper.writeValueAsString(stats)
+    s"""{"add":{"path":"$name","partitionValues":{},""" +
+      s""""size":$size,"modificationTime":$now,"dataChange":true,""" +
+      s""""stats":$stEsc}}"""
+  }
+
+  private def txnAction(appId: String, v: Long, now: Long): String = {
+    val idEsc = mapper.writeValueAsString(appId)
+    s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""
+  }
+
+  private def removeAction(p: String, now: Long): String = {
+    val pEsc = mapper.writeValueAsString(p)
+    s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
+      """"dataChange":true}}"""
+  }
+
   /** Minimal native Delta WRITER — append or overwrite commits in the
     * public log format, so graft pipelines can EMIT delta-compatible
     * tables (readable by any Delta reader) without the connector jar.
-    *
-    * The commit uses Delta's actual protocol: the new version's JSON is
-    * claimed with a put-if-absent create, so a concurrent writer loses
-    * the race LOUDLY instead of corrupting the log (single-attempt;
-    * retrying loops are the connector jar's job). Unpartitioned tables,
-    * protocol (1, 2); `overwrite` emits remove actions for every live
-    * file plus the new adds — the snapshot-replace commit shape.
+    * Every add action carries spec-shaped `stats` (numRecords/
+    * minValues/maxValues/nullCount over stats-eligible columns) — the
+    * pruning index [[upsert]] and external readers' data skipping use.
+    * Unpartitioned tables, protocol (1, 2); `overwrite` emits remove
+    * actions for every live file plus the new adds — the
+    * snapshot-replace commit shape.
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
       mode: String = "append", txn: Option[(String, Long)] = None): Long = {
@@ -357,19 +490,7 @@ object DeltaLite {
         s"schema mismatch writing to $tablePath:\n table: ${s.schema.json}" +
           s"\n data:  ${df.schema.json}")
     }
-    // stage the data files, then move them in under fresh names
-    val stage = new Path(tablePath + "_stage_" +
-      java.util.UUID.randomUUID.toString.take(8))
-    df.write.mode("overwrite").parquet(stage.toString)
-    val moved = fs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map { st =>
-        val name = st.getPath.getName
-        require(fs.rename(st.getPath, new Path(root, name)),
-          s"staging move failed for $name")
-        (name, st.getLen)
-      }
-    fs.delete(stage, true)
+    val moved = stageWithStats(spark, df, root, fs)
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
     val lines = mutable.ArrayBuffer.empty[String]
@@ -381,31 +502,228 @@ object DeltaLite {
         s""""schemaString":$schemaEsc,"partitionColumns":[],""" +
         s""""configuration":{},"createdTime":$now}}"""
     }
-    txn.foreach { case (appId, v) =>
-      val idEsc = mapper.writeValueAsString(appId)
-      lines += s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""
-    }
+    txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
-      val pEsc = mapper.writeValueAsString(p)
-      lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
-        """"dataChange":true}}"""
+      lines += removeAction(p, now)
     })
-    moved.foreach { case (name, size) =>
-      lines += s"""{"add":{"path":"$name","partitionValues":{},""" +
-        s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
+    moved.foreach { case (name, size, st) =>
+      lines += addAction(name, size, st, now)
     }
-    fs.mkdirs(logDir)
-    val commitPath = new Path(logDir, f"$version%020d.json")
-    // put-if-absent claim of the version — the Delta commit rule
-    val out =
-      try fs.create(commitPath, false)
-      catch { case e: Exception =>
-        throw new IllegalStateException(
-          s"commit $version already exists at $tablePath (concurrent " +
-            "writer?) — re-read and retry", e)
+    claimCommit(fs, logDir, version, lines.toSeq, tablePath)
+    version
+  }
+
+  /** One file-pruning bound: a JSON stats value and a batch-side bound,
+    * comparable only when both are the same kind (number↔number via
+    * BigDecimal, text↔text lexicographically — correct for strings and
+    * the ISO date rendering). Mixed/missing kinds compare as unknown →
+    * the file stays a candidate (conservative).
+    */
+  private def cmpBounds(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      Some(x.compareTo(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def toBound(v: Any): Option[Any] = v match {
+    case null => None
+    case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
+    case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
+    case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+    case l: Long => Some(java.math.BigDecimal.valueOf(l))
+    case f: Float if !f.isNaN && !f.isInfinite =>
+      Some(new java.math.BigDecimal(f.toDouble))
+    case d: Double if !d.isNaN && !d.isInfinite =>
+      Some(new java.math.BigDecimal(d))
+    case d: java.math.BigDecimal => Some(d)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(d.toString)
+    case _ => None
+  }
+
+  /** The live files that COULD hold one of the batch's keys, by
+    * key-range intersection against each file's stats: a file whose
+    * [min,max] on some key column is disjoint from the batch's
+    * [min,max] on that column cannot contain any batch key (batch keys
+    * are non-null; file min/max cover non-null values). Files without
+    * stats — or with un-comparable bounds — always stay candidates.
+    * Exposed package-private for direct pruning tests.
+    */
+  private[graft] def pruneCandidates(snap: Snapshot,
+      batchRanges: Map[String, (Any, Any)])
+      : Map[String, Map[String, Option[String]]] =
+    snap.files.filter { case (p, _) =>
+      snap.stats.get(p) match {
+        case None => true
+        case Some(js) =>
+          val node =
+            try mapper.readTree(js)
+            catch { case _: Exception => null }
+          if (node == null) true
+          else {
+            def bound(section: String, c: String): Option[Any] =
+              Option(node.get(section)).flatMap(s => Option(s.get(c)))
+                .flatMap { v =>
+                  if (v.isNumber) Some(v.decimalValue())
+                  else if (v.isTextual) Some(v.asText)
+                  else None
+                }
+            val provablyDisjoint = batchRanges.exists {
+              case (c, (bMin, bMax)) =>
+                (for {
+                  fMin <- bound("minValues", c)
+                  fMax <- bound("maxValues", c)
+                  below <- cmpBounds(fMax, bMin)
+                  above <- cmpBounds(fMin, bMax)
+                } yield below < 0 || above > 0).getOrElse(false)
+            }
+            !provablyDisjoint
+          }
       }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    }
+
+  /** Keyed UPSERT (MERGE) into a native Delta table at O(touched
+    * files): each batch row replaces the live row with the same key, or
+    * inserts if the key is absent — the reference's ReplacingMergeTree
+    * sink contract expressed as Delta's copy-on-write MERGE commit
+    * (remove touched files + add their rewrites, one atomic version).
+    *
+    * The scale path is two-stage file restriction:
+    *  1. PRUNE by the per-file stats index the writer maintains —
+    *     candidate files must key-range-intersect the batch
+    *     ([[pruneCandidates]]); a key-clustered layout (range/z-order
+    *     writes) makes this O(churned range), not O(table).
+    *  2. RESOLVE the actually-touched set with one semi-join of the
+    *     candidate rows against the batch keys (reads candidates only).
+    * Untouched files are never read twice nor rewritten; rewrite volume
+    * is (touched rows − replaced rows) + batch. Batch keys must be
+    * distinct and non-null — replace-by-key needs one image per key,
+    * and violating that raises loudly rather than last-wins silently.
+    *
+    * `deleteKeys` (key columns only) removes those keys from the table
+    * in the same atomic commit — MERGE's WHEN MATCHED DELETE branch; a
+    * delete key absent from the table is a no-op, one present in
+    * `batch` too is a contract error (the collapse step upstream must
+    * decide). Empty batch + empty deletes is a no-op (no commit).
+    * Returns the table version.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, tablePath: String,
+      keyCols: Seq[String], txn: Option[(String, Long)] = None,
+      deleteKeys: Option[DataFrame] = None): Long = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit,
+      max, min, struct, sum, input_file_name}
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    keyCols.foreach(k => require(batch.columns.contains(k),
+      s"key column '$k' missing from the batch (${batch.columns.mkString(", ")})"))
+    deleteKeys.foreach(d => keyCols.foreach(k =>
+      require(d.columns.contains(k),
+        s"key column '$k' missing from deleteKeys (${d.columns.mkString(", ")})")))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+
+    // the keys this commit touches: batch keys to replace/insert plus
+    // delete keys to remove — pruning and touch detection use the union
+    val delKeysDf = deleteKeys.map(_.select(keyCols.map(col): _*))
+    val allKeysDf = delKeysDf
+      .map(batch.select(keyCols.map(col): _*).unionByName(_))
+      .getOrElse(batch.select(keyCols.map(col): _*))
+
+    // one pass over the touched-key set: sizes, key distinctness, null
+    // keys, and the per-column key ranges the pruning step needs. A key
+    // in both batch and deletes double-counts in __n vs __nd and trips
+    // the distinctness require — exactly the contract error it is.
+    val eligibleKeys = batch.schema.fields
+      .filter(f => keyCols.contains(f.name) && statsEligible(f)).toSeq
+    val aggs = Seq(count(lit(1)).as("__n"),
+      countDistinct(struct(keyCols.map(col): _*)).as("__nd"),
+      sum(keyCols.map(c => col(c).isNull.cast("long"))
+        .reduce(_ + _)).as("__nulls")) ++
+      eligibleKeys.flatMap(f => Seq(min(col(f.name)).as(s"__min__${f.name}"),
+        max(col(f.name)).as(s"__max__${f.name}")))
+    val r = allKeysDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getAs[Long]("__n")
+    if (n == 0) {
+      // no-op batch: no commit; version stays (or the table may not
+      // exist yet — creating an empty table from nothing is surprising)
+      return if (fs.exists(logDir)) snapshot(spark, tablePath).version
+      else throw new IllegalArgumentException(
+        s"upsert of an empty batch cannot create table $tablePath")
+    }
+    require(r.getAs[Long]("__nulls") == 0,
+      s"upsert batch carries ${r.getAs[Long]("__nulls")} null key cells " +
+        s"(keys ${keyCols.mkString(", ")}) — replace-by-key needs non-null keys")
+    require(r.getAs[Long]("__nd") == n,
+      s"upsert keys must be distinct across batch and deletes: $n key " +
+        s"rows but only ${r.getAs[Long]("__nd")} distinct keys — collapse " +
+        "the batch (e.g. ChangeModel.latestRows) before upserting")
+
+    if (!fs.exists(logDir)) return write(spark, batch, tablePath, "append", txn)
+    val snap = snapshot(spark, tablePath)
+    txn.foreach { case (appId, v) =>
+      if (snap.txns.get(appId).exists(_ >= v)) return snap.version
+    }
+    require(snap.partitionColumns.isEmpty,
+      "DeltaLite.upsert targets unpartitioned tables only")
+    require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
+      s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
+        s"\n data:  ${batch.schema.json}")
+
+    val batchRanges: Map[String, (Any, Any)] = eligibleKeys.flatMap { f =>
+      for {
+        lo <- toBound(r.getAs[Any](s"__min__${f.name}"))
+        hi <- toBound(r.getAs[Any](s"__max__${f.name}"))
+      } yield f.name -> (lo, hi)
+    }.toMap
+    val candidates = pruneCandidates(snap, batchRanges)
+
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    val relByPath: Map[String, String] = candidates.keys
+      .map(p => new Path(abs(p)).toUri.getPath -> p).toMap
+
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val cand = spark.read.schema(snap.schema)
+          .parquet(candidates.keys.map(abs).toIndexedSeq: _*)
+          .withColumn("__file", input_file_name())
+        cand.join(allKeysDf, keyCols, "left_semi")
+          .select("__file").distinct().collect()
+          .map { row =>
+            val uriPath = new Path(
+              new java.net.URI(row.getString(0))).toUri.getPath
+            relByPath.getOrElse(uriPath, throw new IllegalStateException(
+              s"semi-join returned unmapped file ${row.getString(0)}"))
+          }.toSet
+      }
+
+    // rewrite = retained rows of the touched files (neither replaced
+    // nor deleted) + the whole batch (rows with brand-new keys land in
+    // the same new files)
+    val out =
+      if (touched.isEmpty) batch.select(snap.schema.fieldNames.map(col)
+        .toIndexedSeq: _*)
+      else {
+        val touchedRows = spark.read.schema(snap.schema)
+          .parquet(touched.map(abs).toIndexedSeq: _*)
+        touchedRows
+          .join(allKeysDf, keyCols, "left_anti")
+          .unionByName(batch)
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    val moved = stageWithStats(spark, out, root, fs)
+    val now = 1L
+    val version = snap.version + 1
+    val lines = mutable.ArrayBuffer.empty[String]
+    txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
+    touched.toSeq.sorted.foreach(p => lines += removeAction(p, now))
+    moved.foreach { case (name, size, st) =>
+      lines += addAction(name, size, st, now)
+    }
+    claimCommit(fs, logDir, version, lines.toSeq, tablePath)
     version
   }
 
@@ -417,7 +735,8 @@ object DeltaLite {
     */
   final case class CpAdd(path: String,
       partitionValues: Map[String, String], size: Long,
-      modificationTime: Long, dataChange: Boolean)
+      modificationTime: Long, dataChange: Boolean,
+      stats: Option[String])
   final case class CpMeta(id: String,
       schemaString: String, partitionColumns: Seq[String],
       configuration: Map[String, String], createdTime: Long)
@@ -433,8 +752,8 @@ object DeltaLite {
     val schemaEsc = snap.schema.json
     val adds = snap.files.toSeq.map { case (p, pv) =>
       (Option(CpAdd(p, pv.collect { case (k, Some(v)) => k -> v }, 0L, 1L,
-        true)), Option.empty[CpMeta], Option.empty[CpProto],
-        Option.empty[CpTxn])
+        true, snap.stats.get(p))), Option.empty[CpMeta],
+        Option.empty[CpProto], Option.empty[CpTxn])
     }
     val meta = Seq((Option.empty[CpAdd],
       Option(CpMeta("graft", schemaEsc, snap.partitionColumns,

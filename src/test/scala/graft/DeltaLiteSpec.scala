@@ -303,6 +303,224 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, t).count() == 3)
   }
 
+  test("writer emits per-file stats; the snapshot carries them; " +
+      "pruning skips range-disjoint files") {
+    val t = java.nio.file.Files.createTempDirectory("delta_stats").toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.write(spark,
+      Seq((100L, "x"), (101L, "y"), (102L, "z")).toDF("k", "v").coalesce(1), t)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.files.size == 2 && snap.stats.size == 2, snap.files.keys)
+    // stats JSON is spec-shaped and typed
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val byMin = snap.stats.values.map(om.readTree).toSeq
+      .sortBy(_.get("minValues").get("k").asLong)
+    assert(byMin.head.get("numRecords").asLong == 3)
+    assert(byMin.head.get("minValues").get("k").asLong == 1 &&
+      byMin.head.get("maxValues").get("k").asLong == 3)
+    assert(byMin.head.get("minValues").get("v").asText == "a" &&
+      byMin.head.get("maxValues").get("v").asText == "c")
+    assert(byMin.head.get("nullCount").get("k").asLong == 0)
+    assert(byMin(1).get("minValues").get("k").asLong == 100)
+    // range pruning: a batch touching [2, 50] can only live in file 1
+    val one = java.math.BigDecimal.valueOf(2L)
+    val fifty = java.math.BigDecimal.valueOf(50L)
+    val cands = DeltaLite.pruneCandidates(snap, Map("k" -> ((one, fifty))))
+    assert(cands.size == 1, cands.keys)
+    val full = DeltaLite.pruneCandidates(snap,
+      Map("k" -> ((one, java.math.BigDecimal.valueOf(200L))))) // spans both
+    assert(full.size == 2)
+    // string bounds prune too (lexicographic, matching the column order)
+    val sCands = DeltaLite.pruneCandidates(snap, Map("v" -> (("a", "b"))))
+    assert(sCands.size == 1, sCands.keys)
+    // unknown column / missing stats: conservative (keeps everything)
+    assert(DeltaLite.pruneCandidates(snap,
+      Map("nope" -> ((one, fifty)))).size == 2)
+  }
+
+  test("upsert rewrites ONLY touched files (copy-on-write MERGE): " +
+      "updates replace, new keys insert, range-pruned files survive") {
+    val t = java.nio.file.Files.createTempDirectory("delta_upsert").toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.write(spark,
+      Seq((100L, "x"), (101L, "y"), (102L, "z")).toDF("k", "v").coalesce(1), t)
+    val before = DeltaLite.snapshot(spark, t)
+    val loFile = before.files.keys.find { p =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(before.stats(p)).get("minValues").get("k").asLong == 1
+    }.get
+    val hiFile = (before.files.keySet - loFile).head
+    // update k=2, insert k=50: batch range [2,50] is disjoint from the
+    // hi file's [100,102] — that file must NOT be rewritten
+    val v = DeltaLite.upsert(spark,
+      Seq((2L, "B!"), (50L, "new")).toDF("k", "v"), t, Seq("k"))
+    assert(v == 2L)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B!"), (3L, "c"), (50L, "new"),
+        (100L, "x"), (101L, "y"), (102L, "z")))
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.files.contains(hiFile),
+      "range-disjoint file was rewritten — pruning failed")
+    assert(!after.files.contains(loFile), "touched file was not replaced")
+    // upsert with NO touched file (all-new keys) appends without removes
+    val v2 = DeltaLite.upsert(spark,
+      Seq((7777L, "n")).toDF("k", "v"), t, Seq("k"))
+    assert(v2 == 3L)
+    val after2 = DeltaLite.snapshot(spark, t)
+    assert(after.files.keySet.subsetOf(after2.files.keySet),
+      "all-new-keys upsert must not remove any file")
+    assert(DeltaLite.read(spark, t).count() == 8)
+    // upsert creates the table when absent
+    val t2 = java.nio.file.Files.createTempDirectory("delta_upsert2")
+      .toString + "/tbl"
+    assert(DeltaLite.upsert(spark,
+      Seq((1L, "a")).toDF("k", "v"), t2, Seq("k")) == 0L)
+    assert(DeltaLite.read(spark, t2).count() == 1)
+  }
+
+  test("upsert contract: duplicate keys, null keys, schema drift, and " +
+      "empty-batch-create all raise; txn retries are skipped") {
+    val t = java.nio.file.Files.createTempDirectory("delta_upsert3").toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val eDup = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((5L, "x"), (5L, "y")).toDF("k", "v"), t, Seq("k")))
+    assert(eDup.getMessage.contains("distinct"), eDup.getMessage)
+    val eNull = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((Option(5L), "x"), (Option.empty[Long], "y")).toDF("k", "v"),
+      t, Seq("k")))
+    assert(eNull.getMessage.contains("null key"), eNull.getMessage)
+    val eSchema = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((5L, 6L)).toDF("k", "n"), t, Seq("k")))
+    assert(eSchema.getMessage.contains("schema mismatch"), eSchema.getMessage)
+    val eKey = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((5L, "x")).toDF("k", "v"), t, Seq("missing")))
+    assert(eKey.getMessage.contains("missing"), eKey.getMessage)
+    // empty batch: no-op on an existing table, refuses to create one
+    val vBefore = DeltaLite.snapshot(spark, t).version
+    assert(DeltaLite.upsert(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), t, Seq("k")) == vBefore)
+    assert(DeltaLite.snapshot(spark, t).version == vBefore)
+    intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"),
+      java.nio.file.Files.createTempDirectory("delta_e").toString + "/nope",
+      Seq("k")))
+    // txn protocol: a retried (appId, version) is skipped exactly like
+    // the append sink's
+    val hwmV = DeltaLite.upsert(spark, Seq((2L, "B")).toDF("k", "v"), t,
+      Seq("k"), txn = Some(("up1", 10L)))
+    assert(DeltaLite.upsert(spark, Seq((2L, "DUP")).toDF("k", "v"), t,
+      Seq("k"), txn = Some(("up1", 10L))) == hwmV)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet
+      .contains((2L, "B")))
+  }
+
+  test("upsert deletes remove keys atomically with the merge; " +
+      "latestRows splits terminal images from terminal deletes") {
+    val t = java.nio.file.Files.createTempDirectory("delta_del").toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.write(spark,
+      Seq((100L, "x"), (101L, "y")).toDF("k", "v").coalesce(1), t)
+    // one commit: replace k=1, delete k=3, insert k=5 — the far file
+    // [100,101] is range-disjoint from [1,5] and must survive untouched
+    val before = DeltaLite.snapshot(spark, t)
+    val farFile = before.files.keys.find { p =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(before.stats(p)).get("minValues").get("k").asLong == 100
+    }.get
+    DeltaLite.upsert(spark,
+      Seq((1L, "A"), (5L, "e")).toDF("k", "v"), t, Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("k")))
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "b"), (5L, "e"), (100L, "x"), (101L, "y")))
+    assert(DeltaLite.snapshot(spark, t).files.contains(farFile))
+    // a key in BOTH batch and deletes is a contract error
+    val eBoth = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((7L, "x")).toDF("k", "v"), t, Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(7L)).toDF("k"))))
+    assert(eBoth.getMessage.contains("distinct"), eBoth.getMessage)
+    // deleting an absent key is a MERGE no-op
+    DeltaLite.upsert(spark, Seq((2L, "B")).toDF("k", "v"), t, Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(999L)).toDF("k")))
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "B"), (5L, "e"), (100L, "x"), (101L, "y")))
+
+    // latestRows: the split the sink feeds from
+    import graft.cdc.ChangeModel
+    val changes = Seq(
+      (1L, "a", "insert", 1L), (1L, "A", "update_postimage", 2L),
+      (2L, "b", "insert", 1L), (2L, "b", "delete", 3L),
+      (3L, "c", "insert", 4L)).toDF("k", "v", "_op", "_seq")
+    val latest = ChangeModel.latestRows(changes, Seq("k"))
+    val byKey = latest.select("k", "v", "_op").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byKey == Map(1L -> (("A", "insert")), 2L -> (("b", "delete")),
+      3L -> (("c", "insert"))))
+  }
+
+  test("streaming upsert sink: CDC micro-batches merge copy-on-write " +
+      "with deletes, exactly-once across restart") {
+    val base = java.nio.file.Files.createTempDirectory("delta_ustream").toString
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val src = s"$base/src"
+    val schema = Seq((1L, "a", "insert", 1L)).toDF("k", "v", "_op", "_seq").schema
+    Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 2L),
+      (3L, "c", "insert", 3L)).toDF("k", "v", "_op", "_seq")
+      .write.mode("overwrite").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = graft.sinks.Sinks.upsertDelta(stream, Seq("k"), tbl, ckpt,
+        "uapp1")
+      assert(q.awaitTermination(120000), "stream timed out")
+    }
+    run()
+    assert(DeltaLite.read(spark, tbl).select("k", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // restart with an update + a delete: the checkpoint resumes the
+    // source, the merge replaces k=1 and removes k=2
+    Seq((1L, "A!", "update_postimage", 10L), (2L, "b", "delete", 11L))
+      .toDF("k", "v", "_op", "_seq").write.mode("append").parquet(src)
+    run()
+    assert(DeltaLite.read(spark, tbl).select("k", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "A!"), (3L, "c")))
+    // re-running with nothing new is a no-op (txn + checkpoint)
+    val vBefore = DeltaLite.snapshot(spark, tbl).version
+    run()
+    assert(DeltaLite.snapshot(spark, tbl).version == vBefore)
+  }
+
+  test("checkpoint preserves stats: pruning still works when the state " +
+      "is seeded from the checkpoint") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ckstats").toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.write(spark,
+      Seq((100L, "x")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.checkpoint(spark, t)
+    // drop the JSON commits the checkpoint covers: stats must now come
+    // from the checkpoint parquet itself
+    val fsys = fs(t)
+    fsys.delete(new Path(t, "_delta_log/" + "0" * 20 + ".json"), false)
+    fsys.delete(new Path(t, "_delta_log/" + "0" * 19 + "1.json"), false)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.stats.size == 2, snap.stats)
+    val two = java.math.BigDecimal.valueOf(2L)
+    assert(DeltaLite.pruneCandidates(snap,
+      Map("k" -> ((two, two)))).size == 1)
+    // and upsert over checkpoint-seeded state keeps the far file intact
+    val farFile = snap.files.keys.find { p =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(snap.stats(p)).get("minValues").get("k").asLong == 100
+    }.get
+    DeltaLite.upsert(spark, Seq((2L, "B")).toDF("k", "v"), t, Seq("k"))
+    assert(DeltaLite.snapshot(spark, t).files.contains(farFile))
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (100L, "x")))
+  }
+
   test("URL-encoded add paths decode (percent sequences, literal plus)") {
     assert(DeltaLite.decodePath("a%20b/part+1.parquet") == "a b/part+1.parquet")
     assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")

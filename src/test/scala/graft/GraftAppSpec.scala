@@ -1240,14 +1240,16 @@ class GraftAppSpec extends AnyFunSuite {
           .replace("path: /data/delta/events",
             "path: /root/testdata/sf0.001/region.parquet"))
       GraftApp.build(spark, sinkOnly)
-      // delta UPSERT sinks stay parquet-only (MERGE INTO is the
-      // connector's job) — loud either way
+      // delta UPSERT sinks commit natively too (copy-on-write MERGE) —
+      // build passes; `buckets:` is the parquet layout knob and refuses
+      GraftApp.build(spark, sinkOnly.copy(
+        sinks = sinkOnly.sinks.map(_.copy(mode = "upsert",
+          keys = Seq("one")))))
       val e2 = intercept[IllegalArgumentException](
         GraftApp.build(spark, sinkOnly.copy(
           sinks = sinkOnly.sinks.map(_.copy(mode = "upsert",
-            keys = Seq("one"))))))
-      assert(e2.getMessage.contains("parquet only") ||
-        e2.getMessage.contains("delta-spark"), e2.getMessage)
+            keys = Seq("one"), buckets = Some(4))))))
+      assert(e2.getMessage.contains("buckets"), e2.getMessage)
       // streaming delta source: batch-only native reader, loud
       val e3 = intercept[Exception](GraftApp.runStreaming(spark,
         GraftConfigLoader.fromYaml(
@@ -1338,6 +1340,28 @@ class GraftAppSpec extends AnyFunSuite {
          |""".stripMargin))
     assert(graft.sources.DeltaLite.read(spark, s"$t2/tbl").count() == 1)
     assert(graft.sources.DeltaLite.snapshot(spark, s"$t2/tbl").version == 1L)
+    // delta UPSERT sink: the second run's batch MERGEs by key instead
+    // of replacing — copy-on-write commit from config alone
+    val t3 = java.nio.file.Files.createTempDirectory("delta_up").toString
+    def upCfg(sql: String) = GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: dt
+         |    path: $t
+         |    format: delta
+         |sql: $sql;
+         |sinks:
+         |  - table: o
+         |    path: $t3/tbl
+         |    mode: upsert
+         |    format: delta
+         |    keys: [k]
+         |""".stripMargin)
+    runBatch(spark, upCfg("SELECT k, v INTO o FROM dt"))
+    runBatch(spark,
+      upCfg("SELECT k, upper(v) AS v INTO o FROM dt WHERE k >= 2"))
+    assert(graft.sources.DeltaLite.read(spark, s"$t3/tbl")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "C")))
   }
 
   test("dozer !Grpc connection: gRPC-over-HTTP/2 ingest to sink through " +
