@@ -50,7 +50,12 @@ object JsMini {
   final class VArr(val items: mutable.ArrayBuffer[V]) extends V
   final case class VFun(params: Seq[String], body: Seq[Stmt], closure: Env,
       name: String, arrow: Boolean = false,
-      home: Option[VClass] = None, gen: Boolean = false) extends V
+      home: Option[VClass] = None, gen: Boolean = false,
+      /** Per-parameter default expressions (ES2015): applied when the
+        * call site passes `undefined` (or nothing), evaluated left to
+        * right with earlier parameters in scope. Empty = no defaults.
+        */
+      defaults: Seq[Option[Expr]] = Nil) extends V
 
   /** A generator instance (`function*` call). EAGER SUBSET SEMANTICS,
     * documented: the body runs TO COMPLETION on first consumption,
@@ -118,7 +123,8 @@ object JsMini {
   final case class EArr(items: Seq[Expr]) extends Expr
   final case class EObj(fields: Seq[(String, Expr)]) extends Expr
   final case class EFun(params: Seq[String], body: Seq[Stmt], name: String,
-      arrow: Boolean = false, gen: Boolean = false) extends Expr
+      arrow: Boolean = false, gen: Boolean = false,
+      defaults: Seq[Option[Expr]] = Nil) extends Expr
   /** `yield x` / `yield* iterable` (generator bodies only). */
   final case class EYield(e: Expr, delegate: Boolean) extends Expr
   /** `class Name extends Parent { constructor(){} m(){} static s(){} }` */
@@ -568,15 +574,18 @@ object JsMini {
       val name = if (at("ident")) eat("ident").text else ""
       eat("(")
       val params = mutable.ArrayBuffer.empty[String]
+      val defaults = mutable.ArrayBuffer.empty[Option[Expr]]
       while (!at(")")) {
         params += eat("ident").text
+        defaults += (if (opt("=")) Some(assignExpr()) else None)
         if (!at(")")) eat(",")
       }
       eat(")")
       val saved = genDepth
       genDepth = if (isGen) genDepth + 1 else 0
       val body = try block() finally genDepth = saved
-      EFun(params.toSeq, body, name, gen = isGen)
+      EFun(params.toSeq, body, name, gen = isGen,
+        defaults = defaults.toSeq)
     }
 
     /** `class Name [extends Expr] { constructor/methods/static methods }`.
@@ -610,15 +619,18 @@ object JsMini {
           val mname = t.text
           eat("(")
           val params = mutable.ArrayBuffer.empty[String]
+          val defaults = mutable.ArrayBuffer.empty[Option[Expr]]
           while (!at(")")) {
             params += eat("ident").text
+            defaults += (if (opt("=")) Some(assignExpr()) else None)
             if (!at(")")) eat(",")
           }
           eat(")")
           val saved = genDepth
           genDepth = 0 // methods are non-generator in this subset
           val mbody = try block() finally genDepth = saved
-          val fn = EFun(params.toSeq, mbody, mname)
+          val fn = EFun(params.toSeq, mbody, mname,
+            defaults = defaults.toSeq)
           if (!isStatic && mname == "constructor") ctor = Some(fn)
           else if (isStatic) statics += ((mname, fn))
           else methods += ((mname, fn))
@@ -753,14 +765,15 @@ object JsMini {
       e
     }
 
-    private def arrowFrom(params: Seq[String]): Expr = {
+    private def arrowFrom(params: Seq[String],
+        defaults: Seq[Option[Expr]] = Nil): Expr = {
       eat("=>")
       val saved = genDepth
       genDepth = 0 // arrows are never generators; yield can't cross in
       val body: Seq[Stmt] =
         try { if (at("{")) block() else Seq(SReturn(Some(assignExpr()))) }
         finally genDepth = saved
-      EFun(params, body, "", arrow = true)
+      EFun(params, body, "", arrow = true, defaults = defaults)
     }
 
     /** Binding pattern for destructuring declarations. */
@@ -838,19 +851,27 @@ object JsMini {
           val save = pos
           pos += 1
           val params = mutable.ArrayBuffer.empty[String]
+          val defaults = mutable.ArrayBuffer.empty[Option[Expr]]
           var isArrow = true
-          if (!at(")")) {
-            var more = true
-            while (more && isArrow) {
-              if (at("ident")) {
-                params += peek.text; pos += 1
-                if (at(",")) { pos += 1 } else more = false
-              } else isArrow = false
+          // tentative: `(a, b = expr) =>` — a failed default parse or a
+          // missing `=>` after `)` backtracks to a parenthesized
+          // expression (`(a = 1)` alone is an assignment, not params)
+          try {
+            if (!at(")")) {
+              var more = true
+              while (more && isArrow) {
+                if (at("ident")) {
+                  params += peek.text; pos += 1
+                  defaults +=
+                    (if (at("=")) { pos += 1; Some(assignExpr()) } else None)
+                  if (at(",")) { pos += 1 } else more = false
+                } else isArrow = false
+              }
             }
-          }
+          } catch { case _: JsSyntaxError => isArrow = false }
           if (isArrow && at(")") && toks(pos + 1).kind == "=>") {
             pos += 1
-            arrowFrom(params.toSeq)
+            arrowFrom(params.toSeq, defaults.toSeq)
           } else {
             pos = save
             eat("(")
@@ -1135,7 +1156,14 @@ object JsMini {
         fn.home.flatMap(_.parent).getOrElse(VUndef: V))
     }
     fn.params.zipWithIndex.foreach { case (p, i) =>
-      env.declare(p, if (i < args.length) args(i) else VUndef)
+      val provided = if (i < args.length) args(i) else VUndef
+      val v =
+        if (provided == VUndef)
+          // ES default semantics: missing OR explicit undefined takes
+          // the default, evaluated with earlier params already bound
+          fn.defaults.lift(i).flatten.map(eval(_, env)).getOrElse(VUndef)
+        else provided
+      env.declare(p, v)
     }
     try { fn.body.foreach(exec(_, env)); VUndef }
     catch { case r: ReturnSignal => r.value }
@@ -1288,7 +1316,8 @@ object JsMini {
     case SContinue => throw ContinueSignal
     case SFunDecl(name, fn) =>
       env.declare(name,
-        VFun(fn.params, fn.body, env, name, fn.arrow, gen = fn.gen))
+        VFun(fn.params, fn.body, env, name, fn.arrow, gen = fn.gen,
+          defaults = fn.defaults))
     case SClassDecl(name, cls) =>
       env.declare(name, eval(cls, env))
     case SBlock(body) =>
@@ -1320,8 +1349,8 @@ object JsMini {
       "spread is only valid in array literals and call arguments")
     case EObj(fields) =>
       new VObj(mutable.LinkedHashMap(fields.map { case (k, v) => k -> eval(v, env) }: _*))
-    case EFun(params, body, name, arrow, gen) =>
-      VFun(params, body, env, name, arrow, gen = gen)
+    case EFun(params, body, name, arrow, gen, defaults) =>
+      VFun(params, body, env, name, arrow, gen = gen, defaults = defaults)
     case EYield(x, delegate) =>
       yieldSinks.get.headOption match {
         case Some(sink) =>
@@ -1339,7 +1368,8 @@ object JsMini {
       }
       val k = new VClass(name, parent)
       def bind(f: EFun): VFun =
-        VFun(f.params, f.body, env, f.name, arrow = false, home = Some(k))
+        VFun(f.params, f.body, env, f.name, arrow = false, home = Some(k),
+          defaults = f.defaults)
       k.ctor = ctorE.map(bind)
       k.methods = methodsE.map { case (n, f) => n -> bind(f) }.toMap
       k.statics = staticsE.map { case (n, f) => n -> bind(f) }.toMap

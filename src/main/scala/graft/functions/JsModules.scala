@@ -17,10 +17,15 @@ import org.apache.spark.sql.SparkSession
   * filesystem, so cluster submission works unchanged (conceptually what
   * deno bundling/eszip does for deploy).
   *
-  * Documented deltas from the reference loader: no network fetch (the
+  * TypeScript modules (`.ts`/`.mts`) transpile at load via
+  * [[TsStrip]] — position-preserving type erasure, the same
+  * media-type dispatch the reference loader does with swc
+  * (mod.rs:101-141: extension decides transpilation). `.tsx`/`.jsx`
+  * stay rejected (no JSX in the subset).
+  *
+  * Documented delta from the reference loader: no network fetch (the
   * zero-egress rule — [[JsMini.resolveSpecifier]] rejects URL schemes
-  * loudly) and no TypeScript transpile (only `.js`/`.mjs` modules; a
-  * `.ts` import names the missing capability in its error).
+  * loudly); modules must be vendored locally.
   */
 object JsModules {
 
@@ -50,15 +55,18 @@ object JsModules {
 
     def visit(key: String): Unit =
       if (!sources.contains(key)) {
-        val src = read(new org.apache.hadoop.fs.Path(baseDir, key))
+        if (key.endsWith(".tsx") || key.endsWith(".jsx"))
+          throw new JsMini.JsSyntaxError(
+            s"module '$key': JSX is outside the JsMini subset " +
+              "(TsStrip erases types only)")
+        val raw = read(new org.apache.hadoop.fs.Path(baseDir, key))
+        // media-type dispatch (ts_module_loader/mod.rs:101-141 parity):
+        // .ts/.mts transpile by type erasure; everything else is JS
+        val src =
+          if (key.endsWith(".ts") || key.endsWith(".mts")) TsStrip.strip(raw)
+          else raw
         sources(key) = src
         JsMini.moduleImports(src).foreach { spec =>
-          if (spec.endsWith(".ts") || spec.endsWith(".tsx") ||
-              spec.endsWith(".mts"))
-            throw new JsMini.JsSyntaxError(
-              s"import '$spec' (from '$key'): TypeScript modules are not " +
-                "supported (the JsMini subset has no transpiler); ship " +
-                "the transpiled .js next to the script")
           visit(JsMini.resolveSpecifier(spec, key))
         }
       }

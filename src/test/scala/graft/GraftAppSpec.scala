@@ -1098,6 +1098,49 @@ class GraftAppSpec extends AnyFunSuite {
     out.foreach { case (id, sq) => assert(sq == docs(id) * docs(id) + 7) }
   }
 
+  test("config-declared TYPESCRIPT UDF: .ts entry imports a .ts helper, " +
+      "transpiled by type erasure at registration (the reference " +
+      "loader's swc seam)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts_mod").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/lib"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/lib/math.ts"),
+      """export interface Scored { base: number; }
+        |export const OFFSET: number = 7;
+        |export function square(x: number): number { return x * x; }""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/scorer.ts"),
+      """import { type Scored, square, OFFSET } from './lib/math.ts';
+        |export default function (input: number): number {
+        |    const s = { base: square(input) } as Scored;
+        |    return s.base + OFFSET;
+        |}""".stripMargin)
+    val yaml =
+      s"""sources:
+         |  - name: docs
+         |    path: /root/testdata/sf0.001/documents.parquet
+         |udfs:
+         |  - name: tscorer
+         |    config: !JavaScript
+         |      module: $tmp/scorer.ts
+         |sql: |
+         |  SELECT doc_id, CAST(tscorer(n_chars) AS BIGINT) AS sq INTO out1 FROM docs;
+         |sinks:
+         |  - table: out1
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val out = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id", $"sq").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, sq) => assert(sq == docs(id) * docs(id) + 7) }
+  }
+
   test("JavaScript ingestion bootstrap may import helper modules " +
       "(bundled through the same loader)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_js_boot").toString

@@ -170,6 +170,31 @@ class JsMiniSpec extends AnyFunSuite {
     assert(run(m, arr(VNum(1), VNum(2), VNum(3))) == VNum(36))
   }
 
+  test("default parameters: functions, arrows, methods; explicit " +
+      "undefined takes the default; earlier params are in scope; " +
+      "`(a = 1)` alone stays an assignment expression") {
+    val m =
+      """function f(a, b = a + 1, c = 2) { return a + b + c; }
+        |const g = (x = 5, y = x * 2) => x + y;
+        |class K {
+        |  constructor(n = 3) { this.n = n; }
+        |  bump(by = 10) { return this.n + by; }
+        |}
+        |export default function (arg) {
+        |  let a = 0;
+        |  const paren = (a = 9); // assignment, NOT an arrow param list
+        |  const viaUndef = f(1, undefined, undefined);
+        |  return [f(1), g(), new K().bump(), new K(7).bump(1),
+        |    viaUndef, paren, a, f(arg, 100)];
+        |}""".stripMargin
+    val got = run(m, VNum(4)) match {
+      case a: graft.functions.JsMini.VArr => a.items.toSeq
+      case other => fail(s"expected array, got $other")
+    }
+    assert(got == Seq(VNum(5), VNum(15), VNum(13), VNum(8),
+      VNum(5), VNum(9), VNum(9), VNum(106)))
+  }
+
   test("string prototype surface") {
     val m =
       """export default function (s) {
