@@ -143,21 +143,29 @@ object GraftApp {
             (sink.mode == "upsert" ||
               (config.streaming && sink.mode == "append") ||
               (!config.streaming &&
-                (sink.mode == "append" || sink.mode == "overwrite")))))
-        // delta append/overwrite/upsert commit natively — no jar probe
+                (sink.mode == "append" || sink.mode == "overwrite")))) &&
+          !(sink.format == "iceberg" && !config.streaming &&
+            (sink.mode == "append" || sink.mode == "overwrite" ||
+              sink.mode == "upsert")))
+        // delta/iceberg batch commits are native — no jar probe
         requireFormatAvailable(spark, sink.format, "sink")
       if (sink.mode == "upsert") {
         require(sink.keys.nonEmpty, s"upsert sink '${sink.table}' needs keys")
         // parquet upserts use the crash-safe snapshot swap; delta
         // upserts commit natively as copy-on-write MERGE (only files
-        // holding touched keys are rewritten — DeltaLite.upsert)
-        require(sink.format == "parquet" || sink.format == "delta",
-          s"upsert sink '${sink.table}' supports formats parquet|delta " +
+        // holding touched keys are rewritten — DeltaLite.upsert);
+        // iceberg upserts commit natively as merge-on-read (position
+        // deletes + batch data in one snapshot — IcebergLite.upsert)
+        require(sink.format == "parquet" || sink.format == "delta" ||
+          (sink.format == "iceberg" && !config.streaming),
+          s"upsert sink '${sink.table}' supports formats parquet|delta" +
+            s"${if (config.streaming) "" else "|iceberg"} " +
             s"(got '${sink.format}')")
-        require(sink.format != "delta" || sink.buckets.isEmpty,
+        require((sink.format != "delta" && sink.format != "iceberg") ||
+          sink.buckets.isEmpty,
           s"upsert sink '${sink.table}': buckets: is the parquet " +
-            "snapshot's layout knob; delta bounds churn via per-file " +
-            "key stats instead")
+            s"snapshot's layout knob; ${sink.format} bounds churn " +
+            "through its own metadata instead")
       }
       // partition_by legality + column existence (run would fail at
       // write time with a deep AnalysisException; surface it here)
@@ -404,22 +412,30 @@ object GraftApp {
             .lookupDataSource(format, spark.sessionState.conf)
           true
         } catch { case _: Exception => false }
-      // delta SOURCES read natively without the jar since round 11
-      // (DeltaLite snapshot reader over the public log format); sinks
-      // and advanced tables still need delta-spark
-      if (!ok && !(format == "delta" && what == "source"))
+      // delta and iceberg SOURCES read natively without the jar since
+      // round 11 (DeltaLite/IcebergLite snapshot readers over the
+      // public formats); advanced tables still need the connector jars
+      if (!ok && !((format == "delta" || format == "iceberg") &&
+          what == "source"))
         throw new IllegalArgumentException(
           s"$what format '$format' has no DataSource on the classpath" +
             (if (format == "delta")
               " — add the delta-spark connector jars (io.delta:delta-spark" +
                 " matching this Spark version) or switch the config to parquet"
+            else if (format == "iceberg")
+              " — add the iceberg-spark-runtime jar matching this Spark " +
+                "version or switch the config to parquet"
             else ""))
     }
 
   private[graft] def deltaSourceAvailable(spark: SparkSession): Boolean =
+    formatOnClasspath(spark, "delta")
+
+  private[graft] def formatOnClasspath(spark: SparkSession,
+      format: String): Boolean =
     try {
       org.apache.spark.sql.execution.datasources.DataSource
-        .lookupDataSource("delta", spark.sessionState.conf)
+        .lookupDataSource(format, spark.sessionState.conf)
       true
     } catch { case _: Exception => false }
 
@@ -610,6 +626,14 @@ object GraftApp {
               "snapshot (reference connector parity); add the " +
               "delta-spark jars for streaming reads")
           graft.sources.DeltaLite.read(spark, s.path)
+        } else if (s.format == "iceberg" && !formatOnClasspath(spark, "iceberg")) {
+          // no iceberg-spark runtime: the NATIVE snapshot reader over
+          // the public table-format spec (metadata json → avro
+          // manifests → parquet scan, position deletes applied).
+          if (streaming) throw new IllegalArgumentException(
+            s"source '${s.name}': the native Iceberg reader is a batch " +
+              "snapshot; add the iceberg-spark runtime for streaming reads")
+          graft.sources.IcebergLite.read(spark, s.path)
         } else if (streaming) {
           val schema = s.schema.getOrElse(spark.read.format(s.format)
             .options(s.options).load(s.path).schema) // infer from existing files
@@ -661,19 +685,20 @@ object GraftApp {
           s"sink references unknown output table '${sink.table}'"))
       if (sink.mode == "jdbc") requireJdbcAvailable(sink)
       else if (sink.mode != "dummy" &&
-          !(sink.format == "delta" &&
+          !((sink.format == "delta" || sink.format == "iceberg") &&
             (sink.mode == "append" || sink.mode == "overwrite" ||
               sink.mode == "upsert")))
-        // batch append/overwrite/upsert delta sinks commit natively
-        // (DeltaLite.write / DeltaLite.upsert) — no jar probe needed
+        // batch append/overwrite/upsert delta AND iceberg sinks commit
+        // natively (DeltaLite / IcebergLite) — no jar probe needed
         requireFormatAvailable(spark, sink.format, "sink")
       // upsert snapshots own their layout — reject a partition spec
       // instead of silently dropping it
       require(sink.partitionBy.isEmpty || sink.mode != "upsert",
         s"partition_by is not supported on upsert sinks (sink '${sink.table}')")
       require(sink.mode != "upsert" ||
-        sink.format == "parquet" || sink.format == "delta",
-        s"upsert sink '${sink.table}' supports formats parquet|delta")
+        sink.format == "parquet" || sink.format == "delta" ||
+        sink.format == "iceberg",
+        s"upsert sink '${sink.table}' supports formats parquet|delta|iceberg")
       // zorder_by: cluster the batch write on the Morton key of 2-3
       // dimension columns so every file's min/max statistics prune
       // scans on ANY of them (operators.Layout); orthogonal to
@@ -717,6 +742,18 @@ object GraftApp {
               "unpartitioned tables")
           graft.sources.DeltaLite.write(spark, df, sink.path, sink.mode)
           ()
+        case "append" | "overwrite"
+            if sink.format == "iceberg" &&
+              !formatOnClasspath(spark, "iceberg") =>
+          // native Iceberg COMMITS without the jar (IcebergLite.write;
+          // format-version 2, unpartitioned, put-if-absent metadata
+          // claim). partition_by/zorder_by need the runtime's layout.
+          require(sink.partitionBy.isEmpty && sink.zorderBy.isEmpty,
+            s"iceberg sink '${sink.table}': partition_by/zorder_by need " +
+              "the iceberg-spark runtime; the native writer commits " +
+              "unpartitioned tables")
+          graft.sources.IcebergLite.write(spark, df, sink.path, sink.mode)
+          ()
         case "append" =>
           writer(clustered).mode("append").format(sink.format).save(sink.path)
         case "overwrite" =>
@@ -748,6 +785,17 @@ object GraftApp {
             // holding batch keys (per-file stats pruning), one atomic
             // Delta commit — no jar needed
             graft.sources.DeltaLite.upsert(spark, merged, sink.path, sink.keys)
+          } else if (sink.format == "iceberg") {
+            // native merge-on-read MERGE: one atomic snapshot holding a
+            // position-delete manifest for touched keys plus the batch
+            // as a data manifest — zero data-file rewrites
+            val metaDir = new org.apache.hadoop.fs.Path(sink.path, "metadata")
+            if (!metaDir.getFileSystem(
+                spark.sparkContext.hadoopConfiguration).exists(metaDir))
+              graft.sources.IcebergLite.write(spark, merged, sink.path)
+            else graft.sources.IcebergLite.upsert(
+              spark, merged, sink.path, sink.keys)
+            ()
           } else
           // always the hash-bucketed layout the streaming sink
           // maintains (no `buckets:` = one bucket), so a later stream

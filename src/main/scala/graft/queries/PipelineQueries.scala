@@ -3563,6 +3563,72 @@ object PipelineQueries {
       DeltaLite.read(s, tbl)
     },
 
+    // NATIVE ICEBERG ROUND-TRIP through the driver gate: each run
+    // builds a REAL Iceberg v2 table (public table-format spec — two
+    // append commits via IcebergLite.write, then a POSITION-DELETE
+    // commit suppressing two rows merge-on-read) and reads the latest
+    // snapshot back natively (metadata json → avro manifest list →
+    // manifests → parquet scan → pos-delete anti join). The oracle
+    // states the final visible rows directly, so a manifest/metadata/
+    // delete-application bug anywhere in the reader or writer
+    // hash-mismatches. ZERO iceberg-spark involvement.
+    QueryDef("q131_iceberg_roundtrip",
+      """SELECT r_regionkey, r_name FROM region WHERE r_regionkey <> 1
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, upper(r_name) AS r_name
+        |FROM region
+        |WHERE r_regionkey < 3 AND r_regionkey + 100 <> 102""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q131_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r, tbl) // snapshot 1
+      IcebergLite.write(s, // snapshot 2: appended derived rows
+        r.filter(col("r_regionkey") < 3)
+          .select((col("r_regionkey") + 100).as("r_regionkey"),
+            upper(col("r_name")).as("r_name")), tbl)
+      // snapshot 3: position deletes across BOTH earlier commits
+      IcebergLite.deleteWhere(s, tbl,
+        col("r_regionkey") === 1 || col("r_regionkey") === 102)
+      IcebergLite.read(s, tbl)
+    },
+
+    // NATIVE ICEBERG MERGE-ON-READ UPSERT through the driver gate:
+    // build a two-file table, then ONE atomic merge snapshot that
+    // REPLACES key 1, DELETES key 4, and INSERTS key 200 — a
+    // position-delete manifest suppresses the touched keys and the
+    // batch lands as a data manifest, with no data file rewritten
+    // (IcebergLite.upsert; the MoR counterpart of q130's delta
+    // copy-on-write). The oracle states the merged table directly.
+    QueryDef("q132_iceberg_merge",
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_regionkey NOT IN (1, 4)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS r_regionkey, 'MERGED' AS r_name
+        |UNION ALL
+        |SELECT CAST(200 AS BIGINT) AS r_regionkey, 'NEWKEY' AS r_name""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q132_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r.filter(col("r_regionkey") < 3).coalesce(1), tbl)
+      IcebergLite.write(s, r.filter(col("r_regionkey") >= 3).coalesce(1), tbl)
+      IcebergLite.upsert(s,
+        Seq((1L, "MERGED"), (200L, "NEWKEY")).toDF("r_regionkey", "r_name"),
+        tbl, Seq("r_regionkey"),
+        deleteKeys = Some(Seq(Tuple1(4L)).toDF("r_regionkey")))
+      IcebergLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -1,0 +1,853 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, element_at, input_file_name, lit, regexp_replace, split}
+import org.apache.spark.sql.types._
+
+/** Native Apache Iceberg reader + writer — no iceberg-spark runtime jar
+  * required. Companion of [[DeltaLite]] for the other open-table format
+  * a 100-TB lakehouse actually stores.
+  *
+  * The Iceberg table format is a PUBLIC spec (iceberg.apache.org/spec):
+  * a `metadata/v<N>.metadata.json` file (plus `version-hint.text` for
+  * filesystem tables) names the current snapshot; each snapshot points
+  * at a MANIFEST LIST (Avro object-container file of `manifest_file`
+  * records); each manifest is itself an Avro OCF of `manifest_entry`
+  * records naming immutable parquet data files. Reading a snapshot =
+  * resolve metadata → manifest list → manifests → live data files →
+  * one distributed parquet scan. The reference ingests open-table
+  * formats through exactly this snapshot-scan capability
+  * (dozer-ingestion/deltalake/src/reader.rs:36-47 is the Delta twin);
+  * IcebergLite reproduces it Spark-natively with the avro-1.12 runtime
+  * jar Spark already ships (same seam as [[AvroFiles]]).
+  *
+  * Merge-on-read: Iceberg v2 POSITION DELETE files (spec §Delete
+  * Formats — parquet files of `(file_path, pos)` naming suppressed
+  * rows) are applied as a distributed LEFT ANTI join against the scan's
+  * `_metadata.file_path`/`_metadata.row_index` columns — no row-level
+  * state, no driver work, broadcast-sized in the common case where
+  * deletes are a small fraction of data. Path strings are compared
+  * scheme-normalized (writers disagree about `file:/` vs `file:///`).
+  *
+  * Loud unsupported-capability errors (never silent wrong data):
+  * equality deletes (content=2 — Flink-writer territory; applying them
+  * needs sequence-number-ordered joins per delete file), ORC/Avro data
+  * files, and `time` columns (no Spark analogue). Column resolution is
+  * BY NAME (Spark parquet semantics) — a documented delta from the
+  * spec's field-id resolution: tables whose history renamed columns
+  * read the renamed column as null and need the iceberg runtime.
+  *
+  * The WRITER emits format-version 2 tables: staged parquet under
+  * `data/`, one `manifest_entry` Avro per commit, a fresh manifest list
+  * carrying prior manifests forward, and a `v<N+1>.metadata.json`
+  * claimed PUT-IF-ABSENT (`fs.create(overwrite=false)`) — the same
+  * loses-loudly concurrency rule as [[DeltaLite.claimCommit]], matching
+  * the spec's optimistic-concurrency commit. [[deleteWhere]] commits
+  * position-delete files computed distributed from a predicate, so
+  * keyed retractions never rewrite data files (the O(changed-rows)
+  * counterpart of DeltaLite's copy-on-write upsert).
+  *
+  * Scale shape: metadata/manifest traffic is driver-side and
+  * metadata-sized (the spec designed manifests to be listable without
+  * touching data); the data scan, per-file stats, delete application,
+  * and delete-position computation are all distributed jobs.
+  */
+object IcebergLite {
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- model
+
+  final case class SnapshotMeta(
+      snapshotId: Long,
+      sequenceNumber: Long,
+      timestampMs: Long,
+      /** v2: path of the manifest-list Avro; v1 tables may instead
+        * inline `manifests` paths directly on the snapshot.
+        */
+      manifestList: Option[String],
+      inlineManifests: Seq[String])
+
+  /** One `manifest_file` record of the manifest list — enough state to
+    * carry the manifest forward unchanged into the next commit's list.
+    */
+  final case class ManifestInfo(
+      path: String,
+      length: Long,
+      specId: Int,
+      /** 0 = data manifest, 1 = delete manifest (v2). */
+      content: Int,
+      sequenceNumber: Long,
+      minSequenceNumber: Long,
+      addedSnapshotId: Long,
+      addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long)
+
+  /** One live file of a snapshot (a `data_file` struct). `content`:
+    * 0 = data, 1 = position deletes, 2 = equality deletes.
+    */
+  final case class FileEntry(path: String, format: String, content: Int,
+      recordCount: Long, fileSize: Long)
+
+  final case class TableMeta(
+      formatVersion: Int,
+      location: String,
+      schema: StructType,
+      lastColumnId: Int,
+      lastSequenceNumber: Long,
+      currentSnapshotId: Option[Long],
+      snapshots: Seq[SnapshotMeta],
+      /** metadata file version N of v<N>.metadata.json */
+      version: Int,
+      tableUuid: String)
+
+  final case class SnapshotState(meta: TableMeta, snapshot: SnapshotMeta,
+      manifests: Seq[ManifestInfo],
+      dataFiles: Seq[FileEntry], posDeleteFiles: Seq[FileEntry])
+
+  // ------------------------------------------------------ schema bridge
+
+  /** Iceberg type JSON (string primitive or object) → Spark type.
+    * Everything in the spec's primitive table maps except `time` (no
+    * Spark analogue — loud).
+    */
+  private[graft] def sparkType(t: JsonNode): DataType =
+    if (t.isTextual) t.asText match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "timestamp_ns" | "timestamptz_ns" => throw new IllegalArgumentException(
+        "Iceberg v3 nanosecond timestamps are beyond the native reader")
+      case "string" => StringType
+      case "uuid" => StringType // 36-char canonical text form
+      case "binary" => BinaryType
+      case s if s.startsWith("decimal(") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case s if s.startsWith("fixed[") => BinaryType
+      case "time" => throw new IllegalArgumentException(
+        "Iceberg `time` columns have no Spark type — the native reader " +
+          "refuses rather than guess; use the iceberg-spark runtime")
+      case other => throw new IllegalArgumentException(
+        s"unknown Iceberg type '$other'")
+    } else t.get("type").asText match {
+      case "struct" =>
+        StructType(t.get("fields").elements.asScala.toSeq.map { f =>
+          StructField(f.get("name").asText, sparkType(f.get("type")),
+            nullable = !f.get("required").asBoolean)
+        })
+      case "list" =>
+        ArrayType(sparkType(t.get("element")),
+          containsNull = !t.get("element-required").asBoolean)
+      case "map" =>
+        MapType(sparkType(t.get("key")), sparkType(t.get("value")),
+          valueContainsNull = !t.get("value-required").asBoolean)
+      case other => throw new IllegalArgumentException(
+        s"unknown Iceberg complex type '$other'")
+    }
+
+  /** Spark type → Iceberg type JSON, assigning fresh field/element/key
+    * ids from `nextId` (the spec requires every field carry a unique
+    * id; `idCounter` threads the assignment).
+    */
+  private def icebergType(dt: DataType, nextId: () => Int): Object = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case st: StructType =>
+      val node = mapper.createObjectNode()
+      node.put("type", "struct")
+      val arr = node.putArray("fields")
+      st.fields.foreach { f =>
+        val id = nextId()
+        val fn = arr.addObject()
+        fn.put("id", id); fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.set[JsonNode]("type", asNode(icebergType(f.dataType, nextId)))
+      }
+      node
+    case at: ArrayType =>
+      val node = mapper.createObjectNode()
+      node.put("type", "list"); node.put("element-id", nextId())
+      node.put("element-required", !at.containsNull)
+      node.set[JsonNode]("element", asNode(icebergType(at.elementType, nextId)))
+      node
+    case mt: MapType =>
+      val node = mapper.createObjectNode()
+      node.put("type", "map")
+      node.put("key-id", nextId())
+      node.set[JsonNode]("key", asNode(icebergType(mt.keyType, nextId)))
+      node.put("value-id", nextId())
+      node.put("value-required", !mt.valueContainsNull)
+      node.set[JsonNode]("value", asNode(icebergType(mt.valueType, nextId)))
+      node
+    case other => throw new IllegalArgumentException(
+      s"no Iceberg type for Spark ${other.sql}")
+  }
+
+  private def asNode(v: Object): JsonNode = v match {
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case n: JsonNode => n
+  }
+
+  // ------------------------------------------------------- metadata load
+
+  /** Resolve the current metadata file: `version-hint.text` names N for
+    * filesystem tables; otherwise the highest `v<N>.metadata.json` by
+    * number (hint files lag under concurrent writers, so the scan also
+    * double-checks for anything newer than the hint).
+    */
+  private def currentMetadataVersion(fs: FileSystem, metaDir: Path): Int = {
+    val re = "v(\\d+)\\.metadata\\.json".r
+    val scanned =
+      if (!fs.exists(metaDir)) Seq.empty
+      else fs.listStatus(metaDir).toSeq.map(_.getPath.getName).collect {
+        case re(n) => n.toInt
+      }
+    val hint = {
+      val p = new Path(metaDir, "version-hint.text")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        txt.toIntOption
+      }
+    }
+    (scanned ++ hint).maxOption.getOrElse(throw new IllegalArgumentException(
+      s"$metaDir holds no v<N>.metadata.json — not an Iceberg table"))
+  }
+
+  def loadMeta(spark: SparkSession, tablePath: String): TableMeta = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val version = currentMetadataVersion(fs, metaDir)
+    val mPath = new Path(metaDir, s"v$version.metadata.json")
+    val in = fs.open(mPath)
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val fv = node.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg format-version $fv is beyond the native reader (v1/v2)")
+    // current schema: v2 carries `schemas` + `current-schema-id`;
+    // v1 has a single top-level `schema`
+    val schemaNode = Option(node.get("schemas")) match {
+      case Some(schemas) =>
+        val cur = node.get("current-schema-id").asInt
+        schemas.elements.asScala.find(_.get("schema-id").asInt == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur missing from `schemas`"))
+      case None => node.get("schema")
+    }
+    val snaps = Option(node.get("snapshots")).toSeq
+      .flatMap(_.elements.asScala).map { s =>
+        SnapshotMeta(
+          snapshotId = s.get("snapshot-id").asLong,
+          sequenceNumber =
+            Option(s.get("sequence-number")).map(_.asLong).getOrElse(0L),
+          timestampMs = s.get("timestamp-ms").asLong,
+          manifestList = Option(s.get("manifest-list")).map(_.asText),
+          inlineManifests = Option(s.get("manifests")).toSeq
+            .flatMap(_.elements.asScala.map(_.asText)))
+      }
+    TableMeta(
+      formatVersion = fv,
+      location = Option(node.get("location")).map(_.asText).getOrElse(tablePath),
+      schema = sparkType(schemaNode).asInstanceOf[StructType],
+      lastColumnId = Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
+      lastSequenceNumber =
+        Option(node.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
+      currentSnapshotId = Option(node.get("current-snapshot-id"))
+        .map(_.asLong).filter(_ != -1L),
+      snapshots = snaps,
+      version = version,
+      tableUuid = Option(node.get("table-uuid")).map(_.asText)
+        .getOrElse(java.util.UUID.randomUUID.toString))
+  }
+
+  // --------------------------------------------------------- avro plumbing
+
+  private def readAvro(fs: FileSystem, path: Path): Seq[GenericRecord] = {
+    val in = fs.open(path)
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Vector.newBuilder[GenericRecord]
+      while (r.hasNext) out += r.next()
+      out.result()
+    } finally r.close()
+  }
+
+  /** Name-based field access tolerating spec renames across versions
+    * (e.g. v1 `added_data_files_count` → v2 `added_files_count`).
+    */
+  private def field(rec: GenericRecord, names: String*): Option[Any] =
+    names.collectFirst {
+      case n if rec.getSchema.getField(n) != null && rec.get(n) != null =>
+        rec.get(n)
+    }
+  private def text(v: Any): String = v.toString
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  /** Resolve a metadata-recorded absolute URI against this table's
+    * actual filesystem root (tables move; `location` in old metadata
+    * may name the ORIGINAL path). Keeps the basename chain under
+    * `metadata/` or `data/`.
+    */
+  private def rebase(p: String, tablePath: String, location: String): String = {
+    val norm = normalizePathStr(p)
+    val locNorm = normalizePathStr(location).stripSuffix("/")
+    if (norm.startsWith(locNorm + "/"))
+      new Path(tablePath, norm.stripPrefix(locNorm + "/")).toString
+    else p
+  }
+
+  /** Scheme-insensitive path form: `file:///a`, `file:/a`, `/a` all
+    * compare equal (writers disagree; the spec stores full URIs).
+    */
+  private[graft] def normalizePathStr(p: String): String = {
+    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+    "/" + noScheme.dropWhile(_ == '/')
+  }
+  private def normalizePathCol(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
+      "^/+", "/")
+
+  // ------------------------------------------------------- snapshot state
+
+  def snapshotState(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): SnapshotState = {
+    val meta = loadMeta(spark, tablePath)
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tablePath has no current snapshot (empty table)"))
+    val snap = meta.snapshots.find(_.snapshotId == wanted).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $wanted not in $tablePath metadata (expired?)"))
+    val manifests: Seq[ManifestInfo] = snap.manifestList match {
+      case Some(ml) =>
+        val mlPath = new Path(rebase(ml, tablePath, meta.location))
+        readAvro(fs, mlPath).map { r =>
+          ManifestInfo(
+            path = text(r.get("manifest_path")),
+            length = num(r.get("manifest_length")),
+            specId = field(r, "partition_spec_id").map(num(_).toInt).getOrElse(0),
+            content = field(r, "content").map(num(_).toInt).getOrElse(0),
+            sequenceNumber =
+              field(r, "sequence_number").map(num).getOrElse(0L),
+            minSequenceNumber =
+              field(r, "min_sequence_number").map(num).getOrElse(0L),
+            addedSnapshotId =
+              field(r, "added_snapshot_id").map(num).getOrElse(snap.snapshotId),
+            addedFiles = field(r, "added_files_count",
+              "added_data_files_count").map(num(_).toInt).getOrElse(0),
+            existingFiles = field(r, "existing_files_count",
+              "existing_data_files_count").map(num(_).toInt).getOrElse(0),
+            deletedFiles = field(r, "deleted_files_count",
+              "deleted_data_files_count").map(num(_).toInt).getOrElse(0),
+            addedRows = field(r, "added_rows_count").map(num).getOrElse(0L),
+            existingRows = field(r, "existing_rows_count").map(num).getOrElse(0L),
+            deletedRows = field(r, "deleted_rows_count").map(num).getOrElse(0L))
+        }
+      case None =>
+        // v1 inline `manifests`: data manifests only, unknown lengths
+        snap.inlineManifests.map(p =>
+          ManifestInfo(p, 0L, 0, 0, 0L, 0L, snap.snapshotId, 0, 0, 0, 0L, 0L, 0L))
+    }
+    val data = mutable.ArrayBuffer.empty[FileEntry]
+    val posDeletes = mutable.ArrayBuffer.empty[FileEntry]
+    manifests.foreach { m =>
+      val mPath = new Path(rebase(m.path, tablePath, meta.location))
+      readAvro(fs, mPath).foreach { e =>
+        val status = num(e.get("status")).toInt
+        if (status != 2) { // 2 = DELETED entry: file left the table
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = field(df, "content").map(num(_).toInt).getOrElse(0)
+          val entry = FileEntry(
+            path = rebase(text(df.get("file_path")), tablePath, meta.location),
+            format = text(df.get("file_format")).toUpperCase,
+            content = content,
+            recordCount = num(df.get("record_count")),
+            fileSize = field(df, "file_size_in_bytes").map(num).getOrElse(0L))
+          content match {
+            case 0 => data += entry
+            case 1 => posDeletes += entry
+            case 2 => throw new IllegalArgumentException(
+              s"$tablePath carries EQUALITY delete file ${entry.path} — " +
+                "merge-on-read equality deletes need sequence-ordered " +
+                "application; use the iceberg-spark runtime for this table")
+          }
+        }
+      }
+    }
+    (data ++ posDeletes).foreach(f => require(f.format == "PARQUET",
+      s"data file ${f.path} is ${f.format} — the native reader scans " +
+        "parquet only (ORC/Avro data files need the iceberg runtime)"))
+    SnapshotState(meta, snap, manifests, data.toSeq, posDeletes.toSeq)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** The table snapshot as a DataFrame — latest, or pinned to
+    * `snapshotId` (time travel). Position deletes apply as one
+    * distributed anti join on (normalized file path, row position).
+    */
+  def read(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val st = snapshotState(spark, tablePath, snapshotId)
+    if (st.dataFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.meta.schema)
+    val base = spark.read.schema(st.meta.schema)
+      .parquet(st.dataFiles.map(_.path): _*)
+    if (st.posDeleteFiles.isEmpty) base
+    else {
+      val dels = spark.read
+        .parquet(st.posDeleteFiles.map(_.path): _*)
+        .select(normalizePathCol(col("file_path")).as("__ice_del_file"),
+          col("pos").cast("long").as("__ice_del_pos"))
+      val withPos = base
+        .withColumn("__ice_file", normalizePathCol(col("_metadata.file_path")))
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+      withPos.join(dels,
+          withPos("__ice_file") === dels("__ice_del_file") &&
+            withPos("__ice_pos") === dels("__ice_del_pos"),
+          "left_anti")
+        .drop("__ice_file", "__ice_pos")
+    }
+  }
+
+  // ---------------------------------------------------------------- write
+
+  // Avro schemas for what we EMIT (format-version 2). Field ids are the
+  // spec's (manifest_entry: status=0 snapshot_id=1 data_file=2 seq=3;
+  // data_file: content=134 file_path=100 file_format=101 partition=102
+  // record_count=103 file_size=104; manifest_file: 500-517).
+  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeAvroFile(fs: FileSystem, path: Path, schema: AvroSchema,
+      records: Seq[GenericRecord], headerMeta: Map[String, String]): Long = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    headerMeta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, buf)
+    try records.foreach(w.append) finally w.close()
+    val out = fs.create(path, false)
+    try out.write(buf.toByteArray) finally out.close()
+    buf.size().toLong
+  }
+
+  /** Stage `df` as parquet under `data/` and return
+    * (absolutePath, sizeBytes, rowCount) per file — counts computed
+    * DISTRIBUTED with one groupBy over the staged data.
+    */
+  private def stageData(spark: SparkSession, df: DataFrame, root: Path,
+      fs: FileSystem): Seq[(String, Long, Long)] = {
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val stage = new Path(root, "stage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    df.write.mode("overwrite").parquet(stage.toString)
+    val counts = spark.read.schema(df.schema).parquet(stage.toString)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val moved = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { s =>
+        val tgt = new Path(dataDir, s.getPath.getName)
+        require(fs.rename(s.getPath, tgt),
+          s"staging move failed for ${s.getPath.getName}")
+        (tgt.toString, s.getLen, counts.getOrElse(s.getPath.getName, 0L))
+      }.toIndexedSeq
+    fs.delete(stage, true)
+    moved
+  }
+
+  private def entryRecord(status: Int, snapshotId: Long, seq: Long,
+      content: Int, path: String, records: Long, size: Long): GenericRecord = {
+    val df = new GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema())
+    df.put("content", content)
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    df.put("partition",
+      new GenericData.Record(df.getSchema.getField("partition").schema()))
+    df.put("record_count", records)
+    df.put("file_size_in_bytes", size)
+    val e = new GenericData.Record(manifestEntrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", seq)
+    e.put("file_sequence_number", seq)
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestRecord(m: ManifestInfo): GenericRecord = {
+    val r = new GenericData.Record(manifestFileSchema)
+    r.put("manifest_path", m.path)
+    r.put("manifest_length", m.length)
+    r.put("partition_spec_id", m.specId)
+    r.put("content", m.content)
+    r.put("sequence_number", m.sequenceNumber)
+    r.put("min_sequence_number", m.minSequenceNumber)
+    r.put("added_snapshot_id", m.addedSnapshotId)
+    r.put("added_files_count", m.addedFiles)
+    r.put("existing_files_count", m.existingFiles)
+    r.put("deleted_files_count", m.deletedFiles)
+    r.put("added_rows_count", m.addedRows)
+    r.put("existing_rows_count", m.existingRows)
+    r.put("deleted_rows_count", m.deletedRows)
+    r
+  }
+
+  /** Iceberg schema JSON node (id-assigned) for the metadata file. */
+  private def schemaNode(schema: StructType): (JsonNode, Int) = {
+    var id = 0
+    val nextId = () => { id += 1; id }
+    val node = icebergType(schema, nextId).asInstanceOf[JsonNode]
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("schema-id", 0)
+    (node, id)
+  }
+
+  /** Commit one snapshot: write the new manifest(s) + manifest list,
+    * then claim `v<N+1>.metadata.json` put-if-absent. Each element of
+    * `newManifests` is (entries, content 0=data/1=deletes, addedRows) —
+    * a MERGE commits a delete manifest AND a data manifest in the SAME
+    * atomic snapshot. Returns the snapshot id.
+    */
+  private def commit(spark: SparkSession, tablePath: String,
+      prior: Option[SnapshotState], schema: StructType,
+      newManifests: Seq[(Seq[GenericRecord], Int, Long)],
+      carryForward: Seq[ManifestInfo], operation: String,
+      snapshotId: Long): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
+    val commitUuid = java.util.UUID.randomUUID.toString
+    // deterministic timestamps (repo convention — DeltaLite does the same)
+    val now = 1L
+
+    val schemaJson = { val (n, _) = schemaNode(schema); n.toString }
+    val written = newManifests.zipWithIndex.map {
+      case ((entries, content, addedRows), i) =>
+        val manifestPath = new Path(metaDir, s"$commitUuid-m$i.avro")
+        val mLen = writeAvroFile(fs, manifestPath, manifestEntrySchema, entries,
+          Map("schema" -> schemaJson, "format-version" -> "2",
+            "partition-spec" -> "[]", "partition-spec-id" -> "0",
+            "content" -> (if (content == 1) "deletes" else "data")))
+        ManifestInfo(
+          path = manifestPath.toString, length = mLen, specId = 0,
+          content = content, sequenceNumber = seq,
+          minSequenceNumber = seq, addedSnapshotId = snapshotId,
+          addedFiles = entries.size, existingFiles = 0, deletedFiles = 0,
+          addedRows = addedRows, existingRows = 0L, deletedRows = 0L)
+    }
+    val allManifests = carryForward ++ written
+    val mlPath = new Path(metaDir, s"snap-$snapshotId-1-$commitUuid.avro")
+    writeAvroFile(fs, mlPath, manifestFileSchema,
+      allManifests.map(manifestRecord),
+      Map("format-version" -> "2"))
+
+    // ---- v<N+1>.metadata.json
+    val version = prior.map(_.meta.version + 1).getOrElse(1)
+    val node = mapper.createObjectNode()
+    node.put("format-version", 2)
+    node.put("table-uuid", prior.map(_.meta.tableUuid)
+      .getOrElse(java.util.UUID.randomUUID.toString))
+    node.put("location", tablePath)
+    node.put("last-sequence-number", seq)
+    node.put("last-updated-ms", now)
+    val (schNode, lastCol) = schemaNode(schema)
+    node.put("last-column-id", lastCol)
+    node.put("current-schema-id", 0)
+    node.putArray("schemas").add(schNode)
+    node.put("default-spec-id", 0)
+    val specs = node.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0); spec0.putArray("fields")
+    node.put("last-partition-id", 999)
+    node.put("default-sort-order-id", 0)
+    val orders = node.putArray("sort-orders")
+    val ord0 = orders.addObject()
+    ord0.put("order-id", 0); ord0.putArray("fields")
+    node.put("current-snapshot-id", snapshotId)
+    val snapsArr = node.putArray("snapshots")
+    def snapObj(sm: SnapshotMeta, op: String): Unit = {
+      val s = snapsArr.addObject()
+      s.put("snapshot-id", sm.snapshotId)
+      s.put("sequence-number", sm.sequenceNumber)
+      s.put("timestamp-ms", sm.timestampMs)
+      sm.manifestList.foreach(s.put("manifest-list", _))
+      s.putObject("summary").put("operation", op)
+      s.put("schema-id", 0)
+    }
+    prior.toSeq.flatMap(_.meta.snapshots)
+      .foreach(snapObj(_, "append")) // operation detail of history lost; harmless
+    snapObj(SnapshotMeta(snapshotId, seq, now, Some(mlPath.toString), Nil),
+      operation)
+    val log = node.putArray("snapshot-log")
+    (prior.toSeq.flatMap(_.meta.snapshots) :+
+      SnapshotMeta(snapshotId, seq, now, None, Nil)).foreach { sm =>
+      val e = log.addObject()
+      e.put("timestamp-ms", sm.timestampMs); e.put("snapshot-id", sm.snapshotId)
+    }
+    node.putArray("metadata-log")
+
+    val mPath = new Path(metaDir, s"v$version.metadata.json")
+    val out =
+      try fs.create(mPath, false)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"metadata v$version already exists at $tablePath (concurrent " +
+          "writer?) — re-read and retry", e)
+      }
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+
+  /** Append or overwrite commit (format-version 2, unpartitioned —
+    * partition layout is [[graft.operators.Layout]]'s job upstream).
+    * Returns the new snapshot id.
+    */
+  def write(spark: SparkSession, df: DataFrame, tablePath: String,
+      mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"IcebergLite.write supports append|overwrite, got '$mode'")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[SnapshotState] =
+      if (fs.exists(new Path(root, "metadata")))
+        Some(snapshotState(spark, tablePath))
+      else None
+    prior.foreach { p =>
+      require(p.meta.schema.fieldNames.sameElements(df.schema.fieldNames) &&
+        p.meta.schema.fields.map(_.dataType.sql)
+          .sameElements(df.schema.fields.map(_.dataType.sql)),
+        s"schema mismatch writing to $tablePath:\n table: " +
+          s"${p.meta.schema.simpleString}\n data:  ${df.schema.simpleString}")
+    }
+    val staged = stageData(spark, df, root, fs)
+    val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
+    val snapshotId =
+      java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val entries = staged.map { case (p, size, n) =>
+      entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
+        content = 0, path = p, records = n, size = size)
+    }
+    val carry = if (mode == "append")
+      prior.toSeq.flatMap(_.manifests) else Seq.empty
+    commit(spark, tablePath, prior, df.schema,
+      Seq((entries, 0, staged.map(_._3).sum)), carryForward = carry,
+      operation = if (mode == "append") "append" else "overwrite",
+      snapshotId = snapshotId)
+  }
+
+  /** Currently-visible rows of a snapshot with `__ice_file` (normalized
+    * source path) and `__ice_pos` (row ordinal) columns — the scan both
+    * delete-position computation paths share.
+    */
+  private def aliveWithPos(spark: SparkSession,
+      st: SnapshotState): DataFrame = {
+    val base = spark.read.schema(st.meta.schema)
+      .parquet(st.dataFiles.map(_.path): _*)
+      .withColumn("__ice_file", normalizePathCol(col("_metadata.file_path")))
+      .withColumn("__ice_pos", col("_metadata.row_index"))
+    if (st.posDeleteFiles.isEmpty) base
+    else {
+      val dels = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
+        .select(normalizePathCol(col("file_path")).as("__ice_del_file"),
+          col("pos").cast("long").as("__ice_del_pos"))
+      base.join(dels,
+        base("__ice_file") === dels("__ice_del_file") &&
+          base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
+    }
+  }
+
+  /** POSITION-DELETE commit: rows of the CURRENT snapshot matching
+    * `predicate` are suppressed by writing spec-shaped delete files
+    * (`file_path` string exactly as the data manifest records it,
+    * `pos` = row ordinal in that file) — merge-on-read retraction with
+    * ZERO data-file rewrites, O(matched rows) new bytes. The position
+    * computation is one distributed scan with `_metadata` columns; the
+    * manifest-path translation joins against a metadata-sized map.
+    * Returns the new snapshot id (no-op commit if nothing matches).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): Long = {
+    import spark.implicits._
+    val prior = snapshotState(spark, tablePath)
+    require(prior.dataFiles.nonEmpty,
+      s"$tablePath holds no data files to delete from")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // normalized scan path → exact manifest path string
+    val pathMap = prior.dataFiles
+      .map(f => normalizePathStr(f.path) -> f.path).toDF("__norm", "file_path")
+    val alive = aliveWithPos(spark, prior)
+    val positions = alive.filter(predicate)
+      .join(pathMap, alive("__ice_file") === pathMap("__norm"))
+      .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
+      .orderBy(col("file_path"), col("pos")) // spec: sorted by (path, pos)
+    if (positions.isEmpty) return prior.snapshot.snapshotId
+    val staged = stageData(spark, positions, root, fs)
+    val seq = prior.meta.lastSequenceNumber + 1
+    val snapshotId =
+      java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val entries = staged.map { case (p, size, n) =>
+      entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
+        content = 1, path = p, records = n, size = size)
+    }
+    commit(spark, tablePath, Some(prior), prior.meta.schema,
+      Seq((entries, 1, 0L)), carryForward = prior.manifests,
+      operation = "delete", snapshotId = snapshotId)
+  }
+
+  /** MERGE (replace-by-key upsert) in ONE atomic snapshot: rows of the
+    * current table whose key appears in `batch` (or `deleteKeys`) are
+    * suppressed by a position-delete manifest, and `batch` lands as a
+    * data manifest — both under the same metadata claim, so readers see
+    * either the old table or the fully merged one. The
+    * merge-on-read counterpart of [[DeltaLite.upsert]]'s copy-on-write:
+    * NO data file is rewritten, new bytes are O(batch + matched
+    * positions), and the scan-side cost is the anti join [[read]]
+    * already pays. Keys must be non-null on both sides.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, tablePath: String,
+      keyCols: Seq[String], deleteKeys: Option[DataFrame] = None): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val prior = snapshotState(spark, tablePath)
+    require(keyCols.forall(prior.meta.schema.fieldNames.contains),
+      s"key columns ${keyCols.mkString(",")} must exist in the table schema")
+    if (prior.dataFiles.isEmpty) // empty table: the merge is an append
+      return write(spark,
+        batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*),
+        tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // positions of currently-visible rows holding a touched key
+    val touchedKeys = {
+      val b = batch.select(keyCols.map(col): _*)
+      deleteKeys.fold(b)(d => b.unionByName(d.select(keyCols.map(col): _*)))
+        .distinct()
+    }
+    val alive = aliveWithPos(spark, prior)
+    val pathMap = prior.dataFiles
+      .map(f => normalizePathStr(f.path) -> f.path)
+      .toDF("__norm", "file_path")
+    val positions = alive
+      .join(broadcast(touchedKeys), keyCols, "left_semi")
+      .join(pathMap, alive("__ice_file") === pathMap("__norm"))
+      .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
+      .orderBy(col("file_path"), col("pos"))
+    val stagedDeletes = stageData(spark, positions, root, fs)
+    val stagedData = stageData(spark,
+      batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*),
+      root, fs)
+    val seq = prior.meta.lastSequenceNumber + 1
+    val snapshotId =
+      java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val delEntries = stagedDeletes.map { case (p, size, n) =>
+      entryRecord(1, snapshotId, seq, content = 1, p, n, size)
+    }
+    val dataEntries = stagedData.map { case (p, size, n) =>
+      entryRecord(1, snapshotId, seq, content = 0, p, n, size)
+    }
+    commit(spark, tablePath, Some(prior), prior.meta.schema,
+      Seq((delEntries, 1, 0L), (dataEntries, 0, stagedData.map(_._3).sum)),
+      carryForward = prior.manifests, operation = "overwrite",
+      snapshotId = snapshotId)
+  }
+
+  /** File-level CDC between two snapshots, the [[DeltaLite.changesBetween]]
+    * twin: data files present only in `fromSnapshotId` read as the old
+    * side, files present only in `toSnapshotId` as the new side — for
+    * keyed tables the restricted [[graft.cdc.SnapshotDiff]] equals the
+    * full-snapshot diff at O(changed files) cost. Tables with position
+    * deletes fall back to full snapshots (a delete file changes row
+    * visibility inside UNCHANGED data files).
+    */
+  def changedFileSets(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Long): (DataFrame, DataFrame) = {
+    val from = snapshotState(spark, tablePath, Some(fromSnapshotId))
+    val to = snapshotState(spark, tablePath, Some(toSnapshotId))
+    def scan(st: SnapshotState, files: Seq[FileEntry]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.meta.schema)
+      else spark.read.schema(st.meta.schema).parquet(files.map(_.path): _*)
+    if (from.posDeleteFiles.nonEmpty || to.posDeleteFiles.nonEmpty)
+      (read(spark, tablePath, Some(fromSnapshotId)),
+        read(spark, tablePath, Some(toSnapshotId)))
+    else {
+      val fromSet = from.dataFiles.map(f => normalizePathStr(f.path)).toSet
+      val toSet = to.dataFiles.map(f => normalizePathStr(f.path)).toSet
+      (scan(from, from.dataFiles.filterNot(f => toSet(normalizePathStr(f.path)))),
+        scan(to, to.dataFiles.filterNot(f => fromSet(normalizePathStr(f.path)))))
+    }
+  }
+}

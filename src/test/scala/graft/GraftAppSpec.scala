@@ -1407,6 +1407,84 @@ class GraftAppSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "B"), (3L, "C")))
   }
 
+  test("iceberg sources and sinks run natively from config alone: " +
+      "append/overwrite commits, merge-on-read upsert, snapshot source") {
+    import graft.sources.IcebergLite
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ice_cfg").toString
+    // seed an iceberg table with the native writer
+    IcebergLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), s"$base/src")
+    // iceberg SOURCE → parquet sink
+    val out1 = s"$base/out1"
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: it
+         |    path: $base/src
+         |    format: iceberg
+         |sql: SELECT k, v INTO o FROM it WHERE k > 1;
+         |sinks:
+         |  - table: o
+         |    path: $out1
+         |    mode: overwrite
+         |""".stripMargin))
+    assert(spark.read.parquet(out1).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    // iceberg SINK: overwrite commit, read back natively
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: it
+         |    path: $base/src
+         |    format: iceberg
+         |sql: SELECT k, v INTO o FROM it;
+         |sinks:
+         |  - table: o
+         |    path: $base/tbl
+         |    mode: overwrite
+         |    format: iceberg
+         |""".stripMargin))
+    assert(IcebergLite.read(spark, s"$base/tbl")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // iceberg UPSERT sink: merge-on-read MERGE from config alone
+    def upCfg(sql: String) = GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: it
+         |    path: $base/src
+         |    format: iceberg
+         |sql: $sql;
+         |sinks:
+         |  - table: o
+         |    path: $base/up
+         |    mode: upsert
+         |    format: iceberg
+         |    keys: [k]
+         |""".stripMargin)
+    runBatch(spark, upCfg("SELECT k, v INTO o FROM it"))
+    runBatch(spark,
+      upCfg("SELECT k, upper(v) AS v INTO o FROM it WHERE k >= 2"))
+    assert(IcebergLite.read(spark, s"$base/up")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "C")))
+    // streaming iceberg source refuses loudly (batch snapshot only)
+    val err = intercept[Exception](GraftApp.runStreaming(spark,
+      GraftConfigLoader.fromYaml(
+        s"""streaming: true
+           |sources:
+           |  - name: it
+           |    path: $base/src
+           |    format: iceberg
+           |sql: SELECT k, v INTO o FROM it;
+           |sinks:
+           |  - table: o
+           |    path: $base/never
+           |    mode: append
+           |    checkpoint: $base/ckpt
+           |""".stripMargin)))
+    assert(err.getMessage.contains("iceberg") ||
+      err.getMessage.contains("Iceberg"))
+  }
+
   test("dozer !Grpc connection: gRPC-over-HTTP/2 ingest to sink through " +
       "config alone (typed default adapter)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_grpc_cfg").toString

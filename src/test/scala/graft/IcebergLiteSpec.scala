@@ -1,0 +1,388 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.IcebergLite
+
+/** Native Iceberg reader/writer over the PUBLIC table-format spec
+  * (iceberg.apache.org/spec). The round-trip tests exercise our own
+  * writer; the hand-crafted-table tests build v1/v2 metadata + Avro
+  * manifests from the spec text directly (no Iceberg library on either
+  * side exists in this container), so the reader's format handling is
+  * pinned to the spec, not to our writer's dialect.
+  */
+class IcebergLiteSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(name: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_iceberg_$name").toString
+    fs(p).delete(new Path(p), true)
+    p
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select(col("k").cast("long"), col("v").cast("string"))
+      .as[(Long, String)].collect().toSet
+
+  // ------------------------------------------------------------ round trip
+
+  test("round trip: two append commits read back as their union; " +
+      "metadata versions and snapshots accumulate") {
+    val t = tmp("rt")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b = Seq((3L, "c")).toDF("k", "v")
+    IcebergLite.write(spark, a, t)
+    IcebergLite.write(spark, b, t)
+    val got = IcebergLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(rows(got) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.version == 2)
+    assert(meta.snapshots.size == 2)
+    assert(meta.lastSequenceNumber == 2L)
+  }
+
+  test("overwrite replaces the table contents") {
+    val t = tmp("ow")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t, "overwrite")
+    assert(rows(IcebergLite.read(spark, t)) == Set((9L, "z")))
+  }
+
+  test("time travel: a snapshot-pinned read sees only that commit's state") {
+    val t = tmp("tt")
+    val s1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val s2 = IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    assert(rows(IcebergLite.read(spark, t, Some(s1))) == Set((1L, "a")))
+    assert(rows(IcebergLite.read(spark, t, Some(s2))) ==
+      Set((1L, "a"), (2L, "b")))
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.read(spark, t, Some(424242L)))
+    assert(err.getMessage.contains("not in"))
+  }
+
+  test("schema mismatch on append fails loudly") {
+    val t = tmp("sm")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.write(spark, Seq((1L, 2L)).toDF("k", "n"), t))
+    assert(err.getMessage.contains("schema mismatch"))
+  }
+
+  // ---------------------------------------------------- merge-on-read
+
+  test("position-delete commit suppresses matched rows WITHOUT " +
+      "rewriting data files; deletes stack across commits") {
+    val t = tmp("mor")
+    IcebergLite.write(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), t)
+    val filesBefore = IcebergLite.snapshotState(spark, t)
+      .dataFiles.map(_.path).toSet
+    IcebergLite.deleteWhere(spark, t, col("k") % 2 === 0)
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.map(_.path).toSet == filesBefore,
+      "data files must be untouched by a positional delete")
+    assert(st.posDeleteFiles.nonEmpty)
+    assert(rows(IcebergLite.read(spark, t)).map(_._1) ==
+      Set(1L, 3L, 5L, 7L, 9L))
+    // stacked second delete over the survivors
+    IcebergLite.deleteWhere(spark, t, col("k") === 3L)
+    assert(rows(IcebergLite.read(spark, t)).map(_._1) ==
+      Set(1L, 5L, 7L, 9L))
+    // appended rows after a delete commit are unaffected by it
+    IcebergLite.write(spark, Seq((2L, "back")).toDF("k", "v"), t)
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "v1"), (5L, "v5"), (7L, "v7"), (9L, "v9"), (2L, "back")))
+  }
+
+  test("upsert merges in ONE snapshot: replaced keys suppressed by " +
+      "position deletes, batch appended, delete-keys removed, data " +
+      "files untouched") {
+    val t = tmp("up")
+    IcebergLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), t)
+    val before = IcebergLite.loadMeta(spark, t)
+    val filesBefore = IcebergLite.snapshotState(spark, t)
+      .dataFiles.map(_.path).toSet
+    IcebergLite.upsert(spark,
+      Seq((2L, "B2"), (9L, "new")).toDF("k", "v"), t, Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(4L)).toDF("k")))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    val after = IcebergLite.loadMeta(spark, t)
+    assert(after.version == before.version + 1,
+      "the merge must be ONE commit")
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(filesBefore.subsetOf(st.dataFiles.map(_.path).toSet),
+      "original data files must be untouched by a merge-on-read upsert")
+    assert(st.posDeleteFiles.nonEmpty)
+    // a second upsert stacks correctly over the first
+    IcebergLite.upsert(spark, Seq((9L, "N2")).toDF("k", "v"), t, Seq("k"))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "N2")))
+  }
+
+  test("upsert into an empty-dir table path behaves as create") {
+    val t = tmp("upnew")
+    IcebergLite.write(spark,
+      spark.emptyDataset[(Long, String)].toDF("k", "v"), t)
+    IcebergLite.upsert(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"))
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a")))
+  }
+
+  test("deleteWhere matching nothing commits nothing") {
+    val t = tmp("noop")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val before = IcebergLite.loadMeta(spark, t).version
+    IcebergLite.deleteWhere(spark, t, col("k") === 999L)
+    assert(IcebergLite.loadMeta(spark, t).version == before)
+  }
+
+  // -------------------------------------------------------------- CDC
+
+  test("changedFileSets reads only files added since the from-snapshot") {
+    val t = tmp("cdc")
+    val s1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val s2 = IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val (old, neu) = IcebergLite.changedFileSets(spark, t, s1, s2)
+    assert(rows(old).isEmpty, "no files were removed")
+    assert(rows(neu) == Set((2L, "b")))
+  }
+
+  // ------------------------------------------------------- concurrency
+
+  test("concurrent metadata claim loses loudly (put-if-absent)") {
+    val t = tmp("cc")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    // another writer claims v2 first
+    val out = fs(t).create(new Path(t, "metadata/v2.metadata.json"), false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    intercept[Exception] {
+      IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    }
+  }
+
+  // ------------------------------------------------------- type bridge
+
+  test("Iceberg→Spark type bridge covers the spec's primitive table " +
+      "and rejects `time` loudly") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ty(s: String) = IcebergLite.sparkType(m.readTree("\"" + s + "\""))
+    assert(ty("boolean") == BooleanType)
+    assert(ty("int") == IntegerType)
+    assert(ty("long") == LongType)
+    assert(ty("float") == FloatType)
+    assert(ty("double") == DoubleType)
+    assert(ty("date") == DateType)
+    assert(ty("timestamp") == TimestampNTZType)
+    assert(ty("timestamptz") == TimestampType)
+    assert(ty("string") == StringType)
+    assert(ty("uuid") == StringType)
+    assert(ty("binary") == BinaryType)
+    assert(ty("fixed[16]") == BinaryType)
+    assert(ty("decimal(10, 2)") == DecimalType(10, 2))
+    assert(intercept[IllegalArgumentException](ty("time"))
+      .getMessage.contains("time"))
+    val struct = m.readTree(
+      """{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":true,"type":"long"},
+        |{"id":2,"name":"b","required":false,"type":
+        |  {"type":"list","element-id":3,"element":"string",
+        |   "element-required":false}},
+        |{"id":4,"name":"c","required":false,"type":
+        |  {"type":"map","key-id":5,"key":"string","value-id":6,
+        |   "value":"double","value-required":true}}]}""".stripMargin)
+    assert(IcebergLite.sparkType(struct) == StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", ArrayType(StringType, containsNull = true)),
+      StructField("c", MapType(StringType, DoubleType,
+        valueContainsNull = false)))))
+  }
+
+  test("writer round-trips a wide type matrix through real commits") {
+    val t = tmp("types")
+    val df = spark.sql(
+      """SELECT CAST(1 AS BIGINT) k, CAST(2 AS INT) i, true b,
+        |  CAST(1.5 AS DOUBLE) d, CAST(2.5 AS FLOAT) f,
+        |  CAST('x' AS STRING) s, CAST('2024-03-01' AS DATE) dt,
+        |  TIMESTAMP'2024-03-01 10:00:00' ts,
+        |  CAST(12.34 AS DECIMAL(10,2)) dec,
+        |  CAST(X'0AFF' AS BINARY) bin,
+        |  array(1L, 2L) arr, map('a', 1L) mp,
+        |  named_struct('x', 1L, 'y', 'z') st""".stripMargin)
+    IcebergLite.write(spark, df, t)
+    val got = IcebergLite.read(spark, t)
+    // parquet scans surface everything nullable; simpleString compares
+    // names + types without nullability
+    assert(got.schema.simpleString == df.schema.simpleString)
+    assert(got.count() == 1)
+    val r = got.collect().head
+    assert(r.getAs[Long]("k") == 1L)
+    assert(r.getAs[java.math.BigDecimal]("dec")
+      .compareTo(new java.math.BigDecimal("12.34")) == 0)
+    assert(r.getAs[scala.collection.Seq[Long]]("arr").toSeq == Seq(1L, 2L))
+  }
+
+  // ------------------------------------- hand-crafted tables (spec text)
+
+  /** Write one parquet data file, return its absolute path. */
+  private def dataFile(df: DataFrame, table: String, name: String): String = {
+    val stage = table + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val f = fs(table).listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs(table).mkdirs(new Path(table, "data"))
+    val tgt = new Path(new Path(table, "data"), name)
+    assert(fs(table).rename(f, tgt))
+    fs(table).delete(new Path(stage), true)
+    tgt.toString
+  }
+
+  private def avroFile(path: String, schema: AvroSchema,
+      recs: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    val out = fs(path).create(new Path(path), true)
+    w.create(schema, out)
+    recs.foreach(w.append)
+    w.close()
+  }
+
+  // a v1 manifest_entry schema exactly as the spec's v1 appendix names
+  // it: no content/sequence fields, v1 stats names
+  private val v1EntrySchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":"long"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}
+      |]}}]}""".stripMargin)
+
+  private def v1Entry(status: Int, path: String, n: Long): GenericRecord = {
+    val d = new GenericData.Record(v1EntrySchema.getField("data_file").schema())
+    d.put("file_path", path)
+    d.put("file_format", "parquet")
+    d.put("partition",
+      new GenericData.Record(d.getSchema.getField("partition").schema()))
+    d.put("record_count", n)
+    d.put("file_size_in_bytes", 1L)
+    val e = new GenericData.Record(v1EntrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", 77L)
+    e.put("data_file", d)
+    e
+  }
+
+  test("reads a hand-crafted FORMAT-VERSION 1 table: top-level `schema`, " +
+      "inline snapshot `manifests`, v1 manifest entries, DELETED status " +
+      "excluded, no version-hint (metadata scan fallback)") {
+    val t = tmp("v1")
+    val f1 = dataFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, "f1.parquet")
+    val f2 = dataFile(Seq((3L, "c")).toDF("k", "v"), t, "f2.parquet")
+    val m1 = s"$t/metadata/m1.avro"
+    fs(t).mkdirs(new Path(t, "metadata"))
+    // f2 appears with status=2 (DELETED) → must not be read
+    avroFile(m1, v1EntrySchema,
+      Seq(v1Entry(1, f1, 2L), v1Entry(2, f2, 1L)))
+    val metaJson =
+      s"""{"format-version":1,"table-uuid":"u1","location":"$t",
+         |"last-updated-ms":1,"last-column-id":2,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"string"}]},
+         |"partition-spec":[],"properties":{},
+         |"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":1,
+         |  "manifests":["$m1"]}]}""".stripMargin
+    val out = fs(t).create(new Path(t, "metadata/v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+    // no version-hint.text on purpose — the scan finds v1
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("EQUALITY delete files (content=2) reject loudly") {
+    val t = tmp("eq")
+    fs(t).mkdirs(new Path(t, "metadata"))
+    // hand-craft a v2 table whose only manifest holds an
+    // equality-delete entry (content=2)
+    val entrySchema = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+        | "default":null}]}}]}""".stripMargin)
+    val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+    d.put("content", 2)
+    d.put("file_path", s"$t/data/eqdel.parquet")
+    d.put("file_format", "PARQUET")
+    d.put("partition",
+      new GenericData.Record(d.getSchema.getField("partition").schema()))
+    d.put("record_count", 1L)
+    d.put("file_size_in_bytes", 1L)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1); e.put("snapshot_id", 88L); e.put("data_file", d)
+    val mPath = s"$t/metadata/meq.avro"
+    avroFile(mPath, entrySchema, Seq(e))
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"u2","location":"$t",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":88,
+         |"snapshots":[{"snapshot-id":88,"sequence-number":1,
+         |  "timestamp-ms":1,"manifests":["$mPath"]}]}""".stripMargin
+    val out = fs(t).create(new Path(t, "metadata/v1.metadata.json"), true)
+    out.write(metaJson.getBytes("UTF-8")); out.close()
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.read(spark, t))
+    assert(err.getMessage.contains("EQUALITY"))
+  }
+
+  test("path normalization equates file:///, file:/ and bare forms") {
+    assert(IcebergLite.normalizePathStr("file:///tmp/a.parquet") ==
+      "/tmp/a.parquet")
+    assert(IcebergLite.normalizePathStr("file:/tmp/a.parquet") ==
+      "/tmp/a.parquet")
+    assert(IcebergLite.normalizePathStr("/tmp/a.parquet") ==
+      "/tmp/a.parquet")
+    assert(IcebergLite.normalizePathStr("s3://bucket/a.parquet") ==
+      "/bucket/a.parquet")
+  }
+
+  test("a table whose location moved on disk still reads (rebase " +
+      "against the actual root)") {
+    val t = tmp("move_src")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val dst = tmp("move_dst")
+    assert(fs(t).rename(new Path(t), new Path(dst)))
+    assert(rows(IcebergLite.read(spark, dst)) == Set((1L, "a")))
+  }
+}
