@@ -92,10 +92,15 @@ object IcebergLite {
       addedRows: Long, existingRows: Long, deletedRows: Long)
 
   /** One live file of a snapshot (a `data_file` struct). `content`:
-    * 0 = data, 1 = position deletes, 2 = equality deletes.
+    * 0 = data, 1 = position deletes, 2 = equality deletes. Bounds are
+    * the spec's per-file column stats: field id → single-value
+    * serialized min/max (spec §Binary single-value serialization),
+    * the index manifest-level scan pruning runs on.
     */
   final case class FileEntry(path: String, format: String, content: Int,
-      recordCount: Long, fileSize: Long)
+      recordCount: Long, fileSize: Long,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   final case class TableMeta(
       formatVersion: Int,
@@ -107,7 +112,11 @@ object IcebergLite {
       snapshots: Seq[SnapshotMeta],
       /** metadata file version N of v<N>.metadata.json */
       version: Int,
-      tableUuid: String)
+      tableUuid: String,
+      /** TOP-LEVEL column name → Iceberg field id (from the current
+        * schema's `fields[].id`) — the key space of the bounds maps.
+        */
+      fieldIds: Map[String, Int] = Map.empty)
 
   final case class SnapshotState(meta: TableMeta, snapshot: SnapshotMeta,
       manifests: Seq[ManifestInfo],
@@ -271,10 +280,15 @@ object IcebergLite {
           inlineManifests = Option(s.get("manifests")).toSeq
             .flatMap(_.elements.asScala.map(_.asText)))
       }
+    val fieldIds = Option(schemaNode.get("fields")).toSeq
+      .flatMap(_.elements.asScala)
+      .flatMap(f => Option(f.get("id")).map(id => f.get("name").asText -> id.asInt))
+      .toMap
     TableMeta(
       formatVersion = fv,
       location = Option(node.get("location")).map(_.asText).getOrElse(tablePath),
       schema = sparkType(schemaNode).asInstanceOf[StructType],
+      fieldIds = fieldIds,
       lastColumnId = Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
       lastSequenceNumber =
         Option(node.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
@@ -310,6 +324,81 @@ object IcebergLite {
     }
   private def text(v: Any): String = v.toString
   private def num(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  // ------------------------------------ single-value (de)serialization
+  // Spec §Binary single-value serialization for the types the pruning
+  // index covers: int/date 4-byte little-endian, long/timestamp 8-byte
+  // LE, float/double IEEE LE, string UTF-8 bytes.
+
+  private def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fill(b); b.array()
+  }
+
+  private[graft] def serializeBound(dt: DataType, v: Any): Option[Array[Byte]] =
+    (dt, v) match {
+      case (_, null) => None
+      case (IntegerType, i: Int) => Some(le(4)(_.putInt(i)))
+      case (LongType, l: Long) => Some(le(8)(_.putLong(l)))
+      case (FloatType, f: Float) if !f.isNaN => Some(le(4)(_.putFloat(f)))
+      case (DoubleType, d: Double) if !d.isNaN => Some(le(8)(_.putDouble(d)))
+      case (DateType, d: java.sql.Date) =>
+        Some(le(4)(_.putInt(d.toLocalDate.toEpochDay.toInt)))
+      case (StringType, s: String) => Some(s.getBytes("UTF-8"))
+      case _ => None
+    }
+
+  /** Compare a live key value against a serialized bound. None =
+    * incomparable (unsupported type / corrupt bytes) → never prunes.
+    * Truncated STRING bounds stay conservative: a truncated lower bound
+    * is still ≤ the true min, a truncated-and-incremented upper bound
+    * is still ≥ the true max (spec truncation contract).
+    */
+  private[graft] def compareToBound(dt: DataType, v: Any,
+      bound: Array[Byte]): Option[Int] = {
+    def buf = java.nio.ByteBuffer.wrap(bound)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (dt, v) match {
+      case (_, null) => None
+      case (IntegerType, i: Int) if bound.length == 4 =>
+        Some(java.lang.Integer.compare(i, buf.getInt))
+      case (LongType, l: Long) if bound.length == 8 =>
+        Some(java.lang.Long.compare(l, buf.getLong))
+      case (FloatType, f: Float) if bound.length == 4 =>
+        Some(java.lang.Float.compare(f, buf.getFloat))
+      case (DoubleType, d: Double) if bound.length == 8 =>
+        Some(java.lang.Double.compare(d, buf.getDouble))
+      case (DateType, d: java.sql.Date) if bound.length == 4 =>
+        Some(java.lang.Integer.compare(d.toLocalDate.toEpochDay.toInt, buf.getInt))
+      case (StringType, s: String) =>
+        Some(s.compareTo(new String(bound, "UTF-8")))
+      case _ => None
+    }
+  }
+
+  /** Parse a bounds field (the spec's k/v-array-with-map-logicalType —
+    * tolerating writers that used a real Avro map).
+    */
+  private def boundsOf(df: GenericRecord, name: String): Map[Int, Array[Byte]] = {
+    def bytes(v: Any): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val a = new Array[Byte](b.remaining); b.duplicate().get(a); a
+      case a: Array[Byte] => a
+      case other => other.toString.getBytes("UTF-8")
+    }
+    field(df, name) match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) =>
+          k.toString.toInt -> bytes(v)
+        }.toMap
+      case Some(c: java.util.Collection[_]) =>
+        c.asScala.collect { case r: GenericRecord =>
+          num(r.get("key")).toInt -> bytes(r.get("value"))
+        }.toMap
+      case _ => Map.empty
+    }
+  }
 
   /** Resolve a metadata-recorded absolute URI against this table's
     * actual filesystem root (tables move; `location` in old metadata
@@ -392,7 +481,9 @@ object IcebergLite {
             format = text(df.get("file_format")).toUpperCase,
             content = content,
             recordCount = num(df.get("record_count")),
-            fileSize = field(df, "file_size_in_bytes").map(num).getOrElse(0L))
+            fileSize = field(df, "file_size_in_bytes").map(num).getOrElse(0L),
+            lowerBounds = boundsOf(df, "lower_bounds"),
+            upperBounds = boundsOf(df, "upper_bounds"))
           content match {
             case 0 => data += entry
             case 1 => posDeletes += entry
@@ -459,7 +550,17 @@ object IcebergLite {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+      | {"type":"array","logicalType":"map","items":{"type":"record",
+      |  "name":"k126_v127","fields":[
+      |   {"name":"key","type":"int","field-id":126},
+      |   {"name":"value","type":"bytes","field-id":127}]}}]},
+      |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+      | {"type":"array","logicalType":"map","items":{"type":"record",
+      |  "name":"k129_v130","fields":[
+      |   {"name":"key","type":"int","field-id":129},
+      |   {"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin)
 
   private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
@@ -492,35 +593,65 @@ object IcebergLite {
     buf.size().toLong
   }
 
-  /** Stage `df` as parquet under `data/` and return
-    * (absolutePath, sizeBytes, rowCount) per file — counts computed
-    * DISTRIBUTED with one groupBy over the staged data.
+  /** Top-level columns whose min/max land in the manifest bounds maps
+    * (the types [[serializeBound]] covers).
+    */
+  private def boundsEligible(f: StructField): Boolean = f.dataType match {
+    case IntegerType | LongType | FloatType | DoubleType | DateType |
+        StringType => true
+    case _ => false
+  }
+
+  /** One staged data file: absolute path, size, row count, and per-
+    * eligible-column (min, max) as JVM values.
+    */
+  private final case class StagedFile(path: String, size: Long, rows: Long,
+      bounds: Map[String, (Any, Any)])
+
+  /** Stage `df` as parquet under `data/`; counts AND per-file column
+    * min/max come from ONE distributed groupBy over the staged data.
     */
   private def stageData(spark: SparkSession, df: DataFrame, root: Path,
-      fs: FileSystem): Seq[(String, Long, Long)] = {
+      fs: FileSystem): Seq[StagedFile] = {
+    import org.apache.spark.sql.functions.{max, min}
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     df.write.mode("overwrite").parquet(stage.toString)
-    val counts = spark.read.schema(df.schema).parquet(stage.toString)
+    val eligible = df.schema.fields.filter(boundsEligible).toSeq
+    val aggs = Seq(count(lit(1)).as("__n")) ++ eligible.flatMap { f =>
+      Seq(min(col(f.name)).as(s"__min__${f.name}"),
+        max(col(f.name)).as(s"__max__${f.name}"))
+    }
+    val stats = spark.read.schema(df.schema).parquet(stage.toString)
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val bounds = eligible.flatMap { f =>
+          val mn = r.getAs[Any](s"__min__${f.name}")
+          val mx = r.getAs[Any](s"__max__${f.name}")
+          if (mn == null || mx == null) None else Some(f.name -> (mn, mx))
+        }.toMap
+        r.getAs[String]("__file") -> (r.getAs[Long]("__n"), bounds)
+      }.toMap
     val moved = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-"))
       .map { s =>
         val tgt = new Path(dataDir, s.getPath.getName)
         require(fs.rename(s.getPath, tgt),
           s"staging move failed for ${s.getPath.getName}")
-        (tgt.toString, s.getLen, counts.getOrElse(s.getPath.getName, 0L))
+        val (n, b) = stats.getOrElse(s.getPath.getName, (0L, Map.empty[String, (Any, Any)]))
+        StagedFile(tgt.toString, s.getLen, n, b)
       }.toIndexedSeq
     fs.delete(stage, true)
     moved
   }
 
   private def entryRecord(status: Int, snapshotId: Long, seq: Long,
-      content: Int, path: String, records: Long, size: Long): GenericRecord = {
+      content: Int, path: String, records: Long, size: Long,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty): GenericRecord = {
     val df = new GenericData.Record(
       manifestEntrySchema.getField("data_file").schema())
     df.put("content", content)
@@ -530,6 +661,21 @@ object IcebergLite {
       new GenericData.Record(df.getSchema.getField("partition").schema()))
     df.put("record_count", records)
     df.put("file_size_in_bytes", size)
+    def kvArray(fieldName: String, m: Map[Int, Array[Byte]]): Unit =
+      if (m.nonEmpty) {
+        val arrSchema = df.getSchema.getField(fieldName).schema()
+          .getTypes.asScala.find(_.getType == AvroSchema.Type.ARRAY).get
+        val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(arrSchema.getElementType)
+          r.put("key", k)
+          r.put("value", java.nio.ByteBuffer.wrap(v))
+          arr.add(r)
+        }
+        df.put(fieldName, arr)
+      }
+    kvArray("lower_bounds", lower)
+    kvArray("upper_bounds", upper)
     val e = new GenericData.Record(manifestEntrySchema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)
@@ -556,6 +702,28 @@ object IcebergLite {
     r.put("deleted_rows_count", m.deletedRows)
     r
   }
+
+  /** Top-level column name → assigned field id (the same assignment
+    * [[schemaNode]] writes into the metadata, so manifest bounds keys
+    * and schema ids always agree).
+    */
+  private def topFieldIds(schema: StructType): Map[String, Int] = {
+    val (n, _) = schemaNode(schema)
+    n.get("fields").elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+  }
+
+  /** Serialized per-column bounds of one staged file, keyed by field id. */
+  private def boundBytes(schema: StructType, ids: Map[String, Int],
+      bounds: Map[String, (Any, Any)],
+      side: ((Any, Any)) => Any): Map[Int, Array[Byte]] =
+    bounds.flatMap { case (name, mm) =>
+      for {
+        id <- ids.get(name)
+        f <- schema.fields.find(_.name == name)
+        b <- serializeBound(f.dataType, side(mm))
+      } yield id -> b
+    }
 
   /** Iceberg schema JSON node (id-assigned) for the metadata file. */
   private def schemaNode(schema: StructType): (JsonNode, Int) = {
@@ -693,14 +861,17 @@ object IcebergLite {
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val entries = staged.map { case (p, size, n) =>
+    val ids = topFieldIds(df.schema)
+    val entries = staged.map { f =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
-        content = 0, path = p, records = n, size = size)
+        content = 0, path = f.path, records = f.rows, size = f.size,
+        lower = boundBytes(df.schema, ids, f.bounds, _._1),
+        upper = boundBytes(df.schema, ids, f.bounds, _._2))
     }
     val carry = if (mode == "append")
       prior.toSeq.flatMap(_.manifests) else Seq.empty
     commit(spark, tablePath, prior, df.schema,
-      Seq((entries, 0, staged.map(_._3).sum)), carryForward = carry,
+      Seq((entries, 0, staged.map(_.rows).sum)), carryForward = carry,
       operation = if (mode == "append") "append" else "overwrite",
       snapshotId = snapshotId)
   }
@@ -756,9 +927,9 @@ object IcebergLite {
     val seq = prior.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val entries = staged.map { case (p, size, n) =>
+    val entries = staged.map { f =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
-        content = 1, path = p, records = n, size = size)
+        content = 1, path = f.path, records = f.rows, size = f.size)
     }
     commit(spark, tablePath, Some(prior), prior.meta.schema,
       Seq((entries, 1, 0L)), carryForward = prior.manifests,
@@ -789,39 +960,86 @@ object IcebergLite {
         tablePath)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // positions of currently-visible rows holding a touched key
+    // positions of currently-visible rows holding a touched key —
+    // scanned only over the files whose MANIFEST BOUNDS may hold one
+    // (the spec's per-file column stats; files without bounds never
+    // prune), so the merge reads O(files-with-touched-keys), not the
+    // whole table
     val touchedKeys = {
       val b = batch.select(keyCols.map(col): _*)
       deleteKeys.fold(b)(d => b.unionByName(d.select(keyCols.map(col): _*)))
         .distinct()
     }
-    val alive = aliveWithPos(spark, prior)
-    val pathMap = prior.dataFiles
-      .map(f => normalizePathStr(f.path) -> f.path)
-      .toDF("__norm", "file_path")
-    val positions = alive
-      .join(broadcast(touchedKeys), keyCols, "left_semi")
-      .join(pathMap, alive("__ice_file") === pathMap("__norm"))
-      .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
-      .orderBy(col("file_path"), col("pos"))
-    val stagedDeletes = stageData(spark, positions, root, fs)
+    import org.apache.spark.sql.functions.{max, min}
+    val keyBounds: Map[String, (Any, Any)] = {
+      val aggs = keyCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__min__$c"), max(col(c)).as(s"__max__$c")))
+      val r = touchedKeys.agg(aggs.head, aggs.tail: _*).collect().head
+      keyCols.map(c =>
+        c -> (r.getAs[Any](s"__min__$c"), r.getAs[Any](s"__max__$c"))).toMap
+    }
+    val candidates = candidateFiles(prior, keyCols, keyBounds)
+    val pruned = prior.copy(dataFiles = candidates)
+    val delEntriesAndRows: Seq[GenericRecord] =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        val alive = aliveWithPos(spark, pruned)
+        val pathMap = candidates
+          .map(f => normalizePathStr(f.path) -> f.path)
+          .toDF("__norm", "file_path")
+        val positions = alive
+          .join(broadcast(touchedKeys), keyCols, "left_semi")
+          .join(pathMap, alive("__ice_file") === pathMap("__norm"))
+          .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
+          .orderBy(col("file_path"), col("pos"))
+        stageData(spark, positions, root, fs).map(f =>
+          entryRecord(1, 0L, 0L, content = 1, f.path, f.rows, f.size))
+      }
     val stagedData = stageData(spark,
       batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*),
       root, fs)
     val seq = prior.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val delEntries = stagedDeletes.map { case (p, size, n) =>
-      entryRecord(1, snapshotId, seq, content = 1, p, n, size)
+    val ids = topFieldIds(prior.meta.schema)
+    val delEntries = delEntriesAndRows.map { e =>
+      // re-stamp snapshot/sequence now that they exist
+      e.put("snapshot_id", snapshotId); e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq); e
     }
-    val dataEntries = stagedData.map { case (p, size, n) =>
-      entryRecord(1, snapshotId, seq, content = 0, p, n, size)
+    val dataEntries = stagedData.map { f =>
+      entryRecord(1, snapshotId, seq, content = 0, f.path, f.rows, f.size,
+        lower = boundBytes(prior.meta.schema, ids, f.bounds, _._1),
+        upper = boundBytes(prior.meta.schema, ids, f.bounds, _._2))
     }
     commit(spark, tablePath, Some(prior), prior.meta.schema,
-      Seq((delEntries, 1, 0L), (dataEntries, 0, stagedData.map(_._3).sum)),
+      Seq((delEntries, 1, 0L), (dataEntries, 0, stagedData.map(_.rows).sum)),
       carryForward = prior.manifests, operation = "overwrite",
       snapshotId = snapshotId)
   }
+
+  /** Data files whose per-column bounds may intersect the batch's key
+    * range — per key column, a file survives unless its [lower, upper]
+    * and the batch's [min, max] are provably disjoint. Missing bounds,
+    * missing ids, or incomparable types keep the file (never prune on
+    * uncertainty).
+    */
+  private[graft] def candidateFiles(st: SnapshotState, keyCols: Seq[String],
+      keyBounds: Map[String, (Any, Any)]): Seq[FileEntry] =
+    st.dataFiles.filter { f =>
+      keyCols.forall { c =>
+        val overlap = for {
+          id <- st.meta.fieldIds.get(c)
+          sf <- st.meta.schema.fields.find(_.name == c)
+          lo <- f.lowerBounds.get(id)
+          hi <- f.upperBounds.get(id)
+          (bMin, bMax) <- keyBounds.get(c)
+          minVsHi <- compareToBound(sf.dataType, bMin, hi)
+          maxVsLo <- compareToBound(sf.dataType, bMax, lo)
+        } yield !(minVsHi > 0 || maxVsLo < 0)
+        overlap.getOrElse(true)
+      }
+    }
 
   /** File-level CDC between two snapshots, the [[DeltaLite.changesBetween]]
     * twin: data files present only in `fromSnapshotId` read as the old

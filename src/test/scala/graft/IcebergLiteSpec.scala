@@ -142,6 +142,42 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a")))
   }
 
+  test("manifest column bounds: written per data file (spec single-" +
+      "value serialization) and pruning the upsert candidate scan") {
+    val t = tmp("prune")
+    IcebergLite.write(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    IcebergLite.write(spark,
+      (100L to 110L).map(i => (i, s"w$i")).toDF("k", "v").coalesce(1), t)
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.size == 2)
+    val kId = st.meta.fieldIds("k")
+    // bounds round-trip: the first file's k range is [1, 10] LE longs
+    val f1 = st.dataFiles.minBy(_.lowerBounds.get(kId).map(
+      b => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong).getOrElse(Long.MaxValue))
+    assert(java.nio.ByteBuffer.wrap(f1.lowerBounds(kId))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 1L)
+    assert(java.nio.ByteBuffer.wrap(f1.upperBounds(kId))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 10L)
+    // string bounds on v too
+    assert(new String(f1.lowerBounds(st.meta.fieldIds("v")), "UTF-8") == "v1")
+    // pruning: a batch keyed entirely inside the second file's range
+    // scans ONE candidate; a disjoint range scans none
+    assert(IcebergLite.candidateFiles(st, Seq("k"),
+      Map("k" -> (105L, 108L))).size == 1)
+    assert(IcebergLite.candidateFiles(st, Seq("k"),
+      Map("k" -> (50L, 60L))).isEmpty)
+    assert(IcebergLite.candidateFiles(st, Seq("k"),
+      Map("k" -> (5L, 105L))).size == 2)
+    // and the merge is still correct end to end through the pruned path
+    IcebergLite.upsert(spark, Seq((105L, "MERGED")).toDF("k", "v"), t, Seq("k"))
+    val got = rows(IcebergLite.read(spark, t))
+    assert(got.size == 21)
+    assert(got((105L, "MERGED")) && !got((105L, "w105")))
+    assert(got((1L, "v1")) && got((110L, "w110")))
+  }
+
   test("deleteWhere matching nothing commits nothing") {
     val t = tmp("noop")
     IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
