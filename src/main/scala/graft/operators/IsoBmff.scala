@@ -392,6 +392,80 @@ object IsoBmff {
       else Some((profileIdc, compat, levelIdc, width, height))
     } catch { case _: Exception => None }
 
+  /** Length-framed NAL units of one mdat sample (`nalLengthSize`-byte
+    * big-endian prefixes — ISO/IEC 14496-15 sample format). A truncated
+    * trailing frame ends the walk rather than throwing (corrupt-tail
+    * tolerance, like every other probe here).
+    */
+  def nalUnits(sample: Array[Byte], nalLengthSize: Int): Seq[Array[Byte]] = {
+    require(nalLengthSize >= 1 && nalLengthSize <= 4,
+      s"NAL length size must be 1-4, got $nalLengthSize")
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    var ok = true
+    while (ok && i + nalLengthSize <= sample.length) {
+      var len = 0L
+      (0 until nalLengthSize).foreach(j =>
+        len = (len << 8) | (sample(i + j) & 0xff))
+      val start = i + nalLengthSize
+      if (start + len > sample.length) ok = false
+      else {
+        out += java.util.Arrays.copyOfRange(sample, start, start + len.toInt)
+        i = start + len.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** H.264 coded-slice classification WITHOUT payload decode: NAL types
+    * 1/5 → (sliceKind, isIdr) from the first two slice-header fields
+    * (ITU-T H.264 §7.3.3 first_mb_in_slice, slice_type) — the GOP
+    * census pass a transcode pipeline runs over a corpus. slice_type
+    * mod 5: 0=P 1=B 2=I 3=SP 4=SI (the +5 forms mean "whole picture
+    * uses this type"; classification is identical).
+    */
+  def avcSliceInfo(nal: Array[Byte]): Option[(String, Boolean)] =
+    try {
+      if (nal.length < 2) return None
+      val t = nal(0) & 0x1f
+      if (t != 1 && t != 5) return None
+      val r = new BitReader(nal, 1)
+      r.ue() // first_mb_in_slice
+      val kind = r.ue() % 5 match {
+        case 0 => "P"
+        case 1 => "B"
+        case 2 => "I"
+        case 3 => "SP"
+        case _ => "SI"
+      }
+      Some((kind, t == 5))
+    } catch { case _: Exception => None }
+
+  /** H.265 slice classification (ITU-T H.265 §7.3.6.1
+    * slice_segment_header): VCL NAL types 0-31 → (sliceKind, isIrap).
+    * Reads up to slice_type assuming num_extra_slice_header_bits = 0
+    * (our PPS's value and every mainstream encoder default); dependent
+    * slice segments carry no slice_type → None.
+    */
+  def hevcSliceInfo(nal: Array[Byte]): Option[(String, Boolean)] =
+    try {
+      if (nal.length < 3) return None
+      val t = (nal(0) >> 1) & 0x3f
+      if (t > 31) return None // non-VCL
+      val irap = t >= 16 && t <= 23
+      val r = new BitReader(nal, 2)
+      val first = r.u1()
+      if (irap) r.u1() // no_output_of_prior_pics_flag
+      r.ue() // slice_pic_parameter_set_id
+      if (first == 0) return None
+      r.ue() match {
+        case 0 => Some(("B", irap))
+        case 1 => Some(("P", irap))
+        case 2 => Some(("I", irap))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   /** Parse an `avcC` payload (AVCDecoderConfigurationRecord, ISO/IEC
     * 14496-15 §5.3.3.1): config header + SPS/PPS arrays, first SPS
     * parsed for the coded resolution. None on anything malformed.
@@ -839,6 +913,45 @@ object IsoBmff {
       Array[Byte](0x68.toByte) ++ w.result
     }
 
+    /** One coded-slice NAL with a SPEC-COMPLETE slice header for THIS
+      * encoder's SPS/PPS (ITU-T H.264 §7.3.3: frame coding, CAVLC,
+      * poc type 0 with 4-bit lsb, 4-bit frame_num, deblocking idc 1)
+      * followed by an OPAQUE deterministic slice-data tail — the
+      * documented stand-in for real macroblock coding (the probe
+      * contract stops at slice_type; decode is the out-of-JDK delta).
+      *
+      * `sliceType`: 7 = I (IDR all-slices form), 0 = P, 1 = B.
+      */
+    def slice(idr: Boolean, sliceType: Int, frameNum: Int,
+        pocLsb: Int, payload: Array[Byte]): Array[Byte] = {
+      require(Set(0, 1, 7).contains(sliceType),
+        s"slice builder covers I(7)/P(0)/B(1), got $sliceType")
+      require(!idr || sliceType == 7, "IDR NALs carry I slices")
+      val refIdc = if (sliceType == 1) 0 else 3 // B unreferenced here
+      val nalType = if (idr) 5 else 1
+      val w = new BitWriter
+      w.ue(0)              // first_mb_in_slice
+      w.ue(sliceType)      // slice_type
+      w.ue(0)              // pic_parameter_set_id
+      w.u(4, frameNum)     // frame_num (log2_max_frame_num = 4)
+      if (idr) w.ue(0)     // idr_pic_id
+      w.u(4, pocLsb)       // pic_order_cnt_lsb (poc type 0)
+      if (sliceType == 1) w.u1(1) // direct_spatial_mv_pred_flag
+      if (sliceType == 0 || sliceType == 1) {
+        w.u1(0)            // num_ref_idx_active_override_flag
+        w.u1(0)            // ref_pic_list_modification_flag_l0
+        if (sliceType == 1) w.u1(0) // ..._l1
+      }
+      if (refIdc != 0) {
+        if (idr) { w.u1(0); w.u1(0) } // no_output_of_prior / long_term
+        else w.u1(0)       // adaptive_ref_pic_marking_mode_flag
+      }
+      w.ue(0)              // slice_qp_delta (se(0))
+      w.ue(1)              // disable_deblocking_filter_idc = 1
+      w.trailing()
+      Array(((refIdc << 5) | nalType).toByte) ++ w.result ++ payload
+    }
+
     /** AVCDecoderConfigurationRecord from one SPS + one PPS,
       * 4-byte NAL length framing.
       */
@@ -923,6 +1036,28 @@ object IsoBmff {
     /** HEVCDecoderConfigurationRecord holding one SPS array, 4-byte
       * NAL length framing, 4:2:0 8-bit, single temporal layer.
       */
+    /** One coded-slice NAL: real 2-byte NAL header (type, layer 0,
+      * tid 1) and slice_segment_header through slice_type (§7.3.6.1,
+      * num_extra_slice_header_bits = 0), then an opaque deterministic
+      * tail — the same stand-in posture as [[AvcEncode.slice]].
+      * `sliceType`: 2 = I, 1 = P, 0 = B; `idr` emits IDR_W_RADL (19),
+      * P/B emit TRAIL_R (1) / TRAIL_N (0).
+      */
+    def slice(idr: Boolean, sliceType: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      require(Set(0, 1, 2).contains(sliceType),
+        s"hevc slice builder covers B(0)/P(1)/I(2), got $sliceType")
+      require(!idr || sliceType == 2, "IDR NALs carry I slices")
+      val nalType = if (idr) 19 else if (sliceType == 1) 1 else 0
+      val w = new BitWriter
+      w.u1(1)          // first_slice_segment_in_pic_flag
+      if (idr) w.u1(0) // no_output_of_prior_pics_flag (IRAP only)
+      w.ue(0)          // slice_pic_parameter_set_id
+      w.ue(sliceType)  // slice_type
+      w.trailing()
+      Array((nalType << 1).toByte, 1.toByte) ++ w.result ++ payload
+    }
+
     def hvcC(profileIdc: Int, tier: Int, levelIdc: Int,
         sps: Array[Byte]): Array[Byte] = {
       val out = new ByteArrayOutputStream()

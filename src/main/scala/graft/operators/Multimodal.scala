@@ -945,6 +945,135 @@ object Multimodal {
     }
   }
 
+  /** AVC MP4s whose mdat holds REAL length-framed coded-slice NAL
+    * units forming a GOP structure closed-form in the id: nFrames =
+    * 4 + id%5, gop = 2 + id%3; frame j is IDR-I at j%gop==0, P at
+    * j%gop==1, B otherwise. Slice HEADERS are spec-complete for this
+    * encoder's SPS/PPS ([[IsoBmff.AvcEncode.slice]]); slice DATA is
+    * the documented opaque stand-in (classification never reads it).
+    */
+  def renderAvcGopMp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 2 * (50 + math.floorMod(id, 37L).toInt)
+          val h = 2 * (40 + math.floorMod(id, 29L).toInt)
+          val cfg = IsoBmff.AvcEncode.avcC(
+            IsoBmff.AvcEncode.sps(66, 30, w, h), IsoBmff.AvcEncode.pps())
+          val n = 4 + math.floorMod(id, 5L).toInt
+          val gop = 2 + math.floorMod(id, 3L).toInt
+          val frames = (0 until n).map { j =>
+            val pos = j % gop
+            val nal =
+              if (pos == 0) IsoBmff.AvcEncode.slice(idr = true, 7, 0, 0,
+                Array.fill(8)((id + j).toByte))
+              else if (pos == 1) IsoBmff.AvcEncode.slice(idr = false, 0,
+                pos % 16, (2 * pos) % 16, Array.fill(8)((id + j).toByte))
+              else IsoBmff.AvcEncode.slice(idr = false, 1,
+                pos % 16, (2 * pos) % 16, Array.fill(8)((id + j).toByte))
+            // 4-byte length framing (avcC lengthSizeMinusOne = 3)
+            java.nio.ByteBuffer.allocate(4 + nal.length)
+              .putInt(nal.length).put(nal).array(): Array[Byte]
+          }
+          MediaRow(id, IsoBmff.mux(frames, codec = "avc1", width = w,
+            height = h, timescale = 1000, sampleDelta = 40,
+            keyframeEvery = gop, avcC = Some(cfg)), "video")
+        }
+      }
+  }
+
+  /** HEVC mirror of [[renderAvcGopMp4s]] — same GOP law (nFrames =
+    * 4 + id%5, gop = 2 + id%3; IDR_W_RADL / TRAIL_R(P) / TRAIL_N(B)),
+    * real hvcC + length-framed slice NALs.
+    */
+  def renderHevcGopMp4s(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 2 * (60 + math.floorMod(id, 33L).toInt)
+          val h = 2 * (40 + math.floorMod(id, 23L).toInt)
+          val sps = IsoBmff.HevcEncode.sps(1, 0, 60, w, h)
+          val cfg = IsoBmff.HevcEncode.hvcC(1, 0, 60, sps)
+          val n = 4 + math.floorMod(id, 5L).toInt
+          val gop = 2 + math.floorMod(id, 3L).toInt
+          val frames = (0 until n).map { j =>
+            val pos = j % gop
+            val nal =
+              if (pos == 0)
+                IsoBmff.HevcEncode.slice(idr = true, 2,
+                  Array.fill(8)((id + j).toByte))
+              else if (pos == 1)
+                IsoBmff.HevcEncode.slice(idr = false, 1,
+                  Array.fill(8)((id + j).toByte))
+              else IsoBmff.HevcEncode.slice(idr = false, 0,
+                Array.fill(8)((id + j).toByte))
+            java.nio.ByteBuffer.allocate(4 + nal.length)
+              .putInt(nal.length).put(nal).array(): Array[Byte]
+          }
+          MediaRow(id, IsoBmff.mux(frames, codec = "hvc1", width = w,
+            height = h, timescale = 1000, sampleDelta = 40,
+            keyframeEvery = gop, hvcC = Some(cfg)), "video")
+        }
+      }
+  }
+
+  case class GopRow(id: Long, ok: Boolean, codec: String, nSamples: Long,
+      nIdr: Long, nI: Long, nP: Long, nB: Long, nOther: Long,
+      stssAgrees: Boolean)
+
+  /** GOP-structure census WITHOUT payload decode — the pass that tells
+    * a transcode/curation pipeline each video's keyframe cadence and
+    * frame-type mix before it spends any decode budget: walk every
+    * sample's length-framed NAL units, classify coded slices from the
+    * slice header alone ([[IsoBmff.avcSliceInfo]] / `hevcSliceInfo`),
+    * and cross-check the container's `stss` keyframe table against the
+    * stream's own IDR/IRAP marks (a mismatch is the classic "seek
+    * breaks on this file" corruption). Map-only, O(bytes) per file.
+    */
+  def mp4GopProbe(ds: Dataset[MediaRow]): Dataset[GopRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        IsoBmff.parse(r.payload) match {
+          case Some(track) if track.avc.isDefined || track.hevc.isDefined =>
+            val lenSize = track.avc.map(_.nalLengthSize)
+              .orElse(track.hevc.map(_.nalLengthSize)).get
+            val classify: Array[Byte] => Option[(String, Boolean)] =
+              if (track.avc.isDefined) IsoBmff.avcSliceInfo
+              else IsoBmff.hevcSliceInfo
+            var (nIdr, nI, nP, nB, nOther) = (0L, 0L, 0L, 0L, 0L)
+            var agrees = true
+            track.samples.foreach { s =>
+              val slice = IsoBmff.sampleBytes(r.payload, s).toSeq
+                .flatMap(IsoBmff.nalUnits(_, lenSize))
+                .flatMap(classify(_)).headOption
+              slice match {
+                case Some((kind, idr)) =>
+                  if (idr) nIdr += 1
+                  kind match {
+                    case "I" => nI += 1
+                    case "P" => nP += 1
+                    case "B" => nB += 1
+                    case _ => nOther += 1
+                  }
+                  if (idr != s.keyframe) agrees = false
+                case None => nOther += 1
+              }
+            }
+            GopRow(r.id, ok = true, track.codec, track.samples.length,
+              nIdr, nI, nP, nB, nOther, agrees)
+          case _ =>
+            GopRow(r.id, ok = false, "", 0, 0, 0, 0, 0, 0,
+              stssAgrees = false)
+        }
+      }
+    }
+  }
+
   /** Deterministic hvc1 MP4s: real hvcC boxes (spec-encoded H.265 SPS)
     * with closed-form profile/tier/level/resolution in the id — the
     * HEVC mirror of [[renderAvcMp4s]].

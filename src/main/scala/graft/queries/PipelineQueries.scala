@@ -3629,6 +3629,65 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // GOP-STRUCTURE CENSUS without payload decode: real avc1 MP4s whose
+    // mdat samples are length-framed H.264 coded-slice NALs with
+    // spec-complete slice HEADERS (ITU-T H.264 §7.3.3 through the
+    // deblocking idc — slice DATA stays the documented opaque
+    // stand-in), classified I/P/B from the header alone and
+    // cross-checked against the container's stss keyframe table
+    // (operators/Multimodal.mp4GopProbe + IsoBmff.avcSliceInfo). The
+    // GOP law is closed-form in doc_id, so every count is oracled:
+    // nFrames = 4 + id%5, gop = 2 + id%3, IDR at j%gop==0, P at 1,
+    // B otherwise.
+    QueryDef("q133_gop_census",
+      """SELECT doc_id AS id, 'avc1' AS codec,
+        |  CAST(4 + doc_id % 5 AS BIGINT) AS n_samples,
+        |  CAST((4 + doc_id % 5 + 1 + doc_id % 3)
+        |       // (2 + doc_id % 3) AS BIGINT) AS n_idr,
+        |  CAST((4 + doc_id % 5 + 1 + doc_id % 3)
+        |       // (2 + doc_id % 3) AS BIGINT) AS n_i,
+        |  CAST((2 + doc_id % 5) // (2 + doc_id % 3) + 1 AS BIGINT) AS n_p,
+        |  CAST((4 + doc_id % 5)
+        |       - (4 + doc_id % 5 + 1 + doc_id % 3) // (2 + doc_id % 3)
+        |       - ((2 + doc_id % 5) // (2 + doc_id % 3) + 1)
+        |       AS BIGINT) AS n_b,
+        |  CAST(1 AS INTEGER) AS stss_agree
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderAvcGopMp4s(t(s, dir, "documents"), "doc_id")
+      Multimodal.mp4GopProbe(media).toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("codec"),
+          col("nSamples").as("n_samples"), col("nIdr").as("n_idr"),
+          col("nI").as("n_i"), col("nP").as("n_p"), col("nB").as("n_b"),
+          col("stssAgrees").cast("int").as("stss_agree"))
+    },
+
+    // The HEVC mirror: IDR_W_RADL / TRAIL_R / TRAIL_N NAL types with
+    // slice_segment_header classification (ITU-T H.265 §7.3.6.1) and
+    // the same oracled GOP law — one probe operator covers both codecs.
+    QueryDef("q133b_gop_census_hevc",
+      """SELECT doc_id AS id, 'hvc1' AS codec,
+        |  CAST(4 + doc_id % 5 AS BIGINT) AS n_samples,
+        |  CAST((4 + doc_id % 5 + 1 + doc_id % 3)
+        |       // (2 + doc_id % 3) AS BIGINT) AS n_idr,
+        |  CAST((4 + doc_id % 5 + 1 + doc_id % 3)
+        |       // (2 + doc_id % 3) AS BIGINT) AS n_i,
+        |  CAST((2 + doc_id % 5) // (2 + doc_id % 3) + 1 AS BIGINT) AS n_p,
+        |  CAST((4 + doc_id % 5)
+        |       - (4 + doc_id % 5 + 1 + doc_id % 3) // (2 + doc_id % 3)
+        |       - ((2 + doc_id % 5) // (2 + doc_id % 3) + 1)
+        |       AS BIGINT) AS n_b,
+        |  CAST(1 AS INTEGER) AS stss_agree
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.renderHevcGopMp4s(t(s, dir, "documents"), "doc_id")
+      Multimodal.mp4GopProbe(media).toDF()
+        .filter(col("ok"))
+        .select(col("id"), col("codec"),
+          col("nSamples").as("n_samples"), col("nIdr").as("n_idr"),
+          col("nI").as("n_i"), col("nP").as("n_p"), col("nB").as("n_b"),
+          col("stssAgrees").cast("int").as("stss_agree"))
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -257,4 +257,90 @@ class IsoBmffSpec extends AnyFunSuite {
     assert(track.avc.isEmpty && track.hevc.isEmpty)
     assert(track.samples.length == 2)
   }
+
+  test("H.264 coded-slice encode → avcSliceInfo round-trips I/P/B and " +
+      "the IDR flag; non-slice NALs and garbage return None") {
+    import IsoBmff.AvcEncode
+    val idr = AvcEncode.slice(idr = true, 7, 0, 0, Array[Byte](1, 2))
+    val p = AvcEncode.slice(idr = false, 0, 3, 6, Array[Byte](1))
+    val b = AvcEncode.slice(idr = false, 1, 3, 6, Array[Byte](1))
+    assert(IsoBmff.avcSliceInfo(idr).contains(("I", true)))
+    assert(IsoBmff.avcSliceInfo(p).contains(("P", false)))
+    assert(IsoBmff.avcSliceInfo(b).contains(("B", false)))
+    // B NALs are unreferenced here (nal_ref_idc 0), P/IDR referenced
+    assert((b(0) >> 5 & 3) == 0 && (p(0) >> 5 & 3) == 3)
+    assert(IsoBmff.avcSliceInfo(
+      AvcEncode.sps(66, 30, 64, 48)).isEmpty) // SPS is not a slice
+    assert(IsoBmff.avcSliceInfo(Array[Byte](0x41)).isEmpty) // truncated
+    // a hand-built NAL using the +5 "whole picture" slice_type form
+    // (spec mod-5 alias): first_mb ue(0)=1, slice_type ue(5)=00110
+    // → bits 100110.. = 0x9B; classifies as plain P
+    assert(IsoBmff.avcSliceInfo(Array(0x61.toByte, 0x9B.toByte, 0x80.toByte))
+      .contains(("P", false)))
+  }
+
+  test("H.265 coded-slice encode → hevcSliceInfo round-trips I/P/B with " +
+      "the IRAP flag; dependent/garbage NALs return None") {
+    import IsoBmff.HevcEncode
+    assert(IsoBmff.hevcSliceInfo(
+      HevcEncode.slice(idr = true, 2, Array[Byte](9))).contains(("I", true)))
+    assert(IsoBmff.hevcSliceInfo(
+      HevcEncode.slice(idr = false, 1, Array[Byte](9))).contains(("P", false)))
+    assert(IsoBmff.hevcSliceInfo(
+      HevcEncode.slice(idr = false, 0, Array[Byte](9))).contains(("B", false)))
+    // a non-VCL NAL (SPS, type 33) is not a slice
+    assert(IsoBmff.hevcSliceInfo(
+      HevcEncode.sps(1, 0, 60, 64, 48)).isEmpty)
+    assert(IsoBmff.hevcSliceInfo(Array[Byte](2)).isEmpty)
+  }
+
+  test("nalUnits walks multi-NAL length framing and tolerates a " +
+      "truncated tail") {
+    val n1 = Array[Byte](0x65, 1, 2, 3)
+    val n2 = Array[Byte](0x41, 9)
+    def framed(n: Array[Byte]) =
+      java.nio.ByteBuffer.allocate(4 + n.length).putInt(n.length)
+        .put(n).array()
+    val sample = framed(n1) ++ framed(n2)
+    val got = IsoBmff.nalUnits(sample, 4)
+    assert(got.length == 2 && got(0).sameElements(n1) &&
+      got(1).sameElements(n2))
+    // truncated second frame: first survives, walk stops cleanly
+    assert(IsoBmff.nalUnits(sample.dropRight(1), 4).length == 1)
+    // 2-byte framing too
+    val s2 = Array[Byte](0, 4) ++ n1
+    assert(IsoBmff.nalUnits(s2, 2).head.sameElements(n1))
+  }
+
+  test("mp4GopProbe counts the closed-form GOP law and flags an " +
+      "stss/IDR disagreement") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val ids = Seq(7L).toDF("doc_id") // n = 4+2 = 6, gop = 2+1 = 3
+    val rows = graft.operators.Multimodal.mp4GopProbe(
+      graft.operators.Multimodal.renderAvcGopMp4s(ids, "doc_id"))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.ok && r.codec == "avc1" && r.nSamples == 6 &&
+      r.nIdr == 2 && r.nI == 2 && r.nP == 2 && r.nB == 2 &&
+      r.nOther == 0 && r.stssAgrees)
+    // a stream whose container CLAIMS every sample is sync (no stss)
+    // but whose NALs are mostly non-IDR must NOT agree
+    val cfg = IsoBmff.AvcEncode.avcC(
+      IsoBmff.AvcEncode.sps(66, 30, 64, 48), IsoBmff.AvcEncode.pps())
+    def framed(n: Array[Byte]) =
+      java.nio.ByteBuffer.allocate(4 + n.length).putInt(n.length)
+        .put(n).array()
+    val frames = Seq(
+      framed(IsoBmff.AvcEncode.slice(idr = true, 7, 0, 0, Array[Byte](1))),
+      framed(IsoBmff.AvcEncode.slice(idr = false, 0, 1, 2, Array[Byte](1))))
+    val lying = IsoBmff.mux(frames, "avc1", 64, 48, 1000, 40,
+      keyframeEvery = 1, avcC = Some(cfg)) // no stss → all "sync"
+    val probed = graft.operators.Multimodal.mp4GopProbe(
+      Seq(graft.operators.Multimodal.MediaRow(1L, lying, "video")).toDS())
+      .collect().head
+    assert(probed.ok && !probed.stssAgrees && probed.nIdr == 1 &&
+      probed.nP == 1)
+  }
 }
