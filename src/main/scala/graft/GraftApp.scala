@@ -144,9 +144,9 @@ object GraftApp {
               (config.streaming && sink.mode == "append") ||
               (!config.streaming &&
                 (sink.mode == "append" || sink.mode == "overwrite")))) &&
-          !(sink.format == "iceberg" && !config.streaming &&
-            (sink.mode == "append" || sink.mode == "overwrite" ||
-              sink.mode == "upsert")))
+          !(sink.format == "iceberg" &&
+            (sink.mode == "upsert" || sink.mode == "append" ||
+              (!config.streaming && sink.mode == "overwrite"))))
         // delta/iceberg batch commits are native — no jar probe
         requireFormatAvailable(spark, sink.format, "sink")
       if (sink.mode == "upsert") {
@@ -157,10 +157,9 @@ object GraftApp {
         // iceberg upserts commit natively as merge-on-read (position
         // deletes + batch data in one snapshot — IcebergLite.upsert)
         require(sink.format == "parquet" || sink.format == "delta" ||
-          (sink.format == "iceberg" && !config.streaming),
-          s"upsert sink '${sink.table}' supports formats parquet|delta" +
-            s"${if (config.streaming) "" else "|iceberg"} " +
-            s"(got '${sink.format}')")
+          sink.format == "iceberg",
+          s"upsert sink '${sink.table}' supports formats " +
+            s"parquet|delta|iceberg (got '${sink.format}')")
         require((sink.format != "delta" && sink.format != "iceberg") ||
           sink.buckets.isEmpty,
           s"upsert sink '${sink.table}': buckets: is the parquet " +
@@ -864,6 +863,14 @@ object GraftApp {
               "delta-spark connector (native commits are unpartitioned)")
           graft.sinks.Sinks.appendDelta(df, sink.path, ckpt,
             appId = s"graft-${sink.table}", queryName = qn)
+        case "append"
+            if sink.format == "iceberg" &&
+              !formatOnClasspath(spark, "iceberg") =>
+          require(sink.partitionBy.isEmpty,
+            s"iceberg sink '${sink.table}': partition_by needs the " +
+              "iceberg-spark runtime (native commits are unpartitioned)")
+          graft.sinks.Sinks.appendIceberg(df, sink.path, ckpt,
+            appId = s"graft-${sink.table}", queryName = qn)
         case "append" => graft.sinks.Sinks.appendParquet(
           df, sink.path, ckpt, sink.partitionBy, sink.format, sink.options,
           queryName = qn)
@@ -872,6 +879,12 @@ object GraftApp {
           // replace, terminal deletes remove, only key-touched files
           // rewrite; the txn protocol de-dups retried batches
           graft.sinks.Sinks.upsertDelta(df, sink.keys, sink.path, ckpt,
+            appId = s"graft-${sink.table}", queryName = qn)
+        case "upsert" if sink.format == "iceberg" =>
+          // native merge-on-read MERGE per micro-batch: one snapshot
+          // holds the position deletes + batch data; the summary
+          // watermark de-dups retried batches
+          graft.sinks.Sinks.upsertIceberg(df, sink.keys, sink.path, ckpt,
             appId = s"graft-${sink.table}", queryName = qn)
         case "upsert" => sink.buckets match {
           // buckets: opts into the O(batch)-per-microbatch bucketed

@@ -102,6 +102,72 @@ object Sinks {
       }
       .start()
 
+  /** Streaming append into a NATIVE Iceberg table — [[appendDelta]]'s
+    * twin: each micro-batch commits one snapshot whose summary carries
+    * the `graft-txn-app`/`graft-txn-version` watermark, so a RETRIED
+    * batch is detected against the table's own metadata and skipped.
+    * Exactly-once append enforced by the table, not the checkpoint.
+    */
+  def appendIceberg(df: DataFrame, tablePath: String, checkpoint: String,
+      appId: String, queryName: Option[String] = None): StreamingQuery =
+    named(df.writeStream, queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.IcebergLite.write(batch.sparkSession, batch,
+          tablePath, "append", txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
+  /** Streaming keyed UPSERT into a NATIVE Iceberg table — the
+    * merge-on-read twin of [[upsertDelta]]: per micro-batch, one final
+    * row per key; terminal images replace/insert, terminal deletes
+    * remove, all in ONE snapshot whose position-delete manifest
+    * suppresses the touched keys (no data file rewritten, candidate
+    * files pruned by manifest column bounds). Same summary-watermark
+    * idempotence as [[appendIceberg]].
+    */
+  def upsertIceberg(changes: DataFrame, keyCols: Seq[String],
+      tablePath: String, checkpoint: String, appId: String,
+      queryName: Option[String] = None): StreamingQuery =
+    named(changes.writeStream, queryName)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit,
+          monotonically_increasing_id}
+        val Op = graft.cdc.ChangeModel.OpCol
+        val asChanges =
+          if (batch0.columns.contains(Op)) batch0
+          else batch0
+            .withColumn(Op, lit(graft.cdc.ChangeModel.Insert))
+            .withColumn(graft.cdc.ChangeModel.SeqCol,
+              monotonically_increasing_id())
+        val latest = graft.cdc.ChangeModel.latestRows(asChanges, keyCols)
+          .localCheckpoint()
+        val images = latest
+          .filter(col(Op) === graft.cdc.ChangeModel.Insert)
+          .drop(Op, graft.cdc.ChangeModel.SeqCol)
+        val dels = latest
+          .filter(col(Op) === graft.cdc.ChangeModel.Delete)
+          .select(keyCols.map(col): _*)
+        if (!latest.isEmpty) {
+          val spark = batch0.sparkSession
+          val metaDir = new org.apache.hadoop.fs.Path(tablePath, "metadata")
+          if (!metaDir.getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(metaDir))
+            graft.sources.IcebergLite.write(spark, images, tablePath,
+              txn = Some((appId, batchId)))
+          else graft.sources.IcebergLite.upsert(spark, images, tablePath,
+            keyCols, deleteKeys = Some(dels), txn = Some((appId, batchId)))
+        }
+        ()
+      }
+      .start()
+
   /** Keyed upsert sink: every microbatch merges the batch's changes
     * into a keyed parquet snapshot via latest-by-key reduction — the
     * PrimaryKeyLookupRecordWriter semantics (record_store.rs:48-87).

@@ -74,7 +74,12 @@ object IcebergLite {
         * inline `manifests` paths directly on the snapshot.
         */
       manifestList: Option[String],
-      inlineManifests: Seq[String])
+      inlineManifests: Seq[String],
+      /** The snapshot's `summary` map (operation + writer properties —
+        * graft's streaming sinks record their idempotence watermark
+        * here as `graft-txn-app` / `graft-txn-version`).
+        */
+      summary: Map[String, String] = Map.empty)
 
   /** One `manifest_file` record of the manifest list — enough state to
     * carry the manifest forward unchanged into the next commit's list.
@@ -278,7 +283,9 @@ object IcebergLite {
           timestampMs = s.get("timestamp-ms").asLong,
           manifestList = Option(s.get("manifest-list")).map(_.asText),
           inlineManifests = Option(s.get("manifests")).toSeq
-            .flatMap(_.elements.asScala.map(_.asText)))
+            .flatMap(_.elements.asScala.map(_.asText)),
+          summary = Option(s.get("summary")).toSeq.flatMap(sm =>
+            sm.fieldNames.asScala.map(k => k -> sm.get(k).asText)).toMap)
       }
     val fieldIds = Option(schemaNode.get("fields")).toSeq
       .flatMap(_.elements.asScala)
@@ -745,7 +752,7 @@ object IcebergLite {
       prior: Option[SnapshotState], schema: StructType,
       newManifests: Seq[(Seq[GenericRecord], Int, Long)],
       carryForward: Seq[ManifestInfo], operation: String,
-      snapshotId: Long): Long = {
+      snapshotId: Long, extraSummary: Map[String, String] = Map.empty): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -800,19 +807,20 @@ object IcebergLite {
     ord0.put("order-id", 0); ord0.putArray("fields")
     node.put("current-snapshot-id", snapshotId)
     val snapsArr = node.putArray("snapshots")
-    def snapObj(sm: SnapshotMeta, op: String): Unit = {
+    def snapObj(sm: SnapshotMeta): Unit = {
       val s = snapsArr.addObject()
       s.put("snapshot-id", sm.snapshotId)
       s.put("sequence-number", sm.sequenceNumber)
       s.put("timestamp-ms", sm.timestampMs)
       sm.manifestList.foreach(s.put("manifest-list", _))
-      s.putObject("summary").put("operation", op)
+      val sum = s.putObject("summary")
+      if (!sm.summary.contains("operation")) sum.put("operation", "append")
+      sm.summary.foreach { case (k, v) => sum.put(k, v) }
       s.put("schema-id", 0)
     }
-    prior.toSeq.flatMap(_.meta.snapshots)
-      .foreach(snapObj(_, "append")) // operation detail of history lost; harmless
-    snapObj(SnapshotMeta(snapshotId, seq, now, Some(mlPath.toString), Nil),
-      operation)
+    prior.toSeq.flatMap(_.meta.snapshots).foreach(snapObj)
+    snapObj(SnapshotMeta(snapshotId, seq, now, Some(mlPath.toString), Nil,
+      summary = Map("operation" -> operation) ++ extraSummary))
     val log = node.putArray("snapshot-log")
     (prior.toSeq.flatMap(_.meta.snapshots) :+
       SnapshotMeta(snapshotId, seq, now, None, Nil)).foreach { sm =>
@@ -841,7 +849,7 @@ object IcebergLite {
     * Returns the new snapshot id.
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
-      mode: String = "append"): Long = {
+      mode: String = "append", txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"IcebergLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
@@ -850,6 +858,14 @@ object IcebergLite {
       if (fs.exists(new Path(root, "metadata")))
         Some(snapshotState(spark, tablePath))
       else None
+    // graft's idempotent-writer watermark (snapshot summary properties
+    // graft-txn-app/version — the delta `txn` protocol transplanted):
+    // a (appId, version) at or below the recorded high-water mark is a
+    // RETRY of an already-committed micro-batch — skip it
+    txn.foreach { case (appId, v) =>
+      if (txnHighWater(prior, appId).exists(_ >= v))
+        return prior.get.snapshot.snapshotId
+    }
     prior.foreach { p =>
       require(p.meta.schema.fieldNames.sameElements(df.schema.fieldNames) &&
         p.meta.schema.fields.map(_.dataType.sql)
@@ -873,8 +889,23 @@ object IcebergLite {
     commit(spark, tablePath, prior, df.schema,
       Seq((entries, 0, staged.map(_.rows).sum)), carryForward = carry,
       operation = if (mode == "append") "append" else "overwrite",
-      snapshotId = snapshotId)
+      snapshotId = snapshotId, extraSummary = txnSummary(txn))
   }
+
+  /** Highest committed txn version for `appId` across the table's
+    * snapshot summaries (None = never committed).
+    */
+  private def txnHighWater(prior: Option[SnapshotState],
+      appId: String): Option[Long] =
+    prior.toSeq.flatMap(_.meta.snapshots)
+      .filter(_.summary.get("graft-txn-app").contains(appId))
+      .flatMap(_.summary.get("graft-txn-version").flatMap(_.toLongOption))
+      .maxOption
+
+  private def txnSummary(txn: Option[(String, Long)]): Map[String, String] =
+    txn.fold(Map.empty[String, String]) { case (a, v) =>
+      Map("graft-txn-app" -> a, "graft-txn-version" -> v.toString)
+    }
 
   /** Currently-visible rows of a snapshot with `__ice_file` (normalized
     * source path) and `__ice_pos` (row ordinal) columns — the scan both
@@ -947,17 +978,22 @@ object IcebergLite {
     * already pays. Keys must be non-null on both sides.
     */
   def upsert(spark: SparkSession, batch: DataFrame, tablePath: String,
-      keyCols: Seq[String], deleteKeys: Option[DataFrame] = None): Long = {
+      keyCols: Seq[String], deleteKeys: Option[DataFrame] = None,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.broadcast
     import spark.implicits._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val prior = snapshotState(spark, tablePath)
     require(keyCols.forall(prior.meta.schema.fieldNames.contains),
       s"key columns ${keyCols.mkString(",")} must exist in the table schema")
+    txn.foreach { case (appId, v) => // retry of a committed batch: skip
+      if (txnHighWater(Some(prior), appId).exists(_ >= v))
+        return prior.snapshot.snapshotId
+    }
     if (prior.dataFiles.isEmpty) // empty table: the merge is an append
       return write(spark,
         batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*),
-        tablePath)
+        tablePath, txn = txn)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // positions of currently-visible rows holding a touched key —
@@ -1015,7 +1051,7 @@ object IcebergLite {
     commit(spark, tablePath, Some(prior), prior.meta.schema,
       Seq((delEntries, 1, 0L), (dataEntries, 0, stagedData.map(_.rows).sum)),
       carryForward = prior.manifests, operation = "overwrite",
-      snapshotId = snapshotId)
+      snapshotId = snapshotId, extraSummary = txnSummary(txn))
   }
 
   /** Data files whose per-column bounds may intersect the batch's key

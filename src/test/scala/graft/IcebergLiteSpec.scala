@@ -186,6 +186,74 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.loadMeta(spark, t).version == before)
   }
 
+  // --------------------------------------------------- streaming sinks
+
+  test("streaming append sink: the snapshot-summary txn watermark makes " +
+      "batches exactly-once across stop/restart and skips retried ids") {
+    val base = tmp("stream")
+    val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val src = s"$base/src"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((1L, "a")).toDF("k", "v").schema).parquet(src)
+      val q = graft.sinks.Sinks.appendIceberg(stream, tbl, ckpt, "app1")
+      assert(q.awaitTermination(120000), "stream timed out")
+    }
+    run()
+    assert(rows(IcebergLite.read(spark, tbl)) == Set((1L, "a"), (2L, "b")))
+    // restart with more source data: only the new file lands
+    Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    run()
+    assert(rows(IcebergLite.read(spark, tbl)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(IcebergLite.read(spark, tbl).count() == 3)
+    // a RETRIED batch id (foreachBatch redelivery) is skipped against
+    // the summary high-water mark — no double append
+    val hwm = IcebergLite.loadMeta(spark, tbl).snapshots
+      .flatMap(_.summary.get("graft-txn-version")).map(_.toLong).max
+    IcebergLite.write(spark, Seq((9L, "dup")).toDF("k", "v"), tbl,
+      "append", txn = Some(("app1", hwm)))
+    assert(IcebergLite.read(spark, tbl).count() == 3)
+    // a NEW transaction version commits normally
+    IcebergLite.write(spark, Seq((9L, "new")).toDF("k", "v"), tbl,
+      "append", txn = Some(("app1", hwm + 1)))
+    assert(IcebergLite.read(spark, tbl).count() == 4)
+  }
+
+  test("streaming upsert sink: CDC terminal images replace, terminal " +
+      "deletes remove, retried batches skip — merge-on-read snapshots") {
+    import graft.cdc.ChangeModel
+    val base = tmp("supsert")
+    val tbl = s"$base/tbl"; val src = s"$base/src"
+    Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 2L))
+      .toDF("k", "v", ChangeModel.OpCol, ChangeModel.SeqCol)
+      .write.mode("overwrite").parquet(src)
+    def run(ck: String): Unit = {
+      val stream = spark.readStream.schema(
+        Seq((1L, "a", "insert", 1L))
+          .toDF("k", "v", ChangeModel.OpCol, ChangeModel.SeqCol).schema)
+        .parquet(src)
+      val q = graft.sinks.Sinks.upsertIceberg(stream, Seq("k"), tbl,
+        s"$base/$ck", "up1")
+      assert(q.awaitTermination(120000), "stream timed out")
+    }
+    run("ck1")
+    assert(rows(IcebergLite.read(spark, tbl)) == Set((1L, "a"), (2L, "b")))
+    // second batch: update k=1, delete k=2, insert k=3
+    Seq((1L, "A2", "insert", 3L), (2L, "b", "delete", 4L), (3L, "c", "insert", 5L))
+      .toDF("k", "v", ChangeModel.OpCol, ChangeModel.SeqCol)
+      .write.mode("append").parquet(src)
+    run("ck1")
+    assert(rows(IcebergLite.read(spark, tbl)) ==
+      Set((1L, "A2"), (3L, "c")))
+    // a fresh checkpoint REPLAYS batch 0 with the same app id: the
+    // summary watermark already covers it → state unchanged
+    run("ck_replay")
+    assert(rows(IcebergLite.read(spark, tbl)) ==
+      Set((1L, "A2"), (3L, "c")))
+  }
+
   // -------------------------------------------------------------- CDC
 
   test("changedFileSets reads only files added since the from-snapshot") {
