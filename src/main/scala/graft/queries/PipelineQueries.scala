@@ -3688,6 +3688,31 @@ object PipelineQueries {
           col("stssAgrees").cast("int").as("stss_agree"))
     },
 
+    // ICEBERG COMPACTION through the driver gate: build a table, retract
+    // odd keys merge-on-read (position-delete commit), then COMPACT —
+    // the touched files rewrite with the deletes resolved, delete
+    // manifests drop, and the oracle states the surviving rows, so a
+    // wrong rewrite, a lost carried file, or a mis-applied delete all
+    // hash-mismatch. The read path after compaction is a plain scan
+    // (no anti join left to pay).
+    QueryDef("q134_iceberg_compact",
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_regionkey % 2 = 0""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q134_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r.filter(col("r_regionkey") < 3).coalesce(1), tbl)
+      IcebergLite.write(s, r.filter(col("r_regionkey") >= 3).coalesce(1), tbl)
+      IcebergLite.deleteWhere(s, tbl, col("r_regionkey") % 2 === 1)
+      IcebergLite.compact(s, tbl)
+      IcebergLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -1077,6 +1077,132 @@ object IcebergLite {
       }
     }
 
+  /** COMPACTION (the `rewrite_data_files` maintenance op): resolve the
+    * table's accumulated position deletes by rewriting ONLY the data
+    * files they touch — visible rows of touched files re-stage as fresh
+    * files; untouched files carry their manifest entries (record
+    * counts, sizes, column bounds) into one new data manifest; all
+    * delete manifests drop. After many merge-on-read upserts this is
+    * what keeps the read-side anti join small — the scan cost of a MoR
+    * table is O(live deletes), and compaction resets it to zero at the
+    * price of rewriting the touched files once. History snapshots stay
+    * readable (their manifest lists are untouched on disk). No-op if
+    * the table holds no position deletes. Returns the new snapshot id.
+    */
+  def compact(spark: SparkSession, tablePath: String): Long = {
+    val st = snapshotState(spark, tablePath)
+    if (st.posDeleteFiles.isEmpty) return st.snapshot.snapshotId
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // which data files do the delete files actually touch? (metadata-
+    // sized collect: one row per distinct touched file)
+    val touched = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
+      .select(normalizePathCol(col("file_path")).as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, carry) =
+      st.dataFiles.partition(f => touched(normalizePathStr(f.path)))
+    val survivors =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        val visible = aliveWithPos(spark,
+          st.copy(dataFiles = rewrite))
+          .drop("__ice_file", "__ice_pos")
+        stageData(spark, visible.select(
+          st.meta.schema.fieldNames.map(col).toIndexedSeq: _*), root, fs)
+      }
+    val seq = st.meta.lastSequenceNumber + 1
+    val snapshotId =
+      java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val ids = topFieldIds(st.meta.schema)
+    val entries =
+      carry.map(f => entryRecord(1, snapshotId, seq, content = 0,
+        f.path, f.recordCount, f.fileSize,
+        lower = f.lowerBounds, upper = f.upperBounds)) ++
+      survivors.map(f => entryRecord(1, snapshotId, seq, content = 0,
+        f.path, f.rows, f.size,
+        lower = boundBytes(st.meta.schema, ids, f.bounds, _._1),
+        upper = boundBytes(st.meta.schema, ids, f.bounds, _._2)))
+    commit(spark, tablePath, Some(st), st.meta.schema,
+      Seq((entries, 0, survivors.map(_.rows).sum)),
+      carryForward = Seq.empty, // delete manifests resolved, data re-listed
+      operation = "replace", snapshotId = snapshotId)
+  }
+
+  /** SNAPSHOT EXPIRATION (the `expire_snapshots` maintenance op): keep
+    * the most recent `keepLast` snapshots (the current one always
+    * survives), write a metadata version without the expired ones, and
+    * physically delete every manifest list, manifest, and data/delete
+    * file no kept snapshot references — the disk-reclaim pass a table
+    * written by streaming commits needs periodically. Returns the
+    * number of files deleted.
+    */
+  def expireSnapshots(spark: SparkSession, tablePath: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val meta = loadMeta(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ordered = meta.snapshots.sortBy(_.sequenceNumber)
+    val kept = ordered.takeRight(keepLast) ++
+      meta.currentSnapshotId.flatMap(id =>
+        ordered.find(_.snapshotId == id)).toSeq
+    val keptIds = kept.map(_.snapshotId).toSet
+    if (keptIds.size == meta.snapshots.size) return 0
+    // every path any KEPT snapshot references (normalized)
+    val referenced = mutable.Set.empty[String]
+    kept.distinct.foreach { sm =>
+      sm.manifestList.foreach(p => referenced += normalizePathStr(
+        rebase(p, tablePath, meta.location)))
+      val stt = snapshotState(spark, tablePath, Some(sm.snapshotId))
+      stt.manifests.foreach(m => referenced += normalizePathStr(
+        rebase(m.path, tablePath, meta.location)))
+      (stt.dataFiles ++ stt.posDeleteFiles).foreach(f =>
+        referenced += normalizePathStr(f.path))
+    }
+    // metadata rewrite first (so a crash mid-delete never strands a
+    // LIVE snapshot pointing at removed files)
+    val node = {
+      val in = fs.open(
+        new Path(root, s"metadata/v${meta.version}.metadata.json"))
+      val orig = try mapper.readTree(in.readAllBytes()) finally in.close()
+      val on = orig.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val keptNodes = on.get("snapshots").elements.asScala
+        .filter(s => keptIds(s.get("snapshot-id").asLong)).toSeq
+      val arr = on.putArray("snapshots")
+      keptNodes.foreach(arr.add)
+      Option(on.get("snapshot-log")).foreach { log =>
+        val keptLog = log.elements.asScala
+          .filter(e => keptIds(e.get("snapshot-id").asLong)).toSeq
+        val la = on.putArray("snapshot-log")
+        keptLog.foreach(la.add)
+      }
+      on
+    }
+    val newVersion = meta.version + 1
+    val mPath = new Path(root, s"metadata/v$newVersion.metadata.json")
+    val out = fs.create(mPath, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
+    // physical delete of unreferenced avro metadata + data files
+    var deleted = 0
+    def sweep(dir: Path, keep: String => Boolean): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+        val p = s.getPath
+        if (s.isFile && !keep(p.getName) &&
+            !referenced(normalizePathStr(p.toString))) {
+          if (fs.delete(p, false)) deleted += 1
+        }
+      }
+    sweep(new Path(root, "metadata"), n =>
+      n.endsWith(".metadata.json") || n == "version-hint.text" ||
+        !n.endsWith(".avro"))
+    sweep(new Path(root, "data"), _ => false)
+    deleted
+  }
+
   /** File-level CDC between two snapshots, the [[DeltaLite.changesBetween]]
     * twin: data files present only in `fromSnapshotId` read as the old
     * side, files present only in `toSnapshotId` as the new side — for

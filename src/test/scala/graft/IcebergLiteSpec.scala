@@ -186,6 +186,66 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.loadMeta(spark, t).version == before)
   }
 
+  // ----------------------------------------------------- maintenance
+
+  test("compact resolves position deletes: touched files rewrite, " +
+      "untouched files carry with their bounds, delete manifests drop, " +
+      "contents unchanged") {
+    val t = tmp("compact")
+    IcebergLite.write(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    IcebergLite.write(spark,
+      (100L to 110L).map(i => (i, s"w$i")).toDF("k", "v").coalesce(1), t)
+    // deletes touch ONLY the second file
+    IcebergLite.deleteWhere(spark, t, col("k") >= 100L && col("k") % 2 === 0L)
+    val before = IcebergLite.snapshotState(spark, t)
+    assert(before.posDeleteFiles.nonEmpty)
+    val untouched = before.dataFiles.map(_.path).toSet
+    val expected = rows(IcebergLite.read(spark, t))
+    IcebergLite.compact(spark, t)
+    val after = IcebergLite.snapshotState(spark, t)
+    assert(after.posDeleteFiles.isEmpty, "delete manifests must drop")
+    assert(rows(IcebergLite.read(spark, t)) == expected)
+    // the file holding keys 1-10 was untouched by deletes → carried
+    val kId = after.meta.fieldIds("k")
+    def lo(f: IcebergLite.FileEntry) = java.nio.ByteBuffer
+      .wrap(f.lowerBounds(kId))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(after.dataFiles.exists(f =>
+      untouched(f.path) && lo(f) == 1L), "untouched file must carry")
+    assert(after.dataFiles.forall(_.lowerBounds.contains(kId)),
+      "rewritten files must carry fresh bounds")
+    // compacting a clean table is a no-op commit
+    val v = IcebergLite.loadMeta(spark, t).version
+    IcebergLite.compact(spark, t)
+    assert(IcebergLite.loadMeta(spark, t).version == v)
+  }
+
+  test("expireSnapshots trims history and physically deletes " +
+      "unreferenced manifests and data files; current state intact") {
+    val t = tmp("expire")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t, "overwrite")
+    val old = IcebergLite.loadMeta(spark, t)
+    assert(old.snapshots.size == 3)
+    val deleted = IcebergLite.expireSnapshots(spark, t, keepLast = 1)
+    assert(deleted > 0, "overwritten files + old manifests must go")
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.snapshots.size == 1)
+    assert(rows(IcebergLite.read(spark, t)) == Set((3L, "c")))
+    // expired snapshots refuse loudly on time travel
+    val gone = old.snapshots.head.snapshotId
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.read(spark, t, Some(gone)))
+    assert(err.getMessage.contains("expired") ||
+      err.getMessage.contains("not in"))
+    // nothing to expire → 0, no new metadata version
+    val v = meta.version
+    assert(IcebergLite.expireSnapshots(spark, t, keepLast = 5) == 0)
+    assert(IcebergLite.loadMeta(spark, t).version == v)
+  }
+
   // --------------------------------------------------- streaming sinks
 
   test("streaming append sink: the snapshot-summary txn watermark makes " +
