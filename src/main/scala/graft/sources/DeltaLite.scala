@@ -782,6 +782,46 @@ object DeltaLite {
     snap.version
   }
 
+  /** VACUUM: physically delete data files under the table root that
+    * the CURRENT snapshot no longer references (left behind by
+    * overwrite/upsert commits). The spec's trade applies: version-
+    * pinned reads that need a vacuumed file stop working; the live
+    * snapshot is untouched. The sweep walks the table tree (skipping
+    * `_delta_log/`) and compares snapshot-relative paths, so
+    * partition-dir layouts from foreign writers vacuum correctly too.
+    * Driver-side over the file listing — O(#files) metadata work, no
+    * data reads. Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, tablePath: String): Int = {
+    val snap = snapshot(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = root.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    def rel(p: Path): String = {
+      val full = p.toString
+      if (full.startsWith(rootUri + "/")) full.stripPrefix(rootUri + "/")
+      else full
+    }
+    val live: Set[String] = snap.files.keySet.map { k =>
+      // absolute action paths resolve against the root like readFiles
+      if (k.contains("://") || k.startsWith("/"))
+        rel(new Path(k).makeQualified(fs.getUri, fs.getWorkingDirectory))
+      else k
+    }
+    var deleted = 0
+    def sweep(dir: Path): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (s.isDirectory) {
+          if (s.getPath.getName != "_delta_log") sweep(s.getPath)
+        } else if (s.getPath.getName.endsWith(".parquet") &&
+            !live(rel(s.getPath))) {
+          if (fs.delete(s.getPath, false)) deleted += 1
+        }
+      }
+    sweep(root)
+    deleted
+  }
+
   def changesBetween(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long, keyCols: Seq[String],
       seq: Long = 1L): DataFrame = {

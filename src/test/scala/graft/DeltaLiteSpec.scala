@@ -526,4 +526,22 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.decodePath("plain.parquet") == "plain.parquet")
     assert(DeltaLite.decodePath("%C3%A9.parquet") == "é.parquet")
   }
+
+  test("vacuum deletes data files the current snapshot dropped; the " +
+      "live snapshot reads intact and clean tables are a no-op") {
+    val t = java.nio.file.Files.createTempDirectory("delta_vac").toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t,
+      mode = "overwrite")
+    val before = fs(t).listStatus(new Path(t))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val deleted = DeltaLite.vacuum(spark, t)
+    assert(deleted > 0, "the overwritten files must be removed")
+    val after = fs(t).listStatus(new Path(t))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(after == before - deleted)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    assert(DeltaLite.vacuum(spark, t) == 0)
+  }
 }
