@@ -3713,6 +3713,37 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // ICEBERG EQUALITY DELETES through the driver gate: retract keys 1
+    // and 3 with deleteByKeys (ZERO table reads — the write-optimized
+    // retraction), then RE-INSERT key 1: the spec's sequence rule makes
+    // the delete suppress only older data files, so the re-insert is
+    // visible. The oracle states the final rows, so a wrong sequence
+    // comparison, a tuple-match bug, or a mis-scoped anti join all
+    // hash-mismatch.
+    QueryDef("q135_iceberg_eq_delete",
+      """SELECT r_regionkey, r_name FROM region
+        |WHERE r_regionkey NOT IN (1, 3)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS r_regionkey,
+        |  'RETURNED' AS r_name""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q135_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r, tbl)
+      IcebergLite.deleteByKeys(s,
+        tbl, Seq(Tuple1(1L), Tuple1(3L)).toDF("r_regionkey"),
+        Seq("r_regionkey"))
+      IcebergLite.write(s,
+        Seq((1L, "RETURNED")).toDF("r_regionkey", "r_name"), tbl)
+      IcebergLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -29,18 +29,21 @@ import org.apache.spark.sql.types._
   * IcebergLite reproduces it Spark-natively with the avro-1.12 runtime
   * jar Spark already ships (same seam as [[AvroFiles]]).
   *
-  * Merge-on-read: Iceberg v2 POSITION DELETE files (spec §Delete
-  * Formats — parquet files of `(file_path, pos)` naming suppressed
-  * rows) are applied as a distributed LEFT ANTI join against the scan's
-  * `_metadata.file_path`/`_metadata.row_index` columns — no row-level
-  * state, no driver work, broadcast-sized in the common case where
-  * deletes are a small fraction of data. Path strings are compared
-  * scheme-normalized (writers disagree about `file:/` vs `file:///`).
+  * Merge-on-read: BOTH v2 delete kinds apply as distributed anti
+  * joins. POSITION deletes (spec §Delete Formats — parquet files of
+  * `(file_path, pos)`) join against the scan's `_metadata.file_path`/
+  * `_metadata.row_index` columns; EQUALITY deletes (Flink-CDC-writer
+  * territory — key-value files listing retracted tuples) join
+  * null-safe on their `equality_ids` columns under the spec's
+  * sequence rule (a delete at seq N suppresses only data files with
+  * seq < N, so later re-inserts stay visible). No row-level state, no
+  * driver work; delete sides are broadcast-sized in the common case.
+  * Path strings are compared scheme-normalized (writers disagree
+  * about `file:/` vs `file:///`).
   *
   * Loud unsupported-capability errors (never silent wrong data):
-  * equality deletes (content=2 — Flink-writer territory; applying them
-  * needs sequence-number-ordered joins per delete file), ORC/Avro data
-  * files, and `time` columns (no Spark analogue). Column resolution is
+  * ORC/Avro data files, `time` columns (no Spark analogue), and
+  * equality ids naming nested fields. Column resolution is
   * BY NAME (Spark parquet semantics) — a documented delta from the
   * spec's field-id resolution: tables whose history renamed columns
   * read the renamed column as null and need the iceberg runtime.
@@ -105,7 +108,14 @@ object IcebergLite {
   final case class FileEntry(path: String, format: String, content: Int,
       recordCount: Long, fileSize: Long,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      /** data sequence number (v2 ordering: an equality delete at seq N
+        * suppresses matching rows of data files with seq < N; position
+        * deletes bind by explicit path+pos instead).
+        */
+      seq: Long = 0L,
+      /** equality-delete files only: the field ids matched on. */
+      equalityIds: Seq[Int] = Nil)
 
   final case class TableMeta(
       formatVersion: Int,
@@ -125,7 +135,8 @@ object IcebergLite {
 
   final case class SnapshotState(meta: TableMeta, snapshot: SnapshotMeta,
       manifests: Seq[ManifestInfo],
-      dataFiles: Seq[FileEntry], posDeleteFiles: Seq[FileEntry])
+      dataFiles: Seq[FileEntry], posDeleteFiles: Seq[FileEntry],
+      eqDeleteFiles: Seq[FileEntry] = Nil)
 
   // ------------------------------------------------------ schema bridge
 
@@ -476,6 +487,7 @@ object IcebergLite {
     }
     val data = mutable.ArrayBuffer.empty[FileEntry]
     val posDeletes = mutable.ArrayBuffer.empty[FileEntry]
+    val eqDeletes = mutable.ArrayBuffer.empty[FileEntry]
     manifests.foreach { m =>
       val mPath = new Path(rebase(m.path, tablePath, meta.location))
       readAvro(fs, mPath).foreach { e =>
@@ -490,22 +502,32 @@ object IcebergLite {
             recordCount = num(df.get("record_count")),
             fileSize = field(df, "file_size_in_bytes").map(num).getOrElse(0L),
             lowerBounds = boundsOf(df, "lower_bounds"),
-            upperBounds = boundsOf(df, "upper_bounds"))
+            upperBounds = boundsOf(df, "upper_bounds"),
+            // null entry seq inherits the manifest's (spec inheritance)
+            seq = field(e, "sequence_number").map(num)
+              .getOrElse(m.sequenceNumber),
+            equalityIds = field(df, "equality_ids") match {
+              case Some(c: java.util.Collection[_]) =>
+                c.asScala.toSeq.map(v => num(v).toInt)
+              case _ => Nil
+            })
           content match {
             case 0 => data += entry
             case 1 => posDeletes += entry
-            case 2 => throw new IllegalArgumentException(
-              s"$tablePath carries EQUALITY delete file ${entry.path} — " +
-                "merge-on-read equality deletes need sequence-ordered " +
-                "application; use the iceberg-spark runtime for this table")
+            case 2 =>
+              require(entry.equalityIds.nonEmpty,
+                s"equality delete file ${entry.path} lists no equality_ids")
+              eqDeletes += entry
           }
         }
       }
     }
-    (data ++ posDeletes).foreach(f => require(f.format == "PARQUET",
-      s"data file ${f.path} is ${f.format} — the native reader scans " +
-        "parquet only (ORC/Avro data files need the iceberg runtime)"))
-    SnapshotState(meta, snap, manifests, data.toSeq, posDeletes.toSeq)
+    (data ++ posDeletes ++ eqDeletes).foreach(f =>
+      require(f.format == "PARQUET",
+        s"data file ${f.path} is ${f.format} — the native reader scans " +
+          "parquet only (ORC/Avro data files need the iceberg runtime)"))
+    SnapshotState(meta, snap, manifests, data.toSeq, posDeletes.toSeq,
+      eqDeletes.toSeq)
   }
 
   // ----------------------------------------------------------------- read
@@ -520,23 +542,11 @@ object IcebergLite {
     if (st.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.meta.schema)
-    val base = spark.read.schema(st.meta.schema)
-      .parquet(st.dataFiles.map(_.path): _*)
-    if (st.posDeleteFiles.isEmpty) base
-    else {
-      val dels = spark.read
-        .parquet(st.posDeleteFiles.map(_.path): _*)
-        .select(normalizePathCol(col("file_path")).as("__ice_del_file"),
-          col("pos").cast("long").as("__ice_del_pos"))
-      val withPos = base
-        .withColumn("__ice_file", normalizePathCol(col("_metadata.file_path")))
-        .withColumn("__ice_pos", col("_metadata.row_index"))
-      withPos.join(dels,
-          withPos("__ice_file") === dels("__ice_del_file") &&
-            withPos("__ice_pos") === dels("__ice_del_pos"),
-          "left_anti")
-        .drop("__ice_file", "__ice_pos")
-    }
+    if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty)
+      spark.read.schema(st.meta.schema)
+        .parquet(st.dataFiles.map(_.path): _*)
+    else aliveWithPos(spark, st)
+      .select(st.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   // ---------------------------------------------------------------- write
@@ -558,6 +568,8 @@ object IcebergLite {
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
+      | {"type":"array","items":"int","element-id":136}]},
       |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
       | {"type":"array","logicalType":"map","items":{"type":"record",
       |  "name":"k126_v127","fields":[
@@ -658,10 +670,18 @@ object IcebergLite {
   private def entryRecord(status: Int, snapshotId: Long, seq: Long,
       content: Int, path: String, records: Long, size: Long,
       lower: Map[Int, Array[Byte]] = Map.empty,
-      upper: Map[Int, Array[Byte]] = Map.empty): GenericRecord = {
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      equalityIds: Seq[Int] = Nil): GenericRecord = {
     val df = new GenericData.Record(
       manifestEntrySchema.getField("data_file").schema())
     df.put("content", content)
+    if (equalityIds.nonEmpty) {
+      val arrSchema = df.getSchema.getField("equality_ids").schema()
+        .getTypes.asScala.find(_.getType == AvroSchema.Type.ARRAY).get
+      val arr = new GenericData.Array[Integer](equalityIds.size, arrSchema)
+      equalityIds.foreach(i => arr.add(Integer.valueOf(i)))
+      df.put("equality_ids", arr)
+    }
     df.put("file_path", path)
     df.put("file_format", "PARQUET")
     df.put("partition",
@@ -908,23 +928,55 @@ object IcebergLite {
     }
 
   /** Currently-visible rows of a snapshot with `__ice_file` (normalized
-    * source path) and `__ice_pos` (row ordinal) columns — the scan both
-    * delete-position computation paths share.
+    * source path) and `__ice_pos` (row ordinal) columns — applies BOTH
+    * delete kinds: position deletes as one anti join on (path, pos),
+    * equality deletes as one anti join per equality-id set with the
+    * spec's sequence rule (a delete at seq N suppresses matching rows
+    * only in data files with seq < N; null-safe equality on the listed
+    * columns). All delete sides are metadata/changed-rows sized —
+    * broadcast-friendly next to the data scan.
     */
   private def aliveWithPos(spark: SparkSession,
       st: SnapshotState): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    import spark.implicits._
     val base = spark.read.schema(st.meta.schema)
       .parquet(st.dataFiles.map(_.path): _*)
       .withColumn("__ice_file", normalizePathCol(col("_metadata.file_path")))
       .withColumn("__ice_pos", col("_metadata.row_index"))
-    if (st.posDeleteFiles.isEmpty) base
+    val afterPos =
+      if (st.posDeleteFiles.isEmpty) base
+      else {
+        val dels = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
+          .select(normalizePathCol(col("file_path")).as("__ice_del_file"),
+            col("pos").cast("long").as("__ice_del_pos"))
+        base.join(dels,
+          base("__ice_file") === dels("__ice_del_file") &&
+            base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
+      }
+    if (st.eqDeleteFiles.isEmpty) afterPos
     else {
-      val dels = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
-        .select(normalizePathCol(col("file_path")).as("__ice_del_file"),
-          col("pos").cast("long").as("__ice_del_pos"))
-      base.join(dels,
-        base("__ice_file") === dels("__ice_del_file") &&
-          base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
+      val idToName = st.meta.fieldIds.map(_.swap)
+      val seqMap = st.dataFiles
+        .map(f => normalizePathStr(f.path) -> f.seq).toDF("__ice_sf", "__ice_seq")
+      val withSeq = afterPos
+        .join(broadcast(seqMap), afterPos("__ice_file") === seqMap("__ice_sf"))
+        .drop("__ice_sf")
+      val result = st.eqDeleteFiles.groupBy(_.equalityIds.sorted)
+        .foldLeft(withSeq) { case (acc, (ids, files)) =>
+          val names = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"equality delete references unknown field id $id " +
+                "(nested equality columns need the iceberg runtime)")))
+          val dels = files.map(f =>
+              spark.read.parquet(f.path).select(names.map(col): _*)
+                .withColumn("__ice_dseq", lit(f.seq)))
+            .reduce(_.unionByName(_))
+          val cond = names.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
+            acc("__ice_seq") < dels("__ice_dseq")
+          acc.join(broadcast(dels), cond, "left_anti")
+        }
+      result.drop("__ice_seq")
     }
   }
 
@@ -962,6 +1014,41 @@ object IcebergLite {
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
         content = 1, path = f.path, records = f.rows, size = f.size)
     }
+    commit(spark, tablePath, Some(prior), prior.meta.schema,
+      Seq((entries, 1, 0L)), carryForward = prior.manifests,
+      operation = "delete", snapshotId = snapshotId)
+  }
+
+  /** EQUALITY-DELETE commit: retract every current-and-future-invisible
+    * row matching `keys` on `equalityCols` by writing the key values as
+    * a spec-shaped equality delete file — ZERO table reads, O(keys) new
+    * bytes (the write-optimized retraction; position deletes cost one
+    * table scan to locate rows, this costs nothing until read time).
+    * Applies to all data files with a smaller data sequence number, so
+    * rows appended AFTER this commit with the same keys are visible —
+    * exactly the CDC retract-then-reinsert ordering. Returns the new
+    * snapshot id.
+    */
+  def deleteByKeys(spark: SparkSession, tablePath: String,
+      keys: DataFrame, equalityCols: Seq[String]): Long = {
+    require(equalityCols.nonEmpty, "deleteByKeys needs equality columns")
+    val prior = snapshotState(spark, tablePath)
+    require(equalityCols.forall(prior.meta.schema.fieldNames.contains),
+      s"equality columns ${equalityCols.mkString(",")} must exist in " +
+        "the table schema")
+    val ids = equalityCols.map(c => prior.meta.fieldIds.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"no field id recorded for column '$c'")))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = stageData(spark,
+      keys.select(equalityCols.map(col): _*).distinct(), root, fs)
+    val seq = prior.meta.lastSequenceNumber + 1
+    val snapshotId =
+      java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val entries = staged.map(f =>
+      entryRecord(1, snapshotId, seq, content = 2, f.path, f.rows, f.size,
+        equalityIds = ids))
     commit(spark, tablePath, Some(prior), prior.meta.schema,
       Seq((entries, 1, 0L)), carryForward = prior.manifests,
       operation = "delete", snapshotId = snapshotId)
@@ -1091,16 +1178,22 @@ object IcebergLite {
     */
   def compact(spark: SparkSession, tablePath: String): Long = {
     val st = snapshotState(spark, tablePath)
-    if (st.posDeleteFiles.isEmpty) return st.snapshot.snapshotId
+    if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty)
+      return st.snapshot.snapshotId
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // which data files do the delete files actually touch? (metadata-
-    // sized collect: one row per distinct touched file)
-    val touched = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
-      .select(normalizePathCol(col("file_path")).as("p")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) =
-      st.dataFiles.partition(f => touched(normalizePathStr(f.path)))
+    // which data files do the delete files actually touch? position
+    // deletes name their files (metadata-sized collect); equality
+    // deletes can touch ANY file with a smaller sequence number —
+    // conservative: rewrite those
+    val posTouched =
+      if (st.posDeleteFiles.isEmpty) Set.empty[String]
+      else spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
+        .select(normalizePathCol(col("file_path")).as("p")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val maxEqSeq = st.eqDeleteFiles.map(_.seq).maxOption.getOrElse(Long.MinValue)
+    val (rewrite, carry) = st.dataFiles.partition(f =>
+      posTouched(normalizePathStr(f.path)) || f.seq < maxEqSeq)
     val survivors =
       if (rewrite.isEmpty) Seq.empty
       else {

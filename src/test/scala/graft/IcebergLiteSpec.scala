@@ -480,54 +480,40 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (2L, "b")))
   }
 
-  test("EQUALITY delete files (content=2) reject loudly") {
+  test("equality deletes: deleteByKeys retracts with ZERO table reads, " +
+      "later re-inserts stay visible (sequence rule), deleteWhere " +
+      "composes, compact resolves them") {
     val t = tmp("eq")
-    fs(t).mkdirs(new Path(t, "metadata"))
-    // hand-craft a v2 table whose only manifest holds an
-    // equality-delete entry (content=2)
-    val entrySchema = new AvroSchema.Parser().parse(
-      """{"type":"record","name":"manifest_entry","fields":[
-        |{"name":"status","type":"int"},
-        |{"name":"snapshot_id","type":["null","long"],"default":null},
-        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-        |{"name":"content","type":"int"},
-        |{"name":"file_path","type":"string"},
-        |{"name":"file_format","type":"string"},
-        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
-        |{"name":"record_count","type":"long"},
-        |{"name":"file_size_in_bytes","type":"long"},
-        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-        | "default":null}]}}]}""".stripMargin)
-    val d = new GenericData.Record(entrySchema.getField("data_file").schema())
-    d.put("content", 2)
-    d.put("file_path", s"$t/data/eqdel.parquet")
-    d.put("file_format", "PARQUET")
-    d.put("partition",
-      new GenericData.Record(d.getSchema.getField("partition").schema()))
-    d.put("record_count", 1L)
-    d.put("file_size_in_bytes", 1L)
-    val e = new GenericData.Record(entrySchema)
-    e.put("status", 1); e.put("snapshot_id", 88L); e.put("data_file", d)
-    val mPath = s"$t/metadata/meq.avro"
-    avroFile(mPath, entrySchema, Seq(e))
-    val metaJson =
-      s"""{"format-version":2,"table-uuid":"u2","location":"$t",
-         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
-         |"current-schema-id":0,
-         |"schemas":[{"schema-id":0,"type":"struct","fields":[
-         |  {"id":1,"name":"k","required":false,"type":"long"},
-         |  {"id":2,"name":"v","required":false,"type":"string"}]}],
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,"default-sort-order-id":0,
-         |"sort-orders":[{"order-id":0,"fields":[]}],
-         |"current-snapshot-id":88,
-         |"snapshots":[{"snapshot-id":88,"sequence-number":1,
-         |  "timestamp-ms":1,"manifests":["$mPath"]}]}""".stripMargin
-    val out = fs(t).create(new Path(t, "metadata/v1.metadata.json"), true)
-    out.write(metaJson.getBytes("UTF-8")); out.close()
-    val err = intercept[IllegalArgumentException](
-      IcebergLite.read(spark, t))
-    assert(err.getMessage.contains("EQUALITY"))
+    IcebergLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), t)
+    IcebergLite.deleteByKeys(spark, t,
+      Seq(Tuple1(2L), Tuple1(4L)).toDF("k"), Seq("k"))
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.eqDeleteFiles.nonEmpty &&
+      st.eqDeleteFiles.head.equalityIds == Seq(st.meta.fieldIds("k")))
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (3L, "c")))
+    // a LATER append of a deleted key is visible: the delete's sequence
+    // number only suppresses data files with SMALLER sequence numbers
+    IcebergLite.write(spark, Seq((2L, "back")).toDF("k", "v"), t)
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (3L, "c"), (2L, "back")))
+    // position deletes compose on top of equality deletes
+    IcebergLite.deleteWhere(spark, t, col("k") === 3L)
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "back")))
+    // multi-column equality deletes match on the full tuple
+    IcebergLite.deleteByKeys(spark, t,
+      Seq((1L, "WRONG")).toDF("k", "v"), Seq("k", "v"))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "back")), "non-matching tuple deletes nothing")
+    IcebergLite.deleteByKeys(spark, t,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k", "v"))
+    assert(rows(IcebergLite.read(spark, t)) == Set((2L, "back")))
+    // compact resolves BOTH delete kinds; contents unchanged
+    IcebergLite.compact(spark, t)
+    val after = IcebergLite.snapshotState(spark, t)
+    assert(after.eqDeleteFiles.isEmpty && after.posDeleteFiles.isEmpty)
+    assert(rows(IcebergLite.read(spark, t)) == Set((2L, "back")))
   }
 
   test("path normalization equates file:///, file:/ and bare forms") {
