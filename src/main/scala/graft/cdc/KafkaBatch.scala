@@ -93,9 +93,32 @@ object KafkaBatch {
 
   /** Decode one RecordBatch v2 into raw-byte records. Verifies magic
     * and CRC32C; skips the records of control batches (returning Nil,
-    * like a consumer).
+    * like a read_uncommitted consumer).
     */
   def decodeBatchBytes(batch: Array[Byte]): Seq[RecB] = {
+    val info = decodeBatchInfo(batch)
+    if (info.control) Nil else info.records
+  }
+
+  /** Transaction markers (KIP-98 control record key `type`). */
+  val ControlAbort = 0
+  val ControlCommit = 1
+
+  /** A batch with its TRANSACTION metadata — what read_committed
+    * filtering needs: the producer id, the transactional attribute
+    * (bit 4), the control attribute (bit 5), and for control batches
+    * the marker type from the control record's key (i16 version,
+    * i16 type: 0 = ABORT, 1 = COMMIT).
+    */
+  final case class BatchInfo(baseOffset: Long, producerId: Long,
+      transactional: Boolean, control: Boolean, controlType: Option[Int],
+      records: Seq[RecB])
+
+  /** Full RecordBatch v2 decode INCLUDING control batches — the
+    * metadata-bearing form [[decodeBatchBytes]] and read_committed
+    * filtering share.
+    */
+  def decodeBatchInfo(batch: Array[Byte]): BatchInfo = {
     require(batch.length >= 61, s"kafka: batch shorter than the v2 header (${batch.length})")
     val r = new Reader(batch, 0)
     val baseOffset = r.i64()
@@ -113,16 +136,16 @@ object KafkaBatch {
       f"kafka: CRC32C mismatch (stored 0x$crc%08x, computed 0x${c.getValue}%08x)")
     val attributes = r.i16()
     val codec = attributes & 0x07
+    val isTransactional = (attributes & 0x10) != 0
     val isControl = (attributes & 0x20) != 0
     r.i32() // lastOffsetDelta
     val baseTimestamp = r.i64()
     r.i64() // maxTimestamp
-    r.i64() // producerId
+    val producerId = r.i64()
     r.i16() // producerEpoch
     r.i32() // baseSequence
     val n = r.i32()
     require(n >= 0, s"kafka: negative record count $n")
-    if (isControl) return Nil // consumers skip control records (KIP-98)
     // compressed batches: the RECORDS block (everything after the
     // 61-byte header) is one compressed stream; every codec's
     // decompressor ships with Spark (gzip = JDK, snappy-java / lz4-java
@@ -144,7 +167,7 @@ object KafkaBatch {
         val plain = try stream.readAllBytes() finally stream.close()
         new Reader(plain, 0)
     }
-    Vector.fill(n) {
+    val records = Vector.fill(n) {
       val r = r2
       val len = r.varint()
       val end = r.pos + len
@@ -165,6 +188,39 @@ object KafkaBatch {
       require(r.pos == end, s"kafka: record framing off by ${end - r.pos}")
       RecB(baseOffset + offDelta, baseTimestamp + tsDelta, key, value)
     }
+    val controlType =
+      if (!isControl) None
+      else records.headOption.flatMap(rec =>
+        Option(rec.key).filter(_.length >= 4).map(k =>
+          ByteBuffer.wrap(k, 2, 2).getShort.toInt))
+    BatchInfo(baseOffset, producerId, isTransactional, isControl,
+      controlType, records)
+  }
+
+  /** read_committed filtering (KIP-98, the consumer-side algorithm):
+    * walk batches in offset order; when an aborted transaction's first
+    * offset is reached its producer id becomes "aborting" and every
+    * TRANSACTIONAL batch from that producer is dropped until its next
+    * control marker; control batches themselves never yield records.
+    * `aborted` is the Fetch response's aborted-transaction list
+    * (producerId, firstOffset). Non-transactional batches always pass.
+    */
+  def filterCommitted(batches: Seq[Array[Byte]],
+      aborted: Seq[(Long, Long)]): Seq[RecB] = {
+    var pending = aborted.sortBy(_._2).toList
+    val aborting = scala.collection.mutable.Set.empty[Long]
+    val out = Vector.newBuilder[RecB]
+    batches.foreach { b =>
+      val info = decodeBatchInfo(b)
+      while (pending.nonEmpty && pending.head._2 <= info.baseOffset) {
+        aborting += pending.head._1
+        pending = pending.tail
+      }
+      if (info.control) aborting -= info.producerId // marker ends the txn
+      else if (!(info.transactional && aborting(info.producerId)))
+        out ++= info.records
+    }
+    out.result()
   }
 
   /** Split a segment (concatenated batches — the on-disk log format)
@@ -308,9 +364,23 @@ object KafkaBatch {
       * the records block, the same platform codecs the decoder
       * accepts).
       */
+    /** One transaction MARKER batch (KIP-98 control record: key =
+      * version i16 + type i16, value = version i16 + coordinator epoch
+      * i32) — what a transactional producer's commit/abort writes.
+      */
+    def controlBatch(baseOffset: Long, ts: Long, producerId: Long,
+        commit: Boolean): Array[Byte] = {
+      val key = ByteBuffer.allocate(4)
+        .putShort(0).putShort(if (commit) 1 else 0).array()
+      val value = new Array[Byte](6) // version 0, coordinator epoch 0
+      batchBytes(baseOffset, ts, Seq((ts, key, value)), control = true,
+        producerId = producerId, transactional = true)
+    }
+
     def batchBytes(baseOffset: Long, baseTimestamp: Long,
         records: Seq[(Long, Array[Byte], Array[Byte])],
-        control: Boolean = false, codec: Int = 0): Array[Byte] = {
+        control: Boolean = false, codec: Int = 0,
+        producerId: Long = -1L, transactional: Boolean = false): Array[Byte] = {
       require(records.nonEmpty, "kafka: empty batch")
       val recBytes = records.zipWithIndex.map { case ((ts, k, v), i) =>
         record(ts - baseTimestamp, i, k, v)
@@ -336,11 +406,12 @@ object KafkaBatch {
       }
       val tail = new ByteArrayOutputStream() // attributes onward (crc'd)
       val t = new DataOutputStream(tail)
-      t.writeShort((if (control) 0x20 else 0) | (codec & 0x07))
+      t.writeShort((if (control) 0x20 else 0) |
+        (if (transactional) 0x10 else 0) | (codec & 0x07))
       t.writeInt(records.length - 1)  // lastOffsetDelta
       t.writeLong(baseTimestamp)
       t.writeLong(records.map(_._1).max) // maxTimestamp
-      t.writeLong(-1L) // producerId
+      t.writeLong(producerId)
       t.writeShort(-1) // producerEpoch
       t.writeInt(-1)   // baseSequence
       t.writeInt(records.length)

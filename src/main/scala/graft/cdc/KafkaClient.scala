@@ -70,7 +70,12 @@ object KafkaClient {
       } yield (b.host, b.port)
   }
   final case class FetchedBatches(highWatermark: Long,
-      batches: Seq[Array[Byte]], error: Int)
+      batches: Seq[Array[Byte]], error: Int,
+      /** the Fetch response's aborted-transaction list
+        * (producerId, firstOffset) — what read_committed filtering
+        * consumes ([[KafkaBatch.filterCommitted]]).
+        */
+      aborted: Seq[(Long, Long)] = Nil)
 
   // API keys
   val ApiFetch = 1
@@ -312,13 +317,14 @@ object KafkaClient {
       */
     def fetch(topic: String, partition: Int, offset: Long,
         maxWaitMs: Int = 500, minBytes: Int = 1,
-        maxBytes: Int = 8 * 1024 * 1024): FetchedBatches = {
+        maxBytes: Int = 8 * 1024 * 1024,
+        isolation: Int = 0): FetchedBatches = {
       val corr = send(ApiFetch, 4, w => {
         w.i32(-1)        // replica_id
         w.i32(maxWaitMs)
         w.i32(minBytes)
         w.i32(maxBytes)
-        w.i8(0)          // isolation_level = READ_UNCOMMITTED
+        w.i8(isolation)  // 0 = READ_UNCOMMITTED, 1 = READ_COMMITTED
         w.i32(1); w.str(topic)
         w.i32(1); w.i32(partition); w.i64(offset); w.i32(maxBytes)
       })
@@ -331,11 +337,13 @@ object KafkaClient {
       val err = r.i16()
       val highWatermark = r.i64()
       r.i64() // last_stable_offset
-      val aborted = r.i32()
-      (0 until math.max(aborted, 0)).foreach { _ => r.i64(); r.i64() }
+      val nAborted = r.i32()
+      val aborted = (0 until math.max(nAborted, 0)).map { _ =>
+        (r.i64(), r.i64()) // producer_id, first_offset
+      }
       val setSize = r.i32()
       val recordSet = r.bytes(setSize)
-      FetchedBatches(highWatermark, splitBatches(recordSet), err)
+      FetchedBatches(highWatermark, splitBatches(recordSet), err, aborted)
     }
 
     /** Poll [fromOffset, highWatermark) to exhaustion — the snapshot
@@ -365,6 +373,35 @@ object KafkaClient {
         }
       }
       (off, outB.toSeq)
+    }
+
+    /** [[fetchAll]] under READ_COMMITTED: same bounded poll with
+      * isolation level 1, aborted-transaction lists aggregated, and
+      * the records filtered through [[KafkaBatch.filterCommitted]].
+      */
+    def fetchAllCommitted(topic: String, partition: Int, fromOffset: Long,
+        maxFetches: Int = 10000): (Long, Seq[KafkaBatch.RecB]) = {
+      val outB = mutable.ArrayBuffer.empty[Array[Byte]]
+      val outA = mutable.ArrayBuffer.empty[(Long, Long)]
+      var off = fromOffset
+      var rounds = 0
+      var done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= maxFetches, s"kafka: $maxFetches fetches exhausted")
+        val f = fetch(topic, partition, off, maxWaitMs = 100, isolation = 1)
+        require(f.error == 0, s"kafka: Fetch error ${f.error}")
+        if (f.batches.isEmpty) done = true
+        else {
+          outB ++= f.batches
+          outA ++= f.aborted
+          val last = f.batches.last
+          val bb = ByteBuffer.wrap(last)
+          off = bb.getLong(0) + bb.getInt(23) + 1
+          if (off >= f.highWatermark) done = true
+        }
+      }
+      (off, KafkaBatch.filterCommitted(outB.toSeq, outA.toSeq))
     }
 
     override def close(): Unit = socket.close()

@@ -98,7 +98,10 @@ class KafkaNativeSource extends TableProvider {
         .map(_.toLowerCase).getOrElse("latest"),
       sasl = Option(opts.get("sasl")).map(_.toLowerCase),
       saslUsername = Option(opts.get("saslUsername")).getOrElse(""),
-      saslPassword = Option(opts.get("saslPassword")).getOrElse("")))
+      saslPassword = Option(opts.get("saslPassword")).getOrElse(""),
+      isolationLevel = Option(opts.get("isolationLevel"))
+        .orElse(Option(opts.get("isolation.level")))
+        .map(_.toLowerCase).getOrElse("read_uncommitted")))
   }
 }
 
@@ -136,9 +139,18 @@ private[sources] final case class KafkaNativeConf(broker: String,
     startingTimestamp: Option[Long] = None,
     timestampStrategy: String = "latest",
     sasl: Option[String] = None, saslUsername: String = "",
-    saslPassword: String = "") {
+    saslPassword: String = "",
+    /** "read_uncommitted" (default) or "read_committed" — the latter
+      * fetches at isolation level 1 and drops aborted transactions'
+      * records via [[graft.cdc.KafkaBatch.filterCommitted]] (KIP-98).
+      */
+    isolationLevel: String = "read_uncommitted") {
   require(startingOffsets.isEmpty || startingTimestamp.isEmpty,
     "kafka native: startingOffsets and startingTimestamp are exclusive")
+  require(Set("read_uncommitted", "read_committed").contains(isolationLevel),
+    "kafka native: isolationLevel must be read_uncommitted|" +
+      s"read_committed, got '$isolationLevel'")
+  def readCommitted: Boolean = isolationLevel == "read_committed"
   require(Set("latest", "error").contains(timestampStrategy),
     s"kafka native: startingTimestampStrategy must be latest|error, " +
       s"got '$timestampStrategy'")
@@ -432,7 +444,8 @@ private[sources] object KafkaNativeScan {
         override def next(): Boolean = {
           while (!recs.hasNext && offset < p.until) {
             val f = session.fetch(p.topic, p.partition, offset,
-              maxWaitMs = 500)
+              maxWaitMs = 500,
+              isolation = if (p.conf.readCommitted) 1 else 0)
             if (f.error == KafkaClient.ErrNotLeaderOrFollower) reroute()
             else {
               require(f.error == 0, s"kafka native: fetch error ${f.error}")
@@ -444,8 +457,11 @@ private[sources] object KafkaNativeScan {
                     s"watermark ${f.highWatermark}")
                 return false
               }
-              val decoded = f.batches.iterator
-                .flatMap(KafkaBatch.decodeBatchBytes)
+              val visible =
+                if (p.conf.readCommitted)
+                  KafkaBatch.filterCommitted(f.batches, f.aborted).iterator
+                else f.batches.iterator.flatMap(KafkaBatch.decodeBatchBytes)
+              val decoded = visible
                 .filter(r => r.offset >= p.from && r.offset < p.until)
               val lastBatch = f.batches.last
               val bb = java.nio.ByteBuffer.wrap(lastBatch)

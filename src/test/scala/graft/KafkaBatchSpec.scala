@@ -148,4 +148,42 @@ class KafkaBatchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "b"), (2L, "x")))
   }
+
+  test("transactional attributes round-trip; control markers decode " +
+      "their type; filterCommitted drops exactly the aborted ranges") {
+    import KafkaBatch.Encode
+    val txn = Encode.batchBytes(0L, 1000L,
+      Seq((1000L, "k".getBytes, "v".getBytes)),
+      producerId = 42L, transactional = true)
+    val info = KafkaBatch.decodeBatchInfo(txn)
+    assert(info.transactional && !info.control &&
+      info.producerId == 42L && info.records.size == 1)
+    val abortM = Encode.controlBatch(1L, 1001L, 42L, commit = false)
+    val commitM = Encode.controlBatch(2L, 1002L, 42L, commit = true)
+    assert(KafkaBatch.decodeBatchInfo(abortM).control &&
+      KafkaBatch.decodeBatchInfo(abortM).controlType
+        .contains(KafkaBatch.ControlAbort))
+    assert(KafkaBatch.decodeBatchInfo(commitM).controlType
+      .contains(KafkaBatch.ControlCommit))
+    // read_uncommitted decode still skips control records
+    assert(KafkaBatch.decodeBatchBytes(abortM).isEmpty)
+
+    def tb(base: Long, pid: Long, v: String) = Encode.batchBytes(base,
+      1000L + base, Seq((1000L + base, null, v.getBytes)),
+      producerId = pid, transactional = true)
+    val log = Seq(
+      tb(0L, 7L, "dirty"),                                  // aborted
+      tb(1L, 8L, "ok8"),                                    // committed
+      Encode.controlBatch(2L, 1002L, 7L, commit = false),   // abort 7
+      Encode.controlBatch(3L, 1003L, 8L, commit = true),    // commit 8
+      tb(4L, 7L, "ok7"),                                    // 7's NEW txn
+      Encode.controlBatch(5L, 1005L, 7L, commit = true),
+      Encode.batchBytes(6L, 1006L,
+        Seq((1006L, null, "plain".getBytes))))              // non-txn
+    val got = KafkaBatch.filterCommitted(log, aborted = Seq((7L, 0L)))
+      .map(r => new String(r.value, "UTF-8"))
+    assert(got == Seq("ok8", "ok7", "plain"))
+    // an empty aborted list keeps every transactional record
+    assert(KafkaBatch.filterCommitted(log, Nil).size == 4)
+  }
 }

@@ -480,4 +480,44 @@ class KafkaNativeSourceSpec extends AnyFunSuite {
         (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "y")))
     } finally broker.close()
   }
+
+  test("read_committed: aborted transactions' records are invisible, " +
+      "committed and non-transactional records read; default " +
+      "read_uncommitted sees everything") {
+    import graft.cdc.KafkaBatch.Encode
+    val broker = new TestKafkaBroker("txn")
+    def txnBatch(base: Long, pid: Long, recs: Seq[(String, String)]) =
+      Encode.batchBytes(base, 1700000000000L + base,
+        recs.map { case (k, v) =>
+          (1700000000000L + base, k.getBytes("UTF-8"),
+            if (v == null) null else v.getBytes("UTF-8"))
+        }, producerId = pid, transactional = true)
+    // pid 7: an ABORTED txn (offsets 0-1, marker at 2)
+    broker.append(txnBatch(0L, 7L, Seq(("a", "dirty0"), ("b", "dirty1"))))
+    broker.append(Encode.controlBatch(2L, 1700000000002L, 7L, commit = false))
+    // pid 8: a COMMITTED txn (offset 3, marker at 4)
+    broker.append(txnBatch(3L, 8L, Seq(("c", "good"))))
+    broker.append(Encode.controlBatch(4L, 1700000000004L, 8L, commit = true))
+    // plain non-transactional data (offset 5)
+    broker.append(batch(5L, Seq(("d", "plain"))))
+    // pid 7 again: a SECOND, committed txn (offset 6, marker at 7) —
+    // the abort of its first txn must not bleed into this one
+    broker.append(txnBatch(6L, 7L, Seq(("e", "second"))))
+    broker.append(Encode.controlBatch(7L, 1700000000007L, 7L, commit = true))
+    try {
+      def values(isolation: String) = spark.read
+        .format("graft.sources.KafkaNativeSource")
+        .option("broker", broker.broker).option("topic", "txn")
+        .option("isolationLevel", isolation)
+        .load().orderBy("offset").collect()
+        .map(_.getAs[String]("value")).toSeq
+      assert(values("read_committed") == Seq("good", "plain", "second"))
+      // read_uncommitted surfaces the aborted records too (control
+      // markers never yield records in either mode)
+      assert(values("read_uncommitted") ==
+        Seq("dirty0", "dirty1", "good", "plain", "second"))
+      val err = intercept[Exception](values("read_dirty"))
+      assert(err.getMessage.contains("isolationLevel"))
+    } finally broker.close()
+  }
 }

@@ -309,9 +309,39 @@ final class TestKafkaCluster(topic: String, nPartitions: Int = 1,
               val set = new KafkaClient.Writer
               serve.foreach(b => set.raw(b))
               val setBytes = set.result
+              // aborted-transaction list computed from the log itself:
+              // per producer, a txn opens at its first transactional
+              // batch and an ABORT control marker closes it aborted —
+              // exactly what a real broker's txn index stores
+              val abortedList = {
+                val open = scala.collection.mutable.Map.empty[Long, Long]
+                // (pid, firstOffset, markerOffset) — a real broker's txn
+                // index; the response carries only entries OVERLAPPING
+                // the fetched range (marker at/after the fetch start)
+                val out = scala.collection.mutable.ArrayBuffer
+                  .empty[(Long, Long, Long)]
+                log(part).foreach { b =>
+                  val info = graft.cdc.KafkaBatch.decodeBatchInfo(b)
+                  if (info.control) {
+                    if (info.controlType.contains(graft.cdc.KafkaBatch.ControlAbort))
+                      open.get(info.producerId).foreach(first =>
+                        out += ((info.producerId, first, info.baseOffset)))
+                    open -= info.producerId
+                  } else if (info.transactional &&
+                      !open.contains(info.producerId))
+                    open(info.producerId) = info.baseOffset
+                }
+                out.toSeq.collect {
+                  case (pid, first, marker) if marker >= wanted =>
+                    (pid, first)
+                }
+              }
               w.i32(1); w.i32(part); w.i16(0)
               w.i64(highWatermark(part)); w.i64(highWatermark(part))
-              w.i32(0)
+              w.i32(abortedList.length)
+              abortedList.foreach { case (pid, first) =>
+                w.i64(pid); w.i64(first)
+              }
               w.i32(setBytes.length); w.raw(setBytes)
             }
           case other =>
