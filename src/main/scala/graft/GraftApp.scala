@@ -553,7 +553,7 @@ object GraftApp {
         val passthrough = Seq("tls", "truststore", "truststorePassword",
           "valueFormat", "partitions", "partition", "numSlices",
           "maxOffsetsPerTrigger", "startingOffsets", "startingTimestamp",
-          "sasl", "saslUsername", "saslPassword")
+          "sasl", "saslUsername", "saslPassword", "isolationLevel")
         val kopts = Map(
           "broker" -> s.options("broker"), "topic" -> s.options("topic")) ++
           passthrough.flatMap(k => s.options.get(k).map(k -> _))

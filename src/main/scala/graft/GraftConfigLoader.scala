@@ -414,7 +414,8 @@ object GraftConfigLoader {
                 "starting_timestamp" -> "startingTimestamp",
                 "sasl" -> "sasl",
                 "sasl_username" -> "saslUsername",
-                "sasl_password" -> "saslPassword").flatMap { case (yk, ok) =>
+                "sasl_password" -> "saslPassword",
+                "isolation_level" -> "isolationLevel").flatMap { case (yk, ok) =>
                   cfg.asScala.get(yk).filter(_ != null)
                     .map(v => ok -> v.toString)
                 }.toMap)

@@ -1485,6 +1485,45 @@ class GraftAppSpec extends AnyFunSuite {
       err.getMessage.contains("Iceberg"))
   }
 
+  test("dozer !Kafka connection honors isolation_level: read_committed " +
+      "— aborted transactions never reach the sink") {
+    import graft.cdc.KafkaBatch.Encode
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_rc").toString
+    val broker = new TestKafkaBroker("rc_topic")
+    broker.append(Encode.batchBytes(0L, 1700000000000L,
+      Seq((1700000000000L, "a".getBytes, """{"n":1}""".getBytes)),
+      producerId = 5L, transactional = true))
+    broker.append(Encode.controlBatch(1L, 1700000000001L, 5L, commit = false))
+    broker.append(Encode.batch(2L, 1700000000002L,
+      Seq((1700000000002L, "b", """{"n":2}"""))))
+    try {
+      val yaml =
+        s"""connections:
+           |  - config: !Kafka
+           |      broker: ${broker.broker}
+           |      isolation_level: read_committed
+           |    name: k
+           |sources:
+           |  - name: events
+           |    connection: k
+           |    table_name: rc_topic
+           |sql: |
+           |  SELECT key, message INTO live FROM events WHERE _op = 'insert';
+           |sinks:
+           |  - table_name: live
+           |    path: $tmp/out
+           |    checkpoint: $tmp/ckpt
+           |streaming: true
+           |""".stripMargin
+      val queries = runStreaming(spark, GraftConfigLoader.fromYaml(yaml))
+      try queries.foreach(_.awaitTermination())
+      finally queries.foreach(_.stop())
+      val keys = spark.read.parquet(s"$tmp/out")
+        .select("key").collect().map(_.getString(0)).toSeq
+      assert(keys == Seq("b"), s"aborted record leaked: $keys")
+    } finally broker.close()
+  }
+
   test("dozer !Grpc connection: gRPC-over-HTTP/2 ingest to sink through " +
       "config alone (typed default adapter)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_grpc_cfg").toString
