@@ -461,6 +461,32 @@ object GraftApp {
       onnxPath: Option[String] = None,  // UdfType::Onnx { path }
       jsModule: Option[String] = None)  // UdfType::JavaScript { module }
 
+  /** One table-maintenance task (graft extension): lakehouse lifecycle
+    * from config — `compact` (iceberg: resolve MoR deletes + binpack
+    * small files), `expire_snapshots` (iceberg history trim + disk
+    * reclaim), `vacuum` (delta: drop unreferenced data files). Runs
+    * after the batch sinks, so a pipeline can write and then groom its
+    * own table in one `dozer run`.
+    */
+  final case class MaintenanceConf(
+      path: String,
+      format: String, // "iceberg" | "delta"
+      compact: Boolean = false,
+      compactSmallFileBytes: Long = 0L,
+      expireKeepLast: Option[Int] = None,
+      vacuum: Boolean = false) {
+    require(format == "iceberg" || format == "delta",
+      s"maintenance on '$path': format must be iceberg|delta, got '$format'")
+    require(!vacuum || format == "delta",
+      s"maintenance on '$path': vacuum is the delta op (iceberg uses " +
+        "expire_snapshots)")
+    require((!compact && expireKeepLast.isEmpty) || format == "iceberg",
+      s"maintenance on '$path': compact/expire_snapshots are iceberg ops " +
+        "(delta uses vacuum)")
+    require(compact || expireKeepLast.nonEmpty || vacuum,
+      s"maintenance on '$path' declares no operation")
+  }
+
   final case class GraftConfig(
       sources: Seq[SourceConf],
       sql: String,
@@ -472,7 +498,8 @@ object GraftApp {
       // telemetry.metrics: !Prometheus{address} (reference
       // dozer-types/src/models/telemetry.rs:39-56) — port of the
       // /metrics scrape endpoint served during `run`
-      metricsPort: Option[Int] = None)
+      metricsPort: Option[Int] = None,
+      maintenance: Seq[MaintenanceConf] = Nil)
 
   /** One config-declared gRPC ingest service (reference GrpcConfig,
     * ingestion_types.rs:65-76: host/port/schemas/adapter) — a REAL
@@ -812,11 +839,27 @@ object GraftApp {
         case other => throw new IllegalArgumentException(s"unknown sink mode $other")
       }
     }
+    // table maintenance AFTER the sinks: groom what this run just wrote
+    config.maintenance.foreach { m =>
+      m.format match {
+        case "iceberg" =>
+          if (m.compact)
+            graft.sources.IcebergLite.compact(spark, m.path,
+              m.compactSmallFileBytes)
+          m.expireKeepLast.foreach(k =>
+            graft.sources.IcebergLite.expireSnapshots(spark, m.path, k))
+        case "delta" =>
+          if (m.vacuum) graft.sources.DeltaLite.vacuum(spark, m.path)
+      }
+    }
     outputs
   }
 
   /** Run a streaming pipeline: one StreamingQuery per sink. */
   def runStreaming(spark: SparkSession, config: GraftConfig): Seq[StreamingQuery] = {
+    require(config.maintenance.isEmpty,
+      "maintenance: runs after BATCH pipelines only — groom tables from " +
+        "a separate batch config (streams never quiesce)")
     // Default streaming state onto RocksDB (SCALE.md contract) even on a
     // caller-built session; a caller who configured a non-default
     // provider keeps it. Read at query start, so setting it here covers

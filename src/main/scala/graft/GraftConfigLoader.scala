@@ -218,8 +218,45 @@ object GraftConfigLoader {
       streaming = root.get("streaming").exists(_.toString.toBoolean),
       udfs = udfs(root),
       metricsPort = root.get("metrics_port").map(_.toString.toInt)
-        .orElse(metricsPort(root)))
+        .orElse(metricsPort(root)),
+      maintenance = maintenance(root))
   }
+
+  /** `maintenance:` — lakehouse lifecycle tasks run after batch sinks:
+    * {{{
+    * maintenance:
+    *   - path: /tables/events
+    *     format: iceberg
+    *     compact: true                 # or {small_file_bytes: N} to binpack
+    *     expire_snapshots: {keep_last: 3}
+    *   - path: /tables/dim
+    *     format: delta
+    *     vacuum: true
+    * }}}
+    */
+  private def maintenance(root: Map[String, Object]): Seq[GraftApp.MaintenanceConf] =
+    root.get("maintenance").filter(_ != null).toSeq
+      .flatMap(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(asMap))
+      .map { m =>
+        val compactNode = m.asScala.get("compact").filter(_ != null)
+        GraftApp.MaintenanceConf(
+          path = str(m, "path"),
+          format = str(m, "format"),
+          compact = compactNode.isDefined &&
+            !compactNode.contains(java.lang.Boolean.FALSE),
+          compactSmallFileBytes = compactNode match {
+            case Some(mm: java.util.Map[_, _]) =>
+              asMap(mm).asScala.get("small_file_bytes")
+                .map(_.toString.toLong).getOrElse(0L)
+            case _ => 0L
+          },
+          expireKeepLast = m.asScala.get("expire_snapshots")
+            .filter(_ != null).map(x =>
+              asMap(x).asScala.getOrElse("keep_last",
+                fail(s"maintenance expire_snapshots needs keep_last"))
+                .toString.toInt),
+          vacuum = m.asScala.get("vacuum").exists(_.toString.toBoolean))
+      }
 
   /** `telemetry.metrics: !Prometheus{address: host:port}` (reference
     * dozer-types/src/models/telemetry.rs:39-56; the !Prometheus tag is

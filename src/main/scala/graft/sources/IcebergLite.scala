@@ -1176,16 +1176,22 @@ object IcebergLite {
     * readable (their manifest lists are untouched on disk). No-op if
     * the table holds no position deletes. Returns the new snapshot id.
     */
-  def compact(spark: SparkSession, tablePath: String): Long = {
+  def compact(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long = 0L): Long = {
     val st = snapshotState(spark, tablePath)
-    if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty)
+    val anySmall = smallFileBytes > 0 &&
+      st.dataFiles.count(_.fileSize < smallFileBytes) > 1
+    if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty && !anySmall)
       return st.snapshot.snapshotId
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // which data files do the delete files actually touch? position
     // deletes name their files (metadata-sized collect); equality
     // deletes can touch ANY file with a smaller sequence number —
-    // conservative: rewrite those
+    // conservative: rewrite those. `smallFileBytes` > 0 additionally
+    // BINPACKS: files below the threshold rewrite together (the
+    // streaming-sink many-small-commits layout fix), when more than
+    // one exists.
     val posTouched =
       if (st.posDeleteFiles.isEmpty) Set.empty[String]
       else spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
@@ -1193,15 +1199,21 @@ object IcebergLite {
         .collect().map(_.getString(0)).toSet
     val maxEqSeq = st.eqDeleteFiles.map(_.seq).maxOption.getOrElse(Long.MinValue)
     val (rewrite, carry) = st.dataFiles.partition(f =>
-      posTouched(normalizePathStr(f.path)) || f.seq < maxEqSeq)
+      posTouched(normalizePathStr(f.path)) || f.seq < maxEqSeq ||
+        (anySmall && f.fileSize < smallFileBytes))
     val survivors =
       if (rewrite.isEmpty) Seq.empty
       else {
         val visible = aliveWithPos(spark,
           st.copy(dataFiles = rewrite))
-          .drop("__ice_file", "__ice_pos")
-        stageData(spark, visible.select(
-          st.meta.schema.fieldNames.map(col).toIndexedSeq: _*), root, fs)
+          .select(st.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+        // binpack: size the output file count from the input bytes so
+        // many small files become few near-target ones
+        val packed =
+          if (smallFileBytes <= 0) visible
+          else visible.coalesce(math.max(1, math.ceil(
+            rewrite.map(_.fileSize).sum.toDouble / smallFileBytes).toInt))
+        stageData(spark, packed, root, fs)
       }
     val seq = st.meta.lastSequenceNumber + 1
     val snapshotId =

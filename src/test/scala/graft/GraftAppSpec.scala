@@ -1485,6 +1485,67 @@ class GraftAppSpec extends AnyFunSuite {
       err.getMessage.contains("Iceberg"))
   }
 
+  test("maintenance: config grooms tables after batch sinks — iceberg " +
+      "compact + expire_snapshots, delta vacuum; streaming refuses") {
+    import graft.sources.{DeltaLite, IcebergLite}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    // iceberg: many tiny commits + history, delta: an overwritten file
+    (1L to 4L).foreach(i => IcebergLite.write(spark,
+      Seq((i, s"v$i")).toDF("k", "v").coalesce(1), s"$base/ice"))
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), s"$base/dl")
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), s"$base/dl",
+      mode = "overwrite")
+    val yaml =
+      s"""sources:
+         |  - name: it
+         |    path: $base/ice
+         |    format: iceberg
+         |sql: SELECT k, v INTO o FROM it;
+         |sinks:
+         |  - table: o
+         |    path: $base/out
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/ice
+         |    format: iceberg
+         |    compact: {small_file_bytes: 67108864}
+         |    expire_snapshots: {keep_last: 1}
+         |  - path: $base/dl
+         |    format: delta
+         |    vacuum: true
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val st = IcebergLite.snapshotState(spark, s"$base/ice")
+    assert(st.dataFiles.size == 1, "compact must binpack the tiny commits")
+    assert(IcebergLite.loadMeta(spark, s"$base/ice").snapshots.size == 1)
+    assert(IcebergLite.read(spark, s"$base/ice").count() == 4)
+    assert(DeltaLite.read(spark, s"$base/dl").count() == 1)
+    // the overwritten delta file is physically gone
+    val leftovers = new java.io.File(s"$base/dl").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(leftovers == 1)
+    // streaming configs refuse maintenance loudly
+    val err = intercept[IllegalArgumentException](GraftApp.runStreaming(spark,
+      GraftConfigLoader.fromYaml(
+        s"""streaming: true
+           |sources:
+           |  - name: s1
+           |    path: $base/out
+           |sql: SELECT k INTO o2 FROM s1;
+           |sinks:
+           |  - table: o2
+           |    path: $base/never
+           |    mode: append
+           |    checkpoint: $base/ck
+           |maintenance:
+           |  - path: $base/dl
+           |    format: delta
+           |    vacuum: true
+           |""".stripMargin)))
+    assert(err.getMessage.contains("BATCH"))
+  }
+
   test("dozer !Kafka connection honors isolation_level: read_committed " +
       "— aborted transactions never reach the sink") {
     import graft.cdc.KafkaBatch.Encode

@@ -221,6 +221,24 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.loadMeta(spark, t).version == v)
   }
 
+  test("compact binpacks small files when smallFileBytes is set: many " +
+      "tiny commits collapse to few files, contents unchanged") {
+    val t = tmp("binpack")
+    (1L to 5L).foreach(i =>
+      IcebergLite.write(spark, Seq((i, s"v$i")).toDF("k", "v").coalesce(1), t))
+    assert(IcebergLite.snapshotState(spark, t).dataFiles.size == 5)
+    val before = rows(IcebergLite.read(spark, t))
+    IcebergLite.compact(spark, t, smallFileBytes = 64 * 1024 * 1024)
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.size == 1, s"expected 1 packed file, " +
+      s"got ${st.dataFiles.size}")
+    assert(rows(IcebergLite.read(spark, t)) == before)
+    // threshold smaller than every file → nothing rewrites
+    val v = IcebergLite.loadMeta(spark, t).version
+    IcebergLite.compact(spark, t, smallFileBytes = 1L)
+    assert(IcebergLite.loadMeta(spark, t).version == v)
+  }
+
   test("expireSnapshots trims history and physically deletes " +
       "unreferenced manifests and data files; current state intact") {
     val t = tmp("expire")
