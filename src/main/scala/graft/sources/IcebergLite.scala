@@ -82,7 +82,9 @@ object IcebergLite {
         * graft's streaming sinks record their idempotence watermark
         * here as `graft-txn-app` / `graft-txn-version`).
         */
-      summary: Map[String, String] = Map.empty)
+      summary: Map[String, String] = Map.empty,
+      /** schema-id the snapshot was written under (evolution). */
+      schemaId: Option[Int] = None)
 
   /** One `manifest_file` record of the manifest list — enough state to
     * carry the manifest forward unchanged into the next commit's list.
@@ -131,7 +133,12 @@ object IcebergLite {
       /** TOP-LEVEL column name → Iceberg field id (from the current
         * schema's `fields[].id`) — the key space of the bounds maps.
         */
-      fieldIds: Map[String, Int] = Map.empty)
+      fieldIds: Map[String, Int] = Map.empty,
+      /** the FULL `schemas` history as raw JSON (evolution keeps every
+        * schema-id a snapshot ever referenced) + the current id.
+        */
+      schemasJson: Seq[String] = Nil,
+      currentSchemaId: Int = 0)
 
   final case class SnapshotState(meta: TableMeta, snapshot: SnapshotMeta,
       manifests: Seq[ManifestInfo],
@@ -296,17 +303,29 @@ object IcebergLite {
           inlineManifests = Option(s.get("manifests")).toSeq
             .flatMap(_.elements.asScala.map(_.asText)),
           summary = Option(s.get("summary")).toSeq.flatMap(sm =>
-            sm.fieldNames.asScala.map(k => k -> sm.get(k).asText)).toMap)
+            sm.fieldNames.asScala.map(k => k -> sm.get(k).asText)).toMap,
+          schemaId = Option(s.get("schema-id")).map(_.asInt))
       }
     val fieldIds = Option(schemaNode.get("fields")).toSeq
       .flatMap(_.elements.asScala)
       .flatMap(f => Option(f.get("id")).map(id => f.get("name").asText -> id.asInt))
       .toMap
+    val schemasJson = Option(node.get("schemas")) match {
+      case Some(arr) => arr.elements.asScala.toSeq.map(_.toString)
+      case None => // v1 single schema: retain as schema-id 0
+        val on = schemaNode.deepCopy
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        on.put("schema-id", 0)
+        Seq(on.toString)
+    }
     TableMeta(
       formatVersion = fv,
       location = Option(node.get("location")).map(_.asText).getOrElse(tablePath),
       schema = sparkType(schemaNode).asInstanceOf[StructType],
       fieldIds = fieldIds,
+      schemasJson = schemasJson,
+      currentSchemaId =
+        Option(node.get("current-schema-id")).map(_.asInt).getOrElse(0),
       lastColumnId = Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
       lastSequenceNumber =
         Option(node.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
@@ -813,9 +832,30 @@ object IcebergLite {
     node.put("last-sequence-number", seq)
     node.put("last-updated-ms", now)
     val (schNode, lastCol) = schemaNode(schema)
-    node.put("last-column-id", lastCol)
-    node.put("current-schema-id", 0)
-    node.putArray("schemas").add(schNode)
+    // schema EVOLUTION: an unchanged schema reuses the table's current
+    // id; a changed one appends to the schemas history under a fresh id
+    // (old snapshots keep reading under theirs)
+    val (schemasJson, curSchemaId) = prior match {
+      case Some(p)
+          if p.meta.schema.map(f => (f.name, f.dataType.sql)) ==
+            schema.map(f => (f.name, f.dataType.sql)) =>
+        (p.meta.schemasJson, p.meta.currentSchemaId)
+      case Some(p) =>
+        val maxId = p.meta.schemasJson.flatMap(s =>
+          Option(mapper.readTree(s).get("schema-id")).map(_.asInt))
+          .maxOption.getOrElse(0)
+        val on = schNode
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        on.put("schema-id", maxId + 1)
+        (p.meta.schemasJson :+ on.toString, maxId + 1)
+      case None =>
+        (Seq(schNode.toString), 0)
+    }
+    node.put("last-column-id",
+      math.max(lastCol, prior.map(_.meta.lastColumnId).getOrElse(0)))
+    node.put("current-schema-id", curSchemaId)
+    val schemasArr = node.putArray("schemas")
+    schemasJson.foreach(s => schemasArr.add(mapper.readTree(s)))
     node.put("default-spec-id", 0)
     val specs = node.putArray("partition-specs")
     val spec0 = specs.addObject()
@@ -836,11 +876,12 @@ object IcebergLite {
       val sum = s.putObject("summary")
       if (!sm.summary.contains("operation")) sum.put("operation", "append")
       sm.summary.foreach { case (k, v) => sum.put(k, v) }
-      s.put("schema-id", 0)
+      s.put("schema-id", sm.schemaId.getOrElse(curSchemaId))
     }
     prior.toSeq.flatMap(_.meta.snapshots).foreach(snapObj)
     snapObj(SnapshotMeta(snapshotId, seq, now, Some(mlPath.toString), Nil,
-      summary = Map("operation" -> operation) ++ extraSummary))
+      summary = Map("operation" -> operation) ++ extraSummary,
+      schemaId = Some(curSchemaId)))
     val log = node.putArray("snapshot-log")
     (prior.toSeq.flatMap(_.meta.snapshots) :+
       SnapshotMeta(snapshotId, seq, now, None, Nil)).foreach { sm =>
@@ -887,11 +928,22 @@ object IcebergLite {
         return prior.get.snapshot.snapshotId
     }
     prior.foreach { p =>
-      require(p.meta.schema.fieldNames.sameElements(df.schema.fieldNames) &&
-        p.meta.schema.fields.map(_.dataType.sql)
-          .sameElements(df.schema.fields.map(_.dataType.sql)),
-        s"schema mismatch writing to $tablePath:\n table: " +
+      // exact match, or APPEND-ONLY EVOLUTION: the table's columns are a
+      // prefix (same names + types, same order) and new columns follow —
+      // the spec's safe add-column path; old files read the additions as
+      // null by name. Renames/retypes/drops stay loud.
+      val tf = p.meta.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
+      val nf = df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
+      require(nf.take(tf.length) == tf,
+        s"schema mismatch writing to $tablePath (append-only evolution " +
+          "adds columns AFTER the existing ones):\n table: " +
           s"${p.meta.schema.simpleString}\n data:  ${df.schema.simpleString}")
+      if (nf.length > tf.length)
+        // evolution re-derives field ids deterministically; a foreign
+        // table with its own id assignment would mis-map — refuse
+        require(p.meta.fieldIds == topFieldIds(p.meta.schema),
+          s"cannot evolve the schema of $tablePath: its field ids were " +
+            "assigned by another writer; use the iceberg runtime")
     }
     val staged = stageData(spark, df, root, fs)
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
@@ -1312,9 +1364,10 @@ object IcebergLite {
     * twin: data files present only in `fromSnapshotId` read as the old
     * side, files present only in `toSnapshotId` as the new side — for
     * keyed tables the restricted [[graft.cdc.SnapshotDiff]] equals the
-    * full-snapshot diff at O(changed files) cost. Tables with position
-    * deletes fall back to full snapshots (a delete file changes row
-    * visibility inside UNCHANGED data files).
+    * full-snapshot diff at O(changed files) cost. Tables with live
+    * delete files (position OR equality) fall back to full snapshots
+    * (a delete file changes row visibility inside UNCHANGED data
+    * files).
     */
   def changedFileSets(spark: SparkSession, tablePath: String,
       fromSnapshotId: Long, toSnapshotId: Long): (DataFrame, DataFrame) = {
@@ -1325,7 +1378,8 @@ object IcebergLite {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.meta.schema)
       else spark.read.schema(st.meta.schema).parquet(files.map(_.path): _*)
-    if (from.posDeleteFiles.nonEmpty || to.posDeleteFiles.nonEmpty)
+    if (from.posDeleteFiles.nonEmpty || to.posDeleteFiles.nonEmpty ||
+        from.eqDeleteFiles.nonEmpty || to.eqDeleteFiles.nonEmpty)
       (read(spark, tablePath, Some(fromSnapshotId)),
         read(spark, tablePath, Some(toSnapshotId)))
     else {

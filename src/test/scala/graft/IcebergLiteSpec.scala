@@ -81,6 +81,36 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err.getMessage.contains("schema mismatch"))
   }
 
+  test("append-only schema evolution: added columns get a fresh " +
+      "schema-id and stable field ids; old files read null; renames " +
+      "and foreign-id tables stay loud") {
+    val t = tmp("evolve")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.write(spark,
+      Seq((2L, "b", 7.5)).toDF("k", "v", "score"), t)
+    val got = IcebergLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    val collected = got.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(collected == Set((1L, "a", null), (2L, "b", 7.5)))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.currentSchemaId == 1 && meta.schemasJson.size == 2)
+    // prefix columns keep their ids; the addition extends them
+    assert(meta.fieldIds == Map("k" -> 1, "v" -> 2, "score" -> 3))
+    // the merge path works across the evolution (bounds, pruning, MoR)
+    IcebergLite.upsert(spark,
+      Seq((1L, "A", 0.5)).toDF("k", "v", "score"), t, Seq("k"))
+    assert(IcebergLite.read(spark, t).count() == 2)
+    assert(IcebergLite.read(spark, t)
+      .filter(col("k") === 1L).select("score").collect().head.getDouble(0)
+      == 0.5)
+    // a rename is NOT evolution
+    val err = intercept[IllegalArgumentException](IcebergLite.write(spark,
+      Seq((9L, "x", 1.0)).toDF("k", "renamed", "score"), t))
+    assert(err.getMessage.contains("schema mismatch"))
+  }
+
   // ---------------------------------------------------- merge-on-read
 
   test("position-delete commit suppresses matched rows WITHOUT " +
