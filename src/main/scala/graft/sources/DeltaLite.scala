@@ -481,21 +481,31 @@ object DeltaLite {
       val committed = existing.flatMap(_.txns.get(appId))
       if (committed.exists(_ >= v)) return existing.get.version
     }
-    existing.foreach { s =>
+    val evolving = existing.exists { s =>
       require(s.partitionColumns.isEmpty,
         "DeltaLite.write targets unpartitioned tables only")
-      // names + types must match; nullability may tighten (a nullable
-      // table column accepts non-null data)
-      require(normalizeNullability(s.schema) == normalizeNullability(df.schema),
-        s"schema mismatch writing to $tablePath:\n table: ${s.schema.json}" +
-          s"\n data:  ${df.schema.json}")
+      // exact match (nullability may tighten), or APPEND-ONLY schema
+      // EVOLUTION: the table's columns as a prefix plus new ones after
+      // (delta mergeSchema's safe add-column subset) — the commit then
+      // carries an updated metaData action ("latest metaData wins" on
+      // replay) and old files read the additions as null by name
+      val tf = s.schema.fields
+        .map(f => (f.name, normalizeNullability(f.dataType))).toSeq
+      val nf = df.schema.fields
+        .map(f => (f.name, normalizeNullability(f.dataType))).toSeq
+      require(nf.take(tf.length) == tf,
+        s"schema mismatch writing to $tablePath (append-only evolution " +
+          s"adds columns AFTER the existing ones):\n table: " +
+          s"${s.schema.json}\n data:  ${df.schema.json}")
+      nf.length > tf.length
     }
     val moved = stageWithStats(spark, df, root, fs)
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
     val lines = mutable.ArrayBuffer.empty[String]
-    if (existing.isEmpty) {
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    if (existing.isEmpty || evolving) {
+      if (existing.isEmpty)
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       val schemaEsc = mapper.writeValueAsString(df.schema.json)
       lines += s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
         s""""format":{"provider":"parquet","options":{}},""" +

@@ -544,4 +544,20 @@ class DeltaLiteSpec extends AnyFunSuite {
       Set((9L, "z")))
     assert(DeltaLite.vacuum(spark, t) == 0)
   }
+
+  test("append-only schema evolution: a widening append commits an " +
+      "updated metaData action; old files read null; renames stay loud") {
+    val t = java.nio.file.Files.createTempDirectory("delta_evo").toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    DeltaLite.write(spark, Seq((2L, "b", 7.5)).toDF("k", "v", "score"), t)
+    val got = DeltaLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", null), (2L, "b", 7.5)))
+    // further appends must carry the evolved schema
+    val err = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((9L, "x")).toDF("k", "renamed"), t))
+    assert(err.getMessage.contains("schema mismatch"))
+  }
 }
