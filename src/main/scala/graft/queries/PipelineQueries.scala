@@ -3744,6 +3744,34 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // ICEBERG SCHEMA EVOLUTION through the driver gate: commit the base
+    // table, then append WIDER rows (a new `tag` column) — the schema
+    // evolves under a fresh schema-id and the pre-evolution files read
+    // the addition as null. The oracle states the merged shape
+    // directly, so a wrong id assignment, a mis-filled old file, or a
+    // schema-selection bug all hash-mismatch.
+    QueryDef("q136_iceberg_evolution",
+      """SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS tag
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, r_name,
+        |  upper(r_name) AS tag
+        |FROM region""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q136_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r, tbl)
+      IcebergLite.write(s,
+        r.select((col("r_regionkey") + 100).as("r_regionkey"),
+          col("r_name"), upper(col("r_name")).as("tag")), tbl)
+      IcebergLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer
