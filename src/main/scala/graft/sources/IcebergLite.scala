@@ -1125,6 +1125,14 @@ object IcebergLite {
     val prior = snapshotState(spark, tablePath)
     require(keyCols.forall(prior.meta.schema.fieldNames.contains),
       s"key columns ${keyCols.mkString(",")} must exist in the table schema")
+    // a batch column outside the table schema would be dropped by the
+    // select below — make the mismatch loud (evolve via write() first)
+    locally {
+      val extra = batch.columns.filterNot(prior.meta.schema.fieldNames.contains)
+      require(extra.isEmpty,
+        s"upsert batch carries columns ${extra.mkString(",")} not in the " +
+          "table schema — widen the table with an evolving append first")
+    }
     txn.foreach { case (appId, v) => // retry of a committed batch: skip
       if (txnHighWater(Some(prior), appId).exists(_ >= v))
         return prior.snapshot.snapshotId

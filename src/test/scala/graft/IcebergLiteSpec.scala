@@ -109,6 +109,11 @@ class IcebergLiteSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](IcebergLite.write(spark,
       Seq((9L, "x", 1.0)).toDF("k", "renamed", "score"), t))
     assert(err.getMessage.contains("schema mismatch"))
+    // an upsert batch with a column the table lacks refuses instead of
+    // silently dropping it
+    val err2 = intercept[IllegalArgumentException](IcebergLite.upsert(spark,
+      Seq((1L, "A", 0.5, "x")).toDF("k", "v", "score", "extra"), t, Seq("k")))
+    assert(err2.getMessage.contains("extra"))
   }
 
   // ---------------------------------------------------- merge-on-read
