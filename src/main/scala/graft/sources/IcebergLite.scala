@@ -1368,6 +1368,72 @@ object IcebergLite {
     deleted
   }
 
+  /** The `snapshots` METADATA TABLE (iceberg's inspection surface): one
+    * row per snapshot — id, sequence number, timestamp, operation, and
+    * the summary properties (incl. the streaming txn watermark), so an
+    * operator can audit commit history with plain SQL. Driver-built
+    * from metadata (no data reads).
+    */
+  def snapshotsDf(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val meta = loadMeta(spark, tablePath)
+    meta.snapshots.map(s => (
+        s.snapshotId, s.sequenceNumber, s.timestampMs,
+        s.summary.getOrElse("operation", "append"),
+        s.summary - "operation",
+        meta.currentSnapshotId.contains(s.snapshotId)))
+      .toDF("snapshot_id", "sequence_number", "timestamp_ms",
+        "operation", "summary", "is_current")
+  }
+
+  /** The `files` METADATA TABLE: one row per live file of a snapshot
+    * (latest by default) — content kind, path, format, record count,
+    * size, sequence number, and the column bounds DECODED back to
+    * typed strings per column name. The layout/health audit a
+    * compaction policy reads before deciding what to rewrite.
+    */
+  def filesDf(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val st = snapshotState(spark, tablePath, snapshotId)
+    val idToName = st.meta.fieldIds.map(_.swap)
+    def decodeBounds(m: Map[Int, Array[Byte]]): Map[String, String] =
+      m.flatMap { case (id, bytes) =>
+        for {
+          name <- idToName.get(id)
+          f <- st.meta.schema.fields.find(_.name == name)
+        } yield name -> boundToString(f.dataType, bytes)
+      }
+    val kinds = Seq(0 -> st.dataFiles, 1 -> st.posDeleteFiles,
+      2 -> st.eqDeleteFiles)
+    kinds.flatMap { case (_, files) => files }.map(f => (
+        f.content match {
+          case 0 => "data"; case 1 => "position_deletes"
+          case _ => "equality_deletes"
+        },
+        f.path, f.format, f.recordCount, f.fileSize, f.seq,
+        decodeBounds(f.lowerBounds), decodeBounds(f.upperBounds)))
+      .toDF("content", "file_path", "file_format", "record_count",
+        "file_size_in_bytes", "sequence_number",
+        "lower_bounds", "upper_bounds")
+  }
+
+  /** Human-readable form of a serialized bound (inverse direction of
+    * [[serializeBound]] for display; unknown widths render as hex).
+    */
+  private def boundToString(dt: DataType, b: Array[Byte]): String = {
+    def buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if b.length == 4 => buf.getInt.toString
+      case LongType if b.length == 8 => buf.getLong.toString
+      case FloatType if b.length == 4 => buf.getFloat.toString
+      case DoubleType if b.length == 8 => buf.getDouble.toString
+      case StringType => new String(b, "UTF-8")
+      case _ => b.map("%02x".format(_)).mkString
+    }
+  }
+
   /** File-level CDC between two snapshots, the [[DeltaLite.changesBetween]]
     * twin: data files present only in `fromSnapshotId` read as the old
     * side, files present only in `toSnapshotId` as the new side — for

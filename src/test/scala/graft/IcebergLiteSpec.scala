@@ -221,6 +221,38 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.loadMeta(spark, t).version == before)
   }
 
+  // ------------------------------------------------ metadata tables
+
+  test("snapshots/files metadata tables: history with operations and " +
+      "txn summaries, per-file bounds decoded by column name") {
+    val t = tmp("metatbl")
+    IcebergLite.write(spark,
+      (1L to 5L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    IcebergLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t,
+      txn = Some(("appZ", 3L)))
+    IcebergLite.deleteWhere(spark, t, col("k") === 2L)
+    val snaps = IcebergLite.snapshotsDf(spark, t)
+      .orderBy("sequence_number").collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append", "delete"))
+    assert(snaps.count(_.getAs[Boolean]("is_current")) == 1 &&
+      snaps.last.getAs[Boolean]("is_current"))
+    assert(snaps(1).getAs[Map[String, String]]("summary")
+      .get("graft-txn-app").contains("appZ"))
+    val files = IcebergLite.filesDf(spark, t).collect()
+    assert(files.count(_.getAs[String]("content") == "data") == 2)
+    assert(files.count(
+      _.getAs[String]("content") == "position_deletes") == 1)
+    val f1 = files.filter(_.getAs[String]("content") == "data")
+      .minBy(_.getAs[Map[String, String]]("lower_bounds")
+        .get("k").map(_.toLong).getOrElse(Long.MaxValue))
+    assert(f1.getAs[Map[String, String]]("lower_bounds")("k") == "1")
+    assert(f1.getAs[Map[String, String]]("upper_bounds")("k") == "5")
+    assert(f1.getAs[Map[String, String]]("lower_bounds")("v") == "v1")
+    assert(f1.getAs[Long]("record_count") == 5L)
+  }
+
   // ----------------------------------------------------- maintenance
 
   test("compact resolves position deletes: touched files rewrite, " +
