@@ -146,7 +146,8 @@ object SqlText {
         "WINDOW_FUNNEL", "SEQUENCE_COUNT", "RETENTION",
         "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP",
         "LOG_HIST", "LOG_HIST_QUANTILES", "PAGE_RANK",
-        "TRIANGLE_COUNTS", "ATTRIBUTION")) match {
+        "TRIANGLE_COUNTS", "ATTRIBUTION",
+        "ICEBERG_SNAPSHOTS", "ICEBERG_FILES")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -302,6 +303,18 @@ object SqlText {
               val a = args.map(_.trim)
               evtView(graft.operators.GraphRank.triangleCounts(
                 spark.table(a(0)), a(1), a(2)))
+            case "ICEBERG_SNAPSHOTS" =>
+              // ICEBERG_SNAPSHOTS('<table path>') — the commit-history
+              // inspection table (id, seq, operation, summary)
+              val a = args.map(_.trim)
+              evtView(graft.sources.IcebergLite.snapshotsDf(
+                spark, unq(a(0))))
+            case "ICEBERG_FILES" =>
+              // ICEBERG_FILES('<table path>' [, snapshotId]) — live
+              // files with counts, sizes and decoded column bounds
+              val a = args.map(_.trim)
+              evtView(graft.sources.IcebergLite.filesDf(spark,
+                unq(a(0)), a.lift(1).map(_.toLong)))
             case "ATTRIBUTION" =>
               // ATTRIBUTION(src, user, ts, ord, type, channelCol,
               //   'touch', 'conv', 'window') — project the channel

@@ -1466,6 +1466,33 @@ class GraftAppSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, s"$base/up")
       .as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B"), (3L, "C")))
+    // the metadata tables are dialect table functions: audit the
+    // upserted table's history + layout with plain config SQL
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: unused
+         |    path: $base/src
+         |    format: iceberg
+         |sql: |
+         |  SELECT operation, COUNT(*) AS n
+         |  INTO hist FROM ICEBERG_SNAPSHOTS('$base/up') GROUP BY operation;
+         |  SELECT content, SUM(record_count) AS rows
+         |  INTO layout FROM ICEBERG_FILES('$base/up') GROUP BY content;
+         |sinks:
+         |  - table: hist
+         |    path: $base/hist
+         |    mode: overwrite
+         |  - table: layout
+         |    path: $base/layout
+         |    mode: overwrite
+         |""".stripMargin))
+    val hist = spark.read.parquet(s"$base/hist")
+      .as[(String, Long)].collect().toMap
+    assert(hist.getOrElse("append", 0L) >= 1L &&
+      hist.getOrElse("overwrite", 0L) >= 1L) // the upsert merge snapshot
+    val layout = spark.read.parquet(s"$base/layout")
+      .as[(String, Long)].collect().toMap
+    assert(layout.contains("data") && layout.contains("position_deletes"))
     // streaming iceberg source refuses loudly (batch snapshot only)
     val err = intercept[Exception](GraftApp.runStreaming(spark,
       GraftConfigLoader.fromYaml(
