@@ -3772,6 +3772,48 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // ICEBERG METADATA TABLES through the driver gate: a fixed commit
+    // sequence (append, append, MoR delete, merge) audited through the
+    // snapshots/files inspection surface — operations, per-content
+    // file-kind row totals, and the live row count all deterministic.
+    // A wrong summary, a lost delete manifest, or a mis-counted
+    // record_count hash-mismatches.
+    QueryDef("q137_iceberg_meta_tables",
+      """SELECT * FROM (VALUES
+        |  ('op:append', CAST(2 AS BIGINT)),
+        |  ('op:delete', CAST(1 AS BIGINT)),
+        |  ('op:overwrite', CAST(1 AS BIGINT)),
+        |  ('files:data', CAST(3 AS BIGINT)),
+        |  ('files:position_deletes', CAST(2 AS BIGINT)),
+        |  ('visible_rows', CAST(4 AS BIGINT))
+        |) AS t(metric, n)""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q137_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r.filter(col("r_regionkey") < 3).coalesce(1), tbl)
+      IcebergLite.write(s, r.filter(col("r_regionkey") >= 3).coalesce(1), tbl)
+      IcebergLite.deleteWhere(s, tbl, col("r_regionkey") === 0)
+      IcebergLite.upsert(s, // merge: one more pos-delete + one data file
+        Seq((1L, "MERGED")).toDF("r_regionkey", "r_name"),
+        tbl, Seq("r_regionkey"))
+      val ops = IcebergLite.snapshotsDf(s, tbl)
+        .groupBy(concat(lit("op:"), col("operation")).as("metric"))
+        .agg(count(lit(1)).as("n"))
+      val files = IcebergLite.filesDf(s, tbl)
+        .groupBy(concat(lit("files:"), col("content")).as("metric"))
+        .agg(count(lit(1)).as("n"))
+      val rows = IcebergLite.read(s, tbl)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("visible_rows").as("metric"), col("n"))
+      ops.unionByName(files).unionByName(rows)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer
