@@ -660,4 +660,56 @@ class PropertySpec extends AnyFunSuite {
       assert(d >= 0 && d <= w)
     }
   }
+
+  test("kafka read_committed equals a reference transaction simulation " +
+      "on random producer interleavings") {
+    import graft.cdc.KafkaBatch
+    import graft.cdc.KafkaBatch.Encode
+    // random logs: 2-3 producers, each committing a random sequence of
+    // transactions (some aborted), interleaved batch-wise, with
+    // non-transactional batches mixed in
+    final case class Txn(pid: Long, batches: Seq[Seq[String]], commit: Boolean)
+    val txnGen = for {
+      pid <- Gen.choose(1L, 3L)
+      nb <- Gen.choose(1, 3)
+      batches <- Gen.listOfN(nb, Gen.listOfN(2, Gen.alphaStr.map(_.take(4))))
+      commit <- Gen.oneOf(true, false)
+    } yield Txn(pid, batches.map(_.toSeq), commit)
+    val logGen = Gen.listOfN(4, Gen.either(txnGen,
+      Gen.listOfN(2, Gen.alphaStr.map(_.take(4)))))
+    samples(logGen, n = 150).foreach { entries =>
+      // serialize: transactions append all their batches then their
+      // marker (per-producer contiguity is not required by the
+      // algorithm, but offsets must be monotone)
+      var off = 0L
+      val log = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val aborted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val expected = scala.collection.mutable.ArrayBuffer.empty[String]
+      entries.foreach {
+        case Left(txn) =>
+          val first = off
+          txn.batches.foreach { recs =>
+            log += Encode.batchBytes(off, 1000L + off,
+              recs.map(v => (1000L + off, null: Array[Byte],
+                v.getBytes("UTF-8"))),
+              producerId = txn.pid, transactional = true)
+            off += recs.length
+          }
+          log += Encode.controlBatch(off, 1000L + off, txn.pid, txn.commit)
+          off += 1
+          if (txn.commit) expected ++= txn.batches.flatten
+          else aborted += ((txn.pid, first))
+        case Right(recs) =>
+          log += Encode.batchBytes(off, 1000L + off,
+            recs.map(v => (1000L + off, null: Array[Byte],
+              v.getBytes("UTF-8"))))
+          expected ++= recs
+          off += recs.length
+      }
+      val got = KafkaBatch.filterCommitted(log.toSeq, aborted.toSeq)
+        .map(r => new String(r.value, "UTF-8"))
+      assert(got == expected.toSeq,
+        s"log of ${entries.size} entries: got $got expected $expected")
+    }
+  }
 }
