@@ -3814,6 +3814,38 @@ object PipelineQueries {
       ops.unionByName(files).unionByName(rows)
     },
 
+    // DELTA HISTORY through the driver gate: every native commit now
+    // leads with the commitInfo action mainstream writers emit, and
+    // DESCRIBE-HISTORY-as-a-DataFrame reads it back — a fixed
+    // write/overwrite/merge sequence makes version, operation and
+    // add/remove counts all deterministic.
+    QueryDef("q138_delta_history",
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'WRITE', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'WRITE', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'MERGE', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(version, operation, n_add, n_remove)""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q138_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      DeltaLite.write(s, r.filter(col("r_regionkey") < 3).coalesce(1), tbl)
+      DeltaLite.write(s,
+        r.filter(col("r_regionkey") >= 3).coalesce(1), tbl, "overwrite")
+      DeltaLite.upsert(s,
+        Seq((1L, "M")).toDF("r_regionkey", "r_name"), tbl,
+        Seq("r_regionkey"))
+      DeltaLite.historyDf(s, tbl)
+        .select(col("version"), col("operation"),
+          col("num_added_files").as("n_add"),
+          col("num_removed_files").as("n_remove"))
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -455,6 +455,22 @@ object DeltaLite {
       """"dataChange":true}}"""
   }
 
+  /** The `commitInfo` action every mainstream Delta writer leads its
+    * commits with — operation name + parameters, the raw material of
+    * `DESCRIBE HISTORY` ([[historyDf]]).
+    */
+  private def commitInfoAction(operation: String,
+      params: Map[String, String], now: Long): String = {
+    val node = mapper.createObjectNode()
+    val ci = node.putObject("commitInfo")
+    ci.put("timestamp", now)
+    ci.put("operation", operation)
+    val pn = ci.putObject("operationParameters")
+    params.foreach { case (k, v) => pn.put(k, v) }
+    ci.put("engineInfo", "graft-deltalite")
+    node.toString
+  }
+
   /** Minimal native Delta WRITER — append or overwrite commits in the
     * public log format, so graft pipelines can EMIT delta-compatible
     * tables (readable by any Delta reader) without the connector jar.
@@ -503,6 +519,8 @@ object DeltaLite {
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
     val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("WRITE",
+      Map("mode" -> (if (mode == "append") "Append" else "Overwrite")), now)
     if (existing.isEmpty || evolving) {
       if (existing.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -728,6 +746,8 @@ object DeltaLite {
     val now = 1L
     val version = snap.version + 1
     val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("MERGE",
+      Map("matchedPredicates" -> keyCols.mkString(",")), now)
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     touched.toSeq.sorted.foreach(p => lines += removeAction(p, now))
     moved.foreach { case (name, size, st) =>
@@ -790,6 +810,49 @@ object DeltaLite {
         .getBytes("UTF-8"))
     finally lc.close()
     snap.version
+  }
+
+  /** `DESCRIBE HISTORY` as a DataFrame: one row per JSON commit —
+    * version, timestamp, operation and parameters from its
+    * `commitInfo` action (null operation for foreign minimal writers
+    * that omit it), plus the commit's add/remove counts. Driver-side
+    * over the log listing; commits covered only by a checkpoint (their
+    * JSON deleted) are absent, like delta-spark after log cleanup.
+    */
+  def historyDf(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"$tablePath is not a Delta table")
+    val commitRe = "(\\d{20})\\.json".r
+    fs.listStatus(logDir).map(_.getPath.getName).collect {
+      case n @ commitRe(v) => (v.toLong, n)
+    }.sortBy(_._1).toSeq.map { case (version, name) =>
+      val in = fs.open(new Path(logDir, name))
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      var op: Option[String] = None
+      var ts: Option[Long] = None
+      var params = Map.empty[String, String]
+      var adds = 0L; var removes = 0L
+      text.split("\n").filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        Option(node.get("commitInfo")).foreach { ci =>
+          op = Option(ci.get("operation")).map(_.asText)
+          ts = Option(ci.get("timestamp")).map(_.asLong)
+          Option(ci.get("operationParameters")).foreach { pn =>
+            val it = pn.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              params += (e.getKey -> e.getValue.asText)
+            }
+          }
+        }
+        if (node.has("add")) adds += 1
+        if (node.has("remove")) removes += 1
+      }
+      (version, ts.getOrElse(0L), op.orNull, params, adds, removes)
+    }.toDF("version", "timestamp", "operation", "operation_parameters",
+      "num_added_files", "num_removed_files")
   }
 
   /** VACUUM: physically delete data files under the table root that

@@ -147,7 +147,7 @@ object SqlText {
         "TIME_TO_CONVERSION", "CHAR_WINDOW_DUP", "CHAR_WINDOW_DUP_TOP",
         "LOG_HIST", "LOG_HIST_QUANTILES", "PAGE_RANK",
         "TRIANGLE_COUNTS", "ATTRIBUTION",
-        "ICEBERG_SNAPSHOTS", "ICEBERG_FILES")) match {
+        "ICEBERG_SNAPSHOTS", "ICEBERG_FILES", "DELTA_HISTORY")) match {
         case Some((fn, start, end, args)) =>
           // event-analytics table operators (graft extensions beyond the
           // reference dialect): each materializes its aggregate as a
@@ -309,6 +309,10 @@ object SqlText {
               val a = args.map(_.trim)
               evtView(graft.sources.IcebergLite.snapshotsDf(
                 spark, unq(a(0))))
+            case "DELTA_HISTORY" =>
+              // DELTA_HISTORY('<table path>') — DESCRIBE HISTORY
+              val a = args.map(_.trim)
+              evtView(graft.sources.DeltaLite.historyDf(spark, unq(a(0))))
             case "ICEBERG_FILES" =>
               // ICEBERG_FILES('<table path>' [, snapshotId]) — live
               // files with counts, sizes and decoded column bounds
