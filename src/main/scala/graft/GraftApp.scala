@@ -772,13 +772,15 @@ object GraftApp {
             if sink.format == "iceberg" &&
               !formatOnClasspath(spark, "iceberg") =>
           // native Iceberg COMMITS without the jar (IcebergLite.write;
-          // format-version 2, unpartitioned, put-if-absent metadata
-          // claim). partition_by/zorder_by need the runtime's layout.
-          require(sink.partitionBy.isEmpty && sink.zorderBy.isEmpty,
-            s"iceberg sink '${sink.table}': partition_by/zorder_by need " +
-              "the iceberg-spark runtime; the native writer commits " +
-              "unpartitioned tables")
-          graft.sources.IcebergLite.write(spark, df, sink.path, sink.mode)
+          // format-version 2, put-if-absent metadata claim).
+          // partition_by maps to an IDENTITY partition spec (real spec
+          // fields + per-file partition values in the manifests);
+          // zorder_by still needs the runtime's layout control.
+          require(sink.zorderBy.isEmpty,
+            s"iceberg sink '${sink.table}': zorder_by needs the " +
+              "iceberg-spark runtime")
+          graft.sources.IcebergLite.write(spark, df, sink.path, sink.mode,
+            partitionBy = sink.partitionBy)
           ()
         case "append" =>
           writer(clustered).mode("append").format(sink.format).save(sink.path)

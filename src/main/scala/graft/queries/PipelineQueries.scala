@@ -3846,6 +3846,26 @@ object PipelineQueries {
           col("num_removed_files").as("n_remove"))
     },
 
+    // IDENTITY-PARTITIONED ICEBERG WRITE through the driver gate: the
+    // table lands with a real partition spec (spec fields + per-file
+    // partition values in the manifests, data under par=<v> dirs, all
+    // columns kept in the files per the spec) and reads back whole.
+    QueryDef("q139_iceberg_partitioned",
+      """SELECT r_regionkey, r_regionkey % 2 AS par, r_name
+        |FROM region""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q139_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          (col("r_regionkey") % 2).cast("bigint").as("par"),
+          col("r_name").cast("string").as("r_name"))
+      IcebergLite.write(s, r, tbl, partitionBy = Seq("par"))
+      IcebergLite.read(s, tbl)
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -138,7 +138,11 @@ object IcebergLite {
         * schema-id a snapshot ever referenced) + the current id.
         */
       schemasJson: Seq[String] = Nil,
-      currentSchemaId: Int = 0)
+      currentSchemaId: Int = 0,
+      /** default partition spec: (column name, transform). Our writer
+        * emits identity transforms; foreign tables may carry any.
+        */
+      partitionFields: Seq[(String, String)] = Nil)
 
   final case class SnapshotState(meta: TableMeta, snapshot: SnapshotMeta,
       manifests: Seq[ManifestInfo],
@@ -326,6 +330,20 @@ object IcebergLite {
       schemasJson = schemasJson,
       currentSchemaId =
         Option(node.get("current-schema-id")).map(_.asInt).getOrElse(0),
+      partitionFields = {
+        val defaultSpec = Option(node.get("default-spec-id")).map(_.asInt)
+          .getOrElse(0)
+        val fromSpecs = Option(node.get("partition-specs")).toSeq
+          .flatMap(_.elements.asScala)
+          .find(sp => Option(sp.get("spec-id")).forall(_.asInt == defaultSpec))
+          .toSeq.flatMap(sp => Option(sp.get("fields")).toSeq
+            .flatMap(_.elements.asScala))
+        val fromV1 = Option(node.get("partition-spec")).toSeq
+          .flatMap(_.elements.asScala)
+        (if (fromSpecs.nonEmpty) fromSpecs else fromV1).map(f =>
+          (f.get("name").asText,
+            Option(f.get("transform")).map(_.asText).getOrElse("identity")))
+      },
       lastColumnId = Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
       lastSequenceNumber =
         Option(node.get("last-sequence-number")).map(_.asLong).getOrElse(0L),
@@ -573,8 +591,32 @@ object IcebergLite {
   // Avro schemas for what we EMIT (format-version 2). Field ids are the
   // spec's (manifest_entry: status=0 snapshot_id=1 data_file=2 seq=3;
   // data_file: content=134 file_path=100 file_format=101 partition=102
-  // record_count=103 file_size=104; manifest_file: 500-517).
-  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+  // record_count=103 file_size=104; manifest_file: 500-517). The
+  // partition record's fields are the table's partition spec — built
+  // per spec by [[manifestEntrySchemaFor]]; [[manifestEntrySchema]] is
+  // the unpartitioned form.
+  private def avroPartType(dt: DataType): String = dt match {
+    case IntegerType | DateType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case other => throw new IllegalArgumentException(
+      s"identity partitioning on ${other.sql} is beyond the native writer")
+  }
+
+  private[graft] def manifestEntrySchemaFor(
+      partFields: Seq[(String, DataType)]): AvroSchema = {
+    val pf = partFields.zipWithIndex.map { case ((n, dt), i) =>
+      s"""{"name":${mapper.writeValueAsString(n)},""" +
+        s""""type":["null",${avroPartType(dt)}],"default":null,""" +
+        s""""field-id":${1000 + i}}"""
+    }.mkString(",")
+    new AvroSchema.Parser().parse(
+      manifestEntryTemplate.replace("__PARTITION_FIELDS__", pf))
+  }
+
+  private val manifestEntryTemplate: String =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -584,7 +626,7 @@ object IcebergLite {
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[__PARTITION_FIELDS__]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
       |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
@@ -599,7 +641,9 @@ object IcebergLite {
       |  "name":"k129_v130","fields":[
       |   {"name":"key","type":"int","field-id":129},
       |   {"name":"value","type":"bytes","field-id":130}]}}]}
-      |]}}]}""".stripMargin)
+      |]}}]}""".stripMargin
+
+  private val manifestEntrySchema: AvroSchema = manifestEntrySchemaFor(Nil)
 
   private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -650,9 +694,11 @@ object IcebergLite {
     * min/max come from ONE distributed groupBy over the staged data.
     */
   private def stageData(spark: SparkSession, df: DataFrame, root: Path,
-      fs: FileSystem): Seq[StagedFile] = {
+      fs: FileSystem, subdir: String = ""): Seq[StagedFile] = {
     import org.apache.spark.sql.functions.{max, min}
-    val dataDir = new Path(root, "data")
+    val dataDir =
+      if (subdir.isEmpty) new Path(root, "data")
+      else new Path(new Path(root, "data"), subdir)
     fs.mkdirs(dataDir)
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
@@ -690,9 +736,11 @@ object IcebergLite {
       content: Int, path: String, records: Long, size: Long,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
-      equalityIds: Seq[Int] = Nil): GenericRecord = {
+      equalityIds: Seq[Int] = Nil,
+      entrySchema: AvroSchema = manifestEntrySchema,
+      partValues: Seq[(String, Any)] = Nil): GenericRecord = {
     val df = new GenericData.Record(
-      manifestEntrySchema.getField("data_file").schema())
+      entrySchema.getField("data_file").schema())
     df.put("content", content)
     if (equalityIds.nonEmpty) {
       val arrSchema = df.getSchema.getField("equality_ids").schema()
@@ -703,8 +751,16 @@ object IcebergLite {
     }
     df.put("file_path", path)
     df.put("file_format", "PARQUET")
-    df.put("partition",
-      new GenericData.Record(df.getSchema.getField("partition").schema()))
+    val part = new GenericData.Record(
+      df.getSchema.getField("partition").schema())
+    partValues.foreach { case (n, v) =>
+      part.put(n, v match {
+        case null => null
+        case d: java.sql.Date => Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+        case other => other
+      })
+    }
+    df.put("partition", part)
     df.put("record_count", records)
     df.put("file_size_in_bytes", size)
     def kvArray(fieldName: String, m: Map[Int, Array[Byte]]): Unit =
@@ -722,7 +778,7 @@ object IcebergLite {
       }
     kvArray("lower_bounds", lower)
     kvArray("upper_bounds", upper)
-    val e = new GenericData.Record(manifestEntrySchema)
+    val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)
     e.put("sequence_number", seq)
@@ -747,6 +803,33 @@ object IcebergLite {
     r.put("existing_rows_count", m.existingRows)
     r.put("deleted_rows_count", m.deletedRows)
     r
+  }
+
+  /** Stage one parquet set PER PARTITION TUPLE (identity transforms):
+    * distinct tuples bound the commit (loud above 256 — a batch
+    * normally lands in a handful of partitions), each filtered subset
+    * lands under `data/<col>=<val>/…` with ALL columns retained (the
+    * spec keeps partition source columns in data files, unlike Hive).
+    */
+  private def stagePartitioned(spark: SparkSession, df: DataFrame,
+      root: Path, fs: FileSystem, partCols: Seq[String])
+      : Seq[(StagedFile, Seq[(String, Any)])] = {
+    val tuples = df.select(partCols.map(col): _*).distinct().collect()
+    require(tuples.length <= 256,
+      s"one commit may write at most 256 partitions, got ${tuples.length}" +
+        " — split the batch or drop the partition spec")
+    tuples.toSeq.flatMap { row =>
+      val vals = partCols.zipWithIndex.map { case (c, i) => c -> row.get(i) }
+      val sub = vals.foldLeft(df) { case (d, (c, v)) =>
+        if (v == null) d.filter(col(c).isNull) else d.filter(col(c) === v)
+      }
+      val dir = vals.map { case (c, v) =>
+        val enc = if (v == null) "null"
+          else java.net.URLEncoder.encode(v.toString, "UTF-8")
+        s"$c=$enc"
+      }.mkString("/")
+      stageData(spark, sub, root, fs, subdir = dir).map(f => f -> vals)
+    }
   }
 
   /** Top-level column name → assigned field id (the same assignment
@@ -791,7 +874,8 @@ object IcebergLite {
       prior: Option[SnapshotState], schema: StructType,
       newManifests: Seq[(Seq[GenericRecord], Int, Long)],
       carryForward: Seq[ManifestInfo], operation: String,
-      snapshotId: Long, extraSummary: Map[String, String] = Map.empty): Long = {
+      snapshotId: Long, extraSummary: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -802,12 +886,21 @@ object IcebergLite {
     val now = 1L
 
     val schemaJson = { val (n, _) = schemaNode(schema); n.toString }
+    val ids = topFieldIds(schema)
+    // the spec fields JSON both the manifest headers and the metadata
+    // partition-specs carry (identity transforms only)
+    val specFieldsJson = partitionCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity",""" +
+        s""""source-id":${ids.getOrElse(c, 0)},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
     val written = newManifests.zipWithIndex.map {
       case ((entries, content, addedRows), i) =>
         val manifestPath = new Path(metaDir, s"$commitUuid-m$i.avro")
-        val mLen = writeAvroFile(fs, manifestPath, manifestEntrySchema, entries,
+        val entrySchema = entries.headOption.map(_.getSchema)
+          .getOrElse(manifestEntrySchema)
+        val mLen = writeAvroFile(fs, manifestPath, entrySchema, entries,
           Map("schema" -> schemaJson, "format-version" -> "2",
-            "partition-spec" -> "[]", "partition-spec-id" -> "0",
+            "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
             "content" -> (if (content == 1) "deletes" else "data")))
         ManifestInfo(
           path = manifestPath.toString, length = mLen, specId = 0,
@@ -859,8 +952,9 @@ object IcebergLite {
     node.put("default-spec-id", 0)
     val specs = node.putArray("partition-specs")
     val spec0 = specs.addObject()
-    spec0.put("spec-id", 0); spec0.putArray("fields")
-    node.put("last-partition-id", 999)
+    spec0.put("spec-id", 0)
+    spec0.set[JsonNode]("fields", mapper.readTree(specFieldsJson))
+    node.put("last-partition-id", 999 + partitionCols.size)
     node.put("default-sort-order-id", 0)
     val orders = node.putArray("sort-orders")
     val ord0 = orders.addObject()
@@ -910,7 +1004,8 @@ object IcebergLite {
     * Returns the new snapshot id.
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
-      mode: String = "append", txn: Option[(String, Long)] = None): Long = {
+      mode: String = "append", txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"IcebergLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
@@ -945,23 +1040,53 @@ object IcebergLite {
           s"cannot evolve the schema of $tablePath: its field ids were " +
             "assigned by another writer; use the iceberg runtime")
     }
-    val staged = stageData(spark, df, root, fs)
+    // effective identity-partition columns: the table's existing spec
+    // wins (appends must match it); a fresh table takes `partitionBy`
+    val partCols: Seq[String] = prior match {
+      case Some(p) if p.meta.partitionFields.nonEmpty =>
+        require(p.meta.partitionFields.forall(_._2 == "identity"),
+          s"$tablePath carries non-identity partition transforms " +
+            s"(${p.meta.partitionFields.map(_._2).distinct.mkString(",")})" +
+            " — writes need the iceberg runtime")
+        val existing = p.meta.partitionFields.map(_._1)
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"partitionBy ${partitionBy.mkString(",")} does not match the " +
+            s"table's spec ${existing.mkString(",")}")
+        existing
+      case Some(_) =>
+        require(partitionBy.isEmpty,
+          s"$tablePath is unpartitioned; cannot add a partition spec on " +
+            "append (create a new table)")
+        Nil
+      case None => partitionBy
+    }
+    val partTyped = partCols.map(c => c -> df.schema.fields.find(_.name == c)
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition column '$c' not in the schema")).dataType)
+    partTyped.foreach { case (_, dt) => avroPartType(dt) } // loud unsupported
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
     val ids = topFieldIds(df.schema)
-    val entries = staged.map { f =>
+    val entrySchema = manifestEntrySchemaFor(partTyped)
+    val stagedWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
+      if (partCols.isEmpty) stageData(spark, df, root, fs).map(_ -> Nil)
+      else stagePartitioned(spark, df, root, fs, partCols)
+    val entries = stagedWithParts.map { case (f, pv) =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
         content = 0, path = f.path, records = f.rows, size = f.size,
         lower = boundBytes(df.schema, ids, f.bounds, _._1),
-        upper = boundBytes(df.schema, ids, f.bounds, _._2))
+        upper = boundBytes(df.schema, ids, f.bounds, _._2),
+        entrySchema = entrySchema, partValues = pv)
     }
     val carry = if (mode == "append")
       prior.toSeq.flatMap(_.manifests) else Seq.empty
     commit(spark, tablePath, prior, df.schema,
-      Seq((entries, 0, staged.map(_.rows).sum)), carryForward = carry,
+      Seq((entries, 0, stagedWithParts.map(_._1.rows).sum)),
+      carryForward = carry,
       operation = if (mode == "append") "append" else "overwrite",
-      snapshotId = snapshotId, extraSummary = txnSummary(txn))
+      snapshotId = snapshotId, extraSummary = txnSummary(txn),
+      partitionCols = partCols)
   }
 
   /** Highest committed txn version for `appId` across the table's
@@ -1045,6 +1170,9 @@ object IcebergLite {
       predicate: Column): Long = {
     import spark.implicits._
     val prior = snapshotState(spark, tablePath)
+    require(prior.meta.partitionFields.isEmpty,
+      s"$tablePath is partitioned — native row-level mutations cover " +
+        "unpartitioned tables; use the iceberg runtime")
     require(prior.dataFiles.nonEmpty,
       s"$tablePath holds no data files to delete from")
     val root = new Path(tablePath)
@@ -1085,6 +1213,9 @@ object IcebergLite {
       keys: DataFrame, equalityCols: Seq[String]): Long = {
     require(equalityCols.nonEmpty, "deleteByKeys needs equality columns")
     val prior = snapshotState(spark, tablePath)
+    require(prior.meta.partitionFields.isEmpty,
+      s"$tablePath is partitioned — native row-level mutations cover " +
+        "unpartitioned tables; use the iceberg runtime")
     require(equalityCols.forall(prior.meta.schema.fieldNames.contains),
       s"equality columns ${equalityCols.mkString(",")} must exist in " +
         "the table schema")
@@ -1123,6 +1254,9 @@ object IcebergLite {
     import spark.implicits._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val prior = snapshotState(spark, tablePath)
+    require(prior.meta.partitionFields.isEmpty,
+      s"$tablePath is partitioned — native row-level mutations cover " +
+        "unpartitioned tables; use the iceberg runtime")
     require(keyCols.forall(prior.meta.schema.fieldNames.contains),
       s"key columns ${keyCols.mkString(",")} must exist in the table schema")
     // a batch column outside the table schema would be dropped by the
@@ -1239,6 +1373,9 @@ object IcebergLite {
   def compact(spark: SparkSession, tablePath: String,
       smallFileBytes: Long = 0L): Long = {
     val st = snapshotState(spark, tablePath)
+    require(st.meta.partitionFields.isEmpty,
+      s"$tablePath is partitioned — native compaction covers " +
+        "unpartitioned tables; use the iceberg runtime")
     val anySmall = smallFileBytes > 0 &&
       st.dataFiles.count(_.fileSize < smallFileBytes) > 1
     if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty && !anySmall)

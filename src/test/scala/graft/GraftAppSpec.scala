@@ -1466,6 +1466,23 @@ class GraftAppSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, s"$base/up")
       .as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B"), (3L, "C")))
+    // partition_by on an iceberg sink = a real identity partition spec
+    runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: it
+         |    path: $base/src
+         |    format: iceberg
+         |sql: SELECT k, v INTO o FROM it;
+         |sinks:
+         |  - table: o
+         |    path: $base/ptbl
+         |    mode: overwrite
+         |    format: iceberg
+         |    partition_by: [v]
+         |""".stripMargin))
+    assert(IcebergLite.loadMeta(spark, s"$base/ptbl").partitionFields ==
+      Seq(("v", "identity")))
+    assert(IcebergLite.read(spark, s"$base/ptbl").count() == 3)
     // the metadata tables are dialect table functions: audit the
     // upserted table's history + layout with plain config SQL
     runBatch(spark, GraftConfigLoader.fromYaml(
