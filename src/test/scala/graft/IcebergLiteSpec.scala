@@ -275,6 +275,21 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err3.getMessage.contains("partitioned"))
   }
 
+  test("partitioned writes handle NULL partition values (null dir, " +
+      "null manifest value, round-trip intact)") {
+    val t = tmp("partnull")
+    val df = Seq((1L, Some("us"), "a"), (2L, None, "b"))
+      .toDF("k", "region", "v")
+    IcebergLite.write(spark, df, t, partitionBy = Seq("region"))
+    val got = IcebergLite.read(spark, t)
+      .select(col("k"), col("region"), col("v"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "us", "a"), (2L, null, "b")))
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.exists(_.path.contains("/region=null/")))
+  }
+
   // ------------------------------------------------ metadata tables
 
   test("snapshots/files metadata tables: history with operations and " +
