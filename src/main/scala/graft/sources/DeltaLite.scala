@@ -165,6 +165,14 @@ object DeltaLite {
       val ckpt = spark.read.parquet(
         parts.map(p => new Path(logDir, p).toString).toIndexedSeq: _*)
       val cols = ckpt.columns.toSet
+      // a checkpoint-seeded snapshot must honor the SAME protocol gate
+      // as log replay: the table's protocol action lives (only) in the
+      // checkpoint once commits are cleaned up
+      if (cols.contains("protocol")) {
+        ckpt.select("protocol").filter("protocol IS NOT NULL")
+          .toJSON.collect()
+          .foreach(js => checkProtocol(mapper.readTree(js).get("protocol")))
+      }
       if (cols.contains("metaData")) {
         val metas = ckpt.select("metaData")
           .filter("metaData IS NOT NULL AND metaData.schemaString IS NOT NULL")
@@ -189,7 +197,19 @@ object DeltaLite {
           .foreach(r => txns(r.getString(0)) = r.getLong(1))
       }
       if (cols.contains("add")) {
-        val hasStats = ckpt.select("add.*").columns.contains("stats")
+        val addCols = ckpt.select("add.*").columns.toSet
+        // checkpoint adds can carry deletion vectors too — same refusal
+        // as the log-replay path, not silent resurrection of deleted rows
+        if (addCols.contains("deletionVector")) {
+          val dvd = ckpt
+            .filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
+            .select("add.path").limit(1).collect()
+          require(dvd.isEmpty,
+            s"Delta file ${dvd.headOption.map(_.getString(0)).getOrElse("")} " +
+              "carries a deletion vector — beyond the native snapshot " +
+              "reader; add the delta-spark jars")
+        }
+        val hasStats = addCols.contains("stats")
         val proj =
           if (hasStats) ckpt.select("add")
             .filter("add IS NOT NULL")
@@ -221,6 +241,16 @@ object DeltaLite {
     require(ckptVersion.nonEmpty || commits.nonEmpty,
       s"empty Delta log at $logDir" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
+    // commit versions must be CONTIGUOUS from the seed: a missing
+    // intermediate commit (external log cleanup without a checkpoint
+    // covering it) would silently replay to a wrong file set
+    commits.map(_._1).zipWithIndex.foreach { case (v, i) =>
+      val expect = startAfter + 1 + i
+      require(v == expect,
+        s"Delta log at $logDir is missing commit version $expect " +
+          s"(found $v after ${if (startAfter < 0) "the start" else s"checkpoint $startAfter"})" +
+          " — cannot replay a gapped log")
+    }
     var version = ckptVersion.getOrElse(-1L)
     commits.foreach { case (v, name) =>
       version = v
@@ -353,30 +383,28 @@ object DeltaLite {
     }
   }
 
-  /** Stage `df` as parquet, compute per-file stats DISTRIBUTED (one
-    * groupBy over the staged data keyed by file name), then move the
-    * part files into the table root under their staged (collision-free)
-    * names. Returns (name, size, statsJson) per data file.
+  /** Stage `df` as parquet in ONE distributed pass, then move the part
+    * files into the table root under their staged (collision-free)
+    * names. Per-file stats (numRecords/minValues/maxValues/nullCount)
+    * come straight from the parquet footers the write produced
+    * ([[ParquetFooterStats]]) — no second scan of the staged data, the
+    * same inline-stats shape delta-spark collects during its writes.
+    * Returns (name, size, statsJson) per data file.
     */
   private def stageWithStats(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem): Seq[(String, Long, String)] = {
-    import org.apache.spark.sql.functions.{col, count, element_at,
-      input_file_name, lit, max, min, split, sum}
     val stage = new Path(root.toString + "_stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     df.write.mode("overwrite").parquet(stage.toString)
     val eligible = df.schema.fields.filter(statsEligible).toSeq
-    val staged = spark.read.schema(df.schema).parquet(stage.toString)
-      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
-    val aggs = Seq(count(lit(1)).as("__n")) ++ eligible.flatMap { f =>
-      Seq(min(col(f.name)).as(s"__min__${f.name}"),
-        max(col(f.name)).as(s"__max__${f.name}"),
-        sum(col(f.name).isNull.cast("long")).as(s"__nc__${f.name}"))
-    }
-    val statsByName = staged.groupBy(col("__file"))
-      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+    val conf = spark.sparkContext.hadoopConfiguration
+    val moved = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val name = st.getPath.getName
+        val fst = ParquetFooterStats.read(conf, st.getPath, df.schema)
         val node = mapper.createObjectNode()
-        node.put("numRecords", r.getAs[Long]("__n"))
+        node.put("numRecords", fst.rows)
         val minN = node.putObject("minValues")
         val maxN = node.putObject("maxValues")
         val ncN = node.putObject("nullCount")
@@ -397,20 +425,17 @@ object DeltaLite {
             case d: java.sql.Date => tgt.put(f.name, d.toString); ()
             case _ => () // NaN/Inf extremes: omit (never prunes)
           }
-          put(minN, r.getAs[Any](s"__min__${f.name}"))
-          put(maxN, r.getAs[Any](s"__max__${f.name}"))
-          ncN.put(f.name, r.getAs[Long](s"__nc__${f.name}"))
+          val cs = fst.cols.get(f.name)
+          cs.flatMap(_.bounds).foreach { case (mn, mx) =>
+            put(minN, mn); put(maxN, mx)
+          }
+          cs.flatMap(_.nullCount).foreach { nc =>
+            ncN.put(f.name, nc); ()
+          }
         }
-        r.getAs[String]("__file") -> mapper.writeValueAsString(node)
-      }.toMap
-    val moved = fs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map { st =>
-        val name = st.getPath.getName
         require(fs.rename(st.getPath, new Path(root, name)),
           s"staging move failed for $name")
-        (name, st.getLen,
-          statsByName.getOrElse(name, """{"numRecords":0}"""))
+        (name, st.getLen, mapper.writeValueAsString(node))
       }.toIndexedSeq
     fs.delete(stage, true)
     moved
@@ -560,10 +585,13 @@ object DeltaLite {
     case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
     case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
     case l: Long => Some(java.math.BigDecimal.valueOf(l))
+    // shortest-decimal rendering (valueOf / toString), matching how the
+    // file stats JSON was written — the exact binary expansion of e.g.
+    // 0.1 exceeds the recorded "0.1" and would wrongly prune the file
     case f: Float if !f.isNaN && !f.isInfinite =>
-      Some(new java.math.BigDecimal(f.toDouble))
+      Some(new java.math.BigDecimal(f.toString))
     case d: Double if !d.isNaN && !d.isInfinite =>
-      Some(new java.math.BigDecimal(d))
+      Some(java.math.BigDecimal.valueOf(d))
     case d: java.math.BigDecimal => Some(d)
     case s: String => Some(s)
     case d: java.sql.Date => Some(d.toString)

@@ -427,7 +427,19 @@ object IcebergLite {
       case (DateType, d: java.sql.Date) if bound.length == 4 =>
         Some(java.lang.Integer.compare(d.toLocalDate.toEpochDay.toInt, buf.getInt))
       case (StringType, s: String) =>
-        Some(s.compareTo(new String(bound, "UTF-8")))
+        // bounds were written by Spark min/max (UTF-8 byte / code-point
+        // order); String.compareTo is UTF-16 code-unit order and the two
+        // disagree for U+E000..U+FFFF vs supplementary chars — compare
+        // the UTF-8 bytes unsigned so pruning never misses a match
+        val sv = s.getBytes("UTF-8")
+        val n = math.min(sv.length, bound.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) {
+          c = java.lang.Integer.compare(sv(i) & 0xff, bound(i) & 0xff)
+          i += 1
+        }
+        Some(if (c != 0) c else java.lang.Integer.compare(sv.length, bound.length))
       case _ => None
     }
   }
@@ -690,12 +702,13 @@ object IcebergLite {
   private final case class StagedFile(path: String, size: Long, rows: Long,
       bounds: Map[String, (Any, Any)])
 
-  /** Stage `df` as parquet under `data/`; counts AND per-file column
-    * min/max come from ONE distributed groupBy over the staged data.
+  /** Stage `df` as parquet under `data/` in ONE distributed pass:
+    * counts and per-file column min/max come straight from the parquet
+    * footers the write produced ([[ParquetFooterStats]]) — no second
+    * scan of the staged data.
     */
   private def stageData(spark: SparkSession, df: DataFrame, root: Path,
       fs: FileSystem, subdir: String = ""): Seq[StagedFile] = {
-    import org.apache.spark.sql.functions.{max, min}
     val dataDir =
       if (subdir.isEmpty) new Path(root, "data")
       else new Path(new Path(root, "data"), subdir)
@@ -703,33 +716,27 @@ object IcebergLite {
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     df.write.mode("overwrite").parquet(stage.toString)
-    val eligible = df.schema.fields.filter(boundsEligible).toSeq
-    val aggs = Seq(count(lit(1)).as("__n")) ++ eligible.flatMap { f =>
-      Seq(min(col(f.name)).as(s"__min__${f.name}"),
-        max(col(f.name)).as(s"__max__${f.name}"))
-    }
-    val stats = spark.read.schema(df.schema).parquet(stage.toString)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val bounds = eligible.flatMap { f =>
-          val mn = r.getAs[Any](s"__min__${f.name}")
-          val mx = r.getAs[Any](s"__max__${f.name}")
-          if (mn == null || mx == null) None else Some(f.name -> (mn, mx))
-        }.toMap
-        r.getAs[String]("__file") -> (r.getAs[Long]("__n"), bounds)
-      }.toMap
     val moved = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-"))
-      .map { s =>
-        val tgt = new Path(dataDir, s.getPath.getName)
-        require(fs.rename(s.getPath, tgt),
-          s"staging move failed for ${s.getPath.getName}")
-        val (n, b) = stats.getOrElse(s.getPath.getName, (0L, Map.empty[String, (Any, Any)]))
-        StagedFile(tgt.toString, s.getLen, n, b)
-      }.toIndexedSeq
+      .map(s => stagedFileFrom(spark, fs, s.getPath, s.getLen,
+        new Path(dataDir, s.getPath.getName), df.schema))
+      .toIndexedSeq
     fs.delete(stage, true)
     moved
+  }
+
+  /** Footer-read stats for one staged file, then move it into place. */
+  private def stagedFileFrom(spark: SparkSession, fs: FileSystem,
+      src: Path, size: Long, tgt: Path, schema: StructType): StagedFile = {
+    val eligible = schema.fields.filter(boundsEligible)
+      .map(_.name).toSet
+    val st = ParquetFooterStats.read(
+      spark.sparkContext.hadoopConfiguration, src, schema)
+    val bounds = st.cols.collect {
+      case (n, cs) if eligible(n) && cs.bounds.isDefined => n -> cs.bounds.get
+    }
+    require(fs.rename(src, tgt), s"staging move failed for ${src.getName}")
+    StagedFile(tgt.toString, size, st.rows, bounds)
   }
 
   private def entryRecord(status: Int, snapshotId: Long, seq: Long,
@@ -805,31 +812,101 @@ object IcebergLite {
     r
   }
 
-  /** Stage one parquet set PER PARTITION TUPLE (identity transforms):
-    * distinct tuples bound the commit (loud above 256 — a batch
-    * normally lands in a handful of partitions), each filtered subset
-    * lands under `data/<col>=<val>/…` with ALL columns retained (the
-    * spec keeps partition source columns in data files, unlike Hive).
+  /** Stage a partitioned batch (identity transforms) in ONE distributed
+    * pass: a single `partitionBy` write lays the files out per tuple
+    * (the partition columns are DUPLICATED under reserved aliases for
+    * the directory layout, so the data files retain all source columns
+    * — the spec keeps them, unlike Hive), per-file stats come from the
+    * parquet footers, and each file's partition tuple is its own
+    * (constant) min bound of the source columns. No per-tuple batch
+    * re-scan, no upstream recompute.
+    *
+    * The partition-count bound is a sanity rail against mis-specced
+    * tables (a batch normally lands in a handful of partitions);
+    * `graft.iceberg.maxPartitionsPerCommit` lifts it.
     */
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem, partCols: Seq[String])
       : Seq[(StagedFile, Seq[(String, Any)])] = {
-    val tuples = df.select(partCols.map(col): _*).distinct().collect()
-    require(tuples.length <= 256,
-      s"one commit may write at most 256 partitions, got ${tuples.length}" +
-        " — split the batch or drop the partition spec")
-    tuples.toSeq.flatMap { row =>
-      val vals = partCols.zipWithIndex.map { case (c, i) => c -> row.get(i) }
-      val sub = vals.foldLeft(df) { case (d, (c, v)) =>
-        if (v == null) d.filter(col(c).isNull) else d.filter(col(c) === v)
+    val stage = new Path(root, "stage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    val alias = partCols.map(c => c -> s"__gp_$c").toMap
+    partCols.foreach(c => require(!df.columns.contains(alias(c)),
+      s"reserved staging column name ${alias(c)} present in the batch"))
+    partCols.foldLeft(df)((d, c) => d.withColumn(alias(c), col(c)))
+      .write.partitionBy(partCols.map(alias): _*)
+      .mode("overwrite").parquet(stage.toString)
+    // every leaf data file, with its stage partition directory chain
+    def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) leaves(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
+    val files = leaves(stage)
+    val staged = files.map { s =>
+      val st = ParquetFooterStats.read(
+        spark.sparkContext.hadoopConfiguration, s.getPath, df.schema)
+      (s, st)
+    }
+    // partition value per file = the (constant) column value recorded in
+    // its own footer bounds; an all-null partition column has no bounds.
+    // The stage directory chain cross-checks the recovery: a file whose
+    // dir segment says non-null but whose footer yields no value would
+    // mean truncated/absent stats — refuse rather than mis-partition.
+    val maxParts = spark.conf
+      .getOption("graft.iceberg.maxPartitionsPerCommit")
+      .map(_.toInt).getOrElse(256)
+    val tupleOf = staged.map { case (s, st) =>
+      val dirSegs = Iterator.iterate(s.getPath.getParent)(_.getParent)
+        .takeWhile(_ != null).map(_.getName)
+        .filter(_.contains("=")).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> seg.substring(i + 1)
+        }.toMap
+      s.getPath -> partCols.map { c =>
+        val v = st.cols.get(c).flatMap(_.bounds).map(_._1).orNull
+        val dirNull = dirSegs.get(alias(c))
+          .forall(_ == "__HIVE_DEFAULT_PARTITION__")
+        require((v == null) == dirNull,
+          s"partition value recovery for '$c' disagrees with the stage " +
+            s"layout at ${s.getPath} (footer stats truncated?)")
+        st.cols.get(c).flatMap(_.bounds).foreach { case (mn, mx) =>
+          require(mn == mx,
+            s"partition column '$c' is not constant within staged file " +
+              s"${s.getPath} — partitionBy layout violated") }
+        c -> v
+      }
+    }.toMap
+    val distinctTuples = tupleOf.values.map(_.map { case (c, v) =>
+      c -> Option(v) }).toSet
+    require(distinctTuples.size <= maxParts,
+      s"one commit may write at most $maxParts partitions, got " +
+        s"${distinctTuples.size} — split the batch, drop the partition " +
+        "spec, or raise graft.iceberg.maxPartitionsPerCommit")
+    val out = staged.map { case (s, st) =>
+      val vals = tupleOf(s.getPath)
       val dir = vals.map { case (c, v) =>
-        val enc = if (v == null) "null"
+        // __HIVE_DEFAULT_PARTITION__ for null — never collides with a
+        // real string value the way a literal "null" segment would
+        val enc = if (v == null) "__HIVE_DEFAULT_PARTITION__"
           else java.net.URLEncoder.encode(v.toString, "UTF-8")
         s"$c=$enc"
       }.mkString("/")
-      stageData(spark, sub, root, fs, subdir = dir).map(f => f -> vals)
+      val dataDir = new Path(new Path(root, "data"), dir)
+      fs.mkdirs(dataDir)
+      val eligible = df.schema.fields.filter(boundsEligible)
+        .map(_.name).toSet
+      val bounds = st.cols.collect {
+        case (n, cs) if eligible(n) && cs.bounds.isDefined =>
+          n -> cs.bounds.get
+      }
+      val tgt = new Path(dataDir, s.getPath.getName)
+      require(fs.rename(s.getPath, tgt),
+        s"staging move failed for ${s.getPath.getName}")
+      (StagedFile(tgt.toString, s.getLen, st.rows, bounds), vals)
     }
+    fs.delete(stage, true)
+    out
   }
 
   /** Top-level column name → assigned field id (the same assignment
@@ -1458,8 +1535,8 @@ object IcebergLite {
       val stt = snapshotState(spark, tablePath, Some(sm.snapshotId))
       stt.manifests.foreach(m => referenced += normalizePathStr(
         rebase(m.path, tablePath, meta.location)))
-      (stt.dataFiles ++ stt.posDeleteFiles).foreach(f =>
-        referenced += normalizePathStr(f.path))
+      (stt.dataFiles ++ stt.posDeleteFiles ++ stt.eqDeleteFiles)
+        .foreach(f => referenced += normalizePathStr(f.path))
     }
     // metadata rewrite first (so a crash mid-delete never strands a
     // LIVE snapshot pointing at removed files)

@@ -10,6 +10,12 @@ import graft.sources.DeltaLite
 final case class CkAdd(path: String, partitionValues: Map[String, String])
 final case class CkMeta(schemaString: String, partitionColumns: Seq[String],
     configuration: Map[String, String])
+final case class CkProto(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String])
+final case class CkDv(storageType: String, pathOrInlineDv: String,
+    offset: Long, sizeInBytes: Long, cardinality: Long)
+final case class CkAddDv(path: String, partitionValues: Map[String, String],
+    deletionVector: Option[CkDv])
 
 /** Native Delta snapshot reader over hand-crafted transaction logs —
   * the log format is public (delta.io PROTOCOL.md), so the fixtures
@@ -559,5 +565,101 @@ class DeltaLiteSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       DeltaLite.write(spark, Seq((9L, "x")).toDF("k", "renamed"), t))
     assert(err.getMessage.contains("schema mismatch"))
+  }
+
+  test("upsert on a float/double key prunes by the stats JSON's " +
+      "shortest-decimal rendering — 0.1 replaces, never duplicates") {
+    // 0.1's exact binary expansion EXCEEDS the rendered "0.1" in the
+    // stats JSON: an exact-expansion bound declares the file disjoint
+    // and the upsert silently INSERTS a duplicate instead of replacing
+    val t = java.nio.file.Files.createTempDirectory("delta_fkey")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((0.1d, "old"), (0.7d, "keep"))
+      .toDF("k", "v"), t)
+    DeltaLite.upsert(spark, Seq((0.1d, "new")).toDF("k", "v"), t, Seq("k"))
+    val got = DeltaLite.read(spark, t).as[(Double, String)].collect().toSet
+    assert(got == Set((0.1d, "new"), (0.7d, "keep")),
+      s"duplicate or missed replace: $got")
+    // float keys go through Float.toString rendering the same way
+    val t2 = java.nio.file.Files.createTempDirectory("delta_fkey2")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((0.3f, "old")).toDF("k", "v"), t2)
+    DeltaLite.upsert(spark, Seq((0.3f, "new")).toDF("k", "v"), t2, Seq("k"))
+    assert(DeltaLite.read(spark, t2).as[(Float, String)].collect().toSet ==
+      Set((0.3f, "new")))
+  }
+
+  test("a gapped log (missing intermediate commit) refuses loudly " +
+      "instead of replaying a wrong file set") {
+    val t = java.nio.file.Files.createTempDirectory("delta_gap").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "c1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "c2.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"c1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 1, Seq(
+      """{"remove":{"path":"c1.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+    writeLog(t, 2, Seq(
+      """{"add":{"path":"c2.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    assert(DeltaLite.snapshot(spark, t).version == 2L)
+    fs(t).delete(new Path(t, "_delta_log/" + f"${1L}%020d.json"), false)
+    val e = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
+    assert(e.getMessage.contains("missing commit version 1"), e.getMessage)
+  }
+
+  test("checkpoint-seeded snapshots still enforce the protocol gate " +
+      "and refuse checkpointed deletion vectors") {
+    // protocol action ONLY in the checkpoint (commits cleaned up):
+    // an unsupported reader feature must still refuse
+    val t = java.nio.file.Files.createTempDirectory("delta_ckpt_proto")
+      .toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "c1.parquet")
+    val ck = Seq((
+        Option(CkAdd("c1.parquet", Map.empty[String, String])),
+        Option.empty[CkMeta],
+        Option.empty[CkProto]),
+      (Option.empty[CkAdd],
+        Option(CkMeta(schema.json, Nil, Map.empty[String, String])),
+        Option.empty[CkProto]),
+      (Option.empty[CkAdd], Option.empty[CkMeta],
+        Option(CkProto(3, 7, Seq("deletionVectors")))))
+      .toDF("add", "metaData", "protocol")
+    installCheckpoint(t, ck, 0L)
+    val e = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
+    assert(e.getMessage.contains("deletionVectors") &&
+      e.getMessage.contains("delta-spark"), e.getMessage)
+    // an add action in the checkpoint carrying a deletion vector refuses
+    val t2 = java.nio.file.Files.createTempDirectory("delta_ckpt_dv")
+      .toString
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t2, "c1.parquet")
+    val ck2 = Seq((
+        Option(CkAddDv("c1.parquet", Map.empty[String, String],
+          Option(CkDv("u", "d", 1L, 1L, 1L)))),
+        Option.empty[CkMeta]),
+      (Option.empty[CkAddDv],
+        Option(CkMeta(schema.json, Nil, Map.empty[String, String]))))
+      .toDF("add", "metaData")
+    installCheckpoint(t2, ck2, 0L)
+    val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
+    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+  }
+
+  /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
+  private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
+    val stage = t + "_ckstage"
+    ck.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs(t).listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val logDir = new Path(t, "_delta_log")
+    fs(t).mkdirs(logDir)
+    assert(fs(t).rename(part,
+      new Path(logDir, f"$v%020d.checkpoint.parquet")))
+    fs(t).delete(new Path(stage), true)
+    val lc = fs(t).create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":$v,"size":${ck.count}}""".getBytes("UTF-8"))
+    finally lc.close()
   }
 }

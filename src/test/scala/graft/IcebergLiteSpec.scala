@@ -275,19 +275,45 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err3.getMessage.contains("partitioned"))
   }
 
-  test("partitioned writes handle NULL partition values (null dir, " +
-      "null manifest value, round-trip intact)") {
+  test("partitioned writes handle NULL partition values (hive default " +
+      "dir, null manifest value, no collision with a literal \"null\" " +
+      "string, round-trip intact)") {
     val t = tmp("partnull")
-    val df = Seq((1L, Some("us"), "a"), (2L, None, "b"))
-      .toDF("k", "region", "v")
+    val df = Seq((1L, Some("us"), "a"), (2L, None, "b"),
+      (3L, Some("null"), "c")).toDF("k", "region", "v")
     IcebergLite.write(spark, df, t, partitionBy = Seq("region"))
     val got = IcebergLite.read(spark, t)
       .select(col("k"), col("region"), col("v"))
       .collect().map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else r.getString(1), r.getString(2))).toSet
-    assert(got == Set((1L, "us", "a"), (2L, null, "b")))
+    assert(got == Set((1L, "us", "a"), (2L, null, "b"), (3L, "null", "c")))
     val st = IcebergLite.snapshotState(spark, t)
+    // the NULL value lands in the hive default dir; the literal string
+    // "null" keeps its own region=null dir — distinct directories, and
+    // the manifests carry the true typed values either way
+    assert(st.dataFiles.exists(
+      _.path.contains("/region=__HIVE_DEFAULT_PARTITION__/")))
     assert(st.dataFiles.exists(_.path.contains("/region=null/")))
+    // manifest-level values distinguish them too
+    val byNull = IcebergLite.read(spark, t).filter(col("region").isNull)
+    assert(byNull.count() == 1)
+  }
+
+  test("a multi-partition batch stages in ONE distributed pass — no " +
+      "per-tuple re-filter/recompute of the upstream pipeline") {
+    val t = tmp("partonce")
+    val evals = spark.sparkContext.longAccumulator("stage_evals")
+    val bump = udf { (k: Long) => evals.add(1L); k }
+    val df = (1L to 40L).map(i => (i, s"r${i % 8}", s"v$i"))
+      .toDF("k", "region", "v")
+      .withColumn("k", bump(col("k")))
+    IcebergLite.write(spark, df, t, partitionBy = Seq("region"))
+    assert(evals.value == 40L,
+      s"upstream recomputed during staging: ${evals.value} evals for " +
+        "40 rows across 8 partitions (must be one pass)")
+    assert(IcebergLite.read(spark, t).count() == 40)
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.map(_.path).forall(p => p.contains("/region=")))
   }
 
   // ------------------------------------------------ metadata tables
@@ -688,5 +714,50 @@ class IcebergLiteSpec extends AnyFunSuite {
     val dst = tmp("move_dst")
     assert(fs(t).rename(new Path(t), new Path(dst)))
     assert(rows(IcebergLite.read(spark, dst)) == Set((1L, "a")))
+  }
+
+  test("expireSnapshots keeps equality-delete files referenced by kept " +
+      "snapshots — retracted rows must not resurrect after expiry") {
+    val t = tmp("expire_eq")
+    IcebergLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    IcebergLite.deleteByKeys(spark, t, Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    IcebergLite.write(spark, Seq((4L, "d")).toDF("k", "v"), t)
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // keepLast=2 expires the original append snapshot; the kept delete
+    // + append snapshots still REFERENCE the equality-delete file — the
+    // data/ sweep must leave it on disk
+    IcebergLite.expireSnapshots(spark, t, keepLast = 2)
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.eqDeleteFiles.nonEmpty, "eq-delete file gone from metadata")
+    st.eqDeleteFiles.foreach(f => assert(
+      fs(t).exists(new Path(f.path)),
+      s"expire physically deleted live equality-delete file ${f.path}"))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (3L, "c"), (4L, "d")),
+      "retracted row resurrected after expireSnapshots")
+  }
+
+  test("string bounds compare in UTF-8 byte order, not UTF-16 code " +
+      "units (supplementary chars sort above U+E000..U+FFFF)") {
+    // U+F000 (UTF-8: EF 80 80) < U+10000 (UTF-8: F0 90 80 80) in byte
+    // order, but U+F000 > the D800/DC00 surrogate pair by
+    // String.compareTo — the wrong order would prune a file whose
+    // max IS the matching key
+    val pua = "\uF000"
+    val supp = new String(Character.toChars(0x10000))
+    assert(pua.compareTo(supp) > 0, "premise: UTF-16 order disagrees")
+    val cmp = IcebergLite.compareToBound(
+      org.apache.spark.sql.types.StringType, pua,
+      supp.getBytes("UTF-8"))
+    assert(cmp.exists(_ < 0), s"expected UTF-8 byte order, got $cmp")
+    // prefix relationship: shorter string sorts first
+    assert(IcebergLite.compareToBound(
+      org.apache.spark.sql.types.StringType, "ab",
+      "abc".getBytes("UTF-8")).exists(_ < 0))
+    assert(IcebergLite.compareToBound(
+      org.apache.spark.sql.types.StringType, "abc",
+      "abc".getBytes("UTF-8")).contains(0))
   }
 }
