@@ -430,6 +430,26 @@ object GraftApp {
   private[graft] def deltaSourceAvailable(spark: SparkSession): Boolean =
     formatOnClasspath(spark, "delta")
 
+  /** Config-declared native lakehouse tail: `format: delta|iceberg` +
+    * `options.keys` (the CDC diff key) streams version-offset
+    * micro-batches through [[graft.sources.LakeTailSource]].
+    */
+  private def nativeLakeTail(spark: SparkSession, s: SourceConf,
+      fmt: String): DataFrame = {
+    require(s.options.contains("keys"),
+      s"source '${s.name}': the native $fmt tail needs options.keys " +
+        "(comma-separated key columns for the CDC diff); or add the " +
+        (if (fmt == "delta") "delta-spark jars" else "iceberg-spark " +
+          "runtime") + " for the connector-managed stream")
+    val passthrough = Seq("keys", "starting_version", "versions_per_batch",
+      "max_rows_per_batch")
+    spark.readStream.format("graft.sources.LakeTailSource")
+      .option("path", s.path).option("table_format", fmt)
+      .options(passthrough.flatMap(k =>
+        s.options.get(k).map(k -> _)).toMap)
+      .load()
+  }
+
   private[graft] def formatOnClasspath(spark: SparkSession,
       format: String): Boolean =
     try {
@@ -645,21 +665,18 @@ object GraftApp {
         } else if (s.format == "delta" && !deltaSourceAvailable(spark)) {
           // no delta-spark jar: the NATIVE snapshot reader over the
           // public transaction-log format (reference reader.rs parity —
-          // one full scan of the latest version). Streaming tails need
-          // the connector's change feed → jar required.
-          if (streaming) throw new IllegalArgumentException(
-            s"source '${s.name}': the native Delta reader is a batch " +
-              "snapshot (reference connector parity); add the " +
-              "delta-spark jars for streaming reads")
-          graft.sources.DeltaLite.read(spark, s.path)
+          // one full scan of the latest version), and the NATIVE
+          // version-offset tail for streams (LakeTailSource — needs
+          // options.keys for the keyed CDC diff).
+          if (streaming) nativeLakeTail(spark, s, "delta")
+          else graft.sources.DeltaLite.read(spark, s.path)
         } else if (s.format == "iceberg" && !formatOnClasspath(spark, "iceberg")) {
           // no iceberg-spark runtime: the NATIVE snapshot reader over
           // the public table-format spec (metadata json → avro
-          // manifests → parquet scan, position deletes applied).
-          if (streaming) throw new IllegalArgumentException(
-            s"source '${s.name}': the native Iceberg reader is a batch " +
-              "snapshot; add the iceberg-spark runtime for streaming reads")
-          graft.sources.IcebergLite.read(spark, s.path)
+          // manifests → parquet scan, position deletes applied); the
+          // NATIVE sequence-number tail for streams.
+          if (streaming) nativeLakeTail(spark, s, "iceberg")
+          else graft.sources.IcebergLite.read(spark, s.path)
         } else if (streaming) {
           val schema = s.schema.getOrElse(spark.read.format(s.format)
             .options(s.options).load(s.path).schema) // infer from existing files

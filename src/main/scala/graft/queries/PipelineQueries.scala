@@ -3866,6 +3866,44 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // DAY-TRANSFORM-PARTITIONED ICEBERG WRITE + PRUNED READ through the
+    // driver gate: a month of orders lands under day(o_orderdate)
+    // partitions (spec transform + per-file date partition values in
+    // the manifests), and the read-back goes through the transform-
+    // aware manifest pruner — only the matching days' files are
+    // scanned, then the residual filter + aggregate run distributed.
+    // The oracle recomputes the same window straight from the raw
+    // parquet, so a pruning bug (wrongly dropped or ghost-resurrected
+    // partition) hash-fails.
+    QueryDef("q139b_iceberg_day_transform",
+      """SELECT CAST(o_orderdate AS DATE) AS o_orderdate, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-03-01'
+        |  AND o_orderdate < DATE '1995-03-16'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q139b_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val lo = java.sql.Date.valueOf("1995-03-01")
+      val cut = java.sql.Date.valueOf("1995-03-16")
+      val hi = java.sql.Date.valueOf("1995-04-01")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      IcebergLite.write(s, o, tbl,
+        partitionBy = Seq("day(o_orderdate)"))
+      IcebergLite.read(s, tbl, where =
+          Some(col("o_orderdate") >= lo && col("o_orderdate") < cut))
+        .groupBy("o_orderdate")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").cast("long").as("sum_cust"))
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer

@@ -62,7 +62,12 @@ object DeltaLite {
         * maxValues/nullCount per the Delta spec) where present — the
         * per-file pruning index [[upsert]] uses to bound MERGE churn.
         */
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      /** `delta.columnMapping.mode`: "none" or "name" (reads resolve
+        * parquet fields by `delta.columnMapping.physicalName`); "id"
+        * refuses at snapshot load.
+        */
+      columnMappingMode: String = "none")
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -89,21 +94,32 @@ object DeltaLite {
     val features = Option(protocol.get("readerFeatures"))
       .map(n => (0 until n.size).map(n.get(_).asText).toSet)
       .getOrElse(Set.empty[String])
-    val supported = Set("timestampNtz", "vacuumProtocolCheck")
+    // columnMapping is reader-supported here in `name` mode; `id` mode
+    // still refuses at the metaData gate
+    val supported =
+      Set("timestampNtz", "vacuumProtocolCheck", "columnMapping")
     require(minReader <= 2 || features.subsetOf(supported),
       s"Delta table requires reader features ${features -- supported} " +
         "(minReaderVersion " + minReader + ") — beyond the native " +
         "snapshot reader; add the delta-spark jars for this table")
   }
 
-  private def checkMetaData(meta: JsonNode): Unit = {
-    val conf = Option(meta.get("configuration"))
-    val mapping = conf.flatMap(c =>
-      Option(c.get("delta.columnMapping.mode")).map(_.asText))
-    require(mapping.forall(m => m == "none"),
-      s"Delta column mapping mode '${mapping.get}' is not supported by " +
-        "the native snapshot reader; add the delta-spark jars")
+  /** Validate and normalize `delta.columnMapping.mode` — `name` mode
+    * is pure metadata (parquet fields resolve by physicalName) and
+    * reads natively; `id` mode (field-id resolution inside parquet)
+    * stays a loud refusal.
+    */
+  private def checkMappingMode(mode: Option[String]): String = {
+    val m = mode.getOrElse("none")
+    require(m == "none" || m == "name",
+      s"Delta column mapping mode '$m' is not supported by the native " +
+        "snapshot reader; add the delta-spark jars")
+    m
   }
+
+  private def checkMetaData(meta: JsonNode): String =
+    checkMappingMode(Option(meta.get("configuration")).flatMap(c =>
+      Option(c.get("delta.columnMapping.mode")).map(_.asText)))
 
   private def requireNoDv(add: JsonNode, path: String): Unit =
     require(!add.has("deletionVector") || add.get("deletionVector").isNull,
@@ -138,6 +154,7 @@ object DeltaLite {
       fromFile.filter(v => asOf.forall(v <= _)).orElse(candidates)
     }
     var schemaJson: Option[String] = None
+    var mappingMode: String = "none"
     var partCols: Seq[String] = Nil
     val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
     val txns = mutable.LinkedHashMap.empty[String, Long]
@@ -184,10 +201,8 @@ object DeltaLite {
           partCols = r.getSeq[String](1).toSeq
           val confMap = Option(r.getJavaMap[String, String](2))
           confMap.foreach { m =>
-            val mode = Option(m.get("delta.columnMapping.mode"))
-            require(mode.forall(_ == "none"),
-              s"Delta column mapping mode '${mode.get}' is not " +
-                "supported by the native snapshot reader")
+            mappingMode = checkMappingMode(
+              Option(m.get("delta.columnMapping.mode")))
           }
         }
       }
@@ -261,7 +276,7 @@ object DeltaLite {
         if (action.has("protocol")) checkProtocol(action.get("protocol"))
         if (action.has("metaData")) {
           val m = action.get("metaData")
-          checkMetaData(m)
+          mappingMode = checkMetaData(m)
           schemaJson = Some(m.get("schemaString").asText)
           partCols = Option(m.get("partitionColumns"))
             .map(n => (0 until n.size).map(n.get(_).asText).toSeq)
@@ -291,7 +306,8 @@ object DeltaLite {
     val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(
         s"Delta log at $logDir carries no metaData action"))
-    Snapshot(schema, partCols, files.toMap, version, txns.toMap, stats.toMap)
+    Snapshot(schema, partCols, files.toMap, version, txns.toMap,
+      stats.toMap, mappingMode)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -300,8 +316,17 @@ object DeltaLite {
   private def readFiles(spark: SparkSession, tablePath: String,
       snap: Snapshot,
       files: Map[String, Map[String, Option[String]]]): DataFrame = {
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val mapped = snap.columnMappingMode == "name"
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    // `name` mapping: the parquet files carry PHYSICAL field names
+    // (schemaString metadata `delta.columnMapping.physicalName`, nested
+    // included). Read under the physicalized schema, then restore the
+    // logical names — nested ones by positional struct cast.
+    val readSchema =
+      if (mapped) StructType(dataFields.map(f => f.copy(
+        name = physicalName(f), dataType = physicalize(f.dataType))))
+      else StructType(dataFields)
     val partFields = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -316,12 +341,18 @@ object DeltaLite {
     // literals per group and union
     val groups = files.toSeq.groupBy(_._2).toSeq
     val parts = groups.map { case (pv, fs0) =>
-      val base = spark.read.schema(dataSchema)
+      val base0 = spark.read.schema(readSchema)
         .parquet(fs0.map(f => abs(f._1)): _*)
+      val base =
+        if (mapped) base0.select(dataFields.map(f =>
+          org.apache.spark.sql.functions.col(physicalName(f))
+            .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        else base0
       partFields.foldLeft(base) { (df, f) =>
+        // partitionValues in column-mapped tables key by physical name
+        val v = pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
         df.withColumn(f.name,
-          pv.get(f.name).flatten
-            .map(s => lit(s).cast(f.dataType))
+          v.map(s => lit(s).cast(f.dataType))
             .getOrElse(lit(null).cast(f.dataType)))
       }
     }
@@ -329,6 +360,28 @@ object DeltaLite {
       snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
   }
+
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Rename every nested struct field to its physical name (arrays and
+    * maps recurse) — the schema shape the data files of a name-mapped
+    * table actually carry.
+    */
+  private def physicalize(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType => StructType(st.fields.map(f => f.copy(
+        name = physicalName(f), dataType = physicalize(f.dataType))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = physicalize(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = physicalize(m.keyType),
+          valueType = physicalize(m.valueType))
+      case other => other
+    }
 
   /** The table snapshot as a DataFrame (reader.rs parity: one full scan
     * — of the latest version, or of `asOf` for version-pinned reads).
@@ -515,6 +568,10 @@ object DeltaLite {
     val logDir = new Path(root, "_delta_log")
     val existing: Option[Snapshot] =
       if (fs.exists(logDir)) Some(snapshot(spark, tablePath)) else None
+    existing.foreach(s => require(s.columnMappingMode == "none",
+      s"$tablePath uses column mapping ('${s.columnMappingMode}') — the " +
+        "native writer emits logical parquet field names and would " +
+        "corrupt it; write with the delta-spark jars"))
     // Delta's idempotent-writer protocol: a (appId, version) txn at or
     // below the table's recorded high-water mark is a RETRY of an
     // already-committed batch — skip it (exactly-once foreachBatch)
@@ -722,6 +779,10 @@ object DeltaLite {
     }
     require(snap.partitionColumns.isEmpty,
       "DeltaLite.upsert targets unpartitioned tables only")
+    require(snap.columnMappingMode == "none",
+      s"$tablePath uses column mapping ('${snap.columnMappingMode}') — " +
+        "the native writer emits logical parquet field names and would " +
+        "corrupt it; write with the delta-spark jars")
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
         s"\n data:  ${batch.schema.json}")

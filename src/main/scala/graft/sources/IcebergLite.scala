@@ -117,7 +117,12 @@ object IcebergLite {
         */
       seq: Long = 0L,
       /** equality-delete files only: the field ids matched on. */
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      /** partition field name → recorded value (avro-decoded; dates
+        * arrive as epoch-day ints per the manifest encoding). Read for
+        * transform-aware partition pruning; empty for unpartitioned.
+        */
+      partValues: Map[String, Any] = Map.empty)
 
   final case class TableMeta(
       formatVersion: Int,
@@ -139,10 +144,19 @@ object IcebergLite {
         */
       schemasJson: Seq[String] = Nil,
       currentSchemaId: Int = 0,
-      /** default partition spec: (column name, transform). Our writer
-        * emits identity transforms; foreign tables may carry any.
+      /** default partition spec. The writer emits identity plus the
+        * spec's value transforms (bucket/truncate/year/month/day/hour);
+        * foreign tables may carry any — unknown ones read fine (data
+        * files retain source columns) but never prune.
         */
-      partitionFields: Seq[(String, String)] = Nil)
+      partitionFields: Seq[PartSpecField] = Nil)
+
+  /** One field of the default partition spec: the partition field name,
+    * the transform's metadata rendering, and the SOURCE column's field
+    * id (0 when the metadata omitted it — legacy v1 identity specs).
+    */
+  final case class PartSpecField(name: String, transform: String,
+      sourceId: Int)
 
   final case class SnapshotState(meta: TableMeta, snapshot: SnapshotMeta,
       manifests: Seq[ManifestInfo],
@@ -341,8 +355,9 @@ object IcebergLite {
         val fromV1 = Option(node.get("partition-spec")).toSeq
           .flatMap(_.elements.asScala)
         (if (fromSpecs.nonEmpty) fromSpecs else fromV1).map(f =>
-          (f.get("name").asText,
-            Option(f.get("transform")).map(_.asText).getOrElse("identity")))
+          PartSpecField(f.get("name").asText,
+            Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+            Option(f.get("source-id")).map(_.asInt).getOrElse(0)))
       },
       lastColumnId = Option(node.get("last-column-id")).map(_.asInt).getOrElse(0),
       lastSequenceNumber =
@@ -559,6 +574,16 @@ object IcebergLite {
               case Some(c: java.util.Collection[_]) =>
                 c.asScala.toSeq.map(v => num(v).toInt)
               case _ => Nil
+            },
+            partValues = df.get("partition") match {
+              case pr: GenericRecord =>
+                pr.getSchema.getFields.asScala.map { fld =>
+                  fld.name -> (pr.get(fld.name) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case other => other
+                  })
+                }.toMap
+              case _ => Map.empty
             })
           content match {
             case 0 => data += entry
@@ -584,18 +609,162 @@ object IcebergLite {
   /** The table snapshot as a DataFrame — latest, or pinned to
     * `snapshotId` (time travel). Position deletes apply as one
     * distributed anti join on (normalized file path, row position).
+    *
+    * `where` both FILTERS the result and PRUNES at the manifest level:
+    * conjuncts over partition-source columns are evaluated through the
+    * spec's transforms against each file's recorded partition values,
+    * so a day- or bucket-partitioned table scans only the matching
+    * partitions (the scale path for foreign partitioned tables).
+    * Unrecognized predicate shapes simply don't prune — never wrong,
+    * just unpruned.
     */
   def read(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None): DataFrame = {
-    val st = snapshotState(spark, tablePath, snapshotId)
-    if (st.dataFiles.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.meta.schema)
-    if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty)
-      spark.read.schema(st.meta.schema)
-        .parquet(st.dataFiles.map(_.path): _*)
-    else aliveWithPos(spark, st)
-      .select(st.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      snapshotId: Option[Long] = None,
+      where: Option[Column] = None): DataFrame = {
+    val st0 = snapshotState(spark, tablePath, snapshotId)
+    val st = where match {
+      case Some(w) if st0.meta.partitionFields.nonEmpty =>
+        st0.copy(dataFiles = prunePartitions(st0, w))
+      case _ => st0
+    }
+    val base =
+      if (st.dataFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          st.meta.schema)
+      else if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty)
+        spark.read.schema(st.meta.schema)
+          .parquet(st.dataFiles.map(_.path): _*)
+      else aliveWithPos(spark, st)
+        .select(st.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    where.map(base.filter).getOrElse(base)
+  }
+
+  // ------------------------------------ transform-aware partition pruning
+
+  /** Data files that could hold rows matching `where` given their
+    * manifest-recorded partition values — each supported conjunct
+    * (=, <, <=, >, >=, IS NULL, IS NOT NULL over a partition SOURCE
+    * column vs a literal) is pushed through the field's transform;
+    * a file survives unless some conjunct is provably unsatisfiable.
+    * Exposed package-private for pruning tests.
+    */
+  private[graft] def prunePartitions(st: SnapshotState,
+      where: Column): Seq[FileEntry] = {
+    val idToName = st.meta.fieldIds.map(_.swap)
+    val srcType = st.meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    // partition fields by SOURCE column name, with parsed transforms
+    // (unknown transforms → field never prunes)
+    val bySrc: Map[String, Seq[(PartSpecField, IcebergTransforms.Transform)]] =
+      st.meta.partitionFields.flatMap { f =>
+        val src = idToName.getOrElse(f.sourceId, f.name)
+        try Some(src -> (f, IcebergTransforms.parse(f.transform)))
+        catch { case _: IllegalArgumentException => None }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val preds = org.apache.spark.sql.graft.ColumnBridge
+      .simpleConjuncts(where)
+      .filter { case (c, op, v) => bySrc.contains(c) &&
+        (v != null || op == "null" || op == "notnull") }
+    if (preds.isEmpty) return st.dataFiles
+    st.dataFiles.filter { f =>
+      preds.forall { case (src, op, litv) =>
+        bySrc(src).forall { case (pf, t) =>
+          f.partValues.get(pf.name) match {
+            case None => true // manifest without this field: keep
+            case Some(pv) =>
+              !contradicts(pv, t, srcType.getOrElse(src, NullType),
+                op, litv)
+          }
+        }
+      }
+    }
+  }
+
+  /** Widen/narrow a literal to the source column's type so the
+    * transform functions see the value space they expect (`=== 34` on a
+    * long column arrives as an Int literal).
+    */
+  private def coerceLit(srcType: DataType, v: Any): Any =
+    (srcType, v) match {
+      case (LongType, i: Int) => i.toLong
+      case (IntegerType, l: Long) if l.isValidInt => l.toInt
+      case (DoubleType, n: Number) => n.doubleValue
+      case (FloatType, n: Number) => n.floatValue
+      case (DateType, d: java.time.LocalDate) => java.sql.Date.valueOf(d)
+      case _ => v
+    }
+
+  /** True iff NO row in a file with partition value `pv` (for a field
+    * with transform `t` over a source of `srcType`) can satisfy
+    * `<source> <op> <litv>`. Conservative: unknown shapes return false.
+    */
+  private def contradicts(pv: Any, t: IcebergTransforms.Transform,
+      srcType: DataType, op: String, litv0: Any): Boolean = {
+    import IcebergTransforms._
+    if (op == "null") return pv != null // transform(null) = null always
+    if (op == "notnull") return pv == null
+    if (pv == null) return true // all-null source can't match a literal
+    val litv = coerceLit(srcType, litv0)
+    // transform of the literal, in the partition-value comparison space
+    val tl: Option[Any] =
+      try t match {
+        case Bucket(n) =>
+          if (op == "=") Some(bucketValue(srcType, litv, n)) else None
+        case tr => Some(eval(tr, srcType, litv))
+      } catch { case _: IllegalArgumentException => None }
+    tl match {
+      case None => false
+      case Some(tlit) =>
+        cmpPartValues(pv, tlit) match {
+          case None => false
+          case Some(c) => op match {
+            case "=" => c != 0
+            // monotone transforms: source > v ⇒ t(source) >= t(v)
+            case ">" | ">=" => c < 0
+            case "<" | "<=" => c > 0
+            case _ => false
+          }
+        }
+    }
+  }
+
+  /** Compare a manifest-decoded partition value against a transformed
+    * literal (both normalized: numbers → Long/Double, dates → epoch
+    * days, strings UTF-8 byte order). None = incomparable.
+    */
+  private def cmpPartValues(pv: Any, tl: Any): Option[Int] = {
+    def days(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: Long => Some(l)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case _ => None
+    }
+    (pv, tl) match {
+      case (a: String, b: String) =>
+        val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+        val n = math.min(ab.length, bb.length)
+        var i = 0; var c = 0
+        while (i < n && c == 0) {
+          c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff); i += 1
+        }
+        Some(if (c != 0) c
+          else java.lang.Integer.compare(ab.length, bb.length))
+      case (a: java.lang.Float, b) => cmpNum(a.doubleValue, b)
+      case (a: java.lang.Double, b) => cmpNum(a.doubleValue, b)
+      case (a, b: java.lang.Float) =>
+        cmpNum(b.doubleValue, a).map(-_)
+      case (a, b: java.lang.Double) =>
+        cmpNum(b.doubleValue, a).map(-_)
+      case (a, b) =>
+        for { x <- days(a); y <- days(b) }
+          yield java.lang.Long.compare(x, y)
+    }
+  }
+
+  private def cmpNum(a: Double, b: Any): Option[Int] = b match {
+    case n: Number => Some(java.lang.Double.compare(a, n.doubleValue))
+    case _ => None
   }
 
   // ---------------------------------------------------------------- write
@@ -826,15 +995,16 @@ object IcebergLite {
     * `graft.iceberg.maxPartitionsPerCommit` lifts it.
     */
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
-      root: Path, fs: FileSystem, partCols: Seq[String])
+      root: Path, fs: FileSystem, fields: Seq[WriterPartField])
       : Seq[(StagedFile, Seq[(String, Any)])] = {
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
-    val alias = partCols.map(c => c -> s"__gp_$c").toMap
-    partCols.foreach(c => require(!df.columns.contains(alias(c)),
-      s"reserved staging column name ${alias(c)} present in the batch"))
-    partCols.foldLeft(df)((d, c) => d.withColumn(alias(c), col(c)))
-      .write.partitionBy(partCols.map(alias): _*)
+    val alias = fields.map(f => f.name -> s"__gp_${f.name}").toMap
+    fields.foreach(f => require(!df.columns.contains(alias(f.name)),
+      s"reserved staging column name ${alias(f.name)} present in the batch"))
+    fields.foldLeft(df)((d, f) => d.withColumn(alias(f.name),
+        IcebergTransforms.expr(f.transform, col(f.srcCol), f.srcType)))
+      .write.partitionBy(fields.map(f => alias(f.name)): _*)
       .mode("overwrite").parquet(stage.toString)
     // every leaf data file, with its stage partition directory chain
     def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -848,11 +1018,13 @@ object IcebergLite {
         spark.sparkContext.hadoopConfiguration, s.getPath, df.schema)
       (s, st)
     }
-    // partition value per file = the (constant) column value recorded in
-    // its own footer bounds; an all-null partition column has no bounds.
-    // The stage directory chain cross-checks the recovery: a file whose
-    // dir segment says non-null but whose footer yields no value would
-    // mean truncated/absent stats — refuse rather than mis-partition.
+    // Partition value per file. IDENTITY fields recover the typed value
+    // from the file's own footer bounds (constant per file by layout),
+    // with the stage directory chain as a cross-check: a dir segment
+    // that says non-null while the footer yields no value would mean
+    // truncated/absent stats — refuse rather than mis-partition.
+    // DERIVED transforms parse the (simply-typed) transform value back
+    // from the directory segment Spark wrote.
     val maxParts = spark.conf
       .getOption("graft.iceberg.maxPartitionsPerCommit")
       .map(_.toInt).getOrElse(256)
@@ -863,18 +1035,28 @@ object IcebergLite {
           val i = seg.indexOf('=')
           seg.substring(0, i) -> seg.substring(i + 1)
         }.toMap
-      s.getPath -> partCols.map { c =>
-        val v = st.cols.get(c).flatMap(_.bounds).map(_._1).orNull
-        val dirNull = dirSegs.get(alias(c))
-          .forall(_ == "__HIVE_DEFAULT_PARTITION__")
-        require((v == null) == dirNull,
-          s"partition value recovery for '$c' disagrees with the stage " +
-            s"layout at ${s.getPath} (footer stats truncated?)")
-        st.cols.get(c).flatMap(_.bounds).foreach { case (mn, mx) =>
-          require(mn == mx,
-            s"partition column '$c' is not constant within staged file " +
-              s"${s.getPath} — partitionBy layout violated") }
-        c -> v
+      s.getPath -> fields.map { f =>
+        val dirRaw = dirSegs.getOrElse(alias(f.name),
+          throw new IllegalStateException(
+            s"no stage dir segment for ${f.name} at ${s.getPath}"))
+        val dirNull = dirRaw == "__HIVE_DEFAULT_PARTITION__"
+        val v = f.transform match {
+          case IcebergTransforms.Identity =>
+            val fv = st.cols.get(f.srcCol).flatMap(_.bounds)
+            require(fv.isDefined != dirNull,
+              s"partition value recovery for '${f.srcCol}' disagrees " +
+                s"with the stage layout at ${s.getPath} (footer stats " +
+                "truncated?)")
+            fv.foreach { case (mn, mx) => require(mn == mx,
+              s"partition column '${f.srcCol}' is not constant within " +
+                s"staged file ${s.getPath} — partitionBy layout violated")
+            }
+            fv.map(_._1).orNull
+          case _ =>
+            if (dirNull) null
+            else parseDirValue(f.resType, unescapeDirValue(dirRaw))
+        }
+        f.name -> v
       }
     }.toMap
     val distinctTuples = tupleOf.values.map(_.map { case (c, v) =>
@@ -908,6 +1090,37 @@ object IcebergLite {
     fs.delete(stage, true)
     out
   }
+
+  /** Inverse of Spark's hive-style partition dir escaping (%XX for the
+    * reserved/control ASCII set; multi-byte chars pass through raw).
+    */
+  private def unescapeDirValue(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** A transform RESULT value parsed back from its stage dir segment
+    * (transform results are simply typed: int/long/string/date).
+    */
+  private def parseDirValue(resType: DataType, s: String): Any =
+    resType match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case StringType => s
+      case DateType => java.sql.Date.valueOf(s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition value type ${other.sql}")
+    }
 
   /** Top-level column name → assigned field id (the same assignment
     * [[schemaNode]] writes into the metadata, so manifest bounds keys
@@ -952,7 +1165,7 @@ object IcebergLite {
       newManifests: Seq[(Seq[GenericRecord], Int, Long)],
       carryForward: Seq[ManifestInfo], operation: String,
       snapshotId: Long, extraSummary: Map[String, String] = Map.empty,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionSpec: Seq[PartSpecField] = Nil): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -965,10 +1178,11 @@ object IcebergLite {
     val schemaJson = { val (n, _) = schemaNode(schema); n.toString }
     val ids = topFieldIds(schema)
     // the spec fields JSON both the manifest headers and the metadata
-    // partition-specs carry (identity transforms only)
-    val specFieldsJson = partitionCols.zipWithIndex.map { case (c, i) =>
-      s"""{"name":${mapper.writeValueAsString(c)},"transform":"identity",""" +
-        s""""source-id":${ids.getOrElse(c, 0)},"field-id":${1000 + i}}"""
+    // partition-specs carry
+    val specFieldsJson = partitionSpec.zipWithIndex.map { case (f, i) =>
+      s"""{"name":${mapper.writeValueAsString(f.name)},""" +
+        s""""transform":${mapper.writeValueAsString(f.transform)},""" +
+        s""""source-id":${f.sourceId},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
     val written = newManifests.zipWithIndex.map {
       case ((entries, content, addedRows), i) =>
@@ -1031,7 +1245,7 @@ object IcebergLite {
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     spec0.set[JsonNode]("fields", mapper.readTree(specFieldsJson))
-    node.put("last-partition-id", 999 + partitionCols.size)
+    node.put("last-partition-id", 999 + partitionSpec.size)
     node.put("default-sort-order-id", 0)
     val orders = node.putArray("sort-orders")
     val ord0 = orders.addObject()
@@ -1117,38 +1331,51 @@ object IcebergLite {
           s"cannot evolve the schema of $tablePath: its field ids were " +
             "assigned by another writer; use the iceberg runtime")
     }
-    // effective identity-partition columns: the table's existing spec
-    // wins (appends must match it); a fresh table takes `partitionBy`
-    val partCols: Seq[String] = prior match {
+    // effective partition spec: the table's existing spec wins (appends
+    // must match it); a fresh table takes `partitionBy` — bare column
+    // names (identity) or `day(col)` / `bucket(16, col)` /
+    // `truncate(4, col)` transform specs
+    def resolveField(srcCol: String,
+        t: IcebergTransforms.Transform): WriterPartField = {
+      val srcType = df.schema.fields.find(_.name == srcCol)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$srcCol' not in the schema")).dataType
+      val resType = IcebergTransforms.resultType(t, srcType)
+      avroPartType(resType) // loud unsupported
+      WriterPartField(IcebergTransforms.fieldName(srcCol, t), t,
+        srcCol, srcType, resType)
+    }
+    val requested = partitionBy.map(IcebergTransforms.parseSpec)
+    val partFields: Seq[WriterPartField] = prior match {
       case Some(p) if p.meta.partitionFields.nonEmpty =>
-        require(p.meta.partitionFields.forall(_._2 == "identity"),
-          s"$tablePath carries non-identity partition transforms " +
-            s"(${p.meta.partitionFields.map(_._2).distinct.mkString(",")})" +
-            " — writes need the iceberg runtime")
-        val existing = p.meta.partitionFields.map(_._1)
-        require(partitionBy.isEmpty || partitionBy == existing,
+        val idToName = p.meta.fieldIds.map(_.swap)
+        val existing = p.meta.partitionFields.map { f =>
+          val src = idToName.getOrElse(f.sourceId, f.name)
+          val t = IcebergTransforms.parse(f.transform) // loud on unknown
+          resolveField(src, t).copy(name = f.name)
+        }
+        require(requested.isEmpty ||
+            requested == existing.map(f => (f.srcCol, f.transform)),
           s"partitionBy ${partitionBy.mkString(",")} does not match the " +
-            s"table's spec ${existing.mkString(",")}")
+            s"table's spec ${existing.map(f =>
+              s"${f.transform.render}(${f.srcCol})").mkString(",")}")
         existing
       case Some(_) =>
         require(partitionBy.isEmpty,
           s"$tablePath is unpartitioned; cannot add a partition spec on " +
             "append (create a new table)")
         Nil
-      case None => partitionBy
+      case None => requested.map { case (src, t) => resolveField(src, t) }
     }
-    val partTyped = partCols.map(c => c -> df.schema.fields.find(_.name == c)
-      .getOrElse(throw new IllegalArgumentException(
-        s"partition column '$c' not in the schema")).dataType)
-    partTyped.foreach { case (_, dt) => avroPartType(dt) } // loud unsupported
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
     val ids = topFieldIds(df.schema)
-    val entrySchema = manifestEntrySchemaFor(partTyped)
+    val entrySchema =
+      manifestEntrySchemaFor(partFields.map(f => f.name -> f.resType))
     val stagedWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
-      if (partCols.isEmpty) stageData(spark, df, root, fs).map(_ -> Nil)
-      else stagePartitioned(spark, df, root, fs, partCols)
+      if (partFields.isEmpty) stageData(spark, df, root, fs).map(_ -> Nil)
+      else stagePartitioned(spark, df, root, fs, partFields)
     val entries = stagedWithParts.map { case (f, pv) =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
         content = 0, path = f.path, records = f.rows, size = f.size,
@@ -1163,8 +1390,18 @@ object IcebergLite {
       carryForward = carry,
       operation = if (mode == "append") "append" else "overwrite",
       snapshotId = snapshotId, extraSummary = txnSummary(txn),
-      partitionCols = partCols)
+      partitionSpec = partFields.map(f =>
+        PartSpecField(f.name, f.transform.render,
+          ids.getOrElse(f.srcCol, 0))))
   }
+
+  /** One resolved field of the partition spec being WRITTEN: partition
+    * field name, transform, source column + its type, and the
+    * transform's result type (the manifest partition value type).
+    */
+  private final case class WriterPartField(name: String,
+      transform: IcebergTransforms.Transform, srcCol: String,
+      srcType: DataType, resType: DataType)
 
   /** Highest committed txn version for `appId` across the table's
     * snapshot summaries (None = never committed).

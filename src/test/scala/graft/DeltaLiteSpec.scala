@@ -152,7 +152,7 @@ class DeltaLiteSpec extends AnyFunSuite {
     val t2 = java.nio.file.Files.createTempDirectory("delta_bad2").toString
     writeLog(t2, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
     val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
     val t3 = java.nio.file.Files.createTempDirectory("delta_bad3").toString
@@ -645,6 +645,58 @@ class DeltaLiteSpec extends AnyFunSuite {
     installCheckpoint(t2, ck2, 0L)
     val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
     assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+  }
+
+  test("column mapping `name` mode reads natively: physical parquet " +
+      "field names (nested included) resolve back to logical names; " +
+      "partitionValues key by physical name; writes refuse; `id` mode " +
+      "still refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cmap").toString
+    // the DATA FILE carries physical names, nested struct field too
+    val phys = Seq((1L, "a", ("x", 10L)), (2L, "b", ("y", 20L)))
+      .toDF("col-k01", "col-v02", "col-n03")
+      .withColumn("col-n03", struct(
+        col("col-n03._1").as("col-s04"), col("col-n03._2").as("col-m05")))
+    writeDataFile(phys, t, "c1.parquet")
+    // the LOGICAL schema maps each field to its physicalName
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k01"}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-v02"}},
+        |{"name":"nest","type":{"type":"struct","fields":[
+        |  {"name":"s","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-s04"}},
+        |  {"name":"m","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":5,"delta.columnMapping.physicalName":"col-m05"}}]},
+        | "nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-n03"}}
+        |]}""".stripMargin.replace("\n", "")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":${escape(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":1}}""",
+      """{"add":{"path":"c1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "nest"))
+    assert(got.select("nest.s", "nest.m", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet ==
+      Set(("x", 10L, 1L, "a"), ("y", 20L, 2L, "b")))
+    // writes against a column-mapped table refuse loudly
+    val eW = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t))
+    assert(eW.getMessage.contains("column mapping"), eW.getMessage)
+    // PARTITIONED column-mapped table: partitionValues key by the
+    // physical partition column name
+    val t2 = java.nio.file.Files.createTempDirectory("delta_cmap2").toString
+    writeDataFile(Seq(Tuple1(7L)).toDF("col-k01"), t2, "p1.parquet")
+    val schema2 =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k01"}},
+        |{"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-p02"}}
+        |]}""".stripMargin.replace("\n", "")
+    writeLog(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema2)},"partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}""",
+      """{"add":{"path":"p1.parquet","partitionValues":{"col-p02":"west"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLite.read(spark, t2).as[(Long, String)].collect().toSet ==
+      Set((7L, "west")))
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */

@@ -1480,8 +1480,8 @@ class GraftAppSpec extends AnyFunSuite {
          |    format: iceberg
          |    partition_by: [v]
          |""".stripMargin))
-    assert(IcebergLite.loadMeta(spark, s"$base/ptbl").partitionFields ==
-      Seq(("v", "identity")))
+    assert(IcebergLite.loadMeta(spark, s"$base/ptbl").partitionFields
+      .map(f => (f.name, f.transform)) == Seq(("v", "identity")))
     assert(IcebergLite.read(spark, s"$base/ptbl").count() == 3)
     // the metadata tables are dialect table functions: audit the
     // upserted table's history + layout with plain config SQL
@@ -1527,6 +1527,46 @@ class GraftAppSpec extends AnyFunSuite {
            |""".stripMargin)))
     assert(err.getMessage.contains("iceberg") ||
       err.getMessage.contains("Iceberg"))
+  }
+
+  test("config-declared NATIVE lakehouse tail: format delta + " +
+      "options.keys streams the version-offset CDC feed into a sink; " +
+      "a second run consumes only new commits") {
+    import graft.sources.DeltaLite
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tail").toString
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      s"$base/tbl")
+    val yaml =
+      s"""streaming: true
+         |sources:
+         |  - name: feed
+         |    path: $base/tbl
+         |    format: delta
+         |    options: {keys: k, starting_version: "0"}
+         |sql: SELECT k, v, _op INTO o FROM feed;
+         |sinks:
+         |  - table: o
+         |    path: $base/out
+         |    mode: append
+         |    checkpoint: $base/ckpt
+         |""".stripMargin
+    def drain(): Unit = {
+      val qs = runStreaming(spark, GraftConfigLoader.fromYaml(yaml))
+      try qs.foreach(_.awaitTermination())
+      finally qs.foreach(_.stop())
+    }
+    drain()
+    assert(spark.read.parquet(s"$base/out")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert")))
+    DeltaLite.upsert(spark, Seq((2L, "B2")).toDF("k", "v"),
+      s"$base/tbl", Seq("k"))
+    drain()
+    assert(spark.read.parquet(s"$base/out")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert"),
+        (2L, "B2", "update_postimage")))
   }
 
   test("maintenance: config grooms tables after batch sinks — iceberg " +

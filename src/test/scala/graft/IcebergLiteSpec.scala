@@ -229,7 +229,9 @@ class IcebergLiteSpec extends AnyFunSuite {
       .toDF("k", "region", "v")
     IcebergLite.write(spark, df, t, partitionBy = Seq("region"))
     val meta = IcebergLite.loadMeta(spark, t)
-    assert(meta.partitionFields == Seq(("region", "identity")))
+    assert(meta.partitionFields ==
+      Seq(IcebergLite.PartSpecField("region", "identity",
+        meta.fieldIds("region"))))
     // one data file set per partition, under region=<val> dirs, all
     // columns retained in the files
     val st = IcebergLite.snapshotState(spark, t)
@@ -314,6 +316,95 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).count() == 40)
     val st = IcebergLite.snapshotState(spark, t)
     assert(st.dataFiles.map(_.path).forall(p => p.contains("/region=")))
+  }
+
+  test("day-partitioned writes: transform spec in metadata, date-typed " +
+      "partition values in manifests, read-side pruning scans only " +
+      "matching days, filtered results exact") {
+    val t = tmp("daypart")
+    val rows0 = (0 until 12).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-03-${10 + i / 4}"), s"v$i")
+    }
+    IcebergLite.write(spark, rows0.toDF("k", "d", "v"), t,
+      partitionBy = Seq("day(d)"))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.partitionFields ==
+      Seq(IcebergLite.PartSpecField("d_day", "day", meta.fieldIds("d"))))
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.forall(_.path.contains("/d_day=2024-03-1")))
+    // each file's manifest partition value is the epoch-day int
+    assert(st.dataFiles.flatMap(_.partValues.get("d_day")).forall(
+      _.isInstanceOf[Integer]))
+    // prune: equality on one day keeps only that day's files
+    val kept = IcebergLite.prunePartitions(st,
+      col("d") === java.sql.Date.valueOf("2024-03-11"))
+    assert(kept.nonEmpty && kept.size < st.dataFiles.size)
+    assert(kept.forall(_.path.contains("/d_day=2024-03-11/")))
+    // range prune: [03-11, 03-12] drops 03-10
+    val ranged = IcebergLite.prunePartitions(st,
+      col("d") >= java.sql.Date.valueOf("2024-03-11") &&
+        col("d") < java.sql.Date.valueOf("2024-03-12"))
+    assert(ranged.forall(!_.path.contains("/d_day=2024-03-10/")))
+    // the filtered READ is exact (prune + residual filter)
+    val got = IcebergLite.read(spark, t,
+        where = Some(col("d") === java.sql.Date.valueOf("2024-03-11")))
+      .select("k").as[Long].collect().toSet
+    assert(got == rows0.filter(_._2.toString == "2024-03-11")
+      .map(_._1).toSet)
+    // appends inherit the transform spec; mismatched specs refuse
+    IcebergLite.write(spark, Seq(
+      (99L, java.sql.Date.valueOf("2024-03-13"), "z")).toDF("k", "d", "v"), t)
+    assert(IcebergLite.read(spark, t).count() == 13)
+    val err = intercept[IllegalArgumentException](IcebergLite.write(spark,
+      rows0.toDF("k", "d", "v"), t, partitionBy = Seq("month(d)")))
+    assert(err.getMessage.contains("does not match"))
+  }
+
+  test("bucket[16]-partitioned writes: spec-hash partition values, " +
+      "equality pruning keeps one bucket, reads exact") {
+    val t = tmp("bucketpart")
+    val rows0 = (1L to 64L).map(i => (i, s"u$i"))
+    IcebergLite.write(spark, rows0.toDF("k", "v"), t,
+      partitionBy = Seq("bucket(16, k)"))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.partitionFields ==
+      Seq(IcebergLite.PartSpecField("k_bucket", "bucket[16]",
+        meta.fieldIds("k"))))
+    val st = IcebergLite.snapshotState(spark, t)
+    // every manifest value matches the spec's murmur3 bucket of the key
+    // range the file holds (verify via a full read-back per file)
+    val expectBucket = graft.sources.IcebergTransforms
+      .bucketValue(org.apache.spark.sql.types.LongType, 34L, 16)
+    val kept = IcebergLite.prunePartitions(st, col("k") === 34L)
+    assert(kept.nonEmpty && kept.size < st.dataFiles.size)
+    assert(kept.forall(_.partValues("k_bucket") == expectBucket))
+    // ranges never prune on bucket (hash order ≠ value order)
+    assert(IcebergLite.prunePartitions(st, col("k") > 60L).size ==
+      st.dataFiles.size)
+    val got = IcebergLite.read(spark, t, where = Some(col("k") === 34L))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((34L, "u34")))
+    assert(IcebergLite.read(spark, t).count() == 64)
+  }
+
+  test("truncate[4]-partitioned strings: prefix partition values, " +
+      "equality and range pruning, round-trip exact") {
+    val t = tmp("truncpart")
+    val rows0 = Seq("alpha", "alien", "beta", "bean", "gamma")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    IcebergLite.write(spark, rows0.toDF("k", "s"), t,
+      partitionBy = Seq("truncate(4, s)"))
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.dataFiles.exists(_.partValues("s_trunc") == "alph"))
+    val kept = IcebergLite.prunePartitions(st, col("s") === "alpha")
+    assert(kept.nonEmpty &&
+      kept.forall(_.partValues("s_trunc") == "alph"))
+    // monotone range prune: s >= "bz" drops alph/alie/bean buckets
+    val ranged = IcebergLite.prunePartitions(st, col("s") >= "bz")
+    assert(ranged.forall(f => f.partValues("s_trunc") == "gamm"))
+    val got = IcebergLite.read(spark, t, where = Some(col("s") >= "be"))
+      .select("s").as[String].collect().toSet
+    assert(got == Set("beta", "bean", "gamma"))
   }
 
   // ------------------------------------------------ metadata tables

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** Native lakehouse streaming TAILS: version-offset micro-batches over
+  * the O(changed-files) CDC diff, checkpointed stop/restart, both
+  * table formats — closing "streaming tails need the connector jar".
+  */
+class LakeTailSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"laketail_$name").toString
+
+  /** Run the tail until idle, sinking batches as (batchId, rows). */
+  private def drain(tbl: String, fmt: String, out: String, ckpt: String,
+      startingVersion: Option[Long] = None): Unit = {
+    var r = spark.readStream.format("graft.sources.LakeTailSource")
+      .option("path", tbl).option("table_format", fmt)
+      .option("keys", "k")
+    startingVersion.foreach(v => r = r.option("starting_version", v))
+    val q = r.load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "tail stream timed out")
+  }
+
+  private def sunk(out: String): Set[(Long, String, String, Long)] =
+    spark.read.parquet(out)
+      .select(col("k"), col("v"), col("_op"), col("_seq"))
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("delta tail: full history from version 0, keyed CDC per version, " +
+      "checkpointed restart consumes ONLY new commits") {
+    val base = tmp("delta")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+    DeltaLite.upsert(spark, Seq((2L, "B2"), (3L, "c")).toDF("k", "v"),
+      tbl, Seq("k"))
+    drain(tbl, "delta", out, ckpt, startingVersion = Some(0L))
+    val first = sunk(out)
+    assert(first == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L), // v0 full image
+      (2L, "B2", "update_postimage", 1L), (3L, "c", "insert", 1L)), first.toString)
+    // stop happened (AvailableNow); new commits, then RESTART from the
+    // checkpointed version offset — only the new versions arrive
+    DeltaLite.upsert(spark, Seq((1L, "A9")).toDF("k", "v"), tbl, Seq("k"))
+    drain(tbl, "delta", out, ckpt)
+    val second = sunk(out)
+    assert(second == first + ((1L, "A9", "update_postimage", 2L)), second.toString)
+    // idempotent: nothing new → nothing appended
+    drain(tbl, "delta", out, ckpt)
+    assert(sunk(out) == second)
+  }
+
+  test("iceberg tail: sequence-number offsets, upsert deltas arrive as " +
+      "keyed updates, restart resumes") {
+    val base = tmp("ice")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    IcebergLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), tbl)
+    drain(tbl, "iceberg", out, ckpt, startingVersion = Some(1L))
+    val first = sunk(out)
+    assert(first == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 2L)),
+      first.toString)
+    IcebergLite.write(spark, Seq((4L, "d")).toDF("k", "v"), tbl)
+    drain(tbl, "iceberg", out, ckpt)
+    assert(sunk(out) == first + ((4L, "d", "insert", 3L)))
+  }
+
+  test("tail-only default starts at the CURRENT version; the row cap " +
+      "refuses oversized batches loudly") {
+    val base = tmp("cap")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    DeltaLite.write(spark, Seq((1L, "old")).toDF("k", "v"), tbl)
+    drain(tbl, "delta", out, ckpt) // no starting_version → current
+    // the pre-existing row is NOT replayed
+    assert(!new java.io.File(out).exists() ||
+      spark.read.parquet(out).count() == 0)
+    DeltaLite.write(spark, Seq((2L, "new")).toDF("k", "v"), tbl)
+    drain(tbl, "delta", out, ckpt)
+    assert(sunk(out) == Set((2L, "new", "insert", 1L))) // delta v1
+    // cap: a batch larger than max_rows_per_batch raises
+    val tbl2 = s"$base/tbl2"
+    DeltaLite.write(spark,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), tbl2)
+    val q = spark.readStream.format("graft.sources.LakeTailSource")
+      .option("path", tbl2).option("table_format", "delta")
+      .option("keys", "k").option("starting_version", 0)
+      .option("max_rows_per_batch", 10)
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      { q.awaitTermination(120000); () })
+    assert(err.getMessage.contains("max_rows_per_batch") ||
+      Option(err.getCause).exists(_.getMessage
+        .contains("max_rows_per_batch")), err.getMessage)
+  }
+}
