@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Delta Lake DELETION VECTORS — the merge-on-read half of the advanced
+  * protocol, decoded natively from the PUBLIC formats:
+  * delta.io PROTOCOL.md (descriptor fields, Z85 path/inline encoding,
+  * the `<size BE><data><crc32 BE>` on-disk framing) and the
+  * RoaringFormatSpec (the portable 32-bit bitmap serialization the
+  * 64-bit "RoaringBitmapArray" wraps per PROTOCOL.md). The reference's
+  * delta connector (a `deltalake`-crate wrapper) has no DV support at
+  * all — this closes the advanced-protocol read gap without the
+  * delta-spark jars.
+  *
+  * A decoded DV is the sorted array of 0-based ROW INDEXES deleted from
+  * one data file; [[DeltaLite.readFiles]] applies it as a row_index
+  * anti-filter (same mechanism as iceberg position deletes).
+  */
+object DeletionVectors {
+
+  /** One `add.deletionVector` descriptor. */
+  final case class Descriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Long, cardinality: Long)
+
+  // ------------------------------------------------------------- Z85
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i }
+    t
+  }
+
+  /** Z85 decode (4 bytes per 5 chars, big-endian groups) — the encoding
+    * PROTOCOL.md specifies for inline DVs and the path UUID.
+    */
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0,
+      s"Z85 length must be a multiple of 5, got ${s.length}")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val v = if (c < 128) Z85Decode(c.toInt) else -1
+        require(v >= 0, s"invalid Z85 character '$c'")
+        acc = acc * 85 + v
+        j += 1
+      }
+      val base = i / 5 * 4
+      out(base) = ((acc >>> 24) & 0xff).toByte
+      out(base + 1) = ((acc >>> 16) & 0xff).toByte
+      out(base + 2) = ((acc >>> 8) & 0xff).toByte
+      out(base + 3) = (acc & 0xff).toByte
+      i += 5
+    }
+    out
+  }
+
+  /** Resolve a `u`-storage pathOrInlineDv (`<optional prefix><20-char
+    * Z85 UUID>`) to the DV file path under the table root:
+    * `<prefix>/deletion_vector_<uuid>.bin`.
+    */
+  def uuidPath(tablePath: String, pathOrInlineDv: String): Path = {
+    require(pathOrInlineDv.length >= 20,
+      s"u-storage DV id too short: '$pathOrInlineDv'")
+    val prefix = pathOrInlineDv.dropRight(20)
+    val bytes = z85Decode(pathOrInlineDv.takeRight(20))
+    val bb = ByteBuffer.wrap(bytes) // UUID bytes are big-endian
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) new Path(tablePath, name)
+    else new Path(new Path(tablePath, prefix), name)
+  }
+
+  // -------------------------------------------------------- bitmaps
+
+  private val MagicNumber = 1681511377
+
+  /** Decode the serialized RoaringBitmapArray: int32 LE magic, int64 LE
+    * bitmap count, then per bitmap an int32 LE key (the high 32 bits)
+    * followed by a standard portable 32-bit roaring bitmap.
+    */
+  def decodeBitmap(data: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == MagicNumber,
+      s"deletion vector magic $magic != $MagicNumber")
+    val nBitmaps = buf.getLong
+    require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue,
+      s"implausible DV bitmap count $nBitmaps")
+    val out = Array.newBuilder[Long]
+    var b = 0L
+    while (b < nBitmaps) {
+      val high = (buf.getInt.toLong & 0xffffffffL) << 32
+      readRoaring32(buf, high, out)
+      b += 1
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  private val SerialCookieNoRun = 12346
+  private val SerialCookieRun = 12347
+  private val NoOffsetThreshold = 4
+
+  /** One portable 32-bit roaring bitmap (RoaringFormatSpec), values
+    * emitted as `high | value`.
+    */
+  private def readRoaring32(buf: ByteBuffer, high: Long,
+      out: scala.collection.mutable.Builder[Long, Array[Long]]): Unit = {
+    val cookie = buf.getInt
+    val hasRun = (cookie & 0xffff) == SerialCookieRun
+    val size =
+      if (hasRun) (cookie >>> 16) + 1
+      else {
+        require(cookie == SerialCookieNoRun,
+          s"unknown roaring cookie $cookie")
+        buf.getInt
+      }
+    val runFlags: Array[Byte] =
+      if (hasRun) {
+        val fl = new Array[Byte]((size + 7) / 8)
+        buf.get(fl)
+        fl
+      } else Array.empty
+    def isRun(i: Int): Boolean =
+      hasRun && ((runFlags(i / 8) & (1 << (i % 8))) != 0)
+    val keys = new Array[Int](size)
+    val cards = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      keys(i) = buf.getShort & 0xffff
+      cards(i) = (buf.getShort & 0xffff) + 1
+      i += 1
+    }
+    // the offsets header is redundant for sequential reads — skip it
+    // when present (always for the no-run cookie, and for run bitmaps
+    // with >= NoOffsetThreshold containers)
+    if (!hasRun || size >= NoOffsetThreshold)
+      buf.position(buf.position() + 4 * size)
+    i = 0
+    while (i < size) {
+      val base = high | (keys(i).toLong << 16)
+      if (isRun(i)) {
+        val nRuns = buf.getShort & 0xffff
+        var r = 0
+        while (r < nRuns) {
+          val start = buf.getShort & 0xffff
+          val len = buf.getShort & 0xffff
+          var v = start
+          while (v <= start + len) { out += (base | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) > 4096) {
+        // bitset container: 1024 little-endian longs
+        var w = 0
+        while (w < 1024) {
+          var word = buf.getLong
+          val wordBase = base | (w.toLong << 6)
+          while (word != 0L) {
+            val t = java.lang.Long.numberOfTrailingZeros(word)
+            out += (wordBase | t)
+            word &= word - 1
+          }
+          w += 1
+        }
+      } else {
+        var v = 0
+        while (v < cards(i)) { out += (base | (buf.getShort & 0xffff)); v += 1 }
+      }
+      i += 1
+    }
+  }
+
+  /** Load + decode one descriptor to sorted deleted row indexes;
+    * sizeInBytes and cardinality are verified against the bytes.
+    */
+  def load(fs: FileSystem, tablePath: String,
+      d: Descriptor): Array[Long] = {
+    val data: Array[Byte] = d.storageType match {
+      case "i" => z85Decode(d.pathOrInlineDv)
+      case "u" | "p" =>
+        val path =
+          if (d.storageType == "u") uuidPath(tablePath, d.pathOrInlineDv)
+          else new Path(d.pathOrInlineDv)
+        val off = d.offset.getOrElse(throw new IllegalArgumentException(
+          s"deletion vector at $path has no offset"))
+        val in = fs.open(path)
+        try {
+          in.seek(off)
+          // framing: int32 BE size, data, int32 BE crc32 of the data
+          val dis = new java.io.DataInputStream(in)
+          val size = dis.readInt()
+          require(size == d.sizeInBytes,
+            s"DV at $path+$off: framed size $size != descriptor " +
+              s"sizeInBytes ${d.sizeInBytes}")
+          val bytes = new Array[Byte](size)
+          dis.readFully(bytes)
+          val crc = dis.readInt()
+          val c = new java.util.zip.CRC32
+          c.update(bytes)
+          require(crc == c.getValue.toInt,
+            s"DV at $path+$off: checksum mismatch")
+          bytes
+        } finally in.close()
+      case other => throw new IllegalArgumentException(
+        s"deletion vector storageType '$other' is not in the protocol " +
+          "(expected u/i/p)")
+    }
+    if (d.storageType == "i")
+      require(data.length >= d.sizeInBytes,
+        s"inline DV decodes to ${data.length} bytes < declared " +
+          s"${d.sizeInBytes}")
+    val rows = decodeBitmap(
+      if (d.storageType == "i") data.take(d.sizeInBytes.toInt) else data)
+    require(rows.length == d.cardinality,
+      s"DV decodes to ${rows.length} rows != declared cardinality " +
+        s"${d.cardinality}")
+    rows
+  }
+}

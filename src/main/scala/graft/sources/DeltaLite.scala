@@ -5,7 +5,7 @@ import scala.collection.mutable
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, udf}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Native Delta Lake SNAPSHOT reader — no delta-spark jar required.
@@ -67,7 +67,12 @@ object DeltaLite {
         * parquet fields by `delta.columnMapping.physicalName`); "id"
         * refuses at snapshot load.
         */
-      columnMappingMode: String = "none")
+      columnMappingMode: String = "none",
+      /** path → live deletion-vector descriptor (advanced protocol's
+        * merge-on-read deletes) — applied by reads as a row_index
+        * anti-filter; the native writer refuses to MERGE over them.
+        */
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty)
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -94,10 +99,10 @@ object DeltaLite {
     val features = Option(protocol.get("readerFeatures"))
       .map(n => (0 until n.size).map(n.get(_).asText).toSet)
       .getOrElse(Set.empty[String])
-    // columnMapping is reader-supported here in `name` mode; `id` mode
-    // still refuses at the metaData gate
-    val supported =
-      Set("timestampNtz", "vacuumProtocolCheck", "columnMapping")
+    // columnMapping is reader-supported in `name` mode (`id` refuses at
+    // the metaData gate); deletionVectors decode natively
+    val supported = Set("timestampNtz", "vacuumProtocolCheck",
+      "columnMapping", "deletionVectors")
     require(minReader <= 2 || features.subsetOf(supported),
       s"Delta table requires reader features ${features -- supported} " +
         "(minReaderVersion " + minReader + ") — beyond the native " +
@@ -121,10 +126,16 @@ object DeltaLite {
     checkMappingMode(Option(meta.get("configuration")).flatMap(c =>
       Option(c.get("delta.columnMapping.mode")).map(_.asText)))
 
-  private def requireNoDv(add: JsonNode, path: String): Unit =
-    require(!add.has("deletionVector") || add.get("deletionVector").isNull,
-      s"Delta file $path carries a deletion vector — beyond the native " +
-        "snapshot reader; add the delta-spark jars")
+  /** Parse an add action's deletionVector descriptor (null → none). */
+  private def parseDv(add: JsonNode): Option[DeletionVectors.Descriptor] =
+    Option(add.get("deletionVector")).filterNot(_.isNull).map { dv =>
+      DeletionVectors.Descriptor(
+        storageType = dv.get("storageType").asText,
+        pathOrInlineDv = dv.get("pathOrInlineDv").asText,
+        offset = Option(dv.get("offset")).filterNot(_.isNull).map(_.asLong),
+        sizeInBytes = dv.get("sizeInBytes").asLong,
+        cardinality = dv.get("cardinality").asLong)
+    }
 
   /** Replay the log into the snapshot state at `asOf` (None = latest
     * version) — version-pinned reads are what turns consecutive
@@ -159,6 +170,7 @@ object DeltaLite {
     val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
     val txns = mutable.LinkedHashMap.empty[String, Long]
     val stats = mutable.LinkedHashMap.empty[String, String]
+    val dvs = mutable.LinkedHashMap.empty[String, DeletionVectors.Descriptor]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -213,16 +225,14 @@ object DeltaLite {
       }
       if (cols.contains("add")) {
         val addCols = ckpt.select("add.*").columns.toSet
-        // checkpoint adds can carry deletion vectors too — same refusal
-        // as the log-replay path, not silent resurrection of deleted rows
+        // checkpoint adds can carry deletion vectors — decode them like
+        // the log-replay path (no silent resurrection of deleted rows)
         if (addCols.contains("deletionVector")) {
-          val dvd = ckpt
-            .filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
-            .select("add.path").limit(1).collect()
-          require(dvd.isEmpty,
-            s"Delta file ${dvd.headOption.map(_.getString(0)).getOrElse("")} " +
-              "carries a deletion vector — beyond the native snapshot " +
-              "reader; add the delta-spark jars")
+          ckpt.filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
+            .select("add").toJSON.collect().foreach { js =>
+              val a = mapper.readTree(js).get("add")
+              parseDv(a).foreach(d => dvs(decodePath(a.get("path").asText)) = d)
+            }
         }
         val hasStats = addCols.contains("stats")
         val proj =
@@ -285,16 +295,22 @@ object DeltaLite {
         if (action.has("add")) {
           val a = action.get("add")
           val p = decodePath(a.get("path").asText)
-          requireNoDv(a, p)
           files(p) = Option(a.get("partitionValues"))
             .map(partValues).getOrElse(Map.empty)
           Option(a.get("stats")).filterNot(_.isNull)
             .foreach(s => stats(p) = s.asText)
+          // re-adding a file REPLACES its DV state (a DV update is
+          // remove+add of the same path with a new descriptor)
+          parseDv(a) match {
+            case Some(d) => dvs(p) = d
+            case None => dvs.remove(p); ()
+          }
         }
         if (action.has("remove")) {
           val p = decodePath(action.get("remove").get("path").asText)
           files.remove(p)
           stats.remove(p)
+          dvs.remove(p)
           ()
         }
         if (action.has("txn")) {
@@ -307,7 +323,8 @@ object DeltaLite {
       .getOrElse(throw new IllegalArgumentException(
         s"Delta log at $logDir carries no metaData action"))
     Snapshot(schema, partCols, files.toMap, version, txns.toMap,
-      stats.toMap, mappingMode)
+      stats.toMap, mappingMode,
+      dvs.filter { case (p, _) => files.contains(p) }.toMap)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -340,9 +357,43 @@ object DeltaLite {
     // group files by partition tuple; inject the typed partition
     // literals per group and union
     val groups = files.toSeq.groupBy(_._2).toSeq
+    // live deletion vectors (advanced protocol): decode driver-side
+    // (bitmaps are KB-compact), broadcast normalized-path → sorted row
+    // indexes, anti-filter on the parquet row_index — the same
+    // mechanism as iceberg position deletes
+    val dvRelevant = files.keySet.intersect(snap.dvs.keySet)
+    val dvMap: Map[String, Array[Long]] =
+      if (dvRelevant.isEmpty) Map.empty
+      else {
+        val fsys = new Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        dvRelevant.iterator.map { p =>
+          IcebergLite.normalizePathStr(
+            new Path(abs(p)).makeQualified(fsys.getUri,
+              fsys.getWorkingDirectory).toString) ->
+            DeletionVectors.load(fsys, tablePath, snap.dvs(p))
+        }.toMap
+      }
+    val keepRow =
+      if (dvMap.isEmpty) None
+      else {
+        val bc = spark.sparkContext.broadcast(dvMap)
+        Some(udf((path: String, idx: Long) =>
+          bc.value.get(IcebergLite.normalizePathStr(path)) match {
+            case Some(dead) =>
+              java.util.Arrays.binarySearch(dead, idx) < 0
+            case None => true
+          }))
+      }
     val parts = groups.map { case (pv, fs0) =>
-      val base0 = spark.read.schema(readSchema)
+      val scanned = spark.read.schema(readSchema)
         .parquet(fs0.map(f => abs(f._1)): _*)
+      val base0 = keepRow match {
+        case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
+          scanned.filter(keep(col("_metadata.file_path"),
+            col("_metadata.row_index")))
+        case _ => scanned
+      }
       val base =
         if (mapped) base0.select(dataFields.map(f =>
           org.apache.spark.sql.functions.col(physicalName(f))
@@ -783,6 +834,10 @@ object DeltaLite {
       s"$tablePath uses column mapping ('${snap.columnMappingMode}') — " +
         "the native writer emits logical parquet field names and would " +
         "corrupt it; write with the delta-spark jars")
+    require(snap.dvs.isEmpty,
+      s"$tablePath carries live deletion vectors — the native MERGE " +
+        "rewrites whole files and would resurrect DV-deleted rows; " +
+        "compact/rewrite with the delta-spark jars first")
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
         s"\n data:  ${batch.schema.json}")

@@ -13,7 +13,7 @@ final case class CkMeta(schemaString: String, partitionColumns: Seq[String],
 final case class CkProto(minReaderVersion: Int, minWriterVersion: Int,
     readerFeatures: Seq[String])
 final case class CkDv(storageType: String, pathOrInlineDv: String,
-    offset: Long, sizeInBytes: Long, cardinality: Long)
+    offset: Option[Long], sizeInBytes: Long, cardinality: Long)
 final case class CkAddDv(path: String, partitionValues: Map[String, String],
     deletionVector: Option[CkDv])
 
@@ -144,10 +144,10 @@ class DeltaLiteSpec extends AnyFunSuite {
     val t = java.nio.file.Files.createTempDirectory("delta_bad").toString
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     writeLog(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
       metaAction(schema.json)))
     val e1 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
-    assert(e1.getMessage.contains("deletionVectors") &&
+    assert(e1.getMessage.contains("v2Checkpoint") &&
       e1.getMessage.contains("delta-spark"), e1.getMessage)
     val t2 = java.nio.file.Files.createTempDirectory("delta_bad2").toString
     writeLog(t2, 0, Seq(
@@ -155,13 +155,16 @@ class DeltaLiteSpec extends AnyFunSuite {
       s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
     val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    // an UNKNOWN deletion-vector storage type refuses at read time
     val t3 = java.nio.file.Files.createTempDirectory("delta_bad3").toString
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t3, "x.parquet")
     writeLog(t3, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       metaAction(schema.json),
-      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
-    val e3 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t3))
-    assert(e3.getMessage.contains("deletion vector"), e3.getMessage)
+      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"x","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLite.read(spark, t3).collect())
+    assert(e3.getMessage.contains("storageType"), e3.getMessage)
     val e4 = intercept[IllegalArgumentException](DeltaLite.snapshot(
       spark, java.nio.file.Files.createTempDirectory("notdelta").toString))
     assert(e4.getMessage.contains("_delta_log"), e4.getMessage)
@@ -610,7 +613,7 @@ class DeltaLiteSpec extends AnyFunSuite {
   }
 
   test("checkpoint-seeded snapshots still enforce the protocol gate " +
-      "and refuse checkpointed deletion vectors") {
+      "and APPLY checkpointed deletion vectors") {
     // protocol action ONLY in the checkpoint (commits cleaned up):
     // an unsupported reader feature must still refuse
     val t = java.nio.file.Files.createTempDirectory("delta_ckpt_proto")
@@ -625,26 +628,30 @@ class DeltaLiteSpec extends AnyFunSuite {
         Option(CkMeta(schema.json, Nil, Map.empty[String, String])),
         Option.empty[CkProto]),
       (Option.empty[CkAdd], Option.empty[CkMeta],
-        Option(CkProto(3, 7, Seq("deletionVectors")))))
+        Option(CkProto(3, 7, Seq("v2Checkpoint")))))
       .toDF("add", "metaData", "protocol")
     installCheckpoint(t, ck, 0L)
     val e = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
-    assert(e.getMessage.contains("deletionVectors") &&
+    assert(e.getMessage.contains("v2Checkpoint") &&
       e.getMessage.contains("delta-spark"), e.getMessage)
-    // an add action in the checkpoint carrying a deletion vector refuses
+    // an add action in the checkpoint carrying an (inline) deletion
+    // vector APPLIES on read — no silent resurrection through the
+    // checkpoint path
     val t2 = java.nio.file.Files.createTempDirectory("delta_ckpt_dv")
       .toString
-    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t2, "c1.parquet")
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t2,
+      "c1.parquet")
+    val (inline, size, card) = DvTestUtil.inlineDv(Seq(0L))
     val ck2 = Seq((
         Option(CkAddDv("c1.parquet", Map.empty[String, String],
-          Option(CkDv("u", "d", 1L, 1L, 1L)))),
+          Option(CkDv("i", inline, None, size, card)))),
         Option.empty[CkMeta]),
       (Option.empty[CkAddDv],
         Option(CkMeta(schema.json, Nil, Map.empty[String, String]))))
       .toDF("add", "metaData")
     installCheckpoint(t2, ck2, 0L)
-    val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
-    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+    assert(DeltaLite.read(spark, t2).as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
   }
 
   test("column mapping `name` mode reads natively: physical parquet " +
