@@ -3772,6 +3772,36 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // RENAME EVOLUTION through the driver gate: nation lands under the
+    // original column names, then a METADATA-ONLY rename flips
+    // n_name → nation_name, and a post-rename append mixes files
+    // written under BOTH schemas. The read resolves the old files by
+    // FIELD ID (the spec's indirection) — a reader that matched by
+    // name would return nulls for every pre-rename row and
+    // hash-mismatch against the oracle, which computes the same union
+    // straight from the raw parquet.
+    QueryDef("q136b_iceberg_rename",
+      """SELECT n_nationkey, n_name AS nation_name FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100 AS n_nationkey,
+        |  lower(n_name) AS nation_name
+        |FROM nation""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q136b_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name").cast("string").as("n_name"))
+      IcebergLite.write(s, n, tbl)
+      IcebergLite.renameColumn(s, tbl, "n_name", "nation_name")
+      IcebergLite.write(s,
+        n.select((col("n_nationkey") + 100).as("n_nationkey"),
+          lower(col("n_name")).as("nation_name")), tbl)
+      IcebergLite.read(s, tbl)
+    },
+
     // ICEBERG METADATA TABLES through the driver gate: a fixed commit
     // sequence (append, append, MoR delete, merge) audited through the
     // snapshots/files inspection surface — operations, per-content

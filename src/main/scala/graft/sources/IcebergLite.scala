@@ -122,7 +122,12 @@ object IcebergLite {
         * arrive as epoch-day ints per the manifest encoding). Read for
         * transform-aware partition pruning; empty for unpartitioned.
         */
-      partValues: Map[String, Any] = Map.empty)
+      partValues: Map[String, Any] = Map.empty,
+      /** snapshot that ADDED the file (entry snapshot_id, inheriting
+        * the manifest's) — keys the schema the file was written under
+        * for rename-safe field-id column resolution.
+        */
+      addedSnapshotId: Long = 0L)
 
   final case class TableMeta(
       formatVersion: Int,
@@ -584,7 +589,9 @@ object IcebergLite {
                   })
                 }.toMap
               case _ => Map.empty
-            })
+            },
+            addedSnapshotId = field(e, "snapshot_id").map(num)
+              .getOrElse(m.addedSnapshotId))
           content match {
             case 0 => data += entry
             case 1 => posDeletes += entry
@@ -605,6 +612,63 @@ object IcebergLite {
   }
 
   // ----------------------------------------------------------------- read
+
+  /** Scan data files under the CURRENT schema, resolving each file's
+    * columns by FIELD ID through the schema it was written under (the
+    * file's adding snapshot → schema-id → historical field names): the
+    * spec's id indirection that makes renames metadata-only. Files from
+    * unknown/identical schemas read directly; a column whose id didn't
+    * exist yet reads null (add-column evolution), a historically-named
+    * column reads under its old parquet name and surfaces renamed.
+    */
+  private def scanData(spark: SparkSession, st: SnapshotState,
+      files: Seq[FileEntry], withPos: Boolean = false): DataFrame = {
+    val cur = st.meta.schema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur)
+    val curIds = st.meta.fieldIds
+    // schema-id → (field id → historical name), from the schemas history
+    val histNames: Map[Int, Map[Int, String]] = st.meta.schemasJson
+      .flatMap { js =>
+        val n = mapper.readTree(js)
+        Option(n.get("schema-id")).map(_.asInt).map { sid =>
+          sid -> Option(n.get("fields")).toSeq
+            .flatMap(_.elements.asScala)
+            .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+        }
+      }.toMap
+    val snapSchema: Map[Long, Int] = st.meta.snapshots
+      .flatMap(s => s.schemaId.map(s.snapshotId -> _)).toMap
+    // per file: current name → the name it carries in the parquet
+    def renames(f: FileEntry): Map[String, String] =
+      snapSchema.get(f.addedSnapshotId).flatMap(histNames.get) match {
+        case None => Map.empty
+        case Some(hist) => cur.fields.iterator.flatMap { fld =>
+          curIds.get(fld.name).flatMap(hist.get)
+            .filter(_ != fld.name).map(fld.name -> _)
+        }.toMap
+      }
+    files.groupBy(renames).toSeq.map { case (rn, fls) =>
+      val readSchema =
+        if (rn.isEmpty) cur
+        else StructType(cur.fields.map(f =>
+          f.copy(name = rn.getOrElse(f.name, f.name))))
+      val scanned = spark.read.schema(readSchema)
+        .parquet(fls.map(_.path): _*)
+      val staged =
+        if (!withPos) scanned
+        else scanned
+          .withColumn("__ice_file",
+            normalizePathCol(col("_metadata.file_path")))
+          .withColumn("__ice_pos", col("_metadata.row_index"))
+      if (rn.isEmpty) staged
+      else staged.select((cur.fields.map(f =>
+          col(rn.getOrElse(f.name, f.name)).as(f.name)) ++
+        (if (withPos) Seq(col("__ice_file"), col("__ice_pos"))
+         else Nil)).toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
 
   /** The table snapshot as a DataFrame — latest, or pinned to
     * `snapshotId` (time travel). Position deletes apply as one
@@ -633,8 +697,7 @@ object IcebergLite {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           st.meta.schema)
       else if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty)
-        spark.read.schema(st.meta.schema)
-          .parquet(st.dataFiles.map(_.path): _*)
+        scanData(spark, st, st.dataFiles)
       else aliveWithPos(spark, st)
         .select(st.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
     where.map(base.filter).getOrElse(base)
@@ -1176,7 +1239,6 @@ object IcebergLite {
     val now = 1L
 
     val schemaJson = { val (n, _) = schemaNode(schema); n.toString }
-    val ids = topFieldIds(schema)
     // the spec fields JSON both the manifest headers and the metadata
     // partition-specs carry
     val specFieldsJson = partitionSpec.zipWithIndex.map { case (f, i) =>
@@ -1370,7 +1432,18 @@ object IcebergLite {
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val ids = topFieldIds(df.schema)
+    // bounds + spec source ids come from the TABLE's stored assignment
+    // (stable across renames/drops), extended positionally for added
+    // columns; a fresh table assigns positionally
+    val ids: Map[String, Int] = prior match {
+      case Some(p) =>
+        val next = math.max(p.meta.lastColumnId,
+          p.meta.fieldIds.values.maxOption.getOrElse(0))
+        p.meta.fieldIds ++ df.schema.fieldNames
+          .filterNot(p.meta.fieldIds.contains).zipWithIndex
+          .map { case (c, i) => c -> (next + 1 + i) }
+      case None => topFieldIds(df.schema)
+    }
     val entrySchema =
       manifestEntrySchemaFor(partFields.map(f => f.name -> f.resType))
     val stagedWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
@@ -1403,6 +1476,102 @@ object IcebergLite {
       transform: IcebergTransforms.Transform, srcCol: String,
       srcType: DataType, resType: DataType)
 
+  /** METADATA-ONLY column rename (the spec's field-id indirection: the
+    * id keeps binding old data files, only the name changes). Appends a
+    * fresh schema to the history and bumps current-schema-id — no
+    * snapshot, no data IO. Renaming a partition SOURCE column refuses
+    * (the spec field rename ripples into specs/manifests — iceberg
+    * runtime territory).
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Unit =
+    evolveSchema(spark, tablePath, s"rename $from -> $to") { fields =>
+      require(fields.exists(_._2 == from),
+        s"no column '$from' in $tablePath")
+      require(!fields.exists(_._2 == to),
+        s"column '$to' already exists in $tablePath")
+      fields.map { case (id, n, t) => (id, if (n == from) to else n, t) }
+    }
+
+  /** METADATA-ONLY column drop: the field leaves the current schema
+    * (old data files keep the bytes; readers project them away).
+    * Refuses for partition sources and columns referenced by live
+    * equality deletes.
+    */
+  def dropColumn(spark: SparkSession, tablePath: String,
+      name: String): Unit = {
+    val st = snapshotState(spark, tablePath)
+    val id = st.meta.fieldIds.getOrElse(name,
+      throw new IllegalArgumentException(s"no column '$name' in $tablePath"))
+    require(!st.eqDeleteFiles.exists(_.equalityIds.contains(id)),
+      s"column '$name' is referenced by live equality-delete files — " +
+        "compact first")
+    require(st.meta.fieldIds.size > 1,
+      s"cannot drop the only column of $tablePath")
+    evolveSchema(spark, tablePath, s"drop $name")(
+      _.filterNot(_._2 == name))
+  }
+
+  /** Shared metadata-only schema evolution: edit the current schema's
+    * (id, name, typeNode) field list, append as a new schema-id, write
+    * v<N+1>.metadata.json.
+    */
+  private def evolveSchema(spark: SparkSession, tablePath: String,
+      what: String)(
+      edit: Seq[(Int, String, JsonNode)] => Seq[(Int, String, JsonNode)])
+      : Unit = {
+    val meta = loadMeta(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(
+      new Path(root, s"metadata/v${meta.version}.metadata.json"))
+    val node = (try mapper.readTree(in.readAllBytes()) finally in.close())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(node.has("schemas"),
+      s"$tablePath is a v1 single-schema table — schema evolution " +
+        "needs the iceberg runtime")
+    val curId = Option(node.get("current-schema-id")).map(_.asInt)
+      .getOrElse(0)
+    val cur = node.get("schemas").elements.asScala
+      .find(s => Option(s.get("schema-id")).forall(_.asInt == curId))
+      .getOrElse(throw new IllegalStateException(
+        s"current schema $curId missing from $tablePath metadata"))
+    val fields = cur.get("fields").elements.asScala.toSeq.map(f =>
+      (f.get("id").asInt, f.get("name").asText, f.get("type")))
+    // partition sources stay untouchable for both rename and drop
+    val touched = fields.map(_._2).toSet --
+      edit(fields).map(_._2).toSet
+    val srcIds = meta.partitionFields.map(_.sourceId).toSet
+    touched.foreach { n =>
+      meta.fieldIds.get(n).foreach(id => require(!srcIds.contains(id),
+        s"cannot $what: '$n' is a partition source column of $tablePath"))
+    }
+    val edited = edit(fields)
+    val maxId = node.get("schemas").elements.asScala
+      .flatMap(s => Option(s.get("schema-id")).map(_.asInt)).maxOption
+      .getOrElse(0)
+    val ns = mapper.createObjectNode()
+    ns.put("type", "struct")
+    ns.put("schema-id", maxId + 1)
+    val fArr = ns.putArray("fields")
+    edited.foreach { case (id, n, t) =>
+      val f = fArr.addObject()
+      f.put("id", id); f.put("name", n); f.put("required", false)
+      f.set[JsonNode]("type", t)
+    }
+    node.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "schemas").add(ns)
+    node.put("current-schema-id", maxId + 1)
+    val newVersion = meta.version + 1
+    val out = fs.create(
+      new Path(root, s"metadata/v$newVersion.metadata.json"), false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
+  }
+
   /** Highest committed txn version for `appId` across the table's
     * snapshot summaries (None = never committed).
     */
@@ -1431,10 +1600,7 @@ object IcebergLite {
       st: SnapshotState): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     import spark.implicits._
-    val base = spark.read.schema(st.meta.schema)
-      .parquet(st.dataFiles.map(_.path): _*)
-      .withColumn("__ice_file", normalizePathCol(col("_metadata.file_path")))
-      .withColumn("__ice_pos", col("_metadata.row_index"))
+    val base = scanData(spark, st, st.dataFiles, withPos = true)
     val afterPos =
       if (st.posDeleteFiles.isEmpty) base
       else {
@@ -1632,7 +1798,7 @@ object IcebergLite {
     val seq = prior.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val ids = topFieldIds(prior.meta.schema)
+    val ids = prior.meta.fieldIds
     val delEntries = delEntriesAndRows.map { e =>
       // re-stamp snapshot/sequence now that they exist
       e.put("snapshot_id", snapshotId); e.put("sequence_number", seq)
@@ -1729,7 +1895,7 @@ object IcebergLite {
     val seq = st.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val ids = topFieldIds(st.meta.schema)
+    val ids = st.meta.fieldIds
     val entries =
       carry.map(f => entryRecord(1, snapshotId, seq, content = 0,
         f.path, f.recordCount, f.fileSize,
@@ -1899,10 +2065,7 @@ object IcebergLite {
     val from = snapshotState(spark, tablePath, Some(fromSnapshotId))
     val to = snapshotState(spark, tablePath, Some(toSnapshotId))
     def scan(st: SnapshotState, files: Seq[FileEntry]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.meta.schema)
-      else spark.read.schema(st.meta.schema).parquet(files.map(_.path): _*)
+      scanData(spark, st, files)
     if (from.posDeleteFiles.nonEmpty || to.posDeleteFiles.nonEmpty ||
         from.eqDeleteFiles.nonEmpty || to.eqDeleteFiles.nonEmpty)
       (read(spark, tablePath, Some(fromSnapshotId)),

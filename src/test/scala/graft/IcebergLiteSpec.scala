@@ -116,6 +116,59 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("extra"))
   }
 
+  test("rename evolution is metadata-only: old files resolve by FIELD " +
+      "ID under the new name, appends/upserts continue, drop projects " +
+      "the column away, partition sources refuse") {
+    val t = tmp("rename")
+    IcebergLite.write(spark,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "score"), t)
+    IcebergLite.renameColumn(spark, t, "v", "label")
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.schema.fieldNames.toSeq == Seq("k", "label", "score"))
+    assert(meta.fieldIds == Map("k" -> 1, "label" -> 2, "score" -> 3),
+      "rename must keep the field id")
+    // the OLD data files (written under the old name) read under the
+    // new name — field-id indirection, no data IO happened
+    assert(IcebergLite.read(spark, t)
+      .select("k", "label").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // appends under the NEW name mix with old files transparently
+    IcebergLite.write(spark,
+      Seq((3L, "c", 3.5)).toDF("k", "label", "score"), t)
+    assert(IcebergLite.read(spark, t)
+      .select("k", "label").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // merge still prunes/merges correctly across the rename (bounds are
+    // keyed by field id, which didn't move)
+    IcebergLite.upsert(spark,
+      Seq((2L, "B2", 9.9)).toDF("k", "label", "score"), t, Seq("k"))
+    assert(IcebergLite.read(spark, t)
+      .select("k", "label").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // a second rename stacks (old files now two schemas back)
+    IcebergLite.renameColumn(spark, t, "label", "tag")
+    assert(IcebergLite.read(spark, t)
+      .select("k", "tag").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // drop projects the column away without touching files
+    IcebergLite.dropColumn(spark, t, "score")
+    val got = IcebergLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "tag"))
+    assert(got.count() == 3)
+    // invalid evolutions refuse
+    intercept[IllegalArgumentException](
+      IcebergLite.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      IcebergLite.renameColumn(spark, t, "k", "tag"))
+    // partition source columns are untouchable
+    val tp = tmp("rename_part")
+    IcebergLite.write(spark, Seq((1L, "us", "a")).toDF("k", "region", "v"),
+      tp, partitionBy = Seq("region"))
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.renameColumn(spark, tp, "region", "geo"))
+    assert(e.getMessage.contains("partition source"), e.getMessage)
+  }
+
   // ---------------------------------------------------- merge-on-read
 
   test("position-delete commit suppresses matched rows WITHOUT " +
