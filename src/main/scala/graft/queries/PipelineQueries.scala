@@ -3934,6 +3934,64 @@ object PipelineQueries {
           sum("o_custkey").cast("long").as("sum_cust"))
     },
 
+    // TTL'D STREAM REPLAY through the driver gate — the last 🧪-only
+    // streaming-family operator gets a DuckDB-checkable entry. A REAL
+    // Structured Streaming run: the events land as micro-batch 1, a
+    // sentinel event 10 hours past the data lands as micro-batch 2
+    // (file mtimes pin the order), the TTL operator attaches the
+    // 1-hour watermark, and the tumbling aggregation emits in APPEND
+    // mode — i.e. only windows the watermark CLOSED. The sentinel
+    // pushes the final watermark past every real window, so the closed
+    // set equals the full batch aggregation, which is exactly what the
+    // oracle computes from the raw parquet. Late-drop or eviction bugs
+    // in the watermark plumbing hash-mismatch; the sentinel's own
+    // (still-open) window must NOT appear.
+    QueryDef("q140_ttl_stream_replay",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.streaming.StreamOps
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q140_ttl").toString
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"))
+      ev.coalesce(1).write.parquet(s"$base/src")
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      import s.implicits._
+      Seq((new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000),
+          "__sentinel__"))
+        .toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      // pin micro-batch order: events first, sentinel second
+      val srcFiles = fsys.listStatus(new org.apache.hadoop.fs.Path(
+          s"$base/src"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getModificationTime)
+      require(srcFiles.length == 2, s"expected 2 staged files")
+      fsys.setTimes(srcFiles(0).getPath, 1000000L, -1)
+      fsys.setTimes(srcFiles(1).getPath, 2000000L, -1)
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/src")
+      val agged = StreamOps.tumbleAgg(
+        StreamOps.ttl(stream, "ts", "1 hour"),
+        "ts", "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n")))
+      val q = agged.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "TTL replay stream timed out")
+      s.read.parquet(s"$base/out")
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("window_start"), col("event_type"), col("n"))
+    },
+
     // HOST-GRAPH PAGERANK in integer fixed point (the Common-Crawl-style
     // domain-authority signal crawl curation ranks and thresholds on):
     // ranks are micro-units of 1e12, every iteration is integer
