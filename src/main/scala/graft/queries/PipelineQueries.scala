@@ -3934,6 +3934,81 @@ object PipelineQueries {
           sum("o_custkey").cast("long").as("sum_cust"))
     },
 
+    // DELETION-VECTOR DELETE through the driver gate: customers land in
+    // a native delta table, a merge-on-read DV delete retracts a key
+    // slice WITHOUT rewriting any data file (bitmap + re-add commits),
+    // a second delete stacks (bitmap union), and the read applies the
+    // vectors. The oracle recomputes the surviving set straight from
+    // the raw parquet — resurrected rows, over-deletes, or bitmap
+    // decode drift hash-fail.
+    QueryDef("q141_delta_dv_delete",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q141_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name").cast("string").as("c_name"))
+      DeltaLite.write(s, c, tbl)
+      DeltaLite.deleteWhere(s, tbl, col("c_custkey") % 3 === 0)
+      DeltaLite.deleteWhere(s, tbl, col("c_custkey") % 7 === 1)
+      DeltaLite.read(s, tbl)
+    },
+
+    // NATIVE LAKEHOUSE TAIL through the driver gate: a delta table
+    // accumulates three versions (create, append, keyed upsert), then
+    // the version-offset streaming tail replays it from version 0 with
+    // Trigger.AvailableNow — one micro-batch per version, each the
+    // O(changed-files) keyed CDC diff. The sunk feed (row + _op + _seq
+    // = version) must equal the oracle's hand-built expectation over
+    // the same region source; a wrong diff, skipped version, or
+    // mis-sequenced batch hash-fails.
+    QueryDef("q142_delta_tail_replay",
+      """SELECT r_regionkey, r_name, 'insert' AS _op,
+        |  CAST(0 AS BIGINT) AS _seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, r_name,
+        |  'insert' AS _op, CAST(1 AS BIGINT) AS _seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey, 'MERGED' AS r_name,
+        |  'update_postimage' AS _op, CAST(2 AS BIGINT) AS _seq
+        |FROM region WHERE r_regionkey = 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q142_tail").toString
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val tbl = s"$base/tbl"
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      DeltaLite.write(s, r, tbl)
+      DeltaLite.write(s,
+        r.select((col("r_regionkey") + 100).as("r_regionkey"),
+          col("r_name")), tbl)
+      DeltaLite.upsert(s, {
+        import s.implicits._
+        Seq((1L, "MERGED")).toDF("r_regionkey", "r_name")
+      }, tbl, Seq("r_regionkey"))
+      val q = s.readStream.format("graft.sources.LakeTailSource")
+        .option("path", tbl).option("table_format", "delta")
+        .option("keys", "r_regionkey").option("starting_version", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "tail replay timed out")
+      s.read.parquet(s"$base/out")
+        .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
+    },
+
     // TTL'D STREAM REPLAY through the driver gate — the last 🧪-only
     // streaming-family operator gets a DuckDB-checkable entry. A REAL
     // Structured Streaming run: the events land as micro-batch 1, a

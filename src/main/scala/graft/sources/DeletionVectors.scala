@@ -180,6 +180,100 @@ object DeletionVectors {
     }
   }
 
+  // ------------------------------------------------------------ encode
+
+  /** Serialize row indexes to the RoaringBitmapArray portable format —
+    * the write half of the DV-based merge-on-read DELETE. Array
+    * containers for ≤4096 values per 16-bit chunk, bitset containers
+    * above (runs are a reader-side-only concern; writers may always
+    * choose the simpler forms).
+    */
+  def encodeBitmap(rows0: Array[Long]): Array[Byte] = {
+    val rows = rows0.distinct.sorted
+    val o = new java.io.ByteArrayOutputStream
+    def i32(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff) }
+    def i16(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
+    i32(MagicNumber)
+    val byHigh = rows.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    i32(byHigh.size); i32(0) // int64 LE bitmap count (< 2^31 always)
+    byHigh.foreach { case (high, vs) =>
+      i32(high.toInt)
+      val byKey = vs.map(v => (v & 0xffffffffL).toInt)
+        .groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      i32(SerialCookieNoRun)
+      i32(byKey.size)
+      byKey.foreach { case (key, cvs) =>
+        i16(key); i16(cvs.length - 1)
+      }
+      var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
+      byKey.foreach { case (_, cvs) =>
+        i32(off)
+        off += (if (cvs.length > 4096) 8192 else 2 * cvs.length)
+      }
+      byKey.foreach { case (_, cvs) =>
+        if (cvs.length > 4096) {
+          val words = new Array[Long](1024)
+          cvs.foreach(v => words((v & 0xffff) >>> 6) |= (1L << (v & 63)))
+          words.foreach { w =>
+            i32((w & 0xffffffffL).toInt); i32((w >>> 32).toInt)
+          }
+        } else cvs.foreach(v => i16(v & 0xffff))
+      }
+    }
+    o.toByteArray
+  }
+
+  /** Write one DV FILE holding the given per-key bitmaps at distinct
+    * offsets: version byte, then per DV `<size BE><data><crc32 BE>`.
+    * Returns (pathOrInlineDv id, key → (offset, sizeInBytes)).
+    */
+  def writeDvFile(fs: FileSystem, tablePath: String,
+      dvs: Seq[(String, Array[Long])]): (String, Map[String, (Long, Long)]) = {
+    val uuid = java.util.UUID.randomUUID()
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val id = z85Encode(bb.array())
+    val o = new java.io.ByteArrayOutputStream
+    o.write(1) // format version
+    val dos = new java.io.DataOutputStream(o)
+    val offsets = dvs.map { case (key, rows) =>
+      val data = encodeBitmap(rows)
+      val off = o.size().toLong
+      dos.writeInt(data.length)
+      dos.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      dos.writeInt(crc.getValue.toInt)
+      key -> (off, data.length.toLong)
+    }.toMap
+    val out = fs.create(
+      new Path(tablePath, s"deletion_vector_$uuid.bin"), false)
+    try out.write(o.toByteArray) finally out.close()
+    (id, offsets)
+  }
+
+  /** Inverse of [[z85Decode]] (exposed for the writer: the uuid id). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "z85 encodes 4-byte groups")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      var acc = 0L
+      var j = 0
+      while (j < 4) { acc = (acc << 8) | (bytes(i + j) & 0xff); j += 1 }
+      val chars = new Array[Char](5)
+      var k = 4
+      while (k >= 0) {
+        chars(k) = Z85Alphabet((acc % 85).toInt); acc /= 85; k -= 1
+      }
+      sb.appendAll(chars)
+      i += 4
+    }
+    sb.toString
+  }
+
   /** Load + decode one descriptor to sorted deleted row indexes;
     * sizeInBytes and cardinality are verified against the bytes.
     */

@@ -573,6 +573,109 @@ object DeltaLite {
       s""""stats":$stEsc}}"""
   }
 
+  /** MERGE-ON-READ DELETE via deletion vectors (the advanced-protocol
+    * write path delta-spark uses for row-level deletes): rows matching
+    * `cond` are recorded as per-file row-index bitmaps in ONE DV file;
+    * the commit re-adds each touched file with its descriptor (merged
+    * with any existing DV) — zero data-file rewrites at any table size,
+    * deletes cost O(matched rows) bitmap bytes. A file whose rows are
+    * ALL deleted (per its stats numRecords) is removed outright. The
+    * commit upgrades the protocol to reader/writer feature
+    * `deletionVectors` when needed. Returns the new version (current
+    * version when nothing matched).
+    *
+    * The matched positions pass through the driver as compact bitmaps;
+    * `graft.delta.maxDeleteRowsPerCommit` (default 10M) bounds that
+    * loudly — table-scale purges belong on a rewrite path, not a DV.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val snap = snapshot(spark, tablePath)
+    require(snap.columnMappingMode == "none",
+      s"$tablePath uses column mapping — delete with the delta-spark jars")
+    require(snap.partitionColumns.isEmpty,
+      "DeltaLite.deleteWhere targets unpartitioned tables")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    if (snap.files.isEmpty) return snap.version
+    // matching (file, row_index); existing-DV rows may re-match — the
+    // per-file union below dedups them
+    val scanned = spark.read.schema(snap.schema)
+      .parquet(snap.files.keysIterator.map(abs).toSeq: _*)
+      .filter(cond)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+          .as("__p"),
+        org.apache.spark.sql.functions.col("_metadata.row_index")
+          .as("__i"))
+    val maxRows = spark.conf
+      .getOption("graft.delta.maxDeleteRowsPerCommit")
+      .map(_.toLong).getOrElse(10000000L)
+    // bound the driver transfer BEFORE collecting anything
+    require(scanned.count() <= maxRows,
+      s"delete matches more than $maxRows rows — raise " +
+        "graft.delta.maxDeleteRowsPerCommit or rewrite the table instead")
+    val grouped = scanned
+      .groupBy(org.apache.spark.sql.functions.col("__p"))
+      .agg(org.apache.spark.sql.functions
+        .collect_list(org.apache.spark.sql.functions.col("__i")).as("__is"))
+      .collect()
+    if (grouped.isEmpty) return snap.version
+    // normalize scan paths back to the snapshot's action paths
+    val byNorm = snap.files.keysIterator
+      .map(p => IcebergLite.normalizePathStr(abs(p)) -> p).toMap
+    val perFile: Seq[(String, Array[Long])] = grouped.toSeq.map { r =>
+      val action = byNorm.getOrElse(
+        IcebergLite.normalizePathStr(r.getString(0)),
+        throw new IllegalStateException(
+          s"scan path ${r.getString(0)} not in the snapshot file set"))
+      val fresh = r.getSeq[Long](1).toArray
+      val prior = snap.dvs.get(action)
+        .map(d => DeletionVectors.load(fs, tablePath, d))
+        .getOrElse(Array.empty[Long])
+      action -> (fresh ++ prior).distinct.sorted
+    }
+    def numRecords(p: String): Option[Long] = snap.stats.get(p)
+      .flatMap(js => try Option(mapper.readTree(js).get("numRecords"))
+        .map(_.asLong) catch { case _: Exception => None })
+    val (fullyDead, dvd) = perFile.partition { case (p, rows) =>
+      numRecords(p).contains(rows.length.toLong)
+    }
+    val now = 1L
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("DELETE", Map("mode" -> "deletionVector"), now)
+    // protocol upgrade once DVs enter the table
+    if (snap.dvs.isEmpty && dvd.nonEmpty)
+      lines += ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""")
+    val dvFile =
+      if (dvd.isEmpty) None
+      else Some(DeletionVectors.writeDvFile(fs, tablePath, dvd))
+    dvd.foreach { case (p, rows) =>
+      val (id, offsets) = dvFile.get
+      val (off, size) = offsets(p)
+      val pEsc = mapper.writeValueAsString(p)
+      val stEsc = snap.stats.get(p)
+        .map(s => s""","stats":${mapper.writeValueAsString(s)}""")
+        .getOrElse("")
+      lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,"dataChange":true}}"""
+      lines += (s"""{"add":{"path":$pEsc,"partitionValues":{},"size":1,""" +
+        s""""modificationTime":$now,"dataChange":true$stEsc,""" +
+        s""""deletionVector":{"storageType":"u",""" +
+        s""""pathOrInlineDv":${mapper.writeValueAsString(id)},""" +
+        s""""offset":$off,"sizeInBytes":$size,""" +
+        s""""cardinality":${rows.length}}}}""")
+    }
+    fullyDead.foreach { case (p, _) => lines += removeAction(p, now) }
+    val version = snap.version + 1
+    claimCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq,
+      tablePath)
+    version
+  }
+
   private def txnAction(appId: String, v: Long, now: Long): String = {
     val idEsc = mapper.writeValueAsString(appId)
     s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""

@@ -4,6 +4,7 @@ import java.io.ByteArrayOutputStream
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 import graft.sources.{DeletionVectors, DeltaLite}
 
@@ -187,6 +188,65 @@ class DeletionVectorsSpec extends AnyFunSuite {
       s"/t/deletion_vector_$uuid.bin")
     assert(DeletionVectors.uuidPath("/t", "ab" + id).toString ==
       s"/t/ab/deletion_vector_$uuid.bin")
+  }
+
+  test("encodeBitmap: round-trips through decodeBitmap (array + bitset " +
+      "containers, multiple chunks) and agrees byte-for-byte with the " +
+      "independent test encoder on array forms") {
+    val small = Array(0L, 3L, 10L, 65536L + 7L, (1L << 32) + 5L)
+    assert(DeletionVectors.decodeBitmap(
+      DeletionVectors.encodeBitmap(small)).toSeq == small.sorted.toSeq)
+    assert(DeletionVectors.encodeBitmap(small).toSeq ==
+      DvTestUtil.dvBytes(small.toSeq).toSeq,
+      "two independent spec implementations disagree")
+    val big = (0L until 10000L by 2).toArray // bitset container
+    assert(DeletionVectors.decodeBitmap(
+      DeletionVectors.encodeBitmap(big)).toSeq == big.toSeq)
+    // mixed: one bitset chunk + one array chunk
+    val mixed = big ++ Array(200000L, 200001L)
+    assert(DeletionVectors.decodeBitmap(
+      DeletionVectors.encodeBitmap(mixed)).toSeq == mixed.sorted.toSeq)
+  }
+
+  test("DeltaLite.deleteWhere: merge-on-read DV delete — zero data-file " +
+      "rewrites, stacking deletes union bitmaps, a fully-deleted file " +
+      "is removed, time travel sees the pre-delete state") {
+    import graft.sources.DeltaLite
+    val t = java.nio.file.Files.createTempDirectory("delta_dvdel")
+      .toString + "/tbl"
+    DeltaLite.write(spark,
+      (0L to 9L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.write(spark,
+      (10L to 14L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val filesBefore = DeltaLite.snapshot(spark, t).files.keySet
+    val v1 = DeltaLite.deleteWhere(spark, t, col("k") % 2 === 0)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect()
+      .map(_._1).toSet == Set(1L, 3L, 5L, 7L, 9L, 11L, 13L))
+    val snap1 = DeltaLite.snapshot(spark, t)
+    assert(snap1.files.keySet == filesBefore,
+      "a DV delete must not rewrite or drop data files")
+    assert(snap1.dvs.size == 2)
+    // stacked delete UNIONS with the existing DVs
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect()
+      .map(_._1).toSet == Set(3L, 5L, 7L, 9L, 11L, 13L))
+    // no-match delete is a no-op version-wise
+    val vSame = DeltaLite.deleteWhere(spark, t, col("k") === 999L)
+    assert(vSame == DeltaLite.snapshot(spark, t).version)
+    // deleting EVERY remaining row of file 2 removes it outright
+    DeltaLite.deleteWhere(spark, t, col("k") >= 10L)
+    val snap3 = DeltaLite.snapshot(spark, t)
+    assert(snap3.files.size == 1,
+      s"fully-deleted file must be removed: ${snap3.files.keySet}")
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect()
+      .map(_._1).toSet == Set(3L, 5L, 7L, 9L))
+    // time travel BEFORE the first delete sees all 15 rows
+    assert(DeltaLite.read(spark, t, Some(v1 - 1)).count() == 15)
+    // appends continue to work next to live DVs; upsert still refuses
+    DeltaLite.write(spark, Seq((100L, "new")).toDF("k", "v"), t)
+    assert(DeltaLite.read(spark, t).count() == 5)
+    intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((3L, "Z")).toDF("k", "v"), t, Seq("k")))
   }
 
   test("a DV'd table reads natively: inline and u-storage vectors " +
