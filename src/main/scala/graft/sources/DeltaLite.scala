@@ -110,13 +110,14 @@ object DeltaLite {
   }
 
   /** Validate and normalize `delta.columnMapping.mode` — `name` mode
-    * is pure metadata (parquet fields resolve by physicalName) and
-    * reads natively; `id` mode (field-id resolution inside parquet)
-    * stays a loud refusal.
+    * resolves parquet fields by physicalName, `id` mode by the parquet
+    * FIELD IDS id-mapped writers stamp into the files (Spark's native
+    * field-id matching does the per-column resolution); both read
+    * natively. Unknown future modes refuse.
     */
   private def checkMappingMode(mode: Option[String]): String = {
     val m = mode.getOrElse("none")
-    require(m == "none" || m == "name",
+    require(m == "none" || m == "name" || m == "id",
       s"Delta column mapping mode '$m' is not supported by the native " +
         "snapshot reader; add the delta-spark jars")
     m
@@ -334,15 +335,23 @@ object DeltaLite {
       snap: Snapshot,
       files: Map[String, Map[String, Option[String]]]): DataFrame = {
     val mapped = snap.columnMappingMode == "name"
+    val idMapped = snap.columnMappingMode == "id"
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
     // `name` mapping: the parquet files carry PHYSICAL field names
     // (schemaString metadata `delta.columnMapping.physicalName`, nested
     // included). Read under the physicalized schema, then restore the
     // logical names — nested ones by positional struct cast.
+    // `id` mapping: the files carry FIELD IDS; request the logical
+    // schema with `parquet.field.id` metadata (from columnMapping.id)
+    // and let Spark's field-id matching resolve columns — names in the
+    // files are irrelevant, so no rename-back pass is needed.
+    if (idMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val readSchema =
       if (mapped) StructType(dataFields.map(f => f.copy(
         name = physicalName(f), dataType = physicalize(f.dataType))))
+      else if (idMapped) StructType(dataFields.map(fieldIdField))
       else StructType(dataFields)
     val partFields = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
@@ -410,6 +419,29 @@ object DeltaLite {
     parts.reduce(_.unionByName(_)).select(
       snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
+  }
+
+  /** Copy a field (recursively) with `parquet.field.id` metadata set
+    * from `delta.columnMapping.id` — the schema shape Spark's field-id
+    * read path matches against id-mapped files.
+    */
+  private def fieldIdField(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types._
+    require(f.metadata.contains("delta.columnMapping.id"),
+      s"id-mapped Delta column '${f.name}' lacks delta.columnMapping.id")
+    def rec(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(fieldIdField))
+      case a: ArrayType => a.copy(elementType = rec(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = rec(m.keyType), valueType = rec(m.valueType))
+      case other => other
+    }
+    f.copy(dataType = rec(f.dataType),
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id"))
+        .build())
   }
 
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =

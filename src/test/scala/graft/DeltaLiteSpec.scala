@@ -152,7 +152,7 @@ class DeltaLiteSpec extends AnyFunSuite {
     val t2 = java.nio.file.Files.createTempDirectory("delta_bad2").toString
     writeLog(t2, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
+      s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"unknown-future-mode"},"createdTime":1}}"""))
     val e2 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t2))
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
     // an UNKNOWN deletion-vector storage type refuses at read time
@@ -654,10 +654,48 @@ class DeltaLiteSpec extends AnyFunSuite {
       Set((2L, "b")))
   }
 
+  test("column mapping `id` mode reads natively: parquet FIELD IDS " +
+      "resolve columns regardless of file-side names; writes refuse") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cmid").toString
+    // the data file carries arbitrary physical names + parquet field
+    // ids (Spark stamps them from schema metadata on write)
+    val idMeta1 = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 1L).build()
+    val idMeta2 = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2L).build()
+    val physSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cA",
+        org.apache.spark.sql.types.LongType, true, idMeta1),
+      org.apache.spark.sql.types.StructField("cB",
+        org.apache.spark.sql.types.StringType, true, idMeta2)))
+    val phys = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a"),
+        org.apache.spark.sql.Row(2L, "b"))), physSchema)
+    writeDataFile(phys, t, "c1.parquet")
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"cA"}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"cB"}}
+        |]}""".stripMargin.replace("\n", "")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"cmid","format":{"provider":"parquet","options":{}},"schemaString":${escape(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}""",
+      """{"add":{"path":"c1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(got.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    val eW = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t))
+    assert(eW.getMessage.contains("column mapping"), eW.getMessage)
+  }
+
   test("column mapping `name` mode reads natively: physical parquet " +
       "field names (nested included) resolve back to logical names; " +
-      "partitionValues key by physical name; writes refuse; `id` mode " +
-      "still refuses") {
+      "partitionValues key by physical name; writes refuse; unknown " +
+      "modes still refuse") {
     val t = java.nio.file.Files.createTempDirectory("delta_cmap").toString
     // the DATA FILE carries physical names, nested struct field too
     val phys = Seq((1L, "a", ("x", 10L)), (2L, "b", ("y", 20L)))
