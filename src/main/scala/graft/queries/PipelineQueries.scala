@@ -4009,6 +4009,75 @@ object PipelineQueries {
         .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
     },
 
+    // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
+    // lands in a hive-layout delta table partitioned by market segment
+    // (ONE partitionBy staging pass; partitionValues recovered from the
+    // dir chain into the log), and the read-back injects the partition
+    // column from the log's typed values — the data files themselves
+    // don't carry it. The oracle recomputes from raw parquet, so a
+    // dropped partition, mis-decoded dir value, or wrong literal
+    // injection hash-fails.
+    QueryDef("q143_delta_partitioned",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q143_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_mktsegment").cast("string").as("c_mktsegment"))
+      DeltaLite.write(s, c, tbl, partitionBy = Seq("c_mktsegment"))
+      DeltaLite.read(s, tbl)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("c_custkey").cast("long").as("sum_key"))
+    },
+
+    // WIDE-PARTITION DELTA READ past the fan-out cap: a month of
+    // orders lands under ~31 date partitions; with the union cap
+    // forced below that, the read takes the scale path — ONE scan of
+    // every data file plus a broadcast path→partition-values join
+    // instead of a 31-way union of per-partition scans (constant plan
+    // size at any partition count). The filter + aggregate on the
+    // joined partition column must match the raw-parquet oracle — a
+    // wrong path→value mapping or string→date cast drift hash-fails.
+    QueryDef("q143b_delta_partition_fanout",
+      """SELECT CAST(o_orderdate AS DATE) AS o_orderdate, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-03-01'
+        |  AND o_orderdate < DATE '1995-04-01'
+        |  AND o_orderdate <> DATE '1995-03-05'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q143b_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val lo = java.sql.Date.valueOf("1995-03-01")
+      val hi = java.sql.Date.valueOf("1995-04-01")
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").cast("bigint").as("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      DeltaLite.write(s, o, tbl, partitionBy = Seq("o_orderdate"))
+      val prev = s.conf.getOption("graft.delta.partitionUnionLimit")
+      s.conf.set("graft.delta.partitionUnionLimit", "8")
+      try DeltaLite.read(s, tbl)
+        .filter(col("o_orderdate") =!=
+          java.sql.Date.valueOf("1995-03-05"))
+        .groupBy("o_orderdate")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").cast("long").as("sum_cust"))
+      finally prev match {
+        case Some(v) => s.conf.set("graft.delta.partitionUnionLimit", v)
+        case None => s.conf.unset("graft.delta.partitionUnionLimit")
+      }
+    },
+
     // TTL'D STREAM REPLAY through the driver gate — the last 🧪-only
     // streaming-family operator gets a DuckDB-checkable entry. A REAL
     // Structured Streaming run: the events land as micro-batch 1, a

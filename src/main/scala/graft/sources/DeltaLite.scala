@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, udf}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Native Delta Lake SNAPSHOT reader — no delta-spark jar required.
   *
@@ -394,6 +394,64 @@ object DeltaLite {
             case None => true
           }))
       }
+    // Small partition counts read as per-group scans with the typed
+    // partition LITERALS injected — Catalyst constant-folds filters on
+    // partition columns per group, pruning whole scans for free. Past
+    // the fan-out cap (default 64 — a union of thousands of scan nodes
+    // would blow up plan size/optimizer time on a day-partitioned
+    // multi-year table), switch to ONE scan of every file plus a
+    // BROADCAST path→partition-values join: constant plan size at any
+    // partition count, one hash lookup per row.
+    val unionCap = spark.conf
+      .getOption("graft.delta.partitionUnionLimit")
+      .map(_.toInt).getOrElse(64)
+    def logicalize(base0: DataFrame): DataFrame =
+      if (mapped) base0.select(dataFields.map(f =>
+        org.apache.spark.sql.functions.col(physicalName(f))
+          .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      else base0
+    if (partFields.nonEmpty && groups.size > unionCap) {
+      val fsys = new Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def norm(p: String): String = IcebergLite.normalizePathStr(
+        new Path(abs(p)).makeQualified(fsys.getUri,
+          fsys.getWorkingDirectory).toString)
+      val scanned = spark.read.schema(readSchema)
+        .parquet(files.keysIterator.map(abs).toSeq: _*)
+      val base0 = keepRow match {
+        case Some(keep) => scanned.filter(keep(
+          col("_metadata.file_path"), col("_metadata.row_index")))
+        case None => scanned
+      }
+      val pathCol = IcebergLite
+        .normalizePathCol(col("_metadata.file_path")).as("__delta_path")
+      val withPath =
+        if (mapped) base0.select((dataFields.map(f =>
+            org.apache.spark.sql.functions.col(physicalName(f))
+              .cast(f.dataType).as(f.name)) :+ pathCol).toIndexedSeq: _*)
+        else base0.select((dataFields.map(f =>
+            org.apache.spark.sql.functions.col(f.name)) :+ pathCol)
+          .toIndexedSeq: _*)
+      val pvSchema = StructType(
+        StructField("__delta_path", org.apache.spark.sql.types.StringType,
+          nullable = false) +:
+        partFields.map(f => StructField(s"__delta_pv_${f.name}",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val pvRows = files.toSeq.map { case (p, pv) =>
+        org.apache.spark.sql.Row.fromSeq(norm(p) +: partFields.map(f =>
+          pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten.orNull))
+      }
+      val pvDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+      val joined = withPath.join(
+        org.apache.spark.sql.functions.broadcast(pvDf),
+        Seq("__delta_path"), "left")
+      return partFields.foldLeft(joined) { (df, f) =>
+          df.withColumn(f.name,
+            col(s"__delta_pv_${f.name}").cast(f.dataType))
+        }.select(snap.schema.fieldNames
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    }
     val parts = groups.map { case (pv, fs0) =>
       val scanned = spark.read.schema(readSchema)
         .parquet(fs0.map(f => abs(f._1)): _*)
@@ -403,11 +461,7 @@ object DeltaLite {
             col("_metadata.row_index")))
         case _ => scanned
       }
-      val base =
-        if (mapped) base0.select(dataFields.map(f =>
-          org.apache.spark.sql.functions.col(physicalName(f))
-            .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        else base0
+      val base = logicalize(base0)
       partFields.foldLeft(base) { (df, f) =>
         // partitionValues in column-mapped tables key by physical name
         val v = pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
@@ -527,6 +581,41 @@ object DeltaLite {
     * same inline-stats shape delta-spark collects during its writes.
     * Returns (name, size, statsJson) per data file.
     */
+  private def statsJsonFor(fst: ParquetFooterStats.FileStats,
+      eligible: Seq[org.apache.spark.sql.types.StructField]): String = {
+    val node = mapper.createObjectNode()
+    node.put("numRecords", fst.rows)
+    val minN = node.putObject("minValues")
+    val maxN = node.putObject("maxValues")
+    val ncN = node.putObject("nullCount")
+    eligible.foreach { f =>
+      def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode,
+          v: Any): Unit = v match {
+        case null => ()
+        case b: Byte => tgt.put(f.name, b.toInt); ()
+        case s: Short => tgt.put(f.name, s.toInt); ()
+        case i: Int => tgt.put(f.name, i); ()
+        case l: Long => tgt.put(f.name, l); ()
+        case fl: Float if !fl.isNaN && !fl.isInfinite =>
+          tgt.put(f.name, fl); ()
+        case d: Double if !d.isNaN && !d.isInfinite =>
+          tgt.put(f.name, d); ()
+        case s: String => tgt.put(f.name, s); ()
+        case d: java.math.BigDecimal => tgt.put(f.name, d); ()
+        case d: java.sql.Date => tgt.put(f.name, d.toString); ()
+        case _ => () // NaN/Inf extremes: omit (never prunes)
+      }
+      val cs = fst.cols.get(f.name)
+      cs.flatMap(_.bounds).foreach { case (mn, mx) =>
+        put(minN, mn); put(maxN, mx)
+      }
+      cs.flatMap(_.nullCount).foreach { nc =>
+        ncN.put(f.name, nc); ()
+      }
+    }
+    mapper.writeValueAsString(node)
+  }
+
   private def stageWithStats(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem): Seq[(String, Long, String)] = {
     val stage = new Path(root.toString + "_stage_" +
@@ -539,42 +628,93 @@ object DeltaLite {
       .map { st =>
         val name = st.getPath.getName
         val fst = ParquetFooterStats.read(conf, st.getPath, df.schema)
-        val node = mapper.createObjectNode()
-        node.put("numRecords", fst.rows)
-        val minN = node.putObject("minValues")
-        val maxN = node.putObject("maxValues")
-        val ncN = node.putObject("nullCount")
-        eligible.foreach { f =>
-          def put(tgt: com.fasterxml.jackson.databind.node.ObjectNode,
-              v: Any): Unit = v match {
-            case null => ()
-            case b: Byte => tgt.put(f.name, b.toInt); ()
-            case s: Short => tgt.put(f.name, s.toInt); ()
-            case i: Int => tgt.put(f.name, i); ()
-            case l: Long => tgt.put(f.name, l); ()
-            case fl: Float if !fl.isNaN && !fl.isInfinite =>
-              tgt.put(f.name, fl); ()
-            case d: Double if !d.isNaN && !d.isInfinite =>
-              tgt.put(f.name, d); ()
-            case s: String => tgt.put(f.name, s); ()
-            case d: java.math.BigDecimal => tgt.put(f.name, d); ()
-            case d: java.sql.Date => tgt.put(f.name, d.toString); ()
-            case _ => () // NaN/Inf extremes: omit (never prunes)
-          }
-          val cs = fst.cols.get(f.name)
-          cs.flatMap(_.bounds).foreach { case (mn, mx) =>
-            put(minN, mn); put(maxN, mx)
-          }
-          cs.flatMap(_.nullCount).foreach { nc =>
-            ncN.put(f.name, nc); ()
-          }
-        }
         require(fs.rename(st.getPath, new Path(root, name)),
           s"staging move failed for $name")
-        (name, st.getLen, mapper.writeValueAsString(node))
+        (name, st.getLen, statsJsonFor(fst, eligible))
       }.toIndexedSeq
     fs.delete(stage, true)
     moved
+  }
+
+  /** Stage a PARTITIONED batch in ONE distributed `partitionBy` pass
+    * (the same single-pass layout [[IcebergLite]] staging uses — never
+    * one scan per partition tuple), then move each leaf under the table
+    * root KEEPING the hive-escaped `c=v/` directory chain Spark wrote.
+    * Partition values recover from the directory segments (Delta's
+    * `partitionValues` are strings in the log — the unescaped segment
+    * IS the serialized value; `__HIVE_DEFAULT_PARTITION__` → null).
+    * Stats cover only the data columns (partition columns are not in
+    * the files). Returns (relPath, size, statsJson, partitionValues).
+    */
+  private def stagePartitionedWithStats(spark: SparkSession,
+      df: DataFrame, root: Path, fs: FileSystem, partCols: Seq[String])
+      : Seq[(String, Long, String, Map[String, Option[String]])] = {
+    partCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' missing from the batch schema"))
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             DateType | BooleanType | TimestampType | _: DecimalType => ()
+        case dt => throw new IllegalArgumentException(
+          s"partition column '$c' has type ${dt.simpleString} — Delta " +
+            "partition values must round-trip through their string " +
+            "serialization (use an atomic type)")
+      }
+    }
+    val stage = new Path(root.toString + "_stage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    df.write.partitionBy(partCols: _*).mode("overwrite")
+      .parquet(stage.toString)
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val eligible = dataSchema.fields.filter(statsEligible).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxParts = spark.conf
+      .getOption("graft.delta.maxPartitionsPerCommit")
+      .map(_.toInt).getOrElse(256)
+    def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) leaves(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
+      }
+    val files = leaves(stage)
+    val out = files.map { st =>
+      // the dir chain between the stage root and the file, in spec
+      // order (partitionBy writes them outermost-first)
+      // listStatus paths come back fully qualified (file:/…) so Path
+      // equality with the unqualified stage root never fires — the
+      // stage dir's UUID-suffixed NAME is the reliable stop marker
+      val segs = Iterator.iterate(st.getPath.getParent)(_.getParent)
+        .takeWhile(p => p != null && p.getName != stage.getName)
+        .map(_.getName).toSeq.reverse
+      require(segs.length == partCols.length &&
+          segs.zip(partCols).forall { case (s, c) =>
+            s.startsWith(c + "=") },
+        s"unexpected stage layout under $stage: ${segs.mkString("/")}")
+      val pv: Map[String, Option[String]] = segs.map { seg =>
+        val i = seg.indexOf('=')
+        val raw = seg.substring(i + 1)
+        seg.substring(0, i) -> (
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(IcebergLite.unescapeDirValue(raw)))
+      }.toMap
+      val fst = ParquetFooterStats.read(conf, st.getPath, dataSchema)
+      val relPath = (segs :+ st.getPath.getName).mkString("/")
+      val dataDir = segs.foldLeft(root)((p, s) => new Path(p, s))
+      fs.mkdirs(dataDir)
+      require(fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)),
+        s"staging move failed for $relPath")
+      (relPath, st.getLen, statsJsonFor(fst, eligible), pv)
+    }.toIndexedSeq
+    val tuples = out.map(_._4).toSet
+    require(tuples.size <= maxParts,
+      s"one commit may write at most $maxParts partitions, got " +
+        s"${tuples.size} — split the batch or raise " +
+        "graft.delta.maxPartitionsPerCommit")
+    fs.delete(stage, true)
+    out
   }
 
   /** Put-if-absent claim of a commit version — the Delta commit rule.
@@ -598,9 +738,16 @@ object DeltaLite {
   }
 
   private def addAction(name: String, size: Long, stats: String,
-      now: Long): String = {
+      now: Long,
+      partitionValues: Map[String, Option[String]] = Map.empty): String = {
     val stEsc = mapper.writeValueAsString(stats)
-    s"""{"add":{"path":"$name","partitionValues":{},""" +
+    val pvNode = mapper.createObjectNode()
+    partitionValues.foreach {
+      case (k, Some(v)) => pvNode.put(k, v); ()
+      case (k, None) => pvNode.putNull(k); ()
+    }
+    val nameEsc = mapper.writeValueAsString(name)
+    s"""{"add":{"path":$nameEsc,"partitionValues":$pvNode,""" +
       s""""size":$size,"modificationTime":$now,"dataChange":true,""" +
       s""""stats":$stEsc}}"""
   }
@@ -746,7 +893,8 @@ object DeltaLite {
     * snapshot-replace commit shape.
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
-      mode: String = "append", txn: Option[(String, Long)] = None): Long = {
+      mode: String = "append", txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
@@ -765,9 +913,17 @@ object DeltaLite {
       val committed = existing.flatMap(_.txns.get(appId))
       if (committed.exists(_ >= v)) return existing.get.version
     }
+    // the table's recorded partitioning wins; a caller-supplied
+    // partitionBy must agree (it only DEFINES the layout on create)
+    val partCols: Seq[String] = existing match {
+      case Some(s) =>
+        require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
+          s"partitionBy ${partitionBy.mkString(",")} does not match the " +
+            s"table's partitioning (${s.partitionColumns.mkString(",")})")
+        s.partitionColumns
+      case None => partitionBy
+    }
     val evolving = existing.exists { s =>
-      require(s.partitionColumns.isEmpty,
-        "DeltaLite.write targets unpartitioned tables only")
       // exact match (nullability may tighten), or APPEND-ONLY schema
       // EVOLUTION: the table's columns as a prefix plus new ones after
       // (delta mergeSchema's safe add-column subset) — the commit then
@@ -783,7 +939,11 @@ object DeltaLite {
           s"${s.schema.json}\n data:  ${df.schema.json}")
       nf.length > tf.length
     }
-    val moved = stageWithStats(spark, df, root, fs)
+    val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
+      if (partCols.isEmpty)
+        stageWithStats(spark, df, root, fs)
+          .map { case (n, sz, st) => (n, sz, st, Map.empty[String, Option[String]]) }
+      else stagePartitionedWithStats(spark, df, root, fs, partCols)
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
     val lines = mutable.ArrayBuffer.empty[String]
@@ -793,17 +953,19 @@ object DeltaLite {
       if (existing.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       val schemaEsc = mapper.writeValueAsString(df.schema.json)
+      val partEsc = partCols
+        .map(mapper.writeValueAsString).mkString("[", ",", "]")
       lines += s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
         s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":$schemaEsc,"partitionColumns":[],""" +
+        s""""schemaString":$schemaEsc,"partitionColumns":$partEsc,""" +
         s""""configuration":{},"createdTime":$now}}"""
     }
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
       lines += removeAction(p, now)
     })
-    moved.foreach { case (name, size, st) =>
-      lines += addAction(name, size, st, now)
+    moved.foreach { case (name, size, st, pv) =>
+      lines += addAction(name, size, st, now, pv)
     }
     claimCommit(fs, logDir, version, lines.toSeq, tablePath)
     version
@@ -1042,14 +1204,18 @@ object DeltaLite {
     * reader seeds from the checkpoint and replays only newer JSON).
     * Call every N commits, like delta-spark's checkpointInterval.
     */
+  final case class CpDv(storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Long, cardinality: Long)
   final case class CpAdd(path: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean,
-      stats: Option[String])
+      stats: Option[String], deletionVector: Option[CpDv])
   final case class CpMeta(id: String,
       schemaString: String, partitionColumns: Seq[String],
       configuration: Map[String, String], createdTime: Long)
-  final case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
+  final case class CpProto(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]] = None,
+      writerFeatures: Option[Seq[String]] = None)
   final case class CpTxn(appId: String, version: Long, lastUpdated: Long)
 
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
@@ -1060,14 +1226,29 @@ object DeltaLite {
     val logDir = new Path(root, "_delta_log")
     val schemaEsc = snap.schema.json
     val adds = snap.files.toSeq.map { case (p, pv) =>
+      // live deletion vectors MUST ride along (a checkpoint without
+      // them would resurrect deleted rows on checkpoint-seeded reads)
+      val dv = snap.dvs.get(p).map(d => CpDv(d.storageType,
+        d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))
       (Option(CpAdd(p, pv.collect { case (k, Some(v)) => k -> v }, 0L, 1L,
-        true, snap.stats.get(p))), Option.empty[CpMeta],
+        true, snap.stats.get(p), dv)), Option.empty[CpMeta],
         Option.empty[CpProto], Option.empty[CpTxn])
     }
+    // a DV-carrying table is protocol (3, 7) with the deletionVectors
+    // feature; the seed path re-validates whatever we record here
+    val proto =
+      if (snap.dvs.isEmpty) CpProto(1, 2, None, None)
+      else CpProto(3, 7, Some(Seq("deletionVectors")),
+        Some(Seq("deletionVectors")))
+    // column mapping mode must survive the checkpoint round-trip — a
+    // seed without it would resolve physical parquet names as logical
+    val conf0 =
+      if (snap.columnMappingMode == "none") Map.empty[String, String]
+      else Map("delta.columnMapping.mode" -> snap.columnMappingMode)
     val meta = Seq((Option.empty[CpAdd],
       Option(CpMeta("graft", schemaEsc, snap.partitionColumns,
-        Map.empty[String, String], 1L)),
-      Option(CpProto(1, 2)), Option.empty[CpTxn]))
+        conf0, 1L)),
+      Option(proto), Option.empty[CpTxn]))
     val txns = snap.txns.toSeq.map { case (a, v) =>
       (Option.empty[CpAdd], Option.empty[CpMeta], Option.empty[CpProto],
         Option(CpTxn(a, v, 1L)))

@@ -507,7 +507,7 @@ object IcebergLite {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
     "/" + noScheme.dropWhile(_ == '/')
   }
-  private def normalizePathCol(c: Column): Column =
+  private[graft] def normalizePathCol(c: Column): Column =
     regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
       "^/+", "/")
 
@@ -1157,7 +1157,7 @@ object IcebergLite {
   /** Inverse of Spark's hive-style partition dir escaping (%XX for the
     * reserved/control ASCII set; multi-byte chars pass through raw).
     */
-  private def unescapeDirValue(s: String): String = {
+  private[sources] def unescapeDirValue(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

@@ -744,6 +744,94 @@ class DeltaLiteSpec extends AnyFunSuite {
       Set((7L, "west")))
   }
 
+  test("native partitioned writes: ONE partitionBy staging pass, hive " +
+      "dirs + partitionValues in the log, null partition value emits " +
+      "__HIVE_DEFAULT_PARTITION__ and never collides with \"null\"") {
+    val t = java.nio.file.Files.createTempDirectory("delta_pw").toString + "/tbl"
+    val df = Seq(
+      (1L, "a", "east"), (2L, "b", "west"),
+      (3L, "c", null), (4L, "d", "null")
+    ).toDF("k", "v", "region")
+    DeltaLite.write(spark, df, t, partitionBy = Seq("region"))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.partitionColumns == Seq("region"))
+    // the log's partitionValues distinguish SQL NULL from the string
+    val pvs = snap.files.values.map(_("region")).toSet
+    assert(pvs == Set(Some("east"), Some("west"), None, Some("null")))
+    // file paths are hive-style dir chains; the null partition dir is
+    // the reserved segment, not "region=null"
+    assert(snap.files.keys.forall(_.startsWith("region=")))
+    assert(snap.files.keys.exists(
+      _.startsWith("region=__HIVE_DEFAULT_PARTITION__/")))
+    assert(snap.files.keys.count(_.startsWith("region=null/")) == 1)
+    // data files do NOT carry the partition column (layout contract)
+    val one = snap.files.keys.head
+    val cols = spark.read.parquet(t + "/" + one).columns.toSet
+    assert(cols == Set("k", "v"))
+    // typed read-back round-trips, null included
+    val got = DeltaLite.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got == Set((1L, "a", "east"), (2L, "b", "west"),
+      (3L, "c", null), (4L, "d", "null")))
+    // appends inherit the table's partitioning without restating it
+    DeltaLite.write(spark, Seq((5L, "e", "east")).toDF("k", "v", "region"), t)
+    assert(DeltaLite.read(spark, t).count() == 5)
+    // a conflicting partitionBy refuses loudly
+    val ex = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, df, t, partitionBy = Seq("v")))
+    assert(ex.getMessage.contains("does not match"))
+    // per-file stats cover the data columns → pruning by k still works
+    assert(snap.stats.nonEmpty)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(snap.stats.values.forall { js =>
+      val n = om.readTree(js)
+      n.get("minValues").has("k") && !n.get("minValues").has("region")
+    })
+  }
+
+  test("past the partition union cap, reads switch to ONE scan + a " +
+      "broadcast path→partition-values join — same rows, no per-group " +
+      "scan fan-out") {
+    val t = java.nio.file.Files.createTempDirectory("delta_fan").toString + "/tbl"
+    val df = (1 to 40).map(i => (i.toLong, s"v$i", s"p${i % 10}"))
+      .toDF("k", "v", "p")
+    DeltaLite.write(spark, df, t, partitionBy = Seq("p"))
+    // 10 partitions ≤ default cap: the union-of-literal-groups path
+    val expected = DeltaLite.read(spark, t)
+      .as[(Long, String, String)].collect().toSet
+    assert(expected.size == 40)
+    spark.conf.set("graft.delta.partitionUnionLimit", "3")
+    try {
+      val joined = DeltaLite.read(spark, t)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(joined.as[(Long, String, String)].collect().toSet == expected)
+      // partition-column filters still answer correctly on this path
+      assert(DeltaLite.read(spark, t).filter($"p" === "p3").count() == 4)
+    } finally spark.conf.unset("graft.delta.partitionUnionLimit")
+  }
+
+  test("checkpoint carries live deletion vectors and the (3,7) " +
+      "protocol: checkpoint-seeded reads keep DV-deleted rows deleted") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ckdv").toString + "/tbl"
+    DeltaLite.write(spark,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.deleteWhere(spark, t, col("k") % 2 === 0) // v1: DVs live
+    assert(DeltaLite.checkpoint(spark, t) == 1L)
+    DeltaLite.write(spark, Seq((100L, "x")).toDF("k", "v"), t) // v2
+    // delete the JSON commits the checkpoint covers — the DV state and
+    // the protocol upgrade now exist ONLY in the checkpoint
+    val fsys = fs(t)
+    fsys.delete(new Path(t, "_delta_log/" + "0" * 20 + ".json"), false)
+    fsys.delete(new Path(t, "_delta_log/" + "0" * 19 + "1.json"), false)
+    val got = DeltaLite.read(spark, t).as[(Long, String)]
+      .collect().map(_._1).toSet
+    assert(got == Set(1L, 3L, 5L, 7L, 9L, 100L))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 2L && snap.dvs.nonEmpty)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
