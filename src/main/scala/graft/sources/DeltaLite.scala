@@ -72,7 +72,11 @@ object DeltaLite {
         * merge-on-read deletes) — applied by reads as a row_index
         * anti-filter; the native writer refuses to MERGE over them.
         */
-      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty)
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
+      /** path → the add action's recorded `size` bytes — what
+        * [[compact]]'s bin-packing selects small files by.
+        */
+      sizes: Map[String, Long] = Map.empty)
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -172,6 +176,7 @@ object DeltaLite {
     val txns = mutable.LinkedHashMap.empty[String, Long]
     val stats = mutable.LinkedHashMap.empty[String, String]
     val dvs = mutable.LinkedHashMap.empty[String, DeletionVectors.Descriptor]
+    val sizes = mutable.LinkedHashMap.empty[String, Long]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -236,13 +241,12 @@ object DeltaLite {
             }
         }
         val hasStats = addCols.contains("stats")
-        val proj =
-          if (hasStats) ckpt.select("add")
-            .filter("add IS NOT NULL")
-            .select("add.path", "add.partitionValues", "add.stats")
-          else ckpt.select("add")
-            .filter("add IS NOT NULL")
-            .select("add.path", "add.partitionValues")
+        val hasSize = addCols.contains("size")
+        val projCols = Seq("add.path", "add.partitionValues") ++
+          (if (hasStats) Seq("add.stats") else Nil) ++
+          (if (hasSize) Seq("add.size") else Nil)
+        val proj = ckpt.select("add").filter("add IS NOT NULL")
+          .select(projCols.head, projCols.tail: _*)
         proj.collect()
           .foreach { r =>
             val path = decodePath(r.getString(0))
@@ -255,6 +259,9 @@ object DeltaLite {
               .getOrElse(Map.empty[String, Option[String]])
             files(path) = pv
             if (hasStats && !r.isNullAt(2)) stats(path) = r.getString(2)
+            val sizeIdx = if (hasStats) 3 else 2
+            if (hasSize && !r.isNullAt(sizeIdx))
+              sizes(path) = r.getLong(sizeIdx)
           }
       }
     }
@@ -300,6 +307,8 @@ object DeltaLite {
             .map(partValues).getOrElse(Map.empty)
           Option(a.get("stats")).filterNot(_.isNull)
             .foreach(s => stats(p) = s.asText)
+          Option(a.get("size")).filterNot(_.isNull)
+            .foreach(s => sizes(p) = s.asLong)
           // re-adding a file REPLACES its DV state (a DV update is
           // remove+add of the same path with a new descriptor)
           parseDv(a) match {
@@ -312,6 +321,7 @@ object DeltaLite {
           files.remove(p)
           stats.remove(p)
           dvs.remove(p)
+          sizes.remove(p)
           ()
         }
         if (action.has("txn")) {
@@ -325,7 +335,8 @@ object DeltaLite {
         s"Delta log at $logDir carries no metaData action"))
     Snapshot(schema, partCols, files.toMap, version, txns.toMap,
       stats.toMap, mappingMode,
-      dvs.filter { case (p, _) => files.contains(p) }.toMap)
+      dvs.filter { case (p, _) => files.contains(p) }.toMap,
+      sizes.filter { case (p, _) => files.contains(p) }.toMap)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -524,9 +535,123 @@ object DeltaLite {
     * — of the latest version, or of `asOf` for version-pinned reads).
     */
   def read(spark: SparkSession, tablePath: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, asOf)
-    readFiles(spark, tablePath, snap, snap.files)
+    val files = where.map(w => pruneFiles(snap, w)).getOrElse(snap.files)
+    val base = readFiles(spark, tablePath, snap, files)
+    // the residual filter still runs distributed — pruning only drops
+    // files that PROVABLY hold no matching row
+    where.map(base.filter).getOrElse(base)
+  }
+
+  /** Files that could hold rows matching `where` — driver-side data
+    * skipping over the log's own metadata, the scale path for
+    * selective reads on a large table: each supported conjunct
+    * (=, <, <=, >, >=, IS [NOT] NULL on a column vs a literal) prunes
+    * via (a) a TYPED comparison against the file's single recorded
+    * partition value for partition columns, and (b) the stats JSON's
+    * [min,max]/nullCount bounds for data columns. A file survives
+    * unless some conjunct is provably unsatisfiable; unknown
+    * conjuncts, un-comparable kinds, and missing stats never prune
+    * (conservative). Package-private for direct pruning tests.
+    */
+  private[graft] def pruneFiles(snap: Snapshot,
+      where: org.apache.spark.sql.Column)
+      : Map[String, Map[String, Option[String]]] = {
+    val preds = org.apache.spark.sql.graft.ColumnBridge
+      .simpleConjuncts(where)
+    if (preds.isEmpty) return snap.files
+    val partFieldsByName = snap.partitionColumns.flatMap(c =>
+      snap.schema.fields.find(_.name == c).map(c -> _)).toMap
+    val typeByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    def numRecords(node: JsonNode): Option[Long] =
+      Option(node.get("numRecords")).map(_.asLong)
+    def statBound(node: JsonNode, section: String, c: String): Option[Any] =
+      Option(node.get(section)).flatMap(s => Option(s.get(c))).flatMap { v =>
+        if (v.isNumber) Some(v.decimalValue())
+        else if (v.isTextual) Some(v.asText)
+        else None
+      }
+    snap.files.filter { case (p, pv) =>
+      val stats = snap.stats.get(p).flatMap { js =>
+        try Option(mapper.readTree(js)) catch { case _: Exception => None }
+      }
+      preds.forall { case (c, op, lit0) =>
+        partFieldsByName.get(c) match {
+          case Some(f) =>
+            // one partition value per file: compare it directly
+            val recorded = pv.get(physicalName(f)).orElse(pv.get(c)).flatten
+            (op, recorded) match {
+              case ("null", r) => r.isEmpty
+              case ("notnull", r) => r.nonEmpty
+              case (_, None) => false // value is NULL: no <,=,> matches
+              case (_, Some(s)) =>
+                (for {
+                  a <- partBound(f.dataType, s)
+                  b <- litBound(lit0)
+                  cmp <- cmpBounds(a, b)
+                } yield op match {
+                  case "=" => cmp == 0
+                  case "<" => cmp < 0
+                  case "<=" => cmp <= 0
+                  case ">" => cmp > 0
+                  case ">=" => cmp >= 0
+                  case _ => true
+                }).getOrElse(true)
+            }
+          case None if typeByName.contains(c) =>
+            // data column: bounds say "provably no matching row"?
+            stats match {
+              case None => true
+              case Some(node) =>
+                op match {
+                  case "null" =>
+                    !statBound(node, "nullCount", c)
+                      .exists(nc => cmpBounds(nc,
+                        java.math.BigDecimal.ZERO).contains(0))
+                  case "notnull" =>
+                    !(for {
+                      nc <- statBound(node, "nullCount", c)
+                      n <- numRecords(node)
+                      cmp <- cmpBounds(nc, java.math.BigDecimal.valueOf(n))
+                    } yield cmp == 0).getOrElse(false)
+                  case _ =>
+                    (for {
+                      b <- litBound(lit0)
+                      unsat <- op match {
+                        case "=" =>
+                          for {
+                            mn <- statBound(node, "minValues", c)
+                            mx <- statBound(node, "maxValues", c)
+                            lo <- cmpBounds(b, mn)
+                            hi <- cmpBounds(b, mx)
+                          } yield lo < 0 || hi > 0
+                        case "<" => for {
+                          mn <- statBound(node, "minValues", c)
+                          cmp <- cmpBounds(mn, b)
+                        } yield cmp >= 0
+                        case "<=" => for {
+                          mn <- statBound(node, "minValues", c)
+                          cmp <- cmpBounds(mn, b)
+                        } yield cmp > 0
+                        case ">" => for {
+                          mx <- statBound(node, "maxValues", c)
+                          cmp <- cmpBounds(mx, b)
+                        } yield cmp <= 0
+                        case ">=" => for {
+                          mx <- statBound(node, "maxValues", c)
+                          cmp <- cmpBounds(mx, b)
+                        } yield cmp < 0
+                        case _ => None
+                      }
+                    } yield !unsat).getOrElse(true)
+                }
+            }
+          case None => true // unknown column (e.g. computed): keep
+        }
+      }
+    }
   }
 
   /** CDC between two table VERSIONS at O(changed files), composed with
@@ -739,7 +864,8 @@ object DeltaLite {
 
   private def addAction(name: String, size: Long, stats: String,
       now: Long,
-      partitionValues: Map[String, Option[String]] = Map.empty): String = {
+      partitionValues: Map[String, Option[String]] = Map.empty,
+      dataChange: Boolean = true): String = {
     val stEsc = mapper.writeValueAsString(stats)
     val pvNode = mapper.createObjectNode()
     partitionValues.foreach {
@@ -748,7 +874,7 @@ object DeltaLite {
     }
     val nameEsc = mapper.writeValueAsString(name)
     s"""{"add":{"path":$nameEsc,"partitionValues":$pvNode,""" +
-      s""""size":$size,"modificationTime":$now,"dataChange":true,""" +
+      s""""size":$size,"modificationTime":$now,"dataChange":$dataChange,""" +
       s""""stats":$stEsc}}"""
   }
 
@@ -772,23 +898,42 @@ object DeltaLite {
     val snap = snapshot(spark, tablePath)
     require(snap.columnMappingMode == "none",
       s"$tablePath uses column mapping — delete with the delta-spark jars")
-    require(snap.partitionColumns.isEmpty,
-      "DeltaLite.deleteWhere targets unpartitioned tables")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
-    if (snap.files.isEmpty) return snap.version
+    // driver-side pruning bounds the match scan to files that could
+    // hold a matching row (a partition-predicate delete on a 100-TB
+    // table scans only the matching partitions)
+    val candFiles = pruneFiles(snap, cond)
+    if (candFiles.isEmpty) return snap.version
     // matching (file, row_index); existing-DV rows may re-match — the
-    // per-file union below dedups them
-    val scanned = spark.read.schema(snap.schema)
-      .parquet(snap.files.keysIterator.map(abs).toSeq: _*)
-      .filter(cond)
-      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
-          .as("__p"),
-        org.apache.spark.sql.functions.col("_metadata.row_index")
-          .as("__i"))
+    // per-file union below dedups them. Partitioned tables scan per
+    // partition group with the typed partition LITERALS injected (the
+    // data files don't carry those columns).
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    val partFields = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the Delta schema")))
+    val scanned = candFiles.toSeq.groupBy(_._2).toSeq.map { case (pv, fs0) =>
+        val sc = spark.read.schema(dataSchema)
+          .parquet(fs0.map(f => abs(f._1)): _*)
+        partFields.foldLeft(sc) { (df, f) =>
+          val v = pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
+          df.withColumn(f.name,
+            v.map(s => lit(s).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)))
+        }
+      }
+      .map(_.filter(cond)
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+            .as("__p"),
+          org.apache.spark.sql.functions.col("_metadata.row_index")
+            .as("__i")))
+      .reduce(_ unionByName _)
     val maxRows = spark.conf
       .getOption("graft.delta.maxDeleteRowsPerCommit")
       .map(_.toLong).getOrElse(10000000L)
@@ -840,8 +985,18 @@ object DeltaLite {
       val stEsc = snap.stats.get(p)
         .map(s => s""","stats":${mapper.writeValueAsString(s)}""")
         .getOrElse("")
+      // the re-add must restate the file's partition values — a DV
+      // update is remove+add of the same path, and the add is what the
+      // snapshot keeps
+      val pvNode = mapper.createObjectNode()
+      snap.files.getOrElse(p, Map.empty).foreach {
+        case (k, Some(v)) => pvNode.put(k, v); ()
+        case (k, None) => pvNode.putNull(k); ()
+      }
+      val fsz = snap.sizes.getOrElse(p, 1L)
       lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,"dataChange":true}}"""
-      lines += (s"""{"add":{"path":$pEsc,"partitionValues":{},"size":1,""" +
+      lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
+        s""""size":$fsz,""" +
         s""""modificationTime":$now,"dataChange":true$stEsc,""" +
         s""""deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":${mapper.writeValueAsString(id)},""" +
@@ -855,15 +1010,117 @@ object DeltaLite {
     version
   }
 
+  /** OPTIMIZE (bin-packing compaction) + DV PURGE: rewrites, per
+    * partition tuple, (a) every file carrying a live deletion vector —
+    * the rewrite APPLIES the bitmap and DROPS the DV (delta-spark's
+    * `REORG TABLE … APPLY (PURGE)`), and (b) files below
+    * `smallFileBytes` when at least two share a tuple (the
+    * streaming-sink many-small-commits layout fix). The commit is
+    * remove+add with `dataChange:false` — the row set is unchanged, so
+    * change-feed consumers skip it. Rewritten originals become
+    * unreferenced and fall to [[vacuum]]. After a purge the table has
+    * no live DVs, which re-opens the native MERGE path [[upsert]]
+    * refuses while DVs are live. Output file count per tuple is
+    * ceil(inputBytes / smallFileBytes) — near-target sizes at any
+    * input count. Returns the new version (unchanged when nothing
+    * qualifies).
+    */
+  def compact(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long = 128L << 20): Long = {
+    require(smallFileBytes > 0, "smallFileBytes must be positive")
+    val snap = snapshot(spark, tablePath)
+    require(snap.columnMappingMode == "none",
+      s"$tablePath uses column mapping — the native writer emits " +
+        "logical parquet field names; compact with the delta-spark jars")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    // rewrite set per partition tuple: DV'd files always; small files
+    // when there are ≥2 to pack (or they pack into a DV rewrite)
+    val byTuple = snap.files.toSeq.groupBy(_._2)
+    val rewriteByTuple = byTuple.flatMap { case (pv, fsq) =>
+      val paths = fsq.map(_._1)
+      val dvd = paths.filter(snap.dvs.contains)
+      val small = paths.filter(p =>
+        !snap.dvs.contains(p) &&
+          snap.sizes.get(p).exists(_ < smallFileBytes))
+      val chosen =
+        if (dvd.nonEmpty) dvd ++ small
+        else if (small.size >= 2) small
+        else Nil
+      if (chosen.isEmpty) None else Some(pv -> chosen)
+    }
+    if (rewriteByTuple.isEmpty) return snap.version
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    // DV anti-filter over the rewritten files (same mechanism as reads)
+    val dvTouched = rewriteByTuple.values.flatten
+      .filter(snap.dvs.contains).toSeq
+    val keepRow =
+      if (dvTouched.isEmpty) None
+      else {
+        val dvMap = dvTouched.map { p =>
+          IcebergLite.normalizePathStr(
+            new Path(abs(p)).makeQualified(fs.getUri,
+              fs.getWorkingDirectory).toString) ->
+            DeletionVectors.load(fs, tablePath, snap.dvs(p))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(dvMap)
+        Some(udf((path: String, idx: Long) =>
+          bc.value.get(IcebergLite.normalizePathStr(path)) match {
+            case Some(dead) =>
+              java.util.Arrays.binarySearch(dead, idx) < 0
+            case None => true
+          }))
+      }
+    val now = 1L
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("OPTIMIZE",
+      Map("purgedDvs" -> dvTouched.size.toString,
+        "rewrittenFiles" -> rewriteByTuple.values.map(_.size).sum.toString),
+      now)
+    rewriteByTuple.foreach { case (pv, paths) =>
+      val scanned = spark.read.schema(dataSchema)
+        .parquet(paths.map(abs): _*)
+      val alive = keepRow match {
+        case Some(keep) if paths.exists(snap.dvs.contains) =>
+          scanned.filter(keep(col("_metadata.file_path"),
+            col("_metadata.row_index")))
+        case _ => scanned
+      }
+      val inBytes = paths.flatMap(snap.sizes.get).sum
+        .max(paths.length.toLong) // foreign adds without size: ≥1
+      val packed = alive.coalesce(math.max(1,
+        math.ceil(inBytes.toDouble / smallFileBytes).toInt))
+      val moved = stageWithStats(spark, packed, root, fs)
+      paths.foreach(p => lines += removeAction(p, now, dataChange = false))
+      moved.foreach { case (name, size, st) =>
+        // a fully-DV'd input can compact to zero rows — don't re-add
+        val rows = try mapper.readTree(st).get("numRecords").asLong
+          catch { case _: Exception => -1L }
+        if (rows == 0L) fs.delete(new Path(root, name), false)
+        else lines += addAction(name, size, st, now, pv,
+          dataChange = false)
+      }
+    }
+    val version = snap.version + 1
+    claimCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq,
+      tablePath)
+    version
+  }
+
   private def txnAction(appId: String, v: Long, now: Long): String = {
     val idEsc = mapper.writeValueAsString(appId)
     s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""
   }
 
-  private def removeAction(p: String, now: Long): String = {
+  private def removeAction(p: String, now: Long,
+      dataChange: Boolean = true): String = {
     val pEsc = mapper.writeValueAsString(p)
     s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
-      """"dataChange":true}}"""
+      s""""dataChange":$dataChange}}"""
   }
 
   /** The `commitInfo` action every mainstream Delta writer leads its
@@ -984,6 +1241,29 @@ object DeltaLite {
     case _ => None
   }
 
+  /** A predicate/batch literal in the bound space [[cmpBounds]]
+    * compares in (java.time values arrive from Column literals;
+    * java.sql ones from collected rows).
+    */
+  private def litBound(v: Any): Option[Any] = v match {
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => toBound(v)
+  }
+
+  /** A recorded partition-value STRING, parsed into the same space. */
+  private def partBound(dt: DataType, s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        try Some(new java.math.BigDecimal(s))
+        catch { case _: NumberFormatException => None }
+      case StringType => Some(s)
+      case DateType => Some(s) // ISO yyyy-MM-dd: lexicographic = chrono
+      case _ => None
+    }
+  }
+
   private def toBound(v: Any): Option[Any] = v match {
     case null => None
     case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
@@ -1013,9 +1293,27 @@ object DeltaLite {
     */
   private[graft] def pruneCandidates(snap: Snapshot,
       batchRanges: Map[String, (Any, Any)])
-      : Map[String, Map[String, Option[String]]] =
-    snap.files.filter { case (p, _) =>
-      snap.stats.get(p) match {
+      : Map[String, Map[String, Option[String]]] = {
+    val partFieldsByName = snap.partitionColumns.flatMap(c =>
+      snap.schema.fields.find(_.name == c).map(c -> _)).toMap
+    snap.files.filter { case (p, pv) =>
+      // a partition KEY column prunes on the file's single recorded
+      // value: outside the batch's [min,max] (or NULL — batch keys are
+      // non-null) means no batch key can live in this file
+      val partDisjoint = batchRanges.exists { case (c, (bMin, bMax)) =>
+        partFieldsByName.get(c).exists { f =>
+          pv.get(physicalName(f)).orElse(pv.get(c)).flatten match {
+            case None => true
+            case Some(s) =>
+              (for {
+                a <- partBound(f.dataType, s)
+                lo <- cmpBounds(a, bMin)
+                hi <- cmpBounds(a, bMax)
+              } yield lo < 0 || hi > 0).getOrElse(false)
+          }
+        }
+      }
+      !partDisjoint && (snap.stats.get(p) match {
         case None => true
         case Some(js) =>
           val node =
@@ -1041,8 +1339,9 @@ object DeltaLite {
             }
             !provablyDisjoint
           }
-      }
+      })
     }
+  }
 
   /** Keyed UPSERT (MERGE) into a native Delta table at O(touched
     * files): each batch row replaces the live row with the same key, or
@@ -1125,8 +1424,6 @@ object DeltaLite {
     txn.foreach { case (appId, v) =>
       if (snap.txns.get(appId).exists(_ >= v)) return snap.version
     }
-    require(snap.partitionColumns.isEmpty,
-      "DeltaLite.upsert targets unpartitioned tables only")
     require(snap.columnMappingMode == "none",
       s"$tablePath uses column mapping ('${snap.columnMappingMode}') — " +
         "the native writer emits logical parquet field names and would " +
@@ -1153,21 +1450,40 @@ object DeltaLite {
     val relByPath: Map[String, String] = candidates.keys
       .map(p => new Path(abs(p)).toUri.getPath -> p).toMap
 
+    // partitioned tables scan per partition group with the typed
+    // partition LITERALS injected (data files don't carry those
+    // columns); unpartitioned degenerates to a single group
+    val dataSchemaU = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    val partFieldsU = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the Delta schema")))
+    def groupScan(
+        files: Map[String, Map[String, Option[String]]]): DataFrame =
+      files.toSeq.groupBy(_._2).toSeq.map { case (pvv, fs0) =>
+        val sc = spark.read.schema(dataSchemaU)
+          .parquet(fs0.map(f => abs(f._1)): _*)
+          .withColumn("__file", input_file_name())
+        partFieldsU.foldLeft(sc) { (df, f) =>
+          val v = pvv.get(f.name).flatten
+          df.withColumn(f.name,
+            v.map(s => lit(s).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)))
+        }
+      }.reduce(_ unionByName _)
+
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else {
-        val cand = spark.read.schema(snap.schema)
-          .parquet(candidates.keys.map(abs).toIndexedSeq: _*)
-          .withColumn("__file", input_file_name())
-        cand.join(allKeysDf, keyCols, "left_semi")
-          .select("__file").distinct().collect()
-          .map { row =>
-            val uriPath = new Path(
-              new java.net.URI(row.getString(0))).toUri.getPath
-            relByPath.getOrElse(uriPath, throw new IllegalStateException(
-              s"semi-join returned unmapped file ${row.getString(0)}"))
-          }.toSet
-      }
+      else groupScan(candidates)
+        .join(allKeysDf, keyCols, "left_semi")
+        .select("__file").distinct().collect()
+        .map { row =>
+          val uriPath = new Path(
+            new java.net.URI(row.getString(0))).toUri.getPath
+          relByPath.getOrElse(uriPath, throw new IllegalStateException(
+            s"semi-join returned unmapped file ${row.getString(0)}"))
+        }.toSet
 
     // rewrite = retained rows of the touched files (neither replaced
     // nor deleted) + the whole batch (rows with brand-new keys land in
@@ -1176,14 +1492,21 @@ object DeltaLite {
       if (touched.isEmpty) batch.select(snap.schema.fieldNames.map(col)
         .toIndexedSeq: _*)
       else {
-        val touchedRows = spark.read.schema(snap.schema)
-          .parquet(touched.map(abs).toIndexedSeq: _*)
+        val touchedRows = groupScan(
+          snap.files.filter(kv => touched.contains(kv._1)))
+          .drop("__file")
         touchedRows
           .join(allKeysDf, keyCols, "left_anti")
           .unionByName(batch)
           .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
       }
-    val moved = stageWithStats(spark, out, root, fs)
+    val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
+      if (snap.partitionColumns.isEmpty)
+        stageWithStats(spark, out, root, fs).map { case (n, sz, st) =>
+          (n, sz, st, Map.empty[String, Option[String]])
+        }
+      else stagePartitionedWithStats(spark, out, root, fs,
+        snap.partitionColumns)
     val now = 1L
     val version = snap.version + 1
     val lines = mutable.ArrayBuffer.empty[String]
@@ -1191,8 +1514,8 @@ object DeltaLite {
       Map("matchedPredicates" -> keyCols.mkString(",")), now)
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     touched.toSeq.sorted.foreach(p => lines += removeAction(p, now))
-    moved.foreach { case (name, size, st) =>
-      lines += addAction(name, size, st, now)
+    moved.foreach { case (name, size, st, pvv) =>
+      lines += addAction(name, size, st, now, pvv)
     }
     claimCommit(fs, logDir, version, lines.toSeq, tablePath)
     version
@@ -1230,7 +1553,8 @@ object DeltaLite {
       // them would resurrect deleted rows on checkpoint-seeded reads)
       val dv = snap.dvs.get(p).map(d => CpDv(d.storageType,
         d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))
-      (Option(CpAdd(p, pv.collect { case (k, Some(v)) => k -> v }, 0L, 1L,
+      (Option(CpAdd(p, pv.collect { case (k, Some(v)) => k -> v },
+        snap.sizes.getOrElse(p, 0L), 1L,
         true, snap.stats.get(p), dv)), Option.empty[CpMeta],
         Option.empty[CpProto], Option.empty[CpTxn])
     }

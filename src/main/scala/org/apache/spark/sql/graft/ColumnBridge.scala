@@ -41,9 +41,13 @@ object ColumnBridge {
           case (op @ ("=" | "<" | "<=" | ">" | ">="),
               Seq(l: Literal, a)) if attr(a).isDefined =>
             Some((attr(a).get, if (op == "=") "=" else flipped(op), l.value))
-          case ("isnull", Seq(a)) if attr(a).isDefined =>
+          // Column.isNull/.isNotNull emit camelCase function names;
+          // SQL-path isnull()/isnotnull() arrive lowercase — match both
+          case (op, Seq(a)) if op.equalsIgnoreCase("isnull") &&
+              attr(a).isDefined =>
             Some((attr(a).get, "null", null))
-          case ("isnotnull", Seq(a)) if attr(a).isDefined =>
+          case (op, Seq(a)) if op.equalsIgnoreCase("isnotnull") &&
+              attr(a).isDefined =>
             Some((attr(a).get, "notnull", null))
           case _ => None
         }

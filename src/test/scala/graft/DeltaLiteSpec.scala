@@ -832,6 +832,111 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(snap.version == 2L && snap.dvs.nonEmpty)
   }
 
+  test("read(where) prunes files driver-side: partition values prune " +
+      "exactly, stats bounds prune ranges, unknowns stay conservative") {
+    val t = java.nio.file.Files.createTempDirectory("delta_prune").toString + "/tbl"
+    // 3 partitions × 2 files each (disjoint k ranges inside a partition)
+    val df = Seq(
+      (1L, "p1"), (2L, "p1"), (100L, "p1"), (101L, "p1"),
+      (3L, "p2"), (102L, "p2"), (5L, "p3"), (104L, "p3"))
+      .toDF("k", "p").repartition(4)
+    DeltaLite.write(spark, df, t, partitionBy = Seq("p"))
+    val snap = DeltaLite.snapshot(spark, t)
+    // partition equality keeps only p2's files
+    val byPart = DeltaLite.pruneFiles(snap, $"p" === "p2")
+    assert(byPart.nonEmpty &&
+      byPart.values.forall(_("p") == Some("p2")), byPart)
+    assert(byPart.size < snap.files.size)
+    // stats range on the data column prunes within what's left
+    val both = DeltaLite.pruneFiles(snap, $"p" === "p2" && $"k" < 50L)
+    assert(both.size <= byPart.size)
+    // results stay correct (residual filter still applies)
+    val got = DeltaLite.read(spark, t,
+        where = Some($"p" === "p2" && $"k" < 50L))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "p2")))
+    // a predicate on an unknown/computed column never prunes
+    assert(DeltaLite.pruneFiles(snap,
+      $"nope" === 1).size == snap.files.size)
+    // IS NULL on a partition column with no null values prunes all
+    assert(DeltaLite.pruneFiles(snap, $"p".isNull).isEmpty)
+    assert(DeltaLite.pruneFiles(snap, $"p".isNotNull).size ==
+      snap.files.size)
+    // stats pruning alone (no partition column in the predicate)
+    val hi = DeltaLite.pruneFiles(snap, $"k" > 99L)
+    assert(hi.size < snap.files.size && hi.nonEmpty)
+    val none = DeltaLite.pruneFiles(snap, $"k" > 9999L)
+    assert(none.isEmpty)
+  }
+
+  test("compact bin-packs small files per partition tuple and PURGES " +
+      "deletion vectors — rows unchanged, DVs gone, MERGE re-opens, " +
+      "commit is dataChange=false") {
+    val t = java.nio.file.Files.createTempDirectory("delta_opt").toString + "/tbl"
+    // five tiny two-row commits → 5 small files
+    (1L to 5L).foreach { i =>
+      DeltaLite.write(spark,
+        Seq((i, s"v$i"), (i + 10L, s"w$i")).toDF("k", "v").coalesce(1), t)
+    }
+    // partial delete → a DV on one file (the file keeps its other row)
+    DeltaLite.deleteWhere(spark, t, col("k") === 2L)
+    val before = DeltaLite.snapshot(spark, t)
+    assert(before.files.size == 5 && before.dvs.size == 1)
+    // native MERGE refuses while a DV is live
+    intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((1L, "X")).toDF("k", "v"), t, Seq("k")))
+    val v = DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    assert(v == before.version + 1)
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.files.size == 1, after.files.keys) // 5 tiny → 1 packed
+    assert(after.dvs.isEmpty) // purge applied the bitmap
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (3L, "v3"), (4L, "v4"), (5L, "v5"),
+        (11L, "w1"), (12L, "w2"), (13L, "w3"), (14L, "w4"), (15L, "w5")))
+    // the commit marked all actions dataChange:false
+    val fsys = fs(t)
+    val in = fsys.open(new Path(t,
+      "_delta_log/" + f"$v%020d" + ".json"))
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(!txt.contains(""""dataChange":true"""), txt)
+    assert(txt.contains(""""operation":"OPTIMIZE""""))
+    // MERGE works again after the purge
+    DeltaLite.upsert(spark, Seq((1L, "X")).toDF("k", "v"), t, Seq("k"))
+    assert(DeltaLite.read(spark, t).filter($"k" === 1L)
+      .as[(Long, String)].head()._2 == "X")
+    // vacuum sweeps the five rewritten originals
+    assert(DeltaLite.vacuum(spark, t) >= 5)
+  }
+
+  test("compact on a partitioned table packs within tuples, keeps " +
+      "partitionValues, and drops fully-deleted outputs") {
+    val t = java.nio.file.Files.createTempDirectory("delta_optp").toString + "/tbl"
+    // two commits → 2 small files per partition tuple
+    (0 until 2).foreach { _ =>
+      DeltaLite.write(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p"), t,
+        partitionBy = Seq("p"))
+    }
+    val before = DeltaLite.snapshot(spark, t)
+    assert(before.files.size == 4)
+    DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    val mid = DeltaLite.snapshot(spark, t)
+    assert(mid.files.size == 2, mid.files.keys)
+    assert(mid.files.values.map(_("p")).toSet ==
+      Set(Some("a"), Some("b")))
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")))
+    // DV-delete EVERY row of partition a, then purge: the rewrite of
+    // that tuple compacts to zero rows and the add is dropped
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.files.values.map(_("p")).toSet == Set(Some("b")),
+      after.files)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().sorted
+      .toSeq == Seq((2L, "b"), (2L, "b")))
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
