@@ -76,7 +76,21 @@ object DeltaLite {
       /** path → the add action's recorded `size` bytes — what
         * [[compact]]'s bin-packing selects small files by.
         */
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      /** the table's FULL `metaData.configuration` — checkpoints and
+        * evolving metaData commits must restate it verbatim (dropping
+        * e.g. a reader-relevant key would corrupt foreign tables).
+        */
+      configuration: Map[String, String] = Map.empty,
+      /** the last `protocol` action replayed, verbatim — checkpoints
+        * persist THIS (a synthesized downgrade would let checkpoint-
+        * seeded readers skip features the table requires).
+        */
+      protocol: Option[CpProto] = None,
+      /** `metaData.id` — stable across the table's lifetime; evolving
+        * commits and checkpoints restate it.
+        */
+      tableId: String = "")
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -95,6 +109,43 @@ object DeltaLite {
       }
     }
     new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** URL-encode an action path (the exact inverse of [[decodePath]]):
+    * the Delta spec stores relative paths percent-encoded (RFC 2396 —
+    * per-segment, UTF-8 bytes, unreserved = alphanum + `-_.!~*'()`),
+    * and Spark's own hive-escaped partition directories contain `%`
+    * and other reserved chars (e.g. `ts=1995-03-01 00%3A00%3A00`), so
+    * emitting a directory name verbatim would decode to a path that
+    * does not exist on disk.
+    */
+  def encodePath(p: String): String =
+    p.split("/", -1).map(encodeSegment).mkString("/")
+
+  private def encodeSegment(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+          c == '!' || c == '~' || c == '*' || c == '\'' || c == '(' ||
+          c == ')') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Parse a `protocol` action verbatim (features lists preserved) —
+    * tracked in the snapshot so checkpoints restate the REAL protocol.
+    */
+  private def parseProto(protocol: JsonNode): CpProto = {
+    def features(key: String): Option[Seq[String]] =
+      Option(protocol.get(key)).filterNot(_.isNull)
+        .map(n => (0 until n.size).map(n.get(_).asText))
+    CpProto(
+      Option(protocol.get("minReaderVersion")).map(_.asInt).getOrElse(1),
+      Option(protocol.get("minWriterVersion")).map(_.asInt).getOrElse(1),
+      features("readerFeatures"), features("writerFeatures"))
   }
 
   private def checkProtocol(protocol: JsonNode): Unit = {
@@ -126,6 +177,16 @@ object DeltaLite {
         "snapshot reader; add the delta-spark jars")
     m
   }
+
+  /** Canonical comparison key for a RAW (on-disk) absolute path against
+    * Spark's `_metadata.file_path` (which is URI-ENCODED — a dir like
+    * `ts=1995-03-01 00%3A00%3A00` surfaces as `...%2000%253A00...`):
+    * encode via Hadoop `Path.toUri` — the exact encoder Spark's
+    * metadata column uses — then strip the scheme. The metadata side
+    * needs only [[IcebergLite.normalizePathStr]] (already encoded).
+    */
+  private def encodedPathKey(rawAbs: String): String =
+    IcebergLite.normalizePathStr(new Path(rawAbs).toUri.toString)
 
   private def checkMetaData(meta: JsonNode): String =
     checkMappingMode(Option(meta.get("configuration")).flatMap(c =>
@@ -172,6 +233,9 @@ object DeltaLite {
     var schemaJson: Option[String] = None
     var mappingMode: String = "none"
     var partCols: Seq[String] = Nil
+    var configuration = Map.empty[String, String]
+    var protocolAction: Option[CpProto] = None
+    var tableId = ""
     val files = mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
     val txns = mutable.LinkedHashMap.empty[String, Long]
     val stats = mutable.LinkedHashMap.empty[String, String]
@@ -206,22 +270,34 @@ object DeltaLite {
       if (cols.contains("protocol")) {
         ckpt.select("protocol").filter("protocol IS NOT NULL")
           .toJSON.collect()
-          .foreach(js => checkProtocol(mapper.readTree(js).get("protocol")))
+          .foreach { js =>
+            val node = mapper.readTree(js).get("protocol")
+            checkProtocol(node)
+            protocolAction = Some(parseProto(node))
+          }
       }
       if (cols.contains("metaData")) {
+        // foreign checkpoints may omit optional metaData fields (id)
+        val metaCols = ckpt.select("metaData.*").columns.toSet
+        val hasId = metaCols.contains("id")
+        val proj = Seq("metaData.schemaString", "metaData.partitionColumns",
+          "metaData.configuration") ++ (if (hasId) Seq("metaData.id") else Nil)
         val metas = ckpt.select("metaData")
           .filter("metaData IS NOT NULL AND metaData.schemaString IS NOT NULL")
-          .select("metaData.schemaString", "metaData.partitionColumns",
-            "metaData.configuration")
+          .select(proj.head, proj.tail: _*)
           .collect()
         metas.lastOption.foreach { r =>
           schemaJson = Some(r.getString(0))
           partCols = r.getSeq[String](1).toSeq
           val confMap = Option(r.getJavaMap[String, String](2))
           confMap.foreach { m =>
+            val out = mutable.LinkedHashMap.empty[String, String]
+            m.forEach((k, v) => out(k) = v)
+            configuration = out.toMap
             mappingMode = checkMappingMode(
-              Option(m.get("delta.columnMapping.mode")))
+              configuration.get("delta.columnMapping.mode"))
           }
+          if (hasId && !r.isNullAt(3)) tableId = r.getString(3)
         }
       }
       if (cols.contains("txn")) {
@@ -291,7 +367,10 @@ object DeltaLite {
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       txt.split("\n").filter(_.trim.nonEmpty).foreach { line =>
         val action = mapper.readTree(line)
-        if (action.has("protocol")) checkProtocol(action.get("protocol"))
+        if (action.has("protocol")) {
+          checkProtocol(action.get("protocol"))
+          protocolAction = Some(parseProto(action.get("protocol")))
+        }
         if (action.has("metaData")) {
           val m = action.get("metaData")
           mappingMode = checkMetaData(m)
@@ -299,6 +378,17 @@ object DeltaLite {
           partCols = Option(m.get("partitionColumns"))
             .map(n => (0 until n.size).map(n.get(_).asText).toSeq)
             .getOrElse(Nil)
+          configuration = Option(m.get("configuration")).map { c =>
+            val out = mutable.LinkedHashMap.empty[String, String]
+            val it2 = c.fields()
+            while (it2.hasNext) {
+              val e = it2.next()
+              if (!e.getValue.isNull) out(e.getKey) = e.getValue.asText
+            }
+            out.toMap
+          }.getOrElse(Map.empty)
+          Option(m.get("id")).filterNot(_.isNull)
+            .foreach(id => tableId = id.asText)
         }
         if (action.has("add")) {
           val a = action.get("add")
@@ -336,7 +426,8 @@ object DeltaLite {
     Snapshot(schema, partCols, files.toMap, version, txns.toMap,
       stats.toMap, mappingMode,
       dvs.filter { case (p, _) => files.contains(p) }.toMap,
-      sizes.filter { case (p, _) => files.contains(p) }.toMap)
+      sizes.filter { case (p, _) => files.contains(p) }.toMap,
+      configuration, protocolAction, tableId)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -345,24 +436,25 @@ object DeltaLite {
   private def readFiles(spark: SparkSession, tablePath: String,
       snap: Snapshot,
       files: Map[String, Map[String, Option[String]]]): DataFrame = {
-    val mapped = snap.columnMappingMode == "name"
-    val idMapped = snap.columnMappingMode == "id"
+    val mapped = snap.columnMappingMode != "none"
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-    // `name` mapping: the parquet files carry PHYSICAL field names
-    // (schemaString metadata `delta.columnMapping.physicalName`, nested
-    // included). Read under the physicalized schema, then restore the
-    // logical names — nested ones by positional struct cast.
-    // `id` mapping: the files carry FIELD IDS; request the logical
-    // schema with `parquet.field.id` metadata (from columnMapping.id)
-    // and let Spark's field-id matching resolve columns — names in the
-    // files are irrelevant, so no rename-back pass is needed.
-    if (idMapped)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // Column-mapped tables: the parquet files carry PHYSICAL field
+    // names (schemaString metadata `delta.columnMapping.physicalName`,
+    // nested included). Read under the physicalized schema, then
+    // restore the logical names — nested ones by positional struct
+    // cast. `id` mode resolves the same way — the spec requires BOTH
+    // columnMapping.id and physicalName on every field — but first
+    // VERIFIES each file footer's field ids against the physical names
+    // (driver-side, KB metadata reads): a file whose ids disagree with
+    // the metadata's physical names (an engine that honored only the
+    // ids) refuses loudly instead of silently mis-reading. This keeps
+    // the read self-contained — no session-wide
+    // `spark.sql.parquet.fieldId.read.enabled` mutation leaking into
+    // every later parquet read of the session.
     val readSchema =
       if (mapped) StructType(dataFields.map(f => f.copy(
         name = physicalName(f), dataType = physicalize(f.dataType))))
-      else if (idMapped) StructType(dataFields.map(fieldIdField))
       else StructType(dataFields)
     val partFields = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
@@ -374,6 +466,9 @@ object DeltaLite {
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    if (snap.columnMappingMode == "id")
+      verifyFieldIds(spark, files.keysIterator.map(abs).toSeq, dataFields)
+    def reader = spark.read.schema(readSchema)
     // group files by partition tuple; inject the typed partition
     // literals per group and union
     val groups = files.toSeq.groupBy(_._2).toSeq
@@ -388,9 +483,7 @@ object DeltaLite {
         val fsys = new Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         dvRelevant.iterator.map { p =>
-          IcebergLite.normalizePathStr(
-            new Path(abs(p)).makeQualified(fsys.getUri,
-              fsys.getWorkingDirectory).toString) ->
+          encodedPathKey(abs(p)) ->
             DeletionVectors.load(fsys, tablePath, snap.dvs(p))
         }.toMap
       }
@@ -422,12 +515,8 @@ object DeltaLite {
           .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       else base0
     if (partFields.nonEmpty && groups.size > unionCap) {
-      val fsys = new Path(tablePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def norm(p: String): String = IcebergLite.normalizePathStr(
-        new Path(abs(p)).makeQualified(fsys.getUri,
-          fsys.getWorkingDirectory).toString)
-      val scanned = spark.read.schema(readSchema)
+      def norm(p: String): String = encodedPathKey(abs(p))
+      val scanned = reader
         .parquet(files.keysIterator.map(abs).toSeq: _*)
       val base0 = keepRow match {
         case Some(keep) => scanned.filter(keep(
@@ -464,7 +553,7 @@ object DeltaLite {
           .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     }
     val parts = groups.map { case (pv, fs0) =>
-      val scanned = spark.read.schema(readSchema)
+      val scanned = reader
         .parquet(fs0.map(f => abs(f._1)): _*)
       val base0 = keepRow match {
         case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
@@ -486,27 +575,55 @@ object DeltaLite {
         .toIndexedSeq: _*)
   }
 
-  /** Copy a field (recursively) with `parquet.field.id` metadata set
-    * from `delta.columnMapping.id` — the schema shape Spark's field-id
-    * read path matches against id-mapped files.
+  /** `id`-mode gate: verify each file footer's top-level FIELD IDS
+    * agree with the metadata's physical names before resolving by
+    * physicalName. Three loud refusals, never silent wrong data: a
+    * footer with no ids at all (spec violation for id mode), an id
+    * present under a DIFFERENT name than its physicalName, and a field
+    * named like a physicalName but carrying a different id. Driver-side
+    * KB footer reads, one per candidate file.
     */
-  private def fieldIdField(
-      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
-    import org.apache.spark.sql.types._
-    require(f.metadata.contains("delta.columnMapping.id"),
-      s"id-mapped Delta column '${f.name}' lacks delta.columnMapping.id")
-    def rec(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map(fieldIdField))
-      case a: ArrayType => a.copy(elementType = rec(a.elementType))
-      case m: MapType =>
-        m.copy(keyType = rec(m.keyType), valueType = rec(m.valueType))
-      case other => other
+  private def verifyFieldIds(spark: SparkSession, absPaths: Seq[String],
+      dataFields: Array[StructField]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wanted: Map[Int, String] = dataFields.map { f =>
+      require(f.metadata.contains("delta.columnMapping.id"),
+        s"id-mapped Delta column '${f.name}' lacks delta.columnMapping.id")
+      f.metadata.getLong("delta.columnMapping.id").toInt -> physicalName(f)
+    }.toMap
+    val physToId = wanted.map(_.swap)
+    absPaths.foreach { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), conf))
+      val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      var sawIds = false
+      (0 until msg.getFieldCount).foreach { i =>
+        val t = msg.getType(i)
+        Option(t.getId).foreach { id =>
+          sawIds = true
+          wanted.get(id.intValue).foreach { physName =>
+            require(t.getName == physName,
+              s"id-mapped Delta file $p carries field id ${id.intValue} " +
+                s"under parquet column '${t.getName}' but the table " +
+                s"metadata names it '$physName' — the native reader " +
+                "resolves by physical name; read this table with the " +
+                "delta-spark jars")
+          }
+        }
+        physToId.get(t.getName).foreach { id =>
+          require(Option(t.getId).forall(_.intValue == id),
+            s"id-mapped Delta file $p has parquet column '${t.getName}' " +
+              s"with field id ${t.getId} but the table metadata assigns " +
+              s"id $id to that physical name — read with the delta-spark " +
+              "jars")
+        }
+      }
+      require(sawIds,
+        s"id-mapped Delta table file $p carries no parquet field ids " +
+          "(the id mode spec requires them) — read with the delta-spark " +
+          "jars")
     }
-    f.copy(dataType = rec(f.dataType),
-      metadata = new MetadataBuilder().withMetadata(f.metadata)
-        .putLong("parquet.field.id",
-          f.metadata.getLong("delta.columnMapping.id"))
-        .build())
   }
 
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
@@ -872,7 +989,8 @@ object DeltaLite {
       case (k, Some(v)) => pvNode.put(k, v); ()
       case (k, None) => pvNode.putNull(k); ()
     }
-    val nameEsc = mapper.writeValueAsString(name)
+    // action paths are URL-encoded per the spec (decodePath inverts)
+    val nameEsc = mapper.writeValueAsString(encodePath(name))
     s"""{"add":{"path":$nameEsc,"partitionValues":$pvNode,""" +
       s""""size":$size,"modificationTime":$now,"dataChange":$dataChange,""" +
       s""""stats":$stEsc}}"""
@@ -947,9 +1065,10 @@ object DeltaLite {
         .collect_list(org.apache.spark.sql.functions.col("__i")).as("__is"))
       .collect()
     if (grouped.isEmpty) return snap.version
-    // normalize scan paths back to the snapshot's action paths
+    // normalize scan paths back to the snapshot's action paths (the
+    // scan side is URI-encoded `_metadata.file_path`)
     val byNorm = snap.files.keysIterator
-      .map(p => IcebergLite.normalizePathStr(abs(p)) -> p).toMap
+      .map(p => encodedPathKey(abs(p)) -> p).toMap
     val perFile: Seq[(String, Array[Long])] = grouped.toSeq.map { r =>
       val action = byNorm.getOrElse(
         IcebergLite.normalizePathStr(r.getString(0)),
@@ -981,7 +1100,7 @@ object DeltaLite {
     dvd.foreach { case (p, rows) =>
       val (id, offsets) = dvFile.get
       val (off, size) = offsets(p)
-      val pEsc = mapper.writeValueAsString(p)
+      val pEsc = mapper.writeValueAsString(encodePath(p))
       val stEsc = snap.stats.get(p)
         .map(s => s""","stats":${mapper.writeValueAsString(s)}""")
         .getOrElse("")
@@ -993,7 +1112,11 @@ object DeltaLite {
         case (k, Some(v)) => pvNode.put(k, v); ()
         case (k, None) => pvNode.putNull(k); ()
       }
-      val fsz = snap.sizes.getOrElse(p, 1L)
+      // foreign logs may omit add.size — the REAL file length, never a
+      // sentinel (a wrong size mis-drives compact's bin-packing and
+      // external planners)
+      val fsz = snap.sizes.getOrElse(p,
+        fs.getFileStatus(new Path(abs(p))).getLen)
       lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,"dataChange":true}}"""
       lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
         s""""size":$fsz,""" +
@@ -1062,9 +1185,7 @@ object DeltaLite {
       if (dvTouched.isEmpty) None
       else {
         val dvMap = dvTouched.map { p =>
-          IcebergLite.normalizePathStr(
-            new Path(abs(p)).makeQualified(fs.getUri,
-              fs.getWorkingDirectory).toString) ->
+          encodedPathKey(abs(p)) ->
             DeletionVectors.load(fs, tablePath, snap.dvs(p))
         }.toMap
         val bc = spark.sparkContext.broadcast(dvMap)
@@ -1118,9 +1239,27 @@ object DeltaLite {
 
   private def removeAction(p: String, now: Long,
       dataChange: Boolean = true): String = {
-    val pEsc = mapper.writeValueAsString(p)
+    val pEsc = mapper.writeValueAsString(encodePath(p))
     s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
       s""""dataChange":$dataChange}}"""
+  }
+
+  /** A full `metaData` action line (schema, partitioning, configuration
+    * — restated verbatim so no key is ever dropped by evolution or
+    * column-mapping commits).
+    */
+  private def metaDataAction(id: String, schema: StructType,
+      partCols: Seq[String], configuration: Map[String, String],
+      now: Long): String = {
+    val schemaEsc = mapper.writeValueAsString(schema.json)
+    val partEsc = partCols
+      .map(mapper.writeValueAsString).mkString("[", ",", "]")
+    val confNode = mapper.createObjectNode()
+    configuration.foreach { case (k, v) => confNode.put(k, v) }
+    s"""{"metaData":{"id":${mapper.writeValueAsString(id)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":$schemaEsc,"partitionColumns":$partEsc,""" +
+      s""""configuration":$confNode,"createdTime":$now}}"""
   }
 
   /** The `commitInfo` action every mainstream Delta writer leads its
@@ -1209,13 +1348,13 @@ object DeltaLite {
     if (existing.isEmpty || evolving) {
       if (existing.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      val schemaEsc = mapper.writeValueAsString(df.schema.json)
-      val partEsc = partCols
-        .map(mapper.writeValueAsString).mkString("[", ",", "]")
-      lines += s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":$schemaEsc,"partitionColumns":$partEsc,""" +
-        s""""configuration":{},"createdTime":$now}}"""
+      // the table id is stable across its lifetime; an evolving commit
+      // restates the EXISTING configuration verbatim (dropping keys
+      // would corrupt foreign tables relying on them)
+      val id = existing.map(_.tableId).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID.toString)
+      val conf0 = existing.map(_.configuration).getOrElse(Map.empty)
+      lines += metaDataAction(id, df.schema, partCols, conf0, now)
     }
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
@@ -1553,25 +1692,26 @@ object DeltaLite {
       // them would resurrect deleted rows on checkpoint-seeded reads)
       val dv = snap.dvs.get(p).map(d => CpDv(d.storageType,
         d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))
-      (Option(CpAdd(p, pv.collect { case (k, Some(v)) => k -> v },
+      // snapshot paths are DECODED; the checkpoint stores the spec's
+      // URL-encoded form (the seed path decodes on load)
+      (Option(CpAdd(encodePath(p),
+        pv.collect { case (k, Some(v)) => k -> v },
         snap.sizes.getOrElse(p, 0L), 1L,
         true, snap.stats.get(p), dv)), Option.empty[CpMeta],
         Option.empty[CpProto], Option.empty[CpTxn])
     }
-    // a DV-carrying table is protocol (3, 7) with the deletionVectors
-    // feature; the seed path re-validates whatever we record here
-    val proto =
+    // persist the table's ACTUAL protocol action and FULL configuration
+    // (a synthesized downgrade would let checkpoint-seeded readers skip
+    // features — column mapping, timestampNtz — the table requires);
+    // the (1,2)/(3,7) synthesis only covers logs with no protocol
+    // action at all, which the spec forbids anyway
+    val proto = snap.protocol.getOrElse(
       if (snap.dvs.isEmpty) CpProto(1, 2, None, None)
       else CpProto(3, 7, Some(Seq("deletionVectors")),
-        Some(Seq("deletionVectors")))
-    // column mapping mode must survive the checkpoint round-trip — a
-    // seed without it would resolve physical parquet names as logical
-    val conf0 =
-      if (snap.columnMappingMode == "none") Map.empty[String, String]
-      else Map("delta.columnMapping.mode" -> snap.columnMappingMode)
+        Some(Seq("deletionVectors"))))
     val meta = Seq((Option.empty[CpAdd],
-      Option(CpMeta("graft", schemaEsc, snap.partitionColumns,
-        conf0, 1L)),
+      Option(CpMeta(if (snap.tableId.isEmpty) "graft" else snap.tableId,
+        schemaEsc, snap.partitionColumns, snap.configuration, 1L)),
       Option(proto), Option.empty[CpTxn]))
     val txns = snap.txns.toSeq.map { case (a, v) =>
       (Option.empty[CpAdd], Option.empty[CpMeta], Option.empty[CpProto],

@@ -507,6 +507,25 @@ object IcebergLite {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
     "/" + noScheme.dropWhile(_ == '/')
   }
+
+  /** Canonical comparison key for a RAW path (manifest/action strings,
+    * on-disk names) against Spark's `_metadata.file_path`, which is
+    * URI-ENCODED (a dir like `p=a b` surfaces as `p=a%20b`): encode via
+    * Hadoop `Path.toUri` — the exact encoder Spark's metadata column
+    * uses — then strip the scheme. The metadata side needs only
+    * [[normalizePathCol]]/[[normalizePathStr]] (already encoded).
+    * Without this, path joins silently MISS files under hive-escaped
+    * partition directories — deletes would stop applying.
+    */
+  private[graft] def encodedPathKey(raw: String): String =
+    normalizePathStr(new Path(raw).toUri.toString)
+
+  /** [[encodedPathKey]] as a Column — for RAW path VALUES stored in
+    * (metadata-sized, broadcast-side) delete files.
+    */
+  private[graft] def encodedPathKeyCol(c: Column): Column =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null else encodedPathKey(s)).apply(c)
   private[graft] def normalizePathCol(c: Column): Column =
     regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
       "^/+", "/")
@@ -1604,8 +1623,10 @@ object IcebergLite {
     val afterPos =
       if (st.posDeleteFiles.isEmpty) base
       else {
+        // delete files record the RAW manifest path string; the scan's
+        // __ice_file is URI-encoded — canonicalize the (small) delete side
         val dels = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
-          .select(normalizePathCol(col("file_path")).as("__ice_del_file"),
+          .select(encodedPathKeyCol(col("file_path")).as("__ice_del_file"),
             col("pos").cast("long").as("__ice_del_pos"))
         base.join(dels,
           base("__ice_file") === dels("__ice_del_file") &&
@@ -1615,7 +1636,7 @@ object IcebergLite {
     else {
       val idToName = st.meta.fieldIds.map(_.swap)
       val seqMap = st.dataFiles
-        .map(f => normalizePathStr(f.path) -> f.seq).toDF("__ice_sf", "__ice_seq")
+        .map(f => encodedPathKey(f.path) -> f.seq).toDF("__ice_sf", "__ice_seq")
       val withSeq = afterPos
         .join(broadcast(seqMap), afterPos("__ice_file") === seqMap("__ice_sf"))
         .drop("__ice_sf")
@@ -1659,7 +1680,7 @@ object IcebergLite {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // normalized scan path → exact manifest path string
     val pathMap = prior.dataFiles
-      .map(f => normalizePathStr(f.path) -> f.path).toDF("__norm", "file_path")
+      .map(f => encodedPathKey(f.path) -> f.path).toDF("__norm", "file_path")
     val alive = aliveWithPos(spark, prior)
     val positions = alive.filter(predicate)
       .join(pathMap, alive("__ice_file") === pathMap("__norm"))
@@ -1782,7 +1803,7 @@ object IcebergLite {
       else {
         val alive = aliveWithPos(spark, pruned)
         val pathMap = candidates
-          .map(f => normalizePathStr(f.path) -> f.path)
+          .map(f => encodedPathKey(f.path) -> f.path)
           .toDF("__norm", "file_path")
         val positions = alive
           .join(broadcast(touchedKeys), keyCols, "left_semi")

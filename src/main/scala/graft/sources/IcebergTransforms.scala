@@ -271,12 +271,29 @@ object IcebergTransforms {
       case dt => throw new IllegalArgumentException(
         s"truncate transform on ${dt.sql} is unsupported")
     }
-    case Year => (year(c) - lit(1970)).cast(IntegerType)
+    case Year => (year(utcDate(c, src)) - lit(1970)).cast(IntegerType)
     case Month =>
-      ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1))
-        .cast(IntegerType)
-    case Day => to_date(c)
+      ((year(utcDate(c, src)) - lit(1970)) * lit(12) +
+        month(utcDate(c, src)) - lit(1)).cast(IntegerType)
+    case Day => utcDate(c, src)
     case Hour =>
-      floor(unix_timestamp(c) / lit(3600L)).cast(IntegerType)
+      floor(unix_micros(c) / lit(3600000000L)).cast(IntegerType)
+  }
+
+  /** The column's UTC calendar date — timestamps convert by epoch-day
+    * floor-division on the raw micros (exactly [[eval]]'s arithmetic),
+    * NEVER through session-time-zone functions like `to_date`/`year`:
+    * with a non-UTC `spark.sql.session.timeZone` those would lay files
+    * out under partition values that disagree with the UTC values the
+    * manifests record and the pruner computes, wrongly pruning matches.
+    * (`year`/`month` OF A DATE are time-zone-free, so deriving them
+    * from this date column is safe.)
+    */
+  private def utcDate(c: Column, src: DataType): Column = src match {
+    case DateType => c
+    case TimestampType => date_from_unix_date(
+      floor(unix_micros(c) / lit(86400000000L)).cast(IntegerType))
+    case dt => throw new IllegalArgumentException(
+      s"time transform on ${dt.sql} is unsupported")
   }
 }

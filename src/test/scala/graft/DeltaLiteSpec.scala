@@ -790,6 +790,79 @@ class DeltaLiteSpec extends AnyFunSuite {
     })
   }
 
+  test("partition values with hive-escaped characters round-trip: " +
+      "add.path is URL-encoded so decodePath lands on the on-disk dirs " +
+      "(timestamps with ':', strings with '%'/'='/'#')") {
+    val t = java.nio.file.Files.createTempDirectory("delta_esc").toString + "/tbl"
+    val rows = Set(
+      (1L, java.sql.Timestamp.valueOf("1995-03-01 00:00:00"), "a:b"),
+      (2L, java.sql.Timestamp.valueOf("1995-03-02 12:30:45"), "a%b"),
+      (3L, java.sql.Timestamp.valueOf("1995-03-02 12:30:45"), "p=q#r"))
+    DeltaLite.write(spark, rows.toSeq.toDF("k", "ts", "s"), t,
+      partitionBy = Seq("ts", "s"))
+    val snap = DeltaLite.snapshot(spark, t)
+    // every (decoded) snapshot path points at a real on-disk file
+    val fsys = fs(t)
+    snap.files.keys.foreach(p => assert(fsys.exists(new Path(t, p)), p))
+    // the RAW log paths are URL-encoded: decodePath(raw) == snapshot key
+    val in = fsys.open(new Path(t, "_delta_log/" + "0" * 20 + ".json"))
+    val log = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rawPaths = log.split("\n").filter(_.contains("\"add\""))
+      .map(l => om.readTree(l).get("add").get("path").asText).toSet
+    assert(rawPaths.map(DeltaLite.decodePath) == snap.files.keySet)
+    // the escaped chars really forced encoding (no raw ':' or ' ')
+    assert(rawPaths.forall(p => !p.contains(":") && !p.contains(" ")), rawPaths)
+    // partition VALUES recover unescaped (the spec's string serialization)
+    assert(snap.files.values.map(_("ts")).toSet ==
+      Set(Some("1995-03-01 00:00:00"), Some("1995-03-02 12:30:45")))
+    assert(snap.files.values.map(_("s")).toSet ==
+      Set(Some("a:b"), Some("a%b"), Some("p=q#r")))
+    // typed read-back round-trips
+    assert(DeltaLite.read(spark, t)
+      .as[(Long, java.sql.Timestamp, String)].collect().toSet == rows)
+    // deleteWhere (DV re-add restates the encoded path) still lands
+    DeltaLite.deleteWhere(spark, t, col("k") === 3L)
+    assert(DeltaLite.read(spark, t).as[(Long, java.sql.Timestamp, String)]
+      .collect().toSet == rows.filter(_._1 != 3L))
+    // and a checkpoint-seeded read (encoded paths in the checkpoint too)
+    DeltaLite.checkpoint(spark, t)
+    (0 to 1).foreach(v => fsys.delete(
+      new Path(t, f"_delta_log/$v%020d.json"), false))
+    assert(DeltaLite.read(spark, t).count() == 2)
+  }
+
+  test("checkpoint persists the REAL protocol action and the FULL " +
+      "table configuration — never a synthesized downgrade") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ckpr").toString
+    val phys = Seq((1L, "a"), (2L, "b")).toDF("col-k01", "col-v02")
+    writeDataFile(phys, t, "c1.parquet")
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k01"}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-v02"}}
+        |]}""".stripMargin.replace("\n", "")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"stable-id","format":{"provider":"parquet","options":{}},"schemaString":${escape(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2","custom.key":"kept"},"createdTime":1}}""",
+      """{"add":{"path":"c1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val before = DeltaLite.snapshot(spark, t)
+    assert(before.protocol.contains(DeltaLite.CpProto(2, 5, None, None)))
+    assert(before.configuration("custom.key") == "kept")
+    assert(before.tableId == "stable-id")
+    DeltaLite.checkpoint(spark, t)
+    fs(t).delete(new Path(t, "_delta_log/" + "0" * 20 + ".json"), false)
+    // the seeded snapshot sees the SAME protocol (not (1,2)), the same
+    // configuration (not just the mapping mode), and the same table id
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.protocol.contains(DeltaLite.CpProto(2, 5, None, None)))
+    assert(after.configuration == before.configuration)
+    assert(after.tableId == "stable-id")
+    assert(after.columnMappingMode == "name")
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("past the partition union cap, reads switch to ONE scan + a " +
       "broadcast path→partition-values join — same rows, no per-group " +
       "scan fan-out") {

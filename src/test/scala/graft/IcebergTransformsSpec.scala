@@ -90,4 +90,33 @@ class IcebergTransformsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("timestamp time transforms are UTC-pinned: expr agrees with eval " +
+      "even under a non-UTC session time zone (the layout must match " +
+      "the manifest values the pruner computes)") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      // 2017-01-01T03:30:00 UTC is still 2016-12-31 in Los Angeles —
+      // a session-tz year()/to_date() would disagree with eval's UTC
+      // epoch-day arithmetic on exactly these boundary values
+      val micros = Seq(
+        java.time.LocalDateTime.parse("2017-01-01T03:30:00"),
+        java.time.LocalDateTime.parse("1969-12-31T22:00:00"),
+        java.time.LocalDateTime.parse("2024-02-29T23:59:59"))
+        .map(_.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+      val df = micros.toDF("us")
+        .select(timestamp_micros(col("us")).as("ts"))
+      Seq(Year, Month, Day, Hour, Bucket(16)).foreach { t =>
+        val got = df.select(col("ts"),
+          IcebergTransforms.expr(t, col("ts"), TimestampType).as("tv"))
+          .collect()
+        got.foreach { r =>
+          val raw = r.getTimestamp(0)
+          assert(r.get(1) == eval(t, TimestampType, raw),
+            s"UTC drift for ${t.render} on $raw")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
 }
