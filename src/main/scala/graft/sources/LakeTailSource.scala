@@ -2,9 +2,11 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -25,11 +27,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the last COMMITTED version — exactly-once composed with the txn-
   * protocol sinks). Admission control advances at most
   * `versions_per_batch` table commits per micro-batch, so batch size
-  * tracks commit size. Batch rows ship via the driver (collect with a
-  * LOUD `max_rows_per_batch` cap, default 100k — the MemoryStream
-  * shipping model): right for streaming-sized commits; bulk backfills
-  * and compaction-sized deltas belong on the batch `changesBetween`
-  * API, and the cap makes that boundary explicit instead of OOMing.
+  * tracks commit size.
+  *
+  * Batch rows ship EXECUTOR-SIDE: the keyed diff runs as a normal
+  * distributed job whose output partitions SPILL to length-prefixed
+  * UnsafeRow files under the streaming checkpoint
+  * (`<checkpoint>/graft-spill/v<from>_<to>/rows-NNNNN.bin`, one per
+  * non-empty diff partition), and the scan plans one InputPartition
+  * per spilled file — the driver moves only (path, rowCount) pairs, so
+  * a catch-up over compaction-sized commits costs one extra
+  * materialization (the same order as a shuffle), never a driver
+  * collect. Committed batches' spill dirs are deleted in `commit()`;
+  * a replayed batch (post-restart) re-plans and overwrites its dir.
+  * `max_rows_per_batch` is an OPTIONAL loud bound (default unbounded).
+  *
+  * An offset that no longer resolves (delta log cleaned past it,
+  * iceberg snapshot expired) refuses loudly by default;
+  * `.option("on_missing_offset", "earliest")` instead re-snapshots —
+  * one full-table batch of inserts at the current version, the same
+  * recovery contract as Kafka's earliest-offset reset at retention
+  * truncation (keyed downstream consumers are idempotent per key).
   *
   * Usage:
   * {{{
@@ -52,7 +69,8 @@ class LakeTailSource extends TableProvider {
 
 object LakeTailSource {
   final case class Conf(path: String, format: String, keys: Seq[String],
-      startingVersion: Option[Long], versionsPerBatch: Int, maxRows: Int)
+      startingVersion: Option[Long], versionsPerBatch: Int, maxRows: Long,
+      onMissing: String)
 
   private[sources] def conf(o: CaseInsensitiveStringMap): Conf = {
     val path = o.get("path")
@@ -66,10 +84,14 @@ object LakeTailSource {
     require(keys.nonEmpty,
       "lake tail needs .option(\"keys\", <comma-separated key columns>)" +
         " — the CDC diff is keyed")
+    val onMissing = Option(o.get("on_missing_offset")).getOrElse("fail")
+    require(onMissing == "fail" || onMissing == "earliest",
+      s"on_missing_offset must be fail|earliest, got '$onMissing'")
     Conf(path, fmt, keys,
       Option(o.get("starting_version")).map(_.toLong),
       Option(o.get("versions_per_batch")).map(_.toInt).getOrElse(1),
-      Option(o.get("max_rows_per_batch")).map(_.toInt).getOrElse(100000))
+      Option(o.get("max_rows_per_batch")).map(_.toLong).getOrElse(0L),
+      onMissing)
   }
 
   private[sources] def tableSchema(spark: SparkSession,
@@ -92,31 +114,51 @@ object LakeTailSource {
   /** The CDC batch for (from, to]: `from` < 0 (delta) / 0 (iceberg)
     * means "before the first commit" — empty old side, full first
     * read. Schema changes mid-tail raise (the batch API documents the
-    * reconcile path).
+    * reconcile path). An unresolvable `from` (expired/cleaned) either
+    * raises (`on_missing_offset=fail`) or degrades to the full first
+    * read at `to` (`earliest`).
     */
-  private[sources] def changes(spark: SparkSession, c: Conf,
+  private[graft] def changes(spark: SparkSession, c: Conf,
       from: Long, to: Long): DataFrame = {
     import graft.cdc.SnapshotDiff
+    def fullAt(read: => DataFrame): DataFrame = {
+      val full = read
+      SnapshotDiff.changes(emptyLike(spark, full), full, c.keys, seq = to)
+    }
     if (c.format == "delta") {
-      if (from < 0)
-        SnapshotDiff.changes(
-          emptyLike(spark, DeltaLite.read(spark, c.path, Some(to))),
-          DeltaLite.read(spark, c.path, Some(to)), c.keys, seq = to)
-      else DeltaLite.changesBetween(spark, c.path, from, to, c.keys,
+      // a cleaned-up log may no longer resolve `from` (no checkpoint at
+      // or before it / gapped commits behind the current checkpoint)
+      val fromResolves = from >= 0 && (
+        try { DeltaLite.snapshot(spark, c.path, Some(from)); true }
+        catch { case _: IllegalArgumentException => false })
+      if (from < 0) fullAt(DeltaLite.read(spark, c.path, Some(to)))
+      else if (!fromResolves) {
+        require(c.onMissing == "earliest",
+          s"delta version $from is no longer replayable at ${c.path} " +
+            "(log cleaned up?) — restart the tail from a live version, " +
+            "or set on_missing_offset=earliest to re-snapshot")
+        fullAt(DeltaLite.read(spark, c.path, Some(to)))
+      } else DeltaLite.changesBetween(spark, c.path, from, to, c.keys,
         seq = to)
     } else {
       val meta = IcebergLite.loadMeta(spark, c.path)
-      def snapAt(s: Long): Long = meta.snapshots.find(_.sequenceNumber == s)
-        .getOrElse(throw new IllegalArgumentException(
-          s"sequence number $s not in ${c.path} metadata (expired? " +
-            "restart the tail from a live version)")).snapshotId
-      if (from <= 0) {
-        val full = IcebergLite.read(spark, c.path, Some(snapAt(to)))
-        SnapshotDiff.changes(emptyLike(spark, full), full, c.keys, seq = to)
-      } else {
-        val (oldSide, newSide) = IcebergLite.changedFileSets(spark, c.path,
-          snapAt(from), snapAt(to))
-        SnapshotDiff.changes(oldSide, newSide, c.keys, seq = to)
+      def snapAt(s: Long): Option[Long] =
+        meta.snapshots.find(_.sequenceNumber == s).map(_.snapshotId)
+      val toSnap = snapAt(to).getOrElse(
+        throw new IllegalArgumentException(
+          s"sequence number $to not in ${c.path} metadata"))
+      if (from <= 0) fullAt(IcebergLite.read(spark, c.path, Some(toSnap)))
+      else snapAt(from) match {
+        case Some(fromSnap) =>
+          val (oldSide, newSide) = IcebergLite.changedFileSets(spark,
+            c.path, fromSnap, toSnap)
+          SnapshotDiff.changes(oldSide, newSide, c.keys, seq = to)
+        case None =>
+          require(c.onMissing == "earliest",
+            s"sequence number $from not in ${c.path} metadata " +
+              "(expired?) — restart the tail from a live version, or " +
+              "set on_missing_offset=earliest to re-snapshot")
+          fullAt(IcebergLite.read(spark, c.path, Some(toSnap)))
       }
     }
   }
@@ -124,6 +166,74 @@ object LakeTailSource {
   private def emptyLike(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+
+  // --------------------------------------------- executor-side shipping
+
+  /** Hadoop Configuration is a Writable — ship it to executors inside
+    * the InputPartition (the reader needs the right FileSystem).
+    */
+  private[sources] def confToBytes(conf: Configuration): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val dos = new java.io.DataOutputStream(bos)
+    conf.write(dos)
+    dos.close()
+    bos.toByteArray
+  }
+
+  private[sources] def bytesToConf(bytes: Array[Byte]): Configuration = {
+    val conf = new Configuration(false)
+    conf.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    conf
+  }
+
+  /** Run `df` DISTRIBUTED and spill each non-empty output partition as
+    * one length-prefixed UnsafeRow file under `dir`; return one
+    * InputPartition per file. The driver handles only (path, count)
+    * pairs. The spill is transient same-JVM-version state (deleted at
+    * commit), so the UnsafeRow binary format is a safe wire format.
+    */
+  private[graft] def spill(spark: SparkSession, df: DataFrame,
+      dir: Path, maxRows: Long): Array[InputPartition] = {
+    val schema = df.schema
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(hconf)
+    if (fs.exists(dir)) fs.delete(dir, true) // replayed batch: re-plan
+    fs.mkdirs(dir)
+    val confBytes = confToBytes(hconf)
+    val dirStr = dir.toString
+    val nFields = schema.length
+    val written: Array[(String, Long)] = df.queryExecution.toRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val conf = bytesToConf(confBytes)
+          val file = new Path(dirStr, f"rows-$i%05d.bin")
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(
+              file.getFileSystem(conf).create(file, true), 1 << 16))
+          val proj = UnsafeProjection.create(schema)
+          val buf = new Array[Byte](1 << 16)
+          var n = 0L
+          try it.foreach { row =>
+            val u = proj(row)
+            out.writeInt(u.getSizeInBytes)
+            u.writeToStream(out, buf)
+            n += 1
+          } finally out.close()
+          Iterator.single((file.toString, n))
+        }
+      }.collect()
+    val total = written.map(_._2).sum
+    require(maxRows <= 0 || total <= maxRows,
+      s"lake tail batch carries $total rows, over the explicit " +
+        s"max_rows_per_batch=$maxRows — raise/unset the cap, lower " +
+        "versions_per_batch, or run the backfill through the batch " +
+        "changesBetween API")
+    written.map { case (p, n) =>
+      LakeTailFilePartition(p, n, nFields, confBytes): InputPartition
+    }
+  }
 }
 
 private[sources] final case class LakeVersionOffset(v: Long) extends Offset {
@@ -147,6 +257,9 @@ private[sources] class LakeTailTable(tailSchema: StructType,
           new MicroBatchStream with SupportsAdmissionControl
               with SupportsTriggerAvailableNow {
             private val spark = SparkSession.active
+            private val spillRoot =
+              new Path(checkpointLocation, "graft-spill")
+            private val SpillDirRe = """v(-?\d+)_(-?\d+)""".r
             // Trigger.AvailableNow pins the stop target at start, then
             // batches advance versions_per_batch at a time until it
             private var availableTarget: Option[Long] = None
@@ -170,8 +283,18 @@ private[sources] class LakeTailTable(tailSchema: StructType,
               val s = start.asInstanceOf[LakeVersionOffset].v
               val cur = availableTarget.getOrElse(
                 LakeTailSource.currentVersion(spark, c))
-              LakeVersionOffset(
-                math.min(cur, s + math.max(1, c.versionsPerBatch)))
+              val step = math.max(1, c.versionsPerBatch)
+              if (c.format == "iceberg") {
+                // iceberg sequence numbers can be SPARSE after snapshot
+                // expiration — the batch end must be a LIVE snapshot's
+                // seq, advancing at most versions_per_batch live commits
+                val live = IcebergLite.loadMeta(spark, c.path).snapshots
+                  .map(_.sequenceNumber).filter(v => v > s && v <= cur)
+                  .sorted
+                if (live.isEmpty) LakeVersionOffset(s)
+                else LakeVersionOffset(live.take(step).last)
+              } else
+                LakeVersionOffset(math.min(cur, s + step))
             }
 
             override def deserializeOffset(json: String): Offset = {
@@ -188,39 +311,66 @@ private[sources] class LakeTailTable(tailSchema: StructType,
               val df = LakeTailSource.changes(spark, c, s, e)
                 .select(tailSchema.fieldNames.map(
                   org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-              val rows = df.limit(c.maxRows + 1).collect()
-              require(rows.length <= c.maxRows,
-                s"lake tail batch (${c.path} versions ($s, $e]) exceeds " +
-                  s"max_rows_per_batch=${c.maxRows} — raise the cap, " +
-                  "lower versions_per_batch, or run the backfill through " +
-                  "the batch changesBetween API")
-              Array(LakeTailPartition(rows, tailSchema))
+              LakeTailSource.spill(spark, df,
+                new Path(spillRoot, s"v${s}_$e"), c.maxRows)
             }
 
             override def createReaderFactory(): PartitionReaderFactory =
               new LakeTailReaderFactory
 
-            override def commit(end: Offset): Unit = ()
+            /** Batches at or before the committed offset are done —
+              * their spill dirs will never be re-read.
+              */
+            override def commit(end: Offset): Unit = {
+              val v = end.asInstanceOf[LakeVersionOffset].v
+              val fs = spillRoot.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(spillRoot))
+                fs.listStatus(spillRoot).foreach { st =>
+                  st.getPath.getName match {
+                    case SpillDirRe(_, e2) if e2.toLong <= v =>
+                      fs.delete(st.getPath, true); ()
+                    case _ => ()
+                  }
+                }
+            }
             override def stop(): Unit = ()
           }
       }
     }
 }
 
-/** Rows ship embedded in the partition (MemoryStream model; bounded by
-  * max_rows_per_batch at plan time).
+/** One spilled diff partition: a length-prefixed UnsafeRow file read
+  * ON THE EXECUTOR (the driver never touches row bytes).
   */
-private[sources] final case class LakeTailPartition(rows: Array[Row],
-    schema: StructType) extends InputPartition
+private[graft] final case class LakeTailFilePartition(path: String,
+    rows: Long, numFields: Int, confBytes: Array[Byte])
+  extends InputPartition
 
-private[sources] class LakeTailReaderFactory extends PartitionReaderFactory {
+private[graft] class LakeTailReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val part = p.asInstanceOf[LakeTailPartition]
-      private val ser = ExpressionEncoder(part.schema).createSerializer()
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < part.rows.length }
-      override def get(): InternalRow = ser(part.rows(i)).copy()
-      override def close(): Unit = ()
+      private val part = p.asInstanceOf[LakeTailFilePartition]
+      private val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(
+          new Path(part.path).getFileSystem(
+            LakeTailSource.bytesToConf(part.confBytes))
+            .open(new Path(part.path)), 1 << 16))
+      private var read = 0L
+      private var cur: UnsafeRow = _
+      override def next(): Boolean =
+        if (read >= part.rows) { false }
+        else {
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val r = new UnsafeRow(part.numFields)
+          r.pointTo(bytes, len)
+          cur = r
+          read += 1
+          true
+        }
+      override def get(): InternalRow = cur
+      override def close(): Unit = in.close()
     }
 }

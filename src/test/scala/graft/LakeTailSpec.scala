@@ -18,10 +18,12 @@ class LakeTailSpec extends AnyFunSuite {
 
   /** Run the tail until idle, sinking batches as (batchId, rows). */
   private def drain(tbl: String, fmt: String, out: String, ckpt: String,
-      startingVersion: Option[Long] = None): Unit = {
+      startingVersion: Option[Long] = None,
+      extra: Map[String, String] = Map.empty): Unit = {
     var r = spark.readStream.format("graft.sources.LakeTailSource")
       .option("path", tbl).option("table_format", fmt)
       .option("keys", "k")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
     startingVersion.foreach(v => r = r.option("starting_version", v))
     val q = r.load()
       .writeStream.format("parquet")
@@ -105,5 +107,79 @@ class LakeTailSpec extends AnyFunSuite {
     assert(err.getMessage.contains("max_rows_per_batch") ||
       Option(err.getCause).exists(_.getMessage
         .contains("max_rows_per_batch")), err.getMessage)
+  }
+
+  test("batches ship EXECUTOR-side: a batch far beyond the old 100k " +
+      "driver-collect cap streams fine, and a multi-partition diff " +
+      "plans >1 InputPartition") {
+    val base = tmp("big")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val n = 150000L
+    DeltaLite.write(spark,
+      spark.range(n).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")), tbl)
+    drain(tbl, "delta", out, ckpt, startingVersion = Some(0L))
+    val got = spark.read.parquet(out)
+    assert(got.count() == n)
+    assert(got.filter(col("_op") === "insert").count() == n)
+    // spot-check values survived the UnsafeRow spill round-trip
+    assert(got.filter(col("k") === 149999L).select("v").head().getString(0)
+      == "v149999")
+    // committed batches clean their spill dirs
+    val spillRoot = new org.apache.hadoop.fs.Path(ckpt, "graft-spill")
+    val fs = spillRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(spillRoot) || fs.listStatus(spillRoot).isEmpty)
+    // the spill itself plans one InputPartition per non-empty diff
+    // partition — executor read parallelism, the driver sees only paths
+    val df = DeltaLite.read(spark, tbl)
+      .withColumn("_op", lit("insert")).withColumn("_seq", lit(0L))
+      .repartition(4)
+    val parts = graft.sources.LakeTailSource.spill(spark, df,
+      new org.apache.hadoop.fs.Path(s"$base/spill"), 0L)
+    assert(parts.length > 1, s"expected multi-partition plan, got ${parts.length}")
+    val rf = new graft.sources.LakeTailReaderFactory
+    val readBack = parts.map { p =>
+      val r = rf.createReader(p)
+      var c = 0L
+      while (r.next()) { assert(r.get().numFields == 4); c += 1 }
+      r.close(); c
+    }.sum
+    assert(readBack == n)
+  }
+
+  test("expired/cleaned offsets: loud refusal by default, " +
+      "on_missing_offset=earliest re-snapshots like Kafka's earliest " +
+      "reset") {
+    val base = tmp("exp")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tbl)
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tbl)
+    drain(tbl, "iceberg", out, ckpt, startingVersion = Some(1L))
+    assert(sunk(out).map(_._1) == Set(1L, 2L))
+    // two more commits, then EXPIRE history so the checkpointed offset
+    // (seq 2) vanishes from the metadata
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), tbl)
+    IcebergLite.write(spark, Seq((4L, "d")).toDF("k", "v"), tbl)
+    IcebergLite.expireSnapshots(spark, tbl, keepLast = 1)
+    val q = spark.readStream.format("graft.sources.LakeTailSource")
+      .option("path", tbl).option("table_format", "iceberg")
+      .option("keys", "k").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      { q.awaitTermination(120000); () })
+    assert(err.getMessage.contains("on_missing_offset") ||
+      Option(err.getCause).exists(_.getMessage.contains("on_missing_offset")),
+      err.getMessage)
+    // with the option: one full re-snapshot batch at the current seq
+    drain(tbl, "iceberg", out, ckpt,
+      extra = Map("on_missing_offset" -> "earliest"))
+    val after = sunk(out)
+    val reseq = after.filter(_._4 == 4L) // the re-snapshot batch (seq 4)
+    assert(reseq.map(r => (r._1, r._2, r._3)) == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert"), (4L, "d", "insert")), after.toString)
   }
 }
