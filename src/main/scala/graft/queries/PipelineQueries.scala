@@ -3958,6 +3958,38 @@ object PipelineQueries {
       DeltaLite.read(s, tbl)
     },
 
+    // MERGE OVER LIVE DELETION VECTORS through the driver gate: a DV
+    // delete retracts every third customer, then a keyed MERGE lands
+    // WITHOUT an intervening compact — its rewrite scans read through
+    // the row_index anti-filter, touched files absorb their bitmaps,
+    // untouched range-clustered files keep theirs. The oracle builds
+    // the same final state from raw parquet: a resurrected DV-deleted
+    // row, a lost merge image, or an over-absorbed bitmap hash-fails.
+    QueryDef("q144_delta_merge_dv",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey <= 30 THEN 'MERGED' ELSE c_name END AS c_name
+        |FROM customer
+        |WHERE c_custkey % 3 <> 0 OR c_custkey <= 30""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q144_mergedv").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name").cast("string").as("c_name"))
+      // range-clustered files so the merge's stats pruning touches only
+      // the low-key files; the rest keep their DVs live
+      DeltaLite.write(s,
+        c.repartitionByRange(4, col("c_custkey")), tbl)
+      DeltaLite.deleteWhere(s, tbl, col("c_custkey") % 3 === 0)
+      DeltaLite.upsert(s,
+        c.filter(col("c_custkey") <= 30)
+          .select(col("c_custkey"), lit("MERGED").as("c_name")),
+        tbl, Seq("c_custkey"))
+      DeltaLite.read(s, tbl)
+    },
+
     // NATIVE LAKEHOUSE TAIL through the driver gate: a delta table
     // accumulates three versions (create, append, keyed upsert), then
     // the version-offset streaming tail replays it from version 0 with

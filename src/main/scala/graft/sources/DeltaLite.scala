@@ -69,8 +69,8 @@ object DeltaLite {
         */
       columnMappingMode: String = "none",
       /** path → live deletion-vector descriptor (advanced protocol's
-        * merge-on-read deletes) — applied by reads as a row_index
-        * anti-filter; the native writer refuses to MERGE over them.
+        * merge-on-read deletes) — applied by reads (and by MERGE's
+        * rewrite scans) as a row_index anti-filter.
         */
       dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
       /** path → the add action's recorded `size` bytes — what
@@ -1141,9 +1141,7 @@ object DeltaLite {
     * streaming-sink many-small-commits layout fix). The commit is
     * remove+add with `dataChange:false` — the row set is unchanged, so
     * change-feed consumers skip it. Rewritten originals become
-    * unreferenced and fall to [[vacuum]]. After a purge the table has
-    * no live DVs, which re-opens the native MERGE path [[upsert]]
-    * refuses while DVs are live. Output file count per tuple is
+    * unreferenced and fall to [[vacuum]]. Output file count per tuple is
     * ceil(inputBytes / smallFileBytes) — near-target sizes at any
     * input count. Returns the new version (unchanged when nothing
     * qualifies).
@@ -1496,7 +1494,11 @@ object DeltaLite {
     *  2. RESOLVE the actually-touched set with one semi-join of the
     *     candidate rows against the batch keys (reads candidates only).
     * Untouched files are never read twice nor rewritten; rewrite volume
-    * is (touched rows − replaced rows) + batch. Batch keys must be
+    * is (touched rows − replaced rows) + batch. Live deletion vectors
+    * are honored: scans read through the row_index anti-filter, a
+    * touched DV'd file rewrites ABSORBING its bitmap (the fresh add
+    * carries no descriptor), untouched DV'd files keep theirs — MERGE
+    * after `deleteWhere` needs no intervening compact. Batch keys must be
     * distinct and non-null — replace-by-key needs one image per key,
     * and violating that raises loudly rather than last-wins silently.
     *
@@ -1511,7 +1513,7 @@ object DeltaLite {
       keyCols: Seq[String], txn: Option[(String, Long)] = None,
       deleteKeys: Option[DataFrame] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit,
-      max, min, struct, sum, input_file_name}
+      max, min, struct, sum}
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     keyCols.foreach(k => require(batch.columns.contains(k),
       s"key column '$k' missing from the batch (${batch.columns.mkString(", ")})"))
@@ -1567,10 +1569,6 @@ object DeltaLite {
       s"$tablePath uses column mapping ('${snap.columnMappingMode}') — " +
         "the native writer emits logical parquet field names and would " +
         "corrupt it; write with the delta-spark jars")
-    require(snap.dvs.isEmpty,
-      s"$tablePath carries live deletion vectors — the native MERGE " +
-        "rewrites whole files and would resurrect DV-deleted rows; " +
-        "compact/rewrite with the delta-spark jars first")
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
         s"\n data:  ${batch.schema.json}")
@@ -1587,7 +1585,29 @@ object DeltaLite {
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
     val relByPath: Map[String, String] = candidates.keys
-      .map(p => new Path(abs(p)).toUri.getPath -> p).toMap
+      .map(p => encodedPathKey(abs(p)) -> p).toMap
+
+    // live deletion vectors: MERGE reads THROUGH the anti-filter (the
+    // same scan-local row_index mechanism as reads), so a touched DV'd
+    // file rewrites ABSORBING its DV — the rewrite's add carries no
+    // descriptor, dropping the bitmap in the same atomic commit;
+    // untouched DV'd files keep their DVs untouched. No resurrection,
+    // no pre-compact required.
+    val dvKeep =
+      if (snap.dvs.isEmpty) None
+      else {
+        val dvMap = snap.dvs.keysIterator.map { p =>
+          encodedPathKey(abs(p)) ->
+            DeletionVectors.load(fs, tablePath, snap.dvs(p))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(dvMap)
+        Some(org.apache.spark.sql.functions.udf((path: String, idx: Long) =>
+          bc.value.get(IcebergLite.normalizePathStr(path)) match {
+            case Some(dead) =>
+              java.util.Arrays.binarySearch(dead, idx) < 0
+            case None => true
+          }))
+      }
 
     // partitioned tables scan per partition group with the typed
     // partition LITERALS injected (data files don't carry those
@@ -1601,9 +1621,15 @@ object DeltaLite {
     def groupScan(
         files: Map[String, Map[String, Option[String]]]): DataFrame =
       files.toSeq.groupBy(_._2).toSeq.map { case (pvv, fs0) =>
-        val sc = spark.read.schema(dataSchemaU)
+        val sc0 = spark.read.schema(dataSchemaU)
           .parquet(fs0.map(f => abs(f._1)): _*)
-          .withColumn("__file", input_file_name())
+        val sc1 = dvKeep match {
+          case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
+            sc0.filter(keep(col("_metadata.file_path"),
+              col("_metadata.row_index")))
+          case _ => sc0
+        }
+        val sc = sc1.withColumn("__file", col("_metadata.file_path"))
         partFieldsU.foldLeft(sc) { (df, f) =>
           val v = pvv.get(f.name).flatten
           df.withColumn(f.name,
@@ -1618,9 +1644,8 @@ object DeltaLite {
         .join(allKeysDf, keyCols, "left_semi")
         .select("__file").distinct().collect()
         .map { row =>
-          val uriPath = new Path(
-            new java.net.URI(row.getString(0))).toUri.getPath
-          relByPath.getOrElse(uriPath, throw new IllegalStateException(
+          val norm = IcebergLite.normalizePathStr(row.getString(0))
+          relByPath.getOrElse(norm, throw new IllegalStateException(
             s"semi-join returned unmapped file ${row.getString(0)}"))
         }.toSet
 

@@ -885,6 +885,41 @@ class DeltaLiteSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.partitionUnionLimit")
   }
 
+  test("MERGE over live deletion vectors: touched files rewrite " +
+      "ABSORBING their DV (no resurrection), untouched DV'd files keep " +
+      "theirs — no intervening compact required") {
+    val t = java.nio.file.Files.createTempDirectory("delta_mergedv").toString + "/tbl"
+    // two files with disjoint key ranges
+    DeltaLite.write(spark,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), t)
+    DeltaLite.write(spark,
+      (11L to 20L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), t)
+    // DV-delete one key in EACH file
+    DeltaLite.deleteWhere(spark, t, col("k") === 2L || col("k") === 12L)
+    val withDvs = DeltaLite.snapshot(spark, t)
+    assert(withDvs.dvs.size == 2)
+    // MERGE touching only the FIRST file's range (replace k=1, add k=21)
+    DeltaLite.upsert(spark, Seq((1L, "A1"), (21L, "new")).toDF("k", "v"),
+      t, Seq("k"))
+    val got = DeltaLite.read(spark, t).as[(Long, String)].collect().toMap
+    // replaced + inserted, DV-deleted keys in BOTH files stay deleted
+    assert(got(1L) == "A1" && got(21L) == "new")
+    assert(!got.contains(2L) && !got.contains(12L), got.toString)
+    assert(got.size == 19) // 20 - 2 deleted + 1 insert
+    val after = DeltaLite.snapshot(spark, t)
+    // the touched file's DV was absorbed; the untouched file keeps its DV
+    assert(after.dvs.size == 1)
+    val dvFile = after.dvs.keySet.head
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mn = om.readTree(after.stats(dvFile)).get("minValues").get("k").asLong
+    assert(mn == 11L, s"surviving DV should sit on the 11..20 file, got min=$mn")
+    // a second merge hitting the remaining DV'd file absorbs that too
+    DeltaLite.upsert(spark, Seq((11L, "B11")).toDF("k", "v"), t, Seq("k"))
+    val fin = DeltaLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(fin(11L) == "B11" && !fin.contains(12L) && fin.size == 19)
+    assert(DeltaLite.snapshot(spark, t).dvs.isEmpty)
+  }
+
   test("checkpoint carries live deletion vectors and the (3,7) " +
       "protocol: checkpoint-seeded reads keep DV-deleted rows deleted") {
     val t = java.nio.file.Files.createTempDirectory("delta_ckdv").toString + "/tbl"
@@ -955,9 +990,8 @@ class DeltaLiteSpec extends AnyFunSuite {
     DeltaLite.deleteWhere(spark, t, col("k") === 2L)
     val before = DeltaLite.snapshot(spark, t)
     assert(before.files.size == 5 && before.dvs.size == 1)
-    // native MERGE refuses while a DV is live
-    intercept[IllegalArgumentException](DeltaLite.upsert(spark,
-      Seq((1L, "X")).toDF("k", "v"), t, Seq("k")))
+    // (native MERGE works over live DVs too — covered by its own test;
+    // compact is the LAYOUT fix, not a MERGE precondition)
     val v = DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
     assert(v == before.version + 1)
     val after = DeltaLite.snapshot(spark, t)
