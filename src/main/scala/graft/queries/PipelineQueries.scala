@@ -3802,6 +3802,39 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // DELTA METADATA-ONLY RENAME through the driver gate (the q136b
+    // contract, delta-side): an unmapped table upgrades to column
+    // mapping `name` mode in place (protocol 2/5, fresh ids,
+    // physicalName = original name), RENAMES a column without touching
+    // any data file, then appends under the NEW logical name — the
+    // staged file carries the ORIGINAL physical name, so the read must
+    // resolve both generations through physicalName. A reader matching
+    // raw names would null every post-rename row; a writer staging
+    // logical names would null every pre-rename row — either
+    // hash-fails against the oracle's union over raw parquet.
+    QueryDef("q145_delta_rename",
+      """SELECT n_nationkey, n_name AS nation_name FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100 AS n_nationkey,
+        |  lower(n_name) AS nation_name
+        |FROM nation""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q145_delta").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name").cast("string").as("n_name"))
+      DeltaLite.write(s, n, tbl)
+      DeltaLite.enableColumnMapping(s, tbl)
+      DeltaLite.renameColumn(s, tbl, "n_name", "nation_name")
+      DeltaLite.write(s,
+        n.select((col("n_nationkey") + 100).as("n_nationkey"),
+          lower(col("n_name")).as("nation_name")), tbl)
+      DeltaLite.read(s, tbl)
+    },
+
     // ICEBERG METADATA TABLES through the driver gate: a fixed commit
     // sequence (append, append, MoR delete, merge) audited through the
     // snapshots/files inspection surface — operations, per-content

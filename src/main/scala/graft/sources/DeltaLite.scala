@@ -626,10 +626,107 @@ object DeltaLite {
     }
   }
 
+  /** The physical StructField for SCANS of a mapped table: physical
+    * name, physicalized nested type, NO metadata — a read schema
+    * carrying `parquet.field.id` would make Spark (fieldId read is ON
+    * by default in Spark 4) demand ids from pre-upgrade id-less files.
+    * Ids are stamped only on WRITE projections ([[toPhysical]],
+    * [[stampFieldIds]]).
+    */
+  private def physicalField(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField =
+    f.copy(name = physicalName(f), dataType = physicalize(f.dataType),
+      metadata = org.apache.spark.sql.types.Metadata.empty)
+
+  /** Re-attach `parquet.field.id` to an already-physical-named frame
+    * (the compact rewrite path) so rewritten files of id-mapped tables
+    * keep carrying field ids.
+    */
+  private def stampFieldIds(df: DataFrame,
+      fields: Array[StructField]): DataFrame =
+    df.select(fields.map { f =>
+      val c = col(physicalName(f))
+      if (f.metadata.contains("delta.columnMapping.id"))
+        c.as(physicalName(f),
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build())
+      else c
+    }.toIndexedSeq: _*)
+
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
+
+  /** Project a LOGICAL-named batch into the PHYSICAL shape the data
+    * files of a column-mapped table carry: top-level fields rename to
+    * their physicalName (with `parquet.field.id` metadata from
+    * columnMapping.id, so staged files carry field ids — what `id`-mode
+    * readers, ours included, resolve by); nested struct fields rename
+    * via a positional cast to the physicalized type.
+    */
+  private def toPhysical(df: DataFrame,
+      schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      val c = col(f.name).cast(physicalize(f.dataType))
+      if (f.metadata.contains("delta.columnMapping.id"))
+        c.as(physicalName(f), new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build())
+      else c.as(physicalName(f))
+    }.toIndexedSeq: _*)
+
+  /** Assign fresh columnMapping metadata to every field (nested
+    * included): ids startId+1.. in walk order. The physical name
+    * defaults to the CURRENT name — the delta-spark UPGRADE convention,
+    * so existing data files keep resolving; evolution passes a
+    * `col-<uuid>` generator instead (brand-new columns have no files to
+    * resolve). Returns (mapped schema, maxColumnId).
+    */
+  private def assignMapping(schema: StructType, startId: Long = 0L,
+      physNameOf: StructField => String = _.name): (StructType, Long) = {
+    import org.apache.spark.sql.types._
+    var next = startId
+    def field(f: StructField): StructField = {
+      next += 1
+      val id = next
+      f.copy(dataType = walk(f.dataType),
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", physNameOf(f))
+          .build())
+    }
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(field))
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    (StructType(schema.fields.map(field)), next)
+  }
+
+  /** Highest columnMapping id anywhere in the schema — the fallback
+    * when a foreign table's configuration omits maxColumnId.
+    */
+  private def maxMappingId(schema: StructType): Long = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType): Long = dt match {
+      case st: StructType =>
+        (0L +: st.fields.toSeq.map { f =>
+          val own =
+            if (f.metadata.contains("delta.columnMapping.id"))
+              f.metadata.getLong("delta.columnMapping.id")
+            else 0L
+          math.max(own, walk(f.dataType))
+        }).max
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => math.max(walk(m.keyType), walk(m.valueType))
+      case _ => 0L
+    }
+    walk(schema)
+  }
 
   /** Rename every nested struct field to its physical name (arrays and
     * maps recurse) — the schema shape the data files of a name-mapped
@@ -682,6 +779,9 @@ object DeltaLite {
     val partFieldsByName = snap.partitionColumns.flatMap(c =>
       snap.schema.fields.find(_.name == c).map(c -> _)).toMap
     val typeByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    // mapped tables record stats under PHYSICAL column names
+    val physByName = snap.schema.fields
+      .map(f => f.name -> physicalName(f)).toMap
     def numRecords(node: JsonNode): Option[Long] =
       Option(node.get("numRecords")).map(_.asLong)
     def statBound(node: JsonNode, section: String, c: String): Option[Any] =
@@ -719,17 +819,18 @@ object DeltaLite {
             }
           case None if typeByName.contains(c) =>
             // data column: bounds say "provably no matching row"?
+            val pc = physByName.getOrElse(c, c)
             stats match {
               case None => true
               case Some(node) =>
                 op match {
                   case "null" =>
-                    !statBound(node, "nullCount", c)
+                    !statBound(node, "nullCount", pc)
                       .exists(nc => cmpBounds(nc,
                         java.math.BigDecimal.ZERO).contains(0))
                   case "notnull" =>
                     !(for {
-                      nc <- statBound(node, "nullCount", c)
+                      nc <- statBound(node, "nullCount", pc)
                       n <- numRecords(node)
                       cmp <- cmpBounds(nc, java.math.BigDecimal.valueOf(n))
                     } yield cmp == 0).getOrElse(false)
@@ -739,25 +840,25 @@ object DeltaLite {
                       unsat <- op match {
                         case "=" =>
                           for {
-                            mn <- statBound(node, "minValues", c)
-                            mx <- statBound(node, "maxValues", c)
+                            mn <- statBound(node, "minValues", pc)
+                            mx <- statBound(node, "maxValues", pc)
                             lo <- cmpBounds(b, mn)
                             hi <- cmpBounds(b, mx)
                           } yield lo < 0 || hi > 0
                         case "<" => for {
-                          mn <- statBound(node, "minValues", c)
+                          mn <- statBound(node, "minValues", pc)
                           cmp <- cmpBounds(mn, b)
                         } yield cmp >= 0
                         case "<=" => for {
-                          mn <- statBound(node, "minValues", c)
+                          mn <- statBound(node, "minValues", pc)
                           cmp <- cmpBounds(mn, b)
                         } yield cmp > 0
                         case ">" => for {
-                          mx <- statBound(node, "maxValues", c)
+                          mx <- statBound(node, "maxValues", pc)
                           cmp <- cmpBounds(mx, b)
                         } yield cmp <= 0
                         case ">=" => for {
-                          mx <- statBound(node, "maxValues", c)
+                          mx <- statBound(node, "maxValues", pc)
                           cmp <- cmpBounds(mx, b)
                         } yield cmp < 0
                         case _ => None
@@ -865,15 +966,18 @@ object DeltaLite {
     df.write.mode("overwrite").parquet(stage.toString)
     val eligible = df.schema.fields.filter(statsEligible).toSeq
     val conf = spark.sparkContext.hadoopConfiguration
-    val moved = fs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map { st =>
-        val name = st.getPath.getName
-        val fst = ParquetFooterStats.read(conf, st.getPath, df.schema)
-        require(fs.rename(st.getPath, new Path(root, name)),
-          s"staging move failed for $name")
-        (name, st.getLen, statsJsonFor(fst, eligible))
-      }.toIndexedSeq
+    val parts = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-")).toIndexedSeq
+    // footers read with the bounded pool — never one serialized
+    // round-trip per part file
+    val footerStats = ParquetFooterStats.readAll(conf,
+      parts.map(_.getPath), df.schema)
+    val moved = parts.map { st =>
+      val name = st.getPath.getName
+      require(fs.rename(st.getPath, new Path(root, name)),
+        s"staging move failed for $name")
+      (name, st.getLen, statsJsonFor(footerStats(st.getPath), eligible))
+    }
     fs.delete(stage, true)
     moved
   }
@@ -922,6 +1026,8 @@ object DeltaLite {
         else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
     val files = leaves(stage)
+    val footerStats = ParquetFooterStats.readAll(conf,
+      files.map(_.getPath), dataSchema)
     val out = files.map { st =>
       // the dir chain between the stage root and the file, in spec
       // order (partitionBy writes them outermost-first)
@@ -942,7 +1048,7 @@ object DeltaLite {
           if (raw == "__HIVE_DEFAULT_PARTITION__") None
           else Some(IcebergLite.unescapeDirValue(raw)))
       }.toMap
-      val fst = ParquetFooterStats.read(conf, st.getPath, dataSchema)
+      val fst = footerStats(st.getPath)
       val relPath = (segs :+ st.getPath.getName).mkString("/")
       val dataDir = segs.foldLeft(root)((p, s) => new Path(p, s))
       fs.mkdirs(dataDir)
@@ -958,6 +1064,19 @@ object DeltaLite {
     fs.delete(stage, true)
     out
   }
+
+  /** Reader features a legacy `minReaderVersion` implies — what an
+    * upgrade to a features-based protocol must restate (the spec's
+    * legacy→feature mapping).
+    */
+  private def impliedReaderFeatures(minReader: Int): Seq[String] =
+    if (minReader >= 2) Seq("columnMapping") else Nil
+
+  private def impliedWriterFeatures(minWriter: Int): Seq[String] =
+    Seq(2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns",
+      5 -> "columnMapping", 6 -> "identityColumns")
+      .collect { case (v, f) if minWriter >= v => f }
 
   /** Put-if-absent claim of a commit version — the Delta commit rule.
     * A concurrent writer loses the race LOUDLY instead of corrupting
@@ -1014,8 +1133,6 @@ object DeltaLite {
   def deleteWhere(spark: SparkSession, tablePath: String,
       cond: org.apache.spark.sql.Column): Long = {
     val snap = snapshot(spark, tablePath)
-    require(snap.columnMappingMode == "none",
-      s"$tablePath uses column mapping — delete with the delta-spark jars")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -1030,15 +1147,33 @@ object DeltaLite {
     // per-file union below dedups them. Partitioned tables scan per
     // partition group with the typed partition LITERALS injected (the
     // data files don't carry those columns).
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    val dataFieldsD = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val mappedD = snap.columnMappingMode != "none"
+    val readSchemaD =
+      if (mappedD) StructType(dataFieldsD.map(physicalField))
+      else StructType(dataFieldsD)
+    if (snap.columnMappingMode == "id")
+      verifyFieldIds(spark, candFiles.keysIterator.map(abs).toSeq,
+        dataFieldsD)
     val partFields = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"partition column $c missing from the Delta schema")))
     val scanned = candFiles.toSeq.groupBy(_._2).toSeq.map { case (pv, fs0) =>
-        val sc = spark.read.schema(dataSchema)
+        val sc0 = spark.read.schema(readSchemaD)
           .parquet(fs0.map(f => abs(f._1)): _*)
+        val posCols = Seq(
+          org.apache.spark.sql.functions.col("_metadata.file_path")
+            .as("__p"),
+          org.apache.spark.sql.functions.col("_metadata.row_index")
+            .as("__i"))
+        val sc =
+          if (mappedD) sc0.select((dataFieldsD.map(f =>
+              col(physicalName(f)).cast(f.dataType).as(f.name)) ++
+            posCols).toIndexedSeq: _*)
+          else sc0.select((dataFieldsD.map(f => col(f.name)) ++ posCols)
+            .toIndexedSeq: _*)
         partFields.foldLeft(sc) { (df, f) =>
           val v = pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
           df.withColumn(f.name,
@@ -1046,11 +1181,7 @@ object DeltaLite {
               .getOrElse(lit(null).cast(f.dataType)))
         }
       }
-      .map(_.filter(cond)
-        .select(org.apache.spark.sql.functions.col("_metadata.file_path")
-            .as("__p"),
-          org.apache.spark.sql.functions.col("_metadata.row_index")
-            .as("__i")))
+      .map(_.filter(cond).select(col("__p"), col("__i")))
       .reduce(_ unionByName _)
     val maxRows = spark.conf
       .getOption("graft.delta.maxDeleteRowsPerCommit")
@@ -1089,11 +1220,27 @@ object DeltaLite {
     val now = 1L
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("DELETE", Map("mode" -> "deletionVector"), now)
-    // protocol upgrade once DVs enter the table
-    if (snap.dvs.isEmpty && dvd.nonEmpty)
-      lines += ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}""")
+    // protocol upgrade once DVs enter the table — a features-based
+    // protocol is EXHAUSTIVE, so the upgrade must carry every feature
+    // the prior legacy reader/writer versions implied (dropping an
+    // implied columnMapping would make external readers reject the
+    // still-mapped table)
+    val needsDvProtocol = dvd.nonEmpty && !snap.protocol.exists(p =>
+      p.readerFeatures.exists(_.contains("deletionVectors")))
+    if (needsDvProtocol) {
+      val p = snap.protocol.getOrElse(CpProto(1, 2, None, None))
+      val rf = (p.readerFeatures.getOrElse(
+        impliedReaderFeatures(p.minReaderVersion)) :+ "deletionVectors")
+        .distinct
+      val wf = (p.writerFeatures.getOrElse(
+        impliedWriterFeatures(p.minWriterVersion)) :+ "deletionVectors")
+        .distinct
+      def featJson(fs: Seq[String]): String =
+        fs.map(mapper.writeValueAsString).mkString("[", ",", "]")
+      lines += (s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,"readerFeatures":${featJson(rf)},""" +
+        s""""writerFeatures":${featJson(wf)}}}""")
+    }
     val dvFile =
       if (dvd.isEmpty) None
       else Some(DeletionVectors.writeDvFile(fs, tablePath, dvd))
@@ -1150,9 +1297,6 @@ object DeltaLite {
       smallFileBytes: Long = 128L << 20): Long = {
     require(smallFileBytes > 0, "smallFileBytes must be positive")
     val snap = snapshot(spark, tablePath)
-    require(snap.columnMappingMode == "none",
-      s"$tablePath uses column mapping — the native writer emits " +
-        "logical parquet field names; compact with the delta-spark jars")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -1174,8 +1318,17 @@ object DeltaLite {
       if (chosen.isEmpty) None else Some(pv -> chosen)
     }
     if (rewriteByTuple.isEmpty) return snap.version
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    // a mapped table's rewrite stays entirely PHYSICAL (names, nested
+    // shape, field ids) — the log's schema metadata is untouched
+    val dataFieldsC = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema =
+      if (snap.columnMappingMode != "none")
+        StructType(dataFieldsC.map(physicalField))
+      else StructType(dataFieldsC)
+    if (snap.columnMappingMode == "id")
+      verifyFieldIds(spark,
+        rewriteByTuple.values.flatten.map(abs).toSeq, dataFieldsC)
     // DV anti-filter over the rewritten files (same mechanism as reads)
     val dvTouched = rewriteByTuple.values.flatten
       .filter(snap.dvs.contains).toSeq
@@ -1211,8 +1364,11 @@ object DeltaLite {
       }
       val inBytes = paths.flatMap(snap.sizes.get).sum
         .max(paths.length.toLong) // foreign adds without size: ≥1
-      val packed = alive.coalesce(math.max(1,
+      val packed0 = alive.coalesce(math.max(1,
         math.ceil(inBytes.toDouble / smallFileBytes).toInt))
+      val packed =
+        if (snap.columnMappingMode == "none") packed0
+        else stampFieldIds(packed0, dataFieldsC)
       val moved = stageWithStats(spark, packed, root, fs)
       paths.foreach(p => lines += removeAction(p, now, dataChange = false))
       moved.foreach { case (name, size, st) =>
@@ -1296,10 +1452,6 @@ object DeltaLite {
     val logDir = new Path(root, "_delta_log")
     val existing: Option[Snapshot] =
       if (fs.exists(logDir)) Some(snapshot(spark, tablePath)) else None
-    existing.foreach(s => require(s.columnMappingMode == "none",
-      s"$tablePath uses column mapping ('${s.columnMappingMode}') — the " +
-        "native writer emits logical parquet field names and would " +
-        "corrupt it; write with the delta-spark jars"))
     // Delta's idempotent-writer protocol: a (appId, version) txn at or
     // below the table's recorded high-water mark is a RETRY of an
     // already-committed batch — skip it (exactly-once foreachBatch)
@@ -1333,11 +1485,43 @@ object DeltaLite {
           s"${s.schema.json}\n data:  ${df.schema.json}")
       nf.length > tf.length
     }
+    // column-mapped tables (name or id mode): stage under the PHYSICAL
+    // field names + field ids; partitionValues key by physical name.
+    // Mapped EVOLUTION assigns fresh columnMapping ids to the added
+    // columns with `col-<uuid>` physical names (the delta-spark
+    // convention — a brand-new column has no files to resolve) and
+    // restates maxColumnId.
+    val mapped = existing.exists(_.columnMappingMode != "none")
+    val (tableSchema, evolvedConf): (StructType, Map[String, String]) =
+      existing match {
+        case Some(s) if mapped && evolving =>
+          val prevMax = s.configuration
+            .get("delta.columnMapping.maxColumnId").map(_.toLong)
+            .getOrElse(maxMappingId(s.schema))
+          val added = df.schema.fields.drop(s.schema.fields.length)
+          val (stamped, maxId) = assignMapping(StructType(added), prevMax,
+            _ => "col-" + java.util.UUID.randomUUID.toString)
+          (StructType(s.schema.fields ++ stamped.fields),
+            s.configuration +
+              ("delta.columnMapping.maxColumnId" -> maxId.toString))
+        case Some(s) if mapped => (s.schema, s.configuration)
+        case Some(s) => (df.schema, s.configuration)
+        case None => (df.schema, Map.empty[String, String])
+      }
+    val (stagedDf, stagePartCols) =
+      if (mapped) {
+        val physPart = partCols.map(c => physicalName(
+          tableSchema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition column $c missing from the Delta schema"))))
+        (toPhysical(df, tableSchema), physPart)
+      } else (df, partCols)
     val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
-      if (partCols.isEmpty)
-        stageWithStats(spark, df, root, fs)
+      if (stagePartCols.isEmpty)
+        stageWithStats(spark, stagedDf, root, fs)
           .map { case (n, sz, st) => (n, sz, st, Map.empty[String, Option[String]]) }
-      else stagePartitionedWithStats(spark, df, root, fs, partCols)
+      else stagePartitionedWithStats(spark, stagedDf, root, fs,
+        stagePartCols)
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
     val lines = mutable.ArrayBuffer.empty[String]
@@ -1351,8 +1535,7 @@ object DeltaLite {
       // would corrupt foreign tables relying on them)
       val id = existing.map(_.tableId).filter(_.nonEmpty)
         .getOrElse(java.util.UUID.randomUUID.toString)
-      val conf0 = existing.map(_.configuration).getOrElse(Map.empty)
-      lines += metaDataAction(id, df.schema, partCols, conf0, now)
+      lines += metaDataAction(id, tableSchema, partCols, evolvedConf, now)
     }
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
@@ -1433,6 +1616,9 @@ object DeltaLite {
       : Map[String, Map[String, Option[String]]] = {
     val partFieldsByName = snap.partitionColumns.flatMap(c =>
       snap.schema.fields.find(_.name == c).map(c -> _)).toMap
+    // mapped tables record stats under PHYSICAL column names
+    val physByName = snap.schema.fields
+      .map(f => f.name -> physicalName(f)).toMap
     snap.files.filter { case (p, pv) =>
       // a partition KEY column prunes on the file's single recorded
       // value: outside the batch's [min,max] (or NULL — batch keys are
@@ -1467,9 +1653,10 @@ object DeltaLite {
                 }
             val provablyDisjoint = batchRanges.exists {
               case (c, (bMin, bMax)) =>
+                val pc = physByName.getOrElse(c, c)
                 (for {
-                  fMin <- bound("minValues", c)
-                  fMax <- bound("maxValues", c)
+                  fMin <- bound("minValues", pc)
+                  fMax <- bound("maxValues", pc)
                   below <- cmpBounds(fMax, bMin)
                   above <- cmpBounds(fMin, bMax)
                 } yield below < 0 || above > 0).getOrElse(false)
@@ -1565,10 +1752,6 @@ object DeltaLite {
     txn.foreach { case (appId, v) =>
       if (snap.txns.get(appId).exists(_ >= v)) return snap.version
     }
-    require(snap.columnMappingMode == "none",
-      s"$tablePath uses column mapping ('${snap.columnMappingMode}') — " +
-        "the native writer emits logical parquet field names and would " +
-        "corrupt it; write with the delta-spark jars")
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
         s"\n data:  ${batch.schema.json}")
@@ -1611,9 +1794,19 @@ object DeltaLite {
 
     // partitioned tables scan per partition group with the typed
     // partition LITERALS injected (data files don't carry those
-    // columns); unpartitioned degenerates to a single group
-    val dataSchemaU = StructType(snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    // columns); unpartitioned degenerates to a single group. Column-
+    // mapped tables scan under the PHYSICAL schema and rename back.
+    val mapped = snap.columnMappingMode != "none"
+    val dataFieldsU = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchemaU = StructType(dataFieldsU)
+    val readSchemaU =
+      if (mapped) StructType(dataFieldsU.map(f => f.copy(
+        name = physicalName(f), dataType = physicalize(f.dataType))))
+      else dataSchemaU
+    if (snap.columnMappingMode == "id" && candidates.nonEmpty)
+      verifyFieldIds(spark, candidates.keysIterator.map(abs).toSeq,
+        dataFieldsU)
     val partFieldsU = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -1621,7 +1814,7 @@ object DeltaLite {
     def groupScan(
         files: Map[String, Map[String, Option[String]]]): DataFrame =
       files.toSeq.groupBy(_._2).toSeq.map { case (pvv, fs0) =>
-        val sc0 = spark.read.schema(dataSchemaU)
+        val sc0 = spark.read.schema(readSchemaU)
           .parquet(fs0.map(f => abs(f._1)): _*)
         val sc1 = dvKeep match {
           case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
@@ -1629,9 +1822,14 @@ object DeltaLite {
               col("_metadata.row_index")))
           case _ => sc0
         }
-        val sc = sc1.withColumn("__file", col("_metadata.file_path"))
+        val fileCol = col("_metadata.file_path").as("__file")
+        val sc =
+          if (mapped) sc1.select((dataFieldsU.map(f =>
+              col(physicalName(f)).cast(f.dataType).as(f.name)) :+
+            fileCol).toIndexedSeq: _*)
+          else sc1.withColumn("__file", col("_metadata.file_path"))
         partFieldsU.foldLeft(sc) { (df, f) =>
-          val v = pvv.get(f.name).flatten
+          val v = pvv.get(physicalName(f)).orElse(pvv.get(f.name)).flatten
           df.withColumn(f.name,
             v.map(s => lit(s).cast(f.dataType))
               .getOrElse(lit(null).cast(f.dataType)))
@@ -1664,13 +1862,16 @@ object DeltaLite {
           .unionByName(batch)
           .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
       }
+    val outStaged = if (mapped) toPhysical(out, snap.schema) else out
+    val stagePartColsU =
+      if (mapped) partFieldsU.map(physicalName) else snap.partitionColumns
     val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
       if (snap.partitionColumns.isEmpty)
-        stageWithStats(spark, out, root, fs).map { case (n, sz, st) =>
+        stageWithStats(spark, outStaged, root, fs).map { case (n, sz, st) =>
           (n, sz, st, Map.empty[String, Option[String]])
         }
-      else stagePartitionedWithStats(spark, out, root, fs,
-        snap.partitionColumns)
+      else stagePartitionedWithStats(spark, outStaged, root, fs,
+        stagePartColsU)
     val now = 1L
     val version = snap.version + 1
     val lines = mutable.ArrayBuffer.empty[String]
@@ -1682,6 +1883,115 @@ object DeltaLite {
       lines += addAction(name, size, st, now, pvv)
     }
     claimCommit(fs, logDir, version, lines.toSeq, tablePath)
+    version
+  }
+
+  /** Upgrade an unmapped table to column mapping `name` mode — the
+    * delta-spark `ALTER TABLE … SET TBLPROPERTIES` upgrade: every field
+    * (nested included) gets a fresh columnMapping id and a physicalName
+    * equal to its CURRENT name (so existing data files keep resolving),
+    * the configuration records the mode and maxColumnId, and the
+    * protocol rises to (2,5) — or gains the `columnMapping` feature on
+    * an already-features-based table. Metadata-only: no file rewrites.
+    * This is what unlocks metadata-only RENAME/DROP ([[renameColumn]],
+    * [[dropColumn]]) and appends into foreign name-mapped tables.
+    */
+  def enableColumnMapping(spark: SparkSession, tablePath: String): Long = {
+    val snap = snapshot(spark, tablePath)
+    require(snap.columnMappingMode == "none",
+      s"$tablePath already uses column mapping ('${snap.columnMappingMode}')")
+    val (mappedSchema, maxId) = assignMapping(snap.schema)
+    val conf1 = snap.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    val now = 1L
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("SET TBLPROPERTIES",
+      Map("delta.columnMapping.mode" -> "name"), now)
+    val p = snap.protocol.getOrElse(CpProto(1, 2, None, None))
+    def featJson(fs: Seq[String]): String =
+      fs.map(mapper.writeValueAsString).mkString("[", ",", "]")
+    if (p.minReaderVersion >= 3 || p.readerFeatures.nonEmpty ||
+        p.writerFeatures.nonEmpty) {
+      val rf = (p.readerFeatures.getOrElse(Nil) :+ "columnMapping").distinct
+      val wf = (p.writerFeatures.getOrElse(Nil) :+ "columnMapping").distinct
+      lines += (s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""minWriterVersion":7,"readerFeatures":${featJson(rf)},""" +
+        s""""writerFeatures":${featJson(wf)}}}""")
+    } else if (p.minReaderVersion < 2 || p.minWriterVersion < 5) {
+      lines += (s"""{"protocol":{"minReaderVersion":2,""" +
+        s""""minWriterVersion":${math.max(5, p.minWriterVersion)}}}""")
+    }
+    lines += metaDataAction(
+      if (snap.tableId.isEmpty) java.util.UUID.randomUUID.toString
+      else snap.tableId,
+      mappedSchema, snap.partitionColumns, conf1, now)
+    val version = snap.version + 1
+    claimCommit(fs = new Path(tablePath, "_delta_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      logDir = new Path(tablePath, "_delta_log"),
+      version = version, lines = lines.toSeq, tablePath = tablePath)
+    version
+  }
+
+  /** Metadata-only column RENAME on a column-mapped table: the logical
+    * name changes, the columnMapping id and physicalName stay, so no
+    * data file is touched and every existing file keeps resolving —
+    * the q136b iceberg-evolution contract, Delta-side.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Long = {
+    val snap = snapshot(spark, tablePath)
+    require(snap.columnMappingMode != "none",
+      s"renameColumn needs column mapping — run enableColumnMapping on " +
+        s"$tablePath first (metadata-only rename is undefined without it)")
+    require(snap.schema.fieldNames.contains(from),
+      s"column '$from' not in ${snap.schema.fieldNames.mkString(", ")}")
+    require(!snap.schema.fieldNames.contains(to),
+      s"column '$to' already exists")
+    val schema2 = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val parts2 = snap.partitionColumns.map(c => if (c == from) to else c)
+    val now = 1L
+    val lines = Seq(
+      commitInfoAction("RENAME COLUMN", Map("from" -> from, "to" -> to),
+        now),
+      metaDataAction(snap.tableId, schema2, parts2, snap.configuration,
+        now))
+    val version = snap.version + 1
+    claimCommit(new Path(tablePath, "_delta_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(tablePath, "_delta_log"), version, lines, tablePath)
+    version
+  }
+
+  /** Metadata-only column DROP on a column-mapped table: the field
+    * leaves the logical schema; data files keep the physical column,
+    * which every read simply stops projecting.
+    */
+  def dropColumn(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    val snap = snapshot(spark, tablePath)
+    require(snap.columnMappingMode != "none",
+      s"dropColumn needs column mapping — run enableColumnMapping on " +
+        s"$tablePath first")
+    require(snap.schema.fieldNames.contains(name),
+      s"column '$name' not in ${snap.schema.fieldNames.mkString(", ")}")
+    require(!snap.partitionColumns.contains(name),
+      s"column '$name' is a partition column — repartition the table " +
+        "instead of dropping its layout key")
+    require(snap.schema.fields.length > 1,
+      "cannot drop the last column")
+    val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
+    val now = 1L
+    val lines = Seq(
+      commitInfoAction("DROP COLUMN", Map("column" -> name), now),
+      metaDataAction(snap.tableId, schema2, snap.partitionColumns,
+        snap.configuration, now))
+    val version = snap.version + 1
+    claimCommit(new Path(tablePath, "_delta_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(tablePath, "_delta_log"), version, lines, tablePath)
     version
   }
 

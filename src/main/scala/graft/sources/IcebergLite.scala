@@ -967,22 +967,27 @@ object IcebergLite {
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     df.write.mode("overwrite").parquet(stage.toString)
-    val moved = fs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map(s => stagedFileFrom(spark, fs, s.getPath, s.getLen,
-        new Path(dataDir, s.getPath.getName), df.schema))
-      .toIndexedSeq
+    val parts = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-")).toIndexedSeq
+    // footers read with the bounded pool — never one serialized
+    // round-trip per part file
+    val stats = ParquetFooterStats.readAll(
+      spark.sparkContext.hadoopConfiguration, parts.map(_.getPath),
+      df.schema)
+    val moved = parts
+      .map(s => stagedFileFrom(fs, s.getPath, s.getLen,
+        new Path(dataDir, s.getPath.getName), df.schema,
+        stats(s.getPath)))
     fs.delete(stage, true)
     moved
   }
 
-  /** Footer-read stats for one staged file, then move it into place. */
-  private def stagedFileFrom(spark: SparkSession, fs: FileSystem,
-      src: Path, size: Long, tgt: Path, schema: StructType): StagedFile = {
+  /** Record one staged file's stats, then move it into place. */
+  private def stagedFileFrom(fs: FileSystem,
+      src: Path, size: Long, tgt: Path, schema: StructType,
+      st: ParquetFooterStats.FileStats): StagedFile = {
     val eligible = schema.fields.filter(boundsEligible)
       .map(_.name).toSet
-    val st = ParquetFooterStats.read(
-      spark.sparkContext.hadoopConfiguration, src, schema)
     val bounds = st.cols.collect {
       case (n, cs) if eligible(n) && cs.bounds.isDefined => n -> cs.bounds.get
     }
@@ -1095,11 +1100,10 @@ object IcebergLite {
         else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
     val files = leaves(stage)
-    val staged = files.map { s =>
-      val st = ParquetFooterStats.read(
-        spark.sparkContext.hadoopConfiguration, s.getPath, df.schema)
-      (s, st)
-    }
+    val footerStats = ParquetFooterStats.readAll(
+      spark.sparkContext.hadoopConfiguration, files.map(_.getPath),
+      df.schema)
+    val staged = files.map(s => (s, footerStats(s.getPath)))
     // Partition value per file. IDENTITY fields recover the typed value
     // from the file's own footer bounds (constant per file by layout),
     // with the stage directory chain as a cross-check: a dir segment

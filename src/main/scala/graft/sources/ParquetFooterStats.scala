@@ -34,6 +34,38 @@ object ParquetFooterStats {
 
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
+  /** [[read]] over many files with a bounded driver-side thread pool —
+    * a wide partitioned commit stages hundreds of part files, and
+    * serializing hundreds of KB-sized footer round-trips on one thread
+    * is pure latency (object stores especially). Results key by the
+    * exact Path given.
+    */
+  def readAll(conf: Configuration, files: Seq[Path], schema: StructType,
+      parallelism: Int = 16): Map[Path, FileStats] = {
+    if (files.isEmpty) return Map.empty
+    if (files.lengthCompare(1) == 0)
+      return Map(files.head -> read(conf, files.head, schema))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, files.length))
+    try {
+      val tasks = new java.util.ArrayList[
+        java.util.concurrent.Callable[(Path, FileStats)]](files.length)
+      files.foreach { f =>
+        tasks.add(() => f -> read(conf, f, schema))
+      }
+      val out = collection.mutable.Map.empty[Path, FileStats]
+      pool.invokeAll(tasks).forEach { fut =>
+        val (p, st) =
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+          }
+        out(p) = st
+      }
+      out.toMap
+    } finally { pool.shutdown(); () }
+  }
+
   /** Read rows + per-top-level-column stats for the Spark-typed columns
     * `schema` declares (only atomic types parquet stats can faithfully
     * round-trip; everything else is skipped).

@@ -242,16 +242,19 @@ class DeletionVectorsSpec extends AnyFunSuite {
       .map(_._1).toSet == Set(3L, 5L, 7L, 9L))
     // time travel BEFORE the first delete sees all 15 rows
     assert(DeltaLite.read(spark, t, Some(v1 - 1)).count() == 15)
-    // appends continue to work next to live DVs; upsert still refuses
+    // appends continue to work next to live DVs; MERGE reads through
+    // them (deleted keys stay deleted, touched bitmaps are absorbed)
     DeltaLite.write(spark, Seq((100L, "new")).toDF("k", "v"), t)
     assert(DeltaLite.read(spark, t).count() == 5)
-    intercept[IllegalArgumentException](DeltaLite.upsert(spark,
-      Seq((3L, "Z")).toDF("k", "v"), t, Seq("k")))
+    DeltaLite.upsert(spark, Seq((3L, "Z")).toDF("k", "v"), t, Seq("k"))
+    val merged = DeltaLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(merged(3L) == "Z" &&
+      merged.keySet == Set(3L, 5L, 7L, 9L, 100L), merged.toString)
   }
 
   test("a DV'd table reads natively: inline and u-storage vectors " +
-      "suppress their rows; vacuum keeps the live DV file; upsert " +
-      "refuses; the DV counts toward nothing it shouldn't") {
+      "suppress their rows; vacuum keeps the live DV file; MERGE " +
+      "reads through them; the DV counts toward nothing it shouldn't") {
     val t = java.nio.file.Files.createTempDirectory("delta_dv").toString
     // two files, 5 rows each, written as single files
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -293,9 +296,11 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(DeltaLite.vacuum(spark, t) == 0)
     assert(fs(t).listStatus(new Path(t)).exists(
       _.getPath.getName.startsWith("deletion_vector_")))
-    // the native MERGE refuses over live DVs
-    val e = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
-      Seq((2L, "Z")).toDF("k", "v"), t, Seq("k")))
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // the native MERGE reads THROUGH live DVs: the replaced key lands,
+    // every DV-deleted key stays deleted (inline AND u-storage)
+    DeltaLite.upsert(spark, Seq((2L, "Z")).toDF("k", "v"), t, Seq("k"))
+    val merged = DeltaLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(merged(2L) == "Z" && merged.keySet ==
+      Set(0L, 2L, 4L, 11L, 12L, 13L, 14L), merged.toString)
   }
 }

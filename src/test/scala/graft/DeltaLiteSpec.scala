@@ -687,9 +687,12 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(got.select("k", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (2L, "b")))
-    val eW = intercept[IllegalArgumentException](
-      DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t))
-    assert(eW.getMessage.contains("column mapping"), eW.getMessage)
+    // native APPENDS into an id-mapped table: the staged file carries
+    // physical names + parquet field ids, so the id-mode read gate
+    // (footer id verification) accepts it
+    DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (9L, "z")))
   }
 
   test("column mapping `name` mode reads natively: physical parquet " +
@@ -723,10 +726,21 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3))).toSet ==
       Set(("x", 10L, 1L, "a"), ("y", 20L, 2L, "b")))
-    // writes against a column-mapped table refuse loudly
-    val eW = intercept[IllegalArgumentException](
-      DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t))
-    assert(eW.getMessage.contains("column mapping"), eW.getMessage)
+    // native appends into a name-mapped table write PHYSICAL names
+    // (nested struct renamed through the positional cast)
+    DeltaLite.write(spark,
+      Seq((9L, "z", ("q", 90L))).toDF("k", "v", "nest")
+        .withColumn("nest", struct(col("nest._1").as("s"),
+          col("nest._2").as("m"))), t)
+    assert(DeltaLite.read(spark, t).select("k", "v", "nest.s", "nest.m")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet ==
+      Set((1L, "a", "x", 10L), (2L, "b", "y", 20L), (9L, "z", "q", 90L)))
+    // the new data file itself carries the PHYSICAL field names
+    val newFile = DeltaLite.snapshot(spark, t).files.keySet
+      .find(_ != "c1.parquet").get
+    assert(spark.read.parquet(s"$t/$newFile").columns.toSet ==
+      Set("col-k01", "col-v02", "col-n03"))
     // PARTITIONED column-mapped table: partitionValues key by the
     // physical partition column name
     val t2 = java.nio.file.Files.createTempDirectory("delta_cmap2").toString
@@ -883,6 +897,91 @@ class DeltaLiteSpec extends AnyFunSuite {
       // partition-column filters still answer correctly on this path
       assert(DeltaLite.read(spark, t).filter($"p" === "p3").count() == 4)
     } finally spark.conf.unset("graft.delta.partitionUnionLimit")
+  }
+
+  test("column mapping lifecycle: enableColumnMapping upgrades in place, " +
+      "RENAME/DROP are metadata-only, appends/upserts/deletes/compact " +
+      "work on the mapped table") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cmlc").toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "x"), t)
+    DeltaLite.enableColumnMapping(spark, t)
+    val m = DeltaLite.snapshot(spark, t)
+    assert(m.columnMappingMode == "name")
+    assert(m.configuration("delta.columnMapping.maxColumnId").toLong == 3L)
+    assert(m.protocol.contains(DeltaLite.CpProto(2, 5, None, None)))
+    // pre-upgrade files keep resolving (physicalName == original name)
+    assert(DeltaLite.read(spark, t).as[(Long, String, Long)]
+      .collect().toSet == Set((1L, "a", 10L), (2L, "b", 20L)))
+    // METADATA-ONLY rename: same files on disk, new logical name
+    val filesBefore = DeltaLite.snapshot(spark, t).files.keySet
+    DeltaLite.renameColumn(spark, t, "v", "label")
+    assert(DeltaLite.snapshot(spark, t).files.keySet == filesBefore)
+    assert(DeltaLite.read(spark, t).columns.toSeq == Seq("k", "label", "x"))
+    // append post-rename (stages under the ORIGINAL physical name 'v')
+    DeltaLite.write(spark, Seq((3L, "c", 30L)).toDF("k", "label", "x"), t)
+    // keyed MERGE post-rename
+    DeltaLite.upsert(spark,
+      Seq((2L, "B2", 99L)).toDF("k", "label", "x"), t, Seq("k"))
+    assert(DeltaLite.read(spark, t).as[(Long, String, Long)]
+      .collect().toSet ==
+      Set((1L, "a", 10L), (2L, "B2", 99L), (3L, "c", 30L)))
+    // METADATA-ONLY drop: files keep the physical column, reads stop
+    // projecting it
+    DeltaLite.dropColumn(spark, t, "x")
+    assert(DeltaLite.read(spark, t).columns.toSeq == Seq("k", "label"))
+    // DV delete on the mapped table (one key out of a 3-row file so a
+    // real bitmap is written), then compact purges the DV
+    DeltaLite.write(spark,
+      Seq((10L, "j"), (11L, "kk"), (12L, "l")).toDF("k", "label")
+        .coalesce(1), t)
+    DeltaLite.deleteWhere(spark, t, col("k") === 10L)
+    val expected = Set((1L, "a"), (2L, "B2"), (3L, "c"),
+      (11L, "kk"), (12L, "l"))
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      expected)
+    assert(DeltaLite.snapshot(spark, t).dvs.nonEmpty)
+    // the DV protocol upgrade must RESTATE the implied columnMapping
+    // feature (features-based protocols are exhaustive)
+    val pDv = DeltaLite.snapshot(spark, t).protocol.get
+    assert(pDv.readerFeatures.get.toSet ==
+      Set("columnMapping", "deletionVectors"), pDv.toString)
+    assert(pDv.writerFeatures.get.contains("columnMapping"))
+    DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    val fin = DeltaLite.snapshot(spark, t)
+    assert(fin.dvs.isEmpty)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      expected)
+    // mapped EVOLUTION: an added column gets a FRESH columnMapping id
+    // and a col-<uuid> physical name; old files read it as null
+    DeltaLite.write(spark,
+      Seq((4L, "d", 7L)).toDF("k", "label", "extra"), t)
+    val evolved = DeltaLite.snapshot(spark, t)
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "label", "extra"))
+    val ef = evolved.schema.fields.find(_.name == "extra").get
+    assert(ef.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    assert(ef.metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(evolved.configuration("delta.columnMapping.maxColumnId")
+      .toLong == 4L)
+    val evolvedRows = DeltaLite.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(evolvedRows == Set((1L, "a", -1L), (2L, "B2", -1L),
+      (3L, "c", -1L), (11L, "kk", -1L), (12L, "l", -1L), (4L, "d", 7L)),
+      evolvedRows)
+    // rename/drop guardrails
+    intercept[IllegalArgumentException](
+      DeltaLite.renameColumn(spark, t, "nope", "x2"))
+    intercept[IllegalArgumentException](
+      DeltaLite.dropColumn(spark, t, "nope"))
+    // unmapped tables refuse metadata-only rename (undefined without
+    // physical names)
+    val t2 = java.nio.file.Files.createTempDirectory("delta_cmlc2").toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t2)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.renameColumn(spark, t2, "v", "w"))
+    assert(e.getMessage.contains("enableColumnMapping"))
   }
 
   test("MERGE over live deletion vectors: touched files rewrite " +
