@@ -52,6 +52,15 @@ object Bench {
       // consumers (e.g. the banded LSH index) leave cache blocks behind;
       // dropping them keeps each timing independent of run order.
       spark.sharedState.cacheManager.clearCache()
+      // streaming rigs (TTL replay, lake tails) leave loaded state-store
+      // providers and terminated-query bookkeeping in the shared JVM;
+      // unload them so queries that SORT AFTER them aren't taxed
+      // (measured: q34g 1.6s isolated vs 2.2-2.5s right after
+      // q140/q142 without this)
+      spark.streams.active.foreach(_.stop())
+      spark.streams.resetTerminated()
+      try org.apache.spark.sql.graft.StreamingStateBridge.unloadAll()
+      catch { case _: Throwable => () }
       // Spark's ContextCleaner reclaims broadcast/shuffle state only on
       // driver GC; 70+ queries in one JVM otherwise accumulate until
       // late queries pay multi-second GC pauses (measured 16s->58s on

@@ -3967,6 +3967,52 @@ object PipelineQueries {
           sum("o_custkey").cast("long").as("sum_cust"))
     },
 
+    // PARTITIONED ICEBERG ROW-LEVEL MUTATIONS through the driver gate:
+    // a day-partitioned orders table takes a native DELETE (partition
+    // predicate + residual — the pruner bounds the scan to the matching
+    // day, the position-delete files land partition-scoped) and a keyed
+    // MERGE (batch staged through the same transform layout, prior
+    // images suppressed by partition-scoped position deletes in the
+    // SAME snapshot). The oracle rebuilds the final state from raw
+    // parquet — a delete leaking outside its day, a resurrected prior
+    // image, or a mis-partitioned batch file hash-fails.
+    QueryDef("q146_iceberg_partitioned_merge",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-03-01'
+        |  AND o_orderdate < DATE '1995-04-01'
+        |  AND NOT (o_orderdate = DATE '1995-03-05' AND o_custkey % 2 = 0)
+        |  AND o_orderdate <> DATE '1995-03-10'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders WHERE o_orderdate = DATE '1995-03-10'""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q146_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val lo = java.sql.Date.valueOf("1995-03-01")
+      val hi = java.sql.Date.valueOf("1995-04-01")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      IcebergLite.write(s, o, tbl, partitionBy = Seq("day(o_orderdate)"))
+      IcebergLite.deleteWhere(s, tbl,
+        col("o_orderdate") === java.sql.Date.valueOf("1995-03-05") &&
+          col("o_custkey") % 2 === 0)
+      IcebergLite.upsert(s,
+        o.filter(col("o_orderdate") === java.sql.Date.valueOf("1995-03-10"))
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1000000).as("o_custkey"),
+            col("o_orderdate")),
+        tbl, Seq("o_orderkey"))
+      IcebergLite.read(s, tbl)
+    },
+
     // DELETION-VECTOR DELETE through the driver gate: customers land in
     // a native delta table, a merge-on-read DV delete retracts a key
     // slice WITHOUT rewriting any data file (bitmap + re-add commits),

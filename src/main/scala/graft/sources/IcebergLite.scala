@@ -1673,35 +1673,127 @@ object IcebergLite {
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
       predicate: Column): Long = {
-    import spark.implicits._
     val prior = snapshotState(spark, tablePath)
-    require(prior.meta.partitionFields.isEmpty,
-      s"$tablePath is partitioned — native row-level mutations cover " +
-        "unpartitioned tables; use the iceberg runtime")
     require(prior.dataFiles.nonEmpty,
       s"$tablePath holds no data files to delete from")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // normalized scan path → exact manifest path string
-    val pathMap = prior.dataFiles
-      .map(f => encodedPathKey(f.path) -> f.path).toDF("__norm", "file_path")
-    val alive = aliveWithPos(spark, prior)
-    val positions = alive.filter(predicate)
-      .join(pathMap, alive("__ice_file") === pathMap("__norm"))
-      .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
-      .orderBy(col("file_path"), col("pos")) // spec: sorted by (path, pos)
+    // transform-aware partition pruning bounds the match scan (a
+    // partition-predicate delete on a day-partitioned table scans only
+    // the matching days)
+    val candidates = prunePartitions(prior, predicate)
+    if (candidates.isEmpty) return prior.snapshot.snapshotId
+    val pruned = prior.copy(dataFiles = candidates)
+    val positions = matchedPositions(spark, pruned, candidates,
+      a => a.filter(predicate))
     if (positions.isEmpty) return prior.snapshot.snapshotId
-    val staged = stageData(spark, positions, root, fs)
     val seq = prior.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val entries = staged.map { f =>
-      entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
-        content = 1, path = f.path, records = f.rows, size = f.size)
-    }
+    val entries = stagePosDeletes(spark, prior, candidates, positions,
+      root, fs, snapshotId, seq)
     commit(spark, tablePath, Some(prior), prior.meta.schema,
       Seq((entries, 1, 0L)), carryForward = prior.manifests,
-      operation = "delete", snapshotId = snapshotId)
+      operation = "delete", snapshotId = snapshotId,
+      partitionSpec = prior.meta.partitionFields)
+  }
+
+  /** Currently-visible (manifest file_path, pos) rows of `candidates`
+    * passing `restrict` — the shared position computation of
+    * [[deleteWhere]] and [[upsert]].
+    */
+  private def matchedPositions(spark: SparkSession, pruned: SnapshotState,
+      candidates: Seq[FileEntry],
+      restrict: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val pathMap = candidates
+      .map(f => encodedPathKey(f.path) -> f.path).toDF("__norm", "file_path")
+    val alive = aliveWithPos(spark, pruned)
+    restrict(alive)
+      .join(pathMap, alive("__ice_file") === pathMap("__norm"))
+      .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
+      .orderBy(col("file_path"), col("pos")) // spec: sorted by (path, pos)
+  }
+
+  /** Stage position-delete files for `positions` and return their
+    * manifest entries. Unpartitioned tables stage one plain pass; a
+    * PARTITIONED table's delete files are written PER PARTITION TUPLE
+    * (the spec scopes delete files to a partition like data files, so
+    * foreign readers prune them correctly) — still ONE distributed
+    * `partitionBy` pass over an internal tuple-id column, never a scan
+    * per tuple.
+    */
+  private def stagePosDeletes(spark: SparkSession, prior: SnapshotState,
+      candidates: Seq[FileEntry], positions: DataFrame, root: Path,
+      fs: FileSystem, snapshotId: Long, seq: Long): Seq[GenericRecord] = {
+    import spark.implicits._
+    if (prior.meta.partitionFields.isEmpty)
+      return stageData(spark, positions, root, fs).map { f =>
+        entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
+          content = 1, path = f.path, records = f.rows, size = f.size)
+      }
+    val partFields = resolveExistingPartFields(prior)
+    val entrySchema =
+      manifestEntrySchemaFor(partFields.map(f => f.name -> f.resType))
+    // tuple id per candidate file (driver-side, metadata-sized)
+    val tuples = candidates.map(_.partValues).distinct
+    val tidOf: Map[Map[String, Any], Int] = tuples.zipWithIndex.toMap
+    val tidMap = candidates
+      .map(f => f.path -> tidOf(f.partValues)).toDF("file_path", "__tid")
+    val withTid = positions.join(tidMap, Seq("file_path"))
+    val stage = new Path(root, "stage_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    withTid.write.partitionBy("__tid").mode("overwrite")
+      .parquet(stage.toString)
+    def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) leaves(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
+      }
+    val files = leaves(stage)
+    val stats = ParquetFooterStats.readAll(
+      spark.sparkContext.hadoopConfiguration, files.map(_.getPath),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))))
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val out = files.map { s =>
+      val tid = s.getPath.getParent.getName.stripPrefix("__tid=").toInt
+      // tid prefix: partitionBy reuses part-file names ACROSS dirs
+      val tgt = new Path(dataDir, s"t$tid-${s.getPath.getName}")
+      require(fs.rename(s.getPath, tgt),
+        s"staging move failed for ${s.getPath}")
+      val tuple = tuples(tid)
+      entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
+        content = 1, path = tgt.toString,
+        records = stats(s.getPath).rows, size = s.getLen,
+        entrySchema = entrySchema,
+        partValues = partFields.map(f =>
+          f.name -> tuple.getOrElse(f.name, null)))
+    }
+    fs.delete(stage, true)
+    out
+  }
+
+  /** The table's stored partition spec resolved against its schema —
+    * what partitioned mutations stage and restate.
+    */
+  private def resolveExistingPartFields(
+      p: SnapshotState): Seq[WriterPartField] = {
+    val idToName = p.meta.fieldIds.map(_.swap)
+    p.meta.partitionFields.map { f =>
+      val src = idToName.getOrElse(f.sourceId, f.name)
+      val t = IcebergTransforms.parse(f.transform) // loud on unknown
+      val srcType = p.meta.schema.fields.find(_.name == src).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source column '$src' missing from the schema"))
+        .dataType
+      WriterPartField(f.name, t, src, srcType,
+        IcebergTransforms.resultType(t, srcType))
+    }
   }
 
   /** EQUALITY-DELETE commit: retract every current-and-future-invisible
@@ -1719,8 +1811,10 @@ object IcebergLite {
     require(equalityCols.nonEmpty, "deleteByKeys needs equality columns")
     val prior = snapshotState(spark, tablePath)
     require(prior.meta.partitionFields.isEmpty,
-      s"$tablePath is partitioned — native row-level mutations cover " +
-        "unpartitioned tables; use the iceberg runtime")
+      s"$tablePath is partitioned — a GLOBAL equality delete needs a " +
+        "second (unpartitioned) partition spec, which the native writer " +
+        "does not manage; use deleteWhere/upsert (position deletes, " +
+        "partition-scoped) or the iceberg runtime")
     require(equalityCols.forall(prior.meta.schema.fieldNames.contains),
       s"equality columns ${equalityCols.mkString(",")} must exist in " +
         "the table schema")
@@ -1759,9 +1853,6 @@ object IcebergLite {
     import spark.implicits._
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val prior = snapshotState(spark, tablePath)
-    require(prior.meta.partitionFields.isEmpty,
-      s"$tablePath is partitioned — native row-level mutations cover " +
-        "unpartitioned tables; use the iceberg runtime")
     require(keyCols.forall(prior.meta.schema.fieldNames.contains),
       s"key columns ${keyCols.mkString(",")} must exist in the table schema")
     // a batch column outside the table schema would be dropped by the
@@ -1802,42 +1893,41 @@ object IcebergLite {
     }
     val candidates = candidateFiles(prior, keyCols, keyBounds)
     val pruned = prior.copy(dataFiles = candidates)
-    val delEntriesAndRows: Seq[GenericRecord] =
-      if (candidates.isEmpty) Seq.empty
-      else {
-        val alive = aliveWithPos(spark, pruned)
-        val pathMap = candidates
-          .map(f => encodedPathKey(f.path) -> f.path)
-          .toDF("__norm", "file_path")
-        val positions = alive
-          .join(broadcast(touchedKeys), keyCols, "left_semi")
-          .join(pathMap, alive("__ice_file") === pathMap("__norm"))
-          .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
-          .orderBy(col("file_path"), col("pos"))
-        stageData(spark, positions, root, fs).map(f =>
-          entryRecord(1, 0L, 0L, content = 1, f.path, f.rows, f.size))
-      }
-    val stagedData = stageData(spark,
-      batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*),
-      root, fs)
     val seq = prior.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val delEntries: Seq[GenericRecord] =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        val positions = matchedPositions(spark, pruned, candidates,
+          a => a.join(broadcast(touchedKeys), keyCols, "left_semi"))
+        stagePosDeletes(spark, prior, candidates, positions, root, fs,
+          snapshotId, seq)
+      }
+    // a PARTITIONED table's batch stages through the same single-pass
+    // transform layout as appends; entries carry partition values
+    val partFieldsW = resolveExistingPartFields(prior)
+    val entrySchemaW =
+      manifestEntrySchemaFor(partFieldsW.map(f => f.name -> f.resType))
+    val batchSel =
+      batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val stagedWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
+      if (partFieldsW.isEmpty)
+        stageData(spark, batchSel, root, fs).map(_ -> Nil)
+      else stagePartitioned(spark, batchSel, root, fs, partFieldsW)
     val ids = prior.meta.fieldIds
-    val delEntries = delEntriesAndRows.map { e =>
-      // re-stamp snapshot/sequence now that they exist
-      e.put("snapshot_id", snapshotId); e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq); e
-    }
-    val dataEntries = stagedData.map { f =>
+    val dataEntries = stagedWithParts.map { case (f, pv) =>
       entryRecord(1, snapshotId, seq, content = 0, f.path, f.rows, f.size,
         lower = boundBytes(prior.meta.schema, ids, f.bounds, _._1),
-        upper = boundBytes(prior.meta.schema, ids, f.bounds, _._2))
+        upper = boundBytes(prior.meta.schema, ids, f.bounds, _._2),
+        entrySchema = entrySchemaW, partValues = pv)
     }
     commit(spark, tablePath, Some(prior), prior.meta.schema,
-      Seq((delEntries, 1, 0L), (dataEntries, 0, stagedData.map(_.rows).sum)),
+      Seq((delEntries, 1, 0L),
+        (dataEntries, 0, stagedWithParts.map(_._1.rows).sum)),
       carryForward = prior.manifests, operation = "overwrite",
-      snapshotId = snapshotId, extraSummary = txnSummary(txn))
+      snapshotId = snapshotId, extraSummary = txnSummary(txn),
+      partitionSpec = prior.meta.partitionFields)
   }
 
   /** Data files whose per-column bounds may intersect the batch's key

@@ -321,13 +321,62 @@ class IcebergLiteSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](IcebergLite.write(spark,
       df, t, partitionBy = Seq("v")))
     assert(err.getMessage.contains("does not match"))
-    // row-level mutations on partitioned tables refuse loudly
+    // GLOBAL equality deletes still refuse (they'd need a second spec)
     val err2 = intercept[IllegalArgumentException](
-      IcebergLite.deleteWhere(spark, t, col("k") === 1L))
-    assert(err2.getMessage.contains("partitioned"))
-    val err3 = intercept[IllegalArgumentException](
-      IcebergLite.upsert(spark, df, t, Seq("k")))
-    assert(err3.getMessage.contains("partitioned"))
+      IcebergLite.deleteByKeys(spark, t,
+        Seq(Tuple1(1L)).toDF("k"), Seq("k")))
+    assert(err2.getMessage.contains("partitioned"), err2.getMessage)
+  }
+
+  test("partitioned tables take native ROW-LEVEL mutations: deleteWhere " +
+      "writes partition-scoped position deletes (one pass), upsert " +
+      "merges through the transform layout, the spec is restated") {
+    val t = tmp("partmut")
+    val days = (1 to 6).map(i => f"2024-01-0$i")
+    val rows = for {
+      d <- days; i <- 1 to 4
+    } yield ((days.indexOf(d) * 4 + i).toLong, java.sql.Date.valueOf(d),
+      s"v$d-$i")
+    IcebergLite.write(spark, rows.toDF("k", "d", "v"), t,
+      partitionBy = Seq("day(d)"))
+    assert(IcebergLite.read(spark, t).count() == 24)
+    // DELETE with a partition predicate + a residual: only day 3's even
+    // keys go
+    IcebergLite.deleteWhere(spark, t,
+      col("d") === java.sql.Date.valueOf("2024-01-03") && col("k") % 2 === 0)
+    val afterDel = IcebergLite.read(spark, t)
+    assert(afterDel.count() == 22)
+    assert(afterDel.filter(col("d") === "2024-01-03").count() == 2)
+    // the delete files are PARTITION-SCOPED: entries carry the day
+    // tuple, so foreign readers prune them like data files
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.posDeleteFiles.nonEmpty)
+    assert(st.posDeleteFiles.forall(_.partValues.keySet == Set("d_day")),
+      st.posDeleteFiles.map(_.partValues).toString)
+    // MERGE: replace one key per day + insert new keys; batch stages
+    // through the same partitioned layout
+    val batch = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), "REPL"),
+      (100L, java.sql.Date.valueOf("2024-01-07"), "NEW"))
+      .toDF("k", "d", "v")
+    IcebergLite.upsert(spark, batch, t, Seq("k"))
+    val fin = IcebergLite.read(spark, t)
+    assert(fin.count() == 23)
+    assert(fin.filter(col("k") === 1L).select("v").head().getString(0)
+      == "REPL")
+    assert(fin.filter(col("k") === 100L).select("d").head()
+      .getDate(0).toString == "2024-01-07")
+    // deleted rows stay deleted through the merge
+    assert(fin.filter(col("d") === "2024-01-03").count() == 2)
+    // the new data files landed under day dirs and carry partition
+    // values in their manifest entries
+    val st2 = IcebergLite.snapshotState(spark, t)
+    val newData = st2.dataFiles.filter(_.path.contains("2024-01-07"))
+    assert(newData.nonEmpty && newData.forall(_.partValues.nonEmpty))
+    // time travel still sees the pre-delete state
+    val meta = IcebergLite.loadMeta(spark, t)
+    val firstSnap = meta.snapshots.minBy(_.sequenceNumber).snapshotId
+    assert(IcebergLite.read(spark, t, Some(firstSnap)).count() == 24)
   }
 
   test("partitioned writes handle NULL partition values (hive default " +
