@@ -2071,6 +2071,37 @@ object DeltaLite {
     snap.version
   }
 
+  /** LOG CLEANUP (delta-spark's metadata retention, deterministic
+    * variant): delete the JSON commits a checkpoint already covers —
+    * replay seeds from the checkpoint, so they are dead weight in
+    * every snapshot listing. The spec's trade applies: version-pinned
+    * reads at or below the checkpoint stop working (streaming tails
+    * recover per their `on_missing_offset` option). Refuses without a
+    * checkpoint. Returns the number of commit files deleted.
+    */
+  def cleanupLogs(spark: SparkSession, tablePath: String): Int = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"$tablePath is not a Delta table")
+    val lastCkpt = new Path(logDir, "_last_checkpoint")
+    require(fs.exists(lastCkpt),
+      s"$tablePath has no checkpoint — run checkpoint() before " +
+        "cleaning up the log (the commits are the only table state)")
+    val in = fs.open(lastCkpt)
+    val v = try mapper.readTree(new String(in.readAllBytes(), "UTF-8"))
+      .get("version").asLong finally in.close()
+    val commitRe = "(\\d{20})\\.json".r
+    var deleted = 0
+    fs.listStatus(logDir).foreach { s =>
+      s.getPath.getName match {
+        case commitRe(cv) if cv.toLong <= v =>
+          if (fs.delete(s.getPath, false)) deleted += 1
+        case _ => ()
+      }
+    }
+    deleted
+  }
+
   /** `DESCRIBE HISTORY` as a DataFrame: one row per JSON commit —
     * version, timestamp, operation and parameters from its
     * `commitInfo` action (null operation for foreign minimal writers

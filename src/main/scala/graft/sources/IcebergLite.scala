@@ -1968,9 +1968,6 @@ object IcebergLite {
   def compact(spark: SparkSession, tablePath: String,
       smallFileBytes: Long = 0L): Long = {
     val st = snapshotState(spark, tablePath)
-    require(st.meta.partitionFields.isEmpty,
-      s"$tablePath is partitioned — native compaction covers " +
-        "unpartitioned tables; use the iceberg runtime")
     val anySmall = smallFileBytes > 0 &&
       st.dataFiles.count(_.fileSize < smallFileBytes) > 1
     if (st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty && !anySmall)
@@ -1993,7 +1990,13 @@ object IcebergLite {
     val (rewrite, carry) = st.dataFiles.partition(f =>
       posTouched(normalizePathStr(f.path)) || f.seq < maxEqSeq ||
         (anySmall && f.fileSize < smallFileBytes))
-    val survivors =
+    // PARTITIONED tables rewrite through the table's own transform
+    // layout (one staging pass regenerates dirs + partition values);
+    // carried entries restate their recorded tuples
+    val partFieldsW = resolveExistingPartFields(st)
+    val entrySchemaW =
+      manifestEntrySchemaFor(partFieldsW.map(f => f.name -> f.resType))
+    val survivorsWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
       if (rewrite.isEmpty) Seq.empty
       else {
         val visible = aliveWithPos(spark,
@@ -2005,7 +2008,9 @@ object IcebergLite {
           if (smallFileBytes <= 0) visible
           else visible.coalesce(math.max(1, math.ceil(
             rewrite.map(_.fileSize).sum.toDouble / smallFileBytes).toInt))
-        stageData(spark, packed, root, fs)
+        if (partFieldsW.isEmpty)
+          stageData(spark, packed, root, fs).map(_ -> Nil)
+        else stagePartitioned(spark, packed, root, fs, partFieldsW)
       }
     val seq = st.meta.lastSequenceNumber + 1
     val snapshotId =
@@ -2014,15 +2019,22 @@ object IcebergLite {
     val entries =
       carry.map(f => entryRecord(1, snapshotId, seq, content = 0,
         f.path, f.recordCount, f.fileSize,
-        lower = f.lowerBounds, upper = f.upperBounds)) ++
-      survivors.map(f => entryRecord(1, snapshotId, seq, content = 0,
-        f.path, f.rows, f.size,
-        lower = boundBytes(st.meta.schema, ids, f.bounds, _._1),
-        upper = boundBytes(st.meta.schema, ids, f.bounds, _._2)))
+        lower = f.lowerBounds, upper = f.upperBounds,
+        entrySchema = entrySchemaW,
+        partValues = partFieldsW.map(pf =>
+          pf.name -> f.partValues.getOrElse(pf.name, null)))) ++
+      survivorsWithParts.map { case (f, pv) =>
+        entryRecord(1, snapshotId, seq, content = 0,
+          f.path, f.rows, f.size,
+          lower = boundBytes(st.meta.schema, ids, f.bounds, _._1),
+          upper = boundBytes(st.meta.schema, ids, f.bounds, _._2),
+          entrySchema = entrySchemaW, partValues = pv)
+      }
     commit(spark, tablePath, Some(st), st.meta.schema,
-      Seq((entries, 0, survivors.map(_.rows).sum)),
+      Seq((entries, 0, survivorsWithParts.map(_._1.rows).sum)),
       carryForward = Seq.empty, // delete manifests resolved, data re-listed
-      operation = "replace", snapshotId = snapshotId)
+      operation = "replace", snapshotId = snapshotId,
+      partitionSpec = st.meta.partitionFields)
   }
 
   /** SNAPSHOT EXPIRATION (the `expire_snapshots` maintenance op): keep

@@ -293,8 +293,23 @@ private[sources] class LakeTailTable(tailSchema: StructType,
                   .sorted
                 if (live.isEmpty) LakeVersionOffset(s)
                 else LakeVersionOffset(live.take(step).last)
-              } else
-                LakeVersionOffset(math.min(cur, s + step))
+              } else {
+                val target = math.min(cur, s + step)
+                if (target <= s) LakeVersionOffset(s)
+                else {
+                  // delta log cleanup may have removed the versions
+                  // just past s — the batch END must be replayable, so
+                  // a stranded target jumps to the CURRENT version
+                  // (one catch-up batch; `changes` then applies the
+                  // on_missing_offset policy for the stranded start)
+                  val replayable =
+                    try {
+                      DeltaLite.snapshot(spark, c.path, Some(target))
+                      true
+                    } catch { case _: IllegalArgumentException => false }
+                  LakeVersionOffset(if (replayable) target else cur)
+                }
+              }
             }
 
             override def deserializeOffset(json: String): Offset = {

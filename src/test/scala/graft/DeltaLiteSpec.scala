@@ -899,6 +899,29 @@ class DeltaLiteSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.partitionUnionLimit")
   }
 
+  test("cleanupLogs deletes exactly the commits a checkpoint covers: " +
+      "the seeded snapshot is intact, newer commits replay, " +
+      "pre-checkpoint version pins stop working, no-checkpoint refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_clean").toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)          // v0
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)          // v1
+    val e0 = intercept[IllegalArgumentException](
+      DeltaLite.cleanupLogs(spark, t))
+    assert(e0.getMessage.contains("checkpoint"))
+    DeltaLite.checkpoint(spark, t)                                    // @1
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)          // v2
+    assert(DeltaLite.cleanupLogs(spark, t) == 2) // v0, v1 covered
+    // checkpoint-seeded snapshot + the v2 replay both intact
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 2L)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a version pin below the checkpoint now refuses (gapped/cleaned)
+    intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t, Some(0L)))
+    // idempotent: nothing left to clean
+    assert(DeltaLite.cleanupLogs(spark, t) == 0)
+  }
+
   test("column mapping lifecycle: enableColumnMapping upgrades in place, " +
       "RENAME/DROP are metadata-only, appends/upserts/deletes/compact " +
       "work on the mapped table") {

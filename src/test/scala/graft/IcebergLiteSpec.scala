@@ -377,6 +377,18 @@ class IcebergLiteSpec extends AnyFunSuite {
     val meta = IcebergLite.loadMeta(spark, t)
     val firstSnap = meta.snapshots.minBy(_.sequenceNumber).snapshotId
     assert(IcebergLite.read(spark, t, Some(firstSnap)).count() == 24)
+    // COMPACT resolves the partitioned position deletes through the
+    // same transform layout: delete files drop, rows unchanged, every
+    // rewritten entry still carries its partition tuple
+    IcebergLite.compact(spark, t)
+    val st3 = IcebergLite.snapshotState(spark, t)
+    assert(st3.posDeleteFiles.isEmpty)
+    assert(st3.dataFiles.forall(_.partValues.keySet == Set("d_day")))
+    val fin2 = IcebergLite.read(spark, t)
+    assert(fin2.count() == 23)
+    assert(fin2.filter(col("k") === 1L).select("v").head().getString(0)
+      == "REPL")
+    assert(fin2.filter(col("d") === "2024-01-03").count() == 2)
   }
 
   test("partitioned writes handle NULL partition values (hive default " +

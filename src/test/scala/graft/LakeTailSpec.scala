@@ -147,6 +147,27 @@ class LakeTailSpec extends AnyFunSuite {
     assert(readBack == n)
   }
 
+  test("delta tail after checkpoint+cleanupLogs: the stranded offset " +
+      "re-snapshots under on_missing_offset=earliest") {
+    val base = tmp("dclean")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tbl)   // v0
+    drain(tbl, "delta", out, ckpt, startingVersion = Some(0L))
+    assert(sunk(out).map(_._1) == Set(1L))
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tbl)   // v1
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), tbl)   // v2
+    DeltaLite.checkpoint(spark, tbl)
+    assert(DeltaLite.cleanupLogs(spark, tbl) == 3)
+    // the checkpointed tail offset (v0) no longer replays; earliest
+    // re-snapshots the CURRENT state as one insert batch
+    drain(tbl, "delta", out, ckpt,
+      extra = Map("on_missing_offset" -> "earliest"))
+    val after = sunk(out)
+    val reseq = after.filter(_._4 == 2L)
+    assert(reseq.map(r => (r._1, r._3)) ==
+      Set((1L, "insert"), (2L, "insert"), (3L, "insert")), after.toString)
+  }
+
   test("expired/cleaned offsets: loud refusal by default, " +
       "on_missing_offset=earliest re-snapshots like Kafka's earliest " +
       "reset") {
