@@ -482,11 +482,13 @@ object GraftApp {
       jsModule: Option[String] = None)  // UdfType::JavaScript { module }
 
   /** One table-maintenance task (graft extension): lakehouse lifecycle
-    * from config — `compact` (iceberg: resolve MoR deletes + binpack
-    * small files), `expire_snapshots` (iceberg history trim + disk
-    * reclaim), `vacuum` (delta: drop unreferenced data files). Runs
-    * after the batch sinks, so a pipeline can write and then groom its
-    * own table in one `dozer run`.
+    * from config — `compact` (iceberg: resolve MoR deletes + binpack;
+    * delta: OPTIMIZE + DV purge), `expire_snapshots` (iceberg history
+    * trim + disk reclaim), `checkpoint`/`cleanup_logs` (delta: bound
+    * log replay, then drop checkpoint-covered commits), `vacuum`
+    * (delta: drop unreferenced data files). Runs after the batch
+    * sinks, so a pipeline can write and then groom its own table in
+    * one `dozer run`.
     */
   final case class MaintenanceConf(
       path: String,
@@ -494,16 +496,21 @@ object GraftApp {
       compact: Boolean = false,
       compactSmallFileBytes: Long = 0L,
       expireKeepLast: Option[Int] = None,
-      vacuum: Boolean = false) {
+      vacuum: Boolean = false,
+      checkpoint: Boolean = false,
+      cleanupLogs: Boolean = false) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
       s"maintenance on '$path': vacuum is the delta op (iceberg uses " +
         "expire_snapshots)")
-    require((!compact && expireKeepLast.isEmpty) || format == "iceberg",
-      s"maintenance on '$path': compact/expire_snapshots are iceberg ops " +
-        "(delta uses vacuum)")
-    require(compact || expireKeepLast.nonEmpty || vacuum,
+    require(expireKeepLast.isEmpty || format == "iceberg",
+      s"maintenance on '$path': expire_snapshots is the iceberg op " +
+        "(delta uses checkpoint + cleanup_logs + vacuum)")
+    require((!checkpoint && !cleanupLogs) || format == "delta",
+      s"maintenance on '$path': checkpoint/cleanup_logs are delta ops")
+    require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
+        cleanupLogs,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -868,6 +875,12 @@ object GraftApp {
           m.expireKeepLast.foreach(k =>
             graft.sources.IcebergLite.expireSnapshots(spark, m.path, k))
         case "delta" =>
+          if (m.compact)
+            graft.sources.DeltaLite.compact(spark, m.path,
+              if (m.compactSmallFileBytes > 0) m.compactSmallFileBytes
+              else 128L << 20)
+          if (m.checkpoint) graft.sources.DeltaLite.checkpoint(spark, m.path)
+          if (m.cleanupLogs) graft.sources.DeltaLite.cleanupLogs(spark, m.path)
           if (m.vacuum) graft.sources.DeltaLite.vacuum(spark, m.path)
       }
     }

@@ -231,6 +231,9 @@ object GraftConfigLoader {
     *     expire_snapshots: {keep_last: 3}
     *   - path: /tables/dim
     *     format: delta
+    *     compact: true                 # OPTIMIZE + DV purge
+    *     checkpoint: true              # bound log replay
+    *     cleanup_logs: true            # drop checkpoint-covered commits
     *     vacuum: true
     * }}}
     */
@@ -255,7 +258,11 @@ object GraftConfigLoader {
               asMap(x).asScala.getOrElse("keep_last",
                 fail(s"maintenance expire_snapshots needs keep_last"))
                 .toString.toInt),
-          vacuum = m.asScala.get("vacuum").exists(_.toString.toBoolean))
+          vacuum = m.asScala.get("vacuum").exists(_.toString.toBoolean),
+          checkpoint = m.asScala.get("checkpoint")
+            .exists(_.toString.toBoolean),
+          cleanupLogs = m.asScala.get("cleanup_logs")
+            .exists(_.toString.toBoolean))
       }
 
   /** `telemetry.metrics: !Prometheus{address: host:port}` (reference

@@ -1570,7 +1570,8 @@ class GraftAppSpec extends AnyFunSuite {
   }
 
   test("maintenance: config grooms tables after batch sinks — iceberg " +
-      "compact + expire_snapshots, delta vacuum; streaming refuses") {
+      "compact + expire_snapshots, delta compact/checkpoint/cleanup_logs/" +
+      "vacuum; streaming refuses") {
     import graft.sources.{DeltaLite, IcebergLite}
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
@@ -1597,6 +1598,9 @@ class GraftAppSpec extends AnyFunSuite {
          |    expire_snapshots: {keep_last: 1}
          |  - path: $base/dl
          |    format: delta
+         |    compact: true
+         |    checkpoint: true
+         |    cleanup_logs: true
          |    vacuum: true
          |""".stripMargin
     GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
@@ -1609,6 +1613,12 @@ class GraftAppSpec extends AnyFunSuite {
     val leftovers = new java.io.File(s"$base/dl").listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
     assert(leftovers == 1)
+    // checkpoint + cleanup_logs: the covered commits are gone, the
+    // checkpoint-seeded state still reads
+    val logJsons = new java.io.File(s"$base/dl/_delta_log").listFiles()
+      .count(_.getName.endsWith(".json"))
+    assert(logJsons == 0, s"cleanup_logs left $logJsons commits")
+    assert(DeltaLite.snapshot(spark, s"$base/dl").version >= 1L)
     // streaming configs refuse maintenance loudly
     val err = intercept[IllegalArgumentException](GraftApp.runStreaming(spark,
       GraftConfigLoader.fromYaml(
