@@ -707,7 +707,17 @@ object IcebergLite {
     val st0 = snapshotState(spark, tablePath, snapshotId)
     val st = where match {
       case Some(w) if st0.meta.partitionFields.nonEmpty =>
-        st0.copy(dataFiles = prunePartitions(st0, w))
+        val prunedData = prunePartitions(st0, w)
+        // position-delete files are PARTITION-SCOPED (spec: they apply
+        // only to data files of their own partition) — a delete file
+        // whose tuple matches no surviving data file cannot suppress
+        // anything, so the anti join drops entirely for untouched
+        // partitions. Delete entries without recorded tuples (older
+        // writers) conservatively stay.
+        val liveTuples = prunedData.map(_.partValues).toSet
+        val prunedDeletes = st0.posDeleteFiles.filter(f =>
+          f.partValues.isEmpty || liveTuples.contains(f.partValues))
+        st0.copy(dataFiles = prunedData, posDeleteFiles = prunedDeletes)
       case _ => st0
     }
     val base =

@@ -377,6 +377,13 @@ class IcebergLiteSpec extends AnyFunSuite {
     val meta = IcebergLite.loadMeta(spark, t)
     val firstSnap = meta.snapshots.minBy(_.sequenceNumber).snapshotId
     assert(IcebergLite.read(spark, t, Some(firstSnap)).count() == 24)
+    // a pruned read of an UNTOUCHED day drops the delete anti-join
+    // entirely (partition-scoped delete files prune with the data)
+    val untouched = IcebergLite.read(spark, t,
+      where = Some(col("d") === java.sql.Date.valueOf("2024-01-02")))
+    assert(!untouched.queryExecution.executedPlan.toString.contains("Join"),
+      "untouched-partition read must not pay the position-delete join")
+    assert(untouched.count() == 4)
     // COMPACT resolves the partitioned position deletes through the
     // same transform layout: delete files drop, rows unchanged, every
     // rewritten entry still carries its partition tuple
