@@ -1115,6 +1115,117 @@ object DeltaLite {
       s""""stats":$stEsc}}"""
   }
 
+  /** Scan a live-file subset for the MUTATION paths: logical columns
+    * (column-mapped tables rename back), typed partition literals
+    * restored, live deletion vectors anti-filtered, and the raw
+    * `_metadata.file_path` retained as `__file` (plus `row_index` as
+    * `__i` when `withPos`). Small partition counts scan per group —
+    * Catalyst constant-folds filters on the injected literals; past
+    * `graft.delta.partitionUnionLimit` (default 64) the scan switches
+    * to ONE parquet load + a broadcast path→partition-values join, the
+    * same constant-plan-size switch [[readFiles]] makes — a MERGE whose
+    * keys span a thousand partitions must not build a thousand-branch
+    * union plan.
+    */
+  private def scanFilesWithMeta(spark: SparkSession, tablePath: String,
+      snap: Snapshot, files: Map[String, Map[String, Option[String]]],
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    val mapped = snap.columnMappingMode != "none"
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val readSchema =
+      if (mapped) StructType(dataFields.map(physicalField))
+      else StructType(dataFields)
+    if (snap.columnMappingMode == "id")
+      verifyFieldIds(spark, files.keysIterator.map(abs).toSeq, dataFields)
+    val partFields = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the Delta schema")))
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRelevant = files.keySet.intersect(snap.dvs.keySet)
+    val keepRow =
+      if (dvRelevant.isEmpty) None
+      else {
+        val dvMap = dvRelevant.iterator.map { p =>
+          encodedPathKey(abs(p)) ->
+            DeletionVectors.load(fs, tablePath, snap.dvs(p))
+        }.toMap
+        val bc = spark.sparkContext.broadcast(dvMap)
+        Some(udf((path: String, idx: Long) =>
+          bc.value.get(IcebergLite.normalizePathStr(path)) match {
+            case Some(dead) =>
+              java.util.Arrays.binarySearch(dead, idx) < 0
+            case None => true
+          }))
+      }
+    val metaCols = Seq(col("_metadata.file_path").as("__file")) ++
+      (if (withPos) Seq(col("_metadata.row_index").as("__i")) else Nil)
+    def project(base: DataFrame): DataFrame =
+      if (mapped) base.select((dataFields.map(f =>
+          col(physicalName(f)).cast(f.dataType).as(f.name)) ++ metaCols)
+        .toIndexedSeq: _*)
+      else base.select((dataFields.map(f => col(f.name)) ++ metaCols)
+        .toIndexedSeq: _*)
+    val outCols = (snap.schema.fieldNames.toSeq :+ "__file") ++
+      (if (withPos) Seq("__i") else Nil)
+    val groups = files.toSeq.groupBy(_._2).toSeq
+    val unionCap = spark.conf
+      .getOption("graft.delta.partitionUnionLimit")
+      .map(_.toInt).getOrElse(64)
+    if (partFields.isEmpty || groups.size <= unionCap)
+      groups.map { case (pv, fs0) =>
+        val sc0 = spark.read.schema(readSchema)
+          .parquet(fs0.map(f => abs(f._1)): _*)
+        val sc1 = keepRow match {
+          case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
+            sc0.filter(keep(col("_metadata.file_path"),
+              col("_metadata.row_index")))
+          case _ => sc0
+        }
+        partFields.foldLeft(project(sc1)) { (df, f) =>
+          val v = pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
+          df.withColumn(f.name,
+            v.map(s => lit(s).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)))
+        }.select(outCols.map(col): _*)
+      }.reduce(_ unionByName _)
+    else {
+      val sc0 = spark.read.schema(readSchema)
+        .parquet(files.keysIterator.map(abs).toSeq: _*)
+      val sc1 = keepRow match {
+        case Some(keep) => sc0.filter(keep(col("_metadata.file_path"),
+          col("_metadata.row_index")))
+        case None => sc0
+      }
+      val pvSchema = StructType(
+        StructField("__delta_norm", org.apache.spark.sql.types.StringType,
+          nullable = false) +:
+        partFields.map(f => StructField(s"__delta_pv_${f.name}",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val pvRows = files.toSeq.map { case (p, pv) =>
+        org.apache.spark.sql.Row.fromSeq(encodedPathKey(abs(p)) +:
+          partFields.map(f =>
+            pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten.orNull))
+      }
+      val pvDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+      val joined = project(sc1)
+        .withColumn("__delta_norm",
+          IcebergLite.normalizePathCol(col("__file")))
+        .join(broadcast(pvDf), Seq("__delta_norm"), "left")
+      partFields.foldLeft(joined) { (df, f) =>
+          df.withColumn(f.name,
+            col(s"__delta_pv_${f.name}").cast(f.dataType))
+        }.select(outCols.map(col): _*)
+    }
+  }
+
   /** MERGE-ON-READ DELETE via deletion vectors (the advanced-protocol
     * write path delta-spark uses for row-level deletes): rows matching
     * `cond` are recorded as per-file row-index bitmaps in ONE DV file;
@@ -1147,42 +1258,14 @@ object DeltaLite {
     // per-file union below dedups them. Partitioned tables scan per
     // partition group with the typed partition LITERALS injected (the
     // data files don't carry those columns).
-    val dataFieldsD = snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name))
-    val mappedD = snap.columnMappingMode != "none"
-    val readSchemaD =
-      if (mappedD) StructType(dataFieldsD.map(physicalField))
-      else StructType(dataFieldsD)
-    if (snap.columnMappingMode == "id")
-      verifyFieldIds(spark, candFiles.keysIterator.map(abs).toSeq,
-        dataFieldsD)
-    val partFields = snap.partitionColumns.map(c =>
-      snap.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column $c missing from the Delta schema")))
-    val scanned = candFiles.toSeq.groupBy(_._2).toSeq.map { case (pv, fs0) =>
-        val sc0 = spark.read.schema(readSchemaD)
-          .parquet(fs0.map(f => abs(f._1)): _*)
-        val posCols = Seq(
-          org.apache.spark.sql.functions.col("_metadata.file_path")
-            .as("__p"),
-          org.apache.spark.sql.functions.col("_metadata.row_index")
-            .as("__i"))
-        val sc =
-          if (mappedD) sc0.select((dataFieldsD.map(f =>
-              col(physicalName(f)).cast(f.dataType).as(f.name)) ++
-            posCols).toIndexedSeq: _*)
-          else sc0.select((dataFieldsD.map(f => col(f.name)) ++ posCols)
-            .toIndexedSeq: _*)
-        partFields.foldLeft(sc) { (df, f) =>
-          val v = pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
-          df.withColumn(f.name,
-            v.map(s => lit(s).cast(f.dataType))
-              .getOrElse(lit(null).cast(f.dataType)))
-        }
-      }
-      .map(_.filter(cond).select(col("__p"), col("__i")))
-      .reduce(_ unionByName _)
+    // shared mutation scan: logical columns + partition literals + DV
+    // anti-filter (already-dead rows can't re-match; the per-file union
+    // with prior bitmaps below keeps them suppressed either way), with
+    // the constant-plan-size switch past the partition union cap
+    val scanned = scanFilesWithMeta(spark, tablePath, snap, candFiles,
+      withPos = true)
+      .filter(cond)
+      .select(col("__file").as("__p"), col("__i"))
     val maxRows = spark.conf
       .getOption("graft.delta.maxDeleteRowsPerCommit")
       .map(_.toLong).getOrElse(10000000L)
@@ -1775,66 +1858,17 @@ object DeltaLite {
     // file rewrites ABSORBING its DV — the rewrite's add carries no
     // descriptor, dropping the bitmap in the same atomic commit;
     // untouched DV'd files keep their DVs untouched. No resurrection,
-    // no pre-compact required.
-    val dvKeep =
-      if (snap.dvs.isEmpty) None
-      else {
-        val dvMap = snap.dvs.keysIterator.map { p =>
-          encodedPathKey(abs(p)) ->
-            DeletionVectors.load(fs, tablePath, snap.dvs(p))
-        }.toMap
-        val bc = spark.sparkContext.broadcast(dvMap)
-        Some(org.apache.spark.sql.functions.udf((path: String, idx: Long) =>
-          bc.value.get(IcebergLite.normalizePathStr(path)) match {
-            case Some(dead) =>
-              java.util.Arrays.binarySearch(dead, idx) < 0
-            case None => true
-          }))
-      }
-
-    // partitioned tables scan per partition group with the typed
-    // partition LITERALS injected (data files don't carry those
-    // columns); unpartitioned degenerates to a single group. Column-
-    // mapped tables scan under the PHYSICAL schema and rename back.
+    // no pre-compact required. Column-mapped tables scan physical and
+    // rename back; past the partition union cap the scan is ONE parquet
+    // load + a broadcast partition-values join (constant plan size).
     val mapped = snap.columnMappingMode != "none"
-    val dataFieldsU = snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name))
-    val dataSchemaU = StructType(dataFieldsU)
-    val readSchemaU =
-      if (mapped) StructType(dataFieldsU.map(f => f.copy(
-        name = physicalName(f), dataType = physicalize(f.dataType))))
-      else dataSchemaU
-    if (snap.columnMappingMode == "id" && candidates.nonEmpty)
-      verifyFieldIds(spark, candidates.keysIterator.map(abs).toSeq,
-        dataFieldsU)
     val partFieldsU = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"partition column $c missing from the Delta schema")))
     def groupScan(
         files: Map[String, Map[String, Option[String]]]): DataFrame =
-      files.toSeq.groupBy(_._2).toSeq.map { case (pvv, fs0) =>
-        val sc0 = spark.read.schema(readSchemaU)
-          .parquet(fs0.map(f => abs(f._1)): _*)
-        val sc1 = dvKeep match {
-          case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
-            sc0.filter(keep(col("_metadata.file_path"),
-              col("_metadata.row_index")))
-          case _ => sc0
-        }
-        val fileCol = col("_metadata.file_path").as("__file")
-        val sc =
-          if (mapped) sc1.select((dataFieldsU.map(f =>
-              col(physicalName(f)).cast(f.dataType).as(f.name)) :+
-            fileCol).toIndexedSeq: _*)
-          else sc1.withColumn("__file", col("_metadata.file_path"))
-        partFieldsU.foldLeft(sc) { (df, f) =>
-          val v = pvv.get(physicalName(f)).orElse(pvv.get(f.name)).flatten
-          df.withColumn(f.name,
-            v.map(s => lit(s).cast(f.dataType))
-              .getOrElse(lit(null).cast(f.dataType)))
-        }
-      }.reduce(_ unionByName _)
+      scanFilesWithMeta(spark, tablePath, snap, files, withPos = false)
 
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty

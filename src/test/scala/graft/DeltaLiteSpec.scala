@@ -1042,6 +1042,34 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.snapshot(spark, t).dvs.isEmpty)
   }
 
+  test("mutation scans past the partition union cap: upsert and " +
+      "deleteWhere on a many-partition table run as ONE scan + a " +
+      "broadcast partition-values join — same answers, constant plan") {
+    val t = java.nio.file.Files.createTempDirectory("delta_mutfan").toString + "/tbl"
+    val df = (1 to 40).map(i => (i.toLong, s"v$i", s"p${i % 10}"))
+      .toDF("k", "v", "p")
+    DeltaLite.write(spark, df, t, partitionBy = Seq("p"))
+    spark.conf.set("graft.delta.partitionUnionLimit", "3")
+    try {
+      // keyed MERGE across the fan-out (touches one partition, scans
+      // through the wide path)
+      DeltaLite.upsert(spark, Seq((5L, "X", "p5")).toDF("k", "v", "p"),
+        t, Seq("k"))
+      val got = DeltaLite.read(spark, t).as[(Long, String, String)]
+        .collect().map { case (k, v, p) => k -> ((v, p)) }.toMap
+      assert(got(5L) == (("X", "p5")) && got.size == 40)
+      // a cross-partition DELETE through the same wide path
+      DeltaLite.deleteWhere(spark, t, col("k") % 10 === 7)
+      val after = DeltaLite.read(spark, t).as[(Long, String, String)]
+        .collect().map(_._1).toSet
+      assert(after.size == 36 && !after.exists(_ % 10 == 7), after.toString)
+      // partition values survived the wide-path rewrite (the merge's
+      // new files carry correct tuples)
+      assert(DeltaLite.read(spark, t).filter($"p" === "p5")
+        .count() == 4) // k = 5 (replaced), 15, 25, 35 — none end in 7
+    } finally spark.conf.unset("graft.delta.partitionUnionLimit")
+  }
+
   test("checkpoint carries live deletion vectors and the (3,7) " +
       "protocol: checkpoint-seeded reads keep DV-deleted rows deleted") {
     val t = java.nio.file.Files.createTempDirectory("delta_ckdv").toString + "/tbl"
