@@ -2105,6 +2105,46 @@ object DeltaLite {
     snap.version
   }
 
+  /** TIME TRAVEL BY TIMESTAMP (delta-spark's `timestampAsOf` rule): the
+    * latest commit whose timestamp is at or before `tsMillis` — pass
+    * the returned version to [[read]]'s `asOf`. The timestamp is the
+    * commit's `commitInfo.timestamp` when present (what mainstream
+    * writers stamp), else the commit file's modification time (the
+    * spec's fallback). Refuses loudly before the first replayable
+    * commit. Commits cleaned up behind a checkpoint are not
+    * addressable (same trade as version pins).
+    */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"$tablePath is not a Delta table")
+    val commitRe = "(\\d{20})\\.json".r
+    val stamped = fs.listStatus(logDir).flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(v) =>
+          val in = fs.open(st.getPath)
+          val txt = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          val ci = txt.split("\n").find(_.contains("\"commitInfo\""))
+            .flatMap { line =>
+              try Option(mapper.readTree(line).get("commitInfo"))
+                .flatMap(n => Option(n.get("timestamp")).map(_.asLong))
+              catch { case _: Exception => None }
+            }
+          Some(v.toLong -> ci.getOrElse(st.getModificationTime))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    require(stamped.nonEmpty,
+      s"no replayable commits at $tablePath (log cleaned up?)")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no commit of $tablePath at or before timestamp $tsMillis " +
+        s"(earliest is ${stamped.head._2})")
+    eligible.map(_._1).max
+  }
+
   /** LOG CLEANUP (delta-spark's metadata retention, deterministic
     * variant): delete the JSON commits a checkpoint already covers —
     * replay seeds from the checkpoint, so they are dead weight in

@@ -732,6 +732,22 @@ object IcebergLite {
     where.map(base.filter).getOrElse(base)
   }
 
+  /** TIME TRAVEL BY TIMESTAMP (the iceberg runtime's `as-of-timestamp`
+    * rule): the latest snapshot whose `timestamp-ms` is at or before
+    * `tsMillis` — pass the returned id to [[read]]'s `snapshotId`.
+    * Refuses loudly before the first snapshot (no state existed).
+    */
+  def snapshotAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val meta = loadMeta(spark, tablePath)
+    val eligible = meta.snapshots.filter(_.timestampMs <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot of $tablePath at or before timestamp $tsMillis " +
+        s"(earliest is ${meta.snapshots.map(_.timestampMs).minOption
+          .getOrElse(-1L)})")
+    eligible.maxBy(s => (s.timestampMs, s.sequenceNumber)).snapshotId
+  }
+
   // ------------------------------------ transform-aware partition pruning
 
   /** Data files that could hold rows matching `where` given their

@@ -899,6 +899,36 @@ class DeltaLiteSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.partitionUnionLimit")
   }
 
+  test("versionAtTimestamp resolves delta-spark's timestampAsOf rule: " +
+      "commitInfo timestamps win, latest at-or-before wins, " +
+      "too-early refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ts").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "f2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t, "f3.parquet")
+    writeLog(t, 0, Seq(
+      """{"commitInfo":{"timestamp":100,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 1, Seq(
+      """{"commitInfo":{"timestamp":200,"operation":"WRITE"}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 2, Seq(
+      """{"commitInfo":{"timestamp":300,"operation":"WRITE"}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLite.versionAtTimestamp(spark, t, 250L) == 1L)
+    assert(DeltaLite.versionAtTimestamp(spark, t, 300L) == 2L)
+    assert(DeltaLite.versionAtTimestamp(spark, t, Long.MaxValue) == 2L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.versionAtTimestamp(spark, t, 99L))
+    assert(e.getMessage.contains("at or before"))
+    // composes with version-pinned reads
+    val v = DeltaLite.versionAtTimestamp(spark, t, 250L)
+    assert(DeltaLite.read(spark, t, Some(v)).count() == 2)
+  }
+
   test("cleanupLogs deletes exactly the commits a checkpoint covers: " +
       "the seeded snapshot is intact, newer commits replay, " +
       "pre-checkpoint version pins stop working, no-checkpoint refuses") {

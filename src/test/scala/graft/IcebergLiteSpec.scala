@@ -328,6 +328,27 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("partitioned"), err2.getMessage)
   }
 
+  test("snapshotAtTimestamp: latest at-or-before wins (sequence breaks " +
+      "timestamp ties), too-early refuses, composes with pinned reads") {
+    val t = tmp("ts")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val meta = IcebergLite.loadMeta(spark, t)
+    val latest = meta.snapshots.maxBy(_.sequenceNumber)
+    // deterministic writer stamps: equal timestamps → sequence breaks
+    // the tie toward the LATEST state at that instant
+    assert(IcebergLite.snapshotAtTimestamp(spark, t,
+      latest.timestampMs) == latest.snapshotId)
+    assert(IcebergLite.snapshotAtTimestamp(spark, t,
+      Long.MaxValue) == latest.snapshotId)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.snapshotAtTimestamp(spark, t,
+        meta.snapshots.map(_.timestampMs).min - 1))
+    assert(e.getMessage.contains("at or before"))
+    assert(IcebergLite.read(spark, t, Some(IcebergLite
+      .snapshotAtTimestamp(spark, t, Long.MaxValue))).count() == 2)
+  }
+
   test("partitioned tables take native ROW-LEVEL mutations: deleteWhere " +
       "writes partition-scoped position deletes (one pass), upsert " +
       "merges through the transform layout, the spec is restated") {
