@@ -154,7 +154,12 @@ object IcebergLite {
         * foreign tables may carry any — unknown ones read fine (data
         * files retain source columns) but never prune.
         */
-      partitionFields: Seq[PartSpecField] = Nil)
+      partitionFields: Seq[PartSpecField] = Nil,
+      /** the FULL `partition-specs` array as raw JSON — commits must
+        * retain every spec a live manifest references (global equality
+        * deletes ride an unpartitioned spec next to the table's).
+        */
+      specsJson: Seq[String] = Nil)
 
   /** One field of the default partition spec: the partition field name,
     * the transform's metadata rendering, and the SOURCE column's field
@@ -372,7 +377,9 @@ object IcebergLite {
       snapshots = snaps,
       version = version,
       tableUuid = Option(node.get("table-uuid")).map(_.asText)
-        .getOrElse(java.util.UUID.randomUUID.toString))
+        .getOrElse(java.util.UUID.randomUUID.toString),
+      specsJson = Option(node.get("partition-specs")).toSeq
+        .flatMap(_.elements.asScala).map(_.toString))
   }
 
   // --------------------------------------------------------- avro plumbing
@@ -1277,7 +1284,13 @@ object IcebergLite {
       newManifests: Seq[(Seq[GenericRecord], Int, Long)],
       carryForward: Seq[ManifestInfo], operation: String,
       snapshotId: Long, extraSummary: Map[String, String] = Map.empty,
-      partitionSpec: Seq[PartSpecField] = Nil): Long = {
+      partitionSpec: Seq[PartSpecField] = Nil,
+      /** per-newManifests partition-spec id (default 0 = the table
+        * spec) — global equality deletes ride spec 1 (unpartitioned).
+        */
+      manifestSpecIds: Seq[Int] = Nil,
+      /** extra specs this commit introduces: (spec-id, fields JSON). */
+      extraSpecs: Seq[(Int, String)] = Nil): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -1295,17 +1308,23 @@ object IcebergLite {
         s""""transform":${mapper.writeValueAsString(f.transform)},""" +
         s""""source-id":${f.sourceId},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
+    val extraSpecFields = extraSpecs.toMap
     val written = newManifests.zipWithIndex.map {
       case ((entries, content, addedRows), i) =>
         val manifestPath = new Path(metaDir, s"$commitUuid-m$i.avro")
         val entrySchema = entries.headOption.map(_.getSchema)
           .getOrElse(manifestEntrySchema)
+        val specId = manifestSpecIds.lift(i).getOrElse(0)
+        val specJson =
+          if (specId == 0) specFieldsJson
+          else extraSpecFields.getOrElse(specId, "[]")
         val mLen = writeAvroFile(fs, manifestPath, entrySchema, entries,
           Map("schema" -> schemaJson, "format-version" -> "2",
-            "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
+            "partition-spec" -> specJson,
+            "partition-spec-id" -> specId.toString,
             "content" -> (if (content == 1) "deletes" else "data")))
         ManifestInfo(
-          path = manifestPath.toString, length = mLen, specId = 0,
+          path = manifestPath.toString, length = mLen, specId = specId,
           content = content, sequenceNumber = seq,
           minSequenceNumber = seq, addedSnapshotId = snapshotId,
           addedFiles = entries.size, existingFiles = 0, deletedFiles = 0,
@@ -1352,10 +1371,25 @@ object IcebergLite {
     val schemasArr = node.putArray("schemas")
     schemasJson.foreach(s => schemasArr.add(mapper.readTree(s)))
     node.put("default-spec-id", 0)
+    // retain every spec a live manifest may reference: the (rebuilt)
+    // default spec 0, every non-default spec the PRIOR metadata carried,
+    // and any spec this commit introduces
     val specs = node.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     spec0.set[JsonNode]("fields", mapper.readTree(specFieldsJson))
+    val priorNonDefault = prior.toSeq.flatMap(_.meta.specsJson)
+      .map(mapper.readTree)
+      .filter(sp => Option(sp.get("spec-id")).exists(_.asInt != 0))
+      .map(sp => sp.get("spec-id").asInt -> sp).toMap
+    val introduced = extraSpecs.map { case (id, fieldsJson) =>
+      val on = mapper.createObjectNode()
+      on.put("spec-id", id)
+      on.set[JsonNode]("fields", mapper.readTree(fieldsJson))
+      id -> (on: JsonNode)
+    }.toMap
+    (priorNonDefault ++ introduced).toSeq.sortBy(_._1)
+      .foreach { case (_, sp) => specs.add(sp) }
     node.put("last-partition-id", 999 + partitionSpec.size)
     node.put("default-sort-order-id", 0)
     val orders = node.putArray("sort-orders")
@@ -1836,11 +1870,6 @@ object IcebergLite {
       keys: DataFrame, equalityCols: Seq[String]): Long = {
     require(equalityCols.nonEmpty, "deleteByKeys needs equality columns")
     val prior = snapshotState(spark, tablePath)
-    require(prior.meta.partitionFields.isEmpty,
-      s"$tablePath is partitioned — a GLOBAL equality delete needs a " +
-        "second (unpartitioned) partition spec, which the native writer " +
-        "does not manage; use deleteWhere/upsert (position deletes, " +
-        "partition-scoped) or the iceberg runtime")
     require(equalityCols.forall(prior.meta.schema.fieldNames.contains),
       s"equality columns ${equalityCols.mkString(",")} must exist in " +
         "the table schema")
@@ -1857,9 +1886,17 @@ object IcebergLite {
     val entries = staged.map(f =>
       entryRecord(1, snapshotId, seq, content = 2, f.path, f.rows, f.size,
         equalityIds = ids))
+    // a PARTITIONED table's equality delete is GLOBAL (it applies to
+    // every older data file regardless of partition), so its manifest
+    // rides a second, UNPARTITIONED spec (the iceberg convention) —
+    // the table's own spec is restated untouched
+    val global = prior.meta.partitionFields.nonEmpty
     commit(spark, tablePath, Some(prior), prior.meta.schema,
       Seq((entries, 1, 0L)), carryForward = prior.manifests,
-      operation = "delete", snapshotId = snapshotId)
+      operation = "delete", snapshotId = snapshotId,
+      partitionSpec = prior.meta.partitionFields,
+      manifestSpecIds = if (global) Seq(1) else Nil,
+      extraSpecs = if (global) Seq(1 -> "[]") else Nil)
   }
 
   /** MERGE (replace-by-key upsert) in ONE atomic snapshot: rows of the

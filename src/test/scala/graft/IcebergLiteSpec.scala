@@ -321,11 +321,44 @@ class IcebergLiteSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](IcebergLite.write(spark,
       df, t, partitionBy = Seq("v")))
     assert(err.getMessage.contains("does not match"))
-    // GLOBAL equality deletes still refuse (they'd need a second spec)
-    val err2 = intercept[IllegalArgumentException](
-      IcebergLite.deleteByKeys(spark, t,
-        Seq(Tuple1(1L)).toDF("k"), Seq("k")))
-    assert(err2.getMessage.contains("partitioned"), err2.getMessage)
+  }
+
+  test("GLOBAL equality deletes on partitioned tables ride a second " +
+      "unpartitioned spec: keys retract across partitions, the sequence " +
+      "rule re-admits later inserts, both specs survive later commits") {
+    val t = tmp("eqpart")
+    val df = Seq((1L, "us", "a"), (2L, "us", "b"), (3L, "de", "c"),
+      (4L, "de", "d")).toDF("k", "region", "v")
+    IcebergLite.write(spark, df, t, partitionBy = Seq("region"))
+    // retract keys from BOTH partitions with zero table reads
+    IcebergLite.deleteByKeys(spark, t,
+      Seq(Tuple1(2L), Tuple1(3L)).toDF("k"), Seq("k"))
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect()
+      .toSet == Set(1L, 4L))
+    // the delete manifest rides spec 1; data manifests keep spec 0
+    val st = IcebergLite.snapshotState(spark, t)
+    assert(st.manifests.filter(_.content == 1).forall(_.specId == 1),
+      st.manifests.map(m => (m.content, m.specId)).toString)
+    assert(st.manifests.filter(_.content == 0).forall(_.specId == 0))
+    // sequence rule: a LATER insert of a deleted key is visible
+    IcebergLite.write(spark, Seq((3L, "de", "c2")).toDF("k", "region", "v"), t)
+    assert(IcebergLite.read(spark, t).select("k").as[Long].collect()
+      .toSet == Set(1L, 3L, 4L))
+    // BOTH specs survive the follow-up commit's metadata
+    val meta = IcebergLite.loadMeta(spark, t)
+    val specIds = meta.specsJson.map(js =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        .get("spec-id").asInt).toSet
+    assert(specIds == Set(0, 1), meta.specsJson.toString)
+    assert(meta.partitionFields.nonEmpty) // default spec intact
+    // compact resolves the eq delete (older files rewritten through the
+    // partition layout); the re-inserted row survives
+    IcebergLite.compact(spark, t)
+    val st2 = IcebergLite.snapshotState(spark, t)
+    assert(st2.eqDeleteFiles.isEmpty)
+    assert(IcebergLite.read(spark, t)
+      .select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c2"), (4L, "d")))
   }
 
   test("snapshotAtTimestamp: latest at-or-before wins (sequence breaks " +
