@@ -712,4 +712,29 @@ class PropertySpec extends AnyFunSuite {
         s"log of ${entries.size} entries: got $got expected $expected")
     }
   }
+
+  test("Delta action-path codec round-trips any path: " +
+      "decodePath(encodePath(p)) == p, segments preserved, output is " +
+      "RFC 2396 clean") {
+    import graft.sources.DeltaLite
+    // segments drawing from the characters hive escaping and URL
+    // encoding actually fight over: %, =, :, #, space, unicode, plus
+    val segChar = Gen.frequency(
+      7 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('%', '=', ':', '#', ' ', '+', '&', '?', '~', '.',
+        '-', '_', 'é', '中'))
+    val segGen = Gen.nonEmptyListOf(segChar).map(_.mkString)
+    val pathGen = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, segGen).map(_.mkString("/")))
+    samples(pathGen, n = 500).foreach { p =>
+      val enc = DeltaLite.encodePath(p)
+      assert(DeltaLite.decodePath(enc) == p, s"round-trip broke for '$p'")
+      // the encoded form carries no raw reserved/space/non-ASCII bytes
+      assert(enc.forall(c => c == '/' || c == '%' ||
+        c.isLetterOrDigit && c < 128 || "-_.!~*'()".contains(c)),
+        s"unencoded reserved char in '$enc'")
+      // segment count is preserved ('/' never appears encoded-ambiguous)
+      assert(enc.count(_ == '/') == p.count(_ == '/'))
+    }
+  }
 }
