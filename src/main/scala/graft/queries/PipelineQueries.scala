@@ -4013,6 +4013,42 @@ object PipelineQueries {
       IcebergLite.read(s, tbl)
     },
 
+    // GLOBAL EQUALITY DELETE on a PARTITIONED table through the driver
+    // gate: a region-partitioned nation table takes a zero-read
+    // deleteByKeys across partitions (the delete manifest rides a
+    // second, unpartitioned spec — multi-spec metadata), then a LATER
+    // append re-inserts one retracted key, which the sequence rule must
+    // re-admit. The oracle rebuilds the final state from raw parquet —
+    // a delete leaking forward in time, a key surviving retraction, or
+    // a spec mix-up that loses the partition layout hash-fails.
+    QueryDef("q147_iceberg_global_eq_delete",
+      """SELECT n_nationkey, n_regionkey, n_name FROM nation
+        |WHERE n_nationkey % 4 <> 1
+        |UNION ALL
+        |SELECT n_nationkey, n_regionkey, 'REBORN' AS n_name
+        |FROM nation WHERE n_nationkey = 5""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q147_iceberg").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"),
+          col("n_name").cast("string").as("n_name"))
+      IcebergLite.write(s, n, tbl, partitionBy = Seq("n_regionkey"))
+      IcebergLite.deleteByKeys(s, tbl,
+        n.filter(col("n_nationkey") % 4 === 1)
+          .select(col("n_nationkey")), Seq("n_nationkey"))
+      IcebergLite.write(s, {
+        import s.implicits._
+        n.filter(col("n_nationkey") === 5)
+          .select(col("n_nationkey"), col("n_regionkey"),
+            lit("REBORN").as("n_name"))
+      }, tbl)
+      IcebergLite.read(s, tbl)
+    },
+
     // DELETION-VECTOR DELETE through the driver gate: customers land in
     // a native delta table, a merge-on-read DV delete retracts a key
     // slice WITHOUT rewriting any data file (bitmap + re-add commits),
