@@ -54,6 +54,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .option("path", tbl).option("table_format", "delta")
   *     .option("keys", "k").load()
   * }}}
+  * Start position: `starting_version` (first batch INCLUDES it),
+  * `starting_timestamp` (time-travel resolution — the tail emits
+  * changes AFTER the table state at that instant), or the current
+  * version (tail-only default).
   */
 class LakeTailSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -69,8 +73,8 @@ class LakeTailSource extends TableProvider {
 
 object LakeTailSource {
   final case class Conf(path: String, format: String, keys: Seq[String],
-      startingVersion: Option[Long], versionsPerBatch: Int, maxRows: Long,
-      onMissing: String)
+      startingVersion: Option[Long], startingTimestamp: Option[Long],
+      versionsPerBatch: Int, maxRows: Long, onMissing: String)
 
   private[sources] def conf(o: CaseInsensitiveStringMap): Conf = {
     val path = o.get("path")
@@ -87,8 +91,11 @@ object LakeTailSource {
     val onMissing = Option(o.get("on_missing_offset")).getOrElse("fail")
     require(onMissing == "fail" || onMissing == "earliest",
       s"on_missing_offset must be fail|earliest, got '$onMissing'")
-    Conf(path, fmt, keys,
-      Option(o.get("starting_version")).map(_.toLong),
+    val startVersion = Option(o.get("starting_version")).map(_.toLong)
+    val startTs = Option(o.get("starting_timestamp")).map(_.toLong)
+    require(startVersion.isEmpty || startTs.isEmpty,
+      "starting_version and starting_timestamp are mutually exclusive")
+    Conf(path, fmt, keys, startVersion, startTs,
       Option(o.get("versions_per_batch")).map(_.toInt).getOrElse(1),
       Option(o.get("max_rows_per_batch")).map(_.toLong).getOrElse(0L),
       onMissing)
@@ -271,6 +278,19 @@ private[sources] class LakeTailTable(tailSchema: StructType,
             override def initialOffset(): Offset =
               LakeVersionOffset(c.startingVersion
                 .map(_ - 1) // first batch INCLUDES starting_version
+                .orElse(c.startingTimestamp.map { ts =>
+                  // the tail emits changes AFTER the state at `ts`
+                  // (time-travel resolution per format; loud before
+                  // the first commit, like Kafka's timestamp lookup)
+                  if (c.format == "delta")
+                    DeltaLite.versionAtTimestamp(spark, c.path, ts)
+                  else {
+                    val snapId = IcebergLite
+                      .snapshotAtTimestamp(spark, c.path, ts)
+                    IcebergLite.loadMeta(spark, c.path).snapshots
+                      .find(_.snapshotId == snapId).get.sequenceNumber
+                  }
+                })
                 .getOrElse(
                   LakeTailSource.currentVersion(spark, c))) // tail-only
 

@@ -147,6 +147,41 @@ class LakeTailSpec extends AnyFunSuite {
     assert(readBack == n)
   }
 
+  test("starting_timestamp resolves the initial offset by time travel: " +
+      "the tail emits only changes AFTER the state at that instant") {
+    val base = tmp("ts")
+    val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tbl)   // v0
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tbl)   // v1
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), tbl)   // v2
+    // the deterministic writer stamps commitInfo timestamp 1 everywhere;
+    // restamp 100/200/300 like a foreign log with real clocks
+    val fs0 = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(tbl, f"_delta_log/$v%020d.json")
+      val in = fs0.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val o = fs0.create(p, true)
+      try o.write(txt.replaceFirst("\"timestamp\":1\\b",
+        s""""timestamp":${100 * (v + 1)}""").getBytes("UTF-8"))
+      finally o.close()
+    }
+    drain(tbl, "delta", out, ckpt,
+      extra = Map("starting_timestamp" -> "250"))
+    // state at ts=250 is v1 → only v2's change arrives
+    assert(sunk(out) == Set((3L, "c", "insert", 2L)), sunk(out).toString)
+    // mutually exclusive with starting_version
+    val err = intercept[Exception] {
+      spark.readStream.format("graft.sources.LakeTailSource")
+        .option("path", tbl).option("table_format", "delta")
+        .option("keys", "k").option("starting_version", 0)
+        .option("starting_timestamp", 250)
+        .load()
+    }
+    assert(err.getMessage.contains("mutually exclusive"), err.getMessage)
+  }
+
   test("delta tail after checkpoint+cleanupLogs: the stranded offset " +
       "re-snapshots under on_missing_offset=earliest") {
     val base = tmp("dclean")
