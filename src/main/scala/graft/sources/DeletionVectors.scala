@@ -229,7 +229,16 @@ object DeletionVectors {
     * Returns (pathOrInlineDv id, key → (offset, sizeInBytes)).
     */
   def writeDvFile(fs: FileSystem, tablePath: String,
-      dvs: Seq[(String, Array[Long])]): (String, Map[String, (Long, Long)]) = {
+      dvs: Seq[(String, Array[Long])]): (String, Map[String, (Long, Long)]) =
+    writeDvFileBytes(fs, tablePath,
+      dvs.map { case (k, rows) => (k, encodeBitmap(rows)) })
+
+  /** [[writeDvFile]] over PRE-ENCODED bitmap bytes — the distributed
+    * delete path stages each file's serialized RoaringBitmapArray on
+    * executors and hands the driver only these KB-order blobs.
+    */
+  def writeDvFileBytes(fs: FileSystem, tablePath: String,
+      dvs: Seq[(String, Array[Byte])]): (String, Map[String, (Long, Long)]) = {
     val uuid = java.util.UUID.randomUUID()
     val bb = ByteBuffer.allocate(16)
     bb.putLong(uuid.getMostSignificantBits)
@@ -238,8 +247,7 @@ object DeletionVectors {
     val o = new java.io.ByteArrayOutputStream
     o.write(1) // format version
     val dos = new java.io.DataOutputStream(o)
-    val offsets = dvs.map { case (key, rows) =>
-      val data = encodeBitmap(rows)
+    val offsets = dvs.map { case (key, data) =>
       val off = o.size().toLong
       dos.writeInt(data.length)
       dos.write(data)

@@ -90,7 +90,23 @@ object DeltaLite {
       /** `metaData.id` — stable across the table's lifetime; evolving
         * commits and checkpoints restate it.
         */
-      tableId: String = "")
+      tableId: String = "",
+      /** decoded path → the add action's VERBATIM raw path string as it
+        * appeared in the log/checkpoint. Mutation commits (remove,
+        * DV re-add, checkpoint restating) must repeat a pre-existing
+        * file's raw string byte-for-byte: foreign replayers that
+        * reconcile adds/removes by raw string or URI (java.net.URI keys
+        * `p%3D1/f` != `p=1/f`) would otherwise fail to cancel the add,
+        * resurrecting removed files. Only graft-staged NEW paths run
+        * through [[encodePath]].
+        */
+      rawPaths: Map[String, String] = Map.empty)
+
+  /** The verbatim action-path string for a pre-existing file (falls
+    * back to [[encodePath]] for paths graft itself staged).
+    */
+  private def rawPath(snap: Snapshot, p: String): String =
+    snap.rawPaths.getOrElse(p, encodePath(p))
 
   /** Percent-decode a Delta action path (the spec URL-encodes relative
     * paths as UTF-8; `+` stays literal, unlike URLDecoder).
@@ -111,13 +127,19 @@ object DeltaLite {
     new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** URL-encode an action path (the exact inverse of [[decodePath]]):
-    * the Delta spec stores relative paths percent-encoded (RFC 2396 —
-    * per-segment, UTF-8 bytes, unreserved = alphanum + `-_.!~*'()`),
-    * and Spark's own hive-escaped partition directories contain `%`
-    * and other reserved chars (e.g. `ts=1995-03-01 00%3A00%3A00`), so
+  /** URL-encode an action path (inverted by [[decodePath]]): the Delta
+    * spec stores relative paths percent-encoded (RFC 2396 per-segment,
+    * UTF-8 bytes), and Spark's own hive-escaped partition directories
+    * contain `%` and spaces (e.g. `ts=1995-03-01 00%3A00%3A00`), so
     * emitting a directory name verbatim would decode to a path that
-    * does not exist on disk.
+    * does not exist on disk. The kept-literal set matches Hadoop
+    * `Path.toUri` — the encoder delta-spark's writers go through — i.e.
+    * RFC 2396 pchar: unreserved (alphanum + `-_.!~*'()`) plus
+    * `:@&=+$,;`. `=` literal matters most: every hive partition dir
+    * contains it, and a `p%3D1/f` vs `p=1/f` raw-string mismatch breaks
+    * foreign replayers that reconcile adds/removes by raw string.
+    * Applied ONLY to paths graft itself stages — pre-existing files
+    * restate their original raw string verbatim ([[rawPath]]).
     */
   def encodePath(p: String): String =
     p.split("/", -1).map(encodeSegment).mkString("/")
@@ -129,7 +151,8 @@ object DeltaLite {
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
           (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
           c == '!' || c == '~' || c == '*' || c == '\'' || c == '(' ||
-          c == ')') sb.append(c)
+          c == ')' || c == ':' || c == '@' || c == '&' || c == '=' ||
+          c == '+' || c == '$' || c == ',' || c == ';') sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
     }
     sb.toString
@@ -241,6 +264,7 @@ object DeltaLite {
     val stats = mutable.LinkedHashMap.empty[String, String]
     val dvs = mutable.LinkedHashMap.empty[String, DeletionVectors.Descriptor]
     val sizes = mutable.LinkedHashMap.empty[String, Long]
+    val rawPaths = mutable.LinkedHashMap.empty[String, String]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -326,6 +350,7 @@ object DeltaLite {
         proj.collect()
           .foreach { r =>
             val path = decodePath(r.getString(0))
+            rawPaths(path) = r.getString(0)
             val pv = Option(r.getJavaMap[String, String](1))
               .map { m =>
                 val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -393,6 +418,7 @@ object DeltaLite {
         if (action.has("add")) {
           val a = action.get("add")
           val p = decodePath(a.get("path").asText)
+          rawPaths(p) = a.get("path").asText
           files(p) = Option(a.get("partitionValues"))
             .map(partValues).getOrElse(Map.empty)
           Option(a.get("stats")).filterNot(_.isNull)
@@ -412,6 +438,7 @@ object DeltaLite {
           stats.remove(p)
           dvs.remove(p)
           sizes.remove(p)
+          rawPaths.remove(p)
           ()
         }
         if (action.has("txn")) {
@@ -427,7 +454,8 @@ object DeltaLite {
       stats.toMap, mappingMode,
       dvs.filter { case (p, _) => files.contains(p) }.toMap,
       sizes.filter { case (p, _) => files.contains(p) }.toMap,
-      configuration, protocolAction, tableId)
+      configuration, protocolAction, tableId,
+      rawPaths.filter { case (p, _) => files.contains(p) }.toMap)
   }
 
   /** Build the DataFrame for a restricted file subset of a snapshot
@@ -1226,6 +1254,45 @@ object DeltaLite {
     }
   }
 
+  /** EXECUTOR-SIDE DV staging: one shuffle of the matched (file,
+    * row_index) pairs on the file path, rows sorted within partitions,
+    * then each file's contiguous run encodes to its serialized
+    * RoaringBitmapArray ON THE EXECUTOR — the driver collects only
+    * (path, cardinality, bitmap BYTES) triples, KB-order per file,
+    * never row indexes (the iceberg `stagePosDeletes` pattern,
+    * delta-side). Row indexes arrive sorted and unique per file.
+    */
+  private[graft] def stageDvBitmaps(spark: SparkSession,
+      scanned: DataFrame): Array[(String, Long, Array[Byte])] = {
+    import spark.implicits._
+    scanned.as[(String, Long)]
+      .repartition(col("__p"))
+      .sortWithinPartitions(col("__p"), col("__i"))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Array[Byte])] {
+          private var cur: (String, Long) = _
+          private var has = it.hasNext
+          if (has) cur = it.next()
+          override def hasNext: Boolean = has
+          override def next(): (String, Long, Array[Byte]) = {
+            val path = cur._1
+            val b = Array.newBuilder[Long]
+            b += cur._2
+            var n = 1L
+            var done = false
+            while (!done) {
+              if (it.hasNext) {
+                val nx = it.next()
+                if (nx._1 == path) { b += nx._2; n += 1 }
+                else { cur = nx; done = true }
+              } else { has = false; done = true }
+            }
+            (path, n, DeletionVectors.encodeBitmap(b.result()))
+          }
+        }
+      }.collect()
+  }
+
   /** MERGE-ON-READ DELETE via deletion vectors (the advanced-protocol
     * write path delta-spark uses for row-level deletes): rows matching
     * `cond` are recorded as per-file row-index bitmaps in ONE DV file;
@@ -1237,9 +1304,13 @@ object DeltaLite {
     * `deletionVectors` when needed. Returns the new version (current
     * version when nothing matched).
     *
-    * The matched positions pass through the driver as compact bitmaps;
-    * `graft.delta.maxDeleteRowsPerCommit` (default 10M) bounds that
-    * loudly — table-scale purges belong on a rewrite path, not a DV.
+    * The matched positions are encoded to per-file roaring bitmaps ON
+    * EXECUTORS ([[stageDvBitmaps]]) — one scan, one key shuffle, and
+    * the driver handles only KB-sized serialized blobs, so the delete
+    * is unbounded by driver memory at any match count.
+    * `graft.delta.maxDeleteRowsPerCommit` is an OPTIONAL loud cap
+    * (unset = unbounded) for deployments that want table-scale purges
+    * steered to a rewrite path instead of a DV.
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
       cond: org.apache.spark.sql.Column): Long = {
@@ -1266,39 +1337,48 @@ object DeltaLite {
       withPos = true)
       .filter(cond)
       .select(col("__file").as("__p"), col("__i"))
-    val maxRows = spark.conf
-      .getOption("graft.delta.maxDeleteRowsPerCommit")
-      .map(_.toLong).getOrElse(10000000L)
-    // bound the driver transfer BEFORE collecting anything
-    require(scanned.count() <= maxRows,
-      s"delete matches more than $maxRows rows — raise " +
-        "graft.delta.maxDeleteRowsPerCommit or rewrite the table instead")
-    val grouped = scanned
-      .groupBy(org.apache.spark.sql.functions.col("__p"))
-      .agg(org.apache.spark.sql.functions
-        .collect_list(org.apache.spark.sql.functions.col("__i")).as("__is"))
-      .collect()
-    if (grouped.isEmpty) return snap.version
+    // ONE distributed job: scan → shuffle on file → per-file bitmap
+    // bytes on executors; the driver sees only (path, card, blob)
+    val staged = stageDvBitmaps(spark, scanned)
+    if (staged.isEmpty) return snap.version
+    // optional loud cap (unset = unbounded — driver memory is bounded
+    // by bitmap BYTES, not row count); enforced from the same job's
+    // cardinalities, no second scan
+    spark.conf.getOption("graft.delta.maxDeleteRowsPerCommit")
+      .map(_.toLong).foreach { maxRows =>
+        val total = staged.map(_._2).sum
+        require(total <= maxRows,
+          s"delete matches $total rows, over the explicit " +
+            "graft.delta.maxDeleteRowsPerCommit=" + maxRows +
+            " — raise/unset the cap or rewrite the table instead")
+      }
     // normalize scan paths back to the snapshot's action paths (the
     // scan side is URI-encoded `_metadata.file_path`)
     val byNorm = snap.files.keysIterator
       .map(p => encodedPathKey(abs(p)) -> p).toMap
-    val perFile: Seq[(String, Array[Long])] = grouped.toSeq.map { r =>
-      val action = byNorm.getOrElse(
-        IcebergLite.normalizePathStr(r.getString(0)),
-        throw new IllegalStateException(
-          s"scan path ${r.getString(0)} not in the snapshot file set"))
-      val fresh = r.getSeq[Long](1).toArray
-      val prior = snap.dvs.get(action)
-        .map(d => DeletionVectors.load(fs, tablePath, d))
-        .getOrElse(Array.empty[Long])
-      action -> (fresh ++ prior).distinct.sorted
+    // merge with any prior DV driver-side: prior bitmaps are KB blobs,
+    // and the scan anti-filtered already-dead rows, so fresh ∩ prior
+    // is empty (distinct below is a cheap invariant guard)
+    val perFile: Seq[(String, Long, Array[Byte])] = staged.toSeq.map {
+      case (scanPath, nFresh, bytes) =>
+        val action = byNorm.getOrElse(
+          IcebergLite.normalizePathStr(scanPath),
+          throw new IllegalStateException(
+            s"scan path $scanPath not in the snapshot file set"))
+        snap.dvs.get(action) match {
+          case None => (action, nFresh, bytes)
+          case Some(d) =>
+            val prior = DeletionVectors.load(fs, tablePath, d)
+            val all = (DeletionVectors.decodeBitmap(bytes) ++ prior)
+              .distinct.sorted
+            (action, all.length.toLong, DeletionVectors.encodeBitmap(all))
+        }
     }
     def numRecords(p: String): Option[Long] = snap.stats.get(p)
       .flatMap(js => try Option(mapper.readTree(js).get("numRecords"))
         .map(_.asLong) catch { case _: Exception => None })
-    val (fullyDead, dvd) = perFile.partition { case (p, rows) =>
-      numRecords(p).contains(rows.length.toLong)
+    val (fullyDead, dvd) = perFile.partition { case (p, card, _) =>
+      numRecords(p).contains(card)
     }
     val now = 1L
     val lines = mutable.ArrayBuffer.empty[String]
@@ -1326,11 +1406,12 @@ object DeltaLite {
     }
     val dvFile =
       if (dvd.isEmpty) None
-      else Some(DeletionVectors.writeDvFile(fs, tablePath, dvd))
-    dvd.foreach { case (p, rows) =>
+      else Some(DeletionVectors.writeDvFileBytes(fs, tablePath,
+        dvd.map { case (p, _, bytes) => (p, bytes) }))
+    dvd.foreach { case (p, card, _) =>
       val (id, offsets) = dvFile.get
       val (off, size) = offsets(p)
-      val pEsc = mapper.writeValueAsString(encodePath(p))
+      val pEsc = mapper.writeValueAsString(rawPath(snap, p))
       val stEsc = snap.stats.get(p)
         .map(s => s""","stats":${mapper.writeValueAsString(s)}""")
         .getOrElse("")
@@ -1354,9 +1435,11 @@ object DeltaLite {
         s""""deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":${mapper.writeValueAsString(id)},""" +
         s""""offset":$off,"sizeInBytes":$size,""" +
-        s""""cardinality":${rows.length}}}}""")
+        s""""cardinality":$card}}}""")
     }
-    fullyDead.foreach { case (p, _) => lines += removeAction(p, now) }
+    fullyDead.foreach { case (p, _, _) =>
+      lines += removeAction(rawPath(snap, p), now)
+    }
     val version = snap.version + 1
     claimCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq,
       tablePath)
@@ -1453,7 +1536,8 @@ object DeltaLite {
         if (snap.columnMappingMode == "none") packed0
         else stampFieldIds(packed0, dataFieldsC)
       val moved = stageWithStats(spark, packed, root, fs)
-      paths.foreach(p => lines += removeAction(p, now, dataChange = false))
+      paths.foreach(p =>
+        lines += removeAction(rawPath(snap, p), now, dataChange = false))
       moved.foreach { case (name, size, st) =>
         // a fully-DV'd input can compact to zero rows — don't re-add
         val rows = try mapper.readTree(st).get("numRecords").asLong
@@ -1474,9 +1558,13 @@ object DeltaLite {
     s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""
   }
 
-  private def removeAction(p: String, now: Long,
+  /** A remove action for an already-committed file: `rawP` is the
+    * file's VERBATIM action-path string ([[rawPath]]) — never
+    * re-encoded, so foreign raw-string replayers cancel the add.
+    */
+  private def removeAction(rawP: String, now: Long,
       dataChange: Boolean = true): String = {
-    val pEsc = mapper.writeValueAsString(encodePath(p))
+    val pEsc = mapper.writeValueAsString(rawP)
     s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
       s""""dataChange":$dataChange}}"""
   }
@@ -1621,8 +1709,8 @@ object DeltaLite {
       lines += metaDataAction(id, tableSchema, partCols, evolvedConf, now)
     }
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
-    if (mode == "overwrite") existing.foreach(_.files.keys.foreach { p =>
-      lines += removeAction(p, now)
+    if (mode == "overwrite") existing.foreach(s => s.files.keys.foreach {
+      p => lines += removeAction(rawPath(s, p), now)
     })
     moved.foreach { case (name, size, st, pv) =>
       lines += addAction(name, size, st, now, pv)
@@ -1912,7 +2000,8 @@ object DeltaLite {
     lines += commitInfoAction("MERGE",
       Map("matchedPredicates" -> keyCols.mkString(",")), now)
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
-    touched.toSeq.sorted.foreach(p => lines += removeAction(p, now))
+    touched.toSeq.sorted.foreach(p =>
+      lines += removeAction(rawPath(snap, p), now))
     moved.foreach { case (name, size, st, pvv) =>
       lines += addAction(name, size, st, now, pvv)
     }
@@ -2061,9 +2150,9 @@ object DeltaLite {
       // them would resurrect deleted rows on checkpoint-seeded reads)
       val dv = snap.dvs.get(p).map(d => CpDv(d.storageType,
         d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality))
-      // snapshot paths are DECODED; the checkpoint stores the spec's
-      // URL-encoded form (the seed path decodes on load)
-      (Option(CpAdd(encodePath(p),
+      // snapshot paths are DECODED; the checkpoint restates each file's
+      // VERBATIM raw action-path string (graft-staged paths encode)
+      (Option(CpAdd(rawPath(snap, p),
         pv.collect { case (k, Some(v)) => k -> v },
         snap.sizes.getOrElse(p, 0L), 1L,
         true, snap.stats.get(p), dv)), Option.empty[CpMeta],

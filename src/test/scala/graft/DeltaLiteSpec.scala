@@ -1224,6 +1224,87 @@ class DeltaLiteSpec extends AnyFunSuite {
       .toSeq == Seq((2L, "b"), (2L, "b")))
   }
 
+  test("foreign raw action paths restate VERBATIM in remove/re-add and " +
+      "checkpoint actions (only graft-staged paths run the encoder)") {
+    val t = java.nio.file.Files.createTempDirectory("delta_rawpath").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    // a foreign writer that OVER-encoded its add path: raw string
+    // `fil%65-1.parquet` decodes to the on-disk `file-1.parquet`;
+    // graft's own encoder would emit `file-1.parquet` — a different raw
+    // string, which a raw-string/URI-keyed replayer would fail to
+    // cancel against the original add
+    writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t,
+      "file-1.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t, "file-2.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"fil%65-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"file-2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.rawPaths.get("file-1.parquet").contains("fil%65-1.parquet"))
+    // DV delete touches file-1: its remove AND re-add must restate the
+    // over-encoded raw string byte-for-byte
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    val logDir = new Path(t, "_delta_log")
+    val in = fs(t).open(new Path(logDir, f"${1L}%020d.json"))
+    val commit = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    assert(commit.contains(""""remove":{"path":"fil%65-1.parquet""""),
+      commit)
+    assert(commit.contains(""""add":{"path":"fil%65-1.parquet""""), commit)
+    assert(!commit.contains(""""path":"file-1.parquet""""), commit)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    // the checkpoint restates the raw string too
+    DeltaLite.checkpoint(spark, t)
+    val ckPaths = spark.read
+      .parquet(new Path(logDir, f"${1L}%020d.checkpoint.parquet").toString)
+      .filter("add IS NOT NULL").select("add.path")
+      .collect().map(_.getString(0)).toSet
+    assert(ckPaths == Set("fil%65-1.parquet", "file-2.parquet"), ckPaths)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+  }
+
+  test("distributed DV staging: a multi-million-row delete hands the " +
+      "driver per-file BITMAP BYTES, never row indexes; cap retired") {
+    // the staging seam itself: 2M matched (file, row_index) pairs over
+    // two files must come back as 2 triples whose total payload is
+    // KB-order serialized roaring bitmaps (boxed row collection would
+    // be ~100 MB) — the direct proof the driver transfer is bitmap
+    // bytes, not rows
+    val pairs = spark.range(0, 2000000L)
+      .select(concat(lit("f"), (col("id") % 2).cast("string"))
+        .as("__p"),
+        (col("id") / 2).cast("long").as("__i"))
+    val staged = DeltaLite.stageDvBitmaps(spark, pairs)
+    assert(staged.length == 2)
+    assert(staged.map(_._2).sum == 2000000L)
+    val totalBytes = staged.map(_._3.length).sum
+    assert(totalBytes < (1 << 20),
+      s"bitmap staging shipped $totalBytes bytes — not bitmap-compact")
+    // decode round-trip: each file got exactly the indexes 0..1M-1
+    staged.foreach { case (_, card, bytes) =>
+      val rows = graft.sources.DeletionVectors.decodeBitmap(bytes)
+      assert(card == 1000000L && rows.length == 1000000 &&
+        rows.head == 0L && rows.last == 999999L)
+    }
+    // end-to-end: a 1.5M-row delete on a real table with NO cap conf
+    // set (default unbounded) commits one DV per file and reads back
+    val t = java.nio.file.Files.createTempDirectory("delta_bigdel").toString
+    fs(t).delete(new Path(t), true)
+    val df = spark.range(0, 2000000L).select(col("id").as("k"),
+      (col("id") % 997).cast("long").as("v")).repartition(2)
+    DeltaLite.write(spark, df, t)
+    assert(spark.conf.getOption("graft.delta.maxDeleteRowsPerCommit")
+      .isEmpty)
+    DeltaLite.deleteWhere(spark, t, col("k") % 4 =!= 0)
+    assert(DeltaLite.read(spark, t).count() == 500000L)
+    assert(DeltaLite.read(spark, t).agg(min("k"), max("k"))
+      .as[(Long, Long)].collect()(0) == ((0L, 1999996L)))
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"

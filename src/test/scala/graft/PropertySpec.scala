@@ -729,10 +729,14 @@ class PropertySpec extends AnyFunSuite {
     samples(pathGen, n = 500).foreach { p =>
       val enc = DeltaLite.encodePath(p)
       assert(DeltaLite.decodePath(enc) == p, s"round-trip broke for '$p'")
-      // the encoded form carries no raw reserved/space/non-ASCII bytes
+      // the encoded form carries only RFC 2396 pchar literals (the
+      // Hadoop Path.toUri keep-set delta-spark writers go through) —
+      // no raw space/%/#/?/non-ASCII bytes
       assert(enc.forall(c => c == '/' || c == '%' ||
-        c.isLetterOrDigit && c < 128 || "-_.!~*'()".contains(c)),
+        c.isLetterOrDigit && c < 128 || "-_.!~*'():@&=+$,;".contains(c)),
         s"unencoded reserved char in '$enc'")
+      assert(!enc.exists(c => " #?".contains(c) || c > 127),
+        s"raw unsafe char in '$enc'")
       // segment count is preserved ('/' never appears encoded-ambiguous)
       assert(enc.count(_ == '/') == p.count(_ == '/'))
     }
