@@ -458,6 +458,30 @@ object DeltaLite {
       rawPaths.filter { case (p, _) => files.contains(p) }.toMap)
   }
 
+  /** Cheap replayability probe for version `v`: LISTING-ONLY (no
+    * checkpoint parquet read, no JSON parse) — mirrors [[snapshot]]'s
+    * seed rule: a checkpoint at s ≤ v plus contiguous commits (s, v],
+    * or (no checkpoint) contiguous commits [0, v]. What the streaming
+    * tail uses per micro-batch instead of a full log replay.
+    */
+  def isReplayable(spark: SparkSession, tablePath: String,
+      v: Long): Boolean = {
+    if (v < 0) return false
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return false
+    val entries = fs.listStatus(logDir).map(_.getPath.getName)
+    val commitRe = "(\\d{20})\\.json".r
+    val ckptRe = "(\\d{20})\\.checkpoint.*\\.parquet".r
+    val commits = entries.collect { case commitRe(cv) => cv.toLong }.toSet
+    val seed = entries.collect { case ckptRe(cv) => cv.toLong }
+      .filter(_ <= v).sorted.lastOption
+    seed match {
+      case Some(s) => (s + 1 to v).forall(commits)
+      case None => (0L to v).forall(commits)
+    }
+  }
+
   /** Build the DataFrame for a restricted file subset of a snapshot
     * (partition-literal injection per partition group).
     */

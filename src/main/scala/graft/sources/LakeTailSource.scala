@@ -33,13 +33,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * distributed job whose output partitions SPILL to length-prefixed
   * UnsafeRow files under the streaming checkpoint
   * (`<checkpoint>/graft-spill/v<from>_<to>/rows-NNNNN.bin`, one per
-  * non-empty diff partition), and the scan plans one InputPartition
-  * per spilled file — the driver moves only (path, rowCount) pairs, so
-  * a catch-up over compaction-sized commits costs one extra
-  * materialization (the same order as a shuffle), never a driver
-  * collect. Committed batches' spill dirs are deleted in `commit()`;
-  * a replayed batch (post-restart) re-plans and overwrites its dir.
-  * `max_rows_per_batch` is an OPTIONAL loud bound (default unbounded).
+  * non-empty diff partition; each task attempt writes an
+  * attempt-unique `.tmp` and renames on success, so speculative or
+  * zombie duplicate attempts never race the surviving attempt's
+  * bytes), and the scan plans one InputPartition per spilled file — the driver moves only (path, rowCount) pairs, so a catch-up
+  * over compaction-sized commits costs one extra materialization (the
+  * same order as a shuffle), never a driver collect. Committed
+  * batches' spill dirs are deleted in `commit()`; a replayed batch
+  * (post-restart) re-plans and overwrites its dir.
+  * `max_rows_per_batch` is an OPTIONAL loud bound (default unbounded),
+  * enforced by a pre-count BEFORE the spill write — a refused batch
+  * leaves no spill files.
   *
   * An offset that no longer resolves (delta log cleaned past it,
   * iceberg snapshot expired) refuses loudly by default;
@@ -134,10 +138,9 @@ object LakeTailSource {
     }
     if (c.format == "delta") {
       // a cleaned-up log may no longer resolve `from` (no checkpoint at
-      // or before it / gapped commits behind the current checkpoint)
-      val fromResolves = from >= 0 && (
-        try { DeltaLite.snapshot(spark, c.path, Some(from)); true }
-        catch { case _: IllegalArgumentException => false })
+      // or before it / gapped commits behind the current checkpoint) —
+      // probed by the LISTING-ONLY check, not a full log replay
+      val fromResolves = DeltaLite.isReplayable(spark, c.path, from)
       if (from < 0) fullAt(DeltaLite.read(spark, c.path, Some(to)))
       else if (!fromResolves) {
         require(c.onMissing == "earliest",
@@ -199,6 +202,14 @@ object LakeTailSource {
     * InputPartition per file. The driver handles only (path, count)
     * pairs. The spill is transient same-JVM-version state (deleted at
     * commit), so the UnsafeRow binary format is a safe wire format.
+    *
+    * `max_rows_per_batch` (opt-in) is enforced BEFORE the spill write:
+    * a cheap distributed count fails the batch fast — an over-cap
+    * batch never pays the distributed write and leaves NO spill files.
+    * Spill file names carry the task attempt id, so a speculative or
+    * zombie duplicate attempt writes its own file instead of racing
+    * the surviving attempt's bytes; only the surviving attempt's path
+    * reaches the driver, and orphans die with the dir at commit.
     */
   private[graft] def spill(spark: SparkSession, df: DataFrame,
       dir: Path, maxRows: Long): Array[InputPartition] = {
@@ -206,6 +217,14 @@ object LakeTailSource {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(hconf)
     if (fs.exists(dir)) fs.delete(dir, true) // replayed batch: re-plan
+    if (maxRows > 0) {
+      val total = df.count()
+      require(total <= maxRows,
+        s"lake tail batch carries $total rows, over the explicit " +
+          s"max_rows_per_batch=$maxRows — raise/unset the cap, lower " +
+          "versions_per_batch, or run the backfill through the batch " +
+          "changesBetween API")
+    }
     fs.mkdirs(dir)
     val confBytes = confToBytes(hconf)
     val dirStr = dir.toString
@@ -215,10 +234,19 @@ object LakeTailSource {
         if (!it.hasNext) Iterator.empty
         else {
           val conf = bytesToConf(confBytes)
+          // write attempt-unique, RENAME on success: a speculative or
+          // zombie duplicate attempt can never corrupt the bytes behind
+          // the (path, count) the driver collected — each attempt owns
+          // its tmp file, and only a COMPLETE file reaches the final
+          // name (the loser of a rename race just drops its tmp; both
+          // attempts computed identical partition bytes)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           val file = new Path(dirStr, f"rows-$i%05d.bin")
+          val tmp = new Path(dirStr, f"rows-$i%05d-a$attempt.bin.tmp")
+          val tfs = file.getFileSystem(conf)
           val out = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(
-              file.getFileSystem(conf).create(file, true), 1 << 16))
+            new java.io.BufferedOutputStream(tfs.create(tmp, true), 1 << 16))
           val proj = UnsafeProjection.create(schema)
           val buf = new Array[Byte](1 << 16)
           var n = 0L
@@ -228,15 +256,15 @@ object LakeTailSource {
             u.writeToStream(out, buf)
             n += 1
           } finally out.close()
+          if (!tfs.rename(tmp, file)) {
+            require(tfs.exists(file),
+              s"spill rename failed with no surviving attempt: $file")
+            tfs.delete(tmp, false)
+            ()
+          }
           Iterator.single((file.toString, n))
         }
       }.collect()
-    val total = written.map(_._2).sum
-    require(maxRows <= 0 || total <= maxRows,
-      s"lake tail batch carries $total rows, over the explicit " +
-        s"max_rows_per_batch=$maxRows — raise/unset the cap, lower " +
-        "versions_per_batch, or run the backfill through the batch " +
-        "changesBetween API")
     written.map { case (p, n) =>
       LakeTailFilePartition(p, n, nFields, confBytes): InputPartition
     }
@@ -321,12 +349,10 @@ private[sources] class LakeTailTable(tailSchema: StructType,
                   // just past s — the batch END must be replayable, so
                   // a stranded target jumps to the CURRENT version
                   // (one catch-up batch; `changes` then applies the
-                  // on_missing_offset policy for the stranded start)
+                  // on_missing_offset policy for the stranded start).
+                  // Listing-only probe — no per-batch log replay.
                   val replayable =
-                    try {
-                      DeltaLite.snapshot(spark, c.path, Some(target))
-                      true
-                    } catch { case _: IllegalArgumentException => false }
+                    DeltaLite.isReplayable(spark, c.path, target)
                   LakeVersionOffset(if (replayable) target else cur)
                 }
               }

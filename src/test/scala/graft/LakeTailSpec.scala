@@ -107,6 +107,17 @@ class LakeTailSpec extends AnyFunSuite {
     assert(err.getMessage.contains("max_rows_per_batch") ||
       Option(err.getCause).exists(_.getMessage
         .contains("max_rows_per_batch")), err.getMessage)
+    // fail-fast: the cap is enforced BEFORE the distributed spill
+    // write — a refused batch leaves NO spill files behind
+    val spill2 = new org.apache.hadoop.fs.Path(s"$base/ckpt2",
+      "graft-spill")
+    val fs2 = spill2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def binFiles(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs2.exists(p)) 0L
+      else fs2.listStatus(p).map(st =>
+        if (st.isDirectory) binFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".bin")) 1L else 0L).sum
+    assert(binFiles(spill2) == 0L, s"over-cap batch wrote spill files")
   }
 
   test("batches ship EXECUTOR-side: a batch far beyond the old 100k " +
