@@ -627,50 +627,97 @@ object DeltaLite {
         .toIndexedSeq: _*)
   }
 
-  /** `id`-mode gate: verify each file footer's top-level FIELD IDS
+  /** `id`-mode gate: verify each file footer's FIELD IDS — top-level
+    * AND NESTED (struct members, list elements, map keys/values) —
     * agree with the metadata's physical names before resolving by
     * physicalName. Three loud refusals, never silent wrong data: a
-    * footer with no ids at all (spec violation for id mode), an id
-    * present under a DIFFERENT name than its physicalName, and a field
-    * named like a physicalName but carrying a different id. Driver-side
-    * KB footer reads, one per candidate file.
+    * footer with no top-level ids at all (spec violation for id mode),
+    * an id present under a DIFFERENT name than its physicalName at any
+    * nesting level, and a field named like a physicalName but carrying
+    * a different id. Parquet shapes the walk can't pair with the delta
+    * type (legacy list encodings, idless wrapper groups) are skipped,
+    * not guessed. Driver-side KB footer reads, one per candidate file.
     */
   private def verifyFieldIds(spark: SparkSession, absPaths: Seq[String],
       dataFields: Array[StructField]): Unit = {
+    import org.apache.parquet.schema.{GroupType, Type => PqType}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
     val conf = spark.sparkContext.hadoopConfiguration
-    val wanted: Map[Int, String] = dataFields.map { f =>
-      require(f.metadata.contains("delta.columnMapping.id"),
-        s"id-mapped Delta column '${f.name}' lacks delta.columnMapping.id")
-      f.metadata.getLong("delta.columnMapping.id").toInt -> physicalName(f)
-    }.toMap
-    val physToId = wanted.map(_.swap)
+
+    // struct-level check: ids seen in this parquet group vs the delta
+    // fields' columnMapping metadata (both directions)
+    def checkStruct(p: String, group: GroupType,
+        fields: Seq[StructField], at: String): Boolean = {
+      val withId = fields.filter(_.metadata.contains("delta.columnMapping.id"))
+      val wanted: Map[Int, StructField] = withId.map(f =>
+        f.metadata.getLong("delta.columnMapping.id").toInt -> f).toMap
+      val physToId: Map[String, Int] =
+        wanted.map { case (id, f) => physicalName(f) -> id }
+      var sawIds = false
+      (0 until group.getFieldCount).foreach { i =>
+        val t = group.getType(i)
+        Option(t.getId).foreach { id =>
+          sawIds = true
+          wanted.get(id.intValue).foreach { f =>
+            require(t.getName == physicalName(f),
+              s"id-mapped Delta file $p carries field id ${id.intValue} " +
+                s"under parquet column '$at${t.getName}' but the table " +
+                s"metadata names it '$at${physicalName(f)}' — the native " +
+                "reader resolves by physical name; read this table with " +
+                "the delta-spark jars")
+          }
+        }
+        physToId.get(t.getName).foreach { id =>
+          require(Option(t.getId).forall(_.intValue == id),
+            s"id-mapped Delta file $p has parquet column " +
+              s"'$at${t.getName}' with field id ${t.getId} but the table " +
+              s"metadata assigns id $id to that physical name — read " +
+              "with the delta-spark jars")
+        }
+      }
+      // recurse into members present in the file
+      fields.foreach { f =>
+        val pn = physicalName(f)
+        if (group.containsField(pn))
+          descend(p, group.getType(pn), f.dataType, s"$at$pn.")
+      }
+      sawIds
+    }
+
+    def descend(p: String, pt: PqType, dt: DataType, at: String): Unit =
+      (dt, pt) match {
+        case (st: StructType, g: GroupType) =>
+          checkStruct(p, g, st.fields.toSeq, at); ()
+        case (ArrayType(et, _), g: GroupType) if g.getFieldCount == 1 =>
+          // 3-level list: <name> (LIST) { repeated group list { element } };
+          // legacy 2-level: repeated element directly
+          val rep = g.getType(0)
+          val elem =
+            if (!rep.isPrimitive && rep.asGroupType.getFieldCount == 1 &&
+                rep.isRepetition(PqType.Repetition.REPEATED))
+              rep.asGroupType.getType(0)
+            else rep
+          descend(p, elem, et, s"${at}element.")
+        case (MapType(kt, vt, _), g: GroupType)
+            if g.getFieldCount == 1 && !g.getType(0).isPrimitive =>
+          val kv = g.getType(0).asGroupType
+          if (kv.getFieldCount == 2) {
+            descend(p, kv.getType(0), kt, s"${at}key.")
+            descend(p, kv.getType(1), vt, s"${at}value.")
+          }
+        case _ => ()
+      }
+
     absPaths.foreach { p =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(p), conf))
       val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
-      var sawIds = false
-      (0 until msg.getFieldCount).foreach { i =>
-        val t = msg.getType(i)
-        Option(t.getId).foreach { id =>
-          sawIds = true
-          wanted.get(id.intValue).foreach { physName =>
-            require(t.getName == physName,
-              s"id-mapped Delta file $p carries field id ${id.intValue} " +
-                s"under parquet column '${t.getName}' but the table " +
-                s"metadata names it '$physName' — the native reader " +
-                "resolves by physical name; read this table with the " +
-                "delta-spark jars")
-          }
-        }
-        physToId.get(t.getName).foreach { id =>
-          require(Option(t.getId).forall(_.intValue == id),
-            s"id-mapped Delta file $p has parquet column '${t.getName}' " +
-              s"with field id ${t.getId} but the table metadata assigns " +
-              s"id $id to that physical name — read with the delta-spark " +
-              "jars")
-        }
+      dataFields.foreach { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"id-mapped Delta column '${f.name}' lacks delta.columnMapping.id")
       }
+      val sawIds = checkStruct(p, msg, dataFields.toSeq, "")
       require(sawIds,
         s"id-mapped Delta table file $p carries no parquet field ids " +
           "(the id mode spec requires them) — read with the delta-spark " +
@@ -1132,22 +1179,133 @@ object DeltaLite {
 
   /** Put-if-absent claim of a commit version — the Delta commit rule.
     * A concurrent writer loses the race LOUDLY instead of corrupting
-    * the log (single-attempt; retrying loops are the connector jar's
-    * job).
+    * the log. Metadata-changing commits (create, column mapping,
+    * rename/drop) stay single-attempt; data commits go through
+    * [[commitWithRetry]].
     */
   private def claimCommit(fs: FileSystem, logDir: Path, version: Long,
       lines: Seq[String], tablePath: String): Unit = {
+    require(tryClaim(fs, logDir, version, lines),
+      s"commit $version already exists at $tablePath (concurrent " +
+        "writer?) — re-read and retry")
+  }
+
+  private def tryClaim(fs: FileSystem, logDir: Path, version: Long,
+      lines: Seq[String]): Boolean = {
     fs.mkdirs(logDir)
     val commitPath = new Path(logDir, f"$version%020d.json")
     val out =
       try fs.create(commitPath, false)
-      catch { case e: Exception =>
-        throw new IllegalStateException(
-          s"commit $version already exists at $tablePath (concurrent " +
-            "writer?) — re-read and retry", e)
-      }
+      catch { case _: Exception => return false }
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    true
+  }
+
+  /** Delta OCC: claim `firstVersion` put-if-absent; on a lost race,
+    * re-read the INTERVENING commits, check logical compatibility, and
+    * retry at the new head — delta-spark's conflict-checker contract,
+    * the subset these writers need:
+    *
+    *  - an intervening `protocol`/`metaData` change conflicts (abort);
+    *  - a file this commit REMOVES that an intervener removed or
+    *    re-added conflicts (delete/delete and DV-update races);
+    *  - a dataChange MUTATION (`dataChangeMutation = true`: delete,
+    *    merge, overwrite — operations whose result depends on the rows
+    *    they scanned) conflicts with intervening dataChange adds (rows
+    *    it should have read — delta's ConcurrentAppendException,
+    *    applied without predicate narrowing, conservatively);
+    *  - an intervening `txn` with one of this commit's appIds conflicts
+    *    (idempotent-watermark ordering would become ambiguous);
+    *  - blind appends and dataChange:false rewrites (compact) rebase
+    *    over intervening appends and commit — a streaming sink racing
+    *    a `maintenance:` compact has BOTH commit.
+    *
+    * The staged data files are version-independent, so a rebase just
+    * re-claims the same action lines at the new head. Returns the
+    * version actually committed.
+    */
+  private[graft] def commitWithRetry(fs: FileSystem, logDir: Path,
+      tablePath: String, firstVersion: Long, lines: Seq[String],
+      ourRemoves: Set[String], dataChangeMutation: Boolean): Long = {
+    val ourTxnApps: Set[String] = lines.flatMap { l =>
+      val n = mapper.readTree(l)
+      if (n.has("txn")) Some(n.get("txn").get("appId").asText) else None
+    }.toSet
+    val metadataChange = lines.exists { l =>
+      val n = mapper.readTree(l)
+      n.has("protocol") || n.has("metaData")
+    }
+    val commitRe = "(\\d{20})\\.json".r
+    val maxRetries = 10
+    var attempt = firstVersion
+    var tries = 0
+    while (!tryClaim(fs, logDir, attempt, lines)) {
+      tries += 1
+      require(!metadataChange,
+        s"commit $attempt of $tablePath lost to a concurrent writer " +
+          "and this commit changes table metadata/protocol — cannot " +
+          "rebase, re-run the operation")
+      require(tries <= maxRetries,
+        s"commit to $tablePath lost $maxRetries put-if-absent races — " +
+          "giving up (writer storm?)")
+      val head = fs.listStatus(logDir).map(_.getPath.getName).collect {
+        case commitRe(v) => v.toLong
+      }.max
+      // vet every intervening commit [attempt, head] for conflicts.
+      // The race winner's commit may still be MID-WRITE (create-then-
+      // write is not atomic) — transient parse failures retry bounded,
+      // then rethrow loudly.
+      (attempt to head).foreach { v =>
+        def readActions(): Seq[JsonNode] = {
+          val in = fs.open(new Path(logDir, f"$v%020d.json"))
+          val txt = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          txt.split("\n").filter(_.trim.nonEmpty).toSeq.map(mapper.readTree)
+        }
+        var acts: Option[Seq[JsonNode]] = None
+        var last: Throwable = null
+        var i = 0
+        while (acts.isEmpty && i < 20) {
+          try acts = Some(readActions())
+          catch { case e: Exception => last = e; Thread.sleep(50) }
+          i += 1
+        }
+        acts.getOrElse(throw last).foreach { a =>
+          require(!a.has("protocol") && !a.has("metaData"),
+            s"concurrent metadata/protocol change at version $v of " +
+              s"$tablePath — cannot rebase, re-run the operation")
+          if (a.has("add")) {
+            val ad = a.get("add")
+            val p = decodePath(ad.get("path").asText)
+            require(!ourRemoves.contains(p),
+              s"concurrent commit $v re-added $p which this commit " +
+                "removes — conflicting file mutation, re-run the " +
+                "operation")
+            val dc = Option(ad.get("dataChange")).forall(_.asBoolean)
+            require(!(dataChangeMutation && dc),
+              s"concurrent commit $v added data files while this " +
+                s"mutation was computed against version " +
+                s"${firstVersion - 1} of $tablePath — rows it should " +
+                "have read; re-run the operation")
+          }
+          if (a.has("remove")) {
+            val p = decodePath(a.get("remove").get("path").asText)
+            require(!ourRemoves.contains(p),
+              s"concurrent commit $v removed $p which this commit also " +
+                "removes/rewrites — conflicting file mutation, re-run " +
+                "the operation")
+          }
+          if (a.has("txn"))
+            require(!ourTxnApps.contains(a.get("txn").get("appId").asText),
+              s"concurrent commit $v carries a txn for the same appId — " +
+                "idempotent-watermark ordering is ambiguous, re-run the " +
+                "operation")
+        }
+      }
+      attempt = head + 1
+    }
+    attempt
   }
 
   private def addAction(name: String, size: Long, stats: String,
@@ -1464,10 +1622,10 @@ object DeltaLite {
     fullyDead.foreach { case (p, _, _) =>
       lines += removeAction(rawPath(snap, p), now)
     }
-    val version = snap.version + 1
-    claimCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq,
-      tablePath)
-    version
+    commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
+      snap.version + 1, lines.toSeq,
+      ourRemoves = (dvd ++ fullyDead).map(_._1).toSet,
+      dataChangeMutation = true)
   }
 
   /** OPTIMIZE (bin-packing compaction) + DV PURGE: rewrites, per
@@ -1571,10 +1729,12 @@ object DeltaLite {
           dataChange = false)
       }
     }
-    val version = snap.version + 1
-    claimCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq,
-      tablePath)
-    version
+    // dataChange:false rewrite — rebases over concurrent appends (the
+    // streaming-sink-vs-maintenance-compact race: both commit)
+    commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
+      snap.version + 1, lines.toSeq,
+      ourRemoves = rewriteByTuple.values.flatten.toSet,
+      dataChangeMutation = false)
   }
 
   private def txnAction(appId: String, v: Long, now: Long): String = {
@@ -1739,8 +1899,16 @@ object DeltaLite {
     moved.foreach { case (name, size, st, pv) =>
       lines += addAction(name, size, st, now, pv)
     }
-    claimCommit(fs, logDir, version, lines.toSeq, tablePath)
-    version
+    // blind appends rebase over any compatible concurrent commit;
+    // overwrite replaces the version-pinned state, so intervening data
+    // changes conflict. Create/evolve commits carry metaData and stay
+    // single-attempt (commitWithRetry refuses their rebase on a race).
+    commitWithRetry(fs, logDir, tablePath, version, lines.toSeq,
+      ourRemoves =
+        if (mode == "overwrite")
+          existing.toSeq.flatMap(_.files.keys).toSet
+        else Set.empty,
+      dataChangeMutation = mode == "overwrite")
   }
 
   /** One file-pruning bound: a JSON stats value and a batch-side bound,
@@ -2029,8 +2197,8 @@ object DeltaLite {
     moved.foreach { case (name, size, st, pvv) =>
       lines += addAction(name, size, st, now, pvv)
     }
-    claimCommit(fs, logDir, version, lines.toSeq, tablePath)
-    version
+    commitWithRetry(fs, logDir, tablePath, version, lines.toSeq,
+      ourRemoves = touched, dataChangeMutation = true)
   }
 
   /** Upgrade an unmapped table to column mapping `name` mode — the

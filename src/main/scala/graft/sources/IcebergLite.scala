@@ -1290,12 +1290,34 @@ object IcebergLite {
         */
       manifestSpecIds: Seq[Int] = Nil,
       /** extra specs this commit introduces: (spec-id, fields JSON). */
-      extraSpecs: Seq[(Int, String)] = Nil): Long = {
+      extraSpecs: Seq[(Int, String)] = Nil,
+      /** PURE-APPEND commits (carryForward = every prior manifest, no
+        * removals) may REBASE on a lost put-if-absent race: re-resolve
+        * the table state, carry the new head's manifests forward,
+        * restamp sequence numbers, and retry — the iceberg runtime's
+        * fast-append retry. Mutations stay single-attempt loud.
+        */
+      appendRetry: Boolean = false): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
+    def attempt(aPrior: Option[SnapshotState],
+        aCarry: Seq[ManifestInfo]): Option[Long] = {
+    val prior = aPrior
+    val carryForward = aCarry
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
+    // restamp the new entries' data sequence numbers for THIS attempt
+    // (a rebase bumps seq; entries bake it in per the v2 spec)
+    newManifests.foreach { case (entries, _, _) =>
+      entries.foreach { e =>
+        if (e.getSchema.getField("sequence_number") != null &&
+            e.get("sequence_number") != null) {
+          e.put("sequence_number", seq)
+          e.put("file_sequence_number", seq)
+        }
+      }
+    }
     val commitUuid = java.util.UUID.randomUUID.toString
     // deterministic timestamps (repo convention — DeltaLite does the same)
     val now = 1L
@@ -1423,16 +1445,58 @@ object IcebergLite {
     val mPath = new Path(metaDir, s"v$version.metadata.json")
     val out =
       try fs.create(mPath, false)
-      catch { case e: Exception => throw new IllegalStateException(
-        s"metadata v$version already exists at $tablePath (concurrent " +
-          "writer?) — re-read and retry", e)
-      }
+      catch { case _: Exception => return None } // lost the claim race
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(node))
     finally out.close()
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
-    snapshotId
+    Some(snapshotId)
+    } // attempt
+
+    var curPrior = prior
+    var curCarry = carryForward
+    var tries = 0
+    val maxRetries = 10
+    while (true) {
+      attempt(curPrior, curCarry) match {
+        case Some(id) => return id
+        case None =>
+          tries += 1
+          require(appendRetry,
+            s"metadata v${curPrior.map(_.meta.version + 1).getOrElse(1)} " +
+              s"already exists at $tablePath (concurrent writer?) — " +
+              "re-read and retry")
+          require(tries <= maxRetries,
+            s"append to $tablePath lost $maxRetries put-if-absent " +
+              "races — giving up (writer storm?)")
+          // the race winner's metadata file may still be mid-write
+          // (create-then-write is not atomic); parse failures here are
+          // transient — bounded retry, then rethrow loudly
+          val rebased = {
+            var last: Throwable = null
+            var got: Option[SnapshotState] = None
+            var i = 0
+            while (got.isEmpty && i < 20) {
+              try got = Some(snapshotState(spark, tablePath))
+              catch { case e: Exception => last = e; Thread.sleep(50) }
+              i += 1
+            }
+            got.getOrElse(throw last)
+          }
+          // a rebase is only sound when the table shape is unchanged:
+          // a concurrent schema evolution or spec change conflicts
+          require(curPrior.forall(p =>
+            p.meta.schema.map(f => (f.name, f.dataType.sql)) ==
+              rebased.meta.schema.map(f => (f.name, f.dataType.sql)) &&
+            p.meta.partitionFields == rebased.meta.partitionFields),
+            s"concurrent schema/spec change at $tablePath — cannot " +
+              "rebase the append, re-run the operation")
+          curPrior = Some(rebased)
+          curCarry = rebased.manifests
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Append or overwrite commit (format-version 2, unpartitioned —
@@ -1548,7 +1612,8 @@ object IcebergLite {
       snapshotId = snapshotId, extraSummary = txnSummary(txn),
       partitionSpec = partFields.map(f =>
         PartSpecField(f.name, f.transform.render,
-          ids.getOrElse(f.srcCol, 0))))
+          ids.getOrElse(f.srcCol, 0))),
+      appendRetry = mode == "append")
   }
 
   /** One resolved field of the partition spec being WRITTEN: partition

@@ -695,6 +695,53 @@ class DeltaLiteSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b"), (9L, "z")))
   }
 
+  test("id mode verifies NESTED field ids: a file whose nested struct " +
+      "member carries a different id than the metadata refuses loudly; " +
+      "agreeing nested ids read fine") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder,
+      StringType, StructField, StructType}
+    def idMeta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    def physSchema(nestedId: Long) = StructType(Seq(
+      StructField("cA", LongType, true, idMeta(1L)),
+      StructField("cN", StructType(Seq(
+        StructField("cS", StringType, true, idMeta(nestedId)))),
+        true, idMeta(3L))))
+    def mkTable(nestedId: Long): String = {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"delta_cmid_nest$nestedId").toString
+      val phys = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("x")))),
+        physSchema(nestedId))
+      writeDataFile(phys, t, "c1.parquet")
+      val schemaJson =
+        """{"type":"struct","fields":[
+          |{"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"cA"}},
+          |{"name":"nest","type":{"type":"struct","fields":[
+          |  {"name":"s","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"cS"}}]},
+          | "nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"cN"}}
+          |]}""".stripMargin.replace("\n", "")
+      writeLog(t, 0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+        s"""{"metaData":{"id":"cmidn","format":{"provider":"parquet","options":{}},"schemaString":${escape(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}""",
+        """{"add":{"path":"c1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      t
+    }
+    // agreeing nested id (4) reads
+    val ok = mkTable(4L)
+    assert(DeltaLite.read(spark, ok).select("k", "nest.s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "x")))
+    // a nested id that DISAGREES with the metadata (99 under the
+    // physical name cS, which the metadata assigns id 4) refuses —
+    // the round-13 gate only checked top level and silently mis-read
+    val bad = mkTable(99L)
+    val ex = intercept[IllegalArgumentException](
+      DeltaLite.read(spark, bad).collect())
+    assert(ex.getMessage.contains("cS") &&
+      ex.getMessage.contains("delta-spark"), ex.getMessage)
+  }
+
   test("column mapping `name` mode reads natively: physical parquet " +
       "field names (nested included) resolve back to logical names; " +
       "partitionValues key by physical name; writes refuse; unknown " +
@@ -1303,6 +1350,122 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, t).count() == 500000L)
     assert(DeltaLite.read(spark, t).agg(min("k"), max("k"))
       .as[(Long, Long)].collect()(0) == ((0L, 1999996L)))
+  }
+
+  test("commit conflict retry: a lost put-if-absent race rebases over " +
+      "disjoint commits; file conflicts, dataChange-vs-mutation, and " +
+      "metadata changes refuse loudly") {
+    val t = java.nio.file.Files.createTempDirectory("delta_occ").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "f2.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val logDir = new Path(t, "_delta_log")
+    val f = fs(t)
+    def plant(v: Long, lines: Seq[String]): Unit = writeLog(t, v, lines)
+    val ourAppend = Seq(
+      """{"commitInfo":{"operation":"WRITE","timestamp":1}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+    // disjoint intervener (a foreign append at the version we claim):
+    // our blind append rebases to the next version and commits
+    plant(1, Seq(
+      """{"add":{"path":"x1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLite.commitWithRetry(f, logDir, t, 1, ourAppend,
+      ourRemoves = Set.empty, dataChangeMutation = false)
+    assert(got == 2L && f.exists(new Path(logDir, f"${2L}%020d.json")))
+    // a compact-like rewrite (ourRemoves = {f9}) rebases over an
+    // intervener touching OTHER files…
+    plant(3, Seq(
+      """{"add":{"path":"x2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val rewrite = Seq(
+      """{"commitInfo":{"operation":"OPTIMIZE","timestamp":1}}""",
+      """{"remove":{"path":"f9.parquet","deletionTimestamp":1,"dataChange":false}}""")
+    assert(DeltaLite.commitWithRetry(f, logDir, t, 3, rewrite,
+      ourRemoves = Set("f9.parquet"), dataChangeMutation = false) == 4L)
+    // …but refuses when the intervener removed one of OUR files
+    plant(5, Seq(
+      """{"remove":{"path":"f9.parquet","deletionTimestamp":1,"dataChange":false}}"""))
+    val ex1 = intercept[IllegalArgumentException](
+      DeltaLite.commitWithRetry(f, logDir, t, 5, rewrite,
+        ourRemoves = Set("f9.parquet"), dataChangeMutation = false))
+    assert(ex1.getMessage.contains("conflicting file mutation"),
+      ex1.getMessage)
+    // a remove-only disjoint intervener is compatible even for a
+    // mutation (we rewrote none of its files)… but a dataChange ADD
+    // refuses: the mutation's scan missed rows it should have read
+    plant(6, Seq(
+      """{"add":{"path":"y1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val ex2 = intercept[IllegalArgumentException](
+      DeltaLite.commitWithRetry(f, logDir, t, 6, ourAppend,
+        ourRemoves = Set.empty, dataChangeMutation = true))
+    assert(ex2.getMessage.contains("rows it should have read"),
+      ex2.getMessage)
+    // an intervening metaData/protocol change refuses any rebase
+    plant(7, Seq(metaAction(schema.json)))
+    val ex3 = intercept[IllegalArgumentException](
+      DeltaLite.commitWithRetry(f, logDir, t, 7, ourAppend,
+        ourRemoves = Set.empty, dataChangeMutation = false))
+    assert(ex3.getMessage.contains("metadata/protocol"), ex3.getMessage)
+    // our own metadata-carrying commit refuses to rebase after a race
+    val ex4 = intercept[IllegalArgumentException](
+      DeltaLite.commitWithRetry(f, logDir, t, 7,
+        ourAppend :+ metaAction(schema.json),
+        ourRemoves = Set.empty, dataChangeMutation = false))
+    assert(ex4.getMessage.contains("cannot rebase"), ex4.getMessage)
+  }
+
+  test("e2e writer race: a streaming-style append racing a compact on " +
+      "the same delta table — BOTH commit; concurrent iceberg appends " +
+      "all commit via rebase") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = java.nio.file.Files.createTempDirectory("delta_race").toString +
+      "/tbl"
+    // small files so compact has work
+    (1L to 4L).foreach(i =>
+      DeltaLite.write(spark, Seq((i, s"v$i")).toDF("k", "v"), t))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fApp = Future {
+      barrier.await()
+      DeltaLite.write(spark, Seq((99L, "app")).toDF("k", "v"), t)
+    }
+    val fCmp = Future {
+      barrier.await()
+      DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    }
+    Await.result(fApp, 120.seconds)
+    Await.result(fCmp, 120.seconds)
+    // both operations committed (versions 4 and 5, either order) and
+    // no row was lost or duplicated
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 5L, s"expected both commits, at ${snap.version}")
+    val ops = DeltaLite.historyDf(spark, t)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "WRITE") == 5 && ops.count(_ == "OPTIMIZE") == 1,
+      ops.toString)
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      (1L to 4L).map(i => (i, s"v$i")).toSet + ((99L, "app")))
+    // iceberg: 6 concurrent appends, every one commits (rebase on lost
+    // races), no rows lost
+    import graft.sources.IcebergLite
+    val t2 = java.nio.file.Files.createTempDirectory("ice_race").toString +
+      "/tbl"
+    IcebergLite.write(spark, Seq((0L, "base")).toDF("k", "v"), t2)
+    val barrier2 = new java.util.concurrent.CyclicBarrier(6)
+    val fs6 = (1L to 6L).map(i => Future {
+      barrier2.await()
+      IcebergLite.write(spark, Seq((i, s"w$i")).toDF("k", "v"), t2)
+    })
+    fs6.foreach(Await.result(_, 180.seconds))
+    val got2 = IcebergLite.read(spark, t2).as[(Long, String)]
+      .collect().toSet
+    assert(got2 == (1L to 6L).map(i => (i, s"w$i")).toSet + ((0L, "base")),
+      got2.toString)
+    assert(IcebergLite.loadMeta(spark, t2).version == 7)
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
