@@ -4156,6 +4156,123 @@ object PipelineQueries {
         .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
     },
 
+    // TIMESTAMP-PARTITIONED + COLUMN-MAPPED DELTA MUTATION TWIN: one
+    // query composes the delta feature set — a date-partitioned table
+    // upgrades to column mapping (metadata-only protocol+schema
+    // commit), then a mixed partition+predicate deleteWhere (a full
+    // partition drops, other files gain DVs) and a keyed MERGE both
+    // land on the mapped partitioned layout (physical partition dirs,
+    // partitionValues keyed by physicalName, DV-absorbing rewrite).
+    // The oracle rebuilds the same final state from raw parquet — a
+    // mis-mapped physical name, resurrected DV row, or lost partition
+    // literal hash-fails.
+    QueryDef("q148_delta_mapped_mutation",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-03-01'
+        |    AND o_orderdate < DATE '1995-04-01'
+        |), after_del AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (o_orderdate = DATE '1995-03-05' OR o_custkey % 7 = 0)
+        |), merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_orderdate
+        |  FROM after_del
+        |)
+        |SELECT o_orderdate, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q148_mapped").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val lo = java.sql.Date.valueOf("1995-03-01")
+      val hi = java.sql.Date.valueOf("1995-04-01")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      DeltaLite.write(s, o, tbl, partitionBy = Seq("o_orderdate"))
+      DeltaLite.enableColumnMapping(s, tbl)
+      DeltaLite.deleteWhere(s, tbl,
+        col("o_orderdate") === java.sql.Date.valueOf("1995-03-05") ||
+          col("o_custkey") % 7 === 0)
+      val batch = DeltaLite.read(s, tbl)
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+      DeltaLite.upsert(s, batch, tbl, Seq("o_orderkey"))
+      DeltaLite.read(s, tbl)
+        .groupBy("o_orderdate")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").cast("long").as("sum_cust"))
+    },
+
+    // CDF TAIL TWIN — q142's rig on a table created with
+    // delta.enableChangeDataFeed=true: the tail takes the EXACT
+    // change-data path (cdc files for the MERGE, derived inserts for
+    // the blind appends, per-commit _seq) instead of the keyed
+    // snapshot diff, and the sunk feed must hash-match the SAME
+    // oracle expectation as the keyed path — the two CDC derivations
+    // agree row-for-row. The rig pins the CDF path by asserting the
+    // MERGE wrote _change_data files.
+    QueryDef("q149_cdf_tail_replay",
+      """SELECT r_regionkey, r_name, 'insert' AS _op,
+        |  CAST(0 AS BIGINT) AS _seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, r_name,
+        |  'insert' AS _op, CAST(1 AS BIGINT) AS _seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey, 'MERGED' AS r_name,
+        |  'update_postimage' AS _op, CAST(2 AS BIGINT) AS _seq
+        |FROM region WHERE r_regionkey = 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q149_cdf").toString
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      val tbl = s"$base/tbl"
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      DeltaLite.write(s, r, tbl,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaLite.write(s,
+        r.select((col("r_regionkey") + 100).as("r_regionkey"),
+          col("r_name")), tbl)
+      DeltaLite.upsert(s, {
+        import s.implicits._
+        Seq((1L, "MERGED")).toDF("r_regionkey", "r_name")
+      }, tbl, Seq("r_regionkey"))
+      // the MERGE must have written exact change-data files — pin the
+      // CDF path (a silent keyed-diff fallback would also pass the
+      // oracle, defeating the twin's purpose)
+      require(fsys.exists(new org.apache.hadoop.fs.Path(tbl,
+        "_change_data")), "CDF table wrote no _change_data files")
+      require(DeltaLite.changeFeedIfAvailable(s, tbl, 1, 2).nonEmpty,
+        "CDF range (1,2] unexpectedly unavailable")
+      val q = s.readStream.format("graft.sources.LakeTailSource")
+        .option("path", tbl).option("table_format", "delta")
+        .option("keys", "r_regionkey").option("starting_version", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "CDF tail replay timed out")
+      s.read.parquet(s"$base/out")
+        .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

@@ -178,9 +178,11 @@ object DeltaLite {
       .map(n => (0 until n.size).map(n.get(_).asText).toSet)
       .getOrElse(Set.empty[String])
     // columnMapping is reader-supported in `name` mode (`id` refuses at
-    // the metaData gate); deletionVectors decode natively
+    // the metaData gate); deletionVectors decode natively; parquet v2
+    // checkpoints + sidecars seed natively (JSON-flavored v2
+    // checkpoints refuse with a named hint at the seed step)
     val supported = Set("timestampNtz", "vacuumProtocolCheck",
-      "columnMapping", "deletionVectors")
+      "columnMapping", "deletionVectors", "v2Checkpoint")
     require(minReader <= 2 || features.subsetOf(supported),
       s"Delta table requires reader features ${features -- supported} " +
         "(minReaderVersion " + minReader + ") — beyond the native " +
@@ -329,12 +331,12 @@ object DeltaLite {
           .select("txn.appId", "txn.version").collect()
           .foreach(r => txns(r.getString(0)) = r.getLong(1))
       }
-      if (cols.contains("add")) {
-        val addCols = ckpt.select("add.*").columns.toSet
+      def seedAdds(src: DataFrame): Unit = {
+        val addCols = src.select("add.*").columns.toSet
         // checkpoint adds can carry deletion vectors — decode them like
         // the log-replay path (no silent resurrection of deleted rows)
         if (addCols.contains("deletionVector")) {
-          ckpt.filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
+          src.filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
             .select("add").toJSON.collect().foreach { js =>
               val a = mapper.readTree(js).get("add")
               parseDv(a).foreach(d => dvs(decodePath(a.get("path").asText)) = d)
@@ -345,7 +347,7 @@ object DeltaLite {
         val projCols = Seq("add.path", "add.partitionValues") ++
           (if (hasStats) Seq("add.stats") else Nil) ++
           (if (hasSize) Seq("add.size") else Nil)
-        val proj = ckpt.select("add").filter("add IS NOT NULL")
+        val proj = src.select("add").filter("add IS NOT NULL")
           .select(projCols.head, projCols.tail: _*)
         proj.collect()
           .foreach { r =>
@@ -365,6 +367,35 @@ object DeltaLite {
               sizes(path) = r.getLong(sizeIdx)
           }
       }
+      if (cols.contains("add")) seedAdds(ckpt)
+      // V2 CHECKPOINTS (spec "V2 Checkpoint Table Feature"): UUID-named
+      // `<v>.checkpoint.<uuid>.parquet` whose FILE ACTIONS live in
+      // `sidecar` actions pointing at `_delta_log/_sidecars/<name>`
+      // parquet files — read each sidecar's adds like checkpoint adds
+      // (removes there are vacuum tombstones, not live state). The
+      // `checkpointMetadata` action, when present, must agree on the
+      // version.
+      if (cols.contains("checkpointMetadata")) {
+        ckpt.select("checkpointMetadata.version")
+          .filter("checkpointMetadata IS NOT NULL").collect()
+          .foreach(r => require(r.getLong(0) == v,
+            s"v2 checkpoint at $logDir declares version ${r.getLong(0)} " +
+              s"but is named for version $v — corrupt checkpoint"))
+      }
+      if (cols.contains("sidecar")) {
+        val sides = ckpt.select("sidecar.path")
+          .filter("sidecar IS NOT NULL AND sidecar.path IS NOT NULL")
+          .collect().map(_.getString(0))
+        if (sides.nonEmpty) {
+          val sidecarDir = new Path(logDir, "_sidecars")
+          val paths = sides.map { sp =>
+            if (sp.contains("://") || sp.startsWith("/")) sp
+            else new Path(sidecarDir, sp).toString
+          }
+          val sdf = spark.read.parquet(paths.toIndexedSeq: _*)
+          if (sdf.columns.contains("add")) seedAdds(sdf)
+        }
+      }
     }
 
     val startAfter = ckptVersion.getOrElse(-1L)
@@ -372,9 +403,22 @@ object DeltaLite {
       case n @ commitRe(v) if v.toLong > startAfter &&
         asOf.forall(v.toLong <= _) => (v.toLong, n)
     }.sortBy(_._1)
+    // a table whose only complete checkpoint is a JSON-flavored v2
+    // checkpoint cannot seed from parquet — name the feature in the
+    // refusal instead of a generic gap error
+    val jsonCkptRe = "(\\d{20})\\.checkpoint\\..+\\.json".r
+    def v2JsonHint: String = {
+      val jsonCkpts = entries.collect { case jsonCkptRe(cv) => cv.toLong }
+        .filter(cv => asOf.forall(cv <= _))
+      if (jsonCkpts.isEmpty) ""
+      else s" (note: version ${jsonCkpts.max} has a JSON v2Checkpoint, " +
+        "which the native reader does not read — write a parquet " +
+        "checkpoint or add the delta-spark jars)"
+    }
     require(ckptVersion.nonEmpty || commits.nonEmpty,
       s"empty Delta log at $logDir" +
-        asOf.map(v => s" at or before version $v").getOrElse(""))
+        asOf.map(v => s" at or before version $v").getOrElse("") +
+        v2JsonHint)
     // commit versions must be CONTIGUOUS from the seed: a missing
     // intermediate commit (external log cleanup without a checkpoint
     // covering it) would silently replay to a wrong file set
@@ -383,7 +427,7 @@ object DeltaLite {
       require(v == expect,
         s"Delta log at $logDir is missing commit version $expect " +
           s"(found $v after ${if (startAfter < 0) "the start" else s"checkpoint $startAfter"})" +
-          " — cannot replay a gapped log")
+          " — cannot replay a gapped log" + v2JsonHint)
     }
     var version = ckptVersion.getOrElse(-1L)
     commits.foreach { case (v, name) =>
@@ -487,7 +531,13 @@ object DeltaLite {
     */
   private def readFiles(spark: SparkSession, tablePath: String,
       snap: Snapshot,
-      files: Map[String, Map[String, Option[String]]]): DataFrame = {
+      files: Map[String, Map[String, Option[String]]],
+      /** extra PASSTHROUGH data columns the files carry beyond the
+        * table schema (the CDF reader's `_change_type`): read verbatim
+        * (never column-mapped, no field-id check), appended after the
+        * table columns in the output.
+        */
+      extraCols: Seq[StructField] = Nil): DataFrame = {
     val mapped = snap.columnMappingMode != "none"
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
@@ -506,18 +556,21 @@ object DeltaLite {
     // every later parquet read of the session.
     val readSchema =
       if (mapped) StructType(dataFields.map(f => f.copy(
-        name = physicalName(f), dataType = physicalize(f.dataType))))
-      else StructType(dataFields)
+        name = physicalName(f), dataType = physicalize(f.dataType))) ++
+        extraCols)
+      else StructType(dataFields ++ extraCols)
     val partFields = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"partition column $c missing from the Delta schema")))
+    val outNames = snap.schema.fieldNames.toSeq ++ extraCols.map(_.name)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields ++ extraCols))
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     if (snap.columnMappingMode == "id")
       verifyFieldIds(spark, files.keysIterator.map(abs).toSeq, dataFields)
     def reader = spark.read.schema(readSchema)
@@ -562,9 +615,10 @@ object DeltaLite {
       .getOption("graft.delta.partitionUnionLimit")
       .map(_.toInt).getOrElse(64)
     def logicalize(base0: DataFrame): DataFrame =
-      if (mapped) base0.select(dataFields.map(f =>
+      if (mapped) base0.select((dataFields.map(f =>
         org.apache.spark.sql.functions.col(physicalName(f))
-          .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          .cast(f.dataType).as(f.name)) ++ extraCols.map(f =>
+        org.apache.spark.sql.functions.col(f.name))).toIndexedSeq: _*)
       else base0
     if (partFields.nonEmpty && groups.size > unionCap) {
       def norm(p: String): String = encodedPathKey(abs(p))
@@ -580,9 +634,12 @@ object DeltaLite {
       val withPath =
         if (mapped) base0.select((dataFields.map(f =>
             org.apache.spark.sql.functions.col(physicalName(f))
-              .cast(f.dataType).as(f.name)) :+ pathCol).toIndexedSeq: _*)
-        else base0.select((dataFields.map(f =>
+              .cast(f.dataType).as(f.name)) ++ extraCols.map(f =>
             org.apache.spark.sql.functions.col(f.name)) :+ pathCol)
+          .toIndexedSeq: _*)
+        else base0.select((dataFields.map(f =>
+            org.apache.spark.sql.functions.col(f.name)) ++ extraCols.map(
+            f => org.apache.spark.sql.functions.col(f.name)) :+ pathCol)
           .toIndexedSeq: _*)
       val pvSchema = StructType(
         StructField("__delta_path", org.apache.spark.sql.types.StringType,
@@ -601,7 +658,7 @@ object DeltaLite {
       return partFields.foldLeft(joined) { (df, f) =>
           df.withColumn(f.name,
             col(s"__delta_pv_${f.name}").cast(f.dataType))
-        }.select(snap.schema.fieldNames
+        }.select(outNames
           .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     }
     val parts = groups.map { case (pv, fs0) =>
@@ -623,7 +680,7 @@ object DeltaLite {
       }
     }
     parts.reduce(_.unionByName(_)).select(
-      snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+      outNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
   }
 
@@ -1193,13 +1250,37 @@ object DeltaLite {
   private def tryClaim(fs: FileSystem, logDir: Path, version: Long,
       lines: Seq[String]): Boolean = {
     fs.mkdirs(logDir)
-    val commitPath = new Path(logDir, f"$version%020d.json")
-    val out =
-      try fs.create(commitPath, false)
-      catch { case _: Exception => return false }
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    true
+    atomicCreate(fs, new Path(logDir, f"$version%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  /** TRUE put-if-absent file creation. Hadoop's local
+    * `create(overwrite=false)` is check-then-act — two racers can both
+    * pass the exists probe and one silently clobbers the other (a LOST
+    * COMMIT). On `file://` use O_CREAT|O_EXCL (`CREATE_NEW`), which the
+    * kernel arbitrates; HDFS-like stores arbitrate `create(false)`
+    * server-side already. Returns false when the name was taken.
+    */
+  private[sources] def atomicCreate(fs: FileSystem, path: Path,
+      bytes: Array[Byte]): Boolean = {
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(path.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        val ch = java.nio.file.Files.newByteChannel(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(bytes)); () }
+        finally ch.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val out =
+        try fs.create(path, false)
+        catch { case _: Exception => return false }
+      try out.write(bytes) finally out.close()
+      true
+    }
   }
 
   /** Delta OCC: claim `firstVersion` put-if-absent; on a lost race,
@@ -1515,10 +1596,10 @@ object DeltaLite {
     // anti-filter (already-dead rows can't re-match; the per-file union
     // with prior bitmaps below keeps them suppressed either way), with
     // the constant-plan-size switch past the partition union cap
-    val scanned = scanFilesWithMeta(spark, tablePath, snap, candFiles,
+    val matched = scanFilesWithMeta(spark, tablePath, snap, candFiles,
       withPos = true)
       .filter(cond)
-      .select(col("__file").as("__p"), col("__i"))
+    val scanned = matched.select(col("__file").as("__p"), col("__i"))
     // ONE distributed job: scan → shuffle on file → per-file bitmap
     // bytes on executors; the driver sees only (path, card, blob)
     val staged = stageDvBitmaps(spark, scanned)
@@ -1621,6 +1702,26 @@ object DeltaLite {
     }
     fullyDead.foreach { case (p, _, _) =>
       lines += removeAction(rawPath(snap, p), now)
+    }
+    // CHANGE DATA FEED: the exact deleted row images land as `cdc`
+    // files under _change_data/ in the same commit (one more
+    // distributed pass over the matched scan — CDF materializes
+    // changes by definition)
+    if (cdfEnabled(snap)) {
+      val cdcRows0 = matched.drop("__file", "__i")
+      val mappedT = snap.columnMappingMode != "none"
+      val cdcRows = (if (mappedT)
+          toPhysicalCdc(cdcRows0.withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete")), snap.schema)
+        else cdcRows0.withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("delete")))
+      val stagePartCols =
+        if (mappedT) snap.partitionColumns.map(c => physicalName(
+          snap.schema.fields.find(_.name == c).get))
+        else snap.partitionColumns
+      stageCdcFiles(spark, cdcRows, root, fs, stagePartCols).foreach {
+        case (rel, sz, pv) => lines += cdcAction(rel, sz, pv, now)
+      }
     }
     commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
       snap.version + 1, lines.toSeq,
@@ -1737,6 +1838,185 @@ object DeltaLite {
       dataChangeMutation = false)
   }
 
+  // ------------------------------------------------- change data feed
+
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** A `cdc` action (the spec's exact change-data files): path under
+    * `_change_data/`, dataChange=false so CDF files never double as
+    * table data.
+    */
+  private def cdcAction(rel: String, size: Long,
+      partitionValues: Map[String, Option[String]], now: Long): String = {
+    val pvNode = mapper.createObjectNode()
+    partitionValues.foreach {
+      case (k, Some(v)) => pvNode.put(k, v); ()
+      case (k, None) => pvNode.putNull(k); ()
+    }
+    val pEsc = mapper.writeValueAsString(encodePath(rel))
+    s"""{"cdc":{"path":$pEsc,"partitionValues":$pvNode,"size":$size,""" +
+      s""""dataChange":false}}"""
+  }
+
+  /** Stage CDF rows (table columns + `_change_type`) as parquet under
+    * `_change_data/` — the same distributed staging as data files, then
+    * one metadata move per file. Returns (relPath, size, pv).
+    */
+  private def stageCdcFiles(spark: SparkSession, df: DataFrame,
+      root: Path, fs: FileSystem, stagePartCols: Seq[String])
+      : Seq[(String, Long, Map[String, Option[String]])] = {
+    val staged: Seq[(String, Long, Map[String, Option[String]])] =
+      if (stagePartCols.isEmpty)
+        stageWithStats(spark, df, root, fs).map { case (n, sz, _) =>
+          (n, sz, Map.empty[String, Option[String]])
+        }
+      else stagePartitionedWithStats(spark, df, root, fs, stagePartCols)
+        .map { case (n, sz, _, pv) => (n, sz, pv) }
+    staged.map { case (rel, sz, pv) =>
+      val dst = new Path(root, s"_change_data/$rel")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(root, rel), dst),
+        s"cdc staging move failed for $rel")
+      (s"_change_data/$rel", sz, pv)
+    }
+  }
+
+  /** [[toPhysical]] plus a verbatim `_change_type` passthrough — the
+    * shape CDF files of a column-mapped table carry.
+    */
+  private def toPhysicalCdc(df: DataFrame, schema: StructType): DataFrame =
+    df.select((schema.fields.map { f =>
+      val c = col(f.name).cast(physicalize(f.dataType))
+      if (f.metadata.contains("delta.columnMapping.id"))
+        c.as(physicalName(f), new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build())
+      else c.as(physicalName(f))
+    }.toIndexedSeq :+ col("_change_type")): _*)
+
+  /** Parse a JSON partitionValues node (same shape as the replay). */
+  private def jsonPartValues(node: JsonNode): Map[String, Option[String]] = {
+    val out = mutable.LinkedHashMap.empty[String, Option[String]]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      out(e.getKey) = if (e.getValue.isNull) None else Some(e.getValue.asText)
+    }
+    out.toMap
+  }
+
+  /** EXACT CHANGE DATA FEED over (fromVersion, toVersion]: table
+    * columns + `_change_type` (insert / delete / update_preimage /
+    * update_postimage) + `_commit_version` — delta-spark's
+    * `readChangeFeed` contract. Per commit: `cdc` actions are the
+    * complete change set when present; otherwise dataChange adds
+    * derive as inserts and dataChange removes derive as deletes (the
+    * removed files read at the PRIOR version's state — partition
+    * values and live DVs included). Returns None — fall back to the
+    * keyed snapshot diff — when the table does not enable
+    * `delta.enableChangeDataFeed`, a commit in range is gone/mid-
+    * metadata-change, or a commit mixes a remove+re-add of one path
+    * without cdc actions (a DV rewrite not derivable from file
+    * actions).
+    *
+    * Scale: O(changed files) — each commit reads only its cdc files
+    * (or its added/removed files); nothing rescans the table, no join.
+    * Commits bearing removes replay one prior-version snapshot each
+    * (driver metadata work bounded by the tail's versions_per_batch).
+    */
+  def changeFeedIfAvailable(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val snapTo = snapshot(spark, tablePath, Some(toVersion))
+    if (!cdfEnabled(snapTo)) return None
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ctField = StructField("_change_type", StringType)
+    var parts = Vector.empty[DataFrame]
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val file = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(file)) return None // cleaned up — not CDF-readable
+      val in = fs.open(file)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val actions = txt.split("\n").filter(_.trim.nonEmpty)
+        .map(mapper.readTree).toSeq
+      // metaData mid-range = schema/config drift → decline (the table
+      // CREATION commit at v0 is vacuous — no earlier data). Protocol
+      // actions never bail: they don't change row decoding, and the
+      // `to`-snapshot already gated unsupported features.
+      if (v != 0 && actions.exists(_.has("metaData")))
+        return None
+      val cdcs = actions.filter(_.has("cdc")).map(_.get("cdc"))
+      if (cdcs.nonEmpty) {
+        val filesMap: Map[String, Map[String, Option[String]]] =
+          cdcs.map { c =>
+            decodePath(c.get("path").asText) ->
+              Option(c.get("partitionValues")).map(jsonPartValues)
+                .getOrElse(Map.empty[String, Option[String]])
+          }.toMap
+        parts :+= readFiles(spark, tablePath,
+          snapTo.copy(files = filesMap, dvs = Map.empty,
+            stats = Map.empty),
+          filesMap, extraCols = Seq(ctField))
+          .withColumn("_commit_version", lit(v))
+      } else {
+        def dataChange(n: JsonNode): Boolean =
+          Option(n.get("dataChange")).forall(_.asBoolean)
+        val adds = actions.filter(_.has("add")).map(_.get("add"))
+          .filter(dataChange)
+        val removes = actions.filter(_.has("remove")).map(_.get("remove"))
+          .filter(dataChange)
+        val rmPaths = removes.map(r => decodePath(r.get("path").asText))
+          .toSet
+        if (adds.exists(a =>
+            rmPaths.contains(decodePath(a.get("path").asText))))
+          return None // remove+re-add (DV rewrite) without cdc actions
+        if (adds.nonEmpty) {
+          val filesMap = adds.map { a =>
+            decodePath(a.get("path").asText) ->
+              Option(a.get("partitionValues")).map(jsonPartValues)
+                .getOrElse(Map.empty[String, Option[String]])
+          }.toMap
+          val dvs = adds.flatMap(a =>
+            parseDv(a).map(decodePath(a.get("path").asText) -> _)).toMap
+          parts :+= readFiles(spark, tablePath,
+            snapTo.copy(files = filesMap, dvs = dvs, stats = Map.empty),
+            filesMap)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+        }
+        if (removes.nonEmpty) {
+          val prev = snapshot(spark, tablePath, Some(v - 1))
+          val sub = prev.files.view
+            .filterKeys(rmPaths.contains).toMap
+          if (sub.size != rmPaths.size) return None // unknown removes
+          parts :+= readFiles(spark, tablePath, prev, sub)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        }
+      }
+    }
+    if (parts.isEmpty)
+      Some(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snapTo.schema.fields :+ ctField :+
+          StructField("_commit_version", LongType))))
+    else Some(parts.reduce(_ unionByName _))
+  }
+
+  /** [[changeFeedIfAvailable]], loud when the range is not readable as
+    * CDF (the table-level `readChangeFeed` API).
+    */
+  def changeFeed(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    changeFeedIfAvailable(spark, tablePath, fromVersion, toVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"($fromVersion, $toVersion] of $tablePath is not readable as " +
+          "a change data feed — enable delta.enableChangeDataFeed and " +
+          "ensure the range's commits are CDF-complete"))
+
   private def txnAction(appId: String, v: Long, now: Long): String = {
     val idEsc = mapper.writeValueAsString(appId)
     s"""{"txn":{"appId":$idEsc,"version":$v,"lastUpdated":$now}}"""
@@ -1799,7 +2079,12 @@ object DeltaLite {
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
       mode: String = "append", txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      /** table properties stamped at CREATION only (e.g.
+        * `delta.enableChangeDataFeed=true` — the commit then carries
+        * writer version 4, the CDF feature floor).
+        */
+      configuration: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"DeltaLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
@@ -1861,8 +2146,12 @@ object DeltaLite {
               ("delta.columnMapping.maxColumnId" -> maxId.toString))
         case Some(s) if mapped => (s.schema, s.configuration)
         case Some(s) => (df.schema, s.configuration)
-        case None => (df.schema, Map.empty[String, String])
+        case None => (df.schema, configuration)
       }
+    require(configuration.isEmpty || existing.isEmpty,
+      "table properties are stamped at creation — alter the existing " +
+        s"table's configuration through its own commit, not a write to " +
+        tablePath)
     val (stagedDf, stagePartCols) =
       if (mapped) {
         val physPart = partCols.map(c => physicalName(
@@ -1883,8 +2172,14 @@ object DeltaLite {
     lines += commitInfoAction("WRITE",
       Map("mode" -> (if (mode == "append") "Append" else "Overwrite")), now)
     if (existing.isEmpty || evolving) {
-      if (existing.isEmpty)
-        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (existing.isEmpty) {
+        // CDF tables need writer version 4 (the changeDataFeed floor)
+        val minWriter = if (configuration
+            .get("delta.enableChangeDataFeed")
+            .exists(_.equalsIgnoreCase("true"))) 4 else 2
+        lines += (s"""{"protocol":{"minReaderVersion":1,""" +
+          s""""minWriterVersion":$minWriter}}""")
+      }
       // the table id is stable across its lifetime; an evolving commit
       // restates the EXISTING configuration verbatim (dropping keys
       // would corrupt foreign tables relying on them)
@@ -2196,6 +2491,41 @@ object DeltaLite {
       lines += removeAction(rawPath(snap, p), now))
     moved.foreach { case (name, size, st, pvv) =>
       lines += addAction(name, size, st, now, pvv)
+    }
+    // CHANGE DATA FEED: exact per-row MERGE effects as `cdc` files —
+    // update_preimage/update_postimage for replaced keys, insert for
+    // brand-new keys, delete for deleteKeys matches. Key-level
+    // classification is one more semi/anti join over the touched
+    // files' rows (CDF materializes changes by definition).
+    if (cdfEnabled(snap)) {
+      val dataCols = snap.schema.fieldNames.map(col).toIndexedSeq
+      val batchSel = batch.select(dataCols: _*)
+      val oldImages =
+        if (touched.isEmpty) None
+        else Some(groupScan(snap.files.filter(kv =>
+          touched.contains(kv._1))).drop("__file"))
+      val oldKeys = oldImages.map(_.select(keyCols.map(col): _*)
+        .distinct())
+      val pre = oldImages.map(_.join(
+          batch.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
+      val dels = for { oi <- oldImages; dk <- delKeysDf } yield
+        oi.join(dk, keyCols, "left_semi")
+          .withColumn("_change_type", lit("delete"))
+      val post = oldKeys.map(ok => batchSel
+        .join(ok, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      val ins = (oldKeys match {
+        case Some(ok) => batchSel.join(ok, keyCols, "left_anti")
+        case None => batchSel
+      }).withColumn("_change_type", lit("insert"))
+      val cdcRows0 = (pre.toSeq ++ dels.toSeq ++ post.toSeq :+ ins)
+        .reduce(_ unionByName _)
+      val cdcRows =
+        if (mapped) toPhysicalCdc(cdcRows0, snap.schema) else cdcRows0
+      stageCdcFiles(spark, cdcRows, root, fs, stagePartColsU).foreach {
+        case (rel, sz, pv) => lines += cdcAction(rel, sz, pv, now)
+      }
     }
     commitWithRetry(fs, logDir, tablePath, version, lines.toSeq,
       ourRemoves = touched, dataChangeMutation = true)

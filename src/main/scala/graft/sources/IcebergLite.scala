@@ -1443,12 +1443,12 @@ object IcebergLite {
     node.putArray("metadata-log")
 
     val mPath = new Path(metaDir, s"v$version.metadata.json")
-    val out =
-      try fs.create(mPath, false)
-      catch { case _: Exception => return None } // lost the claim race
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(node))
-    finally out.close()
+    // TRUE put-if-absent (kernel-arbitrated O_EXCL on file://,
+    // server-side on HDFS-likes) — Hadoop local create(false) is
+    // check-then-act and can silently clobber a concurrent winner
+    if (!DeltaLite.atomicCreate(fs, mPath,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)))
+      return None // lost the claim race
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
     Some(snapshotId)

@@ -148,8 +148,24 @@ object LakeTailSource {
             "(log cleaned up?) — restart the tail from a live version, " +
             "or set on_missing_offset=earliest to re-snapshot")
         fullAt(DeltaLite.read(spark, c.path, Some(to)))
-      } else DeltaLite.changesBetween(spark, c.path, from, to, c.keys,
-        seq = to)
+      } else DeltaLite.changeFeedIfAvailable(spark, c.path, from, to) match {
+        // EXACT CDF batches beat the keyed diff when the table wrote
+        // them: O(changed rows) reads of the cdc/added/removed files,
+        // no full-outer join over changed file sets. `_change_type`
+        // maps onto the ChangeModel op vocabulary verbatim (preimages
+        // drop — the diff contract is postimage-only), `_seq` is the
+        // exact commit version (finer than the keyed diff's batch-end
+        // stamp, so multi-version batches replay in commit order).
+        case Some(cdf) =>
+          import graft.cdc.ChangeModel
+          cdf.filter(org.apache.spark.sql.functions
+              .col("_change_type") =!= "update_preimage")
+            .withColumnRenamed("_change_type", ChangeModel.OpCol)
+            .withColumnRenamed("_commit_version", ChangeModel.SeqCol)
+        case None =>
+          DeltaLite.changesBetween(spark, c.path, from, to, c.keys,
+            seq = to)
+      }
     } else {
       val meta = IcebergLite.loadMeta(spark, c.path)
       def snapAt(s: Long): Option[Long] =

@@ -16,6 +16,8 @@ final case class CkDv(storageType: String, pathOrInlineDv: String,
     offset: Option[Long], sizeInBytes: Long, cardinality: Long)
 final case class CkAddDv(path: String, partitionValues: Map[String, String],
     deletionVector: Option[CkDv])
+final case class V2Meta(version: Long)
+final case class V2Side(path: String, sizeInBytes: Long)
 
 /** Native Delta snapshot reader over hand-crafted transaction logs —
   * the log format is public (delta.io PROTOCOL.md), so the fixtures
@@ -144,10 +146,10 @@ class DeltaLiteSpec extends AnyFunSuite {
     val t = java.nio.file.Files.createTempDirectory("delta_bad").toString
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     writeLog(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""",
       metaAction(schema.json)))
     val e1 = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
-    assert(e1.getMessage.contains("v2Checkpoint") &&
+    assert(e1.getMessage.contains("typeWidening") &&
       e1.getMessage.contains("delta-spark"), e1.getMessage)
     val t2 = java.nio.file.Files.createTempDirectory("delta_bad2").toString
     writeLog(t2, 0, Seq(
@@ -628,11 +630,11 @@ class DeltaLiteSpec extends AnyFunSuite {
         Option(CkMeta(schema.json, Nil, Map.empty[String, String])),
         Option.empty[CkProto]),
       (Option.empty[CkAdd], Option.empty[CkMeta],
-        Option(CkProto(3, 7, Seq("v2Checkpoint")))))
+        Option(CkProto(3, 7, Seq("typeWidening")))))
       .toDF("add", "metaData", "protocol")
     installCheckpoint(t, ck, 0L)
     val e = intercept[IllegalArgumentException](DeltaLite.snapshot(spark, t))
-    assert(e.getMessage.contains("v2Checkpoint") &&
+    assert(e.getMessage.contains("typeWidening") &&
       e.getMessage.contains("delta-spark"), e.getMessage)
     // an add action in the checkpoint carrying an (inline) deletion
     // vector APPLIES on read — no silent resurrection through the
@@ -1466,6 +1468,134 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(got2 == (1L to 6L).map(i => (i, s"w$i")).toSet + ((0L, "base")),
       got2.toString)
     assert(IcebergLite.loadMeta(spark, t2).version == 7)
+  }
+
+  test("change data feed: deleteWhere/upsert write exact cdc actions; " +
+      "changeFeed reads them, derives blind appends/full removes, and " +
+      "declines non-CDF tables") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cdf").toString +
+      "/tbl"
+    // v0 create (CDF on, writer version 4), v1 append
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    // v2 MERGE: replace k=1, insert k=9, delete k=2
+    DeltaLite.upsert(spark,
+      Seq((1L, "A"), (9L, "z")).toDF("k", "v"), t, Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(2L)).toDF("k")))
+    // v3 DV delete of k=3
+    DeltaLite.deleteWhere(spark, t, col("k") === 3L)
+    // cdc files exist under _change_data
+    assert(fs(t).exists(new Path(t, "_change_data")))
+    val feed = DeltaLite.changeFeed(spark, t, 0, 3)
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(feed == Set(
+      (3L, "c", "insert", 1L),            // derived blind append
+      (1L, "a", "update_preimage", 2L),   // exact cdc
+      (1L, "A", "update_postimage", 2L),
+      (9L, "z", "insert", 2L),
+      (2L, "b", "delete", 2L),
+      (3L, "c", "delete", 3L)), feed.toString)     // DV delete via cdc
+    // table state agrees with the replayed feed
+    assert(DeltaLite.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (9L, "z")))
+    // full-file removes derive as deletes (overwrite with no cdc):
+    // protocol floor also proves writer version 4 on CDF tables
+    assert(DeltaLite.snapshot(spark, t).protocol.exists(p =>
+      p.minWriterVersion >= 4))
+    // non-CDF tables decline (keyed diff stays the fallback)
+    val t2 = java.nio.file.Files.createTempDirectory("delta_nocdf")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t2)
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t2)
+    assert(DeltaLite.changeFeedIfAvailable(spark, t2, 0, 1).isEmpty)
+    // partitioned CDF: cdc files land under hive dirs with
+    // partitionValues; the feed injects the partition column back
+    val t3 = java.nio.file.Files.createTempDirectory("delta_cdfp")
+      .toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "x", "east"), (2L, "y", "west")).toDF("k", "v", "r"), t3,
+      partitionBy = Seq("r"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLite.deleteWhere(spark, t3, col("r") === "east")
+    val feed3 = DeltaLite.changeFeed(spark, t3, -1, 1)
+      .select("k", "r", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed3 == Set((1L, "east", "insert"), (2L, "west", "insert"),
+      (1L, "east", "delete")), feed3.toString)
+  }
+
+  test("v2 checkpoint (UUID-named + sidecars) seeds the snapshot; a " +
+      "JSON-flavored v2 checkpoint refuses naming v2Checkpoint") {
+    val t = java.nio.file.Files.createTempDirectory("delta_v2ck").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "s1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "s2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t, "s3.parquet")
+    val logDir = new Path(t, "_delta_log")
+    // sidecar parquet carrying the add actions
+    val sidecar = Seq(
+      (Option(CkAdd("s1.parquet", Map.empty)), Option.empty[String]),
+      (Option(CkAdd("s2.parquet", Map.empty)), Option.empty[String]))
+      .toDF("add", "remove")
+    val sideDir = new Path(logDir, "_sidecars")
+    fs(t).mkdirs(sideDir)
+    val sstage = t + "_sstage"
+    sidecar.coalesce(1).write.mode("overwrite").parquet(sstage)
+    val spart = fs(t).listStatus(new Path(sstage)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    val sideName = "3a2b-sidecar-1.parquet"
+    assert(fs(t).rename(spart, new Path(sideDir, sideName)))
+    fs(t).delete(new Path(sstage), true)
+    // the v2 checkpoint itself: protocol + metaData + checkpointMetadata
+    // + one sidecar action, NO inline adds
+    val ck = Seq(
+      (Option.empty[CkMeta], Option.empty[CkProto],
+        Option(V2Meta(2L)), Option.empty[V2Side]),
+      (Option(CkMeta(schema.json, Nil, Map.empty)),
+        Option.empty[CkProto], Option.empty[V2Meta], Option.empty[V2Side]),
+      (Option.empty[CkMeta],
+        Option(CkProto(3, 7, Seq("v2Checkpoint"))),
+        Option.empty[V2Meta], Option.empty[V2Side]),
+      (Option.empty[CkMeta], Option.empty[CkProto], Option.empty[V2Meta],
+        Option(V2Side(sideName, 1L))))
+      .toDF("metaData", "protocol", "checkpointMetadata", "sidecar")
+    val ckstage = t + "_ckstage"
+    ck.coalesce(1).write.mode("overwrite").parquet(ckstage)
+    val cpart = fs(t).listStatus(new Path(ckstage)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    val uuid = "0a1b2c3d-1111-2222-3333-444455556666"
+    assert(fs(t).rename(cpart,
+      new Path(logDir, f"${2L}%020d.checkpoint.$uuid.parquet")))
+    fs(t).delete(new Path(ckstage), true)
+    val lc = fs(t).create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write("""{"version":2,"size":4}""".getBytes("UTF-8"))
+    finally lc.close()
+    // commit 3 on top of the checkpoint
+    writeLog(t, 3, Seq(
+      """{"commitInfo":{"operation":"WRITE","timestamp":1}}""",
+      """{"add":{"path":"s3.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLite.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), got.toString)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 3L && snap.files.keySet ==
+      Set("s1.parquet", "s2.parquet", "s3.parquet"))
+    // JSON-flavored v2 checkpoint with no parquet seed and cleaned
+    // commits: the refusal NAMES v2Checkpoint
+    val t2 = java.nio.file.Files.createTempDirectory("delta_v2json")
+      .toString
+    val logDir2 = new Path(t2, "_delta_log")
+    fs(t2).mkdirs(logDir2)
+    val jc = fs(t2).create(new Path(logDir2,
+      f"${2L}%020d.checkpoint.$uuid.json"), true)
+    try jc.write("{}".getBytes("UTF-8")) finally jc.close()
+    writeLog(t2, 3, Seq(
+      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val ex = intercept[IllegalArgumentException](
+      DeltaLite.snapshot(spark, t2))
+    assert(ex.getMessage.contains("v2Checkpoint"), ex.getMessage)
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */

@@ -120,6 +120,37 @@ class LakeTailSpec extends AnyFunSuite {
     assert(binFiles(spill2) == 0L, s"over-cap batch wrote spill files")
   }
 
+  test("CDF tables tail through EXACT change-data batches: _seq is the " +
+      "per-commit version (finer than the keyed diff's batch-end " +
+      "stamp) and preimages drop") {
+    val base = tmp("cdf")
+    val tbl = s"$base/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tbl,    // v0
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tbl)    // v1
+    DeltaLite.upsert(spark, Seq((1L, "A")).toDF("k", "v"), tbl,   // v2
+      Seq("k"))
+    val c = graft.sources.LakeTailSource.Conf(tbl, "delta", Seq("k"),
+      None, None, versionsPerBatch = 2, maxRows = 0L, onMissing = "fail")
+    // one batch spanning v1..v2: the CDF path stamps each row with its
+    // COMMIT version; the keyed diff would stamp both rows `to`=2
+    val got = graft.sources.LakeTailSource.changes(spark, c, 0L, 2L)
+      .select("k", "v", "_op", "_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (2L, "b", "insert", 1L),
+      (1L, "A", "update_postimage", 2L)), got.toString)
+    // e2e drain: the streamed feed equals the CDF change set (no
+    // preimages, per-version sequencing)
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    drain(tbl, "delta", out, ckpt, startingVersion = Some(0L))
+    assert(sunk(out) == Set(
+      (1L, "a", "insert", 0L),
+      (2L, "b", "insert", 1L),
+      (1L, "A", "update_postimage", 2L)), sunk(out).toString)
+  }
+
   test("batches ship EXECUTOR-side: a batch far beyond the old 100k " +
       "driver-collect cap streams fine, and a multi-partition diff " +
       "plans >1 InputPartition") {
