@@ -1596,14 +1596,22 @@ object DeltaLite {
     // anti-filter (already-dead rows can't re-match; the per-file union
     // with prior bitmaps below keeps them suppressed either way), with
     // the constant-plan-size switch past the partition union cap
+    val cdf = cdfEnabled(snap)
     val matched = scanFilesWithMeta(spark, tablePath, snap, candFiles,
       withPos = true)
       .filter(cond)
+    // CDF re-reads the matched rows for the cdc files — persist so the
+    // bitmap staging and the cdc staging share ONE scan
+    if (cdf) matched.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scanned = matched.select(col("__file").as("__p"), col("__i"))
     // ONE distributed job: scan → shuffle on file → per-file bitmap
     // bytes on executors; the driver sees only (path, card, blob)
     val staged = stageDvBitmaps(spark, scanned)
-    if (staged.isEmpty) return snap.version
+    if (staged.isEmpty) {
+      if (cdf) matched.unpersist()
+      return snap.version
+    }
     // optional loud cap (unset = unbounded — driver memory is bounded
     // by bitmap BYTES, not row count); enforced from the same job's
     // cardinalities, no second scan
@@ -1707,7 +1715,7 @@ object DeltaLite {
     // files under _change_data/ in the same commit (one more
     // distributed pass over the matched scan — CDF materializes
     // changes by definition)
-    if (cdfEnabled(snap)) {
+    if (cdf) {
       val cdcRows0 = matched.drop("__file", "__i")
       val mappedT = snap.columnMappingMode != "none"
       val cdcRows = (if (mappedT)
@@ -1722,6 +1730,8 @@ object DeltaLite {
       stageCdcFiles(spark, cdcRows, root, fs, stagePartCols).foreach {
         case (rel, sz, pv) => lines += cdcAction(rel, sz, pv, now)
       }
+      matched.unpersist()
+      ()
     }
     commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
       snap.version + 1, lines.toSeq,
@@ -2860,7 +2870,11 @@ object DeltaLite {
     def sweep(dir: Path): Unit =
       fs.listStatus(dir).foreach { s =>
         if (s.isDirectory) {
-          if (s.getPath.getName != "_delta_log") sweep(s.getPath)
+          // _change_data holds CDF files referenced by `cdc` actions of
+          // PAST commits, never by the live snapshot — sweeping it
+          // would destroy the change feed (they die with log cleanup)
+          if (s.getPath.getName != "_delta_log" &&
+              s.getPath.getName != "_change_data") sweep(s.getPath)
         } else if (s.getPath.getName.endsWith(".parquet") &&
             !live(rel(s.getPath))) {
           if (fs.delete(s.getPath, false)) deleted += 1

@@ -1525,6 +1525,17 @@ class DeltaLiteSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(feed3 == Set((1L, "east", "insert"), (2L, "west", "insert"),
       (1L, "east", "delete")), feed3.toString)
+    // VACUUM must not sweep _change_data: cdc files are referenced by
+    // past commits' cdc actions, never by the live snapshot. (The
+    // spec's usual trade still applies to DERIVED ranges — vacuum may
+    // remove the unreferenced data files old blind-append commits
+    // would re-read — but exact cdc batches survive.)
+    DeltaLite.vacuum(spark, t3)
+    val feedAfterVacuum = DeltaLite.changeFeed(spark, t3, 0, 1)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feedAfterVacuum == Set((1L, "delete")),
+      s"vacuum destroyed the cdc files: $feedAfterVacuum")
   }
 
   test("v2 checkpoint (UUID-named + sidecars) seeds the snapshot; a " +
