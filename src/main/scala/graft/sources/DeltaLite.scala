@@ -1937,9 +1937,12 @@ object DeltaLite {
     * (driver metadata work bounded by the tail's versions_per_batch).
     */
   def changeFeedIfAvailable(spark: SparkSession, tablePath: String,
-      fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+      fromVersion: Long, toVersion: Long,
+      /** pre-replayed snapshot at `toVersion` (the tail shares one
+        * replay between this probe and the keyed-diff fallback). */
+      toSnap: Option[Snapshot] = None): Option[DataFrame] = {
     import org.apache.spark.sql.types.{LongType, StringType}
-    val snapTo = snapshot(spark, tablePath, Some(toVersion))
+    val snapTo = toSnap.getOrElse(snapshot(spark, tablePath, Some(toVersion)))
     if (!cdfEnabled(snapTo)) return None
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2886,11 +2889,11 @@ object DeltaLite {
 
   def changesBetween(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long, keyCols: Seq[String],
-      seq: Long = 1L): DataFrame = {
+      seq: Long = 1L, toSnap: Option[Snapshot] = None): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val oldSnap = snapshot(spark, tablePath, Some(fromVersion))
-    val newSnap = snapshot(spark, tablePath, Some(toVersion))
+    val newSnap = toSnap.getOrElse(snapshot(spark, tablePath, Some(toVersion)))
     require(oldSnap.schema == newSnap.schema,
       "schema changed between versions — diff the full snapshots " +
         "explicitly after reconciling the schemas")

@@ -1291,13 +1291,21 @@ object IcebergLite {
       manifestSpecIds: Seq[Int] = Nil,
       /** extra specs this commit introduces: (spec-id, fields JSON). */
       extraSpecs: Seq[(Int, String)] = Nil,
-      /** PURE-APPEND commits (carryForward = every prior manifest, no
-        * removals) may REBASE on a lost put-if-absent race: re-resolve
-        * the table state, carry the new head's manifests forward,
-        * restamp sequence numbers, and retry — the iceberg runtime's
-        * fast-append retry. Mutations stay single-attempt loud.
+      /** Rebase policy on a lost put-if-absent race:
+        *  - "none": single-attempt loud (mutations whose result depends
+        *    on the rows they scanned — delete/merge/overwrite);
+        *  - "append": re-resolve the table, carry the NEW head's
+        *    manifests forward, restamp sequence numbers, retry — the
+        *    iceberg runtime's fast-append retry (new rows postdate any
+        *    intervening delete's sequence number, so nothing is lost);
+        *  - "rewrite": row-preserving compaction — rebase ONLY over
+        *    purely ADDITIVE intervening DATA commits (every old
+        *    manifest still listed, no new delete manifests: a
+        *    concurrent delete's positions reference the files this
+        *    rewrite just re-listed away), carrying the interveners'
+        *    new manifests on top of our own.
         */
-      appendRetry: Boolean = false): Long = {
+      retry: String = "none"): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -1463,12 +1471,12 @@ object IcebergLite {
         case Some(id) => return id
         case None =>
           tries += 1
-          require(appendRetry,
+          require(retry != "none",
             s"metadata v${curPrior.map(_.meta.version + 1).getOrElse(1)} " +
               s"already exists at $tablePath (concurrent writer?) — " +
               "re-read and retry")
           require(tries <= maxRetries,
-            s"append to $tablePath lost $maxRetries put-if-absent " +
+            s"commit to $tablePath lost $maxRetries put-if-absent " +
               "races — giving up (writer storm?)")
           // the race winner's metadata file may still be mid-write
           // (create-then-write is not atomic); parse failures here are
@@ -1491,9 +1499,23 @@ object IcebergLite {
               rebased.meta.schema.map(f => (f.name, f.dataType.sql)) &&
             p.meta.partitionFields == rebased.meta.partitionFields),
             s"concurrent schema/spec change at $tablePath — cannot " +
-              "rebase the append, re-run the operation")
+              "rebase, re-run the operation")
+          if (retry == "rewrite") {
+            val oldPaths = curPrior.toSeq.flatMap(_.manifests)
+              .map(_.path).toSet
+            val newPaths = rebased.manifests.map(_.path).toSet
+            require(oldPaths.subsetOf(newPaths),
+              s"concurrent commit removed manifests of $tablePath — " +
+                "cannot rebase the rewrite, re-run the operation")
+            val newOnes = rebased.manifests
+              .filterNot(m => oldPaths.contains(m.path))
+            require(newOnes.forall(_.content == 0),
+              s"concurrent DELETE commit at $tablePath — its positions " +
+                "reference files this rewrite re-lists; cannot rebase, " +
+                "re-run the operation")
+            curCarry = curCarry ++ newOnes
+          } else curCarry = rebased.manifests
           curPrior = Some(rebased)
-          curCarry = rebased.manifests
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1613,7 +1635,7 @@ object IcebergLite {
       partitionSpec = partFields.map(f =>
         PartSpecField(f.name, f.transform.render,
           ids.getOrElse(f.srcCol, 0))),
-      appendRetry = mode == "append")
+      retry = if (mode == "append") "append" else "none")
   }
 
   /** One resolved field of the partition spec being WRITTEN: partition
@@ -2162,7 +2184,8 @@ object IcebergLite {
       Seq((entries, 0, survivorsWithParts.map(_._1.rows).sum)),
       carryForward = Seq.empty, // delete manifests resolved, data re-listed
       operation = "replace", snapshotId = snapshotId,
-      partitionSpec = st.meta.partitionFields)
+      partitionSpec = st.meta.partitionFields,
+      retry = "rewrite")
   }
 
   /** SNAPSHOT EXPIRATION (the `expire_snapshots` maintenance op): keep

