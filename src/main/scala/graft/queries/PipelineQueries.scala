@@ -4203,10 +4203,15 @@ object PipelineQueries {
       DeltaLite.deleteWhere(s, tbl,
         col("o_orderdate") === java.sql.Date.valueOf("1995-03-05") ||
           col("o_custkey") % 7 === 0)
+      // the batch's lineage is itself a DV-filtered read of the table
+      // being merged — persist it so upsert's stats/semi/anti jobs and
+      // the rewrite union evaluate the read once
       val batch = DeltaLite.read(s, tbl)
         .filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .persist()
       DeltaLite.upsert(s, batch, tbl, Seq("o_orderkey"))
+      batch.unpersist()
       DeltaLite.read(s, tbl)
         .groupBy("o_orderdate")
         .agg(count(lit(1)).as("n"),

@@ -1167,7 +1167,23 @@ object DeltaLite {
     }
     val stage = new Path(root.toString + "_stage_" +
       java.util.UUID.randomUUID.toString.take(8))
-    df.write.partitionBy(partCols: _*).mode("overwrite")
+    // CLUSTERED staging (delta-spark's "optimized write" shape): hash
+    // the rows onto their partition tuple first, so each tuple lands in
+    // ONE task and writes ONE file — without it every shuffle partition
+    // writes a sliver per touched dir (tasks × dirs small files, the
+    // thing compaction exists to undo). `graft.delta.clusteredStaging`
+    // = false restores the unclustered write for skewed tuples.
+    val clustered =
+      if (spark.conf.getOption("graft.delta.clusteredStaging")
+          .forall(_.toBoolean))
+        // explicit count: AQE preserves it (a column-only repartition
+        // coalesces tiny batches to ONE task, serializing the write);
+        // hash collisions just mean one task writes two dirs — still
+        // one file per tuple
+        df.repartition(spark.sessionState.conf.numShufflePartitions,
+          partCols.map(col): _*)
+      else df
+    clustered.write.partitionBy(partCols: _*).mode("overwrite")
       .parquet(stage.toString)
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => partCols.contains(f.name)))
@@ -2385,9 +2401,14 @@ object DeltaLite {
     // the keys this commit touches: batch keys to replace/insert plus
     // delete keys to remove — pruning and touch detection use the union
     val delKeysDf = deleteKeys.map(_.select(keyCols.map(col): _*))
+    // the key set is consumed by 3-4 jobs (stats agg, touched-set
+    // semi-join, retained-rows anti-join, CDF classification) — persist
+    // the keys-only projection so the batch's full lineage (often a
+    // table read itself) evaluates once
     val allKeysDf = delKeysDf
       .map(batch.select(keyCols.map(col): _*).unionByName(_))
       .getOrElse(batch.select(keyCols.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one pass over the touched-key set: sizes, key distinctness, null
     // keys, and the per-column key ranges the pruning step needs. A key
@@ -2406,6 +2427,7 @@ object DeltaLite {
     if (n == 0) {
       // no-op batch: no commit; version stays (or the table may not
       // exist yet — creating an empty table from nothing is surprising)
+      allKeysDf.unpersist()
       return if (fs.exists(logDir)) snapshot(spark, tablePath).version
       else throw new IllegalArgumentException(
         s"upsert of an empty batch cannot create table $tablePath")
@@ -2418,10 +2440,15 @@ object DeltaLite {
         s"rows but only ${r.getAs[Long]("__nd")} distinct keys — collapse " +
         "the batch (e.g. ChangeModel.latestRows) before upserting")
 
-    if (!fs.exists(logDir)) return write(spark, batch, tablePath, "append", txn)
+    if (!fs.exists(logDir)) {
+      allKeysDf.unpersist()
+      return write(spark, batch, tablePath, "append", txn)
+    }
     val snap = snapshot(spark, tablePath)
     txn.foreach { case (appId, v) =>
-      if (snap.txns.get(appId).exists(_ >= v)) return snap.version
+      if (snap.txns.get(appId).exists(_ >= v)) {
+        allKeysDf.unpersist(); return snap.version
+      }
     }
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
@@ -2540,8 +2567,10 @@ object DeltaLite {
         case (rel, sz, pv) => lines += cdcAction(rel, sz, pv, now)
       }
     }
-    commitWithRetry(fs, logDir, tablePath, version, lines.toSeq,
-      ourRemoves = touched, dataChangeMutation = true)
+    val committed = commitWithRetry(fs, logDir, tablePath, version,
+      lines.toSeq, ourRemoves = touched, dataChangeMutation = true)
+    allKeysDf.unpersist()
+    committed
   }
 
   /** Upgrade an unmapped table to column mapping `name` mode — the

@@ -1122,8 +1122,21 @@ object IcebergLite {
     val alias = fields.map(f => f.name -> s"__gp_${f.name}").toMap
     fields.foreach(f => require(!df.columns.contains(alias(f.name)),
       s"reserved staging column name ${alias(f.name)} present in the batch"))
-    fields.foldLeft(df)((d, f) => d.withColumn(alias(f.name),
-        IcebergTransforms.expr(f.transform, col(f.srcCol), f.srcType)))
+    val aliased = fields.foldLeft(df)((d, f) => d.withColumn(alias(f.name),
+      IcebergTransforms.expr(f.transform, col(f.srcCol), f.srcType)))
+    // CLUSTERED staging: hash rows onto their partition tuple so each
+    // tuple writes ONE file instead of a sliver per (task × dir) —
+    // the small-files problem compaction exists to undo. Opt out with
+    // graft.iceberg.clusteredStaging=false for heavily skewed tuples.
+    val clustered =
+      if (spark.conf.getOption("graft.iceberg.clusteredStaging")
+          .forall(_.toBoolean))
+        // explicit count so AQE keeps the write parallelism (see the
+        // DeltaLite twin)
+        aliased.repartition(spark.sessionState.conf.numShufflePartitions,
+          fields.map(f => col(alias(f.name))): _*)
+      else aliased
+    clustered
       .write.partitionBy(fields.map(f => alias(f.name)): _*)
       .mode("overwrite").parquet(stage.toString)
     // every leaf data file, with its stage partition directory chain

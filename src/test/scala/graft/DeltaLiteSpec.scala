@@ -1177,7 +1177,11 @@ class DeltaLiteSpec extends AnyFunSuite {
       (1L, "p1"), (2L, "p1"), (100L, "p1"), (101L, "p1"),
       (3L, "p2"), (102L, "p2"), (5L, "p3"), (104L, "p3"))
       .toDF("k", "p").repartition(4)
-    DeltaLite.write(spark, df, t, partitionBy = Seq("p"))
+    // unclustered staging: this test NEEDS several files per partition
+    // with disjoint k ranges to exercise stats-bounds pruning
+    spark.conf.set("graft.delta.clusteredStaging", "false")
+    try DeltaLite.write(spark, df, t, partitionBy = Seq("p"))
+    finally spark.conf.unset("graft.delta.clusteredStaging")
     val snap = DeltaLite.snapshot(spark, t)
     // partition equality keeps only p2's files
     val byPart = DeltaLite.pruneFiles(snap, $"p" === "p2")
