@@ -4278,6 +4278,51 @@ object PipelineQueries {
         .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
     },
 
+    // BATCH CHANGE-DATA-FEED READ through the driver gate: a CDF table
+    // accumulates create → DV delete → keyed MERGE (which re-inserts
+    // some previously deleted keys and updates live ones), and
+    // changeFeed(-1, 2] must return the EXACT per-commit classification
+    // — derived inserts for the creation, cdc deletes for the DV
+    // delete, and insert vs update_preimage/update_postimage split by
+    // whether the merged key was live. The oracle rebuilds every
+    // change row from raw parquet; one misclassified row, lost
+    // preimage, or wrong commit version hash-fails.
+    QueryDef("q150_delta_cdf_batch",
+      """SELECT c_custkey, c_name, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'delete', 1 FROM customer
+        |WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'MERGED', 'insert', 2 FROM customer
+        |WHERE c_custkey <= 30 AND c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'update_preimage', 2 FROM customer
+        |WHERE c_custkey <= 30 AND c_custkey % 3 <> 0
+        |UNION ALL
+        |SELECT c_custkey, 'MERGED', 'update_postimage', 2 FROM customer
+        |WHERE c_custkey <= 30 AND c_custkey % 3 <> 0""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q150_cdf").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name").cast("string").as("c_name"))
+      DeltaLite.write(s, c, tbl,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaLite.deleteWhere(s, tbl, col("c_custkey") % 3 === 0)
+      DeltaLite.upsert(s,
+        c.filter(col("c_custkey") <= 30)
+          .select(col("c_custkey"), lit("MERGED").as("c_name")),
+        tbl, Seq("c_custkey"))
+      DeltaLite.changeFeed(s, tbl, -1, 2)
+        .select(col("c_custkey"), col("c_name"), col("_change_type"),
+          col("_commit_version"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the
