@@ -783,14 +783,23 @@ object GraftApp {
       sink.mode match {
         case "append" | "overwrite"
             if sink.format == "delta" && !deltaSourceAvailable(spark) =>
-          // native delta COMMITS without the jar (DeltaLite.write;
-          // unpartitioned, put-if-absent version claim). partition_by/
-          // zorder_by need the connector's layout control.
-          require(sink.partitionBy.isEmpty && sink.zorderBy.isEmpty,
-            s"delta sink '${sink.table}': partition_by/zorder_by need " +
-              "the delta-spark connector; the native writer commits " +
-              "unpartitioned tables")
-          graft.sources.DeltaLite.write(spark, df, sink.path, sink.mode)
+          // native delta COMMITS without the jar (DeltaLite.write,
+          // put-if-absent version claim + OCC retry). partition_by maps
+          // to the native hive-layout partitioned writer (q143);
+          // zorder_by still needs the connector's layout control.
+          // `options.enable_change_data_feed: true` stamps
+          // delta.enableChangeDataFeed at CREATION (writer version 4) —
+          // mutations then write exact cdc files and tails stream them.
+          require(sink.zorderBy.isEmpty,
+            s"delta sink '${sink.table}': zorder_by needs the " +
+              "delta-spark connector's layout control")
+          val tconf =
+            if (sink.options.get("enable_change_data_feed")
+                .exists(_.toBoolean))
+              Map("delta.enableChangeDataFeed" -> "true")
+            else Map.empty[String, String]
+          graft.sources.DeltaLite.write(spark, df, sink.path, sink.mode,
+            partitionBy = sink.partitionBy, configuration = tconf)
           ()
         case "append" | "overwrite"
             if sink.format == "iceberg" &&
@@ -835,8 +844,20 @@ object GraftApp {
           if (sink.format == "delta") {
             // native copy-on-write MERGE: rewrites only the table files
             // holding batch keys (per-file stats pruning), one atomic
-            // Delta commit — no jar needed
-            graft.sources.DeltaLite.upsert(spark, merged, sink.path, sink.keys)
+            // Delta commit — no jar needed. A first-run upsert CREATES
+            // the table, so CDF stamping happens here too.
+            val logDir = new org.apache.hadoop.fs.Path(sink.path,
+              "_delta_log")
+            val cdfWanted = sink.options.get("enable_change_data_feed")
+              .exists(_.toBoolean)
+            if (cdfWanted && !logDir.getFileSystem(
+                spark.sparkContext.hadoopConfiguration).exists(logDir))
+              graft.sources.DeltaLite.write(spark, merged, sink.path,
+                configuration =
+                  Map("delta.enableChangeDataFeed" -> "true"))
+            else
+              graft.sources.DeltaLite.upsert(spark, merged, sink.path,
+                sink.keys)
           } else if (sink.format == "iceberg") {
             // native merge-on-read MERGE: one atomic snapshot holding a
             // position-delete manifest for touched keys plus the batch

@@ -2177,7 +2177,13 @@ object DeltaLite {
         case Some(s) => (df.schema, s.configuration)
         case None => (df.schema, configuration)
       }
-    require(configuration.isEmpty || existing.isEmpty,
+    // table properties stamp at CREATION; re-stating values the table
+    // already carries is an idempotent no-op (config-driven sinks pass
+    // the same options every run), a DIFFERENT value refuses
+    require(configuration.isEmpty || existing.isEmpty ||
+      configuration.forall { case (k, v) =>
+        existing.exists(_.configuration.get(k).contains(v))
+      },
       "table properties are stamped at creation — alter the existing " +
         s"table's configuration through its own commit, not a write to " +
         tablePath)

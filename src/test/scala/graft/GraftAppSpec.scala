@@ -2004,4 +2004,45 @@ class GraftAppSpec extends AnyFunSuite {
       GraftConfigLoader.fromYaml(yaml)
     }
   }
+  test("config-level delta: partition_by maps to the native partitioned " +
+      "writer; enable_change_data_feed stamps CDF at creation and a " +
+      "config upsert run writes cdc files") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val tbl = s"$tmp/tbl"
+    val config = GraftConfig(
+      sources = Seq(SourceConf("r", s"$dir/region.parquet")),
+      sql = "SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v, " +
+        "CAST(r_regionkey % 2 AS INT) AS p INTO outp FROM r",
+      sinks = Seq(SinkConf("outp", tbl, mode = "overwrite",
+        format = "delta", partitionBy = Seq("p"),
+        options = Map("enable_change_data_feed" -> "true"))))
+    runBatch(spark, config)
+    val snap = graft.sources.DeltaLite.snapshot(spark, tbl)
+    assert(snap.partitionColumns == Seq("p"))
+    assert(snap.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"))
+    assert(snap.protocol.exists(_.minWriterVersion >= 4))
+    // second run: keyed upsert through config — the MERGE writes exact
+    // cdc files because the table carries the CDF property
+    val up = GraftConfig(
+      sources = Seq(SourceConf("r", s"$dir/region.parquet")),
+      sql = "SELECT CAST(r_regionkey AS BIGINT) AS k, " +
+        "'MERGED' AS v, CAST(r_regionkey % 2 AS INT) AS p " +
+        "INTO outp FROM r WHERE r_regionkey = 1",
+      sinks = Seq(SinkConf("outp", tbl, mode = "upsert",
+        format = "delta", keys = Seq("k"),
+        options = Map("enable_change_data_feed" -> "true"))))
+    runBatch(spark, up)
+    val fsys = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(tbl, "_change_data")),
+      "config upsert wrote no cdc files")
+    val feed = graft.sources.DeltaLite
+      .changeFeed(spark, tbl, snap.version, snap.version + 1)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed.contains((1L, "MERGED", "update_postimage")), feed)
+  }
+
 }
