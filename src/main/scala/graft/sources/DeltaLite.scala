@@ -1964,6 +1964,42 @@ object DeltaLite {
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ctField = StructField("_change_type", StringType)
     var parts = Vector.empty[DataFrame]
+    // LAZY rolling file state for derive-mode deletes: materialized by
+    // ONE snapshot replay at the first remove-bearing commit, then
+    // rolled forward per commit's file actions — never one full log
+    // replay per commit (O(range) rolls, not O(range × log length))
+    var rollFiles: mutable.LinkedHashMap[String, Map[String, Option[String]]] =
+      null
+    var rollDvs: mutable.LinkedHashMap[String, DeletionVectors.Descriptor] =
+      null
+    def preState(v: Long): (Map[String, Map[String, Option[String]]],
+        Map[String, DeletionVectors.Descriptor]) = {
+      if (rollFiles == null) {
+        val s0 = snapshot(spark, tablePath, Some(v - 1))
+        rollFiles = mutable.LinkedHashMap(s0.files.toSeq: _*)
+        rollDvs = mutable.LinkedHashMap(s0.dvs.toSeq: _*)
+      }
+      (rollFiles.toMap, rollDvs.toMap)
+    }
+    def rollForward(actions: Seq[JsonNode]): Unit =
+      if (rollFiles != null) actions.foreach { a =>
+        if (a.has("add")) {
+          val ad = a.get("add")
+          val p = decodePath(ad.get("path").asText)
+          rollFiles(p) = Option(ad.get("partitionValues"))
+            .map(jsonPartValues).getOrElse(Map.empty)
+          parseDv(ad) match {
+            case Some(d) => rollDvs(p) = d
+            case None => rollDvs.remove(p); ()
+          }
+        }
+        if (a.has("remove")) {
+          val p = decodePath(a.get("remove").get("path").asText)
+          rollFiles.remove(p)
+          rollDvs.remove(p)
+          ()
+        }
+      }
     (fromVersion + 1 to toVersion).foreach { v =>
       val file = new Path(logDir, f"$v%020d.json")
       if (!fs.exists(file)) return None // cleaned up — not CDF-readable
@@ -2017,15 +2053,16 @@ object DeltaLite {
             .withColumn("_commit_version", lit(v))
         }
         if (removes.nonEmpty) {
-          val prev = snapshot(spark, tablePath, Some(v - 1))
-          val sub = prev.files.view
-            .filterKeys(rmPaths.contains).toMap
+          val (pf, pd) = preState(v)
+          val sub = pf.view.filterKeys(rmPaths.contains).toMap
           if (sub.size != rmPaths.size) return None // unknown removes
-          parts :+= readFiles(spark, tablePath, prev, sub)
+          parts :+= readFiles(spark, tablePath,
+            snapTo.copy(files = sub, dvs = pd, stats = Map.empty), sub)
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))
         }
       }
+      rollForward(actions)
     }
     if (parts.isEmpty)
       Some(spark.createDataFrame(

@@ -1509,6 +1509,20 @@ class DeltaLiteSpec extends AnyFunSuite {
     // protocol floor also proves writer version 4 on CDF tables
     assert(DeltaLite.snapshot(spark, t).protocol.exists(p =>
       p.minWriterVersion >= 4))
+    // derive-mode deletes across MULTIPLE remove commits: the rolling
+    // state reads each commit's removed files at their PRE-commit
+    // state (one replay for the whole range, rolled forward)
+    DeltaLite.write(spark, Seq((7L, "g")).toDF("k", "v"), t, "overwrite")
+    DeltaLite.write(spark, Seq((8L, "h")).toDF("k", "v"), t, "overwrite")
+    val feed2 = DeltaLite.changeFeed(spark, t, 3, 5)
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(feed2 == Set(
+      (1L, "A", "delete", 4L), (9L, "z", "delete", 4L),
+      (7L, "g", "insert", 4L),
+      (7L, "g", "delete", 5L), (8L, "h", "insert", 5L)),
+      feed2.toString)
     // non-CDF tables decline (keyed diff stays the fallback)
     val t2 = java.nio.file.Files.createTempDirectory("delta_nocdf")
       .toString + "/tbl"
