@@ -2969,10 +2969,36 @@ object DeltaLite {
     require(oldSnap.schema == newSnap.schema,
       "schema changed between versions — diff the full snapshots " +
         "explicitly after reconciling the schemas")
+    // a merge-on-read DELETE is remove+re-add of the SAME path with a
+    // new deletion-vector descriptor — by-path set difference alone
+    // would put such a file on NEITHER side and silently miss the
+    // deleted rows. A file whose DV changed joins both sides: the old
+    // read applies the old bitmap, the new read the new one, and the
+    // keyed diff nets the difference (the newly dead rows) as deletes.
+    val dvChanged = oldSnap.files.keySet.intersect(newSnap.files.keySet)
+      .filter(p => oldSnap.dvs.get(p) != newSnap.dvs.get(p))
     val removed = oldSnap.files.view
-      .filterKeys(p => !newSnap.files.contains(p)).toMap
+      .filterKeys(p => !newSnap.files.contains(p)).toMap ++
+      dvChanged.iterator.map(p => p -> oldSnap.files(p))
     val added = newSnap.files.view
-      .filterKeys(p => !oldSnap.files.contains(p)).toMap
+      .filterKeys(p => !oldSnap.files.contains(p)).toMap ++
+      dvChanged.iterator.map(p => p -> newSnap.files(p))
+    if (removed.isEmpty) {
+      // APPEND-ONLY range: every changed row is an insert of the added
+      // files — no shuffle, no full-outer join (the null-key contract
+      // stays enforced by the same raise_error projection)
+      import graft.cdc.ChangeModel
+      import org.apache.spark.sql.functions.{raise_error, when}
+      val ins = readFiles(spark, tablePath, newSnap, added)
+      val guarded = keyCols.foldLeft(ins) { (d, k) =>
+        d.withColumn(k, when(col(k).isNull, raise_error(lit(
+          s"SnapshotDiff: null key column '$k' in the new snapshot — " +
+            "keys must be non-null"))).otherwise(col(k)))
+      }
+      return guarded
+        .withColumn(ChangeModel.OpCol, lit(ChangeModel.Insert))
+        .withColumn(ChangeModel.SeqCol, lit(seq))
+    }
     graft.cdc.SnapshotDiff.changes(
       readFiles(spark, tablePath, oldSnap, removed),
       readFiles(spark, tablePath, newSnap, added),

@@ -1358,6 +1358,42 @@ class DeltaLiteSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()(0) == ((0L, 1999996L)))
   }
 
+  test("changesBetween catches merge-on-read DV deletes (remove+re-add " +
+      "of the SAME path) and fast-paths append-only ranges") {
+    val t = java.nio.file.Files.createTempDirectory("delta_dvdiff")
+      .toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t) // v0
+    DeltaLite.deleteWhere(spark, t, col("k") === 2L)          // v1: DV
+    // the deleted row MUST surface as a delete — by-path set difference
+    // alone would put the re-added file on neither side and emit NOTHING
+    val diff = DeltaLite.changesBetween(spark, t, 0, 1, Seq("k"))
+      .select("k", "v", "_op").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(diff == Set((2L, "b", "delete")), diff.toString)
+    // a second DV on the same file (different descriptor) diffs too
+    DeltaLite.deleteWhere(spark, t, col("k") === 3L)          // v2
+    val diff2 = DeltaLite.changesBetween(spark, t, 1, 2, Seq("k"))
+      .select("k", "_op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff2 == Set((3L, "delete")), diff2.toString)
+    // append-only range: inserts arrive with NO join in the plan
+    DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t)  // v3
+    val ins = DeltaLite.changesBetween(spark, t, 2, 3, Seq("k"))
+    assert(ins.queryExecution.executedPlan.toString.toLowerCase
+      .indexOf("join") < 0, "append-only diff should not join")
+    assert(ins.select("k", "_op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((9L, "insert")))
+    // and the streaming tail surfaces the DV delete end-to-end
+    val c = graft.sources.LakeTailSource.Conf(t, "delta", Seq("k"),
+      None, None, 1, 0L, "fail")
+    val tail = graft.sources.LakeTailSource.changes(spark, c, 0L, 1L)
+      .select("k", "_op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tail == Set((2L, "delete")), tail.toString)
+  }
+
   test("commit conflict retry: a lost put-if-absent race rebases over " +
       "disjoint commits; file conflicts, dataChange-vs-mutation, and " +
       "metadata changes refuse loudly") {
