@@ -2351,6 +2351,27 @@ object IcebergLite {
     * (a delete file changes row visibility inside UNCHANGED data
     * files).
     */
+  /** APPEND-ONLY fast path for the streaming tail: when neither end
+    * carries delete files and no data file was removed across the
+    * range, every changed row is an insert of the added files — return
+    * that scan directly so the tail skips the keyed full-outer join
+    * (the overwhelmingly common shape of streaming-ingest tables).
+    * None when the range mutated (the keyed diff handles it).
+    */
+  def appendOnlyAdds(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Long): Option[DataFrame] = {
+    val from = snapshotState(spark, tablePath, Some(fromSnapshotId))
+    val to = snapshotState(spark, tablePath, Some(toSnapshotId))
+    if (from.posDeleteFiles.nonEmpty || to.posDeleteFiles.nonEmpty ||
+        from.eqDeleteFiles.nonEmpty || to.eqDeleteFiles.nonEmpty)
+      return None
+    val fromSet = from.dataFiles.map(f => normalizePathStr(f.path)).toSet
+    val toSet = to.dataFiles.map(f => normalizePathStr(f.path)).toSet
+    if (!fromSet.subsetOf(toSet)) return None // files removed: mutation
+    Some(scanData(spark, to,
+      to.dataFiles.filterNot(f => fromSet(normalizePathStr(f.path)))))
+  }
+
   def changedFileSets(spark: SparkSession, tablePath: String,
       fromSnapshotId: Long, toSnapshotId: Long): (DataFrame, DataFrame) = {
     val from = snapshotState(spark, tablePath, Some(fromSnapshotId))

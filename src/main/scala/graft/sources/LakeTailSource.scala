@@ -182,9 +182,27 @@ object LakeTailSource {
       if (from <= 0) fullAt(IcebergLite.read(spark, c.path, Some(toSnap)))
       else snapAt(from) match {
         case Some(fromSnap) =>
-          val (oldSide, newSide) = IcebergLite.changedFileSets(spark,
-            c.path, fromSnap, toSnap)
-          SnapshotDiff.changes(oldSide, newSide, c.keys, seq = to)
+          // append-only ranges (the common streaming-ingest shape) emit
+          // the added files as inserts directly — no keyed join
+          IcebergLite.appendOnlyAdds(spark, c.path, fromSnap, toSnap) match {
+            case Some(adds) =>
+              import graft.cdc.ChangeModel
+              import org.apache.spark.sql.functions.{col, lit,
+                raise_error, when}
+              val guarded = c.keys.foldLeft(adds) { (d, k) =>
+                d.withColumn(k, when(col(k).isNull, raise_error(lit(
+                  s"SnapshotDiff: null key column '$k' in the new " +
+                    "snapshot — keys must be non-null")))
+                  .otherwise(col(k)))
+              }
+              guarded
+                .withColumn(ChangeModel.OpCol, lit(ChangeModel.Insert))
+                .withColumn(ChangeModel.SeqCol, lit(to))
+            case None =>
+              val (oldSide, newSide) = IcebergLite.changedFileSets(spark,
+                c.path, fromSnap, toSnap)
+              SnapshotDiff.changes(oldSide, newSide, c.keys, seq = to)
+          }
         case None =>
           require(c.onMissing == "earliest",
             s"sequence number $from not in ${c.path} metadata " +
