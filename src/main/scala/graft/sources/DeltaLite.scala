@@ -1250,6 +1250,52 @@ object DeltaLite {
       5 -> "columnMapping", 6 -> "identityColumns")
       .collect { case (v, f) if minWriter >= v => f }
 
+  /** WRITER-protocol gate (the delta spec's writer-side half of
+    * [[checkProtocol]]): a writer MUST understand every feature the
+    * table's protocol requires before committing, or it can corrupt the
+    * table's contract. Honored here: `appendOnly` (mutations refuse
+    * when `delta.appendOnly=true` — dataChange:false rewrites like
+    * OPTIMIZE stay allowed, delta-spark's rule), `changeDataFeed`
+    * (mutations write cdc files), `columnMapping`/`deletionVectors`
+    * (native), `invariants`/`checkConstraints`/`generatedColumns`/
+    * `identityColumns` (accepted only while the table carries NONE —
+    * the native writer does not evaluate expressions it would have to
+    * enforce, so their actual presence refuses loudly). Unknown future
+    * writer features refuse.
+    */
+  private def checkWriterProtocol(snap: Snapshot,
+      dataChangeMutation: Boolean, operation: String): Unit = {
+    val feats = snap.protocol.map(p => p.writerFeatures.getOrElse(
+      impliedWriterFeatures(p.minWriterVersion))).getOrElse(Nil).toSet
+    val supported = Set("appendOnly", "invariants", "checkConstraints",
+      "changeDataFeed", "generatedColumns", "columnMapping",
+      "identityColumns", "deletionVectors", "vacuumProtocolCheck",
+      "v2Checkpoint", "timestampNtz", "domainMetadata")
+    val unknown = feats -- supported
+    require(unknown.isEmpty,
+      s"Delta table requires writer features $unknown — beyond the " +
+        "native writer; use the delta-spark jars for this table")
+    if (dataChangeMutation &&
+        snap.configuration.get("delta.appendOnly")
+          .exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        s"delta.appendOnly table refuses $operation — only appends and " +
+          "dataChange:false rewrites are allowed")
+    require(!snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
+      "table carries CHECK constraints the native writer does not " +
+        "evaluate — write with the delta-spark jars")
+    val schemaStr = snap.schema.json
+    require(!schemaStr.contains("delta.invariants"),
+      "table carries column invariants the native writer does not " +
+        "evaluate — write with the delta-spark jars")
+    require(!schemaStr.contains("delta.generationExpression"),
+      "table carries generated columns the native writer does not " +
+        "compute — write with the delta-spark jars")
+    require(!schemaStr.contains("delta.identity."),
+      "table carries identity columns the native writer does not " +
+        "assign — write with the delta-spark jars")
+  }
+
   /** Put-if-absent claim of a commit version — the Delta commit rule.
     * A concurrent writer loses the race LOUDLY instead of corrupting
     * the log. Metadata-changing commits (create, column mapping,
@@ -1594,6 +1640,7 @@ object DeltaLite {
   def deleteWhere(spark: SparkSession, tablePath: String,
       cond: org.apache.spark.sql.Column): Long = {
     val snap = snapshot(spark, tablePath)
+    checkWriterProtocol(snap, dataChangeMutation = true, "DELETE")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -1772,6 +1819,8 @@ object DeltaLite {
       smallFileBytes: Long = 128L << 20): Long = {
     require(smallFileBytes > 0, "smallFileBytes must be positive")
     val snap = snapshot(spark, tablePath)
+    // dataChange:false rewrite — allowed on appendOnly tables
+    checkWriterProtocol(snap, dataChangeMutation = false, "OPTIMIZE")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -2165,6 +2214,9 @@ object DeltaLite {
       val committed = existing.flatMap(_.txns.get(appId))
       if (committed.exists(_ >= v)) return existing.get.version
     }
+    existing.foreach(s0 => checkWriterProtocol(s0,
+      dataChangeMutation = mode == "overwrite",
+      if (mode == "overwrite") "OVERWRITE" else "APPEND"))
     // the table's recorded partitioning wins; a caller-supplied
     // partitionBy must agree (it only DEFINES the layout on create)
     val partCols: Seq[String] = existing match {
@@ -2488,6 +2540,7 @@ object DeltaLite {
       return write(spark, batch, tablePath, "append", txn)
     }
     val snap = snapshot(spark, tablePath)
+    checkWriterProtocol(snap, dataChangeMutation = true, "MERGE")
     txn.foreach { case (appId, v) =>
       if (snap.txns.get(appId).exists(_ >= v)) {
         allKeysDf.unpersist(); return snap.version

@@ -1394,6 +1394,74 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(tail == Set((2L, "delete")), tail.toString)
   }
 
+  test("writer-protocol gate: appendOnly refuses mutations but accepts " +
+      "appends + OPTIMIZE; CHECK constraints, invariants and unknown " +
+      "writer features refuse every write") {
+    val t = java.nio.file.Files.createTempDirectory("delta_wprot").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "f1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "f2.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"ao","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.appendOnly":"true"},"createdTime":1}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    // appends fine
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    // dataChange:false OPTIMIZE fine
+    DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    // mutations refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLite.deleteWhere(spark, t, col("k") === 1L))
+    assert(e1.getMessage.contains("appendOnly"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLite.upsert(spark, Seq((1L, "X")).toDF("k", "v"), t, Seq("k")))
+    assert(e2.getMessage.contains("appendOnly"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t,
+        "overwrite"))
+    assert(e3.getMessage.contains("appendOnly"), e3.getMessage)
+    assert(DeltaLite.read(spark, t).count() == 3)
+    // CHECK constraints: the native writer does not evaluate them
+    val t2 = java.nio.file.Files.createTempDirectory("delta_wprot2")
+      .toString
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t2, "f1.parquet")
+    writeLog(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      s"""{"metaData":{"id":"cc","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.constraints.kpos":"k > 0"},"createdTime":1}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e4 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t2))
+    assert(e4.getMessage.contains("CHECK constraints"), e4.getMessage)
+    // column invariants in the schema metadata refuse too
+    val invSchema = schema.json.replace(
+      """"name":"k","type":"long","nullable":false,"metadata":{}""",
+      """"name":"k","type":"long","nullable":false,"metadata":{"delta.invariants":"{\"expression\":{\"expression\":\"k > 0\"}}"}""")
+    assert(invSchema.contains("delta.invariants"), invSchema)
+    val t3 = java.nio.file.Files.createTempDirectory("delta_wprot3")
+      .toString
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t3, "f1.parquet")
+    writeLog(t3, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"inv","format":{"provider":"parquet","options":{}},"schemaString":${escape(invSchema)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e5 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t3))
+    assert(e5.getMessage.contains("invariants"), e5.getMessage)
+    // unknown future WRITER feature refuses (reads stay fine)
+    val t4 = java.nio.file.Files.createTempDirectory("delta_wprot4")
+      .toString
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t4, "f1.parquet")
+    writeLog(t4, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLite.read(spark, t4).count() == 1) // reader unaffected
+    val e6 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t4))
+    assert(e6.getMessage.contains("rowTracking"), e6.getMessage)
+  }
+
   test("commit conflict retry: a lost put-if-absent race rebases over " +
       "disjoint commits; file conflicts, dataChange-vs-mutation, and " +
       "metadata changes refuse loudly") {
