@@ -91,6 +91,12 @@ object DeltaLite {
         * commits and checkpoints restate it.
         */
       tableId: String = "",
+      /** live `domainMetadata` actions by domain (raw JSON line,
+        * verbatim): foreign writers persist per-domain state here (row
+        * tracking watermarks, clustering metadata); checkpoints MUST
+        * restate them or cleanupLogs destroys the domain state.
+        */
+      domainMetadata: Map[String, String] = Map.empty,
       /** decoded path → the add action's VERBATIM raw path string as it
         * appeared in the log/checkpoint. Mutation commits (remove,
         * DV re-add, checkpoint restating) must repeat a pre-existing
@@ -267,6 +273,7 @@ object DeltaLite {
     val dvs = mutable.LinkedHashMap.empty[String, DeletionVectors.Descriptor]
     val sizes = mutable.LinkedHashMap.empty[String, Long]
     val rawPaths = mutable.LinkedHashMap.empty[String, String]
+    val domains = mutable.LinkedHashMap.empty[String, String]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -330,6 +337,14 @@ object DeltaLite {
         ckpt.select("txn").filter("txn IS NOT NULL")
           .select("txn.appId", "txn.version").collect()
           .foreach(r => txns(r.getString(0)) = r.getLong(1))
+      }
+      if (cols.contains("domainMetadata")) {
+        ckpt.filter("domainMetadata IS NOT NULL").select("domainMetadata")
+          .toJSON.collect().foreach { js =>
+            val dm = mapper.readTree(js).get("domainMetadata")
+            if (!Option(dm.get("removed")).exists(_.asBoolean))
+              domains(dm.get("domain").asText) = js
+          }
       }
       def seedAdds(src: DataFrame): Unit = {
         val addCols = src.select("add.*").columns.toSet
@@ -489,6 +504,13 @@ object DeltaLite {
           val t = action.get("txn")
           txns(t.get("appId").asText) = t.get("version").asLong
         }
+        if (action.has("domainMetadata")) {
+          val dm = action.get("domainMetadata")
+          val name = dm.get("domain").asText
+          if (Option(dm.get("removed")).exists(_.asBoolean))
+            { domains.remove(name); () }
+          else domains(name) = line
+        }
       }
     }
     val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
@@ -499,7 +521,8 @@ object DeltaLite {
       dvs.filter { case (p, _) => files.contains(p) }.toMap,
       sizes.filter { case (p, _) => files.contains(p) }.toMap,
       configuration, protocolAction, tableId,
-      rawPaths.filter { case (p, _) => files.contains(p) }.toMap)
+      domainMetadata = domains.toMap,
+      rawPaths = rawPaths.filter { case (p, _) => files.contains(p) }.toMap)
   }
 
   /** Cheap replayability probe for version `v`: LISTING-ONLY (no
@@ -2797,6 +2820,8 @@ object DeltaLite {
       readerFeatures: Option[Seq[String]] = None,
       writerFeatures: Option[Seq[String]] = None)
   final case class CpTxn(appId: String, version: Long, lastUpdated: Long)
+  final case class CpDomain(domain: String, configuration: String,
+      removed: Boolean)
 
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
     import spark.implicits._
@@ -2833,10 +2858,25 @@ object DeltaLite {
       Option(proto), Option.empty[CpTxn]))
     val txns = snap.txns.toSeq.map { case (a, v) =>
       (Option.empty[CpAdd], Option.empty[CpMeta], Option.empty[CpProto],
-        Option(CpTxn(a, v, 1L)))
+        Option(CpTxn(a, v, 1L)), Option.empty[CpDomain])
     }
-    val df = (adds ++ meta ++ txns)
-      .toDF("add", "metaData", "protocol", "txn")
+    // live domainMetadata actions MUST ride the checkpoint (foreign
+    // writers keep per-domain state there; dropping them + cleanupLogs
+    // would destroy it)
+    val doms = snap.domainMetadata.values.toSeq.map { line =>
+      val dm = mapper.readTree(line).get("domainMetadata")
+      (Option.empty[CpAdd], Option.empty[CpMeta], Option.empty[CpProto],
+        Option.empty[CpTxn],
+        Option(CpDomain(dm.get("domain").asText,
+          Option(dm.get("configuration")).map(c =>
+            if (c.isTextual) c.asText else c.toString).getOrElse(""),
+          removed = false)))
+    }
+    val df = (adds.map { case (a, m, p, t) =>
+      (a, m, p, t, Option.empty[CpDomain]) } ++
+      meta.map { case (a, m, p, t) => (a, m, p, t, Option.empty[CpDomain]) } ++
+      txns ++ doms)
+      .toDF("add", "metaData", "protocol", "txn", "domainMetadata")
     val stage = new Path(tablePath + "_ckstage_" +
       java.util.UUID.randomUUID.toString.take(8))
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -2848,7 +2888,8 @@ object DeltaLite {
     fs.delete(stage, true)
     val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try lc.write(
-      s"""{"version":${snap.version},"size":${adds.size + 1 + txns.size}}"""
+      s"""{"version":${snap.version},"size":${adds.size + 1 + txns.size +
+        doms.size}}"""
         .getBytes("UTF-8"))
     finally lc.close()
     snap.version

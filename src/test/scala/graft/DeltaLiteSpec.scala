@@ -1394,6 +1394,34 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(tail == Set((2L, "delete")), tail.toString)
   }
 
+  test("domainMetadata actions survive checkpoint + cleanupLogs; " +
+      "removed=true drops the domain") {
+    val t = java.nio.file.Files.createTempDirectory("delta_domain")
+      .toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "f1.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata"]}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":42}","removed":false}}""",
+      """{"domainMetadata":{"domain":"ephemeral","configuration":"x","removed":false}}"""))
+    writeLog(t, 1, Seq(
+      """{"domainMetadata":{"domain":"ephemeral","configuration":"","removed":true}}"""))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.domainMetadata.keySet == Set("delta.rowTracking"),
+      snap.domainMetadata.keySet)
+    // checkpoint + cleanupLogs: the domain state must survive the
+    // commit JSON deletion through the checkpoint
+    DeltaLite.checkpoint(spark, t)
+    DeltaLite.cleanupLogs(spark, t)
+    val seeded = DeltaLite.snapshot(spark, t)
+    assert(seeded.domainMetadata.keySet == Set("delta.rowTracking"),
+      seeded.domainMetadata.keySet)
+    assert(seeded.files.keySet == Set("f1.parquet"))
+    assert(DeltaLite.read(spark, t).count() == 1)
+  }
+
   test("writer-protocol gate: appendOnly refuses mutations but accepts " +
       "appends + OPTIMIZE; CHECK constraints, invariants and unknown " +
       "writer features refuse every write") {
