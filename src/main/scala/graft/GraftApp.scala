@@ -441,8 +441,9 @@ object GraftApp {
         "(comma-separated key columns for the CDC diff); or add the " +
         (if (fmt == "delta") "delta-spark jars" else "iceberg-spark " +
           "runtime") + " for the connector-managed stream")
-    val passthrough = Seq("keys", "starting_version", "versions_per_batch",
-      "max_rows_per_batch")
+    val passthrough = Seq("keys", "starting_version",
+      "starting_timestamp", "versions_per_batch", "max_rows_per_batch",
+      "on_missing_offset")
     spark.readStream.format("graft.sources.LakeTailSource")
       .option("path", s.path).option("table_format", fmt)
       .options(passthrough.flatMap(k =>
@@ -674,16 +675,42 @@ object GraftApp {
           // public transaction-log format (reference reader.rs parity —
           // one full scan of the latest version), and the NATIVE
           // version-offset tail for streams (LakeTailSource — needs
-          // options.keys for the keyed CDC diff).
+          // options.keys for the keyed CDC diff). Batch reads take
+          // TIME TRAVEL via options.version_as_of / timestamp_as_of
+          // (delta-spark's option names).
           if (streaming) nativeLakeTail(spark, s, "delta")
-          else graft.sources.DeltaLite.read(spark, s.path)
+          else {
+            require(!(s.options.contains("version_as_of") &&
+              s.options.contains("timestamp_as_of")),
+              s"source '${s.name}': version_as_of and timestamp_as_of " +
+                "are mutually exclusive")
+            val asOf = s.options.get("version_as_of").map(_.toLong)
+              .orElse(s.options.get("timestamp_as_of").map(ts =>
+                graft.sources.DeltaLite.versionAtTimestamp(spark, s.path,
+                  java.sql.Timestamp.valueOf(ts.replace("T", " "))
+                    .getTime)))
+            graft.sources.DeltaLite.read(spark, s.path, asOf)
+          }
         } else if (s.format == "iceberg" && !formatOnClasspath(spark, "iceberg")) {
           // no iceberg-spark runtime: the NATIVE snapshot reader over
           // the public table-format spec (metadata json → avro
           // manifests → parquet scan, position deletes applied); the
-          // NATIVE sequence-number tail for streams.
+          // NATIVE sequence-number tail for streams. Batch reads take
+          // TIME TRAVEL via options.snapshot_id / timestamp_as_of.
           if (streaming) nativeLakeTail(spark, s, "iceberg")
-          else graft.sources.IcebergLite.read(spark, s.path)
+          else {
+            require(!(s.options.contains("snapshot_id") &&
+              s.options.contains("timestamp_as_of")),
+              s"source '${s.name}': snapshot_id and timestamp_as_of " +
+                "are mutually exclusive")
+            val snapId = s.options.get("snapshot_id").map(_.toLong)
+              .orElse(s.options.get("timestamp_as_of").map(ts =>
+                graft.sources.IcebergLite.snapshotAtTimestamp(spark,
+                  s.path,
+                  java.sql.Timestamp.valueOf(ts.replace("T", " "))
+                    .getTime)))
+            graft.sources.IcebergLite.read(spark, s.path, snapId)
+          }
         } else if (streaming) {
           val schema = s.schema.getOrElse(spark.read.format(s.format)
             .options(s.options).load(s.path).schema) // infer from existing files

@@ -2045,4 +2045,39 @@ class GraftAppSpec extends AnyFunSuite {
     assert(feed.contains((1L, "MERGED", "update_postimage")), feed)
   }
 
+  test("config-level TIME TRAVEL: delta version_as_of and iceberg " +
+      "snapshot_id pin batch sources; conflicting options refuse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val dt = s"$tmp/dtbl"
+    graft.sources.DeltaLite.write(spark,
+      Seq((1L, "a")).toDF("k", "v"), dt)                  // v0
+    graft.sources.DeltaLite.write(spark,
+      Seq((2L, "b")).toDF("k", "v"), dt)                  // v1
+    val pinned = GraftConfig(
+      sources = Seq(SourceConf("t", dt, format = "delta",
+        options = Map("version_as_of" -> "0"))),
+      sql = "SELECT k, v INTO outp FROM t",
+      sinks = Seq(SinkConf("outp", s"$tmp/out_d", mode = "overwrite")))
+    runBatch(spark, pinned)
+    assert(spark.read.parquet(s"$tmp/out_d").count() == 1)
+    val e = intercept[IllegalArgumentException](runBatch(spark,
+      pinned.copy(sources = pinned.sources.map(s0 => s0.copy(options =
+        s0.options + ("timestamp_as_of" -> "1995-01-01 00:00:00"))))))
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    // iceberg: pin the FIRST snapshot id
+    val it = s"$tmp/itbl"
+    val snap1 = graft.sources.IcebergLite.write(spark,
+      Seq((1L, "a")).toDF("k", "v"), it)
+    graft.sources.IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), it)
+    val pinnedIce = GraftConfig(
+      sources = Seq(SourceConf("t", it, format = "iceberg",
+        options = Map("snapshot_id" -> snap1.toString))),
+      sql = "SELECT k, v INTO outp FROM t",
+      sinks = Seq(SinkConf("outp", s"$tmp/out_i", mode = "overwrite")))
+    runBatch(spark, pinnedIce)
+    assert(spark.read.parquet(s"$tmp/out_i")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
 }
