@@ -2959,6 +2959,23 @@ object DeltaLite {
     fs.listStatus(logDir).foreach { s =>
       s.getPath.getName match {
         case commitRe(cv) if cv.toLong <= v =>
+          // CDF files referenced ONLY by this about-to-die commit are
+          // garbage once the commit JSON is gone (the range is no
+          // longer CDF-readable) — delete them with it, or
+          // _change_data grows forever
+          val in = fs.open(s.getPath)
+          val txt = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          txt.split("\n").filter(_.trim.nonEmpty).foreach { line =>
+            val a = try mapper.readTree(line) catch { case _: Exception => null }
+            if (a != null && a.has("cdc")) {
+              val rel = decodePath(a.get("cdc").get("path").asText)
+              val f = if (rel.contains("://") || rel.startsWith("/"))
+                new Path(rel) else new Path(tablePath, rel)
+              fs.delete(f, false)
+              ()
+            }
+          }
           if (fs.delete(s.getPath, false)) deleted += 1
         case _ => ()
       }

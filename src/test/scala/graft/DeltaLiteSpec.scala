@@ -1686,6 +1686,21 @@ class DeltaLiteSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(feedAfterVacuum == Set((1L, "delete")),
       s"vacuum destroyed the cdc files: $feedAfterVacuum")
+    // cdc files DIE WITH LOG CLEANUP: once their commits are deleted,
+    // the range is no longer CDF-readable and keeping them would grow
+    // _change_data forever
+    val cd = new Path(t3, "_change_data")
+    def cdcFiles(p: Path): Long =
+      if (!fs(t3).exists(p)) 0L
+      else fs(t3).listStatus(p).map(st =>
+        if (st.isDirectory) cdcFiles(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L).sum
+    assert(cdcFiles(cd) > 0L, "premise: cdc files exist before cleanup")
+    DeltaLite.checkpoint(spark, t3)
+    DeltaLite.cleanupLogs(spark, t3)
+    assert(cdcFiles(cd) == 0L, s"${cdcFiles(cd)} orphaned cdc files " +
+      "survive log cleanup")
+    assert(DeltaLite.read(spark, t3).count() == 1) // table intact
   }
 
   test("v2 checkpoint (UUID-named + sidecars) seeds the snapshot; a " +
