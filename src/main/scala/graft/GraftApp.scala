@@ -687,8 +687,7 @@ object GraftApp {
             val asOf = s.options.get("version_as_of").map(_.toLong)
               .orElse(s.options.get("timestamp_as_of").map(ts =>
                 graft.sources.DeltaLite.versionAtTimestamp(spark, s.path,
-                  java.sql.Timestamp.valueOf(ts.replace("T", " "))
-                    .getTime)))
+                  parseTimestampOption(s.name, ts))))
             graft.sources.DeltaLite.read(spark, s.path, asOf)
           }
         } else if (s.format == "iceberg" && !formatOnClasspath(spark, "iceberg")) {
@@ -706,9 +705,7 @@ object GraftApp {
             val snapId = s.options.get("snapshot_id").map(_.toLong)
               .orElse(s.options.get("timestamp_as_of").map(ts =>
                 graft.sources.IcebergLite.snapshotAtTimestamp(spark,
-                  s.path,
-                  java.sql.Timestamp.valueOf(ts.replace("T", " "))
-                    .getTime)))
+                  s.path, parseTimestampOption(s.name, ts))))
             graft.sources.IcebergLite.read(spark, s.path, snapId)
           }
         } else if (streaming) {
@@ -727,6 +724,36 @@ object GraftApp {
       // TZ is UTC, wall clock unchanged).
       Tables.normalizeEventTime(raw, ts).withWatermark(ts, dur)
     } else raw
+  }
+
+  /** Parse a config `timestamp_as_of` value to epoch millis — the
+    * shapes delta-spark's `timestampAsOf` accepts: `yyyy-MM-dd`
+    * (expands to local midnight), `yyyy-MM-dd HH:mm:ss[.fff]`, and
+    * ISO-8601 with a `T` separator and an OPTIONAL zone offset / `Z`.
+    * Parse failures name the source and the option instead of leaking
+    * a bare java.sql exception.
+    */
+  private[graft] def parseTimestampOption(source: String,
+      value: String): Long = {
+    val v = value.trim
+    try {
+      if (v.matches("""\d{4}-\d{2}-\d{2}"""))
+        java.sql.Date.valueOf(v).getTime
+      else if (v.contains("T")) {
+        try java.time.OffsetDateTime.parse(v).toInstant.toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.sql.Timestamp.valueOf(
+              java.time.LocalDateTime.parse(v)).getTime
+        }
+      } else java.sql.Timestamp.valueOf(v).getTime
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"source '$source': cannot parse timestamp_as_of '$value' — " +
+            "use yyyy-MM-dd, 'yyyy-MM-dd HH:mm:ss[.fff]', or ISO-8601 " +
+            "with an optional zone offset", e)
+    }
   }
 
   /** Register the config's UDFs on the session: SQL scalar functions

@@ -4172,7 +4172,7 @@ object PipelineQueries {
         |    CAST(o_orderdate AS DATE) AS o_orderdate
         |  FROM orders
         |  WHERE o_orderdate >= DATE '1995-03-01'
-        |    AND o_orderdate < DATE '1995-04-01'
+        |    AND o_orderdate < DATE '1995-03-08'
         |), after_del AS (
         |  SELECT * FROM base
         |  WHERE NOT (o_orderdate = DATE '1995-03-05' OR o_custkey % 7 = 0)
@@ -4191,8 +4191,11 @@ object PipelineQueries {
         sys.props("java.io.tmpdir"), "graft_q148_mapped").toString
       val p = new org.apache.hadoop.fs.Path(tbl)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      // one WEEK of orders (~7 date partitions): the rig still pins
+      // CM upgrade + partitioned staging + DV delete + merge, without
+      // a month-wide staging pass dominating bench wall-clock
       val lo = java.sql.Date.valueOf("1995-03-01")
-      val hi = java.sql.Date.valueOf("1995-04-01")
+      val hi = java.sql.Date.valueOf("1995-03-08")
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
           col("o_custkey").cast("bigint").as("o_custkey"),
@@ -4321,6 +4324,64 @@ object PipelineQueries {
       DeltaLite.changeFeed(s, tbl, -1, 2)
         .select(col("c_custkey"), col("c_name"), col("_change_type"),
           col("_commit_version"))
+    },
+
+    // ICEBERG TAIL TWIN (q149's contract on the OTHER table format):
+    // the sequence-number tail replays append → append → position
+    // delete with Trigger.AvailableNow. The rig PINS both derivations
+    // — the pure-append range must take the appendOnlyAdds fast path
+    // (inserts straight from the added files, no keyed join) and the
+    // delete range must decline it (keyed snapshot-diff fallback) —
+    // and the sunk feed must hash-match ONE oracle expectation across
+    // both paths: the two CDC derivations agree row-for-row.
+    QueryDef("q151_iceberg_tail_replay",
+      """SELECT r_regionkey, r_name, 'insert' AS _op,
+        |  CAST(1 AS BIGINT) AS _seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, r_name,
+        |  'insert' AS _op, CAST(2 AS BIGINT) AS _seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete' AS _op,
+        |  CAST(3 AS BIGINT) AS _seq
+        |FROM region WHERE r_regionkey % 2 = 0
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, r_name,
+        |  'delete' AS _op, CAST(3 AS BIGINT) AS _seq
+        |FROM region WHERE (r_regionkey + 100) % 2 = 0""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.IcebergLite
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q151_icetail").toString
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val tbl = s"$base/tbl"
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+      val s1 = IcebergLite.write(s, r, tbl)
+      val s2 = IcebergLite.write(s,
+        r.select((col("r_regionkey") + 100).as("r_regionkey"),
+          col("r_name")), tbl)
+      val s3 = IcebergLite.deleteWhere(s, tbl,
+        col("r_regionkey") % 2 === 0)
+      require(IcebergLite.appendOnlyAdds(s, tbl, s1, s2).nonEmpty,
+        "append range unexpectedly declined the appendOnlyAdds fast path")
+      require(IcebergLite.appendOnlyAdds(s, tbl, s2, s3).isEmpty,
+        "delete range unexpectedly took the append-only fast path")
+      val q = s.readStream.format("graft.sources.LakeTailSource")
+        .option("path", tbl).option("table_format", "iceberg")
+        .option("keys", "r_regionkey").option("starting_version", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "iceberg tail replay timed out")
+      s.read.parquet(s"$base/out")
+        .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
     },
 
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer

@@ -180,6 +180,25 @@ object DeletionVectors {
     }
   }
 
+  /** Union of two sorted-unique row-index runs (the executor-side
+    * prior-DV merge) — two-pointer, deduping, never materializing more
+    * than the merged result.
+    */
+  def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    out.sizeHint(a.length + b.length)
+    var i = 0; var j = 0
+    var last = Long.MinValue; var has = false
+    def push(v: Long): Unit =
+      if (!has || v != last) { out += v; last = v; has = true }
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { push(a(i)); i += 1 } else { push(b(j)); j += 1 }
+    }
+    while (i < a.length) { push(a(i)); i += 1 }
+    while (j < b.length) { push(b(j)); j += 1 }
+    out.result()
+  }
+
   // ------------------------------------------------------------ encode
 
   /** Serialize row indexes to the RoaringBitmapArray portable format —

@@ -248,7 +248,12 @@ object DeltaLite {
     val commitRe = "(\\d{20})\\.json".r
     val ckptRe = "(\\d{20})\\.checkpoint.*\\.parquet".r
     // checkpoint to seed from: _last_checkpoint wins (unless pinned
-    // BEFORE it), else the latest by name not past the pin
+    // BEFORE it), else the latest by name not past the pin. A LAGGING
+    // _last_checkpoint (external writer checkpointed later but didn't
+    // update the pointer) whose follow-up commits were already cleaned
+    // must not strand the read when a newer named checkpoint covers the
+    // gap — the same precedence [[isReplayable]] probes by, so the two
+    // never disagree on whether a version resolves.
     val lastCkptFile = new Path(logDir, "_last_checkpoint")
     val ckptVersion: Option[Long] = {
       val fromFile =
@@ -257,9 +262,19 @@ object DeltaLite {
           val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           Some(mapper.readTree(txt).get("version").asLong)
         } else None
-      val candidates = entries.collect { case ckptRe(v) => v.toLong }
-        .filter(v => asOf.forall(v <= _)).sorted.lastOption
-      fromFile.filter(v => asOf.forall(v <= _)).orElse(candidates)
+      val named = entries.collect { case ckptRe(v) => v.toLong }
+        .filter(v => asOf.forall(v <= _)).distinct.sorted
+      val preferred = fromFile.filter(v => asOf.forall(v <= _))
+      val commitSet = entries.collect { case commitRe(v) => v.toLong }
+        .filter(v => asOf.forall(v <= _)).toSet
+      val maxListed = if (commitSet.isEmpty) -1L else commitSet.max
+      // a seed works when every listed commit past it is contiguous
+      // (the replay's own requirement, checked listing-only here)
+      def seedWorks(s: Long): Boolean =
+        (s + 1 to math.max(s, maxListed)).forall(commitSet)
+      preferred.filter(seedWorks)
+        .orElse(named.reverse.find(seedWorks))
+        .orElse(preferred).orElse(named.lastOption)
     }
     var schemaJson: Option[String] = None
     var mappingMode: String = "none"
@@ -560,7 +575,15 @@ object DeltaLite {
         * (never column-mapped, no field-id check), appended after the
         * table columns in the output.
         */
-      extraCols: Seq[StructField] = Nil): DataFrame = {
+      extraCols: Seq[StructField] = Nil,
+      /** normalized-path → commit version: when set, a `_commit_version`
+        * column is derived per row from the file it came from via a
+        * broadcast map lookup on `_metadata.file_path` — what lets the
+        * change-feed reader scan MANY commits' files as ONE scan
+        * (constant plan size at any commit count) and still stamp each
+        * row's exact commit.
+        */
+      commitVersionOf: Option[Map[String, Long]] = None): DataFrame = {
     val mapped = snap.columnMappingMode != "none"
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
@@ -586,14 +609,22 @@ object DeltaLite {
       snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"partition column $c missing from the Delta schema")))
-    val outNames = snap.schema.fieldNames.toSeq ++ extraCols.map(_.name)
+    val verField = commitVersionOf.map(_ => StructField("_commit_version",
+      org.apache.spark.sql.types.LongType)).toSeq
+    val outNames = snap.schema.fieldNames.toSeq ++ extraCols.map(_.name) ++
+      verField.map(_.name)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(snap.schema.fields ++ extraCols))
+        StructType(snap.schema.fields ++ extraCols ++ verField))
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
+    // the per-row commit stamp: broadcast hash lookup, map-only
+    val verCol = commitVersionOf.map { m =>
+      val bc = spark.sparkContext.broadcast(m)
+      udf((path: String) => bc.value(IcebergLite.normalizePathStr(path)))
+    }
     if (snap.columnMappingMode == "id")
       verifyFieldIds(spark, files.keysIterator.map(abs).toSeq, dataFields)
     def reader = spark.read.schema(readSchema)
@@ -640,28 +671,32 @@ object DeltaLite {
     def logicalize(base0: DataFrame): DataFrame =
       if (mapped) base0.select((dataFields.map(f =>
         org.apache.spark.sql.functions.col(physicalName(f))
-          .cast(f.dataType).as(f.name)) ++ extraCols.map(f =>
+          .cast(f.dataType).as(f.name)) ++ (extraCols ++ verField).map(f =>
         org.apache.spark.sql.functions.col(f.name))).toIndexedSeq: _*)
       else base0
     if (partFields.nonEmpty && groups.size > unionCap) {
       def norm(p: String): String = encodedPathKey(abs(p))
       val scanned = reader
         .parquet(files.keysIterator.map(abs).toSeq: _*)
-      val base0 = keepRow match {
+      val base00 = keepRow match {
         case Some(keep) => scanned.filter(keep(
           col("_metadata.file_path"), col("_metadata.row_index")))
         case None => scanned
       }
+      val base0 = verCol.map(u => base00.withColumn("_commit_version",
+        u(col("_metadata.file_path")))).getOrElse(base00)
       val pathCol = IcebergLite
         .normalizePathCol(col("_metadata.file_path")).as("__delta_path")
       val withPath =
         if (mapped) base0.select((dataFields.map(f =>
             org.apache.spark.sql.functions.col(physicalName(f))
-              .cast(f.dataType).as(f.name)) ++ extraCols.map(f =>
+              .cast(f.dataType).as(f.name)) ++ (extraCols ++ verField)
+            .map(f =>
             org.apache.spark.sql.functions.col(f.name)) :+ pathCol)
           .toIndexedSeq: _*)
         else base0.select((dataFields.map(f =>
-            org.apache.spark.sql.functions.col(f.name)) ++ extraCols.map(
+            org.apache.spark.sql.functions.col(f.name)) ++
+            (extraCols ++ verField).map(
             f => org.apache.spark.sql.functions.col(f.name)) :+ pathCol)
           .toIndexedSeq: _*)
       val pvSchema = StructType(
@@ -687,12 +722,14 @@ object DeltaLite {
     val parts = groups.map { case (pv, fs0) =>
       val scanned = reader
         .parquet(fs0.map(f => abs(f._1)): _*)
-      val base0 = keepRow match {
+      val base00 = keepRow match {
         case Some(keep) if fs0.exists(f => snap.dvs.contains(f._1)) =>
           scanned.filter(keep(col("_metadata.file_path"),
             col("_metadata.row_index")))
         case _ => scanned
       }
+      val base0 = verCol.map(u => base00.withColumn("_commit_version",
+        u(col("_metadata.file_path")))).getOrElse(base00)
       val base = logicalize(base0)
       partFields.foldLeft(base) { (df, f) =>
         // partitionValues in column-mapped tables key by physical name
@@ -1264,6 +1301,9 @@ object DeltaLite {
     * upgrade to a features-based protocol must restate (the spec's
     * legacy→feature mapping).
     */
+  private def featuresJson(fs: Seq[String]): String =
+    fs.map(mapper.writeValueAsString).mkString("[", ",", "]")
+
   private def impliedReaderFeatures(minReader: Int): Seq[String] =
     if (minReader >= 2) Seq("columnMapping") else Nil
 
@@ -1280,11 +1320,14 @@ object DeltaLite {
     * when `delta.appendOnly=true` — dataChange:false rewrites like
     * OPTIMIZE stay allowed, delta-spark's rule), `changeDataFeed`
     * (mutations write cdc files), `columnMapping`/`deletionVectors`
-    * (native), `invariants`/`checkConstraints`/`generatedColumns`/
-    * `identityColumns` (accepted only while the table carries NONE —
-    * the native writer does not evaluate expressions it would have to
-    * enforce, so their actual presence refuses loudly). Unknown future
-    * writer features refuse.
+    * (native), `inCommitTimestamp` (commits stamp the monotonic clock),
+    * `invariants`/`checkConstraints` (row-adding commits EVALUATE the
+    * table's CHECK constraints and column invariants —
+    * [[enforceConstraints]] — and refuse naming the violated
+    * expression), `generatedColumns`/`identityColumns` (accepted only
+    * while the table carries NONE — the native writer does not
+    * SYNTHESIZE column values, so their actual presence refuses
+    * loudly). Unknown future writer features refuse by name.
     */
   private def checkWriterProtocol(snap: Snapshot,
       dataChangeMutation: Boolean, operation: String): Unit = {
@@ -1293,7 +1336,8 @@ object DeltaLite {
     val supported = Set("appendOnly", "invariants", "checkConstraints",
       "changeDataFeed", "generatedColumns", "columnMapping",
       "identityColumns", "deletionVectors", "vacuumProtocolCheck",
-      "v2Checkpoint", "timestampNtz", "domainMetadata")
+      "v2Checkpoint", "timestampNtz", "domainMetadata",
+      "inCommitTimestamp")
     val unknown = feats -- supported
     require(unknown.isEmpty,
       s"Delta table requires writer features $unknown — beyond the " +
@@ -1304,19 +1348,74 @@ object DeltaLite {
       throw new IllegalArgumentException(
         s"delta.appendOnly table refuses $operation — only appends and " +
           "dataChange:false rewrites are allowed")
-    require(!snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
-      "table carries CHECK constraints the native writer does not " +
-        "evaluate — write with the delta-spark jars")
     val schemaStr = snap.schema.json
-    require(!schemaStr.contains("delta.invariants"),
-      "table carries column invariants the native writer does not " +
-        "evaluate — write with the delta-spark jars")
     require(!schemaStr.contains("delta.generationExpression"),
       "table carries generated columns the native writer does not " +
         "compute — write with the delta-spark jars")
     require(!schemaStr.contains("delta.identity."),
       "table carries identity columns the native writer does not " +
         "assign — write with the delta-spark jars")
+  }
+
+  /** The table's enforced write-time row predicates: CHECK constraints
+    * (`delta.constraints.<name>` configuration — delta-spark's
+    * `ALTER TABLE … ADD CONSTRAINT` shape) and legacy column invariants
+    * (`delta.invariants` field metadata, the pre-constraints form:
+    * `{"expression":{"expression":"<sql>"}}`). Returns (label, sql).
+    */
+  private[graft] def tableConstraints(configuration: Map[String, String],
+      schema: StructType): Seq[(String, String)] = {
+    val checks = configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"CHECK constraint ${k.stripPrefix("delta.constraints.")}", v)
+    }.sortBy(_._1)
+    val invariants = schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("delta.invariants")) {
+        val js = f.metadata.getString("delta.invariants")
+        val sql =
+          try Option(mapper.readTree(js).get("expression"))
+            .flatMap(e => Option(e.get("expression"))).map(_.asText)
+          catch { case _: Exception => None }
+        Some((s"column invariant on ${f.name}", sql.getOrElse(
+          throw new IllegalArgumentException(
+            s"unparseable delta.invariants metadata on column " +
+              s"${f.name}: $js — write with the delta-spark jars"))))
+      } else None
+    }
+    checks ++ invariants
+  }
+
+  /** Evaluate the table's CHECK constraints / column invariants over
+    * the rows a commit ADDS — delta-spark's write-side contract
+    * (`CheckDeltaInvariant`): a row violates when the expression is not
+    * TRUE (null fails too), and the refusal names the constraint, its
+    * expression, and a sample violating row. ONE distributed job for
+    * all constraints with an early-exit `limit(1)` — in-contract
+    * batches pay a single validated pass, map-only at any scale.
+    */
+  private def enforceConstraints(configuration: Map[String, String],
+      schema: StructType, df: DataFrame, tablePath: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val cs = tableConstraints(configuration, schema)
+    if (cs.isEmpty) return
+    val violated = cs.map { case (_, sql) => !(expr(sql) <=> lit(true)) }
+      .reduce(_ || _)
+    val sample = df.filter(violated)
+      .select((df.columns.map(col) ++ cs.zipWithIndex.map {
+        case ((_, sql), i) => (expr(sql) <=> lit(true)).as(s"__ok_$i")
+      }).toIndexedSeq: _*)
+      .limit(1).collect()
+    sample.headOption.foreach { row =>
+      val failed = cs.zipWithIndex.collect {
+        case ((label, sql), i) if !row.getAs[Boolean](s"__ok_$i") =>
+          s"$label ($sql)"
+      }
+      throw new IllegalArgumentException(
+        s"write to $tablePath violates ${failed.mkString("; ")} — " +
+          "sample row: " +
+          row.toSeq.take(df.columns.length).mkString("[", ", ", "]")
+            .take(500))
+    }
   }
 
   /** Put-if-absent claim of a commit version — the Delta commit rule.
@@ -1405,8 +1504,9 @@ object DeltaLite {
     val commitRe = "(\\d{20})\\.json".r
     val maxRetries = 10
     var attempt = firstVersion
+    var curLines = lines
     var tries = 0
-    while (!tryClaim(fs, logDir, attempt, lines)) {
+    while (!tryClaim(fs, logDir, attempt, curLines)) {
       tries += 1
       require(!metadataChange,
         s"commit $attempt of $tablePath lost to a concurrent writer " +
@@ -1470,6 +1570,21 @@ object DeltaLite {
         }
       }
       attempt = head + 1
+      // ICT monotonicity survives the rebase: a commit stamped with an
+      // inCommitTimestamp re-stamps past the NEW head's clock (the
+      // intervening winner may carry a later ICT than ours)
+      curLines = curLines.map { l =>
+        val n = mapper.readTree(l)
+        val ci = n.get("commitInfo")
+        if (ci != null && ci.has("inCommitTimestamp")) {
+          val headClock = commitClock(fs,
+            new Path(logDir, f"$head%020d.json")).getOrElse(0L)
+          ci.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("inCommitTimestamp",
+              math.max(ci.get("inCommitTimestamp").asLong, headClock + 1))
+          n.toString
+        } else l
+      }
     }
     attempt
   }
@@ -1608,15 +1723,30 @@ object DeltaLite {
     * RoaringBitmapArray ON THE EXECUTOR — the driver collects only
     * (path, cardinality, bitmap BYTES) triples, KB-order per file,
     * never row indexes (the iceberg `stagePosDeletes` pattern,
-    * delta-side). Row indexes arrive sorted and unique per file.
+    * delta-side). Row indexes arrive sorted and unique per file. A file
+    * already carrying a live DV merges the PRIOR bitmap here too
+    * (executor-side load + sorted-run union via `priorDvs`), so
+    * repeated deletes against the same file never materialize its
+    * dead-row indexes driver-side either.
     */
   private[graft] def stageDvBitmaps(spark: SparkSession,
-      scanned: DataFrame): Array[(String, Long, Array[Byte])] = {
+      scanned: DataFrame,
+      /** normalized scan path → the file's prior live DV descriptor. */
+      priorDvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
+      tablePath: String = ""): Array[(String, Long, Array[Byte])] = {
     import spark.implicits._
+    val bcPrior = spark.sparkContext.broadcast(priorDvs)
+    val confBytes =
+      if (priorDvs.isEmpty) Array.empty[Byte]
+      else LakeTailSource.confToBytes(
+        spark.sparkContext.hadoopConfiguration)
+    val tp = tablePath
     scanned.as[(String, Long)]
       .repartition(col("__p"))
       .sortWithinPartitions(col("__p"), col("__i"))
       .mapPartitions { it =>
+        lazy val fsys =
+          new Path(tp).getFileSystem(LakeTailSource.bytesToConf(confBytes))
         new Iterator[(String, Long, Array[Byte])] {
           private var cur: (String, Long) = _
           private var has = it.hasNext
@@ -1626,16 +1756,22 @@ object DeltaLite {
             val path = cur._1
             val b = Array.newBuilder[Long]
             b += cur._2
-            var n = 1L
             var done = false
             while (!done) {
               if (it.hasNext) {
                 val nx = it.next()
-                if (nx._1 == path) { b += nx._2; n += 1 }
+                if (nx._1 == path) b += nx._2
                 else { cur = nx; done = true }
               } else { has = false; done = true }
             }
-            (path, n, DeletionVectors.encodeBitmap(b.result()))
+            val fresh = b.result()
+            val all = bcPrior.value
+              .get(IcebergLite.normalizePathStr(path)) match {
+              case Some(d) => DeletionVectors.unionSorted(fresh,
+                DeletionVectors.load(fsys, tp, d))
+              case None => fresh
+            }
+            (path, all.length.toLong, DeletionVectors.encodeBitmap(all))
           }
         }
       }.collect()
@@ -1692,44 +1828,40 @@ object DeltaLite {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scanned = matched.select(col("__file").as("__p"), col("__i"))
     // ONE distributed job: scan → shuffle on file → per-file bitmap
-    // bytes on executors; the driver sees only (path, card, blob)
-    val staged = stageDvBitmaps(spark, scanned)
+    // bytes on executors (any PRIOR DV merges there too); the driver
+    // sees only (path, card, blob)
+    val priorByNorm: Map[String, DeletionVectors.Descriptor] =
+      candFiles.keysIterator.filter(snap.dvs.contains)
+        .map(p => encodedPathKey(abs(p)) -> snap.dvs(p)).toMap
+    val staged = stageDvBitmaps(spark, scanned, priorByNorm, tablePath)
     if (staged.isEmpty) {
       if (cdf) matched.unpersist()
       return snap.version
     }
     // optional loud cap (unset = unbounded — driver memory is bounded
     // by bitmap BYTES, not row count); enforced from the same job's
-    // cardinalities, no second scan
+    // merged cardinalities (dead rows per touched file), no second scan
     spark.conf.getOption("graft.delta.maxDeleteRowsPerCommit")
       .map(_.toLong).foreach { maxRows =>
         val total = staged.map(_._2).sum
         require(total <= maxRows,
-          s"delete matches $total rows, over the explicit " +
-            "graft.delta.maxDeleteRowsPerCommit=" + maxRows +
+          s"delete leaves $total dead rows across the touched files, " +
+            "over the explicit graft.delta.maxDeleteRowsPerCommit=" +
+            maxRows +
             " — raise/unset the cap or rewrite the table instead")
       }
     // normalize scan paths back to the snapshot's action paths (the
-    // scan side is URI-encoded `_metadata.file_path`)
+    // scan side is URI-encoded `_metadata.file_path`); prior-DV merges
+    // already happened on the executors, so these are final bitmaps
     val byNorm = snap.files.keysIterator
       .map(p => encodedPathKey(abs(p)) -> p).toMap
-    // merge with any prior DV driver-side: prior bitmaps are KB blobs,
-    // and the scan anti-filtered already-dead rows, so fresh ∩ prior
-    // is empty (distinct below is a cheap invariant guard)
     val perFile: Seq[(String, Long, Array[Byte])] = staged.toSeq.map {
-      case (scanPath, nFresh, bytes) =>
+      case (scanPath, card, bytes) =>
         val action = byNorm.getOrElse(
           IcebergLite.normalizePathStr(scanPath),
           throw new IllegalStateException(
             s"scan path $scanPath not in the snapshot file set"))
-        snap.dvs.get(action) match {
-          case None => (action, nFresh, bytes)
-          case Some(d) =>
-            val prior = DeletionVectors.load(fs, tablePath, d)
-            val all = (DeletionVectors.decodeBitmap(bytes) ++ prior)
-              .distinct.sorted
-            (action, all.length.toLong, DeletionVectors.encodeBitmap(all))
-        }
+        (action, card, bytes)
     }
     def numRecords(p: String): Option[Long] = snap.stats.get(p)
       .flatMap(js => try Option(mapper.readTree(js).get("numRecords"))
@@ -1739,7 +1871,10 @@ object DeltaLite {
     }
     val now = 1L
     val lines = mutable.ArrayBuffer.empty[String]
-    lines += commitInfoAction("DELETE", Map("mode" -> "deletionVector"), now)
+    val ictStamp = if (ictEnabled(snap))
+      Some(nextIct(fs, new Path(root, "_delta_log"), snap)) else None
+    lines += commitInfoAction("DELETE", Map("mode" -> "deletionVector"),
+      now, ictStamp)
     // protocol upgrade once DVs enter the table — a features-based
     // protocol is EXHAUSTIVE, so the upgrade must carry every feature
     // the prior legacy reader/writer versions implied (dropping an
@@ -1899,7 +2034,9 @@ object DeltaLite {
     lines += commitInfoAction("OPTIMIZE",
       Map("purgedDvs" -> dvTouched.size.toString,
         "rewrittenFiles" -> rewriteByTuple.values.map(_.size).sum.toString),
-      now)
+      now, if (ictEnabled(snap))
+        Some(nextIct(fs, new Path(tablePath, "_delta_log"), snap))
+      else None)
     rewriteByTuple.foreach { case (pv, paths) =>
       val scanned = spark.read.schema(dataSchema)
         .parquet(paths.map(abs): _*)
@@ -2019,10 +2156,18 @@ object DeltaLite {
     * without cdc actions (a DV rewrite not derivable from file
     * actions).
     *
-    * Scale: O(changed files) — each commit reads only its cdc files
-    * (or its added/removed files); nothing rescans the table, no join.
-    * Commits bearing removes replay one prior-version snapshot each
-    * (driver metadata work bounded by the tail's versions_per_batch).
+    * Scale: O(changed files) — and CONSTANT PLAN SIZE at any commit
+    * count: the range's files group into ONE scan per action kind (cdc
+    * files / derived insert adds / derived delete removes), each row
+    * stamped with its exact `_commit_version` by a broadcast
+    * path→version lookup (the [[scanFilesWithMeta]] constant-plan
+    * pattern applied to the feed — a 1000-commit backfill read plans
+    * three scans, not a 1000-branch union). A path the same kind
+    * touches twice in range (add→remove→re-add) escapes to its own
+    * per-file scan, bounded by the range's re-add count. Nothing
+    * rescans the table, no join on row data. Commits bearing removes
+    * roll ONE prior-version snapshot forward (driver metadata work
+    * bounded by the range length).
     */
   def changeFeedIfAvailable(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long,
@@ -2034,8 +2179,38 @@ object DeltaLite {
     if (!cdfEnabled(snapTo)) return None
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
     val ctField = StructField("_change_type", StringType)
-    var parts = Vector.empty[DataFrame]
+    // per-action-kind accumulation: path → (partitionValues, DV, commit)
+    final class Bucket {
+      val files = mutable.LinkedHashMap
+        .empty[String, Map[String, Option[String]]]
+      val dvs = mutable.LinkedHashMap
+        .empty[String, DeletionVectors.Descriptor]
+      val ver = mutable.LinkedHashMap.empty[String, Long]
+    }
+    val cdcB = new Bucket; val insB = new Bucket; val delB = new Bucket
+    var escapes = Vector.empty[DataFrame]
+    def put(b: Bucket, path: String, pv: Map[String, Option[String]],
+        dv: Option[DeletionVectors.Descriptor], v: Long,
+        cdcFile: Boolean, ct: String): Unit =
+      if (b.files.contains(path)) {
+        // same path, same kind, second commit — its own per-file scan
+        val one = readFiles(spark, tablePath,
+          snapTo.copy(files = Map(path -> pv),
+            dvs = dv.map(path -> _).toMap, stats = Map.empty),
+          Map(path -> pv),
+          extraCols = if (cdcFile) Seq(ctField) else Nil)
+        escapes :+= (if (cdcFile) one else one
+          .withColumn("_change_type", lit(ct)))
+          .withColumn("_commit_version", lit(v))
+      } else {
+        b.files(path) = pv
+        dv.foreach(b.dvs(path) = _)
+        b.ver(path) = v
+      }
     // LAZY rolling file state for derive-mode deletes: materialized by
     // ONE snapshot replay at the first remove-bearing commit, then
     // rolled forward per commit's file actions — never one full log
@@ -2087,17 +2262,12 @@ object DeltaLite {
         return None
       val cdcs = actions.filter(_.has("cdc")).map(_.get("cdc"))
       if (cdcs.nonEmpty) {
-        val filesMap: Map[String, Map[String, Option[String]]] =
-          cdcs.map { c =>
-            decodePath(c.get("path").asText) ->
-              Option(c.get("partitionValues")).map(jsonPartValues)
-                .getOrElse(Map.empty[String, Option[String]])
-          }.toMap
-        parts :+= readFiles(spark, tablePath,
-          snapTo.copy(files = filesMap, dvs = Map.empty,
-            stats = Map.empty),
-          filesMap, extraCols = Seq(ctField))
-          .withColumn("_commit_version", lit(v))
+        cdcs.foreach { c =>
+          put(cdcB, decodePath(c.get("path").asText),
+            Option(c.get("partitionValues")).map(jsonPartValues)
+              .getOrElse(Map.empty[String, Option[String]]),
+            None, v, cdcFile = true, ct = "")
+        }
       } else {
         def dataChange(n: JsonNode): Boolean =
           Option(n.get("dataChange")).forall(_.asBoolean)
@@ -2110,38 +2280,54 @@ object DeltaLite {
         if (adds.exists(a =>
             rmPaths.contains(decodePath(a.get("path").asText))))
           return None // remove+re-add (DV rewrite) without cdc actions
-        if (adds.nonEmpty) {
-          val filesMap = adds.map { a =>
-            decodePath(a.get("path").asText) ->
-              Option(a.get("partitionValues")).map(jsonPartValues)
-                .getOrElse(Map.empty[String, Option[String]])
-          }.toMap
-          val dvs = adds.flatMap(a =>
-            parseDv(a).map(decodePath(a.get("path").asText) -> _)).toMap
-          parts :+= readFiles(spark, tablePath,
-            snapTo.copy(files = filesMap, dvs = dvs, stats = Map.empty),
-            filesMap)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v))
+        adds.foreach { a =>
+          put(insB, decodePath(a.get("path").asText),
+            Option(a.get("partitionValues")).map(jsonPartValues)
+              .getOrElse(Map.empty[String, Option[String]]),
+            parseDv(a), v, cdcFile = false, ct = "insert")
         }
         if (removes.nonEmpty) {
           val (pf, pd) = preState(v)
           val sub = pf.view.filterKeys(rmPaths.contains).toMap
           if (sub.size != rmPaths.size) return None // unknown removes
-          parts :+= readFiles(spark, tablePath,
-            snapTo.copy(files = sub, dvs = pd, stats = Map.empty), sub)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v))
+          sub.foreach { case (p, pv) =>
+            put(delB, p, pv, pd.get(p), v, cdcFile = false, ct = "delete")
+          }
         }
       }
       rollForward(actions)
     }
+    // ≤3 grouped scans (plus rare per-file escapes), each stamping
+    // _commit_version from the broadcast path→version map
+    def grouped(b: Bucket, cdcFiles: Boolean,
+        ct: Option[String]): Option[DataFrame] =
+      if (b.files.isEmpty) None
+      else {
+        val verOf = b.ver.map { case (p, v) =>
+          encodedPathKey(abs(p)) -> v
+        }.toMap
+        val df = readFiles(spark, tablePath,
+          snapTo.copy(files = b.files.toMap, dvs = b.dvs.toMap,
+            stats = Map.empty),
+          b.files.toMap,
+          extraCols = if (cdcFiles) Seq(ctField) else Nil,
+          commitVersionOf = Some(verOf))
+        Some(ct.fold(df)(c => df.withColumn("_change_type", lit(c))))
+      }
+    val parts = Vector(
+      grouped(cdcB, cdcFiles = true, ct = None),
+      grouped(insB, cdcFiles = false, ct = Some("insert")),
+      grouped(delB, cdcFiles = false, ct = Some("delete"))).flatten ++
+      escapes
+    val outCols = snapTo.schema.fieldNames.toSeq :+ "_change_type" :+
+      "_commit_version"
     if (parts.isEmpty)
       Some(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(snapTo.schema.fields :+ ctField :+
           StructField("_commit_version", LongType))))
-    else Some(parts.reduce(_ unionByName _))
+    else Some(parts.reduce(_ unionByName _)
+      .select(outCols.map(col).toIndexedSeq: _*))
   }
 
   /** [[changeFeedIfAvailable]], loud when the range is not readable as
@@ -2191,18 +2377,72 @@ object DeltaLite {
 
   /** The `commitInfo` action every mainstream Delta writer leads its
     * commits with — operation name + parameters, the raw material of
-    * `DESCRIBE HISTORY` ([[historyDf]]).
+    * `DESCRIBE HISTORY` ([[historyDf]]). When the table enables
+    * IN-COMMIT TIMESTAMPS, `ict` stamps the spec's monotonic
+    * `inCommitTimestamp` field (the commitInfo action leads the commit,
+    * so readers resolve it from the first line).
     */
   private def commitInfoAction(operation: String,
-      params: Map[String, String], now: Long): String = {
+      params: Map[String, String], now: Long,
+      ict: Option[Long] = None): String = {
     val node = mapper.createObjectNode()
     val ci = node.putObject("commitInfo")
     ci.put("timestamp", now)
+    ict.foreach(ci.put("inCommitTimestamp", _))
     ci.put("operation", operation)
     val pn = ci.putObject("operationParameters")
     params.foreach { case (k, v) => pn.put(k, v) }
     ci.put("engineInfo", "graft-deltalite")
     node.toString
+  }
+
+  /** Whether the table runs on IN-COMMIT TIMESTAMPS (the
+    * `inCommitTimestamp` writer feature /
+    * `delta.enableInCommitTimestamps` property): the spec makes
+    * `commitInfo.inCommitTimestamp` the AUTHORITATIVE monotonic clock —
+    * commit-file mtimes and `commitInfo.timestamp` may deviate — so
+    * time travel resolves by it and every graft commit must stamp it.
+    */
+  private def ictEnabled(snap: Snapshot): Boolean =
+    snap.configuration.get("delta.enableInCommitTimestamps")
+      .exists(_.equalsIgnoreCase("true")) ||
+      snap.protocol.exists(_.writerFeatures
+        .exists(_.contains("inCommitTimestamp")))
+
+  /** A commit's authoritative clock: `commitInfo.inCommitTimestamp`
+    * when stamped (ICT tables), else `commitInfo.timestamp`, else the
+    * commit file's modification time — the spec's resolution order.
+    * None when the commit file is gone (cleaned up).
+    */
+  private def commitClock(fs: FileSystem, file: Path): Option[Long] =
+    if (!fs.exists(file)) None
+    else {
+      val in = fs.open(file)
+      val txt = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      txt.split("\n").find(_.contains("\"commitInfo\"")).flatMap { line =>
+        try Option(mapper.readTree(line).get("commitInfo")).flatMap { n =>
+          Option(n.get("inCommitTimestamp")).filterNot(_.isNull)
+            .map(_.asLong)
+            .orElse(Option(n.get("timestamp")).filterNot(_.isNull)
+              .map(_.asLong))
+        } catch { case _: Exception => None }
+      }.orElse(Some(fs.getFileStatus(file).getModificationTime))
+    }
+
+  /** The ICT for the NEXT commit of an ICT table: strictly past the
+    * current head's clock (the spec's monotonicity rule — wall clock is
+    * a legal tie-breaker but the repo's writers stay deterministic, so
+    * head+1). Falls back to the recorded enablement timestamp when the
+    * head commit was cleaned up behind a checkpoint.
+    */
+  private def nextIct(fs: FileSystem, logDir: Path,
+      snap: Snapshot): Long = {
+    val head = commitClock(fs,
+      new Path(logDir, f"${snap.version}%020d.json"))
+    head.getOrElse(snap.configuration
+      .get("delta.inCommitTimestampEnablementTimestamp")
+      .flatMap(_.toLongOption).getOrElse(0L)) + 1
   }
 
   /** Minimal native Delta WRITER — append or overwrite commits in the
@@ -2299,6 +2539,12 @@ object DeltaLite {
       "table properties are stamped at creation — alter the existing " +
         s"table's configuration through its own commit, not a write to " +
         tablePath)
+    // CHECK constraints / column invariants gate the NEW rows before
+    // any staging I/O (delta-spark's write-side enforcement contract).
+    // Invariants live in the TABLE's schema metadata (df.schema never
+    // carries them), so look them up there.
+    enforceConstraints(evolvedConf,
+      existing.map(_.schema).getOrElse(tableSchema), df, tablePath)
     val (stagedDf, stagePartCols) =
       if (mapped) {
         val physPart = partCols.map(c => physicalName(
@@ -2315,17 +2561,41 @@ object DeltaLite {
         stagePartCols)
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
+    // in-commit timestamps: stamped past the head's clock on ICT
+    // tables; a CREATION that enables the property starts the clock
+    val ictStamp: Option[Long] = existing match {
+      case Some(s0) if ictEnabled(s0) =>
+        Some(nextIct(fs, logDir, s0))
+      case None if configuration.get("delta.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true")) => Some(1L)
+      case _ => None
+    }
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("WRITE",
-      Map("mode" -> (if (mode == "append") "Append" else "Overwrite")), now)
+      Map("mode" -> (if (mode == "append") "Append" else "Overwrite")),
+      now, ictStamp)
     if (existing.isEmpty || evolving) {
       if (existing.isEmpty) {
-        // CDF tables need writer version 4 (the changeDataFeed floor)
-        val minWriter = if (configuration
-            .get("delta.enableChangeDataFeed")
-            .exists(_.equalsIgnoreCase("true"))) 4 else 2
-        lines += (s"""{"protocol":{"minReaderVersion":1,""" +
-          s""""minWriterVersion":$minWriter}}""")
+        // legacy protocol floors: CDF needs writer version 4, CHECK
+        // constraints version 3
+        val minWriter =
+          if (configuration.get("delta.enableChangeDataFeed")
+              .exists(_.equalsIgnoreCase("true"))) 4
+          else if (configuration.keys
+              .exists(_.startsWith("delta.constraints."))) 3
+          else 2
+        if (ictStamp.isDefined) {
+          // inCommitTimestamp is a table FEATURE (writer version 7) —
+          // the features list is EXHAUSTIVE, so it restates everything
+          // the legacy floor implied
+          val wf = (impliedWriterFeatures(minWriter) :+
+            "inCommitTimestamp").distinct
+          lines += (s"""{"protocol":{"minReaderVersion":1,""" +
+            s""""minWriterVersion":7,""" +
+            s""""writerFeatures":${featuresJson(wf)}}}""")
+        } else
+          lines += (s"""{"protocol":{"minReaderVersion":1,""" +
+            s""""minWriterVersion":$minWriter}}""")
       }
       // the table id is stable across its lifetime; an evolving commit
       // restates the EXISTING configuration verbatim (dropping keys
@@ -2572,6 +2842,9 @@ object DeltaLite {
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
         s"\n data:  ${batch.schema.json}")
+    // CHECK constraints / invariants gate the batch's NEW row images
+    // (retained rewritten rows already passed at their own write)
+    enforceConstraints(snap.configuration, snap.schema, batch, tablePath)
 
     val batchRanges: Map[String, (Any, Any)] = eligibleKeys.flatMap { f =>
       for {
@@ -2644,7 +2917,8 @@ object DeltaLite {
     val version = snap.version + 1
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("MERGE",
-      Map("matchedPredicates" -> keyCols.mkString(",")), now)
+      Map("matchedPredicates" -> keyCols.mkString(",")), now,
+      if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap)) else None)
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     touched.toSeq.sorted.foreach(p =>
       lines += removeAction(rawPath(snap, p), now))
@@ -2713,7 +2987,11 @@ object DeltaLite {
     val now = 1L
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("SET TBLPROPERTIES",
-      Map("delta.columnMapping.mode" -> "name"), now)
+      Map("delta.columnMapping.mode" -> "name"), now,
+      if (ictEnabled(snap)) Some(nextIct(
+        new Path(tablePath, "_delta_log").getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new Path(tablePath, "_delta_log"), snap)) else None)
     val p = snap.protocol.getOrElse(CpProto(1, 2, None, None))
     def featJson(fs: Seq[String]): String =
       fs.map(mapper.writeValueAsString).mkString("[", ",", "]")
@@ -2761,7 +3039,10 @@ object DeltaLite {
     val now = 1L
     val lines = Seq(
       commitInfoAction("RENAME COLUMN", Map("from" -> from, "to" -> to),
-        now),
+        now, if (ictEnabled(snap)) Some(nextIct(
+          new Path(tablePath, "_delta_log").getFileSystem(
+            spark.sparkContext.hadoopConfiguration),
+          new Path(tablePath, "_delta_log"), snap)) else None),
       metaDataAction(snap.tableId, schema2, parts2, snap.configuration,
         now))
     val version = snap.version + 1
@@ -2791,7 +3072,11 @@ object DeltaLite {
     val schema2 = StructType(snap.schema.fields.filterNot(_.name == name))
     val now = 1L
     val lines = Seq(
-      commitInfoAction("DROP COLUMN", Map("column" -> name), now),
+      commitInfoAction("DROP COLUMN", Map("column" -> name), now,
+        if (ictEnabled(snap)) Some(nextIct(
+          new Path(tablePath, "_delta_log").getFileSystem(
+            spark.sparkContext.hadoopConfiguration),
+          new Path(tablePath, "_delta_log"), snap)) else None),
       metaDataAction(snap.tableId, schema2, snap.partitionColumns,
         snap.configuration, now))
     val version = snap.version + 1
@@ -2897,12 +3182,15 @@ object DeltaLite {
 
   /** TIME TRAVEL BY TIMESTAMP (delta-spark's `timestampAsOf` rule): the
     * latest commit whose timestamp is at or before `tsMillis` — pass
-    * the returned version to [[read]]'s `asOf`. The timestamp is the
-    * commit's `commitInfo.timestamp` when present (what mainstream
-    * writers stamp), else the commit file's modification time (the
-    * spec's fallback). Refuses loudly before the first replayable
-    * commit. Commits cleaned up behind a checkpoint are not
-    * addressable (same trade as version pins).
+    * the returned version to [[read]]'s `asOf`. Per-commit resolution
+    * order is the spec's: `commitInfo.inCommitTimestamp` when stamped
+    * (the `inCommitTimestamp` writer feature makes it the
+    * AUTHORITATIVE monotonic clock — `commitInfo.timestamp` and the
+    * file mtime may both deviate on ICT tables), else
+    * `commitInfo.timestamp` (what mainstream legacy writers stamp),
+    * else the commit file's modification time. Refuses loudly before
+    * the first replayable commit. Commits cleaned up behind a
+    * checkpoint are not addressable (same trade as version pins).
     */
   def versionAtTimestamp(spark: SparkSession, tablePath: String,
       tsMillis: Long): Long = {
@@ -2913,16 +3201,8 @@ object DeltaLite {
     val stamped = fs.listStatus(logDir).flatMap { st =>
       st.getPath.getName match {
         case commitRe(v) =>
-          val in = fs.open(st.getPath)
-          val txt = try new String(in.readAllBytes(), "UTF-8")
-            finally in.close()
-          val ci = txt.split("\n").find(_.contains("\"commitInfo\""))
-            .flatMap { line =>
-              try Option(mapper.readTree(line).get("commitInfo"))
-                .flatMap(n => Option(n.get("timestamp")).map(_.asLong))
-              catch { case _: Exception => None }
-            }
-          Some(v.toLong -> ci.getOrElse(st.getModificationTime))
+          Some(v.toLong -> commitClock(fs, st.getPath)
+            .getOrElse(st.getModificationTime))
         case _ => None
       }
     }.sortBy(_._1)

@@ -1506,11 +1506,19 @@ object IcebergLite {
             got.getOrElse(throw last)
           }
           // a rebase is only sound when the table shape is unchanged:
-          // a concurrent schema evolution or spec change conflicts
-          require(curPrior.forall(p =>
-            p.meta.schema.map(f => (f.name, f.dataType.sql)) ==
+          // a concurrent schema evolution or spec change conflicts.
+          // With NO prior (two concurrent FIRST writes), the reference
+          // shape is THIS commit's own schema/spec args — the winner's
+          // creation must match them exactly, or the loser would
+          // silently merge two different-shape table creations.
+          val (baseSchema, baseSpec) = curPrior match {
+            case Some(p) => (p.meta.schema, p.meta.partitionFields)
+            case None => (schema, partitionSpec)
+          }
+          require(
+            baseSchema.map(f => (f.name, f.dataType.sql)) ==
               rebased.meta.schema.map(f => (f.name, f.dataType.sql)) &&
-            p.meta.partitionFields == rebased.meta.partitionFields),
+            baseSpec == rebased.meta.partitionFields,
             s"concurrent schema/spec change at $tablePath — cannot " +
               "rebase, re-run the operation")
           if (retry == "rewrite") {

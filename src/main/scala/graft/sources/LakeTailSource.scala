@@ -42,8 +42,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * batches' spill dirs are deleted in `commit()`; a replayed batch
   * (post-restart) re-plans and overwrites its dir.
   * `max_rows_per_batch` is an OPTIONAL loud bound (default unbounded),
-  * enforced by a pre-count BEFORE the spill write — a refused batch
-  * leaves no spill files.
+  * enforced from the spill's own written counts in the SAME pass — a
+  * refused batch deletes its spill dir, so none of its files survive,
+  * and an in-cap batch never evaluates the diff twice.
   *
   * An offset that no longer resolves (delta log cleaned past it,
   * iceberg snapshot expired) refuses loudly by default;
@@ -243,9 +244,11 @@ object LakeTailSource {
     * pairs. The spill is transient same-JVM-version state (deleted at
     * commit), so the UnsafeRow binary format is a safe wire format.
     *
-    * `max_rows_per_batch` (opt-in) is enforced BEFORE the spill write:
-    * a cheap distributed count fails the batch fast — an over-cap
-    * batch never pays the distributed write and leaves NO spill files.
+    * `max_rows_per_batch` (opt-in) is enforced from the spill's OWN
+    * per-partition written counts — the diff lineage evaluates exactly
+    * ONCE whether the cap is set or not (no separate guard count), and
+    * an over-cap batch deletes its spill dir before refusing, so no
+    * spill files survive a refused batch.
     * Spill file names carry the task attempt id, so a speculative or
     * zombie duplicate attempt writes its own file instead of racing
     * the surviving attempt's bytes; only the surviving attempt's path
@@ -257,14 +260,6 @@ object LakeTailSource {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(hconf)
     if (fs.exists(dir)) fs.delete(dir, true) // replayed batch: re-plan
-    if (maxRows > 0) {
-      val total = df.count()
-      require(total <= maxRows,
-        s"lake tail batch carries $total rows, over the explicit " +
-          s"max_rows_per_batch=$maxRows — raise/unset the cap, lower " +
-          "versions_per_batch, or run the backfill through the batch " +
-          "changesBetween API")
-    }
     fs.mkdirs(dir)
     val confBytes = confToBytes(hconf)
     val dirStr = dir.toString
@@ -305,6 +300,20 @@ object LakeTailSource {
           Iterator.single((file.toString, n))
         }
       }.collect()
+    // opt-in loud bound, enforced from the counts the write itself
+    // produced (ONE evaluation of the diff lineage); a refused batch
+    // takes its spill files with it
+    if (maxRows > 0) {
+      val total = written.map(_._2).sum
+      if (total > maxRows) {
+        fs.delete(dir, true)
+        throw new IllegalArgumentException(
+          s"lake tail batch carries $total rows, over the explicit " +
+            s"max_rows_per_batch=$maxRows — raise/unset the cap, lower " +
+            "versions_per_batch, or run the backfill through the batch " +
+            "changesBetween API")
+      }
+    }
     written.map { case (p, n) =>
       LakeTailFilePartition(p, n, nFields, confBytes): InputPartition
     }

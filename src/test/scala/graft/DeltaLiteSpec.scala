@@ -1423,8 +1423,8 @@ class DeltaLiteSpec extends AnyFunSuite {
   }
 
   test("writer-protocol gate: appendOnly refuses mutations but accepts " +
-      "appends + OPTIMIZE; CHECK constraints, invariants and unknown " +
-      "writer features refuse every write") {
+      "appends + OPTIMIZE; CHECK constraints and invariants ENFORCE " +
+      "on foreign tables; unknown writer features refuse every write") {
     val t = java.nio.file.Files.createTempDirectory("delta_wprot").toString
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "f1.parquet")
@@ -1458,10 +1458,15 @@ class DeltaLiteSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
       s"""{"metaData":{"id":"cc","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.constraints.kpos":"k > 0"},"createdTime":1}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // the native writer EVALUATES the foreign constraint: in-contract
+    // rows append, violations refuse naming it (delta-spark's contract)
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t2)
     val e4 = intercept[IllegalArgumentException](
-      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t2))
-    assert(e4.getMessage.contains("CHECK constraints"), e4.getMessage)
-    // column invariants in the schema metadata refuse too
+      DeltaLite.write(spark, Seq((-3L, "c")).toDF("k", "v"), t2))
+    assert(e4.getMessage.contains("kpos") &&
+      e4.getMessage.contains("k > 0"), e4.getMessage)
+    assert(DeltaLite.read(spark, t2).count() == 2)
+    // column invariants in the schema metadata enforce too
     val invSchema = schema.json.replace(
       """"name":"k","type":"long","nullable":false,"metadata":{}""",
       """"name":"k","type":"long","nullable":false,"metadata":{"delta.invariants":"{\"expression\":{\"expression\":\"k > 0\"}}"}""")
@@ -1473,9 +1478,11 @@ class DeltaLiteSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"inv","format":{"provider":"parquet","options":{}},"schemaString":${escape(invSchema)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t3)
     val e5 = intercept[IllegalArgumentException](
-      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t3))
-    assert(e5.getMessage.contains("invariants"), e5.getMessage)
+      DeltaLite.write(spark, Seq((-3L, "c")).toDF("k", "v"), t3))
+    assert(e5.getMessage.contains("invariant"), e5.getMessage)
+    assert(DeltaLite.read(spark, t3).count() == 2)
     // unknown future WRITER feature refuses (reads stay fine)
     val t4 = java.nio.file.Files.createTempDirectory("delta_wprot4")
       .toString
@@ -1772,6 +1779,253 @@ class DeltaLiteSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       DeltaLite.snapshot(spark, t2))
     assert(ex.getMessage.contains("v2Checkpoint"), ex.getMessage)
+  }
+
+  test("in-commit timestamps: versionAtTimestamp resolves by the ICT " +
+      "authority even when commitInfo.timestamp and file mtimes both " +
+      "disagree") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ict").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "i0.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "i1.parquet")
+    writeLog(t, 0, Seq(
+      """{"commitInfo":{"timestamp":1000,"inCommitTimestamp":5000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","inCommitTimestamp"]}}""",
+      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true"},"createdTime":1}}""",
+      """{"add":{"path":"i0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 1, Seq(
+      """{"commitInfo":{"timestamp":2000,"inCommitTimestamp":9000,"operation":"WRITE"}}""",
+      """{"add":{"path":"i1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // mtimes are "now" (far past both) and commitInfo.timestamp claims
+    // v1 landed at 2000 — ICT is the authority: the spec fixture's
+    // timeline is 5000 → v0, 9000 → v1, nothing before 5000
+    assert(DeltaLite.versionAtTimestamp(spark, t, 5000L) == 0L)
+    assert(DeltaLite.versionAtTimestamp(spark, t, 8999L) == 0L)
+    assert(DeltaLite.versionAtTimestamp(spark, t, 9000L) == 1L)
+    assert(DeltaLite.versionAtTimestamp(spark, t, 99999L) == 1L)
+    val ex = intercept[IllegalArgumentException](
+      DeltaLite.versionAtTimestamp(spark, t, 4999L))
+    assert(ex.getMessage.contains("at or before"), ex.getMessage)
+    // legacy resolution would have answered v1 for 2000 — ICT forbids
+    val ex2 = intercept[IllegalArgumentException](
+      DeltaLite.versionAtTimestamp(spark, t, 2000L))
+    assert(ex2.getMessage.contains("at or before"), ex2.getMessage)
+    // graft appends to the FOREIGN ICT table advance ITS clock
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    val in = fs(t).open(new Path(t, "_delta_log/" + f"${2L}%020d.json"))
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val ci = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(txt.split("\n").find(_.contains("commitInfo")).get)
+      .get("commitInfo")
+    assert(ci.get("inCommitTimestamp").asLong == 9001L, ci.toString)
+    assert(DeltaLite.versionAtTimestamp(spark, t, 9001L) == 2L)
+  }
+
+  test("graft's own writers stamp strictly increasing inCommitTimestamps " +
+      "when the table enables them at creation; the protocol carries " +
+      "the feature") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ictw")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    def ict(v: Long): Long = {
+      val in = fs(t).open(new Path(t, f"_delta_log/$v%020d.json"))
+      val txt = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt.split("\n").find(_.contains("commitInfo")).get)
+        .get("commitInfo").get("inCommitTimestamp").asLong
+    }
+    val ts = Seq(ict(0), ict(1), ict(2))
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"ICTs not strictly increasing: $ts")
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.protocol.exists(_.writerFeatures
+      .exists(_.contains("inCommitTimestamp"))), snap.protocol.toString)
+    // timestamp time travel resolves by the stamped clocks
+    assert(DeltaLite.versionAtTimestamp(spark, t, ict(1)) == 1L)
+    assert(DeltaLite.read(spark, t, Some(
+      DeltaLite.versionAtTimestamp(spark, t, ict(1)))).count() == 2)
+  }
+
+  test("a rebased ICT commit re-stamps its clock past the new head's") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ictr")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    // a foreign winner claims v1 with a far-future clock
+    writeDataFile(Seq((9L, "w")).toDF("k", "v"), t, "w.parquet")
+    writeLog(t, 1, Seq(
+      """{"commitInfo":{"timestamp":1,"inCommitTimestamp":7777,"operation":"WRITE"}}""",
+      """{"add":{"path":"w.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // our blind append loses the v1 claim and rebases to v2 — its ICT
+    // must land PAST the winner's 7777, not keep its stale stamp
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t, "b.parquet")
+    val logDir = new Path(t, "_delta_log")
+    val committed = DeltaLite.commitWithRetry(fs(t), logDir, t,
+      firstVersion = 1L, lines = Seq(
+        """{"commitInfo":{"timestamp":1,"inCommitTimestamp":2,"operation":"WRITE"}}""",
+        """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""),
+      ourRemoves = Set.empty, dataChangeMutation = false)
+    assert(committed == 2L)
+    val in = fs(t).open(new Path(logDir, f"${2L}%020d.json"))
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val ci = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(txt.split("\n").find(_.contains("commitInfo")).get)
+      .get("commitInfo")
+    assert(ci.get("inCommitTimestamp").asLong == 7778L, ci.toString)
+  }
+
+  test("CHECK constraints enforce on native writes: in-contract appends " +
+      "succeed, violations refuse naming the constraint, upserts gate " +
+      "their batch, creation stamps the writer-3 floor") {
+    val t = java.nio.file.Files.createTempDirectory("delta_check")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), t,
+      configuration = Map("delta.constraints.v_positive" -> "v > 0"))
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), t)
+    val ex = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((3L, -5L)).toDF("k", "v"), t))
+    assert(ex.getMessage.contains("v_positive") &&
+      ex.getMessage.contains("v > 0"), ex.getMessage)
+    // null is a violation too (delta's CheckDeltaInvariant: not-TRUE)
+    val ex2 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark,
+        Seq((4L, Option.empty[Long])).toDF("k", "v"), t))
+    assert(ex2.getMessage.contains("v_positive"), ex2.getMessage)
+    // MERGE gates its batch rows the same way
+    val ex3 = intercept[IllegalArgumentException](
+      DeltaLite.upsert(spark, Seq((1L, -1L)).toDF("k", "v"), t, Seq("k")))
+    assert(ex3.getMessage.contains("v_positive"), ex3.getMessage)
+    DeltaLite.upsert(spark, Seq((1L, 99L)).toDF("k", "v"), t, Seq("k"))
+    assert(DeltaLite.read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((1L, 99L), (2L, 20L)))
+    // nothing refused leaked a commit: exactly create+append+merge
+    assert(DeltaLite.snapshot(spark, t).version == 2L)
+    assert(DeltaLite.snapshot(spark, t).protocol
+      .forall(_.minWriterVersion >= 3))
+  }
+
+  test("legacy delta.invariants column metadata enforces on appends to " +
+      "a foreign table") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder,
+      StructField, StructType}
+    val t = java.nio.file.Files.createTempDirectory("delta_inv").toString
+    val inv = """{"expression":{"expression":"v < 100"}}"""
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.invariants", inv).build())))
+    writeDataFile(Seq((1L, 10L)).toDF("k", "v"), t, "f1.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLite.write(spark, Seq((2L, 50L)).toDF("k", "v"), t)
+    val ex = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((3L, 200L)).toDF("k", "v"), t))
+    assert(ex.getMessage.contains("column invariant on v") &&
+      ex.getMessage.contains("v < 100"), ex.getMessage)
+    assert(DeltaLite.read(spark, t).count() == 2)
+  }
+
+  test("modern writer-feature-only tables READ correctly and writes " +
+      "refuse BY FEATURE NAME: rowTracking, clustering, icebergCompatV2") {
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    def mk(feature: String, extraLines: Seq[String] = Nil,
+        conf: String = "{}"): String = {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"delta_feat_$feature").toString
+      writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t,
+        "f1.parquet")
+      val wf = Seq("appendOnly", "invariants", "domainMetadata", feature)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      writeLog(t, 0, Seq(
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}""",
+        s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":$conf,"createdTime":1}}""") ++
+        extraLines :+
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+      t
+    }
+    // rowTracking (writer-only): reads fine, native writes refuse by name
+    val rt = mk("rowTracking", Seq(
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":7}","removed":false}}"""))
+    assert(DeltaLite.read(spark, rt).count() == 2)
+    val e1 = intercept[Exception](
+      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), rt))
+    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
+    // liquid clustering domain metadata: reads fine + domain retained
+    val cl = mk("clustering", Seq(
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"k\"]]}","removed":false}}"""))
+    assert(DeltaLite.read(spark, cl).count() == 2)
+    assert(DeltaLite.snapshot(spark, cl).domainMetadata
+      .contains("delta.clustering"))
+    val e2 = intercept[Exception](
+      DeltaLite.deleteWhere(spark, cl, col("k") === 1L))
+    assert(e2.getMessage.contains("clustering"), e2.getMessage)
+    // icebergCompatV2 (uniform metadata): reads fine, writes refuse
+    val ic = mk("icebergCompatV2",
+      conf = """{"delta.enableIcebergCompatV2":"true"}""")
+    assert(DeltaLite.read(spark, ic).count() == 2)
+    val e3 = intercept[Exception](
+      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), ic))
+    assert(e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
+  }
+
+  test("batch changeFeed holds a CONSTANT-SIZE plan over many commits: " +
+      "grouped per-kind scans with exact per-commit stamps") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cdfplan")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((0L, "v0")).toDF("k", "v"), t,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    (1 to 24).foreach(i => DeltaLite.write(spark,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    val cdf = DeltaLite.changeFeed(spark, t, -1, 24)
+    // 25 commits must NOT plan 25 scan branches
+    val leaves = cdf.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 3, s"expected ≤3 grouped scan leaves, got $leaves")
+    val got = cdf.select("k", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == (0 to 24).map(i =>
+      (i.toLong, s"v$i", "insert", i.toLong)).toSet, got.toString)
+    // mixed kinds (cdc files + more derived inserts) stay bounded
+    DeltaLite.deleteWhere(spark, t, col("k") < 3L) // v25: exact cdc
+    (26 to 30).foreach(i => DeltaLite.write(spark,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    val cdf2 = DeltaLite.changeFeed(spark, t, -1, 30)
+    val leaves2 = cdf2.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves2 <= 4, s"expected ≤4 grouped scan leaves, got $leaves2")
+    assert(cdf2.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    assert(cdf2.filter(col("_commit_version") === 25L).count() == 3L)
+  }
+
+  test("a LAGGING _last_checkpoint whose follow-up commits were cleaned " +
+      "falls back to the newest named checkpoint (isReplayable parity)") {
+    val t = java.nio.file.Files.createTempDirectory("delta_lagptr")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t) // v0
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t) // v1
+    DeltaLite.checkpoint(spark, t)                           // ckpt@1
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t) // v2
+    DeltaLite.write(spark, Seq((4L, "d")).toDF("k", "v"), t) // v3
+    DeltaLite.checkpoint(spark, t)                           // ckpt@3
+    DeltaLite.write(spark, Seq((5L, "e")).toDF("k", "v"), t) // v4
+    // a foreign writer's lagging pointer + external log cleanup: the
+    // pointer names 1, but commits 2..3 are gone and checkpoint 3
+    // covers them
+    (0L to 3L).foreach(v => fs(t).delete(
+      new Path(t, f"_delta_log/$v%020d.json"), false))
+    val lc = fs(t).create(new Path(t, "_delta_log/_last_checkpoint"), true)
+    try lc.write("""{"version":1,"size":3}""".getBytes("UTF-8"))
+    finally lc.close()
+    assert(DeltaLite.isReplayable(spark, t, 4L))
+    // snapshot() must agree with the probe instead of throwing a gap
+    assert(DeltaLite.snapshot(spark, t).version == 4L)
+    assert(DeltaLite.read(spark, t).count() == 5)
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */

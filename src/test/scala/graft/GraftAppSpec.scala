@@ -2080,4 +2080,43 @@ class GraftAppSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
+  test("timestamp_as_of accepts date-only and ISO-8601 zone-suffixed " +
+      "values (delta-spark's shapes); failures name the source") {
+    import spark.implicits._
+    import graft.GraftApp.parseTimestampOption
+    assert(parseTimestampOption("s1", "2026-08-15") ==
+      java.sql.Date.valueOf("2026-08-15").getTime)
+    assert(parseTimestampOption("s1", "2026-08-15 01:02:03") ==
+      java.sql.Timestamp.valueOf("2026-08-15 01:02:03").getTime)
+    assert(parseTimestampOption("s1", "2026-08-15 01:02:03.5") ==
+      java.sql.Timestamp.valueOf("2026-08-15 01:02:03.5").getTime)
+    assert(parseTimestampOption("s1", "2026-08-15T01:02:03") ==
+      java.sql.Timestamp.valueOf("2026-08-15 01:02:03").getTime)
+    assert(parseTimestampOption("s1", "2026-08-15T00:00:00Z") ==
+      java.time.Instant.parse("2026-08-15T00:00:00Z").toEpochMilli)
+    assert(parseTimestampOption("s1", "2026-08-15T01:02:03+02:00") ==
+      java.time.OffsetDateTime.parse("2026-08-15T01:02:03+02:00")
+        .toInstant.toEpochMilli)
+    val ex = intercept[IllegalArgumentException](
+      parseTimestampOption("mysrc", "not-a-time"))
+    assert(ex.getMessage.contains("mysrc") &&
+      ex.getMessage.contains("timestamp_as_of"), ex.getMessage)
+    // e2e: a date-only pin resolves through the config path
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graftapp_tsopt").toString
+    val dt = s"$tmp2/dtbl"
+    graft.sources.DeltaLite.write(spark,
+      Seq((1L, "a")).toDF("k", "v"), dt)
+    // graft's deterministic commits stamp timestamp=1 (epoch), so any
+    // modern date-only pin resolves to the latest version
+    val cfg = GraftConfig(
+      sources = Seq(SourceConf("t", dt, format = "delta",
+        options = Map("timestamp_as_of" -> "2026-08-15"))),
+      sql = "SELECT k, v INTO outp FROM t",
+      sinks = Seq(SinkConf("outp", s"$tmp2/out_d", mode = "overwrite")))
+    runBatch(spark, cfg)
+    assert(spark.read.parquet(s"$tmp2/out_d")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
 }

@@ -1056,4 +1056,46 @@ class IcebergLiteSpec extends AnyFunSuite {
       ops.count(_ == "append") == 4, ops.toString)
   }
 
+  test("two concurrent FIRST writes to a nonexistent table: same-schema " +
+      "racers both commit; a different-schema loser refuses instead of " +
+      "silently merging two creations") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // same schema: whoever loses the v1 claim rebases and appends
+    val t1 = tmp("race_create_same") + "/tbl"
+    val b1 = new java.util.concurrent.CyclicBarrier(2)
+    val fa = Future { b1.await()
+      IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t1) }
+    val fb = Future { b1.await()
+      IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t1) }
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    assert(rows(IcebergLite.read(spark, t1)) ==
+      Set((1L, "a"), (2L, "b")))
+    // different schema: EXACTLY one creation may win; the loser must
+    // refuse loudly (rebase-refusal or schema-mismatch, depending on
+    // interleaving) — never a silent two-schema merge
+    val t2 = tmp("race_create_diff") + "/tbl"
+    val b2 = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def attempt(df: DataFrame): Future[Unit] = Future {
+      b2.await()
+      try { IcebergLite.write(spark, df, t2); () }
+      catch { case e: Throwable => errs.add(e); () }
+    }
+    val fc = attempt(Seq((1L, "a")).toDF("k", "v"))
+    val fd = attempt(Seq((1L, 2L, 3L)).toDF("x", "y", "z"))
+    Await.result(fc, 120.seconds); Await.result(fd, 120.seconds)
+    assert(errs.size == 1,
+      s"expected exactly one refused creation, got ${errs.size}: $errs")
+    val msg = errs.peek().getMessage
+    assert(msg.contains("schema"), msg)
+    // the surviving table carries ONE creation's shape and rows
+    val meta = IcebergLite.loadMeta(spark, t2)
+    val n = IcebergLite.read(spark, t2).count()
+    assert(n == 1L, s"winner's table should hold 1 row, got $n")
+    assert(meta.schema.fieldNames.toSeq == Seq("k", "v") ||
+      meta.schema.fieldNames.toSeq == Seq("x", "y", "z"))
+  }
+
 }

@@ -107,8 +107,8 @@ class LakeTailSpec extends AnyFunSuite {
     assert(err.getMessage.contains("max_rows_per_batch") ||
       Option(err.getCause).exists(_.getMessage
         .contains("max_rows_per_batch")), err.getMessage)
-    // fail-fast: the cap is enforced BEFORE the distributed spill
-    // write — a refused batch leaves NO spill files behind
+    // the cap is enforced from the spill's own written counts and a
+    // refused batch deletes its spill dir — NO spill files survive
     val spill2 = new org.apache.hadoop.fs.Path(s"$base/ckpt2",
       "graft-spill")
     val fs2 = spill2.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,6 +118,43 @@ class LakeTailSpec extends AnyFunSuite {
         if (st.isDirectory) binFiles(st.getPath)
         else if (st.getPath.getName.endsWith(".bin")) 1L else 0L).sum
     assert(binFiles(spill2) == 0L, s"over-cap batch wrote spill files")
+  }
+
+  test("capped spill evaluates the diff lineage ONCE for an in-cap " +
+      "batch (no separate guard count), and still refuses over-cap") {
+    val base = tmp("onepass")
+    val tbl = s"$base/tbl"
+    DeltaLite.write(spark,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"), tbl)
+    // count per-partition evaluations of the diff via an accumulator
+    // buried in the lineage: one spill pass = each partition computed
+    // exactly once
+    val evals = spark.sparkContext.longAccumulator("diff-evals")
+    def diffDf = {
+      import org.apache.spark.sql.functions.udf
+      val tick = udf((k: Long) => { evals.add(1L); k })
+      DeltaLite.read(spark, tbl)
+        .select(tick(col("k")).as("k"), col("v"))
+        .withColumn("_op", lit("insert")).withColumn("_seq", lit(1L))
+    }
+    val parts = graft.sources.LakeTailSource.spill(spark, diffDf,
+      new org.apache.hadoop.fs.Path(s"$base/spill1"), maxRows = 100L)
+    assert(parts.map(_.asInstanceOf[graft.sources.LakeTailFilePartition]
+      .rows).sum == 40L)
+    assert(evals.value == 40L,
+      s"in-cap batch evaluated the diff ${evals.value}/40 row-passes — " +
+        "expected exactly one pass")
+    // over-cap refuses AND takes its spill files with it
+    evals.reset()
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.LakeTailSource.spill(spark, diffDf,
+        new org.apache.hadoop.fs.Path(s"$base/spill2"), maxRows = 10L)
+    }
+    assert(err.getMessage.contains("max_rows_per_batch"))
+    val fs3 = new org.apache.hadoop.fs.Path(s"$base/spill2")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs3.exists(new org.apache.hadoop.fs.Path(s"$base/spill2")),
+      "refused batch left its spill dir behind")
   }
 
   test("CDF tables tail through EXACT change-data batches: _seq is the " +
