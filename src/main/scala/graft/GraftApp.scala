@@ -726,6 +726,21 @@ object GraftApp {
     } else raw
   }
 
+  /** CREATION-time table properties of a native delta sink:
+    * `options.enable_change_data_feed: true` (sugar for
+    * delta.enableChangeDataFeed) plus every `options.property.<key>`
+    * verbatim — delta.enableInCommitTimestamps, delta.constraints.*,
+    * delta.appendOnly, … — which the native writer then honors and
+    * enforces exactly as it does on a foreign table carrying them.
+    */
+  private def deltaTableProps(sink: SinkConf): Map[String, String] =
+    (if (sink.options.get("enable_change_data_feed").exists(_.toBoolean))
+      Map("delta.enableChangeDataFeed" -> "true")
+    else Map.empty[String, String]) ++
+      sink.options.collect { case (k, v) if k.startsWith("property.") =>
+        k.stripPrefix("property.") -> v
+      }
+
   /** Parse a config `timestamp_as_of` value to epoch millis — the
     * shapes delta-spark's `timestampAsOf` accepts: `yyyy-MM-dd`
     * (expands to local midnight), `yyyy-MM-dd HH:mm:ss[.fff]`, and
@@ -844,16 +859,16 @@ object GraftApp {
           // `options.enable_change_data_feed: true` stamps
           // delta.enableChangeDataFeed at CREATION (writer version 4) —
           // mutations then write exact cdc files and tails stream them.
+          // Any `options.property.<key>: <value>` stamps <key> as a raw
+          // table property at creation (delta.enableInCommitTimestamps,
+          // delta.constraints.*, delta.appendOnly, …) — the native
+          // writer then honors/enforces it like any foreign table's.
           require(sink.zorderBy.isEmpty,
             s"delta sink '${sink.table}': zorder_by needs the " +
               "delta-spark connector's layout control")
-          val tconf =
-            if (sink.options.get("enable_change_data_feed")
-                .exists(_.toBoolean))
-              Map("delta.enableChangeDataFeed" -> "true")
-            else Map.empty[String, String]
           graft.sources.DeltaLite.write(spark, df, sink.path, sink.mode,
-            partitionBy = sink.partitionBy, configuration = tconf)
+            partitionBy = sink.partitionBy,
+            configuration = deltaTableProps(sink))
           ()
         case "append" | "overwrite"
             if sink.format == "iceberg" &&
@@ -902,13 +917,11 @@ object GraftApp {
             // the table, so CDF stamping happens here too.
             val logDir = new org.apache.hadoop.fs.Path(sink.path,
               "_delta_log")
-            val cdfWanted = sink.options.get("enable_change_data_feed")
-              .exists(_.toBoolean)
-            if (cdfWanted && !logDir.getFileSystem(
+            val tconf = deltaTableProps(sink)
+            if (tconf.nonEmpty && !logDir.getFileSystem(
                 spark.sparkContext.hadoopConfiguration).exists(logDir))
               graft.sources.DeltaLite.write(spark, merged, sink.path,
-                configuration =
-                  Map("delta.enableChangeDataFeed" -> "true"))
+                configuration = tconf)
             else
               graft.sources.DeltaLite.upsert(spark, merged, sink.path,
                 sink.keys)
@@ -1012,7 +1025,8 @@ object GraftApp {
             s"delta sink '${sink.table}': partition_by needs the " +
               "delta-spark connector (native commits are unpartitioned)")
           graft.sinks.Sinks.appendDelta(df, sink.path, ckpt,
-            appId = s"graft-${sink.table}", queryName = qn)
+            appId = s"graft-${sink.table}", queryName = qn,
+            configuration = deltaTableProps(sink))
         case "append"
             if sink.format == "iceberg" &&
               !formatOnClasspath(spark, "iceberg") =>

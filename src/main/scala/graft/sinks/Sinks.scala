@@ -47,14 +47,19 @@ object Sinks {
     * log itself (the same protocol delta-spark's streaming sink uses).
     */
   def appendDelta(df: DataFrame, tablePath: String, checkpoint: String,
-      appId: String, queryName: Option[String] = None): StreamingQuery =
+      appId: String, queryName: Option[String] = None,
+      /** table properties stamped when the FIRST batch creates the
+        * table (delta.enableChangeDataFeed,
+        * delta.enableInCommitTimestamps, delta.constraints.*, …). */
+      configuration: Map[String, String] = Map.empty): StreamingQuery =
     named(df.writeStream, queryName)
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.DeltaLite.write(batch.sparkSession, batch,
-          tablePath, "append", txn = Some((appId, batchId)))
+          tablePath, "append", txn = Some((appId, batchId)),
+          configuration = configuration)
         ()
       }
       .start()

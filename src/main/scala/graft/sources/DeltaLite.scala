@@ -3221,7 +3221,12 @@ object DeltaLite {
     * every snapshot listing. The spec's trade applies: version-pinned
     * reads at or below the checkpoint stop working (streaming tails
     * recover per their `on_missing_offset` option). Refuses without a
-    * checkpoint. Returns the number of commit files deleted.
+    * checkpoint. An IN-COMMIT-TIMESTAMP table spares its HEAD commit
+    * even when the checkpoint covers it: that commit carries the
+    * table's authoritative clock (the next commit's monotonic floor
+    * and the newest `timestamp_as_of` anchor) — deleting it would
+    * silently reset the ICT clock. Returns the number of commit files
+    * deleted.
     */
   def cleanupLogs(spark: SparkSession, tablePath: String): Int = {
     val logDir = new Path(tablePath, "_delta_log")
@@ -3235,10 +3240,14 @@ object DeltaLite {
     val v = try mapper.readTree(new String(in.readAllBytes(), "UTF-8"))
       .get("version").asLong finally in.close()
     val commitRe = "(\\d{20})\\.json".r
+    val snap = snapshot(spark, tablePath)
+    val spareHead: Option[Long] =
+      if (ictEnabled(snap)) Some(snap.version) else None
     var deleted = 0
     fs.listStatus(logDir).foreach { s =>
       s.getPath.getName match {
-        case commitRe(cv) if cv.toLong <= v =>
+        case commitRe(cv) if cv.toLong <= v &&
+            !spareHead.contains(cv.toLong) =>
           // CDF files referenced ONLY by this about-to-die commit are
           // garbage once the commit JSON is gone (the range is no
           // longer CDF-readable) — delete them with it, or
@@ -3289,7 +3298,11 @@ object DeltaLite {
         val node = mapper.readTree(line)
         Option(node.get("commitInfo")).foreach { ci =>
           op = Option(ci.get("operation")).map(_.asText)
-          ts = Option(ci.get("timestamp")).map(_.asLong)
+          // ICT tables: inCommitTimestamp is the authoritative clock
+          // DESCRIBE HISTORY shows (delta-spark's rule)
+          ts = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull)
+            .map(_.asLong)
+            .orElse(Option(ci.get("timestamp")).map(_.asLong))
           Option(ci.get("operationParameters")).foreach { pn =>
             val it = pn.fields()
             while (it.hasNext) {

@@ -155,7 +155,9 @@ private[sources] final case class KafkaNativeConf(broker: String,
     s"kafka native: startingTimestampStrategy must be latest|error, " +
       s"got '$timestampStrategy'")
   require(sasl.forall(Set("plain", "scram-sha-256")),
-    s"kafka native: sasl must be plain|scram-sha-256, got '${sasl.get}'")
+    s"kafka native: sasl must be plain|scram-sha-256, got '${sasl.get}'" +
+      " — GSSAPI/Kerberos needs a KDC to authenticate against (none in" +
+      " this deployment); use SASL/PLAIN or SCRAM-SHA-256 over TLS")
 
   /** Secrets may be configured as `env:NAME` to resolve from the
     * process environment at session-open time instead of riding

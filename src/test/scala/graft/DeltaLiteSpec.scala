@@ -1848,6 +1848,16 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.versionAtTimestamp(spark, t, ict(1)) == 1L)
     assert(DeltaLite.read(spark, t, Some(
       DeltaLite.versionAtTimestamp(spark, t, ict(1)))).count() == 2)
+    // checkpoint at head + cleanupLogs: the HEAD commit (the table's
+    // authoritative clock) is SPARED, so the next commit's ICT still
+    // advances instead of silently resetting to 1
+    DeltaLite.checkpoint(spark, t)
+    val deletedN = DeltaLite.cleanupLogs(spark, t)
+    assert(deletedN == 2, s"deleted $deletedN commits — the ICT head " +
+      "commit must be spared")
+    assert(fs(t).exists(new Path(t, f"_delta_log/${2L}%020d.json")))
+    DeltaLite.write(spark, Seq((5L, "e")).toDF("k", "v"), t)
+    assert(ict(3) > ts.last, s"post-cleanup ICT ${ict(3)} !> ${ts.last}")
   }
 
   test("a rebased ICT commit re-stamps its clock past the new head's") {

@@ -2080,6 +2080,45 @@ class GraftAppSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
+  test("sink options.property.* stamps raw delta table properties at " +
+      "creation: ICT-clocked commits + config-declared CHECK " +
+      "constraints enforced by the native writer") {
+    import spark.implicits._
+    import graft.sources.DeltaLite
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graftapp_props").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val cfg = GraftConfig(
+      sources = Seq(SourceConf("t", s"$tmp/src", format = "parquet")),
+      sql = "SELECT k, v INTO outp FROM t",
+      sinks = Seq(SinkConf("outp", s"$tmp/dsink", format = "delta",
+        options = Map(
+          "property.delta.enableInCommitTimestamps" -> "true",
+          "property.delta.constraints.vpos" -> "v > 0"))))
+    runBatch(spark, cfg)
+    val snap = DeltaLite.snapshot(spark, s"$tmp/dsink")
+    assert(snap.configuration.get("delta.enableInCommitTimestamps")
+      .contains("true"))
+    assert(snap.configuration.get("delta.constraints.vpos")
+      .contains("v > 0"))
+    assert(snap.protocol.exists(_.writerFeatures
+      .exists(_.contains("inCommitTimestamp"))))
+    // the creation commit is ICT-clocked
+    val lp = new org.apache.hadoop.fs.Path(s"$tmp/dsink",
+      "_delta_log/" + "0" * 20 + ".json")
+    val in = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .open(lp)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(txt.contains("inCommitTimestamp"), txt.take(300))
+    // the config-declared constraint is LIVE: a violating native append
+    // refuses naming it
+    val ex = intercept[IllegalArgumentException](DeltaLite.write(spark,
+      Seq((9L, -1L)).toDF("k", "v"), s"$tmp/dsink"))
+    assert(ex.getMessage.contains("vpos"), ex.getMessage)
+    assert(DeltaLite.read(spark, s"$tmp/dsink").count() == 2)
+  }
+
   test("timestamp_as_of accepts date-only and ISO-8601 zone-suffixed " +
       "values (delta-spark's shapes); failures name the source") {
     import spark.implicits._
