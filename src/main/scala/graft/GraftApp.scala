@@ -499,7 +499,12 @@ object GraftApp {
       expireKeepLast: Option[Int] = None,
       vacuum: Boolean = false,
       checkpoint: Boolean = false,
-      cleanupLogs: Boolean = false) {
+      cleanupLogs: Boolean = false,
+      /** `set_properties:` — ALTER TABLE SET TBLPROPERTIES (delta):
+        * ADD CONSTRAINT (existing rows validated), enable CDF / ICT
+        * post-creation (protocol upgraded), appendOnly, user props.
+        */
+      setProperties: Map[String, String] = Map.empty) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -510,8 +515,10 @@ object GraftApp {
         "(delta uses checkpoint + cleanup_logs + vacuum)")
     require((!checkpoint && !cleanupLogs) || format == "delta",
       s"maintenance on '$path': checkpoint/cleanup_logs are delta ops")
+    require(setProperties.isEmpty || format == "delta",
+      s"maintenance on '$path': set_properties is a delta op")
     require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
-        cleanupLogs,
+        cleanupLogs || setProperties.nonEmpty,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -967,6 +974,9 @@ object GraftApp {
             graft.sources.DeltaLite.compact(spark, m.path,
               if (m.compactSmallFileBytes > 0) m.compactSmallFileBytes
               else 128L << 20)
+          if (m.setProperties.nonEmpty)
+            graft.sources.DeltaLite.setTableProperties(spark, m.path,
+              m.setProperties)
           if (m.checkpoint) graft.sources.DeltaLite.checkpoint(spark, m.path)
           if (m.cleanupLogs) graft.sources.DeltaLite.cleanupLogs(spark, m.path)
           if (m.vacuum) graft.sources.DeltaLite.vacuum(spark, m.path)

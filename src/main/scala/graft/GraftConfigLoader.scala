@@ -235,6 +235,9 @@ object GraftConfigLoader {
     *     checkpoint: true              # bound log replay
     *     cleanup_logs: true            # drop checkpoint-covered commits
     *     vacuum: true
+    *     set_properties:               # ALTER TABLE SET TBLPROPERTIES
+    *       delta.enableChangeDataFeed: "true"
+    *       delta.constraints.positive: "v > 0"
     * }}}
     */
   private def maintenance(root: Map[String, Object]): Seq[GraftApp.MaintenanceConf] =
@@ -262,7 +265,11 @@ object GraftConfigLoader {
           checkpoint = m.asScala.get("checkpoint")
             .exists(_.toString.toBoolean),
           cleanupLogs = m.asScala.get("cleanup_logs")
-            .exists(_.toString.toBoolean))
+            .exists(_.toString.toBoolean),
+          setProperties = m.asScala.get("set_properties")
+            .filter(_ != null).map(x => asMap(x).asScala.map {
+              case (k, v) => k.toString -> v.toString
+            }.toMap).getOrElse(Map.empty))
       }
 
   /** `telemetry.metrics: !Prometheus{address: host:port}` (reference

@@ -4384,6 +4384,62 @@ object PipelineQueries {
         .select(col("r_regionkey"), col("r_name"), col("_op"), col("_seq"))
     },
 
+    // ALTER TABLE SET TBLPROPERTIES through the driver gate: a table
+    // CREATED PLAIN gains change-data-feed AND a CHECK constraint
+    // post-creation (one metadata commit upgrading the protocol), then
+    // an append and a DV delete land under the new contract — the
+    // append must survive the constraint scan, a violating append must
+    // refuse in-rig, and changeFeed over the post-enable range must
+    // return the exact per-commit classification. The oracle rebuilds
+    // the change set from raw parquet; a lost enablement, skipped
+    // constraint, or misclassified row hash-fails.
+    QueryDef("q152_delta_alter_properties",
+      """SELECT c_custkey + 1000 AS c_custkey, c_name,
+        |  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey <= 50
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'delete', 3 FROM customer
+        |WHERE c_custkey <= 100 AND c_custkey % 4 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000, c_name, 'delete', 3 FROM customer
+        |WHERE c_custkey <= 50 AND (c_custkey + 1000) % 4 = 0""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q152_alter").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name").cast("string").as("c_name"))
+      DeltaLite.write(s, c.filter(col("c_custkey") <= 100), tbl)  // v0
+      DeltaLite.setTableProperties(s, tbl, Map(                   // v1
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.constraints.cpos" -> "c_custkey >= 0"))
+      // the new constraint is LIVE: a violating append refuses by name
+      val refused =
+        try { DeltaLite.write(s, {
+            import s.implicits._
+            Seq((-1L, "bad")).toDF("c_custkey", "c_name")
+          }, tbl); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cpos") }
+      require(refused, "post-creation CHECK constraint not enforced")
+      DeltaLite.write(s, c.filter(col("c_custkey") <= 50)         // v2
+        .select((col("c_custkey") + 1000).as("c_custkey"),
+          col("c_name")), tbl)
+      DeltaLite.deleteWhere(s, tbl, col("c_custkey") % 4 === 0)   // v3
+      // the ALTER actually enabled CDF: exact cdc files + writer-4 floor
+      require(fsys.exists(new org.apache.hadoop.fs.Path(tbl,
+        "_change_data")), "post-creation CDF wrote no _change_data")
+      require(DeltaLite.snapshot(s, tbl).protocol
+        .forall(_.minWriterVersion >= 4), "protocol not upgraded")
+      DeltaLite.changeFeed(s, tbl, 1, 3)
+        .select(col("c_custkey"), col("c_name"), col("_change_type"),
+          col("_commit_version"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

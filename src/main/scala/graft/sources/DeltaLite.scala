@@ -3018,6 +3018,109 @@ object DeltaLite {
     version
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES`, native: a metadata-only commit
+    * restating the FULL configuration plus `props`, upgrading the
+    * protocol when a property demands a feature floor the table lacks:
+    *
+    *  - `delta.constraints.<name>` (ADD CONSTRAINT): the table's
+    *    EXISTING rows are validated against the new expression first —
+    *    delta-spark's contract — and the commit refuses naming the
+    *    constraint if any row violates; the protocol gains
+    *    `checkConstraints` (writer floor 3);
+    *  - `delta.enableChangeDataFeed=true`: writer floor 4 /
+    *    `changeDataFeed` — mutations AFTER this commit write exact cdc
+    *    files;
+    *  - `delta.enableInCommitTimestamps=true`: writer features form
+    *    with `inCommitTimestamp`, and the spec's
+    *    `delta.inCommitTimestampEnablement{Version,Timestamp}` pair is
+    *    stamped so mixed-clock time travel stays well-defined (commits
+    *    before the enablement version resolve by their legacy clocks);
+    *  - anything else (`delta.appendOnly`, user properties) restates
+    *    verbatim.
+    *
+    * Column-mapping mode changes refuse — [[enableColumnMapping]] owns
+    * that upgrade (it must stamp physical names / field ids). Returns
+    * the new version.
+    */
+  def setTableProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setTableProperties needs at least one property")
+    val snap = snapshot(spark, tablePath)
+    checkWriterProtocol(snap, dataChangeMutation = false,
+      "SET TBLPROPERTIES")
+    require(!props.keys.exists(_.startsWith("delta.columnMapping")),
+      "column mapping changes go through enableColumnMapping, not raw " +
+        "table properties (the upgrade must stamp physical names)")
+    // ADD CONSTRAINT validates the EXISTING rows first (delta-spark's
+    // ALTER TABLE ADD CONSTRAINT scan) — one early-exit pass
+    val newConstraints = props.filter(_._1.startsWith("delta.constraints."))
+    if (newConstraints.nonEmpty)
+      // only the NEW expressions scan (existing constraints already
+      // held when their rows were written)
+      enforceConstraints(newConstraints, StructType(Nil),
+        read(spark, tablePath), tablePath)
+    val now = 1L
+    val fs = new Path(tablePath, "_delta_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(tablePath, "_delta_log")
+    val p = snap.protocol.getOrElse(CpProto(1, 2, None, None))
+    val ictNewlyOn = !ictEnabled(snap) &&
+      props.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true"))
+    val version = snap.version + 1
+    val ict: Option[Long] =
+      if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap))
+      else if (ictNewlyOn)
+        // first tick of the table's clock: past the head commit's
+        // legacy clock, so the timeline never runs backwards at the
+        // enablement boundary
+        Some(nextIct(fs, logDir, snap))
+      else None
+    val conf2 = snap.configuration ++ props ++
+      (if (ictNewlyOn) Map(
+        "delta.inCommitTimestampEnablementVersion" -> version.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
+      else Map.empty)
+    val curFeats = p.writerFeatures
+      .getOrElse(impliedWriterFeatures(p.minWriterVersion)).toSet
+    val needed =
+      (if (newConstraints.nonEmpty) Seq("checkConstraints") else Nil) ++
+      (if (props.get("delta.enableChangeDataFeed")
+          .exists(_.equalsIgnoreCase("true"))) Seq("changeDataFeed")
+       else Nil) ++
+      (if (ictNewlyOn) Seq("inCommitTimestamp") else Nil)
+    val missing = needed.filterNot(curFeats)
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("SET TBLPROPERTIES", props, now, ict)
+    if (missing.nonEmpty) {
+      if (missing.contains("inCommitTimestamp") ||
+          p.writerFeatures.nonEmpty || p.minReaderVersion >= 3) {
+        // features form is EXHAUSTIVE: restate everything current plus
+        // the new features; reader side unchanged
+        val wf = (curFeats ++ missing).toSeq.sorted
+        val rfPart = p.readerFeatures
+          .map(rf => s""""readerFeatures":${featuresJson(rf)},""")
+          .getOrElse("")
+        lines += (s"""{"protocol":{"minReaderVersion":""" +
+          s"""${p.minReaderVersion},$rfPart"minWriterVersion":7,""" +
+          s""""writerFeatures":${featuresJson(wf)}}}""")
+      } else {
+        val floor = Seq(2,
+          if (missing.contains("checkConstraints")) 3 else 2,
+          if (missing.contains("changeDataFeed")) 4 else 2).max
+        lines += (s"""{"protocol":{"minReaderVersion":""" +
+          s"""${p.minReaderVersion},"minWriterVersion":""" +
+          s"""${math.max(p.minWriterVersion, floor)}}}""")
+      }
+    }
+    lines += metaDataAction(
+      if (snap.tableId.isEmpty) java.util.UUID.randomUUID.toString
+      else snap.tableId,
+      snap.schema, snap.partitionColumns, conf2, now)
+    claimCommit(fs, logDir, version, lines.toSeq, tablePath)
+    version
+  }
+
   /** Metadata-only column RENAME on a column-mapped table: the logical
     * name changes, the columnMapping id and physicalName stay, so no
     * data file is touched and every existing file keeps resolving —

@@ -2038,6 +2038,68 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, t).count() == 5)
   }
 
+  test("setTableProperties (ALTER TABLE SET TBLPROPERTIES): post-" +
+      "creation CDF + ICT enablement upgrade the protocol; ADD " +
+      "CONSTRAINT validates existing rows; columnMapping refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_setprops")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    // ADD CONSTRAINT the existing rows VIOLATE → refuse, no commit
+    val bad = intercept[IllegalArgumentException](
+      DeltaLite.setTableProperties(spark, t,
+        Map("delta.constraints.vbig" -> "v > 15")))
+    assert(bad.getMessage.contains("vbig"), bad.getMessage)
+    assert(DeltaLite.snapshot(spark, t).version == 0L)
+    // ADD CONSTRAINT the rows satisfy → commits, then ENFORCES appends
+    DeltaLite.setTableProperties(spark, t,
+      Map("delta.constraints.vpos" -> "v > 0"))
+    val s1 = DeltaLite.snapshot(spark, t)
+    assert(s1.configuration.get("delta.constraints.vpos").contains("v > 0"))
+    assert(s1.protocol.forall(_.minWriterVersion >= 3))
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((3L, -1L)).toDF("k", "v"), t))
+    assert(e.getMessage.contains("vpos"), e.getMessage)
+    // enable CDF post-creation: mutations AFTER it write exact cdc files
+    DeltaLite.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaLite.snapshot(spark, t).protocol
+      .forall(_.minWriterVersion >= 4))
+    DeltaLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), t)       // v3
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)               // v4
+    assert(fs(t).exists(new Path(t, "_change_data")))
+    val cdf = DeltaLite.changeFeed(spark, t, 2, 4)
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cdf == Set((3L, "insert", 3L), (1L, "delete", 4L)), cdf)
+    // enable ICT post-creation: enablement pair stamped, later commits
+    // carry increasing clocks, and the first tick lands PAST the head's
+    // legacy clock
+    val vIct = DeltaLite.setTableProperties(spark, t,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val s2 = DeltaLite.snapshot(spark, t)
+    assert(s2.configuration.get("delta.inCommitTimestampEnablementVersion")
+      .contains(vIct.toString))
+    assert(s2.protocol.exists(_.writerFeatures
+      .exists(_.contains("inCommitTimestamp"))))
+    DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), t)
+    def ict(v: Long): Long = {
+      val in = fs(t).open(new Path(t, f"_delta_log/$v%020d.json"))
+      val txt = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt.split("\n").find(_.contains("commitInfo")).get)
+        .get("commitInfo").get("inCommitTimestamp").asLong
+    }
+    assert(ict(vIct + 1) > ict(vIct), s"${ict(vIct + 1)} !> ${ict(vIct)}")
+    // column mapping via raw properties refuses by name
+    val cm = intercept[IllegalArgumentException](
+      DeltaLite.setTableProperties(spark, t,
+        Map("delta.columnMapping.mode" -> "name")))
+    assert(cm.getMessage.contains("enableColumnMapping"), cm.getMessage)
+    // the grown table still reads whole
+    assert(DeltaLite.read(spark, t).count() == 3) // k=2,3,9 (1 deleted)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
