@@ -4440,6 +4440,49 @@ object PipelineQueries {
           col("_commit_version"))
     },
 
+    // GENERATED PARTITION COLUMN through the driver gate: a delta
+    // table partitioned by a GENERATED bucket column (the 100-TB
+    // shape: a date/bucket derived from a business key so scans prune
+    // without the writer hand-computing it). The creation provides the
+    // column (validated `col <=> expr`); the second append OMITS it —
+    // the native writer computes it from the table's generation
+    // expression and lands each row in the right partition directory.
+    // The oracle recomputes the bucket closed-form; a skipped compute,
+    // wrong expression, or lost partition literal hash-fails.
+    QueryDef("q153_delta_generated_partition",
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, o_custkey, o_orderkey % 10 AS o_bucket
+        |  FROM orders WHERE o_orderkey <= 4000
+        |)
+        |SELECT o_bucket, COUNT(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM all_rows GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q153_gen").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"))
+        .filter(col("o_orderkey") <= 4000)
+      val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.generationExpression", "o_orderkey % 10")
+        .build()
+      val first = o.filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 10).as("o_bucket", genMeta))
+      DeltaLite.write(s, first, tbl, partitionBy = Seq("o_bucket"))
+      // the append OMITS the generated partition column entirely
+      DeltaLite.write(s, o.filter(col("o_orderkey") > 2000), tbl)
+      require(DeltaLite.snapshot(s, tbl).protocol
+        .forall(_.minWriterVersion >= 4), "generatedColumns floor lost")
+      DeltaLite.read(s, tbl)
+        .groupBy("o_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").cast("long").as("sum_cust"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

@@ -1324,10 +1324,13 @@ object DeltaLite {
     * `invariants`/`checkConstraints` (row-adding commits EVALUATE the
     * table's CHECK constraints and column invariants —
     * [[enforceConstraints]] — and refuse naming the violated
-    * expression), `generatedColumns`/`identityColumns` (accepted only
-    * while the table carries NONE — the native writer does not
-    * SYNTHESIZE column values, so their actual presence refuses
-    * loudly). Unknown future writer features refuse by name.
+    * expression), `generatedColumns` (an omitted generated column is
+    * COMPUTED from its expression, a provided one is VALIDATED
+    * `col <=> expr` — delta-spark's write contract), and
+    * `identityColumns` accepted only while the table carries none —
+    * identity allocation needs monotonic per-writer state the native
+    * writer does not keep, so their actual presence refuses loudly.
+    * Unknown future writer features refuse by name.
     */
   private def checkWriterProtocol(snap: Snapshot,
       dataChangeMutation: Boolean, operation: String): Unit = {
@@ -1348,14 +1351,31 @@ object DeltaLite {
       throw new IllegalArgumentException(
         s"delta.appendOnly table refuses $operation — only appends and " +
           "dataChange:false rewrites are allowed")
-    val schemaStr = snap.schema.json
-    require(!schemaStr.contains("delta.generationExpression"),
-      "table carries generated columns the native writer does not " +
-        "compute — write with the delta-spark jars")
-    require(!schemaStr.contains("delta.identity."),
+    require(!snap.schema.json.contains("delta.identity."),
       "table carries identity columns the native writer does not " +
         "assign — write with the delta-spark jars")
   }
+
+  /** Fields carrying the spec's `delta.generationExpression` metadata
+    * (GENERATED columns) paired with their SQL expression.
+    */
+  private def generatedColumns(
+      schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        (f, f.metadata.getString("delta.generationExpression"))
+    }
+
+  /** The `col <=> (expr)` validation predicates for generated columns
+    * a batch PROVIDES (the spec: explicit values must agree with the
+    * generation expression).
+    */
+  private def generatedChecks(schema: StructType,
+      batchCols: Seq[String]): Seq[(String, String)] =
+    generatedColumns(schema).collect {
+      case (f, g) if batchCols.contains(f.name) =>
+        (s"generated column ${f.name}", s"`${f.name}` <=> ($g)")
+    }
 
   /** The table's enforced write-time row predicates: CHECK constraints
     * (`delta.constraints.<name>` configuration — delta-spark's
@@ -1394,9 +1414,12 @@ object DeltaLite {
     * batches pay a single validated pass, map-only at any scale.
     */
   private def enforceConstraints(configuration: Map[String, String],
-      schema: StructType, df: DataFrame, tablePath: String): Unit = {
+      schema: StructType, df: DataFrame, tablePath: String,
+      /** additional (label, sql) predicates evaluated in the same pass
+        * (generated-column validations). */
+      extra: Seq[(String, String)] = Nil): Unit = {
     import org.apache.spark.sql.functions.expr
-    val cs = tableConstraints(configuration, schema)
+    val cs = tableConstraints(configuration, schema) ++ extra
     if (cs.isEmpty) return
     val violated = cs.map { case (_, sql) => !(expr(sql) <=> lit(true)) }
       .reduce(_ || _)
@@ -2490,6 +2513,34 @@ object DeltaLite {
         s.partitionColumns
       case None => partitionBy
     }
+    // GENERATED COLUMNS (spec `delta.generationExpression` metadata,
+    // delta-spark's write contract): a batch may OMIT a generated
+    // column — it is COMPUTED from its expression here, in the table's
+    // column order (generated partition columns like a date derived
+    // from a timestamp land on the right partition for free) — and a
+    // batch that PROVIDES one has its values VALIDATED `col <=> expr`
+    // in the same constraints pass below.
+    val genCols = existing.map(s => generatedColumns(s.schema))
+      .getOrElse(generatedColumns(df.schema))
+    val df1 = existing match {
+      case Some(s) if genCols.exists(g => !df.columns.contains(g._1.name))
+          && df.columns.toSet.subsetOf(s.schema.fieldNames.toSet) =>
+        val provided = df.columns.toSet
+        val missing = s.schema.fields
+          .filterNot(f => provided.contains(f.name))
+        val nonGen = missing
+          .filterNot(f => genCols.exists(_._1.name == f.name))
+        require(nonGen.isEmpty,
+          s"batch for $tablePath omits non-generated columns " +
+            s"${nonGen.map(_.name).mkString(", ")}")
+        df.select(s.schema.fields.map { f =>
+          if (provided.contains(f.name)) col(f.name)
+          else org.apache.spark.sql.functions
+            .expr(genCols.find(_._1.name == f.name).get._2)
+            .cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      case _ => df
+    }
     val evolving = existing.exists { s =>
       // exact match (nullability may tighten), or APPEND-ONLY schema
       // EVOLUTION: the table's columns as a prefix plus new ones after
@@ -2498,12 +2549,12 @@ object DeltaLite {
       // replay) and old files read the additions as null by name
       val tf = s.schema.fields
         .map(f => (f.name, normalizeNullability(f.dataType))).toSeq
-      val nf = df.schema.fields
+      val nf = df1.schema.fields
         .map(f => (f.name, normalizeNullability(f.dataType))).toSeq
       require(nf.take(tf.length) == tf,
         s"schema mismatch writing to $tablePath (append-only evolution " +
           s"adds columns AFTER the existing ones):\n table: " +
-          s"${s.schema.json}\n data:  ${df.schema.json}")
+          s"${s.schema.json}\n data:  ${df1.schema.json}")
       nf.length > tf.length
     }
     // column-mapped tables (name or id mode): stage under the PHYSICAL
@@ -2519,15 +2570,21 @@ object DeltaLite {
           val prevMax = s.configuration
             .get("delta.columnMapping.maxColumnId").map(_.toLong)
             .getOrElse(maxMappingId(s.schema))
-          val added = df.schema.fields.drop(s.schema.fields.length)
+          val added = df1.schema.fields.drop(s.schema.fields.length)
           val (stamped, maxId) = assignMapping(StructType(added), prevMax,
             _ => "col-" + java.util.UUID.randomUUID.toString)
           (StructType(s.schema.fields ++ stamped.fields),
             s.configuration +
               ("delta.columnMapping.maxColumnId" -> maxId.toString))
         case Some(s) if mapped => (s.schema, s.configuration)
-        case Some(s) => (df.schema, s.configuration)
-        case None => (df.schema, configuration)
+        case Some(s) =>
+          // keep the TABLE's fields verbatim (their metadata carries
+          // invariants / generation expressions an evolving commit
+          // must not drop); only genuinely new columns come from df
+          (StructType(s.schema.fields ++
+            df1.schema.fields.drop(s.schema.fields.length)),
+            s.configuration)
+        case None => (df1.schema, configuration)
       }
     // table properties stamp at CREATION; re-stating values the table
     // already carries is an idempotent no-op (config-driven sinks pass
@@ -2539,20 +2596,23 @@ object DeltaLite {
       "table properties are stamped at creation — alter the existing " +
         s"table's configuration through its own commit, not a write to " +
         tablePath)
-    // CHECK constraints / column invariants gate the NEW rows before
-    // any staging I/O (delta-spark's write-side enforcement contract).
-    // Invariants live in the TABLE's schema metadata (df.schema never
-    // carries them), so look them up there.
+    // CHECK constraints / column invariants / provided-generated-column
+    // validations gate the NEW rows before any staging I/O
+    // (delta-spark's write-side enforcement contract). Invariants and
+    // generation expressions live in the TABLE's schema metadata
+    // (df.schema never carries them), so look them up there.
     enforceConstraints(evolvedConf,
-      existing.map(_.schema).getOrElse(tableSchema), df, tablePath)
+      existing.map(_.schema).getOrElse(tableSchema), df1, tablePath,
+      extra = generatedChecks(
+        existing.map(_.schema).getOrElse(tableSchema), df.columns.toSeq))
     val (stagedDf, stagePartCols) =
       if (mapped) {
         val physPart = partCols.map(c => physicalName(
           tableSchema.fields.find(_.name == c).getOrElse(
             throw new IllegalArgumentException(
               s"partition column $c missing from the Delta schema"))))
-        (toPhysical(df, tableSchema), physPart)
-      } else (df, partCols)
+        (toPhysical(df1, tableSchema), physPart)
+      } else (df1, partCols)
     val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
       if (stagePartCols.isEmpty)
         stageWithStats(spark, stagedDf, root, fs)
@@ -2576,11 +2636,12 @@ object DeltaLite {
       now, ictStamp)
     if (existing.isEmpty || evolving) {
       if (existing.isEmpty) {
-        // legacy protocol floors: CDF needs writer version 4, CHECK
-        // constraints version 3
+        // legacy protocol floors: CDF and generated columns need
+        // writer version 4, CHECK constraints version 3
         val minWriter =
           if (configuration.get("delta.enableChangeDataFeed")
-              .exists(_.equalsIgnoreCase("true"))) 4
+              .exists(_.equalsIgnoreCase("true")) ||
+            genCols.nonEmpty) 4
           else if (configuration.keys
               .exists(_.startsWith("delta.constraints."))) 3
           else 2
@@ -2842,9 +2903,11 @@ object DeltaLite {
     require(normalizeNullability(snap.schema) == normalizeNullability(batch.schema),
       s"schema mismatch upserting to $tablePath:\n table: ${snap.schema.json}" +
         s"\n data:  ${batch.schema.json}")
-    // CHECK constraints / invariants gate the batch's NEW row images
-    // (retained rewritten rows already passed at their own write)
-    enforceConstraints(snap.configuration, snap.schema, batch, tablePath)
+    // CHECK constraints / invariants / generated-column validations
+    // gate the batch's NEW row images (retained rewritten rows already
+    // passed at their own write)
+    enforceConstraints(snap.configuration, snap.schema, batch, tablePath,
+      extra = generatedChecks(snap.schema, batch.columns.toSeq))
 
     val batchRanges: Map[String, (Any, Any)] = eligibleKeys.flatMap { f =>
       for {

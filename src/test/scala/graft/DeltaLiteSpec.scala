@@ -2100,6 +2100,70 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, t).count() == 3) // k=2,3,9 (1 deleted)
   }
 
+  test("generated columns: an omitted column is COMPUTED from its " +
+      "expression, provided values VALIDATE col <=> expr, mismatches " +
+      "refuse by name; identity columns still refuse") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder,
+      StructField, StructType}
+    val t = java.nio.file.Files.createTempDirectory("delta_gen").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("k2", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "k * 2").build())))
+    writeDataFile(Seq((1L, 2L)).toDF("k", "k2"), t, "f1.parquet")
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaAction(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // omitted → computed (and the column order restored)
+    DeltaLite.write(spark, Seq(5L).toDF("k"), t)
+    // provided + matching → passes validation
+    DeltaLite.write(spark, Seq((7L, 14L)).toDF("k", "k2"), t)
+    assert(DeltaLite.read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (5L, 10L), (7L, 14L)))
+    // provided + MISMATCHED → refuses naming the column + expression
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((9L, 1L)).toDF("k", "k2"), t))
+    assert(e.getMessage.contains("generated column k2") &&
+      e.getMessage.contains("k * 2"), e.getMessage)
+    // MERGE validates its batch the same way
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLite.upsert(spark, Seq((5L, 11L)).toDF("k", "k2"), t,
+        Seq("k")))
+    assert(e2.getMessage.contains("generated column k2"), e2.getMessage)
+    DeltaLite.upsert(spark, Seq((5L, 10L)).toDF("k", "k2"), t, Seq("k"))
+    assert(DeltaLite.read(spark, t).count() == 3)
+    // the evolving/metaData path must never DROP the generation
+    // expression: append-only evolution restates the table fields
+    // verbatim
+    DeltaLite.write(spark,
+      Seq((11L, 22L, "x")).toDF("k", "k2", "tag"), t)
+    val s2 = DeltaLite.snapshot(spark, t)
+    assert(s2.schema.fields.find(_.name == "k2").get
+      .metadata.contains("delta.generationExpression"))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((13L, 1L, "y")).toDF("k", "k2", "tag"), t))
+    assert(e3.getMessage.contains("generated column k2"), e3.getMessage)
+    // identity columns stay a loud refusal (monotonic allocation state)
+    val t2 = java.nio.file.Files.createTempDirectory("delta_ident").toString
+    val idSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L)
+          .putBoolean("delta.identity.allowExplicitInsert", false).build()),
+      StructField("v", LongType)))
+    writeDataFile(Seq((1L, 10L)).toDF("id", "v"), t2, "f1.parquet")
+    writeLog(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      metaAction(idSchema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e4 = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, Seq((2L, 20L)).toDF("id", "v"), t2))
+    assert(e4.getMessage.contains("identity"), e4.getMessage)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
