@@ -3184,6 +3184,45 @@ object DeltaLite {
     version
   }
 
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` / `DROP CONSTRAINT`, native:
+    * a metadata-only commit restating the configuration WITHOUT `keys`
+    * (missing keys are a no-op, delta-spark's IF EXISTS shape). The
+    * protocol never downgrades — a dropped constraint leaves
+    * `checkConstraints` in place, per the spec (features are
+    * monotonic). Refuses unsetting column-mapping / ICT keys whose
+    * removal would change how existing data or clocks resolve.
+    */
+  def unsetTableProperties(spark: SparkSession, tablePath: String,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetTableProperties needs at least one key")
+    val snap = snapshot(spark, tablePath)
+    checkWriterProtocol(snap, dataChangeMutation = false,
+      "UNSET TBLPROPERTIES")
+    require(!keys.exists(_.startsWith("delta.columnMapping")),
+      "column mapping cannot be un-set — existing files resolve by its " +
+        "physical names")
+    require(!keys.exists(_.startsWith("delta.inCommitTimestamp")) &&
+      !keys.contains("delta.enableInCommitTimestamps"),
+      "in-commit timestamps cannot be un-set natively — the enablement " +
+        "pair anchors mixed-clock time travel; use the delta-spark jars")
+    val conf2 = snap.configuration -- keys
+    val now = 1L
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ict = if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap))
+      else None
+    val lines = Seq(
+      commitInfoAction("UNSET TBLPROPERTIES",
+        Map("keys" -> keys.mkString(",")), now, ict),
+      metaDataAction(
+        if (snap.tableId.isEmpty) java.util.UUID.randomUUID.toString
+        else snap.tableId,
+        snap.schema, snap.partitionColumns, conf2, now))
+    val version = snap.version + 1
+    claimCommit(fs, logDir, version, lines, tablePath)
+    version
+  }
+
   /** Metadata-only column RENAME on a column-mapped table: the logical
     * name changes, the columnMapping id and physicalName stay, so no
     * data file is touched and every existing file keeps resolving —

@@ -2098,6 +2098,20 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(cm.getMessage.contains("enableColumnMapping"), cm.getMessage)
     // the grown table still reads whole
     assert(DeltaLite.read(spark, t).count() == 3) // k=2,3,9 (1 deleted)
+    // DROP CONSTRAINT (UNSET TBLPROPERTIES): the expression stops
+    // enforcing, the protocol stays (features are monotonic), and the
+    // ICT clock keeps ticking through the unset commit
+    DeltaLite.unsetTableProperties(spark, t,
+      Seq("delta.constraints.vpos"))
+    DeltaLite.write(spark, Seq((12L, -5L)).toDF("k", "v"), t)
+    assert(DeltaLite.read(spark, t).count() == 4)
+    assert(DeltaLite.snapshot(spark, t).protocol.exists(_.writerFeatures
+      .exists(_.contains("inCommitTimestamp"))))
+    // ICT keys refuse un-setting (the enablement pair anchors clocks)
+    val keep = intercept[IllegalArgumentException](
+      DeltaLite.unsetTableProperties(spark, t,
+        Seq("delta.enableInCommitTimestamps")))
+    assert(keep.getMessage.contains("in-commit"), keep.getMessage)
   }
 
   test("generated columns: an omitted column is COMPUTED from its " +
@@ -2162,6 +2176,47 @@ class DeltaLiteSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](
       DeltaLite.write(spark, Seq((2L, 20L)).toDF("id", "v"), t2))
     assert(e4.getMessage.contains("identity"), e4.getMessage)
+  }
+
+  test("changeFeed on a COLUMN-MAPPED + PARTITIONED CDF table: the " +
+      "grouped per-kind scans restore logical names and partition " +
+      "literals per commit, under the fan-out cap too") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cdfmap")
+      .toString + "/tbl"
+    DeltaLite.write(spark,
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"), t,
+      partitionBy = Seq("p"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    DeltaLite.enableColumnMapping(spark, t)                        // v1
+    DeltaLite.write(spark,
+      Seq((3L, "c", "p1")).toDF("k", "v", "p"), t)                 // v2
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)               // v3
+    DeltaLite.upsert(spark,
+      Seq((2L, "B", "p2")).toDF("k", "v", "p"), t, Seq("k"))       // v4
+    def feed(): Set[(Long, String, String, String, Long)] =
+      DeltaLite.changeFeed(spark, t, 1, 4)
+        .select("k", "v", "p", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4))).toSet
+    val expect = Set(
+      (3L, "c", "p1", "insert", 2L),
+      (1L, "a", "p1", "delete", 3L),
+      (2L, "b", "p2", "update_preimage", 4L),
+      (2L, "B", "p2", "update_postimage", 4L))
+    assert(feed() == expect, feed().toString)
+    // plan stays grouped: one scan per kind, not one per commit
+    val leaves = DeltaLite.changeFeed(spark, t, 1, 4)
+      .queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 4, s"expected grouped scan leaves, got $leaves")
+    // fan-out cap forced BELOW the partition count: the grouped scans
+    // take the broadcast partition-values join and must read the same
+    val prev = spark.conf.getOption("graft.delta.partitionUnionLimit")
+    spark.conf.set("graft.delta.partitionUnionLimit", "1")
+    try assert(feed() == expect, "fan-out-capped feed diverged")
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.delta.partitionUnionLimit", v)
+      case None => spark.conf.unset("graft.delta.partitionUnionLimit")
+    }
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
