@@ -1640,6 +1640,48 @@ class GraftAppSpec extends AnyFunSuite {
     assert(err.getMessage.contains("BATCH"))
   }
 
+  test("maintenance set_properties: config-level ALTER TABLE SET " +
+      "TBLPROPERTIES enables CDF + a CHECK constraint post-creation") {
+    import graft.sources.DeltaLite
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_setprops").toString
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), s"$base/dl")
+    Seq((2L, 20L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/src")
+    val yaml =
+      s"""sources:
+         |  - name: t
+         |    path: $base/src
+         |sql: SELECT k, v INTO o FROM t;
+         |sinks:
+         |  - table: o
+         |    path: $base/out
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/dl
+         |    format: delta
+         |    set_properties:
+         |      delta.enableChangeDataFeed: "true"
+         |      delta.constraints.vpos: "v > 0"
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    val snap = DeltaLite.snapshot(spark, s"$base/dl")
+    assert(snap.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"))
+    assert(snap.configuration.get("delta.constraints.vpos")
+      .contains("v > 0"))
+    assert(snap.protocol.forall(_.minWriterVersion >= 4))
+    // both properties are LIVE: violating appends refuse, mutations
+    // write exact cdc files
+    val e = intercept[IllegalArgumentException](DeltaLite.write(spark,
+      Seq((3L, -1L)).toDF("k", "v"), s"$base/dl"))
+    assert(e.getMessage.contains("vpos"), e.getMessage)
+    DeltaLite.deleteWhere(spark, s"$base/dl",
+      org.apache.spark.sql.functions.col("k") === 1L)
+    assert(new java.io.File(s"$base/dl/_change_data").exists())
+  }
+
   test("dozer !Kafka connection honors isolation_level: read_committed " +
       "— aborted transactions never reach the sink") {
     import graft.cdc.KafkaBatch.Encode
