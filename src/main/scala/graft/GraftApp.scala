@@ -705,14 +705,19 @@ object GraftApp {
           // TIME TRAVEL via options.snapshot_id / timestamp_as_of.
           if (streaming) nativeLakeTail(spark, s, "iceberg")
           else {
-            require(!(s.options.contains("snapshot_id") &&
-              s.options.contains("timestamp_as_of")),
-              s"source '${s.name}': snapshot_id and timestamp_as_of " +
-                "are mutually exclusive")
+            val pins = Seq("snapshot_id", "timestamp_as_of", "ref")
+              .filter(s.options.contains)
+            require(pins.size <= 1,
+              s"source '${s.name}': ${pins.mkString(" and ")} are " +
+                "mutually exclusive")
             val snapId = s.options.get("snapshot_id").map(_.toLong)
               .orElse(s.options.get("timestamp_as_of").map(ts =>
                 graft.sources.IcebergLite.snapshotAtTimestamp(spark,
                   s.path, parseTimestampOption(s.name, ts))))
+              // branch/tag time travel (the spec's named refs)
+              .orElse(s.options.get("ref").map(r =>
+                graft.sources.IcebergLite.snapshotForRef(spark, s.path,
+                  r)))
             graft.sources.IcebergLite.read(spark, s.path, snapId)
           }
         } else if (streaming) {

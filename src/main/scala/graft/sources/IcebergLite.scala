@@ -159,7 +159,37 @@ object IcebergLite {
         * retain every spec a live manifest references (global equality
         * deletes ride an unpartitioned spec next to the table's).
         */
-      specsJson: Seq[String] = Nil)
+      specsJson: Seq[String] = Nil,
+      /** raw `properties` object JSON — a foreign writer's table
+        * properties (commit retry policy, user props) restate VERBATIM
+        * on every commit; dropping them would corrupt foreign tables.
+        */
+      propertiesJson: Option[String] = None,
+      /** raw `refs` object JSON (named branches/tags). Commits restate
+        * it with `main` advanced to the new snapshot; tags and other
+        * branches survive untouched, and [[expireSnapshots]] never
+        * expires a snapshot a ref still names.
+        */
+      refsJson: Option[String] = None,
+      /** raw `sort-orders` array entries + the default id — a foreign
+        * table's declared sort orders restate verbatim (previously a
+        * commit silently reset them to the empty order).
+        */
+      sortOrdersJson: Seq[String] = Nil,
+      defaultSortOrderId: Int = 0,
+      /** `last-partition-id` — the high-water mark of assigned
+        * partition-field ids across ALL specs (foreign specs may use
+        * ids past our 1000+i convention).
+        */
+      lastPartitionId: Option[Int] = None,
+      /** raw `statistics` / `partition-statistics` entries (puffin
+        * stats files) — restated verbatim. */
+      statisticsJson: Seq[String] = Nil,
+      partitionStatisticsJson: Seq[String] = Nil,
+      /** raw `metadata-log` entries; each commit appends the PRIOR
+        * metadata file (the spec's lineage trail external tools walk).
+        */
+      metadataLogJson: Seq[String] = Nil)
 
   /** One field of the default partition spec: the partition field name,
     * the transform's metadata rendering, and the SOURCE column's field
@@ -379,6 +409,22 @@ object IcebergLite {
       tableUuid = Option(node.get("table-uuid")).map(_.asText)
         .getOrElse(java.util.UUID.randomUUID.toString),
       specsJson = Option(node.get("partition-specs")).toSeq
+        .flatMap(_.elements.asScala).map(_.toString),
+      propertiesJson = Option(node.get("properties"))
+        .filterNot(_.isNull).map(_.toString),
+      refsJson = Option(node.get("refs"))
+        .filterNot(_.isNull).map(_.toString),
+      sortOrdersJson = Option(node.get("sort-orders")).toSeq
+        .flatMap(_.elements.asScala).map(_.toString),
+      defaultSortOrderId = Option(node.get("default-sort-order-id"))
+        .map(_.asInt).getOrElse(0),
+      lastPartitionId = Option(node.get("last-partition-id"))
+        .map(_.asInt),
+      statisticsJson = Option(node.get("statistics")).toSeq
+        .flatMap(_.elements.asScala).map(_.toString),
+      partitionStatisticsJson = Option(node.get("partition-statistics"))
+        .toSeq.flatMap(_.elements.asScala).map(_.toString),
+      metadataLogJson = Option(node.get("metadata-log")).toSeq
         .flatMap(_.elements.asScala).map(_.toString))
   }
 
@@ -1433,11 +1479,48 @@ object IcebergLite {
     }.toMap
     (priorNonDefault ++ introduced).toSeq.sortBy(_._1)
       .foreach { case (_, sp) => specs.add(sp) }
-    node.put("last-partition-id", 999 + partitionSpec.size)
-    node.put("default-sort-order-id", 0)
+    node.put("last-partition-id",
+      math.max(999 + partitionSpec.size,
+        prior.flatMap(_.meta.lastPartitionId).getOrElse(0)))
+    // a foreign table's declared sort orders restate VERBATIM (a
+    // commit must never silently reset them to the empty order);
+    // fresh tables declare the spec's empty order 0
+    node.put("default-sort-order-id",
+      prior.map(_.meta.defaultSortOrderId).getOrElse(0))
     val orders = node.putArray("sort-orders")
-    val ord0 = orders.addObject()
-    ord0.put("order-id", 0); ord0.putArray("fields")
+    val priorOrders = prior.toSeq.flatMap(_.meta.sortOrdersJson)
+    if (priorOrders.nonEmpty)
+      priorOrders.foreach(o => orders.add(mapper.readTree(o)))
+    else {
+      val ord0 = orders.addObject()
+      ord0.put("order-id", 0); ord0.putArray("fields")
+    }
+    // table PROPERTIES restate verbatim — foreign writers keep their
+    // commit/retention policy and user properties across our commits
+    prior.flatMap(_.meta.propertiesJson).foreach(p =>
+      node.set[JsonNode]("properties", mapper.readTree(p)))
+    // REFS: `main` advances to THIS snapshot; tags and other branches
+    // survive untouched (readers following refs must see the new head)
+    val refsNode = prior.flatMap(_.meta.refsJson)
+      .map(r => mapper.readTree(r).deepCopy
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    val mainRef = mapper.createObjectNode()
+    mainRef.put("snapshot-id", snapshotId)
+    mainRef.put("type", "branch")
+    refsNode.set[JsonNode]("main", mainRef)
+    node.set[JsonNode]("refs", refsNode)
+    // puffin statistics entries restate verbatim
+    if (prior.exists(_.meta.statisticsJson.nonEmpty)) {
+      val st = node.putArray("statistics")
+      prior.toSeq.flatMap(_.meta.statisticsJson)
+        .foreach(s => st.add(mapper.readTree(s)))
+    }
+    if (prior.exists(_.meta.partitionStatisticsJson.nonEmpty)) {
+      val st = node.putArray("partition-statistics")
+      prior.toSeq.flatMap(_.meta.partitionStatisticsJson)
+        .foreach(s => st.add(mapper.readTree(s)))
+    }
     node.put("current-snapshot-id", snapshotId)
     val snapsArr = node.putArray("snapshots")
     def snapObj(sm: SnapshotMeta): Unit = {
@@ -1461,7 +1544,17 @@ object IcebergLite {
       val e = log.addObject()
       e.put("timestamp-ms", sm.timestampMs); e.put("snapshot-id", sm.snapshotId)
     }
-    node.putArray("metadata-log")
+    // metadata-log: prior entries restate verbatim + the PRIOR metadata
+    // file appends (the spec's lineage trail external tools walk)
+    val mlog = node.putArray("metadata-log")
+    prior.toSeq.flatMap(_.meta.metadataLogJson)
+      .foreach(e => mlog.add(mapper.readTree(e)))
+    prior.foreach { pm =>
+      val e = mlog.addObject()
+      e.put("timestamp-ms", now)
+      e.put("metadata-file",
+        new Path(metaDir, s"v${pm.meta.version}.metadata.json").toString)
+    }
 
     val mPath = new Path(metaDir, s"v$version.metadata.json")
     // TRUE put-if-absent (kernel-arbitrated O_EXCL on file://,
@@ -2224,9 +2317,17 @@ object IcebergLite {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ordered = meta.snapshots.sortBy(_.sequenceNumber)
+    // a snapshot a REF still names (tag or branch) never expires — the
+    // iceberg expiration contract; dropping it would dangle the ref
+    val refIds: Set[Long] = meta.refsJson.toSeq.flatMap { r =>
+      val n = mapper.readTree(r)
+      n.fieldNames.asScala.toSeq.flatMap(name =>
+        Option(n.get(name).get("snapshot-id")).map(_.asLong))
+    }.toSet
     val kept = ordered.takeRight(keepLast) ++
       meta.currentSnapshotId.flatMap(id =>
-        ordered.find(_.snapshotId == id)).toSeq
+        ordered.find(_.snapshotId == id)).toSeq ++
+      ordered.filter(s => refIds(s.snapshotId))
     val keptIds = kept.map(_.snapshotId).toSet
     if (keptIds.size == meta.snapshots.size) return 0
     // every path any KEPT snapshot references (normalized)
@@ -2359,6 +2460,24 @@ object IcebergLite {
     * (a delete file changes row visibility inside UNCHANGED data
     * files).
     */
+  /** Resolve a named REF (branch or tag, the spec's `refs` map) to its
+    * snapshot id — time travel by name: `read(spark, path,
+    * Some(snapshotForRef(...)))`. Loud when the table has no refs or
+    * the name is absent.
+    */
+  def snapshotForRef(spark: SparkSession, tablePath: String,
+      ref: String): Long = {
+    val meta = loadMeta(spark, tablePath)
+    val refs = meta.refsJson.getOrElse(throw new IllegalArgumentException(
+      s"$tablePath carries no refs — nothing to resolve '$ref' against"))
+    val n = mapper.readTree(refs)
+    Option(n.get(ref)).flatMap(r => Option(r.get("snapshot-id")))
+      .map(_.asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"ref '$ref' not in ${n.fieldNames.asScala.mkString(", ")} " +
+          s"of $tablePath"))
+  }
+
   /** APPEND-ONLY fast path for the streaming tail: when neither end
     * carries delete files and no data file was removed across the
     * range, every changed row is an insert of the added files — return

@@ -1640,6 +1640,46 @@ class GraftAppSpec extends AnyFunSuite {
     assert(err.getMessage.contains("BATCH"))
   }
 
+  test("iceberg source options.ref: branch/tag time travel by name " +
+      "through the config path") {
+    import spark.implicits._
+    import graft.sources.IcebergLite
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graftapp_ref").toString
+    val it = s"$tmp/itbl"
+    val s1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), it)
+    // a foreign writer tagged the first snapshot
+    val meta = IcebergLite.loadMeta(spark, it)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mPath = new org.apache.hadoop.fs.Path(it,
+      s"metadata/v${meta.version}.metadata.json")
+    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val node = { val in = mfs.open(mPath)
+      try mapper.readTree(in.readAllBytes())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close() }
+    node.set[com.fasterxml.jackson.databind.JsonNode]("refs",
+      mapper.readTree(
+        s"""{"main":{"snapshot-id":$s1,"type":"branch"},
+          |"v1-tag":{"snapshot-id":$s1,"type":"tag"}}""".stripMargin))
+    val out = mfs.create(mPath, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), it)
+    val cfg = GraftConfig(
+      sources = Seq(SourceConf("t", it, format = "iceberg",
+        options = Map("ref" -> "v1-tag"))),
+      sql = "SELECT k, v INTO outp FROM t",
+      sinks = Seq(SinkConf("outp", s"$tmp/out_r", mode = "overwrite")))
+    runBatch(spark, cfg)
+    assert(spark.read.parquet(s"$tmp/out_r")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // pins are mutually exclusive
+    val ex = intercept[IllegalArgumentException](runBatch(spark,
+      cfg.copy(sources = Seq(SourceConf("t", it, format = "iceberg",
+        options = Map("ref" -> "v1-tag", "snapshot_id" -> s1.toString))))))
+    assert(ex.getMessage.contains("mutually exclusive"), ex.getMessage)
+  }
+
   test("maintenance set_properties: config-level ALTER TABLE SET " +
       "TBLPROPERTIES enables CDF + a CHECK constraint post-creation") {
     import graft.sources.DeltaLite

@@ -1056,6 +1056,78 @@ class IcebergLiteSpec extends AnyFunSuite {
       ops.count(_ == "append") == 4, ops.toString)
   }
 
+  test("foreign metadata fields SURVIVE native commits: properties, " +
+      "refs (main advances, tags kept), sort orders, statistics, " +
+      "metadata-log; expire keeps ref'd snapshots; snapshotForRef") {
+    val t = tmp("foreign_meta") + "/tbl"
+    val s1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    // decorate the CURRENT metadata like a foreign writer would
+    val meta1 = IcebergLite.loadMeta(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mPath = new Path(t, s"metadata/v${meta1.version}.metadata.json")
+    val node = {
+      val in = fs(t).open(mPath)
+      try mapper.readTree(in.readAllBytes())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    node.set[com.fasterxml.jackson.databind.JsonNode]("properties",
+      mapper.readTree(
+        """{"commit.retry.num-retries":"5","owner":"teamx"}"""))
+    node.set[com.fasterxml.jackson.databind.JsonNode]("refs",
+      mapper.readTree(s"""{"main":{"snapshot-id":$s1,"type":"branch"},
+        |"rel-1":{"snapshot-id":$s1,"type":"tag"}}""".stripMargin))
+    node.set[com.fasterxml.jackson.databind.JsonNode]("sort-orders",
+      mapper.readTree("""[{"order-id":1,"fields":[{"transform":"identity",
+        |"source-id":1,"direction":"asc",
+        |"null-order":"nulls-first"}]}]""".stripMargin))
+    node.put("default-sort-order-id", 1)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("statistics",
+      mapper.readTree(s"""[{"snapshot-id":$s1,
+        |"statistics-path":"$t/metadata/stats.puffin",
+        |"file-size-in-bytes":10,"file-footer-size-in-bytes":4,
+        |"blob-metadata":[]}]""".stripMargin))
+    node.set[com.fasterxml.jackson.databind.JsonNode]("metadata-log",
+      mapper.readTree(s"""[{"timestamp-ms":1,
+        |"metadata-file":"$t/metadata/v0.metadata.json"}]""".stripMargin))
+    val out = fs(t).create(mPath, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    // a native append must RESTATE all of it, advancing only refs.main
+    val s2 = IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val meta2 = IcebergLite.loadMeta(spark, t)
+    val n2 = mapper.readTree(meta2.refsJson.get)
+    assert(n2.get("main").get("snapshot-id").asLong == s2)
+    assert(n2.get("rel-1").get("snapshot-id").asLong == s1 &&
+      n2.get("rel-1").get("type").asText == "tag")
+    val props2 = mapper.readTree(meta2.propertiesJson.get)
+    assert(props2.get("commit.retry.num-retries").asText == "5" &&
+      props2.get("owner").asText == "teamx")
+    assert(meta2.defaultSortOrderId == 1 &&
+      meta2.sortOrdersJson.exists(_.contains("\"order-id\":1")),
+      meta2.sortOrdersJson.toString)
+    assert(meta2.statisticsJson.nonEmpty)
+    // metadata-log: the foreign entry survives + the prior file appends
+    assert(meta2.metadataLogJson.size == 2 &&
+      meta2.metadataLogJson.last.contains(s"v${meta1.version}.metadata"),
+      meta2.metadataLogJson.toString)
+    // ref resolution + time travel by tag
+    assert(IcebergLite.snapshotForRef(spark, t, "rel-1") == s1)
+    assert(IcebergLite.read(spark, t, Some(s1)).count() == 1)
+    val nf = intercept[IllegalArgumentException](
+      IcebergLite.snapshotForRef(spark, t, "nope"))
+    assert(nf.getMessage.contains("nope"), nf.getMessage)
+    // expire keeps the TAG's snapshot even past keep_last
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    IcebergLite.expireSnapshots(spark, t, keepLast = 1)
+    val after = IcebergLite.loadMeta(spark, t)
+    assert(after.snapshots.exists(_.snapshotId == s1),
+      "expire dropped a tag-referenced snapshot")
+    assert(IcebergLite.read(spark, t, Some(s1)).count() == 1)
+    assert(IcebergLite.read(spark, t).count() == 3)
+  }
+
   test("two concurrent FIRST writes to a nonexistent table: same-schema " +
       "racers both commit; a different-schema loser refuses instead of " +
       "silently merging two creations") {
