@@ -1304,6 +1304,28 @@ object DeltaLite {
   private def featuresJson(fs: Seq[String]): String =
     fs.map(mapper.writeValueAsString).mkString("[", ",", "]")
 
+  /** Whether the table's protocol already declares the `timestampNtz`
+    * feature (reader-side is the gating half).
+    */
+  private def snapSupportsNtz(snap: Snapshot): Boolean =
+    snap.protocol.exists(p =>
+      p.readerFeatures.exists(_.contains("timestampNtz")))
+
+  /** Whether a type tree contains TIMESTAMP_NTZ — the spec gates the
+    * type behind the `timestampNtz` reader+writer feature (reader 3 /
+    * writer 7), so writers must stamp it or foreign readers reject the
+    * schema.
+    */
+  private def containsNtz(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => containsNtz(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      containsNtz(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      containsNtz(m.keyType) || containsNtz(m.valueType)
+    case _ => false
+  }
+
   private def impliedReaderFeatures(minReader: Int): Seq[String] =
     if (minReader >= 2) Seq("columnMapping") else Nil
 
@@ -2635,6 +2657,7 @@ object DeltaLite {
       Map("mode" -> (if (mode == "append") "Append" else "Overwrite")),
       now, ictStamp)
     if (existing.isEmpty || evolving) {
+      val ntz = containsNtz(tableSchema)
       if (existing.isEmpty) {
         // legacy protocol floors: CDF and generated columns need
         // writer version 4, CHECK constraints version 3
@@ -2645,18 +2668,41 @@ object DeltaLite {
           else if (configuration.keys
               .exists(_.startsWith("delta.constraints."))) 3
           else 2
-        if (ictStamp.isDefined) {
-          // inCommitTimestamp is a table FEATURE (writer version 7) —
-          // the features list is EXHAUSTIVE, so it restates everything
-          // the legacy floor implied
-          val wf = (impliedWriterFeatures(minWriter) :+
-            "inCommitTimestamp").distinct
-          lines += (s"""{"protocol":{"minReaderVersion":1,""" +
+        if (ictStamp.isDefined || ntz) {
+          // table FEATURES (writer version 7) — the features list is
+          // EXHAUSTIVE, so it restates everything the legacy floor
+          // implied. TIMESTAMP_NTZ columns additionally gate the
+          // READER side (the spec's timestampNtz reader feature,
+          // reader version 3) — without it foreign readers must
+          // reject the schema.
+          val wf = (impliedWriterFeatures(minWriter) ++
+            (if (ictStamp.isDefined) Seq("inCommitTimestamp") else Nil) ++
+            (if (ntz) Seq("timestampNtz") else Nil)).distinct
+          val readerPart =
+            if (ntz) s""""minReaderVersion":3,""" +
+              s""""readerFeatures":${featuresJson(Seq("timestampNtz"))},"""
+            else s""""minReaderVersion":1,"""
+          lines += ("""{"protocol":{""" + readerPart +
             s""""minWriterVersion":7,""" +
             s""""writerFeatures":${featuresJson(wf)}}}""")
         } else
           lines += (s"""{"protocol":{"minReaderVersion":1,""" +
             s""""minWriterVersion":$minWriter}}""")
+      } else if (ntz && !snapSupportsNtz(existing.get)) {
+        // evolution ADDED a TIMESTAMP_NTZ column to a table whose
+        // protocol predates the feature: upgrade in the same commit,
+        // restating every implied feature (features lists are
+        // exhaustive)
+        val p = existing.get.protocol.getOrElse(CpProto(1, 2, None, None))
+        val rf = (p.readerFeatures.getOrElse(
+          impliedReaderFeatures(p.minReaderVersion)) :+ "timestampNtz")
+          .distinct
+        val wf = (p.writerFeatures.getOrElse(
+          impliedWriterFeatures(p.minWriterVersion)) :+ "timestampNtz")
+          .distinct
+        lines += (s"""{"protocol":{"minReaderVersion":3,""" +
+          s""""minWriterVersion":7,"readerFeatures":${featuresJson(rf)},""" +
+          s""""writerFeatures":${featuresJson(wf)}}}""")
       }
       // the table id is stable across its lifetime; an evolving commit
       // restates the EXISTING configuration verbatim (dropping keys

@@ -2219,6 +2219,48 @@ class DeltaLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP_NTZ columns stamp the timestampNtz feature: creation " +
+      "carries reader 3 + the feature; evolution ADDING an NTZ column " +
+      "upgrades the protocol in the same commit") {
+    val t = java.nio.file.Files.createTempDirectory("delta_ntz")
+      .toString + "/tbl"
+    val df = Seq(
+      (1L, java.time.LocalDateTime.of(2026, 1, 2, 3, 4, 5)))
+      .toDF("k", "ts")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    DeltaLite.write(spark, df, t)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.protocol.exists(p => p.minReaderVersion == 3 &&
+      p.readerFeatures.exists(_.contains("timestampNtz")) &&
+      p.writerFeatures.exists(_.contains("timestampNtz"))),
+      snap.protocol.toString)
+    DeltaLite.write(spark, Seq(
+      (2L, java.time.LocalDateTime.of(2027, 1, 1, 0, 0))).toDF("k", "ts"),
+      t)
+    assert(DeltaLite.read(spark, t).count() == 2)
+    assert(DeltaLite.read(spark, t).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // a LEGACY table evolving an NTZ column on: same-commit upgrade,
+    // implied legacy features restated (the features form is exhaustive)
+    val t2 = java.nio.file.Files.createTempDirectory("delta_ntz2")
+      .toString + "/tbl"
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t2)
+    assert(DeltaLite.snapshot(spark, t2).protocol
+      .exists(_.minReaderVersion == 1))
+    DeltaLite.write(spark, Seq(
+      (2L, "b", java.time.LocalDateTime.of(2026, 5, 5, 5, 5)))
+      .toDF("k", "v", "ts"), t2)
+    val s2 = DeltaLite.snapshot(spark, t2)
+    assert(s2.protocol.exists(p => p.minReaderVersion == 3 &&
+      p.readerFeatures.exists(_.contains("timestampNtz"))),
+      s2.protocol.toString)
+    assert(s2.protocol.exists(_.writerFeatures.exists(f =>
+      f.contains("timestampNtz") && f.contains("appendOnly"))),
+      s2.protocol.toString)
+    assert(DeltaLite.read(spark, t2).count() == 2)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
