@@ -500,9 +500,10 @@ object GraftApp {
       vacuum: Boolean = false,
       checkpoint: Boolean = false,
       cleanupLogs: Boolean = false,
-      /** `set_properties:` — ALTER TABLE SET TBLPROPERTIES (delta):
+      /** `set_properties:` — ALTER TABLE SET TBLPROPERTIES. Delta:
         * ADD CONSTRAINT (existing rows validated), enable CDF / ICT
         * post-creation (protocol upgraded), appendOnly, user props.
+        * Iceberg: the catalog's updateProperties (merged, no snapshot).
         */
       setProperties: Map[String, String] = Map.empty) {
     require(format == "iceberg" || format == "delta",
@@ -515,8 +516,6 @@ object GraftApp {
         "(delta uses checkpoint + cleanup_logs + vacuum)")
     require((!checkpoint && !cleanupLogs) || format == "delta",
       s"maintenance on '$path': checkpoint/cleanup_logs are delta ops")
-    require(setProperties.isEmpty || format == "delta",
-      s"maintenance on '$path': set_properties is a delta op")
     require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty,
       s"maintenance on '$path' declares no operation")
@@ -969,6 +968,9 @@ object GraftApp {
     config.maintenance.foreach { m =>
       m.format match {
         case "iceberg" =>
+          if (m.setProperties.nonEmpty)
+            graft.sources.IcebergLite.setTableProperties(spark, m.path,
+              m.setProperties)
           if (m.compact)
             graft.sources.IcebergLite.compact(spark, m.path,
               m.compactSmallFileBytes)

@@ -2460,6 +2460,43 @@ object IcebergLite {
     * (a delete file changes row visibility inside UNCHANGED data
     * files).
     */
+  /** Table-property update (the catalog's `updateProperties`): a new
+    * metadata VERSION with `properties` merged in — no snapshot, data
+    * untouched, every other field verbatim (the same node-rewrite
+    * discipline as [[expireSnapshots]]). Put-if-absent claim, loud on
+    * a concurrent racer. Returns the new metadata version.
+    */
+  def setTableProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Int = {
+    require(props.nonEmpty, "setTableProperties needs at least one property")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = loadMeta(spark, tablePath)
+    val mPath = new Path(root, s"metadata/v${meta.version}.metadata.json")
+    val node = {
+      val in = fs.open(mPath)
+      try mapper.readTree(in.readAllBytes())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val pn = Option(node.get("properties")).filterNot(_.isNull)
+      .map(_.deepCopy
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    props.foreach { case (k, v) => pn.put(k, v) }
+    node.set[JsonNode]("properties", pn)
+    val newVersion = meta.version + 1
+    val out = new Path(root, s"metadata/v$newVersion.metadata.json")
+    require(DeltaLite.atomicCreate(fs, out,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)),
+      s"metadata v$newVersion already exists at $tablePath (concurrent " +
+        "writer?) — re-read and retry")
+    val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8"))
+    finally hint.close()
+    newVersion
+  }
+
   /** Resolve a named REF (branch or tag, the spec's `refs` map) to its
     * snapshot id — time travel by name: `read(spark, path,
     * Some(snapshotForRef(...)))`. Loud when the table has no refs or

@@ -1128,6 +1128,32 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).count() == 3)
   }
 
+  test("setTableProperties: the catalog's updateProperties — merged " +
+      "properties, NO snapshot, everything else verbatim; later " +
+      "commits keep carrying them") {
+    val t = tmp("set_props") + "/tbl"
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val before = IcebergLite.loadMeta(spark, t)
+    IcebergLite.setTableProperties(spark, t,
+      Map("commit.retry.num-retries" -> "3"))
+    IcebergLite.setTableProperties(spark, t, Map("owner" -> "teamy"))
+    val meta = IcebergLite.loadMeta(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pn = mapper.readTree(meta.propertiesJson.get)
+    assert(pn.get("commit.retry.num-retries").asText == "3" &&
+      pn.get("owner").asText == "teamy", meta.propertiesJson.toString)
+    assert(meta.snapshots.size == before.snapshots.size,
+      "property update must not create a snapshot")
+    assert(meta.lastSequenceNumber == before.lastSequenceNumber)
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a")))
+    // a data commit after the update RESTATES the merged properties
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val after = IcebergLite.loadMeta(spark, t)
+    val pn2 = mapper.readTree(after.propertiesJson.get)
+    assert(pn2.get("owner").asText == "teamy", after.propertiesJson.toString)
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (2L, "b")))
+  }
+
   test("two concurrent FIRST writes to a nonexistent table: same-schema " +
       "racers both commit; a different-schema loser refuses instead of " +
       "silently merging two creations") {
