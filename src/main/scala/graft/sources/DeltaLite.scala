@@ -30,18 +30,25 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *     `partitionValues` strings are injected as typed literal columns
   *     per partition group.
   *
-  * Loud unsupported-capability errors (never silent wrong data):
-  * column mapping, deletion vectors, and reader features beyond
-  * timestampNtz — the advanced-protocol surface that genuinely needs
-  * delta-spark (`GraftApp.requireFormatAvailable` keeps pointing at the
-  * jar for those deployments).
+  * Since round 12 the ADVANCED protocol is native too: column mapping
+  * (`name` + `id`), deletion vectors (read/write/purge), change data
+  * feed (exact `cdc` files write+read), in-commit timestamps (honored
+  * and stamped), CHECK constraints / invariants / generated columns
+  * (enforced or computed on write), v2 checkpoints + sidecars, OCC
+  * conflict retry, and ALTER TABLE SET/UNSET TBLPROPERTIES. Loud
+  * unsupported-capability errors remain for the rest (never silent
+  * wrong data): identity columns, unknown FUTURE reader/writer
+  * features — `GraftApp.requireFormatAvailable` keeps pointing at the
+  * delta-spark jar for those deployments.
   *
   * Scale note: the log replay is driver-side over O(#commits) JSON
   * files and one distributed checkpoint read; the data scan reads each
-  * partition group as one parquet load. A full implementation would
-  * expose the file list through a FileIndex for partition pruning —
-  * this reader targets the reference connector's capability (one full
-  * snapshot scan feeding a pipeline), where every file is read anyway.
+  * partition group as one parquet load (ONE scan + a broadcast
+  * partition-values join past the fan-out cap). A full implementation
+  * would expose the file list through a FileIndex for partition
+  * pruning — this reader targets the reference connector's capability
+  * (one full snapshot scan feeding a pipeline), where every file is
+  * read anyway; the mutation paths prune via the per-file stats index.
   */
 object DeltaLite {
 
