@@ -892,8 +892,17 @@ object GraftApp {
           require(sink.zorderBy.isEmpty,
             s"iceberg sink '${sink.table}': zorder_by needs the " +
               "iceberg-spark runtime")
+          // `options.write_format: orc|avro` picks the data file format
+          // (stamped as write.format.default at creation);
+          // `options.property.<key>` stamps creation table properties —
+          // the iceberg twin of the delta sink's configuration map.
           graft.sources.IcebergLite.write(spark, df, sink.path, sink.mode,
-            partitionBy = sink.partitionBy)
+            partitionBy = sink.partitionBy,
+            format = sink.options.get("write_format"),
+            properties = sink.options.collect {
+              case (k, v) if k.startsWith("property.") =>
+                k.stripPrefix("property.") -> v
+            })
           ()
         case "append" =>
           writer(clustered).mode("append").format(sink.format).save(sink.path)

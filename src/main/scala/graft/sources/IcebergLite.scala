@@ -556,6 +556,22 @@ object IcebergLite {
   /** Scheme-insensitive path form: `file:///a`, `file:/a`, `/a` all
     * compare equal (writers disagree; the spec stores full URIs).
     */
+  /** The table's `properties` map (empty when none declared). */
+  private[graft] def tableProperties(meta: TableMeta): Map[String, String] =
+    meta.propertiesJson.map { js =>
+      val n = mapper.readTree(js)
+      n.fieldNames.asScala.map(k => k -> n.get(k).asText).toMap
+    }.getOrElse(Map.empty)
+
+  /** The format native writes to this table produce — the iceberg
+    * `write.format.default` table property (PARQUET when unset).
+    */
+  private def writeFormatOf(meta: TableMeta): String =
+    tableProperties(meta).getOrElse("write.format.default", "parquet")
+      .toUpperCase
+
+  private val knownFormats = Set("PARQUET", "ORC", "AVRO")
+
   private[graft] def normalizePathStr(p: String): String = {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
     "/" + noScheme.dropWhile(_ == '/')
@@ -675,10 +691,16 @@ object IcebergLite {
         }
       }
     }
+    // PARQUET scans through Spark's parquet source, ORC through its ORC
+    // source (scan + equality deletes; position deletes targeting ORC
+    // files refuse at apply time — Spark's ORC reader exposes no row
+    // ordinals), AVRO through [[IcebergAvroData]] (full surface, exact
+    // positions). Anything else is loud.
     (data ++ posDeletes ++ eqDeletes).foreach(f =>
-      require(f.format == "PARQUET",
-        s"data file ${f.path} is ${f.format} — the native reader scans " +
-          "parquet only (ORC/Avro data files need the iceberg runtime)"))
+      require(f.format == "PARQUET" || f.format == "ORC" ||
+          f.format == "AVRO",
+        s"data file ${f.path} has unknown file_format ${f.format} — " +
+          "the native reader scans PARQUET/ORC/AVRO"))
     SnapshotState(meta, snap, manifests, data.toSeq, posDeletes.toSeq,
       eqDeletes.toSeq)
   }
@@ -721,19 +743,42 @@ object IcebergLite {
             .filter(_ != fld.name).map(fld.name -> _)
         }.toMap
       }
-    files.groupBy(renames).toSeq.map { case (rn, fls) =>
+    files.groupBy(f => (renames(f), f.format)).toSeq.map {
+        case ((rn, fmt), fls) =>
       val readSchema =
         if (rn.isEmpty) cur
         else StructType(cur.fields.map(f =>
           f.copy(name = rn.getOrElse(f.name, f.name))))
-      val scanned = spark.read.schema(readSchema)
-        .parquet(fls.map(_.path): _*)
-      val staged =
-        if (!withPos) scanned
-        else scanned
-          .withColumn("__ice_file",
-            normalizePathCol(col("_metadata.file_path")))
-          .withColumn("__ice_pos", col("_metadata.row_index"))
+      val paths = fls.map(_.path)
+      val staged = fmt match {
+        case "PARQUET" =>
+          val scanned = spark.read.schema(readSchema).parquet(paths: _*)
+          if (!withPos) scanned
+          else scanned
+            .withColumn("__ice_file",
+              normalizePathCol(col("_metadata.file_path")))
+            .withColumn("__ice_pos", col("_metadata.row_index"))
+        case "ORC" =>
+          val scanned = spark.read.schema(readSchema).orc(paths: _*)
+          if (!withPos) scanned
+          else scanned
+            .withColumn("__ice_file",
+              normalizePathCol(col("_metadata.file_path")))
+            // Spark's ORC source has no `_metadata.row_index`; a null
+            // position never equals a delete's (file, pos) key, so ORC
+            // files UNTARGETED by position deletes stay correct — and
+            // [[aliveWithPos]] refuses loudly when one IS targeted.
+            .withColumn("__ice_pos",
+              org.apache.spark.sql.functions.lit(null).cast("long"))
+        case "AVRO" =>
+          val scanned =
+            IcebergAvroData.scan(spark, readSchema, paths, withPos)
+          if (!withPos) scanned
+          else scanned.withColumn("__ice_file",
+            normalizePathCol(col("__ice_file")))
+        case other => throw new IllegalArgumentException(
+          s"unknown data file format $other")
+      }
       if (rn.isEmpty) staged
       else staged.select((cur.fields.map(f =>
           col(rn.getOrElse(f.name, f.name)).as(f.name)) ++
@@ -1038,21 +1083,55 @@ object IcebergLite {
     * scan of the staged data.
     */
   private def stageData(spark: SparkSession, df: DataFrame, root: Path,
-      fs: FileSystem, subdir: String = ""): Seq[StagedFile] = {
+      fs: FileSystem, subdir: String = "",
+      format: String = "PARQUET",
+      /** the table's field-id assignment — stamped into avro data file
+        * schemas (`field-id` props, the spec's resolution key for
+        * foreign readers); positional fallback for internal files.
+        */
+      fieldIds: Map[String, Int] = Map.empty): Seq[StagedFile] = {
     val dataDir =
       if (subdir.isEmpty) new Path(root, "data")
       else new Path(new Path(root, "data"), subdir)
     fs.mkdirs(dataDir)
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
-    df.write.mode("overwrite").parquet(stage.toString)
+    if (format == "AVRO") {
+      // containers write executor-side with counts + bounds tracked IN
+      // the encode pass (no footer to read back), then move into place
+      val ids =
+        if (fieldIds.nonEmpty) fieldIds else topFieldIds(df.schema)
+      val staged = IcebergAvroData.stage(spark, df, stage, ids)
+      val moved = staged.map { a =>
+        val src = new Path(a.path)
+        val tgt = new Path(dataDir, src.getName)
+        require(fs.rename(src, tgt),
+          s"staging move failed for ${src.getName}")
+        val eligible = df.schema.fields.filter(boundsEligible)
+          .map(_.name).toSet
+        StagedFile(tgt.toString, a.size, a.rows,
+          a.bounds.filter { case (n, _) => eligible(n) })
+      }
+      fs.delete(stage, true)
+      return moved
+    }
+    format match {
+      case "PARQUET" => df.write.mode("overwrite").parquet(stage.toString)
+      case "ORC" => df.write.mode("overwrite").orc(stage.toString)
+      case other => throw new IllegalArgumentException(
+        s"unknown write format $other")
+    }
     val parts = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-")).toIndexedSeq
     // footers read with the bounded pool — never one serialized
     // round-trip per part file
-    val stats = ParquetFooterStats.readAll(
-      spark.sparkContext.hadoopConfiguration, parts.map(_.getPath),
-      df.schema)
+    val stats =
+      if (format == "ORC") OrcFooterStats.readAll(
+        spark.sparkContext.hadoopConfiguration, parts.map(_.getPath),
+        df.schema)
+      else ParquetFooterStats.readAll(
+        spark.sparkContext.hadoopConfiguration, parts.map(_.getPath),
+        df.schema)
     val moved = parts
       .map(s => stagedFileFrom(fs, s.getPath, s.getLen,
         new Path(dataDir, s.getPath.getName), df.schema,
@@ -1080,7 +1159,8 @@ object IcebergLite {
       upper: Map[Int, Array[Byte]] = Map.empty,
       equalityIds: Seq[Int] = Nil,
       entrySchema: AvroSchema = manifestEntrySchema,
-      partValues: Seq[(String, Any)] = Nil): GenericRecord = {
+      partValues: Seq[(String, Any)] = Nil,
+      fileFormat: String = "PARQUET"): GenericRecord = {
     val df = new GenericData.Record(
       entrySchema.getField("data_file").schema())
     df.put("content", content)
@@ -1092,7 +1172,7 @@ object IcebergLite {
       df.put("equality_ids", arr)
     }
     df.put("file_path", path)
-    df.put("file_format", "PARQUET")
+    df.put("file_format", fileFormat)
     val part = new GenericData.Record(
       df.getSchema.getField("partition").schema())
     partValues.foreach { case (n, v) =>
@@ -1161,8 +1241,13 @@ object IcebergLite {
     * `graft.iceberg.maxPartitionsPerCommit` lifts it.
     */
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
-      root: Path, fs: FileSystem, fields: Seq[WriterPartField])
+      root: Path, fs: FileSystem, fields: Seq[WriterPartField],
+      format: String = "PARQUET")
       : Seq[(StagedFile, Seq[(String, Any)])] = {
+    require(format != "AVRO",
+      "avro data files carry no footer statistics to recover partition " +
+        "values from — partitioned tables write parquet or orc " +
+        "(write.format.default)")
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     val alias = fields.map(f => f.name -> s"__gp_${f.name}").toMap
@@ -1182,9 +1267,15 @@ object IcebergLite {
         aliased.repartition(spark.sessionState.conf.numShufflePartitions,
           fields.map(f => col(alias(f.name))): _*)
       else aliased
-    clustered
+    val writer = clustered
       .write.partitionBy(fields.map(f => alias(f.name)): _*)
-      .mode("overwrite").parquet(stage.toString)
+      .mode("overwrite")
+    format match {
+      case "PARQUET" => writer.parquet(stage.toString)
+      case "ORC" => writer.orc(stage.toString)
+      case other => throw new IllegalArgumentException(
+        s"unknown write format $other")
+    }
     // every leaf data file, with its stage partition directory chain
     def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { s =>
@@ -1192,9 +1283,13 @@ object IcebergLite {
         else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
     val files = leaves(stage)
-    val footerStats = ParquetFooterStats.readAll(
-      spark.sparkContext.hadoopConfiguration, files.map(_.getPath),
-      df.schema)
+    val footerStats =
+      if (format == "ORC") OrcFooterStats.readAll(
+        spark.sparkContext.hadoopConfiguration, files.map(_.getPath),
+        df.schema)
+      else ParquetFooterStats.readAll(
+        spark.sparkContext.hadoopConfiguration, files.map(_.getPath),
+        df.schema)
     val staged = files.map(s => (s, footerStats(s.getPath)))
     // Partition value per file. IDENTITY fields recover the typed value
     // from the file's own footer bounds (constant per file by layout),
@@ -1364,7 +1459,11 @@ object IcebergLite {
         *    rewrite just re-listed away), carrying the interveners'
         *    new manifests on top of our own.
         */
-      retry: String = "none"): Long = {
+      retry: String = "none",
+      /** properties stamped when this commit CREATES the table (a
+        * prior table's properties always restate verbatim instead).
+        */
+      creationProperties: Map[String, String] = Map.empty): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -1497,8 +1596,14 @@ object IcebergLite {
     }
     // table PROPERTIES restate verbatim — foreign writers keep their
     // commit/retention policy and user properties across our commits
-    prior.flatMap(_.meta.propertiesJson).foreach(p =>
-      node.set[JsonNode]("properties", mapper.readTree(p)))
+    prior.flatMap(_.meta.propertiesJson) match {
+      case Some(p) => node.set[JsonNode]("properties", mapper.readTree(p))
+      case None if creationProperties.nonEmpty =>
+        val pn = node.putObject("properties")
+        creationProperties.toSeq.sortBy(_._1)
+          .foreach { case (k, v) => pn.put(k, v) }
+      case None =>
+    }
     // REFS: `main` advances to THIS snapshot; tags and other branches
     // survive untouched (readers following refs must see the new head)
     val refsNode = prior.flatMap(_.meta.refsJson)
@@ -1641,7 +1746,22 @@ object IcebergLite {
     */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
       mode: String = "append", txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      /** Data file format for THIS write — `parquet` / `orc` / `avro`.
+        * Default: the table's `write.format.default` property (parquet
+        * when unset). Mixed-format tables are spec-legal, so an
+        * explicit per-write format may differ from the table default.
+        * Creating a table with a non-parquet format stamps the
+        * property so foreign engines keep writing it.
+        */
+      format: Option[String] = None,
+      /** Table properties stamped at CREATION only (config
+        * `options.property.*` passthrough — the iceberg twin of the
+        * delta sink's creation-configuration map, same semantics: an
+        * existing table keeps its own; alter via
+        * [[setTableProperties]] / maintenance `set_properties`).
+        */
+      properties: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"IcebergLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
@@ -1729,15 +1849,25 @@ object IcebergLite {
     }
     val entrySchema =
       manifestEntrySchemaFor(partFields.map(f => f.name -> f.resType))
+    val effFormat = format.map(_.toUpperCase)
+      .orElse(prior.map(p => writeFormatOf(p.meta)))
+      .orElse(properties.get("write.format.default").map(_.toUpperCase))
+      .getOrElse("PARQUET")
+    require(knownFormats(effFormat),
+      s"write format '$effFormat' is not one of parquet/orc/avro")
     val stagedWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
-      if (partFields.isEmpty) stageData(spark, df, root, fs).map(_ -> Nil)
-      else stagePartitioned(spark, df, root, fs, partFields)
+      if (partFields.isEmpty)
+        stageData(spark, df, root, fs, format = effFormat,
+          fieldIds = ids).map(_ -> Nil)
+      else stagePartitioned(spark, df, root, fs, partFields,
+        format = effFormat)
     val entries = stagedWithParts.map { case (f, pv) =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
         content = 0, path = f.path, records = f.rows, size = f.size,
         lower = boundBytes(df.schema, ids, f.bounds, _._1),
         upper = boundBytes(df.schema, ids, f.bounds, _._2),
-        entrySchema = entrySchema, partValues = pv)
+        entrySchema = entrySchema, partValues = pv,
+        fileFormat = effFormat)
     }
     val carry = if (mode == "append")
       prior.toSeq.flatMap(_.manifests) else Seq.empty
@@ -1749,7 +1879,13 @@ object IcebergLite {
       partitionSpec = partFields.map(f =>
         PartSpecField(f.name, f.transform.render,
           ids.getOrElse(f.srcCol, 0))),
-      retry = if (mode == "append") "append" else "none")
+      retry = if (mode == "append") "append" else "none",
+      creationProperties =
+        if (prior.nonEmpty) Map.empty // creation-only (delta parity)
+        else properties ++
+          (if (effFormat != "PARQUET")
+            Map("write.format.default" -> effFormat.toLowerCase)
+          else Map.empty[String, String]))
   }
 
   /** One resolved field of the partition spec being WRITTEN: partition
@@ -1880,6 +2016,33 @@ object IcebergLite {
     * columns). All delete sides are metadata/changed-rows sized —
     * broadcast-friendly next to the data scan.
     */
+  /** Read the CONTENT of delete files projected to `readSchema` —
+    * delete files may themselves be any spec format (mixed-format
+    * tables are legal), independent of their data files' formats.
+    * Parquet/ORC read inferred-then-cast (a foreign writer's int32
+    * `pos` upcasts instead of tripping the reader's strict schema);
+    * avro decodes through [[IcebergAvroData]].
+    */
+  private def scanDeleteContent(spark: SparkSession, files: Seq[FileEntry],
+      readSchema: StructType): DataFrame = {
+    val wanted = readSchema.fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq
+    files.groupBy(_.format).toSeq.map {
+      case ("PARQUET", fls) => spark.read.parquet(fls.map(_.path): _*)
+      case ("ORC", fls) => spark.read.orc(fls.map(_.path): _*)
+      case ("AVRO", fls) =>
+        IcebergAvroData.scan(spark, readSchema, fls.map(_.path),
+          withPos = false)
+      case (other, fls) => throw new IllegalArgumentException(
+        s"unknown delete file format $other (${fls.head.path})")
+    }.map(_.select(wanted: _*)).reduce(_.unionByName(_))
+  }
+
+  /** The spec schema of a position-delete file's content. */
+  private def posDeleteReadSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("pos", LongType)))
+
   private def aliveWithPos(spark: SparkSession,
       st: SnapshotState): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
@@ -1890,9 +2053,27 @@ object IcebergLite {
       else {
         // delete files record the RAW manifest path string; the scan's
         // __ice_file is URI-encoded — canonicalize the (small) delete side
-        val dels = spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
+        val dels = scanDeleteContent(spark, st.posDeleteFiles,
+            posDeleteReadSchema)
           .select(encodedPathKeyCol(col("file_path")).as("__ice_del_file"),
             col("pos").cast("long").as("__ice_del_pos"))
+        // ORC data files scan with NULL positions (no row_index in
+        // Spark's ORC source) — a position delete that actually TARGETS
+        // one would silently fail to apply; make that loud instead.
+        val orcKeys = st.dataFiles.collect {
+          case f if f.format == "ORC" => encodedPathKey(f.path)
+        }.toSet
+        if (orcKeys.nonEmpty) {
+          val hit = dels.select("__ice_del_file").distinct()
+            .filter(col("__ice_del_file").isInCollection(orcKeys))
+            .limit(1).collect()
+          require(hit.isEmpty,
+            s"position delete files target ORC data file ${hit.headOption
+              .map(_.getString(0)).getOrElse("")} — Spark's ORC reader " +
+              "exposes no row ordinals (_metadata.row_index is " +
+              "parquet-only); rewrite the file to parquet/avro or apply " +
+              "the deletes with the iceberg runtime")
+        }
         base.join(dels,
           base("__ice_file") === dels("__ice_del_file") &&
             base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
@@ -1911,8 +2092,12 @@ object IcebergLite {
             throw new IllegalArgumentException(
               s"equality delete references unknown field id $id " +
                 "(nested equality columns need the iceberg runtime)")))
+          val eqSchema = StructType(names.map(n =>
+            st.meta.schema.fields.find(_.name == n).getOrElse(
+              throw new IllegalArgumentException(
+                s"equality column '$n' missing from the table schema"))))
           val dels = files.map(f =>
-              spark.read.parquet(f.path).select(names.map(col): _*)
+              scanDeleteContent(spark, Seq(f), eqSchema)
                 .withColumn("__ice_dseq", lit(f.seq)))
             .reduce(_.unionByName(_))
           val cond = names.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
@@ -1967,9 +2152,31 @@ object IcebergLite {
       candidates: Seq[FileEntry],
       restrict: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
-    val pathMap = candidates
+    // staged position deletes must carry EXACT row ordinals any reader
+    // can apply — parquet has _metadata.row_index and the avro codec
+    // counts ordinals in-decode, but Spark's ORC reader exposes
+    // neither. A mixed-format table stays mutable so long as no
+    // MATCHED row lives in an ORC file: probe the ORC candidates with
+    // the same restriction and refuse loudly only on a hit.
+    val (orcC, okC) = candidates.partition(_.format == "ORC")
+    if (orcC.nonEmpty) {
+      val hit = restrict(aliveWithPos(spark, pruned.copy(dataFiles = orcC)))
+        .limit(1).collect()
+      if (hit.nonEmpty) throw new IllegalArgumentException(
+        "mutation matches rows inside ORC data file(s) " +
+          s"(${orcC.head.path}${if (orcC.size > 1) ", …" else ""}): " +
+          "Spark's ORC reader exposes no row ordinals " +
+          "(_metadata.row_index is parquet-only), so exact position " +
+          "deletes cannot be staged — compact/rewrite the table to " +
+          "parquet first, delete by equality keys (deleteByKeys), or " +
+          "use the iceberg runtime")
+    }
+    if (okC.isEmpty)
+      return Seq.empty[(String, Long)].toDF("file_path", "pos")
+    val prunedOk = pruned.copy(dataFiles = okC)
+    val pathMap = okC
       .map(f => encodedPathKey(f.path) -> f.path).toDF("__norm", "file_path")
-    val alive = aliveWithPos(spark, pruned)
+    val alive = aliveWithPos(spark, prunedOk)
     restrict(alive)
       .join(pathMap, alive("__ice_file") === pathMap("__norm"))
       .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))
@@ -2175,16 +2382,19 @@ object IcebergLite {
       manifestEntrySchemaFor(partFieldsW.map(f => f.name -> f.resType))
     val batchSel =
       batch.select(prior.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val mergeFmt = writeFormatOf(prior.meta)
     val stagedWithParts: Seq[(StagedFile, Seq[(String, Any)])] =
       if (partFieldsW.isEmpty)
-        stageData(spark, batchSel, root, fs).map(_ -> Nil)
-      else stagePartitioned(spark, batchSel, root, fs, partFieldsW)
+        stageData(spark, batchSel, root, fs, format = mergeFmt,
+          fieldIds = prior.meta.fieldIds).map(_ -> Nil)
+      else stagePartitioned(spark, batchSel, root, fs, partFieldsW,
+        format = mergeFmt)
     val ids = prior.meta.fieldIds
     val dataEntries = stagedWithParts.map { case (f, pv) =>
       entryRecord(1, snapshotId, seq, content = 0, f.path, f.rows, f.size,
         lower = boundBytes(prior.meta.schema, ids, f.bounds, _._1),
         upper = boundBytes(prior.meta.schema, ids, f.bounds, _._2),
-        entrySchema = entrySchemaW, partValues = pv)
+        entrySchema = entrySchemaW, partValues = pv, fileFormat = mergeFmt)
     }
     commit(spark, tablePath, Some(prior), prior.meta.schema,
       Seq((delEntries, 1, 0L),
@@ -2247,7 +2457,7 @@ object IcebergLite {
     // one exists.
     val posTouched =
       if (st.posDeleteFiles.isEmpty) Set.empty[String]
-      else spark.read.parquet(st.posDeleteFiles.map(_.path): _*)
+      else scanDeleteContent(spark, st.posDeleteFiles, posDeleteReadSchema)
         .select(normalizePathCol(col("file_path")).as("p")).distinct()
         .collect().map(_.getString(0)).toSet
     val maxEqSeq = st.eqDeleteFiles.map(_.seq).maxOption.getOrElse(Long.MinValue)
@@ -2273,8 +2483,11 @@ object IcebergLite {
           else visible.coalesce(math.max(1, math.ceil(
             rewrite.map(_.fileSize).sum.toDouble / smallFileBytes).toInt))
         if (partFieldsW.isEmpty)
-          stageData(spark, packed, root, fs).map(_ -> Nil)
-        else stagePartitioned(spark, packed, root, fs, partFieldsW)
+          stageData(spark, packed, root, fs,
+            format = writeFormatOf(st.meta),
+            fieldIds = st.meta.fieldIds).map(_ -> Nil)
+        else stagePartitioned(spark, packed, root, fs, partFieldsW,
+          format = writeFormatOf(st.meta))
       }
     val seq = st.meta.lastSequenceNumber + 1
     val snapshotId =
@@ -2286,13 +2499,17 @@ object IcebergLite {
         lower = f.lowerBounds, upper = f.upperBounds,
         entrySchema = entrySchemaW,
         partValues = partFieldsW.map(pf =>
-          pf.name -> f.partValues.getOrElse(pf.name, null)))) ++
+          pf.name -> f.partValues.getOrElse(pf.name, null)),
+        // a carried file RESTATES its recorded format — a mixed-format
+        // table's untouched ORC/avro entries must not morph to parquet
+        fileFormat = f.format)) ++
       survivorsWithParts.map { case (f, pv) =>
         entryRecord(1, snapshotId, seq, content = 0,
           f.path, f.rows, f.size,
           lower = boundBytes(st.meta.schema, ids, f.bounds, _._1),
           upper = boundBytes(st.meta.schema, ids, f.bounds, _._2),
-          entrySchema = entrySchemaW, partValues = pv)
+          entrySchema = entrySchemaW, partValues = pv,
+          fileFormat = writeFormatOf(st.meta))
       }
     commit(spark, tablePath, Some(st), st.meta.schema,
       Seq((entries, 0, survivorsWithParts.map(_._1.rows).sum)),

@@ -1196,4 +1196,167 @@ class IcebergLiteSpec extends AnyFunSuite {
       meta.schema.fieldNames.toSeq == Seq("x", "y", "z"))
   }
 
+  // ------------------------------------------- ORC / AVRO data files
+
+  private def formatsOf(t: String): Set[String] =
+    IcebergLite.filesDf(spark, t).filter(col("content") === "data")
+      .select("file_format").as[String].collect().toSet
+
+  test("ORC data files: creation stamps write.format.default, appends " +
+      "follow it, reads scan through Spark's ORC source") {
+    val t = tmp("orc_rt")
+    IcebergLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t,
+      format = Some("orc"))
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t) // inherits
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(formatsOf(t) == Set("ORC"))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(IcebergLite.tableProperties(meta)
+      .get("write.format.default").contains("orc"))
+  }
+
+  test("ORC partitioned writes: footer statistics recover identity " +
+      "partition values; partition pruning and bounds survive") {
+    val t = tmp("orc_part")
+    val df = Seq((1L, "east", "a"), (2L, "east", "b"), (3L, "west", "c"))
+      .toDF("k", "region", "v")
+    IcebergLite.write(spark, df, t, partitionBy = Seq("region"),
+      format = Some("orc"))
+    val got = IcebergLite.read(spark, t,
+      where = Some(col("region") === "east"))
+    assert(got.select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // per-file column bounds came from the ORC footers
+    val files = IcebergLite.filesDf(spark, t)
+      .filter(col("content") === "data")
+      .select("lower_bounds").as[Map[String, String]].collect()
+    assert(files.nonEmpty && files.forall(_.contains("k")))
+  }
+
+  test("ORC + equality deletes work (no row ordinals needed); " +
+      "position-delete staging refuses loudly naming the ORC limit") {
+    val t = tmp("orc_eq")
+    IcebergLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t,
+      format = Some("orc"))
+    IcebergLite.deleteByKeys(spark, t, Seq(2L).toDF("k"), Seq("k"))
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (3L, "c")))
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.deleteWhere(spark, t, col("k") === 1L))
+    assert(err.getMessage.contains("row ordinals") &&
+      err.getMessage.contains("ORC"), err.getMessage)
+  }
+
+  test("avro data files: typed round trip (int/long/float/double/" +
+      "string/date/timestamp/bool/binary/decimal), field-id props in " +
+      "the container schema") {
+    val t = tmp("avro_rt")
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1, 10L, 1.5f, 2.5d, "x",
+          java.sql.Date.valueOf("2026-01-02"),
+          java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"),
+          true, Array[Byte](1, 2), new java.math.BigDecimal("12.340")),
+        org.apache.spark.sql.Row(2, 20L, -1.5f, -2.5d, null,
+          null, null, false, null, null)),
+      StructType(Seq(
+        StructField("i", IntegerType), StructField("l", LongType),
+        StructField("f", FloatType), StructField("d", DoubleType),
+        StructField("s", StringType), StructField("dt", DateType),
+        StructField("ts", TimestampType), StructField("b", BooleanType),
+        StructField("bin", BinaryType),
+        StructField("dec", DecimalType(10, 3)))))
+    IcebergLite.write(spark, df, t, format = Some("avro"))
+    assert(formatsOf(t) == Set("AVRO"))
+    val got = IcebergLite.read(spark, t).orderBy("i").collect()
+    assert(got.length == 2)
+    val r0 = got(0)
+    assert(r0.getInt(0) == 1 && r0.getLong(1) == 10L &&
+      r0.getFloat(2) == 1.5f && r0.getDouble(3) == 2.5d &&
+      r0.getString(4) == "x" &&
+      r0.getDate(5) == java.sql.Date.valueOf("2026-01-02") &&
+      r0.getTimestamp(6) ==
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456") &&
+      r0.getBoolean(7) &&
+      r0.getAs[Array[Byte]](8).toSeq == Seq[Byte](1, 2) &&
+      r0.getDecimal(9).compareTo(new java.math.BigDecimal("12.340")) == 0)
+    assert(got(1).isNullAt(4) && got(1).isNullAt(5) && got(1).isNullAt(9))
+    // the container's writer schema carries the spec's field-id props
+    val dataFile = IcebergLite.filesDf(spark, t)
+      .filter(col("content") === "data")
+      .select("file_path").as[String].head()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dataFile.stripPrefix("file:")))
+    val schemaJson = graft.sources.AvroFiles.containerSchemaJson(bytes)
+    assert(schemaJson.contains("field-id"), schemaJson)
+    assert(schemaJson.contains("adjust-to-utc"), schemaJson)
+  }
+
+  test("avro data files carry EXACT row ordinals: deleteWhere stages " +
+      "position deletes that apply; upsert merges on an avro table") {
+    val t = tmp("avro_mut")
+    IcebergLite.write(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), t,
+      format = Some("avro"))
+    IcebergLite.deleteWhere(spark, t, col("k") % 10 === 0L)
+    val after = IcebergLite.read(spark, t)
+    assert(after.count() == 90L)
+    assert(after.filter(col("k") % 10 === 0L).count() == 0L)
+    // merge: replaced keys suppress by position, batch lands as avro
+    IcebergLite.upsert(spark,
+      Seq((1L, "V1"), (200L, "V200")).toDF("k", "v"), t, Seq("k"))
+    val merged = IcebergLite.read(spark, t)
+    assert(merged.count() == 91L)
+    assert(rows(merged.filter(col("k").isin(1L, 200L))) ==
+      Set((1L, "V1"), (200L, "V200")))
+    assert(formatsOf(t) == Set("AVRO"))
+  }
+
+  test("avro schema evolution: rename is metadata-only — historical " +
+      "names resolve per file; added columns read null from old files") {
+    val t = tmp("avro_evo")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t,
+      format = Some("avro"))
+    IcebergLite.renameColumn(spark, t, "k", "id")
+    IcebergLite.write(spark,
+      Seq((2L, "b", "x")).toDF("id", "v", "extra"), t)
+    val got = IcebergLite.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(got.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some("x"))))
+  }
+
+  test("mixed-format table: parquet + orc + avro files in one snapshot " +
+      "scan as one union; compact rewrites to the table default and " +
+      "RESTATES carried formats") {
+    val t = tmp("mixed")
+    IcebergLite.write(spark, Seq((1L, "p")).toDF("k", "v"), t) // parquet
+    IcebergLite.write(spark, Seq((2L, "o")).toDF("k", "v"), t,
+      format = Some("orc"))
+    IcebergLite.write(spark, Seq((3L, "a")).toDF("k", "v"), t,
+      format = Some("avro"))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "p"), (2L, "o"), (3L, "a")))
+    assert(formatsOf(t) == Set("PARQUET", "ORC", "AVRO"))
+    // a delete touching only the avro file leaves parquet/orc CARRIED
+    // with their recorded formats, and rewrites resolve to the default
+    IcebergLite.deleteWhere(spark, t, col("k") === 3L)
+    IcebergLite.compact(spark, t)
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "p"), (2L, "o")))
+    val fmts = IcebergLite.filesDf(spark, t)
+      .filter(col("content") === "data")
+      .select("file_format").as[String].collect().toSeq
+    assert(fmts.contains("ORC") && fmts.contains("PARQUET"), fmts)
+  }
+
+  test("avro partitioned writes refuse loudly (no footer statistics " +
+      "to recover partition values)") {
+    val t = tmp("avro_part")
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.write(spark, Seq((1L, "e", "a")).toDF("k", "r", "v"),
+        t, partitionBy = Seq("r"), format = Some("avro")))
+    assert(err.getMessage.contains("footer statistics"), err.getMessage)
+  }
+
 }
