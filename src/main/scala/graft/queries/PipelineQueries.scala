@@ -4483,6 +4483,106 @@ object PipelineQueries {
           sum("o_custkey").cast("long").as("sum_cust"))
     },
 
+    // ICEBERG ORC DATA FILES end-to-end through the driver gate: an
+    // identity-partitioned table whose data files are ORC (creation
+    // stamps write.format.default=orc; the second append INHERITS it),
+    // scanned through Spark's bundled ORC source with per-file bounds
+    // from the ORC footers (OrcFooterStats) recovering the partition
+    // values. An EQUALITY delete retracts two keys (the delete kind
+    // that needs no row ordinals — position deletes on ORC refuse by
+    // design), and the read prunes partitions through the manifests.
+    // The oracle recomputes from raw parquet, so a mis-scanned ORC
+    // file, wrong partition value, or unapplied delete hash-fails.
+    QueryDef("q154_iceberg_orc",
+      """WITH all_rows AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey,
+        |    CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |    upper(n_name) AS n_name
+        |  FROM nation
+        |)
+        |SELECT n_nationkey, n_regionkey, n_name FROM all_rows
+        |WHERE n_regionkey < 3 AND n_nationkey NOT IN (3, 103)""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q154_orc").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"),
+          col("n_name").cast("string").as("n_name"))
+      IcebergLite.write(s, n, tbl, partitionBy = Seq("n_regionkey"),
+        format = Some("orc"))
+      IcebergLite.write(s, // inherits write.format.default=orc
+        n.select((col("n_nationkey") + 100).as("n_nationkey"),
+          col("n_regionkey"), upper(col("n_name")).as("n_name")), tbl)
+      require(IcebergLite.filesDf(s, tbl)
+          .filter(col("content") === "data")
+          .select("file_format").as[String].collect().toSet == Set("ORC"),
+        "q154 rig must scan ORC data files")
+      IcebergLite.deleteByKeys(s, tbl,
+        Seq(3L, 103L).toDF("n_nationkey"), Seq("n_nationkey"))
+      IcebergLite.read(s, tbl, where = Some(col("n_regionkey") < 3))
+    },
+
+    // ICEBERG AVRO DATA FILES with the FULL mutation surface: the
+    // avro codec decodes containers with EXACT per-file row ordinals,
+    // so position deletes stage and apply against avro data files
+    // (deleteWhere), and a merge-on-read upsert replaces + inserts
+    // keys with the batch landing as avro too. The oracle restates
+    // delete + merge over raw parquet — a drifted row ordinal would
+    // suppress the WRONG rows and hash-fail.
+    QueryDef("q155_iceberg_avro_mutation",
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 500
+        |),
+        |survived AS (
+        |  SELECT * FROM base
+        |  WHERE c_custkey % 7 <> 0 AND c_custkey NOT IN (1, 2, 3)
+        |),
+        |merged AS (
+        |  SELECT * FROM survived
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'MERGED'),
+        |    (CAST(2 AS BIGINT), 'MERGED'), (CAST(3 AS BIGINT), 'MERGED'),
+        |    (CAST(900001 AS BIGINT), 'MERGED'))
+        |    v(c_custkey, c_mktsegment)
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      import s.implicits._
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q155_avro").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_mktsegment").cast("string").as("c_mktsegment"))
+        .filter(col("c_custkey") <= 500)
+      IcebergLite.write(s, c, tbl, format = Some("avro"))
+      IcebergLite.deleteWhere(s, tbl, col("c_custkey") % 7 === 0)
+      IcebergLite.upsert(s,
+        Seq((1L, "MERGED"), (2L, "MERGED"), (3L, "MERGED"),
+          (900001L, "MERGED")).toDF("c_custkey", "c_mktsegment"),
+        tbl, Seq("c_custkey"))
+      require(IcebergLite.filesDf(s, tbl)
+          .filter(col("content") === "data")
+          .select("file_format").as[String].collect().toSet == Set("AVRO"),
+        "q155 rig must scan AVRO data files")
+      IcebergLite.read(s, tbl)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("c_custkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the
