@@ -505,7 +505,17 @@ object GraftApp {
         * post-creation (protocol upgraded), appendOnly, user props.
         * Iceberg: the catalog's updateProperties (merged, no snapshot).
         */
-      setProperties: Map[String, String] = Map.empty) {
+      setProperties: Map[String, String] = Map.empty,
+      /** `restore: {version: N}` / `restore: {timestamp_as_of: T}` —
+        * delta RESTORE TABLE (one commit returns the table state to a
+        * historical version; history preserved).
+        */
+      restoreVersion: Option[Long] = None,
+      restoreTimestamp: Option[String] = None,
+      /** `rollback_to_snapshot: ID` — iceberg metadata-only rollback
+        * (current-snapshot-id + main ref repointed; no data IO).
+        */
+      rollbackToSnapshot: Option[Long] = None) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -516,8 +526,18 @@ object GraftApp {
         "(delta uses checkpoint + cleanup_logs + vacuum)")
     require((!checkpoint && !cleanupLogs) || format == "delta",
       s"maintenance on '$path': checkpoint/cleanup_logs are delta ops")
+    require((restoreVersion.isEmpty && restoreTimestamp.isEmpty) ||
+        format == "delta",
+      s"maintenance on '$path': restore is the delta op (iceberg uses " +
+        "rollback_to_snapshot)")
+    require(restoreVersion.isEmpty || restoreTimestamp.isEmpty,
+      s"maintenance on '$path': restore takes version OR timestamp_as_of")
+    require(rollbackToSnapshot.isEmpty || format == "iceberg",
+      s"maintenance on '$path': rollback_to_snapshot is the iceberg op " +
+        "(delta uses restore)")
     require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
-        cleanupLogs || setProperties.nonEmpty,
+        cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
+        restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -977,6 +997,9 @@ object GraftApp {
     config.maintenance.foreach { m =>
       m.format match {
         case "iceberg" =>
+          // rollback FIRST: grooming then operates on the restored state
+          m.rollbackToSnapshot.foreach(id =>
+            graft.sources.IcebergLite.rollbackTo(spark, m.path, id))
           if (m.setProperties.nonEmpty)
             graft.sources.IcebergLite.setTableProperties(spark, m.path,
               m.setProperties)
@@ -986,6 +1009,12 @@ object GraftApp {
           m.expireKeepLast.foreach(k =>
             graft.sources.IcebergLite.expireSnapshots(spark, m.path, k))
         case "delta" =>
+          // restore FIRST: grooming then operates on the restored state
+          m.restoreVersion.foreach(v =>
+            graft.sources.DeltaLite.restore(spark, m.path, v))
+          m.restoreTimestamp.foreach(ts =>
+            graft.sources.DeltaLite.restoreToTimestamp(spark, m.path,
+              parseTimestampOption(s"maintenance on '${m.path}'", ts)))
           if (m.compact)
             graft.sources.DeltaLite.compact(spark, m.path,
               if (m.compactSmallFileBytes > 0) m.compactSmallFileBytes

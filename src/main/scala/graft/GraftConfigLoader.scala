@@ -269,7 +269,15 @@ object GraftConfigLoader {
           setProperties = m.asScala.get("set_properties")
             .filter(_ != null).map(x => asMap(x).asScala.map {
               case (k, v) => k.toString -> v.toString
-            }.toMap).getOrElse(Map.empty))
+            }.toMap).getOrElse(Map.empty),
+          restoreVersion = m.asScala.get("restore").filter(_ != null)
+            .flatMap(x => asMap(x).asScala.get("version"))
+            .map(_.toString.toLong),
+          restoreTimestamp = m.asScala.get("restore").filter(_ != null)
+            .flatMap(x => asMap(x).asScala.get("timestamp_as_of"))
+            .map(_.toString),
+          rollbackToSnapshot = m.asScala.get("rollback_to_snapshot")
+            .filter(_ != null).map(_.toString.toLong))
       }
 
   /** `telemetry.metrics: !Prometheus{address: host:port}` (reference

@@ -4583,6 +4583,68 @@ object PipelineQueries {
           sum("c_custkey").cast("long").as("sum_key"))
     },
 
+    // DELTA RESTORE through the driver gate: two appends, a DV delete
+    // that retracts every third key, then RESTORE TABLE to the
+    // pre-delete version — one commit re-adds the DV'd files without
+    // their vectors. The oracle states the UNDELETED table, so a
+    // restore that silently kept the deletion vectors (or missed a
+    // re-add) hash-fails. The rig asserts the delete really bit first.
+    QueryDef("q156_delta_restore",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey <= 4000 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q156_restore").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"))
+        .filter(col("o_orderkey") <= 4000)
+      DeltaLite.write(s, o.filter(col("o_orderkey") <= 2000), tbl) // v0
+      DeltaLite.write(s, o.filter(col("o_orderkey") > 2000), tbl) // v1
+      val full = o.count()
+      DeltaLite.deleteWhere(s, tbl, col("o_orderkey") % 3 === 0) // v2
+      require(DeltaLite.read(s, tbl).count() < full,
+        "q156 rig: the delete must bite before the restore undoes it")
+      DeltaLite.restore(s, tbl, 1L) // v3: back to the full table
+      DeltaLite.read(s, tbl)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("sum_key"))
+    },
+
+    // ICEBERG ROLLBACK through the driver gate: a destructive
+    // OVERWRITE replaces the supplier table with a subset, then the
+    // metadata-only rollback repoints current-snapshot-id at the
+    // pre-overwrite snapshot. The oracle states the FULL table — an
+    // unrolled-back read (the subset) hash-fails.
+    QueryDef("q157_iceberg_rollback",
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+        |FROM supplier GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q157_rollback").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("bigint").as("s_suppkey"),
+          col("s_nationkey").cast("bigint").as("s_nationkey"))
+      val full = sup.count()
+      val s1 = IcebergLite.write(s, sup, tbl)
+      IcebergLite.write(s, sup.filter(col("s_suppkey") <= 2), tbl,
+        "overwrite") // destructive
+      require(IcebergLite.read(s, tbl).count() < full,
+        "q157 rig: the overwrite must bite before the rollback undoes it")
+      IcebergLite.rollbackTo(s, tbl, s1)
+      IcebergLite.read(s, tbl)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum("s_suppkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

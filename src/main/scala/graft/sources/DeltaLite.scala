@@ -3473,6 +3473,118 @@ object DeltaLite {
     eligible.map(_._1).max
   }
 
+  /** RESTORE TABLE … VERSION AS OF (delta-spark's RestoreTableCommand):
+    * ONE commit that returns the table's state to `toVersion` — files
+    * live then but removed since RE-ADD (restating their recorded
+    * partition values, stats, sizes, and deletion vectors verbatim),
+    * files added since REMOVE, and the target's metaData
+    * (schema/partitioning/configuration) restates when it differs.
+    * History is PRESERVED: the restore is itself a new version, and
+    * time travel still reaches every in-between state. Metadata-sized
+    * work — the diff is two file-map comparisons, no data IO beyond
+    * existence probes. Refuses loudly when a needed data file or DV
+    * file was already vacuumed (restore works only inside the vacuum
+    * retention window — delta-spark's contract). Protocol never
+    * downgrades. Returns the new version (unchanged when the state
+    * already matches).
+    *
+    * Reference comparison: dozer reads only the latest delta state
+    * (deltalake/src/reader.rs:36-47) — restore is beyond-ref, spec'd
+    * from the public PROTOCOL.md commit shapes.
+    */
+  def restore(spark: SparkSession, tablePath: String,
+      toVersion: Long): Long = {
+    val cur = snapshot(spark, tablePath)
+    require(toVersion <= cur.version,
+      s"cannot restore $tablePath to version $toVersion — the table " +
+        s"is at ${cur.version}")
+    if (toVersion == cur.version) return cur.version
+    val tgt = snapshot(spark, tablePath, Some(toVersion))
+    checkWriterProtocol(cur, dataChangeMutation = true, "RESTORE")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    // a file changes state when its presence OR its deletion vector
+    // differs; a DV change is remove+re-add of the same path
+    val toRemove = cur.files.keysIterator.filter(p =>
+      !tgt.files.contains(p) || cur.dvs.get(p) != tgt.dvs.get(p)).toSeq
+    val toAdd = tgt.files.keysIterator.filter(p =>
+      !cur.files.contains(p) || cur.dvs.get(p) != tgt.dvs.get(p)).toSeq
+    val metaDiffers = tgt.schema != cur.schema ||
+      tgt.partitionColumns != cur.partitionColumns ||
+      tgt.configuration != cur.configuration
+    if (toRemove.isEmpty && toAdd.isEmpty && !metaDiffers)
+      return cur.version
+    // vacuum check BEFORE committing: every re-added data file and
+    // every referenced on-disk DV file must still exist
+    val missing = toAdd.filterNot(p => fs.exists(new Path(abs(p))))
+    require(missing.isEmpty,
+      s"cannot restore $tablePath to version $toVersion: data file(s) " +
+        s"${missing.take(3).mkString(", ")}${
+          if (missing.size > 3) ", …" else ""} no longer exist " +
+        "(vacuumed) — restore only works within the vacuum retention " +
+        "window")
+    val missingDv = toAdd.flatMap(p => tgt.dvs.get(p))
+      .filter(_.storageType == "u")
+      .map(d => DeletionVectors.uuidPath(tablePath, d.pathOrInlineDv))
+      .filterNot(fs.exists)
+    require(missingDv.isEmpty,
+      s"cannot restore $tablePath to version $toVersion: deletion " +
+        s"vector file(s) ${missingDv.take(3).mkString(", ")} no longer " +
+        "exist (vacuumed)")
+    val now = 1L
+    val ictStamp = if (ictEnabled(cur))
+      Some(nextIct(fs, new Path(root, "_delta_log"), cur)) else None
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("RESTORE",
+      Map("version" -> toVersion.toString), now, ictStamp)
+    // the target's table shape restates (delta-spark restores metadata
+    // with the data); the table id NEVER changes, protocol never
+    // downgrades (current protocol stays in force)
+    if (metaDiffers)
+      lines += metaDataAction(cur.tableId, tgt.schema,
+        tgt.partitionColumns, tgt.configuration, now)
+    toRemove.foreach(p => lines += removeAction(rawPath(cur, p), now))
+    toAdd.foreach { p =>
+      val pEsc = mapper.writeValueAsString(rawPath(tgt, p))
+      val pvNode = mapper.createObjectNode()
+      tgt.files.getOrElse(p, Map.empty).foreach {
+        case (k, Some(v)) => pvNode.put(k, v); ()
+        case (k, None) => pvNode.putNull(k); ()
+      }
+      val fsz = tgt.sizes.getOrElse(p,
+        fs.getFileStatus(new Path(abs(p))).getLen)
+      val stEsc = tgt.stats.get(p)
+        .map(s => s""","stats":${mapper.writeValueAsString(s)}""")
+        .getOrElse("")
+      val dvEsc = tgt.dvs.get(p).map { d =>
+        val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+        s""","deletionVector":{"storageType":${
+          mapper.writeValueAsString(d.storageType)},""" +
+          s""""pathOrInlineDv":${
+            mapper.writeValueAsString(d.pathOrInlineDv)},""" +
+          off + s""""sizeInBytes":${d.sizeInBytes},""" +
+          s""""cardinality":${d.cardinality}}"""
+      }.getOrElse("")
+      lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
+        s""""size":$fsz,"modificationTime":$now,""" +
+        s""""dataChange":true$stEsc$dvEsc}}""")
+    }
+    commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
+      cur.version + 1, lines.toSeq,
+      ourRemoves = toRemove.toSet, dataChangeMutation = true)
+  }
+
+  /** [[restore]] to the latest version at or before `tsMillis` —
+    * RESTORE TABLE … TIMESTAMP AS OF (ICT-aware through
+    * [[versionAtTimestamp]]'s commit clock).
+    */
+  def restoreToTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long =
+    restore(spark, tablePath, versionAtTimestamp(spark, tablePath, tsMillis))
+
   /** LOG CLEANUP (delta-spark's metadata retention, deterministic
     * variant): delete the JSON commits a checkpoint already covers —
     * replay seeds from the checkpoint, so they are dead weight in

@@ -2714,6 +2714,64 @@ object IcebergLite {
     newVersion
   }
 
+  /** ROLLBACK to a historical snapshot (the catalog's
+    * `rollback_to_snapshot` procedure): METADATA-ONLY — a new metadata
+    * version whose `current-snapshot-id` (and `main` ref) point at the
+    * target; the snapshots list, refs, and every other field restate
+    * verbatim, so history is preserved and rolling FORWARD again is
+    * another rollback. No data IO, no manifests written — the O(KB)
+    * undo button an accidental overwrite needs. Loud when the snapshot
+    * id isn't in the table's history (expired snapshots can't be
+    * rolled back to).
+    */
+  def rollbackTo(spark: SparkSession, tablePath: String,
+      snapshotId: Long): Int = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = loadMeta(spark, tablePath)
+    require(meta.snapshots.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not in ${tablePath}'s history " +
+        s"(${meta.snapshots.map(_.snapshotId).mkString(", ")}) — " +
+        "expired snapshots cannot be rolled back to")
+    if (meta.currentSnapshotId.contains(snapshotId)) return meta.version
+    val mPath = new Path(root, s"metadata/v${meta.version}.metadata.json")
+    val node = {
+      val in = fs.open(mPath)
+      try mapper.readTree(in.readAllBytes())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val now = System.currentTimeMillis
+    node.put("current-snapshot-id", snapshotId)
+    node.put("last-updated-ms", now)
+    // `main` follows the current snapshot (readers following refs must
+    // see the rollback); tags and other branches stay untouched
+    Option(node.get("refs")).filterNot(_.isNull).foreach { r =>
+      Option(r.get("main")).filterNot(_.isNull).foreach(m =>
+        m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("snapshot-id", snapshotId))
+    }
+    // the snapshot-log records the state CHANGE (spec: the log is the
+    // table's current-snapshot lineage, not the commit list)
+    Option(node.get("snapshot-log")).filterNot(_.isNull).foreach { sl =>
+      val e = sl.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        .addObject()
+      e.put("timestamp-ms", now)
+      e.put("snapshot-id", snapshotId)
+      ()
+    }
+    val newVersion = meta.version + 1
+    val out = new Path(root, s"metadata/v$newVersion.metadata.json")
+    require(DeltaLite.atomicCreate(fs, out,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)),
+      s"metadata v$newVersion already exists at $tablePath (concurrent " +
+        "writer?) — re-read and retry")
+    val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8"))
+    finally hint.close()
+    newVersion
+  }
+
   /** Resolve a named REF (branch or tag, the spec's `refs` map) to its
     * snapshot id — time travel by name: `read(spark, path,
     * Some(snapshotForRef(...)))`. Loud when the table has no refs or

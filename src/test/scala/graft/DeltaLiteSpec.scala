@@ -2261,6 +2261,62 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, t2).count() == 2)
   }
 
+  // ------------------------------------------------------------ restore
+
+  test("restore returns the table state to a historical version in ONE " +
+      "commit: removed files re-add WITH their deletion vectors, added " +
+      "files remove, history preserved") {
+    val t = java.nio.file.Files.createTempDirectory("delta_restore").toString
+    DeltaLite.write(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), t) // v0
+    DeltaLite.write(spark, Seq((11L, "v11")).toDF("k", "v"), t) // v1
+    DeltaLite.deleteWhere(spark, t, col("k") <= 3L) // v2: DV delete
+    val v2Rows = DeltaLite.read(spark, t).select("k")
+      .as[Long].collect().toSet
+    assert(v2Rows == (4L to 11L).toSet)
+    // back to v0: the DV'd file re-adds WITHOUT its DV, v1's file removes
+    val v3 = DeltaLite.restore(spark, t, 0L)
+    assert(v3 == 3L)
+    assert(DeltaLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      (1L to 10L).toSet)
+    // forward again: restore to v2 re-attaches the deletion vector
+    val v4 = DeltaLite.restore(spark, t, 2L)
+    assert(v4 == 4L)
+    assert(DeltaLite.read(spark, t).select("k").as[Long].collect().toSet ==
+      v2Rows)
+    // time travel still reaches every in-between state
+    assert(DeltaLite.read(spark, t, asOf = Some(3L)).count() == 10L)
+    // restoring to the already-matching state is a no-op
+    assert(DeltaLite.restore(spark, t, 2L) == 4L)
+  }
+
+  test("restore restates the target's metaData when schema or " +
+      "configuration changed since") {
+    val t = java.nio.file.Files.createTempDirectory("delta_restmeta").toString
+    DeltaLite.write(spark, Seq((1L, 5L)).toDF("k", "v"), t) // v0
+    DeltaLite.setTableProperties(spark, t,
+      Map("delta.constraints.vpos" -> "v > 0")) // v1
+    val e0 = intercept[IllegalArgumentException](DeltaLite.write(spark,
+      Seq((2L, -1L)).toDF("k", "v"), t))
+    assert(e0.getMessage.contains("vpos"))
+    DeltaLite.restore(spark, t, 0L) // v2: constraint gone with v0's config
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(!snap.configuration.contains("delta.constraints.vpos"))
+    DeltaLite.write(spark, Seq((2L, -1L)).toDF("k", "v"), t) // now fine
+    assert(DeltaLite.read(spark, t).count() == 2L)
+  }
+
+  test("restore refuses loudly when the needed data files were vacuumed") {
+    val t = java.nio.file.Files.createTempDirectory("delta_restvac").toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t) // v0
+    DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t,
+      "overwrite") // v1: v0's file unreferenced
+    assert(DeltaLite.vacuum(spark, t) >= 1)
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.restore(spark, t, 0L))
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"

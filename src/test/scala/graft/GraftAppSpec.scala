@@ -1722,6 +1722,47 @@ class GraftAppSpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/dl/_change_data").exists())
   }
 
+  test("maintenance restore / rollback_to_snapshot: config-level table " +
+      "time-travel mutation for both lake formats") {
+    import graft.sources.{DeltaLite, IcebergLite}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_restore").toString
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), s"$base/dl")
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), s"$base/dl")
+    val s1 = IcebergLite.write(spark, Seq((1L, 10L)).toDF("k", "v"),
+      s"$base/ice")
+    IcebergLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), s"$base/ice")
+    Seq((9L, 90L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/src")
+    val yaml =
+      s"""sources:
+         |  - name: t
+         |    path: $base/src
+         |sql: SELECT k, v INTO o FROM t;
+         |sinks:
+         |  - table: o
+         |    path: $base/out
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/dl
+         |    format: delta
+         |    restore:
+         |      version: 0
+         |  - path: $base/ice
+         |    format: iceberg
+         |    rollback_to_snapshot: $s1
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    assert(DeltaLite.read(spark, s"$base/dl")
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(IcebergLite.read(spark, s"$base/ice")
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    // history preserved on both sides
+    assert(DeltaLite.snapshot(spark, s"$base/dl").version == 2L)
+    assert(IcebergLite.loadMeta(spark, s"$base/ice").snapshots.size == 2)
+  }
+
   test("dozer !Kafka connection honors isolation_level: read_committed " +
       "— aborted transactions never reach the sink") {
     import graft.cdc.KafkaBatch.Encode

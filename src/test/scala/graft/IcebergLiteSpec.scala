@@ -1350,6 +1350,29 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(fmts.contains("ORC") && fmts.contains("PARQUET"), fmts)
   }
 
+  test("rollbackTo: metadata-only — current snapshot and main ref " +
+      "repoint, history survives, rolling forward again works, " +
+      "unknown/expired snapshots refuse") {
+    val t = tmp("rollback")
+    val s1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val s2 = IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (2L, "b")))
+    IcebergLite.rollbackTo(spark, t, s1)
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a")))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.snapshots.size == 2, "history must survive a rollback")
+    assert(meta.currentSnapshotId.contains(s1))
+    // a new append lands on TOP of the rolled-back state
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (3L, "c")))
+    // s2 still reachable by id (roll forward = another rollback)
+    assert(rows(IcebergLite.read(spark, t, Some(s2))) ==
+      Set((1L, "a"), (2L, "b")))
+    val err = intercept[IllegalArgumentException](
+      IcebergLite.rollbackTo(spark, t, 424242L))
+    assert(err.getMessage.contains("not in"), err.getMessage)
+  }
+
   test("avro partitioned writes refuse loudly (no footer statistics " +
       "to recover partition values)") {
     val t = tmp("avro_part")
