@@ -21,35 +21,44 @@ import org.apache.spark.sql.types._
   * filesystem tables) names the current snapshot; each snapshot points
   * at a MANIFEST LIST (Avro object-container file of `manifest_file`
   * records); each manifest is itself an Avro OCF of `manifest_entry`
-  * records naming immutable parquet data files. Reading a snapshot =
+  * records naming immutable data files — ALL THREE spec formats scan
+  * natively: PARQUET and ORC through Spark's bundled sources, AVRO
+  * through [[IcebergAvroData]]'s container codec. Reading a snapshot =
   * resolve metadata → manifest list → manifests → live data files →
-  * one distributed parquet scan. The reference ingests open-table
-  * formats through exactly this snapshot-scan capability
+  * one distributed columnar scan per (schema, format) group. The
+  * reference ingests open-table formats through exactly this
+  * snapshot-scan capability
   * (dozer-ingestion/deltalake/src/reader.rs:36-47 is the Delta twin);
   * IcebergLite reproduces it Spark-natively with the avro-1.12 runtime
   * jar Spark already ships (same seam as [[AvroFiles]]).
   *
   * Merge-on-read: BOTH v2 delete kinds apply as distributed anti
-  * joins. POSITION deletes (spec §Delete Formats — parquet files of
-  * `(file_path, pos)`) join against the scan's `_metadata.file_path`/
-  * `_metadata.row_index` columns; EQUALITY deletes (Flink-CDC-writer
-  * territory — key-value files listing retracted tuples) join
-  * null-safe on their `equality_ids` columns under the spec's
-  * sequence rule (a delete at seq N suppresses only data files with
-  * seq < N, so later re-inserts stay visible). No row-level state, no
-  * driver work; delete sides are broadcast-sized in the common case.
-  * Path strings are compared scheme-normalized (writers disagree
-  * about `file:/` vs `file:///`).
+  * joins. POSITION deletes (spec §Delete Formats — files of
+  * `(file_path, pos)`, themselves any spec format) join against the
+  * scan's per-file row ordinals (`_metadata.row_index` for parquet,
+  * decode-counted ordinals for avro; position deletes TARGETING an
+  * ORC file refuse loudly — Spark's ORC source exposes no row index);
+  * EQUALITY deletes (Flink-CDC-writer territory — key-value files
+  * listing retracted tuples) join null-safe on their `equality_ids`
+  * columns under the spec's sequence rule (a delete at seq N
+  * suppresses only data files with seq < N, so later re-inserts stay
+  * visible). No row-level state, no driver work; delete sides are
+  * broadcast-sized in the common case. Path strings are compared
+  * scheme-normalized (writers disagree about `file:/` vs `file:///`).
   *
   * Loud unsupported-capability errors (never silent wrong data):
-  * ORC/Avro data files, `time` columns (no Spark analogue), and
-  * equality ids naming nested fields. Column resolution is
-  * BY NAME (Spark parquet semantics) — a documented delta from the
-  * spec's field-id resolution: tables whose history renamed columns
-  * read the renamed column as null and need the iceberg runtime.
+  * `time` columns (no Spark analogue), equality ids naming nested
+  * fields, and position deletes over ORC data files. Renames resolve
+  * through the schema HISTORY (each file reads under the names of the
+  * schema it was written with — the spec's field-id indirection,
+  * metadata-only renames); files predating an added column read it as
+  * null.
   *
-  * The WRITER emits format-version 2 tables: staged parquet under
-  * `data/`, one `manifest_entry` Avro per commit, a fresh manifest list
+  * The WRITER emits format-version 2 tables: staged data files under
+  * `data/` in the table's `write.format.default` (parquet unless set —
+  * ORC bounds come from [[OrcFooterStats]] footers, avro bounds are
+  * tracked in the encode pass),
+  * one `manifest_entry` Avro per commit, a fresh manifest list
   * carrying prior manifests forward, and a `v<N+1>.metadata.json`
   * claimed PUT-IF-ABSENT (`fs.create(overwrite=false)`) — the same
   * loses-loudly concurrency rule as [[DeltaLite.claimCommit]], matching
