@@ -515,7 +515,15 @@ object GraftApp {
       /** `rollback_to_snapshot: ID` — iceberg metadata-only rollback
         * (current-snapshot-id + main ref repointed; no data IO).
         */
-      rollbackToSnapshot: Option[Long] = None) {
+      rollbackToSnapshot: Option[Long] = None,
+      /** `create_tag: {name, snapshot_id?}` / `create_branch: {...}` /
+        * `drop_ref: name` — iceberg ref management (manageSnapshots):
+        * tags pin snapshots against expiry and give time travel by
+        * name (source `options.ref`).
+        */
+      createTag: Option[(String, Option[Long])] = None,
+      createBranch: Option[(String, Option[Long])] = None,
+      dropRef: Option[String] = None) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -535,9 +543,14 @@ object GraftApp {
     require(rollbackToSnapshot.isEmpty || format == "iceberg",
       s"maintenance on '$path': rollback_to_snapshot is the iceberg op " +
         "(delta uses restore)")
+    require((createTag.isEmpty && createBranch.isEmpty &&
+        dropRef.isEmpty) || format == "iceberg",
+      s"maintenance on '$path': create_tag/create_branch/drop_ref are " +
+        "iceberg ops")
     require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
-        restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty,
+        restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
+        createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -1000,6 +1013,15 @@ object GraftApp {
           // rollback FIRST: grooming then operates on the restored state
           m.rollbackToSnapshot.foreach(id =>
             graft.sources.IcebergLite.rollbackTo(spark, m.path, id))
+          m.createTag.foreach { case (n, sid) =>
+            graft.sources.IcebergLite.createRef(spark, m.path, n, "tag", sid)
+          }
+          m.createBranch.foreach { case (n, sid) =>
+            graft.sources.IcebergLite.createRef(spark, m.path, n,
+              "branch", sid)
+          }
+          m.dropRef.foreach(n =>
+            graft.sources.IcebergLite.dropRef(spark, m.path, n))
           if (m.setProperties.nonEmpty)
             graft.sources.IcebergLite.setTableProperties(spark, m.path,
               m.setProperties)

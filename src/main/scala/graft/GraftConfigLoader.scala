@@ -277,8 +277,24 @@ object GraftConfigLoader {
             .flatMap(x => asMap(x).asScala.get("timestamp_as_of"))
             .map(_.toString),
           rollbackToSnapshot = m.asScala.get("rollback_to_snapshot")
-            .filter(_ != null).map(_.toString.toLong))
+            .filter(_ != null).map(_.toString.toLong),
+          createTag = refSpec(m, "create_tag"),
+          createBranch = refSpec(m, "create_branch"),
+          dropRef = m.asScala.get("drop_ref").filter(_ != null)
+            .map(_.toString))
       }
+
+  /** `create_tag: {name: x, snapshot_id: N?}` (snapshot_id optional —
+    * the current snapshot when omitted).
+    */
+  private def refSpec(m: java.util.Map[String, Object],
+      key: String): Option[(String, Option[Long])] =
+    m.asScala.get(key).filter(_ != null).map { x =>
+      val mm = asMap(x).asScala
+      (mm.getOrElse("name", fail(s"maintenance $key needs a name"))
+        .toString,
+        mm.get("snapshot_id").map(_.toString.toLong))
+    }
 
   /** `telemetry.metrics: !Prometheus{address: host:port}` (reference
     * dozer-types/src/models/telemetry.rs:39-56; the !Prometheus tag is

@@ -4645,6 +4645,88 @@ object PipelineQueries {
           sum("s_suppkey").cast("long").as("sum_key"))
     },
 
+    // DELTA SHALLOW CLONE through the driver gate: the source table
+    // (with a live deletion vector) clones by REFERENCE — zero data
+    // copied — then the clone takes an append the source must never
+    // see. The oracle states the diverged CLONE; the rig asserts the
+    // SOURCE kept its own row set, so a clone that shared state with
+    // its source would either hash-fail or trip the require.
+    QueryDef("q158_delta_clone",
+      """WITH src AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+        |  FROM part WHERE p_partkey <= 400
+        |),
+        |after_del AS (
+        |  SELECT * FROM src WHERE p_partkey % 5 <> 0
+        |),
+        |cloned AS (
+        |  SELECT * FROM after_del
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT) AS p_partkey,
+        |    'Brand#99' AS p_brand
+        |)
+        |SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+        |FROM cloned GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val srcT = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q158_src").toString
+      val tgtT = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q158_clone").toString
+      Seq(srcT, tgtT).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val src = t(s, dir, "part")
+        .select(col("p_partkey").cast("bigint").as("p_partkey"),
+          col("p_brand").cast("string").as("p_brand"))
+        .filter(col("p_partkey") <= 400)
+      DeltaLite.write(s, src, srcT)
+      DeltaLite.deleteWhere(s, srcT, col("p_partkey") % 5 === 0) // DV
+      val srcCount = DeltaLite.read(s, srcT).count()
+      DeltaLite.clone(s, srcT, tgtT)
+      DeltaLite.write(s, // diverge: the clone takes an append
+        s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(900001L, "Brand#99")),
+          DeltaLite.read(s, tgtT).schema), tgtT)
+      require(DeltaLite.read(s, srcT).count() == srcCount,
+        "q158 rig: the source must not see the clone's append")
+      DeltaLite.read(s, tgtT)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("p_partkey").cast("long").as("sum_key"))
+    },
+
+    // ICEBERG TAG time travel through the driver gate: a release tag
+    // pins the full table, a destructive overwrite replaces it, and
+    // snapshot EXPIRY reaps everything unreferenced — the tagged
+    // snapshot must survive (the spec's expiration contract) and read
+    // back by NAME. The oracle states the tagged (original) table, so
+    // a reaped tag or a by-name resolution miss hash-fails.
+    QueryDef("q159_iceberg_tag_travel",
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q159_tag").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"))
+      IcebergLite.write(s, n, tbl)
+      IcebergLite.createRef(s, tbl, "rel-1", "tag")
+      IcebergLite.write(s, n.filter(col("n_nationkey") < 2), tbl,
+        "overwrite") // destructive
+      IcebergLite.expireSnapshots(s, tbl, keepLast = 1)
+      IcebergLite.read(s, tbl,
+          Some(IcebergLite.snapshotForRef(s, tbl, "rel-1")))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          sum("n_nationkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

@@ -3585,6 +3585,87 @@ object DeltaLite {
       tsMillis: Long): Long =
     restore(spark, tablePath, versionAtTimestamp(spark, tablePath, tsMillis))
 
+  /** SHALLOW CLONE (delta-spark's CLONE command): create a NEW table at
+    * `targetPath` whose version-0 commit references the SOURCE table's
+    * data files by ABSOLUTE path — zero data copied, metadata-sized
+    * work, optionally from a time-traveled source version (`asOf`).
+    * The clone gets its OWN table id and log; source protocol,
+    * schema/partitioning/configuration, per-file stats, partition
+    * values, and deletion vectors restate verbatim (relative `u`-storage
+    * DVs rewrite to absolute `p` storage so they resolve from the
+    * clone). After the clone the two tables diverge independently:
+    * mutations on the clone touch only its own log, and [[vacuum]] on
+    * the clone never deletes source files (it sweeps the clone's
+    * directory only). Refuses when the target is already a table.
+    */
+  def clone(spark: SparkSession, sourcePath: String, targetPath: String,
+      asOf: Option[Long] = None): Long = {
+    val src = snapshot(spark, sourcePath, asOf)
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    require(!fs.exists(logDir),
+      s"$targetPath is already a Delta table — clone creates a NEW one")
+    fs.mkdirs(logDir)
+    def absSrc(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(sourcePath, p).toString
+    val now = 1L
+    val ictStamp: Option[Long] =
+      if (src.configuration.get("delta.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true"))) Some(1L) else None
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("CLONE",
+      Map("source" -> sourcePath) ++
+        asOf.map(v => "sourceVersion" -> v.toString), now, ictStamp)
+    src.protocol.foreach { p =>
+      val rf = p.readerFeatures
+        .map(f => s""","readerFeatures":${featuresJson(f)}""").getOrElse("")
+      val wf = p.writerFeatures
+        .map(f => s""","writerFeatures":${featuresJson(f)}""").getOrElse("")
+      lines += (s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},""" +
+        s""""minWriterVersion":${p.minWriterVersion}$rf$wf}}""")
+    }
+    if (src.protocol.isEmpty)
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += metaDataAction(java.util.UUID.randomUUID.toString,
+      src.schema, src.partitionColumns, src.configuration, now)
+    src.domainMetadata.values.foreach(lines += _)
+    src.files.keys.toSeq.sorted.foreach { p =>
+      val pEsc = mapper.writeValueAsString(encodePath(absSrc(p)))
+      val pvNode = mapper.createObjectNode()
+      src.files.getOrElse(p, Map.empty).foreach {
+        case (k, Some(v)) => pvNode.put(k, v); ()
+        case (k, None) => pvNode.putNull(k); ()
+      }
+      val fsz = src.sizes.getOrElse(p,
+        fs.getFileStatus(new Path(absSrc(p))).getLen)
+      val stEsc = src.stats.get(p)
+        .map(s => s""","stats":${mapper.writeValueAsString(s)}""")
+        .getOrElse("")
+      val dvEsc = src.dvs.get(p).map { d0 =>
+        // relative (u) DV storage resolves against the TABLE path —
+        // rewrite to absolute (p) so the clone's readers find it
+        val d = if (d0.storageType == "u")
+          d0.copy(storageType = "p", pathOrInlineDv =
+            DeletionVectors.uuidPath(sourcePath, d0.pathOrInlineDv).toString)
+        else d0
+        val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+        s""","deletionVector":{"storageType":${
+          mapper.writeValueAsString(d.storageType)},""" +
+          s""""pathOrInlineDv":${
+            mapper.writeValueAsString(d.pathOrInlineDv)},""" +
+          off + s""""sizeInBytes":${d.sizeInBytes},""" +
+          s""""cardinality":${d.cardinality}}"""
+      }.getOrElse("")
+      lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
+        s""""size":$fsz,"modificationTime":$now,""" +
+        s""""dataChange":true$stEsc$dvEsc}}""")
+    }
+    commitWithRetry(fs, logDir, targetPath, 0L, lines.toSeq,
+      ourRemoves = Set.empty, dataChangeMutation = false)
+  }
+
   /** LOG CLEANUP (delta-spark's metadata retention, deterministic
     * variant): delete the JSON commits a checkpoint already covers —
     * replay seeds from the checkpoint, so they are dead weight in

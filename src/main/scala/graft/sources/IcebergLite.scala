@@ -2695,32 +2695,15 @@ object IcebergLite {
   def setTableProperties(spark: SparkSession, tablePath: String,
       props: Map[String, String]): Int = {
     require(props.nonEmpty, "setTableProperties needs at least one property")
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = loadMeta(spark, tablePath)
-    val mPath = new Path(root, s"metadata/v${meta.version}.metadata.json")
-    val node = {
-      val in = fs.open(mPath)
-      try mapper.readTree(in.readAllBytes())
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      finally in.close()
+    rewriteMetadata(spark, tablePath) { (node, _) =>
+      val pn = Option(node.get("properties")).filterNot(_.isNull)
+        .map(_.deepCopy
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        .getOrElse(mapper.createObjectNode())
+      props.foreach { case (k, v) => pn.put(k, v) }
+      node.set[JsonNode]("properties", pn)
+      ()
     }
-    val pn = Option(node.get("properties")).filterNot(_.isNull)
-      .map(_.deepCopy
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
-      .getOrElse(mapper.createObjectNode())
-    props.foreach { case (k, v) => pn.put(k, v) }
-    node.set[JsonNode]("properties", pn)
-    val newVersion = meta.version + 1
-    val out = new Path(root, s"metadata/v$newVersion.metadata.json")
-    require(DeltaLite.atomicCreate(fs, out,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)),
-      s"metadata v$newVersion already exists at $tablePath (concurrent " +
-        "writer?) — re-read and retry")
-    val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
-    try hint.write(newVersion.toString.getBytes("UTF-8"))
-    finally hint.close()
-    newVersion
   }
 
   /** ROLLBACK to a historical snapshot (the catalog's
@@ -2735,14 +2718,47 @@ object IcebergLite {
     */
   def rollbackTo(spark: SparkSession, tablePath: String,
       snapshotId: Long): Int = {
+    val pre = loadMeta(spark, tablePath)
+    require(pre.snapshots.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not in ${tablePath}'s history " +
+        s"(${pre.snapshots.map(_.snapshotId).mkString(", ")}) — " +
+        "expired snapshots cannot be rolled back to")
+    if (pre.currentSnapshotId.contains(snapshotId)) return pre.version
+    rewriteMetadata(spark, tablePath) { (node, _) =>
+      val now = System.currentTimeMillis
+      node.put("current-snapshot-id", snapshotId)
+      node.put("last-updated-ms", now)
+      // `main` follows the current snapshot (readers following refs
+      // must see the rollback); tags and other branches stay untouched
+      Option(node.get("refs")).filterNot(_.isNull).foreach { r =>
+        Option(r.get("main")).filterNot(_.isNull).foreach(m =>
+          m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("snapshot-id", snapshotId))
+      }
+      // the snapshot-log records the state CHANGE (spec: the log is
+      // the table's current-snapshot lineage, not the commit list)
+      Option(node.get("snapshot-log")).filterNot(_.isNull).foreach { sl =>
+        val e = sl
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+          .addObject()
+        e.put("timestamp-ms", now)
+        e.put("snapshot-id", snapshotId)
+        ()
+      }
+    }
+  }
+
+  /** Shared metadata-version bump for the METADATA-ONLY catalog ops
+    * (properties / refs / rollback): read the current
+    * `v<N>.metadata.json`, apply `edit`, claim `v<N+1>` put-if-absent,
+    * move the version hint. Everything not edited restates verbatim.
+    */
+  private def rewriteMetadata(spark: SparkSession, tablePath: String)(
+      edit: (com.fasterxml.jackson.databind.node.ObjectNode,
+        TableMeta) => Unit): Int = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = loadMeta(spark, tablePath)
-    require(meta.snapshots.exists(_.snapshotId == snapshotId),
-      s"snapshot $snapshotId not in ${tablePath}'s history " +
-        s"(${meta.snapshots.map(_.snapshotId).mkString(", ")}) — " +
-        "expired snapshots cannot be rolled back to")
-    if (meta.currentSnapshotId.contains(snapshotId)) return meta.version
     val mPath = new Path(root, s"metadata/v${meta.version}.metadata.json")
     val node = {
       val in = fs.open(mPath)
@@ -2750,25 +2766,7 @@ object IcebergLite {
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       finally in.close()
     }
-    val now = System.currentTimeMillis
-    node.put("current-snapshot-id", snapshotId)
-    node.put("last-updated-ms", now)
-    // `main` follows the current snapshot (readers following refs must
-    // see the rollback); tags and other branches stay untouched
-    Option(node.get("refs")).filterNot(_.isNull).foreach { r =>
-      Option(r.get("main")).filterNot(_.isNull).foreach(m =>
-        m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          .put("snapshot-id", snapshotId))
-    }
-    // the snapshot-log records the state CHANGE (spec: the log is the
-    // table's current-snapshot lineage, not the commit list)
-    Option(node.get("snapshot-log")).filterNot(_.isNull).foreach { sl =>
-      val e = sl.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-        .addObject()
-      e.put("timestamp-ms", now)
-      e.put("snapshot-id", snapshotId)
-      ()
-    }
+    edit(node, meta)
     val newVersion = meta.version + 1
     val out = new Path(root, s"metadata/v$newVersion.metadata.json")
     require(DeltaLite.atomicCreate(fs, out,
@@ -2779,6 +2777,56 @@ object IcebergLite {
     try hint.write(newVersion.toString.getBytes("UTF-8"))
     finally hint.close()
     newVersion
+  }
+
+  /** CREATE TAG / CREATE BRANCH (the catalog's manageSnapshots):
+    * metadata-only — a named ref pinned to `snapshotId` (the current
+    * snapshot when omitted). Tags make [[expireSnapshots]] keep the
+    * snapshot forever and give time travel by name
+    * ([[snapshotForRef]] + source `options.ref`); branches additionally
+    * mark a line other writers may advance. Refuses on an existing
+    * name or an unknown snapshot.
+    */
+  def createRef(spark: SparkSession, tablePath: String, name: String,
+      refType: String, snapshotId: Option[Long] = None): Int = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag|branch, got '$refType'")
+    require(name != "main", "'main' is the table's own branch")
+    rewriteMetadata(spark, tablePath) { (node, meta) =>
+      val sid = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tablePath has no current snapshot to pin '$name' to"))
+      require(meta.snapshots.exists(_.snapshotId == sid),
+        s"snapshot $sid not in ${tablePath}'s history — cannot pin " +
+          s"ref '$name' to it")
+      val refs = Option(node.get("refs")).filterNot(_.isNull)
+        .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        .getOrElse(node.putObject("refs"))
+      require(!refs.has(name),
+        s"ref '$name' already exists on $tablePath — drop it first")
+      val r = refs.putObject(name)
+      r.put("snapshot-id", sid)
+      r.put("type", refType)
+      ()
+    }
+  }
+
+  /** DROP a named ref (tag or branch). `main` refuses — it is the
+    * table's own branch, not a user ref.
+    */
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Int = {
+    require(name != "main", "cannot drop 'main' — the table's own branch")
+    rewriteMetadata(spark, tablePath) { (node, _) =>
+      val refs = Option(node.get("refs")).filterNot(_.isNull)
+        .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        .getOrElse(throw new IllegalArgumentException(
+          s"$tablePath carries no refs — nothing to drop"))
+      require(refs.has(name),
+        s"ref '$name' not in ${refs.fieldNames.asScala.mkString(", ")} " +
+          s"of $tablePath")
+      refs.remove(name)
+      ()
+    }
   }
 
   /** Resolve a named REF (branch or tag, the spec's `refs` map) to its

@@ -2317,6 +2317,56 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  // -------------------------------------------------------------- clone
+
+  test("shallow clone references the source's files absolutely (DVs " +
+      "rewritten to absolute storage), then the two tables diverge " +
+      "independently and vacuum on the clone spares source files") {
+    val src = java.nio.file.Files.createTempDirectory("delta_clsrc").toString
+    val tgt = java.nio.file.Files.createTempDirectory("delta_cltgt").toString
+    fs(tgt).delete(new Path(tgt), true)
+    DeltaLite.write(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), src)
+    DeltaLite.deleteWhere(spark, src, col("k") <= 2L) // source carries a DV
+    val v0 = DeltaLite.clone(spark, src, tgt)
+    assert(v0 == 0L)
+    assert(DeltaLite.read(spark, tgt).select("k").as[Long].collect().toSet ==
+      (3L to 10L).toSet, "clone must read the source state THROUGH the DV")
+    // no data files under the clone — shallow means references only
+    assert(!fs(tgt).listStatus(new Path(tgt))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    // diverge: mutate the clone, source unchanged; mutate source, clone
+    // unchanged
+    DeltaLite.write(spark, Seq((100L, "c")).toDF("k", "v"), tgt)
+    DeltaLite.deleteWhere(spark, tgt, col("k") === 3L)
+    assert(DeltaLite.read(spark, src).select("k").as[Long].collect().toSet ==
+      (3L to 10L).toSet)
+    assert(DeltaLite.read(spark, tgt).select("k").as[Long].collect().toSet ==
+      ((4L to 10L).toSet + 100L))
+    DeltaLite.write(spark, Seq((200L, "s")).toDF("k", "v"), src)
+    assert(!DeltaLite.read(spark, tgt).select("k").as[Long]
+      .collect().contains(200L))
+    // vacuum on the clone sweeps ONLY its own directory
+    DeltaLite.vacuum(spark, tgt)
+    assert(DeltaLite.read(spark, src).count() == 9L,
+      "vacuuming the clone must never delete source data files")
+    // target-already-a-table refuses
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.clone(spark, src, tgt))
+    assert(e.getMessage.contains("already"), e.getMessage)
+  }
+
+  test("clone from a time-traveled source version") {
+    val src = java.nio.file.Files.createTempDirectory("delta_clv").toString
+    val tgt = java.nio.file.Files.createTempDirectory("delta_clvt").toString
+    fs(tgt).delete(new Path(tgt), true)
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), src) // v0
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), src) // v1
+    DeltaLite.clone(spark, src, tgt, asOf = Some(0L))
+    assert(DeltaLite.read(spark, tgt).select("k").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"

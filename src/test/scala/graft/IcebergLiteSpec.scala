@@ -1373,6 +1373,39 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not in"), err.getMessage)
   }
 
+  test("createRef/dropRef: tags pin snapshots against expiry and give " +
+      "time travel by name; duplicates and 'main' refuse") {
+    val t = tmp("refs")
+    val s1 = IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.createRef(spark, t, "v1.0", "tag", Some(s1))
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    assert(IcebergLite.snapshotForRef(spark, t, "v1.0") == s1)
+    assert(rows(IcebergLite.read(spark, t,
+      Some(IcebergLite.snapshotForRef(spark, t, "v1.0")))) ==
+      Set((1L, "a")))
+    // expiry keeps the tagged snapshot even though it's oldest
+    IcebergLite.expireSnapshots(spark, t, keepLast = 1)
+    assert(rows(IcebergLite.read(spark, t, Some(s1))) == Set((1L, "a")),
+      "a tagged snapshot must survive expiry")
+    // duplicate + main refuse; drop removes
+    val dup = intercept[IllegalArgumentException](
+      IcebergLite.createRef(spark, t, "v1.0", "tag"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    val mn = intercept[IllegalArgumentException](
+      IcebergLite.dropRef(spark, t, "main"))
+    assert(mn.getMessage.contains("main"), mn.getMessage)
+    IcebergLite.dropRef(spark, t, "v1.0")
+    val gone = intercept[IllegalArgumentException](
+      IcebergLite.snapshotForRef(spark, t, "v1.0"))
+    assert(gone.getMessage.contains("not in"), gone.getMessage)
+    // branch creation defaults to the current snapshot
+    IcebergLite.createRef(spark, t, "dev", "branch")
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(IcebergLite.snapshotForRef(spark, t, "dev") ==
+      meta.currentSnapshotId.get)
+  }
+
   test("avro partitioned writes refuse loudly (no footer statistics " +
       "to recover partition values)") {
     val t = tmp("avro_part")
