@@ -4488,11 +4488,13 @@ object PipelineQueries {
     // stamps write.format.default=orc; the second append INHERITS it),
     // scanned through Spark's bundled ORC source with per-file bounds
     // from the ORC footers (OrcFooterStats) recovering the partition
-    // values. An EQUALITY delete retracts two keys (the delete kind
-    // that needs no row ordinals — position deletes on ORC refuse by
-    // design), and the read prunes partitions through the manifests.
+    // values. An EQUALITY delete retracts key 3 and a POSITION delete
+    // retracts key 103 — the latter stages EXACT row ordinals through
+    // the orc-core row reader (IcebergOrcData; Spark's ORC source has
+    // no row index) and re-applies through the same reader on scan.
     // The oracle recomputes from raw parquet, so a mis-scanned ORC
-    // file, wrong partition value, or unapplied delete hash-fails.
+    // file, wrong partition value, drifted ordinal, or unapplied
+    // delete hash-fails.
     QueryDef("q154_iceberg_orc",
       """WITH all_rows AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
@@ -4526,7 +4528,11 @@ object PipelineQueries {
           .select("file_format").as[String].collect().toSet == Set("ORC"),
         "q154 rig must scan ORC data files")
       IcebergLite.deleteByKeys(s, tbl,
-        Seq(3L, 103L).toDF("n_nationkey"), Seq("n_nationkey"))
+        Seq(3L).toDF("n_nationkey"), Seq("n_nationkey"))
+      IcebergLite.deleteWhere(s, tbl, col("n_nationkey") === 103L)
+      require(IcebergLite.filesDf(s, tbl)
+          .filter(col("content") === "position_deletes").count() > 0,
+        "q154 rig must exercise the ORC position-delete path")
       IcebergLite.read(s, tbl, where = Some(col("n_regionkey") < 3))
     },
 

@@ -36,9 +36,10 @@ import org.apache.spark.sql.types._
   * joins. POSITION deletes (spec §Delete Formats — files of
   * `(file_path, pos)`, themselves any spec format) join against the
   * scan's per-file row ordinals (`_metadata.row_index` for parquet,
-  * decode-counted ordinals for avro; position deletes TARGETING an
-  * ORC file refuse loudly — Spark's ORC source exposes no row index);
-  * EQUALITY deletes (Flink-CDC-writer territory — key-value files
+  * decode-counted ordinals for avro, and for the ORC files a delete
+  * actually TARGETS the orc-core row reader [[IcebergOrcData]] —
+  * Spark's ORC source exposes no row index, so only targeted files
+  * pay the row-by-row scan); EQUALITY deletes (Flink-CDC-writer territory — key-value files
   * listing retracted tuples) join null-safe on their `equality_ids`
   * columns under the spec's sequence rule (a delete at seq N
   * suppresses only data files with seq < N, so later re-inserts stay
@@ -47,8 +48,8 @@ import org.apache.spark.sql.types._
   * scheme-normalized (writers disagree about `file:/` vs `file:///`).
   *
   * Loud unsupported-capability errors (never silent wrong data):
-  * `time` columns (no Spark analogue), equality ids naming nested
-  * fields, and position deletes over ORC data files. Renames resolve
+  * `time` columns (no Spark analogue) and equality ids naming nested
+  * fields. Renames resolve
   * through the schema HISTORY (each file reads under the names of the
   * schema it was written with — the spec's field-id indirection,
   * metadata-only renames); files predating an added column read it as
@@ -700,11 +701,11 @@ object IcebergLite {
         }
       }
     }
-    // PARQUET scans through Spark's parquet source, ORC through its ORC
-    // source (scan + equality deletes; position deletes targeting ORC
-    // files refuse at apply time — Spark's ORC reader exposes no row
-    // ordinals), AVRO through [[IcebergAvroData]] (full surface, exact
-    // positions). Anything else is loud.
+    // PARQUET scans through Spark's parquet source, ORC through its
+    // ORC source (position-delete-targeted ORC files upgrade to the
+    // orc-core row reader [[IcebergOrcData]] for exact ordinals), AVRO
+    // through [[IcebergAvroData]] (exact positions in-decode).
+    // Anything else is loud.
     (data ++ posDeletes ++ eqDeletes).foreach(f =>
       require(f.format == "PARQUET" || f.format == "ORC" ||
           f.format == "AVRO",
@@ -725,7 +726,15 @@ object IcebergLite {
     * column reads under its old parquet name and surfaces renamed.
     */
   private def scanData(spark: SparkSession, st: SnapshotState,
-      files: Seq[FileEntry], withPos: Boolean = false): DataFrame = {
+      files: Seq[FileEntry], withPos: Boolean = false,
+      /** encodedPathKey()s of files whose `__ice_pos` must be EXACT row
+        * ordinals. Parquet/avro scans are always exact; ORC files in
+        * this set pay [[IcebergOrcData]]'s row reader (Spark's ORC
+        * source has no row index), the rest scan vectorized with null
+        * ordinals — which only ever join against delete coordinates
+        * that name OTHER files.
+        */
+      exactPos: Set[String] = Set.empty): DataFrame = {
     val cur = st.meta.schema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -768,17 +777,32 @@ object IcebergLite {
               normalizePathCol(col("_metadata.file_path")))
             .withColumn("__ice_pos", col("_metadata.row_index"))
         case "ORC" =>
-          val scanned = spark.read.schema(readSchema).orc(paths: _*)
-          if (!withPos) scanned
-          else scanned
-            .withColumn("__ice_file",
-              normalizePathCol(col("_metadata.file_path")))
-            // Spark's ORC source has no `_metadata.row_index`; a null
-            // position never equals a delete's (file, pos) key, so ORC
-            // files UNTARGETED by position deletes stay correct — and
-            // [[aliveWithPos]] refuses loudly when one IS targeted.
-            .withColumn("__ice_pos",
-              org.apache.spark.sql.functions.lit(null).cast("long"))
+          val (exactFls, vecFls) =
+            if (!withPos || exactPos.isEmpty) (Nil, fls)
+            else fls.partition(f => exactPos(encodedPathKey(f.path)))
+          val parts = Seq(
+            Option.when(vecFls.nonEmpty) {
+              val scanned = spark.read.schema(readSchema)
+                .orc(vecFls.map(_.path): _*)
+              if (!withPos) scanned
+              else scanned
+                .withColumn("__ice_file",
+                  normalizePathCol(col("_metadata.file_path")))
+                // Spark's ORC source has no `_metadata.row_index`; a
+                // null position never equals a delete's (file, pos)
+                // key, so files OUTSIDE `exactPos` stay correct and
+                // keep the vectorized scan.
+                .withColumn("__ice_pos",
+                  org.apache.spark.sql.functions.lit(null).cast("long"))
+            },
+            Option.when(exactFls.nonEmpty) {
+              IcebergOrcData.scanWithPos(spark, readSchema,
+                  exactFls.map(_.path))
+                // the row reader carries the RAW manifest path — encode
+                // it into the same key space as _metadata.file_path
+                .withColumn("__ice_file", encodedPathKeyCol(col("__ice_file")))
+            }).flatten
+          parts.reduce(_.unionByName(_))
         case "AVRO" =>
           val scanned =
             IcebergAvroData.scan(spark, readSchema, paths, withPos)
@@ -2053,40 +2077,44 @@ object IcebergLite {
     StructField("pos", LongType)))
 
   private def aliveWithPos(spark: SparkSession,
-      st: SnapshotState): DataFrame = {
+      st: SnapshotState,
+      /** encodedPathKey()s of files whose positions must be exact even
+        * without a targeting delete — mutations staging NEW position
+        * deletes against ORC candidates pass them here.
+        */
+      forceExact: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     import spark.implicits._
-    val base = scanData(spark, st, st.dataFiles, withPos = true)
-    val afterPos =
-      if (st.posDeleteFiles.isEmpty) base
-      else {
-        // delete files record the RAW manifest path string; the scan's
-        // __ice_file is URI-encoded — canonicalize the (small) delete side
-        val dels = scanDeleteContent(spark, st.posDeleteFiles,
-            posDeleteReadSchema)
-          .select(encodedPathKeyCol(col("file_path")).as("__ice_del_file"),
-            col("pos").cast("long").as("__ice_del_pos"))
-        // ORC data files scan with NULL positions (no row_index in
-        // Spark's ORC source) — a position delete that actually TARGETS
-        // one would silently fail to apply; make that loud instead.
-        val orcKeys = st.dataFiles.collect {
-          case f if f.format == "ORC" => encodedPathKey(f.path)
-        }.toSet
-        if (orcKeys.nonEmpty) {
-          val hit = dels.select("__ice_del_file").distinct()
-            .filter(col("__ice_del_file").isInCollection(orcKeys))
-            .limit(1).collect()
-          require(hit.isEmpty,
-            s"position delete files target ORC data file ${hit.headOption
-              .map(_.getString(0)).getOrElse("")} — Spark's ORC reader " +
-              "exposes no row ordinals (_metadata.row_index is " +
-              "parquet-only); rewrite the file to parquet/avro or apply " +
-              "the deletes with the iceberg runtime")
-        }
+    val orcKeys = st.dataFiles.collect {
+      case f if f.format == "ORC" => encodedPathKey(f.path)
+    }.toSet
+    // delete files record the RAW manifest path string; the scan's
+    // __ice_file is URI-encoded — canonicalize the (small) delete side
+    val delsOpt =
+      if (st.posDeleteFiles.isEmpty) None
+      else Some(scanDeleteContent(spark, st.posDeleteFiles,
+          posDeleteReadSchema)
+        .select(encodedPathKeyCol(col("file_path")).as("__ice_del_file"),
+          col("pos").cast("long").as("__ice_del_pos")))
+    // ORC files a position delete actually TARGETS read through the
+    // orc-core row reader for exact ordinals (the DISTINCT target
+    // paths are file-count-bounded — metadata-sized collect); the rest
+    // keep Spark's vectorized scan with null ordinals.
+    val targeted: Set[String] = delsOpt match {
+      case Some(dels) if orcKeys.nonEmpty =>
+        dels.select("__ice_del_file").distinct()
+          .collect().map(_.getString(0)).toSet.intersect(orcKeys)
+      case _ => Set.empty
+    }
+    val base = scanData(spark, st, st.dataFiles, withPos = true,
+      exactPos = targeted ++ (forceExact & orcKeys))
+    val afterPos = delsOpt match {
+      case None => base
+      case Some(dels) =>
         base.join(dels,
           base("__ice_file") === dels("__ice_del_file") &&
             base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
-      }
+    }
     if (st.eqDeleteFiles.isEmpty) afterPos
     else {
       val idToName = st.meta.fieldIds.map(_.swap)
@@ -2162,30 +2190,15 @@ object IcebergLite {
       restrict: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     // staged position deletes must carry EXACT row ordinals any reader
-    // can apply — parquet has _metadata.row_index and the avro codec
-    // counts ordinals in-decode, but Spark's ORC reader exposes
-    // neither. A mixed-format table stays mutable so long as no
-    // MATCHED row lives in an ORC file: probe the ORC candidates with
-    // the same restriction and refuse loudly only on a hit.
-    val (orcC, okC) = candidates.partition(_.format == "ORC")
-    if (orcC.nonEmpty) {
-      val hit = restrict(aliveWithPos(spark, pruned.copy(dataFiles = orcC)))
-        .limit(1).collect()
-      if (hit.nonEmpty) throw new IllegalArgumentException(
-        "mutation matches rows inside ORC data file(s) " +
-          s"(${orcC.head.path}${if (orcC.size > 1) ", …" else ""}): " +
-          "Spark's ORC reader exposes no row ordinals " +
-          "(_metadata.row_index is parquet-only), so exact position " +
-          "deletes cannot be staged — compact/rewrite the table to " +
-          "parquet first, delete by equality keys (deleteByKeys), or " +
-          "use the iceberg runtime")
-    }
-    if (okC.isEmpty)
-      return Seq.empty[(String, Long)].toDF("file_path", "pos")
-    val prunedOk = pruned.copy(dataFiles = okC)
-    val pathMap = okC
+    // can apply — parquet has _metadata.row_index, the avro codec
+    // counts ordinals in-decode, and ORC candidates are FORCED through
+    // the orc-core row reader ([[IcebergOrcData]]).
+    val orcKeys = candidates.collect {
+      case f if f.format == "ORC" => encodedPathKey(f.path)
+    }.toSet
+    val pathMap = candidates
       .map(f => encodedPathKey(f.path) -> f.path).toDF("__norm", "file_path")
-    val alive = aliveWithPos(spark, prunedOk)
+    val alive = aliveWithPos(spark, pruned, forceExact = orcKeys)
     restrict(alive)
       .join(pathMap, alive("__ice_file") === pathMap("__norm"))
       .select(col("file_path"), col("__ice_pos").cast("long").as("pos"))

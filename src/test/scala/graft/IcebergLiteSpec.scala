@@ -1233,18 +1233,29 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("k")))
   }
 
-  test("ORC + equality deletes work (no row ordinals needed); " +
-      "position-delete staging refuses loudly naming the ORC limit") {
-    val t = tmp("orc_eq")
+  test("ORC mutations: equality deletes, position deletes with EXACT " +
+      "row ordinals from the orc-core row reader, and upsert all work") {
+    val t = tmp("orc_mut")
     IcebergLite.write(spark,
-      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), t,
       format = Some("orc"))
     IcebergLite.deleteByKeys(spark, t, Seq(2L).toDF("k"), Seq("k"))
-    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (3L, "c")))
-    val err = intercept[IllegalArgumentException](
-      IcebergLite.deleteWhere(spark, t, col("k") === 1L))
-    assert(err.getMessage.contains("row ordinals") &&
-      err.getMessage.contains("ORC"), err.getMessage)
+    assert(IcebergLite.read(spark, t).count() == 49L)
+    // position delete against ORC data files: exact ordinals staged
+    IcebergLite.deleteWhere(spark, t, col("k") % 10 === 1L)
+    val after = IcebergLite.read(spark, t)
+    assert(after.count() == 44L)
+    assert(after.filter(col("k") % 10 === 1L).count() == 0L)
+    assert(after.filter(col("k") === 2L).count() == 0L,
+      "the earlier equality delete must still apply")
+    // merge on an ORC table: replaced keys suppress by position
+    IcebergLite.upsert(spark,
+      Seq((3L, "V3"), (200L, "V200")).toDF("k", "v"), t, Seq("k"))
+    val merged = IcebergLite.read(spark, t)
+    assert(merged.count() == 45L)
+    assert(rows(merged.filter(col("k").isin(3L, 200L))) ==
+      Set((3L, "V3"), (200L, "V200")))
+    assert(formatsOf(t) == Set("ORC"))
   }
 
   test("avro data files: typed round trip (int/long/float/double/" +
