@@ -4733,6 +4733,49 @@ object PipelineQueries {
           sum("n_nationkey").cast("long").as("sum_key"))
     },
 
+    // DELTA COLUMN DEFAULTS through the driver gate: the table's
+    // status column carries CURRENT_DEFAULT metadata (the
+    // allowColumnDefaults writer feature, stamped at creation), and
+    // the second append OMITS the column entirely — the writer fills
+    // 'pending' from the default expression. The oracle states both
+    // generations explicitly, so a dropped fill (nulls) or a
+    // mis-evaluated default hash-fails.
+    QueryDef("q160_delta_defaults",
+      """SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    'created' AS status
+        |  FROM orders WHERE o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    'pending' AS status
+        |  FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+        |) GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q160_defaults").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"))
+        .filter(col("o_orderkey") <= 2000)
+      val defMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("CURRENT_DEFAULT", "'pending'").build()
+      DeltaLite.write(s, o.filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          lit("created").as("status", defMeta)), tbl)
+      DeltaLite.write(s, // OMITS status: the default fills
+        o.filter(col("o_orderkey") > 1000), tbl)
+      require(DeltaLite.snapshot(s, tbl).protocol.exists(
+          _.writerFeatures.exists(_.contains("allowColumnDefaults"))),
+        "q160 rig must ride the allowColumnDefaults feature")
+      DeltaLite.read(s, tbl)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

@@ -1355,7 +1355,10 @@ object DeltaLite {
     * [[enforceConstraints]] — and refuse naming the violated
     * expression), `generatedColumns` (an omitted generated column is
     * COMPUTED from its expression, a provided one is VALIDATED
-    * `col <=> expr` — delta-spark's write contract), and
+    * `col <=> expr` — delta-spark's write contract),
+    * `allowColumnDefaults` (an omitted column with `CURRENT_DEFAULT`
+    * metadata FILLS from its expression; provided values are not
+    * validated — a default is a fallback, not a constraint), and
     * `identityColumns` accepted only while the table carries none —
     * identity allocation needs monotonic per-writer state the native
     * writer does not keep, so their actual presence refuses loudly.
@@ -1369,7 +1372,7 @@ object DeltaLite {
       "changeDataFeed", "generatedColumns", "columnMapping",
       "identityColumns", "deletionVectors", "vacuumProtocolCheck",
       "v2Checkpoint", "timestampNtz", "domainMetadata",
-      "inCommitTimestamp")
+      "inCommitTimestamp", "allowColumnDefaults")
     val unknown = feats -- supported
     require(unknown.isEmpty,
       s"Delta table requires writer features $unknown — beyond the " +
@@ -1393,6 +1396,19 @@ object DeltaLite {
     schema.fields.toSeq.collect {
       case f if f.metadata.contains("delta.generationExpression") =>
         (f, f.metadata.getString("delta.generationExpression"))
+    }
+
+  /** Fields carrying the spec's `CURRENT_DEFAULT` metadata (COLUMN
+    * DEFAULTS, the `allowColumnDefaults` writer feature) paired with
+    * their SQL default expression — a batch omitting such a column
+    * gets it FILLED (unlike generated columns, provided values are
+    * not validated: a default is a fallback, not a constraint).
+    */
+  private def defaultColumns(
+      schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("CURRENT_DEFAULT") =>
+        (f, f.metadata.getString("CURRENT_DEFAULT"))
     }
 
   /** The `col <=> (expr)` validation predicates for generated columns
@@ -2551,24 +2567,44 @@ object DeltaLite {
     // in the same constraints pass below.
     val genCols = existing.map(s => generatedColumns(s.schema))
       .getOrElse(generatedColumns(df.schema))
+    // COLUMN DEFAULTS (the allowColumnDefaults writer feature) fill
+    // like generated columns when OMITTED — but provided values are
+    // never validated against the default (it's a fallback, not a
+    // constraint)
+    val fillable: Map[String, String] =
+      (genCols ++ existing.map(s => defaultColumns(s.schema))
+        .getOrElse(defaultColumns(df.schema)))
+        .map { case (f, e) => f.name -> e }.toMap
     val df1 = existing match {
-      case Some(s) if genCols.exists(g => !df.columns.contains(g._1.name))
+      case Some(s) if fillable.keysIterator
+            .exists(n => !df.columns.contains(n))
           && df.columns.toSet.subsetOf(s.schema.fieldNames.toSet) =>
         val provided = df.columns.toSet
         val missing = s.schema.fields
           .filterNot(f => provided.contains(f.name))
-        val nonGen = missing
-          .filterNot(f => genCols.exists(_._1.name == f.name))
-        require(nonGen.isEmpty,
-          s"batch for $tablePath omits non-generated columns " +
-            s"${nonGen.map(_.name).mkString(", ")}")
+        val nonFill = missing.filterNot(f => fillable.contains(f.name))
+        require(nonFill.isEmpty,
+          s"batch for $tablePath omits columns with neither a " +
+            s"generation expression nor a default: " +
+            s"${nonFill.map(_.name).mkString(", ")}")
         df.select(s.schema.fields.map { f =>
           if (provided.contains(f.name)) col(f.name)
           else org.apache.spark.sql.functions
-            .expr(genCols.find(_._1.name == f.name).get._2)
+            .expr(fillable(f.name))
             .cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
       case _ => df
+    }
+    // delta-spark parity: a column default may exist from CREATION (or
+    // an ALTER COLUMN SET DEFAULT), but ADDING a new column with a
+    // default through schema evolution is forbidden — pre-existing
+    // files would need EXISTS_DEFAULT backfill semantics
+    existing.foreach { s =>
+      val added = df1.schema.fields.drop(s.schema.fields.length)
+      require(!added.exists(_.metadata.contains("CURRENT_DEFAULT")),
+        s"cannot ADD a column with a DEFAULT to $tablePath — existing " +
+          "rows would need backfill (delta-spark forbids this too); " +
+          "add the column first, then backfill")
     }
     val evolving = existing.exists { s =>
       // exact match (nullability may tighten), or APPEND-ONLY schema
@@ -2675,16 +2711,21 @@ object DeltaLite {
           else if (configuration.keys
               .exists(_.startsWith("delta.constraints."))) 3
           else 2
-        if (ictStamp.isDefined || ntz) {
+        val hasDefaults = defaultColumns(tableSchema).nonEmpty
+        if (ictStamp.isDefined || ntz || hasDefaults) {
           // table FEATURES (writer version 7) — the features list is
           // EXHAUSTIVE, so it restates everything the legacy floor
           // implied. TIMESTAMP_NTZ columns additionally gate the
           // READER side (the spec's timestampNtz reader feature,
           // reader version 3) — without it foreign readers must
-          // reject the schema.
+          // reject the schema. CURRENT_DEFAULT metadata requires the
+          // allowColumnDefaults writer feature (no legacy floor
+          // exists for it).
           val wf = (impliedWriterFeatures(minWriter) ++
             (if (ictStamp.isDefined) Seq("inCommitTimestamp") else Nil) ++
-            (if (ntz) Seq("timestampNtz") else Nil)).distinct
+            (if (ntz) Seq("timestampNtz") else Nil) ++
+            (if (hasDefaults) Seq("allowColumnDefaults") else Nil))
+            .distinct
           val readerPart =
             if (ntz) s""""minReaderVersion":3,""" +
               s""""readerFeatures":${featuresJson(Seq("timestampNtz"))},"""

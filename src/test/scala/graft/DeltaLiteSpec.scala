@@ -2367,6 +2367,36 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().toSeq == Seq(1L))
   }
 
+  // ------------------------------------------------------ column defaults
+
+  test("column defaults (allowColumnDefaults): an omitted CURRENT_DEFAULT " +
+      "column fills from its expression, provided values pass " +
+      "unvalidated, and evolution adding a defaulted column refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_defaults").toString
+    val defMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("CURRENT_DEFAULT", "'pending'").build()
+    val first = Seq((1L, "live")).toDF("k", "status")
+      .select(col("k"), col("status").as("status", defMeta))
+    DeltaLite.write(spark, first, t)
+    val snap0 = DeltaLite.snapshot(spark, t)
+    assert(snap0.protocol.exists(_.writerFeatures
+        .exists(_.contains("allowColumnDefaults"))),
+      snap0.protocol.toString)
+    // omit the defaulted column: it fills
+    DeltaLite.write(spark, Seq(Tuple1(2L)).toDF("k"), t)
+    // provide an explicit non-default value: accepted, NOT validated
+    DeltaLite.write(spark, Seq((3L, "done")).toDF("k", "status"), t)
+    val got = DeltaLite.read(spark, t).orderBy("k")
+      .select("k", "status").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "live"), (2L, "pending"), (3L, "done")), got)
+    // evolution must not ADD a defaulted column (no backfill semantics)
+    val evo = Seq((4L, "x", "y")).toDF("k", "status", "extra")
+      .select(col("k"), col("status"), col("extra").as("extra", defMeta))
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.write(spark, evo, t))
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
