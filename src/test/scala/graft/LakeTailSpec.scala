@@ -77,6 +77,30 @@ class LakeTailSpec extends AnyFunSuite {
     assert(sunk(out) == first + ((4L, "d", "insert", 3L)))
   }
 
+  test("iceberg tails over ORC and AVRO data-file tables: the " +
+      "append-only fast path and the keyed mutation diff both ride " +
+      "the format-dispatching scan") {
+    for (fmt <- Seq("orc", "avro")) {
+      val base = tmp(s"ice_$fmt")
+      val tbl = s"$base/tbl"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      IcebergLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+        tbl, format = Some(fmt))
+      IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), tbl)
+      drain(tbl, "iceberg", out, ckpt, startingVersion = Some(1L))
+      val first = sunk(out)
+      assert(first == Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+        (3L, "c", "insert", 2L)), s"[$fmt] $first")
+      // a MUTATION commit (merge) drops the append-only fast path into
+      // the keyed diff — position deletes against $fmt data files
+      IcebergLite.upsert(spark, Seq((2L, "B2")).toDF("k", "v"),
+        tbl, Seq("k"))
+      drain(tbl, "iceberg", out, ckpt)
+      val second = sunk(out)
+      assert(second == first + ((2L, "B2", "update_postimage", 3L)),
+        s"[$fmt] $second")
+    }
+  }
+
   test("tail-only default starts at the CURRENT version; the row cap " +
       "refuses oversized batches loudly") {
     val base = tmp("cap")
