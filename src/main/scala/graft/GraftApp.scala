@@ -928,14 +928,18 @@ object GraftApp {
           // `options.write_format: orc|avro` picks the data file format
           // (stamped as write.format.default at creation);
           // `options.property.<key>` stamps creation table properties —
-          // the iceberg twin of the delta sink's configuration map.
+          // the iceberg twin of the delta sink's configuration map;
+          // `options.to_branch` stages onto a named branch (the WAP
+          // pattern — publish later with rollback_to_snapshot of the
+          // branch head).
           graft.sources.IcebergLite.write(spark, df, sink.path, sink.mode,
             partitionBy = sink.partitionBy,
             format = sink.options.get("write_format"),
             properties = sink.options.collect {
               case (k, v) if k.startsWith("property.") =>
                 k.stripPrefix("property.") -> v
-            })
+            },
+            toBranch = sink.options.get("to_branch"))
           ()
         case "append" =>
           writer(clustered).mode("append").format(sink.format).save(sink.path)

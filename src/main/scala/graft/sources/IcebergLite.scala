@@ -1496,7 +1496,12 @@ object IcebergLite {
       /** properties stamped when this commit CREATES the table (a
         * prior table's properties always restate verbatim instead).
         */
-      creationProperties: Map[String, String] = Map.empty): Long = {
+      creationProperties: Map[String, String] = Map.empty,
+      /** the ref this commit advances — `main` moves
+        * current-snapshot-id too; any other branch leaves the table's
+        * current state untouched (the WAP staging contract).
+        */
+      branch: String = "main"): Long = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -1637,16 +1642,17 @@ object IcebergLite {
           .foreach { case (k, v) => pn.put(k, v) }
       case None =>
     }
-    // REFS: `main` advances to THIS snapshot; tags and other branches
-    // survive untouched (readers following refs must see the new head)
+    // REFS: the TARGET branch advances to THIS snapshot; every other
+    // ref survives untouched (readers following refs must see the new
+    // head). A non-main branch commit never touches `main`.
     val refsNode = prior.flatMap(_.meta.refsJson)
       .map(r => mapper.readTree(r).deepCopy
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
       .getOrElse(mapper.createObjectNode())
-    val mainRef = mapper.createObjectNode()
-    mainRef.put("snapshot-id", snapshotId)
-    mainRef.put("type", "branch")
-    refsNode.set[JsonNode]("main", mainRef)
+    val branchRef = mapper.createObjectNode()
+    branchRef.put("snapshot-id", snapshotId)
+    branchRef.put("type", "branch")
+    refsNode.set[JsonNode](branch, branchRef)
     node.set[JsonNode]("refs", refsNode)
     // puffin statistics entries restate verbatim
     if (prior.exists(_.meta.statisticsJson.nonEmpty)) {
@@ -1659,7 +1665,14 @@ object IcebergLite {
       prior.toSeq.flatMap(_.meta.partitionStatisticsJson)
         .foreach(s => st.add(mapper.readTree(s)))
     }
-    node.put("current-snapshot-id", snapshotId)
+    // the table's CURRENT state follows main only — a staged branch
+    // commit leaves readers of the table untouched until fast-forward
+    node.put("current-snapshot-id",
+      if (branch == "main") snapshotId
+      else prior.flatMap(_.meta.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot stage a '$branch' commit on a table with no current " +
+            "snapshot")))
     val snapsArr = node.putArray("snapshots")
     def snapObj(sm: SnapshotMeta): Unit = {
       val s = snapsArr.addObject()
@@ -1677,11 +1690,16 @@ object IcebergLite {
       summary = Map("operation" -> operation) ++ extraSummary,
       schemaId = Some(curSchemaId)))
     val log = node.putArray("snapshot-log")
-    (prior.toSeq.flatMap(_.meta.snapshots) :+
-      SnapshotMeta(snapshotId, seq, now, None, Nil)).foreach { sm =>
-      val e = log.addObject()
-      e.put("timestamp-ms", sm.timestampMs); e.put("snapshot-id", sm.snapshotId)
-    }
+    // spec: the snapshot-log is the CURRENT-snapshot lineage — a staged
+    // branch commit never enters it
+    (prior.toSeq.flatMap(_.meta.snapshots) ++
+      (if (branch == "main")
+        Seq(SnapshotMeta(snapshotId, seq, now, None, Nil)) else Nil))
+      .foreach { sm =>
+        val e = log.addObject()
+        e.put("timestamp-ms", sm.timestampMs)
+        e.put("snapshot-id", sm.snapshotId)
+      }
     // metadata-log: prior entries restate verbatim + the PRIOR metadata
     // file appends (the spec's lineage trail external tools walk)
     val mlog = node.putArray("metadata-log")
@@ -1794,15 +1812,42 @@ object IcebergLite {
         * existing table keeps its own; alter via
         * [[setTableProperties]] / maintenance `set_properties`).
         */
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      /** Commit onto a NAMED BRANCH instead of `main` (the iceberg
+        * write-audit-publish pattern): the branch must exist
+        * ([[createRef]]), the batch lands on ITS head, and the table's
+        * current state stays untouched until a fast-forward
+        * ([[rollbackTo]] of the branch head) publishes it. Branch
+        * commits are single-attempt (no rebase-retry).
+        */
+      toBranch: Option[String] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"IcebergLite.write supports append|overwrite, got '$mode'")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(root, "metadata"))
+    toBranch.foreach { b =>
+      require(exists,
+        s"cannot write branch '$b' of $tablePath — the table does not " +
+          "exist yet (create it with a main write first)")
+      val meta0 = loadMeta(spark, tablePath)
+      val refType = meta0.refsJson.map(mapper.readTree)
+        .flatMap(n => Option(n.get(b))).filterNot(_.isNull)
+        .flatMap(r => Option(r.get("type")).map(_.asText))
+      require(refType.nonEmpty,
+        s"branch '$b' does not exist on $tablePath — create it with " +
+          "createRef(..., \"branch\") first")
+      require(refType.contains("branch"),
+        s"ref '$b' of $tablePath is a ${refType.get} — tags are " +
+          "immutable, cannot write to one")
+    }
     val prior: Option[SnapshotState] =
-      if (fs.exists(new Path(root, "metadata")))
-        Some(snapshotState(spark, tablePath))
-      else None
+      if (!exists) None
+      else toBranch match {
+        case None => Some(snapshotState(spark, tablePath))
+        case Some(b) => Some(snapshotState(spark, tablePath,
+          Some(snapshotForRef(spark, tablePath, b))))
+      }
     // graft's idempotent-writer watermark (snapshot summary properties
     // graft-txn-app/version — the delta `txn` protocol transplanted):
     // a (appId, version) at or below the recorded high-water mark is a
@@ -1912,13 +1957,16 @@ object IcebergLite {
       partitionSpec = partFields.map(f =>
         PartSpecField(f.name, f.transform.render,
           ids.getOrElse(f.srcCol, 0))),
-      retry = if (mode == "append") "append" else "none",
+      retry =
+        if (toBranch.nonEmpty) "none" // branch heads don't rebase
+        else if (mode == "append") "append" else "none",
       creationProperties =
         if (prior.nonEmpty) Map.empty // creation-only (delta parity)
         else properties ++
           (if (effFormat != "PARQUET")
             Map("write.format.default" -> effFormat.toLowerCase)
-          else Map.empty[String, String]))
+          else Map.empty[String, String]),
+      branch = toBranch.getOrElse("main"))
   }
 
   /** One resolved field of the partition spec being WRITTEN: partition

@@ -1417,6 +1417,41 @@ class IcebergLiteSpec extends AnyFunSuite {
       meta.currentSnapshotId.get)
   }
 
+  test("write-audit-publish: branch commits stage invisibly on the " +
+      "branch head, fast-forward publishes, tags refuse writes") {
+    val t = tmp("wap")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.createRef(spark, t, "audit", "branch")
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t,
+      toBranch = Some("audit"))
+    // the table's current state is untouched by the staged commit
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a")))
+    // the branch sees its own lineage (base + staged)
+    assert(rows(IcebergLite.read(spark, t,
+      Some(IcebergLite.snapshotForRef(spark, t, "audit")))) ==
+      Set((1L, "a"), (2L, "b")))
+    // branch commits STACK on the branch head
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t,
+      toBranch = Some("audit"))
+    assert(rows(IcebergLite.read(spark, t,
+      Some(IcebergLite.snapshotForRef(spark, t, "audit")))) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a")))
+    // PUBLISH: fast-forward = repoint main at the audited branch head
+    IcebergLite.rollbackTo(spark, t,
+      IcebergLite.snapshotForRef(spark, t, "audit"))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // tags are immutable; unknown branches refuse
+    IcebergLite.createRef(spark, t, "v1", "tag")
+    val tag = intercept[IllegalArgumentException](IcebergLite.write(spark,
+      Seq((9L, "z")).toDF("k", "v"), t, toBranch = Some("v1")))
+    assert(tag.getMessage.contains("immutable"), tag.getMessage)
+    val none = intercept[IllegalArgumentException](IcebergLite.write(spark,
+      Seq((9L, "z")).toDF("k", "v"), t, toBranch = Some("nope")))
+    assert(none.getMessage.contains("does not exist"), none.getMessage)
+  }
+
   test("avro partitioned writes refuse loudly (no footer statistics " +
       "to recover partition values)") {
     val t = tmp("avro_part")
