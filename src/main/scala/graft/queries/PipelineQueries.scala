@@ -4776,6 +4776,44 @@ object PipelineQueries {
           sum("o_orderkey").cast("long").as("sum_key"))
     },
 
+    // DELTA IDENTITY COLUMNS through the driver gate: a GENERATED
+    // ALWAYS id (start 100, step 10) allocates distributed
+    // (zipWithIndex — per-partition counts + offsets, no
+    // single-partition shuffle) over two appends, the second OMITTING
+    // the column entirely and continuing past the high-water mark the
+    // first commit's metaData recorded. Batches are sorted and
+    // key-disjoint, so the oracle states each row's id in closed form
+    // (100 + rank*10) — a duplicated, gapped-wrong, or restarted
+    // allocation hash-fails.
+    QueryDef("q161_delta_identity",
+      """WITH ordered AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |  FROM orders WHERE o_orderkey <= 2000
+        |)
+        |SELECT CAST(100 + rn * 10 AS BIGINT) AS id, o_orderkey
+        |FROM ordered""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q161_identity").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"))
+      val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.identity.start", 100L)
+        .putLong("delta.identity.step", 10L)
+        .build()
+      DeltaLite.write(s, o.filter(col("o_orderkey") <= 1000)
+        .orderBy("o_orderkey")
+        .select(lit(null).cast("long").as("id", idMeta),
+          col("o_orderkey")), tbl)
+      DeltaLite.write(s, // OMITS id: allocation continues past the mark
+        o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+          .orderBy("o_orderkey"), tbl)
+      DeltaLite.read(s, tbl).select("id", "o_orderkey")
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

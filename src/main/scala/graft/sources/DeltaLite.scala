@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, udf}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Native Delta Lake SNAPSHOT reader — no delta-spark jar required.
   *
@@ -1359,10 +1359,12 @@ object DeltaLite {
     * `allowColumnDefaults` (an omitted column with `CURRENT_DEFAULT`
     * metadata FILLS from its expression; provided values are not
     * validated — a default is a fallback, not a constraint), and
-    * `identityColumns` accepted only while the table carries none —
-    * identity allocation needs monotonic per-writer state the native
-    * writer does not keep, so their actual presence refuses loudly.
-    * Unknown future writer features refuse by name.
+    * `identityColumns` (omitted/null identity cells ALLOCATE
+    * `base + rowIndex*step` past the recorded high-water mark, which
+    * the commit's metaData advances — [[applyIdentity]]; GENERATED
+    * ALWAYS columns refuse explicit values; [[upsert]] refuses
+    * identity tables, which need the connector's merge-time
+    * allocation). Unknown future writer features refuse by name.
     */
   private def checkWriterProtocol(snap: Snapshot,
       dataChangeMutation: Boolean, operation: String): Unit = {
@@ -1383,9 +1385,105 @@ object DeltaLite {
       throw new IllegalArgumentException(
         s"delta.appendOnly table refuses $operation — only appends and " +
           "dataChange:false rewrites are allowed")
-    require(!snap.schema.json.contains("delta.identity."),
-      "table carries identity columns the native writer does not " +
-        "assign — write with the delta-spark jars")
+  }
+
+  /** Fields carrying the spec's IDENTITY metadata
+    * (`delta.identity.start`/`step`/`highWaterMark`/
+    * `allowExplicitInsert` — the `identityColumns` writer feature).
+    */
+  private def identityColumns(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(_.metadata.contains("delta.identity.start"))
+
+  /** (start, step, highWaterMark, allowExplicitInsert) of one identity
+    * field.
+    */
+  private def identityInfo(
+      f: StructField): (Long, Long, Option[Long], Boolean) = (
+    f.metadata.getLong("delta.identity.start"),
+    f.metadata.getLong("delta.identity.step"),
+    if (f.metadata.contains("delta.identity.highWaterMark"))
+      Some(f.metadata.getLong("delta.identity.highWaterMark"))
+    else None,
+    f.metadata.contains("delta.identity.allowExplicitInsert") &&
+      f.metadata.getBoolean("delta.identity.allowExplicitInsert"))
+
+  /** ALLOCATE identity values for a batch: a missing/null identity
+    * cell gets `base + rowIndex * step` (base = highWaterMark + step,
+    * or start on the first allocation) — `zipWithIndex` row numbering
+    * is exact and distributed (a per-partition count pass + offset
+    * arithmetic, no single-partition shuffle), and gaps from rows that
+    * PROVIDED a value are fine (the spec requires uniqueness and
+    * direction, not contiguity). Non-null provided values require
+    * `allowExplicitInsert` (GENERATED ALWAYS refuses them — delta's
+    * contract). Returns the filled batch plus each column's new HIGH
+    * WATER MARK, conservatively the furthest of (last allocatable slot,
+    * provided extreme, prior mark) so a mixed batch can never
+    * double-allocate later.
+    */
+  private def applyIdentity(spark: SparkSession, df: DataFrame,
+      idFields: Seq[StructField]): (DataFrame, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{lit, max, min}
+    idFields.foreach(f => require(f.dataType == LongType,
+      s"identity column ${f.name} must be BIGINT (spec), " +
+        s"got ${f.dataType.sql}"))
+    val present = df.columns.toSet
+    val withCols = idFields.foldLeft(df)((d, f) =>
+      if (present(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(LongType)))
+    // explicit values (non-null) only where the spec allows them
+    idFields.filter(f => present(f.name)).foreach { f =>
+      val (_, _, _, allow) = identityInfo(f)
+      if (!allow)
+        require(withCols.filter(col(f.name).isNotNull).isEmpty,
+          s"identity column ${f.name} is GENERATED ALWAYS " +
+            "(allowExplicitInsert=false) — omit the column or pass " +
+            "null to allocate")
+    }
+    val n = withCols.count()
+    if (n == 0L) return (withCols, Map.empty)
+    val bases: Map[String, (Long, Long)] = idFields.map { f =>
+      val (start, step, hwm, _) = identityInfo(f)
+      f.name -> (hwm.map(_ + step).getOrElse(start), step)
+    }.toMap
+    // provided extremes (one small agg; absent columns contribute none)
+    val providedExt: Map[String, Option[Long]] = {
+      val cols = idFields.filter(f => present(f.name))
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.map { f =>
+          val (_, step) = bases(f.name)
+          (if (step > 0) max(col(f.name)) else min(col(f.name)))
+            .as(s"__ext_${f.name}")
+        }
+        val r = withCols.agg(aggs.head, aggs.tail: _*).head
+        cols.map(f => f.name ->
+          Option(r.getAs[Any](s"__ext_${f.name}"))
+            .map(_.asInstanceOf[Long])).toMap
+      }
+    }
+    val schema2 = withCols.schema
+    val idIdx = idFields.map(f => f.name -> schema2.fieldIndex(f.name))
+    val filled = spark.createDataFrame(
+      withCols.rdd.zipWithIndex.map { case (r, i) =>
+        val vals = r.toSeq.toArray
+        idIdx.foreach { case (name, j) =>
+          if (vals(j) == null) {
+            val (base, step) = bases(name)
+            vals(j) = base + i * step
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      },
+      StructType(schema2.fields.map(f =>
+        if (idIdx.exists(_._1 == f.name)) f.copy(nullable = false) else f)))
+    val hwms = idFields.map { f =>
+      val (base, step) = bases(f.name)
+      val (_, _, priorHwm, _) = identityInfo(f)
+      val far = (Seq(base + (n - 1) * step) ++
+        providedExt.getOrElse(f.name, None) ++ priorHwm)
+      f.name -> (if (step > 0) far.max else far.min)
+    }.toMap
+    (filled, hwms)
   }
 
   /** Fields carrying the spec's `delta.generationExpression` metadata
@@ -2523,7 +2621,7 @@ object DeltaLite {
     * actions for every live file plus the new adds — the
     * snapshot-replace commit shape.
     */
-  def write(spark: SparkSession, df: DataFrame, tablePath: String,
+  def write(spark: SparkSession, dfIn: DataFrame, tablePath: String,
       mode: String = "append", txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil,
       /** table properties stamped at CREATION only (e.g.
@@ -2565,6 +2663,25 @@ object DeltaLite {
     // from a timestamp land on the right partition for free) — and a
     // batch that PROVIDES one has its values VALIDATED `col <=> expr`
     // in the same constraints pass below.
+    // IDENTITY columns allocate FIRST (missing/null cells fill with
+    // base + rowIndex*step; the commit below restates the schema with
+    // the advanced high-water mark), so the generated/default fill and
+    // schema checks see a complete batch
+    val idFields = existing.map(s => identityColumns(s.schema))
+      .getOrElse(identityColumns(dfIn.schema))
+    val (df, idHwm) =
+      if (idFields.isEmpty) (dfIn, Map.empty[String, Long])
+      else {
+        val (filled, h) = applyIdentity(spark, dfIn, idFields)
+        // a fill appends the column — restore the TABLE's column order
+        val ordered = existing match {
+          case Some(s)
+              if filled.columns.toSet == s.schema.fieldNames.toSet =>
+            filled.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+          case _ => filled
+        }
+        (ordered, h)
+      }
     val genCols = existing.map(s => generatedColumns(s.schema))
       .getOrElse(generatedColumns(df.schema))
     // COLUMN DEFAULTS (the allowColumnDefaults writer feature) fill
@@ -2629,7 +2746,20 @@ object DeltaLite {
     // convention — a brand-new column has no files to resolve) and
     // restates maxColumnId.
     val mapped = existing.exists(_.columnMappingMode != "none")
-    val (tableSchema, evolvedConf): (StructType, Map[String, String]) =
+    // identity allocation advances the high-water mark — the commit's
+    // metaData restates the schema with the new value
+    def stampHwm(schema: StructType): StructType =
+      if (idHwm.isEmpty) schema
+      else StructType(schema.fields.map { f =>
+        idHwm.get(f.name) match {
+          case Some(h) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", h).build())
+          case None => f
+        }
+      })
+    val (tableSchema0, evolvedConf): (StructType, Map[String, String]) =
       existing match {
         case Some(s) if mapped && evolving =>
           val prevMax = s.configuration
@@ -2651,6 +2781,7 @@ object DeltaLite {
             s.configuration)
         case None => (df1.schema, configuration)
       }
+    val tableSchema = stampHwm(tableSchema0)
     // table properties stamp at CREATION; re-stating values the table
     // already carries is an idempotent no-op (config-driven sinks pass
     // the same options every run), a DIFFERENT value refuses
@@ -2699,13 +2830,14 @@ object DeltaLite {
     lines += commitInfoAction("WRITE",
       Map("mode" -> (if (mode == "append") "Append" else "Overwrite")),
       now, ictStamp)
-    if (existing.isEmpty || evolving) {
+    if (existing.isEmpty || evolving || idHwm.nonEmpty) {
       val ntz = containsNtz(tableSchema)
       if (existing.isEmpty) {
-        // legacy protocol floors: CDF and generated columns need
-        // writer version 4, CHECK constraints version 3
+        // legacy protocol floors: identity columns need writer
+        // version 6, CDF and generated columns 4, CHECK constraints 3
         val minWriter =
-          if (configuration.get("delta.enableChangeDataFeed")
+          if (idFields.nonEmpty) 6
+          else if (configuration.get("delta.enableChangeDataFeed")
               .exists(_.equalsIgnoreCase("true")) ||
             genCols.nonEmpty) 4
           else if (configuration.keys
@@ -2989,6 +3121,13 @@ object DeltaLite {
     }
     val snap = snapshot(spark, tablePath)
     checkWriterProtocol(snap, dataChangeMutation = true, "MERGE")
+    // merge-time identity allocation (matched rows keep their ids, new
+    // rows allocate) needs the connector's merge machinery — refuse
+    // rather than silently duplicate or drop ids
+    require(identityColumns(snap.schema).isEmpty,
+      s"$tablePath carries identity columns — MERGE needs merge-time " +
+        "allocation (delta-spark); append through write(), which " +
+        "allocates and advances the high-water mark")
     txn.foreach { case (appId, v) =>
       if (snap.txns.get(appId).exists(_ >= v)) {
         allKeysDf.unpersist(); return snap.version

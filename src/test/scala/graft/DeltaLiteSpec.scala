@@ -2159,13 +2159,20 @@ class DeltaLiteSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       DeltaLite.write(spark, Seq((13L, 1L, "y")).toDF("k", "k2", "tag"), t))
     assert(e3.getMessage.contains("generated column k2"), e3.getMessage)
-    // identity columns stay a loud refusal (monotonic allocation state)
+    // a FOREIGN GENERATED ALWAYS identity table: explicit values still
+    // refuse, but an append OMITTING the column now ALLOCATES —
+    // without a recorded high-water mark the existing ids are unknown,
+    // so allocation starts at `start`… which is why the writer also
+    // takes the PROVIDED extreme into account only when recorded;
+    // foreign tables always carry highWaterMark after their first
+    // connector write, as this fixture does
     val t2 = java.nio.file.Files.createTempDirectory("delta_ident").toString
     val idSchema = StructType(Seq(
       StructField("id", LongType, nullable = true,
         new MetadataBuilder()
           .putLong("delta.identity.start", 1L)
           .putLong("delta.identity.step", 1L)
+          .putLong("delta.identity.highWaterMark", 1L)
           .putBoolean("delta.identity.allowExplicitInsert", false).build()),
       StructField("v", LongType)))
     writeDataFile(Seq((1L, 10L)).toDF("id", "v"), t2, "f1.parquet")
@@ -2175,7 +2182,10 @@ class DeltaLiteSpec extends AnyFunSuite {
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e4 = intercept[IllegalArgumentException](
       DeltaLite.write(spark, Seq((2L, 20L)).toDF("id", "v"), t2))
-    assert(e4.getMessage.contains("identity"), e4.getMessage)
+    assert(e4.getMessage.contains("GENERATED ALWAYS"), e4.getMessage)
+    DeltaLite.write(spark, Seq(Tuple1(20L)).toDF("v"), t2)
+    assert(DeltaLite.read(spark, t2).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
   }
 
   test("changeFeed on a COLUMN-MAPPED + PARTITIONED CDF table: the " +
@@ -2395,6 +2405,66 @@ class DeltaLiteSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       DeltaLite.write(spark, evo, t))
     assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+  }
+
+  // ----------------------------------------------------- identity columns
+
+  test("identity columns: null/omitted cells allocate past the high-water " +
+      "mark (zipWithIndex, distributed), the mark survives in metaData, " +
+      "GENERATED ALWAYS refuses explicit values, MERGE refuses") {
+    val t = java.nio.file.Files.createTempDirectory("delta_identity").toString
+    val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", 100L)
+      .putLong("delta.identity.step", 10L)
+      .build()
+    // creation: identity cells passed as NULL → allocated from start
+    val first = Seq(("a", null), ("b", null))
+      .toDF("v", "tmp").drop("tmp")
+      .select(col("v"), lit(null).cast("long").as("id", idMeta))
+    DeltaLite.write(spark, first, t)
+    val snap0 = DeltaLite.snapshot(spark, t)
+    assert(snap0.protocol.exists(_.minWriterVersion >= 6),
+      snap0.protocol.toString)
+    val got0 = DeltaLite.read(spark, t).select("v", "id")
+      .as[(String, Long)].collect().toMap
+    assert(got0.values.toSet == Set(100L, 110L), got0.toString)
+    // the high-water mark landed in the table's schema metadata
+    val hwm0 = snap0.schema.fields.find(_.name == "id").get
+      .metadata.getLong("delta.identity.highWaterMark")
+    assert(hwm0 == 110L, hwm0.toString)
+    // an append OMITTING the column allocates past the mark
+    DeltaLite.write(spark, Seq(Tuple1("c")).toDF("v"), t)
+    val got1 = DeltaLite.read(spark, t).select("v", "id")
+      .as[(String, Long)].collect().toMap
+    assert(got1 == Map("a" -> 100L, "b" -> 110L, "c" -> 120L), got1.toString)
+    assert(DeltaLite.snapshot(spark, t).schema.fields.find(_.name == "id")
+      .get.metadata.getLong("delta.identity.highWaterMark") == 120L)
+    // GENERATED ALWAYS (no allowExplicitInsert): explicit values refuse
+    val e = intercept[IllegalArgumentException](DeltaLite.write(spark,
+      Seq(("d", 999L)).toDF("v", "id"), t))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // MERGE refuses identity tables loudly
+    val m = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq(("a", 100L)).toDF("v", "id"), t, Seq("id")))
+    assert(m.getMessage.contains("identity"), m.getMessage)
+  }
+
+  test("identity with allowExplicitInsert: provided values pass and " +
+      "push the high-water mark, mixed null rows still allocate") {
+    val t = java.nio.file.Files.createTempDirectory("delta_idexp").toString
+    val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true)
+      .build()
+    DeltaLite.write(spark,
+      Seq(("a", 50L)).toDF("v", "tmp")
+        .select(col("v"), col("tmp").as("id", idMeta)), t)
+    // mark jumped to the provided extreme; next allocation goes past it
+    DeltaLite.write(spark, Seq(Tuple1("b")).toDF("v"), t)
+    val got = DeltaLite.read(spark, t).select("v", "id")
+      .as[(String, Long)].collect().toMap
+    assert(got("a") == 50L && got("b") > 50L, got.toString)
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
