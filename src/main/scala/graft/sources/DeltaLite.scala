@@ -113,7 +113,13 @@ object DeltaLite {
         * resurrecting removed files. Only graft-staged NEW paths run
         * through [[encodePath]].
         */
-      rawPaths: Map[String, String] = Map.empty)
+      rawPaths: Map[String, String] = Map.empty,
+      /** path → (baseRowId, defaultRowCommitVersion) — ROW TRACKING
+        * (the `rowTracking` writer feature): every re-add of an
+        * existing file (DV update, restore, clone, checkpoint) must
+        * restate these or the table's stable row ids silently corrupt.
+        */
+      rowIds: Map[String, (Long, Long)] = Map.empty)
 
   /** The verbatim action-path string for a pre-existing file (falls
     * back to [[encodePath]] for paths graft itself staged).
@@ -296,6 +302,7 @@ object DeltaLite {
     val sizes = mutable.LinkedHashMap.empty[String, Long]
     val rawPaths = mutable.LinkedHashMap.empty[String, String]
     val domains = mutable.LinkedHashMap.empty[String, String]
+    val rowIds = mutable.LinkedHashMap.empty[String, (Long, Long)]
 
     def partValues(node: JsonNode): Map[String, Option[String]] = {
       val out = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -381,16 +388,22 @@ object DeltaLite {
         }
         val hasStats = addCols.contains("stats")
         val hasSize = addCols.contains("size")
+        val hasRowIds = addCols.contains("baseRowId") &&
+          addCols.contains("defaultRowCommitVersion")
         val projCols = Seq("add.path", "add.partitionValues") ++
           (if (hasStats) Seq("add.stats") else Nil) ++
-          (if (hasSize) Seq("add.size") else Nil)
+          (if (hasSize) Seq("add.size") else Nil) ++
+          (if (hasRowIds)
+            Seq("add.baseRowId", "add.defaultRowCommitVersion") else Nil)
         val proj = src.select("add").filter("add IS NOT NULL")
           .select(projCols.head, projCols.tail: _*)
         proj.collect()
           .foreach { r =>
-            val path = decodePath(r.getString(0))
-            rawPaths(path) = r.getString(0)
-            val pv = Option(r.getJavaMap[String, String](1))
+            def at(name: String): Int = r.schema.fieldIndex(name)
+            val path = decodePath(r.getString(at("path")))
+            rawPaths(path) = r.getString(at("path"))
+            val pv = Option(
+                r.getJavaMap[String, String](at("partitionValues")))
               .map { m =>
                 val out = mutable.LinkedHashMap.empty[String, Option[String]]
                 m.forEach((k, v) => out(k) = Option(v))
@@ -398,10 +411,14 @@ object DeltaLite {
               }
               .getOrElse(Map.empty[String, Option[String]])
             files(path) = pv
-            if (hasStats && !r.isNullAt(2)) stats(path) = r.getString(2)
-            val sizeIdx = if (hasStats) 3 else 2
-            if (hasSize && !r.isNullAt(sizeIdx))
-              sizes(path) = r.getLong(sizeIdx)
+            if (hasStats && !r.isNullAt(at("stats")))
+              stats(path) = r.getString(at("stats"))
+            if (hasSize && !r.isNullAt(at("size")))
+              sizes(path) = r.getLong(at("size"))
+            if (hasRowIds && !r.isNullAt(at("baseRowId")) &&
+                !r.isNullAt(at("defaultRowCommitVersion")))
+              rowIds(path) = (r.getLong(at("baseRowId")),
+                r.getLong(at("defaultRowCommitVersion")))
           }
       }
       if (cols.contains("add")) seedAdds(ckpt)
@@ -512,6 +529,13 @@ object DeltaLite {
             case Some(d) => dvs(p) = d
             case None => dvs.remove(p); ()
           }
+          // row-tracking coordinates ride each add verbatim
+          (Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+            Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+              .map(_.asLong)) match {
+            case (Some(b), Some(d)) => rowIds(p) = (b, d)
+            case _ => rowIds.remove(p); ()
+          }
         }
         if (action.has("remove")) {
           val p = decodePath(action.get("remove").get("path").asText)
@@ -520,6 +544,7 @@ object DeltaLite {
           dvs.remove(p)
           sizes.remove(p)
           rawPaths.remove(p)
+          rowIds.remove(p)
           ()
         }
         if (action.has("txn")) {
@@ -544,7 +569,8 @@ object DeltaLite {
       sizes.filter { case (p, _) => files.contains(p) }.toMap,
       configuration, protocolAction, tableId,
       domainMetadata = domains.toMap,
-      rawPaths = rawPaths.filter { case (p, _) => files.contains(p) }.toMap)
+      rawPaths = rawPaths.filter { case (p, _) => files.contains(p) }.toMap,
+      rowIds = rowIds.filter { case (p, _) => files.contains(p) }.toMap)
   }
 
   /** Cheap replayability probe for version `v`: LISTING-ONLY (no
@@ -1374,7 +1400,7 @@ object DeltaLite {
       "changeDataFeed", "generatedColumns", "columnMapping",
       "identityColumns", "deletionVectors", "vacuumProtocolCheck",
       "v2Checkpoint", "timestampNtz", "domainMetadata",
-      "inCommitTimestamp", "allowColumnDefaults")
+      "inCommitTimestamp", "allowColumnDefaults", "rowTracking")
     val unknown = feats -- supported
     require(unknown.isEmpty,
       s"Delta table requires writer features $unknown — beyond the " +
@@ -1665,7 +1691,9 @@ object DeltaLite {
     }.toSet
     val metadataChange = lines.exists { l =>
       val n = mapper.readTree(l)
-      n.has("protocol") || n.has("metaData")
+      // domainMetadata counts: a row-tracking allocation rebased past a
+      // concurrent allocation would hand out the same id range twice
+      n.has("protocol") || n.has("metaData") || n.has("domainMetadata")
     }
     val commitRe = "(\\d{20})\\.json".r
     val maxRetries = 10
@@ -1758,7 +1786,8 @@ object DeltaLite {
   private def addAction(name: String, size: Long, stats: String,
       now: Long,
       partitionValues: Map[String, Option[String]] = Map.empty,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true,
+      rowId: Option[(Long, Long)] = None): String = {
     val stEsc = mapper.writeValueAsString(stats)
     val pvNode = mapper.createObjectNode()
     partitionValues.foreach {
@@ -1767,10 +1796,40 @@ object DeltaLite {
     }
     // action paths are URL-encoded per the spec (decodePath inverts)
     val nameEsc = mapper.writeValueAsString(encodePath(name))
+    val ridEsc = rowId.map { case (b, d) =>
+      s""","baseRowId":$b,"defaultRowCommitVersion":$d"""
+    }.getOrElse("")
     s"""{"add":{"path":$nameEsc,"partitionValues":$pvNode,""" +
       s""""size":$size,"modificationTime":$now,"dataChange":$dataChange,""" +
-      s""""stats":$stEsc}}"""
+      s""""stats":$stEsc$ridEsc}}"""
   }
+
+  /** Whether the table runs ROW TRACKING (the `rowTracking` writer
+    * feature) — appends then ALLOCATE fresh base row ids past the
+    * `delta.rowTracking` domain's high-water mark, every re-add
+    * restates its file's coordinates, and REWRITES refuse (preserving
+    * ids through a rewrite needs materialized row-id columns —
+    * delta-spark REORG territory).
+    */
+  private def rowTrackingActive(snap: Snapshot): Boolean =
+    snap.protocol.exists(_.writerFeatures.exists(_.contains("rowTracking")))
+
+  /** The `delta.rowTracking` domain's rowIdHighWaterMark (-1 = no rows
+    * ever allocated — the spec's initial state).
+    */
+  private def rowIdHighWaterMark(snap: Snapshot): Long =
+    snap.domainMetadata.get("delta.rowTracking").flatMap { line =>
+      val conf = mapper.readTree(line).get("domainMetadata")
+        .get("configuration")
+      val node = mapper.readTree(
+        if (conf.isTextual) conf.asText else conf.toString)
+      Option(node.get("rowIdHighWaterMark")).map(_.asLong)
+    }.getOrElse(-1L)
+
+  private def rowTrackingDomainAction(hwm: Long): String =
+    s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+      s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
+      s""""removed":false}}"""
 
   /** Scan a live-file subset for the MUTATION paths: logical columns
     * (column-mapped tables rename back), typed partition literals
@@ -2086,10 +2145,15 @@ object DeltaLite {
       // external planners)
       val fsz = snap.sizes.getOrElse(p,
         fs.getFileStatus(new Path(abs(p))).getLen)
+      // a DV re-add RESTATES the file's row-tracking coordinates —
+      // dropping them would corrupt the table's stable row ids
+      val ridEsc = snap.rowIds.get(p).map { case (b, d) =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$d"""
+      }.getOrElse("")
       lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,"dataChange":true}}"""
       lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
         s""""size":$fsz,""" +
-        s""""modificationTime":$now,"dataChange":true$stEsc,""" +
+        s""""modificationTime":$now,"dataChange":true$stEsc$ridEsc,""" +
         s""""deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":${mapper.writeValueAsString(id)},""" +
         s""""offset":$off,"sizeInBytes":$size,""" +
@@ -2145,6 +2209,12 @@ object DeltaLite {
     val snap = snapshot(spark, tablePath)
     // dataChange:false rewrite — allowed on appendOnly tables
     checkWriterProtocol(snap, dataChangeMutation = false, "OPTIMIZE")
+    // rewriting a row-tracked file without materializing its stable
+    // row ids would silently break them for downstream consumers
+    require(!rowTrackingActive(snap),
+      s"$tablePath runs row tracking — OPTIMIZE must materialize row " +
+        "ids into the rewritten files (delta-spark REORG); appends, DV " +
+        "deletes, restore, and clone work natively")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -2844,7 +2914,9 @@ object DeltaLite {
               .exists(_.startsWith("delta.constraints."))) 3
           else 2
         val hasDefaults = defaultColumns(tableSchema).nonEmpty
-        if (ictStamp.isDefined || ntz || hasDefaults) {
+        val rtCreate = configuration.get("delta.enableRowTracking")
+          .exists(_.equalsIgnoreCase("true"))
+        if (ictStamp.isDefined || ntz || hasDefaults || rtCreate) {
           // table FEATURES (writer version 7) — the features list is
           // EXHAUSTIVE, so it restates everything the legacy floor
           // implied. TIMESTAMP_NTZ columns additionally gate the
@@ -2856,7 +2928,8 @@ object DeltaLite {
           val wf = (impliedWriterFeatures(minWriter) ++
             (if (ictStamp.isDefined) Seq("inCommitTimestamp") else Nil) ++
             (if (ntz) Seq("timestampNtz") else Nil) ++
-            (if (hasDefaults) Seq("allowColumnDefaults") else Nil))
+            (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
+            (if (rtCreate) Seq("rowTracking", "domainMetadata") else Nil))
             .distinct
           val readerPart =
             if (ntz) s""""minReaderVersion":3,""" +
@@ -2895,8 +2968,34 @@ object DeltaLite {
     if (mode == "overwrite") existing.foreach(s => s.files.keys.foreach {
       p => lines += removeAction(rawPath(s, p), now)
     })
+    // ROW TRACKING: fresh files allocate contiguous base row ids past
+    // the domain's high-water mark (file i starts where file i-1's
+    // numRecords ended), defaultRowCommitVersion = this commit, and the
+    // domain advances in the SAME commit. The domainMetadata line makes
+    // the commit single-attempt (commitWithRetry refuses its rebase),
+    // so racing writers can never double-allocate an id range.
+    val rowTracked = existing.map(rowTrackingActive).getOrElse(
+      configuration.get("delta.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true")))
+    val rowIdAlloc: Map[String, (Long, Long)] =
+      if (!rowTracked) Map.empty
+      else {
+        def numRecords(st: String): Long =
+          Option(mapper.readTree(st).get("numRecords")).map(_.asLong)
+            .getOrElse(throw new IllegalStateException(
+              "staged stats carry no numRecords — cannot allocate row ids"))
+        var next = existing.map(rowIdHighWaterMark).getOrElse(-1L) + 1
+        val alloc = moved.map { case (name, _, st, _) =>
+          val base = next
+          next += numRecords(st)
+          name -> (base, version)
+        }.toMap
+        lines += rowTrackingDomainAction(next - 1)
+        alloc
+      }
     moved.foreach { case (name, size, st, pv) =>
-      lines += addAction(name, size, st, now, pv)
+      lines += addAction(name, size, st, now, pv,
+        rowId = rowIdAlloc.get(name))
     }
     // blind appends rebase over any compatible concurrent commit;
     // overwrite replaces the version-pinned state, so intervening data
@@ -3128,6 +3227,12 @@ object DeltaLite {
       s"$tablePath carries identity columns — MERGE needs merge-time " +
         "allocation (delta-spark); append through write(), which " +
         "allocates and advances the high-water mark")
+    // MERGE rewrites touched files — on a row-tracked table that needs
+    // materialized row ids (same contract as OPTIMIZE)
+    require(!rowTrackingActive(snap),
+      s"$tablePath runs row tracking — MERGE rewrites files and must " +
+        "materialize row ids (delta-spark); appends, DV deletes " +
+        "(deleteWhere), restore, and clone work natively")
     txn.foreach { case (appId, v) =>
       if (snap.txns.get(appId).exists(_ >= v)) {
         allKeysDf.unpersist(); return snap.version
@@ -3535,7 +3640,9 @@ object DeltaLite {
   final case class CpAdd(path: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean,
-      stats: Option[String], deletionVector: Option[CpDv])
+      stats: Option[String], deletionVector: Option[CpDv],
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
   final case class CpMeta(id: String,
       schemaString: String, partitionColumns: Seq[String],
       configuration: Map[String, String], createdTime: Long)
@@ -3563,7 +3670,12 @@ object DeltaLite {
       (Option(CpAdd(rawPath(snap, p),
         pv.collect { case (k, Some(v)) => k -> v },
         snap.sizes.getOrElse(p, 0L), 1L,
-        true, snap.stats.get(p), dv)), Option.empty[CpMeta],
+        true, snap.stats.get(p), dv,
+        // row-tracking coordinates MUST survive the checkpoint or
+        // cleanupLogs destroys the table's stable row ids
+        baseRowId = snap.rowIds.get(p).map(_._1),
+        defaultRowCommitVersion = snap.rowIds.get(p).map(_._2))),
+        Option.empty[CpMeta],
         Option.empty[CpProto], Option.empty[CpTxn])
     }
     // persist the table's ACTUAL protocol action and FULL configuration
@@ -3748,9 +3860,13 @@ object DeltaLite {
           off + s""""sizeInBytes":${d.sizeInBytes},""" +
           s""""cardinality":${d.cardinality}}"""
       }.getOrElse("")
+      // row-tracking coordinates restate from the TARGET version
+      val ridEsc = tgt.rowIds.get(p).map { case (b, d) =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$d"""
+      }.getOrElse("")
       lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
         s""""size":$fsz,"modificationTime":$now,""" +
-        s""""dataChange":true$stEsc$dvEsc}}""")
+        s""""dataChange":true$stEsc$dvEsc$ridEsc}}""")
     }
     commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
       cur.version + 1, lines.toSeq,
@@ -3838,9 +3954,15 @@ object DeltaLite {
           off + s""""sizeInBytes":${d.sizeInBytes},""" +
           s""""cardinality":${d.cardinality}}"""
       }.getOrElse("")
+      // row-tracking coordinates restate from the source (the clone
+      // also copied the delta.rowTracking domain, so later appends
+      // allocate past the source's mark)
+      val ridEsc = src.rowIds.get(p).map { case (b, d) =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$d"""
+      }.getOrElse("")
       lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
         s""""size":$fsz,"modificationTime":$now,""" +
-        s""""dataChange":true$stEsc$dvEsc}}""")
+        s""""dataChange":true$stEsc$dvEsc$ridEsc}}""")
     }
     commitWithRetry(fs, logDir, targetPath, 0L, lines.toSeq,
       ourRemoves = Set.empty, dataChangeMutation = false)

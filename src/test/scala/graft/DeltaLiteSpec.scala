@@ -1488,13 +1488,13 @@ class DeltaLiteSpec extends AnyFunSuite {
       .toString
     writeDataFile(Seq((1L, "a")).toDF("k", "v"), t4, "f1.parquet")
     writeLog(t4, 0, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["someFutureFeature"]}}""",
       metaAction(schema.json),
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaLite.read(spark, t4).count() == 1) // reader unaffected
     val e6 = intercept[IllegalArgumentException](
       DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t4))
-    assert(e6.getMessage.contains("rowTracking"), e6.getMessage)
+    assert(e6.getMessage.contains("someFutureFeature"), e6.getMessage)
   }
 
   test("commit conflict retry: a lost put-if-absent race rebases over " +
@@ -1941,8 +1941,58 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(DeltaLite.read(spark, t).count() == 2)
   }
 
-  test("modern writer-feature-only tables READ correctly and writes " +
-      "refuse BY FEATURE NAME: rowTracking, clustering, icebergCompatV2") {
+  test("row tracking end-to-end: appends allocate contiguous base row " +
+      "ids past the domain's mark, DV deletes/restore/checkpoint " +
+      "PRESERVE coordinates, rewrites refuse naming materialization") {
+    val t = java.nio.file.Files.createTempDirectory("delta_rowtrack")
+      .toString
+    DeltaLite.write(spark, (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"),
+      t, configuration = Map("delta.enableRowTracking" -> "true"))
+    val s0 = DeltaLite.snapshot(spark, t)
+    assert(s0.protocol.exists(_.writerFeatures
+      .exists(f => f.contains("rowTracking") && f.contains("domainMetadata"))),
+      s0.protocol.toString)
+    assert(s0.rowIds.values.map(_._1).toSeq.sorted.headOption.contains(0L),
+      s0.rowIds.toString)
+    val hwm0 = {
+      val line = s0.domainMetadata("delta.rowTracking")
+      line.contains("rowIdHighWaterMark") && line.contains("9")
+    }
+    assert(hwm0, s0.domainMetadata.toString)
+    // a second append allocates PAST the mark, never overlapping
+    DeltaLite.write(spark, Seq((11L, "x"), (12L, "y")).toDF("k", "v"), t)
+    val s1 = DeltaLite.snapshot(spark, t)
+    val allBases = s1.rowIds.values.map(_._1).toSeq.sorted
+    assert(allBases.contains(10L), s1.rowIds.toString)
+    assert(s1.rowIds.values.map(_._2).toSet.size >= 2,
+      "defaultRowCommitVersion must differ across commits")
+    // DV delete: the re-add RESTATES the file's coordinates
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    val s2 = DeltaLite.snapshot(spark, t)
+    assert(s2.rowIds.values.map(_._1).toSeq.sorted == allBases,
+      "a DV re-add must preserve baseRowId")
+    // restore back to v1 (pre-delete) restates v1's coordinates
+    DeltaLite.restore(spark, t, 1L)
+    assert(DeltaLite.snapshot(spark, t).rowIds.values.map(_._1).toSeq
+      .sorted == allBases)
+    // checkpoint + cleanup: coordinates survive the parquet round trip
+    DeltaLite.checkpoint(spark, t)
+    DeltaLite.cleanupLogs(spark, t)
+    val s3 = DeltaLite.snapshot(spark, t)
+    assert(s3.rowIds.values.map(_._1).toSeq.sorted == allBases,
+      "checkpoint dropped row ids")
+    // rewrites refuse loudly naming materialization
+    val c = intercept[IllegalArgumentException](
+      DeltaLite.compact(spark, t))
+    assert(c.getMessage.contains("row tracking"), c.getMessage)
+    val m = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
+      Seq((1L, "z")).toDF("k", "v"), t, Seq("k")))
+    assert(m.getMessage.contains("row tracking"), m.getMessage)
+  }
+
+  test("modern writer-feature-only tables READ correctly; rowTracking " +
+      "writes now ALLOCATE; clustering/icebergCompatV2 writes refuse " +
+      "BY FEATURE NAME") {
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     def mk(feature: String, extraLines: Seq[String] = Nil,
         conf: String = "{}"): String = {
@@ -1959,13 +2009,18 @@ class DeltaLiteSpec extends AnyFunSuite {
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
       t
     }
-    // rowTracking (writer-only): reads fine, native writes refuse by name
+    // rowTracking (writer-only): reads fine, and a FOREIGN table's
+    // append now allocates past ITS recorded high-water mark (7)
     val rt = mk("rowTracking", Seq(
       """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":7}","removed":false}}"""))
     assert(DeltaLite.read(spark, rt).count() == 2)
-    val e1 = intercept[Exception](
-      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), rt))
-    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), rt)
+    val rtSnap = DeltaLite.snapshot(spark, rt)
+    assert(rtSnap.rowIds.values.map(_._1).toSet.contains(8L),
+      rtSnap.rowIds.toString)
+    assert(rtSnap.domainMetadata("delta.rowTracking")
+      .contains("rowIdHighWaterMark\\\":8"),
+      rtSnap.domainMetadata.toString)
     // liquid clustering domain metadata: reads fine + domain retained
     val cl = mk("clustering", Seq(
       """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"k\"]]}","removed":false}}"""))
