@@ -1,12 +1,13 @@
 package graft.sources
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, udf}
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Native Delta Lake SNAPSHOT reader — no delta-spark jar required.
   *
@@ -1400,7 +1401,8 @@ object DeltaLite {
       "changeDataFeed", "generatedColumns", "columnMapping",
       "identityColumns", "deletionVectors", "vacuumProtocolCheck",
       "v2Checkpoint", "timestampNtz", "domainMetadata",
-      "inCommitTimestamp", "allowColumnDefaults", "rowTracking")
+      "inCommitTimestamp", "allowColumnDefaults", "rowTracking",
+      "clustering")
     val unknown = feats -- supported
     require(unknown.isEmpty,
       s"Delta table requires writer features $unknown — beyond the " +
@@ -1831,6 +1833,28 @@ object DeltaLite {
       s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
       s""""removed":false}}"""
 
+  /** LIQUID CLUSTERING columns from the `delta.clustering` domain
+    * (the `clustering` writer feature). Appends are legal UNCLUSTERED
+    * (delta-spark's own contract — OPTIMIZE does the layout work);
+    * [[compact]] clusters its rewrites by these columns. Nested
+    * clustering columns refuse loudly.
+    */
+  private def clusteringColumns(snap: Snapshot): Seq[String] =
+    snap.domainMetadata.get("delta.clustering").map { line =>
+      val conf = mapper.readTree(line).get("domainMetadata")
+        .get("configuration")
+      val node = mapper.readTree(
+        if (conf.isTextual) conf.asText else conf.toString)
+      Option(node.get("clusteringColumns")).toSeq
+        .flatMap(_.elements.asScala).map { arr =>
+          val parts = arr.elements.asScala.map(_.asText).toSeq
+          require(parts.length == 1,
+            s"nested clustering column ${parts.mkString(".")} needs " +
+              "the delta-spark clustering implementation")
+          parts.head
+        }
+    }.getOrElse(Nil)
+
   /** Scan a live-file subset for the MUTATION paths: logical columns
     * (column-mapped tables rename back), typed partition literals
     * restored, live deletion vectors anti-filtered, and the raw
@@ -2247,6 +2271,19 @@ object DeltaLite {
     if (snap.columnMappingMode == "id")
       verifyFieldIds(spark,
         rewriteByTuple.values.flatten.map(abs).toSeq, dataFieldsC)
+    // LIQUID CLUSTERING: OPTIMIZE is where the layout work happens —
+    // rewrites cluster on the delta.clustering domain's columns
+    // (resolved to physical names on mapped tables; partition columns
+    // are constant per tuple and drop out)
+    val clusterCols: Seq[String] = clusteringColumns(snap)
+      .filterNot(snap.partitionColumns.contains)
+      .map { n =>
+        if (dataSchema.fieldNames.contains(n)) n
+        else dataFieldsC.find(_.name == n).map(f =>
+          if (snap.columnMappingMode != "none") physicalName(f) else f.name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"clustering column '$n' is not in the table schema"))
+      }
     // DV anti-filter over the rewritten files (same mechanism as reads)
     val dvTouched = rewriteByTuple.values.flatten
       .filter(snap.dvs.contains).toSeq
@@ -2284,8 +2321,28 @@ object DeltaLite {
       }
       val inBytes = paths.flatMap(snap.sizes.get).sum
         .max(paths.length.toLong) // foreign adds without size: ≥1
-      val packed0 = alive.coalesce(math.max(1,
-        math.ceil(inBytes.toDouble / smallFileBytes).toInt))
+      val nOut = math.max(1,
+        math.ceil(inBytes.toDouble / smallFileBytes).toInt)
+      val packed0 =
+        if (clusterCols.isEmpty) alive.coalesce(nOut)
+        else {
+          // 2-3 integral dims Z-order (tight per-file bounds in EVERY
+          // dim); anything else clusters lexicographically via range
+          // partitioning + in-partition sort (tight on the lead
+          // column, sorted throughout — the layout data skipping needs)
+          val integral = clusterCols.forall(c =>
+            dataSchema(c).dataType match {
+              case IntegerType | LongType | ShortType | ByteType => true
+              case _ => false
+            })
+          if (clusterCols.size >= 2 && clusterCols.size <= 3 && integral)
+            alive.withColumn("__z", graft.operators.Layout.mortonKey(
+                clusterCols.map(c => col(c))))
+              .repartitionByRange(nOut, col("__z"))
+              .sortWithinPartitions("__z").drop("__z")
+          else alive.repartitionByRange(nOut, clusterCols.map(col): _*)
+            .sortWithinPartitions(clusterCols.map(col): _*)
+        }
       val packed =
         if (snap.columnMappingMode == "none") packed0
         else stampFieldIds(packed0, dataFieldsC)

@@ -1991,8 +1991,8 @@ class DeltaLiteSpec extends AnyFunSuite {
   }
 
   test("modern writer-feature-only tables READ correctly; rowTracking " +
-      "writes now ALLOCATE; clustering/icebergCompatV2 writes refuse " +
-      "BY FEATURE NAME") {
+      "writes ALLOCATE, clustered tables append/delete with the domain " +
+      "retained; icebergCompatV2 writes refuse BY FEATURE NAME") {
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     def mk(feature: String, extraLines: Seq[String] = Nil,
         conf: String = "{}"): String = {
@@ -2021,15 +2021,20 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(rtSnap.domainMetadata("delta.rowTracking")
       .contains("rowIdHighWaterMark\\\":8"),
       rtSnap.domainMetadata.toString)
-    // liquid clustering domain metadata: reads fine + domain retained
+    // liquid clustering domain metadata: reads fine, the domain is
+    // retained, and appends + DV deletes now WORK (delta-spark's own
+    // contract — appends land unclustered, OPTIMIZE does the layout)
     val cl = mk("clustering", Seq(
       """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"k\"]]}","removed":false}}"""))
     assert(DeltaLite.read(spark, cl).count() == 2)
     assert(DeltaLite.snapshot(spark, cl).domainMetadata
       .contains("delta.clustering"))
-    val e2 = intercept[Exception](
-      DeltaLite.deleteWhere(spark, cl, col("k") === 1L))
-    assert(e2.getMessage.contains("clustering"), e2.getMessage)
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), cl)
+    DeltaLite.deleteWhere(spark, cl, col("k") === 1L)
+    assert(DeltaLite.read(spark, cl).select("k").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    assert(DeltaLite.snapshot(spark, cl).domainMetadata
+      .contains("delta.clustering"), "mutations must keep the domain")
     // icebergCompatV2 (uniform metadata): reads fine, writes refuse
     val ic = mk("icebergCompatV2",
       conf = """{"delta.enableIcebergCompatV2":"true"}""")
@@ -2038,6 +2043,44 @@ class DeltaLiteSpec extends AnyFunSuite {
       DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), ic))
     assert(e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
   }
+
+  test("liquid clustering: OPTIMIZE clusters its rewrites on the " +
+      "domain's columns — per-file bounds come out range-disjoint") {
+    val t = java.nio.file.Files.createTempDirectory("delta_cluster")
+      .toString
+    // shuffled keys across many small files, then a clustered compact
+    val shuffled = scala.util.Random.shuffle((1L to 400L).toList)
+    DeltaLite.write(spark,
+      shuffled.map(i => (i, s"v$i")).toDF("k", "v").repartition(8), t)
+    // stamp the clustering feature + domain the way delta-spark does
+    val logDir = new Path(t, "_delta_log")
+    val out = fs(t).create(new Path(logDir, f"${1L}%020d.json"), true)
+    try out.write((Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"CLUSTER BY"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}""",
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"k\"]]}","removed":false}}""")
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // small-file threshold forces a multi-file clustered rewrite
+    DeltaLite.compact(spark, t, smallFileBytes = 4096)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.files.size >= 2, s"want a multi-file layout, got ${snap.files.size}")
+    // every file's [min,max] over k must be pairwise DISJOINT — the
+    // single-column clustering contract (range partition + sort)
+    val ranges = snap.files.keys.toSeq.map { p =>
+      val st = mapper_.readTree(snap.stats(p))
+      (st.get("minValues").get("k").asLong,
+        st.get("maxValues").get("k").asLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping clustered ranges: $ranges")
+      case _ =>
+    }
+    assert(DeltaLite.read(spark, t).count() == 400L)
+  }
+
+  private val mapper_ = new com.fasterxml.jackson.databind.ObjectMapper()
 
   test("batch changeFeed holds a CONSTANT-SIZE plan over many commits: " +
       "grouped per-kind scans with exact per-commit stamps") {
