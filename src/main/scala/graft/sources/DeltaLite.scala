@@ -1402,11 +1402,29 @@ object DeltaLite {
       "identityColumns", "deletionVectors", "vacuumProtocolCheck",
       "v2Checkpoint", "timestampNtz", "domainMetadata",
       "inCommitTimestamp", "allowColumnDefaults", "rowTracking",
-      "clustering")
+      "clustering", "icebergCompatV2")
     val unknown = feats -- supported
     require(unknown.isEmpty,
       s"Delta table requires writer features $unknown — beyond the " +
         "native writer; use the delta-spark jars for this table")
+    // icebergCompatV2 (UniForm): appends are compat-legal — the
+    // column-mapped staging already writes the parquet FIELD IDS the
+    // iceberg conversion resolves by — but row-level mutations here
+    // would add deletion vectors, which UniForm forbids (delta-spark
+    // requires purging them before enabling), so they refuse by name.
+    // The iceberg-side metadata lags until the next conversion, the
+    // same async contract delta-spark's own deferred sync has.
+    if (feats.contains("icebergCompatV2")) {
+      require(snap.columnMappingMode != "none",
+        "icebergCompatV2 requires column mapping — this table's " +
+          "metadata is inconsistent (no columnMapping mode set)")
+      if (dataChangeMutation)
+        throw new IllegalArgumentException(
+          s"icebergCompatV2 (UniForm) table refuses $operation — " +
+            "row-level mutations here write deletion vectors, which " +
+            "UniForm forbids; append natively or mutate with " +
+            "delta-spark")
+    }
     if (dataChangeMutation &&
         snap.configuration.get("delta.appendOnly")
           .exists(_.equalsIgnoreCase("true")))

@@ -1990,9 +1990,10 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(m.getMessage.contains("row tracking"), m.getMessage)
   }
 
-  test("modern writer-feature-only tables READ correctly; rowTracking " +
-      "writes ALLOCATE, clustered tables append/delete with the domain " +
-      "retained; icebergCompatV2 writes refuse BY FEATURE NAME") {
+  test("modern writer-feature-only tables: rowTracking writes ALLOCATE, " +
+      "clustered tables append/delete with the domain retained, " +
+      "UniForm tables APPEND (field ids already stamped) while " +
+      "mutations refuse naming the DV restriction") {
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     def mk(feature: String, extraLines: Seq[String] = Nil,
         conf: String = "{}"): String = {
@@ -2035,13 +2036,38 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().toSet == Set(2L, 3L))
     assert(DeltaLite.snapshot(spark, cl).domainMetadata
       .contains("delta.clustering"), "mutations must keep the domain")
-    // icebergCompatV2 (uniform metadata): reads fine, writes refuse
-    val ic = mk("icebergCompatV2",
-      conf = """{"delta.enableIcebergCompatV2":"true"}""")
-    assert(DeltaLite.read(spark, ic).count() == 2)
+    // icebergCompatV2 (UniForm): reads fine; APPENDS work on a
+    // properly column-mapped compat table (the mapped staging writes
+    // the parquet field ids the iceberg conversion resolves by);
+    // row-level mutations refuse — they would add deletion vectors,
+    // which UniForm forbids
+    val ic = java.nio.file.Files.createTempDirectory("delta_uniform")
+      .toString
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), ic)
+    DeltaLite.enableColumnMapping(spark, ic)
+    locally { // stamp the compat feature the way delta-spark does
+      val s = DeltaLite.snapshot(spark, ic)
+      val p = s.protocol.get
+      val wf = (p.writerFeatures.getOrElse(
+          Seq("appendOnly", "invariants", "columnMapping")) :+
+          "icebergCompatV2")
+        .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rf = p.readerFeatures.getOrElse(Seq("columnMapping"))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val out = fs(ic).create(
+        new Path(ic, f"_delta_log/${s.version + 1}%020d.json"), true)
+      try out.write((
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}""" +
+        "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), ic)
+    assert(DeltaLite.read(spark, ic).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
     val e3 = intercept[Exception](
-      DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), ic))
-    assert(e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
+      DeltaLite.deleteWhere(spark, ic, col("k") === 1L))
+    assert(e3.getMessage.contains("UniForm") ||
+      e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
   }
 
   test("liquid clustering: OPTIMIZE clusters its rewrites on the " +
