@@ -523,7 +523,13 @@ object GraftApp {
         */
       createTag: Option[(String, Option[Long])] = None,
       createBranch: Option[(String, Option[Long])] = None,
-      dropRef: Option[String] = None) {
+      dropRef: Option[String] = None,
+      /** `clone: {source: path, version?: N}` — delta SHALLOW CLONE:
+        * creates THIS entry's `path` as a new table referencing the
+        * source's files (zero data copied), optionally time-traveled.
+        */
+      cloneSource: Option[String] = None,
+      cloneVersion: Option[Long] = None) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -547,10 +553,15 @@ object GraftApp {
         dropRef.isEmpty) || format == "iceberg",
       s"maintenance on '$path': create_tag/create_branch/drop_ref are " +
         "iceberg ops")
+    require(cloneSource.nonEmpty || cloneVersion.isEmpty,
+      s"maintenance on '$path': clone.version needs clone.source")
+    require(cloneSource.isEmpty || format == "delta",
+      s"maintenance on '$path': clone is the delta op")
     require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
         restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
-        createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty,
+        createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty ||
+        cloneSource.nonEmpty,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -1035,7 +1046,11 @@ object GraftApp {
           m.expireKeepLast.foreach(k =>
             graft.sources.IcebergLite.expireSnapshots(spark, m.path, k))
         case "delta" =>
-          // restore FIRST: grooming then operates on the restored state
+          // clone FIRST (it CREATES this entry's path), then restore,
+          // then grooming — each operates on the previous step's state
+          m.cloneSource.foreach(src =>
+            graft.sources.DeltaLite.clone(spark, src, m.path,
+              asOf = m.cloneVersion))
           m.restoreVersion.foreach(v =>
             graft.sources.DeltaLite.restore(spark, m.path, v))
           m.restoreTimestamp.foreach(ts =>

@@ -281,7 +281,13 @@ object GraftConfigLoader {
           createTag = refSpec(m, "create_tag"),
           createBranch = refSpec(m, "create_branch"),
           dropRef = m.asScala.get("drop_ref").filter(_ != null)
-            .map(_.toString))
+            .map(_.toString),
+          cloneSource = m.asScala.get("clone").filter(_ != null)
+            .map(x => asMap(x).asScala.getOrElse("source",
+              fail("maintenance clone needs a source")).toString),
+          cloneVersion = m.asScala.get("clone").filter(_ != null)
+            .flatMap(x => asMap(x).asScala.get("version"))
+            .map(_.toString.toLong))
       }
 
   /** `create_tag: {name: x, snapshot_id: N?}` (snapshot_id optional —

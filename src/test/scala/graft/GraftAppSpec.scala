@@ -1749,6 +1749,11 @@ class GraftAppSpec extends AnyFunSuite {
          |    format: delta
          |    restore:
          |      version: 0
+         |  - path: $base/dl_clone
+         |    format: delta
+         |    clone:
+         |      source: $base/dl
+         |      version: 1
          |  - path: $base/ice
          |    format: iceberg
          |    rollback_to_snapshot: $s1
@@ -1761,6 +1766,71 @@ class GraftAppSpec extends AnyFunSuite {
     // history preserved on both sides
     assert(DeltaLite.snapshot(spark, s"$base/dl").version == 2L)
     assert(IcebergLite.loadMeta(spark, s"$base/ice").snapshots.size == 2)
+    // the config-level clone referenced the PRE-restore version 1
+    assert(DeltaLite.read(spark, s"$base/dl_clone")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("iceberg sink options write_format + to_branch: ORC data files " +
+      "from config, and a branch-staged write published by config-level " +
+      "rollback of the branch head") {
+    import graft.sources.IcebergLite
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sinkfmt").toString
+    Seq((1L, 10L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/src")
+    val mk = (opts: String) =>
+      s"""sources:
+         |  - name: t
+         |    path: $base/src
+         |sql: SELECT k, v INTO o FROM t;
+         |sinks:
+         |  - table: o
+         |    path: $base/ice
+         |    mode: append
+         |    format: iceberg
+         |$opts""".stripMargin
+    // creation write through config picks ORC and stamps the default
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(mk(
+      """    options:
+        |      write_format: orc
+        |""".stripMargin)))
+    assert(IcebergLite.tableProperties(IcebergLite.loadMeta(spark,
+      s"$base/ice")).get("write.format.default").contains("orc"))
+    import org.apache.spark.sql.functions.col
+    assert(IcebergLite.filesDf(spark, s"$base/ice")
+      .filter(col("content") === "data")
+      .select("file_format").as[String].collect().toSet == Set("ORC"))
+    // stage a second batch onto a branch; the table stays put until a
+    // config-level rollback of the branch head publishes it
+    IcebergLite.createRef(spark, s"$base/ice", "audit", "branch")
+    Seq((2L, 20L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/src")
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(mk(
+      """    options:
+        |      to_branch: audit
+        |""".stripMargin)))
+    assert(IcebergLite.read(spark, s"$base/ice")
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    val head = IcebergLite.snapshotForRef(spark, s"$base/ice", "audit")
+    val publish =
+      s"""sources:
+         |  - name: t
+         |    path: $base/src
+         |sql: SELECT k, v INTO o FROM t;
+         |sinks:
+         |  - table: o
+         |    path: $base/out
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/ice
+         |    format: iceberg
+         |    rollback_to_snapshot: $head
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(publish))
+    assert(IcebergLite.read(spark, s"$base/ice")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("dozer !Kafka connection honors isolation_level: read_committed " +
