@@ -529,7 +529,12 @@ object GraftApp {
         * source's files (zero data copied), optionally time-traveled.
         */
       cloneSource: Option[String] = None,
-      cloneVersion: Option[Long] = None) {
+      cloneVersion: Option[Long] = None,
+      /** `vacuum: {retain_hours: N}` — retention window override
+        * (plain `vacuum: true` defers to the table's
+        * delta.deletedFileRetentionDuration, else immediate).
+        */
+      vacuumRetainMillis: Option[Long] = None) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -1065,7 +1070,8 @@ object GraftApp {
               m.setProperties)
           if (m.checkpoint) graft.sources.DeltaLite.checkpoint(spark, m.path)
           if (m.cleanupLogs) graft.sources.DeltaLite.cleanupLogs(spark, m.path)
-          if (m.vacuum) graft.sources.DeltaLite.vacuum(spark, m.path)
+          if (m.vacuum) graft.sources.DeltaLite.vacuum(spark, m.path,
+            retainMillis = m.vacuumRetainMillis)
       }
     }
     outputs

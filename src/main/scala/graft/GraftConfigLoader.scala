@@ -261,7 +261,15 @@ object GraftConfigLoader {
               asMap(x).asScala.getOrElse("keep_last",
                 fail(s"maintenance expire_snapshots needs keep_last"))
                 .toString.toInt),
-          vacuum = m.asScala.get("vacuum").exists(_.toString.toBoolean),
+          vacuum = m.asScala.get("vacuum").filter(_ != null).exists {
+            case mm: java.util.Map[_, _] => true
+            case other => other.toString.toBoolean
+          },
+          vacuumRetainMillis = m.asScala.get("vacuum").collect {
+            case mm: java.util.Map[_, _] =>
+              asMap(mm).asScala.get("retain_hours")
+                .map(h => h.toString.toLong * 3600L * 1000L)
+          }.flatten,
           checkpoint = m.asScala.get("checkpoint")
             .exists(_.toString.toBoolean),
           cleanupLogs = m.asScala.get("cleanup_logs")

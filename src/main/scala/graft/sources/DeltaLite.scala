@@ -4147,17 +4147,22 @@ object DeltaLite {
       "num_added_files", "num_removed_files")
   }
 
-  /** VACUUM: physically delete data files under the table root that
-    * the CURRENT snapshot no longer references (left behind by
-    * overwrite/upsert commits). The spec's trade applies: version-
-    * pinned reads that need a vacuumed file stop working; the live
-    * snapshot is untouched. The sweep walks the table tree (skipping
-    * `_delta_log/`) and compares snapshot-relative paths, so
-    * partition-dir layouts from foreign writers vacuum correctly too.
-    * Driver-side over the file listing — O(#files) metadata work, no
-    * data reads. Returns the number of files deleted.
+  /** VACUUM: physically delete data files (and orphaned deletion-
+    * vector files) under the table root that the CURRENT snapshot no
+    * longer references (left behind by overwrite/upsert/compact
+    * commits). A RETENTION WINDOW spares recently-unreferenced files —
+    * delta-spark's time-travel/restore safety contract: explicit
+    * `retainMillis` wins, else the table's
+    * `delta.deletedFileRetentionDuration` interval, else 0 (the
+    * historical immediate-sweep trade, documented: version-pinned
+    * reads needing a vacuumed file stop working). The sweep walks the
+    * table tree (skipping `_delta_log/`) and compares snapshot-relative
+    * paths, so partition-dir layouts from foreign writers vacuum
+    * correctly too. Driver-side over the file listing — O(#files)
+    * metadata work, no data reads. Returns the number of files deleted.
     */
-  def vacuum(spark: SparkSession, tablePath: String): Int = {
+  def vacuum(spark: SparkSession, tablePath: String,
+      retainMillis: Option[Long] = None): Int = {
     val snap = snapshot(spark, tablePath)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4167,12 +4172,29 @@ object DeltaLite {
       if (full.startsWith(rootUri + "/")) full.stripPrefix(rootUri + "/")
       else full
     }
+    val retain = retainMillis
+      .orElse(snap.configuration.get("delta.deletedFileRetentionDuration")
+        .map(parseInterval))
+      .getOrElse(0L)
+    val cutoff = System.currentTimeMillis - retain
     val live: Set[String] = snap.files.keySet.map { k =>
       // absolute action paths resolve against the root like readFiles
       if (k.contains("://") || k.startsWith("/"))
         rel(new Path(k).makeQualified(fs.getUri, fs.getWorkingDirectory))
       else k
     }
+    // live deletion-vector files (u-storage resolves table-relative;
+    // p-storage is absolute) — everything else named like a DV file is
+    // an orphan from a purge/restore and sweeps with the data files
+    val liveDvs: Set[String] = snap.dvs.values.flatMap { d =>
+      d.storageType match {
+        case "u" => Some(rel(DeletionVectors.uuidPath(tablePath,
+          d.pathOrInlineDv).makeQualified(fs.getUri, fs.getWorkingDirectory)))
+        case "p" => Some(rel(new Path(d.pathOrInlineDv)
+          .makeQualified(fs.getUri, fs.getWorkingDirectory)))
+        case _ => None
+      }
+    }.toSet
     var deleted = 0
     def sweep(dir: Path): Unit =
       fs.listStatus(dir).foreach { s =>
@@ -4182,13 +4204,38 @@ object DeltaLite {
           // would destroy the change feed (they die with log cleanup)
           if (s.getPath.getName != "_delta_log" &&
               s.getPath.getName != "_change_data") sweep(s.getPath)
-        } else if (s.getPath.getName.endsWith(".parquet") &&
-            !live(rel(s.getPath))) {
+        } else if (s.getModificationTime < cutoff &&
+            ((s.getPath.getName.endsWith(".parquet") &&
+              !live(rel(s.getPath))) ||
+             (s.getPath.getName.startsWith("deletion_vector_") &&
+              s.getPath.getName.endsWith(".bin") &&
+              !liveDvs(rel(s.getPath))))) {
           if (fs.delete(s.getPath, false)) deleted += 1
         }
       }
     sweep(root)
     deleted
+  }
+
+  /** Parse a delta interval property value (`interval N
+    * seconds|minutes|hours|days|weeks`, singular forms too) to millis.
+    */
+  private[graft] def parseInterval(s: String): Long = {
+    val re = "(?i)\\s*interval\\s+(\\d+)\\s+(second|minute|hour|day|week)s?\\s*".r
+    s match {
+      case re(n, unit) =>
+        val base = unit.toLowerCase match {
+          case "second" => 1000L
+          case "minute" => 60L * 1000
+          case "hour" => 3600L * 1000
+          case "day" => 24L * 3600 * 1000
+          case "week" => 7L * 24 * 3600 * 1000
+        }
+        n.toLong * base
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse interval '$s' (expected: interval N " +
+          "seconds|minutes|hours|days|weeks)")
+    }
   }
 
   def changesBetween(spark: SparkSession, tablePath: String,

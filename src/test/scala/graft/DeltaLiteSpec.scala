@@ -2591,6 +2591,48 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(got("a") == 50L && got("b") > 50L, got.toString)
   }
 
+  // ------------------------------------------------------------- vacuum
+
+  test("vacuum honors the retention window (explicit or the table's " +
+      "deletedFileRetentionDuration) and sweeps ORPHANED deletion-vector " +
+      "files while sparing live ones") {
+    val t = java.nio.file.Files.createTempDirectory("delta_vacret").toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t,
+      configuration =
+        Map("delta.deletedFileRetentionDuration" -> "interval 1 hour"))
+    DeltaLite.write(spark, Seq((9L, "z")).toDF("k", "v"), t, "overwrite")
+    // the table property spares the freshly-unreferenced v0 file
+    assert(DeltaLite.vacuum(spark, t) == 0,
+      "retention window must spare recently-unreferenced files")
+    assert(DeltaLite.read(spark, t, asOf = Some(0L)).count() == 1L,
+      "time travel inside the window must still work")
+    // an explicit zero retention overrides and sweeps
+    assert(DeltaLite.vacuum(spark, t, retainMillis = Some(0L)) >= 1)
+    // DV lifecycle: a live DV file survives, a purged one sweeps
+    val t2 = java.nio.file.Files.createTempDirectory("delta_vacdv").toString
+    DeltaLite.write(spark, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"),
+      t2)
+    DeltaLite.deleteWhere(spark, t2, col("k") <= 5L)
+    def dvFiles(): Seq[String] = fs(t2).listStatus(new Path(t2))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+      .toSeq
+    assert(dvFiles().nonEmpty)
+    DeltaLite.vacuum(spark, t2, retainMillis = Some(0L))
+    assert(dvFiles().nonEmpty, "a LIVE deletion vector must survive vacuum")
+    assert(DeltaLite.read(spark, t2).count() == 45L)
+    DeltaLite.compact(spark, t2) // purges the DV: its file is now orphaned
+    DeltaLite.vacuum(spark, t2, retainMillis = Some(0L))
+    assert(dvFiles().isEmpty, "a purged deletion vector must sweep")
+    assert(DeltaLite.read(spark, t2).count() == 45L)
+    // interval parsing is loud on junk
+    val e = intercept[IllegalArgumentException](
+      DeltaLite.parseInterval("3 fortnights"))
+    assert(e.getMessage.contains("interval"), e.getMessage)
+    assert(DeltaLite.parseInterval("interval 2 days") == 2L * 24 * 3600 * 1000)
+    assert(DeltaLite.parseInterval("INTERVAL 30 minutes") == 30L * 60 * 1000)
+  }
+
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */
   private def installCheckpoint(t: String, ck: DataFrame, v: Long): Unit = {
     val stage = t + "_ckstage"
