@@ -37,6 +37,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("delta interval property parsing: every unit round-trips to " +
+      "exact millis; junk refuses") {
+    val unitGen = Gen.oneOf(
+      ("second", 1000L), ("minute", 60000L), ("hour", 3600000L),
+      ("day", 86400000L), ("week", 604800000L))
+    val caseGen = for {
+      (u, ms) <- unitGen
+      n <- Gen.choose(0L, 10000L)
+      plural <- Gen.oneOf("", "s")
+      caps <- Gen.oneOf("interval", "INTERVAL", "Interval")
+    } yield (s"$caps $n $u$plural", n * ms)
+    samples(caseGen).foreach { case (s, want) =>
+      assert(graft.sources.DeltaLite.parseInterval(s) == want, s)
+    }
+    Seq("interval 5 fortnights", "7 days", "interval days").foreach(bad =>
+      intercept[IllegalArgumentException](
+        graft.sources.DeltaLite.parseInterval(bad)))
+  }
+
   test("to_char %-escape keeps literal text") {
     val caseGen = for {
       ts <- microsGen
