@@ -4814,6 +4814,112 @@ object PipelineQueries {
       DeltaLite.read(s, tbl).select("id", "o_orderkey")
     },
 
+    // ROW-TRACKED delta table through the driver gate: creation with
+    // delta.enableRowTracking stamps the feature pair, two appends
+    // allocate base row ids (the rig asserts contiguous coverage and
+    // the advanced high-water mark), and a DV delete re-adds the
+    // touched file WITH its coordinates. The oracle states the visible
+    // rows — a row-tracked write path that corrupted data (or a
+    // re-add that dropped/duplicated rows) hash-fails.
+    QueryDef("q162_delta_rowtracking",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000 AND l_linenumber = 1
+        |  AND l_orderkey % 10 <> 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q162_rowtrack").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1000 && col("l_linenumber") === 1)
+        .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+          col("l_returnflag").cast("string").as("l_returnflag"))
+      DeltaLite.write(s, l.filter(col("l_orderkey") <= 500), tbl,
+        configuration = Map("delta.enableRowTracking" -> "true"))
+      DeltaLite.write(s, l.filter(col("l_orderkey") > 500), tbl)
+      locally { // allocation invariants: contiguous coverage, mark right
+        val snap = DeltaLite.snapshot(s, tbl)
+        require(snap.protocol.exists(_.writerFeatures
+          .exists(_.contains("rowTracking"))), "q162 needs rowTracking")
+        val n = DeltaLite.read(s, tbl).count()
+        require(snap.rowIds.size == snap.files.size,
+          "every add must carry row-tracking coordinates")
+        require(snap.domainMetadata("delta.rowTracking")
+          .contains(s"rowIdHighWaterMark\\\":${n - 1}"),
+          "high-water mark must equal rows-1 after contiguous allocation")
+      }
+      DeltaLite.deleteWhere(s, tbl, col("l_orderkey") % 10 === 0)
+      locally { // the DV re-add kept its file's coordinates
+        val snap = DeltaLite.snapshot(s, tbl)
+        require(snap.rowIds.size == snap.files.size,
+          "a DV re-add must restate row-tracking coordinates")
+      }
+      DeltaLite.read(s, tbl)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").cast("long").as("sum_key"))
+    },
+
+    // LIQUID-CLUSTERED compact through the driver gate: shuffled keys
+    // land in many small files, the clustering feature + domain stamp
+    // (the delta-spark shape), and OPTIMIZE rewrites into a clustered
+    // layout — the rig asserts pairwise-DISJOINT per-file key ranges,
+    // and the oracle states the untouched row set (a compact that
+    // dropped or duplicated rows while re-laying them out hash-fails).
+    QueryDef("q163_delta_clustered_compact",
+      """SELECT CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+        |  COUNT(*) AS n, COUNT(DISTINCT p_brand) AS brands
+        |FROM part WHERE p_partkey <= 600""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q163_cluster").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      val pa = t(s, dir, "part")
+        .filter(col("p_partkey") <= 600)
+        .select(col("p_partkey").cast("bigint").as("p_partkey"),
+          col("p_brand").cast("string").as("p_brand"))
+      // shuffled + split so every file's key range overlaps pre-compact
+      DeltaLite.write(s, pa.orderBy(org.apache.spark.sql.functions
+        .xxhash64(col("p_partkey"))).repartition(6), tbl)
+      locally { // stamp the clustering feature + domain
+        val snap = DeltaLite.snapshot(s, tbl)
+        val logDir = new org.apache.hadoop.fs.Path(tbl, "_delta_log")
+        val out = fsys.create(new org.apache.hadoop.fs.Path(logDir,
+          f"${snap.version + 1}%020d.json"), true)
+        try out.write((Seq(
+          """{"commitInfo":{"timestamp":1,"operation":"CLUSTER BY"}}""",
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}""",
+          """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"p_partkey\"]]}","removed":false}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      DeltaLite.compact(s, tbl, smallFileBytes = 6144)
+      locally { // clustered layout: per-file key ranges disjoint
+        val snap = DeltaLite.snapshot(s, tbl)
+        require(snap.files.size >= 2, "q163 wants a multi-file layout")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val ranges = snap.files.keys.toSeq.map { f =>
+          val st = om.readTree(snap.stats(f))
+          (st.get("minValues").get("p_partkey").asLong,
+            st.get("maxValues").get("p_partkey").asLong)
+        }.sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Seq((_, hi), (lo2, _)) =>
+            require(hi < lo2, s"q163: overlapping clustered ranges $ranges")
+          case _ =>
+        }
+      }
+      DeltaLite.read(s, tbl)
+        .agg(sum("p_partkey").cast("long").as("sum_key"),
+          count(lit(1)).as("n"),
+          countDistinct(col("p_brand")).as("brands"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the
