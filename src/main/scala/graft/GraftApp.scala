@@ -497,6 +497,10 @@ object GraftApp {
       compact: Boolean = false,
       compactSmallFileBytes: Long = 0L,
       expireKeepLast: Option[Int] = None,
+      /** `expire_snapshots: {older_than_hours: N, keep_last?: K}` —
+        * age-based expiry (keep_last is the retain floor, default 1).
+        */
+      expireOlderThanMillis: Option[Long] = None,
       vacuum: Boolean = false,
       checkpoint: Boolean = false,
       cleanupLogs: Boolean = false,
@@ -540,7 +544,8 @@ object GraftApp {
     require(!vacuum || format == "delta",
       s"maintenance on '$path': vacuum is the delta op (iceberg uses " +
         "expire_snapshots)")
-    require(expireKeepLast.isEmpty || format == "iceberg",
+    require((expireKeepLast.isEmpty && expireOlderThanMillis.isEmpty) ||
+        format == "iceberg",
       s"maintenance on '$path': expire_snapshots is the iceberg op " +
         "(delta uses checkpoint + cleanup_logs + vacuum)")
     require((!checkpoint && !cleanupLogs) || format == "delta",
@@ -562,7 +567,8 @@ object GraftApp {
       s"maintenance on '$path': clone.version needs clone.source")
     require(cloneSource.isEmpty || format == "delta",
       s"maintenance on '$path': clone is the delta op")
-    require(compact || expireKeepLast.nonEmpty || vacuum || checkpoint ||
+    require(compact || expireKeepLast.nonEmpty ||
+        expireOlderThanMillis.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
         restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
         createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty ||
@@ -1048,8 +1054,11 @@ object GraftApp {
           if (m.compact)
             graft.sources.IcebergLite.compact(spark, m.path,
               m.compactSmallFileBytes)
-          m.expireKeepLast.foreach(k =>
-            graft.sources.IcebergLite.expireSnapshots(spark, m.path, k))
+          if (m.expireKeepLast.nonEmpty || m.expireOlderThanMillis.nonEmpty)
+            graft.sources.IcebergLite.expireSnapshots(spark, m.path,
+              m.expireKeepLast.getOrElse(1),
+              olderThanMillis = m.expireOlderThanMillis
+                .map(System.currentTimeMillis - _))
         case "delta" =>
           // clone FIRST (it CREATES this entry's path), then restore,
           // then grooming — each operates on the previous step's state

@@ -257,10 +257,18 @@ object GraftConfigLoader {
             case _ => 0L
           },
           expireKeepLast = m.asScala.get("expire_snapshots")
-            .filter(_ != null).map(x =>
-              asMap(x).asScala.getOrElse("keep_last",
-                fail(s"maintenance expire_snapshots needs keep_last"))
-                .toString.toInt),
+            .filter(_ != null).map { x =>
+              val mm = asMap(x).asScala
+              require(mm.contains("keep_last") ||
+                  mm.contains("older_than_hours"),
+                "maintenance expire_snapshots needs keep_last and/or " +
+                  "older_than_hours")
+              mm.get("keep_last").map(_.toString.toInt)
+            }.flatten,
+          expireOlderThanMillis = m.asScala.get("expire_snapshots")
+            .filter(_ != null).flatMap(x =>
+              asMap(x).asScala.get("older_than_hours")
+                .map(h => h.toString.toLong * 3600L * 1000L)),
           vacuum = m.asScala.get("vacuum").filter(_ != null).exists {
             case mm: java.util.Map[_, _] => true
             case other => other.toString.toBoolean

@@ -2598,7 +2598,13 @@ object IcebergLite {
     * number of files deleted.
     */
   def expireSnapshots(spark: SparkSession, tablePath: String,
-      keepLast: Int): Int = {
+      keepLast: Int,
+      /** the catalog's `older_than` shape: when set, only snapshots
+        * whose `timestamp-ms` is strictly before this expire, and
+        * `keepLast` becomes the catalog's `retain_last` floor (at
+        * least N newest survive regardless of age).
+        */
+      olderThanMillis: Option[Long] = None): Int = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val meta = loadMeta(spark, tablePath)
     val root = new Path(tablePath)
@@ -2612,6 +2618,8 @@ object IcebergLite {
         Option(n.get(name).get("snapshot-id")).map(_.asLong))
     }.toSet
     val kept = ordered.takeRight(keepLast) ++
+      olderThanMillis.toSeq.flatMap(cut =>
+        ordered.filter(_.timestampMs >= cut)) ++
       meta.currentSnapshotId.flatMap(id =>
         ordered.find(_.snapshotId == id)).toSeq ++
       ordered.filter(s => refIds(s.snapshotId))

@@ -1452,6 +1452,28 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(none.getMessage.contains("does not exist"), none.getMessage)
   }
 
+  test("expireSnapshots older_than: age gates expiry, keep_last is the " +
+      "retain floor, current and ref'd snapshots always survive") {
+    val t = tmp("expire_age")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    // cutoffs compare against the RECORDED timestamp-ms (native
+    // commits stamp the deterministic clock — repo convention); a
+    // cutoff at/below every stamp expires nothing
+    assert(IcebergLite.expireSnapshots(spark, t, keepLast = 1,
+      olderThanMillis = Some(0L)) == 0)
+    assert(IcebergLite.loadMeta(spark, t).snapshots.size == 3)
+    // cutoff above every stamp: everything is "old", but the retain
+    // floor keeps the newest two (current included)
+    IcebergLite.expireSnapshots(spark, t, keepLast = 2,
+      olderThanMillis = Some(Long.MaxValue))
+    val meta = IcebergLite.loadMeta(spark, t)
+    assert(meta.snapshots.size == 2, meta.snapshots.map(_.snapshotId))
+    assert(rows(IcebergLite.read(spark, t)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("avro partitioned writes refuse loudly (no footer statistics " +
       "to recover partition values)") {
     val t = tmp("avro_part")
