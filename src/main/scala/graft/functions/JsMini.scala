@@ -22,8 +22,15 @@ import scala.collection.mutable
   * declarations and expressions, arrow
   * functions, if/else, while, classic for, for-of, return/throw/
   * try-catch-finally/break/continue, `Math`/`JSON`/`Object`/`Number`
-  * builtins and the common String/Array prototype methods. Semicolons
-  * are optional between statements.
+  * builtins and the common String/Array prototype methods, and REGEX:
+  * literals (`/…/gims`, one-token-lookbehind division disambiguation),
+  * `new RegExp(p, f)`, `RegExp.prototype.{test,exec,source,flags,
+  * global,lastIndex}` (g-flag lastIndex statefulness included), and
+  * `String.prototype.{match,search,split,replace,replaceAll}` with
+  * regex arguments, `$n`/`$&` templates and function replacements —
+  * all on the JDK regex engine; unsupported flags (u/y/d/v) and
+  * JDK-rejected constructs refuse loudly by name. Semicolons are
+  * optional between statements.
   *
   * Everything is single-threaded per evaluator instance; Spark-side the
   * registered UDF keeps one evaluator per task thread (same shape as
@@ -73,6 +80,54 @@ object JsMini {
   }
   final case class VNative(name: String, f: Seq[V] => V) extends V
 
+  /** A RegExp value: the JS flag subset g/i/m/s on the JDK regex
+    * engine (the reference runs full V8 — dozer-deno/src/runtime.rs;
+    * this subset covers the match/replace/split/test/exec idioms
+    * ingest scripts actually use). Unsupported flags (u/y/d/v) and
+    * JDK-rejected constructs refuse LOUDLY at construction naming the
+    * flag/construct. `lastIndex` advances on g-flag test/exec — JS's
+    * stateful iteration contract.
+    */
+  final class VRegExp(val source: String, val flags: String) extends V {
+    var lastIndex: Int = 0
+    def global: Boolean = flags.indexOf('g') >= 0
+    val pattern: java.util.regex.Pattern = compileRegex(source, flags)
+  }
+
+  /** Compiled-pattern cache: scripts evaluate a regex literal once per
+    * row inside UDF bodies — recompiling per evaluation would dominate
+    * the hot path. Keyed by flags+source; shared across task threads
+    * (Pattern is immutable/thread-safe; matchers are per-call).
+    */
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.regex.Pattern]()
+
+  private[functions] def compileRegex(source: String,
+      flags: String): java.util.regex.Pattern = {
+    import java.util.regex.Pattern
+    flags.foreach { f =>
+      if ("gims".indexOf(f.toInt) < 0) throw new JsError(VStr(
+        s"unsupported regex flag '$f' in /$source/$flags — the JS " +
+          "subset supports g/i/m/s on the JDK engine (no sticky, " +
+          "unicode-mode, or indices flags)"))
+    }
+    regexCache.computeIfAbsent(flags + "/" + source, _ => {
+      var bits = 0
+      if (flags.indexOf('i') >= 0)
+        bits |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+      if (flags.indexOf('m') >= 0) bits |= Pattern.MULTILINE
+      if (flags.indexOf('s') >= 0) bits |= Pattern.DOTALL
+      try Pattern.compile(source, bits)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new JsError(VStr(
+            s"regex /$source/ is not supported by the JDK engine: " +
+              e.getDescription))
+      }
+    })
+  }
+
   /** A `class` value: constructor + method tables + parent link. The
     * member maps are filled right after construction (methods carry a
     * `home` reference back to the class for `super` resolution).
@@ -116,6 +171,7 @@ object JsMini {
   sealed trait Expr
   final case class ENum(v: Double) extends Expr
   final case class EStr(v: String) extends Expr
+  final case class ERegex(source: String, flags: String) extends Expr
   final case class EBool(v: Boolean) extends Expr
   case object ENull extends Expr
   case object EUndef extends Expr
@@ -274,6 +330,20 @@ object JsMini {
     i
   }
 
+  /** Whether a `/` at this point starts a REGEX LITERAL: true unless
+    * the previous token can END an expression (value, identifier,
+    * closing bracket, or a value-like keyword) — then it's division.
+    */
+  private def regexCanStart(prev: Option[Tok]): Boolean = prev match {
+    case None => true
+    case Some(t) => t.kind match {
+      case "num" | "str" | "template" | "ident" | "regex" | ")" | "]" =>
+        false
+      case "this" | "true" | "false" | "null" | "undefined" => false
+      case _ => true
+    }
+  }
+
   private def lex(src: String): IndexedSeq[Tok] = {
     val out = mutable.ArrayBuffer.empty[Tok]
     var i = 0
@@ -288,6 +358,32 @@ object JsMini {
         i += 2
         while (i + 1 < n && !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) i += 1
         i += 2
+      } else if (c == '/' && regexCanStart(out.lastOption)) {
+        // regex literal vs division: a `/` begins a regex whenever the
+        // PREVIOUS significant token cannot end an expression — the
+        // classic one-token-lookbehind disambiguation
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var inClass = false
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            sb += ch; sb += src.charAt(i + 1); i += 2
+          } else if (ch == '\n') err("unterminated regex literal")
+          else if (ch == '[') { inClass = true; sb += ch; i += 1 }
+          else if (ch == ']') { inClass = false; sb += ch; i += 1 }
+          else if (ch == '/' && !inClass) { closed = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        if (!closed) err("unterminated regex literal")
+        val fStart = i
+        while (i < n && src.charAt(i).isLetter) i += 1
+        // body and flags ride one token, newline-separated (a newline
+        // can appear in neither)
+        out += Tok("regex",
+          sb.toString + "\n" + src.substring(fStart, i), start)
       } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
         val start = i
         while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
@@ -833,6 +929,10 @@ object JsMini {
           else t.text.toDouble
           ENum(v)
         case "str"   => pos += 1; EStr(t.text)
+        case "regex" =>
+          pos += 1
+          val sep = t.text.lastIndexOf('\n')
+          ERegex(t.text.substring(0, sep), t.text.substring(sep + 1))
         case "template" => pos += 1; parseTemplate(t.text, t.pos + 1)
         case "true"  => pos += 1; EBool(true)
         case "false" => pos += 1; EBool(false)
@@ -1022,6 +1122,7 @@ object JsMini {
     case _: VGen     => "[object Generator]"
     case _: VMapV    => "[object Map]"
     case _: VSetV    => "[object Set]"
+    case r: VRegExp  => s"/${r.source}/${r.flags}"
   }
 
   def toNum(v: V): Double = v match {
@@ -1051,6 +1152,7 @@ object JsMini {
         .mkString("{", ",", "}")
     case _: VFun | _: VNative | _: VClass | _: VGen => "null"
     case _: VMapV | _: VSetV => "{}" // JSON.stringify(Map/Set) parity
+    case _: VRegExp => "{}" // JSON.stringify(/x/) === "{}" parity
   }
 
   private def quote(s: String): String = {
@@ -1333,6 +1435,7 @@ object JsMini {
   private def evalExpr(e: Expr, env: Env): V = e match {
     case ENum(v)  => VNum(v)
     case EStr(v)  => VStr(v)
+    case ERegex(s, f) => new VRegExp(s, f)
     case ETemplate(parts) => VStr(parts.map {
       case Left(s)  => s
       case Right(e) => toDisplay(eval(e, env))
@@ -1494,6 +1597,9 @@ object JsMini {
             case o: VObj =>
               val nv = combined(o.fields.getOrElse(name, VUndef))
               o.fields(name) = nv; nv
+            case r: VRegExp if name == "lastIndex" =>
+              val nv = combined(VNum(r.lastIndex))
+              r.lastIndex = toNum(nv).toInt; nv
             case other =>
               throw new JsError(VStr(s"cannot set .$name on ${toDisplay(other)}"))
           }
@@ -1529,11 +1635,142 @@ object JsMini {
     case (k: VClass, n)      => k.findStatic(n).getOrElse(VUndef)
     case (m: VMapV, "size")  => VNum(m.entries.size)
     case (s: VSetV, "size")  => VNum(s.items.size)
+    case (r: VRegExp, "source")    => VStr(r.source)
+    case (r: VRegExp, "flags")     => VStr(r.flags)
+    case (r: VRegExp, "global")    => VBool(r.global)
+    case (r: VRegExp, "lastIndex") => VNum(r.lastIndex)
     case (VUndef, n) =>
       throw new JsError(VStr(s"cannot read '$n' of undefined"))
     case (VNull, n) =>
       throw new JsError(VStr(s"cannot read '$n' of null"))
     case _ => VUndef // unbound prototype method references resolve at call time
+  }
+
+  // ------------------------------------------------------------ regex ops
+
+  /** A match result as the subset's array shape: [full, group1, …]
+    * (unmatched groups → undefined). The `index`/`input` properties of
+    * real JS match arrays are not modeled — documented subset.
+    */
+  private def matchArr(m: java.util.regex.Matcher): VArr = {
+    val out = mutable.ArrayBuffer.empty[V]
+    out += VStr(m.group())
+    var g = 1
+    while (g <= m.groupCount) {
+      out += (if (m.group(g) == null) VUndef else VStr(m.group(g)))
+      g += 1
+    }
+    new VArr(out)
+  }
+
+  /** `RegExp.prototype.exec` semantics: global regexes scan from (and
+    * advance) `lastIndex`, resetting to 0 on a miss — JS's stateful
+    * iteration contract; non-global always scans from 0.
+    */
+  private def execRegex(r: VRegExp, s: String): V = {
+    val from = if (r.global) r.lastIndex else 0
+    if (from > s.length) { if (r.global) r.lastIndex = 0; return VNull }
+    val m = r.pattern.matcher(s)
+    if (!m.find(from)) { if (r.global) r.lastIndex = 0; VNull }
+    else { if (r.global) r.lastIndex = m.end; matchArr(m) }
+  }
+
+  /** String.prototype.{match,search} accept a string too — JS converts
+    * it to a RegExp treating it AS A PATTERN (not a literal).
+    */
+  private def asRegex(v: V): VRegExp = v match {
+    case r: VRegExp => r
+    case other => new VRegExp(toDisplay(other), "")
+  }
+
+  /** `$$`/`$&`/`$n` replacement-template expansion (JS semantics:
+    * unknown `$x` stays literal; two-digit group wins when it exists).
+    */
+  private def expandReplacement(m: java.util.regex.Matcher,
+      tmpl: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < tmpl.length) {
+      val c = tmpl.charAt(i)
+      if (c == '$' && i + 1 < tmpl.length) {
+        tmpl.charAt(i + 1) match {
+          case '$' => sb += '$'; i += 2
+          case '&' => sb ++= m.group(); i += 2
+          case d if d.isDigit =>
+            val one = d - '0'
+            val two =
+              if (i + 2 < tmpl.length && tmpl.charAt(i + 2).isDigit)
+                Some(one * 10 + (tmpl.charAt(i + 2) - '0'))
+              else None
+            two match {
+              case Some(t) if t >= 1 && t <= m.groupCount() =>
+                sb ++= Option(m.group(t)).getOrElse(""); i += 3
+              case _ if one >= 1 && one <= m.groupCount() =>
+                sb ++= Option(m.group(one)).getOrElse(""); i += 2
+              case _ => sb += '$'; i += 1
+            }
+          case _ => sb += '$'; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def regexReplace(s: String, r: VRegExp, repl: V,
+      all: Boolean): String = {
+    val m = r.pattern.matcher(s)
+    val sb = new StringBuilder
+    var last = 0
+    var from = 0
+    var done = false
+    while (!done && from <= s.length && m.find(from)) {
+      sb.append(s.substring(last, m.start))
+      repl match {
+        case f @ (_: VFun | _: VNative) =>
+          // function replacement: (match, p1…, offset, string)
+          val groups = (1 to m.groupCount()).map(g =>
+            if (m.group(g) == null) VUndef else VStr(m.group(g)): V)
+          sb ++= toDisplay(callFunction(f,
+            (VStr(m.group()) +: groups) ++ Seq(VNum(m.start), VStr(s))))
+        case other => sb ++= expandReplacement(m, toDisplay(other))
+      }
+      last = m.end
+      from = if (m.end == m.start) m.end + 1 else m.end
+      if (!all) done = true
+    }
+    sb.append(s.substring(last))
+    r.lastIndex = 0
+    sb.toString
+  }
+
+  /** Regex split, JS shape: separators between fields, CAPTURED GROUPS
+    * spliced into the output, optional limit.
+    */
+  private def regexSplit(s: String, r: VRegExp,
+      limit: Option[Int]): VArr = {
+    val out = mutable.ArrayBuffer.empty[V]
+    val lim = limit.getOrElse(Int.MaxValue)
+    val m = r.pattern.matcher(s)
+    var last = 0
+    var from = 0
+    var stop = false
+    while (!stop && out.length < lim && from <= s.length &&
+        m.find(from)) {
+      if (m.end == 0) from = 1 // a leading empty match splits nothing
+      else {
+        out += VStr(s.substring(last, m.start))
+        var g = 1
+        while (g <= m.groupCount && out.length < lim) {
+          out += (if (m.group(g) == null) VUndef else VStr(m.group(g)))
+          g += 1
+        }
+        last = m.end
+        from = if (m.end == m.start) m.end + 1 else m.end
+      }
+      if (from > s.length) stop = true
+    }
+    if (out.length < lim) out += VStr(s.substring(last))
+    new VArr(out)
   }
 
   private def method(target: V, name: String, args: Seq[V]): V = (target, name) match {
@@ -1592,7 +1829,45 @@ object JsMini {
         obj("value" -> v, "done" -> VBool(false))
       } else obj("value" -> VUndef, "done" -> VBool(true))
 
+    // ---- RegExp.prototype (JDK-engine subset — see VRegExp)
+    case (r: VRegExp, "test") =>
+      VBool(execRegex(r, toDisplay(args.head)) != VNull)
+    case (r: VRegExp, "exec") => execRegex(r, toDisplay(args.head))
+    case (r: VRegExp, "toString") => VStr(toDisplay(r))
+
     // ---- String.prototype
+    case (VStr(s), "match") =>
+      val r = asRegex(args.head)
+      if (r.global) {
+        val m = r.pattern.matcher(s)
+        val out = mutable.ArrayBuffer.empty[V]
+        var from = 0
+        while (from <= s.length && m.find(from)) {
+          out += VStr(m.group())
+          from = if (m.end == m.start) m.end + 1 else m.end
+        }
+        if (out.isEmpty) VNull else new VArr(out)
+      } else {
+        val m = r.pattern.matcher(s)
+        if (m.find()) matchArr(m) else VNull
+      }
+    case (VStr(s), "search") =>
+      val m = asRegex(args.head).pattern.matcher(s)
+      VNum(if (m.find()) m.start else -1)
+    case (VStr(s), "split")
+        if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
+      regexSplit(s, args.head.asInstanceOf[VRegExp],
+        args.lift(1).map(v => toNum(v).toInt))
+    case (VStr(s), "replace")
+        if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
+      val r = args.head.asInstanceOf[VRegExp]
+      VStr(regexReplace(s, r, args(1), all = r.global))
+    case (VStr(s), "replaceAll")
+        if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
+      val r = args.head.asInstanceOf[VRegExp]
+      if (!r.global) throw new JsError(VStr(
+        "replaceAll must be called with a global RegExp"))
+      VStr(regexReplace(s, r, args(1), all = true))
     case (VStr(s), "toUpperCase") => VStr(s.toUpperCase)
     case (VStr(s), "toLowerCase") => VStr(s.toLowerCase)
     case (VStr(s), "trim")        => VStr(s.trim)
@@ -1638,9 +1913,17 @@ object JsMini {
         }
       new VArr(mutable.ArrayBuffer(parts.map(VStr(_)): _*))
     case (VStr(s), "replace") =>
-      val (from, to) = (toDisplay(args.head), toDisplay(args(1)))
+      val from = toDisplay(args.head)
       val i = s.indexOf(from)
-      VStr(if (i < 0) s else s.substring(0, i) + to + s.substring(i + from.length))
+      if (i < 0) VStr(s)
+      else {
+        val to = args(1) match {
+          case f @ (_: VFun | _: VNative) => // (match, offset, string)
+            toDisplay(callFunction(f, Seq(VStr(from), VNum(i), VStr(s))))
+          case other => toDisplay(other)
+        }
+        VStr(s.substring(0, i) + to + s.substring(i + from.length))
+      }
     case (VStr(s), "replaceAll") =>
       VStr(s.replace(toDisplay(args.head), toDisplay(args(1))))
     case (VStr(s), "repeat") => VStr(s * toNum(args.head).toInt)
@@ -1832,6 +2115,20 @@ object JsMini {
       "Object" -> objectObj,
       "Number" -> numberObj,
       "Array" -> arrayObj,
+      // `new RegExp(pattern, flags)` — `new` evaluates as a plain
+      // call; a RegExp first argument clones (flags override)
+      native("RegExp")(args => {
+        val (src0, defFl) = args.headOption match {
+          case Some(r: VRegExp) => (r.source, r.flags)
+          case Some(VUndef) | None => ("(?:)", "")
+          case Some(v) => (toDisplay(v), "")
+        }
+        val fl = args.lift(1) match {
+          case Some(VUndef) | None => defFl
+          case Some(v) => toDisplay(v)
+        }
+        new VRegExp(src0, fl)
+      }),
       "NaN" -> VNum(Double.NaN),
       "Infinity" -> VNum(Double.PositiveInfinity),
       // `new Map([[k,v],...])` / `new Set(iterable)` — `new` evaluates

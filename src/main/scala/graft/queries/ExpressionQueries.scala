@@ -391,6 +391,37 @@ object ExpressionQueries {
         .filter(col("text").isNotNull)
         .selectExpr("doc_id AS id",
           "CAST(js_doc_score(struct(text, doc_id)) AS BIGINT) AS score")
+    },
+
+    // JS REGEX UDFs (the most common real-world JS idiom the subset
+    // previously lacked): regex literals, g/i flags, String.replace
+    // with a regex, String.match-count, RegExp.test — all on the JDK
+    // engine (JsMini.VRegExp). Fully oracled against DuckDB's RE2
+    // regexp functions over the same documents: a mis-lexed literal
+    // (division ambiguity), wrong global semantics, or flag mishandling
+    // hash-fails on masked/words/has_the.
+    QueryDef("q93b_js_regex_udf",
+      """SELECT doc_id AS id,
+        |  regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |    AS words,
+        |  regexp_matches(text, 'data', 'i') AS has_data
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, dir) =>
+      graft.functions.JsUdf.register(s, "js_mask",
+        "export default function (t) { return t.replace(/[0-9]+/g, \"#\"); }")
+      graft.functions.JsUdf.register(s, "js_word_count",
+        "export default function (t) { const m = t.match(/[A-Za-z]+/g); " +
+          "return m === null ? 0 : m.length; }")
+      graft.functions.JsUdf.register(s, "js_has_data",
+        "export default function (t) { return /data/i.test(t); }")
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .selectExpr("doc_id AS id",
+          // the UDF surface returns JSON — '$' unwraps the top-level
+          // string with its escapes resolved
+          "get_json_object(js_mask(text), '$') AS masked",
+          "CAST(js_word_count(text) AS BIGINT) AS words",
+          "CAST(js_has_data(text) AS BOOLEAN) AS has_data")
     }
   )
 }

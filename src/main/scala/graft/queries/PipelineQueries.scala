@@ -4920,6 +4920,136 @@ object PipelineQueries {
           countDistinct(col("p_brand")).as("brands"))
     },
 
+    // UNIFORM (icebergCompatV2) COPY-ON-WRITE MUTATIONS through the
+    // driver gate: a column-mapped table gains the compat feature via
+    // ALTER TBLPROPERTIES (delta-spark's enablement path), then a
+    // DELETE rewrites the touched files WITHOUT the matched rows and a
+    // MERGE rewrites key-touched files wholesale — UniForm forbids
+    // deletion vectors, and the rig asserts the table NEVER carries
+    // one (snapshot DV map empty after every mutation). The oracle
+    // restates the delete predicate and merge transform in closed
+    // form, so a mutation that resurrected a deleted row, dropped a
+    // survivor, or missed a merge update hash-fails.
+    QueryDef("q164_uniform_cow_mutation",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey AS BIGINT) AS o_custkey
+        |  FROM orders WHERE o_orderkey <= 3000
+        |), after_del AS (
+        |  SELECT * FROM base WHERE NOT (o_custkey % 5 = 0)
+        |)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 500000
+        |       ELSE o_custkey END AS o_custkey
+        |FROM after_del""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q164_uniform").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"))
+      DeltaLite.write(s, o, tbl)
+      DeltaLite.enableColumnMapping(s, tbl)
+      DeltaLite.setTableProperties(s, tbl, Map(
+        "delta.enableIcebergCompatV2" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg"))
+      def assertNoDv(stage: String): Unit = {
+        val snap = DeltaLite.snapshot(s, tbl)
+        require(snap.protocol.exists(_.writerFeatures
+            .exists(_.contains("icebergCompatV2"))),
+          s"q164 rig must ride the icebergCompatV2 feature ($stage)")
+        require(snap.dvs.isEmpty,
+          s"q164: UniForm table grew a deletion vector after $stage")
+      }
+      assertNoDv("enable")
+      DeltaLite.deleteWhere(s, tbl, col("o_custkey") % 5 === 0)
+      assertNoDv("delete")
+      val batch = DeltaLite.read(s, tbl)
+        .filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 500000L)
+        .persist()
+      DeltaLite.upsert(s, batch, tbl, Seq("o_orderkey"))
+      batch.unpersist()
+      assertNoDv("merge")
+      DeltaLite.read(s, tbl).select("o_orderkey", "o_custkey")
+    },
+
+    // MERGE-TIME IDENTITY ALLOCATION through the driver gate: a
+    // GENERATED ALWAYS id table takes two MERGEs — matched keys
+    // INHERIT their exact ids (closed form 100 + rank*10 from the
+    // ordered creation), new keys ALLOCATE past the advanced
+    // high-water mark (the first merge's conservative advance is part
+    // of the closed form: hwm grows by batch-size slots). The oracle
+    // restates every id arithmetic in SQL — an inherit that
+    // reallocated, a double-allocation, or a wrong mark advance
+    // hash-fails on sum_id.
+    QueryDef("q165_identity_merge",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |  FROM orders WHERE o_orderkey <= 1000
+        |), t0 AS (
+        |  SELECT o_orderkey, CAST(100 + rn * 10 AS BIGINT) AS id
+        |  FROM base
+        |), olds AS (
+        |  SELECT o_orderkey, id,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'merged' ELSE 'base' END
+        |      AS tag
+        |  FROM t0
+        |), consts AS (
+        |  SELECT MAX(id) AS hwm0,
+        |    SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS m1
+        |  FROM t0
+        |), newrows AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn2
+        |  FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1400
+        |), news AS (
+        |  SELECT n.o_orderkey,
+        |    CAST(c.hwm0 + c.m1 * 10 + 10 + n.rn2 * 10 AS BIGINT) AS id,
+        |    'new' AS tag
+        |  FROM newrows n CROSS JOIN consts c
+        |)
+        |SELECT tag, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM (SELECT * FROM olds UNION ALL SELECT * FROM news)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q165_idmerge").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"))
+      val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.identity.start", 100L)
+        .putLong("delta.identity.step", 10L)
+        .build()
+      DeltaLite.write(s, o.filter(col("o_orderkey") <= 1000)
+        .orderBy("o_orderkey")
+        .select(lit(null).cast("long").as("id", idMeta),
+          col("o_orderkey"), lit("base").as("tag")), tbl)
+      // merge 1: every batch key matches → pure INHERIT (ids keep);
+      // the mark still advances conservatively by the batch's slots
+      DeltaLite.upsert(s, o.filter(col("o_orderkey") <= 1000 &&
+          col("o_orderkey") % 5 === 0)
+        .select(lit(null).cast("long").as("id"), col("o_orderkey"),
+          lit("merged").as("tag")), tbl, Seq("o_orderkey"))
+      // merge 2: every key is new → pure ALLOCATION past the mark
+      DeltaLite.upsert(s, o.filter(col("o_orderkey") > 1000 &&
+          col("o_orderkey") <= 1400)
+        .select(lit(null).cast("long").as("id"), col("o_orderkey"),
+          lit("new").as("tag")), tbl, Seq("o_orderkey"))
+      DeltaLite.read(s, tbl)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), sum("id").cast("long").as("sum_id"),
+          sum("o_orderkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

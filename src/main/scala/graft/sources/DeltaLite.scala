@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, udf}
+import org.apache.spark.sql.functions.{coalesce, col, lit, udf}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Native Delta Lake SNAPSHOT reader — no delta-spark jar required.
@@ -893,8 +893,9 @@ object DeltaLite {
     * keep carrying field ids.
     */
   private def stampFieldIds(df: DataFrame,
-      fields: Array[StructField]): DataFrame =
-    df.select(fields.map { f =>
+      fields: Array[StructField],
+      extraCols: Seq[String] = Nil): DataFrame =
+    df.select((fields.map { f =>
       val c = col(physicalName(f))
       if (f.metadata.contains("delta.columnMapping.id"))
         c.as(physicalName(f),
@@ -902,7 +903,7 @@ object DeltaLite {
             .putLong("parquet.field.id",
               f.metadata.getLong("delta.columnMapping.id")).build())
       else c
-    }.toIndexedSeq: _*)
+    }.toSeq ++ extraCols.map(col)).toIndexedSeq: _*)
 
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -917,15 +918,16 @@ object DeltaLite {
     * via a positional cast to the physicalized type.
     */
   private def toPhysical(df: DataFrame,
-      schema: StructType): DataFrame =
-    df.select(schema.fields.map { f =>
+      schema: StructType,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    df.select((schema.fields.map { f =>
       val c = col(f.name).cast(physicalize(f.dataType))
       if (f.metadata.contains("delta.columnMapping.id"))
         c.as(physicalName(f), new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id",
             f.metadata.getLong("delta.columnMapping.id")).build())
       else c.as(physicalName(f))
-    }.toIndexedSeq: _*)
+    }.toSeq ++ extra).toIndexedSeq: _*)
 
   /** Assign fresh columnMapping metadata to every field (nested
     * included): ids startId+1.. in walk order. The physical name
@@ -1007,6 +1009,24 @@ object DeltaLite {
     // the residual filter still runs distributed — pruning only drops
     // files that PROVABLY hold no matching row
     where.map(base.filter).getOrElse(base)
+  }
+
+  /** The snapshot WITH each row's stable row-tracking identity:
+    * the logical columns plus `_row_id` / `_row_commit_version`,
+    * resolved per the spec as the file's MATERIALIZED column value
+    * when present (rewritten files carry one) else the add's
+    * coordinate default (`baseRowId + row_index` /
+    * `defaultRowCommitVersion`). This is the read surface that makes
+    * OPTIMIZE/MERGE id preservation observable — and what CDC
+    * consumers key on for stable-row joins.
+    */
+  def readWithRowIds(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, asOf)
+    require(rowTrackingActive(snap),
+      s"$tablePath does not run row tracking — no stable row ids exist")
+    scanFilesWithMeta(spark, tablePath, snap, snap.files,
+      withPos = false, rowIds = true).drop("__file")
   }
 
   /** Files that could hold rows matching `where` — driver-side data
@@ -1210,11 +1230,17 @@ object DeltaLite {
   }
 
   private def stageWithStats(spark: SparkSession, df: DataFrame,
-      root: Path, fs: FileSystem): Seq[(String, Long, String)] = {
+      root: Path, fs: FileSystem,
+      statsExclude: Set[String] = Set.empty)
+      : Seq[(String, Long, String)] = {
     val stage = new Path(root.toString + "_stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     df.write.mode("overwrite").parquet(stage.toString)
-    val eligible = df.schema.fields.filter(statsEligible).toSeq
+    // statsExclude: physical-only companion columns (materialized row
+    // ids) never surface in the log's stats JSON — they are not in the
+    // logical schema and would confuse foreign pruners
+    val eligible = df.schema.fields.filter(statsEligible)
+      .filterNot(f => statsExclude(f.name)).toSeq
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-")).toIndexedSeq
@@ -1222,12 +1248,16 @@ object DeltaLite {
     // round-trip per part file
     val footerStats = ParquetFooterStats.readAll(conf,
       parts.map(_.getPath), df.schema)
-    val moved = parts.map { st =>
-      val name = st.getPath.getName
-      require(fs.rename(st.getPath, new Path(root, name)),
-        s"staging move failed for $name")
-      (name, st.getLen, statsJsonFor(footerStats(st.getPath), eligible))
-    }
+    // an empty task's 0-row part file never becomes an add — an empty
+    // add is log noise every reader must still open and scan-plan for
+    // (and an all-dead copy-on-write rewrite must net to a bare remove)
+    val moved = parts.filter(st => footerStats(st.getPath).rows > 0L)
+      .map { st =>
+        val name = st.getPath.getName
+        require(fs.rename(st.getPath, new Path(root, name)),
+          s"staging move failed for $name")
+        (name, st.getLen, statsJsonFor(footerStats(st.getPath), eligible))
+      }
     fs.delete(stage, true)
     moved
   }
@@ -1243,7 +1273,8 @@ object DeltaLite {
     * the files). Returns (relPath, size, statsJson, partitionValues).
     */
   private def stagePartitionedWithStats(spark: SparkSession,
-      df: DataFrame, root: Path, fs: FileSystem, partCols: Seq[String])
+      df: DataFrame, root: Path, fs: FileSystem, partCols: Seq[String],
+      statsExclude: Set[String] = Set.empty)
       : Seq[(String, Long, String, Map[String, Option[String]])] = {
     partCols.foreach { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
@@ -1281,7 +1312,8 @@ object DeltaLite {
       .parquet(stage.toString)
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => partCols.contains(f.name)))
-    val eligible = dataSchema.fields.filter(statsEligible).toSeq
+    val eligible = dataSchema.fields.filter(statsEligible)
+      .filterNot(f => statsExclude(f.name)).toSeq
     val conf = spark.sparkContext.hadoopConfiguration
     val maxParts = spark.conf
       .getOption("graft.delta.maxPartitionsPerCommit")
@@ -1291,9 +1323,13 @@ object DeltaLite {
         if (s.isDirectory) leaves(s.getPath)
         else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
-    val files = leaves(stage)
+    val files0 = leaves(stage)
     val footerStats = ParquetFooterStats.readAll(conf,
-      files.map(_.getPath), dataSchema)
+      files0.map(_.getPath), dataSchema)
+    // 0-row part files never become adds (same contract as the
+    // unpartitioned staging) — partitionBy rarely writes them, but a
+    // hash-collision task that got only empty groups can
+    val files = files0.filter(st => footerStats(st.getPath).rows > 0L)
     val out = files.map { st =>
       // the dir chain between the stage root and the file, in spec
       // order (partitionBy writes them outermost-first)
@@ -1409,21 +1445,18 @@ object DeltaLite {
         "native writer; use the delta-spark jars for this table")
     // icebergCompatV2 (UniForm): appends are compat-legal — the
     // column-mapped staging already writes the parquet FIELD IDS the
-    // iceberg conversion resolves by — but row-level mutations here
-    // would add deletion vectors, which UniForm forbids (delta-spark
-    // requires purging them before enabling), so they refuse by name.
-    // The iceberg-side metadata lags until the next conversion, the
-    // same async contract delta-spark's own deferred sync has.
+    // iceberg conversion resolves by — and row-level mutations run
+    // COPY-ON-WRITE (UniForm forbids deletion vectors; delta-spark
+    // requires purging them before enabling): [[upsert]] already
+    // rewrites key-touched files wholesale, and [[deleteWhere]] routes
+    // to [[deleteCopyOnWrite]], so no graft mutation ever adds a DV to
+    // a compat table. The iceberg-side metadata lags until the next
+    // conversion, the same async contract delta-spark's own deferred
+    // sync has.
     if (feats.contains("icebergCompatV2")) {
       require(snap.columnMappingMode != "none",
         "icebergCompatV2 requires column mapping — this table's " +
           "metadata is inconsistent (no columnMapping mode set)")
-      if (dataChangeMutation)
-        throw new IllegalArgumentException(
-          s"icebergCompatV2 (UniForm) table refuses $operation — " +
-            "row-level mutations here write deletion vectors, which " +
-            "UniForm forbids; append natively or mutate with " +
-            "delta-spark")
     }
     if (dataChangeMutation &&
         snap.configuration.get("delta.appendOnly")
@@ -1465,9 +1498,18 @@ object DeltaLite {
     * WATER MARK, conservatively the furthest of (last allocatable slot,
     * provided extreme, prior mark) so a mixed batch can never
     * double-allocate later.
+    *
+    * The batch is PERSISTED for the duration: the explicit-value
+    * probe, count, extremes agg, and zipWithIndex numbering all read
+    * the SAME materialization — a nondeterministic source recomputed
+    * between passes could otherwise make the recorded mark disagree
+    * with the ids actually written (duplicate allocations later). The
+    * returned thunk unpersists; the caller invokes it AFTER staging
+    * consumes the filled rows.
     */
   private def applyIdentity(spark: SparkSession, df: DataFrame,
-      idFields: Seq[StructField]): (DataFrame, Map[String, Long]) = {
+      idFields: Seq[StructField], skipExplicitCheck: Boolean = false)
+      : (DataFrame, Map[String, Long], () => Unit) = {
     import org.apache.spark.sql.functions.{lit, max, min}
     idFields.foreach(f => require(f.dataType == LongType,
       s"identity column ${f.name} must be BIGINT (spec), " +
@@ -1476,17 +1518,22 @@ object DeltaLite {
     val withCols = idFields.foldLeft(df)((d, f) =>
       if (present(f.name)) d
       else d.withColumn(f.name, lit(null).cast(LongType)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release: () => Unit = () => { withCols.unpersist(); () }
     // explicit values (non-null) only where the spec allows them
-    idFields.filter(f => present(f.name)).foreach { f =>
-      val (_, _, _, allow) = identityInfo(f)
-      if (!allow)
-        require(withCols.filter(col(f.name).isNotNull).isEmpty,
-          s"identity column ${f.name} is GENERATED ALWAYS " +
-            "(allowExplicitInsert=false) — omit the column or pass " +
-            "null to allocate")
-    }
+    // (skipExplicitCheck: MERGE validated the RAW batch before
+    // injecting inherited ids, which are non-null by design)
+    if (!skipExplicitCheck)
+      idFields.filter(f => present(f.name)).foreach { f =>
+        val (_, _, _, allow) = identityInfo(f)
+        if (!allow)
+          require(withCols.filter(col(f.name).isNotNull).isEmpty,
+            s"identity column ${f.name} is GENERATED ALWAYS " +
+              "(allowExplicitInsert=false) — omit the column or pass " +
+              "null to allocate")
+      }
     val n = withCols.count()
-    if (n == 0L) return (withCols, Map.empty)
+    if (n == 0L) return (withCols, Map.empty, release)
     val bases: Map[String, (Long, Long)] = idFields.map { f =>
       val (start, step, hwm, _) = identityInfo(f)
       f.name -> (hwm.map(_ + step).getOrElse(start), step)
@@ -1529,7 +1576,7 @@ object DeltaLite {
         providedExt.getOrElse(f.name, None) ++ priorHwm)
       f.name -> (if (step > 0) far.max else far.min)
     }.toMap
-    (filled, hwms)
+    (filled, hwms, release)
   }
 
   /** Fields carrying the spec's `delta.generationExpression` metadata
@@ -1834,6 +1881,15 @@ object DeltaLite {
   private def rowTrackingActive(snap: Snapshot): Boolean =
     snap.protocol.exists(_.writerFeatures.exists(_.contains("rowTracking")))
 
+  /** Whether the table carries the `icebergCompatV2` (UniForm) writer
+    * feature — deletion vectors are forbidden on compat tables, so
+    * row-level deletes run COPY-ON-WRITE ([[deleteCopyOnWrite]])
+    * instead of merge-on-read.
+    */
+  private def uniformEnabled(snap: Snapshot): Boolean =
+    snap.protocol.exists(_.writerFeatures
+      .exists(_.contains("icebergCompatV2")))
+
   /** The `delta.rowTracking` domain's rowIdHighWaterMark (-1 = no rows
     * ever allocated — the spec's initial state).
     */
@@ -1850,6 +1906,23 @@ object DeltaLite {
     s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
       s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
       s""""removed":false}}"""
+
+  /** The MATERIALIZED row-id / row-commit-version column names the
+    * table configuration records (spec: the first id-materializing
+    * rewrite generates them; they are PHYSICAL-ONLY companion columns,
+    * never part of the logical schema). A row's stable id resolves as
+    * `coalesce(materialized, add.baseRowId + row_index)` and its
+    * commit version as `coalesce(materialized,
+    * add.defaultRowCommitVersion)` — exactly how [[readWithRowIds]]
+    * and the rewrite paths compute them.
+    */
+  private def materializedRowIdCols(conf: Map[String, String])
+      : Option[(String, String)] =
+    for {
+      i <- conf.get("delta.rowTracking.materializedRowIdColumnName")
+      v <- conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName")
+    } yield (i, v)
 
   /** LIQUID CLUSTERING columns from the `delta.clustering` domain
     * (the `clustering` writer feature). Appends are legal UNCLUSTERED
@@ -1887,7 +1960,7 @@ object DeltaLite {
     */
   private def scanFilesWithMeta(spark: SparkSession, tablePath: String,
       snap: Snapshot, files: Map[String, Map[String, Option[String]]],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, rowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
@@ -1895,9 +1968,38 @@ object DeltaLite {
     val mapped = snap.columnMappingMode != "none"
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-    val readSchema =
+    // rowIds: also surface each row's STABLE id/commit-version as
+    // `_row_id`/`_row_commit_version` — materialized column when the
+    // file carries one, else add-coordinate default (base + row_index)
+    val matCols: Option[(String, String)] =
+      if (rowIds) materializedRowIdCols(snap.configuration) else None
+    val readSchema0 =
       if (mapped) StructType(dataFields.map(physicalField))
       else StructType(dataFields)
+    val readSchema = matCols match {
+      case Some((mi, mv)) => StructType(readSchema0.fields ++ Seq(
+        StructField(mi, org.apache.spark.sql.types.LongType,
+          nullable = true),
+        StructField(mv, org.apache.spark.sql.types.LongType,
+          nullable = true)))
+      case None => readSchema0
+    }
+    val ridLookup: Option[org.apache.spark.sql.expressions
+        .UserDefinedFunction] =
+      if (!rowIds) None
+      else {
+        val m = files.keysIterator.flatMap(p =>
+          snap.rowIds.get(p).map(bd => encodedPathKey(abs(p)) -> bd)).toMap
+        val bc = spark.sparkContext.broadcast(m)
+        Some(udf((path: String, idx: Long, want: Int) =>
+          bc.value.get(IcebergLite.normalizePathStr(path)) match {
+            case Some((b, d)) => if (want == 0) b + idx else d
+            case None => throw new IllegalStateException(
+              s"file $path has no row-tracking coordinates and no " +
+                "materialized id — the table's row tracking is not " +
+                "backfilled for it")
+          }))
+      }
     if (snap.columnMappingMode == "id")
       verifyFieldIds(spark, files.keysIterator.map(abs).toSeq, dataFields)
     val partFields = snap.partitionColumns.map(c =>
@@ -1923,7 +2025,21 @@ object DeltaLite {
           }))
       }
     val metaCols = Seq(col("_metadata.file_path").as("__file")) ++
-      (if (withPos) Seq(col("_metadata.row_index").as("__i")) else Nil)
+      (if (withPos) Seq(col("_metadata.row_index").as("__i")) else Nil) ++
+      (ridLookup match {
+        case Some(look) =>
+          val matId = matCols.map { case (mi, _) => col(mi) }
+            .getOrElse(lit(null).cast("long"))
+          val matVer = matCols.map { case (_, mv) => col(mv) }
+            .getOrElse(lit(null).cast("long"))
+          Seq(
+            coalesce(matId, look(col("_metadata.file_path"),
+              col("_metadata.row_index"), lit(0))).as("_row_id"),
+            coalesce(matVer, look(col("_metadata.file_path"),
+              col("_metadata.row_index"), lit(1)))
+              .as("_row_commit_version"))
+        case None => Nil
+      })
     def project(base: DataFrame): DataFrame =
       if (mapped) base.select((dataFields.map(f =>
           col(physicalName(f)).cast(f.dataType).as(f.name)) ++ metaCols)
@@ -1931,7 +2047,8 @@ object DeltaLite {
       else base.select((dataFields.map(f => col(f.name)) ++ metaCols)
         .toIndexedSeq: _*)
     val outCols = (snap.schema.fieldNames.toSeq :+ "__file") ++
-      (if (withPos) Seq("__i") else Nil)
+      (if (withPos) Seq("__i") else Nil) ++
+      (if (rowIds) Seq("_row_id", "_row_commit_version") else Nil)
     val groups = files.toSeq.groupBy(_._2).toSeq
     val unionCap = spark.conf
       .getOption("graft.delta.partitionUnionLimit")
@@ -2077,6 +2194,10 @@ object DeltaLite {
     // table scans only the matching partitions)
     val candFiles = pruneFiles(snap, cond)
     if (candFiles.isEmpty) return snap.version
+    // UniForm forbids deletion vectors — route to the copy-on-write
+    // rewrite (touched files rebuilt without the matched rows)
+    if (uniformEnabled(snap))
+      return deleteCopyOnWrite(spark, tablePath, snap, cond, candFiles)
     // matching (file, row_index); existing-DV rows may re-match — the
     // per-file union below dedups them. Partitioned tables scan per
     // partition group with the typed partition LITERALS injected (the
@@ -2192,7 +2313,8 @@ object DeltaLite {
       val ridEsc = snap.rowIds.get(p).map { case (b, d) =>
         s""","baseRowId":$b,"defaultRowCommitVersion":$d"""
       }.getOrElse("")
-      lines += s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,"dataChange":true}}"""
+      lines += s"""{"remove":{"path":$pEsc,""" +
+        s""""deletionTimestamp":${System.currentTimeMillis},"dataChange":true}}"""
       lines += (s"""{"add":{"path":$pEsc,"partitionValues":$pvNode,""" +
         s""""size":$fsz,""" +
         s""""modificationTime":$now,"dataChange":true$stEsc$ridEsc,""" +
@@ -2232,6 +2354,97 @@ object DeltaLite {
       dataChangeMutation = true)
   }
 
+  /** COPY-ON-WRITE DELETE for tables that forbid deletion vectors
+    * (UniForm / icebergCompatV2): the files holding matched rows are
+    * rewritten WITHOUT those rows and the commit is remove+add —
+    * delta-spark's own pre-DV delete shape, and the one UniForm's
+    * iceberg conversion can represent (iceberg data files, no DV
+    * sidecars). A fully-dead file simply gets no replacement add.
+    * Cost is proportional to the TOUCHED files' bytes, not the table:
+    * partition/stats pruning bounds the candidate set exactly like the
+    * DV path, and the rewrite is one distributed scan + stage.
+    */
+  private def deleteCopyOnWrite(spark: SparkSession, tablePath: String,
+      snap: Snapshot, cond: org.apache.spark.sql.Column,
+      candFiles: Map[String, Map[String, Option[String]]]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    // same contract as MERGE: a rewrite on a row-tracked table must
+    // materialize stable row ids first
+    require(!rowTrackingActive(snap),
+      s"$tablePath runs row tracking — copy-on-write DELETE rewrites " +
+        "files and must materialize row ids (delta-spark)")
+    val relByPath: Map[String, String] =
+      candFiles.keys.map(p => encodedPathKey(abs(p)) -> p).toMap
+    val cdf = cdfEnabled(snap)
+    val matched = scanFilesWithMeta(spark, tablePath, snap, candFiles,
+      withPos = false).filter(cond)
+    if (cdf) matched.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched: Set[String] = matched.select("__file").distinct()
+      .collect().map { row =>
+        val norm = IcebergLite.normalizePathStr(row.getString(0))
+        relByPath.getOrElse(norm, throw new IllegalStateException(
+          s"delete scan returned unmapped file ${row.getString(0)}"))
+      }.toSet
+    if (touched.isEmpty) {
+      if (cdf) matched.unpersist()
+      return snap.version
+    }
+    // survivors: rows of the touched files where cond is NOT true
+    // (false or NULL — SQL DELETE only removes rows the predicate
+    // affirmatively matches)
+    val retained = scanFilesWithMeta(spark, tablePath, snap,
+      snap.files.filter(kv => touched.contains(kv._1)), withPos = false)
+      .filter(not(coalesce(cond, lit(false))))
+      .drop("__file")
+    val mapped = snap.columnMappingMode != "none"
+    val outStaged = if (mapped) toPhysical(retained, snap.schema)
+      else retained
+    val partFields = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the Delta schema")))
+    val stagePartCols =
+      if (mapped) partFields.map(physicalName) else snap.partitionColumns
+    // staging drops 0-row part files, so an all-dead rewrite nets to a
+    // bare remove (the spec shape) with no empty add
+    val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
+      if (snap.partitionColumns.isEmpty)
+        stageWithStats(spark, outStaged, root, fs).map { case (n, sz, st) =>
+          (n, sz, st, Map.empty[String, Option[String]])
+        }
+      else stagePartitionedWithStats(spark, outStaged, root, fs,
+        stagePartCols)
+    val now = 1L
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("DELETE", Map("mode" -> "copyOnWrite"),
+      now, if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap)) else None)
+    touched.toSeq.sorted.foreach(p =>
+      lines += removeAction(rawPath(snap, p), now))
+    moved.foreach { case (name, size, st, pvv) =>
+      lines += addAction(name, size, st, now, pvv)
+    }
+    if (cdf) {
+      val cdcRows0 = matched.drop("__file")
+        .withColumn("_change_type", lit("delete"))
+      val cdcRows = if (mapped) toPhysicalCdc(cdcRows0, snap.schema)
+        else cdcRows0
+      stageCdcFiles(spark, cdcRows, root, fs, stagePartCols).foreach {
+        case (rel, sz, pv) => lines += cdcAction(rel, sz, pv, now)
+      }
+      matched.unpersist()
+      ()
+    }
+    commitWithRetry(fs, logDir, tablePath, snap.version + 1,
+      lines.toSeq, ourRemoves = touched, dataChangeMutation = true)
+  }
+
   /** OPTIMIZE (bin-packing compaction) + DV PURGE: rewrites, per
     * partition tuple, (a) every file carrying a live deletion vector —
     * the rewrite APPLIES the bitmap and DROPS the DV (delta-spark's
@@ -2251,12 +2464,20 @@ object DeltaLite {
     val snap = snapshot(spark, tablePath)
     // dataChange:false rewrite — allowed on appendOnly tables
     checkWriterProtocol(snap, dataChangeMutation = false, "OPTIMIZE")
-    // rewriting a row-tracked file without materializing its stable
-    // row ids would silently break them for downstream consumers
-    require(!rowTrackingActive(snap),
-      s"$tablePath runs row tracking — OPTIMIZE must materialize row " +
-        "ids into the rewritten files (delta-spark REORG); appends, DV " +
-        "deletes, restore, and clone work natively")
+    // ROW TRACKING: rewrites MATERIALIZE each surviving row's stable
+    // (id, commit version) into the new files' materialized columns
+    // (the spec's REORG contract), so ids survive the rewrite even
+    // though positions change; the column names are minted into the
+    // configuration on first use
+    val rowTracked = rowTrackingActive(snap)
+    val mintedMatCols = rowTracked &&
+      materializedRowIdCols(snap.configuration).isEmpty
+    val (matIdCol, matVerCol) =
+      if (!rowTracked) ("", "")
+      else materializedRowIdCols(snap.configuration).getOrElse {
+        val sfx = java.util.UUID.randomUUID.toString.take(8)
+        (s"_row-id-col-$sfx", s"_row-commit-version-col-$sfx")
+      }
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -2328,9 +2549,52 @@ object DeltaLite {
       now, if (ictEnabled(snap))
         Some(nextIct(fs, new Path(tablePath, "_delta_log"), snap))
       else None)
+    // the commit that first materializes row ids also RECORDS the
+    // minted column names — without them no reader could resolve the
+    // materialized values back to ids
+    if (mintedMatCols)
+      lines += metaDataAction(snap.tableId, snap.schema,
+        snap.partitionColumns, snap.configuration ++ Map(
+          "delta.rowTracking.materializedRowIdColumnName" -> matIdCol,
+          "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            matVerCol), now)
+    // per-file (baseRowId, defaultRowCommitVersion) for default-id rows
+    val ridLook =
+      if (!rowTracked) None
+      else {
+        val m = rewriteByTuple.values.flatten.flatMap(p =>
+          snap.rowIds.get(p).map(bd => encodedPathKey(abs(p)) -> bd)).toMap
+        val bc = spark.sparkContext.broadcast(m)
+        Some(udf((path: String, idx: Long, want: Int) =>
+          bc.value.get(IcebergLite.normalizePathStr(path)) match {
+            case Some((b, d)) => if (want == 0) b + idx else d
+            case None => throw new IllegalStateException(
+              s"file $path has no row-tracking coordinates and no " +
+                "materialized id — cannot rewrite without losing ids")
+          }))
+      }
+    val readSchemaC =
+      if (!rowTracked) dataSchema
+      else StructType(dataSchema.fields ++ Seq(
+        StructField(matIdCol, LongType, nullable = true),
+        StructField(matVerCol, LongType, nullable = true)))
+    var nextRid = if (rowTracked) rowIdHighWaterMark(snap) + 1 else 0L
+    val newVersion = snap.version + 1
     rewriteByTuple.foreach { case (pv, paths) =>
-      val scanned = spark.read.schema(dataSchema)
+      val scanned0 = spark.read.schema(readSchemaC)
         .parquet(paths.map(abs): _*)
+      // stable ids resolve BEFORE the shuffle, while _metadata is
+      // still in scope: materialized value wins, else base + position
+      val scanned = ridLook match {
+        case Some(look) => scanned0
+          .withColumn(matIdCol, coalesce(col(matIdCol),
+            look(col("_metadata.file_path"),
+              col("_metadata.row_index"), lit(0))))
+          .withColumn(matVerCol, coalesce(col(matVerCol),
+            look(col("_metadata.file_path"),
+              col("_metadata.row_index"), lit(1))))
+        case None => scanned0
+      }
       val alive = keepRow match {
         case Some(keep) if paths.exists(snap.dvs.contains) =>
           scanned.filter(keep(col("_metadata.file_path"),
@@ -2363,8 +2627,11 @@ object DeltaLite {
         }
       val packed =
         if (snap.columnMappingMode == "none") packed0
-        else stampFieldIds(packed0, dataFieldsC)
-      val moved = stageWithStats(spark, packed, root, fs)
+        else stampFieldIds(packed0, dataFieldsC,
+          extraCols = if (rowTracked) Seq(matIdCol, matVerCol) else Nil)
+      val moved = stageWithStats(spark, packed, root, fs,
+        statsExclude =
+          if (rowTracked) Set(matIdCol, matVerCol) else Set.empty)
       paths.foreach(p =>
         lines += removeAction(rawPath(snap, p), now, dataChange = false))
       moved.foreach { case (name, size, st) =>
@@ -2372,10 +2639,23 @@ object DeltaLite {
         val rows = try mapper.readTree(st).get("numRecords").asLong
           catch { case _: Exception => -1L }
         if (rows == 0L) fs.delete(new Path(root, name), false)
-        else lines += addAction(name, size, st, now, pv,
-          dataChange = false)
+        else {
+          // spec: every add on a row-tracked table carries coordinates
+          // (fresh range past the mark — the materialized values are
+          // what actually resolve for these rows)
+          val rid = if (!rowTracked) None else {
+            val base = nextRid
+            nextRid += rows
+            Some((base, newVersion))
+          }
+          lines += addAction(name, size, st, now, pv,
+            dataChange = false, rowId = rid)
+        }
       }
     }
+    // the domain's high-water mark advances with the fresh ranges (and
+    // pins the commit single-attempt — no rebase can double-allocate)
+    if (rowTracked) lines += rowTrackingDomainAction(nextRid - 1)
     // dataChange:false rewrite — rebases over concurrent appends (the
     // streaming-sink-vs-maintenance-compact race: both commit)
     commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
@@ -2660,11 +2940,18 @@ object DeltaLite {
   /** A remove action for an already-committed file: `rawP` is the
     * file's VERBATIM action-path string ([[rawPath]]) — never
     * re-encoded, so foreign raw-string replayers cancel the add.
+    * `deletionTimestamp` is REAL wall-clock, not the deterministic
+    * `now = 1L` the other action fields use: the spec defines it as
+    * the moment the file became unreferenced, and both graft's and
+    * delta-spark's VACUUM measure the retention window from it — a
+    * sentinel would make every tombstone look decades expired and
+    * defeat the time-travel/restore safety window on either engine.
     */
   private def removeAction(rawP: String, now: Long,
       dataChange: Boolean = true): String = {
     val pEsc = mapper.writeValueAsString(rawP)
-    s"""{"remove":{"path":$pEsc,"deletionTimestamp":$now,""" +
+    val ts = if (now > 1000000000000L) now else System.currentTimeMillis
+    s"""{"remove":{"path":$pEsc,"deletionTimestamp":$ts,""" +
       s""""dataChange":$dataChange}}"""
   }
 
@@ -2814,10 +3101,11 @@ object DeltaLite {
     // schema checks see a complete batch
     val idFields = existing.map(s => identityColumns(s.schema))
       .getOrElse(identityColumns(dfIn.schema))
-    val (df, idHwm) =
-      if (idFields.isEmpty) (dfIn, Map.empty[String, Long])
+    val (df, idHwm, idRelease) =
+      if (idFields.isEmpty)
+        (dfIn, Map.empty[String, Long], () => ())
       else {
-        val (filled, h) = applyIdentity(spark, dfIn, idFields)
+        val (filled, h, rel) = applyIdentity(spark, dfIn, idFields)
         // a fill appends the column — restore the TABLE's column order
         val ordered = existing match {
           case Some(s)
@@ -2825,7 +3113,7 @@ object DeltaLite {
             filled.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
           case _ => filled
         }
-        (ordered, h)
+        (ordered, h, rel)
       }
     val genCols = existing.map(s => generatedColumns(s.schema))
       .getOrElse(generatedColumns(df.schema))
@@ -2960,6 +3248,8 @@ object DeltaLite {
           .map { case (n, sz, st) => (n, sz, st, Map.empty[String, Option[String]]) }
       else stagePartitionedWithStats(spark, stagedDf, root, fs,
         stagePartCols)
+    // staging consumed the identity-filled rows — the pinned batch can go
+    idRelease()
     val version = existing.map(_.version + 1).getOrElse(0L)
     val now = 1L // deterministic timestamps (repo convention)
     // in-commit timestamps: stamped past the head's clock on ICT
@@ -3295,19 +3585,27 @@ object DeltaLite {
     }
     val snap = snapshot(spark, tablePath)
     checkWriterProtocol(snap, dataChangeMutation = true, "MERGE")
-    // merge-time identity allocation (matched rows keep their ids, new
-    // rows allocate) needs the connector's merge machinery — refuse
-    // rather than silently duplicate or drop ids
-    require(identityColumns(snap.schema).isEmpty,
-      s"$tablePath carries identity columns — MERGE needs merge-time " +
-        "allocation (delta-spark); append through write(), which " +
-        "allocates and advances the high-water mark")
-    // MERGE rewrites touched files — on a row-tracked table that needs
-    // materialized row ids (same contract as OPTIMIZE)
-    require(!rowTrackingActive(snap),
-      s"$tablePath runs row tracking — MERGE rewrites files and must " +
-        "materialize row ids (delta-spark); appends, DV deletes " +
-        "(deleteWhere), restore, and clone work natively")
+    // MERGE-TIME IDENTITY ALLOCATION: a null identity cell INHERITS
+    // the matched row's id (an update never reassigns identity) and
+    // ALLOCATES past the high-water mark for a brand-new key; the
+    // commit's metaData restates the advanced mark. GENERATED ALWAYS
+    // columns refuse explicit batch values (pass null), so an id can
+    // never be forged or duplicated through MERGE.
+    val idFieldsM = identityColumns(snap.schema)
+    // ROW TRACKING through MERGE: retained rows of the rewritten files
+    // keep their exact (id, commit version) MATERIALIZED into the new
+    // files; replaced keys INHERIT the old row's stable id (an update
+    // preserves identity, its commit version defaults to this commit);
+    // brand-new keys resolve from the add's fresh coordinate range.
+    val rowTracked = rowTrackingActive(snap)
+    val mintedMatCols = rowTracked &&
+      materializedRowIdCols(snap.configuration).isEmpty
+    val (matIdCol, matVerCol) =
+      if (!rowTracked) ("", "")
+      else materializedRowIdCols(snap.configuration).getOrElse {
+        val sfx = java.util.UUID.randomUUID.toString.take(8)
+        (s"_row-id-col-$sfx", s"_row-commit-version-col-$sfx")
+      }
     txn.foreach { case (appId, v) =>
       if (snap.txns.get(appId).exists(_ >= v)) {
         allKeysDf.unpersist(); return snap.version
@@ -3350,8 +3648,10 @@ object DeltaLite {
         throw new IllegalArgumentException(
           s"partition column $c missing from the Delta schema")))
     def groupScan(
-        files: Map[String, Map[String, Option[String]]]): DataFrame =
-      scanFilesWithMeta(spark, tablePath, snap, files, withPos = false)
+        files: Map[String, Map[String, Option[String]]],
+        withIds: Boolean = false): DataFrame =
+      scanFilesWithMeta(spark, tablePath, snap, files, withPos = false,
+        rowIds = withIds)
 
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
@@ -3367,40 +3667,146 @@ object DeltaLite {
     // rewrite = retained rows of the touched files (neither replaced
     // nor deleted) + the whole batch (rows with brand-new keys land in
     // the same new files)
-    val out =
-      if (touched.isEmpty) batch.select(snap.schema.fieldNames.map(col)
-        .toIndexedSeq: _*)
+    val dataColsSel = snap.schema.fieldNames.map(col).toIndexedSeq
+    val idColsSel = Seq(col("_row_id"), col("_row_commit_version"))
+    val touchedRowsOpt: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some(groupScan(
+        snap.files.filter(kv => touched.contains(kv._1)),
+        withIds = rowTracked).drop("__file"))
+    // IDENTITY through MERGE: null cells inherit the matched row's id,
+    // brand-new keys allocate past the mark ([[applyIdentity]] on the
+    // inherit-joined batch — one persisted evaluation)
+    val (batchF, idHwm, idRelease) =
+      if (idFieldsM.isEmpty)
+        (batch.select(dataColsSel: _*), Map.empty[String, Long],
+          () => ())
       else {
-        val touchedRows = groupScan(
-          snap.files.filter(kv => touched.contains(kv._1)))
-          .drop("__file")
-        touchedRows
-          .join(allKeysDf, keyCols, "left_anti")
-          .unionByName(batch)
-          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+        val b0 = batch.select(dataColsSel: _*)
+        idFieldsM.foreach { f =>
+          val (_, _, _, allow) = identityInfo(f)
+          if (!allow)
+            require(b0.filter(col(f.name).isNotNull).isEmpty,
+              s"identity column ${f.name} is GENERATED ALWAYS " +
+                "(allowExplicitInsert=false) — pass null: matched " +
+                "keys inherit their id, new keys allocate")
+        }
+        val inherited = touchedRowsOpt match {
+          case Some(tr) =>
+            import org.apache.spark.sql.functions.min
+            val aggs = idFieldsM.map(f =>
+              min(col(f.name)).as(s"__old_${f.name}"))
+            val oldIds = tr.groupBy(keyCols.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+            idFieldsM.foldLeft(b0.join(oldIds, keyCols, "left")) {
+              (d, f) => d.withColumn(f.name,
+                coalesce(col(f.name), col(s"__old_${f.name}")))
+            }.select(dataColsSel: _*)
+          case None => b0
+        }
+        applyIdentity(spark, inherited, idFieldsM,
+          skipExplicitCheck = true)
       }
-    val outStaged = if (mapped) toPhysical(out, snap.schema) else out
+    val out =
+      if (!rowTracked) {
+        touchedRowsOpt match {
+          case None => batchF
+          case Some(touchedRows) =>
+            touchedRows
+              .join(allKeysDf, keyCols, "left_anti")
+              .unionByName(batchF)
+              .select(dataColsSel: _*)
+        }
+      } else {
+        // row-tracked rewrite rides explicit identity columns: retained
+        // rows keep (id, ver) verbatim; replaced keys inherit the old
+        // id with a NULL version (defaults to this commit — an update
+        // bumps the version, never the id); fresh keys carry NULL id
+        // (defaults to the add's fresh coordinate range)
+        touchedRowsOpt match {
+          case None =>
+            batchF
+              .withColumn("_row_id", lit(null).cast("long"))
+              .withColumn("_row_commit_version", lit(null).cast("long"))
+          case Some(touchedRows) =>
+            val retained = touchedRows
+              .join(allKeysDf, keyCols, "left_anti")
+              .select(dataColsSel ++ idColsSel: _*)
+            // deterministic inherit under (foreign) duplicate keys
+            val oldIds = touchedRows
+              .groupBy(keyCols.map(col): _*)
+              .agg(org.apache.spark.sql.functions.min(col("_row_id"))
+                .as("_row_id"))
+            val batchWithIds = batchF
+              .join(oldIds, keyCols, "left")
+              .withColumn("_row_commit_version", lit(null).cast("long"))
+              .select(dataColsSel ++ idColsSel: _*)
+            retained.unionByName(batchWithIds)
+        }
+      }
+    val idExtra =
+      if (!rowTracked) Nil
+      else Seq(col("_row_id").as(matIdCol),
+        col("_row_commit_version").as(matVerCol))
+    val statsExcl: Set[String] =
+      if (rowTracked) Set(matIdCol, matVerCol) else Set.empty
+    val outStaged =
+      if (mapped) toPhysical(out, snap.schema, extra = idExtra)
+      else if (rowTracked) out.select(dataColsSel ++ idExtra: _*)
+      else out
     val stagePartColsU =
       if (mapped) partFieldsU.map(physicalName) else snap.partitionColumns
     val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
       if (snap.partitionColumns.isEmpty)
-        stageWithStats(spark, outStaged, root, fs).map { case (n, sz, st) =>
-          (n, sz, st, Map.empty[String, Option[String]])
-        }
+        stageWithStats(spark, outStaged, root, fs, statsExcl)
+          .map { case (n, sz, st) =>
+            (n, sz, st, Map.empty[String, Option[String]])
+          }
       else stagePartitionedWithStats(spark, outStaged, root, fs,
-        stagePartColsU)
+        stagePartColsU, statsExcl)
     val now = 1L
     val version = snap.version + 1
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("MERGE",
       Map("matchedPredicates" -> keyCols.mkString(",")), now,
       if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap)) else None)
+    // one metaData restatement covers both metadata advances this
+    // commit can make: minted materialized-row-id column names and/or
+    // the identity columns' new high-water marks
+    if (mintedMatCols || idHwm.nonEmpty) {
+      val schemaOut =
+        if (idHwm.isEmpty) snap.schema
+        else StructType(snap.schema.fields.map(f =>
+          idHwm.get(f.name) match {
+            case Some(h) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.identity.highWaterMark", h).build())
+            case None => f
+          }))
+      val confOut = snap.configuration ++
+        (if (mintedMatCols) Map(
+          "delta.rowTracking.materializedRowIdColumnName" -> matIdCol,
+          "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            matVerCol)
+        else Map.empty)
+      lines += metaDataAction(snap.tableId, schemaOut,
+        snap.partitionColumns, confOut, now)
+    }
     txn.foreach { case (appId, v) => lines += txnAction(appId, v, now) }
     touched.toSeq.sorted.foreach(p =>
       lines += removeAction(rawPath(snap, p), now))
+    var nextRid = if (rowTracked) rowIdHighWaterMark(snap) + 1 else 0L
     moved.foreach { case (name, size, st, pvv) =>
-      lines += addAction(name, size, st, now, pvv)
+      val rid = if (!rowTracked) None else {
+        val rows = Option(mapper.readTree(st).get("numRecords"))
+          .map(_.asLong).getOrElse(0L)
+        val b = nextRid; nextRid += rows
+        Some((b, version))
+      }
+      lines += addAction(name, size, st, now, pvv, rowId = rid)
     }
+    if (rowTracked) lines += rowTrackingDomainAction(nextRid - 1)
     // CHANGE DATA FEED: exact per-row MERGE effects as `cdc` files —
     // update_preimage/update_postimage for replaced keys, insert for
     // brand-new keys, delete for deleteKeys matches. Key-level
@@ -3408,7 +3814,8 @@ object DeltaLite {
     // files' rows (CDF materializes changes by definition).
     if (cdfEnabled(snap)) {
       val dataCols = snap.schema.fieldNames.map(col).toIndexedSeq
-      val batchSel = batch.select(dataCols: _*)
+      // identity-filled batch — cdc images carry the ids actually written
+      val batchSel = batchF.select(dataCols: _*)
       val oldImages =
         if (touched.isEmpty) None
         else Some(groupScan(snap.files.filter(kv =>
@@ -3438,6 +3845,7 @@ object DeltaLite {
     }
     val committed = commitWithRetry(fs, logDir, tablePath, version,
       lines.toSeq, ourRemoves = touched, dataChangeMutation = true)
+    idRelease()
     allKeysDf.unpersist()
     committed
   }
@@ -3511,6 +3919,11 @@ object DeltaLite {
     *    `delta.inCommitTimestampEnablement{Version,Timestamp}` pair is
     *    stamped so mixed-clock time travel stays well-defined (commits
     *    before the enablement version resolve by their legacy clocks);
+    *  - `delta.enableIcebergCompatV2=true` (UniForm): the protocol
+    *    gains the `icebergCompatV2` writer feature — requires column
+    *    mapping already on and a DV-free table (delta-spark's
+    *    enablement preconditions); mutations thereafter run
+    *    copy-on-write ([[deleteCopyOnWrite]], [[upsert]]);
     *  - anything else (`delta.appendOnly`, user properties) restates
     *    verbatim.
     *
@@ -3559,17 +3972,33 @@ object DeltaLite {
       else Map.empty)
     val curFeats = p.writerFeatures
       .getOrElse(impliedWriterFeatures(p.minWriterVersion)).toSet
+    // UniForm enablement (delta-spark's ALTER path): requires column
+    // mapping to already be on (the compat contract — parquet field
+    // ids come from the mapped staging) and a DV-free table (compat
+    // forbids them; delta-spark demands a REORG PURGE first)
+    val uniformNewlyOn = props.get("delta.enableIcebergCompatV2")
+      .exists(_.equalsIgnoreCase("true")) && !uniformEnabled(snap)
+    if (uniformNewlyOn) {
+      require(snap.columnMappingMode != "none",
+        "icebergCompatV2 requires column mapping — run " +
+          "enableColumnMapping first")
+      require(snap.dvs.isEmpty,
+        "icebergCompatV2 forbids deletion vectors — purge them first " +
+          "(compact applies and drops DVs)")
+    }
     val needed =
       (if (newConstraints.nonEmpty) Seq("checkConstraints") else Nil) ++
       (if (props.get("delta.enableChangeDataFeed")
           .exists(_.equalsIgnoreCase("true"))) Seq("changeDataFeed")
        else Nil) ++
-      (if (ictNewlyOn) Seq("inCommitTimestamp") else Nil)
+      (if (ictNewlyOn) Seq("inCommitTimestamp") else Nil) ++
+      (if (uniformNewlyOn) Seq("icebergCompatV2") else Nil)
     val missing = needed.filterNot(curFeats)
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("SET TBLPROPERTIES", props, now, ict)
     if (missing.nonEmpty) {
       if (missing.contains("inCommitTimestamp") ||
+          missing.contains("icebergCompatV2") ||
           p.writerFeatures.nonEmpty || p.minReaderVersion >= 3) {
         // features form is EXHAUSTIVE: restate everything current plus
         // the new features; reader side unchanged
@@ -4155,11 +4584,24 @@ object DeltaLite {
     * `retainMillis` wins, else the table's
     * `delta.deletedFileRetentionDuration` interval, else 0 (the
     * historical immediate-sweep trade, documented: version-pinned
-    * reads needing a vacuumed file stop working). The sweep walks the
+    * reads needing a vacuumed file stop working). Retention is measured
+    * from when the file became UNREFERENCED — the remove action's
+    * `deletionTimestamp`, which the eligibility scan collects from the
+    * surviving commit JSONs (delta-spark's VACUUM contract) — NOT from
+    * the file's own mtime: a file written 30 days ago but removed by an
+    * overwrite 5 minutes ago must survive a 7-day window so restore()
+    * and time travel keep working. Orphaned deletion-vector files are
+    * tombstoned the same way (a remove carrying a DV descriptor, or a
+    * re-add that swaps descriptors, marks the old DV file at that
+    * commit's time). Files with no surviving tombstone (their remove
+    * commit was already log-cleaned, or a foreign checkpoint dropped
+    * expired tombstones) fall back to modification time — by then the
+    * remove itself is older than any sane window. The sweep walks the
     * table tree (skipping `_delta_log/`) and compares snapshot-relative
     * paths, so partition-dir layouts from foreign writers vacuum
-    * correctly too. Driver-side over the file listing — O(#files)
-    * metadata work, no data reads. Returns the number of files deleted.
+    * correctly too. Driver-side over the file listing — O(#files +
+    * log size) metadata work, no data reads. Returns the number of
+    * files deleted.
     */
   def vacuum(spark: SparkSession, tablePath: String,
       retainMillis: Option[Long] = None): Int = {
@@ -4177,6 +4619,68 @@ object DeltaLite {
         .map(parseInterval))
       .getOrElse(0L)
     val cutoff = System.currentTimeMillis - retain
+    // tombstones: relative path → when it became unreferenced. Replay
+    // the surviving commit JSONs in version order, tracking each data
+    // path's remove deletionTimestamp and each DV file's orphaning
+    // moment (its data file removed, or re-added with a different
+    // descriptor). Version order matters: a path removed then re-added
+    // then removed again keeps only the LATEST unreference time.
+    val logDir = new Path(root, "_delta_log")
+    val commitJsonRe = "(\\d{20})\\.json".r
+    val tombstones = mutable.HashMap.empty[String, Long]
+    def normRel(p0: String): String =
+      if (p0.contains("://") || p0.startsWith("/"))
+        rel(new Path(p0).makeQualified(fs.getUri, fs.getWorkingDirectory))
+      else p0
+    def dvRel(d: DeletionVectors.Descriptor): Option[String] = d.storageType match {
+      case "u" => Some(rel(DeletionVectors.uuidPath(tablePath,
+        d.pathOrInlineDv).makeQualified(fs.getUri, fs.getWorkingDirectory)))
+      case "p" => Some(rel(new Path(d.pathOrInlineDv)
+        .makeQualified(fs.getUri, fs.getWorkingDirectory)))
+      case _ => None
+    }
+    // data path → DV file currently describing it (as of the replay
+    // cursor) — a descriptor swap orphans the previous DV file
+    val curDv = mutable.HashMap.empty[String, String]
+    fs.listStatus(logDir)
+      .filter(s => commitJsonRe.pattern.matcher(s.getPath.getName).matches)
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split("\n").foreach { line =>
+          if (line.contains("\"add\"") || line.contains("\"remove\"")) {
+            val node = try mapper.readTree(line) catch { case _: Exception => null }
+            if (node != null && node.has("add")) {
+              val a = node.get("add")
+              val p = normRel(decodePath(a.get("path").asText))
+              val nd = parseDv(a).flatMap(dvRel)
+              curDv.get(p).filter(old => !nd.contains(old)).foreach { old =>
+                tombstones(old) =
+                  math.max(tombstones.getOrElse(old, 0L), st.getModificationTime)
+              }
+              nd match {
+                case Some(d) => curDv(p) = d
+                case None => curDv.remove(p); ()
+              }
+            }
+            if (node != null && node.has("remove")) {
+              val r = node.get("remove")
+              val p = normRel(decodePath(r.get("path").asText))
+              // legacy graft logs stamped the deterministic `1L`
+              // sentinel; anything before ~2001 can't be a real delta
+              // tombstone (delta postdates it) → the commit file's own
+              // mtime is the truthful unreference moment
+              val ts = Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+                .map(_.asLong).filter(_ > 1000000000000L)
+                .getOrElse(st.getModificationTime)
+              tombstones(p) = math.max(tombstones.getOrElse(p, 0L), ts)
+              (parseDv(r).flatMap(dvRel).toSeq ++ curDv.remove(p)).distinct
+                .foreach(d => tombstones(d) = math.max(tombstones.getOrElse(d, 0L), ts))
+            }
+          }
+        }
+      }
     val live: Set[String] = snap.files.keySet.map { k =>
       // absolute action paths resolve against the root like readFiles
       if (k.contains("://") || k.startsWith("/"))
@@ -4196,6 +4700,11 @@ object DeltaLite {
       }
     }.toSet
     var deleted = 0
+    // eligibility clock: the tombstone's unreference time when the log
+    // still records one, else the file's own mtime (remove already
+    // log-cleaned → far older than any window)
+    def unreferencedAt(s: org.apache.hadoop.fs.FileStatus): Long =
+      tombstones.getOrElse(rel(s.getPath), s.getModificationTime)
     def sweep(dir: Path): Unit =
       fs.listStatus(dir).foreach { s =>
         if (s.isDirectory) {
@@ -4204,7 +4713,7 @@ object DeltaLite {
           // would destroy the change feed (they die with log cleanup)
           if (s.getPath.getName != "_delta_log" &&
               s.getPath.getName != "_change_data") sweep(s.getPath)
-        } else if (s.getModificationTime < cutoff &&
+        } else if (unreferencedAt(s) < cutoff &&
             ((s.getPath.getName.endsWith(".parquet") &&
               !live(rel(s.getPath))) ||
              (s.getPath.getName.startsWith("deletion_vector_") &&

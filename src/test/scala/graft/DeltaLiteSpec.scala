@@ -1943,7 +1943,8 @@ class DeltaLiteSpec extends AnyFunSuite {
 
   test("row tracking end-to-end: appends allocate contiguous base row " +
       "ids past the domain's mark, DV deletes/restore/checkpoint " +
-      "PRESERVE coordinates, rewrites refuse naming materialization") {
+      "PRESERVE coordinates, OPTIMIZE/MERGE MATERIALIZE stable ids " +
+      "into their rewrites") {
     val t = java.nio.file.Files.createTempDirectory("delta_rowtrack")
       .toString
     DeltaLite.write(spark, (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"),
@@ -1981,13 +1982,48 @@ class DeltaLiteSpec extends AnyFunSuite {
     val s3 = DeltaLite.snapshot(spark, t)
     assert(s3.rowIds.values.map(_._1).toSeq.sorted == allBases,
       "checkpoint dropped row ids")
-    // rewrites refuse loudly naming materialization
-    val c = intercept[IllegalArgumentException](
-      DeltaLite.compact(spark, t))
-    assert(c.getMessage.contains("row tracking"), c.getMessage)
-    val m = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
-      Seq((1L, "z")).toDF("k", "v"), t, Seq("k")))
-    assert(m.getMessage.contains("row tracking"), m.getMessage)
+    // OPTIMIZE materializes stable ids: every row's (k, id, ver) is
+    // IDENTICAL before and after the rewrite, and the minted
+    // materialized column names land in the configuration
+    def idsOf(): Set[(Long, Long, Long)] = DeltaLite
+      .readWithRowIds(spark, t)
+      .select(col("k"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val before = idsOf()
+    assert(before.size == 12, before.toString) // restored pre-delete
+    DeltaLite.compact(spark, t, smallFileBytes = 1L << 20)
+    val s4 = DeltaLite.snapshot(spark, t)
+    assert(s4.files.size == 1, "compact should have packed to one file")
+    assert(s4.configuration.contains(
+      "delta.rowTracking.materializedRowIdColumnName"),
+      s4.configuration.toString)
+    assert(idsOf() == before,
+      s"OPTIMIZE must preserve every stable id: $before vs ${idsOf()}")
+    // a DV delete after materialization: the dead row's id disappears,
+    // every survivor keeps its id
+    DeltaLite.deleteWhere(spark, t, col("k") === 2L)
+    val afterDel = idsOf()
+    assert(afterDel == before.filterNot(_._1 == 2L), afterDel.toString)
+    // MERGE: replaced key keeps its id (version bumps), new key gets a
+    // FRESH id past every existing one
+    val idOf3 = afterDel.find(_._1 == 3L).get._2
+    val verOf4 = afterDel.find(_._1 == 4L).get._3
+    val maxId = afterDel.map(_._2).max
+    DeltaLite.upsert(spark,
+      Seq((3L, "Z3"), (99L, "n")).toDF("k", "v"), t, Seq("k"))
+    val afterMerge = idsOf()
+    assert(afterMerge.find(_._1 == 3L).get._2 == idOf3,
+      "an update must preserve the row's stable id")
+    assert(afterMerge.find(_._1 == 3L).get._3 >
+        before.find(_._1 == 3L).get._3,
+      "an update must advance the row's commit version")
+    assert(afterMerge.find(_._1 == 99L).get._2 > maxId,
+      "an insert must allocate a fresh id past the high-water mark")
+    assert(afterMerge.find(_._1 == 4L).exists(_._3 == verOf4),
+      "a retained row must keep its exact commit version through MERGE")
+    assert(afterMerge.map(_._2).size == afterMerge.size,
+      "stable ids must stay unique")
   }
 
   test("modern writer-feature-only tables: rowTracking writes ALLOCATE, " +
@@ -2039,8 +2075,9 @@ class DeltaLiteSpec extends AnyFunSuite {
     // icebergCompatV2 (UniForm): reads fine; APPENDS work on a
     // properly column-mapped compat table (the mapped staging writes
     // the parquet field ids the iceberg conversion resolves by);
-    // row-level mutations refuse — they would add deletion vectors,
-    // which UniForm forbids
+    // row-level mutations run COPY-ON-WRITE — UniForm forbids
+    // deletion vectors, so the touched files rewrite without the
+    // matched rows and the table NEVER gains a DV
     val ic = java.nio.file.Files.createTempDirectory("delta_uniform")
       .toString
     DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), ic)
@@ -2064,10 +2101,34 @@ class DeltaLiteSpec extends AnyFunSuite {
     DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), ic)
     assert(DeltaLite.read(spark, ic).select("k").as[Long]
       .collect().toSet == Set(1L, 2L, 3L))
-    val e3 = intercept[Exception](
-      DeltaLite.deleteWhere(spark, ic, col("k") === 1L))
-    assert(e3.getMessage.contains("UniForm") ||
-      e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
+    // copy-on-write DELETE: result is right AND no DV ever appears
+    DeltaLite.deleteWhere(spark, ic, col("k") === 1L)
+    assert(DeltaLite.read(spark, ic).select("k").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    def noDv(): Unit = {
+      val s = DeltaLite.snapshot(spark, ic)
+      assert(s.dvs.isEmpty, "a UniForm table must NEVER carry a DV: " +
+        s.dvs.toString)
+      assert(!fs(ic).listStatus(new Path(ic)).exists(st =>
+        st.getPath.getName.startsWith("deletion_vector_")),
+        "no DV file may be written under a UniForm table root")
+    }
+    noDv()
+    // copy-on-write MERGE (upsert rewrites touched files wholesale)
+    DeltaLite.upsert(spark,
+      Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), ic, Seq("k"))
+    assert(DeltaLite.read(spark, ic).as[(Long, String)].collect().toSet
+      == Set((2L, "B2"), (3L, "c"), (4L, "d")))
+    noDv()
+    // a fully-dead file commits as a bare remove (no empty add)
+    DeltaLite.deleteWhere(spark, ic, col("k") >= 2L)
+    assert(DeltaLite.read(spark, ic).count() == 0L)
+    noDv()
+    val icSnap = DeltaLite.snapshot(spark, ic)
+    assert(icSnap.files.forall { case (p, _) =>
+      DeltaLite.snapshot(spark, ic).stats.get(p).forall(st =>
+        !st.contains("\"numRecords\":0"))
+    }, "an all-dead rewrite must not leave an empty add behind")
   }
 
   test("liquid clustering: OPTIMIZE clusters its rewrites on the " +
@@ -2535,7 +2596,8 @@ class DeltaLiteSpec extends AnyFunSuite {
 
   test("identity columns: null/omitted cells allocate past the high-water " +
       "mark (zipWithIndex, distributed), the mark survives in metaData, " +
-      "GENERATED ALWAYS refuses explicit values, MERGE refuses") {
+      "GENERATED ALWAYS refuses explicit values, MERGE inherits matched " +
+      "ids and allocates for inserts") {
     val t = java.nio.file.Files.createTempDirectory("delta_identity").toString
     val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("delta.identity.start", 100L)
@@ -2567,10 +2629,26 @@ class DeltaLiteSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](DeltaLite.write(spark,
       Seq(("d", 999L)).toDF("v", "id"), t))
     assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
-    // MERGE refuses identity tables loudly
+    // MERGE with an explicit id into GENERATED ALWAYS still refuses
     val m = intercept[IllegalArgumentException](DeltaLite.upsert(spark,
-      Seq(("a", 100L)).toDF("v", "id"), t, Seq("id")))
-    assert(m.getMessage.contains("identity"), m.getMessage)
+      Seq(("a", 999L)).toDF("v", "id"), t, Seq("v")))
+    assert(m.getMessage.contains("GENERATED ALWAYS"), m.getMessage)
+    // MERGE with null ids: the matched key INHERITS its id, the new
+    // key ALLOCATES past the mark, and the commit advances it
+    DeltaLite.upsert(spark,
+      Seq(("a", Option.empty[Long]), ("z", Option.empty[Long]))
+        .toDF("v", "id"), t, Seq("v"))
+    val got2 = DeltaLite.read(spark, t).select("v", "id")
+      .as[(String, Long)].collect().toMap
+    assert(got2("a") == 100L, s"matched key must keep its id: $got2")
+    assert(got2("b") == 110L && got2("c") == 120L,
+      s"untouched rows keep ids: $got2")
+    assert(got2("z") == 130L || got2("z") == 140L,
+      s"insert must allocate past the mark: $got2")
+    assert(DeltaLite.snapshot(spark, t).schema.fields.find(_.name == "id")
+      .get.metadata.getLong("delta.identity.highWaterMark") == 140L,
+      "MERGE must advance the recorded high-water mark conservatively")
+    assert(got2.values.toSet.size == got2.size, s"ids must stay unique: $got2")
   }
 
   test("identity with allowExplicitInsert: provided values pass and " +
@@ -2631,6 +2709,40 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("interval"), e.getMessage)
     assert(DeltaLite.parseInterval("interval 2 days") == 2L * 24 * 3600 * 1000)
     assert(DeltaLite.parseInterval("INTERVAL 30 minutes") == 30L * 60 * 1000)
+  }
+
+  test("vacuum measures retention from the remove's deletionTimestamp, " +
+      "not the file's mtime: an OLD file unreferenced moments ago " +
+      "survives the window") {
+    val t = java.nio.file.Files.createTempDirectory("delta_vacts").toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    // backdate the data file 30 days: under the old mtime rule a 7-day
+    // window would sweep it the instant it became unreferenced
+    val old = System.currentTimeMillis - 30L * 24 * 3600 * 1000
+    val f = fs(t)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(new Path(t)).filter(s => !s.isDirectory &&
+        s.getPath.getName.endsWith(".parquet")).toSeq
+    dataFiles().foreach(s => f.setTimes(s.getPath, old, old))
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t, "overwrite")
+    val retain7d = 7L * 24 * 3600 * 1000
+    assert(DeltaLite.vacuum(spark, t, retainMillis = Some(retain7d)) == 0,
+      "a file REMOVED five minutes ago must survive a 7-day window " +
+        "regardless of how old its bytes are")
+    assert(DeltaLite.read(spark, t, asOf = Some(0L)).count() == 1L,
+      "restore/time-travel window must stay intact")
+    // zero retention still sweeps it
+    assert(DeltaLite.vacuum(spark, t, retainMillis = Some(0L)) >= 1)
+    // and the fallback: an unreferenced file whose remove commit is
+    // GONE from the log (simulated: drop a stray parquet in the tree)
+    // falls back to mtime — old stray sweeps, fresh stray survives
+    val strayOld = new Path(t, "stray_old.parquet")
+    val os = f.create(strayOld, true); os.write(Array[Byte](1)); os.close()
+    f.setTimes(strayOld, old, old)
+    val strayNew = new Path(t, "stray_new.parquet")
+    val ns = f.create(strayNew, true); ns.write(Array[Byte](1)); ns.close()
+    assert(DeltaLite.vacuum(spark, t, retainMillis = Some(retain7d)) == 1)
+    assert(!f.exists(strayOld) && f.exists(strayNew))
   }
 
   /** Stage `ck` as `<v>.checkpoint.parquet` + `_last_checkpoint`. */

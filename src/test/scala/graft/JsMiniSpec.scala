@@ -657,4 +657,76 @@ class JsMiniSpec extends AnyFunSuite {
         |}""".stripMargin
     assert(run(m, VNum(1)) == VNum(8))
   }
+
+  test("regex: literals lex (vs division), test/exec/lastIndex, " +
+      "match/search/split, replace with $n templates and function " +
+      "replacements, new RegExp, flags i/m/s/g") {
+    def js(body: String, arg: V = VNull): V =
+      run(s"export default function (x) { $body }", arg)
+    // literal vs division disambiguation
+    assert(js("const a = 10; const b = 4; return a / b / 1;") == VNum(2.5))
+    assert(js("return /ab+c/.test('xabbbcy');") == VBool(true))
+    assert(js("return /ab+c/.test('xakcy');") == VBool(false))
+    // flags: i, m, s
+    assert(js("return /HELLO/i.test('say hello');") == VBool(true))
+    assert(js("return /^b$/m.test('a\\nb');") == VBool(true))
+    assert(js("return /a.b/s.test('a\\nb');") == VBool(true))
+    // exec: groups; unmatched group → undefined
+    assert(js("const m = /(\\d+)-(\\d+)?/.exec('ab 12- cd'); " +
+      "return m[0] + '|' + m[1] + '|' + (m[2] === undefined);")
+      == VStr("12-|12|true"))
+    assert(js("return /x/.exec('abc');") == VNull)
+    // g-flag lastIndex statefulness + reset on miss
+    assert(js("const r = /\\d+/g; const a = []; let m; " +
+      "while ((m = r.exec('a1b22c333')) !== null) a.push(m[0]); " +
+      "return a.join(',');") == VStr("1,22,333"))
+    assert(js("const r = /\\d/g; r.exec('a1'); const i = r.lastIndex; " +
+      "r.lastIndex = 0; return i + '|' + r.lastIndex;") == VStr("2|0"))
+    // String.match: global → all matches, non-global → groups, miss → null
+    assert(js("return 'a1b22c'.match(/\\d+/g).join('|');") == VStr("1|22"))
+    assert(js("const m = 'key=val'.match(/(\\w+)=(\\w+)/); " +
+      "return m[1] + ':' + m[2];") == VStr("key:val"))
+    assert(js("return 'abc'.match(/\\d/);") == VNull)
+    // search (string arg is a PATTERN, like JS)
+    assert(js("return 'xxabc'.search(/b/);") == VNum(3))
+    assert(js("return 'xxabc'.search('a.c');") == VNum(2))
+    assert(js("return 'abc'.search(/z/);") == VNum(-1))
+    // split with regex (+ captured group splicing, + limit)
+    assert(js("return 'a1b22c'.split(/\\d+/).join('|');") == VStr("a|b|c"))
+    assert(js("return 'a1b'.split(/(\\d)/).join('|');") == VStr("a|1|b"))
+    assert(js("return 'a,b,c'.split(/,/, 2).join('|');") == VStr("a|b"))
+    // replace: first vs global, $n/$& templates, function replacement
+    assert(js("return 'a1b2'.replace(/\\d/, 'X');") == VStr("aXb2"))
+    assert(js("return 'a1b2'.replace(/\\d/g, 'X');") == VStr("aXbX"))
+    assert(js("return '2026-08-16'.replace(/(\\d+)-(\\d+)-(\\d+)/, " +
+      "'$3/$2/$1');") == VStr("16/08/2026"))
+    assert(js("return 'ab'.replace(/b/, '[$&$$]');") == VStr("a[b$]"))
+    assert(js("return 'a1b22'.replace(/\\d+/g, " +
+      "(m) => String(m.length));") == VStr("a1b2"))
+    assert(js("return 'v=7'.replace(/v=(\\d)/, (m, p1) => p1 * 2);")
+      == VStr("14"))
+    // function replacement with a string pattern
+    assert(js("return 'aXb'.replace('X', (m, i) => 'at' + i);")
+      == VStr("aat1b"))
+    // replaceAll: regex must be global
+    assert(js("return 'a1b2'.replaceAll(/\\d/g, '.');") == VStr("a.b."))
+    intercept[JsError](js("return 'x'.replaceAll(/\\d/, '.');"))
+    // new RegExp: string pattern, flags, clone-with-flags
+    assert(js("const r = new RegExp('a(\\\\d)c', 'i'); " +
+      "return r.exec('xA5c')[1];") == VStr("5"))
+    assert(js("const r = new RegExp(/b+/, 'g'); " +
+      "return 'abba'.match(r).join(',');") == VStr("bb"))
+    // properties
+    assert(js("const r = /a(b)/gi; return r.source + '|' + r.flags + " +
+      "'|' + r.global;") == VStr("a(b)|gi|true"))
+    // unsupported flag and bad construct refuse loudly by name
+    val ef = intercept[JsError](js("return /a/y.test('a');"))
+    assert(ef.getMessage.contains("flag 'y'"), ef.getMessage)
+    val ec = intercept[JsError](js("return new RegExp('a(').test('a');"))
+    assert(ec.getMessage.contains("JDK engine"), ec.getMessage)
+    // JSON/typeof/display integration
+    assert(js("return typeof /a/;") == VStr("object"))
+    assert(js("return JSON.stringify({r: /a/g});") == VStr("{\"r\":{}}"))
+    assert(js("return String(/a(b)?/im);") == VStr("/a(b)?/im"))
+  }
 }
