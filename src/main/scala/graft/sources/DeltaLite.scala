@@ -1930,21 +1930,49 @@ object DeltaLite {
     * [[compact]] clusters its rewrites by these columns. Nested
     * clustering columns refuse loudly.
     */
-  private def clusteringColumns(snap: Snapshot): Seq[String] =
+  private def clusteringColumns(snap: Snapshot): Seq[Seq[String]] =
     snap.domainMetadata.get("delta.clustering").map { line =>
       val conf = mapper.readTree(line).get("domainMetadata")
         .get("configuration")
       val node = mapper.readTree(
         if (conf.isTextual) conf.asText else conf.toString)
       Option(node.get("clusteringColumns")).toSeq
-        .flatMap(_.elements.asScala).map { arr =>
-          val parts = arr.elements.asScala.map(_.asText).toSeq
-          require(parts.length == 1,
-            s"nested clustering column ${parts.mkString(".")} needs " +
-              "the delta-spark clustering implementation")
-          parts.head
-        }
+        .flatMap(_.elements.asScala).map(arr =>
+          arr.elements.asScala.map(_.asText).toSeq)
     }.getOrElse(Nil)
+
+  /** Resolve one clustering-domain path (possibly NESTED) against the
+    * table schema, PHYSICAL-FIRST at every level: delta-spark stores
+    * physical names in the domain, native graft tables logical — and a
+    * physical name colliding with a different field's logical name
+    * must never cluster the wrong column. Returns the dotted column
+    * path in the DATA FILES' naming (physical on mapped tables) plus
+    * the leaf type; top-level partition columns resolve to None in the
+    * caller (constant per tuple).
+    */
+  private def resolveClusterPath(snap: Snapshot,
+      parts: Seq[String]): (String, Seq[String], DataType) = {
+    val mapped = snap.columnMappingMode != "none"
+    var fieldsHere: Array[StructField] = snap.schema.fields
+    var dt: DataType = null
+    val phys = Seq.newBuilder[String]
+    val logical = Seq.newBuilder[String]
+    parts.foreach { p =>
+      val f = fieldsHere.find(f0 => physicalName(f0) == p)
+        .orElse(fieldsHere.find(_.name == p))
+        .getOrElse(throw new IllegalArgumentException(
+          s"clustering column '${parts.mkString(".")}' is not in the " +
+            "table schema"))
+      phys += (if (mapped) physicalName(f) else f.name)
+      logical += f.name
+      dt = f.dataType
+      fieldsHere = dt match {
+        case st: StructType => st.fields
+        case _ => Array.empty
+      }
+    }
+    (phys.result().mkString("."), logical.result(), dt)
+  }
 
   /** Scan a live-file subset for the MUTATION paths: logical columns
     * (column-mapped tables rename back), typed partition literals
@@ -2512,16 +2540,14 @@ object DeltaLite {
         rewriteByTuple.values.flatten.map(abs).toSeq, dataFieldsC)
     // LIQUID CLUSTERING: OPTIMIZE is where the layout work happens —
     // rewrites cluster on the delta.clustering domain's columns
-    // (resolved to physical names on mapped tables; partition columns
-    // are constant per tuple and drop out)
-    val clusterCols: Seq[String] = clusteringColumns(snap)
-      .filterNot(snap.partitionColumns.contains)
-      .map { n =>
-        if (dataSchema.fieldNames.contains(n)) n
-        else dataFieldsC.find(_.name == n).map(f =>
-          if (snap.columnMappingMode != "none") physicalName(f) else f.name)
-          .getOrElse(throw new IllegalArgumentException(
-            s"clustering column '$n' is not in the table schema"))
+    // (resolved PHYSICAL-FIRST, nested paths included; partition
+    // columns are constant per tuple and drop out)
+    val clusterCols: Seq[(String, DataType)] = clusteringColumns(snap)
+      .flatMap { parts =>
+        val (path, logical, dt) = resolveClusterPath(snap, parts)
+        if (logical.length == 1 &&
+            snap.partitionColumns.contains(logical.head)) None
+        else Some((path, dt))
       }
     // DV anti-filter over the rewritten files (same mechanism as reads)
     val dvTouched = rewriteByTuple.values.flatten
@@ -2612,18 +2638,18 @@ object DeltaLite {
           // dim); anything else clusters lexicographically via range
           // partitioning + in-partition sort (tight on the lead
           // column, sorted throughout — the layout data skipping needs)
-          val integral = clusterCols.forall(c =>
-            dataSchema(c).dataType match {
-              case IntegerType | LongType | ShortType | ByteType => true
-              case _ => false
-            })
+          val integral = clusterCols.forall {
+            case (_, IntegerType | LongType | ShortType | ByteType) => true
+            case _ => false
+          }
           if (clusterCols.size >= 2 && clusterCols.size <= 3 && integral)
             alive.withColumn("__z", graft.operators.Layout.mortonKey(
-                clusterCols.map(c => col(c))))
+                clusterCols.map(c => col(c._1))))
               .repartitionByRange(nOut, col("__z"))
               .sortWithinPartitions("__z").drop("__z")
-          else alive.repartitionByRange(nOut, clusterCols.map(col): _*)
-            .sortWithinPartitions(clusterCols.map(col): _*)
+          else alive.repartitionByRange(nOut,
+              clusterCols.map(c => col(c._1)): _*)
+            .sortWithinPartitions(clusterCols.map(c => col(c._1)): _*)
         }
       val packed =
         if (snap.columnMappingMode == "none") packed0
@@ -4156,6 +4182,9 @@ object DeltaLite {
   final case class CpTxn(appId: String, version: Long, lastUpdated: Long)
   final case class CpDomain(domain: String, configuration: String,
       removed: Boolean)
+  final case class CpCkptMeta(version: Long)
+  final case class CpSidecar(path: String, sizeInBytes: Long,
+      modificationTime: Long)
 
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
     import spark.implicits._
@@ -4211,26 +4240,69 @@ object DeltaLite {
             if (c.isTextual) c.asText else c.toString).getOrElse(""),
           removed = false)))
     }
+    def writeOne(df: DataFrame, target: Path): Long = {
+      val stage = new Path(tablePath + "_ckstage_" +
+        java.util.UUID.randomUUID.toString.take(8))
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage)
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      val size = fs.getFileStatus(part).getLen
+      fs.delete(target, false)
+      require(fs.rename(part, target), s"checkpoint rename failed: $target")
+      fs.delete(stage, true)
+      size
+    }
+    def pointLastCheckpoint(size: Long): Unit = {
+      val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try lc.write(s"""{"version":${snap.version},"size":$size}"""
+        .getBytes("UTF-8"))
+      finally lc.close()
+    }
+    // V2 CHECKPOINT WRITING (spec "V2 Checkpoint Table Feature"): when
+    // the table CARRIES the v2Checkpoint reader feature, write the
+    // UUID-named form the feature mandates — file actions go to a
+    // SIDECAR parquet under `_delta_log/_sidecars/`, the top-level
+    // `<v>.checkpoint.<uuid>.parquet` holds protocol/metaData/txn/
+    // domainMetadata plus a `checkpointMetadata` (version pin) and one
+    // `sidecar` pointer. Tables without the feature keep the classic
+    // single-file form (writing v2 there would strand pre-v2 readers).
+    val v2 = snap.protocol.exists(_.readerFeatures
+      .exists(_.contains("v2Checkpoint")))
+    if (v2) {
+      val sidecarDir = new Path(logDir, "_sidecars")
+      fs.mkdirs(sidecarDir)
+      val sideName = java.util.UUID.randomUUID.toString + ".parquet"
+      val sideBytes = writeOne(adds.map(_._1).toDF("add"),
+        new Path(sidecarDir, sideName))
+      val uuid = java.util.UUID.randomUUID.toString
+      val top = (meta.map { case (a, m, p, t) =>
+          (a, m, p, t, Option.empty[CpDomain]) } ++ txns ++ doms)
+        .map { case (a, m, p, t, d) =>
+          (a, m, p, t, d, Option.empty[CpCkptMeta],
+            Option.empty[CpSidecar]) } ++
+        Seq((Option.empty[CpAdd], Option.empty[CpMeta],
+            Option.empty[CpProto], Option.empty[CpTxn],
+            Option.empty[CpDomain],
+            Option(CpCkptMeta(snap.version)), Option.empty[CpSidecar]),
+          (Option.empty[CpAdd], Option.empty[CpMeta],
+            Option.empty[CpProto], Option.empty[CpTxn],
+            Option.empty[CpDomain], Option.empty[CpCkptMeta],
+            Option(CpSidecar(sideName, sideBytes, 1L))))
+      writeOne(top.toDF("add", "metaData", "protocol", "txn",
+          "domainMetadata", "checkpointMetadata", "sidecar"),
+        new Path(logDir,
+          f"${snap.version}%020d.checkpoint.$uuid.parquet"))
+      pointLastCheckpoint(adds.size + 1 + txns.size + doms.size)
+      return snap.version
+    }
     val df = (adds.map { case (a, m, p, t) =>
       (a, m, p, t, Option.empty[CpDomain]) } ++
       meta.map { case (a, m, p, t) => (a, m, p, t, Option.empty[CpDomain]) } ++
       txns ++ doms)
       .toDF("add", "metaData", "protocol", "txn", "domainMetadata")
-    val stage = new Path(tablePath + "_ckstage_" +
-      java.util.UUID.randomUUID.toString.take(8))
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = fs.listStatus(stage)
-      .map(_.getPath).find(_.getName.startsWith("part-")).get
-    val target = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
-    fs.delete(target, false)
-    require(fs.rename(part, target), s"checkpoint rename failed: $target")
-    fs.delete(stage, true)
-    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try lc.write(
-      s"""{"version":${snap.version},"size":${adds.size + 1 + txns.size +
-        doms.size}}"""
-        .getBytes("UTF-8"))
-    finally lc.close()
+    writeOne(df,
+      new Path(logDir, f"${snap.version}%020d.checkpoint.parquet"))
+    pointLastCheckpoint(adds.size + 1 + txns.size + doms.size)
     snap.version
   }
 

@@ -1460,6 +1460,51 @@ object IcebergLite {
     (node, id)
   }
 
+  /** The spec's name-mapping JSON for a schema node (ids already
+    * assigned): `[{"field-id":N,"names":["col"],"fields":[…]}]`, with
+    * list/map members under their structural names element/key/value.
+    * Recorded as `schema.name-mapping.default` at table creation so
+    * field-id-resolving readers can resolve graft-staged data files
+    * (which carry no embedded field-id attributes).
+    */
+  private def nameMappingJson(schNode: JsonNode): String = {
+    import com.fasterxml.jackson.databind.node.ArrayNode
+    def nested(t: JsonNode): Option[ArrayNode] =
+      if (!t.isObject) None
+      else t.get("type").asText match {
+        case "struct" => Some(mapFields(t.get("fields")))
+        case "list" =>
+          val arr = mapper.createArrayNode()
+          val e = arr.addObject()
+          e.put("field-id", t.get("element-id").asInt)
+          e.putArray("names").add("element")
+          nested(t.get("element")).foreach(n => e.set[JsonNode]("fields", n))
+          Some(arr)
+        case "map" =>
+          val arr = mapper.createArrayNode()
+          val k = arr.addObject()
+          k.put("field-id", t.get("key-id").asInt)
+          k.putArray("names").add("key")
+          val v = arr.addObject()
+          v.put("field-id", t.get("value-id").asInt)
+          v.putArray("names").add("value")
+          nested(t.get("value")).foreach(n => v.set[JsonNode]("fields", n))
+          Some(arr)
+        case _ => None
+      }
+    def mapFields(fieldsArr: JsonNode): ArrayNode = {
+      val arr = mapper.createArrayNode()
+      fieldsArr.elements.asScala.foreach { f =>
+        val e = arr.addObject()
+        e.put("field-id", f.get("id").asInt)
+        e.putArray("names").add(f.get("name").asText)
+        nested(f.get("type")).foreach(n => e.set[JsonNode]("fields", n))
+      }
+      arr
+    }
+    mapFields(schNode.get("fields")).toString
+  }
+
   /** Commit one snapshot: write the new manifest(s) + manifest list,
     * then claim `v<N+1>.metadata.json` put-if-absent. Each element of
     * `newManifests` is (entries, content 0=data/1=deletes, addedRows) —
@@ -1633,14 +1678,20 @@ object IcebergLite {
       ord0.put("order-id", 0); ord0.putArray("fields")
     }
     // table PROPERTIES restate verbatim — foreign writers keep their
-    // commit/retention policy and user properties across our commits
+    // commit/retention policy and user properties across our commits.
+    // A FRESH table also records `schema.name-mapping.default`:
+    // graft-staged parquet/ORC data files carry no iceberg field-id
+    // attributes (Spark's writers don't stamp them), and the spec's
+    // fallback for id-less files is exactly this mapping — without it
+    // a strictly field-id-resolving foreign reader could not resolve
+    // the columns of natively written files.
     prior.flatMap(_.meta.propertiesJson) match {
       case Some(p) => node.set[JsonNode]("properties", mapper.readTree(p))
-      case None if creationProperties.nonEmpty =>
-        val pn = node.putObject("properties")
-        creationProperties.toSeq.sortBy(_._1)
-          .foreach { case (k, v) => pn.put(k, v) }
       case None =>
+        val pn = node.putObject("properties")
+        (Map("schema.name-mapping.default" -> nameMappingJson(schNode)) ++
+          creationProperties).toSeq.sortBy(_._1)
+          .foreach { case (k, v) => pn.put(k, v) }
     }
     // REFS: the TARGET branch advances to THIS snapshot; every other
     // ref survives untouched (readers following refs must see the new

@@ -57,32 +57,49 @@ object IcebergOrcData {
           val names = fileSchema.getFieldNames.asScala.toIndexedSeq
           // reader field name -> file column position (-1 = absent)
           val colIdx: Array[Int] = fieldNames.map(names.indexOf)
-          val batch = fileSchema.createRowBatch(1024)
           val rows = reader.rows()
-          val out = Vector.newBuilder[Row]
-          var ord = 0L
-          try {
-            while (rows.nextBatch(batch)) {
-              var r = 0
-              while (r < batch.size) {
-                val vals = new Array[Any](outSchema.length)
-                var i = 0
-                while (i < fieldNames.length) {
-                  vals(i) =
-                    if (colIdx(i) < 0) null
-                    else readValue(fieldTypes(i), batch.cols(colIdx(i)),
-                      r, fieldNames(i))
-                  i += 1
-                }
-                vals(fieldNames.length) = p
-                vals(fieldNames.length + 1) = ord
-                out += Row.fromSeq(vals.toIndexedSeq)
-                ord += 1L
-                r += 1
+          // LAZY batch-at-a-time emission: one VectorizedRowBatch in
+          // flight per file, never the whole file in memory — a large
+          // delete-targeted ORC file streams through in 1024-row
+          // windows. The task-completion hook covers early-terminated
+          // consumers (limits) that abandon the iterator mid-file.
+          var open = true
+          def closeAll(): Unit = if (open) {
+            open = false; rows.close(); reader.close()
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
+          new Iterator[Row] {
+            private val batch = fileSchema.createRowBatch(1024)
+            private var r = 0
+            private var ord = 0L
+            private def advance(): Unit = {
+              while (open && r >= batch.size) {
+                if (rows.nextBatch(batch)) r = 0
+                else closeAll()
               }
             }
-          } finally { rows.close(); reader.close() }
-          out.result()
+            override def hasNext: Boolean = {
+              advance(); open && r < batch.size
+            }
+            override def next(): Row = {
+              if (!hasNext) throw new NoSuchElementException(p)
+              val vals = new Array[Any](outSchema.length)
+              var i = 0
+              while (i < fieldNames.length) {
+                vals(i) =
+                  if (colIdx(i) < 0) null
+                  else readValue(fieldTypes(i), batch.cols(colIdx(i)),
+                    r, fieldNames(i))
+                i += 1
+              }
+              vals(fieldNames.length) = p
+              vals(fieldNames.length + 1) = ord
+              r += 1
+              ord += 1L
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }
         }
       }
     spark.createDataFrame(rdd.map(identity), outSchema)

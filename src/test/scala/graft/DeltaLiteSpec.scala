@@ -1781,6 +1781,50 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("v2Checkpoint"), ex.getMessage)
   }
 
+  test("v2 checkpoint WRITING: a v2Checkpoint-featured table's " +
+      "checkpoint() emits the UUID-named form + sidecar, seeds a fresh " +
+      "replay, and survives cleanupLogs") {
+    val t = java.nio.file.Files.createTempDirectory("delta_v2ckw").toString
+    DeltaLite.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    // stamp the v2Checkpoint feature pair (a foreign table's shape)
+    locally {
+      val s = DeltaLite.snapshot(spark, t)
+      val out = fs(t).create(
+        new Path(t, f"_delta_log/${s.version + 1}%020d.json"), true)
+      try out.write((
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""" + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    val ckv = DeltaLite.checkpoint(spark, t)
+    // the UUID-named top file + a sidecar parquet exist; NO classic
+    // single-file checkpoint was written
+    val names = fs(t).listStatus(new Path(t, "_delta_log"))
+      .map(_.getPath.getName).toSeq
+    assert(names.exists(n => n.matches(
+        f"$ckv%020d\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")),
+      names.toString)
+    assert(!names.contains(f"$ckv%020d.checkpoint.parquet"), names.toString)
+    assert(fs(t).listStatus(new Path(t, "_delta_log/_sidecars"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    // a fresh snapshot seeds from it (and from it ALONE after cleanup)
+    def rows(): Set[(Long, String)] = DeltaLite.read(spark, t)
+      .as[(Long, String)].collect().toSet
+    assert(rows() == Set((2L, "b"), (3L, "c")))
+    DeltaLite.cleanupLogs(spark, t)
+    assert(rows() == Set((2L, "b"), (3L, "c")),
+      "checkpoint-seeded replay after log cleanup must reproduce state")
+    // and the seeded table keeps working: append + re-checkpoint
+    DeltaLite.write(spark, Seq((4L, "d")).toDF("k", "v"), t)
+    assert(rows() == Set((2L, "b"), (3L, "c"), (4L, "d")))
+    DeltaLite.checkpoint(spark, t)
+    DeltaLite.cleanupLogs(spark, t)
+    assert(rows() == Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("in-commit timestamps: versionAtTimestamp resolves by the ICT " +
       "authority even when commitInfo.timestamp and file mtimes both " +
       "disagree") {
@@ -2165,6 +2209,88 @@ class DeltaLiteSpec extends AnyFunSuite {
       case _ =>
     }
     assert(DeltaLite.read(spark, t).count() == 400L)
+  }
+
+  test("liquid clustering resolves NESTED domain paths and PHYSICAL " +
+      "names (delta-spark stores physical): OPTIMIZE clusters both") {
+    // nested: cluster on s.k inside a struct column
+    val t = java.nio.file.Files.createTempDirectory("delta_clnest")
+      .toString
+    val shuffled = scala.util.Random.shuffle((1L to 300L).toList)
+    DeltaLite.write(spark,
+      shuffled.map(i => ((i, s"v$i"), i % 7)).toDF("s", "m")
+        .repartition(6), t)
+    locally {
+      val snap = DeltaLite.snapshot(spark, t)
+      val out = fs(t).create(new Path(t,
+        f"_delta_log/${snap.version + 1}%020d.json"), true)
+      try out.write((Seq(
+        """{"commitInfo":{"timestamp":1,"operation":"CLUSTER BY"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}""",
+        """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"s\",\"_1\"]]}","removed":false}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    DeltaLite.compact(spark, t, smallFileBytes = 4096)
+    locally {
+      val snap = DeltaLite.snapshot(spark, t)
+      assert(snap.files.size >= 2, "nested rig wants a multi-file layout")
+      // nested bounds don't ride the stats JSON — read each file
+      val ranges = snap.files.keys.toSeq.map { f =>
+        val r = spark.read.parquet(s"$t/$f")
+          .agg(min(col("s._1")), max(col("s._1"))).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"overlapping nested clustered ranges: $ranges")
+        case _ =>
+      }
+    }
+    assert(DeltaLite.read(spark, t).count() == 300L)
+    // physical-name domain on a column-mapped table: logical `id`,
+    // physical `k` — the domain names the PHYSICAL column
+    val t2 = java.nio.file.Files.createTempDirectory("delta_clphys")
+      .toString
+    DeltaLite.write(spark,
+      scala.util.Random.shuffle((1L to 300L).toList)
+        .map(i => (i, s"v$i")).toDF("k", "v").repartition(6), t2)
+    DeltaLite.enableColumnMapping(spark, t2)
+    DeltaLite.renameColumn(spark, t2, "k", "id")
+    locally {
+      val snap = DeltaLite.snapshot(spark, t2)
+      val p = snap.protocol.get
+      val wf = (p.writerFeatures.getOrElse(
+          Seq("appendOnly", "invariants", "columnMapping")) ++
+        Seq("domainMetadata", "clustering")).distinct
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rf = p.readerFeatures.getOrElse(Seq("columnMapping"))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val out = fs(t2).create(new Path(t2,
+        f"_delta_log/${snap.version + 1}%020d.json"), true)
+      try out.write((Seq(
+        """{"commitInfo":{"timestamp":1,"operation":"CLUSTER BY"}}""",
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}""",
+        """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"k\"]]}","removed":false}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    DeltaLite.compact(spark, t2, smallFileBytes = 4096)
+    val snap2 = DeltaLite.snapshot(spark, t2)
+    assert(snap2.files.size >= 2, "physical rig wants a multi-file layout")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val r2 = snap2.files.keys.toSeq.map { f =>
+      // mapped-table stats key by PHYSICAL name (`k` behind logical `id`)
+      val st = om.readTree(snap2.stats(f))
+      (st.get("minValues").get("k").asLong,
+        st.get("maxValues").get("k").asLong)
+    }.sortBy(_._1)
+    r2.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping physical-domain ranges: $r2")
+      case _ =>
+    }
+    assert(DeltaLite.read(spark, t2).count() == 300L)
   }
 
   private val mapper_ = new com.fasterxml.jackson.databind.ObjectMapper()

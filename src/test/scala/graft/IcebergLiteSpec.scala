@@ -1483,4 +1483,43 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(err.getMessage.contains("footer statistics"), err.getMessage)
   }
 
+  test("creation records schema.name-mapping.default so field-id " +
+      "readers resolve graft-staged (id-less) data files; nested " +
+      "members map under element/key/value; foreign properties intact") {
+    val t = java.nio.file.Files.createTempDirectory("ice_namemap").toString
+    IcebergLite.write(spark,
+      Seq((1L, "a", Seq(1, 2), (10L, "x")))
+        .toDF("k", "v", "xs", "s"), t)
+    val meta = IcebergLite.loadMeta(spark, t)
+    val props = IcebergLite.tableProperties(meta)
+    val mappingJson = props.getOrElse("schema.name-mapping.default",
+      fail("creation must record schema.name-mapping.default"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapping = om.readTree(mappingJson)
+    import scala.jdk.CollectionConverters._
+    def entry(name: String) = mapping.elements.asScala.find(
+      _.get("names").elements.asScala.exists(_.asText == name)).get
+    // the mapping's ids are the SCHEMA's ids, per field
+    val schemaFields = om.readTree(meta.schemasJson.head).get("fields")
+      .elements.asScala.map(f =>
+        f.get("name").asText -> f.get("id").asInt).toMap
+    Seq("k", "v", "xs", "s").foreach { n =>
+      assert(entry(n).get("field-id").asInt == schemaFields(n),
+        s"mapping id for $n must match the schema")
+    }
+    // nested members under structural names
+    val xs = entry("xs")
+    assert(xs.get("fields").elements.asScala
+      .exists(_.get("names").elements.asScala.exists(_.asText == "element")),
+      mappingJson)
+    val s = entry("s")
+    val sNames = s.get("fields").elements.asScala
+      .flatMap(_.get("names").elements.asScala.map(_.asText)).toSet
+    assert(sNames == Set("_1", "_2"), sNames.toString)
+    // a second commit restates the property verbatim
+    IcebergLite.write(spark, Seq((2L, "b", Seq(3), (20L, "y")))
+      .toDF("k", "v", "xs", "s"), t)
+    val props2 = IcebergLite.tableProperties(IcebergLite.loadMeta(spark, t))
+    assert(props2.get("schema.name-mapping.default").contains(mappingJson))
+  }
 }
