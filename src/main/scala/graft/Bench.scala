@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   * q36: 0.22s → recorded 1.19s off a [0.31, 2.08] spread). A true
   * median over 3 kills a single outlier entirely. `runs` is carried in
   * the JSON so trajectories across rounds compare like with like.
+  * Round 16 adds ADAPTIVE RE-SAMPLING: a sub-2s query whose sample
+  * spread exceeds half its median gets two extra samples (median of
+  * 5) — rounds 14/15 both recorded ~2× round-over-round "regressions"
+  * on untouched fast queries that were pure spread; only noisy fast
+  * queries pay the extra runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -94,10 +99,24 @@ object Bench {
       val base = Seq.fill(runs)(runOnce(n))
       // sub-second queries: one more sample so the median is a true
       // middle-of-3 — their relative jitter is the suite's noise floor
-      val samples =
+      val widened =
         if (runs == 2 && base.forall(s => s >= 0 && s < 1.0))
           base :+ runOnce(n)
         else base
+      // ADAPTIVE RE-SAMPLE for drifty fast queries: rounds 14/15 both
+      // recorded 1.8-2.1× round-over-round "regressions" on untouched
+      // sub-2s queries whose sample spread was itself ~2× (JIT/machine
+      // drift, not plan changes). When a fast query's spread exceeds
+      // half its median, two more samples make the median a true
+      // middle-of-5 — cheap (only noisy fast queries pay) and it keeps
+      // cross-round ratios meaningful.
+      val samples =
+        if (widened.count(_ >= 0) >= 2 && median(widened) < 2.0 &&
+            median(widened) > 0 &&
+            (widened.filter(_ >= 0).max - widened.filter(_ >= 0).min)
+              > 0.5 * median(widened))
+          widened ++ Seq(runOnce(n), runOnce(n))
+        else widened
       (n, median(samples), samples.filter(_ >= 0))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
