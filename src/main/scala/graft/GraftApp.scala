@@ -43,7 +43,7 @@ object GraftApp {
     while (i < args.length) {
       args(i) match {
         case c @ ("build" | "clean" | "run" | "dot" | "ui") if paths.isEmpty && i == 0 =>
-          cmd = if (c == "ui") "dot" else c
+          cmd = c
         case "--config-overrides" =>
           i += 1
           if (i >= args.length) throw new IllegalArgumentException(
@@ -83,6 +83,28 @@ object GraftApp {
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
         try println(dot(spark, config)) finally spark.stop()
+      case "ui" =>
+        // `dozer ui`: the LIVE contract server (reference serves a
+        // ContractService on 4555 — ui/app/server.rs); HTTP here:
+        // /, /dot, /sources, /outputs, /sinks
+        val spark = GraftSession.create(
+          sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        try {
+          val contract = uiContract(spark, config)
+          val port = sys.env.get("SPARK_GRAFT_UI_PORT").map(_.toInt)
+            .getOrElse(4555) // reference APP_UI_PORT
+          val h = UiServer.start(port, contract)
+          println(s"ui: serving on http://localhost:${h.port}/ " +
+            "(endpoints /dot /sources /outputs /sinks)")
+          // bounded run for drivers/tests; default serves until killed
+          sys.env.get("SPARK_GRAFT_UI_SECONDS") match {
+            case Some(s) => Thread.sleep(s.toLong * 1000L); h.stop()
+            case None =>
+              val latch = new java.util.concurrent.CountDownLatch(1)
+              sys.addShutdownHook { h.stop(); latch.countDown() }
+              latch.await()
+          }
+        } finally spark.stop()
       case "run" =>
         val spark = GraftSession.create(
           sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -263,11 +285,21 @@ object GraftApp {
     * exactly as the engine resolves them; descent stops at the first
     * known name so edges are DIRECT dependencies only.
     */
-  def dot(spark: SparkSession, config: GraftConfig): String = {
+  def dot(spark: SparkSession, config: GraftConfig): String =
+    uiContract(spark, config).dot
+
+  /** The UI server's whole contract in one pass: DOT graph + source/
+    * output schemas + sink targets, from the ANALYZED plans (see
+    * [[dot]]'s doc for the dependency-edge rules).
+    */
+  def uiContract(spark: SparkSession,
+      config: GraftConfig): UiServer.Contract = {
     registerUdfs(spark, config)
     val runner = new GraftSqlRunner(spark, streaming = config.streaming)
-    config.sources.foreach { s =>
-      runner.registerSource(s.name, loadSource(spark, s, config.streaming))
+    val sourceDfs = config.sources.map { s =>
+      val df = loadSource(spark, s, config.streaming)
+      runner.registerSource(s.name, df)
+      (s, df)
     }
     val outputs = runner.run(config.sql)
     val known = config.sources.map(_.name).toSet ++ outputs.keySet
@@ -307,7 +339,22 @@ object GraftApp {
       sb ++= s"""  "${esc(k.table)}" -> "sink$i";\n"""
     }
     sb ++= "}\n"
-    sb.toString
+    UiServer.Contract(
+      dot = sb.toString,
+      sources = sourceDfs.map { case (s, df) =>
+        (s.name, s.format, s.path, df.schema.simpleString)
+      },
+      outputs = outputs.toSeq.sortBy(_._1).map { case (n, df) =>
+        (n, df.schema.simpleString)
+      },
+      sinks = config.sinks.map { k =>
+        val target = k.mode match {
+          case "dummy" => "dummy"
+          case "jdbc" => k.options.getOrElse("url", "jdbc")
+          case _ => k.path
+        }
+        (k.table, k.mode, target)
+      })
   }
 
   /** `dozer clean` equivalent: remove every sink's materialized data and

@@ -2390,7 +2390,10 @@ object DeltaLite {
     * sidecars). A fully-dead file simply gets no replacement add.
     * Cost is proportional to the TOUCHED files' bytes, not the table:
     * partition/stats pruning bounds the candidate set exactly like the
-    * DV path, and the rewrite is one distributed scan + stage.
+    * DV path, and the rewrite is one distributed scan + stage. On a
+    * ROW-TRACKED table (UniForm + rowTracking is a common foreign
+    * shape) each survivor's stable (id, commit version) materializes
+    * into the rewritten files — same contract as OPTIMIZE/MERGE.
     */
   private def deleteCopyOnWrite(spark: SparkSession, tablePath: String,
       snap: Snapshot, cond: org.apache.spark.sql.Column,
@@ -2402,11 +2405,18 @@ object DeltaLite {
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
-    // same contract as MERGE: a rewrite on a row-tracked table must
-    // materialize stable row ids first
-    require(!rowTrackingActive(snap),
-      s"$tablePath runs row tracking — copy-on-write DELETE rewrites " +
-        "files and must materialize row ids (delta-spark)")
+    // row tracking composes (UniForm + rowTracking is a common foreign
+    // table shape): survivors rewrite with their stable (id, version)
+    // MATERIALIZED, same contract as OPTIMIZE/MERGE
+    val rowTracked = rowTrackingActive(snap)
+    val mintedMatCols = rowTracked &&
+      materializedRowIdCols(snap.configuration).isEmpty
+    val (matIdCol, matVerCol) =
+      if (!rowTracked) ("", "")
+      else materializedRowIdCols(snap.configuration).getOrElse {
+        val sfx = java.util.UUID.randomUUID.toString.take(8)
+        (s"_row-id-col-$sfx", s"_row-commit-version-col-$sfx")
+      }
     val relByPath: Map[String, String] =
       candFiles.keys.map(p => encodedPathKey(abs(p)) -> p).toMap
     val cdf = cdfEnabled(snap)
@@ -2426,13 +2436,23 @@ object DeltaLite {
     }
     // survivors: rows of the touched files where cond is NOT true
     // (false or NULL — SQL DELETE only removes rows the predicate
-    // affirmatively matches)
+    // affirmatively matches); on a row-tracked table each survivor's
+    // stable (id, version) rides along and materializes into the
+    // rewritten files
     val retained = scanFilesWithMeta(spark, tablePath, snap,
-      snap.files.filter(kv => touched.contains(kv._1)), withPos = false)
+      snap.files.filter(kv => touched.contains(kv._1)), withPos = false,
+      rowIds = rowTracked)
       .filter(not(coalesce(cond, lit(false))))
       .drop("__file")
     val mapped = snap.columnMappingMode != "none"
-    val outStaged = if (mapped) toPhysical(retained, snap.schema)
+    val idExtra =
+      if (!rowTracked) Nil
+      else Seq(col("_row_id").as(matIdCol),
+        col("_row_commit_version").as(matVerCol))
+    val outStaged =
+      if (mapped) toPhysical(retained, snap.schema, extra = idExtra)
+      else if (rowTracked) retained.select(
+        snap.schema.fieldNames.map(col).toIndexedSeq ++ idExtra: _*)
       else retained
     val partFields = snap.partitionColumns.map(c =>
       snap.schema.fields.find(_.name == c).getOrElse(
@@ -2442,22 +2462,40 @@ object DeltaLite {
       if (mapped) partFields.map(physicalName) else snap.partitionColumns
     // staging drops 0-row part files, so an all-dead rewrite nets to a
     // bare remove (the spec shape) with no empty add
+    val statsExcl: Set[String] =
+      if (rowTracked) Set(matIdCol, matVerCol) else Set.empty
     val moved: Seq[(String, Long, String, Map[String, Option[String]])] =
       if (snap.partitionColumns.isEmpty)
-        stageWithStats(spark, outStaged, root, fs).map { case (n, sz, st) =>
-          (n, sz, st, Map.empty[String, Option[String]])
-        }
+        stageWithStats(spark, outStaged, root, fs, statsExcl)
+          .map { case (n, sz, st) =>
+            (n, sz, st, Map.empty[String, Option[String]])
+          }
       else stagePartitionedWithStats(spark, outStaged, root, fs,
-        stagePartCols)
+        stagePartCols, statsExcl)
     val now = 1L
+    val newVersion = snap.version + 1
     val lines = mutable.ArrayBuffer.empty[String]
     lines += commitInfoAction("DELETE", Map("mode" -> "copyOnWrite"),
       now, if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap)) else None)
+    if (mintedMatCols)
+      lines += metaDataAction(snap.tableId, snap.schema,
+        snap.partitionColumns, snap.configuration ++ Map(
+          "delta.rowTracking.materializedRowIdColumnName" -> matIdCol,
+          "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            matVerCol), now)
     touched.toSeq.sorted.foreach(p =>
       lines += removeAction(rawPath(snap, p), now))
+    var nextRid = if (rowTracked) rowIdHighWaterMark(snap) + 1 else 0L
     moved.foreach { case (name, size, st, pvv) =>
-      lines += addAction(name, size, st, now, pvv)
+      val rid = if (!rowTracked) None else {
+        val rows = Option(mapper.readTree(st).get("numRecords"))
+          .map(_.asLong).getOrElse(0L)
+        val b = nextRid; nextRid += rows
+        Some((b, newVersion))
+      }
+      lines += addAction(name, size, st, now, pvv, rowId = rid)
     }
+    if (rowTracked) lines += rowTrackingDomainAction(nextRid - 1)
     if (cdf) {
       val cdcRows0 = matched.drop("__file")
         .withColumn("_change_type", lit("delete"))

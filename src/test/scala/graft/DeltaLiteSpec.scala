@@ -2173,6 +2173,25 @@ class DeltaLiteSpec extends AnyFunSuite {
       DeltaLite.snapshot(spark, ic).stats.get(p).forall(st =>
         !st.contains("\"numRecords\":0"))
     }, "an all-dead rewrite must not leave an empty add behind")
+    // UniForm + rowTracking composed: the copy-on-write delete
+    // MATERIALIZES surviving ids (no DV, ids stable)
+    val icr = java.nio.file.Files.createTempDirectory("delta_unirt")
+      .toString
+    DeltaLite.write(spark,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v"), icr,
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    DeltaLite.enableColumnMapping(spark, icr)
+    DeltaLite.setTableProperties(spark, icr, Map(
+      "delta.enableIcebergCompatV2" -> "true"))
+    def idsR(): Set[(Long, Long)] = DeltaLite.readWithRowIds(spark, icr)
+      .select(col("k"), col("_row_id"))
+      .as[(Long, Long)].collect().toSet
+    val beforeIds = idsR()
+    DeltaLite.deleteWhere(spark, icr, col("k") % 2 === 0L)
+    assert(idsR() == beforeIds.filter(_._1 % 2 == 1),
+      "UniForm copy-on-write delete must keep survivors' stable ids")
+    assert(DeltaLite.snapshot(spark, icr).dvs.isEmpty,
+      "UniForm + rowTracking delete must not write a DV")
   }
 
   test("liquid clustering: OPTIMIZE clusters its rewrites on the " +

@@ -591,6 +591,58 @@ class GraftAppSpec extends AnyFunSuite {
     assert(d.contains("struct<event_type:string,n:bigint"))
   }
 
+  test("ui serves the live contract over HTTP: /dot, /sources, " +
+      "/outputs, /sinks, and an index page (ContractService parity)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ui").toString
+    val yaml =
+      s"""sources:
+         |  - name: ev
+         |    path: $dir/events.parquet
+         |sql: |
+         |  SELECT event_type, COUNT(*) AS n INTO per_type FROM ev GROUP BY event_type;
+         |sinks:
+         |  - table: per_type
+         |    path: $tmp/out
+         |    mode: overwrite
+         |""".stripMargin
+    val contract = GraftApp.uiContract(spark,
+      GraftConfigLoader.fromYaml(yaml))
+    val h = UiServer.start(0, contract) // ephemeral port
+    try {
+      def get(path: String): (Int, String, String) = {
+        val c = new java.net.URL(s"http://localhost:${h.port}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val in = if (code >= 400) c.getErrorStream else c.getInputStream
+        val body = new String(in.readAllBytes(), "UTF-8")
+        (code, body, c.getContentType)
+      }
+      val (dc, dot, dt) = get("/dot")
+      assert(dc == 200 && dt.startsWith("text/vnd.graphviz"))
+      assert(dot.contains("\"ev\" -> \"per_type\""))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val (sc, srcs, st) = get("/sources")
+      assert(sc == 200 && st.startsWith("application/json"))
+      val sn = om.readTree(srcs)
+      assert(sn.get("ev").get("format").asText == "parquet")
+      assert(sn.get("ev").get("schema").asText.contains("event_type"))
+      val (oc, outs, _) = get("/outputs")
+      assert(oc == 200)
+      assert(om.readTree(outs).get("per_type").asText
+        .contains("n:bigint"))
+      val (kc, sinks, _) = get("/sinks")
+      assert(kc == 200)
+      val k0 = om.readTree(sinks).get(0)
+      assert(k0.get("table").asText == "per_type" &&
+        k0.get("mode").asText == "overwrite")
+      val (ic, idx, it) = get("/")
+      assert(ic == 200 && it.startsWith("text/html"))
+      assert(idx.contains("per_type") && idx.contains("digraph"))
+      val (nc, nb, _) = get("/nope")
+      assert(nc == 404 && nb.contains("/dot"))
+    } finally h.stop()
+  }
+
   test("dozer sink types: dummy consumes, jdbc merges into Derby, missing drivers fail loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sinks").toString
     // native-shape jdbc sink against Derby: run twice, keyed merge keeps
