@@ -261,6 +261,9 @@ object DeltaLite {
     val entries = fs.listStatus(logDir).map(_.getPath.getName).sorted
     val commitRe = "(\\d{20})\\.json".r
     val ckptRe = "(\\d{20})\\.checkpoint.*\\.parquet".r
+    // JSON-FLAVORED v2 checkpoints (the spec allows either format for
+    // the top-level v2 file; sidecars are always parquet) seed too
+    val jsonV2Re = "(\\d{20})\\.checkpoint\\..+\\.json".r
     // checkpoint to seed from: _last_checkpoint wins (unless pinned
     // BEFORE it), else the latest by name not past the pin. A LAGGING
     // _last_checkpoint (external writer checkpointed later but didn't
@@ -276,7 +279,10 @@ object DeltaLite {
           val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           Some(mapper.readTree(txt).get("version").asLong)
         } else None
-      val named = entries.collect { case ckptRe(v) => v.toLong }
+      val named = entries.collect {
+          case ckptRe(v) => v.toLong
+          case jsonV2Re(v) => v.toLong
+        }
         .filter(v => asOf.forall(v <= _)).distinct.sorted
       val preferred = fromFile.filter(v => asOf.forall(v <= _))
       val commitSet = entries.collect { case commitRe(v) => v.toLong }
@@ -317,15 +323,78 @@ object DeltaLite {
     }
 
     ckptVersion.foreach { v =>
-      val parts = entries.filter {
+      val parquetParts = entries.filter {
         case ckptRe(cv) => cv.toLong == v
         case _          => false
       }
-      require(parts.nonEmpty,
-        s"_last_checkpoint names version $v but no checkpoint parquet " +
+      val jsonParts = entries.filter {
+        case jsonV2Re(cv) => cv.toLong == v
+        case _            => false
+      }
+      require(parquetParts.nonEmpty || jsonParts.nonEmpty,
+        s"_last_checkpoint names version $v but no checkpoint file " +
           s"exists in $logDir")
+      def seedAdds(src: DataFrame): Unit = {
+        val addCols = src.select("add.*").columns.toSet
+        // checkpoint adds can carry deletion vectors — decode them like
+        // the log-replay path (no silent resurrection of deleted rows)
+        if (addCols.contains("deletionVector")) {
+          src.filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
+            .select("add").toJSON.collect().foreach { js =>
+              val a = mapper.readTree(js).get("add")
+              parseDv(a).foreach(d => dvs(decodePath(a.get("path").asText)) = d)
+            }
+        }
+        val hasStats = addCols.contains("stats")
+        val hasSize = addCols.contains("size")
+        val hasRowIds = addCols.contains("baseRowId") &&
+          addCols.contains("defaultRowCommitVersion")
+        val projCols = Seq("add.path", "add.partitionValues") ++
+          (if (hasStats) Seq("add.stats") else Nil) ++
+          (if (hasSize) Seq("add.size") else Nil) ++
+          (if (hasRowIds)
+            Seq("add.baseRowId", "add.defaultRowCommitVersion") else Nil)
+        val proj = src.select("add").filter("add IS NOT NULL")
+          .select(projCols.head, projCols.tail: _*)
+        proj.collect()
+          .foreach { r =>
+            def at(name: String): Int = r.schema.fieldIndex(name)
+            val path = decodePath(r.getString(at("path")))
+            rawPaths(path) = r.getString(at("path"))
+            val pv = Option(
+                r.getJavaMap[String, String](at("partitionValues")))
+              .map { m =>
+                val out = mutable.LinkedHashMap.empty[String, Option[String]]
+                m.forEach((k, v) => out(k) = Option(v))
+                out.toMap
+              }
+              .getOrElse(Map.empty[String, Option[String]])
+            files(path) = pv
+            if (hasStats && !r.isNullAt(at("stats")))
+              stats(path) = r.getString(at("stats"))
+            if (hasSize && !r.isNullAt(at("size")))
+              sizes(path) = r.getLong(at("size"))
+            if (hasRowIds && !r.isNullAt(at("baseRowId")) &&
+                !r.isNullAt(at("defaultRowCommitVersion")))
+              rowIds(path) = (r.getLong(at("baseRowId")),
+                r.getLong(at("defaultRowCommitVersion")))
+          }
+      }
+      // resolve + read sidecar parquet files (always parquet per the
+      // spec, whichever flavor the TOP file is)
+      def seedSidecars(sides: Seq[String]): Unit =
+        if (sides.nonEmpty) {
+          val sidecarDir = new Path(logDir, "_sidecars")
+          val paths = sides.map { sp =>
+            if (sp.contains("://") || sp.startsWith("/")) sp
+            else new Path(sidecarDir, sp).toString
+          }
+          val sdf = spark.read.parquet(paths.toIndexedSeq: _*)
+          if (sdf.columns.contains("add")) seedAdds(sdf)
+        }
+      if (parquetParts.nonEmpty) {
       val ckpt = spark.read.parquet(
-        parts.map(p => new Path(logDir, p).toString).toIndexedSeq: _*)
+        parquetParts.map(p => new Path(logDir, p).toString).toIndexedSeq: _*)
       val cols = ckpt.columns.toSet
       // a checkpoint-seeded snapshot must honor the SAME protocol gate
       // as log replay: the table's protocol action lives (only) in the
@@ -376,52 +445,6 @@ object DeltaLite {
               domains(dm.get("domain").asText) = js
           }
       }
-      def seedAdds(src: DataFrame): Unit = {
-        val addCols = src.select("add.*").columns.toSet
-        // checkpoint adds can carry deletion vectors — decode them like
-        // the log-replay path (no silent resurrection of deleted rows)
-        if (addCols.contains("deletionVector")) {
-          src.filter("add IS NOT NULL AND add.deletionVector IS NOT NULL")
-            .select("add").toJSON.collect().foreach { js =>
-              val a = mapper.readTree(js).get("add")
-              parseDv(a).foreach(d => dvs(decodePath(a.get("path").asText)) = d)
-            }
-        }
-        val hasStats = addCols.contains("stats")
-        val hasSize = addCols.contains("size")
-        val hasRowIds = addCols.contains("baseRowId") &&
-          addCols.contains("defaultRowCommitVersion")
-        val projCols = Seq("add.path", "add.partitionValues") ++
-          (if (hasStats) Seq("add.stats") else Nil) ++
-          (if (hasSize) Seq("add.size") else Nil) ++
-          (if (hasRowIds)
-            Seq("add.baseRowId", "add.defaultRowCommitVersion") else Nil)
-        val proj = src.select("add").filter("add IS NOT NULL")
-          .select(projCols.head, projCols.tail: _*)
-        proj.collect()
-          .foreach { r =>
-            def at(name: String): Int = r.schema.fieldIndex(name)
-            val path = decodePath(r.getString(at("path")))
-            rawPaths(path) = r.getString(at("path"))
-            val pv = Option(
-                r.getJavaMap[String, String](at("partitionValues")))
-              .map { m =>
-                val out = mutable.LinkedHashMap.empty[String, Option[String]]
-                m.forEach((k, v) => out(k) = Option(v))
-                out.toMap
-              }
-              .getOrElse(Map.empty[String, Option[String]])
-            files(path) = pv
-            if (hasStats && !r.isNullAt(at("stats")))
-              stats(path) = r.getString(at("stats"))
-            if (hasSize && !r.isNullAt(at("size")))
-              sizes(path) = r.getLong(at("size"))
-            if (hasRowIds && !r.isNullAt(at("baseRowId")) &&
-                !r.isNullAt(at("defaultRowCommitVersion")))
-              rowIds(path) = (r.getLong(at("baseRowId")),
-                r.getLong(at("defaultRowCommitVersion")))
-          }
-      }
       if (cols.contains("add")) seedAdds(ckpt)
       // V2 CHECKPOINTS (spec "V2 Checkpoint Table Feature"): UUID-named
       // `<v>.checkpoint.<uuid>.parquet` whose FILE ACTIONS live in
@@ -438,18 +461,89 @@ object DeltaLite {
               s"but is named for version $v — corrupt checkpoint"))
       }
       if (cols.contains("sidecar")) {
-        val sides = ckpt.select("sidecar.path")
+        seedSidecars(ckpt.select("sidecar.path")
           .filter("sidecar IS NOT NULL AND sidecar.path IS NOT NULL")
-          .collect().map(_.getString(0))
-        if (sides.nonEmpty) {
-          val sidecarDir = new Path(logDir, "_sidecars")
-          val paths = sides.map { sp =>
-            if (sp.contains("://") || sp.startsWith("/")) sp
-            else new Path(sidecarDir, sp).toString
+          .collect().map(_.getString(0)).toSeq)
+      }
+      } else {
+        // JSON-FLAVORED v2 checkpoint: newline-delimited actions in
+        // the same shapes as commit JSONs — protocol/metaData/txn/
+        // domainMetadata apply like replay, `add`s are the live file
+        // set, `remove`s are EXPIRED TOMBSTONES (skipped: a checkpoint
+        // is fresh state, not a delta), `sidecar`s point at parquet
+        // file-action files, `checkpointMetadata` must agree on the
+        // version. Driver-side parse — the top file is metadata-sized
+        // (file actions live in the sidecars).
+        val sidecarNames = mutable.ArrayBuffer.empty[String]
+        jsonParts.foreach { name =>
+          val in = fs.open(new Path(logDir, name))
+          val txt = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          txt.split("\n").filter(_.trim.nonEmpty).foreach { line =>
+            val action = mapper.readTree(line)
+            if (action.has("protocol")) {
+              val node = action.get("protocol")
+              checkProtocol(node)
+              protocolAction = Some(parseProto(node))
+            }
+            if (action.has("metaData")) {
+              val m = action.get("metaData")
+              mappingMode = checkMetaData(m)
+              schemaJson = Some(m.get("schemaString").asText)
+              partCols = Option(m.get("partitionColumns"))
+                .map(n => (0 until n.size).map(n.get(_).asText).toSeq)
+                .getOrElse(Nil)
+              configuration = Option(m.get("configuration")).map { c =>
+                val out = mutable.LinkedHashMap.empty[String, String]
+                val it2 = c.fields()
+                while (it2.hasNext) {
+                  val e = it2.next()
+                  if (!e.getValue.isNull) out(e.getKey) = e.getValue.asText
+                }
+                out.toMap
+              }.getOrElse(Map.empty)
+              Option(m.get("id")).filterNot(_.isNull)
+                .foreach(id => tableId = id.asText)
+            }
+            if (action.has("add")) {
+              val a = action.get("add")
+              val p = decodePath(a.get("path").asText)
+              rawPaths(p) = a.get("path").asText
+              files(p) = Option(a.get("partitionValues"))
+                .map(partValues).getOrElse(Map.empty)
+              Option(a.get("stats")).filterNot(_.isNull)
+                .foreach(s => stats(p) = s.asText)
+              Option(a.get("size")).filterNot(_.isNull)
+                .foreach(s => sizes(p) = s.asLong)
+              parseDv(a).foreach(d => dvs(p) = d)
+              (Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+                Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+                  .map(_.asLong)) match {
+                case (Some(b), Some(d)) => rowIds(p) = (b, d)
+                case _ => ()
+              }
+            }
+            if (action.has("txn")) {
+              val t = action.get("txn")
+              txns(t.get("appId").asText) = t.get("version").asLong
+            }
+            if (action.has("domainMetadata")) {
+              val dm = action.get("domainMetadata")
+              if (!Option(dm.get("removed")).exists(_.asBoolean))
+                domains(dm.get("domain").asText) = line
+            }
+            if (action.has("checkpointMetadata"))
+              require(action.get("checkpointMetadata")
+                  .get("version").asLong == v,
+                s"v2 checkpoint at $logDir declares version " +
+                  action.get("checkpointMetadata").get("version").asLong +
+                  s" but is named for version $v — corrupt checkpoint")
+            if (action.has("sidecar"))
+              Option(action.get("sidecar").get("path")).filterNot(_.isNull)
+                .foreach(p => sidecarNames += p.asText)
           }
-          val sdf = spark.read.parquet(paths.toIndexedSeq: _*)
-          if (sdf.columns.contains("add")) seedAdds(sdf)
         }
+        seedSidecars(sidecarNames.toSeq)
       }
     }
 
@@ -458,22 +552,9 @@ object DeltaLite {
       case n @ commitRe(v) if v.toLong > startAfter &&
         asOf.forall(v.toLong <= _) => (v.toLong, n)
     }.sortBy(_._1)
-    // a table whose only complete checkpoint is a JSON-flavored v2
-    // checkpoint cannot seed from parquet — name the feature in the
-    // refusal instead of a generic gap error
-    val jsonCkptRe = "(\\d{20})\\.checkpoint\\..+\\.json".r
-    def v2JsonHint: String = {
-      val jsonCkpts = entries.collect { case jsonCkptRe(cv) => cv.toLong }
-        .filter(cv => asOf.forall(cv <= _))
-      if (jsonCkpts.isEmpty) ""
-      else s" (note: version ${jsonCkpts.max} has a JSON v2Checkpoint, " +
-        "which the native reader does not read — write a parquet " +
-        "checkpoint or add the delta-spark jars)"
-    }
     require(ckptVersion.nonEmpty || commits.nonEmpty,
       s"empty Delta log at $logDir" +
-        asOf.map(v => s" at or before version $v").getOrElse("") +
-        v2JsonHint)
+        asOf.map(v => s" at or before version $v").getOrElse(""))
     // commit versions must be CONTIGUOUS from the seed: a missing
     // intermediate commit (external log cleanup without a checkpoint
     // covering it) would silently replay to a wrong file set
@@ -482,7 +563,7 @@ object DeltaLite {
       require(v == expect,
         s"Delta log at $logDir is missing commit version $expect " +
           s"(found $v after ${if (startAfter < 0) "the start" else s"checkpoint $startAfter"})" +
-          " — cannot replay a gapped log" + v2JsonHint)
+          " — cannot replay a gapped log")
     }
     var version = ckptVersion.getOrElse(-1L)
     commits.foreach { case (v, name) =>
@@ -589,9 +670,12 @@ object DeltaLite {
     val entries = fs.listStatus(logDir).map(_.getPath.getName)
     val commitRe = "(\\d{20})\\.json".r
     val ckptRe = "(\\d{20})\\.checkpoint.*\\.parquet".r
+    val jsonV2Re = "(\\d{20})\\.checkpoint\\..+\\.json".r
     val commits = entries.collect { case commitRe(cv) => cv.toLong }.toSet
-    val seed = entries.collect { case ckptRe(cv) => cv.toLong }
-      .filter(_ <= v).sorted.lastOption
+    val seed = entries.collect {
+        case ckptRe(cv) => cv.toLong
+        case jsonV2Re(cv) => cv.toLong
+      }.filter(_ <= v).sorted.lastOption
     seed match {
       case Some(s) => (s + 1 to v).forall(commits)
       case None => (0L to v).forall(commits)

@@ -1711,7 +1711,7 @@ class DeltaLiteSpec extends AnyFunSuite {
   }
 
   test("v2 checkpoint (UUID-named + sidecars) seeds the snapshot; a " +
-      "JSON-flavored v2 checkpoint refuses naming v2Checkpoint") {
+      "JSON-flavored v2 checkpoint seeds too (both spec flavors)") {
     val t = java.nio.file.Files.createTempDirectory("delta_v2ck").toString
     val schema = Seq((1L, "a")).toDF("k", "v").schema
     writeDataFile(Seq((1L, "a")).toDF("k", "v"), t, "s1.parquet")
@@ -1765,20 +1765,68 @@ class DeltaLiteSpec extends AnyFunSuite {
     val snap = DeltaLite.snapshot(spark, t)
     assert(snap.version == 3L && snap.files.keySet ==
       Set("s1.parquet", "s2.parquet", "s3.parquet"))
-    // JSON-flavored v2 checkpoint with no parquet seed and cleaned
-    // commits: the refusal NAMES v2Checkpoint
+    // JSON-FLAVORED v2 checkpoint (the spec's other top-file format):
+    // newline-delimited actions + a parquet sidecar, commits cleaned —
+    // the snapshot must seed from it alone, then replay newer commits
     val t2 = java.nio.file.Files.createTempDirectory("delta_v2json")
       .toString
+    writeDataFile(Seq((1L, "a")).toDF("k", "v"), t2, "j1.parquet")
+    writeDataFile(Seq((2L, "b")).toDF("k", "v"), t2, "j2.parquet")
+    writeDataFile(Seq((3L, "c")).toDF("k", "v"), t2, "j3.parquet")
     val logDir2 = new Path(t2, "_delta_log")
     fs(t2).mkdirs(logDir2)
+    // sidecar carries j2; j1 rides the top file inline (both legal)
+    val side2 = Seq(
+      (Option(CkAdd("j2.parquet", Map.empty)), Option.empty[String]))
+      .toDF("add", "remove")
+    val sideDir2 = new Path(logDir2, "_sidecars")
+    fs(t2).mkdirs(sideDir2)
+    val sstage2 = t2 + "_sstage"
+    side2.coalesce(1).write.mode("overwrite").parquet(sstage2)
+    val spart2 = fs(t2).listStatus(new Path(sstage2)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    assert(fs(t2).rename(spart2, new Path(sideDir2, "sc-2.parquet")))
+    fs(t2).delete(new Path(sstage2), true)
     val jc = fs(t2).create(new Path(logDir2,
       f"${2L}%020d.checkpoint.$uuid.json"), true)
-    try jc.write("{}".getBytes("UTF-8")) finally jc.close()
+    try jc.write((Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"tj","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"checkpointMetadata":{"version":2}}""",
+      """{"add":{"path":"j1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"remove":{"path":"gone.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      """{"txn":{"appId":"appJ","version":9}}""",
+      """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":1}}""")
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    finally jc.close()
+    val lc2 = fs(t2).create(new Path(logDir2, "_last_checkpoint"), true)
+    try lc2.write("""{"version":2,"size":7}""".getBytes("UTF-8"))
+    finally lc2.close()
     writeLog(t2, 3, Seq(
-      """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      """{"commitInfo":{"operation":"WRITE","timestamp":1}}""",
+      """{"add":{"path":"j3.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got2 = DeltaLite.read(spark, t2).as[(Long, String)].collect().toSet
+    assert(got2 == Set((1L, "a"), (2L, "b"), (3L, "c")), got2.toString)
+    val snap2 = DeltaLite.snapshot(spark, t2)
+    assert(snap2.txns.get("appJ").contains(9L),
+      "txn watermarks must ride the JSON v2 checkpoint")
+    assert(!snap2.files.contains("gone.parquet"),
+      "checkpoint removes are expired tombstones, never live files")
+    // a corrupt version pin refuses loudly
+    val t3 = java.nio.file.Files.createTempDirectory("delta_v2bad")
+      .toString
+    val logDir3 = new Path(t3, "_delta_log")
+    fs(t3).mkdirs(logDir3)
+    val jc3 = fs(t3).create(new Path(logDir3,
+      f"${2L}%020d.checkpoint.$uuid.json"), true)
+    try jc3.write((Seq(
+      s"""{"metaData":{"id":"t3","format":{"provider":"parquet","options":{}},"schemaString":${escape(schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      """{"checkpointMetadata":{"version":7}}""")
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    finally jc3.close()
     val ex = intercept[IllegalArgumentException](
-      DeltaLite.snapshot(spark, t2))
-    assert(ex.getMessage.contains("v2Checkpoint"), ex.getMessage)
+      DeltaLite.snapshot(spark, t3))
+    assert(ex.getMessage.contains("corrupt checkpoint"), ex.getMessage)
   }
 
   test("v2 checkpoint WRITING: a v2Checkpoint-featured table's " +
