@@ -585,7 +585,13 @@ object GraftApp {
         * (plain `vacuum: true` defers to the table's
         * delta.deletedFileRetentionDuration, else immediate).
         */
-      vacuumRetainMillis: Option[Long] = None) {
+      vacuumRetainMillis: Option[Long] = None,
+      /** `uniform_sync: true` — delta UniForm (icebergCompatV2)
+        * conversion: register the table's current files as an iceberg
+        * snapshot under `<path>/metadata` so iceberg readers see the
+        * same rows (the step Databricks runs async after each commit).
+        */
+      uniformSync: Boolean = false) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -614,12 +620,15 @@ object GraftApp {
       s"maintenance on '$path': clone.version needs clone.source")
     require(cloneSource.isEmpty || format == "delta",
       s"maintenance on '$path': clone is the delta op")
+    require(!uniformSync || format == "delta",
+      s"maintenance on '$path': uniform_sync is the delta op (the " +
+        "table IS iceberg-readable after it)")
     require(compact || expireKeepLast.nonEmpty ||
         expireOlderThanMillis.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
         restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
         createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty ||
-        cloneSource.nonEmpty,
+        cloneSource.nonEmpty || uniformSync,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -1124,6 +1133,10 @@ object GraftApp {
           if (m.setProperties.nonEmpty)
             graft.sources.DeltaLite.setTableProperties(spark, m.path,
               m.setProperties)
+          // sync AFTER the mutating steps so the iceberg view mirrors
+          // this run's final delta version
+          if (m.uniformSync)
+            graft.sources.DeltaLite.syncUniform(spark, m.path)
           if (m.checkpoint) graft.sources.DeltaLite.checkpoint(spark, m.path)
           if (m.cleanupLogs) graft.sources.DeltaLite.cleanupLogs(spark, m.path)
           if (m.vacuum) graft.sources.DeltaLite.vacuum(spark, m.path,

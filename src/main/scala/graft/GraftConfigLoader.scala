@@ -303,7 +303,9 @@ object GraftConfigLoader {
               fail("maintenance clone needs a source")).toString),
           cloneVersion = m.asScala.get("clone").filter(_ != null)
             .flatMap(x => asMap(x).asScala.get("version"))
-            .map(_.toString.toLong))
+            .map(_.toString.toLong),
+          uniformSync = m.asScala.get("uniform_sync")
+            .exists(_.toString.toBoolean))
       }
 
   /** `create_tag: {name: x, snapshot_id: N?}` (snapshot_id optional —

@@ -5050,6 +5050,52 @@ object PipelineQueries {
           sum("o_orderkey").cast("long").as("sum_key"))
     },
 
+    // UNIFORM CONVERSION through the driver gate: a UniForm
+    // (icebergCompatV2) delta table takes an append + copy-on-write
+    // delete, then syncUniform registers the surviving files as an
+    // iceberg snapshot under <table>/metadata — and the RESULT IS READ
+    // THROUGH THE ICEBERG METADATA (IcebergLite.read), never the delta
+    // log, so a missed file, a stale registration, or a field-id
+    // mismatch between the iceberg schema and the parquet footers
+    // hash-fails against the oracle's restatement of the mutations.
+    QueryDef("q166_uniform_iceberg_sync",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey AS BIGINT) AS o_custkey
+        |  FROM orders WHERE o_orderkey <= 2400
+        |)
+        |SELECT o_orderkey, o_custkey FROM base
+        |WHERE NOT (o_orderkey % 4 = 0)""".stripMargin) { (s, dir) =>
+      import graft.sources.{DeltaLite, IcebergLite}
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q166_unisync").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"))
+      val first = o.filter(col("o_orderkey") <= 2000)
+      val firstN = first.count()
+      DeltaLite.write(s, first, tbl)
+      DeltaLite.enableColumnMapping(s, tbl)
+      DeltaLite.setTableProperties(s, tbl, Map(
+        "delta.enableIcebergCompatV2" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg"))
+      val s1 = DeltaLite.syncUniform(s, tbl)
+      // append + copy-on-write delete, then RE-sync: the registration
+      // must move to the new delta version (each sync overwrites)
+      DeltaLite.write(s,
+        o.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 2400),
+        tbl)
+      DeltaLite.deleteWhere(s, tbl, col("o_orderkey") % 4 === 0)
+      DeltaLite.syncUniform(s, tbl)
+      // the FIRST registration stays time-travelable at its id
+      require(IcebergLite.read(s, tbl, snapshotId = Some(s1)).count() ==
+        firstN, "q166: the first sync's snapshot must pin the " +
+        "pre-mutation row count")
+      IcebergLite.read(s, tbl).select("o_orderkey", "o_custkey")
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

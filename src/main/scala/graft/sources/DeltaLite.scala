@@ -2595,6 +2595,103 @@ object DeltaLite {
       lines.toSeq, ourRemoves = touched, dataChangeMutation = true)
   }
 
+  /** UNIFORM CONVERSION — the step `icebergCompatV2` exists for:
+    * register the table's CURRENT data files as an iceberg snapshot
+    * under `<table>/metadata` (next to `_delta_log`) so iceberg
+    * readers — [[IcebergLite]] included — read the same rows with no
+    * data copied. Databricks runs this as an async service after each
+    * delta commit; delta-spark OSS only writes the compat-shaped data
+    * files. Graft exposes it as an explicit IDEMPOTENT maintenance
+    * step: each call overwrites the registration with the current
+    * delta version (`delta-version` stamped in the snapshot summary),
+    * so sync-after-mutate keeps the iceberg view exact.
+    *
+    * The iceberg schema carries the PHYSICAL column names (what the
+    * mapped parquet files are written with — [[IcebergLite]] resolves
+    * parquet columns by name) with field ids equal to the delta
+    * columnMapping ids (what spec-compliant id-resolving readers use;
+    * [[toPhysical]] stamps them into the staged footers). The id
+    * agreement is VERIFIED field-by-field before any metadata is
+    * written. Loud refusals, never silent wrong data:
+    *  - not a UniForm table, or partitioned (iceberg partition-spec
+    *    mirroring of delta partition values is not implemented);
+    *  - array/map columns: iceberg numbers list/map elements, delta
+    *    column mapping numbers struct fields only, so the id spaces
+    *    diverge — real icebergCompatV2 allocates NESTED field ids for
+    *    these (not implemented);
+    *  - columnMapping ids that are not the dense pre-order 1..n (a
+    *    post-drop gap): the fresh iceberg numbering would disagree
+    *    with the parquet-stamped ids;
+    *  - a live DV (UniForm forbids them — presence means a foreign
+    *    writer broke the compat contract) or a file without
+    *    numRecords stats (manifests require record_count).
+    *
+    * Returns the iceberg snapshot id. Beyond the reference (dozer has
+    * no lakehouse writer); kept for real-pipeline interop.
+    */
+  def syncUniform(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val snap = snapshot(spark, tablePath)
+    require(uniformEnabled(snap),
+      s"$tablePath does not carry the icebergCompatV2 writer feature — " +
+        "enable UniForm first (setTableProperties " +
+        "delta.enableIcebergCompatV2=true)")
+    require(snap.partitionColumns.isEmpty,
+      "UniForm iceberg sync supports unpartitioned tables — " +
+        s"$tablePath partitions by ${snap.partitionColumns.mkString(",")}")
+    require(snap.dvs.isEmpty,
+      s"$tablePath carries live deletion vectors — UniForm forbids " +
+        "them (a foreign writer broke the icebergCompatV2 contract); " +
+        "run compact() to purge, then re-sync")
+    def flat(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.forall(f => flat(f.dataType))
+      case _: ArrayType | _: MapType => false
+      case _ => true
+    }
+    require(flat(snap.schema),
+      "UniForm iceberg sync: array/map columns need icebergCompatV2's " +
+        "nested-field-id allocation (iceberg numbers list/map " +
+        "elements, delta column mapping does not) — not implemented")
+    var pre = 0
+    def check(fields: Seq[StructField], at: String): Unit =
+      fields.foreach { f =>
+        pre += 1
+        val id =
+          if (f.metadata.contains("delta.columnMapping.id"))
+            f.metadata.getLong("delta.columnMapping.id")
+          else -1L
+        require(id == pre,
+          s"UniForm iceberg sync: column '$at${f.name}' carries delta " +
+            s"columnMapping id $id but iceberg's schema numbering " +
+            s"assigns $pre (a post-drop id gap?) — the parquet field " +
+            "ids would disagree with the iceberg schema")
+        f.dataType match {
+          case st: StructType => check(st.fields.toSeq, s"$at${f.name}.")
+          case _ => ()
+        }
+      }
+    check(snap.schema.fields.toSeq, "")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else new Path(tablePath, p).toString
+    val files = snap.files.keys.toSeq.sorted.map { p =>
+      val rows = snap.stats.get(p)
+        .flatMap(s => Option(mapper.readTree(s).get("numRecords"))
+          .map(_.asLong))
+        .getOrElse(throw new IllegalArgumentException(
+          s"UniForm iceberg sync: $p carries no numRecords stats — " +
+            "iceberg manifests require record_count"))
+      val size = snap.sizes.getOrElse(p,
+        fs.getFileStatus(new Path(abs(p))).getLen)
+      (abs(p), rows, size)
+    }
+    val physSchema = StructType(snap.schema.fields.map(physicalField))
+    IcebergLite.commitExistingFiles(spark, tablePath, physSchema, files,
+      extraSummary = Map("delta-version" -> snap.version.toString))
+  }
+
   /** OPTIMIZE (bin-packing compaction) + DV PURGE: rewrites, per
     * partition tuple, (a) every file carrying a live deletion vector —
     * the rewrite APPLIES the bitmap and DROPS the DV (delta-spark's

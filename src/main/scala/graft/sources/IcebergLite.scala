@@ -2020,6 +2020,41 @@ object IcebergLite {
       branch = toBranch.getOrElse("main"))
   }
 
+  /** Register EXISTING data files as one iceberg snapshot WITHOUT
+    * staging or copying anything — the manifest references them in
+    * place by absolute path. This is the UNIFORM CONVERSION worker
+    * ([[DeltaLite.syncUniform]]): each call OVERWRITES the previous
+    * registration, so the iceberg view mirrors the caller's current
+    * file set exactly (a delta version ↦ an iceberg snapshot). The
+    * files must carry their own column resolution story (parquet field
+    * ids, or names matching the schema — the caller gates this).
+    * Unpartitioned only; `files` = (absolutePath, rowCount, sizeBytes).
+    */
+  private[sources] def commitExistingFiles(spark: SparkSession,
+      tablePath: String, schema: StructType,
+      files: Seq[(String, Long, Long)],
+      extraSummary: Map[String, String] = Map.empty): Long = {
+    val root = new Path(tablePath)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fsys.exists(new Path(root, "metadata"))
+    val prior = if (exists) Some(snapshotState(spark, tablePath)) else None
+    prior.foreach(p => require(p.meta.partitionFields.isEmpty,
+      s"$tablePath carries a partition spec — registering existing " +
+        "files supports unpartitioned tables"))
+    val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
+    val snapshotId =
+      java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
+    val entries = files.map { case (p, rows, size) =>
+      entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
+        content = 0, path = p, records = rows, size = size)
+    }
+    commit(spark, tablePath, prior, schema,
+      Seq((entries, 0, files.map(_._2).sum)),
+      carryForward = Seq.empty, operation = "overwrite",
+      snapshotId = snapshotId, extraSummary = extraSummary,
+      retry = "none")
+  }
+
   /** One resolved field of the partition spec being WRITTEN: partition
     * field name, transform, source column + its type, and the
     * transform's result type (the manifest partition value type).

@@ -2242,6 +2242,89 @@ class DeltaLiteSpec extends AnyFunSuite {
       "UniForm + rowTracking delete must not write a DV")
   }
 
+  test("UniForm iceberg sync: the conversion registers the delta " +
+      "files as an iceberg snapshot — same rows, re-sync mirrors " +
+      "mutations, field ids agree, refusals are loud") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("delta_unisync")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    DeltaLite.enableColumnMapping(spark, t)
+    // not a UniForm table yet → loud refusal naming the feature
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaLite.syncUniform(spark, t)
+    }
+    assert(e0.getMessage.contains("icebergCompatV2"))
+    DeltaLite.setTableProperties(spark, t,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    DeltaLite.syncUniform(spark, t)
+    // the iceberg view reads the same rows off the SAME parquet files
+    // (physical column names in the iceberg schema — compare by
+    // position)
+    def ice(): Set[(Long, String)] = IcebergLite.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ice() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // iceberg schema field ids == the delta columnMapping ids the
+    // parquet footers are stamped with (id-resolving readers depend
+    // on the agreement syncUniform verifies)
+    val dsnap = DeltaLite.snapshot(spark, t)
+    val deltaIds = dsnap.schema.fields.map(f =>
+      f.metadata.getString("delta.columnMapping.physicalName") ->
+        f.metadata.getLong("delta.columnMapping.id").toInt).toMap
+    val iceSchema = IcebergLite.loadMeta(spark, t).schema
+    val iceNames = iceSchema.fieldNames.toSet
+    assert(iceNames == deltaIds.keySet,
+      s"iceberg schema must carry the physical names: $iceNames")
+    // mutate: append then copy-on-write delete — the iceberg view is
+    // PINNED at the registered version until the next sync
+    DeltaLite.write(spark, Seq((4L, "d")).toDF("k", "v"), t)
+    DeltaLite.deleteWhere(spark, t, col("k") === 2L)
+    assert(ice() == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "the iceberg registration pins the synced delta version")
+    DeltaLite.syncUniform(spark, t)
+    assert(ice() == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // idempotent: re-sync of an unchanged table keeps the same rows
+    DeltaLite.syncUniform(spark, t)
+    assert(ice() == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // each sync stamps the source delta version into the summary
+    val summaries = IcebergLite.snapshotsDf(spark, t)
+      .select("summary").collect()
+      .map(_.getMap[String, String](0).get("delta-version"))
+    assert(summaries.forall(_.isDefined),
+      "every synced snapshot must record its delta-version")
+    assert(summaries.last.contains(
+      DeltaLite.snapshot(spark, t).version.toString))
+    // refusal: array/map columns need nested field ids iceberg
+    // numbers but delta column mapping does not
+    val ta = java.nio.file.Files.createTempDirectory("delta_unisync_arr")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, Seq("x", "y"))).toDF("k", "tags"), ta)
+    DeltaLite.enableColumnMapping(spark, ta)
+    DeltaLite.setTableProperties(spark, ta,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLite.syncUniform(spark, ta)
+    }
+    assert(e1.getMessage.contains("nested-field-id"))
+    // refusal: a post-drop columnMapping id gap would disagree with
+    // the fresh iceberg numbering
+    val tg = java.nio.file.Files.createTempDirectory("delta_unisync_gap")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, "a", 9L)).toDF("k", "v", "extra"), tg)
+    DeltaLite.enableColumnMapping(spark, tg)
+    DeltaLite.dropColumn(spark, tg, "v")
+    DeltaLite.setTableProperties(spark, tg,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLite.syncUniform(spark, tg)
+    }
+    assert(e2.getMessage.contains("id gap") ||
+      e2.getMessage.contains("columnMapping id"))
+  }
+
   test("liquid clustering: OPTIMIZE clusters its rewrites on the " +
       "domain's columns — per-file bounds come out range-disjoint") {
     val t = java.nio.file.Files.createTempDirectory("delta_cluster")

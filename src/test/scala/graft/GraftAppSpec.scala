@@ -1692,6 +1692,58 @@ class GraftAppSpec extends AnyFunSuite {
     assert(err.getMessage.contains("BATCH"))
   }
 
+  test("maintenance uniform_sync: the config step registers a UniForm " +
+      "delta table as an iceberg snapshot; iceberg entries refuse it") {
+    import graft.sources.{DeltaLite, IcebergLite}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_unisync")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), s"$base/dl")
+    DeltaLite.enableColumnMapping(spark, s"$base/dl")
+    DeltaLite.setTableProperties(spark, s"$base/dl",
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    val yaml =
+      s"""sources:
+         |  - name: d
+         |    path: $base/dl
+         |    format: delta
+         |sql: SELECT k, v INTO o FROM d;
+         |sinks:
+         |  - table: o
+         |    path: $base/out
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/dl
+         |    format: delta
+         |    uniform_sync: true
+         |""".stripMargin
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(yaml))
+    // the delta table is now readable AS ICEBERG — same rows, no copy
+    assert(IcebergLite.read(spark, s"$base/dl")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // uniform_sync under format: iceberg refuses at config load (it is
+    // the delta-side conversion)
+    val err = intercept[IllegalArgumentException](
+      GraftConfigLoader.fromYaml(
+        s"""sources:
+           |  - name: d
+           |    path: $base/dl
+           |    format: delta
+           |sql: SELECT k INTO o2 FROM d;
+           |sinks:
+           |  - table: o2
+           |    path: $base/never2
+           |    mode: overwrite
+           |maintenance:
+           |  - path: $base/dl
+           |    format: iceberg
+           |    uniform_sync: true
+           |""".stripMargin))
+    assert(err.getMessage.contains("uniform_sync"))
+  }
+
   test("iceberg source options.ref: branch/tag time travel by name " +
       "through the config path") {
     import spark.implicits._
