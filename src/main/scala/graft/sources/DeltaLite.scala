@@ -2612,9 +2612,15 @@ object DeltaLite {
     * columnMapping ids (what spec-compliant id-resolving readers use;
     * [[toPhysical]] stamps them into the staged footers). The id
     * agreement is VERIFIED field-by-field before any metadata is
-    * written. Loud refusals, never silent wrong data:
-    *  - not a UniForm table, or partitioned (iceberg partition-spec
-    *    mirroring of delta partition values is not implemented);
+    * written. Partitioned tables register an identity partition spec
+    * with each file's recorded partition values in the manifest tuple
+    * — delta data files don't carry partition columns, so iceberg
+    * reads project them from the tuple (the spec's identity constant
+    * projection, [[IcebergLite]] scanData). Loud refusals, never
+    * silent wrong data:
+    *  - not a UniForm table;
+    *  - a partition column of a type the iceberg manifest tuple
+    *    doesn't cover (int/long/string/date are supported);
     *  - array/map columns: iceberg numbers list/map elements, delta
     *    column mapping numbers struct fields only, so the id spaces
     *    diverge — real icebergCompatV2 allocates NESTED field ids for
@@ -2636,9 +2642,6 @@ object DeltaLite {
       s"$tablePath does not carry the icebergCompatV2 writer feature — " +
         "enable UniForm first (setTableProperties " +
         "delta.enableIcebergCompatV2=true)")
-    require(snap.partitionColumns.isEmpty,
-      "UniForm iceberg sync supports unpartitioned tables — " +
-        s"$tablePath partitions by ${snap.partitionColumns.mkString(",")}")
     require(snap.dvs.isEmpty,
       s"$tablePath carries live deletion vectors — UniForm forbids " +
         "them (a foreign writer broke the icebergCompatV2 contract); " +
@@ -2676,7 +2679,15 @@ object DeltaLite {
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
-    val files = snap.files.keys.toSeq.sorted.map { p =>
+    // partitioned tables register an identity spec on the PHYSICAL
+    // partition column names; delta data files don't carry partition
+    // columns, so iceberg reads project them from the recorded tuple
+    // (the spec's identity constant projection)
+    val partFields = snap.partitionColumns.map(c =>
+      snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the Delta schema")))
+    val files = snap.files.toSeq.sortBy(_._1).map { case (p, pv) =>
       val rows = snap.stats.get(p)
         .flatMap(s => Option(mapper.readTree(s).get("numRecords"))
           .map(_.asLong))
@@ -2685,10 +2696,15 @@ object DeltaLite {
             "iceberg manifests require record_count"))
       val size = snap.sizes.getOrElse(p,
         fs.getFileStatus(new Path(abs(p))).getLen)
-      (abs(p), rows, size)
+      val tuple: Map[String, Option[String]] = partFields.map { f =>
+        physicalName(f) ->
+          pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
+      }.toMap
+      (abs(p), rows, size, tuple)
     }
     val physSchema = StructType(snap.schema.fields.map(physicalField))
     IcebergLite.commitExistingFiles(spark, tablePath, physSchema, files,
+      partitionCols = partFields.map(physicalName).toSeq,
       extraSummary = Map("delta-version" -> snap.version.toString))
   }
 

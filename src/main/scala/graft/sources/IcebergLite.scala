@@ -761,6 +761,26 @@ object IcebergLite {
             .filter(_ != fld.name).map(fld.name -> _)
         }.toMap
       }
+    // IDENTITY CONSTANT PROJECTION (spec §Column Projection rule 2):
+    // an identity-partitioned source column's value is the file's
+    // recorded partition constant. Files REGISTERED in place —
+    // migrated hive tables (add_files) and UniForm-converted delta
+    // tables — don't carry the column in the parquet at all; reading
+    // it from the file would surface silent nulls. The manifest tuple
+    // is exact for natively staged files too (identity ⇒ constant per
+    // file), so parquet scans project the tuple whenever every file
+    // of a group records it — ONE broadcast hash join on the
+    // normalized path, never a per-partition scan fan-out, and one
+    // column less read from disk.
+    val idToName0 = curIds.map(_.swap)
+    val identSrc: Seq[(String, String, DataType)] =
+      st.meta.partitionFields.filter(_.transform == "identity")
+        .flatMap { pf =>
+          val src = idToName0.getOrElse(pf.sourceId, pf.name)
+          cur.fields.find(_.name == src)
+            .filter(f => projectablePartType(f.dataType))
+            .map(f => (pf.name, src, f.dataType))
+        }
     files.groupBy(f => (renames(f), f.format)).toSeq.map {
         case ((rn, fmt), fls) =>
       val readSchema =
@@ -770,12 +790,46 @@ object IcebergLite {
       val paths = fls.map(_.path)
       val staged = fmt match {
         case "PARQUET" =>
-          val scanned = spark.read.schema(readSchema).parquet(paths: _*)
-          if (!withPos) scanned
-          else scanned
-            .withColumn("__ice_file",
-              normalizePathCol(col("_metadata.file_path")))
-            .withColumn("__ice_pos", col("_metadata.row_index"))
+          val proj = identSrc.filter { case (pfn, _, _) =>
+            fls.forall(_.partValues.contains(pfn)) }
+          if (proj.isEmpty) {
+            val scanned = spark.read.schema(readSchema).parquet(paths: _*)
+            if (!withPos) scanned
+            else scanned
+              .withColumn("__ice_file",
+                normalizePathCol(col("_metadata.file_path")))
+              .withColumn("__ice_pos", col("_metadata.row_index"))
+          } else {
+            val projRead = proj.map { case (_, src, _) =>
+              rn.getOrElse(src, src) }.toSet
+            val readSchema2 = StructType(
+              readSchema.fields.filterNot(f => projRead(f.name)))
+            val base0 = spark.read.schema(readSchema2).parquet(paths: _*)
+            val base =
+              (if (withPos) base0
+                .withColumn("__ice_file",
+                  normalizePathCol(col("_metadata.file_path")))
+                .withColumn("__ice_pos", col("_metadata.row_index"))
+              else base0)
+                .withColumn("__ice_pvk",
+                  normalizePathCol(col("_metadata.file_path")))
+            val pvSchema = StructType(
+              StructField("__ice_pvk", StringType, nullable = false) +:
+              proj.map { case (_, src, dt) =>
+                StructField(rn.getOrElse(src, src), dt) })
+            val pvRows = fls.map { f =>
+              org.apache.spark.sql.Row.fromSeq(encodedPathKey(f.path) +:
+                proj.map { case (pfn, _, dt) =>
+                  typedPartValue(dt, f.partValues(pfn)) })
+            }
+            val pvDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+            base.join(org.apache.spark.sql.functions.broadcast(pvDf),
+                Seq("__ice_pvk"), "left")
+              .select((readSchema.fieldNames.map(col) ++
+                (if (withPos) Seq(col("__ice_file"), col("__ice_pos"))
+                 else Nil)).toIndexedSeq: _*)
+          }
         case "ORC" =>
           val (exactFls, vecFls) =
             if (!withPos || exactPos.isEmpty) (Nil, fls)
@@ -1428,6 +1482,38 @@ object IcebergLite {
         s"unsupported partition value type ${other.sql}")
     }
 
+  /** Source-column types the identity constant projection covers
+    * (everything the manifest partition tuple encodes losslessly and
+    * [[typedPartValue]] converts) — other types read from the file.
+    */
+  private def projectablePartType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | DateType | BooleanType |
+         FloatType | DoubleType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** An avro-decoded manifest partition value → the Spark EXTERNAL
+    * value of the source column's type (what `createDataFrame` Rows
+    * carry): dates arrive as epoch-day ints, timestamps as micros.
+    */
+  private def typedPartValue(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (DateType, i: java.lang.Integer) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue))
+    case (TimestampType, l: java.lang.Long) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l.longValue, 1000000L),
+        Math.floorMod(l.longValue, 1000000L) * 1000L))
+    case (TimestampNTZType, l: java.lang.Long) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l.longValue, 1000000L),
+        (Math.floorMod(l.longValue, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (LongType, i: java.lang.Integer) => i.longValue
+    case (IntegerType, l: java.lang.Long) => l.intValue
+    case _ => v
+  }
+
   /** Top-level column name → assigned field id (the same assignment
     * [[schemaNode]] writes into the metadata, so manifest bounds keys
     * and schema ids always agree).
@@ -2028,30 +2114,65 @@ object IcebergLite {
     * file set exactly (a delta version ↦ an iceberg snapshot). The
     * files must carry their own column resolution story (parquet field
     * ids, or names matching the schema — the caller gates this).
-    * Unpartitioned only; `files` = (absolutePath, rowCount, sizeBytes).
+    * `files` = (absolutePath, rowCount, sizeBytes, partition values by
+    * SCHEMA column name, raw strings). `partitionCols` declares the
+    * identity partition spec; registered files need not carry the
+    * partition columns in the parquet — reads project them from the
+    * recorded tuple (the spec's identity constant projection,
+    * [[scanData]]).
     */
   private[sources] def commitExistingFiles(spark: SparkSession,
       tablePath: String, schema: StructType,
-      files: Seq[(String, Long, Long)],
+      files: Seq[(String, Long, Long, Map[String, Option[String]])],
+      partitionCols: Seq[String] = Nil,
       extraSummary: Map[String, String] = Map.empty): Long = {
     val root = new Path(tablePath)
     val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fsys.exists(new Path(root, "metadata"))
     val prior = if (exists) Some(snapshotState(spark, tablePath)) else None
-    prior.foreach(p => require(p.meta.partitionFields.isEmpty,
-      s"$tablePath carries a partition spec — registering existing " +
-        "files supports unpartitioned tables"))
+    val partFields: Seq[(String, DataType)] = partitionCols.map { c =>
+      c -> schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from the registered schema"))
+        .dataType
+    }
+    partFields.foreach { case (n, dt) =>
+      parseDirValue(dt, dt match { // loud on unsupported value types
+        case DateType => "1970-01-01"
+        case StringType => ""
+        case _ => "0"
+      }); ()
+    }
+    prior.foreach { p =>
+      val cur = p.meta.partitionFields.map(f => (f.name, f.transform))
+      val wanted = partitionCols.map(c => (c, "identity"))
+      require(cur == wanted,
+        s"$tablePath's existing partition spec $cur differs from the " +
+          s"registration's $wanted — re-registration cannot change " +
+          "the spec")
+    }
+    val ids = topFieldIds(schema)
+    val entrySchema =
+      if (partFields.isEmpty) manifestEntrySchema
+      else manifestEntrySchemaFor(partFields)
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val entries = files.map { case (p, rows, size) =>
+    val entries = files.map { case (p, rows, size, pv) =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
-        content = 0, path = p, records = rows, size = size)
+        content = 0, path = p, records = rows, size = size,
+        entrySchema = entrySchema,
+        partValues = partFields.map { case (n, dt) =>
+          n -> pv.getOrElse(n, None)
+            .map(s => parseDirValue(dt, s)).orNull
+        })
     }
     commit(spark, tablePath, prior, schema,
       Seq((entries, 0, files.map(_._2).sum)),
       carryForward = Seq.empty, operation = "overwrite",
       snapshotId = snapshotId, extraSummary = extraSummary,
+      partitionSpec = partFields.map { case (n, _) =>
+        PartSpecField(n, "identity", ids.getOrElse(n, 0)) },
       retry = "none")
   }
 

@@ -2295,6 +2295,32 @@ class DeltaLiteSpec extends AnyFunSuite {
       "every synced snapshot must record its delta-version")
     assert(summaries.last.contains(
       DeltaLite.snapshot(spark, t).version.toString))
+    // PARTITIONED sync: an identity spec registers with each file's
+    // partition tuple, and the iceberg read PROJECTS the partition
+    // column from the manifest (delta data files don't carry it — a
+    // file-read would surface silent nulls); pruning works through
+    // the registered spec
+    val tp = java.nio.file.Files.createTempDirectory("delta_unisync_pt")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a"))
+        .toDF("k", "v", "p"), tp, partitionBy = Seq("p"))
+    DeltaLite.enableColumnMapping(spark, tp)
+    DeltaLite.setTableProperties(spark, tp,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    DeltaLite.syncUniform(spark, tp)
+    val got = IcebergLite.read(spark, tp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a")),
+      s"partitioned UniForm sync must project partition values: $got")
+    assert(IcebergLite.read(spark, tp,
+      where = Some(col("p") === "a")).count() == 2)
+    // a copy-on-write mutation inside one partition re-syncs exactly
+    DeltaLite.deleteWhere(spark, tp, col("k") === 1L)
+    DeltaLite.syncUniform(spark, tp)
+    assert(IcebergLite.read(spark, tp).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((2L, "b"), (3L, "a")))
     // refusal: array/map columns need nested field ids iceberg
     // numbers but delta column mapping does not
     val ta = java.nio.file.Files.createTempDirectory("delta_unisync_arr")
