@@ -5096,6 +5096,40 @@ object PipelineQueries {
       IcebergLite.read(s, tbl).select("o_orderkey", "o_custkey")
     },
 
+    // ICEBERG ADD_FILES (migration) through the driver gate: a plain
+    // hive-partitioned parquet dump registers IN PLACE as an iceberg
+    // table (no byte rewritten — footer row counts + bounds, identity
+    // spec from the dir chain), and the aggregation reads THROUGH the
+    // iceberg metadata with the partition column PROJECTED from the
+    // manifest tuple (the files don't carry it) and a partition-pruned
+    // predicate — a missed file, wrong tuple, or broken projection
+    // hash-fails against the oracle recomputing from the raw rows.
+    QueryDef("q167_iceberg_add_files",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem
+        |WHERE l_orderkey <= 4000 AND l_returnflag <> 'N'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.IcebergLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q167_addfiles").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 4000)
+        .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+          col("l_quantity").cast("bigint").as("l_qty"),
+          col("l_returnflag").cast("string").as("l_returnflag"))
+        .write.partitionBy("l_returnflag").mode("overwrite").parquet(tbl)
+      IcebergLite.addFiles(s, tbl, tbl)
+      IcebergLite.read(s, tbl,
+          where = Some(col("l_returnflag") =!= "N"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_qty").cast("long").as("sum_qty"),
+          sum("l_orderkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

@@ -2700,7 +2700,7 @@ object DeltaLite {
         physicalName(f) ->
           pv.get(physicalName(f)).orElse(pv.get(f.name)).flatten
       }.toMap
-      (abs(p), rows, size, tuple)
+      IcebergLite.ExistingFile(abs(p), rows, size, tuple)
     }
     val physSchema = StructType(snap.schema.fields.map(physicalField))
     IcebergLite.commitExistingFiles(spark, tablePath, physSchema, files,

@@ -2121,9 +2121,19 @@ object IcebergLite {
     * recorded tuple (the spec's identity constant projection,
     * [[scanData]]).
     */
+  /** One pre-existing data file being registered: absolute path, row
+    * count, size, partition values by schema column name (raw
+    * strings), and optional per-column bounds (footer-derived) so the
+    * registered table prunes like a native one.
+    */
+  private[sources] final case class ExistingFile(path: String,
+      rows: Long, size: Long,
+      partValues: Map[String, Option[String]] = Map.empty,
+      bounds: Map[String, (Any, Any)] = Map.empty)
+
   private[sources] def commitExistingFiles(spark: SparkSession,
       tablePath: String, schema: StructType,
-      files: Seq[(String, Long, Long, Map[String, Option[String]])],
+      files: Seq[ExistingFile],
       partitionCols: Seq[String] = Nil,
       extraSummary: Map[String, String] = Map.empty): Long = {
     val root = new Path(tablePath)
@@ -2158,22 +2168,121 @@ object IcebergLite {
     val seq = prior.map(_.meta.lastSequenceNumber + 1).getOrElse(1L)
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
-    val entries = files.map { case (p, rows, size, pv) =>
+    val entries = files.map { f =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
-        content = 0, path = p, records = rows, size = size,
+        content = 0, path = f.path, records = f.rows, size = f.size,
+        lower = boundBytes(schema, ids, f.bounds, _._1),
+        upper = boundBytes(schema, ids, f.bounds, _._2),
         entrySchema = entrySchema,
         partValues = partFields.map { case (n, dt) =>
-          n -> pv.getOrElse(n, None)
+          n -> f.partValues.getOrElse(n, None)
             .map(s => parseDirValue(dt, s)).orNull
         })
     }
     commit(spark, tablePath, prior, schema,
-      Seq((entries, 0, files.map(_._2).sum)),
+      Seq((entries, 0, files.map(_.rows).sum)),
       carryForward = Seq.empty, operation = "overwrite",
       snapshotId = snapshotId, extraSummary = extraSummary,
       partitionSpec = partFields.map { case (n, _) =>
         PartSpecField(n, "identity", ids.getOrElse(n, 0)) },
       retry = "none")
+  }
+
+  /** MIGRATION — the iceberg runtime's `add_files`/`snapshot`
+    * procedure capability: register an EXISTING directory of parquet
+    * files as an iceberg table without rewriting a byte. The schema
+    * (and hive-layout `col=value` partition dirs, which become an
+    * identity partition spec) is inferred by Spark's parquet reader;
+    * per-file row counts and column bounds come from the parquet
+    * footers (bounded-parallel KB reads, [[ParquetFooterStats]]), so
+    * the registered table PRUNES like a native one. The data files
+    * don't carry the partition columns — reads project them from the
+    * manifest tuple (identity constant projection, [[scanData]]) —
+    * and creation records `schema.name-mapping.default` so strictly
+    * field-id-resolving foreign readers can resolve the id-less
+    * files. `tablePath` may equal `dataDir` (migrate in place — the
+    * `metadata/` dir lands next to the data) or point elsewhere
+    * (snapshot-style, original dir untouched). Re-running
+    * re-registers the CURRENT directory contents (overwrite
+    * semantics). Beyond the reference (dozer reads object-store
+    * parquet but has no table-format migration); kept for
+    * real-pipeline interop at migration scale.
+    */
+  def addFiles(spark: SparkSession, tablePath: String,
+      dataDir: String): Long = {
+    val dir = new Path(dataDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"addFiles: $dataDir does not exist")
+    val leaves = {
+      def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory) {
+            if (n == "metadata" || n.startsWith("_") || n.startsWith("."))
+              Nil
+            else walk(s.getPath)
+          } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")) Seq(s)
+          else Nil
+        }
+      walk(dir)
+    }
+    require(leaves.nonEmpty, s"addFiles: no parquet files under $dataDir")
+    val dirUri = fs.makeQualified(dir).toString
+    // partition values from each file's dir chain relative to dataDir,
+    // in nesting order
+    def tupleOf(f: Path): Seq[(String, Option[String])] = {
+      val rel = fs.makeQualified(f).toString.stripPrefix(dirUri)
+        .stripPrefix("/")
+      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) None
+        else {
+          val v = unescapeDirValue(seg.substring(i + 1))
+          Some(unescapeDirValue(seg.substring(0, i)) ->
+            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+        }
+      }
+    }
+    val tuples = leaves.map(s => s -> tupleOf(s.getPath))
+    val partCols: Seq[String] = tuples.head._2.map(_._1)
+    require(tuples.forall(_._2.map(_._1) == partCols),
+      "addFiles: inconsistent partition dir layout under " + dataDir)
+    // the file-borne schema comes from the leaves directly (dir-level
+    // inference would trip over the metadata/ neighbor on an in-place
+    // re-registration); partition column TYPES are inferred from the
+    // dir values — long / date / string, the hive convention
+    val dataSchema = spark.read
+      .parquet(leaves.map(_.getPath.toString): _*).schema
+    partCols.foreach(c => require(!dataSchema.fieldNames.contains(c),
+      s"addFiles: partition dir column $c also present in the files"))
+    def partType(name: String): DataType = {
+      val vs = tuples.flatMap(_._2.collect {
+        case (n, Some(v)) if n == name => v })
+      if (vs.nonEmpty && vs.forall(_.matches("-?\\d{1,18}"))) LongType
+      else if (vs.nonEmpty &&
+          vs.forall(_.matches("\\d{4}-\\d{2}-\\d{2}"))) DateType
+      else StringType
+    }
+    val schema = StructType(dataSchema.fields ++
+      partCols.map(c => StructField(c, partType(c))))
+    val statCols = dataSchema.fields.filter(boundsEligible)
+      .map(_.name).toSet
+    val stats = ParquetFooterStats.readAll(
+      spark.sparkContext.hadoopConfiguration,
+      leaves.map(_.getPath), dataSchema)
+    val files = tuples.map { case (s, tuple) =>
+      val st = stats(s.getPath)
+      ExistingFile(fs.makeQualified(s.getPath).toString, st.rows,
+        s.getLen, tuple.toMap,
+        bounds = st.cols.collect {
+          case (n, cs) if statCols(n) && cs.bounds.isDefined =>
+            n -> cs.bounds.get
+        })
+    }
+    commitExistingFiles(spark, tablePath, schema, files,
+      partitionCols = partCols,
+      extraSummary = Map("added-data-files" -> files.size.toString))
   }
 
   /** One resolved field of the partition spec being WRITTEN: partition

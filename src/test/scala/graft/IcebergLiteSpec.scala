@@ -1522,4 +1522,51 @@ class IcebergLiteSpec extends AnyFunSuite {
     val props2 = IcebergLite.tableProperties(IcebergLite.loadMeta(spark, t))
     assert(props2.get("schema.name-mapping.default").contains(mappingJson))
   }
+
+  test("addFiles: an existing hive-partitioned parquet dir registers " +
+      "in place as an iceberg table — rows exact, partition values " +
+      "projected from the tuple, footer bounds recorded, " +
+      "re-registration mirrors the current dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ice_addfiles")
+      .toString
+    Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"), (4L, "w", "b"))
+      .toDF("k", "v", "p").write.partitionBy("p")
+      .mode("overwrite").parquet(dir)
+    IcebergLite.addFiles(spark, dir, dir) // migrate IN PLACE
+    // rows exact, with the partition column projected from the
+    // manifest tuple (the data files don't carry it)
+    val got = IcebergLite.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"),
+      (4L, "w", "b")), got.toString)
+    assert(IcebergLite.read(spark, dir,
+      where = Some(org.apache.spark.sql.functions.col("p") === "a"))
+      .count() == 2)
+    // footer bounds registered → the table prunes like a native one
+    val bounds = IcebergLite.filesDf(spark, dir)
+      .select("lower_bounds").collect()
+      .map(_.getMap[String, String](0))
+    assert(bounds.forall(_.get("k").isDefined),
+      s"every registered file must carry k bounds: ${bounds.toSeq}")
+    // the dir GROWS a partition; re-registration mirrors it
+    Seq((5L, "q", "c")).toDF("k", "v", "p").write.partitionBy("p")
+      .mode("append").parquet(dir)
+    IcebergLite.addFiles(spark, dir, dir)
+    assert(IcebergLite.read(spark, dir).count() == 5)
+    // snapshot-style registration into a SEPARATE metadata root
+    val meta2 = java.nio.file.Files
+      .createTempDirectory("ice_addfiles_meta").toString
+    IcebergLite.addFiles(spark, meta2, dir)
+    assert(IcebergLite.read(spark, meta2).count() == 5)
+    // unpartitioned flat dir
+    val flat = java.nio.file.Files
+      .createTempDirectory("ice_addfiles_flat").toString
+    (1L to 10L).map(i => (i, s"r$i")).toDF("a", "b")
+      .repartition(3).write.mode("overwrite").parquet(flat)
+    IcebergLite.addFiles(spark, flat, flat)
+    assert(IcebergLite.read(spark, flat).count() == 10)
+    assert(IcebergLite.read(spark, flat).select("a").as[Long]
+      .collect().toSet == (1L to 10L).toSet)
+  }
 }
