@@ -591,7 +591,13 @@ object GraftApp {
         * snapshot under `<path>/metadata` so iceberg readers see the
         * same rows (the step Databricks runs async after each commit).
         */
-      uniformSync: Boolean = false) {
+      uniformSync: Boolean = false,
+      /** `add_files: {data_dir: path}` — iceberg migration: register
+        * an existing hive-partitioned parquet directory as THIS
+        * entry's table without rewriting a byte (in place when
+        * data_dir == path).
+        */
+      addFilesDir: Option[String] = None) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -623,12 +629,14 @@ object GraftApp {
     require(!uniformSync || format == "delta",
       s"maintenance on '$path': uniform_sync is the delta op (the " +
         "table IS iceberg-readable after it)")
+    require(addFilesDir.isEmpty || format == "iceberg",
+      s"maintenance on '$path': add_files is the iceberg op")
     require(compact || expireKeepLast.nonEmpty ||
         expireOlderThanMillis.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
         restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
         createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty ||
-        cloneSource.nonEmpty || uniformSync,
+        cloneSource.nonEmpty || uniformSync || addFilesDir.nonEmpty,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -1092,7 +1100,10 @@ object GraftApp {
     config.maintenance.foreach { m =>
       m.format match {
         case "iceberg" =>
-          // rollback FIRST: grooming then operates on the restored state
+          // migration FIRST (it CREATES/refreshes this entry's table),
+          // then rollback, then grooming
+          m.addFilesDir.foreach(d =>
+            graft.sources.IcebergLite.addFiles(spark, m.path, d))
           m.rollbackToSnapshot.foreach(id =>
             graft.sources.IcebergLite.rollbackTo(spark, m.path, id))
           m.createTag.foreach { case (n, sid) =>

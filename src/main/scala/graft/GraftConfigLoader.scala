@@ -305,7 +305,10 @@ object GraftConfigLoader {
             .flatMap(x => asMap(x).asScala.get("version"))
             .map(_.toString.toLong),
           uniformSync = m.asScala.get("uniform_sync")
-            .exists(_.toString.toBoolean))
+            .exists(_.toString.toBoolean),
+          addFilesDir = m.asScala.get("add_files").filter(_ != null)
+            .map(x => asMap(x).asScala.getOrElse("data_dir",
+              fail("maintenance add_files needs a data_dir")).toString))
       }
 
   /** `create_tag: {name: x, snapshot_id: N?}` (snapshot_id optional —

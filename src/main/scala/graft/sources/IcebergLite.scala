@@ -2252,7 +2252,7 @@ object IcebergLite {
     // inference would trip over the metadata/ neighbor on an in-place
     // re-registration); partition column TYPES are inferred from the
     // dir values — long / date / string, the hive convention
-    val dataSchema = spark.read
+    val dataSchema = spark.read.option("mergeSchema", "true")
       .parquet(leaves.map(_.getPath.toString): _*).schema
     partCols.foreach(c => require(!dataSchema.fieldNames.contains(c),
       s"addFiles: partition dir column $c also present in the files"))

@@ -1742,6 +1742,27 @@ class GraftAppSpec extends AnyFunSuite {
            |    uniform_sync: true
            |""".stripMargin))
     assert(err.getMessage.contains("uniform_sync"))
+    // add_files migration through config: a plain hive-partitioned
+    // parquet dir becomes an iceberg table in place
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "p")
+      .write.partitionBy("p").parquet(s"$base/plain")
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: d2
+         |    path: $base/out
+         |sql: SELECT k INTO o3 FROM d2;
+         |sinks:
+         |  - table: o3
+         |    path: $base/out3
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/plain
+         |    format: iceberg
+         |    add_files: {data_dir: $base/plain}
+         |""".stripMargin))
+    assert(IcebergLite.read(spark, s"$base/plain").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "a")))
   }
 
   test("iceberg source options.ref: branch/tag time travel by name " +
