@@ -597,7 +597,13 @@ object GraftApp {
         * entry's table without rewriting a byte (in place when
         * data_dir == path).
         */
-      addFilesDir: Option[String] = None) {
+      addFilesDir: Option[String] = None,
+      /** `convert_to_delta: true` — delta migration (delta-spark's
+        * CONVERT TO DELTA): this entry's path, an existing
+        * hive-partitioned parquet dir, gains a version-0 _delta_log
+        * referencing its files in place. One-shot; no data rewritten.
+        */
+      convertToDelta: Boolean = false) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -631,12 +637,15 @@ object GraftApp {
         "table IS iceberg-readable after it)")
     require(addFilesDir.isEmpty || format == "iceberg",
       s"maintenance on '$path': add_files is the iceberg op")
+    require(!convertToDelta || format == "delta",
+      s"maintenance on '$path': convert_to_delta is the delta op")
     require(compact || expireKeepLast.nonEmpty ||
         expireOlderThanMillis.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
         restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
         createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty ||
-        cloneSource.nonEmpty || uniformSync || addFilesDir.nonEmpty,
+        cloneSource.nonEmpty || uniformSync || addFilesDir.nonEmpty ||
+        convertToDelta,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -1127,8 +1136,11 @@ object GraftApp {
               olderThanMillis = m.expireOlderThanMillis
                 .map(System.currentTimeMillis - _))
         case "delta" =>
-          // clone FIRST (it CREATES this entry's path), then restore,
-          // then grooming — each operates on the previous step's state
+          // migration/clone FIRST (they CREATE this entry's path),
+          // then restore, then grooming — each operates on the
+          // previous step's state
+          if (m.convertToDelta)
+            graft.sources.DeltaLite.convertToDelta(spark, m.path)
           m.cloneSource.foreach(src =>
             graft.sources.DeltaLite.clone(spark, src, m.path,
               asOf = m.cloneVersion))

@@ -308,7 +308,9 @@ object GraftConfigLoader {
             .exists(_.toString.toBoolean),
           addFilesDir = m.asScala.get("add_files").filter(_ != null)
             .map(x => asMap(x).asScala.getOrElse("data_dir",
-              fail("maintenance add_files needs a data_dir")).toString))
+              fail("maintenance add_files needs a data_dir")).toString),
+          convertToDelta = m.asScala.get("convert_to_delta")
+            .exists(_.toString.toBoolean))
       }
 
   /** `create_tag: {name: x, snapshot_id: N?}` (snapshot_id optional —

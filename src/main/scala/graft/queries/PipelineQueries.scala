@@ -5130,6 +5130,55 @@ object PipelineQueries {
           sum("l_orderkey").cast("long").as("sum_key"))
     },
 
+    // CONVERT TO DELTA (migration) through the driver gate: a plain
+    // hive-partitioned parquet dump gains a version-0 _delta_log in
+    // place (footer stats, dir-chain partition values, zero data IO),
+    // then lives an ORDINARY delta life — an append and a DELETE land
+    // on the converted table — and the read-back recomputes against
+    // the oracle's restatement of dump+append−delete. A missed file,
+    // wrong partition typing, or stats-less add (the delete prunes by
+    // them) hash-fails.
+    QueryDef("q168_delta_convert",
+      """WITH dump AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey <= 1200
+        |), extra AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey > 1200 AND c_custkey <= 1500
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(bal_c) AS BIGINT) AS sum_bal,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM (SELECT * FROM dump UNION ALL SELECT * FROM extra)
+        |WHERE NOT (c_custkey % 7 = 0)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLite
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q168_convert").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("bigint").as("bal_c"),
+          col("c_mktsegment").cast("string").as("c_mktsegment"))
+      c.filter(col("c_custkey") <= 1200)
+        .write.partitionBy("c_mktsegment").parquet(tbl)
+      DeltaLite.convertToDelta(s, tbl)
+      DeltaLite.write(s,
+        c.filter(col("c_custkey") > 1200 && col("c_custkey") <= 1500),
+        tbl)
+      DeltaLite.deleteWhere(s, tbl, col("c_custkey") % 7 === 0)
+      DeltaLite.read(s, tbl)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("bal_c").cast("long").as("sum_bal"),
+          sum("c_custkey").cast("long").as("sum_key"))
+    },
+
     // PARTITIONED NATIVE DELTA WRITE through the driver gate: customer
     // lands in a hive-layout delta table partitioned by market segment
     // (ONE partitionBy staging pass; partitionValues recovered from the

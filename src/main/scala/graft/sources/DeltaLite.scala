@@ -4792,6 +4792,61 @@ object DeltaLite {
     * silently reset the ICT clock. Returns the number of commit files
     * deleted.
     */
+  /** CONVERT TO DELTA (delta-spark's `CONVERT TO DELTA
+    * parquet.`dir``): register an existing — optionally
+    * hive-partitioned — parquet directory as a delta table IN PLACE.
+    * One version-0 commit of add actions referencing the files where
+    * they sit (paths relative to the root, URL-encoded per the spec),
+    * per-file stats (numRecords/minValues/maxValues/nullCount) from
+    * the parquet footers so MERGE/DELETE pruning works from the first
+    * commit, partition values from the `col=value` dir chain (column
+    * types inferred long/date/string from the dir values — the spec
+    * stores partition values as strings either way, and reads inject
+    * them typed). No byte of data is rewritten; subsequent
+    * writes/mutations are ordinary delta commits. One-shot like
+    * delta-spark's CONVERT: refuses when a `_delta_log` already
+    * exists. TIMESTAMP_NTZ file columns stamp the featured protocol
+    * the same way [[write]] does.
+    */
+  def convertToDelta(spark: SparkSession, tablePath: String): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    require(!fs.exists(logDir),
+      s"$tablePath already carries a _delta_log — CONVERT is one-shot " +
+        "(the directory is already a delta table)")
+    val lay = IcebergLite.discoverParquetDir(spark, tablePath)
+    val eligible = lay.dataSchema.fields.filter(statsEligible).toSeq
+    val stats = ParquetFooterStats.readAll(
+      spark.sparkContext.hadoopConfiguration,
+      lay.tuples.map(_._1.getPath), lay.dataSchema)
+    val rootUri = fs.makeQualified(root).toString
+    val now = System.currentTimeMillis
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("CONVERT", Map(
+      "numFiles" -> lay.tuples.size.toString,
+      "partitionedBy" -> lay.partCols.mkString(",")), now)
+    if (containsNtz(lay.schema))
+      lines += (s"""{"protocol":{"minReaderVersion":3,""" +
+        s""""readerFeatures":${featuresJson(Seq("timestampNtz"))},""" +
+        s""""minWriterVersion":7,""" +
+        s""""writerFeatures":${featuresJson(
+          (impliedWriterFeatures(2) :+ "timestampNtz").distinct)}}}""")
+    else
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += metaDataAction(java.util.UUID.randomUUID.toString,
+      lay.schema, lay.partCols, Map.empty, now)
+    lay.tuples.foreach { case (s, tuple) =>
+      val rel = fs.makeQualified(s.getPath).toString
+        .stripPrefix(rootUri).stripPrefix("/")
+      lines += addAction(rel, s.getLen,
+        statsJsonFor(stats(s.getPath), eligible), now,
+        partitionValues = tuple.toMap)
+    }
+    claimCommit(fs, logDir, 0L, lines.toSeq, tablePath)
+    0L
+  }
+
   def cleanupLogs(spark: SparkSession, tablePath: String): Int = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -2210,9 +2210,48 @@ object IcebergLite {
     */
   def addFiles(spark: SparkSession, tablePath: String,
       dataDir: String): Long = {
+    val lay = discoverParquetDir(spark, dataDir)
+    val fs = new Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statCols = lay.dataSchema.fields.filter(boundsEligible)
+      .map(_.name).toSet
+    val stats = ParquetFooterStats.readAll(
+      spark.sparkContext.hadoopConfiguration,
+      lay.tuples.map(_._1.getPath), lay.dataSchema)
+    val files = lay.tuples.map { case (s, tuple) =>
+      val st = stats(s.getPath)
+      ExistingFile(fs.makeQualified(s.getPath).toString, st.rows,
+        s.getLen, tuple.toMap,
+        bounds = st.cols.collect {
+          case (n, cs) if statCols(n) && cs.bounds.isDefined =>
+            n -> cs.bounds.get
+        })
+    }
+    commitExistingFiles(spark, tablePath, lay.schema, files,
+      partitionCols = lay.partCols,
+      extraSummary = Map("added-data-files" -> files.size.toString))
+  }
+
+  /** Discovered layout of a plain parquet directory (the migration
+    * input of [[addFiles]] and [[DeltaLite.convertToDelta]]): leaf
+    * data files with their dir-chain partition tuples (nesting
+    * order), the dir-ordered partition column names, the file-borne
+    * schema (merged across files — dir-level inference would trip
+    * over a `metadata/` or `_delta_log/` neighbor on an in-place
+    * registration), and the full schema with partition columns typed
+    * from their dir values (long / date / string, the hive
+    * convention) appended last.
+    */
+  private[sources] final case class ParquetDirLayout(
+      tuples: Seq[(org.apache.hadoop.fs.FileStatus,
+        Seq[(String, Option[String])])],
+      partCols: Seq[String], dataSchema: StructType, schema: StructType)
+
+  private[sources] def discoverParquetDir(spark: SparkSession,
+      dataDir: String): ParquetDirLayout = {
     val dir = new Path(dataDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dir), s"addFiles: $dataDir does not exist")
+    require(fs.exists(dir), s"$dataDir does not exist")
     val leaves = {
       def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
         fs.listStatus(p).toSeq.flatMap { s =>
@@ -2227,10 +2266,8 @@ object IcebergLite {
         }
       walk(dir)
     }
-    require(leaves.nonEmpty, s"addFiles: no parquet files under $dataDir")
+    require(leaves.nonEmpty, s"no parquet files under $dataDir")
     val dirUri = fs.makeQualified(dir).toString
-    // partition values from each file's dir chain relative to dataDir,
-    // in nesting order
     def tupleOf(f: Path): Seq[(String, Option[String])] = {
       val rel = fs.makeQualified(f).toString.stripPrefix(dirUri)
         .stripPrefix("/")
@@ -2247,15 +2284,11 @@ object IcebergLite {
     val tuples = leaves.map(s => s -> tupleOf(s.getPath))
     val partCols: Seq[String] = tuples.head._2.map(_._1)
     require(tuples.forall(_._2.map(_._1) == partCols),
-      "addFiles: inconsistent partition dir layout under " + dataDir)
-    // the file-borne schema comes from the leaves directly (dir-level
-    // inference would trip over the metadata/ neighbor on an in-place
-    // re-registration); partition column TYPES are inferred from the
-    // dir values — long / date / string, the hive convention
+      "inconsistent partition dir layout under " + dataDir)
     val dataSchema = spark.read.option("mergeSchema", "true")
       .parquet(leaves.map(_.getPath.toString): _*).schema
     partCols.foreach(c => require(!dataSchema.fieldNames.contains(c),
-      s"addFiles: partition dir column $c also present in the files"))
+      s"partition dir column $c also present in the files"))
     def partType(name: String): DataType = {
       val vs = tuples.flatMap(_._2.collect {
         case (n, Some(v)) if n == name => v })
@@ -2264,25 +2297,9 @@ object IcebergLite {
           vs.forall(_.matches("\\d{4}-\\d{2}-\\d{2}"))) DateType
       else StringType
     }
-    val schema = StructType(dataSchema.fields ++
-      partCols.map(c => StructField(c, partType(c))))
-    val statCols = dataSchema.fields.filter(boundsEligible)
-      .map(_.name).toSet
-    val stats = ParquetFooterStats.readAll(
-      spark.sparkContext.hadoopConfiguration,
-      leaves.map(_.getPath), dataSchema)
-    val files = tuples.map { case (s, tuple) =>
-      val st = stats(s.getPath)
-      ExistingFile(fs.makeQualified(s.getPath).toString, st.rows,
-        s.getLen, tuple.toMap,
-        bounds = st.cols.collect {
-          case (n, cs) if statCols(n) && cs.bounds.isDefined =>
-            n -> cs.bounds.get
-        })
-    }
-    commitExistingFiles(spark, tablePath, schema, files,
-      partitionCols = partCols,
-      extraSummary = Map("added-data-files" -> files.size.toString))
+    ParquetDirLayout(tuples, partCols, dataSchema,
+      StructType(dataSchema.fields ++
+        partCols.map(c => StructField(c, partType(c)))))
   }
 
   /** One resolved field of the partition spec being WRITTEN: partition

@@ -2351,6 +2351,47 @@ class DeltaLiteSpec extends AnyFunSuite {
       e2.getMessage.contains("columnMapping id"))
   }
 
+  test("convertToDelta: a hive-partitioned parquet dir becomes a delta " +
+      "table in place — rows exact, footer stats recorded, one-shot, " +
+      "ordinary delta life continues after") {
+    val t = java.nio.file.Files.createTempDirectory("delta_convert")
+      .toString
+    new java.io.File(t).delete()
+    Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b"))
+      .toDF("k", "v", "p").write.partitionBy("p").parquet(t)
+    DeltaLite.convertToDelta(spark, t)
+    def rows(): Set[(Long, String, String)] = DeltaLite.read(spark, t)
+      .select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows() == Set((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b")))
+    // footer stats landed in the add actions (numRecords + bounds) —
+    // the pruning index mutations use is live from version 0
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 0L && snap.partitionColumns == Seq("p"))
+    assert(snap.files.keys.forall(p => snap.stats.get(p)
+      .exists(_.contains("\"numRecords\""))),
+      s"every converted file needs stats: ${snap.stats}")
+    // one-shot, like delta-spark's CONVERT
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.convertToDelta(spark, t)
+    }
+    assert(e.getMessage.contains("_delta_log"))
+    // ordinary delta life after the convert: append, delete, history
+    DeltaLite.write(spark, Seq((4L, "w", "b")).toDF("k", "v", "p"), t)
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    assert(rows() == Set((2L, "y", "a"), (3L, "z", "b"), (4L, "w", "b")))
+    // a dir with TIMESTAMP_NTZ columns stamps the featured protocol
+    val tn = java.nio.file.Files.createTempDirectory("delta_convert_ntz")
+      .toString
+    new java.io.File(tn).delete()
+    Seq((1L, java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)))
+      .toDF("k", "ts").write.parquet(tn)
+    DeltaLite.convertToDelta(spark, tn)
+    val pn = DeltaLite.snapshot(spark, tn).protocol.get
+    assert(pn.readerFeatures.exists(_.contains("timestampNtz")), pn)
+    assert(DeltaLite.read(spark, tn).count() == 1L)
+  }
+
   test("liquid clustering: OPTIMIZE clusters its rewrites on the " +
       "domain's columns — per-file bounds come out range-disjoint") {
     val t = java.nio.file.Files.createTempDirectory("delta_cluster")

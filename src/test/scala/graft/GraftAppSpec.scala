@@ -1763,6 +1763,25 @@ class GraftAppSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, s"$base/plain").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "a")))
+    // convert_to_delta through config: the dir gains a _delta_log
+    Seq((7L, "x"), (8L, "y")).toDF("k", "v")
+      .write.parquet(s"$base/plaindl")
+    GraftApp.runBatch(spark, GraftConfigLoader.fromYaml(
+      s"""sources:
+         |  - name: d3
+         |    path: $base/out
+         |sql: SELECT k INTO o4 FROM d3;
+         |sinks:
+         |  - table: o4
+         |    path: $base/out4
+         |    mode: overwrite
+         |maintenance:
+         |  - path: $base/plaindl
+         |    format: delta
+         |    convert_to_delta: true
+         |""".stripMargin))
+    assert(DeltaLite.read(spark, s"$base/plaindl")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(7L, 8L))
   }
 
   test("iceberg source options.ref: branch/tag time travel by name " +
