@@ -1773,268 +1773,337 @@ object JsMini {
     new VArr(out)
   }
 
-  private def method(target: V, name: String, args: Seq[V]): V = (target, name) match {
-    // ---- shared object surface (function-valued fields get `this`)
-    case (o: VObj, n) if o.fields.contains(n) =>
-      callWith(o.fields(n), args, Some(o))
-    // class instance methods resolve up the class chain
-    case (o: VObj, n) if o.klass.exists(_.findMethod(n).isDefined) =>
-      callWith(o.klass.get.findMethod(n).get, args, Some(o))
-    // static methods (inherited through the chain too)
-    case (k: VClass, n) if k.findStatic(n).isDefined =>
-      callWith(k.findStatic(n).get, args, Some(k))
-
-    // ---- Map.prototype / Set.prototype (SameValueZero approximation)
-    case (m: VMapV, "get") =>
-      m.entries.get(sameValueKey(args.head)).map(_._2).getOrElse(VUndef)
-    case (m: VMapV, "set") =>
-      m.entries(sameValueKey(args.head)) =
-        (args.head, args.lift(1).getOrElse(VUndef)); m
-    case (m: VMapV, "has") =>
-      VBool(m.entries.contains(sameValueKey(args.head)))
-    case (m: VMapV, "delete") =>
-      VBool(m.entries.remove(sameValueKey(args.head)).isDefined)
-    case (m: VMapV, "clear") => m.entries.clear(); VUndef
-    case (m: VMapV, "keys") =>
-      new VArr(mutable.ArrayBuffer(
-        m.entries.valuesIterator.map(_._1).toSeq: _*))
-    case (m: VMapV, "values") =>
-      new VArr(mutable.ArrayBuffer(
-        m.entries.valuesIterator.map(_._2).toSeq: _*))
-    case (m: VMapV, "entries") =>
-      new VArr(mutable.ArrayBuffer(
-        m.entries.valuesIterator.map { case (k, v) => arr(k, v): V }.toSeq: _*))
-    case (m: VMapV, "forEach") =>
-      m.entries.values.toSeq.foreach { case (k, v) =>
-        callFunction(args.head, Seq(v, k, m)) }
-      VUndef
-    case (s: VSetV, "add") =>
-      s.items(sameValueKey(args.head)) = args.head; s
-    case (s: VSetV, "has") =>
-      VBool(s.items.contains(sameValueKey(args.head)))
-    case (s: VSetV, "delete") =>
-      VBool(s.items.remove(sameValueKey(args.head)).isDefined)
-    case (s: VSetV, "clear") => s.items.clear(); VUndef
-    case (s: VSetV, n) if n == "values" || n == "keys" =>
-      new VArr(mutable.ArrayBuffer(s.items.valuesIterator.toSeq: _*))
-    case (s: VSetV, "forEach") =>
-      s.items.values.toSeq.foreach(v => callFunction(args.head, Seq(v, v, s)))
-      VUndef
-
-    // ---- Generator.prototype (eager subset — see VGen)
-    case (g: VGen, "next") =>
-      val items = force(g)
-      if (g.idx < items.length) {
-        val v = items(g.idx); g.idx += 1
-        obj("value" -> v, "done" -> VBool(false))
-      } else obj("value" -> VUndef, "done" -> VBool(true))
-
-    // ---- RegExp.prototype (JDK-engine subset — see VRegExp)
-    case (r: VRegExp, "test") =>
-      VBool(execRegex(r, toDisplay(args.head)) != VNull)
-    case (r: VRegExp, "exec") => execRegex(r, toDisplay(args.head))
-    case (r: VRegExp, "toString") => VStr(toDisplay(r))
-
-    // ---- String.prototype
-    case (VStr(s), "match") =>
-      val r = asRegex(args.head)
-      if (r.global) {
-        val m = r.pattern.matcher(s)
-        val out = mutable.ArrayBuffer.empty[V]
-        var from = 0
-        while (from <= s.length && m.find(from)) {
-          out += VStr(m.group())
-          from = if (m.end == m.start) m.end + 1 else m.end
+  /** Method dispatch, SPLIT per receiver type: one fused tuple match
+    * crossed HotSpot's huge-method bytecode limit (8000 bytes,
+    * -XX:+DontCompileHugeMethods default) when the regex surface
+    * landed, and the interpreter's hottest path silently stopped
+    * JIT-compiling (q93 went 3x slower). Each per-type arm stays far
+    * under the limit; semantics are byte-identical to the old order.
+    */
+  private def method(target: V, name: String, args: Seq[V]): V =
+    target match {
+      case o: VObj    => objMethod(o, name, args)
+      case k: VClass  =>
+        k.findStatic(name) match {
+          case Some(f) => callWith(f, args, Some(k))
+          case None    => methodTail(k, name, args)
         }
-        if (out.isEmpty) VNull else new VArr(out)
-      } else {
-        val m = r.pattern.matcher(s)
-        if (m.find()) matchArr(m) else VNull
-      }
-    case (VStr(s), "search") =>
-      val m = asRegex(args.head).pattern.matcher(s)
-      VNum(if (m.find()) m.start else -1)
-    case (VStr(s), "split")
-        if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
-      regexSplit(s, args.head.asInstanceOf[VRegExp],
-        args.lift(1).map(v => toNum(v).toInt))
-    case (VStr(s), "replace")
-        if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
-      val r = args.head.asInstanceOf[VRegExp]
-      VStr(regexReplace(s, r, args(1), all = r.global))
-    case (VStr(s), "replaceAll")
-        if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
-      val r = args.head.asInstanceOf[VRegExp]
-      if (!r.global) throw new JsError(VStr(
-        "replaceAll must be called with a global RegExp"))
-      VStr(regexReplace(s, r, args(1), all = true))
-    case (VStr(s), "toUpperCase") => VStr(s.toUpperCase)
-    case (VStr(s), "toLowerCase") => VStr(s.toLowerCase)
-    case (VStr(s), "trim")        => VStr(s.trim)
-    case (VStr(s), "charAt") =>
-      val i = toNum(args.head).toInt
-      VStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
-    case (VStr(s), "charCodeAt") =>
-      val i = toNum(args.headOption.getOrElse(VNum(0))).toInt
-      if (i >= 0 && i < s.length) VNum(s.charAt(i)) else VNum(Double.NaN)
-    case (VStr(s), "indexOf")   => VNum(s.indexOf(toDisplay(args.head)))
-    case (VStr(s), "includes")  => VBool(s.contains(toDisplay(args.head)))
-    case (VStr(s), "startsWith") => VBool(s.startsWith(toDisplay(args.head)))
-    case (VStr(s), "endsWith")  => VBool(s.endsWith(toDisplay(args.head)))
-    case (VStr(s), "slice") =>
-      val len = s.length
-      def norm(i: Double, dflt: Int): Int = {
-        if (i.isNaN) 0
-        else { val j = i.toInt; if (j < 0) Math.max(0, len + j) else Math.min(j, len) }
-      }
-      val from = args.headOption.map(a => norm(toNum(a), 0)).getOrElse(0)
-      val to = args.lift(1).map(a => norm(toNum(a), len)).getOrElse(len)
-      VStr(if (from < to) s.substring(from, to) else "")
-    case (VStr(s), "substring") =>
-      val len = s.length
-      def clamp(i: Double): Int = Math.max(0, Math.min(len, if (i.isNaN) 0 else i.toInt))
-      val a = args.headOption.map(x => clamp(toNum(x))).getOrElse(0)
-      val b = args.lift(1).map(x => clamp(toNum(x))).getOrElse(len)
-      VStr(s.substring(Math.min(a, b), Math.max(a, b)))
-    case (VStr(s), "split") =>
-      val sep = toDisplay(args.head)
-      val parts =
-        if (sep.isEmpty) s.map(_.toString)
-        else {
-          // literal (non-regex) split, JS semantics: keep trailing empties
-          val out = mutable.ArrayBuffer.empty[String]
-          var i = 0
-          var last = 0
-          while ({ i = s.indexOf(sep, last); i >= 0 }) {
-            out += s.substring(last, i); last = i + sep.length
-          }
-          out += s.substring(last)
-          out.toSeq
-        }
-      new VArr(mutable.ArrayBuffer(parts.map(VStr(_)): _*))
-    case (VStr(s), "replace") =>
-      val from = toDisplay(args.head)
-      val i = s.indexOf(from)
-      if (i < 0) VStr(s)
-      else {
-        val to = args(1) match {
-          case f @ (_: VFun | _: VNative) => // (match, offset, string)
-            toDisplay(callFunction(f, Seq(VStr(from), VNum(i), VStr(s))))
-          case other => toDisplay(other)
-        }
-        VStr(s.substring(0, i) + to + s.substring(i + from.length))
-      }
-    case (VStr(s), "replaceAll") =>
-      VStr(s.replace(toDisplay(args.head), toDisplay(args(1))))
-    case (VStr(s), "repeat") => VStr(s * toNum(args.head).toInt)
-    case (VStr(s), "padStart") =>
-      val w = toNum(args.head).toInt
-      val p = args.lift(1).map(toDisplay).getOrElse(" ")
-      var r = s
-      while (r.length < w && p.nonEmpty) r = (p * ((w - r.length + p.length - 1) / p.length)).take(w - r.length) + r
-      VStr(r)
-    case (VStr(s), "toString") => VStr(s)
+      case m: VMapV   => mapMethod(m, name, args)
+      case sv: VSetV  => setMethod(sv, name, args)
+      case g: VGen    => genMethod(g, name, args)
+      case r: VRegExp => regexMethod(r, name, args)
+      case sv: VStr   => strMethod(sv, name, args)
+      case a: VArr    => arrMethod(a, name, args)
+      case nv: VNum   => numMethod(nv, name, args)
+      case b: VBool   =>
+        if (name == "toString") VStr(b.v.toString)
+        else methodTail(b, name, args)
+      case other      => methodTail(other, name, args)
+    }
 
-    // ---- Array.prototype
-    case (a: VArr, "push") => args.foreach(a.items += _); VNum(a.items.length)
-    case (a: VArr, "pop") =>
-      if (a.items.isEmpty) VUndef else a.items.remove(a.items.length - 1)
-    case (a: VArr, "indexOf") =>
-      VNum(a.items.indexWhere(strictEq(_, args.head)))
-    case (a: VArr, "includes") => VBool(a.items.exists(strictEq(_, args.head)))
-    case (a: VArr, "join") =>
-      val sep = args.headOption.map(toDisplay).getOrElse(",")
-      VStr(a.items.map {
-        case VNull | VUndef => ""
-        case v              => toDisplay(v)
-      }.mkString(sep))
-    case (a: VArr, "slice") =>
-      val len = a.items.length
-      def norm(i: Double): Int = {
-        val j = if (i.isNaN) 0 else i.toInt
-        if (j < 0) Math.max(0, len + j) else Math.min(j, len)
+  private def objMethod(o: VObj, name: String, args: Seq[V]): V = {
+    // function-valued fields and class-chain methods get `this`
+    if (o.fields.contains(name))
+      return callWith(o.fields(name), args, Some(o))
+    o.klass.flatMap(_.findMethod(name)) match {
+      case Some(f) => callWith(f, args, Some(o))
+      case None => name match {
+        case "hasOwnProperty" =>
+          VBool(o.fields.contains(toDisplay(args.head)))
+        case "toString" => VStr(toDisplay(o))
+        case _ => methodTail(o, name, args)
       }
-      val from = args.headOption.map(x => norm(toNum(x))).getOrElse(0)
-      val to = args.lift(1).map(x => norm(toNum(x))).getOrElse(len)
-      new VArr(mutable.ArrayBuffer(
-        (if (from < to) a.items.slice(from, to) else mutable.ArrayBuffer.empty[V]).toSeq: _*))
-    case (a: VArr, "concat") =>
-      val out = mutable.ArrayBuffer(a.items.toSeq: _*)
-      args.foreach {
-        case b: VArr => out ++= b.items
-        case v       => out += v
-      }
-      new VArr(out)
-    case (a: VArr, "map") =>
-      new VArr(a.items.zipWithIndex.map { case (v, i) =>
-        callFunction(args.head, Seq(v, VNum(i))) })
-    case (a: VArr, "filter") =>
-      new VArr(a.items.zipWithIndex.collect {
-        case (v, i) if truthy(callFunction(args.head, Seq(v, VNum(i)))) => v })
-    case (a: VArr, "reduce") =>
-      val f = args.head
-      var (acc, start) = args.lift(1) match {
-        case Some(init) => (init, 0)
-        case None =>
-          if (a.items.isEmpty)
-            throw new JsError(VStr("reduce of empty array with no initial value"))
-          (a.items.head, 1)
-      }
-      var i = start
-      while (i < a.items.length) {
-        acc = callFunction(f, Seq(acc, a.items(i), VNum(i)))
-        i += 1
-      }
-      acc
-    case (a: VArr, "forEach") =>
-      a.items.zipWithIndex.foreach { case (v, i) =>
-        callFunction(args.head, Seq(v, VNum(i))) }
-      VUndef
-    case (a: VArr, "some") =>
-      VBool(a.items.zipWithIndex.exists { case (v, i) =>
-        truthy(callFunction(args.head, Seq(v, VNum(i)))) })
-    case (a: VArr, "every") =>
-      VBool(a.items.zipWithIndex.forall { case (v, i) =>
-        truthy(callFunction(args.head, Seq(v, VNum(i)))) })
-    case (a: VArr, "sort") =>
-      val sorted = args.headOption match {
-        case Some(cmp) =>
-          a.items.sortWith((x, y) => toNum(callFunction(cmp, Seq(x, y))) < 0)
-        case None => a.items.sortBy(toDisplay)
-      }
-      a.items.clear(); a.items ++= sorted; a
-    case (a: VArr, "reverse") =>
-      val r = a.items.reverse
-      a.items.clear(); a.items ++= r; a
-    case (a: VArr, "flat") =>
-      val out = mutable.ArrayBuffer.empty[V]
-      a.items.foreach {
-        case b: VArr => out ++= b.items
-        case v       => out += v
-      }
-      new VArr(out)
-    case (a: VArr, "toString") => VStr(toDisplay(a))
-
-    // ---- Number.prototype
-    case (VNum(n), "toString") => VStr(numToString(n))
-    case (VNum(n), "toFixed") =>
-      val digits = args.headOption.map(a => toNum(a).toInt).getOrElse(0)
-      VStr(String.format(java.util.Locale.ROOT, s"%.${digits}f",
-        java.lang.Double.valueOf(n)))
-    case (VBool(b), "toString") => VStr(b.toString)
-
-    case (o: VObj, "hasOwnProperty") =>
-      VBool(o.fields.contains(toDisplay(args.head)))
-    case (o: VObj, "toString") => VStr(toDisplay(o))
-
-    case (other, n) =>
-      member(other, n) match {
-        case f @ (_: VFun | _: VNative) => callFunction(f, args)
-        case _ =>
-          throw new JsError(VStr(
-            s"${toDisplay(other)}.$n is not a function"))
-      }
+    }
   }
+
+  private def mapMethod(m: VMapV, name: String, args: Seq[V]): V = {
+    name match {
+      case "get" =>
+        m.entries.get(sameValueKey(args.head)).map(_._2).getOrElse(VUndef)
+      case "set" =>
+        m.entries(sameValueKey(args.head)) =
+          (args.head, args.lift(1).getOrElse(VUndef)); m
+      case "has" =>
+        VBool(m.entries.contains(sameValueKey(args.head)))
+      case "delete" =>
+        VBool(m.entries.remove(sameValueKey(args.head)).isDefined)
+      case "clear" => m.entries.clear(); VUndef
+      case "keys" =>
+        new VArr(mutable.ArrayBuffer(
+          m.entries.valuesIterator.map(_._1).toSeq: _*))
+      case "values" =>
+        new VArr(mutable.ArrayBuffer(
+          m.entries.valuesIterator.map(_._2).toSeq: _*))
+      case "entries" =>
+        new VArr(mutable.ArrayBuffer(
+          m.entries.valuesIterator.map { case (k, v) => arr(k, v): V }.toSeq: _*))
+      case "forEach" =>
+        m.entries.values.toSeq.foreach { case (k, v) =>
+          callFunction(args.head, Seq(v, k, m)) }
+        VUndef
+      case _ => methodTail(m, name, args)
+    }
+  }
+
+  private def setMethod(sv: VSetV, name: String, args: Seq[V]): V = {
+    val s = sv
+    name match {
+      case "add" =>
+        s.items(sameValueKey(args.head)) = args.head; s
+      case "has" =>
+        VBool(s.items.contains(sameValueKey(args.head)))
+      case "delete" =>
+        VBool(s.items.remove(sameValueKey(args.head)).isDefined)
+      case "clear" => s.items.clear(); VUndef
+      case "values" | "keys" =>
+        new VArr(mutable.ArrayBuffer(s.items.valuesIterator.toSeq: _*))
+      case "forEach" =>
+        s.items.values.toSeq.foreach(v => callFunction(args.head, Seq(v, v, s)))
+        VUndef
+
+      // ---- Generator.prototype (eager subset — see VGen)
+      case _ => methodTail(sv, name, args)
+    }
+  }
+
+  private def genMethod(g: VGen, name: String, args: Seq[V]): V = {
+    name match {
+      case "next" =>
+        val items = force(g)
+        if (g.idx < items.length) {
+          val v = items(g.idx); g.idx += 1
+          obj("value" -> v, "done" -> VBool(false))
+        } else obj("value" -> VUndef, "done" -> VBool(true))
+
+      // ---- RegExp.prototype (JDK-engine subset — see VRegExp)
+      case _ => methodTail(g, name, args)
+    }
+  }
+
+  private def regexMethod(r: VRegExp, name: String, args: Seq[V]): V = {
+    name match {
+      case "test" =>
+        VBool(execRegex(r, toDisplay(args.head)) != VNull)
+      case "exec" => execRegex(r, toDisplay(args.head))
+      case "toString" => VStr(toDisplay(r))
+
+      // ---- String.prototype
+      case _ => methodTail(r, name, args)
+    }
+  }
+
+  private def strMethod(sv: VStr, name: String, args: Seq[V]): V = {
+    val s = sv.v
+    name match {
+      case "match" =>
+        val r = asRegex(args.head)
+        if (r.global) {
+          val m = r.pattern.matcher(s)
+          val out = mutable.ArrayBuffer.empty[V]
+          var from = 0
+          while (from <= s.length && m.find(from)) {
+            out += VStr(m.group())
+            from = if (m.end == m.start) m.end + 1 else m.end
+          }
+          if (out.isEmpty) VNull else new VArr(out)
+        } else {
+          val m = r.pattern.matcher(s)
+          if (m.find()) matchArr(m) else VNull
+        }
+      case "search" =>
+        val m = asRegex(args.head).pattern.matcher(s)
+        VNum(if (m.find()) m.start else -1)
+      case "split"
+          if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
+        regexSplit(s, args.head.asInstanceOf[VRegExp],
+          args.lift(1).map(v => toNum(v).toInt))
+      case "replace"
+          if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
+        val r = args.head.asInstanceOf[VRegExp]
+        VStr(regexReplace(s, r, args(1), all = r.global))
+      case "replaceAll"
+          if args.headOption.exists(_.isInstanceOf[VRegExp]) =>
+        val r = args.head.asInstanceOf[VRegExp]
+        if (!r.global) throw new JsError(VStr(
+          "replaceAll must be called with a global RegExp"))
+        VStr(regexReplace(s, r, args(1), all = true))
+      case "toUpperCase" => VStr(s.toUpperCase)
+      case "toLowerCase" => VStr(s.toLowerCase)
+      case "trim"        => VStr(s.trim)
+      case "charAt" =>
+        val i = toNum(args.head).toInt
+        VStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
+      case "charCodeAt" =>
+        val i = toNum(args.headOption.getOrElse(VNum(0))).toInt
+        if (i >= 0 && i < s.length) VNum(s.charAt(i)) else VNum(Double.NaN)
+      case "indexOf"   => VNum(s.indexOf(toDisplay(args.head)))
+      case "includes"  => VBool(s.contains(toDisplay(args.head)))
+      case "startsWith" => VBool(s.startsWith(toDisplay(args.head)))
+      case "endsWith"  => VBool(s.endsWith(toDisplay(args.head)))
+      case "slice" =>
+        val len = s.length
+        def norm(i: Double, dflt: Int): Int = {
+          if (i.isNaN) 0
+          else { val j = i.toInt; if (j < 0) Math.max(0, len + j) else Math.min(j, len) }
+        }
+        val from = args.headOption.map(a => norm(toNum(a), 0)).getOrElse(0)
+        val to = args.lift(1).map(a => norm(toNum(a), len)).getOrElse(len)
+        VStr(if (from < to) s.substring(from, to) else "")
+      case "substring" =>
+        val len = s.length
+        def clamp(i: Double): Int = Math.max(0, Math.min(len, if (i.isNaN) 0 else i.toInt))
+        val a = args.headOption.map(x => clamp(toNum(x))).getOrElse(0)
+        val b = args.lift(1).map(x => clamp(toNum(x))).getOrElse(len)
+        VStr(s.substring(Math.min(a, b), Math.max(a, b)))
+      case "split" =>
+        val sep = toDisplay(args.head)
+        val parts =
+          if (sep.isEmpty) s.map(_.toString)
+          else {
+            // literal (non-regex) split, JS semantics: keep trailing empties
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            var last = 0
+            while ({ i = s.indexOf(sep, last); i >= 0 }) {
+              out += s.substring(last, i); last = i + sep.length
+            }
+            out += s.substring(last)
+            out.toSeq
+          }
+        new VArr(mutable.ArrayBuffer(parts.map(VStr(_)): _*))
+      case "replace" =>
+        val from = toDisplay(args.head)
+        val i = s.indexOf(from)
+        if (i < 0) VStr(s)
+        else {
+          val to = args(1) match {
+            case f @ (_: VFun | _: VNative) => // (match, offset, string)
+              toDisplay(callFunction(f, Seq(VStr(from), VNum(i), VStr(s))))
+            case other => toDisplay(other)
+          }
+          VStr(s.substring(0, i) + to + s.substring(i + from.length))
+        }
+      case "replaceAll" =>
+        VStr(s.replace(toDisplay(args.head), toDisplay(args(1))))
+      case "repeat" => VStr(s * toNum(args.head).toInt)
+      case "padStart" =>
+        val w = toNum(args.head).toInt
+        val p = args.lift(1).map(toDisplay).getOrElse(" ")
+        var r = s
+        while (r.length < w && p.nonEmpty) r = (p * ((w - r.length + p.length - 1) / p.length)).take(w - r.length) + r
+        VStr(r)
+      case "toString" => VStr(s)
+
+      // ---- Array.prototype
+      case _ => methodTail(sv, name, args)
+    }
+  }
+
+  private def arrMethod(a: VArr, name: String, args: Seq[V]): V = {
+    name match {
+      case "push" => args.foreach(a.items += _); VNum(a.items.length)
+      case "pop" =>
+        if (a.items.isEmpty) VUndef else a.items.remove(a.items.length - 1)
+      case "indexOf" =>
+        VNum(a.items.indexWhere(strictEq(_, args.head)))
+      case "includes" => VBool(a.items.exists(strictEq(_, args.head)))
+      case "join" =>
+        val sep = args.headOption.map(toDisplay).getOrElse(",")
+        VStr(a.items.map {
+          case VNull | VUndef => ""
+          case v              => toDisplay(v)
+        }.mkString(sep))
+      case "slice" =>
+        val len = a.items.length
+        def norm(i: Double): Int = {
+          val j = if (i.isNaN) 0 else i.toInt
+          if (j < 0) Math.max(0, len + j) else Math.min(j, len)
+        }
+        val from = args.headOption.map(x => norm(toNum(x))).getOrElse(0)
+        val to = args.lift(1).map(x => norm(toNum(x))).getOrElse(len)
+        new VArr(mutable.ArrayBuffer(
+          (if (from < to) a.items.slice(from, to) else mutable.ArrayBuffer.empty[V]).toSeq: _*))
+      case "concat" =>
+        val out = mutable.ArrayBuffer(a.items.toSeq: _*)
+        args.foreach {
+          case b: VArr => out ++= b.items
+          case v       => out += v
+        }
+        new VArr(out)
+      case "map" =>
+        new VArr(a.items.zipWithIndex.map { case (v, i) =>
+          callFunction(args.head, Seq(v, VNum(i))) })
+      case "filter" =>
+        new VArr(a.items.zipWithIndex.collect {
+          case (v, i) if truthy(callFunction(args.head, Seq(v, VNum(i)))) => v })
+      case "reduce" =>
+        val f = args.head
+        var (acc, start) = args.lift(1) match {
+          case Some(init) => (init, 0)
+          case None =>
+            if (a.items.isEmpty)
+              throw new JsError(VStr("reduce of empty array with no initial value"))
+            (a.items.head, 1)
+        }
+        var i = start
+        while (i < a.items.length) {
+          acc = callFunction(f, Seq(acc, a.items(i), VNum(i)))
+          i += 1
+        }
+        acc
+      case "forEach" =>
+        a.items.zipWithIndex.foreach { case (v, i) =>
+          callFunction(args.head, Seq(v, VNum(i))) }
+        VUndef
+      case "some" =>
+        VBool(a.items.zipWithIndex.exists { case (v, i) =>
+          truthy(callFunction(args.head, Seq(v, VNum(i)))) })
+      case "every" =>
+        VBool(a.items.zipWithIndex.forall { case (v, i) =>
+          truthy(callFunction(args.head, Seq(v, VNum(i)))) })
+      case "sort" =>
+        val sorted = args.headOption match {
+          case Some(cmp) =>
+            a.items.sortWith((x, y) => toNum(callFunction(cmp, Seq(x, y))) < 0)
+          case None => a.items.sortBy(toDisplay)
+        }
+        a.items.clear(); a.items ++= sorted; a
+      case "reverse" =>
+        val r = a.items.reverse
+        a.items.clear(); a.items ++= r; a
+      case "flat" =>
+        val out = mutable.ArrayBuffer.empty[V]
+        a.items.foreach {
+          case b: VArr => out ++= b.items
+          case v       => out += v
+        }
+        new VArr(out)
+      case "toString" => VStr(toDisplay(a))
+
+      // ---- Number.prototype
+      case _ => methodTail(a, name, args)
+    }
+  }
+
+  private def numMethod(nv: VNum, name: String, args: Seq[V]): V = {
+    val n = nv.v
+    name match {
+      case "toString" => VStr(numToString(n))
+      case "toFixed" =>
+        val digits = args.headOption.map(a => toNum(a).toInt).getOrElse(0)
+        VStr(String.format(java.util.Locale.ROOT, s"%.${digits}f",
+          java.lang.Double.valueOf(n)))
+      case _ => methodTail(nv, name, args)
+    }
+  }
+
+  private def methodTail(other: V, n: String, args: Seq[V]): V =
+    member(other, n) match {
+      case f @ (_: VFun | _: VNative) => callFunction(f, args)
+      case _ =>
+        throw new JsError(VStr(
+          s"${toDisplay(other)}.$n is not a function"))
+    }
 
   // --------------------------------------------------------------- globals
 
