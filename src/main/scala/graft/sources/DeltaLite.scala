@@ -1604,40 +1604,44 @@ object DeltaLite {
       else d.withColumn(f.name, lit(null).cast(LongType)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val release: () => Unit = () => { withCols.unpersist(); () }
-    // explicit values (non-null) only where the spec allows them
-    // (skipExplicitCheck: MERGE validated the RAW batch before
-    // injecting inherited ids, which are non-null by design)
-    if (!skipExplicitCheck)
-      idFields.filter(f => present(f.name)).foreach { f =>
-        val (_, _, _, allow) = identityInfo(f)
-        if (!allow)
-          require(withCols.filter(col(f.name).isNotNull).isEmpty,
-            s"identity column ${f.name} is GENERATED ALWAYS " +
-              "(allowExplicitInsert=false) — omit the column or pass " +
-              "null to allocate")
-      }
-    val n = withCols.count()
-    if (n == 0L) return (withCols, Map.empty, release)
     val bases: Map[String, (Long, Long)] = idFields.map { f =>
       val (start, step, hwm, _) = identityInfo(f)
       f.name -> (hwm.map(_ + step).getOrElse(start), step)
     }.toMap
-    // provided extremes (one small agg; absent columns contribute none)
-    val providedExt: Map[String, Option[Long]] = {
-      val cols = idFields.filter(f => present(f.name))
-      if (cols.isEmpty) Map.empty
-      else {
-        val aggs = cols.map { f =>
+    // ONE agg pass over the cached batch collects everything the
+    // driver needs: total count, per-present-field non-null counts
+    // (the GENERATED ALWAYS explicit-value check), and provided
+    // extremes — three formerly separate jobs
+    val presentIds = idFields.filter(f => present(f.name))
+    val statRow = {
+      val aggs =
+        org.apache.spark.sql.functions.count(lit(1)).as("__n") +:
+        presentIds.flatMap { f =>
           val (_, step) = bases(f.name)
-          (if (step > 0) max(col(f.name)) else min(col(f.name)))
-            .as(s"__ext_${f.name}")
+          Seq(org.apache.spark.sql.functions.count(col(f.name))
+              .as(s"__nn_${f.name}"),
+            (if (step > 0) max(col(f.name)) else min(col(f.name)))
+              .as(s"__ext_${f.name}"))
         }
-        val r = withCols.agg(aggs.head, aggs.tail: _*).head
-        cols.map(f => f.name ->
-          Option(r.getAs[Any](s"__ext_${f.name}"))
-            .map(_.asInstanceOf[Long])).toMap
-      }
+      withCols.agg(aggs.head, aggs.tail: _*).head
     }
+    val n = statRow.getAs[Long]("__n")
+    // explicit values (non-null) only where the spec allows them
+    // (skipExplicitCheck: MERGE validated the RAW batch before
+    // injecting inherited ids, which are non-null by design)
+    if (!skipExplicitCheck)
+      presentIds.foreach { f =>
+        val (_, _, _, allow) = identityInfo(f)
+        require(allow || statRow.getAs[Long](s"__nn_${f.name}") == 0L,
+          s"identity column ${f.name} is GENERATED ALWAYS " +
+            "(allowExplicitInsert=false) — omit the column or pass " +
+            "null to allocate")
+      }
+    if (n == 0L) return (withCols, Map.empty, release)
+    val providedExt: Map[String, Option[Long]] =
+      presentIds.map(f => f.name ->
+        Option(statRow.getAs[Any](s"__ext_${f.name}"))
+          .map(_.asInstanceOf[Long])).toMap
     val schema2 = withCols.schema
     val idIdx = idFields.map(f => f.name -> schema2.fieldIndex(f.name))
     val filled = spark.createDataFrame(
