@@ -136,7 +136,11 @@ object Bench {
     // Also persist the full per-query map: the driver's BENCH_r*.json
     // captures stdout with a length cap, which truncates the queries map
     // mid-way — the file is the complete, round-comparable record.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A FILTERED run (SPARK_GRAFT_BENCH_ONLY) must not clobber it —
+    // that record is what round-over-round comparisons read.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_PARTIAL.json"
+      else "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

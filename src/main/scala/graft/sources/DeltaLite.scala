@@ -2595,8 +2595,9 @@ object DeltaLite {
       matched.unpersist()
       ()
     }
-    commitWithRetry(fs, logDir, tablePath, snap.version + 1,
-      lines.toSeq, ourRemoves = touched, dataChangeMutation = true)
+    autoSyncUniform(spark, tablePath, Some(snap),
+      commitWithRetry(fs, logDir, tablePath, snap.version + 1,
+        lines.toSeq, ourRemoves = touched, dataChangeMutation = true))
   }
 
   /** UNIFORM CONVERSION — the step `icebergCompatV2` exists for:
@@ -2639,6 +2640,36 @@ object DeltaLite {
     * Returns the iceberg snapshot id. Beyond the reference (dozer has
     * no lakehouse writer); kept for real-pipeline interop.
     */
+  /** Opt-in AUTO-CONVERSION: when a UniForm table's configuration
+    * carries `delta.universalFormat.enabledFormats` including
+    * `iceberg` (the property Databricks's async converter keys on),
+    * every successful mutating commit syncs the iceberg view INLINE —
+    * metadata-only, O(live files). A sync refusal (e.g. array/map
+    * columns) WARNS instead of failing the already-committed write,
+    * like the async converter it stands in for; the explicit
+    * maintenance `uniform_sync` step surfaces the same error loudly.
+    * Tables with the icebergCompatV2 feature but WITHOUT the property
+    * opt-in keep the explicit-sync-only behavior.
+    */
+  private def autoSyncUniform(spark: SparkSession, tablePath: String,
+      pre: Option[Snapshot], committed: Long): Long = {
+    // gate on the PRE-commit snapshot already in hand — non-UniForm
+    // tables must not pay a second log replay per commit; a table
+    // that gains the opt-in mid-commit syncs from its next mutation
+    // (or the explicit maintenance step)
+    val opted = pre.exists(s => uniformEnabled(s) &&
+      s.configuration.get("delta.universalFormat.enabledFormats")
+        .exists(_.split(",").map(_.trim).contains("iceberg")))
+    if (opted)
+      try { syncUniform(spark, tablePath); () }
+      catch { case e: Exception =>
+        System.err.println(s"[graft] UniForm auto-sync of $tablePath " +
+          "failed — the iceberg view lags this commit (run " +
+          s"maintenance uniform_sync for the loud form): ${e.getMessage}")
+      }
+    committed
+  }
+
   def syncUniform(spark: SparkSession, tablePath: String): Long = {
     import org.apache.spark.sql.types.{ArrayType, MapType}
     val snap = snapshot(spark, tablePath)
@@ -2923,10 +2954,11 @@ object DeltaLite {
     if (rowTracked) lines += rowTrackingDomainAction(nextRid - 1)
     // dataChange:false rewrite — rebases over concurrent appends (the
     // streaming-sink-vs-maintenance-compact race: both commit)
-    commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
-      snap.version + 1, lines.toSeq,
-      ourRemoves = rewriteByTuple.values.flatten.toSet,
-      dataChangeMutation = false)
+    autoSyncUniform(spark, tablePath, Some(snap),
+      commitWithRetry(fs, new Path(root, "_delta_log"), tablePath,
+        snap.version + 1, lines.toSeq,
+        ourRemoves = rewriteByTuple.values.flatten.toSet,
+        dataChangeMutation = false))
   }
 
   // ------------------------------------------------- change data feed
@@ -3631,12 +3663,13 @@ object DeltaLite {
     // overwrite replaces the version-pinned state, so intervening data
     // changes conflict. Create/evolve commits carry metaData and stay
     // single-attempt (commitWithRetry refuses their rebase on a race).
-    commitWithRetry(fs, logDir, tablePath, version, lines.toSeq,
-      ourRemoves =
-        if (mode == "overwrite")
-          existing.toSeq.flatMap(_.files.keys).toSet
-        else Set.empty,
-      dataChangeMutation = mode == "overwrite")
+    autoSyncUniform(spark, tablePath, existing,
+      commitWithRetry(fs, logDir, tablePath, version, lines.toSeq,
+        ourRemoves =
+          if (mode == "overwrite")
+            existing.toSeq.flatMap(_.files.keys).toSet
+          else Set.empty,
+        dataChangeMutation = mode == "overwrite"))
   }
 
   /** One file-pruning bound: a JSON stats value and a batch-side bound,
@@ -4112,7 +4145,7 @@ object DeltaLite {
       lines.toSeq, ourRemoves = touched, dataChangeMutation = true)
     idRelease()
     allKeysDf.unpersist()
-    committed
+    autoSyncUniform(spark, tablePath, Some(snap), committed)
   }
 
   /** Upgrade an unmapped table to column mapping `name` mode — the

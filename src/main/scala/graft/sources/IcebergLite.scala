@@ -764,14 +764,18 @@ object IcebergLite {
     // IDENTITY CONSTANT PROJECTION (spec §Column Projection rule 2):
     // an identity-partitioned source column's value is the file's
     // recorded partition constant. Files REGISTERED in place —
-    // migrated hive tables (add_files) and UniForm-converted delta
-    // tables — don't carry the column in the parquet at all; reading
-    // it from the file would surface silent nulls. The manifest tuple
-    // is exact for natively staged files too (identity ⇒ constant per
-    // file), so parquet scans project the tuple whenever every file
-    // of a group records it — ONE broadcast hash join on the
-    // normalized path, never a per-partition scan fan-out, and one
-    // column less read from disk.
+    // [[addFiles]] migrations and UniForm conversions — don't carry
+    // the column in the parquet at all; reading it from the file
+    // would surface silent nulls, so THOSE files project the manifest
+    // tuple instead. Natively staged files DO carry the column and
+    // keep the plain single scan (projecting them too would be exact
+    // but costs either a scan-per-tuple fan-out or a per-row path
+    // join — measured 1.8x on partitioned-merge benches). Detection:
+    // registration commits stamp `graft.in-place-registration` in
+    // their snapshot summary; the table property
+    // `graft.iceberg.identity-projection=always` extends the
+    // projection to FOREIGN migrated tables (iceberg-java add_files
+    // writes no such marker).
     val idToName0 = curIds.map(_.swap)
     val identSrc: Seq[(String, String, DataType)] =
       st.meta.partitionFields.filter(_.transform == "identity")
@@ -781,8 +785,18 @@ object IcebergLite {
             .filter(f => projectablePartType(f.dataType))
             .map(f => (pf.name, src, f.dataType))
         }
-    files.groupBy(f => (renames(f), f.format)).toSeq.map {
-        case ((rn, fmt), fls) =>
+    val projectAll = identSrc.nonEmpty &&
+      tableProperties(st.meta).get("graft.iceberg.identity-projection")
+        .contains("always")
+    val registeredSnaps: Set[Long] =
+      if (identSrc.isEmpty) Set.empty
+      else st.meta.snapshots.filter(_.summary
+          .get("graft.in-place-registration").contains("true"))
+        .map(_.snapshotId).toSet
+    def inPlace(f: FileEntry): Boolean =
+      projectAll || registeredSnaps.contains(f.addedSnapshotId)
+    files.groupBy(f => (renames(f), f.format, inPlace(f))).toSeq.map {
+        case ((rn, fmt, reg), fls) =>
       val readSchema =
         if (rn.isEmpty) cur
         else StructType(cur.fields.map(f =>
@@ -790,8 +804,10 @@ object IcebergLite {
       val paths = fls.map(_.path)
       val staged = fmt match {
         case "PARQUET" =>
-          val proj = identSrc.filter { case (pfn, _, _) =>
-            fls.forall(_.partValues.contains(pfn)) }
+          val proj =
+            if (!reg) Nil
+            else identSrc.filter { case (pfn, _, _) =>
+              fls.forall(_.partValues.contains(pfn)) }
           if (proj.isEmpty) {
             val scanned = spark.read.schema(readSchema).parquet(paths: _*)
             if (!withPos) scanned
@@ -804,31 +820,54 @@ object IcebergLite {
               rn.getOrElse(src, src) }.toSet
             val readSchema2 = StructType(
               readSchema.fields.filterNot(f => projRead(f.name)))
-            val base0 = spark.read.schema(readSchema2).parquet(paths: _*)
-            val base =
-              (if (withPos) base0
+            def scanned(ps: Seq[String]): DataFrame = {
+              val base0 = spark.read.schema(readSchema2).parquet(ps: _*)
+              if (withPos) base0
                 .withColumn("__ice_file",
                   normalizePathCol(col("_metadata.file_path")))
                 .withColumn("__ice_pos", col("_metadata.row_index"))
-              else base0)
+              else base0
+            }
+            val ordered = (readSchema.fieldNames.map(col) ++
+              (if (withPos) Seq(col("__ice_file"), col("__ice_pos"))
+               else Nil)).toIndexedSeq
+            // per-tuple scans inject the constants as LITERALS — zero
+            // row-level work; above the fan-out cap, ONE scan + a
+            // broadcast path→tuple join keeps the plan constant-size
+            // (the join key pays a per-row path normalization, so the
+            // literal path is preferred while the plan stays small)
+            val byTuple = fls.groupBy(f =>
+              proj.map { case (pfn, _, _) => f.partValues(pfn) })
+            val cap = spark.conf
+              .getOption("graft.iceberg.partitionUnionLimit")
+              .map(_.toInt).getOrElse(64)
+            if (byTuple.size <= cap)
+              byTuple.toSeq.map { case (tupleVals, tfls) =>
+                proj.zip(tupleVals).foldLeft(scanned(tfls.map(_.path))) {
+                  case (d, ((_, src, dt), v)) =>
+                    d.withColumn(rn.getOrElse(src, src),
+                      lit(typedPartValue(dt, v)).cast(dt))
+                }.select(ordered: _*)
+              }.reduce(_.unionByName(_))
+            else {
+              val base = scanned(paths)
                 .withColumn("__ice_pvk",
                   normalizePathCol(col("_metadata.file_path")))
-            val pvSchema = StructType(
-              StructField("__ice_pvk", StringType, nullable = false) +:
-              proj.map { case (_, src, dt) =>
-                StructField(rn.getOrElse(src, src), dt) })
-            val pvRows = fls.map { f =>
-              org.apache.spark.sql.Row.fromSeq(encodedPathKey(f.path) +:
-                proj.map { case (pfn, _, dt) =>
-                  typedPartValue(dt, f.partValues(pfn)) })
+              val pvSchema = StructType(
+                StructField("__ice_pvk", StringType, nullable = false) +:
+                proj.map { case (_, src, dt) =>
+                  StructField(rn.getOrElse(src, src), dt) })
+              val pvRows = fls.map { f =>
+                org.apache.spark.sql.Row.fromSeq(encodedPathKey(f.path) +:
+                  proj.map { case (pfn, _, dt) =>
+                    typedPartValue(dt, f.partValues(pfn)) })
+              }
+              val pvDf = spark.createDataFrame(
+                spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+              base.join(org.apache.spark.sql.functions.broadcast(pvDf),
+                  Seq("__ice_pvk"), "left")
+                .select(ordered: _*)
             }
-            val pvDf = spark.createDataFrame(
-              spark.sparkContext.parallelize(pvRows, 1), pvSchema)
-            base.join(org.apache.spark.sql.functions.broadcast(pvDf),
-                Seq("__ice_pvk"), "left")
-              .select((readSchema.fieldNames.map(col) ++
-                (if (withPos) Seq(col("__ice_file"), col("__ice_pos"))
-                 else Nil)).toIndexedSeq: _*)
           }
         case "ORC" =>
           val (exactFls, vecFls) =
@@ -2182,7 +2221,11 @@ object IcebergLite {
     commit(spark, tablePath, prior, schema,
       Seq((entries, 0, files.map(_.rows).sum)),
       carryForward = Seq.empty, operation = "overwrite",
-      snapshotId = snapshotId, extraSummary = extraSummary,
+      snapshotId = snapshotId,
+      // the marker [[scanData]]'s identity constant projection keys
+      // on: THESE files may lack their partition columns in-file
+      extraSummary = extraSummary +
+        ("graft.in-place-registration" -> "true"),
       partitionSpec = partFields.map { case (n, _) =>
         PartSpecField(n, "identity", ids.getOrElse(n, 0)) },
       retry = "none")

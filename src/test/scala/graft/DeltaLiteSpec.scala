@@ -2351,6 +2351,52 @@ class DeltaLiteSpec extends AnyFunSuite {
       e2.getMessage.contains("columnMapping id"))
   }
 
+  test("UniForm auto-sync: the universalFormat property syncs the " +
+      "iceberg view on every mutating commit; a sync refusal warns " +
+      "instead of failing the committed write") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("delta_uniauto")
+      .toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    DeltaLite.enableColumnMapping(spark, t)
+    DeltaLite.setTableProperties(spark, t, Map(
+      "delta.enableIcebergCompatV2" -> "true",
+      "delta.universalFormat.enabledFormats" -> "iceberg"))
+    // the NEXT mutation materializes the iceberg view — no explicit
+    // sync call anywhere below
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    def ice(): Set[(Long, String)] = IcebergLite.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ice() == Set((1L, "a"), (2L, "b")))
+    DeltaLite.deleteWhere(spark, t, col("k") === 1L)
+    assert(ice() == Set((2L, "b")),
+      "the copy-on-write delete must auto-sync")
+    DeltaLite.upsert(spark, Seq((3L, "c")).toDF("k", "v"), t, Seq("k"))
+    assert(ice() == Set((2L, "b"), (3L, "c")),
+      "MERGE must auto-sync")
+    // compat feature WITHOUT the property: explicit-sync-only
+    val tm = java.nio.file.Files.createTempDirectory("delta_unimanual")
+      .toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tm)
+    DeltaLite.enableColumnMapping(spark, tm)
+    DeltaLite.setTableProperties(spark, tm,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tm)
+    assert(!new java.io.File(tm, "metadata").exists,
+      "no property opt-in → no auto-registration")
+    // a sync refusal (array column) must NOT fail the committed write
+    val ta = java.nio.file.Files.createTempDirectory("delta_uniwarn")
+      .toString
+    DeltaLite.write(spark, Seq((1L, Seq("x"))).toDF("k", "tags"), ta)
+    DeltaLite.enableColumnMapping(spark, ta)
+    DeltaLite.setTableProperties(spark, ta, Map(
+      "delta.enableIcebergCompatV2" -> "true",
+      "delta.universalFormat.enabledFormats" -> "iceberg"))
+    DeltaLite.write(spark, Seq((2L, Seq("y"))).toDF("k", "tags"), ta)
+    assert(DeltaLite.read(spark, ta).count() == 2,
+      "the write must land even though the sync refused")
+  }
+
   test("convertToDelta: a hive-partitioned parquet dir becomes a delta " +
       "table in place — rows exact, footer stats recorded, one-shot, " +
       "ordinary delta life continues after") {
