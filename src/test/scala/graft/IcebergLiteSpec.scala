@@ -1568,5 +1568,35 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, flat).count() == 10)
     assert(IcebergLite.read(spark, flat).select("a").as[Long]
       .collect().toSet == (1L to 10L).toSet)
+    // hive-ESCAPED dir values and NULL partitions round-trip: Spark
+    // writes `p=a b` as `p=a%20b` and null as __HIVE_DEFAULT_PARTITION__
+    val esc = java.nio.file.Files
+      .createTempDirectory("ice_addfiles_esc").toString
+    Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, "x=y"))
+      .toDF("k", "p").write.partitionBy("p")
+      .mode("overwrite").parquet(esc)
+    IcebergLite.addFiles(spark, esc, esc)
+    val gotEsc = IcebergLite.read(spark, esc).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(gotEsc == Set((1L, Some("a b")), (2L, None),
+      (3L, Some("x=y"))), gotEsc.toString)
+    // typed dir values: integer dirs become a LONG partition column,
+    // date-shaped dirs become DATE
+    val typed = java.nio.file.Files
+      .createTempDirectory("ice_addfiles_typed").toString
+    Seq((1L, 7L, java.sql.Date.valueOf("2024-03-01")),
+        (2L, 8L, java.sql.Date.valueOf("2024-03-02")))
+      .toDF("k", "bucket", "day").write.partitionBy("bucket", "day")
+      .mode("overwrite").parquet(typed)
+    IcebergLite.addFiles(spark, typed, typed)
+    val sch = IcebergLite.read(spark, typed).schema
+    assert(sch("bucket").dataType ==
+      org.apache.spark.sql.types.LongType, sch.treeString)
+    assert(sch("day").dataType ==
+      org.apache.spark.sql.types.DateType, sch.treeString)
+    assert(IcebergLite.read(spark, typed,
+      where = Some(org.apache.spark.sql.functions.col("day") ===
+        java.sql.Date.valueOf("2024-03-02"))).collect()
+      .map(_.getLong(0)).toSet == Set(2L))
   }
 }
