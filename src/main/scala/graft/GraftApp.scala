@@ -603,7 +603,13 @@ object GraftApp {
         * hive-partitioned parquet dir, gains a version-0 _delta_log
         * referencing its files in place. One-shot; no data rewritten.
         */
-      convertToDelta: Boolean = false) {
+      convertToDelta: Boolean = false,
+      /** `remove_orphan_files: true` / `{older_than_hours: N}` —
+        * iceberg GC of files NO snapshot references (aborted stagings,
+        * lost-race leftovers), age-guarded (default 72h, the catalog's
+        * own default) so in-flight commits stay safe.
+        */
+      removeOrphansOlderThanMillis: Option[Long] = None) {
     require(format == "iceberg" || format == "delta",
       s"maintenance on '$path': format must be iceberg|delta, got '$format'")
     require(!vacuum || format == "delta",
@@ -639,13 +645,16 @@ object GraftApp {
       s"maintenance on '$path': add_files is the iceberg op")
     require(!convertToDelta || format == "delta",
       s"maintenance on '$path': convert_to_delta is the delta op")
+    require(removeOrphansOlderThanMillis.isEmpty || format == "iceberg",
+      s"maintenance on '$path': remove_orphan_files is the iceberg op " +
+        "(delta uses vacuum)")
     require(compact || expireKeepLast.nonEmpty ||
         expireOlderThanMillis.nonEmpty || vacuum || checkpoint ||
         cleanupLogs || setProperties.nonEmpty || restoreVersion.nonEmpty ||
         restoreTimestamp.nonEmpty || rollbackToSnapshot.nonEmpty ||
         createTag.nonEmpty || createBranch.nonEmpty || dropRef.nonEmpty ||
         cloneSource.nonEmpty || uniformSync || addFilesDir.nonEmpty ||
-        convertToDelta,
+        convertToDelta || removeOrphansOlderThanMillis.nonEmpty,
       s"maintenance on '$path' declares no operation")
   }
 
@@ -1135,6 +1144,8 @@ object GraftApp {
               m.expireKeepLast.getOrElse(1),
               olderThanMillis = m.expireOlderThanMillis
                 .map(System.currentTimeMillis - _))
+          m.removeOrphansOlderThanMillis.foreach(ms =>
+            graft.sources.IcebergLite.removeOrphanFiles(spark, m.path, ms))
         case "delta" =>
           // migration/clone FIRST (they CREATE this entry's path),
           // then restore, then grooming — each operates on the

@@ -310,7 +310,19 @@ object GraftConfigLoader {
             .map(x => asMap(x).asScala.getOrElse("data_dir",
               fail("maintenance add_files needs a data_dir")).toString),
           convertToDelta = m.asScala.get("convert_to_delta")
-            .exists(_.toString.toBoolean))
+            .exists(_.toString.toBoolean),
+          removeOrphansOlderThanMillis =
+            m.asScala.get("remove_orphan_files").filter(_ != null)
+              .flatMap {
+                case mm: java.util.Map[_, _] =>
+                  Some(asMap(mm).asScala.get("older_than_hours")
+                    .map(h => h.toString.toLong * 3600L * 1000L)
+                    .getOrElse(72L * 3600 * 1000))
+                case other =>
+                  if (other.toString.toBoolean)
+                    Some(72L * 3600 * 1000)
+                  else None
+              })
       }
 
   /** `create_tag: {name: x, snapshot_id: N?}` (snapshot_id optional —

@@ -3039,20 +3039,81 @@ object IcebergLite {
     finally out.close()
     val hint = fs.create(new Path(root, "metadata/version-hint.text"), true)
     try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
-    // physical delete of unreferenced avro metadata + data files
+    // physical delete SCOPED to what the EXPIRED snapshots referenced
+    // (the iceberg expiration contract): only files some expired
+    // snapshot named, minus everything a kept snapshot still names,
+    // are deleted. Walking the directory and deleting "anything
+    // unreferenced" instead would race a CONCURRENT writer's freshly
+    // staged (not yet committed) files — and missed partitioned
+    // data/<dir>/ subtrees anyway. Untracked leftovers (aborted
+    // stagings) are [[removeOrphanFiles]]'s job, behind an age guard.
+    val expired = ordered.filterNot(s => keptIds(s.snapshotId))
+    // normalized key → RAW path (deletion must use the raw form — the
+    // normalized key drops scheme/authority and only serves matching)
+    val expiredRefs = mutable.Map.empty[String, String]
+    def ref(raw: String): Unit = { expiredRefs(normalizePathStr(raw)) = raw }
+    expired.foreach { sm =>
+      sm.manifestList.foreach(p => ref(rebase(p, tablePath, meta.location)))
+      try {
+        val stt = snapshotState(spark, tablePath, Some(sm.snapshotId))
+        stt.manifests.foreach(m => ref(rebase(m.path, tablePath,
+          meta.location)))
+        (stt.dataFiles ++ stt.posDeleteFiles ++ stt.eqDeleteFiles)
+          .foreach(f => ref(f.path))
+      } catch { case _: Exception => () } // already-gone manifest list
+    }
     var deleted = 0
-    def sweep(dir: Path, keep: String => Boolean): Unit =
+    (expiredRefs -- referenced).values.foreach { raw =>
+      val p = new Path(raw)
+      try { if (fs.exists(p) && fs.delete(p, false)) deleted += 1 }
+      catch { case _: Exception => () }
+    }
+    deleted
+  }
+
+  /** REMOVE ORPHAN FILES (the catalog's `remove_orphan_files` action):
+    * delete files under the table's `data/` tree and `stage_*`
+    * leftovers that NO snapshot references and whose modification time
+    * is older than `olderThanMillis` (default 3 days — iceberg's own
+    * default; the age guard is what keeps a CONCURRENT writer's
+    * freshly staged, not-yet-committed files safe, exactly the
+    * catalog contract). [[expireSnapshots]] reclaims files expired
+    * snapshots referenced; this reclaims what nothing ever committed —
+    * aborted stagings and lost-race leftovers. Returns deleted count.
+    */
+  def removeOrphanFiles(spark: SparkSession, tablePath: String,
+      olderThanMillis: Long = 3L * 24 * 3600 * 1000): Int = {
+    val meta = loadMeta(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = mutable.Set.empty[String]
+    meta.snapshots.foreach { sm =>
+      sm.manifestList.foreach(p => referenced += normalizePathStr(
+        rebase(p, tablePath, meta.location)))
+      val stt = snapshotState(spark, tablePath, Some(sm.snapshotId))
+      stt.manifests.foreach(m => referenced += normalizePathStr(
+        rebase(m.path, tablePath, meta.location)))
+      (stt.dataFiles ++ stt.posDeleteFiles ++ stt.eqDeleteFiles)
+        .foreach(f => referenced += normalizePathStr(f.path))
+    }
+    val cutoff = System.currentTimeMillis - olderThanMillis
+    var deleted = 0
+    def sweep(dir: Path): Unit =
       if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
-        val p = s.getPath
-        if (s.isFile && !keep(p.getName) &&
-            !referenced(normalizePathStr(p.toString))) {
-          if (fs.delete(p, false)) deleted += 1
+        if (s.isDirectory) sweep(s.getPath)
+        else if (s.getModificationTime < cutoff &&
+            !referenced(normalizePathStr(s.getPath.toString))) {
+          if (fs.delete(s.getPath, false)) deleted += 1
         }
       }
-    sweep(new Path(root, "metadata"), n =>
-      n.endsWith(".metadata.json") || n == "version-hint.text" ||
-        !n.endsWith(".avro"))
-    sweep(new Path(root, "data"), _ => false)
+    sweep(new Path(root, "data"))
+    // aborted staging dirs at the root (stage_<uuid>): sweep files by
+    // the same age guard, then drop emptied dirs
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("stage_")).foreach { d =>
+      sweep(d.getPath)
+      if (fs.listStatus(d.getPath).isEmpty) { fs.delete(d.getPath, true); () }
+    }
     deleted
   }
 

@@ -692,6 +692,37 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.loadMeta(spark, t).version == v)
   }
 
+  test("expire sweep is SCOPED to expired snapshots' references — an " +
+      "in-flight staged file survives; removeOrphanFiles reclaims it " +
+      "past the age guard") {
+    val t = tmp("expire_scope")
+    IcebergLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t, "overwrite")
+    // simulate a CONCURRENT writer's freshly staged file under data/
+    // (not referenced by any snapshot yet): expire must NOT touch it
+    val inflight = new java.io.File(s"$t/data/inflight-not-committed.parquet")
+    java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+    // and an aborted staging dir at the root
+    val aborted = new java.io.File(s"$t/stage_deadbeef/part-0.parquet")
+    aborted.getParentFile.mkdirs()
+    java.nio.file.Files.write(aborted.toPath, Array[Byte](4, 5))
+    assert(IcebergLite.expireSnapshots(spark, t, keepLast = 1) > 0)
+    assert(inflight.exists, "expire must not sweep unknown files")
+    assert(aborted.exists)
+    assert(rows(IcebergLite.read(spark, t)) == Set((2L, "b")))
+    // fresh orphans survive the age guard…
+    assert(IcebergLite.removeOrphanFiles(spark, t) == 0)
+    assert(inflight.exists && aborted.exists)
+    // …aged-out orphans are reclaimed, live data untouched
+    inflight.setLastModified(System.currentTimeMillis - 5L * 3600 * 1000)
+    aborted.setLastModified(System.currentTimeMillis - 5L * 3600 * 1000)
+    assert(IcebergLite.removeOrphanFiles(spark, t,
+      olderThanMillis = 3600 * 1000L) == 2)
+    assert(!inflight.exists, "aged orphan must be reclaimed")
+    assert(!aborted.getParentFile.exists, "emptied stage dir dropped")
+    assert(rows(IcebergLite.read(spark, t)) == Set((2L, "b")))
+  }
+
   // --------------------------------------------------- streaming sinks
 
   test("streaming append sink: the snapshot-summary txn watermark makes " +
