@@ -5001,6 +5001,15 @@ object DeltaLite {
     * correctly too. Driver-side over the file listing — O(#files +
     * log size) metadata work, no data reads. Returns the number of
     * files deleted.
+    *
+    * SAFETY: with NO retention configured (no argument, no table
+    * property) the window is 0 — the documented immediate mode, same
+    * as delta-spark with its retentionDurationCheck disabled. A zero
+    * window racing a CONCURRENT writer can sweep freshly moved,
+    * not-yet-committed files (mtime ≈ now < cutoff = now) — exactly
+    * why delta-spark refuses windows under 7 days by default. Set
+    * `delta.deletedFileRetentionDuration` (or pass `retainMillis`) on
+    * any table with concurrent writers.
     */
   def vacuum(spark: SparkSession, tablePath: String,
       retainMillis: Option[Long] = None): Int = {

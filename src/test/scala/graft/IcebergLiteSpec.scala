@@ -692,6 +692,27 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.loadMeta(spark, t).version == v)
   }
 
+  test("identity-projection=always: a natively written partitioned " +
+      "table reads identically with the tuple projected instead of " +
+      "the file column (the foreign-migrated-table escape hatch)") {
+    val t = tmp("proj_always")
+    IcebergLite.write(spark,
+      Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a"))
+        .toDF("k", "v", "p"), t, partitionBy = Seq("p"))
+    def got(): Set[(Long, String, String)] = IcebergLite.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val plain = got()
+    assert(plain == Set((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a")))
+    IcebergLite.setTableProperties(spark, t,
+      Map("graft.iceberg.identity-projection" -> "always"))
+    assert(got() == plain,
+      "tuple projection must agree with the file-borne column")
+    assert(IcebergLite.read(spark, t,
+      where = Some(org.apache.spark.sql.functions.col("p") === "a"))
+      .count() == 2)
+  }
+
   test("expire sweep is SCOPED to expired snapshots' references — an " +
       "in-flight staged file survives; removeOrphanFiles reclaims it " +
       "past the age guard") {
