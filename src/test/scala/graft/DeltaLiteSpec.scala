@@ -2351,6 +2351,36 @@ class DeltaLiteSpec extends AnyFunSuite {
       e2.getMessage.contains("columnMapping id"))
   }
 
+  test("migration chain composes: plain parquet dir → CONVERT TO " +
+      "DELTA → column mapping → UniForm → mutations → the same files " +
+      "read as delta AND iceberg") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("delta_chain")
+      .toString
+    new java.io.File(t).delete()
+    Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y"))
+      .toDF("k", "v", "p").write.partitionBy("p").parquet(t)
+    DeltaLite.convertToDelta(spark, t)
+    DeltaLite.enableColumnMapping(spark, t)
+    DeltaLite.setTableProperties(spark, t, Map(
+      "delta.enableIcebergCompatV2" -> "true",
+      "delta.universalFormat.enabledFormats" -> "iceberg"))
+    // mutations on the CONVERTED table: append + copy-on-write delete,
+    // each auto-syncing the iceberg view
+    DeltaLite.write(spark, Seq((5L, "e", "x")).toDF("k", "v", "p"), t)
+    DeltaLite.deleteWhere(spark, t, col("k") === 2L)
+    val want = Set((1L, "a", "x"), (3L, "c", "y"), (4L, "d", "y"),
+      (5L, "e", "x"))
+    assert(DeltaLite.read(spark, t).select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      == want, "delta view")
+    assert(IcebergLite.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      == want, "iceberg view off the same files")
+    assert(IcebergLite.read(spark, t,
+      where = Some(col("p") === "x")).count() == 2)
+  }
+
   test("UniForm auto-sync: the universalFormat property syncs the " +
       "iceberg view on every mutating commit; a sync refusal warns " +
       "instead of failing the committed write") {
