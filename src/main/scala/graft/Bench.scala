@@ -26,7 +26,81 @@ import org.apache.spark.sql.SparkSession
   * queries pay the extra runs.
   */
 object Bench {
+
+  /** ISOLATED mode (SPARK_GRAFT_BENCH_ISOLATED=qA,qB,...): one FRESH
+    * JVM per listed query — no shared JIT profile, cache residue, GC
+    * debt, or run-order effects — with the query itself run once
+    * untimed in the child before its timed samples (codegen + footer
+    * caches warm, matching the in-suite method's steady state).
+    * Round-over-round drift adjudication reads these medians instead
+    * of in-suite spreads. Writes BENCH_ISOLATED.json.
+    */
+  private def runIsolated(list: String): Unit = {
+    val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
+    val cp = sys.env.getOrElse("SPARK_GRAFT_CLASSPATH",
+      "target/scala-2.13/classes:/opt/spark/jars/*")
+    val results = names.map { n =>
+      val tmp = java.nio.file.Files.createTempFile("bench_iso_", ".json")
+      // same module opens build.sbt gives forked runs (Spark 4 on
+      // JDK 17 outside spark-submit)
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+      val cmd = Seq("java", "-Xmx16g", "-cp", cp) ++ opens :+ "graft.Bench"
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", n)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATED")
+      pb.redirectErrorStream(false)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val rc = pb.start().waitFor()
+      val json =
+        try new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+        catch { case _: Exception => "" }
+      java.nio.file.Files.deleteIfExists(tmp)
+      val med = ("\"" + java.util.regex.Pattern.quote(n) +
+        "\":(-?[0-9.]+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+      val spr = ("\"" + java.util.regex.Pattern.quote(n) +
+        "\":\\[(-?[0-9.]+),(-?[0-9.]+)\\]").r.findFirstMatchIn(json)
+        .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+        .getOrElse((-1.0, -1.0))
+      System.err.println(
+        f"[bench-isolated] $n%-28s ${med}%8.3f s rc=$rc")
+      (n, med, spr)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, (lo, hi)) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total_isolated","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_ISOLATED.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_ISOLATED.json: " +
+        e.getMessage)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_ISOLATED") match {
+      case Some(list) if !sys.env.contains("SPARK_GRAFT_BENCH_CHILD") =>
+        runIsolated(list); return
+      case _ => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -95,7 +169,12 @@ object Bench {
       }
     }
     runOnce("q1_agg") // warmup: JIT + codegen + FS metadata
+    // isolated-mode child: warm the TARGET query itself once untimed —
+    // a fresh JVM would otherwise charge codegen/JIT of this query's
+    // plan to its first sample, which the in-suite method amortizes
+    val childWarm = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val results = names.map { n =>
+      if (childWarm) runOnce(n)
       val base = Seq.fill(runs)(runOnce(n))
       // sub-second queries: one more sample so the median is a true
       // middle-of-3 — their relative jitter is the suite's noise floor

@@ -1604,6 +1604,10 @@ object DeltaLite {
       else d.withColumn(f.name, lit(null).cast(LongType)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val release: () => Unit = () => { withCols.unpersist(); () }
+    // Anything throwing past this point (GENERATED ALWAYS refusal,
+    // the agg, numbering) must not leak the cached blocks — the
+    // caller only gets the release thunk on success.
+    try {
     val bases: Map[String, (Long, Long)] = idFields.map { f =>
       val (start, step, hwm, _) = identityInfo(f)
       f.name -> (hwm.map(_ + step).getOrElse(start), step)
@@ -1642,21 +1646,52 @@ object DeltaLite {
       presentIds.map(f => f.name ->
         Option(statRow.getAs[Any](s"__ext_${f.name}"))
           .map(_.asInstanceOf[Long])).toMap
-    val schema2 = withCols.schema
-    val idIdx = idFields.map(f => f.name -> schema2.fieldIndex(f.name))
-    val filled = spark.createDataFrame(
-      withCols.rdd.zipWithIndex.map { case (r, i) =>
-        val vals = r.toSeq.toArray
-        idIdx.foreach { case (name, j) =>
-          if (vals(j) == null) {
-            val (base, step) = bases(name)
-            vals(j) = base + i * step
-          }
-        }
-        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
-      },
-      StructType(schema2.fields.map(f =>
-        if (idIdx.exists(_._1 == f.name)) f.copy(nullable = false) else f)))
+    // COLUMNAR row numbering over the persisted batch: per-partition
+    // counts (one tiny job, 1 row per partition) give cumulative
+    // offsets, then `offset(pid) + rowInPartition` as a column
+    // expression — the fill stays in whole-stage codegen with no
+    // Row round-trip. rowInPartition is the low 33 bits of
+    // monotonically_increasing_id() (its layout: pid << 33 | row
+    // counter); keeping the index in its OWN projection matters:
+    // CollapseProject never inlines a nondeterministic producer, so
+    // the counter increments once per row unconditionally rather
+    // than lazily inside the CASE branch (which would skip slots on
+    // rows that provided a value — still unique, but not the
+    // `base + i*step over ALL rows` numbering the high-water-mark
+    // formula and the oracles pin).
+    val cnts: Map[Int, Long] = withCols
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id()
+        .as("__pid"))
+      .count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = cnts.keys.max
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    var p = 0
+    while (p <= maxPid) {
+      offsets(p) = acc; acc += cnts.getOrElse(p, 0L); p += 1
+    }
+    require(acc == n, s"identity numbering: partition counts sum $acc " +
+      s"!= batch count $n (cache partitioning drifted)")
+    val rowIdx =
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(offsets.toSeq),
+        org.apache.spark.sql.functions.spark_partition_id() + 1) +
+      org.apache.spark.sql.functions.monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1))
+    val withIdx = withCols.withColumn("__graft_rowidx", rowIdx)
+    val filled = idFields.foldLeft(withIdx) { (d, f) =>
+      val (base, step) = bases(f.name)
+      // re-alias with the field's ORIGINAL metadata — the identity
+      // start/step/allowExplicitInsert markers ride the data schema
+      // into the commit's metaData action, and a bare withColumn
+      // would strip them
+      val meta = d.schema(f.name).metadata
+      d.withColumn(f.name, org.apache.spark.sql.functions.when(
+        col(f.name).isNull,
+        lit(base) + col("__graft_rowidx") * lit(step))
+        .otherwise(col(f.name)).as(f.name, meta))
+    }.drop("__graft_rowidx")
     val hwms = idFields.map { f =>
       val (base, step) = bases(f.name)
       val (_, _, priorHwm, _) = identityInfo(f)
@@ -1665,6 +1700,9 @@ object DeltaLite {
       f.name -> (if (step > 0) far.max else far.min)
     }.toMap
     (filled, hwms, release)
+    } catch {
+      case scala.util.control.NonFatal(t) => release(); throw t
+    }
   }
 
   /** Fields carrying the spec's `delta.generationExpression` metadata

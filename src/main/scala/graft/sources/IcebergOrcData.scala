@@ -71,6 +71,18 @@ object IcebergOrcData {
             _.addTaskCompletionListener[Unit](_ => closeAll()))
           new Iterator[Row] {
             private val batch = fileSchema.createRowBatch(1024)
+            // Per-column extractors built ONCE per file: ORC's
+            // nextBatch refills the SAME ColumnVector objects in
+            // place, so the (DataType, ColumnVector) dispatch can
+            // bind the typed vector here instead of re-matching per
+            // cell (isRepeating/noNulls DO flip batch-to-batch and
+            // are read inside the closure).
+            private val extractors: Array[Int => Any] =
+              Array.tabulate(fieldNames.length) { i =>
+                if (colIdx(i) < 0) (_: Int) => null
+                else extractor(fieldTypes(i), batch.cols(colIdx(i)),
+                  fieldNames(i))
+              }
             private var r = 0
             private var ord = 0L
             private def advance(): Unit = {
@@ -87,17 +99,14 @@ object IcebergOrcData {
               val vals = new Array[Any](outSchema.length)
               var i = 0
               while (i < fieldNames.length) {
-                vals(i) =
-                  if (colIdx(i) < 0) null
-                  else readValue(fieldTypes(i), batch.cols(colIdx(i)),
-                    r, fieldNames(i))
+                vals(i) = extractors(i)(r)
                 i += 1
               }
               vals(fieldNames.length) = p
               vals(fieldNames.length + 1) = ord
               r += 1
               ord += 1L
-              Row.fromSeq(vals.toIndexedSeq)
+              new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
             }
           }
         }
@@ -105,35 +114,51 @@ object IcebergOrcData {
     spark.createDataFrame(rdd.map(identity), outSchema)
   }
 
-  /** One vector cell → the Spark-typed value `dt` expects. */
-  private def readValue(dt: DataType, v: ColumnVector, row: Int,
-      name: String): Any = {
-    val idx = if (v.isRepeating) 0 else row
-    if (!v.noNulls && v.isNull(idx)) return null
-    (dt, v) match {
-      case (BooleanType, lv: LongColumnVector) => lv.vector(idx) != 0L
-      case (IntegerType, lv: LongColumnVector) => lv.vector(idx).toInt
-      case (LongType, lv: LongColumnVector) => lv.vector(idx)
+  /** Column → a row-indexed cell reader, the type dispatch done HERE
+    * (once per column per file) instead of per cell. The returned
+    * closure re-reads `isRepeating`/`noNulls` each call because ORC
+    * flips them batch-to-batch on the same vector object.
+    */
+  private def extractor(dt: DataType, v: ColumnVector,
+      name: String): Int => Any = {
+    val get: Int => Any = (dt, v) match {
+      case (BooleanType, lv: LongColumnVector) =>
+        i => lv.vector(i) != 0L
+      case (IntegerType, lv: LongColumnVector) =>
+        i => lv.vector(i).toInt
+      case (LongType, lv: LongColumnVector) =>
+        i => lv.vector(i)
       case (DateType, lv: LongColumnVector) =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(lv.vector(idx)))
-      case (FloatType, dv: DoubleColumnVector) => dv.vector(idx).toFloat
-      case (DoubleType, dv: DoubleColumnVector) => dv.vector(idx)
+        i => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(lv.vector(i)))
+      case (FloatType, dv: DoubleColumnVector) =>
+        i => dv.vector(i).toFloat
+      case (DoubleType, dv: DoubleColumnVector) =>
+        i => dv.vector(i)
       case (StringType, bv: BytesColumnVector) =>
-        new String(bv.vector(idx), bv.start(idx), bv.length(idx), "UTF-8")
+        i => new String(bv.vector(i), bv.start(i), bv.length(i), "UTF-8")
       case (BinaryType, bv: BytesColumnVector) =>
-        java.util.Arrays.copyOfRange(bv.vector(idx), bv.start(idx),
-          bv.start(idx) + bv.length(idx))
-      case (TimestampType | TimestampNTZType, tv: TimestampColumnVector) =>
-        val ts = new java.sql.Timestamp(tv.time(idx))
-        ts.setNanos(tv.nanos(idx))
-        if (dt == TimestampNTZType)
+        i => java.util.Arrays.copyOfRange(bv.vector(i), bv.start(i),
+          bv.start(i) + bv.length(i))
+      case (TimestampType, tv: TimestampColumnVector) =>
+        i =>
+          val ts = new java.sql.Timestamp(tv.time(i))
+          ts.setNanos(tv.nanos(i))
+          ts
+      case (TimestampNTZType, tv: TimestampColumnVector) =>
+        i =>
+          val ts = new java.sql.Timestamp(tv.time(i))
+          ts.setNanos(tv.nanos(i))
           ts.toLocalDateTime
-        else ts
       case (d: DecimalType, dv: DecimalColumnVector) =>
-        dv.vector(idx).getHiveDecimal.bigDecimalValue.setScale(d.scale)
+        i => dv.vector(i).getHiveDecimal.bigDecimalValue.setScale(d.scale)
       case _ => throw new IllegalArgumentException(
         s"orc row reader: column '$name' is ${v.getClass.getSimpleName}, " +
           s"cannot read as ${dt.sql}")
+    }
+    row => {
+      val i = if (v.isRepeating) 0 else row
+      if (!v.noNulls && v.isNull(i)) null else get(i)
     }
   }
 }
