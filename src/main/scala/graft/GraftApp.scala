@@ -93,7 +93,11 @@ object GraftApp {
           val contract = uiContract(spark, config)
           val port = sys.env.get("SPARK_GRAFT_UI_PORT").map(_.toInt)
             .getOrElse(4555) // reference APP_UI_PORT
-          val h = UiServer.start(port, contract)
+          // loopback unless explicitly exposed — the contract carries
+          // sink targets and is served without auth
+          val h = UiServer.start(port, contract,
+            bindAll = sys.env.get("SPARK_GRAFT_UI_BIND_ALL")
+              .exists(v => v == "1" || v.equalsIgnoreCase("true")))
           println(s"ui: serving on http://localhost:${h.port}/ " +
             "(endpoints /dot /sources /outputs /sinks)")
           // bounded run for drivers/tests; default serves until killed

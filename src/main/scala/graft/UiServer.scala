@@ -37,6 +37,7 @@ object UiServer {
   final class Handle private[UiServer] (server: HttpServer,
       pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
+    def address: java.net.InetSocketAddress = server.getAddress
     def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
@@ -61,9 +62,24 @@ object UiServer {
     val arr = mapper.createArrayNode()
     c.sinks.foreach { case (table, mode, target) =>
       val s = arr.addObject()
-      s.put("table", table); s.put("mode", mode); s.put("target", target)
+      s.put("table", table); s.put("mode", mode)
+      s.put("target", redactTarget(target))
     }
     arr.toString
+  }
+
+  /** Sink targets are commonly JDBC URLs with embedded credentials
+    * (`jdbc:x://user:pass@host/db`, `...?password=...`) and the
+    * contract travels over unauthenticated HTTP — REDACT the secret
+    * parts, keep the shape diagnosable.
+    */
+  private[graft] def redactTarget(target: String): String = {
+    // userinfo between scheme's "//" and the next "@" (before any /?#)
+    val noUser = target.replaceAll("(?i)(//)[^/?#@\\s]*@", "$1***@")
+    // password-ish key=value pairs in query/properties tails
+    noUser.replaceAll(
+      "(?i)(password|passwd|pwd|secret|token|sslpassword)=[^&;,\\s]*",
+      "$1=***")
   }
 
   private def escHtml(s: String): String = s
@@ -78,7 +94,8 @@ object UiServer {
       s"<tr><td>${escHtml(n)}</td><td><code>${escHtml(schema)}</code></td></tr>"
     }.mkString
     val snk = c.sinks.map { case (t, m, tg) =>
-      s"<tr><td>${escHtml(t)}</td><td>${escHtml(m)}</td><td>${escHtml(tg)}</td></tr>"
+      s"<tr><td>${escHtml(t)}</td><td>${escHtml(m)}</td>" +
+        s"<td>${escHtml(redactTarget(tg))}</td></tr>"
     }.mkString
     s"""<!doctype html><html><head><meta charset="utf-8">
        |<title>graft pipeline</title>
@@ -95,9 +112,19 @@ object UiServer {
        |</body></html>""".stripMargin
   }
 
-  def start(port: Int, contract: Contract): Handle = {
+  def start(port: Int, contract: Contract,
+      bindAll: Boolean = false): Handle = {
     System.setProperty("sun.net.httpserver.nodelay", "true")
-    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    // LOOPBACK by default: the contract is control-plane metadata
+    // (paths, schemas, sink targets) served without auth — exposing it
+    // on 0.0.0.0 is an explicit opt-in (`bindAll`, config
+    // `ui.bind_all`), matching how the reference's ContractService is
+    // fronted by a local proxy
+    val addr =
+      if (bindAll) new java.net.InetSocketAddress(port)
+      else new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, port)
+    val server = HttpServer.create(addr, 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     server.setExecutor(pool)
     server.createContext("/", new HttpHandler {

@@ -98,7 +98,13 @@ object JsMini {
     * row inside UDF bodies — recompiling per evaluation would dominate
     * the hot path. Keyed by flags+source; shared across task threads
     * (Pattern is immutable/thread-safe; matchers are per-call).
+    * SIZE-CAPPED: a script building per-row patterns via
+    * `new RegExp(rowValue)` must not grow executor memory without
+    * bound over a long-running job — past the cap, new patterns
+    * compile uncached (script literals are few and land first; only
+    * unbounded dynamic-pattern churn pays the recompile).
     */
+  private val RegexCacheMax = 2048
   private val regexCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.regex.Pattern]()
@@ -112,7 +118,7 @@ object JsMini {
           "subset supports g/i/m/s on the JDK engine (no sticky, " +
           "unicode-mode, or indices flags)"))
     }
-    regexCache.computeIfAbsent(flags + "/" + source, _ => {
+    def build(): Pattern = {
       var bits = 0
       if (flags.indexOf('i') >= 0)
         bits |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
@@ -125,7 +131,174 @@ object JsMini {
             s"regex /$source/ is not supported by the JDK engine: " +
               e.getDescription))
       }
-    })
+    }
+    val key = flags + "/" + source
+    val hit = regexCache.get(key)
+    if (hit != null) hit
+    else {
+      val p = build() // syntax errors surface first, with JDK detail
+      assertBackrefsSafe(source) // throws BEFORE caching — a refused
+                                 // pattern must refuse on every call
+      if (regexCache.size < RegexCacheMax) regexCache.putIfAbsent(key, p)
+      p
+    }
+  }
+
+  /** REFUSE backreferences that can observe an UNSET group — the one
+    * place the JDK and ECMA-262 engines silently disagree: JS treats a
+    * backreference to a group that has not participated as matching
+    * the EMPTY string (/(a)?\1b/.test("b") is true); the JDK fails the
+    * backreference (false). Rather than silently diverge, patterns
+    * where the referenced group may be unset at the reference point
+    * refuse loudly at construction. Conservative static rule — a
+    * backreference is SAFE only when its group (a) closes before the
+    * reference, (b) is not optionally quantified (question mark, star,
+    * or a zero-minimum brace count), and (c)
+    * shares every alternation branch / optional scope / lookaround
+    * with the reference up to their common enclosing scope. Common
+    * idioms like a quote-matching group referenced later in the same
+    * branch pass untouched.
+    */
+  private[functions] def assertBackrefsSafe(source: String): Unit = {
+    if (source.indexOf('\\') < 0) return // no escapes → no backrefs
+    val parentOf = mutable.ArrayBuffer[Int](-1)
+    val kindOf = mutable.ArrayBuffer[Char]('g') // 'g' group, '!' neg-look
+    val branchAt = mutable.ArrayBuffer[Int](0)
+    val hasAlt = mutable.ArrayBuffer[Boolean](false)
+    val optional = mutable.ArrayBuffer[Boolean](false)
+    val entryBranch = mutable.ArrayBuffer[Int](0)
+    val closedAt = mutable.ArrayBuffer[Int](Int.MaxValue)
+    // capture number -> its scope id; named -> number
+    val capScope = mutable.ArrayBuffer.empty[Int]
+    val nameToNum = mutable.Map.empty[String, Int]
+    // (resolved-late group number or -name, position, scope, branch)
+    val refs = mutable.ArrayBuffer.empty[(Either[Int, String], Int, Int,
+      Int)]
+    var cur = 0
+    var i = 0
+    def openScope(kind: Char, capturing: Boolean,
+        name: Option[String]): Unit = {
+      parentOf += cur; kindOf += kind; branchAt += 0; hasAlt += false
+      optional += false; entryBranch += branchAt(cur)
+      closedAt += Int.MaxValue
+      val id = parentOf.length - 1
+      if (capturing) {
+        capScope += id
+        name.foreach(n => nameToNum(n) = capScope.length)
+      }
+      cur = id
+    }
+    while (i < source.length) {
+      source.charAt(i) match {
+        case '\\' if i + 1 < source.length =>
+          val c = source.charAt(i + 1)
+          if (c.isDigit && c != '0') {
+            var j = i + 1; var n = 0
+            while (j < source.length && source.charAt(j).isDigit &&
+                n < 1000) { n = n * 10 + (source.charAt(j) - '0'); j += 1 }
+            refs += ((Left(n), i, cur, branchAt(cur)))
+            i = j
+          } else if (c == 'k' && i + 2 < source.length &&
+              source.charAt(i + 2) == '<') {
+            val end = source.indexOf('>', i + 3)
+            if (end > 0) {
+              refs += ((Right(source.substring(i + 3, end)), i, cur,
+                branchAt(cur)))
+              i = end + 1
+            } else i += 2
+          } else i += 2
+        case '[' =>
+          i += 1
+          if (i < source.length && source.charAt(i) == '^') i += 1
+          if (i < source.length && source.charAt(i) == ']') i += 1
+          while (i < source.length && source.charAt(i) != ']') {
+            if (source.charAt(i) == '\\') i += 2 else i += 1
+          }
+          i += 1
+        case '(' =>
+          if (source.startsWith("(?:", i)) { openScope('g', false, None); i += 3 }
+          else if (source.startsWith("(?=", i)) { openScope('g', false, None); i += 3 }
+          else if (source.startsWith("(?!", i)) { openScope('!', false, None); i += 3 }
+          else if (source.startsWith("(?<=", i)) { openScope('g', false, None); i += 4 }
+          else if (source.startsWith("(?<!", i)) { openScope('!', false, None); i += 4 }
+          else if (source.startsWith("(?<", i)) {
+            val end = source.indexOf('>', i + 3)
+            val nm = if (end > 0) Some(source.substring(i + 3, end)) else None
+            openScope('g', true, nm)
+            i = if (end > 0) end + 1 else i + 3
+          }
+          else if (source.startsWith("(?", i)) { openScope('g', false, None); i += 2 }
+          else { openScope('g', true, None); i += 1 }
+        case ')' =>
+          closedAt(cur) = i
+          // optional quantifier directly after the close?
+          val q = if (i + 1 < source.length) source.charAt(i + 1) else ' '
+          optional(cur) = q == '?' || q == '*' ||
+            (q == '{' && source.startsWith("{0", i + 1))
+          cur = parentOf(cur)
+          if (cur < 0) return // unbalanced — the JDK compile already vetted
+          i += 1
+        case '|' =>
+          branchAt(cur) += 1; hasAlt(cur) = true; i += 1
+        case _ => i += 1
+      }
+    }
+    def refuse(pos: Int, why: String): Nothing = throw new JsError(VStr(
+      s"regex /$source/: the backreference at index $pos can observe " +
+        s"an UNSET group ($why) — ECMA-262 matches empty there, the " +
+        "JDK engine fails the match; rewrite the pattern so the group " +
+        "always participates before the reference"))
+    refs.foreach { case (which, pos, refScope, refBranch) =>
+      val num = which match {
+        case Left(n) =>
+          if (n <= capScope.length) n
+          else { val d = n.toString.charAt(0) - '0'
+            if (d <= capScope.length) d else 0 }
+        case Right(nm) => nameToNum.getOrElse(nm, 0)
+      }
+      if (num > 0) {
+        val gScope = capScope(num - 1)
+        if (closedAt(gScope) > pos) refuse(pos,
+          s"group $num does not close before the reference")
+        if (optional(gScope)) refuse(pos,
+          s"group $num is optionally quantified")
+        // ancestors of each, bottom-up, for the LCA walk
+        def chain(s0: Int): List[Int] = {
+          var s = s0; var acc = List(s)
+          while (parentOf(s) >= 0) { s = parentOf(s); acc = s :: acc }
+          acc
+        }
+        val gc = chain(gScope); val rc = chain(refScope)
+        val lca = gc.zip(rc).takeWhile(t => t._1 == t._2).last._1
+        // scopes strictly BETWEEN the group and the LCA must be
+        // mandatory, branch-free, and not negative lookarounds — the
+        // reference sits outside them, so any skip leaves the group
+        // unset. The group's OWN scope is exempt: branching inside it
+        // cannot leave it unset (its quantifier was checked above).
+        gc.dropWhile(_ != lca).drop(1).dropRight(1).foreach { s =>
+          if (optional(s)) refuse(pos,
+            s"group $num sits inside an optionally-quantified scope")
+          if (hasAlt(s)) refuse(pos,
+            s"group $num sits inside an alternation the reference is " +
+              "outside of")
+          if (kindOf(s) == '!') refuse(pos,
+            s"group $num sits inside a negative lookaround")
+        }
+        // different branches of the LCA scope never co-execute
+        def branchAtLca(leafScope: Int, leafBranch: Int): Int = {
+          var s = leafScope; var b = leafBranch
+          while (s != lca) { b = entryBranch(s); s = parentOf(s) }
+          b
+        }
+        if (branchAtLca(gScope, 0) != branchAtLca(refScope, refBranch)) {
+          // group's own branch position inside the LCA: the branch its
+          // child-of-LCA ancestor entered at — or, when the group's
+          // PARENT is the LCA, the branch current when the group opened
+          refuse(pos, s"group $num and the reference sit in different " +
+            "alternation branches")
+        }
+      }
+    }
   }
 
   /** A `class` value: constructor + method tables + parent link. The
@@ -1683,11 +1856,14 @@ object JsMini {
     case other => new VRegExp(toDisplay(other), "")
   }
 
-  /** `$$`/`$&`/`$n` replacement-template expansion (JS semantics:
-    * unknown `$x` stays literal; two-digit group wins when it exists).
+  /** `$$`/`$&`/`` $` ``/`$'`/`$n`/`$<name>` replacement-template
+    * expansion (JS GetSubstitution: unknown `$x` stays literal;
+    * two-digit group wins when it exists; `$<…>` is literal unless the
+    * pattern has named groups, and a named group that did not match
+    * expands empty).
     */
   private def expandReplacement(m: java.util.regex.Matcher,
-      tmpl: String): String = {
+      tmpl: String, input: String, hasNamed: Boolean): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < tmpl.length) {
@@ -1696,6 +1872,17 @@ object JsMini {
         tmpl.charAt(i + 1) match {
           case '$' => sb += '$'; i += 2
           case '&' => sb ++= m.group(); i += 2
+          case '`' => sb ++= input.substring(0, m.start); i += 2
+          case '\'' => sb ++= input.substring(m.end); i += 2
+          case '<' if hasNamed =>
+            val end = tmpl.indexOf('>', i + 2)
+            if (end < 0) { sb += '$'; i += 1 }
+            else {
+              val nm = tmpl.substring(i + 2, end)
+              sb ++= (try Option(m.group(nm)).getOrElse("")
+                catch { case _: IllegalArgumentException => "" })
+              i = end + 1
+            }
           case d if d.isDigit =>
             val one = d - '0'
             val two =
@@ -1719,6 +1906,19 @@ object JsMini {
   private def regexReplace(s: String, r: VRegExp, repl: V,
       all: Boolean): String = {
     val m = r.pattern.matcher(s)
+    // `$<name>` expands only when the PATTERN declares named groups
+    // (JS: otherwise it stays literal); lookbehinds share the "(?<"
+    // prefix and must not count
+    val hasNamed = {
+      val p = r.pattern.pattern
+      var j = p.indexOf("(?<"); var found = false
+      while (j >= 0 && !found) {
+        val c = if (j + 3 < p.length) p.charAt(j + 3) else ' '
+        if (c != '=' && c != '!') found = true
+        else j = p.indexOf("(?<", j + 3)
+      }
+      found
+    }
     val sb = new StringBuilder
     var last = 0
     var from = 0
@@ -1732,7 +1932,8 @@ object JsMini {
             if (m.group(g) == null) VUndef else VStr(m.group(g)): V)
           sb ++= toDisplay(callFunction(f,
             (VStr(m.group()) +: groups) ++ Seq(VNum(m.start), VStr(s))))
-        case other => sb ++= expandReplacement(m, toDisplay(other))
+        case other => sb ++= expandReplacement(m, toDisplay(other), s,
+          hasNamed)
       }
       last = m.end
       from = if (m.end == m.start) m.end + 1 else m.end
@@ -1750,13 +1951,30 @@ object JsMini {
       limit: Option[Int]): VArr = {
     val out = mutable.ArrayBuffer.empty[V]
     val lim = limit.getOrElse(Int.MaxValue)
+    // ECMA-262 SplitMatcher on the empty string: a pattern matching
+    // "" yields [] (not [""])
+    if (s.isEmpty) {
+      val m0 = r.pattern.matcher(s)
+      if (!m0.find(0) && lim > 0) out += VStr("")
+      return new VArr(out)
+    }
     val m = r.pattern.matcher(s)
     var last = 0
     var from = 0
     var stop = false
     while (!stop && out.length < lim && from <= s.length &&
         m.find(from)) {
-      if (m.end == 0) from = 1 // a leading empty match splits nothing
+      if (m.end == last)
+        // ECMA SplitMatcher's e == p rule: an empty match AT the last
+        // split point is not a split ("a1b".split(/(\d)?/) has no ""
+        // between "1" and "b"; the leading empty match is the p = 0
+        // case of the same rule)
+        from = m.end + 1
+      else if (m.start == s.length)
+        // JS attempts split points only at q < size: an empty match
+        // AT the end is not a split point ("abc".split(/(?:)/) has no
+        // trailing "")
+        stop = true
       else {
         out += VStr(s.substring(last, m.start))
         var g = 1

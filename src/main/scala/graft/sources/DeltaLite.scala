@@ -2704,6 +2704,21 @@ object DeltaLite {
         System.err.println(s"[graft] UniForm auto-sync of $tablePath " +
           "failed — the iceberg view lags this commit (run " +
           s"maintenance uniform_sync for the loud form): ${e.getMessage}")
+        // IN-BAND lag marker: a pipeline running unattended must not
+        // depend on a console line — record which commit the iceberg
+        // view lags behind as a table property (its own metadata-only
+        // commit; setTableProperties does not re-enter auto-sync).
+        // [[syncUniform]] clears it on the next SUCCESSFUL sync.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\\r\\n]+", " ").take(300)
+        try { setTableProperties(spark, tablePath, Map(
+          "graft.uniform.lastSyncFailure" ->
+            s"""{"version":$committed,"message":${
+              mapper.writeValueAsString(msg)}}""")); () }
+        catch { case e2: Exception =>
+          System.err.println(s"[graft] could not record the UniForm " +
+            s"sync-lag marker on $tablePath: ${e2.getMessage}")
+        }
       }
     committed
   }
@@ -2776,9 +2791,22 @@ object DeltaLite {
       IcebergLite.ExistingFile(abs(p), rows, size, tuple)
     }
     val physSchema = StructType(snap.schema.fields.map(physicalField))
-    IcebergLite.commitExistingFiles(spark, tablePath, physSchema, files,
+    val snapId = IcebergLite.commitExistingFiles(spark, tablePath,
+      physSchema, files,
       partitionCols = partFields.map(physicalName).toSeq,
       extraSummary = Map("delta-version" -> snap.version.toString))
+    // A successful sync CLEARS the in-band lag marker a failed
+    // auto-sync recorded ([[autoSyncUniform]]) — its own metadata-only
+    // commit, which the iceberg view trails harmlessly (property
+    // changes carry no data; the next mutation re-syncs).
+    if (snap.configuration.contains("graft.uniform.lastSyncFailure"))
+      try { unsetTableProperties(spark, tablePath,
+        Seq("graft.uniform.lastSyncFailure")); () }
+      catch { case e: Exception =>
+        System.err.println(s"[graft] could not clear the UniForm " +
+          s"sync-lag marker on $tablePath: ${e.getMessage}")
+      }
+    snapId
   }
 
   /** OPTIMIZE (bin-packing compaction) + DV PURGE: rewrites, per

@@ -2335,7 +2335,12 @@ object IcebergLite {
     def partType(name: String): DataType = {
       val vs = tuples.flatMap(_._2.collect {
         case (n, Some(v)) if n == name => v })
-      if (vs.nonEmpty && vs.forall(_.matches("-?\\d{1,18}"))) LongType
+      // a ZERO-PADDED value ("p=007") types as STRING: reading it back
+      // as 7 would silently rewrite the value a foreign writer chose
+      // (delta-spark requires an explicit partition schema for CONVERT
+      // partly for this reason)
+      if (vs.nonEmpty && vs.forall(v =>
+          v.matches("-?\\d{1,18}") && !v.matches("-?0\\d+"))) LongType
       else if (vs.nonEmpty &&
           vs.forall(_.matches("\\d{4}-\\d{2}-\\d{2}"))) DateType
       else StringType

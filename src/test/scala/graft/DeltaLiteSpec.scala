@@ -2425,6 +2425,61 @@ class DeltaLiteSpec extends AnyFunSuite {
     DeltaLite.write(spark, Seq((2L, Seq("y"))).toDF("k", "tags"), ta)
     assert(DeltaLite.read(spark, ta).count() == 2,
       "the write must land even though the sync refused")
+    // ...and the lag is recorded IN-BAND: a table property names the
+    // delta version the iceberg view lags behind plus the refusal
+    // message — an unattended pipeline can detect the stale view from
+    // the log itself, not a console line
+    val marker = DeltaLite.snapshot(spark, ta).configuration
+      .get("graft.uniform.lastSyncFailure")
+    assert(marker.isDefined, "sync failure must record the lag marker")
+    assert(marker.get.contains("\"version\":3"),
+      s"marker must name the lagging commit (write was v3): $marker")
+    assert(marker.get.toLowerCase.contains("array"),
+      s"marker must carry the refusal message: $marker")
+  }
+
+  test("UniForm sync-lag marker: a TRANSIENT auto-sync failure records " +
+      "the marker, the next successful sync clears it and the iceberg " +
+      "view catches up") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("delta_unilag")
+      .toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    DeltaLite.enableColumnMapping(spark, t)
+    DeltaLite.setTableProperties(spark, t, Map(
+      "delta.enableIcebergCompatV2" -> "true",
+      "delta.universalFormat.enabledFormats" -> "iceberg"))
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    def ice(): Set[(Long, String)] = IcebergLite.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ice() == Set((1L, "a"), (2L, "b")), "first sync lands")
+    // break the NEXT iceberg commit: squat a directory on the version
+    // file the sync will claim (put-if-absent can never win) — a stand-
+    // in for any transient object-store failure
+    val metaDir = new java.io.File(t, "metadata")
+    val maxV = metaDir.listFiles.map(_.getName)
+      .flatMap(n => "^v(\\d+)\\.metadata\\.json$".r
+        .findFirstMatchIn(n).map(_.group(1).toInt)).max
+    val squatter = new java.io.File(metaDir, s"v${maxV + 1}.metadata.json")
+    assert(squatter.mkdir(), s"could not squat $squatter")
+    DeltaLite.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    val lagged = DeltaLite.snapshot(spark, t).configuration
+      .get("graft.uniform.lastSyncFailure")
+    assert(lagged.isDefined, "transient failure must record the marker")
+    assert(lagged.get.contains("\"version\":4"),
+      s"marker names the commit the iceberg view lags (write was v4): " +
+        s"$lagged")
+    // delta view unaffected throughout
+    assert(DeltaLite.read(spark, t).count() == 3)
+    // recovery: unblock, mutate again — sync succeeds, marker clears,
+    // iceberg view catches up past BOTH lagged commits
+    assert(squatter.delete())
+    DeltaLite.write(spark, Seq((4L, "d")).toDF("k", "v"), t)
+    assert(!DeltaLite.snapshot(spark, t).configuration
+        .contains("graft.uniform.lastSyncFailure"),
+      "successful sync must clear the lag marker")
+    assert(ice() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "the recovered sync must cover the lagged commit too")
   }
 
   test("convertToDelta: a hive-partitioned parquet dir becomes a delta " +
@@ -3089,6 +3144,42 @@ class DeltaLiteSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------- vacuum
+
+  test("vacuum honors a FOREIGN remove's real-but-old deletionTimestamp " +
+      "VERBATIM; only pre-2001 sentinel values fall back to the commit " +
+      "file's mtime") {
+    def patchRemoveTs(table: String, ts: Long): Unit = {
+      val c1 = new java.io.File(table,
+        "_delta_log/00000000000000000001.json")
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(c1.toPath), "UTF-8")
+      assert(txt.contains("\"remove\""), txt)
+      java.nio.file.Files.write(c1.toPath, txt.replaceAll(
+        "\"deletionTimestamp\":\\d+",
+        s""""deletionTimestamp":$ts""").getBytes("UTF-8"))
+    }
+    // a REAL 2020 tombstone in a foreign log: long past any window —
+    // swept even though the commit FILE was written seconds ago (the
+    // heuristic must never reclassify a small-but-valid timestamp)
+    val tf = java.nio.file.Files
+      .createTempDirectory("delta_vacforeign").toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tf)
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tf, "overwrite")
+    patchRemoveTs(tf, 1577836800000L) // 2020-01-01
+    assert(DeltaLite.vacuum(spark, tf,
+        retainMillis = Some(7L * 24 * 3600 * 1000)) == 1,
+      "a real 2020 deletionTimestamp is honored verbatim (expired)")
+    // the legacy `1L` sentinel: not a plausible delta timestamp → the
+    // commit mtime (now) is the unreference moment → a 1h window spares
+    val tl = java.nio.file.Files
+      .createTempDirectory("delta_vaclegacy").toString
+    DeltaLite.write(spark, Seq((1L, "a")).toDF("k", "v"), tl)
+    DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tl, "overwrite")
+    patchRemoveTs(tl, 1L)
+    assert(DeltaLite.vacuum(spark, tl,
+        retainMillis = Some(3600L * 1000)) == 0,
+      "the pre-2001 sentinel falls back to the fresh commit mtime")
+  }
 
   test("vacuum honors the retention window (explicit or the table's " +
       "deletedFileRetentionDuration) and sweeps ORPHANED deletion-vector " +

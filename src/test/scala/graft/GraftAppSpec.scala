@@ -641,6 +641,25 @@ class GraftAppSpec extends AnyFunSuite {
       val (nc, nb, _) = get("/nope")
       assert(nc == 404 && nb.contains("/dot"))
     } finally h.stop()
+    // the server binds LOOPBACK by default — the contract travels
+    // without auth and must not be reachable off-box unless opted in
+    val h2 = UiServer.start(0, contract)
+    try assert(h2.address.getAddress.isLoopbackAddress,
+      s"default bind must be loopback: ${h2.address}")
+    finally h2.stop()
+  }
+
+  test("ui redacts credentials from sink targets: JDBC userinfo and " +
+      "password-style query params never leave the box") {
+    assert(UiServer.redactTarget("jdbc:postgresql://u:p@h:5432/db")
+      == "jdbc:postgresql://***@h:5432/db")
+    assert(UiServer.redactTarget(
+      "jdbc:clickhouse://h/db?user=a&password=hunter2&ssl=true")
+      == "jdbc:clickhouse://h/db?user=a&password=***&ssl=true")
+    assert(UiServer.redactTarget(
+      "jdbc:oracle:thin:@//h:1521/svc") // @ without //…@ userinfo shape
+      == "jdbc:oracle:thin:@//h:1521/svc")
+    assert(UiServer.redactTarget("/plain/path/out") == "/plain/path/out")
   }
 
   test("dozer sink types: dummy consumes, jdbc merges into Derby, missing drivers fail loudly") {

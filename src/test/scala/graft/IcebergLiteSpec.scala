@@ -1650,5 +1650,20 @@ class IcebergLiteSpec extends AnyFunSuite {
       where = Some(org.apache.spark.sql.functions.col("day") ===
         java.sql.Date.valueOf("2024-03-02"))).collect()
       .map(_.getLong(0)).toSet == Set(2L))
+    // ZERO-PADDED dir values stay STRING: "p=007" read back as 7 would
+    // silently rewrite the value the foreign writer chose
+    val pad = java.nio.file.Files
+      .createTempDirectory("ice_addfiles_pad").toString
+    new java.io.File(pad).delete()
+    Seq((1L, "007"), (2L, "042"), (3L, "7"))
+      .toDF("k", "p").write.partitionBy("p")
+      .mode("overwrite").parquet(pad)
+    IcebergLite.addFiles(spark, pad, pad)
+    val padSch = IcebergLite.read(spark, pad).schema
+    assert(padSch("p").dataType ==
+      org.apache.spark.sql.types.StringType, padSch.treeString)
+    assert(IcebergLite.read(spark, pad).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "007"), (2L, "042"), (3L, "7")))
   }
 }

@@ -729,4 +729,73 @@ class JsMiniSpec extends AnyFunSuite {
     assert(js("return JSON.stringify({r: /a/g});") == VStr("{\"r\":{}}"))
     assert(js("return String(/a(b)?/im);") == VStr("/a(b)?/im"))
   }
+
+  test("regex edge matrix: ECMA-262 split/replace/boundary behaviors " +
+      "pinned against V8-verified strings; backreference shapes where " +
+      "the JDK silently diverges (unset group: JS matches empty, JDK " +
+      "fails) refuse loudly at construction") {
+    def js(body: String, arg: V = VNull): V =
+      run(s"export default function (x) { $body }", arg)
+    // -- split edges (ECMA SplitMatcher) --
+    assert(js("return 'abc'.split(/(?:)/).join('|');") == VStr("a|b|c"))
+    assert(js("return 'abc'.split(/(?:)/).length;") == VNum(3))
+    assert(js("return ''.split(/(?:)/).length;") == VNum(0))
+    assert(js("return ''.split(/x/).length;") == VNum(1))
+    assert(js("return ''.split(/x/)[0];") == VStr(""))
+    assert(js("return 'ab'.split(/b/).join('|');") == VStr("a|"))
+    assert(js("return 'a,b,'.split(/,/).length;") == VNum(3))
+    assert(js("return 'aaa'.split(/a/).length;") == VNum(4))
+    // the e == p skip rule with an optional group: no phantom empty
+    // field (and no spliced capture) between "1" and "b"
+    assert(js("return 'a1b'.split(/(\\d)?/).join('|');") == VStr("a|1|b"))
+    assert(js("return 'abc'.split(/(?:)/, 2).join('|');") == VStr("a|b"))
+    // -- replacement template edges (ECMA GetSubstitution) --
+    assert(js("return 'abcd'.replace(/bc/, '[$`]');") == VStr("a[a]d"))
+    assert(js("return 'abcd'.replace(/bc/, \"[$']\");") == VStr("a[d]d"))
+    assert(js("return 'ab'.replace(/b/, '$9');") == VStr("a$9"))
+    assert(js("return 'ab'.replace(/(b)/, '$1$2');") == VStr("ab$2"))
+    assert(js("return 'ab'.replace(/b/, '$x');") == VStr("a$x"))
+    assert(js("return 'ab'.replace(/b/, 'c$');") == VStr("ac$"))
+    // $<name>: expands from a named group; an UNMATCHED named group
+    // expands empty; with NO named groups in the pattern it stays
+    // literal
+    assert(js("return 'v=7'.replace(/v=(?<n>\\d)/, '[$<n>]');")
+      == VStr("[7]"))
+    assert(js("return 'ab'.replace(/(?<p>x)?b/, '[$<p>]');")
+      == VStr("a[]"))
+    assert(js("return 'ab'.replace(/b/, '[$<p>]');") == VStr("a[$<p>]"))
+    // two-digit group wins when it exists; otherwise $1 + literal
+    assert(js("return 'j' + 'abcdefghij'.replace(" +
+      "/(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)/, '$10');") == VStr("jj"))
+    assert(js("return 'ab'.replace(/(a)b/, '$12');") == VStr("a2"))
+    // empty global replace hits every boundary, end included
+    assert(js("return 'aa'.replace(/(?:)/g, '-');") == VStr("-a-a-"))
+    // -- \b is the ASCII word boundary on BOTH engines --
+    assert(js("return /\\bcafe\\b/.test('a cafe!');") == VBool(true))
+    assert(js("return '1a_b-c'.replace(/\\b/g, '|');")
+      == VStr("|1a_b|-|c|"))
+    // -- SAFE backreference shapes run (group always participates) --
+    assert(js("return /(\"|')abc\\1/.test(\"'abc'\");") == VBool(true))
+    assert(js("return 'xx yy'.match(/(\\w)\\1/g).join(',');")
+      == VStr("xx,yy"))
+    assert(js("return /(a)+\\1/.test('aaa');") == VBool(true))
+    assert(js("return /((a)b\\2)/.test('aba');") == VBool(true))
+    assert(js("return /(?<q>')x\\k<q>/.test(\"'x'\");") == VBool(true))
+    // -- JDK-divergent shapes REFUSE by name (JS matches empty where
+    // the JDK fails the backreference) --
+    val e1 = intercept[JsError](js("return /(a)?\\1b/.test('b');"))
+    assert(e1.getMessage.contains("UNSET"), e1.getMessage)
+    val e2 = intercept[JsError](js("return /\\1(a)/.test('a');"))
+    assert(e2.getMessage.contains("close"), e2.getMessage)
+    val e3 = intercept[JsError](js("return /(?:(a)|b)\\1/.test('b');"))
+    assert(e3.getMessage.contains("alternation"), e3.getMessage)
+    val e4 = intercept[JsError](js("return /(a)*x\\1/.test('x');"))
+    assert(e4.getMessage.contains("quantified"), e4.getMessage)
+    val e5 = intercept[JsError](js("return /(a)|\\1/.test('z');"))
+    assert(e5.getMessage.contains("branches"), e5.getMessage)
+    val e6 = intercept[JsError](js("return /(?:(a)x)?y\\1/.test('y');"))
+    assert(e6.getMessage.contains("scope"), e6.getMessage)
+    val e7 = intercept[JsError](js("return /(?<g>a)?\\k<g>/.test('');"))
+    assert(e7.getMessage.contains("UNSET"), e7.getMessage)
+  }
 }
