@@ -783,6 +783,87 @@ object CdcQueries {
           when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
             .otherwise(col("o_totalprice")))
       graft.cdc.SnapshotDiff.changes(oldSnap, newSnap, Seq("o_orderkey"))
+    },
+
+    // WEBHOOK connector end-to-end over the REAL HTTP listener
+    // (dozer-ingestion/webhook/src/server.rs: POST inserts, PUT
+    // updates, DELETE deletes; bodies are row objects or arrays): the
+    // driver plays the EXTERNAL CLIENT — it collects the customer
+    // slice (the one collect, simulating the system that would POST
+    // from outside; the pipeline side stays distributed), sends
+    // inserts for every customer, PUT post-images (segment -> 'W') for
+    // keys %4=0 and key-only DELETEs for %9=0 in 500-row array bodies,
+    // then decodes the push channel with from_json and materializes by
+    // PK. Closes the q96/q97 pattern for the last 🧪-only source
+    // family. Oracle states the final table.
+    QueryDef("q169_webhook_cdc",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'W' ELSE c_mktsegment END AS segment,
+        |  c_acctbal
+        |FROM customer WHERE c_custkey % 9 <> 0""".stripMargin) { (s, dir) =>
+      import graft.sources.{PushBuffer, Sources, WebhookServer}
+      val chan = "q169_webhook"
+      PushBuffer.clear(chan)
+      val srv = WebhookServer.start(0, Map("/ingest" -> chan))
+      try {
+        val rows = t(s, dir, "customer").select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal")).collect()
+        // the rig's change volume is bounded by the slice it feeds —
+        // size the channel to it (production tails consume as they go)
+        PushBuffer.configure(chan, math.max(
+          PushBuffer.DefaultCapacity, rows.length * 2))
+        val http = java.net.http.HttpClient.newHttpClient()
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def send(verb: String, body: String): Unit = {
+          val resp = http.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:${srv.port}/ingest"))
+            .method(verb,
+              java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"$verb -> ${resp.statusCode()}: ${resp.body()}")
+        }
+        def img(r: org.apache.spark.sql.Row, seg: String) = {
+          val n = om.createObjectNode()
+          n.put("c_custkey", r.getLong(0)); n.put("c_name", r.getString(1))
+          n.put("c_mktsegment", seg); n.put("c_acctbal", r.getDouble(3))
+          n
+        }
+        rows.grouped(500).foreach { g =>
+          val arr = om.createArrayNode()
+          g.foreach(r => arr.add(img(r, r.getString(2))))
+          send("POST", om.writeValueAsString(arr))
+        }
+        rows.filter(_.getLong(0) % 4 == 0).grouped(500).foreach { g =>
+          val arr = om.createArrayNode()
+          g.foreach(r => arr.add(img(r, "W")))
+          send("PUT", om.writeValueAsString(arr))
+        }
+        rows.filter(_.getLong(0) % 9 == 0).grouped(500).foreach { g =>
+          val arr = om.createArrayNode()
+          g.foreach { r =>
+            val n = om.createObjectNode()
+            n.put("c_custkey", r.getLong(0)); arr.add(n)
+          }
+          send("DELETE", om.writeValueAsString(arr))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_mktsegment",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_acctbal",
+            org.apache.spark.sql.types.DoubleType)))
+        ChangeModel.applyChanges(
+            WebhookServer.changes(Sources.pushSnapshot(s, chan), schema),
+            Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            col("c_mktsegment").as("segment"), col("c_acctbal"))
+      } finally srv.stop()
     }
   )
 }

@@ -1242,7 +1242,8 @@ object IcebergLite {
       return moved
     }
     format match {
-      case "PARQUET" => df.write.mode("overwrite").parquet(stage.toString)
+      case "PARQUET" => withParquetFieldIds(df, fieldIds)
+        .write.mode("overwrite").parquet(stage.toString)
       case "ORC" => df.write.mode("overwrite").orc(stage.toString)
       case other => throw new IllegalArgumentException(
         s"unknown write format $other")
@@ -1265,6 +1266,38 @@ object IcebergLite {
     fs.delete(stage, true)
     moved
   }
+
+  /** Stamp the table's field-id assignment into the parquet schema the
+    * staging write produces (`parquet.field.id` field metadata — Spark's
+    * writer emits it as the parquet field id when
+    * `spark.sql.parquet.fieldId.write.enabled`, on by default): a
+    * STRICT field-id-resolving foreign reader (iceberg-java with
+    * check-ordering, or any reader ignoring `schema.name-mapping
+    * .default`) then resolves graft-written data files without the
+    * name-mapping fallback, and the ids survive metadata-only renames
+    * because they come from the table's stored assignment, not
+    * position. Top-level fields (the native writer's schema surface);
+    * ORC staging keeps name-mapping as its documented resolution path
+    * (Spark's ORC writer exposes no column-attribute seam).
+    */
+  private def withParquetFieldIds(df: DataFrame,
+      ids: Map[String, Int]): DataFrame =
+    if (ids.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      ids.get(f.name) match {
+        case Some(id) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+          col(f.name).as(f.name, mb.build())
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
+  /** The iceberg spec's RESERVED field ids for position-delete file
+    * columns (file_path = 2147483546, pos = 2147483545).
+    */
+  private val PosDeleteFieldIds: Map[String, Int] =
+    Map("file_path" -> 2147483546, "pos" -> 2147483545)
 
   /** Record one staged file's stats, then move it into place. */
   private def stagedFileFrom(fs: FileSystem,
@@ -1368,7 +1401,8 @@ object IcebergLite {
     */
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem, fields: Seq[WriterPartField],
-      format: String = "PARQUET")
+      format: String = "PARQUET",
+      fieldIds: Map[String, Int] = Map.empty)
       : Seq[(StagedFile, Seq[(String, Any)])] = {
     require(format != "AVRO",
       "avro data files carry no footer statistics to recover partition " +
@@ -1393,7 +1427,11 @@ object IcebergLite {
         aliased.repartition(spark.sessionState.conf.numShufflePartitions,
           fields.map(f => col(alias(f.name))): _*)
       else aliased
-    val writer = clustered
+    // field-id stamping covers the SOURCE columns that land in the
+    // data files; the __gp_* aliases become directories, never columns
+    val stamped = if (format == "PARQUET")
+      withParquetFieldIds(clustered, fieldIds) else clustered
+    val writer = stamped
       .write.partitionBy(fields.map(f => alias(f.name)): _*)
       .mode("overwrite")
     format match {
@@ -2114,7 +2152,7 @@ object IcebergLite {
         stageData(spark, df, root, fs, format = effFormat,
           fieldIds = ids).map(_ -> Nil)
       else stagePartitioned(spark, df, root, fs, partFields,
-        format = effFormat)
+        format = effFormat, fieldIds = ids)
     val entries = stagedWithParts.map { case (f, pv) =>
       entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
         content = 0, path = f.path, records = f.rows, size = f.size,
@@ -2647,7 +2685,8 @@ object IcebergLite {
       fs: FileSystem, snapshotId: Long, seq: Long): Seq[GenericRecord] = {
     import spark.implicits._
     if (prior.meta.partitionFields.isEmpty)
-      return stageData(spark, positions, root, fs).map { f =>
+      return stageData(spark, positions, root, fs,
+        fieldIds = PosDeleteFieldIds).map { f =>
         entryRecord(status = 1, snapshotId = snapshotId, seq = seq,
           content = 1, path = f.path, records = f.rows, size = f.size)
       }
@@ -2659,7 +2698,8 @@ object IcebergLite {
     val tidOf: Map[Map[String, Any], Int] = tuples.zipWithIndex.toMap
     val tidMap = candidates
       .map(f => f.path -> tidOf(f.partValues)).toDF("file_path", "__tid")
-    val withTid = positions.join(tidMap, Seq("file_path"))
+    val withTid = withParquetFieldIds(
+      positions.join(tidMap, Seq("file_path")), PosDeleteFieldIds)
     val stage = new Path(root, "stage_" +
       java.util.UUID.randomUUID.toString.take(8))
     withTid.write.partitionBy("__tid").mode("overwrite")
@@ -2738,7 +2778,9 @@ object IcebergLite {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = stageData(spark,
-      keys.select(equalityCols.map(col): _*).distinct(), root, fs)
+      keys.select(equalityCols.map(col): _*).distinct(), root, fs,
+      fieldIds = prior.meta.fieldIds.view
+        .filterKeys(equalityCols.contains).toMap)
     val seq = prior.meta.lastSequenceNumber + 1
     val snapshotId =
       java.util.UUID.randomUUID.getMostSignificantBits & Long.MaxValue
@@ -2839,7 +2881,7 @@ object IcebergLite {
         stageData(spark, batchSel, root, fs, format = mergeFmt,
           fieldIds = prior.meta.fieldIds).map(_ -> Nil)
       else stagePartitioned(spark, batchSel, root, fs, partFieldsW,
-        format = mergeFmt)
+        format = mergeFmt, fieldIds = prior.meta.fieldIds)
     val ids = prior.meta.fieldIds
     val dataEntries = stagedWithParts.map { case (f, pv) =>
       entryRecord(1, snapshotId, seq, content = 0, f.path, f.rows, f.size,
@@ -2938,7 +2980,7 @@ object IcebergLite {
             format = writeFormatOf(st.meta),
             fieldIds = st.meta.fieldIds).map(_ -> Nil)
         else stagePartitioned(spark, packed, root, fs, partFieldsW,
-          format = writeFormatOf(st.meta))
+          format = writeFormatOf(st.meta), fieldIds = st.meta.fieldIds)
       }
     val seq = st.meta.lastSequenceNumber + 1
     val snapshotId =

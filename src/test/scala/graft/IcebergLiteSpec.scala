@@ -1666,4 +1666,66 @@ class IcebergLiteSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
       == Set((1L, "007"), (2L, "042"), (3L, "7")))
   }
+
+  test("native parquet writes STAMP the table's field ids into the file " +
+      "schema: a strict field-id-resolving reader needs no name-mapping, " +
+      "ids survive metadata-only renames, and position-delete files " +
+      "carry the spec's reserved ids") {
+    def parquetIds(table: String): Seq[Map[String, Int]] = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dataDir = new java.io.File(table, "data")
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles.toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".parquet") ||
+            f.getName.contains("part-")) Seq(f) else Nil)
+      walk(dataDir).filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val sch = r.getFooter.getFileMetaData.getSchema
+          sch.getFields.asScala.map(t =>
+            t.getName -> Option(t.getId).map(_.intValue).getOrElse(-1))
+            .toMap
+        } finally r.close()
+      }
+    }
+    val t = java.nio.file.Files
+      .createTempDirectory("ice_fieldids").toString
+    IcebergLite.write(spark,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "w"), t)
+    // fresh table: positional assignment k=1 v=2 w=3, stamped verbatim
+    parquetIds(t).foreach(ids =>
+      assert(ids == Map("k" -> 1, "v" -> 2, "w" -> 3), ids.toString))
+    // rename is metadata-only: the NEXT file still stamps the ORIGINAL
+    // id for the renamed column — a strict reader keeps resolving both
+    // generations without name-mapping
+    IcebergLite.renameColumn(spark, t, "v", "label")
+    IcebergLite.write(spark,
+      Seq((3L, "c", 3.5)).toDF("k", "label", "w"), t)
+    assert(parquetIds(t).forall(ids =>
+      ids.getOrElse("v", ids.getOrElse("label", -1)) == 2), parquetIds(t))
+    // a position-delete commit writes the spec's RESERVED ids
+    IcebergLite.deleteWhere(spark, t,
+      org.apache.spark.sql.functions.col("k") === 2L)
+    val withDeletes = parquetIds(t)
+    assert(withDeletes.exists(ids =>
+      ids.get("file_path").contains(2147483546) &&
+        ids.get("pos").contains(2147483545)),
+      s"no reserved-id delete file found: $withDeletes")
+    // table still reads right through graft's own path
+    assert(IcebergLite.read(spark, t).select("k").as[Long]
+      .collect().toSet == Set(1L, 3L))
+    // PARTITIONED staging stamps the source columns too
+    val tp = java.nio.file.Files
+      .createTempDirectory("ice_fieldids_part").toString
+    IcebergLite.write(spark,
+      Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("k", "v", "p"), tp,
+      partitionBy = Seq("p"))
+    parquetIds(tp).foreach(ids =>
+      assert(ids == Map("k" -> 1, "v" -> 2, "p" -> 3), ids.toString))
+  }
 }
