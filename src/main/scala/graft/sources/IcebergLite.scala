@@ -1244,7 +1244,12 @@ object IcebergLite {
     format match {
       case "PARQUET" => withParquetFieldIds(df, fieldIds)
         .write.mode("overwrite").parquet(stage.toString)
-      case "ORC" => df.write.mode("overwrite").orc(stage.toString)
+      case "ORC" =>
+        // orc-core staging so the field-id assignment lands as
+        // `iceberg.id` column attributes (Spark's ORC sink exposes no
+        // attribute seam) — strict foreign readers resolve without
+        // name-mapping, like the parquet path above
+        IcebergOrcWrite.stage(spark, df, stage, fieldIds)
       case other => throw new IllegalArgumentException(
         s"unknown write format $other")
     }
@@ -1429,14 +1434,20 @@ object IcebergLite {
       else aliased
     // field-id stamping covers the SOURCE columns that land in the
     // data files; the __gp_* aliases become directories, never columns
-    val stamped = if (format == "PARQUET")
-      withParquetFieldIds(clustered, fieldIds) else clustered
-    val writer = stamped
-      .write.partitionBy(fields.map(f => alias(f.name)): _*)
-      .mode("overwrite")
     format match {
-      case "PARQUET" => writer.parquet(stage.toString)
-      case "ORC" => writer.orc(stage.toString)
+      case "PARQUET" => withParquetFieldIds(clustered, fieldIds)
+        .write.partitionBy(fields.map(f => alias(f.name)): _*)
+        .mode("overwrite").parquet(stage.toString)
+      case "ORC" =>
+        // orc-core staging (field ids as `iceberg.id` attributes):
+        // rows are already clustered on their tuple; an in-partition
+        // sort groups equal tuples so the writer rolls one file per
+        // tuple run under the same hive-escaped dir chain partitionBy
+        // produced
+        IcebergOrcWrite.stagePartitioned(spark,
+          clustered.sortWithinPartitions(
+            fields.map(f => col(alias(f.name))): _*),
+          stage, fields.map(f => alias(f.name)), fieldIds)
       case other => throw new IllegalArgumentException(
         s"unknown write format $other")
     }

@@ -1728,4 +1728,73 @@ class IcebergLiteSpec extends AnyFunSuite {
     parquetIds(tp).foreach(ids =>
       assert(ids == Map("k" -> 1, "v" -> 2, "p" -> 3), ids.toString))
   }
+
+  test("native ORC writes stamp iceberg.id column attributes (orc-core " +
+      "staging): strict foreign readers resolve without name-mapping, " +
+      "partitioned layout and mutations keep the rows exact") {
+    import scala.jdk.CollectionConverters._
+    def orcIds(table: String): Seq[Map[String, Int]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles.toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".orc") && !f.getName.startsWith("."))
+            Seq(f) else Nil)
+      walk(new java.io.File(table, "data")).map { f =>
+        val r = org.apache.orc.OrcFile.createReader(
+          new Path(f.getAbsolutePath),
+          org.apache.orc.OrcFile.readerOptions(conf))
+        try {
+          val sch = r.getSchema
+          sch.getFieldNames.asScala.zip(sch.getChildren.asScala).map {
+            case (n, t) => n -> Option(t.getAttributeValue("iceberg.id"))
+              .map(_.toInt).getOrElse(-1)
+          }.toMap
+        } finally r.close()
+      }
+    }
+    // unpartitioned ORC table: ids stamped, rows exact
+    val t = java.nio.file.Files
+      .createTempDirectory("ice_orc_ids").toString
+    IcebergLite.write(spark,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+        .toDF("k", "v", "w"), t, format = Some("orc"))
+    orcIds(t).foreach(ids =>
+      assert(ids == Map("k" -> 1, "v" -> 2, "w" -> 3), ids.toString))
+    assert(IcebergLite.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      == Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // mutation: position delete targets the orc-core-written file
+    // (exact ordinals through the row reader), merge re-stages with
+    // the attributes intact
+    IcebergLite.deleteWhere(spark, t, col("k") === 2L)
+    IcebergLite.upsert(spark, Seq((3L, "C", 9.5)).toDF("k", "v", "w"),
+      t, Seq("k"))
+    assert(IcebergLite.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      == Set((1L, "a", 1.5), (3L, "C", 9.5)))
+    orcIds(t).foreach(ids =>
+      assert(ids("k") == 1 && ids("v") == 2 && ids("w") == 3,
+        ids.toString))
+    // PARTITIONED ORC: the roll-per-tuple layout matches the recovery
+    // walk (hive escaping + null marker), files carry ONLY the data
+    // columns with constant partition values, attributes stamped
+    val tp = java.nio.file.Files
+      .createTempDirectory("ice_orc_ids_part").toString
+    IcebergLite.write(spark,
+      Seq((1L, "x", "p 1"), (2L, "y", "p=2"), (3L, "z", "p 1"),
+        (4L, "w", null.asInstanceOf[String]))
+        .toDF("k", "v", "p"), tp,
+      partitionBy = Seq("p"), format = Some("orc"))
+    orcIds(tp).foreach(ids =>
+      assert(ids == Map("k" -> 1, "v" -> 2, "p" -> 3), ids.toString))
+    val got = IcebergLite.read(spark, tp).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set((1L, "x", Some("p 1")), (2L, "y", Some("p=2")),
+      (3L, "z", Some("p 1")), (4L, "w", None)), got.toString)
+    // partition-pruned read off the stamped layout
+    assert(IcebergLite.read(spark, tp,
+      where = Some(col("p") === "p 1")).count() == 2)
+  }
 }
