@@ -715,6 +715,51 @@ object IcebergLite {
       eqDeletes.toSeq)
   }
 
+  /** Top-level parquet columns of one file: field id → name (ids the
+    * writer stamped) plus every top-level name. KB footer read.
+    */
+  private def parquetTopFields(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Map[Int, String], Set[String]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      (fields.flatMap(t => Option(t.getId)
+          .map(_.intValue -> t.getName)).toMap,
+        fields.map(_.getName).toSet)
+    } finally r.close()
+  }
+
+  /** Top-level ORC columns of one file: `iceberg.id` attribute → name
+    * plus every top-level name. Footer read.
+    */
+  private def orcTopFields(conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Map[Int, String], Set[String]) = {
+    val r = org.apache.orc.OrcFile.createReader(new Path(path),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val names = r.getSchema.getFieldNames.asScala.toSeq
+      val kids = r.getSchema.getChildren.asScala.toSeq
+      (names.zip(kids).flatMap { case (n, t) =>
+        Option(t.getAttributeValue("iceberg.id")).map(_.toInt -> n)
+      }.toMap, names.toSet)
+    } finally r.close()
+  }
+
+  /** Parse the spec's `schema.name-mapping.default` JSON (top level):
+    * field id → the names that resolve to it, for id-less files.
+    */
+  private[sources] def parseNameMapping(
+      json: String): Map[Int, Seq[String]] =
+    mapper.readTree(json).elements.asScala.flatMap { e =>
+      for {
+        id <- Option(e.get("field-id")).map(_.asInt)
+        names <- Option(e.get("names"))
+      } yield id -> names.elements.asScala.map(_.asText).toSeq
+    }.toMap
+
   // ----------------------------------------------------------------- read
 
   /** Scan data files under the CURRENT schema, resolving each file's
@@ -761,6 +806,60 @@ object IcebergLite {
             .filter(_ != fld.name).map(fld.name -> _)
         }.toMap
       }
+    // STRICT FIELD-ID RESOLUTION (the spec's rule, and the one case
+    // schema history cannot cover): a FOREIGN file whose physical
+    // column names match no historical schema — e.g. a Databricks
+    // UniForm table whose parquet carries delta `col-<uuid>` physical
+    // names with field ids — would read silent NULLS by name. Per
+    // (rename, format) group, ONE representative footer (KB, driver)
+    // is probed; only when it disagrees with the name-based map does
+    // the group pay per-file footer reads, resolving current name →
+    // file name by FILE field ids first, then the table's recorded
+    // `schema.name-mapping.default` for id-less files, then the
+    // history map. Graft's own files (ids stamped, names = historical
+    // names) always take the probe's fast path.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val nmNames: Map[Int, Seq[String]] =
+      tableProperties(st.meta).get("schema.name-mapping.default")
+        .map(parseNameMapping).getOrElse(Map.empty)
+    def footerRenames(f: FileEntry,
+        base: Map[String, String]): Map[String, String] = {
+      val (byId, inFile) = f.format match {
+        case "PARQUET" => parquetTopFields(hconf, f.path)
+        case "ORC" => orcTopFields(hconf, f.path)
+        case _ => (Map.empty[Int, String], Set.empty[String])
+      }
+      if (byId.isEmpty && nmNames.isEmpty) base
+      else cur.fields.iterator.flatMap { fld =>
+        curIds.get(fld.name) match {
+          case None => base.get(fld.name).map(fld.name -> _)
+          case Some(id) => byId.get(id) match {
+            case Some(n) =>
+              if (n != fld.name) Some(fld.name -> n) else None
+            case None =>
+              nmNames.getOrElse(id, Nil).find(inFile.contains)
+                .filter(_ != fld.name).map(fld.name -> _)
+                .orElse(base.get(fld.name).map(fld.name -> _))
+          }
+        }
+      }.toMap
+    }
+    def resolveGroups(groups: Seq[((Map[String, String], String,
+        Boolean), Seq[FileEntry])]): Seq[((Map[String, String], String,
+        Boolean), Seq[FileEntry])] =
+      groups.flatMap { case (key @ (rn, fmt, reg), fls) =>
+        if (fmt == "AVRO") Seq(key -> fls) // avro decode is id-resolving
+        else {
+          val probe =
+            try footerRenames(fls.head, rn)
+            catch { case _: Exception => rn } // unreadable → name path
+          if (probe == rn) Seq(key -> fls)
+          else fls.groupBy(f =>
+            try footerRenames(f, rn)
+            catch { case _: Exception => rn }).toSeq
+            .map { case (r2, fl2) => ((r2, fmt, reg), fl2) }
+        }
+      }
     // IDENTITY CONSTANT PROJECTION (spec §Column Projection rule 2):
     // an identity-partitioned source column's value is the file's
     // recorded partition constant. Files REGISTERED in place —
@@ -795,7 +894,8 @@ object IcebergLite {
         .map(_.snapshotId).toSet
     def inPlace(f: FileEntry): Boolean =
       projectAll || registeredSnaps.contains(f.addedSnapshotId)
-    files.groupBy(f => (renames(f), f.format, inPlace(f))).toSeq.map {
+    resolveGroups(files.groupBy(f =>
+        (renames(f), f.format, inPlace(f))).toSeq).map {
         case ((rn, fmt, reg), fls) =>
       val readSchema =
         if (rn.isEmpty) cur

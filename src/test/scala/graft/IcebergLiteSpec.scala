@@ -978,6 +978,57 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(rows(IcebergLite.read(spark, t)) == Set((1L, "a"), (2L, "b")))
   }
 
+  test("strict field-id resolution: a FOREIGN table whose parquet " +
+      "carries physical column names (UniForm col-<uuid> shape) with " +
+      "field ids reads correctly — no schema history names the files, " +
+      "so the name-based scan alone would surface silent nulls; " +
+      "id-less files resolve through schema.name-mapping.default") {
+    def md(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    // --- leg 1: field-id-stamped files under physical names
+    val t = tmp("foreign_ids")
+    val phys = Seq((1L, "a"), (2L, "b")).toDF("x", "y").select(
+      col("x").as("col-9f3a", md(1)), col("y").as("col-77bc", md(2)))
+    val f1 = dataFile(phys, t, "f1.parquet")
+    val m1 = s"$t/metadata/m1.avro"
+    fs(t).mkdirs(new Path(t, "metadata"))
+    avroFile(m1, v1EntrySchema, Seq(v1Entry(1, f1, 2L)))
+    def metaJson(table: String, manifest: String,
+        props: String): String =
+      s"""{"format-version":1,"table-uuid":"u1","location":"$table",
+         |"last-updated-ms":1,"last-column-id":2,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"string"}]},
+         |"partition-spec":[],"properties":{$props},
+         |"current-snapshot-id":77,
+         |"snapshots":[{"snapshot-id":77,"timestamp-ms":1,
+         |  "manifests":["$manifest"]}]}""".stripMargin
+    val out = fs(t).create(new Path(t, "metadata/v1.metadata.json"), true)
+    out.write(metaJson(t, m1, "").getBytes("UTF-8")); out.close()
+    val got = IcebergLite.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")),
+      s"field-id resolution must recover the physical columns: $got")
+    // --- leg 2: NO ids in the files, names differ, name-mapping maps
+    val tn = tmp("foreign_nm")
+    val old = Seq((3L, "c"), (4L, "d")).toDF("old_k", "old_v")
+    val f2 = dataFile(old, tn, "f1.parquet")
+    val m2 = s"$tn/metadata/m1.avro"
+    fs(tn).mkdirs(new Path(tn, "metadata"))
+    avroFile(m2, v1EntrySchema, Seq(v1Entry(1, f2, 2L)))
+    val nm = """[{\"field-id\":1,\"names\":[\"old_k\"]},""" +
+      """{\"field-id\":2,\"names\":[\"old_v\"]}]"""
+    val out2 = fs(tn).create(new Path(tn, "metadata/v1.metadata.json"), true)
+    out2.write(metaJson(tn, m2,
+      s""""schema.name-mapping.default":"$nm"""").getBytes("UTF-8"))
+    out2.close()
+    val got2 = IcebergLite.read(spark, tn).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((3L, "c"), (4L, "d")),
+      s"name-mapping resolution must recover the renamed columns: $got2")
+  }
+
   test("equality deletes: deleteByKeys retracts with ZERO table reads, " +
       "later re-inserts stay visible (sequence rule), deleteWhere " +
       "composes, compact resolves them") {
