@@ -54,7 +54,7 @@ object JsMini {
       */
     var klass: Option[VClass] = None
   }
-  final class VArr(val items: mutable.ArrayBuffer[V]) extends V
+  class VArr(val items: mutable.ArrayBuffer[V]) extends V
   final case class VFun(params: Seq[String], body: Seq[Stmt], closure: Env,
       name: String, arrow: Boolean = false,
       home: Option[VClass] = None, gen: Boolean = false,
@@ -92,6 +92,9 @@ object JsMini {
     var lastIndex: Int = 0
     def global: Boolean = flags.indexOf('g') >= 0
     val pattern: java.util.regex.Pattern = compileRegex(source, flags)
+    /** named capture groups, scanned once — match results read these
+      * per match for the `groups` object */
+    lazy val groupNames: Seq[String] = namedGroupNames(source)
   }
 
   /** Compiled-pattern cache: scripts evaluate a regex literal once per
@@ -1801,6 +1804,9 @@ object JsMini {
 
   private def member(v: V, name: String): V = (v, name) match {
     case (VStr(s), "length") => VNum(s.length)
+    case (a: VMatchArr, "index") => VNum(a.index)
+    case (a: VMatchArr, "input") => VStr(a.input)
+    case (a: VMatchArr, "groups") => a.groups
     case (a: VArr, "length") => VNum(a.items.length)
     case (o: VObj, n)        => o.fields.getOrElse(n,
       o.klass.flatMap(_.findMethod(n)).getOrElse(VUndef))
@@ -1821,11 +1827,45 @@ object JsMini {
 
   // ------------------------------------------------------------ regex ops
 
-  /** A match result as the subset's array shape: [full, group1, …]
-    * (unmatched groups → undefined). The `index`/`input` properties of
-    * real JS match arrays are not modeled — documented subset.
+  /** A JS match result: the array shape [full, group1, …] (unmatched
+    * groups → undefined) PLUS the spec's `index`/`input`/`groups`
+    * properties (`groups` is an object of named captures, undefined
+    * when the pattern declares none).
     */
-  private def matchArr(m: java.util.regex.Matcher): VArr = {
+  final class VMatchArr(items: mutable.ArrayBuffer[V], val index: Int,
+      val input: String, val groups: V) extends VArr(items)
+
+  /** Named capture groups declared in a pattern source (`(?<name>`,
+    * lookbehinds excluded), in declaration order.
+    */
+  private def namedGroupNames(source: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < source.length) {
+      source.charAt(i) match {
+        case '\\' => i += 2
+        case '[' =>
+          i += 1
+          if (i < source.length && source.charAt(i) == '^') i += 1
+          if (i < source.length && source.charAt(i) == ']') i += 1
+          while (i < source.length && source.charAt(i) != ']') {
+            if (source.charAt(i) == '\\') i += 2 else i += 1
+          }
+          i += 1
+        case '(' if source.startsWith("(?<", i) &&
+            i + 3 < source.length && source.charAt(i + 3) != '=' &&
+            source.charAt(i + 3) != '!' =>
+          val end = source.indexOf('>', i + 3)
+          if (end > 0) { out += source.substring(i + 3, end); i = end + 1 }
+          else i += 3
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def matchArr(m: java.util.regex.Matcher,
+      input: String, names: Seq[String]): VArr = {
     val out = mutable.ArrayBuffer.empty[V]
     out += VStr(m.group())
     var g = 1
@@ -1833,7 +1873,19 @@ object JsMini {
       out += (if (m.group(g) == null) VUndef else VStr(m.group(g)))
       g += 1
     }
-    new VArr(out)
+    val groups: V =
+      if (names.isEmpty) VUndef
+      else {
+        val o = new VObj(mutable.LinkedHashMap.empty)
+        names.foreach { n =>
+          val v = try Option(m.group(n)) catch {
+            case _: IllegalArgumentException => None
+          }
+          o.fields(n) = v.map(VStr(_): V).getOrElse(VUndef)
+        }
+        o
+      }
+    new VMatchArr(out, m.start, input, groups)
   }
 
   /** `RegExp.prototype.exec` semantics: global regexes scan from (and
@@ -1845,7 +1897,7 @@ object JsMini {
     if (from > s.length) { if (r.global) r.lastIndex = 0; return VNull }
     val m = r.pattern.matcher(s)
     if (!m.find(from)) { if (r.global) r.lastIndex = 0; VNull }
-    else { if (r.global) r.lastIndex = m.end; matchArr(m) }
+    else { if (r.global) r.lastIndex = m.end; matchArr(m, s, r.groupNames) }
   }
 
   /** String.prototype.{match,search} accept a string too — JS converts
@@ -2126,8 +2178,24 @@ object JsMini {
           if (out.isEmpty) VNull else new VArr(out)
         } else {
           val m = r.pattern.matcher(s)
-          if (m.find()) matchArr(m) else VNull
+          if (m.find()) matchArr(m, s, r.groupNames) else VNull
         }
+      case "matchAll" =>
+        // JS: non-global regex throws; result is an iterator of FULL
+        // match results — materialized as an array here (the subset's
+        // for-of/spread consume arrays), lastIndex untouched (JS
+        // matchAll works on a clone)
+        val r = asRegex(args.head)
+        if (!r.global) throw new JsError(VStr(
+          "matchAll must be called with a global RegExp"))
+        val m = r.pattern.matcher(s)
+        val out = mutable.ArrayBuffer.empty[V]
+        var from = 0
+        while (from <= s.length && m.find(from)) {
+          out += matchArr(m, s, r.groupNames)
+          from = if (m.end == m.start) m.end + 1 else m.end
+        }
+        new VArr(out)
       case "search" =>
         val m = asRegex(args.head).pattern.matcher(s)
         VNum(if (m.find()) m.start else -1)

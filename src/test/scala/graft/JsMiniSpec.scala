@@ -797,5 +797,26 @@ class JsMiniSpec extends AnyFunSuite {
     assert(e6.getMessage.contains("scope"), e6.getMessage)
     val e7 = intercept[JsError](js("return /(?<g>a)?\\k<g>/.test('');"))
     assert(e7.getMessage.contains("UNSET"), e7.getMessage)
+    // -- match result properties: index/input/groups --
+    assert(js("const m = 'ab 12'.match(/(\\d)(\\d)/); " +
+      "return m.index + '|' + m.input + '|' + m[1] + m[2];")
+      == VStr("3|ab 12|12"))
+    assert(js("const m = /(?<y>\\d{4})-(?<mo>\\d{2})/.exec('on 2026-08!');" +
+      " return m.groups.y + '/' + m.groups.mo + '@' + m.index;")
+      == VStr("2026/08@3"))
+    assert(js("return 'x'.match(/x/).groups === undefined;")
+      == VBool(true))
+    assert(js("const m = /(?<a>p)?q/.exec('q'); " +
+      "return m.groups.a === undefined;") == VBool(true))
+    // -- matchAll: full results per match, spread/for-of, non-global
+    // refuses like JS --
+    assert(js("const all = [...'a1b22'.matchAll(/(\\d+)/g)]; " +
+      "return all.length + '|' + all[0][1] + '|' + all[1][1] + '|' + " +
+      "all[1].index;") == VStr("2|1|22|3"))
+    assert(js("let t = ''; for (const m of 'x1y2'.matchAll(/\\d/g)) " +
+      "t += m[0]; return t;") == VStr("12"))
+    assert(js("return [...'abc'.matchAll(/z/g)].length;") == VNum(0))
+    val e8 = intercept[JsError](js("return 'a'.matchAll(/a/);"))
+    assert(e8.getMessage.contains("global"), e8.getMessage)
   }
 }
