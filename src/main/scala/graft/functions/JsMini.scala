@@ -28,7 +28,7 @@ import scala.collection.mutable
   * global,lastIndex}` (g-flag lastIndex statefulness included), and
   * `String.prototype.{match,search,split,replace,replaceAll}` with
   * regex arguments, `$n`/`$&` templates and function replacements —
-  * all on the JDK regex engine; unsupported flags (u/y/d/v) and
+  * all on the JDK regex engine; unsupported flags (u/y/v) and
   * JDK-rejected constructs refuse loudly by name. Semicolons are
   * optional between statements.
   *
@@ -83,7 +83,7 @@ object JsMini {
   /** A RegExp value: the JS flag subset g/i/m/s on the JDK regex
     * engine (the reference runs full V8 — dozer-deno/src/runtime.rs;
     * this subset covers the match/replace/split/test/exec idioms
-    * ingest scripts actually use). Unsupported flags (u/y/d/v) and
+    * ingest scripts actually use). Unsupported flags (u/y/v) and
     * JDK-rejected constructs refuse LOUDLY at construction naming the
     * flag/construct. `lastIndex` advances on g-flag test/exec — JS's
     * stateful iteration contract.
@@ -92,6 +92,8 @@ object JsMini {
     var lastIndex: Int = 0
     def global: Boolean = flags.indexOf('g') >= 0
     val pattern: java.util.regex.Pattern = compileRegex(source, flags)
+    /** the `d` flag: match results carry `indices` */
+    def hasIndices: Boolean = flags.indexOf('d') >= 0
     /** named capture groups, scanned once — match results read these
       * per match for the `groups` object */
     lazy val groupNames: Seq[String] = namedGroupNames(source)
@@ -116,10 +118,10 @@ object JsMini {
       flags: String): java.util.regex.Pattern = {
     import java.util.regex.Pattern
     flags.foreach { f =>
-      if ("gims".indexOf(f.toInt) < 0) throw new JsError(VStr(
+      if ("gimsd".indexOf(f.toInt) < 0) throw new JsError(VStr(
         s"unsupported regex flag '$f' in /$source/$flags — the JS " +
-          "subset supports g/i/m/s on the JDK engine (no sticky, " +
-          "unicode-mode, or indices flags)"))
+          "subset supports g/i/m/s/d on the JDK engine (no sticky or " +
+          "unicode-mode flags)"))
     }
     def build(): Pattern = {
       var bits = 0
@@ -1807,6 +1809,7 @@ object JsMini {
     case (a: VMatchArr, "index") => VNum(a.index)
     case (a: VMatchArr, "input") => VStr(a.input)
     case (a: VMatchArr, "groups") => a.groups
+    case (a: VMatchArr, "indices") => a.indices
     case (a: VArr, "length") => VNum(a.items.length)
     case (o: VObj, n)        => o.fields.getOrElse(n,
       o.klass.flatMap(_.findMethod(n)).getOrElse(VUndef))
@@ -1833,7 +1836,8 @@ object JsMini {
     * when the pattern declares none).
     */
   final class VMatchArr(items: mutable.ArrayBuffer[V], val index: Int,
-      val input: String, val groups: V) extends VArr(items)
+      val input: String, val groups: V, val indices: V = VUndef)
+    extends VArr(items)
 
   /** Named capture groups declared in a pattern source (`(?<name>`,
     * lookbehinds excluded), in declaration order.
@@ -1865,7 +1869,8 @@ object JsMini {
   }
 
   private def matchArr(m: java.util.regex.Matcher,
-      input: String, names: Seq[String]): VArr = {
+      input: String, names: Seq[String],
+      withIndices: Boolean = false): VArr = {
     val out = mutable.ArrayBuffer.empty[V]
     out += VStr(m.group())
     var g = 1
@@ -1885,7 +1890,34 @@ object JsMini {
         }
         o
       }
-    new VMatchArr(out, m.start, input, groups)
+    // the `d` flag: [start, end] per group (undefined for unmatched),
+    // plus indices.groups for named captures — ECMA hasIndices shape
+    val indices: V =
+      if (!withIndices) VUndef
+      else {
+        def span(st: Int, en: Int): V =
+          if (st < 0) VUndef
+          else new VArr(mutable.ArrayBuffer[V](VNum(st), VNum(en)))
+        val items = mutable.ArrayBuffer[V](span(m.start, m.end))
+        var k = 1
+        while (k <= m.groupCount) {
+          items += span(m.start(k), m.end(k)); k += 1
+        }
+        val gobj: V =
+          if (names.isEmpty) VUndef
+          else {
+            val o = new VObj(mutable.LinkedHashMap.empty)
+            names.foreach { n =>
+              val sp = try span(m.start(n), m.end(n)) catch {
+                case _: IllegalArgumentException => VUndef
+              }
+              o.fields(n) = sp
+            }
+            o
+          }
+        new VMatchArr(items, m.start, input, gobj)
+      }
+    new VMatchArr(out, m.start, input, groups, indices)
   }
 
   /** `RegExp.prototype.exec` semantics: global regexes scan from (and
@@ -1897,7 +1929,7 @@ object JsMini {
     if (from > s.length) { if (r.global) r.lastIndex = 0; return VNull }
     val m = r.pattern.matcher(s)
     if (!m.find(from)) { if (r.global) r.lastIndex = 0; VNull }
-    else { if (r.global) r.lastIndex = m.end; matchArr(m, s, r.groupNames) }
+    else { if (r.global) r.lastIndex = m.end; matchArr(m, s, r.groupNames, r.hasIndices) }
   }
 
   /** String.prototype.{match,search} accept a string too — JS converts
@@ -2178,7 +2210,7 @@ object JsMini {
           if (out.isEmpty) VNull else new VArr(out)
         } else {
           val m = r.pattern.matcher(s)
-          if (m.find()) matchArr(m, s, r.groupNames) else VNull
+          if (m.find()) matchArr(m, s, r.groupNames, r.hasIndices) else VNull
         }
       case "matchAll" =>
         // JS: non-global regex throws; result is an iterator of FULL
@@ -2192,7 +2224,7 @@ object JsMini {
         val out = mutable.ArrayBuffer.empty[V]
         var from = 0
         while (from <= s.length && m.find(from)) {
-          out += matchArr(m, s, r.groupNames)
+          out += matchArr(m, s, r.groupNames, r.hasIndices)
           from = if (m.end == m.start) m.end + 1 else m.end
         }
         new VArr(out)

@@ -818,5 +818,20 @@ class JsMiniSpec extends AnyFunSuite {
     assert(js("return [...'abc'.matchAll(/z/g)].length;") == VNum(0))
     val e8 = intercept[JsError](js("return 'a'.matchAll(/a/);"))
     assert(e8.getMessage.contains("global"), e8.getMessage)
+    // -- the d flag: [start, end] spans per group, unmatched groups
+    // undefined, indices.groups for named captures; without d the
+    // property is undefined --
+    assert(js("const m = /a(b)(x)?/d.exec('zab'); " +
+      "return m.indices[0].join(',') + '|' + m.indices[1].join(',') + " +
+      "'|' + (m.indices[2] === undefined);") == VStr("1,3|2,3|true"))
+    assert(js("const m = /(?<mid>b)/d.exec('abc'); " +
+      "return m.indices.groups.mid.join(',');") == VStr("1,2"))
+    assert(js("return /a/.exec('a').indices === undefined;")
+      == VBool(true))
+    assert(js("return String(/a(b)?/dg);") == VStr("/a(b)?/dg"))
+    // the y flag stays a loud refusal (sticky semantics are not
+    // reproducible exactly on the JDK engine)
+    val e9 = intercept[JsError](js("return /a/y.test('a');"))
+    assert(e9.getMessage.contains("flag 'y'"), e9.getMessage)
   }
 }
