@@ -28,7 +28,7 @@ import scala.collection.mutable
   * global,lastIndex}` (g-flag lastIndex statefulness included), and
   * `String.prototype.{match,search,split,replace,replaceAll}` with
   * regex arguments, `$n`/`$&` templates and function replacements —
-  * all on the JDK regex engine; unsupported flags (u/y/v) and
+  * all on the JDK regex engine; unsupported flags (u/v) and
   * JDK-rejected constructs refuse loudly by name. Semicolons are
   * optional between statements.
   *
@@ -83,7 +83,7 @@ object JsMini {
   /** A RegExp value: the JS flag subset g/i/m/s on the JDK regex
     * engine (the reference runs full V8 — dozer-deno/src/runtime.rs;
     * this subset covers the match/replace/split/test/exec idioms
-    * ingest scripts actually use). Unsupported flags (u/y/v) and
+    * ingest scripts actually use). Unsupported flags (u/v) and
     * JDK-rejected constructs refuse LOUDLY at construction naming the
     * flag/construct. `lastIndex` advances on g-flag test/exec — JS's
     * stateful iteration contract.
@@ -94,6 +94,8 @@ object JsMini {
     val pattern: java.util.regex.Pattern = compileRegex(source, flags)
     /** the `d` flag: match results carry `indices` */
     def hasIndices: Boolean = flags.indexOf('d') >= 0
+    /** the `y` flag: matches anchor EXACTLY at lastIndex */
+    def sticky: Boolean = flags.indexOf('y') >= 0
     /** named capture groups, scanned once — match results read these
       * per match for the `groups` object */
     lazy val groupNames: Seq[String] = namedGroupNames(source)
@@ -118,9 +120,9 @@ object JsMini {
       flags: String): java.util.regex.Pattern = {
     import java.util.regex.Pattern
     flags.foreach { f =>
-      if ("gimsd".indexOf(f.toInt) < 0) throw new JsError(VStr(
+      if ("gimsdy".indexOf(f.toInt) < 0) throw new JsError(VStr(
         s"unsupported regex flag '$f' in /$source/$flags — the JS " +
-          "subset supports g/i/m/s/d on the JDK engine (no sticky or " +
+          "subset supports g/i/m/s/d/y on the JDK engine (no " +
           "unicode-mode flags)"))
     }
     def build(): Pattern = {
@@ -1820,6 +1822,8 @@ object JsMini {
     case (r: VRegExp, "source")    => VStr(r.source)
     case (r: VRegExp, "flags")     => VStr(r.flags)
     case (r: VRegExp, "global")    => VBool(r.global)
+    case (r: VRegExp, "sticky")    => VBool(r.sticky)
+    case (r: VRegExp, "hasIndices") => VBool(r.hasIndices)
     case (r: VRegExp, "lastIndex") => VNum(r.lastIndex)
     case (VUndef, n) =>
       throw new JsError(VStr(s"cannot read '$n' of undefined"))
@@ -1925,11 +1929,32 @@ object JsMini {
     * iteration contract; non-global always scans from 0.
     */
   private def execRegex(r: VRegExp, s: String): V = {
-    val from = if (r.global) r.lastIndex else 0
-    if (from > s.length) { if (r.global) r.lastIndex = 0; return VNull }
+    val stateful = r.global || r.sticky
+    val from = if (stateful) r.lastIndex else 0
+    if (from > s.length) { if (stateful) r.lastIndex = 0; return VNull }
     val m = r.pattern.matcher(s)
-    if (!m.find(from)) { if (r.global) r.lastIndex = 0; VNull }
-    else { if (r.global) r.lastIndex = m.end; matchArr(m, s, r.groupNames, r.hasIndices) }
+    val hit =
+      if (r.sticky) stickyAt(m, s, from)
+      else m.find(from)
+    if (!hit) { if (stateful) r.lastIndex = 0; VNull }
+    else {
+      if (stateful) r.lastIndex = m.end
+      matchArr(m, s, r.groupNames, r.hasIndices)
+    }
+  }
+
+  /** One STICKY match attempt anchored exactly at `from` — JS `y`
+    * semantics on the JDK matcher: the region pins the start,
+    * transparent bounds keep `\b`/lookbehind seeing the full input,
+    * and non-anchoring bounds keep `^` meaning true input/line start
+    * rather than region start.
+    */
+  private def stickyAt(m: java.util.regex.Matcher, s: String,
+      from: Int): Boolean = {
+    m.region(from, s.length)
+    m.useTransparentBounds(true)
+    m.useAnchoringBounds(false)
+    m.lookingAt()
   }
 
   /** String.prototype.{match,search} accept a string too — JS converts
@@ -2005,9 +2030,15 @@ object JsMini {
     }
     val sb = new StringBuilder
     var last = 0
-    var from = 0
+    // sticky non-global replace anchors at lastIndex (JS RegExpExec);
+    // sticky GLOBAL starts at 0 and replaces only CONSECUTIVE matches
+    var from = if (r.sticky && !all) r.lastIndex else 0
+    var matchedEnd = -1
     var done = false
-    while (!done && from <= s.length && m.find(from)) {
+    if (from > s.length) from = s.length + 1 // out-of-range lastIndex
+    while (!done && from <= s.length &&
+        (if (r.sticky) stickyAt(m, s, from) else m.find(from))) {
+      matchedEnd = m.end
       sb.append(s.substring(last, m.start))
       repl match {
         case f @ (_: VFun | _: VNative) =>
@@ -2024,7 +2055,12 @@ object JsMini {
       if (!all) done = true
     }
     sb.append(s.substring(last))
-    r.lastIndex = 0
+    // JS lastIndex bookkeeping: global (and failed sticky) resets to
+    // 0, a successful sticky non-global advances to the match end, a
+    // non-global non-sticky regex never touches it
+    if (r.sticky && !all)
+      r.lastIndex = if (matchedEnd >= 0) matchedEnd else 0
+    else if (r.global || r.sticky) r.lastIndex = 0
     sb.toString
   }
 
@@ -2200,18 +2236,21 @@ object JsMini {
       case "match" =>
         val r = asRegex(args.head)
         if (r.global) {
+          // JS Symbol.match (global): lastIndex reset first, sticky
+          // regexes collect only CONSECUTIVE matches, lastIndex ends 0
           val m = r.pattern.matcher(s)
           val out = mutable.ArrayBuffer.empty[V]
           var from = 0
-          while (from <= s.length && m.find(from)) {
+          while (from <= s.length &&
+              (if (r.sticky) stickyAt(m, s, from) else m.find(from))) {
             out += VStr(m.group())
             from = if (m.end == m.start) m.end + 1 else m.end
           }
+          r.lastIndex = 0
           if (out.isEmpty) VNull else new VArr(out)
-        } else {
-          val m = r.pattern.matcher(s)
-          if (m.find()) matchArr(m, s, r.groupNames, r.hasIndices) else VNull
-        }
+        } else
+          // non-global match IS RegExpExec (sticky honors lastIndex)
+          execRegex(r, s)
       case "matchAll" =>
         // JS: non-global regex throws; result is an iterator of FULL
         // match results — materialized as an array here (the subset's
@@ -2223,7 +2262,8 @@ object JsMini {
         val m = r.pattern.matcher(s)
         val out = mutable.ArrayBuffer.empty[V]
         var from = 0
-        while (from <= s.length && m.find(from)) {
+        while (from <= s.length &&
+            (if (r.sticky) stickyAt(m, s, from) else m.find(from))) {
           out += matchArr(m, s, r.groupNames, r.hasIndices)
           from = if (m.end == m.start) m.end + 1 else m.end
         }

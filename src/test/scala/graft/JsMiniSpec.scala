@@ -720,8 +720,8 @@ class JsMiniSpec extends AnyFunSuite {
     assert(js("const r = /a(b)/gi; return r.source + '|' + r.flags + " +
       "'|' + r.global;") == VStr("a(b)|gi|true"))
     // unsupported flag and bad construct refuse loudly by name
-    val ef = intercept[JsError](js("return /a/y.test('a');"))
-    assert(ef.getMessage.contains("flag 'y'"), ef.getMessage)
+    val ef = intercept[JsError](js("return /a/u.test('a');"))
+    assert(ef.getMessage.contains("flag 'u'"), ef.getMessage)
     val ec = intercept[JsError](js("return new RegExp('a(').test('a');"))
     assert(ec.getMessage.contains("JDK engine"), ec.getMessage)
     // JSON/typeof/display integration
@@ -829,9 +829,36 @@ class JsMiniSpec extends AnyFunSuite {
     assert(js("return /a/.exec('a').indices === undefined;")
       == VBool(true))
     assert(js("return String(/a(b)?/dg);") == VStr("/a(b)?/dg"))
-    // the y flag stays a loud refusal (sticky semantics are not
-    // reproducible exactly on the JDK engine)
-    val e9 = intercept[JsError](js("return /a/y.test('a');"))
-    assert(e9.getMessage.contains("flag 'y'"), e9.getMessage)
+    // -- the y (sticky) flag: matches anchor EXACTLY at lastIndex --
+    assert(js("const r = /\\d+/y; const a = r.exec('12ab'); " +
+      "return a[0] + '|' + r.lastIndex;") == VStr("12|2"))
+    assert(js("const r = /\\d+/y; r.exec('12ab'); " +
+      "const b = r.exec('12ab'); " + // 'ab' at 2: sticky miss resets
+      "return (b === null) + '|' + r.lastIndex;") == VStr("true|0"))
+    assert(js("const r = /a/y; r.lastIndex = 1; " +
+      "return r.test('ba') + '|' + r.lastIndex;") == VStr("true|2"))
+    assert(js("return /b/y.test('ab');") == VBool(false))
+    // ^ stays a TRUE input/line anchor under sticky (not region start)
+    assert(js("const r = /^a/y; r.lastIndex = 1; return r.test('aa');")
+      == VBool(false))
+    // \b sees the character BEFORE lastIndex (transparent bounds)
+    assert(js("const r = /\\ba/y; r.lastIndex = 1; return r.test('aa');")
+      == VBool(false))
+    assert(js("const r = /\\bc/y; r.lastIndex = 2; return r.test('a c');")
+      == VBool(true))
+    // global+sticky collects only CONSECUTIVE matches
+    assert(js("return 'aab'.match(/a/gy).join(',');") == VStr("a,a"))
+    assert(js("return 'xaa'.match(/a/gy);") == VNull)
+    assert(js("return 'aab'.replace(/a/gy, '-');") == VStr("--b"))
+    assert(js("return 'baa'.replace(/a/gy, '-');") == VStr("baa"))
+    // non-global sticky replace honors AND advances lastIndex
+    assert(js("const r = /a/y; r.lastIndex = 1; " +
+      "return 'aa'.replace(r, '-') + '|' + r.lastIndex;")
+      == VStr("a-|2"))
+    // Symbol.split forces y internally, so the input flag is a no-op
+    assert(js("return 'a1b'.split(/\\d/y).join('|');") == VStr("a|b"))
+    assert(js("const r = /a/y; " +
+      "return r.sticky + '|' + /a/d.hasIndices + '|' + /a/.sticky;")
+      == VStr("true|true|false"))
   }
 }
