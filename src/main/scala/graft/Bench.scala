@@ -79,20 +79,53 @@ object Bench {
         f"[bench-isolated] $n%-28s ${med}%8.3f s rc=$rc")
       (n, med, spr)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, (lo, hi)) =>
-      "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total_isolated","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
+    // CUMULATIVE record: merge this run's per-query medians into the
+    // existing BENCH_ISOLATED.json (latest measurement wins per query)
+    // so the file holds every query ever isolated-adjudicated, not just
+    // the last invocation's set. Failed children (rc!=0 / unparseable
+    // output) are recorded IN-BAND in a "failed" array rather than
+    // silently shrinking the summed value.
+    val path = java.nio.file.Paths.get("BENCH_ISOLATED.json")
+    val prior =
+      try new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      catch { case _: Exception => "" }
+    def parseMap(obj: String, body: String): Map[String, String] =
+      ("\"" + obj + "\":\\{([^}]*)\\}").r.findFirstMatchIn(body)
+        .map(_.group(1)).toSeq
+        .flatMap(inner => "\"([^\"]+)\":(\\[[^\\]]*\\]|[-0-9.eE]+)".r
+          .findAllMatchIn(inner).map(m => m.group(1) -> m.group(2)))
+        .toMap
+    val priorQs = parseMap("queries", prior)
+    val priorSpread = parseMap("spread", prior)
+    val priorFailed = "\"failed\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(prior).map(_.group(1)).toSeq
+      .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1))).toSet
+    val (okRuns, badRuns) = results.partition(_._2 >= 0)
+    // prior-format files recorded failures as -1 medians: reclassify
+    val (priorOk, priorBad) = priorQs.partition(_._2.toDouble >= 0)
+    val mergedQs = priorOk ++
+      okRuns.map { case (k, v, _) => k -> v.toString }
+    val mergedSpread = (priorSpread ++
+      okRuns.map { case (k, _, (lo, hi)) => k -> s"[$lo,$hi]" })
+      .filter { case (k, _) => mergedQs.contains(k) }
+    val failed = (priorFailed ++ priorBad.keys -- okRuns.map(_._1)) ++
+      badRuns.map(_._1)
+    def obj(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = mergedQs.values.map(_.toDouble).filter(_ >= 0).sum
+    val failedJson = failed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total_isolated","value":$total,"unit":"sec","queries":${obj(mergedQs)},"spread":${obj(mergedSpread)},"failed":$failedJson,"runs":$runs,"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
     println(json)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_ISOLATED.json"),
+    try java.nio.file.Files.write(path,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_ISOLATED.json: " +
         e.getMessage)
     }
+    if (badRuns.nonEmpty)
+      System.err.println("[bench-isolated] FAILED children: " +
+        badRuns.map(_._1).mkString(", "))
   }
 
   def main(args: Array[String]): Unit = {

@@ -74,8 +74,10 @@ object UiServer {
     * parts, keep the shape diagnosable.
     */
   private[graft] def redactTarget(target: String): String = {
-    // userinfo between scheme's "//" and the next "@" (before any /?#)
-    val noUser = target.replaceAll("(?i)(//)[^/?#@\\s]*@", "$1***@")
+    // userinfo between scheme's "//" and the LAST "@" before the
+    // authority ends — greedy so a password containing '@'
+    // (jdbc:x://u:p@ss@host/db) is fully redacted
+    val noUser = target.replaceAll("(?i)(//)[^/?#\\s]*@", "$1***@")
     // password-ish key=value pairs in query/properties tails
     noUser.replaceAll(
       "(?i)(password|passwd|pwd|secret|token|sslpassword)=[^&;,\\s]*",
@@ -117,9 +119,9 @@ object UiServer {
     System.setProperty("sun.net.httpserver.nodelay", "true")
     // LOOPBACK by default: the contract is control-plane metadata
     // (paths, schemas, sink targets) served without auth — exposing it
-    // on 0.0.0.0 is an explicit opt-in (`bindAll`, config
-    // `ui.bind_all`), matching how the reference's ContractService is
-    // fronted by a local proxy
+    // on 0.0.0.0 is an explicit opt-in (`bindAll`, wired from the
+    // SPARK_GRAFT_UI_BIND_ALL env var in GraftApp), matching how the
+    // reference's ContractService is fronted by a local proxy
     val addr =
       if (bindAll) new java.net.InetSocketAddress(port)
       else new java.net.InetSocketAddress(

@@ -2254,14 +2254,15 @@ object JsMini {
       case "matchAll" =>
         // JS: non-global regex throws; result is an iterator of FULL
         // match results — materialized as an array here (the subset's
-        // for-of/spread consume arrays), lastIndex untouched (JS
-        // matchAll works on a clone)
+        // for-of/spread consume arrays). ECMA-262 clones the regex
+        // WITH its current lastIndex, so iteration STARTS there while
+        // the original's lastIndex stays untouched
         val r = asRegex(args.head)
         if (!r.global) throw new JsError(VStr(
           "matchAll must be called with a global RegExp"))
         val m = r.pattern.matcher(s)
         val out = mutable.ArrayBuffer.empty[V]
-        var from = 0
+        var from = math.max(0, r.lastIndex)
         while (from <= s.length &&
             (if (r.sticky) stickyAt(m, s, from) else m.find(from))) {
           out += matchArr(m, s, r.groupNames, r.hasIndices)

@@ -5096,6 +5096,70 @@ object PipelineQueries {
       IcebergLite.read(s, tbl).select("o_orderkey", "o_custkey")
     },
 
+    // UNIFORM NESTED FIELD IDS through the driver gate (round 18): a
+    // UniForm table with an ARRAY and a MAP column — icebergCompatV2
+    // allocates the member ids past maxColumnId at enablement
+    // (iceberg numbers list/map members, delta column mapping numbers
+    // named fields only), the staged parquet footers are patched to
+    // carry them, and the synced iceberg schema numbers members with
+    // the SAME ids. The mutations after enablement ride the AUTO-sync
+    // (universalFormat.enabledFormats) — a failed sync leaves the
+    // iceberg view stale and hash-fails. Output derives SCALARS from
+    // the containers (element lookups + size) so the oracle restates
+    // them from the raw rows: a silent-null member resolution, a
+    // missed sync, or a broken container read all hash-fail.
+    QueryDef("q170_uniform_nested_sync",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey AS BIGINT) AS o_custkey
+        |  FROM orders WHERE o_orderkey <= 2400
+        |)
+        |SELECT o_orderkey,
+        |  o_custkey AS tag1,
+        |  o_orderkey % 7 AS tag2,
+        |  2 AS n_tags,
+        |  o_custkey AS ck
+        |FROM base WHERE NOT (o_orderkey % 4 = 0)""".stripMargin) { (s, dir) =>
+      import graft.sources.{DeltaLite, IcebergLite}
+      val tbl = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q170_uninest").toString
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2400)
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"))
+        .withColumn("tags",
+          org.apache.spark.sql.functions.array(
+            col("o_custkey"), col("o_orderkey") % 7))
+        .withColumn("props",
+          org.apache.spark.sql.functions.map(lit("ck"), col("o_custkey")))
+      DeltaLite.write(s, o.filter(col("o_orderkey") <= 2000), tbl)
+      DeltaLite.enableColumnMapping(s, tbl)
+      DeltaLite.setTableProperties(s, tbl, Map(
+        "delta.enableIcebergCompatV2" -> "true",
+        "delta.universalFormat.enabledFormats" -> "iceberg"))
+      DeltaLite.syncUniform(s, tbl)
+      // append + copy-on-write delete AFTER enablement: both stage
+      // member-id-stamped files and auto-sync the iceberg view
+      DeltaLite.write(s,
+        o.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 2400),
+        tbl)
+      DeltaLite.deleteWhere(s, tbl, col("o_orderkey") % 4 === 0)
+      require(DeltaLite.snapshot(s, tbl).configuration
+          .get("graft.uniform.lastSyncFailure").isEmpty,
+        "q170: UniForm auto-sync must not lag on a nested-column table")
+      IcebergLite.read(s, tbl).select(
+        col("o_orderkey"),
+        org.apache.spark.sql.functions.element_at(col("tags"), 1)
+          .as("tag1"),
+        org.apache.spark.sql.functions.element_at(col("tags"), 2)
+          .as("tag2"),
+        org.apache.spark.sql.functions.size(col("tags")).as("n_tags"),
+        org.apache.spark.sql.functions.element_at(col("props"), "ck")
+          .as("ck"))
+    },
+
     // ICEBERG ADD_FILES (migration) through the driver gate: a plain
     // hive-partitioned parquet dump registers IN PLACE as an iceberg
     // table (no byte rewritten — footer row counts + bounds, identity

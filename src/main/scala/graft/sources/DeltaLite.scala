@@ -788,8 +788,9 @@ object DeltaLite {
       .map(_.toInt).getOrElse(64)
     def logicalize(base0: DataFrame): DataFrame =
       if (mapped) base0.select((dataFields.map(f =>
-        org.apache.spark.sql.functions.col(physicalName(f))
-          .cast(f.dataType).as(f.name)) ++ (extraCols ++ verField).map(f =>
+        shapeCast(org.apache.spark.sql.functions
+          .col(physicalName(f)), f.dataType)
+          .as(f.name)) ++ (extraCols ++ verField).map(f =>
         org.apache.spark.sql.functions.col(f.name))).toIndexedSeq: _*)
       else base0
     if (partFields.nonEmpty && groups.size > unionCap) {
@@ -807,8 +808,9 @@ object DeltaLite {
         .normalizePathCol(col("_metadata.file_path")).as("__delta_path")
       val withPath =
         if (mapped) base0.select((dataFields.map(f =>
-            org.apache.spark.sql.functions.col(physicalName(f))
-              .cast(f.dataType).as(f.name)) ++ (extraCols ++ verField)
+            shapeCast(org.apache.spark.sql.functions
+              .col(physicalName(f)), f.dataType)
+              .as(f.name)) ++ (extraCols ++ verField)
             .map(f =>
             org.apache.spark.sql.functions.col(f.name)) :+ pathCol)
           .toIndexedSeq: _*)
@@ -972,6 +974,39 @@ object DeltaLite {
     f.copy(name = physicalName(f), dataType = physicalize(f.dataType),
       metadata = org.apache.spark.sql.types.Metadata.empty)
 
+  /** The physical StructField for the UNIFORM REGISTRATION
+    * ([[syncUniform]]): physical names like [[physicalField]], but
+    * CARRYING the delta ids as explicit iceberg ids —
+    * `parquet.field.id` on every named field at every depth plus the
+    * `parquet.field.nested.ids` member map — so
+    * [[IcebergLite.commitExistingFiles]] writes the iceberg schema
+    * with the SAME numbering the parquet footers carry (positional
+    * numbering cannot match once containers burn member ids).
+    * [[IcebergLite]] parses the registered metadata back WITHOUT
+    * Spark metadata, so the scan-path fieldId concern in
+    * [[physicalField]]'s doc does not apply here.
+    */
+  private def physicalFieldWithIds(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types._
+    def conv(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(physicalFieldWithIds))
+      case a: ArrayType => a.copy(elementType = conv(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = conv(m.keyType), valueType = conv(m.valueType))
+      case other => other
+    }
+    val mb = new MetadataBuilder()
+    if (f.metadata.contains("delta.columnMapping.id"))
+      mb.putLong("parquet.field.id",
+        f.metadata.getLong("delta.columnMapping.id"))
+    if (f.metadata.contains("parquet.field.nested.ids"))
+      mb.putMetadata("parquet.field.nested.ids",
+        f.metadata.getMetadata("parquet.field.nested.ids"))
+    f.copy(name = physicalName(f), dataType = conv(f.dataType),
+      metadata = mb.build())
+  }
+
   /** Re-attach `parquet.field.id` to an already-physical-named frame
     * (the compact rewrite path) so rewritten files of id-mapped tables
     * keep carrying field ids.
@@ -982,12 +1017,53 @@ object DeltaLite {
     df.select((fields.map { f =>
       val c = col(physicalName(f))
       if (f.metadata.contains("delta.columnMapping.id"))
-        c.as(physicalName(f),
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id",
-              f.metadata.getLong("delta.columnMapping.id")).build())
+        c.as(physicalName(f), fieldIdMeta(f))
       else c
     }.toSeq ++ extraCols.map(col)).toIndexedSeq: _*)
+
+  /** Write-projection metadata for one mapped field: `parquet.field.id`
+    * from the columnMapping id, plus the `parquet.field.nested.ids`
+    * member-id map when icebergCompatV2 allocated one
+    * ([[assignNestedIds]]) — the staging restamp
+    * ([[ParquetIdStamp]]) reads it off the staged frame's schema.
+    */
+  private def fieldIdMeta(
+      f: StructField): org.apache.spark.sql.types.Metadata = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id",
+        f.metadata.getLong("delta.columnMapping.id"))
+    if (f.metadata.contains("parquet.field.nested.ids"))
+      mb.putMetadata("parquet.field.nested.ids",
+        f.metadata.getMetadata("parquet.field.nested.ids"))
+    mb.build()
+  }
+
+  /** Structural rename/shape cast (physical↔logical projections):
+    * CONTAINER targets cast to their fully-nullable form — parquet
+    * scans surface nullable members regardless of the declared
+    * schema, and `Cast` refuses the true→false nullability narrowing
+    * (`ARRAY<BIGINT>` to `ARRAY<BIGINT>` with containsNull=false).
+    * Scalar targets cast unchanged.
+    */
+  private def shapeCast(c: org.apache.spark.sql.Column,
+      dt: DataType): org.apache.spark.sql.Column = dt match {
+    case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.MapType =>
+      c.cast(widenNullable(dt))
+    case _ => c.cast(dt)
+  }
+
+  private def widenNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = widenNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = widenNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = widenNullable(m.keyType),
+        valueType = widenNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -1005,11 +1081,9 @@ object DeltaLite {
       schema: StructType,
       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     df.select((schema.fields.map { f =>
-      val c = col(f.name).cast(physicalize(f.dataType))
+      val c = shapeCast(col(f.name), physicalize(f.dataType))
       if (f.metadata.contains("delta.columnMapping.id"))
-        c.as(physicalName(f), new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id",
-            f.metadata.getLong("delta.columnMapping.id")).build())
+        c.as(physicalName(f), fieldIdMeta(f))
       else c.as(physicalName(f))
     }.toSeq ++ extra).toIndexedSeq: _*)
 
@@ -1062,6 +1136,101 @@ object DeltaLite {
       case _ => 0L
     }
     walk(schema)
+  }
+
+  /** icebergCompatV2 NESTED field ids: iceberg numbers the implicit
+    * members of container types (a list's `element`, a map's `key` and
+    * `value`) while delta column mapping numbers named fields only, so
+    * a UniForm table with array/map columns needs the member ids
+    * allocated on the delta side and stamped into the data files
+    * (PROTOCOL.md IcebergCompatV2 writer requirements; delta-spark's
+    * `parquet.field.nested.ids` convention). Ids are allocated PAST
+    * `startId` (the table's maxColumnId) in schema pre-order and
+    * recorded on the nearest enclosing StructField as a JSON object
+    * keyed by the member's full PHYSICAL dot-path (`col-a.element`,
+    * `col-m.key`, `col-a.element.element`, …). Idempotent: members
+    * already carrying an id keep it. Returns (schema, new max id).
+    */
+  private def assignNestedIds(schema: StructType,
+      startId: Long): (StructType, Long) = {
+    import org.apache.spark.sql.types._
+    var next = startId
+    def fieldOf(f: StructField, prefix: Seq[String]): StructField = {
+      val physPath = prefix :+ physicalName(f)
+      val existing = ParquetIdStamp.nestedIdsOf(f)
+      val acc = mutable.LinkedHashMap.empty[String, Long] ++ existing
+      def walk(dt: DataType, path: Seq[String]): DataType = dt match {
+        case a: ArrayType =>
+          val p = path :+ "element"
+          val key = p.mkString(".")
+          if (!acc.contains(key)) { next += 1; acc(key) = next }
+          a.copy(elementType = walk(a.elementType, p))
+        case m: MapType =>
+          val kp = path :+ "key"
+          if (!acc.contains(kp.mkString("."))) {
+            next += 1; acc(kp.mkString(".")) = next
+          }
+          val kt = walk(m.keyType, kp)
+          val vp = path :+ "value"
+          if (!acc.contains(vp.mkString("."))) {
+            next += 1; acc(vp.mkString(".")) = next
+          }
+          m.copy(keyType = kt, valueType = walk(m.valueType, vp))
+        case st: StructType =>
+          StructType(st.fields.map(f2 => fieldOf(f2, path)))
+        case other => other
+      }
+      val newDt = walk(f.dataType, physPath)
+      if (acc.isEmpty) f.copy(dataType = newDt)
+      else {
+        val sub = acc.foldLeft(new MetadataBuilder()) {
+          case (b, (k, v)) => b.putLong(k, v)
+        }.build()
+        f.copy(dataType = newDt,
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putMetadata("parquet.field.nested.ids", sub).build())
+      }
+    }
+    (StructType(schema.fields.map(f => fieldOf(f, Nil))), next)
+  }
+
+  /** Every `parquet.field.nested.ids` entry anywhere in the schema,
+    * merged (keys are full physical paths, so attachment points don't
+    * matter on read).
+    */
+  private def collectNestedIds(schema: StructType): Map[String, Long] = {
+    import org.apache.spark.sql.types._
+    def field(f: StructField): Map[String, Long] =
+      ParquetIdStamp.nestedIdsOf(f) ++ walk(f.dataType)
+    def walk(dt: DataType): Map[String, Long] = dt match {
+      case st: StructType => st.fields.flatMap(field).toMap
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType) ++ walk(m.valueType)
+      case _ => Map.empty
+    }
+    schema.fields.flatMap(field).toMap
+  }
+
+  /** Every list/map member id-path the schema implies (full physical
+    * dot-paths, the [[assignNestedIds]] key space) — the set that must
+    * be covered before a UniForm table with containers can sync.
+    */
+  private def memberIdPaths(schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, path: Seq[String]): Seq[String] = dt match {
+      case a: ArrayType =>
+        val p = path :+ "element"
+        p.mkString(".") +: walk(a.elementType, p)
+      case m: MapType =>
+        val kp = path :+ "key"
+        val vp = path :+ "value"
+        (kp.mkString(".") +: walk(m.keyType, kp)) ++
+          (vp.mkString(".") +: walk(m.valueType, vp))
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => walk(f.dataType, path :+ physicalName(f)))
+      case _ => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.dataType, Seq(physicalName(f))))
   }
 
   /** Rename every nested struct field to its physical name (arrays and
@@ -1328,6 +1497,12 @@ object DeltaLite {
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-")).toIndexedSeq
+    // icebergCompatV2 member ids (list element / map key,value) —
+    // Spark's writer can't stamp them (not StructFields), so the
+    // staged footers are patched in place before the move
+    if (ParquetIdStamp.hasMemberIds(df.schema))
+      ParquetIdStamp.stampAll(conf, parts.map(_.getPath),
+        ParquetIdStamp.pathIds(df.schema))
     // footers read with the bounded pool — never one serialized
     // round-trip per part file
     val footerStats = ParquetFooterStats.readAll(conf,
@@ -1408,6 +1583,12 @@ object DeltaLite {
         else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
     val files0 = leaves(stage)
+    // icebergCompatV2 member ids — same footer patch as the
+    // unpartitioned staging (partition columns are not in the files,
+    // so their paths simply never match)
+    if (ParquetIdStamp.hasMemberIds(dataSchema))
+      ParquetIdStamp.stampAll(conf, files0.map(_.getPath),
+        ParquetIdStamp.pathIds(dataSchema))
     val footerStats = ParquetFooterStats.readAll(conf,
       files0.map(_.getPath), dataSchema)
     // 0-row part files never become adds (same contract as the
@@ -1673,6 +1854,12 @@ object DeltaLite {
     }
     require(acc == n, s"identity numbering: partition counts sum $acc " +
       s"!= batch count $n (cache partitioning drifted)")
+    // the low-33-bit per-partition counter below wraps past 2^33 rows
+    // in ONE partition — fail loudly instead of silently colliding ids
+    require(cnts.values.max < (1L << 33),
+      s"identity numbering: a partition holds ${cnts.values.max} rows, " +
+        "beyond monotonically_increasing_id's 2^33 per-partition " +
+        "counter — repartition the batch before the identity fill")
     val rowIdx =
       org.apache.spark.sql.functions.element_at(
         org.apache.spark.sql.functions.typedLit(offsets.toSeq),
@@ -2196,7 +2383,8 @@ object DeltaLite {
       })
     def project(base: DataFrame): DataFrame =
       if (mapped) base.select((dataFields.map(f =>
-          col(physicalName(f)).cast(f.dataType).as(f.name)) ++ metaCols)
+          shapeCast(col(physicalName(f)), f.dataType)
+            .as(f.name)) ++ metaCols)
         .toIndexedSeq: _*)
       else base.select((dataFields.map(f => col(f.name)) ++ metaCols)
         .toIndexedSeq: _*)
@@ -2664,13 +2852,16 @@ object DeltaLite {
     *  - not a UniForm table;
     *  - a partition column of a type the iceberg manifest tuple
     *    doesn't cover (int/long/string/date are supported);
-    *  - array/map columns: iceberg numbers list/map elements, delta
-    *    column mapping numbers struct fields only, so the id spaces
-    *    diverge — real icebergCompatV2 allocates NESTED field ids for
-    *    these (not implemented);
-    *  - columnMapping ids that are not the dense pre-order 1..n (a
-    *    post-drop gap): the fresh iceberg numbering would disagree
-    *    with the parquet-stamped ids;
+    *  - array/map columns whose members carry no allocated nested id —
+    *    iceberg numbers list/map members, delta column mapping numbers
+    *    named fields only, so icebergCompatV2 allocates member ids
+    *    past maxColumnId at enablement ([[assignNestedIds]], stamped
+    *    into staged footers by [[ParquetIdStamp]] and registered as
+    *    the iceberg element-id/key-id/value-id); only tables enabled
+    *    before allocation existed refuse, naming the back-fill;
+    *  - columnMapping ids that are not the dense pre-order 1..n over
+    *    named fields (a post-drop gap): the parquet-stamped ids would
+    *    disagree with the registered schema;
     *  - a live DV (UniForm forbids them — presence means a foreign
     *    writer broke the compat contract) or a file without
     *    numRecords stats (manifests require record_count).
@@ -2734,16 +2925,18 @@ object DeltaLite {
       s"$tablePath carries live deletion vectors — UniForm forbids " +
         "them (a foreign writer broke the icebergCompatV2 contract); " +
         "run compact() to purge, then re-sync")
-    def flat(dt: DataType): Boolean = dt match {
-      case st: StructType => st.fields.forall(f => flat(f.dataType))
-      case _: ArrayType | _: MapType => false
-      case _ => true
-    }
-    require(flat(snap.schema),
-      "UniForm iceberg sync: array/map columns need icebergCompatV2's " +
-        "nested-field-id allocation (iceberg numbers list/map " +
-        "elements, delta column mapping does not) — not implemented")
+    // named fields must carry the dense pre-order ids [[assignMapping]]
+    // assigns (walk order recurses containers into their structs) — a
+    // post-drop gap would disagree with the parquet-stamped ids
     var pre = 0
+    def checkType(dt: DataType, at: String): Unit = dt match {
+      case st: StructType => check(st.fields.toSeq, at)
+      case a: ArrayType => checkType(a.elementType, s"${at}element.")
+      case m: MapType =>
+        checkType(m.keyType, s"${at}key.")
+        checkType(m.valueType, s"${at}value.")
+      case _ => ()
+    }
     def check(fields: Seq[StructField], at: String): Unit =
       fields.foreach { f =>
         pre += 1
@@ -2756,12 +2949,22 @@ object DeltaLite {
             s"columnMapping id $id but iceberg's schema numbering " +
             s"assigns $pre (a post-drop id gap?) — the parquet field " +
             "ids would disagree with the iceberg schema")
-        f.dataType match {
-          case st: StructType => check(st.fields.toSeq, s"$at${f.name}.")
-          case _ => ()
-        }
+        checkType(f.dataType, s"$at${f.name}.")
       }
     check(snap.schema.fields.toSeq, "")
+    // container members (list element / map key,value) need their
+    // icebergCompatV2 nested ids allocated — [[assignNestedIds]] runs
+    // at enablement; tables enabled before nested-id support back-fill
+    // by re-setting the property
+    val allocated = collectNestedIds(snap.schema)
+    val missingMembers = memberIdPaths(snap.schema)
+      .filterNot(allocated.contains)
+    require(missingMembers.isEmpty,
+      "UniForm iceberg sync: list/map members " +
+        missingMembers.mkString("[", ", ", "]") +
+        " carry no allocated field id — re-run setTableProperties(" +
+        "delta.enableIcebergCompatV2=true) to back-fill the " +
+        "icebergCompatV2 nested-id assignment, then sync again")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(p: String): String =
@@ -2790,7 +2993,7 @@ object DeltaLite {
       }.toMap
       IcebergLite.ExistingFile(abs(p), rows, size, tuple)
     }
-    val physSchema = StructType(snap.schema.fields.map(physicalField))
+    val physSchema = StructType(snap.schema.fields.map(physicalFieldWithIds))
     val snapId = IcebergLite.commitExistingFiles(spark, tablePath,
       physSchema, files,
       partitionCols = partFields.map(physicalName).toSeq,
@@ -3077,7 +3280,7 @@ object DeltaLite {
     */
   private def toPhysicalCdc(df: DataFrame, schema: StructType): DataFrame =
     df.select((schema.fields.map { f =>
-      val c = col(f.name).cast(physicalize(f.dataType))
+      val c = shapeCast(col(f.name), physicalize(f.dataType))
       if (f.metadata.contains("delta.columnMapping.id"))
         c.as(physicalName(f), new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id",
@@ -3562,8 +3765,13 @@ object DeltaLite {
             .get("delta.columnMapping.maxColumnId").map(_.toLong)
             .getOrElse(maxMappingId(s.schema))
           val added = df1.schema.fields.drop(s.schema.fields.length)
-          val (stamped, maxId) = assignMapping(StructType(added), prevMax,
+          val (stamped0, maxId0) = assignMapping(StructType(added), prevMax,
             _ => "col-" + java.util.UUID.randomUUID.toString)
+          // a UniForm table's new array/map columns need their member
+          // ids in the SAME commit (this batch's files must carry them)
+          val (stamped, maxId) =
+            if (uniformEnabled(s)) assignNestedIds(stamped0, maxId0)
+            else (stamped0, maxId0)
           (StructType(s.schema.fields ++ stamped.fields),
             s.configuration +
               ("delta.columnMapping.maxColumnId" -> maxId.toString))
@@ -4340,8 +4548,9 @@ object DeltaLite {
     // mapping to already be on (the compat contract — parquet field
     // ids come from the mapped staging) and a DV-free table (compat
     // forbids them; delta-spark demands a REORG PURGE first)
-    val uniformNewlyOn = props.get("delta.enableIcebergCompatV2")
-      .exists(_.equalsIgnoreCase("true")) && !uniformEnabled(snap)
+    val uniformRequested = props.get("delta.enableIcebergCompatV2")
+      .exists(_.equalsIgnoreCase("true"))
+    val uniformNewlyOn = uniformRequested && !uniformEnabled(snap)
     if (uniformNewlyOn) {
       require(snap.columnMappingMode != "none",
         "icebergCompatV2 requires column mapping — run " +
@@ -4350,6 +4559,19 @@ object DeltaLite {
         "icebergCompatV2 forbids deletion vectors — purge them first " +
           "(compact applies and drops DVs)")
     }
+    // icebergCompatV2 NESTED field ids for array/map columns: allocate
+    // past maxColumnId at enablement ([[assignNestedIds]]); re-setting
+    // the property on an already-enabled table BACK-FILLS members that
+    // were never allocated (the repair path the syncUniform refusal
+    // names)
+    val (schemaU, maxIdU) =
+      if (uniformRequested) {
+        val prevMax = snap.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong)
+          .getOrElse(maxMappingId(snap.schema))
+        val (s2, m2) = assignNestedIds(snap.schema, prevMax)
+        (s2, if (m2 != prevMax) Some(m2) else None)
+      } else (snap.schema, None)
     val needed =
       (if (newConstraints.nonEmpty) Seq("checkConstraints") else Nil) ++
       (if (props.get("delta.enableChangeDataFeed")
@@ -4385,7 +4607,10 @@ object DeltaLite {
     lines += metaDataAction(
       if (snap.tableId.isEmpty) java.util.UUID.randomUUID.toString
       else snap.tableId,
-      snap.schema, snap.partitionColumns, conf2, now)
+      schemaU, snap.partitionColumns,
+      conf2 ++ maxIdU.map(m =>
+        "delta.columnMapping.maxColumnId" -> m.toString),
+      now)
     claimCommit(fs, logDir, version, lines.toSeq, tablePath)
     version
   }

@@ -260,11 +260,17 @@ object IcebergLite {
         s"unknown Iceberg complex type '$other'")
     }
 
-  /** Spark type → Iceberg type JSON, assigning fresh field/element/key
-    * ids from `nextId` (the spec requires every field carry a unique
-    * id; `idCounter` threads the assignment).
+  /** Spark type → Iceberg type JSON. `idAt` resolves each named field
+    * or container member to its id given the full dot-path — the
+    * positional counter for graft-created tables, or the EXPLICIT
+    * delta-allocated ids for UniForm registrations
+    * ([[DeltaLite.syncUniform]] via [[schemaNode]]'s explicit mode).
+    * Call order is the spec's pre-order (field id before its type's
+    * members), so the positional mode's numbering is byte-stable with
+    * prior rounds.
     */
-  private def icebergType(dt: DataType, nextId: () => Int): Object = dt match {
+  private def icebergType(dt: DataType, path: Seq[String],
+      idAt: Seq[String] => Int): Object = dt match {
     case BooleanType => "boolean"
     case ByteType | ShortType | IntegerType => "int"
     case LongType => "long"
@@ -281,27 +287,31 @@ object IcebergLite {
       node.put("type", "struct")
       val arr = node.putArray("fields")
       st.fields.foreach { f =>
-        val id = nextId()
+        val p = path :+ f.name
+        val id = idAt(p)
         val fn = arr.addObject()
         fn.put("id", id); fn.put("name", f.name)
         fn.put("required", !f.nullable)
-        fn.set[JsonNode]("type", asNode(icebergType(f.dataType, nextId)))
+        fn.set[JsonNode]("type", asNode(icebergType(f.dataType, p, idAt)))
       }
       node
     case at: ArrayType =>
       val node = mapper.createObjectNode()
-      node.put("type", "list"); node.put("element-id", nextId())
+      val p = path :+ "element"
+      node.put("type", "list"); node.put("element-id", idAt(p))
       node.put("element-required", !at.containsNull)
-      node.set[JsonNode]("element", asNode(icebergType(at.elementType, nextId)))
+      node.set[JsonNode]("element", asNode(icebergType(at.elementType, p, idAt)))
       node
     case mt: MapType =>
       val node = mapper.createObjectNode()
       node.put("type", "map")
-      node.put("key-id", nextId())
-      node.set[JsonNode]("key", asNode(icebergType(mt.keyType, nextId)))
-      node.put("value-id", nextId())
+      val kp = path :+ "key"
+      node.put("key-id", idAt(kp))
+      node.set[JsonNode]("key", asNode(icebergType(mt.keyType, kp, idAt)))
+      val vp = path :+ "value"
+      node.put("value-id", idAt(vp))
       node.put("value-required", !mt.valueContainsNull)
-      node.set[JsonNode]("value", asNode(icebergType(mt.valueType, nextId)))
+      node.set[JsonNode]("value", asNode(icebergType(mt.valueType, vp, idAt)))
       node
     case other => throw new IllegalArgumentException(
       s"no Iceberg type for Spark ${other.sql}")
@@ -811,13 +821,16 @@ object IcebergLite {
     // column names match no historical schema — e.g. a Databricks
     // UniForm table whose parquet carries delta `col-<uuid>` physical
     // names with field ids — would read silent NULLS by name. Per
-    // (rename, format) group, ONE representative footer (KB, driver)
-    // is probed; only when it disagrees with the name-based map does
-    // the group pay per-file footer reads, resolving current name →
-    // file name by FILE field ids first, then the table's recorded
-    // `schema.name-mapping.default` for id-less files, then the
-    // history map. Graft's own files (ids stamped, names = historical
-    // names) always take the probe's fast path.
+    // (rename, format, addedSnapshotId) sub-group, ONE representative
+    // footer (KB, driver) is probed — files of one snapshot share a
+    // writer, so a mixed graft+foreign group can't hide behind one
+    // representative; only sub-groups whose probe disagrees with the
+    // name-based map pay per-file footer reads (bounded-parallel),
+    // resolving current name → file name by FILE field ids first,
+    // then the table's recorded `schema.name-mapping.default` for
+    // id-less files, then the history map. Graft's own files (ids
+    // stamped, names = historical names) always take the probe's
+    // fast path.
     val hconf = spark.sparkContext.hadoopConfiguration
     val nmNames: Map[Int, Seq[String]] =
       tableProperties(st.meta).get("schema.name-mapping.default")
@@ -850,14 +863,33 @@ object IcebergLite {
       groups.flatMap { case (key @ (rn, fmt, reg), fls) =>
         if (fmt == "AVRO") Seq(key -> fls) // avro decode is id-resolving
         else {
-          val probe =
-            try footerRenames(fls.head, rn)
-            catch { case _: Exception => rn } // unreadable → name path
-          if (probe == rn) Seq(key -> fls)
-          else fls.groupBy(f =>
-            try footerRenames(f, rn)
-            catch { case _: Exception => rn }).toSeq
-            .map { case (r2, fl2) => ((r2, fmt, reg), fl2) }
+          // one probe per ADDED-SNAPSHOT sub-group: files of one
+          // snapshot share a writer, so a MIXED group — graft-stamped
+          // files plus foreign physical-named files (e.g. UniForm
+          // col-<uuid> parquet) under the same empty rename key —
+          // cannot hide behind whichever file happens to come first
+          val bySnap = fls.groupBy(_.addedSnapshotId).values.toSeq
+          val probed = boundedPar(bySnap) { sf =>
+            (try footerRenames(sf.head, rn)
+             catch { case _: Exception => rn }, // unreadable → name path
+              sf)
+          }
+          val (agree, disagree) = probed.partition(_._1 == rn)
+          // a disagreeing snapshot group pays per-file footer reads —
+          // bounded-PARALLEL (the [[ParquetFooterStats.readAll]]
+          // pattern): a 50k-file foreign mapped table must not stall
+          // planning on serial KB round-trips
+          val perFile = boundedPar(disagree.flatMap(_._2)) { f =>
+            (try footerRenames(f, rn)
+             catch { case _: Exception => rn }) -> f
+          }
+          val merged = collection.mutable.LinkedHashMap
+            .empty[Map[String, String], Seq[FileEntry]]
+          if (agree.nonEmpty) merged(rn) = agree.flatMap(_._2)
+          perFile.foreach { case (r2, f) =>
+            merged(r2) = merged.getOrElse(r2, Nil) :+ f
+          }
+          merged.toSeq.map { case (r2, fl2) => ((r2, fmt, reg), fl2) }
         }
       }
     // IDENTITY CONSTANT PROJECTION (spec §Column Projection rule 2):
@@ -1702,6 +1734,33 @@ object IcebergLite {
     case _ => v
   }
 
+  /** Bounded-parallel map over driver-side metadata IO (footer probes,
+    * KB reads) — order-preserving, first failure rethrown. The same
+    * shape [[ParquetFooterStats.readAll]] uses; kept local so planning
+    * paths never serialize per-file round-trips.
+    */
+  private def boundedPar[A, B](xs: Seq[A], parallelism: Int = 16)(
+      f: A => B): Seq[B] = {
+    if (xs.isEmpty) return Nil
+    if (xs.lengthCompare(1) == 0) return Seq(f(xs.head))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, xs.length))
+    try {
+      val tasks = new java.util.ArrayList[
+        java.util.concurrent.Callable[B]](xs.length)
+      xs.foreach(x => tasks.add(() => f(x)))
+      val out = Seq.newBuilder[B]
+      pool.invokeAll(tasks).forEach { fut =>
+        out +=
+          (try fut.get()
+           catch { case e: java.util.concurrent.ExecutionException =>
+             throw e.getCause
+           })
+      }
+      out.result()
+    } finally { pool.shutdown(); () }
+  }
+
   /** Top-level column name → assigned field id (the same assignment
     * [[schemaNode]] writes into the metadata, so manifest bounds keys
     * and schema ids always agree).
@@ -1724,14 +1783,65 @@ object IcebergLite {
       } yield id -> b
     }
 
-  /** Iceberg schema JSON node (id-assigned) for the metadata file. */
+  /** Iceberg schema JSON node for the metadata file. Ids assign
+    * positionally (pre-order counter) UNLESS the schema carries
+    * explicit ids — `parquet.field.id` StructField metadata plus
+    * `parquet.field.nested.ids` member maps, the shape
+    * [[DeltaLite.syncUniform]] registers — in which case the declared
+    * ids are written VERBATIM (they must match the parquet-stamped
+    * footers, and positional numbering diverges once containers burn
+    * member ids). Explicit schemas must resolve EVERY field and
+    * member, uniquely — loud otherwise, never silent drift.
+    */
   private def schemaNode(schema: StructType): (JsonNode, Int) = {
+    val explicit = explicitIds(schema)
     var id = 0
-    val nextId = () => { id += 1; id }
-    val node = icebergType(schema, nextId).asInstanceOf[JsonNode]
+    val idAt: Seq[String] => Int =
+      if (explicit.isEmpty) { _ => id += 1; id }
+      else {
+        require(explicit.values.toSeq.distinct.size == explicit.size,
+          s"explicit field ids collide: $explicit")
+        p => {
+          val key = p.mkString(".")
+          val v = explicit.getOrElse(key,
+            throw new IllegalArgumentException(
+              s"schema carries explicit field ids but '$key' resolves " +
+                "none — explicit-id registration must cover every " +
+                "field and list/map member"))
+          id = math.max(id, v); v
+        }
+      }
+    val node = icebergType(schema, Nil, idAt).asInstanceOf[JsonNode]
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     node.put("schema-id", 0)
     (node, id)
+  }
+
+  /** Explicit id declarations a schema carries: full dot-path → id for
+    * every named field with `parquet.field.id` metadata plus every
+    * `parquet.field.nested.ids` member entry (keys are already full
+    * paths). Empty for ordinary schemas → positional assignment.
+    */
+  private def explicitIds(schema: StructType): Map[String, Int] = {
+    val acc = collection.mutable.Map.empty[String, Int]
+    def field(f: StructField, prefix: Seq[String]): Unit = {
+      val p = prefix :+ f.name
+      if (f.metadata.contains("parquet.field.id"))
+        acc(p.mkString(".")) = f.metadata.getLong("parquet.field.id").toInt
+      ParquetIdStamp.nestedIdsOf(f).foreach { case (k, v) =>
+        acc(k) = v.toInt
+      }
+      walk(f.dataType, p)
+    }
+    def walk(dt: DataType, p: Seq[String]): Unit = dt match {
+      case st: StructType => st.fields.foreach(field(_, p))
+      case a: ArrayType => walk(a.elementType, p :+ "element")
+      case m: MapType =>
+        walk(m.keyType, p :+ "key"); walk(m.valueType, p :+ "value")
+      case _ => ()
+    }
+    schema.fields.foreach(field(_, Nil))
+    acc.toMap
   }
 
   /** The spec's name-mapping JSON for a schema node (ids already

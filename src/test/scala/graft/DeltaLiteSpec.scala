@@ -2321,19 +2321,80 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, tp).collect()
       .map(r => (r.getLong(0), r.getString(2))).toSet ==
       Set((2L, "b"), (3L, "a")))
-    // refusal: array/map columns need nested field ids iceberg
-    // numbers but delta column mapping does not
+    // icebergCompatV2 NESTED field ids (round 18, replacing the old
+    // refusal): array/map columns allocate member ids past
+    // maxColumnId at enablement, post-enablement staged footers carry
+    // them (element / key / value SchemaElements — Spark's writer
+    // can't stamp non-StructField members), the registered iceberg
+    // schema numbers members with the SAME ids, and the round-trip
+    // reads back exactly
     val ta = java.nio.file.Files.createTempDirectory("delta_unisync_arr")
       .toString
     DeltaLite.write(spark,
-      Seq((1L, Seq("x", "y"))).toDF("k", "tags"), ta)
+      Seq((1L, Seq(10L, 11L), Map("a" -> 1L)),
+        (2L, Seq(20L), Map("b" -> 2L))).toDF("k", "tags", "props"), ta)
     DeltaLite.enableColumnMapping(spark, ta)
     DeltaLite.setTableProperties(spark, ta,
       Map("delta.enableIcebergCompatV2" -> "true"))
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaLite.syncUniform(spark, ta)
+    val aSnap = DeltaLite.snapshot(spark, ta)
+    // named ids 1..3 stay; members get 4 (tags.element), 5/6
+    // (props.key/value); maxColumnId advances over them
+    assert(aSnap.configuration("delta.columnMapping.maxColumnId") == "6",
+      s"member ids must advance maxColumnId: ${aSnap.configuration}")
+    val tagsMeta = aSnap.schema("tags").metadata
+      .getMetadata("parquet.field.nested.ids")
+    assert(tagsMeta.getLong("tags.element") == 4L, tagsMeta.json)
+    val propsMeta = aSnap.schema("props").metadata
+      .getMetadata("parquet.field.nested.ids")
+    assert(propsMeta.getLong("props.key") == 5L &&
+      propsMeta.getLong("props.value") == 6L, propsMeta.json)
+    DeltaLite.syncUniform(spark, ta)
+    def iceA(): Set[(Long, Seq[Long], Map[String, Long])] =
+      IcebergLite.read(spark, ta).collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1), r.getMap[String, Long](2).toMap)).toSet
+    assert(iceA() == Set((1L, Seq(10L, 11L), Map("a" -> 1L)),
+      (2L, Seq(20L), Map("b" -> 2L))))
+    // the registered iceberg schema numbers members with the delta ids
+    val metaDir = new java.io.File(ta, "metadata")
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath), "UTF-8")
+    val metaFlat = metaJson.replaceAll("\\s", "")
+    assert(metaFlat.contains("\"element-id\":4") &&
+      metaFlat.contains("\"key-id\":5") &&
+      metaFlat.contains("\"value-id\":6"),
+      s"iceberg schema must carry the delta member ids: $metaJson")
+    // mutate AFTER enablement: the rewrite/appended files carry the
+    // member ids IN THEIR FOOTERS, and re-sync mirrors the state
+    val beforeFiles = DeltaLite.snapshot(spark, ta).files.keySet
+    DeltaLite.write(spark,
+      Seq((3L, Seq(30L, 31L), Map("c" -> 3L))).toDF("k", "tags", "props"),
+      ta)
+    DeltaLite.deleteWhere(spark, ta, col("k") === 1L)
+    DeltaLite.syncUniform(spark, ta)
+    assert(iceA() == Set((2L, Seq(20L), Map("b" -> 2L)),
+      (3L, Seq(30L, 31L), Map("c" -> 3L))))
+    val newFiles = DeltaLite.snapshot(spark, ta).files.keySet -- beforeFiles
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { rel =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(ta, rel),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val sch: org.apache.parquet.schema.GroupType =
+          rd.getFooter.getFileMetaData.getSchema
+        val el = sch.getType("tags").asGroupType()
+          .getType("list").asGroupType().getType("element")
+        assert(el.getId != null && el.getId.intValue == 4,
+          s"$rel: list element must be stamped id 4, got ${el.getId}")
+        val kv = sch.getType("props").asGroupType()
+          .getType("key_value").asGroupType()
+        assert(kv.getType("key").getId.intValue == 5 &&
+          kv.getType("value").getId.intValue == 6,
+          s"$rel: map members must be stamped ids 5/6")
+      } finally rd.close()
     }
-    assert(e1.getMessage.contains("nested-field-id"))
     // refusal: a post-drop columnMapping id gap would disagree with
     // the fresh iceberg numbering
     val tg = java.nio.file.Files.createTempDirectory("delta_unisync_gap")
@@ -2414,15 +2475,17 @@ class DeltaLiteSpec extends AnyFunSuite {
     DeltaLite.write(spark, Seq((2L, "b")).toDF("k", "v"), tm)
     assert(!new java.io.File(tm, "metadata").exists,
       "no property opt-in → no auto-registration")
-    // a sync refusal (array column) must NOT fail the committed write
+    // a sync refusal (post-drop columnMapping id gap — arrays/maps
+    // sync natively since round 18) must NOT fail the committed write
     val ta = java.nio.file.Files.createTempDirectory("delta_uniwarn")
       .toString
-    DeltaLite.write(spark, Seq((1L, Seq("x"))).toDF("k", "tags"), ta)
+    DeltaLite.write(spark, Seq((1L, "a", 9L)).toDF("k", "v", "extra"), ta)
     DeltaLite.enableColumnMapping(spark, ta)
+    DeltaLite.dropColumn(spark, ta, "v")
     DeltaLite.setTableProperties(spark, ta, Map(
       "delta.enableIcebergCompatV2" -> "true",
       "delta.universalFormat.enabledFormats" -> "iceberg"))
-    DeltaLite.write(spark, Seq((2L, Seq("y"))).toDF("k", "tags"), ta)
+    DeltaLite.write(spark, Seq((2L, 8L)).toDF("k", "extra"), ta)
     assert(DeltaLite.read(spark, ta).count() == 2,
       "the write must land even though the sync refused")
     // ...and the lag is recorded IN-BAND: a table property names the
@@ -2432,9 +2495,9 @@ class DeltaLiteSpec extends AnyFunSuite {
     val marker = DeltaLite.snapshot(spark, ta).configuration
       .get("graft.uniform.lastSyncFailure")
     assert(marker.isDefined, "sync failure must record the lag marker")
-    assert(marker.get.contains("\"version\":3"),
-      s"marker must name the lagging commit (write was v3): $marker")
-    assert(marker.get.toLowerCase.contains("array"),
+    assert(marker.get.contains("\"version\":4"),
+      s"marker must name the lagging commit (write was v4): $marker")
+    assert(marker.get.toLowerCase.contains("id"),
       s"marker must carry the refusal message: $marker")
   }
 

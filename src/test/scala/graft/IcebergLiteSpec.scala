@@ -936,7 +936,8 @@ class IcebergLiteSpec extends AnyFunSuite {
       |{"name":"file_size_in_bytes","type":"long"}
       |]}}]}""".stripMargin)
 
-  private def v1Entry(status: Int, path: String, n: Long): GenericRecord = {
+  private def v1Entry(status: Int, path: String, n: Long,
+      snap: Long = 77L): GenericRecord = {
     val d = new GenericData.Record(v1EntrySchema.getField("data_file").schema())
     d.put("file_path", path)
     d.put("file_format", "parquet")
@@ -946,7 +947,7 @@ class IcebergLiteSpec extends AnyFunSuite {
     d.put("file_size_in_bytes", 1L)
     val e = new GenericData.Record(v1EntrySchema)
     e.put("status", status)
-    e.put("snapshot_id", 77L)
+    e.put("snapshot_id", snap)
     e.put("data_file", d)
     e
   }
@@ -1027,6 +1028,46 @@ class IcebergLiteSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got2 == Set((3L, "c"), (4L, "d")),
       s"name-mapping resolution must recover the renamed columns: $got2")
+    // --- leg 3 (round 18): a MIXED table — one snapshot added
+    // graft-NAMED files, another added MANY foreign physical-named
+    // files with ids, all under the same (empty-rename) group.
+    // Per-ADDED-SNAPSHOT probes keep the graft files on the fast path
+    // while the foreign snapshot's files pay bounded-PARALLEL per-file
+    // resolution: before round 18 ONE representative probed for the
+    // whole group, so whichever kind `head` wasn't could silently
+    // null out, and the mismatch path resolved serially on the driver
+    val tx = tmp("foreign_mixed")
+    fs(tx).mkdirs(new Path(tx, "metadata"))
+    val gf = dataFile(Seq((10L, "g")).toDF("k", "v"), tx, "g1.parquet")
+    val mg = s"$tx/metadata/mg.avro"
+    avroFile(mg, v1EntrySchema, Seq(v1Entry(1, gf, 1L)))
+    val foreignFiles = (0 until 24).map { i =>
+      dataFile(Seq((100L + i, s"f$i")).toDF("x", "y").select(
+        col("x").as("col-aa", md(1)), col("y").as("col-bb", md(2))),
+        tx, s"f$i.parquet")
+    }
+    val mf = s"$tx/metadata/mf.avro"
+    avroFile(mf, v1EntrySchema,
+      foreignFiles.map(p => v1Entry(1, p, 1L, snap = 78L)))
+    val out3 = fs(tx).create(new Path(tx, "metadata/v1.metadata.json"), true)
+    out3.write(
+      s"""{"format-version":1,"table-uuid":"u3","location":"$tx",
+         |"last-updated-ms":1,"last-column-id":2,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":1,"name":"k","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"string"}]},
+         |"partition-spec":[],"properties":{},
+         |"current-snapshot-id":78,
+         |"snapshots":[
+         |  {"snapshot-id":77,"timestamp-ms":1,"manifests":["$mg"]},
+         |  {"snapshot-id":78,"timestamp-ms":2,
+         |   "manifests":["$mg","$mf"]}]}""".stripMargin.getBytes("UTF-8"))
+    out3.close()
+    val got3 = IcebergLite.read(spark, tx).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got3 == (Set((10L, "g")) ++
+      (0 until 24).map(i => (100L + i, s"f$i"))),
+      s"mixed graft+foreign snapshots must BOTH resolve: $got3")
   }
 
   test("equality deletes: deleteByKeys retracts with ZERO table reads, " +
