@@ -122,8 +122,11 @@ object JsMini {
     flags.foreach { f =>
       if ("gimsdy".indexOf(f.toInt) < 0) throw new JsError(VStr(
         s"unsupported regex flag '$f' in /$source/$flags — the JS " +
-          "subset supports g/i/m/s/d/y on the JDK engine (no " +
-          "unicode-mode flags)"))
+          "subset supports g/i/m/s/d/y on the JDK engine; unicode-mode " +
+          "flags (u/v) refuse because the JDK cannot express ECMA u " +
+          "semantics exactly (ASCII \\w/\\b vs UNICODE_CHARACTER_CLASS, " +
+          "\\u{...} escape syntax — the named divergences are pinned " +
+          "in JsMiniSpec's 'u-flag divergence matrix')"))
     }
     def build(): Pattern = {
       var bits = 0

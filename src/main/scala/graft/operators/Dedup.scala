@@ -641,11 +641,84 @@ object Dedup {
     * within cells (AQE splits skewed cells).
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16): DataFrame = {
-    val centroids = Ivf.trainCentroids(emb, vecCol, nlist)
-    val withCell = emb.select(col(idCol).as("id"),
+      threshold: Double, nlist: Int = 16,
+      /** Upper bound on the EXPECTED cell population: the in-cell
+        * pair join is quadratic in cell size, so `nlist` must grow
+        * with the corpus (SemDeDup sizes cells to fit device memory
+        * for exactly this reason). The effective cell count is
+        * `max(nlist, ceil(n / targetCellSize))` — at small SFs the
+        * caller's nlist wins (behavior unchanged, specs/oracles
+        * stable), at 100× the corpus the cells stay bounded instead
+        * of exploding the pair count 10,000×. The one count() job is
+        * metadata-sized next to the training scan that follows.
+        */
+      targetCellSize: Int = 1024): DataFrame = {
+    val n = emb.count()
+    val nlistEff = math.max(nlist,
+      ((n + targetCellSize - 1) / targetCellSize).toInt)
+    val centroids = Ivf.trainCentroids(emb, vecCol, nlistEff)
+    val spark = emb.sparkSession
+    val assigned = emb.select(col(idCol).as("id"),
       Similarity.normalize(col(vecCol)).as("vec"),
-      Ivf.assignCells(emb, vecCol, centroids).as("cell"))
+      Ivf.assignCells(emb, vecCol, centroids).as("cell0"))
+    // BALANCE GUARD: k-means cell population is data-dependent — a
+    // clustered corpus can land half its mass in ONE cell no matter
+    // how large nlist grows (measured at the sf1.0 smoke: 20 cells,
+    // max population 10,010 of 20,000), and the in-cell join is
+    // quadratic in the largest cell. Cells beyond 4× the target split
+    // by RESIDUAL-hyperplane signbits (LSH on v − centroid, enough
+    // bits to bound the expected sub-cell at the target): identical
+    // vectors share every signbit, so exact-duplicate cliques never
+    // split; a near-dup pair (cos ≥ t) crosses one plane with
+    // probability ∝ its (small) angle — the same
+    // approximate-by-blocking semantics SemDeDup's own cluster cap
+    // trades on. The count() probe is nlist-rows-sized.
+    val capPop = 4L * targetCellSize
+    val overs: Map[Int, Int] = assigned.groupBy("cell0").count()
+      .collect().iterator.collect {
+        case r if r.getLong(1) > capPop =>
+          val bits = math.min(10, math.ceil(math.log(
+            r.getLong(1).toDouble / targetCellSize) / math.log(2)).toInt)
+          r.getInt(0) -> bits
+      }.toMap
+    val recelled =
+      if (overs.isEmpty) assigned.withColumnRenamed("cell0", "cell")
+      else {
+        val bcC = spark.sparkContext.broadcast(centroids)
+        val bcO = spark.sparkContext.broadcast(overs)
+        val sub = udf { (cell: Int, vec: Seq[Double]) =>
+          val bits = bcO.value.getOrElse(cell, 0)
+          var b = 0L
+          if (bits > 0) {
+            val c = bcC.value(cell)
+            var j = 0
+            while (j < bits) {
+              var dot = 0.0
+              var d = 0
+              while (d < c.length) {
+                // deterministic pseudo-random plane element for (j, d)
+                val h = scala.util.hashing.MurmurHash3.productHash((j, d))
+                dot += (vec(d) - c(d)) * (h.toDouble / Int.MaxValue)
+                d += 1
+              }
+              if (dot >= 0) b |= 1L << j
+              j += 1
+            }
+          }
+          (cell.toLong << 16) | b
+        }
+        assigned.withColumn("cell", sub(col("cell0"), col("vec")))
+          .drop("cell0")
+      }
+    // USER-SPECIFIED repartition on the join key: the in-cell pair
+    // join EXPANDS quadratically, and AQE's input-byte-sized
+    // coalescing would fold the small assignment shuffle into a
+    // couple of partitions, serializing the quadratic work (observed
+    // 2-of-32-core utilization at the sf10 smoke). An explicit
+    // repartition is exempt from coalescing, and both join sides
+    // reuse the one partitioning — no extra exchange.
+    val withCell = recelled.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("cell"))
     val l = withCell.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = withCell.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = l.join(r, Seq("cell"))

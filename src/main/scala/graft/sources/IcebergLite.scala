@@ -2799,7 +2799,19 @@ object IcebergLite {
     val afterPos = delsOpt match {
       case None => base
       case Some(dels) =>
-        base.join(dels,
+        // the delete side is per-file position lists — usually KB-MB
+        // next to the data side. BROADCAST it when the recorded delete
+        // bytes fit the session's broadcast threshold, so the anti
+        // join probes the scan in place with NO shuffle of the data
+        // side (at 100 TB, shuffling the data to meet a 2 MB delete
+        // list is the whole cost). The gate is the RECORDED file
+        // sizes: a billion-position delete set must keep the planner's
+        // shuffled anti join instead of flattening the driver.
+        val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+        val delBytes = st.posDeleteFiles.map(_.fileSize).sum
+        val dside =
+          if (thr > 0 && delBytes <= thr) broadcast(dels) else dels
+        base.join(dside,
           base("__ice_file") === dels("__ice_del_file") &&
             base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
     }

@@ -1106,6 +1106,47 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(rows(IcebergLite.read(spark, t)) == Set((2L, "back")))
   }
 
+  test("position-delete scan PLAN: a small delete side broadcasts — " +
+      "the anti join probes the data scan in place with no shuffle of " +
+      "the data side (parquet and ORC alike); disabling the broadcast " +
+      "threshold restores the planner's shuffled anti join") {
+    def planOf(t: String): String = {
+      val df = IcebergLite.read(spark, t)
+      df.collect() // settle AQE so the executed plan is final
+      df.queryExecution.executedPlan.toString
+    }
+    for (fmt <- Seq("parquet", "orc")) {
+      val t = tmp(s"posdel_plan_$fmt")
+      IcebergLite.write(spark,
+        (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), t,
+        format = Some(fmt))
+      IcebergLite.deleteWhere(spark, t, col("k") % 10 === 0L)
+      assert(IcebergLite.read(spark, t).count() == 180, fmt)
+      val plan = planOf(t)
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("LeftAnti"),
+        s"$fmt: small position deletes must broadcast-anti-join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$fmt: the data side must not shuffle for a KB delete list:\n" +
+          plan)
+    }
+    // threshold off → the hint is withheld and the planner owns the
+    // strategy (the billion-position guard: recorded delete bytes
+    // above the threshold must never force a driver-side broadcast)
+    val t = tmp("posdel_plan_thr")
+    IcebergLite.write(spark,
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), t)
+    IcebergLite.deleteWhere(spark, t, col("k") % 10 === 0L)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(t)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"threshold -1 must withhold the broadcast hint:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("path normalization equates file:///, file:/ and bare forms") {
     assert(IcebergLite.normalizePathStr("file:///tmp/a.parquet") ==
       "/tmp/a.parquet")

@@ -861,4 +861,66 @@ class JsMiniSpec extends AnyFunSuite {
       "return r.sticky + '|' + /a/d.hasIndices + '|' + /a/.sticky;")
       == VStr("true|true|false"))
   }
+
+  test("u-flag divergence matrix: the named JDK↔ECMA-262 unicode-mode " +
+      "divergences behind the u/v refusal, each DEMONSTRATED against " +
+      "the engine (JDK 17) rather than asserted from folklore — the " +
+      "compileRegex refusal message cites this matrix. The JDK engine " +
+      "sits BETWEEN ECMA's two modes: astral handling and case folding " +
+      "are already u-flavored, while \\w/\\b and escape syntax are " +
+      "not, so neither mode can be claimed exactly without a custom " +
+      "engine") {
+    import java.util.regex.Pattern
+    def js(body: String): V =
+      run(s"export default function (x) { $body }", VNull)
+    // ── row 1: \w under UNICODE_CHARACTER_CLASS (the JDK's only
+    // unicode mode for classes) matches ALL unicode letters; ECMA u
+    // keeps \w ASCII-only — V8: /\w/u.test('é') === false. Adding UCC
+    // to "implement u" would silently widen every \w/\W/\b.
+    val ucc = Pattern.compile("^\\w$", Pattern.UNICODE_CHARACTER_CLASS)
+    assert(ucc.matcher("é").matches && ucc.matcher("Ω").matches,
+      "JDK UCC \\w matches unicode letters; ECMA u does not")
+    assert(!Pattern.compile("^\\w$").matcher("é").matches,
+      "JDK default \\w is ASCII like ECMA")
+    // ── row 2: \b is unicode-aware in the JDK EVEN WITHOUT UCC
+    // (boundary keys on unicode word chars), while ECMA \b keys on
+    // ASCII \w in BOTH modes: V8 /a\b/.test('aé') === true (é is not
+    // a word char), the JDK finds no boundary. A current-surface
+    // divergence on non-ASCII-adjacent boundaries, documented here.
+    assert(!Pattern.compile("a\\b").matcher("aé").find,
+      "JDK \\b treats é as a word char; ECMA (both modes) does not")
+    assert(js("return /a\\b/.test('aé');") == VBool(false)) // JDK side
+    // ── row 3: \u{...} code-point escapes are u-mode SYNTAX in ECMA;
+    // the JDK rejects them loudly (its spelling is \x{...}) — a user
+    // porting a /\u{1F600}/u pattern gets a construction error, never
+    // a silently different match
+    // (string split keeps scalac's own \u pre-processing out of the way)
+    intercept[JsError] { js("return /\\" + "u{1F600}/.test('x');") }
+    // ── row 4: ASTRAL ATOMICITY — the JDK matches by code point, which
+    // is ECMA's *u-mode* behavior; ECMA NON-u matches by UTF-16 unit.
+    // V8 non-u: '😀'.match(/./g).length === 2, /\uD83D/.test('😀')
+    // === true. The subset (JDK) gives 1 / false — current-surface
+    // astral divergence FROM NON-U, agreement with u.
+    assert(js("return '😀'.match(/./g).length;") == VNum(1))
+    assert(js("return /\\uD83D/.test('😀');") == VBool(false))
+    // ── row 5: CASE FOLDING — the subset maps i →
+    // CASE_INSENSITIVE|UNICODE_CASE (full unicode simple folding,
+    // ECMA's *u-mode* rule). ECMA NON-u canonicalizes via toUpperCase
+    // and never folds across the ASCII boundary: V8 /s/i.test('ſ')
+    // === false and /k/i.test('K') === false, both TRUE here.
+    // The alternative (drop UNICODE_CASE) diverges worse: plain
+    // CASE_INSENSITIVE is ASCII-only and would stop folding Ω/ω,
+    // which ECMA non-u DOES fold.
+    assert(js("return /s/i.test('ſ');") == VBool(true)) // V8 non-u: false
+    assert(js("return /k/i.test('K');") == VBool(true)) // V8: false
+    assert(js("return /ω/i.test('Ω');") == VBool(true)) // V8 non-u: true
+    assert(!Pattern.compile("ω", Pattern.CASE_INSENSITIVE)
+      .matcher("Ω").find,
+      "ASCII-only folding would lose the non-ASCII pairs ECMA folds")
+    // ── the refusal itself: u and v refuse BY NAME at construction
+    val eu = intercept[JsError] { js("return /a/u.test('a');") }
+    assert(eu.getMessage.contains("unicode"), eu.getMessage)
+    val ev = intercept[JsError] { js("return /a/v.test('a');") }
+    assert(ev.getMessage.contains("unicode"), ev.getMessage)
+  }
 }
