@@ -2839,7 +2839,17 @@ object IcebergLite {
             .reduce(_.unionByName(_))
           val cond = names.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
             acc("__ice_seq") < dels("__ice_dseq")
-          acc.join(broadcast(dels), cond, "left_anti")
+          // same size gate as the position anti join: broadcast only
+          // while the recorded delete bytes fit the session threshold —
+          // a huge equality-delete backlog must fall back to the
+          // planner's shuffled join (the null-safe key conjunction is
+          // hash-joinable), never flatten the driver
+          val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+          val dside =
+            if (thr > 0 && files.map(_.fileSize).sum <= thr)
+              broadcast(dels)
+            else dels
+          acc.join(dside, cond, "left_anti")
         }
       result.drop("__ice_seq")
     }

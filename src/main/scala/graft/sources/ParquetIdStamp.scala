@@ -196,9 +196,13 @@ object ParquetIdStamp {
   }
 
   /** Full id-path → field id map a schema declares: every named field
-    * (at any depth) carrying `parquet.field.id` metadata, plus every
-    * entry of `parquet.field.nested.ids` (the delta-spark key for
-    * list/map member ids; keys are already full physical paths).
+    * (at any depth) carrying `parquet.field.id` metadata — or, for
+    * nested fields of a delta-staged frame, `delta.columnMapping.id`
+    * (the physical projection renames nested fields but carries their
+    * mapping metadata through the cast rather than re-minting
+    * `parquet.field.id` per depth) — plus every entry of
+    * `parquet.field.nested.ids` (the delta-spark key for list/map
+    * member ids; keys are already full physical paths).
     */
   def pathIds(schema: StructType): Map[String, Int] = {
     val acc = collection.mutable.Map.empty[String, Int]
@@ -206,6 +210,8 @@ object ParquetIdStamp {
       val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
       if (f.metadata.contains("parquet.field.id"))
         acc(p) = f.metadata.getLong("parquet.field.id").toInt
+      else if (f.metadata.contains("delta.columnMapping.id"))
+        acc(p) = f.metadata.getLong("delta.columnMapping.id").toInt
       nestedIdsOf(f).foreach { case (k, v) => acc(k) = v.toInt }
       walk(f.dataType, p)
     }

@@ -2442,6 +2442,74 @@ class DeltaLiteSpec extends AnyFunSuite {
       where = Some(col("p") === "x")).count() == 2)
   }
 
+  test("UniForm nested sync: array<struct> — the element's NAMED " +
+      "fields keep their delta columnMapping ids through the iceberg " +
+      "registration AND into post-enablement staged footers, alongside " +
+      "the container member ids") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("delta_uninest_as")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, Seq((10L, "a")), 5L), (2L, Seq((20L, "b"), (21L, "c")), 6L))
+        .toDF("k", "arr", "z"), t)
+    DeltaLite.enableColumnMapping(spark, t)
+    DeltaLite.setTableProperties(spark, t, Map(
+      "delta.enableIcebergCompatV2" -> "true",
+      "delta.universalFormat.enabledFormats" -> "iceberg"))
+    // assignMapping pre-order: k=1, arr=2, arr.element._1=3,
+    // arr.element._2=4, z=5; the member id (arr.element) allocates
+    // past maxColumnId=5 → 6
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "6")
+    val arrMeta = snap.schema("arr").metadata
+      .getMetadata("parquet.field.nested.ids")
+    assert(arrMeta.getLong("arr.element") == 6L, arrMeta.json)
+    DeltaLite.syncUniform(spark, t)
+    def ice(): Set[(Long, Seq[(Long, String)], Long)] =
+      IcebergLite.read(spark, t).collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getString(1))),
+        r.getLong(2))).toSet
+    assert(ice() == Set((1L, Seq((10L, "a")), 5L),
+      (2L, Seq((20L, "b"), (21L, "c")), 6L)))
+    // iceberg schema: element-id 6 and the element struct's named
+    // fields declared with the DELTA ids 3/4
+    val metaDir = new java.io.File(t, "metadata")
+    val metaFlat = new String(java.nio.file.Files.readAllBytes(
+      metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath), "UTF-8").replaceAll("\\s", "")
+    assert(metaFlat.contains("\"element-id\":6"), metaFlat)
+    assert(metaFlat.contains("\"id\":3,\"name\":\"_1\"") &&
+      metaFlat.contains("\"id\":4,\"name\":\"_2\""), metaFlat)
+    // a post-enablement append stamps the element id AND the inner
+    // named ids into the staged footer
+    val before = snap.files.keySet
+    DeltaLite.write(spark,
+      Seq((3L, Seq((30L, "d")), 7L)).toDF("k", "arr", "z"), t)
+    val newFiles = DeltaLite.snapshot(spark, t).files.keySet -- before
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { rel =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(t, rel),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val sch: org.apache.parquet.schema.GroupType =
+          rd.getFooter.getFileMetaData.getSchema
+        val el = sch.getType("arr").asGroupType()
+          .getType("list").asGroupType().getType("element").asGroupType()
+        assert(el.getId != null && el.getId.intValue == 6,
+          s"$rel: element must be stamped 6, got ${el.getId}")
+        assert(el.getType("_1").getId.intValue == 3 &&
+          el.getType("_2").getId.intValue == 4,
+          s"$rel: inner named fields must carry the delta ids 3/4")
+      } finally rd.close()
+    }
+    // and the synced view follows the append
+    DeltaLite.syncUniform(spark, t)
+    assert(ice().size == 3)
+  }
+
   test("UniForm auto-sync: the universalFormat property syncs the " +
       "iceberg view on every mutating commit; a sync refusal warns " +
       "instead of failing the committed write") {
