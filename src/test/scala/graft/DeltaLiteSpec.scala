@@ -2508,6 +2508,25 @@ class DeltaLiteSpec extends AnyFunSuite {
     // and the synced view follows the append
     DeltaLite.syncUniform(spark, t)
     assert(ice().size == 3)
+    // IDEMPOTENCE: re-setting the enablement property re-allocates
+    // nothing — existing member ids (a foreign delta-spark table's
+    // included) survive verbatim and maxColumnId stays put
+    DeltaLite.setTableProperties(spark, t, Map(
+      "delta.enableIcebergCompatV2" -> "true"))
+    val snap2 = DeltaLite.snapshot(spark, t)
+    assert(snap2.configuration("delta.columnMapping.maxColumnId") == "6")
+    assert(snap2.schema("arr").metadata
+      .getMetadata("parquet.field.nested.ids").getLong("arr.element") == 6L)
+    // RENAME STABILITY: nested.ids keys are PHYSICAL paths, so a
+    // metadata-only logical rename leaves them (and every stamped
+    // footer) resolving — the re-synced view reads the same rows
+    DeltaLite.renameColumn(spark, t, "arr", "items")
+    DeltaLite.syncUniform(spark, t)
+    val renamed = DeltaLite.snapshot(spark, t)
+    assert(renamed.schema("items").metadata
+      .getMetadata("parquet.field.nested.ids").getLong("arr.element") == 6L,
+      "physical-path keys must survive the logical rename")
+    assert(IcebergLite.read(spark, t).count() == 3)
   }
 
   test("UniForm auto-sync: the universalFormat property syncs the " +
