@@ -73,10 +73,19 @@ object Dedup {
     // preserved up to 64-bit collisions — odds ~n²/2⁶⁵ per doc,
     // negligible against the pairwise stage it accelerates.
     val hashedToks = array_distinct(transform(tokens(col(textCol)), xxhash64(_)))
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      hashedToks.as("tok_a"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      hashedToks.as("tok_b"))
+    // one tokenization pass materialized at an AQE-exempt repartition
+    // on the blocking key: the in-block join expands quadratically and
+    // must not coalesce onto a couple of partitions (the
+    // [[semanticDedup]] sf10 finding); both sides reuse the exchange,
+    // so each document tokenizes once instead of once per side
+    val prepared = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      hashedToks.as("tok"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("blk"))
+    val a = prepared.select(col("blk"), col("id").as("id_a"),
+      col("tok").as("tok_a"))
+    val b = prepared.select(col("blk"), col("id").as("id_b"),
+      col("tok").as("tok_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b") &&
         size(col("tok_a")).cast("double") >= lit(threshold) * size(col("tok_b")) &&
@@ -738,6 +747,11 @@ object Dedup {
     val withBucket = emb.select(col(idCol).as("id"),
       Similarity.normalize(col(vecCol)).as("vec"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      // AQE-exempt repartition on the blocking key — the expanding
+      // self-join must not coalesce onto a couple of partitions (the
+      // [[semanticDedup]] sf10 finding)
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("bucket"))
     val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))

@@ -208,6 +208,13 @@ object Similarity {
     val coded = df.select(col(idCol),
       substring(md5(col(idCol).cast("string")), 1, cellHexLen).as("cell"),
       sq8Packed(col(vecCol)).as("__code"))
+      // user-specified repartition on the blocking key: the in-cell
+      // join expands quadratically, and AQE's input-byte coalescing
+      // would serialize it onto a couple of partitions (the
+      // [[graft.operators.Dedup.semanticDedup]] sf10 finding); an
+      // explicit repartition is exempt and both sides reuse it
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
     val a = coded.select(col("cell"), col(idCol).as("__ida"),
       col("__code").as("__ca"))
     val b = coded.select(col("cell"), col(idCol).as("__idb"),
