@@ -27,6 +27,68 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** CO-TENANCY PROBE: the box this bench runs on is shared, and two
+    * rounds of drift adjudication (r17/r18) had to INFER co-tenant load
+    * from symptom uniformity. These helpers read /proc so each query's
+    * record carries the host state it was measured under — a noisy run
+    * is labeled by data, not argued from spread shapes.
+    *
+    * Per query we record `[loadavg1, other_busy_frac, steal_frac]`:
+    * - loadavg1: 1-minute load average sampled when the query finishes
+    *   (>> the bench's own concurrency ⇒ co-tenants queued for CPU);
+    * - other_busy_frac: host busy jiffies MINUS this JVM's own
+    *   utime+stime, over total jiffies, across the query's sampling
+    *   window — the share of the box other tenants consumed while this
+    *   query was being timed;
+    * - steal_frac: hypervisor steal share over the same window (VM
+    *   co-tenancy that /proc/self can't see).
+    * All reads are best-effort: on any parse failure the probe yields
+    * -1 markers rather than failing the bench.
+    */
+  private def hostJiffies(): (Long, Long, Long) = {
+    // /proc/stat first line: cpu user nice system idle iowait irq softirq steal ...
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+    finally src.close()
+    val total = f.sum
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+    val steal = if (f.length > 7) f(7) else 0L
+    (total - idle, total, steal)
+  }
+  private def selfJiffies(): Long = {
+    // fields 14/15 (utime/stime) counted after the ')' that ends comm;
+    // the token right after ')' is field 3 (state), so utime is idx 11
+    val src = scala.io.Source.fromFile("/proc/self/stat")
+    val s = try src.mkString finally src.close()
+    val rest = s.substring(s.lastIndexOf(')') + 2).trim.split("\\s+")
+    rest(11).toLong + rest(12).toLong
+  }
+  private def loadavg1(): Double = {
+    val src = scala.io.Source.fromFile("/proc/loadavg")
+    try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+  }
+  /** Snapshot for windowed deltas; all -1 on failure. */
+  private def probeSnap(): (Long, Long, Long, Long) =
+    try { val (b, t, st) = hostJiffies(); (b, t, st, selfJiffies()) }
+    catch { case _: Exception => (-1L, -1L, -1L, -1L) }
+  /** `[loadavg1, other_busy_frac, steal_frac]` over the window. */
+  private def probeDelta(before: (Long, Long, Long, Long)): (Double, Double, Double) =
+    try {
+      val after = probeSnap()
+      if (before._2 < 0 || after._2 < 0) (-1.0, -1.0, -1.0)
+      else {
+        val dTotal = math.max(1L, after._2 - before._2).toDouble
+        val dBusy = (after._1 - before._1).toDouble
+        val dSelf = (after._4 - before._4).toDouble
+        val dSteal = (after._3 - before._3).toDouble
+        (loadavg1(),
+          math.max(0.0, (dBusy - dSelf) / dTotal),
+          math.max(0.0, dSteal / dTotal))
+      }
+    } catch { case _: Exception => (-1.0, -1.0, -1.0) }
+  private def loadJson(l: (Double, Double, Double)): String =
+    f"[${l._1}%.2f,${l._2}%.3f,${l._3}%.3f]"
+
   /** ISOLATED mode (SPARK_GRAFT_BENCH_ISOLATED=qA,qB,...): one FRESH
     * JVM per listed query — no shared JIT profile, cache residue, GC
     * debt, or run-order effects — with the query itself run once
@@ -36,6 +98,7 @@ object Bench {
     * of in-suite spreads. Writes BENCH_ISOLATED.json.
     */
   private def runIsolated(list: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
     val cp = sys.env.getOrElse("SPARK_GRAFT_CLASSPATH",
@@ -68,16 +131,32 @@ object Bench {
         try new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
         catch { case _: Exception => "" }
       java.nio.file.Files.deleteIfExists(tmp)
-      val med = ("\"" + java.util.regex.Pattern.quote(n) +
-        "\":(-?[0-9.]+)").r.findFirstMatchIn(json)
-        .map(_.group(1).toDouble).getOrElse(-1.0)
-      val spr = ("\"" + java.util.regex.Pattern.quote(n) +
-        "\":\\[(-?[0-9.]+),(-?[0-9.]+)\\]").r.findFirstMatchIn(json)
-        .map(m => (m.group(1).toDouble, m.group(2).toDouble))
-        .getOrElse((-1.0, -1.0))
+      // child output is the same one-line JSON main() prints; parse it
+      // structurally (a regex scrape broke the moment the record gained
+      // nested fields — r18 "What's wrong" #3)
+      val node =
+        try Option(mapper.readTree(json)).filter(_.isObject)
+        catch { case _: Exception => None }
+      def numAt(obj: String, key: String): Double = node
+        .flatMap(r => Option(r.get(obj))).flatMap(q => Option(q.get(key)))
+        .filter(_.isNumber).map(_.asDouble()).getOrElse(-1.0)
+      def arrAt(obj: String, key: String): Seq[Double] = node
+        .flatMap(r => Option(r.get(obj))).flatMap(q => Option(q.get(key)))
+        .filter(_.isArray).toSeq
+        .flatMap(a => (0 until a.size()).map(a.get(_).asDouble()))
+      val med = numAt("queries", n)
+      val spr = arrAt("spread", n) match {
+        case Seq(lo, hi, _*) => (lo, hi)
+        case _ => (-1.0, -1.0)
+      }
+      val load = arrAt("load", n) match {
+        case Seq(l, o, st, _*) => (l, o, st)
+        case _ => (-1.0, -1.0, -1.0)
+      }
       System.err.println(
-        f"[bench-isolated] $n%-28s ${med}%8.3f s rc=$rc")
-      (n, med, spr)
+        f"[bench-isolated] $n%-28s ${med}%8.3f s rc=$rc " +
+          f"load=${load._1}%.1f other=${load._2}%.2f")
+      (n, med, spr, load)
     }
     // CUMULATIVE record: merge this run's per-query medians into the
     // existing BENCH_ISOLATED.json (latest measurement wins per query)
@@ -86,27 +165,50 @@ object Bench {
     // output) are recorded IN-BAND in a "failed" array rather than
     // silently shrinking the summed value.
     val path = java.nio.file.Paths.get("BENCH_ISOLATED.json")
-    val prior =
-      try new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val priorText =
+      try new String(java.nio.file.Files.readAllBytes(path), "UTF-8").trim
       catch { case _: Exception => "" }
-    def parseMap(obj: String, body: String): Map[String, String] =
-      ("\"" + obj + "\":\\{([^}]*)\\}").r.findFirstMatchIn(body)
-        .map(_.group(1)).toSeq
-        .flatMap(inner => "\"([^\"]+)\":(\\[[^\\]]*\\]|[-0-9.eE]+)".r
-          .findAllMatchIn(inner).map(m => m.group(1) -> m.group(2)))
-        .toMap
-    val priorQs = parseMap("queries", prior)
-    val priorSpread = parseMap("spread", prior)
-    val priorFailed = "\"failed\":\\[([^\\]]*)\\]".r
-      .findFirstMatchIn(prior).map(_.group(1)).toSeq
-      .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1))).toSet
+    // a present-but-corrupt history file is a hard error — silently
+    // starting a fresh record would drop every prior adjudication
+    val prior: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (priorText.isEmpty) None
+      else try {
+        val n = mapper.readTree(priorText)
+        require(n != null && n.isObject, "not a JSON object")
+        Some(n)
+      } catch { case e: Exception =>
+        System.err.println(
+          s"[bench-isolated] REFUSING: $path exists but is unparseable " +
+            s"(${e.getMessage}); move it aside to start a fresh record")
+        sys.exit(2)
+      }
+    def priorMap(obj: String): Map[String, String] = prior
+      .flatMap(r => Option(r.get(obj))).filter(_.isObject).toSeq
+      .flatMap { o =>
+        val it = o.fields()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(e => e.getKey -> e.getValue.toString).toSeq
+      }.toMap
+    val priorQs = priorMap("queries")
+    val priorSpread = priorMap("spread")
+    val priorLoad = priorMap("load")
+    val priorFailed = prior.flatMap(r => Option(r.get("failed")))
+      .filter(_.isArray).toSeq
+      .flatMap(a => (0 until a.size()).map(a.get(_).asText())).toSet
     val (okRuns, badRuns) = results.partition(_._2 >= 0)
     // prior-format files recorded failures as -1 medians: reclassify
     val (priorOk, priorBad) = priorQs.partition(_._2.toDouble >= 0)
-    val mergedQs = priorOk ++
-      okRuns.map { case (k, v, _) => k -> v.toString }
+    val badNames = badRuns.map(_._1).toSet
+    // a query that failed in THIS run must not keep its stale prior
+    // median in the map/total while also being listed as failed — the
+    // latest adjudication could not reproduce that measurement
+    val mergedQs = (priorOk -- badNames) ++
+      okRuns.map { case (k, v, _, _) => k -> v.toString }
     val mergedSpread = (priorSpread ++
-      okRuns.map { case (k, _, (lo, hi)) => k -> s"[$lo,$hi]" })
+      okRuns.map { case (k, _, (lo, hi), _) => k -> s"[$lo,$hi]" })
+      .filter { case (k, _) => mergedQs.contains(k) }
+    val mergedLoad = (priorLoad ++
+      okRuns.map { case (k, _, _, l) => k -> loadJson(l) })
       .filter { case (k, _) => mergedQs.contains(k) }
     val failed = (priorFailed ++ priorBad.keys -- okRuns.map(_._1)) ++
       badRuns.map(_._1)
@@ -115,7 +217,7 @@ object Bench {
     val total = mergedQs.values.map(_.toDouble).filter(_ >= 0).sum
     val failedJson = failed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total_isolated","value":$total,"unit":"sec","queries":${obj(mergedQs)},"spread":${obj(mergedSpread)},"failed":$failedJson,"runs":$runs,"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
+    val json = s"""{"metric":"total_isolated","value":$total,"unit":"sec","queries":${obj(mergedQs)},"spread":${obj(mergedSpread)},"load":${obj(mergedLoad)},"failed":$failedJson,"runs":$runs,"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
     println(json)
     try java.nio.file.Files.write(path,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -208,6 +310,7 @@ object Bench {
     val childWarm = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val results = names.map { n =>
       if (childWarm) runOnce(n)
+      val snap = probeSnap() // window = this query's timed samples only
       val base = Seq.fill(runs)(runOnce(n))
       // sub-second queries: one more sample so the median is a true
       // middle-of-3 — their relative jitter is the suite's noise floor
@@ -232,21 +335,28 @@ object Bench {
               > 0.5 * median(widened))
           widened ++ Seq(runOnce(n), runOnce(n))
         else widened
-      (n, median(samples), samples.filter(_ >= 0))
+      (n, median(samples), samples.filter(_ >= 0), probeDelta(snap))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query [min,max] sample spread, persisted so a reader can tell
     // run-to-run jitter from a real regression without a re-run (a 1.9 s
     // median whose samples span [1.4, 2.0] is noise; [1.9, 1.9] is not)
-    val spread = results.map { case (k, _, ss) =>
+    val spread = results.map { case (k, _, ss, _) =>
       val lo = if (ss.isEmpty) -1.0 else ss.min
       val hi = if (ss.isEmpty) -1.0 else ss.max
       "\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
+    // per-query co-tenancy record [loadavg1, other_busy_frac, steal_frac]
+    // over each query's sampling window (see probe Scaladoc) — the data
+    // the next round's drift adjudication reads instead of inferring
+    // host load from spread uniformity
+    val load = results.map { case (k, _, _, l) =>
+      "\"" + k + "\":" + loadJson(l)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"load":$load,"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the full per-query map: the driver's BENCH_r*.json
     // captures stdout with a length cap, which truncates the queries map

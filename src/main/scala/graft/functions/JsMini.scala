@@ -91,6 +91,9 @@ object JsMini {
   final class VRegExp(val source: String, val flags: String) extends V {
     var lastIndex: Int = 0
     def global: Boolean = flags.indexOf('g') >= 0
+    /** the `u` flag: pattern ran through [[translateUnicodeMode]]; the
+      * empty-match advance steps by CODE POINT */
+    def unicode: Boolean = flags.indexOf('u') >= 0
     val pattern: java.util.regex.Pattern = compileRegex(source, flags)
     /** the `d` flag: match results carry `indices` */
     def hasIndices: Boolean = flags.indexOf('d') >= 0
@@ -120,13 +123,15 @@ object JsMini {
       flags: String): java.util.regex.Pattern = {
     import java.util.regex.Pattern
     flags.foreach { f =>
-      if ("gimsdy".indexOf(f.toInt) < 0) throw new JsError(VStr(
+      if ("gimsdyu".indexOf(f.toInt) < 0) throw new JsError(VStr(
         s"unsupported regex flag '$f' in /$source/$flags — the JS " +
-          "subset supports g/i/m/s/d/y on the JDK engine; unicode-mode " +
-          "flags (u/v) refuse because the JDK cannot express ECMA u " +
-          "semantics exactly (ASCII \\w/\\b vs UNICODE_CHARACTER_CLASS, " +
-          "\\u{...} escape syntax — the named divergences are pinned " +
-          "in JsMiniSpec's 'u-flag divergence matrix')"))
+          "subset supports g/i/m/s/d/y plus a unicode-mode (u) SUBSET " +
+          "on the JDK engine; the v flag (set notation, string " +
+          "properties) refuses because the JDK has no class-set " +
+          "engine, and u-mode patterns touching a named JDK↔ECMA " +
+          "divergence " +
+          "(\\b/\\B boundaries — JsMiniSpec's 'u-flag divergence " +
+          "matrix') refuse individually at construction"))
     }
     def build(): Pattern = {
       var bits = 0
@@ -134,7 +139,10 @@ object JsMini {
         bits |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
       if (flags.indexOf('m') >= 0) bits |= Pattern.MULTILINE
       if (flags.indexOf('s') >= 0) bits |= Pattern.DOTALL
-      try Pattern.compile(source, bits)
+      val src =
+        if (flags.indexOf('u') >= 0) translateUnicodeMode(source)
+        else source
+      try Pattern.compile(src, bits)
       catch {
         case e: java.util.regex.PatternSyntaxException =>
           throw new JsError(VStr(
@@ -153,6 +161,271 @@ object JsMini {
       p
     }
   }
+
+  /** ECMA-262 `u`-flag SUBSET: translate a unicode-mode pattern to an
+    * equivalent JDK pattern, refusing loudly on any construct whose
+    * JDK semantics diverge from ECMA u (the named rows of JsMiniSpec's
+    * "u-flag divergence matrix"). What makes the subset broad is that
+    * the JDK engine is ALREADY u-flavored in two of ECMA u's three
+    * semantic changes: it matches by code point (astral atomicity,
+    * matrix row 4) and `i` maps to UNICODE_CASE folding (row 5) — so
+    * the translation is about SYNTAX and the few class-semantics gaps:
+    *  - `\u{...}` code-point escapes → the JDK's `\x{...}` spelling;
+    *  - `\s`/`\S` → ECMA's exact WhiteSpace ∪ LineTerminator set (the
+    *    JDK default `\s` is ASCII-only; UNICODE_CHARACTER_CLASS would
+    *    also widen `\w`, which ECMA u keeps ASCII);
+    *  - `\p{...}`/`\P{...}` property escapes (u-mode syntax) → the
+    *    JDK's property grammar for general categories, Script=, and
+    *    the binary properties the JDK supports — unknown properties
+    *    refuse by name;
+    *  - class-literal `[`, `&` → escaped (the JDK reads them as
+    *    nested-class / intersection operators; ECMA reads literals);
+    *  - class `\b` → backspace `\x08` (the JDK rejects it in a class);
+    *    `\0` → `\x00` (the JDK wants octal digits); `\v` → `\x0B`
+    *    (the JDK `\v` is a vertical-whitespace CLASS);
+    *  - u-mode STRICTNESS: lone quantifier braces, a stray `]`, and
+    *    identity escapes outside ECMA's allowed set are syntax errors
+    *    (Annex-B leniencies the JDK would silently accept);
+    *  - REFUSED by name: `\b`/`\B` word boundaries (the JDK boundary
+    *    keys on unicode word chars, ECMA on ASCII — row 2), class
+    *    digit escapes, and properties with no JDK equivalent.
+    * The translation never changes group structure, so `source`,
+    * group names, and the backreference safety scan all read the
+    * ORIGINAL pattern.
+    */
+  private[functions] def translateUnicodeMode(source: String): String = {
+    // ECMA WhiteSpace ∪ LineTerminator, as JDK class content
+    val EcmaSpace = "\\t\\n\\x0B\\f\\r \\u00a0\\u1680\\u2000-\\u200a" +
+      "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+    val out = new StringBuilder(source.length + 16)
+    var i = 0
+    var inClass = false
+    def err(msg: String): Nothing = throw new JsError(VStr(
+      s"unicode-mode (u) regex /$source/: $msg"))
+    def hex(c: Char): Boolean = Character.digit(c, 16) >= 0
+    def translateProperty(): Unit = {
+      val neg = source.charAt(i + 1) == 'P'
+      if (i + 2 >= source.length || source.charAt(i + 2) != '{')
+        err("\\p needs a {Property} braces form in unicode mode")
+      val end = source.indexOf('}', i + 3)
+      if (end < 0) err("unterminated \\p{...}")
+      val body = source.substring(i + 3, end)
+      val (emit, negatable) = unicodePropertyToJdk(body).getOrElse(
+        err(s"property \\p{$body} has no JDK equivalent the subset " +
+          "can vouch for (general categories, Script=, and the JDK's " +
+          "binary properties translate; Emoji/ID_Start/etc. refuse)"))
+      if (neg && !negatable)
+        err(s"\\P{$body} (negated multi-class property) cannot be " +
+          "expressed in a JDK class union")
+      if (emit.startsWith("\\p")) // single JDK property: negate in place
+        out.append(if (neg) "\\P" else "\\p").append(emit.substring(2))
+      else if (inClass) {
+        if (neg) err(s"\\P{$body} inside a class cannot be expanded")
+        out.append(emit) // class content union
+      } else out.append(if (neg) s"[^$emit]" else s"[$emit]")
+      i = end + 1
+    }
+    while (i < source.length) {
+      val c = source.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= source.length) err("dangling backslash")
+        val e = source.charAt(i + 1)
+        e match {
+          case 'u' =>
+            if (i + 2 < source.length && source.charAt(i + 2) == '{') {
+              val end = source.indexOf('}', i + 3)
+              if (end < 0) err("unterminated \\u{...} escape")
+              val h = source.substring(i + 3, end)
+              if (h.isEmpty || h.length > 6 || !h.forall(hex))
+                err(s"invalid code-point escape \\u{$h}")
+              val cp = java.lang.Long.parseLong(h, 16)
+              if (cp > 0x10ffffL)
+                err(s"code point \\u{$h} exceeds U+10FFFF")
+              out.append("\\x{").append(java.lang.Long.toHexString(cp))
+                .append('}')
+              i = end + 1
+            } else {
+              val h = source.slice(i + 2, i + 6)
+              if (h.length < 4 || !h.forall(hex))
+                err("\\u needs exactly 4 hex digits (or the \\u{...} " +
+                  "form) in unicode mode")
+              out.append(source.substring(i, i + 6)) // JDK pairs adjacent
+              i += 6                       // surrogates natively
+            }
+          case 'b' | 'B' if !inClass =>
+            err(s"\\$e refuses: the JDK word boundary keys on UNICODE " +
+              "word characters while ECMA keys on ASCII \\w in both " +
+              "modes (JsMiniSpec 'u-flag divergence matrix' row 2) — " +
+              "spell the boundary explicitly, e.g. lookarounds over " +
+              "[0-9A-Za-z_]")
+          case 'b' => out.append("\\x08"); i += 2 // class: backspace
+          case 's' =>
+            out.append(if (inClass) EcmaSpace else s"[$EcmaSpace]")
+            i += 2
+          case 'S' =>
+            // JDK class UNION accepts a nested negated class, so the
+            // in-class expansion composes ([a\S] = a ∪ non-space)
+            out.append(s"[^$EcmaSpace]"); i += 2
+          case 'p' | 'P' => translateProperty()
+          case 'v' => out.append("\\x0B"); i += 2
+          case '0' if i + 2 >= source.length ||
+              !source.charAt(i + 2).isDigit =>
+            out.append("\\x00"); i += 2
+          case 'w' | 'W' | 'd' | 'D' | 'n' | 'r' | 't' | 'f' =>
+            out.append('\\').append(e); i += 2
+          case 'x' =>
+            val h = source.slice(i + 2, i + 4)
+            if (h.length < 2 || !h.forall(hex))
+              err("\\x needs exactly 2 hex digits in unicode mode")
+            out.append(source.substring(i, i + 4)); i += 4
+          case 'c' =>
+            if (i + 2 >= source.length ||
+                !source.charAt(i + 2).isLetter ||
+                source.charAt(i + 2) > 'z')
+              err("\\c needs an ASCII letter in unicode mode")
+            out.append(source.substring(i, i + 3)); i += 3
+          case 'k' if !inClass =>
+            val end = source.indexOf('>', i + 2)
+            if (i + 2 >= source.length || source.charAt(i + 2) != '<' ||
+                end < 0)
+              err("\\k needs a <name> in unicode mode")
+            out.append(source.substring(i, end + 1)); i = end + 1
+          case d if d.isDigit && !inClass =>
+            if (d == '0') // \0<digit> — a legacy octal escape, which
+              err("octal escapes are a syntax error in unicode mode")
+            var j = i + 1
+            while (j < source.length && source.charAt(j).isDigit) j += 1
+            out.append(source.substring(i, j)); i = j // backref; safety scan
+                                            // runs on the original
+          case d if d.isDigit =>
+            err(s"\\$d inside a class is a syntax error in unicode " +
+              "mode (only \\0 names a code point)")
+          case o =>
+            // identity escapes: ECMA u allows only syntax characters
+            // and '/' (plus '-' inside a class)
+            val allowed = "^$\\.*+?()[]{}|/" +
+              (if (inClass) "-" else "")
+            if (allowed.indexOf(o.toInt) < 0)
+              err(s"identity escape \\$o is a syntax error in unicode " +
+                "mode (Annex-B leniency the JDK would silently accept)")
+            out.append('\\').append(o); i += 2
+        }
+      } else if (inClass) {
+        c match {
+          case ']' => inClass = false; out.append(']'); i += 1
+          case '[' => out.append("\\["); i += 1 // JDK: nested class
+          case '&' => out.append("\\&"); i += 1 // JDK: intersection
+          case o => out.append(o); i += 1
+        }
+      } else c match {
+        case '[' =>
+          // ECMA empty classes the JDK rejects: [] never matches,
+          // [^] matches ANY code point
+          if (source.startsWith("[]", i)) { out.append("(?!)"); i += 2 }
+          else if (source.startsWith("[^]", i)) {
+            out.append("[\\x00-\\x{10ffff}]"); i += 3
+          } else {
+            inClass = true
+            out.append('[')
+            i += 1
+            if (i < source.length && source.charAt(i) == '^') {
+              out.append('^'); i += 1
+            }
+          }
+        case ']' => err("lone ']' is a syntax error in unicode mode")
+        case '{' =>
+          // only the quantifier brace forms are legal outside a class
+          var j = i + 1
+          while (j < source.length && source.charAt(j).isDigit) j += 1
+          val digits = j > i + 1
+          val comma = j < source.length && source.charAt(j) == ','
+          if (comma) {
+            j += 1
+            while (j < source.length && source.charAt(j).isDigit) j += 1
+          }
+          if (!digits || j >= source.length || source.charAt(j) != '}')
+            err("lone '{' is a syntax error in unicode mode (escape " +
+              "a literal brace as \\{)")
+          out.append(source.substring(i, j + 1)); i = j + 1
+        case '}' =>
+          err("lone '}' is a syntax error in unicode mode (escape a " +
+            "literal brace as \\})")
+        case o => out.append(o); i += 1
+      }
+    }
+    if (inClass) err("unterminated character class")
+    out.toString
+  }
+
+  /** One ECMA u-mode property name/value → JDK spelling.
+    * Returns (emission, negatable): emissions starting with `\p` are
+    * single JDK properties (negate by flipping to `\P`); anything else
+    * is CLASS CONTENT (a union of properties / ranges) that composes
+    * inside a class but can only negate standalone.
+    */
+  private def unicodePropertyToJdk(
+      body: String): Option[(String, Boolean)] = {
+    val gcShort = Set("L", "Lu", "Ll", "Lt", "Lm", "Lo", "M", "Mn",
+      "Mc", "Me", "N", "Nd", "Nl", "No", "P", "Pc", "Pd", "Ps", "Pe",
+      "Pi", "Pf", "Po", "S", "Sm", "Sc", "Sk", "So", "Z", "Zs", "Zl",
+      "Zp", "C", "Cc", "Cf", "Co", "Cn", "Cs")
+    val gcLong = Map(
+      "Letter" -> "L", "Uppercase_Letter" -> "Lu",
+      "Lowercase_Letter" -> "Ll", "Titlecase_Letter" -> "Lt",
+      "Modifier_Letter" -> "Lm", "Other_Letter" -> "Lo",
+      "Mark" -> "M", "Combining_Mark" -> "M",
+      "Nonspacing_Mark" -> "Mn", "Spacing_Mark" -> "Mc",
+      "Enclosing_Mark" -> "Me",
+      "Number" -> "N", "Decimal_Number" -> "Nd", "digit" -> "Nd",
+      "Letter_Number" -> "Nl", "Other_Number" -> "No",
+      "Punctuation" -> "P", "punct" -> "P",
+      "Connector_Punctuation" -> "Pc", "Dash_Punctuation" -> "Pd",
+      "Open_Punctuation" -> "Ps", "Close_Punctuation" -> "Pe",
+      "Initial_Punctuation" -> "Pi", "Final_Punctuation" -> "Pf",
+      "Other_Punctuation" -> "Po",
+      "Symbol" -> "S", "Math_Symbol" -> "Sm",
+      "Currency_Symbol" -> "Sc", "Modifier_Symbol" -> "Sk",
+      "Other_Symbol" -> "So",
+      "Separator" -> "Z", "Space_Separator" -> "Zs",
+      "Line_Separator" -> "Zl", "Paragraph_Separator" -> "Zp",
+      "Other" -> "C", "Control" -> "Cc", "cntrl" -> "Cc",
+      "Format" -> "Cf", "Private_Use" -> "Co", "Unassigned" -> "Cn",
+      "Surrogate" -> "Cs")
+    // the JDK's supported binary properties, by their ECMA spelling
+    val binary = Set("Alphabetic", "Assigned", "Hex_Digit",
+      "Ideographic", "Join_Control", "Lowercase", "Uppercase",
+      "Noncharacter_Code_Point", "White_Space")
+    val eq = body.indexOf('=')
+    if (eq >= 0) {
+      val (k, v) = (body.substring(0, eq), body.substring(eq + 1))
+      k match {
+        case "Script" | "sc" =>
+          Some((s"\\p{Is$v}", true)) // JDK script property
+        case "General_Category" | "gc" =>
+          if (gcShort(v)) Some((s"\\p{$v}", true))
+          else gcLong.get(v).map(s => (s"\\p{$s}", true))
+        case _ => None // Script_Extensions and friends: no JDK support
+      }
+    }
+    else if (gcShort(body)) Some((s"\\p{$body}", true))
+    else if (gcLong.contains(body))
+      Some((s"\\p{${gcLong(body)}}", true))
+    else if (body == "Cased_Letter" || body == "LC")
+      Some(("\\p{Lu}\\p{Ll}\\p{Lt}", false))
+    else if (body == "ASCII") Some(("\\p{ASCII}", true))
+    else if (body == "Any") Some(("\\x00-\\x{10ffff}", false))
+    else if (binary(body)) Some((s"\\p{Is$body}", true))
+    else None
+  }
+
+  /** ECMA AdvanceStringIndex: the next attempt position after an empty
+    * match — unicode-mode regexes step by CODE POINT (past a surrogate
+    * pair), others by one UTF-16 unit.
+    */
+  private def advanceIndex(s: String, i: Int, unicode: Boolean): Int =
+    if (unicode && i >= 0 && i < s.length)
+      i + Character.charCount(s.codePointAt(i))
+    else i + 1
 
   /** REFUSE backreferences that can observe an UNSET group — the one
     * place the JDK and ECMA-262 engines silently disagree: JS treats a
@@ -2054,7 +2327,8 @@ object JsMini {
           hasNamed)
       }
       last = m.end
-      from = if (m.end == m.start) m.end + 1 else m.end
+      from = if (m.end == m.start) advanceIndex(s, m.end, r.unicode)
+        else m.end
       if (!all) done = true
     }
     sb.append(s.substring(last))
@@ -2092,7 +2366,7 @@ object JsMini {
         // split point is not a split ("a1b".split(/(\d)?/) has no ""
         // between "1" and "b"; the leading empty match is the p = 0
         // case of the same rule)
-        from = m.end + 1
+        from = advanceIndex(s, m.end, r.unicode)
       else if (m.start == s.length)
         // JS attempts split points only at q < size: an empty match
         // AT the end is not a split point ("abc".split(/(?:)/) has no
@@ -2106,7 +2380,8 @@ object JsMini {
           g += 1
         }
         last = m.end
-        from = if (m.end == m.start) m.end + 1 else m.end
+        from = if (m.end == m.start) advanceIndex(s, m.end, r.unicode)
+          else m.end
       }
       if (from > s.length) stop = true
     }
@@ -2247,7 +2522,8 @@ object JsMini {
           while (from <= s.length &&
               (if (r.sticky) stickyAt(m, s, from) else m.find(from))) {
             out += VStr(m.group())
-            from = if (m.end == m.start) m.end + 1 else m.end
+            from = if (m.end == m.start) advanceIndex(s, m.end, r.unicode)
+              else m.end
           }
           r.lastIndex = 0
           if (out.isEmpty) VNull else new VArr(out)
@@ -2269,7 +2545,8 @@ object JsMini {
         while (from <= s.length &&
             (if (r.sticky) stickyAt(m, s, from) else m.find(from))) {
           out += matchArr(m, s, r.groupNames, r.hasIndices)
-          from = if (m.end == m.start) m.end + 1 else m.end
+          from = if (m.end == m.start) advanceIndex(s, m.end, r.unicode)
+            else m.end
         }
         new VArr(out)
       case "search" =>

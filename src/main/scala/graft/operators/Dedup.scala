@@ -662,14 +662,26 @@ object Dedup {
         * metadata-sized next to the training scan that follows.
         */
       targetCellSize: Int = 1024): DataFrame = {
-    val n = emb.count()
+    val spark = emb.sparkSession
+    // ONE scan of the input: the normalized projection is persisted and
+    // the count() that sizes the cell grid materializes it, so the
+    // training sample, the balance probe, and the re-cell pass below all
+    // read the cache instead of re-running normalization (and the
+    // source scan) — on the large corpora this operator targets the
+    // input IO dominated everything else (r18 advice).
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("rawvec"),
+      Similarity.normalize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
     val nlistEff = math.max(nlist,
       ((n + targetCellSize - 1) / targetCellSize).toInt)
-    val centroids = Ivf.trainCentroids(emb, vecCol, nlistEff)
-    val spark = emb.sparkSession
-    val assigned = emb.select(col(idCol).as("id"),
-      Similarity.normalize(col(vecCol)).as("vec"),
-      Ivf.assignCells(emb, vecCol, centroids).as("cell0"))
+    val centroids = Ivf.trainCentroids(base, "rawvec", nlistEff)
+    // centroid assignment is nlistEff×dim work per row — persisted so
+    // the census below computes it ONCE and the re-cell/join pass reads
+    // it back instead of re-assigning
+    val assigned = base.select(col("id"), col("vec"),
+      Ivf.assignCells(base, "rawvec", centroids).as("cell0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // BALANCE GUARD: k-means cell population is data-dependent — a
     // clustered corpus can land half its mass in ONE cell no matter
     // how large nlist grows (measured at the sf1.0 smoke: 20 cells,
@@ -693,28 +705,47 @@ object Dedup {
     val recelled =
       if (overs.isEmpty) assigned.withColumnRenamed("cell0", "cell")
       else {
-        val bcC = spark.sparkContext.broadcast(centroids)
-        val bcO = spark.sparkContext.broadcast(overs)
-        val sub = udf { (cell: Int, vec: Seq[Double]) =>
-          val bits = bcO.value.getOrElse(cell, 0)
-          var b = 0L
-          if (bits > 0) {
-            val c = bcC.value(cell)
-            var j = 0
-            while (j < bits) {
-              var dot = 0.0
-              var d = 0
-              while (d < c.length) {
+        // plane elements are constants per (cell, j, d): precompute the
+        // matrix per OVERSIZED cell driver-side (bits×dim doubles — KBs)
+        // so the executor UDF is a plain dot product instead of
+        // bits×dim MurmurHash3 calls PER ROW (~7,700 hashes/row at
+        // 10 bits × 768 dims — pure hot-path waste at exactly the scale
+        // the balance guard targets). Values are bit-identical to the
+        // previous inline derivation, so bucket assignment (and q57b's
+        // oracle) is unchanged.
+        val planes: Map[Int, Array[Array[Double]]] =
+          overs.map { case (cell, bits) =>
+            val dim = centroids(cell).length
+            cell -> Array.tabulate(bits) { j =>
+              Array.tabulate(dim) { d =>
                 // deterministic pseudo-random plane element for (j, d)
                 val h = scala.util.hashing.MurmurHash3.productHash((j, d))
-                dot += (vec(d) - c(d)) * (h.toDouble / Int.MaxValue)
-                d += 1
+                h.toDouble / Int.MaxValue
               }
-              if (dot >= 0) b |= 1L << j
-              j += 1
             }
           }
-          (cell.toLong << 16) | b
+        val bcC = spark.sparkContext.broadcast(centroids)
+        val bcP = spark.sparkContext.broadcast(planes)
+        val sub = udf { (cell: Int, vec: Seq[Double]) =>
+          bcP.value.get(cell) match {
+            case None => cell.toLong << 16
+            case Some(pl) =>
+              val c = bcC.value(cell)
+              var b = 0L
+              var j = 0
+              while (j < pl.length) {
+                val p = pl(j)
+                var dot = 0.0
+                var d = 0
+                while (d < c.length) {
+                  dot += (vec(d) - c(d)) * p(d)
+                  d += 1
+                }
+                if (dot >= 0) b |= 1L << j
+                j += 1
+              }
+              (cell.toLong << 16) | b
+          }
         }
         assigned.withColumn("cell", sub(col("cell0"), col("vec")))
           .drop("cell0")
@@ -735,7 +766,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
-    canonicalize(emb, idCol, pairs, "id_a", "id_b")
+    val res = canonicalize(emb, idCol, pairs, "id_a", "id_b")
+    // canonicalize's component iteration runs eagerly (it counts per
+    // convergence checkpoint and persists its own label frontier), so
+    // the pair join has been fully consumed by the time it returns and
+    // the cached projections can be released
+    base.unpersist(false)
+    assigned.unpersist(false)
+    res
   }
 
   /** Near-duplicates by embedding cosine ≥ threshold, blocked by an LSH

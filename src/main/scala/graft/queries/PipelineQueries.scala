@@ -5139,6 +5139,11 @@ object PipelineQueries {
       DeltaLite.setTableProperties(s, tbl, Map(
         "delta.enableIcebergCompatV2" -> "true",
         "delta.universalFormat.enabledFormats" -> "iceberg"))
+      // the pre-enablement file's footer lacks the allocated ids: the
+      // sync's footer verification (round 19) refuses until the
+      // footer-only rewrite repairs it — the delta-spark REORG
+      // UPGRADE UNIFORM shape, exercised here on the oracled path
+      DeltaLite.reorgUpgradeUniform(s, tbl)
       DeltaLite.syncUniform(s, tbl)
       // append + copy-on-write delete AFTER enablement: both stage
       // member-id-stamped files and auto-sync the iceberg view

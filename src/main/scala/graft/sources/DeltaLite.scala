@@ -1497,10 +1497,13 @@ object DeltaLite {
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-")).toIndexedSeq
-    // icebergCompatV2 member ids (list element / map key,value) —
-    // Spark's writer can't stamp them (not StructFields), so the
-    // staged footers are patched in place before the move
-    if (ParquetIdStamp.hasMemberIds(df.schema))
+    // icebergCompatV2 member ids (list element / map key,value — not
+    // StructFields, Spark's writer can't stamp them) AND nested named
+    // fields whose id rides only `delta.columnMapping.id` (which the
+    // writer ignores): the staged footers are patched in place before
+    // the move. `needsStamp` covers both — a struct-only mapped schema
+    // restamps the same as its container siblings.
+    if (ParquetIdStamp.needsStamp(df.schema))
       ParquetIdStamp.stampAll(conf, parts.map(_.getPath),
         ParquetIdStamp.pathIds(df.schema))
     // footers read with the bounded pool — never one serialized
@@ -1583,10 +1586,10 @@ object DeltaLite {
         else if (s.getPath.getName.startsWith("part-")) Seq(s) else Nil
       }
     val files0 = leaves(stage)
-    // icebergCompatV2 member ids — same footer patch as the
-    // unpartitioned staging (partition columns are not in the files,
-    // so their paths simply never match)
-    if (ParquetIdStamp.hasMemberIds(dataSchema))
+    // icebergCompatV2 member ids + columnMapping-only nested fields —
+    // same footer patch gate as the unpartitioned staging (partition
+    // columns are not in the files, so their paths simply never match)
+    if (ParquetIdStamp.needsStamp(dataSchema))
       ParquetIdStamp.stampAll(conf, files0.map(_.getPath),
         ParquetIdStamp.pathIds(dataSchema))
     val footerStats = ParquetFooterStats.readAll(conf,
@@ -2970,6 +2973,51 @@ object DeltaLite {
     def abs(p: String): String =
       if (p.contains("://") || p.startsWith("/")) p
       else new Path(tablePath, p).toString
+    val physSchema = StructType(snap.schema.fields.map(physicalFieldWithIds))
+    // FOOTER VERIFICATION: the schema-side checks above prove the
+    // SCHEMA carries every id, but a nested-id BACK-FILL (re-setting
+    // enableIcebergCompatV2 on a table that already had data) allocates
+    // ids in metadata only — files written after enableColumnMapping
+    // but before allocation keep footers with no member ids, and a
+    // strict id-resolving iceberg reader of the synced table would
+    // silently read NULL container members (delta-spark demands a
+    // REORG UPGRADE UNIFORM file rewrite here). So the first sync of a
+    // given allocation PROBES every data file's KB footer
+    // (bounded-parallel) against the declared ids and refuses to
+    // register a schema the files do not honor, naming
+    // [[reorgUpgradeUniform]] — a footer-only copy-rewrite of exactly
+    // the lagging files — as the repair. A clean probe is memoized on
+    // maxColumnId (its own metadata commit, after the sync) so
+    // steady-state syncs skip it: files staged after allocation are
+    // stamped by the staging gate, and foreign icebergCompatV2 writers
+    // are protocol-bound to write the ids.
+    val declaredIds = ParquetIdStamp.pathIds(physSchema)
+    val curMaxId = snap.configuration
+      .get("delta.columnMapping.maxColumnId")
+      .getOrElse(maxMappingId(snap.schema).toString)
+    val needProbe = declaredIds.keys.exists(_.contains('.')) &&
+      !snap.configuration.get("graft.uniform.footerIdsVerified")
+        .contains(curMaxId)
+    if (needProbe) {
+      val rels = snap.files.keys.toSeq.sorted
+      val lagging = ParquetIdStamp.lacksIdsAll(
+        spark.sparkContext.hadoopConfiguration,
+        rels.map(p => new Path(abs(p))), declaredIds)
+      if (lagging.nonEmpty) {
+        val shown = lagging.take(5).map(_.getName).mkString(", ")
+        throw new IllegalStateException(
+          s"UniForm iceberg sync: ${lagging.size} data file(s) carry " +
+            s"footers MISSING ids the schema declares ($shown" +
+            (if (lagging.size > 5) ", …" else "") + ") — they were " +
+            "written before the nested-id allocation, and registering " +
+            "an id-claiming iceberg schema over them would make strict " +
+            "readers silently null those fields. Run " +
+            "DeltaLite.reorgUpgradeUniform(spark, tablePath) — a " +
+            "footer-only rewrite of exactly these files — then sync " +
+            "again (a metadata-only back-fill cannot repair " +
+            "already-written files)")
+      }
+    }
     // partitioned tables register an identity spec on the PHYSICAL
     // partition column names; delta data files don't carry partition
     // columns, so iceberg reads project them from the recorded tuple
@@ -2993,11 +3041,21 @@ object DeltaLite {
       }.toMap
       IcebergLite.ExistingFile(abs(p), rows, size, tuple)
     }
-    val physSchema = StructType(snap.schema.fields.map(physicalFieldWithIds))
     val snapId = IcebergLite.commitExistingFiles(spark, tablePath,
       physSchema, files,
       partitionCols = partFields.map(physicalName).toSeq,
       extraSummary = Map("delta-version" -> snap.version.toString))
+    // memoize the clean footer probe (same trailing-metadata-commit
+    // shape as the lag-marker clear below) so steady-state syncs skip
+    // re-reading every footer; a future allocation (maxColumnId bump)
+    // invalidates it by value
+    if (needProbe)
+      try { setTableProperties(spark, tablePath, Map(
+        "graft.uniform.footerIdsVerified" -> curMaxId)); () }
+      catch { case e: Exception =>
+        System.err.println(s"[graft] could not record the UniForm " +
+          s"footer-verification marker on $tablePath: ${e.getMessage}")
+      }
     // A successful sync CLEARS the in-band lag marker a failed
     // auto-sync recorded ([[autoSyncUniform]]) — its own metadata-only
     // commit, which the iceberg view trails harmlessly (property
@@ -3010,6 +3068,90 @@ object DeltaLite {
           s"sync-lag marker on $tablePath: ${e.getMessage}")
       }
     snapId
+  }
+
+  /** Delta-spark's `REORG TABLE … APPLY (UPGRADE UNIFORM)` analogue at
+    * FOOTER cost: rewrite exactly the data files whose parquet footers
+    * lack ids the UniForm schema declares (files written after
+    * enableColumnMapping but before the nested-id allocation — the
+    * population [[syncUniform]]'s footer verification refuses over).
+    * Each lagging file is stream-copied byte-identical through its
+    * data region with a re-serialized footer carrying the ids
+    * ([[ParquetIdStamp.stampedCopy]] — no decode/encode, KB of CPU per
+    * file), then committed remove+add with `dataChange:false`; stats
+    * and row-tracking coordinates restate verbatim (byte-identical row
+    * order). In-place patching is NOT an option for committed files:
+    * the add's recorded size feeds foreign readers' footer seeks.
+    * Returns the new version (unchanged when no file lags).
+    */
+  def reorgUpgradeUniform(spark: SparkSession, tablePath: String): Long = {
+    val snap = snapshot(spark, tablePath)
+    checkWriterProtocol(snap, dataChangeMutation = false,
+      "REORG UPGRADE UNIFORM")
+    require(uniformEnabled(snap),
+      s"$tablePath does not carry the icebergCompatV2 writer feature — " +
+        "REORG UPGRADE UNIFORM repairs UniForm tables only")
+    require(snap.dvs.isEmpty,
+      s"$tablePath carries live deletion vectors — purge them first " +
+        "(compact applies and drops DVs); a footer rewrite would break " +
+        "their path binding")
+    val missingMembers = memberIdPaths(snap.schema)
+      .filterNot(collectNestedIds(snap.schema).contains)
+    require(missingMembers.isEmpty,
+      "REORG UPGRADE UNIFORM: the schema itself has unallocated member " +
+        "ids — re-run setTableProperties(delta.enableIcebergCompatV2=" +
+        "true) to back-fill the allocation first")
+    val physSchema = StructType(snap.schema.fields.map(physicalFieldWithIds))
+    val declaredIds = ParquetIdStamp.pathIds(physSchema)
+    if (declaredIds.isEmpty) return snap.version
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    def abs(p: String): Path =
+      if (p.contains("://") || p.startsWith("/")) new Path(p)
+      else new Path(tablePath, p)
+    val rels = snap.files.keys.toSeq.sorted
+    val laggingAbs = ParquetIdStamp.lacksIdsAll(
+      conf, rels.map(abs), declaredIds).map(_.toString).toSet
+    val lagging = rels.filter(p => laggingAbs.contains(abs(p).toString))
+    if (lagging.isEmpty) return snap.version
+    val now = 1L
+    val logDir = new Path(root, "_delta_log")
+    val ict = if (ictEnabled(snap)) Some(nextIct(fs, logDir, snap))
+      else None
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += commitInfoAction("REORG UPGRADE UNIFORM",
+      Map("rewrittenFiles" -> lagging.size.toString), now, ict)
+    lagging.foreach { rel =>
+      val srcP = abs(rel)
+      // new file lands NEXT TO the old one (the rel path's directory
+      // chain carries the hive partition segments)
+      val dot = srcP.getName.lastIndexOf('.')
+      val stem = if (dot > 0) srcP.getName.substring(0, dot)
+        else srcP.getName
+      val ext = if (dot > 0) srcP.getName.substring(dot) else ""
+      val newName =
+        s"$stem-u${java.util.UUID.randomUUID.toString.take(8)}$ext"
+      val dstP = new Path(srcP.getParent, newName)
+      val (newSize, rows) =
+        ParquetIdStamp.stampedCopy(conf, srcP, dstP, declaredIds)
+      val newRel = {
+        val slash = rel.lastIndexOf('/')
+        if (slash < 0) newName else rel.substring(0, slash + 1) + newName
+      }
+      lines += removeAction(rawPath(snap, rel), now, dataChange = false)
+      // stats restate verbatim (the data region is byte-identical);
+      // an add missing stats mints the minimal numRecords object the
+      // sync path requires, from the footer's own row count
+      val stats = snap.stats.getOrElse(rel, s"""{"numRecords":$rows}""")
+      lines += addAction(newRel, newSize, stats, now,
+        snap.files(rel), dataChange = false,
+        rowId = snap.rowIds.get(rel))
+    }
+    autoSyncUniform(spark, tablePath, Some(snap),
+      commitWithRetry(fs, logDir, tablePath, snap.version + 1,
+        lines.toSeq, ourRemoves = lagging.toSet,
+        dataChangeMutation = false))
   }
 
   /** OPTIMIZE (bin-packing compaction) + DV PURGE: rewrites, per

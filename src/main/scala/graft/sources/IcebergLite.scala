@@ -592,6 +592,18 @@ object IcebergLite {
 
   private val knownFormats = Set("PARQUET", "ORC", "AVRO")
 
+  /** Conservative expansion factor applied to recorded ON-DISK delete
+    * file bytes before comparing against `autoBroadcastJoinThreshold`
+    * (whose semantics are estimated in-memory size): position-delete
+    * parquet — sorted repeated paths RLE/dict-encoded plus delta-coded
+    * longs — routinely decompresses ~10×, so gating on raw file sizes
+    * could admit a broadcast that expands well past the threshold the
+    * gate exists to honor. 8× keeps KB-to-low-MB delete sets (the
+    * normal case the broadcast targets) while refusing anything whose
+    * materialized size could plausibly pressure the driver.
+    */
+  private val deleteBroadcastInflation = 8L
+
   private[graft] def normalizePathStr(p: String): String = {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
     "/" + noScheme.dropWhile(_ == '/')
@@ -2806,11 +2818,19 @@ object IcebergLite {
         // side (at 100 TB, shuffling the data to meet a 2 MB delete
         // list is the whole cost). The gate is the RECORDED file
         // sizes: a billion-position delete set must keep the planner's
-        // shuffled anti join instead of flattening the driver.
+        // shuffled anti join instead of flattening the driver. The
+        // threshold's semantics are estimated IN-MEMORY plan size, and
+        // parquet position-delete files (sorted repeated paths +
+        // delta-coded longs) routinely compress ~10×, so the recorded
+        // on-disk bytes are inflated by a conservative decompression
+        // factor before the compare — a set just under the raw
+        // threshold must not expand past it when materialized.
         val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
         val delBytes = st.posDeleteFiles.map(_.fileSize).sum
         val dside =
-          if (thr > 0 && delBytes <= thr) broadcast(dels) else dels
+          if (thr > 0 && delBytes * deleteBroadcastInflation <= thr)
+            broadcast(dels)
+          else dels
         base.join(dside,
           base("__ice_file") === dels("__ice_del_file") &&
             base("__ice_pos") === dels("__ice_del_pos"), "left_anti")
@@ -2839,14 +2859,16 @@ object IcebergLite {
             .reduce(_.unionByName(_))
           val cond = names.map(c => acc(c) <=> dels(c)).reduce(_ && _) &&
             acc("__ice_seq") < dels("__ice_dseq")
-          // same size gate as the position anti join: broadcast only
-          // while the recorded delete bytes fit the session threshold —
-          // a huge equality-delete backlog must fall back to the
-          // planner's shuffled join (the null-safe key conjunction is
+          // same size gate (and same decompression-factor margin) as
+          // the position anti join: broadcast only while the INFLATED
+          // delete bytes fit the session threshold — a huge
+          // equality-delete backlog must fall back to the planner's
+          // shuffled join (the null-safe key conjunction is
           // hash-joinable), never flatten the driver
           val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
           val dside =
-            if (thr > 0 && files.map(_.fileSize).sum <= thr)
+            if (thr > 0 &&
+                files.map(_.fileSize).sum * deleteBroadcastInflation <= thr)
               broadcast(dels)
             else dels
           acc.join(dside, cond, "left_anti")

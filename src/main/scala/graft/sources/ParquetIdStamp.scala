@@ -58,7 +58,12 @@ object ParquetIdStamp {
     } finally { pool.shutdown(); () }
   }
 
-  def stamp(conf: Configuration, file: Path, ids: Map[String, Int]): Unit = {
+  /** The file's footer `FileMetaData` (one KB-sized tail read) plus
+    * where the footer begins — shared by [[stamp]], the detect-only
+    * [[lacksIds]], and the copy-rewrite [[stampedCopy]].
+    */
+  private def readFooterMeta(conf: Configuration, file: Path)
+      : (org.apache.parquet.format.FileMetaData, Long) = {
     val fs = file.getFileSystem(conf)
     val len = fs.getFileStatus(file).getLen
     require(len > 12, s"$file is not a parquet file (too short)")
@@ -75,12 +80,91 @@ object ParquetIdStamp {
         in.readFully(len - 8 - fLen, buf)
         buf
       } finally in.close()
-    val md = Util.readFileMetaData(new ByteArrayInputStream(footer))
-    if (!applyIds(md.getSchema.asScala.toIndexedSeq, ids)) return
-    val out = new ByteArrayOutputStream(footer.length + 64)
+    (Util.readFileMetaData(new ByteArrayInputStream(footer)),
+      len - 8 - footer.length)
+  }
+
+  /** Detect-only twin of [[stamp]]: whether `file`'s footer MISSES (or
+    * disagrees with) any id `ids` declares — the per-file check behind
+    * [[DeltaLite]]'s UniForm footer verification. Reads only the KB
+    * footer; paths absent from the footer's schema (columns added
+    * after the file was written) simply never match, so pre-evolution
+    * files probe clean.
+    */
+  def lacksIds(conf: Configuration, file: Path,
+      ids: Map[String, Int]): Boolean = {
+    val (md, _) = readFooterMeta(conf, file)
+    applyIds(md.getSchema.asScala.toIndexedSeq, ids)
+  }
+
+  /** Bounded-parallel [[lacksIds]] over many files: the subset whose
+    * footers lag the declared ids, input order preserved. Same pool
+    * shape as [[stampAll]] — serializing KB footer reads over a large
+    * table is pure latency.
+    */
+  def lacksIdsAll(conf: Configuration, files: Seq[Path],
+      ids: Map[String, Int], parallelism: Int = 16): Seq[Path] = {
+    if (files.isEmpty || ids.isEmpty) return Nil
+    if (files.lengthCompare(1) == 0)
+      return files.filter(lacksIds(conf, _, ids))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, files.length))
+    try {
+      val tasks = new java.util.ArrayList[
+        java.util.concurrent.Callable[Boolean]](files.length)
+      files.foreach(f => tasks.add(() => lacksIds(conf, f, ids)))
+      val res = pool.invokeAll(tasks)
+      files.zipWithIndex.filter { case (_, i) =>
+        try res.get(i).get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+        }
+      }.map(_._1)
+    } finally { pool.shutdown(); () }
+  }
+
+  /** Copy `file` to `target` byte-identical through the data region
+    * with the footer re-serialized to carry `ids` — the footer-only
+    * file rewrite behind `DeltaLite.reorgUpgradeUniform` (a committed
+    * remove+add must NOT patch the original in place: its recorded
+    * size feeds foreign readers' footer seeks). Returns the new
+    * file's length and the footer's recorded row count.
+    */
+  def stampedCopy(conf: Configuration, file: Path, target: Path,
+      ids: Map[String, Int]): (Long, Long) = {
+    val (md, footerStart) = readFooterMeta(conf, file)
+    applyIds(md.getSchema.asScala.toIndexedSeq, ids)
+    val out = new ByteArrayOutputStream(1 << 13)
     Util.writeFileMetaData(md, out)
     val bytes = out.toByteArray
-    val footerStart = len - 8 - footer.length
+    val fs = file.getFileSystem(conf)
+    val src = fs.open(file)
+    val dst = fs.create(target, true)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var left = footerStart
+      while (left > 0) {
+        val n = src.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        require(n > 0, s"$file truncated mid-copy")
+        dst.write(buf, 0, n); left -= n
+      }
+      dst.write(bytes)
+      dst.write(Array[Byte](
+        (bytes.length & 0xff).toByte, ((bytes.length >> 8) & 0xff).toByte,
+        ((bytes.length >> 16) & 0xff).toByte,
+        ((bytes.length >> 24) & 0xff).toByte,
+        'P', 'A', 'R', '1'))
+    } finally { src.close(); dst.close() }
+    (footerStart + bytes.length + 8, md.getNum_rows)
+  }
+
+  def stamp(conf: Configuration, file: Path, ids: Map[String, Int]): Unit = {
+    val fs = file.getFileSystem(conf)
+    val (md, footerStart) = readFooterMeta(conf, file)
+    if (!applyIds(md.getSchema.asScala.toIndexedSeq, ids)) return
+    val out = new ByteArrayOutputStream(1 << 13)
+    Util.writeFileMetaData(md, out)
+    val bytes = out.toByteArray
     val local = "file".equalsIgnoreCase(
       Option(file.toUri.getScheme).getOrElse(fs.getScheme))
     if (local) {
@@ -239,6 +323,35 @@ object ParquetIdStamp {
       case _ => false
     }
     schema.fields.exists(field)
+  }
+
+  /** The full staging-restamp gate: true when the written footers would
+    * MISS an id the schema declares. Two ways that happens: (a) list/
+    * map member ids ([[hasMemberIds]] — those members are not
+    * StructFields, Spark's writer cannot stamp them at all); (b) a
+    * NESTED named field that carries its id only as
+    * `delta.columnMapping.id` — the physicalize projection rides
+    * mapping metadata through without re-minting `parquet.field.id`
+    * per depth, and Spark's writer reads only the latter, so a
+    * struct-only mapped schema (no array/map anywhere) would otherwise
+    * write inner struct fields with NO ids while the UniForm sync
+    * registers explicit ids for them. Top-level fields always carry
+    * `parquet.field.id` from the projection, so only depth ≥ 1 is
+    * checked.
+    */
+  def needsStamp(schema: StructType): Boolean = {
+    def unstamped(f: StructField): Boolean =
+      f.metadata.contains("delta.columnMapping.id") &&
+        !f.metadata.contains("parquet.field.id")
+    def field(f: StructField, nested: Boolean): Boolean =
+      (nested && unstamped(f)) || walk(f.dataType)
+    def walk(dt: DataType): Boolean = dt match {
+      case st: StructType => st.fields.exists(field(_, nested = true))
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType) || walk(m.valueType)
+      case _ => false
+    }
+    hasMemberIds(schema) || schema.fields.exists(field(_, nested = false))
   }
 
   /** One field's `parquet.field.nested.ids` entries (full-path key →

@@ -2348,6 +2348,23 @@ class DeltaLiteSpec extends AnyFunSuite {
       .getMetadata("parquet.field.nested.ids")
     assert(propsMeta.getLong("props.key") == 5L &&
       propsMeta.getLong("props.value") == 6L, propsMeta.json)
+    // files written BEFORE enablement carry none of those ids in their
+    // FOOTERS: the sync's footer verification refuses to register an
+    // id-claiming iceberg schema over them (a strict id-resolving
+    // reader would silently null the members — r18 advice;
+    // delta-spark demands REORG UPGRADE UNIFORM here), and the named
+    // repair — a footer-only copy-rewrite of exactly the lagging
+    // files — clears it
+    val eLag = intercept[IllegalStateException] {
+      DeltaLite.syncUniform(spark, ta)
+    }
+    assert(eLag.getMessage.contains("reorgUpgradeUniform"),
+      eLag.getMessage)
+    val vReorg = DeltaLite.reorgUpgradeUniform(spark, ta)
+    // idempotent: a second pass finds nothing lagging
+    assert(DeltaLite.reorgUpgradeUniform(spark, ta) == vReorg)
+    // the rewrite preserved the rows byte-for-byte
+    assert(DeltaLite.read(spark, ta).collect().length == 2)
     DeltaLite.syncUniform(spark, ta)
     def iceA(): Set[(Long, Seq[Long], Map[String, Long])] =
       IcebergLite.read(spark, ta).collect().map(r => (r.getLong(0),
@@ -2442,6 +2459,62 @@ class DeltaLiteSpec extends AnyFunSuite {
       where = Some(col("p") === "x")).count() == 2)
   }
 
+  test("UniForm struct-only nesting: a mapped table with NO array/map " +
+      "anywhere still restamps staged footers — inner struct fields " +
+      "ride only delta.columnMapping.id through the physical " +
+      "projection, which Spark's writer ignores, so without the " +
+      "widened gate their footers would carry no ids while the " +
+      "registered iceberg schema claims them (r18 advice)") {
+    import graft.sources.IcebergLite
+    val t = java.nio.file.Files.createTempDirectory("delta_uni_structonly")
+      .toString
+    DeltaLite.write(spark,
+      Seq((1L, (10L, "a")), (2L, (20L, "b"))).toDF("k", "s"), t)
+    DeltaLite.enableColumnMapping(spark, t)
+    DeltaLite.setTableProperties(spark, t,
+      Map("delta.enableIcebergCompatV2" -> "true"))
+    // pre-order mapping ids: k=1, s=2, s._1=3, s._2=4; no members to
+    // allocate, maxColumnId stays 4
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "4",
+      snap.configuration.toString)
+    // the pre-enablement file has NO ids: sync refuses, the footer
+    // repair clears it — the probe covers struct-only schemas too
+    intercept[IllegalStateException] { DeltaLite.syncUniform(spark, t) }
+    DeltaLite.reorgUpgradeUniform(spark, t)
+    DeltaLite.syncUniform(spark, t)
+    def ice(): Set[(Long, Long, String)] =
+      IcebergLite.read(spark, t).collect().map { r =>
+        val s = r.getStruct(1); (r.getLong(0), s.getLong(0), s.getString(1))
+      }.toSet
+    assert(ice() == Set((1L, 10L, "a"), (2L, 20L, "b")))
+    // a post-enablement append stamps the INNER struct ids into its
+    // footer even though no container triggers the member-id path
+    val before = DeltaLite.snapshot(spark, t).files.keySet
+    DeltaLite.write(spark, Seq((3L, (30L, "c"))).toDF("k", "s"), t)
+    val newFiles = DeltaLite.snapshot(spark, t).files.keySet -- before
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { rel =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(t, rel),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val sch: org.apache.parquet.schema.GroupType =
+          rd.getFooter.getFileMetaData.getSchema
+        val st = sch.getType("s").asGroupType()
+        assert(sch.getType("s").getId.intValue == 2, s"$rel: s")
+        assert(st.getType("_1").getId.intValue == 3 &&
+          st.getType("_2").getId.intValue == 4,
+          s"$rel: inner struct fields must carry the mapping ids 3/4")
+      } finally rd.close()
+    }
+    // nothing lags after the append: the re-sync must not refuse, and
+    // the iceberg view follows
+    DeltaLite.syncUniform(spark, t)
+    assert(ice().size == 3)
+  }
+
   test("UniForm nested sync: array<struct> — the element's NAMED " +
       "fields keep their delta columnMapping ids through the iceberg " +
       "registration AND into post-enablement staged footers, alongside " +
@@ -2464,6 +2537,11 @@ class DeltaLiteSpec extends AnyFunSuite {
     val arrMeta = snap.schema("arr").metadata
       .getMetadata("parquet.field.nested.ids")
     assert(arrMeta.getLong("arr.element") == 6L, arrMeta.json)
+    // pre-enablement files lack the footer ids → refusal naming the
+    // footer-only repair, which restores the sync (same contract as
+    // the flat-container test above, here over array<struct>)
+    intercept[IllegalStateException] { DeltaLite.syncUniform(spark, t) }
+    DeltaLite.reorgUpgradeUniform(spark, t)
     DeltaLite.syncUniform(spark, t)
     def ice(): Set[(Long, Seq[(Long, String)], Long)] =
       IcebergLite.read(spark, t).collect().map(r => (r.getLong(0),

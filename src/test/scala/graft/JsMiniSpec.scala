@@ -720,8 +720,8 @@ class JsMiniSpec extends AnyFunSuite {
     assert(js("const r = /a(b)/gi; return r.source + '|' + r.flags + " +
       "'|' + r.global;") == VStr("a(b)|gi|true"))
     // unsupported flag and bad construct refuse loudly by name
-    val ef = intercept[JsError](js("return /a/u.test('a');"))
-    assert(ef.getMessage.contains("flag 'u'"), ef.getMessage)
+    val ef = intercept[JsError](js("return /a/v.test('a');"))
+    assert(ef.getMessage.contains("flag 'v'"), ef.getMessage)
     val ec = intercept[JsError](js("return new RegExp('a(').test('a');"))
     assert(ec.getMessage.contains("JDK engine"), ec.getMessage)
     // JSON/typeof/display integration
@@ -917,10 +917,96 @@ class JsMiniSpec extends AnyFunSuite {
     assert(!Pattern.compile("ω", Pattern.CASE_INSENSITIVE)
       .matcher("Ω").find,
       "ASCII-only folding would lose the non-ASCII pairs ECMA folds")
-    // ── the refusal itself: u and v refuse BY NAME at construction
-    val eu = intercept[JsError] { js("return /a/u.test('a');") }
-    assert(eu.getMessage.contains("unicode"), eu.getMessage)
+    // ── the refusals: v refuses wholesale (no JDK class-set engine);
+    // u is a SUBSET since round 19 — patterns touching a named
+    // divergence refuse individually (next test), the rest run
     val ev = intercept[JsError] { js("return /a/v.test('a');") }
     assert(ev.getMessage.contains("unicode"), ev.getMessage)
+    assert(js("return /a/u.test('a');") == VBool(true))
+    val eb = intercept[JsError] { js("return /a\\b/u.test('a');") }
+    assert(eb.getMessage.contains("divergence matrix"), eb.getMessage)
+  }
+
+  test("u-flag SUBSET: unicode-mode patterns outside the divergence " +
+      "matrix run with ECMA semantics on the JDK engine — each " +
+      "accept row's expectation is V8's, each refuse row is a V8 " +
+      "SyntaxError or a named JDK divergence") {
+    def js(body: String): V =
+      run(s"export default function (x) { $body }", VNull)
+    // \u{...} code-point escapes (u-mode syntax; JDK spells it \x{...})
+    assert(js("return /\\" + "u{1F600}/u.test('😀');") == VBool(true))
+    assert(js("return /\\" + "u{48}/u.test('H');") == VBool(true))
+    assert(js("return 'a😀b'.replace(/\\" + "u{1F600}/u, '-');")
+      == VStr("a-b"))
+    // astral atomicity + code-point classes (the JDK is already
+    // u-flavored here — matrix row 4)
+    assert(js("return '😀'.match(/./gu).length;") == VNum(1))
+    assert(js("return /^.$/u.test('😀');") == VBool(true))
+    // AdvanceStringIndex: empty-match iteration steps by CODE POINT
+    // under u (V8: 3 empty matches over '😀a' — positions 0, 2, 3),
+    // by UTF-16 unit otherwise (4)
+    assert(js("return '😀a'.matchAll(/(?:)/gu).length;") == VNum(3))
+    assert(js("return '😀a'.matchAll(/(?:)/g).length;") == VNum(4))
+    // split on an empty pattern keeps surrogate pairs whole under u
+    assert(js("return 'a😀b'.split(/(?:)/u).length;") == VNum(3))
+    assert(js("return 'a😀b'.split(/(?:)/).length;") == VNum(4))
+    // \s is ECMA's exact WhiteSpace ∪ LineTerminator set (JDK default
+    // \s is ASCII-only — the translation expands it): V8
+    // /\s/u.test(' ') === true
+    assert(js("return /\\s/u.test('\\u00a0');") == VBool(true))
+    assert(js("return /\\s/u.test('\\ufeff');") == VBool(true))
+    assert(js("return /\\S/u.test('\\u00a0');") == VBool(false))
+    assert(js("return /[x\\s]/u.test('\\u2028');") == VBool(true))
+    // \w stays ASCII under u (ECMA rule; JDK default agrees)
+    assert(js("return /\\w/u.test('é');") == VBool(false))
+    // property escapes: general categories, long names, Script=
+    assert(js("return /\\p{L}/u.test('é');") == VBool(true))
+    assert(js("return /\\p{L}/u.test('1');") == VBool(false))
+    assert(js("return /\\P{L}/u.test('1');") == VBool(true))
+    assert(js("return /\\p{Letter}/u.test('Ω');") == VBool(true))
+    assert(js("return /\\p{Nd}/u.test('٣');") == VBool(true)) // ARABIC 3
+    assert(js("return /\\p{Script=Greek}/u.test('Ω');") == VBool(true))
+    assert(js("return /\\p{Script=Greek}/u.test('a');") == VBool(false))
+    assert(js("return /[\\p{L}\\p{Nd}]/u.test('7');") == VBool(true))
+    // class literals the JDK would read as operators: '[' nests,
+    // '&&' intersects — ECMA reads literals (V8-verified semantics)
+    assert(js("return /[[]/u.test('[');") == VBool(true))
+    assert(js("return /[a&]/u.test('&');") == VBool(true))
+    assert(js("return /[a&&b]/u.test('&');") == VBool(true)) // literal
+    // ECMA empty classes the JDK rejects outright
+    assert(js("return /x[]/u.test('x');") == VBool(false))
+    assert(js("return /[^]/u.test('\\n');") == VBool(true))
+    // class \b is BACKSPACE; \0 is NUL; \v is exactly U+000B (the JDK
+    // \v is a vertical-whitespace CLASS — translated away)
+    assert(js("return /[\\b]/u.test('\\u0008');") == VBool(true))
+    assert(js("return /\\0/u.test('\\u0000');") == VBool(true))
+    assert(js("return /\\v/u.test('\\u000b');") == VBool(true))
+    assert(js("return /\\v/u.test('\\n');") == VBool(false))
+    // i+u: unicode simple folding (the JDK's UNICODE_CASE — row 5)
+    assert(js("return /s/iu.test('ſ');") == VBool(true))
+    assert(js("return /στιγμας/iu.test('ΣΤΙΓΜΑΣ');") == VBool(true))
+    // groups/backrefs/quantifiers translate untouched
+    assert(js("return /(ab)\\1/u.test('abab');") == VBool(true))
+    assert(js("return /a{2,3}/u.test('aaa');") == VBool(true))
+    assert(js("const m = /(?<g>😀)/u.exec('x😀'); return m.groups.g;")
+      == VStr("😀"))
+    // u-mode STRICTNESS — each a V8 SyntaxError the JDK (or the
+    // non-u subset) would silently accept:
+    intercept[JsError] { js("return /a{/u.test('a{');") } // lone brace
+    intercept[JsError] { js("return /a}/u.test('a}');") }
+    intercept[JsError] { js("return /a]/u.test('a]');") } // stray ]
+    intercept[JsError] { js("return /\\q/u.test('q');") } // identity esc
+    intercept[JsError] { js("return /\\" + "u12/u.test('x');") }
+    intercept[JsError] { js("return /\\01/u.test('\\x01');") } // octal
+    intercept[JsError] { js("return /[\\1]/u.test('x');") }
+    // named JDK divergences refuse BY NAME (matrix rows 1-2)
+    intercept[JsError] { js("return /\\b/u.test('a');") }
+    intercept[JsError] { js("return /\\B/u.test('a');") }
+    // properties with no JDK equivalent refuse by name
+    intercept[JsError] { js("return /\\p{Emoji}/u.test('😀');") }
+    intercept[JsError] { js("return /\\p{ID_Start}/u.test('a');") }
+    // the non-u surface is untouched by the translator (a stray ']'
+    // is an Annex-B leniency both V8 non-u and the JDK accept)
+    assert(js("return 'a]b'.replace(/a]/, '-');") == VStr("-b"))
   }
 }
