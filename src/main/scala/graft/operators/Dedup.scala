@@ -820,22 +820,20 @@ object Dedup {
     (text: String, numHashes: Int, shingleWidth: Int) =>
       if (text == null) null
       else {
-        val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
-        if (norm.isEmpty) null
+        val hs = Mod61.shingleHashes(text, shingleWidth)
+        if (hs == null) null
         else {
-          val tk = norm.split(" ")
-          val shingleSet = new scala.collection.mutable.HashSet[String]
-          if (tk.length < shingleWidth) shingleSet += tk.mkString(" ")
-          else tk.sliding(shingleWidth).foreach(s => shingleSet += s.mkString(" "))
           val sig = Array.fill(numHashes)(Long.MaxValue)
-          shingleSet.foreach { s =>
-            val h = Mod61.hashString(s)
+          var i = 0
+          while (i < hs.length) {
+            val h = hs(i)
             var j = 0
             while (j < numHashes) {
               val g = (Mod61.mulMod(2L * j + 1L, h) + j * 999983L) % Mod61.MOD
               if (g < sig(j)) sig(j) = g
               j += 1
             }
+            i += 1
           }
           sig.toSeq
         }
@@ -909,15 +907,8 @@ object Dedup {
     (text: String, shingleWidth: Int) =>
       if (text == null) null
       else {
-        val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
-        if (norm.isEmpty) null
-        else {
-          val tk = norm.split(" ")
-          val shingleSet = new scala.collection.mutable.HashSet[String]
-          if (tk.length < shingleWidth) shingleSet += tk.mkString(" ")
-          else tk.sliding(shingleWidth).foreach(s => shingleSet += s.mkString(" "))
-          shingleSet.map(Mod61.hashString).toArray.sorted
-        }
+        val hs = Mod61.shingleHashes(text, shingleWidth)
+        if (hs == null) null else { java.util.Arrays.sort(hs); hs }
       }
   }
 
@@ -1152,5 +1143,72 @@ private[operators] object Mod61 {
       i += 1
     }
     h
+  }
+
+  /** B^e mod p for the rolling-hash base, table-backed for the token
+    * lengths real text has (chained multiplies past the table).
+    */
+  private val PowB: Array[Long] = {
+    val a = new Array[Long](4096)
+    a(0) = 1L
+    var i = 1
+    while (i < a.length) { a(i) = mulMod(a(i - 1), 1000003L); i += 1 }
+    a
+  }
+  private def powB(e: Int): Long =
+    if (e < PowB.length) PowB(e)
+    else {
+      var r = 1L
+      var k = e
+      while (k >= PowB.length) {
+        r = mulMod(r, PowB(PowB.length - 1)); k -= PowB.length - 1
+      }
+      mulMod(r, PowB(k))
+    }
+
+  /** DISTINCT shingle hashes of `text` under the oracle contract
+    * (lower → trim → collapse whitespace → width-token shingles joined
+    * by ' ' → q38b polynomial hash), WITHOUT materializing a string
+    * per shingle: `h(a ⧺ ' ' ⧺ b) = h(a)·B^{len(b)+1} + ' '·B^{len(b)}
+    * + h(b) (mod p)`, so per-token hashes computed once fold into each
+    * shingle in O(width) mulMods instead of re-hashing every character
+    * ~width times — and the dedup set holds longs, not freshly built
+    * strings (guide §1.2 per-task work; the r19 q34g profile put ~7 s
+    * CPU/run in this kernel). Distinct-by-hash equals the oracle's
+    * DISTINCT-by-shingle-string downstream: equal strings share a
+    * hash, and a colliding distinct pair contributes identically to
+    * every consumer (minhash g_j(h), set intersection, banding all
+    * read only h) on BOTH engines. Pinned against the string path in
+    * PipelineSpec ("shingleHashes ≡ per-string hashing").
+    * Returns null for null/blank text (the callers' filter contract).
+    */
+  def shingleHashes(text: String, width: Int): Array[Long] = {
+    if (text == null) return null
+    val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+    if (norm.isEmpty) return null
+    val tk = norm.split(" ")
+    val n = tk.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = hashString(tk(i)); i += 1 }
+    val w = math.min(width, n)
+    val nSh = if (n < width) 1 else n - width + 1
+    val seen = new java.util.HashSet[java.lang.Long](nSh * 2)
+    val out = new Array[Long](nSh)
+    var m = 0
+    var s0 = 0
+    while (s0 < nSh) {
+      var h = th(s0)
+      var j = s0 + 1
+      while (j < s0 + w) {
+        val lb = tk(j).length
+        // three addends each < 2^61: no overflow before the mod
+        h = (mulMod(h, powB(lb + 1)) + mulMod(32L, powB(lb)) + th(j)) % MOD
+        j += 1
+      }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      s0 += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 }

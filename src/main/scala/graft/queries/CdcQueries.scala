@@ -94,7 +94,7 @@ object CdcQueries {
       // [snapshot r (flat envelope), conditional wrapped u, conditional
       // wrapped d], exploded — no triple read of the source
       val none = array().cast("array<string>")
-      val feed = o.select(explode(concat(
+      val feed = par(s, o).select(explode(concat(
         // snapshot phase (SnapshottingStarted..Done window)
         array(to_json(struct(
           row.as("after"),
@@ -137,7 +137,7 @@ object CdcQueries {
         concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
       val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
         .cast("long")
-      val feed = o.select(to_json(struct(
+      val feed = par(s, o).select(to_json(struct(
         lit("0x" + "ee" * 20).as("address"),
         array(lit(EthLogs.TransferSig),
           pad64(col("o_custkey")),
@@ -214,7 +214,7 @@ object CdcQueries {
         Seq(("o_orderkey", 20, true), ("o_custkey", 20, false),
           ("o_orderstatus", 25, false), ("o_totalprice", 701, false)))
       val relDf = Seq((0L, rel)).toDF("seq", "frame")
-      val dataDf = o.as[(Long, Long, String, Double)].flatMap {
+      val dataDf = par(s, o).as[(Long, Long, String, Double)].flatMap {
         case (k, c, st, tp) =>
           // Double/Long text round-trips exactly: Scala toString is
           // shortest-round-trip and from_json parses it back bit-equal.
@@ -276,7 +276,7 @@ object CdcQueries {
       val fde = Seq(
         (0L, Encode.formatDescription(1L, crc32 = true)),
         (2L, Encode.tableMap(table, 2L, checksum = true))).toDF("seq", "frame")
-      val dataDf = c.as[(Long, String, String, Double)].flatMap {
+      val dataDf = par(s, c).as[(Long, String, String, Double)].flatMap {
         case (k, name, seg, bal) =>
           val row = Seq(Some(k.toString), Some(name), Some(seg),
             Some(bal.toString))
@@ -345,7 +345,7 @@ object CdcQueries {
       val updatedRow = struct(col("p_partkey"), col("p_name"), col("p_brand"),
         (col("p_retailprice") + 1).as("p_retailprice"))
       val none = array().cast("array<string>")
-      val feed = p.select(explode(concat(
+      val feed = par(s, p).select(explode(concat(
         array(to_json(struct(
           lit("insert").as("operationType"), ns("tpch", "part").as("ns"),
           keyDoc.as("documentKey"), fullRow.as("fullDocument"),
@@ -396,7 +396,7 @@ object CdcQueries {
       val none = array().cast(
         "array<struct<s_suppkey:bigint,s_name:string,s_acctbal:double," +
           "action:string,is_update:boolean,seq:bigint>>")
-      val stream = sup.select(explode(concat(
+      val stream = par(s, sup).select(explode(concat(
         array(srow(col("s_acctbal"), "INSERT", isUpd = false,
           col("s_suppkey"))),
         when(col("s_suppkey") % 6 === 0, array(
@@ -437,7 +437,7 @@ object CdcQueries {
       val o = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
-      val batches = o.as[(Long, Long, String, Double)].map {
+      val batches = par(s, o).as[(Long, Long, String, Double)].map {
         case (k, c, st, tp) =>
           def row(status: String) =
             s"""{"o_orderkey":$k,"o_custkey":$c,""" +
@@ -484,7 +484,7 @@ object CdcQueries {
       import graft.sources.ArrowIngest
       val ev = t(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      ArrowIngest.decodeFrames(ArrowIngest.encodeFrames(ev), ev.schema)
+      ArrowIngest.decodeFrames(ArrowIngest.encodeFrames(par(s, ev)), ev.schema)
     },
 
     // Avro OBJECT CONTAINER FILE round-trip (the `.avro` object-store
@@ -515,7 +515,7 @@ object CdcQueries {
         col("o_totalprice").cast("decimal(12,2)").as("price"),
         col("o_orderdate").cast("timestamp").as("ots"))
       val decoded = AvroFiles.decodeContainers(
-        AvroFiles.encodeContainers(o, avroSchema), avroSchema)
+        AvroFiles.encodeContainers(par(s, o), avroSchema), avroSchema)
       decoded.select(col("o_orderkey"), col("status"),
         col("price").cast("double").as("price"), col("ots"))
     },
@@ -560,8 +560,8 @@ object CdcQueries {
       val o = t(s, dir, "orders").select(
         col("o_orderkey").cast("long"), col("o_orderstatus"),
         col("o_totalprice").cast("double"), col("o_orderdate").cast("timestamp"))
-      val batches = o.as[(Long, String, Double, java.sql.Timestamp)].map {
-        case (k, st, tp, ts) =>
+      def encode(k: Long, st: String, tp: Double, ts: java.sql.Timestamp)
+          : (Long, Array[Byte]) = {
           val cents = java.math.BigDecimal.valueOf(tp)
             .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue()
           val priceB64 = java.util.Base64.getEncoder
@@ -584,10 +584,24 @@ object CdcQueries {
             baseOffset = k * 4,
             baseTimestamp = 1700000000000L + k,
             records = values.map(v => (1700000000000L + k, key, v))))
-      }.toDF("seq", "frame")
+      }
+      val batches = par(s, o).as[(Long, String, Double, java.sql.Timestamp)]
+        .map { case (k, st, tp, ts) => encode(k, st, tp, ts) }
+        .toDF("seq", "frame")
       val recs = KafkaBatch.records(batches)
-      val (ch, pk) = ConnectJson.changes(recs, "value", Some("key"),
+      // IN-BAND schema derivation, from a 1-row sample FEED: every
+      // message carries the same Connect schema struct, so the contract
+      // derives from one encoded message without forcing the 32-way
+      // parallel encode's whole map side through the sample's limit(1)
+      // (r19: the sample pass alone re-ran the full encode)
+      val sample = KafkaBatch.records(
+        o.limit(1).as[(Long, String, Double, java.sql.Timestamp)]
+          .map { case (k, st, tp, ts) => encode(k, st, tp, ts) }
+          .toDF("seq", "frame"))
+      val d = ConnectJson.deriveFromFeed(sample, "value", Some("key"))
+      val ch = ConnectJson.decodeWith(d, recs, "value",
         seq = Some(col(ChangeModel.SeqCol)))
+      val pk = d.primaryKey
       val applied = ChangeModel.applyChanges(ch, pk)
       // The Connect Decimal / Debezium Date decodes are the point of this
       // query: assert the in-band-schema-derived types, then emit the
@@ -639,7 +653,7 @@ object CdcQueries {
       val o = t(s, dir, "orders").select(
         col("o_orderkey").cast("long"), col("o_orderstatus"),
         col("o_totalprice").cast("double"), col("o_orderdate").cast("timestamp"))
-      val frames = o.as[(Long, String, Double, java.sql.Timestamp)].flatMap {
+      val frames = par(s, o).as[(Long, String, Double, java.sql.Timestamp)].flatMap {
         case (k, st, tp, ts) =>
           val price = java.math.BigDecimal.valueOf(tp)
             .setScale(2, java.math.RoundingMode.HALF_UP)

@@ -354,7 +354,7 @@ object ExpressionQueries {
           |""".stripMargin, "graft_pyudf_oracle")
       s.conf.set("spark.graft.python_udf.dir", mod)
       val runner = new graft.sql.GraftSqlRunner(s)
-      runner.registerSource("documents", t(s, dir, "documents"))
+      runner.registerSource("documents", par(s, t(s, dir, "documents")))
       runner.run(
         """SELECT doc_id AS id,
           |  py_doc_score<int>(doc_id, n_chars) AS score,
@@ -387,7 +387,7 @@ object ExpressionQueries {
           |  }
           |  return words.length * 1000 + vowels % 97 + doc.doc_id % 7;
           |}""".stripMargin)
-      t(s, dir, "documents")
+      par(s, t(s, dir, "documents"))
         .filter(col("text").isNotNull)
         .selectExpr("doc_id AS id",
           "CAST(js_doc_score(struct(text, doc_id)) AS BIGINT) AS score")

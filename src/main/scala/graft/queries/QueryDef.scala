@@ -26,6 +26,22 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** Parallelize a CPU-heavy per-row ENCODE/UDF stage over an
+    * unsplittable input (optimization guide §2.5 "repartition
+    * immediately after the read"): the driver's parquet tables are ONE
+    * scan split at bench SFs, so a fixture encode (RecordBatch/gzip,
+    * Avro containers, JSON envelope assembly) or an interpreter UDF
+    * otherwise runs serialized on one core (measured r19: q103's whole
+    * encode was a single 4.1 s-CPU task). Round-robin repartition to
+    * the session's default parallelism; every consumer downstream
+    * materializes by key or aggregates, so results are
+    * partitioning-invariant. Scale-adaptive: the width follows the
+    * cluster's core count, and at real scale the extra shuffle moves
+    * only the narrow pre-encode rows.
+    */
+  def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Exact sum of a 2-decimal money/quantity double, surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(12, 2))).cast("double")
 

@@ -1482,13 +1482,57 @@ object DeltaLite {
     mapper.writeValueAsString(node)
   }
 
+  /** OPTIMIZED WRITE (delta-spark's optimizedWrite analogue, guide §6
+    * output-file sizing): an AQE REBALANCE above the batch sizes staged
+    * files to `spark.sql.adaptive.advisoryPartitionSizeInBytes` — a
+    * tiny batch lands in ONE file instead of one sliver per upstream
+    * shuffle partition (the r19 q165 profile: a 1000-row identity write
+    * sprayed 32 files, and every later snapshot scan, broadcast build,
+    * and >32-path listing job paid 32+ tasks forever after), and a huge
+    * batch splits to advisory-sized files. Scale-adaptive by
+    * construction: the knob is bytes, not a core count. Skipped when
+    * the CALLER's plan root is an explicit repartition (layout rigs
+    * like the clustered-compact fixture own their file layout) or when
+    * `graft.delta.optimizedWrite=false`. Identity/rowid fill
+    * expressions are computed BELOW the added exchange (projections
+    * with nondeterministic producers are never pushed through it), so
+    * allocation still reads the persisted batch's partition layout.
+    */
+  private def rebalanceForStaging(spark: SparkSession,
+      df: DataFrame): DataFrame = {
+    val on = spark.conf.getOption("graft.delta.optimizedWrite")
+        .forall(_.toBoolean) &&
+      spark.conf.getOption("spark.sql.adaptive.enabled")
+        .forall(_.toBoolean)
+    // "explicit layout" = a repartition/coalesce at the plan root,
+    // looking through projections and sorts (compact's clustered
+    // shape is sortWithinPartitions OVER repartitionByRange — the
+    // Sort must not hide the repartition below it)
+    def explicitLayout(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        explicitLayout(pr.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        explicitLayout(a.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        explicitLayout(s.child)
+      case _: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionOperation => true
+      case _ => false
+    }
+    if (on && !explicitLayout(df.queryExecution.logical)) df.hint("rebalance")
+    else df
+  }
+
   private def stageWithStats(spark: SparkSession, df: DataFrame,
       root: Path, fs: FileSystem,
       statsExclude: Set[String] = Set.empty)
       : Seq[(String, Long, String)] = {
     val stage = new Path(root.toString + "_stage_" +
       java.util.UUID.randomUUID.toString.take(8))
-    df.write.mode("overwrite").parquet(stage.toString)
+    rebalanceForStaging(spark, df).write.mode("overwrite")
+      .parquet(stage.toString)
     // statsExclude: physical-only companion columns (materialized row
     // ids) never surface in the log's stats JSON — they are not in the
     // logical schema and would confuse foreign pruners
