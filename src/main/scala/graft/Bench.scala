@@ -247,6 +247,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // static conf, set at creation (rationale: GraftSession.create)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
@@ -355,22 +357,29 @@ object Bench {
       "\"" + k + "\":" + loadJson(l)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"load":$load,"runs":$runs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the full per-query map: the driver's BENCH_r*.json
-    // captures stdout with a length cap, which truncates the queries map
-    // mid-way — the file is the complete, round-comparable record.
+    // MEASUREMENT-CONTRACT FIX (round 20): the driver captures only a
+    // ~2000-char stdout TAIL, and the one-line JSON with 227-query
+    // `queries`/`spread`/`load` maps is ~15 KB — every BENCH_r*.json
+    // back to r10 holds a line truncated mid-map (`parsed: null`, so
+    // PERF_r*.json never had totals or a scaling block). stdout now
+    // carries a SHORT line that fits the cap; the full per-query record
+    // (same fields as before, nothing removed) moves to
+    // BENCH_FULL_c<cpus>.json — keyed by core count so the driver's
+    // low-core scaling run stops clobbering the 32-core record.
     // A FILTERED run (SPARK_GRAFT_BENCH_ONLY) must not clobber it —
     // that record is what round-over-round comparisons read.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"load":$load,"runs":$runs,"cpus":$cpus,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_PARTIAL.json"
-      else "BENCH_FULL.json")
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) s"BENCH_PARTIAL_c$cpus.json"
+      else s"BENCH_FULL_c$cpus.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpus":$cpus,"sf":"$sfDir","detail":"$out"}""")
     spark.stop()
   }
 }

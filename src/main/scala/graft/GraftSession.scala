@@ -30,6 +30,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Whole-stage-codegen class cache (STATIC conf — must be set at
+      // session creation). The default 100 entries thrashes under an
+      // engine with hundreds of distinct operators: thread dumps under
+      // the lake-mutation rigs showed every active task queued on
+      // CodeGenerator.compile re-compiling evicted units (r20; q148
+      // 4.9→3.8 s/run from this alone). Per-JVM cost is bounded (a
+      // compiled unit is KBs); core-count independent, applies to any
+      // executor JVM at scale.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // Older testdata generations stored events.ts as TIMESTAMP(NANOS);
       // under this flag Spark reads those as LongType and Tables.load
       // converts to µs timestamps. Current testdata stores TIMESTAMP(MICROS,
@@ -57,6 +66,20 @@ object GraftSession {
     * (used by Verify/Bench, which build their own sessions, and by tests).
     */
   def configure(spark: SparkSession): SparkSession = {
+    // Spark 4.1 writes a checksum sidecar for EVERY checkpoint file and
+    // every state-store commit's delta-file close() parks awaiting the
+    // async checksum write (ChecksumCancellableFSDataOutputStream.close
+    // → awaitResult) — thread dumps under the replay rigs showed all 32
+    // state tasks in that park, a commit-latency convoy on every
+    // stateful micro-batch at any scale. The engine's streaming surface
+    // is replay/CDC rigs whose checkpoints are written and consumed
+    // within one job (AvailableNow), so corruption would surface as a
+    // same-run read failure anyway; measured interleaved A/B (r20):
+    // q151 8.8→6.5 s/run, q140 9.3→6.4 s/run. Set post-build so an
+    // operator can still override it for long-lived checkpoints on
+    // object storage (set it AFTER configure()).
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "false")
     graft.functions.GraftFunctions.registerAll(spark)
     // same rule the extension injects, for sessions built without
     // spark.sql.extensions (Verify/Bench/tests)

@@ -955,9 +955,16 @@ object Dedup {
     // approximates (token-set Jaccard is a different duplicate notion:
     // two random orderings of one vocabulary are token-identical but
     // share no shingles)
+    // the shingle-set UDF (per-doc full-text hashing, the truth side's
+    // CPU hotspot) feeds BOTH legs of the self-join below — without a
+    // persist each leg re-evaluates it over the whole capped corpus
+    // (guide §1.2 per-task work: r20 profile showed it as the largest
+    // CPU group in q34g). Persisted like the banded index in
+    // oracleLshPairs; the sets are longs-only, tiny next to the text.
     val sets = capped.select(col(blockCol).as("__blk"), col(idCol),
         oracleShingleSetUdf(col(textCol), lit(shingleWidth)).as("__hs"))
       .filter(col("__hs").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("__blk"), col(idCol).as("id_a"),
       col("__hs").as("__ha"))
     val b = sets.select(col("__blk"), col(idCol).as("id_b"),

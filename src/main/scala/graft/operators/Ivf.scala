@@ -171,9 +171,12 @@ object Ivf {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids = trainCentroids(corpus, corpusVec, nlist)
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
-      Similarity.normalize(col(corpusVec)).as("cvec"),
-      assignCells(corpus, corpusVec, centroids).as("cell"))
+    // guide §2.5: the per-row cell-assign UDF is the scan's CPU hotspot;
+    // widen a one-split corpus before it (no-op on a multi-split input)
+    val c = Similarity.parIfNarrow(corpus)
+      .select(col(corpusId).as("neighbor_id"),
+        Similarity.normalize(col(corpusVec)).as("cvec"),
+        assignCells(corpus, corpusVec, centroids).as("cell"))
     rankCandidates(c, probeSide(queries, queryId, queryVec, centroids, nprobe), k)
   }
 

@@ -220,8 +220,11 @@ object Pq {
     val spark = corpus.sparkSession
     val lutUdf = lutUdfFor(spark, model)
     val scoreUdf = adcScoreUdfFor(spark, model)
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
-      encode(corpus, corpusVec, model).as("code"))
+    // guide §2.5: the per-row PQ encode is the scan's CPU hotspot; widen
+    // a one-split corpus before it (no-op on a multi-split input)
+    val c = Similarity.parIfNarrow(corpus)
+      .select(col(corpusId).as("neighbor_id"),
+        encode(corpus, corpusVec, model).as("code"))
     val q = queries.select(col(queryId).as("query_id"),
       lutUdf(col(queryVec)).as("__lut"))
     val w = Window.partitionBy(col("query_id"))
@@ -267,9 +270,12 @@ object Pq {
     val spark = corpus.sparkSession
     val lutUdf = lutUdfFor(spark, model)
     val scoreUdf = adcScoreUdfFor(spark, model)
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
-      Ivf.assignCells(corpus, corpusVec, centroids).as("cell"),
-      encode(corpus, corpusVec, model).as("code"))
+    // guide §2.5: cell-assign + PQ encode are per-row UDF CPU; widen a
+    // one-split corpus before them (no-op on a multi-split input)
+    val c = Similarity.parIfNarrow(corpus)
+      .select(col(corpusId).as("neighbor_id"),
+        Ivf.assignCells(corpus, corpusVec, centroids).as("cell"),
+        encode(corpus, corpusVec, model).as("code"))
     val q = queries.select(col(queryId).as("query_id"),
       lutUdf(col(queryVec)).as("__lut"),
       explode(Ivf.probeCells(queries, queryVec, centroids, nprobe)).as("cell"))

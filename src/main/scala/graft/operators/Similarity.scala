@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Parallelize a CPU-heavy per-row index-build stage (PQ encode, cell
+    * assignment) over an UNSPLITTABLE input (optimization guide §2.5):
+    * a one-split corpus otherwise runs its interpreted encode UDFs on a
+    * single core (r20 profile: q72b's encode+ADC ran as 4 single-task
+    * stages per run). Gated on an input-parallelism deficit exactly
+    * like `Q.par`: skipped when the plan already yields >= cores
+    * partitions, so a real multi-split corpus pays no extra shuffle.
+    * Every consumer re-aggregates or ranks by key, so results are
+    * partitioning-invariant.
+    */
+  private[operators] def parIfNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val planned =
+      try df.rdd.getNumPartitions
+      catch { case _: Throwable => 1 }
+    if (planned >= cores) df else df.repartition(cores)
+  }
+
   /** Double-precision dot product — a native codegen'd Catalyst
     * expression ([[org.apache.spark.sql.graft.VectorExpressions.DotProduct]]):
     * a primitive fused loop inside WholeStageCodegen, where the

@@ -38,9 +38,22 @@ object Q {
     * partitioning-invariant. Scale-adaptive: the width follows the
     * cluster's core count, and at real scale the extra shuffle moves
     * only the narrow pre-encode rows.
+    *
+    * GATED on an input-parallelism DEFICIT (round 20): when the plan
+    * already yields >= cores partitions (a splittable multi-split scan
+    * at real scale), the round-robin shuffle — plus its SPARK-23207
+    * local sort — buys nothing, so it is skipped. The probe reads the
+    * planned partition count (`df.rdd.getNumPartitions`, physical
+    * planning only, no job); on any planning hiccup it falls back to
+    * repartitioning, the previously unconditional behavior.
     */
-  def par(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+  def par(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    val planned =
+      try df.rdd.getNumPartitions
+      catch { case _: Throwable => 1 }
+    if (planned >= cores) df else df.repartition(cores)
+  }
 
   /** Exact sum of a 2-decimal money/quantity double, surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(12, 2))).cast("double")

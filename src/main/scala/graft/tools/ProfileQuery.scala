@@ -37,6 +37,9 @@ object ProfileQuery {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // static conf, set at creation (rationale: GraftSession.create);
+      // keeps this tool's numbers comparable with Bench's
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // A/B config experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))

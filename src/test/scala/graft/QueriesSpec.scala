@@ -55,4 +55,24 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("Q.par repartitions only on an input-parallelism deficit") {
+    import org.apache.spark.sql.functions.col
+    val cores = spark.sparkContext.defaultParallelism
+    // single-split input (the bench-SF shape): widened to the cluster
+    val narrow = spark.range(0, 100).toDF("id").coalesce(1)
+    assert(queries.Q.par(spark, narrow).rdd.getNumPartitions == cores)
+    // already-parallel input (the real-scale shape): NO added exchange
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_qpar_test").toString
+    spark.range(0, 1000).toDF("id")
+      .repartition(cores + 4).write.mode("overwrite").parquet(tmp)
+    val wide = spark.read.parquet(tmp).filter(col("id") >= 0)
+    val before = wide.rdd.getNumPartitions
+    assert(before >= cores, s"fixture wrote too few splits: $before")
+    val after = queries.Q.par(spark, wide)
+    assert(after.rdd.getNumPartitions == before)
+    assert(!after.queryExecution.executedPlan.toString.contains(
+      "RoundRobinPartitioning"))
+  }
 }
