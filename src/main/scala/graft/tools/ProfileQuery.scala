@@ -8,7 +8,7 @@ import scala.collection.mutable
   * SparkListener and print a per-job / per-stage breakdown — wall time,
   * executor CPU, shuffle bytes — so optimization targets the measured
   * hotspot, not a guess. Mirrors Bench's method (noop sink, same
-  * session config) so numbers are comparable with BENCH_FULL.json.
+  * session config) so numbers are comparable with BENCH_FULL_c<cpus>.json.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
   *   runMain graft.tools.ProfileQuery <queryName>... [-runs N]
